@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table-loading helpers for the graft engine.
+  *
+  * Design notes (100 TB posture): the engine never collects data to the
+  * driver except for single-scalar results (e.g. the dynamic-filename
+  * aggregate, reference `pdf_to_xlsx.py:106-115`). All configuration is
+  * cluster-friendly: AQE on (adaptive shuffle coalescing, skew-join
+  * splitting), shuffle partitions sized to the local core count here but
+  * expected to be overridden by cluster submit conf at scale.
+  */
+object Engine {
+
+  /** Build a local session with the settings every entry point shares. */
+  def session(appName: String = "graft", cpus: Int = localCpus): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def localCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(
+      math.max(2, Runtime.getRuntime.availableProcessors()))
+
+  /** Load one of the driver-provided parquet tables from a scale-factor dir.
+    * Parquet is the at-rest format: columnar, predicate-pushdown capable —
+    * `.explain` on any downstream query must show PushedFilters/ReadSchema
+    * narrowing to exactly the referenced columns.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    // rejects; read nanos as Long (engine-wide convention: `ts` on events
+    // is epoch nanoseconds, converted explicitly where needed).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+}

@@ -1,0 +1,277 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.Relational
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.6) expressed over the
+  * driver's TPC-H-ish tables. Each query carries a DuckDB oracle.
+  *
+  * Determinism rules shared with every oracle in this repo:
+  *  - double aggregates are round()ed identically on both sides;
+  *  - output never exposes raw timestamps (strings/epochs instead);
+  *  - ties are always broken by a unique key.
+  */
+object RelationalQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // A1/A2 hash aggregate with partial (map-side) combine; no shuffle
+    // beyond the single agg exchange. TPC-H Q1 shape.
+    "q01_agg_pricing_summary" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    // P1/F-family: projection + conjunctive predicates; all three
+    // predicates push to the parquet scan (PushedFilters), projection
+    // prunes to 5 of 11 columns (ReadSchema).
+    "q02_filter_project" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        li.filter(col("l_quantity") < 10 && col("l_discount") > 0.05 &&
+            col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("revenue"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_quantity < 10 AND l_discount > 0.05 AND l_returnflag = 'R'"""),
+      headline = true),
+
+    // J1 broadcast equi-join (dim customer broadcasts; fact orders never
+    // shuffles) + hash agg.
+    "q03_join_agg_segment" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val cust = Engine.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment"""),
+      headline = true),
+
+    // J1×3: star join — every dim broadcasts, lineitem is the only big
+    // input and is read once with column pruning. TPC-H Q5 shape.
+    "q04_star_join_revenue" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        val sup = Engine.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Engine.table(s, dir, "nation")
+        val reg = Engine.table(s, dir, "region")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      oracle = Some("""
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name"""),
+      headline = true),
+
+    // J6 left-semi (EXISTS): membership without multiplying rows.
+    "q05_semi_join_active_customers" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Engine.table(s, dir, "customer")
+        val orders = Engine.table(s, dir, "orders").select(col("o_custkey"))
+        cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // J5-shape anti-join (NOT EXISTS).
+    "q06_anti_join_inactive_customers" -> QueryDef(
+      build = (s, dir) => {
+        val cust = Engine.table(s, dir, "customer")
+        val orders = Engine.table(s, dir, "orders").select(col("o_custkey"))
+        cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // J5 exact-duplicate suppression gate (database_utils.py:128-145):
+    // incoming rows whose (partkey, suppkey, quantity) already exist in
+    // the "warehouse" slice are dropped — one anti-join, zero per-row
+    // probes. Survivor counts grouped for a compact deterministic output.
+    "q07_dedup_gate" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val existing = li.filter(col("l_linenumber") <= 2)
+        val incoming = li.filter(col("l_linenumber") >= 3)
+        Relational.dedupGate(incoming, existing,
+            Seq("l_partkey", "l_suppkey", "l_quantity"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("survivors"),
+            round(sum(col("l_extendedprice")), 2).as("survivor_price"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS survivors,
+               round(sum(l_extendedprice), 2) AS survivor_price
+        FROM lineitem i
+        WHERE l_linenumber >= 3 AND NOT EXISTS (
+          SELECT 1 FROM lineitem e
+          WHERE e.l_linenumber <= 2 AND e.l_partkey = i.l_partkey
+            AND e.l_suppkey = i.l_suppkey AND e.l_quantity = i.l_quantity)
+        GROUP BY l_returnflag"""),
+      headline = true),
+
+    // J4 get-or-create dim upsert: existing dim = priorities seen on
+    // orderkey%10=0 orders (ids by natural-key order); incoming = all
+    // priorities; new keys get max(existing id)+row_number.
+    "q08_dim_upsert" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val existing = orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderpriority").as("priority")).dropDuplicates("priority")
+          .withColumn("dim_id",
+            row_number().over(Window.orderBy(col("priority"))).cast("long"))
+        val incoming = orders.select(col("o_orderpriority").as("priority"))
+        Relational.dimUpsert(existing, incoming, "priority", "dim_id")
+      },
+      oracle = Some("""
+        WITH existing AS (
+          SELECT priority, CAST(row_number() OVER (ORDER BY priority) AS BIGINT) AS dim_id
+          FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders
+                WHERE o_orderkey % 10 = 0)
+        ), fresh AS (
+          SELECT DISTINCT o_orderpriority AS priority FROM orders
+          WHERE o_orderpriority NOT IN (SELECT priority FROM existing)
+        )
+        SELECT priority, dim_id FROM existing
+        UNION ALL
+        SELECT priority,
+               CAST(row_number() OVER (ORDER BY priority) AS BIGINT)
+                 + (SELECT coalesce(max(dim_id), 0) FROM existing) AS dim_id
+        FROM fresh""")),
+
+    // W1 forward-fill (unbounded last non-null) — the Spark restatement of
+    // the reference's previous_link carry (import_files_to_postgre.py:143-153).
+    "q09_window_forward_fill" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+          .withColumn("v", when(col("event_type") =!= "error", col("value")))
+        Relational.forwardFill(ev, col("v"), Seq(col("user_id")),
+            Seq(col("event_id")), "filled")
+          .select(col("event_id"), col("user_id"), round(col("filled"), 4).as("filled"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               round(last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+        FROM events"""),
+      headline = true),
+
+    // W1 faithful one-row-lookback variant (lag, not last — SURVEY §7.3):
+    // a blank inherits only from the immediately-previous row.
+    "q10_window_lag_fill" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+          .withColumn("link", when(col("event_type") === "click", col("props")))
+        Relational.fillFromPrevious(ev, col("link"), Seq(col("user_id")),
+            Seq(col("event_id")), "filled_link")
+          .select(col("event_id"), col("user_id"), col("filled_link"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               coalesce(lnk, lag(lnk, 1) OVER (PARTITION BY user_id ORDER BY event_id))
+                 AS filled_link
+        FROM (SELECT event_id, user_id,
+                     CASE WHEN event_type = 'click' THEN props END AS lnk
+              FROM events)""")),
+
+    // W2 row_number tie-break — deterministic ".iloc[0]" per key.
+    "q11_first_per_key" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // (…, l_partkey, l_suppkey) is — the order must be total for a
+        // deterministic "first".
+        Relational.firstPerKey(li, Seq(col("l_orderkey")),
+            Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_partkey, l_quantity FROM (
+          SELECT l_orderkey, l_partkey, l_quantity,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+          FROM lineitem) WHERE rn = 1"""),
+      headline = true),
+
+    // Top-k with rounded sort key + unique tie-break (TakeOrderedAndProject
+    // physical op — no global sort at scale).
+    "q12_topk_customers" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        orders.groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("total").desc, col("o_custkey").asc)
+          .limit(10)
+      },
+      oracle = Some("""
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey
+        ORDER BY total DESC, o_custkey ASC LIMIT 10""")),
+
+    // Set op: EXCEPT (distinct) — customers with only 'F' orders.
+    "q13_set_except" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val f = orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        val o = orders.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"))
+        f.except(o)
+      },
+      oracle = Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"""))
+  )
+}
