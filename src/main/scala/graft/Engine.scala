@@ -42,6 +42,11 @@ object Engine {
     // rejects; read nanos as Long (engine-wide convention: `ts` on events
     // is epoch nanoseconds, converted explicitly where needed).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Engine dialect: permissive casts (null-on-fail), matching the
+    // reference's forgiving parsers (safe_convert_to_float et al.) and the
+    // oracle's TRY_CAST. Spark 4 defaults ANSI on; the scalar library's
+    // null-on-unparseable contract requires it off.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

@@ -1,0 +1,383 @@
+package graft.queries
+
+import graft.Engine
+import graft.{functions => gf}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function parity coverage (SURVEY.md §2.7, C1–C14).
+  *
+  * Each query synthesizes a deterministic string corpus from the testdata
+  * tables (identically in the DuckDB oracle), applies the engine function,
+  * and emits the result — so the oracle checks the exact scalar semantics
+  * of the reference, row-set-wide. Where the Spark side round-trips
+  * (synthesize → parse), the oracle computes the expected output directly
+  * from the source column — a stronger identity check.
+  */
+object ScalarQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // C2 safe_convert_to_float (utils_tools.py:55-64): null sentinels,
+    // EU decimal comma, null-on-unparseable.
+    "q14_safe_float" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val raw = when(col("l_linenumber") % 5 === 0,
+            concat(col("l_partkey").cast("string"), lit(","),
+              col("l_suppkey").cast("string")))
+          .when(col("l_linenumber") % 5 === 1, lit("none"))
+          .when(col("l_linenumber") % 5 === 2, lit(""))
+          .when(col("l_linenumber") % 5 === 3, lit("NaN"))
+          .otherwise(concat(lit(" "), floor(col("l_quantity")).cast("string"),
+            lit("."), col("l_suppkey").cast("string"), lit(" ")))
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          gf.safe_float(raw).as("parsed"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey,
+          CASE WHEN raw IS NULL OR lower(trim(raw)) IN ('', 'none', 'nan')
+               THEN NULL
+               ELSE TRY_CAST(replace(trim(raw), ',', '.') AS DOUBLE) END AS parsed
+        FROM (
+          SELECT l_orderkey, l_linenumber, l_partkey,
+            CASE l_linenumber % 5
+              WHEN 0 THEN l_partkey::VARCHAR || ',' || l_suppkey::VARCHAR
+              WHEN 1 THEN 'none'
+              WHEN 2 THEN ''
+              WHEN 3 THEN 'NaN'
+              ELSE ' ' || CAST(floor(l_quantity) AS BIGINT)::VARCHAR || '.' || l_suppkey::VARCHAR || ' '
+            END AS raw
+          FROM lineitem)""")),
+
+    // C1 money-string clean (pdf_to_xlsx.py:67-69, 94-101): strip
+    // `+ $ , space`, restore `-` sign.
+    "q15_clean_money" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val base = concat(col("l_partkey").cast("string"), lit("."),
+          lpad(col("l_linenumber").cast("string"), 2, "0"))
+        val money = when(col("l_linenumber") % 4 === 0, concat(lit("$"), base))
+          .when(col("l_linenumber") % 4 === 1, concat(lit("- $"), base))
+          .when(col("l_linenumber") % 4 === 2, concat(lit("+ $"), base))
+          .otherwise(concat(lit("$"), col("l_partkey").cast("string"),
+            lit(","), lpad(col("l_suppkey").cast("string"), 3, "0"),
+            lit(".25")))
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          gf.clean_money(money).as("amount"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey,
+          CASE WHEN strpos(m, '-') > 0 THEN -mag ELSE mag END AS amount
+        FROM (
+          SELECT *, abs(TRY_CAST(replace(regexp_replace(m, '[+$,\s]', '', 'g'), '-', '') AS DOUBLE)) AS mag
+          FROM (
+            SELECT l_orderkey, l_linenumber, l_partkey,
+              CASE l_linenumber % 4
+                WHEN 0 THEN '$' || base
+                WHEN 1 THEN '- $' || base
+                WHEN 2 THEN '+ $' || base
+                ELSE '$' || l_partkey::VARCHAR || ',' || lpad(l_suppkey::VARCHAR, 3, '0') || '.25'
+              END AS m
+            FROM (SELECT *, l_partkey::VARCHAR || '.' || lpad(l_linenumber::VARCHAR, 2, '0') AS base
+                  FROM lineitem)))""")),
+
+    // C5/C6 Spanish-abbrev date round-trip (pdf_to_xlsx.py:62, :108):
+    // Spark synthesizes `dd-mmm-yyyy` (es) and parses it back; the oracle
+    // computes the expected output directly from o_orderdate — the
+    // round-trip must be the identity.
+    "q16_spanish_dates" -> QueryDef(
+      build = (s, dir) => {
+        val o = Engine.table(s, dir, "orders")
+        val esStr = concat(
+          lpad(dayofmonth(col("o_orderdate")).cast("string"), 2, "0"),
+          lit("-"), gf.es_month_abbrev(month(col("o_orderdate"))), lit("-"),
+          year(col("o_orderdate")).cast("string"))
+        o.select(col("o_orderkey"), esStr.as("es_date"),
+          date_format(gf.spanish_to_date(esStr), "yyyy-MM-dd").as("parsed_date"),
+          concat(lit("cargos_bbva_"), gf.filename_date(col("o_orderdate")),
+            lit(".xlsx")).as("file_name"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+          lpad(day(o_orderdate)::VARCHAR, 2, '0') || '-' ||
+            CASE month(o_orderdate)
+              WHEN 1 THEN 'ene' WHEN 2 THEN 'feb' WHEN 3 THEN 'mar'
+              WHEN 4 THEN 'abr' WHEN 5 THEN 'may' WHEN 6 THEN 'jun'
+              WHEN 7 THEN 'jul' WHEN 8 THEN 'ago' WHEN 9 THEN 'sep'
+              WHEN 10 THEN 'oct' WHEN 11 THEN 'nov' ELSE 'dic'
+            END || '-' || year(o_orderdate)::VARCHAR AS es_date,
+          strftime(o_orderdate, '%Y-%m-%d') AS parsed_date,
+          'cargos_bbva_' || strftime(o_orderdate, '%d%b%Y') || '.xlsx' AS file_name
+        FROM orders""")),
+
+    // C7 get_store_name (utils_tools.py:114-130): host → drop
+    // {www,es,articulo,super} → first token if ≥2 remain; "ML" special.
+    "q17_store_name" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val url = when(col("doc_id") % 6 === 0, lit("ML"))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("https://www."), col("source"), lit(".com.mx/item/"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("https://articulo.mercadolibre.com.mx/MLM-"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("https://"), col("source"), lit(".com/"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("https://es."), col("source"), lit(".mx/p/"),
+              col("doc_id").cast("string")))
+          .otherwise(concat(lit("https://super.walmart.com.mx/cat/"),
+            col("doc_id").cast("string")))
+        d.select(col("doc_id"), url.as("url"),
+          gf.store_name(url).as("store"))
+      },
+      oracle = Some("""
+        SELECT doc_id, url,
+          CASE WHEN url = 'ML' THEN 'mercadolibre'
+               WHEN host IS NULL THEN NULL
+               WHEN len(kept) >= 2 THEN kept[1]
+               ELSE NULL END AS store
+        FROM (
+          SELECT doc_id, url, host,
+            list_filter(string_split(host, '.'),
+              x -> x NOT IN ('www', 'es', 'articulo', 'super')) AS kept
+          FROM (
+            SELECT doc_id, url,
+              CASE WHEN regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) = ''
+                   THEN NULL
+                   ELSE lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) END AS host
+            FROM (
+              SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'ML'
+                  WHEN 1 THEN 'https://www.' || source || '.com.mx/item/' || doc_id::VARCHAR
+                  WHEN 2 THEN 'https://articulo.mercadolibre.com.mx/MLM-' || doc_id::VARCHAR
+                  WHEN 3 THEN 'https://' || source || '.com/' || doc_id::VARCHAR
+                  WHEN 4 THEN 'https://es.' || source || '.mx/p/' || doc_id::VARCHAR
+                  ELSE 'https://super.walmart.com.mx/cat/' || doc_id::VARCHAR
+                END AS url
+              FROM documents)))""")),
+
+    // C8 get_provider_store (utils_tools.py:132-182) — the full ladder,
+    // including its load-bearing branch order ("amazon" in keep_path
+    // shadows the /dp/ special case; base-only before everything).
+    "q18_provider_url" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val id = col("doc_id").cast("string")
+        val url = when(col("doc_id") % 8 === 0,
+            concat(lit("https://www.temu.com/mx/item-"), id, lit(".html?top=1&g=2")))
+          .when(col("doc_id") % 8 === 1,
+            concat(lit("https://articulo.mercadolibre.com.mx/MLM-"), id,
+              lit("-prod?searchVariation=2")))
+          .when(col("doc_id") % 8 === 2,
+            concat(lit("https://www.amazon.com.mx/SomeProduct/dp/B0"), id,
+              lit("/ref=sr_1_1?keywords=x")))
+          .when(col("doc_id") % 8 === 3,
+            concat(lit("https://www.shein.com/item/"), id, lit("?lang=es")))
+          .when(col("doc_id") % 8 === 4,
+            concat(lit("https://www.ebay.com/itm/"), id, lit("?hash=abc")))
+          .when(col("doc_id") % 8 === 5,
+            concat(lit("https://unknownshop"), (col("doc_id") % 10).cast("string"),
+              lit(".mx/products/"), id, lit("?utm=1")))
+          .when(col("doc_id") % 8 === 6,
+            concat(lit("  https://www.liverpool.com.mx/tienda/pdp/"), id, lit("  ")))
+          .otherwise(concat(lit("https://mercadolibre.com.mx/p/"), id))
+        d.select(col("doc_id"), trim(url).as("url"),
+          gf.provider_url(url).as("provider_url"))
+      },
+      oracle = Some("""
+        WITH urls AS (
+          SELECT doc_id,
+            trim(CASE doc_id % 8
+              WHEN 0 THEN 'https://www.temu.com/mx/item-' || doc_id::VARCHAR || '.html?top=1&g=2'
+              WHEN 1 THEN 'https://articulo.mercadolibre.com.mx/MLM-' || doc_id::VARCHAR || '-prod?searchVariation=2'
+              WHEN 2 THEN 'https://www.amazon.com.mx/SomeProduct/dp/B0' || doc_id::VARCHAR || '/ref=sr_1_1?keywords=x'
+              WHEN 3 THEN 'https://www.shein.com/item/' || doc_id::VARCHAR || '?lang=es'
+              WHEN 4 THEN 'https://www.ebay.com/itm/' || doc_id::VARCHAR || '?hash=abc'
+              WHEN 5 THEN 'https://unknownshop' || (doc_id % 10)::VARCHAR || '.mx/products/' || doc_id::VARCHAR || '?utm=1'
+              WHEN 6 THEN '  https://www.liverpool.com.mx/tienda/pdp/' || doc_id::VARCHAR || '  '
+              ELSE 'https://mercadolibre.com.mx/p/' || doc_id::VARCHAR
+            END) AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, url,
+            regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+            lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+            regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+          FROM urls)
+        SELECT doc_id, url,
+          CASE
+            WHEN url IS NULL OR url = '' THEN NULL
+            WHEN host LIKE '%temu.com%' OR host LIKE '%shein.com%'
+              OR host LIKE '%walmart.com.mx%' OR host LIKE '%soriana.com%'
+              OR host LIKE '%costco.com.mx%' OR host LIKE '%liverpool.com.mx%'
+              OR host LIKE '%sears.com.mx%' OR host LIKE '%coppel.com%'
+              OR host LIKE '%elektra.com.mx%'
+              THEN scheme || '://' || host
+            WHEN host LIKE '%ebay.%' OR host LIKE '%mercado%'
+              OR host LIKE '%aliexpress%' OR host LIKE '%amazon%'
+              OR host LIKE '%bestbuy%' OR host LIKE '%target%'
+              OR host LIKE '%lowes%' OR host LIKE '%officedepot%'
+              THEN scheme || '://' || host || path
+            WHEN host LIKE '%mercadolibre.com.mx%'
+              THEN scheme || '://' || regexp_replace(host, '^articulo\.', 'www.')
+            WHEN host LIKE '%amazon.%'
+              THEN scheme || '://' || host ||
+                   (CASE WHEN path LIKE '%/dp/%' OR path LIKE '%/gp/product/%'
+                         THEN regexp_replace(path, '/ref.*$', '')
+                         ELSE path END)
+            ELSE scheme || '://' || host || path
+          END AS provider_url
+        FROM parts""")),
+
+    // C9 get_domain_store (utils_tools.py:184-197), with the *intended*
+    // articulo.→www. replace (the reference discards it — SURVEY §7.3).
+    "q19_domain_store" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val id = col("doc_id").cast("string")
+        val url = when(col("doc_id") % 4 === 0, lit("mercadolibre"))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://articulo.mercadolibre.com.mx/MLM-"), id))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("http://Shop"), (col("doc_id") % 10).cast("string"),
+              lit(".MX/a/"), id))
+          .otherwise(lit("not a url"))
+        d.select(col("doc_id"), url.as("url"),
+          gf.domain_store(url).as("domain"))
+      },
+      oracle = Some("""
+        SELECT doc_id, url,
+          CASE WHEN url = 'mercadolibre' THEN 'www.mercadolibre.com.mx'
+               WHEN m = '' THEN NULL
+               ELSE regexp_replace(m, '^articulo\.mercadolibre', 'www.mercadolibre') END AS domain
+        FROM (
+          SELECT doc_id, url, lower(regexp_extract(url, 'https?://([^/]+)', 1)) AS m
+          FROM (
+            SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN 'mercadolibre'
+                WHEN 1 THEN 'https://articulo.mercadolibre.com.mx/MLM-' || doc_id::VARCHAR
+                WHEN 2 THEN 'http://Shop' || (doc_id % 10)::VARCHAR || '.MX/a/' || doc_id::VARCHAR
+                ELSE 'not a url'
+              END AS url
+            FROM documents))""")),
+
+    // C12 derived pricing with pandas-falsy semantics (0/NaN/None all
+    // trigger the default — import_files_to_postgre.py:217-220).
+    "q20_derived_pricing" -> QueryDef(
+      build = (s, dir) => {
+        val p = Engine.table(s, dir, "part")
+        // Additive synthesis keeps true decimal precision at 2 — no
+        // round-tie divergence between Spark (HALF_UP on shortest decimal
+        // repr) and DuckDB (scale-multiply-and-round) is possible when the
+        // final round position is beyond the true precision.
+        val venta = when(col("p_partkey") % 3 === 0, lit(null).cast("double"))
+          .when(col("p_partkey") % 3 === 1, lit(0.0))
+          .otherwise(col("p_retailprice") + 100.0)
+        val oferta = when(col("p_partkey") % 4 === 0, lit(null).cast("double"))
+          .when(col("p_partkey") % 4 === 1, lit(0.0))
+          .otherwise(col("p_retailprice") + 50.0)
+        val price = gf.derived_price(venta, col("p_retailprice"))
+        d2(p, price, oferta)
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               round(price, 6) AS price,
+               round(CASE WHEN oferta IS NULL OR oferta = 0
+                          THEN price * 0.85 ELSE oferta END, 6) AS offer_price
+        FROM (
+          SELECT p_partkey,
+            CASE WHEN venta IS NULL OR venta = 0
+                 THEN p_retailprice * 1.3 ELSE venta END AS price,
+            oferta
+          FROM (
+            SELECT p_partkey, p_retailprice,
+              CASE p_partkey % 3 WHEN 0 THEN NULL WHEN 1 THEN 0.0
+                ELSE p_retailprice + 100.0 END AS venta,
+              CASE p_partkey % 4 WHEN 0 THEN NULL WHEN 1 THEN 0.0
+                ELSE p_retailprice + 50.0 END AS oferta
+            FROM part))""")),
+
+    // C4/C14 null-sentinel normalization + falsy defaults
+    // (import_files_to_postgre.py:132, utils_tools.py:66-71).
+    "q21_null_normalization" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+        val raw = when(col("event_id") % 6 === 0, lit("None"))
+          .when(col("event_id") % 6 === 1, lit("none"))
+          .when(col("event_id") % 6 === 2, lit("NONE"))
+          .when(col("event_id") % 6 === 3, lit(""))
+          .when(col("event_id") % 6 === 4, lit("nan"))
+          .otherwise(col("props"))
+        val v = when(col("event_id") % 3 === 0, lit(null).cast("double"))
+          .when(col("event_id") % 3 === 1, lit(0.0))
+          .otherwise(col("value"))
+        ev.select(col("event_id"), gf.normalize_null(raw).as("norm"),
+          round(gf.default_if_falsy(v, lit(-1.0)), 4).as("v_or_default"))
+      },
+      oracle = Some("""
+        SELECT event_id,
+          CASE WHEN lower(trim(raw)) IN ('', 'none', 'nan') THEN NULL
+               ELSE raw END AS norm,
+          round(CASE WHEN v IS NULL OR v = 0 THEN -1.0 ELSE v END, 4) AS v_or_default
+        FROM (
+          SELECT event_id,
+            CASE event_id % 6
+              WHEN 0 THEN 'None' WHEN 1 THEN 'none' WHEN 2 THEN 'NONE'
+              WHEN 3 THEN '' WHEN 4 THEN 'nan' ELSE props END AS raw,
+            CASE event_id % 3 WHEN 0 THEN NULL WHEN 1 THEN 0.0
+              ELSE value END AS v
+          FROM events)""")),
+
+    // C11 pre-sink truncation (database_utils.py:223).
+    "q22_truncate" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"), gf.truncate500(col("text")).as("snippet"),
+          length(col("text")).as("n"))
+      },
+      oracle = Some("""
+        SELECT doc_id, substr(text, 1, 500) AS snippet, length(text) AS n
+        FROM documents""")),
+
+    // A1 + S10 + C6: scalar max drives a derived output name
+    // (pdf_to_xlsx.py:106-115) — the engine's only driver-side collect.
+    "q23_dynamic_filename" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        li.agg(max(col("l_shipdate")).as("mx"))
+          .select(concat(lit("cargos_bbva_"), gf.filename_date(col("mx")),
+            lit(".xlsx")).as("file_name"))
+      },
+      oracle = Some("""
+        SELECT 'cargos_bbva_' || strftime(max(l_shipdate), '%d%b%Y') || '.xlsx' AS file_name
+        FROM lineitem""")),
+
+    // A2/A3 catalog-style counts.
+    "q24_catalog_counts" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            round(avg(col("n_chars")), 4).as("avg_chars"))
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY source"""))
+  )
+
+  // q20 helper: keeps the build readable.
+  private def d2(p: org.apache.spark.sql.DataFrame,
+                 price: org.apache.spark.sql.Column,
+                 oferta: org.apache.spark.sql.Column) =
+    p.select(col("p_partkey"),
+      round(price, 6).as("price"),
+      round(gf.derived_offer(oferta, price), 6).as("offer_price"))
+}
