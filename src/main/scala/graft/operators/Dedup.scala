@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{functions => gf}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines, from exact
+  * hash-groupBy to MinHash-LSH near-dup detection.
+  *
+  * Scale design (100 TB): every variant is a bounded number of
+  * shuffle-by-key passes — no pairwise O(n²) stage ever materializes over
+  * the full corpus. LSH banding turns near-dup search into an equi-join on
+  * (band, signature), which Spark executes as a shuffled hash join with
+  * AQE skew splitting; only within-bucket candidates are compared.
+  * Hashes are md5-based (graft.functions.hash60) so an ANSI-SQL oracle
+  * reproduces every signature exactly.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-shuffle, keeps the smallest id
+    * per group as representative.
+    */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word w-shingles (default w=3) as a distinct array column expression. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - w, lit(0)) ),
+      i => concat_ws(" ", (0 until w).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+
+  /** MinHash signature columns: for seed s, min over shingles of
+    * hash60(s || ':' || shingle). Returns the exploded (id, shingle) frame
+    * aggregated to one row per id with k signature columns sig0..sig{k-1}.
+    */
+  def minHashSignatures(df: DataFrame, text: Column, id: Column,
+                        k: Int = 16, w: Int = 3): DataFrame = {
+    val exploded = df.select(id.as("__id"),
+      explode(shingles(text, w)).as("__sh"))
+    val sigCols = (0 until k).map(s =>
+      min(gf.hash60(lit(s), col("__sh"))).as(s"sig$s"))
+    exploded.groupBy(col("__id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private def groupByAgg(df: DataFrame, key: Column, aggs: Seq[Column]) =
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+
+  /** MinHash-LSH candidate pairs: k signatures banded into `bands` bands
+    * of k/bands rows; docs sharing any band signature become a candidate
+    * pair (id_a < id_b, distinct).
+    */
+  def minHashLshPairs(df: DataFrame, text: Column, id: Column,
+                      k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+    val r = k / bands
+    val sigs = minHashSignatures(df, text, id, k, w)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until r).map(i => col(s"sig${b * r + i}")): _*))
+          .as("sig")).as(s"b$b")
+    }
+    val banded = sigs.select(col("__id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .dropDuplicates("__id", "band", "sig")
+    val a = banded.select(col("band"), col("sig"), col("__id").as("id_a"))
+    val b = banded.select(col("band"), col("sig"), col("__id").as("id_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash (nBits-bit, default 32): per-token hash60, per-bit ±1 vote,
+    * bit set iff vote sum > 0. Tokens weighted by occurrence (not
+    * distinct), matching the classic Charikar construction.
+    */
+  def simHash(df: DataFrame, text: Column, id: Column,
+              nBits: Int = 32): DataFrame = {
+    val toks = df.select(id.as("__id"), explode(split(text, " ")).as("__t"))
+      .withColumn("__h", gf.hash60(col("__t")))
+    val votes = (0 until nBits).map { b =>
+      sum(when(shiftright(col("__h"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    groupByAgg(toks, col("__id"), votes)
+      .select(col("__id"),
+        (0 until nBits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        ).reduce(_ + _).as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    * O(candidate pairs) — intended for *within-bucket* verification or
+    * bounded subsets; the LSH variant is the full-corpus scale path.
+    */
+  def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
+                        w: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val ex = df.select(id.as("__id"), explode(shingles(text, w)).as("__sh"))
+    val sizes = ex.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    val a = ex.select(col("__sh"), col("__id").as("id_a"))
+    val b = ex.select(col("__sh"), col("__id").as("id_b"))
+    val inter = a.join(b, Seq("__sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("n", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("n", "nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `cosineTopK`: brute-force — exact, O(|queries| × |corpus|). The
+  *    correctness baseline; at 100 TB only viable for small query sets
+  *    against a broadcast corpus sample.
+  *  - `lshBuckets` + `lshTopK`: random-hyperplane LSH — each vector maps
+  *    to a small signature; search joins on the bucket key, so the
+  *    pairwise stage is bounded by bucket occupancy. This is the scale
+  *    path: one shuffle on bucket, AQE handles skewed buckets.
+  *
+  * Hyperplane signs are derived from md5 (deterministic, seedable) so the
+  * SQL oracle reproduces bucketing exactly; dot products are sequential
+  * left-folds matching DuckDB's list_dot_product evaluation order.
+  */
+object Similarity {
+
+  /** Cast a float embedding to double (exact) for stable arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest
+    * rows of `corpus` (excluding self by id). Rank is deterministic:
+    * (rounded similarity desc, neighbor id).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, vec: String,
+                 id: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), asDouble(col(vec)).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic ±1 sign for hyperplane `plane`, dimension `dim`:
+    * parity of the first md5 byte of "plane:dim". Computed driver-side —
+    * the planes are literals in the plan (and in the SQL oracle).
+    */
+  def planeSign(plane: Int, dim: Int): Int = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes(StandardCharsets.UTF_8))
+    if ((d(0) & 1) == 1) 1 else -1
+  }
+
+  /** Sign matrix as literal arrays: planes × dims. */
+  def planeSigns(nPlanes: Int, dims: Int): Seq[Seq[Int]] =
+    (0 until nPlanes).map(p => (0 until dims).map(d => planeSign(p, d)))
+
+  /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
+  def lshBucket(v: Column, signs: Seq[Seq[Int]]): Column =
+    signs.zipWithIndex.map { case (plane, p) =>
+      val planeLit = array(plane.map(s => lit(s.toDouble)): _*)
+      when(dot(v, planeLit) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: join queries to corpus on the LSH bucket, rank within
+    * bucket by cosine. Recall < 1 by construction (that is the trade);
+    * bucket width is 2^nPlanes.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vec: String, id: String,
+              k: Int, nPlanes: Int, dims: Int): DataFrame = {
+    val signs = planeSigns(nPlanes, dims)
+    val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), signs))
+    val c = corpus.select(col(id).as("neighbor_id"), asDouble(col(vec)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), signs))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
+    * The dedup decision keeps the smaller id.
+    */
+  def embeddingNearDupPairs(df: DataFrame, vec: String, id: String,
+                            tau: Double, nPlanes: Int, dims: Int): DataFrame = {
+    val signs = planeSigns(nPlanes, dims)
+    val v = df.select(col(id).as("vid"), asDouble(col(vec)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), signs))
+    val a = v.select(col("bucket"), col("vid").as("keep_id"), col("v").as("va"))
+    val b = v.select(col("bucket"), col("vid").as("dup_id"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("keep_id") < col("dup_id"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= tau)
+      .select(col("keep_id"), col("dup_id"), col("sim"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All pure Column expressions (whole-stage codegen, no UDFs); every
+  * primitive has an exact ANSI-SQL equivalent so the DuckDB oracle can
+  * replicate results bit-for-bit. Designed to run as a single projection
+  * over a 100 TB `documents` scan — no shuffle, no state.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — a cheap, deterministic
+    * proxy for subword tokenizers.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  /** Stopword tables for the n-gram language-ID heuristic. Order is the
+    * tie-break (first wins).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "les", "de", "et", "une", "est"),
+    "de" -> Seq("der", "die", "und", "das", "zu", "ist"))
+
+  /** Per-language stopword hit count. */
+  def langScore(text: Column, lang: String): Column =
+    score(text, langStopwords.toMap.apply(lang))
+
+  private def score(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Language ID: stopword-hit argmax with first-wins tie-break in
+    * `langStopwords` order; "unknown" when no list scores.
+    */
+  def langId(text: Column): Column = {
+    val s = langStopwords.map { case (l, ws) => l -> score(text, ws) }
+    val Seq(en, es, fr, de) = s.map(_._2)
+    when(en > 0 && en >= es && en >= fr && en >= de, "en")
+      .when(es > 0 && es >= fr && es >= de, "es")
+      .when(fr > 0 && fr >= de, "fr")
+      .when(de > 0, "de")
+      .otherwise("unknown")
+  }
+
+  /** Quality score in [0,1]: length component (saturating at 100 tokens),
+    * alphanumeric cleanliness, and stopword density. Deterministic double
+    * math (same operand order as the SQL oracle).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val nClean = length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")).cast("double")
+    val allStop = langStopwords.flatMap(_._2).distinct
+    val nStop = score(text, allStop).cast("double")
+    val lengthScore = least(lit(1.0), nTok / 100.0)
+    val cleanScore = nClean / nChars
+    val stopScore = nStop / nTok
+    round(lengthScore * 0.4 + cleanScore * 0.3 + stopScore * 0.3, 6)
+  }
+
+  /** Document fingerprint: md5 over the lowercased alphanumeric skeleton —
+    * whitespace/punctuation-invariant exact-dup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+}

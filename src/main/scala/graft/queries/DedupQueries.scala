@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication coverage over `documents`: exact hash, MinHash-LSH,
+  * SimHash, n-gram Jaccard (SURVEY.md north-star operators).
+  *
+  * Oracle SQL is generated programmatically where the operator has many
+  * regular terms (16 minhash signatures, 32 simhash bit votes) so the SQL
+  * provably mirrors the Scala construction.
+  */
+object DedupQueries {
+
+  /** DuckDB equivalent of graft.functions.hash60(seed, s). */
+  private def sqlHash60(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  /** DuckDB distinct word 3-shingles of `text` (mirrors Dedup.shingles). */
+  private val sqlShingles =
+    """list_distinct(list_transform(
+         generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+         i -> concat_ws(' ', string_split(text, ' ')[i+1],
+                        string_split(text, ' ')[i+2],
+                        string_split(text, ' ')[i+3])))"""
+
+  private val K = 16
+  private val Bands = 4
+  private val R = K / Bands
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Exact dedup: hash-groupBy, min-id representative.
+    "q32_dedup_exact" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        Dedup.exact(d, col("text"), col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)"""),
+      headline = true),
+
+    // Exact n-gram Jaccard on a bounded subset (the within-bucket
+    // verification path; LSH below is the full-corpus path).
+    "q33_ngram_jaccard" -> QueryDef(
+      build = (s, dir) => {
+        // Synthetic word-soup docs share few 3-shingles; an intersecting
+        // pair sits near jaccard ≈ 1/(na+nb) ≈ 0.006, so the demo
+        // threshold is low. Real corpora would use ~0.8.
+        val d = Engine.table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+        Dedup.ngramJaccardPairs(d, col("text"), col("doc_id"),
+          w = 3, minJaccard = 0.005)
+      },
+      oracle = Some(s"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        sh AS (SELECT doc_id, unnest($sqlShingles) AS s FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               round(CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.005""")),
+
+    // MinHash-LSH candidate pairs: k=16 md5-derived signatures, 4 bands
+    // of 4 — the 100 TB near-dup path (equi-join on band signature).
+    "q34_minhash_lsh" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        Dedup.minHashLshPairs(d, col("text"), col("doc_id"),
+          k = K, bands = Bands, w = 3)
+      },
+      oracle = Some {
+        val sigCols = (0 until K).map(s =>
+          s"min(${sqlHash60(s"$s || ':' || sh")}) AS sig$s").mkString(",\n            ")
+        val bandSelects = (0 until Bands).map { b =>
+          val parts = (0 until R).map(i => s"sig${b * R + i}::VARCHAR")
+            .mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
+        }.mkString("\n          UNION ALL\n          ")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, unnest($sqlShingles) AS sh FROM documents),
+        sigs AS (
+          SELECT doc_id,
+            $sigCols
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          $bandSelects)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id"""
+      },
+      headline = true),
+
+    // SimHash (32-bit): per-token ±1 bit votes.
+    "q35_simhash" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        Dedup.simHash(d, col("text"), col("doc_id"), nBits = 32)
+          .withColumnRenamed("__id", "doc_id")
+      },
+      oracle = Some {
+        val votes = (0 until 32).map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(",\n            ")
+        val bits = (0 until 32).map(b =>
+          s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id, ${sqlHash60("t")} AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)),
+        votes AS (
+          SELECT doc_id,
+            $votes
+          FROM toks GROUP BY doc_id)
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes"""
+      },
+      headline = true)
+  )
+}

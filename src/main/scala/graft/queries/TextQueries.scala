@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis coverage over the `documents` table: token counting,
+  * language ID, quality scoring, fingerprinting (SURVEY.md north-star
+  * operators). Oracles replicate the exact expression math in DuckDB.
+  */
+object TextQueries {
+
+  /** DuckDB: stopword-hit count over whitespace tokens. */
+  private def sqlScore(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  private val Seq(enW, esW, frW, deW) = TextAnalysis.langStopwords.map(_._2)
+  private val allStop = TextAnalysis.langStopwords.flatMap(_._2).distinct
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Token counting: whitespace + BPE-ish regex tokens.
+    "q28_token_stats" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe_tokens"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+        FROM documents"""),
+      headline = true),
+
+    // Language ID: stopword-hit argmax, first-wins tie-break en>es>fr>de.
+    "q29_lang_id" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"), col("lang").as("lang_declared"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id, lang AS lang_declared,
+          CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+               WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+               WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+               WHEN s_de > 0 THEN 'de'
+               ELSE 'unknown' END AS lang_pred
+        FROM (
+          SELECT doc_id, lang,
+            ${sqlScore(enW)} AS s_en, ${sqlScore(esW)} AS s_es,
+            ${sqlScore(frW)} AS s_fr, ${sqlScore(deW)} AS s_de
+          FROM documents)"""),
+      headline = true),
+
+    // Quality score: saturating length + cleanliness + stopword density.
+    "q30_quality_score" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+          round(least(1.0, n_tok / 100.0) * 0.4
+                + (n_clean / n_chars) * 0.3
+                + (n_stop / n_tok) * 0.3, 6) AS quality
+        FROM (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+            CAST(length(text) AS DOUBLE) AS n_chars,
+            CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_clean,
+            CAST(${sqlScore(allStop)} AS DOUBLE) AS n_stop
+          FROM documents)"""),
+      headline = true),
+
+    // Rolling-hash-style document fingerprint (md5 of the lowercased
+    // alphanumeric skeleton).
+    "q31_fingerprint" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        FROM documents"""))
+  )
+}
