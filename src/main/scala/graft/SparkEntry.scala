@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def all: Seq[(String, QueryDef)] =
-    RelationalQueries.defs ++ ScalarQueries.defs ++
+    RelationalQueries.defs ++ ScalarQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Engine
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table — the batch-checkable
+  * face of the engine's Structured Streaming surface (SURVEY.md §2.8).
+  * The same window specs run streaming in graft.streaming.EventWindows;
+  * here they run on the static table so the DuckDB oracle can replay them.
+  *
+  * `ts` arrives as epoch-nanos Long (see Engine.table); conversions are
+  * explicit floor divisions, matching DuckDB's ns-timestamp truncation.
+  */
+object EventQueries {
+
+  /** epoch-nanos → TimestampType (micros floor). */
+  private def nsToTimestamp = timestamp_micros(expr("ts div 1000"))
+
+  /** epoch-nanos → epoch millis (floor). */
+  private def nsToMs = expr("ts div 1000000")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Tumbling 5-minute windows: count + sum per (window, event_type).
+    "q25_tumbling_window" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+        ev.withColumn("tstamp", nsToTimestamp)
+          .groupBy(window(col("tstamp"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("event_type"), col("n_events"), col("sum_value"))
+      },
+      oracle = Some("""
+        SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_ms,
+               event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2"""),
+      headline = true),
+
+    // Sliding windows (10-minute size, 5-minute slide): each event lands
+    // in two windows.
+    "q27_sliding_window" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+        ev.withColumn("tstamp", nsToTimestamp)
+          .groupBy(window(col("tstamp"), "10 minutes", "5 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("event_type"), col("n_events"), col("sum_value"))
+      },
+      oracle = Some("""
+        WITH starts AS (
+          SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS ws,
+                 event_type, value FROM events
+          UNION ALL
+          SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) - 300000 AS ws,
+                 event_type, value FROM events)
+        SELECT ws AS window_start_ms, event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM starts GROUP BY 1, 2""")),
+
+    // Session windows via gaps-and-islands: a >30-minute silence starts a
+    // new session per user. The streaming twin uses session_window /
+    // flatMapGroupsWithState; the batch form is the oracle-checkable one.
+    "q26_session_windows" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events").withColumn("ms", nsToMs)
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        val flagged = ev.withColumn("is_new",
+          when(lag(col("ms"), 1).over(wOrd).isNull ||
+            col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1L)
+            .otherwise(0L))
+        val sessions = flagged.withColumn("session_id",
+          sum(col("is_new")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sessions.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("sum_value"),
+            (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+      },
+      oracle = Some("""
+        WITH ordered AS (
+          SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+            CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        sess AS (
+          SELECT user_id, value, ms,
+            sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM ordered)
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               max(ms) - min(ms) AS duration_ms
+        FROM sess GROUP BY user_id, session_id"""))
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("forwardFill carries last non-null; fillFromPrevious only one row back") {
+    // Reference subtlety (SURVEY §7.3): two consecutive blanks inherit
+    // nothing from 3 rows back under the faithful lag semantics.
+    val df = Seq((1, 1, Some("a")), (1, 2, None), (1, 3, None), (1, 4, Some("b")))
+      .toDF("part", "ord", "v")
+    val ff = Relational.forwardFill(df, $"v", Seq($"part"), Seq($"ord"), "f")
+      .orderBy($"ord").select($"f").collect().map(r => Option(r.getString(0)))
+    assert(ff.toSeq == Seq(Some("a"), Some("a"), Some("a"), Some("b")))
+    val lf = Relational.fillFromPrevious(df, $"v", Seq($"part"), Seq($"ord"), "f")
+      .orderBy($"ord").select($"f").collect().map(r => Option(r.getString(0)))
+    assert(lf.toSeq == Seq(Some("a"), Some("a"), None, Some("b")))
+  }
+
+  test("dedupGate drops exact matches only (database_utils.py:128-145)") {
+    val existing = Seq((1L, 2L, 10.0), (2L, 3L, 20.0)).toDF("pk", "sk", "q")
+    val incoming = Seq((1L, 2L, 10.0), (1L, 2L, 11.0), (9L, 9L, 9.0))
+      .toDF("pk", "sk", "q")
+    val out = Relational.dedupGate(incoming, existing, Seq("pk", "sk", "q"))
+    assert(out.count() == 2)
+  }
+
+  test("dimUpsert assigns fresh ids above max existing") {
+    val existing = Seq(("a", 10L), ("b", 11L)).toDF("k", "id")
+    val incoming = Seq("b", "c", "d", "c").toDF("k")
+    val dim = Relational.dimUpsert(existing, incoming, "k", "id")
+      .orderBy("id").as[(String, Long)].collect()
+    assert(dim.toSeq == Seq(("a", 10L), ("b", 11L), ("c", 12L), ("d", 13L)))
+  }
+
+  test("shingles: distinct word 3-grams; short docs degrade gracefully") {
+    val r = Seq("a b c d", "x y", "").toDF("t")
+      .select(Dedup.shingles($"t").as("s")).collect()
+    assert(r(0).getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(r(1).getSeq[String](0) == Seq("x y"))
+    assert(r(2).getSeq[String](0) == Seq(""))
+  }
+
+  test("minHashLshPairs finds identical docs, symmetric and deduped") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "the quick brown fox jumps over the lazy dog end"),
+      (3L, "completely different words entirely here nothing shared at all ok"))
+      .toDF("id", "t")
+    val pairs = Dedup.minHashLshPairs(docs, $"t", $"id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simHash: identical docs → identical hash; bits in range") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("id", "t")
+    val hs = Dedup.simHash(docs, $"t", $"id").orderBy("__id")
+      .as[(Long, Long)].collect()
+    assert(hs(0)._2 == hs(1)._2)
+    assert(hs.forall { case (_, h) => h >= 0 && h < (1L << 32) })
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs,
+      vecs.filter($"vec_id" === 0), "embedding", "vec_id", k = 2)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(top(0)._2 == 1L && top(0)._4 == 1.0)
+    assert(top(1)._2 == 3L)
+  }
+
+  test("lshBucket groups identical vectors; langId/quality deterministic") {
+    val signs = Similarity.planeSigns(4, 3)
+    val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val b = vecs.select(Similarity.lshBucket(
+      Similarity.asDouble($"embedding"), signs).as("b"))
+      .as[Long].collect()
+    assert(b(0) == b(1))
+
+    val lang = Seq("the cat is on the mat", "el gato y la casa de que")
+      .toDF("text").select(TextAnalysis.langId($"text")).as[String].collect()
+    assert(lang.toSeq == Seq("en", "es"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{EventWindows, FileDrop}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumbling window aggregates a memory stream (q25 twin)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF()
+      .toDF("ms", "event_type", "value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+    val q = EventWindows.tumbling(events).writeStream
+      .outputMode("complete").format("memory").queryName("tumbling_out")
+      .start()
+    val t0 = 1700000000000L // aligned off nothing in particular
+    input.addData((t0, "click", 1.0), (t0 + 60000, "click", 2.0),
+      (t0 + 6 * 60000, "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling_out")
+      .orderBy("window_start_ms")
+      .select("event_type", "n_events", "sum_value")
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 2)
+    assert(rows(0) == ("click", 2L, 3.0))
+    assert(rows(1) == ("view", 1L, 5.0))
+  }
+
+  test("session window closes on gap (streaming sessions)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("ms", "user_id", "value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+    val q = EventWindows.sessions(events, gap = "5 minutes").writeStream
+      .outputMode("complete").format("memory").queryName("session_out")
+      .start()
+    val t0 = 1700000000000L
+    input.addData((t0, 1L, 1.0), (t0 + 60000, 1L, 1.0),
+      (t0 + 30 * 60000, 1L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("session_out").count()
+    assert(n == 2) // two sessions: [t0, t0+1min] and [t0+30min]
+  }
+
+  test("FileDrop: drains directory, archives success, quarantines failure") {
+    val base = Files.createTempDirectory("filedrop").toFile.getAbsolutePath
+    val in = s"$base/in"; val done = s"$base/done"; val bad = s"$base/bad"
+    new java.io.File(in).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$in/good.json"),
+      """{"k": 1}""" + "\n" + """{"k": 2}""")
+    Files.writeString(java.nio.file.Paths.get(s"$in/poison.json"),
+      """{"k": -1}""")
+    val cfg = FileDrop.Config(
+      inputDir = in, format = "json",
+      schema = StructType(Seq(StructField("k", LongType))),
+      processedDir = done, errorsDir = bad,
+      checkpointDir = s"$base/ckpt", pathGlob = "*.json")
+    val (ok, err) = FileDrop.runAvailableNow(spark, cfg) { (batch, _) =>
+      // per-file transactional stand-in: reject batches containing k<0
+      if (batch.filter(col("k") < 0).count() > 0)
+        throw new RuntimeException("poison")
+    }
+    assert(ok == 1 && err == 1)
+    assert(new java.io.File(done).list().toSeq == Seq("good.json"))
+    assert(new java.io.File(bad).list().toSeq == Seq("poison.json"))
+  }
+}
