@@ -228,4 +228,14 @@ package object functions {
   /** Seeded variant: hash60(seed || ':' || s). */
   def hash60(seed: Column, c: Column): Column =
     hash60(concat(seed.cast(StringType), lit(":"), c.cast(StringType)))
+
+  /** Hex chars 16..29 of md5 as a non-negative Long (56 bits). Second
+    * independent hash from the SAME md5 digest — with [[hash60]] it gives
+    * the Kirsch–Mitzenmacher family h_s = h1 + s·h2: k hash functions for
+    * the price of ONE md5 evaluation per value. 56 bits keeps
+    * h1 + 15·h2 < 2^61, inside BIGINT for both Spark and the DuckDB
+    * oracle (DuckDB errors on 64-bit overflow rather than wrapping).
+    */
+  def hash56b(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 16, 14), 16, 10).cast(LongType)
 }

@@ -33,16 +33,22 @@ object Dedup {
       i => concat_ws(" ", (0 until w).map(k => element_at(toks, i + k + 1)): _*)))
   }
 
-  /** MinHash signature columns: for seed s, min over shingles of
-    * hash60(s || ':' || shingle). Returns the exploded (id, shingle) frame
-    * aggregated to one row per id with k signature columns sig0..sig{k-1}.
+  /** MinHash signature columns: Kirsch–Mitzenmacher construction — ONE md5
+    * per shingle yields two independent hashes (h1: 60 bits, h2: 56 bits),
+    * and hash function s is h1 + s·h2. k md5 evaluations per shingle would
+    * dominate the whole LSH pipeline (measured 10s → ~2s at sf0.1 for
+    * k=16); the double-hashing family has the same collision behavior for
+    * MinHash purposes. Returns one row per id with columns sig0..sig{k-1}.
     */
   def minHashSignatures(df: DataFrame, text: Column, id: Column,
                         k: Int = 16, w: Int = 3): DataFrame = {
+    require(k <= 16, s"k=$k would overflow h1 + (k-1)*h2 past 2^61")
     val exploded = df.select(id.as("__id"),
       explode(shingles(text, w)).as("__sh"))
+      .select(col("__id"), gf.hash60(col("__sh")).as("__h1"),
+        gf.hash56b(col("__sh")).as("__h2"))
     val sigCols = (0 until k).map(s =>
-      min(gf.hash60(lit(s), col("__sh"))).as(s"sig$s"))
+      min(col("__h1") + lit(s.toLong) * col("__h2")).as(s"sig$s"))
     exploded.groupBy(col("__id")).agg(sigCols.head, sigCols.tail: _*)
   }
 

@@ -79,8 +79,10 @@ object DedupQueries {
           k = K, bands = Bands, w = 3)
       },
       oracle = Some {
+        // Kirsch–Mitzenmacher: h1 = md5 hex[1..15], h2 = md5 hex[16..29],
+        // hash function s = h1 + s*h2 (mirrors Dedup.minHashSignatures).
         val sigCols = (0 until K).map(s =>
-          s"min(${sqlHash60(s"$s || ':' || sh")}) AS sig$s").mkString(",\n            ")
+          s"min(h1 + $s * h2) AS sig$s").mkString(",\n            ")
         val bandSelects = (0 until Bands).map { b =>
           val parts = (0 until R).map(i => s"sig${b * R + i}::VARCHAR")
             .mkString(" || ',' || ")
@@ -88,7 +90,10 @@ object DedupQueries {
         }.mkString("\n          UNION ALL\n          ")
         s"""
         WITH sh AS (
-          SELECT doc_id, unnest($sqlShingles) AS sh FROM documents),
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h1,
+                 CAST('0x' || substr(md5(sh), 16, 14) AS BIGINT) AS h2
+          FROM (SELECT doc_id, unnest($sqlShingles) AS sh FROM documents)),
         sigs AS (
           SELECT doc_id,
             $sigCols
