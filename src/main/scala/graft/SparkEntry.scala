@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered queries, in registration order. */
   def all: Seq[(String, QueryDef)] =
     RelationalQueries.defs ++ ScalarQueries.defs ++ EventQueries.defs ++
-      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
+      TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      IngestionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
