@@ -101,6 +101,23 @@ package object functions {
       "d-MMM-yyyy")
   }
 
+  /** C5 faithful-parity variant: the reference's `strptime("%d-%b-%Y")`
+    * (`pdf_to_xlsx.py:62`, `:81`, `:89`) runs under the C locale, so only
+    * Spanish month abbrevs that COINCIDE with English ones parse (feb,
+    * mar, may, jun, jul, sep, oct, nov); ene/abr/ago/dic fail and the raw
+    * token is kept (the except branch). Type-stable as STRING: ISO date
+    * when parseable, raw input otherwise — byte-identical to the golden
+    * workbooks in /root/reference/pdf_to_xlsx_files*.
+    */
+  def statement_date(c: Column): Column = {
+    val parts = split(lower(trim(c)), "-")
+    val d = to_date(
+      concat_ws("-", element_at(parts, 1), initcap(element_at(parts, 2)),
+        element_at(parts, 3)),
+      "d-MMM-yyyy")
+    when(d.isNotNull, d.cast(StringType)).otherwise(c)
+  }
+
   /** C6 `%d%b%Y` filename date format (`pdf_to_xlsx.py:108`): `17Sep2025`. */
   def filename_date(c: Column): Column = date_format(c, "ddMMMyyyy")
 
