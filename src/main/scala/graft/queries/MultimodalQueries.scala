@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column coverage over `documents` used as the payload
+  * corpus: text bytes stand in for opaque media payloads (the container
+  * ships no codecs — see [[graft.operators.Multimodal]] for what is
+  * stubbed vs real). Everything here is binary-typed on the Spark side
+  * and reproduced by DuckDB over the same bytes.
+  */
+object MultimodalQueries {
+
+  private def sqlHash60(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+  private def sqlHash56(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 16, 14) AS BIGINT)"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Payload ingest: binary column + typed metadata struct (modality,
+    // size, checksum) + stub-decoded dimensions. Metadata is computed
+    // once here; downstream projections never touch the bytes again.
+    "q40_payload_metadata" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        val dims = Multimodal.stubImageDims(col("payload"))
+        d.select(col("doc_id"),
+          Multimodal.payloadMetadata(col("payload"), "image").as("meta"),
+          dims.as("dims"))
+          .select(col("doc_id"),
+            col("meta.modality").as("modality"),
+            col("meta.size_bytes").cast("long").as("size_bytes"),
+            col("meta.checksum").as("checksum"),
+            col("dims.width").as("width"),
+            col("dims.height").as("height"),
+            col("dims.channels").as("channels"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               'image' AS modality,
+               octet_length(encode(text)) AS size_bytes,
+               md5(text) AS checksum,
+               CAST(16 + ${sqlHash60("text")} % 1008 AS INTEGER) AS width,
+               CAST(16 + ${sqlHash56("text")} % 1008 AS INTEGER) AS height,
+               CAST([1, 3, 4][CAST(${sqlHash60("text")} % 3 AS INTEGER) + 1] AS INTEGER) AS channels
+        FROM documents"""),
+      headline = true),
+
+    // Resize planning: aspect-preserving short-side-to-224 metadata
+    // arithmetic over the stub-decoded dimensions.
+    "q41_resize_plan" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .withColumn("dims", Multimodal.stubImageDims(col("payload")))
+        d.select(col("doc_id"),
+          col("dims.width").as("width"), col("dims.height").as("height"),
+          Multimodal.resizePlan(col("dims"), 224).as("r"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("r.width").as("out_width"), col("r.height").as("out_height"))
+      },
+      oracle = Some(s"""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(16 + ${sqlHash60("text")} % 1008 AS INTEGER) AS width,
+                 CAST(16 + ${sqlHash56("text")} % 1008 AS INTEGER) AS height
+          FROM documents)
+        SELECT doc_id, width, height,
+               CAST(CASE WHEN width <= height THEN 224
+                    ELSE round(width * 224.0 / height) END AS INTEGER) AS out_width,
+               CAST(CASE WHEN width <= height THEN round(height * 224.0 / width)
+                    ELSE 224 END AS INTEGER) AS out_height
+        FROM dims""")),
+
+    // Video frame sampling: 4 evenly spaced frame timestamps per payload
+    // via sequence+posexplode — row explosion without a UDF.
+    "q42_frame_sample" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+          .withColumn("duration_s", (lit(1) + pmod(col("n_chars"), lit(120))).cast("double"))
+        Multimodal.frameSample(d, col("doc_id"), col("duration_s"), n = 4)
+          .withColumnRenamed("id", "doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(1 + n_chars % 120 AS DOUBLE) AS duration_s,
+               CAST(f AS INTEGER) AS frame_idx,
+               round((1 + n_chars % 120) * f / 4.0, 3) AS frame_ts,
+               md5(doc_id::VARCHAR || ':' || f::VARCHAR) AS frame_checksum
+        FROM documents, generate_series(0, 3) AS t(f)"""))
+  )
+}
