@@ -97,6 +97,54 @@ object Similarity {
         col("rank"), col("sim"))
   }
 
+  /** IVF (inverted-file) coarse quantization: assign every vector to its
+    * nearest centroid (max cosine; ties → smaller centroid id). The
+    * centroid set broadcasts, so assignment is map-side — the only
+    * shuffle in an IVF search is the final per-cluster ranking. This is
+    * the 100 TB ANN path: probe `nprobe` lists instead of the corpus.
+    *
+    * Centroids here are a deterministic corpus sample (callers pass any
+    * DataFrame of (centroid_id, cv)); production would k-means them —
+    * the query shape is identical.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                vecCol: String, idCol: String): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val scored = v.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(cosine(col("v"), col("cv")), 6))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("centroid_id").as("cluster_id"))
+  }
+
+  /** IVF top-k: queries probe their `nprobe` nearest centroid lists and
+    * rank candidates by cosine within them. Recall grows with nprobe;
+    * nprobe = #centroids degenerates to exact search.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vec: String, id: String,
+              k: Int, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, vec, id)
+      .select(col("vid").as("neighbor_id"), col("v").as("cv2"), col("cluster_id"))
+    val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("csim", round(cosine(col("qv"), col("cv")), 6))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probed = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cluster_id"))
+    val scored = probed.join(assigned, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv2")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cluster_id"), col("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
     * The dedup decision keeps the smaller id.
     */

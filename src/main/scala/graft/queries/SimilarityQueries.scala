@@ -82,6 +82,54 @@ object SimilarityQueries {
         SELECT query_id, bucket, neighbor_id, rank, sim
         FROM ranked WHERE rank <= 3""")),
 
+    // IVF ANN — the alternate scale path: corpus vectors assigned to
+    // their nearest centroid list (centroids broadcast → map-side
+    // assignment), queries probe the nprobe=3 nearest lists. Centroids
+    // are a deterministic corpus sample (vec_id % 101); production would
+    // k-means them with an identical query shape.
+    "q43_ann_ivf" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.table(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") % 101 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            Similarity.asDouble(col("embedding")).as("cv"))
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+          k = 3, centroids = centroids, nprobe = 3)
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        cent AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v
+                 WHERE vec_id % 101 = 0),
+        assign AS (
+          SELECT vec_id, vec, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(${sqlCos("vec", "cvec")}, 6) DESC,
+                            centroid_id ASC) AS rn
+          FROM v CROSS JOIN cent),
+        corpus AS (SELECT vec_id AS neighbor_id, vec AS nvec,
+                          centroid_id AS cluster_id
+                   FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, vec AS qvec, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(${sqlCos("vec", "cvec")}, 6) DESC,
+                            centroid_id ASC) AS rn
+          FROM v CROSS JOIN cent WHERE vec_id % 50 = 0),
+        probed AS (SELECT query_id, qvec, centroid_id AS cluster_id
+                   FROM probes WHERE rn <= 3),
+        scored AS (
+          SELECT p.query_id, p.cluster_id, c.neighbor_id,
+                 round(${sqlCos("p.qvec", "c.nvec")}, 6) AS sim
+          FROM probed p JOIN corpus c USING (cluster_id)
+          WHERE p.query_id != c.neighbor_id),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, cluster_id, neighbor_id, rank, sim
+        FROM ranked WHERE rank <= 3""")),
+
     // Embedding near-dup pairs: same bucket AND cosine ≥ τ (τ=0.3 — the
     // synthetic vectors are noise; real corpora would use ~0.95).
     "q38_embedding_neardup" -> QueryDef(

@@ -75,6 +75,27 @@ class OperatorsSpec extends SparkSpec {
     assert(top(1)._2 == 3L)
   }
 
+  test("ivfTopK finds the identical vector when its list is probed") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val centroids = vecs.filter($"vec_id".isin(0L, 2L))
+      .select($"vec_id".as("centroid_id"),
+        Similarity.asDouble($"embedding").as("cv"))
+    val top = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0),
+      "embedding", "vec_id", k = 2, centroids = centroids, nprobe = 1)
+      .orderBy("rank").as[(Long, Long, Long, Int, Double)].collect()
+    // nprobe=1 → only cluster 0's list (vectors 0,1) is searched
+    assert(top.map(_._3).toSeq == Seq(1L))
+    assert(top.head._5 == 1.0)
+    val top2 = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0),
+      "embedding", "vec_id", k = 3, centroids = centroids, nprobe = 2)
+      .as[(Long, Long, Long, Int, Double)].collect()
+    assert(top2.length == 3) // probing both lists reaches the whole corpus
+  }
+
   test("lshBucket groups identical vectors; langId/quality deterministic") {
     val signs = Similarity.planeSigns(4, 3)
     val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
