@@ -33,6 +33,20 @@ object Profile {
       d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
         .write.format("noop").mode("overwrite").save()
     }
+    time("shingles no-distinct") {
+      val toks = split(col("text"), " ")
+      val arr = transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))
+      d.select(col("doc_id"), explode(arr).as("sh"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("shingles hash-in-array explode structs") {
+      val hashed = transform(Dedup.shingles(col("text"), 3),
+        sh => struct(gf.hash60(sh).as("h1"), gf.hash56b(sh).as("h2")))
+      d.select(col("doc_id"), explode(hashed).as("h"))
+        .write.format("noop").mode("overwrite").save()
+    }
     time("shingles + md5 hashes") {
       d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
         .select(col("doc_id"), gf.hash60(col("sh")).as("h1"), gf.hash56b(col("sh")).as("h2"))

@@ -121,6 +121,15 @@ package object functions {
   /** C6 `%d%b%Y` filename date format (`pdf_to_xlsx.py:108`): `17Sep2025`. */
   def filename_date(c: Column): Column = date_format(c, "ddMMMyyyy")
 
+  /** Excel 1900-system serial number → date (SURVEY.md §1.2): day 0 is
+    * 1899-12-30 (absorbing the fictitious 1900-02-29), so serial 45369 =
+    * 2024-03-18. Matches the conversion [[graft.sources.XlsxParser]]
+    * applies to date-styled cells; exposed for conform layers reading
+    * serial columns that arrive unstyled.
+    */
+  def excel_serial_date(serial: Column): Column =
+    date_add(to_date(lit("1899-12-30")), serial.cast("int"))
+
   /** Month number (1-12) → Spanish abbrev as a Column (corpus synthesis). */
   def es_month_abbrev(monthNum: Column): Column =
     element_at(array(esMonthAbbrevs.map(lit): _*), monthNum.cast("int"))

@@ -96,6 +96,24 @@ class OperatorsSpec extends SparkSpec {
     assert(top2.length == 3) // probing both lists reaches the whole corpus
   }
 
+  test("liveness probe: distinct-first, quarantined, deterministic stub") {
+    val urls = Seq("https://a.com/x", "https://a.com/x", "ftp://nope", "bad url")
+      .toDF("provider_url")
+    val live = graft.operators.Liveness.probeUrls(spark, urls, "provider_url",
+      maxPerSecond = 1000)
+    val rows = live.as[(String, Boolean)].collect().toMap
+    assert(rows.size == 3) // deduped before probing
+    assert(rows("https://a.com/x") && !rows("ftp://nope") && !rows("bad url"))
+  }
+
+  test("excel_serial_date converts 1900-system serials") {
+    val d = Seq(45369, 1, 60).toDF("s")
+      .select(graft.functions.excel_serial_date($"s").cast("string"))
+      .as[String].collect()
+    // 60 would be the fictitious 1900-02-29; the 1899-12-30 epoch absorbs it
+    assert(d.toSeq == Seq("2024-03-18", "1899-12-31", "1900-02-28"))
+  }
+
   test("lshBucket groups identical vectors; langId/quality deterministic") {
     val signs = Similarity.planeSigns(4, 3)
     val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
