@@ -53,6 +53,49 @@ object Relational {
     incoming.join(existing.select(keys.map(col): _*).dropDuplicates(keys),
       keys, "left_anti")
 
+  /** As-of join (engine extension — SURVEY.md §2.3 notes the reference
+    * has none; standard analytics surface): for every left row, attach
+    * the payload of the LATEST right row with `rightTs <= leftTs` in the
+    * same key group (nulls where no prior right row exists).
+    *
+    * Implementation is union-then-window: tag both sides, sort each key
+    * group once by (ts, tag) — right rows at an equal timestamp sort
+    * before left rows, giving <= semantics — and forward-fill the right
+    * payload. ONE shuffle on the keys, no range-join row explosion;
+    * at 100 TB this is a single exchange + in-partition sort, and AQE
+    * skew-splitting applies to hot keys.
+    *
+    * `payload` maps right-side column → output name. Right rows with
+    * duplicate (keys, ts) should be pre-aggregated by the caller for
+    * determinism.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               payload: Map[String, String]): DataFrame = {
+    val pay = payload.toSeq
+    val leftRest = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
+    val lU = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
+        leftRest.map(col) ++
+        pay.map { case (rc, out) =>
+          lit(null).cast(right.schema(rc).dataType).as(s"__p_$out") }: _*)
+    val rU = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        pay.map { case (rc, out) => col(rc).as(s"__p_$out") }: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .select((keys.map(col) ++ Seq(col("__ts"), col("__tag")) ++ leftRest.map(col) ++
+        pay.map { case (_, out) =>
+          last(col(s"__p_$out"), ignoreNulls = true).over(w).as(out) }): _*)
+      .filter(col("__tag") === 1)
+      .drop("__tag").withColumnRenamed("__ts", leftTs)
+  }
+
   /** J4 get-or-create dimension upsert (`database_utils.py:57-113`):
     * `existing` is the current dim (naturalKey, idCol); incoming natural
     * keys not present get fresh surrogate ids `max(existing)+row_number`,

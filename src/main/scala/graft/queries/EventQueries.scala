@@ -100,6 +100,40 @@ object EventQueries {
         SELECT user_id, session_id, count(*) AS n_events,
                round(sum(value), 4) AS sum_value,
                max(ms) - min(ms) AS duration_ms
-        FROM sess GROUP BY user_id, session_id"""))
+        FROM sess GROUP BY user_id, session_id""")),
+
+    // As-of join (engine extension): every purchase event picks up the
+    // user's most recent prior-or-simultaneous click value. Spark side is
+    // the union-and-window single-shuffle operator; DuckDB side is its
+    // native ASOF JOIN — independent constructions, same semantics.
+    "q44_asof_join" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("click_value")) // determinism at equal ts
+        graft.operators.Relational.asOfJoin(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Map("click_value" -> "last_click_value"))
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000000").as("ts_ms"), // ms floor: DuckDB reads the
+            // ns timestamps at µs precision, so raw nanos can't round-trip
+            round(col("value"), 6).as("value"),
+            round(col("last_click_value"), 6).as("last_click_value"))
+      },
+      oracle = Some("""
+        WITH purchases AS (
+          SELECT event_id, user_id, ts, value
+          FROM events WHERE event_type = 'purchase'),
+        clicks AS (
+          SELECT user_id, ts, max(value) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+               round(p.value, 6) AS value,
+               round(c.click_value, 6) AS last_click_value
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
   )
 }

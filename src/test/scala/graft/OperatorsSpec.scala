@@ -96,6 +96,21 @@ class OperatorsSpec extends SparkSpec {
     assert(top2.length == 3) // probing both lists reaches the whole corpus
   }
 
+  test("asOfJoin: latest right row at-or-before each left row per key") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 90.0))
+      .toDF("k", "ts", "v")
+    val out = Relational.asOfJoin(left, right, Seq("k"), "ts", "ts",
+      Map("v" -> "last_v"))
+      .orderBy("k", "ts").select("name", "last_v").collect()
+      .map(r => (r.getString(0), Option(r.get(1))))
+    // p1 at ts=10 sees the equal-ts right row (<= semantics); p2 sees the
+    // ts=15 row; p3 at ts=5 precedes every right row → null
+    assert(out.toSeq == Seq(("p1", Some(100.0)), ("p2", Some(150.0)),
+      ("p3", None)))
+  }
+
   test("liveness probe: distinct-first, quarantined, deterministic stub") {
     val urls = Seq("https://a.com/x", "https://a.com/x", "ftp://nope", "bad url")
       .toDF("provider_url")

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates — the properties that decide whether a
+  * query survives a 100× scale-up, pinned as assertions so a regression
+  * (lost pushdown, demoted broadcast, codegen break) fails CI instead of
+  * showing up as a 10× slowdown on the cluster.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(q: String): String = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, sf())
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: all three predicates push to the parquet scan; schema prunes") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    Seq("LessThan(l_quantity", "GreaterThan(l_discount",
+      "EqualTo(l_returnflag").foreach(f => assert(p.contains(f), s"missing $f\n$p"))
+    // projection prunes to the 5 referenced columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03/q04: dims broadcast — the fact side never shuffles for the join") {
+    Seq("q03_join_agg_segment", "q04_star_join_revenue").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$p")
+    }
+  }
+
+  test("q01: single exchange, partial aggregation before it") {
+    val p = plan("q01_agg_pricing_summary")
+    // formatted mode prints each node in the tree AND the detail section —
+    // count distinct node ids
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q05/q06: semi/anti joins stay joins (no row multiplication)") {
+    assert(plan("q05_semi_join_active_customers").contains("LeftSemi"))
+    assert(plan("q06_anti_join_inactive_customers").contains("LeftAnti"))
+  }
+
+  test("scalar-function chains stay inside WholeStageCodegen") {
+    // the whole URL ladder (C7/C8/C9) compiles into codegen stages — no
+    // interpreted expression islands
+    val p = plan("q18_provider_url")
+    // formatted mode marks codegen'd nodes with '*' + a codegen id; the
+    // URL-ladder Project must be inside a codegen stage, not interpreted
+    assert(p.contains("* Project"), p)
+    assert(p.contains("[codegen id :"), p)
+    assert(!p.toLowerCase.contains("batchevalpython"), p)
+  }
+
+  test("q43 IVF: centroid set broadcasts; assignment is map-side") {
+    val p = plan("q43_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$p")
+  }
+}
