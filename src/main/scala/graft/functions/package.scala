@@ -247,8 +247,20 @@ package object functions {
   //   CAST('0x' || substr(md5(s),1,15) AS BIGINT)
   // ---------------------------------------------------------------------
 
-  /** First 15 hex chars of md5 as a non-negative Long (60 bits). */
+  /** First 15 hex chars of md5 as a non-negative Long (60 bits).
+    * Backed by the native codegen'd [[graft.expressions.Hash60]] — same
+    * value as `conv(substring(md5(s),1,15),16,10)` (the DuckDB oracle
+    * form) without materializing the hex string per value.
+    */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Hash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c.cast(StringType))))
+
+  /** The composed built-in form of [[hash60]] — kept as the executable
+    * spec the native expression is tested against.
+    */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded variant: hash60(seed || ':' || s). */
@@ -263,5 +275,11 @@ package object functions {
     * oracle (DuckDB errors on 64-bit overflow rather than wrapping).
     */
   def hash56b(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Hash56(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c.cast(StringType))))
+
+  /** Composed built-in form of [[hash56b]] (executable spec). */
+  def hash56bComposed(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 16, 14), 16, 10).cast(LongType)
 }

@@ -121,6 +121,22 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("https://a.com/x") && !rows("ftp://nope") && !rows("bad url"))
   }
 
+  test("native Hash60/Hash56 ≡ the composed md5 chain, bit for bit") {
+    // the native codegen'd expressions must reproduce the conv(substring(
+    // md5…)) values exactly — every oracle depends on this contract
+    val docs = Engine.table(spark, sf(), "documents").select($"text")
+      .withColumn("n", graft.functions.hash60($"text"))
+      .withColumn("c", graft.functions.hash60Composed($"text"))
+      .withColumn("n2", graft.functions.hash56b($"text"))
+      .withColumn("c2", graft.functions.hash56bComposed($"text"))
+    assert(docs.filter($"n" =!= $"c" || $"n2" =!= $"c2").count() == 0)
+    // and edge inputs: empty string, unicode, nulls
+    val edge = Seq(Some(""), Some("ñandú 😀"), None).toDF("s")
+      .withColumn("n", graft.functions.hash60($"s"))
+      .withColumn("c", graft.functions.hash60Composed($"s"))
+    assert(edge.filter(!($"n" <=> $"c")).count() == 0)
+  }
+
   test("excel_serial_date converts 1900-system serials") {
     val d = Seq(45369, 1, 60).toDF("s")
       .select(graft.functions.excel_serial_date($"s").cast("string"))

@@ -50,6 +50,34 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2) // two sessions: [t0, t0+1min] and [t0+30min]
   }
 
+  test("stateful sessions: data-driven close and watermark-timeout close") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("ms", "user_id", "value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+    val q = EventWindows
+      .statefulSessions(events, gapMs = 5 * 60000, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stateful_sessions").start()
+    val t0 = 1700000000000L
+    // burst 1: two events 1 min apart; then a same-user event 30 min
+    // later closes session 1 data-driven
+    input.addData((t0, 1L, 1.0), (t0 + 60000, 1L, 2.0))
+    q.processAllAvailable()
+    input.addData((t0 + 30 * 60000, 1L, 7.0))
+    q.processAllAvailable()
+    // advance the watermark far past burst 2's gap → timeout close
+    input.addData((t0 + 120 * 60000, 2L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("stateful_sessions")
+      .orderBy("session_start_ms")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length >= 2)
+    assert(rows(0) == ((1L, t0, t0 + 60000, 2L, 3.0)))      // data-driven
+    assert(rows(1) == ((1L, t0 + 30 * 60000, t0 + 30 * 60000, 1L, 7.0))) // timeout
+  }
+
   test("FileDrop: drains directory, archives success, quarantines failure") {
     val base = Files.createTempDirectory("filedrop").toFile.getAbsolutePath
     val in = s"$base/in"; val done = s"$base/done"; val bad = s"$base/bad"
