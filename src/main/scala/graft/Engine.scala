@@ -32,6 +32,21 @@ object Engine {
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(
       math.max(2, Runtime.getRuntime.availableProcessors()))
 
+  /** Persist `df` as a BUCKETED managed table: rows are hash-partitioned
+    * into `n` buckets on `bucketCols` at write time, so joins and
+    * aggregations on those keys read co-located data and skip the
+    * shuffle entirely — the pre-partitioning play for fact tables that
+    * join on the same keys query after query (100 TB posture: pay the
+    * shuffle once at ingest, never again).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    n: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Load one of the driver-provided parquet tables from a scale-factor dir.
     * Parquet is the at-rest format: columnar, predicate-pushdown capable —
     * `.explain` on any downstream query must show PushedFilters/ReadSchema

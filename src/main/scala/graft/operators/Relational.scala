@@ -53,6 +53,23 @@ object Relational {
     incoming.join(existing.select(keys.map(col): _*).dropDuplicates(keys),
       keys, "left_anti")
 
+  /** Skew-salted equi-join (engine scale toolkit): when one side's key
+    * distribution is heavy-tailed beyond what AQE skew-splitting handles,
+    * spread each hot key over `saltFactor` shuffle partitions — the
+    * skewed side gets a deterministic row salt, the other side is
+    * replicated once per salt value. Same result set as the plain join;
+    * the trade is `saltFactor`× replication of the build side against
+    * eliminating the straggler partition.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col).toSeq: _*), lit(saltFactor)))
+    val replicated = other.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** As-of join (engine extension — SURVEY.md §2.3 notes the reference
     * has none; standard analytics surface): for every left row, attach
     * the payload of the LATEST right row with `rightTs <= leftTs` in the

@@ -301,16 +301,10 @@ object Ingestion {
     */
   private def truthy(c: Column): Column = c.isNotNull && c =!= ""
 
-  private def conform(df: DataFrame, numeric: Seq[String], dates: Seq[String]): DataFrame = {
-    val meta = Set("_file", "_sheet", "_rownum") ++
-      df.columns.filter(_.startsWith("_hyperlink_"))
-    df.select(df.columns.map {
-      case c if numeric.contains(c) => gf.safe_float(qcol(c)).as(c)
-      case c if dates.contains(c) => qcol(c).cast(DateType).as(c)
-      case c if meta.contains(c) => qcol(c)
-      case c => gf.normalize_null(qcol(c)).as(c)
-    }.toSeq: _*)
-  }
+  private def conform(df: DataFrame, numeric: Seq[String], dates: Seq[String]): DataFrame =
+    graft.operators.Conform.conform(df,
+      graft.operators.Conform.Contract(
+        required = Seq("Descripción"), numeric = numeric, dates = dates))
 
   private def maxId(df: DataFrame, idCol: String): Long =
     df.agg(coalesce(max(col(idCol)).cast(LongType), lit(0L))).head().getLong(0)

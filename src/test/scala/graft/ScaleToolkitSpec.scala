@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Conform, Relational}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators: skew salting, bucketed co-located joins,
+  * schema-contract conformance.
+  */
+class ScaleToolkitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val li = Engine.table(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Engine.table(spark, sf(), "orders")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Relational.saltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8)
+      .select(plain.columns.map(col): _*)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("bucketed tables join without an exchange") {
+    // warehouse dir is a static conf — use the session default and drop
+    // the tables (+ files) afterwards
+    val li = Engine.table(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Engine.table(spark, sf(), "orders")
+      .selectExpr("o_orderkey AS l_orderkey", "o_totalprice")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Engine.writeBucketed(li, "li_b", Seq("l_orderkey"), n = 4)
+      Engine.writeBucketed(o, "o_b", Seq("l_orderkey"), n = 4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b").join(spark.table("o_b"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
+  test("conform: required enforced, optional injected, typing applied") {
+    val df = Seq(("x", "1,5", "45369", "None")).toDF("Descripción", "Cant", "d", "note")
+    val out = Conform.conform(df, Conform.Contract(
+      required = Seq("Descripción"), optional = Seq("Marca"),
+      numeric = Seq("Cant")))
+    val r = out.head()
+    assert(out.columns.contains("Marca"))
+    assert(r.getAs[Double]("Cant") == 1.5) // EU comma
+    assert(r.getAs[String]("note") == null) // 'None' sentinel → null
+    intercept[IllegalArgumentException] {
+      Conform.conform(df, Conform.Contract(required = Seq("missing_col")))
+    }
+  }
+}
