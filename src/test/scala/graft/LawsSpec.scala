@@ -1,0 +1,102 @@
+package graft
+
+import graft.sources.{XlsxSource, XlsxWriter}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generator-driven law tests (SURVEY.md §5 test plan item 4): round-trip
+  * and totality laws for the forgiving parsers, adversarial xlsx
+  * round-trips, forward-fill invariants. Inputs are ScalaCheck generators
+  * sampled with a FIXED seed, evaluated in one DataFrame pass per law.
+  */
+class LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): List[A] = {
+    val params = Gen.Parameters.default
+    Iterator.from(0)
+      .map(i => g.apply(params, Seed(0xC0FFEE + i)))
+      .collect { case Some(a) => a }
+      .take(n).toList
+  }
+
+  test("law: clean_money matches an independent reference parser") {
+    val moneyGen: Gen[String] = for {
+      sign <- Gen.oneOf("", "-", "+", "- ", "+ ")
+      dollar <- Gen.oneOf("", "$")
+      whole <- Gen.choose(0L, 99999999L)
+      frac <- Gen.choose(0, 99)
+      commas <- Gen.oneOf(true, false)
+    } yield {
+      val w = if (commas) f"$whole%,d" else whole.toString
+      f"$sign$dollar$w.$frac%02d"
+    }
+    val cases = sample(moneyGen, 500)
+    // independent model of pdf_to_xlsx.py:94-101
+    def model(s: String): Double = {
+      val v = s.replace("+", "").replace(" ", "").replace("$", "")
+        .replace(",", "").toDouble
+      if (s.contains("-")) -math.abs(v) else v
+    }
+    val df = cases.toDF("s")
+      .select($"s", graft.functions.clean_money($"s").as("got"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getDouble(1) == model(r.getString(0)), r.getString(0))
+    }
+  }
+
+  test("law: safe_float is total — null or a finite double, never a throw") {
+    val junkGen = Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.oneOf("", "none", "NaN", "None", "1,5", "1.5", "-3,25", "  7 ",
+        "1e3", "..", "--5", "∞"),
+      Gen.choose(-1e12, 1e12).map(_.toString))
+    val cases = sample(junkGen, 800)
+    val out = cases.toDF("s")
+      .select($"s", graft.functions.safe_float($"s").as("v")).collect()
+    out.foreach { r =>
+      if (!r.isNullAt(1))
+        assert(java.lang.Double.isFinite(r.getDouble(1)), r.getString(0))
+    }
+    // sentinel law
+    assert(out.filter(r => Set("", "none", "NaN", "None")(r.getString(0)))
+      .forall(_.isNullAt(1)))
+  }
+
+  test("law: xlsx write→read round-trips arbitrary strings") {
+    val nastyGen = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(50)),
+      Gen.oneOf("<tag>&amp;", "a\"b'c", "línea\ncon\nsaltos", "tab\there",
+        "]]><!--", "  leading/trailing  ", "ñu 😀 çß", "=1+2", "<v>7</v>"))
+    val rows = sample(nastyGen, 60).distinct
+      .filter(s => s.trim.nonEmpty) // blank headers/cells read back as null
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val out = java.nio.file.Files.createTempDirectory("xlsxlaw").toString
+    XlsxWriter.write(s"$out/law.xlsx", Seq("s" -> rows.toDF("id", "payload")))
+    val back = XlsxSource.read(spark, s"$out/law.xlsx", "s")
+      .orderBy(col("_rownum"))
+      .select(col("payload")).as[String].collect()
+    // newlines and tabs survive escaping; CR is normalized by XML parsing
+    val expected = rows.map(_._2.replace("\r", ""))
+    assert(back.toSeq == expected)
+  }
+
+  test("law: forward-fill never un-fills and preserves non-null cells") {
+    val valuesGen = Gen.listOfN(40,
+      Gen.option(Gen.choose(0, 9).map(_.toString)))
+    val vals = sample(valuesGen, 1).head.zipWithIndex
+      .map { case (v, i) => (1, i.toLong, v.orNull) }
+    val df = vals.toDF("part", "ord", "v")
+    val ff = graft.operators.Relational
+      .forwardFill(df, $"v", Seq($"part"), Seq($"ord"), "f")
+      .orderBy($"ord").select("v", "f").collect()
+    var lastSeen: String = null
+    ff.foreach { r =>
+      val v = r.getString(0)
+      if (v != null) lastSeen = v
+      assert(r.getString(1) == lastSeen) // fill = running last non-null
+    }
+  }
+}
