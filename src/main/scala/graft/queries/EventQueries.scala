@@ -134,6 +134,7 @@ object EventQueries {
                round(p.value, 6) AS value,
                round(c.click_value, 6) AS last_click_value
         FROM purchases p ASOF LEFT JOIN clicks c
-          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""),
+      headline = true)
   )
 }

@@ -62,6 +62,7 @@ object IngestionQueries {
         UNION ALL
         SELECT u.id_product, u.price, u.offer_price,
                CAST(DATE '2026-08-12' AS VARCHAR), CAST(NULL AS VARCHAR)
-        FROM updates u ANTI JOIN current c USING (id_product)"""))
+        FROM updates u ANTI JOIN current c USING (id_product)"""),
+      headline = true)
   )
 }

@@ -128,7 +128,8 @@ object SimilarityQueries {
                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
           FROM scored)
         SELECT query_id, cluster_id, neighbor_id, rank, sim
-        FROM ranked WHERE rank <= 3""")),
+        FROM ranked WHERE rank <= 3"""),
+      headline = true),
 
     // Embedding near-dup pairs: same bucket AND cosine ≥ τ (τ=0.3 — the
     // synthetic vectors are noise; real corpora would use ~0.95).

@@ -28,6 +28,7 @@ object XlsxWriter {
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""".stripMargin)
       put(zos, "xl/workbook.xml", workbookXml(sheets.map(_._1)))
       put(zos, "xl/_rels/workbook.xml.rels", workbookRels(sheets.size))
+      put(zos, "xl/styles.xml", stylesXml)
       sheets.zipWithIndex.foreach { case ((_, df), i) =>
         put(zos, s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
       }
@@ -58,9 +59,24 @@ object XlsxWriter {
   private def workbookRels(n: Int): String = {
     val rels = (1 to n).map(i =>
       s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString
+    val styles =
+      s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>"""
     s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-       |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels</Relationships>""".stripMargin
+       |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$rels$styles</Relationships>""".stripMargin
   }
+
+  /** Minimal stylesheet: style index 1 = builtin date format (numFmt 14),
+    * used for DateType/TimestampType cells so Excel consumers see real
+    * dates (the reference's openpyxl sink writes serials the same way).
+    */
+  private val stylesXml: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><fonts count="1"><font/></fonts><fills count="1"><fill/></fills><borders count="1"><border/></borders><cellStyleXfs count="1"><xf/></cellStyleXfs><cellXfs count="2"><xf numFmtId="0" applyNumberFormat="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs></styleSheet>""".stripMargin
+
+  /** Days since the Excel 1900-system epoch (1899-12-30). */
+  private def toSerial(d: java.time.LocalDate): Long =
+    java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1899, 12, 30), d)
 
   private def sheetXml(df: DataFrame): String = {
     val fields = df.schema.fields
@@ -85,6 +101,14 @@ object XlsxWriter {
             case _: NumericType => s"""<c r="$ref"><v>${r.get(i)}</v></c>"""
             case BooleanType =>
               s"""<c r="$ref" t="b"><v>${if (r.getBoolean(i)) 1 else 0}</v></c>"""
+            case DateType =>
+              val serial = toSerial(r.getDate(i).toLocalDate)
+              s"""<c r="$ref" s="1"><v>$serial</v></c>"""
+            case TimestampType =>
+              val ts = r.getTimestamp(i).toLocalDateTime
+              val serial = toSerial(ts.toLocalDate) +
+                ts.toLocalTime.toSecondOfDay / 86400.0
+              s"""<c r="$ref" s="1"><v>$serial</v></c>"""
             case _ => inlineStr(ref, String.valueOf(r.get(i)))
           }
           Some(i -> cell)

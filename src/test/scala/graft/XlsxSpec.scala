@@ -80,4 +80,25 @@ class XlsxSpec extends SparkSpec {
       (r.getAs[String]("key"), r.getAs[String]("value"))).toSeq ==
       Seq(("k", "1"), ("m", null)))
   }
+
+  test("writer emits date cells as styled serials the reader restores") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("xlsxd").toString
+    val df = Seq(("a", "2024-03-18"), ("b", "1999-12-31"))
+      .toDF("k", "d").withColumn("d", col("d").cast("date"))
+    XlsxWriter.write(s"$out/dates.xlsx", Seq("s" -> df))
+    // the round trip goes through a true numeric serial + date style, not
+    // an inline string — same encoding the reference fixtures use
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$out/dates.xlsx"))
+    val sheet = new String(new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes)) match { case z =>
+        Iterator.continually(z.getNextEntry).takeWhile(_ != null)
+          .collectFirst { case e if e.getName == "xl/worksheets/sheet1.xml" =>
+            z.readAllBytes() }.get
+      }, "UTF-8")
+    assert(sheet.contains("""s="1"><v>45369</v>"""))
+    val back = XlsxSource.read(spark, s"$out/dates.xlsx", "s")
+      .orderBy("_rownum").select("d").as[String].collect()
+    assert(back.toSeq == Seq("2024-03-18", "1999-12-31"))
+  }
 }
