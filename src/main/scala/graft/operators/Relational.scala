@@ -70,6 +70,32 @@ object Relational {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Range (interval-containment) join (engine extension, named alongside
+    * the as-of join in SURVEY.md §2.3's gap list): left rows with a point
+    * column joined to right rows with [start, end] intervals,
+    * `start <= point <= end`.
+    *
+    * A naive inequality join plans as a nested-loop; this bucketizes:
+    * every interval is exploded into the `binSize`-wide bins it overlaps,
+    * points map to exactly one bin, and the pair-up becomes an EQUI-join
+    * on the bin followed by the exact containment filter. Cost scales
+    * with interval-length/binSize (replication factor) instead of
+    * |left|×|right|; pick binSize near the typical interval length.
+    * Point and bounds are numeric (cast dates to epoch days upstream).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, startCol: String, endCol: String,
+                binSize: Long, joinType: String = "inner"): DataFrame = {
+    val p = points.withColumn("__bin",
+      floor(col(pointCol).cast("long") / binSize))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol).cast("long") / binSize),
+        floor(col(endCol).cast("long") / binSize))))
+    p.join(i, Seq("__bin"), joinType)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** As-of join (engine extension — SURVEY.md §2.3 notes the reference
     * has none; standard analytics surface): for every left row, attach
     * the payload of the LATEST right row with `rightTs <= leftTs` in the

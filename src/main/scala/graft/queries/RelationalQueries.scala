@@ -272,6 +272,58 @@ object RelationalQueries {
       oracle = Some("""
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         EXCEPT
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"""))
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")),
+
+    // Range (interval-containment) join, bucketized: sampled orders open
+    // a 7-day shipping window; lineitems landing inside pair up through
+    // an equi-join on the week bin + exact containment filter — no
+    // nested-loop (see Relational.rangeJoin).
+    "q45_range_join" -> QueryDef(
+      build = (s, dir) => {
+        val epoch = lit("1970-01-01").cast("date")
+        val li = Engine.table(s, dir, "lineitem")
+          .select(datediff(col("l_shipdate"), epoch).as("ship_day"),
+            col("l_quantity"))
+        val iv = Engine.table(s, dir, "orders")
+          .filter(col("o_orderkey") % 199 === 0)
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate"), epoch).as("start_day"))
+          .withColumn("end_day", col("start_day") + 6)
+        Relational.rangeJoin(li, iv, "ship_day", "start_day", "end_day",
+            binSize = 7)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_shipped"),
+            round(sum(col("l_quantity")), 4).as("qty"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, count(*) AS n_shipped,
+               round(sum(l_quantity), 4) AS qty
+        FROM lineitem
+        JOIN (SELECT o_orderkey,
+                     date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS s
+              FROM orders WHERE o_orderkey % 199 = 0) iv
+          ON date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)
+             BETWEEN iv.s AND iv.s + 6
+        GROUP BY o_orderkey""")),
+
+    // Exact interpolated percentiles (engine analytics extension): both
+    // engines sort and linearly interpolate, so values agree to rounding.
+    "q46_percentiles" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+            .as("ps"))
+          .select(col("l_returnflag"),
+            round(element_at(col("ps"), 1), 4).as("p25"),
+            round(element_at(col("ps"), 2), 4).as("p50"),
+            round(element_at(col("ps"), 3), 4).as("p75"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem GROUP BY l_returnflag"""))
   )
 }

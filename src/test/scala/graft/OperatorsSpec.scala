@@ -96,6 +96,17 @@ class OperatorsSpec extends SparkSpec {
     assert(top2.length == 3) // probing both lists reaches the whole corpus
   }
 
+  test("rangeJoin equals the naive inequality join") {
+    val pts = Seq((1L, 3L), (2L, 10L), (3L, 22L)).toDF("pid", "x")
+    val ivs = Seq((10L, 0L, 5L), (20L, 8L, 25L), (30L, 11L, 12L))
+      .toDF("iid", "s", "e")
+    val naive = pts.join(ivs, col("x") >= col("s") && col("x") <= col("e"))
+    val bucketed = graft.operators.Relational
+      .rangeJoin(pts, ivs, "x", "s", "e", binSize = 4)
+      .select(naive.columns.map(col): _*)
+    assert(naive.exceptAll(bucketed).isEmpty && bucketed.exceptAll(naive).isEmpty)
+  }
+
   test("asOfJoin: latest right row at-or-before each left row per key") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "ts", "name")
