@@ -148,6 +148,15 @@ class OperatorsSpec extends SparkSpec {
     assert(edge.filter(!($"n" <=> $"c")).count() == 0)
   }
 
+  test("hash60/hash56 are SQL-callable after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT hash60('abc') AS a, hash56('abc') AS b").head()
+    // md5('abc') = 900150983cd24fb0 d6963f7d28e17f72
+    assert(r.getLong(0) == java.lang.Long.parseLong("900150983cd24fb", 16))
+    assert(r.getLong(1) == java.lang.Long.parseLong("0d6963f7d28e17", 16))
+  }
+
   test("excel_serial_date converts 1900-system serials") {
     val d = Seq(45369, 1, 60).toDF("s")
       .select(graft.functions.excel_serial_date($"s").cast("string"))
