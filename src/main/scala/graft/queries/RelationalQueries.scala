@@ -324,6 +324,20 @@ object RelationalQueries {
                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
                round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
-        FROM lineitem GROUP BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // HLL++ approximate distinct (north-star sketch surface, SURVEY.md
+    // §2.10): sketch implementations differ across engines, so there is
+    // no value oracle — the driver records the weaker rows-only check,
+    // and OperatorsSpec bounds the estimate against the exact count.
+    "q47_approx_distinct" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02)
+            .as("approx_parts"),
+            count(lit(1)).as("n_rows"))
+      },
+      oracle = None)
   )
 }

@@ -44,7 +44,9 @@ object XlsxSource {
       .select("path", "content")
 
     val outHeaders: Seq[String] = headers.getOrElse {
-      val first = files.head()
+      val first = files.limit(1).collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no .xlsx files under '$path' — pass headers= explicitly to read a possibly-empty dir"))
       headerRow(XlsxParser.parseSheet(first.getAs[Array[Byte]]("content"), sheet))
         .map(_._1)
     }

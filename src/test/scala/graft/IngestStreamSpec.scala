@@ -57,4 +57,21 @@ class IngestStreamSpec extends SparkSpec {
     // replayed files archived with collision-suffixed names
     assert(new java.io.File(s"$base/done").list().length == 4)
   }
+
+  test("corrupt workbook is quarantined; the good one still lands") {
+    val base = Files.createTempDirectory("ingbad").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    Files.copy(Paths.get(s"/root/reference/data_test/${fixtures.head}"),
+      Paths.get(s"$in/${fixtures.head}"))
+    Files.write(Paths.get(s"$in/corrupt.xlsx"),
+      "this is not a zip archive".getBytes)
+    val (ok, err) = IngestStream.runAvailableNow(spark, in,
+      warehouseDir = s"$base/wh", processedDir = s"$base/done",
+      errorsDir = s"$base/bad", checkpointDir = s"$base/ckpt")
+    assert(ok == 1 && err == 1)
+    assert(new java.io.File(s"$base/bad").list().toSeq == Seq("corrupt.xlsx"))
+    val wh = WarehouseStore.load(spark, s"$base/wh")
+    assert(wh.purchase.count() > 0) // p1 alone ingested
+  }
 }

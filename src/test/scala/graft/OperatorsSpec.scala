@@ -96,6 +96,15 @@ class OperatorsSpec extends SparkSpec {
     assert(top2.length == 3) // probing both lists reaches the whole corpus
   }
 
+  test("approx_count_distinct lands within its error bound (q47)") {
+    val li = Engine.table(spark, sf(), "lineitem")
+    val got = li.agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head()
+    val (a, e) = (got.getLong(0).toDouble, got.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+  }
+
   test("rangeJoin equals the naive inequality join") {
     val pts = Seq((1L, 3L), (2L, 10L), (3L, 22L)).toDF("pid", "x")
     val ivs = Seq((10L, 0L, 5L), (20L, 8L, 25L), (30L, 11L, 12L))
