@@ -60,6 +60,25 @@ class XlsxSpec extends SparkSpec {
     assert(byFile.length >= 2 && byFile.forall(_ > 0))
   }
 
+  test("the full historical corpus (data_processed) parses cleanly") {
+    // 11 real workbooks that previously ran through the reference to
+    // success — every one must yield both sheets with sane shapes
+    val dir = "/root/reference/data_processed"
+    val compras = XlsxSource.read(spark, dir, "Compras")
+    val precios = XlsxSource.read(spark, dir, "Precios", hyperlinkCols = Seq("Preview"))
+    val byFileC = compras.groupBy("_file").count().collect()
+    val byFileP = precios.groupBy("_file").count().collect()
+    assert(byFileC.length == 11 && byFileP.length == 11)
+    // every file yields data rows (measured corpus range: 7-222/sheet)
+    assert(byFileC.forall(_.getLong(1) > 0))
+    assert(byFileP.forall(_.getLong(1) > 0))
+    // and no phantom rows: every row carries at least one value
+    val nonMeta = compras.columns.filterNot(_.startsWith("_"))
+    val allNull = nonMeta.map(n => col(s"`$n`").isNull).reduce(_ && _)
+    assert(compras.filter(allNull).count() == 0)
+    assert(compras.filter(col("Descripción").isNotNull).count() > 0)
+  }
+
   test("writer round-trips through the reader") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("xlsxw").toString
