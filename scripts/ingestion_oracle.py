@@ -37,6 +37,12 @@ def load_sheet(z, sheet_name):
     fmts = [int(re.search(r'numFmtId="(\d+)"', x).group(1)) if 'numFmtId' in x else 0
             for x in re.findall(r'<xf [^>]*/?>', cellxfs)]
     date_fmt_ids = {14, 15, 16, 17, 18, 19, 20, 21, 22, 45, 46, 47}
+    # custom numFmts whose code is date-like (mirrors XlsxParser
+    # .isDateFormatCode): y/m/d/h/s tokens outside []/"" and no '#'
+    for fid, code in re.findall(r'<numFmt numFmtId="(\d+)" formatCode="([^"]*)"', styles):
+        bare = re.sub(r'\[[^\]]*\]|"[^"]*"', '', code)
+        if any(c in bare.lower() for c in 'ymdhs') and '#' not in bare:
+            date_fmt_ids.add(int(fid))
     date_styles = {i for i, f in enumerate(fmts) if f in date_fmt_ids}
 
     xml = z.read(part).decode()
@@ -100,6 +106,9 @@ def load_sheet(z, sheet_name):
 
 
 def unescape(s):
+    # XML line-end normalization (the spec: \r\n and \r become \n) —
+    # real XML parsers (the Spark side's StAX) do this implicitly
+    s = s.replace("\r\n", "\n").replace("\r", "\n")
     return (s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", '"')
              .replace("&apos;", "'").replace("&amp;", "&"))
 

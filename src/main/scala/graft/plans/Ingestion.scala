@@ -108,9 +108,13 @@ object Ingestion {
       dates = Seq.empty)
 
     // ---- W3 positional zip (`:261`): Precios!Preview hyperlink list
-    // aligned to Compras rows by position within the same file
+    // aligned to Compras rows by position within the same file. A Preview
+    // cell WITHOUT a hyperlink contributes "" (extract_hyperlinks appends
+    // "" per row, `import_files_to_postgre.py:59-60`, and deep_clean does
+    // NOT null empty strings); only positions past the Precios row count
+    // stay null.
     val pics = precios.select(col("_file"), col("_rownum"),
-      col("_hyperlink_Preview").as("Picture_URL"))
+      coalesce(col("_hyperlink_Preview"), lit("")).as("Picture_URL"))
     val withPic = compras.join(pics, Seq("_file", "_rownum"), "left")
 
     // ---- J1 enrich (`:93-97`): brand/category by Descripción; build side

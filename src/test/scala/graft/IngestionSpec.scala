@@ -79,6 +79,24 @@ class IngestionSpec extends SparkSpec {
     assert(wh.price.filter(col("end_date").isNotNull).count() == 0)
   }
 
+  test("the full 11-workbook historical corpus matches the oracle") {
+    val corpus = "/root/reference/data_processed"
+    val whC = Ingestion.ingestWorkbooks(spark, corpus, Ingestion.empty(spark))
+    val dir = java.nio.file.Files.createTempDirectory("ingestion_corpus").toString
+    val rc = s"python3 scripts/ingestion_oracle.py $corpus $dir".!
+    assert(rc == 0, "oracle script failed on the corpus")
+    def expect(name: String) = spark.read.json(s"$dir/$name.jsonl")
+    assertMatches(whC.store, expect("store"), "store")
+    assertMatches(whC.provider, expect("provider"), "provider")
+    assertMatches(whC.product.drop("description"), expect("product"), "product")
+    assertMatches(whC.purchase.drop("tax", "ieps", "id_payment_type"),
+      expect("purchase").drop("id_payment_type"), "purchase")
+    assertMatches(whC.operation, expect("operation").drop("purchase_date"),
+      "operation")
+    assertMatches(whC.price.drop("start_date", "end_date"),
+      expect("price").drop("start_date"), "price")
+  }
+
   test("re-ingesting the same files is a no-op for facts (J5 idempotency)") {
     val again = Ingestion.ingestWorkbooks(spark, fixtures, wh)
     assert(again.purchase.count() == wh.purchase.count())
