@@ -28,7 +28,9 @@ object Bench {
     val results = SparkEntry.headline.map { name =>
       val t0 = System.nanoTime()
       try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

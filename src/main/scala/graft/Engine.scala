@@ -32,6 +32,18 @@ object Engine {
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(
       math.max(2, Runtime.getRuntime.availableProcessors()))
 
+  /** SQL frontend: register every testdata table as a temp view and the
+    * engine's native functions, so users can drive the whole engine from
+    * `spark.sql(...)` — `SELECT hash60(text), … FROM documents`.
+    */
+  def registerSql(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+  }
+
   /** Persist `df` as a BUCKETED managed table: rows are hash-partitioned
     * into `n` buckets on `bucketCols` at write time, so joins and
     * aggregations on those keys read co-located data and skip the

@@ -13,6 +13,20 @@ trait SparkSpec extends AnyFunSuite {
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
 }
 
+/** SQL-frontend smoke: registered views + native functions drive the
+  * engine through plain spark.sql.
+  */
+class SqlFrontendSpec extends SparkSpec {
+  test("registerSql exposes tables and native functions to SQL") {
+    Engine.registerSql(spark, sf())
+    val r = spark.sql("""
+      SELECT l_returnflag, count(*) AS n, hash60(l_returnflag) AS h
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""").collect()
+    assert(r.length >= 2 && r.forall(_.getLong(2) >= 0))
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+  }
+}
+
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()

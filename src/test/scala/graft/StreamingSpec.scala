@@ -50,6 +50,22 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2) // two sessions: [t0, t0+1min] and [t0+30min]
   }
 
+  test("sliding window lands events in both overlapping windows (q27 twin)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("ms", "event_type", "value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+    val q = EventWindows.sliding(events).writeStream
+      .outputMode("complete").format("memory").queryName("sliding_out")
+      .start()
+    val t0 = 1700000000000L // a 5-minute boundary? not required: windows align to epoch
+    input.addData((t0, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // one event, 10-min windows sliding by 5 → exactly two windows hold it
+    assert(spark.table("sliding_out").count() == 2)
+  }
+
   test("stateful sessions: data-driven close and watermark-timeout close") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)]
