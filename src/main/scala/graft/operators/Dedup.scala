@@ -50,13 +50,26 @@ object Dedup {
   def minHashSignatures(df: DataFrame, text: Column, id: Column,
                         k: Int = 16, w: Int = 3): DataFrame = {
     require(k <= 16, s"k=$k would overflow h1 + (k-1)*h2 past 2^61")
-    val hashed = transform(shingles(text, w),
-      sh => struct(gf.hash60(sh).as("h1"), gf.hash56b(sh).as("h2")))
-    val sigCols = (0 until k).map(s =>
-      array_min(transform(col("__hp"),
-        p => p.getField("h1") + lit(s.toLong) * p.getField("h2"))).as(s"sig$s"))
-    df.select(id.as("__id"), hashed.as("__hp"))
-      .select(col("__id") +: sigCols: _*)
+    if (w == 3) {
+      // fused native path: one codegen'd pass per document computes all
+      // k mins (graft.expressions.MinHashSigs) — same values
+      val sigs = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.MinHashSigs(
+          org.apache.spark.sql.graft.ColumnBridge.expression(text.cast("string")), k))
+      df.select(id.as("__id"), sigs.as("__sigs"))
+        .select(col("__id") +: (0 until k).map(s =>
+          element_at(col("__sigs"), s + 1).as(s"sig$s")): _*)
+    } else {
+      // general-w composed path (array expressions; also the executable
+      // spec the fused expression is tested against)
+      val hashed = transform(shingles(text, w),
+        sh => struct(gf.hash60(sh).as("h1"), gf.hash56b(sh).as("h2")))
+      val sigCols = (0 until k).map(s =>
+        array_min(transform(col("__hp"),
+          p => p.getField("h1") + lit(s.toLong) * p.getField("h2"))).as(s"sig$s"))
+      df.select(id.as("__id"), hashed.as("__hp"))
+        .select(col("__id") +: sigCols: _*)
+    }
   }
 
   private def groupByAgg(df: DataFrame, key: Column, aggs: Seq[Column]) =

@@ -141,6 +141,30 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("https://a.com/x") && !rows("ftp://nope") && !rows("bad url"))
   }
 
+  test("fused MinHashSigs ≡ the composed array-expression signatures") {
+    val d = Engine.table(spark, sf(), "documents")
+    // w=3 → fused native path; w=3 via the composed branch is forced by
+    // building the expressions directly
+    val fused = Dedup.minHashSignatures(d, col("text"), col("doc_id"))
+    val hashed = transform(Dedup.shingles(col("text"), 3),
+      sh => struct(graft.functions.hash60(sh).as("h1"),
+        graft.functions.hash56b(sh).as("h2")))
+    val composed = d.select(col("doc_id").as("__id"), hashed.as("__hp"))
+      .select(col("__id") +: (0 until 16).map(s =>
+        array_min(transform(col("__hp"),
+          p => p.getField("h1") + lit(s.toLong) * p.getField("h2"))).as(s"sig$s")): _*)
+    assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty)
+    // edge docs
+    val edge = Seq("", "one", "a b", "x y z", "a  b", " lead").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val f2 = Dedup.minHashSignatures(edge, col("text"), col("doc_id"))
+    val c2 = edge.select(col("doc_id").as("__id"), hashed.as("__hp"))
+      .select(col("__id") +: (0 until 16).map(s =>
+        array_min(transform(col("__hp"),
+          p => p.getField("h1") + lit(s.toLong) * p.getField("h2"))).as(s"sig$s")): _*)
+    assert(f2.exceptAll(c2).isEmpty && c2.exceptAll(f2).isEmpty)
+  }
+
   test("native Hash60/Hash56 ≡ the composed md5 chain, bit for bit") {
     // the native codegen'd expressions must reproduce the conv(substring(
     // md5…)) values exactly — every oracle depends on this contract
