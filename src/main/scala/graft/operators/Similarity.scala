@@ -34,8 +34,21 @@ object Similarity {
   /** L2 norm. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — fused native expression (one pass over the
+    * pair; see graft.expressions.CosineSim), bit-identical to
+    * [[cosineComposed]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CosineSim(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** The composed higher-order-function form (executable spec for the
+    * fused expression; assumes equal-length inputs like the fused form).
+    */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
     * rows of `corpus` (excluding self by id). Rank is deterministic:

@@ -165,6 +165,19 @@ class OperatorsSpec extends SparkSpec {
     assert(f2.exceptAll(c2).isEmpty && c2.exceptAll(f2).isEmpty)
   }
 
+  test("fused CosineSim ≡ the composed dot/norm chain, bit for bit") {
+    val e = Engine.table(spark, sf(), "embeddings")
+    val v = e.select(Similarity.asDouble($"embedding").as("v"),
+      $"vec_id".cast("long").as("id"))
+    val pairs = v.as("a").join(v.as("b"),
+      col("a.id") =!= col("b.id") && col("a.id") % 17 === 0 && col("b.id") % 13 === 0)
+    val diff = pairs.select(
+      Similarity.cosine(col("a.v"), col("b.v")).as("f"),
+      Similarity.cosineComposed(col("a.v"), col("b.v")).as("c"))
+      .filter(!(col("f") <=> col("c")))
+    assert(diff.count() == 0)
+  }
+
   test("native Hash60/Hash56 ≡ the composed md5 chain, bit for bit") {
     // the native codegen'd expressions must reproduce the conv(substring(
     // md5…)) values exactly — every oracle depends on this contract
