@@ -81,8 +81,20 @@ object Similarity {
   def planeSigns(nPlanes: Int, dims: Int): Seq[Seq[Int]] =
     (0 until nPlanes).map(p => (0 until dims).map(d => planeSign(p, d)))
 
-  /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
+  /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. Fused native
+    * expression (one pass over all planes; see
+    * graft.expressions.LshBucket) — bit-identical to [[lshBucketComposed]].
+    * `signs` must be [[planeSigns]] output (the expression re-derives the
+    * same matrix from its shape).
+    */
   def lshBucket(v: Column, signs: Seq[Seq[Int]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.LshBucket(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        nPlanes = signs.length, dims = signs.head.length))
+
+  /** Composed built-in form (executable spec for the fused expression). */
+  def lshBucketComposed(v: Column, signs: Seq[Seq[Int]]): Column =
     signs.zipWithIndex.map { case (plane, p) =>
       val planeLit = array(plane.map(s => lit(s.toDouble)): _*)
       when(dot(v, planeLit) > 0.0, lit(1L << p)).otherwise(lit(0L))

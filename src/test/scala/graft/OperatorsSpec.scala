@@ -165,6 +165,16 @@ class OperatorsSpec extends SparkSpec {
     assert(f2.exceptAll(c2).isEmpty && c2.exceptAll(f2).isEmpty)
   }
 
+  test("fused LshBucket ≡ the composed plane-sign chain, bit for bit") {
+    val e = Engine.table(spark, sf(), "embeddings")
+    val signs = Similarity.planeSigns(8, 64)
+    val v = e.select(Similarity.asDouble($"embedding").as("v"))
+    val diff = v.select(Similarity.lshBucket($"v", signs).as("f"),
+      Similarity.lshBucketComposed($"v", signs).as("c"))
+      .filter($"f" =!= $"c")
+    assert(diff.count() == 0)
+  }
+
   test("fused CosineSim ≡ the composed dot/norm chain, bit for bit") {
     val e = Engine.table(spark, sf(), "embeddings")
     val v = e.select(Similarity.asDouble($"embedding").as("v"),
