@@ -46,12 +46,12 @@ object Relational {
   /** J5 exact-duplicate suppression gate (`database_utils.py:128-145`):
     * drop incoming rows that already exist in `existing` on `keys`.
     * Plans as a broadcast/shuffled hash LEFT ANTI join — one pass, no
-    * per-row probes. At 100 TB both sides shuffle on `keys`; AQE handles
-    * skew.
+    * per-row probes; anti-join semantics already ignore build-side
+    * duplicates, so no distinct pass is needed. At 100 TB both sides
+    * shuffle on `keys`; AQE handles skew.
     */
   def dedupGate(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
-    incoming.join(existing.select(keys.map(col): _*).dropDuplicates(keys),
-      keys, "left_anti")
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
   /** Skew-salted equi-join (engine scale toolkit): when one side's key
     * distribution is heavy-tailed beyond what AQE skew-splitting handles,
