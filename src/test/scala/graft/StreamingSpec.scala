@@ -94,6 +94,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1) == ((1L, t0 + 30 * 60000, t0 + 30 * 60000, 1L, 7.0))) // timeout
   }
 
+  test("watermark drops events later than the lateness bound") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("ms", "event_type", "value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+    // append mode: a window only emits once the watermark passes its end
+    val q = EventWindows.tumbling(events, size = "5 minutes",
+        watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_out").start()
+    val t0 = 1700000000000L
+    input.addData((t0, "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past t0's window, then send a LATE event for it
+    input.addData((t0 + 60 * 60000, "click", 5.0))
+    q.processAllAvailable()
+    input.addData((t0 + 1000, "click", 99.0)) // too late — dropped
+    q.processAllAvailable()
+    q.stop()
+    val first = spark.table("wm_out")
+      .filter($"window_start_ms" <= t0).select("n_events", "sum_value")
+      .as[(Long, Double)].collect()
+    // the late 99.0 never lands: the emitted window holds only the on-time event
+    assert(first.toSeq == Seq((1L, 1.0)))
+  }
+
   test("FileDrop: drains directory, archives success, quarantines failure") {
     val base = Files.createTempDirectory("filedrop").toFile.getAbsolutePath
     val in = s"$base/in"; val done = s"$base/done"; val bad = s"$base/bad"
