@@ -70,6 +70,27 @@ class PdfSpec extends SparkSpec {
     assert(back.count() == 31)
   }
 
+  test("second golden pair: EdoCtaMar25 reproduces cargos_bbva_17Mar2025") {
+    val goldOld = "/root/reference/pdf_to_xlsx_files_old/cargos_bbva_17Mar2025.xlsx"
+    val old = Statements.extract(spark, "/root/reference/pdf_files_old")
+    val mineMsi = old.msi.filter(col("_file").contains("EdoCtaMar25"))
+      .orderBy("_rownum").drop("_file", "_rownum")
+    val goldMsi = XlsxSource.read(spark, goldOld, "msi").orderBy("_rownum")
+      .drop("_file", "_sheet", "_rownum")
+      .withColumn("Monto original", col("`Monto original`").cast("double"))
+      .withColumn("Saldo pendiente", col("`Saldo pendiente`").cast("double"))
+      .withColumn("Pago requerido", col("`Pago requerido`").cast("double"))
+    assert(mineMsi.count() == 56)
+    assert(norm(mineMsi, Nil) == norm(goldMsi, Nil))
+    val mineC = old.compras.filter(col("_file").contains("EdoCtaMar25"))
+      .orderBy("_rownum").drop("_file", "_rownum")
+    val goldC = XlsxSource.read(spark, goldOld, "compras").orderBy("_rownum")
+      .drop("_file", "_sheet", "_rownum")
+      .withColumn("Pago requerido", col("`Pago requerido`").cast("double"))
+    assert(mineC.count() == 63)
+    assert(norm(mineC, Nil) == norm(goldC, Nil))
+  }
+
   test("old statement corpus extracts non-empty tables") {
     val old = Statements.extract(spark, "/root/reference/pdf_files_old")
     val msiByFile = old.msi.groupBy("_file").count().collect()
