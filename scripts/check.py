@@ -56,6 +56,16 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
         return False
     g, w = normalize(got), normalize(want)
     for c in g.columns:
+        # The driver's gate hashes exact stringified values, so an int64
+        # column on one side vs float64 on the other ("1" vs "1.0") fails
+        # there even when numerically equal (e.g. DuckDB HUGEINT sums
+        # arrive in pandas as float64 — CAST ... AS BIGINT in the oracle).
+        gi, wi = pd.api.types.is_integer_dtype(g[c]), pd.api.types.is_integer_dtype(w[c])
+        if gi != wi:
+            print(f"FAIL {name}: col {c} dtype class mismatch: "
+                  f"spark={g[c].dtype} duckdb={w[c].dtype} (driver hash would differ)")
+            return False
+    for c in g.columns:
         gv, wv = g[c].tolist(), w[c].tolist()
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(gv, wv)) if not values_equal(a, b)]
         if bad:

@@ -97,7 +97,8 @@ object EventQueries {
             sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
           FROM ordered)
-        SELECT user_id, session_id, count(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
                round(sum(value), 4) AS sum_value,
                max(ms) - min(ms) AS duration_ms
         FROM sess GROUP BY user_id, session_id""")),
