@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.Engine
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine analytics extensions beyond the round-1 surface: grouping sets,
+  * set ops, pivot, JSON extraction, ranked windows, deterministic
+  * train/val/test splits, stratified sampling, TF-IDF, and histogram
+  * profiling — the query shapes a training-data pipeline leans on around
+  * the core dedup/similarity operators.
+  *
+  * Scale notes (100 TB): every query here is a bounded number of hash
+  * shuffles — rollup/pivot ride the partial-agg path, the splits are pure
+  * map-side projections (md5 of the key, no shuffle at all), stratified
+  * sampling and TF-IDF shuffle once per grouping. Nothing collects to the
+  * driver.
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Grouping sets: ROLLUP over (returnflag, linestatus) — subtotals and
+    // grand total in one pass (Spark expands to a single Expand + hash agg;
+    // partial aggregation still applies).
+    "q48_rollup_revenue" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_items"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               count(*) AS n_items,
+               round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    // Set op: INTERSECT (distinct) — customers holding both an F and an O
+    // order. Complements q13's EXCEPT.
+    "q49_set_intersect" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        f.intersect(o)
+      },
+      oracle = Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")),
+
+    // Pivot: order counts per status × priority. Spark's pivot with an
+    // explicit value list stays a single hash aggregate; absent combos
+    // surface as null counts → coalesced to 0 for oracle parity with
+    // DuckDB's count(*) FILTER.
+    "q50_pivot_priority" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val outs = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+        val pv = orders.groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", vals).agg(count(lit(1)))
+        pv.select(col("o_orderstatus") +:
+          vals.zip(outs).map { case (v, out) =>
+            coalesce(col(s"`$v`"), lit(0L)).as(out) }: _*)
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // JSON extraction from the events props column (semi-structured
+    // payloads ride along every real event stream): group by the extracted
+    // key, aggregate. get_json_object is codegen'd; no UDF.
+    "q51_json_props" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+        ev.withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("k_val"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("sum_value"))
+      },
+      oracle = Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1""")),
+
+    // Ranked window analytics: top-5 spenders per market segment with the
+    // gap to the next-better customer (row_number + lag over the same
+    // sort — ONE window exchange, dims broadcast).
+    "q52_segment_spend_rank" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val cust = Engine.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val totals = orders.groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("total"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("total").desc, col("c_custkey"))
+        totals.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("gap", round(coalesce(lag(col("total"), 1).over(w) - col("total"),
+            lit(0.0)), 2))
+          .filter(col("rnk") <= 5)
+          .select(col("c_mktsegment"), col("rnk"), col("c_custkey"),
+            col("total"), col("gap"))
+      },
+      oracle = Some("""
+        WITH totals AS (
+          SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+          FROM orders GROUP BY o_custkey),
+        r AS (
+          SELECT c_mktsegment, c_custkey, total,
+                 row_number() OVER w AS rnk,
+                 lag(total) OVER w AS prev
+          FROM totals JOIN customer ON o_custkey = c_custkey
+          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total DESC, c_custkey))
+        SELECT c_mktsegment, rnk, c_custkey, total,
+               round(coalesce(prev - total, 0), 2) AS gap
+        FROM r WHERE rnk <= 5""")),
+
+    // Deterministic train/val/test split — the reproducible alternative to
+    // random sampling for training corpora: md5 of the stable id buckets
+    // every row the same way on every engine and every run. Pure map-side
+    // projection: NO shuffle, survives any scale-up trivially.
+    "q53_hash_split" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+        d.select(col("doc_id"),
+          when(h < "1a", "test").when(h < "33", "val").otherwise("train")
+            .as("split"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents""")),
+
+    // Stratified deterministic sample: 20% per language, chosen by md5
+    // order so the subset is stable across engines/runs. One shuffle on
+    // the stratum key; the per-stratum count rides the same window.
+    "q54_stratified_sample" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val ord = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val all = Window.partitionBy(col("lang"))
+        d.withColumn("rn", row_number().over(ord))
+          .withColumn("n", count(lit(1)).over(all))
+          .filter(col("rn") <= (col("n") + lit(4)) / lit(5))
+          .select(col("doc_id"), col("lang"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT doc_id, lang FROM t WHERE rn <= (n + 4) // 5""")),
+
+    // TF-IDF: highest-scoring term per document. Two hash shuffles (term
+    // frequencies, document frequencies) + one window; the corpus size is
+    // a broadcast scalar, never a driver collect.
+    "q55_tfidf_top_term" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfc = toks.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfc, "term").crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * log(col("n").cast("double") / col("df")))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term"), round(col("score"), 6).as("tfidf"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (
+          SELECT doc_id, term,
+                 tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, term) AS rn
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term, round(score, 6) AS tfidf FROM s WHERE rn = 1""")),
+
+    // Histogram profiling: fixed-width price buckets — the data-profiling
+    // pass a pipeline runs before choosing partition/skew strategies.
+    "q56_price_histogram" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        orders.groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(min(col("o_totalprice")), 2).as("lo"),
+            round(max(col("o_totalprice")), 2).as("hi"))
+      },
+      oracle = Some("""
+        SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM orders GROUP BY 1"""))
+  )
+}
