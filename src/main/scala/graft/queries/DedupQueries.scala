@@ -74,7 +74,10 @@ object DedupQueries {
     // of 4 — the 100 TB near-dup path (equi-join on band signature).
     "q34_minhash_lsh" -> QueryDef(
       build = (s, dir) => {
-        val d = Engine.table(s, dir, "documents")
+        // fanOut: the signature pass is expression-bound (one md5 + k mins
+        // per shingle) and the single-row-group scan would pin it to one
+        // task — spread it across the cores first (Engine.fanOut).
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
         Dedup.minHashLshPairs(d, col("text"), col("doc_id"),
           k = K, bands = Bands, w = 3)
       },

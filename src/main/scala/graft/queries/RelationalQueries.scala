@@ -226,15 +226,23 @@ object RelationalQueries {
               FROM events)""")),
 
     // W2 row_number tie-break — deterministic ".iloc[0]" per key.
+    // Aggregation form (min_by over a packed sort key) instead of the
+    // window form: map-side partial reduction shrinks the shuffle to ~one
+    // row per key and drops the per-partition sort (Relational
+    // .firstPerKeyAgg; the window twin is pinned equivalent in
+    // OperatorsSpec). Bit budget of the packed key: l_linenumber < 2^15,
+    // l_partkey < 2^28 (20M parts at sf100 fits), l_suppkey < 2^20.
     "q11_first_per_key" -> QueryDef(
       build = (s, dir) => {
         val li = Engine.table(s, dir, "lineitem")
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
         // (…, l_partkey, l_suppkey) is — the order must be total for a
         // deterministic "first".
-        Relational.firstPerKey(li, Seq(col("l_orderkey")),
-            Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
-          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        val packedOrd = col("l_linenumber").cast("long") * lit(1L << 48) +
+          col("l_partkey").cast("long") * lit(1L << 20) +
+          col("l_suppkey").cast("long")
+        Relational.firstPerKeyAgg(li, Seq(col("l_orderkey")), packedOrd,
+          Seq(col("l_partkey"), col("l_quantity")))
       },
       oracle = Some("""
         SELECT l_orderkey, l_partkey, l_quantity FROM (

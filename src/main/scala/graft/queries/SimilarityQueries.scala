@@ -40,7 +40,10 @@ object SimilarityQueries {
       build = (s, dir) => {
         val e = Engine.table(s, dir, "embeddings")
         val queries = e.filter(col("vec_id") % 50 === 0)
-        Similarity.cosineTopK(e, queries, "embedding", "vec_id", k = 3)
+        // fanOut the corpus side: the pairwise cosine scoring is
+        // expression-bound and must not run on the scan's single task.
+        Similarity.cosineTopK(Engine.fanOut(e), queries, "embedding",
+          "vec_id", k = 3)
       },
       oracle = Some(s"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -62,7 +65,7 @@ object SimilarityQueries {
       build = (s, dir) => {
         val e = Engine.table(s, dir, "embeddings")
         val queries = e.filter(col("vec_id") % 50 === 0)
-        Similarity.lshTopK(e, queries, "embedding", "vec_id",
+        Similarity.lshTopK(Engine.fanOut(e), queries, "embedding", "vec_id",
           k = 3, nPlanes = Planes, dims = Dims)
       },
       oracle = Some(s"""
@@ -94,7 +97,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("centroid_id"),
             Similarity.asDouble(col("embedding")).as("cv"))
         val queries = e.filter(col("vec_id") % 50 === 0)
-        Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+        Similarity.ivfTopK(Engine.fanOut(e), queries, "embedding", "vec_id",
           k = 3, centroids = centroids, nprobe = 3)
       },
       oracle = Some(s"""
@@ -136,8 +139,8 @@ object SimilarityQueries {
     "q38_embedding_neardup" -> QueryDef(
       build = (s, dir) => {
         val e = Engine.table(s, dir, "embeddings")
-        Similarity.embeddingNearDupPairs(e, "embedding", "vec_id",
-          tau = 0.3, nPlanes = Planes, dims = Dims)
+        Similarity.embeddingNearDupPairs(Engine.fanOut(e), "embedding",
+          "vec_id", tau = 0.3, nPlanes = Planes, dims = Dims)
       },
       oracle = Some(s"""
         WITH v AS (

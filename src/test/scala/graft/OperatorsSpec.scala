@@ -19,6 +19,20 @@ class OperatorsSpec extends SparkSpec {
     assert(lf.toSeq == Seq(Some("a"), Some("a"), None, Some("b")))
   }
 
+  test("firstPerKeyAgg (min_by over packed ord) ≡ firstPerKey window form") {
+    val df = Seq(
+      (1L, 2, 30L, 5L, 1.0), (1L, 1, 99L, 9L, 2.0), (1L, 1, 10L, 7L, 3.0),
+      (2L, 3, 10L, 1L, 4.0), (2L, 3, 10L, 0L, 5.0))
+      .toDF("k", "ln", "pk", "sk", "q")
+    val win = Relational.firstPerKey(df, Seq($"k"), Seq($"ln", $"pk", $"sk"))
+      .select($"k", $"pk", $"q")
+    val packed = $"ln".cast("long") * lit(1L << 48) +
+      $"pk" * lit(1L << 20) + $"sk"
+    val agg = Relational.firstPerKeyAgg(df, Seq($"k"), packed, Seq($"pk", $"q"))
+    assert(win.orderBy($"k").collect().toSeq ==
+      agg.orderBy($"k").collect().toSeq)
+  }
+
   test("dedupGate drops exact matches only (database_utils.py:128-145)") {
     val existing = Seq((1L, 2L, 10.0), (2L, 3L, 20.0)).toDF("pk", "sk", "q")
     val incoming = Seq((1L, 2L, 10.0), (1L, 2L, 11.0), (9L, 9L, 9.0))
