@@ -120,6 +120,52 @@ class StreamingSpec extends SparkSpec {
     assert(first.toSeq == Seq((1L, 1.0)))
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks") {
+    implicit val sq = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Double)]
+    val buysIn = MemoryStream[(Long, Long, Double)]
+    val clicks = clicksIn.toDF().toDF("ms", "user_id", "click_value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+    val buys = buysIn.toDF().toDF("ms", "user_id", "buy_value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+    val joined = graft.streaming.StreamOps.intervalJoin(
+        buys, clicks.select($"user_id", $"click_value", $"tstamp"),
+        key = "user_id", lookback = "1 hour")
+      .select($"l.user_id", $"buy_value", $"click_value")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attrib_out").start()
+    val t0 = 1700000000000L
+    // user 1: click 30 min before purchase (in window), another 2 h
+    // before (out of window); user 2: click AFTER the purchase (excluded)
+    clicksIn.addData((t0 - 120 * 60000, 1L, 0.1), (t0 - 30 * 60000, 1L, 0.2),
+      (t0 + 60000, 2L, 0.3))
+    buysIn.addData((t0, 1L, 10.0), (t0, 2L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib_out")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(rows == Set((1L, 10.0, 0.2)))
+  }
+
+  test("dedupStream drops repeat ids within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("ms", "event_id", "value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+    val q = graft.streaming.StreamOps.dedupStream(events, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    val t0 = 1700000000000L
+    input.addData((t0, 100L, 1.0), (t0 + 1000, 100L, 2.0), (t0 + 2000, 101L, 3.0))
+    q.processAllAvailable()
+    input.addData((t0 + 3000, 100L, 4.0)) // still within horizon — dropped
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id", "value")
+      .as[(Long, Double)].collect().toSet
+    assert(ids == Set((100L, 1.0), (101L, 3.0)))
+  }
+
   test("FileDrop: drains directory, archives success, quarantines failure") {
     val base = Files.createTempDirectory("filedrop").toFile.getAbsolutePath
     val in = s"$base/in"; val done = s"$base/done"; val bad = s"$base/bad"
