@@ -59,6 +59,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("batchevalpython"), p)
   }
 
+  test("q11: first-per-key plans as partial-then-final aggregation, no window sort") {
+    val p = plan("q11_first_per_key")
+    // min_by over the packed key must keep the map-side partial pass
+    // (shuffle carries ~one row per key, the point of firstPerKeyAgg) and
+    // must NOT plan as a Window (shuffle-everything-then-sort)
+    assert(p.contains("partial_min_by") || p.contains("Partial"), p)
+    assert(!p.contains("Window"), s"q11 regressed to a window plan:\n$p")
+  }
+
+  test("q53 hash split is a pure map-side projection: zero exchanges") {
+    val p = plan("q53_hash_split")
+    assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
+  }
+
   test("q43 IVF: centroid set broadcasts; assignment is map-side") {
     val p = plan("q43_ann_ivf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
