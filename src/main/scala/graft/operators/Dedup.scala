@@ -88,14 +88,63 @@ object Dedup {
         md5(concat_ws(",", (0 until r).map(i => col(s"sig${b * r + i}")): _*))
           .as("sig")).as(s"b$b")
     }
+    // no distinct here: each doc emits exactly ONE row per band by
+    // construction, so a (id, band, sig) dedup would be a pure-overhead
+    // shuffle of the whole banded set
     val banded = sigs.select(col("__id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("__id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .dropDuplicates("__id", "band", "sig")
     val a = banded.select(col("band"), col("sig"), col("__id").as("id_a"))
     val b = banded.select(col("band"), col("sig"), col("__id").as("id_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Duplicate-cluster assignment — the dedup endgame: connected
+    * components over a candidate-pair list (e.g. [[minHashLshPairs]]
+    * output), so each near-dup group keeps exactly one representative
+    * (the minimum id, transitively: a~b and b~c puts a,b,c in one
+    * cluster even if a,c never paired).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each superstep lowers a node's label to the minimum of its
+    * neighbors' labels; fixpoint in ≤ diameter steps. Each superstep is
+    * one shuffle-by-key join + partial-agg min — no per-row driver work —
+    * and `localCheckpoint` truncates the growing plan lineage (the
+    * standard Spark pattern for iterative graph algorithms; GraphX does
+    * the same under the hood). At 100 TB the pair list is orders of
+    * magnitude smaller than the corpus (only LSH candidates), and dup
+    * clusters are shallow — typically 2–4 supersteps.
+    *
+    * Returns (id, cluster_rep). Only ids appearing in `pairs` are
+    * returned; unpaired docs are their own singleton clusters by
+    * definition.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val changed = updated.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
   /** SimHash (nBits-bit, default 32): per-token hash60, per-bit ±1 vote,

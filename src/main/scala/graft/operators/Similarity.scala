@@ -135,12 +135,24 @@ object Similarity {
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 vecCol: String, idCol: String): DataFrame = {
     val v = vectors.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    // Argmax as max_by over a packed (similarity, -centroid_id) long, not
+    // a row_number window: the broadcast join expands each vector into
+    // #centroids rows, and a window would SHUFFLE that whole expansion
+    // (corpus × centroids rows at 100 TB) just to pick one row per
+    // vector. max_by keeps the map-side partial pass — the expansion is
+    // reduced back to one row per vector before the exchange.
+    // Packing: round(cosine·1e6) orders identically to the 6-decimal
+    // rounding the ranking contract (and the SQL oracle) uses; |csim·1e6|
+    // ≤ 1e6 and centroid ids < 2^32 keep the pack exact in a long.
     val scored = v.join(broadcast(centroids), lit(true))
-      .withColumn("csim", round(cosine(col("v"), col("cv")), 6))
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vid"), col("v"), col("centroid_id").as("cluster_id"))
+      .withColumn("__ord",
+        round(cosine(col("v"), col("cv")) * 1e6).cast("long") * lit(1L << 32)
+          - col("centroid_id"))
+    scored.groupBy(col("vid"))
+      .agg(max_by(struct(col("v"), col("centroid_id").as("cluster_id")),
+        col("__ord")).as("__best"))
+      .select(col("vid"), col("__best.v").as("v"),
+        col("__best.cluster_id").as("cluster_id"))
   }
 
   /** IVF top-k: queries probe their `nprobe` nearest centroid lists and

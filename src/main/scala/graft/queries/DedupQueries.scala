@@ -29,6 +29,37 @@ object DedupQueries {
   private val Bands = 4
   private val R = K / Bands
 
+  /** The MinHash-LSH candidate-pair construction as DuckDB CTEs (shared
+    * by the q34 oracle and q57's recursive-closure oracle).
+    * Kirsch–Mitzenmacher: h1 = md5 hex[1..15], h2 = md5 hex[16..29],
+    * hash function s = h1 + s*h2 (mirrors Dedup.minHashSignatures).
+    */
+  private def lshPairCtes: String = {
+    val sigCols = (0 until K).map(s =>
+      s"min(h1 + $s * h2) AS sig$s").mkString(",\n            ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until R).map(i => s"sig${b * R + i}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
+    }.mkString("\n          UNION ALL\n          ")
+    s"""sh AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h1,
+                 CAST('0x' || substr(md5(sh), 16, 14) AS BIGINT) AS h2
+          FROM (SELECT doc_id, unnest($sqlShingles) AS sh FROM documents)),
+        sigs AS (
+          SELECT doc_id,
+            $sigCols
+          FROM sh GROUP BY doc_id),
+        bands AS (
+          $bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                      AND a.doc_id < b.doc_id)"""
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Exact dedup: hash-groupBy, min-id representative.
@@ -81,34 +112,34 @@ object DedupQueries {
         Dedup.minHashLshPairs(d, col("text"), col("doc_id"),
           k = K, bands = Bands, w = 3)
       },
-      oracle = Some {
-        // Kirsch–Mitzenmacher: h1 = md5 hex[1..15], h2 = md5 hex[16..29],
-        // hash function s = h1 + s*h2 (mirrors Dedup.minHashSignatures).
-        val sigCols = (0 until K).map(s =>
-          s"min(h1 + $s * h2) AS sig$s").mkString(",\n            ")
-        val bandSelects = (0 until Bands).map { b =>
-          val parts = (0 until R).map(i => s"sig${b * R + i}::VARCHAR")
-            .mkString(" || ',' || ")
-          s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
-        }.mkString("\n          UNION ALL\n          ")
-        s"""
-        WITH sh AS (
-          SELECT doc_id,
-                 CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h1,
-                 CAST('0x' || substr(md5(sh), 16, 14) AS BIGINT) AS h2
-          FROM (SELECT doc_id, unnest($sqlShingles) AS sh FROM documents)),
-        sigs AS (
-          SELECT doc_id,
-            $sigCols
-          FROM sh GROUP BY doc_id),
-        bands AS (
-          $bandSelects)
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                    AND a.doc_id < b.doc_id"""
-      },
+      oracle = Some(s"""
+        WITH $lshPairCtes
+        SELECT id_a, id_b FROM pairs"""),
       headline = true),
+
+    // Duplicate clusters: connected components over the LSH candidate
+    // pairs (Dedup.dupClusters — iterative min-label propagation; the
+    // oracle computes the same components via recursive transitive
+    // closure, an independent construction).
+    "q57_dup_clusters" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+        val pairs = Dedup.minHashLshPairs(d, col("text"), col("doc_id"),
+          k = K, bands = Bands, w = 3)
+        Dedup.dupClusters(pairs).withColumnRenamed("id", "doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $lshPairCtes,
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+        FROM reach GROUP BY a""")),
 
     // SimHash (32-bit): per-token ±1 bit votes.
     "q35_simhash" -> QueryDef(

@@ -33,6 +33,16 @@ class OperatorsSpec extends SparkSpec {
       agg.orderBy($"k").collect().toSeq)
   }
 
+  test("dupClusters: transitive components, min-id representative") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (11L, 10L), (11L, 12L),
+      (12L, 13L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    // 1-2-3 one cluster, 5-6 one, 10-11-12-13 one (13 reaches 10 only
+    // transitively through 12 and 11)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
   test("dedupGate drops exact matches only (database_utils.py:128-145)") {
     val existing = Seq((1L, 2L, 10.0), (2L, 3L, 20.0)).toDF("pk", "sk", "q")
     val incoming = Seq((1L, 2L, 10.0), (1L, 2L, 11.0), (9L, 9L, 9.0))
