@@ -59,6 +59,19 @@ object Engine {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Persist `df` hive-partitioned on `partCols` (one directory level per
+    * value): queries filtering on those columns prune entire directories
+    * at PLANNING time — the scan never lists, opens, or reads excluded
+    * partitions. The at-rest layout play for time-partitioned facts at
+    * 100 TB (e.g. events by date): a day query over a year of data reads
+    * 1/365th of the files. Partition columns should be low-cardinality
+    * (directories are metadata; millions of tiny partitions trade scan
+    * pruning for listing cost).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
   /** Spread a compute-heavy input across all cores before an
     * expression-bound stage (minhash signatures, cosine scoring, …).
     *

@@ -44,6 +44,24 @@ class ScaleToolkitSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes at planning time (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("parted").toString
+    val orders = Engine.table(spark, sf(), "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    Engine.writePartitioned(orders, dir, Seq("o_year"))
+    val q = spark.read.parquet(dir).filter(col("o_year") === 1995)
+    val plan = q.queryExecution.executedPlan.toString
+    // the year predicate must land in PartitionFilters (directory
+    // pruning), not PushedFilters (row-group skipping inside files read
+    // anyway)
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(plan).isDefined,
+      s"year filter did not become a partition filter:\n$plan")
+    // and only the 1995 directory's rows surface
+    val expected = orders.filter(col("o_year") === 1995).count()
+    assert(q.count() == expected && expected > 0)
+  }
+
   test("conform: required enforced, optional injected, typing applied") {
     val df = Seq(("x", "1,5", "45369", "None")).toDF("Descripción", "Cant", "d", "note")
     val out = Conform.conform(df, Conform.Contract(
