@@ -206,6 +206,52 @@ object AnalyticsQueries {
           FROM tf JOIN df USING (term) CROSS JOIN n)
         SELECT doc_id, term, round(score, 6) AS tfidf FROM s WHERE rn = 1""")),
 
+    // Correlated scalar subqueries through the SQL frontend: orders worth
+    // more than 1.5× their customer's average. Catalyst decorrelates the
+    // two per-row subqueries into aggregate+join — no per-row execution.
+    // The comparison runs in exact integer cents (prices are 2-decimal,
+    // so round(p·100) is an exact long and `cents·n·2 > sum_cents·3`
+    // ⟺ p > 1.5·avg) — a float avg would differ in the last ulp between
+    // engines and could flip rows sitting on the boundary.
+    "q58_above_avg_orders" -> QueryDef(
+      build = (s, dir) => {
+        Engine.table(s, dir, "orders").createOrReplaceTempView("q58_orders")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+          FROM q58_orders o
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                  * (SELECT count(*) FROM q58_orders i
+                     WHERE i.o_custkey = o.o_custkey) * 2
+                > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FROM q58_orders i WHERE i.o_custkey = o.o_custkey) * 3""")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        FROM orders o
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                * (SELECT count(*) FROM orders i
+                   WHERE i.o_custkey = o.o_custkey) * 2
+              > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FROM orders i WHERE i.o_custkey = o.o_custkey) * 3""")),
+
+    // Deterministic string aggregation: the distinct priorities seen per
+    // order status, alphabetical. collect_set order is nondeterministic
+    // by itself — sort_array makes it an engine-stable value.
+    "q59_status_priorities" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        orders.groupBy(col("o_orderstatus"))
+          .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+            count(lit(1)).as("n_orders"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ','
+                          ORDER BY o_orderpriority) AS priorities,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus""")),
+
     // Histogram profiling: fixed-width price buckets — the data-profiling
     // pass a pipeline runs before choosing partition/skew strategies.
     "q56_price_histogram" -> QueryDef(
