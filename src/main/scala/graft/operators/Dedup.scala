@@ -132,15 +132,15 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // carry the old label through the update so the convergence check
+      // is a filter over the already-checkpointed result, not another join
       val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint()
-      val changed = updated.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = updated
+      val changed = updated.filter(col("label") =!= col("__old")).count()
+      labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }

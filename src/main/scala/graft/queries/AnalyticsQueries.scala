@@ -146,7 +146,8 @@ object AnalyticsQueries {
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 'val'
                     ELSE 'train' END AS split
-        FROM documents""")),
+        FROM documents"""),
+      headline = true),
 
     // Stratified deterministic sample: 20% per language, chosen by md5
     // order so the subset is stable across engines/runs. One shuffle on
@@ -204,7 +205,8 @@ object AnalyticsQueries {
                  row_number() OVER (PARTITION BY doc_id
                    ORDER BY tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, term) AS rn
           FROM tf JOIN df USING (term) CROSS JOIN n)
-        SELECT doc_id, term, round(score, 6) AS tfidf FROM s WHERE rn = 1""")),
+        SELECT doc_id, term, round(score, 6) AS tfidf FROM s WHERE rn = 1"""),
+      headline = true),
 
     // Correlated scalar subqueries through the SQL frontend: orders worth
     // more than 1.5× their customer's average. Catalyst decorrelates the
