@@ -99,4 +99,47 @@ class LawsSpec extends SparkSpec {
       assert(r.getString(1) == lastSeen) // fill = running last non-null
     }
   }
+
+  test("law: dupClusters matches an independent union-find on random graphs") {
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 40L)
+      b <- Gen.choose(0L, 40L) if a != b
+    } yield (a, b)
+    val edges = sample(edgeGen, 60).distinct
+    // independent reference: classic union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> {
+      // representative = min member of the component
+      val r = find(x)
+      parent.keys.filter(find(_) == r).min
+    }).toMap
+    val got = graft.operators.Dedup
+      .dupClusters(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("law: hash split is total, deterministic, and roughly 10/20/70") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    def split(df: org.apache.spark.sql.DataFrame) = {
+      val h = substring(md5($"doc_id".cast("string")), 1, 2)
+      df.select($"doc_id",
+        when(h < "1a", "test").when(h < "33", "val").otherwise("train").as("s"))
+    }
+    val a = split(ids).as[(Long, String)].collect().toMap
+    val b = split(ids).as[(Long, String)].collect().toMap
+    assert(a == b && a.size == 2000) // total + deterministic
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(frac("test") - 26.0 / 256) < 0.03)
+    assert(math.abs(frac("val") - 25.0 / 256) < 0.03)
+    assert(frac("train") > 0.7)
+  }
 }
