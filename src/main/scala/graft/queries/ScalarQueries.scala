@@ -334,6 +334,26 @@ object ScalarQueries {
           FROM events)""")),
 
     // C11 pre-sink truncation (database_utils.py:223).
+    // Excel-serial date round-trip (§1.2: serial dates in the reference
+    // fixtures, e.g. 45369): serial = days since 1899-12-30, and
+    // excel_serial_date(serial) reproduces the original date.
+    "q60_excel_serial" -> QueryDef(
+      build = (s, dir) => {
+        val o = Engine.table(s, dir, "orders")
+        val serial = datediff(col("o_orderdate"),
+          to_date(lit("1899-12-30"))).cast("long")
+        o.select(col("o_orderkey"), serial.as("serial"),
+          date_format(gf.excel_serial_date(serial), "yyyy-MM-dd")
+            .as("roundtrip_date"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+               date_diff('day', DATE '1899-12-30', CAST(o_orderdate AS DATE))
+                 AS serial,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                 AS roundtrip_date
+        FROM orders""")),
+
     "q22_truncate" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
