@@ -40,6 +40,20 @@ object AnalyticsQueries {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
 
+    // CUBE: all four grouping sets of (status, priority) in one Expand
+    // pass — complements q48's ROLLUP.
+    "q61_cube_orders" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_price"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
     // Set op: INTERSECT (distinct) — customers holding both an F and an O
     // order. Complements q13's EXCEPT.
     "q49_set_intersect" -> QueryDef(
