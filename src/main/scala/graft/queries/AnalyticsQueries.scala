@@ -191,6 +191,10 @@ object AnalyticsQueries {
     // a broadcast scalar, never a driver collect.
     "q55_tfidf_top_term" -> QueryDef(
       build = (s, dir) => {
+        // no fanOut: the split+explode is cheap enough on the scan task
+        // that a rebalance ahead of it measures as a net loss (0.80 s →
+        // 1.43 s at sf0.1) — fanOut pays off only for md5/cosine-heavy
+        // per-row work (see Engine.fanOut)
         val d = Engine.table(s, dir, "documents")
         val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term"))
