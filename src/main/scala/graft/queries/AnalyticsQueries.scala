@@ -272,6 +272,45 @@ object AnalyticsQueries {
                count(*) AS n_orders
         FROM orders GROUP BY o_orderstatus""")),
 
+    // Running cumulative revenue per customer: prefix sums are computed
+    // in the same deterministic order on both engines (the cum value is a
+    // multiple of 0.01, so the 2-decimal round is exact regardless of
+    // accumulated float epsilon).
+    "q62_running_revenue" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders.select(col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("cum_revenue"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS cum_revenue
+        FROM orders""")),
+
+    // Inter-order gap in days per customer (lead): the re-engagement
+    // metric shape; null gap marks each customer's latest order.
+    "q63_order_gaps" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders.select(col("o_orderkey"), col("o_custkey"),
+          datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+            .cast("long").as("gap_days"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', o_orderdate,
+                 lead(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)) AS gap_days
+        FROM orders""")),
+
     // Histogram profiling: fixed-width price buckets — the data-profiling
     // pass a pipeline runs before choosing partition/skew strategies.
     "q56_price_histogram" -> QueryDef(
