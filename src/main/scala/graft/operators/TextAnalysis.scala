@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * primitive has an exact ANSI-SQL equivalent so the DuckDB oracle can
   * replicate results bit-for-bit. Designed to run as a single projection
   * over a 100 TB `documents` scan — no shuffle, no state.
+  *
+  * The stopword scoring that langId/qualityScore share is a fused native
+  * expression (graft.expressions.StopwordScores): one token pass per
+  * document instead of five tokenize+filter chains. The composed forms
+  * below (`*Composed`) remain the executable spec, pinned bit-equivalent
+  * in OperatorsSpec.
   */
 object TextAnalysis {
 
@@ -27,16 +33,21 @@ object TextAnalysis {
     size(call_function("regexp_extract_all", text,
       lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
 
-  /** Stopword tables for the n-gram language-ID heuristic. Order is the
-    * tie-break (first wins).
+  /** Stopword tables for the n-gram language-ID heuristic (canonical copy
+    * lives with the fused expression). Order is the tie-break (first wins).
     */
-  val langStopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
-    "fr" -> Seq("le", "les", "de", "et", "une", "est"),
-    "de" -> Seq("der", "die", "und", "das", "zu", "ist"))
+  val langStopwords: Seq[(String, Seq[String])] =
+    graft.expressions.StopwordScores.langs
 
-  /** Per-language stopword hit count. */
+  /** All five stopword-hit counts (en, es, fr, de, distinct-union) in one
+    * fused token pass.
+    */
+  def stopwordScores(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.StopwordScores(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text.cast("string"))))
+
+  /** Per-language stopword hit count (composed spec form). */
   def langScore(text: Column, lang: String): Column =
     score(text, langStopwords.toMap.apply(lang))
 
@@ -44,11 +55,21 @@ object TextAnalysis {
     size(filter(tokens(text), t => words.map(w => t === w).reduce(_ || _)))
 
   /** Language ID: stopword-hit argmax with first-wins tie-break in
-    * `langStopwords` order; "unknown" when no list scores.
+    * `langStopwords` order; "unknown" when no list scores. Scores come
+    * from ONE fused pass (codegen subexpression elimination collapses the
+    * repeated reference).
     */
   def langId(text: Column): Column = {
-    val s = langStopwords.map { case (l, ws) => l -> score(text, ws) }
-    val Seq(en, es, fr, de) = s.map(_._2)
+    val sc = stopwordScores(text)
+    langIdFrom((1 to 4).map(i => element_at(sc, i)))
+  }
+
+  /** Composed twin of [[langId]] (five tokenize+filter chains). */
+  def langIdComposed(text: Column): Column =
+    langIdFrom(langStopwords.map { case (_, ws) => score(text, ws) })
+
+  private def langIdFrom(scores: Seq[Column]): Column = {
+    val Seq(en, es, fr, de) = scores
     when(en > 0 && en >= es && en >= fr && en >= de, "en")
       .when(es > 0 && es >= fr && es >= de, "es")
       .when(fr > 0 && fr >= de, "fr")
@@ -60,12 +81,18 @@ object TextAnalysis {
     * alphanumeric cleanliness, and stopword density. Deterministic double
     * math (same operand order as the SQL oracle).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityFrom(text, element_at(stopwordScores(text), 5).cast("double"))
+
+  /** Composed twin of [[qualityScore]]. */
+  def qualityScoreComposed(text: Column): Column =
+    qualityFrom(text,
+      score(text, graft.expressions.StopwordScores.allStop).cast("double"))
+
+  private def qualityFrom(text: Column, nStop: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val nChars = length(text).cast("double")
     val nClean = length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")).cast("double")
-    val allStop = langStopwords.flatMap(_._2).distinct
-    val nStop = score(text, allStop).cast("double")
     val lengthScore = least(lit(1.0), nTok / 100.0)
     val cleanScore = nClean / nChars
     val stopScore = nStop / nTok

@@ -33,6 +33,17 @@ class OperatorsSpec extends SparkSpec {
       agg.orderBy($"k").collect().toSeq)
   }
 
+  test("fused stopword scores ≡ composed langId/qualityScore") {
+    val d = Engine.table(spark, sf(), "documents").limit(300)
+    val cmp = d.select(
+      TextAnalysis.langId($"text").as("f_lang"),
+      TextAnalysis.langIdComposed($"text").as("c_lang"),
+      TextAnalysis.qualityScore($"text").as("f_q"),
+      TextAnalysis.qualityScoreComposed($"text").as("c_q"))
+    assert(cmp.filter($"f_lang" =!= $"c_lang" ||
+      $"f_q" =!= $"c_q").count() == 0)
+  }
+
   test("dupClusters: transitive components, min-id representative") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (11L, 10L), (11L, 12L),
       (12L, 13L)).toDF("id_a", "id_b")
