@@ -101,13 +101,17 @@ object Relational {
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointCol: String, startCol: String, endCol: String,
-                binSize: Long, joinType: String = "inner"): DataFrame = {
+                binSize: Long, joinType: String = "inner",
+                keys: Seq[String] = Nil): DataFrame = {
     val p = points.withColumn("__bin",
       floor(col(pointCol).cast("long") / binSize))
     val i = intervals.withColumn("__bin",
       explode(sequence(floor(col(startCol).cast("long") / binSize),
         floor(col(endCol).cast("long") / binSize))))
-    p.join(i, Seq("__bin"), joinType)
+    // extra equi-keys join with the bin (per-entity intervals — the
+    // common case), keeping the shuffle keyed on (keys, bin) so hot bins
+    // spread across entities
+    p.join(i, keys :+ "__bin", joinType)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }

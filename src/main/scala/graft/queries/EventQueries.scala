@@ -136,6 +136,36 @@ object EventQueries {
                round(c.click_value, 6) AS last_click_value
         FROM purchases p ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts"""),
-      headline = true)
+      headline = true),
+
+    // Attribution window (batch twin of StreamOps.intervalJoin): every
+    // purchase aggregates the same-user clicks of the preceding hour.
+    // Runs as the keyed range join — equi-join on (user, hour-bin), exact
+    // containment filter after, never |clicks| × |purchases|.
+    "q64_attribution_window" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events").withColumn("ms", nsToMs)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ms"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            (col("ms") - 3600000L).as("w_start"), col("ms").as("w_end"))
+        graft.operators.Relational.rangeJoin(clicks, purchases,
+            pointCol = "ms", startCol = "w_start", endCol = "w_end",
+            binSize = 3600000L, keys = Seq("user_id"))
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            round(sum(col("value")), 4).as("click_value"))
+      },
+      oracle = Some("""
+        SELECT p.event_id, p.user_id, count(*) AS n_clicks,
+               round(sum(c.value), 4) AS click_value
+        FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+              WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ms BETWEEN p.ms - 3600000 AND p.ms
+        GROUP BY p.event_id, p.user_id"""))
   )
 }
