@@ -182,6 +182,56 @@ object Similarity {
         col("rank"), col("sim"))
   }
 
+  /** Spherical k-means (Lloyd's) for IVF centroid training — fills the
+    * "production would k-means them" slot of [[ivfTopK]]'s centroid
+    * parameter. Deterministic throughout: initial centroids are the k
+    * first corpus vectors in md5(id) order (a stable pseudo-random
+    * sample), assignment ties break on centroid id, and the iteration
+    * count is fixed.
+    *
+    * Each iteration is two shuffles: the broadcast-centroid assignment
+    * ([[ivfAssign]] — map-side partial max_by), then an element-wise
+    * mean by (cluster, dimension) via posexplode. State per iteration is
+    * k×dims doubles — trivially broadcastable at any corpus size; the
+    * corpus itself is only ever scanned, never collected. Empty clusters
+    * keep their previous centroid. Objective (sum of assigned cosines)
+    * is non-decreasing per Lloyd's argument — pinned in OperatorsSpec.
+    */
+  def kmeans(corpus: DataFrame, vecCol: String, idCol: String,
+             k: Int, iters: Int): DataFrame = {
+    val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val initOrd = Window.orderBy(md5(col("vid").cast("string")), col("vid"))
+    var centroids = v
+      .withColumn("__rn", row_number().over(initOrd))
+      .filter(col("__rn") <= k)
+      .select((col("__rn") - 1).cast("long").as("centroid_id"),
+        col("v").as("cv"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val assigned = ivfAssign(v, centroids, "v", "vid")
+      val sums = assigned
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg(sum(col("x")).as("sx"))
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("sx"))))
+          .as("pairs"))
+        .select(col("cluster_id").as("centroid_id"),
+          transform(col("pairs"), p => p.getField("sx")).as("mv"))
+      // spherical: normalize the mean direction (the sum's direction is
+      // the mean's); empty clusters fall back to their previous centroid
+      val renormed = sums.withColumn("mnorm", norm(col("mv")))
+        .select(col("centroid_id"),
+          transform(col("mv"), x => x / col("mnorm")).as("nv"))
+      centroids = centroids.join(renormed, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("nv"), col("cv")).as("cv"))
+        .localCheckpoint()
+      it += 1
+    }
+    centroids
+  }
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
     * The dedup decision keeps the smaller id.
     */

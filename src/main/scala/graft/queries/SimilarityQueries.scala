@@ -134,6 +134,23 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 3"""),
       headline = true),
 
+    // IVF over TRAINED centroids: spherical k-means (3 Lloyd's
+    // iterations) replaces the deterministic sample of q43. No value
+    // oracle — centroid coordinates are float means whose summation
+    // order differs across engines; the driver records the rows-only
+    // check, and OperatorsSpec pins the k-means laws (objective
+    // non-decreasing, unit norms, deterministic ids).
+    "q65_ann_ivf_trained" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.fanOut(Engine.table(s, dir, "embeddings"))
+        val centroids = Similarity.kmeans(e, "embedding", "vec_id",
+          k = 20, iters = 3)
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+          k = 3, centroids = centroids, nprobe = 3)
+      },
+      oracle = None),
+
     // Embedding near-dup pairs: same bucket AND cosine ≥ τ (τ=0.3 — the
     // synthetic vectors are noise; real corpora would use ~0.95).
     "q38_embedding_neardup" -> QueryDef(

@@ -44,6 +44,26 @@ class OperatorsSpec extends SparkSpec {
       $"f_q" =!= $"c_q").count() == 0)
   }
 
+  test("kmeans: objective non-decreasing, deterministic, unit centroids") {
+    val emb = Engine.table(spark, sf(), "embeddings")
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(
+          emb.select($"vec_id".as("vid"),
+            Similarity.asDouble($"embedding").as("v")), cents, "v", "vid")
+        .join(cents.withColumnRenamed("centroid_id", "cluster_id"), "cluster_id")
+        .agg(sum(Similarity.cosine($"v", $"cv"))).head().getDouble(0)
+    val o1 = objective(Similarity.kmeans(emb, "embedding", "vec_id", k = 8, iters = 1))
+    val o3 = objective(Similarity.kmeans(emb, "embedding", "vec_id", k = 8, iters = 3))
+    assert(o3 >= o1 - 1e-9, s"objective decreased: $o1 -> $o3")
+    val c = Similarity.kmeans(emb, "embedding", "vec_id", k = 8, iters = 2)
+    // unit-norm centroids, stable across recomputation
+    val norms = c.select(Similarity.norm($"cv").as("n")).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
+    val again = Similarity.kmeans(emb, "embedding", "vec_id", k = 8, iters = 2)
+    assert(c.select("centroid_id").except(again.select("centroid_id")).isEmpty)
+    assert(c.count() == 8)
+  }
+
   test("dupClusters: transitive components, min-id representative") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (11L, 10L), (11L, 12L),
       (12L, 13L)).toDF("id_a", "id_b")
