@@ -76,6 +76,39 @@ object TextQueries {
           FROM documents)"""),
       headline = true),
 
+    // C4-style cleaning gate: keep/reject with a reason code — the
+    // composed filter a training pipeline runs before dedup. First
+    // matching reason wins; all inputs are exact ints or identically
+    // rounded doubles, so the CASE ladder is engine-stable.
+    "q66_quality_gate" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"),
+          when(TextAnalysis.tokenCount(col("text")) < 25, "too_short")
+            .when(TextAnalysis.qualityScore(col("text")) < 0.45, "low_quality")
+            .when(TextAnalysis.langId(col("text")) === "unknown", "unknown_lang")
+            .otherwise("keep").as("gate"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+          CASE WHEN n_tok_i < 25 THEN 'too_short'
+               WHEN round(least(1.0, n_tok / 100.0) * 0.4
+                    + (n_clean / n_chars) * 0.3
+                    + (n_stop / n_tok) * 0.3, 6) < 0.45 THEN 'low_quality'
+               WHEN NOT (s_en > 0 OR s_es > 0 OR s_fr > 0 OR s_de > 0)
+                 THEN 'unknown_lang'
+               ELSE 'keep' END AS gate
+        FROM (
+          SELECT doc_id,
+            len(string_split(text, ' ')) AS n_tok_i,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+            CAST(length(text) AS DOUBLE) AS n_chars,
+            CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_clean,
+            CAST(${sqlScore(allStop)} AS DOUBLE) AS n_stop,
+            ${sqlScore(enW)} AS s_en, ${sqlScore(esW)} AS s_es,
+            ${sqlScore(frW)} AS s_fr, ${sqlScore(deW)} AS s_de
+          FROM documents)""")),
+
     // Rolling-hash-style document fingerprint (md5 of the lowercased
     // alphanumeric skeleton).
     "q31_fingerprint" -> QueryDef(
