@@ -109,6 +109,33 @@ object TextQueries {
             ${sqlScore(frW)} AS s_fr, ${sqlScore(deW)} AS s_de
           FROM documents)""")),
 
+    // Per-language winsorization: clip document lengths to the stratum's
+    // [p10, p90] — outlier taming before length-weighted sampling. The
+    // percentile table is tiny and broadcasts; both engines interpolate
+    // quantiles identically (proven by q46).
+    "q67_winsorize_lengths" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val stats = d.groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, array(0.1D, 0.9D))").as("ps"))
+          .select(col("lang"), element_at(col("ps"), 1).as("p10"),
+            element_at(col("ps"), 2).as("p90"))
+        d.join(broadcast(stats), "lang")
+          .select(col("doc_id"), col("lang"),
+            round(greatest(col("p10"),
+              least(col("p90"), col("n_chars").cast("double"))), 4)
+              .as("clipped_chars"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT lang, quantile_cont(n_chars, 0.10) AS p10,
+                 quantile_cont(n_chars, 0.90) AS p90
+          FROM documents GROUP BY lang)
+        SELECT doc_id, d.lang,
+               round(greatest(p10, least(p90, CAST(n_chars AS DOUBLE))), 4)
+                 AS clipped_chars
+        FROM documents d JOIN s ON d.lang = s.lang""")),
+
     // Rolling-hash-style document fingerprint (md5 of the lowercased
     // alphanumeric skeleton).
     "q31_fingerprint" -> QueryDef(
