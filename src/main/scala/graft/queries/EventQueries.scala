@@ -20,6 +20,24 @@ object EventQueries {
   /** epoch-nanos → epoch millis (floor). */
   private def nsToMs = expr("ts div 1000000")
 
+  /** Gaps-and-islands session assignment shared by q26/q68: a >30-minute
+    * same-user silence starts a new session. ONE shuffle on user_id; the
+    * lag and the running sum ride the same sort.
+    */
+  private def sessionized(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = Engine.table(s, dir, "events").withColumn("ms", nsToMs)
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    ev.withColumn("is_new",
+        when(lag(col("ms"), 1).over(wOrd).isNull ||
+          col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Tumbling 5-minute windows: count + sum per (window, event_type).
@@ -69,17 +87,7 @@ object EventQueries {
     // flatMapGroupsWithState; the batch form is the oracle-checkable one.
     "q26_session_windows" -> QueryDef(
       build = (s, dir) => {
-        val ev = Engine.table(s, dir, "events").withColumn("ms", nsToMs)
-        val wOrd = Window.partitionBy(col("user_id"))
-          .orderBy(col("ms"), col("event_id"))
-        val flagged = ev.withColumn("is_new",
-          when(lag(col("ms"), 1).over(wOrd).isNull ||
-            col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L, 1L)
-            .otherwise(0L))
-        val sessions = flagged.withColumn("session_id",
-          sum(col("is_new")).over(
-            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        sessions.groupBy(col("user_id"), col("session_id"))
+        sessionized(s, dir).groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"),
             round(sum(col("value")), 4).as("sum_value"),
             (max(col("ms")) - min(col("ms"))).as("duration_ms"))
@@ -137,6 +145,44 @@ object EventQueries {
         FROM purchases p ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts"""),
       headline = true),
+
+    // Sessionized conversion funnel: per session, did a purchase happen
+    // at-or-after the first click? (max purchase ts >= min click ts ⟺
+    // such a purchase exists — one aggregation pass, no self-join.)
+    "q68_session_funnel" -> QueryDef(
+      build = (s, dir) => {
+        val minClick = min(when(col("event_type") === "click", col("ms")))
+        val maxPurch = max(when(col("event_type") === "purchase", col("ms")))
+        sessionized(s, dir).groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(when(col("event_type") === "click", 1)).as("n_clicks"),
+            count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+            when(minClick.isNotNull && maxPurch.isNotNull &&
+              maxPurch >= minClick, 1L).otherwise(0L).as("converted"))
+      },
+      oracle = Some("""
+        WITH ordered AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+            CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        sess AS (
+          SELECT user_id, event_type, ms,
+            CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+          FROM ordered)
+        SELECT user_id, session_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               CASE WHEN min(ms) FILTER (WHERE event_type = 'click') IS NOT NULL
+                     AND max(ms) FILTER (WHERE event_type = 'purchase') IS NOT NULL
+                     AND max(ms) FILTER (WHERE event_type = 'purchase')
+                         >= min(ms) FILTER (WHERE event_type = 'click')
+                    THEN 1 ELSE 0 END AS converted
+        FROM sess GROUP BY user_id, session_id""")),
 
     // Attribution window (batch twin of StreamOps.intervalJoin): every
     // purchase aggregates the same-user clicks of the preceding hour.
