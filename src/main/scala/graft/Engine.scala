@@ -72,6 +72,21 @@ object Engine {
                        partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Compact a small-files parquet directory (the debris a streaming
+    * sink's one-batch-per-file discipline leaves behind) into
+    * `targetFiles` larger files, written to `destPath`. Reads once,
+    * rebalances once, writes once — row content is preserved exactly;
+    * within-file order is not (parquet consumers must not rely on it).
+    * At 100 TB this runs per partition directory, not whole-table: pair
+    * with [[writePartitioned]] and compact only the partitions the last
+    * ingest touched.
+    */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+              targetFiles: Int): Unit =
+    spark.read.parquet(srcPath)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(destPath)
+
   /** Spread a compute-heavy input across all cores before an
     * expression-bound stage (minhash signatures, cosine scoring, …).
     *

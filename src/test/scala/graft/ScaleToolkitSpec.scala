@@ -62,6 +62,21 @@ class ScaleToolkitSpec extends SparkSpec {
     assert(q.count() == expected && expected > 0)
   }
 
+  test("compact: many small files become few, content preserved exactly") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    val orders = Engine.table(spark, sf(), "orders")
+    orders.repartition(20).write.parquet(src) // simulate streaming debris
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) == 20)
+    Engine.compact(spark, src, dst, targetFiles = 4)
+    assert(parquetFiles(dst) == 4)
+    val a = spark.read.parquet(dst)
+    assert(a.count() == orders.count() &&
+      a.exceptAll(orders).isEmpty && orders.exceptAll(a).isEmpty)
+  }
+
   test("conform: required enforced, optional injected, typing applied") {
     val df = Seq(("x", "1,5", "45369", "None")).toDF("Descripción", "Cant", "d", "note")
     val out = Conform.conform(df, Conform.Contract(
