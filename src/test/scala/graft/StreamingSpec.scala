@@ -120,6 +120,42 @@ class StreamingSpec extends SparkSpec {
     assert(first.toSeq == Seq((1L, 1.0)))
   }
 
+  test("streaming session_window over real events ≡ batch gaps-and-islands") {
+    implicit val sq = spark.sqlContext
+    // session_window semantics: an event at exactly last+gap starts a NEW
+    // session (window end exclusive) — the batch twin below uses >= to
+    // match. Real events table, ms floor like the q26 family.
+    val ev = Engine.table(spark, sf(), "events")
+      .selectExpr("ts div 1000000 AS ms", "user_id", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("ms", "user_id", "value")
+      .withColumn("tstamp", timestamp_millis($"ms"))
+    val q = EventWindows.sessions(events, gap = "30 minutes").writeStream
+      .outputMode("complete").format("memory").queryName("real_sessions")
+      .start()
+    input.addData(ev)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("real_sessions")
+      .select($"user_id", $"n_events", round($"sum_value", 4).as("sv"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    // batch twin with >=-boundary
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ms")
+    val batch = ev.toDF("ms", "user_id", "value")
+      .withColumn("is_new",
+        when(lag($"ms", 1).over(w).isNull ||
+          $"ms" - lag($"ms", 1).over(w) >= 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sv"))
+      .select($"user_id", $"n_events", $"sv")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join pairs purchases with in-window clicks") {
     implicit val sq = spark.sqlContext
     val clicksIn = MemoryStream[(Long, Long, Double)]
