@@ -10,6 +10,30 @@ import org.apache.spark.sql.functions._
 class XlsxSpec extends SparkSpec {
 
   private val fixtureDir = "/root/reference/data_test"
+
+  test("DataSource V2 format(\"xlsx\") matches XlsxSource on the fixtures") {
+    val v2 = spark.read.format("xlsx")
+      .option("sheet", "Precios").option("hyperlinkColumns", "Preview")
+      .load(fixtureDir)
+    val v1 = graft.sources.XlsxSource.read(spark, fixtureDir, "Precios",
+      hyperlinkCols = Seq("Preview"))
+    assert(v2.columns.toSeq == v1.columns.toSeq)
+    // normalize _file (binaryFile and hadoop listing render schemes
+    // slightly differently), then exact multiset equality
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("_file", regexp_extract(col("_file"), "[^/]+$", 0))
+    assert(norm(v2).exceptAll(norm(v1)).isEmpty &&
+      norm(v1).exceptAll(norm(v2)).isEmpty)
+    assert(v2.count() > 0)
+  }
+
+  test("DataSource V2 column pruning reaches the scan") {
+    val pruned = spark.read.format("xlsx").option("sheet", "Compras")
+      .load(fixtureDir).select("_rownum", "Descripción")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("XlsxScan") && plan.contains("cols=2"),
+      s"scan did not prune to 2 columns:\n$plan")
+  }
   private val p1 = s"$fixtureDir/030-Lovely_Toy_Invntry_SV25_p1.xlsx"
 
   test("colIndex/colRef round-trip") {
