@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
 class PdfSpec extends SparkSpec {
 
   private val pdfDir = "/root/reference/pdf_files"
+
+  test("DataSource V2 format(\"pdftext\") matches the binaryFile path") {
+    val v2 = spark.read.format("pdftext").load(pdfDir)
+    val v1 = graft.plans.Statements.pdfTexts(spark, pdfDir)
+    import org.apache.spark.sql.functions._
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("_file", regexp_extract(col("_file"), "[^/]+$", 0))
+    assert(v2.columns.toSeq == v1.columns.toSeq)
+    assert(norm(v2).exceptAll(norm(v1)).isEmpty &&
+      norm(v1).exceptAll(norm(v2)).isEmpty)
+    assert(v2.count() > 0)
+  }
   private val golden = "/root/reference/pdf_to_xlsx_files/cargos_bbva_17Sep2025.xlsx"
 
   private lazy val extracted = Statements.extract(spark, pdfDir)
