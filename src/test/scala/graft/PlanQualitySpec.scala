@@ -73,6 +73,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
   }
 
+  test("asOfJoin operator: union-and-window is a single exchange") {
+    // the raw operator (q44 adds a click pre-agg on top, which is its own
+    // exchange by design — deterministic equal-ts payloads)
+    import org.apache.spark.sql.functions._
+    val ev = Engine.table(spark, sf(), "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val p = graft.operators.Relational.asOfJoin(purchases, clicks,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Map("click_value" -> "last_click_value"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q64 keyed range join stays an equi-join (no nested loop)") {
+    val p = plan("q64_attribution_window")
+    assert(!p.contains("NestedLoop"), s"range join degraded to nested loop:\n$p")
+  }
+
   test("q43 IVF: centroid set broadcasts; assignment is map-side") {
     val p = plan("q43_ann_ivf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
