@@ -311,6 +311,21 @@ object AnalyticsQueries {
                    ORDER BY o_orderdate, o_orderkey)) AS gap_days
         FROM orders""")),
 
+    // Bag-semantics set op: EXCEPT ALL keeps multiplicities (three 'R'
+    // rows minus one 'A' row of the same key leaves two) — the multiset
+    // complement of q13/q49's distinct set ops.
+    "q69_except_all" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val r = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+        val a = li.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+        r.exceptAll(a)
+      },
+      oracle = Some("""
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'""")),
+
     // Histogram profiling: fixed-width price buckets — the data-profiling
     // pass a pipeline runs before choosing partition/skew strategies.
     "q56_price_histogram" -> QueryDef(

@@ -151,6 +151,28 @@ object SimilarityQueries {
       },
       oracle = None),
 
+    // Per-vector array analytics: norm / min / max / mean of each
+    // embedding as one codegen'd projection — both engines fold the
+    // array sequentially, so values agree bit-for-bit before rounding.
+    "q70_vector_stats" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.table(s, dir, "embeddings")
+        val v = Similarity.asDouble(col("embedding"))
+        e.select(col("vec_id"),
+          round(Similarity.norm(v), 6).as("vnorm"),
+          round(array_min(v), 6).as("vmin"),
+          round(array_max(v), 6).as("vmax"),
+          round(aggregate(v, lit(0.0), (acc, x) => acc + x) / size(v), 6)
+            .as("vmean"))
+      },
+      oracle = Some("""
+        SELECT vec_id,
+               round(sqrt(list_dot_product(vec, vec)), 6) AS vnorm,
+               round(list_min(vec), 6) AS vmin,
+               round(list_max(vec), 6) AS vmax,
+               round(list_sum(vec) / len(vec), 6) AS vmean
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)""")),
+
     // Embedding near-dup pairs: same bucket AND cosine ≥ τ (τ=0.3 — the
     // synthetic vectors are noise; real corpora would use ~0.95).
     "q38_embedding_neardup" -> QueryDef(
