@@ -326,6 +326,109 @@ object AnalyticsQueries {
         EXCEPT ALL
         SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'""")),
 
+    // Rolling event-time window: 7-day revenue per customer via a RANGE
+    // frame (peers by day, not by row) — the time-decayed feature shape.
+    // One window exchange on the customer key; the frame is bounded (6
+    // days), so window state never grows with history length. Sums run in
+    // exact integer cents: a float running sum would drift between
+    // engines, a cent sum cannot.
+    "q72_rolling_revenue_7d" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-6, 0)
+        orders.select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("day"),
+            expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(sum(col("cents")).over(w) / 100.0, 2).as("rev_7d"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                 AS BIGINT) / 100.0, 2) AS rev_7d
+        FROM orders""")),
+
+    // Exact second-moment statistics: correlation and sample stddev from
+    // integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — the sums are exact
+    // longs on both engines (quantities are integers, discounts exact
+    // cents), so the final fixed-order float formula is bit-identical,
+    // unlike built-in corr()/stddev() whose accumulation order varies
+    // with partitioning. One partial-agg shuffle; moments compose, so the
+    // map-side combine does almost all the work at any scale.
+    "q73_exact_moments" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val agg = li.select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("x"),
+            expr("CAST(round(l_discount * 100) AS LONG)").as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        agg.select(col("l_returnflag"), col("n"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6).as("corr_qty_disc"),
+          round(sqrt(((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            / (col("n") * (col("n") - 1)).cast("double")), 6).as("stddev_qty"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                 CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+                 CAST(sum(CAST(l_quantity AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy,
+                 CAST(sum(CAST(l_quantity AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                 CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_disc,
+               round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE)), 6) AS stddev_qty
+        FROM m""")),
+
+    // Distribution ranking: spend deciles with percent_rank / cume_dist
+    // over a tie-broken total order. The ranked set is the *aggregated*
+    // customer table (not the fact table), so the single-partition global
+    // window ranks |customers| rows, not |orders| — at 100 TB the
+    // aggregate still fits one task, and ties are impossible because the
+    // order key includes the customer id.
+    "q74_spend_deciles" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val totals = orders
+          .select(col("o_custkey"),
+            expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+          .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+        val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+        totals.select(col("o_custkey"),
+          round(col("cents") / 100.0, 2).as("total_spend"),
+          ntile(10).over(w).cast("long").as("decile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, round(cents / 100.0, 2) AS total_spend,
+               ntile(10) OVER w AS decile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM t WINDOW w AS (ORDER BY cents DESC, o_custkey)""")),
+
     // Histogram profiling: fixed-width price buckets — the data-profiling
     // pass a pipeline runs before choosing partition/skew strategies.
     "q56_price_histogram" -> QueryDef(

@@ -141,6 +141,48 @@ object DedupQueries {
         SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
         FROM reach GROUP BY a""")),
 
+    // Dedup policy: keep the best document per duplicate cluster
+    // (longest wins, id breaks ties) — the decision step that turns q57's
+    // clusters into an actual drop list. The representative is picked
+    // with max_by over a packed ordering key (n_chars major, negated id
+    // minor), which stays on the partial-agg path — no window sort over
+    // the cluster members. The oracle recomputes the clusters via an
+    // independent recursive closure, then ranks members in SQL.
+    "q75_cluster_keep_best" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+        val pairs = Dedup.minHashLshPairs(d, col("text"), col("doc_id"),
+          k = K, bands = Bands, w = 3)
+        val clusters = Dedup.dupClusters(pairs)
+        clusters.join(d.select(col("doc_id"), col("n_chars")),
+            clusters("id") === col("doc_id"))
+          .groupBy(col("cluster_rep"))
+          .agg(max_by(col("doc_id"),
+            col("n_chars") * lit(1L << 40) - col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_members"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $lshPairCtes,
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+          FROM reach GROUP BY a),
+        ranked AS (
+          SELECT c.cluster_rep, c.doc_id,
+                 row_number() OVER (PARTITION BY c.cluster_rep
+                   ORDER BY d.n_chars DESC, c.doc_id) AS rn
+          FROM comp c JOIN documents d USING (doc_id))
+        SELECT cluster_rep, max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+               count(*) AS n_members
+        FROM ranked GROUP BY cluster_rep""")),
+
     // SimHash (32-bit): per-token ±1 bit votes.
     "q35_simhash" -> QueryDef(
       build = (s, dir) => {

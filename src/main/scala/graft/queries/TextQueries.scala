@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis coverage over the `documents` table: token counting,
@@ -147,6 +148,74 @@ object TextQueries {
       oracle = Some("""
         SELECT doc_id,
                md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
-        FROM documents"""))
+        FROM documents""")),
+
+    // Repetition filter (Gopher-style): fraction of duplicate tokens and
+    // duplicate 2-grams per document — the cheap structural-repetition
+    // screen a pipeline runs before the (much costlier) near-dup pass.
+    // Pure projection over the scan: zero shuffles at any scale. Fractions
+    // are one IEEE division of exact integers, identical on both engines.
+    "q71_repetition" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.withColumn("toks", split(col("text"), " "))
+          .withColumn("bg", expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .select(col("doc_id"),
+            round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+              / size(col("toks")), 6).as("dup_tok_frac"),
+            round(lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+              / size(col("bg")), 6).as("dup_bigram_frac"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        b AS (
+          SELECT doc_id, toks,
+                 list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS bg
+          FROM t)
+        SELECT doc_id,
+               round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / len(toks), 6) AS dup_tok_frac,
+               round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                     / len(bg), 6) AS dup_bigram_frac
+        FROM b""")),
+
+    // Sequence packing: assign documents to fixed-capacity token bins by
+    // exclusive running token count, independently per shard — the layout
+    // pass that turns a cleaned corpus into ~equal training chunks. Each
+    // shard packs its own ordered stream (one window exchange on the
+    // shard key, never a global sort), which is exactly how N workers
+    // would pack 100 TB in parallel.
+    "q76_sequence_packing" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        d.select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("bin", expr("CAST(cum DIV 512 AS BIGINT)"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT *, CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum
+          FROM t)
+        SELECT shard, cum // 512 AS bin, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY shard, cum // 512"""))
   )
 }
