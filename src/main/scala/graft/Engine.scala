@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Session + table-loading helpers for the graft engine.
   *
@@ -103,6 +103,40 @@ object Engine {
     */
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Bloom-prune the probe side of a big-big join: build a bloom filter
+    * over the build side's join keys (Spark's own
+    * `BloomFilterAggregate` / `BloomFilterMightContain` — the runtime
+    * row-level-filtering machinery, driven explicitly), then filter
+    * `big` BEFORE its shuffle. Rows whose key cannot match never get
+    * hashed, serialized, or transferred — at 100 TB, when the build side
+    * touches a fraction of the probe keys, the exchange shrinks by that
+    * fraction at the cost of one scan of the (much smaller) build side.
+    *
+    * No false negatives (might_contain is one-sided), so
+    * `bloomPrune(big, k, small, j) ⋈ small ≡ big ⋈ small` — the join
+    * result is unchanged. False positives only waste shuffle, bounded by
+    * `fpp` at `expectedItems`. The serialized filter is a plan literal
+    * (~`numBits/8` bytes), shipped once per executor like a broadcast.
+    */
+  def bloomPrune(big: DataFrame, bigKey: Column,
+                 small: DataFrame, smallKey: Column,
+                 expectedItems: Long = 4000000L, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      XxHash64(Seq(expression(smallKey)), 42L),
+      Literal(expectedItems), Literal(numBits))
+    val bytes = small.select(column(agg.toAggregateExpression()))
+      .head.getAs[Array[Byte]](0)
+    if (bytes == null) big.filter(org.apache.spark.sql.functions.lit(false))
+    else big.filter(column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), XxHash64(Seq(expression(bigKey)), 42L))))
+  }
 
   /** Load one of the driver-provided parquet tables from a scale-factor dir.
     * Parquet is the at-rest format: columnar, predicate-pushdown capable —

@@ -77,6 +77,29 @@ class ScaleToolkitSpec extends SparkSpec {
       a.exceptAll(orders).isEmpty && orders.exceptAll(a).isEmpty)
   }
 
+  test("bloomPrune: no false negatives, real pruning, pre-shuffle filter") {
+    val li = Engine.table(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    // selective build side: a thin slice of orders
+    val o = Engine.table(spark, sf(), "orders")
+      .filter(col("o_totalprice") > 400000)
+      .selectExpr("o_orderkey AS l_orderkey", "o_totalprice")
+    val pruned = Engine.bloomPrune(li, col("l_orderkey"), o, col("l_orderkey"))
+    // join through the pruned probe side ≡ plain join (one-sided filter)
+    val plain = li.join(o, Seq("l_orderkey"))
+    val viaBloom = pruned.join(o, Seq("l_orderkey"))
+    assert(plain.exceptAll(viaBloom).isEmpty && viaBloom.exceptAll(plain).isEmpty)
+    // the filter must actually drop non-matching rows (fpp ≪ 1)
+    val (nLi, nPruned) = (li.count(), pruned.count())
+    assert(nPruned < nLi / 2, s"bloom kept $nPruned of $nLi rows")
+    // and it runs as a plan-level predicate before any exchange
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom predicate in:\n$plan")
+    // empty build side degenerates to keep-nothing, not keep-everything
+    assert(Engine.bloomPrune(li, col("l_orderkey"),
+      o.filter(lit(false)), col("l_orderkey")).isEmpty)
+  }
+
   test("conform: required enforced, optional injected, typing applied") {
     val df = Seq(("x", "1,5", "45369", "None")).toDF("Descripción", "Cant", "d", "note")
     val out = Conform.conform(df, Conform.Contract(
