@@ -429,6 +429,52 @@ object AnalyticsQueries {
                round(cume_dist() OVER w, 6) AS cume
         FROM t WINDOW w AS (ORDER BY cents DESC, o_custkey)""")),
 
+    // Heavy-hitter profiling: the top-20 join keys by row share — the
+    // skew diagnosis a pipeline runs before choosing salting/broadcast
+    // strategies (feeds Relational.saltedJoin's factor). Partial-agg
+    // shuffle + TakeOrderedAndProject (per-partition top-k heaps, no
+    // global sort); the total is a broadcast scalar.
+    "q78_heavy_hitters" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val counts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        val total = li.agg(count(lit(1)).as("total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("l_partkey"), col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("share"))
+          .orderBy(col("n").desc, col("l_partkey")).limit(20)
+      },
+      oracle = Some("""
+        SELECT l_partkey, count(*) AS n,
+               round(CAST(count(*) AS DOUBLE)
+                     / (SELECT count(*) FROM lineitem), 6) AS share
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY n DESC, l_partkey LIMIT 20""")),
+
+    // Deterministic mode: the most frequent priority per order status,
+    // ties broken alphabetically — built-in mode() is tie-arbitrary on
+    // both engines, so the engine-stable form is count + rank.
+    "q79_mode_priority" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("n").desc, col("o_orderpriority"))
+        orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"), col("n"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY count(*) DESC, o_orderpriority) AS rn
+          FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        FROM c WHERE rn = 1""")),
+
     // Histogram profiling: fixed-width price buckets — the data-profiling
     // pass a pipeline runs before choosing partition/skew strategies.
     "q56_price_histogram" -> QueryDef(

@@ -183,6 +183,46 @@ object TextQueries {
                      / len(bg), 6) AS dup_bigram_frac
         FROM b""")),
 
+    // Unigram LM scoring: average per-token log-likelihood under the
+    // corpus's own unigram distribution — the cheap perplexity proxy used
+    // to rank documents before an expensive model pass. Token
+    // probabilities come from one corpus-wide term-frequency aggregation
+    // (the vocabulary joins back by term — never a driver collect; at
+    // 100 TB the vocab is itself a distributed table). Per-doc summation
+    // is order-independent because each log is fixed to 9 decimals and
+    // summed as an exact integer — float addition order (which differs
+    // across partitionings AND engines) can never change the result.
+    "q77_unigram_loglik" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        val logp = tf.crossJoin(broadcast(total))
+          .select(col("term"),
+            expr("CAST(round(ln(CAST(tf AS DOUBLE) / total) * 1e9) AS LONG)")
+              .as("il"))
+        toks.join(logp, "term")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("il")).as("sil"))
+          .select(col("doc_id"), col("n_tok"),
+            round(col("sil") / 1e9 / col("n_tok"), 6).as("avg_loglik"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+        total AS (SELECT count(*) AS total FROM toks),
+        logp AS (
+          SELECT term,
+                 CAST(round(ln(CAST(tf AS DOUBLE) / total) * 1e9) AS BIGINT) AS il
+          FROM tf CROSS JOIN total)
+        SELECT doc_id, count(*) AS n_tok,
+               round(CAST(sum(il) AS BIGINT) / 1e9 / count(*), 6) AS avg_loglik
+        FROM toks JOIN logp USING (term)
+        GROUP BY doc_id""")),
+
     // Sequence packing: assign documents to fixed-capacity token bins by
     // exclusive running token count, independently per shard — the layout
     // pass that turns a cleaned corpus into ~equal training chunks. Each
