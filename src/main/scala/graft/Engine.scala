@@ -104,6 +104,22 @@ object Engine {
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Globally range-sorted export: range-partition on `sortCols` (each
+    * output file covers a disjoint key range, in file order) and sort
+    * within each partition — a total order over N files without any
+    * single-machine sort, the terasort layout. Downstream readers get
+    * file-level min/max pruning on the sort key for free, and k-way
+    * merge readers can stream the files in order. `repartitionByRange`
+    * samples boundaries, so file sizes stay balanced under skew; equal
+    * keys land in one file.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, nFiles: Int,
+                       sortCols: Seq[String]): Unit =
+    df.repartitionByRange(nFiles,
+        sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Bloom-prune the probe side of a big-big join: build a bloom filter
     * over the build side's join keys (Spark's own
     * `BloomFilterAggregate` / `BloomFilterMightContain` — the runtime

@@ -346,6 +346,56 @@ object RelationalQueries {
             .as("approx_parts"),
             count(lit(1)).as("n_rows"))
       },
+      oracle = None),
+
+    // Full outer join: the daily reconciliation shape — activity per day
+    // from two independent feeds, keeping days that exist in only one.
+    // Both inputs are pre-aggregated (per-day counts), so the outer join
+    // runs over day cardinality, not row cardinality — at 100 TB the
+    // join is still thousands of rows. Events `ts` is epoch-nanos (see
+    // Engine.table); days render as strings for cross-engine hashing.
+    "q80_full_outer_reconcile" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        val events = Engine.table(s, dir, "events")
+          .groupBy(date_format(to_date(timestamp_micros(
+            expr("CAST(ts DIV 1000 AS LONG)"))), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        orders.join(events, Seq("day"), "full_outer")
+          .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders
+          FROM orders GROUP BY 1),
+        e AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 count(*) AS n_events
+          FROM events GROUP BY 1)
+        SELECT coalesce(o.day, e.day) AS day,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(n_events, 0) AS n_events
+        FROM o FULL OUTER JOIN e ON o.day = e.day""")),
+
+    // Approximate quantiles (GK sketch): the mergeable-summary path for
+    // percentiles when an exact within-group sort (q46) is too costly —
+    // sketches merge across partitions, so cost is one partial-agg pass.
+    // Like q47, sketch values differ across engines → rows-only check;
+    // OperatorsSpec bounds the estimates against exact percentiles.
+    "q81_approx_quantiles" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 1000)")
+            .as("ps"))
+          .select(col("l_returnflag"),
+            element_at(col("ps"), 1).as("p25_approx"),
+            element_at(col("ps"), 2).as("p50_approx"),
+            element_at(col("ps"), 3).as("p75_approx"))
+      },
       oracle = None)
   )
 }

@@ -160,6 +160,17 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
   }
 
+  test("percentile_approx lands near exact percentiles (q81)") {
+    val li = Engine.table(spark, sf(), "lineitem")
+    val got = li.agg(
+      expr("percentile_approx(l_extendedprice, 0.5D, 1000)").as("a"),
+      expr("percentile(l_extendedprice, 0.5D)").as("e")).head()
+    val (a, e) = (got.getDouble(0), got.getDouble(1))
+    // GK sketch with accuracy 1000 bounds rank error at ~1/1000; translate
+    // to a loose value tolerance on this distribution
+    assert(math.abs(a - e) / e < 0.05, s"approx median $a vs exact $e")
+  }
+
   test("rangeJoin equals the naive inequality join") {
     val pts = Seq((1L, 3L), (2L, 10L), (3L, 22L)).toDF("pid", "x")
     val ivs = Seq((10L, 0L, 5L), (20L, 8L, 25L), (30L, 11L, 12L))

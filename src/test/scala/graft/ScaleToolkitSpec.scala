@@ -100,6 +100,33 @@ class ScaleToolkitSpec extends SparkSpec {
       o.filter(lit(false)), col("l_orderkey")).isEmpty)
   }
 
+  test("writeRangeSorted: disjoint file ranges, sorted within, content kept") {
+    val orders = Engine.table(spark, sf(), "orders")
+      .select("o_orderkey", "o_totalprice")
+    val dst = java.nio.file.Files.createTempDirectory("rs").toString + "/out"
+    Engine.writeRangeSorted(orders, dst, nFiles = 4, Seq("o_totalprice"))
+    val files = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4)
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_totalprice"), max("o_totalprice")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // part-file order IS range order: each file's max ≤ the next file's min
+    stats.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file ranges: $hi > $lo")
+    }
+    // sorted within each file
+    val first = spark.read.parquet(files.head)
+      .select("o_totalprice").as[Double].collect()
+    assert(first.sameElements(first.sorted))
+    // content preserved exactly
+    val back = spark.read.parquet(dst)
+    assert(back.count() == orders.count() &&
+      back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+  }
+
   test("conform: required enforced, optional injected, typing applied") {
     val df = Seq(("x", "1,5", "45369", "None")).toDF("Descripción", "Cant", "d", "note")
     val out = Conform.conform(df, Conform.Contract(
