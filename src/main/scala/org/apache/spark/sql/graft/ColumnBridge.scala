@@ -36,6 +36,28 @@ object GraftFunctions {
     new ExpressionInfo(classOf[graft.expressions.Hash60].getName, null, name,
       usage, "", "", "", "", "", "", "built-in")
 
+  /** Lift a 1-arg Column combinator from the scalar library into a SQL
+    * function builder: the registered function expands to the SAME
+    * composed built-in expression tree as the Column API (stays inside
+    * whole-stage codegen — this is NOT a UDF registration). The Column's
+    * lazy node tree is converted EAGERLY to catalyst expressions
+    * (ColumnNodeToExpressionConverter) so the analyzer resolves the
+    * inner function calls like any parsed SQL.
+    */
+  private def toExpr(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  private def lift1(f: Column => Column): Seq[Expression] => Expression = {
+    exprs => toExpr(f(ExpressionUtils.column(exprs.head)))
+  }
+
+  private def lift2(f: (Column, Column) => Column): Seq[Expression] => Expression = {
+    case Seq(a, b) =>
+      toExpr(f(ExpressionUtils.column(a), ExpressionUtils.column(b)))
+    case other => throw new IllegalArgumentException(
+      s"expected 2 arguments, got ${other.size}")
+  }
+
   val injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("hash60"),
@@ -43,7 +65,53 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => graft.expressions.Hash60(exprs.head)),
     (FunctionIdentifier("hash56"),
       info("hash56", "hash56(str) - md5(str) hex chars 16..29 as BIGINT"),
-      (exprs: Seq[Expression]) => graft.expressions.Hash56(exprs.head)))
+      (exprs: Seq[Expression]) => graft.expressions.Hash56(exprs.head)),
+    // The reference's scalar surface (SURVEY.md §2.7), SQL-callable. Each
+    // expands to the identical composed expression tree as the Column API
+    // (graft.functions), so `spark.sql("SELECT safe_float(c) …")` and
+    // `df.select(safe_float(col("c")))` produce the same plan.
+    (FunctionIdentifier("safe_float"),
+      info("safe_float", "safe_float(str) - forgiving float parse, EU comma, null-on-fail"),
+      lift1(graft.functions.safe_float)),
+    (FunctionIdentifier("normalize_null"),
+      info("normalize_null", "normalize_null(str) - None/none/NaN/'' sentinels to NULL"),
+      lift1(graft.functions.normalize_null)),
+    (FunctionIdentifier("clean_money"),
+      info("clean_money", "clean_money(str) - strip $,+ and spaces, re-apply sign, parse"),
+      lift1(graft.functions.clean_money)),
+    (FunctionIdentifier("spanish_to_date"),
+      info("spanish_to_date", "spanish_to_date(str) - dd-MMM-yyyy with Spanish month abbrevs"),
+      lift1(graft.functions.spanish_to_date)),
+    (FunctionIdentifier("statement_date"),
+      info("statement_date", "statement_date(str) - C-locale dd-MMM-yyyy parse (reference parity)"),
+      lift1(graft.functions.statement_date)),
+    (FunctionIdentifier("filename_date"),
+      info("filename_date", "filename_date(date) - ddMMMyyyy filename token"),
+      lift1(graft.functions.filename_date)),
+    (FunctionIdentifier("excel_serial_date"),
+      info("excel_serial_date", "excel_serial_date(n) - Excel serial number to date"),
+      lift1(graft.functions.excel_serial_date)),
+    (FunctionIdentifier("store_name"),
+      info("store_name", "store_name(url) - host-derived store token (C7)"),
+      lift1(graft.functions.store_name)),
+    (FunctionIdentifier("provider_url"),
+      info("provider_url", "provider_url(url) - canonicalized provider URL (C8)"),
+      lift1(graft.functions.provider_url)),
+    (FunctionIdentifier("domain_store"),
+      info("domain_store", "domain_store(url) - lowercased domain with ML special case (C9)"),
+      lift1(graft.functions.domain_store)),
+    (FunctionIdentifier("truncate500"),
+      info("truncate500", "truncate500(str) - sink-side 500-char truncation (C11)"),
+      lift1(graft.functions.truncate500)),
+    (FunctionIdentifier("derived_price"),
+      info("derived_price", "derived_price(venta, final_cost) - 30% margin fallback (C12)"),
+      lift2(graft.functions.derived_price)),
+    (FunctionIdentifier("derived_offer"),
+      info("derived_offer", "derived_offer(oferta, price) - 15% offer fallback (C12)"),
+      lift2(graft.functions.derived_offer)),
+    (FunctionIdentifier("default_if_falsy"),
+      info("default_if_falsy", "default_if_falsy(c, default) - pandas-truthiness default (C14)"),
+      lift2(graft.functions.default_if_falsy)))
 
   /** Register on a live session (the extensions path needs session
     * construction time; this one does not).

@@ -25,6 +25,39 @@ class SqlFrontendSpec extends SparkSpec {
     assert(r.length >= 2 && r.forall(_.getLong(2) >= 0))
     assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
   }
+
+  test("SQL-registered scalar library matches the Column API, no UDFs") {
+    Engine.registerSql(spark, sf())
+    val row = spark.sql("""
+      SELECT safe_float('12,5')              AS sf,
+             normalize_null('None')          AS nn,
+             clean_money('$1,234.50+')       AS cm,
+             CAST(spanish_to_date('17-ene-2025') AS STRING) AS sd,
+             CAST(excel_serial_date(45369) AS STRING)       AS ed,
+             store_name('https://www.amazon.com.mx/dp/x')   AS sn,
+             domain_store('https://articulo.mercadolibre.com.mx/p') AS ds,
+             truncate500(repeat('a', 600))   AS tr,
+             derived_price(NULL, 100.0D)     AS dp,
+             derived_offer(0.0D, 200.0D)     AS off,
+             default_if_falsy(0.0D, 7.0D)    AS dif""").head()
+    assert(row.getDouble(0) == 12.5)
+    assert(row.isNullAt(1))
+    assert(row.getDouble(2) == 1234.5)
+    assert(row.getString(3) == "2025-01-17")
+    assert(row.getString(4) == "2024-03-18")
+    assert(row.getString(5) == "amazon")
+    assert(row.getString(6) == "www.mercadolibre.com.mx")
+    assert(row.getString(7).length == 500)
+    assert(row.getDouble(8) == 130.0)
+    assert(row.getDouble(9) == 170.0)
+    assert(row.getDouble(10) == 7.0)
+    // the SQL path expands to the same composed expression trees as the
+    // Column API — nothing in the plan is a black-box UDF
+    val plan = spark.sql("SELECT provider_url(text) FROM documents")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF leaked into SQL function path:\n$plan")
+  }
 }
 
 object SparkSpec {
