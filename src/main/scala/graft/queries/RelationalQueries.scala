@@ -380,6 +380,55 @@ object RelationalQueries {
                coalesce(n_events, 0) AS n_events
         FROM o FULL OUTER JOIN e ON o.day = e.day""")),
 
+    // Skew-salted join, gate-checked: revenue per priority through
+    // Relational.saltedJoin (hot keys spread over 8 shuffle partitions,
+    // build side replicated 8×) — the oracle is the PLAIN join, proving
+    // salting is invisible to results. The aggregate runs in exact cents.
+    "q82_salted_join_agg" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("CAST(round(l_extendedprice * 100) AS LONG)").as("cents"))
+        val o = Engine.table(s, dir, "orders")
+          .selectExpr("o_orderkey AS l_orderkey", "o_orderpriority")
+        Relational.saltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("cents")) / 100.0, 2).as("revenue"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n_items,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) / 100.0, 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")),
+
+    // Bloom-pruned join, gate-checked: lineitem is pre-filtered by a
+    // bloom filter built on the selective build side's keys before the
+    // join shuffle (Engine.bloomPrune). One-sided filter → the oracle is
+    // the plain join: false positives are re-checked by the join itself,
+    // false negatives cannot exist, so results match exactly.
+    "q83_bloom_join_agg" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = Engine.table(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000)
+          .selectExpr("o_orderkey AS l_orderkey", "o_orderstatus")
+        val pruned = Engine.bloomPrune(li, col("l_orderkey"), o, col("l_orderkey"))
+        pruned.join(o, Seq("l_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_quantity")), 4).as("qty"))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, count(*) AS n_items,
+               round(sum(l_quantity), 4) AS qty
+        FROM lineitem
+        JOIN (SELECT o_orderkey, o_orderstatus FROM orders
+              WHERE o_totalprice > 400000) o ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus""")),
+
     // Approximate quantiles (GK sketch): the mergeable-summary path for
     // percentiles when an exact within-group sort (q46) is too costly —
     // sketches merge across partitions, so cost is one partial-agg pass.
