@@ -183,6 +183,44 @@ object DedupQueries {
                count(*) AS n_members
         FROM ranked GROUP BY cluster_rep""")),
 
+    // Dedup survival funnel: one summary row counting the corpus at each
+    // pipeline stage — total docs, exact-unique texts, docs implicated in
+    // near-dup candidate pairs, and distinct near-dup clusters. The
+    // monitoring query a 100 TB ingest run emits per batch; every count
+    // is a full-pipeline aggregate that reuses the LSH machinery.
+    "q86_dedup_funnel" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+        val pairs = Dedup.minHashLshPairs(d, col("text"), col("doc_id"),
+          k = K, bands = Bands, w = 3)
+        val clusters = Dedup.dupClusters(pairs)
+        val base = Engine.table(s, dir, "documents")
+          .agg(count(lit(1)).as("n_total"),
+            countDistinct(md5(col("text"))).as("n_unique_exact"))
+        val near = clusters.agg(
+          count(lit(1)).as("n_neardup_docs"),
+          countDistinct(col("cluster_rep")).as("n_clusters"))
+        base.crossJoin(near)
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $lshPairCtes,
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+          FROM reach GROUP BY a)
+        SELECT (SELECT count(*) FROM documents) AS n_total,
+               (SELECT count(DISTINCT md5(text)) FROM documents)
+                 AS n_unique_exact,
+               (SELECT count(*) FROM comp) AS n_neardup_docs,
+               (SELECT count(DISTINCT cluster_rep) FROM comp) AS n_clusters""")),
+
     // SimHash (32-bit): per-token ±1 bit votes.
     "q35_simhash" -> QueryDef(
       build = (s, dir) => {

@@ -183,6 +183,73 @@ object TextQueries {
                      / len(bg), 6) AS dup_bigram_frac
         FROM b""")),
 
+    // Cross-lingual contamination report: per (source, declared lang),
+    // how often the n-gram language ID disagrees — the audit that catches
+    // a crawler mislabeling a domain. Exact integer counts; the rate is
+    // one IEEE division.
+    "q84_lang_contamination" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("source"), col("lang"),
+            (TextAnalysis.langId(col("text")) =!= col("lang"))
+              .cast("long").as("mism"))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("mism")).as("n_mismatch"))
+          .withColumn("mismatch_rate",
+            round(col("n_mismatch").cast("double") / col("n_docs"), 6))
+      },
+      oracle = Some(s"""
+        WITH pred AS (
+          SELECT source, lang,
+            CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                 WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+                 WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+                 WHEN s_de > 0 THEN 'de'
+                 ELSE 'unknown' END AS lang_pred
+          FROM (
+            SELECT source, lang,
+              ${sqlScore(enW)} AS s_en, ${sqlScore(esW)} AS s_es,
+              ${sqlScore(frW)} AS s_fr, ${sqlScore(deW)} AS s_de
+            FROM documents))
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mismatch,
+               round(CAST(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*), 6) AS mismatch_rate
+        FROM pred GROUP BY source, lang""")),
+
+    // Curriculum mixing weights: per-source sampling weights ∝ √tokens
+    // (α = 0.5 temperature — upweights small sources, the standard
+    // data-mixing move). √tokens is fixed to 6 decimals and summed as an
+    // exact integer so the normalizing denominator is identical on both
+    // engines regardless of summation order.
+    "q85_mixing_weights" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val perSrc = d.select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens"))
+          .withColumn("sq",
+            expr("CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS LONG)"))
+        val total = perSrc.agg(sum(col("sq")).as("sq_total"))
+        perSrc.crossJoin(broadcast(total))
+          .select(col("source"), col("tokens"),
+            round(col("sq").cast("double") / col("sq_total"), 6).as("weight"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        s AS (
+          SELECT source, tokens,
+                 CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+          FROM t)
+        SELECT source, tokens,
+               round(CAST(sq AS DOUBLE)
+                     / CAST((SELECT sum(sq) FROM s) AS BIGINT), 6) AS weight
+        FROM s""")),
+
     // Unigram LM scoring: average per-token log-likelihood under the
     // corpus's own unigram distribution — the cheap perplexity proxy used
     // to rank documents before an expensive model pass. Token
