@@ -102,4 +102,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"centroids must broadcast:\n$p")
   }
+
+  test("q71 repetition filter is a pure projection: zero exchanges") {
+    val p = plan("q71_repetition")
+    assert(!p.contains("Exchange"), s"repetition stats must not shuffle:\n$p")
+  }
+
+  test("q72 rolling window: one exchange, bounded RANGE frame") {
+    val p = plan("q72_rolling_revenue_7d")
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("RANGE BETWEEN -6 FOLLOWING AND CURRENT ROW") ||
+      p.contains("specifiedwindowframe(RangeFrame, -6"),
+      s"window must be a bounded RANGE frame:\n$p")
+  }
+
+  test("q78 heavy hitters: per-partition top-k heaps, no global sort") {
+    val p = plan("q78_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("q83 bloom join: might_contain filters the probe side pre-shuffle") {
+    val p = plan("q83_bloom_join_agg")
+    assert(p.contains("might_contain"), s"bloom predicate missing:\n$p")
+  }
 }
