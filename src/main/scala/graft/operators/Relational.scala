@@ -118,14 +118,17 @@ object Relational {
 
   /** As-of join (engine extension — SURVEY.md §2.3 notes the reference
     * has none; standard analytics surface): for every left row, attach
-    * the payload of the LATEST right row with `rightTs <= leftTs` in the
-    * same key group (nulls where no prior right row exists).
+    * the payload of the LATEST right row with `rightTs <= leftTs`
+    * (`direction = "backward"`, the default) or the EARLIEST right row
+    * with `rightTs >= leftTs` (`direction = "forward"`) in the same key
+    * group (nulls where no such right row exists).
     *
     * Implementation is union-then-window: tag both sides, sort each key
     * group once by (ts, tag) — right rows at an equal timestamp sort
-    * before left rows, giving <= semantics — and forward-fill the right
-    * payload. ONE shuffle on the keys, no range-join row explosion;
-    * at 100 TB this is a single exchange + in-partition sort, and AQE
+    * before left rows, giving <=/>= semantics — and forward-fill the
+    * right payload (the forward direction just sorts ts descending).
+    * ONE shuffle on the keys, no range-join row explosion; at 100 TB
+    * this is a single exchange + in-partition sort, and AQE
     * skew-splitting applies to hot keys.
     *
     * `payload` maps right-side column → output name. Right rows with
@@ -134,7 +137,8 @@ object Relational {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               payload: Map[String, String]): DataFrame = {
+               payload: Map[String, String],
+               direction: String = "backward"): DataFrame = {
     val pay = payload.toSeq
     val leftRest = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
     val lU = left.select(
@@ -148,8 +152,14 @@ object Relational {
         Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
         leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         pay.map { case (rc, out) => col(rc).as(s"__p_$out") }: _*)
+    val tsOrd = direction match {
+      case "backward" => col("__ts").asc
+      case "forward"  => col("__ts").desc
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward, got $other")
+    }
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__tag"))
+      .orderBy(tsOrd, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lU.unionByName(rU)
       .select((keys.map(col) ++ Seq(col("__ts"), col("__tag")) ++ leftRest.map(col) ++

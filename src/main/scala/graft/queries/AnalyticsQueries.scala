@@ -429,6 +429,45 @@ object AnalyticsQueries {
                round(cume_dist() OVER w, 6) AS cume
         FROM t WINDOW w AS (ORDER BY cents DESC, o_custkey)""")),
 
+    // Calendar-spine resample: daily revenue over a month INCLUDING the
+    // zero-order days — the gap-filling join every time-series feature
+    // pipeline needs (a groupBy alone silently drops empty days). The
+    // spine is generated, tiny, and broadcast; the fact side aggregates
+    // before joining, so the outer join is day-cardinality.
+    "q87_calendar_spine" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val spine = s.range(1).select(explode(expr(
+          "sequence(to_date('1996-01-01'), to_date('1996-01-31'), interval 1 day)"))
+          .as("d"))
+        val rev = orders
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS LONG)")).as("cents"))
+        spine.join(rev, Seq("d"), "left")
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            coalesce(col("n"), lit(0L)).as("n_orders"),
+            round(coalesce(col("cents"), lit(0L)) / 100.0, 2).as("revenue"))
+      },
+      oracle = Some("""
+        WITH spine AS (
+          SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+                   DATE '1996-01-31', INTERVAL 1 DAY)) AS DATE) AS d),
+        r AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-02-01'
+          GROUP BY 1)
+        SELECT strftime(s.d, '%Y-%m-%d') AS day,
+               coalesce(n, 0) AS n_orders,
+               round(coalesce(cents, 0) / 100.0, 2) AS revenue
+        FROM spine s LEFT JOIN r USING (d)""")),
+
     // Heavy-hitter profiling: the top-20 join keys by row share — the
     // skew diagnosis a pipeline runs before choosing salting/broadcast
     // strategies (feeds Relational.saltedJoin's factor). Partial-agg

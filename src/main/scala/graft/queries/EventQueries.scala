@@ -146,6 +146,39 @@ object EventQueries {
           ON p.user_id = c.user_id AND p.ts >= c.ts"""),
       headline = true),
 
+    // Forward as-of join: for every click, the NEXT purchase at-or-after
+    // it per user — the time-to-convert shape, q44's mirror direction.
+    // Same single-exchange union-and-window plan (sorted descending).
+    "q88_asof_forward" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value")) // determinism at equal ts
+        graft.operators.Relational.asOfJoin(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Map("purchase_value" -> "next_purchase_value"),
+          direction = "forward")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000000").as("ts_ms"),
+            round(col("value"), 6).as("value"),
+            round(col("next_purchase_value"), 6).as("next_purchase_value"))
+      },
+      oracle = Some("""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts, value
+          FROM events WHERE event_type = 'click'),
+        purchases AS (
+          SELECT user_id, ts, max(value) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+               round(c.value, 6) AS value,
+               round(p.purchase_value, 6) AS next_purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts <= p.ts""")),
+
     // Sessionized conversion funnel: per session, did a purchase happen
     // at-or-after the first click? (max purchase ts >= min click ts ⟺
     // such a purchase exists — one aggregation pass, no self-join.)

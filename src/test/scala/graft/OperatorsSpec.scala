@@ -197,6 +197,21 @@ class OperatorsSpec extends SparkSpec {
       ("p3", None)))
   }
 
+  test("asOfJoin forward: earliest right row at-or-after each left row") {
+    val left = Seq((1L, 10L, "c1"), (1L, 20L, "c2"), (2L, 5L, "c3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 25L, 250.0), (2L, 1L, 10.0))
+      .toDF("k", "ts", "v")
+    val out = Relational.asOfJoin(left, right, Seq("k"), "ts", "ts",
+      Map("v" -> "next_v"), direction = "forward")
+      .orderBy("k", "ts").select("name", "next_v").collect()
+      .map(r => (r.getString(0), Option(r.get(1))))
+    // c1 at ts=10 sees the equal-ts right row (>= semantics); c2 sees the
+    // ts=25 row; c3 at ts=5 follows every right row → null
+    assert(out.toSeq == Seq(("c1", Some(100.0)), ("c2", Some(250.0)),
+      ("c3", None)))
+  }
+
   test("liveness probe: distinct-first, quarantined, deterministic stub") {
     val urls = Seq("https://a.com/x", "https://a.com/x", "ftp://nope", "bad url")
       .toDF("provider_url")
