@@ -514,6 +514,62 @@ object AnalyticsQueries {
         SELECT o_orderstatus, o_orderpriority AS mode_priority, n
         FROM c WHERE rn = 1""")),
 
+    // Basket co-occurrence: top-20 part pairs purchased together — the
+    // self-join-within-group shape (recommendations, co-citation). The
+    // pair space explodes within orders only (~n_items² per order, never
+    // |lineitem|²): one shuffle on the order key, then per-partition
+    // top-k heaps. Dedup per order first so a part twice in one order
+    // doesn't self-pair.
+    "q89_copurchase_pairs" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).dropDuplicates()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+        a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 20""")),
+
+    // Cohort retention: customers by first-order month × months since,
+    // the classic retention triangle. Month arithmetic runs on exact
+    // (year*12 + month) integers — no float date math to diverge. Two
+    // hash shuffles (first-order month, then the cohort cells).
+    "q90_cohort_retention" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+          .select(col("o_custkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("m"))
+        val first = orders.groupBy(col("o_custkey"))
+          .agg(min(col("m")).as("m0"))
+        orders.join(first, "o_custkey")
+          .select(col("o_custkey"), col("m0"), (col("m") - col("m0")).as("k"))
+          .groupBy(col("m0"), col("k"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"))
+          .filter(col("k") <= 12)
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_custkey,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+          FROM orders),
+        f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey)
+        SELECT m0, m - m0 AS k, count(DISTINCT o.o_custkey) AS n_customers
+        FROM o JOIN f USING (o_custkey)
+        WHERE m - m0 <= 12
+        GROUP BY m0, m - m0""")),
+
     // Histogram profiling: fixed-width price buckets — the data-profiling
     // pass a pipeline runs before choosing partition/skew strategies.
     "q56_price_histogram" -> QueryDef(
