@@ -187,4 +187,39 @@ object Relational {
     existing.select(col(naturalKey), col(idCol).cast("long"))
       .unionByName(assigned.select(col(naturalKey), col(idCol)))
   }
+
+  /** Incremental aggregate maintenance (the materialized-view pattern):
+    * keep a per-key state table of DECOMPOSABLE partial aggregates
+    * (count/sum/min/max — each merges associatively), fold each new
+    * batch in with [[mergeAggState]], and derive the final metrics
+    * (avg = sum/count) only at read time with [[finishAggState]].
+    *
+    * At 100 TB this is the difference between re-scanning all history
+    * per refresh and touching only the new batch: merge cost scales
+    * with |state| + |batch|, never with history. The same state updates
+    * from `foreachBatch` in a streaming ingest — batch and streaming
+    * maintain the identical table. Pass an exact-typed value column
+    * (integer cents, not float dollars) so merged sums are
+    * order-independent.
+    */
+  def aggState(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(col(value)).as("__cnt"), sum(col(value)).as("__sum"),
+      min(col(value)).as("__min"), max(col(value)).as("__max"))
+
+  /** Merge two state tables produced by [[aggState]] (associative and
+    * commutative — fold batches in any order). One hash shuffle over the
+    * combined key sets.
+    */
+  def mergeAggState(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(
+      sum(col("__cnt")).as("__cnt"), sum(col("__sum")).as("__sum"),
+      min(col("__min")).as("__min"), max(col("__max")).as("__max"))
+
+  /** Derive the read-time metrics from an [[aggState]] table. */
+  def finishAggState(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(
+      col("__cnt").as("n"), col("__sum").as("total"),
+      col("__min").as("lo"), col("__max").as("hi"),
+      (col("__sum") / col("__cnt")).as("mean")): _*)
 }

@@ -429,6 +429,40 @@ object RelationalQueries {
               WHERE o_totalprice > 400000) o ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus""")),
 
+    // Incremental aggregate maintenance, gate-checked: three batch
+    // states folded out of order, finished at read time — the oracle is
+    // the plain one-shot aggregate, proving the decomposed fold is
+    // invisible to results (Relational.aggState/mergeAggState).
+    "q91_incremental_agg" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+          .selectExpr("o_custkey", "o_orderkey",
+            "CAST(round(o_totalprice * 100) AS LONG) AS cents")
+        val keys = Seq("o_custkey")
+        val batches = (0 to 2).map(i => Relational.aggState(
+          orders.filter(col("o_orderkey") % 3 === i), keys, "cents"))
+        val state = Relational.mergeAggState(
+          Relational.mergeAggState(batches(2), batches(0), keys),
+          batches(1), keys)
+        Relational.finishAggState(state, keys)
+          .select(col("o_custkey"), col("n"),
+            round(col("total") / 100.0, 2).as("total_spend"),
+            round(col("lo") / 100.0, 2).as("min_spend"),
+            round(col("hi") / 100.0, 2).as("max_spend"),
+            round(col("mean") / 100.0, 6).as("mean_spend"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+        SELECT o_custkey, count(*) AS n,
+               round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS total_spend,
+               round(min(cents) / 100.0, 2) AS min_spend,
+               round(max(cents) / 100.0, 2) AS max_spend,
+               round((CAST(sum(cents) AS BIGINT) / CAST(count(*) AS BIGINT))
+                     / 100.0, 6) AS mean_spend
+        FROM c GROUP BY o_custkey""")),
+
     // Approximate quantiles (GK sketch): the mergeable-summary path for
     // percentiles when an exact within-group sort (q46) is too costly —
     // sketches merge across partitions, so cost is one partial-agg pass.

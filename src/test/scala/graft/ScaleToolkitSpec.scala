@@ -127,6 +127,25 @@ class ScaleToolkitSpec extends SparkSpec {
       back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
   }
 
+  test("aggState: batch folds equal the full recompute, any fold order") {
+    val orders = Engine.table(spark, sf(), "orders")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(round(o_totalprice * 100) AS LONG) AS cents")
+    val keys = Seq("o_custkey")
+    val full = Relational.aggState(orders, keys, "cents")
+    // three arbitrary batches (disjoint, covering), folded out of order
+    val b = (0 to 2).map(i => Relational.aggState(
+      orders.filter(col("o_orderkey") % 3 === i), keys, "cents"))
+    val folded = Relational.mergeAggState(
+      Relational.mergeAggState(b(2), b(0), keys), b(1), keys)
+    assert(full.exceptAll(folded).isEmpty && folded.exceptAll(full).isEmpty)
+    // finish derives mean = sum/count
+    val m = Relational.finishAggState(folded, keys)
+      .filter(col("n") > 0).limit(1).head()
+    assert(m.getDouble(m.fieldIndex("mean")) ==
+      m.getLong(m.fieldIndex("total")).toDouble / m.getLong(m.fieldIndex("n")))
+  }
+
   test("conform: required enforced, optional injected, typing applied") {
     val df = Seq(("x", "1,5", "45369", "None")).toDF("Descripción", "Cant", "d", "note")
     val out = Conform.conform(df, Conform.Contract(
