@@ -570,6 +570,43 @@ object AnalyticsQueries {
         WHERE m - m0 <= 12
         GROUP BY m0, m - m0""")),
 
+    // Column profile: per-column null counts and distinct cardinalities
+    // in ONE aggregation pass (count(col) skips nulls; the unpivot to
+    // rows happens after the scalar agg, so the scan is read once) — the
+    // schema-health report an ingest emits per batch.
+    "q92_null_profile" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+        val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+        val agg = ev.agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"))): _*)
+        agg.select(explode(array(cols.map(c => struct(
+            lit(c).as("column"), col("n_rows"),
+            (col("n_rows") - col(s"nn_$c")).as("n_null"),
+            col(s"nd_$c").as("n_distinct"))): _*)).as("r"))
+          .select(col("r.column"), col("r.n_rows"), col("r.n_null"),
+            col("r.n_distinct"))
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT count(*) AS n_rows,
+                 count(event_id) AS nn1, count(DISTINCT event_id) AS nd1,
+                 count(user_id) AS nn2, count(DISTINCT user_id) AS nd2,
+                 count(event_type) AS nn3, count(DISTINCT event_type) AS nd3,
+                 count(value) AS nn4, count(DISTINCT value) AS nd4,
+                 count(props) AS nn5, count(DISTINCT props) AS nd5
+          FROM events)
+        SELECT 'event_id' AS "column", n_rows, n_rows - nn1 AS n_null, nd1 AS n_distinct FROM a
+        UNION ALL
+        SELECT 'user_id', n_rows, n_rows - nn2, nd2 FROM a
+        UNION ALL
+        SELECT 'event_type', n_rows, n_rows - nn3, nd3 FROM a
+        UNION ALL
+        SELECT 'value', n_rows, n_rows - nn4, nd4 FROM a
+        UNION ALL
+        SELECT 'props', n_rows, n_rows - nn5, nd5 FROM a""")),
+
     // Histogram profiling: fixed-width price buckets — the data-profiling
     // pass a pipeline runs before choosing partition/skew strategies.
     "q56_price_histogram" -> QueryDef(

@@ -224,4 +224,29 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(done).list().toSeq == Seq("good.json"))
     assert(new java.io.File(bad).list().toSeq == Seq("poison.json"))
   }
+
+  test("foreachBatch maintains an incremental aggregate (aggState fold)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Relational
+    val input = MemoryStream[(Long, Long)] // (custkey, cents)
+    val keys = Seq("k")
+    // state lives across micro-batches, as it would in a parquet/Delta
+    // state table; each batch folds in without rescanning history
+    var state = spark.emptyDataFrame
+    val q = input.toDF().toDF("k", "cents").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = Relational.aggState(batch, keys, "cents")
+        state = if (state.isEmpty) b
+                else Relational.mergeAggState(state, b, keys)
+        state = state.localCheckpoint() // truncate lineage across batches
+      }.start()
+    input.addData((1L, 100L), (2L, 50L)); q.processAllAvailable()
+    input.addData((1L, 300L)); q.processAllAvailable()
+    input.addData((2L, 10L), (1L, 200L)); q.processAllAvailable()
+    q.stop()
+    val all = Seq((1L, 100L), (2L, 50L), (1L, 300L), (2L, 10L), (1L, 200L))
+      .toDF("k", "cents")
+    val oneShot = Relational.aggState(all, keys, "cents")
+    assert(state.exceptAll(oneShot).isEmpty && oneShot.exceptAll(state).isEmpty)
+  }
 }
