@@ -173,6 +173,39 @@ object SimilarityQueries {
                round(list_sum(vec) / len(vec), 6) AS vmean
         FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)""")),
 
+    // Int8 max-abs quantization: the vector-store prep pass (4× smaller
+    // index, dot products in integer SIMD). scale = 127/max|x|; each
+    // element rounds to [-127, 127]. Pure projection — zero shuffles at
+    // any corpus size. The checksum (sum of quantized ints) and bounds
+    // make the whole quantized vector oracle-comparable without emitting
+    // 64 columns; float→double promotion is exact on both engines.
+    "q93_quantize_int8" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.table(s, dir, "embeddings")
+        val v = Similarity.asDouble(col("embedding"))
+        e.select(col("vec_id"), v.as("v"))
+          .withColumn("scale", lit(127.0) / array_max(transform(col("v"), abs(_))))
+          .withColumn("q", transform(col("v"),
+            x => round(x * col("scale"), 0).cast("long")))
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec,
+                 127.0 / list_max(list_transform(embedding::DOUBLE[],
+                   x -> abs(x))) AS scale
+          FROM embeddings),
+        q AS (
+          SELECT vec_id, scale,
+                 list_transform(vec, x -> CAST(round(x * scale, 0) AS BIGINT)) AS qv
+          FROM v)
+        SELECT vec_id, round(scale, 6) AS scale,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               list_min(qv) AS q_min, list_max(qv) AS q_max
+        FROM q""")),
+
     // Embedding near-dup pairs: same bucket AND cosine ≥ τ (τ=0.3 — the
     // synthetic vectors are noise; real corpora would use ~0.95).
     "q38_embedding_neardup" -> QueryDef(

@@ -250,6 +250,34 @@ object TextQueries {
                      / CAST((SELECT sum(sq) FROM s) AS BIGINT), 6) AS weight
         FROM s""")),
 
+    // Sliding-window chunking: 32-token chunks at stride 24 (8-token
+    // overlap) — the RAG/context-window prep that turns documents into
+    // retrievable passages. Chunk geometry is pure integer arithmetic
+    // over the token count: a projection + explode, no shuffle, and at
+    // 100 TB the chunk table is written straight back out partition-wise.
+    "q94_chunk_spans" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tok"))
+          .select(col("doc_id"), col("n_tok"),
+            explode(sequence(lit(1), col("n_tok"), lit(24))).as("start"))
+          .select(col("doc_id"),
+            expr("CAST((start - 1) DIV 24 AS LONG)").as("chunk_id"),
+            col("start").cast("long").as("start"),
+            least(lit(32), col("n_tok") - col("start") + 1).cast("long")
+              .as("chunk_len"))
+      },
+      oracle = Some("""
+        SELECT doc_id, (start - 1) // 24 AS chunk_id,
+               CAST(start AS BIGINT) AS start,
+               CAST(least(32, n_tok - start + 1) AS BIGINT) AS chunk_len
+        FROM (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                 unnest(generate_series(1, len(string_split(text, ' ')), 24))
+                   AS start
+          FROM documents)""")),
+
     // Unigram LM scoring: average per-token log-likelihood under the
     // corpus's own unigram distribution — the cheap perplexity proxy used
     // to rank documents before an expensive model pass. Token
