@@ -127,6 +127,27 @@ class LawsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("law: aggState fold ≡ one-shot for random rows, batches, fold order") {
+    import graft.operators.Relational
+    val rowGen = for {
+      k <- Gen.choose(0L, 20L)
+      v <- Gen.choose(-100000L, 100000L)
+      batch <- Gen.choose(0, 4)
+    } yield (k, v, batch)
+    val rows = sample(rowGen, 500)
+    val all = rows.map { case (k, v, _) => (k, v) }.toDF("k", "v")
+    val oneShot = Relational.aggState(all, Seq("k"), "v")
+    // batches are uneven (some possibly empty) and folded in a rotated order
+    val states = (0 to 4).map { b =>
+      Relational.aggState(
+        rows.collect { case (k, v, `b`) => (k, v) }.toDF("k", "v"),
+        Seq("k"), "v")
+    }
+    val folded = (states.drop(2) ++ states.take(2))
+      .reduce(Relational.mergeAggState(_, _, Seq("k")))
+    assert(oneShot.exceptAll(folded).isEmpty && folded.exceptAll(oneShot).isEmpty)
+  }
+
   test("law: hash split is total, deterministic, and roughly 10/20/70") {
     val ids = (0L until 2000L).toDF("doc_id")
     def split(df: org.apache.spark.sql.DataFrame) = {
