@@ -158,19 +158,33 @@ object Similarity {
   /** IVF top-k: queries probe their `nprobe` nearest centroid lists and
     * rank candidates by cosine within them. Recall grows with nprobe;
     * nprobe = #centroids degenerates to exact search.
+    *
+    * Probe selection is a pure PROJECTION: the centroid matrix (k×dims
+    * doubles — bounded by construction, like the reference's catalog
+    * dicts) ships as a plan literal, and each query row sorts its own
+    * k-entry (−sim, id) array to pick nprobe lists. No crossJoin
+    * expansion, no window shuffle on the query side — at 100 TB a
+    * billion queries probe map-side; the only shuffles left are the
+    * corpus assignment's partial-agg and the final per-query ranking.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vec: String, id: String,
               k: Int, centroids: DataFrame, nprobe: Int): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, vec, id)
       .select(col("vid").as("neighbor_id"), col("v").as("cv2"), col("cluster_id"))
     val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
-    val probes = q.join(broadcast(centroids), lit(true))
-      .withColumn("csim", round(cosine(col("qv"), col("cv")), 6))
-    val wp = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    val probed = probes.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("cluster_id"))
+    val cRows = centroids.select(col("centroid_id").cast("long"), col("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val cMat = typedlit(cRows.map(_._2).toSeq)
+    val cIds = typedlit(cRows.map(_._1).toSeq)
+    val probed = q
+      .withColumn("__top", slice(sort_array(transform(
+        sequence(lit(1), lit(cRows.length)),
+        i => struct(
+          (-round(cosine(col("qv"), element_at(cMat, i)), 6)).as("negsim"),
+          element_at(cIds, i).as("cid")))), 1, nprobe))
+      .select(col("query_id"), col("qv"),
+        explode(col("__top.cid")).as("cluster_id"))
     val scored = probed.join(assigned, Seq("cluster_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv2")), 6))
