@@ -461,7 +461,8 @@ object RelationalQueries {
                round(max(cents) / 100.0, 2) AS max_spend,
                round((CAST(sum(cents) AS BIGINT) / CAST(count(*) AS BIGINT))
                      / 100.0, 6) AS mean_spend
-        FROM c GROUP BY o_custkey""")),
+        FROM c GROUP BY o_custkey"""),
+      headline = true),
 
     // Approximate quantiles (GK sketch): the mergeable-summary path for
     // percentiles when an exact within-group sort (q46) is too costly —

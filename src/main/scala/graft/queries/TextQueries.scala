@@ -316,7 +316,8 @@ object TextQueries {
         SELECT doc_id, count(*) AS n_tok,
                round(CAST(sum(il) AS BIGINT) / 1e9 / count(*), 6) AS avg_loglik
         FROM toks JOIN logp USING (term)
-        GROUP BY doc_id""")),
+        GROUP BY doc_id"""),
+      headline = true),
 
     // Sequence packing: assign documents to fixed-capacity token bins by
     // exclusive running token count, independently per shard — the layout
