@@ -587,6 +587,61 @@ object AnalyticsQueries {
         WHERE m - m0 <= 12
         GROUP BY m0, m - m0""")),
 
+    // Trailing-window anomaly score: each day's revenue as a z-score
+    // against its own trailing 28 days (RANGE frame over day numbers, so
+    // calendar gaps are handled) — the drift monitor over any ingest
+    // metric. Stats come from integer moment sums inside the window
+    // (daily totals coarsened to whole dollars by integer division —
+    // identical on both engines; keeps Σx² within long range through
+    // ~sf1), so mean/std are fixed-order float math, not accumulation-
+    // order-dependent. Days with under 8 trailing observations emit null.
+    "q95_revenue_anomaly" -> QueryDef(
+      build = (s, dir) => {
+        val orders = Engine.table(s, dir, "orders")
+        val daily = orders
+          .groupBy(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS LONG)")).as("cents"))
+          .withColumn("dd", expr("CAST(cents DIV 100 AS LONG)"))
+        val w = Window.orderBy(col("day")).rangeBetween(-27, 0)
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("dd")).over(w))
+          .withColumn("sxx", sum(col("dd") * col("dd")).over(w))
+          .select(
+            date_format(expr("date_add(DATE '1970-01-01', day)"), "yyyy-MM-dd")
+              .as("day"),
+            round(col("cents") / 100.0, 2).as("revenue"),
+            when(col("n") >= 8 && (col("n") * col("sxx") > col("sx") * col("sx")),
+              round((col("dd") - col("sx").cast("double") / col("n"))
+                / sqrt(((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")) / (col("n") * (col("n") - 1)).cast("double")),
+                4)).as("zscore"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders GROUP BY 1),
+        d2 AS (SELECT day, cents, cents // 100 AS dd FROM daily),
+        win AS (
+          SELECT day, cents, dd,
+                 count(*) OVER w AS n,
+                 CAST(sum(dd) OVER w AS BIGINT) AS sx,
+                 CAST(sum(dd * dd) OVER w AS BIGINT) AS sxx
+          FROM d2
+          WINDOW w AS (ORDER BY day RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+        SELECT strftime(DATE '1970-01-01' + to_days(CAST(day AS INTEGER)),
+                        '%Y-%m-%d') AS day,
+               round(cents / 100.0, 2) AS revenue,
+               CASE WHEN n >= 8 AND n * sxx > sx * sx THEN
+                 round((dd - CAST(sx AS DOUBLE) / n)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE)), 4)
+               END AS zscore
+        FROM win""")),
+
     // Column profile: per-column null counts and distinct cardinalities
     // in ONE aggregation pass (count(col) skips nulls; the unpivot to
     // rows happens after the scalar agg, so the scan is read once) — the
