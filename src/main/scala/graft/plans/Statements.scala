@@ -34,9 +34,9 @@ object Statements {
   val ComprasPattern: String =
     """(?i)(\d{2}-[a-z]{3}-\d{4})\s+(\d{2}-[a-z]{3}-\d{4})\s+(.+?)\s+([+-]\s*\$?[\d,]+\.\d{2})"""
 
-  private val MsiSection =
+  private[graft] val MsiSection =
     """(?is)COMPRAS Y CARGOS DIFERIDOS A MESES SIN INTERESES(.+?)COMPRAS Y CARGOS DIFERIDOS A MESES CON INTERESES"""
-  private val ComprasSection =
+  private[graft] val ComprasSection =
     """(?is)CARGOS,COMPRAS Y ABONOS REGULARES\(NO A MESES\)(.+?)TOTAL CARGOS"""
 
   case class Extracted(msi: DataFrame, compras: DataFrame)
@@ -63,40 +63,61 @@ object Statements {
     }.toDF("_file", "text")
   }
 
-  private def rows(texts: DataFrame, section: String, rowPattern: String): DataFrame =
+  /** F7 row tokenize via the custom [[graft.expressions.RegexTokenize]]
+    * Generator: ONE regex pass emits (_rownum, g1..gN) per match. The
+    * composed-builtin twin below is the executable spec; `PdfSpec` pins
+    * their equivalence on the real statement fixtures.
+    */
+  private[graft] def rows(texts: DataFrame, section: String,
+                          rowPattern: String, nGroups: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    texts
+      .select(col("_file"),
+        regexp_extract(col("text"), section, 1).as("sec"))
+      .select(col("_file"),
+        column(graft.expressions.RegexTokenize(expression(col("sec")),
+          org.apache.spark.sql.catalyst.expressions.Literal(rowPattern),
+          nGroups)).as("_rownum" +: (1 to nGroups).map(i => s"g$i")))
+  }
+
+  /** The composed built-in form of [[rows]] (`posexplode` over
+    * `regexp_extract_all` + one `regexp_extract` per group — the regex
+    * runs 1+N times per row vs the Generator's once).
+    */
+  private[graft] def rowsComposed(texts: DataFrame, section: String,
+                                  rowPattern: String, nGroups: Int): DataFrame =
     texts
       .select(col("_file"),
         regexp_extract(col("text"), section, 1).as("sec"))
       .select(col("_file"),
         posexplode(regexp_extract_all(col("sec"), lit(rowPattern), lit(0)))
           .as(Seq("pos", "row")))
-      .withColumn("_rownum", col("pos") + 1)
-
-  private def g(pattern: String, idx: Int) =
-    regexp_extract(col("row"), pattern, idx)
+      .select(col("_file") +: (col("pos") + 1).as("_rownum") +:
+        (1 to nGroups).map(i =>
+          regexp_extract(col("row"), rowPattern, i).as(s"g$i")): _*)
 
   /** `$1,234.56` → 1234.56 (`pdf_to_xlsx.py:67-69`). */
   private def money(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "[$,]", "").cast(DoubleType)
 
   private def msiTable(texts: DataFrame): DataFrame =
-    rows(texts, MsiSection, MsiPattern).select(
+    rows(texts, MsiSection, MsiPattern, 7).select(
       col("_file"), col("_rownum"),
-      gf.statement_date(g(MsiPattern, 1)).as("Fecha operación"),
-      g(MsiPattern, 2).as("Descripción"),
-      money(g(MsiPattern, 3)).as("Monto original"),
-      money(g(MsiPattern, 4)).as("Saldo pendiente"),
-      money(g(MsiPattern, 5)).as("Pago requerido"),
-      g(MsiPattern, 6).as("Núm. de pago"),
-      g(MsiPattern, 7).as("Tasa de interés aplicable"))
+      gf.statement_date(col("g1")).as("Fecha operación"),
+      col("g2").as("Descripción"),
+      money(col("g3")).as("Monto original"),
+      money(col("g4")).as("Saldo pendiente"),
+      money(col("g5")).as("Pago requerido"),
+      col("g6").as("Núm. de pago"),
+      col("g7").as("Tasa de interés aplicable"))
 
   private def comprasTable(texts: DataFrame): DataFrame =
-    rows(texts, ComprasSection, ComprasPattern).select(
+    rows(texts, ComprasSection, ComprasPattern, 4).select(
       col("_file"), col("_rownum"),
-      gf.statement_date(g(ComprasPattern, 1)).as("Fecha de la operación"),
-      gf.statement_date(g(ComprasPattern, 2)).as("Fecha de cargo"),
-      gf.clean_money(g(ComprasPattern, 4)).as("Pago requerido"),
-      g(ComprasPattern, 3).as("Descripción"))
+      gf.statement_date(col("g1")).as("Fecha de la operación"),
+      gf.statement_date(col("g2")).as("Fecha de cargo"),
+      gf.clean_money(col("g4")).as("Pago requerido"),
+      col("g3").as("Descripción"))
 
   /** S10 + S7: write `cargos_bbva_{max(fecha_oper):ddMMMyyyy}.xlsx` with
     * sheets msi/compras (`pdf_to_xlsx.py:106-128`). Returns the output

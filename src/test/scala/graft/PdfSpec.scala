@@ -49,6 +49,19 @@ class PdfSpec extends SparkSpec {
       case s => s.toString
     }.map(v => v: String)).toSeq
 
+  test("RegexTokenize generator ≡ composed posexplode path on real PDFs") {
+    val texts = Statements.pdfTexts(spark, pdfDir)
+    Seq((Statements.MsiPattern, 7), (Statements.ComprasPattern, 4)).foreach {
+      case (pat, n) =>
+        val sec = if (n == 7) Statements.MsiSection else Statements.ComprasSection
+        val gen = Statements.rows(texts, sec, pat, n)
+        val comp = Statements.rowsComposed(texts, sec, pat, n)
+        assert(gen.count() > 0)
+        assert(gen.exceptAll(comp).isEmpty && comp.exceptAll(gen).isEmpty,
+          s"generator and composed tokenizers diverge for $pat")
+    }
+  }
+
   test("msi sheet matches the golden workbook") {
     val mine = extracted.msi.filter(col("_file").contains("EdoCuentaSep25"))
       .orderBy("_rownum").drop("_file", "_rownum")
