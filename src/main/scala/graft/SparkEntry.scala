@@ -15,7 +15,8 @@ object SparkEntry {
   def all: Seq[(String, QueryDef)] =
     RelationalQueries.defs ++ ScalarQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      IngestionQueries.defs ++ MultimodalQueries.defs ++ AnalyticsQueries.defs
+      IngestionQueries.defs ++ MultimodalQueries.defs ++
+      AnalyticsQueries.defs ++ CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training pipeline runs between
+  * raw scan and tokenization: benchmark decontamination, PII redaction,
+  * sub-document (passage) dedup, and token-budget selection. No reference
+  * analog — north-star extensions alongside `Dedup`/`TextAnalysis`.
+  *
+  * All four are shuffle-minimal by construction: redaction is a pure
+  * codegen'd projection; passage dedup and decontamination shuffle once on
+  * the gram/passage key (the key the semantics require); budget selection
+  * shuffles once on the stratum key.
+  */
+object Curation {
+
+  /** Distinct word w-grams per row, exploded to (doc_id, gram). Native
+    * single-pass generator (`expressions/ShingleExplode`); the composed
+    * twin below is the executable spec, equivalence pinned in
+    * `CurationSpec`.
+    */
+  def gramTable(df: DataFrame, text: Column, id: Column, w: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.select(id.as("doc_id"),
+      ColumnBridge.column(graft.expressions.ShingleExplode(
+        ColumnBridge.expression(text.cast("string")), w)).as("gram"))
+  }
+
+  /** Composed-builtin twin of [[gramTable]] (the spec form). */
+  def gramTableComposed(df: DataFrame, text: Column, id: Column, w: Int): DataFrame =
+    df.select(id.as("doc_id"), explode(Dedup.shingles(text, w)).as("gram"))
+
+  /** Benchmark decontamination (n-gram overlap screen): for every train
+    * doc, how many distinct word w-grams it shares with ANY eval doc, plus
+    * a flag at `minShared`. Returns only docs with ≥1 shared gram.
+    *
+    * Scale shape: the eval gram set is orders of magnitude smaller than
+    * the train side (eval benchmarks are tiny), so it broadcasts and the
+    * probe is map-side; past the broadcast threshold Spark falls back to a
+    * shuffle join on `gram` — or pre-prune with `Engine.bloomPrune`.
+    */
+  def ngramOverlap(train: DataFrame, eval: DataFrame, text: Column,
+                   id: Column, w: Int = 3, minShared: Int = 5): DataFrame = {
+    val tr = gramTable(train, text, id, w)
+    val ev = gramTable(eval, text, id, w).select(col("gram")).distinct()
+    // grams are distinct per doc and ev is distinct, so each match is one
+    // row — count(1) IS the distinct shared-gram count, no second distinct.
+    tr.join(broadcast(ev), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .select(col("doc_id"), col("n_shared_grams"),
+        (col("n_shared_grams") >= minShared).cast("int").as("flagged"))
+  }
+
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val CardRe: String = "\\b\\d{13,19}\\b"
+
+  /** PII redaction: emails → [EMAIL], IPv4 → [IP], 13–19-digit card-like
+    * runs → [CARD], applied in that order (emails may embed digits; IPs
+    * must be consumed before bare digit runs). Pure regexp projection —
+    * stays inside whole-stage codegen, zero shuffle at any scale.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      CardRe, "[CARD]")
+
+  /** Sub-document exact dedup (line/passage-level): slide a `width`-token
+    * window `stride` tokens at a time over every doc, group identical
+    * passages corpus-wide, keep those present in ≥ `minDocs` distinct
+    * docs. The RefinedWeb-style pass that catches boilerplate shared
+    * across near-identical documents that whole-doc hashing misses.
+    */
+  def passageDupes(df: DataFrame, text: Column, id: Column,
+                   width: Int = 8, stride: Int = 4,
+                   minDocs: Int = 2): DataFrame =
+    df.select(id.as("doc_id"), split(text, " ").as("t"))
+      .where(size(col("t")) >= width)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          expr(s"(size(t) - $width) DIV $stride").cast("int"))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          slice(col("t"), col("i") * stride + 1, lit(width))).as("passage"))
+      .groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Greedy token-budget selection: per `bucket`, keep rows in
+    * (`score` desc, `id`) order while the running `tokens` total stays
+    * ≤ `budget` — the "best docs until the budget is full" curation move.
+    * One window exchange on the stratum key; the running sum is exact
+    * integer arithmetic.
+    */
+  def tokenBudget(df: DataFrame, bucket: Column, score: Column, id: Column,
+                  tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(bucket).orderBy(score.desc, id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+}

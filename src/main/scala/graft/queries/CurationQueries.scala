@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation coverage over `documents`: benchmark decontamination,
+  * PII redaction, sub-document (passage) dedup, and token-budget
+  * selection (`operators/Curation.scala`). North-star training-pipeline
+  * extensions — no reference analog.
+  */
+object CurationQueries {
+
+  /** Deterministic eval split: docs whose content md5 starts 0/1 (~1/8).
+    * md5 hex is identical across Spark and DuckDB, so both sides carve
+    * the same benchmark set without materializing one.
+    */
+  private val evalHexes = Seq("0", "1")
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Benchmark decontamination: distinct 3-gram overlap of every train
+    // doc against the (broadcast) eval gram set.
+    "q96_decontaminate" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
+        Curation.ngramOverlap(
+          d.where(!isEval), d.where(isEval),
+          col("text"), col("doc_id"), w = 3, minShared = 5)
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id, substr(md5(text), 1, 1) AS h, unnest(${DedupQueries.sqlShingles}) AS gram
+          FROM documents),
+        t AS (SELECT doc_id, gram FROM g WHERE h NOT IN ('0','1')),
+        e AS (SELECT DISTINCT gram FROM g WHERE h IN ('0','1'))
+        SELECT doc_id, count(*) AS n_shared_grams,
+               CAST(count(*) >= 5 AS INT) AS flagged
+        FROM t JOIN e USING (gram) GROUP BY doc_id"""),
+      headline = true),
+
+    // PII redaction: pure regexp projection. PII is planted
+    // deterministically on even doc_ids so the pass has both hit and
+    // miss rows; both engines build the identical input string.
+    "q97_redact_pii" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val planted = when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com from 10.0."), col("doc_id") % 256,
+            lit("."), (col("doc_id") * 7) % 256,
+            lit(" card 4111111111111111")))
+          .otherwise(col("text"))
+        d.select(col("doc_id"), Curation.redactPii(planted).as("redacted"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                CASE WHEN doc_id % 2 = 0
+                     THEN text || ' contact user' || doc_id
+                          || '@mail.example.com from 10.0.' || (doc_id % 256)
+                          || '.' || ((doc_id * 7) % 256)
+                          || ' card 4111111111111111'
+                     ELSE text END,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+            '\b\d{13,19}\b', '[CARD]', 'g') AS redacted
+        FROM documents""")),
+
+    // Sub-document dedup: 8-token passages at stride 4, shared by ≥2 docs.
+    "q98_passage_dupes" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        Curation.passageDupes(d, col("text"), col("doc_id"),
+          width = 8, stride = 4, minDocs = 2)
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        p AS (
+          SELECT doc_id, array_to_string(t[i*4+1 : i*4+8], ' ') AS passage
+          FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t)-8)//4)) AS i
+                FROM t))
+        SELECT passage, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM p GROUP BY passage HAVING count(DISTINCT doc_id) >= 2"""),
+      headline = true),
+
+    // Token-budget selection: per language, best-first (n_chars desc)
+    // docs while the running token total stays ≤ 3000.
+    "q99_token_budget" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        Curation.tokenBudget(d, col("lang"), col("n_chars"), col("doc_id"),
+          size(split(col("text"), " ")), budget = 3000L)
+          .select(col("doc_id"), col("lang"),
+            col("cum_tokens").cast("long").as("cum_tokens"))
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens FROM (
+          SELECT doc_id, lang,
+                 sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+        WHERE cum <= 3000"""))
+  )
+}

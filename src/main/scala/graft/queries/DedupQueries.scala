@@ -18,7 +18,7 @@ object DedupQueries {
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
 
   /** DuckDB distinct word 3-shingles of `text` (mirrors Dedup.shingles). */
-  private val sqlShingles =
+  private[queries] val sqlShingles =
     """list_distinct(list_transform(
          generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
          i -> concat_ws(' ', string_split(text, ' ')[i+1],

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii masks emails, IPv4s, and card-like digit runs in order") {
+    val df = Seq(
+      "mail bob.smith+x@sub.example.org end",
+      "ip 192.168.0.1 mid 10.0.0.255 end",
+      "card 4111111111111111 and 12345 stays",
+      "combo a@b.co 1.2.3.4 5500005555555559",
+      "clean text no pii").toDF("t")
+    val out = df.select(Curation.redactPii($"t")).as[String].collect().toSeq
+    assert(out == Seq(
+      "mail [EMAIL] end",
+      "ip [IP] mid [IP] end",
+      "card [CARD] and 12345 stays",
+      "combo [EMAIL] [IP] [CARD]",
+      "clean text no pii"))
+  }
+
+  test("passageDupes finds cross-doc shared windows, not within-doc runs") {
+    val df = Seq(
+      (1L, "a b c d e f g h tail one"),
+      (2L, "x y a b c d e f g h"),   // shares the a..h window at offset 2
+      (3L, "solo words only here none match at all")
+    ).toDF("id", "text")
+    // width=4, stride=2: doc1 windows a-b-c-d, c-d-e-f, e-f-g-h, g-h-tail;
+    // doc2 (offset by its x-y prefix) x-y-a-b, a-b-c-d, c-d-e-f, e-f-g-h.
+    val out = Curation.passageDupes(df, $"text", $"id", width = 4, stride = 2)
+      .orderBy($"passage")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a b c d", 2L, 2L, 1L), ("c d e f", 2L, 2L, 1L), ("e f g h", 2L, 2L, 1L)))
+  }
+
+  test("ngramOverlap counts distinct shared grams and flags at threshold") {
+    val train = Seq(
+      (10L, "p q r s t u"),          // grams pqr qrs rst stu — all shared
+      (11L, "p q r zz yy xx"),       // only pqr shared
+      (12L, "none of these words")   // nothing shared → absent from output
+    ).toDF("id", "text")
+    val eval = Seq((90L, "p q r s t u v")).toDF("id", "text")
+    val out = Curation.ngramOverlap(train, eval, $"text", $"id",
+        w = 3, minShared = 2)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((10L, 4L, 1), (11L, 1L, 0)))
+  }
+
+  test("native ShingleExplode gramTable ≡ composed explode(shingles) twin") {
+    val d = Engine.table(spark, sf(), "documents").limit(300)
+      // edge rows the real table lacks: short text, trailing space, null
+      .unionByName(Seq((9001L, "a b"), (9002L, "x y z w "), (9003L, null))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", lit(0L)))
+    val fused = Curation.gramTable(d, $"text", $"doc_id", 3)
+      .orderBy($"doc_id", $"gram").collect().toSeq
+    val composed = Curation.gramTableComposed(d, $"text", $"doc_id", 3)
+      .orderBy($"doc_id", $"gram").collect().toSeq
+    assert(fused == composed)
+  }
+
+  test("tokenBudget keeps best-first rows while the running total fits") {
+    val df = Seq(
+      ("en", 1L, 9, 40L), ("en", 2L, 8, 50L), ("en", 3L, 7, 20L),
+      ("fr", 4L, 5, 100L), ("fr", 5L, 4, 10L))
+      .toDF("lang", "id", "score", "tokens")
+    // en by score desc: id1(40) cum40, id2(50) cum90, id3(20) cum110>100 → out.
+    // fr: id4(100) cum100, id5(10) cum110>100 → out.
+    val kept = Curation.tokenBudget(df, $"lang", $"score", $"id", $"tokens", 100L)
+      .select($"id", $"cum_tokens").orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.toSeq == Seq((1L, 40L), (2L, 90L), (4L, 100L)))
+  }
+}
