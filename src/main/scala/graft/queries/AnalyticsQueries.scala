@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  /** q89's pair expansion: every unordered pair of the sorted distinct
+    * `parts` array as one packed long, via the native single-pass
+    * generator (`expressions/PairPackExplode`).
+    */
+  private[graft] def pairPack(parts: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PairPackExplode(
+      ColumnBridge.expression(parts)))
+  }
+
+  /** Composed-builtin twin of [[pairPack]] (the executable spec; the
+    * nested-transform chain materializes the O(n²) pair array per row
+    * before exploding). Equivalence pinned in `OperatorsSpec`.
+    */
+  private[graft] def pairPackComposed(parts: String) = explode(expr(
+    s"flatten(transform(sequence(1, size($parts) - 1), " +
+      s"i -> transform(sequence(i + 1, size($parts)), " +
+      s"j -> shiftleft(CAST(element_at($parts, i) AS BIGINT), 32) " +
+      s"+ element_at($parts, j))))"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Grouping sets: ROLLUP over (returnflag, linestatus) — subtotals and
@@ -535,12 +555,9 @@ object AnalyticsQueries {
           .filter(size(col("parts")) >= 2)
           // pairs ride the shuffle as ONE packed long (a<<32 | b): the
           // 3M-row count exchange carries 8-byte keys, and (n desc, pack)
-          // orders exactly like (n desc, part_a, part_b)
-          .select(explode(expr(
-            "flatten(transform(sequence(1, size(parts) - 1), " +
-              "i -> transform(sequence(i + 1, size(parts)), " +
-              "j -> shiftleft(CAST(element_at(parts, i) AS BIGINT), 32) " +
-              "+ element_at(parts, j))))")).as("pack"))
+          // orders exactly like (n desc, part_a, part_b); the expansion
+          // itself is the native PairPackExplode generator
+          .select(pairPack(col("parts")).as("pack"))
           .groupBy(col("pack")).agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("pack"))
           .limit(20)

@@ -315,4 +315,26 @@ class OperatorsSpec extends SparkSpec {
       .toDF("text").select(TextAnalysis.langId($"text")).as[String].collect()
     assert(lang.toSeq == Seq("en", "es"))
   }
+
+  test("native PairPackExplode ≡ composed nested-transform pair chain") {
+    import graft.queries.AnalyticsQueries
+    // the composed chain is only defined on size ≥ 2 (sequence(1, size-1)
+    // walks DOWN through index 0 for smaller arrays) — q89 filters there;
+    // the generator is total, so pin the shared domain plus its edges
+    val orders = Engine.table(spark, sf(), "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(array_sort(array_distinct(collect_list($"l_partkey"))).as("parts"))
+      .filter(size($"parts") >= 2)
+    val fused = orders.select($"l_orderkey",
+        AnalyticsQueries.pairPack($"parts").as("pack"))
+      .orderBy($"l_orderkey", $"pack").collect().toSeq
+    val composed = orders.select($"l_orderkey",
+        AnalyticsQueries.pairPackComposed("parts").as("pack"))
+      .orderBy($"l_orderkey", $"pack").collect().toSeq
+    assert(fused.nonEmpty && fused == composed)
+    val edges = Seq((1L, Seq(7L)), (2L, Seq.empty[Long]))
+      .toDF("l_orderkey", "parts")
+      .select(AnalyticsQueries.pairPack($"parts")).collect()
+    assert(edges.isEmpty)
+  }
 }

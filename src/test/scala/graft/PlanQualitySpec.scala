@@ -128,4 +128,41 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q83_bloom_join_agg")
     assert(p.contains("might_contain"), s"bloom predicate missing:\n$p")
   }
+
+  test("q96 decontamination: eval gram set broadcasts; native generators") {
+    val p = plan("q96_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q96 fell back to SMJ:\n$p")
+    assert(p.contains("shingleexplode"), s"native shingle generator missing:\n$p")
+  }
+
+  test("q97 PII redaction: zero exchange, stays in whole-stage codegen") {
+    val p = plan("q97_redact_pii")
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+    assert(p.contains("* Project") && p.contains("[codegen id :"), p)
+  }
+
+  test("q98 passage dupes: exactly the 2 exchanges exact countDistinct needs") {
+    // (passage, doc_id) partial-distinct shuffle, then the passage-key
+    // re-shuffle — the canonical exact-distinct-agg shape, nothing extra
+    val p = plan("q98_passage_dupes")
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q99 token budget: one window exchange on the stratum key") {
+    val p = plan("q99_token_budget")
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q89 co-purchase: pairs expand via the native packed generator") {
+    val p = plan("q89_copurchase_pairs")
+    assert(p.contains("pairpackexplode"), s"native pair generator missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject:\n$p")
+  }
 }
