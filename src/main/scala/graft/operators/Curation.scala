@@ -93,6 +93,24 @@ object Curation {
         min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= minDocs)
 
+  /** Linear quality-model inference (the FastText-style trained-filter
+    * shape): logit = w·(ln tokens, type-token ratio, mean word length) +
+    * bias, keep iff logit ≥ 0 (sigmoid is monotone, so the decision
+    * needs no exp). Pure projection — batch model scoring at 100 TB is a
+    * map-side pass; swapping trained weights in changes nothing
+    * structurally.
+    */
+  def qualityLogit(text: Column,
+                   bias: Double = -2.0, wLogTok: Double = 0.8,
+                   wTtr: Double = 3.0, wWordLen: Double = -0.5): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val meanLen = (length(text).cast("double") - (nTok - 1)) / nTok
+    lit(bias) + lit(wLogTok) * log(nTok) + lit(wTtr) * ttr +
+      lit(wWordLen) * meanLen
+  }
+
   /** Greedy token-budget selection: per `bucket`, keep rows in
     * (`score` desc, `id`) order while the running `tokens` total stays
     * ≤ `budget` — the "best docs until the budget is full" curation move.

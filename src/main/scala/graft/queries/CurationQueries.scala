@@ -91,6 +91,29 @@ object CurationQueries {
         FROM p GROUP BY passage HAVING count(DISTINCT doc_id) >= 2"""),
       headline = true),
 
+    // Trained-quality-filter inference: linear model logit over text
+    // features, keep decision without exp (sigmoid monotone). Both
+    // engines fold the identical IEEE-double expression left-to-right;
+    // only ln() is transcendental (validated parity class).
+    "q100_quality_logit" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"),
+          round(Curation.qualityLogit(col("text")), 6).as("logit"),
+          (Curation.qualityLogit(col("text")) >= 0).cast("int").as("keep"))
+      },
+      oracle = Some("""
+        SELECT doc_id, round(z, 6) AS logit,
+               CAST(z >= 0 AS INT) AS keep FROM (
+          SELECT doc_id,
+            -2.0 + 0.8 * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+            + 3.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE))
+            + -0.5 * ((CAST(length(text) AS DOUBLE)
+                       - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS z
+          FROM documents)""")),
+
     // Token-budget selection: per language, best-first (n_chars desc)
     // docs while the running token total stays ≤ 3000.
     "q99_token_budget" -> QueryDef(

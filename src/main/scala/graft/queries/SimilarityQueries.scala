@@ -176,6 +176,32 @@ object SimilarityQueries {
     // Int8 max-abs quantization: the vector-store prep pass (4× smaller
     // index, dot products in integer SIMD). scale = 127/max|x|; each
     // element rounds to [-127, 127]. Pure projection — zero shuffles at
+    // Johnson-Lindenstrauss ±1 random projection 64→8 dims (embedding
+    // compression ahead of clustering/ANN): eight sign-pattern dot
+    // products scaled by 1/√64 (exact power of two), zero shuffle. The
+    // sign matrix re-derives from planeSign at offset 100 — a different
+    // deterministic matrix than the LSH planes, same construction both
+    // engines.
+    "q101_random_projection" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.table(s, dir, "embeddings")
+        val v = Similarity.asDouble(col("embedding"))
+        val projCols = (0 until 8).map { p =>
+          val plane = array((0 until Dims).map(d =>
+            lit(Similarity.planeSign(100 + p, d).toDouble)): _*)
+          round(Similarity.dot(v, plane) / 8.0, 6).as(s"p$p")
+        }
+        e.select(col("vec_id") +: projCols: _*)
+      },
+      oracle = Some {
+        val projs = (0 until 8).map { p =>
+          val plane = (0 until Dims).map(d =>
+            s"${Similarity.planeSign(100 + p, d)}.0").mkString("[", ", ", "]")
+          s"round(list_dot_product(embedding::DOUBLE[], $plane) / 8.0, 6) AS p$p"
+        }.mkString(",\n               ")
+        s"SELECT vec_id,\n               $projs\nFROM embeddings"
+      }),
+
     // any corpus size. The checksum (sum of quantized ints) and bounds
     // make the whole quantized vector oracle-comparable without emitting
     // 64 columns; float→double promotion is exact on both engines.

@@ -65,6 +65,19 @@ class CurationSpec extends SparkSpec {
     assert(fused == composed)
   }
 
+  test("qualityLogit ranks diverse text above repetition at equal length") {
+    val df = Seq(
+      ("div", "alpha bravo charlie delta echo foxtrot golf hotel"),
+      ("rep", "spam spam spam spam spam spam spam spam")).toDF("k", "text")
+    val m = df.select($"k", Curation.qualityLogit($"text").as("z"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("div") > m("rep"))
+    // equal token counts cancel the ln term; ttr 1 vs 1/8, mean word
+    // length 42/8 vs 4
+    assert(math.abs((m("div") - m("rep")) -
+      (3.0 * (1.0 - 1.0 / 8) - 0.5 * (42.0 / 8 - 4.0))) < 1e-9)
+  }
+
   test("tokenBudget keeps best-first rows while the running total fits") {
     val df = Seq(
       ("en", 1L, 9, 40L), ("en", 2L, 8, 50L), ("en", 3L, 7, 20L),
