@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Engine
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation coverage over `documents`: benchmark decontamination,
@@ -16,6 +16,15 @@ object CurationQueries {
     * the same benchmark set without materializing one.
     */
   private val evalHexes = Seq("0", "1")
+
+  /** The q100 logit, spelled once for the q102 oracle. */
+  private val sqlLogitZ = """
+    -2.0 + 0.8 * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+    + 3.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE))
+    + -0.5 * ((CAST(length(text) AS DOUBLE)
+               - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+              / CAST(len(string_split(text, ' ')) AS DOUBLE))"""
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -131,6 +140,61 @@ object CurationQueries {
                    PARTITION BY lang ORDER BY n_chars DESC, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM documents)
-        WHERE cum <= 3000"""))
+        WHERE cum <= 3000""")),
+
+    // End-to-end curation pipeline: quality filter → exact dedup (keep
+    // representative) → benchmark decontamination → per-language token
+    // budget, as ONE composed DAG. Proves the operators chain the way a
+    // real pipeline runs them; Catalyst still sees a single plan, so
+    // pruning/pushdown cross stage boundaries.
+    "q102_curation_pipeline" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val kept = d.where(Curation.qualityLogit(col("text")) >= 0)
+        val reps = Dedup.exact(kept, col("text"), col("doc_id"))
+          .select(col("keep_id").as("doc_id"))
+        val uniq = kept.join(reps, "doc_id")
+        val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
+        val contaminated = Curation.ngramOverlap(
+            uniq.where(!isEval), uniq.where(isEval),
+            col("text"), col("doc_id"), w = 3, minShared = 5)
+          .where(col("flagged") === 1).select("doc_id")
+        val clean = uniq.where(!isEval)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        Curation.tokenBudget(clean, col("lang"), col("n_chars"),
+            col("doc_id"), size(split(col("text"), " ")), budget = 2000L)
+          .select(col("doc_id"), col("lang"),
+            col("cum_tokens").cast("long").as("cum_tokens"))
+      },
+      oracle = Some(s"""
+        WITH kept AS (
+          SELECT * FROM documents WHERE ($sqlLogitZ) >= 0),
+        reps AS (
+          SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        uniq AS (
+          SELECT k.* FROM kept k JOIN reps USING (doc_id)),
+        g AS (
+          SELECT doc_id, substr(md5(text), 1, 1) AS h,
+                 unnest(${DedupQueries.sqlShingles}) AS gram
+          FROM uniq),
+        contaminated AS (
+          SELECT doc_id FROM g JOIN (
+              SELECT DISTINCT gram FROM g WHERE h IN ('0','1')) e
+            USING (gram)
+          WHERE h NOT IN ('0','1')
+          GROUP BY doc_id HAVING count(*) >= 5),
+        clean AS (
+          SELECT * FROM uniq
+          WHERE substr(md5(text), 1, 1) NOT IN ('0','1')
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        sel AS (
+          SELECT doc_id, lang,
+                 sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM clean)
+        SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
+        FROM sel WHERE cum <= 2000"""),
+      headline = true)
   )
 }
