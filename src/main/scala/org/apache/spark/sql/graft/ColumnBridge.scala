@@ -111,7 +111,13 @@ object GraftFunctions {
       lift2(graft.functions.derived_offer)),
     (FunctionIdentifier("default_if_falsy"),
       info("default_if_falsy", "default_if_falsy(c, default) - pandas-truthiness default (C14)"),
-      lift2(graft.functions.default_if_falsy)))
+      lift2(graft.functions.default_if_falsy)),
+    (FunctionIdentifier("redact_pii"),
+      info("redact_pii", "redact_pii(str) - mask emails, IPv4s, card-like digit runs"),
+      lift1(graft.operators.Curation.redactPii)),
+    (FunctionIdentifier("quality_logit"),
+      info("quality_logit", "quality_logit(str) - linear quality-model logit over text features"),
+      lift1(c => graft.operators.Curation.qualityLogit(c))))
 
   /** Register on a live session (the extensions path needs session
     * construction time; this one does not).

@@ -163,4 +163,51 @@ class LawsSpec extends SparkSpec {
     assert(math.abs(frac("val") - 25.0 / 256) < 0.03)
     assert(frac("train") > 0.7)
   }
+
+  test("law: tokenBudget output is exactly the maximal best-first prefix") {
+    import graft.operators.Curation
+    val rowGen = for {
+      bucket <- Gen.oneOf("a", "b", "c")
+      score <- Gen.choose(0, 50)
+      tokens <- Gen.choose(1L, 40L)
+    } yield (bucket, score, tokens)
+    val rows = sample(rowGen, 400).zipWithIndex
+      .map { case ((b, s, t), i) => (b, i.toLong, s, t) }
+    val budget = 150L
+    val got = Curation.tokenBudget(
+        rows.toDF("bucket", "id", "score", "tokens"),
+        $"bucket", $"score", $"id", $"tokens", budget)
+      .select($"bucket", $"id", $"cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // independent model: sort each bucket (score desc, id), walk the
+    // prefix while the running total fits
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (b, rs) =>
+      var cum = 0L
+      rs.sortBy { case (_, id, s, _) => (-s, id) }
+        .iterator.takeWhile { case (_, _, _, t) => { cum += t; cum <= budget } }
+        .map { case (_, id, _, _) => (b, id) }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("law: passageDupes output is consistent with its own invariants") {
+    import graft.operators.Curation
+    val textGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val docs = sample(textGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = Curation.passageDupes(docs.toDF("id", "text"), $"text", $"id",
+        width = 4, stride = 2, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // every passage: n_occurrences ≥ n_docs ≥ 2, width tokens, and the
+    // first_doc really contains it at some stride offset
+    val byDoc = docs.toMap
+    out.foreach { case (p, occ, nd, first) =>
+      assert(occ >= nd && nd >= 2 && p.split(" ").length == 4)
+      val toks = byDoc(first).split(" ")
+      val found = (0 to (toks.length - 4) / 2)
+        .exists(i => toks.slice(i * 2, i * 2 + 4).mkString(" ") == p)
+      assert(found, s"first_doc $first does not contain '$p'")
+    }
+  }
 }

@@ -58,6 +58,21 @@ class SqlFrontendSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       s"UDF leaked into SQL function path:\n$plan")
   }
+
+  test("curation scalars are SQL-callable and match the Column API") {
+    Engine.registerSql(spark, sf())
+    val row = spark.sql("""
+      SELECT redact_pii('mail a@b.co ip 10.0.0.1 card 4111111111111111') AS r,
+             round(quality_logit('alpha bravo charlie delta echo'), 6)   AS q
+      """).head()
+    assert(row.getString(0) == "mail [EMAIL] ip [IP] card [CARD]")
+    import org.apache.spark.sql.functions._
+    val viaColumn = spark.range(1)
+      .select(round(graft.operators.Curation.qualityLogit(
+        lit("alpha bravo charlie delta echo")), 6))
+      .head().getDouble(0)
+    assert(row.getDouble(1) == viaColumn)
+  }
 }
 
 object SparkSpec {
