@@ -159,8 +159,10 @@ object CurationQueries {
             uniq.where(!isEval), uniq.where(isEval),
             col("text"), col("doc_id"), w = 3, minShared = 5)
           .where(col("flagged") === 1).select("doc_id")
+        // the flagged list is bounded by the (tiny) eval overlap —
+        // broadcast the anti-join so the train side never sorts/shuffles
         val clean = uniq.where(!isEval)
-          .join(contaminated, Seq("doc_id"), "left_anti")
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         Curation.tokenBudget(clean, col("lang"), col("n_chars"),
             col("doc_id"), size(split(col("text"), " ")), budget = 2000L)
           .select(col("doc_id"), col("lang"),

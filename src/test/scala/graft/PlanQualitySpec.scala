@@ -159,6 +159,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q102 pipeline: anti-join broadcasts; the train side never SMJs") {
+    val p = plan("q102_curation_pipeline")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      s"contaminated-list anti-join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q102 fell back to SMJ:\n$p")
+  }
+
   test("q89 co-purchase: pairs expand via the native packed generator") {
     val p = plan("q89_copurchase_pairs")
     assert(p.contains("pairpackexplode"), s"native pair generator missing:\n$p")
