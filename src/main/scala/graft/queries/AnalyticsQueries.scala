@@ -549,7 +549,12 @@ object AnalyticsQueries {
       build = (s, dir) => {
         val li = Engine.table(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
-        li.groupBy(col("l_orderkey"))
+        // pre-partition on the group key: map-side partial collect_list
+        // reduces NOTHING (lists concatenate, data volume is identical),
+        // so the explicit exchange satisfies the groupBy's distribution
+        // and pushes all list-building past the shuffle — off the scan
+        // tasks, 32-way instead of per-input-split. Same single shuffle.
+        li.repartition(col("l_orderkey")).groupBy(col("l_orderkey"))
           .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
             .as("parts"))
           .filter(size(col("parts")) >= 2)
