@@ -716,6 +716,64 @@ object AnalyticsQueries {
                count(*) AS n_orders,
                round(min(o_totalprice), 2) AS lo,
                round(max(o_totalprice), 2) AS hi
-        FROM orders GROUP BY 1"""))
+        FROM orders GROUP BY 1""")),
+
+    // Exact per-group OLS (n_chars ~ token count per language): slope and
+    // intercept from integer sums only — one partial-agg shuffle, results
+    // independent of accumulation order and engine (q73's moments
+    // pattern; the single float division happens once per GROUP).
+    "q103_ols_by_lang" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val agg = d.select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("x"),
+            col("n_chars").as("y"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+        val det = (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+        agg.select(col("lang"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / det, 6).as("slope"),
+          round((col("sxx") * col("sy") - col("sx") * col("sxy")).cast("double")
+            / det, 6).as("intercept"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT lang, count(*) AS n,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sx,
+                 CAST(sum(n_chars) AS BIGINT) AS sy,
+                 CAST(sum(len(string_split(text, ' ')) * n_chars) AS BIGINT) AS sxy,
+                 CAST(sum(len(string_split(text, ' '))
+                          * len(string_split(text, ' '))) AS BIGINT) AS sxx
+          FROM documents GROUP BY lang)
+        SELECT lang, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+               round(CAST(sxx * sy - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+        FROM m""")),
+
+    // Relative-standing windows: percent_rank and cume_dist of each
+    // customer inside their market segment by account balance — one
+    // window exchange, both functions share the same sort.
+    "q104_percent_rank" -> QueryDef(
+      build = (s, dir) => {
+        val c = Engine.table(s, dir, "customer")
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        c.select(col("c_custkey"), col("c_mktsegment"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_mktsegment,
+               round(percent_rank() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey), 6) AS pr,
+               round(cume_dist() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey), 6) AS cd
+        FROM customer"""))
   )
 }
