@@ -222,4 +222,36 @@ object Relational {
       col("__cnt").as("n"), col("__sum").as("total"),
       col("__min").as("lo"), col("__max").as("hi"),
       (col("__sum") / col("__cnt")).as("mean")): _*)
+
+  /** Per-key top-k through the custom whole-operator stack
+    * (`plans/TopKPerKey.scala`): k-bounded heap per key after one hash
+    * exchange — no per-group sort, unlike the window form. `order`
+    * should break ties (e.g. `.desc` score then id) for determinism.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val sortOrders = order.map { c =>
+      ColumnBridge.resolvableExpression(c) match {
+        case s: SortOrder => s
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    ColumnBridge.ofRows(spark, graft.plans.TopKPerKeyPlan(
+      keys.map(ColumnBridge.resolvableExpression),
+      sortOrders, k, df.queryExecution.analyzed))
+  }
+
+  /** Window+filter twin of [[topKPerKey]] (the executable spec). */
+  def topKPerKeyComposed(df: DataFrame, keys: Seq[Column],
+                         order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

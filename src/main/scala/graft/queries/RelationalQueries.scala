@@ -433,6 +433,34 @@ object RelationalQueries {
     // states folded out of order, finished at read time — the oracle is
     // the plain one-shot aggregate, proving the decomposed fold is
     // invisible to results (Relational.aggState/mergeAggState).
+    // Per-key top-k through the custom whole-operator stack (logical
+    // node + strategy + bounded-heap exec; plans/TopKPerKey.scala): the
+    // top-5 line items per supplier by price. The window form the oracle
+    // uses sorts every 600-row supplier group; the operator keeps 5.
+    "q105_topk_per_supplier" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        Relational.topKPerKey(li,
+            keys = Seq(col("l_suppkey")),
+            order = Seq(col("l_extendedprice").desc, col("l_orderkey"),
+              col("l_linenumber"), col("l_partkey")),
+            k = 5)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_extendedprice"))
+      },
+      oracle = Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+               l_extendedprice
+        FROM (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+                 l_extendedprice,
+                 row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                            l_partkey) AS rn
+          FROM lineitem)
+        WHERE rn <= 5"""),
+      headline = true),
+
     "q91_incremental_agg" -> QueryDef(
       build = (s, dir) => {
         val orders = Engine.table(s, dir, "orders")

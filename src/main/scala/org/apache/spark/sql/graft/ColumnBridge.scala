@@ -12,6 +12,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly-converted expression (resolvable by the analyzer when
+    * embedded in a hand-built logical node, unlike the lazy node form).
+    */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a hand-built logical plan as a DataFrame (Spark 4 moved
+    * `Dataset.ofRows` behind `private[sql]`).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
 /** SQL-surface registration of the engine's native expressions, so
@@ -24,8 +39,10 @@ object ColumnBridge {
   *    notebooks).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object GraftFunctions {

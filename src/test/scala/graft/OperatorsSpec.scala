@@ -316,6 +316,29 @@ class OperatorsSpec extends SparkSpec {
     assert(lang.toSeq == Seq("en", "es"))
   }
 
+  test("custom TopKPerKey operator ≡ window row_number form") {
+    val c = Engine.table(spark, sf(), "customer")
+    val keys = Seq($"c_mktsegment")
+    val ord = Seq($"c_acctbal".desc, $"c_custkey")
+    val custom = Relational.topKPerKey(c, keys, ord, k = 3)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"c_acctbal".desc, $"c_custkey")
+      .collect().toSeq
+    val window = Relational.topKPerKeyComposed(c, keys, ord, k = 3)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"c_acctbal".desc, $"c_custkey")
+      .collect().toSeq
+    assert(custom.nonEmpty && custom == window)
+    // physical plan runs the custom exec, not a Window + Sort
+    val p = Relational.topKPerKey(c, keys, ord, 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), s"window leaked into custom plan:\n$p")
+    // k larger than every group passes everything through
+    val all = Relational.topKPerKey(c, keys, ord, k = 100000).count()
+    assert(all == c.count())
+  }
+
   test("native PairPackExplode ≡ composed nested-transform pair chain") {
     import graft.queries.AnalyticsQueries
     // the composed chain is only defined on size ≥ 2 (sequence(1, size-1)

@@ -166,6 +166,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"q102 fell back to SMJ:\n$p")
   }
 
+  test("q105 top-k per key: custom exec, one exchange, no sort, no window") {
+    val p = plan("q105_topk_per_supplier")
+    assert(p.contains("TopKPerKey"), s"custom exec missing:\n$p")
+    assert(!p.contains("Window"), s"fell back to window:\n$p")
+    assert(!p.contains("Sort "), s"a sort crept in:\n$p")
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
   test("q89 co-purchase: pairs expand via the native packed generator") {
     val p = plan("q89_copurchase_pairs")
     assert(p.contains("pairpackexplode"), s"native pair generator missing:\n$p")
