@@ -60,11 +60,24 @@ object Similarity {
     val c = corpus.select(col(id).as("neighbor_id"), asDouble(col(vec)).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankPerQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Per-query top-k rank: the bounded-heap operator
+    * (`plans/TopKPerKey.scala`) keeps k candidates per query WITHOUT
+    * sorting the scored expansion; `row_number` over the ≤k survivors
+    * then re-derives the contract's rank column — that window sorts
+    * k-row runs on the partitioning the heap already produced, instead
+    * of the whole candidate set. Callers project the vector columns
+    * away first so heap entries stay slim.
+    */
+  private def rankPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val order = Seq(col("sim").desc, col("neighbor_id").asc)
+    val kept = Relational.topKPerKey(scored, Seq(col("query_id")), order, k)
+    val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    kept.withColumn("rank", row_number().over(w))
   }
 
   /** Deterministic ±1 sign for hyperplane `plane`, dimension `dim`:
@@ -114,10 +127,8 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("sim"))
+    rankPerQuery(scored, k)
       .select(col("query_id"), col("bucket"), col("neighbor_id"),
         col("rank"), col("sim"))
   }
@@ -188,10 +199,9 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cluster_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv2")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cluster_id"), col("neighbor_id"),
+        col("sim"))
+    rankPerQuery(scored, k)
       .select(col("query_id"), col("cluster_id"), col("neighbor_id"),
         col("rank"), col("sim"))
   }
