@@ -18,9 +18,14 @@ object SparkEntry {
       IngestionQueries.defs ++ MultimodalQueries.defs ++
       AnalyticsQueries.defs ++ CurationQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end curation pipeline — quality filter → exact dedup →
+    * benchmark decontamination → per-language token budget in one DAG —
+    * exercises scan, codegen'd scalar chains, native generators,
+    * broadcast joins, hash aggregation, and a ranking window together.
+    */
   def entry(spark: SparkSession): DataFrame =
-    all.head._2.build(spark, "/root/testdata/sf0.001")
+    queries("q102_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -774,6 +774,32 @@ object AnalyticsQueries {
                  ORDER BY c_acctbal, c_custkey), 6) AS pr,
                round(cume_dist() OVER (PARTITION BY c_mktsegment
                  ORDER BY c_acctbal, c_custkey), 6) AS cd
-        FROM customer"""))
+        FROM customer""")),
+
+    // Unpivot (wide→long melt): per-returnflag metric columns stacked to
+    // (flag, metric, value) rows — Spark's unpivot/stack is a zero-
+    // shuffle projection over the one-exchange aggregate feeding it.
+    "q106_unpivot" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"),
+            round(avg(col("l_discount")), 6).as("avg_disc"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+            "metric", "value")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_price,
+                 round(avg(l_discount), 6) AS avg_disc
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM a
+        UNION ALL
+        SELECT l_returnflag, 'avg_disc', avg_disc FROM a"""))
   )
 }
