@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Stream-stream joins and streaming dedup — the Structured Streaming
   * operators a continuous ingest pipeline needs around the windowed
@@ -50,4 +51,43 @@ object StreamOps {
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("tstamp", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** One key's running top-k snapshot (Update-mode emission). */
+  case class TopKSnapshot(key_id: Long, n_seen: Long,
+                          top_scores: Seq[Double], top_ids: Seq[Long])
+
+  /** Streaming per-key top-k (leaderboard): the continuous twin of the
+    * batch `TopKPerKey` operator. State per key is EXACTLY the k best
+    * (score desc, id asc) entries seen so far — bounded by construction,
+    * no watermark needed for state size (pair with one if the KEYSPACE
+    * is unbounded). Each micro-batch emits a refreshed snapshot for the
+    * keys it touched (`n_seen` is the per-key high-water mark, so the
+    * row with the largest `n_seen` is the current standing).
+    *
+    * Input needs (`key_id`, `entry_id`, `score`). Batch-parity law:
+    * after any prefix of the stream, a key's latest snapshot equals
+    * `Relational.topKPerKey` over the same rows (pinned in
+    * `StreamingSpec`).
+    */
+  def topKStream(events: DataFrame, k: Int): Dataset[TopKSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("key_id").cast("long"), col("entry_id").cast("long"),
+        col("score").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, List[(Double, Long)]), TopKSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Double)],
+         state: GroupState[(Long, List[(Double, Long)])]) =>
+          var (n, top) = state.getOption.getOrElse((0L, List.empty[(Double, Long)]))
+          it.foreach { case (_, id, score) =>
+            n += 1
+            top = ((score, id) :: top)
+              .sortBy { case (s, i) => (-s, i) }.take(k)
+          }
+          state.update((n, top))
+          TopKSnapshot(key, n, top.map(_._1), top.map(_._2))
+      }
+  }
 }

@@ -249,4 +249,37 @@ class StreamingSpec extends SparkSpec {
     val oneShot = Relational.aggState(all, keys, "cents")
     assert(state.exceptAll(oneShot).isEmpty && oneShot.exceptAll(state).isEmpty)
   }
+
+  test("streaming topKStream snapshots converge to batch topKPerKey") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Relational
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("key_id", "entry_id", "score")
+    val q = graft.streaming.StreamOps.topKStream(events, k = 2)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("topk_stream").start()
+    val batch1 = Seq((1L, 10L, 5.0), (1L, 11L, 9.0), (2L, 20L, 1.0))
+    val batch2 = Seq((1L, 12L, 7.0), (2L, 21L, 1.0), (2L, 22L, 0.5))
+    val batch3 = Seq((1L, 13L, 9.0))               // ties 11 on score, loses by id
+    input.addData(batch1); q.processAllAvailable()
+    input.addData(batch2); q.processAllAvailable()
+    input.addData(batch3); q.processAllAvailable()
+    q.stop()
+    // latest snapshot per key = the row with that key's max n_seen
+    val last = spark.table("topk_stream")
+      .as[(Long, Long, Seq[Double], Seq[Long])].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    val batchTop = Relational.topKPerKey(
+        (batch1 ++ batch2 ++ batch3).toDF("key_id", "entry_id", "score"),
+        keys = Seq($"key_id"),
+        order = Seq($"score".desc, $"entry_id"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    last.foreach { case (k, (_, _, scores, ids)) =>
+      val expect = batchTop(k).sortBy(t => (-t._3, t._2)).toSeq
+      assert(ids.toSeq == expect.map(_._2) && scores.toSeq == expect.map(_._3),
+        s"key $k: got $ids/$scores, want $expect")
+    }
+    assert(last(1L)._2 == 4 && last(2L)._2 == 3) // n_seen high-water marks
+  }
 }
