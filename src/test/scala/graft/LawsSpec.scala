@@ -190,6 +190,25 @@ class LawsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("law: TopKPerKey ≡ window form on random data with nulls and ties") {
+    import graft.operators.Relational
+    val rowGen = for {
+      key <- Gen.choose(0, 15)
+      score <- Gen.option(Gen.choose(0, 9))
+    } yield (key, score)
+    val rows = sample(rowGen, 600).zipWithIndex
+      .map { case ((k, s), i) => (k.toLong, s.map(_.toDouble), i.toLong) }
+    val df = rows.toDF("k", "score", "id")
+    Seq(1, 3, 7).foreach { k =>
+      val ord = Seq($"score".desc_nulls_last, $"id")
+      val custom = Relational.topKPerKey(df, Seq($"k"), ord, k)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      val window = Relational.topKPerKeyComposed(df, Seq($"k"), ord, k)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      assert(custom == window, s"k=$k")
+    }
+  }
+
   test("law: passageDupes output is consistent with its own invariants") {
     import graft.operators.Curation
     val textGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
