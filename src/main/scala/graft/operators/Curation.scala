@@ -111,6 +111,24 @@ object Curation {
       lit(wWordLen) * meanLen
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis priority sampling): per `bucket`, keep the k
+    * rows with smallest priority −ln(u)/w, where u ∈ (0,1] derives from
+    * the md5 of `seedCol` — reproducible on any engine, any run, any
+    * partitioning. The mixture-sampling move (sample documents ∝ weight
+    * per language/domain) as a pure projection + the bounded-heap
+    * per-key top-k — no global sort, no RNG state.
+    */
+  def weightedSample(df: DataFrame, bucket: Column, seedCol: Column,
+                     weight: Column, id: Column, k: Int): DataFrame = {
+    val u = (graft.functions.hash60(seedCol).cast("double") + 1.0) /
+      math.pow(2.0, 60)
+    val priority = -log(u) / weight
+    Relational.topKPerKey(
+      df.withColumn("priority", priority),
+      keys = Seq(bucket), order = Seq(col("priority"), id), k = k)
+  }
+
   /** Greedy token-budget selection: per `bucket`, keep rows in
     * (`score` desc, `id`) order while the running `tokens` total stays
     * ≤ `budget` — the "best docs until the budget is full" curation move.

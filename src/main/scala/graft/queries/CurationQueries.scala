@@ -142,6 +142,31 @@ object CurationQueries {
           FROM documents)
         WHERE cum <= 3000""")),
 
+    // Deterministic weighted sampling (Efraimidis–Spirakis): 20 docs per
+    // language, probability ∝ n_chars, priorities −ln(u)/w from md5
+    // uniforms — reproducible across engines/runs/partitionings; the
+    // per-bucket selection runs through the bounded-heap operator.
+    "q107_weighted_sample" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        Curation.weightedSample(d, col("lang"), col("text"),
+            col("n_chars").cast("double"), col("doc_id"), k = 20)
+          .select(col("doc_id"), col("lang"),
+            round(col("priority"), 6).as("priority"))
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, round(priority, 6) AS priority FROM (
+          SELECT doc_id, lang, priority,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY priority, doc_id) AS rn
+          FROM (
+            SELECT doc_id, lang,
+                   -ln((CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                             AS DOUBLE) + 1.0) / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE) AS priority
+            FROM documents))
+        WHERE rn <= 20""")),
+
     // End-to-end curation pipeline: quality filter → exact dedup (keep
     // representative) → benchmark decontamination → per-language token
     // budget, as ONE composed DAG. Proves the operators chain the way a

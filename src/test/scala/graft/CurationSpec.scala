@@ -78,6 +78,17 @@ class CurationSpec extends SparkSpec {
       (3.0 * (1.0 - 1.0 / 8) - 0.5 * (42.0 / 8 - 4.0))) < 1e-9)
   }
 
+  test("weightedSample is deterministic and favors heavy weights") {
+    val df = (1 to 60).map(i =>
+      ("b", s"doc-$i", if (i == 7) 1e9 else 1.0, i.toLong))
+      .toDF("bucket", "seed", "w", "id")
+    def run() = Curation.weightedSample(df, $"bucket", $"seed", $"w", $"id", 10)
+      .select($"id").as[Long].collect().toSet
+    val a = run()
+    assert(a == run() && a.size == 10) // reproducible, exact k
+    assert(a.contains(7L)) // −ln(u)/1e9 ≈ 0 beats every unit-weight draw
+  }
+
   test("tokenBudget keeps best-first rows while the running total fits") {
     val df = Seq(
       ("en", 1L, 9, 40L), ("en", 2L, 8, 50L), ("en", 3L, 7, 20L),
