@@ -800,6 +800,180 @@ object AnalyticsQueries {
         UNION ALL
         SELECT l_returnflag, 'sum_price', sum_price FROM a
         UNION ALL
-        SELECT l_returnflag, 'avg_disc', avg_disc FROM a"""))
+        SELECT l_returnflag, 'avg_disc', avg_disc FROM a""")),
+
+    // Median absolute deviation per group — the robust dispersion stat
+    // outlier gates use where stddev is skew-poisoned. Two percentile
+    // passes (median, then median of |x−median|); the per-group medians
+    // ride a broadcast back onto the scan. Interpolation matches
+    // DuckDB's quantile_cont (pinned by q46).
+    "q109_mad_robust" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
+        li.join(broadcast(med), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(abs(l_extendedprice - med), 0.5D)").as("m"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("n"), round(col("m"), 4).as("mad"))
+      },
+      oracle = Some("""
+        WITH med AS (
+          SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, count(*) AS n,
+               round(quantile_cont(abs(l_extendedprice - med), 0.5), 4) AS mad
+        FROM lineitem JOIN med USING (l_returnflag)
+        GROUP BY l_returnflag""")),
+
+    // Triangle counting on the co-purchase graph (edges = part pairs
+    // co-ordered ≥2 times, oriented a<b<c) — the standard distributed
+    // compact-forward shape: two self equi-joins over the oriented edge
+    // list, so wedge fan-out is bounded by forward-degree and the whole
+    // thing is hash shuffles on node keys. Per-node participation counts
+    // via a 3-way union, exact integers.
+    "q110_triangle_count" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") >= 2)
+          .select(col("pa"), col("pb"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
+          .join(e.as("e3"), col("e3.pa") === col("e1.pa") &&
+            col("e3.pb") === col("e2.pb"))
+          .select(col("e1.pa").as("x"), col("e1.pb").as("y"),
+            col("e2.pb").as("z"))
+        tri.select(col("x").as("node"))
+          .unionAll(tri.select(col("y").as("node")))
+          .unionAll(tri.select(col("z").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("node")).limit(30)
+      },
+      oracle = Some("""
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        tri AS (
+          SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+          FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        nodes AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
+        ORDER BY n_triangles DESC, node LIMIT 30""")),
+
+    // Item-item collaborative-filtering similarity: cosine over customer
+    // co-occurrence, sim(a,b) = n_ab / √(n_a·n_b). The pair expansion
+    // rides the native PairPackExplode generator over per-customer
+    // sorted part baskets (q89's packed-long trick — the big shuffle
+    // carries 8-byte keys); per-item customer counts broadcast back onto
+    // the pair table. Single float op chain per pair → deterministic.
+    "q111_item_similarity" -> QueryDef(
+      build = (s, dir) => {
+        val bought = Engine.table(s, dir, "lineitem")
+          .join(Engine.table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+          .distinct()
+        val nPer = bought.groupBy(col("part"))
+          .agg(count(lit(1)).as("n_cust"))
+        val pairs = bought
+          .repartition(col("cust")).groupBy(col("cust"))
+          .agg(array_sort(collect_list(col("part"))).as("parts"))
+          .filter(size(col("parts")) >= 2)
+          .select(pairPack(col("parts")).as("pack"))
+          .groupBy(col("pack")).agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 3)
+          .select(shiftright(col("pack"), 32).as("part_a"),
+            col("pack").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"),
+            col("n_ab"))
+        pairs
+          .join(broadcast(nPer.withColumnRenamed("part", "part_a")
+            .withColumnRenamed("n_cust", "na")), "part_a")
+          .join(broadcast(nPer.withColumnRenamed("part", "part_b")
+            .withColumnRenamed("n_cust", "nb")), "part_b")
+          .select(col("part_a"), col("part_b"), col("n_ab"),
+            round(col("n_ab").cast("double") /
+              sqrt((col("na") * col("nb")).cast("double")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH bp AS (
+          SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        n AS (SELECT part, count(*) AS n_cust FROM bp GROUP BY part),
+        pc AS (
+          SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_ab
+          FROM bp a JOIN bp b ON a.cust = b.cust AND a.part < b.part
+          GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT part_a, part_b, n_ab,
+               round(CAST(n_ab AS DOUBLE)
+                 / sqrt(CAST(na.n_cust * nb.n_cust AS DOUBLE)), 6) AS sim
+        FROM pc JOIN n na ON na.part = pc.part_a
+                JOIN n nb ON nb.part = pc.part_b
+        ORDER BY sim DESC, part_a, part_b LIMIT 20""")),
+
+    // 8-tap exponentially-weighted moving average (half-life 1 day) of
+    // daily order revenue per priority — the smoothed trend monitor.
+    // Finite taps spelled as explicit lag() terms: every product is an
+    // integer-cents value times an exact power of two, so each term and
+    // the left-to-right sum are EXACT doubles — bit-identical on any
+    // engine, any partitioning. Only full-window rows (rn ≥ 8) emit.
+    "q113_ewma_revenue" -> QueryDef(
+      build = (s, dir) => {
+        val o = Engine.table(s, dir, "orders")
+        val day = o.groupBy(col("o_orderpriority"), col("o_orderdate"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS LONG)"))
+            .as("cents"))
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderdate"))
+        val taps = (0 to 7).map(k =>
+          lag(col("cents"), k).over(w).cast("double") / math.pow(2.0, k))
+        day
+          .withColumn("rn", row_number().over(w))
+          .withColumn("ewma_cents",
+            taps.reduce(_ + _) / (2.0 - math.pow(2.0, -7)))
+          .where(col("rn") >= 8)
+          .select(col("o_orderpriority"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+            (col("cents").cast("double") / 100).as("revenue"),
+            round(col("ewma_cents") / 100, 4).as("ewma"))
+      },
+      oracle = Some("""
+        WITH day AS (
+          SELECT o_orderpriority, o_orderdate,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        l AS (
+          SELECT o_orderpriority, o_orderdate, cents,
+                 row_number() OVER w AS rn,
+                 CAST(lag(cents, 0) OVER w AS DOUBLE) / 1
+                 + CAST(lag(cents, 1) OVER w AS DOUBLE) / 2
+                 + CAST(lag(cents, 2) OVER w AS DOUBLE) / 4
+                 + CAST(lag(cents, 3) OVER w AS DOUBLE) / 8
+                 + CAST(lag(cents, 4) OVER w AS DOUBLE) / 16
+                 + CAST(lag(cents, 5) OVER w AS DOUBLE) / 32
+                 + CAST(lag(cents, 6) OVER w AS DOUBLE) / 64
+                 + CAST(lag(cents, 7) OVER w AS DOUBLE) / 128 AS s
+          FROM day
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate))
+        SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day,
+               CAST(cents AS DOUBLE) / 100 AS revenue,
+               round(s / (2.0 - 1.0 / 128) / 100, 4) AS ewma
+        FROM l WHERE rn >= 8"""))
   )
 }

@@ -245,6 +245,42 @@ object EventQueries {
               WHERE event_type = 'click') c
           ON c.user_id = p.user_id
          AND c.ms BETWEEN p.ms - 3600000 AND p.ms
-        GROUP BY p.event_id, p.user_id"""))
+        GROUP BY p.event_id, p.user_id""")),
+
+    // Event-transition matrix (first-order Markov counts): per-user
+    // event sequences → (from, to) bigram counts with transition
+    // probability. Sequence order is event_id (the generator's arrival
+    // order) — timestamp-free, so ns-vs-µs precision can't reorder ties
+    // across engines. One window exchange on user_id, then a bounded
+    // (|types|²) aggregate; probabilities are one division, rounded.
+    "q114_event_transitions" -> QueryDef(
+      build = (s, dir) => {
+        val ev = Engine.table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val pairs = ev
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val fromTotals = Window.partitionBy(col("from_type"))
+        pairs
+          .withColumn("p", round(col("n").cast("double") /
+            sum(col("n")).over(fromTotals), 6))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY event_id) AS to_type
+          FROM events),
+        pairs AS (
+          SELECT event_type AS from_type, to_type, count(*) AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE) / CAST(sum(n) OVER
+                 (PARTITION BY from_type) AS BIGINT), 6) AS p
+        FROM pairs ORDER BY from_type, to_type"""))
   )
 }

@@ -352,6 +352,73 @@ object TextQueries {
         SELECT shard, cum // 512 AS bin, count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM c GROUP BY shard, cum // 512"""))
+        FROM c GROUP BY shard, cum // 512""")),
+
+    // Per-document unigram (token) Shannon entropy — the information-
+    // density quality signal (low entropy ≙ repetitive boilerplate).
+    // H = ln(n) − (Σ c·ln c)/n over per-doc token counts c; each ln is
+    // fixed to 9 decimals and summed as an exact integer (q77's
+    // order-proof pattern), so float addition order — which differs
+    // across partitionings AND engines — can never change the result.
+    // Two hash shuffles ((doc,term) then doc), both partial-agg.
+    "q108_token_entropy" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tok"),
+            sum(expr("c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS LONG)"))
+              .as("sil"))
+          .select(col("doc_id"), col("n_tok"),
+            round(log(col("n_tok").cast("double"))
+              - col("sil") / 1e9 / col("n_tok"), 6).as("entropy"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        c AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                 - CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+                        AS BIGINT) / 1e9 / sum(c), 6) AS entropy
+        FROM c GROUP BY doc_id""")),
+
+    // Vocabulary construction: top-50 corpus terms by frequency with
+    // cumulative coverage share — the "how big a vocab covers X% of
+    // tokens" curve every tokenizer build starts from. The ranking
+    // window runs over the ALREADY-AGGREGATED term table (vocab-sized,
+    // thousands of rows at 100 TB — not corpus-sized), so the single-
+    // partition sort is bounded; the corpus total rides a broadcast.
+    "q112_vocab_coverage" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val toks = d.select(explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        val w = Window.orderBy(col("tf").desc, col("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tf.crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("tf").desc, col("term"))))
+          .withColumn("coverage",
+            round(sum(col("tf")).over(w) / col("total").cast("double"), 6))
+          .where(col("rank") <= 50)
+          .select(col("rank"), col("term"), col("tf"), col("coverage"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+        total AS (SELECT count(*) AS total FROM toks),
+        r AS (
+          SELECT term, tf,
+                 row_number() OVER (ORDER BY tf DESC, term) AS rank,
+                 round(CAST(sum(tf) OVER (ORDER BY tf DESC, term
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) / CAST(total AS DOUBLE), 6) AS coverage
+          FROM tf CROSS JOIN total)
+        SELECT rank, term, tf, coverage FROM r WHERE rank <= 50"""))
   )
 }
