@@ -16,7 +16,7 @@ object SparkEntry {
     RelationalQueries.defs ++ ScalarQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       IngestionQueries.defs ++ MultimodalQueries.defs ++
-      AnalyticsQueries.defs ++ CurationQueries.defs
+      AnalyticsQueries.defs ++ CurationQueries.defs ++ GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end curation pipeline — quality filter → exact dedup →

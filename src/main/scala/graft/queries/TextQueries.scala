@@ -419,6 +419,63 @@ object TextQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS BIGINT) / CAST(total AS DOUBLE), 6) AS coverage
           FROM tf CROSS JOIN total)
-        SELECT rank, term, tf, coverage FROM r WHERE rank <= 50"""))
+        SELECT rank, term, tf, coverage FROM r WHERE rank <= 50""")),
+
+    // Zipf exponent per language: OLS slope of ln(freq) ~ ln(rank) over
+    // each language's top-30 terms — the corpus-health diagnostic
+    // (natural text ≈ −1; synthetic/boilerplate drifts). Both logs are
+    // fixed to 6 decimals as integers, then q103's exact-sums OLS — the
+    // whole regression is order-proof integer arithmetic until one float
+    // division per language. One shuffle to term counts, one window
+    // over the vocab-sized table, one partial-agg to the 4 groups.
+    "q116_zipf_slope" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val tf = d.select(col("lang"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("tf").desc, col("term"))
+        val top = tf.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 30)
+          .select(col("lang"),
+            expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS LONG)")
+              .as("x"),
+            expr("CAST(round(ln(CAST(tf AS DOUBLE)) * 1e6) AS LONG)")
+              .as("y"))
+        val agg = top.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+        val det = (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+        agg.select(col("lang"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / det, 6).as("zipf_slope"))
+      },
+      oracle = Some("""
+        WITH tf AS (
+          SELECT lang, term, count(*) AS tf FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+          GROUP BY 1, 2),
+        top AS (
+          SELECT lang,
+                 CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                 CAST(round(ln(CAST(tf AS DOUBLE)) * 1e6) AS BIGINT) AS y
+          FROM (SELECT lang, tf, row_number() OVER (PARTITION BY lang
+                  ORDER BY tf DESC, term) AS rank
+                FROM tf)
+          WHERE rank <= 30),
+        m AS (
+          SELECT lang, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM top GROUP BY lang)
+        SELECT lang, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        FROM m"""))
   )
 }
