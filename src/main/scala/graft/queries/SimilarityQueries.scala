@@ -247,6 +247,40 @@ object SimilarityQueries {
         SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
                round(${sqlCos("a.vec", "b.vec")}, 6) AS sim
         FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(${sqlCos("a.vec", "b.vec")}, 6) >= 0.3"""))
+        WHERE round(${sqlCos("a.vec", "b.vec")}, 6) >= 0.3""")),
+
+    // Product-quantization encode: 64 dims → 8 subspaces × 16
+    // deterministic ±1 centroids → one packed BIGINT code (4 bits per
+    // subspace). Dots over 1e6-quantized integer components make the
+    // argmax exact on any engine; the oracle re-derives the same
+    // codebook from md5 parity data-driven (generate_series) while the
+    // Spark side unrolls it into one codegen'd zero-shuffle projection.
+    "q117_pq_encode" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.table(s, dir, "embeddings")
+        Similarity.pqEncode(e, "embedding", "vec_id")
+      },
+      oracle = Some("""
+        WITH terms AS (
+          SELECT vec_id, g.j, gk.k, gd.d,
+                 (CASE WHEN CAST('0x' || substr(md5(
+                      'pq:' || g.j || ':' || gk.k || ':' || gd.d), 1, 1)
+                      AS INT) % 2 = 0 THEN 1 ELSE -1 END)
+                 * CAST(round(embedding[8 * g.j + gd.d] * 1e6) AS BIGINT)
+                   AS t
+          FROM embeddings
+          CROSS JOIN generate_series(0, 7) g(j)
+          CROSS JOIN generate_series(0, 15) gk(k)
+          CROSS JOIN generate_series(1, 8) gd(d)),
+        dots AS (
+          SELECT vec_id, j, k, CAST(sum(t) AS BIGINT) AS dot
+          FROM terms GROUP BY 1, 2, 3),
+        best AS (
+          SELECT vec_id, j, (list(k ORDER BY dot DESC, k))[1] AS code
+          FROM dots GROUP BY vec_id, j)
+        SELECT vec_id,
+               CAST(sum(code * (CAST(1 AS BIGINT) << (4 * j))) AS BIGINT)
+                 AS pq_code
+        FROM best GROUP BY vec_id"""))
   )
 }

@@ -117,6 +117,24 @@ class OperatorsSpec extends SparkSpec {
     assert(hs.forall { case (_, h) => h >= 0 && h < (1L << 32) })
   }
 
+  test("pqEncode recovers the centroid a vector sits on, per subspace") {
+    // Build one 64-dim vector whose j-th block IS centroid k=j+3 of
+    // subspace j; the argmax must pick the first centroid with that
+    // exact sign pattern (ties only on identical patterns).
+    val emb = (0 until 8).flatMap { j =>
+      (1 to 8).map(d => Similarity.pqSign(j, j + 3, d).toFloat)
+    }.toArray
+    val expected = (0 until 8).map { j =>
+      val want = (1 to 8).map(Similarity.pqSign(j, j + 3, _))
+      (0 to 15).indexWhere(k => (1 to 8).map(Similarity.pqSign(j, k, _)) == want)
+    }
+    val code = Similarity.pqEncode(
+      Seq((0L, emb)).toDF("vec_id", "embedding"), "embedding", "vec_id")
+      .select($"pq_code").as[Long].head()
+    val decoded = (0 until 8).map(j => ((code >> (4 * j)) & 0xF).toInt)
+    assert(decoded == expected)
+  }
+
   test("cosineTopK ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
