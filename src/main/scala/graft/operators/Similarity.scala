@@ -301,6 +301,41 @@ object Similarity {
           .reduce(_ + _).as("pq_code"))
   }
 
+  /** Multi-index PQ ANN: the per-subspace PQ codes form `subspaces`
+    * inverted indexes; a corpus vector becomes a candidate when it
+    * shares ≥ `minMatch` subspace codes with the query (posting-list
+    * equi-join on (subspace, code) + match-count filter), and the
+    * candidate set re-ranks by exact cosine. At 100 TB the posting join
+    * replaces the all-pairs expansion with |queries| × avg-posting-list
+    * rows and the expensive scoring touches only candidates — the
+    * IVFADC-style two-stage search re-expressed as joins.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vec: String, id: String,
+             k: Int, minMatch: Int = 2, subspaces: Int = 8): DataFrame = {
+    def postings(df: DataFrame, as: String) =
+      pqEncode(df, vec, id, subspaces = subspaces)
+        .select(col(id).as(as), explode(array((0 until subspaces).map(j =>
+          struct(lit(j).as("j"),
+            shiftright(col("pq_code"), 4 * j).bitwiseAND(lit(15L))
+              .as("code"))): _*)).as("jc"))
+        .select(col(as), col("jc.j").as("j"), col("jc.code").as("code"))
+    val cand = postings(queries, "query_id")
+      .join(postings(corpus, "neighbor_id"), Seq("j", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("n_match"))
+      .where(col("n_match") >= minMatch)
+    val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"),
+      asDouble(col(vec)).as("cv"))
+    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("n_match"), col("sim"))
+    rankPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("n_match"),
+        col("rank"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
     * The dedup decision keeps the smaller id.
     */

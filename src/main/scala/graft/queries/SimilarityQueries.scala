@@ -33,6 +33,29 @@ object SimilarityQueries {
       s"(CASE WHEN list_dot_product($v, $plane) > 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB CTE chain computing (vec_id, j, code): the per-subspace PQ
+    * assignments of Similarity.pqEncode, re-derived data-driven from the
+    * same md5-parity codebook (shared by q117/q118).
+    */
+  private val sqlPqCodes: String = """
+        terms AS (
+          SELECT vec_id, g.j, gk.k, gd.d,
+                 (CASE WHEN CAST('0x' || substr(md5(
+                      'pq:' || g.j || ':' || gk.k || ':' || gd.d), 1, 1)
+                      AS INT) % 2 = 0 THEN 1 ELSE -1 END)
+                 * CAST(round(embedding[8 * g.j + gd.d] * 1e6) AS BIGINT)
+                   AS t
+          FROM embeddings
+          CROSS JOIN generate_series(0, 7) g(j)
+          CROSS JOIN generate_series(0, 15) gk(k)
+          CROSS JOIN generate_series(1, 8) gd(d)),
+        dots AS (
+          SELECT vec_id, j, k, CAST(sum(t) AS BIGINT) AS dot
+          FROM terms GROUP BY 1, 2, 3),
+        pq AS (
+          SELECT vec_id, j, (list(k ORDER BY dot DESC, k))[1] AS code
+          FROM dots GROUP BY vec_id, j)"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Brute-force cosine top-3 for every 50th vector — exact baseline.
@@ -260,27 +283,45 @@ object SimilarityQueries {
         val e = Engine.table(s, dir, "embeddings")
         Similarity.pqEncode(e, "embedding", "vec_id")
       },
-      oracle = Some("""
-        WITH terms AS (
-          SELECT vec_id, g.j, gk.k, gd.d,
-                 (CASE WHEN CAST('0x' || substr(md5(
-                      'pq:' || g.j || ':' || gk.k || ':' || gd.d), 1, 1)
-                      AS INT) % 2 = 0 THEN 1 ELSE -1 END)
-                 * CAST(round(embedding[8 * g.j + gd.d] * 1e6) AS BIGINT)
-                   AS t
-          FROM embeddings
-          CROSS JOIN generate_series(0, 7) g(j)
-          CROSS JOIN generate_series(0, 15) gk(k)
-          CROSS JOIN generate_series(1, 8) gd(d)),
-        dots AS (
-          SELECT vec_id, j, k, CAST(sum(t) AS BIGINT) AS dot
-          FROM terms GROUP BY 1, 2, 3),
-        best AS (
-          SELECT vec_id, j, (list(k ORDER BY dot DESC, k))[1] AS code
-          FROM dots GROUP BY vec_id, j)
+      oracle = Some(s"""
+        WITH $sqlPqCodes
         SELECT vec_id,
                CAST(sum(code * (CAST(1 AS BIGINT) << (4 * j))) AS BIGINT)
                  AS pq_code
-        FROM best GROUP BY vec_id"""))
+        FROM pq GROUP BY vec_id""")),
+
+    // Multi-index PQ ANN for every 50th vector: candidates share ≥2 of 8
+    // subspace codes with the query (posting-list join — never the
+    // all-pairs expansion), exact cosine re-ranks the survivors. The
+    // third ANN strategy next to LSH (q37) and IVF (q43), completing
+    // the PQ path q117 opens.
+    "q118_ann_pq" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.table(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        Similarity.pqTopK(Engine.fanOut(e), queries, "embedding", "vec_id",
+          k = 3, minMatch = 2)
+      },
+      oracle = Some(s"""
+        WITH $sqlPqCodes,
+        cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 count(*) AS n_match
+          FROM pq q JOIN pq c ON q.j = c.j AND q.code = c.code
+                            AND q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id, n_match,
+                 round(${sqlCos("q.vec", "c.vec")}, 6) AS sim
+          FROM cand JOIN v q ON q.vec_id = query_id
+                    JOIN v c ON c.vec_id = neighbor_id),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, n_match, rank, sim
+        FROM ranked WHERE rank <= 3"""))
   )
 }
