@@ -135,6 +135,22 @@ class OperatorsSpec extends SparkSpec {
     assert(decoded == expected)
   }
 
+  test("pqTopK surfaces an identical vector as the top candidate") {
+    // An exact duplicate shares all 8 subspace codes → always a
+    // candidate at any minMatch, and cosine 1.0 ranks it first.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val vecs = Seq(
+      (0L, base), (1L, base.clone()),
+      (2L, Array.fill(64)(rnd.nextFloat() * 2 - 1)),
+      (3L, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(vecs, vecs.filter($"vec_id" === 0),
+      "embedding", "vec_id", k = 3, minMatch = 2)
+      .orderBy("rank").as[(Long, Long, Long, Int, Double)].collect()
+    assert(top.head._2 == 1L && top.head._3 == 8L && top.head._5 == 1.0)
+  }
+
   test("cosineTopK ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
