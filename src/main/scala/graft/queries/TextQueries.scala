@@ -476,6 +476,71 @@ object TextQueries {
         SELECT lang, n,
                round(CAST(n * sxy - sx * sy AS DOUBLE)
                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
-        FROM m"""))
+        FROM m""")),
+
+    // BM25 relevance (k1=1.2, b=0.75) of every document against a fixed
+    // 3-term query — the lexical-retrieval twin of the ANN queries. All
+    // corpus statistics (N, avg length, per-term df→idf) are tiny
+    // aggregates that broadcast back onto one scan-side tf join; each
+    // per-term score is one fixed float op chain rounded to a 1e9 int,
+    // so the per-doc sum is order-proof (q77 pattern). Top-50 by score.
+    "q119_bm25" -> QueryDef(
+      build = (s, dir) => {
+        val qTerms = Seq("spark", "table", "join")
+        val d = Engine.table(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val docLen = toks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("len"))
+        val stats = docLen.agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("total_len"))
+        val tf = toks.where(col("term").isin(qTerms: _*))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val idf = df.crossJoin(broadcast(stats))
+          .select(col("term"), expr(
+            "ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)")
+            .as("idf"))
+        tf.join(broadcast(idf), "term")
+          .join(docLen, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), expr("""
+            CAST(round(idf * (CAST(tf AS DOUBLE) * 2.2
+              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                 * CAST(len AS DOUBLE)
+                 / (CAST(total_len AS DOUBLE) / n_docs)))) * 1e9) AS LONG)
+            """).as("ts"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("ts")).as("s"))
+          .select(col("doc_id"), round(col("s") / 1e9, 6).as("bm25"))
+          .orderBy(col("s").desc, col("doc_id")).limit(50)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(len) AS BIGINT) AS total_len FROM dl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'table', 'join') GROUP BY 1, 2),
+        idf AS (
+          SELECT term, ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf
+          FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+          CROSS JOIN stats),
+        scored AS (
+          SELECT doc_id,
+                 CAST(round(idf * (CAST(tf AS DOUBLE) * 2.2
+                   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                      * CAST(len AS DOUBLE)
+                      / (CAST(total_len AS DOUBLE) / n_docs)))) * 1e9)
+                   AS BIGINT) AS ts
+          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats)
+        SELECT doc_id, round(CAST(sum(ts) AS BIGINT) / 1e9, 6) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY CAST(sum(ts) AS BIGINT) DESC, doc_id LIMIT 50"""))
   )
 }
