@@ -182,4 +182,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must plan as TakeOrderedAndProject:\n$p")
   }
+
+  test("q117 PQ encode is a zero-exchange codegen'd projection") {
+    val p = plan("q117_pq_encode")
+    assert(!p.contains("Exchange"), s"PQ encode must not shuffle:\n$p")
+    assert(p.contains("[codegen id :"), s"codegen lost:\n$p")
+  }
+
+  test("q111 item similarity: packed pair generator + broadcast counts") {
+    val p = plan("q111_item_similarity")
+    assert(p.contains("pairpackexplode"), s"native pair generator missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-item counts must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("q110 triangles: oriented equi-joins only — no nested loop") {
+    val p = plan("q110_triangle_count")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
+  test("q119 BM25: corpus stats and idf table broadcast onto the tf join") {
+    val p = plan("q119_bm25")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"stats must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must plan as TakeOrderedAndProject:\n$p")
+  }
 }
