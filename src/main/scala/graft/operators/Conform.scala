@@ -42,4 +42,25 @@ object Conform {
       case c => gf.normalize_null(q(c)).as(c)
     }.toSeq: _*)
   }
+
+  /** Declarative data-quality audit: evaluate every named predicate in
+    * ONE scan (each rule folds to a conditional count in a single scalar
+    * aggregate — no per-rule pass, no shuffle beyond the partial-agg
+    * merge), then unpivot to the (rule, n_violations, violation_rate)
+    * report a pipeline gates on. Null predicate results count as
+    * violations (a rule that cannot evaluate is failing).
+    */
+  def audit(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    val counts = df.agg(count(lit(1)).as("__n"),
+      rules.map { case (name, pred) =>
+        sum(when(pred, 0L).otherwise(1L)).as(name)
+      }: _*)
+    counts
+      .unpivot(Array(col("__n")), rules.map(r => col(r._1)).toArray,
+        "rule", "n_violations")
+      .select(col("rule"), col("n_violations"),
+        round(col("n_violations").cast("double") / col("__n"), 6)
+          .as("violation_rate"))
+  }
 }

@@ -974,6 +974,36 @@ object AnalyticsQueries {
         SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day,
                CAST(cents AS DOUBLE) / 100 AS revenue,
                round(s / (2.0 - 1.0 / 128) / 100, 4) AS ewma
-        FROM l WHERE rn >= 8"""))
+        FROM l WHERE rn >= 8""")),
+
+    // Declarative data-quality audit (Deequ-style expectations): four
+    // named constraints evaluated in ONE scan — each rule is a
+    // conditional count inside a single scalar aggregate, unpivoted to
+    // the per-rule violation report a pipeline gates deploys on.
+    "q121_quality_audit" -> QueryDef(
+      build = (s, dir) => {
+        val li = Engine.table(s, dir, "lineitem")
+        graft.operators.Conform.audit(li, Seq(
+          "discount_le_5pct" -> (col("l_discount") <= 0.05),
+          "price_min_1000" -> (col("l_extendedprice") >= 1000.0),
+          "quantity_le_40" -> (col("l_quantity") <= 40.0),
+          "tax_le_6pct" -> (col("l_tax") <= 0.06)))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT count(*) AS n,
+                 count(*) FILTER (NOT (l_discount <= 0.05)) AS r1,
+                 count(*) FILTER (NOT (l_extendedprice >= 1000.0)) AS r2,
+                 count(*) FILTER (NOT (l_quantity <= 40.0)) AS r3,
+                 count(*) FILTER (NOT (l_tax <= 0.06)) AS r4
+          FROM lineitem)
+        SELECT 'discount_le_5pct' AS rule, r1 AS n_violations,
+               round(CAST(r1 AS DOUBLE) / n, 6) AS violation_rate FROM c
+        UNION ALL SELECT 'price_min_1000', r2,
+               round(CAST(r2 AS DOUBLE) / n, 6) FROM c
+        UNION ALL SELECT 'quantity_le_40', r3,
+               round(CAST(r3 AS DOUBLE) / n, 6) FROM c
+        UNION ALL SELECT 'tax_le_6pct', r4,
+               round(CAST(r4 AS DOUBLE) / n, 6) FROM c"""))
   )
 }

@@ -282,4 +282,47 @@ class StreamingSpec extends SparkSpec {
     }
     assert(last(1L)._2 == 4 && last(2L)._2 == 3) // n_seen high-water marks
   }
+
+  test("stateless curation/encode operators run unchanged on a stream") {
+    // The map-side operator families (quality scoring, PII redaction, PQ
+    // encoding) are pure projections, so the SAME Column/DataFrame code
+    // serves batch and streaming — pinned here by running them in one
+    // micro-batch pipeline and comparing against the batch run.
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Curation, Similarity, TextAnalysis}
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+      .withColumn("q", TextAnalysis.qualityScore($"text"))
+      .withColumn("clean", Curation.redactPii($"text"))
+    val q = docs.writeStream.outputMode("append")
+      .format("memory").queryName("curation_stream").start()
+    val rows = Seq((1L, "contact me me me at a.b@mail.example.com now"),
+      (2L, "a varied clean sentence with many distinct tokens"))
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("curation_stream")
+      .orderBy("doc_id").as[(Long, String, Double, String)].collect()
+    val batch = rows.toDF("doc_id", "text")
+      .withColumn("q", TextAnalysis.qualityScore($"text"))
+      .withColumn("clean", Curation.redactPii($"text"))
+      .orderBy("doc_id").as[(Long, String, Double, String)].collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed(0)._4.contains("[EMAIL]"))
+
+    // PQ encode streams too (zero-shuffle projection)
+    val vin = MemoryStream[(Long, Array[Float])]
+    val enc = Similarity.pqEncode(
+      vin.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id")
+    val q2 = enc.writeStream.outputMode("append")
+      .format("memory").queryName("pq_stream").start()
+    val vecs = Seq((0L, Array.fill(64)(0.25f)), (1L, Array.fill(64)(-0.5f)))
+    vin.addData(vecs: _*)
+    q2.processAllAvailable(); q2.stop()
+    val streamedPq = spark.table("pq_stream")
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    val batchPq = Similarity.pqEncode(
+        vecs.toDF("vec_id", "embedding"), "embedding", "vec_id")
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    assert(streamedPq.sameElements(batchPq))
+  }
 }
