@@ -322,6 +322,105 @@ object SimilarityQueries {
                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, n_match, rank, sim
-        FROM ranked WHERE rank <= 3"""))
+        FROM ranked WHERE rank <= 3""")),
+
+    // Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    // ranking (q119's scoring, full corpus) and the dense cosine ranking
+    // against doc 0's embedding fuse as Σ 1/(60+rank) over the top-100
+    // of each list — the standard RRF hybrid-search shape. Each list is
+    // rank-capped before the full outer join, so the fusion join carries
+    // ≤200 rows per query regardless of corpus size; ranks come from
+    // integer/rounded sort keys, and the fused score is two fixed-order
+    // float terms.
+    "q122_hybrid_rrf" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val qTerms = Seq("spark", "table", "join")
+        val d = Engine.table(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val docLen = toks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("len"))
+        val stats = docLen.agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("total_len"))
+        val tf = toks.where(col("term").isin(qTerms: _*))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("term"), expr(
+            "ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)")
+            .as("idf"))
+        val lex = tf.join(broadcast(idf), "term").join(docLen, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), expr("""
+            CAST(round(idf * (CAST(tf AS DOUBLE) * 2.2
+              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                 * CAST(len AS DOUBLE)
+                 / (CAST(total_len AS DOUBLE) / n_docs)))) * 1e9) AS LONG)
+            """).as("ts"))
+          .where(col("doc_id") =!= 0)
+          .groupBy(col("doc_id")).agg(sum(col("ts")).as("s"))
+          .withColumn("rl", row_number().over(
+            Window.orderBy(col("s").desc, col("doc_id"))))
+          .where(col("rl") <= 100).select(col("doc_id"), col("rl"))
+        val v = Engine.table(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        val dense = v.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(v.where(col("vec_id") === 0)
+            .select(col("v").as("qv"))))
+          .select(col("vec_id"),
+            round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
+          .withColumn("rd", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id"))))
+          .where(col("rd") <= 100).select(col("vec_id"), col("rd"))
+        lex.join(dense, col("doc_id") === col("vec_id"), "full_outer")
+          .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+            col("rl").as("lex_rank"), col("rd").as("dense_rank"),
+            round(coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)), 6)
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("id")).limit(20)
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(len) AS BIGINT) AS total_len FROM dl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'table', 'join') GROUP BY 1, 2),
+        idf AS (
+          SELECT term, ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf
+          FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+          CROSS JOIN stats),
+        lexscore AS (
+          SELECT doc_id, CAST(sum(CAST(round(idf * (CAST(tf AS DOUBLE) * 2.2
+                   / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                      * CAST(len AS DOUBLE)
+                      / (CAST(total_len AS DOUBLE) / n_docs)))) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS s
+          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats WHERE doc_id != 0 GROUP BY doc_id),
+        lex AS (
+          SELECT doc_id, rl FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rl
+            FROM lexscore) WHERE rl <= 100),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        dense AS (
+          SELECT vec_id, rd FROM (
+            SELECT c.vec_id,
+                   row_number() OVER (ORDER BY
+                     round(${sqlCos("q.vec", "c.vec")}, 6) DESC,
+                     c.vec_id) AS rd
+            FROM v c CROSS JOIN (SELECT vec FROM v WHERE vec_id = 0) q
+            WHERE c.vec_id != 0) WHERE rd <= 100)
+        SELECT coalesce(lex.doc_id, dense.vec_id) AS id,
+               rl AS lex_rank, rd AS dense_rank,
+               round(coalesce(1.0 / (60 + rl), 0.0)
+                 + coalesce(1.0 / (60 + rd), 0.0), 6) AS rrf
+        FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
+        ORDER BY rrf DESC, id LIMIT 20"""))
   )
 }
