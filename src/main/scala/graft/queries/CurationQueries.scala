@@ -167,6 +167,47 @@ object CurationQueries {
             FROM documents))
         WHERE rn <= 20""")),
 
+    // Model-calibration curve: documents binned into deciles of the
+    // quality logit (1e6-scaled integer sort key → deterministic ntile),
+    // each decile reporting its mean held-out label (embeddings.label
+    // keyed by doc_id) — the reliability diagram a trained quality
+    // filter is judged by. Exact integer sums; two divisions per row.
+    "q123_calibration" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Engine.table(s, dir, "documents")
+        val e = Engine.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"))
+        d.select(col("doc_id"),
+            round(Curation.qualityLogit(col("text")) * 1e6).cast("long")
+              .as("z_int"))
+          .join(e, col("doc_id") === col("vec_id"))
+          .withColumn("decile", ntile(10).over(
+            Window.orderBy(col("z_int"), col("doc_id"))))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("sl"),
+            sum(col("z_int")).as("sz"))
+          .select(col("decile"), col("n_docs"),
+            round(col("sl").cast("double") / col("n_docs"), 6)
+              .as("mean_label"),
+            round(col("sz") / 1e6 / col("n_docs"), 6).as("mean_logit"))
+      },
+      oracle = Some(s"""
+        WITH z AS (
+          SELECT doc_id,
+                 CAST(round(($sqlLogitZ) * 1e6) AS BIGINT) AS z_int
+          FROM documents),
+        j AS (SELECT doc_id, z_int, label
+              FROM z JOIN embeddings ON doc_id = vec_id),
+        d AS (SELECT *, ntile(10) OVER (ORDER BY z_int, doc_id) AS decile
+              FROM j)
+        SELECT decile, count(*) AS n_docs,
+               round(CAST(sum(label) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_label,
+               round(CAST(sum(z_int) AS BIGINT) / 1e6 / count(*), 6)
+                 AS mean_logit
+        FROM d GROUP BY decile""")),
+
     // End-to-end curation pipeline: quality filter → exact dedup (keep
     // representative) → benchmark decontamination → per-language token
     // budget, as ONE composed DAG. Proves the operators chain the way a

@@ -541,6 +541,72 @@ object TextQueries {
           CROSS JOIN stats)
         SELECT doc_id, round(CAST(sum(ts) AS BIGINT) / 1e9, 6) AS bm25
         FROM scored GROUP BY doc_id
-        ORDER BY CAST(sum(ts) AS BIGINT) DESC, doc_id LIMIT 50"""))
+        ORDER BY CAST(sum(ts) AS BIGINT) DESC, doc_id LIMIT 50""")),
+
+    // Per-class precision / recall / F1 of the n-gram language-ID
+    // classifier against the declared labels — the evaluation table a
+    // model-based curation filter ships with. The confusion matrix is a
+    // tiny aggregate (|classes|² cells) computed in one corpus pass;
+    // per-class metrics are exact-integer formulas (F1 = 2tp/(2tp+fp+fn)
+    // avoids chained float ops entirely), guarded NULL when undefined.
+    "q124_langid_eval" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val cc = d.select(col("lang"),
+            TextAnalysis.langId(col("text")).as("pred"))
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        val cls = s.range(1).select(explode(array(
+          Seq("en", "es", "fr", "de").map(lit): _*)).as("cls"))
+        cls.crossJoin(cc)
+          .groupBy(col("cls"))
+          .agg(
+            coalesce(sum(when(col("lang") === col("cls") &&
+              col("pred") === col("cls"), col("n"))), lit(0L)).as("tp"),
+            coalesce(sum(when(col("pred") === col("cls") &&
+              col("lang") =!= col("cls"), col("n"))), lit(0L)).as("fp"),
+            coalesce(sum(when(col("lang") === col("cls") &&
+              col("pred") =!= col("cls"), col("n"))), lit(0L)).as("fn"))
+          .select(col("cls"), col("tp"), col("fp"), col("fn"),
+            when(col("tp") + col("fp") === 0, lit(null))
+              .otherwise(round(col("tp").cast("double")
+                / (col("tp") + col("fp")), 6)).as("precision"),
+            when(col("tp") + col("fn") === 0, lit(null))
+              .otherwise(round(col("tp").cast("double")
+                / (col("tp") + col("fn")), 6)).as("recall"),
+            when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
+              .otherwise(round(lit(2.0) * col("tp")
+                / (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+      },
+      oracle = Some(s"""
+        WITH pred AS (
+          SELECT lang,
+            CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                 WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+                 WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+                 WHEN s_de > 0 THEN 'de'
+                 ELSE 'unknown' END AS pred
+          FROM (
+            SELECT lang,
+              ${sqlScore(enW)} AS s_en, ${sqlScore(esW)} AS s_es,
+              ${sqlScore(frW)} AS s_fr, ${sqlScore(deW)} AS s_de
+            FROM documents)),
+        m AS (
+          SELECT cls,
+                 CAST(count(*) FILTER (lang = cls AND pred = cls) AS BIGINT) AS tp,
+                 CAST(count(*) FILTER (pred = cls AND lang != cls) AS BIGINT) AS fp,
+                 CAST(count(*) FILTER (lang = cls AND pred != cls) AS BIGINT) AS fn
+          FROM pred CROSS JOIN (
+            SELECT unnest(['en', 'es', 'fr', 'de']) AS cls)
+          GROUP BY cls)
+        SELECT cls, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN NULL
+                    ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+                 AS precision,
+               CASE WHEN tp + fn = 0 THEN NULL
+                    ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END
+                 AS recall,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                    ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+        FROM m"""))
   )
 }
