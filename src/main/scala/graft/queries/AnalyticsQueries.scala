@@ -47,14 +47,15 @@ object AnalyticsQueries {
       build = (s, dir) => {
         val li = Engine.table(s, dir, "lineitem")
         li.rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .agg(ExactAgg.sumExact(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"),
             count(lit(1)).as("n_items"),
             round(avg(col("l_quantity")), 4).as("avg_qty"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               ${ExactAgg.sqlSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
                count(*) AS n_items,
                round(avg(l_quantity), 4) AS avg_qty
         FROM lineitem
@@ -67,11 +68,11 @@ object AnalyticsQueries {
         val orders = Engine.table(s, dir, "orders")
         orders.cube(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice")), 2).as("total_price"))
+            ExactAgg.sumExact(col("o_totalprice"), 2).as("total_price"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               ${ExactAgg.sqlSum("o_totalprice", 2)} AS total_price
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
 
     // Set op: INTERSECT (distinct) — customers holding both an F and an O
@@ -121,12 +122,12 @@ object AnalyticsQueries {
         ev.withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
           .groupBy(col("k_val"))
           .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value")), 4).as("sum_value"))
+            ExactAgg.sumExact(col("value"), 4).as("sum_value"))
       },
-      oracle = Some("""
-        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      oracle = Some(s"""
+        SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_val,
                count(*) AS n_events,
-               round(sum(value), 4) AS sum_value
+               ${ExactAgg.sqlSum("value", 4)} AS sum_value
         FROM events GROUP BY 1""")),
 
     // Ranked window analytics: top-5 spenders per market segment with the
@@ -138,7 +139,7 @@ object AnalyticsQueries {
         val cust = Engine.table(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
         val totals = orders.groupBy(col("o_custkey"))
-          .agg(round(sum(col("o_totalprice")), 2).as("total"))
+          .agg(ExactAgg.sumExact(col("o_totalprice"), 2).as("total"))
         val w = Window.partitionBy(col("c_mktsegment"))
           .orderBy(col("total").desc, col("c_custkey"))
         totals.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -149,9 +150,9 @@ object AnalyticsQueries {
           .select(col("c_mktsegment"), col("rnk"), col("c_custkey"),
             col("total"), col("gap"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH totals AS (
-          SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+          SELECT o_custkey, ${ExactAgg.sqlSum("o_totalprice", 2)} AS total
           FROM orders GROUP BY o_custkey),
         r AS (
           SELECT c_mktsegment, c_custkey, total,
@@ -784,17 +785,17 @@ object AnalyticsQueries {
         val li = Engine.table(s, dir, "lineitem")
         li.groupBy(col("l_returnflag"))
           .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_price"),
-            round(avg(col("l_discount")), 6).as("avg_disc"))
+            ExactAgg.sumExact(col("l_extendedprice"), 2).as("sum_price"),
+            ExactAgg.avgExact(col("l_discount"), 6).as("avg_disc"))
           .unpivot(Array(col("l_returnflag")),
             Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
             "metric", "value")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH a AS (
           SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
-                 round(sum(l_extendedprice), 2) AS sum_price,
-                 round(avg(l_discount), 6) AS avg_disc
+                 ${ExactAgg.sqlSum("l_extendedprice", 2)} AS sum_price,
+                 ${ExactAgg.sqlAvg("l_discount", 6)} AS avg_disc
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
         UNION ALL

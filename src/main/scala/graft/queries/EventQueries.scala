@@ -47,14 +47,14 @@ object EventQueries {
         ev.withColumn("tstamp", nsToTimestamp)
           .groupBy(window(col("tstamp"), "5 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value")), 4).as("sum_value"))
+            ExactAgg.sumExact(col("value"), 4).as("sum_value"))
           .select(unix_millis(col("window.start")).as("window_start_ms"),
             col("event_type"), col("n_events"), col("sum_value"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_ms,
                event_type, count(*) AS n_events,
-               round(sum(value), 4) AS sum_value
+               ${ExactAgg.sqlSum("value", 4)} AS sum_value
         FROM events GROUP BY 1, 2"""),
       headline = true),
 
@@ -67,11 +67,11 @@ object EventQueries {
           .groupBy(window(col("tstamp"), "10 minutes", "5 minutes"),
             col("event_type"))
           .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value")), 4).as("sum_value"))
+            ExactAgg.sumExact(col("value"), 4).as("sum_value"))
           .select(unix_millis(col("window.start")).as("window_start_ms"),
             col("event_type"), col("n_events"), col("sum_value"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH starts AS (
           SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS ws,
                  event_type, value FROM events
@@ -79,7 +79,7 @@ object EventQueries {
           SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) - 300000 AS ws,
                  event_type, value FROM events)
         SELECT ws AS window_start_ms, event_type, count(*) AS n_events,
-               round(sum(value), 4) AS sum_value
+               ${ExactAgg.sqlSum("value", 4)} AS sum_value
         FROM starts GROUP BY 1, 2""")),
 
     // Session windows via gaps-and-islands: a >30-minute silence starts a
@@ -89,10 +89,10 @@ object EventQueries {
       build = (s, dir) => {
         sessionized(s, dir).groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value")), 4).as("sum_value"),
+            ExactAgg.sumExact(col("value"), 4).as("sum_value"),
             (max(col("ms")) - min(col("ms"))).as("duration_ms"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH ordered AS (
           SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
@@ -107,7 +107,7 @@ object EventQueries {
           FROM ordered)
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                count(*) AS n_events,
-               round(sum(value), 4) AS sum_value,
+               ${ExactAgg.sqlSum("value", 4)} AS sum_value,
                max(ms) - min(ms) AS duration_ms
         FROM sess GROUP BY user_id, session_id""")),
 
@@ -234,11 +234,11 @@ object EventQueries {
             binSize = 3600000L, keys = Seq("user_id"))
           .groupBy(col("event_id"), col("user_id"))
           .agg(count(lit(1)).as("n_clicks"),
-            round(sum(col("value")), 4).as("click_value"))
+            ExactAgg.sumExact(col("value"), 4).as("click_value"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT p.event_id, p.user_id, count(*) AS n_clicks,
-               round(sum(c.value), 4) AS click_value
+               ${ExactAgg.sqlSum("c.value", 4)} AS click_value
         FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
               WHERE event_type = 'purchase') p
         JOIN (SELECT user_id, epoch_ms(ts) AS ms, value FROM events

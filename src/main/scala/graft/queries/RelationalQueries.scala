@@ -25,18 +25,19 @@ object RelationalQueries {
         li.filter(col("l_shipdate") <= lit("1998-09-02"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 4).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            round(sum(col("l_quantity")), 4).as("sum_qty"), // integer-valued: exact in any order
+            ExactAgg.sumExact(col("l_extendedprice"), 2).as("sum_base_price"),
+            ExactAgg.sumExact(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
               .as("sum_disc_price"),
             round(avg(col("l_quantity")), 4).as("avg_qty"),
             count(lit(1)).as("count_order"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+               ${ExactAgg.sqlSum("l_extendedprice", 2)} AS sum_base_price,
+               ${ExactAgg.sqlSum("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
                round(avg(l_quantity), 4) AS avg_qty,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -72,11 +73,11 @@ object RelationalQueries {
         orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice")), 2).as("total_price"))
+            ExactAgg.sumExact(col("o_totalprice"), 2).as("total_price"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT c_mktsegment, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               ${ExactAgg.sqlSum("o_totalprice", 2)} AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment"""),
       headline = true),
@@ -95,13 +96,14 @@ object RelationalQueries {
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .agg(ExactAgg.sumExact(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"),
             count(lit(1)).as("n_items"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT r_name, n_name,
-               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               ${ExactAgg.sqlSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
@@ -147,11 +149,11 @@ object RelationalQueries {
             Seq("l_partkey", "l_suppkey", "l_quantity"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("survivors"),
-            round(sum(col("l_extendedprice")), 2).as("survivor_price"))
+            ExactAgg.sumExact(col("l_extendedprice"), 2).as("survivor_price"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT l_returnflag, count(*) AS survivors,
-               round(sum(l_extendedprice), 2) AS survivor_price
+               ${ExactAgg.sqlSum("l_extendedprice", 2)} AS survivor_price
         FROM lineitem i
         WHERE l_linenumber >= 3 AND NOT EXISTS (
           SELECT 1 FROM lineitem e
@@ -258,12 +260,12 @@ object RelationalQueries {
       build = (s, dir) => {
         val orders = Engine.table(s, dir, "orders")
         orders.groupBy(col("o_custkey"))
-          .agg(round(sum(col("o_totalprice")), 2).as("total"))
+          .agg(ExactAgg.sumExact(col("o_totalprice"), 2).as("total"))
           .orderBy(col("total").desc, col("o_custkey").asc)
           .limit(10)
       },
-      oracle = Some("""
-        SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+      oracle = Some(s"""
+        SELECT o_custkey, ${ExactAgg.sqlSum("o_totalprice", 2)} AS total
         FROM orders GROUP BY o_custkey
         ORDER BY total DESC, o_custkey ASC LIMIT 10""")),
 
