@@ -337,18 +337,29 @@ object RelationalQueries {
         FROM lineitem GROUP BY l_returnflag""")),
 
     // HLL++ approximate distinct (north-star sketch surface, SURVEY.md
-    // §2.10): sketch implementations differ across engines, so there is
-    // no value oracle — the driver records the weaker rows-only check,
-    // and OperatorsSpec bounds the estimate against the exact count.
+    // §2.10): sketch values differ across engines, so the estimate itself
+    // can't hash-compare — instead the output carries the exact NDV plus
+    // a within-3σ flag on the estimate. Spark's HLL++ is deterministic,
+    // so the flag is stable, and the oracle asserts it TRUE: the sketch
+    // is exercised AND bounded, not just row-counted. (The exact
+    // count(DISTINCT) rides along only for the oracle; at 100 TB the
+    // sketch replaces it — that's its purpose.)
     "q47_approx_distinct" -> QueryDef(
       build = (s, dir) => {
         val li = Engine.table(s, dir, "lineitem")
         li.groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02)
             .as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
             count(lit(1)).as("n_rows"))
+          .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+            (abs(col("approx_parts") - col("exact_parts"))
+              <= col("exact_parts") * lit(0.06)).as("within_bounds"))
       },
-      oracle = None),
+      oracle = Some("""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+               count(*) AS n_rows, TRUE AS within_bounds
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // Full outer join: the daily reconciliation shape — activity per day
     // from two independent feeds, keeping days that exist in only one.
