@@ -508,19 +508,30 @@ object RelationalQueries {
     // Approximate quantiles (GK sketch): the mergeable-summary path for
     // percentiles when an exact within-group sort (q46) is too costly —
     // sketches merge across partitions, so cost is one partial-agg pass.
-    // Like q47, sketch values differ across engines → rows-only check;
-    // OperatorsSpec bounds the estimates against exact percentiles.
+    // Sketch values differ across engines, so (q47 pattern) the output
+    // carries flags pinning each estimate inside the exact ±1% quantile
+    // envelope — 10× the sketch's guaranteed 1/1000 rank error, so the
+    // flags hold under ANY merge order — and the oracle asserts them
+    // TRUE. The exact percentile pass rides along only for the oracle.
     "q81_approx_quantiles" -> QueryDef(
       build = (s, dir) => {
         val li = Engine.table(s, dir, "lineitem")
+        def between(v: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+          v >= element_at(col("ex"), lo) && v <= element_at(col("ex"), hi)
         li.groupBy(col("l_returnflag"))
           .agg(expr("percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 1000)")
-            .as("ps"))
-          .select(col("l_returnflag"),
-            element_at(col("ps"), 1).as("p25_approx"),
-            element_at(col("ps"), 2).as("p50_approx"),
-            element_at(col("ps"), 3).as("p75_approx"))
+            .as("ps"),
+            expr("percentile(l_extendedprice, " +
+              "array(0.24D, 0.26D, 0.49D, 0.51D, 0.74D, 0.76D))").as("ex"),
+            count(lit(1)).as("n_rows"))
+          .select(col("l_returnflag"), col("n_rows"),
+            between(element_at(col("ps"), 1), 1, 2).as("p25_ok"),
+            between(element_at(col("ps"), 2), 3, 4).as("p50_ok"),
+            between(element_at(col("ps"), 3), 5, 6).as("p75_ok"))
       },
-      oracle = None)
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n_rows,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        FROM lineitem GROUP BY l_returnflag"""))
   )
 }
