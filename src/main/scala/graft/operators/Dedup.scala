@@ -79,8 +79,14 @@ object Dedup {
     * of k/bands rows; docs sharing any band signature become a candidate
     * pair (id_a < id_b, distinct).
     */
-  def minHashLshPairs(df: DataFrame, text: Column, id: Column,
-                      k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+  /** LSH band keys: one (`__id`, band, sig) row per document per band —
+    * the bucket membership that every LSH consumer (pair join,
+    * incremental gate, persisted signature store) equi-joins on. Each doc
+    * emits exactly ONE row per band by construction, so no distinct is
+    * needed on the way out.
+    */
+  def lshBandKeys(df: DataFrame, text: Column, id: Column,
+                  k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
     val r = k / bands
     val sigs = minHashSignatures(df, text, id, k, w)
     val bandCols = (0 until bands).map { b =>
@@ -88,16 +94,49 @@ object Dedup {
         md5(concat_ws(",", (0 until r).map(i => col(s"sig${b * r + i}")): _*))
           .as("sig")).as(s"b$b")
     }
-    // no distinct here: each doc emits exactly ONE row per band by
-    // construction, so a (id, band, sig) dedup would be a pure-overhead
-    // shuffle of the whole banded set
-    val banded = sigs.select(col("__id"), explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col("__id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("__id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  def minHashLshPairs(df: DataFrame, text: Column, id: Column,
+                      k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+    val banded = lshBandKeys(df, text, id, k, bands, w)
     val a = banded.select(col("band"), col("sig"), col("__id").as("id_a"))
     val b = banded.select(col("band"), col("sig"), col("__id").as("id_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Incremental (cross-batch) near-dup gate — the continuous-ingest form
+    * of LSH dedup: a new document is dropped when ANY of its band
+    * signatures collides with a band signature already present in the
+    * ingested corpus. Returns the surviving incoming ids (column `__id`).
+    *
+    * This is the J5 dedup-gate shape lifted from exact match to near-dup:
+    * membership is decided against the HISTORY's band-key set, not
+    * within the batch, so ingest order is respected (history never
+    * shrinks) and replays are idempotent.
+    *
+    * Scale design (100 TB corpus, small ongoing batches): the history's
+    * distinct band keys are the persisted "signature store" — at steady
+    * state they are written once per batch (append of the batch's own
+    * keys) and bucketed by (band, sig), so this semi-join reads
+    * co-located buckets and only the incoming batch shuffles. The
+    * doc-level verdict is a left_semi + left_anti pair — no pairwise
+    * comparison, no window.
+    */
+  def incrementalLshSurvivors(incoming: DataFrame, history: DataFrame,
+                              text: Column, id: Column,
+                              k: Int = 16, bands: Int = 4,
+                              w: Int = 3): DataFrame = {
+    val store = lshBandKeys(history, text, id, k, bands, w)
+      .select(col("band"), col("sig")).dropDuplicates("band", "sig")
+    val collided = lshBandKeys(incoming, text, id, k, bands, w)
+      .join(store, Seq("band", "sig"), "left_semi")
+      .select(col("__id")).dropDuplicates("__id")
+    incoming.select(id.as("__id"))
+      .join(collided, Seq("__id"), "left_anti")
   }
 
   /** Duplicate-cluster assignment — the dedup endgame: connected

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Engine
-import graft.operators.Dedup
+import graft.operators.{Dedup, MinHashUnion}
 import org.apache.spark.sql.functions._
 
 /** Deduplication coverage over `documents`: exact hash, MinHash-LSH,
@@ -29,36 +29,43 @@ object DedupQueries {
   private val Bands = 4
   private val R = K / Bands
 
-  /** The MinHash-LSH candidate-pair construction as DuckDB CTEs (shared
-    * by the q34 oracle and q57's recursive-closure oracle).
+  /** LSH band-key construction for a `documents` subset as DuckDB CTEs
+    * (`{p}sh` → `{p}sigs` → `{p}bands`), mirroring `Dedup.lshBandKeys`.
     * Kirsch–Mitzenmacher: h1 = md5 hex[1..15], h2 = md5 hex[16..29],
     * hash function s = h1 + s*h2 (mirrors Dedup.minHashSignatures).
     */
-  private def lshPairCtes: String = {
+  private def bandCtes(pred: String, p: String): String = {
     val sigCols = (0 until K).map(s =>
       s"min(h1 + $s * h2) AS sig$s").mkString(",\n            ")
     val bandSelects = (0 until Bands).map { b =>
       val parts = (0 until R).map(i => s"sig${b * R + i}::VARCHAR")
         .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM sigs"
+      s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM ${p}sigs"
     }.mkString("\n          UNION ALL\n          ")
-    s"""sh AS (
+    s"""${p}sh AS (
           SELECT doc_id,
                  CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h1,
                  CAST('0x' || substr(md5(sh), 16, 14) AS BIGINT) AS h2
-          FROM (SELECT doc_id, unnest($sqlShingles) AS sh FROM documents)),
-        sigs AS (
+          FROM (SELECT doc_id, unnest($sqlShingles) AS sh
+                FROM documents WHERE $pred)),
+        ${p}sigs AS (
           SELECT doc_id,
             $sigCols
-          FROM sh GROUP BY doc_id),
-        bands AS (
-          $bandSelects),
+          FROM ${p}sh GROUP BY doc_id),
+        ${p}bands AS (
+          $bandSelects)"""
+  }
+
+  /** The MinHash-LSH candidate-pair construction as DuckDB CTEs (shared
+    * by the q34 oracle and q57's recursive-closure oracle).
+    */
+  private def lshPairCtes: String =
+    s"""${bandCtes("TRUE", "")},
         pairs AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a
           JOIN bands b ON a.band = b.band AND a.sig = b.sig
                       AND a.doc_id < b.doc_id)"""
-  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -245,6 +252,70 @@ object DedupQueries {
           FROM toks GROUP BY doc_id)
         SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes"""
       },
-      headline = true)
+      headline = true),
+
+    // Mergeable signature union (typed Aggregator, SURVEY §2.10): the
+    // per-source corpus signature is the element-wise min of the per-doc
+    // MinHash signatures — MinHashUnion folds it with fixed k-long state
+    // on the partial-agg path. The oracle exploits the sketch's defining
+    // law: the union signature equals the signature of the union of the
+    // shingle sets, so DuckDB computes min(h1+s·h2) straight off the
+    // pooled shingles — an independent construction of the same value.
+    "q125_source_signature" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+        // signatures are a pure per-row projection, so keying them by
+        // `source` directly avoids any join-back
+        val sigs = Dedup.minHashSignatures(d, col("text"), col("source"),
+          k = K, w = 3)
+        val sigArr = array((0 until K).map(i => col(s"sig$i")): _*)
+        sigs.groupBy(col("__id").as("source"))
+          .agg(MinHashUnion(sigArr).as("usig"),
+            count(lit(1)).as("n_docs"))
+          .select(col("source") +: col("n_docs") +:
+            (0 until K).map(i => element_at(col("usig"), i + 1).as(s"sig$i")): _*)
+      },
+      oracle = Some {
+        val sigCols = (0 until K).map(s =>
+          s"min(h1 + $s * h2) AS sig$s").mkString(",\n            ")
+        s"""
+        WITH sh AS (
+          SELECT source,
+                 CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h1,
+                 CAST('0x' || substr(md5(sh), 16, 14) AS BIGINT) AS h2
+          FROM (SELECT source, unnest($sqlShingles) AS sh FROM documents)),
+        usig AS (
+          SELECT source,
+            $sigCols
+          FROM sh GROUP BY source),
+        n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        SELECT source, n_docs, ${(0 until K).map(i => s"sig$i").mkString(", ")}
+        FROM usig JOIN n USING (source)"""
+      }),
+
+    // Incremental cross-batch dedup gate (Dedup.incrementalLshSurvivors):
+    // docs with doc_id%4=0 play the already-ingested corpus; the rest are
+    // the arriving batch, and survive only if NONE of their band
+    // signatures collides with the history's band-key store — the J5
+    // dedup gate lifted to near-dup, the continuous-ingest discipline at
+    // 100 TB (the store is append-only and bucketed by (band, sig)).
+    "q126_incremental_dedup" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+        val history = d.filter(col("doc_id") % 4 === 0)
+        val incoming = d.filter(col("doc_id") % 4 =!= 0)
+        Dedup.incrementalLshSurvivors(incoming, history,
+            col("text"), col("doc_id"), k = K, bands = Bands, w = 3)
+          .select(col("__id").as("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH ${bandCtes("doc_id % 4 = 0", "h")},
+        ${bandCtes("doc_id % 4 <> 0", "i")},
+        collided AS (
+          SELECT DISTINCT i.doc_id
+          FROM ibands i JOIN hbands h ON i.band = h.band AND i.sig = h.sig)
+        SELECT doc_id FROM documents
+        WHERE doc_id % 4 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM collided)"""))
   )
 }

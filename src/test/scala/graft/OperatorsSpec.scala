@@ -108,6 +108,64 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("MinHashUnion: union signature = signature of pooled text; partition-proof") {
+    val docs = Seq(
+      (1L, "g1", "the quick brown fox jumps over the lazy dog end"),
+      (2L, "g1", "pack my box with five dozen liquor jugs today yes"),
+      (3L, "g1", "the quick brown fox jumps over the lazy dog end"),
+      (4L, "g2", "completely different words entirely here nothing shared at all ok"))
+      .toDF("id", "g", "t")
+    val k = 16
+    val sigArr = array((0 until k).map(i => col(s"sig$i")): _*)
+    def unioned(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashSignatures(df, $"t", $"g", k = k)
+        .groupBy($"__id").agg(graft.operators.MinHashUnion(sigArr).as("u"))
+        .orderBy($"__id").as[(String, Seq[Long])].collect().toSeq
+    // defining law: the aggregated union signature equals the
+    // element-wise min of the member docs' signatures, computed
+    // independently in Scala
+    val perDoc = Dedup.minHashSignatures(docs, $"t", struct($"g", $"id"), k = k)
+      .select($"__id.g".as("g"), sigArr.as("s"))
+      .as[(String, Seq[Long])].collect()
+    val expected = perDoc.groupBy(_._1).view.mapValues(
+      _.map(_._2).reduce((a, b) => a.zip(b).map(p => math.min(p._1, p._2))))
+      .toMap
+    val got = unioned(docs).toMap
+    assert(got == expected)
+    // partitioning invariance: 1-partition and 7-partition runs agree
+    assert(unioned(docs.repartition(7)) == unioned(docs.coalesce(1)))
+  }
+
+  test("incrementalLshSurvivors: gate ≡ pair-derived verdicts, idempotent") {
+    val dup = "the quick brown fox jumps over the lazy dog end"
+    val docs = Seq(
+      (0L, dup), (4L, "history only words that nobody else repeats anywhere at all"),
+      (1L, dup), // collides with history 0 → dropped
+      (2L, "completely different words entirely here nothing shared at all ok"),
+      (3L, "pack my box with five dozen liquor jugs today yes"))
+      .toDF("id", "t")
+    val history = docs.filter($"id" % 4 === 0)
+    val incoming = docs.filter($"id" % 4 =!= 0)
+    val survivors = Dedup.incrementalLshSurvivors(incoming, history, $"t", $"id")
+      .as[Long].collect().toSet
+    assert(survivors == Set(2L, 3L))
+    // equivalence law: a doc survives iff the all-docs LSH pair list has
+    // no (incoming, history) edge touching it
+    val pairs = Dedup.minHashLshPairs(docs, $"t", $"id").as[(Long, Long)]
+      .collect()
+    val histIds = Set(0L, 4L)
+    val collidedByPairs = pairs.collect {
+      case (a, b) if histIds(a) && !histIds(b) => b
+      case (a, b) if histIds(b) && !histIds(a) => a
+    }.toSet
+    assert(survivors == Set(1L, 2L, 3L) -- collidedByPairs)
+    // idempotency: gating the survivors again changes nothing
+    val again = Dedup.incrementalLshSurvivors(
+        incoming.join(survivors.toSeq.toDF("id"), "id"), history, $"t", $"id")
+      .as[Long].collect().toSet
+    assert(again == survivors)
+  }
+
   test("simHash: identical docs → identical hash; bits in range") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon zeta")).toDF("id", "t")
