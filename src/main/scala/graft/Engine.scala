@@ -120,6 +120,42 @@ object Engine {
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-ordered export: interleave the bits of TWO sort keys into one
+    * Morton (Z-curve) value, range-partition and sort on it. Where
+    * [[writeRangeSorted]] gives file-level min/max pruning on ONE key
+    * prefix, the Z layout gives useful (≈√nFiles-way) pruning on EITHER
+    * dimension — the at-rest play for facts queried by two independent
+    * selective columns (e.g. customer AND date) where neither deserves
+    * the whole sort order.
+    *
+    * Both keys are min-max scaled to `bits` bits in one extra aggregate
+    * scan (no window/rank pass), so dimension ranges of different
+    * magnitudes interleave fairly. Equal z-values co-locate; parquet
+    * min/max footers on the ORIGINAL columns then bound every file to a
+    * tile of the curve, which is what downstream scans prune on.
+    */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+                    a: Column, b: Column, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(min(a).cast("long"), max(a).cast("long"),
+      min(b).cast("long"), max(b).cast("long")).head()
+    val (aLo, aHi, bLo, bHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val top = (1L << bits) - 1
+    def scaled(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else (c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)
+    val (sa, sb) = (scaled(a, aLo, aHi), scaled(b, bLo, bHi))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(sa, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(sb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bloom-prune the probe side of a big-big join: build a bloom filter
     * over the build side's join keys (Spark's own
     * `BloomFilterAggregate` / `BloomFilterMightContain` — the runtime

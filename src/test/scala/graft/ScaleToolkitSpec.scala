@@ -127,6 +127,36 @@ class ScaleToolkitSpec extends SparkSpec {
       back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
   }
 
+  test("writeZOrdered: every file bounds BOTH dims tightly, content kept") {
+    val orders = Engine.table(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dst = java.nio.file.Files.createTempDirectory("zo").toString + "/out"
+    Engine.writeZOrdered(orders, dst, nFiles = 16,
+      col("o_custkey"), col("o_orderkey"))
+    val files = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 16)
+    def fraction(dim: String): Double = {
+      val g = orders.agg(min(dim).cast("double"), max(dim).cast("double")).head()
+      val span = g.getDouble(1) - g.getDouble(0)
+      val fr = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(dim).cast("double"), max(dim).cast("double")).head()
+        (r.getDouble(1) - r.getDouble(0)) / span
+      }
+      fr.sum / fr.length
+    }
+    // a single-key sort would leave the OTHER dim's per-file range ≈ 1.0;
+    // the Z layout must bound both well below that (16 files ≈ 4×4 tiles)
+    val (fCust, fOrd) = (fraction("o_custkey"), fraction("o_orderkey"))
+    assert(fCust < 0.6, s"o_custkey mean file-range fraction $fCust")
+    assert(fOrd < 0.6, s"o_orderkey mean file-range fraction $fOrd")
+    // content preserved exactly
+    val back = spark.read.parquet(dst)
+    assert(back.count() == orders.count() &&
+      back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+  }
+
   test("aggState: batch folds equal the full recompute, any fold order") {
     val orders = Engine.table(spark, sf(), "orders")
       .selectExpr("o_custkey", "o_orderkey",
