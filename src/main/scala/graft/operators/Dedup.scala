@@ -128,10 +128,14 @@ object Dedup {
     */
   def incrementalLshSurvivors(incoming: DataFrame, history: DataFrame,
                               text: Column, id: Column,
-                              k: Int = 16, bands: Int = 4,
-                              w: Int = 3): DataFrame = {
-    val store = lshBandKeys(history, text, id, k, bands, w)
-      .select(col("band"), col("sig")).dropDuplicates("band", "sig")
+                              k: Int = 16, bands: Int = 4, w: Int = 3,
+                              historyIsBandKeys: Boolean = false): DataFrame = {
+    // history is either raw documents or an already-materialized
+    // (band, sig) key store (the persisted form a continuous ingest keeps)
+    val store = (if (historyIsBandKeys) history.select(col("band"), col("sig"))
+                 else lshBandKeys(history, text, id, k, bands, w)
+                   .select(col("band"), col("sig")))
+      .dropDuplicates("band", "sig")
     val collided = lshBandKeys(incoming, text, id, k, bands, w)
       .join(store, Seq("band", "sig"), "left_semi")
       .select(col("__id")).dropDuplicates("__id")

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -51,6 +52,56 @@ object StreamOps {
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("tstamp", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Continuous near-dup ingest — the streaming face of
+    * `Dedup.incrementalLshSurvivors`: every micro-batch is gated against
+    * a PERSISTED band-key store covering all prior batches, then
+    * (a) within-batch collisions drop the larger id, (b) survivors are
+    * written out, and (c) the survivors' band keys are appended to the
+    * store. Both writes go to `batch=<id>` subdirectories overwritten
+    * per batch, so a replayed micro-batch rewrites the same paths —
+    * exactly-once output without a transactional sink.
+    *
+    * Scale notes (continuous 100 TB corpus): the store grows with the
+    * UNIQUE corpus only (4 keys/doc) and is read via parquet's
+    * partition discovery; compact it periodically with
+    * `Engine.compact` and bucket by (band, sig) so the gate's semi-join
+    * reads co-located buckets. State lives entirely at rest — no
+    * streaming state store, so the query restarts from any checkpoint
+    * without rebuilding signatures.
+    */
+  def nearDupIngest(docs: DataFrame, text: String, id: String,
+                    storePath: String, outPath: String, checkpoint: String,
+                    k: Int = 16, bands: Int = 4, w: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store =
+          if (new java.io.File(storePath).exists)
+            spark.read.parquet(storePath).select(col("band"), col("sig"))
+          else spark.range(0).select(lit(0).as("band"),
+            lit("").as("sig")).limit(0)
+        val vsHistory = Dedup.incrementalLshSurvivors(
+          batch, store, col(text), col(id), k, bands, w,
+          historyIsBandKeys = true)
+        val gated = batch.join(vsHistory.withColumnRenamed("__id", id),
+          Seq(id), "left_semi")
+        // within-batch near-dups: the smaller id wins (arrival-order proxy)
+        val dropped = Dedup.minHashLshPairs(
+            gated, col(text), col(id), k, bands, w)
+          .select(col("id_b").as(id)).dropDuplicates(id)
+        val survivors = gated.join(dropped, Seq(id), "left_anti")
+          .localCheckpoint() // gate once; don't recompute across 2 writes
+        survivors.write.mode("overwrite")
+          .parquet(s"$outPath/batch=$batchId")
+        Dedup.lshBandKeys(survivors, col(text), col(id), k, bands, w)
+          .select(col("band"), col("sig")).dropDuplicates("band", "sig")
+          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+        ()
+      }
+      .start()
 
   /** One key's running top-k snapshot (Update-mode emission). */
   case class TopKSnapshot(key_id: Long, n_seen: Long,

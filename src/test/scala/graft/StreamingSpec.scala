@@ -325,4 +325,37 @@ class StreamingSpec extends SparkSpec {
       .orderBy("vec_id").as[(Long, Long)].collect()
     assert(streamedPq.sameElements(batchPq))
   }
+
+  test("nearDupIngest: cross-batch and within-batch near-dups dropped") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("ndi").toString
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamOps.nearDupIngest(
+      docs, "text", "doc_id", store, out, ckpt)
+    val dup = "the quick brown fox jumps over the lazy dog end"
+    // batch 1: one unique doc + an internal dup pair (11 survives, 12 drops)
+    input.addData((10L, "completely different words entirely here nothing shared at all ok"),
+      (11L, dup), (12L, dup))
+    q.processAllAvailable()
+    // batch 2: 20 duplicates batch 1's kept doc → dropped by the STORE;
+    // 21 is new → kept
+    input.addData((20L, dup),
+      (21L, "pack my box with five dozen liquor jugs today yes"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 21L))
+    // the store covers exactly the survivors' band keys
+    val storeKeys = spark.read.parquet(store)
+      .select("band", "sig").as[(Int, String)].collect().toSet
+    val expectKeys = graft.operators.Dedup.lshBandKeys(
+        Seq((10L, "completely different words entirely here nothing shared at all ok"),
+          (11L, dup), (21L, "pack my box with five dozen liquor jugs today yes"))
+          .toDF("doc_id", "text"), $"text", $"doc_id")
+      .select("band", "sig").as[(Int, String)].collect().toSet
+    assert(storeKeys == expectKeys)
+  }
 }
