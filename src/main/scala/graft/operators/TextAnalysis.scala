@@ -104,4 +104,27 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Signed feature-hashing vectorizer (the "hashing trick"): each token
+    * lands in dimension hash60(t) mod `dims` with sign from the next
+    * hash bit; the document vector is the per-dimension sum. The
+    * vocabulary-free text→vector bridge: no dictionary to build,
+    * broadcast, or keep consistent across 100 TB — the hash IS the
+    * vocabulary, so the pass stays a zero-shuffle projection and two
+    * corpora vectorized independently are directly comparable.
+    *
+    * One md5 per token (hashes materialized once via transform), then a
+    * single aggregate fold into a dims-long integer vector. Integer
+    * weights make downstream sums/cosines exact and the DuckDB oracle
+    * bit-reproducible.
+    */
+  def hashingVector(text: Column, dims: Int = 16): Column = {
+    val hs = transform(tokens(text), t => graft.functions.hash60(t))
+    aggregate(hs, array_repeat(lit(0L), dims), (acc, h) => {
+      val sgn = when(shiftright(h, 4).bitwiseAND(lit(1L)) === 1, lit(1L))
+        .otherwise(lit(-1L))
+      transform(acc, (v, i) => v + when(pmod(h, lit(dims)) === i, sgn)
+        .otherwise(lit(0L)))
+    })
+  }
 }

@@ -607,6 +607,35 @@ object TextQueries {
                  AS recall,
                CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
                     ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
-        FROM m"""))
+        FROM m""")),
+
+    // Signed feature-hashing vectorizer (hashing trick): vocabulary-free
+    // text→vector, dimension = hash60(token) mod 16, sign from the next
+    // hash bit, integer weights. Zero-shuffle projection; emitted in
+    // long (doc, dim, weight) form — zeros included — so the oracle
+    // reproduces every cell exactly.
+    "q127_hashing_vector" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"),
+            posexplode(TextAnalysis.hashingVector(col("text"), dims = 16))
+              .as(Seq("dim", "weight")))
+          .select(col("doc_id"), col("dim").cast("long").as("dim"),
+            col("weight"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)),
+        g AS (
+          SELECT doc_id, h % 16 AS dim,
+                 CAST(sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END)
+                      AS BIGINT) AS weight
+          FROM toks GROUP BY 1, 2)
+        SELECT d.doc_id, gs.dim, coalesce(g.weight, 0) AS weight
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) gs
+        LEFT JOIN g ON g.doc_id = d.doc_id AND g.dim = gs.dim"""))
   )
 }
