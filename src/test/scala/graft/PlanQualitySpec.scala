@@ -211,4 +211,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-50 must plan as TakeOrderedAndProject:\n$p")
   }
+
+  test("q125 signature union: partial-agg path (ObjectHashAggregate), one agg exchange") {
+    val p = plan("q125_source_signature")
+    // the typed Aggregator must keep map-side partial aggregation — the
+    // shuffle carries one k-long buffer per (source, partition), not rows
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_"), s"partial aggregation lost:\n$p")
+  }
+
+  test("q126 incremental gate: semi + anti joins, no row multiplication") {
+    val p = plan("q126_incremental_dedup")
+    assert(p.contains("LeftSemi"), s"store probe must be a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"doc verdict must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"pairwise scan crept in:\n$p")
+  }
+
+  test("q127 hashing vectorizer: zero-exchange codegen'd projection") {
+    val p = plan("q127_hashing_vector")
+    assert(!p.contains("Exchange"), s"hashing trick must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"posexplode expected:\n$p")
+  }
 }
