@@ -229,4 +229,25 @@ class LawsSpec extends SparkSpec {
       assert(found, s"first_doc $first does not contain '$p'")
     }
   }
+
+  test("law: ExactAgg.sumExact equals an exact-cents reference, any partitioning") {
+    import graft.queries.ExactAgg
+    // money-like values: exact 2-decimal decimals stored as doubles
+    val centsGen = Gen.choose(-50000000L, 50000000L)
+    val rows = sample(Gen.zip(Gen.choose(0, 6), centsGen), 4000)
+      .map { case (k, c) => (k.toLong, c, c / 100.0) }
+    val df = rows.toDF("k", "cents", "v")
+    val expected = rows.groupBy(_._1).view.mapValues { rs =>
+      val total = rs.map(_._2).sum // exact integer cents
+      BigDecimal(total) / 100 }.toMap
+    Seq(1, 7, 32).foreach { parts =>
+      val got = df.repartition(parts).groupBy($"k")
+        .agg(ExactAgg.sumExact($"v", 2).as("s"))
+        .as[(Long, Double)].collect().toMap
+      expected.foreach { case (k, e) =>
+        assert(BigDecimal(got(k)) == e,
+          s"k=$k parts=$parts: ${got(k)} != $e")
+      }
+    }
+  }
 }
