@@ -23,13 +23,14 @@ object SimilarityQueries {
         / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"""
 
   /** The plane-sign matrix as DuckDB list literals. */
-  private def sqlPlanes: Seq[String] =
-    Similarity.planeSigns(Planes, Dims).map(p =>
+  private def sqlPlanes(planes: Int = Planes, dims: Int = Dims): Seq[String] =
+    Similarity.planeSigns(planes, dims).map(p =>
       p.map(s => s"$s.0").mkString("[", ", ", "]"))
 
   /** DuckDB LSH bucket expression over a DOUBLE[] column `v`. */
-  private def sqlBucket(v: String): String =
-    sqlPlanes.zipWithIndex.map { case (plane, p) =>
+  private def sqlBucket(v: String, planes: Int = Planes,
+                        dims: Int = Dims): String =
+    sqlPlanes(planes, dims).zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN list_dot_product($v, $plane) > 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -421,6 +422,58 @@ object SimilarityQueries {
                round(coalesce(1.0 / (60 + rl), 0.0)
                  + coalesce(1.0 / (60 + rd), 0.0), 6) AS rrf
         FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.vec_id
-        ORDER BY rrf DESC, id LIMIT 20"""))
+        ORDER BY rrf DESC, id LIMIT 20""")),
+
+    // End-to-end text retrieval index: documents → feature-hashing
+    // vectors (q127's vocabulary-free projection, integer weights) →
+    // 6-hyperplane LSH buckets → top-3 cosine within bucket. The whole
+    // index build is projections; the only shuffle is the bucket join —
+    // the same one the retrieval semantics require. Integer vectors make
+    // every dot exact, so ranks are engine-stable.
+    "q128_text_index_pipeline" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+        val hv = d.select(col("doc_id"),
+            graft.operators.TextAnalysis.hashingVector(col("text"), dims = 16)
+              .as("vec"))
+          .filter(Similarity.norm(Similarity.asDouble(col("vec"))) > 0)
+        val queries = hv.filter(col("doc_id") % 50 === 0)
+        Similarity.lshTopK(hv, queries, "vec", "doc_id",
+          k = 3, nPlanes = 6, dims = 16)
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)),
+        g AS (
+          SELECT doc_id, h % 16 AS dim,
+                 CAST(sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END)
+                      AS DOUBLE) AS w
+          FROM toks GROUP BY 1, 2),
+        dense AS (
+          SELECT d.doc_id, gs.dim, coalesce(g.w, 0.0) AS w
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) gs
+          LEFT JOIN g ON g.doc_id = d.doc_id AND g.dim = gs.dim),
+        hv AS (
+          SELECT doc_id, list(w ORDER BY dim) AS vec FROM dense
+          GROUP BY doc_id),
+        v AS (
+          SELECT doc_id AS vec_id, vec,
+                 ${sqlBucket("vec", planes = 6, dims = 16)} AS bucket
+          FROM hv WHERE list_dot_product(vec, vec) > 0),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.bucket AS bucket,
+                 c.vec_id AS neighbor_id,
+                 round(${sqlCos("q.vec", "c.vec")}, 6) AS sim
+          FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, bucket, neighbor_id, rank, sim
+        FROM ranked WHERE rank <= 3"""))
   )
 }
