@@ -217,9 +217,14 @@ object CurationQueries {
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
         val kept = d.where(Curation.qualityLogit(col("text")) >= 0)
-        val reps = Dedup.exact(kept, col("text"), col("doc_id"))
-          .select(col("keep_id").as("doc_id"))
-        val uniq = kept.join(reps, "doc_id")
+        // exact dedup keeping the min-id row — as ONE whole-row min_by
+        // aggregate (single exchange on the content hash) instead of
+        // groupBy + join-back (three exchanges for the same rows)
+        val uniq = kept
+          .groupBy(md5(col("text")).as("__h"))
+          .agg(min_by(struct(kept.columns.map(col): _*), col("doc_id"))
+            .as("__r"))
+          .select(col("__r.*"))
         val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
         val contaminated = Curation.ngramOverlap(
             uniq.where(!isEval), uniq.where(isEval),
