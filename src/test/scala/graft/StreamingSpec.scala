@@ -326,6 +326,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamedPq.sameElements(batchPq))
   }
 
+  test("stream-static broadcast enrich (J1 continuous): dim joins per batch") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("cust", "segment")
+    val input = MemoryStream[(Long, Long, Double)]
+    val enriched = input.toDF().toDF("order_id", "cust", "amount")
+      .join(broadcast(dim), Seq("cust"), "left")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    input.addData((100L, 1L, 5.0), (101L, 3L, 7.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enrich_out").orderBy("order_id")
+      .select("order_id", "segment").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    // known dim key enriched; unknown key kept with null (left semantics)
+    assert(rows.toSeq == Seq((100L, Some("BUILDING")), (101L, None)))
+  }
+
   test("nearDupIngest: cross-batch and within-batch near-dups dropped") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("ndi").toString
