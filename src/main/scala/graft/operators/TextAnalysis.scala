@@ -113,12 +113,20 @@ object TextAnalysis {
     * vocabulary, so the pass stays a zero-shuffle projection and two
     * corpora vectorized independently are directly comparable.
     *
-    * One md5 per token (hashes materialized once via transform), then a
-    * single aggregate fold into a dims-long integer vector. Integer
-    * weights make downstream sums/cosines exact and the DuckDB oracle
-    * bit-reproducible.
+    * One md5 per token, one tight loop per document (fused native
+    * expression graft.expressions.HashingVec; the composed
+    * aggregate-fold form below is the executable spec it is pinned
+    * bit-equivalent to). Integer weights make downstream sums/cosines
+    * exact and the DuckDB oracle bit-reproducible.
     */
-  def hashingVector(text: Column, dims: Int = 16): Column = {
+  def hashingVector(text: Column, dims: Int = 16): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.HashingVec(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          text.cast("string")), dims))
+
+  /** Composed built-in form of [[hashingVector]] (executable spec). */
+  def hashingVectorComposed(text: Column, dims: Int = 16): Column = {
     val hs = transform(tokens(text), t => graft.functions.hash60(t))
     aggregate(hs, array_repeat(lit(0L), dims), (acc, h) => {
       val sgn = when(shiftright(h, 4).bitwiseAND(lit(1L)) === 1, lit(1L))

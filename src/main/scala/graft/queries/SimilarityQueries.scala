@@ -474,6 +474,7 @@ object SimilarityQueries {
                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
           FROM scored)
         SELECT query_id, bucket, neighbor_id, rank, sim
-        FROM ranked WHERE rank <= 3"""))
+        FROM ranked WHERE rank <= 3"""),
+      headline = true)
   )
 }

@@ -108,6 +108,19 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("fused HashingVec ≡ the composed aggregate-fold form") {
+    val d = Engine.table(spark, sf(), "documents").limit(300)
+      .select(col("doc_id"), col("text"))
+    val edge = Seq((9001L, ""), (9002L, "one"), (9003L, "a a  b"),
+      (9004L, "trailing space ")).toDF("doc_id", "text")
+    Seq(d, edge).foreach { df =>
+      val cmp = df.select(
+        TextAnalysis.hashingVector(col("text"), 16).as("f"),
+        TextAnalysis.hashingVectorComposed(col("text"), 16).as("c"))
+      assert(cmp.filter(col("f") =!= col("c")).count() == 0)
+    }
+  }
+
   test("MinHashUnion: union signature = signature of pooled text; partition-proof") {
     val docs = Seq(
       (1L, "g1", "the quick brown fox jumps over the lazy dog end"),
