@@ -75,6 +75,34 @@ object AnalyticsQueries {
                ${ExactAgg.sqlSum("o_totalprice", 2)} AS total_price
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
 
+    // Explicit GROUPING SETS with grouping() flags, driven through the
+    // SQL frontend — the third grouping-sets surface next to q48's
+    // ROLLUP and q61's CUBE, with the indicator columns that
+    // disambiguate a NULL key from a subtotal row. Money totals in
+    // exact cents (order-proof).
+    "q129_grouping_sets" -> QueryDef(
+      build = (s, dir) => {
+        Engine.table(s, dir, "orders").createOrReplaceTempView("q129_orders")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                 count(*) AS n_orders,
+                 round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100.0, 2) AS total
+          FROM q129_orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS DOUBLE) / 100.0, 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
     // Set op: INTERSECT (distinct) — customers holding both an F and an O
     // order. Complements q13's EXCEPT.
     "q49_set_intersect" -> QueryDef(

@@ -142,6 +142,30 @@ object CurationQueries {
           FROM documents)
         WHERE cum <= 3000""")),
 
+    // Exact-SIZE stratified sample: exactly 25 docs per language, chosen
+    // by md5 order (uniform, reproducible anywhere) — the fixed-quota
+    // complement to q54's fixed-RATE sample and q107's weighted one.
+    // Runs through the bounded-heap TopKPerKey operator, so each
+    // partition keeps 25 candidates per stratum and nothing sorts the
+    // corpus — at 100 TB the quota is what bounds the shuffle.
+    "q130_fixed_stratified_sample" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            md5(col("doc_id").cast("string")).as("u"))
+        graft.operators.Relational.topKPerKey(d,
+            keys = Seq(col("lang")),
+            order = Seq(col("u"), col("doc_id")),
+            k = 25)
+          .select(col("lang"), col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) WHERE rn <= 25""")),
+
     // Deterministic weighted sampling (Efraimidis–Spirakis): 20 docs per
     // language, probability ∝ n_chars, priorities −ln(u)/w from md5
     // uniforms — reproducible across engines/runs/partitionings; the
