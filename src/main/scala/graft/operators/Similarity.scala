@@ -234,15 +234,20 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = ivfAssign(v, centroids, "v", "vid")
+      // per-dimension sums as exact 1e-9-quantized integers: double sums
+      // merge in partition order, so raw float means would make the
+      // trained centroids depend on partitioning; integer sums make the
+      // whole training partitioning-invariant (law in OperatorsSpec)
       val sums = assigned
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))
-        .agg(sum(col("x")).as("sx"))
+        .agg(sum(round(col("x") * lit(1e9)).cast("long")).as("sxi"))
         .groupBy(col("cluster_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("sx"))))
+        .agg(array_sort(collect_list(struct(col("dim"), col("sxi"))))
           .as("pairs"))
         .select(col("cluster_id").as("centroid_id"),
-          transform(col("pairs"), p => p.getField("sx")).as("mv"))
+          transform(col("pairs"),
+            p => p.getField("sxi").cast("double") / lit(1e9)).as("mv"))
       // spherical: normalize the mean direction (the sum's direction is
       // the mean's); empty clusters fall back to their previous centroid
       val renormed = sums.withColumn("mnorm", norm(col("mv")))

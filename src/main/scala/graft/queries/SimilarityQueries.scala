@@ -159,11 +159,12 @@ object SimilarityQueries {
       headline = true),
 
     // IVF over TRAINED centroids: spherical k-means (3 Lloyd's
-    // iterations) replaces the deterministic sample of q43. No value
-    // oracle — centroid coordinates are float means whose summation
-    // order differs across engines; the driver records the rows-only
+    // iterations) replaces the deterministic sample of q43. Training is
+    // partitioning-invariant (exact integer dimension sums —
+    // OperatorsSpec law), but re-deriving 3 Lloyd's iterations in SQL is
+    // impractical, so no value oracle: the driver records the rows-only
     // check, and OperatorsSpec pins the k-means laws (objective
-    // non-decreasing, unit norms, deterministic ids).
+    // non-decreasing, unit norms, deterministic ids, repartition-proof).
     "q65_ann_ivf_trained" -> QueryDef(
       build = (s, dir) => {
         val e = Engine.fanOut(Engine.table(s, dir, "embeddings"))

@@ -62,6 +62,15 @@ class OperatorsSpec extends SparkSpec {
     val again = Similarity.kmeans(emb, "embedding", "vec_id", k = 8, iters = 2)
     assert(c.select("centroid_id").except(again.select("centroid_id")).isEmpty)
     assert(c.count() == 8)
+    // partitioning invariance: exact integer dimension sums make the
+    // trained centroids bit-identical at any input partitioning
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select($"centroid_id", $"cv").as[(Long, Seq[Double])]
+        .collect().sortBy(_._1).toSeq
+    assert(flat(Similarity.kmeans(emb.repartition(13), "embedding", "vec_id",
+        k = 8, iters = 2)) ==
+      flat(Similarity.kmeans(emb.coalesce(1), "embedding", "vec_id",
+        k = 8, iters = 2)))
   }
 
   test("dupClusters: transitive components, min-id representative") {
