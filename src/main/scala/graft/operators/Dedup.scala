@@ -195,7 +195,20 @@ object Dedup {
     * distinct), matching the classic Charikar construction.
     */
   def simHash(df: DataFrame, text: Column, id: Column,
-              nBits: Int = 32): DataFrame = {
+              nBits: Int = 32): DataFrame =
+    // fused native path: whole hash per document in one projection pass
+    // (graft.expressions.SimHashBits) — no explode, no aggregate, no
+    // exchange; [[simHashComposed]] is the executable spec (pinned
+    // bit-equivalent in OperatorsSpec)
+    df.select(id.as("__id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.SimHashBits(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            text.cast("string")), nBits)).as("simhash"))
+
+  /** Composed built-in form of [[simHash]] (executable spec). */
+  def simHashComposed(df: DataFrame, text: Column, id: Column,
+                      nBits: Int = 32): DataFrame = {
     val toks = df.select(id.as("__id"), explode(split(text, " ")).as("__t"))
       .withColumn("__h", gf.hash60(col("__t")))
     val votes = (0 until nBits).map { b =>

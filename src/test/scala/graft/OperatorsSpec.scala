@@ -197,6 +197,20 @@ class OperatorsSpec extends SparkSpec {
     assert(hs.forall { case (_, h) => h >= 0 && h < (1L << 32) })
   }
 
+  test("fused SimHashBits ≡ the composed explode-and-vote form") {
+    val d = Engine.table(spark, sf(), "documents").limit(300)
+      .select(col("doc_id"), col("text"))
+    val edge = Seq((9001L, ""), (9002L, "one"), (9003L, "dup dup dup"),
+      (9004L, "trailing space ")).toDF("doc_id", "text")
+    Seq(d, edge).foreach { df =>
+      val f = Dedup.simHash(df, $"text", $"doc_id")
+        .withColumnRenamed("simhash", "f")
+      val c = Dedup.simHashComposed(df, $"text", $"doc_id")
+        .withColumnRenamed("simhash", "c")
+      assert(f.join(c, "__id").filter($"f" =!= $"c").count() == 0)
+    }
+  }
+
   test("pqEncode recovers the centroid a vector sits on, per subspace") {
     // Build one 64-dim vector whose j-th block IS centroid k=j+3 of
     // subspace j; the argmax must pick the first centroid with that

@@ -228,6 +228,12 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"pairwise scan crept in:\n$p")
   }
 
+  test("q35 simhash: zero-exchange projection (no explode+aggregate)") {
+    val p = plan("q35_simhash")
+    assert(!p.contains("Exchange"), s"simhash must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"token explode crept back:\n$p")
+  }
+
   test("q127 hashing vectorizer: zero-exchange codegen'd projection") {
     val p = plan("q127_hashing_vector")
     assert(!p.contains("Exchange"), s"hashing trick must not shuffle:\n$p")
