@@ -134,7 +134,21 @@ object GraftFunctions {
       lift1(graft.operators.Curation.redactPii)),
     (FunctionIdentifier("quality_logit"),
       info("quality_logit", "quality_logit(str) - linear quality-model logit over text features"),
-      lift1(c => graft.operators.Curation.qualityLogit(c))))
+      lift1(c => graft.operators.Curation.qualityLogit(c))),
+    // Fused text-sketch expressions (the training-data surface),
+    // SQL-callable with literal int parameters where present.
+    (FunctionIdentifier("simhash"),
+      info("simhash", "simhash(str) - 32-bit SimHash over whitespace tokens, one pass"),
+      (exprs: Seq[Expression]) =>
+        graft.expressions.SimHashBits(exprs.head, 32)),
+    (FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", "minhash_sigs(str) - 16 MinHash signature minima of word 3-shingles"),
+      (exprs: Seq[Expression]) =>
+        graft.expressions.MinHashSigs(exprs.head, 16)),
+    (FunctionIdentifier("hashing_vec"),
+      info("hashing_vec", "hashing_vec(str) - 16-dim signed feature-hashing vector"),
+      (exprs: Seq[Expression]) =>
+        graft.expressions.HashingVec(exprs.head, 16)))
 
   /** Register on a live session (the extensions path needs session
     * construction time; this one does not).

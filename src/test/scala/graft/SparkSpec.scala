@@ -73,6 +73,26 @@ class SqlFrontendSpec extends SparkSpec {
       .head().getDouble(0)
     assert(row.getDouble(1) == viaColumn)
   }
+
+  test("text-sketch expressions are SQL-callable and match the Column API") {
+    Engine.registerSql(spark, sf())
+    val viaSql = spark.sql("""
+      SELECT doc_id, simhash(text) AS sh, minhash_sigs(text) AS ms,
+             hashing_vec(text) AS hv
+      FROM documents ORDER BY doc_id LIMIT 50""").collect()
+    import org.apache.spark.sql.functions._
+    val d = Engine.table(spark, sf(), "documents")
+    val viaCol = graft.operators.Dedup
+      .simHash(d, col("text"), col("doc_id"))
+      .join(d.select(col("doc_id").as("__id"),
+        graft.operators.TextAnalysis.hashingVector(col("text")).as("hv")), "__id")
+      .orderBy("__id").limit(50).collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.getLong(1) == c.getLong(1), "simhash parity")
+      assert(s.getSeq[Long](3) == c.getSeq[Long](2), "hashing_vec parity")
+      assert(s.getSeq[Long](2).length == 16, "minhash_sigs width")
+    }
+  }
 }
 
 object SparkSpec {
