@@ -139,11 +139,25 @@ object Engine {
     import org.apache.spark.sql.functions._
     val r = df.agg(min(a).cast("long"), max(a).cast("long"),
       min(b).cast("long"), max(b).cast("long")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) { // empty input (or all-null keys):
+      df.write.mode("overwrite").parquet(path) // nothing to order, plain write
+      return
+    }
     val (aLo, aHi, bLo, bHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val top = (1L << bits) - 1
+    // (c-lo)*top must stay inside a long: pre-shift keys whose span
+    // exceeds 46 bits (e.g. nanosecond timestamps) down to 46, so the
+    // multiply is bounded by 2^46 * 2^16 < 2^63. The low bits dropped are
+    // below the 2^bits quantization anyway.
     def scaled(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else (c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)
+      else {
+        val shift = math.max(0, (BigInt(hi) - BigInt(lo)).bitLength - 46)
+        val (loS, hiS) = (lo >> shift, hi >> shift)
+        if (hiS == loS) lit(0L)
+        else ((shiftright(c.cast("long"), shift) - lit(loS)) * lit(top) /
+          lit(hiS - loS)).cast("long")
+      }
     val (sa, sb) = (scaled(a, aLo, aHi), scaled(b, bLo, bHi))
     val z = (0 until bits).map { i =>
       shiftleft(shiftright(sa, i).bitwiseAND(lit(1L)), 2 * i)

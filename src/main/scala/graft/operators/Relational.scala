@@ -59,6 +59,67 @@ object Relational {
       .agg(min_by(struct(payload: _*), ord).as("__first"))
       .select(keys :+ col("__first.*"): _*)
 
+  /** Exact global rank (1-based, dense input → row_number semantics)
+    * WITHOUT the single-partition global window. `Window.orderBy(...)`
+    * with no partitionBy funnels the whole input through one task; this
+    * is the scale-safe two-pass spelling of the same total order:
+    *
+    *  1. range-repartition + sort on the rank keys (the terasort layout:
+    *     partition i holds keys entirely before partition i+1, balanced
+    *     by sampled boundaries even under skew);
+    *  2. count rows per partition (a P-row aggregate, P = shuffle
+    *     partitions) and turn the counts into cumulative offsets on the
+    *     driver — bounded by construction, like a broadcast dim;
+    *  3. rank = offset(partition) + local row index + 1, where the local
+    *     index is recovered from `monotonically_increasing_id` (pid<<33 |
+    *     consecutive per-partition counter) evaluated on the SORTED,
+    *     checkpoint-pinned partitions — no further exchange, no window.
+    *
+    * The localCheckpoint materializes the sorted rows once, so the id
+    * assignment cannot be re-evaluated against a different row order and
+    * both downstream actions (offset count + final projection) reuse the
+    * same pinned partitions. Equal keys land in one partition
+    * (RangePartitioner binary-search), so callers get deterministic ranks
+    * by making `order` a total order, same as any window rank.
+    *
+    * Returns `df` plus `as` (LONG, 1..n). Law vs the window spelling is
+    * pinned in OperatorsSpec; q74 rides it at scale.
+    */
+  def withGlobalRank(df: DataFrame, order: Seq[Column], as: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val counts = ranged
+      .groupBy(shiftrightunsigned(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__off")
+    ranged.withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(as,
+        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+      .drop("__pid", "__mid", "__off")
+  }
+
+  /** `ntile(k)` rebuilt from an exact 1-based rank (tie-free order) and
+    * the total row count — the map-side companion to [[withGlobalRank]]:
+    * the first `n % k` buckets take `n/k + 1` rows, the rest `n/k`,
+    * exactly the SQL-standard ntile fill. Pure arithmetic, no window.
+    */
+  def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1)
+    if (base == 0) rank
+    else when(rank <= cut, floor((rank - 1) / lit(base + 1)))
+      .otherwise(lit(rem) + floor((rank - 1 - cut) / lit(base))) + 1
+  }
+
   /** J5 exact-duplicate suppression gate (`database_utils.py:128-145`):
     * drop incoming rows that already exist in `existing` on `keys`.
     * Plans as a broadcast/shuffled hash LEFT ANTI join — one pass, no

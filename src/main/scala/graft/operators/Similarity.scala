@@ -223,13 +223,21 @@ object Similarity {
     */
   def kmeans(corpus: DataFrame, vecCol: String, idCol: String,
              k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    val initOrd = Window.orderBy(md5(col("vid").cast("string")), col("vid"))
-    var centroids = v
-      .withColumn("__rn", row_number().over(initOrd))
-      .filter(col("__rn") <= k)
-      .select((col("__rn") - 1).cast("long").as("centroid_id"),
-        col("v").as("cv"))
+    // seed selection: k first vectors in md5(vid) order via orderBy+limit
+    // — TakeOrderedAndProject keeps a k-heap per partition and the driver
+    // merges k·P rows, vs. a global row_number window that would funnel
+    // the WHOLE corpus through one task. The k seed vectors (k×dims
+    // doubles) are bounded by construction, like the centroid matrix
+    // collect in ivfAssign, so they come back as a local dim table.
+    val seeds = v.orderBy(md5(col("vid").cast("string")), col("vid"))
+      .limit(k).select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Double](0))
+      }
+    var centroids = spark.createDataFrame(seeds.toIndexedSeq)
+      .toDF("centroid_id", "cv")
       .localCheckpoint()
     var it = 0
     while (it < iters) {

@@ -448,11 +448,15 @@ object AnalyticsQueries {
         FROM m""")),
 
     // Distribution ranking: spend deciles with percent_rank / cume_dist
-    // over a tie-broken total order. The ranked set is the *aggregated*
-    // customer table (not the fact table), so the single-partition global
-    // window ranks |customers| rows, not |orders| — at 100 TB the
-    // aggregate still fits one task, and ties are impossible because the
-    // order key includes the customer id.
+    // over a tie-broken total order. A global `Window.orderBy` would pull
+    // every per-customer aggregate through ONE task; instead the exact
+    // rank comes from the two-pass range-partitioned operator
+    // (`Relational.withGlobalRank` — terasort layout + partition-offset
+    // join, largest task = one range partition), and ntile / percent_rank
+    // / cume_dist reduce to closed-form integer arithmetic over (rank, n)
+    // because the order key is tie-free (includes the customer id):
+    // ntile fills the first n%10 buckets with one extra row; percent_rank
+    // = (rank-1)/(n-1); cume_dist = rank/n.
     "q74_spend_deciles" -> QueryDef(
       build = (s, dir) => {
         val orders = Engine.table(s, dir, "orders")
@@ -460,12 +464,18 @@ object AnalyticsQueries {
           .select(col("o_custkey"),
             expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
           .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
-        val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-        totals.select(col("o_custkey"),
+        val ranked = graft.operators.Relational.withGlobalRank(totals,
+          Seq(col("cents").desc, col("o_custkey")), "__rank")
+        val n = ranked.agg(max(col("__rank"))).head.getLong(0)
+        val r = col("__rank")
+        val decile = graft.operators.Relational.ntileFromRank(r, n, 10)
+        ranked.select(col("o_custkey"),
           round(col("cents") / 100.0, 2).as("total_spend"),
-          ntile(10).over(w).cast("long").as("decile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          decile.cast("long").as("decile"),
+          round(if (n == 1) lit(0.0)
+            else (r - 1).cast("double") / lit((n - 1).toDouble), 6)
+            .as("pct_rank"),
+          round(r.cast("double") / lit(n.toDouble), 6).as("cume"))
       },
       oracle = Some("""
         WITH t AS (

@@ -196,18 +196,25 @@ object CurationQueries {
     // each decile reporting its mean held-out label (embeddings.label
     // keyed by doc_id) — the reliability diagram a trained quality
     // filter is judged by. Exact integer sums; two divisions per row.
+    // The decile assignment is corpus-sized, so a global-window ntile
+    // would single-partition the whole join; instead the exact rank comes
+    // from the two-pass range-partitioned `withGlobalRank` and ntile is
+    // its closed-form (rank, n) arithmetic.
     "q123_calibration" -> QueryDef(
       build = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = Engine.table(s, dir, "documents")
         val e = Engine.table(s, dir, "embeddings")
           .select(col("vec_id"), col("label"))
-        d.select(col("doc_id"),
+        val joined = d.select(col("doc_id"),
             round(Curation.qualityLogit(col("text")) * 1e6).cast("long")
               .as("z_int"))
           .join(e, col("doc_id") === col("vec_id"))
-          .withColumn("decile", ntile(10).over(
-            Window.orderBy(col("z_int"), col("doc_id"))))
+        val ranked = graft.operators.Relational.withGlobalRank(joined,
+          Seq(col("z_int"), col("doc_id")), "__rank")
+        val n = ranked.agg(max(col("__rank"))).head.getLong(0)
+        ranked
+          .withColumn("decile", graft.operators.Relational
+            .ntileFromRank(col("__rank"), n, 10).cast("int"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("sl"),
             sum(col("z_int")).as("sz"))

@@ -362,9 +362,13 @@ object SimilarityQueries {
             """).as("ts"))
           .where(col("doc_id") =!= 0)
           .groupBy(col("doc_id")).agg(sum(col("ts")).as("s"))
+          // top-100 cut FIRST (TakeOrderedAndProject — per-partition
+          // heaps, no corpus-sized single-partition window), then the
+          // rank window runs over the 100 survivors only
+          .orderBy(col("s").desc, col("doc_id")).limit(100)
           .withColumn("rl", row_number().over(
             Window.orderBy(col("s").desc, col("doc_id"))))
-          .where(col("rl") <= 100).select(col("doc_id"), col("rl"))
+          .select(col("doc_id"), col("rl"))
         val v = Engine.table(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
         val dense = v.where(col("vec_id") =!= 0)
@@ -372,9 +376,10 @@ object SimilarityQueries {
             .select(col("v").as("qv"))))
           .select(col("vec_id"),
             round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(100)
           .withColumn("rd", row_number().over(
             Window.orderBy(col("sim").desc, col("vec_id"))))
-          .where(col("rd") <= 100).select(col("vec_id"), col("rd"))
+          .select(col("vec_id"), col("rd"))
         lex.join(dense, col("doc_id") === col("vec_id"), "full_outer")
           .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
             col("rl").as("lex_rank"), col("rd").as("dense_rank"),

@@ -387,24 +387,27 @@ object TextQueries {
 
     // Vocabulary construction: top-50 corpus terms by frequency with
     // cumulative coverage share — the "how big a vocab covers X% of
-    // tokens" curve every tokenizer build starts from. The ranking
-    // window runs over the ALREADY-AGGREGATED term table (vocab-sized,
-    // thousands of rows at 100 TB — not corpus-sized), so the single-
-    // partition sort is bounded; the corpus total rides a broadcast.
+    // tokens" curve every tokenizer build starts from. The top-50 cut
+    // happens FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    // partition top-50 heaps, driver merges 50·P rows — no vocab-sized
+    // single-partition sort; at 100 TB the vocabulary is billions of
+    // terms). Rank and the running coverage sum then ride a window over
+    // the 50 surviving rows only — a prefix sum over rank r needs no row
+    // beyond r, so cutting first is exact.
     "q112_vocab_coverage" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
         val toks = d.select(explode(split(col("text"), " ")).as("term"))
         val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
         val total = toks.agg(count(lit(1)).as("total"))
+        val top = tf.orderBy(col("tf").desc, col("term")).limit(50)
         val w = Window.orderBy(col("tf").desc, col("term"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tf.crossJoin(broadcast(total))
+        top.crossJoin(broadcast(total))
           .withColumn("rank", row_number().over(
             Window.orderBy(col("tf").desc, col("term"))))
           .withColumn("coverage",
             round(sum(col("tf")).over(w) / col("total").cast("double"), 6))
-          .where(col("rank") <= 50)
           .select(col("rank"), col("term"), col("tf"), col("coverage"))
       },
       oracle = Some("""

@@ -78,9 +78,21 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // Hadoop-FS existence (java.io.File only sees the driver's local
+        // disk — always false on HDFS/S3, which would silently disable
+        // the cross-batch gate). And exclude THIS batch's partition from
+        // the read: on crash-and-replay the store already holds batch N's
+        // survivor keys, and gating batch N against its own prior attempt
+        // would drop every survivor — silent loss instead of idempotency.
+        val storeHadoopPath = new org.apache.hadoop.fs.Path(storePath)
+        val storeExists = storeHadoopPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(storeHadoopPath)
         val store =
-          if (new java.io.File(storePath).exists)
-            spark.read.parquet(storePath).select(col("band"), col("sig"))
+          if (storeExists)
+            spark.read.parquet(storePath)
+              .filter(col("batch") =!= batchId)
+              .select(col("band"), col("sig"))
           else spark.range(0).select(lit(0).as("band"),
             lit("").as("sig")).limit(0)
         val vsHistory = Dedup.incrementalLshSurvivors(

@@ -64,91 +64,109 @@ object GraftFunctions {
   private def toExpr(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
-  private def lift1(f: Column => Column): Seq[Expression] => Expression = {
-    exprs => toExpr(f(ExpressionUtils.column(exprs.head)))
+  /** Arity gate for every registered builder: `simhash(text, 64)` must be
+    * an analysis error naming the function, not a silent drop of the
+    * extra argument (and zero args must not surface as a raw
+    * NoSuchElementException from `exprs.head`).
+    */
+  private def requireArity(name: String, expected: Int,
+                           exprs: Seq[Expression]): Unit =
+    if (exprs.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$name`", "expectedNum" -> expected.toString,
+          "actualNum" -> exprs.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  private def lift1(name: String)(f: Column => Column): Seq[Expression] => Expression = {
+    exprs =>
+      requireArity(name, 1, exprs)
+      toExpr(f(ExpressionUtils.column(exprs.head)))
   }
 
-  private def lift2(f: (Column, Column) => Column): Seq[Expression] => Expression = {
-    case Seq(a, b) =>
-      toExpr(f(ExpressionUtils.column(a), ExpressionUtils.column(b)))
-    case other => throw new IllegalArgumentException(
-      s"expected 2 arguments, got ${other.size}")
+  private def lift2(name: String)(f: (Column, Column) => Column): Seq[Expression] => Expression = {
+    exprs =>
+      requireArity(name, 2, exprs)
+      toExpr(f(ExpressionUtils.column(exprs(0)), ExpressionUtils.column(exprs(1))))
+  }
+
+  /** 1-arg native-expression builder with the same arity gate. */
+  private def native1(name: String)(f: Expression => Expression): Seq[Expression] => Expression = {
+    exprs =>
+      requireArity(name, 1, exprs)
+      f(exprs.head)
   }
 
   val injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("hash60"),
       info("hash60", "hash60(str) - first 60 bits of md5(str) as BIGINT"),
-      (exprs: Seq[Expression]) => graft.expressions.Hash60(exprs.head)),
+      native1("hash60")(graft.expressions.Hash60(_))),
     (FunctionIdentifier("hash56"),
       info("hash56", "hash56(str) - md5(str) hex chars 16..29 as BIGINT"),
-      (exprs: Seq[Expression]) => graft.expressions.Hash56(exprs.head)),
+      native1("hash56")(graft.expressions.Hash56(_))),
     // The reference's scalar surface (SURVEY.md §2.7), SQL-callable. Each
     // expands to the identical composed expression tree as the Column API
     // (graft.functions), so `spark.sql("SELECT safe_float(c) …")` and
     // `df.select(safe_float(col("c")))` produce the same plan.
     (FunctionIdentifier("safe_float"),
       info("safe_float", "safe_float(str) - forgiving float parse, EU comma, null-on-fail"),
-      lift1(graft.functions.safe_float)),
+      lift1("safe_float")(graft.functions.safe_float)),
     (FunctionIdentifier("normalize_null"),
       info("normalize_null", "normalize_null(str) - None/none/NaN/'' sentinels to NULL"),
-      lift1(graft.functions.normalize_null)),
+      lift1("normalize_null")(graft.functions.normalize_null)),
     (FunctionIdentifier("clean_money"),
       info("clean_money", "clean_money(str) - strip $,+ and spaces, re-apply sign, parse"),
-      lift1(graft.functions.clean_money)),
+      lift1("clean_money")(graft.functions.clean_money)),
     (FunctionIdentifier("spanish_to_date"),
       info("spanish_to_date", "spanish_to_date(str) - dd-MMM-yyyy with Spanish month abbrevs"),
-      lift1(graft.functions.spanish_to_date)),
+      lift1("spanish_to_date")(graft.functions.spanish_to_date)),
     (FunctionIdentifier("statement_date"),
       info("statement_date", "statement_date(str) - C-locale dd-MMM-yyyy parse (reference parity)"),
-      lift1(graft.functions.statement_date)),
+      lift1("statement_date")(graft.functions.statement_date)),
     (FunctionIdentifier("filename_date"),
       info("filename_date", "filename_date(date) - ddMMMyyyy filename token"),
-      lift1(graft.functions.filename_date)),
+      lift1("filename_date")(graft.functions.filename_date)),
     (FunctionIdentifier("excel_serial_date"),
       info("excel_serial_date", "excel_serial_date(n) - Excel serial number to date"),
-      lift1(graft.functions.excel_serial_date)),
+      lift1("excel_serial_date")(graft.functions.excel_serial_date)),
     (FunctionIdentifier("store_name"),
       info("store_name", "store_name(url) - host-derived store token (C7)"),
-      lift1(graft.functions.store_name)),
+      lift1("store_name")(graft.functions.store_name)),
     (FunctionIdentifier("provider_url"),
       info("provider_url", "provider_url(url) - canonicalized provider URL (C8)"),
-      lift1(graft.functions.provider_url)),
+      lift1("provider_url")(graft.functions.provider_url)),
     (FunctionIdentifier("domain_store"),
       info("domain_store", "domain_store(url) - lowercased domain with ML special case (C9)"),
-      lift1(graft.functions.domain_store)),
+      lift1("domain_store")(graft.functions.domain_store)),
     (FunctionIdentifier("truncate500"),
       info("truncate500", "truncate500(str) - sink-side 500-char truncation (C11)"),
-      lift1(graft.functions.truncate500)),
+      lift1("truncate500")(graft.functions.truncate500)),
     (FunctionIdentifier("derived_price"),
       info("derived_price", "derived_price(venta, final_cost) - 30% margin fallback (C12)"),
-      lift2(graft.functions.derived_price)),
+      lift2("derived_price")(graft.functions.derived_price)),
     (FunctionIdentifier("derived_offer"),
       info("derived_offer", "derived_offer(oferta, price) - 15% offer fallback (C12)"),
-      lift2(graft.functions.derived_offer)),
+      lift2("derived_offer")(graft.functions.derived_offer)),
     (FunctionIdentifier("default_if_falsy"),
       info("default_if_falsy", "default_if_falsy(c, default) - pandas-truthiness default (C14)"),
-      lift2(graft.functions.default_if_falsy)),
+      lift2("default_if_falsy")(graft.functions.default_if_falsy)),
     (FunctionIdentifier("redact_pii"),
       info("redact_pii", "redact_pii(str) - mask emails, IPv4s, card-like digit runs"),
-      lift1(graft.operators.Curation.redactPii)),
+      lift1("redact_pii")(graft.operators.Curation.redactPii)),
     (FunctionIdentifier("quality_logit"),
       info("quality_logit", "quality_logit(str) - linear quality-model logit over text features"),
-      lift1(c => graft.operators.Curation.qualityLogit(c))),
+      lift1("quality_logit")(c => graft.operators.Curation.qualityLogit(c))),
     // Fused text-sketch expressions (the training-data surface),
     // SQL-callable with literal int parameters where present.
     (FunctionIdentifier("simhash"),
       info("simhash", "simhash(str) - 32-bit SimHash over whitespace tokens, one pass"),
-      (exprs: Seq[Expression]) =>
-        graft.expressions.SimHashBits(exprs.head, 32)),
+      native1("simhash")(graft.expressions.SimHashBits(_, 32))),
     (FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs", "minhash_sigs(str) - 16 MinHash signature minima of word 3-shingles"),
-      (exprs: Seq[Expression]) =>
-        graft.expressions.MinHashSigs(exprs.head, 16)),
+      native1("minhash_sigs")(graft.expressions.MinHashSigs(_, 16))),
     (FunctionIdentifier("hashing_vec"),
       info("hashing_vec", "hashing_vec(str) - 16-dim signed feature-hashing vector"),
-      (exprs: Seq[Expression]) =>
-        graft.expressions.HashingVec(exprs.head, 16)))
+      native1("hashing_vec")(graft.expressions.HashingVec(_, 16))))
 
   /** Register on a live session (the extensions path needs session
     * construction time; this one does not).

@@ -33,6 +33,36 @@ class OperatorsSpec extends SparkSpec {
       agg.orderBy($"k").collect().toSeq)
   }
 
+  test("withGlobalRank ≡ global row_number window; partitioning-proof") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Engine.table(spark, sf(), "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_custkey")
+    val spec = df.withColumn("__rank",
+      row_number().over(Window.orderBy($"o_totalprice".desc, $"o_orderkey"))
+        .cast("long"))
+    val twoPass = Relational.withGlobalRank(df,
+      Seq($"o_totalprice".desc, $"o_orderkey"), "__rank")
+    assert(spec.exceptAll(twoPass).isEmpty && twoPass.exceptAll(spec).isEmpty)
+    // rank must not depend on the incoming partitioning
+    val shuffled = Relational.withGlobalRank(df.repartition(7, $"o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey"), "__rank")
+    assert(shuffled.exceptAll(spec).isEmpty && spec.exceptAll(shuffled).isEmpty)
+  }
+
+  test("ntileFromRank ≡ ntile window, including the n % k remainder fill") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(5, 10, 23, 100)) {
+      val df = spark.range(1, n + 1).toDF("r")
+      val spec = df.select($"r",
+        ntile(10).over(Window.orderBy($"r")).as("b")).as[(Long, Int)]
+        .collect().toMap
+      val formula = df.select($"r",
+        Relational.ntileFromRank($"r", n.toLong, 10).cast("int").as("b"))
+        .as[(Long, Int)].collect().toMap
+      assert(formula == spec, s"n=$n")
+    }
+  }
+
   test("fused stopword scores ≡ composed langId/qualityScore") {
     val d = Engine.table(spark, sf(), "documents").limit(300)
     val cmp = d.select(

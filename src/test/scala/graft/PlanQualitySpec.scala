@@ -239,4 +239,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"hashing trick must not shuffle:\n$p")
     assert(p.contains("Generate"), s"posexplode expected:\n$p")
   }
+
+  // Queries allowed to keep an un-partitioned Window because their window
+  // INPUT is bounded by something other than a plan-visible limit. Every
+  // entry needs a reason; anything not listed fails the gate below.
+  private val boundedWindowAllowlist: Map[String, String] = Map(
+    "q08_dim_upsert" -> ("dim-id assignment windows run over DISTINCT order " +
+      "priorities (a 5-value enum) and per-batch NEW dim keys — dim-domain-" +
+      "sized by construction, the survey's prescribed upsert pattern"),
+    "q95_revenue_anomaly" -> ("trailing 28-day z-score runs over the DAILY " +
+      "aggregate — one row per calendar day, bounded by elapsed time, and a " +
+      "RANGE frame needs the contiguous day order"))
+
+  test("no query plans an un-partitioned Window over unbounded input") {
+    // The scale gate: Window.orderBy(...) with no partitionBy executes by
+    // funneling its entire input through ONE task. It is only acceptable
+    // above an explicit global limit (TakeOrderedAndProject / GlobalLimit
+    // bound the input to k rows first) or for the allowlisted domain-
+    // bounded inputs above. Protects every future query too.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    def boundedBelow(p: SparkPlan): Boolean = p.exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+           _: CollectLimitExec => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) if !boundedWindowAllowlist.contains(name) =>
+        val physical = strip(q(spark, sf()).queryExecution.executedPlan)
+        physical.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+              !boundedBelow(w.child) =>
+            s"$name: ${w.simpleString(160)}"
+        }
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"single-partition global windows over unbounded input:\n${offenders.mkString("\n")}")
+  }
 }
