@@ -159,12 +159,17 @@ object SimilarityQueries {
       headline = true),
 
     // IVF over TRAINED centroids: spherical k-means (3 Lloyd's
-    // iterations) replaces the deterministic sample of q43. Training is
-    // partitioning-invariant (exact integer dimension sums —
-    // OperatorsSpec law), but re-deriving 3 Lloyd's iterations in SQL is
-    // impractical, so no value oracle: the driver records the rows-only
-    // check, and OperatorsSpec pins the k-means laws (objective
-    // non-decreasing, unit norms, deterministic ids, repartition-proof).
+    // iterations) replaces the deterministic sample of q43. The training
+    // is partitioning-invariant by construction — exact 1e-9-quantized
+    // integer dimension sums, md5-ordered seed selection, fixed iteration
+    // count — which makes it CROSS-ENGINE reproducible too: the oracle
+    // re-derives all 3 Lloyd's iterations as a DuckDB recursive CTE
+    // (seeds via the same md5 order, assignment via the same
+    // round(cos·1e6) argmax with centroid-id tie-break, means via the
+    // same integer sums, spherical renorm via list_dot_product — the
+    // bit-compatible fold q70 pins), then runs q43's probe/rank skeleton
+    // over the trained table. Empty clusters keep the previous centroid
+    // on both sides (LEFT JOIN + coalesce ≡ the Spark left join).
     "q65_ann_ivf_trained" -> QueryDef(
       build = (s, dir) => {
         val e = Engine.fanOut(Engine.table(s, dir, "embeddings"))
@@ -174,7 +179,70 @@ object SimilarityQueries {
         Similarity.ivfTopK(e, queries, "embedding", "vec_id",
           k = 3, centroids = centroids, nprobe = 3)
       },
-      oracle = None),
+      oracle = Some(s"""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        init AS (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+                   - 1 AS centroid_id, vec AS cv
+          FROM v
+          QUALIFY row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 20),
+        cent(iter, centroid_id, cv) AS (
+          SELECT 0 AS iter, centroid_id, cv FROM init
+          UNION ALL
+          SELECT p.iter + 1, p.centroid_id, coalesce(r.ncv, p.cv)
+          FROM cent p LEFT JOIN (
+            WITH assigned AS (
+              SELECT vec_id, vec,
+                     (list(centroid_id ORDER BY
+                        CAST(round(${sqlCos("vec", "cv")} * 1e6) AS BIGINT) DESC,
+                        centroid_id ASC))[1] AS cluster_id
+              FROM v CROSS JOIN cent GROUP BY vec_id, vec),
+            sums AS (
+              SELECT cluster_id, g.dim,
+                     CAST(sum(CAST(round(vec[g.dim] * 1e9) AS BIGINT)) AS BIGINT)
+                       AS sxi
+              FROM assigned CROSS JOIN generate_series(1, $Dims) g(dim)
+              GROUP BY cluster_id, g.dim),
+            means AS (
+              SELECT cluster_id, list(sxi / 1e9 ORDER BY dim) AS mv FROM sums
+              GROUP BY cluster_id)
+            SELECT cluster_id AS centroid_id,
+                   list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv)))
+                     AS ncv
+            FROM means) r USING (centroid_id)
+          WHERE p.iter < 3),
+        trained AS (SELECT centroid_id, cv AS cvec FROM cent WHERE iter = 3),
+        assign AS (
+          SELECT vec_id, vec, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(${sqlCos("vec", "cvec")}, 6) DESC,
+                            centroid_id ASC) AS rn
+          FROM v CROSS JOIN trained),
+        corpus AS (SELECT vec_id AS neighbor_id, vec AS nvec,
+                          centroid_id AS cluster_id
+                   FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, vec AS qvec, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(${sqlCos("vec", "cvec")}, 6) DESC,
+                            centroid_id ASC) AS rn
+          FROM v CROSS JOIN trained WHERE vec_id % 50 = 0),
+        probed AS (SELECT query_id, qvec, centroid_id AS cluster_id
+                   FROM probes WHERE rn <= 3),
+        scored AS (
+          SELECT p.query_id, p.cluster_id, c.neighbor_id,
+                 round(${sqlCos("p.qvec", "c.nvec")}, 6) AS sim
+          FROM probed p JOIN corpus c USING (cluster_id)
+          WHERE p.query_id != c.neighbor_id),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, cluster_id, neighbor_id, rank, sim
+        FROM ranked WHERE rank <= 3""")),
 
     // Per-vector array analytics: norm / min / max / mean of each
     // embedding as one codegen'd projection — both engines fold the
