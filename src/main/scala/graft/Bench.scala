@@ -34,8 +34,11 @@ object Bench {
       }
     // Median of `reps` timed runs per query: single-shot times on a busy
     // host swing ±20% (measured across Bench invocations); the median is
-    // the stable steady-state latency.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // the stable steady-state latency. All reps are also emitted per
+    // query (`reps` field, run order) so a one-off host stall is
+    // attributable from the JSON instead of reading as a plan regression
+    // (round 2 burned a 3.3x phantom on exactly that).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = SparkEntry.headline.map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -44,15 +47,19 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2)
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+      "\"" + k + f"\":${v.sorted.apply(v.size / 2)}%.3f"
+    }.mkString("{", ",", "}")
+    val repArrays = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, v) => v.sorted.apply(v.size / 2) }.sum
     val sf = sfDir.split("/").reverseIterator
       .collectFirst { case s if s.startsWith("sf") => s.drop(2) }.getOrElse("?")
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":$sf}""")
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repArrays,"sf":$sf}""")
     spark.stop()
   }
 }

@@ -11,15 +11,25 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *
   *  - Dim scans (S5) read whole catalogs once and broadcast.
   *  - The upsert sink (S8) stages each partition's rows with batched
-  *    INSERTs into a temp table, then merges with ONE
-  *    `INSERT … SELECT … ON CONFLICT` statement per partition —
-  *    the same final SQL semantics as the reference's M1 store upsert,
-  *    with per-partition transactions (M5: commit-or-rollback a unit).
+  *    INSERTs into a staging table, then merges with ONE set-oriented
+  *    statement per partition — the same final SQL semantics as the
+  *    reference's M1 store upsert, with per-partition transactions
+  *    (M5: commit-or-rollback a unit).
   *
-  * SQL generation is pure and unit-tested; the IO path is exercised only
-  * where a live database exists (none ships in this environment).
+  * The merge statement is dialect-specific ([[MergeDialect]]):
+  * [[PostgresDialect]] emits the reference's exact
+  * `INSERT … ON CONFLICT` shape (`database_utils.py:70-79`);
+  * [[DerbyDialect]] emits standard `MERGE INTO`, which lets the whole
+  * staged-merge path — staging DDL, batched binds, merge, transaction,
+  * replay idempotency — execute for real against the embedded Derby
+  * that ships with Spark (`JdbcMergeSpec`). Both dialects share every
+  * line of the IO path; only statement text differs.
+  *
   * Connection counts at 100 TB: `coalesce` the DataFrame before calling
-  * [[upsert]] — one connection per partition is the contract.
+  * [[upsert]] — one connection per partition is the contract. Duplicate
+  * conflict keys within one batch are the caller's to resolve first
+  * (both `ON CONFLICT` and `MERGE` reject a row affected twice — same
+  * contract as the reference's per-file dedup gate).
   */
 object JdbcMergeSink {
 
@@ -30,48 +40,108 @@ object JdbcMergeSink {
               props: Properties): DataFrame =
     broadcast(spark.read.jdbc(url, table, props))
 
-  /** Staged-merge statement set for one partition of `table` rows.
-    * Mirrors M1 (`INSERT … ON CONFLICT (key) DO UPDATE SET …`,
-    * `database_utils.py:70-79`) generalized to any column/key split:
-    * `updateCols` empty → DO NOTHING (M2 insert-if-absent semantics).
+  final case class MergeSql(createStaging: String, insertStaging: String,
+                            merge: String, dropStaging: Option[String] = None)
+
+  /** Statement generation for one target database flavor. Implementations
+    * must be objects (serialized into the `foreachPartition` closure).
+    */
+  sealed trait MergeDialect extends Serializable {
+    /** Staging-table name for one partition's batch. Must be unique per
+      * concurrent partition unless the dialect's staging DDL is
+      * per-session scoped (Postgres TEMP tables are; plain tables are
+      * not).
+      */
+    def stagingName(table: String): String
+    def statements(table: String, staging: String, columns: Seq[String],
+                   conflictKeys: Seq[String], updateCols: Seq[String]): MergeSql
+  }
+
+  /** The reference's target: staged `INSERT … SELECT … ON CONFLICT`
+    * (`database_utils.py:70-79`; M2 DO NOTHING at `:99-113`). TEMP tables
+    * are session-scoped and `ON COMMIT DROP`, so the fixed staging name
+    * is safe across concurrent partitions and nothing needs dropping.
+    */
+  case object PostgresDialect extends MergeDialect {
+    def stagingName(table: String): String = s"_staging_$table"
+    def statements(table: String, staging: String, columns: Seq[String],
+                   conflictKeys: Seq[String], updateCols: Seq[String]): MergeSql = {
+      val cols = columns.mkString(", ")
+      val conflict =
+        if (updateCols.isEmpty) "DO NOTHING"
+        else "DO UPDATE SET " + updateCols
+          .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      MergeSql(
+        createStaging =
+          s"CREATE TEMP TABLE IF NOT EXISTS $staging (LIKE $table INCLUDING DEFAULTS) ON COMMIT DROP",
+        insertStaging =
+          s"INSERT INTO $staging ($cols) VALUES (${columns.map(_ => "?").mkString(", ")})",
+        merge =
+          s"""INSERT INTO $table ($cols)
+             |SELECT $cols FROM $staging
+             |ON CONFLICT (${conflictKeys.mkString(", ")}) $conflict""".stripMargin)
+    }
+  }
+
+  /** Standard-SQL `MERGE INTO` flavor, runnable on the embedded Derby in
+    * Spark's own classpath — the live end-to-end test bed for the staged
+    * merge mechanism. Derby has no session-scoped `CREATE TABLE LIKE`,
+    * so staging is a uniquely-named real table created `WITH NO DATA`
+    * and dropped in the same transaction.
+    */
+  case object DerbyDialect extends MergeDialect {
+    def stagingName(table: String): String =
+      s"staging_${table}_${java.util.UUID.randomUUID.toString.replace("-", "").take(12)}"
+    def statements(table: String, staging: String, columns: Seq[String],
+                   conflictKeys: Seq[String], updateCols: Seq[String]): MergeSql = {
+      val cols = columns.mkString(", ")
+      val on = conflictKeys.map(k => s"t.$k = s.$k").mkString(" AND ")
+      val matched =
+        if (updateCols.isEmpty) ""
+        else "\nWHEN MATCHED THEN UPDATE SET " + updateCols
+          .map(c => s"$c = s.$c").mkString(", ")
+      MergeSql(
+        createStaging =
+          s"CREATE TABLE $staging AS SELECT * FROM $table WITH NO DATA",
+        insertStaging =
+          s"INSERT INTO $staging ($cols) VALUES (${columns.map(_ => "?").mkString(", ")})",
+        merge =
+          s"""MERGE INTO $table t USING $staging s ON ($on)$matched
+             |WHEN NOT MATCHED THEN INSERT ($cols)
+             |VALUES (${columns.map(c => s"s.$c").mkString(", ")})""".stripMargin,
+        dropStaging = Some(s"DROP TABLE $staging"))
+    }
+  }
+
+  /** Staged-merge statement set for one partition of `table` rows in the
+    * reference's Postgres flavor (kept as the pinned-SQL surface;
+    * `upsert` threads any [[MergeDialect]] through the same path).
     */
   def mergeSql(table: String, columns: Seq[String], conflictKeys: Seq[String],
                updateCols: Seq[String]): MergeSql = {
     require(conflictKeys.nonEmpty, "conflictKeys must be non-empty")
-    val cols = columns.mkString(", ")
-    val staging = s"_staging_$table"
-    val conflict =
-      if (updateCols.isEmpty) "DO NOTHING"
-      else "DO UPDATE SET " + updateCols
-        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    MergeSql(
-      createStaging =
-        s"CREATE TEMP TABLE IF NOT EXISTS $staging (LIKE $table INCLUDING DEFAULTS) ON COMMIT DROP",
-      insertStaging =
-        s"INSERT INTO $staging ($cols) VALUES (${columns.map(_ => "?").mkString(", ")})",
-      merge =
-        s"""INSERT INTO $table ($cols)
-           |SELECT $cols FROM $staging
-           |ON CONFLICT (${conflictKeys.mkString(", ")}) $conflict""".stripMargin)
+    PostgresDialect.statements(table, PostgresDialect.stagingName(table),
+      columns, conflictKeys, updateCols)
   }
 
-  final case class MergeSql(createStaging: String, insertStaging: String,
-                            merge: String)
-
-  /** S8: write `df` into `table` with staged `ON CONFLICT` merge — one
-    * connection, one transaction, one merge statement per partition.
-    * Batched inserts (`batchSize`) into the temp staging table replace
-    * the reference's row-at-a-time execute loop.
+  /** S8: write `df` into `table` with a staged merge — one connection,
+    * one transaction, one merge statement per partition. Batched inserts
+    * (`batchSize`) into the staging table replace the reference's
+    * row-at-a-time execute loop.
     */
   def upsert(df: DataFrame, url: String, table: String,
              conflictKeys: Seq[String], updateCols: Seq[String],
-             props: Properties, batchSize: Int = 1000): Unit = {
+             props: Properties, batchSize: Int = 1000,
+             dialect: MergeDialect = PostgresDialect): Unit = {
+    require(conflictKeys.nonEmpty, "conflictKeys must be non-empty")
     val columns = df.columns.toSeq
-    val sql = mergeSql(table, columns, conflictKeys, updateCols)
     val propPairs = props.stringPropertyNames().toArray(Array.empty[String])
       .map(k => k -> props.getProperty(k)).toSeq
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
+        val staging = dialect.stagingName(table)
+        val sql = dialect.statements(table, staging, columns, conflictKeys,
+          updateCols)
         val p = new Properties()
         propPairs.foreach { case (k, v) => p.setProperty(k, v) }
         val conn = DriverManager.getConnection(url, p)
@@ -90,6 +160,7 @@ object JdbcMergeSink {
             ps.executeBatch()
           } finally ps.close()
           execute(conn, sql.merge)
+          sql.dropStaging.foreach(execute(conn, _))
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e

@@ -3,8 +3,13 @@ package graft
 import graft.sources.JdbcMergeSink
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Staged-merge SQL generation (S8/M1-M5). The IO path needs a live
-  * database; the statement set is the testable contract.
+/** Staged-merge SQL generation (S8/M1-M5) plus the LIVE round-trip: the
+  * Postgres statement set is the pinned reference contract
+  * (`database_utils.py:70-79`), and the same staged-merge IO path —
+  * staging DDL, batched binds, one merge + one transaction per
+  * partition, replay idempotency — executes for real against embedded
+  * Derby (in Spark's own classpath) via the MERGE dialect in
+  * [[JdbcLiveMergeSpec]].
   */
 class JdbcMergeSpec extends AnyFunSuite {
 
@@ -35,5 +40,104 @@ class JdbcMergeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       JdbcMergeSink.mergeSql("t", Seq("a"), Seq.empty, Seq.empty)
     }
+  }
+}
+
+/** The staged merge executed END TO END against a real database —
+  * embedded in-memory Derby (ships in `/opt/spark/jars`), via the
+  * standard-SQL MERGE dialect. What the reference actually does per
+  * file (`import_files_to_postgre.py:228-237`: stage, merge, commit, or
+  * roll the whole file back) is exercised here with multi-partition
+  * DataFrames: M1 update-on-conflict, M2 insert-if-absent, M5
+  * replay idempotency, and rollback leaving no staging debris.
+  */
+class JdbcLiveMergeSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+  import JdbcMergeSink.DerbyDialect
+  import java.sql.DriverManager
+
+  private val url = "jdbc:derby:memory:graftmerge;create=true"
+  private val props = new java.util.Properties()
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def exec(sql: String): Unit =
+    withConn { c => val st = c.createStatement(); try st.execute(sql) finally st.close() }
+
+  private def queryStore(): Map[String, (String, Double)] = withConn { c =>
+    val rs = c.createStatement()
+      .executeQuery("SELECT store_name, store_url, price FROM store")
+    val b = Map.newBuilder[String, (String, Double)]
+    while (rs.next()) b += rs.getString(1) -> (rs.getString(2), rs.getDouble(3))
+    b.result()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    exec("""CREATE TABLE store (
+      store_name VARCHAR(64) NOT NULL PRIMARY KEY,
+      store_url VARCHAR(256), price DOUBLE)""")
+  }
+
+  test("M1 upsert: inserts new keys, updates listed columns on conflict") {
+    import spark.implicits._
+    val batch1 = Seq(("alpha", "http://a", 1.0), ("beta", "http://b", 2.0),
+        ("gamma", "http://c", 3.0))
+      .toDF("store_name", "store_url", "price").repartition(2)
+    JdbcMergeSink.upsert(batch1, url, "store", Seq("store_name"),
+      updateCols = Seq("store_url", "price"), props, dialect = DerbyDialect)
+    assert(queryStore() == Map("alpha" -> ("http://a", 1.0),
+      "beta" -> ("http://b", 2.0), "gamma" -> ("http://c", 3.0)))
+
+    // conflict on alpha/beta updates them; delta inserts
+    val batch2 = Seq(("alpha", "http://a2", 10.0), ("beta", "http://b2", 20.0),
+        ("delta", "http://d", 4.0))
+      .toDF("store_name", "store_url", "price").repartition(3)
+    JdbcMergeSink.upsert(batch2, url, "store", Seq("store_name"),
+      updateCols = Seq("store_url", "price"), props, dialect = DerbyDialect)
+    assert(queryStore() == Map("alpha" -> ("http://a2", 10.0),
+      "beta" -> ("http://b2", 20.0), "gamma" -> ("http://c", 3.0),
+      "delta" -> ("http://d", 4.0)))
+
+    // M5 replay idempotency: re-running an identical batch is a no-op
+    JdbcMergeSink.upsert(batch2, url, "store", Seq("store_name"),
+      updateCols = Seq("store_url", "price"), props, dialect = DerbyDialect)
+    assert(queryStore().size == 4)
+  }
+
+  test("M2 insert-if-absent: existing rows keep their values") {
+    import spark.implicits._
+    val probe = Seq(("alpha", "http://SHOULD_NOT_WIN", 99.0),
+        ("epsilon", "http://e", 5.0))
+      .toDF("store_name", "store_url", "price")
+    JdbcMergeSink.upsert(probe, url, "store", Seq("store_name"),
+      updateCols = Seq.empty, props, dialect = DerbyDialect)
+    val rows = queryStore()
+    assert(rows("alpha") == ("http://a2", 10.0)) // untouched
+    assert(rows("epsilon") == ("http://e", 5.0)) // inserted
+  }
+
+  test("failed partition rolls back atomically and drops its staging table") {
+    import spark.implicits._
+    // NULL into the NOT NULL primary key → the merge statement fails;
+    // the partition's transaction must roll back the staged rows AND the
+    // staging DDL (Derby DDL is transactional), leaving no debris
+    val bad = Seq((null.asInstanceOf[String], "http://x", 7.0))
+      .toDF("store_name", "store_url", "price").coalesce(1)
+    intercept[Exception] {
+      JdbcMergeSink.upsert(bad, url, "store", Seq("store_name"),
+        updateCols = Seq("store_url"), props, dialect = DerbyDialect)
+    }
+    assert(queryStore().size == 5) // table unchanged
+    val staging = withConn { c =>
+      val rs = c.getMetaData.getTables(null, null, "STAGING_%", null)
+      val names = Seq.newBuilder[String]
+      while (rs.next()) names += rs.getString("TABLE_NAME")
+      names.result()
+    }
+    assert(staging.isEmpty, s"staging debris: $staging")
   }
 }
