@@ -11,15 +11,26 @@ import org.apache.spark.sql.types._
   *
   * This is a DRIVER-SIDE parity sink: each sheet's DataFrame is collected,
   * so it is only for reference-scale outputs (statement extracts, report
-  * workbooks). The engine-native sink at scale is `df.write.parquet`; this
-  * exists so a reference user keeps their .xlsx artifacts.
+  * workbooks — the reference's own files are ≤90 rows). The engine-native
+  * sink at scale is `df.write.parquet`; this exists so a reference user
+  * keeps their .xlsx artifacts. The fence is enforced, not advisory:
+  * sheets over `maxRowsPerSheet` (default 65 536; hard ceiling at the
+  * xlsx format's 1 048 576) abort mid-stream BEFORE the driver drains an
+  * unbounded iterator — a scale path reaching this sink is a bug, never
+  * a silent driver OOM.
   *
   * Inline strings only (no shared-string table) — single-pass streaming
   * write, and [[XlsxParser]] round-trips it.
   */
 object XlsxWriter {
 
-  def write(path: String, sheets: Seq[(String, DataFrame)]): Unit = {
+  /** xlsx format ceiling (rows per sheet, header included). */
+  val XlsxRowLimit: Int = 1 << 20
+
+  def write(path: String, sheets: Seq[(String, DataFrame)],
+            maxRowsPerSheet: Int = 1 << 16): Unit = {
+    require(maxRowsPerSheet <= XlsxRowLimit,
+      s"maxRowsPerSheet $maxRowsPerSheet exceeds the xlsx format limit $XlsxRowLimit")
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {
       put(zos, "[Content_Types].xml", contentTypes(sheets.size))
@@ -29,8 +40,9 @@ object XlsxWriter {
       put(zos, "xl/workbook.xml", workbookXml(sheets.map(_._1)))
       put(zos, "xl/_rels/workbook.xml.rels", workbookRels(sheets.size))
       put(zos, "xl/styles.xml", stylesXml)
-      sheets.zipWithIndex.foreach { case ((_, df), i) =>
-        put(zos, s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      sheets.zipWithIndex.foreach { case ((name, df), i) =>
+        put(zos, s"xl/worksheets/sheet${i + 1}.xml",
+          sheetXml(df, name, maxRowsPerSheet))
       }
     } finally zos.close()
   }
@@ -78,7 +90,8 @@ object XlsxWriter {
     java.time.temporal.ChronoUnit.DAYS.between(
       java.time.LocalDate.of(1899, 12, 30), d)
 
-  private def sheetXml(df: DataFrame): String = {
+  private def sheetXml(df: DataFrame, sheetName: String,
+                       maxRows: Int): String = {
     val fields = df.schema.fields
     val sb = new StringBuilder
     sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
@@ -93,6 +106,11 @@ object XlsxWriter {
       i -> inlineStr(XlsxParser.colRef(i) + "1", fields(i).name)))
     var rn = 2
     df.toLocalIterator().forEachRemaining { r =>
+      if (rn - 1 > maxRows)
+        throw new IllegalStateException(
+          s"sheet '$sheetName' exceeds the $maxRows-row parity-sink fence; " +
+            "XlsxWriter is the driver-side parity sink for reference-scale " +
+            "workbooks — write parquet for scale outputs")
       val cells = fields.indices.flatMap { i =>
         if (r.isNullAt(i)) None
         else {

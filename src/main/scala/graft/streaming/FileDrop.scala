@@ -37,8 +37,42 @@ object FileDrop {
     */
   def runAvailableNow(spark: SparkSession, cfg: Config)(
       process: (DataFrame, Long) => Unit): (Long, Long) = {
-    var ok = 0L
-    var err = 0L
+    val (ok, err) = (new java.util.concurrent.atomic.AtomicLong,
+      new java.util.concurrent.atomic.AtomicLong)
+    start(spark, cfg, Trigger.AvailableNow(), ok, err)(process)
+      .awaitTermination()
+    (ok.get, err.get)
+  }
+
+  /** Counters + handle for a live (continuously-triggered) drop-directory
+    * pipeline; `stop()` the query to end it.
+    */
+  final case class LiveHandle(query: org.apache.spark.sql.streaming.StreamingQuery,
+                              processed: java.util.concurrent.atomic.AtomicLong,
+                              errored: java.util.concurrent.atomic.AtomicLong)
+
+  /** The LIVE drop-directory mode the reference's long-running loop
+    * corresponds to: same per-file micro-batches, same archive/quarantine
+    * moves, but a ProcessingTime trigger that keeps polling `inputDir`
+    * for files arriving mid-stream instead of draining and exiting.
+    * Restart-safe through the same checkpoint as [[runAvailableNow]] —
+    * the two modes are the SAME query, differing only in trigger.
+    */
+  def runLive(spark: SparkSession, cfg: Config,
+              interval: String = "100 milliseconds")(
+      process: (DataFrame, Long) => Unit): LiveHandle = {
+    val (ok, err) = (new java.util.concurrent.atomic.AtomicLong,
+      new java.util.concurrent.atomic.AtomicLong)
+    LiveHandle(
+      start(spark, cfg, Trigger.ProcessingTime(interval), ok, err)(process),
+      ok, err)
+  }
+
+  private def start(spark: SparkSession, cfg: Config, trigger: Trigger,
+                    ok: java.util.concurrent.atomic.AtomicLong,
+                    err: java.util.concurrent.atomic.AtomicLong)(
+      process: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val stream = spark.readStream
       .format(cfg.format)
       .schema(cfg.schema)
@@ -46,8 +80,8 @@ object FileDrop {
       .option("maxFilesPerTrigger", "1")
       .load(cfg.inputDir)
       .withColumn("_source_file", input_file_name())
-    val query = stream.writeStream
-      .trigger(Trigger.AvailableNow())
+    stream.writeStream
+      .trigger(trigger)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val files = batch.select(col("_source_file")).distinct()
@@ -55,17 +89,15 @@ object FileDrop {
         try {
           process(batch.drop("_source_file"), batchId)
           files.foreach(f => moveFile(spark, f, cfg.processedDir))
-          ok += files.length
+          ok.addAndGet(files.length.toLong)
         } catch {
           case e: Throwable =>
             files.foreach(f => moveFile(spark, f, cfg.errorsDir))
-            err += files.length
+            err.addAndGet(files.length.toLong)
         }
         ()
       }
       .start()
-    query.awaitTermination()
-    (ok, err)
   }
 
   /** Hadoop-FS move with collision timestamp suffix — the engine's

@@ -77,43 +77,95 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // Hadoop-FS existence (java.io.File only sees the driver's local
-        // disk — always false on HDFS/S3, which would silently disable
-        // the cross-batch gate). And exclude THIS batch's partition from
-        // the read: on crash-and-replay the store already holds batch N's
-        // survivor keys, and gating batch N against its own prior attempt
-        // would drop every survivor — silent loss instead of idempotency.
-        val storeHadoopPath = new org.apache.hadoop.fs.Path(storePath)
-        val storeExists = storeHadoopPath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(storeHadoopPath)
-        val store =
-          if (storeExists)
-            spark.read.parquet(storePath)
-              .filter(col("batch") =!= batchId)
-              .select(col("band"), col("sig"))
-          else spark.range(0).select(lit(0).as("band"),
-            lit("").as("sig")).limit(0)
-        val vsHistory = Dedup.incrementalLshSurvivors(
-          batch, store, col(text), col(id), k, bands, w,
-          historyIsBandKeys = true)
-        val gated = batch.join(vsHistory.withColumnRenamed("__id", id),
-          Seq(id), "left_semi")
-        // within-batch near-dups: the smaller id wins (arrival-order proxy)
-        val dropped = Dedup.minHashLshPairs(
-            gated, col(text), col(id), k, bands, w)
-          .select(col("id_b").as(id)).dropDuplicates(id)
-        val survivors = gated.join(dropped, Seq(id), "left_anti")
-          .localCheckpoint() // gate once; don't recompute across 2 writes
-        survivors.write.mode("overwrite")
-          .parquet(s"$outPath/batch=$batchId")
-        Dedup.lshBandKeys(survivors, col(text), col(id), k, bands, w)
-          .select(col("band"), col("sig")).dropDuplicates("band", "sig")
-          .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
-        ()
+        nearDupBatch(batch, batchId, text, id, storePath, outPath, k, bands, w)
       }
       .start()
+
+  /** One micro-batch of [[nearDupIngest]] — public so replay behavior is
+    * directly testable: calling it twice with the SAME batchId must
+    * produce identical output (the second call is exactly what a
+    * crash-and-replay executes).
+    */
+  def nearDupBatch(batch: DataFrame, batchId: Long, text: String, id: String,
+                   storePath: String, outPath: String,
+                   k: Int = 16, bands: Int = 4, w: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    // Hadoop-FS existence (java.io.File only sees the driver's local
+    // disk — always false on HDFS/S3, which would silently disable
+    // the cross-batch gate). And exclude THIS batch's partition from
+    // the read: on crash-and-replay the store already holds batch N's
+    // survivor keys, and gating batch N against its own prior attempt
+    // would drop every survivor — silent loss instead of idempotency.
+    val storeHadoopPath = new org.apache.hadoop.fs.Path(storePath)
+    val storeExists = storeHadoopPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(storeHadoopPath)
+    val store =
+      if (storeExists)
+        spark.read.parquet(storePath)
+          .filter(col("batch") =!= batchId)
+          .select(col("band"), col("sig"))
+      else spark.range(0).select(lit(0).as("band"),
+        lit("").as("sig")).limit(0)
+    val vsHistory = Dedup.incrementalLshSurvivors(
+      batch, store, col(text), col(id), k, bands, w,
+      historyIsBandKeys = true)
+    val gated = batch.join(vsHistory.withColumnRenamed("__id", id),
+      Seq(id), "left_semi")
+    // within-batch near-dups: the smaller id wins (arrival-order proxy)
+    val dropped = Dedup.minHashLshPairs(
+        gated, col(text), col(id), k, bands, w)
+      .select(col("id_b").as(id)).dropDuplicates(id)
+    val survivors = gated.join(dropped, Seq(id), "left_anti")
+      .localCheckpoint() // gate once; don't recompute across 2 writes
+    survivors.write.mode("overwrite")
+      .parquet(s"$outPath/batch=$batchId")
+    Dedup.lshBandKeys(survivors, col(text), col(id), k, bands, w)
+      .select(col("band"), col("sig")).dropDuplicates("band", "sig")
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    ()
+  }
+
+  /** Compact the [[nearDupIngest]] band-key store: every `batch=N`
+    * partition the stream has appended is folded into ONE consolidated
+    * `batch=-1` partition of `targetFiles` deduplicated, (band, sig)-
+    * clustered files. Without this the store accumulates one directory
+    * and ≥1 file per micro-batch forever, and the gate's semi-join pays
+    * the listing + tiny-file open cost every batch.
+    *
+    * Semantics preserved exactly:
+    *  - (band, sig) content is the distinct union of all batches;
+    *  - the sentinel batch id -1 never equals a real micro-batch id, so
+    *    the replay-exclusion filter (`batch =!= batchId`) keeps every
+    *    compacted key visible to all future batches;
+    *  - files are hash-clustered and sorted on (band, sig)
+    *    (`repartition` + `sortWithinPartitions`), so parquet min/max
+    *    footers prune band ranges, and registering the same layout as a
+    *    bucketed table (`Engine.writeBucketed`) makes the gate join
+    *    store-side exchange-free (pinned in StreamingSpec).
+    *
+    * Run while the stream is quiescent (between `AvailableNow` drains or
+    * with the query stopped) — same discipline as any checkpoint-store
+    * maintenance.
+    */
+  def compactNearDupStore(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String, targetFiles: Int = 8): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) return
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "_compact_tmp")
+    spark.read.parquet(storePath)
+      .select(col("band"), col("sig")).dropDuplicates("band", "sig")
+      .repartition(targetFiles, col("band"), col("sig"))
+      .sortWithinPartitions("band", "sig")
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: drop every batch=* directory, move tmp in as batch=-1
+    fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .foreach(s => fs.delete(s.getPath, true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(storePath, "batch=-1"))
+    ()
+  }
 
   /** One key's running top-k snapshot (Update-mode emission). */
   case class TopKSnapshot(key_id: Long, n_seen: Long,

@@ -164,6 +164,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin LeftAnti"),
       s"contaminated-list anti-join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"q102 fell back to SMJ:\n$p")
+    // exact dedup must stay the single-exchange whole-row min_by (the
+    // 24%-faster shape from r2) — partial aggregation before its shuffle,
+    // and no second Exchange from a groupBy+join-back regression
+    assert(p.contains("partial_min_by"),
+      s"dedup lost its map-side partial min_by:\n$p")
+    assert(p.contains("shingleexplode"),
+      s"native decontamination generator missing:\n$p")
   }
 
   test("q105 top-k per key: custom exec, one exchange, no sort, no window") {

@@ -374,5 +374,70 @@ class StreamingSpec extends SparkSpec {
           .toDF("doc_id", "text"), $"text", $"doc_id")
       .select("band", "sig").as[(Int, String)].collect().toSet
     assert(storeKeys == expectKeys)
+
+    // REPLAY idempotency: re-executing batch 1 (what a crash-and-replay
+    // does — the store already holds batch 1's survivor keys) must emit
+    // the SAME survivors, not gate them against their own prior attempt
+    // and silently write an empty batch
+    graft.streaming.StreamOps.nearDupBatch(
+      Seq((20L, dup), (21L, "pack my box with five dozen liquor jugs today yes"))
+        .toDF("doc_id", "text"), batchId = 1, "text", "doc_id", store, out)
+    val keptAfterReplay = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptAfterReplay == Set(10L, 11L, 21L),
+      s"replay lost rows: $keptAfterReplay")
+
+    // COMPACTION: fold the per-batch store partitions into one batch=-1
+    // partition — same distinct keys, fewer files, and later batches
+    // still gate against it
+    graft.streaming.StreamOps.compactNearDupStore(spark, store, targetFiles = 2)
+    val dirs = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq
+    assert(dirs == Seq("batch=-1"), s"unexpected store layout: $dirs")
+    val compactedKeys = spark.read.parquet(store)
+      .select("band", "sig").as[(Int, String)].collect().toSet
+    assert(compactedKeys == expectKeys)
+    // batch 2 (post-compaction): a dup of batch 1's survivor still drops
+    graft.streaming.StreamOps.nearDupBatch(
+      Seq((30L, dup), (31L, "grumpy wizards make toxic brew for the evil queen now"))
+        .toDF("doc_id", "text"), batchId = 2, "text", "doc_id", store, out)
+    val keptFinal = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptFinal == Set(10L, 11L, 21L, 31L), s"post-compaction gate: $keptFinal")
+  }
+
+  test("FileDrop live mode: ProcessingTime trigger picks up files arriving mid-stream") {
+    val base = Files.createTempDirectory("filedroplive").toFile.getAbsolutePath
+    val in = s"$base/in"; val done = s"$base/done"; val bad = s"$base/bad"
+    new java.io.File(in).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$in/first.json"), """{"k": 1}""")
+    val cfg = FileDrop.Config(
+      inputDir = in, format = "json",
+      schema = StructType(Seq(StructField("k", LongType))),
+      processedDir = done, errorsDir = bad,
+      checkpointDir = s"$base/ckpt", pathGlob = "*.json")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val live = FileDrop.runLive(spark, cfg) { (batch, _) =>
+      batch.select(col("k")).as[Long].collect().foreach(seen.add)
+    }
+    def awaitProcessed(n: Long): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (live.processed.get() < n && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(live.processed.get() >= n,
+        s"timed out waiting for $n files, got ${live.processed.get()}")
+    }
+    awaitProcessed(1)
+    // two files DROPPED WHILE THE QUERY RUNS — the live trigger must
+    // discover them without a restart (the drained-and-exit AvailableNow
+    // mode never would)
+    Files.writeString(java.nio.file.Paths.get(s"$in/second.json"), """{"k": 2}""")
+    Files.writeString(java.nio.file.Paths.get(s"$in/third.json"), """{"k": 3}""")
+    awaitProcessed(3)
+    live.query.stop()
+    assert(seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(new java.io.File(done).list().sorted.toSeq ==
+      Seq("first.json", "second.json", "third.json"))
+    assert(live.errored.get() == 0)
   }
 }

@@ -124,6 +124,24 @@ class XlsxSpec extends SparkSpec {
       Seq(("k", "1"), ("m", null)))
   }
 
+  test("writer fence: a sheet over maxRowsPerSheet aborts, never drains the driver") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("xlsxf").toString
+    val big = spark.range(0, 50).toDF("n")
+    val e = intercept[IllegalStateException] {
+      XlsxWriter.write(s"$out/big.xlsx", Seq("s" -> big), maxRowsPerSheet = 10)
+    }
+    assert(e.getMessage.contains("parity-sink fence"))
+    // at the fence exactly → fine
+    XlsxWriter.write(s"$out/ok.xlsx",
+      Seq("s" -> spark.range(0, 10).toDF("n")), maxRowsPerSheet = 10)
+    // a guard above the format ceiling is itself rejected
+    intercept[IllegalArgumentException] {
+      XlsxWriter.write(s"$out/x.xlsx", Seq("s" -> big),
+        maxRowsPerSheet = XlsxWriter.XlsxRowLimit + 1)
+    }
+  }
+
   test("writer emits date cells as styled serials the reader restores") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("xlsxd").toString
