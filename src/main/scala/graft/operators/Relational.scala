@@ -85,7 +85,16 @@ object Relational {
     * Returns `df` plus `as` (LONG, 1..n). Law vs the window spelling is
     * pinned in OperatorsSpec; q74 rides it at scale.
     */
-  def withGlobalRank(df: DataFrame, order: Seq[Column], as: String): DataFrame = {
+  def withGlobalRank(df: DataFrame, order: Seq[Column], as: String): DataFrame =
+    withGlobalRankN(df, order, as)._1
+
+  /** [[withGlobalRank]] plus the total row count, which the offset pass
+    * already computed — rank-derived analytics (percent_rank, cume_dist,
+    * ntile) all need `n`, and re-aggregating the ranked output for it
+    * would cost one more full scan.
+    */
+  def withGlobalRankN(df: DataFrame, order: Seq[Column], as: String)
+      : (DataFrame, Long) = {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(p, order: _*)
@@ -99,11 +108,13 @@ object Relational {
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
     val offDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__off")
-    ranged.withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+    val ranked = ranged
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn(as,
         col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
       .drop("__pid", "__mid", "__off")
+    (ranked, acc)
   }
 
   /** `ntile(k)` rebuilt from an exact 1-based rank (tie-free order) and

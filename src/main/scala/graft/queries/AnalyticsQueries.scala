@@ -464,9 +464,8 @@ object AnalyticsQueries {
           .select(col("o_custkey"),
             expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
           .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
-        val ranked = graft.operators.Relational.withGlobalRank(totals,
+        val (ranked, n) = graft.operators.Relational.withGlobalRankN(totals,
           Seq(col("cents").desc, col("o_custkey")), "__rank")
-        val n = ranked.agg(max(col("__rank"))).head.getLong(0)
         val r = col("__rank")
         val decile = graft.operators.Relational.ntileFromRank(r, n, 10)
         ranked.select(col("o_custkey"),

@@ -209,9 +209,8 @@ object CurationQueries {
             round(Curation.qualityLogit(col("text")) * 1e6).cast("long")
               .as("z_int"))
           .join(e, col("doc_id") === col("vec_id"))
-        val ranked = graft.operators.Relational.withGlobalRank(joined,
+        val (ranked, n) = graft.operators.Relational.withGlobalRankN(joined,
           Seq(col("z_int"), col("doc_id")), "__rank")
-        val n = ranked.agg(max(col("__rank"))).head.getLong(0)
         ranked
           .withColumn("decile", graft.operators.Relational
             .ntileFromRank(col("__rank"), n, 10).cast("int"))
