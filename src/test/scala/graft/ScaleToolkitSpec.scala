@@ -44,6 +44,36 @@ class ScaleToolkitSpec extends SparkSpec {
     }
   }
 
+  test("near-dup band-key store rides the bucketed layout: gate join is store-side exchange-free") {
+    import spark.implicits._
+    // the compacted (band, sig) store registered bucketed on its join
+    // keys: the incremental gate's probe (semi-join on band+sig) must
+    // read co-located buckets — only the (small) arriving batch shuffles
+    val docs = Engine.table(spark, sf(), "documents")
+    val storeKeys = graft.operators.Dedup.lshBandKeys(
+      docs, col("text"), col("doc_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Engine.writeBucketed(storeKeys.select(col("band"), col("sig"))
+        .dropDuplicates("band", "sig"), "nd_store", Seq("band", "sig"), n = 4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batchKeys = storeKeys.filter(col("__id") < 50)
+        .select(col("band"), col("sig"), col("__id"))
+        .repartition(4, col("band"), col("sig"))
+      val gated = batchKeys
+        .join(spark.table("nd_store"), Seq("band", "sig"), "left_semi")
+      val plan = gated.queryExecution.executedPlan.toString
+      // exactly one Exchange: the batch side's repartition; none on the
+      // bucketed store scan
+      assert("Exchange".r.findAllIn(plan).size <= 1,
+        s"store side shuffled:\n$plan")
+      assert(gated.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS nd_store")
+    }
+  }
+
   test("partitioned layout prunes at planning time (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("parted").toString
     val orders = Engine.table(spark, sf(), "orders")
