@@ -129,6 +129,57 @@ object Curation {
       keys = Seq(bucket), order = Seq(col("priority"), id), k = k)
   }
 
+  /** DSIR-style data selection (importance resampling over hashed
+    * n-gram features, Xie et al. 2023 shape): each document's importance
+    * weight is the log-likelihood ratio of a TARGET unigram LM over the
+    * RAW corpus LM, both estimated on a `buckets`-wide hashed vocabulary
+    * with add-one smoothing, length-normalized. Rows of the target slice
+    * score high; out-of-distribution text scores negative — the
+    * "select pretraining data to match a target domain" move.
+    *
+    * Scale shape: both LMs live in ONE `buckets`-row table (bounded by
+    * construction — it broadcasts at any corpus size); scoring is a
+    * broadcast join + one integer-sum aggregation per doc. Per-token log
+    * ratios are 1e-9-quantized integers, so doc sums are order-proof and
+    * the whole weight computation reproduces cross-engine.
+    *
+    * Returns one row per input doc: (`__id`, n_tok, dsir_weight).
+    */
+  def dsirWeights(docs: DataFrame, text: Column, id: Column,
+                  isTarget: Column, buckets: Int = 1024): DataFrame = {
+    // distinct (doc, term) counts FIRST, hash once per pair (not per
+    // occurrence), then pin the frame: both the LM estimation and the
+    // scoring join read it, and without the checkpoint Spark would run
+    // the whole explode+hash chain twice (diamond DAG, no CSE across
+    // joins). Steady-state parity at sf0.1 (the host hides it), but the
+    // corpus is exploded, hashed, and pre-aggregated ONCE instead of
+    // twice — the pass that dominates as the corpus grows.
+    val docTerm = docs.select(id.as("__id"), isTarget.as("__t"),
+        explode(split(text, " ")).as("__term"))
+      .groupBy(col("__id"), col("__t"), col("__term"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__b", pmod(graft.functions.hash60(col("__term")),
+        lit(buckets.toLong)))
+      .drop("__term")
+      .localCheckpoint()
+    val lm = docTerm.groupBy(col("__b"))
+      .agg(sum(col("__n")).as("cr"),
+        sum(when(col("__t"), col("__n")).otherwise(0L)).as("ct"))
+    val tot = lm.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lw = lm.crossJoin(broadcast(tot)).select(col("__b"),
+      round((log((col("ct") + 1).cast("double")
+          / (col("nt") + buckets).cast("double"))
+        - log((col("cr") + 1).cast("double")
+          / (col("nr") + buckets).cast("double"))) * 1e9)
+        .cast("long").as("__lw"))
+    docTerm.join(broadcast(lw), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__n")).as("n_tok"),
+        sum(col("__n") * col("__lw")).as("__s"))
+      .select(col("__id"), col("n_tok"),
+        (col("__s") / 1e9 / col("n_tok")).as("dsir_weight"))
+  }
+
   /** Greedy token-budget selection: per `bucket`, keep rows in
     * (`score` desc, `id`) order while the running `tokens` total stays
     * ≤ `budget` — the "best docs until the budget is full" curation move.

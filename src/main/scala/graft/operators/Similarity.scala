@@ -133,6 +133,38 @@ object Similarity {
         col("rank"), col("sim"))
   }
 
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the k most-similar corpus vectors carrying a
+    * DIFFERENT label — near the query in embedding space but of another
+    * class, the examples a contrastive/reranker loss learns most from.
+    * Candidates come from the LSH bucket join (never all-pairs), the
+    * label-mismatch predicate rides the join, and ranking is the
+    * bounded-heap per-key top-k — the exact q37 scale shape plus one
+    * filter. `queryPred` selects the query rows (e.g. a sampled slice).
+    */
+  def hardNegatives(vectors: DataFrame, vec: String, id: String,
+                    label: String, queryPred: Column, k: Int,
+                    nPlanes: Int, dims: Int): DataFrame = {
+    val signs = planeSigns(nPlanes, dims)
+    val v = vectors.select(col(id), asDouble(col(vec)).as("__v"),
+        col(label).as("__l"))
+      .withColumn("bucket", lshBucket(col("__v"), signs))
+    val q = v.filter(queryPred)
+      .select(col(id).as("query_id"), col("__v").as("qv"),
+        col("__l").as("qlabel"), col("bucket"))
+    val c = v.select(col(id).as("neighbor_id"), col("__v").as("cv"),
+      col("__l").as("nlabel"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("qlabel") =!= col("nlabel"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("neighbor_id"),
+        col("nlabel").as("neg_label"), col("sim"))
+    rankPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("rank"), col("sim"))
+  }
+
   /** IVF (inverted-file) coarse quantization: assign every vector to its
     * nearest centroid (max cosine; ties → smaller centroid id). The
     * centroid set broadcasts, so assignment is map-side — the only

@@ -298,6 +298,100 @@ object CurationQueries {
           FROM clean)
         SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
         FROM sel WHERE cum <= 2000"""),
-      headline = true)
+      headline = true),
+
+    // DSIR data selection: importance weight = target-LM vs raw-LM
+    // log-likelihood ratio over a 1024-bucket hashed unigram vocabulary
+    // (add-one smoothed, length-normalized), target = English docs; the
+    // 200 most target-like docs selected via TakeOrderedAndProject. Both
+    // LMs are ONE bounded 1024-row broadcast table at any corpus size;
+    // per-token log ratios are 1e-9-quantized integers so doc sums are
+    // order-proof, and the rank window runs over the 200 survivors only.
+    "q131_dsir_selection" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // fanOut: the per-token md5 hashing is expression-bound and must
+        // not run on the scan's single row-group task
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+        val w = Curation.dsirWeights(d, col("text"), col("doc_id"),
+          col("lang") === "en", buckets = 1024)
+        val scored = w.select(col("__id").as("doc_id"), col("n_tok"),
+          round(col("dsir_weight"), 6).as("dsir_weight"))
+        scored.orderBy(col("dsir_weight").desc, col("doc_id")).limit(200)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("dsir_weight").desc, col("doc_id")))
+            .cast("int"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 1024 AS b
+          FROM toks),
+        lm AS (
+          SELECT b, count(*) AS cr,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ct
+          FROM b GROUP BY b),
+        tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                       CAST(sum(ct) AS BIGINT) AS nt FROM lm),
+        lw AS (
+          SELECT b, CAST(round((ln((ct + 1) / CAST(nt + 1024 AS DOUBLE))
+                              - ln((cr + 1) / CAST(nr + 1024 AS DOUBLE)))
+                         * 1e9) AS BIGINT) AS lw
+          FROM lm CROSS JOIN tot),
+        s AS (
+          SELECT doc_id, count(*) AS n_tok, CAST(sum(lw) AS BIGINT) AS sw
+          FROM b JOIN lw USING (b) GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id, n_tok, round(sw / 1e9 / n_tok, 6) AS dsir_weight
+          FROM s),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   ORDER BY dsir_weight DESC, doc_id) AS INT) AS rank
+          FROM scored)
+        SELECT doc_id, n_tok, dsir_weight, rank
+        FROM ranked WHERE rank <= 200""")),
+
+    // CCNet-style quality bucketing: per LANGUAGE, documents split into
+    // head/middle/tail terciles of the quality logit (1e6-scaled integer
+    // sort key, doc-id tie-break → deterministic ntile), each bucket
+    // reporting size and mean logit — the per-language quality
+    // stratification CCNet shards a crawl by before selection. The ntile
+    // window partitions by lang (parallel across languages, never
+    // single-partition); sums are exact integers.
+    "q132_ccnet_buckets" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Engine.table(s, dir, "documents")
+        val z = d.select(col("doc_id"), col("lang"),
+          round(Curation.qualityLogit(col("text")) * 1e6).cast("long")
+            .as("z_int"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("z_int").desc, col("doc_id"))
+        z.withColumn("bucket",
+            element_at(array(lit("head"), lit("middle"), lit("tail")),
+              ntile(3).over(w)))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("z_int")).as("sz"))
+          .select(col("lang"), col("bucket"), col("n_docs"),
+            round(col("sz") / 1e6 / col("n_docs"), 6).as("mean_logit"))
+      },
+      oracle = Some(s"""
+        WITH z AS (
+          SELECT doc_id, lang,
+                 CAST(round(($sqlLogitZ) * 1e6) AS BIGINT) AS z_int
+          FROM documents),
+        b AS (
+          SELECT lang, z_int,
+                 (['head', 'middle', 'tail'])[ntile(3) OVER (
+                   PARTITION BY lang ORDER BY z_int DESC, doc_id)] AS bucket
+          FROM z)
+        SELECT lang, bucket, count(*) AS n_docs,
+               round(CAST(sum(z_int) AS BIGINT) / 1e6 / count(*), 6)
+                 AS mean_logit
+        FROM b GROUP BY lang, bucket"""))
   )
 }

@@ -549,6 +549,39 @@ object SimilarityQueries {
           FROM scored)
         SELECT query_id, bucket, neighbor_id, rank, sim
         FROM ranked WHERE rank <= 3"""),
-      headline = true)
+      headline = true),
+
+    // Hard-negative mining for contrastive training: every 100th vector
+    // queries for its 2 most-similar neighbors of a DIFFERENT label —
+    // near in embedding space, other class. Candidates via the LSH
+    // bucket equi-join (q37's scale shape, never all-pairs) with the
+    // label-mismatch predicate on the join; bounded-heap top-k per
+    // query.
+    "q133_hard_negatives" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.fanOut(Engine.table(s, dir, "embeddings"))
+        Similarity.hardNegatives(e, "embedding", "vec_id", "label",
+          queryPred = col("vec_id") % 100 === 0, k = 2,
+          nPlanes = Planes, dims = Dims)
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, vec, label, ${sqlBucket("vec")} AS bucket
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS vec, label
+                FROM embeddings)),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 c.label AS neg_label,
+                 round(${sqlCos("q.vec", "c.vec")}, 6) AS sim
+          FROM v q JOIN v c
+            ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+               AND q.label != c.label
+          WHERE q.vec_id % 100 = 0),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, neg_label, rank, sim
+        FROM ranked WHERE rank <= 2"""))
   )
 }

@@ -89,6 +89,25 @@ class CurationSpec extends SparkSpec {
     assert(a.contains(7L)) // −ln(u)/1e9 ≈ 0 beats every unit-weight draw
   }
 
+  test("dsirWeights: target-like docs score above out-of-distribution docs") {
+    // target slice speaks one vocabulary, the rest another; a held-out
+    // doc in the target vocabulary must outweigh one outside it
+    val target = (1 to 8).map(i => (i.toLong, true, "alpha beta gamma delta"))
+    val raw = (9 to 16).map(i => (i.toLong, false, "uno dos tres cuatro"))
+    val probes = Seq((100L, false, "alpha beta gamma delta"),
+      (101L, false, "uno dos tres cuatro"))
+    val df = (target ++ raw ++ probes).toDF("id", "is_t", "text")
+    val w = Curation.dsirWeights(df, $"text", $"id", $"is_t", buckets = 64)
+      .select($"__id", $"dsir_weight").as[(Long, Double)].collect().toMap
+    assert(w(100L) > 0 && w(101L) < 0 && w(100L) > w(101L),
+      s"target probe ${w(100L)} vs ood probe ${w(101L)}")
+    // partitioning-invariant: quantized integer sums, any layout
+    val w7 = Curation.dsirWeights(df.repartition(7), $"text", $"id",
+        $"is_t", buckets = 64)
+      .select($"__id", $"dsir_weight").as[(Long, Double)].collect().toMap
+    assert(w7 == w)
+  }
+
   test("tokenBudget keeps best-first rows while the running total fits") {
     val df = Seq(
       ("en", 1L, 9, 40L), ("en", 2L, 8, 50L), ("en", 3L, 7, 20L),

@@ -275,6 +275,26 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head._2 == 1L && top.head._3 == 8L && top.head._5 == 1.0)
   }
 
+  test("hardNegatives: only other-label neighbors, identical vector ranks first") {
+    // 4 vectors in one LSH bucket-ish space: query 1 (label 0), an exact
+    // copy with label 1 (the hardest negative), a same-label near copy
+    // (must be excluded), and an orthogonal other-label vector
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1), // same direction, other label
+      (3L, Seq(1.0f, 0.01f, 0.0f, 0.0f), 0), // same label — excluded
+      (4L, Seq(0.9f, 0.1f, 0.2f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, "embedding", "vec_id", "label",
+        queryPred = col("vec_id") === 1, k = 2, nPlanes = 2, dims = 4)
+      .orderBy($"rank")
+      .select($"neighbor_id", $"neg_label", $"rank")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(out.forall(_._2 != 0), s"same-label neighbor leaked: $out")
+    assert(out.head == ((2L, 1, 1)), s"exact copy must rank first: $out")
+    assert(out.map(_._1).toSet.subsetOf(Set(2L, 4L)))
+  }
+
   test("cosineTopK ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
