@@ -65,6 +65,30 @@ class LawsSpec extends SparkSpec {
       .forall(_.isNullAt(1)))
   }
 
+  test("law: withGlobalRank ≡ window rank on arbitrary data, keys, layouts") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    // duplicate sort-key values on purpose: the tie-break column (id)
+    // must make ranks deterministic through BOTH spellings
+    val rowGen = for {
+      key <- Gen.choose(0L, 30L)
+      payload <- Gen.choose(-1e6, 1e6)
+    } yield (key, payload)
+    for (seed <- 0 to 2) {
+      val rows = sample(rowGen, 400).zipWithIndex
+        .map { case ((k, p), i) => (i.toLong + seed * 1000, k, p) }
+      val parts = Seq(1, 3, 13)(seed)
+      val df = rows.toDF("id", "k", "p").repartition(parts)
+      val order = Seq($"k".desc, $"id".asc)
+      val spec = df.withColumn("r",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      val (two, n) = Relational.withGlobalRankN(df, order, "r")
+      assert(n == rows.length.toLong)
+      assert(spec.exceptAll(two).isEmpty && two.exceptAll(spec).isEmpty,
+        s"seed=$seed parts=$parts")
+    }
+  }
+
   test("law: xlsx write→read round-trips arbitrary strings") {
     val nastyGen = Gen.oneOf(
       Gen.asciiPrintableStr.map(_.take(50)),
