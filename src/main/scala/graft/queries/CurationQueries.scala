@@ -353,7 +353,8 @@ object CurationQueries {
                    ORDER BY dsir_weight DESC, doc_id) AS INT) AS rank
           FROM scored)
         SELECT doc_id, n_tok, dsir_weight, rank
-        FROM ranked WHERE rank <= 200""")),
+        FROM ranked WHERE rank <= 200"""),
+      headline = true),
 
     // CCNet-style quality bucketing: per LANGUAGE, documents split into
     // head/middle/tail terciles of the quality logit (1e6-scaled integer

@@ -582,6 +582,7 @@ object SimilarityQueries {
                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, neg_label, rank, sim
-        FROM ranked WHERE rank <= 2"""))
+        FROM ranked WHERE rank <= 2"""),
+      headline = true)
   )
 }
