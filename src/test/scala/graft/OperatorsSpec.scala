@@ -49,6 +49,31 @@ class OperatorsSpec extends SparkSpec {
     assert(shuffled.exceptAll(spec).isEmpty && spec.exceptAll(shuffled).isEmpty)
   }
 
+  test("edge cases: empty rank input, k>corpus kmeans, same-label negatives") {
+    import graft.operators.{Curation, Relational => R}
+    // withGlobalRank on an empty frame: empty out, zero total, no throw
+    val empty = spark.range(0).toDF("id").filter($"id" > 0)
+    val (rankedE, nE) = R.withGlobalRankN(empty, Seq($"id"), "r")
+    assert(rankedE.isEmpty && nE == 0L)
+    // kmeans with k larger than the corpus: every vector seeds a
+    // centroid, training still terminates with unit-norm centroids
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(tiny, "embedding", "vec_id", k = 5, iters = 1)
+    assert(cents.count() == 2)
+    // hardNegatives when every neighbor shares the query's label: empty
+    val same = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(same, "embedding", "vec_id", "label",
+      queryPred = $"vec_id" === 1, k = 2, nPlanes = 2, dims = 2).isEmpty)
+    // dsirWeights with an empty target slice: weights finite, no throw
+    val noTarget = Seq((1L, false, "a b c"), (2L, false, "d e f"))
+      .toDF("id", "t", "text")
+    val w = Curation.dsirWeights(noTarget, $"text", $"id", $"t", buckets = 16)
+      .select($"dsir_weight").as[Double].collect()
+    assert(w.length == 2 && w.forall(java.lang.Double.isFinite))
+  }
+
   test("ntileFromRank ≡ ntile window, including the n % k remainder fill") {
     import org.apache.spark.sql.expressions.Window
     for (n <- Seq(5, 10, 23, 100)) {
