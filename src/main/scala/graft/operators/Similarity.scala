@@ -214,20 +214,36 @@ object Similarity {
               k: Int, centroids: DataFrame, nprobe: Int): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, vec, id)
       .select(col("vid").as("neighbor_id"), col("v").as("cv2"), col("cluster_id"))
+    rankProbed(probeLists(queries, vec, id, centroids, nprobe), assigned, k)
+  }
+
+  /** Probe selection as a pure projection (shared by [[ivfTopK]] and
+    * [[searchIvfIndex]]): each query row picks its `nprobe` nearest
+    * centroid lists from the plan-literal centroid matrix. Returns
+    * (query_id, qv, cluster_id) — one row per probed list.
+    */
+  private def probeLists(queries: DataFrame, vec: String, id: String,
+                         centroids: DataFrame, nprobe: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
     val cRows = centroids.select(col("centroid_id").cast("long"), col("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     val cMat = typedlit(cRows.map(_._2).toSeq)
     val cIds = typedlit(cRows.map(_._1).toSeq)
-    val probed = q
-      .withColumn("__top", slice(sort_array(transform(
+    q.withColumn("__top", slice(sort_array(transform(
         sequence(lit(1), lit(cRows.length)),
         i => struct(
           (-round(cosine(col("qv"), element_at(cMat, i)), 6)).as("negsim"),
           element_at(cIds, i).as("cid")))), 1, nprobe))
       .select(col("query_id"), col("qv"),
         explode(col("__top.cid")).as("cluster_id"))
+  }
+
+  /** Score the probed lists and rank per query (tail shared by both IVF
+    * search paths).
+    */
+  private def rankProbed(probed: DataFrame, assigned: DataFrame,
+                         k: Int): DataFrame = {
     val scored = probed.join(assigned, Seq("cluster_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv2")), 6))
@@ -236,6 +252,43 @@ object Similarity {
     rankPerQuery(scored, k)
       .select(col("query_id"), col("cluster_id"), col("neighbor_id"),
         col("rank"), col("sim"))
+  }
+
+  /** Persist the IVF index AT REST: the corpus assigned to its centroid
+    * lists, hive-partitioned by `cluster_id` — one directory per
+    * inverted list. Pays the assignment once at build time; every
+    * subsequent search reads ONLY its probed lists (see
+    * [[searchIvfIndex]]). The 100 TB posture for a static corpus served
+    * by many query batches — the at-rest twin of the in-flight
+    * [[ivfTopK]].
+    */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, vec: String,
+                    id: String, path: String): Unit =
+    ivfAssign(corpus, centroids, vec, id)
+      .select(col("vid").as("neighbor_id"), col("v").as("cv2"),
+        col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** Search a persisted IVF index: probe selection is [[ivfTopK]]'s
+    * map-side projection; the union of probed list ids is bounded by
+    * |centroids| (never by |queries|), so it collects like the centroid
+    * matrix and becomes a LITERAL `isin` partition filter — the scan
+    * prunes unprobed list directories at PLANNING time (PartitionFilters,
+    * pinned in ScaleToolkitSpec) and never lists, opens, or reads them.
+    * Results are identical to [[ivfTopK]] over the same corpus,
+    * centroids, and nprobe.
+    */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, vec: String, id: String,
+                     centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probed = probeLists(queries, vec, id, centroids, nprobe)
+    val probedIds = probed.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0)) // ≤ |centroids| — bounded by construction
+    val index = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probedIds.toSeq: _*))
+      .select(col("neighbor_id"), col("cv2"),
+        col("cluster_id").cast("long").as("cluster_id"))
+    rankProbed(probed, index, k)
   }
 
   /** Spherical k-means (Lloyd's) for IVF centroid training — fills the

@@ -583,6 +583,61 @@ object SimilarityQueries {
           FROM scored)
         SELECT query_id, neighbor_id, neg_label, rank, sim
         FROM ranked WHERE rank <= 2"""),
-      headline = true)
+      headline = true),
+
+    // IVF search over a PERSISTED index: the corpus is written
+    // hive-partitioned by cluster_id (one directory per inverted list),
+    // then the search reads ONLY the probed lists — the probed-id set is
+    // bounded by |centroids|, collects like the centroid matrix, and
+    // becomes a literal partition filter (planning-time directory
+    // pruning, pinned in ScaleToolkitSpec). Build-once/search-many; the
+    // oracle is q43's, because results are identical to the in-flight
+    // ivfTopK by construction.
+    "q134_ann_ivf_indexed" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.table(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") % 101 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            Similarity.asDouble(col("embedding")).as("cv"))
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("ivf_index").toString + "/idx"
+        Similarity.writeIvfIndex(Engine.fanOut(e), centroids,
+          "embedding", "vec_id", path)
+        Similarity.searchIvfIndex(s, path, queries, "embedding", "vec_id",
+          centroids, k = 3, nprobe = 3)
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        cent AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v
+                 WHERE vec_id % 101 = 0),
+        assign AS (
+          SELECT vec_id, vec, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(${sqlCos("vec", "cvec")}, 6) DESC,
+                            centroid_id ASC) AS rn
+          FROM v CROSS JOIN cent),
+        corpus AS (SELECT vec_id AS neighbor_id, vec AS nvec,
+                          centroid_id AS cluster_id
+                   FROM assign WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, vec AS qvec, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(${sqlCos("vec", "cvec")}, 6) DESC,
+                            centroid_id ASC) AS rn
+          FROM v CROSS JOIN cent WHERE vec_id % 50 = 0),
+        probed AS (SELECT query_id, qvec, centroid_id AS cluster_id
+                   FROM probes WHERE rn <= 3),
+        scored AS (
+          SELECT p.query_id, p.cluster_id, c.neighbor_id,
+                 round(${sqlCos("p.qvec", "c.nvec")}, 6) AS sim
+          FROM probed p JOIN corpus c USING (cluster_id)
+          WHERE p.query_id != c.neighbor_id),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, cluster_id, neighbor_id, rank, sim
+        FROM ranked WHERE rank <= 3"""))
   )
 }

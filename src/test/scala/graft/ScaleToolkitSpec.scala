@@ -74,6 +74,29 @@ class ScaleToolkitSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: search prunes unprobed lists, equals in-flight ivfTopK") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val e = Engine.table(spark, sf(), "embeddings")
+    val centroids = e.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    Similarity.writeIvfIndex(e, centroids, "embedding", "vec_id", s"$dir/idx")
+    val viaIndex = Similarity.searchIvfIndex(spark, s"$dir/idx", queries,
+      "embedding", "vec_id", centroids, k = 3, nprobe = 2)
+    // identical results to the in-flight path
+    val inFlight = Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+      k = 3, centroids = centroids, nprobe = 2)
+    assert(viaIndex.exceptAll(inFlight).isEmpty &&
+      inFlight.exceptAll(viaIndex).isEmpty)
+    // and the scan prunes: probed list ids become a literal partition
+    // filter, so unprobed directories are never read
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+      s"probed lists did not become a partition filter:\n$plan")
+  }
+
   test("partitioned layout prunes at planning time (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("parted").toString
     val orders = Engine.table(spark, sf(), "orders")
