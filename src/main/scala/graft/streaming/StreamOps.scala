@@ -167,6 +167,72 @@ object StreamOps {
     ()
   }
 
+  /** Continuous EMBEDDING near-dup ingest — the vector twin of
+    * [[nearDupIngest]]: each arriving batch of (id, embedding) rows is
+    * gated against a persisted store of survivor vectors by cosine ≥
+    * `tau` within the same LSH bucket, then de-duplicated within the
+    * batch (smaller id wins), and survivors append to the store.
+    * Same at-rest state discipline as the text gate: `batch=<id>`
+    * partitions replays overwrite, the store read excludes the current
+    * batch id, no streaming state store. The store holds one
+    * (bucket, id, vector) row per unique survivor — it grows with the
+    * UNIQUE corpus, and the gate join is a bucket equi-join (candidates
+    * bounded by bucket occupancy, never all-pairs).
+    */
+  def embNearDupIngest(vectors: DataFrame, vec: String, id: String,
+                       storePath: String, outPath: String, checkpoint: String,
+                       tau: Double, nPlanes: Int, dims: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embNearDupBatch(batch, batchId, vec, id, storePath, outPath,
+          tau, nPlanes, dims)
+      }
+      .start()
+
+  /** One micro-batch of [[embNearDupIngest]] — public for replay tests,
+    * like [[nearDupBatch]].
+    */
+  def embNearDupBatch(batch: DataFrame, batchId: Long, vec: String,
+                      id: String, storePath: String, outPath: String,
+                      tau: Double, nPlanes: Int, dims: Int): Unit = {
+    import graft.operators.Similarity
+    val spark = batch.sparkSession
+    val signs = Similarity.planeSigns(nPlanes, dims)
+    val b = batch.select(col(id), Similarity.asDouble(col(vec)).as("__v"))
+      .withColumn("__bucket", Similarity.lshBucket(col("__v"), signs))
+    val storeHadoopPath = new org.apache.hadoop.fs.Path(storePath)
+    val storeExists = storeHadoopPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(storeHadoopPath)
+    val store =
+      if (storeExists)
+        spark.read.parquet(storePath)
+          .filter(col("batch") =!= batchId)
+          .select(col("__bucket"), col("__sv"))
+      else spark.range(0).select(lit(0L).as("__bucket"),
+        lit(Array.empty[Double]).as("__sv")).limit(0)
+    // vs history: any stored survivor in the same bucket with
+    // cosine >= tau kills the arriving row
+    val dupVsStore = b.join(store, Seq("__bucket"))
+      .filter(Similarity.cosine(col("__v"), col("__sv")) >= tau)
+      .select(col(id)).dropDuplicates(id)
+    val gated = b.join(dupVsStore, Seq(id), "left_anti")
+    // within-batch: the smaller id wins
+    val dropped = Similarity.embeddingNearDupPairs(
+        gated.select(col(id), col("__v").as("emb")), "emb", id,
+        tau, nPlanes, dims)
+      .select(col("dup_id").as(id)).dropDuplicates(id)
+    val survivors = gated.join(dropped, Seq(id), "left_anti")
+      .localCheckpoint()
+    survivors.select(col(id), col("__v").as(vec))
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    survivors.select(col("__bucket"), col("__v").as("__sv"))
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    ()
+  }
+
   /** One key's running top-k snapshot (Update-mode emission). */
   case class TopKSnapshot(key_id: Long, n_seen: Long,
                           top_scores: Seq[Double], top_ids: Seq[Long])

@@ -405,6 +405,41 @@ class StreamingSpec extends SparkSpec {
     assert(keptFinal == Set(10L, 11L, 21L, 31L), s"post-compaction gate: $keptFinal")
   }
 
+  test("embNearDupIngest: cosine gate across batches, replay-idempotent") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("endi").toString
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.StreamOps.embNearDupIngest(
+      vecs, "embedding", "vec_id", store, out, ckpt,
+      tau = 0.99, nPlanes = 4, dims = 4)
+    // batch 0: 1 and 3 are near-identical (3 drops within batch); 2 is
+    // orthogonal and survives
+    input.addData((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(1f, 0.01f, 0f, 0f)))
+    q.processAllAvailable()
+    // batch 1: 10 duplicates stored survivor 1 → dropped by the STORE;
+    // 11 is a new direction → kept
+    input.addData((10L, Seq(1f, 0.005f, 0f, 0f)), (11L, Seq(0f, 0f, 1f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(out).select("vec_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 11L), s"kept: $kept")
+    // replaying batch 1 (store already holds its survivors) re-emits the
+    // identical survivor set — the store read excludes the batch's own
+    // partition
+    graft.streaming.StreamOps.embNearDupBatch(
+      Seq((10L, Seq(1f, 0.005f, 0f, 0f)), (11L, Seq(0f, 0f, 1f, 0f)))
+        .toDF("vec_id", "embedding"),
+      batchId = 1, "embedding", "vec_id", store, out,
+      tau = 0.99, nPlanes = 4, dims = 4)
+    val keptReplay = spark.read.parquet(out).select("vec_id")
+      .as[Long].collect().toSet
+    assert(keptReplay == Set(1L, 2L, 11L), s"replay lost rows: $keptReplay")
+  }
+
   test("FileDrop live mode: ProcessingTime trigger picks up files arriving mid-stream") {
     val base = Files.createTempDirectory("filedroplive").toFile.getAbsolutePath
     val in = s"$base/in"; val done = s"$base/done"; val bad = s"$base/bad"
