@@ -405,6 +405,37 @@ class StreamingSpec extends SparkSpec {
     assert(keptFinal == Set(10L, 11L, 21L, 31L), s"post-compaction gate: $keptFinal")
   }
 
+  test("nearDupIngest restart: a new query on the same checkpoint resumes, no rework") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("ndir").toString
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val dup = "the quick brown fox jumps over the lazy dog end"
+    val q1 = graft.streaming.StreamOps.nearDupIngest(
+      docs, "text", "doc_id", store, out, ckpt)
+    input.addData((1L, dup),
+      (2L, "completely different words entirely here nothing shared at all ok"))
+    q1.processAllAvailable()
+    q1.stop() // simulated crash/redeploy — offsets + batch ids live in ckpt
+    val batch0 = spark.read.parquet(s"$out/batch=0").select("doc_id")
+      .as[Long].collect().toSet
+    assert(batch0 == Set(1L, 2L))
+    // second incarnation, SAME checkpoint: picks up at batch 1, gates
+    // against batch 0's store, and must not rewrite batch 0's output
+    val q2 = graft.streaming.StreamOps.nearDupIngest(
+      docs, "text", "doc_id", store, out, ckpt)
+    input.addData((10L, dup), // near-dup of stored survivor 1 → drops
+      (11L, "pack my box with five dozen liquor jugs today yes"))
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 11L), s"post-restart output: $all")
+    // batch directories: exactly the two real micro-batches
+    val dirs = new java.io.File(out).list().filter(_.startsWith("batch="))
+    assert(dirs.toSet == Set("batch=0", "batch=1"), dirs.mkString(","))
+  }
+
   test("embNearDupIngest: cosine gate across batches, replay-idempotent") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("endi").toString
