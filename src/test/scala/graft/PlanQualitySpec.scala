@@ -247,6 +247,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), s"posexplode expected:\n$p")
   }
 
+  test("q131 DSIR: LM table broadcasts onto the scoring join; partial aggs kept") {
+    val p = plan("q131_dsir_selection")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hashed-vocab LM table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q131 fell back to SMJ:\n$p")
+    assert(p.contains("partial_"), s"partial aggregation lost:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-200 must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("q133 hard negatives: bucket equi-join only — no pairwise expansion") {
+    val p = plan("q133_hard_negatives")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs crept in:\n$p")
+    assert(p.contains("TopKPerKey"), s"bounded-heap top-k missing:\n$p")
+  }
+
   // Queries allowed to keep an un-partitioned Window because their window
   // INPUT is bounded by something other than a plan-visible limit. Every
   // entry needs a reason; anything not listed fails the gate below.
