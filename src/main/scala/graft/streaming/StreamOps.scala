@@ -233,6 +233,75 @@ object StreamOps {
     ()
   }
 
+  /** One Lloyd's iteration computed INCREMENTALLY over a stream: each
+    * micro-batch assigns its vectors to the FROZEN `centroids` (the
+    * epoch's broadcast parameter), reduces them to per-(cluster, dim)
+    * 1e-9-quantized integer sums, and writes the partial sums to a
+    * `batch=<id>` state partition — the same at-rest, replay-overwrite
+    * state discipline as [[nearDupIngest]]. Because the partials are
+    * exact integers, folding them is associative: ANY batch split of the
+    * corpus folds to bit-identical centroids ([[finishKmeansStream]]),
+    * which is what makes a distributed epoch over arriving data equal
+    * the batch iteration (law in StreamingSpec).
+    *
+    * State per batch is ≤ k×dims rows — bounded by the model, not the
+    * data; a 100 TB epoch streams through without holding anything
+    * corpus-sized.
+    */
+  def kmeansIterStream(vectors: DataFrame, vec: String, id: String,
+                       centroids: DataFrame, statePath: String,
+                       checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmeansIterBatch(batch, batchId, vec, id, centroids, statePath)
+      }
+      .start()
+
+  /** One micro-batch of [[kmeansIterStream]] — public for replay tests. */
+  def kmeansIterBatch(batch: DataFrame, batchId: Long, vec: String,
+                      id: String, centroids: DataFrame,
+                      statePath: String): Unit = {
+    import graft.operators.Similarity
+    Similarity.ivfAssign(batch, centroids, vec, id)
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(sum(round(col("x") * lit(1e9)).cast("long")).as("sxi"),
+        count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    ()
+  }
+
+  /** Fold the accumulated epoch state into spherical centroids: exact
+    * integer sums across all batch partitions, mean direction,
+    * renormalize; clusters no batch touched keep their previous
+    * centroid (same fallback as the batch trainer). Output matches
+    * `Similarity.kmeans`'s centroid schema, so epochs chain: finish →
+    * pass back in as the next epoch's frozen centroids.
+    */
+  def finishKmeansStream(spark: org.apache.spark.sql.SparkSession,
+                         statePath: String,
+                         centroids: DataFrame): DataFrame = {
+    val folded = spark.read.parquet(statePath)
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(sum(col("sxi")).as("sxi"))
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("sxi"))))
+        .as("pairs"))
+      .select(col("cluster_id").as("centroid_id"),
+        transform(col("pairs"),
+          p => p.getField("sxi").cast("double") / lit(1e9)).as("mv"))
+    val renormed = folded
+      .withColumn("mnorm",
+        sqrt(aggregate(zip_with(col("mv"), col("mv"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)))
+      .select(col("centroid_id"),
+        transform(col("mv"), x => x / col("mnorm")).as("nv"))
+    centroids.join(renormed, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), coalesce(col("nv"), col("cv")).as("cv"))
+  }
+
   /** One key's running top-k snapshot (Update-mode emission). */
   case class TopKSnapshot(key_id: Long, n_seen: Long,
                           top_scores: Seq[Double], top_ids: Seq[Long])

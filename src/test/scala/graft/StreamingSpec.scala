@@ -436,6 +436,33 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.toSet == Set("batch=0", "batch=1"), dirs.mkString(","))
   }
 
+  test("kmeansIterStream: incremental epoch ≡ batch Lloyd's iteration, replay-proof") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("kmstream").toString
+    val e = Engine.table(spark, sf(), "embeddings")
+    val seeds = Similarity.kmeans(e, "embedding", "vec_id", k = 8, iters = 0)
+    val oneIter = Similarity.kmeans(e, "embedding", "vec_id", k = 8, iters = 1)
+    // the same corpus streamed in 3 arbitrary micro-batches, folded at
+    // finish — exact integer partials make the fold associative, so the
+    // incremental epoch must equal the batch iteration bit-for-bit
+    for (i <- 0 until 3)
+      graft.streaming.StreamOps.kmeansIterBatch(
+        e.filter(col("vec_id") % 3 === i), i, "embedding", "vec_id",
+        seeds, s"$dir/state")
+    val streamed = graft.streaming.StreamOps.finishKmeansStream(
+      spark, s"$dir/state", seeds)
+    assert(streamed.exceptAll(oneIter).isEmpty &&
+      oneIter.exceptAll(streamed).isEmpty)
+    // replaying a batch overwrites its own partition — fold unchanged
+    graft.streaming.StreamOps.kmeansIterBatch(
+      e.filter(col("vec_id") % 3 === 1), 1, "embedding", "vec_id",
+      seeds, s"$dir/state")
+    val replayed = graft.streaming.StreamOps.finishKmeansStream(
+      spark, s"$dir/state", seeds)
+    assert(replayed.exceptAll(oneIter).isEmpty &&
+      oneIter.exceptAll(replayed).isEmpty)
+  }
+
   test("embNearDupIngest: cosine gate across batches, replay-idempotent") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("endi").toString
