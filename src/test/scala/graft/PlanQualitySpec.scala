@@ -275,6 +275,26 @@ class PlanQualitySpec extends SparkSpec {
       "aggregate — one row per calendar day, bounded by elapsed time, and a " +
       "RANGE frame needs the contiguous day order"))
 
+  test("no query plans a CartesianProduct") {
+    // scalar broadcasts plan as BroadcastNestedLoopJoin; an actual
+    // CartesianProductExec means both sides shuffle-expand — never
+    // acceptable at scale, in ANY registered query, present or future
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        strip(q(spark, sf()).queryExecution.executedPlan).collect {
+          case c: CartesianProductExec => s"$name: ${c.simpleString(120)}"
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no query plans an un-partitioned Window over unbounded input") {
     // The scale gate: Window.orderBy(...) with no partitionBy executes by
     // funneling its entire input through ONE task. It is only acceptable
