@@ -638,6 +638,82 @@ object SimilarityQueries {
                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
           FROM scored)
         SELECT query_id, cluster_id, neighbor_id, rank, sim
+        FROM ranked WHERE rank <= 3""")),
+
+    // Cross-document CHUNK retrieval (RAG-prep granularity): documents
+    // split into q94's 32-token/stride-24 spans, each chunk embedded
+    // with the vocabulary-free feature-hashing vector, and each query
+    // chunk (chunk 0 of every 100th doc) retrieves its 3 nearest chunks
+    // FROM OTHER DOCUMENTS — the within-doc overlap that would dominate
+    // a naive nearest-chunk search is excluded by riding hardNegatives
+    // with doc_id as the label. Everything before the LSH bucket join is
+    // a projection; chunk keys pack (doc_id, chunk_id) into one long.
+    "q135_chunk_retrieval" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+        val chunks = d
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(1), size(col("toks")), lit(24))).as("start"))
+          .select(col("doc_id"),
+            expr("CAST((start - 1) DIV 24 AS LONG)").as("chunk_id"),
+            array_join(slice(col("toks"), col("start"), lit(32)), " ")
+              .as("ctext"))
+        val vecs = chunks.select(
+            (col("doc_id") * lit(1048576L) + col("chunk_id")).as("ckey"),
+            col("doc_id").as("doc"),
+            graft.operators.TextAnalysis.hashingVector(col("ctext"), dims = 16)
+              .as("vec"))
+          .filter(Similarity.norm(Similarity.asDouble(col("vec"))) > 0)
+        Similarity.hardNegatives(vecs, "vec", "ckey", "doc",
+          queryPred = expr("ckey % 1048576 = 0 AND (ckey DIV 1048576) % 100 = 0"),
+          k = 3, nPlanes = 6, dims = 16)
+          .select(col("query_id"), col("neighbor_id"),
+            col("neg_label").as("neighbor_doc"), col("rank"), col("sim"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        chunks AS (
+          SELECT doc_id, (start - 1) // 24 AS chunk_id,
+                 array_to_string(t[start : start + 31], ' ') AS ctext
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 24))
+                  AS start FROM t)),
+        ctoks AS (
+          SELECT doc_id, chunk_id,
+                 CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS h
+          FROM (SELECT doc_id, chunk_id, unnest(string_split(ctext, ' ')) AS tk
+                FROM chunks)),
+        g AS (
+          SELECT doc_id, chunk_id, h % 16 AS dim,
+                 CAST(sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END)
+                      AS DOUBLE) AS w
+          FROM ctoks GROUP BY 1, 2, 3),
+        dense AS (
+          SELECT c.doc_id, c.chunk_id, gs.dim, coalesce(g.w, 0.0) AS w
+          FROM (SELECT DISTINCT doc_id, chunk_id FROM chunks) c
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) gs
+          LEFT JOIN g ON g.doc_id = c.doc_id AND g.chunk_id = c.chunk_id
+            AND g.dim = gs.dim),
+        hv AS (
+          SELECT doc_id, chunk_id, list(w ORDER BY dim) AS vec FROM dense
+          GROUP BY 1, 2),
+        v AS (
+          SELECT doc_id * 1048576 + chunk_id AS vec_id, doc_id, chunk_id,
+                 vec, ${sqlBucket("vec", planes = 6, dims = 16)} AS bucket
+          FROM hv WHERE list_dot_product(vec, vec) > 0),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 c.doc_id AS neighbor_doc,
+                 round(${sqlCos("q.vec", "c.vec")}, 6) AS sim
+          FROM v q JOIN v c
+            ON q.bucket = c.bucket AND q.doc_id != c.doc_id
+          WHERE q.chunk_id = 0 AND q.doc_id % 100 = 0),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, neighbor_doc, rank, sim
         FROM ranked WHERE rank <= 3"""))
   )
 }
