@@ -714,6 +714,7 @@ object SimilarityQueries {
                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, neighbor_doc, rank, sim
-        FROM ranked WHERE rank <= 3"""))
+        FROM ranked WHERE rank <= 3"""),
+      headline = true)
   )
 }
