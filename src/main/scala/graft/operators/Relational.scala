@@ -131,6 +131,58 @@ object Relational {
       .otherwise(lit(rem) + floor((rank - 1 - cut) / lit(base))) + 1
   }
 
+  /** EXACT set-similarity self-join with prefix filtering (the
+    * PPJoin-family candidate pruning, Bayardo/Xiao et al. — public
+    * algorithm): all pairs (a < b) whose distinct-token Jaccard ≥ `tau`,
+    * found WITHOUT comparing all pairs. Candidates are generated only
+    * from each row's PROBING PREFIX — its |s| − ⌈tau·|s|⌉ + 1 tokens
+    * that are globally RAREST (frequency-ascending order, shared by all
+    * rows): two sets with Jaccard ≥ tau must overlap inside those
+    * prefixes, so the cut is lossless; verification then computes the
+    * exact Jaccard on the full sets. The rarest-first order makes the
+    * candidate join land on the LOW-frequency tokens — hot tokens
+    * ("the") never generate pairs.
+    *
+    * 100 TB shape: the token-frequency table is vocabulary-sized and
+    * broadcasts; the only data-sized shuffle is the candidate equi-join
+    * on prefix tokens, bounded by rare-token co-occurrence instead of
+    * |n|². Law (OperatorsSpec) + the q136 oracle both pin
+    * prefix-filtered ≡ brute force. Returns (key_a, key_b, n_shared,
+    * jaccard), jaccard rounded to 6.
+    */
+  def similaritySelfJoin(df: DataFrame, text: Column, id: Column,
+                         tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val sets = df.select(id.as("__id"),
+      array_distinct(split(lower(text), " ")).as("__w"))
+    val freq = sets.select(explode(col("__w")).as("__word"))
+      .groupBy(col("__word")).agg(count(lit(1)).as("__f"))
+    val ordered = sets
+      .select(col("__id"), col("__w"), explode(col("__w")).as("__word"))
+      .join(broadcast(freq), Seq("__word"))
+      .groupBy(col("__id"), col("__w"))
+      .agg(array_sort(collect_list(struct(col("__f"), col("__word"))))
+        .as("__ord"))
+    val prefLen = size(col("__w")) -
+      ceil(lit(tau) * size(col("__w"))).cast("int") + 1
+    val pref = ordered.select(col("__id"), col("__w"),
+      explode(transform(slice(col("__ord"), lit(1), prefLen),
+        p => p.getField("__word"))).as("__word"))
+    pref.alias("a")
+      .join(pref.alias("b"),
+        col("a.__word") === col("b.__word") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("key_a"), col("a.__w").as("__wa"),
+        col("b.__id").as("key_b"), col("b.__w").as("__wb"))
+      .dropDuplicates("key_a", "key_b")
+      .withColumn("__shared", size(array_intersect(col("__wa"), col("__wb"))))
+      .withColumn("__union", size(array_union(col("__wa"), col("__wb"))))
+      .filter(col("__shared").cast("double") / col("__union") >= tau)
+      .select(col("key_a"), col("key_b"),
+        col("__shared").cast("long").as("n_shared"),
+        round(col("__shared").cast("double") / col("__union"), 6)
+          .as("jaccard"))
+  }
+
   /** J5 exact-duplicate suppression gate (`database_utils.py:128-145`):
     * drop incoming rows that already exist in `existing` on `keys`.
     * Plans as a broadcast/shuffled hash LEFT ANTI join — one pass, no

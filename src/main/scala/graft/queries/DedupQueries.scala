@@ -316,6 +316,34 @@ object DedupQueries {
           FROM ibands i JOIN hbands h ON i.band = h.band AND i.sig = h.sig)
         SELECT doc_id FROM documents
         WHERE doc_id % 4 <> 0
-          AND doc_id NOT IN (SELECT doc_id FROM collided)"""))
+          AND doc_id NOT IN (SELECT doc_id FROM collided)""")),
+
+    // Fuzzy entity matching: all part pairs whose (name + type) token
+    // sets agree at Jaccard >= 0.7 — the entity-resolution join, via the
+    // EXACT prefix-filtered set-similarity join (candidates only from
+    // each entity's globally-rarest tokens; hot tokens never pair). The
+    // oracle is deliberately the BRUTE-FORCE all-pairs Jaccard, so a
+    // green hash proves the prefix cut lossless, not just fast.
+    "q136_fuzzy_entity_match" -> QueryDef(
+      build = (s, dir) => {
+        val p = Engine.table(s, dir, "part")
+        graft.operators.Relational.similaritySelfJoin(p,
+          concat_ws(" ", col("p_name"), col("p_type")), col("p_partkey"),
+          tau = 0.7)
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT p_partkey,
+                 list_distinct(string_split(lower(p_name || ' ' || p_type),
+                   ' ')) AS w
+          FROM part),
+        pairs AS (
+          SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                 len(list_intersect(a.w, b.w)) AS n_shared,
+                 len(list_distinct(list_concat(a.w, b.w))) AS u
+          FROM p a JOIN p b ON a.p_partkey < b.p_partkey)
+        SELECT key_a, key_b, CAST(n_shared AS BIGINT) AS n_shared,
+               round(CAST(n_shared AS DOUBLE) / u, 6) AS jaccard
+        FROM pairs WHERE CAST(n_shared AS DOUBLE) / u >= 0.7"""))
   )
 }

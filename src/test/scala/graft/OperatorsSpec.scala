@@ -320,6 +320,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._1).toSet.subsetOf(Set(2L, 4L)))
   }
 
+  test("similaritySelfJoin prefix filter ≡ brute-force Jaccard join") {
+    val d = Engine.table(spark, sf(), "documents").limit(150)
+    for (tau <- Seq(0.25, 0.5, 0.8)) {
+      val pruned = Relational.similaritySelfJoin(d, $"text", $"doc_id", tau)
+      // independent brute force: all pairs, no prefix
+      val sets = d.select($"doc_id".as("id"),
+        array_distinct(split(lower($"text"), " ")).as("w"))
+      val brute = sets.alias("a")
+        .join(sets.alias("b"), col("a.id") < col("b.id"))
+        .withColumn("s", size(array_intersect(col("a.w"), col("b.w"))))
+        .withColumn("u", size(array_union(col("a.w"), col("b.w"))))
+        .filter($"s".cast("double") / $"u" >= tau)
+        .select(col("a.id").as("key_a"), col("b.id").as("key_b"),
+          $"s".cast("long").as("n_shared"),
+          round($"s".cast("double") / $"u", 6).as("jaccard"))
+      assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty,
+        s"tau=$tau")
+    }
+  }
+
   test("cosineTopK ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
