@@ -165,15 +165,24 @@ object Relational {
         .as("__ord"))
     val prefLen = size(col("__w")) -
       ceil(lit(tau) * size(col("__w"))).cast("int") + 1
-    val pref = ordered.select(col("__id"), col("__w"),
+    // candidate pairs as BARE id pairs (the prefix join and its
+    // distinct never carry the token arrays — on duplicate-dense data
+    // the candidate set is the dominant shuffle, and shuffling ids
+    // instead of sets is what keeps it cheap); the full sets join back
+    // once per surviving pair for exact verification
+    val pref = ordered.select(col("__id"),
       explode(transform(slice(col("__ord"), lit(1), prefLen),
         p => p.getField("__word"))).as("__word"))
-    pref.alias("a")
+    val cand = pref.alias("a")
       .join(pref.alias("b"),
         col("a.__word") === col("b.__word") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("key_a"), col("a.__w").as("__wa"),
-        col("b.__id").as("key_b"), col("b.__w").as("__wb"))
+      .select(col("a.__id").as("key_a"), col("b.__id").as("key_b"))
       .dropDuplicates("key_a", "key_b")
+    cand
+      .join(sets.select(col("__id").as("key_a"), col("__w").as("__wa")),
+        Seq("key_a"))
+      .join(sets.select(col("__id").as("key_b"), col("__w").as("__wb")),
+        Seq("key_b"))
       .withColumn("__shared", size(array_intersect(col("__wa"), col("__wb"))))
       .withColumn("__union", size(array_union(col("__wa"), col("__wb"))))
       .filter(col("__shared").cast("double") / col("__union") >= tau)
