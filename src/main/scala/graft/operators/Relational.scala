@@ -153,8 +153,13 @@ object Relational {
   def similaritySelfJoin(df: DataFrame, text: Column, id: Column,
                          tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    // pin the tokenized sets once: the frequency table, the ordered-
+    // prefix build, and both verification join-backs all read this frame
+    // — without the checkpoint each branch re-runs the scan+tokenize
+    // (diamond DAG, no CSE across joins), four corpus passes for one
     val sets = df.select(id.as("__id"),
-      array_distinct(split(lower(text), " ")).as("__w"))
+        array_distinct(split(lower(text), " ")).as("__w"))
+      .localCheckpoint()
     val freq = sets.select(explode(col("__w")).as("__word"))
       .groupBy(col("__word")).agg(count(lit(1)).as("__f"))
     val ordered = sets
@@ -163,8 +168,12 @@ object Relational {
       .groupBy(col("__id"), col("__w"))
       .agg(array_sort(collect_list(struct(col("__f"), col("__word"))))
         .as("__ord"))
+    // ⌈tau·|s|⌉ with a 1e-9 pre-round: raw double products can overshoot
+    // the true integer by 1 ulp (0.07·100 → 7.000000000000001), and a
+    // ceil on that would shorten the prefix by one and silently break
+    // the lossless-cut guarantee for representation-unlucky taus
     val prefLen = size(col("__w")) -
-      ceil(lit(tau) * size(col("__w"))).cast("int") + 1
+      ceil(round(lit(tau) * size(col("__w")), 9)).cast("int") + 1
     // candidate pairs as BARE id pairs (the prefix join and its
     // distinct never carry the token arrays — on duplicate-dense data
     // the candidate set is the dominant shuffle, and shuffling ids

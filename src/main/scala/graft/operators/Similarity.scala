@@ -335,23 +335,33 @@ object Similarity {
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))
         .agg(sum(round(col("x") * lit(1e9)).cast("long")).as("sxi"))
-        .groupBy(col("cluster_id"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("sxi"))))
-          .as("pairs"))
-        .select(col("cluster_id").as("centroid_id"),
-          transform(col("pairs"),
-            p => p.getField("sxi").cast("double") / lit(1e9)).as("mv"))
-      // spherical: normalize the mean direction (the sum's direction is
-      // the mean's); empty clusters fall back to their previous centroid
-      val renormed = sums.withColumn("mnorm", norm(col("mv")))
-        .select(col("centroid_id"),
-          transform(col("mv"), x => x / col("mnorm")).as("nv"))
-      centroids = centroids.join(renormed, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("nv"), col("cv")).as("cv"))
-        .localCheckpoint()
+      centroids = centroidsFromSums(sums, centroids).localCheckpoint()
       it += 1
     }
     centroids
+  }
+
+  /** Fold per-(cluster, dim) 1e-9-quantized integer sums into spherical
+    * centroids — the shared tail of the batch trainer ([[kmeans]]) and
+    * the streaming epoch (`StreamOps.finishKmeansStream`), kept in ONE
+    * place so the stream's batch-equivalence law cannot drift: exact-sum
+    * dimension means, renormalize the mean direction, and clusters with
+    * no sums keep their previous centroid. `sums` needs
+    * (cluster_id, dim, sxi); `prev` is the (centroid_id, cv) table.
+    */
+  def centroidsFromSums(sums: DataFrame, prev: DataFrame): DataFrame = {
+    val means = sums
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("sxi"))))
+        .as("pairs"))
+      .select(col("cluster_id").as("centroid_id"),
+        transform(col("pairs"),
+          p => p.getField("sxi").cast("double") / lit(1e9)).as("mv"))
+    val renormed = means.withColumn("mnorm", norm(col("mv")))
+      .select(col("centroid_id"),
+        transform(col("mv"), x => x / col("mnorm")).as("nv"))
+    prev.join(renormed, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), coalesce(col("nv"), col("cv")).as("cv"))
   }
 
   /** Deterministic ±1 codebook entry for PQ subspace `j`, centroid `k`,

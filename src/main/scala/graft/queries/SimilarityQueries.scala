@@ -600,10 +600,17 @@ object SimilarityQueries {
           .select(col("vec_id").as("centroid_id"),
             Similarity.asDouble(col("embedding")).as("cv"))
         val queries = e.filter(col("vec_id") % 50 === 0)
-        val path = java.nio.file.Files
-          .createTempDirectory("ivf_index").toString + "/idx"
-        Similarity.writeIvfIndex(Engine.fanOut(e), centroids,
-          "embedding", "vec_id", path)
+        // index path is keyed on the sf dir and built at most once per
+        // JVM: the registry contract (relied on by the whole-registry
+        // plan gates) is that query builds are cheap — re-running the
+        // assignment write job and leaking a temp dir per plan
+        // inspection is neither
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        if (!new java.io.File(s"$path/_SUCCESS").exists) {
+          Similarity.writeIvfIndex(Engine.fanOut(e), centroids,
+            "embedding", "vec_id", path)
+        }
         Similarity.searchIvfIndex(s, path, queries, "embedding", "vec_id",
           centroids, k = 3, nprobe = 3)
       },

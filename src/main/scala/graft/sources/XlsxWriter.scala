@@ -29,8 +29,10 @@ object XlsxWriter {
 
   def write(path: String, sheets: Seq[(String, DataFrame)],
             maxRowsPerSheet: Int = 1 << 16): Unit = {
-    require(maxRowsPerSheet <= XlsxRowLimit,
-      s"maxRowsPerSheet $maxRowsPerSheet exceeds the xlsx format limit $XlsxRowLimit")
+    // strict: the header row occupies one of the format's rows, so the
+    // data-row guard must leave room for it
+    require(maxRowsPerSheet < XlsxRowLimit,
+      s"maxRowsPerSheet $maxRowsPerSheet must leave header room under the xlsx format limit $XlsxRowLimit")
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {
       put(zos, "[Content_Types].xml", contentTypes(sheets.size))

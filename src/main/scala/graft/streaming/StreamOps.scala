@@ -128,14 +128,14 @@ object StreamOps {
 
   /** Compact the [[nearDupIngest]] band-key store: every `batch=N`
     * partition the stream has appended is folded into ONE consolidated
-    * `batch=-1` partition of `targetFiles` deduplicated, (band, sig)-
-    * clustered files. Without this the store accumulates one directory
+    * negative-sentinel partition (`batch=-1`, then `-2`, …) of
+    * `targetFiles` deduplicated, (band, sig)-clustered files. Without this the store accumulates one directory
     * and ≥1 file per micro-batch forever, and the gate's semi-join pays
     * the listing + tiny-file open cost every batch.
     *
     * Semantics preserved exactly:
     *  - (band, sig) content is the distinct union of all batches;
-    *  - the sentinel batch id -1 never equals a real micro-batch id, so
+    *  - the negative sentinel batch id never equals a real micro-batch id, so
     *    the replay-exclusion filter (`batch =!= batchId`) keeps every
     *    compacted key visible to all future batches;
     *  - files are hash-clustered and sorted on (band, sig)
@@ -153,17 +153,30 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) return
+    def batchDirs() = fs
+      .listStatus(new org.apache.hadoop.fs.Path(storePath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val old = batchDirs()
+    // fresh negative sentinel (below every existing one): never equals a
+    // real micro-batch id, so the replay-exclusion filter keeps it
+    val sentinel = (old.map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_ < 0) ++ Seq(0L)).min - 1
     val tmp = new org.apache.hadoop.fs.Path(storePath + "_compact_tmp")
     spark.read.parquet(storePath)
       .select(col("band"), col("sig")).dropDuplicates("band", "sig")
       .repartition(targetFiles, col("band"), col("sig"))
       .sortWithinPartitions("band", "sig")
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: drop every batch=* directory, move tmp in as batch=-1
-    fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .foreach(s => fs.delete(s.getPath, true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(storePath, "batch=-1"))
+    // CRASH-SAFE swap order: make the compacted superset VISIBLE first
+    // (the store is a membership set — old partitions coexisting with
+    // the compacted copy is harmless duplication, never data loss), then
+    // drop the superseded partitions. A crash between the two steps
+    // leaves a store that is larger than needed, not smaller.
+    val target = new org.apache.hadoop.fs.Path(storePath, s"batch=$sentinel")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"compactNearDupStore: rename $tmp -> $target failed; store unchanged")
+    old.foreach(s => fs.delete(s.getPath, true))
     ()
   }
 
@@ -283,23 +296,12 @@ object StreamOps {
   def finishKmeansStream(spark: org.apache.spark.sql.SparkSession,
                          statePath: String,
                          centroids: DataFrame): DataFrame = {
-    val folded = spark.read.parquet(statePath)
+    val sums = spark.read.parquet(statePath)
       .groupBy(col("cluster_id"), col("dim"))
       .agg(sum(col("sxi")).as("sxi"))
-      .groupBy(col("cluster_id"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("sxi"))))
-        .as("pairs"))
-      .select(col("cluster_id").as("centroid_id"),
-        transform(col("pairs"),
-          p => p.getField("sxi").cast("double") / lit(1e9)).as("mv"))
-    val renormed = folded
-      .withColumn("mnorm",
-        sqrt(aggregate(zip_with(col("mv"), col("mv"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)))
-      .select(col("centroid_id"),
-        transform(col("mv"), x => x / col("mnorm")).as("nv"))
-    centroids.join(renormed, Seq("centroid_id"), "left")
-      .select(col("centroid_id"), coalesce(col("nv"), col("cv")).as("cv"))
+    // the fold itself is the batch trainer's, by construction — one
+    // shared implementation is what PINS the epoch-equivalence law
+    graft.operators.Similarity.centroidsFromSums(sums, centroids)
   }
 
   /** One key's running top-k snapshot (Update-mode emission). */

@@ -275,22 +275,31 @@ class PlanQualitySpec extends SparkSpec {
       "aggregate — one row per calendar day, bounded by elapsed time, and a " +
       "RANGE frame needs the contiguous day order"))
 
+  /** Every registered query's physical plan, built ONCE and shared by
+    * the whole-registry gates below (some builds run real work — the
+    * q74/q123 rank offsets, q131's pinned tokenization, q65's training —
+    * so each gate must not redo the full registry).
+    */
+  private lazy val allPhysicalPlans
+      : Seq[(String, org.apache.spark.sql.execution.SparkPlan)] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+      name -> (q(spark, sf()).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      })
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     // scalar broadcasts plan as BroadcastNestedLoopJoin; an actual
     // CartesianProductExec means both sides shuffle-expand — never
     // acceptable at scale, in ANY registered query, present or future
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.CartesianProductExec
-    def strip(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.inputPlan
-      case other => other
-    }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, q) =>
-        strip(q(spark, sf()).queryExecution.executedPlan).collect {
-          case c: CartesianProductExec => s"$name: ${c.simpleString(120)}"
-        }
+    val offenders = allPhysicalPlans.flatMap { case (name, physical) =>
+      physical.collect {
+        case c: CartesianProductExec => s"$name: ${c.simpleString(120)}"
+      }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
@@ -301,21 +310,15 @@ class PlanQualitySpec extends SparkSpec {
     // above an explicit global limit (TakeOrderedAndProject / GlobalLimit
     // bound the input to k rows first) or for the allowlisted domain-
     // bounded inputs above. Protects every future query too.
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
-    def strip(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.inputPlan
-      case other => other
-    }
     def boundedBelow(p: SparkPlan): Boolean = p.exists {
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
            _: CollectLimitExec => true
       case _ => false
     }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, q) if !boundedWindowAllowlist.contains(name) =>
-        val physical = strip(q(spark, sf()).queryExecution.executedPlan)
+    val offenders = allPhysicalPlans.flatMap {
+      case (name, physical) if !boundedWindowAllowlist.contains(name) =>
         physical.collect {
           case w: WindowExec if w.partitionSpec.isEmpty &&
               !boundedBelow(w.child) =>
