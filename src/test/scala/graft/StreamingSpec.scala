@@ -403,6 +403,13 @@ class StreamingSpec extends SparkSpec {
     val keptFinal = spark.read.parquet(out).select("doc_id")
       .as[Long].collect().toSet
     assert(keptFinal == Set(10L, 11L, 21L, 31L), s"post-compaction gate: $keptFinal")
+    // a SECOND compaction picks a fresh sentinel (crash-safe swap never
+    // renames onto an existing partition) and folds every live partition
+    graft.streaming.StreamOps.compactNearDupStore(spark, store, targetFiles = 1)
+    val dirs2 = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq
+    assert(dirs2 == Seq("batch=-2"), s"second compaction layout: $dirs2")
+    val keys2 = spark.read.parquet(store).select("band", "sig").distinct().count()
+    assert(keys2 == spark.read.parquet(store).count(), "compacted store must be distinct")
   }
 
   test("nearDupIngest restart: a new query on the same checkpoint resumes, no rework") {
