@@ -183,14 +183,16 @@ object Curation {
   /** Greedy token-budget selection: per `bucket`, keep rows in
     * (`score` desc, `id`) order while the running `tokens` total stays
     * ≤ `budget` — the "best docs until the budget is full" curation move.
-    * One window exchange on the stratum key; the running sum is exact
-    * integer arithmetic.
+    * The running sum rides `Relational.withStratumPrefixSum`, NOT a
+    * `Window.partitionBy(bucket)`: bucket is a low-cardinality stratum
+    * (language), and real corpora are stratum-skewed — one language is
+    * half a web crawl, so the stratum window would funnel half the
+    * corpus through one task at scale. The two-pass prefix sum keeps
+    * every task range-partition-sized; the sums are exact integers.
     */
-  def tokenBudget(df: DataFrame, bucket: Column, score: Column, id: Column,
-                  tokens: Column, budget: Long): DataFrame = {
-    val w = Window.partitionBy(bucket).orderBy(score.desc, id)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(tokens).over(w))
+  def tokenBudget(df: DataFrame, bucket: String, score: Column, id: Column,
+                  tokens: Column, budget: Long): DataFrame =
+    graft.operators.Relational.withStratumPrefixSum(df, Seq(bucket),
+        Seq(score.desc, id), tokens, as = "cum_tokens")
       .where(col("cum_tokens") <= budget)
-  }
 }

@@ -123,12 +123,186 @@ object Relational {
     * exactly the SQL-standard ntile fill. Pure arithmetic, no window.
     */
   def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
     val base = n / k
     val rem = n % k
     val cut = rem * (base + 1)
     if (base == 0) rank
     else when(rank <= cut, floor((rank - 1) / lit(base + 1)))
       .otherwise(lit(rem) + floor((rank - 1 - cut) / lit(base))) + 1
+  }
+
+  /** [[ntileFromRank]] with a per-row (per-stratum) total `n` COLUMN —
+    * the companion to [[withStratumRankN]], where each stratum has its
+    * own row count. `base = n div k` is computed exactly via pmod (no
+    * float division on the count); the float divisions that remain have
+    * exact-integer operands well under 2^53, where IEEE floor(a/b) is
+    * exact for the magnitudes a row count can reach.
+    */
+  def ntileFromRankCol(rank: Column, n: Column, k: Int): Column = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val rem = pmod(n, lit(k.toLong))
+    val base = ((n - rem) / k).cast("long")
+    val cut = rem * (base + 1)
+    when(base === 0, rank)
+      .otherwise(when(rank <= cut, floor((rank - 1) / (base + 1)))
+        .otherwise(rem + floor((rank - 1 - cut) / base)) + 1)
+  }
+
+  /** Per-STRATUM exact rank plus per-stratum row count — the stratum
+    * generalization of [[withGlobalRankN]], killing the
+    * `Window.partitionBy(stratum)` pattern whose partitions are
+    * data-sized when the stratum is low-cardinality and skewed (one
+    * language is half a web crawl; one market segment is 1/5 of the
+    * customers — "parallel across strata" still funnels the corpus
+    * through a handful of tasks).
+    *
+    * Same two-pass layout as the global form, with the stratum leading
+    * the range keys:
+    *
+    *  1. range-repartition + sort on (stratum, order) — each stratum
+    *     occupies a CONTIGUOUS run of partitions, split across as many
+    *     as its size needs (sampled boundaries balance even a dominant
+    *     stratum across tasks);
+    *  2. one aggregate collects per-(stratum, partition) row counts AND
+    *     the stratum's first local row index in that partition — a
+    *     |strata|×P-row driver table, bounded like a broadcast dim;
+    *  3. rank = stratum's cumulative offset before this partition +
+    *     (local row index − stratum's first local index) + 1, all
+    *     map-side arithmetic against the broadcast offset table.
+    *
+    * Returns `df` plus `as` (LONG rank, 1..n within each stratum) and
+    * `nAs` (LONG per-stratum total — percent_rank / cume_dist / ntile /
+    * quota filters all need it, and the offset pass computed it for
+    * free). Stratum keys join back null-safely. `order` must be a total
+    * order within each stratum for deterministic ranks, same as any
+    * window rank.
+    */
+  def withStratumRankN(df: DataFrame, stratum: Seq[String],
+                       order: Seq[Column], as: String,
+                       nAs: String): DataFrame = {
+    require(stratum.nonEmpty, "stratum columns must be non-empty")
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sortCols = stratum.map(col) ++ order
+    val mask = (1L << 33) - 1
+    val ranged = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__srk_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val sLen = stratum.length
+    val stats = ranged
+      .groupBy(stratum.map(col) :+
+        shiftrightunsigned(col("__srk_mid"), 33).as("__srk_pid"): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        min(col("__srk_mid").bitwiseAND(lit(mask))).as("__srk_first"))
+      .collect() // |strata| × P rows — driver-bounded by construction
+    val byStratum = stats.groupBy(r => (0 until sLen).map(r.get(_)).toSeq)
+    val offRows = byStratum.toSeq.flatMap { case (sv, rs) =>
+      val sorted = rs.sortBy(_.getLong(sLen))
+      val n = sorted.map(_.getLong(sLen + 1)).sum
+      var acc = 0L
+      sorted.map { r =>
+        val off = acc
+        acc += r.getLong(sLen + 1)
+        org.apache.spark.sql.Row.fromSeq(
+          sv ++ Seq(r.getLong(sLen), off, r.getLong(sLen + 2), n))
+      }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      stratum.map(s => ranged.schema(s).copy(name = s, nullable = true)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__srk_pid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__srk_off",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__srk_first",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__srk_n",
+          org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    val offDf = spark.createDataFrame(offRows.asJava, offSchema)
+      .toDF(stratum.indices.map(i => s"__srk_s$i") ++
+        Seq("__srk_pid", "__srk_off", "__srk_first", "__srk_n"): _*)
+    val withPid = ranged.withColumn("__srk_pid2",
+      shiftrightunsigned(col("__srk_mid"), 33))
+    val cond = stratum.zipWithIndex.map { case (s, i) =>
+      withPid(s) <=> offDf(s"__srk_s$i")
+    }.reduce(_ && _) && withPid("__srk_pid2") === offDf("__srk_pid")
+    withPid.join(broadcast(offDf), cond)
+      .withColumn(as, col("__srk_off") +
+        (col("__srk_mid").bitwiseAND(lit(mask)) - col("__srk_first")) + 1)
+      .withColumn(nAs, col("__srk_n"))
+      .drop((stratum.indices.map(i => s"__srk_s$i") ++
+        Seq("__srk_pid", "__srk_pid2", "__srk_mid", "__srk_off", "__srk_first", "__srk_n")): _*)
+  }
+
+  /** Per-stratum exact INCLUSIVE prefix sum of an integer `value`
+    * column in (`stratum`, `order`) order, without the stratum-window —
+    * the running-sum sibling of [[withStratumRankN]] (token budgets,
+    * sequence packing). Same range layout and |strata|×P driver offset
+    * table, but the offsets carry per-(stratum, partition) VALUE sums;
+    * the remaining within-partition running sum rides a window
+    * partitioned by (stratum, partition id) — each window group is at
+    * most one range partition's share of one stratum, balanced by the
+    * sampled range boundaries, never stratum-sized. `value` must be
+    * integral (cast upstream): partial sums fold exactly in any order.
+    *
+    * Returns `df` plus `as` = the inclusive running sum (subtract the
+    * row's own value for the exclusive form).
+    */
+  def withStratumPrefixSum(df: DataFrame, stratum: Seq[String],
+                           order: Seq[Column], value: Column,
+                           as: String): DataFrame = {
+    require(stratum.nonEmpty, "stratum columns must be non-empty")
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sortCols = stratum.map(col) ++ order
+    val ranged = df.withColumn("__srk_val", value.cast("long"))
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__srk_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val sLen = stratum.length
+    val stats = ranged
+      .groupBy(stratum.map(col) :+
+        shiftrightunsigned(col("__srk_mid"), 33).as("__srk_pid"): _*)
+      .agg(sum(col("__srk_val")).as("__srk_psum"))
+      .collect() // |strata| × P rows — driver-bounded by construction
+    val byStratum = stats.groupBy(r => (0 until sLen).map(r.get(_)).toSeq)
+    val offRows = byStratum.toSeq.flatMap { case (sv, rs) =>
+      val sorted = rs.sortBy(_.getLong(sLen))
+      var acc = 0L
+      sorted.map { r =>
+        val off = acc
+        acc += r.getLong(sLen + 1)
+        org.apache.spark.sql.Row.fromSeq(sv ++ Seq(r.getLong(sLen), off))
+      }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      stratum.map(s => ranged.schema(s).copy(name = s, nullable = true)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__srk_pid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__srk_off",
+          org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    val offDf = spark.createDataFrame(offRows.asJava, offSchema)
+      .toDF(stratum.indices.map(i => s"__srk_s$i") ++ Seq("__srk_pid", "__srk_off"): _*)
+    val withPid = ranged.withColumn("__srk_pid2",
+      shiftrightunsigned(col("__srk_mid"), 33))
+    val cond = stratum.zipWithIndex.map { case (s, i) =>
+      withPid(s) <=> offDf(s"__srk_s$i")
+    }.reduce(_ && _) && withPid("__srk_pid2") === offDf("__srk_pid")
+    // window groups are (stratum ∩ one range partition) — partition-
+    // bounded, so this is NOT the stratum-window anti-pattern the plan
+    // gate hunts (its spec includes __srk_pid2, which no stratum list holds)
+    val w = Window
+      .partitionBy(stratum.map(col) :+ col("__srk_pid2"): _*)
+      .orderBy(col("__srk_mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid.join(broadcast(offDf), cond)
+      .withColumn(as, col("__srk_off") + sum(col("__srk_val")).over(w))
+      .drop((stratum.indices.map(i => s"__srk_s$i") ++
+        Seq("__srk_pid", "__srk_pid2", "__srk_mid", "__srk_off", "__srk_val")): _*)
   }
 
   /** EXACT set-similarity self-join with prefix filtering (the

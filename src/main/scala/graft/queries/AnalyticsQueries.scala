@@ -158,9 +158,13 @@ object AnalyticsQueries {
                ${ExactAgg.sqlSum("value", 4)} AS sum_value
         FROM events GROUP BY 1""")),
 
-    // Ranked window analytics: top-5 spenders per market segment with the
-    // gap to the next-better customer (row_number + lag over the same
-    // sort — ONE window exchange, dims broadcast).
+    // Ranked analytics: top-5 spenders per market segment with the gap
+    // to the next-better customer. The top-5 cut rides the bounded-heap
+    // TopKPerKey exec (k candidates per key per partition — never a
+    // per-segment sort of ALL customers, which with 5 segments puts 1/5
+    // of the table in one window task at any scale); rank and gap are
+    // then a window over the ≤ 5×|segments|-row RESULT, bounded by
+    // construction.
     "q52_segment_spend_rank" -> QueryDef(
       build = (s, dir) => {
         val orders = Engine.table(s, dir, "orders")
@@ -168,13 +172,17 @@ object AnalyticsQueries {
           .select(col("c_custkey"), col("c_mktsegment"))
         val totals = orders.groupBy(col("o_custkey"))
           .agg(ExactAgg.sumExact(col("o_totalprice"), 2).as("total"))
+        val joined = totals
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("c_custkey"), col("total"))
+        val top = graft.operators.Relational.topKPerKey(joined,
+          keys = Seq(col("c_mktsegment")),
+          order = Seq(col("total").desc, col("c_custkey")), k = 5)
         val w = Window.partitionBy(col("c_mktsegment"))
           .orderBy(col("total").desc, col("c_custkey"))
-        totals.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
+        top.withColumn("rnk", row_number().over(w).cast("long"))
           .withColumn("gap", round(coalesce(lag(col("total"), 1).over(w) - col("total"),
             lit(0.0)), 2))
-          .filter(col("rnk") <= 5)
           .select(col("c_mktsegment"), col("rnk"), col("c_custkey"),
             col("total"), col("gap"))
       },
@@ -213,17 +221,19 @@ object AnalyticsQueries {
       headline = true),
 
     // Stratified deterministic sample: 20% per language, chosen by md5
-    // order so the subset is stable across engines/runs. One shuffle on
-    // the stratum key; the per-stratum count rides the same window.
+    // order so the subset is stable across engines/runs. The per-lang
+    // rank AND count both come from the two-pass withStratumRankN — a
+    // per-lang row_number window would funnel each language through one
+    // task (English-skew straggler at scale); here every task holds one
+    // balanced range slice and the quota filter is map-side arithmetic.
     "q54_stratified_sample" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
-        val ord = Window.partitionBy(col("lang"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        val all = Window.partitionBy(col("lang"))
-        d.withColumn("rn", row_number().over(ord))
-          .withColumn("n", count(lit(1)).over(all))
-          .filter(col("rn") <= (col("n") + lit(4)) / lit(5))
+          .select(col("doc_id"), col("lang"),
+            md5(col("doc_id").cast("string")).as("__u"))
+        graft.operators.Relational.withStratumRankN(d, Seq("lang"),
+            Seq(col("__u"), col("doc_id")), as = "__rnk", nAs = "__n")
+          .filter(col("__rnk") <= (col("__n") + lit(4)) / lit(5))
           .select(col("doc_id"), col("lang"))
       },
       oracle = Some("""
@@ -794,17 +804,27 @@ object AnalyticsQueries {
                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
         FROM m""")),
 
-    // Relative-standing windows: percent_rank and cume_dist of each
-    // customer inside their market segment by account balance — one
-    // window exchange, both functions share the same sort.
+    // Relative-standing analytics: percent_rank and cume_dist of each
+    // customer inside their market segment by account balance. NOT a
+    // window partitioned by segment (5 segments → each window partition
+    // is 1/5 of all customers at any scale): the exact per-stratum rank
+    // and count come from the two-pass withStratumRankN, and both stats
+    // are closed-form map-side arithmetic on (rank, n). The order is
+    // tie-free (custkey breaks balance ties), so percent_rank =
+    // (rank−1)/(n−1) and cume_dist = rank/n — the identical IEEE
+    // divisions both engines fold the same way.
     "q104_percent_rank" -> QueryDef(
       build = (s, dir) => {
         val c = Engine.table(s, dir, "customer")
-        val w = Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("c_acctbal"), col("c_custkey"))
-        c.select(col("c_custkey"), col("c_mktsegment"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val r = graft.operators.Relational.withStratumRankN(c,
+          Seq("c_mktsegment"), Seq(col("c_acctbal"), col("c_custkey")),
+          as = "__rnk", nAs = "__n")
+        r.select(col("c_custkey"), col("c_mktsegment"),
+          round(when(col("__n") === 1, lit(0.0))
+            .otherwise((col("__rnk") - 1).cast("double") / (col("__n") - 1)),
+            6).as("pr"),
+          round(col("__rnk").cast("double") / col("__n"), 6).as("cd"))
       },
       oracle = Some("""
         SELECT c_custkey, c_mktsegment,

@@ -17,6 +17,37 @@ object CurationQueries {
     */
   private val evalHexes = Seq("0", "1")
 
+  /** q102's pre-budget DAG (quality gate → whole-row min_by dedup →
+    * decontamination anti-join), exposed so PlanQualitySpec can pin its
+    * plan shape: the token budget's two-pass prefix sum localCheckpoints
+    * this stage, so the pins are invisible in the REGISTERED query's
+    * final plan (the checkpoint materializes the upstream at build
+    * time).
+    */
+  private[graft] def q102CleanStage(s: org.apache.spark.sql.SparkSession,
+                                    dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val d = Engine.table(s, dir, "documents")
+    val kept = d.where(Curation.qualityLogit(col("text")) >= 0)
+    // exact dedup keeping the min-id row — as ONE whole-row min_by
+    // aggregate (single exchange on the content hash) instead of
+    // groupBy + join-back (three exchanges for the same rows)
+    val uniq = kept
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(kept.columns.map(col): _*), col("doc_id"))
+        .as("__r"))
+      .select(col("__r.*"))
+    val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
+    val contaminated = Curation.ngramOverlap(
+        uniq.where(!isEval), uniq.where(isEval),
+        col("text"), col("doc_id"), w = 3, minShared = 5)
+      .where(col("flagged") === 1).select("doc_id")
+    // the flagged list is bounded by the (tiny) eval overlap —
+    // broadcast the anti-join so the train side never sorts/shuffles
+    uniq.where(!isEval)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
+
   /** The q100 logit, spelled once for the q102 oracle. */
   private val sqlLogitZ = """
     -2.0 + 0.8 * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
@@ -128,7 +159,7 @@ object CurationQueries {
     "q99_token_budget" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
-        Curation.tokenBudget(d, col("lang"), col("n_chars"), col("doc_id"),
+        Curation.tokenBudget(d, "lang", col("n_chars"), col("doc_id"),
           size(split(col("text"), " ")), budget = 3000L)
           .select(col("doc_id"), col("lang"),
             col("cum_tokens").cast("long").as("cum_tokens"))
@@ -241,30 +272,13 @@ object CurationQueries {
     // End-to-end curation pipeline: quality filter → exact dedup (keep
     // representative) → benchmark decontamination → per-language token
     // budget, as ONE composed DAG. Proves the operators chain the way a
-    // real pipeline runs them; Catalyst still sees a single plan, so
-    // pruning/pushdown cross stage boundaries.
+    // real pipeline runs them; Catalyst sees the whole pre-budget DAG as
+    // a single plan (pruning/pushdown cross stage boundaries) — the
+    // budget's two-pass prefix sum then pins that DAG once
+    // (localCheckpoint) and ranks over the pinned partitions.
     "q102_curation_pipeline" -> QueryDef(
       build = (s, dir) => {
-        val d = Engine.table(s, dir, "documents")
-        val kept = d.where(Curation.qualityLogit(col("text")) >= 0)
-        // exact dedup keeping the min-id row — as ONE whole-row min_by
-        // aggregate (single exchange on the content hash) instead of
-        // groupBy + join-back (three exchanges for the same rows)
-        val uniq = kept
-          .groupBy(md5(col("text")).as("__h"))
-          .agg(min_by(struct(kept.columns.map(col): _*), col("doc_id"))
-            .as("__r"))
-          .select(col("__r.*"))
-        val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
-        val contaminated = Curation.ngramOverlap(
-            uniq.where(!isEval), uniq.where(isEval),
-            col("text"), col("doc_id"), w = 3, minShared = 5)
-          .where(col("flagged") === 1).select("doc_id")
-        // the flagged list is bounded by the (tiny) eval overlap —
-        // broadcast the anti-join so the train side never sorts/shuffles
-        val clean = uniq.where(!isEval)
-          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-        Curation.tokenBudget(clean, col("lang"), col("n_chars"),
+        Curation.tokenBudget(q102CleanStage(s, dir), "lang", col("n_chars"),
             col("doc_id"), size(split(col("text"), " ")), budget = 2000L)
           .select(col("doc_id"), col("lang"),
             col("cum_tokens").cast("long").as("cum_tokens"))
@@ -360,21 +374,25 @@ object CurationQueries {
     // head/middle/tail terciles of the quality logit (1e6-scaled integer
     // sort key, doc-id tie-break → deterministic ntile), each bucket
     // reporting size and mean logit — the per-language quality
-    // stratification CCNet shards a crawl by before selection. The ntile
-    // window partitions by lang (parallel across languages, never
-    // single-partition); sums are exact integers.
+    // stratification CCNet shards a crawl by before selection. The
+    // tercile assignment rides the two-pass per-stratum rank
+    // (withStratumRankN + ntileFromRankCol), NOT an ntile window
+    // partitioned by lang: languages are heavily skewed in real corpora
+    // (English ≈ half a web crawl), so "parallel across languages" is a
+    // single-task funnel at scale. Sums are exact integers.
     "q132_ccnet_buckets" -> QueryDef(
       build = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Relational
         val d = Engine.table(s, dir, "documents")
         val z = d.select(col("doc_id"), col("lang"),
           round(Curation.qualityLogit(col("text")) * 1e6).cast("long")
             .as("z_int"))
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(col("z_int").desc, col("doc_id"))
-        z.withColumn("bucket",
+        val ranked = Relational.withStratumRankN(z, Seq("lang"),
+          Seq(col("z_int").desc, col("doc_id")), as = "__rnk", nAs = "__n")
+        ranked.withColumn("bucket",
             element_at(array(lit("head"), lit("middle"), lit("tail")),
-              ntile(3).over(w)))
+              Relational.ntileFromRankCol(col("__rnk"), col("__n"), 3)
+                .cast("int")))
           .groupBy(col("lang"), col("bucket"))
           .agg(count(lit(1)).as("n_docs"), sum(col("z_int")).as("sz"))
           .select(col("lang"), col("bucket"), col("n_docs"),

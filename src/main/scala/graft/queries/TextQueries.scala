@@ -15,6 +15,12 @@ object TextQueries {
   private def sqlScore(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** q76's shard fan-out. Semantically free to raise (each shard packs
+    * independently); size to the cluster's parallelism in deployment.
+    * Interpolated into the oracle SQL so both engines shard identically.
+    */
+  private val PackingShards = 32
+
   private val Seq(enW, esW, frW, deW) = TextAnalysis.langStopwords.map(_._2)
   private val allStop = TextAnalysis.langStopwords.flatMap(_._2).distinct
 
@@ -321,26 +327,30 @@ object TextQueries {
 
     // Sequence packing: assign documents to fixed-capacity token bins by
     // exclusive running token count, independently per shard — the layout
-    // pass that turns a cleaned corpus into ~equal training chunks. Each
-    // shard packs its own ordered stream (one window exchange on the
-    // shard key, never a global sort), which is exactly how N workers
-    // would pack 100 TB in parallel.
+    // pass that turns a cleaned corpus into ~equal training chunks.
+    // Packing is shard-parallel by construction, so the shard count is a
+    // PARAMETER sized to the deployment (here PackingShards; at 100 TB
+    // you'd pick ≥ the executor-core count so no worker idles) — and the
+    // per-shard running count rides the two-pass withStratumPrefixSum,
+    // so even a deliberately small shard count never funnels
+    // corpus/|shards| rows through one window task.
     "q76_sequence_packing" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
-        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        d.select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        graft.operators.Relational.withStratumPrefixSum(
+            d.select(col("doc_id"),
+              (col("doc_id") % PackingShards).as("shard"),
+              size(split(col("text"), " ")).cast("long").as("n_tok")),
+            Seq("shard"), Seq(col("doc_id")), col("n_tok"), as = "__cumi")
+          .withColumn("cum", col("__cumi") - col("n_tok")) // exclusive
           .withColumn("bin", expr("CAST(cum DIV 512 AS BIGINT)"))
           .groupBy(col("shard"), col("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH t AS (
-          SELECT doc_id, doc_id % 8 AS shard,
+          SELECT doc_id, doc_id % $PackingShards AS shard,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
           FROM documents),
         c AS (
@@ -429,18 +439,23 @@ object TextQueries {
     // (natural text ≈ −1; synthetic/boilerplate drifts). Both logs are
     // fixed to 6 decimals as integers, then q103's exact-sums OLS — the
     // whole regression is order-proof integer arithmetic until one float
-    // division per language. One shuffle to term counts, one window
-    // over the vocab-sized table, one partial-agg to the 4 groups.
+    // division per language. One shuffle to term counts; the top-30 cut
+    // rides the bounded-heap TopKPerKey exec — the per-lang term table
+    // is VOCABULARY-sized (billions of terms at 100 TB), so a per-lang
+    // rank window over it would be a single-task funnel; the rank
+    // window that remains runs over the ≤ 30×|langs|-row result.
     "q116_zipf_slope" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
         val tf = d.select(col("lang"),
             explode(split(col("text"), " ")).as("term"))
           .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+        val top30 = graft.operators.Relational.topKPerKey(tf,
+          keys = Seq(col("lang")),
+          order = Seq(col("tf").desc, col("term")), k = 30)
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("tf").desc, col("term"))
-        val top = tf.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 30)
+        val top = top30.withColumn("rank", row_number().over(w))
           .select(col("lang"),
             expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS LONG)")
               .as("x"),

@@ -115,7 +115,7 @@ class CurationSpec extends SparkSpec {
       .toDF("lang", "id", "score", "tokens")
     // en by score desc: id1(40) cum40, id2(50) cum90, id3(20) cum110>100 → out.
     // fr: id4(100) cum100, id5(10) cum110>100 → out.
-    val kept = Curation.tokenBudget(df, $"lang", $"score", $"id", $"tokens", 100L)
+    val kept = Curation.tokenBudget(df, "lang", $"score", $"id", $"tokens", 100L)
       .select($"id", $"cum_tokens").orderBy($"id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(kept.toSeq == Seq((1L, 40L), (2L, 90L), (4L, 100L)))

@@ -89,6 +89,61 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: withStratumRankN ≡ per-stratum window rank + count, skewed strata") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    // heavily skewed stratum distribution on purpose (the scale scenario
+    // the operator exists for): stratum "en" takes ~70% of rows; ties in
+    // the sort key are broken by id through both spellings
+    val rowGen = for {
+      stratum <- Gen.frequency((7, Gen.const("en")), (1, Gen.const("fr")),
+        (1, Gen.const("de")), (1, Gen.const("es")))
+      key <- Gen.choose(0L, 40L)
+    } yield (stratum, key)
+    for (seed <- 0 to 2) {
+      val rows = sample(rowGen, 500).zipWithIndex
+        .map { case ((st, k), i) => (i.toLong + seed * 1000, st, k) }
+      val parts = Seq(1, 3, 13)(seed)
+      val df = rows.toDF("id", "lang", "k").repartition(parts)
+      val order = Seq($"k".desc, $"id".asc)
+      val w = Window.partitionBy($"lang").orderBy(order: _*)
+      val spec = df
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy($"lang")).cast("long"))
+      val two = Relational.withStratumRankN(df, Seq("lang"), order, "r", "n")
+      assert(spec.exceptAll(two).isEmpty && two.exceptAll(spec).isEmpty,
+        s"seed=$seed parts=$parts")
+    }
+    // empty input: no rows out, no throw
+    val empty = Seq.empty[(Long, String)].toDF("id", "lang")
+    assert(Relational.withStratumRankN(empty, Seq("lang"), Seq($"id"),
+      "r", "n").count() == 0)
+  }
+
+  test("law: withStratumPrefixSum ≡ per-stratum running-sum window, skewed strata") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      stratum <- Gen.frequency((7, Gen.const("en")), (2, Gen.const("fr")),
+        (1, Gen.const("de")))
+      v <- Gen.choose(1L, 50L)
+    } yield (stratum, v)
+    for (seed <- 0 to 2) {
+      val rows = sample(rowGen, 500).zipWithIndex
+        .map { case ((st, v), i) => (i.toLong + seed * 1000, st, v) }
+      val parts = Seq(1, 3, 13)(seed)
+      val df = rows.toDF("id", "lang", "v").repartition(parts)
+      val w = Window.partitionBy($"lang").orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spec = df.withColumn("cum", sum($"v").over(w))
+      val two = Relational.withStratumPrefixSum(df, Seq("lang"),
+        Seq($"id"), $"v", "cum")
+      assert(spec.exceptAll(two).isEmpty && two.exceptAll(spec).isEmpty,
+        s"seed=$seed parts=$parts")
+    }
+  }
+
   test("law: xlsx write→read round-trips arbitrary strings") {
     val nastyGen = Gen.oneOf(
       Gen.asciiPrintableStr.map(_.take(50)),
@@ -200,7 +255,7 @@ class LawsSpec extends SparkSpec {
     val budget = 150L
     val got = Curation.tokenBudget(
         rows.toDF("bucket", "id", "score", "tokens"),
-        $"bucket", $"score", $"id", $"tokens", budget)
+        "bucket", $"score", $"id", $"tokens", budget)
       .select($"bucket", $"id", $"cum_tokens")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     // independent model: sort each bucket (score desc, id), walk the

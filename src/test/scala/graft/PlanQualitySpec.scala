@@ -151,16 +151,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
   }
 
-  test("q99 token budget: one window exchange on the stratum key") {
+  test("q99 token budget: two-pass prefix sum — offset table broadcasts, " +
+      "no window on the bare stratum") {
     val p = plan("q99_token_budget")
-    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
-      .map(_.group(1)).toSet.size
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
-    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-(stratum, partition) offset table must broadcast:\n$p")
+    // the residual running-sum window must be keyed by (stratum, range
+    // partition id) — the stratum gate below verifies no registered query
+    // windows on the bare stratum; here we pin that the window survived
+    // at all (the running sum still needs one) with the pid in its key
+    assert(p.contains("__srk_pid2"), s"partition-id window key missing:\n$p")
   }
 
   test("q102 pipeline: anti-join broadcasts; the train side never SMJs") {
-    val p = plan("q102_curation_pipeline")
+    // the token budget's two-pass prefix sum localCheckpoints the clean
+    // stage, so the upstream pins must read the PRE-checkpoint plan
+    val p = graft.queries.CurationQueries.q102CleanStage(spark, sf())
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin LeftAnti"),
       s"contaminated-list anti-join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"q102 fell back to SMJ:\n$p")
@@ -171,6 +178,10 @@ class PlanQualitySpec extends SparkSpec {
       s"dedup lost its map-side partial min_by:\n$p")
     assert(p.contains("shingleexplode"),
       s"native decontamination generator missing:\n$p")
+    // the registered query's final plan: budget offsets broadcast back
+    // onto the pinned partitions, window keyed by (stratum, partition)
+    val f = plan("q102_curation_pipeline")
+    assert(f.contains("BroadcastHashJoin") && f.contains("__srk_pid2"), f)
   }
 
   test("q105 top-k per key: custom exec, one exchange, no sort, no window") {
@@ -328,5 +339,66 @@ class PlanQualitySpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"single-partition global windows over unbounded input:\n${offenders.mkString("\n")}")
+  }
+
+  /** Low-cardinality stratum columns: a Window partitioned ONLY by a
+    * subset of these funnels `rows/|strata|` rows through single tasks —
+    * and real strata are skewed (English is ~half a web crawl; one TPC-H
+    * segment is 1/5 of customers), so "parallel across strata" is a
+    * straggler at 100×. Keep renamed forms (from_type) in the set too —
+    * the plan sees the output attribute name.
+    */
+  private val stratumColumns = Set("lang", "c_mktsegment", "shard",
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+    "event_type", "from_type")
+
+  /** Queries allowed a stratum-partitioned Window because the window's
+    * INPUT is domain-bounded (an aggregate whose row count is a product
+    * of small enums / calendar days, not a function of the data size).
+    * Every entry needs a reason; anything not listed fails the gate.
+    */
+  private val stratumWindowAllowlist: Map[String, String] = Map(
+    "q79_mode_priority" -> ("mode window runs over the (status × priority) " +
+      "COUNT aggregate — ≤ |statuses|·|priorities| rows (a 3×5 enum " +
+      "product), domain-bounded by construction"),
+    "q113_ewma_revenue" -> ("EWMA taps run over the DAILY revenue " +
+      "aggregate per priority — rows bounded by elapsed calendar days × 5 " +
+      "priorities, the same class as q95's allowlisted z-score"),
+    "q114_event_transitions" -> ("row-probability window runs over the " +
+      "(from_type × to_type) transition-count aggregate — ≤ |types|² " +
+      "rows, domain-bounded by construction"))
+
+  test("no query windows on a bare low-cardinality stratum over unbounded input") {
+    // Round-4 tier of the window gate: the empty-spec gate above catches
+    // global windows; this one catches Window.partitionBy(stratum) where
+    // every partition key is a declared low-cardinality stratum column —
+    // correct at sf0.1, a skewed-stratum straggler at 100×. Acceptable
+    // only above a bounding operator (global limit, or the bounded-heap
+    // TopKPerKeyExec: ≤ k rows per key reach the window) or for the
+    // allowlisted domain-bounded aggregates. The scale-safe spellings
+    // are Relational.withStratumRankN / withStratumPrefixSum /
+    // topKPerKey — q52/q54/q76/q99/q104/q116/q132 all ride them.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    def boundedBelow(p: SparkPlan): Boolean = p.exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+           _: CollectLimitExec => true
+      case _: graft.plans.TopKPerKeyExec => true
+      case _ => false
+    }
+    val offenders = allPhysicalPlans.flatMap {
+      case (name, physical) if !stratumWindowAllowlist.contains(name) =>
+        physical.collect {
+          case w: WindowExec if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall(_.references.forall(a =>
+                stratumColumns.contains(a.name))) &&
+              !boundedBelow(w.child) =>
+            s"$name: ${w.simpleString(160)}"
+        }
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"stratum-only windows over unbounded input (use withStratumRankN/" +
+        s"withStratumPrefixSum/topKPerKey):\n${offenders.mkString("\n")}")
   }
 }
