@@ -126,57 +126,94 @@ object StreamOps {
     ()
   }
 
-  /** Compact the [[nearDupIngest]] band-key store: every `batch=N`
-    * partition the stream has appended is folded into ONE consolidated
-    * negative-sentinel partition (`batch=-1`, then `-2`, …) of
-    * `targetFiles` deduplicated, (band, sig)-clustered files. Without this the store accumulates one directory
-    * and ≥1 file per micro-batch forever, and the gate's semi-join pays
-    * the listing + tiny-file open cost every batch.
-    *
-    * Semantics preserved exactly:
-    *  - (band, sig) content is the distinct union of all batches;
-    *  - the negative sentinel batch id never equals a real micro-batch id, so
-    *    the replay-exclusion filter (`batch =!= batchId`) keeps every
-    *    compacted key visible to all future batches;
-    *  - files are hash-clustered and sorted on (band, sig)
-    *    (`repartition` + `sortWithinPartitions`), so parquet min/max
-    *    footers prune band ranges, and registering the same layout as a
-    *    bucketed table (`Engine.writeBucketed`) makes the gate join
-    *    store-side exchange-free (pinned in StreamingSpec).
-    *
-    * Run while the stream is quiescent (between `AvailableNow` drains or
-    * with the query stopped) — same discipline as any checkpoint-store
-    * maintenance.
+  /** Compact the [[nearDupIngest]] band-key store — the (band, sig)
+    * instance of [[compactBatchStore]]; see there for the fold, replay,
+    * and crash-safety contract. Files come back hash-clustered and
+    * sorted on (band, sig), so parquet min/max footers prune band
+    * ranges, and registering the same layout as a bucketed table
+    * (`Engine.writeBucketed`) makes the gate join store-side
+    * exchange-free (pinned in StreamingSpec).
     */
   def compactNearDupStore(spark: org.apache.spark.sql.SparkSession,
-                          storePath: String, targetFiles: Int = 8): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) return
-    def batchDirs() = fs
-      .listStatus(new org.apache.hadoop.fs.Path(storePath))
+                          storePath: String, targetFiles: Int = 8): Unit =
+    compactBatchStore(spark, storePath, dedupeCols = Seq("band", "sig"),
+      clusterCols = Seq("band", "sig"), targetFiles = targetFiles)
+
+  /** Compact the [[embNearDupIngest]] vector store — the
+    * (__bucket, __sv) instance of [[compactBatchStore]]: same
+    * tiny-files/listing decay, same fold. Files cluster on the LSH
+    * bucket (the gate's join key), so footer pruning hits bucket
+    * ranges.
+    */
+  def compactEmbNearDupStore(spark: org.apache.spark.sql.SparkSession,
+                             storePath: String, targetFiles: Int = 8): Unit =
+    compactBatchStore(spark, storePath,
+      dedupeCols = Seq("__bucket", "__sv"),
+      clusterCols = Seq("__bucket"), targetFiles = targetFiles)
+
+  /** Fold a `batch=N`-partitioned at-rest membership store into ONE
+    * consolidated negative-sentinel partition (`batch=-1`, then `-2`, …)
+    * of `targetFiles` deduplicated, `clusterCols`-clustered files.
+    * Without this the store accumulates one directory and ≥1 file per
+    * micro-batch forever, and every gate join pays the listing +
+    * tiny-file open cost.
+    *
+    * Semantics preserved exactly:
+    *  - `dedupeCols` content is the distinct union of the folded
+    *    batches; the sentinel id never equals a real micro-batch id, so
+    *    the replay-exclusion filter (`batch =!= batchId`) keeps every
+    *    compacted key visible to all future batches;
+    *  - REPLAY SAFETY: the HIGHEST non-negative batch partition is
+    *    never folded. If the stream crashed after writing that store
+    *    partition but before the checkpoint commit, the batch WILL
+    *    replay — and its self-exclusion (`batch =!= batchId`) only
+    *    works while its keys still sit under their own batch id.
+    *    Folding them into the sentinel would gate the replay against
+    *    its prior attempt and silently drop every survivor. Earlier
+    *    batches are safe to fold: their checkpoint commits are implied
+    *    by a later batch having started (commits are sequential).
+    *  - CRASH-SAFE swap order: the compacted copy becomes VISIBLE
+    *    (rename into the store) before the superseded partitions are
+    *    deleted — a membership store tolerates duplication, never loss;
+    *    a crash between the two steps leaves a larger store, not a
+    *    smaller one.
+    *
+    * Run between micro-batches (the store listing is not atomic against
+    * a concurrent reader's file enumeration); the StreamingSpec
+    * interleaving test pins that a batch running in the
+    * visible-but-not-yet-deleted state still gates correctly.
+    * `onBeforeDelete` is that test's injection point.
+    */
+  def compactBatchStore(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String, dedupeCols: Seq[String],
+                        clusterCols: Seq[String], targetFiles: Int = 8,
+                        onBeforeDelete: () => Unit = () => ()): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val all = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    val old = batchDirs()
+    def idOf(s: org.apache.hadoop.fs.FileStatus): Long =
+      s.getPath.getName.stripPrefix("batch=").toLong
+    val latest = all.map(idOf).filter(_ >= 0).sorted.lastOption
+    val fold = all.filterNot(s => latest.contains(idOf(s)))
+    if (fold.isEmpty) return
     // fresh negative sentinel (below every existing one): never equals a
     // real micro-batch id, so the replay-exclusion filter keeps it
-    val sentinel = (old.map(_.getPath.getName.stripPrefix("batch=").toLong)
-      .filter(_ < 0) ++ Seq(0L)).min - 1
+    val sentinel = (all.map(idOf).filter(_ < 0) ++ Seq(0L)).min - 1
     val tmp = new org.apache.hadoop.fs.Path(storePath + "_compact_tmp")
     spark.read.parquet(storePath)
-      .select(col("band"), col("sig")).dropDuplicates("band", "sig")
-      .repartition(targetFiles, col("band"), col("sig"))
-      .sortWithinPartitions("band", "sig")
+      .filter(latest.map(l => col("batch") =!= l).getOrElse(lit(true)))
+      .select(dedupeCols.map(col): _*).dropDuplicates(dedupeCols)
+      .repartition(targetFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(tmp.toString)
-    // CRASH-SAFE swap order: make the compacted superset VISIBLE first
-    // (the store is a membership set — old partitions coexisting with
-    // the compacted copy is harmless duplication, never data loss), then
-    // drop the superseded partitions. A crash between the two steps
-    // leaves a store that is larger than needed, not smaller.
     val target = new org.apache.hadoop.fs.Path(storePath, s"batch=$sentinel")
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(
-        s"compactNearDupStore: rename $tmp -> $target failed; store unchanged")
-    old.foreach(s => fs.delete(s.getPath, true))
+        s"compactBatchStore: rename $tmp -> $target failed; store unchanged")
+    onBeforeDelete()
+    fold.foreach(s => fs.delete(s.getPath, true))
     ()
   }
 

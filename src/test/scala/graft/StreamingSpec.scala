@@ -388,14 +388,27 @@ class StreamingSpec extends SparkSpec {
       s"replay lost rows: $keptAfterReplay")
 
     // COMPACTION: fold the per-batch store partitions into one batch=-1
-    // partition — same distinct keys, fewer files, and later batches
-    // still gate against it
+    // partition — same distinct keys, fewer files, later batches still
+    // gate against it. The HIGHEST non-negative batch (1) is NEVER
+    // folded: if its checkpoint commit didn't land, it will replay, and
+    // replay-exclusion needs its keys under their own batch id.
     graft.streaming.StreamOps.compactNearDupStore(spark, store, targetFiles = 2)
-    val dirs = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq
-    assert(dirs == Seq("batch=-1"), s"unexpected store layout: $dirs")
+    val dirs = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq.sorted
+    assert(dirs == Seq("batch=-1", "batch=1"), s"unexpected store layout: $dirs")
     val compactedKeys = spark.read.parquet(store)
       .select("band", "sig").as[(Int, String)].collect().toSet
     assert(compactedKeys == expectKeys)
+    // the ADVICE scenario: REPLAY batch 1 after compaction (crash wrote
+    // the store partition but not the checkpoint commit). Because the
+    // compactor skipped batch=1, the replay still excludes its own keys
+    // and re-emits the identical survivors instead of dropping them all
+    graft.streaming.StreamOps.nearDupBatch(
+      Seq((20L, dup), (21L, "pack my box with five dozen liquor jugs today yes"))
+        .toDF("doc_id", "text"), batchId = 1, "text", "doc_id", store, out)
+    val keptPostCompactReplay = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptPostCompactReplay == Set(10L, 11L, 21L),
+      s"post-compaction replay lost rows: $keptPostCompactReplay")
     // batch 2 (post-compaction): a dup of batch 1's survivor still drops
     graft.streaming.StreamOps.nearDupBatch(
       Seq((30L, dup), (31L, "grumpy wizards make toxic brew for the evil queen now"))
@@ -404,12 +417,50 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(keptFinal == Set(10L, 11L, 21L, 31L), s"post-compaction gate: $keptFinal")
     // a SECOND compaction picks a fresh sentinel (crash-safe swap never
-    // renames onto an existing partition) and folds every live partition
+    // renames onto an existing partition) and folds every partition but
+    // the new latest (batch=2)
     graft.streaming.StreamOps.compactNearDupStore(spark, store, targetFiles = 1)
-    val dirs2 = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq
-    assert(dirs2 == Seq("batch=-2"), s"second compaction layout: $dirs2")
+    val dirs2 = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq.sorted
+    assert(dirs2 == Seq("batch=-2", "batch=2"), s"second compaction layout: $dirs2")
     val keys2 = spark.read.parquet(store).select("band", "sig").distinct().count()
     assert(keys2 == spark.read.parquet(store).count(), "compacted store must be distinct")
+  }
+
+  test("compactBatchStore interleaving: a batch running in the visible-" +
+      "but-not-deleted window gates correctly; its store partition survives") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("ndic").toString
+    val (store, out) = (s"$dir/store", s"$dir/out")
+    val dup = "the quick brown fox jumps over the lazy dog end"
+    graft.streaming.StreamOps.nearDupBatch(
+      Seq((1L, dup), (2L, "completely different words entirely here nothing shared at all ok"))
+        .toDF("doc_id", "text"), batchId = 0, "text", "doc_id", store, out)
+    graft.streaming.StreamOps.nearDupBatch(
+      Seq((3L, "pack my box with five dozen liquor jugs today yes"))
+        .toDF("doc_id", "text"), batchId = 1, "text", "doc_id", store, out)
+    // run batch 2 INSIDE the compaction's crash window (sentinel renamed
+    // in, superseded partitions not yet deleted): the store is a
+    // duplicated SUPERSET at that instant — a membership gate must still
+    // drop dups and keep novel docs, and the batch's own store partition
+    // (written mid-compaction, after the fold listing) must survive
+    graft.streaming.StreamOps.compactBatchStore(spark, store,
+      dedupeCols = Seq("band", "sig"), clusterCols = Seq("band", "sig"),
+      targetFiles = 1, onBeforeDelete = () => {
+        graft.streaming.StreamOps.nearDupBatch(
+          Seq((4L, dup), (5L, "grumpy wizards make toxic brew for the evil queen now"))
+            .toDF("doc_id", "text"), batchId = 2, "text", "doc_id", store, out)
+      })
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L), s"mid-compaction gate: $kept")
+    // post-compaction layout: sentinel + latest-at-listing-time (batch=1)
+    // + the mid-flight batch=2 — nothing lost, store still gates
+    val dirs = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq.sorted
+    assert(dirs == Seq("batch=-1", "batch=1", "batch=2"), s"layout: $dirs")
+    graft.streaming.StreamOps.nearDupBatch(
+      Seq((6L, dup)).toDF("doc_id", "text"),
+      batchId = 3, "text", "doc_id", store, out)
+    val kept2 = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept, s"post-compaction dup leaked: $kept2")
   }
 
   test("nearDupIngest restart: a new query on the same checkpoint resumes, no rework") {
@@ -503,6 +554,37 @@ class StreamingSpec extends SparkSpec {
     val keptReplay = spark.read.parquet(out).select("vec_id")
       .as[Long].collect().toSet
     assert(keptReplay == Set(1L, 2L, 11L), s"replay lost rows: $keptReplay")
+
+    // COMPACTION (vector-store twin of the band-key compactor): fold all
+    // but the latest batch into the batch=-1 sentinel — distinct
+    // (bucket, vector) union preserved, replay of the skipped latest
+    // still idempotent, and the gate still drops dups afterwards
+    graft.streaming.StreamOps.compactEmbNearDupStore(spark, store, targetFiles = 1)
+    val dirs = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq.sorted
+    assert(dirs == Seq("batch=-1", "batch=1"), s"store layout: $dirs")
+    assert(spark.read.parquet(store).select("__bucket", "__sv").distinct().count()
+      == spark.read.parquet(store).count(), "compacted store must be distinct")
+    graft.streaming.StreamOps.embNearDupBatch(
+      Seq((10L, Seq(1f, 0.005f, 0f, 0f)), (11L, Seq(0f, 0f, 1f, 0f)))
+        .toDF("vec_id", "embedding"),
+      batchId = 1, "embedding", "vec_id", store, out,
+      tau = 0.99, nPlanes = 4, dims = 4)
+    assert(spark.read.parquet(out).select("vec_id").as[Long].collect().toSet
+      == Set(1L, 2L, 11L), "post-compaction replay lost rows")
+    // batch 2: dup of survivor 2 drops against the sentinel; new
+    // direction survives
+    graft.streaming.StreamOps.embNearDupBatch(
+      Seq((20L, Seq(0f, 1f, 0.01f, 0f)), (21L, Seq(0f, 0f, 0f, 1f)))
+        .toDF("vec_id", "embedding"),
+      batchId = 2, "embedding", "vec_id", store, out,
+      tau = 0.99, nPlanes = 4, dims = 4)
+    val keptFinal = spark.read.parquet(out).select("vec_id")
+      .as[Long].collect().toSet
+    assert(keptFinal == Set(1L, 2L, 11L, 21L), s"post-compaction gate: $keptFinal")
+    // repeated compaction: fresh sentinel, latest (batch=2) skipped
+    graft.streaming.StreamOps.compactEmbNearDupStore(spark, store, targetFiles = 1)
+    val dirs2 = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq.sorted
+    assert(dirs2 == Seq("batch=-2", "batch=2"), s"second compaction layout: $dirs2")
   }
 
   test("FileDrop live mode: ProcessingTime trigger picks up files arriving mid-stream") {
