@@ -317,12 +317,16 @@ object Relational {
     * candidate join land on the LOW-frequency tokens — hot tokens
     * ("the") never generate pairs.
     *
-    * 100 TB shape: the token-frequency table is vocabulary-sized and
-    * broadcasts; the only data-sized shuffle is the candidate equi-join
-    * on prefix tokens, bounded by rare-token co-occurrence instead of
-    * |n|². Law (OperatorsSpec) + the q136 oracle both pin
-    * prefix-filtered ≡ brute force. Returns (key_a, key_b, n_shared,
-    * jaccard), jaccard rounded to 6.
+    * 100 TB shape: the token-frequency join is a plain equi-join on the
+    * token — the frequency table is VOCABULARY-sized (billions of terms
+    * on a web-scale corpus), so it must never carry a broadcast hint;
+    * AQE promotes it to a broadcast at runtime when the vocabulary is
+    * actually small, and falls back to a shuffled join when it isn't.
+    * The only data-sized shuffle is the candidate equi-join on prefix
+    * tokens, bounded by rare-token co-occurrence instead of |n|². Law
+    * (OperatorsSpec) + the q136 oracle both pin prefix-filtered ≡ brute
+    * force. Returns (key_a, key_b, n_shared, jaccard), jaccard rounded
+    * to 6.
     */
   def similaritySelfJoin(df: DataFrame, text: Column, id: Column,
                          tau: Double): DataFrame = {
@@ -338,7 +342,7 @@ object Relational {
       .groupBy(col("__word")).agg(count(lit(1)).as("__f"))
     val ordered = sets
       .select(col("__id"), col("__w"), explode(col("__w")).as("__word"))
-      .join(broadcast(freq), Seq("__word"))
+      .join(freq, Seq("__word"))
       .groupBy(col("__id"), col("__w"))
       .agg(array_sort(collect_list(struct(col("__f"), col("__word"))))
         .as("__ord"))

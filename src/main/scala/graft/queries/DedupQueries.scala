@@ -344,6 +344,7 @@ object DedupQueries {
           FROM p a JOIN p b ON a.p_partkey < b.p_partkey)
         SELECT key_a, key_b, CAST(n_shared AS BIGINT) AS n_shared,
                round(CAST(n_shared AS DOUBLE) / u, 6) AS jaccard
-        FROM pairs WHERE CAST(n_shared AS DOUBLE) / u >= 0.7"""))
+        FROM pairs WHERE CAST(n_shared AS DOUBLE) / u >= 0.7"""),
+      headline = true)
   )
 }

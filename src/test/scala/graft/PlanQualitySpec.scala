@@ -268,6 +268,34 @@ class PlanQualitySpec extends SparkSpec {
       s"top-200 must plan as TakeOrderedAndProject:\n$p")
   }
 
+  test("q136 fuzzy match: candidate pairs shuffle as BARE ids; no all-pairs") {
+    // the candidate-pair dedup is the dominant shuffle on duplicate-dense
+    // data — it must carry exactly the two long ids, never the token
+    // arrays (those join back once per surviving pair for verification).
+    // At spec scale every join broadcasts, so the pinned node is the
+    // dedup AGGREGATE itself: its output IS the exchange payload at any
+    // scale (partial→exchange→final carries the aggregate columns).
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.types.LongType
+    val p = allPhysicalPlans.find(_._1 == "q136_fuzzy_entity_match").get._2
+    val bareIdPairDedup = p.exists {
+      case a: HashAggregateExec =>
+        a.groupingExpressions.length == 2 && a.output.length == 2 &&
+          a.output.forall(_.dataType == LongType)
+      case _ => false
+    }
+    assert(bareIdPairDedup,
+      s"candidate-pair dedup must carry only the two id columns:\n$p")
+    assert(!p.exists {
+      case _: CartesianProductExec | _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, s"all-pairs expansion crept in:\n$p")
+    // exact verification happens on the full sets, after the cut
+    assert(p.toString.contains("array_intersect"),
+      s"full-set verification missing:\n$p")
+  }
+
   test("q133 hard negatives: bucket equi-join only — no pairwise expansion") {
     val p = plan("q133_hard_negatives")
     assert(!p.contains("CartesianProduct") &&
