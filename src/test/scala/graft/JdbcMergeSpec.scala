@@ -43,20 +43,29 @@ class JdbcMergeSpec extends AnyFunSuite {
   }
 }
 
-/** The staged merge executed END TO END against a real database —
-  * embedded in-memory Derby (ships in `/opt/spark/jars`), via the
-  * standard-SQL MERGE dialect. What the reference actually does per
-  * file (`import_files_to_postgre.py:228-237`: stage, merge, commit, or
-  * roll the whole file back) is exercised here with multi-partition
-  * DataFrames: M1 update-on-conflict, M2 insert-if-absent, M5
-  * replay idempotency, and rollback leaving no staging debris.
+/** The staged merge executed END TO END against a real database, as
+  * DIALECT-PARAMETERIZED behaviors: every test takes the dialect only
+  * through [[JdbcMergeSink.upsert]]'s `dialect` argument, so all four
+  * behaviors (M1 update-on-conflict, M2 insert-if-absent, M5 replay
+  * idempotency, rollback-leaves-no-debris — what the reference does per
+  * file, `import_files_to_postgre.py:228-237`) exercise the ONE shared
+  * IO path: staging DDL, batched binds, one merge + one transaction per
+  * partition. Only the statement text differs per dialect.
+  *
+  * Concrete suites plug in (dialect, url). [[JdbcLiveMergeSpec]] runs
+  * the standard-SQL MERGE dialect on the embedded in-memory Derby that
+  * ships in `/opt/spark/jars` — the EXECUTABLE PROXY for the Postgres
+  * target: no pg-compatible embedded engine exists in this offline
+  * classpath (no H2/pgjdbc jar), so `PostgresDialect`'s `ON CONFLICT`
+  * text stays pinned by the string specs above, and running it live is
+  * one subclass (`JdbcLiveMergeBehaviors(PostgresDialect, pgUrl)`) the
+  * moment an engine that parses it is available.
   */
-class JdbcLiveMergeSpec extends SparkSpec
-    with org.scalatest.BeforeAndAfterAll {
-  import JdbcMergeSink.DerbyDialect
+abstract class JdbcLiveMergeBehaviors(
+    dialect: JdbcMergeSink.MergeDialect, url: String)
+    extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import java.sql.DriverManager
 
-  private val url = "jdbc:derby:memory:graftmerge;create=true"
   private val props = new java.util.Properties()
 
   private def withConn[A](f: java.sql.Connection => A): A = {
@@ -88,7 +97,7 @@ class JdbcLiveMergeSpec extends SparkSpec
         ("gamma", "http://c", 3.0))
       .toDF("store_name", "store_url", "price").repartition(2)
     JdbcMergeSink.upsert(batch1, url, "store", Seq("store_name"),
-      updateCols = Seq("store_url", "price"), props, dialect = DerbyDialect)
+      updateCols = Seq("store_url", "price"), props, dialect = dialect)
     assert(queryStore() == Map("alpha" -> ("http://a", 1.0),
       "beta" -> ("http://b", 2.0), "gamma" -> ("http://c", 3.0)))
 
@@ -97,14 +106,14 @@ class JdbcLiveMergeSpec extends SparkSpec
         ("delta", "http://d", 4.0))
       .toDF("store_name", "store_url", "price").repartition(3)
     JdbcMergeSink.upsert(batch2, url, "store", Seq("store_name"),
-      updateCols = Seq("store_url", "price"), props, dialect = DerbyDialect)
+      updateCols = Seq("store_url", "price"), props, dialect = dialect)
     assert(queryStore() == Map("alpha" -> ("http://a2", 10.0),
       "beta" -> ("http://b2", 20.0), "gamma" -> ("http://c", 3.0),
       "delta" -> ("http://d", 4.0)))
 
     // M5 replay idempotency: re-running an identical batch is a no-op
     JdbcMergeSink.upsert(batch2, url, "store", Seq("store_name"),
-      updateCols = Seq("store_url", "price"), props, dialect = DerbyDialect)
+      updateCols = Seq("store_url", "price"), props, dialect = dialect)
     assert(queryStore().size == 4)
   }
 
@@ -114,7 +123,7 @@ class JdbcLiveMergeSpec extends SparkSpec
         ("epsilon", "http://e", 5.0))
       .toDF("store_name", "store_url", "price")
     JdbcMergeSink.upsert(probe, url, "store", Seq("store_name"),
-      updateCols = Seq.empty, props, dialect = DerbyDialect)
+      updateCols = Seq.empty, props, dialect = dialect)
     val rows = queryStore()
     assert(rows("alpha") == ("http://a2", 10.0)) // untouched
     assert(rows("epsilon") == ("http://e", 5.0)) // inserted
@@ -129,11 +138,11 @@ class JdbcLiveMergeSpec extends SparkSpec
       .toDF("store_name", "store_url", "price").coalesce(1)
     intercept[Exception] {
       JdbcMergeSink.upsert(bad, url, "store", Seq("store_name"),
-        updateCols = Seq("store_url"), props, dialect = DerbyDialect)
+        updateCols = Seq("store_url"), props, dialect = dialect)
     }
     assert(queryStore().size == 5) // table unchanged
     val staging = withConn { c =>
-      val rs = c.getMetaData.getTables(null, null, "STAGING_%", null)
+      val rs = c.getMetaData.getTables(null, null, "%STAGING%", null)
       val names = Seq.newBuilder[String]
       while (rs.next()) names += rs.getString("TABLE_NAME")
       names.result()
@@ -141,3 +150,10 @@ class JdbcLiveMergeSpec extends SparkSpec
     assert(staging.isEmpty, s"staging debris: $staging")
   }
 }
+
+/** Derby-MERGE instance of the dialect-parameterized live behaviors —
+  * the executable proxy for the Postgres staged merge (see
+  * [[JdbcLiveMergeBehaviors]]).
+  */
+class JdbcLiveMergeSpec extends JdbcLiveMergeBehaviors(
+  JdbcMergeSink.DerbyDialect, "jdbc:derby:memory:graftmerge;create=true")
