@@ -190,6 +190,83 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the scale-posture alternative to [[dupClusters]]'s
+    * min-label propagation. Propagation needs O(component diameter)
+    * rounds: a transitive near-dup CHAIN (doc A ~ B ~ C ~ …, the shape
+    * template-spam actually produces) of length d costs d rounds, each
+    * a full shuffle of the edge set. Star contraction halves component
+    * height every two rounds — O(log d) rounds on the same graph, each
+    * round two shuffles (a groupBy-min and an equi-join; neighbor lists
+    * are never materialized as arrays).
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m(u) = min(N(u) ∪ {u}) — safe in parallel because edges only
+    *    ever point downward toward each component's minimum.
+    *  - small-star: every node u re-links its smaller-or-equal
+    *    neighbors (and itself) to m(u), collapsing the short chains
+    *    large-star leaves behind.
+    *
+    * Fixpoint is a star per component (every node directly on the
+    * component minimum); the final gather is one groupBy-min. Output
+    * matches [[dupClusters]] row-for-row — (id, cluster_rep) with rep =
+    * component minimum — pinned by the shared q57 oracle and the
+    * OperatorsSpec equivalence law.
+    */
+  def dupClustersAlternating(pairs: DataFrame, idA: String = "id_a",
+                             idB: String = "id_b",
+                             maxIters: Int = 50): DataFrame = {
+    // canonical undirected storage (a < b); each phase gathers over the
+    // both-orientation view so one groupBy(src) sees a full neighborhood
+    def canonical(e: DataFrame) = e
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def bothWays(und: DataFrame) = und
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    // m(u) = min(N(u) ∪ {u}) — one partial-agg shuffle, never an array.
+    // (min over ALL neighbors equals the paper's min over smaller ones:
+    // any neighbor below u is a "smaller neighbor", and when none exist
+    // both reduce to u itself.)
+    def mins(both: DataFrame) = both.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("m"))
+    var und = canonical(pairs.select(col(idA).as("a"), col(idB).as("b")))
+      .localCheckpoint()
+    val nodes = bothWays(und).select(col("src").as("id")).distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // large-star: (v, m(u)) for v ∈ N(u), v > u
+      val both = bothWays(und)
+      val large = canonical(both.filter(col("dst") > col("src"))
+          .join(mins(both), Seq("src"))
+          .select(col("dst").as("a"), col("m").as("b")))
+        .localCheckpoint()
+      // small-star: (v, m(u)) for v ∈ N(u), v < u, plus (u, m(u))
+      val lboth = bothWays(large)
+      val smallBase = lboth.filter(col("dst") < col("src"))
+        .join(mins(lboth), Seq("src"))
+      val small = canonical(smallBase
+          .select(col("dst").as("a"), col("m").as("b"))
+          .unionByName(smallBase.select(col("src").as("a"),
+            col("m").as("b"))))
+        .localCheckpoint()
+      // set equality of two distinct sets: same size, union adds nothing
+      val nOld = und.count(); val nNew = small.count()
+      converged = nOld == nNew &&
+        small.unionByName(und).distinct().count() == nOld
+      und = small
+      iter += 1
+    }
+    // star fixpoint: every node sits directly on its component minimum
+    val labels = mins(bothWays(und))
+    nodes.join(labels, nodes("id") === labels("src"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("cluster_rep"))
+  }
+
   /** SimHash (nBits-bit, default 32): per-token hash60, per-bit ±1 vote,
     * bit set iff vote sum > 0. Tokens weighted by occurrence (not
     * distinct), matching the classic Charikar construction.

@@ -459,4 +459,72 @@ object Similarity {
       .filter(col("sim") >= tau)
       .select(col("keep_id"), col("dup_id"), col("sim"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering first, then comparing pairwise ONLY
+    * within a cluster. A vector is dropped when some same-cluster
+    * vector with higher keep-priority sits within cosine ≥ τ of it;
+    * keep-priority follows the paper's best-performing rule — keep the
+    * example FARTHEST from its centroid (lowest centroid cosine; ties
+    * break on id), dropping the redundant interior of each semantic
+    * neighborhood.
+    *
+    * Returns every vector: (vec_id, cluster_id, cent_sim, kept) — the
+    * survivor set is `kept`, and the flag form lets callers audit drop
+    * rates per cluster rather than just filter.
+    *
+    * 100 TB shape: clustering is what makes semantic dedup tractable —
+    * the quadratic stage is bounded by cluster size, never corpus size
+    * (k scales with the corpus to hold cluster sizes flat; the paper
+    * runs k=50k on LAION). Assignment is the [[ivfAssign]] broadcast
+    * argmax (map-side, one partial-agg exchange); the pairwise stage is
+    * an equi-join on cluster_id; the dropped set shuffles as bare ids
+    * and anti-joins back. Determinism: similarities pre-round to 6
+    * decimals on both sides of every comparison, ties break on id —
+    * same contract the DuckDB oracle replays (q138).
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, vec: String,
+               id: String, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val assigned = semDedupAssign(corpus, centroids, vec, id)
+      .localCheckpoint() // feeds the pair join twice + the final join-back
+    val a = assigned.select(col("cluster_id"), col("vid").as("ka"),
+      col("v").as("va"), col("cent_sim").as("ca"))
+    val b = assigned.select(col("cluster_id"), col("vid").as("kb"),
+      col("v").as("vb"), col("cent_sim").as("cb"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("ka") =!= col("kb") &&
+        (col("ca") < col("cb") ||
+          (col("ca") === col("cb") && col("ka") < col("kb"))))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("kb").as("vid")).distinct()
+    assigned
+      .join(dropped.withColumn("__drop", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cluster_id"), col("cent_sim"),
+        coalesce(col("__drop"), lit(false)) === lit(false) as "kept")
+  }
+
+  /** [[semDedup]]'s assignment stage, exposed un-checkpointed so the
+    * plan pin can see the broadcast argmax (the checkpoint the full
+    * operator takes hides everything upstream behind an ExistingRDD
+    * scan): [[ivfAssign]]'s packed max_by, also carrying the winning
+    * cosine — the packed long orders by (round(cos·1e6), −centroid_id),
+    * so the unpacked round(cos, 6) is exactly the argmax centroid's
+    * similarity.
+    */
+  private[graft] def semDedupAssign(corpus: DataFrame, centroids: DataFrame,
+                                    vec: String, id: String): DataFrame = {
+    val v = corpus.select(col(id).as("vid"), asDouble(col(vec)).as("v"))
+    val scored = v.join(broadcast(centroids), lit(true))
+      .withColumn("__ord",
+        round(cosine(col("v"), col("cv")) * 1e6).cast("long") * lit(1L << 32)
+          - col("centroid_id"))
+    scored.groupBy(col("vid"))
+      .agg(max_by(struct(col("v"), col("centroid_id").as("cluster_id"),
+          round(cosine(col("v"), col("cv")), 6).as("cent_sim")),
+        col("__ord")).as("__best"))
+      .select(col("vid"), col("__best.v").as("v"),
+        col("__best.cluster_id").as("cluster_id"),
+        col("__best.cent_sim").as("cent_sim"))
+  }
 }

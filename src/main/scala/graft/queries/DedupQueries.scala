@@ -148,6 +148,35 @@ object DedupQueries {
         SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
         FROM reach GROUP BY a""")),
 
+    // q57's clusters via alternating large-star/small-star contraction
+    // (Kiveris et al. 2014) instead of min-label propagation: O(log
+    // diameter) rounds instead of O(diameter) — the difference between
+    // 5 and 500 shuffles when template spam chains near-dups at 100 TB.
+    // Same edges, same oracle as q57: connected components are unique
+    // whatever the algorithm, so a green hash here IS the cross-
+    // algorithm equivalence proof (the OperatorsSpec law pins it on
+    // adversarial chain graphs too).
+    "q139_cc_star_contraction" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+        val pairs = Dedup.minHashLshPairs(d, col("text"), col("doc_id"),
+          k = K, bands = Bands, w = 3)
+        Dedup.dupClustersAlternating(pairs).withColumnRenamed("id", "doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $lshPairCtes,
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+        FROM reach GROUP BY a"""),
+      headline = true),
+
     // Dedup policy: keep the best document per duplicate cluster
     // (longest wins, id breaks ties) — the decision step that turns q57's
     // clusters into an actual drop list. The representative is picked

@@ -138,6 +138,66 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("dupClustersAlternating ≡ dupClusters, incl. adversarial chains") {
+    // the same fixture as the propagation test...
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (11L, 10L), (11L, 12L),
+      (12L, 13L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClustersAlternating(pairs).as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+    // ...plus the shape star contraction exists for: one 60-node CHAIN
+    // (diameter 59 — propagation at maxIters=50 would NOT converge) and
+    // a second component interleaved id-wise so reps aren't positional.
+    // log-round contraction must still finish well within 50 rounds and
+    // agree with propagation given enough rounds.
+    val chain = (0 until 59).map(i => (2L * i, 2L * (i + 1))) ++
+      Seq((1L, 3L), (3L, 5L))
+    val cdf = chain.toDF("id_a", "id_b")
+    val alt = Dedup.dupClustersAlternating(cdf).as[(Long, Long)]
+      .collect().toMap
+    val prop = Dedup.dupClusters(cdf, maxIters = 70).as[(Long, Long)]
+      .collect().toMap
+    assert(alt == prop)
+    assert(alt.values.toSet == Set(0L, 1L))
+    assert(alt.count(_._2 == 0L) == 60 && alt.count(_._2 == 1L) == 3)
+  }
+
+  test("semDedup: drop rule matches brute force; partitioning-proof") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.filter($"vec_id" % 7 === 0)
+      .select($"vec_id".as("centroid_id"),
+        Similarity.asDouble($"embedding").as("cv"))
+    val tau = 0.3
+    val out = Similarity.semDedup(emb, cents, "embedding", "vec_id", tau)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.length == emb.count())
+    // brute-force replay of the keep rule on the collected assignment
+    val byCluster = out.groupBy(_._2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vecs = emb.select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().toMap.map { case (k, v) =>
+        k -> v.toArray }
+    for ((_, members) <- byCluster; m <- members) {
+      val higherPriority = members.filter(o => o._1 != m._1 &&
+        (o._3 < m._3 || (o._3 == m._3 && o._1 < m._1)))
+      val expectDropped = higherPriority.exists(o =>
+        BigDecimal(cos(vecs(o._1), vecs(m._1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= tau)
+      assert(m._4 == !expectDropped,
+        s"vec ${m._1}: kept=${m._4}, brute-force says dropped=$expectDropped")
+    }
+    assert(out.exists(!_._4), "fixture should produce at least one drop")
+    // partitioning invariance
+    val out13 = Similarity.semDedup(emb.repartition(13), cents,
+      "embedding", "vec_id", tau).as[(Long, Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out13.sameElements(out.sortBy(_._1)))
+  }
+
   test("dedupGate drops exact matches only (database_utils.py:128-145)") {
     val existing = Seq((1L, 2L, 10.0), (2L, 3L, 20.0)).toDF("pk", "sk", "q")
     val incoming = Seq((1L, 2L, 10.0), (1L, 2L, 11.0), (9L, 9L, 9.0))

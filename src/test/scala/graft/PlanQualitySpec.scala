@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan quality gates — the properties that decide whether a
   * query survives a 100× scale-up, pinned as assertions so a regression
@@ -182,6 +183,32 @@ class PlanQualitySpec extends SparkSpec {
     // onto the pinned partitions, window keyed by (stratum, partition)
     val f = plan("q102_curation_pipeline")
     assert(f.contains("BroadcastHashJoin") && f.contains("__srk_pid2"), f)
+  }
+
+  test("q138 semdedup: centroids broadcast; pairwise stage is an " +
+      "equi-join on cluster_id, never a window or cartesian") {
+    // assignment stage (pre-checkpoint, like q102's clean stage): the
+    // centroid table must broadcast and reduce via the map-side partial
+    // max_by — corpus × centroids rows never reach an exchange
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val cents = emb.limit(20)
+      .select(col("vec_id").as("centroid_id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("cv"))
+    val a = graft.operators.Similarity
+      .semDedupAssign(emb, cents, "embedding", "vec_id")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(a.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast:\n$a")
+    assert(a.contains("partial_max_by"),
+      s"assignment lost its map-side partial argmax:\n$a")
+    // full operator: the pairwise stage must stay an equi-join on
+    // cluster_id (never cartesian, never a window), and the drop set
+    // reaches the join-back as a bare-id distinct
+    val p = plan("q138_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"pairwise stage fell off the cluster equi-join:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in semDedup:\n$p")
+    assert(p.contains("HashAggregate"), s"dropped-id distinct missing:\n$p")
   }
 
   test("q105 top-k per key: custom exec, one exchange, no sort, no window") {
