@@ -156,6 +156,12 @@ object DedupQueries {
     // whatever the algorithm, so a green hash here IS the cross-
     // algorithm equivalence proof (the OperatorsSpec law pins it on
     // adversarial chain graphs too).
+    //
+    // Bench-reading note: at sf0.1 the LSH graph is ~14k edges with
+    // tiny-diameter components, so the wall time here is per-round
+    // scheduler/shuffle FIXED cost (propagation measures the same ~5s
+    // on the same graph) — the number to watch at scale is rounds ×
+    // shuffles-per-round, where contraction's log bound wins.
     "q139_cc_star_contraction" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.fanOut(Engine.table(s, dir, "documents"))
