@@ -504,6 +504,59 @@ object Similarity {
         coalesce(col("__drop"), lit(false)) === lit(false) as "kept")
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal,
+    * the 2-approximation): seed with the minimum id, then m−1 times
+    * select the vector farthest (max cosine DISTANCE 1−cos) from the
+    * already-selected set — the classic diversity-selection pass that
+    * picks maximally-spread exemplars from a corpus.
+    *
+    * Returns the m selected rows as (sel_rank, vec_id, dist), where
+    * dist is the selection-time distance to the nearest prior center
+    * (0 for the seed), as the exact 1e-9-quantized value — both engines
+    * divide the same integer, so no rounding is needed.
+    *
+    * 100 TB shape: the selected set is bounded by m, so each round
+    * ships the centers as a PLAN LITERAL (m×dims doubles, like
+    * ivfTopK's probe matrix) and costs one corpus scan reduced by
+    * TakeOrderedAndProject (per-partition 1-heaps; no sort, no window,
+    * no join). m rounds of driver iteration IS the greedy algorithm —
+    * each selection depends on the last. Determinism: distances
+    * quantize to 1e-9 integers before the argmax; ties break on id.
+    */
+  def kCenterCoreset(corpus: DataFrame, vec: String, id: String,
+                     m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(id).cast("long").as("vid"),
+      asDouble(col(vec)).as("v")).localCheckpoint()
+    val seed = v.orderBy(col("vid")).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("empty corpus"))
+    var selected = Vector((seed.getLong(0), seed.getSeq[Double](1), 0L))
+    while (selected.length < m) {
+      val centers = array(selected.map { case (_, cv, _) =>
+        array(cv.map(lit): _*) }: _*)
+      val mdq = array_min(transform(centers, c =>
+        round((lit(1.0) - cosine(col("v"), c)) * 1e9).cast("long")))
+      val best = v.filter(!col("vid").isInCollection(selected.map(_._1)))
+        .select(col("vid"), col("v"), mdq.as("mdq"))
+        .orderBy(col("mdq").desc, col("vid")).limit(1).collect()
+      if (best.isEmpty) return selectedDf(spark, selected) // corpus < m
+      selected :+= ((best(0).getLong(0), best(0).getSeq[Double](1),
+        best(0).getLong(2)))
+    }
+    selectedDf(spark, selected)
+  }
+
+  private def selectedDf(spark: org.apache.spark.sql.SparkSession,
+      sel: Vector[(Long, Seq[Double], Long)]): DataFrame = {
+    import spark.implicits._
+    sel.zipWithIndex.map { case ((vid, _, mdq), i) =>
+      (i + 1L, vid, mdq.toDouble / 1e9)
+    }.toDF("sel_rank", "vec_id", "dist")
+  }
+
   /** [[semDedup]]'s assignment stage, exposed un-checkpointed so the
     * plan pin can see the broadcast argmax (the checkpoint the full
     * operator takes hides everything upstream behind an ExistingRDD

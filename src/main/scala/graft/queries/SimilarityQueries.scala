@@ -340,6 +340,51 @@ object SimilarityQueries {
         FROM members m"""),
       headline = true),
 
+    // Greedy k-center diversity coreset (Gonzalez farthest-point):
+    // 8 maximally-spread exemplars — the diversity-selection
+    // counterpart to q138's redundancy removal. Each round scans once,
+    // reduces via TakeOrderedAndProject with the selected set as an
+    // m×dims plan literal; the oracle replays the whole traversal as a
+    // recursive CTE carrying the selected ids/vectors/distances in
+    // list columns, with the identical 1e-9-quantized argmax and id
+    // tie-break. dist is the shared quantized integer over 1e9 — no
+    // rounding, bit-identical by construction.
+    "q141_kcenter_coreset" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.fanOut(Engine.table(s, dir, "embeddings"))
+        Similarity.kCenterCoreset(e, "embedding", "vec_id", m = 8)
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        seed AS (
+          SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT 1),
+        sel(r, ids, vecs, dqs) AS (
+          SELECT 1, [vec_id], [vec], [CAST(0 AS BIGINT)] FROM seed
+          UNION ALL
+          SELECT s.r + 1,
+                 list_append(s.ids, b.bst.vec_id),
+                 list_append(s.vecs, b.bst.vec),
+                 list_append(s.dqs, b.bst.mdq)
+          FROM sel s JOIN (
+            WITH cand AS (
+              SELECT v.vec_id, v.vec,
+                     list_min(list_transform(s2.vecs, c ->
+                       CAST(round((1 - ${sqlCos("v.vec", "c")}) * 1e9)
+                         AS BIGINT))) AS mdq
+              FROM v, sel s2
+              WHERE NOT list_contains(s2.ids, v.vec_id))
+            SELECT (list(struct_pack(vec_id := vec_id, vec := vec,
+                     mdq := mdq) ORDER BY mdq DESC, vec_id ASC))[1] AS bst
+            FROM cand) b ON s.r < 8),
+        fin AS (SELECT ids, dqs FROM sel WHERE r = 8),
+        expand AS (
+          SELECT ids, dqs, unnest(generate_series(1, 8)) AS rk FROM fin)
+        SELECT CAST(rk AS BIGINT) AS sel_rank, ids[rk] AS vec_id,
+               dqs[rk] / 1e9 AS dist
+        FROM expand"""),
+      headline = true),
+
     // Per-vector array analytics: norm / min / max / mean of each
     // embedding as one codegen'd projection — both engines fold the
     // array sequentially, so values agree bit-for-bit before rounding.

@@ -325,6 +325,71 @@ object TextQueries {
         GROUP BY doc_id"""),
       headline = true),
 
+    // Bigram-LM document scoring (the CCNet/KenLM-shaped quality
+    // signal, one model order up from q77): add-k-smoothed bigram
+    // conditionals P(w2|w1) = (C(w1,w2)+0.5) / (C(w1)+0.5·V), scored
+    // per document as the average log-conditional and its perplexity.
+    // Scale shape DIFFERS from q77 on purpose: the bigram table is
+    // vocabulary²-sized — it can NEVER broadcast (q112's own comment:
+    // billions of terms at 100 TB), so the score join is a plain
+    // shuffled equi-join on the bigram, while V and only V rides a
+    // 1-row broadcast. Determinism: counts are exact longs, +0.5 and
+    // +0.5·V are exactly representable, one IEEE division then ln on
+    // identical doubles (bit-identical cross-engine, the q77 proof),
+    // quantized to 1e-9 integers so doc sums are order-proof.
+    "q140_bigram_perplexity" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val bg = toks.select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, " +
+              "element_at(toks, i + 1) AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+        val c12 = bg.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("n12"))
+        val c1 = d.select(explode(split(col("text"), " ")).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+        val vocab = c1.agg(count(lit(1)).as("v"))
+        val logp = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"), expr(
+            "CAST(round(ln((CAST(n12 AS DOUBLE) + 0.5) / " +
+              "(CAST(n1 AS DOUBLE) + 0.5 * v)) * 1e9) AS LONG)").as("il"))
+        bg.join(logp, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("il")).as("sil"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sil") / 1e9 / col("n_bigrams"), 6).as("avg_loglik"),
+            round(exp(-(col("sil") / 1e9 / col("n_bigrams"))), 6).as("ppl"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        bgpos AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM toks),
+        bgf AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM bgpos),
+        c12 AS (SELECT w1, w2, count(*) AS n12 FROM bgf GROUP BY w1, w2),
+        uni AS (
+          SELECT unnest(string_split(text, ' ')) AS w1 FROM documents),
+        c1 AS (SELECT w1, count(*) AS n1 FROM uni GROUP BY w1),
+        vocab AS (SELECT count(*) AS v FROM c1),
+        logp AS (
+          SELECT w1, w2,
+                 CAST(round(ln((CAST(n12 AS DOUBLE) + 0.5) /
+                   (CAST(n1 AS DOUBLE) + 0.5 * v)) * 1e9) AS BIGINT) AS il
+          FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(il) AS BIGINT) / 1e9 / count(*), 6)
+                 AS avg_loglik,
+               round(exp(-(CAST(sum(il) AS BIGINT) / 1e9 / count(*))), 6)
+                 AS ppl
+        FROM bgf JOIN logp USING (w1, w2)
+        GROUP BY doc_id"""),
+      headline = true),
+
     // Sequence packing: assign documents to fixed-capacity token bins by
     // exclusive running token count, independently per shard — the layout
     // pass that turns a cleaned corpus into ~equal training chunks.

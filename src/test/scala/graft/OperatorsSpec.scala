@@ -198,6 +198,45 @@ class OperatorsSpec extends SparkSpec {
     assert(out13.sameElements(out.sortBy(_._1)))
   }
 
+  test("kCenterCoreset: brute-force replay, non-increasing radii, " +
+      "partitioning-proof") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 6
+    val got = Similarity.kCenterCoreset(emb, "embedding", "vec_id", m)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == m && got.map(_._2).distinct.length == m)
+    // greedy farthest-point radii never increase after the seed row
+    val dists = got.drop(1).map(_._3)
+    assert(dists.zip(dists.drop(1)).forall { case (a, b) => a >= b })
+    // brute-force replay of the traversal on collected vectors
+    val vecs = emb.select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (k, v) => k -> v.toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    var sel = Vector(vecs.head._1)
+    var expect = Vector((1L, vecs.head._1, 0L))
+    while (sel.length < m) {
+      val cand = vecs.filterNot(kv => sel.contains(kv._1)).map { case (k, v) =>
+        (k, sel.map(s => BigDecimal((1.0 -
+          cos(vecs.find(_._1 == s).get._2, v)) * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).min)
+      }
+      val best = cand.maxBy { case (k, dq) => (dq, -k) }
+      sel :+= best._1
+      expect :+= ((sel.length.toLong, best._1, best._2))
+    }
+    assert(got.map(g => (g._1, g._2, math.rint(g._3 * 1e9).toLong))
+      .toVector == expect)
+    // partitioning invariance
+    val got13 = Similarity.kCenterCoreset(emb.repartition(13),
+      "embedding", "vec_id", m).as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got13.sameElements(got))
+  }
+
   test("dedupGate drops exact matches only (database_utils.py:128-145)") {
     val existing = Seq((1L, 2L, 10.0), (2L, 3L, 20.0)).toDF("pk", "sk", "q")
     val incoming = Seq((1L, 2L, 10.0), (1L, 2L, 11.0), (9L, 9L, 9.0))
