@@ -385,6 +385,59 @@ object SimilarityQueries {
         FROM expand"""),
       headline = true),
 
+    // Exact embedding covariance (whitening/PCA prep): the full 64×64
+    // upper triangle from ONE pass of the CovMoments typed Aggregator —
+    // fixed d(d+3)/2+1 longs of mergeable state on the partial-agg
+    // path, the same scaling class as a sketch but exact. Component and
+    // product sums quantize to 1e-9 integers with DuckDB-round
+    // semantics pinned in the Aggregator, so the oracle rebuilds the
+    // identical matrix; covariance arithmetic then runs the same IEEE
+    // op order on both engines. The pair index table (2080 rows) is a
+    // local literal joined onto the 1-row moment state.
+    "q143_embedding_covariance" -> QueryDef(
+      build = (s, dir) => {
+        val e = Engine.fanOut(Engine.table(s, dir, "embeddings"))
+        val cm = graft.operators.CovMoments(Dims)
+        val st = e.select(Similarity.asDouble(col("embedding")).as("v"))
+          .agg(cm(col("v")).as("st"))
+        val pairs = for { i <- 0 until Dims; j <- i until Dims }
+          yield (cm.offset(i, j), i, j)
+        import s.implicits._
+        val pt = pairs.toDF("idx", "i", "j")
+        def n = element_at(col("st"), 1)
+        def mean(d: org.apache.spark.sql.Column) =
+          element_at(col("st"), d + 2) / lit(1e9) / n
+        pt.crossJoin(broadcast(st))
+          .select(col("i").cast("long").as("dim_i"),
+            col("j").cast("long").as("dim_j"),
+            round(element_at(col("st"), col("idx") + lit(2 + Dims))
+                / lit(1e9) / n
+              - mean(col("i")) * mean(col("j")), 6).as("cov"))
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT embedding::DOUBLE[] AS vec FROM embeddings),
+        nn AS (SELECT count(*) AS n FROM v),
+        dm AS (SELECT unnest(generate_series(0, ${Dims - 1})) AS i),
+        ij AS (SELECT a.i AS i, b.i AS j FROM dm a, dm b WHERE b.i >= a.i),
+        sums AS (
+          SELECT dm.i AS i,
+                 CAST(sum(CAST(round(vec[dm.i + 1] * 1e9) AS BIGINT))
+                   AS BIGINT) AS s
+          FROM v CROSS JOIN dm GROUP BY dm.i),
+        prods AS (
+          SELECT x.i AS i, x.j AS j,
+                 CAST(sum(CAST(round(vec[x.i + 1] * vec[x.j + 1] * 1e9)
+                   AS BIGINT)) AS BIGINT) AS p
+          FROM v CROSS JOIN ij x GROUP BY x.i, x.j)
+        SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j,
+               round(p.p / 1e9 / nn.n
+                 - (si.s / 1e9 / nn.n) * (sj.s / 1e9 / nn.n), 6) AS cov
+        FROM prods p
+        JOIN sums si ON si.i = p.i
+        JOIN sums sj ON sj.i = p.j
+        CROSS JOIN nn"""),
+      headline = true),
+
     // Per-vector array analytics: norm / min / max / mean of each
     // embedding as one codegen'd projection — both engines fold the
     // array sequentially, so values agree bit-for-bit before rounding.

@@ -325,6 +325,64 @@ object TextQueries {
         GROUP BY doc_id"""),
       headline = true),
 
+    // Count-min sketch heavy-hitter audit: w=1024 × d=4 counters over
+    // explicit seeded hash60 slots, estimates for the exact top-20
+    // terms, and the per-term overcount. Unlike the engine-internal
+    // sketches (HLL q47, GK q81 — bounds-flag oracled only), CMS is a
+    // plain groupBy over DETERMINISTIC hashes: both engines build the
+    // identical counter matrix, so estimates hash-match EXACTLY. The
+    // 100 TB posture is the point of the structure: counters are
+    // partial-agg mergeable (a sum), the whole sketch is w×d rows —
+    // broadcastable state that answers point queries map-side; the
+    // overcount column audits the ε·N guarantee on real data.
+    "q142_cms_heavy_hitters" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val toks = d.select(explode(split(col("text"), " ")).as("term"))
+        val W = 1024
+        val depths = 0 until 4
+        def slotted(base: org.apache.spark.sql.DataFrame) =
+          base.select(col("*"), explode(array(depths.map(dd =>
+              struct(lit(dd).as("d"),
+                pmod(graft.functions.hash60(lit(s"cms$dd"), col("term")),
+                  lit(W.toLong)).as("slot"))): _*)).as("p"))
+            .select((base.columns.map(col) :+ col("p.d") :+
+              col("p.slot")): _*)
+        val counters = slotted(toks).groupBy(col("d"), col("slot"))
+          .agg(count(lit(1)).as("c"))
+        val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term")).limit(20)
+        slotted(top).join(broadcast(counters), Seq("d", "slot"))
+          .groupBy(col("term"), col("n_exact"))
+          .agg(min(col("c")).as("n_est"))
+          .select(col("term"), col("n_exact"), col("n_est"),
+            (col("n_est") - col("n_exact")).as("overcount"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        depths AS (SELECT unnest(generate_series(0, 3)) AS d),
+        slots AS (
+          SELECT d.d,
+                 CAST('0x' || substr(md5('cms' || d.d || ':' || term),
+                   1, 15) AS BIGINT) % 1024 AS slot
+          FROM toks CROSS JOIN depths d),
+        counters AS (
+          SELECT d, slot, count(*) AS c FROM slots GROUP BY d, slot),
+        top AS (
+          SELECT term, count(*) AS n_exact FROM toks GROUP BY term
+          ORDER BY n_exact DESC, term LIMIT 20),
+        probes AS (
+          SELECT term, n_exact, d.d,
+                 CAST('0x' || substr(md5('cms' || d.d || ':' || term),
+                   1, 15) AS BIGINT) % 1024 AS slot
+          FROM top CROSS JOIN depths d)
+        SELECT term, n_exact, min(c) AS n_est,
+               min(c) - n_exact AS overcount
+        FROM probes JOIN counters USING (d, slot)
+        GROUP BY term, n_exact"""),
+      headline = true),
+
     // Bigram-LM document scoring (the CCNet/KenLM-shaped quality
     // signal, one model order up from q77): add-k-smoothed bigram
     // conditionals P(w2|w1) = (C(w1,w2)+0.5) / (C(w1)+0.5·V), scored

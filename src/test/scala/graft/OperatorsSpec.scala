@@ -237,6 +237,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got13.sameElements(got))
   }
 
+  test("CovMoments: partition-proof integer moments ≡ independent replay") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dims = 64
+    val cm = graft.operators.CovMoments(dims)
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select(Similarity.asDouble($"embedding").as("v"))
+        .agg(cm($"v").as("st")).head.getSeq[Long](0)
+    val st = state(emb)
+    assert(st.length == 1 + dims + dims * (dims + 1) / 2)
+    // bit-identical at any partitioning (integer sums are associative)
+    assert(state(emb.repartition(13)) == st)
+    // independent replay with BigDecimal away-from-zero quantization —
+    // also proves the operator's branch-form C-round has no FP artifact
+    val vecs = emb.select(Similarity.asDouble($"embedding"))
+      .as[Seq[Double]].collect()
+    def bq(x: Double): Long = BigDecimal(x * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = Array.fill(1 + dims + dims * (dims + 1) / 2)(0L)
+    for (v <- vecs) {
+      expect(0) += 1
+      for (i <- 0 until dims) {
+        expect(1 + i) += bq(v(i))
+        for (j <- i until dims)
+          expect(1 + dims + cm.offset(i, j)) += bq(v(i) * v(j))
+      }
+    }
+    assert(st == expect.toSeq)
+  }
+
   test("dedupGate drops exact matches only (database_utils.py:128-145)") {
     val existing = Seq((1L, 2L, 10.0), (2L, 3L, 20.0)).toDF("pk", "sk", "q")
     val incoming = Seq((1L, 2L, 10.0), (1L, 2L, 11.0), (9L, 9L, 9.0))

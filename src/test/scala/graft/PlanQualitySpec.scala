@@ -265,6 +265,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), s"partial aggregation lost:\n$p")
   }
 
+  test("q143 covariance: moment Aggregator keeps the partial-agg path; " +
+      "pair table broadcasts onto the 1-row state") {
+    val p = plan("q143_embedding_covariance")
+    // map-side partials: the shuffle carries one 2145-long moment
+    // buffer per partition, never vector rows
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_"), s"partial aggregation lost:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"pair-index join must broadcast:\n$p")
+  }
+
   test("q126 incremental gate: semi + anti joins, no row multiplication") {
     val p = plan("q126_incremental_dedup")
     assert(p.contains("LeftSemi"), s"store probe must be a semi join:\n$p")
