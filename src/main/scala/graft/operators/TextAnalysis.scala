@@ -125,6 +125,19 @@ object TextAnalysis {
         org.apache.spark.sql.graft.ColumnBridge.expression(
           text.cast("string")), dims))
 
+  /** Count-min sketch slot coordinates of one term: an array of
+    * (d, slot) structs, slot_d = hash60("cms<d>:" || term) mod `w`.
+    * ONE implementation shared by the batch sketch (q142) and the
+    * streaming fold (`StreamOps.cmsBatch`), so stream ≡ batch holds by
+    * construction; the seeded-md5 spelling reproduces exactly in the
+    * DuckDB oracle.
+    */
+  def cmsSlots(term: Column, w: Int, depth: Int): Column =
+    array((0 until depth).map(dd =>
+      struct(lit(dd).as("d"),
+        pmod(graft.functions.hash60(lit(s"cms$dd"), term),
+          lit(w.toLong)).as("slot"))): _*)
+
   /** Composed built-in form of [[hashingVector]] (executable spec). */
   def hashingVectorComposed(text: Column, dims: Int = 16): Column = {
     val hs = transform(tokens(text), t => graft.functions.hash60(t))

@@ -339,13 +339,10 @@ object TextQueries {
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
         val toks = d.select(explode(split(col("text"), " ")).as("term"))
-        val W = 1024
-        val depths = 0 until 4
         def slotted(base: org.apache.spark.sql.DataFrame) =
-          base.select(col("*"), explode(array(depths.map(dd =>
-              struct(lit(dd).as("d"),
-                pmod(graft.functions.hash60(lit(s"cms$dd"), col("term")),
-                  lit(W.toLong)).as("slot"))): _*)).as("p"))
+          base.select(col("*"),
+              explode(TextAnalysis.cmsSlots(col("term"), w = 1024,
+                depth = 4)).as("p"))
             .select((base.columns.map(col) :+ col("p.d") :+
               col("p.slot")): _*)
         val counters = slotted(toks).groupBy(col("d"), col("slot"))

@@ -341,6 +341,143 @@ object StreamOps {
     graft.operators.Similarity.centroidsFromSums(sums, centroids)
   }
 
+  /** Continuous count-min sketch maintenance: each micro-batch reduces
+    * its tokens to (d, slot) partial counters and writes them to a
+    * `batch=<id>` state partition — the additive-state sibling of
+    * [[kmeansIterStream]]'s epoch partials. Counter slotting is
+    * `TextAnalysis.cmsSlots`, the SAME construction the batch sketch
+    * (q142) uses, so stream ≡ batch holds by construction and the
+    * StreamingSpec law pins it: integer counts fold associatively, so
+    * ANY batch split of the corpus finishes to the identical sketch.
+    *
+    * State per batch is ≤ w×d rows — bounded by the sketch, not the
+    * data. Replays overwrite their own partition (idempotent); the
+    * fold ([[finishCmsStream]]) reads every live partition.
+    */
+  def cmsIngest(docs: DataFrame, text: String, statePath: String,
+                checkpoint: String, w: Int = 1024, depth: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cmsBatch(batch, batchId, text, statePath, w, depth)
+      }
+      .start()
+
+  /** One micro-batch of [[cmsIngest]] — public for replay tests. */
+  def cmsBatch(batch: DataFrame, batchId: Long, text: String,
+               statePath: String, w: Int = 1024, depth: Int = 4): Unit = {
+    batch.select(explode(split(col(text), " ")).as("term"))
+      .select(explode(graft.operators.TextAnalysis
+        .cmsSlots(col("term"), w, depth)).as("p"))
+      .groupBy(col("p.d").as("d"), col("p.slot").as("slot"))
+      .agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    ()
+  }
+
+  /** Fold the live counter partitions into the sketch: sum per
+    * (d, slot) over every partition NOT superseded by a compaction
+    * manifest (see [[compactCmsStore]] — additive state cannot reuse
+    * the membership stores' read-everything discipline, because there
+    * double-reading a row is harmless and double-reading a counter is
+    * wrong).
+    */
+  def finishCmsStream(spark: org.apache.spark.sql.SparkSession,
+                      statePath: String): DataFrame = {
+    val superseded = cmsSuperseded(spark, statePath)
+    spark.read.parquet(statePath)
+      .filter(if (superseded.isEmpty) lit(true)
+        else !col("batch").isInCollection(superseded))
+      .groupBy(col("d"), col("slot")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Partition ids written out of existence by some visible compaction
+    * sentinel's `_folded` manifest. Union over ALL sentinels makes the
+    * exclusion transitive: if sentinel B superseded sentinel A, A's own
+    * manifest still excludes the batches A folded, so a crash that
+    * leaves several generations visible still reads every count exactly
+    * once.
+    */
+  private def cmsSuperseded(spark: org.apache.spark.sql.SparkSession,
+                            statePath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap { dir =>
+        val m = new org.apache.hadoop.fs.Path(dir.getPath, "_folded")
+        if (!fs.exists(m)) Seq.empty
+        else {
+          val in = fs.open(m)
+          try scala.io.Source.fromInputStream(in).getLines()
+            .filter(_.nonEmpty).map(_.toLong).toList
+          finally in.close()
+        }
+      }.toIndexedSeq
+  }
+
+  /** Compact the [[cmsIngest]] counter store. Additive state needs a
+    * stronger discipline than [[compactBatchStore]]'s visible-then-
+    * delete swap: a membership store tolerates a crash that leaves both
+    * the sentinel and the folded partitions visible (duplicate rows
+    * gate identically), but duplicated COUNTERS double-count. The
+    * sentinel partition therefore carries a `_folded` manifest naming
+    * every partition it superseded, written into the staging directory
+    * BEFORE the atomic rename makes the sentinel visible — readers
+    * ([[finishCmsStream]]) exclude manifest-named partitions, so the
+    * crash window (sentinel visible, superseded dirs not yet deleted)
+    * still reads every count exactly once, and the trailing deletes
+    * are pure idempotent garbage collection.
+    *
+    * Replay safety mirrors the membership compactor: the HIGHEST live
+    * non-negative partition is never folded (its checkpoint commit may
+    * not have happened; the replay overwrites it in place). Earlier
+    * generations' sentinels fold into the new sentinel (their ids join
+    * the manifest), so the store converges to one sentinel plus the
+    * uncompacted tail. Run between micro-batches, like the membership
+    * compactors; `onBeforeDelete` is the interleaving tests' injection
+    * point.
+    */
+  def compactCmsStore(spark: org.apache.spark.sql.SparkSession,
+                      statePath: String, targetFiles: Int = 4,
+                      onBeforeDelete: () => Unit = () => ()): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val superseded = cmsSuperseded(spark, statePath).toSet
+    val live = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filterNot(superseded)
+    val latest = live.filter(_ >= 0).sorted.lastOption
+    val fold = live.filterNot(latest.contains).sorted
+    if (fold.length < 2) return // nothing to consolidate
+    val sentinel = (live.filter(_ < 0) ++ Seq(0L)).min - 1
+    val tmp = new org.apache.hadoop.fs.Path(statePath + "_compact_tmp")
+    spark.read.parquet(statePath)
+      .filter(col("batch").isInCollection(fold))
+      .groupBy(col("d"), col("slot")).agg(sum(col("c")).as("c"))
+      .repartition(targetFiles, col("d"), col("slot"))
+      .sortWithinPartitions(col("d"), col("slot"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // manifest into the STAGING directory: the rename below publishes
+    // the folded counters and the supersede list atomically together
+    val mOut = fs.create(new org.apache.hadoop.fs.Path(tmp, "_folded"))
+    try mOut.write(fold.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mOut.close()
+    val target = new org.apache.hadoop.fs.Path(statePath, s"batch=$sentinel")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"compactCmsStore: rename $tmp -> $target failed; store unchanged")
+    onBeforeDelete()
+    fold.foreach(id => fs.delete(
+      new org.apache.hadoop.fs.Path(statePath, s"batch=$id"), true))
+    ()
+  }
+
   /** One key's running top-k snapshot (Update-mode emission). */
   case class TopKSnapshot(key_id: Long, n_seen: Long,
                           top_scores: Seq[Double], top_ids: Seq[Long])

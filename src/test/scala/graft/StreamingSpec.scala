@@ -521,6 +521,57 @@ class StreamingSpec extends SparkSpec {
       oneIter.exceptAll(replayed).isEmpty)
   }
 
+  test("cmsIngest: stream fold ≡ batch sketch; replay-proof; " +
+      "exactly-once manifest compaction across generations") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamOps
+    val dir = Files.createTempDirectory("cmsstream").toString
+    val state = s"$dir/state"
+    val d = Engine.table(spark, sf(), "documents")
+    def direct(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split($"text", " ")).as("term"))
+      .select(explode(TextAnalysis.cmsSlots($"term", 1024, 4)).as("p"))
+      .groupBy($"p.d".as("d"), $"p.slot".as("slot"))
+      .agg(count(lit(1)).as("c"))
+    val expected = direct(d).localCheckpoint()
+    def assertFold(want: org.apache.spark.sql.DataFrame): Unit = {
+      val got = StreamOps.finishCmsStream(spark, state)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+    // the corpus in 4 arbitrary micro-batches folds to the batch sketch
+    for (i <- 0 until 4)
+      StreamOps.cmsBatch(d.filter($"doc_id" % 4 === i), i, "text", state)
+    assertFold(expected)
+    // a replay overwrites its own partition — fold unchanged
+    StreamOps.cmsBatch(d.filter($"doc_id" % 4 === 2), 2, "text", state)
+    assertFold(expected)
+    // compaction folds batches 0-2 (3 is latest, never folded); the
+    // manifest makes the crash window (sentinel visible, superseded
+    // dirs not yet deleted) read exactly once
+    StreamOps.compactCmsStore(spark, state,
+      onBeforeDelete = () => assertFold(expected))
+    assertFold(expected)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(state, "batch=3")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(state, "batch=-1")))
+    // second generation: the same quarter arrives AGAIN as batch 4 (a
+    // sketch counts repeats — expected sketch grows), then compaction
+    // folds sentinel -1 + batch 3 into sentinel -2; transitive
+    // manifests keep the fold exact in the crash window even with two
+    // sentinel generations visible
+    val again = d.filter($"doc_id" % 4 === 1)
+    StreamOps.cmsBatch(again, 4, "text", state)
+    val expected2 = direct(d.unionByName(again)).localCheckpoint()
+    assertFold(expected2)
+    StreamOps.compactCmsStore(spark, state,
+      onBeforeDelete = () => assertFold(expected2))
+    assertFold(expected2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(state, "batch=-2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state, "batch=-1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(state, "batch=4")))
+  }
+
   test("embNearDupIngest: cosine gate across batches, replay-idempotent") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("endi").toString
