@@ -325,4 +325,58 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * variant): every POSITIONAL w-token window whose content occurs in
+    * ≥2 distinct documents marks its w token positions as duplicated;
+    * overlapping marked windows coalesce into maximal spans. Unlike
+    * [[shingles]]-based near-dup (set overlap, position-blind), this
+    * finds verbatim repeated passages and reports exactly which tokens
+    * they cover. Documents shorter than w tokens have no windows.
+    *
+    * Returns one row per document: (doc_id, total_tokens, dup_tokens,
+    * n_spans) — dup_tokens is the size of the union of duplicated
+    * windows, n_spans the number of maximal duplicated intervals.
+    *
+    * Scale (100 TB): the suffix-array the paper builds is replaced by
+    * two hash shuffles — windows group by a 60-bit content hash
+    * (partial-agg distinct-doc counting), then duplicated hashes join
+    * back to positions. The shuffled window table carries (hash, doc,
+    * pos) longs only, never gram strings. Span coalescing is a per-doc
+    * window (doc_id is the partition key — per-group work is bounded by
+    * document length, not corpus size). The md5-derived hash makes any
+    * collision REPRODUCIBLE in the SQL oracle, so the hash is part of
+    * the spec, not an approximation.
+    */
+  def substringDupStats(docs: DataFrame, text: Column, id: Column,
+                        w: Int = 8): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val toks = docs.select(id.as("doc_id"), split(text, " ").as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+    val wins = toks.filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, n - $w), i -> concat_ws(' ', slice(t, i + 1, $w)))"
+      )).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), gf.hash60(col("g")).as("gh"))
+    val dup = wins.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val covered = wins.join(dup, Seq("gh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("idx"))
+      .distinct()
+    val spans = covered
+      .withColumn("prev", lag(col("idx"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("idx"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_tokens"),
+        sum(when(!(col("prev") <=> (col("idx") - 1)), 1L).otherwise(0L))
+          .as("n_spans"))
+    toks.select(col("doc_id"), col("n").cast("long").as("total_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
 }

@@ -380,6 +380,45 @@ object DedupQueries {
         SELECT key_a, key_b, CAST(n_shared AS BIGINT) AS n_shared,
                round(CAST(n_shared AS DOUBLE) / u, 6) AS jaccard
         FROM pairs WHERE CAST(n_shared AS DOUBLE) / u >= 0.7"""),
-      headline = true)
+      headline = true),
+
+    // Exact substring dedup (Lee et al. 2022 ExactSubstr): positional
+    // 8-token windows occurring verbatim in >= 2 distinct documents,
+    // coalesced into maximal per-doc spans. Position-aware — finds the
+    // repeated PASSAGE, not just set overlap — so it is the per-token
+    // removal mask a training pipeline actually applies. The oracle
+    // replays the identical md5-hash window table, duplicate-hash set,
+    // and interval coalescing.
+    "q144_substring_dedup" -> QueryDef(
+      build = (s, dir) => Dedup.substringDupStats(
+        Engine.table(s, dir, "documents"), col("text"), col("doc_id"), w = 8),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wins AS (
+          SELECT doc_id, pos,
+                 ${sqlHash60("array_to_string(t[pos+1:pos+8], ' ')")} AS gh
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(0, len(t) - 8)) AS pos
+                FROM toks WHERE len(t) >= 8)),
+        dup AS (
+          SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM wins)
+          GROUP BY gh HAVING count(*) >= 2),
+        covered AS (
+          SELECT DISTINCT w.doc_id, w.pos + k.k AS idx
+          FROM wins w JOIN dup USING (gh),
+               LATERAL (SELECT unnest(generate_series(0, 7)) AS k) k),
+        marked AS (
+          SELECT doc_id, idx,
+                 CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx)
+                      IS DISTINCT FROM idx - 1 THEN 1 ELSE 0 END AS st
+          FROM covered),
+        spans AS (
+          SELECT doc_id, count(*) AS dup_tokens, sum(st) AS n_spans
+          FROM marked GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS total_tokens,
+               CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
+        FROM toks t LEFT JOIN spans s USING (doc_id)"""))
   )
 }

@@ -775,5 +775,51 @@ object TextQueries {
         FROM documents d
         CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) gs
         LEFT JOIN g ON g.doc_id = d.doc_id AND g.dim = gs.dim"""))
-  )
+  ) ++ Seq(
+
+    // Distributed BPE merge training (Sennrich et al. 2016): 3 greedy
+    // merge rounds over the documents corpus — per round, the most
+    // frequent adjacent token pair (lexicographic tie-break) merges
+    // left-to-right non-overlapping. The oracle replays every round as
+    // a chained CTE block generated by the SAME Scala loop shape:
+    // counts -> argmax -> double-spaced regexp_replace rewrite, so both
+    // engines execute the identical greedy semantics.
+    "q145_bpe_merge_rounds" -> QueryDef(
+      build = (s, dir) => graft.operators.BpeTrain.mergeRounds(
+        graft.Engine.table(s, dir, "documents"), col("text"), rounds = 3),
+      oracle = Some(bpeOracle(3))))
+
+  /** The q145 oracle for `rounds` chained BPE merge rounds. */
+  private def bpeOracle(rounds: Int): String = {
+    val blocks = (1 to rounds).map { r =>
+      s"""p$r AS (
+           SELECT t[i] AS l, t[i+1] AS r, count(*) AS cnt
+           FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM (SELECT string_split(txt, ' ') AS t FROM c${r - 1})
+                 WHERE len(t) >= 2)
+           GROUP BY 1, 2),
+         m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         c$r AS (
+           SELECT array_to_string(list_filter(string_split(
+             regexp_replace(' ' || replace(txt, ' ', '  ') || ' ',
+               ' ' || (SELECT l FROM m$r) || '  ' ||
+                 (SELECT r FROM m$r) || ' ',
+               ' ' || (SELECT l FROM m$r) || '@' ||
+                 (SELECT r FROM m$r) || ' ', 'g'),
+             ' '), x -> x != ''), ' ') AS txt
+           FROM c${r - 1})"""
+    }.mkString(",\n        ")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, l AS lhs, r AS rhs,
+                 CAST(cnt AS BIGINT) AS pair_count,
+                 (SELECT CAST(sum(len(string_split(txt, ' '))) AS BIGINT)
+                  FROM c$r) AS tokens_after
+          FROM m$r"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH c0 AS (SELECT CAST(text AS VARCHAR) AS txt FROM documents
+                  WHERE text IS NOT NULL),
+        $blocks
+        $rows"""
+  }
 }

@@ -711,4 +711,56 @@ class OperatorsSpec extends SparkSpec {
       .select(AnalyticsQueries.pairPack($"parts")).collect()
     assert(edges.isEmpty)
   }
+
+  test("substringDupStats: cross-doc spans coalesce; within-doc repeats don't count") {
+    import graft.operators.Dedup
+    // docs 1/2 share "a b c" (w=3) at different positions; doc 3 repeats
+    // its own window twice but shares nothing cross-doc; doc 4 is shorter
+    // than w; doc 5 shares two DISJOINT windows with doc 1 -> 2 spans.
+    val docs = Seq(
+      (1L, "a b c x y z p q r"), // shares "a b c" w/ 2, "p q r" w/ 5
+      (2L, "k a b c m"),
+      (3L, "u v w u v w"), // within-doc repeat only
+      (4L, "s t"), // shorter than w
+      (5L, "p q r 0 1 2 3 a b c")).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs, $"text", $"doc_id", w = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 9L, 6L, 2L), // [a b c] + [p q r]: 6 tokens, 2 spans
+      (2L, 5L, 3L, 1L),
+      (3L, 6L, 0L, 0L), // count(DISTINCT doc) == 1 -> not duplicated
+      (4L, 2L, 0L, 0L),
+      (5L, 10L, 6L, 2L)))
+    // overlapping windows coalesce: "a b c d" shared whole -> windows at
+    // pos 0 and 1 merge into ONE 4-token span
+    val ov = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val g2 = Dedup.substringDupStats(ov, $"text", $"doc_id", w = 3)
+      .orderBy($"doc_id").collect()
+    assert(g2.forall(r => r.getLong(2) == 4L && r.getLong(3) == 1L))
+  }
+
+  test("BpeTrain.mergeRounds: greedy non-overlap, lexicographic ties, chained rounds") {
+    import graft.operators.BpeTrain
+    // "a a a" counts (a,a) twice but merges ONCE (greedy left-to-right);
+    // tie between (a,a)x2... actually (a,a) has count 2, all others 1.
+    val d1 = Seq("a a a", "b c").toDF("text")
+    val r1 = BpeTrain.mergeRounds(d1, $"text", rounds = 1).collect()
+    assert(r1.length == 1)
+    val row = r1(0)
+    assert((row.getString(1), row.getString(2), row.getLong(3)) == (("a", "a", 2L)))
+    assert(row.getLong(4) == 4L) // "a@a a" (2 tokens) + "b c" (2)
+    // lexicographic tie-break: (a,b) and (b,a) both count 1 -> (a,b) wins
+    val d2 = Seq("a b", "b a").toDF("text")
+    val r2 = BpeTrain.mergeRounds(d2, $"text", rounds = 1).collect()(0)
+    assert((r2.getString(1), r2.getString(2)) == (("a", "b")))
+    // rounds chain: round 2 can merge a round-1 product
+    val d3 = Seq("x y z", "x y z", "x y w").toDF("text")
+    val r3 = BpeTrain.mergeRounds(d3, $"text", rounds = 2).collect()
+    assert((r3(0).getString(1), r3(0).getString(2), r3(0).getLong(3)) ==
+      (("x", "y", 3L)))
+    assert((r3(1).getString(1), r3(1).getString(2), r3(1).getLong(3)) ==
+      (("x@y", "z", 2L)))
+    assert(r3(1).getLong(4) == 4L) // "x@y@z","x@y@z","x@y w" -> 1+1+2
+  }
 }
