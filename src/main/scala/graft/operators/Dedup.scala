@@ -359,20 +359,32 @@ object Dedup {
         s"transform(sequence(0, n - $w), i -> concat_ws(' ', slice(t, i + 1, $w)))"
       )).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), gf.hash60(col("g")).as("gh"))
+      // diamond DAG: wins feeds both the duplicate-hash set and the
+      // positions join-back — materialize once so the per-window md5
+      // (the dominant cost) is not computed twice
+      .localCheckpoint()
     val dup = wins.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("gh"))
-    val covered = wins.join(dup, Seq("gh"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("idx"))
-      .distinct()
-    val spans = covered
-      .withColumn("prev", lag(col("idx"), 1)
-        .over(Window.partitionBy(col("doc_id")).orderBy(col("idx"))))
+    // Interval union in closed form: duplicated windows all have width
+    // w, so sorting by start position also sorts end positions — each
+    // window contributes min(gap-to-previous, w) newly covered tokens,
+    // and starts a new maximal span iff the gap exceeds w. This avoids
+    // materializing (and distinct-ing) the w× covered-index expansion;
+    // the oracle deliberately KEEPS the brute-force index-union
+    // spelling, so the closed form is checked against an independent
+    // formulation, not a transliteration of itself.
+    val hits = wins.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
+    val spans = hits
+      .withColumn("prevp", lag(col("pos"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dup_tokens"),
-        sum(when(!(col("prev") <=> (col("idx") - 1)), 1L).otherwise(0L))
-          .as("n_spans"))
+      .agg(
+        sum(when(col("prevp").isNull, lit(w.toLong))
+          .otherwise(least(col("pos") - col("prevp"), lit(w))
+            .cast("long"))).as("dup_tokens"),
+        sum(when(col("prevp").isNull || col("pos") - col("prevp") > w, 1L)
+          .otherwise(0L)).as("n_spans"))
     toks.select(col("doc_id"), col("n").cast("long").as("total_tokens"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("total_tokens"),

@@ -392,6 +392,7 @@ object DedupQueries {
     "q144_substring_dedup" -> QueryDef(
       build = (s, dir) => Dedup.substringDupStats(
         Engine.table(s, dir, "documents"), col("text"), col("doc_id"), w = 8),
+      headline = true,
       oracle = Some(s"""
         WITH toks AS (
           SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -335,6 +335,21 @@ class PlanQualitySpec extends SparkSpec {
       s"full-set verification missing:\n$p")
   }
 
+  test("q144 substring dedup: every shuffle carries numbers only, never gram strings") {
+    // the window table hashes each 8-token gram to a long BEFORE any
+    // exchange — at 100 TB the dedup groupBy and the positions join-back
+    // are the dominant shuffles, and they must move (hash, doc, pos)
+    // numerics, not the 8-word strings (an order of magnitude wider).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val p = allPhysicalPlans.find(_._1 == "q144_substring_dedup").get._2
+    val stringShuffles = p.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.dataType == StringType) => e
+    }
+    assert(stringShuffles.isEmpty,
+      s"gram strings crossed an exchange:\n${stringShuffles.mkString("\n")}")
+  }
+
   test("q133 hard negatives: bucket equi-join only — no pairwise expansion") {
     val p = plan("q133_hard_negatives")
     assert(!p.contains("CartesianProduct") &&
