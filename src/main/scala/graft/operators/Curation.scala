@@ -54,6 +54,101 @@ object Curation {
         (col("n_shared_grams") >= minShared).cast("int").as("flagged"))
   }
 
+  /** Bloom-filter decontamination: [[ngramOverlap]]'s posture when the
+    * eval gram union is too large to broadcast exactly (many benchmarks
+    * pooled — the screen The Stack / RefinedWeb pipelines run). The eval
+    * side folds into an mBits-bit Bloom filter (k seeded md5 hashes,
+    * packed into mBits/64 longs assembled DISTRIBUTED via bit_or — no
+    * driver collect); the single-row filter broadcasts and the train
+    * probe is a map-side bit test. ~10 bits per eval gram replaces the
+    * gram strings themselves.
+    *
+    * Returns (doc_id, n_bloom_hits, n_exact, flagged) for EVERY train
+    * doc: n_bloom_hits counts the doc's distinct grams whose k bits all
+    * hit; n_exact the truly-shared grams (n_exact <= n_bloom_hits always
+    * — the gap audits the false-positive rate, the same
+    * sketch-vs-truth audit shape as the q142 CMS overcount column).
+    * `flagged` decides on the SKETCH (>= minShared bloom hits) — the
+    * decision a pipeline that dropped the exact column would ship. The
+    * seeded-md5 bit positions reproduce exactly in the SQL oracle, which
+    * deliberately spells membership as a position-set join rather than
+    * packed words — an independent formulation of the same filter.
+    */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame, text: Column,
+                         id: Column, w: Int = 3, mBits: Int = 65536,
+                         k: Int = 3, minShared: Int = 5): DataFrame = {
+    require(mBits % 64 == 0 && mBits >= 64, s"mBits must be a multiple of 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nWords = mBits / 64
+    def bitPos(j: Int, g: Column): Column =
+      pmod(graft.functions.hash60(lit(s"bf$j"), g), lit(mBits.toLong))
+    val ev = gramTable(eval, text, id, w).select(col("gram")).distinct()
+    val filterRow = ev
+      .select(explode(array((0 until k).map(j => bitPos(j, col("gram"))): _*)).as("p"))
+      .select(expr("p DIV 64").as("wi"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy(col("wi")).agg(expr("bit_or(b)").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("wi"), col("word")))).as("m"))
+      .select(transform(sequence(lit(0L), lit((nWords - 1).toLong)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("bf"))
+    var probed = gramTable(train, text, id, w)
+      .crossJoin(broadcast(filterRow))
+      .join(broadcast(ev.withColumn("__e", lit(1L))), Seq("gram"), "left")
+    for (j <- 0 until k)
+      probed = probed.withColumn(s"__p$j", bitPos(j, col("gram")))
+    val hitCol = (0 until k).map(j => expr(
+      s"(element_at(bf, CAST(__p$j DIV 64 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 64 AS INT))) != 0"))
+      .reduce(_ && _)
+    probed
+      .groupBy(col("doc_id"))
+      .agg(sum(when(hitCol, 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(coalesce(col("__e"), lit(0L))).as("n_exact"))
+      .select(col("doc_id"), col("n_bloom_hits"), col("n_exact"),
+        (col("n_bloom_hits") >= minShared).cast("int").as("flagged"))
+  }
+
+  /** Mixture oversampling schedule (the data-recipe step of LLaMA /
+    * GPT-3-style training sets: each source/language stratum is sampled
+    * toward a TARGET share of the token budget, oversampling small
+    * strata by integer repeats). For stratum s with token mass T_s out
+    * of T and target weight w_s (permille), the replica rate is
+    * r_s = w_s·T/(1000·T_s) epochs: every doc gets floor(r_s) replicas,
+    * plus one more iff a seeded per-doc hash falls under frac(r_s) —
+    * deterministic Bernoulli, no RNG state. Returns the replicated
+    * schedule (doc_id, stratum, rep), rep = 1..n_replicas.
+    *
+    * All arithmetic is BIGINT ppm (w_s·T·1000 DIV T_s) — no floats, so
+    * engines agree bit-for-bit. (At 100 TB token counts, w·T·1000
+    * approaches 2^63 — switch the rate computation to DECIMAL(38,0);
+    * the schedule itself is unchanged.) One partial-agg shuffle for the
+    * per-stratum masses; the |strata|-row rate table broadcasts; the
+    * replica explosion is map-side. Strata absent from `weights` get
+    * rate 0 and drop out.
+    */
+  def mixtureSchedule(docs: DataFrame, stratum: Column, tokens: Column,
+                      id: Column, weightsPermille: Map[String, Int]): DataFrame = {
+    require(weightsPermille.nonEmpty && weightsPermille.values.forall(_ >= 0),
+      "weights must be non-negative")
+    require(weightsPermille.values.sum == 1000,
+      s"weights must sum to 1000 permille, got ${weightsPermille.values.sum}")
+    val d = docs.select(id.as("doc_id"), stratum.as("stratum"),
+      tokens.cast("long").as("tok"))
+    val perStratum = d.groupBy(col("stratum")).agg(sum(col("tok")).as("t_s"))
+    val grand = d.agg(sum(col("tok")).as("t_all"))
+    val rates = perStratum.crossJoin(broadcast(grand))
+      .withColumn("w",
+        coalesce(element_at(typedLit(weightsPermille), col("stratum")), lit(0)))
+      .select(col("stratum"), expr("w * t_all * 1000 DIV t_s").as("r_ppm"))
+    d.join(broadcast(rates), Seq("stratum"))
+      .withColumn("n_rep", expr("r_ppm DIV 1000000") +
+        (pmod(graft.functions.hash60(lit("mix"), col("doc_id")),
+          lit(1000000L)) < (col("r_ppm") % 1000000)).cast("long"))
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("stratum"),
+        explode(sequence(lit(1L), col("n_rep"))).as("rep"))
+  }
+
   val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val CardRe: String = "\\b\\d{13,19}\\b"

@@ -17,6 +17,10 @@ object CurationQueries {
     */
   private val evalHexes = Seq("0", "1")
 
+  /** DuckDB equivalent of graft.functions.hash60(expr). */
+  private def sqlHash60(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
   /** q102's pre-budget DAG (quality gate → whole-row min_by dedup →
     * decontamination anti-join), exposed so PlanQualitySpec can pin its
     * plan shape: the token budget's two-pass prefix sum localCheckpoints
@@ -79,6 +83,82 @@ object CurationQueries {
                CAST(count(*) >= 5 AS INT) AS flagged
         FROM t JOIN e USING (gram) GROUP BY doc_id"""),
       headline = true),
+
+    // Bloom-filter decontamination: q96's screen when the pooled eval
+    // gram set is too big to broadcast exactly — eval grams fold into a
+    // 65536-bit / 3-hash Bloom filter, train probes it map-side. The
+    // n_exact column audits the false-positive gap (n_exact <=
+    // n_bloom_hits by construction); `flagged` decides on the sketch.
+    // The oracle spells membership as a distinct-position-set join —
+    // an independent formulation of the same deterministic filter.
+    "q146_bloom_decontaminate" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
+        Curation.bloomDecontaminate(
+          d.where(!isEval), d.where(isEval),
+          col("text"), col("doc_id"), w = 3, mBits = 65536, k = 3,
+          minShared = 5)
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id, substr(md5(text), 1, 1) AS h,
+                 unnest(${DedupQueries.sqlShingles}) AS gram
+          FROM documents),
+        t AS (SELECT doc_id, gram FROM g WHERE h NOT IN ('0','1')),
+        e AS (SELECT DISTINCT gram FROM g WHERE h IN ('0','1')),
+        pos AS (SELECT DISTINCT p FROM (
+          SELECT unnest([
+            ${sqlHash60("'bf0:' || gram")} % 65536,
+            ${sqlHash60("'bf1:' || gram")} % 65536,
+            ${sqlHash60("'bf2:' || gram")} % 65536]) AS p
+          FROM e)),
+        probe AS (
+          SELECT t.doc_id,
+            CASE WHEN EXISTS (SELECT 1 FROM pos
+                   WHERE p = ${sqlHash60("'bf0:' || t.gram")} % 65536)
+                  AND EXISTS (SELECT 1 FROM pos
+                   WHERE p = ${sqlHash60("'bf1:' || t.gram")} % 65536)
+                  AND EXISTS (SELECT 1 FROM pos
+                   WHERE p = ${sqlHash60("'bf2:' || t.gram")} % 65536)
+                 THEN 1 ELSE 0 END AS hit,
+            CASE WHEN ex.gram IS NOT NULL THEN 1 ELSE 0 END AS ex
+          FROM t LEFT JOIN e ex ON ex.gram = t.gram)
+        SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+               CAST(sum(ex) AS BIGINT) AS n_exact,
+               CAST(sum(hit) >= 5 AS INT) AS flagged
+        FROM probe GROUP BY doc_id"""),
+      headline = true),
+
+    // Mixture oversampling schedule: per-language target token shares
+    // (en 40%, de/fr/es/zh 15% each) become integer-ppm replica rates;
+    // each doc repeats floor(rate) times plus a seeded-hash Bernoulli
+    // top-up — the deterministic data-recipe epoch table. All-BIGINT
+    // arithmetic, so the oracle reproduces every replica exactly.
+    "q147_mixture_schedule" -> QueryDef(
+      build = (s, dir) => Curation.mixtureSchedule(
+        Engine.table(s, dir, "documents"), col("lang"), col("n_chars"),
+        col("doc_id"),
+        Map("en" -> 400, "de" -> 150, "fr" -> 150, "es" -> 150,
+          "zh" -> 150)),
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id, lang AS stratum,
+                          CAST(n_chars AS BIGINT) AS tok FROM documents),
+        ts AS (SELECT stratum, sum(tok) AS t_s FROM d GROUP BY 1),
+        ta AS (SELECT sum(tok) AS t_all FROM d),
+        w AS (SELECT * FROM (VALUES ('en', 400), ('de', 150),
+                ('fr', 150), ('es', 150), ('zh', 150)) AS v(stratum, wt)),
+        r AS (SELECT ts.stratum, (wt * t_all * 1000) // t_s AS r_ppm
+              FROM ts JOIN w USING (stratum) CROSS JOIN ta),
+        n AS (SELECT d.doc_id, d.stratum,
+                r_ppm // 1000000 +
+                CASE WHEN ${sqlHash60("'mix:' || CAST(doc_id AS VARCHAR)")}
+                       % 1000000 < r_ppm % 1000000
+                     THEN 1 ELSE 0 END AS n_rep
+              FROM d JOIN r USING (stratum))
+        SELECT doc_id, stratum,
+               unnest(generate_series(1, CAST(n_rep AS BIGINT))) AS rep
+        FROM n WHERE n_rep > 0""")),
 
     // PII redaction: pure regexp projection. PII is planted
     // deterministically on even doc_ids so the pass has both hit and

@@ -120,4 +120,53 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(kept.toSeq == Seq((1L, 40L), (2L, 90L), (4L, 100L)))
   }
+
+  test("bloomDecontaminate: exact hits always hit the filter; verbatim overlap flags") {
+    // doc 10 repeats eval text verbatim (>= 5 shared 3-grams); doc 11 is
+    // disjoint vocabulary. Bloom hits dominate exact hits on EVERY doc
+    // (an exact shared gram set every one of its k bits by construction).
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (11L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val out = Curation.bloomDecontaminate(train, eval, $"text", $"doc_id")
+      .orderBy($"doc_id").collect()
+    assert(out.length == 2)
+    val r10 = out(0)
+    assert(r10.getLong(1) >= r10.getLong(2), "bloom hits must dominate exact")
+    assert(r10.getLong(2) == 6L && r10.getInt(3) == 1, // 6 shared 3-grams
+      s"doc 10 should flag: $r10")
+    val r11 = out(1)
+    assert(r11.getLong(2) == 0L && r11.getLong(1) >= r11.getLong(2))
+    intercept[IllegalArgumentException] {
+      Curation.bloomDecontaminate(train, eval, $"text", $"doc_id", mBits = 100)
+    }
+  }
+
+  test("mixtureSchedule: per-doc replicas are floor(rate) or +1; reps enumerate 1..n") {
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 100L), (3L, "en", 100L), (4L, "en", 100L),
+      (5L, "zh", 50L), (6L, "xx", 77L)) // xx has no target weight
+      .toDF("doc_id", "lang", "tok")
+    // T=527, en: T_s=400 w=500 -> r_ppm = 500*527*1000/400 = 658750
+    // zh: T_s=50 w=500 -> r_ppm = 500*527*1000/50 = 5270000 (base 5)
+    val out = Curation.mixtureSchedule(docs, $"lang", $"tok", $"doc_id",
+      Map("en" -> 500, "zh" -> 500))
+    val byId = out.groupBy($"doc_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!byId.contains(6L), "unweighted stratum must drop out")
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(byId.getOrElse(id, 0L) <= 1L, s"en doc $id: base 0, at most 1")
+    }
+    assert(byId(5L) == 5L || byId(5L) == 6L, s"zh doc: 5 or 6, got ${byId.get(5L)}")
+    // rep values enumerate 1..n with no gaps
+    val reps = out.filter($"doc_id" === 5L).select($"rep")
+      .as[Long].collect().sorted.toSeq
+    assert(reps == (1L to reps.length).toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSchedule(docs, $"lang", $"tok", $"doc_id", Map("en" -> 7))
+    }
+  }
 }
