@@ -353,12 +353,13 @@ object Dedup {
                         w: Int = 8): DataFrame = {
     require(w >= 1, s"window width must be >= 1, got $w")
     val toks = docs.select(id.as("doc_id"), split(text, " ").as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
-    val wins = toks.filter(col("n") >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, n - $w), i -> concat_ws(' ', slice(t, i + 1, $w)))"
-      )).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), gf.hash60(col("g")).as("gh"))
+      .select(col("doc_id"), size(col("t")).as("n"))
+    val wins = docs
+      .select(id.as("doc_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.WindowHashExplode(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              text.cast("string")), w)).as(Seq("pos", "gh")))
       // diamond DAG: wins feeds both the duplicate-hash set and the
       // positions join-back — materialize once so the per-window md5
       // (the dominant cost) is not computed twice
@@ -391,4 +392,19 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
+
+  /** Composed-builtin twin of the fused window-hash generator inside
+    * [[substringDupStats]] (the executable spec; equivalence pinned in
+    * OperatorsSpec): positional w-gram strings materialized via
+    * transform+slice, then hashed.
+    */
+  def substringWindowsComposed(docs: DataFrame, text: Column, id: Column,
+                               w: Int): DataFrame =
+    docs.select(id.as("doc_id"), split(text, " ").as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, n - $w), i -> concat_ws(' ', slice(t, i + 1, $w)))"
+      )).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), gf.hash60(col("g")).as("gh"))
 }

@@ -740,6 +740,29 @@ class OperatorsSpec extends SparkSpec {
     assert(g2.forall(r => r.getLong(2) == 4L && r.getLong(3) == 1L))
   }
 
+  test("native WindowHashExplode ≡ composed transform/slice window chain") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .unionByName(Seq((9001L, "a b"), (9002L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), allowMissingColumns = true)
+    def native(w: Int) = docs.select($"doc_id",
+      ColumnBridge.column(graft.expressions.WindowHashExplode(
+        ColumnBridge.expression($"text".cast("string")), w))
+        .as(Seq("pos", "gh")))
+      .orderBy($"doc_id", $"pos").collect().toSeq
+    def composed(w: Int) = Dedup
+      .substringWindowsComposed(docs, $"text", $"doc_id", w)
+      .select($"doc_id", $"pos", $"gh")
+      .orderBy($"doc_id", $"pos").collect().toSeq
+    Seq(1, 8).foreach { w =>
+      val (n, c) = (native(w), composed(w))
+      assert(n.nonEmpty && n == c, s"w=$w mismatch")
+      // the null-text and sub-w docs emit no rows in either form
+      assert(!n.exists(r => r.getLong(0) >= 9002L))
+    }
+  }
+
   test("BpeTrain.mergeRounds: greedy non-overlap, lexicographic ties, chained rounds") {
     import graft.operators.BpeTrain
     // "a a a" counts (a,a) twice but merges ONCE (greedy left-to-right);
