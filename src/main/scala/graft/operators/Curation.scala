@@ -140,6 +140,42 @@ object Curation {
       .withColumn("w",
         coalesce(element_at(typedLit(weightsPermille), col("stratum")), lit(0)))
       .select(col("stratum"), expr("w * t_all * 1000 DIV t_s").as("r_ppm"))
+    replicate(d, rates)
+  }
+
+  /** Temperature-flattened sampling schedule (the mT5 / UniMax
+    * multilingual rebalancing rule at τ = 2): stratum weights are
+    * proportional to T_s^(1/2) instead of a hand-written recipe, so
+    * small languages are oversampled and the head is flattened — the
+    * same replica mechanics as [[mixtureSchedule]], with the targets
+    * COMPUTED from the data. τ = 2 is chosen deliberately: sqrt is the
+    * one power IEEE 754 guarantees correctly rounded, so
+    * floor(sqrt(T_s)·1000) is bit-identical on every engine — no pow()
+    * last-ulp divergence, and all downstream arithmetic is BIGINT ppm.
+    * (Same 2^63 headroom note as [[mixtureSchedule]]: at 100 TB token
+    * counts move the rate computation to DECIMAL.)
+    */
+  def temperatureSchedule(docs: DataFrame, stratum: Column, tokens: Column,
+                          id: Column): DataFrame = {
+    val d = docs.select(id.as("doc_id"), stratum.as("stratum"),
+      tokens.cast("long").as("tok"))
+    val perStratum = d.groupBy(col("stratum")).agg(sum(col("tok")).as("t_s"))
+      .withColumn("sq",
+        floor(sqrt(col("t_s").cast("double")) * 1000).cast("long"))
+    val grand = d.agg(sum(col("tok")).as("t_all"))
+    val sumsq = perStratum.agg(sum(col("sq")).as("sumsq"))
+    val rates = perStratum
+      .crossJoin(broadcast(grand)).crossJoin(broadcast(sumsq))
+      .select(col("stratum"),
+        expr("sq * t_all * 1000000 DIV (sumsq * t_s)").as("r_ppm"))
+    replicate(d, rates)
+  }
+
+  /** Shared replica explosion: floor(r_ppm) copies of every doc plus a
+    * seeded-hash Bernoulli top-up for the fractional part — map-side
+    * after the |strata|-row rate broadcast.
+    */
+  private def replicate(d: DataFrame, rates: DataFrame): DataFrame =
     d.join(broadcast(rates), Seq("stratum"))
       .withColumn("n_rep", expr("r_ppm DIV 1000000") +
         (pmod(graft.functions.hash60(lit("mix"), col("doc_id")),
@@ -147,7 +183,6 @@ object Curation {
       .filter(col("n_rep") > 0)
       .select(col("doc_id"), col("stratum"),
         explode(sequence(lit(1L), col("n_rep"))).as("rep"))
-  }
 
   val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"

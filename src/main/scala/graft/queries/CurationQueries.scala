@@ -160,6 +160,38 @@ object CurationQueries {
                unnest(generate_series(1, CAST(n_rep AS BIGINT))) AS rep
         FROM n WHERE n_rep > 0""")),
 
+    // Temperature-flattened sampling (mT5/UniMax rule, tau=2): stratum
+    // weights proportional to sqrt(token mass), computed FROM the data.
+    // sqrt is the one power IEEE guarantees correctly rounded, so
+    // floor(sqrt(T_s)*1000) agrees bit-for-bit across engines; all
+    // later arithmetic is BIGINT ppm.
+    "q148_temperature_schedule" -> QueryDef(
+      build = (s, dir) => Curation.temperatureSchedule(
+        Engine.table(s, dir, "documents"), col("lang"), col("n_chars"),
+        col("doc_id")),
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id, lang AS stratum,
+                          CAST(n_chars AS BIGINT) AS tok FROM documents),
+        ts AS (SELECT stratum, sum(tok) AS t_s FROM d GROUP BY 1),
+        ta AS (SELECT sum(tok) AS t_all FROM d),
+        sq AS (SELECT stratum, t_s,
+                      CAST(floor(sqrt(CAST(t_s AS DOUBLE)) * 1000)
+                           AS BIGINT) AS sq
+               FROM ts),
+        ss AS (SELECT sum(sq) AS sumsq FROM sq),
+        r AS (SELECT stratum,
+                     (sq * t_all * 1000000) // (sumsq * t_s) AS r_ppm
+              FROM sq CROSS JOIN ss CROSS JOIN ta),
+        n AS (SELECT d.doc_id, d.stratum,
+                r_ppm // 1000000 +
+                CASE WHEN ${sqlHash60("'mix:' || CAST(doc_id AS VARCHAR)")}
+                       % 1000000 < r_ppm % 1000000
+                     THEN 1 ELSE 0 END AS n_rep
+              FROM d JOIN r USING (stratum))
+        SELECT doc_id, stratum,
+               unnest(generate_series(1, CAST(n_rep AS BIGINT))) AS rep
+        FROM n WHERE n_rep > 0""")),
+
     // PII redaction: pure regexp projection. PII is planted
     // deterministically on even doc_ids so the pass has both hit and
     // miss rows; both engines build the identical input string.

@@ -151,6 +151,93 @@ object StreamOps {
       dedupeCols = Seq("__bucket", "__sv"),
       clusterCols = Seq("__bucket"), targetFiles = targetFiles)
 
+  /** Continuous exact-substring dedup gate — the streaming face of
+    * `Dedup.substringDupStats` (q144): a doc is dropped when at least
+    * `tauPermille`/1000 of its DISTINCT w-token window hashes were
+    * already seen — in prior batches (the at-rest store) or in a
+    * smaller-id doc of the SAME batch. Survivors write to
+    * `batch=<id>` output and their window hashes append to the store,
+    * so a replayed micro-batch rewrites the same paths (exactly-once
+    * without a transactional sink).
+    *
+    * Same at-rest posture as [[nearDupIngest]]: no streaming state
+    * store, the store grows with the unique corpus only (distinct
+    * hashes per batch), parquet partition discovery reads it, and
+    * [[compactSubstrStore]] folds the batch directories. The fraction
+    * compare is integer (dup·1000 ≥ tau·total) — no float boundary.
+    */
+  def substrDupIngest(docs: DataFrame, text: String, id: String,
+                      storePath: String, outPath: String, checkpoint: String,
+                      w: Int = 8, tauPermille: Int = 500)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        substrDupBatch(batch, batchId, text, id, storePath, outPath, w,
+          tauPermille)
+      }
+      .start()
+
+  /** One micro-batch of [[substrDupIngest]] — public for replay tests:
+    * the same batchId twice must produce identical output.
+    */
+  def substrDupBatch(batch: DataFrame, batchId: Long, text: String,
+                     id: String, storePath: String, outPath: String,
+                     w: Int = 8, tauPermille: Int = 500): Unit = {
+    require(tauPermille >= 1 && tauPermille <= 1000,
+      s"tauPermille must be in [1, 1000], got $tauPermille")
+    val spark = batch.sparkSession
+    val storeHadoopPath = new org.apache.hadoop.fs.Path(storePath)
+    val storeExists = storeHadoopPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(storeHadoopPath)
+    // replay exclusion: batch N's own prior attempt must not gate it
+    val store =
+      if (storeExists)
+        spark.read.parquet(storePath)
+          .filter(col("batch") =!= batchId).select(col("gh"))
+      else spark.range(0).select(col("id").as("gh"))
+    // distinct window hashes per doc, materialized once (feeds the
+    // totals, the history probe, the within-batch probe, both sides of
+    // the pair join, and the store append)
+    val wins = batch.select(col(id).as("__id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.WindowHashExplode(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              col(text).cast("string")), w)).as(Seq("pos", "gh")))
+      .select(col("__id"), col("gh")).distinct()
+      .localCheckpoint()
+    val totals = wins.groupBy(col("__id")).agg(count(lit(1)).as("n_w"))
+    // a window hash counts as dup for doc d when it exists in history,
+    // or in any smaller-id doc of this batch
+    val histHit = wins.join(store, Seq("gh"), "left_semi")
+    val batchHit = wins.join(
+      wins.select(col("gh"), col("__id").as("__other")), Seq("gh"))
+      .filter(col("__other") < col("__id"))
+      .select(col("__id"), col("gh")).distinct()
+    val dupCounts = histHit.unionByName(batchHit).distinct()
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_dup"))
+    val dropIds = totals.join(dupCounts, Seq("__id"))
+      .filter(col("n_dup") * 1000 >= col("n_w") * tauPermille)
+      .select(col("__id").as(id))
+    val survivors = batch.join(dropIds, Seq(id), "left_anti")
+      .localCheckpoint()
+    survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    wins.join(survivors.select(col(id).as("__id")), Seq("__id"), "left_semi")
+      .select(col("gh")).distinct()
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    ()
+  }
+
+  /** Compact the [[substrDupIngest]] window-hash store — the (gh)
+    * instance of [[compactBatchStore]]; hash-clustered files give
+    * footer range pruning on the probe join.
+    */
+  def compactSubstrStore(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String, targetFiles: Int = 8): Unit =
+    compactBatchStore(spark, storePath, dedupeCols = Seq("gh"),
+      clusterCols = Seq("gh"), targetFiles = targetFiles)
+
   /** Fold a `batch=N`-partitioned at-rest membership store into ONE
     * consolidated negative-sentinel partition (`batch=-1`, then `-2`, …)
     * of `targetFiles` deduplicated, `clusterCols`-clustered files.

@@ -206,6 +206,39 @@ class LawsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("law: substringDupStats ≡ brute-force covered-index union on random corpora") {
+    import graft.operators.Dedup
+    // random small-vocab corpora force heavy cross-doc window collisions,
+    // exercising span coalescing at every gap size around w
+    val w = 3
+    val docGen: Gen[(Long, String)] = for {
+      id <- Gen.choose(0L, 23L)
+      len <- Gen.choose(1, 14)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield (id, toks.mkString(" "))
+    val docs = sample(docGen, 40).distinctBy(_._1)
+    // independent reference: materialize every covered token index
+    val wins = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      (0 to t.length - w).map(i => (id, i, t.slice(i, i + w).mkString(" ")))
+    }
+    val dupGrams = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val covered = wins.filter(p => dupGrams(p._3))
+      .flatMap { case (id, p, _) => (p until p + w).map(id -> _) }.toSet
+    val want = docs.map { case (id, text) =>
+      val idx = covered.collect { case (`id`, i) => i }
+      val spans = idx.toSeq.sorted.foldLeft(0) { (acc, i) =>
+        if (idx(i - 1)) acc else acc + 1 }
+      id -> ((text.split(" ", -1).length.toLong, idx.size.toLong,
+        spans.toLong))
+    }.toMap
+    val got = Dedup
+      .substringDupStats(docs.toDF("doc_id", "text"), $"text", $"doc_id", w)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
   test("law: aggState fold ≡ one-shot for random rows, batches, fold order") {
     import graft.operators.Relational
     val rowGen = for {

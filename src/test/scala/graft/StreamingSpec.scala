@@ -638,6 +638,62 @@ class StreamingSpec extends SparkSpec {
     assert(dirs2 == Seq("batch=-2", "batch=2"), s"second compaction layout: $dirs2")
   }
 
+  test("substrDupIngest: passage-coverage gate across and within batches, replay-idempotent") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("ssd").toString
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // w=3, tau=50%: drop a doc when half its distinct 3-token windows
+    // were already seen
+    val q = graft.streaming.StreamOps.substrDupIngest(
+      docs, "text", "doc_id", store, out, ckpt, w = 3, tauPermille = 500)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // batch 1: 30 unique; 31 repeats 30's text verbatim but has a LARGER
+    // id → within-batch gate drops 31
+    input.addData((30L, base), (31L, base))
+    q.processAllAvailable()
+    // batch 2: 40 copies a long passage of the stored doc (coverage >=
+    // 50%) → dropped by HISTORY; 41 shares only a short passage
+    // (< 50% of its windows) → kept; 42 is fresh → kept
+    input.addData(
+      (40L, "alpha beta gamma delta epsilon zeta nu xi"),
+      (41L, "alpha beta gamma completely different tokens one two three four"),
+      (42L, "pack my box with five dozen liquor jugs"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(30L, 41L, 42L), s"got $kept")
+    // store = distinct window hashes of the survivors exactly
+    val storeHashes = spark.read.parquet(store)
+      .select("gh").as[Long].collect().toSet
+    val expect = graft.operators.Dedup.substringWindowsComposed(
+        Seq((30L, base),
+          (41L, "alpha beta gamma completely different tokens one two three four"),
+          (42L, "pack my box with five dozen liquor jugs"))
+          .toDF("doc_id", "text"), $"text", $"doc_id", w = 3)
+      .select("gh").as[Long].collect().toSet
+    assert(storeHashes == expect)
+    // replay of batch 1 (store already holds its hashes) must keep 30
+    graft.streaming.StreamOps.substrDupBatch(
+      Seq((30L, base), (31L, base)).toDF("doc_id", "text"),
+      batchId = 0, "text", "doc_id", store, out, w = 3, tauPermille = 500)
+    val keptReplay = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptReplay == Set(30L, 41L, 42L), s"replay lost rows: $keptReplay")
+    // compaction folds all but the newest batch partition; the gate
+    // still drops a re-sent near-copy afterwards
+    graft.streaming.StreamOps.compactSubstrStore(spark, store)
+    graft.streaming.StreamOps.substrDupBatch(
+      Seq((50L, "alpha beta gamma delta epsilon zeta nu xi"))
+        .toDF("doc_id", "text"),
+      batchId = 2, "text", "doc_id", store, out, w = 3, tauPermille = 500)
+    val keptPost = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptPost == Set(30L, 41L, 42L), s"post-compaction gate leaked: $keptPost")
+  }
+
   test("FileDrop live mode: ProcessingTime trigger picks up files arriving mid-stream") {
     val base = Files.createTempDirectory("filedroplive").toFile.getAbsolutePath
     val in = s"$base/in"; val done = s"$base/done"; val bad = s"$base/bad"
