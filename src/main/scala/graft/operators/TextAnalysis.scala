@@ -125,6 +125,28 @@ object TextAnalysis {
         org.apache.spark.sql.graft.ColumnBridge.expression(
           text.cast("string")), dims))
 
+  /** HTML → text extraction (the WET-style stage a web-crawl pipeline
+    * runs before any text analysis): drop script/style/comment blocks,
+    * strip tags, decode the five XML entities, collapse whitespace.
+    * A pure chained-regexp projection — codegen'd, zero shuffle at any
+    * corpus size — and every pattern is shared Java-regex/RE2 syntax
+    * (non-greedy dot, character classes; NO lookaround or backrefs), so
+    * the DuckDB oracle runs the IDENTICAL patterns. `&amp;` decodes
+    * LAST so `&amp;lt;` yields the literal `&lt;` (the standard
+    * double-escape rule).
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+      case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+    }
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
   /** Count-min sketch slot coordinates of one term: an array of
     * (d, slot) structs, slot_d = hash60("cms<d>:" || term) mod `w`.
     * ONE implementation shared by the batch sketch (q142) and the

@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** DuckDB equivalent of graft.functions.hash60(expr). */
+  private def sqlHash60(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
   /** DuckDB: stopword-hit count over whitespace tokens. */
   private def sqlScore(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
@@ -776,6 +780,83 @@ object TextQueries {
         CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) gs
         LEFT JOIN g ON g.doc_id = d.doc_id AND g.dim = gs.dim"""))
   ) ++ Seq(
+
+    // Deterministic training order: every doc lands in one of 64
+    // hash-assigned shards with a reproducible md5 position inside it —
+    // the dataloader artifact (any worker re-derives its shard's order
+    // with no coordination). Per-shard ranks ride the two-pass
+    // range-partition rank (withStratumRankN), never a 64-partition
+    // window over the corpus.
+    "q150_training_order" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+          .select(col("doc_id"),
+            pmod(graft.functions.hash60(lit("shard"), col("doc_id")),
+              lit(64L)).as("shard"),
+            md5(col("doc_id").cast("string")).as("__u"))
+        graft.operators.Relational.withStratumRankN(
+            d, Seq("shard"), Seq(col("__u"), col("doc_id")),
+            as = "pos", nAs = "__n")
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id,
+          ${sqlHash60("'shard:' || CAST(doc_id AS VARCHAR)")} % 64 AS shard,
+          md5(CAST(doc_id AS VARCHAR)) AS u
+          FROM documents)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY u, doc_id) AS BIGINT) AS pos
+        FROM d""")),
+
+    // HTML -> text extraction (WET-style): documents are wrapped in a
+    // deterministic HTML shell (script with a literal '<', style,
+    // comment, the five XML entities) and the extractor must recover
+    // clean text. Pure chained-regexp projection; every pattern is
+    // shared Java-regex/RE2 syntax so the oracle runs IDENTICAL
+    // patterns with 'g'.
+    "q149_html_extract" -> QueryDef(
+      build = (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>t</title>" +
+            "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "<style>.a { color: red; }</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- hidden comment --><p>"), col("text"),
+          lit("</p><p>R&amp;D &lt;tag&gt; &quot;q&quot; &#39;s&#39;" +
+            "</p></body></html>"))
+        val ex = graft.operators.TextAnalysis.htmlToText(html)
+        Engine.table(s, dir, "documents")
+          .select(col("doc_id"), ex.as("extracted"),
+            length(ex).cast("long").as("n_chars_x"))
+      },
+      oracle = Some("""
+        WITH h AS (SELECT doc_id,
+          '<html><head><title>t</title>' ||
+          '<script type="text/javascript">var x = 1 < 2;</script>' ||
+          '<style>.a { color: red; }</style></head><body><h1>Doc ' ||
+          CAST(doc_id AS VARCHAR) ||
+          '</h1><!-- hidden comment --><p>' || text ||
+          '</p><p>R&amp;D &lt;tag&gt; &quot;q&quot; &#39;s&#39;' ||
+          '</p></body></html>' AS t
+          FROM documents),
+        s1 AS (SELECT doc_id,
+          regexp_replace(t, '<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        s2 AS (SELECT doc_id,
+          regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id,
+          regexp_replace(t, '<!--.*?-->', ' ', 'g') AS t FROM s2),
+        s4 AS (SELECT doc_id,
+          regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+        s5 AS (SELECT doc_id, regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+            '&#39;', '''', 'g'), '&amp;', '&', 'g') AS t FROM s4)
+        SELECT doc_id,
+               trim(regexp_replace(t, ' +', ' ', 'g')) AS extracted,
+               CAST(length(trim(regexp_replace(t, ' +', ' ', 'g')))
+                    AS BIGINT) AS n_chars_x
+        FROM s5""")),
 
     // Distributed BPE merge training (Sennrich et al. 2016): 3 greedy
     // merge rounds over the documents corpus — per round, the most

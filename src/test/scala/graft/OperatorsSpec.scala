@@ -740,6 +740,22 @@ class OperatorsSpec extends SparkSpec {
     assert(g2.forall(r => r.getLong(2) == 4L && r.getLong(3) == 1L))
   }
 
+  test("htmlToText strips blocks before tags and double-decodes entities last") {
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      // script body contains a bare '<' — block removal must precede
+      // tag stripping or the remainder parses as a runaway tag
+      "<p>a</p><script>if (1 < 2) x();</script><p>b</p>" -> "a b",
+      "<style>.x { color: red }</style>hi<!-- gone -->there" -> "hi there",
+      // &amp;lt; is an ESCAPED '&lt;' and must survive as literal text
+      "x &amp;lt; y &lt;z&gt; &quot;q&quot; &#39;s&#39; r&amp;d" ->
+        "x &lt; y <z> \"q\" 's' r&d",
+      "  <div> <span>spaced   out</span> </div> " -> "spaced out")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.htmlToText($"h")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("native WindowHashExplode ≡ composed transform/slice window chain") {
     import graft.operators.Dedup
     import org.apache.spark.sql.graft.ColumnBridge
