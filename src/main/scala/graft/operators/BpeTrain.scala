@@ -28,29 +28,30 @@ import org.apache.spark.sql.{Column, DataFrame}
   * (java.util.regex) and the DuckDB oracle (RE2, 'g') implement that
   * semantic identically. Double-spacing makes consecutive occurrences
   * independent — the pattern consumes one boundary space on each side,
-  * leaving the neighbor's boundary intact. The winner is asserted
-  * letters-and-joiner only, so the literal pattern needs no quoting in
-  * either engine.
+  * leaving the neighbor's boundary intact. The winning pair rides the
+  * pattern inside \Q...\E literal quoting (shared Java-regex/RE2
+  * syntax), so punctuation tokens — guaranteed in real text — train
+  * fine; the replacement is escaped per-engine (Java interprets $ and
+  * \ in replacements, RE2 interprets \), so the only residual domain
+  * guard is a token containing the literal two-char sequence \E, which
+  * \Q quoting cannot span.
   */
 object BpeTrain {
 
-  /** One merge-training row per round: (round, lhs, rhs, pair_count,
-    * tokens_after). `pair_count` counts OVERLAPPING adjacent
-    * occurrences (the BPE ranking statistic); `tokens_after` is the
-    * corpus token count after applying the round's merge, which pins
-    * the rewrite itself, not just the argmax.
+  /** The shared greedy training loop: per round, count adjacent pairs
+    * over `txt`, collect the argmax (ONE row to the driver), rewrite
+    * `txt` in place with the winning merge. Any passthrough columns on
+    * `corpus0` (doc ids, pre-encode counts) ride along untouched —
+    * `mergeRounds` carries none, `encodeCorpus` carries the doc key.
+    * Returns the final corpus; `afterRound` sees each round's winner
+    * plus the rewritten corpus.
     */
-  def mergeRounds(docs: DataFrame, text: Column, rounds: Int,
-                  joiner: String = "@"): DataFrame = {
+  private def mergeLoop(corpus0: DataFrame, rounds: Int, joiner: String)(
+      afterRound: (Int, String, String, Long, DataFrame) => Unit): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    require(joiner.nonEmpty && !joiner.exists(" \\[](){}*+?.^$|".contains(_)),
-      s"joiner '$joiner' must be non-empty and regex-literal")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    var corpus = docs.select(text.cast("string").as("txt"))
-      .filter(col("txt").isNotNull)
-      .localCheckpoint()
-    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    require(joiner.nonEmpty && !joiner.contains(" "),
+      s"joiner '$joiner' must be non-empty and space-free")
+    var corpus = corpus0.localCheckpoint()
     for (r <- 1 to rounds) {
       val top = corpus
         .select(split(col("txt"), " ").as("t"))
@@ -66,21 +67,68 @@ object BpeTrain {
       require(top.nonEmpty, s"no adjacent token pairs in corpus at round $r")
       val (l, rr, cnt) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      require((l + rr).forall(c => c.isLetterOrDigit || joiner.contains(c)),
-        s"winning pair ('$l','$rr') is not regex-literal safe")
-      corpus = corpus.select(
+      require(!s" $l  $rr ".contains("\\E"),
+        s"winning pair ('$l','$rr') contains \\E — \\Q quoting cannot span it")
+      // \Q..\E quotes the pair as a literal in BOTH engines; the Java
+      // replacement additionally escapes $ and \ (Matcher semantics)
+      val pat = s" \\Q$l\\E  \\Q$rr\\E "
+      val rep = java.util.regex.Matcher.quoteReplacement(s" $l$joiner$rr ")
+      corpus = corpus.withColumn("txt",
         array_join(
           filter(
             split(regexp_replace(
               concat(lit(" "), expr("replace(txt, ' ', '  ')"), lit(" ")),
-              lit(s" $l  $rr "), lit(s" $l$joiner$rr ")), " "),
+              lit(pat), lit(rep)), " "),
             x => x =!= ""),
-          " ").as("txt"))
+          " "))
         .localCheckpoint()
+      afterRound(r, l, rr, cnt, corpus)
+    }
+    corpus
+  }
+
+  /** One merge-training row per round: (round, lhs, rhs, pair_count,
+    * tokens_after). `pair_count` counts OVERLAPPING adjacent
+    * occurrences (the BPE ranking statistic); `tokens_after` is the
+    * corpus token count after applying the round's merge, which pins
+    * the rewrite itself, not just the argmax.
+    */
+  def mergeRounds(docs: DataFrame, text: Column, rounds: Int,
+                  joiner: String = "@"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val corpus0 = docs.select(text.cast("string").as("txt"))
+      .filter(col("txt").isNotNull)
+    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    mergeLoop(corpus0, rounds, joiner) { (r, l, rr, cnt, corpus) =>
       val tokensAfter =
         corpus.agg(sum(size(split(col("txt"), " ")))).as[Long].head()
       out += ((r, l, rr, cnt, tokensAfter))
     }
     out.result().toDF("round", "lhs", "rhs", "pair_count", "tokens_after")
+  }
+
+  /** Tokenizer APPLICATION: train `rounds` merges on the corpus itself
+    * and return each document encoded with them — (id, n_tok_orig,
+    * n_tok_enc, fertility). Fertility (encoded-to-original token ratio,
+    * the statistic tokenizer evaluations report per language/domain) is
+    * a single IEEE division of two exact longs, rounded at 6 dp.
+    *
+    * Scale: identical shape to [[mergeRounds]] — the id and the
+    * pre-encode count ride the corpus as passthrough columns, so
+    * encoding adds zero shuffles and zero extra driver actions on top
+    * of training (no per-round token-count agg here).
+    */
+  def encodeCorpus(docs: DataFrame, text: Column, id: Column, rounds: Int,
+                   joiner: String = "@"): DataFrame = {
+    val corpus0 = docs
+      .select(id.as("doc_id"), text.cast("string").as("txt"))
+      .filter(col("txt").isNotNull)
+      .withColumn("n0", size(split(col("txt"), " ")).cast("long"))
+    mergeLoop(corpus0, rounds, joiner) { (_, _, _, _, _) => () }
+      .select(col("doc_id"), col("n0").as("n_tok_orig"),
+        size(split(col("txt"), " ")).cast("long").as("n_tok_enc"),
+        round(size(split(col("txt"), " ")).cast("double") / col("n0"), 6)
+          .as("fertility"))
   }
 }

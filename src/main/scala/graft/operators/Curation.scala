@@ -134,8 +134,16 @@ object Curation {
       s"weights must sum to 1000 permille, got ${weightsPermille.values.sum}")
     val d = docs.select(id.as("doc_id"), stratum.as("stratum"),
       tokens.cast("long").as("tok"))
+    // LAZY localCheckpoint: the |strata|-row aggregate feeds BOTH the
+    // rate rows and the grand total, and Catalyst cannot CSE the two
+    // subtrees across the crossJoin — without it each reference re-runs
+    // the full corpus scan. Lazy (not eager) keeps query builds cheap
+    // for the plan gates; the first action materializes bytes.
     val perStratum = d.groupBy(col("stratum")).agg(sum(col("tok")).as("t_s"))
-    val grand = d.agg(sum(col("tok")).as("t_all"))
+      .localCheckpoint(false)
+    // T = Σ T_s from the checkpointed aggregate — exact integers, so
+    // the sum is identical to a direct full-corpus total
+    val grand = perStratum.agg(sum(col("t_s")).as("t_all"))
     val rates = perStratum.crossJoin(broadcast(grand))
       .withColumn("w",
         coalesce(element_at(typedLit(weightsPermille), col("stratum")), lit(0)))
@@ -159,10 +167,13 @@ object Curation {
                           id: Column): DataFrame = {
     val d = docs.select(id.as("doc_id"), stratum.as("stratum"),
       tokens.cast("long").as("tok"))
+    // lazy-checkpointed like [[mixtureSchedule]]: three consumers (rate
+    // rows, T, Σ√) share ONE corpus scan instead of re-running it each
     val perStratum = d.groupBy(col("stratum")).agg(sum(col("tok")).as("t_s"))
       .withColumn("sq",
         floor(sqrt(col("t_s").cast("double")) * 1000).cast("long"))
-    val grand = d.agg(sum(col("tok")).as("t_all"))
+      .localCheckpoint(false)
+    val grand = perStratum.agg(sum(col("t_s")).as("t_all"))
     val sumsq = perStratum.agg(sum(col("sq")).as("sumsq"))
     val rates = perStratum
       .crossJoin(broadcast(grand)).crossJoin(broadcast(sumsq))

@@ -131,20 +131,24 @@ object TextAnalysis {
     * A pure chained-regexp projection — codegen'd, zero shuffle at any
     * corpus size — and every pattern is shared Java-regex/RE2 syntax
     * (non-greedy dot, character classes; NO lookaround or backrefs), so
-    * the DuckDB oracle runs the IDENTICAL patterns. `&amp;` decodes
-    * LAST so `&amp;lt;` yields the literal `&lt;` (the standard
-    * double-escape rule).
+    * the DuckDB oracle runs the IDENTICAL patterns. The block patterns
+    * carry `(?s)`: real crawled script/style/comment blocks span lines,
+    * and without DOTALL the non-greedy dot stops at `\n` — the block
+    * body would leak into the text. `&amp;` decodes LAST so `&amp;lt;`
+    * yields the literal `&lt;` (the standard double-escape rule).
     */
   def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "<!--.*?-->", " ")
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
       case (c, (ent, ch)) => regexp_replace(c, ent, ch)
     }
-    trim(regexp_replace(decoded, " +", " "))
+    // explicit class, not \s: Java \s includes \x0B, RE2's does not —
+    // the one whitespace spelling the two engines disagree on
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
 
   /** Count-min sketch slot coordinates of one term: an array of

@@ -17,9 +17,7 @@ object CurationQueries {
     */
   private val evalHexes = Seq("0", "1")
 
-  /** DuckDB equivalent of graft.functions.hash60(expr). */
-  private def sqlHash60(expr: String): String =
-    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+  import OracleSql.sqlHash60
 
   /** q102's pre-budget DAG (quality gate → whole-row min_by dedup →
     * decontamination anti-join), exposed so PlanQualitySpec can pin its

@@ -13,9 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** DuckDB equivalent of graft.functions.hash60(seed, s). */
-  private def sqlHash60(expr: String): String =
-    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+  import OracleSql.sqlHash60
 
   /** DuckDB distinct word 3-shingles of `text` (mirrors Dedup.shingles). */
   private[queries] val sqlShingles =

@@ -12,10 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
-  private def sqlHash60(expr: String): String =
-    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
-  private def sqlHash56(expr: String): String =
-    s"CAST('0x' || substr(md5($expr), 16, 14) AS BIGINT)"
+  import OracleSql.{sqlHash56, sqlHash60}
 
   val defs: Seq[(String, QueryDef)] = Seq(
 

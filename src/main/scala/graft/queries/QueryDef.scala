@@ -11,6 +11,21 @@ case class QueryDef(
     oracle: Option[String],
     headline: Boolean = false)
 
+/** Shared DuckDB spellings of the engine's seeded md5 hashes — ONE
+  * definition (four query files embed these in their oracles), so a
+  * width or spelling change cannot silently miss one file's oracles.
+  * Must stay in lockstep with `graft.functions.hash60`/`hash56`.
+  */
+object OracleSql {
+  /** Top 60 bits of md5 as BIGINT (twin of graft.functions.hash60). */
+  def sqlHash60(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  /** Bits 60..116 of md5 as BIGINT (twin of graft.functions.hash56). */
+  def sqlHash56(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 16, 14) AS BIGINT)"
+}
+
 /** Order-independent aggregation of money-like doubles.
   *
   * A grouped `sum(double)` is association-order-dependent: partials merge

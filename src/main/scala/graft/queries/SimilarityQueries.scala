@@ -29,15 +29,33 @@ object SimilarityQueries {
     * + per-iteration localCheckpoint) at build time. The checkpointed
     * result is session-tied, so the cache key carries the session.
     */
-  private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String),
-    org.apache.spark.sql.DataFrame]
+  // Weak keys + soft values so a JVM hosting many sessions cannot leak:
+  // the cached DataFrame strongly references its session, so a plain
+  // map keyed by session would pin stopped sessions forever. With the
+  // value held softly, the only path to the session key is soft — the
+  // GC clears the whole entry under memory pressure (and always before
+  // OOM), while a warm cache survives normal operation. Guarded by the
+  // map's own lock; builds are driver-side registry work, so holding it
+  // across a (seconds-scale) k-means train is fine.
+  private val trainedCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.HashMap[String,
+      java.lang.ref.SoftReference[org.apache.spark.sql.DataFrame]]]
   private def trainedCentroids(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame =
-    trainedCache.computeIfAbsent((s, dir), { _ =>
-      Similarity.kmeans(Engine.fanOut(Engine.table(s, dir, "embeddings")),
-        "embedding", "vec_id", k = 20, iters = 3)
-    })
+    trainedCache.synchronized {
+      val perSession = trainedCache.computeIfAbsent(s,
+        _ => new java.util.HashMap)
+      Option(perSession.get(dir)).flatMap(r => Option(r.get)) match {
+        case Some(df) => df
+        case None =>
+          val df = Similarity.kmeans(
+            Engine.fanOut(Engine.table(s, dir, "embeddings")),
+            "embedding", "vec_id", k = 20, iters = 3)
+          perSession.put(dir, new java.lang.ref.SoftReference(df))
+          df
+      }
+    }
 
   /** The DuckDB twin of [[trainedCentroids]]: recursive-CTE replay of
     * all 3 Lloyd's iterations (md5-ordered seeds, round(cos·1e6) argmax

@@ -11,9 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** DuckDB equivalent of graft.functions.hash60(expr). */
-  private def sqlHash60(expr: String): String =
-    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+  import OracleSql.sqlHash60
 
   /** DuckDB: stopword-hit count over whitespace tokens. */
   private def sqlScore(words: Seq[String]): String =
@@ -359,14 +357,13 @@ object TextQueries {
           .select(col("term"), col("n_exact"), col("n_est"),
             (col("n_est") - col("n_exact")).as("overcount"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH toks AS (
           SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         depths AS (SELECT unnest(generate_series(0, 3)) AS d),
         slots AS (
           SELECT d.d,
-                 CAST('0x' || substr(md5('cms' || d.d || ':' || term),
-                   1, 15) AS BIGINT) % 1024 AS slot
+                 ${sqlHash60("'cms' || d.d || ':' || term")} % 1024 AS slot
           FROM toks CROSS JOIN depths d),
         counters AS (
           SELECT d, slot, count(*) AS c FROM slots GROUP BY d, slot),
@@ -375,8 +372,7 @@ object TextQueries {
           ORDER BY n_exact DESC, term LIMIT 20),
         probes AS (
           SELECT term, n_exact, d.d,
-                 CAST('0x' || substr(md5('cms' || d.d || ':' || term),
-                   1, 15) AS BIGINT) % 1024 AS slot
+                 ${sqlHash60("'cms' || d.d || ':' || term")} % 1024 AS slot
           FROM top CROSS JOIN depths d)
         SELECT term, n_exact, min(c) AS n_est,
                min(c) - n_exact AS overcount
@@ -395,7 +391,13 @@ object TextQueries {
     // 1-row broadcast. Determinism: counts are exact longs, +0.5 and
     // +0.5·V are exactly representable, one IEEE division then ln on
     // identical doubles (bit-identical cross-engine, the q77 proof),
-    // quantized to 1e-9 integers so doc sums are order-proof.
+    // quantized to 1e-9 integers so doc sums are order-proof. The ppl
+    // column is the registry's ONE per-row exp(): Math.exp vs libm exp
+    // have no formal bit-parity guarantee (1-ulp each), so ppl rounds
+    // at 2 dp — a 1-ulp divergence at ppl ~10^3 is ~1e-12, ten orders
+    // below the tie window, where a 6-dp round would flake the hash
+    // gate at ~1e-3/run. avg_loglik (pure ln, the q77-proven parity)
+    // keeps full 6-dp precision.
     "q140_bigram_perplexity" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
@@ -419,7 +421,7 @@ object TextQueries {
           .agg(count(lit(1)).as("n_bigrams"), sum(col("il")).as("sil"))
           .select(col("doc_id"), col("n_bigrams"),
             round(col("sil") / 1e9 / col("n_bigrams"), 6).as("avg_loglik"),
-            round(exp(-(col("sil") / 1e9 / col("n_bigrams"))), 6).as("ppl"))
+            round(exp(-(col("sil") / 1e9 / col("n_bigrams"))), 2).as("ppl"))
       },
       oracle = Some("""
         WITH toks AS (
@@ -443,7 +445,7 @@ object TextQueries {
         SELECT doc_id, count(*) AS n_bigrams,
                round(CAST(sum(il) AS BIGINT) / 1e9 / count(*), 6)
                  AS avg_loglik,
-               round(exp(-(CAST(sum(il) AS BIGINT) / 1e9 / count(*))), 6)
+               round(exp(-(CAST(sum(il) AS BIGINT) / 1e9 / count(*))), 2)
                  AS ppl
         FROM bgf JOIN logp USING (w1, w2)
         GROUP BY doc_id"""),
@@ -810,19 +812,22 @@ object TextQueries {
         FROM d""")),
 
     // HTML -> text extraction (WET-style): documents are wrapped in a
-    // deterministic HTML shell (script with a literal '<', style,
-    // comment, the five XML entities) and the extractor must recover
-    // clean text. Pure chained-regexp projection; every pattern is
-    // shared Java-regex/RE2 syntax so the oracle runs IDENTICAL
-    // patterns with 'g'.
+    // deterministic MULTI-LINE HTML shell (script spanning newlines with
+    // a literal '<', style, comment, the five XML entities) and the
+    // extractor must recover clean text. Pure chained-regexp projection;
+    // every pattern is shared Java-regex/RE2 syntax — the (?s) block
+    // patterns and the explicit whitespace class — so the oracle runs
+    // IDENTICAL patterns with 'g'. The embedded newlines pin the DOTALL
+    // behavior: without (?s) the script body (and its bare '<') would
+    // leak into the extracted text.
     "q149_html_extract" -> QueryDef(
       build = (s, dir) => {
         val html = concat(
           lit("<html><head><title>t</title>" +
-            "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
-            "<style>.a { color: red; }</style></head><body><h1>Doc "),
+            "<script type=\"text/javascript\">\nvar x = 1 < 2;\n</script>" +
+            "<style>\n.a { color: red; }\n</style></head><body><h1>Doc "),
           col("doc_id").cast("string"),
-          lit("</h1><!-- hidden comment --><p>"), col("text"),
+          lit("</h1><!-- hidden\ncomment --><p>"), col("text"),
           lit("</p><p>R&amp;D &lt;tag&gt; &quot;q&quot; &#39;s&#39;" +
             "</p></body></html>"))
         val ex = graft.operators.TextAnalysis.htmlToText(html)
@@ -833,19 +838,21 @@ object TextQueries {
       oracle = Some("""
         WITH h AS (SELECT doc_id,
           '<html><head><title>t</title>' ||
-          '<script type="text/javascript">var x = 1 < 2;</script>' ||
-          '<style>.a { color: red; }</style></head><body><h1>Doc ' ||
+          '<script type="text/javascript">' || chr(10) ||
+          'var x = 1 < 2;' || chr(10) || '</script>' ||
+          '<style>' || chr(10) || '.a { color: red; }' || chr(10) ||
+          '</style></head><body><h1>Doc ' ||
           CAST(doc_id AS VARCHAR) ||
-          '</h1><!-- hidden comment --><p>' || text ||
+          '</h1><!-- hidden' || chr(10) || 'comment --><p>' || text ||
           '</p><p>R&amp;D &lt;tag&gt; &quot;q&quot; &#39;s&#39;' ||
           '</p></body></html>' AS t
           FROM documents),
         s1 AS (SELECT doc_id,
-          regexp_replace(t, '<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+          regexp_replace(t, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
         s2 AS (SELECT doc_id,
-          regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+          regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
         s3 AS (SELECT doc_id,
-          regexp_replace(t, '<!--.*?-->', ' ', 'g') AS t FROM s2),
+          regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
         s4 AS (SELECT doc_id,
           regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
         s5 AS (SELECT doc_id, regexp_replace(regexp_replace(
@@ -853,8 +860,8 @@ object TextQueries {
             '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
             '&#39;', '''', 'g'), '&amp;', '&', 'g') AS t FROM s4)
         SELECT doc_id,
-               trim(regexp_replace(t, ' +', ' ', 'g')) AS extracted,
-               CAST(length(trim(regexp_replace(t, ' +', ' ', 'g')))
+               trim(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')) AS extracted,
+               CAST(length(trim(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')))
                     AS BIGINT) AS n_chars_x
         FROM s5""")),
 
@@ -883,10 +890,10 @@ object TextQueries {
          c$r AS (
            SELECT array_to_string(list_filter(string_split(
              regexp_replace(' ' || replace(txt, ' ', '  ') || ' ',
-               ' ' || (SELECT l FROM m$r) || '  ' ||
-                 (SELECT r FROM m$r) || ' ',
-               ' ' || (SELECT l FROM m$r) || '@' ||
-                 (SELECT r FROM m$r) || ' ', 'g'),
+               ' \\Q' || (SELECT l FROM m$r) || '\\E  \\Q' ||
+                 (SELECT r FROM m$r) || '\\E ',
+               ' ' || replace((SELECT l FROM m$r), '\\', '\\\\') || '@' ||
+                 replace((SELECT r FROM m$r), '\\', '\\\\') || ' ', 'g'),
              ' '), x -> x != ''), ' ') AS txt
            FROM c${r - 1})"""
     }.mkString(",\n        ")

@@ -285,6 +285,10 @@ object StreamOps {
     val latest = all.map(idOf).filter(_ >= 0).sorted.lastOption
     val fold = all.filterNot(s => latest.contains(idOf(s)))
     if (fold.isEmpty) return
+    // no-op tick guard: after a compaction the store is {sentinel,
+    // latest}; a maintenance call with no new batches would otherwise
+    // rewrite the whole store into a fresh sentinel every time
+    if (fold.length == 1 && idOf(fold.head) < 0) return
     // fresh negative sentinel (below every existing one): never equals a
     // real micro-batch id, so the replay-exclusion filter keeps it
     val sentinel = (all.map(idOf).filter(_ < 0) ++ Seq(0L)).min - 1
@@ -534,6 +538,19 @@ object StreamOps {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     val superseded = cmsSuperseded(spark, statePath).toSet
+    // finish a prior run's interrupted garbage collection: a crash
+    // between the sentinel rename and the trailing deletes leaves
+    // manifest-named partitions on disk; they are excluded from every
+    // read (so never double-counted) but would otherwise survive —
+    // and pay listing + filter cost — forever. Descending delete order
+    // (real batches first, then sentinels newest-to-oldest) keeps the
+    // manifest chain intact at every crash point: a superseded SENTINEL
+    // may hold the only manifest naming still-on-disk older partitions,
+    // so it must outlive them
+    superseded.toSeq.sorted.reverse.foreach { id =>
+      val stale = new org.apache.hadoop.fs.Path(statePath, s"batch=$id")
+      if (fs.exists(stale)) fs.delete(stale, true)
+    }
     val live = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
@@ -560,7 +577,11 @@ object StreamOps {
       throw new java.io.IOException(
         s"compactCmsStore: rename $tmp -> $target failed; store unchanged")
     onBeforeDelete()
-    fold.foreach(id => fs.delete(
+    // same descending order as the GC above: folded sentinels carry the
+    // manifests that excluded THEIR superseded partitions — delete real
+    // batches before any sentinel so a crash mid-loop never strands a
+    // partition with no on-disk manifest naming it
+    fold.reverse.foreach(id => fs.delete(
       new org.apache.hadoop.fs.Path(statePath, s"batch=$id"), true))
     ()
   }

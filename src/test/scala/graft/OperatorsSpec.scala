@@ -747,10 +747,19 @@ class OperatorsSpec extends SparkSpec {
       // tag stripping or the remainder parses as a runaway tag
       "<p>a</p><script>if (1 < 2) x();</script><p>b</p>" -> "a b",
       "<style>.x { color: red }</style>hi<!-- gone -->there" -> "hi there",
+      // MULTI-LINE blocks: real crawled HTML breaks script/style/comment
+      // bodies across lines — (?s) lets the non-greedy dot cross them;
+      // without it the body (and its bare '<') leaks into the text
+      "<p>a</p><script>\nvar x = 1 < 2;\nf();\n</script><p>b</p>" -> "a b",
+      "<style>\n.x {\n color: red\n}\n</style>hi<!--\n gone\n -->there" ->
+        "hi there",
       // &amp;lt; is an ESCAPED '&lt;' and must survive as literal text
       "x &amp;lt; y &lt;z&gt; &quot;q&quot; &#39;s&#39; r&amp;d" ->
         "x &lt; y <z> \"q\" 's' r&d",
-      "  <div> <span>spaced   out</span> </div> " -> "spaced out")
+      "  <div> <span>spaced   out</span> </div> " -> "spaced out",
+      // whitespace collapse covers tabs/CR/LF between words, not just
+      // spaces (explicit class — Java and RE2 disagree on \s itself)
+      "<p>a	b\r\nc</p>" -> "a b c")
     val got = cases.map(_._1).toDF("h")
       .select(TextAnalysis.htmlToText($"h")).as[String].collect().toSeq
     assert(got == cases.map(_._2), s"got $got")
@@ -801,5 +810,29 @@ class OperatorsSpec extends SparkSpec {
     assert((r3(1).getString(1), r3(1).getString(2), r3(1).getLong(3)) ==
       (("x@y", "z", 2L)))
     assert(r3(1).getLong(4) == 4L) // "x@y@z","x@y@z","x@y w" -> 1+1+2
+  }
+
+  test("BpeTrain.mergeRounds: punctuation and replacement-special tokens train") {
+    import graft.operators.BpeTrain
+    // real text guarantees punctuated winners; \Q..\E quoting must take
+    // them, and the REPLACEMENT escaping must survive Java's $/\ rules
+    val d1 = Seq("hello, world.", "hello, world.", "hello, there").toDF("text")
+    val r1 = BpeTrain.mergeRounds(d1, $"text", rounds = 1).collect()(0)
+    assert((r1.getString(1), r1.getString(2), r1.getLong(3)) ==
+      (("hello,", "world.", 2L)))
+    assert(r1.getLong(4) == 4L) // "hello,@world." x2 (1 tok) + "hello, there" (2)
+    // '$' and '\' are special in Java replacement strings; '(' and '*'
+    // in unquoted patterns — all must ride through literally
+    val d2 = Seq("a$ b\\", "a$ b\\", "(c *d"). toDF("text")
+    val r2 = BpeTrain.mergeRounds(d2, $"text", rounds = 1).collect()(0)
+    assert((r2.getString(1), r2.getString(2), r2.getLong(3)) ==
+      (("a$", "b\\", 2L)))
+    assert(r2.getLong(4) == 4L) // "a$@b\" x2 (1 tok) + "(c *d" (2)
+    // the one residual domain edge: a token containing literal \E
+    val boom = intercept[IllegalArgumentException] {
+      BpeTrain.mergeRounds(Seq("x\\E y", "x\\E y").toDF("text"),
+        $"text", rounds = 1)
+    }
+    assert(boom.getMessage.contains("\\E"))
   }
 }

@@ -424,6 +424,12 @@ class StreamingSpec extends SparkSpec {
     assert(dirs2 == Seq("batch=-2", "batch=2"), s"second compaction layout: $dirs2")
     val keys2 = spark.read.parquet(store).select("band", "sig").distinct().count()
     assert(keys2 == spark.read.parquet(store).count(), "compacted store must be distinct")
+    // maintenance tick with nothing new: the store is already
+    // {sentinel, latest} — the no-op guard must leave it untouched, not
+    // rewrite every key into a fresh sentinel on every scheduled call
+    graft.streaming.StreamOps.compactNearDupStore(spark, store, targetFiles = 1)
+    val dirs3 = new java.io.File(store).list().filter(_.startsWith("batch=")).toSeq.sorted
+    assert(dirs3 == Seq("batch=-2", "batch=2"), s"no-op tick rewrote the store: $dirs3")
   }
 
   test("compactBatchStore interleaving: a batch running in the visible-" +
@@ -570,6 +576,30 @@ class StreamingSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(state, "batch=-2")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(state, "batch=-1")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(state, "batch=4")))
+    // third generation: crash DURING garbage collection — batch 5
+    // lands, compaction publishes sentinel -3 (manifest: -2, 4) and
+    // dies before its trailing deletes. The superseded dirs sit on
+    // disk excluded-by-manifest; the NEXT maintenance run must finish
+    // the interrupted GC (else they pay listing cost forever) while
+    // the fold stays exact throughout
+    StreamOps.cmsBatch(again, 5, "text", state)
+    val expected3 =
+      direct(d.unionByName(again).unionByName(again)).localCheckpoint()
+    val boom = intercept[RuntimeException] {
+      StreamOps.compactCmsStore(spark, state,
+        onBeforeDelete = () => throw new RuntimeException("crash before GC"))
+    }
+    assert(boom.getMessage == "crash before GC")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(state, "batch=-3")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(state, "batch=-2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(state, "batch=4")))
+    assertFold(expected3)
+    StreamOps.compactCmsStore(spark, state) // nothing new to fold — GC only
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state, "batch=-2")),
+      "interrupted GC never finished: stale sentinel survives")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state, "batch=4")),
+      "interrupted GC never finished: stale batch survives")
+    assertFold(expected3)
   }
 
   test("embNearDupIngest: cosine gate across batches, replay-idempotent") {
