@@ -79,23 +79,13 @@ object Curation {
                          k: Int = 3, minShared: Int = 5): DataFrame = {
     require(mBits % 64 == 0 && mBits >= 64, s"mBits must be a multiple of 64, got $mBits")
     require(k >= 1, s"k must be >= 1, got $k")
-    val nWords = mBits / 64
-    def bitPos(j: Int, g: Column): Column =
-      pmod(graft.functions.hash60(lit(s"bf$j"), g), lit(mBits.toLong))
     val ev = gramTable(eval, text, id, w).select(col("gram")).distinct()
-    val filterRow = ev
-      .select(explode(array((0 until k).map(j => bitPos(j, col("gram"))): _*)).as("p"))
-      .select(expr("p DIV 64").as("wi"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
-      .groupBy(col("wi")).agg(expr("bit_or(b)").as("word"))
-      .agg(map_from_entries(collect_list(struct(col("wi"), col("word")))).as("m"))
-      .select(transform(sequence(lit(0L), lit((nWords - 1).toLong)),
-        i => coalesce(element_at(col("m"), i), lit(0L))).as("bf"))
+    val filterRow = assembleBloom(bloomWords(ev, mBits, k), mBits)
     var probed = gramTable(train, text, id, w)
       .crossJoin(broadcast(filterRow))
       .join(broadcast(ev.withColumn("__e", lit(1L))), Seq("gram"), "left")
     for (j <- 0 until k)
-      probed = probed.withColumn(s"__p$j", bitPos(j, col("gram")))
+      probed = probed.withColumn(s"__p$j", bloomBitPos(j, col("gram"), mBits))
     val hitCol = (0 until k).map(j => expr(
       s"(element_at(bf, CAST(__p$j DIV 64 AS INT) + 1) & " +
         s"shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 64 AS INT))) != 0"))
@@ -107,6 +97,35 @@ object Curation {
       .select(col("doc_id"), col("n_bloom_hits"), col("n_exact"),
         (col("n_bloom_hits") >= minShared).cast("int").as("flagged"))
   }
+
+  /** Bit position j of gram `g` in an `mBits`-bit Bloom filter — the
+    * ONE definition [[bloomDecontaminate]], its oracle spelling, and
+    * the streaming filter maintenance (`StreamOps.bloomIngest`) all
+    * share, so stream ≡ batch holds by construction.
+    */
+  private[graft] def bloomBitPos(j: Int, g: Column, mBits: Int): Column =
+    pmod(graft.functions.hash60(lit(s"bf$j"), g), lit(mBits.toLong))
+
+  /** Distinct grams → per-word partial OR rows (wi, word): ≤ mBits/64
+    * rows regardless of input size — the mergeable (idempotent,
+    * commutative, associative under `bit_or`) state the streaming
+    * filter persists per batch.
+    */
+  private[graft] def bloomWords(grams: DataFrame, mBits: Int, k: Int): DataFrame =
+    grams.select(explode(array(
+        (0 until k).map(j => bloomBitPos(j, col("gram"), mBits)): _*)).as("p"))
+      .select(expr("p DIV 64").as("wi"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy(col("wi")).agg(expr("bit_or(b)").as("word"))
+
+  /** Fold (wi, word) rows into the single-row packed filter: one
+    * mBits/64-long array, absent words zero.
+    */
+  private[graft] def assembleBloom(words: DataFrame, mBits: Int): DataFrame =
+    words
+      .agg(map_from_entries(collect_list(struct(col("wi"), col("word")))).as("m"))
+      .select(transform(sequence(lit(0L), lit((mBits / 64 - 1).toLong)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("bf"))
 
   /** Mixture oversampling schedule (the data-recipe step of LLaMA /
     * GPT-3-style training sets: each source/language stratum is sampled
@@ -336,4 +355,46 @@ object Curation {
     graft.operators.Relational.withStratumPrefixSum(df, Seq(bucket),
         Seq(score.desc, id), tokens, as = "cum_tokens")
       .where(col("cum_tokens") <= budget)
+
+  /** Gopher-style rule battery (Rae et al. 2021, appendix A1.1's
+    * repetition-and-length filters, adapted to this corpus): per
+    * document, the named signals plus one boolean per rule and the
+    * conjunction. Unlike [[qualityLogit]]'s soft score, these are the
+    * HARD per-rule gates a crawl pipeline reports individually (so an
+    * ablation can toggle one rule at a time). The corpus is
+    * all-alphabetic, so Gopher's symbol-ratio and alpha-word rules are
+    * degenerate here and the battery keeps the four signals that vary:
+    * word count, mean word length, distinct-stopword presence, and
+    * duplicate-token fraction.
+    *
+    * Scale/determinism: one tokenize per document feeding all four
+    * signals — a pure projection, zero shuffle at any corpus size.
+    * Rule comparisons run on UNROUNDED doubles: each is an exact-long
+    * division computed identically in both engines, so the booleans
+    * agree; the reported signal columns round at 6 dp for the hash
+    * gate.
+    */
+  def gopherRules(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val meanLen = sumLen.cast("double") / nTok.cast("double")
+    val enStops = graft.expressions.StopwordScores.langs.toMap.apply("en")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(enStops.map(lit): _*))).cast("long")
+    val dupFrac = lit(1.0) -
+      size(array_distinct(toks)).cast("double") / nTok.cast("double")
+    struct(
+      nTok.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      nStop.as("n_stop_distinct"),
+      round(dupFrac, 6).as("dup_tok_frac"),
+      (nTok >= 40 && nTok <= 100000).as("r_words"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
+      (nStop >= 2L).as("r_stop"),
+      (dupFrac <= lit(0.5)).as("r_rep"),
+      (nTok >= 40 && nTok <= 100000 && meanLen >= 3.0 && meanLen <= 10.0
+        && nStop >= 2L && dupFrac <= lit(0.5)).as("pass"))
+  }
 }

@@ -521,6 +521,105 @@ object CurationQueries {
         SELECT lang, bucket, count(*) AS n_docs,
                round(CAST(sum(z_int) AS BIGINT) / 1e6 / count(*), 6)
                  AS mean_logit
-        FROM b GROUP BY lang, bucket"""))
+        FROM b GROUP BY lang, bucket""")),
+
+    // Gopher-style hard rule battery (Rae et al. 2021 A1.1): per-doc
+    // named signals + one boolean per rule + the conjunction — the form
+    // a crawl pipeline reports so ablations can toggle rules
+    // one at a time (vs q100's soft logit). One tokenize per doc
+    // feeding all four signals: pure projection, zero shuffle. Rule
+    // comparisons run on UNROUNDED exact-long divisions (identical
+    // doubles both engines); displayed signals round at 6 dp.
+    "q151_gopher_rules" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(col("doc_id"), Curation.gopherRules(col("text")).as("g"))
+          .select(col("doc_id"), col("g.*"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n,
+                 CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS DOUBLE) / len(toks) AS ml,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the', 'a', 'of', 'and', 'to', 'in', 'is']))
+                   AS BIGINT) AS ns,
+                 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS df
+          FROM t)
+        SELECT doc_id, n AS n_words, round(ml, 6) AS mean_word_len,
+               ns AS n_stop_distinct, round(df, 6) AS dup_tok_frac,
+               (n >= 40 AND n <= 100000) AS r_words,
+               (ml >= 3.0 AND ml <= 10.0) AS r_mean_len,
+               (ns >= 2) AS r_stop, (df <= 0.5) AS r_rep,
+               (n >= 40 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+                AND ns >= 2 AND df <= 0.5) AS pass
+        FROM s""")),
+
+    // Per-source quota capping (the "no domain dominates" curation move:
+    // cap every source at its k best documents). Rides the repo's
+    // bounded-heap TopKPerKey exec — one hash exchange on source, O(k)
+    // memory per source, no sort buffer — NOT a row_number window,
+    // which would fully sort every source group; sources are skewed in
+    // real crawls, so the window form funnels the top domain through
+    // one sort at scale. Order (n_chars desc, doc_id) is a total order.
+    "q153_source_quota" -> QueryDef(
+      build = (s, dir) => {
+        import graft.operators.Relational
+        val d = Engine.table(s, dir, "documents")
+        Relational.topKPerKey(d,
+            keys = Seq(col("source")),
+            order = Seq(col("n_chars").desc, col("doc_id")),
+            k = 10)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+      },
+      oracle = Some("""
+        SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10""")),
+
+    // Sequence-length bucketing (the batching-efficiency audit a
+    // training dataloader runs): each doc lands in its
+    // next-power-of-two token bucket; per bucket, doc count, token
+    // mass, and the padding waste a fixed-length batcher would pay.
+    // log2 of an integer double-rounds onto an exact integer ONLY at
+    // true powers of two (an integer would need to sit within 1+1e-15
+    // of 2^k otherwise), so ceil(log2(n)) is cross-engine stable; all
+    // sums are exact longs, the waste fraction is one IEEE division.
+    "q154_length_buckets" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("bucket",
+            pow(lit(2.0), ceil(log2(col("n_tok")))).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("sum_tokens"),
+            sum(col("bucket") - col("n_tok")).as("padding"))
+          .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+            col("padding"),
+            round(col("padding").cast("double")
+              / (col("n_docs") * col("bucket")), 6).as("waste_frac"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        b AS (
+          SELECT n_tok,
+                 CAST(power(2, ceil(log2(n_tok))) AS BIGINT) AS bucket
+          FROM t)
+        SELECT bucket, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(sum(bucket - n_tok) AS BIGINT) AS padding,
+               round(CAST(sum(bucket - n_tok) AS DOUBLE)
+                     / (count(*) * bucket), 6) AS waste_frac
+        FROM b GROUP BY bucket"""))
   )
 }

@@ -875,10 +875,29 @@ object TextQueries {
     "q145_bpe_merge_rounds" -> QueryDef(
       build = (s, dir) => graft.operators.BpeTrain.mergeRounds(
         graft.Engine.table(s, dir, "documents"), col("text"), rounds = 3),
-      oracle = Some(bpeOracle(3))))
+      oracle = Some(bpeOracle(3))),
 
-  /** The q145 oracle for `rounds` chained BPE merge rounds. */
-  private def bpeOracle(rounds: Int): String = {
+    // Tokenizer APPLICATION: train the same 3 BPE merges as q145, then
+    // ENCODE every document with them — per-doc original/encoded token
+    // counts and fertility (encoded/original, the statistic tokenizer
+    // evaluations report per language/domain). The doc id and
+    // pre-encode count ride the training corpus as passthrough columns,
+    // so encoding adds zero shuffles over training; fertility is one
+    // IEEE division of two exact longs, rounded at 6 dp. The oracle
+    // replays the identical rounds with doc_id carried through every
+    // rewrite CTE.
+    "q152_bpe_fertility" -> QueryDef(
+      build = (s, dir) => graft.operators.BpeTrain.encodeCorpus(
+        graft.Engine.table(s, dir, "documents"), col("text"),
+        col("doc_id"), rounds = 3),
+      oracle = Some(bpeOracle(3, perDoc = true))))
+
+  /** The q145/q152 oracle for `rounds` chained BPE merge rounds. With
+    * `perDoc` the rewrite CTEs carry (doc_id, n0) and the query emits
+    * per-document encode stats instead of the per-round merge table.
+    */
+  private def bpeOracle(rounds: Int, perDoc: Boolean = false): String = {
+    val carry = if (perDoc) "doc_id, n0, " else ""
     val blocks = (1 to rounds).map { r =>
       s"""p$r AS (
            SELECT t[i] AS l, t[i+1] AS r, count(*) AS cnt
@@ -888,7 +907,7 @@ object TextQueries {
            GROUP BY 1, 2),
          m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
          c$r AS (
-           SELECT array_to_string(list_filter(string_split(
+           SELECT ${carry}array_to_string(list_filter(string_split(
              regexp_replace(' ' || replace(txt, ' ', '  ') || ' ',
                ' \\Q' || (SELECT l FROM m$r) || '\\E  \\Q' ||
                  (SELECT r FROM m$r) || '\\E ',
@@ -897,17 +916,33 @@ object TextQueries {
              ' '), x -> x != ''), ' ') AS txt
            FROM c${r - 1})"""
     }.mkString(",\n        ")
-    val rows = (1 to rounds).map { r =>
-      s"""SELECT $r AS round, l AS lhs, r AS rhs,
+    val c0 =
+      if (perDoc)
+        s"""c0 AS (SELECT doc_id, CAST(text AS VARCHAR) AS txt,
+                 CAST(len(string_split(CAST(text AS VARCHAR), ' '))
+                      AS BIGINT) AS n0
+               FROM documents WHERE text IS NOT NULL)"""
+      else
+        s"""c0 AS (SELECT CAST(text AS VARCHAR) AS txt FROM documents
+                  WHERE text IS NOT NULL)"""
+    val finalSel =
+      if (perDoc)
+        s"""SELECT doc_id, n0 AS n_tok_orig,
+                 CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tok_enc,
+                 round(CAST(len(string_split(txt, ' ')) AS DOUBLE) / n0, 6)
+                   AS fertility
+          FROM c$rounds"""
+      else
+        (1 to rounds).map { r =>
+          s"""SELECT $r AS round, l AS lhs, r AS rhs,
                  CAST(cnt AS BIGINT) AS pair_count,
                  (SELECT CAST(sum(len(string_split(txt, ' '))) AS BIGINT)
                   FROM c$r) AS tokens_after
           FROM m$r"""
-    }.mkString("\n        UNION ALL\n        ")
+        }.mkString("\n        UNION ALL\n        ")
     s"""
-      WITH c0 AS (SELECT CAST(text AS VARCHAR) AS txt FROM documents
-                  WHERE text IS NOT NULL),
+      WITH $c0,
         $blocks
-        $rows"""
+        $finalSel"""
   }
 }

@@ -274,7 +274,25 @@ object StreamOps {
   def compactBatchStore(spark: org.apache.spark.sql.SparkSession,
                         storePath: String, dedupeCols: Seq[String],
                         clusterCols: Seq[String], targetFiles: Int = 8,
-                        onBeforeDelete: () => Unit = () => ()): Unit = {
+                        onBeforeDelete: () => Unit = () => ()): Unit =
+    compactFoldTolerantStore(spark, storePath, clusterCols, targetFiles,
+      onBeforeDelete)(
+      _.select(dedupeCols.map(col): _*).dropDuplicates(dedupeCols))
+
+  /** The shared swap skeleton for DUPLICATION-TOLERANT at-rest state:
+    * list → fold every partition except the latest real batch through
+    * `consolidate` → publish as a fresh negative sentinel (visible
+    * BEFORE the superseded partitions delete). Correct exactly when
+    * re-reading a folded row alongside its folded copy cannot change
+    * the downstream result — set membership (`dropDuplicates`) and
+    * idempotent bitwise OR (the Bloom store) qualify; additive counters
+    * do NOT (see [[compactCmsStore]]'s manifest discipline).
+    */
+  private def compactFoldTolerantStore(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      clusterCols: Seq[String], targetFiles: Int,
+      onBeforeDelete: () => Unit)(
+      consolidate: DataFrame => DataFrame): Unit = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -293,9 +311,8 @@ object StreamOps {
     // real micro-batch id, so the replay-exclusion filter keeps it
     val sentinel = (all.map(idOf).filter(_ < 0) ++ Seq(0L)).min - 1
     val tmp = new org.apache.hadoop.fs.Path(storePath + "_compact_tmp")
-    spark.read.parquet(storePath)
-      .filter(latest.map(l => col("batch") =!= l).getOrElse(lit(true)))
-      .select(dedupeCols.map(col): _*).dropDuplicates(dedupeCols)
+    consolidate(spark.read.parquet(storePath)
+        .filter(latest.map(l => col("batch") =!= l).getOrElse(lit(true))))
       .repartition(targetFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -585,6 +602,70 @@ object StreamOps {
       new org.apache.hadoop.fs.Path(statePath, s"batch=$id"), true))
     ()
   }
+
+  /** Continuous Bloom-filter maintenance — the streaming face of
+    * `Curation.bloomDecontaminate`'s eval side: benchmark/eval
+    * documents arrive as a stream and each micro-batch folds its
+    * distinct w-gram bits into `batch=<id>` partial words
+    * (`Curation.bloomWords` — the SAME construction the batch filter
+    * uses, so stream ≡ batch by construction; the StreamingSpec law
+    * pins it). The finished filter then screens any training corpus
+    * with the unchanged batch operator.
+    *
+    * State per batch is ≤ mBits/64 (wi, word) rows — bounded by the
+    * filter, not the data. Bitwise OR is idempotent, commutative, and
+    * associative, so this store needs NEITHER the counter store's
+    * exactly-once manifest (double-reading a word is harmless) nor
+    * replay exclusion (a replayed batch overwrites its own partition;
+    * re-ORing is a no-op) — it rides the duplication-tolerant
+    * membership compaction discipline as-is.
+    */
+  def bloomIngest(docs: DataFrame, text: String, id: String,
+                  statePath: String, checkpoint: String, w: Int = 3,
+                  mBits: Int = 65536, k: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bloomBatch(batch, batchId, text, id, statePath, w, mBits, k)
+      }
+      .start()
+
+  /** One micro-batch of [[bloomIngest]] — public for replay tests. */
+  def bloomBatch(batch: DataFrame, batchId: Long, text: String, id: String,
+                 statePath: String, w: Int = 3, mBits: Int = 65536,
+                 k: Int = 3): Unit = {
+    val grams = graft.operators.Curation
+      .gramTable(batch, col(text), col(id), w)
+      .select(col("gram")).distinct()
+    graft.operators.Curation.bloomWords(grams, mBits, k)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    ()
+  }
+
+  /** Fold the live word partitions into the single-row packed filter —
+    * bit-identical to `Curation.bloomDecontaminate` building the same
+    * filter from the union of the batches (the StreamingSpec law).
+    * Reads EVERY partition: OR-idempotence makes duplication harmless,
+    * so no exclusion logic exists to get wrong.
+    */
+  def finishBloomStream(spark: org.apache.spark.sql.SparkSession,
+                        statePath: String, mBits: Int = 65536): DataFrame =
+    graft.operators.Curation.assembleBloom(
+      spark.read.parquet(statePath)
+        .groupBy(col("wi")).agg(expr("bit_or(word)").as("word")),
+      mBits)
+
+  /** Compact the [[bloomIngest]] word store: the OR-fold instance of
+    * the duplication-tolerant swap — one consolidated ≤ mBits/64-row
+    * sentinel partition replaces the per-batch directories.
+    */
+  def compactBloomStore(spark: org.apache.spark.sql.SparkSession,
+                        statePath: String, targetFiles: Int = 1,
+                        onBeforeDelete: () => Unit = () => ()): Unit =
+    compactFoldTolerantStore(spark, statePath, clusterCols = Seq("wi"),
+      targetFiles = targetFiles, onBeforeDelete = onBeforeDelete)(
+      _.groupBy(col("wi")).agg(expr("bit_or(word)").as("word")))
 
   /** One key's running top-k snapshot (Update-mode emission). */
   case class TopKSnapshot(key_id: Long, n_seen: Long,

@@ -835,4 +835,41 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(boom.getMessage.contains("\\E"))
   }
+
+  test("BpeTrain.encodeCorpus: per-doc fertility matches hand-computed merges") {
+    import graft.operators.BpeTrain
+    // winner round 1 is (x,y) count 3 -> "x@y"; round 2 (x@y,z) count 2
+    val d = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y w")).toDF("id", "text")
+    val r = BpeTrain.encodeCorpus(d, $"text", $"id", rounds = 2)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 2L)))
+    assert(r(0).getDouble(3) == 0.333333) // 1/3 rounded at 6 dp
+    assert(r(2).getDouble(3) == 0.666667) // 2/3
+  }
+
+  test("Curation.gopherRules: each rule gates independently") {
+    import graft.operators.Curation
+    val cases = Seq(
+      // passes everything: 42 tokens (2 stopwords + 40 distinct words),
+      // mean length (3+2+40*6)/42 ≈ 5.86, dup fraction 0
+      ("ok", "the of " + (1 to 40).map(i => f"token$i%02d").mkString(" ")),
+      // too short: fails r_words only
+      ("short", "the of unique tokens here"),
+      // ≥40 tokens but no stopwords: fails r_stop only
+      ("nostop", (1 to 44).map(i => f"token$i%02d").mkString(" ")),
+      // heavy repetition (3 distinct over 50 tokens): fails r_rep only
+      ("rep", "the of " + (("dupe " * 48).trim)))
+    val df = cases.toDF("name", "text")
+    val byName = df.select($"name", Curation.gopherRules($"text").as("g"))
+      .select($"name", $"g.r_words", $"g.r_mean_len", $"g.r_stop",
+        $"g.r_rep", $"g.pass")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(byName("ok") == ((true, true, true, true, true)))
+    assert(byName("short") == ((false, true, true, true, false)))
+    assert(byName("nostop") == ((true, true, false, true, false)))
+    assert(byName("rep") == ((true, true, true, false, false)))
+  }
 }

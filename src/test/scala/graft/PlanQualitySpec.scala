@@ -221,6 +221,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
 
+  test("q153 source quota: bounded-heap exec, no window, zero-shuffle " +
+      "signals for q151/q154") {
+    // the per-source cap rides the same custom exec as q105 — sources
+    // are skewed in real crawls, so a row_number window would sort the
+    // top domain's whole group in one task
+    val p = plan("q153_source_quota")
+    assert(p.contains("TopKPerKey"), s"custom exec missing:\n$p")
+    assert(!p.contains("Window"), s"fell back to window:\n$p")
+    // the rule battery is a pure projection: no exchange anywhere
+    val g = plan("q151_gopher_rules")
+    assert(!g.contains("Exchange"), s"gopher rules must not shuffle:\n$g")
+    // length bucketing: one partial-agg exchange, nothing else
+    val b = plan("q154_length_buckets")
+    assert(b.contains("partial_count"), s"map-side partials lost:\n$b")
+    val ex = "Exchange \\((\\d+)\\)".r.findAllMatchIn(b)
+      .map(_.group(1)).toSet.size
+    assert(ex == 1, s"expected 1 exchange, got $ex:\n$b")
+  }
+
   test("q89 co-purchase: pairs expand via the native packed generator") {
     val p = plan("q89_copurchase_pairs")
     assert(p.contains("pairpackexplode"), s"native pair generator missing:\n$p")

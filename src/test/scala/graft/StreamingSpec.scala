@@ -602,6 +602,49 @@ class StreamingSpec extends SparkSpec {
     assertFold(expected3)
   }
 
+  test("bloomIngest: stream fold ≡ batch filter bit-for-bit; replay-proof; " +
+      "OR-fold compaction") {
+    import graft.operators.Curation
+    import graft.streaming.StreamOps
+    val dir = Files.createTempDirectory("bloomstream").toString
+    val state = s"$dir/state"
+    val ev = Engine.table(spark, sf(), "documents").filter($"doc_id" % 8 === 0)
+    // the batch construction the law compares against: the filter
+    // bloomDecontaminate would build from the SAME eval set at rest
+    val expected = Curation.assembleBloom(
+      Curation.bloomWords(
+        Curation.gramTable(ev, $"text", $"doc_id", 3)
+          .select($"gram").distinct(), 65536, 3), 65536)
+      .collect()(0).getSeq[Long](0)
+    def fold(): Seq[Long] = StreamOps.finishBloomStream(spark, state)
+      .collect()(0).getSeq[Long](0)
+    // the eval set in 3 arbitrary micro-batches folds to the batch filter
+    for (i <- 0 until 3)
+      StreamOps.bloomBatch(ev.filter($"doc_id" % 3 === i), i,
+        "text", "doc_id", state)
+    assert(fold() == expected)
+    // a replay overwrites its own partition; re-ORing is a no-op
+    StreamOps.bloomBatch(ev.filter($"doc_id" % 3 === 1), 1,
+      "text", "doc_id", state)
+    assert(fold() == expected)
+    // compaction OR-folds batches 0-1 into sentinel -1 (2 stays, the
+    // latest-real-batch replay discipline); the visible-but-not-yet-
+    // deleted crash window double-reads words — harmless under OR
+    StreamOps.compactBloomStore(spark, state,
+      onBeforeDelete = () => assert(fold() == expected))
+    assert(fold() == expected)
+    val dirs = new java.io.File(state).list()
+      .filter(_.startsWith("batch=")).toSeq.sorted
+    assert(dirs == Seq("batch=-1", "batch=2"), s"layout: $dirs")
+    // the sentinel is word-folded, not a row union: ≤ mBits/64 rows
+    assert(spark.read.parquet(s"$state/batch=-1").count() <= 1024)
+    // maintenance tick with nothing new: store untouched
+    StreamOps.compactBloomStore(spark, state)
+    val dirs2 = new java.io.File(state).list()
+      .filter(_.startsWith("batch=")).toSeq.sorted
+    assert(dirs2 == Seq("batch=-1", "batch=2"), s"no-op tick rewrote: $dirs2")
+  }
+
   test("embNearDupIngest: cosine gate across batches, replay-idempotent") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("endi").toString
