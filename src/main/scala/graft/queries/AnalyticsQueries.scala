@@ -1062,6 +1062,46 @@ object AnalyticsQueries {
         UNION ALL SELECT 'quantity_le_40', r3,
                round(CAST(r3 AS DOUBLE) / n, 6) FROM c
         UNION ALL SELECT 'tax_le_6pct', r4,
-               round(CAST(r4 AS DOUBLE) / n, 6) FROM c"""))
+               round(CAST(r4 AS DOUBLE) / n, 6) FROM c""")),
+
+    // EXACT per-stratum quartiles without `percentile`'s per-group
+    // value buffer: Spark's exact percentile aggregate materializes
+    // every group value in executor memory — at 100 TB the English
+    // group IS the corpus, so that buffer is the straggler/OOM the
+    // stratum-window family already paid for. Nearest-rank quartiles
+    // need only (rank, n) per stratum, which the two-pass
+    // withStratumRankN computes range-partitioned; the rank targets
+    // are pure INTEGER arithmetic ((n+3) DIV 4 etc.) — ceil without a
+    // single float. Conditional max picks the ranked value map-side.
+    "q158_stratum_quartiles" -> QueryDef(
+      build = (s, dir) => {
+        import graft.operators.Relational
+        val d = Engine.table(s, dir, "documents")
+          .select(col("lang"), col("n_chars"), col("doc_id"))
+        val ranked = Relational.withStratumRankN(d, Seq("lang"),
+          Seq(col("n_chars"), col("doc_id")), as = "__rnk", nAs = "__n")
+        ranked.groupBy(col("lang"))
+          .agg(
+            max(when(col("__rnk") === expr("(__n + 3) DIV 4"),
+              col("n_chars"))).as("p25"),
+            max(when(col("__rnk") === expr("(__n + 1) DIV 2"),
+              col("n_chars"))).as("p50"),
+            max(when(col("__rnk") === expr("(3 * __n + 3) DIV 4"),
+              col("n_chars"))).as("p75"),
+            max(col("__n")).as("n_docs"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS rnk,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT lang,
+               max(CASE WHEN rnk = (n + 3) // 4 THEN n_chars END) AS p25,
+               max(CASE WHEN rnk = (n + 1) // 2 THEN n_chars END) AS p50,
+               max(CASE WHEN rnk = (3 * n + 3) // 4 THEN n_chars END) AS p75,
+               CAST(max(n) AS BIGINT) AS n_docs
+        FROM r GROUP BY lang"""))
   )
 }

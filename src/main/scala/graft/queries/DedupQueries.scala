@@ -418,6 +418,45 @@ object DedupQueries {
         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS total_tokens,
                CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
                CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
-        FROM toks t LEFT JOIN spans s USING (doc_id)"""))
+        FROM toks t LEFT JOIN spans s USING (doc_id)""")),
+
+    // Cross-source contamination matrix: for every source pair, how
+    // many distinct 8-token passages they share verbatim — the
+    // provenance diagnostic that catches one crawl mirroring another
+    // (shared boilerplate, syndicated content) before mixture weights
+    // are set. The self-join runs on (passage-hash, source) DISTINCT
+    // rows, so per-hash fan-out is bounded by |sources| (≤ |sources|²
+    // pairs per hash) — never by document count; the shuffle carries
+    // md5 keys, never passage text.
+    "q157_source_overlap" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val chunks = d
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .select(col("source"),
+            explode(sequence(lit(1), size(col("toks")), lit(8))).as("start"),
+            col("toks"))
+          .select(col("source"),
+            md5(array_join(slice(col("toks"), col("start"), lit(8)), " "))
+              .as("h"))
+          .distinct()
+        chunks.withColumnRenamed("source", "src_a")
+          .join(chunks.withColumnRenamed("source", "src_b"), Seq("h"))
+          .where(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT DISTINCT source,
+                 md5(array_to_string(
+                   string_split(text, ' ')[start : start + 7], ' ')) AS h
+          FROM (SELECT source, text,
+                       unnest(generate_series(1,
+                         len(string_split(text, ' ')), 8)) AS start
+                FROM documents))
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2"""))
   )
 }

@@ -890,7 +890,132 @@ object TextQueries {
       build = (s, dir) => graft.operators.BpeTrain.encodeCorpus(
         graft.Engine.table(s, dir, "documents"), col("text"),
         col("doc_id"), rounds = 3),
-      oracle = Some(bpeOracle(3, perDoc = true))))
+      oracle = Some(bpeOracle(3, perDoc = true))),
+
+    // CCNet-style boilerplate removal at paragraph granularity: every
+    // 8-token chunk seen verbatim in >= 3 DISTINCT docs (headers,
+    // footers, nav bars in a real crawl) is dropped from EVERY doc,
+    // and the cleaned documents are reassembled in chunk order. The
+    // boilerplate count shuffles md5 keys, never chunk strings; the
+    // rebuild is one groupBy with an array_sort on (chunk_id, text) —
+    // per-doc bounded, order-proof. Docs that are pure boilerplate
+    // survive with empty text (left join from the per-doc totals).
+    "q155_boilerplate_removal" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val chunks = d
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("toks")), lit(8))).as("start"),
+            col("toks"))
+          .select(col("doc_id"),
+            expr("CAST((start - 1) DIV 8 AS LONG)").as("chunk_id"),
+            array_join(slice(col("toks"), col("start"), lit(8)), " ").as("ctext"))
+          .withColumn("h", md5(col("ctext")))
+        val boiler = chunks.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 3).select(col("h"))
+        val kept = chunks.join(boiler, Seq("h"), "left_anti")
+        val totals = chunks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"))
+        totals.join(
+            kept.groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("__k"),
+                array_join(transform(
+                  array_sort(collect_list(struct(col("chunk_id"),
+                    col("ctext")))),
+                  x => x.getField("ctext")), " ").as("__c")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("__k"), lit(0L)).as("n_kept"),
+            coalesce(col("__c"), lit("")).as("cleaned"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT doc_id, (start - 1) // 8 AS chunk_id,
+                 array_to_string(
+                   string_split(text, ' ')[start : start + 7], ' ') AS ctext
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1,
+                         len(string_split(text, ' ')), 8)) AS start
+                FROM documents)),
+        b AS (
+          SELECT md5(ctext) AS h FROM c
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        k AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(ctext, ' ' ORDER BY chunk_id) AS cleaned
+          FROM c WHERE md5(ctext) NOT IN (SELECT h FROM b)
+          GROUP BY doc_id),
+        t AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id)
+        SELECT t.doc_id, t.n_chunks,
+               coalesce(k.n_kept, 0) AS n_kept,
+               coalesce(k.cleaned, '') AS cleaned
+        FROM t LEFT JOIN k ON t.doc_id = k.doc_id""")),
+
+    // Collocation mining (word2vec-prep): PMI of adjacent token pairs
+    // with a min-count support cut, top 20. All inputs are exact long
+    // counts; PMI is a FIXED-ORDER sum of ln's of exact integers — ln
+    // on identical doubles is bit-identical cross-engine (the q77
+    // proof), so even the top-k boundary is deterministic. The
+    // unigram-count joins SHUFFLE (vocabulary-sized at 100 TB — the
+    // q140 discipline: only the two scalar totals broadcast).
+    "q156_pmi_collocations" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val toks = d.select(split(col("text"), " ").as("t"))
+        val uni = toks.select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        val bi = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("c2"))
+          .where(col("c2") >= 20)
+        val n1 = uni.agg(sum(col("cw")).as("n1"))
+        val n2 = toks.filter(size(col("t")) >= 2)
+          .agg(sum(size(col("t")) - 1).cast("long").as("n2"))
+        bi.join(uni.withColumnRenamed("w", "w1")
+              .withColumnRenamed("cw", "cw1"), Seq("w1"))
+          .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("cw", "cw2"), Seq("w2"))
+          .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+          .select(col("w1"), col("w2"), col("c2"),
+            round(log(col("c2").cast("double"))
+              + lit(2.0) * log(col("n1").cast("double"))
+              - log(col("n2").cast("double"))
+              - log(col("cw1").cast("double"))
+              - log(col("cw2").cast("double")), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        uni AS (
+          SELECT unnest(t) AS w FROM t),
+        cw AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+        bi AS (
+          SELECT t[i] AS w1, t[i+1] AS w2
+          FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM t WHERE len(t) >= 2)),
+        c2 AS (
+          SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+          HAVING count(*) >= 20),
+        n1 AS (SELECT count(*) AS n1 FROM uni),
+        n2 AS (SELECT count(*) AS n2 FROM bi)
+        SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+               round(ln(CAST(c2 AS DOUBLE))
+                 + 2.0 * ln(CAST(n1 AS DOUBLE))
+                 - ln(CAST(n2 AS DOUBLE))
+                 - ln(CAST(a.cw AS DOUBLE))
+                 - ln(CAST(b.cw AS DOUBLE)), 6) AS pmi
+        FROM c2
+        JOIN cw a ON c2.w1 = a.w
+        JOIN cw b ON c2.w2 = b.w
+        CROSS JOIN n1 CROSS JOIN n2
+        ORDER BY pmi DESC, w1, w2 LIMIT 20""")))
 
   /** The q145/q152 oracle for `rounds` chained BPE merge rounds. With
     * `perDoc` the rewrite CTEs carry (doc_id, n0) and the query emits

@@ -240,6 +240,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(ex == 1, s"expected 1 exchange, got $ex:\n$b")
   }
 
+  test("q155-q158: boilerplate anti-join, shuffled PMI joins, bounded " +
+      "overlap self-join, window-free quartiles") {
+    // q155: boilerplate drop is an anti-join on md5 keys
+    val p5 = plan("q155_boilerplate_removal")
+    assert(p5.contains("LeftAnti"), s"boilerplate drop lost its anti-join:\n$p5")
+    // q156: the vocabulary-sized unigram joins carry NO broadcast hint
+    // (q140 discipline — a hinted broadcast would OOM on a real
+    // vocabulary; the optimizer MAY size-broadcast at toy SF, and its
+    // stats flip the same join to SMJ at scale). Exactly two hints
+    // exist: the two 1-row scalar totals.
+    val q6 = SparkEntry.queries("q156_pmi_collocations")(spark, sf())
+    val hints = "ResolvedHint".r
+      .findAllIn(q6.queryExecution.analyzed.toString).size
+    assert(hints == 2,
+      s"expected exactly the 2 scalar-total broadcast hints, got $hints")
+    val p6 = plan("q156_pmi_collocations")
+    assert(p6.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject:\n$p6")
+    // q157: the overlap self-join carries md5 keys, and the final agg
+    // keeps its map-side partial
+    val p7 = plan("q157_source_overlap")
+    assert(!p7.contains("CartesianProduct"), s"overlap went all-pairs:\n$p7")
+    assert(p7.contains("partial_count"), s"map-side partial lost:\n$p7")
+    // q158: exact quartiles with NO window and NO percentile buffer —
+    // the two-pass rank is the whole point
+    val p8 = plan("q158_stratum_quartiles")
+    assert(!p8.contains("Window"), s"quartiles fell back to a window:\n$p8")
+    assert(!p8.contains("percentile"), s"percentile buffer crept in:\n$p8")
+  }
+
   test("q89 co-purchase: pairs expand via the native packed generator") {
     val p = plan("q89_copurchase_pairs")
     assert(p.contains("pairpackexplode"), s"native pair generator missing:\n$p")
