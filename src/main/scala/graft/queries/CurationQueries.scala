@@ -620,6 +620,80 @@ object CurationQueries {
                CAST(sum(bucket - n_tok) AS BIGINT) AS padding,
                round(CAST(sum(bucket - n_tok) AS DOUBLE)
                      / (count(*) * bucket), 6) AS waste_frac
-        FROM b GROUP BY bucket"""))
+        FROM b GROUP BY bucket""")),
+
+    // k-anonymity audit over the release quasi-identifiers
+    // (lang, source, 50-char length bucket): per language, how many
+    // identifier groups fall under k=5 members and how many documents
+    // sit in them — the re-identification risk report a dataset
+    // release gates on. Two partial-agg exchanges, exact integers, one
+    // IEEE division; the bucket is integer DIV (no float boundary).
+    "q159_k_anonymity" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.groupBy(col("lang"), col("source"),
+            expr("n_chars DIV 50").as("len_bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("cnt") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+            sum(when(col("cnt") < 5, col("cnt")).otherwise(0L))
+              .as("n_docs_at_risk"),
+            sum(col("cnt")).as("__nd"))
+          .select(col("lang"), col("n_groups"), col("n_small_groups"),
+            col("n_docs_at_risk"),
+            round(col("n_docs_at_risk").cast("double") / col("__nd"), 6)
+              .as("risk_rate"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT lang, source, n_chars // 50 AS len_bucket,
+                 count(*) AS cnt
+          FROM documents GROUP BY 1, 2, 3)
+        SELECT lang, count(*) AS n_groups,
+               CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_small_groups,
+               CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+                 AS n_docs_at_risk,
+               round(CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END)
+                          AS DOUBLE) / sum(cnt), 6) AS risk_rate
+        FROM g GROUP BY lang""")),
+
+    // Dataset datasheet (the one-row "data card" a release ships):
+    // corpus size, token mass, provenance/language breadth, exact-dup
+    // rate, mean length, English share. ONE scan, all partial-agg
+    // counts; ratios are single IEEE divisions of exact longs.
+    "q160_dataset_card" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        d.agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(md5(col("text"))).as("__u"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__en"))
+          .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+            col("n_langs"),
+            round(lit(1.0) - col("__u").cast("double") / col("n_docs"), 6)
+              .as("exact_dup_rate"),
+            round(col("n_tokens").cast("double") / col("n_docs"), 6)
+              .as("mean_tokens"),
+            round(col("__en").cast("double") / col("n_docs"), 6)
+              .as("frac_en"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                     / count(*), 6) AS exact_dup_rate,
+               round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                     / count(*), 6) AS mean_tokens,
+               round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS frac_en
+        FROM documents"""))
   )
 }

@@ -121,6 +121,41 @@ class LawsSpec extends SparkSpec {
       "r", "n").count() == 0)
   }
 
+  test("law: stratum nearest-rank quartiles ≡ driver-side sorted reference") {
+    import graft.operators.Relational
+    // the q158 pick: nearest-rank targets in pure integer arithmetic
+    // over withStratumRankN's (rank, n); reference sorts per stratum on
+    // the driver and indexes ceil(q·n) directly — duplicates included
+    // so value ties cross the quartile boundaries
+    val rowGen = for {
+      stratum <- Gen.frequency((7, Gen.const("en")), (2, Gen.const("fr")),
+        (1, Gen.const("de")))
+      v <- Gen.choose(0L, 60L)
+    } yield (stratum, v)
+    for (seed <- 0 to 1) {
+      val rows = sample(rowGen, 300 + seed * 77).zipWithIndex
+        .map { case ((st, v), i) => (i.toLong, st, v) }
+      val df = rows.toDF("id", "lang", "v").repartition(5 + seed * 6)
+      val ranked = Relational.withStratumRankN(df, Seq("lang"),
+        Seq($"v", $"id"), "r", "n")
+      val got = ranked.groupBy($"lang")
+        .agg(
+          max(when($"r" === expr("(n + 3) DIV 4"), $"v")).as("p25"),
+          max(when($"r" === expr("(n + 1) DIV 2"), $"v")).as("p50"),
+          max(when($"r" === expr("(3 * n + 3) DIV 4"), $"v")).as("p75"))
+        .collect()
+        .map(x => x.getString(0) ->
+          ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+      val ref = rows.groupBy(_._2).map { case (st, rs) =>
+        val sorted = rs.sortBy(x => (x._3, x._1)).map(_._3)
+        val n = sorted.size
+        st -> ((sorted((n + 3) / 4 - 1), sorted((n + 1) / 2 - 1),
+          sorted((3 * n + 3) / 4 - 1)))
+      }
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
   test("law: withStratumPrefixSum ≡ per-stratum running-sum window, skewed strata") {
     import graft.operators.Relational
     import org.apache.spark.sql.expressions.Window
