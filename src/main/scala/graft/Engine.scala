@@ -170,6 +170,45 @@ object Engine {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Training-shard export: the dataloader artifact the whole curation
+    * pipeline exists to produce. Shard assignment is
+    * `hash60("shard", id) pmod nShards` and within-shard read order is
+    * `(md5(id), id)` — EXACTLY q150's deterministic training order,
+    * made physical: any engine reproduces byte-identical shard
+    * membership and order from the ids alone, so a re-run after a
+    * curation tweak reshuffles nothing it does not have to.
+    *
+    * Layout: hive-partitioned `shard=N`, exactly one file per shard
+    * (each shard lives in exactly one of the `nShards` hash
+    * partitions, and a task writes one file per shard it holds), rows
+    * pre-sorted in training order so the dataloader streams them
+    * without a sort. A `_shard_manifest` parquet (shard, n_docs,
+    * n_tokens) rides INSIDE the dataset directory — the underscore
+    * prefix hides it from recursive parquet readers — giving the
+    * trainer its epoch bookkeeping without a second scan. Returns the
+    * manifest.
+    */
+  def writeTrainingShards(df: DataFrame, text: Column, id: Column,
+                          path: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val d = df
+      .withColumn("shard",
+        pmod(graft.functions.hash60(lit("shard"), id), lit(nShards.toLong)))
+      .withColumn("__ord", md5(id.cast("string")))
+    d.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), id)
+      .drop("__ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = d.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(org.apache.spark.sql.functions.size(split(text, " "))
+          .cast("long")).as("n_tokens"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_shard_manifest")
+    manifest
+  }
+
   /** Bloom-prune the probe side of a big-big join: build a bloom filter
     * over the build side's join keys (Spark's own
     * `BloomFilterAggregate` / `BloomFilterMightContain` — the runtime

@@ -210,6 +210,51 @@ class ScaleToolkitSpec extends SparkSpec {
       back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
   }
 
+  test("writeTrainingShards: q150 order made physical, one file per shard, " +
+      "manifest exact") {
+    import graft.functions.hash60
+    val docs = Engine.table(spark, sf(), "documents")
+      .select("doc_id", "text")
+    val dst = java.nio.file.Files.createTempDirectory("ts").toString + "/out"
+    val manifest = Engine.writeTrainingShards(docs, $"text", $"doc_id",
+      dst, nShards = 8).localCheckpoint()
+    // layout: 8 shard dirs, exactly one data file each; the manifest
+    // hides under an underscore dir the recursive reader skips
+    val dirs = new java.io.File(dst).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.length == 8, dirs.map(_.getName).mkString(","))
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+    // membership: the recursive read returns every doc exactly once,
+    // with q150's shard assignment
+    val back = spark.read.parquet(dst)
+    val expected = docs.withColumn("shard",
+      pmod(hash60(lit("shard"), $"doc_id"), lit(8L)).cast("int"))
+    assert(back.count() == docs.count() &&
+      back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+    // within-file order IS the training order: (md5(id), id) ascending
+    val f0 = dirs.head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val ids = spark.read.parquet(f0).select("doc_id").as[Long].collect()
+    val sortedIds = ids.map(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .sortBy(identity).map(_._2)
+    assert(ids.sameElements(sortedIds), "file rows not in training order")
+    // manifest: per-shard doc and token counts match a direct recompute
+    val direct = expected.groupBy($"shard".cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+    val m = manifest.withColumn("shard", $"shard".cast("int"))
+    assert(m.exceptAll(direct).isEmpty && direct.exceptAll(m).isEmpty)
+    // the on-disk manifest copy reads back identically
+    val onDisk = spark.read.parquet(s"$dst/_shard_manifest")
+      .withColumn("shard", $"shard".cast("int"))
+    assert(onDisk.exceptAll(direct).isEmpty && direct.exceptAll(onDisk).isEmpty)
+  }
+
   test("aggState: batch folds equal the full recompute, any fold order") {
     val orders = Engine.table(spark, sf(), "orders")
       .selectExpr("o_custkey", "o_orderkey",
