@@ -356,6 +356,45 @@ object Curation {
         Seq(score.desc, id), tokens, as = "cum_tokens")
       .where(col("cum_tokens") <= budget)
 
+  /** CCNet-style boilerplate removal at paragraph granularity: every
+    * `w`-token chunk seen verbatim in ≥ `minDocs` DISTINCT docs
+    * (headers, footers, nav bars in a real crawl) is dropped from
+    * EVERY doc, and the cleaned documents are reassembled in chunk
+    * order. One row per input doc: (doc_id, n_chunks, n_kept, cleaned)
+    * — fully-boilerplate docs come back with n_kept = 0 and empty
+    * text. The boilerplate count shuffles md5 keys, never chunk
+    * strings; the rebuild is one groupBy with an array_sort on
+    * (chunk_id, text) — per-doc bounded, order-proof.
+    */
+  def removeBoilerplate(docs: DataFrame, text: Column, id: Column,
+                        w: Int = 8, minDocs: Int = 3): DataFrame = {
+    require(w >= 1 && minDocs >= 2, s"bad w=$w / minDocs=$minDocs")
+    val chunks = docs
+      .select(id.as("doc_id"), split(text.cast("string"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")), lit(w))).as("start"),
+        col("toks"))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) DIV $w AS LONG)").as("chunk_id"),
+        array_join(slice(col("toks"), col("start"), lit(w)), " ").as("ctext"))
+      .withColumn("h", md5(col("ctext")))
+    val boiler = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs).select(col("h"))
+    val kept = chunks.join(boiler, Seq("h"), "left_anti")
+    chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(
+        kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("__k"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("chunk_id"), col("ctext")))),
+              x => x.getField("ctext")), " ").as("__c")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("__k"), lit(0L)).as("n_kept"),
+        coalesce(col("__c"), lit("")).as("cleaned"))
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021, appendix A1.1's
     * repetition-and-length filters, adapted to this corpus): per
     * document, the named signals plus one boolean per rule and the

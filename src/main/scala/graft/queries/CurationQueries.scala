@@ -694,6 +694,102 @@ object CurationQueries {
                      / count(*), 6) AS mean_tokens,
                round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
                           AS DOUBLE) / count(*), 6) AS frac_en
-        FROM documents"""))
+        FROM documents""")),
+
+    // The round's flagship integration: the FULL pretraining curation
+    // pipeline, every stage a first-class operator — Gopher rule gate
+    // (q151) → boilerplate removal with doc rebuild (q155) → exact
+    // dedup on the CLEANED text (whole-row min_by, one exchange) →
+    // benchmark decontamination against the md5-carved eval split
+    // (q96's screen, on cleaned text) → greedy per-language token
+    // budget over the two-pass prefix sum (q99's scale posture).
+    // Stage order matters and is the production order: rules before
+    // chunk work (cheapest first), cleaning before dedup (boilerplate
+    // masks true dupes), dedup before decontamination (fewer probes).
+    "q161_pretrain_pipeline" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val passed = d.where(Curation.gopherRules(col("text"))
+          .getField("pass"))
+        val cleaned = Curation.removeBoilerplate(passed, col("text"),
+            col("doc_id"), w = 8, minDocs = 3)
+          .where(col("n_kept") > 0)
+          .join(passed.select(col("doc_id"), col("lang"), col("n_chars")),
+            Seq("doc_id"))
+        val uniq = cleaned
+          .groupBy(md5(col("cleaned")).as("__h"))
+          .agg(min_by(struct(cleaned.columns.map(col): _*), col("doc_id"))
+            .as("__r"))
+          .select(col("__r.*"))
+        val isEval = substring(md5(col("cleaned")), 1, 1)
+          .isin(evalHexes: _*)
+        val contaminated = Curation.ngramOverlap(
+            uniq.where(!isEval), uniq.where(isEval),
+            col("cleaned"), col("doc_id"), w = 3, minShared = 5)
+          .where(col("flagged") === 1).select("doc_id")
+        val train = uniq.where(!isEval)
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        Curation.tokenBudget(train, "lang", col("n_chars"), col("doc_id"),
+            size(split(col("cleaned"), " ")), budget = 2000L)
+          .select(col("doc_id"), col("lang"),
+            col("cum_tokens").cast("long").as("cum_tokens"))
+      },
+      oracle = Some(s"""
+        WITH g0 AS (
+          SELECT doc_id, text, lang, n_chars,
+                 string_split(text, ' ') AS toks
+          FROM documents),
+        gp AS (
+          SELECT doc_id, text, lang, n_chars FROM g0
+          WHERE len(toks) BETWEEN 40 AND 100000
+            AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                     AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+            AND len(list_intersect(list_distinct(toks),
+                  ['the', 'a', 'of', 'and', 'to', 'in', 'is'])) >= 2
+            AND 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                / len(toks) <= 0.5),
+        c AS (
+          SELECT doc_id, (start - 1) // 8 AS chunk_id,
+                 array_to_string(
+                   string_split(text, ' ')[start : start + 7], ' ') AS ctext
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1,
+                         len(string_split(text, ' ')), 8)) AS start
+                FROM gp)),
+        b AS (
+          SELECT md5(ctext) AS h FROM c
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        k AS (
+          SELECT doc_id, string_agg(ctext, ' ' ORDER BY chunk_id) AS cleaned
+          FROM c WHERE md5(ctext) NOT IN (SELECT h FROM b)
+          GROUP BY doc_id),
+        cl AS (
+          SELECT k.doc_id, k.cleaned, gp.lang, gp.n_chars
+          FROM k JOIN gp USING (doc_id)),
+        reps AS (SELECT min(doc_id) AS doc_id FROM cl GROUP BY md5(cleaned)),
+        uniq AS (SELECT cl.* FROM cl JOIN reps USING (doc_id)),
+        sh AS (
+          SELECT doc_id, substr(md5(cleaned), 1, 1) AS hx,
+                 unnest(${DedupQueries.sqlShinglesOf("cleaned")}) AS gram
+          FROM uniq),
+        contaminated AS (
+          SELECT doc_id FROM sh JOIN (
+              SELECT DISTINCT gram FROM sh WHERE hx IN ('0', '1')) e
+            USING (gram)
+          WHERE hx NOT IN ('0', '1')
+          GROUP BY doc_id HAVING count(*) >= 5),
+        clean AS (
+          SELECT * FROM uniq
+          WHERE substr(md5(cleaned), 1, 1) NOT IN ('0', '1')
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        sel AS (
+          SELECT doc_id, lang,
+                 sum(len(string_split(cleaned, ' '))) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM clean)
+        SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
+        FROM sel WHERE cum <= 2000"""),
+      headline = true)
   )
 }

@@ -15,13 +15,18 @@ object DedupQueries {
 
   import OracleSql.sqlHash60
 
-  /** DuckDB distinct word 3-shingles of `text` (mirrors Dedup.shingles). */
-  private[queries] val sqlShingles =
-    """list_distinct(list_transform(
-         generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
-         i -> concat_ws(' ', string_split(text, ' ')[i+1],
-                        string_split(text, ' ')[i+2],
-                        string_split(text, ' ')[i+3])))"""
+  /** DuckDB distinct word 3-shingles of column `c` (mirrors
+    * Dedup.shingles).
+    */
+  private[queries] def sqlShinglesOf(c: String): String =
+    s"""list_distinct(list_transform(
+         generate_series(0, greatest(len(string_split($c, ' ')) - 3, 0)),
+         i -> concat_ws(' ', string_split($c, ' ')[i+1],
+                        string_split($c, ' ')[i+2],
+                        string_split($c, ' ')[i+3])))"""
+
+  /** DuckDB distinct word 3-shingles of `text`. */
+  private[queries] val sqlShingles = sqlShinglesOf("text")
 
   private val K = 16
   private val Bands = 4

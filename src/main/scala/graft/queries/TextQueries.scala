@@ -901,35 +901,9 @@ object TextQueries {
     // per-doc bounded, order-proof. Docs that are pure boilerplate
     // survive with empty text (left join from the per-doc totals).
     "q155_boilerplate_removal" -> QueryDef(
-      build = (s, dir) => {
-        val d = Engine.table(s, dir, "documents")
-        val chunks = d
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"),
-            explode(sequence(lit(1), size(col("toks")), lit(8))).as("start"),
-            col("toks"))
-          .select(col("doc_id"),
-            expr("CAST((start - 1) DIV 8 AS LONG)").as("chunk_id"),
-            array_join(slice(col("toks"), col("start"), lit(8)), " ").as("ctext"))
-          .withColumn("h", md5(col("ctext")))
-        val boiler = chunks.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .where(col("nd") >= 3).select(col("h"))
-        val kept = chunks.join(boiler, Seq("h"), "left_anti")
-        val totals = chunks.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"))
-        totals.join(
-            kept.groupBy(col("doc_id"))
-              .agg(count(lit(1)).as("__k"),
-                array_join(transform(
-                  array_sort(collect_list(struct(col("chunk_id"),
-                    col("ctext")))),
-                  x => x.getField("ctext")), " ").as("__c")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_chunks"),
-            coalesce(col("__k"), lit(0L)).as("n_kept"),
-            coalesce(col("__c"), lit("")).as("cleaned"))
-      },
+      build = (s, dir) => graft.operators.Curation.removeBoilerplate(
+        Engine.table(s, dir, "documents"), col("text"), col("doc_id"),
+        w = 8, minDocs = 3),
       oracle = Some("""
         WITH c AS (
           SELECT doc_id, (start - 1) // 8 AS chunk_id,
