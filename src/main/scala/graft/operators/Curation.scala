@@ -378,6 +378,11 @@ object Curation {
         expr(s"CAST((start - 1) DIV $w AS LONG)").as("chunk_id"),
         array_join(slice(col("toks"), col("start"), lit(w)), " ").as("ctext"))
       .withColumn("h", md5(col("ctext")))
+      // LAZY localCheckpoint: three consumers (boilerplate count, kept
+      // chunks, per-doc totals) and Catalyst cannot CSE across the
+      // joins — without it the explode+md5 pass (and everything
+      // upstream, e.g. q161's rule gate) runs three times
+      .localCheckpoint(false)
     val boiler = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs).select(col("h"))

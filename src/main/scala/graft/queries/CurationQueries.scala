@@ -706,6 +706,10 @@ object CurationQueries {
     // Stage order matters and is the production order: rules before
     // chunk work (cheapest first), cleaning before dedup (boilerplate
     // masks true dupes), dedup before decontamination (fewer probes).
+    // Bench-reading note (the q139 caveat): at sf0.1 the wall time is
+    // dominated by ~15 short stages of FIXED scheduler/shuffle cost —
+    // the number that matters at 100 TB is shuffles per stage (1-2,
+    // each on a hash key), not the toy-scale seconds.
     "q161_pretrain_pipeline" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
@@ -716,11 +720,16 @@ object CurationQueries {
           .where(col("n_kept") > 0)
           .join(passed.select(col("doc_id"), col("lang"), col("n_chars")),
             Seq("doc_id"))
+        // lazy-checkpointed: the dedup survivors feed THREE join
+        // branches (eval grams, train grams, the final anti-join) —
+        // without the checkpoint the whole gate+clean+dedup prefix
+        // re-runs for each (no cross-join CSE in Catalyst)
         val uniq = cleaned
           .groupBy(md5(col("cleaned")).as("__h"))
           .agg(min_by(struct(cleaned.columns.map(col): _*), col("doc_id"))
             .as("__r"))
           .select(col("__r.*"))
+          .localCheckpoint(false)
         val isEval = substring(md5(col("cleaned")), 1, 1)
           .isin(evalHexes: _*)
         val contaminated = Curation.ngramOverlap(
