@@ -19,13 +19,15 @@ object SparkEntry {
       AnalyticsQueries.defs ++ CurationQueries.defs ++ GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The end-to-end curation pipeline — quality filter → exact dedup →
-    * benchmark decontamination → per-language token budget in one DAG —
-    * exercises scan, codegen'd scalar chains, native generators,
-    * broadcast joins, hash aggregation, and a ranking window together.
+    * The FULL pretraining pipeline (q161) — Gopher rule gate →
+    * boilerplate removal with doc rebuild → exact dedup on cleaned
+    * text → benchmark decontamination → per-language token budget in
+    * one DAG — exercises scan, codegen'd scalar chains, native
+    * generators, anti-joins, broadcast joins, hash aggregation, and
+    * the two-pass stratum prefix sum together.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q102_curation_pipeline")(spark, "/root/testdata/sf0.001")
+    queries("q161_pretrain_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

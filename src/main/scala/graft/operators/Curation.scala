@@ -98,6 +98,35 @@ object Curation {
         (col("n_bloom_hits") >= minShared).cast("int").as("flagged"))
   }
 
+  /** Probe-only decontamination screen against a PRE-BUILT packed
+    * filter (one `bf` array row — [[bloomDecontaminate]]'s internal
+    * build, or `StreamOps.finishBloomStream`'s fold of a streamed eval
+    * set): per train doc, distinct grams whose k bits all hit, and the
+    * flag at `minShared`. This is the production shape when the eval
+    * gram STRINGS were never retained — only the ~10-bits-per-gram
+    * filter ships, broadcasts, and probes map-side; there is no
+    * n_exact audit column because exactness is unavailable by design.
+    */
+  def bloomScreen(train: DataFrame, filterRow: DataFrame, text: Column,
+                  id: Column, w: Int = 3, mBits: Int = 65536, k: Int = 3,
+                  minShared: Int = 5): DataFrame = {
+    require(mBits % 64 == 0 && mBits >= 64, s"mBits must be a multiple of 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    var probed = gramTable(train, text, id, w)
+      .crossJoin(broadcast(filterRow))
+    for (j <- 0 until k)
+      probed = probed.withColumn(s"__p$j", bloomBitPos(j, col("gram"), mBits))
+    val hitCol = (0 until k).map(j => expr(
+      s"(element_at(bf, CAST(__p$j DIV 64 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 64 AS INT))) != 0"))
+      .reduce(_ && _)
+    probed
+      .groupBy(col("doc_id"))
+      .agg(sum(when(hitCol, 1L).otherwise(0L)).as("n_bloom_hits"))
+      .select(col("doc_id"), col("n_bloom_hits"),
+        (col("n_bloom_hits") >= minShared).cast("int").as("flagged"))
+  }
+
   /** Bit position j of gram `g` in an `mBits`-bit Bloom filter — the
     * ONE definition [[bloomDecontaminate]], its oracle spelling, and
     * the streaming filter maintenance (`StreamOps.bloomIngest`) all

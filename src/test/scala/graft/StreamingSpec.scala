@@ -643,6 +643,20 @@ class StreamingSpec extends SparkSpec {
     val dirs2 = new java.io.File(state).list()
       .filter(_.startsWith("batch=")).toSeq.sorted
     assert(dirs2 == Seq("batch=-1", "batch=2"), s"no-op tick rewrote: $dirs2")
+    // END-TO-END: screening the train corpus with the STREAMED filter
+    // equals the all-at-rest batch operator's sketch columns — the
+    // production path (eval grams never retained) really is the same
+    // decision function
+    val train = Engine.table(spark, sf(), "documents")
+      .filter($"doc_id" % 8 =!= 0)
+    val screened = Curation.bloomScreen(train,
+      StreamOps.finishBloomStream(spark, state), $"text", $"doc_id")
+    val batch = Curation.bloomDecontaminate(train,
+        Engine.table(spark, sf(), "documents").filter($"doc_id" % 8 === 0),
+        $"text", $"doc_id")
+      .select($"doc_id", $"n_bloom_hits", $"flagged")
+    assert(screened.exceptAll(batch).isEmpty &&
+      batch.exceptAll(screened).isEmpty)
   }
 
   test("embNearDupIngest: cosine gate across batches, replay-idempotent") {
