@@ -200,7 +200,12 @@ object Engine {
       .sortWithinPartitions(col("shard"), col("__ord"), id)
       .drop("__ord")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    val manifest = d.groupBy(col("shard"))
+    // manifest from the FILES JUST WRITTEN, not a second pass over the
+    // caller's DAG: re-running a (possibly expensive, possibly
+    // nondeterministic) upstream could count rows the write never saw —
+    // epoch bookkeeping must describe the artifact, not the recipe
+    val manifest = df.sparkSession.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(org.apache.spark.sql.functions.size(split(text, " "))
           .cast("long")).as("n_tokens"))

@@ -81,21 +81,39 @@ object Curation {
     require(k >= 1, s"k must be >= 1, got $k")
     val ev = gramTable(eval, text, id, w).select(col("gram")).distinct()
     val filterRow = assembleBloom(bloomWords(ev, mBits, k), mBits)
-    var probed = gramTable(train, text, id, w)
-      .crossJoin(broadcast(filterRow))
-      .join(broadcast(ev.withColumn("__e", lit(1L))), Seq("gram"), "left")
+    val probed = bloomProbe(
+      gramTable(train, text, id, w)
+        .crossJoin(broadcast(filterRow))
+        .join(broadcast(ev.withColumn("__e", lit(1L))), Seq("gram"), "left"),
+      mBits, k)
+    probed
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(coalesce(col("__e"), lit(0L))).as("n_exact"))
+      .select(col("doc_id"), col("n_bloom_hits"), col("n_exact"),
+        (col("n_bloom_hits") >= minShared).cast("int").as("flagged"))
+  }
+
+  /** The shared probe stage of [[bloomDecontaminate]] and
+    * [[bloomScreen]]: given (…, gram, bf) rows, add `__hit` — all k
+    * seeded bits set. A per-row `assert_true` (the q135 packing-guard
+    * pattern) pins the filter's width to `mBits`: a Bloom filter must
+    * never false-negative, and probing a filter built at a DIFFERENT
+    * mBits would do exactly that silently — better a loud runtime
+    * error than a contaminated training set.
+    */
+  private def bloomProbe(grams: DataFrame, mBits: Int, k: Int): DataFrame = {
+    var probed = grams
     for (j <- 0 until k)
       probed = probed.withColumn(s"__p$j", bloomBitPos(j, col("gram"), mBits))
     val hitCol = (0 until k).map(j => expr(
       s"(element_at(bf, CAST(__p$j DIV 64 AS INT) + 1) & " +
         s"shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 64 AS INT))) != 0"))
       .reduce(_ && _)
-    probed
-      .groupBy(col("doc_id"))
-      .agg(sum(when(hitCol, 1L).otherwise(0L)).as("n_bloom_hits"),
-        sum(coalesce(col("__e"), lit(0L))).as("n_exact"))
-      .select(col("doc_id"), col("n_bloom_hits"), col("n_exact"),
-        (col("n_bloom_hits") >= minShared).cast("int").as("flagged"))
+    val widthGuard = coalesce(
+      assert_true(size(col("bf")) === mBits / 64,
+        lit(s"bloom filter width != mBits=$mBits")).cast("long"), lit(0L))
+    probed.withColumn("__hit", hitCol && (col("__p0") + widthGuard >= 0))
   }
 
   /** Probe-only decontamination screen against a PRE-BUILT packed
@@ -112,17 +130,10 @@ object Curation {
                   minShared: Int = 5): DataFrame = {
     require(mBits % 64 == 0 && mBits >= 64, s"mBits must be a multiple of 64, got $mBits")
     require(k >= 1, s"k must be >= 1, got $k")
-    var probed = gramTable(train, text, id, w)
-      .crossJoin(broadcast(filterRow))
-    for (j <- 0 until k)
-      probed = probed.withColumn(s"__p$j", bloomBitPos(j, col("gram"), mBits))
-    val hitCol = (0 until k).map(j => expr(
-      s"(element_at(bf, CAST(__p$j DIV 64 AS INT) + 1) & " +
-        s"shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 64 AS INT))) != 0"))
-      .reduce(_ && _)
-    probed
+    bloomProbe(gramTable(train, text, id, w)
+        .crossJoin(broadcast(filterRow)), mBits, k)
       .groupBy(col("doc_id"))
-      .agg(sum(when(hitCol, 1L).otherwise(0L)).as("n_bloom_hits"))
+      .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
       .select(col("doc_id"), col("n_bloom_hits"),
         (col("n_bloom_hits") >= minShared).cast("int").as("flagged"))
   }
@@ -395,10 +406,17 @@ object Curation {
     * strings; the rebuild is one groupBy with an array_sort on
     * (chunk_id, text) — per-doc bounded, order-proof.
     */
-  def removeBoilerplate(docs: DataFrame, text: Column, id: Column,
-                        w: Int = 8, minDocs: Int = 3): DataFrame = {
-    require(w >= 1 && minDocs >= 2, s"bad w=$w / minDocs=$minDocs")
-    val chunks = docs
+  /** Non-overlapping `w`-token chunk table of a corpus — the shared
+    * "paragraph" construction of [[removeBoilerplate]] and the
+    * cross-source contamination matrix (q157): (doc_id, chunk_id,
+    * ctext, h) with `h` the chunk's md5 (the key every downstream
+    * count/join shuffles instead of the chunk string). The trailing
+    * partial chunk is kept.
+    */
+  def chunkTable(docs: DataFrame, text: Column, id: Column,
+                 w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    docs
       .select(id.as("doc_id"), split(text.cast("string"), " ").as("toks"))
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("toks")), lit(w))).as("start"),
@@ -407,11 +425,16 @@ object Curation {
         expr(s"CAST((start - 1) DIV $w AS LONG)").as("chunk_id"),
         array_join(slice(col("toks"), col("start"), lit(w)), " ").as("ctext"))
       .withColumn("h", md5(col("ctext")))
-      // LAZY localCheckpoint: three consumers (boilerplate count, kept
-      // chunks, per-doc totals) and Catalyst cannot CSE across the
-      // joins — without it the explode+md5 pass (and everything
-      // upstream, e.g. q161's rule gate) runs three times
-      .localCheckpoint(false)
+  }
+
+  def removeBoilerplate(docs: DataFrame, text: Column, id: Column,
+                        w: Int = 8, minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // LAZY localCheckpoint: three consumers (boilerplate count, kept
+    // chunks, per-doc totals) and Catalyst cannot CSE across the
+    // joins — without it the explode+md5 pass (and everything
+    // upstream, e.g. q161's rule gate) runs three times
+    val chunks = chunkTable(docs, text, id, w).localCheckpoint(false)
     val boiler = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs).select(col("h"))

@@ -588,16 +588,20 @@ object CurationQueries {
     // training dataloader runs): each doc lands in its
     // next-power-of-two token bucket; per bucket, doc count, token
     // mass, and the padding waste a fixed-length batcher would pay.
-    // log2 of an integer double-rounds onto an exact integer ONLY at
-    // true powers of two (an integer would need to sit within 1+1e-15
-    // of 2^k otherwise), so ceil(log2(n)) is cross-engine stable; all
-    // sums are exact longs, the waste fraction is one IEEE division.
+    // The bucket is PURE-INTEGER: 1 << bitlength(n-1) via the binary
+    // string (conv/bin) — Spark's log2 is StrictMath.log(x)/log(2),
+    // which overshoots exact powers of two >= 2^29 by 1 ulp, so a
+    // ceil(log2(n)) spelling would mis-bucket exactly the boundary
+    // values the bucket is named after; shifts and string lengths
+    // cannot. All sums are exact longs, the waste fraction one IEEE
+    // division.
     "q154_length_buckets" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
         d.select(size(split(col("text"), " ")).cast("long").as("n_tok"))
           .withColumn("bucket",
-            pow(lit(2.0), ceil(log2(col("n_tok")))).cast("long"))
+            when(col("n_tok") <= 1, lit(1L)).otherwise(expr(
+              "shiftleft(CAST(1 AS BIGINT), length(conv(n_tok - 1, 10, 2)))")))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).as("sum_tokens"),
@@ -613,7 +617,8 @@ object CurationQueries {
           FROM documents),
         b AS (
           SELECT n_tok,
-                 CAST(power(2, ceil(log2(n_tok))) AS BIGINT) AS bucket
+                 CASE WHEN n_tok <= 1 THEN 1
+                      ELSE 1 << length(bin(n_tok - 1)) END AS bucket
           FROM t)
         SELECT bucket, count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
@@ -712,9 +717,15 @@ object CurationQueries {
     // each on a hash key), not the toy-scale seconds.
     "q161_pretrain_pipeline" -> QueryDef(
       build = (s, dir) => {
+        // NO fanOut (measured: no gain here — the checkpoint is what
+        // matters); the gate output is lazily checkpointed because
+        // BOTH the chunk pass and the lang/n_chars join-back consume
+        // it — without the checkpoint the full-corpus tokenize runs
+        // twice
         val d = Engine.table(s, dir, "documents")
         val passed = d.where(Curation.gopherRules(col("text"))
           .getField("pass"))
+          .localCheckpoint(false)
         val cleaned = Curation.removeBoilerplate(passed, col("text"),
             col("doc_id"), w = 8, minDocs = 3)
           .where(col("n_kept") > 0)

@@ -901,9 +901,12 @@ object TextQueries {
     // per-doc bounded, order-proof. Docs that are pure boilerplate
     // survive with empty text (left join from the per-doc totals).
     "q155_boilerplate_removal" -> QueryDef(
+      // NO fanOut: measured 0.68s -> 1.30s WITH it at sf0.1 — the
+      // per-chunk md5 is one hash per 8 tokens (vs q131's per-token
+      // work), so the extra exchange costs more than it parallelizes
       build = (s, dir) => graft.operators.Curation.removeBoilerplate(
-        Engine.table(s, dir, "documents"), col("text"), col("doc_id"),
-        w = 8, minDocs = 3),
+        Engine.table(s, dir, "documents"),
+        col("text"), col("doc_id"), w = 8, minDocs = 3),
       oracle = Some("""
         WITH c AS (
           SELECT doc_id, (start - 1) // 8 AS chunk_id,

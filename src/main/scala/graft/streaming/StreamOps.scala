@@ -650,11 +650,20 @@ object StreamOps {
     * so no exclusion logic exists to get wrong.
     */
   def finishBloomStream(spark: org.apache.spark.sql.SparkSession,
-                        statePath: String, mBits: Int = 65536): DataFrame =
-    graft.operators.Curation.assembleBloom(
-      spark.read.parquet(statePath)
-        .groupBy(col("wi")).agg(expr("bit_or(word)").as("word")),
-      mBits)
+                        statePath: String, mBits: Int = 65536): DataFrame = {
+    val words = spark.read.parquet(statePath)
+      .groupBy(col("wi")).agg(expr("bit_or(word)").as("word"))
+    // a fold at the WRONG width would silently truncate the filter —
+    // and a truncated Bloom filter false-negatives, the one failure a
+    // decontamination screen must never have. One tiny driver check
+    // (the word table is ≤ mBits/64 rows) makes the mismatch loud.
+    val top = words.agg(max(col("wi"))).head()
+    if (!top.isNullAt(0))
+      require(top.getLong(0) < mBits / 64,
+        s"store word index ${top.getLong(0)} >= mBits/64 = ${mBits / 64} — " +
+          "the stream was built with a larger mBits than this fold")
+    graft.operators.Curation.assembleBloom(words, mBits)
+  }
 
   /** Compact the [[bloomIngest]] word store: the OR-fold instance of
     * the duplication-tolerant swap — one consolidated ≤ mBits/64-row
