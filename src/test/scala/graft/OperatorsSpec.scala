@@ -848,6 +848,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2).getDouble(3) == 0.666667) // 2/3
   }
 
+  test("Curation.removeBoilerplate: shared chunks drop, partial chunks kept, " +
+      "all-boilerplate docs survive empty") {
+    import graft.operators.Curation
+    // 4-token chunks; "h1 h2 h3 h4" appears in all three docs (>= 3) so
+    // it drops everywhere; doc 3 is ONLY that chunk -> empty survivor;
+    // doc 1's trailing partial chunk ("t5") must be kept and counted
+    val docs = Seq(
+      (1L, "h1 h2 h3 h4 a1 a2 a3 a4 t5"),
+      (2L, "h1 h2 h3 h4 b1 b2 b3 b4"),
+      (3L, "h1 h2 h3 h4")).toDF("id", "text")
+    val r = Curation.removeBoilerplate(docs, $"text", $"id",
+        w = 4, minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getString(3))).toSeq == Seq(
+      (1L, 3L, 2L, "a1 a2 a3 a4 t5"),
+      (2L, 2L, 1L, "b1 b2 b3 b4"),
+      (3L, 1L, 0L, "")))
+    // minDocs boundary: the same chunk in only TWO docs survives
+    val two = Seq((1L, "h1 h2 h3 h4"), (2L, "h1 h2 h3 h4")).toDF("id", "text")
+    val r2 = Curation.removeBoilerplate(two, $"text", $"id",
+      w = 4, minDocs = 3).orderBy("doc_id").collect()
+    assert(r2.map(_.getLong(2)).toSeq == Seq(1L, 1L), "two copies must survive")
+  }
+
   test("Curation.gopherRules: each rule gates independently") {
     import graft.operators.Curation
     val cases = Seq(
