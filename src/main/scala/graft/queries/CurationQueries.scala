@@ -810,6 +810,121 @@ object CurationQueries {
           FROM clean)
         SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
         FROM sel WHERE cum <= 2000"""),
-      headline = true)
+      headline = true),
+
+    // T5-style span-corruption statistics: each token position masks
+    // iff a seeded hash falls under 15%, and a SPAN is a maximal
+    // masked run — per doc, token/masked/span counts and the realized
+    // rate. Entirely SET-BASED: a position is a span START iff it is
+    // masked and position p-1 is not, and BOTH facts are recomputable
+    // from the hash alone — no window, no self-join, no sequential
+    // scan; one explode + one partial-agg groupBy at any corpus size.
+    "q162_span_corruption" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        def masked(p: org.apache.spark.sql.Column) =
+          pmod(graft.functions.hash60(lit("mask"),
+          concat(col("doc_id"), lit(":"), p)), lit(100L)) < 15
+        d.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+          .select(col("doc_id"), col("n"),
+            explode(sequence(lit(1L), col("n"))).as("p"))
+          .select(col("doc_id"), col("n"),
+            masked(col("p")).as("mk"),
+            (masked(col("p")) &&
+              !(col("p") > 1 && masked(col("p") - 1))).as("st"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_tokens"),
+            sum(col("mk").cast("long")).as("n_masked"),
+            sum(col("st").cast("long")).as("n_spans"))
+          .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+            col("n_spans"),
+            round(col("n_masked").cast("double") / col("n_tokens"), 6)
+              .as("mask_rate"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                 unnest(generate_series(1,
+                   len(string_split(text, ' ')))) AS p
+          FROM documents),
+        m AS (
+          SELECT doc_id, n, p,
+                 ${sqlHash60("'mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")}
+                   % 100 < 15 AS mk,
+                 p > 1 AND
+                 ${sqlHash60("'mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p - 1 AS VARCHAR)")}
+                   % 100 < 15 AS mkprev
+          FROM t)
+        SELECT doc_id, max(n) AS n_tokens,
+               CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_masked,
+               CAST(sum(CASE WHEN mk AND NOT mkprev THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_spans,
+               round(CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS DOUBLE)
+                     / max(n), 6) AS mask_rate
+        FROM m GROUP BY doc_id""")),
+
+    // Per-source PII risk rollup (release governance, the q97 regexes
+    // in COUNT form): emails / IPv4s / card-like numbers planted into
+    // even docs exactly as q97, then counted per source with the
+    // documents-affected rate. regexp_extract_all with shared
+    // Java/RE2 patterns; exact counts, one partial-agg shuffle.
+    "q163_pii_risk_rollup" -> QueryDef(
+      build = (s, dir) => {
+        import graft.operators.Curation.{CardRe, EmailRe, Ipv4Re}
+        val d = Engine.table(s, dir, "documents")
+        val planted = when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com from 10.0."), col("doc_id") % 256,
+            lit("."), (col("doc_id") * 7) % 256,
+            lit(" card 4111111111111111")))
+          .otherwise(col("text"))
+        def n(re: String) = size(call_function("regexp_extract_all",
+          planted, lit(re), lit(0))).cast("long")
+        d.select(col("source"), n(EmailRe).as("ne"), n(Ipv4Re).as("ni"),
+            n(CardRe).as("nc"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ne")).as("n_emails"),
+            sum(col("ni")).as("n_ips"),
+            sum(col("nc")).as("n_cards"),
+            sum((col("ne") + col("ni") + col("nc") > 0).cast("long"))
+              .as("n_docs_with_pii"))
+          .select(col("source"), col("n_docs"), col("n_emails"),
+            col("n_ips"), col("n_cards"), col("n_docs_with_pii"),
+            round(col("n_docs_with_pii").cast("double") / col("n_docs"), 6)
+              .as("pii_rate"))
+      },
+      oracle = Some(s"""
+        WITH planted AS (
+          SELECT source,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com from 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     || ' card 4111111111111111'
+                 ELSE text END AS t
+          FROM documents),
+        c AS (
+          SELECT source,
+                 len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS ne,
+                 len(regexp_extract_all(t,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ni,
+                 len(regexp_extract_all(t, '\\b\\d{13,19}\\b')) AS nc
+          FROM planted)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(ne) AS BIGINT) AS n_emails,
+               CAST(sum(ni) AS BIGINT) AS n_ips,
+               CAST(sum(nc) AS BIGINT) AS n_cards,
+               CAST(sum(CASE WHEN ne + ni + nc > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_docs_with_pii,
+               round(CAST(sum(CASE WHEN ne + ni + nc > 0 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*), 6) AS pii_rate
+        FROM c GROUP BY source"""))
   )
 }
