@@ -28,6 +28,26 @@ object DedupQueries {
   /** DuckDB distinct word 3-shingles of `text`. */
   private[queries] val sqlShingles = sqlShinglesOf("text")
 
+  /** DuckDB replay of Dedup.simHash(32) over `documents` — CTEs ending
+    * in `sh(doc_id, simhash)`, shared by q35 and the q164 banded join.
+    */
+  private lazy val sqlSimhashCtes: String = {
+    val votes = (0 until 32).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n            ")
+    val bits = (0 until 32).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""toks AS (
+          SELECT doc_id, ${sqlHash60("t")} AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)),
+        votes AS (
+          SELECT doc_id,
+            $votes
+          FROM toks GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)"""
+  }
+
   private val K = 16
   private val Bands = 4
   private val R = K / Bands
@@ -273,24 +293,53 @@ object DedupQueries {
         Dedup.simHash(d, col("text"), col("doc_id"), nBits = 32)
           .withColumnRenamed("__id", "doc_id")
       },
-      oracle = Some {
-        val votes = (0 until 32).map(b =>
-          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
-          .mkString(",\n            ")
-        val bits = (0 until 32).map(b =>
-          s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-        s"""
-        WITH toks AS (
-          SELECT doc_id, ${sqlHash60("t")} AS h
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-                FROM documents)),
-        votes AS (
-          SELECT doc_id,
-            $votes
-          FROM toks GROUP BY doc_id)
-        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes"""
-      },
+      oracle = Some(s"""
+        WITH $sqlSimhashCtes
+        SELECT doc_id, simhash FROM sh"""),
       headline = true),
+
+    // SimHash banded near-dup JOIN (Manku/Charikar web-dedup): 32-bit
+    // signatures split into 4 bands of 8 bits; docs sharing any band
+    // value become candidates, verified at hamming <= 3. EXACT by
+    // pigeonhole — 3 differing bits touch at most 3 bands, so every
+    // qualifying pair shares at least one intact band; the band join
+    // is an equi-join on (band, value) whose fan-out is bucket
+    // occupancy, never all-pairs, and the carried state per row is one
+    // 8-byte signature.
+    "q164_simhash_neardup" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val sigs = Dedup.simHash(d, col("text"), col("doc_id"), nBits = 32)
+          .select(col("__id").as("id"), col("simhash"))
+        val banded = sigs
+          .select(col("id"), col("simhash"),
+            explode(expr("sequence(0, 3)")).as("band"))
+          .withColumn("bv", expr("(simhash >> (band * 8)) & 255"))
+        banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+              && col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+            col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+          .distinct()
+          .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+          .where(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+      },
+      oracle = Some(s"""
+        WITH $sqlSimhashCtes,
+        b AS (
+          SELECT doc_id, simhash,
+                 unnest(generate_series(0, 3)) AS band
+          FROM sh),
+        bv AS (SELECT doc_id, simhash, band,
+                      (simhash >> (band * 8)) & 255 AS v FROM b),
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 x.simhash AS sa, y.simhash AS sb
+          FROM bv x JOIN bv y
+            ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""")),
 
     // Mergeable signature union (typed Aggregator, SURVEY §2.10): the
     // per-source corpus signature is the element-wise min of the per-doc

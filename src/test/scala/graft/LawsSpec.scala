@@ -121,6 +121,38 @@ class LawsSpec extends SparkSpec {
       "r", "n").count() == 0)
   }
 
+  test("law: set-based span counting ≡ sequential run-length scan") {
+    // the q162 claim: span starts (mask(p) AND NOT mask(p-1)) counted
+    // set-based equal the runs a sequential scan finds — on arbitrary
+    // bitmasks, including all-masked, none-masked, and boundary runs
+    val maskGen = Gen.listOfN(40, Gen.oneOf(true, false))
+    val masks = sample(maskGen, 60) ++ Seq(
+      List.fill(5)(true), List.fill(5)(false), List(true),
+      List(false, true), List(true, false))
+    val rows = masks.zipWithIndex.flatMap { case (m, doc) =>
+      m.zipWithIndex.map { case (b, i) => (doc.toLong, (i + 1).toLong, b) }
+    }
+    val df = rows.toDF("doc_id", "p", "mk").repartition(7)
+    // recompute the predecessor's mask by self-derivation, as q162
+    // does (here via a join on (doc, p-1), same semantics)
+    val prev = df.select($"doc_id", ($"p" + 1).as("p"), $"mk".as("mkprev"))
+    val got = df.join(prev, Seq("doc_id", "p"), "left")
+      .select($"doc_id", $"mk",
+        ($"mk" && !coalesce($"mkprev", lit(false))).as("st"))
+      .groupBy($"doc_id")
+      .agg(sum($"mk".cast("long")).as("n_masked"),
+        sum($"st".cast("long")).as("n_spans"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    masks.zipWithIndex.foreach { case (m, doc) =>
+      val nMasked = m.count(identity).toLong
+      // sequential reference: count maximal true-runs
+      val nSpans = m.zip(false +: m.init).count { case (c, p) => c && !p }
+        .toLong
+      assert(got(doc.toLong) == ((nMasked, nSpans)), s"doc $doc: $m")
+    }
+  }
+
   test("law: stratum nearest-rank quartiles ≡ driver-side sorted reference") {
     import graft.operators.Relational
     // the q158 pick: nearest-rank targets in pure integer arithmetic
