@@ -892,6 +892,67 @@ object TextQueries {
         col("doc_id"), rounds = 3),
       oracle = Some(bpeOracle(3, perDoc = true))),
 
+    // Gopher's top-n-gram coverage signals (Rae et al. 2021 A1.1, the
+    // repetition family q71's distinct-fraction misses): the fraction
+    // of a document's tokens covered by its single most frequent
+    // 2-gram and 3-gram. Two (doc, gram) partial-agg shuffles and a
+    // per-doc max — tie-breaking is irrelevant because only the COUNT
+    // survives; coverage is one IEEE division of exact longs.
+    "q165_topgram_coverage" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          split(col("text"), " ").as("t"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        def topCount(n: Int) = toks
+          .filter(size(col("t")) >= n)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(t) - ${n - 1}), " +
+              s"i -> array_join(slice(t, i, $n), ' '))")).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as(s"c$n"))
+        toks.select(col("doc_id"), col("n"))
+          .join(topCount(2), Seq("doc_id"), "left")
+          .join(topCount(3), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            round(coalesce(col("c2"), lit(0L)).cast("double") * 2
+              / col("n"), 6).as("top2_cov"),
+            round(coalesce(col("c3"), lit(0L)).cast("double") * 3
+              / col("n"), 6).as("top3_cov"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS t,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        g2 AS (
+          SELECT doc_id, max(c) AS c2 FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id,
+                     array_to_string(t[i : i + 1], ' ') AS g
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM t WHERE len(t) >= 2))
+            GROUP BY doc_id, g)
+          GROUP BY doc_id),
+        g3 AS (
+          SELECT doc_id, max(c) AS c3 FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id,
+                     array_to_string(t[i : i + 2], ' ') AS g
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM t WHERE len(t) >= 3))
+            GROUP BY doc_id, g)
+          GROUP BY doc_id)
+        SELECT t.doc_id, t.n AS n_tokens,
+               round(CAST(coalesce(g2.c2, 0) AS DOUBLE) * 2 / t.n, 6)
+                 AS top2_cov,
+               round(CAST(coalesce(g3.c3, 0) AS DOUBLE) * 3 / t.n, 6)
+                 AS top3_cov
+        FROM t LEFT JOIN g2 ON t.doc_id = g2.doc_id
+               LEFT JOIN g3 ON t.doc_id = g3.doc_id""")),
+
     // CCNet-style boilerplate removal at paragraph granularity: every
     // 8-token chunk seen verbatim in >= 3 DISTINCT docs (headers,
     // footers, nav bars in a real crawl) is dropped from EVERY doc,
