@@ -269,6 +269,25 @@ object Similarity {
         col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
+  /** INCREMENTAL index maintenance — the missing half of the
+    * build-once/search-many posture: new vectors assign to the SAME
+    * frozen centroids (assignment is a pure function of vector and
+    * centroid matrix, so placement is identical to a full rebuild) and
+    * land as new files inside their list directories via a partitioned
+    * append. Search sees them immediately with no rebuild and no index
+    * downtime; list membership after any append sequence equals
+    * [[writeIvfIndex]] over the union corpus (spec-pinned). Small
+    * files accumulate per touched list at high append rates — pair
+    * with `Engine.compact` per list directory, exactly the streaming
+    * stores' compaction story.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, centroids: DataFrame,
+                       vec: String, id: String, path: String): Unit =
+    ivfAssign(newVecs, centroids, vec, id)
+      .select(col("vid").as("neighbor_id"), col("v").as("cv2"),
+        col("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id").parquet(path)
+
   /** Search a persisted IVF index: probe selection is [[ivfTopK]]'s
     * map-side projection; the union of probed list ids is bounded by
     * |centroids| (never by |queries|), so it collects like the centroid

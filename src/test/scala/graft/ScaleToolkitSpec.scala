@@ -97,6 +97,46 @@ class ScaleToolkitSpec extends SparkSpec {
       s"probed lists did not become a partition filter:\n$plan")
   }
 
+  test("IVF index append: increments equal a full rebuild, search sees " +
+      "them with pruning intact") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    val e = Engine.table(spark, sf(), "embeddings")
+    val centroids = e.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    // build from two thirds, append the rest in TWO increments
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 3 =!= 2), centroids,
+      "embedding", "vec_id", s"$dir/idx")
+    Similarity.appendToIvfIndex(
+      e.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0),
+      centroids, "embedding", "vec_id", s"$dir/idx")
+    Similarity.appendToIvfIndex(
+      e.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 1),
+      centroids, "embedding", "vec_id", s"$dir/idx")
+    // list membership equals one rebuild over the union corpus
+    val appended = spark.read.parquet(s"$dir/idx")
+      .select(col("neighbor_id"), col("cluster_id").cast("long"))
+    Similarity.writeIvfIndex(e, centroids, "embedding", "vec_id",
+      s"$dir/full")
+    val rebuilt = spark.read.parquet(s"$dir/full")
+      .select(col("neighbor_id"), col("cluster_id").cast("long"))
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty)
+    // search over the appended index ≡ in-flight search over everything,
+    // with the planning-time list pruning intact
+    val viaIndex = Similarity.searchIvfIndex(spark, s"$dir/idx", queries,
+      "embedding", "vec_id", centroids, k = 3, nprobe = 2)
+    val inFlight = Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+      k = 3, centroids = centroids, nprobe = 2)
+    assert(viaIndex.exceptAll(inFlight).isEmpty &&
+      inFlight.exceptAll(viaIndex).isEmpty)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+      s"append broke partition pruning:\n$plan")
+  }
+
   test("partitioned layout prunes at planning time (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("parted").toString
     val orders = Engine.table(spark, sf(), "orders")
