@@ -676,6 +676,55 @@ object StreamOps {
       targetFiles = targetFiles, onBeforeDelete = onBeforeDelete)(
       _.groupBy(col("wi")).agg(expr("bit_or(word)").as("word")))
 
+  /** Continuous curation ingest — the streaming face of the q161
+    * pipeline's ORDER-FREE stages, in the same production order: each
+    * micro-batch is (1) Gopher-rule gated (per-doc, cheapest first),
+    * (2) decontamination-screened against a PRE-BUILT Bloom filter of
+    * eval grams (map-side probe; build the filter with
+    * `Curation.bloomDecontaminate`'s internals or [[finishBloomStream]]
+    * over a streamed benchmark feed), and (3) near-dup gated against
+    * the persisted cross-batch store, which also writes survivors and
+    * store keys with [[nearDupBatch]]'s replay-idempotent discipline.
+    *
+    * Boilerplate removal and the token budget are deliberately ABSENT:
+    * both are corpus-global decisions (chunk counts across all
+    * documents; one shared budget), so they run as periodic batch
+    * passes over the accumulated survivor output — the classic
+    * stream-ingest / batch-refine split, not a limitation of the gate.
+    */
+  def curationIngest(docs: DataFrame, text: String, id: String,
+                     filterRow: DataFrame, storePath: String,
+                     outPath: String, checkpoint: String,
+                     w: Int = 3, minShared: Int = 5,
+                     k: Int = 16, bands: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curationBatch(batch, batchId, text, id, filterRow, storePath,
+          outPath, w, minShared, k, bands)
+      }
+      .start()
+
+  /** One micro-batch of [[curationIngest]] — public for replay tests. */
+  def curationBatch(batch: DataFrame, batchId: Long, text: String,
+                    id: String, filterRow: DataFrame, storePath: String,
+                    outPath: String, w: Int = 3, minShared: Int = 5,
+                    k: Int = 16, bands: Int = 4): Unit = {
+    val passed = batch.where(
+      graft.operators.Curation.gopherRules(col(text)).getField("pass"))
+    // contaminated ids are bounded by the batch's eval overlap — tiny —
+    // so the drop is a broadcast anti-join; the probe itself is
+    // map-side against the one-row packed filter
+    val flagged = graft.operators.Curation
+      .bloomScreen(passed, filterRow, col(text), col(id),
+        w = w, minShared = minShared)
+      .where(col("flagged") === 1)
+      .select(col("doc_id").as(id))
+    val clean = passed.join(broadcast(flagged), Seq(id), "left_anti")
+    nearDupBatch(clean, batchId, text, id, storePath, outPath, k, bands, w)
+  }
+
   /** One key's running top-k snapshot (Update-mode emission). */
   case class TopKSnapshot(key_id: Long, n_seen: Long,
                           top_scores: Seq[Double], top_ids: Seq[Long])

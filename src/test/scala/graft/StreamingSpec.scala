@@ -659,6 +659,43 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(screened).isEmpty)
   }
 
+  test("curationIngest: gopher gate + bloom screen + near-dup gate per " +
+      "batch; survivors globally near-dup-free; replay-idempotent") {
+    import graft.operators.{Curation, Dedup}
+    import graft.streaming.StreamOps
+    val dir = Files.createTempDirectory("curing").toString
+    val (store, out) = (s"$dir/store", s"$dir/out")
+    val d = Engine.table(spark, sf(), "documents")
+    val eval = d.filter($"doc_id" % 8 === 0)
+    val filterRow = Curation.assembleBloom(Curation.bloomWords(
+      Curation.gramTable(eval, $"text", $"doc_id", 3)
+        .select($"gram").distinct(), 65536, 3), 65536).localCheckpoint()
+    val stream = d.filter($"doc_id" % 8 =!= 0)
+    for (i <- 0 until 3)
+      StreamOps.curationBatch(stream.filter($"doc_id" % 3 === i), i,
+        "text", "doc_id", filterRow, store, out)
+    val survivors = spark.read.parquet(out).localCheckpoint()
+    assert(survivors.count() > 0, "gate dropped everything")
+    // every survivor passes the rule battery...
+    assert(survivors.where(
+      !Curation.gopherRules($"text").getField("pass")).count() == 0)
+    // ...and none is flagged by the BATCH decontamination operator
+    val flaggedBatch = Curation.bloomDecontaminate(
+        survivors, eval, $"text", $"doc_id")
+      .where($"flagged" === 1)
+    assert(flaggedBatch.count() == 0, "contaminated doc survived")
+    // the union of survivors across ALL batches has no LSH collisions:
+    // within-batch pairs dropped, cross-batch pairs gated by the store
+    assert(Dedup.minHashLshPairs(survivors, $"text", $"doc_id",
+      16, 4, 3).count() == 0, "near-dup pair survived across batches")
+    // replay of batch 1 overwrites its own partitions — output unchanged
+    val before = survivors.orderBy("doc_id").collect().toSeq
+    StreamOps.curationBatch(stream.filter($"doc_id" % 3 === 1), 1,
+      "text", "doc_id", filterRow, store, out)
+    val after = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+    assert(before == after, "replay changed the survivor set")
+  }
+
   test("embNearDupIngest: cosine gate across batches, replay-idempotent") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("endi").toString
