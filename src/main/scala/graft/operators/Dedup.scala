@@ -274,6 +274,41 @@ object Dedup {
       .select(col("id"), coalesce(col("m"), col("id")).as("cluster_rep"))
   }
 
+  /** SimHash banded near-dup pairs (Manku et al. 2007's Hamming-space
+    * join): split each `nBits` signature into `bands` equal bands; two
+    * signatures become CANDIDATES iff any band matches exactly, then
+    * verify `bit_count(xor) <= maxHamming`. EXACT (no recall loss) by
+    * pigeonhole whenever `maxHamming < bands`: that many flipped bits
+    * cannot touch every band — pinned as a ScalaCheck law on arbitrary
+    * signature sets. The band join is an equi-join on (band, value)
+    * whose fan-out is bucket occupancy, never all-pairs, and the only
+    * carried state per row is the 8-byte signature itself.
+    */
+  def simHashNearDupPairs(sigs: DataFrame, id: String, sig: String,
+                          nBits: Int = 32, bands: Int = 4,
+                          maxHamming: Int = 3): DataFrame = {
+    require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming=$maxHamming < bands=$bands")
+    val width = nBits / bands
+    val mask = (1L << width) - 1
+    val banded = sigs
+      .select(col(id).as("__i"), col(sig).cast("long").as("__s"))
+      .select(col("__i"), col("__s"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("__b"))
+      .withColumn("__v", expr(s"(__s >> (__b * $width)) & $mask"))
+    banded.as("x").join(banded.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__v") === col("y.__v")
+          && col("x.__i") < col("y.__i"))
+      .select(col("x.__i").as("id_a"), col("y.__i").as("id_b"),
+        col("x.__s").as("__sa"), col("y.__s").as("__sb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(__sa ^ __sb) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** SimHash (nBits-bit, default 32): per-token hash60, per-bit ±1 vote,
     * bit set iff vote sum > 0. Tokens weighted by occurrence (not
     * distinct), matching the classic Charikar construction.

@@ -309,21 +309,9 @@ object DedupQueries {
     "q164_simhash_neardup" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
-        val sigs = Dedup.simHash(d, col("text"), col("doc_id"), nBits = 32)
-          .select(col("__id").as("id"), col("simhash"))
-        val banded = sigs
-          .select(col("id"), col("simhash"),
-            explode(expr("sequence(0, 3)")).as("band"))
-          .withColumn("bv", expr("(simhash >> (band * 8)) & 255"))
-        banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
-              && col("x.id") < col("y.id"))
-          .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-            col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-          .distinct()
-          .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-          .where(col("hamming") <= 3)
-          .select(col("id_a"), col("id_b"), col("hamming"))
+        Dedup.simHashNearDupPairs(
+          Dedup.simHash(d, col("text"), col("doc_id"), nBits = 32),
+          id = "__id", sig = "simhash")
       },
       oracle = Some(s"""
         WITH $sqlSimhashCtes,

@@ -121,6 +121,36 @@ class LawsSpec extends SparkSpec {
       "r", "n").count() == 0)
   }
 
+  test("law: simHashNearDupPairs ≡ brute-force hamming join (pigeonhole " +
+      "exactness)") {
+    import graft.operators.Dedup
+    // arbitrary 32-bit signatures, PLUS planted near-pairs at every
+    // hamming distance 0..3 (random base, 0-3 random bit flips) — the
+    // completeness cases a sparse random set alone would rarely hit
+    val rnd = new scala.util.Random(0xBEEF)
+    val base = Seq.fill(120)(rnd.nextLong() & 0xFFFFFFFFL)
+    val planted = (0 to 3).flatMap { h =>
+      Seq.fill(10) {
+        val b = rnd.nextLong() & 0xFFFFFFFFL
+        val flipped = (0 until h).foldLeft(b)((acc, _) =>
+          acc ^ (1L << rnd.nextInt(32)))
+        Seq(b, flipped)
+      }.flatten
+    }
+    val sigs = (base ++ planted).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = sigs.toDF("id", "sig").repartition(9)
+    val got = Dedup.simHashNearDupPairs(df, "id", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (sa, a) <- sigs.map(x => (x._2, x._1))
+      (sb, b) <- sigs.map(x => (x._2, x._1)) if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("law: set-based span counting ≡ sequential run-length scan") {
     // the q162 claim: span starts (mask(p) AND NOT mask(p-1)) counted
     // set-based equal the runs a sequential scan finds — on arbitrary
