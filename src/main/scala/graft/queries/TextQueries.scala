@@ -953,6 +953,58 @@ object TextQueries {
         FROM t LEFT JOIN g2 ON t.doc_id = g2.doc_id
                LEFT JOIN g3 ON t.doc_id = g3.doc_id""")),
 
+    // Gopher's duplicate-PARAGRAPH fractions (within one document —
+    // the granularity between q71's token/bigram repeats and q155's
+    // cross-corpus boilerplate): fraction of a doc's chunks that are
+    // repeats, and fraction of its tokens sitting in ANY instance of a
+    // repeated chunk. Shares Curation.chunkTable; two partial-agg
+    // levels keyed (doc, chunk-hash) then (doc) — per-doc bounded,
+    // exact longs, two IEEE divisions.
+    "q166_dup_paragraph_frac" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        graft.operators.Curation.chunkTable(d, col("text"), col("doc_id"),
+            w = 8)
+          .select(col("doc_id"), col("h"),
+            size(split(col("ctext"), " ")).cast("long").as("tl"))
+          .groupBy(col("doc_id"), col("h"))
+          .agg(count(lit(1)).as("cnt"), max(col("tl")).as("tl"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_chunks"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("cnt") * col("tl")).as("n_tokens"),
+            sum(when(col("cnt") > 1, col("cnt") * col("tl"))
+              .otherwise(0L)).as("dup_tokens"))
+          .select(col("doc_id"), col("n_chunks"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct").cast("double")
+              / col("n_chunks"), 6).as("dup_chunk_frac"),
+            round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+              .as("dup_tok_frac"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                   string_split(text, ' ')[start : start + 7], ' ')) AS h,
+                 CAST(len(string_split(array_to_string(
+                   string_split(text, ' ')[start : start + 7], ' '), ' '))
+                   AS BIGINT) AS tl
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1,
+                         len(string_split(text, ' ')), 8)) AS start
+                FROM documents)),
+        g AS (
+          SELECT doc_id, h, count(*) AS cnt, max(tl) AS tl
+          FROM c GROUP BY doc_id, h)
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_chunks,
+               count(*) AS n_distinct,
+               round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6)
+                 AS dup_chunk_frac,
+               round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * tl ELSE 0 END)
+                          AS DOUBLE) / sum(cnt * tl), 6) AS dup_tok_frac
+        FROM g GROUP BY doc_id""")),
+
     // CCNet-style boilerplate removal at paragraph granularity: every
     // 8-token chunk seen verbatim in >= 3 DISTINCT docs (headers,
     // footers, nav bars in a real crawl) is dropped from EVERY doc,
