@@ -953,6 +953,64 @@ object TextQueries {
         FROM t LEFT JOIN g2 ON t.doc_id = g2.doc_id
                LEFT JOIN g3 ON t.doc_id = g3.doc_id""")),
 
+    // Per-source unigram DRIFT: total-variation distance between each
+    // source's token distribution and the corpus distribution — the
+    // mixture-monitoring statistic that catches one crawl stream going
+    // off-distribution. TV needs no smoothing and the absent-term mass
+    // has a CLOSED FORM (terms the source never uses contribute
+    // q_t/2, and Σ_absent q = 1 − Σ_present q), so the sum runs over
+    // the source's OWN support only — never a dense |V|×|sources|
+    // expansion. Per-term |p−q| is two exact-long divisions and one
+    // subtraction, 1e-9-quantized before summing so the fold is
+    // order-proof; the (term) join SHUFFLES (vocabulary-sized), only
+    // the two scalar totals broadcast.
+    "q167_unigram_drift" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val tok = d.select(col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        val bySrc = tok.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c_sw"))
+        val byTerm = tok.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+        val tS = tok.groupBy(col("source")).agg(count(lit(1)).as("t_s"))
+        val t = tok.agg(count(lit(1)).as("t_all"))
+        bySrc.join(byTerm, Seq("w"))
+          .join(broadcast(tS), Seq("source"))
+          .crossJoin(broadcast(t))
+          .select(col("source"), col("t_s"),
+            round(abs(col("c_sw").cast("double") / col("t_s")
+              - col("c_w").cast("double") / col("t_all")) * 1e9)
+              .cast("long").as("ad"),
+            round(col("c_w").cast("double") / col("t_all") * 1e9)
+              .cast("long").as("q9"))
+          .groupBy(col("source"))
+          .agg(max(col("t_s")).as("n_tokens"),
+            sum(col("ad")).as("sad"), sum(col("q9")).as("sq"))
+          .select(col("source"), col("n_tokens"),
+            round((col("sad") / 1e9 + (lit(1.0) - col("sq") / 1e9))
+              / 2.0, 6).as("tv_dist"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        s AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+        wt AS (SELECT w, count(*) AS c_w FROM tok GROUP BY w),
+        ts AS (SELECT source, count(*) AS t_s FROM tok GROUP BY source),
+        t AS (SELECT count(*) AS t_all FROM tok),
+        q AS (
+          SELECT s.source, ts.t_s,
+                 CAST(round(abs(CAST(c_sw AS DOUBLE) / t_s
+                   - CAST(c_w AS DOUBLE) / t_all) * 1e9) AS BIGINT) AS ad,
+                 CAST(round(CAST(c_w AS DOUBLE) / t_all * 1e9) AS BIGINT)
+                   AS q9
+          FROM s JOIN wt USING (w) JOIN ts USING (source) CROSS JOIN t)
+        SELECT source, CAST(max(t_s) AS BIGINT) AS n_tokens,
+               round((CAST(sum(ad) AS BIGINT) / 1e9
+                 + (1.0 - CAST(sum(q9) AS BIGINT) / 1e9)) / 2.0, 6)
+                 AS tv_dist
+        FROM q GROUP BY source""")),
+
     // Gopher's duplicate-PARAGRAPH fractions (within one document —
     // the granularity between q71's token/bigram repeats and q155's
     // cross-corpus boilerplate): fraction of a doc's chunks that are
