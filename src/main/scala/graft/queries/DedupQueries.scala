@@ -327,7 +327,8 @@ object DedupQueries {
           FROM bv x JOIN bv y
             ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""")),
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3"""),
+      headline = true),
 
     // Mergeable signature union (typed Aggregator, SURVEY §2.10): the
     // per-source corpus signature is the element-wise min of the per-doc

@@ -953,6 +953,67 @@ object TextQueries {
         FROM t LEFT JOIN g2 ON t.doc_id = g2.doc_id
                LEFT JOIN g3 ON t.doc_id = g3.doc_id""")),
 
+    // Token-novelty curve over the TRAINING ORDER (q150's shard/pos
+    // permutation): per document, how many of its distinct tokens make
+    // their corpus-wide FIRST appearance there — the data-ordering
+    // diversity signal (a flat curve means the shuffle spreads novelty;
+    // a cliff means a stratum was left clumped). "First" under the
+    // lexicographic (shard, pos, doc_id) order is one whole-corpus
+    // min_by per token on a PACKED order key — partial-agg path, no
+    // window, no sequential scan; the packing is exact (shard < 64,
+    // pos < 2^26 at any realistic shard count).
+    "q168_token_novelty" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val ordered = d.select(col("doc_id"),
+          pmod(graft.functions.hash60(lit("shard"), col("doc_id")),
+            lit(64L)).as("shard"),
+          md5(col("doc_id").cast("string")).as("__u"))
+        val pos = graft.operators.Relational.withStratumRankN(
+            ordered, Seq("shard"), Seq(col("__u"), col("doc_id")),
+            as = "pos", nAs = "__n")
+          .select(col("doc_id"),
+            (col("shard") * lit(1L << 26) + col("pos")).as("okey"))
+        val toks = d.select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("w"))
+          .join(pos, Seq("doc_id"))
+        val firsts = toks.groupBy(col("w"))
+          .agg(min(col("okey")).as("first_okey"))
+        toks.join(firsts, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct_tokens"),
+            sum((col("okey") === col("first_okey")).cast("long"))
+              .as("n_first_here"))
+          .select(col("doc_id"), col("n_distinct_tokens"),
+            col("n_first_here"),
+            round(col("n_first_here").cast("double")
+              / col("n_distinct_tokens"), 6).as("novelty_rate"))
+      },
+      oracle = Some(s"""
+        WITH o AS (
+          SELECT doc_id,
+                 ${OracleSql.sqlHash60("'shard:' || CAST(doc_id AS VARCHAR)")}
+                   % 64 AS shard,
+                 md5(CAST(doc_id AS VARCHAR)) AS u
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+                 shard * ${1L << 26} + row_number() OVER (
+                   PARTITION BY shard ORDER BY u, doc_id) AS okey
+          FROM o),
+        tk AS (
+          SELECT d.doc_id, p.okey, unnest(list_distinct(
+            string_split(d.text, ' '))) AS w
+          FROM documents d JOIN p ON d.doc_id = p.doc_id),
+        f AS (SELECT w, min(okey) AS first_okey FROM tk GROUP BY w)
+        SELECT doc_id, count(*) AS n_distinct_tokens,
+               CAST(sum(CASE WHEN okey = first_okey THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_first_here,
+               round(CAST(sum(CASE WHEN okey = first_okey THEN 1 ELSE 0
+                 END) AS DOUBLE) / count(*), 6) AS novelty_rate
+        FROM tk JOIN f USING (w)
+        GROUP BY doc_id""")),
+
     // Per-source unigram DRIFT: total-variation distance between each
     // source's token distribution and the corpus distribution — the
     // mixture-monitoring statistic that catches one crawl stream going
