@@ -701,6 +701,44 @@ object CurationQueries {
                           AS DOUBLE) / count(*), 6) AS frac_en
         FROM documents""")),
 
+    // Contamination TRIAGE (the transpose of q96's train-side screen):
+    // per EVAL document, how many train documents share >= 5 distinct
+    // 3-grams with IT — the report that tells a benchmark owner which
+    // items are burned and how badly. The gram join carries (eval id,
+    // train id) pairs keyed by gram — ids only, never text — and the
+    // pair count is bounded by actual overlap, not |eval|×|train|.
+    "q169_eval_contamination" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
+        val ev = Curation.gramTable(d.where(isEval), col("text"),
+          col("doc_id"), w = 3).withColumnRenamed("doc_id", "eval_id")
+        val tr = Curation.gramTable(d.where(!isEval), col("text"),
+          col("doc_id"), w = 3).withColumnRenamed("doc_id", "train_id")
+        ev.join(tr, Seq("gram"))
+          .groupBy(col("eval_id"), col("train_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 5)
+          .groupBy(col("eval_id"))
+          .agg(count(lit(1)).as("n_contaminating_train_docs"),
+            max(col("n_shared")).as("max_shared_grams"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id, substr(md5(text), 1, 1) AS hx,
+                 unnest(${DedupQueries.sqlShingles}) AS gram
+          FROM documents),
+        p AS (
+          SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+                 count(*) AS n_shared
+          FROM (SELECT * FROM g WHERE hx IN ('0', '1')) e
+          JOIN (SELECT * FROM g WHERE hx NOT IN ('0', '1')) t
+            USING (gram)
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT eval_id, count(*) AS n_contaminating_train_docs,
+               CAST(max(n_shared) AS BIGINT) AS max_shared_grams
+        FROM p GROUP BY eval_id""")),
+
     // The round's flagship integration: the FULL pretraining curation
     // pipeline, every stage a first-class operator — Gopher rule gate
     // (q151) → boilerplate removal with doc rebuild (q155) → exact
