@@ -301,12 +301,13 @@ object Dedup {
         col("x.__b") === col("y.__b") && col("x.__v") === col("y.__v")
           && col("x.__i") < col("y.__i"))
       .select(col("x.__i").as("id_a"), col("y.__i").as("id_b"),
-        col("x.__s").as("__sa"), col("y.__s").as("__sb"))
-      .distinct()
-      .withColumn("hamming",
-        expr("CAST(bit_count(__sa ^ __sb) AS BIGINT)"))
+        expr("CAST(bit_count(x.__s ^ y.__s) AS BIGINT)").as("hamming"))
+      // verify BEFORE deduplicating band collisions: hamming is a
+      // function of the pair, so the filter commutes with distinct —
+      // but it runs map-side on the join output, so only verified
+      // pairs (a tiny fraction of candidates) pay the dedup exchange
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** SimHash (nBits-bit, default 32): per-token hash60, per-bit ±1 vote,
