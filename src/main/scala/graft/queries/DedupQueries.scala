@@ -463,6 +463,39 @@ object DedupQueries {
                CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans
         FROM toks t LEFT JOIN spans s USING (doc_id)""")),
 
+    // Dedup-loss ATTRIBUTION: when global exact dedup keeps the min-id
+    // copy, how much does each SOURCE lose — the per-provider report
+    // that explains "why did my share shrink" after a dedup pass and
+    // flags mirror-heavy feeds. One content-hash partial agg for the
+    // keeper, a map-side keeper test, one source rollup; exact counts,
+    // one division.
+    "q170_dedup_attribution" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val keepers = d.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        d.select(col("doc_id"), col("source"), md5(col("text")).as("__h"))
+          .join(keepers, Seq("__h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("doc_id") =!= col("keep_id")).cast("long"))
+              .as("n_removed"))
+          .select(col("source"), col("n_docs"), col("n_removed"),
+            round(col("n_removed").cast("double") / col("n_docs"), 6)
+              .as("removal_rate"))
+      },
+      oracle = Some("""
+        WITH k AS (
+          SELECT md5(text) AS h, min(doc_id) AS keep_id
+          FROM documents GROUP BY 1)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_removed,
+               round(CAST(sum(CASE WHEN doc_id != keep_id THEN 1 ELSE 0
+                 END) AS DOUBLE) / count(*), 6) AS removal_rate
+        FROM documents JOIN k ON md5(text) = k.h
+        GROUP BY source""")),
+
     // Cross-source contamination matrix: for every source pair, how
     // many distinct 8-token passages they share verbatim — the
     // provenance diagnostic that catches one crawl mirroring another
