@@ -291,6 +291,10 @@ object Dedup {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming=$maxHamming < bands=$bands")
     val width = nBits / bands
+    // 1L << 64 wraps to 1 (mask 0 → every row in ONE bucket: the band
+    // join silently degrades to all-pairs) — a 64-bit single band is
+    // also semantically useless (maxHamming < bands forces 0)
+    require(width < 64, s"band width $width must be < 64")
     val mask = (1L << width) - 1
     val banded = sigs
       .select(col(id).as("__i"), col(sig).cast("long").as("__s"))

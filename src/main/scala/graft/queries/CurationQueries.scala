@@ -919,8 +919,12 @@ object CurationQueries {
             lit("."), (col("doc_id") * 7) % 256,
             lit(" card 4111111111111111")))
           .otherwise(col("text"))
-        def n(re: String) = size(call_function("regexp_extract_all",
-          planted, lit(re), lit(0))).cast("long")
+        // greatest(…, 0): size() of the NULL-text row is -1 under
+        // spark.sql.legacy.sizeOfNull while the oracle's sum() skips
+        // NULLs — clamp so a nullable corpus cannot skew the counts
+        def n(re: String) = greatest(size(call_function(
+          "regexp_extract_all", planted, lit(re), lit(0))), lit(0))
+          .cast("long")
         d.select(col("source"), n(EmailRe).as("ne"), n(Ipv4Re).as("ni"),
             n(CardRe).as("nc"))
           .groupBy(col("source"))

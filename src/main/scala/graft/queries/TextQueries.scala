@@ -895,9 +895,11 @@ object TextQueries {
     // Gopher's top-n-gram coverage signals (Rae et al. 2021 A1.1, the
     // repetition family q71's distinct-fraction misses): the fraction
     // of a document's tokens covered by its single most frequent
-    // 2-gram and 3-gram. Two (doc, gram) partial-agg shuffles and a
-    // per-doc max — tie-breaking is irrelevant because only the COUNT
-    // survives; coverage is one IEEE division of exact longs.
+    // 2-gram and 3-gram. count·n over-counts SELF-OVERLAPPING grams
+    // ("x x" in "x x x" occurs twice over 3 tokens), so the numerator
+    // caps at n_tokens — coverage is a fraction by construction, never
+    // 1.33. Two (doc, gram) partial-agg shuffles and a per-doc max;
+    // tie-breaking is irrelevant because only the COUNT survives.
     "q165_topgram_coverage" -> QueryDef(
       build = (s, dir) => {
         val d = Engine.table(s, dir, "documents")
@@ -915,10 +917,10 @@ object TextQueries {
           .join(topCount(2), Seq("doc_id"), "left")
           .join(topCount(3), Seq("doc_id"), "left")
           .select(col("doc_id"), col("n").as("n_tokens"),
-            round(coalesce(col("c2"), lit(0L)).cast("double") * 2
-              / col("n"), 6).as("top2_cov"),
-            round(coalesce(col("c3"), lit(0L)).cast("double") * 3
-              / col("n"), 6).as("top3_cov"))
+            round(least(coalesce(col("c2"), lit(0L)) * 2, col("n"))
+              .cast("double") / col("n"), 6).as("top2_cov"),
+            round(least(coalesce(col("c3"), lit(0L)) * 3, col("n"))
+              .cast("double") / col("n"), 6).as("top3_cov"))
       },
       oracle = Some("""
         WITH t AS (
@@ -946,10 +948,10 @@ object TextQueries {
             GROUP BY doc_id, g)
           GROUP BY doc_id)
         SELECT t.doc_id, t.n AS n_tokens,
-               round(CAST(coalesce(g2.c2, 0) AS DOUBLE) * 2 / t.n, 6)
-                 AS top2_cov,
-               round(CAST(coalesce(g3.c3, 0) AS DOUBLE) * 3 / t.n, 6)
-                 AS top3_cov
+               round(CAST(least(coalesce(g2.c2, 0) * 2, t.n) AS DOUBLE)
+                 / t.n, 6) AS top2_cov,
+               round(CAST(least(coalesce(g3.c3, 0) * 3, t.n) AS DOUBLE)
+                 / t.n, 6) AS top3_cov
         FROM t LEFT JOIN g2 ON t.doc_id = g2.doc_id
                LEFT JOIN g3 ON t.doc_id = g3.doc_id""")),
 
@@ -974,9 +976,12 @@ object TextQueries {
             as = "pos", nAs = "__n")
           .select(col("doc_id"),
             (col("shard") * lit(1L << 26) + col("pos")).as("okey"))
+        // lazily checkpointed: BOTH the first-occurrence aggregate and
+        // the final join consume this exploded table (no cross-join CSE)
         val toks = d.select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("w"))
           .join(pos, Seq("doc_id"))
+          .localCheckpoint(false)
         val firsts = toks.groupBy(col("w"))
           .agg(min(col("okey")).as("first_okey"))
         toks.join(firsts, Seq("w"))
@@ -1030,11 +1035,17 @@ object TextQueries {
         val d = Engine.table(s, dir, "documents")
         val tok = d.select(col("source"),
           explode(split(col("text"), " ")).as("w"))
+        // ONE tokenize pass: the (source, term) counts are lazily
+        // checkpointed and every other statistic — per-term counts,
+        // per-source totals, the grand total — folds from THAT small
+        // table (Catalyst cannot CSE the four consumers otherwise,
+        // and each would re-run the full corpus explode)
         val bySrc = tok.groupBy(col("source"), col("w"))
           .agg(count(lit(1)).as("c_sw"))
-        val byTerm = tok.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-        val tS = tok.groupBy(col("source")).agg(count(lit(1)).as("t_s"))
-        val t = tok.agg(count(lit(1)).as("t_all"))
+          .localCheckpoint(false)
+        val byTerm = bySrc.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+        val tS = bySrc.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+        val t = bySrc.agg(sum(col("c_sw")).as("t_all"))
         bySrc.join(byTerm, Seq("w"))
           .join(broadcast(tS), Seq("source"))
           .crossJoin(broadcast(t))

@@ -696,21 +696,29 @@ object StreamOps {
                      filterRow: DataFrame, storePath: String,
                      outPath: String, checkpoint: String,
                      w: Int = 3, minShared: Int = 5,
-                     k: Int = 16, bands: Int = 4)
+                     bloomBits: Int = 65536, bloomK: Int = 3,
+                     minhashK: Int = 16, bands: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curationBatch(batch, batchId, text, id, filterRow, storePath,
-          outPath, w, minShared, k, bands)
+          outPath, w, minShared, bloomBits, bloomK, minhashK, bands)
       }
       .start()
 
-  /** One micro-batch of [[curationIngest]] — public for replay tests. */
+  /** One micro-batch of [[curationIngest]] — public for replay tests.
+    * `bloomBits`/`bloomK` MUST match the parameters the filter was
+    * built with: a width mismatch fails loudly (bloomProbe's guard),
+    * but a k mismatch would silently false-negative — the screen
+    * probes seeds the build never set — so the hash count rides the
+    * API instead of being assumed.
+    */
   def curationBatch(batch: DataFrame, batchId: Long, text: String,
                     id: String, filterRow: DataFrame, storePath: String,
                     outPath: String, w: Int = 3, minShared: Int = 5,
-                    k: Int = 16, bands: Int = 4): Unit = {
+                    bloomBits: Int = 65536, bloomK: Int = 3,
+                    minhashK: Int = 16, bands: Int = 4): Unit = {
     val passed = batch.where(
       graft.operators.Curation.gopherRules(col(text)).getField("pass"))
     // contaminated ids are bounded by the batch's eval overlap — tiny —
@@ -718,11 +726,12 @@ object StreamOps {
     // map-side against the one-row packed filter
     val flagged = graft.operators.Curation
       .bloomScreen(passed, filterRow, col(text), col(id),
-        w = w, minShared = minShared)
+        w = w, mBits = bloomBits, k = bloomK, minShared = minShared)
       .where(col("flagged") === 1)
       .select(col("doc_id").as(id))
     val clean = passed.join(broadcast(flagged), Seq(id), "left_anti")
-    nearDupBatch(clean, batchId, text, id, storePath, outPath, k, bands, w)
+    nearDupBatch(clean, batchId, text, id, storePath, outPath,
+      minhashK, bands, w)
   }
 
   /** One key's running top-k snapshot (Update-mode emission). */
