@@ -270,6 +270,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p8.contains("percentile"), s"percentile buffer crept in:\n$p8")
   }
 
+  test("q166-q170: partial aggs everywhere, no windows, hint discipline") {
+    // q166: two partial-agg levels, nothing else
+    val p6 = plan("q166_dup_paragraph_frac")
+    assert(p6.contains("partial_count"), s"map-side partial lost:\n$p6")
+    assert(!p6.contains("Window"), s"no window belongs here:\n$p6")
+    // q167: only the two scalar-total hints (the vocab join must not be
+    // HINTED broadcast — the optimizer may still size-broadcast at toy
+    // SF, and its stats flip it to SMJ at scale; q156 discipline)
+    val q7 = SparkEntry.queries("q167_unigram_drift")(spark, sf())
+    val hints = "ResolvedHint".r
+      .findAllIn(q7.queryExecution.analyzed.toString).size
+    assert(hints == 2, s"expected 2 scalar-total hints, got $hints")
+    // q168: first-occurrence via min_by partial agg — NO window on the
+    // Spark side (the oracle uses one; the engine must not)
+    val p8 = plan("q168_token_novelty")
+    assert(!p8.contains("Window"), s"novelty fell back to a window:\n$p8")
+    assert(p8.contains("partial_min"), s"first-occurrence partial lost:\n$p8")
+    // q169/q170: id-keyed joins with map-side partials, no cartesian
+    Seq("q169_eval_contamination", "q170_dedup_attribution").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+      assert(p.contains("partial_count"), s"$q map-side partial lost:\n$p")
+    }
+  }
+
   test("q89 co-purchase: pairs expand via the native packed generator") {
     val p = plan("q89_copurchase_pairs")
     assert(p.contains("pairpackexplode"), s"native pair generator missing:\n$p")
