@@ -452,6 +452,57 @@ object Curation {
         coalesce(col("__c"), lit("")).as("cleaned"))
   }
 
+  /** Surgical span-level decontamination: instead of DROPPING a training
+    * document that shares w-token windows with the eval suite
+    * ([[ngramOverlap]]'s verdict), remove ONLY the contaminated token
+    * spans and rebuild the document — the modern pipeline posture
+    * (whole-doc drops throw away megabytes over one quoted benchmark
+    * question). A train token is removed iff it lies inside any w-token
+    * window whose content occurs verbatim in an eval document;
+    * overlapping windows coalesce naturally through the position union.
+    *
+    * Returns one row per TRAIN document: (doc_id, total_tokens,
+    * removed_tokens, clean_text) — clean_text is the original token
+    * sequence with removed positions deleted (order preserved), "" when
+    * everything was contaminated.
+    *
+    * Scale (100 TB): the window pass is the fused q144 generator
+    * (positions + 60-bit hashes, never gram strings); the eval side
+    * contributes a distinct hash set (eval suites are tiny vs the
+    * corpus, so the semi-join broadcasts under AQE). The only
+    * corpus-sized shuffle is (doc_id, pos) longs for contaminated
+    * windows; the rebuild joins the per-doc sorted start list back to
+    * the train scan on doc_id — hit lists are bounded by contamination
+    * volume, so AQE broadcasts them and the full text column never
+    * shuffles. The per-token keep test is O(spans-in-doc) inside one
+    * codegen'd projection.
+    */
+  def spanDecontaminate(train: DataFrame, eval: DataFrame, text: Column,
+                        id: Column, w: Int = 8): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    def wins(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ bridge.column(graft.expressions.WindowHashExplode(
+        bridge.expression(text.cast("string")), w)).as(Seq("pos", "gh")): _*)
+    val evalSet = wins(eval).select(col("gh")).dropDuplicates("gh")
+    val hits = wins(train, id.as("doc_id"))
+      .join(evalSet, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val starts = hits.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__s"))
+    train.select(id.as("doc_id"), split(text.cast("string"), " ").as("__t"))
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__t"),
+        coalesce(col("__s"), array().cast("array<int>")).as("__s"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("total_tokens"),
+        filter(col("__t"), (_, i) =>
+          !exists(col("__s"), s => s <= i && i < s + w)).as("__k"))
+      .select(col("doc_id"), col("total_tokens"),
+        (col("total_tokens") - size(col("__k"))).cast("long")
+          .as("removed_tokens"),
+        array_join(col("__k"), " ").as("clean_text"))
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021, appendix A1.1's
     * repetition-and-length filters, adapted to this corpus): per
     * document, the named signals plus one boolean per rule and the

@@ -366,6 +366,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** LSH banding-parameter audit — the tuning artifact computed on a
+    * bounded SAMPLE before committing (k, bands) for a full-corpus
+    * near-dup run: for each candidate band count, the banded equi-join's
+    * measured candidate volume, precision, and recall against the exact
+    * Jaccard-≥-tau ground truth on the same sample. More bands (fewer
+    * rows per band) slides the S-curve left: recall rises, precision
+    * falls — this query measures where each config lands on THIS corpus
+    * instead of trusting the 1-(1-s^r)^b formula's iid assumption.
+    *
+    * Returns one row per config: (bands, n_truth, n_candidates,
+    * n_true_pos, precision, recall); precision/recall are null when
+    * their denominator is 0.
+    *
+    * Scale (100 TB): ground truth is exact shared-shingle counting
+    * ([[ngramJaccardPairs]]) — affordable precisely because the audit
+    * runs on a sample; the banded joins are the production path
+    * unchanged. The signature pass runs ONCE (localCheckpoint — the
+    * per-shingle md5 dominates) and every config re-bands the same k
+    * signature columns; candidate pairs shuffle as bare id pairs.
+    */
+  def lshTuningAudit(df: DataFrame, text: Column, id: Column,
+                     k: Int = 16, bandsList: Seq[Int] = Seq(2, 4, 8),
+                     w: Int = 3, tau: Double = 0.005): DataFrame = {
+    require(bandsList.nonEmpty && bandsList.forall(b => b >= 1 && k % b == 0),
+      s"every bands value must divide k=$k, got $bandsList")
+    require(bandsList.distinct.size == bandsList.size,
+      s"duplicate bands values in $bandsList")
+    val sigs = minHashSignatures(df, text, id, k, w).localCheckpoint()
+    val truth = ngramJaccardPairs(df, text, id, w, tau)
+      .select(col("id_a"), col("id_b"))
+    val candAll = bandsList.map { bands =>
+      val r = k / bands
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",",
+            (b * r until (b + 1) * r).map(i => col(s"sig$i")): _*)).as("sig"))
+          .as(s"b$b")
+      }
+      val banded = sigs
+        .select(col("__id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("__id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      val a = banded.select(col("band"), col("sig"), col("__id").as("id_a"))
+      val b = banded.select(col("band"), col("sig"), col("__id").as("id_b"))
+      a.join(b, Seq("band", "sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+        .withColumn("bands", lit(bands))
+    }.reduce(_ unionByName _)
+    val perCfg = candAll
+      .join(truth.withColumn("__t", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_true_pos"))
+    // every requested config gets a row even with zero candidates
+    import df.sparkSession.implicits._
+    val base = bandsList.toDF("bands")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    base.join(perCfg, Seq("bands"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("bands"), col("n_truth"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_true_pos"), lit(0L)).as("n_true_pos"))
+      .withColumn("precision",
+        when(col("n_candidates") > 0,
+          round(col("n_true_pos").cast("double") / col("n_candidates"), 6)))
+      .withColumn("recall",
+        when(col("n_truth") > 0,
+          round(col("n_true_pos").cast("double") / col("n_truth"), 6)))
+  }
+
   /** Exact substring deduplication (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better", the ExactSubstr
     * variant): every POSITIONAL w-token window whose content occurs in

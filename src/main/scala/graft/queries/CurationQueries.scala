@@ -967,6 +967,61 @@ object CurationQueries {
                  AS BIGINT) AS n_docs_with_pii,
                round(CAST(sum(CASE WHEN ne + ni + nc > 0 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS pii_rate
-        FROM c GROUP BY source"""))
+        FROM c GROUP BY source""")),
+
+    // Surgical span-level decontamination: q96 DROPS a contaminated
+    // train doc; this rebuilds it with only the contaminated 8-token
+    // spans deleted (the FineWeb/modern posture — a quoted benchmark
+    // question should not cost the whole page). The oracle replays the
+    // window hashes and spells the position union as the brute-force
+    // w-expansion + anti-join — an independent formulation of the
+    // operator's per-token interval test.
+    "q172_span_decontaminate" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
+        Curation.spanDecontaminate(
+          d.where(!isEval), d.where(isEval),
+          col("text"), col("doc_id"), w = 8)
+      },
+      headline = true,
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, substr(md5(text), 1, 1) AS hx,
+                 string_split(text, ' ') AS t
+          FROM documents),
+        tr AS (SELECT doc_id, t FROM d WHERE hx NOT IN ('0','1')),
+        ew AS (
+          SELECT DISTINCT
+            ${sqlHash60("array_to_string(t[pos+1:pos+8], ' ')")} AS gh
+          FROM (SELECT t, unnest(generate_series(0, len(t) - 8)) AS pos
+                FROM d WHERE hx IN ('0','1') AND len(t) >= 8)),
+        wins AS (
+          SELECT doc_id, pos,
+                 ${sqlHash60("array_to_string(t[pos+1:pos+8], ' ')")} AS gh
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(0, len(t) - 8)) AS pos
+                FROM tr WHERE len(t) >= 8)),
+        hits AS (SELECT doc_id, pos FROM wins JOIN ew USING (gh)),
+        covered AS (
+          SELECT DISTINCT h.doc_id, h.pos + k.k AS idx
+          FROM hits h,
+               LATERAL (SELECT unnest(generate_series(0, 7)) AS k) k),
+        toks AS (
+          SELECT doc_id, unnest(t) AS tok,
+                 generate_subscripts(t, 1) - 1 AS idx
+          FROM tr),
+        kept AS (
+          SELECT doc_id, tok, idx
+          FROM toks ANTI JOIN covered USING (doc_id, idx)),
+        reb AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT tr.doc_id, CAST(len(tr.t) AS BIGINT) AS total_tokens,
+               CAST(len(tr.t) - coalesce(r.n_kept, 0) AS BIGINT)
+                 AS removed_tokens,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM tr LEFT JOIN reb r USING (doc_id)"""))
   )
 }

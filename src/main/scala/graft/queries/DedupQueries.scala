@@ -531,6 +531,83 @@ object DedupQueries {
                 FROM documents))
         SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
         FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // LSH banding-parameter audit: on the q33 bounded sample, measure
+    // each band config's candidate volume, precision, and recall
+    // against the exact Jaccard >= 0.005 truth — the tuning pass run
+    // BEFORE committing (k, bands) for the full-corpus q34 join. The
+    // oracle replays all three banded joins and the exact truth from
+    // the same signature CTEs.
+    "q171_lsh_tuning_audit" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
+          .filter(col("doc_id") % 5 === 0)
+        graft.operators.Dedup.lshTuningAudit(d, col("text"), col("doc_id"),
+          k = K, bandsList = Seq(2, 4, 8), w = 3, tau = 0.005)
+      },
+      oracle = Some(s"""
+        WITH ash AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h1,
+                 CAST('0x' || substr(md5(sh), 16, 14) AS BIGINT) AS h2
+          FROM (SELECT doc_id, unnest($sqlShingles) AS sh
+                FROM documents WHERE doc_id % 5 = 0)),
+        asigs AS (
+          SELECT doc_id,
+            ${(0 until K).map(s => s"min(h1 + $s * h2) AS sig$s")
+              .mkString(",\n            ")}
+          FROM ash GROUP BY doc_id),
+        ${Seq(2, 4, 8).map(b => s"b$b AS (\n          ${bandSelectsFor(b)})")
+          .mkString(",\n        ")},
+        cand AS (
+          ${Seq(2, 4, 8).map(b =>
+            s"""SELECT DISTINCT $b AS bands, a.doc_id AS id_a, b.doc_id AS id_b
+          FROM b$b a JOIN b$b b ON a.band = b.band AND a.sig = b.sig
+                               AND a.doc_id < b.doc_id""")
+            .mkString("\n          UNION ALL\n          ")}),
+        tsh AS (
+          SELECT doc_id, unnest($sqlShingles) AS s
+          FROM documents WHERE doc_id % 5 = 0),
+        tsizes AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+        tinter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM tsh a JOIN tsh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id_a, id_b FROM tinter
+          JOIN tsizes na ON na.doc_id = id_a
+          JOIN tsizes nb ON nb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.005),
+        tp AS (
+          SELECT bands, count(*) AS n FROM cand
+          JOIN truth USING (id_a, id_b) GROUP BY bands),
+        nc AS (SELECT bands, count(*) AS n FROM cand GROUP BY bands),
+        nt AS (SELECT count(*) AS n FROM truth),
+        base AS (SELECT unnest([2, 4, 8]) AS bands)
+        SELECT base.bands, nt.n AS n_truth,
+               CAST(coalesce(nc.n, 0) AS BIGINT) AS n_candidates,
+               CAST(coalesce(tp.n, 0) AS BIGINT) AS n_true_pos,
+               CASE WHEN coalesce(nc.n, 0) > 0 THEN
+                 round(CAST(coalesce(tp.n, 0) AS DOUBLE) / nc.n, 6)
+               END AS "precision",
+               CASE WHEN nt.n > 0 THEN
+                 round(CAST(coalesce(tp.n, 0) AS DOUBLE) / nt.n, 6)
+               END AS recall
+        FROM base CROSS JOIN nt
+        LEFT JOIN nc USING (bands) LEFT JOIN tp USING (bands)"""))
   )
+
+  /** The banded-key CTE body for an arbitrary band count over `asigs`
+    * (k = K signatures) — the q171 audit's per-config twin of
+    * [[bandCtes]]'s fixed-Bands band selects.
+    */
+  private def bandSelectsFor(bands: Int): String = {
+    val r = K / bands
+    (0 until bands).map { b =>
+      val parts = (0 until r).map(i => s"sig${b * r + i}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM asigs"
+    }.mkString("\n          UNION ALL\n          ")
+  }
 }

@@ -169,4 +169,30 @@ class CurationSpec extends SparkSpec {
       Curation.mixtureSchedule(docs, $"lang", $"tok", $"doc_id", Map("en" -> 7))
     }
   }
+
+  test("spanDecontaminate removes exactly the contaminated window union") {
+    val ev = Seq((90L, "A B C D E F G H I")).toDF("id", "text")
+    val train = Seq(
+      // eval 8-gram A..H planted mid-doc → tokens 2..9 removed
+      (1L, "w1 w2 A B C D E F G H w3 w4"),
+      // both eval windows hit → whole doc removed
+      (2L, "A B C D E F G H I"),
+      // overlapping windows coalesce: covered 1..9, bookends survive
+      (3L, "x0 A B C D E F G H I x1"),
+      // clean doc → untouched
+      (4L, "no overlap here at all with anything else present"),
+      // shorter than w → no windows, untouched
+      (5L, "tiny doc")
+    ).toDF("id", "text")
+    val out = Curation.spanDecontaminate(train, ev, $"text", $"id", w = 8)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 12L, 8L, "w1 w2 w3 w4"),
+      (2L, 9L, 9L, ""),
+      (3L, 11L, 9L, "x0 x1"),
+      (4L, 9L, 0L, "no overlap here at all with anything else present"),
+      (5L, 2L, 0L, "tiny doc")))
+  }
 }

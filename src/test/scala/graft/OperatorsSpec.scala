@@ -300,6 +300,28 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("lshTuningAudit: identical docs are recalled at every band config") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "the quick brown fox jumps over the lazy dog end"),
+      (3L, "completely different words entirely here nothing shared at all ok"),
+      (4L, "another disjoint document with its own private vocabulary set"))
+      .toDF("id", "t")
+    val out = Dedup.lshTuningAudit(docs, $"t", $"id",
+        k = 16, bandsList = Seq(2, 4, 8), w = 3, tau = 0.9)
+      .orderBy($"bands").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_truth") == 1L)       // only the identical pair
+      assert(r.getAs[Long]("n_true_pos") == 1L)    // s=1 collides in any band
+      assert(r.getAs[Double]("recall") == 1.0)
+      assert(r.getAs[Long]("n_candidates") >= 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshTuningAudit(docs, $"t", $"id", k = 16, bandsList = Seq(3))
+    }
+  }
+
   test("fused HashingVec ≡ the composed aggregate-fold form") {
     val d = Engine.table(spark, sf(), "documents").limit(300)
       .select(col("doc_id"), col("text"))
