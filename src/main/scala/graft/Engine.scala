@@ -254,15 +254,39 @@ object Engine {
     * narrowing to exactly the referenced columns.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-    // rejects; read nanos as Long (engine-wide convention: `ts` on events
-    // is epoch nanoseconds, converted explicitly where needed).
+    // events.parquet has shipped `ts` as TIMESTAMP(NANOS) in some testdata
+    // generations (the vectorized reader rejects nanos → read as Long) and
+    // as timestamp[us] (NTZ) in others; normalizeEventTs below dispatches
+    // on whichever arrived so queries never see the difference.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Engine dialect: permissive casts (null-on-fail), matching the
     // reference's forgiving parsers (safe_convert_to_float et al.) and the
     // oracle's TRY_CAST. Spark 4 defaults ANSI on; the scalar library's
     // null-on-unparseable contract requires it off.
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Engine-wide convention: `events.ts` is TimestampType (µs precision,
+    * UTC session). The testdata generator has emitted three encodings of
+    * the column across rounds; all normalize to the same instant:
+    *   - int64 epoch-NANOS (read as Long via nanosAsLong) → µs floor,
+    *     matching DuckDB's ns→µs truncation;
+    *   - timestamp[us] isAdjustedToUTC=false → TimestampNTZ: cast to
+    *     TimestampType. Session tz is UTC, so the wall-clock reading
+    *     equals DuckDB's naive-TIMESTAMP reading of the same file;
+    *   - already-TimestampType: pass through.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }

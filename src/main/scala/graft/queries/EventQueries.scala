@@ -9,16 +9,17 @@ import org.apache.spark.sql.functions._
   * The same window specs run streaming in graft.streaming.EventWindows;
   * here they run on the static table so the DuckDB oracle can replay them.
   *
-  * `ts` arrives as epoch-nanos Long (see Engine.table); conversions are
-  * explicit floor divisions, matching DuckDB's ns-timestamp truncation.
+  * `ts` arrives as TimestampType — Engine.normalizeEventTs dispatches on
+  * the parquet encoding (int64-nanos or timestamp[us]) so these queries
+  * are schema-drift-proof; ms derivations are unix_millis (µs floor).
   */
 object EventQueries {
 
-  /** epoch-nanos → TimestampType (micros floor). */
-  private def nsToTimestamp = timestamp_micros(expr("ts div 1000"))
+  /** event timestamp, already TimestampType via Engine.normalizeEventTs. */
+  private def nsToTimestamp = col("ts")
 
-  /** epoch-nanos → epoch millis (floor). */
-  private def nsToMs = expr("ts div 1000000")
+  /** event timestamp → epoch millis (floor). */
+  private def nsToMs = unix_millis(col("ts"))
 
   /** Gaps-and-islands session assignment shared by q26/q68: a >30-minute
     * same-user silence starts a new session. ONE shuffle on user_id; the
@@ -127,8 +128,7 @@ object EventQueries {
           keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
           payload = Map("click_value" -> "last_click_value"))
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000000").as("ts_ms"), // ms floor: DuckDB reads the
-            // ns timestamps at µs precision, so raw nanos can't round-trip
+            unix_millis(col("ts")).as("ts_ms"), // ms floor ≡ DuckDB epoch_ms
             round(col("value"), 6).as("value"),
             round(col("last_click_value"), 6).as("last_click_value"))
       },
@@ -162,7 +162,7 @@ object EventQueries {
           payload = Map("purchase_value" -> "next_purchase_value"),
           direction = "forward")
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000000").as("ts_ms"),
+            unix_millis(col("ts")).as("ts_ms"),
             round(col("value"), 6).as("value"),
             round(col("next_purchase_value"), 6).as("next_purchase_value"))
       },

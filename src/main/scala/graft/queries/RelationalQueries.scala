@@ -365,16 +365,16 @@ object RelationalQueries {
     // from two independent feeds, keeping days that exist in only one.
     // Both inputs are pre-aggregated (per-day counts), so the outer join
     // runs over day cardinality, not row cardinality — at 100 TB the
-    // join is still thousands of rows. Events `ts` is epoch-nanos (see
-    // Engine.table); days render as strings for cross-engine hashing.
+    // join is still thousands of rows. Events `ts` is TimestampType (see
+    // Engine.normalizeEventTs); days render as strings for cross-engine
+    // hashing.
     "q80_full_outer_reconcile" -> QueryDef(
       build = (s, dir) => {
         val orders = Engine.table(s, dir, "orders")
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("n_orders"))
         val events = Engine.table(s, dir, "events")
-          .groupBy(date_format(to_date(timestamp_micros(
-            expr("CAST(ts DIV 1000 AS LONG)"))), "yyyy-MM-dd").as("day"))
+          .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("n_events"))
         orders.join(events, Seq("day"), "full_outer")
           .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),

@@ -408,10 +408,14 @@ object SimilarityQueries {
     // fixed d(d+3)/2+1 longs of mergeable state on the partial-agg
     // path, the same scaling class as a sketch but exact. Component and
     // product sums quantize to 1e-9 integers with DuckDB-round
-    // semantics pinned in the Aggregator, so the oracle rebuilds the
-    // identical matrix; covariance arithmetic then runs the same IEEE
-    // op order on both engines. The pair index table (2080 rows) is a
-    // local literal joined onto the 1-row moment state.
+    // semantics pinned in the Aggregator; the final covariance is then
+    // computed and rounded ENTIRELY on the integer grid —
+    //   cov·1e18·n² = 1e9·n·P_ij − S_i·S_j  (exact in Decimal/HUGEINT)
+    // quantized to 1e-6 by half-away-from-zero integral division
+    // ((2|N|+D) div 2D on the non-negative side, sign restored), so no
+    // engine's double-rounding tie-break ever enters the result. The
+    // pair index table (2080 rows) is a local literal joined onto the
+    // 1-row moment state.
     "q143_embedding_covariance" -> QueryDef(
       build = (s, dir) => {
         val e = Engine.fanOut(Engine.table(s, dir, "embeddings"))
@@ -422,38 +426,58 @@ object SimilarityQueries {
           yield (cm.offset(i, j), i, j)
         import s.implicits._
         val pt = pairs.toDF("idx", "i", "j")
-        def n = element_at(col("st"), 1)
-        def mean(d: org.apache.spark.sql.Column) =
-          element_at(col("st"), d + 2) / lit(1e9) / n
         pt.crossJoin(broadcast(st))
+          .withColumn("n", element_at(col("st"), lit(1))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+          .withColumn("si", element_at(col("st"), col("i") + 2)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+          .withColumn("sj", element_at(col("st"), col("j") + 2)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+          .withColumn("p", element_at(col("st"), col("idx") + lit(2 + Dims))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+          // num = cov·1e18·n² and den = 1e12·n² (so num/den = cov·1e6),
+          // both exact integers in Decimal(38,0).
+          .withColumn("num",
+            expr("CAST(1000000000 AS DECIMAL(20,0)) * n * p - si * sj"))
+          .withColumn("den",
+            expr("CAST(1000000000000 AS DECIMAL(20,0)) * n * n"))
           .select(col("i").cast("long").as("dim_i"),
             col("j").cast("long").as("dim_j"),
-            round(element_at(col("st"), col("idx") + lit(2 + Dims))
-                / lit(1e9) / n
-              - mean(col("i")) * mean(col("j")), 6).as("cov"))
+            expr("""CAST(CASE WHEN num >= 0
+                     THEN (2 * num + den) div (2 * den)
+                     ELSE -((-2 * num + den) div (2 * den)) END AS DOUBLE)
+                   / 1e6""").as("cov"))
       },
       oracle = Some(s"""
         WITH v AS (SELECT embedding::DOUBLE[] AS vec FROM embeddings),
-        nn AS (SELECT count(*) AS n FROM v),
+        nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v),
         dm AS (SELECT unnest(generate_series(0, ${Dims - 1})) AS i),
         ij AS (SELECT a.i AS i, b.i AS j FROM dm a, dm b WHERE b.i >= a.i),
         sums AS (
           SELECT dm.i AS i,
                  CAST(sum(CAST(round(vec[dm.i + 1] * 1e9) AS BIGINT))
-                   AS BIGINT) AS s
+                   AS HUGEINT) AS s
           FROM v CROSS JOIN dm GROUP BY dm.i),
         prods AS (
           SELECT x.i AS i, x.j AS j,
                  CAST(sum(CAST(round(vec[x.i + 1] * vec[x.j + 1] * 1e9)
-                   AS BIGINT)) AS BIGINT) AS p
-          FROM v CROSS JOIN ij x GROUP BY x.i, x.j)
-        SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j,
-               round(p.p / 1e9 / nn.n
-                 - (si.s / 1e9 / nn.n) * (sj.s / 1e9 / nn.n), 6) AS cov
-        FROM prods p
-        JOIN sums si ON si.i = p.i
-        JOIN sums sj ON sj.i = p.j
-        CROSS JOIN nn"""),
+                   AS BIGINT)) AS HUGEINT) AS p
+          FROM v CROSS JOIN ij x GROUP BY x.i, x.j),
+        grid AS (
+          SELECT p.i, p.j,
+                 CAST(1000000000 AS HUGEINT) * nn.n * p.p - si.s * sj.s
+                   AS num,
+                 CAST(1000000000000 AS HUGEINT) * nn.n * nn.n AS den
+          FROM prods p
+          JOIN sums si ON si.i = p.i
+          JOIN sums sj ON sj.i = p.j
+          CROSS JOIN nn)
+        SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+               CAST(CASE WHEN num >= 0
+                    THEN (2 * num + den) // (2 * den)
+                    ELSE -((-2 * num + den) // (2 * den)) END AS DOUBLE)
+                 / 1e6 AS cov
+        FROM grid"""),
       headline = true),
 
     // Per-vector array analytics: norm / min / max / mean of each

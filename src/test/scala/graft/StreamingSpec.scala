@@ -126,7 +126,7 @@ class StreamingSpec extends SparkSpec {
     // session (window end exclusive) — the batch twin below uses >= to
     // match. Real events table, ms floor like the q26 family.
     val ev = Engine.table(spark, sf(), "events")
-      .selectExpr("ts div 1000000 AS ms", "user_id", "value")
+      .selectExpr("unix_millis(ts) AS ms", "user_id", "value")
       .as[(Long, Long, Double)].collect().toSeq
     val input = MemoryStream[(Long, Long, Double)]
     val events = input.toDF().toDF("ms", "user_id", "value")
