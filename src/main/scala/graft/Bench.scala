@@ -31,6 +31,7 @@ object Bench {
         try queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        Checkpoints.release()
       }
     // Median of `reps` timed runs per query: single-shot times on a busy
     // host swing ±20% (measured across Bench invocations); the median is
@@ -40,26 +41,47 @@ object Bench {
     // (round 2 burned a 3.3x phantom on exactly that).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = SparkEntry.headline.map { name =>
+      var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
         }
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // free the rep's tracked localCheckpoints (outside the timed
+        // region): each rep builds from scratch, so leaving blocks
+        // behind only contaminates later queries' timings
+        Checkpoints.release()
+        elapsed
       }
-      name -> times
+      // per-query progress line, printed as results land — the summary
+      // JSON is also printed last, but a tail-truncated capture still
+      // keeps every per-query row this way
+      err match {
+        case Some(m) =>
+          println(s"""{"bench_query":"$name","err":"$m"}""")
+        case None =>
+          println(f"""{"bench_query":"$name","median_sec":${times.sorted.apply(times.size / 2)}%.3f,"reps":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
+      }
+      (name, times, err)
     }
-    val qs = results.map { case (k, v) =>
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) =>
       "\"" + k + f"\":${v.sorted.apply(v.size / 2)}%.3f"
     }.mkString("{", ",", "}")
-    val repArrays = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = results.map { case (_, v) => v.sorted.apply(v.size / 2) }.sum
+    val errs = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m + "\"" }.mkString("{", ",", "}")
+    val total = ok.map { case (_, v, _) => v.sorted.apply(v.size / 2) }.sum
     val sf = sfDir.split("/").reverseIterator
       .collectFirst { case s if s.startsWith("sf") => s.drop(2) }.getOrElse("?")
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repArrays,"sf":$sf}""")
+    // summary LAST and without the per-rep arrays (those are on the
+    // per-query lines above): a driver `tail` capture keeps the whole
+    // record, and a failing query is a visible "errors" entry, never a
+    // silently-meaningless elapsed time
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":$sf}""")
     spark.stop()
   }
 }

@@ -30,7 +30,9 @@ object Profile {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        Checkpoints.release() // per-rep, like Bench
+        elapsed
       }
       println(f"[profile] $name: " +
         times.map(t => f"$t%.2f").mkString(" "))

@@ -24,6 +24,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free the build's tracked localCheckpoints — without this the
+      // 172-query dump accumulates every intermediate for the session
+      Checkpoints.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

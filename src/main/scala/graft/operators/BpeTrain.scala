@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.TrackedCheckpointOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -51,7 +52,7 @@ object BpeTrain {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(joiner.nonEmpty && !joiner.contains(" "),
       s"joiner '$joiner' must be non-empty and space-free")
-    var corpus = corpus0.localCheckpoint()
+    var corpus = corpus0.trackedCheckpoint()
     for (r <- 1 to rounds) {
       val top = corpus
         .select(split(col("txt"), " ").as("t"))
@@ -73,7 +74,7 @@ object BpeTrain {
       // replacement additionally escapes $ and \ (Matcher semantics)
       val pat = s" \\Q$l\\E  \\Q$rr\\E "
       val rep = java.util.regex.Matcher.quoteReplacement(s" $l$joiner$rr ")
-      corpus = corpus.withColumn("txt",
+      val next = corpus.withColumn("txt",
         array_join(
           filter(
             split(regexp_replace(
@@ -81,7 +82,12 @@ object BpeTrain {
               lit(pat), lit(rep)), " "),
             x => x =!= ""),
           " "))
-        .localCheckpoint()
+        .trackedCheckpoint()
+      // round r−1's corpus blocks are dead once round r is materialized
+      // — without this, `rounds` full corpus copies pile up in the block
+      // manager for the life of the session
+      graft.Checkpoints.drop(corpus)
+      corpus = next
       afterRound(r, l, rr, cnt, corpus)
     }
     corpus

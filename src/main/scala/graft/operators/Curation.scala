@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.TrackedCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -199,7 +200,7 @@ object Curation {
     // the full corpus scan. Lazy (not eager) keeps query builds cheap
     // for the plan gates; the first action materializes bytes.
     val perStratum = d.groupBy(col("stratum")).agg(sum(col("tok")).as("t_s"))
-      .localCheckpoint(false)
+      .trackedCheckpoint(false)
     // T = Σ T_s from the checkpointed aggregate — exact integers, so
     // the sum is identical to a direct full-corpus total
     val grand = perStratum.agg(sum(col("t_s")).as("t_all"))
@@ -231,7 +232,7 @@ object Curation {
     val perStratum = d.groupBy(col("stratum")).agg(sum(col("tok")).as("t_s"))
       .withColumn("sq",
         floor(sqrt(col("t_s").cast("double")) * 1000).cast("long"))
-      .localCheckpoint(false)
+      .trackedCheckpoint(false)
     val grand = perStratum.agg(sum(col("t_s")).as("t_all"))
     val sumsq = perStratum.agg(sum(col("sq")).as("sumsq"))
     val rates = perStratum
@@ -361,7 +362,7 @@ object Curation {
       .withColumn("__b", pmod(graft.functions.hash60(col("__term")),
         lit(buckets.toLong)))
       .drop("__term")
-      .localCheckpoint()
+      .trackedCheckpoint()
     val lm = docTerm.groupBy(col("__b"))
       .agg(sum(col("__n")).as("cr"),
         sum(when(col("__t"), col("__n")).otherwise(0L)).as("ct"))
@@ -434,7 +435,7 @@ object Curation {
     // chunks, per-doc totals) and Catalyst cannot CSE across the
     // joins — without it the explode+md5 pass (and everything
     // upstream, e.g. q161's rule gate) runs three times
-    val chunks = chunkTable(docs, text, id, w).localCheckpoint(false)
+    val chunks = chunkTable(docs, text, id, w).trackedCheckpoint(false)
     val boiler = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs).select(col("h"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.TrackedCheckpointOps
 import graft.{functions => gf}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -167,9 +168,10 @@ object Dedup {
                   maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .distinct().trackedCheckpoint()
+    var labelsCp = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).trackedCheckpoint()
+    var labels = labelsCp
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -181,12 +183,17 @@ object Dedup {
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .trackedCheckpoint()
       val changed = updated.filter(col("label") =!= col("__old")).count()
+      // superstep i's blocks are dead once i+1 is materialized
+      graft.Checkpoints.drop(labelsCp)
+      labelsCp = updated
       labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
+    // the result references only the final superstep's checkpoint
+    graft.Checkpoints.drop(edges)
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
@@ -233,9 +240,9 @@ object Dedup {
     def mins(both: DataFrame) = both.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("m"))
     var und = canonical(pairs.select(col(idA).as("a"), col(idB).as("b")))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val nodes = bothWays(und).select(col("src").as("id")).distinct()
-      .localCheckpoint()
+      .trackedCheckpoint()
     var nOld = und.count()
     var iter = 0
     var converged = false
@@ -248,7 +255,7 @@ object Dedup {
       val large = canonical(both.filter(col("dst") > col("src"))
           .join(mins(both), Seq("src"))
           .select(col("dst").as("a"), col("m").as("b")))
-        .localCheckpoint()
+        .trackedCheckpoint()
       // small-star: (v, m(u)) for v ∈ N(u), v < u, plus (u, m(u))
       val lboth = bothWays(large)
       val smallBase = lboth.filter(col("dst") < col("src"))
@@ -257,13 +264,17 @@ object Dedup {
           .select(col("dst").as("a"), col("m").as("b"))
           .unionByName(smallBase.select(col("src").as("a"),
             col("m").as("b"))))
-        .localCheckpoint()
+        .trackedCheckpoint()
       // set equality of two distinct sets: same size AND union adds
       // nothing — the union probe only runs once sizes agree (final
       // rounds), so a typical round costs one count action
       val nNew = small.count()
       converged = nOld == nNew &&
         small.unionByName(und).distinct().count() == nNew
+      // round i's edge sets are dead once `small` is materialized and
+      // the convergence probe (which reads the old `und`) has run
+      graft.Checkpoints.drop(large)
+      graft.Checkpoints.drop(und)
       und = small
       nOld = nNew
       iter += 1
@@ -393,7 +404,7 @@ object Dedup {
       s"every bands value must divide k=$k, got $bandsList")
     require(bandsList.distinct.size == bandsList.size,
       s"duplicate bands values in $bandsList")
-    val sigs = minHashSignatures(df, text, id, k, w).localCheckpoint()
+    val sigs = minHashSignatures(df, text, id, k, w).trackedCheckpoint()
     val truth = ngramJaccardPairs(df, text, id, w, tau)
       .select(col("id_a"), col("id_b"))
     val candAll = bandsList.map { bands =>
@@ -473,7 +484,7 @@ object Dedup {
       // diamond DAG: wins feeds both the duplicate-hash set and the
       // positions join-back — materialize once so the per-window md5
       // (the dominant cost) is not computed twice
-      .localCheckpoint()
+      .trackedCheckpoint()
     val dup = wins.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("gh"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.TrackedCheckpointOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -100,7 +101,7 @@ object Relational {
     val ranged = df.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
+      .trackedCheckpoint()
     val counts = ranged
       .groupBy(shiftrightunsigned(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__cnt"))
@@ -189,7 +190,7 @@ object Relational {
     val ranged = df.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__srk_mid", monotonically_increasing_id())
-      .localCheckpoint()
+      .trackedCheckpoint()
     val sLen = stratum.length
     val stats = ranged
       .groupBy(stratum.map(col) :+
@@ -261,7 +262,7 @@ object Relational {
       .repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__srk_mid", monotonically_increasing_id())
-      .localCheckpoint()
+      .trackedCheckpoint()
     val sLen = stratum.length
     val stats = ranged
       .groupBy(stratum.map(col) :+
@@ -352,14 +353,14 @@ object Relational {
     val rows = df.select(id.as("__rid"),
         array_distinct(split(lower(text), " ")).as("__w"))
       .filter(size(col("__w")) > 0)
-      .localCheckpoint()
+      .trackedCheckpoint()
     // one representative row per DISTINCT set; membership maps each row
     // to its representative (a hash join on the small token array)
     val sets = rows.groupBy(col("__w")).agg(min(col("__rid")).as("__id"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val member = rows.join(sets, Seq("__w"))
       .select(col("__rid"), col("__id").as("__rep"), size(col("__w")).as("__sz"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val freq = sets.select(explode(col("__w")).as("__word"))
       .groupBy(col("__word")).agg(count(lit(1)).as("__f"))
     val ordered = sets

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.TrackedCheckpointOps
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
@@ -342,7 +343,7 @@ object Similarity {
       }
     var centroids = spark.createDataFrame(seeds.toIndexedSeq)
       .toDF("centroid_id", "cv")
-      .localCheckpoint()
+      .trackedCheckpoint()
     var it = 0
     while (it < iters) {
       val assigned = ivfAssign(v, centroids, "v", "vid")
@@ -354,7 +355,11 @@ object Similarity {
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))
         .agg(sum(round(col("x") * lit(1e9)).cast("long")).as("sxi"))
-      centroids = centroidsFromSums(sums, centroids).localCheckpoint()
+      val next = centroidsFromSums(sums, centroids).trackedCheckpoint()
+      // iteration i's blocks are dead once i+1 is materialized — free
+      // them now so k iterations never hold more than two centroid sets
+      graft.Checkpoints.drop(centroids)
+      centroids = next
       it += 1
     }
     centroids
@@ -506,15 +511,27 @@ object Similarity {
                id: String, tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val assigned = semDedupAssign(corpus, centroids, vec, id)
-      .localCheckpoint() // feeds the pair join twice + the final join-back
-    val a = assigned.select(col("cluster_id"), col("vid").as("ka"),
-      col("v").as("va"), col("cent_sim").as("ca"))
-    val b = assigned.select(col("cluster_id"), col("vid").as("kb"),
-      col("v").as("vb"), col("cent_sim").as("cb"))
-    val dropped = a.join(b, Seq("cluster_id"))
+      .trackedCheckpoint() // feeds the pair join twice + the final join-back
+    // Candidate pairs shuffle as BARE (id, cent_sim) rows — the PPJoin
+    // discipline (Relational.similaritySelfJoin): the cluster_id join is
+    // the skew-prone exchange (a hot cluster concentrates in one task),
+    // so it must carry ids and one double, never the d-dim vectors. The
+    // vectors re-join by vid afterward — uniform-hash exchanges no
+    // cluster skew can concentrate.
+    val slim = assigned.select(col("cluster_id"), col("vid"), col("cent_sim"))
+    val a = slim.select(col("cluster_id"), col("vid").as("ka"),
+      col("cent_sim").as("ca"))
+    val b = slim.select(col("cluster_id"), col("vid").as("kb"),
+      col("cent_sim").as("cb"))
+    val cand = a.join(b, Seq("cluster_id"))
       .filter(col("ka") =!= col("kb") &&
         (col("ca") < col("cb") ||
           (col("ca") === col("cb") && col("ka") < col("kb"))))
+      .select(col("ka"), col("kb"))
+    val vtab = assigned.select(col("vid"), col("v"))
+    val dropped = cand
+      .join(vtab.select(col("vid").as("ka"), col("v").as("va")), Seq("ka"))
+      .join(vtab.select(col("vid").as("kb"), col("v").as("vb")), Seq("kb"))
       .filter(round(cosine(col("va"), col("vb")), 6) >= tau)
       .select(col("kb").as("vid")).distinct()
     assigned
@@ -548,7 +565,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus.select(col(id).cast("long").as("vid"),
-      asDouble(col(vec)).as("v")).localCheckpoint()
+      asDouble(col(vec)).as("v")).trackedCheckpoint()
     val seed = v.orderBy(col("vid")).limit(1)
       .collect().headOption.getOrElse(
         throw new IllegalArgumentException("empty corpus"))

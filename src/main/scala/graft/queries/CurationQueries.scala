@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.TrackedCheckpointOps
 import graft.Engine
 import graft.operators.{Curation, Dedup}
 import org.apache.spark.sql.functions._
@@ -763,7 +764,7 @@ object CurationQueries {
         val d = Engine.table(s, dir, "documents")
         val passed = d.where(Curation.gopherRules(col("text"))
           .getField("pass"))
-          .localCheckpoint(false)
+          .trackedCheckpoint(false)
         val cleaned = Curation.removeBoilerplate(passed, col("text"),
             col("doc_id"), w = 8, minDocs = 3)
           .where(col("n_kept") > 0)
@@ -778,7 +779,7 @@ object CurationQueries {
           .agg(min_by(struct(cleaned.columns.map(col): _*), col("doc_id"))
             .as("__r"))
           .select(col("__r.*"))
-          .localCheckpoint(false)
+          .trackedCheckpoint(false)
         val isEval = substring(md5(col("cleaned")), 1, 1)
           .isin(evalHexes: _*)
         val contaminated = Curation.ngramOverlap(

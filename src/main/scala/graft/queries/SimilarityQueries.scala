@@ -46,12 +46,17 @@ object SimilarityQueries {
     trainedCache.synchronized {
       val perSession = trainedCache.computeIfAbsent(s,
         _ => new java.util.HashMap)
-      Option(perSession.get(dir)).flatMap(r => Option(r.get)) match {
+      Option(perSession.get(dir)).flatMap(r => Option(r.get))
+          .filter(graft.Checkpoints.isLive) match {
         case Some(df) => df
         case None =>
           val df = Similarity.kmeans(
             Engine.fanOut(Engine.table(s, dir, "embeddings")),
             "embedding", "vec_id", k = 20, iters = 3)
+          // session-lifetime by design: the trained table is k×dims
+          // doubles (bounded), and Checkpoints.release() between queries
+          // must NOT free the blocks this cache will hand to later builds
+          graft.Checkpoints.untrack(df)
           perSession.put(dir, new java.lang.ref.SoftReference(df))
           df
       }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.TrackedCheckpointOps
 import graft.Engine
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.expressions.Window
@@ -981,7 +982,7 @@ object TextQueries {
         val toks = d.select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("w"))
           .join(pos, Seq("doc_id"))
-          .localCheckpoint(false)
+          .trackedCheckpoint(false)
         val firsts = toks.groupBy(col("w"))
           .agg(min(col("okey")).as("first_okey"))
         toks.join(firsts, Seq("w"))
@@ -1042,7 +1043,7 @@ object TextQueries {
         // and each would re-run the full corpus explode)
         val bySrc = tok.groupBy(col("source"), col("w"))
           .agg(count(lit(1)).as("c_sw"))
-          .localCheckpoint(false)
+          .trackedCheckpoint(false)
         val byTerm = bySrc.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
         val tS = bySrc.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
         val t = bySrc.agg(sum(col("c_sw")).as("t_all"))

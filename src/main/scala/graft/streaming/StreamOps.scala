@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Checkpoints.TrackedCheckpointOps
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -117,12 +118,15 @@ object StreamOps {
         gated, col(text), col(id), k, bands, w)
       .select(col("id_b").as(id)).dropDuplicates(id)
     val survivors = gated.join(dropped, Seq(id), "left_anti")
-      .localCheckpoint() // gate once; don't recompute across 2 writes
+      .trackedCheckpoint() // gate once; don't recompute across 2 writes
     survivors.write.mode("overwrite")
       .parquet(s"$outPath/batch=$batchId")
     Dedup.lshBandKeys(survivors, col(text), col(id), k, bands, w)
       .select(col("band"), col("sig")).dropDuplicates("band", "sig")
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    // both consumers have run — free this batch's gate blocks so a
+    // long-running stream holds no per-batch state in the block manager
+    graft.Checkpoints.drop(survivors)
     ()
   }
 
@@ -206,7 +210,7 @@ object StreamOps {
             org.apache.spark.sql.graft.ColumnBridge.expression(
               col(text).cast("string")), w)).as(Seq("pos", "gh")))
       .select(col("__id"), col("gh")).distinct()
-      .localCheckpoint()
+      .trackedCheckpoint()
     val totals = wins.groupBy(col("__id")).agg(count(lit(1)).as("n_w"))
     // a window hash counts as dup for doc d when it exists in history,
     // or in any smaller-id doc of this batch
@@ -221,11 +225,14 @@ object StreamOps {
       .filter(col("n_dup") * 1000 >= col("n_w") * tauPermille)
       .select(col("__id").as(id))
     val survivors = batch.join(dropIds, Seq(id), "left_anti")
-      .localCheckpoint()
+      .trackedCheckpoint()
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     wins.join(survivors.select(col(id).as("__id")), Seq("__id"), "left_semi")
       .select(col("gh")).distinct()
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    // every consumer has run — free this batch's blocks
+    graft.Checkpoints.drop(wins)
+    graft.Checkpoints.drop(survivors)
     ()
   }
 
@@ -383,11 +390,13 @@ object StreamOps {
         tau, nPlanes, dims)
       .select(col("dup_id").as(id)).dropDuplicates(id)
     val survivors = gated.join(dropped, Seq(id), "left_anti")
-      .localCheckpoint()
+      .trackedCheckpoint()
     survivors.select(col(id), col("__v").as(vec))
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     survivors.select(col("__bucket"), col("__v").as("__sv"))
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    // both writes have run — free this batch's blocks
+    graft.Checkpoints.drop(survivors)
     ()
   }
 

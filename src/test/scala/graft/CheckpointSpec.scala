@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the engine's checkpoint hygiene: every `localCheckpoint` an
+  * operator takes is ledgered in [[Checkpoints]] and freed — in-loop for
+  * iterative operators, at `release()` for build-scoped intermediates —
+  * so a long-lived session (the streaming-service shape) holds ZERO net
+  * block-manager state across repeated query builds.
+  */
+class CheckpointSpec extends SparkSpec {
+
+  private def persistedCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("cp registers, drop frees, release drains the ledger") {
+    Checkpoints.release()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val base = persistedCount
+    val df = Checkpoints.cp(spark.range(100).toDF("x"))
+    assert(persistedCount == base + 1, "cp persists exactly one RDD")
+    assert(Checkpoints.pending >= 1)
+    Checkpoints.drop(df)
+    assert(persistedCount == base, "drop frees the checkpointed blocks")
+    val a = Checkpoints.cp(spark.range(10).toDF("a"))
+    val b = Checkpoints.cp(spark.range(10).toDF("b"))
+    assert(a.count() + b.count() == 20)
+    Checkpoints.release()
+    assert(persistedCount == base, "release drains everything ledgered")
+  }
+
+  test("iterative operators free superstep blocks in-loop") {
+    Checkpoints.release()
+    val base = persistedCount
+    // a 2-component graph with a chain, so both CC operators iterate
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L)
+    )).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.dupClustersAlternating(pairs)
+    assert(cc.count() == 7)
+    Checkpoints.release()
+    assert(persistedCount == base,
+      s"star contraction leaked ${persistedCount - base} persistent RDDs")
+    val cc2 = graft.operators.Dedup.dupClusters(pairs)
+    assert(cc2.count() == 7)
+    Checkpoints.release()
+    assert(persistedCount == base,
+      s"label propagation leaked ${persistedCount - base} persistent RDDs")
+  }
+
+  test("q161 double build-and-run: zero net persistent-RDD growth") {
+    Checkpoints.release()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val base = persistedCount
+    def once(): Unit = {
+      val df = SparkEntry.queries("q161_pretrain_pipeline")(spark, sf())
+      assert(df.count() > 0)
+      Checkpoints.release()
+    }
+    once()
+    val afterFirst = persistedCount
+    once()
+    val afterSecond = persistedCount
+    assert(afterFirst == base && afterSecond == base,
+      s"q161 leaked blocks: base=$base first=$afterFirst second=$afterSecond")
+  }
+}

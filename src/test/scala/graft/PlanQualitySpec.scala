@@ -209,6 +209,30 @@ class PlanQualitySpec extends SparkSpec {
       s"pairwise stage fell off the cluster equi-join:\n$p")
     assert(!p.contains("Window"), s"no window belongs in semDedup:\n$p")
     assert(p.contains("HashAggregate"), s"dropped-id distinct missing:\n$p")
+    // bare-id discipline (the PPJoin rule): the cluster_id exchange is
+    // the skew hotspot, so it must carry ids + cent_sim only — a d-dim
+    // array below it means a hot cluster ships embeddings, not ids
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val phys = SparkEntry.queries("q138_semdedup")(spark, sf())
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+    val offenders = phys.collect {
+      case ex: ShuffleExchangeExec
+          if (ex.outputPartitioning match {
+            case h: HashPartitioning =>
+              h.expressions.exists(_.references.exists(_.name == "cluster_id"))
+            case _ => false
+          }) && ex.output.exists(_.dataType.isInstanceOf[ArrayType]) =>
+        ex.simpleString(200)
+    }
+    assert(offenders.isEmpty,
+      s"cluster_id exchange carries array columns:\n${offenders.mkString("\n")}")
+    Checkpoints.release()
   }
 
   test("q105 top-k per key: custom exec, one exchange, no sort, no window") {
@@ -447,15 +471,37 @@ class PlanQualitySpec extends SparkSpec {
     * q74/q123 rank offsets, q131's pinned tokenization, q65's training —
     * so each gate must not redo the full registry).
     */
-  private lazy val allPhysicalPlans
-      : Seq[(String, org.apache.spark.sql.execution.SparkPlan)] = {
+  private lazy val plansAndFailures
+      : (Seq[(String, org.apache.spark.sql.execution.SparkPlan)],
+         Seq[(String, String)]) = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
-      name -> (q(spark, sf()).queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case other => other
-      })
+    // One bad build must NOT abort the whole-registry gates (round 4:
+    // a schema break in one query family masked every other query's
+    // verdict across three suites) — collect failures per query and
+    // assert them empty in their own gate below.
+    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, q) =>
+        try Right(name -> (q(spark, sf()).queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case other => other
+        }))
+        catch { case e: Throwable =>
+          Left(name -> s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300))
+        }
     }
+    // the gates only pattern-match plan trees, never execute them —
+    // free the checkpoint blocks the 172 builds pinned
+    Checkpoints.release()
+    (attempts.collect { case Right(p) => p },
+      attempts.collect { case Left(f) => f })
+  }
+
+  private lazy val allPhysicalPlans = plansAndFailures._1
+
+  test("every registered query builds a physical plan") {
+    val failures = plansAndFailures._2
+    assert(failures.isEmpty, failures.map { case (n, m) => s"$n: $m" }
+      .mkString("queries failing to build:\n", "\n", ""))
   }
 
   test("no query plans a CartesianProduct") {
