@@ -1,8 +1,10 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Scratch stage-breakdown main (not part of the driver contract):
-  * decomposes q102 into its clean stage vs the full prefix-sum build,
-  * for SCALE.md bench adjudication.
+  * decomposes the expensive headline queries into their stages for
+  * SCALE.md bench adjudication.
   */
 object ProfileStages {
   def main(args: Array[String]): Unit = {
@@ -13,17 +15,39 @@ object ProfileStages {
       f
       println(f"[stage] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    SparkEntry.queries("q102_curation_pipeline")(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-    Checkpoints.release()
-    for (_ <- 1 to 3) {
-      time("clean_stage_only")(
-        graft.queries.CurationQueries.q102CleanStage(spark, dir).count())
+    val which = if (args.nonEmpty) args.toSet else Set("q102", "q139")
+    if (which("q102")) {
+      SparkEntry.queries("q102_curation_pipeline")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       Checkpoints.release()
-      time("full_q102")(
-        SparkEntry.queries("q102_curation_pipeline")(spark, dir)
-          .write.format("noop").mode("overwrite").save())
+      for (_ <- 1 to 3) {
+        time("q102 clean_stage_only")(
+          graft.queries.CurationQueries.q102CleanStage(spark, dir).count())
+        Checkpoints.release()
+        time("q102 full")(
+          SparkEntry.queries("q102_curation_pipeline")(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+        Checkpoints.release()
+      }
+    }
+    if (which("q139")) {
+      SparkEntry.queries("q139_cc_star_contraction")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       Checkpoints.release()
+      for (_ <- 1 to 3) {
+        val d = Engine.fanOut(Engine.table(spark, dir, "documents"))
+        var pairs: org.apache.spark.sql.DataFrame = null
+        time("q139 lsh_pairs (cp)") {
+          pairs = Checkpoints.cp(graft.operators.Dedup.minHashLshPairs(
+            d, col("text"), col("doc_id"), k = 16, bands = 4, w = 3))
+          println(s"[stage]   n_pairs=${pairs.count()}")
+        }
+        time("q139 cc_loop") {
+          graft.operators.Dedup.dupClustersAlternating(pairs)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Checkpoints.release()
+      }
     }
     spark.stop()
   }

@@ -48,6 +48,28 @@ class CheckpointSpec extends SparkSpec {
       s"label propagation leaked ${persistedCount - base} persistent RDDs")
   }
 
+  test("streaming batch gates free their blocks before returning") {
+    import spark.implicits._
+    Checkpoints.release()
+    val base = persistedCount
+    val tmp = java.nio.file.Files.createTempDirectory("ckpt_stream").toString
+    // two micro-batches of the near-dup ingest gate — the long-running
+    // service shape: per-batch blocks must not outlive the batch call
+    graft.streaming.StreamOps.nearDupBatch(
+      Seq((1L, "the quick brown fox jumps over the lazy dog again ok"),
+        (2L, "pack my box with five dozen liquor jugs right now yes"))
+        .toDF("doc_id", "text"), batchId = 0, "text", "doc_id",
+      s"$tmp/store", s"$tmp/out")
+    graft.streaming.StreamOps.nearDupBatch(
+      Seq((3L, "sphinx of black quartz judge my vow said the editor"))
+        .toDF("doc_id", "text"), batchId = 1, "text", "doc_id",
+      s"$tmp/store", s"$tmp/out")
+    assert(persistedCount == base,
+      s"nearDupBatch leaked ${persistedCount - base} persistent RDDs")
+    assert(Checkpoints.pending == 0,
+      s"ledger not drained: ${Checkpoints.pending} entries")
+  }
+
   test("q161 double build-and-run: zero net persistent-RDD growth") {
     Checkpoints.release()
     spark.sparkContext.getPersistentRDDs.values

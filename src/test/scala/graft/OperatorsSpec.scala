@@ -161,6 +161,17 @@ class OperatorsSpec extends SparkSpec {
     assert(alt == prop)
     assert(alt.values.toSet == Set(0L, 1L))
     assert(alt.count(_._2 == 0L) == 60 && alt.count(_._2 == 1L) == 3)
+    // the hybrid union-find finish must be invisible: pure star rounds
+    // (localFinishEdges = 0) and the immediate local path (threshold
+    // above the edge count) agree on the adversarial chain
+    val pure = Dedup.dupClustersAlternating(cdf, localFinishEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(pure == alt, "local union-find finish diverged from star rounds")
+    // mid-loop crossing: start above the threshold (62 edges > 30), let
+    // star rounds shrink the graph, finish locally on the contracted set
+    val mid = Dedup.dupClustersAlternating(cdf, localFinishEdges = 30L)
+      .as[(Long, Long)].collect().toMap
+    assert(mid == alt, "mid-loop local finish diverged")
   }
 
   test("semDedup: drop rule matches brute force; partitioning-proof") {
