@@ -282,4 +282,20 @@ package object functions {
   /** Composed built-in form of [[hash56b]] (executable spec). */
   def hash56bComposed(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 16, 14), 16, 10).cast(LongType)
+
+  /** DuckDB-exact rounding (std::round(x·10^s)/10^s on the binary
+    * double — see graft.expressions.CRound). Every oracle-facing
+    * `round` in the engine imports this under the name `round`
+    * (`import graft.functions.{c_round => round}` outranks the
+    * functions._ wildcard), so the final-mile rounding executes the
+    * IDENTICAL floating operation on both engines and representational
+    * ties cannot flip a hash compare. Spark's own `round` (shortest-
+    * decimal HALF_UP) diverges from DuckDB ~1.5 per million random
+    * integer ratios — the q143/q123 red cells of rounds 4–5.
+    */
+  def c_round(c: Column, scale: Int = 0): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CRound(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          c.cast(DoubleType)), scale))
 }

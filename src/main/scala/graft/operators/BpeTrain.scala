@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Checkpoints.TrackedCheckpointOps
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 

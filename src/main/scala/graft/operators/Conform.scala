@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{functions => gf}
 import org.apache.spark.sql.DataFrame
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, StringType}
 

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Checkpoints.TrackedCheckpointOps
 import graft.{functions => gf}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge lists — the co-purchase /

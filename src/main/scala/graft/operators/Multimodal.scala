@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{functions => gf}
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}

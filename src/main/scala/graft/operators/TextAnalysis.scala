@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine
 import org.apache.spark.sql.expressions.Window
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Engine analytics extensions beyond the round-1 surface: grouping sets,

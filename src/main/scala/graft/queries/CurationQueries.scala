@@ -3,6 +3,7 @@ package graft.queries
 import graft.Checkpoints.TrackedCheckpointOps
 import graft.Engine
 import graft.operators.{Curation, Dedup}
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation coverage over `documents`: benchmark decontamination,
@@ -359,10 +360,24 @@ object CurationQueries {
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("sl"),
             sum(col("z_int")).as("sz"))
+          // both means are exact-integer ratios — quantize to the 1e-6
+          // grid by half-away-from-zero INTEGRAL division (the q143
+          // discipline): round(double, 6) here flipped a representational
+          // tie between Spark (shortest-decimal HALF_UP) and DuckDB
+          // (binary half-away) at sf0.1
           .select(col("decile"), col("n_docs"),
-            round(col("sl").cast("double") / col("n_docs"), 6)
+            expr("""CAST(CASE WHEN sl >= 0
+                     THEN (2000000 * CAST(sl AS DECIMAL(38,0)) + n_docs)
+                          div (2 * n_docs)
+                     ELSE -((-2000000 * CAST(sl AS DECIMAL(38,0)) + n_docs)
+                          div (2 * n_docs)) END AS DOUBLE) / 1e6""")
               .as("mean_label"),
-            round(col("sz") / 1e6 / col("n_docs"), 6).as("mean_logit"))
+            expr("""CAST(CASE WHEN sz >= 0
+                     THEN (2 * CAST(sz AS DECIMAL(38,0)) + n_docs)
+                          div (2 * n_docs)
+                     ELSE -((-2 * CAST(sz AS DECIMAL(38,0)) + n_docs)
+                          div (2 * n_docs)) END AS DOUBLE) / 1e6""")
+              .as("mean_logit"))
       },
       oracle = Some(s"""
         WITH z AS (
@@ -372,13 +387,19 @@ object CurationQueries {
         j AS (SELECT doc_id, z_int, label
               FROM z JOIN embeddings ON doc_id = vec_id),
         d AS (SELECT *, ntile(10) OVER (ORDER BY z_int, doc_id) AS decile
-              FROM j)
-        SELECT decile, count(*) AS n_docs,
-               round(CAST(sum(label) AS BIGINT)
-                 / CAST(count(*) AS DOUBLE), 6) AS mean_label,
-               round(CAST(sum(z_int) AS BIGINT) / 1e6 / count(*), 6)
-                 AS mean_logit
-        FROM d GROUP BY decile""")),
+              FROM j),
+        g AS (SELECT decile, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(label) AS HUGEINT) AS sl,
+                     CAST(sum(z_int) AS HUGEINT) AS sz
+              FROM d GROUP BY decile)
+        SELECT decile, CAST(n AS BIGINT) AS n_docs,
+               CAST(CASE WHEN sl >= 0 THEN (2000000 * sl + n) // (2 * n)
+                    ELSE -((-2000000 * sl + n) // (2 * n)) END AS DOUBLE)
+                 / 1e6 AS mean_label,
+               CAST(CASE WHEN sz >= 0 THEN (2 * sz + n) // (2 * n)
+                    ELSE -((-2 * sz + n) // (2 * n)) END AS DOUBLE)
+                 / 1e6 AS mean_logit
+        FROM g""")),
 
     // End-to-end curation pipeline: quality filter → exact dedup (keep
     // representative) → benchmark decontamination → per-language token

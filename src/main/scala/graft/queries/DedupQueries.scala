@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine
 import graft.operators.{Dedup, MinHashUnion}
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Deduplication coverage over `documents`: exact hash, MinHash-LSH,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine
 import graft.operators.GraphOps
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the co-purchase graph

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine
 import graft.plans.Ingestion
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Driver-contract coverage for the ingestion pipeline's sink-side merge

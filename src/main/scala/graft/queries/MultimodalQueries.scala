@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine
 import graft.operators.Multimodal
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column coverage over `documents` used as the payload

@@ -45,6 +45,7 @@ object OracleSql {
   * warehouse scale switch the same shape to DecimalType accumulators.
   */
 object ExactAgg {
+  import graft.functions.{c_round => round}
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 

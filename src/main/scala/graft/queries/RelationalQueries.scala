@@ -3,6 +3,7 @@ package graft.queries
 import graft.Engine
 import graft.operators.Relational
 import org.apache.spark.sql.expressions.Window
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage (SURVEY.md §2.2–§2.6) expressed over the

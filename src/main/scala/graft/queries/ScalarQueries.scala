@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine
 import graft.{functions => gf}
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Scalar-function parity coverage (SURVEY.md §2.7, C1–C14).

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine
 import graft.operators.Similarity
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search coverage over `embeddings` (64-dim float vectors):

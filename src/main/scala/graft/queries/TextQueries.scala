@@ -4,6 +4,7 @@ import graft.Checkpoints.TrackedCheckpointOps
 import graft.Engine
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.expressions.Window
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis coverage over the `documents` table: token counting,

@@ -150,6 +150,27 @@ object GraftFunctions {
     (FunctionIdentifier("default_if_falsy"),
       info("default_if_falsy", "default_if_falsy(c, default) - pandas-truthiness default (C14)"),
       lift2("default_if_falsy")(graft.functions.default_if_falsy)),
+    (FunctionIdentifier("c_round"),
+      info("c_round", "c_round(x[, s]) - DuckDB-exact half-away-from-zero rounding of a double"),
+      { exprs =>
+        if (exprs.isEmpty || exprs.length > 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`c_round`", "expectedNum" -> "1 or 2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val scale = if (exprs.length == 2) exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`c_round` (scale must be an int literal)",
+              "expectedNum" -> "2", "actualNum" -> other.sql,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        } else 0
+        graft.expressions.CRound(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+            org.apache.spark.sql.types.DoubleType), scale)
+      }),
     (FunctionIdentifier("redact_pii"),
       info("redact_pii", "redact_pii(str) - mask emails, IPv4s, card-like digit runs"),
       lift1("redact_pii")(graft.operators.Curation.redactPii)),

@@ -92,4 +92,36 @@ class FunctionsSpec extends SparkSpec {
     val h2 = Seq("x").toDF("v").select(gf.hash60($"v")).head.getLong(0)
     assert(h == h2)
   }
+
+  test("c_round is exact std::round(x·10^s)/10^s — DuckDB's semantics") {
+    import graft.expressions.CRound
+    // exact half-away-from-zero reference on the BINARY value of y
+    def exact(y: Double): Double =
+      if (!java.lang.Double.isFinite(y)) y
+      else new java.math.BigDecimal(y)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(0.49999999999999994, -0.49999999999999994, 0.5, -0.5,
+        1.5, 2.5, -2.5, 0.1920515, 0.1234565, 1e308, -1e308, 0.0, -0.0) ++
+      (1 to 200000).map(_ =>
+        rnd.nextInt(10000000).toDouble / (rnd.nextInt(100000) + 1) / 1e6) ++
+      (1 to 50000).map(_ => java.lang.Double.longBitsToDouble(
+        (rnd.nextInt(2047).toLong << 52) | (rnd.nextLong() & 0xfffffffffffffL)))
+    for (scale <- Seq(0, 2, 4, 6, 9); x <- cases) {
+      val p = math.pow(10.0, scale)
+      val y = x * p
+      val want = if (!java.lang.Double.isFinite(y)) x else exact(y) / p
+      val got = CRound.compute(x, scale)
+      assert(got == want || (got.isNaN && want.isNaN),
+        s"c_round($x, $scale): got $got, want $want")
+    }
+    // SQL surface + codegen path agree with the direct computation
+    Engine.registerSql(spark, sf())
+    val viaSql = spark.sql(
+      "SELECT c_round(CAST(0.1920515 AS DOUBLE), 6)").head.getDouble(0)
+    assert(viaSql == 0.192052)
+    val viaCol = Seq(0.1920515).toDF("v")
+      .select(gf.c_round($"v", 6)).head.getDouble(0)
+    assert(viaCol == 0.192052)
+  }
 }
