@@ -30,6 +30,36 @@ object ProfileStages {
         Checkpoints.release()
       }
     }
+    if (which("q161")) {
+      import graft.operators.Curation
+      import org.apache.spark.sql.functions._
+      SparkEntry.queries("q161_pretrain_pipeline")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      Checkpoints.release()
+      for (_ <- 1 to 3) {
+        val d = Engine.table(spark, dir, "documents")
+        var passed: org.apache.spark.sql.DataFrame = null
+        time("q161 gate (count)") {
+          passed = Checkpoints.cp(
+            d.where(Curation.gopherRules(col("text")).getField("pass")))
+          passed.count()
+        }
+        var cleaned: org.apache.spark.sql.DataFrame = null
+        time("q161 boilerplate (count)") {
+          cleaned = Curation.removeBoilerplate(passed, col("text"),
+              col("doc_id"), w = 8, minDocs = 3)
+            .where(col("n_kept") > 0)
+            .join(passed.select(col("doc_id"), col("lang"), col("n_chars")),
+              Seq("doc_id"))
+          println(s"[stage]   cleaned=${cleaned.count()}")
+        }
+        time("q161 full") {
+          SparkEntry.queries("q161_pretrain_pipeline")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Checkpoints.release()
+      }
+    }
     if (which("q139")) {
       SparkEntry.queries("q139_cc_star_contraction")(spark, dir)
         .write.format("noop").mode("overwrite").save()

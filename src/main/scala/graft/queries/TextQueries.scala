@@ -894,6 +894,52 @@ object TextQueries {
         col("doc_id"), rounds = 3),
       oracle = Some(bpeOracle(3, perDoc = true))),
 
+    // Sequence packing (batching): curated docs → fixed 512-token
+    // context windows by next-fit-decreasing inside 16 md5-hash packer
+    // buckets, audited per bin (fill/waste/util). ONE shuffle on the
+    // bucket key; each packer is a linear fold over its bucket — no
+    // global sort, no driver state (operators/Batching.scala). The
+    // oracle replays the identical walk as a recursive CTE over the
+    // same (n_tok desc, doc_id) bucket order.
+    "q173_sequence_packing" -> QueryDef(
+      build = (s, dir) => {
+        val d = graft.Engine.table(s, dir, "documents")
+        graft.operators.Batching.packingAudit(
+          graft.operators.Batching.packSequences(d, col("doc_id"),
+            size(split(col("text"), " ")), contextLen = 512L,
+            bucketCount = 16),
+          contextLen = 512L)
+      },
+      oracle = Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 least(len(string_split(text, ' ')), 512) AS n_tok,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 16 AS bucket
+          FROM documents),
+        ord AS (
+          SELECT bucket, doc_id, n_tok,
+                 row_number() OVER (PARTITION BY bucket
+                   ORDER BY n_tok DESC, doc_id) AS rn
+          FROM t WHERE n_tok >= 1),
+        pack(bucket, rn, bin, acc) AS (
+          SELECT bucket, CAST(1 AS BIGINT), CAST(0 AS BIGINT), n_tok
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.bucket, o.rn,
+                 CASE WHEN p.acc + o.n_tok > 512 THEN p.bin + 1
+                      ELSE p.bin END,
+                 CASE WHEN p.acc + o.n_tok > 512 THEN o.n_tok
+                      ELSE p.acc + o.n_tok END
+          FROM pack p JOIN ord o
+            ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+        SELECT p.bucket, p.bin, count(*) AS n_docs,
+               CAST(sum(o.n_tok) AS BIGINT) AS fill_tokens,
+               512 - CAST(sum(o.n_tok) AS BIGINT) AS waste_tokens,
+               round(CAST(sum(o.n_tok) AS DOUBLE) / 512, 6) AS util
+        FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn
+        GROUP BY p.bucket, p.bin""")),
+
     // Gopher's top-n-gram coverage signals (Rae et al. 2021 A1.1, the
     // repetition family q71's distinct-fraction misses): the fraction
     // of a document's tokens covered by its single most frequent

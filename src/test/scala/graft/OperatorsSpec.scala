@@ -930,4 +930,39 @@ class OperatorsSpec extends SparkSpec {
     assert(byName("nostop") == ((true, true, false, true, false)))
     assert(byName("rep") == ((true, true, true, false, false)))
   }
+
+  test("Batching.packSequences: capacity, NFD walk, partition-invariance") {
+    import graft.operators.Batching
+    val C = 100L
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 500L).map(i => (i, 1L + rnd.nextInt(140).toLong))
+    val df = docs.toDF("doc_id", "n_tok")
+    val packed = Batching.packSequences(df, $"doc_id", $"n_tok", C, 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // every doc survives exactly once, counted at most at C
+    assert(packed.length == docs.length)
+    assert(packed.map(_._3).toSet == docs.map(_._1).toSet)
+    packed.foreach { case (_, _, d, n) =>
+      assert(n == math.min(docs(d.toInt - 1)._2, C)) }
+    // capacity: no bin overfills
+    packed.groupBy(p => (p._1, p._2)).foreach { case (bin, rows) =>
+      assert(rows.map(_._4).sum <= C, s"bin $bin overfilled") }
+    // reference replay: same bucket order, same next-fit walk
+    val want = packed.groupBy(_._1).toSeq.flatMap { case (bucket, rows) =>
+      val ordered = rows.map(r => (r._3, r._4))
+        .sortBy { case (d, n) => (-n, d) }
+      var bin = 0L; var acc = 0L
+      ordered.map { case (d, n) =>
+        if (acc + n > C) { bin += 1; acc = 0L }
+        acc += n
+        (bucket, bin, d, n)
+      }
+    }.sorted
+    assert(packed == want, "packing diverged from the reference walk")
+    // partition-invariance: a shuffled, repartitioned input packs the same
+    val packed2 = Batching.packSequences(
+        df.orderBy(rand(11)).repartition(13), $"doc_id", $"n_tok", C, 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(packed2 == packed, "packing depends on input partitioning")
+  }
 }
