@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Checkpoints.TrackedCheckpointOps
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Stream-stream joins and streaming dedup — the Structured Streaming
@@ -779,6 +779,56 @@ object StreamOps {
           }
           state.update((n, top))
           TopKSnapshot(key, n, top.map(_._1), top.map(_._2))
+      }
+  }
+
+  /** One packer bucket's open bin (the packStream state). */
+  case class PackerState(bin: Long, acc: Long)
+
+  /** A streamed document's context-window assignment. */
+  case class PackedDoc(bucket: Long, bin: Long, doc_id: Long, n_tok: Long)
+
+  /** Streaming sequence packer — the continuous twin of
+    * `Batching.packSequences` (q173): arriving documents are assigned
+    * to fixed-length context windows as they stream in, per md5-hash
+    * packer bucket. A stream cannot sort globally, so the streaming
+    * walk is next-fit in ARRIVAL order (doc_id within each
+    * micro-batch), not decreasing order — the capacity invariant,
+    * bucket assignment, and truncate-at-contextLen contract are
+    * identical to the batch operator, and bins continue ACROSS
+    * micro-batches (a partial window left by batch N is topped up by
+    * batch N+1). State per bucket is one (bin, acc) pair — bounded by
+    * `bucketCount`, no watermark needed.
+    *
+    * Input needs (`doc_id`, `n_tok`). Append mode: each document's
+    * assignment is emitted exactly once, in its arrival batch.
+    */
+  def packStream(docs: DataFrame, contextLen: Long,
+                 bucketCount: Int): Dataset[PackedDoc] = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    require(bucketCount >= 1, s"bucketCount must be >= 1, got $bucketCount")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        least(col("n_tok").cast("long"), lit(contextLen)).as("n_tok"),
+        pmod(graft.functions.hash60(col("doc_id")), lit(bucketCount.toLong))
+          .as("bucket"))
+      .where(col("n_tok") >= 1)
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[PackerState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[PackerState]) =>
+          var s = state.getOption.getOrElse(PackerState(0L, 0L))
+          val ds = it.map { case (d, n, _) => (d, n) }.toArray.sortBy(_._1)
+          val out = ds.map { case (d, n) =>
+            s = if (s.acc + n > contextLen) PackerState(s.bin + 1, n)
+                else PackerState(s.bin, s.acc + n)
+            PackedDoc(bucket, s.bin, d, n)
+          }
+          state.update(s)
+          out.iterator
       }
   }
 }

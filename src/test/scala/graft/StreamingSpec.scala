@@ -853,4 +853,37 @@ class StreamingSpec extends SparkSpec {
       Seq("first.json", "second.json", "third.json"))
     assert(live.errored.get() == 0)
   }
+
+  test("packStream: capacity, cross-batch bin continuation, single emit") {
+    implicit val sq = spark.sqlContext
+    val C = 100L
+    val input = MemoryStream[(Long, Long)]
+    val docs = input.toDF().toDF("doc_id", "n_tok")
+    val q = graft.streaming.StreamOps.packStream(docs, C, bucketCount = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pack_out").start()
+    // batch 1: 60 + 30 fill bin 0 to 90
+    input.addData((1L, 60L), (2L, 30L))
+    q.processAllAvailable()
+    // batch 2: 5 tops up bin 0 (95); 40 overflows -> bin 1; 130
+    // truncates to C and overflows -> bin 2
+    input.addData((3L, 5L), (4L, 40L), (5L, 130L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pack_out")
+      .select("bucket", "bin", "doc_id", "n_tok")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
+    // every doc emitted exactly once
+    assert(rows.map(_._3) == Seq(1L, 2L, 3L, 4L, 5L))
+    // within each batch the walk is doc_id order; bins continue across
+    // batches: doc 3 lands in batch 1's partial bin
+    val binOf = rows.map(r => r._3 -> r._2).toMap
+    assert(binOf(1L) == 0L && binOf(2L) == 0L, s"batch-1 fill: $rows")
+    assert(binOf(3L) == 0L, s"cross-batch top-up lost: $rows")
+    assert(binOf(4L) == 1L && binOf(5L) == 2L, s"overflow walk: $rows")
+    // truncation and capacity
+    assert(rows.find(_._3 == 5L).get._4 == C)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (bin, rs) =>
+      assert(rs.map(_._4).sum <= C, s"bin $bin overfilled") }
+  }
 }
