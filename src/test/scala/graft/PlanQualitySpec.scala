@@ -235,6 +235,24 @@ class PlanQualitySpec extends SparkSpec {
     Checkpoints.release()
   }
 
+  test("q173 sequence packing: one bucket exchange, sorts only on the " +
+      "16-value bucket key, never on n_tok") {
+    val p = plan("q173_sequence_packing")
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p).size
+    // bucket exchange for the typed flatMapGroups + the audit's
+    // partial-agg exchange on (bucket, bin) — nothing else
+    assert(exchanges <= 2, s"packing grew extra exchanges:\n$p")
+    // the NFD order is an in-task Arrays.sort over one bucket's docs;
+    // the PLAN must never sort on n_tok (a global/range sort on doc
+    // length would be the corpus-wide sort this operator exists to
+    // avoid). The only Sort allowed is flatMapGroups' per-partition
+    // bucket-key sort.
+    val sortLines = p.linesIterator.filter(_.contains("Sort ")).toSeq
+    assert(!sortLines.exists(_.contains("n_tok")),
+      s"plan sorts on n_tok:\n${sortLines.mkString("\n")}\n$p")
+    assert(!p.contains("Window"), s"no window belongs in packing:\n$p")
+  }
+
   test("q105 top-k per key: custom exec, one exchange, no sort, no window") {
     val p = plan("q105_topk_per_supplier")
     assert(p.contains("TopKPerKey"), s"custom exec missing:\n$p")
