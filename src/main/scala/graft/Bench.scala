@@ -20,6 +20,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_ONLY=q161_pretrain_pipeline,q89_copurchase_pairs —
+    // restrict the run to a named subset for isolation work (rep-stability
+    // hunts, A/B plan adjudication) without touching the headline list
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(s) => SparkEntry.headline.filter(s.contains)
+      case None => SparkEntry.headline
+    }
     // Warm-up pass over the whole headline set (SPARK_GRAFT_WARMUP=0 to
     // skip): whole-stage-codegen compilation, JIT, and file-listing caches
     // are per-JVM constants that at n=1 would otherwise account for ~half
@@ -27,7 +36,7 @@ object Bench {
     // rep-1 vs rep-3). The timed pass below then measures steady-state
     // query latency — the quantity that actually scales with data size.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      SparkEntry.headline.foreach { name =>
+      selected.foreach { name =>
         try queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -40,7 +49,7 @@ object Bench {
     // attributable from the JSON instead of reading as a plan regression
     // (round 2 burned a 3.3x phantom on exactly that).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val results = SparkEntry.headline.map { name =>
+    val results = selected.map { name =>
       var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -82,6 +91,22 @@ object Bench {
     // record, and a failing query is a visible "errors" entry, never a
     // silently-meaningless elapsed time
     println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":$sf}""")
+    // Persist the COMPLETE record (all per-query rep arrays + medians +
+    // errors) to a repo-local file: the driver's stdout capture keeps only
+    // a tail (round 5 lost 45/47 rep arrays that way), and rep-over-rep
+    // stability is exactly what the per-rep arrays exist to witness.
+    val full = results.map { case (k, v, e) =>
+      val repsJson = v.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val median = f"${v.sorted.apply(v.size / 2)}%.3f"
+      val errJson = e.map(m => "\"" + m + "\"").getOrElse("null")
+      s"""  "$k": {"median_sec": $median, "reps": $repsJson, "err": $errJson}"""
+    }.mkString("{\n", ",\n", "\n}")
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    java.nio.file.Files.write(outPath, java.util.Arrays.asList(
+      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","sf":"$sf","reps_per_query":$reps,""",
+      s""" "queries":""", full, "}"),
+      java.nio.charset.StandardCharsets.UTF_8)
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.graft.BlockRelease
 
 /** Tracked `localCheckpoint` — the engine's fix for the classic Spark
   * iterative-pipeline leak: `Dataset.localCheckpoint` persists its blocks
@@ -19,17 +20,38 @@ import org.apache.spark.sql.execution.LogicalRDD
   * soon as iteration i+1 is materialized — per-superstep blocks never
   * outlive two iterations even WITHIN a build.
   *
-  * Safety: unpersisting a localCheckpoint destroys the only copy (the
-  * lineage is truncated by design), so [[release]] must only run when no
-  * un-executed DataFrame still references the blocks — i.e. between
-  * queries, not between actions of one query. Builds re-run from scratch
-  * per rep in Bench, so per-rep release is sound there too. The test JVM
-  * runs suites sequentially (sbt forked, non-parallel), so the global
-  * ledger cannot drop a concurrent suite's live blocks.
+  * Block removal goes through [[BlockRelease]] (the same internal
+  * `SparkContext.unpersistRDD` that `RDD.unpersist` delegates to) rather
+  * than `RDD.unpersist`, for two measured reasons:
+  *
+  *  - `RDD.unpersist` WARNs unconditionally on every locally-checkpointed
+  *    RDD ("cannot be recomputed after unpersisting") — hundreds of scare
+  *    lines per bench run for frees that are the ledger's entire design;
+  *  - `RDD.unpersist` zeroes the RDD's storageLevel, so releasing a LAZY
+  *    checkpoint before its first action leaves it unable to materialize.
+  *    Via the shim, an unmaterialized checkpoint's release is a pure
+  *    bookkeeping no-op (no blocks exist) and the frame stays usable —
+  *    release-before-materialize is safe by construction (CheckpointSpec
+  *    pins this).
+  *
+  * [[release]] frees with `blocking = true`: it runs runner-side, outside
+  * any timed region, and waiting for removal means the next build starts
+  * against actually-free memory instead of racing an async removal
+  * backlog (round-5 bench showed late-session reps degrading 7× under
+  * the async backlog). In-loop [[drop]] keeps `blocking = false` — it
+  * sits inside the timed build, and per-superstep blocks are small.
+  *
+  * Safety: releasing a materialized localCheckpoint destroys the only
+  * copy (the lineage is truncated by design), so [[release]] must only
+  * run when no un-executed DataFrame still references the blocks — i.e.
+  * between queries, not between actions of one query. Builds re-run from
+  * scratch per rep in Bench, so per-rep release is sound there too. The
+  * test JVM runs suites sequentially (sbt forked, non-parallel), so the
+  * global ledger cannot drop a concurrent suite's live blocks.
   *
   * At 100 TB: the ledger holds RDD handles, not data — O(#checkpoints)
-  * driver memory; `unpersist(blocking = false)` is an async block-manager
-  * RPC fan-out, the same cost class Spark's ContextCleaner pays.
+  * driver memory; block removal is the same RPC fan-out Spark's
+  * ContextCleaner pays.
   */
 object Checkpoints {
 
@@ -56,10 +78,12 @@ object Checkpoints {
   /** Free the blocks behind a checkpointed DataFrame that no live plan
     * needs anymore (iterative loops: the previous superstep, once the
     * next is eagerly materialized). No-op on non-checkpointed inputs.
+    * Async: called inside timed builds, where waiting on removal RPCs
+    * would bill block-manager latency to the query.
     */
   def drop(df: DataFrame): Unit = rddOf(df).foreach { r =>
     ledger.remove(r)
-    r.unpersist(blocking = false)
+    BlockRelease.unpersist(r.sparkContext, r.id, blocking = false)
   }
 
   /** Remove a checkpointed DataFrame from the ledger WITHOUT freeing its
@@ -74,28 +98,50 @@ object Checkpoints {
     * caches handing out session-lifetime checkpoints must verify this on
     * every hit (anything may sweep the block manager between builds) and
     * rebuild on a dead entry instead of serving a frame that will throw
-    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at execution.
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at execution. Fails CLOSED: a
+    * frame whose plan is not a checkpoint leaf (nothing to verify) is
+    * reported not-live, so a cache guard forces a rebuild instead of
+    * vacuously trusting an unverifiable entry.
     */
-  def isLive(df: DataFrame): Boolean = rddOf(df).forall(
-    _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+  def isLive(df: DataFrame): Boolean = rddOf(df).exists(
+    r => BlockRelease.isPersisted(r.sparkContext, r.id))
 
-  /** Unpersist every ledgered checkpoint. Call between queries — after
-    * the terminal action, before the next build.
+  /** Release every ledgered checkpoint's blocks. Call between queries —
+    * after the terminal action, before the next build. Blocking: runs
+    * outside any timed region, and returning only after removal completes
+    * is what keeps rep-over-rep timings flat in a long session (no async
+    * removal backlog shadowing the next build).
     */
   def release(): Unit = {
     var r = ledger.poll()
-    while (r != null) { r.unpersist(blocking = false); r = ledger.poll() }
+    while (r != null) {
+      BlockRelease.unpersist(r.sparkContext, r.id, blocking = true)
+      r = ledger.poll()
+    }
   }
 
   /** Number of currently-ledgered checkpoints (spec probe). */
   def pending: Int = ledger.size()
 
+  /** Checkpoint WITHOUT ledger registration — for scopes that free their
+    * own blocks via [[drop]] before returning (the streaming foreachBatch
+    * gates). Keeping these out of the session-global ledger means a
+    * runner thread calling [[release]] mid-micro-batch cannot destroy an
+    * in-flight batch's only copy: the global queue only ever holds
+    * build-scoped checkpoints whose lifetime the runner owns.
+    */
+  def cpScoped(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.localCheckpoint(eager)
+
   /** Postfix syntax so operator code reads like the raw API it replaces:
-    * `df.trackedCheckpoint()` ≡ ledgered `df.localCheckpoint()`.
+    * `df.trackedCheckpoint()` ≡ ledgered `df.localCheckpoint()`;
+    * `df.scopedCheckpoint()` ≡ self-managed (caller must [[drop]]).
     */
   implicit class TrackedCheckpointOps(private val df: DataFrame)
       extends AnyVal {
     def trackedCheckpoint(eager: Boolean = true): DataFrame =
       Checkpoints.cp(df, eager)
+    def scopedCheckpoint(eager: Boolean = true): DataFrame =
+      Checkpoints.cpScoped(df, eager)
   }
 }

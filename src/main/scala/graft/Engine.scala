@@ -286,7 +286,15 @@ object Engine {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(TimestampNTZType) =>
         df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      case Some(TimestampType) | None => df
+      case Some(other) =>
+        // Fail FAST on a fourth generator drift: silently passing an
+        // unrecognized encoding through would instead surface as every
+        // event query going red at the oracle (an 8-query diagnosis
+        // instead of this one line).
+        throw new IllegalStateException(
+          s"events.ts has unrecognized type $other — extend " +
+            "Engine.normalizeEventTs for this encoding")
     }
   }
 }

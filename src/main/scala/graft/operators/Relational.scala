@@ -528,9 +528,15 @@ object Relational {
 
   /** J4 get-or-create dimension upsert (`database_utils.py:57-113`):
     * `existing` is the current dim (naturalKey, idCol); incoming natural
-    * keys not present get fresh surrogate ids `max(existing)+row_number`,
+    * keys not present get fresh surrogate ids `max(existing)+rank`,
     * assigned deterministically by natural-key order. Returns the merged
-    * dim. The only shuffle is the dropDuplicates on the (small) key set;
+    * dim. Id assignment rides [[withGlobalRank]] (range-partitioned
+    * per-partition numbering + driver offsets) — a global
+    * `row_number().over(Window.orderBy(key))` would funnel every new key
+    * through ONE task, which is fine for steady-state dim misses but
+    * single-threads the initial load of a large dim (the WindowExec
+    * "No Partition Defined" degenerate). Shuffles: the dropDuplicates on
+    * the (small) key set + the rank's range exchange over NEW keys only;
     * the existing dim max-id is a scalar agg.
     */
   def dimUpsert(existing: DataFrame, incomingKeys: DataFrame,
@@ -539,8 +545,8 @@ object Relational {
       .join(existing.select(naturalKey), Seq(naturalKey), "left_anti")
     val maxId = existing.agg(coalesce(max(col(idCol)).cast("long"), lit(0L)))
       .head().getLong(0)
-    val assigned = newKeys.withColumn(idCol,
-      row_number().over(Window.orderBy(col(naturalKey))).cast("long") + maxId)
+    val assigned = withGlobalRank(newKeys, Seq(col(naturalKey)), "__rank")
+      .withColumn(idCol, col("__rank") + maxId).drop("__rank")
     existing.select(col(naturalKey), col(idCol).cast("long"))
       .unionByName(assigned.select(col(naturalKey), col(idCol)))
   }

@@ -313,7 +313,11 @@ object Ingestion {
   private def maxId(df: DataFrame, idCol: String): Long =
     df.agg(coalesce(max(col(idCol)).cast(LongType), lit(0L))).head().getLong(0)
 
+  // Surrogate-id assignment via the range-partitioned global rank — the
+  // one-task Window.orderBy spelling would single-thread an initial bulk
+  // load of a large dim (see Relational.dimUpsert's note).
   private def assignIds(df: DataFrame, idCol: String, offset: Long,
                         orderBy: Seq[Column]): DataFrame =
-    df.withColumn(idCol, row_number().over(Window.orderBy(orderBy: _*)).cast(LongType) + offset)
+    graft.operators.Relational.withGlobalRank(df, orderBy, "__rank")
+      .withColumn(idCol, col("__rank") + offset).drop("__rank")
 }

@@ -603,6 +603,10 @@ object AnalyticsQueries {
         // so the explicit exchange satisfies the groupBy's distribution
         // and pushes all list-building past the shuffle — off the scan
         // tasks, 32-way instead of per-input-split. Same single shuffle.
+        // Adjudicated r6 (8-rep A/B at sf0.1, same host load): WITH the
+        // exchange 0.91 s median vs 1.18 s without; the r5 "regression"
+        // (1.83 s) was the async-unpersist backlog, fixed in Checkpoints,
+        // not this exchange.
         li.repartition(col("l_orderkey")).groupBy(col("l_orderkey"))
           .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
             .as("parts"))

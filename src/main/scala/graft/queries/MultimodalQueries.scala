@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Engine
+import graft.{functions => gf}
 import graft.operators.Multimodal
 import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
@@ -88,6 +89,59 @@ object MultimodalQueries {
                CAST(f AS INTEGER) AS frame_idx,
                round((1 + n_chars % 120) * f / 4.0, 3) AS frame_ts,
                md5(doc_id::VARCHAR || ':' || f::VARCHAR) AS frame_checksum
-        FROM documents, generate_series(0, 3) AS t(f)"""))
+        FROM documents, generate_series(0, 3) AS t(f)"""),
+      headline = false),
+
+    // REAL PNG header decode through the production decode path: each
+    // document deterministically yields a well-formed PNG signature+IHDR
+    // byte string (width/height/color-type derived from the text hash),
+    // and Multimodal.PngCodec parses the DIMENSIONS BACK OUT OF THE RAW
+    // BYTES via decodeBatches — the per-partition batch plumbing a real
+    // image corpus rides. The oracle rebuilds the identical bytes in
+    // DuckDB and parses them with substring/hex arithmetic, so both
+    // engines go bytes → dims; neither shortcuts from the generator
+    // params. (Construction is in-query because testdata ships no binary
+    // image column; the codec itself never sees the generator params.)
+    "q174_png_header" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val hx8 = (c: org.apache.spark.sql.Column) => lpad(hex(c.cast("long")), 8, "0")
+        val w = lit(16) + pmod(gf.hash60(col("text")), lit(1000))
+        val h = lit(16) + pmod(gf.hash56b(col("text")), lit(1000))
+        val colorType = element_at(
+          array(lit(0), lit(2), lit(3), lit(4), lit(6)),
+          (pmod(gf.hash60(col("text")), lit(5)) + 1).cast("int"))
+        val png = unhex(concat(
+          lit("89504E470D0A1A0A"), // signature
+          lit("0000000D49484452"), // IHDR length=13 + type
+          hx8(w), hx8(h),          // width, height (4-byte BE each)
+          lit("08"), lpad(hex(colorType.cast("long")), 2, "0"),
+          lit("000000")))          // bit depth 8; compression/filter/interlace
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id").as("id"), lit("image").as("modality"),
+            png.as("content")).as[Multimodal.Payload]
+        Multimodal.decodeBatches(payloads, Multimodal.PngCodec).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"))
+      },
+      oracle = Some(s"""
+        WITH p AS (
+          SELECT doc_id, concat(
+              '89504E470D0A1A0A', '0000000D49484452',
+              lpad(hex(16 + ${sqlHash60("text")} % 1000), 8, '0'),
+              lpad(hex(16 + ${sqlHash56("text")} % 1000), 8, '0'),
+              '08',
+              lpad(hex([0, 2, 3, 4, 6][CAST(${sqlHash60("text")} % 5 AS INTEGER) + 1]), 2, '0'),
+              '000000') AS png_hex
+          FROM documents),
+        b AS ( -- round-trip through BLOB so the oracle parses BYTES, not its own hex
+          SELECT doc_id, hex(from_hex(png_hex)) AS hx FROM p)
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(hx, 33, 8)) AS BIGINT) AS INTEGER) AS width,
+               CAST(CAST(concat('0x', substr(hx, 41, 8)) AS BIGINT) AS INTEGER) AS height,
+               CAST(CASE CAST(concat('0x', substr(hx, 51, 2)) AS BIGINT)
+                    WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+                    WHEN 4 THEN 2 WHEN 6 THEN 4 END AS INTEGER) AS channels
+        FROM b"""))
   )
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.Checkpoints.TrackedCheckpointOps
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.{DataFrame, Dataset}
 
@@ -118,7 +119,9 @@ object StreamOps {
         gated, col(text), col(id), k, bands, w)
       .select(col("id_b").as(id)).dropDuplicates(id)
     val survivors = gated.join(dropped, Seq(id), "left_anti")
-      .trackedCheckpoint() // gate once; don't recompute across 2 writes
+      .scopedCheckpoint() // gate once; don't recompute across 2 writes
+      // (scoped, not ledgered: this batch frees its own blocks below, so a
+      // concurrent runner release() cannot destroy the in-flight copy)
     survivors.write.mode("overwrite")
       .parquet(s"$outPath/batch=$batchId")
     Dedup.lshBandKeys(survivors, col(text), col(id), k, bands, w)
@@ -210,7 +213,7 @@ object StreamOps {
             org.apache.spark.sql.graft.ColumnBridge.expression(
               col(text).cast("string")), w)).as(Seq("pos", "gh")))
       .select(col("__id"), col("gh")).distinct()
-      .trackedCheckpoint()
+      .scopedCheckpoint() // self-dropped below; kept off the global ledger
     val totals = wins.groupBy(col("__id")).agg(count(lit(1)).as("n_w"))
     // a window hash counts as dup for doc d when it exists in history,
     // or in any smaller-id doc of this batch
@@ -225,7 +228,7 @@ object StreamOps {
       .filter(col("n_dup") * 1000 >= col("n_w") * tauPermille)
       .select(col("__id").as(id))
     val survivors = batch.join(dropIds, Seq(id), "left_anti")
-      .trackedCheckpoint()
+      .scopedCheckpoint() // self-dropped below; kept off the global ledger
     survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     wins.join(survivors.select(col(id).as("__id")), Seq("__id"), "left_semi")
       .select(col("gh")).distinct()
@@ -390,7 +393,7 @@ object StreamOps {
         tau, nPlanes, dims)
       .select(col("dup_id").as(id)).dropDuplicates(id)
     val survivors = gated.join(dropped, Seq(id), "left_anti")
-      .trackedCheckpoint()
+      .scopedCheckpoint() // self-dropped below; kept off the global ledger
     survivors.select(col(id), col("__v").as(vec))
       .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     survivors.select(col("__bucket"), col("__v").as("__sv"))

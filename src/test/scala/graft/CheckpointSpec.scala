@@ -70,6 +70,36 @@ class CheckpointSpec extends SparkSpec {
       s"ledger not drained: ${Checkpoints.pending} entries")
   }
 
+  test("release before a lazy checkpoint materializes is safe") {
+    Checkpoints.release()
+    val base = persistedCount
+    // lazy checkpoint, never acted on before release() — the runner shape
+    // where a build's plan never executed one branch. Release must be a
+    // bookkeeping no-op (no blocks exist yet) that leaves the frame fully
+    // usable, NOT a storage-target corruption.
+    val df = Checkpoints.cp(spark.range(50).toDF("x"), eager = false)
+    Checkpoints.release()
+    assert(Checkpoints.pending == 0, "ledger drained")
+    assert(df.agg(sum(col("x"))).head.getLong(0) == 1225L,
+      "frame still computes correctly after release-before-materialize")
+    // the post-release materialization re-persisted the checkpoint; it is
+    // untracked (ledger already drained), so free it directly
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(persistedCount <= base)
+  }
+
+  test("isLive fails closed on non-checkpoint frames, tracks release") {
+    // a plain projection has no checkpoint leaf: nothing to verify, so a
+    // cache guard must treat it as NOT live and rebuild
+    assert(!Checkpoints.isLive(spark.range(5).toDF("x")),
+      "non-LogicalRDD plan must not be vacuously live")
+    val df = Checkpoints.cp(spark.range(5).toDF("x"))
+    assert(Checkpoints.isLive(df), "materialized checkpoint is live")
+    Checkpoints.release()
+    assert(!Checkpoints.isLive(df), "released checkpoint is not live")
+  }
+
   test("q161 double build-and-run: zero net persistent-RDD growth") {
     Checkpoints.release()
     spark.sparkContext.getPersistentRDDs.values

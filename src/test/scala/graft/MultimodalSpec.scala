@@ -66,4 +66,53 @@ class MultimodalSpec extends SparkSpec {
     assert(r.find(_.getInt(0) == 640).get.getInt(2) == 224) // landscape: h→224
     assert(r.find(_.getInt(0) == 640).get.getInt(1) == 448)
   }
+
+  // ground-truth PNG bytes from the JVM's own encoder (javax.imageio —
+  // standard library, not an added dependency): the codec must recover
+  // the dimensions/channels a REAL encoder wrote, not just round-trip
+  // bytes this repo synthesized itself
+  private def realPng(w: Int, h: Int, imageType: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imageType)
+    img.setRGB(0, 0, 0x123456) // non-trivial content
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("PNG codec parses real encoder output: dims + channels from bytes") {
+    import java.awt.image.BufferedImage._
+    val cases = Seq(
+      (37, 19, TYPE_INT_RGB, 3),   // color type 2 → 3 channels
+      (640, 480, TYPE_INT_ARGB, 4), // color type 6 → 4 channels
+      (5, 1023, TYPE_BYTE_GRAY, 1)) // color type 0 → 1 channel
+    cases.zipWithIndex.foreach { case ((w, h, t, ch), i) =>
+      val d = Multimodal.PngCodec(Payload(i.toLong, "image", realPng(w, h, t)))
+      assert((d.width, d.height, d.channels) == ((w, h, ch)),
+        s"case $i: got (${d.width}, ${d.height}, ${d.channels}), want ($w, $h, $ch)")
+      assert(d.feature.length == 8)
+    }
+  }
+
+  test("PNG codec falls back to the stub on non-PNG payloads") {
+    val p = Payload(9L, "image", "not a png at all, just text bytes".getBytes("UTF-8"))
+    val viaPng = Multimodal.PngCodec(p)
+    val viaStub = StubCodec(p)
+    assert((viaPng.width, viaPng.height, viaPng.channels) ==
+      ((viaStub.width, viaStub.height, viaStub.channels)))
+  }
+
+  test("PNG codec through decodeBatches keeps partitioning and rows") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage._
+    val payloads = (1 to 40).map { i =>
+      Payload(i.toLong, "image", realPng(16 + i, 16 + 2 * i, TYPE_INT_RGB))
+    }
+    val out = Multimodal
+      .decodeBatches(spark.createDataset(payloads).repartition(5),
+        Multimodal.PngCodec)
+      .collect().sortBy(_.id)
+    assert(out.length == 40)
+    assert(out.forall(d => d.width == 16 + d.id && d.height == 16 + 2 * d.id
+      && d.channels == 3))
+  }
 }
