@@ -546,4 +546,79 @@ object Curation {
       (nTok >= 40 && nTok <= 100000 && meanLen >= 3.0 && meanLen <= 10.0
         && nStop >= 2L && dupFrac <= lit(0.5)).as("pass"))
   }
+
+  /** DoReMi-lite domain reweighting (Xie et al., "Doremi: Optimizing
+    * data mixtures speeds up language model pretraining", 2023 — the
+    * one-step exponentiated-gradient shape, with the proxy model's
+    * per-domain excess loss stood in by the engine's deterministic
+    * quality logit): domains whose mean quality trails the corpus mean
+    * get upweighted over their token-share reference,
+    * `w_d ∝ share_d · exp(η · excess_d)`, normalized to ppm.
+    *
+    * Determinism discipline (the mixture feeds training, so two runs
+    * must agree bit-for-bit): per-domain logit means come from
+    * 1e-6-quantized INTEGER sums (order-independent, the kmeans rule);
+    * the reference share is a ratio of exact longs; excess rounds at
+    * 6 dp before `exp`; and the final normalization is integer ppm
+    * division over 1e-9-quantized weights — no float sum whose order
+    * could flip an output digit.
+    *
+    * Scale: one partial-agg shuffle over the corpus to |domains| rows;
+    * everything after runs on broadcast-sized aggregates.
+    */
+  def doremiWeights(docs: DataFrame, domain: Column, tokens: Column,
+                    logit: Column, eta: Double = 1.0): DataFrame = {
+    val d = docs.select(domain.as("source"), tokens.cast("long").as("tok"),
+      round(logit * lit(1e6)).cast("long").as("qli"))
+    // LAZY localCheckpoint (the mixtureSchedule pattern): the |domains|-row
+    // aggregate feeds both the grand totals and the weight rows, and
+    // Catalyst cannot CSE across the crossJoin — without the pin, each
+    // reference re-runs the corpus scan+agg.
+    val per = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"),
+      sum(col("qli")).as("sql_i"))
+      .trackedCheckpoint(false)
+    val tot = per.agg(sum(col("n_docs")).as("n_g"),
+      sum(col("tokens")).as("tok_g"), sum(col("sql_i")).as("sql_g"))
+    val meanD = (col("sql_i").cast("double") / lit(1e6)) / col("n_docs").cast("double")
+    val meanG = (col("sql_g").cast("double") / lit(1e6)) / col("n_g").cast("double")
+    // same two-consumer pin for the weight rows (normalizer + output)
+    val weighted = per.crossJoin(broadcast(tot))
+      .withColumn("excess", greatest(lit(0.0), round(meanG - meanD, 6)))
+      .withColumn("ref_ppm", expr("tokens * 1000000 DIV tok_g"))
+      .withColumn("wq", round(
+        (col("tokens").cast("double") / col("tok_g").cast("double")) *
+          exp(lit(eta) * col("excess")) * lit(1e9)).cast("long"))
+      .trackedCheckpoint(false)
+    val wqSum = weighted.agg(sum(col("wq")).as("wq_g"))
+    weighted.crossJoin(broadcast(wqSum))
+      .select(col("source"), col("n_docs"), col("tokens"), col("ref_ppm"),
+        col("excess"), expr("wq * 1000000 DIV wq_g").as("weight_ppm"))
+  }
+
+  /** Curation run diff — the dataset-versioning primitive: given two
+    * gate verdicts over the SAME corpus (config A = what shipped, config
+    * B = the proposed change), report per (source, transition) how many
+    * documents and tokens move. Transitions: `kept_both`, `dropped_both`,
+    * `entered` (B admits what A dropped), `left` (B drops what A kept) —
+    * the exact accounting a curation review needs before promoting a
+    * config ("this threshold change trades 1.2 B tokens of X for 0.8 B
+    * of Y"), without materializing either output corpus.
+    *
+    * Scale: the transition label is a per-row map-side CASE over two
+    * booleans computed in the same projection; the only exchange is the
+    * partial-agg rollup to |sources|×4 rows. Nothing corpus-sized ever
+    * shuffles, so the diff costs one scan at any corpus size — the
+    * alternative (materialize both runs, FULL OUTER JOIN on doc id)
+    * shuffles the corpus twice.
+    */
+  def curationDiff(docs: DataFrame, group: Column, tokens: Column,
+                   passA: Column, passB: Column): DataFrame =
+    docs.select(group.as("grp"), tokens.cast("long").as("tok"),
+        when(passA && passB, "kept_both")
+          .when(!passA && !passB, "dropped_both")
+          .when(!passA && passB, "entered")
+          .otherwise("left").as("transition"))
+      .groupBy(col("grp"), col("transition"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
 }

@@ -1044,6 +1044,108 @@ object CurationQueries {
                CAST(len(tr.t) - coalesce(r.n_kept, 0) AS BIGINT)
                  AS removed_tokens,
                coalesce(r.clean_text, '') AS clean_text
-        FROM tr LEFT JOIN reb r USING (doc_id)"""))
+        FROM tr LEFT JOIN reb r USING (doc_id)""")),
+
+    // Curation run diff: config A (shipped Gopher thresholds) vs config
+    // B (a stricter proposal) over the same corpus, reported as per-
+    // (source, transition) doc/token movement — the review artifact for
+    // promoting a gate change. The signals are computed ONCE per doc
+    // (one projection feeds both verdicts); only the |sources|×4 rollup
+    // shuffles. See Curation.curationDiff for the scale contract.
+    "q177_curation_diff" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+          .withColumn("g", Curation.gopherRules(col("text")))
+        val passA = col("g.pass")
+        // config B: tighter floors (60+ words, 3+ distinct stopwords,
+        // dup fraction ≤ 0.4, mean word length in [3.5, 9])
+        val passB = col("g.n_words") >= 60 && col("g.n_words") <= 100000 &&
+          col("g.mean_word_len") >= 3.5 && col("g.mean_word_len") <= 9.0 &&
+          col("g.n_stop_distinct") >= 3 && col("g.dup_tok_frac") <= 0.4
+        Curation.curationDiff(d, col("source"), col("g.n_words"),
+            passA, passB)
+          .withColumnRenamed("grp", "source")
+          .orderBy(col("source"), col("transition"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, source,
+                 CAST(len(toks) AS BIGINT) AS n,
+                 CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS DOUBLE) / len(toks) AS ml,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the', 'a', 'of', 'and', 'to', 'in', 'is']))
+                   AS BIGINT) AS ns,
+                 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS df
+          FROM t),
+        v AS (
+          SELECT source, n,
+                 (n >= 40 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+                  AND ns >= 2 AND df <= 0.5) AS pa,
+                 (n >= 60 AND n <= 100000
+                  AND round(ml, 6) >= 3.5 AND round(ml, 6) <= 9.0
+                  AND ns >= 3 AND round(df, 6) <= 0.4) AS pb
+          FROM s)
+        SELECT source,
+               CASE WHEN pa AND pb THEN 'kept_both'
+                    WHEN NOT pa AND NOT pb THEN 'dropped_both'
+                    WHEN NOT pa AND pb THEN 'entered'
+                    ELSE 'left' END AS transition,
+               count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens
+        FROM v GROUP BY 1, 2
+        ORDER BY source, transition""")),
+
+    // DoReMi-lite domain reweighting: one exponentiated-gradient step
+    // over token-share reference weights, with the per-domain excess
+    // signal stood in by the engine's deterministic quality logit (the
+    // proxy-model loss slot). Integer-quantized means + integer ppm
+    // normalization keep the mixture bit-reproducible — see
+    // Curation.doremiWeights.
+    "q178_doremi_weights" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        Curation.doremiWeights(d, col("source"),
+            size(split(col("text"), " ")),
+            Curation.qualityLogit(col("text")), eta = 1.0)
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                 -2.0 + 0.8 * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+                 + 3.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                 + -0.5 * ((CAST(length(text) AS DOUBLE)
+                            - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS z
+          FROM documents),
+        q AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS tokens,
+                 CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS BIGINT) AS sqli
+          FROM s GROUP BY source),
+        t AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_g,
+                 CAST(sum(tokens) AS BIGINT) AS tok_g,
+                 CAST(sum(sqli) AS BIGINT) AS sql_g
+          FROM q),
+        w AS (
+          SELECT source, n_docs, tokens,
+                 tokens * 1000000 // tok_g AS ref_ppm,
+                 greatest(0.0, round(sql_g / 1e6 / n_g
+                                     - sqli / 1e6 / n_docs, 6)) AS excess,
+                 CAST(round((CAST(tokens AS DOUBLE) / CAST(tok_g AS DOUBLE))
+                   * exp(1.0 * greatest(0.0, round(sql_g / 1e6 / n_g
+                       - sqli / 1e6 / n_docs, 6))) * 1e9) AS BIGINT) AS wq
+          FROM q, t)
+        SELECT source, n_docs, tokens, ref_ppm, excess,
+               wq * 1000000 // (SELECT CAST(sum(wq) AS BIGINT) FROM w)
+                 AS weight_ppm
+        FROM w ORDER BY source"""))
   )
 }

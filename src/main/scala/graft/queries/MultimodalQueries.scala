@@ -16,6 +16,40 @@ object MultimodalQueries {
 
   import OracleSql.{sqlHash56, sqlHash60}
 
+  // hex-string byte builders for the in-query media fixtures (testdata
+  // ships no binary media column, so each query constructs well-formed
+  // header bytes from document hashes, then parses them BACK out of the
+  // raw bytes with the real codecs — see q174's rationale)
+  private def hexByte(c: org.apache.spark.sql.Column) =
+    lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+  private def le16(c: org.apache.spark.sql.Column) =
+    concat(hexByte(c), hexByte(shiftright(c.cast("long"), 8)))
+  private def le32(c: org.apache.spark.sql.Column) =
+    concat(hexByte(c), hexByte(shiftright(c.cast("long"), 8)),
+      hexByte(shiftright(c.cast("long"), 16)),
+      hexByte(shiftright(c.cast("long"), 24)))
+  private def be32(c: org.apache.spark.sql.Column) =
+    lpad(hex(c.cast("long")), 8, "0")
+  // DuckDB twins (x must be a non-negative integer expression)
+  private def sqlLe16(x: String) =
+    s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex(($x) // 256), 2, '0'))"
+  private def sqlLe32(x: String) =
+    s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) // 256) % 256), 2, '0'), " +
+      s"lpad(hex((($x) // 65536) % 256), 2, '0'), lpad(hex((($x) // 16777216) % 256), 2, '0'))"
+  // DuckDB hex-substring readers over hx = hex(blob): byte offset b is
+  // hex position 2b+1
+  private def sqlByte(pos: Int) = s"CAST(concat('0x', substr(hx, $pos, 2)) AS BIGINT)"
+  private def sqlLe16At(bytePos: Int) = {
+    val p = 2 * bytePos + 1
+    s"(${sqlByte(p)} + 256 * ${sqlByte(p + 2)})"
+  }
+  private def sqlLe32At(bytePos: Int) = {
+    val p = 2 * bytePos + 1
+    s"(${sqlByte(p)} + 256 * ${sqlByte(p + 2)} + 65536 * ${sqlByte(p + 4)} + 16777216 * ${sqlByte(p + 6)})"
+  }
+  private def sqlBe32At(bytePos: Int) =
+    s"CAST(concat('0x', substr(hx, ${2 * bytePos + 1}, 8)) AS BIGINT)"
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Payload ingest: binary column + typed metadata struct (modality,
@@ -142,6 +176,144 @@ object MultimodalQueries {
                CAST(CASE CAST(concat('0x', substr(hx, 51, 2)) AS BIGINT)
                     WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
                     WHEN 4 THEN 2 WHEN 6 THEN 4 END AS INTEGER) AS channels
-        FROM b"""))
+        FROM b"""),
+      headline = false),
+
+    // Mixed-format media corpus: each document becomes a PNG (big-endian
+    // dims), GIF (little-endian), or BMP (LE int32 + bpp-derived
+    // channels) header, and Multimodal.MediaCodec routes each payload by
+    // its MAGIC BYTES to the right parser — the dispatch a real crawl's
+    // media bucket needs, since format arrives mixed and mislabeled. The
+    // oracle rebuilds the same bytes and parses them per-format with the
+    // matching endianness.
+    "q175_media_dims" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val fmt = pmod(gf.hash60(col("text")), lit(3)) // 0 png, 1 gif, 2 bmp
+        val w = lit(16) + pmod(gf.hash60(col("text")), lit(1000))
+        val h = lit(16) + pmod(gf.hash56b(col("text")), lit(1000))
+        val bpp = element_at(array(lit(8), lit(24), lit(32)),
+          (pmod(gf.hash56b(col("text")), lit(3)) + 1).cast("int"))
+        val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+          be32(w), be32(h), lit("0802000000")) // bit depth 8, truecolor
+        val gif = concat(lit("474946383961"), le16(w), le16(h), lit("000000"))
+        val bmp = concat(lit("424D"), lit("00000000"), lit("00000000"),
+          lit("36000000"), lit("28000000"), le32(w), le32(h), lit("0100"),
+          le16(bpp))
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            element_at(array(lit("png"), lit("gif"), lit("bmp")),
+              (fmt + 1).cast("int")).as("modality"),
+            unhex(when(fmt === 0, png).when(fmt === 1, gif).otherwise(bmp))
+              .as("content")).as[Multimodal.Payload]
+        Multimodal.decodeBatches(payloads, Multimodal.MediaCodec).toDF()
+          .select(col("id").as("doc_id"), col("modality").as("fmt"),
+            col("width"), col("height"), col("channels"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 CAST(${sqlHash60("text")} % 3 AS INTEGER) AS fmt_i,
+                 16 + ${sqlHash60("text")} % 1000 AS w,
+                 16 + ${sqlHash56("text")} % 1000 AS h,
+                 [8, 24, 32][CAST(${sqlHash56("text")} % 3 AS INTEGER) + 1] AS bpp
+          FROM documents),
+        p AS (
+          SELECT doc_id, fmt_i,
+                 CASE fmt_i
+                   WHEN 0 THEN concat('89504E470D0A1A0A0000000D49484452',
+                     lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0802000000')
+                   WHEN 1 THEN concat('474946383961',
+                     ${sqlLe16("w")}, ${sqlLe16("h")}, '000000')
+                   ELSE concat('424D', '00000000', '00000000', '36000000',
+                     '28000000', ${sqlLe32("w")}, ${sqlLe32("h")}, '0100',
+                     ${sqlLe16("bpp")})
+                 END AS media_hex
+          FROM g),
+        b AS (SELECT doc_id, fmt_i, hex(from_hex(media_hex)) AS hx FROM p)
+        SELECT doc_id,
+               ['png', 'gif', 'bmp'][fmt_i + 1] AS fmt,
+               CAST(CASE fmt_i WHEN 0 THEN ${sqlBe32At(16)}
+                    WHEN 1 THEN ${sqlLe16At(6)}
+                    ELSE ${sqlLe32At(18)} END AS INTEGER) AS width,
+               CAST(CASE fmt_i WHEN 0 THEN ${sqlBe32At(20)}
+                    WHEN 1 THEN ${sqlLe16At(8)}
+                    ELSE ${sqlLe32At(22)} END AS INTEGER) AS height,
+               CAST(CASE fmt_i WHEN 0 THEN 3 -- color type 2 parsed in q174
+                    WHEN 1 THEN 1
+                    ELSE ${sqlLe16At(28)} // 8 END AS INTEGER) AS channels
+        FROM b"""),
+      headline = false),
+
+    // WAV/RIFF audio metadata: canonical 44-byte header (RIFF + fmt +
+    // data chunks) built from document hashes, parsed back byte-level by
+    // Multimodal.parseWav through the typed decodeAudioBatches path —
+    // channels/rate/bits from the fmt chunk, sample count from the data
+    // size, duration as exact integer floor millis. The audio analog of
+    // q174: duration filtering and resample planning at 100 TB read 44
+    // bytes per object, never the samples.
+    "q176_wav_header" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val sr = element_at(array(lit(8000), lit(16000), lit(22050),
+          lit(44100), lit(48000)),
+          (pmod(gf.hash60(col("text")), lit(5)) + 1).cast("int"))
+        val ch = (lit(1) + pmod(gf.hash56b(col("text")), lit(2))).cast("long")
+        val bits = element_at(array(lit(8), lit(16), lit(24)),
+          (pmod(gf.hash60(col("text")), lit(3)) + 1).cast("int"))
+        // bytes/sample as its own integer pick (same index as `bits`):
+        // Spark's `/` on longs is double division, and exact-integer hex
+        // construction must never route through floats
+        val bytesPerSample = element_at(array(lit(1L), lit(2L), lit(3L)),
+          (pmod(gf.hash60(col("text")), lit(3)) + 1).cast("int"))
+        val n = lit(1) + pmod(gf.hash56b(col("text")), lit(48000))
+        val frameBytes = ch * bytesPerSample
+        val dataBytes = n.cast("long") * frameBytes
+        val wav = concat(
+          lit("52494646"), le32(dataBytes + lit(36L)), lit("57415645"),
+          lit("666D7420"), lit("10000000"), lit("0100"),
+          le16(ch), le32(sr), le32(sr.cast("long") * frameBytes),
+          le16(frameBytes), le16(bits),
+          lit("64617461"), le32(dataBytes))
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id").as("id"), lit("audio").as("modality"),
+            unhex(wav).as("content")).as[Multimodal.Payload]
+        Multimodal.decodeAudioBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("channels"),
+            col("sampleRate").as("sample_rate"),
+            col("bitsPerSample").as("bits"),
+            col("nSamples").as("n_samples"),
+            col("durationMs").as("duration_ms"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 [8000, 16000, 22050, 44100, 48000][CAST(${sqlHash60("text")} % 5 AS INTEGER) + 1] AS sr,
+                 1 + ${sqlHash56("text")} % 2 AS ch,
+                 [8, 16, 24][CAST(${sqlHash60("text")} % 3 AS INTEGER) + 1] AS bits,
+                 1 + ${sqlHash56("text")} % 48000 AS n
+          FROM documents),
+        p AS (
+          SELECT doc_id, concat(
+              '52494646', ${sqlLe32("n * (ch * bits // 8) + 36")}, '57415645',
+              '666D7420', '10000000', '0100',
+              ${sqlLe16("ch")}, ${sqlLe32("sr")},
+              ${sqlLe32("sr * (ch * bits // 8)")},
+              ${sqlLe16("ch * bits // 8")}, ${sqlLe16("bits")},
+              '64617461', ${sqlLe32("n * (ch * bits // 8)")}) AS wav_hex
+          FROM g),
+        b AS (SELECT doc_id, hex(from_hex(wav_hex)) AS hx FROM p),
+        parsed AS (
+          SELECT doc_id,
+                 ${sqlLe16At(22)} AS ch, ${sqlLe32At(24)} AS sr,
+                 ${sqlLe16At(34)} AS bits, ${sqlLe32At(40)} AS data_bytes
+          FROM b)
+        SELECT doc_id,
+               CAST(ch AS INTEGER) AS channels,
+               CAST(sr AS INTEGER) AS sample_rate,
+               CAST(bits AS INTEGER) AS bits,
+               CAST(data_bytes // (ch * bits // 8) AS BIGINT) AS n_samples,
+               CAST((data_bytes // (ch * bits // 8)) * 1000 // sr AS BIGINT) AS duration_ms
+        FROM parsed"""))
   )
 }

@@ -195,4 +195,61 @@ class CurationSpec extends SparkSpec {
       (4L, 9L, 0L, "no overlap here at all with anything else present"),
       (5L, 2L, 0L, "tiny doc")))
   }
+
+  test("curationDiff partitions every doc into exactly one transition") {
+    val docs = Seq(
+      ("web", 10L, true, true),    // kept_both
+      ("web", 20L, true, false),   // left
+      ("web", 5L, false, true),    // entered
+      ("books", 7L, false, false), // dropped_both
+      ("books", 9L, true, true)
+    ).toDF("src", "tok", "pa", "pb")
+    val out = Curation.curationDiff(docs, $"src", $"tok", $"pa", $"pb")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("web", "kept_both") -> ((1L, 10L)),
+      ("web", "left") -> ((1L, 20L)),
+      ("web", "entered") -> ((1L, 5L)),
+      ("books", "dropped_both") -> ((1L, 7L)),
+      ("books", "kept_both") -> ((1L, 9L))))
+    // law: the transitions partition the corpus — doc/token totals match
+    assert(out.values.map(_._1).sum == 5L)
+    assert(out.values.map(_._2).sum == 51L)
+  }
+
+  test("doremiWeights: equal quality collapses to the token-share reference") {
+    val docs = Seq(
+      ("a", 100L, 0.5), ("a", 300L, 0.5),
+      ("b", 200L, 0.5), ("c", 400L, 0.5)
+    ).toDF("src", "tok", "q")
+    val out = Curation.doremiWeights(docs, $"src", $"tok", $"q")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    // no excess anywhere -> exp(0) = 1 -> weights ARE the reference
+    out.foreach { case (src, (refPpm, excess, wPpm)) =>
+      assert(excess == 0.0, s"$src excess")
+      assert(math.abs(wPpm - refPpm) <= 1, s"$src: $wPpm vs ref $refPpm")
+    }
+    assert(out("a")._1 == 400000L && out("b")._1 == 200000L
+      && out("c")._1 == 400000L)
+  }
+
+  test("doremiWeights upweights the quality-trailing domain") {
+    val docs = Seq(
+      ("good", 500L, 2.0), ("good", 500L, 2.0),
+      ("bad", 500L, -2.0), ("bad", 500L, -2.0)
+    ).toDF("src", "tok", "q")
+    val out = Curation.doremiWeights(docs, $"src", $"tok", $"q")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    // equal token shares; 'bad' trails the corpus mean by 2 -> upweighted
+    assert(out("bad")._2 == 2.0 && out("good")._2 == 0.0)
+    assert(out("bad")._3 > out("bad")._1, "trailing domain must gain weight")
+    assert(out("good")._3 < out("good")._1)
+    // ppm normalization: integer division truncates, so the sum lands in
+    // (1e6 - |domains|, 1e6]
+    val total = out.values.map(_._3).sum
+    assert(total > 1000000L - out.size && total <= 1000000L)
+  }
 }

@@ -101,6 +101,44 @@ class MultimodalSpec extends SparkSpec {
       ((viaStub.width, viaStub.height, viaStub.channels)))
   }
 
+  test("media dispatch parses real GIF and BMP encoder output") {
+    import java.awt.image.BufferedImage._
+    def enc(fmt: String, w: Int, h: Int, t: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, t)
+      img.setRGB(0, 0, 0x654321)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // GIF: palette-indexed → channels 1; dims are LE in the file
+    val g = Multimodal.MediaCodec(Payload(1L, "image", enc("gif", 300, 77, TYPE_INT_RGB)))
+    assert((g.width, g.height, g.channels) == ((300, 77, 1)))
+    // BMP: ImageIO writes TYPE_INT_RGB as 24bpp → 3 channels
+    val b = Multimodal.MediaCodec(Payload(2L, "image", enc("bmp", 45, 1010, TYPE_INT_RGB)))
+    assert((b.width, b.height, b.channels) == ((45, 1010, 3)))
+    // dispatch routes PNG too (magic bytes, not the modality label)
+    val p = Multimodal.MediaCodec(Payload(3L, "whatever", realPng(9, 8, TYPE_INT_RGB)))
+    assert((p.width, p.height, p.channels) == ((9, 8, 3)))
+  }
+
+  test("WAV parser recovers format from real javax.sound encoder output") {
+    val rate = 22050f
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 2, true, false)
+    val samples = new Array[Byte](1000 * 2 * 2) // 1000 frames, 2ch × 16-bit
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, 1000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val m = Multimodal.parseWav(7L, bos.toByteArray)
+    assert(m.isDefined, "canonical WAVE output must parse")
+    assert(m.get.channels == 2 && m.get.sampleRate == 22050
+      && m.get.bitsPerSample == 16 && m.get.nSamples == 1000L)
+    assert(m.get.durationMs == 1000L * 1000L / 22050L)
+    // non-WAV bytes: None, never fabricated numbers
+    assert(Multimodal.parseWav(8L, "RIFFXXXXnotwave".getBytes("UTF-8")).isEmpty)
+  }
+
   test("PNG codec through decodeBatches keeps partitioning and rows") {
     import spark.implicits._
     import java.awt.image.BufferedImage._

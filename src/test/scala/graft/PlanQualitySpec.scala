@@ -621,4 +621,36 @@ class PlanQualitySpec extends SparkSpec {
       s"stratum-only windows over unbounded input (use withStratumRankN/" +
         s"withStratumPrefixSum/topKPerKey):\n${offenders.mkString("\n")}")
   }
+
+  test("q174-q176 media decodes: zero exchanges — header parse stays on " +
+      "the scan tasks") {
+    Seq("q174_png_header", "q175_media_dims", "q176_wav_header").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q: media header decode must be a pure per-partition pass:\n$p")
+    }
+  }
+
+  test("q177 curation diff: one rollup exchange, no window, no join") {
+    val p = plan("q177_curation_diff")
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p).size
+    // the partial-agg rollup + the output orderBy's range exchange over
+    // the |sources|×4 result — nothing corpus-sized may shuffle beyond
+    // the first
+    assert(exchanges <= 2, s"q177 expected ≤2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Window"), s"q177 must not window:\n$p")
+    assert(!p.contains("Join"), s"diff must label map-side, never join runs:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"q177 must pre-aggregate map-side:\n$p")
+  }
+
+  test("q178 doremi: corpus aggregates once; totals ride broadcast") {
+    val p = plan("q178_doremi_weights")
+    // one corpus partial-agg exchange; the tot/wqSum folds run over the
+    // checkpoint-pinned |domains|-row table, and both normalizer joins
+    // must broadcast (a |domains|-row SMJ would add sorts for nothing)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q178 normalizers must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q178 must not SMJ:\n$p")
+  }
 }
