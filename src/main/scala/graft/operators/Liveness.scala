@@ -14,8 +14,10 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
   *
   * The transport is pluggable and STUBBED by default (this environment
   * has no egress): [[StubProbe]] answers deterministically from the URL
-  * string. [[HttpProbe]] is the real java.net implementation, compiled
-  * but unused here.
+  * string. [[HttpProbe]] is the real java.net implementation; it is
+  * executed live in OperatorsSpec against a loopback JDK HttpServer
+  * (real sockets, HEAD + UA + redirect-follow semantics verified on the
+  * wire), so only the EGRESS is absent here, not the transport.
   */
 object Liveness {
 

@@ -182,6 +182,50 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for JPEG payloads — the first parser here that must WALK,
+    * not index: JPEG dimensions live in a Start-Of-Frame segment whose
+    * offset depends on every APPn/COM/quant segment before it, so the
+    * codec scans the segment chain (FF marker + 2-byte BE length,
+    * length includes its own 2 bytes) until SOF0/1/2 (baseline /
+    * extended / progressive: FF C0/C1/C2), then reads precision(1),
+    * height BE16, width BE16, component count — channels = components
+    * (1 grayscale, 3 YCbCr, 4 CMYK). Standalone markers (SOI, RSTn,
+    * TEM) carry no length and are stepped over; SOS/EOI mean entropy
+    * data began without a SOF — corrupt, fall back to the stub. The
+    * walk is bounded by the header bytes (a few KB), never the scan
+    * data, so at 100 TB the per-object cost stays header-sized.
+    */
+  val JpegCodec: Codec = { p =>
+    val b = p.content
+    def u(i: Int) = if (i < b.length) b(i) & 0xff else -1
+    def be16(i: Int) = (u(i) << 8) | u(i + 1)
+    val isJpeg = b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8 && u(2) == 0xFF
+    var out: Option[Decoded] = None
+    if (isJpeg) {
+      var i = 2
+      var done = false
+      while (!done && i + 3 < b.length && u(i) == 0xFF) {
+        val marker = u(i + 1)
+        if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+          if (i + 9 < b.length) {
+            out = Some(Decoded(p.id, p.modality,
+              width = be16(i + 7), height = be16(i + 5),
+              channels = u(i + 9), feature = md5Feature(b)))
+          }
+          done = true
+        } else if (marker == 0xD8 || marker == 0x01 ||
+                   (marker >= 0xD0 && marker <= 0xD7)) {
+          i += 2 // standalone marker: no length field
+        } else if (marker == 0xD9 || marker == 0xDA) {
+          done = true // EOI / SOS before any SOF: no frame header
+        } else {
+          i += 2 + be16(i + 2) // skip segment: length covers itself
+        }
+      }
+    }
+    out.getOrElse(StubCodec(p))
+  }
+
   /** Magic-byte dispatch over the real parsers — the entry point a mixed
     * media corpus uses: each payload routes to its format's header parse;
     * unrecognized bytes fall back to [[StubCodec]] (documented sandbox
@@ -193,6 +237,7 @@ object Multimodal {
     if (b.length >= 2 && (b(0) & 0xff) == 0x89 && b(1) == 'P') PngCodec(p)
     else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') GifCodec(p)
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') BmpCodec(p)
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) JpegCodec(p)
     else StubCodec(p)
   }
 
@@ -246,6 +291,70 @@ object Multimodal {
   def decodeAudioBatches(payloads: Dataset[Payload]): Dataset[AudioMeta] = {
     implicit val enc = Encoders.product[AudioMeta]
     payloads.mapPartitions(_.flatMap(p => parseWav(p.id, p.content)))
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Decoded video container metadata: duration/timescale from the movie
+    * header — enough for length filtering and frame-sampling plans
+    * without touching a single coded frame.
+    */
+  case class VideoMeta(id: Long, timescale: Long, duration: Long,
+                       durationMs: Long)
+
+  /** REAL parser for MP4/ISO-BMFF payloads: a BOX WALK (4-byte BE size
+    * including the header, 4-byte type) over the top level until `moov`,
+    * then over moov's children until `mvhd` — version-0 movie header:
+    * version(1) + flags(3) + creation(4) + modification(4), then
+    * timescale BE32 (ticks/second) and duration BE32 (ticks).
+    * durationMs = duration·1000 / timescale, integer floor. The walk is
+    * bounded by box sizes, so a 100 GB mdat is skipped in one stride —
+    * the whole point of container metadata at 100 TB. Returns None for
+    * non-MP4 bytes, truncated boxes, or version-1 (64-bit) headers the
+    * caller should route to a full demuxer.
+    */
+  def parseMp4(id: Long, b: Array[Byte]): Option[VideoMeta] = {
+    val len = b.length.toLong
+    def u(i: Long) = if (i < len) (b(i.toInt) & 0xff).toLong else -1L
+    def be32(i: Long) = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def typ(i: Long) = if (i + 8 <= len)
+      new String(b.slice(i.toInt + 4, i.toInt + 8),
+        java.nio.charset.StandardCharsets.US_ASCII)
+    else ""
+    val isMp4 = len >= 12 && typ(0) == "ftyp"
+    if (!isMp4) None
+    else {
+      var i = 0L
+      var meta: Option[VideoMeta] = None
+      while (meta.isEmpty && i + 8 <= len) {
+        val size = be32(i)
+        if (size < 8 || i + size > len) i = len // corrupt: stop
+        else if (typ(i) == "moov") {
+          var j = i + 8
+          val end = i + size
+          while (meta.isEmpty && j + 8 <= end) {
+            val csize = be32(j)
+            if (csize < 8 || j + csize > end) j = end
+            else if (typ(j) == "mvhd" && u(j + 8) == 0L && j + 28 <= end) {
+              val ts = be32(j + 20)
+              val dur = be32(j + 24)
+              meta = Some(VideoMeta(id, ts, dur,
+                if (ts == 0) 0L else dur * 1000L / ts))
+            } else j += csize
+          }
+          i += size
+        } else i += size
+      }
+      meta
+    }
+  }
+
+  /** Video twin of [[decodeAudioBatches]]: per-partition box walk to
+    * typed container metadata; unparseable payloads drop out.
+    */
+  def decodeVideoBatches(payloads: Dataset[Payload]): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    payloads.mapPartitions(_.flatMap(p => parseMp4(p.id, p.content)))
   }
 
   /** Batch decode: per-partition iteration (one codec instance per

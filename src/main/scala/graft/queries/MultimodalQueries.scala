@@ -314,6 +314,155 @@ object MultimodalQueries {
                CAST(bits AS INTEGER) AS bits,
                CAST(data_bytes // (ch * bits // 8) AS BIGINT) AS n_samples,
                CAST((data_bytes // (ch * bits // 8)) * 1000 // sr AS BIGINT) AS duration_ms
-        FROM parsed"""))
+        FROM parsed""")),
+
+    // JPEG frame header via a real SEGMENT WALK: unlike PNG/GIF/BMP/WAV,
+    // JPEG dims sit at a VARIABLE offset — behind however many APPn/COM
+    // segments the encoder emitted. Each document builds a JPEG with a
+    // hash-length COM filler and (half the time) a second APP0 filler
+    // before a SOF0-or-SOF2 frame header, so Multimodal.JpegCodec must
+    // actually chain length fields to find the dims; the oracle walks
+    // the same bytes with a recursive CTE (pos -> pos + 2 + len@pos+2
+    // until a SOF marker). Fixed-offset shortcuts fail this query by
+    // construction.
+    "q179_jpeg_header" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val be16h = (c: org.apache.spark.sql.Column) =>
+          lpad(hex(c.cast("long")), 4, "0")
+        val d = Engine.table(s, dir, "documents")
+          .withColumn("pad1", pmod(gf.hash60(col("text")), lit(64)).cast("int"))
+          .withColumn("pad2", pmod(gf.hash56b(col("text")), lit(32)).cast("int"))
+          .withColumn("nci", (pmod(gf.hash56b(col("text")), lit(3)) + 1).cast("int"))
+          .withColumn("w", lit(16) + pmod(gf.hash60(col("text")), lit(1000)))
+          .withColumn("h", lit(16) + pmod(gf.hash56b(col("text")), lit(1000)))
+        val sof = concat(lit("FF"),
+          element_at(array(lit("C0"), lit("C2")),
+            (pmod(gf.hash60(col("text")), lit(2)) + 1).cast("int")),
+          element_at(array(lit("000B"), lit("0011"), lit("0014")), col("nci")),
+          lit("08"), be16h(col("h")), be16h(col("w")),
+          element_at(array(lit("01"), lit("03"), lit("04")), col("nci")),
+          element_at(array(lit("011100"), lit("011100021100031100"),
+            lit("011100021100031100041100")), col("nci")))
+        val jhex = concat(lit("FFD8"),
+          lit("FFFE"), be16h(col("pad1") + 2), expr("repeat('00', pad1)"),
+          when(pmod(gf.hash56b(col("text")), lit(2)) === 1,
+            concat(lit("FFE0"), be16h(col("pad2") + 2),
+              expr("repeat('00', pad2)"))).otherwise(lit("")),
+          sof)
+        val payloads = d.select(col("doc_id").as("id"),
+          lit("image").as("modality"), unhex(jhex).as("content"))
+          .as[Multimodal.Payload]
+        Multimodal.decodeBatches(payloads, Multimodal.MediaCodec).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE g AS (
+          SELECT doc_id,
+                 CAST(${sqlHash60("text")} % 64 AS INTEGER) AS pad1,
+                 CAST(${sqlHash56("text")} % 32 AS INTEGER) AS pad2,
+                 ${sqlHash56("text")} % 2 = 1 AS has2,
+                 CAST(${sqlHash56("text")} % 3 AS INTEGER) + 1 AS nci,
+                 16 + ${sqlHash60("text")} % 1000 AS w,
+                 16 + ${sqlHash56("text")} % 1000 AS h,
+                 CAST(${sqlHash60("text")} % 2 AS INTEGER) AS mki
+          FROM documents),
+        p AS (
+          SELECT doc_id, concat('FFD8',
+              'FFFE', lpad(hex(pad1 + 2), 4, '0'), repeat('00', pad1),
+              CASE WHEN has2 THEN concat('FFE0', lpad(hex(pad2 + 2), 4, '0'),
+                   repeat('00', pad2)) ELSE '' END,
+              'FF', ['C0', 'C2'][mki + 1],
+              ['000B', '0011', '0014'][nci], '08',
+              lpad(hex(h), 4, '0'), lpad(hex(w), 4, '0'),
+              ['01', '03', '04'][nci],
+              ['011100', '011100021100031100',
+               '011100021100031100041100'][nci]) AS jhex
+          FROM g),
+        b AS (SELECT doc_id, hex(from_hex(jhex)) AS hx FROM p),
+        walk AS (
+          SELECT doc_id, hx, 2 AS pos FROM b
+          UNION ALL
+          SELECT doc_id, hx,
+                 CAST(pos + 2 + CAST(concat('0x', substr(hx, 2*pos + 5, 4)) AS BIGINT) AS INTEGER)
+          FROM walk
+          WHERE CAST(concat('0x', substr(hx, 2*pos + 3, 2)) AS BIGINT) NOT IN (192, 193, 194)
+            AND 2*pos + 3 <= length(hx))
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(hx, 2*pos + 15, 4)) AS BIGINT) AS INTEGER) AS width,
+               CAST(CAST(concat('0x', substr(hx, 2*pos + 11, 4)) AS BIGINT) AS INTEGER) AS height,
+               CAST(CAST(concat('0x', substr(hx, 2*pos + 19, 2)) AS BIGINT) AS INTEGER) AS channels
+        FROM walk
+        WHERE CAST(concat('0x', substr(hx, 2*pos + 3, 2)) AS BIGINT) IN (192, 193, 194)"""),
+      headline = false),
+
+    // MP4/ISO-BMFF movie header via a real BOX WALK: duration and
+    // timescale live in moov>mvhd, behind a variable-size `free` box and
+    // a variable-size `udta` child, so Multimodal.parseMp4 strides
+    // top-level boxes by their OWN size fields (a 100 GB mdat skips in
+    // one stride), then moov's children. The oracle drives the same
+    // walk from bytes: it READS each size field out of the hex to
+    // compute the next offset — never from the generator params.
+    "q180_mp4_header" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val d = Engine.table(s, dir, "documents")
+          .withColumn("pad1", pmod(gf.hash60(col("text")), lit(64)).cast("int"))
+          .withColumn("pad2", pmod(gf.hash56b(col("text")), lit(48)).cast("int"))
+          .withColumn("ts", element_at(
+            array(lit(600L), lit(1000L), lit(25L), lit(48000L), lit(90000L)),
+            (pmod(gf.hash60(col("text")), lit(5)) + 1).cast("int")))
+          .withColumn("dur", pmod(gf.hash56b(col("text")), lit(10000000L)))
+        val mvhd = concat(be32(lit(36)), lit("6D766864"), lit("00000000"),
+          lit("00000000"), lit("00000000"), be32(col("ts")), be32(col("dur")),
+          lit("0000000000000000"))
+        val mhex = concat(
+          lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000200"),
+          be32(col("pad1") + 8), lit("66726565"), expr("repeat('00', pad1)"),
+          be32(col("pad2") + lit(8) + lit(8) + lit(36)), lit("6D6F6F76"),
+          be32(col("pad2") + 8), lit("75647461"), expr("repeat('00', pad2)"),
+          mvhd)
+        val payloads = d.select(col("doc_id").as("id"),
+          lit("video").as("modality"), unhex(mhex).as("content"))
+          .as[Multimodal.Payload]
+        Multimodal.decodeVideoBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("timescale"), col("duration"),
+            col("durationMs").as("duration_ms"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 CAST(${sqlHash60("text")} % 64 AS INTEGER) AS pad1,
+                 CAST(${sqlHash56("text")} % 48 AS INTEGER) AS pad2,
+                 [600, 1000, 25, 48000, 90000][CAST(${sqlHash60("text")} % 5 AS INTEGER) + 1] AS ts,
+                 ${sqlHash56("text")} % 10000000 AS dur
+          FROM documents),
+        p AS (
+          SELECT doc_id, concat(
+              '00000010', '66747970', '69736F6D', '00000200',
+              lpad(hex(pad1 + 8), 8, '0'), '66726565', repeat('00', pad1),
+              lpad(hex(pad2 + 52), 8, '0'), '6D6F6F76',
+              lpad(hex(pad2 + 8), 8, '0'), '75647461', repeat('00', pad2),
+              lpad(hex(36), 8, '0'), '6D766864', '00000000', '00000000',
+              '00000000', lpad(hex(ts), 8, '0'), lpad(hex(dur), 8, '0'),
+              '0000000000000000') AS mhex
+          FROM g),
+        b AS (SELECT doc_id, hex(from_hex(mhex)) AS hx FROM p),
+        w1 AS (
+          SELECT doc_id, hx,
+                 16 + CAST(concat('0x', substr(hx, 33, 8)) AS BIGINT) AS moov_off
+          FROM b),
+        w2 AS (
+          SELECT doc_id, hx, moov_off + 8 +
+                 CAST(concat('0x', substr(hx, 2*(moov_off + 8) + 1, 8)) AS BIGINT) AS mvhd_off
+          FROM w1)
+        SELECT doc_id,
+               CAST(concat('0x', substr(hx, 2*(mvhd_off + 20) + 1, 8)) AS BIGINT) AS timescale,
+               CAST(concat('0x', substr(hx, 2*(mvhd_off + 24) + 1, 8)) AS BIGINT) AS duration,
+               CAST(CAST(concat('0x', substr(hx, 2*(mvhd_off + 24) + 1, 8)) AS BIGINT) * 1000
+                    // CAST(concat('0x', substr(hx, 2*(mvhd_off + 20) + 1, 8)) AS BIGINT) AS BIGINT) AS duration_ms
+        FROM w2"""),
+      headline = false)
   )
 }

@@ -153,4 +153,57 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(d => d.width == 16 + d.id && d.height == 16 + 2 * d.id
       && d.channels == 3))
   }
+
+  test("JPEG codec walks real encoder segments to the SOF header") {
+    import java.awt.image.BufferedImage._
+    def realJpeg(w: Int, h: Int, t: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, t)
+      img.setRGB(0, 0, 0x345678)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // the JDK encoder emits JFIF APP0 + DQT(s) + SOF0 + DHT(s) + SOS —
+    // dims sit behind a variable segment chain, which is the point
+    val rgb = Multimodal.JpegCodec(Payload(1L, "image", realJpeg(123, 45, TYPE_INT_RGB)))
+    assert((rgb.width, rgb.height, rgb.channels) == ((123, 45, 3)))
+    val gray = Multimodal.JpegCodec(Payload(2L, "image", realJpeg(7, 900, TYPE_BYTE_GRAY)))
+    assert((gray.width, gray.height, gray.channels) == ((7, 900, 1)))
+    // dispatch routes FFD8 magic to the JPEG walk
+    val via = Multimodal.MediaCodec(Payload(3L, "image", realJpeg(64, 32, TYPE_INT_RGB)))
+    assert((via.width, via.height, via.channels) == ((64, 32, 3)))
+    // truncated-after-SOI bytes: stub fallback, never a crash
+    val junk = Payload(4L, "image", Array(0xFF, 0xD8, 0xFF, 0xFE, 0x00).map(_.toByte))
+    val d = Multimodal.JpegCodec(junk)
+    val s = StubCodec(junk)
+    assert((d.width, d.height, d.channels) == ((s.width, s.height, s.channels)))
+  }
+
+  test("MP4 box walk strides mdat and filler boxes to moov>mvhd") {
+    def be32(n: Long): Array[Byte] =
+      Array((n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte, n.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val mvhd = box("mvhd", Array.fill[Byte](4)(0) ++ // version 0 + flags
+      Array.fill[Byte](8)(0) ++                       // creation + modification
+      be32(600L) ++ be32(7320L) ++ Array.fill[Byte](8)(0))
+    val moov = box("moov", box("udta", Array.fill[Byte](23)(0)) ++ mvhd)
+    val file = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200L)) ++
+      box("free", Array.fill[Byte](11)(0)) ++
+      box("mdat", Array.fill[Byte](5000)(0)) ++ // strided over, never read
+      moov
+    val m = Multimodal.parseMp4(1L, file)
+    assert(m.isDefined)
+    assert(m.get.timescale == 600L && m.get.duration == 7320L)
+    assert(m.get.durationMs == 7320L * 1000L / 600L) // 12200 ms
+    // non-MP4 bytes and version-1 (64-bit) headers: None
+    assert(Multimodal.parseMp4(2L, "plain text".getBytes("UTF-8")).isEmpty)
+    val v1mvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](28)(0))
+    val v1 = box("ftyp", "isom".getBytes("US-ASCII")) ++ box("moov", v1mvhd)
+    assert(Multimodal.parseMp4(3L, v1).isEmpty)
+    // corrupt size field (size < 8): stop cleanly, no infinite loop
+    val corrupt = box("ftyp", "isom".getBytes("US-ASCII")) ++
+      be32(3L) ++ "moov".getBytes("US-ASCII")
+    assert(Multimodal.parseMp4(4L, corrupt).isEmpty)
+  }
 }

@@ -606,6 +606,49 @@ class OperatorsSpec extends SparkSpec {
     assert(rows("https://a.com/x") && !rows("ftp://nope") && !rows("bad url"))
   }
 
+  test("liveness HttpProbe executes the REAL transport against loopback") {
+    // the reference's probe semantics (HEAD, browser UA, redirects
+    // followed, alive ⇔ terminal 200) exercised LIVE against a JDK
+    // HttpServer on 127.0.0.1 — zero egress, real sockets end to end
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handler(f: HttpExchange => Unit): HttpHandler = { (ex: HttpExchange) =>
+      seen.add((ex.getRequestURI.getPath, ex.getRequestMethod,
+        ex.getRequestHeaders.getFirst("User-Agent")))
+      f(ex); ex.close()
+    }
+    val port = server.getAddress.getPort
+    server.createContext("/ok", handler(_.sendResponseHeaders(200, -1)))
+    server.createContext("/moved", handler { ex =>
+      ex.getResponseHeaders.set("Location", s"http://127.0.0.1:$port/ok")
+      ex.sendResponseHeaders(301, -1)
+    })
+    server.createContext("/gone", handler(_.sendResponseHeaders(404, -1)))
+    server.start()
+    // a port that is certainly closed: bind one, read it, release it
+    val closed = { val s = new java.net.ServerSocket(0)
+      val p = s.getLocalPort; s.close(); p }
+    try {
+      val urls = Seq(s"http://127.0.0.1:$port/ok", s"http://127.0.0.1:$port/moved",
+        s"http://127.0.0.1:$port/gone", s"http://127.0.0.1:$closed/dead")
+        .toDF("url")
+      val live = graft.operators.Liveness
+        .probeUrls(spark, urls, "url", probe = graft.operators.Liveness.HttpProbe,
+          maxPerSecond = 1000)
+        .as[(String, Boolean)].collect().toMap
+      assert(live(s"http://127.0.0.1:$port/ok"), "200 → alive")
+      assert(live(s"http://127.0.0.1:$port/moved"), "301 → 200 via redirect → alive")
+      assert(!live(s"http://127.0.0.1:$port/gone"), "404 → dead")
+      assert(!live(s"http://127.0.0.1:$closed/dead"), "refused connection → dead")
+      // the wire requests really were HEAD with a browser UA
+      assert(seen.size >= 4) // /ok (direct) + /moved + redirect-to-/ok + /gone
+      seen.forEach { case (_, method, ua) =>
+        assert(method == "HEAD" && ua != null && ua.startsWith("Mozilla/"))
+      }
+    } finally server.stop(0)
+  }
+
   test("fused MinHashSigs ≡ the composed array-expression signatures") {
     val d = Engine.table(spark, sf(), "documents")
     // w=3 → fused native path; w=3 via the composed branch is forced by
