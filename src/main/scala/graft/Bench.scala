@@ -64,6 +64,14 @@ object Bench {
         // region): each rep builds from scratch, so leaving blocks
         // behind only contaminates later queries' timings
         Checkpoints.release()
+        // also outside the timed region: force the driver GC so
+        // ContextCleaner sweeps dead broadcasts/shuffles NOW instead of
+        // lazily inside a later rep's measurement — the 47-query warm-up
+        // pass leaves hundreds of dead broadcast refs whose deferred
+        // cleanup otherwise lands on whichever early query is being
+        // timed when the driver heap fills (observed: q07 reps growing
+        // 0.75→3.2 s in a full run while flat at 0.6 s in isolation)
+        if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0") System.gc()
         elapsed
       }
       // per-query progress line, printed as results land — the summary

@@ -64,6 +64,92 @@ object IngestionQueries {
         SELECT u.id_product, u.price, u.offer_price,
                CAST(DATE '2026-08-12' AS VARCHAR), CAST(NULL AS VARCHAR)
         FROM updates u ANTI JOIN current c USING (id_product)"""),
-      headline = true)
+      headline = true),
+
+    // WARC record framing (ISO 28500 — the Common Crawl wire format, the
+    // first parse of every web-scale pretraining corpus): documents are
+    // framed into per-bucket WARC blobs (headers + Content-Length +
+    // CRLF-delimited payloads), and graft.sources.Warc walks each blob
+    // BY ITS LENGTH FIELDS — record K+1 is only reachable through record
+    // K's Content-Length — recovering type/URI/length/payload per
+    // record. The oracle executes the same walk in SQL: a recursive CTE
+    // strides pos -> pos + headerEnd + Content-Length + trailer, reading
+    // every field out of the assembled blob, never from the generator
+    // params. Payloads are md5-repeats (pure ASCII) so byte and
+    // character offsets agree across engines; the real operator walks
+    // raw bytes.
+    "q181_warc_records" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val crlf = lit("\r\n")
+        val d = Engine.table(s, dir, "documents")
+          .withColumn("payload",
+            expr("repeat(md5(text), CAST(1 + n_chars % 7 AS INT))"))
+          .withColumn("uri",
+            concat(lit("http://corpus.example/doc/"), col("doc_id")))
+        val rec = concat(lit("WARC/1.0"), crlf,
+          lit("WARC-Type: response"), crlf,
+          lit("WARC-Target-URI: "), col("uri"), crlf,
+          lit("Content-Length: "), octet_length(col("payload")).cast("string"),
+          crlf, crlf, col("payload"), crlf, crlf)
+        val blobs = d
+          .select((col("doc_id") % 8).as("blob_id"),
+            struct(col("doc_id"), rec.as("rec")).as("r"))
+          .groupBy("blob_id")
+          .agg(concat_ws("", transform(array_sort(collect_list(col("r"))),
+            x => x.getField("rec"))).as("s"))
+          .select(col("blob_id"), encode(col("s"), "UTF-8").as("content"))
+          .as[graft.sources.Warc.WarcBlob]
+        graft.sources.Warc.records(blobs).toDF()
+          .select(col("blob_id"), col("record_type"), col("target_uri"),
+            col("content_length"), col("payload"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE rsrc AS (
+          SELECT doc_id % 8 AS blob_id, doc_id,
+                 'http://corpus.example/doc/' || doc_id AS uri,
+                 repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
+          FROM documents),
+        recs AS (
+          SELECT blob_id, doc_id,
+                 'WARC/1.0' || chr(13) || chr(10) ||
+                 'WARC-Type: response' || chr(13) || chr(10) ||
+                 'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+                 'Content-Length: ' || length(payload) || chr(13) || chr(10) ||
+                 chr(13) || chr(10) || payload ||
+                 chr(13) || chr(10) || chr(13) || chr(10) AS rec
+          FROM rsrc),
+        blobs AS (
+          SELECT blob_id, string_agg(rec, '' ORDER BY doc_id) AS blob
+          FROM recs GROUP BY blob_id),
+        walk AS (
+          SELECT blob_id, blob, CAST(1 AS BIGINT) AS pos FROM blobs
+          UNION ALL
+          SELECT blob_id, blob,
+                 pos + strpos(substr(blob, pos),
+                              chr(13)||chr(10)||chr(13)||chr(10)) + 3
+                     + CAST(regexp_extract(
+                         substr(blob, pos,
+                           strpos(substr(blob, pos),
+                                  chr(13)||chr(10)||chr(13)||chr(10)) + 3),
+                         'Content-Length: ([0-9]+)', 1) AS BIGINT) + 4
+          FROM walk WHERE pos + 8 <= length(blob)),
+        hdrs AS (
+          SELECT blob_id, blob, pos,
+                 strpos(substr(blob, pos),
+                        chr(13)||chr(10)||chr(13)||chr(10)) AS rel
+          FROM walk WHERE pos + 8 <= length(blob)),
+        fields AS (
+          SELECT blob_id, blob, pos + rel + 3 AS pstart,
+                 substr(blob, pos, rel + 3) AS hdr
+          FROM hdrs)
+        SELECT blob_id,
+               regexp_extract(hdr, 'WARC-Type: ([^\x0d\x0a]+)', 1) AS record_type,
+               regexp_extract(hdr, 'WARC-Target-URI: ([^\x0d\x0a]+)', 1) AS target_uri,
+               CAST(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS content_length,
+               substr(blob, pstart,
+                 CAST(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) AS BIGINT)) AS payload
+        FROM fields"""),
+      headline = false)
   )
 }

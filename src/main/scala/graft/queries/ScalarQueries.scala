@@ -391,7 +391,85 @@ object ScalarQueries {
         SELECT source, count(*) AS n_docs,
                count(DISTINCT lang) AS n_langs,
                round(avg(n_chars), 4) AS avg_chars
-        FROM documents GROUP BY source"""))
+        FROM documents GROUP BY source""")),
+
+    // URL canonicalization + dedup — the crawl-frontier step before any
+    // content dedup: the same page arrives as case-varied hosts,
+    // tracking-parameter variants (utm_*/fbclid/gclid), shuffled query
+    // order, and fragment suffixes. Canonical form = lowercase
+    // scheme+host, fragment stripped, tracking params dropped, surviving
+    // params SORTED — then group. All codegen'd array lambdas
+    // (split/filter/array_sort/array_join), zero UDFs; at 100 TB this is
+    // a map-side projection plus one count shuffle on the canonical key.
+    // 500 messy URLs collapse to 100 canonical pages (5 variants each)
+    // by construction, which the oracle reproduces with DuckDB's list
+    // lambdas — both engines canonicalize, neither shortcuts.
+    "q182_url_canonicalize" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val id = col("doc_id")
+        val messy = concat(
+          element_at(array(lit("http"), lit("https")), (id % 2 + 1).cast("int")),
+          lit("://"),
+          element_at(array(lit("WWW.Example.COM"), lit("www.example.com"),
+            lit("Www.EXAMPLE.com"), lit("www.EXAMPLE.COM")), (id % 4 + 1).cast("int")),
+          lit("/page/"), (id % 100).cast("string"),
+          lit("?"),
+          // param order varies; tracking junk varies; id param always present
+          element_at(array(
+            concat(lit("id="), (id % 50).cast("string"), lit("&ref=home&utm_source=mail")),
+            concat(lit("ref=home&utm_campaign=x&id="), (id % 50).cast("string")),
+            concat(lit("fbclid=abc"), id.cast("string"), lit("&id="), (id % 50).cast("string"), lit("&ref=home")),
+            concat(lit("id="), (id % 50).cast("string"), lit("&gclid=g"), id.cast("string"), lit("&ref=home"))),
+            (id % 4 + 1).cast("int")),
+          when(id % 5 === 0, lit("#section-2")).otherwise(lit("")))
+        val noFrag = regexp_replace(messy, "#.*", "")
+        val host = lower(regexp_extract(noFrag, "^[a-z]+://([^/?]+)", 1))
+        val scheme = regexp_extract(noFrag, "^([a-z]+)://", 1)
+        val path = regexp_extract(noFrag, "^[a-z]+://[^/?]+([^?]*)", 1)
+        val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+        val keep = array_sort(filter(split(query, "&"),
+          p => !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
+        val canonical = concat(scheme, lit("://"), host, path,
+          when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
+            .otherwise(lit("")))
+        d.select(canonical.as("canonical_url"), col("doc_id"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 concat(['http', 'https'][CAST(doc_id % 2 AS INT) + 1], '://',
+                   ['WWW.Example.COM', 'www.example.com', 'Www.EXAMPLE.com',
+                    'www.EXAMPLE.COM'][CAST(doc_id % 4 AS INT) + 1],
+                   '/page/', doc_id % 100, '?',
+                   [concat('id=', doc_id % 50, '&ref=home&utm_source=mail'),
+                    concat('ref=home&utm_campaign=x&id=', doc_id % 50),
+                    concat('fbclid=abc', doc_id, '&id=', doc_id % 50, '&ref=home'),
+                    concat('id=', doc_id % 50, '&gclid=g', doc_id, '&ref=home')
+                   ][CAST(doc_id % 4 AS INT) + 1],
+                   CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS messy
+          FROM documents),
+        c AS (
+          SELECT doc_id, regexp_replace(messy, '#.*', '') AS u FROM m),
+        parts AS (
+          SELECT doc_id,
+                 regexp_extract(u, '^([a-z]+)://', 1) AS scheme,
+                 lower(regexp_extract(u, '^[a-z]+://([^/?]+)', 1)) AS host,
+                 regexp_extract(u, '^[a-z]+://[^/?]+([^?]*)', 1) AS pth,
+                 list_sort(list_filter(string_split(
+                   regexp_extract(u, '\?(.*)$', 1), '&'),
+                   p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS keep
+          FROM c)
+        SELECT concat(scheme, '://', host, pth,
+                 CASE WHEN len(keep) > 0
+                      THEN concat('?', array_to_string(keep, '&')) ELSE '' END)
+                 AS canonical_url,
+               count(*) AS n_variants,
+               min(doc_id) AS first_doc
+        FROM parts
+        GROUP BY 1"""))
   )
 
   // q20 helper: keeps the build readable.

@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.Warc
+import graft.sources.Warc.{WarcBlob, WarcRecord}
+
+/** WARC record framing: the length-strided walk plus the dirty-data arms
+  * a real crawl needs (resync after garbage, truncated tails, multibyte
+  * payloads measured in BYTES).
+  */
+class WarcSpec extends SparkSpec {
+
+  private def rec(uri: String, payload: Array[Byte],
+                  extra: String = ""): Array[Byte] = {
+    val hdr = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n$extra" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    hdr.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  test("walk recovers every record through the length stride") {
+    val blob = rec("http://a/1", "hello".getBytes) ++
+      rec("http://a/2", ("x" * 1000).getBytes) ++
+      rec("http://a/3", Array.emptyByteArray)
+    val rs = Warc.parse(7L, blob)
+    assert(rs.map(_.target_uri) == Seq("http://a/1", "http://a/2", "http://a/3"))
+    assert(rs.map(_.content_length) == Seq(5L, 1000L, 0L))
+    assert(rs.head.payload == "hello" && rs.head.record_type == "response")
+    assert(rs(1).offset > 0 && rs(2).offset > rs(1).offset)
+  }
+
+  test("Content-Length counts BYTES: multibyte payloads stride correctly") {
+    val utf8 = "héllo wörld — ünïcode".getBytes("UTF-8")
+    assert(utf8.length > "héllo wörld — ünïcode".length) // really multibyte
+    val blob = rec("http://u/1", utf8) ++ rec("http://u/2", "after".getBytes)
+    val rs = Warc.parse(1L, blob)
+    assert(rs.map(_.target_uri) == Seq("http://u/1", "http://u/2"))
+    assert(rs.head.payload == "héllo wörld — ünïcode")
+  }
+
+  test("resync: garbage between records costs the garbage, not the blob") {
+    val blob = rec("http://a/1", "one".getBytes) ++
+      "CORRUPT JUNK NO FRAMING AT ALL".getBytes ++
+      rec("http://a/2", "two".getBytes)
+    val rs = Warc.parse(1L, blob)
+    assert(rs.map(_.payload) == Seq("one", "two"))
+  }
+
+  test("truncated tail ends the walk without fabricating a record") {
+    val whole = rec("http://a/1", "complete".getBytes)
+    val cut = rec("http://a/2", "chopped-off-payload".getBytes).dropRight(12)
+    val rs = Warc.parse(1L, whole ++ cut)
+    assert(rs.map(_.payload) == Seq("complete"))
+  }
+
+  test("record missing Content-Length is skipped by resync to next magic") {
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://bad\r\n\r\npayload??\r\n\r\n").getBytes("US-ASCII")
+    val rs = Warc.parse(1L, bad ++ rec("http://good", "fine".getBytes))
+    assert(rs.map(_.target_uri) == Seq("http://good"))
+  }
+
+  test("records() explodes blobs on scan tasks with no shuffle") {
+    import spark.implicits._
+    val blobs = (0L to 9L).map { i =>
+      WarcBlob(i, rec(s"http://b/$i/a", s"p$i-a".getBytes) ++
+        rec(s"http://b/$i/b", s"p$i-b".getBytes))
+    }
+    val ds = spark.createDataset(blobs).repartition(4)
+    val out = Warc.records(ds)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("REPARTITION"),
+      s"record explode must not shuffle beyond the input repartition:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 20)
+    assert(rows.groupBy(_.blob_id).forall(_._2.length == 2))
+  }
+}
