@@ -645,6 +645,26 @@ class PlanQualitySpec extends SparkSpec {
       s"q177 must pre-aggregate map-side:\n$p")
   }
 
+  test("q181 WARC: one blob-assembly exchange; the record walk never shuffles") {
+    val p = plan("q181_warc_records")
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p).size
+    // the groupBy(blob_id) that ASSEMBLES the synthetic blobs is the only
+    // shuffle — at crawl scale blobs arrive pre-formed (one per file) and
+    // Warc.records explodes them on the scan tasks with zero exchanges
+    assert(exchanges <= 1, s"q181 expected ≤1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"record walk must not join:\n$p")
+  }
+
+  test("q182 URL canonicalize: map-side lambdas + one count exchange, no UDF") {
+    val p = plan("q182_url_canonicalize")
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p).size
+    assert(exchanges <= 1, s"q182 expected ≤1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"canonicalization must stay in codegen'd array lambdas:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"q182 must pre-aggregate map-side:\n$p")
+  }
+
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {
     val p = plan("q178_doremi_weights")
     // one corpus partial-agg exchange; the tot/wqSum folds run over the
