@@ -150,6 +150,6 @@ object IngestionQueries {
                substr(blob, pstart,
                  CAST(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) AS BIGINT)) AS payload
         FROM fields"""),
-      headline = false)
+      headline = true)
   )
 }

@@ -77,6 +77,7 @@ object Warc {
             if (i < 0) None else Some(line.take(i).trim -> line.drop(i + 1).trim)
           }.toMap
           fields.get("Content-Length").flatMap(_.toLongOption) match {
+            case Some(cl) if cl < 0 => pos = nextMagic(pos + 1) // hostile length: resync
             case Some(cl) if hdrEnd + 4 + cl <= b.length =>
               val payloadStart = hdrEnd + 4
               out += WarcRecord(blobId, pos.toLong,

@@ -459,4 +459,39 @@ class LawsSpec extends SparkSpec {
       }
     }
   }
+
+  test("law: every byte-walk parser is total on arbitrary bytes") {
+    // the walks (JPEG segment chain, MP4 box stride, WARC length stride,
+    // PNG/GIF/BMP/WAV fixed headers) stride by lengths READ FROM the
+    // input — the classic non-termination / OOB risk class. Law: on ANY
+    // byte array they terminate and return (no throw, no hang). Mix
+    // pure-random bytes with adversarial prefixes (valid magics followed
+    // by garbage, zero/huge length fields) that random bytes would
+    // almost never hit.
+    import graft.operators.Multimodal
+    val magics = List[Array[Byte]](
+      Array(0xFF, 0xD8, 0xFF).map(_.toByte),                    // JPEG SOI
+      Array(0xFF, 0xD8, 0xFF, 0xFE, 0x00, 0x00).map(_.toByte),  // COM len=0
+      Array(0xFF, 0xD8, 0xFF, 0xE0, 0xFF, 0xFF).map(_.toByte),  // APP0 len=65535
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), // PNG sig, no IHDR
+      "GIF89a".getBytes("US-ASCII"), "BM".getBytes("US-ASCII"),
+      "RIFFxxxxWAVEfmt ".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 0) ++ "ftyp".getBytes("US-ASCII"),   // size=0 box
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 0, 8) ++ "moov".getBytes("US-ASCII"), // empty moov
+      "WARC/1.0\r\nContent-Length: 999999999\r\n\r\n".getBytes("US-ASCII"),
+      "WARC/1.0\r\nContent-Length: -5\r\n\r\nWARC/1.0".getBytes("US-ASCII"))
+    val bytesGen: Gen[Array[Byte]] = for {
+      prefix <- Gen.oneOf(Gen.const(Array.emptyByteArray), Gen.oneOf(magics))
+      n <- Gen.choose(0, 300)
+      tail <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield prefix ++ tail.toArray
+    sample(bytesGen, 500).zipWithIndex.foreach { case (b, i) =>
+      val p = Multimodal.Payload(i.toLong, "x", b)
+      // each must return, not throw — values are free to be stub/None/empty
+      Multimodal.MediaCodec(p); Multimodal.JpegCodec(p)
+      Multimodal.parseWav(i.toLong, b); Multimodal.parseMp4(i.toLong, b)
+      graft.sources.Warc.parse(i.toLong, b)
+    }
+  }
 }
