@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt politeness evaluation (RFC 9309 base semantics) — the
+  * crawl-frontier gate that decides which URLs a compliant crawler may
+  * fetch at all, upstream of every byte the corpus ingests.
+  *
+  * Implemented semantics (the RFC's core, minus `*`/`$` wildcards —
+  * rule paths are literal prefixes, documented at the call sites):
+  *  - a robots body is a sequence of groups, each opened by a
+  *    `User-agent:` line followed by `Allow:`/`Disallow:` rules;
+  *  - a crawler obeys the group naming it specifically if one exists,
+  *    else the `*` group — groups do NOT merge;
+  *  - among matching rules the LONGEST path prefix wins; on a length
+  *    tie Allow wins; a URL matching no rule is allowed.
+  *
+  * Everything is set-based: line explosion + a per-host running count
+  * assigns rules to groups (window over line number, partitioned by
+  * host — bounded by lines-per-robots, never corpus-sized), and
+  * evaluation is a broadcast join (rules tables are KBs even for
+  * millions of hosts) + one arg-max per URL. Zero UDFs.
+  */
+object Robots {
+
+  /** Parse (host, body) robots bodies into (host, agent, rule_type,
+    * rule_path) rows. Lines that are not User-agent/Allow/Disallow
+    * directives (comments, blanks, unknown fields) are dropped, as the
+    * RFC requires. Rules before any User-agent line are dropped too
+    * (they belong to no group).
+    */
+  def parseRules(bodies: DataFrame, host: String = "host",
+                 body: String = "body"): DataFrame = {
+    val lines = bodies.select(col(host).as("host"),
+        posexplode(split(col(body), "\n")).as(Seq("line_no", "line")))
+      .withColumn("line", trim(regexp_replace(col("line"), "#.*", "")))
+      .withColumn("agent",
+        when(lower(col("line")).rlike("^user-agent:"),
+          trim(regexp_extract(col("line"), "(?i)^user-agent:(.*)$", 1))))
+      .withColumn("rule_type",
+        when(lower(col("line")).rlike("^allow:"), lit("allow"))
+          .when(lower(col("line")).rlike("^disallow:"), lit("disallow")))
+      .withColumn("rule_path",
+        when(col("rule_type").isNotNull,
+          trim(regexp_extract(col("line"), "(?i)^(?:dis)?allow:(.*)$", 1))))
+    // RFC group structure: consecutive User-agent lines open ONE group
+    // whose rules belong to ALL of them. Block id = running count of
+    // UA-lines-that-start-a-block (a UA line whose predecessor is not a
+    // UA line); rules then join back to every agent of their block. The
+    // window is per-host over line numbers — bounded by lines-per-robots.
+    val w = Window.partitionBy("host").orderBy("line_no")
+    val blocked = lines
+      .withColumn("isUA", col("agent").isNotNull)
+      .withColumn("blk", sum((col("isUA") &&
+        !coalesce(lag(col("isUA"), 1).over(w), lit(false))).cast("int")).over(w))
+    val agents = blocked.filter(col("isUA"))
+      .select(col("host"), col("blk"), col("agent"))
+    blocked
+      .filter(col("rule_type").isNotNull && col("blk") > 0 &&
+        col("rule_path") =!= "") // "Disallow:" with empty path = allow all = no rule
+      .select(col("host"), col("blk"), col("rule_type"), col("rule_path"))
+      .join(agents, Seq("host", "blk"))
+      .select(col("host"), col("agent"), col("rule_type"), col("rule_path"))
+  }
+
+  /** Decide each URL against the parsed rules for `crawler`. `urls`
+    * needs (host, path) columns; returns urls + `allowed` +
+    * `matched_rule` (null when no rule matched). Group selection per
+    * RFC: the crawler's own group if the host has one, else `*`.
+    */
+  def evaluate(urls: DataFrame, rules: DataFrame, crawler: String): DataFrame = {
+    // per host: does a crawler-specific group exist?
+    val specific = rules.filter(col("agent") === crawler)
+      .select(col("host")).distinct().withColumn("has_specific", lit(true))
+    val chosen = rules.join(broadcast(specific), Seq("host"), "left")
+      .filter(when(coalesce(col("has_specific"), lit(false)),
+        col("agent") === crawler).otherwise(col("agent") === "*"))
+      .select(col("host"), col("rule_type"), col("rule_path"))
+    // longest matching prefix wins; allow beats disallow on equal length
+    val matched = urls.join(broadcast(chosen), Seq("host"), "left")
+      .withColumn("hit", col("rule_path").isNotNull &&
+        col("path").startsWith(col("rule_path")))
+    val pri = struct(
+      when(col("hit"), length(col("rule_path"))).otherwise(lit(-1)).as("len"),
+      when(col("hit") && col("rule_type") === "allow", lit(1))
+        .otherwise(lit(0)).as("is_allow"),
+      // '' not null for the no-hit arm: struct max must stay total under
+      // both engines' comparison semantics
+      when(col("hit"), col("rule_path")).otherwise(lit("")).as("rp"))
+    matched.groupBy(urls.columns.map(col): _*)
+      .agg(max(pri).as("best"))
+      .withColumn("allowed",
+        col("best.len") < 0 || col("best.is_allow") === 1)
+      .withColumn("matched_rule",
+        when(col("best.len") >= 0, col("best.rp")))
+      .drop("best")
+  }
+}

@@ -469,7 +469,116 @@ object ScalarQueries {
                count(*) AS n_variants,
                min(doc_id) AS first_doc
         FROM parts
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // robots.txt politeness gate (RFC 9309 base semantics) — the
+    // crawl-frontier decision upstream of every ingested byte: 12
+    // synthetic hosts get robots bodies (comments, unknown directives,
+    // multi-agent blocks, agent-specific groups on every third host,
+    // empty Disallow), each document becomes a candidate URL, and
+    // operators.Robots PARSES THE BODY TEXT (line explode → block
+    // windows → group join) then evaluates longest-prefix/allow-wins
+    // per URL via a broadcast join + struct arg-max. The oracle runs
+    // the identical cascade in SQL — both engines parse the same text;
+    // neither shortcuts from the body generator's parameters.
+    "q183_robots_gate" -> QueryDef(
+      build = (s, dir) => {
+        import graft.operators.Robots
+        val docs = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 12).as("host"),
+            element_at(array(lit("/private/ok/x"), lit("/private/x"),
+              lit("/tmp3/a"), lit("/public/p"), lit("/bot0/z"),
+              lit("/bot0/pub/q"), lit("/")),
+              (col("doc_id") % 7 + 1).cast("int")).as("path"))
+        val h = col("host")
+        val body = concat(
+          lit("# corpus robots\nUser-agent: * # catch-all\n"),
+          lit("Disallow: /private\n"),
+          when(h % 2 === 0, lit("Allow: /private/ok\n")).otherwise(lit("")),
+          lit("Disallow: /tmp"), (h % 5).cast("string"), lit("\n"),
+          lit("Crawl-delay: 5\n\n"),
+          when(h % 3 === 0, concat(
+            lit("User-agent: helper\nUser-agent: graftbot\n"),
+            lit("Disallow: /bot"), (h % 4).cast("string"), lit("\n"),
+            lit("Allow: /bot"), (h % 4).cast("string"), lit("/pub\n")))
+            .otherwise(lit("")),
+          lit("Disallow:\n"))
+        val bodies = docs.select(h).distinct().select(h, body.as("body"))
+        val rules = Robots.parseRules(bodies)
+        Robots.evaluate(docs, rules, "graftbot")
+      },
+      oracle = Some("""
+        WITH docs2 AS (
+          SELECT doc_id, doc_id % 12 AS host,
+                 ['/private/ok/x', '/private/x', '/tmp3/a', '/public/p',
+                  '/bot0/z', '/bot0/pub/q', '/'][CAST(doc_id % 7 AS INT) + 1] AS path
+          FROM documents),
+        bodies AS (
+          SELECT host, concat(
+              '# corpus robots', chr(10), 'User-agent: * # catch-all', chr(10),
+              'Disallow: /private', chr(10),
+              CASE WHEN host % 2 = 0 THEN 'Allow: /private/ok' || chr(10) ELSE '' END,
+              'Disallow: /tmp', host % 5, chr(10),
+              'Crawl-delay: 5', chr(10), chr(10),
+              CASE WHEN host % 3 = 0 THEN
+                'User-agent: helper' || chr(10) || 'User-agent: graftbot' || chr(10) ||
+                'Disallow: /bot' || (host % 4) || chr(10) ||
+                'Allow: /bot' || (host % 4) || '/pub' || chr(10)
+              ELSE '' END,
+              'Disallow:', chr(10)) AS body
+          FROM (SELECT DISTINCT host FROM docs2)),
+        lns AS (
+          -- constant-bounded series joined on i <= len(l): DuckDB's
+          -- generate_series cannot take a lateral column bound
+          SELECT b.host, g.i AS line_no,
+                 trim(regexp_replace(b.l[g.i], '#.*', '')) AS line
+          FROM (SELECT host, string_split(body, chr(10)) AS l FROM bodies) b
+          JOIN generate_series(1, 64) AS g(i) ON g.i <= len(b.l)),
+        parsed AS (
+          SELECT host, line_no,
+                 CASE WHEN lower(line) LIKE 'user-agent:%'
+                      THEN trim(substr(line, 12)) END AS agent,
+                 CASE WHEN lower(line) LIKE 'allow:%' THEN 'allow'
+                      WHEN lower(line) LIKE 'disallow:%' THEN 'disallow' END AS rule_type,
+                 CASE WHEN lower(line) LIKE 'allow:%' THEN trim(substr(line, 7))
+                      WHEN lower(line) LIKE 'disallow:%' THEN trim(substr(line, 10)) END AS rule_path
+          FROM lns),
+        starts AS (
+          SELECT *, CASE WHEN agent IS NOT NULL AND NOT coalesce(
+                   lag(agent IS NOT NULL) OVER (PARTITION BY host ORDER BY line_no),
+                   FALSE) THEN 1 ELSE 0 END AS is_start
+          FROM parsed),
+        blocked AS (
+          SELECT *, sum(is_start)
+                 OVER (PARTITION BY host ORDER BY line_no) AS blk
+          FROM starts),
+        agents AS (SELECT host, blk, agent FROM blocked WHERE agent IS NOT NULL),
+        rules AS (
+          SELECT b.host, a.agent, b.rule_type, b.rule_path
+          FROM blocked b JOIN agents a USING (host, blk)
+          WHERE b.rule_type IS NOT NULL AND b.blk > 0 AND b.rule_path <> ''),
+        spec AS (SELECT DISTINCT host FROM rules WHERE agent = 'graftbot'),
+        chosen AS (
+          SELECT r.host, r.rule_type, r.rule_path
+          FROM rules r LEFT JOIN spec s USING (host)
+          WHERE CASE WHEN s.host IS NOT NULL THEN r.agent = 'graftbot'
+                     ELSE r.agent = '*' END),
+        m AS (
+          SELECT d.doc_id, d.host, d.path,
+                 {'len': CASE WHEN c.rule_path IS NOT NULL
+                              AND starts_with(d.path, c.rule_path)
+                         THEN length(c.rule_path) ELSE -1 END,
+                  'is_allow': CASE WHEN c.rule_path IS NOT NULL
+                              AND starts_with(d.path, c.rule_path)
+                              AND c.rule_type = 'allow' THEN 1 ELSE 0 END,
+                  'rp': CASE WHEN c.rule_path IS NOT NULL
+                             AND starts_with(d.path, c.rule_path)
+                        THEN c.rule_path ELSE '' END} AS pri
+          FROM docs2 d LEFT JOIN chosen c USING (host))
+        SELECT doc_id, host, path,
+               max(pri).len < 0 OR max(pri).is_allow = 1 AS allowed,
+               CASE WHEN max(pri).len >= 0 THEN max(pri).rp END AS matched_rule
+        FROM m GROUP BY doc_id, host, path"""))
   )
 
   // q20 helper: keeps the build readable.

@@ -104,4 +104,22 @@ object Warc {
     implicit val enc = Encoders.product[WarcRecord]
     blobs.mapPartitions(_.flatMap(w => parse(w.blob_id, w.content)))
   }
+
+  /** Streaming twin over a `binaryFile` file-stream source (the shape a
+    * live crawl delivery takes: WARC files landing in a directory, each
+    * micro-batch = the newly arrived files). `files` must carry the
+    * binaryFile schema (`path`, `content`); blob_id is the path hash so
+    * records stay attributable to their file across restarts. Downstream
+    * gates (dedup, quality, near-dup) compose exactly as in batch — the
+    * record walk itself is stateless per file, so the stream needs no
+    * watermark and replays idempotently from the checkpoint.
+    */
+  def recordStream(files: org.apache.spark.sql.DataFrame): Dataset[WarcRecord] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    implicit val tup = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    implicit val enc = Encoders.product[WarcRecord]
+    files.select(xxhash64(col("path")).as("blob_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parse(id, bytes) })
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Robots
+import org.apache.spark.sql.functions._
+
+/** RFC 9309 base semantics for the robots.txt gate: group selection,
+  * longest-prefix-match, allow-wins-ties, multi-agent blocks, and the
+  * ignore rules (comments, unknown directives, empty Disallow).
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval(body: String, paths: Seq[String],
+                   crawler: String = "graftbot"): Map[String, (Boolean, Option[String])] = {
+    val rules = Robots.parseRules(Seq(("h1", body)).toDF("host", "body"))
+    val urls = paths.map(p => ("h1", p)).toDF("host", "path")
+    Robots.evaluate(urls, rules, crawler).collect()
+      .map(r => r.getAs[String]("path") ->
+        ((r.getAs[Boolean]("allowed"), Option(r.getAs[String]("matched_rule")))))
+      .toMap
+  }
+
+  test("longest matching prefix wins; unmatched URLs are allowed") {
+    val body = "User-agent: *\nDisallow: /p\nAllow: /p/ok\n"
+    val got = eval(body, Seq("/p/no", "/p/ok/1", "/public-not-under-p-rules", "/q"))
+    assert(got("/p/no") == ((false, Some("/p"))))
+    assert(got("/p/ok/1") == ((true, Some("/p/ok"))))
+    // literal prefix match: /public... DOES start with /p → the rule hits
+    assert(got("/public-not-under-p-rules") == ((false, Some("/p"))))
+    assert(got("/q") == ((true, None)))
+  }
+
+  test("equal-length allow and disallow: allow wins") {
+    val got = eval("User-agent: *\nDisallow: /a\nAllow: /b\n" +
+      "Allow: /same\nDisallow: /same\n", Seq("/same/x"))
+    assert(got("/same/x") == ((true, Some("/same"))))
+  }
+
+  test("crawler-specific group replaces * — groups never merge") {
+    val body = "User-agent: *\nDisallow: /all\n\n" +
+      "User-agent: graftbot\nDisallow: /bot\n"
+    val got = eval(body, Seq("/all/x", "/bot/x"))
+    assert(got("/all/x") == ((true, None)), "the * group must not leak in")
+    assert(got("/bot/x") == ((false, Some("/bot"))))
+    // and a crawler with no specific group falls back to *
+    val other = eval(body, Seq("/all/x", "/bot/x"), crawler = "elsebot")
+    assert(other("/all/x") == ((false, Some("/all"))))
+    assert(other("/bot/x") == ((true, None)))
+  }
+
+  test("consecutive User-agent lines share one rule block") {
+    val body = "User-agent: alpha\nUser-agent: graftbot\nDisallow: /x\n"
+    assert(eval(body, Seq("/x/1"))("/x/1") == ((false, Some("/x"))))
+  }
+
+  test("comments, unknown directives, empty Disallow, and preamble rules are ignored") {
+    val body = "Disallow: /orphan-before-any-group\n" +
+      "User-agent: * # the catch-all\nCrawl-delay: 5\n" +
+      "Disallow:\n# full-line comment\nDisallow: /real\n"
+    val got = eval(body, Seq("/orphan-before-any-group/x", "/real/x", "/y"))
+    assert(got("/orphan-before-any-group/x")._1, "preamble rule must not bind")
+    assert(got("/real/x") == ((false, Some("/real"))))
+    assert(got("/y") == ((true, None)))
+  }
+
+  test("evaluation plan: rules broadcast — the URL side never shuffles for the join") {
+    val rules = Robots.parseRules(Seq(("h1", "User-agent: *\nDisallow: /p\n"))
+      .toDF("host", "body"))
+    val urls = (1 to 100).map(i => ("h1", s"/p/$i")).toDF("host", "path")
+    val plan = Robots.evaluate(urls, rules, "graftbot")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"rules must broadcast:\n$plan")
+  }
+}

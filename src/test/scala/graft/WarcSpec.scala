@@ -59,6 +59,39 @@ class WarcSpec extends SparkSpec {
     assert(rs.map(_.target_uri) == Seq("http://good"))
   }
 
+  test("recordStream: WARC files landing in a directory stream out as records") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_in").toFile
+    val cp = java.nio.file.Files.createTempDirectory("warc_cp").toFile
+    (0 to 2).foreach { i =>
+      val blob = rec(s"http://w/$i/a", s"p$i-a".getBytes) ++
+        rec(s"http://w/$i/b", s"p$i-b".getBytes)
+      java.nio.file.Files.write(new java.io.File(dir, s"f$i.warc").toPath, blob)
+    }
+    val files = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("maxFilesPerTrigger", 1) // force one file per micro-batch
+      .load(dir.getAbsolutePath)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = Warc.recordStream(files).writeStream
+      .option("checkpointLocation", cp.getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[WarcRecord], _: Long) =>
+        seen.synchronized {
+          seen ++= batch.collect().map(r => (r.blob_id, r.target_uri, r.payload))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.size == 6)
+    assert(seen.map(_._2).toSet ==
+      (0 to 2).flatMap(i => Seq(s"http://w/$i/a", s"http://w/$i/b")).toSet)
+    // per-file blob ids: 3 distinct, 2 records each
+    assert(seen.groupBy(_._1).size == 3)
+    assert(seen.groupBy(_._1).forall(_._2.size == 2))
+  }
+
   test("records() explodes blobs on scan tasks with no shuffle") {
     import spark.implicits._
     val blobs = (0L to 9L).map { i =>
