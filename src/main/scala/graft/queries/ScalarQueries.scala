@@ -578,7 +578,145 @@ object ScalarQueries {
         SELECT doc_id, host, path,
                max(pri).len < 0 OR max(pri).is_allow = 1 AS allowed,
                CASE WHEN max(pri).len >= 0 THEN max(pri).rp END AS matched_rule
-        FROM m GROUP BY doc_id, host, path"""))
+        FROM m GROUP BY doc_id, host, path""")),
+
+    // Crawl-frontier composition (the family flagship, q161-style): messy
+    // URLs (case-varied hosts, tracking params, shuffled order,
+    // fragments) → canonicalize (q182's cascade) → robots politeness
+    // gate (q183's parse+evaluate, 12 hosts) → frontier dedup by
+    // canonical URL. Output = the fetch list a compliant crawler would
+    // actually issue, with variant counts. At 100 TB: canonicalization
+    // is map-side, robots rules broadcast, and the only corpus-sized
+    // shuffle is the final canonical-key count.
+    "q184_crawl_frontier" -> QueryDef(
+      build = (s, dir) => {
+        import graft.operators.Robots
+        val id = col("doc_id")
+        val hn = (id % 12).as("host")
+        val hostStr = concat(lit("h"), (id % 12).cast("string"), lit(".example.com"))
+        val hostMessy = when(id % 2 === 0,
+          concat(lit("H"), (id % 12).cast("string"), lit(".Example.COM")))
+          .otherwise(hostStr)
+        val path = element_at(array(lit("/private/ok/x"), lit("/private/x"),
+          lit("/tmp3/a"), lit("/public/p"), lit("/bot0/z"),
+          lit("/bot0/pub/q"), lit("/")), (id % 7 + 1).cast("int"))
+        val qparams = element_at(array(
+          concat(lit("id="), (id % 50).cast("string"), lit("&utm_source=m")),
+          concat(lit("utm_campaign=x&id="), (id % 50).cast("string")),
+          concat(lit("id="), (id % 50).cast("string"), lit("&fbclid=f"), id.cast("string")),
+          concat(lit("gclid=g"), id.cast("string"), lit("&id="), (id % 50).cast("string"))),
+          (id % 4 + 1).cast("int"))
+        val frag = when(id % 5 === 0, lit("#top")).otherwise(lit(""))
+        val keep = array_sort(filter(split(qparams, "&"),
+          p => !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
+        val canonical = concat(lit("https://"), lower(hostMessy), path,
+          lit("?"), array_join(keep, "&"))
+        val docs = Engine.table(s, dir, "documents")
+          .select(id, hn, path.as("path"), canonical.as("canonical_url"))
+        val h = col("host")
+        val body = concat(
+          lit("# corpus robots\nUser-agent: * # catch-all\n"),
+          lit("Disallow: /private\n"),
+          when(h % 2 === 0, lit("Allow: /private/ok\n")).otherwise(lit("")),
+          lit("Disallow: /tmp"), (h % 5).cast("string"), lit("\n"),
+          lit("Crawl-delay: 5\n\n"),
+          when(h % 3 === 0, concat(
+            lit("User-agent: helper\nUser-agent: graftbot\n"),
+            lit("Disallow: /bot"), (h % 4).cast("string"), lit("\n"),
+            lit("Allow: /bot"), (h % 4).cast("string"), lit("/pub\n")))
+            .otherwise(lit("")),
+          lit("Disallow:\n"))
+        val bodies = docs.select(h).distinct().select(h, body.as("body"))
+        Robots.evaluate(docs, Robots.parseRules(bodies), "graftbot")
+          .filter(col("allowed"))
+          .groupBy(col("canonical_url"))
+          .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+      },
+      oracle = Some("""
+        WITH docs2 AS (
+          SELECT doc_id, doc_id % 12 AS host,
+                 ['/private/ok/x', '/private/x', '/tmp3/a', '/public/p',
+                  '/bot0/z', '/bot0/pub/q', '/'][CAST(doc_id % 7 AS INT) + 1] AS path,
+                 concat('https://',
+                   lower(CASE WHEN doc_id % 2 = 0
+                     THEN concat('H', doc_id % 12, '.Example.COM')
+                     ELSE concat('h', doc_id % 12, '.example.com') END),
+                   ['/private/ok/x', '/private/x', '/tmp3/a', '/public/p',
+                    '/bot0/z', '/bot0/pub/q', '/'][CAST(doc_id % 7 AS INT) + 1],
+                   '?',
+                   array_to_string(list_sort(list_filter(string_split(
+                     [concat('id=', doc_id % 50, '&utm_source=m'),
+                      concat('utm_campaign=x&id=', doc_id % 50),
+                      concat('id=', doc_id % 50, '&fbclid=f', doc_id),
+                      concat('gclid=g', doc_id, '&id=', doc_id % 50)
+                     ][CAST(doc_id % 4 AS INT) + 1], '&'),
+                     p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))),
+                     '&')) AS canonical_url
+          FROM documents),
+        bodies AS (
+          SELECT host, concat(
+              '# corpus robots', chr(10), 'User-agent: * # catch-all', chr(10),
+              'Disallow: /private', chr(10),
+              CASE WHEN host % 2 = 0 THEN 'Allow: /private/ok' || chr(10) ELSE '' END,
+              'Disallow: /tmp', host % 5, chr(10),
+              'Crawl-delay: 5', chr(10), chr(10),
+              CASE WHEN host % 3 = 0 THEN
+                'User-agent: helper' || chr(10) || 'User-agent: graftbot' || chr(10) ||
+                'Disallow: /bot' || (host % 4) || chr(10) ||
+                'Allow: /bot' || (host % 4) || '/pub' || chr(10)
+              ELSE '' END,
+              'Disallow:', chr(10)) AS body
+          FROM (SELECT DISTINCT host FROM docs2)),
+        lns AS (
+          SELECT b.host, g.i AS line_no,
+                 trim(regexp_replace(b.l[g.i], '#.*', '')) AS line
+          FROM (SELECT host, string_split(body, chr(10)) AS l FROM bodies) b
+          JOIN generate_series(1, 64) AS g(i) ON g.i <= len(b.l)),
+        parsed AS (
+          SELECT host, line_no,
+                 CASE WHEN lower(line) LIKE 'user-agent:%'
+                      THEN trim(substr(line, 12)) END AS agent,
+                 CASE WHEN lower(line) LIKE 'allow:%' THEN 'allow'
+                      WHEN lower(line) LIKE 'disallow:%' THEN 'disallow' END AS rule_type,
+                 CASE WHEN lower(line) LIKE 'allow:%' THEN trim(substr(line, 7))
+                      WHEN lower(line) LIKE 'disallow:%' THEN trim(substr(line, 10)) END AS rule_path
+          FROM lns),
+        starts AS (
+          SELECT *, CASE WHEN agent IS NOT NULL AND NOT coalesce(
+                   lag(agent IS NOT NULL) OVER (PARTITION BY host ORDER BY line_no),
+                   FALSE) THEN 1 ELSE 0 END AS is_start
+          FROM parsed),
+        blocked AS (
+          SELECT *, sum(is_start)
+                 OVER (PARTITION BY host ORDER BY line_no) AS blk
+          FROM starts),
+        agents AS (SELECT host, blk, agent FROM blocked WHERE agent IS NOT NULL),
+        rules AS (
+          SELECT b.host, a.agent, b.rule_type, b.rule_path
+          FROM blocked b JOIN agents a USING (host, blk)
+          WHERE b.rule_type IS NOT NULL AND b.blk > 0 AND b.rule_path <> ''),
+        spec AS (SELECT DISTINCT host FROM rules WHERE agent = 'graftbot'),
+        chosen AS (
+          SELECT r.host, r.rule_type, r.rule_path
+          FROM rules r LEFT JOIN spec s USING (host)
+          WHERE CASE WHEN s.host IS NOT NULL THEN r.agent = 'graftbot'
+                     ELSE r.agent = '*' END),
+        m AS (
+          SELECT d.doc_id, d.canonical_url,
+                 {'len': CASE WHEN c.rule_path IS NOT NULL
+                              AND starts_with(d.path, c.rule_path)
+                         THEN length(c.rule_path) ELSE -1 END,
+                  'is_allow': CASE WHEN c.rule_path IS NOT NULL
+                              AND starts_with(d.path, c.rule_path)
+                              AND c.rule_type = 'allow' THEN 1 ELSE 0 END} AS pri
+          FROM docs2 d LEFT JOIN chosen c USING (host)),
+        verdicts AS (
+          SELECT doc_id, canonical_url,
+                 max(pri).len < 0 OR max(pri).is_allow = 1 AS allowed
+          FROM m GROUP BY doc_id, canonical_url)
+        SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc
+        FROM verdicts WHERE allowed GROUP BY canonical_url"""),
+      headline = true)
   )
 
   // q20 helper: keeps the build readable.

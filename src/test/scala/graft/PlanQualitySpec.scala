@@ -665,6 +665,16 @@ class PlanQualitySpec extends SparkSpec {
       s"q182 must pre-aggregate map-side:\n$p")
   }
 
+  test("q184 crawl frontier: robots rules broadcast to the URL side") {
+    val p = plan("q184_crawl_frontier")
+    // canonicalization is map-side; the robots rules (KBs) must reach the
+    // corpus-sized URL side as a broadcast, never a shuffled join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"q184 rules must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q184 must not sort-merge the URL side:\n$p")
+  }
+
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {
     val p = plan("q178_doremi_weights")
     // one corpus partial-agg exchange; the tot/wqSum folds run over the
