@@ -33,6 +33,43 @@ object Robots {
     */
   def parseRules(bodies: DataFrame, host: String = "host",
                  body: String = "body"): DataFrame = {
+    val blocked = blockedLines(bodies, host, body)
+    blocked
+      .filter(col("rule_type").isNotNull && col("blk") > 0 &&
+        col("rule_path") =!= "") // "Disallow:" with empty path = allow all = no rule
+      .select(col("host"), col("blk"), col("rule_type"), col("rule_path"))
+      .join(agentsOf(blocked), Seq("host", "blk"))
+      .select(col("host"), col("agent"), col("rule_type"), col("rule_path"))
+  }
+
+  /** Per-(host, agent) politeness delay from `Crawl-delay:` lines — the
+    * de-facto extension most large sites still publish. Group-scoped
+    * like rules; non-numeric values are dropped. One row per
+    * (host, agent) (minimum wins if a group repeats the directive).
+    */
+  def crawlDelays(bodies: DataFrame, host: String = "host",
+                  body: String = "body"): DataFrame = {
+    val blocked = blockedLines(bodies, host, body)
+    blocked
+      .filter(col("blk") > 0 && lower(col("line")).rlike("^crawl-delay:"))
+      .select(col("host"), col("blk"),
+        trim(regexp_extract(col("line"), "(?i)^crawl-delay:(.*)$", 1))
+          .cast("double").as("delay_s"))
+      .filter(col("delay_s").isNotNull && col("delay_s") >= 0)
+      .join(agentsOf(blocked), Seq("host", "blk"))
+      .groupBy(col("host"), col("agent"))
+      .agg(min(col("delay_s")).as("delay_s"))
+  }
+
+  /** Explode bodies into directive lines with RFC group structure:
+    * consecutive User-agent lines open ONE block whose rules belong to
+    * ALL of them. Block id = running count of UA-lines-that-start-a-block
+    * (a UA line whose predecessor is not a UA line). The window is
+    * per-host over line numbers — bounded by lines-per-robots, never
+    * corpus-sized.
+    */
+  private def blockedLines(bodies: DataFrame, host: String,
+                           body: String): DataFrame = {
     val lines = bodies.select(col(host).as("host"),
         posexplode(split(col(body), "\n")).as(Seq("line_no", "line")))
       .withColumn("line", trim(regexp_replace(col("line"), "#.*", "")))
@@ -45,25 +82,16 @@ object Robots {
       .withColumn("rule_path",
         when(col("rule_type").isNotNull,
           trim(regexp_extract(col("line"), "(?i)^(?:dis)?allow:(.*)$", 1))))
-    // RFC group structure: consecutive User-agent lines open ONE group
-    // whose rules belong to ALL of them. Block id = running count of
-    // UA-lines-that-start-a-block (a UA line whose predecessor is not a
-    // UA line); rules then join back to every agent of their block. The
-    // window is per-host over line numbers — bounded by lines-per-robots.
     val w = Window.partitionBy("host").orderBy("line_no")
-    val blocked = lines
+    lines
       .withColumn("isUA", col("agent").isNotNull)
       .withColumn("blk", sum((col("isUA") &&
         !coalesce(lag(col("isUA"), 1).over(w), lit(false))).cast("int")).over(w))
-    val agents = blocked.filter(col("isUA"))
-      .select(col("host"), col("blk"), col("agent"))
-    blocked
-      .filter(col("rule_type").isNotNull && col("blk") > 0 &&
-        col("rule_path") =!= "") // "Disallow:" with empty path = allow all = no rule
-      .select(col("host"), col("blk"), col("rule_type"), col("rule_path"))
-      .join(agents, Seq("host", "blk"))
-      .select(col("host"), col("agent"), col("rule_type"), col("rule_path"))
   }
+
+  private def agentsOf(blocked: DataFrame): DataFrame =
+    blocked.filter(col("isUA"))
+      .select(col("host"), col("blk"), col("agent"))
 
   /** Decide each URL against the parsed rules for `crawler`. `urls`
     * needs (host, path) columns; returns urls + `allowed` +

@@ -716,7 +716,141 @@ object ScalarQueries {
           FROM m GROUP BY doc_id, canonical_url)
         SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc
         FROM verdicts WHERE allowed GROUP BY canonical_url"""),
-      headline = true)
+      headline = true),
+
+    // Politeness-aware fetch scheduling: Crawl-delay directives (parsed
+    // group-scoped like rules, crawler-specific group wins) turn the
+    // allowed frontier into per-host fetch slots — slot k fetches at
+    // (k-1)·delay seconds. The per-host window is the crawler's REAL
+    // structure at scale: politeness serializes each host's fetches, so
+    // host-partitioned ranks are exactly as parallel as the problem
+    // allows; hosts are the distribution key.
+    "q185_fetch_schedule" -> QueryDef(
+      build = (s, dir) => {
+        import graft.operators.Robots
+        import org.apache.spark.sql.expressions.Window
+        val id = col("doc_id")
+        val docs = Engine.table(s, dir, "documents")
+          .select((id % 12).as("host"),
+            element_at(array(lit("/private/ok/x"), lit("/private/x"),
+              lit("/tmp3/a"), lit("/public/p"), lit("/bot0/z"),
+              lit("/bot0/pub/q"), lit("/")), (id % 7 + 1).cast("int")).as("path"))
+          .distinct()
+        val h = col("host")
+        val body = concat(
+          lit("User-agent: *\n"),
+          lit("Disallow: /private\n"),
+          when(h % 2 === 0, lit("Allow: /private/ok\n")).otherwise(lit("")),
+          lit("Disallow: /tmp"), (h % 5).cast("string"), lit("\n"),
+          lit("Crawl-delay: "), (h % 4 + 1).cast("string"), lit("\n\n"),
+          when(h % 3 === 0, concat(
+            lit("User-agent: graftbot\n"),
+            lit("Disallow: /bot"), (h % 4).cast("string"), lit("\n"),
+            lit("Crawl-delay: 2\n"))).otherwise(lit("")))
+        val bodies = docs.select(h).distinct().select(h, body.as("body"))
+        val delays = Robots.crawlDelays(bodies)
+        val dspec = delays.filter(col("agent") === "graftbot")
+          .select(col("host")).distinct().withColumn("has_specific", lit(true))
+        val dchosen = delays.join(broadcast(dspec), Seq("host"), "left")
+          .filter(when(coalesce(col("has_specific"), lit(false)),
+            col("agent") === "graftbot").otherwise(col("agent") === "*"))
+          .select(col("host"), col("delay_s"))
+        val allowed = Robots.evaluate(docs, Robots.parseRules(bodies), "graftbot")
+          .filter(col("allowed")).select(col("host"), col("path"))
+        val slot = row_number()
+          .over(Window.partitionBy(col("host")).orderBy(col("path")))
+        allowed.join(broadcast(dchosen), Seq("host"), "left")
+          .withColumn("slot", slot)
+          .select(col("host"), col("path"), col("slot"),
+            ((col("slot") - 1) * coalesce(col("delay_s"), lit(1.0)))
+              .cast("double").as("fetch_at_s"))
+      },
+      oracle = Some("""
+        WITH hosts AS (
+          SELECT DISTINCT doc_id % 12 AS host FROM documents),
+        docs2 AS (
+          SELECT DISTINCT doc_id % 12 AS host,
+                 ['/private/ok/x', '/private/x', '/tmp3/a', '/public/p',
+                  '/bot0/z', '/bot0/pub/q', '/'][CAST(doc_id % 7 AS INT) + 1] AS path
+          FROM documents),
+        bodies AS (
+          SELECT host, concat(
+              'User-agent: *', chr(10),
+              'Disallow: /private', chr(10),
+              CASE WHEN host % 2 = 0 THEN 'Allow: /private/ok' || chr(10) ELSE '' END,
+              'Disallow: /tmp', host % 5, chr(10),
+              'Crawl-delay: ', host % 4 + 1, chr(10), chr(10),
+              CASE WHEN host % 3 = 0 THEN
+                'User-agent: graftbot' || chr(10) ||
+                'Disallow: /bot' || (host % 4) || chr(10) ||
+                'Crawl-delay: 2' || chr(10)
+              ELSE '' END) AS body
+          FROM hosts),
+        lns AS (
+          SELECT b.host, g.i AS line_no,
+                 trim(regexp_replace(b.l[g.i], '#.*', '')) AS line
+          FROM (SELECT host, string_split(body, chr(10)) AS l FROM bodies) b
+          JOIN generate_series(1, 64) AS g(i) ON g.i <= len(b.l)),
+        parsed AS (
+          SELECT host, line_no, line,
+                 CASE WHEN lower(line) LIKE 'user-agent:%'
+                      THEN trim(substr(line, 12)) END AS agent,
+                 CASE WHEN lower(line) LIKE 'allow:%' THEN 'allow'
+                      WHEN lower(line) LIKE 'disallow:%' THEN 'disallow' END AS rule_type,
+                 CASE WHEN lower(line) LIKE 'allow:%' THEN trim(substr(line, 7))
+                      WHEN lower(line) LIKE 'disallow:%' THEN trim(substr(line, 10)) END AS rule_path
+          FROM lns),
+        starts AS (
+          SELECT *, CASE WHEN agent IS NOT NULL AND NOT coalesce(
+                   lag(agent IS NOT NULL) OVER (PARTITION BY host ORDER BY line_no),
+                   FALSE) THEN 1 ELSE 0 END AS is_start
+          FROM parsed),
+        blocked AS (
+          SELECT *, sum(is_start)
+                 OVER (PARTITION BY host ORDER BY line_no) AS blk
+          FROM starts),
+        agents AS (SELECT host, blk, agent FROM blocked WHERE agent IS NOT NULL),
+        rules AS (
+          SELECT b.host, a.agent, b.rule_type, b.rule_path
+          FROM blocked b JOIN agents a USING (host, blk)
+          WHERE b.rule_type IS NOT NULL AND b.blk > 0 AND b.rule_path <> ''),
+        delays AS (
+          SELECT b.host, a.agent,
+                 min(CAST(trim(substr(b.line, 13)) AS DOUBLE)) AS delay_s
+          FROM blocked b JOIN agents a USING (host, blk)
+          WHERE b.blk > 0 AND lower(b.line) LIKE 'crawl-delay:%'
+          GROUP BY b.host, a.agent),
+        spec AS (SELECT DISTINCT host FROM rules WHERE agent = 'graftbot'),
+        chosen AS (
+          SELECT r.host, r.rule_type, r.rule_path
+          FROM rules r LEFT JOIN spec s USING (host)
+          WHERE CASE WHEN s.host IS NOT NULL THEN r.agent = 'graftbot'
+                     ELSE r.agent = '*' END),
+        dspec AS (SELECT DISTINCT host FROM delays WHERE agent = 'graftbot'),
+        dchosen AS (
+          SELECT d.host, d.delay_s
+          FROM delays d LEFT JOIN dspec s USING (host)
+          WHERE CASE WHEN s.host IS NOT NULL THEN d.agent = 'graftbot'
+                     ELSE d.agent = '*' END),
+        m AS (
+          SELECT d.host, d.path,
+                 {'len': CASE WHEN c.rule_path IS NOT NULL
+                              AND starts_with(d.path, c.rule_path)
+                         THEN length(c.rule_path) ELSE -1 END,
+                  'is_allow': CASE WHEN c.rule_path IS NOT NULL
+                              AND starts_with(d.path, c.rule_path)
+                              AND c.rule_type = 'allow' THEN 1 ELSE 0 END} AS pri
+          FROM docs2 d LEFT JOIN chosen c USING (host)),
+        frontier AS (
+          SELECT host, path FROM m GROUP BY host, path
+          HAVING max(pri).len < 0 OR max(pri).is_allow = 1),
+        sched AS (
+          SELECT host, path,
+                 row_number() OVER (PARTITION BY host ORDER BY path) AS slot
+          FROM frontier)
+        SELECT s.host, s.path, CAST(s.slot AS INT) AS slot,
+               CAST((s.slot - 1) * coalesce(dc.delay_s, 1.0) AS DOUBLE) AS fetch_at_s
+        FROM sched s LEFT JOIN dchosen dc USING (host)"""))
   )
 
   // q20 helper: keeps the build readable.

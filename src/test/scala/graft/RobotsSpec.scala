@@ -63,6 +63,17 @@ class RobotsSpec extends SparkSpec {
     assert(got("/y") == ((true, None)))
   }
 
+  test("crawl delays: group-scoped, min-wins, non-numeric dropped") {
+    val body = "User-agent: *\nCrawl-delay: 4\nCrawl-delay: 2\n" +
+      "Disallow: /x\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 0.5\n\n" +
+      "User-agent: badbot\nCrawl-delay: soon\n"
+    val d = Robots.crawlDelays(Seq(("h1", body)).toDF("host", "body"))
+      .collect().map(r => r.getAs[String]("agent") -> r.getAs[Double]("delay_s"))
+      .toMap
+    assert(d == Map("*" -> 2.0, "graftbot" -> 0.5)) // min wins; 'soon' dropped
+  }
+
   test("evaluation plan: rules broadcast — the URL side never shuffles for the join") {
     val rules = Robots.parseRules(Seq(("h1", "User-agent: *\nDisallow: /p\n"))
       .toDF("host", "body"))
