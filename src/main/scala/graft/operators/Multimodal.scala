@@ -226,6 +226,56 @@ object Multimodal {
     out.getOrElse(StubCodec(p))
   }
 
+  /** REAL codec for TIFF payloads — a POINTER-CHASE, not a stride: the
+    * header names the byte order ("II" little / "MM" big) and the offset
+    * of the first Image File Directory; the IFD is a count plus 12-byte
+    * tagged entries (tag u16, type u16, count u32, value u32 — SHORT
+    * values sit left-justified in the value field). Dimensions are tags
+    * 256/257; channels tag 277 (SamplesPerPixel, TIFF default 1). Both
+    * byte orders are honored from the same code path. Offsets are read
+    * from the file, so all reads are bounds-checked; any miss falls back
+    * to the stub rather than guessing.
+    */
+  val TiffCodec: Codec = { p =>
+    val b = p.content
+    def u(i: Long): Int = if (i >= 0 && i < b.length) b(i.toInt) & 0xff else -1
+    val le = b.length >= 8 && u(0) == 'I' && u(1) == 'I'
+    val be = b.length >= 8 && u(0) == 'M' && u(1) == 'M'
+    def u16(i: Long): Int =
+      if (le) u(i) | (u(i + 1) << 8) else (u(i) << 8) | u(i + 1)
+    def u32(i: Long): Long =
+      if (le) u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+      else (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    if (!(le || be) || u16(2) != 42) StubCodec(p)
+    else {
+      val ifd = u32(4)
+      var width = -1L; var height = -1L; var samples = 1L // TIFF default
+      if (ifd >= 0 && ifd + 2 <= b.length) {
+        val n = u16(ifd)
+        var i = 0
+        while (i < n && ifd + 2 + 12L * i + 12 <= b.length) {
+          val e = ifd + 2 + 12L * i
+          val tag = u16(e)
+          val typ = u16(e + 2)
+          // SHORT (3) and LONG (4) inline values cover the dimension tags
+          val v = if (typ == 3) u16(e + 8).toLong
+                  else if (typ == 4) u32(e + 8)
+                  else -1L
+          if (v >= 0) tag match {
+            case 256 => width = v
+            case 257 => height = v
+            case 277 => samples = v
+            case _ => ()
+          }
+          i += 1
+        }
+      }
+      if (width < 0 || height < 0) StubCodec(p)
+      else Decoded(p.id, p.modality, width = width.toInt, height = height.toInt,
+        channels = samples.toInt, feature = md5Feature(b))
+    }
+  }
+
   /** Magic-byte dispatch over the real parsers — the entry point a mixed
     * media corpus uses: each payload routes to its format's header parse;
     * unrecognized bytes fall back to [[StubCodec]] (documented sandbox
@@ -238,6 +288,8 @@ object Multimodal {
     else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') GifCodec(p)
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') BmpCodec(p)
     else if (b.length >= 2 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) JpegCodec(p)
+    else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'I') ||
+             (b(0) == 'M' && b(1) == 'M'))) TiffCodec(p)
     else StubCodec(p)
   }
 

@@ -49,6 +49,19 @@ object MultimodalQueries {
   }
   private def sqlBe32At(bytePos: Int) =
     s"CAST(concat('0x', substr(hx, ${2 * bytePos + 1}, 8)) AS BIGINT)"
+  // dynamic-offset, endianness-switched readers for the TIFF pointer
+  // chase (q186): `x` is a 0-based byte-offset SQL expression, `le` a
+  // boolean SQL expression naming the file's byte order
+  private def sqlU8x(x: String) =
+    s"CAST(concat('0x', substr(hx, 2*($x) + 1, 2)) AS BIGINT)"
+  private def sqlU16x(x: String, le: String) =
+    s"(CASE WHEN $le THEN ${sqlU8x(x)} + 256*${sqlU8x(s"($x)+1")} " +
+      s"ELSE 256*${sqlU8x(x)} + ${sqlU8x(s"($x)+1")} END)"
+  private def sqlU32x(x: String, le: String) =
+    s"(CASE WHEN $le THEN ${sqlU8x(x)} + 256*${sqlU8x(s"($x)+1")} + " +
+      s"65536*${sqlU8x(s"($x)+2")} + 16777216*${sqlU8x(s"($x)+3")} " +
+      s"ELSE 16777216*${sqlU8x(x)} + 65536*${sqlU8x(s"($x)+1")} + " +
+      s"256*${sqlU8x(s"($x)+2")} + ${sqlU8x(s"($x)+3")} END)"
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -463,6 +476,93 @@ object MultimodalQueries {
                CAST(CAST(concat('0x', substr(hx, 2*(mvhd_off + 24) + 1, 8)) AS BIGINT) * 1000
                     // CAST(concat('0x', substr(hx, 2*(mvhd_off + 20) + 1, 8)) AS BIGINT) AS BIGINT) AS duration_ms
         FROM w2"""),
+      headline = false),
+
+    // TIFF image header via a POINTER-CHASE (the scanned-document
+    // corpus format): the header names the byte order (II little / MM
+    // big) and the first-IFD offset; the IFD is a count plus 12-byte
+    // tagged entries whose width/height/SamplesPerPixel values
+    // Multimodal.TiffCodec extracts honoring EITHER endianness from one
+    // code path. Half the corpus is built little-endian, half
+    // big-endian, so both arms execute. The oracle chases the same
+    // pointers: byte order from bytes 0-1, IFD offset from bytes 4-7,
+    // entry count from the IFD, tags from a bounded series join — every
+    // offset READ from the hex, endianness switched per row.
+    "q186_tiff_header" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val be16h = (c: org.apache.spark.sql.Column) =>
+          lpad(hex(c.cast("long")), 4, "0")
+        val isLE = pmod(gf.hash60(col("text")), lit(2)) === 0
+        val w = lit(16) + pmod(gf.hash60(col("text")), lit(1000))
+        val h = lit(16) + pmod(gf.hash56b(col("text")), lit(1000))
+        val ch = element_at(array(lit(1), lit(3), lit(4)),
+          (pmod(gf.hash56b(col("text")), lit(3)) + 1).cast("int"))
+        val ii = concat(lit("49492A00"), lit("08000000"), lit("0300"),
+          le16(lit(256)), le16(lit(4)), le32(lit(1)), le32(w),
+          le16(lit(257)), le16(lit(4)), le32(lit(1)), le32(h),
+          le16(lit(277)), le16(lit(3)), le32(lit(1)), le16(ch), lit("0000"),
+          lit("00000000"))
+        val mm = concat(lit("4D4D002A"), lit("00000008"), lit("0003"),
+          be16h(lit(256)), be16h(lit(4)), be32(lit(1)), be32(w),
+          be16h(lit(257)), be16h(lit(4)), be32(lit(1)), be32(h),
+          be16h(lit(277)), be16h(lit(3)), be32(lit(1)), be16h(ch), lit("0000"),
+          lit("00000000"))
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id").as("id"), lit("image").as("modality"),
+            unhex(when(isLE, ii).otherwise(mm)).as("content"))
+          .as[Multimodal.Payload]
+        Multimodal.decodeBatches(payloads, Multimodal.MediaCodec).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 ${sqlHash60("text")} % 2 = 0 AS is_le,
+                 16 + ${sqlHash60("text")} % 1000 AS w,
+                 16 + ${sqlHash56("text")} % 1000 AS h,
+                 [1, 3, 4][CAST(${sqlHash56("text")} % 3 AS INTEGER) + 1] AS ch
+          FROM documents),
+        p AS (
+          SELECT doc_id, CASE WHEN is_le THEN concat(
+              '49492A00', '08000000', '0300',
+              ${sqlLe16("256")}, ${sqlLe16("4")}, ${sqlLe32("1")}, ${sqlLe32("w")},
+              ${sqlLe16("257")}, ${sqlLe16("4")}, ${sqlLe32("1")}, ${sqlLe32("h")},
+              ${sqlLe16("277")}, ${sqlLe16("3")}, ${sqlLe32("1")}, ${sqlLe16("ch")},
+              '0000', '00000000')
+            ELSE concat(
+              '4D4D002A', '00000008', '0003',
+              lpad(hex(256), 4, '0'), lpad(hex(4), 4, '0'),
+              lpad(hex(1), 8, '0'), lpad(hex(w), 8, '0'),
+              lpad(hex(257), 4, '0'), lpad(hex(4), 4, '0'),
+              lpad(hex(1), 8, '0'), lpad(hex(h), 8, '0'),
+              lpad(hex(277), 4, '0'), lpad(hex(3), 4, '0'),
+              lpad(hex(1), 8, '0'), lpad(hex(ch), 4, '0'),
+              '0000', '00000000') END AS thex
+          FROM g),
+        b AS (SELECT doc_id, hex(from_hex(thex)) AS hx FROM p),
+        hdr AS (SELECT doc_id, hx, substr(hx, 1, 4) = '4949' AS le FROM b),
+        w1 AS (SELECT doc_id, hx, le, ${sqlU32x("4", "le")} AS ifd FROM hdr),
+        w2 AS (SELECT doc_id, hx, le, ifd, ${sqlU16x("ifd", "le")} AS n FROM w1),
+        e AS (
+          SELECT doc_id, hx, le, ifd + 2 + 12*(s.i - 1) AS eoff
+          FROM w2 JOIN generate_series(1, 8) AS s(i) ON s.i <= n),
+        tagged AS (
+          SELECT doc_id, hx, le, eoff,
+                 ${sqlU16x("eoff", "le")} AS tag,
+                 ${sqlU16x("eoff + 2", "le")} AS typ
+          FROM e),
+        vals AS (
+          SELECT doc_id, tag,
+                 CASE WHEN typ = 3 THEN ${sqlU16x("eoff + 8", "le")}
+                      WHEN typ = 4 THEN ${sqlU32x("eoff + 8", "le")} END AS v
+          FROM tagged)
+        SELECT doc_id,
+               CAST(max(CASE WHEN tag = 256 THEN v END) AS INTEGER) AS width,
+               CAST(max(CASE WHEN tag = 257 THEN v END) AS INTEGER) AS height,
+               CAST(coalesce(max(CASE WHEN tag = 277 THEN v END), 1) AS INTEGER) AS channels
+        FROM vals GROUP BY doc_id"""),
       headline = false)
   )
 }

@@ -179,6 +179,38 @@ class MultimodalSpec extends SparkSpec {
     assert((d.width, d.height, d.channels) == ((s.width, s.height, s.channels)))
   }
 
+  test("TIFF codec chases IFD pointers in both byte orders") {
+    import java.awt.image.BufferedImage._
+    // real encoder output (the JDK TIFF plugin writes little-endian)
+    def realTiff(w: Int, h: Int, t: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, t)
+      img.setRGB(0, 0, 0x123456)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "tiff", bos)
+      bos.toByteArray
+    }
+    val rgb = Multimodal.TiffCodec(Payload(1L, "image", realTiff(201, 77, TYPE_INT_RGB)))
+    assert((rgb.width, rgb.height) == ((201, 77)))
+    assert(rgb.channels >= 3, s"RGB SamplesPerPixel, got ${rgb.channels}")
+    val gray = Multimodal.TiffCodec(Payload(2L, "image", realTiff(33, 44, TYPE_BYTE_GRAY)))
+    assert((gray.width, gray.height, gray.channels) == ((33, 44, 1)))
+    // hand-built big-endian twin of the same IFD (the JDK writes II only)
+    def be16(n: Int) = Array((n >> 8).toByte, n.toByte)
+    def be32(n: Long) = Array((n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte, n.toByte)
+    val mm = "MM".getBytes("US-ASCII") ++ be16(42) ++ be32(8L) ++ be16(3) ++
+      (be16(256) ++ be16(4) ++ be32(1L) ++ be32(640L)) ++
+      (be16(257) ++ be16(4) ++ be32(1L) ++ be32(480L)) ++
+      (be16(277) ++ be16(3) ++ be32(1L) ++ be16(4) ++ be16(0)) ++ be32(0L)
+    val d = Multimodal.MediaCodec(Payload(3L, "image", mm)) // dispatch: MM magic
+    assert((d.width, d.height, d.channels) == ((640, 480, 4)))
+    // missing dimension tags: stub fallback, never a guess
+    val empty = "II".getBytes("US-ASCII") ++ Array[Byte](42, 0) ++
+      Array[Byte](8, 0, 0, 0) ++ Array[Byte](0, 0)
+    val f = Multimodal.TiffCodec(Payload(4L, "image", empty))
+    val st = StubCodec(Payload(4L, "image", empty))
+    assert((f.width, f.height) == ((st.width, st.height)))
+  }
+
   test("MP4 box walk strides mdat and filler boxes to moov>mvhd") {
     def be32(n: Long): Array[Byte] =
       Array((n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte, n.toByte)

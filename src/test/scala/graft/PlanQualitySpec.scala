@@ -625,7 +625,7 @@ class PlanQualitySpec extends SparkSpec {
   test("q174-q176, q179-q180 media decodes: zero exchanges — header parse " +
       "stays on the scan tasks") {
     Seq("q174_png_header", "q175_media_dims", "q176_wav_header",
-        "q179_jpeg_header", "q180_mp4_header").foreach { q =>
+        "q179_jpeg_header", "q180_mp4_header", "q186_tiff_header").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q: media header decode must be a pure per-partition pass:\n$p")
