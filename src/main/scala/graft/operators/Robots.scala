@@ -61,6 +61,21 @@ object Robots {
       .agg(min(col("delay_s")).as("delay_s"))
   }
 
+  /** `Sitemap:` discovery lines — per the sitemaps.org protocol these
+    * are GLOBAL (valid anywhere in the file, not scoped to any
+    * user-agent group), so they parse independently of blocks.
+    */
+  def sitemaps(bodies: DataFrame, host: String = "host",
+               body: String = "body"): DataFrame =
+    bodies.select(col(host).as("host"),
+        explode(split(col(body), "\n")).as("line"))
+      .withColumn("line", trim(regexp_replace(col("line"), "#.*", "")))
+      .filter(lower(col("line")).rlike("^sitemap:"))
+      .select(col("host"),
+        trim(regexp_extract(col("line"), "(?i)^sitemap:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
   /** Explode bodies into directive lines with RFC group structure:
     * consecutive User-agent lines open ONE block whose rules belong to
     * ALL of them. Block id = running count of UA-lines-that-start-a-block

@@ -850,7 +850,83 @@ object ScalarQueries {
           FROM frontier)
         SELECT s.host, s.path, CAST(s.slot AS INT) AS slot,
                CAST((s.slot - 1) * coalesce(dc.delay_s, 1.0) AS DOUBLE) AS fetch_at_s
-        FROM sched s LEFT JOIN dchosen dc USING (host)"""))
+        FROM sched s LEFT JOIN dchosen dc USING (host)""")),
+
+    // Sitemap discovery + incremental recrawl: robots bodies carry the
+    // GLOBAL (group-independent) `Sitemap:` line, each host's sitemap
+    // XML lists its documents with <loc>/<lastmod>, and the recrawl
+    // list is everything modified since the last crawl date. Extraction
+    // is regexp_extract_all + index-zip — the XML here is the sitemap
+    // protocol's flat shape, so a full parser would be wasted weight;
+    // at 100 TB sitemaps are KBs/host and this is scan-task work.
+    "q187_sitemap_recrawl" -> QueryDef(
+      build = (s, dir) => {
+        import graft.operators.Robots
+        val id = col("doc_id")
+        val docs = Engine.table(s, dir, "documents")
+          .select(id, (id % 12).as("host"),
+            concat(lit("https://h"), (id % 12).cast("string"),
+              lit(".example.com/page/"), id.cast("string")).as("loc"),
+            date_add(to_date(lit("2026-01-01")), (id % 400).cast("int"))
+              .cast("string").as("lastmod"))
+        val h = col("host")
+        val robots = docs.select(h).distinct().select(h, concat(
+          lit("User-agent: *\nDisallow: /private\n"),
+          lit("Sitemap: https://h"), h.cast("string"),
+          lit(".example.com/sitemap.xml\n")).as("body"))
+        val entry = concat(lit("<url><loc>"), col("loc"),
+          lit("</loc><lastmod>"), col("lastmod"), lit("</lastmod></url>"))
+        val xml = docs
+          .select(h, struct(id, entry.as("e")).as("r"))
+          .groupBy("host")
+          .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            concat_ws("", transform(array_sort(collect_list(col("r"))),
+              x => x.getField("e"))), lit("</urlset>")).as("xml"))
+        val parsed = xml.select(h,
+            arrays_zip(
+              regexp_extract_all(col("xml"), lit("<loc>([^<]+)</loc>"), lit(1)),
+              regexp_extract_all(col("xml"), lit("<lastmod>([^<]+)</lastmod>"), lit(1)))
+              .as("entries"))
+          .select(h, explode(col("entries")).as("e"))
+          .select(h, col("e.0").as("loc"), col("e.1").as("lastmod"))
+        parsed.join(broadcast(Robots.sitemaps(robots)), Seq("host"))
+          .filter(col("lastmod") >= "2026-08-01") // changed since last crawl
+          .select(col("host"), col("sitemap_url"), col("loc"), col("lastmod"))
+      },
+      oracle = Some("""
+        WITH docs2 AS (
+          SELECT doc_id, doc_id % 12 AS host,
+                 concat('https://h', doc_id % 12, '.example.com/page/', doc_id) AS loc,
+                 CAST(DATE '2026-01-01' + CAST(doc_id % 400 AS INT) AS VARCHAR) AS lastmod
+          FROM documents),
+        robots AS (
+          SELECT host, concat('User-agent: *', chr(10), 'Disallow: /private', chr(10),
+                 'Sitemap: https://h', host, '.example.com/sitemap.xml', chr(10)) AS body
+          FROM (SELECT DISTINCT host FROM docs2)),
+        smline AS (
+          SELECT b.host,
+                 trim(regexp_extract(trim(regexp_replace(b.l[g.i], '#.*', '')),
+                   '(?i)^sitemap:(.*)$', 1)) AS sitemap_url
+          FROM (SELECT host, string_split(body, chr(10)) AS l FROM robots) b
+          JOIN generate_series(1, 16) AS g(i) ON g.i <= len(b.l)
+          WHERE lower(trim(b.l[g.i])) LIKE 'sitemap:%'),
+        xmls AS (
+          SELECT host, concat('<?xml version="1.0"?><urlset>',
+                 string_agg(concat('<url><loc>', loc, '</loc><lastmod>',
+                   lastmod, '</lastmod></url>'), '' ORDER BY doc_id),
+                 '</urlset>') AS xml
+          FROM docs2 GROUP BY host),
+        lists AS (
+          SELECT host,
+                 regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1) AS locs,
+                 regexp_extract_all(xml, '<lastmod>([^<]+)</lastmod>', 1) AS mods
+          FROM xmls),
+        entries AS (
+          SELECT l.host, l.locs[g.i] AS loc, l.mods[g.i] AS lastmod
+          FROM lists l JOIN generate_series(1, 256) AS g(i) ON g.i <= len(l.locs))
+        SELECT e.host, s.sitemap_url, e.loc, e.lastmod
+        FROM entries e JOIN smline s USING (host)
+        WHERE e.lastmod >= '2026-08-01'"""))
   )
 
   // q20 helper: keeps the build readable.

@@ -479,6 +479,8 @@ class LawsSpec extends SparkSpec {
       Array[Byte](0, 0, 0, 0) ++ "ftyp".getBytes("US-ASCII"),   // size=0 box
       Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
         Array[Byte](0, 0, 0, 8) ++ "moov".getBytes("US-ASCII"), // empty moov
+      "II".getBytes("US-ASCII") ++ Array[Byte](42, 0, -1, -1, -1, -1), // IFD off 4G
+      "MM".getBytes("US-ASCII") ++ Array[Byte](0, 42, 0, 0, 0, 8, -1, -1), // count 65535
       "WARC/1.0\r\nContent-Length: 999999999\r\n\r\n".getBytes("US-ASCII"),
       "WARC/1.0\r\nContent-Length: -5\r\n\r\nWARC/1.0".getBytes("US-ASCII"))
     val bytesGen: Gen[Array[Byte]] = for {
@@ -489,7 +491,7 @@ class LawsSpec extends SparkSpec {
     sample(bytesGen, 500).zipWithIndex.foreach { case (b, i) =>
       val p = Multimodal.Payload(i.toLong, "x", b)
       // each must return, not throw — values are free to be stub/None/empty
-      Multimodal.MediaCodec(p); Multimodal.JpegCodec(p)
+      Multimodal.MediaCodec(p); Multimodal.JpegCodec(p); Multimodal.TiffCodec(p)
       Multimodal.parseWav(i.toLong, b); Multimodal.parseMp4(i.toLong, b)
       graft.sources.Warc.parse(i.toLong, b)
     }

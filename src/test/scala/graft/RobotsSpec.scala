@@ -74,6 +74,14 @@ class RobotsSpec extends SparkSpec {
     assert(d == Map("*" -> 2.0, "graftbot" -> 0.5)) // min wins; 'soon' dropped
   }
 
+  test("Sitemap lines are global: any position, group-independent, comments stripped") {
+    val body = "Sitemap: https://a/s1.xml\nUser-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://a/s2.xml # mid-group is fine\nsitemap: https://a/s3.xml\n"
+    val got = Robots.sitemaps(Seq(("h1", body)).toDF("host", "body"))
+      .collect().map(_.getAs[String]("sitemap_url")).toSet
+    assert(got == Set("https://a/s1.xml", "https://a/s2.xml", "https://a/s3.xml"))
+  }
+
   test("evaluation plan: rules broadcast — the URL side never shuffles for the join") {
     val rules = Robots.parseRules(Seq(("h1", "User-agent: *\nDisallow: /p\n"))
       .toDF("host", "body"))
