@@ -3,6 +3,7 @@ package graft.queries
 import graft.Engine
 import graft.operators.{Dedup, MinHashUnion}
 import graft.functions.{c_round => round}
+import graft.{functions => gf}
 import org.apache.spark.sql.functions._
 
 /** Deduplication coverage over `documents`: exact hash, MinHash-LSH,
@@ -92,6 +93,70 @@ object DedupQueries {
                       AND a.doc_id < b.doc_id)"""
 
   val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Edit-distance near-dup (the record-linkage shape: typo'd variants
+    // reconciled to canonical strings): CHARACTER-level verification,
+    // complementing token-set PPJoin (q136) and shingle MinHash (q34).
+    // Variants get one hash-positioned substitution typo; blocking on
+    // (2-char prefix, ±1 length band) bounds candidates — the classic
+    // trade: each side shuffles once on the tiny block key, candidate
+    // pairs per block stay small, and the O(len²) levenshtein verify
+    // runs only inside blocks, never all-pairs. Both engines ship the
+    // identical unit-cost DP, so the verdict is bit-stable.
+    "q188_editdist_neardup" -> QueryDef(
+      build = (s, dir) => {
+        val part = Engine.table(s, dir, "part")
+        val names = part.select(col("p_partkey").as("nid"),
+          col("p_name").as("name"))
+        // substitution typo at a hash-chosen position ≥3 (blocking uses
+        // the 2-char prefix, which the typo must never touch)
+        val pos = (lit(3) + pmod(gf.hash60(col("p_name")),
+          greatest(length(col("p_name")) - 2, lit(1)))).cast("int")
+        val variants = part.filter(col("p_partkey") % 3 === 0)
+          .select(col("p_partkey").as("vid"),
+            concat(col("p_name").substr(lit(1), pos - 1), lit("#"),
+              col("p_name").substr(pos + 1, length(col("p_name")))).as("variant"))
+        val vb = variants
+          .withColumn("pfx", substring(col("variant"), 1, 2))
+          .withColumn("lb", (length(col("variant")) / 4).cast("int"))
+        val nb = names
+          .withColumn("pfx", substring(col("name"), 1, 2))
+          .withColumn("lbn", (length(col("name")) / 4).cast("int"))
+        val cand = vb.join(nb, Seq("pfx"))
+          .filter(abs(col("lb") - col("lbn")) <= 1)
+          .withColumn("dist", levenshtein(col("variant"), col("name")))
+          .filter(col("dist") <= 2)
+        cand.groupBy(col("vid"), col("variant"))
+          .agg(min(struct(col("dist"), col("name"))).as("best"))
+          .select(col("vid"), col("variant"),
+            col("best.name").as("matched"),
+            col("best.dist").cast("int").as("dist"))
+      },
+      oracle = Some(s"""
+        WITH names AS (SELECT p_partkey AS nid, p_name AS name FROM part),
+        pos AS (
+          SELECT p_partkey AS vid, p_name,
+                 CAST(3 + ${sqlHash60("p_name")} %
+                   greatest(length(p_name) - 2, 1) AS INT) AS p
+          FROM part WHERE p_partkey % 3 = 0),
+        variants AS (
+          SELECT vid, concat(substr(p_name, 1, p - 1), '#',
+                 substr(p_name, p + 1)) AS variant
+          FROM pos),
+        vb AS (SELECT vid, variant, substr(variant, 1, 2) AS pfx,
+                      CAST(length(variant) // 4 AS INT) AS lb FROM variants),
+        nb AS (SELECT nid, name, substr(name, 1, 2) AS pfx,
+                      CAST(length(name) // 4 AS INT) AS lbn FROM names),
+        cand AS (
+          SELECT vid, variant, name,
+                 levenshtein(variant, name) AS dist
+          FROM vb JOIN nb USING (pfx)
+          WHERE abs(lb - lbn) <= 1 AND levenshtein(variant, name) <= 2)
+        SELECT vid, variant,
+               min({'dist': dist, 'name': name}).name AS matched,
+               CAST(min({'dist': dist, 'name': name}).dist AS INT) AS dist
+        FROM cand GROUP BY vid, variant"""),
+      headline = false),
 
     // Exact dedup: hash-groupBy, min-id representative.
     "q32_dedup_exact" -> QueryDef(
