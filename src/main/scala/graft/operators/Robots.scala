@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * crawl-frontier gate that decides which URLs a compliant crawler may
   * fetch at all, upstream of every byte the corpus ingests.
   *
-  * Implemented semantics (the RFC's core, minus `*`/`$` wildcards —
-  * rule paths are literal prefixes, documented at the call sites):
+  * Implemented semantics (the RFC's core, including §2.2.3 wildcards):
   *  - a robots body is a sequence of groups, each opened by a
   *    `User-agent:` line followed by `Allow:`/`Disallow:` rules;
   *  - a crawler obeys the group naming it specifically if one exists,
   *    else the `*` group — groups do NOT merge;
-  *  - among matching rules the LONGEST path prefix wins; on a length
-  *    tie Allow wins; a URL matching no rule is allowed.
+  *  - rules match as path prefixes; `*` spans any characters and a
+  *    trailing `$` anchors the end (plain prefixes stay a codegen'd
+  *    startsWith; only wildcard rules take the regex path);
+  *  - among matching rules the LONGEST rule (most octets) wins; on a
+  *    length tie Allow wins; a URL matching no rule is allowed.
   *
   * Everything is set-based: line explosion + a per-host running count
   * assigns rules to groups (window over line number, partitioned by
@@ -108,10 +110,28 @@ object Robots {
     blocked.filter(col("isUA"))
       .select(col("host"), col("blk"), col("agent"))
 
+  /** Translate a robots rule path into the regex RFC 9309 §2.2.3
+    * matching implies: `*` matches any span, a TRAILING `$` anchors the
+    * end, every other character is literal. Built as a column expression
+    * (escape regex metachars → expand `*` → re-attach the anchor) so
+    * matching stays codegen'd; specificity remains the RULE's length
+    * ("most octets"), not the pattern's.
+    */
+  def rulePattern(rule: Column): Column = {
+    val anchored = rule.endsWith("$")
+    val body = when(anchored, rule.substr(lit(1), length(rule) - 1))
+      .otherwise(rule)
+    val escaped = regexp_replace(body, "([.^+?(){}\\[\\]|\\\\$])", "\\\\$1")
+    concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
   /** Decide each URL against the parsed rules for `crawler`. `urls`
     * needs (host, path) columns; returns urls + `allowed` +
     * `matched_rule` (null when no rule matched). Group selection per
-    * RFC: the crawler's own group if the host has one, else `*`.
+    * RFC: the crawler's own group if the host has one, else `*`;
+    * rules match as prefixes with `*`/`$` wildcards (RFC §2.2.3),
+    * longest rule (most octets) wins, Allow wins length ties.
     */
   def evaluate(urls: DataFrame, rules: DataFrame, crawler: String): DataFrame = {
     // per host: does a crawler-specific group exist?
@@ -121,10 +141,15 @@ object Robots {
       .filter(when(coalesce(col("has_specific"), lit(false)),
         col("agent") === crawler).otherwise(col("agent") === "*"))
       .select(col("host"), col("rule_type"), col("rule_path"))
-    // longest matching prefix wins; allow beats disallow on equal length
+    // longest matching rule wins; allow beats disallow on equal length.
+    // Plain prefixes skip the regex path entirely (the overwhelmingly
+    // common case stays a startsWith); wildcard rules match via their
+    // RFC-translated pattern.
+    val isPlain = !col("rule_path").contains("*") && !col("rule_path").endsWith("$")
     val matched = urls.join(broadcast(chosen), Seq("host"), "left")
       .withColumn("hit", col("rule_path").isNotNull &&
-        col("path").startsWith(col("rule_path")))
+        when(isPlain, col("path").startsWith(col("rule_path")))
+          .otherwise(regexp_like(col("path"), rulePattern(col("rule_path")))))
     val pri = struct(
       when(col("hit"), length(col("rule_path"))).otherwise(lit(-1)).as("len"),
       when(col("hit") && col("rule_type") === "allow", lit(1))

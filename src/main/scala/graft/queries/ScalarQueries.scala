@@ -926,7 +926,84 @@ object ScalarQueries {
           FROM lists l JOIN generate_series(1, 256) AS g(i) ON g.i <= len(l.locs))
         SELECT e.host, s.sitemap_url, e.loc, e.lastmod
         FROM entries e JOIN smline s USING (host)
-        WHERE e.lastmod >= '2026-08-01'"""))
+        WHERE e.lastmod >= '2026-08-01'"""),
+      headline = false),
+
+    // RFC 9309 §2.2.3 wildcard matching pinned CROSS-ENGINE: `*` spans,
+    // trailing `$` anchors, other characters are literal (`.` must not
+    // leak as regex). The engine translates rules to Java regex
+    // (Robots.rulePattern); the oracle performs its own independent
+    // translation to RE2 in SQL — agreement proves the matching
+    // semantics, not just one engine's spelling of them. Rules stay
+    // host-varied so specificity ties and wildcard-vs-literal overlaps
+    // all occur in the corpus.
+    "q189_robots_wildcards" -> QueryDef(
+      build = (s, dir) => {
+        import graft.operators.Robots
+        val id = col("doc_id")
+        val docs = Engine.table(s, dir, "documents")
+          .select(id, (id % 6).as("host"),
+            element_at(array(lit("/a.tmp"), lit("/a.tmpx"), lit("/media/x/raw"),
+              lit("/media/ok/raw"), lit("/media/x/rawdata"), lit("/archive1/x"),
+              lit("/clean/page")), (id % 7 + 1).cast("int")).as("path"))
+        val h = col("host")
+        val body = concat(
+          lit("User-agent: *\n"),
+          lit("Disallow: /*.tmp$\n"),
+          lit("Disallow: /media/*/raw\n"),
+          when(h % 2 === 0, lit("Allow: /media/ok/raw\n")).otherwise(lit("")),
+          lit("Disallow: /archive"), (h % 3).cast("string"), lit("\n"))
+        val bodies = docs.select(h).distinct().select(h, body.as("body"))
+        Robots.evaluate(docs, Robots.parseRules(bodies), "graftbot")
+      },
+      oracle = Some("""
+        WITH docs2 AS (
+          SELECT doc_id, doc_id % 6 AS host,
+                 ['/a.tmp', '/a.tmpx', '/media/x/raw', '/media/ok/raw',
+                  '/media/x/rawdata', '/archive1/x', '/clean/page'
+                 ][CAST(doc_id % 7 AS INT) + 1] AS path
+          FROM documents),
+        rules AS (
+          SELECT host, rule_type, rule_path FROM (
+            SELECT host, 'disallow' AS rule_type, '/*.tmp$' AS rule_path
+            FROM (SELECT DISTINCT host FROM docs2)
+            UNION ALL
+            SELECT host, 'disallow', '/media/*/raw'
+            FROM (SELECT DISTINCT host FROM docs2)
+            UNION ALL
+            SELECT host, 'allow', '/media/ok/raw'
+            FROM (SELECT DISTINCT host FROM docs2) WHERE host % 2 = 0
+            UNION ALL
+            SELECT host, 'disallow', concat('/archive', host % 3)
+            FROM (SELECT DISTINCT host FROM docs2))),
+        pats AS (
+          SELECT host, rule_type, rule_path,
+                 NOT (contains(rule_path, '*') OR rule_path LIKE '%$') AS plain,
+                 concat('^',
+                   replace(regexp_replace(
+                     CASE WHEN rule_path LIKE '%$'
+                          THEN substr(rule_path, 1, length(rule_path) - 1)
+                          ELSE rule_path END,
+                     '([.^+?(){}\[\]|\\$])', '\\\1', 'g'), '*', '.*'),
+                   CASE WHEN rule_path LIKE '%$' THEN '$' ELSE '' END) AS pat
+          FROM rules),
+        hits AS (
+          SELECT d.doc_id, d.host, d.path, p.rule_type, p.rule_path,
+                 p.rule_path IS NOT NULL AND
+                 CASE WHEN p.plain THEN starts_with(d.path, p.rule_path)
+                      ELSE regexp_matches(d.path, p.pat) END AS hit
+          FROM docs2 d LEFT JOIN pats p USING (host)),
+        m AS (
+          SELECT doc_id, host, path,
+                 {'len': CASE WHEN hit THEN length(rule_path) ELSE -1 END,
+                  'is_allow': CASE WHEN hit AND rule_type = 'allow'
+                              THEN 1 ELSE 0 END,
+                  'rp': CASE WHEN hit THEN rule_path ELSE '' END} AS pri
+          FROM hits)
+        SELECT doc_id, host, path,
+               max(pri).len < 0 OR max(pri).is_allow = 1 AS allowed,
+               CASE WHEN max(pri).len >= 0 THEN max(pri).rp END AS matched_rule
+        FROM m GROUP BY doc_id, host, path"""))
   )
 
   // q20 helper: keeps the build readable.

@@ -63,6 +63,22 @@ class RobotsSpec extends SparkSpec {
     assert(got("/y") == ((true, None)))
   }
 
+  test("wildcard rules: * spans, trailing $ anchors, literals escape") {
+    val body = "User-agent: *\n" +
+      "Disallow: /*.pdf$\n" +       // any pdf, exactly at the end
+      "Disallow: /dl/*/raw\n" +     // mid-path span
+      "Allow: /dl/ok/raw\n"         // longer literal beats the wildcard
+    val got = eval(body, Seq("/docs/a.pdf", "/docs/a.pdfx", "/a.pdf/b",
+      "/dl/x/raw", "/dl/ok/raw", "/dl/x/rawer"))
+    assert(got("/docs/a.pdf") == ((false, Some("/*.pdf$"))))
+    assert(got("/docs/a.pdfx")._1, "$ must anchor the end")
+    assert(got("/a.pdf/b")._1, "pdf mid-path must not match the anchored rule")
+    assert(got("/dl/x/raw") == ((false, Some("/dl/*/raw"))))
+    assert(got("/dl/ok/raw") == ((true, Some("/dl/ok/raw"))))
+    // the wildcard rule matches a PREFIX of the path (no implicit anchor)
+    assert(got("/dl/x/rawer") == ((false, Some("/dl/*/raw"))))
+  }
+
   test("crawl delays: group-scoped, min-wins, non-numeric dropped") {
     val body = "User-agent: *\nCrawl-delay: 4\nCrawl-delay: 2\n" +
       "Disallow: /x\n\n" +
