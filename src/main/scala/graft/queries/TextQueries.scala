@@ -30,6 +30,22 @@ object TextQueries {
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
+    // Compression-ratio junk signal (deflate level 6, one reused native
+    // zlib state per task): repetitive/low-entropy docs compress far
+    // better than prose, a language-agnostic curation heuristic. No SQL
+    // oracle — no SQL engine ships zlib — so the ratio law is pinned in
+    // spec (CurationSpec) and the driver records the rows-only check.
+    "q190_compression_signal" -> QueryDef(
+      build = (s, dir) => {
+        import graft.functions.{c_round => round}
+        val d = Engine.table(s, dir, "documents")
+        graft.operators.CompressionSignal.ratios(d, "text", "doc_id")
+          .select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
+            round(col("ratio"), 4).as("ratio"),
+            (col("ratio") < 0.3).as("is_suspect"))
+      },
+      oracle = None),
+
     // Token counting: whitespace + BPE-ish regex tokens.
     "q28_token_stats" -> QueryDef(
       build = (s, dir) => {

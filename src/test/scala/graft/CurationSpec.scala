@@ -252,4 +252,24 @@ class CurationSpec extends SparkSpec {
     val total = out.values.map(_._3).sum
     assert(total > 1000000L - out.size && total <= 1000000L)
   }
+
+  test("compression signal: repetition compresses, prose doesn't, empty is neutral") {
+    import graft.operators.CompressionSignal
+    val rnd = new scala.util.Random(42)
+    val prose = Seq.fill(300)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val spam = "buy cheap now " * 150
+    val docs = Seq((1L, spam), (2L, prose), (3L, ""), (4L, "short"))
+      .toDF("doc_id", "text")
+    val out = CompressionSignal.ratios(docs.repartition(3), "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ratio"))
+      .toMap
+    assert(out(1L) < 0.1, s"repetition must crush: ${out(1L)}")
+    assert(out(2L) > 0.5, s"random-word prose must not: ${out(2L)}")
+    assert(out(3L) == 1.0)
+    // deterministic across partitionings (pure function of the bytes)
+    val again = CompressionSignal.ratios(docs.repartition(1), "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ratio"))
+      .toMap
+    assert(out == again)
+  }
 }
