@@ -335,6 +335,56 @@ object Multimodal {
     }
   }
 
+  /** Decoded MP3 stream metadata: frame count, rate, first-frame
+    * bitrate, and exact duration — from striding frame HEADERS only.
+    */
+  case class Mp3Meta(id: Long, nFrames: Long, sampleRate: Int,
+                     bitrateKbps: Int, durationMs: Long)
+
+  /** MPEG-1 Layer III bitrate table (kbps) by header index; 0 = free,
+    * -1 = invalid. Public table from the MPEG-1 audio spec.
+    */
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, -1)
+  private val Mp3Rates = Array(44100, 48000, 32000, -1)
+
+  /** REAL parser for MPEG-1 Layer III streams: scan to the 11-bit sync,
+    * then STRIDE frames — each frame's length is computed from its OWN
+    * header (144000·bitrate/rate + padding), so like WARC the only way
+    * to find frame K+1 is to decode frame K's header. Returns frame
+    * count, rate, first-frame bitrate, and the exact duration
+    * (frames·1152 samples each). Stops at the first non-frame byte
+    * after the stream (tags, truncation); None if no valid frame
+    * exists. Free-bitrate and reserved-rate frames end the walk — their
+    * length is not computable from the header alone.
+    */
+  def parseMp3(id: Long, b: Array[Byte]): Option[Mp3Meta] = {
+    def u(i: Int) = if (i < b.length) b(i) & 0xff else -1
+    def isFrame(i: Int): Boolean =
+      u(i) == 0xFF && (u(i + 1) & 0xFE) == 0xFA // sync + MPEG1 + Layer III
+    var pos = 0
+    while (pos + 4 <= b.length && !isFrame(pos)) pos += 1
+    var frames = 0L
+    var rate = -1
+    var kbps = -1
+    var ok = true
+    while (ok && pos + 4 <= b.length && isFrame(pos)) {
+      val b2 = u(pos + 2)
+      val br = Mp3Bitrates(b2 >> 4)
+      val sr = Mp3Rates((b2 >> 2) & 3)
+      val pad = (b2 >> 1) & 1
+      if (br <= 0 || sr <= 0) ok = false
+      else {
+        if (frames == 0L) { rate = sr; kbps = br }
+        val len = 144000 * br / sr + pad
+        if (pos + len > b.length) ok = false // truncated final frame
+        else { frames += 1; pos += len }
+      }
+    }
+    if (frames == 0L) None
+    else Some(Mp3Meta(id, frames, rate, kbps, frames * 1152L * 1000L / rate))
+  }
+
   /** Audio twin of [[decodeBatches]]: per-partition header parse to
     * typed metadata; non-WAV payloads drop out (the caller logs/queues
     * them — metadata extraction must not fake numbers for bytes it
@@ -343,6 +393,12 @@ object Multimodal {
   def decodeAudioBatches(payloads: Dataset[Payload]): Dataset[AudioMeta] = {
     implicit val enc = Encoders.product[AudioMeta]
     payloads.mapPartitions(_.flatMap(p => parseWav(p.id, p.content)))
+  }
+
+  /** MP3 twin of [[decodeAudioBatches]]. */
+  def decodeMp3Batches(payloads: Dataset[Payload]): Dataset[Mp3Meta] = {
+    implicit val enc = Encoders.product[Mp3Meta]
+    payloads.mapPartitions(_.flatMap(p => parseMp3(p.id, p.content)))
   }
 
   // ------------------------------------------------------------- video

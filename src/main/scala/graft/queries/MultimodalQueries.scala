@@ -563,6 +563,111 @@ object MultimodalQueries {
                CAST(max(CASE WHEN tag = 257 THEN v END) AS INTEGER) AS height,
                CAST(coalesce(max(CASE WHEN tag = 277 THEN v END), 1) AS INTEGER) AS channels
         FROM vals GROUP BY doc_id"""),
+      headline = false),
+
+    // MP3 frame walk: like WARC, frame K+1 is only reachable through
+    // frame K's header — length = 144000·bitrate/rate + padding, with
+    // bitrate/rate read from PUBLIC MPEG-1 tables per frame and the
+    // padding bit varying frame to frame. Each document becomes a
+    // 1–8-frame stream; Multimodal.parseMp3 strides it to an exact
+    // frame count and duration (1152 samples/frame). The oracle walks
+    // the same bytes with a recursive CTE doing the same table lookups.
+    "q191_mp3_frames" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val brTab = array(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+          192, 224, 256, 320).map(lit): _*)
+        val d = Engine.table(s, dir, "documents")
+          .withColumn("h56", gf.hash56b(col("text")))
+          .withColumn("sidx", pmod(gf.hash60(col("text")), lit(3)).cast("int"))
+          .withColumn("bidx", (lit(1) + pmod(col("h56"), lit(14))).cast("int"))
+          .withColumn("nf", (lit(1) + pmod(gf.hash60(col("text")), lit(8))).cast("int"))
+          .withColumn("sr", element_at(array(lit(44100), lit(48000), lit(32000)),
+            col("sidx") + 1))
+          .withColumn("br", element_at(brTab, col("bidx")))
+        val frames = d
+          .select(col("doc_id"), col("h56"), col("sidx"), col("bidx"),
+            col("sr"), col("br"), explode(sequence(lit(1), col("nf"))).as("i"))
+          .withColumn("pad", pmod(col("h56") + col("i"), lit(2)).cast("int"))
+        val framed = frames
+          .withColumn("flen", (col("br") * 144000 / col("sr")).cast("int") + col("pad"))
+          .withColumn("b2", col("bidx") * 16 + col("sidx") * 4 + col("pad") * 2)
+          .withColumn("fhex", concat(lit("FFFB"),
+            lpad(hex(col("b2").cast("long")), 2, "0"), lit("00"),
+            expr("repeat('00', flen - 4)")))
+        val payloads = framed
+          .groupBy(col("doc_id"))
+          .agg(concat_ws("", transform(
+            array_sort(collect_list(struct(col("i"), col("fhex")))),
+            x => x.getField("fhex"))).as("mhex"))
+          .select(col("doc_id").as("id"), lit("audio").as("modality"),
+            unhex(col("mhex")).as("content")).as[Multimodal.Payload]
+        Multimodal.decodeMp3Batches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("nFrames").as("n_frames"),
+            col("sampleRate").as("sample_rate"),
+            col("bitrateKbps").as("bitrate_kbps"),
+            col("durationMs").as("duration_ms"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE g AS (
+          SELECT doc_id,
+                 CAST(${sqlHash60("text")} % 3 AS INT) AS sidx,
+                 CAST(1 + ${sqlHash56("text")} % 14 AS INT) AS bidx,
+                 CAST(1 + ${sqlHash60("text")} % 8 AS INT) AS nf,
+                 ${sqlHash56("text")} AS h56
+          FROM documents),
+        g2 AS (
+          SELECT doc_id, sidx, bidx, nf, h56,
+                 [44100, 48000, 32000][sidx + 1] AS sr,
+                 [32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                  192, 224, 256, 320][bidx] AS br
+          FROM g),
+        frames AS (
+          SELECT doc_id, sidx, bidx, sr, br, s.i,
+                 CAST((h56 + s.i) % 2 AS INT) AS pad
+          FROM g2 JOIN generate_series(1, 8) AS s(i) ON s.i <= nf),
+        fhex AS (
+          SELECT doc_id, i, concat('FFFB',
+                 lpad(hex(bidx * 16 + sidx * 4 + pad * 2), 2, '0'), '00',
+                 repeat('00', 144000 * br // sr + pad - 4)) AS fh
+          FROM frames),
+        p AS (
+          SELECT doc_id, string_agg(fh, '' ORDER BY i) AS mhex
+          FROM fhex GROUP BY doc_id),
+        b AS (SELECT doc_id, hex(from_hex(mhex)) AS hx FROM p),
+        walk AS (
+          SELECT doc_id, hx, 0 AS pos, 0 AS n, -1 AS rate, -1 AS kbps
+          FROM b
+          UNION ALL
+          SELECT doc_id, hx,
+                 CAST(pos + 144000 *
+                   [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                    192, 224, 256, 320, 0][CAST(b2 // 16 AS INT) + 1]
+                   // [44100, 48000, 32000, 1][CAST((b2 // 4) % 4 AS INT) + 1]
+                   + (b2 // 2) % 2 AS INT),
+                 n + 1,
+                 CAST(CASE WHEN n = 0
+                   THEN [44100, 48000, 32000, 1][CAST((b2 // 4) % 4 AS INT) + 1]
+                   ELSE rate END AS INT),
+                 CAST(CASE WHEN n = 0
+                   THEN [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                         192, 224, 256, 320, 0][CAST(b2 // 16 AS INT) + 1]
+                   ELSE kbps END AS INT)
+          FROM (
+            -- TRY_CAST: the terminal step reads past the hex (empty
+            -- substr) and must yield NULL, not a cast error
+            SELECT doc_id, hx, pos, n, rate, kbps,
+                   TRY_CAST(concat('0x', substr(hx, 2*pos + 5, 2)) AS BIGINT) AS b2,
+                   TRY_CAST(concat('0x', substr(hx, 2*pos + 3, 2)) AS BIGINT) AS b1
+            FROM walk) t
+          WHERE substr(hx, 2*pos + 1, 2) = 'FF' AND b1 IN (250, 251)
+            AND b2 IS NOT NULL)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+               rate AS sample_rate, kbps AS bitrate_kbps,
+               CAST(n * 1152 * 1000 // rate AS BIGINT) AS duration_ms
+        FROM walk
+        WHERE n > 0
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC) = 1"""),
       headline = false)
   )
 }

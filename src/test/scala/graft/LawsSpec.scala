@@ -482,6 +482,8 @@ class LawsSpec extends SparkSpec {
       "II".getBytes("US-ASCII") ++ Array[Byte](42, 0, -1, -1, -1, -1), // IFD off 4G
       "MM".getBytes("US-ASCII") ++ Array[Byte](0, 42, 0, 0, 0, 8, -1, -1), // count 65535
       "WARC/1.0\r\nContent-Length: 999999999\r\n\r\n".getBytes("US-ASCII"),
+      Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte),  // MP3 sync, free bitrate
+      Array(0xFF, 0xFB, 0xF0, 0x00).map(_.toByte),  // MP3 invalid bitrate idx
       "WARC/1.0\r\nContent-Length: -5\r\n\r\nWARC/1.0".getBytes("US-ASCII"))
     val bytesGen: Gen[Array[Byte]] = for {
       prefix <- Gen.oneOf(Gen.const(Array.emptyByteArray), Gen.oneOf(magics))
@@ -493,6 +495,7 @@ class LawsSpec extends SparkSpec {
       // each must return, not throw — values are free to be stub/None/empty
       Multimodal.MediaCodec(p); Multimodal.JpegCodec(p); Multimodal.TiffCodec(p)
       Multimodal.parseWav(i.toLong, b); Multimodal.parseMp4(i.toLong, b)
+      Multimodal.parseMp3(i.toLong, b)
       graft.sources.Warc.parse(i.toLong, b)
     }
   }
