@@ -116,14 +116,19 @@ object DedupQueries {
           .select(col("p_partkey").as("vid"),
             concat(col("p_name").substr(lit(1), pos - 1), lit("#"),
               col("p_name").substr(pos + 1, length(col("p_name")))).as("variant"))
+        // the length band is part of the EQUI-JOIN key (names explode to
+        // band ±1), so blocks are (prefix × band), not prefix alone — at
+        // corpus scale a coarse prefix block grows quadratically in
+        // candidates; the band key splits it ~10× for one 3× row copy
         val vb = variants
           .withColumn("pfx", substring(col("variant"), 1, 2))
           .withColumn("lb", (length(col("variant")) / 4).cast("int"))
         val nb = names
           .withColumn("pfx", substring(col("name"), 1, 2))
           .withColumn("lbn", (length(col("name")) / 4).cast("int"))
-        val cand = vb.join(nb, Seq("pfx"))
-          .filter(abs(col("lb") - col("lbn")) <= 1)
+          .withColumn("lb", explode(array(col("lbn") - 1, col("lbn"),
+            col("lbn") + 1)))
+        val cand = vb.join(nb, Seq("pfx", "lb"))
           .withColumn("dist", levenshtein(col("variant"), col("name")))
           .filter(col("dist") <= 2)
         cand.groupBy(col("vid"), col("variant"))
@@ -146,12 +151,13 @@ object DedupQueries {
         vb AS (SELECT vid, variant, substr(variant, 1, 2) AS pfx,
                       CAST(length(variant) // 4 AS INT) AS lb FROM variants),
         nb AS (SELECT nid, name, substr(name, 1, 2) AS pfx,
-                      CAST(length(name) // 4 AS INT) AS lbn FROM names),
+                      CAST(length(name) // 4 AS INT) + d.d AS lb
+               FROM names, (SELECT unnest([-1, 0, 1]) AS d) AS d),
         cand AS (
           SELECT vid, variant, name,
                  levenshtein(variant, name) AS dist
-          FROM vb JOIN nb USING (pfx)
-          WHERE abs(lb - lbn) <= 1 AND levenshtein(variant, name) <= 2)
+          FROM vb JOIN nb USING (pfx, lb)
+          WHERE levenshtein(variant, name) <= 2)
         SELECT vid, variant,
                min({'dist': dist, 'name': name}).name AS matched,
                CAST(min({'dist': dist, 'name': name}).dist AS INT) AS dist
