@@ -105,6 +105,39 @@ object Warc {
     blobs.mapPartitions(_.flatMap(w => parse(w.blob_id, w.content)))
   }
 
+  /** Decompress a (possibly multi-member) gzip blob — Common Crawl ships
+    * `.warc.gz` files as ONE GZIP MEMBER PER RECORD so consumers can
+    * split on member boundaries; JDK GZIPInputStream natively reads
+    * concatenated members, and the record walk then runs on the joined
+    * plaintext. Returns None for non-gzip bytes (magic 1F 8B) so callers
+    * can route uncompressed WARCs through [[parse]] directly.
+    */
+  def gunzip(b: Array[Byte]): Option[Array[Byte]] = {
+    val isGz = b.length >= 2 && (b(0) & 0xff) == 0x1F && (b(1) & 0xff) == 0x8B
+    if (!isGz) None
+    else {
+      val out = new java.io.ByteArrayOutputStream(b.length * 4)
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } catch {
+        // corrupt or truncated member: keep what decompressed cleanly —
+        // a cut-off crawl file must still yield its earlier records
+        case _: java.io.IOException => ()
+      }
+      Some(out.toByteArray)
+    }
+  }
+
+  /** Parse a WARC blob that may be gzip-compressed (.warc.gz, including
+    * the member-per-record layout Common Crawl publishes) or plain.
+    */
+  def parseAuto(blobId: Long, b: Array[Byte]): Seq[WarcRecord] =
+    parse(blobId, gunzip(b).getOrElse(b))
+
   /** Streaming twin over a `binaryFile` file-stream source (the shape a
     * live crawl delivery takes: WARC files landing in a directory, each
     * micro-batch = the newly arrived files). `files` must carry the
@@ -120,6 +153,6 @@ object Warc {
     implicit val enc = Encoders.product[WarcRecord]
     files.select(xxhash64(col("path")).as("blob_id"), col("content"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) => parse(id, bytes) })
+      .mapPartitions(_.flatMap { case (id, bytes) => parseAuto(id, bytes) })
   }
 }

@@ -484,6 +484,7 @@ class LawsSpec extends SparkSpec {
       "WARC/1.0\r\nContent-Length: 999999999\r\n\r\n".getBytes("US-ASCII"),
       Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte),  // MP3 sync, free bitrate
       Array(0xFF, 0xFB, 0xF0, 0x00).map(_.toByte),  // MP3 invalid bitrate idx
+      Array(0x1F, 0x8B, 0x08, 0x00).map(_.toByte),  // gzip magic + junk
       "WARC/1.0\r\nContent-Length: -5\r\n\r\nWARC/1.0".getBytes("US-ASCII"))
     val bytesGen: Gen[Array[Byte]] = for {
       prefix <- Gen.oneOf(Gen.const(Array.emptyByteArray), Gen.oneOf(magics))
@@ -497,6 +498,7 @@ class LawsSpec extends SparkSpec {
       Multimodal.parseWav(i.toLong, b); Multimodal.parseMp4(i.toLong, b)
       Multimodal.parseMp3(i.toLong, b)
       graft.sources.Warc.parse(i.toLong, b)
+      graft.sources.Warc.parseAuto(i.toLong, b)
     }
   }
 }

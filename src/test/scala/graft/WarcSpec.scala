@@ -59,6 +59,30 @@ class WarcSpec extends SparkSpec {
     assert(rs.map(_.target_uri) == Seq("http://good"))
   }
 
+  test("gunzip: member-per-record .warc.gz (the Common Crawl layout) parses whole") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // one gzip member PER RECORD, concatenated — exactly how CC publishes
+    val blob = gz(rec("http://g/1", "one".getBytes)) ++
+      gz(rec("http://g/2", "two".getBytes)) ++
+      gz(rec("http://g/3", "three".getBytes))
+    val rs = Warc.parseAuto(5L, blob)
+    assert(rs.map(_.payload) == Seq("one", "two", "three"))
+    // plain bytes pass straight through
+    assert(Warc.parseAuto(6L, rec("http://p/1", "plain".getBytes))
+      .map(_.payload) == Seq("plain"))
+    // gzip magic but corrupt stream: empty, never a throw
+    val corrupt = Array(0x1F, 0x8B, 0x08, 0x00, 0x41, 0x42).map(_.toByte)
+    assert(Warc.parseAuto(7L, corrupt).isEmpty)
+    // truncated mid-member: records before the cut survive
+    val cut = gz(rec("http://g/4", "kept".getBytes)) ++
+      gz(rec("http://g/5", "lost".getBytes)).dropRight(9)
+    assert(Warc.parseAuto(8L, cut).map(_.payload).headOption.contains("kept"))
+  }
+
   test("recordStream: WARC files landing in a directory stream out as records") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("warc_in").toFile
