@@ -276,6 +276,46 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for WebP payloads — one container, THREE header layouts
+    * (all public spec): RIFF + "WEBP", then the first chunk's fourCC
+    * selects the arm. "VP8 " (lossy): 3-byte frame tag, sync
+    * 9D 01 2A, then 14-bit LE width/height. "VP8L" (lossless): 0x2F
+    * signature then width-1/height-1 bit-packed across 4 bytes, alpha
+    * flag in bit 28. "VP8X" (extended): flag byte (alpha = 0x10), then
+    * 24-bit LE canvas width-1/height-1. Channels: 3, +1 when the alpha
+    * bit says so (lossy VP8 carries no alpha).
+    */
+  val WebPCodec: Codec = { p =>
+    val b = p.content
+    def u(i: Int) = if (i < b.length) b(i) & 0xff else -1
+    def fourCC(i: Int) = if (i + 4 <= b.length)
+      new String(b.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    else ""
+    val isWebP = b.length >= 20 && fourCC(0) == "RIFF" && fourCC(8) == "WEBP"
+    if (!isWebP) StubCodec(p)
+    else fourCC(12) match {
+      case "VP8 " if b.length >= 30 &&
+          u(23) == 0x9D && u(24) == 0x01 && u(25) == 0x2A =>
+        Decoded(p.id, p.modality,
+          width = (u(26) | (u(27) << 8)) & 0x3FFF,
+          height = (u(28) | (u(29) << 8)) & 0x3FFF,
+          channels = 3, feature = md5Feature(b))
+      case "VP8L" if b.length >= 25 && u(20) == 0x2F =>
+        val w = (u(21) | ((u(22) & 0x3F) << 8)) + 1
+        val h = ((u(22) >> 6) | (u(23) << 2) | ((u(24) & 0xF) << 10)) + 1
+        val alpha = (u(24) >> 4) & 1
+        Decoded(p.id, p.modality, width = w, height = h,
+          channels = 3 + alpha, feature = md5Feature(b))
+      case "VP8X" if b.length >= 30 =>
+        val alpha = (u(20) >> 4) & 1
+        val w = (u(24) | (u(25) << 8) | (u(26) << 16)) + 1
+        val h = (u(27) | (u(28) << 8) | (u(29) << 16)) + 1
+        Decoded(p.id, p.modality, width = w, height = h,
+          channels = 3 + alpha, feature = md5Feature(b))
+      case _ => StubCodec(p)
+    }
+  }
+
   /** Magic-byte dispatch over the real parsers — the entry point a mixed
     * media corpus uses: each payload routes to its format's header parse;
     * unrecognized bytes fall back to [[StubCodec]] (documented sandbox
@@ -290,6 +330,9 @@ object Multimodal {
     else if (b.length >= 2 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) JpegCodec(p)
     else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'I') ||
              (b(0) == 'M' && b(1) == 'M'))) TiffCodec(p)
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+             b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+             b(11) == 'P') WebPCodec(p)
     else StubCodec(p)
   }
 

@@ -668,6 +668,102 @@ object MultimodalQueries {
         FROM walk
         WHERE n > 0
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC) = 1"""),
+      headline = false),
+
+    // WebP — one container, THREE header layouts, all exercised: a third
+    // of the corpus is lossy VP8 (sync + 14-bit LE dims), a third
+    // lossless VP8L (dims-1 BIT-PACKED across 4 bytes + alpha flag), a
+    // third extended VP8X (24-bit LE canvas dims-1 + alpha flag).
+    // Multimodal.WebPCodec routes on the chunk fourCC READ FROM THE
+    // BYTES; the oracle reads the same fourCC and unpacks the same bit
+    // fields. The dominant modern crawl image format, and the only
+    // codec here whose dims are not byte-aligned.
+    "q192_webp_dims" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val le24 = (c: org.apache.spark.sql.Column) =>
+          concat(hexByte(c), hexByte(shiftright(c.cast("long"), 8)),
+            hexByte(shiftright(c.cast("long"), 16)))
+        val v = pmod(gf.hash60(col("text")), lit(3))
+        val w = (lit(16) + pmod(gf.hash60(col("text")), lit(1000))).cast("long")
+        val h = (lit(16) + pmod(gf.hash56b(col("text")), lit(1000))).cast("long")
+        val alpha = pmod(gf.hash56b(col("text")), lit(2)).cast("long")
+        val w1 = w - 1
+        val h1 = h - 1
+        val vp8 = concat(lit("56503820"), le32(lit(10)), lit("000000"),
+          lit("9D012A"), le16(w), le16(h))
+        val b1 = shiftright(w1, 8).bitwiseAND(lit(0x3FL)) +
+          h1.bitwiseAND(lit(3L)) * 64
+        val b3 = shiftright(h1, 10).bitwiseAND(lit(0xFL)) + alpha * 16
+        val vp8l = concat(lit("5650384C"), le32(lit(5)), lit("2F"),
+          hexByte(w1), hexByte(b1), hexByte(shiftright(h1, 2)), hexByte(b3))
+        val vp8x = concat(lit("56503858"), le32(lit(10)),
+          when(alpha === 1, lit("10")).otherwise(lit("00")), lit("000000"),
+          le24(w1), le24(h1))
+        val whex = concat(lit("52494646"),
+          le32(when(v === 1, lit(17)).otherwise(lit(22))), lit("57454250"),
+          when(v === 0, vp8).when(v === 1, vp8l).otherwise(vp8x))
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id").as("id"), lit("image").as("modality"),
+            unhex(whex).as("content")).as[Multimodal.Payload]
+        Multimodal.decodeBatches(payloads, Multimodal.MediaCodec).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 CAST(${sqlHash60("text")} % 3 AS INT) AS v,
+                 16 + ${sqlHash60("text")} % 1000 AS w,
+                 16 + ${sqlHash56("text")} % 1000 AS h,
+                 CAST(${sqlHash56("text")} % 2 AS INT) AS alpha
+          FROM documents),
+        p AS (
+          SELECT doc_id, concat('52494646',
+              CASE WHEN v = 1 THEN ${sqlLe32("17")} ELSE ${sqlLe32("22")} END,
+              '57454250',
+              CASE v
+                WHEN 0 THEN concat('56503820', ${sqlLe32("10")}, '000000',
+                  '9D012A', ${sqlLe16("w")}, ${sqlLe16("h")})
+                WHEN 1 THEN concat('5650384C', ${sqlLe32("5")}, '2F',
+                  lpad(hex((w - 1) % 256), 2, '0'),
+                  lpad(hex(((w - 1) // 256) % 64 + ((h - 1) % 4) * 64), 2, '0'),
+                  lpad(hex(((h - 1) // 4) % 256), 2, '0'),
+                  lpad(hex(((h - 1) // 1024) % 16 + alpha * 16), 2, '0'))
+                ELSE concat('56503858', ${sqlLe32("10")},
+                  CASE WHEN alpha = 1 THEN '10' ELSE '00' END, '000000',
+                  concat(lpad(hex((w - 1) % 256), 2, '0'),
+                         lpad(hex(((w - 1) // 256) % 256), 2, '0'),
+                         lpad(hex(((w - 1) // 65536) % 256), 2, '0')),
+                  concat(lpad(hex((h - 1) % 256), 2, '0'),
+                         lpad(hex(((h - 1) // 256) % 256), 2, '0'),
+                         lpad(hex(((h - 1) // 65536) % 256), 2, '0')))
+              END) AS whex
+          FROM g),
+        b AS (SELECT doc_id, hex(from_hex(whex)) AS hx FROM p),
+        c AS (SELECT doc_id, hx, substr(hx, 25, 8) AS cc FROM b)
+        SELECT doc_id,
+               CAST(CASE cc
+                 WHEN '56503820' THEN ${sqlLe16At(26)} % 16384
+                 WHEN '5650384C' THEN ${sqlByte(2 * 21 + 1)} +
+                   256 * (${sqlByte(2 * 22 + 1)} % 64) + 1
+                 ELSE ${sqlByte(2 * 24 + 1)} + 256 * ${sqlByte(2 * 25 + 1)} +
+                   65536 * ${sqlByte(2 * 26 + 1)} + 1
+               END AS INTEGER) AS width,
+               CAST(CASE cc
+                 WHEN '56503820' THEN ${sqlLe16At(28)} % 16384
+                 WHEN '5650384C' THEN ${sqlByte(2 * 22 + 1)} // 64 +
+                   4 * ${sqlByte(2 * 23 + 1)} +
+                   1024 * (${sqlByte(2 * 24 + 1)} % 16) + 1
+                 ELSE ${sqlByte(2 * 27 + 1)} + 256 * ${sqlByte(2 * 28 + 1)} +
+                   65536 * ${sqlByte(2 * 29 + 1)} + 1
+               END AS INTEGER) AS height,
+               CAST(CASE cc
+                 WHEN '56503820' THEN 3
+                 WHEN '5650384C' THEN 3 + ${sqlByte(2 * 24 + 1)} // 16
+                 ELSE 3 + (${sqlByte(2 * 20 + 1)} // 16) % 2
+               END AS INTEGER) AS channels
+        FROM c"""),
       headline = false)
   )
 }

@@ -485,6 +485,7 @@ class LawsSpec extends SparkSpec {
       Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte),  // MP3 sync, free bitrate
       Array(0xFF, 0xFB, 0xF0, 0x00).map(_.toByte),  // MP3 invalid bitrate idx
       Array(0x1F, 0x8B, 0x08, 0x00).map(_.toByte),  // gzip magic + junk
+      "RIFFxxxxWEBPVP8L".getBytes("US-ASCII"),      // WebP lossless, cut
       "WARC/1.0\r\nContent-Length: -5\r\n\r\nWARC/1.0".getBytes("US-ASCII"))
     val bytesGen: Gen[Array[Byte]] = for {
       prefix <- Gen.oneOf(Gen.const(Array.emptyByteArray), Gen.oneOf(magics))
@@ -495,6 +496,7 @@ class LawsSpec extends SparkSpec {
       val p = Multimodal.Payload(i.toLong, "x", b)
       // each must return, not throw — values are free to be stub/None/empty
       Multimodal.MediaCodec(p); Multimodal.JpegCodec(p); Multimodal.TiffCodec(p)
+      Multimodal.WebPCodec(p)
       Multimodal.parseWav(i.toLong, b); Multimodal.parseMp4(i.toLong, b)
       Multimodal.parseMp3(i.toLong, b)
       graft.sources.Warc.parse(i.toLong, b)

@@ -211,6 +211,39 @@ class MultimodalSpec extends SparkSpec {
     assert((f.width, f.height) == ((st.width, st.height)))
   }
 
+  test("WebP codec: all three header layouts (no JDK encoder exists — " +
+      "hand-built per spec)") {
+    def le16(n: Int) = Array(n.toByte, (n >> 8).toByte)
+    def le24(n: Int) = Array(n.toByte, (n >> 8).toByte, (n >> 16).toByte)
+    def le32(n: Int) = Array(n.toByte, (n >> 8).toByte, (n >> 16).toByte, (n >> 24).toByte)
+    def riff(chunk: Array[Byte]) =
+      "RIFF".getBytes ++ le32(4 + chunk.length) ++ "WEBP".getBytes ++ chunk
+    // lossy VP8: frame tag + sync + 14-bit LE dims, never alpha
+    val vp8 = riff("VP8 ".getBytes ++ le32(10) ++ Array[Byte](0, 0, 0) ++
+      Array(0x9D, 0x01, 0x2A).map(_.toByte) ++ le16(800) ++ le16(600))
+    val d1 = Multimodal.WebPCodec(Payload(1L, "image", vp8))
+    assert((d1.width, d1.height, d1.channels) == ((800, 600, 3)))
+    // lossless VP8L: dims-1 bit-packed, alpha bit 28 set
+    val w1 = 1023; val h1 = 767 // width 1024, height 768
+    val packed = Array((w1 & 255).toByte,
+      (((w1 >> 8) & 0x3F) | ((h1 & 3) << 6)).toByte,
+      ((h1 >> 2) & 255).toByte, (((h1 >> 10) & 0xF) | 0x10).toByte)
+    val vp8l = riff("VP8L".getBytes ++ le32(5) ++ Array(0x2F.toByte) ++ packed)
+    val d2 = Multimodal.WebPCodec(Payload(2L, "image", vp8l))
+    assert((d2.width, d2.height, d2.channels) == ((1024, 768, 4)))
+    // extended VP8X: 24-bit LE canvas dims-1, alpha flag 0x10
+    val vp8x = riff("VP8X".getBytes ++ le32(10) ++ Array[Byte](0x10, 0, 0, 0) ++
+      le24(1919) ++ le24(1079))
+    val d3 = Multimodal.MediaCodec(Payload(3L, "image", vp8x)) // via dispatch
+    assert((d3.width, d3.height, d3.channels) == ((1920, 1080, 4)))
+    // RIFF but not WEBP (a WAV) must NOT route here via dispatch; junk
+    // chunk falls back to the stub
+    val junk = riff("JUNK".getBytes ++ le32(0))
+    val dj = Multimodal.WebPCodec(Payload(4L, "image", junk))
+    val st = StubCodec(Payload(4L, "image", junk))
+    assert((dj.width, dj.height) == ((st.width, st.height)))
+  }
+
   test("MP4 box walk strides mdat and filler boxes to moov>mvhd") {
     def be32(n: Long): Array[Byte] =
       Array((n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte, n.toByte)

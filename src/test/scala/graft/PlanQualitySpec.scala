@@ -622,10 +622,11 @@ class PlanQualitySpec extends SparkSpec {
         s"withStratumPrefixSum/topKPerKey):\n${offenders.mkString("\n")}")
   }
 
-  test("q174-q176, q179-q180 media decodes: zero exchanges — header parse " +
+  test("q174-q176, q179-q180, q186, q192 media decodes: zero exchanges " +
       "stays on the scan tasks") {
     Seq("q174_png_header", "q175_media_dims", "q176_wav_header",
-        "q179_jpeg_header", "q180_mp4_header", "q186_tiff_header").foreach { q =>
+        "q179_jpeg_header", "q180_mp4_header", "q186_tiff_header",
+        "q192_webp_dims").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q: media header decode must be a pure per-partition pass:\n$p")
@@ -643,6 +644,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"diff must label map-side, never join runs:\n$p")
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"q177 must pre-aggregate map-side:\n$p")
+  }
+
+  test("q191 MP3: one frame-assembly exchange; the frame walk never shuffles") {
+    // the exchange is the SYNTHETIC fixture's per-frame groupBy — real
+    // MP3 payloads arrive whole and decode zero-exchange like q174-q186
+    val p = plan("q191_mp3_frames")
+    val exchanges = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size
+    assert(exchanges <= 1, s"q191 expected <=1 exchange, got $exchanges:\n$p")
   }
 
   test("q181 WARC: one blob-assembly exchange; the record walk never shuffles") {
