@@ -221,6 +221,60 @@ package object functions {
           "www.mercadolibre")))
   }
 
+  /** RFC 3986 §6.2.2.1 percent-encoding case normalization: the two hex
+    * digits of every valid escape uppercase (`%2f` → `%2F`); malformed
+    * escapes (fewer than two hex digits after `%`) pass through
+    * untouched. Split-on-% plus a transform lambda keeps the whole thing
+    * a codegen'd expression.
+    */
+  def pct_upper(c: Column): Column = {
+    val parts = split(c, "%", -1)
+    val head = element_at(parts, 1)
+    val rest = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    when(size(parts) <= 1, c).otherwise(
+      concat(head, concat_ws("", transform(rest, p =>
+        when(p.rlike("^[0-9a-fA-F]{2}"),
+          concat(lit("%"), upper(p.substr(lit(1), lit(2))),
+            p.substr(lit(3), greatest(length(p) - 2, lit(0)))))
+          .otherwise(concat(lit("%"), p))))))
+  }
+
+  /** Crawl-frontier URL canonicalization — the normal form frontier
+    * dedup, politeness gating, and recrawl scheduling all key on.
+    * RFC 3986 §6 syntax-based normalization plus the tracking-parameter
+    * policy web-corpus pipelines apply before any content dedup:
+    *  - fragment stripped (`#…` never reaches the server);
+    *  - scheme and host lowercased (§6.2.2.1 case normalization);
+    *  - default ports dropped (`http…:80`, `https…:443`); explicit
+    *    non-default ports kept — they address different origins;
+    *  - percent-encodings uppercased via [[pct_upper]] (§6.2.2.1);
+    *  - empty path → `/` (§6.2.3); non-root paths keep their spelling —
+    *    `/a/` and `/a` are distinct resources, so no trailing-slash
+    *    strip beyond the root;
+    *  - tracking params (`utm_*`, `fbclid`, `gclid`) dropped; surviving
+    *    params SORTED so query order never splits a page's identity;
+    *    an emptied query drops its `?`.
+    * Pure codegen'd string/array lambdas, zero UDFs — at 100 TB this is
+    * map-side projection work on the scan tasks, no shuffle of its own.
+    */
+  def canonical_url(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val schemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(noFrag, schemePat, 1))
+    val hostport = lower(regexp_extract(noFrag, schemePat + "([^/?]+)", 2))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(noFrag, schemePat + "[^/?]+([^?]*)", 2)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val keep = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
+    pct_upper(concat(scheme, lit("://"), host, path,
+      when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
+        .otherwise(lit(""))))
+  }
+
   // ---------------------------------------------------------------------
   // Pricing (C12) — reference `import_files_to_postgre.py:29-30, 217-220`
   // ---------------------------------------------------------------------

@@ -460,14 +460,20 @@ object Multimodal {
     * timescale BE32 (ticks/second) and duration BE32 (ticks).
     * durationMs = duration·1000 / timescale, integer floor. The walk is
     * bounded by box sizes, so a 100 GB mdat is skipped in one stride —
-    * the whole point of container metadata at 100 TB. Returns None for
-    * non-MP4 bytes, truncated boxes, or version-1 (64-bit) headers the
+    * the whole point of container metadata at 100 TB; that requires the
+    * ISO 14496-12 §4.2 escapes top-level boxes over 4 GiB actually use:
+    * size==1 → the real size is the 8-byte BE `largesize` after the
+    * type (16-byte header), size==0 → the box runs to end-of-file (legal
+    * only for the last top-level box). moov children stay 32-bit-sized
+    * (moov is metadata, never near 4 GiB). Returns None for non-MP4
+    * bytes, truncated boxes, or version-1 (64-bit) movie headers the
     * caller should route to a full demuxer.
     */
   def parseMp4(id: Long, b: Array[Byte]): Option[VideoMeta] = {
     val len = b.length.toLong
     def u(i: Long) = if (i < len) (b(i.toInt) & 0xff).toLong else -1L
     def be32(i: Long) = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def be64(i: Long) = (be32(i) << 32) | be32(i + 4)
     def typ(i: Long) = if (i + 8 <= len)
       new String(b.slice(i.toInt + 4, i.toInt + 8),
         java.nio.charset.StandardCharsets.US_ASCII)
@@ -478,10 +484,17 @@ object Multimodal {
       var i = 0L
       var meta: Option[VideoMeta] = None
       while (meta.isEmpty && i + 8 <= len) {
-        val size = be32(i)
-        if (size < 8 || i + size > len) i = len // corrupt: stop
+        val size32 = be32(i)
+        // §4.2 escapes: 1 = 64-bit largesize follows the type; 0 = box
+        // extends to EOF. hdr = bytes before the first child/payload.
+        val hdr = if (size32 == 1) 16L else 8L
+        val size =
+          if (size32 == 1 && i + 16 <= len) be64(i + 8)
+          else if (size32 == 0) len - i
+          else size32
+        if (size < hdr || i + size > len) i = len // corrupt/truncated: stop
         else if (typ(i) == "moov") {
-          var j = i + 8
+          var j = i + hdr
           val end = i + size
           while (meta.isEmpty && j + 8 <= end) {
             val csize = be32(j)

@@ -22,8 +22,16 @@ import org.apache.spark.sql.functions._
   * Everything is set-based: line explosion + a per-host running count
   * assigns rules to groups (window over line number, partitioned by
   * host — bounded by lines-per-robots, never corpus-sized), and
-  * evaluation is a broadcast join (rules tables are KBs even for
-  * millions of hosts) + one arg-max per URL. Zero UDFs.
+  * evaluation is an UNHINTED equi-join on host + one arg-max per URL.
+  * Zero UDFs.
+  *
+  * Why unhinted: a real crawl frontier has millions of hosts, and
+  * 10 M hosts × ~15 rules × ~40 B ≈ 6 GB of rules — far past any sane
+  * broadcast threshold. Leaving the join unhinted lets stats/AQE pick
+  * broadcast at small scale and degrade to a shuffle-on-host hash join
+  * at crawl scale; rules-per-host is bounded by robots.txt size, so the
+  * host key carries no skew. Forcing `broadcast()` here would OOM the
+  * driver exactly when the operator matters most.
   */
 object Robots {
 
@@ -129,24 +137,31 @@ object Robots {
   /** Decide each URL against the parsed rules for `crawler`. `urls`
     * needs (host, path) columns; returns urls + `allowed` +
     * `matched_rule` (null when no rule matched). Group selection per
-    * RFC: the crawler's own group if the host has one, else `*`;
+    * RFC: the crawler's own group if the host has one, else `*` —
+    * product-token matching is case-insensitive (RFC 9309 §2.2.1), so
+    * `User-agent: GraftBot` selects the group for crawler "graftbot";
     * rules match as prefixes with `*`/`$` wildcards (RFC §2.2.3),
     * longest rule (most octets) wins, Allow wins length ties.
+    *
+    * Both joins are deliberately UNHINTED host equi-joins (see the
+    * class doc): at crawl scale the rules table is GBs, and stats/AQE
+    * must stay free to shuffle-on-host instead of broadcasting.
     */
   def evaluate(urls: DataFrame, rules: DataFrame, crawler: String): DataFrame = {
+    val token = crawler.toLowerCase(java.util.Locale.ROOT)
     // per host: does a crawler-specific group exist?
-    val specific = rules.filter(col("agent") === crawler)
+    val specific = rules.filter(lower(col("agent")) === token)
       .select(col("host")).distinct().withColumn("has_specific", lit(true))
-    val chosen = rules.join(broadcast(specific), Seq("host"), "left")
+    val chosen = rules.join(specific, Seq("host"), "left")
       .filter(when(coalesce(col("has_specific"), lit(false)),
-        col("agent") === crawler).otherwise(col("agent") === "*"))
+        lower(col("agent")) === token).otherwise(col("agent") === "*"))
       .select(col("host"), col("rule_type"), col("rule_path"))
     // longest matching rule wins; allow beats disallow on equal length.
     // Plain prefixes skip the regex path entirely (the overwhelmingly
     // common case stays a startsWith); wildcard rules match via their
     // RFC-translated pattern.
     val isPlain = !col("rule_path").contains("*") && !col("rule_path").endsWith("$")
-    val matched = urls.join(broadcast(chosen), Seq("host"), "left")
+    val matched = urls.join(chosen, Seq("host"), "left")
       .withColumn("hit", col("rule_path").isNotNull &&
         when(isPlain, col("path").startsWith(col("rule_path")))
           .otherwise(regexp_like(col("path"), rulePattern(col("rule_path")))))

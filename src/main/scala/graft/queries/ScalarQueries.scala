@@ -396,13 +396,13 @@ object ScalarQueries {
     // URL canonicalization + dedup — the crawl-frontier step before any
     // content dedup: the same page arrives as case-varied hosts,
     // tracking-parameter variants (utm_*/fbclid/gclid), shuffled query
-    // order, and fragment suffixes. Canonical form = lowercase
-    // scheme+host, fragment stripped, tracking params dropped, surviving
-    // params SORTED — then group. All codegen'd array lambdas
-    // (split/filter/array_sort/array_join), zero UDFs; at 100 TB this is
-    // a map-side projection plus one count shuffle on the canonical key.
-    // 500 messy URLs collapse to 100 canonical pages (5 variants each)
-    // by construction, which the oracle reproduces with DuckDB's list
+    // order, fragment suffixes, explicit default ports, lowercase
+    // percent-escapes, and bare-host (empty-path) spellings. The engine
+    // surface is functions.canonical_url (RFC 3986 §6 normalization +
+    // tracking-param drop + sorted query) — shared with q184's frontier;
+    // all codegen'd array lambdas, zero UDFs; at 100 TB this is a
+    // map-side projection plus one count shuffle on the canonical key.
+    // The oracle replays the identical normalization with DuckDB's list
     // lambdas — both engines canonicalize, neither shortcuts.
     "q182_url_canonicalize" -> QueryDef(
       build = (s, dir) => {
@@ -413,7 +413,15 @@ object ScalarQueries {
           lit("://"),
           element_at(array(lit("WWW.Example.COM"), lit("www.example.com"),
             lit("Www.EXAMPLE.com"), lit("www.EXAMPLE.COM")), (id % 4 + 1).cast("int")),
-          lit("/page/"), (id % 100).cast("string"),
+          // explicit default ports on some variants — canonicalization
+          // must drop :80/:443 for their schemes (http on even ids,
+          // https on odd, so each port variant hits its own scheme)
+          when(id % 8 === 2, lit(":80"))
+            .when(id % 8 === 3, lit(":443")).otherwise(lit("")),
+          // empty path (bare host) and lowercase percent-escape variants
+          when(id % 10 === 4, lit(""))
+            .when(id % 10 === 7, concat(lit("/page%2f"), (id % 100).cast("string")))
+            .otherwise(concat(lit("/page/"), (id % 100).cast("string"))),
           lit("?"),
           // param order varies; tracking junk varies; id param always present
           element_at(array(
@@ -423,17 +431,8 @@ object ScalarQueries {
             concat(lit("id="), (id % 50).cast("string"), lit("&gclid=g"), id.cast("string"), lit("&ref=home"))),
             (id % 4 + 1).cast("int")),
           when(id % 5 === 0, lit("#section-2")).otherwise(lit("")))
-        val noFrag = regexp_replace(messy, "#.*", "")
-        val host = lower(regexp_extract(noFrag, "^[a-z]+://([^/?]+)", 1))
-        val scheme = regexp_extract(noFrag, "^([a-z]+)://", 1)
-        val path = regexp_extract(noFrag, "^[a-z]+://[^/?]+([^?]*)", 1)
-        val query = regexp_extract(noFrag, "\\?(.*)$", 1)
-        val keep = array_sort(filter(split(query, "&"),
-          p => !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
-        val canonical = concat(scheme, lit("://"), host, path,
-          when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
-            .otherwise(lit("")))
-        d.select(canonical.as("canonical_url"), col("doc_id"))
+        d.select(graft.functions.canonical_url(messy).as("canonical_url"),
+            col("doc_id"))
           .groupBy("canonical_url")
           .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
       },
@@ -443,7 +442,12 @@ object ScalarQueries {
                  concat(['http', 'https'][CAST(doc_id % 2 AS INT) + 1], '://',
                    ['WWW.Example.COM', 'www.example.com', 'Www.EXAMPLE.com',
                     'www.EXAMPLE.COM'][CAST(doc_id % 4 AS INT) + 1],
-                   '/page/', doc_id % 100, '?',
+                   CASE WHEN doc_id % 8 = 2 THEN ':80'
+                        WHEN doc_id % 8 = 3 THEN ':443' ELSE '' END,
+                   CASE WHEN doc_id % 10 = 4 THEN ''
+                        WHEN doc_id % 10 = 7 THEN concat('/page%2f', doc_id % 100)
+                        ELSE concat('/page/', doc_id % 100) END,
+                   '?',
                    [concat('id=', doc_id % 50, '&ref=home&utm_source=mail'),
                     concat('ref=home&utm_campaign=x&id=', doc_id % 50),
                     concat('fbclid=abc', doc_id, '&id=', doc_id % 50, '&ref=home'),
@@ -455,20 +459,36 @@ object ScalarQueries {
           SELECT doc_id, regexp_replace(messy, '#.*', '') AS u FROM m),
         parts AS (
           SELECT doc_id,
-                 regexp_extract(u, '^([a-z]+)://', 1) AS scheme,
-                 lower(regexp_extract(u, '^[a-z]+://([^/?]+)', 1)) AS host,
-                 regexp_extract(u, '^[a-z]+://[^/?]+([^?]*)', 1) AS pth,
+                 lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS hostport,
+                 regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1) AS pth,
                  list_sort(list_filter(string_split(
                    regexp_extract(u, '\?(.*)$', 1), '&'),
-                   p -> NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS keep
-          FROM c)
-        SELECT concat(scheme, '://', host, pth,
-                 CASE WHEN len(keep) > 0
-                      THEN concat('?', array_to_string(keep, '&')) ELSE '' END)
-                 AS canonical_url,
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS keep
+          FROM c),
+        norm AS (
+          SELECT doc_id,
+                 concat(scheme, '://',
+                   CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END,
+                   CASE WHEN pth = '' THEN '/' ELSE pth END,
+                   CASE WHEN len(keep) > 0
+                        THEN concat('?', array_to_string(keep, '&')) ELSE '' END) AS cu
+          FROM parts),
+        pct AS (
+          SELECT doc_id,
+                 -- array_to_string([]) is NULL in DuckDB → coalesce
+                 (string_split(cu, '%'))[1] ||
+                 coalesce(array_to_string(list_transform((string_split(cu, '%'))[2:],
+                   p -> CASE WHEN regexp_matches(p, '^[0-9a-fA-F]{2}')
+                             THEN '%' || upper(p[1:2]) || p[3:]
+                             ELSE '%' || p END), ''), '') AS canonical_url
+          FROM norm)
+        SELECT canonical_url,
                count(*) AS n_variants,
                min(doc_id) AS first_doc
-        FROM parts
+        FROM pct
         GROUP BY 1""")),
 
     // robots.txt politeness gate (RFC 9309 base semantics) — the
@@ -607,10 +627,11 @@ object ScalarQueries {
           concat(lit("gclid=g"), id.cast("string"), lit("&id="), (id % 50).cast("string"))),
           (id % 4 + 1).cast("int"))
         val frag = when(id % 5 === 0, lit("#top")).otherwise(lit(""))
-        val keep = array_sort(filter(split(qparams, "&"),
-          p => !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
-        val canonical = concat(lit("https://"), lower(hostMessy), path,
-          lit("?"), array_join(keep, "&"))
+        // one shared canonicalization surface with q182 — the engine's
+        // functions.canonical_url, applied to the fully-assembled messy
+        // URL (scheme case, tracking params, fragment all normalized)
+        val canonical = graft.functions.canonical_url(
+          concat(lit("https://"), hostMessy, path, lit("?"), qparams, frag))
         val docs = Engine.table(s, dir, "documents")
           .select(id, hn, path.as("path"), canonical.as("canonical_url"))
         val h = col("host")

@@ -72,17 +72,22 @@ object Warc {
         else {
           val header = new String(b, pos, hdrEnd - pos,
             java.nio.charset.StandardCharsets.US_ASCII)
+          // ISO 28500 §4 field names are case-insensitive — tools emit
+          // e.g. `content-length:` — so keys are lowercased; values keep
+          // their case (URIs, types).
           val fields = header.split("\r\n").drop(1).flatMap { line =>
             val i = line.indexOf(':')
-            if (i < 0) None else Some(line.take(i).trim -> line.drop(i + 1).trim)
+            if (i < 0) None
+            else Some(line.take(i).trim.toLowerCase(java.util.Locale.ROOT) ->
+              line.drop(i + 1).trim)
           }.toMap
-          fields.get("Content-Length").flatMap(_.toLongOption) match {
+          fields.get("content-length").flatMap(_.toLongOption) match {
             case Some(cl) if cl < 0 => pos = nextMagic(pos + 1) // hostile length: resync
             case Some(cl) if hdrEnd + 4 + cl <= b.length =>
               val payloadStart = hdrEnd + 4
               out += WarcRecord(blobId, pos.toLong,
-                fields.getOrElse("WARC-Type", ""),
-                fields.getOrElse("WARC-Target-URI", ""),
+                fields.getOrElse("warc-type", ""),
+                fields.getOrElse("warc-target-uri", ""),
                 cl,
                 new String(b, payloadStart, cl.toInt,
                   java.nio.charset.StandardCharsets.UTF_8))

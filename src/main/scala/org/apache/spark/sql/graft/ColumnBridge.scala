@@ -138,6 +138,12 @@ object GraftFunctions {
     (FunctionIdentifier("domain_store"),
       info("domain_store", "domain_store(url) - lowercased domain with ML special case (C9)"),
       lift1("domain_store")(graft.functions.domain_store)),
+    (FunctionIdentifier("canonical_url"),
+      info("canonical_url", "canonical_url(url) - RFC 3986 §6 normalization + tracking-param drop, sorted query"),
+      lift1("canonical_url")(graft.functions.canonical_url)),
+    (FunctionIdentifier("pct_upper"),
+      info("pct_upper", "pct_upper(str) - uppercase the hex digits of every percent-escape"),
+      lift1("pct_upper")(graft.functions.pct_upper)),
     (FunctionIdentifier("truncate500"),
       info("truncate500", "truncate500(str) - sink-side 500-char truncation (C11)"),
       lift1("truncate500")(graft.functions.truncate500)),

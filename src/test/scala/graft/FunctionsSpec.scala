@@ -77,6 +77,36 @@ class FunctionsSpec extends SparkSpec {
     assert(one(gf.domain_store($"v"), "nope") == null)
   }
 
+  test("canonical_url: RFC 3986 §6 normalization + tracking-param policy") {
+    val c = gf.canonical_url($"v")
+    // scheme/host case, fragment, tracking params, query sort
+    assert(one(c, "HTTPS://WWW.Example.COM/Page?b=2&utm_source=m&a=1#frag") ==
+      "https://www.example.com/Page?a=1&b=2")
+    // default ports drop for their scheme; non-default ports survive
+    assert(one(c, "http://h.com:80/x") == "http://h.com/x")
+    assert(one(c, "https://h.com:443/x") == "https://h.com/x")
+    assert(one(c, "https://h.com:80/x") == "https://h.com:80/x")
+    assert(one(c, "http://h.com:8080/x") == "http://h.com:8080/x")
+    // trailing-slash policy: empty path → "/", deeper paths untouched
+    assert(one(c, "https://h.com") == "https://h.com/")
+    assert(one(c, "https://h.com?x=1") == "https://h.com/?x=1")
+    assert(one(c, "https://h.com/a/") == "https://h.com/a/")
+    // percent-encoding hex uppercases; malformed escapes pass through
+    assert(one(c, "https://h.com/a%2fb%xyz?k=%3d") ==
+      "https://h.com/a%2Fb%xyz?k=%3D")
+    // fbclid/gclid drop; an emptied query drops its '?'
+    assert(one(c, "https://h.com/p?fbclid=f1&gclid=g2") == "https://h.com/p")
+    // empty params (?&a=1&) never emit empty segments
+    assert(one(c, "https://h.com/p?&a=1&") == "https://h.com/p?a=1")
+  }
+
+  test("pct_upper uppercases escape hex only") {
+    assert(one(gf.pct_upper($"v"), "a%2fb%ffc") == "a%2Fb%FFc")
+    assert(one(gf.pct_upper($"v"), "no escapes") == "no escapes")
+    assert(one(gf.pct_upper($"v"), "trailing%") == "trailing%")
+    assert(one(gf.pct_upper($"v"), "%2f") == "%2F")
+  }
+
   test("derived pricing treats 0 and null as missing (py:217-220)") {
     val df = Seq((null.asInstanceOf[java.lang.Double], 100.0),
       (java.lang.Double.valueOf(0.0), 100.0),

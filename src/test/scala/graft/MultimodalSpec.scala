@@ -271,4 +271,35 @@ class MultimodalSpec extends SparkSpec {
       be32(3L) ++ "moov".getBytes("US-ASCII")
     assert(Multimodal.parseMp4(4L, corrupt).isEmpty)
   }
+
+  test("MP4 §4.2 escapes: size==1 largesize and size==0 to-EOF boxes") {
+    def be32(n: Long): Array[Byte] =
+      Array((n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte, n.toByte)
+    def be64(n: Long): Array[Byte] = be32(n >>> 32) ++ be32(n & 0xffffffffL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val mvhd = box("mvhd", Array.fill[Byte](4)(0) ++ Array.fill[Byte](8)(0) ++
+      be32(600L) ++ be32(7320L) ++ Array.fill[Byte](8)(0))
+    // an mdat using the 64-bit largesize escape (the over-4GiB layout,
+    // exercised here at a small size — the stride math is identical)
+    val mdatPayload = Array.fill[Byte](100)(0)
+    val largeMdat = be32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      be64(16L + mdatPayload.length) ++ mdatPayload
+    val f1 = box("ftyp", "isom".getBytes("US-ASCII")) ++ largeMdat ++
+      box("moov", mvhd)
+    val m1 = Multimodal.parseMp4(1L, f1)
+    assert(m1.exists(v => v.timescale == 600L && v.duration == 7320L),
+      s"largesize mdat must stride: $m1")
+    // size==0: the final box runs to EOF — moov-last layouts use this
+    val moovBody = mvhd
+    val f2 = box("ftyp", "isom".getBytes("US-ASCII")) ++
+      box("free", Array.fill[Byte](9)(0)) ++
+      (be32(0L) ++ "moov".getBytes("US-ASCII") ++ moovBody)
+    val m2 = Multimodal.parseMp4(2L, f2)
+    assert(m2.exists(_.durationMs == 12200L), s"to-EOF moov must parse: $m2")
+    // truncated largesize header (size==1 but <16 bytes left): clean None
+    val trunc = box("ftyp", "isom".getBytes("US-ASCII")) ++
+      be32(1L) ++ "mdat".getBytes("US-ASCII") ++ Array[Byte](0, 0)
+    assert(Multimodal.parseMp4(3L, trunc).isEmpty)
+  }
 }

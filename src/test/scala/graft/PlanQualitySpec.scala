@@ -675,14 +675,36 @@ class PlanQualitySpec extends SparkSpec {
       s"q182 must pre-aggregate map-side:\n$p")
   }
 
-  test("q184 crawl frontier: robots rules broadcast to the URL side") {
+  test("q184 crawl frontier: robots join stays an equi-join, no forced " +
+    "broadcast, no cartesian") {
     val p = plan("q184_crawl_frontier")
-    // canonicalization is map-side; the robots rules (KBs) must reach the
-    // corpus-sized URL side as a broadcast, never a shuffled join
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
-      s"q184 rules must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"q184 must not sort-merge the URL side:\n$p")
+    // Robots.evaluate deliberately carries NO broadcast hint: at crawl
+    // scale the rules table is GBs (10M hosts × ~15 rules × ~40B ≈ 6 GB)
+    // and the host equi-join must stay free to shuffle. The gate pins the
+    // SHAPE — keyed equi-joins only, nothing degenerates to a cartesian /
+    // nested-loop over the corpus — while letting stats/AQE pick
+    // broadcast (which they do at toy SF) or shuffled hash at crawl SF.
+    assert(!p.contains("CartesianProduct"),
+      s"q184 must never cartesian the URL side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q184 robots join must stay a keyed equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"),
+      s"q184 expected a hash/merge equi-join on host:\n$p")
+  }
+
+  test("robots evaluate plan carries no forced broadcast hint") {
+    // the HINTED broadcast is what OOMs at crawl scale; the optimizer MAY
+    // still size-broadcast at toy SF, so pin the logical plan's hint
+    // count, not the physical operator choice.
+    import spark.implicits._
+    val rules = Seq(("h1", "*", "disallow", "/x")).toDF(
+      "host", "agent", "rule_type", "rule_path")
+    val urls = Seq(("h1", "/x/a")).toDF("host", "path")
+    val logical = graft.operators.Robots.evaluate(urls, rules, "graftbot")
+      .queryExecution.logical.toString
+    assert(!logical.contains("ResolvedHint") && !logical.contains("UnresolvedHint"),
+      s"Robots.evaluate must not hint a broadcast:\n$logical")
   }
 
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {

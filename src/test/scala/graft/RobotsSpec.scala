@@ -98,13 +98,32 @@ class RobotsSpec extends SparkSpec {
     assert(got == Set("https://a/s1.xml", "https://a/s2.xml", "https://a/s3.xml"))
   }
 
-  test("evaluation plan: rules broadcast — the URL side never shuffles for the join") {
+  test("product-token matching is case-insensitive (RFC 9309 §2.2.1)") {
+    // a site that writes `User-agent: GraftBot` must still bind the
+    // graftbot-specific group — and vice versa for a mixed-case crawler
+    val body = "User-agent: *\nDisallow: /all\n\n" +
+      "User-agent: GraftBot\nDisallow: /bot\n"
+    val got = eval(body, Seq("/all/x", "/bot/x"))
+    assert(got("/all/x") == ((true, None)), "mixed-case UA group must bind")
+    assert(got("/bot/x") == ((false, Some("/bot"))))
+    val mixed = eval(body, Seq("/bot/x"), crawler = "gRaFtBoT")
+    assert(mixed("/bot/x") == ((false, Some("/bot"))))
+  }
+
+  test("evaluation plan: unhinted keyed equi-join — broadcast is the " +
+    "optimizer's call, never a cartesian") {
+    // rules tables are GBs at millions of hosts (see Robots class doc),
+    // so evaluate() must NOT hint a broadcast; stats/AQE still pick one
+    // at this toy size, and the join must stay keyed on host either way.
     val rules = Robots.parseRules(Seq(("h1", "User-agent: *\nDisallow: /p\n"))
       .toDF("host", "body"))
     val urls = (1 to 100).map(i => ("h1", s"/p/$i")).toDF("host", "path")
-    val plan = Robots.evaluate(urls, rules, "graftbot")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
-      s"rules must broadcast:\n$plan")
+    val q = Robots.evaluate(urls, rules, "graftbot").queryExecution
+    assert(!q.logical.toString.contains("Hint"),
+      s"evaluate must not hint:\n${q.logical}")
+    val plan = q.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"robots join must stay a keyed equi-join:\n$plan")
   }
 }

@@ -59,6 +59,20 @@ class WarcSpec extends SparkSpec {
     assert(rs.map(_.target_uri) == Seq("http://good"))
   }
 
+  test("header field names are case-insensitive (ISO 28500 §4)") {
+    // tools emitting lowercase/mixed-case field names must still frame:
+    // the length stride and typed fields all come from the header map
+    val payload = "cased".getBytes("US-ASCII")
+    val hdr = "WARC/1.0\r\nwarc-type: response\r\n" +
+      "Warc-Target-Uri: http://mixed\r\n" +
+      s"content-length: ${payload.length}\r\n\r\n"
+    val blob = hdr.getBytes("US-ASCII") ++ payload ++
+      "\r\n\r\n".getBytes("US-ASCII") ++ rec("http://after", "ok".getBytes)
+    val rs = Warc.parse(1L, blob)
+    assert(rs.map(_.target_uri) == Seq("http://mixed", "http://after"))
+    assert(rs.head.record_type == "response" && rs.head.payload == "cased")
+  }
+
   test("gunzip: member-per-record .warc.gz (the Common Crawl layout) parses whole") {
     def gz(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
