@@ -7,7 +7,39 @@ import org.apache.spark.sql.SparkSession
   * Catalyst cannot prune the projections being measured.
   */
 object Bench {
+
+  /** Captures every ERROR-level log event the run emits, with full
+    * stacks — the bench's own stderr record. The driver's stdout/stderr
+    * capture keeps only a ~2 KB tail, which in round 6 truncated an
+    * ERROR stack mid-frame and left it unadjudicable; persisting from
+    * inside the process makes the complete record part of the bench
+    * artifact (BENCH_STDERR.log + an error_log_count field in the JSON).
+    */
+  private final class ErrorCapture extends
+      org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-bench-errors", null,
+        org.apache.logging.log4j.core.layout.PatternLayout.newBuilder()
+          .withPattern("%d{HH:mm:ss} %p %c{1}: %m%n%ex").build(),
+        false, org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+      events.add(new String(getLayout.asInstanceOf[
+        org.apache.logging.log4j.core.layout.PatternLayout].toByteArray(e)))
+  }
+
+  private def installErrorCapture(): ErrorCapture = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    val ctx = LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val app = new ErrorCapture
+    app.start()
+    ctx.getConfiguration.getRootLogger.addAppender(app, Level.ERROR, null)
+    ctx.updateLoggers()
+    app
+  }
+
   def main(args: Array[String]): Unit = {
+    val errorLog = installErrorCapture()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -109,10 +141,22 @@ object Bench {
       val errJson = e.map(m => "\"" + m + "\"").getOrElse("null")
       s"""  "$k": {"median_sec": $median, "reps": $repsJson, "err": $errJson}"""
     }.mkString("{\n", ",\n", "\n}")
+    // ERROR-level log events captured across the whole run, with stacks:
+    // BENCH_STDERR.log is the complete record (written even when empty,
+    // so "zero errors" is a positive statement, not a missing file), and
+    // the JSON carries the count so a nonzero run is visible at a glance.
+    val errEvents = errorLog.events.toArray(Array.empty[String])
+    val stderrPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STDERR", "BENCH_STDERR.log"))
+    java.nio.file.Files.write(stderrPath,
+      (s"# graft.Bench ERROR-level log events: ${errEvents.length}" +:
+        errEvents.toSeq).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(outPath, java.util.Arrays.asList(
       f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","sf":"$sf","reps_per_query":$reps,""",
+      s""" "error_log_count":${errEvents.length},""",
       s""" "queries":""", full, "}"),
       java.nio.charset.StandardCharsets.UTF_8)
     spark.stop()

@@ -11,12 +11,18 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
   * typed metadata struct; decode/feature-extraction runs per-partition in
   * batch (the Scala analog of `mapInPandas` batches).
   *
-  * CODECS ARE STUBBED: this container ships no image/audio libraries, so
-  * [[StubCodec]] derives deterministic fake dimensions/features from the
-  * payload's md5 — clearly marked, swap-in point is the single [[Codec]]
-  * function. Everything AROUND the codec — schema, binary handling,
-  * batch shape, partition sizing, metadata propagation — is real and
-  * tested, which is the part that has to survive a 1000-executor run.
+  * THE STUB BOUNDARY (and what's real): this container ships no
+  * image/audio libraries, so [[StubCodec]] derives deterministic fake
+  * dimensions/features from the payload's md5 — clearly marked, swap-in
+  * point is the single [[Codec]] function. The boundary has shrunk to
+  * exactly "payloads that need an entropy coder": header metadata
+  * decodes for real across 9 formats (PNG/GIF/BMP/JPEG/TIFF/WebP/WAV/
+  * MP3/MP4 byte-level parsers below), and UNCOMPRESSED payloads decode
+  * fully — [[parseBmpPixels]] walks every pixel byte of a 24-bit BMP,
+  * [[parseWavSamples]] every sample of a 16-bit PCM WAV. Everything
+  * AROUND the codec — schema, binary handling, batch shape, partition
+  * sizing, metadata propagation — is real and tested, which is the part
+  * that has to survive a 1000-executor run.
   *
   * Scale notes: payload columns make rows wide; keep
   * `spark.sql.files.maxPartitionBytes` low enough that a partition of
@@ -519,6 +525,108 @@ object Multimodal {
   def decodeVideoBatches(payloads: Dataset[Payload]): Dataset[VideoMeta] = {
     implicit val enc = Encoders.product[VideoMeta]
     payloads.mapPartitions(_.flatMap(p => parseMp4(p.id, p.content)))
+  }
+
+  // ------------------------------------- payload decode (uncompressed)
+  //
+  // The StubCodec boundary exists because the sandbox ships no codec
+  // libraries — but UNCOMPRESSED formats need none. These two decoders
+  // cross the boundary for real: every pixel byte / PCM sample of the
+  // payload is read and folded, pure byte arithmetic on the scan tasks,
+  // same shape the header codecs use. Entropy-coded payloads (PNG
+  // zlib streams, JPEG huffman, MP3 frames) remain stubbed.
+
+  /** Per-channel statistics over a fully-decoded 24-bit uncompressed
+    * BMP pixel array: channel byte sums and the image's top-left pixel.
+    * The walk honors the format's physical layout — rows padded to a
+    * 4-byte stride (`((3w+3)/4)·4`, the padding bytes are NOT pixels
+    * and must be skipped), rows stored bottom-up when height is
+    * positive, bytes in BGR order. Requirements: bpp=24, BI_RGB
+    * (compression 0), positive dims, pixel array fully present at the
+    * header's data offset; anything else → None.
+    */
+  case class BmpPixels(id: Long, width: Int, height: Int,
+                       sum_b: Long, sum_g: Long, sum_r: Long,
+                       tl_b: Int, tl_g: Int, tl_r: Int)
+
+  def parseBmpPixels(id: Long, b: Array[Byte]): Option[BmpPixels] = {
+    def u(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u(i) | (u(i + 1) << 8)
+    def le32(i: Int) = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') None
+    else {
+      val off = le32(10)
+      val w = le32(18)
+      val h = le32(22)
+      if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h <= 0 || off < 54) None
+      else {
+        val stride = ((w * 3 + 3) / 4) * 4
+        if (off.toLong + stride.toLong * h > b.length) None
+        else {
+          var sb = 0L; var sg = 0L; var sr = 0L
+          var y = 0
+          while (y < h) {
+            val row = off + y * stride
+            var x = 0
+            while (x < w) {
+              val p = row + x * 3
+              sb += u(p); sg += u(p + 1); sr += u(p + 2)
+              x += 1
+            }
+            y += 1
+          }
+          // bottom-up storage: the IMAGE's top-left pixel is the FIRST
+          // pixel of the LAST row in file order
+          val tl = off + (h - 1) * stride
+          Some(BmpPixels(id, w, h, sb, sg, sr, u(tl), u(tl + 1), u(tl + 2)))
+        }
+      }
+    }
+  }
+
+  /** BMP-pixel twin of [[decodeBatches]]. */
+  def decodeBmpPixelBatches(payloads: Dataset[Payload]): Dataset[BmpPixels] = {
+    implicit val enc = Encoders.product[BmpPixels]
+    payloads.mapPartitions(_.flatMap(p => parseBmpPixels(p.id, p.content)))
+  }
+
+  /** Sample statistics over a fully-decoded 16-bit mono PCM WAV data
+    * chunk: count, extrema, and sum of the signed LE samples —
+    * loudness/clipping/DC-offset screening without a resampler.
+    * Canonical 44-byte layout (via [[parseWav]]); requires PCM
+    * (audioFormat 1), mono, 16-bit, and a data chunk fully present —
+    * a declared size past EOF is truncation, not data → None.
+    */
+  case class WavSamples(id: Long, n_samples: Long, min_amp: Int,
+                        max_amp: Int, sum_amp: Long)
+
+  def parseWavSamples(id: Long, b: Array[Byte]): Option[WavSamples] =
+    parseWav(id, b).flatMap { m =>
+      def u(i: Int) = b(i) & 0xff
+      def le16(i: Int) = u(i) | (u(i + 1) << 8)
+      if (le16(20) != 1 || m.channels != 1 || m.bitsPerSample != 16) None
+      else if (44L + 2L * m.nSamples > b.length) None
+      else if (m.nSamples == 0) Some(WavSamples(id, 0L, 0, 0, 0L))
+      else {
+        val n = m.nSamples.toInt
+        var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+        var i = 0
+        while (i < n) {
+          val raw = le16(44 + 2 * i)
+          val v = if (raw >= 0x8000) raw - 0x10000 else raw
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sum += v
+          i += 1
+        }
+        Some(WavSamples(id, n.toLong, mn, mx, sum))
+      }
+    }
+
+  /** PCM-sample twin of [[decodeBatches]]. */
+  def decodeWavSampleBatches(payloads: Dataset[Payload]): Dataset[WavSamples] = {
+    implicit val enc = Encoders.product[WavSamples]
+    payloads.mapPartitions(_.flatMap(p => parseWavSamples(p.id, p.content)))
   }
 
   /** Batch decode: per-partition iteration (one codec instance per

@@ -130,6 +130,54 @@ object CurationQueries {
         FROM probe GROUP BY doc_id"""),
       headline = true),
 
+    // Probe-only decontamination screen: the production posture when the
+    // eval gram STRINGS were never retained — only the packed Bloom
+    // filter (built here by the same distributed bit_or fold
+    // bloomDecontaminate uses, then handed to bloomScreen as a
+    // pre-built single-row filter) ships and probes map-side. Output has
+    // no n_exact audit column by design: exactness is unavailable once
+    // the strings are gone, and `flagged` decides on the sketch alone.
+    // The oracle reformulates the identical filter as a position-set
+    // join (q146's spelling) — an independent construction of the same
+    // k-seeded-md5 membership bits.
+    "q194_bloom_screen" -> QueryDef(
+      build = (s, dir) => {
+        val d = Engine.table(s, dir, "documents")
+        val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
+        val ev = Curation.gramTable(d.where(isEval), col("text"),
+          col("doc_id"), 3).select(col("gram")).distinct()
+        val filterRow = Curation.assembleBloom(
+          Curation.bloomWords(ev, 65536, 3), 65536)
+        Curation.bloomScreen(d.where(!isEval), filterRow, col("text"),
+          col("doc_id"), w = 3, mBits = 65536, k = 3, minShared = 5)
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id, substr(md5(text), 1, 1) AS h,
+                 unnest(${DedupQueries.sqlShingles}) AS gram
+          FROM documents),
+        t AS (SELECT doc_id, gram FROM g WHERE h NOT IN ('0','1')),
+        e AS (SELECT DISTINCT gram FROM g WHERE h IN ('0','1')),
+        pos AS (SELECT DISTINCT p FROM (
+          SELECT unnest([
+            ${sqlHash60("'bf0:' || gram")} % 65536,
+            ${sqlHash60("'bf1:' || gram")} % 65536,
+            ${sqlHash60("'bf2:' || gram")} % 65536]) AS p
+          FROM e)),
+        probe AS (
+          SELECT t.doc_id,
+            CASE WHEN EXISTS (SELECT 1 FROM pos
+                   WHERE p = ${sqlHash60("'bf0:' || t.gram")} % 65536)
+                  AND EXISTS (SELECT 1 FROM pos
+                   WHERE p = ${sqlHash60("'bf1:' || t.gram")} % 65536)
+                  AND EXISTS (SELECT 1 FROM pos
+                   WHERE p = ${sqlHash60("'bf2:' || t.gram")} % 65536)
+                 THEN 1 ELSE 0 END AS hit
+          FROM t)
+        SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+               CAST(sum(hit) >= 5 AS INT) AS flagged
+        FROM probe GROUP BY doc_id""")),
+
     // Mixture oversampling schedule: per-language target token shares
     // (en 40%, de/fr/es/zh 15% each) become integer-ppm replica rates;
     // each doc repeats floor(rate) times plus a seeded-hash Bernoulli

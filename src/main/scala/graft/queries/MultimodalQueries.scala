@@ -764,6 +764,159 @@ object MultimodalQueries {
                  ELSE 3 + (${sqlByte(2 * 20 + 1)} // 16) % 2
                END AS INTEGER) AS channels
         FROM c"""),
+      headline = false),
+
+    // TRUE payload decode #1 — 24-bit uncompressed BMP pixels. The one
+    // image format that needs no entropy coder: every document becomes
+    // a tiny BMP (2–5 × 2–4 px, deterministic pixel bytes) and
+    // parseBmpPixels folds EVERY PIXEL BYTE into per-channel sums/means
+    // plus the top-left pixel — honoring the physical layout the means
+    // silently depend on: the 4-byte row stride (padding bytes are
+    // generated but must be SKIPPED; widths 2/3/5 pad 2/3/1 bytes,
+    // width 4 pads none) and bottom-up row order (the top-left pixel is
+    // the last file row — wrong order flips tl_* on every non-uniform
+    // image). The oracle walks the identical bytes per (y, x) position
+    // with hex arithmetic; neither engine shortcuts from the generator.
+    "q195_bmp_pixels" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val w = (lit(2) + pmod(gf.hash60(col("text")), lit(4))).cast("int")
+        val h = (lit(2) + pmod(gf.hash56b(col("text")), lit(3))).cast("int")
+        val stride = (w * 3 + 3) - pmod(w * 3 + 3, lit(4))
+        val nbytes = h * stride
+        val pixHex = array_join(transform(sequence(lit(0), nbytes - 1),
+          i => lpad(hex(pmod(id * 7 + i * 13, lit(256))), 2, "0")), "")
+        val bmp = unhex(concat(
+          lit("424D"), le32(nbytes + 54), lit("00000000"), le32(lit(54)),
+          le32(lit(40)), le32(w), le32(h), le16(lit(1)), le16(lit(24)),
+          le32(lit(0)), le32(nbytes), le32(lit(2835)), le32(lit(2835)),
+          le32(lit(0)), le32(lit(0)), pixHex))
+        val payloads = Engine.table(s, dir, "documents")
+          .select(id.as("id"), lit("image").as("modality"),
+            bmp.as("content")).as[Multimodal.Payload]
+        Multimodal.decodeBmpPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("sum_b"), col("sum_g"), col("sum_r"),
+            round(col("sum_b").cast("double") /
+              (col("width") * col("height")), 4).as("mean_b"),
+            round(col("sum_g").cast("double") /
+              (col("width") * col("height")), 4).as("mean_g"),
+            round(col("sum_r").cast("double") /
+              (col("width") * col("height")), 4).as("mean_r"),
+            col("tl_b"), col("tl_g"), col("tl_r"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 2 + ${sqlHash60("text")} % 4 AS w,
+                 2 + ${sqlHash56("text")} % 3 AS h
+          FROM documents),
+        sgen AS (
+          SELECT doc_id, w, h, (w*3+3) - (w*3+3) % 4 AS stride FROM g),
+        p AS (
+          SELECT doc_id, concat(
+              '424D', ${sqlLe32("h*stride + 54")}, '00000000',
+              ${sqlLe32("54")}, ${sqlLe32("40")}, ${sqlLe32("w")},
+              ${sqlLe32("h")}, ${sqlLe16("1")}, ${sqlLe16("24")},
+              ${sqlLe32("0")}, ${sqlLe32("h*stride")},
+              ${sqlLe32("2835")}, ${sqlLe32("2835")},
+              ${sqlLe32("0")}, ${sqlLe32("0")},
+              array_to_string(list_transform(range(h*stride),
+                i -> lpad(hex((doc_id*7 + i*13) % 256), 2, '0')), '')
+            ) AS bhex
+          FROM sgen),
+        b AS ( -- round-trip through BLOB: the oracle parses BYTES
+          SELECT doc_id, hex(from_hex(bhex)) AS hx FROM p),
+        hdr AS (
+          SELECT doc_id, hx,
+                 ${sqlLe32At(10)} AS off, ${sqlLe32At(18)} AS w2,
+                 ${sqlLe32At(22)} AS h2,
+                 (${sqlLe32At(18)}*3+3) - (${sqlLe32At(18)}*3+3) % 4 AS stride2
+          FROM b),
+        px AS (
+          SELECT doc_id, w2, h2, ys.y, xs.x,
+                 ${sqlU8x("off + y*stride2 + x*3")} AS bb,
+                 ${sqlU8x("off + y*stride2 + x*3 + 1")} AS gg,
+                 ${sqlU8x("off + y*stride2 + x*3 + 2")} AS rr
+          FROM hdr
+          JOIN generate_series(0, 3) ys(y) ON ys.y < h2
+          JOIN generate_series(0, 4) xs(x) ON xs.x < w2)
+        SELECT doc_id,
+               CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+               CAST(sum(bb) AS BIGINT) AS sum_b,
+               CAST(sum(gg) AS BIGINT) AS sum_g,
+               CAST(sum(rr) AS BIGINT) AS sum_r,
+               round(CAST(sum(bb) AS DOUBLE) / (w2*h2), 4) AS mean_b,
+               round(CAST(sum(gg) AS DOUBLE) / (w2*h2), 4) AS mean_g,
+               round(CAST(sum(rr) AS DOUBLE) / (w2*h2), 4) AS mean_r,
+               -- bottom-up rows: the image's top-left is file row h2-1
+               CAST(max(CASE WHEN y = h2-1 AND x = 0 THEN bb END) AS INTEGER) AS tl_b,
+               CAST(max(CASE WHEN y = h2-1 AND x = 0 THEN gg END) AS INTEGER) AS tl_g,
+               CAST(max(CASE WHEN y = h2-1 AND x = 0 THEN rr END) AS INTEGER) AS tl_r
+        FROM px GROUP BY doc_id, w2, h2"""),
+      headline = false),
+
+    // TRUE payload decode #2 — 16-bit mono PCM WAV samples. The one
+    // audio format with no codec: each document becomes a canonical
+    // 44-byte-header WAV with 8–23 deterministic signed samples, and
+    // parseWavSamples folds EVERY SAMPLE (LE signed 16-bit two's
+    // complement) into count/min/max/sum — the loudness/clipping/DC
+    // screen a real audio pipeline runs before resampling. The sample
+    // values straddle zero (-2048..2047), so a sign-extension mistake
+    // flips min_amp on nearly every row. The oracle re-reads each
+    // sample from the bytes with hex arithmetic.
+    "q196_wav_pcm" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val n = (lit(8) + pmod(gf.hash60(col("text")), lit(16))).cast("int")
+        val sampleHex = array_join(transform(sequence(lit(0), n - 1), i => {
+          val v = pmod(pmod(id * 31 + i * 17, lit(4096)) + 63488, lit(65536))
+          concat(lpad(hex(pmod(v, lit(256))), 2, "0"),
+            lpad(hex(shiftright(v.cast("long"), 8)), 2, "0"))
+        }), "")
+        val wav = unhex(concat(
+          lit("52494646"), le32(n * 2 + 36), lit("57415645"),
+          lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+          le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+          lit("64617461"), le32(n * 2), sampleHex))
+        val payloads = Engine.table(s, dir, "documents")
+          .select(id.as("id"), lit("audio").as("modality"),
+            wav.as("content")).as[Multimodal.Payload]
+        Multimodal.decodeWavSampleBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("n_samples"),
+            col("min_amp"), col("max_amp"), col("sum_amp"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id, 8 + ${sqlHash60("text")} % 16 AS n FROM documents),
+        p AS (
+          SELECT doc_id, concat(
+              '52494646', ${sqlLe32("n*2 + 36")}, '57415645',
+              '666D7420', ${sqlLe32("16")}, ${sqlLe16("1")}, ${sqlLe16("1")},
+              ${sqlLe32("8000")}, ${sqlLe32("16000")}, ${sqlLe16("2")},
+              ${sqlLe16("16")}, '64617461', ${sqlLe32("n*2")},
+              array_to_string(list_transform(range(n),
+                i -> concat(
+                  lpad(hex((((doc_id*31 + i*17) % 4096) + 63488) % 65536 % 256), 2, '0'),
+                  lpad(hex(((((doc_id*31 + i*17) % 4096) + 63488) % 65536) // 256), 2, '0'))), '')
+            ) AS whex
+          FROM g),
+        b AS (SELECT doc_id, hex(from_hex(whex)) AS hx FROM p),
+        hdr AS (SELECT doc_id, hx, ${sqlLe32At(40)} // 2 AS n2 FROM b),
+        sm AS (
+          SELECT doc_id, n2,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+          FROM (SELECT doc_id, n2,
+                  ${sqlU8x("44 + 2*i")} + 256 * ${sqlU8x("45 + 2*i")} AS raw
+                FROM hdr
+                JOIN generate_series(0, 22) si(i) ON si.i < n2))
+        SELECT doc_id, CAST(n2 AS BIGINT) AS n_samples,
+               CAST(min(v) AS INTEGER) AS min_amp,
+               CAST(max(v) AS INTEGER) AS max_amp,
+               CAST(sum(v) AS BIGINT) AS sum_amp
+        FROM sm GROUP BY doc_id, n2"""),
       headline = false)
   )
 }

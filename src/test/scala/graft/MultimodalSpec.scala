@@ -272,6 +272,66 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4(4L, corrupt).isEmpty)
   }
 
+  test("BMP pixel decode matches ImageIO ground truth: stride, bottom-up, BGR") {
+    // 3×2 RGB image with distinct per-pixel values; width 3 → 9-byte
+    // rows padded to 12, so a decoder that forgets the stride reads
+    // padding as pixels and the sums drift
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array(          // (x, y) -> 0xRRGGBB
+      ((0, 0), 0x112233), ((1, 0), 0x445566), ((2, 0), 0x778899),
+      ((0, 1), 0xAABBCC), ((1, 1), 0x010203), ((2, 1), 0xFEDCBA))
+    px.foreach { case ((x, y), rgb) => img.setRGB(x, y, rgb) }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos), "JDK must encode BMP")
+    val m = Multimodal.parseBmpPixels(1L, bos.toByteArray)
+    assert(m.isDefined, "ImageIO 24-bit BMP must parse")
+    val got = m.get
+    assert(got.width == 3 && got.height == 2)
+    val rgbs = px.map(_._2)
+    assert(got.sum_r == rgbs.map(v => (v >> 16) & 0xff).sum.toLong)
+    assert(got.sum_g == rgbs.map(v => (v >> 8) & 0xff).sum.toLong)
+    assert(got.sum_b == rgbs.map(v => v & 0xff).sum.toLong)
+    // top-left of the IMAGE is (0,0) = 0x112233 — reachable only by
+    // honoring bottom-up row order
+    assert((got.tl_r, got.tl_g, got.tl_b) == ((0x11, 0x22, 0x33)))
+    // non-BMP and truncated pixel arrays: None, never a partial sum
+    assert(Multimodal.parseBmpPixels(2L, "nope".getBytes).isEmpty)
+    assert(Multimodal.parseBmpPixels(3L,
+      bos.toByteArray.take(bos.size() - 4)).isEmpty)
+  }
+
+  test("WAV PCM sample decode matches javax.sound ground truth") {
+    // signed 16-bit mono samples straddling zero — sign-extension bugs
+    // flip the min
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 7, -7, 12345)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val m = Multimodal.parseWavSamples(1L, bos.toByteArray)
+    assert(m.isDefined, "javax.sound WAV must parse")
+    val got = m.get
+    assert(got.n_samples == samples.length.toLong)
+    assert(got.min_amp == -32768 && got.max_amp == 32767)
+    assert(got.sum_amp == samples.map(_.toLong).sum)
+    // stereo/8-bit payloads refuse rather than misfold
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3, 4)), fmt8, 4L)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    assert(Multimodal.parseWavSamples(2L, bos8.toByteArray).isEmpty)
+  }
+
   test("MP4 §4.2 escapes: size==1 largesize and size==0 to-EOF boxes") {
     def be32(n: Long): Array[Byte] =
       Array((n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte, n.toByte)

@@ -626,11 +626,27 @@ class PlanQualitySpec extends SparkSpec {
       "stays on the scan tasks") {
     Seq("q174_png_header", "q175_media_dims", "q176_wav_header",
         "q179_jpeg_header", "q180_mp4_header", "q186_tiff_header",
-        "q192_webp_dims").foreach { q =>
+        "q192_webp_dims",
+        // the two TRUE payload decodes keep the same shape: every pixel
+        // byte / PCM sample is folded ON THE SCAN TASKS, nothing shuffles
+        "q195_bmp_pixels", "q196_wav_pcm").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q: media header decode must be a pure per-partition pass:\n$p")
     }
+  }
+
+  test("q194 probe-only screen: packed filter broadcasts; probe is map-side") {
+    val p = plan("q194_bloom_screen")
+    // the single-row packed filter rides a broadcast nested-loop (1-row
+    // crossJoin — bounded by construction); the only corpus exchange is
+    // the per-doc hit-count aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q194 filter row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q194 probe must never sort-merge the gram table:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"q194 must pre-aggregate hits map-side:\n$p")
   }
 
   test("q177 curation diff: one rollup exchange, no window, no join") {
