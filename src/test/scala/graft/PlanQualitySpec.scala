@@ -691,36 +691,37 @@ class PlanQualitySpec extends SparkSpec {
       s"q182 must pre-aggregate map-side:\n$p")
   }
 
-  test("q184 crawl frontier: robots join stays an equi-join, no forced " +
-    "broadcast, no cartesian") {
+  test("q184 crawl frontier: robots join is a keyed equi-join; broadcast " +
+    "only on measured size, never a cartesian") {
     val p = plan("q184_crawl_frontier")
-    // Robots.evaluate deliberately carries NO broadcast hint: at crawl
-    // scale the rules table is GBs (10M hosts × ~15 rules × ~40B ≈ 6 GB)
-    // and the host equi-join must stay free to shuffle. The gate pins the
-    // SHAPE — keyed equi-joins only, nothing degenerates to a cartesian /
-    // nested-loop over the corpus — while letting stats/AQE pick
-    // broadcast (which they do at toy SF) or shuffled hash at crawl SF.
+    // Robots.evaluate broadcasts on MEASURED evidence only (an exact
+    // rules count under a documented bound — at crawl scale the rules
+    // table is 10M hosts × ~15 rules × ~40B ≈ 6 GB and the count sails
+    // past the bound, so the join degrades to shuffle-on-host). The gate
+    // pins the SHAPE: keyed equi-joins only, nothing degenerates to a
+    // cartesian / nested-loop over the corpus; at this SF the measured
+    // count is tiny so the broadcast must be present.
     assert(!p.contains("CartesianProduct"),
       s"q184 must never cartesian the URL side:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q184 robots join must stay a keyed equi-join:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("SortMergeJoin"),
-      s"q184 expected a hash/merge equi-join on host:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q184's measured-small rules must broadcast onto the URL side:\n$p")
   }
 
-  test("robots evaluate plan carries no forced broadcast hint") {
-    // the HINTED broadcast is what OOMs at crawl scale; the optimizer MAY
-    // still size-broadcast at toy SF, so pin the logical plan's hint
-    // count, not the physical operator choice.
+  test("robots evaluate: over-bound rules produce an UNHINTED equi-join") {
+    // the regime the bound exists for: when the measured count exceeds
+    // maxBroadcastRules, no hint may appear — the OOM'ing forced
+    // broadcast is exactly what the size check replaced.
     import spark.implicits._
     val rules = Seq(("h1", "*", "disallow", "/x")).toDF(
       "host", "agent", "rule_type", "rule_path")
     val urls = Seq(("h1", "/x/a")).toDF("host", "path")
-    val logical = graft.operators.Robots.evaluate(urls, rules, "graftbot")
+    val logical = graft.operators.Robots
+      .evaluate(urls, rules, "graftbot", maxBroadcastRules = 0L)
       .queryExecution.logical.toString
     assert(!logical.contains("ResolvedHint") && !logical.contains("UnresolvedHint"),
-      s"Robots.evaluate must not hint a broadcast:\n$logical")
+      s"over-bound Robots.evaluate must not hint a broadcast:\n$logical")
   }
 
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {

@@ -110,20 +110,33 @@ class RobotsSpec extends SparkSpec {
     assert(mixed("/bot/x") == ((false, Some("/bot"))))
   }
 
-  test("evaluation plan: unhinted keyed equi-join — broadcast is the " +
-    "optimizer's call, never a cartesian") {
+  test("evaluation plan: size-BOUNDED broadcast — measured rules under " +
+    "the bound broadcast; over the bound the join stays unhinted") {
     // rules tables are GBs at millions of hosts (see Robots class doc),
-    // so evaluate() must NOT hint a broadcast; stats/AQE still pick one
-    // at this toy size, and the join must stay keyed on host either way.
+    // so evaluate() broadcasts only on MEASURED evidence: an exact
+    // rules count under maxBroadcastRules. Both regimes pinned here.
     val rules = Robots.parseRules(Seq(("h1", "User-agent: *\nDisallow: /p\n"))
       .toDF("host", "body"))
     val urls = (1 to 100).map(i => ("h1", s"/p/$i")).toDF("host", "path")
-    val q = Robots.evaluate(urls, rules, "graftbot").queryExecution
-    assert(!q.logical.toString.contains("Hint"),
-      s"evaluate must not hint:\n${q.logical}")
-    val plan = q.executedPlan.toString
+    // under the bound: the hint appears, backed by the count
+    val small = Robots.evaluate(urls, rules, "graftbot").queryExecution
+    assert(small.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"measured-small rules must broadcast:\n${small.executedPlan}")
+    // over the bound (forced to 0): NO hint — the join must stay a
+    // keyed equi-join and may never degenerate to a cartesian/BNLJ
+    val big = Robots.evaluate(urls, rules, "graftbot",
+      maxBroadcastRules = 0L).queryExecution
+    assert(!big.logical.toString.contains("Hint"),
+      s"over-bound evaluate must not hint:\n${big.logical}")
+    val plan = big.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"),
       s"robots join must stay a keyed equi-join:\n$plan")
+    // and both regimes return identical rows — strategy, not semantics
+    val a = Robots.evaluate(urls, rules, "graftbot").collect()
+      .map(_.toString).sorted
+    val b = Robots.evaluate(urls, rules, "graftbot", maxBroadcastRules = 0L)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "join strategy must not change results")
   }
 }
