@@ -629,6 +629,530 @@ object Multimodal {
     payloads.mapPartitions(_.flatMap(p => parseWavSamples(p.id, p.content)))
   }
 
+  // ---------------------------------------------------------------------
+  // TRUE payload decode #3 — 8-bit truecolor PNG, full pixel walk.
+  //
+  // PNG's pixel payload is DEFLATE (RFC 1950/1951) over per-row filtered
+  // scanlines — and unlike JPEG's DCT or MP3's MDCT, both halves need
+  // nothing past the JVM: `java.util.zip.Inflater` is canonical zlib and
+  // the five §9 filters are integer arithmetic. So the "needs an entropy
+  // coder" stub boundary does NOT apply here: [[parsePngPixels]] decodes
+  // a compressed image format completely — chunk walk with CRC-32
+  // verification, IDAT concatenation (the spec allows any split), one
+  // zlib inflate (Adler-32 checked by the JDK), then per-row reversal of
+  // all five filter types (None/Sub/Up/Average/Paeth) — and folds every
+  // reconstructed pixel into per-channel sums plus the top-left pixel.
+  //
+  // [[encodePngRgb]] is the matching minimal writer: it APPLIES a
+  // caller-chosen filter to each row before deflating, so round-trip
+  // tests exercise every unfilter path, and its output is a spec-valid
+  // PNG (MultimodalSpec pins per-pixel equality against javax.imageio's
+  // independent decoder). Together they make image payloads a two-way
+  // street: the engine can both read and WRITE the format.
+  //
+  // Scope: bit depth 8, color type 2 (truecolor RGB), no interlace —
+  // the dominant layout in web-crawled PNGs. Anything else → None
+  // (callers fall back to the header-only path). Pixel-count cap 2^26
+  // (a 192 MB reconstruction buffer) bounds what one adversarial header
+  // can make a task allocate; legitimate larger images belong on the
+  // header-only path anyway.
+  // ---------------------------------------------------------------------
+
+  /** Full-decode result: per-channel sums over every pixel + the
+    * top-left pixel (PNG rows are stored TOP-DOWN — the opposite of
+    * BMP's bottom-up order pinned in [[parseBmpPixels]]).
+    */
+  case class PngPixels(id: Long, width: Int, height: Int,
+                       sum_r: Long, sum_g: Long, sum_b: Long,
+                       tl_r: Int, tl_g: Int, tl_b: Int)
+
+  /** PNG §9 Paeth predictor: the neighbor (left, up, up-left) closest
+    * to the linear estimate left+up-upleft; ties break left, up, upleft.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Minimal spec-valid PNG writer for 8-bit RGB: `pixel(x, y)` supplies
+    * (r, g, b), `filterOfRow(y)` picks the §9 filter type (0–4) applied
+    * to that scanline before the single zlib-deflate. One IHDR, one
+    * IDAT, one IEND, each with its CRC-32.
+    */
+  def encodePngRgb(width: Int, height: Int,
+                   pixel: (Int, Int) => (Int, Int, Int),
+                   filterOfRow: Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "encodePngRgb: dims must be positive")
+    val bpp = 3
+    val rowLen = width * bpp
+    val raw = new Array[Byte](height * (1 + rowLen)) // filtered scanlines
+    val prev = new Array[Int](rowLen)
+    val cur = new Array[Int](rowLen)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        cur(x * 3) = r & 0xff; cur(x * 3 + 1) = g & 0xff; cur(x * 3 + 2) = b & 0xff
+        x += 1
+      }
+      val ft = filterOfRow(y) % 5
+      val base = y * (1 + rowLen)
+      raw(base) = ft.toByte
+      var i = 0
+      while (i < rowLen) {
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val upLeft = if (i >= bpp) prev(i - bpp) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - left
+          case 2 => cur(i) - up
+          case 3 => cur(i) - (left + up) / 2
+          case 4 => cur(i) - paeth(left, up, upLeft)
+        }
+        raw(base + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowLen)
+      y += 1
+    }
+    // zlib-deflate the filtered stream (Deflater's default wrapper IS
+    // RFC 1950 zlib, Adler-32 trailer included)
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(zBuf.size() + 64)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length.toLong))
+      val t = ctype.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zBuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Complete decode of an 8-bit truecolor PNG (see the section doc for
+    * scope). Every failure mode — bad signature, short/overlong chunk,
+    * CRC mismatch, unsupported IHDR, truncated or oversized inflate,
+    * unknown filter type, missing IDAT/IEND — returns None, keeping the
+    * byte-walk totality law.
+    */
+  def parsePngPixels(id: Long, b: Array[Byte]): Option[PngPixels] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    def u(i: Int) = b(i) & 0xff
+    def be32(i: Int) = (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    if (b.length < 8 || (0 until 8).exists(i => u(i) != sig(i))) return None
+    // ---- chunk walk (CRC-verified) -----------------------------------
+    var pos = 8
+    var w = 0; var h = 0
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      if (pos + 12 > b.length) return None // len+type+crc minimum
+      val clen = be32(pos)
+      if (clen < 0 || clen > Int.MaxValue - 16 || pos + 12 + clen > b.length) return None
+      val dataOff = pos + 8
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, pos + 4, 4 + clen.toInt)
+      if (crc.getValue != be32(dataOff + clen.toInt)) return None
+      val ctype = new String(b, pos + 4, 4, "US-ASCII")
+      if (!sawIhdr) {
+        if (ctype != "IHDR" || clen != 13) return None
+        w = be32(dataOff).toInt; h = be32(dataOff + 4).toInt
+        val (depth, color, comp, filt, interlace) =
+          (u(dataOff + 8), u(dataOff + 9), u(dataOff + 10), u(dataOff + 11), u(dataOff + 12))
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+          depth != 8 || color != 2 || comp != 0 || filt != 0 || interlace != 0) return None
+        sawIhdr = true
+      } else ctype match {
+        case "IDAT" => idat.write(b, dataOff, clen.toInt)
+        case "IEND" => if (clen != 0) return None else sawIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable
+      }
+      pos = dataOff + clen.toInt + 4
+    }
+    if (idat.size() == 0) return None
+    // ---- inflate (JDK zlib; Adler-32 verified by Inflater) -----------
+    val rowLen = w * 3
+    val expect = h * (1 + rowLen)
+    val raw = new Array[Byte](expect)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val got = try {
+      var off = 0
+      var stalled = false
+      while (off < expect && !inflater.finished() && !stalled) {
+        val n = inflater.inflate(raw, off, expect - off)
+        // n==0 while unfinished = no forward progress possible (input
+        // exhausted / preset-dictionary demand): treat as truncation
+        if (n == 0 && !inflater.finished()) stalled = true
+        off += n
+      }
+      // a spare byte probes for EXTRA data past the expected scanlines
+      if (off == expect && !inflater.finished() &&
+        inflater.inflate(new Array[Byte](1)) > 0) -1 else off
+    } catch { case _: java.util.zip.DataFormatException => -1 }
+    finally inflater.end()
+    if (got != expect) return None
+    // ---- unfilter + fold (top-down rows, unlike BMP) -----------------
+    val bpp = 3
+    val prev = new Array[Int](rowLen)
+    val cur = new Array[Int](rowLen)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var tlR = 0; var tlG = 0; var tlB = 0
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + rowLen)
+      val ft = raw(base) & 0xff
+      if (ft > 4) return None
+      var i = 0
+      while (i < rowLen) {
+        val f = raw(base + 1 + i) & 0xff
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val upLeft = if (i >= bpp) prev(i - bpp) else 0
+        cur(i) = (ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, upLeft)
+        }) & 0xff
+        i += 1
+      }
+      var x = 0
+      while (x < rowLen) { sr += cur(x); sg += cur(x + 1); sb += cur(x + 2); x += 3 }
+      if (y == 0) { tlR = cur(0); tlG = cur(1); tlB = cur(2) }
+      System.arraycopy(cur, 0, prev, 0, rowLen)
+      y += 1
+    }
+    Some(PngPixels(id, w, h, sr, sg, sb, tlR, tlG, tlB))
+  }
+
+  /** PNG-pixel twin of [[decodeBatches]]. */
+  def decodePngPixelBatches(payloads: Dataset[Payload]): Dataset[PngPixels] = {
+    implicit val enc = Encoders.product[PngPixels]
+    payloads.mapPartitions(_.flatMap(p => parsePngPixels(p.id, p.content)))
+  }
+
+  // ---------------------------------------------------------------------
+  // TRUE payload decode #4 — GIF, full LZW pixel walk.
+  //
+  // GIF's entropy coder is LZW (GIF89a spec appendix F): variable-width
+  // codes 3–12 bits, LSB-first bit packing across ≤255-byte sub-blocks,
+  // a dictionary rebuilt from clear codes as it decodes. No JDK class
+  // implements it — [[parseGifPixels]] is the complete decoder in plain
+  // integer arithmetic: screen/image descriptor walk, global or local
+  // color table, extension skip, then the LZW stream expanded index by
+  // index and mapped through the palette into per-channel sums + the
+  // top-left pixel. [[encodeGifRgb]] is the matching true LZW COMPRESSOR
+  // (hash-dict, width growth at 2^codeSize, clear-on-full-dict), so
+  // round-trips exercise dictionary growth and width transitions, and
+  // MultimodalSpec pins per-pixel equality against javax.imageio's
+  // independent GIF decoder.
+  //
+  // Scope: single frame, no interlace (Adam-less raster order), palette
+  // from the global table unless the frame carries a local one. The
+  // same 2^26 pixel-count cap as PNG bounds adversarial allocation.
+  // ---------------------------------------------------------------------
+
+  /** GIF full-decode result (raster is top-down, like PNG). */
+  case class GifPixels(id: Long, width: Int, height: Int,
+                       sum_r: Long, sum_g: Long, sum_b: Long,
+                       tl_r: Int, tl_g: Int, tl_b: Int)
+
+  /** Minimal spec-valid GIF89a writer: `palette` (≤256 RGB triples),
+    * `index(x, y)` picks each pixel's palette slot, output carries one
+    * global color table and one full-frame image compressed with true
+    * LZW (not the uncompressed-literal trick — dictionary entries are
+    * built and emitted, so decoders walk their growth path).
+    */
+  def encodeGifRgb(width: Int, height: Int,
+                   palette: Array[(Int, Int, Int)],
+                   index: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "encodeGifRgb: dims must be positive")
+    require(palette.nonEmpty && palette.length <= 256, "palette size 1..256")
+    // color-table size is the smallest power of two ≥ palette, min 4
+    var gctBits = 2
+    while ((1 << gctBits) < palette.length) gctBits += 1
+    val gctSize = 1 << gctBits
+    // LZW minimum code size must cover the root indices (spec: ≥ 2)
+    val minCode = gctBits
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) } // little-endian
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(width); w16(height)
+    w8(0x80 | 0x70 | (gctBits - 1)) // GCT present, 8-bit color res, size
+    w8(0); w8(0)                    // background index, aspect
+    var i = 0
+    while (i < gctSize) {
+      val (r, g, b) = if (i < palette.length) palette(i) else (0, 0, 0)
+      w8(r); w8(g); w8(b)
+      i += 1
+    }
+    w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0) // image descriptor
+    w8(minCode)
+    // ---- true LZW compress (LSB-first variable-width codes) ----------
+    val clearCode = 1 << minCode
+    val endCode = clearCode + 1
+    val lzw = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitLen = 0
+    var codeSize = minCode + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitLen; bitLen += codeSize
+      while (bitLen >= 8) { lzw.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitLen -= 8 }
+    }
+    // dict maps (prefixCode << 8 | nextIndex) → code; roots are implicit
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = endCode + 1
+    emit(clearCode)
+    var prefix = -1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val k = index(x, y)
+        require(k >= 0 && k < palette.length, s"index($x,$y)=$k out of palette")
+        if (prefix < 0) prefix = k
+        else {
+          val key = Integer.valueOf((prefix << 8) | k)
+          val hit = dict.get(key)
+          if (hit != null) prefix = hit.intValue()
+          else {
+            emit(prefix)
+            if (next < 4096) {
+              dict.put(key, Integer.valueOf(next))
+              next += 1
+              // width grows ONE ENTRY LATER than the decoder's
+              // next==2^size rule: the decoder's dictionary trails the
+              // encoder's by one entry at read time (it adds the entry
+              // for code k only after reading code k+1), so the
+              // schedules meet on the wire (giflib: ++RunningCode >
+              // MaxCode1)
+              if (next > (1 << codeSize) && codeSize < 12) codeSize += 1
+            } else { // dictionary full: clear and restart
+              emit(clearCode)
+              dict = new java.util.HashMap[Integer, Integer]()
+              next = endCode + 1
+              codeSize = minCode + 1
+            }
+            prefix = k
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(endCode)
+    if (bitLen > 0) lzw.write((bitBuf & 0xff).toInt)
+    // ---- ≤255-byte sub-blocks + terminator ---------------------------
+    val z = lzw.toByteArray
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(255, z.length - off)
+      w8(n); out.write(z, off, n); off += n
+    }
+    w8(0); w8(0x3b) // block terminator + trailer
+    out.toByteArray
+  }
+
+  /** Complete single-frame GIF decode (scope in the section doc). Any
+    * malformation — bad signature, missing color table, truncated
+    * sub-blocks, out-of-range or premature LZW code, pixel overflow or
+    * shortfall — returns None (byte-walk totality law).
+    */
+  def parseGifPixels(id: Long, b: Array[Byte]): Option[GifPixels] = {
+    def u(i: Int) = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    def le16(i: Int) = { val lo = u(i); val hi = u(i + 1); if (lo < 0 || hi < 0) -1 else lo | (hi << 8) }
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val packed = u(10)
+    var pos = 13
+    var gctOff = -1; var gctBits0 = 0
+    if ((packed & 0x80) != 0) {
+      gctBits0 = (packed & 0x07) + 1
+      gctOff = pos
+      pos += 3 * (1 << gctBits0)
+    }
+    // ---- block walk to the first image descriptor --------------------
+    var w = -1; var h = -1; var lctOff = -1; var lctBits = 0
+    while (w < 0) {
+      u(pos) match {
+        case 0x21 => // extension: label, then sub-blocks to a 0 terminator
+          pos += 2
+          var n = u(pos)
+          while (n > 0) { pos += 1 + n; n = u(pos) }
+          if (n < 0) return None
+          pos += 1
+        case 0x2c =>
+          w = le16(pos + 5); h = le16(pos + 7)
+          val ip = u(pos + 9)
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) || ip < 0) return None
+          pos += 10
+          if ((ip & 0x80) != 0) {
+            lctBits = (ip & 0x07) + 1
+            lctOff = pos
+            pos += 3 * (1 << lctBits)
+          }
+        case _ => return None // trailer before any image, or garbage
+      }
+    }
+    // NOTE interlaced frames (descriptor bit 0x40 — javax.imageio writes
+    // them by DEFAULT) need no special handling HERE: interlacing
+    // permutes row order only, channel sums are order-invariant, and
+    // interlace pass 1 starts at row 0, so the first emitted pixel is
+    // the true top-left in both orders. A variant returning per-ROW
+    // stats would have to de-permute.
+    val (palOff, palBits) = if (lctOff >= 0) (lctOff, lctBits) else (gctOff, gctBits0)
+    if (palOff < 0) return None // no color table at all
+    val palN = 1 << palBits
+    if (palOff + 3 * palN > b.length) return None
+    // ---- LZW expand ---------------------------------------------------
+    val minCode = u(pos); pos += 1
+    if (minCode < 2 || minCode > 8) return None
+    val clearCode = 1 << minCode
+    val endCode = clearCode + 1
+    // concatenate the data sub-blocks
+    val z = new java.io.ByteArrayOutputStream()
+    var n = u(pos)
+    while (n > 0) {
+      if (pos + 1 + n > b.length) return None
+      z.write(b, pos + 1, n); pos += 1 + n; n = u(pos)
+    }
+    if (n < 0) return None
+    val zb = z.toByteArray
+    // dictionary as prefix-chain arrays: entry = (prefix code, tail index)
+    val prefixOf = new Array[Int](4096)
+    val tailOf = new Array[Int](4096)
+    val nPixels = w * h
+    val total = nPixels.toLong
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var tlR = -1; var tlG = 0; var tlB = 0
+    var emitted = 0L
+    def pal(ix: Int): Int = // packed rgb, -1 if out of palette
+      if (ix < 0 || ix >= palN) -1
+      else (u(palOff + 3 * ix) << 16) | (u(palOff + 3 * ix + 1) << 8) | u(palOff + 3 * ix + 2)
+    // emit one root index through the palette into the sums
+    def fold(ix: Int): Boolean = {
+      val rgb = pal(ix)
+      if (rgb < 0 || emitted >= total) false
+      else {
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val bl = rgb & 0xff
+        if (tlR < 0) { tlR = r; tlG = g; tlB = bl }
+        sr += r; sg += g; sb += bl; emitted += 1
+        true
+      }
+    }
+    // expand a code's index string in raster order (walk the prefix
+    // chain into a scratch buffer, then fold forward)
+    val scratch = new Array[Int](4096)
+    def expand(code: Int, nextFree: Int): Int = { // returns first index, or -1
+      var c = code; var depth = 0
+      while (c >= clearCode + 2) {
+        if (c >= nextFree || depth >= 4096) return -1
+        scratch(depth) = tailOf(c); depth += 1; c = prefixOf(c)
+      }
+      if (c >= clearCode) return -1 // clear/end inside a chain
+      if (!fold(c)) return -1
+      var i = depth - 1
+      while (i >= 0) { if (!fold(scratch(i))) return -1; i -= 1 }
+      c
+    }
+    var bitPos = 0
+    var codeSize = minCode + 1
+    var nextFree = endCode + 1
+    var prev = -1
+    var done = false
+    def readCode(): Int = {
+      if (bitPos + codeSize > zb.length * 8) -1
+      else {
+        var v = 0; var got = 0
+        while (got < codeSize) {
+          val byt = zb(bitPos >> 3) & 0xff
+          v |= ((byt >> (bitPos & 7)) & 1) << got
+          bitPos += 1; got += 1
+        }
+        v
+      }
+    }
+    while (!done) {
+      val code = readCode()
+      if (code < 0) return None // ran out of bits before the end code
+      if (code == clearCode) {
+        codeSize = minCode + 1; nextFree = endCode + 1; prev = -1
+      } else if (code == endCode) {
+        done = true
+      } else if (prev < 0) {
+        if (code >= clearCode) return None // first code must be a root
+        if (!fold(code)) return None
+        prev = code
+      } else {
+        var firstIdx = -1
+        if (code < nextFree) {
+          firstIdx = expand(code, nextFree)
+          if (firstIdx < 0) return None
+        } else if (code == nextFree && nextFree < 4096) {
+          // the KwKwK case: string = prev's expansion + its first index
+          val pf = firstIndexOf(prev, clearCode, prefixOf)
+          if (pf < 0) return None
+          prefixOf(nextFree) = prev; tailOf(nextFree) = pf
+          firstIdx = expand(code, nextFree + 1)
+          if (firstIdx < 0) return None
+          // entry was added as part of decoding; skip the normal add
+          nextFree += 1
+          if (nextFree == (1 << codeSize) && codeSize < 12) codeSize += 1
+          prev = code
+          if (emitted > total) return None
+          // continue without the standard add below
+          firstIdx = -2
+        } else return None
+        if (firstIdx != -2) {
+          if (nextFree < 4096) {
+            prefixOf(nextFree) = prev; tailOf(nextFree) = firstIdx
+            nextFree += 1
+            if (nextFree == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        }
+        if (emitted > total) return None
+      }
+    }
+    if (emitted != total) return None
+    Some(GifPixels(id, w, h, sr, sg, sb, tlR, tlG, tlB))
+  }
+
+  /** First root index of a code's expansion (walk the prefix chain). */
+  private def firstIndexOf(code: Int, clearCode: Int, prefixOf: Array[Int]): Int = {
+    var c = code; var depth = 0
+    while (c >= clearCode + 2 && depth < 4096) { c = prefixOf(c); depth += 1 }
+    if (c < clearCode) c else -1
+  }
+
+  /** GIF-pixel twin of [[decodeBatches]]. */
+  def decodeGifPixelBatches(payloads: Dataset[Payload]): Dataset[GifPixels] = {
+    implicit val enc = Encoders.product[GifPixels]
+    payloads.mapPartitions(_.flatMap(p => parseGifPixels(p.id, p.content)))
+  }
+
   /** Batch decode: per-partition iteration (one codec instance per
     * partition, amortized setup — the Scala analog of a `mapInPandas`
     * batch loop). Input partitioning is preserved; repartition by

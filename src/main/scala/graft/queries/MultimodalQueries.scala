@@ -12,6 +12,53 @@ import org.apache.spark.sql.functions._
   * stubbed vs real). Everything here is binary-typed on the Spark side
   * and reproduced by DuckDB over the same bytes.
   */
+/** Deterministic media-payload generator shared by q199/q200 and the
+  * fixture script (`scripts/make_media_fixture.py` REIMPLEMENTS this
+  * derivation in Python — the two must stay in lockstep; the derivation
+  * is pinned by the fixture-backed oracles). Seeds are the engine's
+  * standard md5 splits (hash60 = hex[0,15), hash56 = hex[15,29)) so the
+  * oracle can join on `md5(text)`.
+  */
+private[queries] object MediaGen {
+  def seeds(text: String): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16),
+      java.lang.Long.parseLong(hex.substring(15, 29), 16))
+  }
+
+  /** 2–16 × 5–12 truecolor PNG; height ≥5 puts ALL FIVE §9 filter types
+    * (y % 5) in every single image, so the corpus exercises every
+    * unfilter path, not just the easy ones.
+    */
+  def pngFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (2 + s1 % 15).toInt
+    val h = (5 + s2 % 8).toInt
+    graft.operators.Multimodal.encodePngRgb(w, h, (x, y) => (
+      ((s1 + 7L * y + 11L * x) % 256).toInt,
+      ((s2 + 13L * y + 3L * x + 101) % 256).toInt,
+      ((s1 + s2 + 5L * y + 17L * x + 202) % 256).toInt), y => y % 5)
+  }
+
+  /** 64-color palette shared by every generated GIF. */
+  val gifPalette: Array[(Int, Int, Int)] = Array.tabulate(64)(i =>
+    ((i * 4 + 1) % 256, (i * 7 + 3) % 256, (i * 13 + 5) % 256))
+
+  /** 8–32 × 8–24 GIF (up to 768 px): big enough that the LZW dictionary
+    * grows through 7→8→9-bit code widths on real corpus rows, not only
+    * in the unit specs.
+    */
+  def gifFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (8 + s1 % 25).toInt
+    val h = (8 + s2 % 17).toInt
+    graft.operators.Multimodal.encodeGifRgb(w, h, gifPalette,
+      (x, y) => ((s1 + 7L * y + 11L * x) % 64).toInt)
+  }
+}
+
 object MultimodalQueries {
 
   import OracleSql.{sqlHash56, sqlHash60}
@@ -917,6 +964,102 @@ object MultimodalQueries {
                CAST(max(v) AS INTEGER) AS max_amp,
                CAST(sum(v) AS BIGINT) AS sum_amp
         FROM sm GROUP BY doc_id, n2"""),
+      headline = false),
+
+    // TRUE payload decode #3 — COMPRESSED image format, decoded fully.
+    // Each document becomes a deterministic truecolor PNG whose pixel
+    // stream is genuinely zlib-DEFLATED over per-row FILTERED scanlines
+    // (filters cycle through all five §9 types), and parsePngPixels
+    // walks it all the way back: CRC-checked chunk walk → one inflate →
+    // all five unfilters → per-channel sums/means + top-left pixel.
+    // DuckDB has no zlib, so (q190 precedent) the oracle joins a
+    // PRECOMPUTED fixture keyed by md5(text): Python derives the same
+    // pixels from the derivation spec DIRECTLY — no PNG in the loop —
+    // so a hash match proves the engine's encode→deflate→inflate→
+    // unfilter chain is the identity on real compressed bytes. The
+    // bytes themselves are additionally pinned to the REAL format by
+    // MultimodalSpec (javax.imageio decodes our PNGs pixel-exactly, and
+    // our decoder reproduces javax.imageio's own filtered output).
+    "q199_png_full_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            Multimodal.Payload(id, "image", MediaGen.pngFor(text)) })
+        Multimodal.decodePngPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"),
+            round(col("sum_r").cast("double") /
+              (col("width") * col("height")), 4).as("mean_r"),
+            round(col("sum_g").cast("double") /
+              (col("width") * col("height")), 4).as("mean_g"),
+            round(col("sum_b").cast("double") /
+              (col("width") * col("height")), 4).as("mean_b"),
+            col("tl_r"), col("tl_g"), col("tl_b"))
+      },
+      oracle = Some("""
+        SELECT d.doc_id,
+               f.png_width AS width, f.png_height AS height,
+               f.png_sum_r AS sum_r, f.png_sum_g AS sum_g,
+               f.png_sum_b AS sum_b,
+               round(CAST(f.png_sum_r AS DOUBLE)
+                 / (f.png_width * f.png_height), 4) AS mean_r,
+               round(CAST(f.png_sum_g AS DOUBLE)
+                 / (f.png_width * f.png_height), 4) AS mean_g,
+               round(CAST(f.png_sum_b AS DOUBLE)
+                 / (f.png_width * f.png_height), 4) AS mean_b,
+               f.png_tl_r AS tl_r, f.png_tl_g AS tl_g, f.png_tl_b AS tl_b
+        FROM documents d
+        JOIN read_parquet('/root/repo/fixtures/media_pixels_oracle.parquet') f
+          ON md5(coalesce(d.text, '')) = f.text_md5"""),
+      headline = true),
+
+    // TRUE payload decode #4 — the OTHER web-image entropy coder. Each
+    // document becomes a deterministic 64-color GIF large enough (up to
+    // 768 px) that the LZW dictionary grows through 7→8→9-bit code
+    // widths on corpus rows, and parseGifPixels runs the complete
+    // variable-width LSB-first LZW expansion (clear codes, KwKwK case,
+    // width transitions) through the color table into channel sums +
+    // top-left pixel. Oracle: same fixture-join design as q199 (no SQL
+    // engine ships an LZW); format pinned both ways against
+    // javax.imageio in MultimodalSpec, including its default-interlaced
+    // output.
+    "q200_gif_full_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            Multimodal.Payload(id, "image", MediaGen.gifFor(text)) })
+        Multimodal.decodeGifPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"),
+            round(col("sum_r").cast("double") /
+              (col("width") * col("height")), 4).as("mean_r"),
+            round(col("sum_g").cast("double") /
+              (col("width") * col("height")), 4).as("mean_g"),
+            round(col("sum_b").cast("double") /
+              (col("width") * col("height")), 4).as("mean_b"),
+            col("tl_r"), col("tl_g"), col("tl_b"))
+      },
+      oracle = Some("""
+        SELECT d.doc_id,
+               f.gif_width AS width, f.gif_height AS height,
+               f.gif_sum_r AS sum_r, f.gif_sum_g AS sum_g,
+               f.gif_sum_b AS sum_b,
+               round(CAST(f.gif_sum_r AS DOUBLE)
+                 / (f.gif_width * f.gif_height), 4) AS mean_r,
+               round(CAST(f.gif_sum_g AS DOUBLE)
+                 / (f.gif_width * f.gif_height), 4) AS mean_g,
+               round(CAST(f.gif_sum_b AS DOUBLE)
+                 / (f.gif_width * f.gif_height), 4) AS mean_b,
+               f.gif_tl_r AS tl_r, f.gif_tl_g AS tl_g, f.gif_tl_b AS tl_b
+        FROM documents d
+        JOIN read_parquet('/root/repo/fixtures/media_pixels_oracle.parquet') f
+          ON md5(coalesce(d.text, '')) = f.text_md5"""),
       headline = false)
   )
 }

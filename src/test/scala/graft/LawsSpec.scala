@@ -499,6 +499,8 @@ class LawsSpec extends SparkSpec {
       Multimodal.WebPCodec(p)
       Multimodal.parseWav(i.toLong, b); Multimodal.parseMp4(i.toLong, b)
       Multimodal.parseMp3(i.toLong, b)
+      Multimodal.parseBmpPixels(i.toLong, b); Multimodal.parseWavSamples(i.toLong, b)
+      Multimodal.parsePngPixels(i.toLong, b); Multimodal.parseGifPixels(i.toLong, b)
       graft.sources.Warc.parse(i.toLong, b)
       graft.sources.Warc.parseAuto(i.toLong, b)
     }

@@ -301,6 +301,144 @@ class MultimodalSpec extends SparkSpec {
       bos.toByteArray.take(bos.size() - 4)).isEmpty)
   }
 
+  test("PNG full pixel decode: own-encoder round-trip exercises all five " +
+    "filters, and ImageIO agrees both ways") {
+    // deterministic pseudorandom pixels; h=7 cycles filter types 0..4
+    // (incl. two reuses), so every unfilter path runs
+    def pix(seed: Long)(x: Int, y: Int): (Int, Int, Int) =
+      (((seed + 7 * y + 11 * x) % 256).toInt,
+        ((seed * 3 + 13 * y + 3 * x + 101) % 256).toInt,
+        ((seed * 5 + 5 * y + 17 * x + 202) % 256).toInt)
+    for ((w, h, seed) <- Seq((1, 1, 3L), (5, 7, 17L), (16, 9, 255L))) {
+      val bytes = Multimodal.encodePngRgb(w, h, pix(seed), y => y % 5)
+      // direction 1: javax.imageio decodes OUR bytes pixel-exactly
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must read our PNG ($w x $h)")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pix(seed)(x, y)
+        assert((img.getRGB(x, y) & 0xffffff) == ((r << 16) | (g << 8) | b),
+          s"pixel ($x,$y) of ${w}x$h")
+      }
+      // direction 2: our full decoder reproduces the exact channel sums
+      val m = Multimodal.parsePngPixels(1L, bytes)
+      assert(m.isDefined, s"own PNG must decode ($w x $h)")
+      val all = for (y <- 0 until h; x <- 0 until w) yield pix(seed)(x, y)
+      assert(m.get.sum_r == all.map(_._1.toLong).sum)
+      assert(m.get.sum_g == all.map(_._2.toLong).sum)
+      assert(m.get.sum_b == all.map(_._3.toLong).sum)
+      // PNG rows are top-down: tl is pixel (0,0)
+      assert((m.get.tl_r, m.get.tl_g, m.get.tl_b) == pix(seed)(0, 0))
+    }
+  }
+
+  test("PNG full pixel decode: ImageIO-encoded bytes (independent filter " +
+    "choices, split IDATs allowed) decode to the same pixels") {
+    val rnd = new scala.util.Random(42)
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 23; x <- 0 until 37) img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val m = Multimodal.parsePngPixels(1L, bos.toByteArray)
+    assert(m.isDefined, "ImageIO truecolor PNG must full-decode")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val v = img.getRGB(x, y)
+      sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+    }
+    assert((m.get.sum_r, m.get.sum_g, m.get.sum_b) == ((sr, sg, sb)))
+    assert(m.get.width == 37 && m.get.height == 23)
+  }
+
+  test("PNG full pixel decode: corruption → None, never a partial sum") {
+    val bytes = Multimodal.encodePngRgb(6, 6,
+      (x, y) => (x * 40, y * 40, (x + y) * 20), y => y % 5)
+    assert(Multimodal.parsePngPixels(1L, bytes).isDefined)
+    // flip one IDAT payload byte: chunk CRC must catch it
+    val flipped = bytes.clone(); flipped(flipped.length - 20) =
+      (flipped(flipped.length - 20) ^ 0x41).toByte
+    assert(Multimodal.parsePngPixels(2L, flipped).isEmpty, "CRC flip")
+    // truncation inside IDAT
+    assert(Multimodal.parsePngPixels(3L, bytes.take(bytes.length - 16)).isEmpty)
+    // interlaced flag (CRC fixed up): out of scope → None
+    val il = bytes.clone(); il(28) = 1 // IHDR interlace byte
+    val crc = new java.util.zip.CRC32(); crc.update(il, 12, 17)
+    val v = crc.getValue
+    il(29) = (v >>> 24).toByte; il(30) = (v >>> 16).toByte
+    il(31) = (v >>> 8).toByte; il(32) = v.toByte
+    assert(Multimodal.parsePngPixels(4L, il).isEmpty, "interlace out of scope")
+  }
+
+  test("GIF full LZW decode: own-encoder round-trip through dictionary " +
+    "growth and width transitions, ImageIO agrees both ways") {
+    val palette = Array.tabulate(64)(i => ((i * 4 + 1) % 256, (i * 7 + 3) % 256,
+      (i * 13 + 5) % 256))
+    def idx(seed: Long)(x: Int, y: Int): Int = ((seed + 7 * y + 11 * x) % 64).toInt
+    for ((w, h, seed) <- Seq((1, 1, 5L), (9, 4, 21L), (40, 30, 63L))) {
+      val bytes = Multimodal.encodeGifRgb(w, h, palette, idx(seed))
+      // direction 1: javax.imageio decodes OUR bytes pixel-exactly
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must read our GIF ($w x $h)")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = palette(idx(seed)(x, y))
+        assert((img.getRGB(x, y) & 0xffffff) == ((r << 16) | (g << 8) | b),
+          s"pixel ($x,$y) of ${w}x$h")
+      }
+      // direction 2: our decoder's sums match the direct computation
+      val m = Multimodal.parseGifPixels(1L, bytes)
+      assert(m.isDefined, s"own GIF must decode ($w x $h)")
+      val all = for (y <- 0 until h; x <- 0 until w) yield palette(idx(seed)(x, y))
+      assert(m.get.sum_r == all.map(_._1.toLong).sum)
+      assert(m.get.sum_g == all.map(_._2.toLong).sum)
+      assert(m.get.sum_b == all.map(_._3.toLong).sum)
+      assert((m.get.tl_r, m.get.tl_g, m.get.tl_b) == palette(idx(seed)(0, 0)))
+    }
+    // a 120x120 random-index frame fills the 12-bit dictionary and forces
+    // at least one mid-stream clear: the decode must still be exact
+    val rnd = new scala.util.Random(7)
+    val big = Array.fill(120, 120)(rnd.nextInt(64))
+    val bytes = Multimodal.encodeGifRgb(120, 120, palette, (x, y) => big(y)(x))
+    val m = Multimodal.parseGifPixels(2L, bytes)
+    assert(m.isDefined)
+    val flat = big.flatten.map(palette)
+    assert(m.get.sum_r == flat.map(_._1.toLong).sum)
+    assert(m.get.sum_g == flat.map(_._2.toLong).sum)
+    assert(m.get.sum_b == flat.map(_._3.toLong).sum)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 120 && img.getHeight == 120)
+  }
+
+  test("GIF full LZW decode: ImageIO-encoded bytes (independent LZW " +
+    "implementation, GCE extensions present) decode to the same pixels") {
+    // an indexed-color image writes losslessly as GIF
+    val cmap = Array.tabulate(256)(i => (0xff000000 | (i << 16) | ((255 - i) << 8) | (i * 3 % 256)))
+    val icm = new java.awt.image.IndexColorModel(8, 256,
+      cmap.map(v => ((v >> 16) & 0xff).toByte),
+      cmap.map(v => ((v >> 8) & 0xff).toByte),
+      cmap.map(v => (v & 0xff).toByte))
+    val img = new java.awt.image.BufferedImage(31, 19,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val rnd = new scala.util.Random(11)
+    for (y <- 0 until 19; x <- 0 until 31)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val m = Multimodal.parseGifPixels(1L, bos.toByteArray)
+    assert(m.isDefined, "ImageIO GIF must full-decode")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until 19; x <- 0 until 31) {
+      val v = img.getRGB(x, y)
+      sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+    }
+    assert((m.get.sum_r, m.get.sum_g, m.get.sum_b) == ((sr, sg, sb)))
+    // corruption: truncated LZW stream and short color table → None
+    assert(Multimodal.parseGifPixels(2L,
+      bos.toByteArray.take(bos.size() - 6)).isEmpty)
+    assert(Multimodal.parseGifPixels(3L, "GIF89a".getBytes).isEmpty)
+  }
+
   test("WAV PCM sample decode matches javax.sound ground truth") {
     // signed 16-bit mono samples straddling zero — sign-extension bugs
     // flip the min
