@@ -697,7 +697,9 @@ object Multimodal {
         cur(x * 3) = r & 0xff; cur(x * 3 + 1) = g & 0xff; cur(x * 3 + 2) = b & 0xff
         x += 1
       }
-      val ft = filterOfRow(y) % 5
+      // floorMod: a negative callback value must still land in 0..4 (JVM
+      // `%` keeps the sign and would blow up the filter match below)
+      val ft = Math.floorMod(filterOfRow(y), 5)
       val base = y * (1 + rowLen)
       raw(base) = ft.toByte
       var i = 0
@@ -845,11 +847,46 @@ object Multimodal {
     Some(PngPixels(id, w, h, sr, sg, sb, tlR, tlG, tlB))
   }
 
-  /** PNG-pixel twin of [[decodeBatches]]. */
-  def decodePngPixelBatches(payloads: Dataset[Payload]): Dataset[PngPixels] = {
-    implicit val enc = Encoders.product[PngPixels]
-    payloads.mapPartitions(_.flatMap(p => parsePngPixels(p.id, p.content)))
+  /** Total per-payload decode outcome: one row per input payload, never
+    * fewer — `decode_ok=false` carries the id of an undecodable payload
+    * so a curation pipeline can quarantine or count it instead of
+    * silently losing the document (the round-7 failure mode: a 0.4% GIF
+    * drop was only visible because an oracle counted rows).
+    */
+  case class PngDecodeRow(id: Long, decode_ok: Boolean, px: Option[PngPixels])
+
+  /** Total PNG-pixel decode: every payload yields a row; failures are
+    * flagged, not dropped. The quarantine-friendly entry point.
+    */
+  def decodePngPixelsTotal(payloads: Dataset[Payload]): Dataset[PngDecodeRow] = {
+    implicit val enc = Encoders.product[PngDecodeRow]
+    payloads.mapPartitions(_.map { p =>
+      val r = parsePngPixels(p.id, p.content)
+      PngDecodeRow(p.id, r.isDefined, r)
+    })
   }
+
+  /** PNG-pixel twin of [[decodeBatches]]. Undecodable payloads are
+    * excluded from the result but COUNTED into `drops` (a driver-visible
+    * accumulator, also shown in the Spark UI) — never silently vanished.
+    */
+  def decodePngPixelBatches(payloads: Dataset[Payload],
+                            drops: org.apache.spark.util.LongAccumulator)
+      : Dataset[PngPixels] = {
+    implicit val enc = Encoders.product[PngPixels]
+    payloads.mapPartitions(_.flatMap { p =>
+      val r = parsePngPixels(p.id, p.content)
+      if (r.isEmpty) drops.add(1L)
+      r
+    })
+  }
+
+  /** Convenience overload: registers its own named drop accumulator
+    * (`graft.png_pixel_decode_drops` in the Spark UI).
+    */
+  def decodePngPixelBatches(payloads: Dataset[Payload]): Dataset[PngPixels] =
+    decodePngPixelBatches(payloads,
+      payloads.sparkSession.sparkContext.longAccumulator("graft.png_pixel_decode_drops"))
 
   // ---------------------------------------------------------------------
   // TRUE payload decode #4 — GIF, full LZW pixel walk.
@@ -960,7 +997,21 @@ object Multimodal {
       }
       y += 1
     }
-    if (prefix >= 0) emit(prefix)
+    if (prefix >= 0) {
+      emit(prefix)
+      // The FINAL data code needs the same post-emit bookkeeping as every
+      // in-loop emit: the decoder will add a dictionary entry after
+      // reading it and widen when nextFree hits 2^codeSize, so endCode
+      // must be written at that post-add width (giflib's encoder bumps
+      // RunningCode on every output, including the last, for the same
+      // reason). Round 7 omitted this, so shapes whose final add landed
+      // exactly on a width boundary (e.g. 22x17 over the 64-color
+      // corpus palette) desynced the reader on the engine's own output.
+      if (next < 4096) {
+        next += 1
+        if (next > (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+    }
     emit(endCode)
     if (bitLen > 0) lzw.write((bitBuf & 0xff).toInt)
     // ---- ≤255-byte sub-blocks + terminator ---------------------------
@@ -1096,7 +1147,15 @@ object Multimodal {
     }
     while (!done) {
       val code = readCode()
-      if (code < 0) return None // ran out of bits before the end code
+      if (code < 0) {
+        // Out of bits. If every pixel is already emitted this is the
+        // "late-change" encoder variant (endCode written at the
+        // pre-final-add width, so it sits in fewer bits than we now
+        // read) or a missing terminator — both decoded leniently by
+        // mainstream readers (ImageIO included) because the image is
+        // complete. Anything short of a full frame is real truncation.
+        if (emitted == total) done = true else return None
+      } else
       if (code == clearCode) {
         codeSize = minCode + 1; nextFree = endCode + 1; prev = -1
       } else if (code == endCode) {
@@ -1147,11 +1206,42 @@ object Multimodal {
     if (c < clearCode) c else -1
   }
 
-  /** GIF-pixel twin of [[decodeBatches]]. */
-  def decodeGifPixelBatches(payloads: Dataset[Payload]): Dataset[GifPixels] = {
-    implicit val enc = Encoders.product[GifPixels]
-    payloads.mapPartitions(_.flatMap(p => parseGifPixels(p.id, p.content)))
+  /** Total GIF-pixel decode outcome (see [[PngDecodeRow]]). */
+  case class GifDecodeRow(id: Long, decode_ok: Boolean, px: Option[GifPixels])
+
+  /** Total GIF-pixel decode: every payload yields a row; failures are
+    * flagged, not dropped.
+    */
+  def decodeGifPixelsTotal(payloads: Dataset[Payload]): Dataset[GifDecodeRow] = {
+    implicit val enc = Encoders.product[GifDecodeRow]
+    payloads.mapPartitions(_.map { p =>
+      val r = parseGifPixels(p.id, p.content)
+      GifDecodeRow(p.id, r.isDefined, r)
+    })
   }
+
+  /** GIF-pixel twin of [[decodeBatches]]. Undecodable payloads are
+    * excluded from the result but COUNTED into `drops` — never silently
+    * vanished (the round-7 lesson: `flatMap(Option)` hid a 2-document
+    * LZW loss until an oracle counted rows).
+    */
+  def decodeGifPixelBatches(payloads: Dataset[Payload],
+                            drops: org.apache.spark.util.LongAccumulator)
+      : Dataset[GifPixels] = {
+    implicit val enc = Encoders.product[GifPixels]
+    payloads.mapPartitions(_.flatMap { p =>
+      val r = parseGifPixels(p.id, p.content)
+      if (r.isEmpty) drops.add(1L)
+      r
+    })
+  }
+
+  /** Convenience overload: registers its own named drop accumulator
+    * (`graft.gif_pixel_decode_drops` in the Spark UI).
+    */
+  def decodeGifPixelBatches(payloads: Dataset[Payload]): Dataset[GifPixels] =
+    decodeGifPixelBatches(payloads,
+      payloads.sparkSession.sparkContext.longAccumulator("graft.gif_pixel_decode_drops"))
 
   /** Batch decode: per-partition iteration (one codec instance per
     * partition, amortized setup — the Scala analog of a `mapInPandas`

@@ -500,4 +500,92 @@ class MultimodalSpec extends SparkSpec {
       be32(1L) ++ "mdat".getBytes("US-ASCII") ++ Array[Byte](0, 0)
     assert(Multimodal.parseMp4(3L, trunc).isEmpty)
   }
+
+  test("GIF corpus-totality law: round-trip is exact for EVERY shape the " +
+    "q200 generator can emit (8-32 x 8-24), incl. width-boundary finals") {
+    // Round 7 shipped a decoder that rejected the engine's own output on
+    // 22x17 (and 20x18/25x15): the encoder wrote endCode at the width
+    // BEFORE the final dictionary add while the decoder had already
+    // widened. This sweep covers the generator's full shape range with
+    // two seeds per shape, so any width-schedule desync at any boundary
+    // fails loudly instead of surfacing as a silent row drop at sf 0.01.
+    val palette = Array.tabulate(64)(i => ((i * 4 + 1) % 256, (i * 7 + 3) % 256,
+      (i * 13 + 5) % 256))
+    for (w <- 8 to 32; h <- 8 to 24; seed <- Seq(0x3c95L, 0xa11fe7L)) {
+      def idx(x: Int, y: Int): Int = ((seed + 7 * y + 11 * x) % 64).toInt
+      val bytes = Multimodal.encodeGifRgb(w, h, palette, idx)
+      val m = Multimodal.parseGifPixels(1L, bytes)
+      assert(m.isDefined, s"own GIF must decode at ${w}x$h seed=$seed")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = palette(idx(x, y)); sr += r; sg += g; sb += b
+      }
+      assert((m.get.sum_r, m.get.sum_g, m.get.sum_b) == ((sr, sg, sb)),
+        s"sums at ${w}x$h seed=$seed")
+      assert((m.get.tl_r, m.get.tl_g, m.get.tl_b) == palette(idx(0, 0)))
+    }
+    // the round-7 regression shape specifically, cross-checked against
+    // ImageIO so the width-bookkeeping fix didn't leave the spec's rails
+    val bytes = Multimodal.encodeGifRgb(22, 17, palette,
+      (x, y) => ((5L + 7 * y + 11 * x) % 64).toInt)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 22 && img.getHeight == 17,
+      "ImageIO must still decode the boundary shape")
+    // leniency is bounded: a stream truncated BEFORE the frame completes
+    // is still None, not a partial sum
+    assert(Multimodal.parseGifPixels(9L, bytes.take(bytes.length - 8)).isEmpty)
+  }
+
+  test("PNG corpus-totality law: round-trip is exact for EVERY shape the " +
+    "q199 generator can emit (2-16 x 5-12)") {
+    for (w <- 2 to 16; h <- 5 to 12; seed <- Seq(0x51aL, 0xfe2d9L)) {
+      def pix(x: Int, y: Int): (Int, Int, Int) =
+        (((seed + 7 * y + 11 * x) % 256).toInt,
+          ((seed * 3 + 13 * y + 3 * x + 101) % 256).toInt,
+          ((seed * 5 + 5 * y + 17 * x + 202) % 256).toInt)
+      val bytes = Multimodal.encodePngRgb(w, h, pix, y => y % 5)
+      val m = Multimodal.parsePngPixels(1L, bytes)
+      assert(m.isDefined, s"own PNG must decode at ${w}x$h seed=$seed")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pix(x, y); sr += r; sg += g; sb += b
+      }
+      assert((m.get.sum_r, m.get.sum_g, m.get.sum_b) == ((sr, sg, sb)),
+        s"sums at ${w}x$h seed=$seed")
+    }
+    // a negative filter callback maps into 0..4 (floorMod), not MatchError
+    val neg = Multimodal.encodePngRgb(4, 5, (x, y) => (x, y, x + y), y => y - 3)
+    assert(Multimodal.parsePngPixels(1L, neg).isDefined)
+  }
+
+  test("batch pixel decode counts undecodable payloads instead of " +
+    "silently dropping them, and the total variant flags them") {
+    import spark.implicits._
+    val good = Multimodal.encodeGifRgb(6, 6,
+      Array.tabulate(8)(i => (i * 30, i * 20, i * 10)), (x, y) => (x + y) % 8)
+    val bad = good.take(good.length - 10) // truncated mid-LZW
+    val payloads = spark.createDataset(Seq(
+      Payload(1L, "image", good), Payload(2L, "image", bad),
+      Payload(3L, "image", good)))
+    val drops = spark.sparkContext.longAccumulator("test.gif_drops")
+    val rows = Multimodal.decodeGifPixelBatches(payloads, drops).collect()
+    assert(rows.map(_.id).sorted.toSeq == Seq(1L, 3L))
+    assert(drops.value == 1L, "the undecodable payload must be COUNTED")
+    // total variant: one row per payload, failure flagged with its id
+    val total = Multimodal.decodeGifPixelsTotal(payloads).collect()
+    assert(total.length == 3)
+    assert(total.filter(!_.decode_ok).map(_.id).toSeq == Seq(2L))
+    assert(total.filter(_.decode_ok).forall(_.px.isDefined))
+    // PNG twin
+    val pgood = Multimodal.encodePngRgb(5, 6, (x, y) => (x, y, x * y), y => y % 5)
+    val ppay = spark.createDataset(Seq(
+      Payload(1L, "image", pgood),
+      Payload(2L, "image", pgood.take(pgood.length - 12))))
+    val pdrops = spark.sparkContext.longAccumulator("test.png_drops")
+    assert(Multimodal.decodePngPixelBatches(ppay, pdrops).collect()
+      .map(_.id).toSeq == Seq(1L))
+    assert(pdrops.value == 1L)
+    val ptotal = Multimodal.decodePngPixelsTotal(ppay).collect()
+    assert(ptotal.count(_.decode_ok) == 1 && ptotal.length == 2)
+  }
 }
