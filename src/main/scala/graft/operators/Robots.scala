@@ -48,12 +48,20 @@ object Robots {
   def parseRules(bodies: DataFrame, host: String = "host",
                  body: String = "body"): DataFrame = {
     val blocked = blockedLines(bodies, host, body)
+    // Attach each block's User-agent list by WINDOW, not by self-join:
+    // the (host, blk) window reuses the hash(host) exchange the block
+    // numbering already paid (hash(host) clusters (host, blk) too), so
+    // rules pick up their agents with zero extra shuffles — the former
+    // (host, blk) self-join recomputed the parse subtree and added two
+    // exchanges for the same rows. collect_list (not _set) preserves
+    // the join's multiplicity for pathological duplicate UA lines.
     blocked
+      .withColumn("agents",
+        collect_list(col("agent")).over(Window.partitionBy("host", "blk")))
       .filter(col("rule_type").isNotNull && col("blk") > 0 &&
         col("rule_path") =!= "") // "Disallow:" with empty path = allow all = no rule
-      .select(col("host"), col("blk"), col("rule_type"), col("rule_path"))
-      .join(agentsOf(blocked), Seq("host", "blk"))
-      .select(col("host"), col("agent"), col("rule_type"), col("rule_path"))
+      .select(col("host"), explode(col("agents")).as("agent"),
+        col("rule_type"), col("rule_path"))
   }
 
   /** Per-(host, agent) politeness delay from `Crawl-delay:` lines — the
@@ -64,13 +72,15 @@ object Robots {
   def crawlDelays(bodies: DataFrame, host: String = "host",
                   body: String = "body"): DataFrame = {
     val blocked = blockedLines(bodies, host, body)
+    // same window-over-(host, blk) agent attachment as [[parseRules]]
     blocked
+      .withColumn("agents",
+        collect_list(col("agent")).over(Window.partitionBy("host", "blk")))
       .filter(col("blk") > 0 && lower(col("line")).rlike("^crawl-delay:"))
-      .select(col("host"), col("blk"),
+      .select(col("host"), explode(col("agents")).as("agent"),
         trim(regexp_extract(col("line"), "(?i)^crawl-delay:(.*)$", 1))
           .cast("double").as("delay_s"))
       .filter(col("delay_s").isNotNull && col("delay_s") >= 0)
-      .join(agentsOf(blocked), Seq("host", "blk"))
       .groupBy(col("host"), col("agent"))
       .agg(min(col("delay_s")).as("delay_s"))
   }
@@ -118,10 +128,6 @@ object Robots {
         !coalesce(lag(col("isUA"), 1).over(w), lit(false))).cast("int")).over(w))
   }
 
-  private def agentsOf(blocked: DataFrame): DataFrame =
-    blocked.filter(col("isUA"))
-      .select(col("host"), col("blk"), col("agent"))
-
   /** Translate a robots rule path into the regex RFC 9309 §2.2.3
     * matching implies: `*` matches any span, a TRAILING `$` anchors the
     * end, every other character is literal. Built as a column expression
@@ -148,9 +154,10 @@ object Robots {
     * longest rule (most octets) wins, Allow wins length ties.
     *
     * The URL join's strategy rides a SIZE-BOUNDED broadcast decision
-    * (see the class doc): the chosen rules are COUNTED — a rules-sized
-    * job, never corpus-sized — and broadcast only when the measured
-    * count fits `maxBroadcastRules`. Measured evidence replaces the
+    * (see the class doc): the chosen rules are COUNTED — by an
+    * accumulator during the checkpoint's own materialization pass, so
+    * the measurement adds no job of its own — and broadcast only when
+    * the measured count fits `maxBroadcastRules`. Measured evidence replaces the
     * static estimate precisely because the estimate is what mispredicts
     * here: Catalyst's stats blow up through the parse pipeline's
     * window+join cascade, locking the corpus into a shuffled
@@ -165,25 +172,37 @@ object Robots {
   def evaluate(urls: DataFrame, rules: DataFrame, crawler: String,
                maxBroadcastRules: Long = 1L << 20): DataFrame = {
     val token = crawler.toLowerCase(java.util.Locale.ROOT)
-    // per host: does a crawler-specific group exist?
-    val specific = rules.filter(lower(col("agent")) === token)
-      .select(col("host")).distinct().withColumn("has_specific", lit(true))
     // Materialize the chosen rules ONCE (tracked checkpoint — released
-    // by the runner between queries): the size measurement and the join
-    // both read the cached blocks, so the parse pipeline runs a single
+    // by the runner between queries): the parse pipeline runs a single
     // time regardless of join strategy. The blocks are rules-sized
     // (bounded by hosts × lines-per-robots), distributed across
-    // executors — never a driver collect.
+    // executors — never a driver collect. The size measurement rides
+    // the SAME pass: a row-counting accumulator updated while the
+    // eager checkpoint materializes, so the decision costs zero extra
+    // jobs (round 7 paid a second count() job over the cached blocks
+    // every execution). Accumulator counts can only OVERSTATE under
+    // task retries/speculation, which errs toward NOT broadcasting —
+    // the safe direction (a shuffle instead of an executor OOM).
+    // "does a crawler-specific group exist for this host?" is a window
+    // max over host — it rides the hash(host) clustering the parse
+    // pipeline already established instead of the former
+    // distinct+left-join pair (two more exchanges for the same answer)
+    val hasSpecific = max((lower(col("agent")) === token).cast("int"))
+      .over(Window.partitionBy("host")) === 1
+    val chosen = rules
+      .withColumn("has_specific", hasSpecific)
+      .filter(when(col("has_specific"), lower(col("agent")) === token)
+        .otherwise(col("agent") === "*"))
+      .select(col("host"), col("rule_type"), col("rule_path"))
+    val nRules = chosen.sparkSession.sparkContext
+      .longAccumulator("graft.robots_rules_measured")
     val chosenM = {
       import graft.Checkpoints.TrackedCheckpointOps
-      rules.join(specific, Seq("host"), "left")
-        .filter(when(coalesce(col("has_specific"), lit(false)),
-          lower(col("agent")) === token).otherwise(col("agent") === "*"))
-        .select(col("host"), col("rule_type"), col("rule_path"))
-        .trackedCheckpoint()
+      implicit val enc = org.apache.spark.sql.Encoders.row(chosen.schema)
+      chosen.map { r => nRules.add(1L); r }.trackedCheckpoint()
     }
     val rulesSide =
-      if (chosenM.count() <= maxBroadcastRules) broadcast(chosenM) else chosenM
+      if (nRules.value <= maxBroadcastRules) broadcast(chosenM) else chosenM
     // longest matching rule wins; allow beats disallow on equal length.
     // Plain prefixes skip the regex path entirely (the overwhelmingly
     // common case stays a startsWith); wildcard rules match via their
