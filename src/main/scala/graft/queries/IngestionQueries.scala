@@ -150,6 +150,87 @@ object IngestionQueries {
                substr(blob, pstart,
                  CAST(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) AS BIGINT)) AS payload
         FROM fields"""),
-      headline = true)
+      headline = true),
+
+    // The STREAMING twin of q181, end to end through the real Structured
+    // Streaming machinery: the same framed WARC blobs land as files in a
+    // drop directory, a `binaryFile` readStream picks them up,
+    // Warc.recordStream walks records on the scan tasks (stateless — no
+    // watermark needed), and a parquet sink + checkpoint drain under
+    // Trigger.AvailableNow. The drain runs TWICE from one checkpoint:
+    // the second pass must add ZERO rows (idempotent replay — the
+    // property that makes a crashed crawl-delivery consumer safe to
+    // restart). The oracle re-derives the record fields from documents;
+    // matching proves the whole stream lifecycle (source listing,
+    // micro-batching, sink commit, replay) preserved the batch answer.
+    // blob_id is xxhash64(path) — not reproducible in SQL — so the
+    // output keys records by the bucket recovered FROM the parsed URI.
+    "q201_warc_stream" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val crlf = lit("\r\n")
+        val d = Engine.table(s, dir, "documents")
+          .withColumn("payload",
+            expr("repeat(md5(text), CAST(1 + n_chars % 7 AS INT))"))
+          .withColumn("uri",
+            concat(lit("http://corpus.example/doc/"), col("doc_id")))
+        val rec = concat(lit("WARC/1.0"), crlf,
+          lit("WARC-Type: response"), crlf,
+          lit("WARC-Target-URI: "), col("uri"), crlf,
+          lit("Content-Length: "), octet_length(col("payload")).cast("string"),
+          crlf, crlf, col("payload"), crlf, crlf)
+        val blobs = d
+          .select((col("doc_id") % 8).as("blob_id"),
+            struct(col("doc_id"), rec.as("rec")).as("r"))
+          .groupBy("blob_id")
+          .agg(concat_ws("", transform(array_sort(collect_list(col("r"))),
+            x => x.getField("rec"))).as("s"))
+          .select(col("blob_id"), encode(col("s"), "UTF-8").as("content"))
+          .as[graft.sources.Warc.WarcBlob]
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q201_warc").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        // land the blobs as files — bounded collect: exactly 8 blobs by
+        // construction (doc_id % 8); a live delivery writes these from
+        // the crawler side, outside the engine
+        blobs.collect().foreach { b =>
+          java.nio.file.Files.write(
+            drop.resolve(f"crawl-${b.blob_id}%05d.warc"), b.content)
+        }
+        val out = s"$root/out"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val files = s.readStream.format("binaryFile")
+            // binaryFile's fixed schema — streaming file sources require
+            // it stated explicitly
+            .schema("path STRING, modificationTime TIMESTAMP, " +
+              "length LONG, content BINARY")
+            .load(drop.toString)
+          val q = graft.sources.Warc.recordStream(files).writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must be a no-op
+        s.read.parquet(out)
+          .select(
+            (regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+              .cast("long") % 8).as("bucket"),
+            col("record_type"), col("target_uri"),
+            col("content_length"), col("payload"))
+      },
+      oracle = Some("""
+        SELECT doc_id % 8 AS bucket,
+               'response' AS record_type,
+               'http://corpus.example/doc/' || doc_id AS target_uri,
+               CAST(length(repeat(md5(text), CAST(1 + n_chars % 7 AS INT)))
+                    AS BIGINT) AS content_length,
+               repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
+        FROM documents"""))
   )
 }
