@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Engine
 import graft.plans.Ingestion
+import graft.{functions => gf}
 import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
 
@@ -232,5 +233,138 @@ object IngestionQueries {
                     AS BIGINT) AS content_length,
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
-  )
+  ) ++ zipDefs
+
+  // ZIP central-directory walk (q202) — kept in its own block for the
+  // HexBytes/zip-specific helpers.
+  private def zipDefs: Seq[(String, QueryDef)] = {
+    import HexBytes._
+    import OracleSql.sqlHash60
+    import org.apache.spark.sql.Column
+    // "doc.txt" / "meta.json" as hex bytes (pure ASCII)
+    val NameDoc = "646F632E747874"
+    val NameMeta = "6D6574612E6A736F6E"
+    // local file header: 30 bytes + name; STORED (method 0), zeroed
+    // timestamps, 32-byte payloads (ASCII md5 hex)
+    def lfh(crc: Column, nameHex: String, nameLen: Int): Column =
+      concat(lit("504B0304"), lit("1400"), lit("0000"), lit("0000"),
+        lit("00000000"), le32(crc), le32(lit(32)), le32(lit(32)),
+        le16(lit(nameLen)), lit("0000"), lit(nameHex))
+    // central-directory header: 46 bytes + name
+    def cdh(crc: Column, nameHex: String, nameLen: Int, lfhOff: Int): Column =
+      concat(lit("504B0102"), lit("1400"), lit("1400"), lit("0000"),
+        lit("0000"), lit("00000000"), le32(crc), le32(lit(32)),
+        le32(lit(32)), le16(lit(nameLen)), lit("0000"), lit("0000"),
+        lit("0000"), lit("0000"), lit("00000000"), le32(lit(lfhOff)),
+        lit(nameHex))
+    def sqlLfh(crc: String, nameHex: String, nameLen: Int): String =
+      s"'504B0304', '1400', '0000', '0000', '00000000', ${sqlLe32(crc)}, " +
+        s"${sqlLe32("32")}, ${sqlLe32("32")}, ${sqlLe16(nameLen.toString)}, " +
+        s"'0000', '$nameHex'"
+    def sqlCdh(crc: String, nameHex: String, nameLen: Int, lfhOff: Int): String =
+      s"'504B0102', '1400', '1400', '0000', '0000', '00000000', " +
+        s"${sqlLe32(crc)}, ${sqlLe32("32")}, ${sqlLe32("32")}, " +
+        s"${sqlLe16(nameLen.toString)}, '0000', '0000', '0000', '0000', " +
+        s"'00000000', ${sqlLe32(lfhOff.toString)}, '$nameHex'"
+
+    Seq(
+      // ZIP central-directory walk — the container format crawled
+      // documents actually arrive in (docx/epub/jar/odt ARE zips). Each
+      // document becomes a two-entry STORED archive with a hash-length
+      // archive comment, and graft.sources.Zip walks it TAIL-FIRST the
+      // way a 100 TB archive sweep must: scan backward through the
+      // comment window for the EOCD record (its comment-length field
+      // must reach EOF — position is PROVEN, not assumed), read the
+      // central directory's offset/size/count out of it, stride the
+      // directory entries by their own name/extra/comment lengths, and
+      // verify each entry's local-header pointer actually lands on a
+      // local-header magic. CRC-32 fields are computed by the engine's
+      // crc32() column function; DuckDB has no crc32, so the oracle
+      // joins fixtures/zip_crc_oracle.parquet (CPython zlib.crc32 —
+      // independent implementation; scripts/make_zip_fixture.py), then
+      // rebuilds the identical bytes and walks the SAME pointer chain —
+      // EOCD fields, directory stride, entry fields, and the
+      // local-header magic check all read from the hex, never from
+      // generator params.
+      "q202_zip_central_dir" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          val t = coalesce(col("text"), lit(""))
+          val pd = md5(t)
+          val pm = md5(concat(t, lit(":meta")))
+          val crcD = crc32(encode(pd, "UTF-8"))
+          val crcM = crc32(encode(pm, "UTF-8"))
+          val cl = pmod(gf.hash60(t), lit(33)).cast("int")
+          // fixed layout: entry0 ends at 69, CD at 140 (size 108), EOCD
+          // at 248 + variable comment
+          val zipHex = concat(
+            lfh(crcD, NameDoc, 7), hex(encode(pd, "UTF-8")),
+            lfh(crcM, NameMeta, 9), hex(encode(pm, "UTF-8")),
+            cdh(crcD, NameDoc, 7, 0), cdh(crcM, NameMeta, 9, 69),
+            lit("504B0506"), lit("0000"), lit("0000"),
+            le16(lit(2)), le16(lit(2)), le32(lit(108)), le32(lit(140)),
+            le16(cl), expr("repeat('63', cl)"))
+          val blobs = Engine.table(s, dir, "documents")
+            .withColumn("cl", cl)
+            .select(col("doc_id").as("blob_id"),
+              unhex(zipHex).as("content"))
+            .as[graft.sources.Zip.ZipBlob]
+          graft.sources.Zip.entries(blobs).toDF()
+            .select(col("blob_id").as("doc_id"), col("entry_name"),
+              col("method"), col("crc32"), col("comp_size"),
+              col("uncomp_size"), col("lfh_offset"))
+        },
+        oracle = Some(s"""
+          WITH g AS (
+            SELECT doc_id,
+                   md5(coalesce(text, '')) AS pd,
+                   md5(coalesce(text, '') || ':meta') AS pm,
+                   CAST(${sqlHash60("coalesce(text, '')")} % 33 AS INT) AS cl
+            FROM documents),
+          j AS (
+            SELECT g.*, f.crc_doc, f.crc_meta
+            FROM g JOIN read_parquet('/root/repo/fixtures/zip_crc_oracle.parquet') f
+              ON g.pd = f.text_md5),
+          p AS (
+            SELECT doc_id, cl, concat(
+                ${sqlLfh("crc_doc", NameDoc, 7)}, hex(encode(pd)),
+                ${sqlLfh("crc_meta", NameMeta, 9)}, hex(encode(pm)),
+                ${sqlCdh("crc_doc", NameDoc, 7, 0)},
+                ${sqlCdh("crc_meta", NameMeta, 9, 69)},
+                '504B0506', '0000', '0000', ${sqlLe16("2")}, ${sqlLe16("2")},
+                ${sqlLe32("108")}, ${sqlLe32("140")}, ${sqlLe16("cl")},
+                repeat('63', cl)) AS zhex
+            FROM j),
+          b AS ( -- round-trip through BLOB: the oracle parses BYTES
+            SELECT doc_id, cl, hex(from_hex(zhex)) AS hx FROM p),
+          w AS ( -- EOCD candidate: magic AND comment-reaches-EOF proven
+            SELECT doc_id, hx, length(hx) // 2 - 22 - cl AS eo,
+                   length(hx) // 2 AS nb
+            FROM b),
+          w2 AS (
+            SELECT doc_id, hx,
+                   ${sqlLe16x("eo + 10")} AS n_entries,
+                   ${sqlLe32x("eo + 12")} AS cd_size,
+                   ${sqlLe32x("eo + 16")} AS cd_off
+            FROM w
+            WHERE substr(hx, 2*eo + 1, 8) = '504B0506'
+              AND eo + 22 + ${sqlLe16x("eo + 20")} = nb),
+          ents AS ( -- entry 1's offset strides entry 0's name length
+            SELECT doc_id, hx, cd_off AS o FROM w2
+            UNION ALL
+            SELECT doc_id, hx, cd_off + 46 + ${sqlLe16x("cd_off + 28")} AS o
+            FROM w2 WHERE n_entries > 1)
+          SELECT doc_id,
+                 decode(from_hex(substr(hx, 2*(o + 46) + 1,
+                   2 * ${sqlLe16x("o + 28")}))) AS entry_name,
+                 CAST(${sqlLe16x("o + 10")} AS INT) AS method,
+                 CAST(${sqlLe32x("o + 16")} AS BIGINT) AS crc32,
+                 CAST(${sqlLe32x("o + 20")} AS BIGINT) AS comp_size,
+                 CAST(${sqlLe32x("o + 24")} AS BIGINT) AS uncomp_size,
+                 CAST(${sqlLe32x("o + 42")} AS BIGINT) AS lfh_offset
+          FROM ents
+          WHERE substr(hx, 2*o + 1, 8) = '504B0102'
+            AND substr(hx, 2*(${sqlLe32x("o + 42")}) + 1, 8) = '504B0304'"""))
+    )
+  }
 }

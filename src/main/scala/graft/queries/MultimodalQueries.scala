@@ -66,49 +66,10 @@ object MultimodalQueries {
   // hex-string byte builders for the in-query media fixtures (testdata
   // ships no binary media column, so each query constructs well-formed
   // header bytes from document hashes, then parses them BACK out of the
-  // raw bytes with the real codecs — see q174's rationale)
-  private def hexByte(c: org.apache.spark.sql.Column) =
-    lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
-  private def le16(c: org.apache.spark.sql.Column) =
-    concat(hexByte(c), hexByte(shiftright(c.cast("long"), 8)))
-  private def le32(c: org.apache.spark.sql.Column) =
-    concat(hexByte(c), hexByte(shiftright(c.cast("long"), 8)),
-      hexByte(shiftright(c.cast("long"), 16)),
-      hexByte(shiftright(c.cast("long"), 24)))
-  private def be32(c: org.apache.spark.sql.Column) =
-    lpad(hex(c.cast("long")), 8, "0")
-  // DuckDB twins (x must be a non-negative integer expression)
-  private def sqlLe16(x: String) =
-    s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex(($x) // 256), 2, '0'))"
-  private def sqlLe32(x: String) =
-    s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) // 256) % 256), 2, '0'), " +
-      s"lpad(hex((($x) // 65536) % 256), 2, '0'), lpad(hex((($x) // 16777216) % 256), 2, '0'))"
-  // DuckDB hex-substring readers over hx = hex(blob): byte offset b is
-  // hex position 2b+1
-  private def sqlByte(pos: Int) = s"CAST(concat('0x', substr(hx, $pos, 2)) AS BIGINT)"
-  private def sqlLe16At(bytePos: Int) = {
-    val p = 2 * bytePos + 1
-    s"(${sqlByte(p)} + 256 * ${sqlByte(p + 2)})"
-  }
-  private def sqlLe32At(bytePos: Int) = {
-    val p = 2 * bytePos + 1
-    s"(${sqlByte(p)} + 256 * ${sqlByte(p + 2)} + 65536 * ${sqlByte(p + 4)} + 16777216 * ${sqlByte(p + 6)})"
-  }
-  private def sqlBe32At(bytePos: Int) =
-    s"CAST(concat('0x', substr(hx, ${2 * bytePos + 1}, 8)) AS BIGINT)"
-  // dynamic-offset, endianness-switched readers for the TIFF pointer
-  // chase (q186): `x` is a 0-based byte-offset SQL expression, `le` a
-  // boolean SQL expression naming the file's byte order
-  private def sqlU8x(x: String) =
-    s"CAST(concat('0x', substr(hx, 2*($x) + 1, 2)) AS BIGINT)"
-  private def sqlU16x(x: String, le: String) =
-    s"(CASE WHEN $le THEN ${sqlU8x(x)} + 256*${sqlU8x(s"($x)+1")} " +
-      s"ELSE 256*${sqlU8x(x)} + ${sqlU8x(s"($x)+1")} END)"
-  private def sqlU32x(x: String, le: String) =
-    s"(CASE WHEN $le THEN ${sqlU8x(x)} + 256*${sqlU8x(s"($x)+1")} + " +
-      s"65536*${sqlU8x(s"($x)+2")} + 16777216*${sqlU8x(s"($x)+3")} " +
-      s"ELSE 16777216*${sqlU8x(x)} + 65536*${sqlU8x(s"($x)+1")} + " +
-      s"256*${sqlU8x(s"($x)+2")} + ${sqlU8x(s"($x)+3")} END)"
+  // raw bytes with the real codecs — see q174's rationale). Shared with
+  // the other byte-walk queries via [[HexBytes]].
+  import HexBytes.{hexByte, le16, le32, be32, sqlLe16, sqlLe32, sqlByte,
+    sqlLe16At, sqlLe32At, sqlBe32At, sqlU8x, sqlU16x, sqlU32x}
 
   val defs: Seq[(String, QueryDef)] = Seq(
 

@@ -26,6 +26,65 @@ object OracleSql {
     s"CAST('0x' || substr(md5($expr), 16, 14) AS BIGINT)"
 }
 
+/** Hex-string byte builders + DuckDB byte readers shared by every
+  * byte-walk query (media headers in MultimodalQueries, the ZIP
+  * central-directory walk in IngestionQueries). ONE definition so an
+  * endianness or offset-arithmetic fix cannot silently miss one file's
+  * copy. Spark side builds hex strings column-wise (later `unhex`ed to
+  * the real bytes); the `sql*` twins read fields back out of
+  * `hx = hex(blob)` in DuckDB — byte offset b is hex position 2b+1.
+  */
+private[queries] object HexBytes {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def hexByte(c: Column): Column =
+    lpad(hex(c.cast("long").bitwiseAND(lit(255L))), 2, "0")
+  def le16(c: Column): Column =
+    concat(hexByte(c), hexByte(shiftright(c.cast("long"), 8)))
+  def le32(c: Column): Column =
+    concat(hexByte(c), hexByte(shiftright(c.cast("long"), 8)),
+      hexByte(shiftright(c.cast("long"), 16)),
+      hexByte(shiftright(c.cast("long"), 24)))
+  def be32(c: Column): Column = lpad(hex(c.cast("long")), 8, "0")
+
+  // DuckDB hex builders (x must be a non-negative integer expression)
+  def sqlLe16(x: String): String =
+    s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex(($x) // 256), 2, '0'))"
+  def sqlLe32(x: String): String =
+    s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex((($x) // 256) % 256), 2, '0'), " +
+      s"lpad(hex((($x) // 65536) % 256), 2, '0'), lpad(hex((($x) // 16777216) % 256), 2, '0'))"
+
+  // DuckDB fixed-offset readers over hx = hex(blob)
+  def sqlByte(pos: Int): String =
+    s"CAST(concat('0x', substr(hx, $pos, 2)) AS BIGINT)"
+  def sqlLe16At(bytePos: Int): String = {
+    val p = 2 * bytePos + 1
+    s"(${sqlByte(p)} + 256 * ${sqlByte(p + 2)})"
+  }
+  def sqlLe32At(bytePos: Int): String = {
+    val p = 2 * bytePos + 1
+    s"(${sqlByte(p)} + 256 * ${sqlByte(p + 2)} + 65536 * ${sqlByte(p + 4)} + 16777216 * ${sqlByte(p + 6)})"
+  }
+  def sqlBe32At(bytePos: Int): String =
+    s"CAST(concat('0x', substr(hx, ${2 * bytePos + 1}, 8)) AS BIGINT)"
+
+  // dynamic-offset readers: `x` is a 0-based byte-offset SQL expression;
+  // the endianness-switched forms take `le`, a boolean SQL expression
+  def sqlU8x(x: String): String =
+    s"CAST(concat('0x', substr(hx, 2*($x) + 1, 2)) AS BIGINT)"
+  def sqlU16x(x: String, le: String): String =
+    s"(CASE WHEN $le THEN ${sqlU8x(x)} + 256*${sqlU8x(s"($x)+1")} " +
+      s"ELSE 256*${sqlU8x(x)} + ${sqlU8x(s"($x)+1")} END)"
+  def sqlU32x(x: String, le: String): String =
+    s"(CASE WHEN $le THEN ${sqlU8x(x)} + 256*${sqlU8x(s"($x)+1")} + " +
+      s"65536*${sqlU8x(s"($x)+2")} + 16777216*${sqlU8x(s"($x)+3")} " +
+      s"ELSE 16777216*${sqlU8x(x)} + 65536*${sqlU8x(s"($x)+1")} + " +
+      s"256*${sqlU8x(s"($x)+2")} + ${sqlU8x(s"($x)+3")} END)"
+  def sqlLe16x(x: String): String = sqlU16x(x, "TRUE")
+  def sqlLe32x(x: String): String = sqlU32x(x, "TRUE")
+}
+
 /** Order-independent aggregation of money-like doubles.
   *
   * A grouped `sum(double)` is association-order-dependent: partials merge
