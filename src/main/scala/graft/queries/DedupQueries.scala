@@ -667,7 +667,70 @@ object DedupQueries {
                  round(CAST(coalesce(tp.n, 0) AS DOUBLE) / nt.n, 6)
                END AS recall
         FROM base CROSS JOIN nt
-        LEFT JOIN nc USING (bands) LEFT JOIN tp USING (bands)"""))
+        LEFT JOIN nc USING (bands) LEFT JOIN tp USING (bands)""")),
+
+    // STATEFUL streaming dedup, end to end through the real state store
+    // (q201 proved the stateless stream lifecycle; this proves state
+    // SURVIVES micro-batch boundaries and checkpoint replay): the corpus
+    // lands as file A, then file B echoes every even-id document as an
+    // exact duplicate row; mtimes force A before B, maxFilesPerTrigger=1
+    // forces them into SEPARATE micro-batches, so B's duplicates can
+    // only be dropped if batch A's ids are still in the dedup state when
+    // batch B runs. StreamOps.dedupStream
+    // (dropDuplicatesWithinWatermark) gates them; the drain runs TWICE
+    // from one checkpoint (replay must add zero rows). 500 output rows
+    // require cross-batch state — a state-losing engine yields 750.
+    // Oracle: the original set, one row per document.
+    "q203_stream_dedup_gate" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val d = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("text_md5"),
+            col("lang"), col("source"), col("n_chars"),
+            lit("2026-08-14 00:00:00").cast("timestamp").as("tstamp"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q203_dedup").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        // land the two deliveries: distributed parquet writes, then a
+        // driver-side RENAME of the single part file into the drop dir
+        // (bounded FS metadata ops — the data never visits the driver)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        land(d, "a", 1000000000000L)
+        land(d.filter(col("doc_id") % 2 === 0), "b", 1000000060000L)
+        val out = s"$root/out"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val events = s.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(drop.toString)
+          val q = graft.streaming.StreamOps
+            .dedupStream(events, Seq("doc_id"), watermark = "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must be a no-op
+        s.read.parquet(out)
+          .select(col("doc_id"), col("text_md5"), col("lang"),
+            col("source"), col("n_chars"))
+      },
+      oracle = Some("""
+        SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+               lang, source, n_chars
+        FROM documents"""))
   )
 
   /** The banded-key CTE body for an arbitrary band count over `asigs`

@@ -724,6 +724,15 @@ class PlanQualitySpec extends SparkSpec {
       s"over-bound Robots.evaluate must not hint a broadcast:\n$logical")
   }
 
+  test("q202 zip walk: zero exchanges — archive inventory rides the scan") {
+    // one archive per row, directory walked in the same task that built
+    // it: at 100 TB this is the property that makes an archive sweep a
+    // pure map job (no shuffle anywhere between scan and output)
+    val p = plan("q202_zip_central_dir")
+    assert(!p.contains("Exchange"), s"q202 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q202 must not join:\n$p")
+  }
+
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {
     val p = plan("q178_doremi_weights")
     // one corpus partial-agg exchange; the tot/wqSum folds run over the
