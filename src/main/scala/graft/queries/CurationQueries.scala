@@ -21,6 +21,39 @@ object CurationQueries {
 
   import OracleSql.sqlHash60
 
+  /** Shared oracle for the probe-only Bloom screens — q194 (batch-built
+    * filter) and q204 (stream-built, compacted, folded filter) must
+    * produce the IDENTICAL answer, so they verify against one SQL text
+    * that reformulates the k-seeded-md5 membership bits as a
+    * position-set join (q146's spelling — an independent construction).
+    */
+  private lazy val bloomScreenOracle: String = s"""
+        WITH g AS (
+          SELECT doc_id, substr(md5(text), 1, 1) AS h,
+                 unnest(${DedupQueries.sqlShingles}) AS gram
+          FROM documents),
+        t AS (SELECT doc_id, gram FROM g WHERE h NOT IN ('0','1')),
+        e AS (SELECT DISTINCT gram FROM g WHERE h IN ('0','1')),
+        pos AS (SELECT DISTINCT p FROM (
+          SELECT unnest([
+            ${sqlHash60("'bf0:' || gram")} % 65536,
+            ${sqlHash60("'bf1:' || gram")} % 65536,
+            ${sqlHash60("'bf2:' || gram")} % 65536]) AS p
+          FROM e)),
+        probe AS (
+          SELECT t.doc_id,
+            CASE WHEN EXISTS (SELECT 1 FROM pos
+                   WHERE p = ${sqlHash60("'bf0:' || t.gram")} % 65536)
+                  AND EXISTS (SELECT 1 FROM pos
+                   WHERE p = ${sqlHash60("'bf1:' || t.gram")} % 65536)
+                  AND EXISTS (SELECT 1 FROM pos
+                   WHERE p = ${sqlHash60("'bf2:' || t.gram")} % 65536)
+                 THEN 1 ELSE 0 END AS hit
+          FROM t)
+        SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+               CAST(sum(hit) >= 5 AS INT) AS flagged
+        FROM probe GROUP BY doc_id"""
+
   /** q102's pre-budget DAG (quality gate → whole-row min_by dedup →
     * decontamination anti-join), exposed so PlanQualitySpec can pin its
     * plan shape: the token budget's two-pass prefix sum localCheckpoints
@@ -151,32 +184,60 @@ object CurationQueries {
         Curation.bloomScreen(d.where(!isEval), filterRow, col("text"),
           col("doc_id"), w = 3, mBits = 65536, k = 3, minShared = 5)
       },
-      oracle = Some(s"""
-        WITH g AS (
-          SELECT doc_id, substr(md5(text), 1, 1) AS h,
-                 unnest(${DedupQueries.sqlShingles}) AS gram
-          FROM documents),
-        t AS (SELECT doc_id, gram FROM g WHERE h NOT IN ('0','1')),
-        e AS (SELECT DISTINCT gram FROM g WHERE h IN ('0','1')),
-        pos AS (SELECT DISTINCT p FROM (
-          SELECT unnest([
-            ${sqlHash60("'bf0:' || gram")} % 65536,
-            ${sqlHash60("'bf1:' || gram")} % 65536,
-            ${sqlHash60("'bf2:' || gram")} % 65536]) AS p
-          FROM e)),
-        probe AS (
-          SELECT t.doc_id,
-            CASE WHEN EXISTS (SELECT 1 FROM pos
-                   WHERE p = ${sqlHash60("'bf0:' || t.gram")} % 65536)
-                  AND EXISTS (SELECT 1 FROM pos
-                   WHERE p = ${sqlHash60("'bf1:' || t.gram")} % 65536)
-                  AND EXISTS (SELECT 1 FROM pos
-                   WHERE p = ${sqlHash60("'bf2:' || t.gram")} % 65536)
-                 THEN 1 ELSE 0 END AS hit
-          FROM t)
-        SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
-               CAST(sum(hit) >= 5 AS INT) AS flagged
-        FROM probe GROUP BY doc_id""")),
+      oracle = Some(bloomScreenOracle)),
+
+    // The STREAMING face of q194's filter build, run through the real
+    // machinery end to end: eval documents land as TWO file deliveries
+    // (mtimes + maxFilesPerTrigger=1 force separate micro-batches),
+    // bloomIngest folds each batch's gram bits into per-batch word
+    // partitions under Trigger.AvailableNow, the drain runs TWICE from
+    // one checkpoint (replayed batches overwrite their own partitions;
+    // OR-idempotence makes re-reads harmless), compactBloomStore then
+    // executes the duplication-tolerant swap, and finishBloomStream
+    // folds the compacted store into the single-row filter that screens
+    // the training side. Output and oracle are IDENTICAL to q194 — the
+    // whole streaming build (micro-batching, replay, compaction, fold)
+    // must be bit-equivalent to the batch construction.
+    "q204_stream_bloom_screen" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val d = Engine.table(s, dir, "documents")
+        val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
+        val ev = d.where(isEval).select(col("doc_id"), col("text"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q204_bloom").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        land(ev.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
+        land(ev.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
+        val state = s"$root/state"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+          graft.streaming.StreamOps.bloomIngest(stream, "text", "doc_id",
+            state, chk, w = 3, mBits = 65536, k = 3,
+            trigger = Some(Trigger.AvailableNow())).awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: partition overwrites
+        graft.streaming.StreamOps.compactBloomStore(s, state)
+        val filterRow = graft.streaming.StreamOps
+          .finishBloomStream(s, state, 65536)
+        Curation.bloomScreen(d.where(!isEval), filterRow, col("text"),
+          col("doc_id"), w = 3, mBits = 65536, k = 3, minShared = 5)
+      },
+      oracle = Some(bloomScreenOracle)),
 
     // Mixture oversampling schedule: per-language target token shares
     // (en 40%, de/fr/es/zh 15% each) become integer-ppm replica rates;

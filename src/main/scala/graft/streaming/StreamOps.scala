@@ -634,14 +634,18 @@ object StreamOps {
     */
   def bloomIngest(docs: DataFrame, text: String, id: String,
                   statePath: String, checkpoint: String, w: Int = 3,
-                  mBits: Int = 65536, k: Int = 3)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+                  mBits: Int = 65536, k: Int = 3,
+                  trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         bloomBatch(batch, batchId, text, id, statePath, w, mBits, k)
       }
-      .start()
+    // None = continuous service default; Some(AvailableNow) = the
+    // drain-and-exit shape (q204's oracle-backed lifecycle run)
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** One micro-batch of [[bloomIngest]] — public for replay tests. */
   def bloomBatch(batch: DataFrame, batchId: Long, text: String, id: String,
