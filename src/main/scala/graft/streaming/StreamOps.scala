@@ -475,14 +475,18 @@ object StreamOps {
     * fold ([[finishCmsStream]]) reads every live partition.
     */
   def cmsIngest(docs: DataFrame, text: String, statePath: String,
-                checkpoint: String, w: Int = 1024, depth: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+                checkpoint: String, w: Int = 1024, depth: Int = 4,
+                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cmsBatch(batch, batchId, text, statePath, w, depth)
       }
-      .start()
+    // None = continuous service default; Some(AvailableNow) = the
+    // drain-and-exit shape (q205's oracle-backed lifecycle run)
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** One micro-batch of [[cmsIngest]] — public for replay tests. */
   def cmsBatch(batch: DataFrame, batchId: Long, text: String,
