@@ -40,6 +40,16 @@ object EventQueries {
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Shared oracle for the tumbling-window aggregations — q25 (batch)
+    * and q206 (streamed through the watermark machinery) must produce
+    * the identical window table.
+    */
+  private lazy val tumblingOracle: String = s"""
+        SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_ms,
+               event_type, count(*) AS n_events,
+               ${ExactAgg.sqlSum("value", 4)} AS sum_value
+        FROM events GROUP BY 1, 2"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Tumbling 5-minute windows: count + sum per (window, event_type).
@@ -53,12 +63,75 @@ object EventQueries {
           .select(unix_millis(col("window.start")).as("window_start_ms"),
             col("event_type"), col("n_events"), col("sum_value"))
       },
-      oracle = Some(s"""
-        SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_ms,
-               event_type, count(*) AS n_events,
-               ${ExactAgg.sqlSum("value", 4)} AS sum_value
-        FROM events GROUP BY 1, 2"""),
+      oracle = Some(tumblingOracle),
       headline = true),
+
+    // The STREAMING twin of q25 through the real watermark machinery —
+    // the semantics this family exists for, proven by oracle: events
+    // land as a file delivery followed by two far-future sentinel
+    // deliveries (mtimes + maxFilesPerTrigger=1 → three micro-batches).
+    // Append-mode windowed aggregation only emits a window once the
+    // WATERMARK passes its end, and the watermark a batch uses is the
+    // one computed at the END of the PREVIOUS batch — so sentinel #1
+    // (max ts + 1 day) closes every real window, and sentinel #2 exists
+    // to make batch 3 run with sentinel #1's watermark in force. The
+    // sentinels' own windows stay open and are never emitted; a
+    // defensive filter documents that. Aggregates ride ExactAgg integer
+    // micros, so the incremental per-batch fold is order-proof and the
+    // drained output must hash-match q25's batch oracle verbatim. The
+    // drain runs twice from one checkpoint (replay adds zero rows).
+    "q206_stream_tumbling_window" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Engine.table(s, dir, "events")
+          .select(nsToTimestamp.as("tstamp"), col("event_type"), col("value"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q206_windows").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        // sentinels derive from the REAL max event time, so the margin
+        // holds at any sf (1-row driver read, bounded by construction)
+        val maxTs = ev.agg(max(col("tstamp"))).head().getTimestamp(0)
+        def sentinelDf(days: Int) = {
+          import s.implicits._
+          Seq((new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+            "__sentinel", 0.0)).toDF("tstamp", "event_type", "value")
+        }
+        land(ev, "a", 1000000000000L)
+        land(sentinelDf(1), "b", 1000000060000L)
+        land(sentinelDf(2), "c", 1000000120000L)
+        val out = s"$root/out"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+          val q = stream.withWatermark("tstamp", "10 minutes")
+            .groupBy(window(col("tstamp"), "5 minutes"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              ExactAgg.sumExact(col("value"), 4).as("sum_value"))
+            .select(unix_millis(col("window.start")).as("window_start_ms"),
+              col("event_type"), col("n_events"), col("sum_value"))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must be a no-op
+        s.read.parquet(out).filter(col("event_type") =!= "__sentinel")
+      },
+      oracle = Some(tumblingOracle)),
 
     // Sliding windows (10-minute size, 5-minute slide): each event lands
     // in two windows.
