@@ -40,6 +40,29 @@ object EventQueries {
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Shared oracle for gap-sessionization — q26 (batch gaps-and-islands)
+    * and q207 (native session_window streamed through the watermark
+    * machinery) must produce the identical session table.
+    */
+  private lazy val sessionOracle: String = s"""
+        WITH ordered AS (
+          SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+            CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        sess AS (
+          SELECT user_id, value, ms,
+            sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM ordered)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               ${ExactAgg.sqlSum("value", 4)} AS sum_value,
+               max(ms) - min(ms) AS duration_ms
+        FROM sess GROUP BY user_id, session_id"""
+
   /** Shared oracle for the tumbling-window aggregations — q25 (batch)
     * and q206 (streamed through the watermark machinery) must produce
     * the identical window table.
@@ -167,24 +190,77 @@ object EventQueries {
             ExactAgg.sumExact(col("value"), 4).as("sum_value"),
             (max(col("ms")) - min(col("ms"))).as("duration_ms"))
       },
-      oracle = Some(s"""
-        WITH ordered AS (
-          SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
-            CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
-                 THEN 1 ELSE 0 END AS is_new
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
-        sess AS (
-          SELECT user_id, value, ms,
-            sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-          FROM ordered)
-        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-               count(*) AS n_events,
-               ${ExactAgg.sqlSum("value", 4)} AS sum_value,
-               max(ms) - min(ms) AS duration_ms
-        FROM sess GROUP BY user_id, session_id""")),
+      oracle = Some(sessionOracle)),
+
+    // The STREAMING sessionization twin — and a cross-implementation
+    // law: Spark's NATIVE session_window (µs-precision gap merging in
+    // the state store) must reproduce q26's batch gaps-and-islands
+    // windows (ms-floor lag arithmetic) exactly, through the real
+    // watermark machinery. Same sentinel protocol as q206 (two
+    // far-future deliveries close all real sessions; their own sessions
+    // never emit). session_window.end is last-event + gap by
+    // definition, so duration_ms = end - start - gap; the ordinal
+    // session_id q26 reports is assigned post-drain by a batch
+    // row_number over each user's emitted session starts. Drain ×2 from
+    // one checkpoint; replay adds zero rows.
+    "q207_stream_session_windows" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Engine.table(s, dir, "events")
+          .select(nsToTimestamp.as("tstamp"), col("user_id"), col("value"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q207_sessions").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        val maxTs = ev.agg(max(col("tstamp"))).head().getTimestamp(0)
+        def sentinelDf(days: Int) = {
+          import s.implicits._
+          Seq((new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+            -1L, 0.0)).toDF("tstamp", "user_id", "value")
+        }
+        land(ev, "a", 1000000000000L)
+        land(sentinelDf(1), "b", 1000000060000L)
+        land(sentinelDf(2), "c", 1000000120000L)
+        val out = s"$root/out"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+          val q = stream.withWatermark("tstamp", "1 hour")
+            .groupBy(session_window(col("tstamp"), "30 minutes"),
+              col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              ExactAgg.sumExact(col("value"), 4).as("sum_value"))
+            .select(col("user_id"),
+              unix_millis(col("session_window.start")).as("start_ms"),
+              (unix_millis(col("session_window.end")) - lit(1800000L) -
+                unix_millis(col("session_window.start"))).as("duration_ms"),
+              col("n_events"), col("sum_value"))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must be a no-op
+        val w = Window.partitionBy(col("user_id")).orderBy(col("start_ms"))
+        s.read.parquet(out).filter(col("user_id") =!= -1L)
+          .withColumn("session_id", row_number().over(w).cast("long"))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("sum_value"), col("duration_ms"))
+      },
+      oracle = Some(sessionOracle)),
 
     // As-of join (engine extension): every purchase event picks up the
     // user's most recent prior-or-simultaneous click value. Spark side is
