@@ -40,6 +40,21 @@ object EventQueries {
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Shared oracle for trailing-hour click attribution — q64 (batch
+    * bin-ranged join) and q208 (stream-stream interval join) must
+    * produce the identical per-purchase fold.
+    */
+  private lazy val attributionOracle: String = s"""
+        SELECT p.event_id, p.user_id, count(*) AS n_clicks,
+               ${ExactAgg.sqlSum("c.value", 4)} AS click_value
+        FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+              WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ms BETWEEN p.ms - 3600000 AND p.ms
+        GROUP BY p.event_id, p.user_id"""
+
   /** Shared oracle for gap-sessionization — q26 (batch gaps-and-islands)
     * and q207 (native session_window streamed through the watermark
     * machinery) must produce the identical session table.
@@ -386,16 +401,66 @@ object EventQueries {
           .agg(count(lit(1)).as("n_clicks"),
             ExactAgg.sumExact(col("value"), 4).as("click_value"))
       },
-      oracle = Some(s"""
-        SELECT p.event_id, p.user_id, count(*) AS n_clicks,
-               ${ExactAgg.sqlSum("c.value", 4)} AS click_value
-        FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
-              WHERE event_type = 'purchase') p
-        JOIN (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
-              WHERE event_type = 'click') c
-          ON c.user_id = p.user_id
-         AND c.ms BETWEEN p.ms - 3600000 AND p.ms
-        GROUP BY p.event_id, p.user_id""")),
+      oracle = Some(attributionOracle)),
+
+    // The STREAM-STREAM interval join, oracle-backed: purchases and
+    // clicks arrive as two separate file streams inside one query, and
+    // StreamOps.intervalJoin pairs each purchase with the same user's
+    // clicks in the trailing hour — the continuous face of q64's
+    // bin-ranged batch join, which is also its oracle. Timestamps are
+    // pre-floored to the millisecond on BOTH sides so the stream's
+    // µs-precision interval comparison and the oracle's epoch_ms
+    // arithmetic see identical instants (a sub-ms straddle at the
+    // window edge would otherwise diverge the row sets). Inner matches
+    // emit as soon as both sides arrive; the per-purchase count/sum
+    // fold happens post-drain in batch — the JOIN is the streamed
+    // artifact. Drain ×2 from one checkpoint; replay adds zero rows.
+    "q208_stream_interval_join" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Engine.table(s, dir, "events")
+          .withColumn("tstamp", timestamp_millis(unix_millis(col("ts"))))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tstamp"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tstamp"), col("value"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q208_ssjoin").toString
+        def land(df: org.apache.spark.sql.DataFrame, sub: String): String = {
+          val dropDir = java.nio.file.Paths.get(root, sub)
+          java.nio.file.Files.createDirectories(dropDir)
+          val tmp = s"$root/$sub.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          java.nio.file.Files.move(part, dropDir.resolve("data.parquet"))
+          dropDir.toString
+        }
+        val dropP = land(purchases, "purchases")
+        val dropC = land(clicks, "clicks")
+        val out = s"$root/out"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val sp = s.readStream.schema(purchases.schema).parquet(dropP)
+          val sc = s.readStream.schema(clicks.schema).parquet(dropC)
+          val q = graft.streaming.StreamOps
+            .intervalJoin(sp, sc, key = "user_id", lookback = "1 hour",
+              watermark = "10 minutes")
+            .select(col("l.event_id").as("event_id"),
+              col("l.user_id").as("user_id"), col("r.value").as("value"))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must be a no-op
+        s.read.parquet(out)
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            ExactAgg.sumExact(col("value"), 4).as("click_value"))
+      },
+      oracle = Some(attributionOracle)),
 
     // Event-transition matrix (first-order Markov counts): per-user
     // event sequences → (from, to) bigram counts with transition
