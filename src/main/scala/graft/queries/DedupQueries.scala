@@ -669,6 +669,95 @@ object DedupQueries {
         FROM base CROSS JOIN nt
         LEFT JOIN nc USING (bands) LEFT JOIN tp USING (bands)""")),
 
+    // The continuous NEAR-DUP ingest, oracle-backed end to end: the
+    // corpus arrives as two mtimes-ordered deliveries (evens then odds,
+    // maxFilesPerTrigger=1 → separate micro-batches), and each batch of
+    // nearDupIngest is (a) gated against the PERSISTED band-key store
+    // of all prior batches, (b) within-batch deduped (larger id drops),
+    // (c) written out with its survivors' keys appended to the store —
+    // so an odd doc survives only if it collides with NO even survivor
+    // and no smaller surviving odd. The oracle replays exactly that
+    // arrival-order semantics in SQL: batch-1 survivors from
+    // within-batch pairs, their DISTINCT band keys as the store, batch
+    // 2 gated against it, then its own within-batch pairs. Drain ×2
+    // from one checkpoint — nearDupBatch's replayed micro-batch
+    // rewrites its own batch=N paths and EXCLUDES its own partition
+    // from the gate read, so the second drain changes nothing (the
+    // crash-and-replay discipline, proven by the hash gate). The
+    // `batch` partition column rides into the output as the ingest
+    // batch attribution.
+    "q209_stream_neardup_ingest" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val d = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q209_neardup").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        land(d.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
+        land(d.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
+        val store = s"$root/store"; val out = s"$root/out"
+        val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+          graft.streaming.StreamOps.nearDupIngest(stream, "text", "doc_id",
+            store, out, chk, k = K, bands = Bands, w = 3,
+            trigger = Some(Trigger.AvailableNow())).awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must rewrite nothing
+        s.read.parquet(out)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("batch").cast("int").as("ingest_batch"))
+      },
+      oracle = Some(s"""
+        WITH ${bandCtes("doc_id % 2 = 0", "e")},
+        ${bandCtes("doc_id % 2 = 1", "o")},
+        epairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ebands a JOIN ebands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        esurv AS (
+          SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+            AND doc_id NOT IN (SELECT id_b FROM epairs)),
+        ekeys AS (
+          SELECT DISTINCT band, sig FROM ebands
+          WHERE doc_id IN (SELECT doc_id FROM esurv)),
+        ogated AS (
+          SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+            AND doc_id NOT IN (
+              SELECT DISTINCT o.doc_id FROM obands o
+              JOIN ekeys k ON k.band = o.band AND k.sig = o.sig)),
+        opairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM obands a JOIN obands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          WHERE a.doc_id IN (SELECT doc_id FROM ogated)
+            AND b.doc_id IN (SELECT doc_id FROM ogated)),
+        osurv AS (
+          SELECT doc_id FROM ogated
+          WHERE doc_id NOT IN (SELECT id_b FROM opairs)),
+        surv AS (
+          SELECT doc_id, 0 AS ingest_batch FROM esurv
+          UNION ALL
+          SELECT doc_id, 1 AS ingest_batch FROM osurv)
+        SELECT s.doc_id, md5(d.text) AS text_md5,
+               CAST(s.ingest_batch AS INT) AS ingest_batch
+        FROM surv s JOIN documents d ON d.doc_id = s.doc_id""")),
+
     // STATEFUL streaming dedup, end to end through the real state store
     // (q201 proved the stateless stream lifecycle; this proves state
     // SURVIVES micro-batch boundaries and checkpoint replay): the corpus

@@ -74,14 +74,18 @@ object StreamOps {
     */
   def nearDupIngest(docs: DataFrame, text: String, id: String,
                     storePath: String, outPath: String, checkpoint: String,
-                    k: Int = 16, bands: Int = 4, w: Int = 3)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+                    k: Int = 16, bands: Int = 4, w: Int = 3,
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupBatch(batch, batchId, text, id, storePath, outPath, k, bands, w)
       }
-      .start()
+    // None = continuous service default; Some(AvailableNow) = the
+    // drain-and-exit shape (q209's oracle-backed lifecycle run)
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** One micro-batch of [[nearDupIngest]] — public so replay behavior is
     * directly testable: calling it twice with the SAME batchId must
