@@ -239,6 +239,149 @@ object CurationQueries {
       },
       oracle = Some(bloomScreenOracle)),
 
+    // The CONTINUOUS CURATION GATE, oracle-backed — the streaming face
+    // of the flagship q161's order-free stages, proven end to end: the
+    // training corpus (non-eval docs) arrives as two mtimes-ordered
+    // deliveries, and each micro-batch of curationIngest runs (1) the
+    // Gopher-rule gate, (2) the map-side Bloom decontamination probe
+    // against a pre-built eval-gram filter, and (3) the cross-batch
+    // near-dup gate with nearDupBatch's replay-idempotent store
+    // discipline. The DuckDB oracle composes the SAME three stages from
+    // their individually-proven spellings (q151's rules, q194's
+    // position-set probe, q209's arrival-order band semantics) over the
+    // same even/odd split. Drain ×2 from one checkpoint — the replayed
+    // batches must rewrite their own partitions into identical state.
+    "q210_stream_curation_gate" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val d = Engine.table(s, dir, "documents")
+        val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
+        // pre-built decontamination filter (q194's batch construction —
+        // the STREAMED filter build is q204's contract)
+        val ev = Curation.gramTable(d.where(isEval), col("text"),
+          col("doc_id"), 3).select(col("gram")).distinct()
+        val filterRow = Curation.assembleBloom(
+          Curation.bloomWords(ev, 65536, 3), 65536)
+        val train = d.where(!isEval).select(col("doc_id"), col("text"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q210_curation").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        land(train.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
+        land(train.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
+        val store = s"$root/store"; val out = s"$root/out"
+        val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+          graft.streaming.StreamOps.curationIngest(stream, "text",
+            "doc_id", filterRow, store, out, chk,
+            trigger = Some(Trigger.AvailableNow())).awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must rewrite nothing
+        s.read.parquet(out)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("batch").cast("int").as("ingest_batch"))
+      },
+      oracle = Some(s"""
+        WITH train AS (
+          SELECT doc_id, text FROM documents
+          WHERE substr(md5(text), 1, 1) NOT IN ('0','1')),
+        gtoks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM train),
+        gstats AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n,
+                 CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS DOUBLE) / len(toks) AS ml,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the', 'a', 'of', 'and', 'to', 'in', 'is']))
+                   AS BIGINT) AS ns,
+                 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS df
+          FROM gtoks),
+        gop AS (
+          SELECT doc_id FROM gstats
+          WHERE n >= 40 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+            AND ns >= 2 AND df <= 0.5),
+        eg AS (
+          SELECT DISTINCT gram FROM (
+            SELECT unnest(${DedupQueries.sqlShingles}) AS gram
+            FROM documents WHERE substr(md5(text), 1, 1) IN ('0','1'))),
+        pos AS (SELECT DISTINCT p FROM (
+          SELECT unnest([
+            ${sqlHash60("'bf0:' || gram")} % 65536,
+            ${sqlHash60("'bf1:' || gram")} % 65536,
+            ${sqlHash60("'bf2:' || gram")} % 65536]) AS p
+          FROM eg)),
+        tg AS (
+          SELECT doc_id, unnest(${DedupQueries.sqlShingles}) AS gram
+          FROM train),
+        flagged AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              CASE WHEN EXISTS (SELECT 1 FROM pos
+                     WHERE p = ${sqlHash60("'bf0:' || tg.gram")} % 65536)
+                    AND EXISTS (SELECT 1 FROM pos
+                     WHERE p = ${sqlHash60("'bf1:' || tg.gram")} % 65536)
+                    AND EXISTS (SELECT 1 FROM pos
+                     WHERE p = ${sqlHash60("'bf2:' || tg.gram")} % 65536)
+                   THEN 1 ELSE 0 END AS hit
+            FROM tg)
+          GROUP BY doc_id HAVING sum(hit) >= 5),
+        clean AS (
+          SELECT doc_id FROM gop
+          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        ${DedupQueries.bandCtes(
+          "doc_id % 2 = 0 AND doc_id IN (SELECT doc_id FROM clean)", "ce")},
+        ${DedupQueries.bandCtes(
+          "doc_id % 2 = 1 AND doc_id IN (SELECT doc_id FROM clean)", "co")},
+        epairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cebands a JOIN cebands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        esurv AS (
+          SELECT doc_id FROM clean
+          WHERE doc_id % 2 = 0
+            AND doc_id NOT IN (SELECT id_b FROM epairs)),
+        ekeys AS (
+          SELECT DISTINCT band, sig FROM cebands
+          WHERE doc_id IN (SELECT doc_id FROM esurv)),
+        ogated AS (
+          SELECT doc_id FROM clean
+          WHERE doc_id % 2 = 1
+            AND doc_id NOT IN (
+              SELECT DISTINCT o.doc_id FROM cobands o
+              JOIN ekeys k ON k.band = o.band AND k.sig = o.sig)),
+        opairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cobands a JOIN cobands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          WHERE a.doc_id IN (SELECT doc_id FROM ogated)
+            AND b.doc_id IN (SELECT doc_id FROM ogated)),
+        osurv AS (
+          SELECT doc_id FROM ogated
+          WHERE doc_id NOT IN (SELECT id_b FROM opairs)),
+        surv AS (
+          SELECT doc_id, 0 AS ingest_batch FROM esurv
+          UNION ALL
+          SELECT doc_id, 1 AS ingest_batch FROM osurv)
+        SELECT s.doc_id, md5(d.text) AS text_md5,
+               CAST(s.ingest_batch AS INT) AS ingest_batch
+        FROM surv s JOIN documents d ON d.doc_id = s.doc_id""")),
+
     // Mixture oversampling schedule: per-language target token shares
     // (en 40%, de/fr/es/zh 15% each) become integer-ppm replica rates;
     // each doc repeats floor(rate) times plus a seeded-hash Bernoulli

@@ -59,7 +59,7 @@ object DedupQueries {
     * Kirsch–Mitzenmacher: h1 = md5 hex[1..15], h2 = md5 hex[16..29],
     * hash function s = h1 + s*h2 (mirrors Dedup.minHashSignatures).
     */
-  private def bandCtes(pred: String, p: String): String = {
+  private[queries] def bandCtes(pred: String, p: String): String = {
     val sigCols = (0 until K).map(s =>
       s"min(h1 + $s * h2) AS sig$s").mkString(",\n            ")
     val bandSelects = (0 until Bands).map { b =>

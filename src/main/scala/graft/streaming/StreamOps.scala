@@ -721,15 +721,19 @@ object StreamOps {
                      outPath: String, checkpoint: String,
                      w: Int = 3, minShared: Int = 5,
                      bloomBits: Int = 65536, bloomK: Int = 3,
-                     minhashK: Int = 16, bands: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+                     minhashK: Int = 16, bands: Int = 4,
+                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curationBatch(batch, batchId, text, id, filterRow, storePath,
           outPath, w, minShared, bloomBits, bloomK, minhashK, bands)
       }
-      .start()
+    // None = continuous service default; Some(AvailableNow) = the
+    // drain-and-exit shape (q210's oracle-backed lifecycle run)
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** One micro-batch of [[curationIngest]] — public for replay tests.
     * `bloomBits`/`bloomK` MUST match the parameters the filter was
