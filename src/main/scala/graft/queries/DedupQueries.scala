@@ -669,6 +669,103 @@ object DedupQueries {
         FROM base CROSS JOIN nt
         LEFT JOIN nc USING (bands) LEFT JOIN tp USING (bands)""")),
 
+    // The continuous EXACT-SUBSTRING gate, oracle-backed: two
+    // mtimes-ordered deliveries (evens, then odds) stream through
+    // substrDupIngest — each batch's docs drop when ≥ tau (50%) of
+    // their distinct 8-token window hashes already exist in the
+    // PERSISTED store of prior-batch survivors or in a smaller-id doc
+    // of the same batch; survivors' hashes then extend the store. The
+    // oracle replays the arrival-order semantics with q144's window
+    // spelling (hash60 of the space-joined positional window); docs
+    // shorter than the window carry no hashes and always survive.
+    // Drain ×2 from one checkpoint — the replayed batch excludes its
+    // own store partition from the gate, so the rewrite is identical.
+    "q211_stream_substr_gate" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val d = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q211_substr").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        land(d.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
+        land(d.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
+        val store = s"$root/store"; val out = s"$root/out"
+        val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+          graft.streaming.StreamOps.substrDupIngest(stream, "text",
+            "doc_id", store, out, chk, w = 8, tauPermille = 500,
+            trigger = Some(Trigger.AvailableNow())).awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must rewrite nothing
+        s.read.parquet(out)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("batch").cast("int").as("ingest_batch"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wins AS (
+          SELECT DISTINCT doc_id, gh FROM (
+            SELECT doc_id,
+                   ${sqlHash60("array_to_string(t[pos+1:pos+8], ' ')")} AS gh
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(0, len(t) - 8)) AS pos
+                  FROM toks WHERE len(t) >= 8))),
+        ewins AS (SELECT * FROM wins WHERE doc_id % 2 = 0),
+        owins AS (SELECT * FROM wins WHERE doc_id % 2 = 1),
+        etot AS (SELECT doc_id, count(*) AS n_w FROM ewins GROUP BY doc_id),
+        edup AS (
+          SELECT w.doc_id, count(*) AS nd FROM ewins w
+          WHERE EXISTS (SELECT 1 FROM ewins w2
+                        WHERE w2.gh = w.gh AND w2.doc_id < w.doc_id)
+          GROUP BY w.doc_id),
+        edropped AS (
+          SELECT d.doc_id FROM edup d JOIN etot t USING (doc_id)
+          WHERE d.nd * 1000 >= t.n_w * 500),
+        esurv AS (
+          SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+            AND doc_id NOT IN (SELECT doc_id FROM edropped)),
+        estore AS (
+          SELECT DISTINCT gh FROM ewins
+          WHERE doc_id IN (SELECT doc_id FROM esurv)),
+        otot AS (SELECT doc_id, count(*) AS n_w FROM owins GROUP BY doc_id),
+        odup AS (
+          SELECT doc_id, count(*) AS nd FROM (
+            SELECT DISTINCT w.doc_id, w.gh FROM owins w
+            WHERE w.gh IN (SELECT gh FROM estore)
+               OR EXISTS (SELECT 1 FROM owins w2
+                          WHERE w2.gh = w.gh AND w2.doc_id < w.doc_id))
+          GROUP BY doc_id),
+        odropped AS (
+          SELECT d.doc_id FROM odup d JOIN otot t USING (doc_id)
+          WHERE d.nd * 1000 >= t.n_w * 500),
+        osurv AS (
+          SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+            AND doc_id NOT IN (SELECT doc_id FROM odropped)),
+        surv AS (
+          SELECT doc_id, 0 AS ingest_batch FROM esurv
+          UNION ALL
+          SELECT doc_id, 1 AS ingest_batch FROM osurv)
+        SELECT s.doc_id, md5(d.text) AS text_md5,
+               CAST(s.ingest_batch AS INT) AS ingest_batch
+        FROM surv s JOIN documents d ON d.doc_id = s.doc_id""")),
+
     // The continuous NEAR-DUP ingest, oracle-backed end to end: the
     // corpus arrives as two mtimes-ordered deliveries (evens then odds,
     // maxFilesPerTrigger=1 → separate micro-batches), and each batch of

@@ -179,15 +179,19 @@ object StreamOps {
     */
   def substrDupIngest(docs: DataFrame, text: String, id: String,
                       storePath: String, outPath: String, checkpoint: String,
-                      w: Int = 8, tauPermille: Int = 500)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+                      w: Int = 8, tauPermille: Int = 500,
+                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         substrDupBatch(batch, batchId, text, id, storePath, outPath, w,
           tauPermille)
       }
-      .start()
+    // None = continuous service default; Some(AvailableNow) = the
+    // drain-and-exit shape (q211's oracle-backed lifecycle run)
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** One micro-batch of [[substrDupIngest]] — public for replay tests:
     * the same batchId twice must produce identical output.
