@@ -630,6 +630,84 @@ object SimilarityQueries {
 
     // Embedding near-dup pairs: same bucket AND cosine ≥ τ (τ=0.3 — the
     // synthetic vectors are noise; real corpora would use ~0.95).
+    // The continuous EMBEDDING near-dup ingest, oracle-backed — the
+    // vector twin of the text gate (q209): embeddings arrive as two
+    // mtimes-ordered deliveries, and each micro-batch of
+    // embNearDupIngest drops vectors whose 6dp-rounded cosine against
+    // any SAME-BUCKET stored survivor reaches tau, then within-batch
+    // (smaller id wins), then appends survivors' (bucket, vector) rows
+    // to the store. One threshold rule everywhere (the store gate
+    // rounds exactly like the within-batch compare). The oracle
+    // replays the arrival-order semantics with q38's bucket/cosine
+    // spellings. Drain ×2 from one checkpoint rewrites nothing.
+    "q212_stream_emb_neardup" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val e = Engine.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q212_embdup").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        land(e.filter(col("vec_id") % 2 === 0), "a", 1000000000000L)
+        land(e.filter(col("vec_id") % 2 === 1), "b", 1000000060000L)
+        val store = s"$root/store"; val out = s"$root/out"
+        val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+          graft.streaming.StreamOps.embNearDupIngest(stream, "embedding",
+            "vec_id", store, out, chk, tau = 0.3, nPlanes = Planes,
+            dims = Dims,
+            trigger = Some(Trigger.AvailableNow())).awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must rewrite nothing
+        s.read.parquet(out)
+          .select(col("vec_id"), col("batch").cast("int").as("ingest_batch"))
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, vec, ${sqlBucket("vec")} AS bucket
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)),
+        ev AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+        ov AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+        edrop AS (
+          SELECT DISTINCT b.vec_id FROM ev a JOIN ev b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE round(${sqlCos("a.vec", "b.vec")}, 6) >= 0.3),
+        esurv AS (
+          SELECT vec_id, vec, bucket FROM ev
+          WHERE vec_id NOT IN (SELECT vec_id FROM edrop)),
+        ogated AS (
+          SELECT o.vec_id, o.vec, o.bucket FROM ov o
+          WHERE NOT EXISTS (
+            SELECT 1 FROM esurv s
+            WHERE s.bucket = o.bucket
+              AND round(${sqlCos("s.vec", "o.vec")}, 6) >= 0.3)),
+        odrop AS (
+          SELECT DISTINCT b.vec_id FROM ogated a JOIN ogated b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE round(${sqlCos("a.vec", "b.vec")}, 6) >= 0.3),
+        surv AS (
+          SELECT vec_id, 0 AS ingest_batch FROM esurv
+          UNION ALL
+          SELECT vec_id, 1 AS ingest_batch FROM ogated
+          WHERE vec_id NOT IN (SELECT vec_id FROM odrop))
+        SELECT vec_id, CAST(ingest_batch AS INT) AS ingest_batch
+        FROM surv""")),
+
     "q38_embedding_neardup" -> QueryDef(
       build = (s, dir) => {
         val e = Engine.table(s, dir, "embeddings")

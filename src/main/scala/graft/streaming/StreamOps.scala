@@ -357,15 +357,19 @@ object StreamOps {
     */
   def embNearDupIngest(vectors: DataFrame, vec: String, id: String,
                        storePath: String, outPath: String, checkpoint: String,
-                       tau: Double, nPlanes: Int, dims: Int)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream
+                       tau: Double, nPlanes: Int, dims: Int,
+                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         embNearDupBatch(batch, batchId, vec, id, storePath, outPath,
           tau, nPlanes, dims)
       }
-      .start()
+    // None = continuous service default; Some(AvailableNow) = the
+    // drain-and-exit shape (q212's oracle-backed lifecycle run)
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** One micro-batch of [[embNearDupIngest]] — public for replay tests,
     * like [[nearDupBatch]].
@@ -390,9 +394,13 @@ object StreamOps {
       else spark.range(0).select(lit(0L).as("__bucket"),
         lit(Array.empty[Double]).as("__sv")).limit(0)
     // vs history: any stored survivor in the same bucket with
-    // cosine >= tau kills the arriving row
+    // cosine >= tau kills the arriving row. The compare ROUNDS at 6 dp
+    // exactly like embeddingNearDupPairs' within-batch compare — ONE
+    // threshold rule for the whole operator family, so a vector cannot
+    // pass the history gate and fail the batch gate (or vice versa) on
+    // a sub-1e-6 boundary sliver
     val dupVsStore = b.join(store, Seq("__bucket"))
-      .filter(Similarity.cosine(col("__v"), col("__sv")) >= tau)
+      .filter(round(Similarity.cosine(col("__v"), col("__sv")), 6) >= tau)
       .select(col(id)).dropDuplicates(id)
     val gated = b.join(dupVsStore, Seq(id), "left_anti")
     // within-batch: the smaller id wins
