@@ -23,6 +23,42 @@ object SimilarityQueries {
     s"""(list_dot_product($a, $b)
         / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"""
 
+  /** Shared oracle for the streamed k-means epoch — q198 (3-way fold by
+    * direct kmeansIterBatch calls) and q213 (the same fold through a
+    * LIVE kmeansIterStream run) must both be bit-identical to one
+    * full-corpus Lloyd iteration from the frozen centroids.
+    */
+  private lazy val kmeansEpochOracle: String = s"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        cent AS (SELECT vec_id AS centroid_id, vec AS cv FROM v
+                 WHERE vec_id % 101 = 0),
+        assigned AS (
+          SELECT vec_id, vec,
+                 (list(centroid_id ORDER BY
+                    CAST(round(${sqlCos("vec", "cv")} * 1e6) AS BIGINT) DESC,
+                    centroid_id ASC))[1] AS cluster_id
+          FROM v CROSS JOIN cent GROUP BY vec_id, vec),
+        sums AS (
+          SELECT cluster_id, g.dim,
+                 CAST(sum(CAST(round(vec[g.dim] * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sxi
+          FROM assigned CROSS JOIN generate_series(1, $Dims) g(dim)
+          GROUP BY cluster_id, g.dim),
+        means AS (
+          SELECT cluster_id, list(sxi / 1e9 ORDER BY dim) AS mv FROM sums
+          GROUP BY cluster_id),
+        folded AS (
+          SELECT cluster_id AS centroid_id,
+                 list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv)))
+                   AS ncv
+          FROM means),
+        fin AS (
+          SELECT c.centroid_id, coalesce(f.ncv, c.cv) AS cv
+          FROM cent c LEFT JOIN folded f USING (centroid_id))
+        SELECT centroid_id, CAST(g.dim AS BIGINT) AS dim,
+               round(cv[g.dim], 6) AS cv_i
+        FROM fin CROSS JOIN generate_series(1, $Dims) g(dim)"""
+
   /** Spherical k-means (k=20, 3 Lloyd's iterations) trained once per
     * (session, sf dir) and shared by q65/q138: the registry contract —
     * relied on by the whole-registry plan gates — is that query builds
@@ -1065,36 +1101,64 @@ object SimilarityQueries {
           .select(col("centroid_id"), (col("dim") + 1).cast("long").as("dim"),
             round(col("x"), 6).as("cv_i"))
       },
-      oracle = Some(s"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-        cent AS (SELECT vec_id AS centroid_id, vec AS cv FROM v
-                 WHERE vec_id % 101 = 0),
-        assigned AS (
-          SELECT vec_id, vec,
-                 (list(centroid_id ORDER BY
-                    CAST(round(${sqlCos("vec", "cv")} * 1e6) AS BIGINT) DESC,
-                    centroid_id ASC))[1] AS cluster_id
-          FROM v CROSS JOIN cent GROUP BY vec_id, vec),
-        sums AS (
-          SELECT cluster_id, g.dim,
-                 CAST(sum(CAST(round(vec[g.dim] * 1e9) AS BIGINT)) AS BIGINT)
-                   AS sxi
-          FROM assigned CROSS JOIN generate_series(1, $Dims) g(dim)
-          GROUP BY cluster_id, g.dim),
-        means AS (
-          SELECT cluster_id, list(sxi / 1e9 ORDER BY dim) AS mv FROM sums
-          GROUP BY cluster_id),
-        folded AS (
-          SELECT cluster_id AS centroid_id,
-                 list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv)))
-                   AS ncv
-          FROM means),
-        fin AS (
-          SELECT c.centroid_id, coalesce(f.ncv, c.cv) AS cv
-          FROM cent c LEFT JOIN folded f USING (centroid_id))
-        SELECT centroid_id, CAST(g.dim AS BIGINT) AS dim,
-               round(cv[g.dim], 6) AS cv_i
-        FROM fin CROSS JOIN generate_series(1, $Dims) g(dim)""")),
+      oracle = Some(kmeansEpochOracle)),
+
+    // The k-means EPOCH through the real stream machinery — q198 proves
+    // the 3-way fold ≡ one batch Lloyd iteration by calling
+    // kmeansIterBatch directly; q213 proves the same law holds when the
+    // batches come from a LIVE kmeansIterStream run: three
+    // mtimes-ordered vector deliveries (maxFilesPerTrigger=1 → three
+    // micro-batches against the frozen broadcast centroids), drained
+    // twice from one checkpoint (replayed batches overwrite their own
+    // integer-partial partitions — the associative fold makes any
+    // arrival split equivalent), then finishKmeansStream folds to
+    // centroids that must be BIT-identical to the full-corpus Lloyd
+    // step. Oracle shared verbatim with q198.
+    "q213_stream_kmeans_epoch" -> QueryDef(
+      build = (s, dir) => {
+        import graft.streaming.StreamOps
+        import org.apache.spark.sql.streaming.Trigger
+        val e = Engine.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val centroids = e.filter(col("vec_id") % 101 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            Similarity.asDouble(col("embedding")).as("cv"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q213_kmeans").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        (0 until 3).foreach { b =>
+          land(e.filter(pmod(col("vec_id"), lit(3)) === b), s"p$b",
+            1000000000000L + b * 60000L)
+        }
+        val state = s"$root/state"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+          StreamOps.kmeansIterStream(stream, "embedding", "vec_id",
+            centroids, state, chk,
+            trigger = Some(Trigger.AvailableNow())).awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must rewrite nothing
+        StreamOps.finishKmeansStream(s, state, centroids)
+          .select(col("centroid_id"),
+            posexplode(col("cv")).as(Seq("dim", "x")))
+          .select(col("centroid_id"), (col("dim") + 1).cast("long").as("dim"),
+            round(col("x"), 6).as("cv_i"))
+      },
+      oracle = Some(kmeansEpochOracle)),
 
     // Cross-document CHUNK retrieval (RAG-prep granularity): documents
     // split into q94's 32-token/stride-24 spans, each chunk embedded

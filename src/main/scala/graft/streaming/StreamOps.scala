@@ -436,14 +436,18 @@ object StreamOps {
     */
   def kmeansIterStream(vectors: DataFrame, vec: String, id: String,
                        centroids: DataFrame, statePath: String,
-                       checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream
+                       checkpoint: String,
+                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         kmeansIterBatch(batch, batchId, vec, id, centroids, statePath)
       }
-      .start()
+    // None = continuous service default; Some(AvailableNow) = the
+    // drain-and-exit shape (q213's oracle-backed lifecycle run)
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** One micro-batch of [[kmeansIterStream]] — public for replay tests. */
   def kmeansIterBatch(batch: DataFrame, batchId: Long, vec: String,
