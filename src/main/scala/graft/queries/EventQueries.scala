@@ -277,6 +277,89 @@ object EventQueries {
       },
       oracle = Some(sessionOracle)),
 
+    // The streaming TOP-K LEADERBOARD, oracle-backed: topKStream keeps
+    // exactly the k best (score desc, id asc) entries per key in
+    // mapGroupsWithState state and emits a refreshed snapshot for every
+    // key a micro-batch touches (Update mode — so the sink is a
+    // foreachBatch append of per-batch snapshot partitions, and the
+    // CURRENT standing is each key's snapshot with the highest per-key
+    // high-water mark n_seen). Two mtimes-ordered event deliveries make
+    // the state survive a batch boundary observable: a key's final
+    // snapshot merges entries from BOTH batches. The oracle is the
+    // batch answer — per-key exact top-3 by (value desc, event_id) over
+    // all events plus the total count. Drain ×2 from one checkpoint;
+    // the replay emits no snapshots.
+    "q215_stream_topk_leaderboard" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Engine.table(s, dir, "events")
+          .select(col("event_id"), col("user_id").as("key_id"),
+            col("value"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q215_topk").toString
+        val drop = java.nio.file.Paths.get(root, "drop")
+        java.nio.file.Files.createDirectories(drop)
+        def land(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtime: Long): Unit = {
+          val tmp = s"$root/$name.stage"
+          df.coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val dst = drop.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        land(ev.filter(col("event_id") % 2 === 0), "a", 1000000000000L)
+        land(ev.filter(col("event_id") % 2 === 1), "b", 1000000060000L)
+        val out = s"$root/out"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+          val q = graft.streaming.StreamOps
+            .topKStream(stream.select(col("key_id"),
+              col("event_id").as("entry_id"), col("value").as("score")), 3)
+            .toDF()
+            .writeStream.outputMode("update")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                batch.write.mode("overwrite")
+                  .parquet(s"$out/batch=$batchId")
+            }
+            .option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: emits no snapshots
+        val snaps = s.read.parquet(out)
+        val latest = snaps.groupBy(col("key_id"))
+          .agg(max(col("n_seen")).as("n_seen"))
+        snaps.join(latest, Seq("key_id", "n_seen"))
+          .select(col("key_id"), col("n_seen"),
+            posexplode(arrays_zip(col("top_scores"), col("top_ids")))
+              .as(Seq("pos", "z")))
+          .select(col("key_id"), col("n_seen"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("z.top_ids").as("entry_id"),
+            round(col("z.top_scores"), 6).as("score"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id AS key_id, event_id, value FROM events),
+        tot AS (SELECT key_id, count(*) AS n_seen FROM e GROUP BY key_id),
+        ranked AS (
+          SELECT key_id, event_id, value,
+                 row_number() OVER (PARTITION BY key_id
+                   ORDER BY value DESC, event_id) AS rank
+          FROM e)
+        SELECT r.key_id, t.n_seen, CAST(r.rank AS INT) AS rank,
+               r.event_id AS entry_id, round(r.value, 6) AS score
+        FROM ranked r JOIN tot t USING (key_id)
+        WHERE r.rank <= 3""")),
+
     // As-of join (engine extension): every purchase event picks up the
     // user's most recent prior-or-simultaneous click value. Spark side is
     // the union-and-window single-shuffle operator; DuckDB side is its
