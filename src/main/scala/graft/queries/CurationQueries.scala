@@ -204,27 +204,16 @@ object CurationQueries {
         val d = Engine.table(s, dir, "documents")
         val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
         val ev = d.where(isEval).select(col("doc_id"), col("text"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q204_bloom").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
+        val dv = new StreamDeliveries("graft_q204_bloom")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         land(ev.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
         land(ev.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
         val state = s"$root/state"; val chk = s"$root/chk"
         def drain(): Unit = {
           val stream = s.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
           graft.streaming.StreamOps.bloomIngest(stream, "text", "doc_id",
             state, chk, w = 3, mBits = 65536, k = 3,
             trigger = Some(Trigger.AvailableNow())).awaitTermination()
@@ -263,28 +252,17 @@ object CurationQueries {
         val filterRow = Curation.assembleBloom(
           Curation.bloomWords(ev, 65536, 3), 65536)
         val train = d.where(!isEval).select(col("doc_id"), col("text"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q210_curation").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
+        val dv = new StreamDeliveries("graft_q210_curation")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         land(train.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
         land(train.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
         val store = s"$root/store"; val out = s"$root/out"
         val chk = s"$root/chk"
         def drain(): Unit = {
           val stream = s.readStream.schema(train.schema)
-            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
           graft.streaming.StreamOps.curationIngest(stream, "text",
             "doc_id", filterRow, store, out, chk,
             trigger = Some(Trigger.AvailableNow())).awaitTermination()

@@ -685,28 +685,17 @@ object DedupQueries {
         import org.apache.spark.sql.streaming.Trigger
         val d = Engine.table(s, dir, "documents")
           .select(col("doc_id"), col("text"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q211_substr").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
+        val dv = new StreamDeliveries("graft_q211_substr")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         land(d.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
         land(d.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
         val store = s"$root/store"; val out = s"$root/out"
         val chk = s"$root/chk"
         def drain(): Unit = {
           val stream = s.readStream.schema(d.schema)
-            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
           graft.streaming.StreamOps.substrDupIngest(stream, "text",
             "doc_id", store, out, chk, w = 8, tauPermille = 500,
             trigger = Some(Trigger.AvailableNow())).awaitTermination()
@@ -788,28 +777,17 @@ object DedupQueries {
         import org.apache.spark.sql.streaming.Trigger
         val d = Engine.table(s, dir, "documents")
           .select(col("doc_id"), col("text"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q209_neardup").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
+        val dv = new StreamDeliveries("graft_q209_neardup")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         land(d.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
         land(d.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
         val store = s"$root/store"; val out = s"$root/out"
         val chk = s"$root/chk"
         def drain(): Unit = {
           val stream = s.readStream.schema(d.schema)
-            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
           graft.streaming.StreamOps.nearDupIngest(stream, "text", "doc_id",
             store, out, chk, k = K, bands = Bands, w = 3,
             trigger = Some(Trigger.AvailableNow())).awaitTermination()
@@ -874,31 +852,17 @@ object DedupQueries {
           .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("text_md5"),
             col("lang"), col("source"), col("n_chars"),
             lit("2026-08-14 00:00:00").cast("timestamp").as("tstamp"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q203_dedup").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
-        // land the two deliveries: distributed parquet writes, then a
-        // driver-side RENAME of the single part file into the drop dir
-        // (bounded FS metadata ops — the data never visits the driver)
+        val dv = new StreamDeliveries("graft_q203_dedup")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         land(d, "a", 1000000000000L)
         land(d.filter(col("doc_id") % 2 === 0), "b", 1000000060000L)
         val out = s"$root/out"; val chk = s"$root/chk"
         def drain(): Unit = {
           val events = s.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", "1")
-            .parquet(drop.toString)
+            .parquet(dv.dropDir)
           val q = graft.streaming.StreamOps
             .dedupStream(events, Seq("doc_id"), watermark = "10 minutes")
             .writeStream.format("parquet")

@@ -123,21 +123,10 @@ object EventQueries {
         import org.apache.spark.sql.streaming.Trigger
         val ev = Engine.table(s, dir, "events")
           .select(nsToTimestamp.as("tstamp"), col("event_type"), col("value"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q206_windows").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
+        val dv = new StreamDeliveries("graft_q206_windows")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         // sentinels derive from the REAL max event time, so the margin
         // holds at any sf (1-row driver read, bounded by construction)
         val maxTs = ev.agg(max(col("tstamp"))).head().getTimestamp(0)
@@ -152,7 +141,7 @@ object EventQueries {
         val out = s"$root/out"; val chk = s"$root/chk"
         def drain(): Unit = {
           val stream = s.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
           val q = stream.withWatermark("tstamp", "10 minutes")
             .groupBy(window(col("tstamp"), "5 minutes"), col("event_type"))
             .agg(count(lit(1)).as("n_events"),
@@ -223,21 +212,10 @@ object EventQueries {
         import org.apache.spark.sql.streaming.Trigger
         val ev = Engine.table(s, dir, "events")
           .select(nsToTimestamp.as("tstamp"), col("user_id"), col("value"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q207_sessions").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
+        val dv = new StreamDeliveries("graft_q207_sessions")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         val maxTs = ev.agg(max(col("tstamp"))).head().getTimestamp(0)
         def sentinelDf(days: Int) = {
           import s.implicits._
@@ -250,7 +228,7 @@ object EventQueries {
         val out = s"$root/out"; val chk = s"$root/chk"
         def drain(): Unit = {
           val stream = s.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
           val q = stream.withWatermark("tstamp", "1 hour")
             .groupBy(session_window(col("tstamp"), "30 minutes"),
               col("user_id"))
@@ -295,27 +273,16 @@ object EventQueries {
         val ev = Engine.table(s, dir, "events")
           .select(col("event_id"), col("user_id").as("key_id"),
             col("value"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q215_topk").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
+        val dv = new StreamDeliveries("graft_q215_topk")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         land(ev.filter(col("event_id") % 2 === 0), "a", 1000000000000L)
         land(ev.filter(col("event_id") % 2 === 1), "b", 1000000060000L)
         val out = s"$root/out"; val chk = s"$root/chk"
         def drain(): Unit = {
           val stream = s.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
           val q = graft.streaming.StreamOps
             .topKStream(stream.select(col("key_id"),
               col("event_id").as("entry_id"), col("value").as("score")), 3)

@@ -26,6 +26,39 @@ object OracleSql {
     s"CAST('0x' || substr(md5($expr), 16, 14) AS BIGINT)"
 }
 
+/** Shared fixture plumbing for the oracle-backed streaming lifecycle
+  * queries (q203–q215): a temp root with a `drop/` directory, and
+  * [[land]] — write a frame as ONE parquet file into the drop dir with
+  * an explicit mtime, so `maxFilesPerTrigger=1` file streams process
+  * the deliveries as separate micro-batches in a deterministic order.
+  * The write is distributed; only the single part-file RENAME runs
+  * driver-side (bounded FS metadata ops — data never visits the
+  * driver). ONE definition so the delivery protocol cannot drift
+  * between query files.
+  */
+private[queries] final class StreamDeliveries(prefix: String) {
+  val root: String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+  private val drop = java.nio.file.Paths.get(root, "drop")
+  java.nio.file.Files.createDirectories(drop)
+
+  /** The drop directory file streams read from. */
+  def dropDir: String = drop.toString
+
+  /** Land `df` as `<name>.parquet` in the drop dir with mtime `mtime`. */
+  def land(df: org.apache.spark.sql.DataFrame, name: String,
+           mtime: Long): Unit = {
+    val tmp = s"$root/$name.stage"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val dst = drop.resolve(s"$name.parquet")
+    java.nio.file.Files.move(part, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+  }
+}
+
 /** Hex-string byte builders + DuckDB byte readers shared by every
   * byte-walk query (media headers in MultimodalQueries, the ZIP
   * central-directory walk in IngestionQueries). ONE definition so an

@@ -681,28 +681,17 @@ object SimilarityQueries {
         import org.apache.spark.sql.streaming.Trigger
         val e = Engine.table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q212_embdup").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
+        val dv = new StreamDeliveries("graft_q212_embdup")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         land(e.filter(col("vec_id") % 2 === 0), "a", 1000000000000L)
         land(e.filter(col("vec_id") % 2 === 1), "b", 1000000060000L)
         val store = s"$root/store"; val out = s"$root/out"
         val chk = s"$root/chk"
         def drain(): Unit = {
           val stream = s.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
           graft.streaming.StreamOps.embNearDupIngest(stream, "embedding",
             "vec_id", store, out, chk, tau = 0.3, nPlanes = Planes,
             dims = Dims,
@@ -1123,21 +1112,10 @@ object SimilarityQueries {
         val centroids = e.filter(col("vec_id") % 101 === 0)
           .select(col("vec_id").as("centroid_id"),
             Similarity.asDouble(col("embedding")).as("cv"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_q213_kmeans").toString
-        val drop = java.nio.file.Paths.get(root, "drop")
-        java.nio.file.Files.createDirectories(drop)
+        val dv = new StreamDeliveries("graft_q213_kmeans")
+        val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,
-                 mtime: Long): Unit = {
-          val tmp = s"$root/$name.stage"
-          df.coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath
-          val dst = drop.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtime))
-        }
+                 mtime: Long): Unit = dv.land(df, name, mtime)
         (0 until 3).foreach { b =>
           land(e.filter(pmod(col("vec_id"), lit(3)) === b), s"p$b",
             1000000000000L + b * 60000L)
@@ -1145,7 +1123,7 @@ object SimilarityQueries {
         val state = s"$root/state"; val chk = s"$root/chk"
         def drain(): Unit = {
           val stream = s.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", "1").parquet(drop.toString)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
           StreamOps.kmeansIterStream(stream, "embedding", "vec_id",
             centroids, state, chk,
             trigger = Some(Trigger.AvailableNow())).awaitTermination()
