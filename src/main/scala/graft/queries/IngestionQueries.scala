@@ -233,7 +233,59 @@ object IngestionQueries {
                     AS BIGINT) AS content_length,
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
-  ) ++ zipDefs
+  ) ++ zipDefs ++ tarDefs
+
+  // ustar archive walk (q216) — the indexless container: entry K+1 is
+  // only reachable through entry K's octal size field, each header
+  // checksum-verified. Every document becomes a two-member tar written
+  // by the engine's own ustar writer (variable payload size and
+  // hash-derived mtimes, so headers differ per doc), and Tar.parse
+  // walks the bytes back to (name, size, type, mtime, data offset).
+  // The read side is pinned against CPython tarfile's output in
+  // TarSpec (fixtures/golden.tar — prefix-split long names, directory
+  // entries, padding shapes); the oracle derives the expected
+  // inventory from the same seed formulas.
+  private def tarDefs: Seq[(String, QueryDef)] = Seq(
+    "q216_tar_walk" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val blobs = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+            col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, text, nChars) =>
+            val (s1, _) = MediaGen.seeds(text)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            def hex(in: String) = md.digest(in.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            val k = (1 + nChars % 4).toInt
+            val mtime = s1 % (1L << 30)
+            graft.sources.Tar.TarBlob(id, graft.sources.Tar.write(Seq(
+              ("doc.txt", (hex(text) * k).getBytes("US-ASCII"), mtime),
+              ("meta.json", hex(text + ":meta").getBytes("US-ASCII"),
+                mtime + 1))))
+          })
+        graft.sources.Tar.entries(blobs).toDF()
+          .select(col("blob_id").as("doc_id"), col("entry_name"),
+            col("size"), col("type_flag"), col("mtime"),
+            col("data_offset"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 CAST(32 * (1 + n_chars % 4) AS BIGINT) AS size1,
+                 CAST(${OracleSql.sqlHash60("coalesce(text, '')")}
+                   % 1073741824 AS BIGINT) AS mt
+          FROM documents)
+        SELECT doc_id, 'doc.txt' AS entry_name, size1 AS size,
+               '0' AS type_flag, mt AS mtime,
+               CAST(512 AS BIGINT) AS data_offset
+        FROM g
+        UNION ALL
+        SELECT doc_id, 'meta.json', CAST(32 AS BIGINT), '0', mt + 1,
+               CAST(1536 AS BIGINT)
+        FROM g"""))
+  )
 
   // ZIP central-directory walk (q202) — kept in its own block for the
   // HexBytes/zip-specific helpers.

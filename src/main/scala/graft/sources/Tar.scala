@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, Encoders}
+
+/** POSIX ustar (IEEE 1003.1) archive walk — the OTHER container format
+  * crawled corpora arrive in (source tarballs, dataset dumps, model
+  * checkpoints ship as .tar / .tar.gz). Unlike ZIP's tail-first
+  * central directory, tar has NO index: the only way to reach entry
+  * K+1 is to parse entry K's 512-byte header, read its size field
+  * (ASCII OCTAL — the format predates binary integers in headers), and
+  * stride past ceil(size/512) data blocks — the WARC/MP3 forward-walk
+  * shape with a checksum per header.
+  *
+  * Header layout (offsets into the 512-byte block): name[0,100),
+  * mode[100,8), uid[108,8), gid[116,8), size[124,12) octal,
+  * mtime[136,12) octal, chksum[148,8) octal, typeflag[156],
+  * linkname[157,100), magic[257,6) = "ustar", prefix[345,155). The
+  * checksum is the byte sum of the header with the chksum field
+  * treated as 8 spaces — verified here for every entry (a corrupted
+  * header otherwise mis-strides and silently truncates the walk).
+  * End of archive = two consecutive zero blocks.
+  *
+  * Scope: ustar + the old GNU variant (magic "ustar  \0" — CPython's
+  * tarfile default output); one blob per task, zero shuffles
+  * ([[Warc.records]] / [[Zip.entries]] posture). Malformation — bad
+  * checksum, non-octal size, truncated data, missing terminator —
+  * yields Nil (byte-walk totality law).
+  */
+object Tar {
+
+  /** One input blob: a tar file's raw bytes. */
+  case class TarBlob(blob_id: Long, content: Array[Byte])
+
+  /** One archive member. `data_offset` points at the member's first
+    * payload byte so consumers can range-read it lazily.
+    */
+  case class TarEntry(blob_id: Long, entry_name: String, size: Long,
+                      type_flag: String, mtime: Long, data_offset: Long)
+
+  /** Parse an ASCII-octal field (NUL/space padded); -1 if malformed. */
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off
+    val end = off + len
+    // skip leading spaces
+    while (i < end && b(i) == ' ') i += 1
+    var v = 0L
+    var any = false
+    while (i < end && b(i) != 0 && b(i) != ' ') {
+      val c = b(i)
+      if (c < '0' || c > '7') return -1L
+      v = v * 8 + (c - '0')
+      any = true
+      i += 1
+    }
+    if (any) v else -1L
+  }
+
+  /** Walk one blob. Nil on any malformation (totality law). */
+  def parse(blobId: Long, b: Array[Byte]): Seq[TarEntry] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
+    var pos = 0
+    def zeroBlock(off: Int): Boolean = {
+      if (off + 512 > b.length) return false
+      var i = off
+      while (i < off + 512 && b(i) == 0) i += 1
+      i == off + 512
+    }
+    while (true) {
+      if (pos + 512 > b.length) return Nil // ran out before the terminator
+      if (zeroBlock(pos)) {
+        // end of archive: a second zero block must follow (readers
+        // tolerate extra padding after it)
+        return if (zeroBlock(pos + 512)) out.toSeq else Nil
+      }
+      // ---- header integrity ------------------------------------------
+      val magic = new String(b, pos + 257, 5,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (magic != "ustar") return Nil
+      val stated = octal(b, pos + 148, 8)
+      if (stated < 0) return Nil
+      var sum = 0L
+      var i = pos
+      while (i < pos + 512) {
+        sum += (if (i >= pos + 148 && i < pos + 156) ' '.toInt
+                else b(i) & 0xff)
+        i += 1
+      }
+      if (sum != stated) return Nil // corrupted header: stop, report none
+      // ---- fields ------------------------------------------------------
+      val size = octal(b, pos + 124, 12)
+      val mtime = octal(b, pos + 136, 12)
+      if (size < 0 || mtime < 0) return Nil
+      var nameLen = 0
+      while (nameLen < 100 && b(pos + nameLen) != 0) nameLen += 1
+      var name = new String(b, pos, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      // ustar long names carry the directory part in prefix[345,155)
+      var pfxLen = 0
+      while (pfxLen < 155 && b(pos + 345 + pfxLen) != 0) pfxLen += 1
+      if (pfxLen > 0)
+        name = new String(b, pos + 345, pfxLen,
+          java.nio.charset.StandardCharsets.UTF_8) + "/" + name
+      val tf = (b(pos + 156) & 0xff).toChar
+      val typeFlag = if (tf == 0) "0" else tf.toString
+      val dataOff = pos + 512
+      val dataBlocks = ((size + 511) / 512).toInt
+      if (dataOff + dataBlocks * 512 > b.length) return Nil // truncated
+      out += TarEntry(blobId, name, size, typeFlag, mtime, dataOff.toLong)
+      pos = dataOff + dataBlocks * 512
+    }
+    out.toSeq // unreachable
+  }
+
+  /** Explode tar blobs into entries on the scan tasks — zero shuffles,
+    * one archive per row.
+    */
+  def entries(blobs: Dataset[TarBlob]): Dataset[TarEntry] = {
+    implicit val enc = Encoders.product[TarEntry]
+    blobs.mapPartitions(_.flatMap(t => parse(t.blob_id, t.content)))
+  }
+
+  /** Minimal ustar WRITER (the archival-sink twin of [[parse]]): plain
+    * files only, names ≤ 100 bytes, correct octal fields and header
+    * checksums, 512-padded payloads, double-zero-block terminator.
+    * Read side is pinned against CPython tarfile's output (TarSpec +
+    * fixtures/golden.tar); the writer round-trips through [[parse]] and
+    * its headers follow the identical field layout.
+    */
+  def write(entries: Seq[(String, Array[Byte], Long)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def octalField(v: Long, len: Int): Array[Byte] = {
+      val s = java.lang.Long.toOctalString(v)
+      require(s.length < len, s"octal field overflow: $v into $len")
+      val b = new Array[Byte](len)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      var i = 0
+      while (i < len - 1) { b(i) = padded.charAt(i).toByte; i += 1 }
+      b(len - 1) = 0
+      b
+    }
+    entries.foreach { case (name, data, mtime) =>
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(nameB.length <= 100, s"name too long for the plain field: $name")
+      require(mtime >= 0, "mtime must be non-negative")
+      val h = new Array[Byte](512)
+      System.arraycopy(nameB, 0, h, 0, nameB.length)
+      System.arraycopy(octalField(420 /* 0644 */, 8), 0, h, 100, 8)
+      System.arraycopy(octalField(0, 8), 0, h, 108, 8) // uid
+      System.arraycopy(octalField(0, 8), 0, h, 116, 8) // gid
+      System.arraycopy(octalField(data.length.toLong, 12), 0, h, 124, 12)
+      System.arraycopy(octalField(mtime, 12), 0, h, 136, 12)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
+      h(156) = '0'
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+      h(262) = 0; h(263) = '0'; h(264) = '0' // ustar\0 + version "00"
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      // chksum: six octal digits, NUL, space (the layout CPython's
+      // tarfile and GNU tar both emit; header sums cap at 512·255 < 8^6)
+      val ck = octalField(sum, 7)
+      System.arraycopy(ck, 0, h, 148, 7)
+      h(155) = ' '
+      out.write(h)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // two zero blocks
+    out.toByteArray
+  }
+}
