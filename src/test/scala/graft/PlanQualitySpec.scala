@@ -733,6 +733,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q202 must not join:\n$p")
   }
 
+  test("q216 tar walk: zero exchanges — archive inventory rides the scan") {
+    val p = plan("q216_tar_walk")
+    assert(!p.contains("Exchange"), s"q216 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q216 must not join:\n$p")
+  }
+
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {
     val p = plan("q178_doremi_weights")
     // one corpus partial-agg exchange; the tot/wqSum folds run over the
