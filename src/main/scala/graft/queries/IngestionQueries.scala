@@ -233,7 +233,99 @@ object IngestionQueries {
                     AS BIGINT) AS content_length,
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
-  ) ++ zipDefs ++ tarDefs
+  ) ++ zipDefs ++ tarDefs ++ gzDefs
+
+  // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
+  // ONE GZIP MEMBER PER WARC RECORD, concatenated. The CDX index that
+  // makes a 100 TB crawl randomly addressable is exactly the (member
+  // offset, member length) pairs this walk recovers, so getting the
+  // stride right IS the operator: member K+1's offset only exists after
+  // inflating member K (deflate carries no length field), and the
+  // trailer CRC32/ISIZE check catches a mis-stride before it desyncs
+  // the rest of the file. Each document's q181-framed WARC record is
+  // wrapped as its own FNAME-tagged member by the engine's writer,
+  // eight members concatenate into a blob, and Gzip.members +
+  // Warc.parse recover everything back out of the raw bytes. DuckDB
+  // cannot deflate, so the oracle joins a CPython-zlib fixture
+  // (scripts/make_gzip_fixture.py — canonical zlib, level 6, raw
+  // deflate sizes verified byte-identical to the JVM Deflater) for
+  // each record's compressed size, rebuilds the member-length
+  // arithmetic (10-byte header + FNAME + NUL + deflate + 8-byte
+  // trailer) in SQL, and derives offsets as the exclusive prefix sum
+  // within each blob — the same chain the engine walks, computed from
+  // the other end.
+  private def gzDefs: Seq[(String, QueryDef)] = Seq(
+    "q217_warc_gz_members" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+            col("n_chars"))
+          .as[(Long, String, Long)]
+        val members = docs.mapPartitions(_.map { case (id, text, nChars) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(text.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          val payload = hex * (1 + nChars % 7).toInt
+          val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://corpus.example/doc/$id\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+          (id % 8, id, graft.sources.Gzip.writeMember(
+            rec.getBytes("US-ASCII"), Some(s"doc-$id.warc")))
+        })
+        // 8 blobs by construction; members concatenate in doc_id order
+        // (a crawler appends records in fetch order — any stable order
+        // works, the walk never assumes one)
+        val blobs = members.groupByKey(_._1).mapGroups { (bucket, it) =>
+          val sorted = it.toArray.sortBy(_._2)
+          val out = new java.io.ByteArrayOutputStream()
+          sorted.foreach(m => out.write(m._3))
+          (bucket, out.toByteArray)
+        }
+        val rows = blobs.flatMap { case (bucket, blob) =>
+          graft.sources.Gzip.members(blob).map { m =>
+            val rec = graft.sources.Warc.parse(bucket, m.data).head
+            (bucket, m.offset, m.member_len, m.name, m.uncomp_len,
+              m.crc_ok, rec.target_uri, rec.content_length)
+          }
+        }
+        rows.toDF("bucket", "member_offset", "member_len", "member_name",
+          "uncomp_len", "crc_ok", "target_uri", "content_length")
+      },
+      oracle = Some("""
+        WITH rec AS (
+          SELECT doc_id, doc_id % 8 AS bucket,
+                 'http://corpus.example/doc/' || doc_id AS uri,
+                 repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
+          FROM documents),
+        framed AS (
+          SELECT bucket, doc_id, uri, length(payload) AS cl,
+                 'WARC/1.0' || chr(13)||chr(10) ||
+                 'WARC-Type: response' || chr(13)||chr(10) ||
+                 'WARC-Target-URI: ' || uri || chr(13)||chr(10) ||
+                 'Content-Length: ' || length(payload) || chr(13)||chr(10) ||
+                 chr(13)||chr(10) || payload || chr(13)||chr(10) ||
+                 chr(13)||chr(10) AS rec_str
+          FROM rec),
+        m AS (
+          SELECT f.bucket, f.doc_id, f.uri, f.cl,
+                 'doc-' || f.doc_id || '.warc' AS member_name,
+                 CAST(length(f.rec_str) AS BIGINT) AS uncomp_len,
+                 CAST(10 + length('doc-' || f.doc_id || '.warc') + 1
+                      + g.deflate_len + 8 AS BIGINT) AS member_len
+          FROM framed f
+          JOIN read_parquet('/root/repo/fixtures/gzip_member_oracle.parquet') g
+            ON md5(f.rec_str) = g.rec_md5)
+        SELECT bucket,
+               CAST(coalesce(sum(member_len) OVER (PARTITION BY bucket
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS member_offset,
+               member_len, member_name, uncomp_len,
+               true AS crc_ok, uri AS target_uri,
+               CAST(cl AS BIGINT) AS content_length
+        FROM m"""))
+  )
 
   // ustar archive walk (q216) — the indexless container: entry K+1 is
   // only reachable through entry K's octal size field, each header

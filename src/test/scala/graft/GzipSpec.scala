@@ -1,0 +1,113 @@
+package graft
+
+import graft.sources.Gzip
+
+/** RFC 1952 member walk pinned against the JDK's own gzip codec in BOTH
+  * directions — GZIPInputStream must read our writer's members, and our
+  * walk must stride GZIPOutputStream's members — so neither side is
+  * validated by itself. Damage shapes (flipped trailer CRC, truncated
+  * tail member) must be OBSERVABLE, not silently vanished: the curation
+  * lesson from q200.
+  */
+class GzipSpec extends SparkSpec {
+
+  private def jdkGunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  test("writer's members decode via the INDEPENDENT JDK GZIPInputStream, " +
+    "and the walk recovers names, boundaries, and bytes") {
+    val parts = Seq("first record\n", "second, longer record " * 9, "")
+      .map(_.getBytes("US-ASCII"))
+    val blob = parts.zipWithIndex.map { case (p, i) =>
+      Gzip.writeMember(p, Some(s"part-$i"))
+    }.reduce(_ ++ _)
+
+    // independent read of the whole concatenation
+    assert(jdkGunzipAll(blob).toSeq == parts.reduce(_ ++ _).toSeq)
+
+    val ms = Gzip.members(blob)
+    assert(ms.map(_.name) == Seq("part-0", "part-1", "part-2"))
+    assert(ms.forall(_.crc_ok))
+    assert(ms.map(_.data.toSeq) == parts.map(_.toSeq))
+    // the stride IS the contract: offsets chain exactly, ending at EOF
+    assert(ms.head.offset == 0L)
+    ms.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.offset == a.offset + a.member_len)
+    }
+    assert(ms.last.offset + ms.last.member_len == blob.length)
+  }
+
+  test("JDK GZIPOutputStream members (no FNAME, OS/XFL set by the JDK) " +
+    "walk correctly — the reader is not specialized to our own writer") {
+    def jdkMember(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("US-ASCII")); gz.close()
+      bos.toByteArray
+    }
+    val blob = jdkMember("alpha") ++ jdkMember("beta beta")
+    val ms = Gzip.members(blob)
+    assert(ms.map(m => new String(m.data, "US-ASCII")) ==
+      Seq("alpha", "beta beta"))
+    assert(ms.forall(_.crc_ok) && ms.forall(_.name == ""))
+    assert(ms.map(_.uncomp_len) == Seq(5L, 9L))
+  }
+
+  test("FEXTRA + FNAME + FCOMMENT + FHCRC header fields all stride " +
+    "(hand-built member exercising every FLG bit at once)") {
+    val payload = "full-flag member".getBytes("US-ASCII")
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(payload); d.finish()
+    val cbuf = new Array[Byte](1024)
+    val clen = d.deflate(cbuf); d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, (2 | 4 | 8 | 16).toByte,
+      0, 0, 0, 0, 0, 0xff.toByte)) // FHCRC|FEXTRA|FNAME|FCOMMENT
+    out.write(Array[Byte](3, 0, 1, 2, 3)) // FEXTRA: XLEN=3 + 3 bytes
+    out.write("the-name".getBytes("US-ASCII")); out.write(0)
+    out.write("a comment".getBytes("US-ASCII")); out.write(0)
+    out.write(Array[Byte](0x42, 0x42)) // FHCRC (not verified, strided)
+    out.write(cbuf, 0, clen)
+    val crc = new java.util.zip.CRC32; crc.update(payload)
+    val v = crc.getValue; val sz = payload.length.toLong
+    Seq(v, sz).foreach { x =>
+      (0 until 4).foreach(i => out.write(((x >> (8 * i)) & 0xff).toInt))
+    }
+    val ms = Gzip.members(out.toByteArray)
+    assert(ms.size == 1 && ms.head.crc_ok && ms.head.name == "the-name")
+    assert(new String(ms.head.data, "US-ASCII") == "full-flag member")
+  }
+
+  test("damage is observable, never vanished: a flipped trailer CRC " +
+    "keeps the member with crc_ok=false; a truncated tail member keeps " +
+    "everything before it") {
+    val m1 = Gzip.writeMember("good one".getBytes, Some("g"))
+    val m2 = Gzip.writeMember("bad crc".getBytes, Some("b"))
+    val corrupted = m1 ++ {
+      val c = m2.clone(); c(c.length - 5) = (c(c.length - 5) ^ 0x7f).toByte; c
+    }
+    val ms = Gzip.members(corrupted)
+    assert(ms.map(_.crc_ok) == Seq(true, false))
+    assert(new String(ms(1).data, "US-ASCII") == "bad crc") // bytes kept
+
+    val truncated = m1 ++ m2.take(m2.length - 12) // cut mid-deflate/trailer
+    val ts = Gzip.members(truncated)
+    assert(ts.size == 1 && ts.head.crc_ok &&
+      new String(ts.head.data, "US-ASCII") == "good one")
+  }
+
+  test("empty payload member round-trips (zero-length deflate stream, " +
+    "ISIZE 0)") {
+    val blob = Gzip.writeMember(Array.emptyByteArray, None)
+    val ms = Gzip.members(blob)
+    assert(ms.size == 1 && ms.head.crc_ok && ms.head.uncomp_len == 0L)
+    assert(ms.head.member_len == blob.length.toLong)
+  }
+}
