@@ -630,6 +630,156 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // TRUE payload decode — Y4M video, real frame-plane walk.
+  //
+  // YUV4MPEG2 is the uncompressed video interchange format (ffmpeg's
+  // `yuv4mpeg` muxer): an ASCII parameter header, then per frame a
+  // `FRAME` marker line followed by raw planar YCbCr bytes. Like BMP and
+  // PCM it needs no entropy coder, so the video stub boundary does not
+  // apply: every sampled frame's luma plane is read byte-for-byte. What
+  // makes it a REAL decoder rather than a fixed-offset slice is the
+  // stride arithmetic: the chroma subsampling tag changes the frame's
+  // byte size (mono = w·h, 4:2:0 = w·h·3/2), and one mis-stride desyncs
+  // every later FRAME marker.
+
+  /** Statistics for one SAMPLED frame of a decoded Y4M payload: luma
+    * byte sum + top-left luma (the frame-screening signal), with the
+    * stream's full frame count so sampling coverage is visible.
+    */
+  case class Y4mFrame(id: Long, width: Int, height: Int, n_frames: Int,
+                      frame_idx: Int, sum_luma: Long, tl_luma: Int)
+
+  /** Encode a Y4M stream: `YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 C<tag>\n`
+    * then per frame `FRAME\n` + the Y plane (row-major luma bytes) and,
+    * for 4:2:0, quarter-size Cb and Cr planes. `chroma420=false` writes
+    * `Cmono` (luma-only — y4m's grayscale form).
+    */
+  def encodeY4m(w: Int, h: Int, frames: Int,
+                luma: (Int, Int, Int) => Int,
+                chroma: (Int, Int, Int) => Int,
+                chroma420: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && frames >= 0, s"bad y4m geometry ${w}x$h")
+    require(!chroma420 || (w % 2 == 0 && h % 2 == 0),
+      s"4:2:0 needs even dims, got ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream(
+      64 + frames * (6 + w * h * (if (chroma420) 3 else 2) / 2))
+    val tag = if (chroma420) "C420jpeg" else "Cmono"
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 $tag\n".getBytes("US-ASCII"))
+    var f = 0
+    while (f < frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out.write(luma(x, y, f) & 0xff); x += 1 }
+        y += 1
+      }
+      if (chroma420) {
+        var plane = 0
+        while (plane < 2) { // Cb then Cr, quarter size
+          var cy = 0
+          while (cy < h / 2) {
+            var cx = 0
+            while (cx < w / 2) {
+              out.write(chroma(cx, cy, f + plane) & 0xff); cx += 1
+            }
+            cy += 1
+          }
+          plane += 1
+        }
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a Y4M stream, keeping every `step`-th frame's luma stats
+    * (the frame-sampling pattern a vision-data pipeline runs: screen a
+    * few frames per clip, never decode all of them — though the WALK
+    * must still stride over every frame to find the sampled ones).
+    * Supported chroma tags: `mono` and the `420*` family (jpeg/mpeg2/
+    * paldv siting variants — same plane layout, different filter
+    * semantics that don't affect byte geometry). Other samplings
+    * (422/444) → None: route to a full demuxer. Missing C tag defaults
+    * to 4:2:0 per the y4m convention. Malformed header, non-positive
+    * dims, a FRAME marker that isn't one, or a truncated final frame →
+    * None (a video file cut mid-frame is damage, not data).
+    */
+  def parseY4mFrames(id: Long, b: Array[Byte], step: Int): Option[Seq[Y4mFrame]] = {
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    if (b.length < magic.length + 5 ||
+      !magic.indices.forall(i => b(i) == magic(i))) None
+    else {
+      var nl = magic.length
+      while (nl < b.length && b(nl) != '\n') nl += 1
+      if (nl >= b.length) None
+      else {
+        val params = new String(b, magic.length, nl - magic.length,
+          java.nio.charset.StandardCharsets.US_ASCII).split(' ')
+        def tagVal(t: Char): Option[String] =
+          params.find(p => p.nonEmpty && p.head == t).map(_.tail)
+        val wOpt = tagVal('W').flatMap(_.toIntOption)
+        val hOpt = tagVal('H').flatMap(_.toIntOption)
+        val ctag = tagVal('C').getOrElse("420jpeg")
+        (wOpt, hOpt) match {
+          case (Some(w), Some(h)) if w > 0 && h > 0 &&
+            (ctag == "mono" || ctag.startsWith("420")) =>
+            val mono = ctag == "mono"
+            if (!mono && (w % 2 != 0 || h % 2 != 0)) None
+            else {
+              val frameBytes = if (mono) w * h else w * h * 3 / 2
+              val marker = "FRAME".getBytes("US-ASCII")
+              val acc = scala.collection.mutable.ArrayBuffer
+                .empty[(Int, Long, Int)] // (frame_idx, sum, tl)
+              var pos = nl + 1
+              var f = 0
+              var bad = false
+              while (!bad && pos < b.length) {
+                // FRAME marker line (may carry params up to \n)
+                if (pos + marker.length > b.length ||
+                  !marker.indices.forall(i => b(pos + i) == marker(i))) bad = true
+                else {
+                  var e = pos + marker.length
+                  while (e < b.length && b(e) != '\n') e += 1
+                  val data = e + 1
+                  if (e >= b.length || data + frameBytes > b.length) bad = true
+                  else {
+                    if (f % step == 0) {
+                      var sum = 0L
+                      var i = 0
+                      while (i < w * h) { sum += (b(data + i) & 0xff); i += 1 }
+                      acc += ((f, sum, b(data) & 0xff))
+                    }
+                    pos = data + frameBytes // chroma planes strided, not read
+                    f += 1
+                  }
+                }
+              }
+              if (bad) None
+              else Some(acc.toSeq.map { case (fi, sum, tl) =>
+                Y4mFrame(id, w, h, f, fi, sum, tl)
+              })
+            }
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Frame-sampling twin of [[decodeBatches]] for Y4M payloads: one
+    * output row per sampled frame, zero shuffles, damage observable at
+    * the caller (a None payload yields no rows for its id — pair with
+    * the count posture of [[decodeGifPixelBatches]] when loss must be
+    * quantified).
+    */
+  def decodeY4mFrameBatches(payloads: Dataset[Payload],
+                            step: Int): Dataset[Y4mFrame] = {
+    implicit val enc = Encoders.product[Y4mFrame]
+    payloads.mapPartitions(_.flatMap(p =>
+      parseY4mFrames(p.id, p.content, step).toSeq.flatten))
+  }
+
+  // ---------------------------------------------------------------------
   // TRUE payload decode #3 — 8-bit truecolor PNG, full pixel walk.
   //
   // PNG's pixel payload is DEFLATE (RFC 1950/1951) over per-row filtered

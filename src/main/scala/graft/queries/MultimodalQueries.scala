@@ -57,6 +57,22 @@ private[queries] object MediaGen {
     graft.operators.Multimodal.encodeGifRgb(w, h, gifPalette,
       (x, y) => ((s1 + 7L * y + 11L * x) % 64).toInt)
   }
+
+  /** 4–14 × 4–10 (even) Y4M clip, 3–10 frames. Even-s1 docs carry full
+    * 4:2:0 chroma planes (which the luma walk must STRIDE over — a
+    * mis-stride desyncs every later FRAME marker); odd-s1 docs are
+    * `Cmono`, so both plane geometries exist in one corpus.
+    */
+  def y4mFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = 2 * (2 + s1 % 6).toInt
+    val h = 2 * (2 + s2 % 4).toInt
+    val frames = (3 + s1 % 8).toInt
+    graft.operators.Multimodal.encodeY4m(w, h, frames,
+      (x, y, f) => ((s2 + 3L * x + 5L * y + 11L * f) % 256).toInt,
+      (cx, cy, fp) => ((s1 + cx + cy + fp) % 256).toInt,
+      chroma420 = s1 % 2 == 0)
+  }
 }
 
 object MultimodalQueries {
@@ -1021,6 +1037,106 @@ object MultimodalQueries {
         FROM documents d
         JOIN read_parquet('/root/repo/fixtures/media_pixels_oracle.parquet') f
           ON md5(coalesce(d.text, '')) = f.text_md5"""),
+      headline = false),
+
+    // TRUE payload decode #6 — VIDEO frames, the format that needs no
+    // codec: YUV4MPEG2 (ffmpeg's uncompressed interchange format). Each
+    // document becomes a 3–10 frame clip (even-seed docs 4:2:0 with
+    // real chroma planes, odd-seed docs Cmono), and parseY4mFrames runs
+    // the frame-sampling pattern a vision pipeline runs at 100 TB:
+    // stride EVERY frame by the plane geometry parsed from the header
+    // (one wrong chroma-size computation desyncs all later FRAME
+    // markers), fold the luma plane of every 3rd frame into sums. The
+    // oracle rebuilds the identical bytes in SQL, then PARSES THEM BACK
+    // from the blob — header newline found by byte scan, W/H/C read out
+    // of the decoded header text, frame count derived from
+    // total-size/frame-size arithmetic, sampled luma bytes summed by
+    // hex offset — never shortcutting from the generator params.
+    "q218_y4m_frames" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            Multimodal.Payload(id, "video", MediaGen.y4mFor(text)) })
+        Multimodal.decodeY4mFrameBatches(payloads, step = 3).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("n_frames"), col("frame_idx"), col("sum_luma"),
+            round(col("sum_luma").cast("double") /
+              (col("width") * col("height")), 4).as("mean_luma"),
+            col("tl_luma"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 ${sqlHash60("coalesce(text, '')")} AS s1,
+                 ${sqlHash56("coalesce(text, '')")} AS s2
+          FROM documents),
+        geo AS (
+          SELECT doc_id, s1, s2,
+                 2 * (2 + s1 % 6) AS w, 2 * (2 + s2 % 4) AS h,
+                 3 + s1 % 8 AS frames, s1 % 2 = 0 AS c420
+          FROM g),
+        p AS (
+          SELECT doc_id, concat(
+              hex('YUV4MPEG2 W' || w || ' H' || h || ' F25:1 Ip A1:1 ' ||
+                  CASE WHEN c420 THEN 'C420jpeg' ELSE 'Cmono' END || chr(10)),
+              array_to_string(list_transform(range(frames), f -> concat(
+                hex('FRAME' || chr(10)),
+                array_to_string(list_transform(range(w*h),
+                  i -> lpad(hex((s2 + 3*(i % w) + 5*(i // w) + 11*f) % 256),
+                            2, '0')), ''),
+                CASE WHEN c420 THEN
+                  array_to_string(list_transform(range(2*(w//2)*(h//2)),
+                    j -> lpad(hex((s1 + ((j % ((w//2)*(h//2))) % (w//2))
+                                      + ((j % ((w//2)*(h//2))) // (w//2))
+                                      + f + (j // ((w//2)*(h//2)))) % 256),
+                              2, '0')), '')
+                ELSE '' END)), '')
+            ) AS yhex
+          FROM geo),
+        b AS (SELECT doc_id, hex(from_hex(yhex)) AS hx FROM p),
+        nlpos AS ( -- first \\n BYTE position, found by scanning the blob
+          SELECT doc_id, hx, min(t.i) AS nl
+          FROM b JOIN generate_series(0, 63) t(i) ON ${sqlU8x("t.i")} = 10
+          GROUP BY doc_id, hx),
+        hdr AS (
+          SELECT doc_id, hx, nl,
+                 decode(from_hex(substr(hx, 1, 2*nl))) AS hstr,
+                 octet_length(from_hex(hx)) AS total
+          FROM nlpos),
+        parsed AS (
+          SELECT doc_id, hx, nl, total,
+                 CAST(regexp_extract(hstr, ' W([0-9]+)', 1) AS BIGINT) AS w,
+                 CAST(regexp_extract(hstr, ' H([0-9]+)', 1) AS BIGINT) AS h,
+                 regexp_extract(hstr, ' C([0-9A-Za-z]+)', 1) = 'mono' AS mono
+          FROM hdr),
+        frm AS (
+          SELECT doc_id, hx, nl, w, h,
+                 CASE WHEN mono THEN w*h ELSE w*h*3//2 END AS fsize,
+                 (total - nl - 1)
+                   // (6 + CASE WHEN mono THEN w*h ELSE w*h*3//2 END) AS nframes
+          FROM parsed),
+        sampled AS (
+          SELECT doc_id, hx, w, h, nframes, fs.f AS frame_idx,
+                 nl + 1 + fs.f * (6 + fsize) + 6 AS off
+          FROM frm JOIN generate_series(0, 9) fs(f)
+            ON fs.f < nframes AND fs.f % 3 = 0),
+        px AS (
+          SELECT doc_id, w, h, nframes, frame_idx,
+                 sum(${sqlU8x("off + pi.i")}) AS sl,
+                 max(CASE WHEN pi.i = 0 THEN ${sqlU8x("off + pi.i")} END) AS tl
+          FROM sampled JOIN generate_series(0, 139) pi(i) ON pi.i < w*h
+          GROUP BY doc_id, w, h, nframes, frame_idx, off)
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST(nframes AS INTEGER) AS n_frames,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(sl AS BIGINT) AS sum_luma,
+               round(CAST(sl AS DOUBLE) / (w*h), 4) AS mean_luma,
+               CAST(tl AS INTEGER) AS tl_luma
+        FROM px"""),
       headline = false)
   )
 }

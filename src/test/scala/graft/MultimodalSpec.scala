@@ -588,4 +588,74 @@ class MultimodalSpec extends SparkSpec {
     val ptotal = Multimodal.decodePngPixelsTotal(ppay).collect()
     assert(ptotal.count(_.decode_ok) == 1 && ptotal.length == 2)
   }
+
+  test("Y4M corpus-totality law: frame sampling is exact for EVERY shape " +
+    "the q218 generator can emit (4-14 x 4-10 even, 3-10 frames, both " +
+    "chroma layouts)") {
+    for (w <- 4 to 14 by 2; h <- 4 to 10 by 2; frames <- Seq(3, 7, 10);
+         c420 <- Seq(true, false)) {
+      def luma(x: Int, y: Int, f: Int) = (13 + 3 * x + 5 * y + 11 * f) % 256
+      val bytes = Multimodal.encodeY4m(w, h, frames, luma,
+        (cx, cy, fp) => (cx + cy + fp) % 256, c420)
+      val got = Multimodal.parseY4mFrames(1L, bytes, step = 3)
+      assert(got.isDefined, s"own Y4M must decode at ${w}x$h f=$frames c420=$c420")
+      val want = (0 until frames).filter(_ % 3 == 0).map { f =>
+        val sum = (for (y <- 0 until h; x <- 0 until w) yield luma(x, y, f).toLong).sum
+        (f, sum, luma(0, 0, f))
+      }
+      assert(got.get.map(r => (r.frame_idx, r.sum_luma, r.tl_luma)) == want,
+        s"sampled luma at ${w}x$h f=$frames c420=$c420")
+      assert(got.get.forall(r => r.width == w && r.height == h &&
+        r.n_frames == frames))
+    }
+  }
+
+  test("Y4M walk: header variants parse, damage and unsupported " +
+    "samplings fail closed") {
+    def luma(x: Int, y: Int, f: Int) = (x + y + f) % 256
+    val ok = Multimodal.encodeY4m(6, 4, 4, luma, (_, _, _) => 0, chroma420 = true)
+
+    // FRAME marker lines may carry parameters up to \n (y4m spec) — the
+    // walk must consume them, not mis-stride
+    val withParams = {
+      val s = new String(ok.map(_.toChar))
+      val i = s.indexOf("FRAME\n", 50) // second frame's marker
+      (s.substring(0, i) + "FRAME Ixyz\n" + s.substring(i + 6))
+        .map(_.toByte).toArray
+    }
+    val wp = Multimodal.parseY4mFrames(2L, withParams, step = 1)
+    assert(wp.isDefined && wp.get.size == 4,
+      "parameterized FRAME lines must stride")
+
+    // missing C tag defaults to 4:2:0 (y4m convention): rebuild the
+    // header without the C tag and keep the 420 planes
+    val noC = {
+      val s = new String(ok.map(_.toChar))
+      val nl = s.indexOf('\n')
+      (s.substring(0, nl).replace(" C420jpeg", "") + s.substring(nl))
+        .map(_.toByte).toArray
+    }
+    val nc = Multimodal.parseY4mFrames(3L, noC, step = 1)
+    assert(nc.isDefined && nc.get.size == 4 && nc.get.head.width == 6)
+
+    // 4:2:2 → None (route to a full demuxer), not a wrong-stride answer
+    val c422 = {
+      val s = new String(ok.map(_.toChar))
+      s.replace("C420jpeg", "C422").map(_.toByte).toArray
+    }
+    assert(Multimodal.parseY4mFrames(4L, c422, step = 1).isEmpty)
+
+    // a clip truncated mid-frame is damage, not data
+    assert(Multimodal.parseY4mFrames(5L, ok.take(ok.length - 3), 1).isEmpty)
+    // garbage where a FRAME marker should be: fail, don't resync blindly
+    val smashed = ok.clone()
+    val hdrEnd = ok.indexWhere(_ == '\n') + 1
+    smashed(hdrEnd) = 'X'.toByte
+    assert(Multimodal.parseY4mFrames(6L, smashed, 1).isEmpty)
+    // not y4m at all
+    assert(Multimodal.parseY4mFrames(7L, "RIFFxxxx".getBytes, 1).isEmpty)
+    // zero-frame stream: structurally valid, no rows
+    val empty = Multimodal.encodeY4m(4, 4, 0, luma, (_, _, _) => 0, false)
+    assert(Multimodal.parseY4mFrames(8L, empty, 1).contains(Seq()))
+  }
 }
