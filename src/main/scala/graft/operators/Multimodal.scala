@@ -706,6 +706,7 @@ object Multimodal {
     * None (a video file cut mid-frame is damage, not data).
     */
   def parseY4mFrames(id: Long, b: Array[Byte], step: Int): Option[Seq[Y4mFrame]] = {
+    require(step >= 1, s"frame-sampling step must be >= 1, got $step")
     val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
     if (b.length < magic.length + 5 ||
       !magic.indices.forall(i => b(i) == magic(i))) None
@@ -725,9 +726,17 @@ object Multimodal {
           case (Some(w), Some(h)) if w > 0 && h > 0 &&
             (ctag == "mono" || ctag.startsWith("420")) =>
             val mono = ctag == "mono"
+            // Frame size in Long: header-declared dims are untrusted, and
+            // e.g. W=H=46341 overflows Int to a NEGATIVE frameBytes —
+            // the truncation check would then pass and pos stride
+            // backward into a negative-index probe. Any frame larger
+            // than the blob is damage by definition, so reject up front.
+            val frameBytesL =
+              if (mono) w.toLong * h else w.toLong * h * 3 / 2
             if (!mono && (w % 2 != 0 || h % 2 != 0)) None
+            else if (frameBytesL > b.length) None
             else {
-              val frameBytes = if (mono) w * h else w * h * 3 / 2
+              val frameBytes = frameBytesL.toInt
               val marker = "FRAME".getBytes("US-ASCII")
               val acc = scala.collection.mutable.ArrayBuffer
                 .empty[(Int, Long, Int)] // (frame_idx, sum, tl)

@@ -210,8 +210,13 @@ object EventQueries {
     "q207_stream_session_windows" -> QueryDef(
       build = (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
+        // Floor to the millisecond (mirroring q208): session_window
+        // merges at µs precision while the oracle's lag arithmetic is
+        // ms-floored — a same-user gap straddling 30 min by a sub-ms
+        // sliver would split sessions in the stream but not the oracle.
         val ev = Engine.table(s, dir, "events")
-          .select(nsToTimestamp.as("tstamp"), col("user_id"), col("value"))
+          .select(timestamp_millis(unix_millis(nsToTimestamp)).as("tstamp"),
+            col("user_id"), col("value"))
         val dv = new StreamDeliveries("graft_q207_sessions")
         val root = dv.root
         def land(df: org.apache.spark.sql.DataFrame, name: String,

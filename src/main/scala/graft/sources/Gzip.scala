@@ -67,17 +67,25 @@ object Gzip {
       else {
         val flg = b(pos + 3) & 0xff
         var p = pos + 10
-        def within = p <= b.length
-        if ((flg & FEXTRA) != 0 && p + 2 <= b.length) p += 2 + le16(b, p)
-        if ((flg & FNAME) != 0) {
+        var hdrOk = true
+        if ((flg & FEXTRA) != 0) {
+          // A member truncated inside FEXTRA (XLEN itself, or the XLEN
+          // bytes it declares) must END the walk — proceeding at a wrong
+          // offset would desync, and reading XLEN past the buffer throws.
+          if (p + 2 <= b.length) {
+            val skip = 2 + le16(b, p)
+            if (p + skip <= b.length) p += skip else hdrOk = false
+          } else hdrOk = false
+        }
+        val nameStart = p
+        if (hdrOk && (flg & FNAME) != 0) {
           while (p < b.length && b(p) != 0) p += 1
           p += 1 // the NUL
         }
         val nameEnd = p - 1
-        val nameStart = pos + 10 +
-          (if ((flg & FEXTRA) != 0) 2 + le16(b, pos + 10) else 0)
         val name =
-          if ((flg & FNAME) != 0 && nameEnd >= nameStart && nameEnd <= b.length)
+          if (hdrOk && (flg & FNAME) != 0 && nameEnd >= nameStart &&
+            nameEnd <= b.length)
             new String(b, nameStart, nameEnd - nameStart, "ISO-8859-1")
           else ""
         if ((flg & FCOMMENT) != 0) {
@@ -85,7 +93,7 @@ object Gzip {
           p += 1
         }
         if ((flg & FHCRC) != 0) p += 2
-        if (!within || p >= b.length) ok = false
+        if (!hdrOk || p >= b.length) ok = false
         else {
           val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate
           try {

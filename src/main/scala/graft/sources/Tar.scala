@@ -103,10 +103,16 @@ object Tar {
       val tf = (b(pos + 156) & 0xff).toChar
       val typeFlag = if (tf == 0) "0" else tf.toString
       val dataOff = pos + 512
-      val dataBlocks = ((size + 511) / 512).toInt
-      if (dataOff + dataBlocks * 512 > b.length) return Nil // truncated
+      // Stride arithmetic in Long: the 12-digit octal size field encodes
+      // values up to 8^11-1 (~8 GiB), so dataBlocks*512 in Int wraps — a
+      // forged size near 4 GiB would stall pos (infinite loop) or march
+      // it negative. Untrusted crawl tarballs make this reachable (the
+      // checksum is trivially forgeable), so the bound check must not
+      // itself overflow.
+      val next = dataOff.toLong + ((size + 511L) / 512L) * 512L
+      if (next > b.length) return Nil // truncated (or absurd size)
       out += TarEntry(blobId, name, size, typeFlag, mtime, dataOff.toLong)
-      pos = dataOff + dataBlocks * 512
+      pos = next.toInt
     }
     out.toSeq // unreachable
   }

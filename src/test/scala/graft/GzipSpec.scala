@@ -103,6 +103,24 @@ class GzipSpec extends SparkSpec {
       new String(ts.head.data, "US-ASCII") == "good one")
   }
 
+  test("a member truncated inside FEXTRA ends the walk gracefully, " +
+    "keeping earlier members (never an index past the buffer)") {
+    val m1 = Gzip.writeMember("first".getBytes, Some("f"))
+    // FLG says FEXTRA but the blob ends 1 byte into XLEN: reading the
+    // 16-bit XLEN would index past the end
+    val cutInXlen = m1 ++ Array[Byte](0x1f, 0x8b.toByte, 8, 4,
+      0, 0, 0, 0, 0, 0xff.toByte, 5)
+    val a = Gzip.members(cutInXlen)
+    assert(a.size == 1 && a.head.crc_ok &&
+      new String(a.head.data, "US-ASCII") == "first")
+    // XLEN intact but declares extra bytes the blob doesn't have:
+    // skipping anyway would proceed at a wrong (out-of-range) offset
+    val cutInExtra = m1 ++ Array[Byte](0x1f, 0x8b.toByte, 8, 4,
+      0, 0, 0, 0, 0, 0xff.toByte, 9, 0, 1, 2)
+    val b = Gzip.members(cutInExtra)
+    assert(b.size == 1 && b.head.crc_ok)
+  }
+
   test("empty payload member round-trips (zero-length deflate stream, " +
     "ISIZE 0)") {
     val blob = Gzip.writeMember(Array.emptyByteArray, None)

@@ -657,5 +657,21 @@ class MultimodalSpec extends SparkSpec {
     // zero-frame stream: structurally valid, no rows
     val empty = Multimodal.encodeY4m(4, 4, 0, luma, (_, _, _) => 0, false)
     assert(Multimodal.parseY4mFrames(8L, empty, 1).contains(Seq()))
+
+    // header-declared dims are UNTRUSTED: 46341² overflows Int to a
+    // negative frame size, which (in Int arithmetic) would pass the
+    // truncation check and stride pos backward into a negative-index
+    // probe. Must be None, not a crash.
+    val huge = ("YUV4MPEG2 W46341 H46341 F25:1 Ip A1:1 Cmono\nFRAME\n" +
+      "x" * 64).getBytes("US-ASCII")
+    assert(Multimodal.parseY4mFrames(9L, huge, 1).isEmpty)
+    // any frame larger than the blob is damage by definition
+    val big = ("YUV4MPEG2 W100000 H100000 F25:1 Ip A1:1 Cmono\nFRAME\n" +
+      "x" * 64).getBytes("US-ASCII")
+    assert(Multimodal.parseY4mFrames(10L, big, 1).isEmpty)
+    // a non-positive sampling step is a caller bug, rejected loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.parseY4mFrames(11L, ok, 0)
+    }
   }
 }

@@ -74,4 +74,25 @@ class TarSpec extends SparkSpec {
     // garbage that is not 512-aligned ustar at all
     assert(Tar.parse(6L, "just some text".getBytes).isEmpty)
   }
+
+  test("a forged near-4GiB size with a VALID checksum fails closed " +
+    "(Int stride arithmetic would stall the walk forever)") {
+    val good = Tar.write(Seq(("x.txt", "payload".getBytes, 1L)))
+    val forged = good.clone()
+    // size = 4294966784 = 0o37777777000: in Int arithmetic
+    // dataBlocks*512 wraps to -512, so pos would never advance —
+    // infinite loop on an attacker-supplied blob (the checksum is
+    // trivially forgeable, so the checksum guard does NOT save us here)
+    val oct = "37777777000"
+    for (i <- 0 until oct.length) forged(124 + i) = oct.charAt(i).toByte
+    forged(135) = 0
+    var sum = 0L
+    for (i <- 0 until 512)
+      sum += (if (i >= 148 && i < 156) ' '.toInt else forged(i) & 0xff)
+    val ck = java.lang.Long.toOctalString(sum)
+    val padded = ("0" * (6 - ck.length)) + ck
+    for (i <- 0 until 6) forged(148 + i) = padded.charAt(i).toByte
+    forged(154) = 0; forged(155) = ' '
+    assert(Tar.parse(7L, forged).isEmpty)
+  }
 }
