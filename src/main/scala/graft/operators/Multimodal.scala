@@ -1402,6 +1402,687 @@ object Multimodal {
     decodeGifPixelBatches(payloads,
       payloads.sparkSession.sparkContext.longAccumulator("graft.gif_pixel_decode_drops"))
 
+  // ---------------------------------------------------------------------
+  // TRUE payload decode #7 — JPEG baseline, the LAST stub-codec boundary.
+  //
+  // Baseline sequential DCT per ITU-T T.81: 8×8 blocks, level shift,
+  // forward DCT, quantization against the Annex K example tables,
+  // zigzag, DC-differential + AC run-length Huffman coding with the
+  // Annex K "typical" tables, 0xFF byte stuffing. [[encodeJpegBaseline]]
+  // is the matching ENCODER (fixed known tables, emitted as real
+  // DQT/DHT segments — the decoder reads them back from the stream, it
+  // never assumes them); [[parseJpegPixels]] is the complete DECODER:
+  // marker walk → DQT/DHT/SOF0/SOS parse → canonical Huffman entropy
+  // decode (T.81 Annex F mincode/maxcode/valptr) → dequantize → IDCT →
+  // level shift + clamp → per-component sums. The q179 segment walk
+  // reads only the frame header; THIS is the payload decode behind it.
+  //
+  // Scope: baseline (SOF0), 8-bit precision, 1 or 3 components at 1×1
+  // sampling (4:4:4 — every component carries one block per MCU), a
+  // single scan, no restart intervals, no progressive/hierarchical
+  // modes. Anything else → None (route to a full imaging stack);
+  // malformation — truncated entropy stream, a marker mid-scan, a
+  // missing table, bad lengths — also → None, never a partial sum. The
+  // 2^26 pixel-count cap bounds adversarial allocation (PNG/GIF law).
+  //
+  // Cross-pinned two ways in MultimodalSpec against javax.imageio's
+  // INDEPENDENT libjpeg-derived codec (tolerance ±1 per pixel: T.81
+  // does not mandate a bit-exact IDCT), and corpus-pinned exactly by
+  // the q219 fixture, whose Python derivation re-implements the DCT
+  // chain from the spec formulas with no JPEG library in the loop.
+  // ---------------------------------------------------------------------
+
+  /** JPEG full-decode result. Components are the ENCODED planes (Y or
+    * Y/Cb/Cr) — per-component sums, not RGB: the decode chain under
+    * test is entropy+DCT, and color conversion would only add a second
+    * rounding surface on top of it. Grayscale rows carry 0 in c1/c2.
+    */
+  case class JpegPixels(id: Long, width: Int, height: Int,
+                        n_components: Int, sum_c0: Long, sum_c1: Long,
+                        sum_c2: Long, tl_c0: Int, tl_c1: Int, tl_c2: Int)
+
+  /** Zigzag scan order (T.81 Figure A.6): position k in the scan ↦
+    * natural raster index u*8+v... stored as zz(k) = natural index.
+    */
+  private[operators] val jpegZigzag: Array[Int] = {
+    val zz = new Array[Int](64)
+    var k = 0
+    var s = 0
+    while (s < 15) { // anti-diagonals
+      val range = (math.max(0, s - 7) to math.min(7, s))
+      val diag = if (s % 2 == 0) range.reverse else range // even diags go up
+      diag.foreach { y => zz(k) = y * 8 + (s - y); k += 1 }
+      s += 1
+    }
+    zz
+  }
+
+  /** Annex K Table K.1 (luminance) / K.2 (chrominance) quantization
+    * tables, natural (raster) order.
+    */
+  private[operators] val jpegQLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  private[operators] val jpegQChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** One Huffman table spec: `bits(i)` = number of codes of length i+1
+    * (16 entries), `vals` = symbols in canonical order.
+    */
+  private[operators] case class JpegHuffTable(bits: Array[Int], vals: Array[Int]) {
+    require(bits.length == 16 && bits.sum == vals.length,
+      s"Huffman spec mismatch: ${bits.sum} codes for ${vals.length} symbols")
+  }
+
+  // Annex K.3 "typical" Huffman tables. The decoder never assumes these
+  // — it reads DHT segments — but the encoder pins them so the fixture
+  // can reproduce exact code lengths (and therefore exact byte sizes).
+  private[operators] val jpegDcLuma = JpegHuffTable(
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+
+  private[operators] val jpegDcChroma = JpegHuffTable(
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+
+  private[operators] val jpegAcLuma = JpegHuffTable(
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d),
+    Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+      0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+      0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+      0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+      0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+      0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa))
+
+  private[operators] val jpegAcChroma = JpegHuffTable(
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+      0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+      0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+      0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+      0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+      0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+      0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+      0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+      0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+      0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+      0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+      0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+      0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+      0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+      0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+      0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa))
+
+  /** Orthonormal 1-D DCT basis, `dctC(u)(x) = c(u)/2 · cos((2x+1)uπ/16)`
+    * (c(0)=1/√2, else 1). Forward 2-D DCT = C·s·Cᵀ; inverse = Cᵀ·S·C —
+    * exactly T.81 A.3.3's definition. Shared by encoder and decoder;
+    * the Python fixture builds the same matrix from the same formula.
+    */
+  private lazy val dctC: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val cu = if (u == 0) math.sqrt(0.125) else 0.5
+    cu * math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+
+  /** Canonical code assignment (T.81 Annex C): symbols get consecutive
+    * codes within each length, code doubles at each length step.
+    * Returns sym → (code, length).
+    */
+  private def jpegHuffCodes(t: JpegHuffTable): Array[(Int, Int)] = {
+    // dense by symbol value (symbols are ≤ 0xff)
+    val codes = Array.fill(256)((-1, -1))
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < t.bits(len - 1)) {
+        codes(t.vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    codes
+  }
+
+  /** Magnitude category (T.81 F.1.2.1): bit length of |v|, 0 for v=0. */
+  private def jpegSsss(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Baseline JFIF encoder. `pixel(c, x, y)` supplies component `c`'s
+    * sample (0–255) — for `nComp=1` a luma plane, for `nComp=3` the
+    * Y/Cb/Cr planes directly (no subsampling, no RGB conversion — see
+    * [[JpegPixels]]). Dims need not be block-aligned: edge samples are
+    * replicated into the partial blocks (the standard encoder posture —
+    * replication keeps the padded block's spectrum tame).
+    */
+  def encodeJpegBaseline(w: Int, h: Int, nComp: Int,
+                         pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad jpeg geometry ${w}x$h")
+    require(nComp == 1 || nComp == 3, s"baseline 4:4:4 encoder: 1 or 3 components, got $nComp")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) } // big-endian
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF
+    w16(16); out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w8(1); w8(1) // version 1.1
+    w8(0); w16(1); w16(1) // aspect-ratio units, 1:1
+    w8(0); w8(0) // no thumbnail
+
+    val qtabs = if (nComp == 1) Seq(jpegQLuma) else Seq(jpegQLuma, jpegQChroma)
+    marker(0xdb) // DQT: both tables in one segment, zigzag order
+    w16(2 + 65 * qtabs.length)
+    qtabs.zipWithIndex.foreach { case (q, id) =>
+      w8(id) // 8-bit precision (high nibble 0) + table id
+      jpegZigzag.foreach(n => w8(q(n)))
+    }
+
+    marker(0xc0) // SOF0: baseline DCT
+    w16(8 + 3 * nComp)
+    w8(8); w16(h); w16(w); w8(nComp) // precision, LINES first, then width
+    for (c <- 0 until nComp) {
+      w8(c + 1) // component id
+      w8(0x11) // 1×1 sampling: 4:4:4
+      w8(if (c == 0) 0 else 1) // quant table
+    }
+
+    val huffs = // (class, id, table)
+      if (nComp == 1) Seq((0, 0, jpegDcLuma), (1, 0, jpegAcLuma))
+      else Seq((0, 0, jpegDcLuma), (1, 0, jpegAcLuma),
+        (0, 1, jpegDcChroma), (1, 1, jpegAcChroma))
+    marker(0xc4) // DHT: all tables in one segment
+    w16(2 + huffs.map(17 + _._3.vals.length).sum)
+    huffs.foreach { case (cls, id, t) =>
+      w8(cls << 4 | id)
+      t.bits.foreach(w8)
+      t.vals.foreach(w8)
+    }
+
+    marker(0xda) // SOS
+    w16(6 + 2 * nComp)
+    w8(nComp)
+    for (c <- 0 until nComp) {
+      w8(c + 1)
+      w8(if (c == 0) 0x00 else 0x11) // DC/AC table ids
+    }
+    w8(0); w8(63); w8(0) // full spectral selection, no approximation
+
+    // ---- entropy-coded data --------------------------------------------
+    val dcCodes = Array(jpegHuffCodes(jpegDcLuma), jpegHuffCodes(jpegDcChroma))
+    val acCodes = Array(jpegHuffCodes(jpegAcLuma), jpegHuffCodes(jpegAcChroma))
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+      bitCnt += len
+      while (bitCnt >= 8) {
+        val byte = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+        w8(byte)
+        if (byte == 0xff) w8(0) // byte stuffing
+        bitCnt -= 8
+      }
+    }
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val block = Array.ofDim[Double](8, 8)
+    val tmp = Array.ofDim[Double](8, 8)
+    val pred = new Array[Int](nComp)
+    val zz = new Array[Int](64)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var c = 0
+        while (c < nComp) { // 4:4:4 MCU: one block per component
+          val tsel = if (c == 0) 0 else 1
+          val q = if (c == 0) jpegQLuma else jpegQChroma
+          // load + level shift, edge-replicated. Matrices are row-major
+          // [v/y][u/x] — the orientation the zigzag sequence and DQT
+          // tables are defined in (natural index n = v*8 + u).
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val px = math.min(bx * 8 + x, w - 1)
+              val py = math.min(by * 8 + y, h - 1)
+              block(y)(x) = (pixel(c, px, py) & 0xff) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          // forward DCT: tmp = C·s (over y), S = tmp·Cᵀ (over x)
+          var v = 0
+          while (v < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var yy = 0
+              while (yy < 8) { s += dctC(v)(yy) * block(yy)(x); yy += 1 }
+              tmp(v)(x) = s
+              x += 1
+            }
+            v += 1
+          }
+          v = 0
+          while (v < 8) {
+            var uu = 0
+            while (uu < 8) {
+              var s = 0.0
+              var x = 0
+              while (x < 8) { s += tmp(v)(x) * dctC(uu)(x); x += 1 }
+              // quantize: floor(S/Q + 0.5) — the fixture mirrors this
+              block(v)(uu) = math.floor(s / q(v * 8 + uu) + 0.5)
+              uu += 1
+            }
+            v += 1
+          }
+          var k = 0
+          while (k < 64) { zz(k) = block(jpegZigzag(k) / 8)(jpegZigzag(k) % 8).toInt; k += 1 }
+          // DC: category + magnitude bits of the prediction diff
+          val diff = zz(0) - pred(c)
+          pred(c) = zz(0)
+          val s0 = jpegSsss(diff)
+          val (dcode, dlen) = dcCodes(tsel)(s0)
+          putBits(dcode, dlen)
+          if (s0 > 0)
+            putBits(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+          // AC: (run, size) symbols with ZRL for 16-zero runs, EOB at end
+          var run = 0
+          k = 1
+          while (k < 64) {
+            val v = zz(k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = acCodes(tsel)(0xf0); putBits(zc, zl); run -= 16
+              }
+              val s = jpegSsss(v)
+              val (ac, al) = acCodes(tsel)(run << 4 | s)
+              putBits(ac, al)
+              putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) {
+            val (ec, el) = acCodes(tsel)(0x00); putBits(ec, el)
+          }
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) // 1-pad
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Full baseline decode — see the section comment for scope. None on
+    * anything outside it or on malformation; never a partial sum.
+    */
+  def parseJpegPixels(id: Long, b: Array[Byte]): Option[JpegPixels] =
+    decodeJpegPlanes(b).map { case (width, height, nComp, stride, planes) =>
+      val sums = new Array[Long](3)
+      val tls = new Array[Int](3)
+      var c = 0
+      while (c < nComp) {
+        val plane = planes(c)
+        var s = 0L
+        var y = 0
+        while (y < height) {
+          var x = 0
+          val row = y * stride
+          while (x < width) { s += plane(row + x) & 0xff; x += 1 }
+          y += 1
+        }
+        sums(c) = s
+        tls(c) = plane(0) & 0xff
+        c += 1
+      }
+      JpegPixels(id, width, height, nComp, sums(0), sums(1), sums(2),
+        tls(0), tls(1), tls(2))
+    }
+
+  /** The raster-level decode behind [[parseJpegPixels]] — exposed to the
+    * spec for per-pixel cross-pinning against javax.imageio. Returns
+    * (width, height, nComp, stride, planes); planes are block-padded to
+    * `stride × ceil(h/8)*8`, valid region is `width × height`.
+    */
+  private[graft] def decodeJpegPlanes(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Array[Array[Byte]])] = {
+    def u(i: Int) = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    def be16(i: Int) = { val hi = u(i); val lo = u(i + 1); if (hi < 0 || lo < 0) -1 else hi << 8 | lo }
+    if (u(0) != 0xff || u(1) != 0xd8) return None // SOI
+    val qt = Array.ofDim[Array[Int]](4) // natural order after de-zigzag
+    val dcT = Array.ofDim[JpegHuffTable](4)
+    val acT = Array.ofDim[JpegHuffTable](4)
+    var width = 0
+    var height = 0
+    var nComp = 0
+    var compQ: Array[Int] = null
+    var sofSeen = false
+    var pos = 2
+    var scanAt = -1 // first entropy byte
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    while (scanAt < 0) {
+      if (u(pos) != 0xff) return None
+      var m = u(pos + 1)
+      while (m == 0xff) { pos += 1; m = u(pos + 1) } // fill bytes
+      if (m < 0) return None
+      pos += 2
+      m match {
+        case 0xd9 => return None // EOI before any scan
+        case 0xc0 => // SOF0 — baseline
+          val len = be16(pos)
+          if (len < 8 || pos + len > b.length) return None
+          if (u(pos + 2) != 8) return None // precision
+          height = be16(pos + 3); width = be16(pos + 5)
+          nComp = u(pos + 7)
+          if (width <= 0 || height <= 0) return None
+          if (width.toLong * height > (1L << 26)) return None // alloc cap
+          if (nComp != 1 && nComp != 3) return None
+          if (len != 8 + 3 * nComp) return None
+          compQ = new Array[Int](nComp)
+          for (c <- 0 until nComp) {
+            if (u(pos + 8 + 3 * c + 1) != 0x11) return None // 1×1 only
+            compQ(c) = u(pos + 8 + 3 * c + 2)
+            if (compQ(c) > 3) return None
+          }
+          sofSeen = true
+          pos += len
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline frame: route to a full stack
+        case 0xdb => // DQT: possibly several tables
+          val len = be16(pos)
+          if (len < 2 || pos + len > b.length) return None
+          var p = pos + 2
+          while (p < pos + len) {
+            val pq = u(p) >> 4
+            val tq = u(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 65 > pos + len) return None
+            val tab = new Array[Int](64)
+            var k = 0
+            while (k < 64) { tab(jpegZigzag(k)) = u(p + 1 + k); k += 1 }
+            qt(tq) = tab
+            p += 65
+          }
+          pos += len
+        case 0xc4 => // DHT: possibly several tables
+          val len = be16(pos)
+          if (len < 2 || pos + len > b.length) return None
+          var p = pos + 2
+          while (p < pos + len) {
+            val cls = u(p) >> 4
+            val th = u(p) & 0x0f
+            if (cls > 1 || th > 3 || p + 17 > pos + len) return None
+            val bits = Array.tabulate(16)(i => u(p + 1 + i))
+            val n = bits.sum
+            if (n > 256 || p + 17 + n > pos + len) return None
+            val vals = Array.tabulate(n)(i => u(p + 17 + i))
+            val t = JpegHuffTable(bits, vals)
+            if (cls == 0) dcT(th) = t else acT(th) = t
+            p += 17 + n
+          }
+          pos += len
+        case 0xdd => return None // DRI / restart intervals: unsupported
+        case 0xda => // SOS
+          val len = be16(pos)
+          if (!sofSeen || len < 6 || pos + len > b.length) return None
+          if (u(pos + 2) != nComp) return None // single interleaved scan
+          compDc = new Array[Int](nComp)
+          compAc = new Array[Int](nComp)
+          for (c <- 0 until nComp) {
+            if (u(pos + 3 + 2 * c) != c + 1) return None
+            compDc(c) = u(pos + 4 + 2 * c) >> 4
+            compAc(c) = u(pos + 4 + 2 * c) & 0x0f
+          }
+          // full spectral selection, no successive approximation
+          if (u(pos + 3 + 2 * nComp) != 0 ||
+            u(pos + 4 + 2 * nComp) != 63 ||
+            u(pos + 5 + 2 * nComp) != 0) return None
+          scanAt = pos + len
+        case mm if mm >= 0xe0 && mm <= 0xef => // APPn
+          val len = be16(pos)
+          if (len < 2 || pos + len > b.length) return None
+          pos += len
+        case 0xfe => // COM
+          val len = be16(pos)
+          if (len < 2 || pos + len > b.length) return None
+          pos += len
+        case _ => return None
+      }
+    }
+    // referenced tables must exist
+    for (c <- 0 until nComp) {
+      if (qt(compQ(c)) == null) return None
+      if (dcT(compDc(c)) == null || acT(compAc(c)) == null) return None
+    }
+    // ---- canonical Huffman decoders (T.81 Annex F) ----------------------
+    case class HuffDec(minCode: Array[Int], maxCode: Array[Int],
+                       valPtr: Array[Int], vals: Array[Int])
+    def decTable(t: JpegHuffTable): HuffDec = {
+      val minC = new Array[Int](17)
+      val maxC = Array.fill(17)(-1)
+      val vp = new Array[Int](17)
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (t.bits(len - 1) > 0) {
+          vp(len) = k
+          minC(len) = code
+          code += t.bits(len - 1)
+          k += t.bits(len - 1)
+          maxC(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+      HuffDec(minC, maxC, vp, t.vals)
+    }
+    val dcDec = compDc.map(i => decTable(dcT(i)))
+    val acDec = compAc.map(i => decTable(acT(i)))
+    // ---- entropy bit reader with 0xFF-stuffing removal ------------------
+    var bpos = scanAt
+    var bitBuf = 0
+    var bitCnt = 0
+    var broken = false
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (bpos >= b.length) { broken = true; return 0 }
+        val byte = u(bpos)
+        bpos += 1
+        if (byte == 0xff) {
+          val nx = u(bpos)
+          if (nx == 0) bpos += 1 // stuffed 0xFF data byte
+          else { broken = true; return 0 } // a marker mid-scan
+        }
+        bitBuf = byte
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeSym(t: HuffDec): Int = {
+      var code = nextBit()
+      var len = 1
+      while (!broken && (t.maxCode(len) < 0 || code > t.maxCode(len))) {
+        code = code << 1 | nextBit()
+        len += 1
+        if (len > 16) { broken = true; return -1 }
+      }
+      if (broken) -1
+      else t.vals(t.valPtr(len) + code - t.minCode(len))
+    }
+    def receiveExtend(ssss: Int): Int = {
+      if (ssss == 0) return 0
+      var v = 0
+      var i = 0
+      while (i < ssss) { v = v << 1 | nextBit(); i += 1 }
+      if (v < (1 << (ssss - 1))) v - (1 << ssss) + 1 else v
+    }
+    // ---- MCU loop: dequantize → IDCT → level shift into planes ----------
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val planes = Array.fill(nComp)(new Array[Byte](bw * 8 * bh * 8))
+    val pred = new Array[Int](nComp)
+    val coef = Array.ofDim[Double](8, 8)
+    val tmp = Array.ofDim[Double](8, 8)
+    var by = 0
+    while (by < bh && !broken) {
+      var bx = 0
+      while (bx < bw && !broken) {
+        var c = 0
+        while (c < nComp && !broken) {
+          val q = qt(compQ(c))
+          java.util.Arrays.fill(coef(0), 0.0)
+          var i = 1
+          while (i < 8) { java.util.Arrays.fill(coef(i), 0.0); i += 1 }
+          // DC
+          val s0 = decodeSym(dcDec(c))
+          if (s0 < 0 || s0 > 11) broken = true
+          else {
+            pred(c) += receiveExtend(s0)
+            coef(0)(0) = pred(c).toDouble * q(0)
+            // AC
+            var k = 1
+            while (k < 64 && !broken) {
+              val rs = decodeSym(acDec(c))
+              if (rs < 0) broken = true
+              else if (rs == 0x00) k = 64 // EOB
+              else if (rs == 0xf0) k += 16 // ZRL
+              else {
+                k += rs >> 4
+                val s = rs & 0x0f
+                if (k > 63) broken = true
+                else {
+                  val n = jpegZigzag(k)
+                  coef(n / 8)(n % 8) = receiveExtend(s).toDouble * q(n)
+                  k += 1
+                }
+              }
+            }
+            if (!broken) {
+              // IDCT (row-major [v][u] coefs, same orientation as the
+              // encoder): tmp = Cᵀ·S (over v), out = tmp·C (over u)
+              var y = 0
+              while (y < 8) {
+                var uu = 0
+                while (uu < 8) {
+                  var s = 0.0
+                  var vv = 0
+                  while (vv < 8) { s += dctC(vv)(y) * coef(vv)(uu); vv += 1 }
+                  tmp(y)(uu) = s
+                  uu += 1
+                }
+                y += 1
+              }
+              val plane = planes(c)
+              y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0
+                  var uu = 0
+                  while (uu < 8) { s += tmp(y)(uu) * dctC(uu)(x); uu += 1 }
+                  val px = math.floor(s + 128.5).toInt // round(s+128)
+                  val clamped = if (px < 0) 0 else if (px > 255) 255 else px
+                  plane((by * 8 + y) * bw * 8 + bx * 8 + x) = clamped.toByte
+                  x += 1
+                }
+                y += 1
+              }
+            }
+          }
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (broken) return None
+    // after the last MCU: only pad bits, then EOI (trailing garbage is
+    // tolerated after a well-formed EOI, as real writers emit exactly it)
+    if (!(u(bpos) == 0xff && u(bpos + 1) == 0xd9)) return None
+    Some((width, height, nComp, bw * 8, planes))
+  }
+
+  /** Total decode outcome for JPEG (PNG/GIF posture): one row per
+    * payload, failures flagged, never dropped.
+    */
+  case class JpegDecodeRow(id: Long, decode_ok: Boolean, px: Option[JpegPixels])
+
+  def decodeJpegPixelsTotal(payloads: Dataset[Payload]): Dataset[JpegDecodeRow] = {
+    implicit val enc = Encoders.product[JpegDecodeRow]
+    payloads.mapPartitions(_.map { p =>
+      val r = parseJpegPixels(p.id, p.content)
+      JpegDecodeRow(p.id, r.isDefined, r)
+    })
+  }
+
+  /** JPEG-pixel twin of [[decodeBatches]]: zero shuffles, undecodable
+    * payloads counted into the accumulator, never silently vanished.
+    */
+  def decodeJpegPixelBatches(payloads: Dataset[Payload],
+                             drops: org.apache.spark.util.LongAccumulator)
+      : Dataset[JpegPixels] = {
+    implicit val enc = Encoders.product[JpegPixels]
+    payloads.mapPartitions(_.flatMap { p =>
+      val r = parseJpegPixels(p.id, p.content)
+      if (r.isEmpty) drops.add(1L)
+      r
+    })
+  }
+
+  /** Convenience overload: registers its own named drop accumulator
+    * (`graft.jpeg_pixel_decode_drops` in the Spark UI).
+    */
+  def decodeJpegPixelBatches(payloads: Dataset[Payload]): Dataset[JpegPixels] =
+    decodeJpegPixelBatches(payloads,
+      payloads.sparkSession.sparkContext.longAccumulator("graft.jpeg_pixel_decode_drops"))
+
   /** Batch decode: per-partition iteration (one codec instance per
     * partition, amortized setup — the Scala analog of a `mapInPandas`
     * batch loop). Input partitioning is preserved; repartition by

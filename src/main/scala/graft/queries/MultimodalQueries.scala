@@ -58,6 +58,25 @@ private[queries] object MediaGen {
       (x, y) => ((s1 + 7L * y + 11L * x) % 64).toInt)
   }
 
+  /** 8–24 × 8–20 baseline JPEG; even-s1 docs are 3-component 4:4:4
+    * (Y/Cb/Cr planes generated directly), odd-s1 docs grayscale, so one
+    * corpus carries both interleave shapes AND both partial-block
+    * geometries (dims are rarely multiples of 8 → edge-replicated pad
+    * blocks on most rows). The linear-ramp-mod-256 formulas wrap inside
+    * most blocks, putting real high-frequency content through the AC
+    * Huffman paths, while blocks without a wrap quantize to sparse
+    * spectra that exercise the run-length/EOB paths.
+    */
+  def jpegFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (8 + s1 % 17).toInt
+    val h = (8 + s2 % 13).toInt
+    val nComp = if (s1 % 2 == 0) 3 else 1
+    graft.operators.Multimodal.encodeJpegBaseline(w, h, nComp,
+      (c, x, y) =>
+        ((s2 + (7L + 5L * c) * y + (11L + 2L * c) * x + 31L * c) % 256).toInt)
+  }
+
   /** 4–14 × 4–10 (even) Y4M clip, 3–10 frames. Even-s1 docs carry full
     * 4:2:0 chroma planes (which the luma walk must STRIDE over — a
     * mis-stride desyncs every later FRAME marker); odd-s1 docs are

@@ -674,4 +674,102 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parseY4mFrames(11L, ok, 0)
     }
   }
+
+  // ---- JPEG baseline: the last stub-codec boundary -----------------------
+
+  test("JPEG baseline: own encoder's bytes decode, and javax.imageio's " +
+    "independent codec agrees per-pixel within ±1 (gray and 4:4:4 color, " +
+    "partial-block dims)") {
+    for ((w, h, nc) <- Seq((8, 8, 1), (16, 16, 3), (11, 13, 1), (24, 20, 3),
+      (9, 17, 3), (23, 9, 1))) {
+      def pix(c: Int, x: Int, y: Int): Int =
+        (37 + (7 + 5 * c) * y + (11 + 2 * c) * x + 31 * c) % 256
+      val bytes = Multimodal.encodeJpegBaseline(w, h, nc, pix)
+      val dec = Multimodal.decodeJpegPlanes(bytes)
+      assert(dec.isDefined, s"own decode must succeed (${w}x$h nc=$nc)")
+      val (dw, dh, dn, stride, planes) = dec.get
+      assert(dw == w && dh == h && dn == nc)
+      // ImageIO readRaster: raw component samples, no color conversion —
+      // the apples-to-apples comparison for encoded-plane values. T.81
+      // does not mandate a bit-exact IDCT, hence the ±1 tolerance.
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+      rd.setInput(iis)
+      val raster = rd.readRaster(0, null)
+      assert(raster.getWidth == w && raster.getHeight == h &&
+        raster.getNumBands == nc, s"ImageIO must see ${w}x$h x$nc")
+      for (c <- 0 until nc; y <- 0 until h; x <- 0 until w) {
+        val ours = planes(c)(y * stride + x) & 0xff
+        val theirs = raster.getSample(x, y, c)
+        assert(math.abs(ours - theirs) <= 1,
+          s"(c=$c,x=$x,y=$y): $ours vs $theirs (${w}x$h nc=$nc)")
+      }
+      rd.dispose()
+    }
+  }
+
+  test("JPEG baseline: ImageIO-ENCODED grayscale bytes (independent " +
+    "encoder, its own quant/Huffman tables read back from DQT/DHT) " +
+    "decode within ±1 of ImageIO's own round-trip") {
+    val (w, h) = (21, 14)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (11 * x + 23 * y + 5) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val dec = Multimodal.decodeJpegPlanes(bytes)
+    assert(dec.isDefined, "ImageIO's baseline grayscale must decode")
+    val (dw, dh, dn, stride, planes) = dec.get
+    assert(dw == w && dh == h && dn == 1)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = planes(0)(y * stride + x) & 0xff
+      val theirs = back.getRaster.getSample(x, y, 0)
+      assert(math.abs(ours - theirs) <= 1, s"($x,$y): $ours vs $theirs")
+    }
+  }
+
+  test("JPEG baseline: out-of-scope and malformed streams fail closed") {
+    def pix(c: Int, x: Int, y: Int) = (x * 11 + y * 7 + c) % 256
+    val ok = Multimodal.encodeJpegBaseline(16, 16, 3, pix)
+    assert(Multimodal.parseJpegPixels(1L, ok).isDefined)
+    // progressive (SOF2): route to a full stack, never a wrong answer
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val prm = wr.getDefaultWriteParam
+    prm.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    wr.dispose(); ios.close()
+    assert(Multimodal.parseJpegPixels(2L, bos.toByteArray).isEmpty,
+      "progressive must be None")
+    // truncated entropy stream / missing EOI
+    assert(Multimodal.parseJpegPixels(3L, ok.take(ok.length - 40)).isEmpty)
+    assert(Multimodal.parseJpegPixels(4L, ok.take(ok.length - 2)).isEmpty)
+    // not a JPEG at all
+    assert(Multimodal.parseJpegPixels(5L, "GIF89a".getBytes).isEmpty)
+    // header cut inside a segment
+    assert(Multimodal.parseJpegPixels(6L, ok.take(30)).isEmpty)
+  }
+
+  test("JPEG corpus-totality law: decode succeeds with exact dims for " +
+    "EVERY shape the q219 generator can emit (8-24 x 8-20, gray + color)") {
+    for (w <- 8 to 24; h <- Seq(8, 13, 20); nc <- Seq(1, 3)) {
+      def pix(c: Int, x: Int, y: Int): Int =
+        ((977L + (7 + 5 * c) * y + (11 + 2 * c) * x + 31 * c) % 256).toInt
+      val bytes = Multimodal.encodeJpegBaseline(w, h, nc, pix)
+      val got = Multimodal.parseJpegPixels(7L, bytes)
+      assert(got.isDefined, s"${w}x$h nc=$nc must decode")
+      assert(got.get.width == w && got.get.height == h &&
+        got.get.n_components == nc)
+      if (nc == 1) assert(got.get.sum_c1 == 0L && got.get.sum_c2 == 0L)
+    }
+  }
 }
