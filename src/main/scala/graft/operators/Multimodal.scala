@@ -529,12 +529,18 @@ object Multimodal {
 
   // ------------------------------------- payload decode (uncompressed)
   //
-  // The StubCodec boundary exists because the sandbox ships no codec
+  // The StubCodec boundary existed because the sandbox ships no codec
   // libraries — but UNCOMPRESSED formats need none. These two decoders
   // cross the boundary for real: every pixel byte / PCM sample of the
   // payload is read and folded, pure byte arithmetic on the scan tasks,
-  // same shape the header codecs use. Entropy-coded payloads (PNG
-  // zlib streams, JPEG huffman, MP3 frames) remain stubbed.
+  // same shape the header codecs use. The entropy-coded payloads fell
+  // one by one — PNG zlib (q199), GIF LZW (q200), Y4M frames (q218),
+  // JPEG baseline Huffman+DCT (q219) — so [[StubCodec]] is RETIRED as
+  // a payload decoder: it survives only as the md5-derived fake-feature
+  // dimension stub that q40-q42's metadata plumbing pins (the one thing
+  // that is genuinely synthetic here, and says so). MP3 frame AUDIO
+  // remains header-walk only (parseMp3) — the sole undecoded payload,
+  // and it is labeled metadata, not decode.
 
   /** Per-channel statistics over a fully-decoded 24-bit uncompressed
     * BMP pixel array: channel byte sums and the image's top-left pixel.

@@ -1156,6 +1156,68 @@ object MultimodalQueries {
                round(CAST(sl AS DOUBLE) / (w*h), 4) AS mean_luma,
                CAST(tl AS INTEGER) AS tl_luma
         FROM px"""),
-      headline = false)
+      headline = false),
+
+    // TRUE payload decode #7 — JPEG baseline, the last stub-codec
+    // boundary retired. Each document becomes a deterministic baseline
+    // JFIF (even-seed docs 3-component 4:4:4, odd-seed grayscale; dims
+    // rarely block-aligned, so most rows carry edge-replicated partial
+    // blocks), then parseJpegPixels runs the complete decode: marker
+    // walk → DQT/DHT read-back → canonical Huffman entropy decode →
+    // dequantize → IDCT → clamp → per-component sums. JPEG is LOSSY, so
+    // the oracle cannot sum source pixels: the fixture (scripts/
+    // make_jpeg_fixture.py) reimplements the whole T.81 derivation
+    // independently in Python — numpy DCT from the spec's matrix
+    // definition, Annex K tables, canonical Huffman bit packing — with
+    // no JPEG library anywhere, and pins BOTH directions: jpeg_md5/
+    // jpeg_size prove the ENCODER's exact bytes (down to stuffing and
+    // pad bits), sum_c*/tl_c* prove what the DECODER recovers from
+    // them. Encode+decode+fold run in ONE mapPartitions pass — zero
+    // exchanges, the scan-task-only plan every media decode here keeps.
+    // Format additionally pinned against javax.imageio both ways in
+    // MultimodalSpec (±1: T.81 does not mandate a bit-exact IDCT).
+    "q219_jpeg_full_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val bytes = MediaGen.jpegFor(text)
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map(b => f"$b%02x").mkString
+            Multimodal.parseJpegPixels(id, bytes).map(px =>
+              JpegDecodeStat(id, px.width, px.height, px.n_components,
+                bytes.length.toLong, md, px.sum_c0, px.sum_c1, px.sum_c2,
+                px.tl_c0, px.tl_c1, px.tl_c2))
+          }).toDF()
+          .withColumn("mean_c0", round(col("sum_c0").cast("double") /
+            (col("width") * col("height")), 4))
+      },
+      oracle = Some("""
+        SELECT d.doc_id,
+               f.jpeg_width AS width, f.jpeg_height AS height,
+               f.jpeg_ncomp AS n_components,
+               f.jpeg_size, f.jpeg_md5,
+               f.jpeg_sum_c0 AS sum_c0, f.jpeg_sum_c1 AS sum_c1,
+               f.jpeg_sum_c2 AS sum_c2,
+               f.jpeg_tl_c0 AS tl_c0, f.jpeg_tl_c1 AS tl_c1,
+               f.jpeg_tl_c2 AS tl_c2,
+               round(CAST(f.jpeg_sum_c0 AS DOUBLE)
+                 / (f.jpeg_width * f.jpeg_height), 4) AS mean_c0
+        FROM documents d
+        JOIN read_parquet('/root/repo/fixtures/media_jpeg_oracle.parquet') f
+          ON md5(coalesce(d.text, '')) = f.text_md5"""),
+      headline = true)
   )
 }
+
+/** One q219 output row: the encoder pin (size + md5 of the produced
+  * bytes) and the decoder pin (what parseJpegPixels recovered from
+  * them), computed in a single scan-task pass.
+  */
+private[queries] case class JpegDecodeStat(
+    doc_id: Long, width: Int, height: Int, n_components: Int,
+    jpeg_size: Long, jpeg_md5: String,
+    sum_c0: Long, sum_c1: Long, sum_c2: Long,
+    tl_c0: Int, tl_c1: Int, tl_c2: Int)

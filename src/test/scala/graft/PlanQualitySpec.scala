@@ -739,6 +739,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q216 must not join:\n$p")
   }
 
+  test("q219 jpeg decode: zero exchanges — encode+decode+fold ride the scan") {
+    val p = plan("q219_jpeg_full_decode")
+    assert(!p.contains("Exchange"), s"q219 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q219 must not join:\n$p")
+  }
+
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {
     val p = plan("q178_doremi_weights")
     // one corpus partial-agg exchange; the tot/wqSum folds run over the
