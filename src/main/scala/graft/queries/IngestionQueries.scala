@@ -508,7 +508,160 @@ object IngestionQueries {
                  CAST(${sqlLe32x("o + 42")} AS BIGINT) AS lfh_offset
           FROM ents
           WHERE substr(hx, 2*o + 1, 8) = '504B0102'
-            AND substr(hx, 2*(${sqlLe32x("o + 42")}) + 1, 8) = '504B0304'"""))
+            AND substr(hx, 2*(${sqlLe32x("o + 42")}) + 1, 8) = '504B0304'""")),
+
+      // ZIP64 walk (q220) — the same archive sweep when counts/sizes/
+      // offsets outgrow their 16/32-bit fields (every Common-Crawl-scale
+      // docx/jar dump does). The blobs are SMALL but carry every escape
+      // the format defines: per-entry comp/uncomp/lfh-offset behind
+      // 0xFFFFFFFF resolved through the 0x0001 extended-information
+      // extra, and an EOCD whose count/size/offset are ALL escaped so
+      // the walk must chase EOCD → ZIP64 locator → EOCD64 record for
+      // the directory's true geometry — proving the MECHANISM without
+      // 4 GB payloads (the escape path is identical either way; ZipSpec
+      // additionally pins a real >65,535-entry JDK-written archive).
+      // The oracle rebuilds the bytes and chases the same pointer chain
+      // from the other end: locator magic, 64-bit record fields, the
+      // extra-field escape-order arithmetic, and the local-header magic
+      // at each RESOLVED offset — all read from hex, never from
+      // generator params. Layout (fixed): LFHs at 0/69, CD at 140
+      // (size 164), EOCD64 at 304, locator at 360, EOCD at 380.
+      "q220_zip64_central_dir" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          val t = coalesce(col("text"), lit(""))
+          val pd = md5(t)
+          val pm = md5(concat(t, lit(":meta")))
+          val crcD = crc32(encode(pd, "UTF-8"))
+          val crcM = crc32(encode(pm, "UTF-8"))
+          val cl = pmod(gf.hash60(t), lit(33)).cast("int")
+          def lfh64(crc: Column, nameHex: String, nameLen: Int): Column =
+            concat(lit("504B0304"), lit("2D00"), lit("0000"), lit("0000"),
+              lit("00000000"), le32(crc), le32(lit(32)), le32(lit(32)),
+              le16(lit(nameLen)), lit("0000"), lit(nameHex))
+          // CDH with comp/uncomp/offset ALL escaped; the 0x0001 extra
+          // carries the real 64-bit values in escape order
+          def cdh64(crc: Column, nameHex: String, nameLen: Int,
+                    lfhOffLe64: String): Column =
+            concat(lit("504B0102"), lit("2D00"), lit("2D00"), lit("0000"),
+              lit("0000"), lit("00000000"), le32(crc), lit("FFFFFFFF"),
+              lit("FFFFFFFF"), le16(lit(nameLen)), le16(lit(28)),
+              lit("0000"), lit("0000"), lit("0000"), lit("00000000"),
+              lit("FFFFFFFF"), lit(nameHex),
+              lit("0100"), lit("1800"), // id 0x0001, 24 bytes
+              lit("2000000000000000"), // uncompressed = 32
+              lit("2000000000000000"), // compressed = 32
+              lit(lfhOffLe64))
+          val zipHex = concat(
+            lfh64(crcD, NameDoc, 7), hex(encode(pd, "UTF-8")),
+            lfh64(crcM, NameMeta, 9), hex(encode(pm, "UTF-8")),
+            cdh64(crcD, NameDoc, 7, "0000000000000000"),
+            cdh64(crcM, NameMeta, 9, "4500000000000000"), // 69
+            // EOCD64: 44 bytes follow the 12-byte prologue
+            lit("504B0606"), lit("2C00000000000000"),
+            lit("2D00"), lit("2D00"), lit("00000000"), lit("00000000"),
+            lit("0200000000000000"), lit("0200000000000000"), // 2 entries
+            lit("A400000000000000"), // cd size = 164
+            lit("8C00000000000000"), // cd offset = 140
+            // locator → EOCD64 at 304
+            lit("504B0607"), lit("00000000"), lit("3001000000000000"),
+            lit("01000000"),
+            // EOCD: count/size/offset all escaped
+            lit("504B0506"), lit("0000"), lit("0000"),
+            lit("FFFF"), lit("FFFF"), lit("FFFFFFFF"), lit("FFFFFFFF"),
+            le16(cl), expr("repeat('63', cl)"))
+          val blobs = Engine.table(s, dir, "documents")
+            .withColumn("cl", cl)
+            .select(col("doc_id").as("blob_id"),
+              unhex(zipHex).as("content"))
+            .as[graft.sources.Zip.ZipBlob]
+          graft.sources.Zip.entries(blobs).toDF()
+            .select(col("blob_id").as("doc_id"), col("entry_name"),
+              col("method"), col("crc32"), col("comp_size"),
+              col("uncomp_size"), col("lfh_offset"))
+        },
+        oracle = Some(s"""
+          WITH g AS (
+            SELECT doc_id,
+                   md5(coalesce(text, '')) AS pd,
+                   md5(coalesce(text, '') || ':meta') AS pm,
+                   CAST(${sqlHash60("coalesce(text, '')")} % 33 AS INT) AS cl
+            FROM documents),
+          j AS (
+            SELECT g.*, f.crc_doc, f.crc_meta
+            FROM g JOIN read_parquet('/root/repo/fixtures/zip_crc_oracle.parquet') f
+              ON g.pd = f.text_md5),
+          p AS (
+            SELECT doc_id, cl, concat(
+                '504B0304', '2D00', '0000', '0000', '00000000',
+                ${sqlLe32("crc_doc")}, ${sqlLe32("32")}, ${sqlLe32("32")},
+                ${sqlLe16("7")}, '0000', '$NameDoc', hex(encode(pd)),
+                '504B0304', '2D00', '0000', '0000', '00000000',
+                ${sqlLe32("crc_meta")}, ${sqlLe32("32")}, ${sqlLe32("32")},
+                ${sqlLe16("9")}, '0000', '$NameMeta', hex(encode(pm)),
+                '504B0102', '2D00', '2D00', '0000', '0000', '00000000',
+                ${sqlLe32("crc_doc")}, 'FFFFFFFF', 'FFFFFFFF',
+                ${sqlLe16("7")}, ${sqlLe16("28")}, '0000', '0000', '0000',
+                '00000000', 'FFFFFFFF', '$NameDoc',
+                '0100', '1800', '2000000000000000', '2000000000000000',
+                '0000000000000000',
+                '504B0102', '2D00', '2D00', '0000', '0000', '00000000',
+                ${sqlLe32("crc_meta")}, 'FFFFFFFF', 'FFFFFFFF',
+                ${sqlLe16("9")}, ${sqlLe16("28")}, '0000', '0000', '0000',
+                '00000000', 'FFFFFFFF', '$NameMeta',
+                '0100', '1800', '2000000000000000', '2000000000000000',
+                '4500000000000000',
+                '504B0606', '2C00000000000000', '2D00', '2D00',
+                '00000000', '00000000', '0200000000000000',
+                '0200000000000000', 'A400000000000000', '8C00000000000000',
+                '504B0607', '00000000', '3001000000000000', '01000000',
+                '504B0506', '0000', '0000', 'FFFF', 'FFFF',
+                'FFFFFFFF', 'FFFFFFFF', ${sqlLe16("cl")},
+                repeat('63', cl)) AS zhex
+            FROM j),
+          b AS ( -- round-trip through BLOB: the oracle parses BYTES
+            SELECT doc_id, cl, hex(from_hex(zhex)) AS hx FROM p),
+          w AS ( -- EOCD: magic AND comment-reaches-EOF proven
+            SELECT doc_id, hx, length(hx) // 2 - 22 - cl AS eo,
+                   length(hx) // 2 AS nb
+            FROM b),
+          w1 AS ( -- escapes force the locator → EOCD64 chase
+            SELECT doc_id, hx, eo,
+                   ${sqlLe64x("eo - 20 + 8")} AS e64
+            FROM w
+            WHERE substr(hx, 2*eo + 1, 8) = '504B0506'
+              AND eo + 22 + ${sqlLe16x("eo + 20")} = nb
+              AND ${sqlLe16x("eo + 10")} = 65535
+              AND substr(hx, 2*(eo - 20) + 1, 8) = '504B0607'),
+          w2 AS ( -- the directory's true geometry, from 64-bit fields
+            SELECT doc_id, hx,
+                   ${sqlLe64x("e64 + 32")} AS n_entries,
+                   ${sqlLe64x("e64 + 40")} AS cd_size,
+                   ${sqlLe64x("e64 + 48")} AS cd_off
+            FROM w1
+            WHERE substr(hx, 2*e64 + 1, 8) = '504B0606'),
+          ents AS ( -- entry 1 strides entry 0's name AND extra lengths
+            SELECT doc_id, hx, cd_off AS o FROM w2
+            UNION ALL
+            SELECT doc_id, hx, cd_off + 46 + ${sqlLe16x("cd_off + 28")}
+                   + ${sqlLe16x("cd_off + 30")} AS o
+            FROM w2 WHERE n_entries > 1),
+          res AS ( -- escaped fields resolve through the 0x0001 extra
+            SELECT doc_id, hx, o,
+                   o + 46 + ${sqlLe16x("o + 28")} AS xb
+            FROM ents
+            WHERE substr(hx, 2*o + 1, 8) = '504B0102')
+          SELECT doc_id,
+                 decode(from_hex(substr(hx, 2*(o + 46) + 1,
+                   2 * ${sqlLe16x("o + 28")}))) AS entry_name,
+                 CAST(${sqlLe16x("o + 10")} AS INT) AS method,
+                 CAST(${sqlLe32x("o + 16")} AS BIGINT) AS crc32,
+                 CAST(${sqlLe64x("xb + 12")} AS BIGINT) AS comp_size,
+                 CAST(${sqlLe64x("xb + 4")} AS BIGINT) AS uncomp_size,
+                 CAST(${sqlLe64x("xb + 20")} AS BIGINT) AS lfh_offset
+          FROM res
+          WHERE ${sqlLe16x("xb")} = 1 AND ${sqlLe16x("xb + 2")} = 24
+            AND substr(hx, 2*(${sqlLe64x("xb + 20")}) + 1, 8) = '504B0304'"""))
     )
   }
 }

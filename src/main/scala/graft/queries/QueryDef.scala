@@ -116,6 +116,8 @@ private[queries] object HexBytes {
       s"256*${sqlU8x(s"($x)+2")} + ${sqlU8x(s"($x)+3")} END)"
   def sqlLe16x(x: String): String = sqlU16x(x, "TRUE")
   def sqlLe32x(x: String): String = sqlU32x(x, "TRUE")
+  def sqlLe64x(x: String): String =
+    s"(${sqlLe32x(x)} + 4294967296 * ${sqlLe32x(s"($x)+4")})"
 }
 
 /** Order-independent aggregation of money-like doubles.

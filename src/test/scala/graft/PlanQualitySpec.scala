@@ -739,6 +739,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q216 must not join:\n$p")
   }
 
+  test("q220 zip64 walk: zero exchanges — escape resolution rides the scan") {
+    val p = plan("q220_zip64_central_dir")
+    assert(!p.contains("Exchange"), s"q220 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q220 must not join:\n$p")
+  }
+
   test("q219 jpeg decode: zero exchanges — encode+decode+fold ride the scan") {
     val p = plan("q219_jpeg_full_decode")
     assert(!p.contains("Exchange"), s"q219 must not shuffle:\n$p")

@@ -102,6 +102,110 @@ class ZipSpec extends SparkSpec {
     assert(Zip.entries(ds).collect().map(_.blob_id).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("ZIP64 via the JDK writer: >65,535 entries trip the EOCD escapes " +
+    "and the walk follows locator → EOCD64 to the full inventory") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val crc0 = new java.util.zip.CRC32().getValue // empty payload
+    val n = 65600 // past the 16-bit count: JDK emits ZIP64 records
+    for (i <- 0 until n) {
+      val e = new java.util.zip.ZipEntry(f"e$i%05d")
+      e.setMethod(java.util.zip.ZipOutputStream.STORED)
+      e.setSize(0L); e.setCrc(crc0)
+      zos.putNextEntry(e); zos.closeEntry()
+    }
+    zos.close()
+    val bytes = bos.toByteArray
+    val got = Zip.parseCentralDirectory(8L, bytes)
+    assert(got.length == n, s"must see all $n entries, got ${got.length}")
+    assert(got.head.entry_name == "e00000" && got.last.entry_name == f"e${n - 1}%05d")
+    assert(got.map(_.lfh_offset) == got.map(_.lfh_offset).sorted)
+  }
+
+  /** Hand-laid two-entry STORED blob exercising EVERY ZIP64 escape with
+    * small payloads: per-entry 0x0001 extras carry the real sizes and
+    * local-header offsets behind 0xFFFFFFFF, and the EOCD's count/size/
+    * offset are all escaped through locator + EOCD64. Mirrors q220's
+    * layout (fixed offsets: CD at 140, size 164, EOCD64 at 304,
+    * locator at 360, EOCD at 380).
+    */
+  private def zip64Blob(payloadDoc: Array[Byte], payloadMeta: Array[Byte],
+                        comment: Array[Byte]): Array[Byte] = {
+    require(payloadDoc.length == 32 && payloadMeta.length == 32)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le64(v: Long) = le32(v & 0xffffffffL) ++ le32(v >>> 32)
+    def crcOf(d: Array[Byte]) = {
+      val c = new java.util.zip.CRC32(); c.update(d); c.getValue
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(b: Array[Byte]): Unit = bos.write(b)
+    def lfh(name: String, data: Array[Byte]): Unit = {
+      w(Array[Byte](0x50, 0x4b, 3, 4)); w(le16(45)); w(le16(0)); w(le16(0))
+      w(le16(0)); w(le16(0)); w(le32(crcOf(data)))
+      w(le32(data.length.toLong)); w(le32(data.length.toLong))
+      w(le16(name.length)); w(le16(0)); w(name.getBytes("US-ASCII")); w(data)
+    }
+    def cdh(name: String, data: Array[Byte], off: Long): Unit = {
+      w(Array[Byte](0x50, 0x4b, 1, 2)); w(le16(45)); w(le16(45)); w(le16(0))
+      w(le16(0)); w(le16(0)); w(le16(0)); w(le32(crcOf(data)))
+      w(le32(0xffffffffL)); w(le32(0xffffffffL)) // comp/uncomp escaped
+      w(le16(name.length)); w(le16(28)); w(le16(0)); w(le16(0)); w(le16(0))
+      w(le32(0)); w(le32(0xffffffffL)) // lfh offset escaped
+      w(name.getBytes("US-ASCII"))
+      w(le16(1)); w(le16(24)) // ZIP64 extra: id 0x0001, 3 × 8 bytes
+      w(le64(data.length.toLong)) // uncompressed (escape order)
+      w(le64(data.length.toLong)) // compressed
+      w(le64(off)) // local-header offset
+    }
+    lfh("doc.txt", payloadDoc) // ends at 69
+    lfh("meta.json", payloadMeta) // ends at 140
+    val cdOff = bos.size()
+    cdh("doc.txt", payloadDoc, 0L)
+    cdh("meta.json", payloadMeta, 69L)
+    val cdSize = bos.size() - cdOff
+    val e64At = bos.size()
+    w(Array[Byte](0x50, 0x4b, 6, 6)); w(le64(44)) // EOCD64, 44 bytes follow
+    w(le16(45)); w(le16(45)); w(le32(0)); w(le32(0))
+    w(le64(2)); w(le64(2)); w(le64(cdSize.toLong)); w(le64(cdOff.toLong))
+    w(Array[Byte](0x50, 0x4b, 6, 7)) // locator
+    w(le32(0)); w(le64(e64At.toLong)); w(le32(1))
+    w(Array[Byte](0x50, 0x4b, 5, 6)) // EOCD, everything escaped
+    w(le16(0)); w(le16(0)); w(le16(0xffff)); w(le16(0xffff))
+    w(le32(0xffffffffL)); w(le32(0xffffffffL))
+    w(le16(comment.length)); w(comment)
+    bos.toByteArray
+  }
+
+  test("ZIP64 per-entry escapes: sizes and offsets resolve through the " +
+    "0x0001 extra, the JDK reader agrees, and damage fails closed") {
+    val pd = "0123456789abcdef0123456789abcdef".getBytes("US-ASCII")
+    val pm = "fedcba9876543210fedcba9876543210".getBytes("US-ASCII")
+    val bytes = zip64Blob(pd, pm, "cc".getBytes("US-ASCII"))
+    val got = Zip.parseCentralDirectory(9L, bytes)
+    assert(got.map(e => (e.entry_name, e.comp_size, e.uncomp_size,
+      e.lfh_offset)) == Seq(("doc.txt", 32L, 32L, 0L),
+      ("meta.json", 32L, 32L, 69L)))
+    // the JDK's streaming reader walks the same local headers
+    val zf = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(zf.getNextEntry.getName == "doc.txt")
+    assert(zf.getNextEntry.getName == "meta.json")
+    // damage: EOCD escaped but the locator magic is gone → Nil
+    val noLoc = bytes.clone()
+    noLoc(360) = 'X'.toByte
+    assert(Zip.parseCentralDirectory(10L, noLoc).isEmpty)
+    // damage: per-entry escape present but the 0x0001 extra id flipped
+    val noExtra = bytes.clone()
+    noExtra(140 + 46 + 7) = 9 // entry 0's extra id 0x0001 → 0x0009
+    assert(Zip.parseCentralDirectory(11L, noExtra).isEmpty)
+    // damage: EOCD64 record magic corrupted → Nil
+    val noE64 = bytes.clone()
+    noE64(304 + 3) = 5
+    assert(Zip.parseCentralDirectory(12L, noE64).isEmpty)
+  }
+
   test("malformed archives yield an empty inventory, never a partial one") {
     val good = jdkZip(Seq(("a.txt", "hello".getBytes, false)))
     assert(Zip.parseCentralDirectory(1L, good).nonEmpty)
