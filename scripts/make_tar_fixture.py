@@ -41,6 +41,32 @@ def main():
         add_file(tf, long_name, b"prefix-field exercised", 1700000004)
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes)")
 
+    # PAX (tarfile's default since 3.8, the format HF-style dataset
+    # tarballs actually ship in): a >100-char BASENAME cannot use the
+    # ustar prefix split, so tarfile writes an 'x' extended header with
+    # a path= record; a non-ASCII name forces the same; short entries
+    # interleave to prove overrides apply only to the entry they govern.
+    pax = OUT.parent / "golden_pax.tar"
+    with tarfile.open(pax, "w", format=tarfile.PAX_FORMAT) as tf:
+        add_file(tf, "corpus/short.txt", b"plain entry\n", 1700000100)
+        base = "shard-" + "x" * 120 + ".jsonl"  # 126-char basename
+        add_file(tf, "corpus/" + base, b"long-basename payload\n" * 4,
+                 1700000101)
+        add_file(tf, "corpus/after.txt", b"override must not leak\n",
+                 1700000102)
+        add_file(tf, "corpus/naïve-ñame.txt", b"utf8 name\n",
+                 1700000103)
+    print(f"wrote {pax} ({pax.stat().st_size} bytes)")
+
+    # GNU long names: the pre-POSIX 'L' mechanism
+    gnu = OUT.parent / "golden_gnu.tar"
+    with tarfile.open(gnu, "w", format=tarfile.GNU_FORMAT) as tf:
+        add_file(tf, "a.txt", b"short\n", 1700000200)
+        long_one = "g/" + "y" * 140 + "/tail.bin"
+        add_file(tf, long_one, b"gnu long-link payload", 1700000201)
+        add_file(tf, "z.txt", b"after\n", 1700000202)
+    print(f"wrote {gnu} ({gnu.stat().st_size} bytes)")
+
 
 if __name__ == "__main__":
     main()

@@ -517,6 +517,84 @@ object EventQueries {
       },
       oracle = Some(attributionOracle)),
 
+    // The stream-stream LEFT OUTER interval join, oracle-backed — the
+    // subtle half q208 leaves unproven: unmatched left rows must emit
+    // with nulls ONCE THE WATERMARK CLOSES THEM (the state-cleanup
+    // path; exactly J1's left enrich made continuous, per
+    // StreamOps.intervalJoin's scaladoc). Emission needs the GLOBAL
+    // watermark (min across both inputs) past every purchase, so BOTH
+    // streams get two far-future sentinel deliveries (drain protocol:
+    // a batch runs with the watermark computed at the END of the
+    // previous batch — sentinel #1 advances it, sentinel #2 makes a
+    // batch run with it in force). The oracle is the batch LEFT join:
+    // every purchase appears, matched ones with their trailing-hour
+    // click count/sum, unmatched ones with 0/null. Drain ×2 from one
+    // checkpoint; replay adds zero rows.
+    "q223_stream_interval_left_join" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import s.implicits._
+        val ev = Engine.table(s, dir, "events")
+          .withColumn("tstamp", timestamp_millis(unix_millis(col("ts"))))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tstamp"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tstamp"), col("value"))
+        val maxTs = ev.agg(max(col("tstamp"))).head().getTimestamp(0)
+        def sentinelTs(days: Int) =
+          new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+        val dvP = new StreamDeliveries("graft_q223_purchases")
+        val dvC = new StreamDeliveries("graft_q223_clicks")
+        dvP.land(purchases, "a", 1000000000000L)
+        dvP.land(Seq((-1L, -1L, sentinelTs(1)))
+          .toDF("event_id", "user_id", "tstamp"), "b", 1000000060000L)
+        dvP.land(Seq((-2L, -1L, sentinelTs(2)))
+          .toDF("event_id", "user_id", "tstamp"), "c", 1000000120000L)
+        dvC.land(clicks, "a", 1000000000000L)
+        dvC.land(Seq((-1L, sentinelTs(1), 0.0))
+          .toDF("user_id", "tstamp", "value"), "b", 1000000060000L)
+        dvC.land(Seq((-1L, sentinelTs(2), 0.0))
+          .toDF("user_id", "tstamp", "value"), "c", 1000000120000L)
+        val root = dvP.root
+        val out = s"$root/out"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val sp = s.readStream.schema(purchases.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dvP.dropDir)
+          val sc = s.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dvC.dropDir)
+          val q = graft.streaming.StreamOps
+            .intervalJoin(sp, sc, key = "user_id", lookback = "1 hour",
+              watermark = "10 minutes", joinType = "leftOuter")
+            .select(col("l.event_id").as("event_id"),
+              col("l.user_id").as("user_id"), col("r.value").as("value"))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must be a no-op
+        s.read.parquet(out).filter(col("user_id") =!= -1L)
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(count(col("value")).as("n_clicks"), // non-null = matched
+            ExactAgg.sumExact(col("value"), 4).as("click_value"))
+      },
+      oracle = Some(s"""
+        WITH p AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS ms
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_ms(ts) AS ms, value
+          FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               count(c.value) AS n_clicks,
+               ${ExactAgg.sqlSum("c.value", 4)} AS click_value
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms
+        GROUP BY 1, 2""")),
+
     // Event-transition matrix (first-order Markov counts): per-user
     // event sequences → (from, to) bigram counts with transition
     // probability. Sequence order is event_id (the generator's arrival

@@ -376,7 +376,134 @@ object IngestionQueries {
         UNION ALL
         SELECT doc_id, 'meta.json', CAST(32 AS BIGINT), '0', mt + 1,
                CAST(1536 AS BIGINT)
-        FROM g"""))
+        FROM g""")),
+
+    // PAX tar walk (q221) — the format dataset tarballs ACTUALLY ship
+    // in (CPython tarfile has defaulted to PAX since 3.8): every doc's
+    // first entry carries a 112-151-char shard name that cannot fit the
+    // plain field, so the engine's writer emits an 'x' extended header
+    // whose self-counting "path=" record the walker must parse and
+    // apply — the metadata block must NOT surface as a data row, and
+    // the stride over it shifts every later offset by 1024 bytes. The
+    // oracle derives the expected inventory from the seed formulas,
+    // INCLUDING that offset arithmetic (x-header block + one record
+    // block), so a walker that surfaced 'x' rows or mis-strode the
+    // metadata would change both the row count and every data_offset.
+    // Read side pinned against CPython tarfile three ways in TarSpec
+    // (PAX_FORMAT + GNU_FORMAT goldens read, own PAX output read BACK
+    // by tarfile during development), plus the size-override stride law.
+    "q221_pax_tar_walk" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val blobs = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+            col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.map { case (id, text, nChars) =>
+            val (s1, _) = MediaGen.seeds(text)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            def hex(in: String) = md.digest(in.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            val k = (1 + nChars % 4).toInt
+            val mtime = s1 % (1L << 30)
+            val shard = "data/shard-" + "s" * (95 + (s1 % 40).toInt) + ".jsonl"
+            graft.sources.Tar.TarBlob(id, graft.sources.Tar.write(Seq(
+              (shard, (hex(text) * k).getBytes("US-ASCII"), mtime),
+              ("meta.json", hex(text + ":meta").getBytes("US-ASCII"),
+                mtime + 1))))
+          })
+        graft.sources.Tar.entries(blobs).toDF()
+          .select(col("blob_id").as("doc_id"), col("entry_name"),
+            col("size"), col("type_flag"), col("mtime"),
+            col("data_offset"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 CAST(32 * (1 + n_chars % 4) AS BIGINT) AS size1,
+                 CAST(${OracleSql.sqlHash60("coalesce(text, '')")}
+                   % 1073741824 AS BIGINT) AS mt,
+                 CAST(${OracleSql.sqlHash60("coalesce(text, '')")}
+                   % 40 AS BIGINT) AS ext
+          FROM documents)
+        -- x-header block (512) + one record block (512) precede the
+        -- entry header: data offsets shift by 1024 vs the plain layout
+        SELECT doc_id,
+               'data/shard-' || repeat('s', CAST(95 + ext AS INT))
+                 || '.jsonl' AS entry_name,
+               size1 AS size, '0' AS type_flag, mt AS mtime,
+               CAST(1536 AS BIGINT) AS data_offset
+        FROM g
+        UNION ALL
+        SELECT doc_id, 'meta.json', CAST(32 AS BIGINT), '0', mt + 1,
+               CAST(2560 AS BIGINT)
+        FROM g""")),
+
+    // tar.gz composition (q222) — the shape dataset dumps ACTUALLY ship
+    // in: a ustar archive inside a gzip member. The walk chains both
+    // layers on the scan task: Gzip.members parses the RFC 1952 framing
+    // and CRC32/ISIZE-verifies the inflate, then Tar.parse walks the
+    // recovered archive — entry offsets are coordinates INSIDE the
+    // member's inflated payload, exactly how a range-reader would
+    // address them. The oracle derives both layers from the other end:
+    // tar offsets from the ustar block arithmetic, the gzip member
+    // length from header/trailer arithmetic around a CPython-zlib
+    // deflate size (fixtures/targz_oracle.parquet — the tar bytes
+    // rebuilt there with CPython's OWN tarfile, verified byte-identical
+    // to the engine writer's, so the fixture is independent of both the
+    // Scala tar writer AND the JVM deflater).
+    "q222_targz_walk" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val rows = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+            col("n_chars"))
+          .as[(Long, String, Long)]
+          .mapPartitions(_.flatMap { case (id, text, nChars) =>
+            val (s1, _) = MediaGen.seeds(text)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            def hex(in: String) = md.digest(in.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            val k = (1 + nChars % 4).toInt
+            val mtime = s1 % (1L << 30)
+            val tar = graft.sources.Tar.write(Seq(
+              ("doc.txt", (hex(text) * k).getBytes("US-ASCII"), mtime),
+              ("meta.json", hex(text + ":meta").getBytes("US-ASCII"),
+                mtime + 1)))
+            val blob = graft.sources.Gzip.writeMember(tar, Some("doc.tar"))
+            graft.sources.Gzip.members(blob).flatMap { m =>
+              graft.sources.Tar.parse(id, m.data).map(e =>
+                TarGzEntry(id, m.name, m.member_len, m.crc_ok,
+                  m.uncomp_len, e.entry_name, e.size, e.mtime,
+                  e.data_offset))
+            }
+          })
+        rows.toDF()
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 md5(coalesce(text, '')) AS pd,
+                 CAST(32 * (1 + n_chars % 4) AS BIGINT) AS size1,
+                 CAST(${OracleSql.sqlHash60("coalesce(text, '')")}
+                   % 1073741824 AS BIGINT) AS mt
+          FROM documents),
+        j AS ( -- gzip member length: 10-byte header + FNAME("doc.tar")
+               -- + NUL + raw deflate + 8-byte trailer
+          SELECT g.*, CAST(10 + 7 + 1 + f.deflate_len + 8 AS BIGINT)
+                   AS member_len
+          FROM g JOIN read_parquet('/root/repo/fixtures/targz_oracle.parquet') f
+            ON g.pd = f.text_md5)
+        SELECT doc_id, 'doc.tar' AS member_name, member_len,
+               TRUE AS crc_ok, CAST(3072 AS BIGINT) AS uncomp_len,
+               'doc.txt' AS entry_name, size1 AS size, mt AS mtime,
+               CAST(512 AS BIGINT) AS data_offset
+        FROM j
+        UNION ALL
+        SELECT doc_id, 'doc.tar', member_len, TRUE, CAST(3072 AS BIGINT),
+               'meta.json', CAST(32 AS BIGINT), mt + 1,
+               CAST(1536 AS BIGINT)
+        FROM j"""))
   )
 
   // ZIP central-directory walk (q202) — kept in its own block for the
@@ -665,3 +792,12 @@ object IngestionQueries {
     )
   }
 }
+
+/** One q222 output row: gzip-member coordinates (outer layer) joined to
+  * the tar entry recovered from the member's inflated payload (inner
+  * layer), produced in a single scan-task pass.
+  */
+private[queries] case class TarGzEntry(
+    doc_id: Long, member_name: String, member_len: Long, crc_ok: Boolean,
+    uncomp_len: Long, entry_name: String, size: Long, mtime: Long,
+    data_offset: Long)

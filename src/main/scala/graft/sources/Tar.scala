@@ -20,10 +20,20 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * header otherwise mis-strides and silently truncates the walk).
   * End of archive = two consecutive zero blocks.
   *
-  * Scope: ustar + the old GNU variant (magic "ustar  \0" — CPython's
-  * tarfile default output); one blob per task, zero shuffles
-  * ([[Warc.records]] / [[Zip.entries]] posture). Malformation — bad
-  * checksum, non-octal size, truncated data, missing terminator —
+  * Scope: ustar, the old GNU variant (magic "ustar  \0"), PAX
+  * (POSIX.1-2001) extended headers, and GNU long names. PAX `x`
+  * (per-file) and `g` (global) entries carry `"%d keyword=value\n"`
+  * records whose length field counts ITSELF — the walk parses them and
+  * applies `path`/`size`/`mtime`/`linkpath` overrides to the entries
+  * they govern instead of surfacing the metadata blocks as data rows
+  * (CPython's tarfile has DEFAULTED to PAX since 3.8, so HF-style
+  * dataset tarballs with >100-char paths carry these on every long
+  * entry). A PAX `size` override also drives the STRIDE — that is how
+  * >8 GiB members (past the 12-digit octal field) stay walkable. GNU
+  * `L`/`K` entries override the next entry's name/linkname the
+  * pre-POSIX way. One blob per task, zero shuffles ([[Warc.records]] /
+  * [[Zip.entries]] posture). Malformation — bad checksum, non-octal
+  * size, malformed PAX record, truncated data, missing terminator —
   * yields Nil (byte-walk totality law).
   */
 object Tar {
@@ -55,10 +65,53 @@ object Tar {
     if (any) v else -1L
   }
 
+  /** Parse a PAX extended-header payload: `"%d keyword=value\n"`
+    * records, the length prefix counting itself (POSIX.1-2001 §pax).
+    * None on any malformed record — a metadata block we cannot read
+    * governs entries we would then mis-name or mis-stride.
+    */
+  private def paxRecords(p: Array[Byte]): Option[Map[String, String]] = {
+    val m = Map.newBuilder[String, String]
+    var i = 0
+    while (i < p.length) {
+      var j = i
+      while (j < p.length && p(j) != ' ') j += 1
+      if (j >= p.length || j == i || j - i > 9) return None
+      var len = 0
+      var k = i
+      while (k < j) {
+        val c = p(k)
+        if (c < '0' || c > '9') return None
+        len = len * 10 + (c - '0')
+        k += 1
+      }
+      if (len <= 0 || i + len > p.length || p(i + len - 1) != '\n') return None
+      val rec = new String(p, j + 1, i + len - j - 2,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = rec.indexOf('=')
+      if (eq < 0) return None
+      m += rec.substring(0, eq) -> rec.substring(eq + 1)
+      i += len
+    }
+    Some(m.result())
+  }
+
   /** Walk one blob. Nil on any malformation (totality law). */
   def parse(blobId: Long, b: Array[Byte]): Seq[TarEntry] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
     var pos = 0
+    // metadata-entry state: PAX per-file ('x') and global ('g') records,
+    // GNU long name ('L'). Applied to the next data entry, then cleared.
+    var pend: Map[String, String] = Map.empty
+    var global: Map[String, String] = Map.empty
+    var gnuName: Option[String] = None
+    def paxLong(v: String): Long = {
+      // PAX numeric values may carry a fraction (tarfile writes float
+      // mtimes); the integral part is what the header octal would hold
+      val dot = v.indexOf('.')
+      val intPart = if (dot < 0) v else v.substring(0, dot)
+      try intPart.toLong catch { case _: NumberFormatException => -1L }
+    }
     def zeroBlock(off: Int): Boolean = {
       if (off + 512 > b.length) return false
       var i = off
@@ -103,15 +156,53 @@ object Tar {
       val tf = (b(pos + 156) & 0xff).toChar
       val typeFlag = if (tf == 0) "0" else tf.toString
       val dataOff = pos + 512
+      // A PAX size override REPLACES the header octal for both the
+      // emitted size and the stride (that is how >8 GiB members, past
+      // the 12-digit field, stay walkable); metadata entries always
+      // stride by their own header size.
+      val isMeta = tf == 'x' || tf == 'g' || tf == 'L' || tf == 'K'
+      val effSize =
+        if (isMeta) size
+        else pend.get("size").orElse(global.get("size")) match {
+          case Some(v) => val s = paxLong(v); if (s < 0) return Nil else s
+          case None => size
+        }
       // Stride arithmetic in Long: the 12-digit octal size field encodes
       // values up to 8^11-1 (~8 GiB), so dataBlocks*512 in Int wraps — a
       // forged size near 4 GiB would stall pos (infinite loop) or march
       // it negative. Untrusted crawl tarballs make this reachable (the
       // checksum is trivially forgeable), so the bound check must not
       // itself overflow.
-      val next = dataOff.toLong + ((size + 511L) / 512L) * 512L
+      val next = dataOff.toLong + ((effSize + 511L) / 512L) * 512L
       if (next > b.length) return Nil // truncated (or absurd size)
-      out += TarEntry(blobId, name, size, typeFlag, mtime, dataOff.toLong)
+      tf match {
+        case 'x' | 'g' => // PAX metadata: parse records, surface nothing
+          paxRecords(java.util.Arrays.copyOfRange(b, dataOff,
+            dataOff + size.toInt)) match {
+            case None => return Nil // unreadable metadata governs entries
+            case Some(recs) =>
+              if (tf == 'x') pend ++= recs else global ++= recs
+          }
+        case 'L' => // GNU long name: payload is the next entry's name
+          var n = 0
+          val cap = size.toInt
+          while (n < cap && b(dataOff + n) != 0) n += 1
+          gnuName = Some(new String(b, dataOff, n,
+            java.nio.charset.StandardCharsets.UTF_8))
+        case 'K' => () // GNU long linkname: consumed, not modeled
+        case _ =>
+          val effName = pend.get("path").orElse(gnuName)
+            .orElse(global.get("path")).getOrElse(name)
+          val effMtime =
+            pend.get("mtime").orElse(global.get("mtime")) match {
+              case Some(v) => val m = paxLong(v); if (m < 0) return Nil else m
+              case None => mtime
+            }
+          out += TarEntry(blobId, effName, effSize, typeFlag, effMtime,
+            dataOff.toLong)
+          pend = Map.empty
+          gnuName = None
+      }
       pos = next.toInt
     }
     out.toSeq // unreachable
@@ -125,12 +216,17 @@ object Tar {
     blobs.mapPartitions(_.flatMap(t => parse(t.blob_id, t.content)))
   }
 
-  /** Minimal ustar WRITER (the archival-sink twin of [[parse]]): plain
-    * files only, names ≤ 100 bytes, correct octal fields and header
-    * checksums, 512-padded payloads, double-zero-block terminator.
-    * Read side is pinned against CPython tarfile's output (TarSpec +
-    * fixtures/golden.tar); the writer round-trips through [[parse]] and
-    * its headers follow the identical field layout.
+  /** Minimal tar WRITER (the archival-sink twin of [[parse]]): plain
+    * files, correct octal fields and header checksums, 512-padded
+    * payloads, double-zero-block terminator. Names over 100 bytes are
+    * written the PAX way (the CPython-tarfile-default posture an
+    * HF-style dataset tarball ships in): an `x` extended header whose
+    * single `path=` record carries the full name — with the
+    * self-counting length prefix — followed by the entry header with
+    * the name truncated into the plain field. Read side is pinned
+    * against CPython tarfile's output (TarSpec + fixtures/golden.tar,
+    * golden_pax.tar, golden_gnu.tar); the writer round-trips through
+    * [[parse]] and its headers follow the identical field layout.
     */
   def write(entries: Seq[(String, Array[Byte], Long)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -144,19 +240,19 @@ object Tar {
       b(len - 1) = 0
       b
     }
-    entries.foreach { case (name, data, mtime) =>
-      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      require(nameB.length <= 100, s"name too long for the plain field: $name")
+    def header(nameB: Array[Byte], size: Long, mtime: Long,
+               typeflag: Char): Unit = {
+      require(nameB.length <= 100, "plain name field overflow")
       require(mtime >= 0, "mtime must be non-negative")
       val h = new Array[Byte](512)
       System.arraycopy(nameB, 0, h, 0, nameB.length)
       System.arraycopy(octalField(420 /* 0644 */, 8), 0, h, 100, 8)
       System.arraycopy(octalField(0, 8), 0, h, 108, 8) // uid
       System.arraycopy(octalField(0, 8), 0, h, 116, 8) // gid
-      System.arraycopy(octalField(data.length.toLong, 12), 0, h, 124, 12)
+      System.arraycopy(octalField(size, 12), 0, h, 124, 12)
       System.arraycopy(octalField(mtime, 12), 0, h, 136, 12)
       java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
-      h(156) = '0'
+      h(156) = typeflag.toByte
       System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
       h(262) = 0; h(263) = '0'; h(264) = '0' // ustar\0 + version "00"
       var sum = 0L
@@ -168,9 +264,28 @@ object Tar {
       System.arraycopy(ck, 0, h, 148, 7)
       h(155) = ' '
       out.write(h)
+    }
+    def payload(data: Array[Byte]): Unit = {
       out.write(data)
-      val pad = (512 - data.length % 512) % 512
-      out.write(new Array[Byte](pad))
+      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    entries.foreach { case (name, data, mtime) =>
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (nameB.length > 100) {
+        // "%d path=<name>\n" — the length prefix counts itself, so the
+        // digit count must be found by fixpoint (112→3 digits, etc.)
+        val base = 7 + nameB.length // ' ' + "path=" + name + '\n'
+        var digits = 1
+        while (String.valueOf(base + digits).length != digits) digits += 1
+        val rec = base + digits
+        val recB = (rec.toString + " path=").getBytes("US-ASCII") ++
+          nameB ++ Array('\n'.toByte)
+        require(recB.length == rec, "pax record arithmetic")
+        header("PaxHeaders/x".getBytes("US-ASCII"), rec.toLong, mtime, 'x')
+        payload(recB)
+        header(nameB.take(100), data.length.toLong, mtime, '0')
+      } else header(nameB, data.length.toLong, mtime, '0')
+      payload(data)
     }
     out.write(new Array[Byte](1024)) // two zero blocks
     out.toByteArray

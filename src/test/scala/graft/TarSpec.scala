@@ -75,6 +75,109 @@ class TarSpec extends SparkSpec {
     assert(Tar.parse(6L, "just some text".getBytes).isEmpty)
   }
 
+  private lazy val goldenPax =
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/golden_pax.tar"))
+
+  private lazy val goldenGnu =
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/golden_gnu.tar"))
+
+  test("PAX archive (CPython tarfile's default format): 'x' metadata " +
+    "blocks apply path overrides to the entries they govern and never " +
+    "surface as data rows") {
+    val got = Tar.parse(11L, goldenPax)
+    val shard = "corpus/shard-" + "x" * 120 + ".jsonl"
+    assert(got.map(e => (e.entry_name, e.size, e.type_flag, e.mtime,
+      e.data_offset)) == Seq(
+      ("corpus/short.txt", 12L, "0", 1700000100L, 512L),
+      (shard, 88L, "0", 1700000101L, 2560L),
+      ("corpus/after.txt", 23L, "0", 1700000102L, 3584L), // no leak
+      ("corpus/naïve-ñame.txt", 10L, "0", 1700000103L, 5632L)))
+    // payload readback via the reported offsets: strides over the
+    // metadata blocks are real
+    val s = got(1)
+    assert(new String(goldenPax, s.data_offset.toInt, s.size.toInt,
+      "US-ASCII") == "long-basename payload\n" * 4)
+  }
+
+  test("GNU long-name archive: 'L' entries rename the next entry and " +
+    "never surface as data rows") {
+    val got = Tar.parse(12L, goldenGnu)
+    val long = "g/" + "y" * 140 + "/tail.bin"
+    assert(got.map(e => (e.entry_name, e.size, e.mtime, e.data_offset)) ==
+      Seq(("a.txt", 6L, 1700000200L, 512L),
+        (long, 21L, 1700000201L, 2560L),
+        ("z.txt", 6L, 1700000202L, 3584L)))
+    val l = got(1)
+    assert(new String(goldenGnu, l.data_offset.toInt, l.size.toInt,
+      "US-ASCII") == "gnu long-link payload")
+  }
+
+  test("own writer emits PAX x-headers for >100-byte names and " +
+    "round-trips through the walker at the computed offsets") {
+    val long = "nested/" + "a" * 120 + ".jsonl"
+    val bytes = Tar.write(Seq((long, "payload".getBytes, 5L),
+      ("s.txt", "x".getBytes, 6L)))
+    val got = Tar.parse(15L, bytes)
+    // x header at 0, 1-block record, entry header at 1024, data at 1536
+    assert(got.map(e => (e.entry_name, e.size, e.mtime, e.data_offset)) ==
+      Seq((long, 7L, 5L, 1536L), ("s.txt", 1L, 6L, 2560L)))
+  }
+
+  /** Raw 512-byte header with a correct checksum — for shapes the
+    * engine's plain-file writer refuses to emit (metadata typeflags,
+    * size-field/PAX disagreements).
+    */
+  private def rawHeader(name: String, sizeField: Long, mtime: Long,
+                        typeflag: Char): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes("UTF-8")
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def oct(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val p = ("0" * (len - 1 - s.length)) + s
+      for (i <- 0 until len - 1) h(off + i) = p.charAt(i).toByte
+    }
+    oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+    oct(sizeField, 124, 12); oct(mtime, 136, 12)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    h(156) = typeflag.toByte
+    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+    h(263) = '0'; h(264) = '0'
+    var sum = 0L
+    for (i <- 0 until 512) sum += h(i) & 0xff
+    oct(sum, 148, 7); h(155) = ' '
+    h
+  }
+
+  test("a PAX size override drives BOTH the reported size and the " +
+    "stride (the >8GiB-member mechanism), and a malformed PAX record " +
+    "fails the whole walk closed") {
+    def pad(d: Array[Byte]) = d ++ new Array[Byte]((512 - d.length % 512) % 512)
+    val rec = "12 size=600\n" // the length prefix counts itself
+    require(rec.length == 12)
+    val payload = Array.tabulate[Byte](600)(_.toByte)
+    val tail = Tar.write(Seq(("after.txt", "post".getBytes, 9L)))
+    val blob =
+      rawHeader("PaxHeaders.0/big.bin", rec.length.toLong, 1L, 'x') ++
+        pad(rec.getBytes("US-ASCII")) ++
+        rawHeader("big.bin", 0L, 2L, '0') ++ // header FIELD says zero
+        pad(payload) ++ tail
+    val got = Tar.parse(13L, blob)
+    // size comes from the override; after.txt is only reachable if the
+    // stride ALSO used the override (a 0-size stride would desync)
+    assert(got.map(e => (e.entry_name, e.size)) ==
+      Seq(("big.bin", 600L), ("after.txt", 4L)))
+    // malformed record (length prefix lies) → Nil, not a partial walk
+    val bad = "7 size=600\n"
+    val blob2 =
+      rawHeader("PaxHeaders.0/big.bin", bad.length.toLong, 1L, 'x') ++
+        pad(bad.getBytes("US-ASCII")) ++
+        rawHeader("big.bin", 0L, 2L, '0') ++ pad(payload) ++ tail
+    assert(Tar.parse(14L, blob2).isEmpty)
+  }
+
   test("a forged near-4GiB size with a VALID checksum fails closed " +
     "(Int stride arithmetic would stall the walk forever)") {
     val good = Tar.write(Seq(("x.txt", "payload".getBytes, 1L)))
