@@ -1058,6 +1058,47 @@ object SimilarityQueries {
       },
       oracle = Some(ivfIndexedOracle)),
 
+    // STREAMING IVF index maintenance — q197's append ≡ rebuild law
+    // through the LIVE stream machinery: the corpus arrives as three
+    // mtimes-ordered vector deliveries, each micro-batch assigns to the
+    // frozen centroids and lands hive-partitioned under
+    // batch=<id>/cluster_id=<k> (per-batch dirs overwritten on replay —
+    // the at-rest idempotency discipline), and the partition-pruned
+    // search over the drained index must return EXACTLY the q134
+    // full-rebuild answer. Drain ×2 from one checkpoint: the replay
+    // adds no files, so any non-idempotent append would double rows and
+    // flip the hash.
+    "q224_ivf_stream_append" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val e = Engine.table(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") % 101 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            Similarity.asDouble(col("embedding")).as("cv"))
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        val vecs = e.select(col("vec_id"), col("embedding"))
+        val dv = new StreamDeliveries("graft_q224_ivf")
+        dv.land(vecs.filter(pmod(col("vec_id"), lit(3)) === 0), "a",
+          1000000000000L)
+        dv.land(vecs.filter(pmod(col("vec_id"), lit(3)) === 1), "b",
+          1000000060000L)
+        dv.land(vecs.filter(pmod(col("vec_id"), lit(3)) === 2), "c",
+          1000000120000L)
+        val idx = s"${dv.root}/index"; val chk = s"${dv.root}/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
+          graft.streaming.StreamOps.ivfAppendStream(stream, centroids,
+            "embedding", "vec_id", idx, chk, Some(Trigger.AvailableNow()))
+            .awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must be a no-op
+        Similarity.searchIvfIndex(s, idx, queries, "embedding", "vec_id",
+          centroids, k = 3, nprobe = 3)
+      },
+      oracle = Some(ivfIndexedOracle)),
+
     // Streaming k-means epoch fold (promoted from spec-only in round 7):
     // the corpus arrives as an ARBITRARY batch split (here 3 foreachBatch
     // deliveries via the stream's own kmeansIterBatch), each batch

@@ -137,6 +137,40 @@ object StreamOps {
     ()
   }
 
+  /** STREAMING IVF index maintenance — [[graft.operators.Similarity
+    * .appendToIvfIndex]] married to the at-rest batch discipline:
+    * vectors arrive as a stream, every micro-batch assigns against the
+    * FROZEN centroid matrix (a pure function of vector and centroids,
+    * so placement is identical to a full rebuild) and lands
+    * hive-partitioned inside `indexPath/batch=<id>/cluster_id=<k>/`.
+    * The per-batch directory is OVERWRITTEN on replay — crash-and-
+    * replay rewrites the same paths, so a drained stream's index equals
+    * the never-crashed one file-set for file-set. Search stays
+    * [[graft.operators.Similarity.searchIvfIndex]]: `cluster_id` is
+    * still a partition column (one level down), so the probed-list
+    * `isin` filter prunes unprobed list directories inside EVERY batch
+    * at planning time; the `batch` column is incidental and dropped by
+    * the projection. Compaction story: fold old `batch=N` levels with
+    * `Engine.compact` per list, exactly the band-key store's discipline.
+    */
+  def ivfAppendStream(vectors: DataFrame, centroids: DataFrame,
+                      vec: String, id: String, indexPath: String,
+                      checkpoint: String,
+                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ivfAssign(batch, centroids, vec, id)
+          .select(col("vid").as("neighbor_id"), col("v").as("cv2"),
+            col("cluster_id"))
+          .write.mode("overwrite").partitionBy("cluster_id")
+          .parquet(s"$indexPath/batch=$batchId")
+        ()
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
   /** Compact the [[nearDupIngest]] band-key store — the (band, sig)
     * instance of [[compactBatchStore]]; see there for the fold, replay,
     * and crash-safety contract. Files come back hash-clustered and
