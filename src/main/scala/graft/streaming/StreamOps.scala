@@ -161,14 +161,24 @@ object StreamOps {
     val writer = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.ivfAssign(batch, centroids, vec, id)
-          .select(col("vid").as("neighbor_id"), col("v").as("cv2"),
-            col("cluster_id"))
-          .write.mode("overwrite").partitionBy("cluster_id")
-          .parquet(s"$indexPath/batch=$batchId")
-        ()
+        ivfAppendBatch(batch, batchId, centroids, vec, id, indexPath)
       }
     trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** One micro-batch of [[ivfAppendStream]] — public so replay behavior
+    * is directly testable: calling it twice with the SAME batchId must
+    * leave the index unchanged (the second call is exactly what a
+    * crash-and-replay executes).
+    */
+  def ivfAppendBatch(batch: DataFrame, batchId: Long, centroids: DataFrame,
+                     vec: String, id: String, indexPath: String): Unit = {
+    graft.operators.Similarity.ivfAssign(batch, centroids, vec, id)
+      .select(col("vid").as("neighbor_id"), col("v").as("cv2"),
+        col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$indexPath/batch=$batchId")
+    ()
   }
 
   /** Compact the [[nearDupIngest]] band-key store — the (band, sig)

@@ -137,6 +137,42 @@ class ScaleToolkitSpec extends SparkSpec {
       s"append broke partition pruning:\n$plan")
   }
 
+  test("streamed IVF index (batch=N/cluster_id=K layout): replaying a " +
+      "batch is a no-op, and list pruning survives the extra level") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamOps
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val e = Engine.table(spark, sf(), "embeddings")
+    val centroids = e.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    StreamOps.ivfAppendBatch(e.filter(col("vec_id") % 2 === 0), 0L,
+      centroids, "embedding", "vec_id", s"$dir/idx")
+    StreamOps.ivfAppendBatch(e.filter(col("vec_id") % 2 === 1), 1L,
+      centroids, "embedding", "vec_id", s"$dir/idx")
+    val before = spark.read.parquet(s"$dir/idx")
+      .select(col("neighbor_id"), col("cluster_id").cast("long")).collect()
+      .map(_.toString).sorted.toSeq
+    // crash-and-replay: same batchId overwrites the same directory
+    StreamOps.ivfAppendBatch(e.filter(col("vec_id") % 2 === 1), 1L,
+      centroids, "embedding", "vec_id", s"$dir/idx")
+    val after = spark.read.parquet(s"$dir/idx")
+      .select(col("neighbor_id"), col("cluster_id").cast("long")).collect()
+      .map(_.toString).sorted.toSeq
+    assert(before == after, "replay must leave the index unchanged")
+    // search through the two-level layout ≡ in-flight, pruning intact
+    val viaIndex = Similarity.searchIvfIndex(spark, s"$dir/idx", queries,
+      "embedding", "vec_id", centroids, k = 3, nprobe = 2)
+    val inFlight = Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+      k = 3, centroids = centroids, nprobe = 2)
+    assert(viaIndex.exceptAll(inFlight).isEmpty &&
+      inFlight.exceptAll(viaIndex).isEmpty)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+      s"the batch level broke list pruning:\n$plan")
+  }
+
   test("partitioned layout prunes at planning time (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("parted").toString
     val orders = Engine.table(spark, sf(), "orders")
