@@ -1423,10 +1423,12 @@ object Multimodal {
   // level shift + clamp → per-component sums. The q179 segment walk
   // reads only the frame header; THIS is the payload decode behind it.
   //
-  // Scope: baseline (SOF0), 8-bit precision, 1 or 3 components at 1×1
-  // sampling (4:4:4 — every component carries one block per MCU), a
-  // single scan, no restart intervals, no progressive/hierarchical
-  // modes. Anything else → None (route to a full imaging stack);
+  // Scope: baseline (SOF0), 8-bit precision, 1 or 3 components with
+  // per-axis sampling factors 1 or 2 — 4:4:4, 4:2:2 AND 4:2:0 (the
+  // libjpeg/ImageIO color default), decoded with the full interleaved
+  // MCU structure (T.81 A.2.3: compH×compV data units per component
+  // per MCU) — a single scan, no restart intervals, no progressive/
+  // hierarchical modes. Anything else → None (route to a full stack);
   // malformation — truncated entropy stream, a marker mid-scan, a
   // missing table, bad lengths — also → None, never a partial sum. The
   // 2^26 pixel-count cap bounds adversarial allocation (PNG/GIF law).
@@ -1441,7 +1443,10 @@ object Multimodal {
   /** JPEG full-decode result. Components are the ENCODED planes (Y or
     * Y/Cb/Cr) — per-component sums, not RGB: the decode chain under
     * test is entropy+DCT, and color conversion would only add a second
-    * rounding surface on top of it. Grayscale rows carry 0 in c1/c2.
+    * rounding surface on top of it. Each component folds over its OWN
+    * resolution (subsampled chroma sums cover `ceil(w/2) × ceil(h/2)`
+    * values for 4:2:0 — see [[JpegRaster]]). Grayscale rows carry 0 in
+    * c1/c2.
     */
   case class JpegPixels(id: Long, width: Int, height: Int,
                         n_components: Int, sum_c0: Long, sum_c1: Long,
@@ -1593,15 +1598,21 @@ object Multimodal {
 
   /** Baseline JFIF encoder. `pixel(c, x, y)` supplies component `c`'s
     * sample (0–255) — for `nComp=1` a luma plane, for `nComp=3` the
-    * Y/Cb/Cr planes directly (no subsampling, no RGB conversion — see
-    * [[JpegPixels]]). Dims need not be block-aligned: edge samples are
-    * replicated into the partial blocks (the standard encoder posture —
-    * replication keeps the padded block's spectrum tame).
+    * Y/Cb/Cr planes directly (no RGB conversion — see [[JpegPixels]]).
+    * With `chroma420` the chroma accessors are sampled on the
+    * HALF-RESOLUTION grid (`ceil(w/2) × ceil(h/2)`) and Y carries 2×2
+    * sampling factors — the libjpeg/ImageIO color default, with the
+    * interleaved 4-Y+Cb+Cr MCU structure. Dims need not be
+    * block-aligned: edge samples are replicated into the partial
+    * blocks (the standard encoder posture — replication keeps the
+    * padded block's spectrum tame).
     */
   def encodeJpegBaseline(w: Int, h: Int, nComp: Int,
-                         pixel: (Int, Int, Int) => Int): Array[Byte] = {
+                         pixel: (Int, Int, Int) => Int,
+                         chroma420: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0, s"bad jpeg geometry ${w}x$h")
-    require(nComp == 1 || nComp == 3, s"baseline 4:4:4 encoder: 1 or 3 components, got $nComp")
+    require(nComp == 1 || nComp == 3, s"baseline encoder: 1 or 3 components, got $nComp")
+    require(!chroma420 || nComp == 3, "4:2:0 needs the 3-component layout")
     val out = new java.io.ByteArrayOutputStream(1024)
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v >> 8); w8(v) } // big-endian
@@ -1627,7 +1638,7 @@ object Multimodal {
     w8(8); w16(h); w16(w); w8(nComp) // precision, LINES first, then width
     for (c <- 0 until nComp) {
       w8(c + 1) // component id
-      w8(0x11) // 1×1 sampling: 4:4:4
+      w8(if (chroma420 && c == 0) 0x22 else 0x11) // sampling factors
       w8(if (c == 0) 0 else 1) // quant table
     }
 
@@ -1667,96 +1678,130 @@ object Multimodal {
         bitCnt -= 8
       }
     }
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
     val block = Array.ofDim[Double](8, 8)
     val tmp = Array.ofDim[Double](8, 8)
     val pred = new Array[Int](nComp)
     val zz = new Array[Int](64)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        var c = 0
-        while (c < nComp) { // 4:4:4 MCU: one block per component
-          val tsel = if (c == 0) 0 else 1
-          val q = if (c == 0) jpegQLuma else jpegQChroma
-          // load + level shift, edge-replicated. Matrices are row-major
-          // [v/y][u/x] — the orientation the zigzag sequence and DQT
-          // tables are defined in (natural index n = v*8 + u).
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              val px = math.min(bx * 8 + x, w - 1)
-              val py = math.min(by * 8 + y, h - 1)
-              block(y)(x) = (pixel(c, px, py) & 0xff) - 128.0
-              x += 1
-            }
-            y += 1
-          }
-          // forward DCT: tmp = C·s (over y), S = tmp·Cᵀ (over x)
-          var v = 0
-          while (v < 8) {
-            var x = 0
-            while (x < 8) {
-              var s = 0.0
-              var yy = 0
-              while (yy < 8) { s += dctC(v)(yy) * block(yy)(x); yy += 1 }
-              tmp(v)(x) = s
-              x += 1
-            }
-            v += 1
-          }
-          v = 0
-          while (v < 8) {
-            var uu = 0
-            while (uu < 8) {
-              var s = 0.0
-              var x = 0
-              while (x < 8) { s += tmp(v)(x) * dctC(uu)(x); x += 1 }
-              // quantize: floor(S/Q + 0.5) — the fixture mirrors this
-              block(v)(uu) = math.floor(s / q(v * 8 + uu) + 0.5)
-              uu += 1
-            }
-            v += 1
-          }
-          var k = 0
-          while (k < 64) { zz(k) = block(jpegZigzag(k) / 8)(jpegZigzag(k) % 8).toInt; k += 1 }
-          // DC: category + magnitude bits of the prediction diff
-          val diff = zz(0) - pred(c)
-          pred(c) = zz(0)
-          val s0 = jpegSsss(diff)
-          val (dcode, dlen) = dcCodes(tsel)(s0)
-          putBits(dcode, dlen)
-          if (s0 > 0)
-            putBits(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
-          // AC: (run, size) symbols with ZRL for 16-zero runs, EOB at end
-          var run = 0
-          k = 1
-          while (k < 64) {
-            val v = zz(k)
-            if (v == 0) run += 1
-            else {
-              while (run > 15) {
-                val (zc, zl) = acCodes(tsel)(0xf0); putBits(zc, zl); run -= 16
-              }
-              val s = jpegSsss(v)
-              val (ac, al) = acCodes(tsel)(run << 4 | s)
-              putBits(ac, al)
-              putBits(if (v >= 0) v else v + (1 << s) - 1, s)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) {
-            val (ec, el) = acCodes(tsel)(0x00); putBits(ec, el)
-          }
-          c += 1
+    // One 8×8 data unit of component `c` at block coords (bx, by) on
+    // that component's OWN grid, clamped to (cw, ch) — edge-replicated.
+    def emitBlock(c: Int, bx: Int, by: Int, cw: Int, ch: Int): Unit = {
+      val tsel = if (c == 0) 0 else 1
+      val q = if (c == 0) jpegQLuma else jpegQChroma
+      // load + level shift, edge-replicated. Matrices are row-major
+      // [v/y][u/x] — the orientation the zigzag sequence and DQT
+      // tables are defined in (natural index n = v*8 + u).
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val px = math.min(bx * 8 + x, cw - 1)
+          val py = math.min(by * 8 + y, ch - 1)
+          block(y)(x) = (pixel(c, px, py) & 0xff) - 128.0
+          x += 1
         }
-        bx += 1
+        y += 1
       }
-      by += 1
+      // forward DCT: tmp = C·s (over y), S = tmp·Cᵀ (over x)
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var yy = 0
+          while (yy < 8) { s += dctC(v)(yy) * block(yy)(x); yy += 1 }
+          tmp(v)(x) = s
+          x += 1
+        }
+        v += 1
+      }
+      v = 0
+      while (v < 8) {
+        var uu = 0
+        while (uu < 8) {
+          var s = 0.0
+          var x = 0
+          while (x < 8) { s += tmp(v)(x) * dctC(uu)(x); x += 1 }
+          // quantize: floor(S/Q + 0.5) — the fixture mirrors this
+          block(v)(uu) = math.floor(s / q(v * 8 + uu) + 0.5)
+          uu += 1
+        }
+        v += 1
+      }
+      var k = 0
+      while (k < 64) { zz(k) = block(jpegZigzag(k) / 8)(jpegZigzag(k) % 8).toInt; k += 1 }
+      // DC: category + magnitude bits of the prediction diff
+      val diff = zz(0) - pred(c)
+      pred(c) = zz(0)
+      val s0 = jpegSsss(diff)
+      val (dcode, dlen) = dcCodes(tsel)(s0)
+      putBits(dcode, dlen)
+      if (s0 > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+      // AC: (run, size) symbols with ZRL for 16-zero runs, EOB at end
+      var run = 0
+      k = 1
+      while (k < 64) {
+        val v = zz(k)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) {
+            val (zc, zl) = acCodes(tsel)(0xf0); putBits(zc, zl); run -= 16
+          }
+          val s = jpegSsss(v)
+          val (ac, al) = acCodes(tsel)(run << 4 | s)
+          putBits(ac, al)
+          putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) {
+        val (ec, el) = acCodes(tsel)(0x00); putBits(ec, el)
+      }
+    }
+    if (chroma420) {
+      // interleaved 4:2:0 MCU: four Y blocks (2×2), then Cb, then Cr
+      // on the half-resolution grid
+      val cw = (w + 1) / 2
+      val ch = (h + 1) / 2
+      val mcuCols = (w + 15) / 16
+      val mcuRows = (h + 15) / 16
+      var my = 0
+      while (my < mcuRows) {
+        var mx = 0
+        while (mx < mcuCols) {
+          var v = 0
+          while (v < 2) {
+            var u = 0
+            while (u < 2) {
+              emitBlock(0, mx * 2 + u, my * 2 + v, w, h)
+              u += 1
+            }
+            v += 1
+          }
+          emitBlock(1, mx, my, cw, ch)
+          emitBlock(2, mx, my, cw, ch)
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // 4:4:4 / grayscale: one block per component per MCU
+      val bw = (w + 7) / 8
+      val bh = (h + 7) / 8
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          var c = 0
+          while (c < nComp) {
+            emitBlock(c, bx, by, w, h)
+            c += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
     }
     if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) // 1-pad
     marker(0xd9) // EOI
@@ -1767,35 +1812,44 @@ object Multimodal {
     * anything outside it or on malformation; never a partial sum.
     */
   def parseJpegPixels(id: Long, b: Array[Byte]): Option[JpegPixels] =
-    decodeJpegPlanes(b).map { case (width, height, nComp, stride, planes) =>
+    decodeJpegPlanes(b).map { r =>
       val sums = new Array[Long](3)
       val tls = new Array[Int](3)
       var c = 0
-      while (c < nComp) {
-        val plane = planes(c)
+      while (c < r.nComp) {
+        val plane = r.planes(c)
         var s = 0L
         var y = 0
-        while (y < height) {
+        while (y < r.compH(c)) {
           var x = 0
-          val row = y * stride
-          while (x < width) { s += plane(row + x) & 0xff; x += 1 }
+          val row = y * r.strides(c)
+          while (x < r.compW(c)) { s += plane(row + x) & 0xff; x += 1 }
           y += 1
         }
         sums(c) = s
         tls(c) = plane(0) & 0xff
         c += 1
       }
-      JpegPixels(id, width, height, nComp, sums(0), sums(1), sums(2),
+      JpegPixels(id, r.width, r.height, r.nComp, sums(0), sums(1), sums(2),
         tls(0), tls(1), tls(2))
     }
 
+  /** Decoded component planes. Each plane is block-padded to
+    * `strides(c) × (MCU rows × compV(c) × 8)`; the valid region is
+    * `compW(c) × compH(c)` — FULL image resolution for components at
+    * the maximum sampling factors, subsampled for the rest (e.g. 4:2:0
+    * chroma is `ceil(w/2) × ceil(h/2)`). Sums in [[JpegPixels]] fold
+    * each component over its OWN valid region.
+    */
+  private[graft] case class JpegRaster(width: Int, height: Int, nComp: Int,
+      compW: Array[Int], compH: Array[Int], strides: Array[Int],
+      planes: Array[Array[Byte]])
+
   /** The raster-level decode behind [[parseJpegPixels]] — exposed to the
-    * spec for per-pixel cross-pinning against javax.imageio. Returns
-    * (width, height, nComp, stride, planes); planes are block-padded to
-    * `stride × ceil(h/8)*8`, valid region is `width × height`.
+    * spec for per-pixel cross-pinning against javax.imageio.
     */
   private[graft] def decodeJpegPlanes(b: Array[Byte])
-      : Option[(Int, Int, Int, Int, Array[Array[Byte]])] = {
+      : Option[JpegRaster] = {
     def u(i: Int) = if (i >= 0 && i < b.length) b(i) & 0xff else -1
     def be16(i: Int) = { val hi = u(i); val lo = u(i + 1); if (hi < 0 || lo < 0) -1 else hi << 8 | lo }
     if (u(0) != 0xff || u(1) != 0xd8) return None // SOI
@@ -1806,6 +1860,8 @@ object Multimodal {
     var height = 0
     var nComp = 0
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var sofSeen = false
     var pos = 2
     var scanAt = -1 // first entropy byte
@@ -1830,11 +1886,20 @@ object Multimodal {
           if (nComp != 1 && nComp != 3) return None
           if (len != 8 + 3 * nComp) return None
           compQ = new Array[Int](nComp)
+          compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp)
           for (c <- 0 until nComp) {
-            if (u(pos + 8 + 3 * c + 1) != 0x11) return None // 1×1 only
+            compH(c) = u(pos + 8 + 3 * c + 1) >> 4
+            compV(c) = u(pos + 8 + 3 * c + 1) & 0x0f
+            // sampling factors 1 or 2 per axis cover 4:4:4, 4:2:2 and
+            // 4:2:0 — everything the web's baseline encoders emit;
+            // exotic ratios route to a full stack
+            if (compH(c) < 1 || compH(c) > 2 ||
+              compV(c) < 1 || compV(c) > 2) return None
             compQ(c) = u(pos + 8 + 3 * c + 2)
             if (compQ(c) > 3) return None
           }
+          if (nComp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
           sofSeen = true
           pos += len
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
@@ -1970,19 +2035,37 @@ object Multimodal {
       if (v < (1 << (ssss - 1))) v - (1 << ssss) + 1 else v
     }
     // ---- MCU loop: dequantize → IDCT → level shift into planes ----------
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Byte](bw * 8 * bh * 8))
+    // Interleaved MCU structure (T.81 A.2.3): per MCU, component c
+    // contributes compH(c)×compV(c) data units on ITS OWN grid; the MCU
+    // grid is sized by the maximum sampling factors. For 4:4:4 and
+    // grayscale this degenerates to one block per component per MCU.
+    val hMax = compH.max
+    val vMax = compV.max
+    val mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
+    val strides = Array.tabulate(nComp)(c => mcuCols * compH(c) * 8)
+    val compWpx = Array.tabulate(nComp)(c =>
+      (width * compH(c) + hMax - 1) / hMax)
+    val compHpx = Array.tabulate(nComp)(c =>
+      (height * compV(c) + vMax - 1) / vMax)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Byte](strides(c) * mcuRows * compV(c) * 8))
     val pred = new Array[Int](nComp)
     val coef = Array.ofDim[Double](8, 8)
     val tmp = Array.ofDim[Double](8, 8)
-    var by = 0
-    while (by < bh && !broken) {
-      var bx = 0
-      while (bx < bw && !broken) {
+    var my = 0
+    while (my < mcuRows && !broken) {
+      var mx = 0
+      while (mx < mcuCols && !broken) {
         var c = 0
         while (c < nComp && !broken) {
           val q = qt(compQ(c))
+          var dv = 0
+          while (dv < compV(c) && !broken) {
+          var du = 0
+          while (du < compH(c) && !broken) {
+          val bx = mx * compH(c) + du
+          val by = my * compV(c) + dv
           java.util.Arrays.fill(coef(0), 0.0)
           var i = 1
           while (i < 8) { java.util.Arrays.fill(coef(i), 0.0); i += 1 }
@@ -2026,6 +2109,7 @@ object Multimodal {
                 y += 1
               }
               val plane = planes(c)
+              val stride = strides(c)
               y = 0
               while (y < 8) {
                 var x = 0
@@ -2035,24 +2119,28 @@ object Multimodal {
                   while (uu < 8) { s += tmp(y)(uu) * dctC(uu)(x); uu += 1 }
                   val px = math.floor(s + 128.5).toInt // round(s+128)
                   val clamped = if (px < 0) 0 else if (px > 255) 255 else px
-                  plane((by * 8 + y) * bw * 8 + bx * 8 + x) = clamped.toByte
+                  plane((by * 8 + y) * stride + bx * 8 + x) = clamped.toByte
                   x += 1
                 }
                 y += 1
               }
             }
           }
+          du += 1
+          }
+          dv += 1
+          }
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     if (broken) return None
     // after the last MCU: only pad bits, then EOI (trailing garbage is
     // tolerated after a well-formed EOI, as real writers emit exactly it)
     if (!(u(bpos) == 0xff && u(bpos + 1) == 0xd9)) return None
-    Some((width, height, nComp, bw * 8, planes))
+    Some(JpegRaster(width, height, nComp, compWpx, compHpx, strides, planes))
   }
 
   /** Total decode outcome for JPEG (PNG/GIF posture): one row per

@@ -77,6 +77,22 @@ private[queries] object MediaGen {
         ((s2 + (7L + 5L * c) * y + (11L + 2L * c) * x + 31L * c) % 256).toInt)
   }
 
+  /** The 4:2:0 twin of [[jpegFor]]: always 3-component color with Y at
+    * 2×2 sampling and chroma generated DIRECTLY on the half-resolution
+    * grid — the interleaved 4-Y+Cb+Cr MCU layout the web's baseline
+    * encoders default to. Same dims range; non-16-aligned dims give
+    * partial MCUs on most rows.
+    */
+  def jpeg420For(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (8 + s1 % 17).toInt
+    val h = (8 + s2 % 13).toInt
+    graft.operators.Multimodal.encodeJpegBaseline(w, h, 3,
+      (c, x, y) =>
+        ((s2 + (7L + 5L * c) * y + (11L + 2L * c) * x + 31L * c) % 256).toInt,
+      chroma420 = true)
+  }
+
   /** 4–14 × 4–10 (even) Y4M clip, 3–10 frames. Even-s1 docs carry full
     * 4:2:0 chroma planes (which the luma walk must STRIDE over — a
     * mis-stride desyncs every later FRAME marker); odd-s1 docs are
@@ -1208,7 +1224,52 @@ object MultimodalQueries {
         FROM documents d
         JOIN read_parquet('/root/repo/fixtures/media_jpeg_oracle.parquet') f
           ON md5(coalesce(d.text, '')) = f.text_md5"""),
-      headline = true)
+      headline = true),
+
+    // The 4:2:0 half of the JPEG surface — the SUBSAMPLED layout the
+    // web's baseline encoders (libjpeg, ImageIO) actually default to:
+    // Y at 2×2 sampling, chroma on the half-resolution grid, and the
+    // interleaved 4-Y+Cb+Cr MCU structure sharing one entropy stream
+    // and per-component DC predictors. A single mis-placed data unit
+    // desyncs everything after it, so the q219-style double pin
+    // (fixture-predicted exact bytes + decoded per-component sums,
+    // chroma folded over its OWN ceil(w/2)×ceil(h/2) region) proves
+    // the whole interleave. Format additionally pinned against
+    // javax.imageio both directions on the full-resolution luma plane
+    // in MultimodalSpec (chroma upsampling filters are not
+    // spec-mandated, so luma is the clean cross-codec signal).
+    "q225_jpeg420_full_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val bytes = MediaGen.jpeg420For(text)
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map(b => f"$b%02x").mkString
+            Multimodal.parseJpegPixels(id, bytes).map(px =>
+              JpegDecodeStat(id, px.width, px.height, px.n_components,
+                bytes.length.toLong, md, px.sum_c0, px.sum_c1, px.sum_c2,
+                px.tl_c0, px.tl_c1, px.tl_c2))
+          }).toDF()
+          .withColumn("mean_c0", round(col("sum_c0").cast("double") /
+            (col("width") * col("height")), 4))
+      },
+      oracle = Some("""
+        SELECT d.doc_id,
+               f.jpeg_width AS width, f.jpeg_height AS height,
+               3 AS n_components,
+               f.jpeg_size, f.jpeg_md5,
+               f.jpeg_sum_c0 AS sum_c0, f.jpeg_sum_c1 AS sum_c1,
+               f.jpeg_sum_c2 AS sum_c2,
+               f.jpeg_tl_c0 AS tl_c0, f.jpeg_tl_c1 AS tl_c1,
+               f.jpeg_tl_c2 AS tl_c2,
+               round(CAST(f.jpeg_sum_c0 AS DOUBLE)
+                 / (f.jpeg_width * f.jpeg_height), 4) AS mean_c0
+        FROM documents d
+        JOIN read_parquet('/root/repo/fixtures/media_jpeg420_oracle.parquet') f
+          ON md5(coalesce(d.text, '')) = f.text_md5"""))
   )
 }
 

@@ -687,8 +687,9 @@ class MultimodalSpec extends SparkSpec {
       val bytes = Multimodal.encodeJpegBaseline(w, h, nc, pix)
       val dec = Multimodal.decodeJpegPlanes(bytes)
       assert(dec.isDefined, s"own decode must succeed (${w}x$h nc=$nc)")
-      val (dw, dh, dn, stride, planes) = dec.get
-      assert(dw == w && dh == h && dn == nc)
+      val r = dec.get
+      val (stride, planes) = (r.strides(0), r.planes)
+      assert(r.width == w && r.height == h && r.nComp == nc)
       // ImageIO readRaster: raw component samples, no color conversion —
       // the apples-to-apples comparison for encoded-plane values. T.81
       // does not mandate a bit-exact IDCT, hence the ±1 tolerance.
@@ -722,8 +723,9 @@ class MultimodalSpec extends SparkSpec {
     val bytes = bos.toByteArray
     val dec = Multimodal.decodeJpegPlanes(bytes)
     assert(dec.isDefined, "ImageIO's baseline grayscale must decode")
-    val (dw, dh, dn, stride, planes) = dec.get
-    assert(dw == w && dh == h && dn == 1)
+    val r = dec.get
+    val (stride, planes) = (r.strides(0), r.planes)
+    assert(r.width == w && r.height == h && r.nComp == 1)
     val back = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
     for (y <- 0 until h; x <- 0 until w) {
@@ -731,6 +733,68 @@ class MultimodalSpec extends SparkSpec {
       val theirs = back.getRaster.getSample(x, y, 0)
       assert(math.abs(ours - theirs) <= 1, s"($x,$y): $ours vs $theirs")
     }
+  }
+
+  test("JPEG 4:2:0: own-encoder interleaved MCUs decode, and ImageIO " +
+    "agrees on the full-resolution LUMA plane within ±1 (chroma " +
+    "upsampling filters are not spec-mandated, so luma is the clean pin)") {
+    for ((w, h) <- Seq((16, 16), (32, 24), (17, 13), (24, 9))) {
+      def pix(c: Int, x: Int, y: Int): Int =
+        (53 + (7 + 5 * c) * y + (11 + 2 * c) * x + 31 * c) % 256
+      val bytes = Multimodal.encodeJpegBaseline(w, h, 3, pix,
+        chroma420 = true)
+      val dec = Multimodal.decodeJpegPlanes(bytes)
+      assert(dec.isDefined, s"own 4:2:0 decode must succeed (${w}x$h)")
+      val r = dec.get
+      assert(r.width == w && r.height == h && r.nComp == 3)
+      assert(r.compW(0) == w && r.compH(0) == h)
+      assert(r.compW(1) == (w + 1) / 2 && r.compH(1) == (h + 1) / 2)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+      rd.setInput(iis)
+      val raster = rd.readRaster(0, null)
+      assert(raster.getWidth == w && raster.getHeight == h &&
+        raster.getNumBands == 3)
+      // a single mis-decoded CHROMA block would desync the shared
+      // entropy stream and corrupt luma too — so the luma pin covers
+      // the whole interleave
+      for (y <- 0 until h; x <- 0 until w) {
+        val ours = r.planes(0)(y * r.strides(0) + x) & 0xff
+        val theirs = raster.getSample(x, y, 0)
+        assert(math.abs(ours - theirs) <= 1,
+          s"luma ($x,$y): $ours vs $theirs (${w}x$h)")
+      }
+      rd.dispose()
+    }
+  }
+
+  test("JPEG 4:2:0: ImageIO-ENCODED color bytes (its own tables, its " +
+    "own encoder) decode with luma matching ImageIO's raster within ±1") {
+    val (w, h) = (29, 22)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 11 + y * 7) % 256) << 16 |
+        ((x * 3 + y * 13) % 256) << 8 | ((x * 5 + y * 17) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val dec = Multimodal.decodeJpegPlanes(bytes)
+    assert(dec.isDefined, "ImageIO's default 4:2:0 color must decode")
+    val r = dec.get
+    assert(r.width == w && r.height == h && r.nComp == 3)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rd.setInput(iis)
+    val raster = rd.readRaster(0, null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = r.planes(0)(y * r.strides(0) + x) & 0xff
+      val theirs = raster.getSample(x, y, 0)
+      assert(math.abs(ours - theirs) <= 1, s"luma ($x,$y): $ours vs $theirs")
+    }
+    rd.dispose()
   }
 
   test("JPEG baseline: out-of-scope and malformed streams fail closed") {

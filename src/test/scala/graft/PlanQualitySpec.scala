@@ -751,6 +751,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q219 must not join:\n$p")
   }
 
+  test("q225 jpeg 4:2:0 decode: zero exchanges — same scan-task posture") {
+    val p = plan("q225_jpeg420_full_decode")
+    assert(!p.contains("Exchange"), s"q225 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q225 must not join:\n$p")
+  }
+
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {
     val p = plan("q178_doremi_weights")
     // one corpus partial-agg exchange; the tot/wqSum folds run over the
