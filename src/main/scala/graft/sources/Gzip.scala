@@ -92,7 +92,19 @@ object Gzip {
           while (p < b.length && b(p) != 0) p += 1
           p += 1
         }
-        if ((flg & FHCRC) != 0) p += 2
+        if ((flg & FHCRC) != 0) {
+          // RFC 1952 §2.3.1: CRC16 = low 16 bits of CRC-32 over all
+          // header bytes so far. VERIFIED, not skipped — a corrupted
+          // header with FHCRC set must end the walk here rather than
+          // feed garbage offsets to the inflater.
+          if (p + 2 > b.length) hdrOk = false
+          else {
+            val crc = new java.util.zip.CRC32
+            crc.update(b, pos, p - pos)
+            if (le16(b, p) != (crc.getValue & 0xffffL).toInt) hdrOk = false
+            p += 2
+          }
+        }
         if (!hdrOk || p >= b.length) ok = false
         else {
           val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate

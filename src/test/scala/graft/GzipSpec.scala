@@ -73,16 +73,31 @@ class GzipSpec extends SparkSpec {
     out.write(Array[Byte](3, 0, 1, 2, 3)) // FEXTRA: XLEN=3 + 3 bytes
     out.write("the-name".getBytes("US-ASCII")); out.write(0)
     out.write("a comment".getBytes("US-ASCII")); out.write(0)
-    out.write(Array[Byte](0x42, 0x42)) // FHCRC (not verified, strided)
+    // FHCRC: RFC 1952 CRC16 = low 16 bits of CRC-32 over the header so
+    // far — the walk VERIFIES it (round 9)
+    val hdr = out.toByteArray
+    val hcrc = new java.util.zip.CRC32; hcrc.update(hdr)
+    out.write((hcrc.getValue & 0xff).toInt)
+    out.write(((hcrc.getValue >> 8) & 0xff).toInt)
     out.write(cbuf, 0, clen)
     val crc = new java.util.zip.CRC32; crc.update(payload)
     val v = crc.getValue; val sz = payload.length.toLong
     Seq(v, sz).foreach { x =>
       (0 until 4).foreach(i => out.write(((x >> (8 * i)) & 0xff).toInt))
     }
-    val ms = Gzip.members(out.toByteArray)
+    val blob = out.toByteArray
+    val ms = Gzip.members(blob)
     assert(ms.size == 1 && ms.head.crc_ok && ms.head.name == "the-name")
     assert(new String(ms.head.data, "US-ASCII") == "full-flag member")
+    // ...and the JDK agrees the member is well-formed (it verifies
+    // FHCRC too), while a corrupted header CRC ends our walk
+    val gis = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val buf = new Array[Byte](64)
+    assert(new String(buf, 0, gis.read(buf), "US-ASCII") == "full-flag member")
+    val badHcrc = blob.clone()
+    badHcrc(hdr.length) = (badHcrc(hdr.length) ^ 0x55).toByte
+    assert(Gzip.members(badHcrc).isEmpty)
   }
 
   test("damage is observable, never vanished: a flipped trailer CRC " +
