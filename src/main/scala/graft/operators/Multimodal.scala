@@ -1427,7 +1427,9 @@ object Multimodal {
   // per-axis sampling factors 1 or 2 — 4:4:4, 4:2:2 AND 4:2:0 (the
   // libjpeg/ImageIO color default), decoded with the full interleaved
   // MCU structure (T.81 A.2.3: compH×compV data units per component
-  // per MCU) — a single scan, no restart intervals, no progressive/
+  // per MCU) — a single scan, WITH restart intervals (DRI + cycling
+  // RSTm markers: byte-align, verify the modulo-8 sequence, reset DC
+  // predictors — the camera-JPEG resilience feature), no progressive/
   // hierarchical modes. Anything else → None (route to a full stack);
   // malformation — truncated entropy stream, a marker mid-scan, a
   // missing table, bad lengths — also → None, never a partial sum. The
@@ -1609,10 +1611,13 @@ object Multimodal {
     */
   def encodeJpegBaseline(w: Int, h: Int, nComp: Int,
                          pixel: (Int, Int, Int) => Int,
-                         chroma420: Boolean = false): Array[Byte] = {
+                         chroma420: Boolean = false,
+                         restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, s"bad jpeg geometry ${w}x$h")
     require(nComp == 1 || nComp == 3, s"baseline encoder: 1 or 3 components, got $nComp")
     require(!chroma420 || nComp == 3, "4:2:0 needs the 3-component layout")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restart interval out of the 16-bit field: $restartInterval")
     val out = new java.io.ByteArrayOutputStream(1024)
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v >> 8); w8(v) } // big-endian
@@ -1652,6 +1657,11 @@ object Multimodal {
       w8(cls << 4 | id)
       t.bits.foreach(w8)
       t.vals.foreach(w8)
+    }
+
+    if (restartInterval > 0) {
+      marker(0xdd) // DRI: restart every N MCUs
+      w16(4); w16(restartInterval)
     }
 
     marker(0xda) // SOS
@@ -1759,6 +1769,24 @@ object Multimodal {
         val (ec, el) = acCodes(tsel)(0x00); putBits(ec, el)
       }
     }
+    val totalMcus =
+      if (chroma420) ((w + 15) / 16) * ((h + 15) / 16)
+      else ((w + 7) / 8) * ((h + 7) / 8)
+    var mcusDone = 0
+    var rstN = 0
+    // After every `restartInterval` MCUs (never after the last): byte-
+    // align with 1-bits, emit the cycling RSTm marker, reset every DC
+    // predictor (T.81 F.1.2.2.1 / E.1.4).
+    def afterMcu(): Unit = {
+      mcusDone += 1
+      if (restartInterval > 0 && mcusDone % restartInterval == 0 &&
+        mcusDone < totalMcus) {
+        if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
+        marker(0xd0 + (rstN % 8))
+        rstN += 1
+        java.util.Arrays.fill(pred, 0)
+      }
+    }
     if (chroma420) {
       // interleaved 4:2:0 MCU: four Y blocks (2×2), then Cb, then Cr
       // on the half-resolution grid
@@ -1781,6 +1809,7 @@ object Multimodal {
           }
           emitBlock(1, mx, my, cw, ch)
           emitBlock(2, mx, my, cw, ch)
+          afterMcu()
           mx += 1
         }
         my += 1
@@ -1798,6 +1827,7 @@ object Multimodal {
             emitBlock(c, bx, by, w, h)
             c += 1
           }
+          afterMcu()
           bx += 1
         }
         by += 1
@@ -1862,6 +1892,7 @@ object Multimodal {
     var compQ: Array[Int] = null
     var compH: Array[Int] = null
     var compV: Array[Int] = null
+    var restartInterval = 0
     var sofSeen = false
     var pos = 2
     var scanAt = -1 // first entropy byte
@@ -1937,7 +1968,11 @@ object Multimodal {
             p += 17 + n
           }
           pos += len
-        case 0xdd => return None // DRI / restart intervals: unsupported
+        case 0xdd => // DRI: restart interval in MCUs (0 disables)
+          val len = be16(pos)
+          if (len != 4 || pos + len > b.length) return None
+          restartInterval = be16(pos + 2)
+          pos += len
         case 0xda => // SOS
           val len = be16(pos)
           if (!sofSeen || len < 6 || pos + len > b.length) return None
@@ -2053,6 +2088,9 @@ object Multimodal {
     val pred = new Array[Int](nComp)
     val coef = Array.ofDim[Double](8, 8)
     val tmp = Array.ofDim[Double](8, 8)
+    val totalMcus = mcuCols * mcuRows
+    var mcusDone = 0
+    var rstN = 0
     var my = 0
     while (my < mcuRows && !broken) {
       var mx = 0
@@ -2131,6 +2169,21 @@ object Multimodal {
           dv += 1
           }
           c += 1
+        }
+        // Restart boundary (T.81 E.1.4): after every `restartInterval`
+        // MCUs — except the last — the stream byte-aligns, an RSTm
+        // marker with the CYCLING modulo-8 index follows, and every DC
+        // predictor resets. A missing or out-of-sequence marker is
+        // malformation (it would desync all later MCUs).
+        mcusDone += 1
+        if (!broken && restartInterval > 0 &&
+          mcusDone % restartInterval == 0 && mcusDone < totalMcus) {
+          bitCnt = 0 // discard the alignment pad bits
+          if (u(bpos) == 0xff && u(bpos + 1) == 0xd0 + (rstN % 8)) {
+            bpos += 2
+            rstN += 1
+            java.util.Arrays.fill(pred, 0)
+          } else broken = true
         }
         mx += 1
       }

@@ -93,6 +93,21 @@ private[queries] object MediaGen {
       chroma420 = true)
   }
 
+  /** Restart-marked twin: always 3-component color (even-s1 docs
+    * 4:2:0, odd-s1 4:4:4) with a 1–4-MCU restart interval, so RSTm
+    * cycling and DC-predictor resets land mid-image on nearly every
+    * row — the camera-JPEG resilience layout.
+    */
+  def jpegRstFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (8 + s1 % 17).toInt
+    val h = (8 + s2 % 13).toInt
+    graft.operators.Multimodal.encodeJpegBaseline(w, h, 3,
+      (c, x, y) =>
+        ((s2 + (7L + 5L * c) * y + (11L + 2L * c) * x + 31L * c) % 256).toInt,
+      chroma420 = s1 % 2 == 0, restartInterval = (1 + s1 % 4).toInt)
+  }
+
   /** 4–14 × 4–10 (even) Y4M clip, 3–10 frames. Even-s1 docs carry full
     * 4:2:0 chroma planes (which the luma walk must STRIDE over — a
     * mis-stride desyncs every later FRAME marker); odd-s1 docs are
@@ -1269,6 +1284,50 @@ object MultimodalQueries {
                  / (f.jpeg_width * f.jpeg_height), 4) AS mean_c0
         FROM documents d
         JOIN read_parquet('/root/repo/fixtures/media_jpeg420_oracle.parquet') f
+          ON md5(coalesce(d.text, '')) = f.text_md5""")),
+
+    // Restart intervals (T.81 E.1.4) — the resilience feature camera
+    // JPEGs actually ship with: DRI declares an interval in MCUs, after
+    // each one the entropy stream byte-aligns, a CYCLING RST0..RST7
+    // marker lands, and every DC predictor resets. Mixed corpus (even
+    // seeds 4:2:0, odd 4:4:4; intervals 1–4 MCUs) puts the marker
+    // cycling and mid-image predictor resets on nearly every row; a
+    // decoder that missed one reset would shift every later DC value,
+    // and one that mis-consumed a marker would desync the stream — both
+    // caught by the q219-style double pin (fixture-predicted exact
+    // bytes + decoded sums). ImageIO reads the same marked streams in
+    // MultimodalSpec.
+    "q226_jpeg_restart_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val bytes = MediaGen.jpegRstFor(text)
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map(b => f"$b%02x").mkString
+            Multimodal.parseJpegPixels(id, bytes).map(px =>
+              JpegDecodeStat(id, px.width, px.height, px.n_components,
+                bytes.length.toLong, md, px.sum_c0, px.sum_c1, px.sum_c2,
+                px.tl_c0, px.tl_c1, px.tl_c2))
+          }).toDF()
+          .withColumn("mean_c0", round(col("sum_c0").cast("double") /
+            (col("width") * col("height")), 4))
+      },
+      oracle = Some("""
+        SELECT d.doc_id,
+               f.jpeg_width AS width, f.jpeg_height AS height,
+               3 AS n_components,
+               f.jpeg_size, f.jpeg_md5,
+               f.jpeg_sum_c0 AS sum_c0, f.jpeg_sum_c1 AS sum_c1,
+               f.jpeg_sum_c2 AS sum_c2,
+               f.jpeg_tl_c0 AS tl_c0, f.jpeg_tl_c1 AS tl_c1,
+               f.jpeg_tl_c2 AS tl_c2,
+               round(CAST(f.jpeg_sum_c0 AS DOUBLE)
+                 / (f.jpeg_width * f.jpeg_height), 4) AS mean_c0
+        FROM documents d
+        JOIN read_parquet('/root/repo/fixtures/media_jpeg_rst_oracle.parquet') f
           ON md5(coalesce(d.text, '')) = f.text_md5"""))
   )
 }

@@ -797,6 +797,45 @@ class MultimodalSpec extends SparkSpec {
     rd.dispose()
   }
 
+  test("JPEG restart intervals (DRI + cycling RSTm): round-trip across " +
+    "all three layouts and interval lengths, ImageIO reads the marked " +
+    "streams, damage in the marker sequence fails closed") {
+    def pix(c: Int, x: Int, y: Int): Int =
+      (91 + (7 + 5 * c) * y + (11 + 2 * c) * x + 31 * c) % 256
+    for ((w, h, nc, c420, ri) <- Seq(
+      (24, 16, 1, false, 1), (17, 13, 3, false, 2), (32, 24, 3, true, 2),
+      (24, 20, 3, false, 5), (33, 17, 3, true, 1))) {
+      val bytes = Multimodal.encodeJpegBaseline(w, h, nc, pix,
+        chroma420 = c420, restartInterval = ri)
+      // RST markers actually present (more MCUs than one interval)
+      val plain = Multimodal.encodeJpegBaseline(w, h, nc, pix,
+        chroma420 = c420)
+      assert(bytes.length > plain.length, s"no RSTs emitted (${w}x$h)")
+      val dec = Multimodal.decodeJpegPlanes(bytes)
+      assert(dec.isDefined, s"restart decode must succeed (${w}x$h ri=$ri)")
+      val r = dec.get
+      // restart-marked stream decodes IDENTICALLY to the plain one
+      // (predictor resets are lossless bookkeeping)
+      val rp = Multimodal.decodeJpegPlanes(plain).get
+      for (c <- 0 until nc)
+        assert(java.util.Arrays.equals(r.planes(c), rp.planes(c)),
+          s"restart run must decode identically (c=$c, ${w}x$h ri=$ri)")
+      // the independent codec reads our restart-marked bytes
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO must read the RST stream (${w}x$h)")
+    }
+    // an out-of-sequence RSTm index desyncs the walk → None
+    val marked = Multimodal.encodeJpegBaseline(24, 16, 1, pix,
+      restartInterval = 1)
+    val idx = marked.indexOfSlice(Seq(0xff.toByte, 0xd0.toByte))
+    assert(idx > 0, "first RST0 must exist")
+    val bad = marked.clone()
+    bad(idx + 1) = 0xd3.toByte // RST3 where RST0 belongs
+    assert(Multimodal.parseJpegPixels(1L, bad).isEmpty)
+  }
+
   test("JPEG baseline: out-of-scope and malformed streams fail closed") {
     def pix(c: Int, x: Int, y: Int) = (x * 11 + y * 7 + c) % 256
     val ok = Multimodal.encodeJpegBaseline(16, 16, 3, pix)

@@ -757,6 +757,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q225 must not join:\n$p")
   }
 
+  test("q226 jpeg restart decode: zero exchanges — same scan-task posture") {
+    val p = plan("q226_jpeg_restart_decode")
+    assert(!p.contains("Exchange"), s"q226 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q226 must not join:\n$p")
+  }
+
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {
     val p = plan("q178_doremi_weights")
     // one corpus partial-agg exchange; the tot/wqSum folds run over the
