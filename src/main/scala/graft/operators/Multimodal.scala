@@ -1838,6 +1838,224 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** PROGRESSIVE encoder (SOF2), spectral-selection script: one
+    * interleaved DC scan, then one full AC-band (1–63) scan per
+    * component — the simplest legal progression (no successive
+    * approximation; per-block EOB0 terminators, which ARE EOBn runs of
+    * length one). Quantized coefficients are IDENTICAL to what
+    * [[encodeJpegBaseline]] produces for the same pixels — progressive
+    * is a re-PACKAGING of the same data across scans, so the decoded
+    * image (and the fixture's predicted sums) match the baseline
+    * encoding exactly. Layouts: 4:4:4 / grayscale, or 4:2:0 with
+    * `chroma420`.
+    */
+  def encodeJpegProgressive(w: Int, h: Int, nComp: Int,
+                            pixel: (Int, Int, Int) => Int,
+                            chroma420: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad jpeg geometry ${w}x$h")
+    require(nComp == 1 || nComp == 3, s"1 or 3 components, got $nComp")
+    require(!chroma420 || nComp == 3, "4:2:0 needs the 3-component layout")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+
+    // ---- geometry + quantized coefficients (one pass, reused by all
+    // scans — the multi-scan structure repackages, never recomputes) ----
+    val hMax = if (chroma420) 2 else 1
+    val vMax = hMax
+    val mcuCols = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuRows = (h + 8 * vMax - 1) / (8 * vMax)
+    val cH = Array.tabulate(nComp)(c => if (chroma420 && c > 0) 1 else hMax)
+    val cV = cH
+    val blocksW = Array.tabulate(nComp)(c => mcuCols * cH(c))
+    val blocksH = Array.tabulate(nComp)(c => mcuRows * cV(c))
+    val cWpx = Array.tabulate(nComp)(c => (w * cH(c) + hMax - 1) / hMax)
+    val cHpx = Array.tabulate(nComp)(c => (h * cV(c) + vMax - 1) / vMax)
+    val npW = Array.tabulate(nComp)(c => (cWpx(c) + 7) / 8)
+    val npH = Array.tabulate(nComp)(c => (cHpx(c) + 7) / 8)
+    val block = Array.ofDim[Double](8, 8)
+    val tmp = Array.ofDim[Double](8, 8)
+    val coefs = Array.tabulate(nComp) { c =>
+      val q = if (c == 0) jpegQLuma else jpegQChroma
+      val arr = new Array[Int](blocksW(c) * blocksH(c) * 64)
+      var br = 0
+      while (br < blocksH(c)) {
+        var bc = 0
+        while (bc < blocksW(c)) {
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val px = math.min(bc * 8 + x, cWpx(c) - 1)
+              val py = math.min(br * 8 + y, cHpx(c) - 1)
+              block(y)(x) = (pixel(c, px, py) & 0xff) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          var v = 0
+          while (v < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var yy = 0
+              while (yy < 8) { s += dctC(v)(yy) * block(yy)(x); yy += 1 }
+              tmp(v)(x) = s
+              x += 1
+            }
+            v += 1
+          }
+          val base = (br * blocksW(c) + bc) * 64
+          v = 0
+          while (v < 8) {
+            var uu = 0
+            while (uu < 8) {
+              var s = 0.0
+              var x = 0
+              while (x < 8) { s += tmp(v)(x) * dctC(uu)(x); x += 1 }
+              arr(base + v * 8 + uu) =
+                math.floor(s / q(v * 8 + uu) + 0.5).toInt
+              uu += 1
+            }
+            v += 1
+          }
+          bc += 1
+        }
+        br += 1
+      }
+      arr
+    }
+
+    // ---- headers -------------------------------------------------------
+    marker(0xd8)
+    marker(0xe0)
+    w16(16); out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w8(1); w8(1); w8(0); w16(1); w16(1); w8(0); w8(0)
+    val qtabs = if (nComp == 1) Seq(jpegQLuma) else Seq(jpegQLuma, jpegQChroma)
+    marker(0xdb)
+    w16(2 + 65 * qtabs.length)
+    qtabs.zipWithIndex.foreach { case (q, id) =>
+      w8(id); jpegZigzag.foreach(n => w8(q(n)))
+    }
+    marker(0xc2) // SOF2: progressive DCT
+    w16(8 + 3 * nComp)
+    w8(8); w16(h); w16(w); w8(nComp)
+    for (c <- 0 until nComp) {
+      w8(c + 1); w8(cH(c) << 4 | cV(c)); w8(if (c == 0) 0 else 1)
+    }
+    val huffs =
+      if (nComp == 1) Seq((0, 0, jpegDcLuma), (1, 0, jpegAcLuma))
+      else Seq((0, 0, jpegDcLuma), (1, 0, jpegAcLuma),
+        (0, 1, jpegDcChroma), (1, 1, jpegAcChroma))
+    marker(0xc4)
+    w16(2 + huffs.map(17 + _._3.vals.length).sum)
+    huffs.foreach { case (cls, id, t) =>
+      w8(cls << 4 | id); t.bits.foreach(w8); t.vals.foreach(w8)
+    }
+
+    // ---- scans ---------------------------------------------------------
+    val dcCodes = Array(jpegHuffCodes(jpegDcLuma), jpegHuffCodes(jpegDcChroma))
+    val acCodes = Array(jpegHuffCodes(jpegAcLuma), jpegHuffCodes(jpegAcChroma))
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+      bitCnt += len
+      while (bitCnt >= 8) {
+        val byte = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+        w8(byte)
+        if (byte == 0xff) w8(0)
+        bitCnt -= 8
+      }
+    }
+    def flushBits(): Unit =
+      if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
+
+    // DC scan: all components interleaved (non-interleaved when gray)
+    marker(0xda)
+    w16(6 + 2 * nComp)
+    w8(nComp)
+    for (c <- 0 until nComp) { w8(c + 1); w8(if (c == 0) 0x00 else 0x10) }
+    w8(0); w8(0); w8(0) // Ss=0 Se=0 Ah/Al=0
+    val pred = new Array[Int](nComp)
+    def putDc(c: Int, br: Int, bc: Int): Unit = {
+      val dc = coefs(c)((br * blocksW(c) + bc) * 64)
+      val diff = dc - pred(c)
+      pred(c) = dc
+      val s0 = jpegSsss(diff)
+      val (code, len) = dcCodes(if (c == 0) 0 else 1)(s0)
+      putBits(code, len)
+      if (s0 > 0) putBits(if (diff >= 0) diff else diff + (1 << s0) - 1, s0)
+    }
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        var c = 0
+        while (c < nComp) {
+          var dv = 0
+          while (dv < cV(c)) {
+            var du = 0
+            while (du < cH(c)) {
+              putDc(c, my * cV(c) + dv, mx * cH(c) + du)
+              du += 1
+            }
+            dv += 1
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    flushBits()
+
+    // AC scans: the full 1–63 band per component, non-interleaved
+    var c = 0
+    while (c < nComp) {
+      marker(0xda)
+      w16(8)
+      w8(1); w8(c + 1); w8(if (c == 0) 0x00 else 0x01)
+      w8(1); w8(63); w8(0) // Ss=1 Se=63 Ah/Al=0
+      val codes = acCodes(if (c == 0) 0 else 1)
+      val arr = coefs(c)
+      var br = 0
+      while (br < npH(c)) {
+        var bc = 0
+        while (bc < npW(c)) {
+          val base = (br * blocksW(c) + bc) * 64
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val v = arr(base + jpegZigzag(k))
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = codes(0xf0); putBits(zc, zl); run -= 16
+              }
+              val s = jpegSsss(v)
+              val (ac, al) = codes(run << 4 | s)
+              putBits(ac, al)
+              putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) {
+            val (ec, el) = codes(0x00); putBits(ec, el) // EOB0: run of one
+          }
+          bc += 1
+        }
+        br += 1
+      }
+      flushBits()
+      c += 1
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Full baseline decode — see the section comment for scope. None on
     * anything outside it or on malformation; never a partial sum.
     */
@@ -1864,6 +2082,93 @@ object Multimodal {
         tls(0), tls(1), tls(2))
     }
 
+  /** Canonical Huffman decoder tables (T.81 Annex F mincode/maxcode/
+    * valptr), shared by the baseline and progressive entropy decoders.
+    */
+  private final case class JpegHuffDec(minCode: Array[Int],
+      maxCode: Array[Int], valPtr: Array[Int], vals: Array[Int])
+
+  private def jpegDecTable(t: JpegHuffTable): JpegHuffDec = {
+    val minC = new Array[Int](17)
+    val maxC = Array.fill(17)(-1)
+    val vp = new Array[Int](17)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      if (t.bits(len - 1) > 0) {
+        vp(len) = k
+        minC(len) = code
+        code += t.bits(len - 1)
+        k += t.bits(len - 1)
+        maxC(len) = code - 1
+      }
+      code <<= 1
+      len += 1
+    }
+    JpegHuffDec(minC, maxC, vp, t.vals)
+  }
+
+  /** Entropy bit reader with 0xFF-stuffing removal (F.1.2.3 inverse):
+    * MSB-first bits; a stuffed FF 00 yields the FF data byte; any other
+    * marker mid-read flags `broken`. Shared by both entropy decoders.
+    */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    var broken = false
+    private var bitBuf = 0
+    private var bitCnt = 0
+    private def u(i: Int) = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= b.length) { broken = true; return 0 }
+        val byte = u(pos)
+        pos += 1
+        if (byte == 0xff) {
+          val nx = u(pos)
+          if (nx == 0) pos += 1 // stuffed 0xFF data byte
+          else { broken = true; return 0 } // a marker mid-scan
+        }
+        bitBuf = byte
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeSym(t: JpegHuffDec): Int = {
+      var code = nextBit()
+      var len = 1
+      while (!broken && (t.maxCode(len) < 0 || code > t.maxCode(len))) {
+        code = code << 1 | nextBit()
+        len += 1
+        if (len > 16) { broken = true; return -1 }
+      }
+      if (broken) -1
+      else t.vals(t.valPtr(len) + code - t.minCode(len))
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = v << 1 | nextBit(); i += 1 }
+      v
+    }
+    def receiveExtend(ssss: Int): Int = {
+      if (ssss == 0) return 0
+      val v = receive(ssss)
+      if (v < (1 << (ssss - 1))) v - (1 << ssss) + 1 else v
+    }
+    /** Byte-align and consume the expected cycling RSTm; false on a
+      * missing or out-of-sequence marker.
+      */
+    def expectRst(n: Int): Boolean = {
+      bitCnt = 0
+      if (u(pos) == 0xff && u(pos + 1) == 0xd0 + (n % 8)) {
+        pos += 2; true
+      } else false
+    }
+    /** Byte-align (discarding pad bits) — called at scan end. */
+    def align(): Unit = bitCnt = 0
+  }
+
   /** Decoded component planes. Each plane is block-padded to
     * `strides(c) × (MCU rows × compV(c) × 8)`; the valid region is
     * `compW(c) × compH(c)` — FULL image resolution for components at
@@ -1876,9 +2181,40 @@ object Multimodal {
       planes: Array[Array[Byte]])
 
   /** The raster-level decode behind [[parseJpegPixels]] — exposed to the
-    * spec for per-pixel cross-pinning against javax.imageio.
+    * spec for per-pixel cross-pinning against javax.imageio. Dispatches
+    * on the frame marker: SOF0 → the single-pass baseline decoder,
+    * SOF2 → the multi-scan progressive decoder. Any other SOFn → None.
     */
-  private[graft] def decodeJpegPlanes(b: Array[Byte])
+  private[graft] def decodeJpegPlanes(b: Array[Byte]): Option[JpegRaster] = {
+    // light marker pre-walk to find the frame type (both decoders then
+    // re-parse from the top with their own scan structure)
+    def u(i: Int) = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    def be16(i: Int) = { val hi = u(i); val lo = u(i + 1); if (hi < 0 || lo < 0) -1 else hi << 8 | lo }
+    if (u(0) != 0xff || u(1) != 0xd8) return None
+    var pos = 2
+    var sof = -1
+    while (sof < 0) {
+      if (u(pos) != 0xff) return None
+      var m = u(pos + 1)
+      while (m == 0xff) { pos += 1; m = u(pos + 1) }
+      if (m < 0 || m == 0xd9 || m == 0xda) return None // no frame header
+      pos += 2
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        sof = m
+      else {
+        val len = be16(pos)
+        if (len < 2 || pos + len > b.length) return None
+        pos += len
+      }
+    }
+    sof match {
+      case 0xc0 => decodeJpegBaselinePlanes(b)
+      case 0xc2 => decodeJpegProgressivePlanes(b)
+      case _ => None // other frame modes: route to a full stack
+    }
+  }
+
+  private def decodeJpegBaselinePlanes(b: Array[Byte])
       : Option[JpegRaster] = {
     def u(i: Int) = if (i >= 0 && i < b.length) b(i) & 0xff else -1
     def be16(i: Int) = { val hi = u(i); val lo = u(i + 1); if (hi < 0 || lo < 0) -1 else hi << 8 | lo }
@@ -2005,70 +2341,12 @@ object Multimodal {
       if (qt(compQ(c)) == null) return None
       if (dcT(compDc(c)) == null || acT(compAc(c)) == null) return None
     }
-    // ---- canonical Huffman decoders (T.81 Annex F) ----------------------
-    case class HuffDec(minCode: Array[Int], maxCode: Array[Int],
-                       valPtr: Array[Int], vals: Array[Int])
-    def decTable(t: JpegHuffTable): HuffDec = {
-      val minC = new Array[Int](17)
-      val maxC = Array.fill(17)(-1)
-      val vp = new Array[Int](17)
-      var code = 0
-      var k = 0
-      var len = 1
-      while (len <= 16) {
-        if (t.bits(len - 1) > 0) {
-          vp(len) = k
-          minC(len) = code
-          code += t.bits(len - 1)
-          k += t.bits(len - 1)
-          maxC(len) = code - 1
-        }
-        code <<= 1
-        len += 1
-      }
-      HuffDec(minC, maxC, vp, t.vals)
-    }
-    val dcDec = compDc.map(i => decTable(dcT(i)))
-    val acDec = compAc.map(i => decTable(acT(i)))
-    // ---- entropy bit reader with 0xFF-stuffing removal ------------------
-    var bpos = scanAt
-    var bitBuf = 0
-    var bitCnt = 0
-    var broken = false
-    def nextBit(): Int = {
-      if (bitCnt == 0) {
-        if (bpos >= b.length) { broken = true; return 0 }
-        val byte = u(bpos)
-        bpos += 1
-        if (byte == 0xff) {
-          val nx = u(bpos)
-          if (nx == 0) bpos += 1 // stuffed 0xFF data byte
-          else { broken = true; return 0 } // a marker mid-scan
-        }
-        bitBuf = byte
-        bitCnt = 8
-      }
-      bitCnt -= 1
-      (bitBuf >> bitCnt) & 1
-    }
-    def decodeSym(t: HuffDec): Int = {
-      var code = nextBit()
-      var len = 1
-      while (!broken && (t.maxCode(len) < 0 || code > t.maxCode(len))) {
-        code = code << 1 | nextBit()
-        len += 1
-        if (len > 16) { broken = true; return -1 }
-      }
-      if (broken) -1
-      else t.vals(t.valPtr(len) + code - t.minCode(len))
-    }
-    def receiveExtend(ssss: Int): Int = {
-      if (ssss == 0) return 0
-      var v = 0
-      var i = 0
-      while (i < ssss) { v = v << 1 | nextBit(); i += 1 }
-      if (v < (1 << (ssss - 1))) v - (1 << ssss) + 1 else v
-    }
+    val dcDec = compDc.map(i => jpegDecTable(dcT(i)))
+    val acDec = compAc.map(i => jpegDecTable(acT(i)))
+    val bits = new JpegBits(b, scanAt)
+    def nextBit(): Int = bits.nextBit()
+    def decodeSym(t: JpegHuffDec): Int = bits.decodeSym(t)
+    def receiveExtend(ssss: Int): Int = bits.receiveExtend(ssss)
     // ---- MCU loop: dequantize → IDCT → level shift into planes ----------
     // Interleaved MCU structure (T.81 A.2.3): per MCU, component c
     // contributes compH(c)×compV(c) data units on ITS OWN grid; the MCU
@@ -2092,16 +2370,16 @@ object Multimodal {
     var mcusDone = 0
     var rstN = 0
     var my = 0
-    while (my < mcuRows && !broken) {
+    while (my < mcuRows && !bits.broken) {
       var mx = 0
-      while (mx < mcuCols && !broken) {
+      while (mx < mcuCols && !bits.broken) {
         var c = 0
-        while (c < nComp && !broken) {
+        while (c < nComp && !bits.broken) {
           val q = qt(compQ(c))
           var dv = 0
-          while (dv < compV(c) && !broken) {
+          while (dv < compV(c) && !bits.broken) {
           var du = 0
-          while (du < compH(c) && !broken) {
+          while (du < compH(c) && !bits.broken) {
           val bx = mx * compH(c) + du
           val by = my * compV(c) + dv
           java.util.Arrays.fill(coef(0), 0.0)
@@ -2109,21 +2387,21 @@ object Multimodal {
           while (i < 8) { java.util.Arrays.fill(coef(i), 0.0); i += 1 }
           // DC
           val s0 = decodeSym(dcDec(c))
-          if (s0 < 0 || s0 > 11) broken = true
+          if (s0 < 0 || s0 > 11) bits.broken = true
           else {
             pred(c) += receiveExtend(s0)
             coef(0)(0) = pred(c).toDouble * q(0)
             // AC
             var k = 1
-            while (k < 64 && !broken) {
+            while (k < 64 && !bits.broken) {
               val rs = decodeSym(acDec(c))
-              if (rs < 0) broken = true
+              if (rs < 0) bits.broken = true
               else if (rs == 0x00) k = 64 // EOB
               else if (rs == 0xf0) k += 16 // ZRL
               else {
                 k += rs >> 4
                 val s = rs & 0x0f
-                if (k > 63) broken = true
+                if (k > 63) bits.broken = true
                 else {
                   val n = jpegZigzag(k)
                   coef(n / 8)(n % 8) = receiveExtend(s).toDouble * q(n)
@@ -2131,7 +2409,7 @@ object Multimodal {
                 }
               }
             }
-            if (!broken) {
+            if (!bits.broken) {
               // IDCT (row-major [v][u] coefs, same orientation as the
               // encoder): tmp = Cᵀ·S (over v), out = tmp·C (over u)
               var y = 0
@@ -2176,23 +2454,437 @@ object Multimodal {
         // predictor resets. A missing or out-of-sequence marker is
         // malformation (it would desync all later MCUs).
         mcusDone += 1
-        if (!broken && restartInterval > 0 &&
+        if (!bits.broken && restartInterval > 0 &&
           mcusDone % restartInterval == 0 && mcusDone < totalMcus) {
-          bitCnt = 0 // discard the alignment pad bits
-          if (u(bpos) == 0xff && u(bpos + 1) == 0xd0 + (rstN % 8)) {
-            bpos += 2
+          if (bits.expectRst(rstN)) {
             rstN += 1
             java.util.Arrays.fill(pred, 0)
-          } else broken = true
+          } else bits.broken = true
         }
         mx += 1
       }
       my += 1
     }
-    if (broken) return None
+    if (bits.broken) return None
     // after the last MCU: only pad bits, then EOI (trailing garbage is
     // tolerated after a well-formed EOI, as real writers emit exactly it)
-    if (!(u(bpos) == 0xff && u(bpos + 1) == 0xd9)) return None
+    if (!(u(bits.pos) == 0xff && u(bits.pos + 1) == 0xd9)) return None
+    Some(JpegRaster(width, height, nComp, compWpx, compHpx, strides, planes))
+  }
+
+  /** PROGRESSIVE JPEG (SOF2) — the mode most web images actually ship
+    * in. Coefficients arrive across MULTIPLE scans instead of one:
+    * spectral selection splits the zigzag band (DC scan first, AC bands
+    * per component later), successive approximation splits the BITS
+    * (first scans deliver coefficients at reduced precision `<< Al`,
+    * refinement scans add one bit at a time), and AC scans replace EOB
+    * with EOBn RUN codes spanning up to 2^14 blocks (G.1.2.2). The
+    * decoder accumulates a full coefficient buffer per component, plays
+    * every scan into it — DC first/refine over the interleaved MCU grid
+    * or a single component's block grid, AC first/refine (the correction
+    * -bit walk of G.7) strictly per-component and non-interleaved as the
+    * spec requires — and reconstructs (dequantize → IDCT → clamp) only
+    * at EOI. DHT/DRI segments between scans take effect for the scans
+    * after them; restart markers reset DC predictors AND the EOB run.
+    * Same scope rails as baseline: 8-bit, 1 or 3 components, sampling
+    * factors ≤ 2, the 2^26 pixel cap, total-failure → None.
+    */
+  private def decodeJpegProgressivePlanes(b: Array[Byte])
+      : Option[JpegRaster] = {
+    def u(i: Int) = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    def be16(i: Int) = { val hi = u(i); val lo = u(i + 1); if (hi < 0 || lo < 0) -1 else hi << 8 | lo }
+    if (u(0) != 0xff || u(1) != 0xd8) return None
+    val qt = Array.ofDim[Array[Int]](4)
+    val dcT = Array.ofDim[JpegHuffTable](4)
+    val acT = Array.ofDim[JpegHuffTable](4)
+    var restartInterval = 0
+    var width = 0
+    var height = 0
+    var nComp = 0
+    var compQ: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    // geometry, computed at SOF2
+    var hMax = 0
+    var vMax = 0
+    var mcuCols = 0
+    var mcuRows = 0
+    var blocksW: Array[Int] = null // padded (interleaved) block grid
+    var blocksH: Array[Int] = null
+    var npW: Array[Int] = null // non-interleaved (unpadded) block grid
+    var npH: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // per comp: block-major ×64
+    var dcDone: Array[Boolean] = null // a DC first scan reached each comp
+
+    // ---- one scan: entropy-decode into the coefficient buffers --------
+    // returns the position after the scan's entropy data, or -1
+    def decodeScan(pos: Int): Int = {
+      val len = be16(pos)
+      if (len < 6 || pos + len > b.length || coefs == null) return -1
+      val ns = u(pos + 2)
+      if (ns < 1 || ns > nComp || len != 6 + 2 * ns) return -1
+      val scanComp = new Array[Int](ns)
+      val dcSel = new Array[Int](ns)
+      val acSel = new Array[Int](ns)
+      for (i <- 0 until ns) {
+        val id = u(pos + 3 + 2 * i)
+        val c = id - 1
+        if (c < 0 || c >= nComp) return -1
+        scanComp(i) = c
+        dcSel(i) = u(pos + 4 + 2 * i) >> 4
+        acSel(i) = u(pos + 4 + 2 * i) & 0x0f
+      }
+      val ss = u(pos + 3 + 2 * ns)
+      val se = u(pos + 4 + 2 * ns)
+      val ah = u(pos + 5 + 2 * ns) >> 4
+      val al = u(pos + 5 + 2 * ns) & 0x0f
+      val bits = new JpegBits(b, pos + len)
+      var rstN = 0
+      var unitsDone = 0
+      def restartBoundary(total: Int, resetPred: () => Unit,
+                          resetEob: () => Unit): Boolean = {
+        unitsDone += 1
+        if (restartInterval > 0 && unitsDone % restartInterval == 0 &&
+          unitsDone < total) {
+          if (!bits.expectRst(rstN)) return false
+          rstN += 1
+          resetPred(); resetEob()
+        }
+        true
+      }
+      if (ss == 0) {
+        // ---- DC scan (must cover the whole DC band: Se == 0) ----------
+        if (se != 0) return -1
+        val pred = new Array[Int](nComp)
+        val dcDecs = Array.tabulate(ns) { i =>
+          if (ah == 0) {
+            if (dcT(dcSel(i)) == null) return -1
+            jpegDecTable(dcT(dcSel(i)))
+          } else null // refinement reads raw bits, no table
+        }
+        def dcUnit(i: Int, blockRow: Int, blockCol: Int): Boolean = {
+          val c = scanComp(i)
+          val base = (blockRow * blocksW(c) + blockCol) * 64
+          if (ah == 0) {
+            val s0 = bits.decodeSym(dcDecs(i))
+            if (bits.broken || s0 < 0 || s0 > 11) return false
+            pred(c) += bits.receiveExtend(s0)
+            coefs(c)(base) = pred(c) << al
+          } else {
+            if (bits.nextBit() == 1) coefs(c)(base) |= 1 << al
+          }
+          !bits.broken
+        }
+        if (ns > 1) {
+          // interleaved over the MCU grid, compH×compV units per comp
+          var my = 0
+          while (my < mcuRows) {
+            var mx = 0
+            while (mx < mcuCols) {
+              var i = 0
+              while (i < ns) {
+                val c = scanComp(i)
+                var dv = 0
+                while (dv < compV(c)) {
+                  var du = 0
+                  while (du < compH(c)) {
+                    if (!dcUnit(i, my * compV(c) + dv, mx * compH(c) + du))
+                      return -1
+                    du += 1
+                  }
+                  dv += 1
+                }
+                i += 1
+              }
+              if (!restartBoundary(mcuCols * mcuRows,
+                () => java.util.Arrays.fill(pred, 0), () => ())) return -1
+              mx += 1
+            }
+            my += 1
+          }
+        } else {
+          // single-component DC scan: the UNPADDED block grid
+          val c = scanComp(0)
+          var br = 0
+          while (br < npH(c)) {
+            var bc = 0
+            while (bc < npW(c)) {
+              if (!dcUnit(0, br, bc)) return -1
+              if (!restartBoundary(npW(c) * npH(c),
+                () => java.util.Arrays.fill(pred, 0), () => ())) return -1
+              bc += 1
+            }
+            br += 1
+          }
+        }
+        if (ah == 0) scanComp.foreach(dcDone(_) = true)
+      } else {
+        // ---- AC scan: single component, non-interleaved (B.2.3) -------
+        if (ns != 1 || ss > se || se > 63) return -1
+        val c = scanComp(0)
+        if (acT(acSel(0)) == null) return -1
+        val acDec = jpegDecTable(acT(acSel(0)))
+        val arr = coefs(c)
+        var eobrun = 0
+        val p1 = 1 << al
+        def firstUnit(base: Int): Boolean = {
+          if (eobrun > 0) { eobrun -= 1; return true }
+          var k = ss
+          var stop = false
+          while (k <= se && !stop && !bits.broken) {
+            val rs = bits.decodeSym(acDec)
+            if (rs < 0) return false
+            val r = rs >> 4
+            val s = rs & 0x0f
+            if (s != 0) {
+              k += r
+              if (k > se) return false
+              arr(base + jpegZigzag(k)) = bits.receiveExtend(s) << al
+              k += 1
+            } else if (r == 15) k += 16 // ZRL
+            else {
+              // EOBn: run of (1<<r)+bits blocks INCLUDING this one
+              eobrun = (1 << r) - 1 + (if (r > 0) bits.receive(r) else 0)
+              stop = true
+            }
+          }
+          !bits.broken
+        }
+        def refineUnit(base: Int): Boolean = {
+          var k = ss
+          if (eobrun == 0) {
+            var stop = false
+            while (k <= se && !stop && !bits.broken) {
+              val rs = bits.decodeSym(acDec)
+              if (rs < 0) return false
+              var r = rs >> 4
+              val s = rs & 0x0f
+              var newVal = 0
+              if (s != 0) {
+                if (s != 1) return false // refinement magnitude is ±1
+                newVal = if (bits.nextBit() == 1) p1 else -p1
+              } else if (r != 15) {
+                eobrun = (1 << r) + (if (r > 0) bits.receive(r) else 0)
+                stop = true // rest of this block joins the EOB sweep
+              }
+              // advance over r zero-HISTORY coefficients, emitting a
+              // correction bit for every nonzero one passed (G.7)
+              if (!stop) {
+                var placed = false
+                while (k <= se && !placed && !bits.broken) {
+                  val z = base + jpegZigzag(k)
+                  if (arr(z) != 0) {
+                    if (bits.nextBit() == 1 && (math.abs(arr(z)) & p1) == 0)
+                      arr(z) += (if (arr(z) >= 0) p1 else -p1)
+                  } else {
+                    if (r == 0) {
+                      if (newVal != 0) arr(z) = newVal
+                      placed = true
+                    } else r -= 1
+                  }
+                  k += 1
+                }
+                if (!placed && newVal != 0) return false // ran off the band
+              }
+            }
+          }
+          if (eobrun > 0 && !bits.broken) {
+            // EOB-run blocks still carry correction bits for their
+            // existing nonzero coefficients
+            while (k <= se && !bits.broken) {
+              val z = base + jpegZigzag(k)
+              if (arr(z) != 0) {
+                if (bits.nextBit() == 1 && (math.abs(arr(z)) & p1) == 0)
+                  arr(z) += (if (arr(z) >= 0) p1 else -p1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+          !bits.broken
+        }
+        var br = 0
+        while (br < npH(c)) {
+          var bc = 0
+          while (bc < npW(c)) {
+            val base = (br * blocksW(c) + bc) * 64
+            val ok = if (ah == 0) firstUnit(base) else refineUnit(base)
+            if (!ok || bits.broken) return -1
+            if (!restartBoundary(npW(c) * npH(c), () => (),
+              () => eobrun = 0)) return -1
+            bc += 1
+          }
+          br += 1
+        }
+      }
+      bits.align()
+      if (bits.broken) -1 else bits.pos
+    }
+
+    // ---- marker loop: segments and scans until EOI ---------------------
+    var pos = 2
+    var done = false
+    while (!done) {
+      if (u(pos) != 0xff) return None
+      var m = u(pos + 1)
+      while (m == 0xff) { pos += 1; m = u(pos + 1) }
+      if (m < 0) return None
+      pos += 2
+      m match {
+        case 0xd9 => // EOI
+          if (coefs == null) return None
+          done = true
+        case 0xc2 => // SOF2
+          val len = be16(pos)
+          if (len < 8 || pos + len > b.length || coefs != null) return None
+          if (u(pos + 2) != 8) return None
+          height = be16(pos + 3); width = be16(pos + 5)
+          nComp = u(pos + 7)
+          if (width <= 0 || height <= 0) return None
+          if (width.toLong * height > (1L << 26)) return None
+          if (nComp != 1 && nComp != 3) return None
+          if (len != 8 + 3 * nComp) return None
+          compQ = new Array[Int](nComp)
+          compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp)
+          for (c <- 0 until nComp) {
+            compH(c) = u(pos + 8 + 3 * c + 1) >> 4
+            compV(c) = u(pos + 8 + 3 * c + 1) & 0x0f
+            if (compH(c) < 1 || compH(c) > 2 ||
+              compV(c) < 1 || compV(c) > 2) return None
+            compQ(c) = u(pos + 8 + 3 * c + 2)
+            if (compQ(c) > 3) return None
+          }
+          if (nComp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
+          hMax = compH.max; vMax = compV.max
+          mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
+          mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
+          blocksW = Array.tabulate(nComp)(c => mcuCols * compH(c))
+          blocksH = Array.tabulate(nComp)(c => mcuRows * compV(c))
+          npW = Array.tabulate(nComp)(c =>
+            ((width * compH(c) + hMax - 1) / hMax + 7) / 8)
+          npH = Array.tabulate(nComp)(c =>
+            ((height * compV(c) + vMax - 1) / vMax + 7) / 8)
+          coefs = Array.tabulate(nComp)(c =>
+            new Array[Int](blocksW(c) * blocksH(c) * 64))
+          dcDone = new Array[Boolean](nComp)
+          pos += len
+        case mm if mm >= 0xc0 && mm <= 0xcf && mm != 0xc4 =>
+          return None // a second/different frame header
+        case 0xdb =>
+          val len = be16(pos)
+          if (len < 2 || pos + len > b.length) return None
+          var p = pos + 2
+          while (p < pos + len) {
+            val pq = u(p) >> 4
+            val tq = u(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 65 > pos + len) return None
+            val tab = new Array[Int](64)
+            var k = 0
+            while (k < 64) { tab(jpegZigzag(k)) = u(p + 1 + k); k += 1 }
+            qt(tq) = tab
+            p += 65
+          }
+          pos += len
+        case 0xc4 =>
+          val len = be16(pos)
+          if (len < 2 || pos + len > b.length) return None
+          var p = pos + 2
+          while (p < pos + len) {
+            val cls = u(p) >> 4
+            val th = u(p) & 0x0f
+            if (cls > 1 || th > 3 || p + 17 > pos + len) return None
+            val tbits = Array.tabulate(16)(i => u(p + 1 + i))
+            val n = tbits.sum
+            if (n > 256 || p + 17 + n > pos + len) return None
+            val vals = Array.tabulate(n)(i => u(p + 17 + i))
+            val t = JpegHuffTable(tbits, vals)
+            if (cls == 0) dcT(th) = t else acT(th) = t
+            p += 17 + n
+          }
+          pos += len
+        case 0xdd =>
+          val len = be16(pos)
+          if (len != 4 || pos + len > b.length) return None
+          restartInterval = be16(pos + 2)
+          pos += len
+        case 0xda =>
+          val next = decodeScan(pos)
+          if (next < 0) return None
+          pos = next
+        case mm if mm >= 0xe0 && mm <= 0xef =>
+          val len = be16(pos)
+          if (len < 2 || pos + len > b.length) return None
+          pos += len
+        case 0xfe =>
+          val len = be16(pos)
+          if (len < 2 || pos + len > b.length) return None
+          pos += len
+        case _ => return None
+      }
+    }
+    // every component needs its DC approximation before pixels mean
+    // anything (a progression that never delivered DC is damage)
+    if (!dcDone.forall(identity)) return None
+    // ---- reconstruct: dequantize → IDCT → clamp into planes ------------
+    for (c <- 0 until nComp) if (qt(compQ(c)) == null) return None
+    val strides = Array.tabulate(nComp)(c => blocksW(c) * 8)
+    val compWpx = Array.tabulate(nComp)(c =>
+      (width * compH(c) + hMax - 1) / hMax)
+    val compHpx = Array.tabulate(nComp)(c =>
+      (height * compV(c) + vMax - 1) / vMax)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Byte](strides(c) * blocksH(c) * 8))
+    val coef = Array.ofDim[Double](8, 8)
+    val tmp = Array.ofDim[Double](8, 8)
+    var c = 0
+    while (c < nComp) {
+      val q = qt(compQ(c))
+      val arr = coefs(c)
+      val plane = planes(c)
+      val stride = strides(c)
+      var br = 0
+      while (br < blocksH(c)) {
+        var bc = 0
+        while (bc < blocksW(c)) {
+          val base = (br * blocksW(c) + bc) * 64
+          var n = 0
+          while (n < 64) {
+            coef(n / 8)(n % 8) = arr(base + n).toDouble * q(n)
+            n += 1
+          }
+          var y = 0
+          while (y < 8) {
+            var uu = 0
+            while (uu < 8) {
+              var s = 0.0
+              var vv = 0
+              while (vv < 8) { s += dctC(vv)(y) * coef(vv)(uu); vv += 1 }
+              tmp(y)(uu) = s
+              uu += 1
+            }
+            y += 1
+          }
+          y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var uu = 0
+              while (uu < 8) { s += tmp(y)(uu) * dctC(uu)(x); uu += 1 }
+              val px = math.floor(s + 128.5).toInt
+              val clamped = if (px < 0) 0 else if (px > 255) 255 else px
+              plane((br * 8 + y) * stride + bc * 8 + x) = clamped.toByte
+              x += 1
+            }
+            y += 1
+          }
+          bc += 1
+        }
+        br += 1
+      }
+      c += 1
+    }
     Some(JpegRaster(width, height, nComp, compWpx, compHpx, strides, planes))
   }
 

@@ -108,6 +108,23 @@ private[queries] object MediaGen {
       chroma420 = s1 % 2 == 0, restartInterval = (1 + s1 % 4).toInt)
   }
 
+  /** Progressive (SOF2) twin of [[jpegRstFor]]'s corpus mix: 3-component
+    * color, even-s1 docs 4:2:0, odd-s1 4:4:4, spectral-selection scans
+    * (interleaved DC, then the 1–63 AC band per component). Quantized
+    * coefficients are identical to the baseline packaging, so decoded
+    * sums match [[jpeg420For]]/[[jpegFor]]-style predictions while the
+    * byte stream exercises the multi-scan machinery.
+    */
+  def jpegProgFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (8 + s1 % 17).toInt
+    val h = (8 + s2 % 13).toInt
+    graft.operators.Multimodal.encodeJpegProgressive(w, h, 3,
+      (c, x, y) =>
+        ((s2 + (7L + 5L * c) * y + (11L + 2L * c) * x + 31L * c) % 256).toInt,
+      chroma420 = s1 % 2 == 0)
+  }
+
   /** 4–14 × 4–10 (even) Y4M clip, 3–10 frames. Even-s1 docs carry full
     * 4:2:0 chroma planes (which the luma walk must STRIDE over — a
     * mis-stride desyncs every later FRAME marker); odd-s1 docs are
@@ -1328,6 +1345,50 @@ object MultimodalQueries {
                  / (f.jpeg_width * f.jpeg_height), 4) AS mean_c0
         FROM documents d
         JOIN read_parquet('/root/repo/fixtures/media_jpeg_rst_oracle.parquet') f
+          ON md5(coalesce(d.text, '')) = f.text_md5""")),
+
+    // PROGRESSIVE JPEG (SOF2) — the mode most web images actually ship
+    // in: coefficients split across scans by spectral selection, the
+    // engine's own multi-scan encoder (interleaved DC scan, then the
+    // full AC band per component, non-interleaved as the spec requires)
+    // decoded by the progressive path that also reads libjpeg/ImageIO's
+    // successive-approximation script (MultimodalSpec pins that both
+    // directions). Mixed corpus (even seeds 4:2:0, odd 4:4:4). The
+    // fixture predicts the exact multi-scan byte stream — scan headers,
+    // per-scan bit flushes, the non-interleaved AC grids that SKIP
+    // 4:2:0 padding blocks — and the decoded sums; a decoder that
+    // mixed up scan geometry or dropped a band would flip the hash.
+    "q227_jpeg_progressive_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val bytes = MediaGen.jpegProgFor(text)
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map(b => f"$b%02x").mkString
+            Multimodal.parseJpegPixels(id, bytes).map(px =>
+              JpegDecodeStat(id, px.width, px.height, px.n_components,
+                bytes.length.toLong, md, px.sum_c0, px.sum_c1, px.sum_c2,
+                px.tl_c0, px.tl_c1, px.tl_c2))
+          }).toDF()
+          .withColumn("mean_c0", round(col("sum_c0").cast("double") /
+            (col("width") * col("height")), 4))
+      },
+      oracle = Some("""
+        SELECT d.doc_id,
+               f.jpeg_width AS width, f.jpeg_height AS height,
+               3 AS n_components,
+               f.jpeg_size, f.jpeg_md5,
+               f.jpeg_sum_c0 AS sum_c0, f.jpeg_sum_c1 AS sum_c1,
+               f.jpeg_sum_c2 AS sum_c2,
+               f.jpeg_tl_c0 AS tl_c0, f.jpeg_tl_c1 AS tl_c1,
+               f.jpeg_tl_c2 AS tl_c2,
+               round(CAST(f.jpeg_sum_c0 AS DOUBLE)
+                 / (f.jpeg_width * f.jpeg_height), 4) AS mean_c0
+        FROM documents d
+        JOIN read_parquet('/root/repo/fixtures/media_jpeg_prog_oracle.parquet') f
           ON md5(coalesce(d.text, '')) = f.text_md5"""))
   )
 }

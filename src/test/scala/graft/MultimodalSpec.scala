@@ -836,13 +836,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseJpegPixels(1L, bad).isEmpty)
   }
 
-  test("JPEG baseline: out-of-scope and malformed streams fail closed") {
-    def pix(c: Int, x: Int, y: Int) = (x * 11 + y * 7 + c) % 256
-    val ok = Multimodal.encodeJpegBaseline(16, 16, 3, pix)
-    assert(Multimodal.parseJpegPixels(1L, ok).isDefined)
-    // progressive (SOF2): route to a full stack, never a wrong answer
-    val img = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+  /** ImageIO's progressive encoder (libjpeg's default multi-scan
+    * script: spectral selection + successive approximation).
+    */
+  private def imageIoProgressive(img: java.awt.image.BufferedImage)
+      : Array[Byte] = {
     val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val prm = wr.getDefaultWriteParam
     prm.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
@@ -851,8 +849,94 @@ class MultimodalSpec extends SparkSpec {
     wr.setOutput(ios)
     wr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
     wr.dispose(); ios.close()
-    assert(Multimodal.parseJpegPixels(2L, bos.toByteArray).isEmpty,
-      "progressive must be None")
+    bos.toByteArray
+  }
+
+  test("JPEG progressive (SOF2): ImageIO-encoded grayscale — spectral " +
+    "selection + successive approximation + EOBRUN through the real " +
+    "multi-scan machinery — decodes within ±1 of ImageIO's own decode") {
+    val (w, h) = (37, 26)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (13 * x + 29 * y + 7) % 256)
+    val bytes = imageIoProgressive(img)
+    // really SOF2 (FF C2 present before any SOF0)
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "must be progressive")
+    val dec = Multimodal.decodeJpegPlanes(bytes)
+    assert(dec.isDefined, "progressive grayscale must decode")
+    val r = dec.get
+    assert(r.width == w && r.height == h && r.nComp == 1)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = r.planes(0)(y * r.strides(0) + x) & 0xff
+      val theirs = back.getRaster.getSample(x, y, 0)
+      assert(math.abs(ours - theirs) <= 1, s"($x,$y): $ours vs $theirs")
+    }
+  }
+
+  test("JPEG progressive (SOF2): ImageIO-encoded 4:2:0 COLOR — " +
+    "interleaved DC scans + per-component AC scans + refinement — " +
+    "luma matches ImageIO's raster within ±1") {
+    val (w, h) = (35, 28)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 17 + y * 5) % 256) << 16 |
+        ((x * 7 + y * 11) % 256) << 8 | ((x * 3 + y * 23) % 256))
+    val bytes = imageIoProgressive(img)
+    val dec = Multimodal.decodeJpegPlanes(bytes)
+    assert(dec.isDefined, "progressive 4:2:0 color must decode")
+    val r = dec.get
+    assert(r.width == w && r.height == h && r.nComp == 3)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rd.setInput(iis)
+    val raster = rd.readRaster(0, null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = r.planes(0)(y * r.strides(0) + x) & 0xff
+      val theirs = raster.getSample(x, y, 0)
+      assert(math.abs(ours - theirs) <= 1, s"luma ($x,$y): $ours vs $theirs")
+    }
+    rd.dispose()
+  }
+
+  test("JPEG progressive: OWN spectral-selection encoder round-trips, " +
+    "decodes IDENTICALLY to the baseline packaging of the same pixels, " +
+    "and ImageIO reads it") {
+    def pix(c: Int, x: Int, y: Int): Int =
+      (67 + (7 + 5 * c) * y + (11 + 2 * c) * x + 31 * c) % 256
+    for ((w, h, nc, c420) <- Seq((16, 16, 1, false), (17, 13, 3, false),
+      (32, 24, 3, true), (33, 17, 3, true))) {
+      val prog = Multimodal.encodeJpegProgressive(w, h, nc, pix, c420)
+      val base = Multimodal.encodeJpegBaseline(w, h, nc, pix, c420)
+      val rp = Multimodal.decodeJpegPlanes(prog)
+      val rb = Multimodal.decodeJpegPlanes(base)
+      assert(rp.isDefined && rb.isDefined, s"${w}x$h nc=$nc c420=$c420")
+      // progressive is a re-PACKAGING: identical quantized coefficients
+      // must reconstruct identical pixels over the VALID region (padding
+      // blocks legitimately differ — non-interleaved AC scans cover only
+      // the unpadded grid, so pad blocks stay DC-only there)
+      for (c <- 0 until nc; y <- 0 until rp.get.compH(c);
+           x <- 0 until rp.get.compW(c)) {
+        val p = rp.get.planes(c)(y * rp.get.strides(c) + x) & 0xff
+        val q = rb.get.planes(c)(y * rb.get.strides(c) + x) & 0xff
+        assert(p == q, s"progressive ≡ baseline (c=$c,$x,$y ${w}x$h): $p vs $q")
+      }
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(prog))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO must read our progressive stream (${w}x$h)")
+    }
+  }
+
+  test("JPEG baseline: out-of-scope and malformed streams fail closed") {
+    def pix(c: Int, x: Int, y: Int) = (x * 11 + y * 7 + c) % 256
+    val ok = Multimodal.encodeJpegBaseline(16, 16, 3, pix)
+    assert(Multimodal.parseJpegPixels(1L, ok).isDefined)
     // truncated entropy stream / missing EOI
     assert(Multimodal.parseJpegPixels(3L, ok.take(ok.length - 40)).isEmpty)
     assert(Multimodal.parseJpegPixels(4L, ok.take(ok.length - 2)).isEmpty)
@@ -860,6 +944,16 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseJpegPixels(5L, "GIF89a".getBytes).isEmpty)
     // header cut inside a segment
     assert(Multimodal.parseJpegPixels(6L, ok.take(30)).isEmpty)
+    // a TRUNCATED progressive file (cut mid-scan, and cut between
+    // scans before EOI) is damage, not a partial picture
+    val img = new java.awt.image.BufferedImage(24, 18,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 18; x <- 0 until 24)
+      img.getRaster.setSample(x, y, 0, (x * 9 + y * 3) % 256)
+    val prog = imageIoProgressive(img)
+    assert(Multimodal.parseJpegPixels(7L, prog).isDefined)
+    assert(Multimodal.parseJpegPixels(8L, prog.take(prog.length - 2)).isEmpty)
+    assert(Multimodal.parseJpegPixels(9L, prog.take(prog.length / 2)).isEmpty)
   }
 
   test("JPEG corpus-totality law: decode succeeds with exact dims for " +

@@ -763,6 +763,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q226 must not join:\n$p")
   }
 
+  test("q227 jpeg progressive decode: zero exchanges — same posture") {
+    val p = plan("q227_jpeg_progressive_decode")
+    assert(!p.contains("Exchange"), s"q227 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q227 must not join:\n$p")
+  }
+
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {
     val p = plan("q178_doremi_weights")
     // one corpus partial-agg exchange; the tot/wqSum folds run over the
