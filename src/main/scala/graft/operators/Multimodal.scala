@@ -636,6 +636,110 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // TRUE payload decode — G.711 companded WAV (µ-law / A-law).
+  //
+  // The telephony formats (ITU-T G.711): 8-bit logarithmically
+  // companded samples — format code 7 (µ-law, stored complemented) or
+  // 6 (A-law, stored XOR 0x55) — expanded to 13/14-bit linear by pure
+  // integer arithmetic, no tables required. Call-center/voice corpora
+  // arrive in exactly this shape. Unlike the canonical-layout PCM
+  // parser, this one walks RIFF chunks generally (non-PCM fmt chunks
+  // are 18 bytes, and writers interleave `fact`/LIST chunks before
+  // `data` — javax.sound's own µ-law output does both).
+  // ---------------------------------------------------------------------
+
+  /** Per-payload G.711 sample statistics (linear domain). */
+  case class G711Samples(id: Long, law: String, n_samples: Long,
+                         min_amp: Int, max_amp: Int, sum_amp: Long)
+
+  /** µ-law byte → linear (G.711 §4.2 decoder formula; bytes are stored
+    * complemented): ((m·8 + 132) << e) − 132, sign from bit 7.
+    * Max magnitude 32124.
+    */
+  private[graft] def ulawExpand(byte: Int): Int = {
+    val u = ~byte & 0xff
+    val e = (u >> 4) & 7
+    val m = u & 0x0f
+    val x = (((m << 3) + 0x84) << e) - 0x84
+    if ((u & 0x80) != 0) -x else x
+  }
+
+  /** A-law byte → linear (G.711 §4.1; bytes are stored XOR 0x55):
+    * segment 0 is linear (m·16 + 8), segments 1–7 double per step.
+    * Max magnitude 32256.
+    */
+  private[graft] def alawExpand(byte: Int): Int = {
+    val a = byte ^ 0x55
+    val e = (a >> 4) & 7
+    val m = a & 0x0f
+    val x = if (e == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (e - 1)
+    // A-law's sign convention is INVERTED vs µ-law: MSB 1 = positive
+    if ((a & 0x80) != 0) x else -x
+  }
+
+  /** Decode a G.711 WAV: general RIFF chunk walk to fmt + data, then
+    * every companded byte expanded and folded. Requires mono 8-bit,
+    * format 6 or 7; anything else (or a chunk running past EOF) → None.
+    */
+  def parseWavG711(id: Long, b: Array[Byte]): Option[G711Samples] = {
+    def u(i: Int) = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    def le16(i: Int) = { val lo = u(i); val hi = u(i + 1); if (lo < 0 || hi < 0) -1 else lo | (hi << 8) }
+    def le32(i: Int): Long = {
+      val a = u(i); val c = u(i + 1); val d = u(i + 2); val e = u(i + 3)
+      if (a < 0 || c < 0 || d < 0 || e < 0) -1L
+      else a | (c.toLong << 8) | (d.toLong << 16) | (e.toLong << 24)
+    }
+    if (b.length < 12 || u(0) != 'R' || u(1) != 'I' || u(2) != 'F' ||
+      u(3) != 'F' || u(8) != 'W' || u(9) != 'A' || u(10) != 'V' ||
+      u(11) != 'E') return None
+    var pos = 12
+    var fmtCode = -1
+    var channels = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while ((dataOff < 0 || fmtCode < 0) && pos + 8 <= b.length) {
+      val len = le32(pos + 4)
+      if (len < 0 || pos + 8 + len > b.length) return None
+      if (u(pos) == 'f' && u(pos + 1) == 'm' && u(pos + 2) == 't' &&
+        u(pos + 3) == ' ') {
+        if (len < 16) return None
+        fmtCode = le16(pos + 8)
+        channels = le16(pos + 10)
+        bits = le16(pos + 22)
+      } else if (u(pos) == 'd' && u(pos + 1) == 'a' && u(pos + 2) == 't' &&
+        u(pos + 3) == 'a') {
+        dataOff = pos + 8
+        dataLen = len.toInt
+      }
+      pos += 8 + len.toInt + (len.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (fmtCode != 6 && fmtCode != 7) return None
+    if (channels != 1 || bits != 8 || dataOff < 0) return None
+    val law = if (fmtCode == 7) "ulaw" else "alaw"
+    if (dataLen == 0) return Some(G711Samples(id, law, 0L, 0, 0, 0L))
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var sum = 0L
+    var i = 0
+    while (i < dataLen) {
+      val v = if (fmtCode == 7) ulawExpand(u(dataOff + i))
+      else alawExpand(u(dataOff + i))
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      i += 1
+    }
+    Some(G711Samples(id, law, dataLen.toLong, mn, mx, sum))
+  }
+
+  /** G.711 twin of [[decodeBatches]]: zero shuffles. */
+  def decodeWavG711Batches(payloads: Dataset[Payload]): Dataset[G711Samples] = {
+    implicit val enc = Encoders.product[G711Samples]
+    payloads.mapPartitions(_.flatMap(p => parseWavG711(p.id, p.content)))
+  }
+
+  // ---------------------------------------------------------------------
   // TRUE payload decode — Y4M video, real frame-plane walk.
   //
   // YUV4MPEG2 is the uncompressed video interchange format (ffmpeg's

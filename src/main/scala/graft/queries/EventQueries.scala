@@ -595,6 +595,103 @@ object EventQueries {
          AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms
         GROUP BY 1, 2""")),
 
+    // The FULL OUTER stream-stream interval join — the last join-type
+    // cell: BOTH unmatched sides must emit with nulls on watermark
+    // expiry (unmatched purchases like q223, and now also unmatched
+    // clicks — clicks no same-user purchase attributed within the hour
+    // after them; their state-cleanup path is symmetric but separately
+    // exercised). Same sentinel protocol on both streams. Output folds
+    // both faces: per-purchase click count/sum (null-matched → 0/null),
+    // and per-user ORPHAN click count/sum from the right-null rows. The
+    // oracle is the batch left join UNION the NOT-EXISTS orphan fold.
+    // Drain ×2 from one checkpoint; replay adds zero rows.
+    "q228_stream_interval_full_join" -> QueryDef(
+      build = (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import s.implicits._
+        val ev = Engine.table(s, dir, "events")
+          .withColumn("tstamp", timestamp_millis(unix_millis(col("ts"))))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tstamp"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tstamp"), col("value"))
+        val maxTs = ev.agg(max(col("tstamp"))).head().getTimestamp(0)
+        def sentinelTs(days: Int) =
+          new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+        val dvP = new StreamDeliveries("graft_q228_purchases")
+        val dvC = new StreamDeliveries("graft_q228_clicks")
+        dvP.land(purchases, "a", 1000000000000L)
+        dvP.land(Seq((-1L, -1L, sentinelTs(1)))
+          .toDF("event_id", "user_id", "tstamp"), "b", 1000000060000L)
+        dvP.land(Seq((-2L, -1L, sentinelTs(2)))
+          .toDF("event_id", "user_id", "tstamp"), "c", 1000000120000L)
+        dvC.land(clicks, "a", 1000000000000L)
+        dvC.land(Seq((-1L, sentinelTs(1), 0.0))
+          .toDF("user_id", "tstamp", "value"), "b", 1000000060000L)
+        dvC.land(Seq((-1L, sentinelTs(2), 0.0))
+          .toDF("user_id", "tstamp", "value"), "c", 1000000120000L)
+        val root = dvP.root
+        val out = s"$root/out"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val sp = s.readStream.schema(purchases.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dvP.dropDir)
+          val sc = s.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dvC.dropDir)
+          val q = graft.streaming.StreamOps
+            .intervalJoin(sp, sc, key = "user_id", lookback = "1 hour",
+              watermark = "10 minutes", joinType = "fullOuter")
+            .select(col("l.event_id").as("p_event"),
+              col("l.user_id").as("p_user"),
+              col("r.user_id").as("c_user"), col("r.value").as("value"))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must be a no-op
+        val rows = s.read.parquet(out)
+        val perPurchase = rows
+          .filter(col("p_event").isNotNull && col("p_user") =!= -1L)
+          .groupBy(col("p_event"), col("p_user"))
+          .agg(count(col("value")).as("n"),
+            ExactAgg.sumExact(col("value"), 4).as("v"))
+          .select(lit("purchase").as("kind"), col("p_event").as("event_id"),
+            col("p_user").as("user_id"), col("n"), col("v"))
+        val orphans = rows
+          .filter(col("p_event").isNull && col("c_user") =!= -1L)
+          .groupBy(col("c_user"))
+          .agg(count(col("value")).as("n"),
+            ExactAgg.sumExact(col("value"), 4).as("v"))
+          .select(lit("orphan_clicks").as("kind"),
+            lit(null).cast("long").as("event_id"),
+            col("c_user").as("user_id"), col("n"), col("v"))
+        perPurchase.unionAll(orphans)
+      },
+      oracle = Some(s"""
+        WITH p AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS ms
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_ms(ts) AS ms, value
+          FROM events WHERE event_type = 'click')
+        SELECT 'purchase' AS kind, p.event_id, p.user_id,
+               count(c.value) AS n, ${ExactAgg.sqlSum("c.value", 4)} AS v
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms
+        GROUP BY 2, 3
+        UNION ALL
+        SELECT 'orphan_clicks', CAST(NULL AS BIGINT), c.user_id,
+               count(*), ${ExactAgg.sqlSum("c.value", 4)}
+        FROM c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms)
+        GROUP BY c.user_id""")),
+
     // Event-transition matrix (first-order Markov counts): per-user
     // event sequences → (from, to) bigram counts with transition
     // probability. Sequence order is event_id (the generator's arrival

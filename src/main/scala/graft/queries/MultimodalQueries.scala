@@ -1389,7 +1389,96 @@ object MultimodalQueries {
                  / (f.jpeg_width * f.jpeg_height), 4) AS mean_c0
         FROM documents d
         JOIN read_parquet('/root/repo/fixtures/media_jpeg_prog_oracle.parquet') f
-          ON md5(coalesce(d.text, '')) = f.text_md5"""))
+          ON md5(coalesce(d.text, '')) = f.text_md5""")),
+
+    // TRUE payload decode — G.711 companded WAV, the telephony format
+    // voice corpora arrive in: 8-bit µ-law (format 7, even-seed docs)
+    // or A-law (format 6, odd-seed) expanded to 13/14-bit linear by the
+    // ITU-T G.711 integer formulas — no tables, no codec. The expansion
+    // is PURE ARITHMETIC, so (uniquely among the entropy-coded formats)
+    // the oracle needs no fixture: DuckDB rebuilds the bytes, reads the
+    // format code and every sample byte back out of the blob, and
+    // applies the same complement/XOR + segment-shift formulas —
+    // including A-law's INVERTED sign convention, which flips min/max
+    // on every row if a decoder gets it backward. Expansion pinned
+    // byte-for-byte against javax.sound's independent converters (all
+    // 512 code points) in MultimodalSpec.
+    "q229_wav_g711" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val isU = pmod(gf.hash60(coalesce(col("text"), lit(""))), lit(2)) === 0
+        val fmtCode = when(isU, 7).otherwise(6)
+        val n = (lit(8) + pmod(gf.hash60(coalesce(col("text"), lit(""))),
+          lit(16))).cast("int")
+        val sampleHex = array_join(transform(sequence(lit(0), n - 1), i =>
+          lpad(hex(pmod(id * 13 + i * 29, lit(256))), 2, "0")), "")
+        val wav = unhex(concat(
+          lit("52494646"), le32(n + 36), lit("57415645"),
+          lit("666D7420"), le32(lit(16)), le16(fmtCode), le16(lit(1)),
+          le32(lit(8000)), le32(lit(8000)), le16(lit(1)), le16(lit(8)),
+          lit("64617461"), le32(n), sampleHex))
+        val payloads = Engine.table(s, dir, "documents")
+          .select(id.as("id"), lit("audio").as("modality"),
+            wav.as("content")).as[Multimodal.Payload]
+        Multimodal.decodeWavG711Batches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("law"), col("n_samples"),
+            col("min_amp"), col("max_amp"), col("sum_amp"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 8 + ${sqlHash60("coalesce(text, '')")} % 16 AS n,
+                 CASE WHEN ${sqlHash60("coalesce(text, '')")} % 2 = 0
+                      THEN 7 ELSE 6 END AS fmt
+          FROM documents),
+        p AS (
+          SELECT doc_id, concat(
+              '52494646', ${sqlLe32("n + 36")}, '57415645',
+              '666D7420', ${sqlLe32("16")}, ${sqlLe16("fmt")},
+              ${sqlLe16("1")}, ${sqlLe32("8000")}, ${sqlLe32("8000")},
+              ${sqlLe16("1")}, ${sqlLe16("8")}, '64617461', ${sqlLe32("n")},
+              array_to_string(list_transform(range(n),
+                i -> lpad(hex((doc_id*13 + i*29) % 256), 2, '0')), '')
+            ) AS whex
+          FROM g),
+        b AS (SELECT doc_id, hex(from_hex(whex)) AS hx FROM p),
+        hdr AS ( -- format code and sample count read back from bytes
+          SELECT doc_id, hx, ${sqlLe16At(20)} AS fmt2,
+                 ${sqlLe32At(40)} AS n2
+          FROM b),
+        sm AS (
+          SELECT doc_id, fmt2, n2,
+                 CASE WHEN fmt2 = 7 THEN
+                   -- µ-law: complement, then ((m*8+132) << e) - 132,
+                   -- sign from bit 7 (1 = negative)
+                   CASE WHEN (255 - bb) >= 128
+                     THEN -(((((255 - bb) % 16) * 8 + 132)
+                             << (((255 - bb) // 16) % 8)) - 132)
+                     ELSE ((((255 - bb) % 16) * 8 + 132)
+                           << (((255 - bb) // 16) % 8)) - 132 END
+                 ELSE
+                   -- A-law: XOR 0x55; segment 0 linear, else doubling;
+                   -- sign from bit 7 (1 = POSITIVE — inverted vs µ-law)
+                   CASE WHEN xor(bb, 85) >= 128
+                     THEN CASE WHEN (xor(bb, 85) // 16) % 8 = 0
+                       THEN (xor(bb, 85) % 16) * 16 + 8
+                       ELSE ((xor(bb, 85) % 16) * 16 + 264)
+                            << ((xor(bb, 85) // 16) % 8 - 1) END
+                     ELSE -(CASE WHEN (xor(bb, 85) // 16) % 8 = 0
+                       THEN (xor(bb, 85) % 16) * 16 + 8
+                       ELSE ((xor(bb, 85) % 16) * 16 + 264)
+                            << ((xor(bb, 85) // 16) % 8 - 1) END) END
+                 END AS v
+          FROM (SELECT doc_id, fmt2, n2, ${sqlU8x("44 + i")} AS bb
+                FROM hdr JOIN generate_series(0, 23) t(i) ON t.i < n2))
+        SELECT doc_id,
+               CASE WHEN fmt2 = 7 THEN 'ulaw' ELSE 'alaw' END AS law,
+               CAST(n2 AS BIGINT) AS n_samples,
+               CAST(min(v) AS INTEGER) AS min_amp,
+               CAST(max(v) AS INTEGER) AS max_amp,
+               CAST(sum(v) AS BIGINT) AS sum_amp
+        FROM sm GROUP BY doc_id, fmt2, n2"""))
   )
 }
 

@@ -675,6 +675,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("G.711 expansion matches javax.sound's independent µ-law/A-law " +
+    "converters byte-for-byte, and the RIFF chunk walk reads " +
+    "javax.sound's own non-canonical WAV layout") {
+    import javax.sound.sampled._
+    for ((enc, expand, law) <- Seq(
+      (AudioFormat.Encoding.ULAW,
+        (i: Int) => Multimodal.ulawExpand(i), "ulaw"),
+      (AudioFormat.Encoding.ALAW,
+        (i: Int) => Multimodal.alawExpand(i), "alaw"))) {
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val data = Array.tabulate[Byte](256)(_.toByte) // every code point
+      // direction 1: their decode table == our formula, all 256 codes
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), src, 256)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val pcm = AudioSystem.getAudioInputStream(dst, ais)
+      val out = pcm.readAllBytes()
+      assert(out.length == 512)
+      for (i <- 0 until 256) {
+        val theirs = ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt
+        assert(theirs == expand(i), s"$law byte $i: $theirs vs ${expand(i)}")
+      }
+      // direction 2: javax.sound WRITES a companded WAV (18-byte fmt +
+      // fact chunk — the layout the general chunk walk exists for) and
+      // the parser folds the same values
+      val ais2 = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), src, 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais2, AudioFileFormat.Type.WAVE, bos)
+      val got = Multimodal.parseWavG711(1L, bos.toByteArray)
+      assert(got.isDefined, s"$law WAV must parse")
+      val vals = (0 until 256).map(expand)
+      assert(got.get == Multimodal.G711Samples(1L, law, 256L,
+        vals.min, vals.max, vals.map(_.toLong).sum))
+    }
+    // scope rails: PCM and damage fail closed
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcmAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](32)), fmt, 16)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(pcmAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos2)
+    assert(Multimodal.parseWavG711(2L, bos2.toByteArray).isEmpty,
+      "PCM is not G.711")
+    assert(Multimodal.parseWavG711(3L, "RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
   // ---- JPEG baseline: the last stub-codec boundary -----------------------
 
   test("JPEG baseline: own encoder's bytes decode, and javax.imageio's " +

@@ -769,6 +769,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q227 must not join:\n$p")
   }
 
+  test("q229 g711 wav decode: zero exchanges — same scan-task posture") {
+    val p = plan("q229_wav_g711")
+    assert(!p.contains("Exchange"), s"q229 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q229 must not join:\n$p")
+  }
+
   test("q178 doremi: corpus aggregates once; totals ride broadcast") {
     val p = plan("q178_doremi_weights")
     // one corpus partial-agg exchange; the tot/wqSum folds run over the
