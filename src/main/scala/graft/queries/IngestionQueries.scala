@@ -503,7 +503,73 @@ object IngestionQueries {
         SELECT doc_id, 'doc.tar', member_len, TRUE, CAST(3072 AS BIGINT),
                'meta.json', CAST(32 AS BIGINT), mt + 1,
                CAST(1536 AS BIGINT)
-        FROM j"""))
+        FROM j""")),
+
+    // Avro object-container walk (q230) — the canonical DATA-LAKE
+    // container (Kafka dumps, Sqoop exports, event-log archives all
+    // ship as .avro): documents group into 8 per-bucket containers
+    // (even buckets deflate-coded, odd null-coded, each with its own
+    // derived sync marker), and Avro.parse walks the format for real —
+    // metadata map (schema + codec read back from the FILE, never
+    // assumed), zigzag-varint block framing, per-block inflate,
+    // records sliced by their own varint lengths, every block's sync
+    // marker verified against the header's. One shuffle builds the
+    // blobs (the q181 WARC shape); the walk itself is scan-task work.
+    // The oracle derives the record coordinates in SQL and joins the
+    // container's BYTE SIZE from an independent Python reimplementation
+    // of the whole layout (fixtures/avro_size_oracle.parquet — varint
+    // widths, metadata map, CPython-zlib deflate blocks; keyed by
+    // md5(codec + ':' + the blob's doc_id=payload list) so one fixture
+    // serves every sf dir even though doc_id lists collide across
+    // dirs): one mis-encoded varint anywhere changes the size.
+    "q230_avro_container" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 8).as("blob_id"), col("doc_id"),
+            expr("repeat(md5(coalesce(text, ''))," +
+              " CAST(1 + n_chars % 3 AS INT))").as("payload"))
+          .as[(Long, Long, String)]
+        docs.groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val recs = it.toSeq.sortBy(_._2).map(t => (t._2, t._3))
+            val sync = Array.tabulate[Byte](16)(i =>
+              ((blobId * 31 + i * 7) % 256).toByte)
+            val codec = if (blobId % 2 == 0) "deflate" else "null"
+            val bytes = graft.sources.Avro.write(recs, sync, codec)
+            graft.sources.Avro.parse(blobId, bytes).map(r =>
+              AvroWalkRow(r.blob_id, r.block_idx, r.rec_idx, r.rec_id,
+                r.payload, r.codec, r.sync_ok, bytes.length.toLong))
+          }
+          .toDF()
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 8 AS blob_id, doc_id,
+                 repeat(md5(coalesce(text, '')),
+                        CAST(1 + n_chars % 3 AS INT)) AS payload,
+                 row_number() OVER (PARTITION BY doc_id % 8
+                   ORDER BY doc_id) - 1 AS rn
+          FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5(CASE WHEN blob_id % 2 = 0 THEN 'deflate'
+                          ELSE 'null' END || ':' ||
+                     string_agg(CAST(doc_id AS VARCHAR) || '=' || payload,
+                                ',' ORDER BY doc_id)) AS bkey
+          FROM r GROUP BY blob_id),
+        j AS (
+          SELECT k.blob_id, f.container_bytes
+          FROM k JOIN read_parquet('/root/repo/fixtures/avro_size_oracle.parquet') f
+            ON k.bkey = f.blob_key)
+        SELECT r.blob_id,
+               CAST(rn // 5 AS INT) AS block_idx,
+               CAST(rn % 5 AS INT) AS rec_idx,
+               r.doc_id AS rec_id, r.payload,
+               CASE WHEN r.blob_id % 2 = 0 THEN 'deflate'
+                    ELSE 'null' END AS codec,
+               TRUE AS sync_ok, j.container_bytes
+        FROM r JOIN j ON r.blob_id = j.blob_id"""))
   )
 
   // ZIP central-directory walk (q202) — kept in its own block for the
@@ -801,3 +867,12 @@ private[queries] case class TarGzEntry(
     doc_id: Long, member_name: String, member_len: Long, crc_ok: Boolean,
     uncomp_len: Long, entry_name: String, size: Long, mtime: Long,
     data_offset: Long)
+
+/** One q230 output row: an Avro container record with its block/record
+  * coordinates plus the whole blob's byte size (the writer pin — it
+  * depends on every varint width and deflate output in the file).
+  */
+private[queries] case class AvroWalkRow(
+    blob_id: Long, block_idx: Int, rec_idx: Int, rec_id: Long,
+    payload: String, codec: String, sync_ok: Boolean,
+    container_bytes: Long)

@@ -1,0 +1,94 @@
+package graft
+
+import graft.sources.Avro
+
+/** Avro object-container walk. No Avro library ships in the sandbox
+  * (JDK or CPython), so the independence pins are (a) the spec's own
+  * PUBLISHED zigzag-varint examples, asserted byte-for-byte, (b) the
+  * q230 oracle, which re-derives the whole container — varints, block
+  * framing, metadata map — in DuckDB SQL from the other end, and (c)
+  * damage-shape totality (the gzip-member posture: keep what precedes
+  * the damage, flag it, never resync silently).
+  */
+class AvroSpec extends SparkSpec {
+
+  test("zigzag varints match the Avro spec's published examples, both " +
+    "directions") {
+    // spec table: 0->00, -1->01, 1->02, -2->03, 2->04, -64->7f, 63->7e,
+    // 64->80 01, -65->81 01
+    val cases = Seq(
+      0L -> Seq(0x00), -1L -> Seq(0x01), 1L -> Seq(0x02),
+      -2L -> Seq(0x03), 2L -> Seq(0x04), -64L -> Seq(0x7f),
+      63L -> Seq(0x7e), 64L -> Seq(0x80, 0x01), -65L -> Seq(0x81, 0x01),
+      8192L -> Seq(0x80, 0x80, 0x01))
+    cases.foreach { case (n, bytes) =>
+      val out = new java.io.ByteArrayOutputStream()
+      Avro.putVarint(out, n)
+      assert(out.toByteArray.map(_ & 0xff).toSeq == bytes, s"encode $n")
+      val dec = Avro.varint(out.toByteArray, 0)
+      assert(dec != null && dec._1 == n && dec._2 == bytes.length,
+        s"decode $n")
+    }
+    // truncated varint (continuation bit set at EOF) -> null, not a spin
+    assert(Avro.varint(Array(0x80.toByte), 0) == null)
+  }
+
+  test("round-trip through both codecs: block coordinates, record " +
+    "order, sync verification") {
+    val sync = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    val recs = (0L until 12L).map(i => (i * 7, s"payload-$i" * 3))
+    for (codec <- Seq("null", "deflate")) {
+      val blob = Avro.write(recs, sync, codec, blockRecords = 5)
+      val got = Avro.parse(1L, blob)
+      assert(got.size == 12, s"codec $codec")
+      assert(got.map(r => (r.block_idx, r.rec_idx, r.rec_id, r.payload,
+        r.codec, r.sync_ok)) == recs.zipWithIndex.map { case ((id, p), i) =>
+        (i / 5, i % 5, id, p, codec, true) })
+    }
+  }
+
+  test("damage shapes: bad magic and unreadable headers yield Nil; a " +
+    "flipped block sync keeps the block FLAGGED and stops; truncation " +
+    "keeps earlier blocks; unknown codecs route away") {
+    val sync = Array.fill[Byte](16)(0x5a)
+    val recs = (0L until 10L).map(i => (i, s"r$i"))
+    val blob = Avro.write(recs, sync, "deflate", blockRecords = 4)
+    assert(Avro.parse(1L, blob).size == 10)
+    // magic
+    val noMagic = blob.clone(); noMagic(0) = 'X'.toByte
+    assert(Avro.parse(2L, noMagic).isEmpty)
+    // header metadata truncated mid-map
+    assert(Avro.parse(3L, blob.take(10)).isEmpty)
+    // find block 0's trailing sync (the next 0x5a run after the header's)
+    val headerSyncAt = blob.indexOfSlice(sync)
+    val block0SyncAt = blob.indexOfSlice(sync, headerSyncAt + 16)
+    val badSync = blob.clone()
+    badSync(block0SyncAt) = 0x00
+    val flagged = Avro.parse(4L, badSync)
+    // block 0's records kept with sync_ok=false; the walk STOPS there
+    assert(flagged.size == 4 && flagged.forall(!_.sync_ok))
+    // truncated mid-block-3: blocks 0 and 1 survive intact
+    val cut = Avro.parse(5L, blob.take(blob.length - 6))
+    assert(cut.size == 8 && cut.forall(_.sync_ok))
+    // unknown codec routes away: rewrite the codec string in a fresh
+    // null-codec file ("null" -> "snap" keeps the varint length)
+    val nullBlob = Avro.write(recs, sync, "null", 4)
+    val s2 = new String(nullBlob, "ISO-8859-1")
+    val i2 = s2.indexOf("avro.codec")
+    val patched = (s2.substring(0, i2 + 11) + "snap" +
+      s2.substring(i2 + 15)).getBytes("ISO-8859-1")
+    assert(Avro.parse(6L, patched).isEmpty)
+  }
+
+  test("distributed wrapper preserves rows across partitions") {
+    val sync = Array.fill[Byte](16)(0x11)
+    import spark.implicits.newProductEncoder
+    val blobs = (1L to 4L).map(i => Avro.AvroBlob(i,
+      Avro.write(Seq((i, s"only-$i")), sync,
+        if (i % 2 == 0) "deflate" else "null")))
+    val ds = spark.createDataset(blobs)(newProductEncoder).repartition(3)
+    val got = Avro.records(ds).collect()
+    assert(got.length == 4 &&
+      got.map(_.blob_id).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+}
