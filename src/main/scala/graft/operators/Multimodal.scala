@@ -1842,7 +1842,9 @@ object Multimodal {
     * With `chroma420` the chroma accessors are sampled on the
     * HALF-RESOLUTION grid (`ceil(w/2) × ceil(h/2)`) and Y carries 2×2
     * sampling factors — the libjpeg/ImageIO color default, with the
-    * interleaved 4-Y+Cb+Cr MCU structure. Dims need not be
+    * interleaved 4-Y+Cb+Cr MCU structure; `chroma422` halves only
+    * HORIZONTALLY (Y 2×1, the broadcast-video convention, 2-Y+Cb+Cr
+    * MCUs, chroma on `ceil(w/2) × h`). Dims need not be
     * block-aligned: edge samples are replicated into the partial
     * blocks (the standard encoder posture — replication keeps the
     * padded block's spectrum tame).
@@ -1850,12 +1852,18 @@ object Multimodal {
   def encodeJpegBaseline(w: Int, h: Int, nComp: Int,
                          pixel: (Int, Int, Int) => Int,
                          chroma420: Boolean = false,
-                         restartInterval: Int = 0): Array[Byte] = {
+                         restartInterval: Int = 0,
+                         chroma422: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0, s"bad jpeg geometry ${w}x$h")
     require(nComp == 1 || nComp == 3, s"baseline encoder: 1 or 3 components, got $nComp")
-    require(!chroma420 || nComp == 3, "4:2:0 needs the 3-component layout")
+    require((!chroma420 && !chroma422) || nComp == 3,
+      "subsampling needs the 3-component layout")
+    require(!(chroma420 && chroma422), "pick one subsampling mode")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"restart interval out of the 16-bit field: $restartInterval")
+    // Y sampling factors: 2×2 for 4:2:0, 2×1 for 4:2:2, 1×1 otherwise
+    val hs = if (chroma420 || chroma422) 2 else 1
+    val vs = if (chroma420) 2 else 1
     val out = new java.io.ByteArrayOutputStream(1024)
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v >> 8); w8(v) } // big-endian
@@ -1881,7 +1889,7 @@ object Multimodal {
     w8(8); w16(h); w16(w); w8(nComp) // precision, LINES first, then width
     for (c <- 0 until nComp) {
       w8(c + 1) // component id
-      w8(if (chroma420 && c == 0) 0x22 else 0x11) // sampling factors
+      w8(if (c == 0) hs << 4 | vs else 0x11) // sampling factors
       w8(if (c == 0) 0 else 1) // quant table
     }
 
@@ -2008,8 +2016,7 @@ object Multimodal {
       }
     }
     val totalMcus =
-      if (chroma420) ((w + 15) / 16) * ((h + 15) / 16)
-      else ((w + 7) / 8) * ((h + 7) / 8)
+      ((w + 8 * hs - 1) / (8 * hs)) * ((h + 8 * vs - 1) / (8 * vs))
     var mcusDone = 0
     var rstN = 0
     // After every `restartInterval` MCUs (never after the last): byte-
@@ -2025,51 +2032,35 @@ object Multimodal {
         java.util.Arrays.fill(pred, 0)
       }
     }
-    if (chroma420) {
-      // interleaved 4:2:0 MCU: four Y blocks (2×2), then Cb, then Cr
-      // on the half-resolution grid
-      val cw = (w + 1) / 2
-      val ch = (h + 1) / 2
-      val mcuCols = (w + 15) / 16
-      val mcuRows = (h + 15) / 16
-      var my = 0
-      while (my < mcuRows) {
-        var mx = 0
-        while (mx < mcuCols) {
-          var v = 0
-          while (v < 2) {
-            var u = 0
-            while (u < 2) {
-              emitBlock(0, mx * 2 + u, my * 2 + v, w, h)
-              u += 1
-            }
-            v += 1
+    // interleaved MCU: hs×vs Y blocks, then Cb, then Cr on their
+    // subsampled grids. (1,1) degenerates to one block per component —
+    // byte-identical to the original 4:4:4/grayscale emission order.
+    val cw = (w + hs - 1) / hs
+    val ch = (h + vs - 1) / vs
+    val mcuCols = (w + 8 * hs - 1) / (8 * hs)
+    val mcuRows = (h + 8 * vs - 1) / (8 * vs)
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        var v = 0
+        while (v < vs) {
+          var u = 0
+          while (u < hs) {
+            emitBlock(0, mx * hs + u, my * vs + v, w, h)
+            u += 1
           }
-          emitBlock(1, mx, my, cw, ch)
-          emitBlock(2, mx, my, cw, ch)
-          afterMcu()
-          mx += 1
+          v += 1
         }
-        my += 1
-      }
-    } else {
-      // 4:4:4 / grayscale: one block per component per MCU
-      val bw = (w + 7) / 8
-      val bh = (h + 7) / 8
-      var by = 0
-      while (by < bh) {
-        var bx = 0
-        while (bx < bw) {
-          var c = 0
-          while (c < nComp) {
-            emitBlock(c, bx, by, w, h)
-            c += 1
-          }
-          afterMcu()
-          bx += 1
+        var c = 1
+        while (c < nComp) {
+          emitBlock(c, mx, my, cw, ch)
+          c += 1
         }
-        by += 1
+        afterMcu()
+        mx += 1
       }
+      my += 1
     }
     if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt) // 1-pad
     marker(0xd9) // EOI

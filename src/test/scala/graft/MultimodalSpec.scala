@@ -921,6 +921,39 @@ class MultimodalSpec extends SparkSpec {
     rd.dispose()
   }
 
+  test("JPEG 4:2:2 (Y 2x1, the broadcast-video convention): own-encoder " +
+    "interleaved 2-Y+Cb+Cr MCUs decode with per-component geometry, and " +
+    "ImageIO agrees on the luma plane within ±1") {
+    for ((w, h) <- Seq((16, 16), (17, 13), (32, 9))) {
+      def pix(c: Int, x: Int, y: Int): Int =
+        (41 + (7 + 5 * c) * y + (11 + 2 * c) * x + 31 * c) % 256
+      val bytes = Multimodal.encodeJpegBaseline(w, h, 3, pix,
+        chroma422 = true)
+      val dec = Multimodal.decodeJpegPlanes(bytes)
+      assert(dec.isDefined, s"own 4:2:2 decode must succeed (${w}x$h)")
+      val r = dec.get
+      assert(r.width == w && r.height == h && r.nComp == 3)
+      assert(r.compW(0) == w && r.compH(0) == h)
+      // chroma halves horizontally ONLY
+      assert(r.compW(1) == (w + 1) / 2 && r.compH(1) == h,
+        s"chroma geometry ${r.compW(1)}x${r.compH(1)} (${w}x$h)")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+      rd.setInput(iis)
+      val raster = rd.readRaster(0, null)
+      assert(raster.getWidth == w && raster.getHeight == h &&
+        raster.getNumBands == 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val ours = r.planes(0)(y * r.strides(0) + x) & 0xff
+        val theirs = raster.getSample(x, y, 0)
+        assert(math.abs(ours - theirs) <= 1,
+          s"luma ($x,$y): $ours vs $theirs (${w}x$h)")
+      }
+      rd.dispose()
+    }
+  }
+
   test("JPEG restart intervals (DRI + cycling RSTm): round-trip across " +
     "all three layouts and interval lengths, ImageIO reads the marked " +
     "streams, damage in the marker sequence fails closed") {
