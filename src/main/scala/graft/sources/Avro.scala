@@ -143,7 +143,7 @@ object Avro {
     // ---- metadata map --------------------------------------------------
     var pos = 4
     var codec = "null"
-    var schemaSeen = false
+    var schema: String = null
     var mapDone = false
     while (!mapDone) {
       val c = varint(b, pos)
@@ -168,12 +168,20 @@ object Avro {
             java.nio.charset.StandardCharsets.UTF_8)
           pos = v._2 + v._1.toInt
           if (key == "avro.codec") codec = value
-          if (key == "avro.schema") schemaSeen = true
+          if (key == "avro.schema") schema = value
           i += 1
         }
       }
     }
-    if (!schemaSeen) return Nil
+    // The record layout below is a CONTRACT, not an assumption: the
+    // declared schema must be the (long, string) shape this walk
+    // decodes, field order and types included — whitespace-insensitive,
+    // since writers serialize the JSON differently. Anything else
+    // routes to a full Avro stack rather than misreading varints as
+    // the wrong fields.
+    if (schema == null ||
+      schema.replaceAll("\\s", "") != SchemaJson.replaceAll("\\s", ""))
+      return Nil
     if (codec != "null" && codec != "deflate") return Nil // route elsewhere
     if (pos + 16 > b.length) return Nil
     val sync = java.util.Arrays.copyOfRange(b, pos, pos + 16)

@@ -78,6 +78,35 @@ class AvroSpec extends SparkSpec {
     val patched = (s2.substring(0, i2 + 11) + "snap" +
       s2.substring(i2 + 15)).getBytes("ISO-8859-1")
     assert(Avro.parse(6L, patched).isEmpty)
+    // a DIFFERENT declared schema routes away too — the (long, string)
+    // layout is a checked contract, not an assumption (same-length
+    // field rename keeps the framing intact)
+    val i3 = s2.indexOf("rec_id")
+    val otherSchema = (s2.substring(0, i3) + "rec_xx" +
+      s2.substring(i3 + 6)).getBytes("ISO-8859-1")
+    assert(Avro.parse(7L, otherSchema).isEmpty)
+    // whitespace-only schema differences do NOT route away (writers
+    // pretty-print differently): inject one space in the JSON and grow
+    // its length varint accordingly
+    val pretty = Avro.SchemaJson.replace(":", ": ")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('O', 'b', 'j', 1))
+    Avro.putVarint(out, 2L)
+    def str(x: String): Unit = {
+      Avro.putVarint(out, x.getBytes("UTF-8").length.toLong)
+      out.write(x.getBytes("UTF-8"))
+    }
+    str("avro.schema"); str(pretty)
+    str("avro.codec"); str("null")
+    Avro.putVarint(out, 0L)
+    out.write(sync)
+    // one single-record block, taken from the real writer's bytes
+    val one = Avro.write(Seq((5L, "x")), sync, "null", 1)
+    val tail = one.drop(one.indexOfSlice(sync) + 16)
+    out.write(tail)
+    val ws = Avro.parse(8L, out.toByteArray)
+    assert(ws.size == 1 && ws.head.rec_id == 5L && ws.head.payload == "x",
+      "whitespace-insensitive schema match must accept")
   }
 
   test("distributed wrapper preserves rows across partitions") {
