@@ -740,6 +740,88 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // ID3v2 tag walk — the metadata block crawled MP3s actually START
+  // with (id3.org spec): a 10-byte header whose size is a SYNCSAFE
+  // 32-bit integer (7 bits per byte, so the tag can never contain a
+  // false MPEG sync), then frames of 4-char ids + 32-bit sizes (plain
+  // big-endian in v2.3, syncsafe again in v2.4) + 2 flag bytes. The
+  // audio stream begins AFTER the tag (+10 more if the footer flag is
+  // set) — the offset [[parseMp3]]'s sync scan would otherwise have to
+  // discover by probing.
+  // ---------------------------------------------------------------------
+
+  /** One text frame of an ID3v2 tag, with the tag's geometry. */
+  case class Id3Frame(id: Long, ver_major: Int, tag_size: Int,
+                      frame_id: String, content: String,
+                      audio_offset: Long)
+
+  /** Walk an ID3v2.3/2.4 tag: header, syncsafe size, text frames
+    * (T***, ISO-8859-1 or UTF-8 encodings). Non-text frames are
+    * strided, not surfaced; padding ends the walk; malformation —
+    * bad frame id, frame running past the tag, unsupported version
+    * or an extended header — yields Nil (totality law).
+    */
+  def parseId3v2(id: Long, b: Array[Byte]): Seq[Id3Frame] = {
+    def u(i: Int) = if (i >= 0 && i < b.length) b(i) & 0xff else -1
+    if (u(0) != 'I' || u(1) != 'D' || u(2) != '3') return Nil
+    val ver = u(3)
+    if (ver != 3 && ver != 4) return Nil
+    val flags = u(5)
+    if ((flags & 0x40) != 0) return Nil // extended header: route away
+    def ss32(i: Int): Int = {
+      val a = u(i); val c = u(i + 1); val d = u(i + 2); val e = u(i + 3)
+      if (a < 0 || c < 0 || d < 0 || e < 0 ||
+        ((a | c | d | e) & 0x80) != 0) -1 // syncsafe bytes keep bit 7 clear
+      else a << 21 | c << 14 | d << 7 | e
+    }
+    def be32(i: Int): Int = {
+      val a = u(i); val c = u(i + 1); val d = u(i + 2); val e = u(i + 3)
+      if (a < 0 || c < 0 || d < 0 || e < 0) -1
+      else a << 24 | c << 16 | d << 8 | e
+    }
+    val size = ss32(6)
+    if (size < 0 || 10 + size > b.length) return Nil
+    val audioOff = 10L + size + (if ((flags & 0x10) != 0) 10 else 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Id3Frame]
+    var p = 10
+    val end = 10 + size
+    var done = false
+    while (!done && p + 10 <= end) {
+      if (u(p) == 0) done = true // padding: the tag's tail is zeros
+      else {
+        val fid = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (!fid.forall(ch => (ch >= 'A' && ch <= 'Z') ||
+          (ch >= '0' && ch <= '9'))) return Nil
+        val fsize = if (ver == 4) ss32(p + 4) else be32(p + 4)
+        if (fsize < 0 || p + 10 + fsize > end) return Nil
+        if (fid.startsWith("T") && fsize >= 1) {
+          val enc = u(p + 10)
+          val cs = enc match {
+            case 0 => "ISO-8859-1"
+            case 3 => "UTF-8"
+            case _ => null // UTF-16 variants: stride, don't misdecode
+          }
+          if (cs != null) {
+            var len = fsize - 1
+            // text frames may be NUL-terminated; the terminator is not text
+            while (len > 0 && u(p + 10 + len) == 0) len -= 1
+            out += Id3Frame(id, ver, size, fid,
+              new String(b, p + 11, len, cs), audioOff)
+          }
+        }
+        p += 10 + fsize
+      }
+    }
+    out.toSeq
+  }
+
+  /** ID3 twin of [[decodeBatches]]: zero shuffles. */
+  def decodeId3Batches(payloads: Dataset[Payload]): Dataset[Id3Frame] = {
+    implicit val enc = Encoders.product[Id3Frame]
+    payloads.mapPartitions(_.flatMap(p => parseId3v2(p.id, p.content)))
+  }
+
+  // ---------------------------------------------------------------------
   // TRUE payload decode — uncompressed TIFF pixels (strip walk).
   //
   // The archival/scan format (TIFF 6.0): the header codec (q186) chases

@@ -1392,6 +1392,99 @@ object MultimodalQueries {
         JOIN read_parquet('/root/repo/fixtures/media_jpeg_prog_oracle.parquet') f
           ON md5(coalesce(d.text, '')) = f.text_md5""")),
 
+    // ID3v2 tag walk — the metadata block crawled MP3s actually START
+    // with: each document becomes a v2.3 tag (TIT2/TPE1/TALB text
+    // frames + hash-length zero padding) whose total size is a
+    // SYNCSAFE 32-bit integer (7 bits per byte — the format's guard
+    // against false MPEG syncs inside the tag), and parseId3v2 walks
+    // header → syncsafe size → frame chain (BE32 frame sizes in v2.3)
+    // → text decoding → the AUDIO OFFSET the sync-scanning MP3 walker
+    // would otherwise probe for. The oracle re-reads every field from
+    // the bytes: syncsafe arithmetic, the frame stride chain, frame
+    // ids and contents decoded from hex — padding length never taken
+    // from generator params.
+    "q232_id3_tag_walk" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val t = coalesce(col("text"), lit(""))
+        val m = md5(t)
+        val pad = pmod(gf.hash60(t), lit(16)).cast("int")
+        val tagSize = pad + 88
+        val ss32 = concat(lit("0000"),
+          hexByte(shiftright(tagSize.cast("long"), 7)),
+          hexByte(tagSize.cast("long").bitwiseAND(lit(127L))))
+        def frame(fid: String, contentHex: org.apache.spark.sql.Column,
+                  size: Int): org.apache.spark.sql.Column =
+          concat(lit(fid), be32(lit(size)), lit("0000"), lit("00"),
+            contentHex)
+        val blobHex = concat(
+          lit("494433"), lit("03"), lit("00"), lit("00"), ss32,
+          frame("54495432", hex(concat(lit("doc-"), m)), 37), // TIT2
+          frame("54504531", hex(concat(lit("prov-"), substring(m, 1, 8))),
+            14), // TPE1
+          frame("54414C42", hex(lit("corpus")), 7), // TALB
+          expr("repeat('00', CAST(pmod(hash60, 16) AS INT))"))
+        val payloads = Engine.table(s, dir, "documents")
+          .withColumn("hash60", gf.hash60(t))
+          .select(id.as("id"), lit("audio").as("modality"),
+            unhex(blobHex).as("content")).as[Multimodal.Payload]
+        Multimodal.decodeId3Batches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("ver_major"),
+            col("tag_size"), col("frame_id"), col("content"),
+            col("audio_offset"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id, md5(coalesce(text, '')) AS m,
+                 ${sqlHash60("coalesce(text, '')")} % 16 AS pad
+          FROM documents),
+        p AS (
+          SELECT doc_id, concat(
+              '494433', '03', '00', '00',
+              '0000', lpad(hex((pad + 88) // 128), 2, '0'),
+              lpad(hex((pad + 88) % 128), 2, '0'),
+              '54495432', lpad(hex(37), 8, '0'), '0000', '00',
+              hex('doc-' || m),
+              '54504531', lpad(hex(14), 8, '0'), '0000', '00',
+              hex('prov-' || substr(m, 1, 8)),
+              '54414C42', lpad(hex(7), 8, '0'), '0000', '00',
+              hex('corpus'),
+              repeat('00', CAST(pad AS INT))) AS bhex
+          FROM g),
+        b AS ( -- round-trip through BLOB: the oracle parses BYTES
+          SELECT doc_id, hex(from_hex(bhex)) AS hx FROM p),
+        hdr AS ( -- syncsafe size: 7 bits per byte
+          SELECT doc_id, hx,
+                 ${sqlU8x("6")} * 2097152 + ${sqlU8x("7")} * 16384
+                   + ${sqlU8x("8")} * 128 + ${sqlU8x("9")} AS tsize
+          FROM b),
+        f AS ( -- frame stride chain: each offset from the PREVIOUS
+               -- frame's BE32 size field
+          SELECT doc_id, hx, tsize, CAST(10 AS BIGINT) AS o0,
+                 ${sqlU32x("14", "FALSE")} AS s0
+          FROM hdr),
+        f2 AS (
+          SELECT *, o0 + 10 + s0 AS o1 FROM f),
+        f3 AS (
+          SELECT *, ${sqlU32x("o1 + 4", "FALSE")} AS s1,
+                 o1 + 10 + ${sqlU32x("o1 + 4", "FALSE")} AS o2
+          FROM f2),
+        frames AS (
+          SELECT doc_id, hx, tsize, o0 AS fo, s0 AS fs FROM f3
+          UNION ALL
+          SELECT doc_id, hx, tsize, o1, s1 FROM f3
+          UNION ALL
+          SELECT doc_id, hx, tsize, o2, ${sqlU32x("o2 + 4", "FALSE")}
+          FROM f3)
+        SELECT doc_id, 3 AS ver_major, CAST(tsize AS INTEGER) AS tag_size,
+               decode(from_hex(substr(hx, 2*fo + 1, 8))) AS frame_id,
+               decode(from_hex(substr(hx, 2*(fo + 11) + 1,
+                 2 * (CAST(fs AS INT) - 1)))) AS content,
+               CAST(10 + tsize AS BIGINT) AS audio_offset
+        FROM frames"""),
+      headline = false),
+
     // TRUE payload decode — uncompressed TIFF pixels through the STRIP
     // WALK: each document becomes a little-endian two-strip chunky RGB
     // TIFF whose strip-offset/byte-count ARRAYS live outside the IFD

@@ -675,6 +675,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ID3v2 tag walk: v2.3 BE32 vs v2.4 SYNCSAFE frame sizes, " +
+    "padding stop, trailing-NUL strip, non-text stride, damage closed") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def ss32(v: Int) = Array(((v >> 21) & 0x7f).toByte,
+      ((v >> 14) & 0x7f).toByte, ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    def tag(ver: Int, frames: Array[Byte], pad: Int): Array[Byte] = {
+      val size = frames.length + pad
+      Array[Byte]('I', 'D', '3', ver.toByte, 0, 0) ++ ss32(size) ++
+        frames ++ new Array[Byte](pad)
+    }
+    def frame(ver: Int, fid: String, content: Array[Byte]): Array[Byte] = {
+      val sz = if (ver == 4) ss32(content.length) else be32(content.length)
+      fid.getBytes("US-ASCII") ++ sz ++ Array[Byte](0, 0) ++ content
+    }
+    for (ver <- Seq(3, 4)) {
+      val frames = frame(ver, "TIT2", 0.toByte +: "a title ".getBytes) ++
+        frame(ver, "APIC", Array.fill[Byte](140)(9)) ++ // non-text: strided
+        frame(ver, "TALB", 3.toByte +: "ünïcode".getBytes("UTF-8")) ++
+        frame(ver, "TXXX", 1.toByte +: "utf16 skipped".getBytes) // enc 1
+      val b = tag(ver, frames, pad = 7)
+      val got = Multimodal.parseId3v2(1L, b)
+      // text frames with supported encodings only; trailing NUL stripped
+      assert(got.map(f => (f.frame_id, f.content)) ==
+        Seq(("TIT2", "a title"), ("TALB", "ünïcode")), s"v2.$ver")
+      assert(got.forall(f => f.ver_major == ver &&
+        f.audio_offset == 10L + frames.length + 7))
+    }
+    // v2.4 frame size 140 would be BE32-misread as a huge value; the
+    // SYNCSAFE read is what keeps the APIC stride on the rails — prove
+    // the divergence by feeding a v2.3-sized frame into a v2.4 tag
+    val bad = tag(4, frame(3, "TIT2",
+      0.toByte +: Array.fill[Byte](200)('x')), 0)
+    assert(Multimodal.parseId3v2(2L, bad).isEmpty,
+      "v2.3 BE32 size inside v2.4 must not parse")
+    // damage: truncated tag, non-frame-id bytes, extended header
+    assert(Multimodal.parseId3v2(3L, "ID3".getBytes).isEmpty)
+    val junk = tag(3, "????".getBytes ++ be32(1) ++
+      Array[Byte](0, 0, 0), 0)
+    assert(Multimodal.parseId3v2(4L, junk).isEmpty)
+    val ext = tag(3, frame(3, "TIT2", Array[Byte](0, 'x')), 0)
+    ext(5) = 0x40.toByte // extended-header flag: route away
+    assert(Multimodal.parseId3v2(5L, ext).isEmpty)
+  }
+
   test("G.711 expansion matches javax.sound's independent µ-law/A-law " +
     "converters byte-for-byte, and the RIFF chunk walk reads " +
     "javax.sound's own non-canonical WAV layout") {

@@ -775,6 +775,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q231 must not join:\n$p")
   }
 
+  test("q232 id3 tag walk: zero exchanges — same scan-task posture") {
+    val p = plan("q232_id3_tag_walk")
+    assert(!p.contains("Exchange"), s"q232 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q232 must not join:\n$p")
+  }
+
   test("q229 g711 wav decode: zero exchanges — same scan-task posture") {
     val p = plan("q229_wav_g711")
     assert(!p.contains("Exchange"), s"q229 must not shuffle:\n$p")
