@@ -1135,8 +1135,10 @@ object Multimodal {
   // independent decoder). Together they make image payloads a two-way
   // street: the engine can both read and WRITE the format.
   //
-  // Scope: bit depth 8, color type 2 (truecolor RGB), no interlace —
-  // the dominant layout in web-crawled PNGs. Anything else → None
+  // Scope: bit depth 8, color type 2 (truecolor RGB), interlace 0 OR
+  // Adam7 (§8.2 — each of the seven passes unfilters as an independent
+  // image; the deflate stream is their concatenation) — together the
+  // dominant layouts in web-crawled PNGs. Anything else → None
   // (callers fall back to the header-only path). Pixel-count cap 2^26
   // (a 192 MB reconstruction buffer) bounds what one adversarial header
   // can make a task allocate; legitimate larger images belong on the
@@ -1160,51 +1162,89 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  /** Adam7 pass geometry (PNG §8.2): (x0, y0, dx, dy) per pass. Pass
+    * dimensions for a w×h image follow as ceil((w−x0)/dx) etc.; empty
+    * passes contribute no scanlines at all.
+    */
+  private val adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** The (passWidth, passHeight) sequence a w×h image deflates as:
+    * one full-frame entry when not interlaced, the non-empty Adam7
+    * passes otherwise. Shared by encoder and decoder — the geometry
+    * cannot drift between them.
+    */
+  private def pngPasses(w: Int, h: Int,
+                        interlaced: Boolean): Seq[(Int, Int)] =
+    if (!interlaced) Seq((w, h))
+    else adam7.toSeq.map { case (x0, y0, dx, dy) =>
+      (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
+    }.filter(p => p._1 > 0 && p._2 > 0)
+
   /** Minimal spec-valid PNG writer for 8-bit RGB: `pixel(x, y)` supplies
     * (r, g, b), `filterOfRow(y)` picks the §9 filter type (0–4) applied
     * to that scanline before the single zlib-deflate. One IHDR, one
-    * IDAT, one IEND, each with its CRC-32.
+    * IDAT, one IEND, each with its CRC-32. With `interlaced` the seven
+    * Adam7 passes are each filtered as an INDEPENDENT image (filter
+    * chooser fed the pass-row index) and deflated as one stream, per
+    * §8.2 — the progressive-rendering layout early web PNGs shipped in.
     */
   def encodePngRgb(width: Int, height: Int,
                    pixel: (Int, Int) => (Int, Int, Int),
-                   filterOfRow: Int => Int): Array[Byte] = {
+                   filterOfRow: Int => Int,
+                   interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, "encodePngRgb: dims must be positive")
     val bpp = 3
-    val rowLen = width * bpp
-    val raw = new Array[Byte](height * (1 + rowLen)) // filtered scanlines
-    val prev = new Array[Int](rowLen)
-    val cur = new Array[Int](rowLen)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val (r, g, b) = pixel(x, y)
-        cur(x * 3) = r & 0xff; cur(x * 3 + 1) = g & 0xff; cur(x * 3 + 2) = b & 0xff
-        x += 1
-      }
-      // floorMod: a negative callback value must still land in 0..4 (JVM
-      // `%` keeps the sign and would blow up the filter match below)
-      val ft = Math.floorMod(filterOfRow(y), 5)
-      val base = y * (1 + rowLen)
-      raw(base) = ft.toByte
-      var i = 0
-      while (i < rowLen) {
-        val left = if (i >= bpp) cur(i - bpp) else 0
-        val up = prev(i)
-        val upLeft = if (i >= bpp) prev(i - bpp) else 0
-        val f = ft match {
-          case 0 => cur(i)
-          case 1 => cur(i) - left
-          case 2 => cur(i) - up
-          case 3 => cur(i) - (left + up) / 2
-          case 4 => cur(i) - paeth(left, up, upLeft)
+    // filter one pass image into `out` (prev resets per pass: §8.2 says
+    // each pass filters as an independent image)
+    def filterPass(pw: Int, ph: Int, px: (Int, Int) => (Int, Int, Int),
+                   out: java.io.ByteArrayOutputStream): Unit = {
+      val rowLen = pw * bpp
+      val prev = new Array[Int](rowLen)
+      val cur = new Array[Int](rowLen)
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          val (r, g, b) = px(x, y)
+          cur(x * 3) = r & 0xff; cur(x * 3 + 1) = g & 0xff
+          cur(x * 3 + 2) = b & 0xff
+          x += 1
         }
-        raw(base + 1 + i) = (f & 0xff).toByte
-        i += 1
+        // floorMod: a negative callback value must still land in 0..4
+        // (JVM `%` keeps the sign and would blow up the match below)
+        val ft = Math.floorMod(filterOfRow(y), 5)
+        out.write(ft)
+        var i = 0
+        while (i < rowLen) {
+          val left = if (i >= bpp) cur(i - bpp) else 0
+          val up = prev(i)
+          val upLeft = if (i >= bpp) prev(i - bpp) else 0
+          val f = ft match {
+            case 0 => cur(i)
+            case 1 => cur(i) - left
+            case 2 => cur(i) - up
+            case 3 => cur(i) - (left + up) / 2
+            case 4 => cur(i) - paeth(left, up, upLeft)
+          }
+          out.write(f & 0xff)
+          i += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, rowLen)
+        y += 1
       }
-      System.arraycopy(cur, 0, prev, 0, rowLen)
-      y += 1
     }
+    val rawOut = new java.io.ByteArrayOutputStream(
+      height * (1 + width * bpp) + 64)
+    if (!interlaced) filterPass(width, height, pixel, rawOut)
+    else adam7.foreach { case (x0, y0, dx, dy) =>
+      val pw = math.max(0, (width - x0 + dx - 1) / dx)
+      val ph = math.max(0, (height - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0)
+        filterPass(pw, ph, (i, j) => pixel(x0 + i * dx, y0 + j * dy), rawOut)
+    }
+    val raw = rawOut.toByteArray
     // zlib-deflate the filtered stream (Deflater's default wrapper IS
     // RFC 1950 zlib, Adler-32 trailer included)
     val deflater = new java.util.zip.Deflater(6)
@@ -1227,7 +1267,8 @@ object Multimodal {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
-      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(if (interlaced) 1.toByte else 0.toByte)
     chunk("IHDR", ihdr.array())
     chunk("IDAT", zBuf.toByteArray)
     chunk("IEND", Array.emptyByteArray)
@@ -1248,6 +1289,7 @@ object Multimodal {
     // ---- chunk walk (CRC-verified) -----------------------------------
     var pos = 8
     var w = 0; var h = 0
+    var interlaced = false
     var sawIhdr = false; var sawIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawIend) {
@@ -1265,7 +1307,9 @@ object Multimodal {
         val (depth, color, comp, filt, interlace) =
           (u(dataOff + 8), u(dataOff + 9), u(dataOff + 10), u(dataOff + 11), u(dataOff + 12))
         if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
-          depth != 8 || color != 2 || comp != 0 || filt != 0 || interlace != 0) return None
+          depth != 8 || color != 2 || comp != 0 || filt != 0 ||
+          interlace > 1) return None
+        interlaced = interlace == 1
         sawIhdr = true
       } else ctype match {
         case "IDAT" => idat.write(b, dataOff, clen.toInt)
@@ -1276,8 +1320,10 @@ object Multimodal {
     }
     if (idat.size() == 0) return None
     // ---- inflate (JDK zlib; Adler-32 verified by Inflater) -----------
-    val rowLen = w * 3
-    val expect = h * (1 + rowLen)
+    // Adam7 deflates the passes' independent scanline sets as ONE
+    // stream, so the expected size is the sum over non-empty passes.
+    val passes = pngPasses(w, h, interlaced)
+    val expect = passes.map { case (pw, ph) => ph * (1 + pw * 3) }.sum
     val raw = new Array[Byte](expect)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -1297,37 +1343,47 @@ object Multimodal {
     } catch { case _: java.util.zip.DataFormatException => -1 }
     finally inflater.end()
     if (got != expect) return None
-    // ---- unfilter + fold (top-down rows, unlike BMP) -----------------
+    // ---- unfilter + fold, per pass (each pass is an independent
+    // filtered image: §8.2). Channel sums are placement-independent,
+    // and the image's (0,0) is always the FIRST pass's first pixel, so
+    // no full-raster reassembly is needed for this fold.
     val bpp = 3
-    val prev = new Array[Int](rowLen)
-    val cur = new Array[Int](rowLen)
     var sr = 0L; var sg = 0L; var sb = 0L
     var tlR = 0; var tlG = 0; var tlB = 0
-    var y = 0
-    while (y < h) {
-      val base = y * (1 + rowLen)
-      val ft = raw(base) & 0xff
-      if (ft > 4) return None
-      var i = 0
-      while (i < rowLen) {
-        val f = raw(base + 1 + i) & 0xff
-        val left = if (i >= bpp) cur(i - bpp) else 0
-        val up = prev(i)
-        val upLeft = if (i >= bpp) prev(i - bpp) else 0
-        cur(i) = (ft match {
-          case 0 => f
-          case 1 => f + left
-          case 2 => f + up
-          case 3 => f + (left + up) / 2
-          case 4 => f + paeth(left, up, upLeft)
-        }) & 0xff
-        i += 1
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (pw, ph) = passes(pi)
+      val rowLen = pw * 3
+      val prev = new Array[Int](rowLen)
+      val cur = new Array[Int](rowLen)
+      var y = 0
+      while (y < ph) {
+        val ft = raw(base) & 0xff
+        if (ft > 4) return None
+        var i = 0
+        while (i < rowLen) {
+          val f = raw(base + 1 + i) & 0xff
+          val left = if (i >= bpp) cur(i - bpp) else 0
+          val up = prev(i)
+          val upLeft = if (i >= bpp) prev(i - bpp) else 0
+          cur(i) = (ft match {
+            case 0 => f
+            case 1 => f + left
+            case 2 => f + up
+            case 3 => f + (left + up) / 2
+            case 4 => f + paeth(left, up, upLeft)
+          }) & 0xff
+          i += 1
+        }
+        var x = 0
+        while (x < rowLen) { sr += cur(x); sg += cur(x + 1); sb += cur(x + 2); x += 3 }
+        if (pi == 0 && y == 0) { tlR = cur(0); tlG = cur(1); tlB = cur(2) }
+        System.arraycopy(cur, 0, prev, 0, rowLen)
+        base += 1 + rowLen
+        y += 1
       }
-      var x = 0
-      while (x < rowLen) { sr += cur(x); sg += cur(x + 1); sb += cur(x + 2); x += 3 }
-      if (y == 0) { tlR = cur(0); tlG = cur(1); tlB = cur(2) }
-      System.arraycopy(cur, 0, prev, 0, rowLen)
-      y += 1
+      pi += 1
     }
     Some(PngPixels(id, w, h, sr, sg, sb, tlR, tlG, tlB))
   }

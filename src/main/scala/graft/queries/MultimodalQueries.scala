@@ -42,6 +42,23 @@ private[queries] object MediaGen {
       ((s1 + s2 + 5L * y + 17L * x + 202) % 256).toInt), y => y % 5)
   }
 
+  /** Adam7-interlaced twin of [[pngFor]]: identical pixel derivation,
+    * the §8.2 seven-pass layout — so its decoded sums must equal the
+    * SAME fixture row q199 joins, while the byte stream exercises the
+    * pass-geometry arithmetic (several passes are empty or partial at
+    * these dims).
+    */
+  def pngInterlacedFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (2 + s1 % 15).toInt
+    val h = (5 + s2 % 8).toInt
+    graft.operators.Multimodal.encodePngRgb(w, h, (x, y) => (
+      ((s1 + 7L * y + 11L * x) % 256).toInt,
+      ((s2 + 13L * y + 3L * x + 101) % 256).toInt,
+      ((s1 + s2 + 5L * y + 17L * x + 202) % 256).toInt), y => y % 5,
+      interlaced = true)
+  }
+
   /** 64-color palette shared by every generated GIF. */
   val gifPalette: Array[(Int, Int, Int)] = Array.tabulate(64)(i =>
     ((i * 4 + 1) % 256, (i * 7 + 3) % 256, (i * 13 + 5) % 256))
@@ -1403,6 +1420,39 @@ object MultimodalQueries {
     // the bytes: syncsafe arithmetic, the frame stride chain, frame
     // ids and contents decoded from hex — padding length never taken
     // from generator params.
+    // Adam7-INTERLACED PNG — the progressive-rendering layout early web
+    // PNGs shipped in (and the one PNG shape q199 didn't cover): the
+    // same pixel derivation re-encoded as seven independent passes
+    // whose scanline sets deflate as one stream. The decoded sums must
+    // match THE SAME fixture row q199 joins — placement-independent
+    // folds make the pass-geometry arithmetic (several passes empty or
+    // partial at these dims) the thing under test: one wrong pass
+    // dimension desyncs every later scanline and flips the hash.
+    // ImageIO de-interlaces our bytes to identical pixels in
+    // MultimodalSpec.
+    "q233_png_interlaced_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            Multimodal.Payload(id, "image", MediaGen.pngInterlacedFor(text)) })
+        Multimodal.decodePngPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"),
+            col("tl_r"), col("tl_g"), col("tl_b"))
+      },
+      oracle = Some("""
+        SELECT d.doc_id,
+               f.png_width AS width, f.png_height AS height,
+               f.png_sum_r AS sum_r, f.png_sum_g AS sum_g,
+               f.png_sum_b AS sum_b,
+               f.png_tl_r AS tl_r, f.png_tl_g AS tl_g, f.png_tl_b AS tl_b
+        FROM documents d
+        JOIN read_parquet('/root/repo/fixtures/media_pixels_oracle.parquet') f
+          ON md5(coalesce(d.text, '')) = f.text_md5""")),
+
     "q232_id3_tag_walk" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._

@@ -675,6 +675,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG Adam7 interlace: own-encoder passes decode to the SAME " +
+    "sums/tl as the sequential layout, and ImageIO de-interlaces our " +
+    "bytes to identical pixels") {
+    // dims chosen to leave several Adam7 passes EMPTY (w or h < pass
+    // origin) and others partial — the geometry arithmetic under test
+    for ((w, h) <- Seq((2, 5), (16, 12), (7, 3), (1, 1), (9, 10))) {
+      def px(x: Int, y: Int) = ((x * 11 + y * 7) % 256,
+        (x * 3 + y * 13 + 101) % 256, (x * 17 + y * 5 + 202) % 256)
+      val plain = Multimodal.encodePngRgb(w, h, px, y => y % 5)
+      val inter = Multimodal.encodePngRgb(w, h, px, y => y % 5,
+        interlaced = true)
+      assert(!java.util.Arrays.equals(plain, inter), "layouts must differ")
+      val a = Multimodal.parsePngPixels(1L, plain)
+      val b = Multimodal.parsePngPixels(1L, inter)
+      assert(a.isDefined && b.isDefined, s"${w}x$h")
+      assert(a.get == b.get, s"interlaced fold must match (${w}x$h)")
+      // the independent codec de-interlaces our bytes to the SOURCE
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(inter))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, bl) = px(x, y)
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ==
+          ((r, g, bl)), s"($x,$y) ${w}x$h")
+      }
+    }
+  }
+
   test("ID3v2 tag walk: v2.3 BE32 vs v2.4 SYNCSAFE frame sizes, " +
     "padding stop, trailing-NUL strip, non-text stride, damage closed") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,

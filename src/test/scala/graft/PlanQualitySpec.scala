@@ -775,6 +775,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q231 must not join:\n$p")
   }
 
+  test("q233 interlaced png decode: zero exchanges — same posture") {
+    val p = plan("q233_png_interlaced_decode")
+    assert(!p.contains("Exchange"), s"q233 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q233 must not join:\n$p")
+  }
+
   test("q232 id3 tag walk: zero exchanges — same scan-task posture") {
     val p = plan("q232_id3_tag_walk")
     assert(!p.contains("Exchange"), s"q232 must not shuffle:\n$p")
