@@ -768,6 +768,10 @@ object Multimodal {
     if (ver != 3 && ver != 4) return Nil
     val flags = u(5)
     if ((flags & 0x40) != 0) return Nil // extended header: route away
+    // tag-level unsynchronisation (0x80): every 0xFF,0x00 pair in the
+    // tag is an escape — the frame strides below would be wrong by one
+    // byte per escape. Route away rather than walk with wrong strides.
+    if ((flags & 0x80) != 0) return Nil
     def ss32(i: Int): Int = {
       val a = u(i); val c = u(i + 1); val d = u(i + 2); val e = u(i + 3)
       if (a < 0 || c < 0 || d < 0 || e < 0 ||
@@ -794,7 +798,17 @@ object Multimodal {
           (ch >= '0' && ch <= '9'))) return Nil
         val fsize = if (ver == 4) ss32(p + 4) else be32(p + 4)
         if (fsize < 0 || p + 10 + fsize > end) return Nil
-        if (fid.startsWith("T") && fsize >= 1) {
+        // Format-flag byte (p+9): a compressed / encrypted / per-frame-
+        // unsynced / length-indicated frame stores TRANSFORMED bytes —
+        // surfacing them as text would be silent garbage. The declared
+        // size still counts the stored bytes, so the stride stays valid:
+        // skip the frame, keep walking. (v2.3 %ij000000: i=compression,
+        // j=encryption; v2.4 %0h00kmnp: k=compression, m=encryption,
+        // n=unsync, p=data-length-indicator.)
+        val fmtFlags = u(p + 9)
+        val transformed =
+          if (ver == 4) (fmtFlags & 0x0f) != 0 else (fmtFlags & 0xc0) != 0
+        if (!transformed && fid.startsWith("T") && fsize >= 1) {
           val enc = u(p + 10)
           val cs = enc match {
             case 0 => "ISO-8859-1"
@@ -2680,12 +2694,18 @@ object Multimodal {
           val len = be16(pos)
           if (!sofSeen || len < 6 || pos + len > b.length) return None
           if (u(pos + 2) != nComp) return None // single interleaved scan
+          // Component bytes must sit inside the declared segment (B.2.3:
+          // Ls = 6 + 2·Ns), or the reads below stride into entropy data.
+          if (len != 6 + 2 * nComp) return None
           compDc = new Array[Int](nComp)
           compAc = new Array[Int](nComp)
           for (c <- 0 until nComp) {
             if (u(pos + 3 + 2 * c) != c + 1) return None
             compDc(c) = u(pos + 4 + 2 * c) >> 4
             compAc(c) = u(pos + 4 + 2 * c) & 0x0f
+            // Td/Ta are 4-bit fields but only 0–3 name a table slot; a
+            // forged selector must fail closed, not index out of bounds.
+            if (compDc(c) > 3 || compAc(c) > 3) return None
           }
           // full spectral selection, no successive approximation
           if (u(pos + 3 + 2 * nComp) != 0 ||
@@ -2900,6 +2920,9 @@ object Multimodal {
         scanComp(i) = c
         dcSel(i) = u(pos + 4 + 2 * i) >> 4
         acSel(i) = u(pos + 4 + 2 * i) & 0x0f
+        // only slots 0–3 exist; a forged Td/Ta must fail closed here,
+        // not throw out of the 4-element table arrays below
+        if (dcSel(i) > 3 || acSel(i) > 3) return -1
       }
       val ss = u(pos + 3 + 2 * ns)
       val se = u(pos + 4 + 2 * ns)

@@ -219,6 +219,10 @@ object Avro {
                     }
                   if (n > 0) bos.write(chunk, 0, n)
                   else if (!err && !inf.finished()) err = true
+                  // adversarial-allocation bound (same 2^26 cap as the
+                  // PNG/GIF/JPEG decoders): a crafted ~1000:1 block must
+                  // hit the damage path, not grow the task heap unbounded
+                  if (bos.size() > (1 << 26)) err = true
                 }
                 if (err) null else bos.toByteArray
               } finally inf.end()

@@ -109,6 +109,34 @@ class AvroSpec extends SparkSpec {
       "whitespace-insensitive schema match must accept")
   }
 
+  test("deflate inflation is bounded: a crafted high-ratio block hits " +
+    "the damage path instead of unbounded task-heap growth") {
+    val sync = Array.fill[Byte](16)(0x11)
+    // header only (no blocks), codec=deflate
+    val header = Avro.write(Seq.empty, sync, "deflate", blockRecords = 4)
+    // the attack: deflate of 96 MB of zeros (> the 2^26 cap) compresses
+    // to well under 1 MB — unbounded inflate would allocate it all
+    val bomb = {
+      val d = new java.util.zip.Deflater(9, true)
+      try {
+        d.setInput(new Array[Byte](96 << 20)); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](65536)
+        while (!d.finished()) bos.write(chunk, 0, d.deflate(chunk))
+        bos.toByteArray
+      } finally d.end()
+    }
+    assert(bomb.length < (1 << 20), "tiny input is the point of the attack")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    Avro.putVarint(out, 1L) // declares one record
+    Avro.putVarint(out, bomb.length.toLong)
+    out.write(bomb)
+    out.write(sync)
+    // the cap fires inside the inflate loop -> damage path -> walk stops
+    assert(Avro.parse(1L, out.toByteArray).isEmpty)
+  }
+
   test("distributed wrapper preserves rows across partitions") {
     val sync = Array.fill[Byte](16)(0x11)
     import spark.implicits.newProductEncoder

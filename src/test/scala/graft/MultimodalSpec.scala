@@ -747,6 +747,24 @@ class MultimodalSpec extends SparkSpec {
     val ext = tag(3, frame(3, "TIT2", Array[Byte](0, 'x')), 0)
     ext(5) = 0x40.toByte // extended-header flag: route away
     assert(Multimodal.parseId3v2(5L, ext).isEmpty)
+    // tag-level unsynchronisation: every FF,00 pair is an escape, so
+    // the plain frame strides would be wrong — route away, never walk
+    val unsync = tag(3, frame(3, "TIT2", Array[Byte](0, 'x')), 0)
+    unsync(5) = 0x80.toByte
+    assert(Multimodal.parseId3v2(6L, unsync).isEmpty)
+    // per-frame format flags: compressed / encrypted / frame-unsynced /
+    // length-indicated frames store TRANSFORMED bytes — the frame is
+    // skipped (its declared size still strides correctly), the rest of
+    // the tag is kept
+    for ((fver, bit) <- Seq((3, 0x80), (3, 0x40),
+      (4, 0x08), (4, 0x04), (4, 0x02), (4, 0x01))) {
+      val flagged = frame(fver, "TIT2", 0.toByte +: "garbage".getBytes)
+      flagged(9) = bit.toByte
+      val frames = flagged ++ frame(fver, "TALB", 0.toByte +: "kept".getBytes)
+      val got = Multimodal.parseId3v2(7L, tag(fver, frames, 0))
+      assert(got.map(f => (f.frame_id, f.content)) == Seq(("TALB", "kept")),
+        s"v2.$fver flag 0x${bit.toHexString}")
+    }
   }
 
   test("G.711 expansion matches javax.sound's independent µ-law/A-law " +
@@ -1185,6 +1203,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseJpegPixels(7L, prog).isDefined)
     assert(Multimodal.parseJpegPixels(8L, prog.take(prog.length - 2)).isEmpty)
     assert(Multimodal.parseJpegPixels(9L, prog.take(prog.length / 2)).isEmpty)
+    // forged SOS selectors: Td/Ta are 4-bit fields but only slots 0-3
+    // exist — a forged 4-15 must fail CLOSED (None), not index out of
+    // the 4-element table arrays and crash the task
+    def sosAt(b: Array[Byte]): Int = {
+      var p = 0
+      while (!(b(p) == 0xff.toByte && b(p + 1) == 0xda.toByte)) p += 1
+      p
+    }
+    val forged = ok.clone()
+    val sp = sosAt(forged)
+    assert(forged(sp + 4) == 3) // Ns=3: we found the real SOS
+    forged(sp + 6) = 0x44.toByte // comp 1's Td=4/Ta=4: no such slot
+    assert(Multimodal.parseJpegPixels(10L, forged).isEmpty)
+    // forged SOS length: component bytes must sit inside the declared
+    // segment (B.2.3: Ls == 6 + 2*Ns)
+    val badLen = ok.clone()
+    badLen(sp + 3) = 14.toByte // Ls 12 -> 14 for Ns=3
+    assert(Multimodal.parseJpegPixels(11L, badLen).isEmpty)
+    // same forge through the progressive (SOF2) scan path
+    val pforged = prog.clone()
+    val pp = sosAt(pforged)
+    assert(pforged(pp + 4) == 1) // Ns=1 (grayscale)
+    pforged(pp + 6) = 0x57.toByte
+    assert(Multimodal.parseJpegPixels(12L, pforged).isEmpty)
   }
 
   test("JPEG corpus-totality law: decode succeeds with exact dims for " +
