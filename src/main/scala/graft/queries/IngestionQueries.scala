@@ -5,6 +5,7 @@ import graft.plans.Ingestion
 import graft.{functions => gf}
 import graft.functions.{c_round => round}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Driver-contract coverage for the ingestion pipeline's sink-side merge
   * operators (SURVEY.md §2.9) over the TPC-H-ish testdata — the xlsx
@@ -233,7 +234,7 @@ object IngestionQueries {
                     AS BIGINT) AS content_length,
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
-  ) ++ zipDefs ++ tarDefs ++ gzDefs
+  ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
   // ONE GZIP MEMBER PER WARC RECORD, concatenated. The CDX index that
@@ -857,7 +858,159 @@ object IngestionQueries {
             AND substr(hx, 2*(${sqlLe64x("xb + 20")}) + 1, 8) = '504B0304'"""))
     )
   }
+
+  // parquet footer walk (q234) + PLAIN page decode (q235) — the LAKE
+  // format itself, read at byte level. At 100 TB the cheapest audit
+  // never touches data: row counts, per-column codecs, chunk offsets
+  // and sizes all live in the ~1 KB footer, so a lake-wide footprint
+  // survey is a zero-exchange scan-task map over (path, tail-bytes)
+  // pairs — in production a RANGE read of each file's tail, here the
+  // pyarrow-written fixture blobs standing in for an externally
+  // written corpus (parquet-cpp is the independent writer; its C++
+  // metadata API provides the oracle's expected values, and the
+  // engine's thrift-compact reader must reproduce them from bytes
+  // alone). q235 then PROVES the footer's offsets point at real pages
+  // by decoding the PLAIN-encoded none/gzip chunks back into value
+  // sums the oracle recomputes from the documents table — the byte
+  // path and the relational path must meet at the same numbers.
+  // Fixture keys cover codec + the doc_id=payload list (content, not
+  // ids: sf dirs reuse doc_id lists with different texts), derived
+  // with ONE shuffle (groupByKey per blob); the 18-row file fixture
+  // joins broadcast. ParquetSpec pins the same walk against
+  // parquet-mr on Spark-written files, dictionary routing, and the
+  // damage shapes.
+  private def parquetDefs: Seq[(String, QueryDef)] = {
+    val FixtureFiles = "/root/repo/fixtures/parquet_files.parquet"
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    // (blob_id, file_bytes) for the current sf dir: content-derived
+    // keys select the matching pyarrow-written files
+    def blobFiles(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+      import s.implicits._
+      val docs = Engine.table(s, dir, "documents")
+        .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+          expr("repeat(md5(coalesce(text, ''))," +
+            " CAST(1 + n_chars % 3 AS INT))").as("payload"))
+        .as[(Long, Long, String)]
+      val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+        val recs = it.toSeq.sortBy(_._2)
+        val codec = if (blobId % 2 == 0) "gzip" else "none"
+        (blobId, md5Hex("parquet:" + codec + ":" +
+          recs.map(t => s"${t._2}=${t._3}").mkString(",")))
+      }.toDF("blob_id", "blob_key")
+      keys.join(broadcast(s.read.parquet(FixtureFiles)), "blob_key")
+        .select(col("blob_id"), col("file_bytes"))
+        .as[(Long, Array[Byte])]
+    }
+
+    val keyCte = """
+        r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id,
+                 repeat(md5(coalesce(text, '')),
+                        CAST(1 + n_chars % 3 AS INT)) AS payload
+          FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('parquet:' ||
+                     CASE WHEN blob_id % 2 = 0 THEN 'gzip'
+                          ELSE 'none' END || ':' ||
+                     string_agg(CAST(doc_id AS VARCHAR) || '=' || payload,
+                                ',' ORDER BY doc_id)) AS bkey
+          FROM r GROUP BY blob_id)"""
+
+    Seq(
+      "q234_parquet_footer_walk" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          blobFiles(s, dir).flatMap { case (blobId, bytes) =>
+            graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+              for ((rg, gi) <- fm.rowGroups.zipWithIndex;
+                   (c, ci) <- rg.cols.zipWithIndex)
+                yield ParquetFooterRow(blobId, gi, ci, c.path, c.physType,
+                  c.codec, c.numValues, c.dataPageOffset, c.dictPageOffset,
+                  c.totalCompressed, c.totalUncompressed, rg.numRows,
+                  fm.numRows, fm.version, fm.createdBy, fm.footerLen.toLong,
+                  fm.numLeaves, fm.rowGroups.length, bytes.length.toLong)
+            }
+          }.toDF()
+        },
+        oracle = Some(s"""
+          WITH $keyCte
+          SELECT k.blob_id, f.rg_idx, f.col_idx, f.col_path, f.phys_type,
+                 f.codec, f.num_values, f.data_page_offset,
+                 f.dict_page_offset, f.total_compressed_size,
+                 f.total_uncompressed_size, f.rg_num_rows, f.file_rows,
+                 f.version, f.created_by, f.footer_len, f.n_cols,
+                 f.n_row_groups, f.file_size
+          FROM k
+          JOIN read_parquet('/root/repo/fixtures/parquet_meta_oracle.parquet') f
+            ON k.bkey = f.blob_key""")),
+
+      "q235_parquet_page_scan" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          blobFiles(s, dir).flatMap { case (blobId, bytes) =>
+            graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+              val levels = fm.leafLevels
+              var rows = 0L; var idSum = 0L; var lenSum = 0L
+              var scoreSum = 0.0
+              var ok = true
+              for (rg <- fm.rowGroups; c <- rg.cols) {
+                val dec = levels.get(c.path).flatMap(l =>
+                  graft.sources.Parquet.decodeChunk(bytes, c, l._1))
+                dec match {
+                  case Some(d) => c.path match {
+                    case "rec_id" => rows += d.numValues; idSum += d.longSum
+                    case "payload" => lenSum += d.binLenSum
+                    case "score" => scoreSum += d.doubleSum
+                    case _ => ok = false
+                  }
+                  case None => ok = false
+                }
+              }
+              // score values are exact dyadic quarters, so the sum is
+              // bit-identical in any association order (oracle included)
+              if (ok) Seq(ParquetScanRow(blobId, rows, idSum, lenSum,
+                scoreSum)) else Nil
+            }
+          }.toDF()
+        },
+        oracle = Some("""
+          WITH r AS (
+            SELECT doc_id % 6 AS blob_id, doc_id,
+                   32 * (1 + n_chars % 3) AS plen,
+                   (doc_id % 1000) / 4.0 AS score
+            FROM documents)
+          SELECT blob_id,
+                 count(*) AS rows_decoded,
+                 CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 CAST(sum(plen) AS BIGINT) AS len_sum,
+                 sum(score) AS score_sum
+          FROM r GROUP BY blob_id"""),
+        headline = true)
+    )
+  }
 }
+
+/** One q234 output row: a column chunk as the engine's thrift-compact
+  * footer reader surfaces it, with its row group's and file's geometry.
+  */
+private[queries] case class ParquetFooterRow(
+    blob_id: Long, rg_idx: Int, col_idx: Int, col_path: String,
+    phys_type: Int, codec: Int, num_values: Long, data_page_offset: Long,
+    dict_page_offset: Long, total_compressed_size: Long,
+    total_uncompressed_size: Long, rg_num_rows: Long, file_rows: Long,
+    version: Int, created_by: String, footer_len: Long, n_cols: Int,
+    n_row_groups: Int, file_size: Long)
+
+/** One q235 output row: per-file decoded totals — the proof the
+  * footer's page offsets point at real PLAIN pages.
+  */
+private[queries] case class ParquetScanRow(
+    blob_id: Long, rows_decoded: Long, id_sum: Long, len_sum: Long,
+    score_sum: Double)
 
 /** One q222 output row: gzip-member coordinates (outer layer) joined to
   * the tar entry recovered from the member's inflated payload (inner
