@@ -920,8 +920,13 @@ object Multimodal {
     val spp = scalar(277, 1L)
     val rowsPerStrip = scalar(278, 0xffffffffL) // default: one strip
     val planar = scalar(284, 1L)
+    val predictor = scalar(317, 1L)
     if (width <= 0 || height <= 0 || width * height > (1L << 26)) return None
-    if (compression != 1 || planar != 1) return None // route to a full stack
+    if (planar != 1) return None // route to a full stack
+    // baseline none / LZW (§13) / PackBits (§9); others route away
+    if (compression != 1 && compression != 5 && compression != 32773)
+      return None
+    if (predictor != 1 && predictor != 2) return None
     val channels = photometric match {
       case 0 | 1 => if (spp != 1) return None else 1
       case 2 => if (spp != 3) return None else 3
@@ -942,15 +947,47 @@ object Multimodal {
     while (s < offsets.length) {
       val rows = math.min(rowsPerStrip, height - row)
       if (rows <= 0) return None // more strips than rows
-      val expect = rows * width * channels
-      if (counts(s) != expect) return None // strip size must be exact
+      val expect = (rows * width * channels).toInt
       val off = offsets(s)
-      if (off < 0 || off + expect > b.length) return None
-      var i = 0L
+      val clen = counts(s)
+      if (off < 0 || clen <= 0 || off + clen > b.length) return None
+      // materialize the strip: each strip is an independent stream
+      val data: Array[Byte] = compression match {
+        case 1 =>
+          if (clen != expect) return None // strip size must be exact
+          java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + expect)
+        case 5 =>
+          tiffLzwDecode(b, off.toInt, clen.toInt, expect) match {
+            case Some(d) => d
+            case None => return None
+          }
+        case _ =>
+          packBitsDecode(b, off.toInt, clen.toInt, expect) match {
+            case Some(d) => d
+            case None => return None
+          }
+      }
+      // horizontal-differencing predictor: cumulative sum per row, one
+      // lag per channel (applies BEFORE the WhiteIsZero inversion)
+      if (predictor == 2) {
+        val rowBytes = width.toInt * channels
+        var r0 = 0
+        while (r0 < rows.toInt) {
+          val base = r0 * rowBytes
+          var i = channels
+          while (i < rowBytes) {
+            data(base + i) =
+              ((data(base + i) + data(base + i - channels)) & 0xff).toByte
+            i += 1
+          }
+          r0 += 1
+        }
+      }
+      var i = 0
       while (i < expect) {
-        val raw = u8(off + i)
+        val raw = data(i) & 0xff
         val v = if (photometric == 0) 255 - raw else raw
-        val c = (i % channels).toInt
+        val c = i % channels
         sums(c) += v
         if (row == 0L && i < channels) tls(c) = v
         i += 1
@@ -967,6 +1004,285 @@ object Multimodal {
   def decodeTiffPixelBatches(payloads: Dataset[Payload]): Dataset[TiffPixels] = {
     implicit val enc = Encoders.product[TiffPixels]
     payloads.mapPartitions(_.flatMap(p => parseTiffPixels(p.id, p.content)))
+  }
+
+  // ---------------------------------------------------------------------
+  // TIFF compressed strips — LZW (TIFF 6.0 §13) and PackBits (§9).
+  //
+  // TIFF LZW differs from GIF's in every mechanical detail: bits pack
+  // MSB-first (GIF: LSB-first), codes start at 9 bits (GIF: symbol
+  // size + 1), Clear/EOI are fixed at 256/257, and the code width
+  // grows one code EARLY — when the next free entry would be 2^w - 1,
+  // not 2^w. The encoder/decoder pair below keeps the width clocks in
+  // lockstep by deriving the width from the table counter at each
+  // read/emit: the decoder's counter lags the encoder's by exactly one
+  // add (it installs the entry for a code only when the NEXT code
+  // arrives), so the encoder reads its width off `next - 1`, and off
+  // `next + 1` for the final EOI (where the decoder has one add the
+  // encoder never mirrored). MultimodalSpec cross-pins both directions
+  // against javax.imageio's independent TIFF codec.
+  // ---------------------------------------------------------------------
+
+  /** Code width at a given table-counter value (early change). */
+  private def tiffLzwWidth(n: Int): Int =
+    if (n >= 2047) 12 else if (n >= 1023) 11 else if (n >= 511) 10 else 9
+
+  /** Decode one LZW strip to exactly `expect` bytes. None on any
+    * malformation: truncation before EOI, a code beyond the table,
+    * output overflow/underflow.
+    */
+  private[graft] def tiffLzwDecode(b: Array[Byte], off: Int, len: Int,
+                                       expect: Int): Option[Array[Byte]] = {
+    if (off < 0 || len <= 0 || off.toLong + len > b.length) return None
+    val out = new Array[Byte](expect)
+    var op = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = 258
+    var bitPos = 0L
+    val totalBits = len.toLong * 8
+    var prev = -1
+    var prevStart = -1 // previous code's expansion inside `out` (KwKwK)
+    var prevLen = 0
+    var done = false
+    while (!done) {
+      val width = tiffLzwWidth(next)
+      if (bitPos + width > totalBits) return None // ran out before EOI
+      var code = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        val byte = b(off + (bp >> 3).toInt) & 0xff
+        code = (code << 1) | ((byte >> (7 - (bp & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += width
+      if (code == 257) done = true
+      else if (code == 256) {
+        next = 258; prev = -1; prevStart = -1; prevLen = 0
+      } else {
+        val start = op
+        var first = 0
+        if (code < 256) {
+          if (op >= expect) return None
+          out(op) = code.toByte; op += 1; first = code
+        } else if (code >= 258 && code < next) {
+          var c = code
+          var tail = 0
+          while (c >= 258) { tail += 1; c = prefix(c); if (tail > 4096) return None }
+          if (op + tail + 1 > expect) return None
+          var w = op + tail
+          c = code
+          while (c >= 258) { out(w) = suffix(c); w -= 1; c = prefix(c) }
+          out(w) = c.toByte
+          first = c
+          op += tail + 1
+        } else if (code == next && prev >= 0) {
+          // KwKwK: previous string + its own first byte
+          if (op + prevLen + 1 > expect) return None
+          System.arraycopy(out, prevStart, out, op, prevLen)
+          out(op + prevLen) = out(prevStart)
+          first = out(prevStart) & 0xff
+          op += prevLen + 1
+        } else return None
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first.toByte; next += 1
+        }
+        prev = code
+        prevStart = start
+        prevLen = op - start
+      }
+    }
+    if (op != expect) return None // EOI must land exactly on the strip end
+    Some(out)
+  }
+
+  /** Encode one strip as TIFF LZW (the matched twin of
+    * [[tiffLzwDecode]]; see the width-clock note above).
+    */
+  private[graft] def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    var cur = 0
+    var nbits = 0
+    def put(code: Int, width: Int): Unit = {
+      cur = (cur << width) | code
+      nbits += width
+      while (nbits >= 8) { out.write((cur >> (nbits - 8)) & 0xff); nbits -= 8 }
+      cur &= (1 << nbits) - 1
+    }
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var next = 258
+    put(256, tiffLzwWidth(next - 1)) // every strip starts with a Clear
+    var prefixCode = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (prefixCode < 0) prefixCode = k
+      else {
+        val key = (prefixCode << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) prefixCode = hit
+        else {
+          put(prefixCode, tiffLzwWidth(next - 1))
+          dict.put(key, next); next += 1
+          if (next >= 4094) { // keep headroom: clear before 12 bits overflow
+            put(256, tiffLzwWidth(next - 1))
+            dict.clear(); next = 258
+          }
+          prefixCode = k
+        }
+      }
+      i += 1
+    }
+    if (prefixCode >= 0) put(prefixCode, tiffLzwWidth(next - 1))
+    put(257, tiffLzwWidth(next)) // decoder added one entry we didn't
+    if (nbits > 0) out.write((cur << (8 - nbits)) & 0xff)
+    out.toByteArray
+  }
+
+  /** Decode one PackBits strip to exactly `expect` bytes. */
+  private[graft] def packBitsDecode(b: Array[Byte], off: Int, len: Int,
+                                        expect: Int): Option[Array[Byte]] = {
+    if (off < 0 || len <= 0 || off.toLong + len > b.length) return None
+    val out = new Array[Byte](expect)
+    var p = off
+    val end = off + len
+    var op = 0
+    while (op < expect) {
+      if (p >= end) return None
+      val n = b(p) // SIGNED control byte
+      p += 1
+      if (n >= 0) { // n+1 literal bytes follow
+        val cnt = n + 1
+        if (p + cnt > end || op + cnt > expect) return None
+        System.arraycopy(b, p, out, op, cnt)
+        p += cnt; op += cnt
+      } else if (n != -128) { // 1-n copies of the next byte (-128: noop)
+        val cnt = 1 - n
+        if (p >= end || op + cnt > expect) return None
+        java.util.Arrays.fill(out, op, op + cnt, b(p))
+        p += 1; op += cnt
+      }
+    }
+    if (p != end) return None // declared strip bytes must be consumed
+    Some(out)
+  }
+
+  /** Encode one row as PackBits (runs ≥ 2 become RLE packets; literals
+    * break before any 2-byte repeat). Rows encode independently, as the
+    * spec prescribes — the strip is their concatenation.
+    */
+  private[graft] def packBitsEncodeRow(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(row.length + 8)
+    var i = 0
+    val n = row.length
+    while (i < n) {
+      var run = 1
+      while (i + run < n && run < 128 && row(i + run) == row(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run) // -(run-1) as the signed control byte
+        out.write(row(i))
+        i += run
+      } else {
+        var lit = 1
+        while (i + lit < n && lit < 128 &&
+          !(i + lit + 1 < n && row(i + lit) == row(i + lit + 1))) lit += 1
+        out.write(lit - 1)
+        out.write(row, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Write a little-endian TIFF with compressed strips: `compression`
+    * 5 (LZW, horizontal-differencing predictor applied) or 32773
+    * (PackBits, rows packed independently). Two strips (rows split at
+    * ceil(h/2)), chunky RGB (channels=3, photometric 2) or grayscale
+    * (channels=1, photometric 1) — the layout [[parseTiffPixels]]
+    * walks back.
+    */
+  def encodeTiffCompressed(w: Int, h: Int, channels: Int,
+                           pix: (Int, Int, Int) => Int,
+                           compression: Int): Array[Byte] = {
+    require(w > 0 && h > 0, "positive dims")
+    require(channels == 1 || channels == 3, "gray or RGB")
+    require(compression == 5 || compression == 32773, "LZW or PackBits")
+    val rowBytes = w * channels
+    val raw = new Array[Byte](rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until channels)
+      raw(y * rowBytes + x * channels + c) = (pix(c, x, y) & 0xff).toByte
+    val predictor = if (compression == 5) 2 else 1
+    if (predictor == 2) { // difference each row right-to-left, per channel
+      for (y <- 0 until h; i <- (rowBytes - 1) until (channels - 1) by -1) {
+        val base = y * rowBytes
+        raw(base + i) =
+          ((raw(base + i) - raw(base + i - channels)) & 0xff).toByte
+      }
+    }
+    val r1 = (h + 1) / 2 // strip 0 rows
+    val strips = Seq((0, r1), (r1, h - r1)).filter(_._2 > 0).map {
+      case (fromRow, rows) =>
+        val part = java.util.Arrays.copyOfRange(raw, fromRow * rowBytes,
+          (fromRow + rows) * rowBytes)
+        if (compression == 5) tiffLzwEncode(part)
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          for (r <- 0 until rows)
+            bos.write(packBitsEncodeRow(java.util.Arrays.copyOfRange(
+              part, r * rowBytes, (r + 1) * rowBytes)))
+          bos.toByteArray
+        }
+    }
+    // layout: header(8) | strip bytes (padded even) | IFD | value arrays
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val stripOff = new Array[Long](strips.length)
+    var at = 8L
+    for (i <- strips.indices) { stripOff(i) = at; at += strips(i).length }
+    if (at % 2 == 1) at += 1 // IFD must start on a word boundary
+    val ifdAt = at
+    val photometric = if (channels == 3) 2 else 1
+    // tags, ascending: 256,257,258,259,262,273,277,278,279,284,[317]
+    val nEntries = 10 + (if (predictor == 2) 1 else 0)
+    val arrAt = ifdAt + 2 + 12L * nEntries + 4
+    val nStrips = strips.length
+    // external arrays: strip offsets (LONG[n]), counts (LONG[n]),
+    // bits-per-sample (SHORT[3], RGB only)
+    out.write('I'); out.write('I'); le16(42); le32(ifdAt)
+    for (s <- strips) out.write(s)
+    if ((8L + strips.map(_.length.toLong).sum) % 2 == 1) out.write(0)
+    le16(nEntries)
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      le16(tag); le16(typ); le32(cnt)
+      if (typ == 3 && cnt == 1) { le16(value.toInt); le16(0) }
+      else le32(value)
+    }
+    val bitsAt = arrAt + (if (nStrips > 1) 8L * nStrips else 0L)
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    if (channels == 3) entry(258, 3, 3, bitsAt)
+    else entry(258, 3, 1, 8)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, photometric)
+    entry(273, 4, nStrips, if (nStrips == 1) stripOff(0) else arrAt)
+    entry(277, 3, 1, channels)
+    entry(278, 3, 1, r1)
+    entry(279, 4, nStrips,
+      if (nStrips == 1) strips(0).length else arrAt + 4L * nStrips)
+    entry(284, 3, 1, 1)
+    if (predictor == 2) entry(317, 3, 1, 2)
+    le32(0) // next IFD
+    if (nStrips > 1) {
+      for (o <- stripOff) le32(o)
+      for (s <- strips) le32(s.length)
+    }
+    if (channels == 3) { le16(8); le16(8); le16(8) }
+    out.toByteArray
   }
 
   // ---------------------------------------------------------------------

@@ -59,6 +59,32 @@ private[queries] object MediaGen {
       interlaced = true)
   }
 
+  /** 4–11 × 3–8 chunky RGB TIFF with LZW strips + the horizontal-
+    * differencing predictor (the scanned-document archive layout):
+    * x/4-grouped ramps give the dictionary real strings to grow on.
+    */
+  def tiffLzwFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (4 + s1 % 8).toInt
+    val h = (3 + s2 % 6).toInt
+    graft.operators.Multimodal.encodeTiffCompressed(w, h, 3,
+      (c, x, y) =>
+        ((s1 + (x / 4) * 5L + y * 11L + c * 17L) % 256).toInt, 5)
+  }
+
+  /** PackBits twin (the fax/scanner RLE layout): x/6-grouped ramps put
+    * real runs in every row. Dims swap the seed roles so the two TIFF
+    * corpora differ per document.
+    */
+  def tiffPackBitsFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (4 + s2 % 8).toInt
+    val h = (3 + s1 % 6).toInt
+    graft.operators.Multimodal.encodeTiffCompressed(w, h, 3,
+      (c, x, y) =>
+        ((s2 + (x / 6) * 31L + y * 7L + c * 13L) % 256).toInt, 32773)
+  }
+
   /** 64-color palette shared by every generated GIF. */
   val gifPalette: Array[(Int, Int, Int)] = Array.tabulate(64)(i =>
     ((i * 4 + 1) % 256, (i * 7 + 3) % 256, (i * 13 + 5) % 256))
@@ -1757,7 +1783,103 @@ object MultimodalQueries {
                CAST(min(v) AS INTEGER) AS min_amp,
                CAST(max(v) AS INTEGER) AS max_amp,
                CAST(sum(v) AS BIGINT) AS sum_amp
-        FROM sm GROUP BY doc_id, fmt2, n2"""))
+        FROM sm GROUP BY doc_id, fmt2, n2""")),
+
+    // TRUE payload decode — TIFF LZW strips (q236) and PackBits (q237):
+    // the two compressions scanned-document archives actually ship
+    // (LZW + horizontal-differencing predictor is the archival
+    // default; PackBits is the fax/scanner layout). The engine owns
+    // both codecs — TIFF LZW is NOT GIF's: MSB-first bit packing,
+    // 9-bit start, Clear/EOI at 256/257, and the EARLY code-width
+    // change, with per-strip independent streams — and the predictor
+    // undo runs per row per channel before the photometric fold.
+    // Lossless, so the oracle is EXACT and fixture-free: DuckDB
+    // recomputes the per-channel sums straight from the seed formulas
+    // with generate_series (no codec in the loop). Byte format pinned
+    // both directions against javax.imageio's independent TIFF codec
+    // in MultimodalSpec (including the 9->10->11-bit width clock).
+    // Scan-task-only decode: zero exchanges, same plan family as q231.
+    "q236_tiff_lzw_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            Multimodal.Payload(id, "image", MediaGen.tiffLzwFor(text)) })
+        Multimodal.decodeTiffPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("sum_c0"), col("sum_c1"), col("sum_c2"),
+            col("tl_c0"), col("tl_c1"), col("tl_c2"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 ${sqlHash60("coalesce(text, '')")} AS s1,
+                 ${sqlHash56("coalesce(text, '')")} AS s2
+          FROM documents),
+        d AS (
+          SELECT doc_id, s1, 4 + s1 % 8 AS w, 3 + s2 % 6 AS h FROM g),
+        px AS (
+          SELECT doc_id, w, h, c.i AS ch, x.i AS xx, y.i AS yy,
+                 (s1 + (x.i // 4) * 5 + y.i * 11 + c.i * 17) % 256 AS val
+          FROM d
+          JOIN generate_series(0, 10) x(i) ON x.i < w
+          JOIN generate_series(0, 7) y(i) ON y.i < h
+          CROSS JOIN generate_series(0, 2) c(i))
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(sum(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_c2,
+               CAST(max(CASE WHEN ch = 0 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c0,
+               CAST(max(CASE WHEN ch = 1 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c1,
+               CAST(max(CASE WHEN ch = 2 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c2
+        FROM px GROUP BY doc_id, w, h""")),
+
+    "q237_tiff_packbits_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            Multimodal.Payload(id, "image", MediaGen.tiffPackBitsFor(text)) })
+        Multimodal.decodeTiffPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("sum_c0"), col("sum_c1"), col("sum_c2"),
+            col("tl_c0"), col("tl_c1"), col("tl_c2"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 ${sqlHash60("coalesce(text, '')")} AS s1,
+                 ${sqlHash56("coalesce(text, '')")} AS s2
+          FROM documents),
+        d AS (
+          SELECT doc_id, s2, 4 + s2 % 8 AS w, 3 + s1 % 6 AS h FROM g),
+        px AS (
+          SELECT doc_id, w, h, c.i AS ch, x.i AS xx, y.i AS yy,
+                 (s2 + (x.i // 6) * 31 + y.i * 7 + c.i * 13) % 256 AS val
+          FROM d
+          JOIN generate_series(0, 10) x(i) ON x.i < w
+          JOIN generate_series(0, 7) y(i) ON y.i < h
+          CROSS JOIN generate_series(0, 2) c(i))
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(sum(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_c2,
+               CAST(max(CASE WHEN ch = 0 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c0,
+               CAST(max(CASE WHEN ch = 1 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c1,
+               CAST(max(CASE WHEN ch = 2 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c2
+        FROM px GROUP BY doc_id, w, h"""))
   )
 }
 

@@ -872,16 +872,20 @@ class MultimodalSpec extends SparkSpec {
     val g3 = Multimodal.parseTiffPixels(3L, inv)
     assert(g3.isDefined && g3.get.sum_c0 == 255L * 17 * 9 - sl &&
       g3.get.tl_c0 == 250, "WhiteIsZero must invert")
-    // compressed TIFFs route away: flip the compression tag to LZW (5)
-    val comp = gbos.toByteArray.clone()
-    var cmAt = -1
-    for (i <- 0 until nEnt if cmAt < 0) {
-      val p = ifd + 2 + 12 * i
-      if (u16(comp, p) == 259) cmAt = p + 8
-    }
-    if (cmAt > 0) {
-      if (le) comp(cmAt) = 5 else comp(cmAt + 1) = 5
-      assert(Multimodal.parseTiffPixels(4L, comp).isEmpty)
+    // unsupported compressions route away: flip the tag to JPEG-in-TIFF
+    // (7); and a tag LYING about LZW (5) over raw bytes must fail the
+    // LZW decode closed, not misread
+    for (fake <- Seq(7, 5)) {
+      val comp = gbos.toByteArray.clone()
+      var cmAt = -1
+      for (i <- 0 until nEnt if cmAt < 0) {
+        val p = ifd + 2 + 12 * i
+        if (u16(comp, p) == 259) cmAt = p + 8
+      }
+      if (cmAt > 0) {
+        if (le) comp(cmAt) = fake.toByte else comp(cmAt + 1) = fake.toByte
+        assert(Multimodal.parseTiffPixels(4L, comp).isEmpty, s"comp=$fake")
+      }
     }
     // truncated pixel data
     assert(Multimodal.parseTiffPixels(5L,
@@ -889,6 +893,123 @@ class MultimodalSpec extends SparkSpec {
       // (IFD-after-data layouts truncate to no-IFD instead — also None)
       true)
     assert(Multimodal.parseTiffPixels(6L, "II*junk".getBytes).isEmpty)
+  }
+
+  test("TIFF LZW + PackBits: own encoder round-trips exactly for every " +
+    "generator shape, both compressions and photometrics, plus the " +
+    "single-strip edge") {
+    for (comp <- Seq(5, 32773); nc <- Seq(1, 3);
+         (w, h) <- Seq((4, 3), (11, 8), (7, 1), (16, 9), (5, 6))) {
+      def pix(c: Int, x: Int, y: Int): Int =
+        (7 * c + (x / 4) * 5 + y * 11 + 3) % 256
+      val bytes = Multimodal.encodeTiffCompressed(w, h, nc, pix, comp)
+      val got = Multimodal.parseTiffPixels(9L, bytes)
+      assert(got.isDefined, s"comp=$comp nc=$nc ${w}x$h")
+      val want = (0 until nc).map(c =>
+        (for (y <- 0 until h; x <- 0 until w) yield pix(c, x, y).toLong).sum)
+      assert(got.get.width == w && got.get.height == h &&
+        got.get.channels == nc)
+      assert((0 until nc).forall(c => Seq(got.get.sum_c0, got.get.sum_c1,
+        got.get.sum_c2)(c) == want(c)), s"comp=$comp nc=$nc ${w}x$h")
+      assert(got.get.tl_c0 == pix(0, 0, 0))
+    }
+  }
+
+  test("TIFF LZW width clock: a noisy 80x60 RGB image pushes the code " +
+    "table through the 9->10->11-bit EARLY changes, and javax.imageio " +
+    "agrees byte-for-byte in BOTH directions") {
+    val (w, h) = (80, 60)
+    def pix(c: Int, x: Int, y: Int): Int =
+      (x * 31 + y * 57 + c * 101 + 7) % 256 // low repetition: table grows
+    // direction 1: OUR bytes (LZW + predictor 2), ImageIO's decoder
+    val ours = Multimodal.encodeTiffCompressed(w, h, 3, pix, 5)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ours))
+    assert(img != null && img.getWidth == w && img.getHeight == h,
+      "ImageIO must read our LZW TIFF")
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == pix(0, x, y) &&
+        ((rgb >> 8) & 0xff) == pix(1, x, y) &&
+        (rgb & 0xff) == pix(2, x, y), s"($x,$y)")
+    }
+    // our own decoder agrees with the formula on the same bytes
+    val self = Multimodal.parseTiffPixels(1L, ours).get
+    val sums = (0 until 3).map(c =>
+      (for (y <- 0 until h; x <- 0 until w) yield pix(c, x, y).toLong).sum)
+    assert(Seq(self.sum_c0, self.sum_c1, self.sum_c2) == sums)
+    // direction 2: ImageIO's OWN LZW encoder (its tables, its widths,
+    // its strip layout), our decoder — exact sums
+    for (ctype <- Seq("LZW", "PackBits")) {
+      val src = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        src.setRGB(x, y, pix(0, x, y) << 16 | pix(1, x, y) << 8 | pix(2, x, y))
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("tiff").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(ctype)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), p)
+      ios.close(); writer.dispose()
+      val got = Multimodal.parseTiffPixels(2L, bos.toByteArray)
+      assert(got.isDefined, s"ImageIO $ctype TIFF must decode")
+      assert(Seq(got.get.sum_c0, got.get.sum_c1, got.get.sum_c2) == sums &&
+        got.get.tl_c0 == pix(0, 0, 0), ctype)
+    }
+  }
+
+  test("TIFF LZW/PackBits damage fails closed: truncated strips, codes " +
+    "beyond the table, runs past the strip, counts that lie") {
+    def pix(c: Int, x: Int, y: Int): Int = (c * 3 + x * 7 + y * 13) % 256
+    // LZW: splatting zeros mid-strip derails the code stream
+    val ok = Multimodal.encodeTiffCompressed(12, 8, 3, pix, 5)
+    assert(Multimodal.parseTiffPixels(1L, ok).isDefined)
+    val cut = ok.clone()
+    for (i <- 30 until 40) cut(i) = 0
+    assert(Multimodal.parseTiffPixels(2L, cut).isEmpty)
+    // PackBits carries no redundancy, so interior corruption can stay
+    // structurally valid — the STRUCTURAL lie is the byte count: one
+    // byte short leaves the decoder with an unconsumed strip byte
+    val pb = Multimodal.encodeTiffCompressed(12, 8, 3, pix, 32773)
+    assert(Multimodal.parseTiffPixels(1L, pb).isDefined)
+    def u16le(b: Array[Byte], i: Int) = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8
+    def u32le(b: Array[Byte], i: Int) =
+      u16le(b, i) | u16le(b, i + 2) << 16
+    val ifd = u32le(pb, 4)
+    val nEnt = u16le(pb, ifd)
+    var cAt = -1
+    for (i <- 0 until nEnt if cAt < 0) {
+      val p = ifd + 2 + 12 * i
+      if (u16le(pb, p) == 279) cAt = p + 8
+    }
+    assert(cAt > 0)
+    val arr = u32le(pb, cAt) // LONG[2] external counts array
+    val lied = pb.clone()
+    lied(arr) = ((lied(arr) & 0xff) - 1).toByte
+    assert(Multimodal.parseTiffPixels(3L, lied).isEmpty,
+      "byte-count lie must fail closed")
+    // LZW: a code beyond the table — 9-bit MSB-first stream of
+    // Clear(256)=100000000 then 300=100101100, with next==258 the
+    // second code exceeds the table and must be rejected, never indexed
+    val lzwBad = Array(0x80.toByte, 0x4b.toByte, 0x00.toByte)
+    assert(Multimodal.tiffLzwDecode(lzwBad, 0, lzwBad.length, 4).isEmpty)
+    // LZW: data that ends before any EOI
+    val lzwCut = Array(0x80.toByte) // Clear alone, then nothing
+    assert(Multimodal.tiffLzwDecode(lzwCut, 0, lzwCut.length, 4).isEmpty)
+    // PackBits: literal run past the declared strip end
+    val pbBad = Array[Byte](10, 1, 2, 3) // claims 11 literals, has 3
+    assert(Multimodal.packBitsDecode(pbBad, 0, pbBad.length, 11).isEmpty)
+    // PackBits: -128 noop bytes are strided over; literal/RLE mix exact
+    val pbNoop = Array[Byte](-128, 1, 5, -128, -1, 7)
+    val dec = Multimodal.packBitsDecode(pbNoop, 0, pbNoop.length, 4)
+    assert(dec.isDefined &&
+      dec.get.toSeq == Seq[Byte](5, -128, 7, 7).toSeq)
+    // PackBits: output shorter than the strip declares -> None
+    assert(Multimodal.packBitsDecode(pbNoop, 0, pbNoop.length, 5).isEmpty)
   }
 
   // ---- JPEG baseline: the last stub-codec boundary -----------------------
