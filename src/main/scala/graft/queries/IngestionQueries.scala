@@ -234,7 +234,7 @@ object IngestionQueries {
                     AS BIGINT) AS content_length,
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
-  ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs
+  ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ bz2Defs
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
   // ONE GZIP MEMBER PER WARC RECORD, concatenated. The CDX index that
@@ -992,7 +992,129 @@ object IngestionQueries {
         headline = true)
     )
   }
+
+  // bzip2 (q238) + tar.bz2 (q239) — the OTHER compression crawl-era
+  // corpora ship in (Wikipedia dumps, old Common Crawl segments,
+  // dataset tarballs). No JDK class reads .bz2, so the engine owns the
+  // whole decoder (sources/Bzip2.scala: Huffman groups, RUNA/RUNB
+  // runs, MTF, inverse BWT, final RLE, per-block + combined CRCs);
+  // CPython's bz2/tarfile are the INDEPENDENT writers behind both
+  // fixtures, exactly as CPython tarfile pins q216. The engine's input
+  // is raw fixture bytes only; the oracle recomputes the payloads
+  // relationally and takes only the compressed SIZE from the fixture —
+  // the decode itself is proven by md5/layout agreement. Per-blob
+  // decode is scan-task work; the tiny key->blob fixture joins
+  // broadcast (at 100 TB the blobs arrive as lake files and the join
+  // disappears entirely).
+  private def bz2Defs: Seq[(String, QueryDef)] = {
+    val payloadCol =
+      concat(
+        expr("repeat(md5(coalesce(text, '')), CAST(1 + n_chars % 5 AS INT))"),
+        expr("repeat('!', CAST(doc_id % 300 AS INT))"))
+    val sqlPayload =
+      """repeat(md5(coalesce(text, '')), CAST(1 + n_chars % 5 AS INT)) ||
+         repeat('!', CAST(doc_id % 300 AS INT))"""
+    def joined(s: SparkSession, dir: String, fixture: String) = {
+      import s.implicits._
+      Engine.table(s, dir, "documents")
+        .select(col("doc_id"), payloadCol.as("payload"))
+        .withColumn("blob_key", md5(concat(lit("bz2:"), col("payload"))))
+        .join(broadcast(s.read.parquet(fixture)), "blob_key")
+        .select(col("doc_id"), col("payload"), col("bz"))
+        .as[(Long, String, Array[Byte])]
+    }
+    Seq(
+      "q238_bz2_decode" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          joined(s, dir, "/root/repo/fixtures/bz2_blobs.parquet")
+            .mapPartitions(_.flatMap { case (id, payload, bz) =>
+              graft.sources.Bzip2.decompress(bz).map { dec =>
+                val md = java.security.MessageDigest.getInstance("MD5")
+                  .digest(dec).map(x => f"$x%02x").mkString
+                Bz2DecodeRow(id, md, dec.length.toLong, bz.length.toLong,
+                  new String(dec,
+                    java.nio.charset.StandardCharsets.US_ASCII) == payload)
+              }
+            }).toDF()
+        },
+        oracle = Some(s"""
+          WITH g AS (
+            SELECT doc_id, $sqlPayload AS payload FROM documents)
+          SELECT g.doc_id, md5(g.payload) AS decoded_md5,
+                 CAST(length(g.payload) AS BIGINT) AS decoded_len,
+                 CAST(octet_length(f.bz) AS BIGINT) AS comp_len,
+                 TRUE AS round_trip
+          FROM g
+          JOIN read_parquet('/root/repo/fixtures/bz2_blobs.parquet') f
+            ON md5('bz2:' || g.payload) = f.blob_key"""),
+        headline = true),
+
+      // CPython tarfile 'w:bz2' USTAR archives: two members per doc,
+      // both layers decoded by the engine (own bzip2 -> own tar walk);
+      // the oracle re-derives every entry's size/mtime/offset and the
+      // record-padded archive length from first principles
+      "q239_tarbz2_walk" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          joined(s, dir, "/root/repo/fixtures/tarbz2_blobs.parquet")
+            .mapPartitions(_.flatMap { case (id, _, bz) =>
+              graft.sources.Bzip2.decompress(bz).toSeq.flatMap { tar =>
+                graft.sources.Tar.parse(id, tar).map(e =>
+                  Bz2TarRow(id, e.entry_name, e.size, e.type_flag,
+                    e.mtime, e.data_offset, tar.length.toLong,
+                    bz.length.toLong))
+              }
+            }).toDF()
+        },
+        oracle = Some(s"""
+          WITH g AS (
+            SELECT doc_id, $sqlPayload AS payload,
+                   CAST(doc_id * 37 % 1000000 AS BIGINT) AS mt
+            FROM documents),
+          k AS (
+            SELECT g.doc_id, g.mt,
+                   CAST(length(g.payload) AS BIGINT) AS l0,
+                   CAST(8 + length(CAST(g.doc_id AS VARCHAR)) AS BIGINT)
+                     AS l1,
+                   CAST(octet_length(f.bz) AS BIGINT) AS comp_len
+            FROM g
+            JOIN read_parquet('/root/repo/fixtures/tarbz2_blobs.parquet') f
+              ON md5('bz2:' || g.payload) = f.blob_key),
+          geo AS ( -- ustar strides: 512-byte headers, 512-padded data,
+                   -- archive padded to tarfile's 10240 RECORDSIZE
+            SELECT *,
+                   512 + ((l0 + 511) // 512) * 512 AS hdr1,
+                   512 + ((l0 + 511) // 512) * 512 +
+                   512 + ((l1 + 511) // 512) * 512 + 1024 AS content
+            FROM k)
+          SELECT doc_id, 'doc.txt' AS entry_name, l0 AS size,
+                 '0' AS type_flag, mt AS mtime,
+                 CAST(512 AS BIGINT) AS data_offset,
+                 ((content + 10239) // 10240) * 10240 AS tar_len, comp_len
+          FROM geo
+          UNION ALL
+          SELECT doc_id, 'meta.json', l1, '0', mt,
+                 hdr1 + 512,
+                 ((content + 10239) // 10240) * 10240, comp_len
+          FROM geo"""))
+    )
+  }
 }
+
+/** One q238 output row: a CPython-bz2 blob pushed back through the
+  * engine's own bzip2 stack.
+  */
+private[queries] case class Bz2DecodeRow(
+    doc_id: Long, decoded_md5: String, decoded_len: Long, comp_len: Long,
+    round_trip: Boolean)
+
+/** One q239 output row: a tar entry recovered through BOTH layers
+  * (engine bzip2 -> engine tar walk) of a CPython-written .tar.bz2.
+  */
+private[queries] case class Bz2TarRow(
+    doc_id: Long, entry_name: String, size: Long, type_flag: String,
+    mtime: Long, data_offset: Long, tar_len: Long, comp_len: Long)
 
 /** One q234 output row: a column chunk as the engine's thrift-compact
   * footer reader surfaces it, with its row group's and file's geometry.
