@@ -802,12 +802,15 @@ object Multimodal {
         // unsynced / length-indicated frame stores TRANSFORMED bytes —
         // surfacing them as text would be silent garbage. The declared
         // size still counts the stored bytes, so the stride stays valid:
-        // skip the frame, keep walking. (v2.3 %ij000000: i=compression,
-        // j=encryption; v2.4 %0h00kmnp: k=compression, m=encryption,
-        // n=unsync, p=data-length-indicator.)
+        // skip the frame, keep walking. (v2.3 %ijk00000: i=compression,
+        // j=encryption, k=grouping; v2.4 %0h00kmnp: h=grouping,
+        // k=compression, m=encryption, n=unsync, p=data-length-
+        // indicator.) Grouping counts too: a grouped frame prepends one
+        // group-id byte, so reading body[0] as the text encoding would
+        // surface text shifted by one byte — silent garbage.
         val fmtFlags = u(p + 9)
         val transformed =
-          if (ver == 4) (fmtFlags & 0x0f) != 0 else (fmtFlags & 0xc0) != 0
+          if (ver == 4) (fmtFlags & 0x4f) != 0 else (fmtFlags & 0xe0) != 0
         if (!transformed && fid.startsWith("T") && fsize >= 1) {
           val enc = u(p + 10)
           val cs = enc match {

@@ -71,7 +71,9 @@ object Bzip2 {
     */
   def decompress(b: Array[Byte], cap: Int = 1 << 26): Option[Array[Byte]] = {
     try {
-      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+      // initial-capacity hint only; b.length * 4 overflows Int past
+      // 512 MB and a negative capacity throws OUTSIDE the Damage family
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
       val in = new Bits(b)
       var firstStream = true
       var more = true

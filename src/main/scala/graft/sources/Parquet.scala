@@ -439,6 +439,10 @@ object Parquet {
     val len = (raw(0) & 0xff) | (raw(1) & 0xff) << 8 |
       (raw(2) & 0xff) << 16 | (raw(3) & 0xff) << 24
     if (len < 0 || 4 + len > raw.length) damage()
+    // numValues is header-controlled (i32): bound it against the page
+    // itself (>= 1 bit per value) BEFORE allocating, or a forged header
+    // forces a multi-GB array
+    if (numValues < 0 || numValues.toLong > 8L * raw.length) damage()
     val end = 4 + len
     val levels = new Array[Int](numValues)
     var li = 0
@@ -476,12 +480,18 @@ object Parquet {
     (levels, end)
   }
 
-  /** Inflate one RFC 1952 gzip stream to EXACTLY `want` bytes. */
+  /** Inflate one RFC 1952 gzip stream to EXACTLY `want` bytes. The
+    * GZIPInputStream CONSTRUCTOR already reads the 10-byte header and
+    * throws on forged magic or truncation, so it must sit inside the
+    * try with the read loop — otherwise a corrupted first page byte
+    * crashes the task instead of damaging to None.
+    */
   private def gunzipExact(b: Array[Byte], off: Int, len: Int,
                           want: Int): Option[Array[Byte]] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b, off, len))
+    var in: java.util.zip.GZIPInputStream = null
     try {
+      in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b, off, len))
       val out = new Array[Byte](want)
       var got = 0
       var n = 0
@@ -493,6 +503,6 @@ object Parquet {
       if (got == want && in.read() == -1) Some(out) else None
     } catch {
       case _: java.io.IOException => None
-    } finally in.close()
+    } finally if (in != null) in.close()
   }
 }

@@ -756,8 +756,10 @@ class MultimodalSpec extends SparkSpec {
     // length-indicated frames store TRANSFORMED bytes — the frame is
     // skipped (its declared size still strides correctly), the rest of
     // the tag is kept
-    for ((fver, bit) <- Seq((3, 0x80), (3, 0x40),
-      (4, 0x08), (4, 0x04), (4, 0x02), (4, 0x01))) {
+    // grouping too (v2.3 0x20, v2.4 0x40): a grouped frame prepends a
+    // group-id byte, so body(0) is NOT the text encoding
+    for ((fver, bit) <- Seq((3, 0x80), (3, 0x40), (3, 0x20),
+      (4, 0x40), (4, 0x08), (4, 0x04), (4, 0x02), (4, 0x01))) {
       val flagged = frame(fver, "TIT2", 0.toByte +: "garbage".getBytes)
       flagged(9) = bit.toByte
       val frames = flagged ++ frame(fver, "TALB", 0.toByte +: "kept".getBytes)

@@ -200,5 +200,53 @@ class ParquetSpec extends SparkSpec {
     val tail = (gc.dataPageOffset + gc.totalCompressed - 2).toInt
     bad(tail) = (bad(tail) ^ 0x5a).toByte
     assert(Parquet.decodeChunk(bad, gc, 0).isEmpty)
+    // corrupt the gzip HEADER (the 1f 8b magic right after the page
+    // header): GZIPInputStream's CONSTRUCTOR throws here, so this pins
+    // the construction-inside-try totality fix — None, not a crash
+    val hdr = gz.clone()
+    var gp = gc.dataPageOffset.toInt
+    while (!(hdr(gp) == 0x1f.toByte && hdr(gp + 1) == 0x8b.toByte &&
+      hdr(gp + 2) == 0x08.toByte)) gp += 1
+    hdr(gp) = 0x00
+    assert(Parquet.decodeChunk(hdr, gc, 0).isEmpty,
+      "forged gzip header must damage to None, not throw")
+    // and a forged compression-method byte (CM != 8): also thrown by
+    // the constructor, before the read loop ever runs
+    val cm = gz.clone()
+    cm(gp + 2) = 0x07
+    assert(Parquet.decodeChunk(cm, gc, 0).isEmpty)
+  }
+
+  test("a forged page header claiming 2^31-1 values must damage " +
+    "BEFORE the definition-level array is allocated (adversarial " +
+    "allocation bound, optional-column path)") {
+    // hand-built thrift-compact v1 PageHeader: type=DATA_PAGE,
+    // sizes tiny, num_values = Int.MaxValue, encoding = PLAIN
+    def zz(v: Long): Array[Byte] = {
+      var z = (v << 1) ^ (v >> 63)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((z & ~0x7fL) != 0) { out += ((z & 0x7f) | 0x80).toByte; z >>>= 7 }
+      out += z.toByte
+      out.toArray
+    }
+    val payload = Array[Byte](2, 0, 0, 0, 3, 0) // LE32 len=2 + 2 RLE bytes
+    val header =
+      Array[Byte](0x15) ++ zz(0) ++ // 1: page_type DATA_PAGE
+      Array[Byte](0x15) ++ zz(payload.length) ++ // 2: uncompressed
+      Array[Byte](0x15) ++ zz(payload.length) ++ // 3: compressed
+      Array[Byte](0x2c) ++ // 5: DataPageHeader (struct, delta 2)
+        Array[Byte](0x15) ++ zz(Int.MaxValue) ++ // num_values
+        Array[Byte](0x15) ++ zz(0) ++ // encoding PLAIN
+        Array[Byte](0x15) ++ zz(3) ++ // def-level enc RLE
+        Array[Byte](0x15) ++ zz(3) ++ // rep-level enc RLE
+        Array[Byte](0) ++
+      Array[Byte](0)
+    val page = header ++ payload
+    val col = Parquet.ColMeta(Parquet.PhysInt64, Seq(0), "x",
+      Parquet.CodecNone, Int.MaxValue.toLong, page.length.toLong,
+      page.length.toLong, 0L, -1L)
+    // without the pre-allocation bound this is an 8 GB Array[Int]
+    // request (OutOfMemoryError — an Error, not a Damage)
+    assert(Parquet.decodeChunk(page, col, maxDef = 1).isEmpty)
   }
 }
