@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Build the q240/q241 parquet dictionary/snappy/v2 fixtures.
+
+Round 10's parquet fixture (make_parquet_fixture.py) had to be written
+with use_dictionary=False because the engine only decoded PLAIN pages.
+Real lakes are overwhelmingly dictionary-encoded snappy — BOTH pyarrow
+and Spark default to dictionary encoding, and snappy is both writers'
+default codec. These fixtures are the pyarrow-DEFAULT layouts:
+
+  fixtures/parquet_dict_files.parquet   (blob_key, file_bytes)
+      q240: v1 data pages, full codec x encoding matrix
+            (snappy/gzip/none x dictionary/plain by bucket)
+  fixtures/parquet_v2_files.parquet     (blob_key, file_bytes)
+      q241: DATA_PAGE_V2 pages (levels outside the codec, explicit
+            num_nulls, is_compressed flag), same matrix
+
+The engine gets raw bytes ONLY. The oracle recomputes every sum
+relationally from the documents table (plus octet_length of the blob
+itself) — no metadata sidecar, so the decode is proven end to end.
+
+Schema (per doc, bucketed by doc_id % 6, row groups 1 + bucket % 3):
+  rec_id  int64  REQUIRED  = doc_id
+  payload string NULLABLE  = NULL when doc_id % 13 == 0, else
+                             ('c' + str((doc_id // 60) % 7)) repeated
+                             (1 + n_chars % 3) times
+      -> 21 distinct values (a REAL dictionary: RLE runs from the
+         doc_id//60 plateaus, bit-packed scatter from the repeat factor)
+  score  double REQUIRED   = (doc_id % 16) / 4.0  (exact dyadic:
+                             order-free sums, 16-entry dictionary)
+
+Usage: python3 scripts/make_parquet_dict_fixture.py
+"""
+import hashlib
+import io
+import math
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIRS = ["sf0.001", "sf0.01", "sf0.1"]
+
+SCHEMA = pa.schema([
+    pa.field("rec_id", pa.int64(), nullable=False),
+    pa.field("payload", pa.string(), nullable=True),
+    pa.field("score", pa.float64(), nullable=False),
+])
+
+CODECS = ["snappy", "gzip", "none"]
+
+
+def build(recs, codec, use_dict, n_groups, page_version):
+    t = pa.table(
+        {
+            "rec_id": [r[0] for r in recs],
+            "payload": [r[1] for r in recs],
+            "score": [r[2] for r in recs],
+        },
+        schema=SCHEMA,
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t,
+        buf,
+        compression=codec,
+        use_dictionary=use_dict,
+        row_group_size=max(1, math.ceil(len(recs) / n_groups)),
+        write_statistics=True,
+        data_page_version=page_version,
+    )
+    return buf.getvalue()
+
+
+def payload_of(doc_id, n_chars):
+    if doc_id % 13 == 0:
+        return None
+    return ("c" + str((doc_id // 60) % 7)) * (1 + n_chars % 3)
+
+
+def main():
+    for page_version, tag, out_name in [
+        ("1.0", "parquetdict1", "parquet_dict_files.parquet"),
+        ("2.0", "parquetdict2", "parquet_v2_files.parquet"),
+    ]:
+        files = {}
+        for sf in SF_DIRS:
+            p = Path("/root/testdata") / sf / "documents.parquet"
+            if not p.exists():
+                continue
+            q = f"SELECT doc_id, n_chars FROM '{p}' ORDER BY doc_id"
+            blobs = {}
+            for doc_id, n_chars in duckdb.sql(q).fetchall():
+                blobs.setdefault(doc_id % 6, []).append(
+                    (doc_id, payload_of(doc_id, n_chars),
+                     (doc_id % 16) / 4.0))
+            for blob_id, recs in sorted(blobs.items()):
+                codec = CODECS[blob_id % 3]
+                use_dict = blob_id % 2 == 0
+                key = hashlib.md5(
+                    (f"{tag}:{codec}:{int(use_dict)}:" +
+                     ",".join(f"{r[0]}={r[1] if r[1] is not None else 'NULL'}"
+                              for r in recs)).encode()
+                ).hexdigest()
+                if key in files:
+                    continue
+                files[key] = build(recs, codec, use_dict,
+                                   1 + blob_id % 3, page_version)
+        out = Path("fixtures")
+        out.mkdir(exist_ok=True)
+        keys = sorted(files)
+        pq.write_table(
+            pa.table({
+                "blob_key": keys,
+                "file_bytes": pa.array([files[k] for k in keys],
+                                       pa.binary()),
+            }),
+            out / out_name,
+        )
+        print(f"{out_name}: {len(keys)} files "
+              f"({sum(len(v) for v in files.values())} bytes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -234,7 +234,8 @@ object IngestionQueries {
                     AS BIGINT) AS content_length,
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
-  ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ bz2Defs
+  ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ parquetDictDefs ++
+    bz2Defs
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
   // ONE GZIP MEMBER PER WARC RECORD, concatenated. The CDX index that
@@ -993,6 +994,131 @@ object IngestionQueries {
     )
   }
 
+  // parquet DEFAULT layout (q240) + DATA_PAGE_V2 (q241) — round 10's
+  // page decode read only PLAIN pages with none/gzip codecs, which no
+  // writer emits by default: BOTH pyarrow and Spark default to
+  // dictionary encoding, and snappy is both writers' default codec.
+  // q240 decodes the full v1 matrix (snappy/gzip/none x dictionary/
+  // plain by bucket: dictionary page -> RLE_DICTIONARY indices through
+  // the engine's own from-scratch snappy block decoder,
+  // sources/Snappy.scala); q241 the same matrix as DATA_PAGE_V2 pages
+  // (levels OUTSIDE the codec, explicit num_nulls, is_compressed).
+  // payload is NULLABLE with real nulls (doc_id % 13), so both def-
+  // level layouts (v1 LE32-prefixed, v2 header-sized) are exercised
+  // with dictionaries. The oracle recomputes every sum relationally
+  // from documents (plus octet_length of the blob itself) — no
+  // metadata sidecar, the decode is proven end to end. Same plan shape
+  // as q234/q235: ONE bounded groupByKey for content keys, broadcast
+  // 18-row fixture join, all decode in scan tasks; at lake scale the
+  // blobs are files and both disappear.
+  private def parquetDictDefs: Seq[(String, QueryDef)] = {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val codecName = Seq("snappy", "gzip", "none")
+
+    def blobFiles(s: SparkSession, dir: String, fixture: String,
+                  tag: String): Dataset[(Long, Array[Byte])] = {
+      import s.implicits._
+      val docs = Engine.table(s, dir, "documents")
+        .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+          expr("""CASE WHEN doc_id % 13 = 0 THEN NULL ELSE
+                  repeat('c' || CAST((doc_id DIV 60) % 7 AS STRING),
+                         CAST(1 + n_chars % 3 AS INT)) END""").as("payload"))
+        .as[(Long, Long, String)]
+      val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+        val recs = it.toSeq.sortBy(_._2)
+        val codec = codecName((blobId % 3).toInt)
+        val dict01 = if (blobId % 2 == 0) "1" else "0"
+        (blobId, md5Hex(s"$tag:$codec:$dict01:" +
+          recs.map(t => s"${t._2}=${Option(t._3).getOrElse("NULL")}")
+            .mkString(",")))
+      }.toDF("blob_id", "blob_key")
+      keys.join(broadcast(s.read.parquet(fixture)), "blob_key")
+        .select(col("blob_id"), col("file_bytes"))
+        .as[(Long, Array[Byte])]
+    }
+
+    def keyCte(tag: String) = s"""
+        r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN NULL ELSE
+                   repeat('c' || CAST((doc_id // 60) % 7 AS VARCHAR),
+                          CAST(1 + n_chars % 3 AS INT)) END AS payload,
+                 (doc_id % 16) / 4.0 AS score
+          FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('$tag:' ||
+                     CASE CAST(blob_id % 3 AS INT) WHEN 0 THEN 'snappy'
+                          WHEN 1 THEN 'gzip' ELSE 'none' END || ':' ||
+                     CASE WHEN blob_id % 2 = 0 THEN '1' ELSE '0' END ||
+                     ':' ||
+                     string_agg(CAST(doc_id AS VARCHAR) || '=' ||
+                                coalesce(payload, 'NULL'),
+                                ',' ORDER BY doc_id)) AS bkey,
+                 count(*) AS cnt,
+                 CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 CAST(coalesce(sum(length(payload)), 0) AS BIGINT)
+                   AS len_sum,
+                 sum(score) AS score_sum
+          FROM r GROUP BY blob_id)"""
+
+    def scanDef(fixture: String, tag: String,
+                headline: Boolean): QueryDef = QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        blobFiles(s, dir, fixture, tag).flatMap { case (blobId, bytes) =>
+          graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+            val levels = fm.leafLevels
+            var rows = 0L; var idSum = 0L; var lenSum = 0L
+            var scoreSum = 0.0
+            var ok = true
+            for (rg <- fm.rowGroups; c <- rg.cols) {
+              val dec = levels.get(c.path).flatMap(l =>
+                graft.sources.Parquet.decodeChunk(bytes, c, l._1))
+              dec match {
+                case Some(d) => c.path match {
+                  case "rec_id" => rows += d.numValues; idSum += d.longSum
+                  case "payload" => lenSum += d.binLenSum
+                  case "score" => scoreSum += d.doubleSum
+                  case _ => ok = false
+                }
+                case None => ok = false
+              }
+            }
+            if (ok) Seq(ParquetDictScanRow(blobId, fm.rowGroups.length,
+              rows, idSum, lenSum, scoreSum, bytes.length.toLong))
+            else Nil
+          }
+        }.toDF()
+      },
+      oracle = Some(s"""
+        WITH ${keyCte(tag)},
+        geo AS ( -- pyarrow row-group split: ceil(cnt / ceil(cnt/g))
+          SELECT *,
+                 CAST(1 + blob_id % 3 AS BIGINT) AS g,
+                 (cnt + (1 + blob_id % 3) - 1) // (1 + blob_id % 3)
+                   AS rg_size
+          FROM k)
+        SELECT geo.blob_id,
+               CAST((cnt + rg_size - 1) // rg_size AS INT)
+                 AS n_row_groups,
+               cnt AS rows_decoded, id_sum, len_sum, score_sum,
+               CAST(octet_length(f.file_bytes) AS BIGINT) AS file_size
+        FROM geo
+        JOIN read_parquet('$fixture') f ON geo.bkey = f.blob_key"""),
+      headline = headline)
+
+    Seq(
+      "q240_parquet_dict_snappy_scan" -> scanDef(
+        "/root/repo/fixtures/parquet_dict_files.parquet",
+        "parquetdict1", headline = true),
+      "q241_parquet_v2_page_scan" -> scanDef(
+        "/root/repo/fixtures/parquet_v2_files.parquet",
+        "parquetdict2", headline = false))
+  }
+
   // bzip2 (q238) + tar.bz2 (q239) — the OTHER compression crawl-era
   // corpora ship in (Wikipedia dumps, old Common Crawl segments,
   // dataset tarballs). No JDK class reads .bz2, so the engine owns the
@@ -1133,6 +1259,14 @@ private[queries] case class ParquetFooterRow(
 private[queries] case class ParquetScanRow(
     blob_id: Long, rows_decoded: Long, id_sum: Long, len_sum: Long,
     score_sum: Double)
+
+/** One q240/q241 output row: per-file decoded totals through the
+  * dictionary / snappy / DATA_PAGE_V2 matrix — the proof the engine
+  * reads the layouts pyarrow and Spark write BY DEFAULT.
+  */
+private[queries] case class ParquetDictScanRow(
+    blob_id: Long, n_row_groups: Int, rows_decoded: Long, id_sum: Long,
+    len_sum: Long, score_sum: Double, file_size: Long)
 
 /** One q222 output row: gzip-member coordinates (outer layer) joined to
   * the tar entry recovered from the member's inflated payload (inner

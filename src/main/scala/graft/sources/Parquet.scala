@@ -32,10 +32,14 @@ object Parquet {
   val PhysByteArray = 6
 
   /** Codecs (parquet.thrift `CompressionCodec`). */
-  val CodecNone = 0; val CodecGzip = 2
+  val CodecNone = 0; val CodecSnappy = 1; val CodecGzip = 2
 
-  /** Encodings (parquet.thrift `Encoding`). */
-  val EncPlain = 0
+  /** Encodings (parquet.thrift `Encoding`). PLAIN_DICTIONARY is the
+    * v1 spelling both parquet-mr and parquet-cpp still write for
+    * dictionary pages and v1 data pages; RLE_DICTIONARY is the v2
+    * spelling. The payload layout is identical.
+    */
+  val EncPlain = 0; val EncPlainDict = 2; val EncRleDict = 8
 
   // ---- thrift compact protocol ----------------------------------------
   // Damage is signalled by one private, stackless exception: the walk
@@ -316,23 +320,28 @@ object Parquet {
       dataOff, dictOff)
   }
 
-  // ---- page walk + PLAIN decode ----------------------------------------
+  // ---- page walk + PLAIN / dictionary decode ---------------------------
 
   private case class PageHead(pageType: Int, uncompressed: Int,
                               compressed: Int, numValues: Int,
-                              encoding: Int, headerEnd: Int)
+                              encoding: Int, headerEnd: Int,
+                              // DATA_PAGE_V2 extras (-1 / true if v1)
+                              numNulls: Int, defLen: Int, repLen: Int,
+                              valuesCompressed: Boolean)
 
   private def parsePageHeader(b: Array[Byte], off: Int): PageHead = {
     if (off < 0 || off >= b.length) damage()
     val tc = new TC(b, off, b.length)
     var pt = -1; var unc = -1; var comp = -1
     var nv = -1; var enc = -1
+    var nn = -1; var dl = -1; var rl = -1
+    var vComp = true
     struct(tc, 0) { (id, tpe) =>
       id match {
         case 1 => pt = i32(tc, tpe); true
         case 2 => unc = i32(tc, tpe); true
         case 3 => comp = i32(tc, tpe); true
-        case 5 => // DataPageHeader
+        case 5 => // DataPageHeader (v1)
           if (tpe != 12) damage()
           struct(tc, 1) { (did, dtpe) =>
             did match {
@@ -342,114 +351,293 @@ object Parquet {
             }
           }
           true
+        case 7 => // DictionaryPageHeader
+          if (tpe != 12) damage()
+          struct(tc, 1) { (did, dtpe) =>
+            did match {
+              case 1 => nv = i32(tc, dtpe); true
+              case 2 => enc = i32(tc, dtpe); true
+              case _ => false
+            }
+          }
+          true
+        case 8 => // DataPageHeaderV2: levels live OUTSIDE the codec
+          if (tpe != 12) damage()
+          struct(tc, 1) { (did, dtpe) =>
+            did match {
+              case 1 => nv = i32(tc, dtpe); true
+              case 2 => nn = i32(tc, dtpe); true
+              case 4 => enc = i32(tc, dtpe); true
+              case 5 => dl = i32(tc, dtpe); true
+              case 6 => rl = i32(tc, dtpe); true
+              case 7 => // bool: value IS the compact type nibble
+                if (dtpe != 1 && dtpe != 2) damage()
+                vComp = dtpe == 1; true
+              case _ => false
+            }
+          }
+          true
         case _ => false
       }
     }
     if (pt < 0 || unc < 0 || comp < 0) damage()
-    PageHead(pt, unc, comp, nv, enc, tc.pos)
+    PageHead(pt, unc, comp, nv, enc, tc.pos, nn, dl, rl, vComp)
   }
 
-  /** Decoded totals of one PLAIN column chunk: the proof the footer's
+  /** Decoded totals of one column chunk: the proof the footer's
     * offsets point at real pages. Sums are type-routed: INT64 →
     * long_sum, DOUBLE → double_sum, BYTE_ARRAY → byte lengths.
     */
   case class ChunkValues(numValues: Long, longSum: Long, doubleSum: Double,
                          binLenSum: Long, nPages: Int)
 
-  /** Decode every v1 data page of a FLAT column chunk written with
-    * PLAIN encoding and none/gzip codec. `maxDef` is 0 for a REQUIRED
-    * leaf (no level bytes in the page) and 1 for an OPTIONAL one
-    * (RLE/bit-packed-hybrid definition levels precede the values) —
-    * derive it from the footer schema's leaf repetition. None on
-    * dictionary pages, nested columns, other encodings/codecs, or
-    * malformation.
+  /** A page claiming more values than this routes away before any
+    * allocation happens. Real writers flush pages around 1 MB / tens
+    * of thousands of values; 2^24 is ~3 orders of magnitude above
+    * that, and caps the per-page scratch at a 64 MB Int array even
+    * against a forged footer + forged page header. (A BYTE-proportional
+    * bound would be wrong: an all-null page legitimately encodes
+    * millions of definition levels in a handful of RLE bytes.)
+    */
+  private val MaxPageValues = 1 << 24
+
+  /** Decode every data page of a FLAT column chunk: v1 and v2 pages,
+    * PLAIN and dictionary (PLAIN_DICTIONARY / RLE_DICTIONARY)
+    * encodings, none/snappy/gzip codecs — the full matrix both
+    * parquet-mr and parquet-cpp write by DEFAULT (dictionary + snappy).
+    * `maxDef` is 0 for a REQUIRED leaf (no level bytes in the page)
+    * and 1 for an OPTIONAL one — derive it from the footer schema's
+    * leaf repetition. When the footer declares a dictionary page the
+    * walk starts there (it precedes the first data page); `nPages`
+    * counts DATA pages. None on nested columns, other
+    * encodings/codecs, or malformation.
     */
   def decodeChunk(b: Array[Byte], col: ColMeta,
                   maxDef: Int = 0): Option[ChunkValues] = {
     try {
       if (col.physType != PhysInt64 && col.physType != PhysDouble &&
         col.physType != PhysByteArray) return None
-      if (col.codec != CodecNone && col.codec != CodecGzip) return None
-      if (col.dictPageOffset >= 0) return None // dictionary: not PLAIN
-      if (col.dataPageOffset > Int.MaxValue) return None
+      if (col.codec != CodecNone && col.codec != CodecGzip &&
+        col.codec != CodecSnappy) return None
       if (maxDef < 0 || maxDef > 1) return None // flat columns only
-      var pos = col.dataPageOffset.toInt
+      val first =
+        if (col.dictPageOffset >= 0) col.dictPageOffset
+        else col.dataPageOffset
+      if (first < 0 || first > Int.MaxValue) return None
+      if (col.dictPageOffset >= 0 &&
+        col.dictPageOffset > col.dataPageOffset) return None
+      var pos = first.toInt
+      var dict: Array[Long] = null // per-entry contribution (see addVal)
       var values = 0L
       var longSum = 0L; var doubleSum = 0.0; var binLen = 0L
       var pages = 0
+
+      def addVal(v: Long): Unit = col.physType match {
+        case PhysInt64 => longSum += v
+        case PhysDouble => doubleSum += java.lang.Double.longBitsToDouble(v)
+        case _ => binLen += v
+      }
+
+      /** Values section of a data page: PLAIN runs to exactly `end`;
+        * dictionary indices are a bit-width byte + hybrid runs.
+        */
+      def dataValues(raw: Array[Byte], off: Int, encoding: Int,
+                     present: Int): Boolean = encoding match {
+        case EncPlain =>
+          val (arr, end) = plainVals(raw, off, present, col.physType)
+          if (end != raw.length) return false // PLAIN pages are exact
+          var i = 0
+          while (i < present) { addVal(arr(i)); i += 1 }
+          true
+        case EncPlainDict | EncRleDict =>
+          if (dict == null) return false // indices before any dictionary
+          if (off >= raw.length && !(off == raw.length && present == 0))
+            return false
+          if (present == 0) return off == raw.length
+          val bw = raw(off) & 0xff
+          if (bw > 30) return false
+          val idx = readHybrid(raw, off + 1, raw.length, bw, present,
+            strict = true)
+          var i = 0
+          while (i < present) {
+            val k = idx(i)
+            if (k < 0 || k >= dict.length) return false
+            addVal(dict(k)); i += 1
+          }
+          true
+        case _ => false
+      }
+
       while (values < col.numValues) {
         val h = parsePageHeader(b, pos)
-        if (h.pageType != 0 || h.encoding != EncPlain) return None
-        if (h.numValues <= 0 || values + h.numValues > col.numValues)
-          return None
-        if (h.compressed < 0 || h.headerEnd + h.compressed > b.length)
-          return None
+        if (h.compressed < 0 || h.headerEnd + h.compressed > b.length ||
+          h.headerEnd + h.compressed < 0) return None
         if (h.uncompressed < 0 || h.uncompressed > (1 << 26)) return None
-        val raw: Array[Byte] =
-          if (col.codec == CodecNone) {
-            if (h.compressed != h.uncompressed) return None
-            java.util.Arrays.copyOfRange(b, h.headerEnd,
-              h.headerEnd + h.compressed)
-          } else gunzipExact(b, h.headerEnd, h.compressed, h.uncompressed)
-            .getOrElse(return None)
-        // num_values counts nulls too: definition level == maxDef marks
-        // the positions that carry a stored value
-        val (levels, valuesStart) =
-          if (maxDef == 0) (null: Array[Int], 0)
-          else readDefLevels(raw, h.numValues)
-        var p = valuesStart
-        var i = 0
-        while (i < h.numValues) {
-          val present = levels == null || levels(i) == 1
-          if (present) col.physType match {
-            case PhysInt64 | PhysDouble =>
-              if (p + 8 > raw.length) return None
-              var v = 0L
-              var k = 7
-              while (k >= 0) { v = (v << 8) | (raw(p + k) & 0xffL); k -= 1 }
-              if (col.physType == PhysInt64) longSum += v
-              else doubleSum += java.lang.Double.longBitsToDouble(v)
-              p += 8
-            case PhysByteArray =>
-              if (p + 4 > raw.length) return None
-              val len = (raw(p) & 0xff) | (raw(p + 1) & 0xff) << 8 |
-                (raw(p + 2) & 0xff) << 16 | (raw(p + 3) & 0xff) << 24
-              if (len < 0 || p + 4 + len > raw.length) return None
-              binLen += len
-              p += 4 + len
-          }
-          i += 1
+        h.pageType match {
+          case 2 => // DICTIONARY_PAGE: at most one, before all data
+            if (dict != null || pages > 0) return None
+            if (h.encoding != EncPlain && h.encoding != EncPlainDict)
+              return None
+            if (h.numValues < 0) return None
+            val raw = pagePayload(b, h, col.codec)
+            val (arr, end) = plainVals(raw, 0, h.numValues, col.physType)
+            if (end != raw.length) return None
+            dict = arr
+
+          case 0 => // DATA_PAGE (v1): levels + values share the codec
+            if (h.numValues <= 0 || h.numValues > MaxPageValues ||
+              values + h.numValues > col.numValues) return None
+            val raw = pagePayload(b, h, col.codec)
+            // num_values counts nulls too: definition level == maxDef
+            // marks the positions that carry a stored value
+            val (levels, valuesStart) =
+              if (maxDef == 0) (null: Array[Int], 0)
+              else readDefLevelsV1(raw, h.numValues)
+            var present = h.numValues
+            if (levels != null) {
+              present = 0
+              var i = 0
+              while (i < levels.length) {
+                if (levels(i) == 1) present += 1; i += 1
+              }
+            }
+            if (!dataValues(raw, valuesStart, h.encoding, present))
+              return None
+            values += h.numValues; pages += 1
+
+          case 3 => // DATA_PAGE_V2: levels sit OUTSIDE the codec,
+            // their byte lengths live in the header itself
+            if (h.numValues <= 0 || h.numValues > MaxPageValues ||
+              values + h.numValues > col.numValues) return None
+            if (h.repLen != 0) return None // flat: no repetition levels
+            if (h.defLen < 0 || h.numNulls < 0 ||
+              h.numNulls > h.numValues) return None
+            if (h.defLen > h.compressed || h.defLen > h.uncompressed)
+              return None
+            val present =
+              if (maxDef == 0) {
+                if (h.defLen != 0 || h.numNulls != 0) return None
+                h.numValues
+              } else {
+                // v2 def levels: hybrid runs, NO LE32 prefix, bit width 1
+                val levels = readHybrid(b, h.headerEnd,
+                  h.headerEnd + h.defLen, 1, h.numValues, strict = false)
+                var c = 0
+                var i = 0
+                while (i < levels.length) { if (levels(i) == 1) c += 1; i += 1 }
+                if (h.numValues - c != h.numNulls) return None
+                c
+              }
+            val vOff = h.headerEnd + h.defLen
+            val vCompLen = h.compressed - h.defLen
+            val vWant = h.uncompressed - h.defLen
+            val vraw: Array[Byte] =
+              if (!h.valuesCompressed || col.codec == CodecNone) {
+                if (vCompLen != vWant) return None
+                java.util.Arrays.copyOfRange(b, vOff, vOff + vCompLen)
+              } else if (col.codec == CodecGzip) {
+                gunzipExact(b, vOff, vCompLen, vWant).getOrElse(return None)
+              } else {
+                Snappy.uncompress(b, vOff, vCompLen, vWant)
+                  .getOrElse(return None)
+              }
+            if (!dataValues(vraw, 0, h.encoding, present)) return None
+            values += h.numValues; pages += 1
+
+          case _ => return None
         }
-        if (p != raw.length) return None // PLAIN pages are exact
-        values += h.numValues
-        pages += 1
         pos = h.headerEnd + h.compressed
       }
       Some(ChunkValues(values, longSum, doubleSum, binLen, pages))
     } catch { case _: Damage => None }
   }
 
+  /** Whole-payload page decompression (v1 data pages + dictionary
+    * pages, where levels and values share the codec).
+    */
+  private def pagePayload(b: Array[Byte], h: PageHead,
+                          codec: Int): Array[Byte] = codec match {
+    case CodecNone =>
+      if (h.compressed != h.uncompressed) damage()
+      java.util.Arrays.copyOfRange(b, h.headerEnd,
+        h.headerEnd + h.compressed)
+    case CodecGzip =>
+      gunzipExact(b, h.headerEnd, h.compressed, h.uncompressed)
+        .getOrElse(damage())
+    case CodecSnappy =>
+      Snappy.uncompress(b, h.headerEnd, h.compressed, h.uncompressed)
+        .getOrElse(damage())
+    case _ => damage()
+  }
+
+  /** PLAIN-decode `n` values starting at `off`: per-value sum
+    * contributions (INT64 value / DOUBLE raw bits / BYTE_ARRAY length)
+    * and the end offset. Allocation-bounded before the array exists:
+    * every PLAIN value occupies at least 4 bytes.
+    */
+  private def plainVals(raw: Array[Byte], off: Int, n: Int,
+                        physType: Int): (Array[Long], Int) = {
+    if (n < 0 || off < 0 || off > raw.length) damage()
+    if (n.toLong > (raw.length - off).toLong / 4 + 1) damage()
+    val arr = new Array[Long](n)
+    var p = off
+    var i = 0
+    while (i < n) {
+      if (physType == PhysByteArray) {
+        if (p + 4 > raw.length) damage()
+        val len = (raw(p) & 0xff) | (raw(p + 1) & 0xff) << 8 |
+          (raw(p + 2) & 0xff) << 16 | (raw(p + 3) & 0xff) << 24
+        if (len < 0 || p + 4 + len > raw.length) damage()
+        arr(i) = len.toLong
+        p += 4 + len
+      } else {
+        if (p + 8 > raw.length) damage()
+        var v = 0L
+        var k = 7
+        while (k >= 0) { v = (v << 8) | (raw(p + k) & 0xffL); k -= 1 }
+        arr(i) = v
+        p += 8
+      }
+      i += 1
+    }
+    (arr, p)
+  }
+
   /** Read the v1-page definition-level block (bit width 1): a LE32
     * byte-length prefix, then RLE/bit-packed hybrid runs. Returns the
     * level per value slot and the offset where values start.
     */
-  private def readDefLevels(raw: Array[Byte],
-                            numValues: Int): (Array[Int], Int) = {
+  private def readDefLevelsV1(raw: Array[Byte],
+                              numValues: Int): (Array[Int], Int) = {
     if (raw.length < 4) damage()
     val len = (raw(0) & 0xff) | (raw(1) & 0xff) << 8 |
       (raw(2) & 0xff) << 16 | (raw(3) & 0xff) << 24
     if (len < 0 || 4 + len > raw.length) damage()
-    // numValues is header-controlled (i32): bound it against the page
-    // itself (>= 1 bit per value) BEFORE allocating, or a forged header
-    // forces a multi-GB array
-    if (numValues < 0 || numValues.toLong > 8L * raw.length) damage()
     val end = 4 + len
-    val levels = new Array[Int](numValues)
+    (readHybrid(raw, 4, end, 1, numValues, strict = false), end)
+  }
+
+  /** RLE / bit-packed hybrid runs (the parquet levels-and-indices
+    * encoding) at an arbitrary bit width over `raw[start, end)`.
+    * `strict` requires the runs to consume the slice exactly (the
+    * dictionary-index section of a data page has no other terminator).
+    * The final bit-packed group may pad up to 7 phantom values; both
+    * run kinds clamp at `n`. `n` is header-controlled: bounded by
+    * [[MaxPageValues]] BEFORE the array is allocated.
+    */
+  private def readHybrid(raw: Array[Byte], start: Int, end: Int,
+                         bitWidth: Int, n: Int,
+                         strict: Boolean): Array[Int] = {
+    if (n < 0 || n > MaxPageValues) damage()
+    if (start < 0 || end > raw.length || start > end) damage()
+    if (bitWidth < 0 || bitWidth > 30) damage()
+    val out = new Array[Int](n)
+    val byteWidth = (bitWidth + 7) / 8
     var li = 0
-    var p = 4
-    while (li < numValues) {
+    var p = start
+    while (li < n) {
       if (p >= end) damage()
-      // hybrid run header: LSB 0 = RLE run, LSB 1 = bit-packed groups
+      // run header: LSB 0 = RLE run, LSB 1 = bit-packed group count
       var h = 0L; var shift = 0; var cont = true
       while (cont) {
         if (p >= end || shift > 35) damage()
@@ -457,27 +645,43 @@ object Parquet {
         h |= (x & 0x7fL) << shift; shift += 7
         cont = (x & 0x80) != 0
       }
-      if ((h & 1L) == 0) {
-        if (p >= end) damage()
-        val v = raw(p) & 0xff; p += 1 // bit width 1 -> one value byte
-        if (v > 1) damage()
-        var i = (h >>> 1).toInt
-        while (i > 0 && li < numValues) { levels(li) = v; li += 1; i -= 1 }
-      } else {
-        var g = (h >>> 1).toInt
+      // run length is varint-controlled (up to 2^34): bound it before
+      // the Int truncation, or a forged run spins or wraps negative
+      val runLen = h >>> 1
+      if (runLen <= 0 || runLen > MaxPageValues) damage()
+      if ((h & 1L) == 0) { // RLE: one byteWidth-wide LE value, repeated
+        if (p + byteWidth > end) damage()
+        var v = 0
+        var k = 0
+        while (k < byteWidth) { v |= (raw(p + k) & 0xff) << (8 * k); k += 1 }
+        p += byteWidth
+        if (bitWidth != 0 && (v & ~((1 << bitWidth) - 1)) != 0) damage()
+        if (bitWidth == 0 && v != 0) damage()
+        var i = runLen.toInt
+        while (i > 0 && li < n) { out(li) = v; li += 1; i -= 1 }
+      } else { // bit-packed: (h >>> 1) groups of 8 values
+        var g = runLen.toInt
+        var acc = 0L
+        var accBits = 0
         while (g > 0) {
-          if (p >= end) damage()
-          val byte = raw(p) & 0xff; p += 1
-          var bit = 0
-          while (bit < 8) {
-            if (li < numValues) { levels(li) = (byte >> bit) & 1; li += 1 }
-            bit += 1
+          var vals = 8
+          while (vals > 0) {
+            while (accBits < bitWidth) {
+              if (p >= end) damage()
+              acc |= (raw(p) & 0xffL) << accBits; accBits += 8; p += 1
+            }
+            val v = (acc & ((1L << bitWidth) - 1)).toInt
+            acc >>>= bitWidth; accBits -= bitWidth
+            if (li < n) { out(li) = v; li += 1 }
+            vals -= 1
           }
+          // byte-aligned between groups by construction (8*bw bits)
           g -= 1
         }
       }
     }
-    (levels, end)
+    if (strict && p != end) damage()
+    out
   }
 
   /** Inflate one RFC 1952 gzip stream to EXACTLY `want` bytes. The

@@ -131,20 +131,86 @@ class ParquetSpec extends SparkSpec {
     }
   }
 
-  test("dictionary-encoded chunks route away from the PLAIN decoder " +
-    "but the footer walk still reads them") {
+  test("dictionary-encoded chunks DECODE: Spark/parquet-mr's default " +
+    "layout (PLAIN_DICTIONARY dict page + index pages) across gzip, " +
+    "snappy and uncompressed, repeated-run and scattered dictionaries") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("pq_dict").toString
-    spark.range(0, 200).select(($"id" % 5).cast("long").as("k"))
-      .coalesce(1).write.option("compression", "gzip")
-      .mode("overwrite").parquet(dir)
-    val file = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
-    val fm = Parquet.parseFooter(bytes).getOrElse(fail("must parse"))
-    val c = fm.rowGroups.head.cols.head
-    assert(c.dictPageOffset >= 0, "Spark defaults to dictionary encoding")
-    assert(Parquet.decodeChunk(bytes, c, 0).isEmpty)
+    for (codec <- Seq("gzip", "snappy", "none")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"pq_dict_$codec").toString
+      // k: scattered small domain (bit-packed indices); r: long runs
+      // (RLE indices); s: strings with repeats; all nullable + nulls
+      spark.range(0, 2000).select(
+        ($"id" % 5).cast("long").as("k"),
+        ($"id" / 400).cast("long").as("r"),
+        org.apache.spark.sql.functions.when($"id" % 11 =!= 0,
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("v"), $"id" % 7)).as("s"),
+        ($"id" % 8 / 4.0).as("d"))
+        .coalesce(1).write.option("compression", codec)
+        .mode("overwrite").parquet(dir)
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+      val fm = Parquet.parseFooter(bytes).getOrElse(fail("must parse"))
+      val levels = fm.leafLevels
+      var kSum = 0L; var rSum = 0L; var sLen = 0L; var dSum = 0.0
+      for (rg <- fm.rowGroups; c <- rg.cols) {
+        assert(c.dictPageOffset >= 0,
+          s"$codec ${c.path}: Spark defaults to dictionary encoding")
+        val d = Parquet.decodeChunk(bytes, c, levels(c.path)._1)
+          .getOrElse(fail(s"chunk ${c.path} must decode ($codec)"))
+        assert(d.numValues == c.numValues)
+        c.path match {
+          case "k" => kSum += d.longSum
+          case "r" => rSum += d.longSum
+          case "s" => sLen += d.binLenSum
+          case "d" => dSum += d.doubleSum
+        }
+      }
+      assert(kSum == (0 until 2000).map(_ % 5).sum)
+      assert(rSum == (0 until 2000).map(_ / 400).sum)
+      assert(sLen == (0 until 2000).filter(_ % 11 != 0).map(i =>
+        s"v${i % 7}".length.toLong).sum)
+      assert(dSum == (0 until 2000).map(i => i % 8 / 4.0).sum)
+    }
+  }
+
+  test("DATA_PAGE_V2: parquet-mr's v2 writer (levels outside the " +
+    "codec, RLE_DICTIONARY indices, explicit num_nulls) decodes to " +
+    "the same sums, gzip snappy and uncompressed") {
+    import spark.implicits._
+    for (codec <- Seq("gzip", "snappy", "none")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"pq_v2_$codec").toString
+      spark.range(0, 1500).select(
+        ($"id" % 9).cast("long").as("k"),
+        org.apache.spark.sql.functions.when($"id" % 6 =!= 0,
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("w"), $"id" % 4)).as("s"))
+        .coalesce(1).write
+        .option("compression", codec)
+        .option("parquet.writer.version", "v2")
+        .mode("overwrite").parquet(dir)
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+      val fm = Parquet.parseFooter(bytes).getOrElse(fail("must parse"))
+      val levels = fm.leafLevels
+      var kSum = 0L; var sLen = 0L
+      for (rg <- fm.rowGroups; c <- rg.cols) {
+        val d = Parquet.decodeChunk(bytes, c, levels(c.path)._1)
+          .getOrElse(fail(s"v2 chunk ${c.path} must decode ($codec)"))
+        assert(d.numValues == c.numValues)
+        c.path match {
+          case "k" => kSum += d.longSum
+          case "s" => sLen += d.binLenSum
+        }
+      }
+      assert(kSum == (0 until 1500).map(_ % 9).sum, codec)
+      assert(sLen == (0 until 1500).filter(_ % 6 != 0)
+        .map(i => s"w${i % 4}".length.toLong).sum, codec)
+    }
   }
 
   test("damage shapes fail closed: magic, trailer, forged lengths and " +
@@ -215,6 +281,113 @@ class ParquetSpec extends SparkSpec {
     val cm = gz.clone()
     cm(gp + 2) = 0x07
     assert(Parquet.decodeChunk(cm, gc, 0).isEmpty)
+  }
+
+  test("dictionary/snappy damage fails closed: corrupted snappy page " +
+    "bytes, out-of-range dictionary indices, indices before any " +
+    "dictionary, a second dictionary page") {
+    // a real snappy+dictionary fixture chunk decodes, then refuses
+    // once its page bytes are touched
+    val snappyBlob = spark.read
+      .parquet("fixtures/parquet_dict_files.parquet")
+      .collect().map(_.getAs[Array[Byte]]("file_bytes"))
+      .find { b =>
+        Parquet.parseFooter(b).exists(_.rowGroups.head.cols.head.codec ==
+          Parquet.CodecSnappy)
+      }.get
+    val fm = Parquet.parseFooter(snappyBlob).get
+    val c = fm.rowGroups.head.cols.head
+    val lv = fm.leafLevels(c.path)._1
+    assert(Parquet.decodeChunk(snappyBlob, c, lv).isDefined)
+    for (delta <- Seq(2L, c.totalCompressed / 2, c.totalCompressed - 1)) {
+      val bad = snappyBlob.clone()
+      val at = ((if (c.dictPageOffset >= 0) c.dictPageOffset
+                 else c.dataPageOffset) + delta).toInt
+      bad(at) = (bad(at) ^ 0x5a).toByte
+      val r = Parquet.decodeChunk(bad, c, lv)
+      // a flipped byte may land in a page HEADER field that still
+      // parses; the decode must then disagree with the footer or the
+      // codec — either way never throw, and (for payload flips) None
+      assert(r.isEmpty || r.get.numValues == c.numValues)
+    }
+
+    // hand-built chunk: PLAIN dict page (2 int64 entries), then an
+    // RLE_DICTIONARY data page — valid indices decode, a forged
+    // out-of-range index refuses, as does losing the dictionary
+    def zz(v: Long): Array[Byte] = {
+      var z = (v << 1) ^ (v >> 63)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((z & ~0x7fL) != 0) { out += ((z & 0x7f) | 0x80).toByte; z >>>= 7 }
+      out += z.toByte
+      out.toArray
+    }
+    def le64(v: Long): Array[Byte] =
+      Array.tabulate[Byte](8)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def dictPageHeader(nEntries: Int, payloadLen: Int): Array[Byte] =
+      Array[Byte](0x15) ++ zz(2) ++ // 1: page_type DICTIONARY_PAGE
+      Array[Byte](0x15) ++ zz(payloadLen) ++
+      Array[Byte](0x15) ++ zz(payloadLen) ++
+      Array[Byte](0x4c.toByte) ++ // 7: DictionaryPageHeader (delta 4)
+        Array[Byte](0x15) ++ zz(nEntries) ++
+        Array[Byte](0x15) ++ zz(Parquet.EncPlain) ++
+        Array[Byte](0) ++
+      Array[Byte](0)
+    def dataPageHeader(nVals: Int, payloadLen: Int): Array[Byte] =
+      Array[Byte](0x15) ++ zz(0) ++ // 1: page_type DATA_PAGE
+      Array[Byte](0x15) ++ zz(payloadLen) ++
+      Array[Byte](0x15) ++ zz(payloadLen) ++
+      Array[Byte](0x2c) ++ // 5: DataPageHeader (delta 2)
+        Array[Byte](0x15) ++ zz(nVals) ++
+        Array[Byte](0x15) ++ zz(Parquet.EncRleDict) ++
+        Array[Byte](0x15) ++ zz(3) ++
+        Array[Byte](0x15) ++ zz(3) ++
+        Array[Byte](0) ++
+      Array[Byte](0)
+    def chunk(index: Int): (Array[Byte], Parquet.ColMeta) = {
+      val dictPayload = le64(100L) ++ le64(23L)
+      val idxPayload = Array[Byte](1) ++ // bit width 1
+        Array[Byte](((4 << 1) | 0).toByte, index.toByte) // RLE run of 4
+      val bytes = dictPageHeader(2, dictPayload.length) ++ dictPayload ++
+        dataPageHeader(4, idxPayload.length) ++ idxPayload
+      (bytes, Parquet.ColMeta(Parquet.PhysInt64, Seq(8), "x",
+        Parquet.CodecNone, 4L, bytes.length.toLong, bytes.length.toLong,
+        (dictPageHeader(2, dictPayload.length).length +
+          dictPayload.length).toLong, 0L))
+    }
+    val (okBytes, okCol) = chunk(1)
+    assert(Parquet.decodeChunk(okBytes, okCol, 0)
+      .contains(Parquet.ChunkValues(4, 4 * 23L, 0.0, 0, 1)))
+    // forged index past the dictionary: fail closed
+    // (bit width 1 makes index 1 the max encodable; use a 3-entry-wide
+    // width to forge index 5 against a 2-entry dictionary)
+    val idxPayload5 = Array[Byte](3) ++
+      Array[Byte](((4 << 1) | 0).toByte, 5)
+    val dictPayload = le64(100L) ++ le64(23L)
+    val forged = dictPageHeader(2, dictPayload.length) ++ dictPayload ++
+      dataPageHeader(4, idxPayload5.length) ++ idxPayload5
+    val forgedCol = Parquet.ColMeta(Parquet.PhysInt64, Seq(8), "x",
+      Parquet.CodecNone, 4L, forged.length.toLong, forged.length.toLong,
+      (dictPageHeader(2, dictPayload.length).length +
+        dictPayload.length).toLong, 0L)
+    assert(Parquet.decodeChunk(forged, forgedCol, 0).isEmpty,
+      "index 5 against a 2-entry dictionary must refuse")
+    // dict-encoded data page with NO dictionary page: refuse
+    val idxOnly = dataPageHeader(4, 3) ++ Array[Byte](1,
+      ((4 << 1) | 0).toByte, 1)
+    val noDictCol = Parquet.ColMeta(Parquet.PhysInt64, Seq(8), "x",
+      Parquet.CodecNone, 4L, idxOnly.length.toLong, idxOnly.length.toLong,
+      0L, -1L)
+    assert(Parquet.decodeChunk(idxOnly, noDictCol, 0).isEmpty,
+      "indices before any dictionary must refuse")
+    // a SECOND dictionary page mid-chunk: refuse
+    val twoDicts = dictPageHeader(2, dictPayload.length) ++ dictPayload ++
+      dictPageHeader(2, dictPayload.length) ++ dictPayload ++
+      dataPageHeader(4, 3) ++ Array[Byte](1, ((4 << 1) | 0).toByte, 1)
+    val twoDictCol = Parquet.ColMeta(Parquet.PhysInt64, Seq(8), "x",
+      Parquet.CodecNone, 4L, twoDicts.length.toLong, twoDicts.length.toLong,
+      (dictPageHeader(2, dictPayload.length).length +
+        dictPayload.length).toLong, 0L)
+    assert(Parquet.decodeChunk(twoDicts, twoDictCol, 0).isEmpty)
   }
 
   test("a forged page header claiming 2^31-1 values must damage " +
