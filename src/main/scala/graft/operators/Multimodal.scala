@@ -856,10 +856,14 @@ object Multimodal {
                         sum_c0: Long, sum_c1: Long, sum_c2: Long,
                         tl_c0: Int, tl_c1: Int, tl_c2: Int)
 
-  /** Decode an uncompressed baseline TIFF: 8-bit samples, chunky planar
-    * config, photometric 0 (WhiteIsZero — inverted), 1 (BlackIsZero) or
-    * 2 (RGB), any strip segmentation. None on compression, tiles,
-    * planar=2, non-8-bit samples, or any malformation (totality law).
+  /** Decode a baseline TIFF: 8-bit samples, chunky planar config,
+    * photometric 0 (WhiteIsZero — inverted), 1 (BlackIsZero) or 2
+    * (RGB), none/LZW/PackBits compression, in EITHER segment layout —
+    * any strip segmentation (§11), or the tiled layout (§15: TileWidth/
+    * TileLength tags 322/323, offsets/counts 324/325; tiles are fixed
+    * tileW x tileL blocks, edge tiles PADDED to full size, so the fold
+    * clips to the image bounds). None on planar=2, non-8-bit samples,
+    * mixed strip+tile tags, or any malformation (totality law).
     */
   def parseTiffPixels(id: Long, b: Array[Byte]): Option[TiffPixels] = {
     def u8(i: Long): Int =
@@ -939,43 +943,35 @@ object Multimodal {
     if (photometric == 2) {
       if (bits == null || bits.length != 3 || bits.exists(_ != 8L)) return None
     } else if (bits != null && (bits.length != 1 || bits(0) != 8L)) return None
-    val offsets = array(273)
-    val counts = array(279)
-    if (offsets == null || counts == null ||
-      offsets.length != counts.length) return None
+    val tiled = entry(322) >= 0 || entry(323) >= 0 ||
+      entry(324) >= 0 || entry(325) >= 0
+    // a file claiming BOTH layouts is malformed, not a choice
+    if (tiled && (entry(273) >= 0 || entry(279) >= 0)) return None
+
     val sums = new Array[Long](3)
     val tls = new Array[Int](3)
-    var row = 0L
-    var s = 0
-    while (s < offsets.length) {
-      val rows = math.min(rowsPerStrip, height - row)
-      if (rows <= 0) return None // more strips than rows
-      val expect = (rows * width * channels).toInt
-      val off = offsets(s)
-      val clen = counts(s)
-      if (off < 0 || clen <= 0 || off + clen > b.length) return None
-      // materialize the strip: each strip is an independent stream
-      val data: Array[Byte] = compression match {
+
+    /** Materialize one compressed segment (strip or tile): each is an
+      * independent stream of exactly `expect` decoded bytes.
+      */
+    def segment(off: Long, clen: Long, expect: Int): Array[Byte] = {
+      if (off < 0 || clen <= 0 || off + clen > b.length) return null
+      compression match {
         case 1 =>
-          if (clen != expect) return None // strip size must be exact
+          if (clen != expect) return null // segment size must be exact
           java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + expect)
-        case 5 =>
-          tiffLzwDecode(b, off.toInt, clen.toInt, expect) match {
-            case Some(d) => d
-            case None => return None
-          }
-        case _ =>
-          packBitsDecode(b, off.toInt, clen.toInt, expect) match {
-            case Some(d) => d
-            case None => return None
-          }
+        case 5 => tiffLzwDecode(b, off.toInt, clen.toInt, expect).orNull
+        case _ => packBitsDecode(b, off.toInt, clen.toInt, expect).orNull
       }
-      // horizontal-differencing predictor: cumulative sum per row, one
-      // lag per channel (applies BEFORE the WhiteIsZero inversion)
+    }
+
+    /** Horizontal-differencing predictor: cumulative sum per segment
+      * row, one lag per channel (BEFORE the WhiteIsZero inversion).
+      */
+    def undiff(data: Array[Byte], rows: Int, rowBytes: Int): Unit =
       if (predictor == 2) {
-        val rowBytes = width.toInt * channels
         var r0 = 0
-        while (r0 < rows.toInt) {
+        while (r0 < rows) {
           val base = r0 * rowBytes
           var i = channels
           while (i < rowBytes) {
@@ -986,19 +982,76 @@ object Multimodal {
           r0 += 1
         }
       }
-      var i = 0
-      while (i < expect) {
-        val raw = data(i) & 0xff
-        val v = if (photometric == 0) 255 - raw else raw
-        val c = i % channels
-        sums(c) += v
-        if (row == 0L && i < channels) tls(c) = v
-        i += 1
+
+    if (!tiled) {
+      val offsets = array(273)
+      val counts = array(279)
+      if (offsets == null || counts == null ||
+        offsets.length != counts.length) return None
+      var row = 0L
+      var s = 0
+      while (s < offsets.length) {
+        val rows = math.min(rowsPerStrip, height - row)
+        if (rows <= 0) return None // more strips than rows
+        val expect = (rows * width * channels).toInt
+        val data = segment(offsets(s), counts(s), expect)
+        if (data == null) return None
+        undiff(data, rows.toInt, width.toInt * channels)
+        var i = 0
+        while (i < expect) {
+          val raw = data(i) & 0xff
+          val v = if (photometric == 0) 255 - raw else raw
+          val c = i % channels
+          sums(c) += v
+          if (row == 0L && i < channels) tls(c) = v
+          i += 1
+        }
+        row += rows
+        s += 1
       }
-      row += rows
-      s += 1
+      if (row != height) return None // strips must cover exactly
+    } else {
+      val tileW = scalar(322, -1L)
+      val tileL = scalar(323, -1L)
+      // §15: tile dims are positive multiples of 16
+      if (tileW <= 0 || tileL <= 0 ||
+        tileW % 16 != 0 || tileL % 16 != 0) return None
+      if (tileW * tileL * channels > (1L << 26)) return None
+      val across = (width + tileW - 1) / tileW
+      val down = (height + tileL - 1) / tileL
+      val offsets = array(324)
+      val counts = array(325)
+      if (offsets == null || counts == null ||
+        offsets.length != counts.length ||
+        offsets.length.toLong != across * down) return None
+      val expect = (tileW * tileL * channels).toInt
+      val tileRowBytes = tileW.toInt * channels
+      var t = 0
+      while (t < offsets.length) {
+        val tx = t % across.toInt
+        val ty = t / across.toInt
+        val data = segment(offsets(t), counts(t), expect)
+        if (data == null) return None
+        undiff(data, tileL.toInt, tileRowBytes)
+        // fold with clipping: edge tiles carry padding past the image
+        val xs = math.min(tileW, width - tx * tileW).toInt
+        val ys = math.min(tileL, height - ty * tileL).toInt
+        var r0 = 0
+        while (r0 < ys) {
+          var i = r0 * tileRowBytes
+          val rowEnd = i + xs * channels
+          while (i < rowEnd) {
+            val raw = data(i) & 0xff
+            val v = if (photometric == 0) 255 - raw else raw
+            sums(i % channels) += v
+            if (t == 0 && r0 == 0 && i < channels) tls(i) = v
+            i += 1
+          }
+          r0 += 1
+        }
+        t += 1
+      }
     }
-    if (row != height) return None // strips must cover the image exactly
     Some(TiffPixels(id, width.toInt, height.toInt, channels,
       sums(0), sums(1), sums(2), tls(0), tls(1), tls(2)))
   }
@@ -1283,6 +1336,109 @@ object Multimodal {
     if (nStrips > 1) {
       for (o <- stripOff) le32(o)
       for (s <- strips) le32(s.length)
+    }
+    if (channels == 3) { le16(8); le16(8); le16(8) }
+    out.toByteArray
+  }
+
+  /** Write a little-endian TILED TIFF (§15): fixed `tileW x tileL`
+    * tiles (multiples of 16), edge tiles padded to full size with
+    * zeros, row-major tile order, chunky RGB or grayscale.
+    * `compression` 1 (none), 5 (LZW, horizontal-differencing predictor
+    * applied per tile row) or 32773 (PackBits, tile rows packed
+    * independently) — the layout [[parseTiffPixels]] clips back.
+    */
+  def encodeTiffTiled(w: Int, h: Int, channels: Int,
+                      pix: (Int, Int, Int) => Int, compression: Int,
+                      tileW: Int = 16, tileL: Int = 16,
+                      pad: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, "positive dims")
+    require(channels == 1 || channels == 3, "gray or RGB")
+    require(compression == 1 || compression == 5 || compression == 32773,
+      "none, LZW or PackBits")
+    require(tileW > 0 && tileL > 0 && tileW % 16 == 0 && tileL % 16 == 0,
+      "tile dims are positive multiples of 16")
+    val across = (w + tileW - 1) / tileW
+    val down = (h + tileL - 1) / tileL
+    val predictor = if (compression == 5) 2 else 1
+    val tileRowBytes = tileW * channels
+    val tiles = for (ty <- 0 until down; tx <- 0 until across)
+      yield {
+        // §15 leaves edge-tile padding content UNDEFINED — writing a
+        // caller-visible nonzero pad makes a decoder that forgets to
+        // clip produce wrong sums instead of silently passing
+        val raw = Array.fill[Byte](tileRowBytes * tileL)((pad & 0xff).toByte)
+        for (r <- 0 until tileL; x0 <- 0 until tileW; c <- 0 until channels) {
+          val x = tx * tileW + x0
+          val y = ty * tileL + r
+          if (x < w && y < h)
+            raw(r * tileRowBytes + x0 * channels + c) =
+              (pix(c, x, y) & 0xff).toByte
+        }
+        if (predictor == 2) {
+          for (r <- 0 until tileL;
+               i <- (tileRowBytes - 1) until (channels - 1) by -1) {
+            val base = r * tileRowBytes
+            raw(base + i) =
+              ((raw(base + i) - raw(base + i - channels)) & 0xff).toByte
+          }
+        }
+        compression match {
+          case 1 => raw
+          case 5 => tiffLzwEncode(raw)
+          case _ =>
+            val bos = new java.io.ByteArrayOutputStream()
+            for (r <- 0 until tileL)
+              bos.write(packBitsEncodeRow(java.util.Arrays.copyOfRange(
+                raw, r * tileRowBytes, (r + 1) * tileRowBytes)))
+            bos.toByteArray
+        }
+      }
+    // layout: header(8) | tile bytes (padded even) | IFD | value arrays
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val tileOff = new Array[Long](tiles.length)
+    var at = 8L
+    for (i <- tiles.indices) { tileOff(i) = at; at += tiles(i).length }
+    if (at % 2 == 1) at += 1 // IFD must start on a word boundary
+    val ifdAt = at
+    val photometric = if (channels == 3) 2 else 1
+    // tags, ascending: 256,257,258,259,262,277,284,[317],322,323,324,325
+    val nEntries = 11 + (if (predictor == 2) 1 else 0)
+    val arrAt = ifdAt + 2 + 12L * nEntries + 4
+    val nTiles = tiles.length
+    out.write('I'); out.write('I'); le16(42); le32(ifdAt)
+    for (t <- tiles) out.write(t)
+    if ((8L + tiles.map(_.length.toLong).sum) % 2 == 1) out.write(0)
+    le16(nEntries)
+    def ent(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      le16(tag); le16(typ); le32(cnt)
+      if (typ == 3 && cnt == 1) { le16(value.toInt); le16(0) }
+      else le32(value)
+    }
+    val bitsAt = arrAt + (if (nTiles > 1) 8L * nTiles else 0L)
+    ent(256, 3, 1, w)
+    ent(257, 3, 1, h)
+    if (channels == 3) ent(258, 3, 3, bitsAt)
+    else ent(258, 3, 1, 8)
+    ent(259, 3, 1, compression)
+    ent(262, 3, 1, photometric)
+    ent(277, 3, 1, channels)
+    ent(284, 3, 1, 1)
+    if (predictor == 2) ent(317, 3, 1, 2)
+    ent(322, 3, 1, tileW)
+    ent(323, 3, 1, tileL)
+    ent(324, 4, nTiles, if (nTiles == 1) tileOff(0) else arrAt)
+    ent(325, 4, nTiles,
+      if (nTiles == 1) tiles(0).length else arrAt + 4L * nTiles)
+    le32(0) // next IFD
+    if (nTiles > 1) {
+      for (o <- tileOff) le32(o)
+      for (t <- tiles) le32(t.length)
     }
     if (channels == 3) { le16(8); le16(8); le16(8) }
     out.toByteArray

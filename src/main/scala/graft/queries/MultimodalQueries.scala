@@ -85,6 +85,28 @@ private[queries] object MediaGen {
         ((s2 + (x / 6) * 31L + y * 7L + c * 13L) % 256).toInt, 32773)
   }
 
+  /** 17–48 × 17–40 TILED RGB TIFF (the GIS/medical layout, §15): 16×16
+    * tiles, so every image has 2–3 tiles per axis and most have PARTIAL
+    * edge tiles whose padding is a seed-dependent NONZERO byte — a
+    * decoder that forgets to clip folds the padding into its sums and
+    * fails the oracle. Compression cycles none/LZW/PackBits by seed so
+    * all three tile codecs ride the same corpus.
+    */
+  def tiffTiledFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val w = (17 + s1 % 32).toInt
+    val h = (17 + s2 % 24).toInt
+    val compression = (s1 % 3) match {
+      case 0 => 1
+      case 1 => 5
+      case _ => 32773
+    }
+    graft.operators.Multimodal.encodeTiffTiled(w, h, 3,
+      (c, x, y) =>
+        ((s1 + (x / 5) * 9L + y * 3L + c * 29L) % 256).toInt,
+      compression, pad = ((s2 % 255) + 1).toInt)
+  }
+
   /** 64-color palette shared by every generated GIF. */
   val gifPalette: Array[(Int, Int, Int)] = Array.tabulate(64)(i =>
     ((i * 4 + 1) % 256, (i * 7 + 3) % 256, (i * 13 + 5) % 256))
@@ -1867,6 +1889,59 @@ object MultimodalQueries {
           FROM d
           JOIN generate_series(0, 10) x(i) ON x.i < w
           JOIN generate_series(0, 7) y(i) ON y.i < h
+          CROSS JOIN generate_series(0, 2) c(i))
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(sum(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_c2,
+               CAST(max(CASE WHEN ch = 0 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c0,
+               CAST(max(CASE WHEN ch = 1 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c1,
+               CAST(max(CASE WHEN ch = 2 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c2
+        FROM px GROUP BY doc_id, w, h""")),
+
+    // TRUE payload decode — TILED TIFF (q242, TIFF 6.0 §15): the
+    // GIS/medical layout (strips cover scanned archives; tiled covers
+    // orthophotos, slide scans, DEM rasters). Tiles are fixed 16x16
+    // blocks in row-major tile order; EDGE tiles are padded to full
+    // size and §15 leaves the padding content undefined — the corpus
+    // writes a seed-dependent NONZERO pad, so a fold that forgets to
+    // clip cannot pass. Compression cycles none/LZW/PackBits by seed:
+    // all three segment codecs run through the same clip arithmetic.
+    // Lossless and fixture-free like q236/q237: DuckDB recomputes the
+    // per-channel sums from the seed formulas over IMAGE pixels only.
+    // ImageIO cross-pins the byte format both directions in
+    // MultimodalSpec. Scan-task-only decode: zero exchanges.
+    "q242_tiff_tiled_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            Multimodal.Payload(id, "image", MediaGen.tiffTiledFor(text)) })
+        Multimodal.decodeTiffPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("sum_c0"), col("sum_c1"), col("sum_c2"),
+            col("tl_c0"), col("tl_c1"), col("tl_c2"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 ${sqlHash60("coalesce(text, '')")} AS s1,
+                 ${sqlHash56("coalesce(text, '')")} AS s2
+          FROM documents),
+        d AS (
+          SELECT doc_id, s1, 17 + s1 % 32 AS w, 17 + s2 % 24 AS h FROM g),
+        px AS (
+          SELECT doc_id, w, h, c.i AS ch, x.i AS xx, y.i AS yy,
+                 (s1 + (x.i // 5) * 9 + y.i * 3 + c.i * 29) % 256 AS val
+          FROM d
+          JOIN generate_series(0, 47) x(i) ON x.i < w
+          JOIN generate_series(0, 39) y(i) ON y.i < h
           CROSS JOIN generate_series(0, 2) c(i))
         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                CAST(3 AS INT) AS channels,

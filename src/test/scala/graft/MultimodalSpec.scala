@@ -1014,6 +1014,97 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.packBitsDecode(pbNoop, 0, pbNoop.length, 5).isEmpty)
   }
 
+  test("TIFF tiled layout: partial edge tiles clip their NONZERO " +
+    "padding, all three tile codecs, and javax.imageio agrees in BOTH " +
+    "directions") {
+    def pix(c: Int, x: Int, y: Int): Int =
+      (c * 29 + (x / 5) * 9 + y * 3 + 5) % 256
+    // dims chosen to hit: exact multiples (32x32: no padding), partial
+    // both axes (33x17), sub-tile (17x20), wide (48x16)
+    for (comp <- Seq(1, 5, 32773);
+         (w, h) <- Seq((32, 32), (33, 17), (17, 20), (48, 16), (16, 16))) {
+      val bytes = Multimodal.encodeTiffTiled(w, h, 3, pix, comp, pad = 0xee)
+      val got = Multimodal.parseTiffPixels(1L, bytes)
+        .getOrElse(fail(s"comp=$comp ${w}x$h must decode"))
+      val want = (0 until 3).map(c =>
+        (for (y <- 0 until h; x <- 0 until w) yield pix(c, x, y).toLong).sum)
+      // 0xee pad makes an unclipped fold overshoot: equality proves clip
+      assert(Seq(got.sum_c0, got.sum_c1, got.sum_c2) == want,
+        s"comp=$comp ${w}x$h")
+      assert(got.width == w && got.height == h && got.tl_c0 == pix(0, 0, 0))
+      // direction 1: ImageIO reads OUR tiled bytes to the same pixels
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO must read our tiled TIFF (comp=$comp ${w}x$h)")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == pix(0, x, y) &&
+          ((rgb >> 8) & 0xff) == pix(1, x, y) &&
+          (rgb & 0xff) == pix(2, x, y), s"comp=$comp ($x,$y)")
+      }
+    }
+    // direction 2: ImageIO's OWN tiled writer (MODE_EXPLICIT 16x16
+    // tiling, its padding, its LZW tables), our decoder: exact sums
+    val (w2, h2) = (41, 27)
+    val sums2 = (0 until 3).map(c =>
+      (for (y <- 0 until h2; x <- 0 until w2) yield pix(c, x, y).toLong).sum)
+    for (ctype <- Seq(null, "LZW", "PackBits")) {
+      val src = new java.awt.image.BufferedImage(w2, h2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h2; x <- 0 until w2)
+        src.setRGB(x, y,
+          pix(0, x, y) << 16 | pix(1, x, y) << 8 | pix(2, x, y))
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("tiff").next()
+      val p = writer.getDefaultWriteParam
+      p.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setTiling(16, 16, 0, 0)
+      if (ctype != null) {
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType(ctype)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(src, null, null), p)
+      ios.close(); writer.dispose()
+      val got = Multimodal.parseTiffPixels(2L, bos.toByteArray)
+      assert(got.isDefined, s"ImageIO tiled $ctype TIFF must decode")
+      assert(Seq(got.get.sum_c0, got.get.sum_c1, got.get.sum_c2) == sums2 &&
+        got.get.tl_c0 == pix(0, 0, 0), s"$ctype")
+    }
+    // damage: a file claiming BOTH strip and tile tags is malformed
+    val tiled = Multimodal.encodeTiffTiled(33, 17, 3, pix, 1)
+    def u16le(b: Array[Byte], i: Int) = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8
+    def u32le(b: Array[Byte], i: Int) = u16le(b, i) | u16le(b, i + 2) << 16
+    val ifd = u32le(tiled, 4)
+    def retag(from: Int, to: Int): Array[Byte] = {
+      val c = tiled.clone()
+      val n = u16le(c, ifd)
+      for (i <- 0 until n) {
+        val p = ifd + 2 + 12 * i
+        if (u16le(c, p) == from) {
+          c(p) = (to & 0xff).toByte; c(p + 1) = ((to >> 8) & 0xff).toByte
+        }
+      }
+      c
+    }
+    assert(Multimodal.parseTiffPixels(3L, retag(322, 278)).isEmpty,
+      "RowsPerStrip alongside tile offsets must refuse")
+    // tile dims not multiples of 16 must refuse (route to a full stack)
+    val badDim = tiled.clone()
+    val n3 = u16le(badDim, ifd)
+    for (i <- 0 until n3) {
+      val p = ifd + 2 + 12 * i
+      if (u16le(badDim, p) == 322) badDim(p + 8) = 17
+    }
+    assert(Multimodal.parseTiffPixels(4L, badDim).isEmpty)
+    // truncated tile data: chop the file mid-tile
+    assert(Multimodal.parseTiffPixels(5L,
+      java.util.Arrays.copyOfRange(tiled, 0, 40)).isEmpty)
+  }
+
   // ---- JPEG baseline: the last stub-codec boundary -----------------------
 
   test("JPEG baseline: own encoder's bytes decode, and javax.imageio's " +
