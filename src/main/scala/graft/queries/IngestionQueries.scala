@@ -235,7 +235,7 @@ object IngestionQueries {
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
   ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ parquetDictDefs ++
-    bz2Defs
+    bz2Defs ++ zstdDefs
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
   // ONE GZIP MEMBER PER WARC RECORD, concatenated. The CDX index that
@@ -1226,7 +1226,107 @@ object IngestionQueries {
           FROM geo"""))
     )
   }
+
+  // zstd census (q244-era stage 1, registered as q243) — the MODERN
+  // crawl/dataset compression (recent Common Crawl and HF shards ship
+  // .zst). Stage 1 is the RFC 8878 framing: skippable frames, frame
+  // headers (content size, checksum flag), LE24 block headers, RAW/RLE
+  // payload decode, and XXH64 content-checksum verification (own
+  // implementation, sources/Zstd.scala, pinned against lz4-java's
+  // xxhash); compressed blocks are strided by size, their entropy
+  // decode is the stage-2 boundary. The INDEPENDENT writer is libzstd
+  // itself (zstd-jni, Spark's classpath) via MakeZstdFixture: per doc
+  // a 4-frame object — skippable metadata, a checksummed RAW frame of
+  // md5-hex-chain bytes (incompressible, so libzstd stores RAW and the
+  // engine must fully decode + verify), an unchecksummed second chain,
+  // and a compressible 'a'-run frame that walks as entropy-coded. The
+  // oracle replays the hex chains with DuckDB's own md5 (VARCHAR
+  // space, no codec in the loop) and takes only the blob SIZE from the
+  // fixture. Per-doc key join is broadcast; decode is scan-task work.
+  private def zstdDefs: Seq[(String, QueryDef)] = {
+    val Fixture = "/root/repo/fixtures/zstd_blobs.parquet"
+    def hexOf(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    Seq(
+      "q243_zstd_census" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          Engine.table(s, dir, "documents")
+            .select(col("doc_id"),
+              expr("""md5('zstd:' || CAST(doc_id AS STRING) || ':' ||
+                      CAST(n_chars AS STRING) || ':' ||
+                      md5(coalesce(text, '')))""").as("blob_key"))
+            .join(broadcast(s.read.parquet(Fixture)), "blob_key")
+            .select(col("doc_id"), col("zst"))
+            .as[(Long, Array[Byte])]
+            .mapPartitions(_.flatMap { case (id, zst) =>
+              graft.sources.Zstd.walk(zst).toSeq.flatMap {
+                case Seq(skip, f1, f2, f3)
+                  if skip.kind == "skip" && f1.kind == "zstd" &&
+                    f2.kind == "zstd" && f3.kind == "zstd" &&
+                    f1.decoded != null && f2.decoded != null =>
+                  Seq(ZstdCensusRow(id, 4,
+                    new String(skip.decoded,
+                      java.nio.charset.StandardCharsets.US_ASCII),
+                    hexOf(f1.decoded), f1.decoded.length.toLong,
+                    f1.checksumState,
+                    hexOf(f2.decoded), f2.decoded.length.toLong,
+                    f2.checksumState,
+                    f3.declaredSize, zst.length.toLong))
+                case _ => Nil
+              }
+            }).toDF()
+        },
+        oracle = Some(s"""
+          WITH e1 AS (
+            SELECT doc_id, n_chars,
+                   md5(coalesce(text, '')) AS h1,
+                   md5('f2:' || coalesce(text, '')) AS j1
+            FROM documents),
+          e2 AS (SELECT *, md5(h1) AS h2, md5(j1) AS j2 FROM e1),
+          e3 AS (SELECT *, md5(h2) AS h3, md5(j2) AS j3 FROM e2),
+          e4 AS (SELECT *, md5(h3) AS h4, md5(j3) AS j4 FROM e3),
+          e5 AS (SELECT *, md5(h4) AS h5, md5(j4) AS j5 FROM e4),
+          e6 AS (SELECT *, md5(h5) AS h6 FROM e5),
+          e7 AS (SELECT *, md5(h6) AS h7 FROM e6),
+          e8 AS (SELECT *, md5(h7) AS h8 FROM e7),
+          f AS (
+            SELECT doc_id,
+                   CAST(1 + n_chars % 8 AS INT) AS k1,
+                   CAST(1 + doc_id % 5 AS INT) AS k2,
+                   substring(h1 || h2 || h3 || h4 || h5 || h6 || h7 || h8,
+                             1, CAST(32 * (1 + n_chars % 8) AS INT)) AS c1,
+                   substring(j1 || j2 || j3 || j4 || j5,
+                             1, CAST(32 * (1 + doc_id % 5) AS INT)) AS c2,
+                   md5('zstd:' || CAST(doc_id AS VARCHAR) || ':' ||
+                       CAST(n_chars AS VARCHAR) || ':' || h1) AS bkey,
+                   50 + doc_id % 200 AS f3len
+            FROM e8)
+          SELECT f.doc_id,
+                 CAST(4 AS INT) AS n_frames,
+                 'meta:' || CAST(f.doc_id AS VARCHAR) AS skip_meta,
+                 f.c1 AS f1_hex,
+                 CAST(16 * f.k1 AS BIGINT) AS f1_len,
+                 'ok' AS f1_checksum,
+                 f.c2 AS f2_hex,
+                 CAST(16 * f.k2 AS BIGINT) AS f2_len,
+                 'none' AS f2_checksum,
+                 CAST(f.f3len AS BIGINT) AS f3_declared_len,
+                 CAST(octet_length(z.zst) AS BIGINT) AS zst_len
+          FROM f
+          JOIN read_parquet('$Fixture') z ON f.bkey = z.blob_key"""),
+        headline = true))
+  }
 }
+
+/** One q243 output row: the 4-frame zstd object census — skippable
+  * metadata surfaced, both RAW frames fully decoded (hex) with their
+  * checksum states, the entropy-coded frame's declared size.
+  */
+private[queries] case class ZstdCensusRow(
+    doc_id: Long, n_frames: Int, skip_meta: String,
+    f1_hex: String, f1_len: Long, f1_checksum: String,
+    f2_hex: String, f2_len: Long, f2_checksum: String,
+    f3_declared_len: Long, zst_len: Long)
 
 /** One q238 output row: a CPython-bz2 blob pushed back through the
   * engine's own bzip2 stack.

@@ -1,0 +1,230 @@
+package graft.sources
+
+/** Zstandard frame walk, STAGE 1 (RFC 8878 framing): frame and block
+  * headers, skippable frames, RAW and RLE block payloads, frame
+  * content-size accounting, and XXH64 content-checksum verification —
+  * the subset that makes a member census over `.zst` corpora (recent
+  * Common Crawl segments, HF dataset shards) a zero-exchange scan-task
+  * map. Compressed blocks (FSE/Huffman sequences) are WALKED by their
+  * declared sizes but not decoded: a frame containing one surfaces its
+  * structure and declared content size with `decoded = null` — stage 2
+  * owns the entropy decode.
+  *
+  * Format sources are public: RFC 8878 (zstd framing: magic
+  * 0xFD2FB528, frame-header descriptor, window descriptor, LE24 block
+  * headers with last/type/size fields, skippable frames
+  * 0x184D2A5?) and the xxHash specification (XXH64 primes, stripe
+  * rounds, merge, avalanche). Nothing links against zstd-jni or
+  * lz4-java — ZstdSpec pins this walk AGAINST zstd-jni (libzstd, the
+  * reference implementation) as writer and [[XxHash64]] against
+  * lz4-java's independent xxhash.
+  *
+  * Totality law (the house posture): malformation — bad magic, a
+  * reserved block type, a reserved descriptor bit, blocks past the
+  * input, a decoded size disagreeing with the declared frame content
+  * size, a checksum mismatch on fully-decoded content — yields None,
+  * never a throw and never partial garbage.
+  */
+object Zstd {
+
+  private final class Damage extends RuntimeException(null, null, false, false)
+  private def damage(): Nothing = throw new Damage
+
+  /** One walked frame. `kind` is "zstd" or "skip". `declaredSize` is
+    * the frame-header content size (-1 when the header omits it) or
+    * the skippable payload size. `decoded` carries the full content
+    * for skippable frames and for zstd frames whose blocks were all
+    * RAW/RLE; null when any compressed block was skipped.
+    * `checksumState`: "ok" (verified), "none" (flag clear),
+    * "unchecked" (flag set but content not decoded).
+    */
+  case class Frame(kind: String, declaredSize: Long,
+                   nBlocks: Int, rawBlocks: Int, rleBlocks: Int,
+                   compBlocks: Int, checksumState: String,
+                   decoded: Array[Byte])
+
+  /** Walk a complete multi-frame `.zst` byte stream. Decoded output is
+    * capped at `cap` bytes per frame (adversarial-allocation bound).
+    */
+  def walk(b: Array[Byte], cap: Int = 1 << 26): Option[Seq[Frame]] = {
+    try {
+      var p = 0
+      def u8(): Int = {
+        if (p < 0 || p >= b.length) damage()
+        val v = b(p) & 0xff; p += 1; v
+      }
+      def le32(): Long = {
+        val a = u8().toLong; val c = u8().toLong
+        val d = u8().toLong; val e = u8().toLong
+        a | c << 8 | d << 16 | e << 24
+      }
+      def leN(n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v |= u8().toLong << (8 * i); i += 1 }
+        v
+      }
+      val out = Seq.newBuilder[Frame]
+      if (b.length == 0) damage() // an empty object is not a .zst
+      while (p < b.length) {
+        val magic = le32()
+        if ((magic & 0xfffffff0L) == 0x184d2a50L) {
+          // skippable frame: LE32 size + payload, content surfaced raw
+          val sz = le32()
+          if (sz > cap || p + sz > b.length) damage()
+          val payload = java.util.Arrays.copyOfRange(b, p, p + sz.toInt)
+          p += sz.toInt
+          out += Frame("skip", sz, 0, 0, 0, 0, "none", payload)
+        } else if (magic == 0xfd2fb528L) {
+          // frame header descriptor
+          val fhd = u8()
+          val fcsFlag = (fhd >> 6) & 3
+          val singleSegment = ((fhd >> 5) & 1) == 1
+          if (((fhd >> 3) & 1) != 0) damage() // reserved bit
+          val hasChecksum = ((fhd >> 2) & 1) == 1
+          val dictIdFlag = fhd & 3
+          if (!singleSegment) {
+            val wd = u8() // window descriptor: exponent+mantissa
+            val windowLog = 10 + ((wd >> 3) & 0x1f)
+            if (windowLog > 31) damage() // beyond any bounded reader
+          }
+          val dictBytes = dictIdFlag match {
+            case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+          }
+          if (dictBytes > 0) leN(dictBytes) // read + ignore (raw dicts
+          // are out of census scope; the id is not a decode input here)
+          val fcsBytes = fcsFlag match {
+            case 0 => if (singleSegment) 1 else 0
+            case 1 => 2
+            case 2 => 4
+            case _ => 8
+          }
+          val declared =
+            if (fcsBytes == 0) -1L
+            else {
+              val v = leN(fcsBytes)
+              if (fcsBytes == 2) v + 256 else v
+            }
+          if (declared > cap) damage()
+          // blocks: LE24 header = last(bit0) | type(bits1-2) | size<<3
+          val content = new java.io.ByteArrayOutputStream()
+          var decodable = true
+          var decodedLen = 0L
+          var nBlocks = 0; var raw = 0; var rle = 0; var comp = 0
+          var last = false
+          while (!last) {
+            val h = leN(3)
+            last = (h & 1L) == 1
+            val typ = ((h >> 1) & 3).toInt
+            val size = (h >> 3).toInt // 21 bits
+            nBlocks += 1
+            typ match {
+              case 0 => // RAW: size bytes of content, stored
+                if (p + size > b.length) damage()
+                decodedLen += size
+                if (decodedLen > cap) damage()
+                if (decodable) content.write(b, p, size)
+                p += size
+                raw += 1
+              case 1 => // RLE: ONE stored byte, size copies
+                val v = u8()
+                decodedLen += size
+                if (decodedLen > cap) damage()
+                if (decodable) {
+                  var i = 0
+                  while (i < size) { content.write(v); i += 1 }
+                }
+                rle += 1
+              case 2 => // compressed: walk by size, stage 2 decodes
+                if (p + size > b.length) damage()
+                p += size
+                decodable = false
+                comp += 1
+              case _ => damage() // reserved
+            }
+          }
+          val decoded = if (decodable) content.toByteArray else null
+          if (decodable && declared >= 0 && decodedLen != declared)
+            damage() // content size is a promise, not a hint
+          val checksumState =
+            if (!hasChecksum) "none"
+            else {
+              val want = le32()
+              if (!decodable) "unchecked"
+              else if ((XxHash64.hash(decoded, 0L) & 0xffffffffL) == want)
+                "ok"
+              else damage()
+            }
+          out += Frame("zstd", declared, nBlocks, raw, rle, comp,
+            checksumState, decoded)
+        } else damage() // neither zstd nor skippable magic
+      }
+      Some(out.result())
+    } catch { case _: Damage => None }
+  }
+}
+
+/** XXH64 from the public xxHash specification (seed-parameterized;
+  * zstd's content checksum is the LOW 32 BITS of XXH64 with seed 0).
+  * ZstdSpec pins every path — empty, sub-stripe tails, multi-stripe
+  * bodies — against lz4-java's independent implementation.
+  */
+object XxHash64 {
+  private val P1 = 0x9e3779b185ebca87L
+  private val P2 = 0xc2b2ae3d27d4eb4fL
+  private val P3 = 0x165667b19e3779f9L
+  private val P4 = 0x85ebca77c2b2ae63L
+  private val P5 = 0x27d4eb2f165667c5L
+
+  def hash(b: Array[Byte], seed: Long): Long = {
+    val len = b.length
+    def u64(i: Int): Long = {
+      var v = 0L; var k = 7
+      while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+      v
+    }
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | (b(i + 1) & 0xffL) << 8 |
+        (b(i + 2) & 0xffL) << 16 | (b(i + 3) & 0xffL) << 24
+    def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    def round(acc: Long, lane: Long): Long = rotl(acc + lane * P2, 31) * P1
+
+    var p = 0
+    var h =
+      if (len >= 32) {
+        var a1 = seed + P1 + P2
+        var a2 = seed + P2
+        var a3 = seed
+        var a4 = seed - P1
+        while (p + 32 <= len) {
+          a1 = round(a1, u64(p))
+          a2 = round(a2, u64(p + 8))
+          a3 = round(a3, u64(p + 16))
+          a4 = round(a4, u64(p + 24))
+          p += 32
+        }
+        var acc = rotl(a1, 1) + rotl(a2, 7) + rotl(a3, 12) + rotl(a4, 18)
+        for (a <- Seq(a1, a2, a3, a4))
+          acc = (acc ^ round(0L, a)) * P1 + P4
+        acc
+      } else seed + P5
+    h += len
+    while (p + 8 <= len) {
+      h = rotl(h ^ round(0L, u64(p)), 27) * P1 + P4
+      p += 8
+    }
+    if (p + 4 <= len) {
+      h = rotl(h ^ (u32(p) * P1), 23) * P2 + P3
+      p += 4
+    }
+    while (p < len) {
+      h = rotl(h ^ ((b(p) & 0xffL) * P5), 11) * P1
+      p += 1
+    }
+    h ^= h >>> 33
+    h *= P2
+    h ^= h >>> 29
+    h *= P3
+    h ^= h >>> 32
+    h
+  }
+}

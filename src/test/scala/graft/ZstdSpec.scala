@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{XxHash64, Zstd}
+
+/** Stage-1 zstd frame walk, pinned against libzstd itself (zstd-jni —
+  * the reference implementation, shipped by Spark) as the writer, and
+  * the from-scratch XXH64 against lz4-java's independent xxhash.
+  */
+class ZstdSpec extends AnyFunSuite {
+
+  private def lcgBytes(n: Int, seed: Long): Array[Byte] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33).toByte
+    }
+  }
+
+  test("XXH64 matches lz4-java's independent implementation on every " +
+    "length class (empty, sub-4, sub-8, sub-32, stripes, tails) and " +
+    "multiple seeds") {
+    val factory = net.jpountz.xxhash.XXHashFactory.fastestInstance()
+    for (seed <- Seq(0L, 1L, 0x9e3779b97f4a7c15L);
+         n <- (0 to 40) ++ Seq(63, 64, 65, 100, 1000, 40000)) {
+      val data = lcgBytes(n, n * 31 + seed)
+      val theirs = factory.hash64().hash(data, 0, n, seed)
+      assert(XxHash64.hash(data, seed) == theirs, s"n=$n seed=$seed")
+    }
+  }
+
+  test("libzstd-written frames: RAW blocks on incompressible content " +
+    "decode byte-for-byte with checksum verified; compressed blocks " +
+    "walk to 'unchecked'; multi-frame objects with skippable frames") {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(3).setChecksum(true)
+    // incompressible: digest-chain bytes, the q243 content shape
+    val rnd = lcgBytes(96, 7L)
+    val zRaw = ctx.compress(rnd)
+    val f = Zstd.walk(zRaw).getOrElse(fail("must walk")) match {
+      case Seq(one) => one
+      case other => fail(s"one frame expected, got ${other.length}")
+    }
+    assert(f.kind == "zstd" && f.declaredSize == 96)
+    assert(f.compBlocks == 0 && f.rawBlocks >= 1,
+      "libzstd must store incompressible content RAW")
+    assert(f.checksumState == "ok")
+    assert(java.util.Arrays.equals(f.decoded, rnd))
+
+    // compressible: entropy-coded blocks are walked, not decoded
+    val text = ("the same phrase over and over " * 200).getBytes
+    val zComp = ctx.compress(text)
+    val g = Zstd.walk(zComp).get.head
+    assert(g.declaredSize == text.length)
+    assert(g.compBlocks >= 1 && g.decoded == null)
+    assert(g.checksumState == "unchecked")
+
+    // checksum off: state 'none'
+    val ctx2 = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx2.setLevel(3).setChecksum(false)
+    val zNoCk = ctx2.compress(rnd)
+    assert(Zstd.walk(zNoCk).get.head.checksumState == "none")
+
+    // multi-frame object: skippable + two zstd frames back to back
+    val meta = "meta:42".getBytes
+    val skip = Array[Byte](0x53, 0x2a, 0x4d, 0x18, // 0x184D2A53 LE
+      (meta.length & 0xff).toByte, 0, 0, 0) ++ meta
+    val obj = skip ++ zRaw ++ zNoCk
+    val frames = Zstd.walk(obj).getOrElse(fail("multi-frame must walk"))
+    assert(frames.length == 3)
+    assert(frames(0).kind == "skip" &&
+      new String(frames(0).decoded) == "meta:42")
+    assert(frames(1).checksumState == "ok" &&
+      java.util.Arrays.equals(frames(1).decoded, rnd))
+    assert(frames(2).checksumState == "none")
+  }
+
+  test("hand-built RLE frame: our walk and libzstd's decoder agree on " +
+    "the same bytes") {
+    // magic | FHD(singleSegment, fcs 1 byte) | FCS=40 | block: last,
+    // RLE, size 40 | value byte
+    val h = (40L << 3) | (1L << 1) | 1L
+    val frame = Array[Byte](0x28, (0xb5 & 0xff).toByte,
+      (0x2f & 0xff).toByte, (0xfd & 0xff).toByte,
+      0x20, 40, (h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+      ((h >> 16) & 0xff).toByte, 'x')
+    val f = Zstd.walk(frame).getOrElse(fail("RLE frame must walk")).head
+    assert(f.rleBlocks == 1 && f.declaredSize == 40)
+    assert(new String(f.decoded) == "x" * 40)
+    // libzstd agrees our hand-built frame is valid zstd
+    val theirs = com.github.luben.zstd.Zstd.decompress(frame, 40)
+    assert(new String(theirs) == "x" * 40)
+  }
+
+  test("damage fails closed: bad magic, reserved descriptor bit, " +
+    "reserved block type, forged content size, flipped checksum, " +
+    "truncation, trailing garbage") {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(3).setChecksum(true)
+    val rnd = lcgBytes(64, 11L)
+    val ok = ctx.compress(rnd)
+    assert(Zstd.walk(ok).isDefined)
+    // bad magic
+    val m = ok.clone(); m(0) = 0x29
+    assert(Zstd.walk(m).isEmpty)
+    // reserved descriptor bit (bit 3)
+    val r = ok.clone(); r(4) = (r(4) | 0x08).toByte
+    assert(Zstd.walk(r).isEmpty)
+    // flipped checksum tail byte (content fully decoded -> must verify)
+    val c = ok.clone()
+    c(c.length - 1) = (c(c.length - 1) ^ 0x5a).toByte
+    assert(Zstd.walk(c).isEmpty)
+    // flipped RAW payload byte: checksum must catch it
+    val pl = ok.clone()
+    pl(ok.length - 10) = (pl(ok.length - 10) ^ 0x5a).toByte
+    assert(Zstd.walk(pl).isEmpty)
+    // truncation anywhere inside the single frame
+    for (k <- 1 until ok.length)
+      assert(Zstd.walk(java.util.Arrays.copyOf(ok, k)).isEmpty, s"len $k")
+    // trailing garbage after a valid frame
+    assert(Zstd.walk(ok ++ Array[Byte](1, 2, 3)).isEmpty)
+    // reserved block type in a hand frame
+    val h3 = (4L << 3) | (3L << 1) | 1L
+    val bad = Array[Byte](0x28, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte,
+      0x20, 4, (h3 & 0xff).toByte, ((h3 >> 8) & 0xff).toByte,
+      ((h3 >> 16) & 0xff).toByte, 1, 2, 3, 4)
+    assert(Zstd.walk(bad).isEmpty)
+    // forged FCS: hand RLE frame claiming 41 but decoding 40
+    val h4 = (40L << 3) | (1L << 1) | 1L
+    val lie = Array[Byte](0x28, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte,
+      0x20, 41, (h4 & 0xff).toByte, ((h4 >> 8) & 0xff).toByte,
+      ((h4 >> 16) & 0xff).toByte, 'x')
+    assert(Zstd.walk(lie).isEmpty)
+    // empty input is not a .zst object
+    assert(Zstd.walk(Array.emptyByteArray).isEmpty)
+  }
+}
