@@ -1245,6 +1245,7 @@ object IngestionQueries {
   // fixture. Per-doc key join is broadcast; decode is scan-task work.
   private def zstdDefs: Seq[(String, QueryDef)] = {
     val Fixture = "/root/repo/fixtures/zstd_blobs.parquet"
+    val FullFixture = "/root/repo/fixtures/zstd_full_blobs.parquet"
     def hexOf(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
     Seq(
       "q243_zstd_census" -> QueryDef(
@@ -1314,6 +1315,65 @@ object IngestionQueries {
                  CAST(octet_length(z.zst) AS BIGINT) AS zst_len
           FROM f
           JOIN read_parquet('$Fixture') z ON f.bkey = z.blob_key"""),
+        headline = true),
+
+      // q244 — the STAGE-2 proof: libzstd entropy-codes a compressible
+      // payload (the q238 shape: md5-hex repeats + '!' runs) at levels
+      // 1/3/9/19 cycling by doc, and the ONLY way back to the bytes is
+      // the engine's own FSE/Huffman/sequence decode
+      // (sources/ZstdEntropy.scala) — RAW blocks can't carry this
+      // content. round_trip compares against the relationally-rebuilt
+      // payload; the XXH64 checksum must verify ('ok'); the oracle
+      // takes only the compressed SIZE from the fixture.
+      "q244_zstd_full_decode" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          Engine.table(s, dir, "documents")
+            .select(col("doc_id"),
+              expr("""repeat(md5(coalesce(text, '')),
+                             CAST(1 + n_chars % 5 AS INT)) ||
+                      repeat('!', CAST(doc_id % 300 AS INT))""")
+                .as("payload"),
+              expr("""md5('zstd:' || CAST(doc_id AS STRING) || ':' ||
+                      CAST(n_chars AS STRING) || ':' ||
+                      md5(coalesce(text, '')))""").as("blob_key"))
+            .join(broadcast(s.read.parquet(FullFixture)), "blob_key")
+            .select(col("doc_id"), col("payload"), col("zst"))
+            .as[(Long, String, Array[Byte])]
+            .mapPartitions(_.flatMap { case (id, payload, zst) =>
+              graft.sources.Zstd.walk(zst).toSeq.flatMap {
+                case Seq(f) if f.kind == "zstd" && f.decoded != null =>
+                  val dec = f.decoded
+                  val md = java.security.MessageDigest.getInstance("MD5")
+                    .digest(dec).map(x => f"$x%02x").mkString
+                  Seq(ZstdFullRow(id, md, dec.length.toLong,
+                    zst.length.toLong, f.checksumState,
+                    new String(dec,
+                      java.nio.charset.StandardCharsets.US_ASCII) ==
+                      payload))
+                case _ => Nil
+              }
+            }).toDF()
+        },
+        oracle = Some(s"""
+          WITH g AS (
+            SELECT doc_id, n_chars,
+                   repeat(md5(coalesce(text, '')),
+                          CAST(1 + n_chars % 5 AS INT)) ||
+                   repeat('!', CAST(doc_id % 300 AS INT)) AS payload,
+                   md5(coalesce(text, '')) AS t
+            FROM documents)
+          SELECT g.doc_id,
+                 md5(g.payload) AS decoded_md5,
+                 CAST(length(g.payload) AS BIGINT) AS decoded_len,
+                 CAST(octet_length(f.zst) AS BIGINT) AS comp_len,
+                 'ok' AS checksum_state,
+                 TRUE AS round_trip
+          FROM g
+          JOIN read_parquet('$FullFixture') f
+            ON md5('zstd:' || CAST(g.doc_id AS VARCHAR) || ':' ||
+                   CAST(g.n_chars AS VARCHAR) || ':' || g.t) =
+               f.blob_key"""),
         headline = true))
   }
 }
@@ -1327,6 +1387,13 @@ private[queries] case class ZstdCensusRow(
     f1_hex: String, f1_len: Long, f1_checksum: String,
     f2_hex: String, f2_len: Long, f2_checksum: String,
     f3_declared_len: Long, zst_len: Long)
+
+/** One q244 output row: a libzstd entropy-coded blob pushed back
+  * through the engine's own FSE/Huffman stack.
+  */
+private[queries] case class ZstdFullRow(
+    doc_id: Long, decoded_md5: String, decoded_len: Long, comp_len: Long,
+    checksum_state: String, round_trip: Boolean)
 
 /** One q238 output row: a CPython-bz2 blob pushed back through the
   * engine's own bzip2 stack.

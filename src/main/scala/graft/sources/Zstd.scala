@@ -1,42 +1,39 @@
 package graft.sources
 
-/** Zstandard frame walk, STAGE 1 (RFC 8878 framing): frame and block
-  * headers, skippable frames, RAW and RLE block payloads, frame
-  * content-size accounting, and XXH64 content-checksum verification —
-  * the subset that makes a member census over `.zst` corpora (recent
-  * Common Crawl segments, HF dataset shards) a zero-exchange scan-task
-  * map. Compressed blocks (FSE/Huffman sequences) are WALKED by their
-  * declared sizes but not decoded: a frame containing one surfaces its
-  * structure and declared content size with `decoded = null` — stage 2
-  * owns the entropy decode.
+/** Zstandard frame walk (RFC 8878), COMPLETE: frame and block headers,
+  * skippable frames, RAW/RLE block payloads, and — through
+  * [[ZstdEntropy]] — the full compressed-block decode (Huffman
+  * literals, FSE sequences, repeat offsets, window matches), with
+  * frame content-size accounting and XXH64 content-checksum
+  * verification. A member census or a full decode over `.zst` corpora
+  * (recent Common Crawl segments, HF dataset shards) is a
+  * zero-exchange scan-task map either way.
   *
-  * Format sources are public: RFC 8878 (zstd framing: magic
-  * 0xFD2FB528, frame-header descriptor, window descriptor, LE24 block
-  * headers with last/type/size fields, skippable frames
-  * 0x184D2A5?) and the xxHash specification (XXH64 primes, stripe
-  * rounds, merge, avalanche). Nothing links against zstd-jni or
-  * lz4-java — ZstdSpec pins this walk AGAINST zstd-jni (libzstd, the
-  * reference implementation) as writer and [[XxHash64]] against
+  * Format sources are public: RFC 8878 (magic 0xFD2FB528,
+  * frame-header descriptor, window descriptor, LE24 block headers,
+  * skippable frames 0x184D2A5?, the literals/sequences block format)
+  * and the xxHash specification. Nothing links against zstd-jni or
+  * lz4-java — ZstdSpec pins this decoder AGAINST zstd-jni (libzstd,
+  * the reference implementation) as writer and [[XxHash64]] against
   * lz4-java's independent xxhash.
   *
   * Totality law (the house posture): malformation — bad magic, a
   * reserved block type, a reserved descriptor bit, blocks past the
   * input, a decoded size disagreeing with the declared frame content
-  * size, a checksum mismatch on fully-decoded content — yields None,
-  * never a throw and never partial garbage.
+  * size, a checksum mismatch, any entropy-stream malformation — yields
+  * None, never a throw and never partial garbage.
   */
 object Zstd {
 
-  private final class Damage extends RuntimeException(null, null, false, false)
-  private def damage(): Nothing = throw new Damage
+  private type Damage = ZstdEntropy.Damage
+  private def damage(): Nothing = throw new ZstdEntropy.Damage
 
   /** One walked frame. `kind` is "zstd" or "skip". `declaredSize` is
     * the frame-header content size (-1 when the header omits it) or
-    * the skippable payload size. `decoded` carries the full content
-    * for skippable frames and for zstd frames whose blocks were all
-    * RAW/RLE; null when any compressed block was skipped.
-    * `checksumState`: "ok" (verified), "none" (flag clear),
-    * "unchecked" (flag set but content not decoded).
+    * the skippable payload size. `decoded` carries the FULL content —
+    * skippable payloads verbatim, zstd frames through the complete
+    * block decode. `checksumState`: "ok" (verified) or "none" (flag
+    * clear); a mismatch is Damage, so "bad" cannot be observed.
     */
   case class Frame(kind: String, declaredSize: Long,
                    nBlocks: Int, rawBlocks: Int, rleBlocks: Int,
@@ -106,9 +103,7 @@ object Zstd {
             }
           if (declared > cap) damage()
           // blocks: LE24 header = last(bit0) | type(bits1-2) | size<<3
-          val content = new java.io.ByteArrayOutputStream()
-          var decodable = true
-          var decodedLen = 0L
+          val ctx = new ZstdEntropy.FrameCtx(cap)
           var nBlocks = 0; var raw = 0; var rle = 0; var comp = 0
           var last = false
           while (!last) {
@@ -116,42 +111,36 @@ object Zstd {
             last = (h & 1L) == 1
             val typ = ((h >> 1) & 3).toInt
             val size = (h >> 3).toInt // 21 bits
+            val lenBefore = ctx.window.len
             nBlocks += 1
             typ match {
               case 0 => // RAW: size bytes of content, stored
                 if (p + size > b.length) damage()
-                decodedLen += size
-                if (decodedLen > cap) damage()
-                if (decodable) content.write(b, p, size)
+                ctx.window.putRaw(b, p, size)
                 p += size
                 raw += 1
               case 1 => // RLE: ONE stored byte, size copies
                 val v = u8()
-                decodedLen += size
-                if (decodedLen > cap) damage()
-                if (decodable) {
-                  var i = 0
-                  while (i < size) { content.write(v); i += 1 }
-                }
+                ctx.window.putRle(v.toByte, size)
                 rle += 1
-              case 2 => // compressed: walk by size, stage 2 decodes
+              case 2 => // compressed: the full entropy decode (stage 2)
                 if (p + size > b.length) damage()
+                ZstdEntropy.decompressBlock(b, p, size, ctx)
                 p += size
-                decodable = false
                 comp += 1
               case _ => damage() // reserved
             }
+            // RFC: Block_Maximum_Size is 128 KB for every block kind
+            if (ctx.window.len - lenBefore > (1 << 17)) damage()
           }
-          val decoded = if (decodable) content.toByteArray else null
-          if (decodable && declared >= 0 && decodedLen != declared)
+          val decoded = ctx.window.bytes
+          if (declared >= 0 && decoded.length != declared)
             damage() // content size is a promise, not a hint
           val checksumState =
             if (!hasChecksum) "none"
             else {
               val want = le32()
-              if (!decodable) "unchecked"
-              else if ((XxHash64.hash(decoded, 0L) & 0xffffffffL) == want)
-                "ok"
+              if ((XxHash64.hash(decoded, 0L) & 0xffffffffL) == want) "ok"
               else damage()
             }
           out += Frame("zstd", declared, nBlocks, raw, rle, comp,

@@ -68,6 +68,21 @@ object MakeZstdFixture {
     out.toByteArray
   }
 
+  /** q244's blob: ONE frame of compressible ASCII (the q238 payload
+    * shape), entropy-coded by libzstd at a doc-cycled level — the
+    * stage-2 FSE/Huffman decode is the only way back to the bytes.
+    * Levels 1/3/9/19 pick different match-finding strategies and so
+    * different block/table layouts for the SAME content.
+    */
+  def fullBlobFor(docId: Long, nChars: Long, text: String): Array[Byte] = {
+    val payload = md5Hex(text) * (1 + nChars % 5).toInt +
+      "!" * (docId % 300).toInt
+    val level = Seq(1, 3, 9, 19)((docId % 4).toInt)
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(level).setChecksum(true)
+    ctx.compress(payload.getBytes("US-ASCII"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .appName("make-zstd-fixture").master("local[8]")
@@ -75,7 +90,8 @@ object MakeZstdFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import spark.implicits._
-    val blobs = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+    val census = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+    val full = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       if (new java.io.File(s"$dir/documents.parquet").exists()) {
@@ -88,27 +104,34 @@ object MakeZstdFixture {
           val text = Option(r.getAs[String]("text")).getOrElse("")
           val key = md5Hex(
             s"zstd:$docId:$nChars:${md5Hex(text)}")
-          if (!blobs.contains(key))
-            blobs(key) = blobFor(docId, nChars, text)
+          if (!census.contains(key))
+            census(key) = blobFor(docId, nChars, text)
+          if (!full.contains(key))
+            full(key) = fullBlobFor(docId, nChars, text)
         }
       }
     }
-    val df = blobs.toSeq.sortBy(_._1).toDF("blob_key", "zst")
-    df.coalesce(1).write.mode("overwrite")
-      .parquet("/root/repo/fixtures/zstd_blobs_tmp.parquet")
-    // repack as a single tidy file like the python fixture writers
-    val part = new java.io.File("/root/repo/fixtures/zstd_blobs_tmp.parquet")
-      .listFiles().filter(_.getName.endsWith(".parquet")).head
-    java.nio.file.Files.copy(part.toPath,
-      java.nio.file.Paths.get("/root/repo/fixtures/zstd_blobs.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    def write(blobs: scala.collection.Map[String, Array[Byte]],
+              name: String): Unit = {
+      val tmp = s"/root/repo/fixtures/${name}_tmp"
+      blobs.toSeq.sortBy(_._1).toDF("blob_key", "zst")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      // repack as a single tidy file like the python fixture writers
+      val part = new java.io.File(tmp)
+        .listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"/root/repo/fixtures/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+      println(s"$name.parquet: ${blobs.size} blobs " +
+        s"(${blobs.valuesIterator.map(_.length).sum} bytes)")
     }
-    rm(new java.io.File("/root/repo/fixtures/zstd_blobs_tmp.parquet"))
-    println(s"wrote ${blobs.size} blobs " +
-      s"(${blobs.valuesIterator.map(_.length).sum} bytes)")
+    write(census, "zstd_blobs")
+    write(full, "zstd_full_blobs")
     spark.stop()
   }
 }

@@ -30,8 +30,8 @@ class ZstdSpec extends AnyFunSuite {
   }
 
   test("libzstd-written frames: RAW blocks on incompressible content " +
-    "decode byte-for-byte with checksum verified; compressed blocks " +
-    "walk to 'unchecked'; multi-frame objects with skippable frames") {
+    "decode byte-for-byte with checksum verified; entropy-coded " +
+    "blocks fully decode; multi-frame objects with skippable frames") {
     val ctx = new com.github.luben.zstd.ZstdCompressCtx()
     ctx.setLevel(3).setChecksum(true)
     // incompressible: digest-chain bytes, the q243 content shape
@@ -47,13 +47,14 @@ class ZstdSpec extends AnyFunSuite {
     assert(f.checksumState == "ok")
     assert(java.util.Arrays.equals(f.decoded, rnd))
 
-    // compressible: entropy-coded blocks are walked, not decoded
+    // compressible: entropy-coded blocks now FULLY decode (stage 2)
     val text = ("the same phrase over and over " * 200).getBytes
     val zComp = ctx.compress(text)
     val g = Zstd.walk(zComp).get.head
     assert(g.declaredSize == text.length)
-    assert(g.compBlocks >= 1 && g.decoded == null)
-    assert(g.checksumState == "unchecked")
+    assert(g.compBlocks >= 1, "this content must be entropy-coded")
+    assert(java.util.Arrays.equals(g.decoded, text))
+    assert(g.checksumState == "ok")
 
     // checksum off: state 'none'
     val ctx2 = new com.github.luben.zstd.ZstdCompressCtx()
@@ -90,6 +91,81 @@ class ZstdSpec extends AnyFunSuite {
     // libzstd agrees our hand-built frame is valid zstd
     val theirs = com.github.luben.zstd.Zstd.decompress(frame, 40)
     assert(new String(theirs) == "x" * 40)
+  }
+
+  test("stage 2 vs libzstd: every level and content class round-trips " +
+    "byte-for-byte under the frame's own checksum — FSE tables, " +
+    "4-stream Huffman, treeless repeats, multi-block windows, RLE " +
+    "literals, predefined distributions") {
+    // content classes chosen to force distinct entropy paths:
+    def repeatText(n: Int) = ("lorem ipsum dolor sit amet " * n).getBytes
+    def structured(n: Int) = (0 until n).map(i =>
+      f"id=$i%06d,score=${i * 7 % 100}%02d;").mkString.getBytes
+    def mixed(n: Int): Array[Byte] = {
+      val r = lcgBytes(n, 5L)
+      // sprinkle compressible islands into noise: partial matches
+      val t = repeatText(4)
+      var i = 0
+      while (i + 200 < n) { System.arraycopy(t, 0, r, i, math.min(t.length, 100)); i += 400 }
+      r
+    }
+    def runs(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i / 700) % 7 + 'a').toByte)
+    val shapes: Seq[(String, Array[Byte])] = Seq(
+      ("tiny", "abc".getBytes),
+      ("empty", Array.emptyByteArray),
+      ("text-small", repeatText(10)),
+      ("text-1block", repeatText(2000)),
+      ("text-multiblock", repeatText(30000)), // > 128 KB: cross-block window
+      ("structured", structured(20000)),
+      ("mixed", mixed(300000)),
+      ("runs", runs(400000)),
+      ("noise-big", lcgBytes(200000, 13L)))
+    for (level <- Seq(1, 3, 9, 19); (name, src) <- shapes) {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      ctx.setLevel(level).setChecksum(true)
+      val z = ctx.compress(src)
+      val fs = Zstd.walk(z)
+        .getOrElse(fail(s"$name@$level must walk (${src.length} bytes)"))
+      assert(fs.length == 1, s"$name@$level")
+      val f = fs.head
+      assert(f.declaredSize == src.length, s"$name@$level")
+      assert(java.util.Arrays.equals(f.decoded, src),
+        s"$name@$level decode mismatch")
+      assert(f.checksumState == "ok", s"$name@$level")
+    }
+    // at least one of the matrix points must actually exercise
+    // multi-block compressed frames (window matches across blocks)
+    val big = repeatText(30000)
+    val ctx9 = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx9.setLevel(9).setChecksum(true)
+    val fBig = Zstd.walk(ctx9.compress(big)).get.head
+    assert(fBig.nBlocks > 1 && fBig.compBlocks > 1,
+      s"expected multi-block: $fBig")
+  }
+
+  test("stage 2 damage: flipped bytes anywhere in an entropy-coded " +
+    "frame never throw — they yield None (or a checksum-caught " +
+    "mismatch), across levels") {
+    for (level <- Seq(1, 19)) {
+      val src = ("payload " * 400).getBytes
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      ctx.setLevel(level).setChecksum(true)
+      val z = ctx.compress(src)
+      assert(Zstd.walk(z).isDefined)
+      // flip EVERY byte position once: totality under arbitrary damage
+      for (i <- z.indices) {
+        val bad = z.clone()
+        bad(i) = (bad(i) ^ 0x41).toByte
+        val r = Zstd.walk(bad) // must not throw
+        // with the checksum on, a flip that still walks must have
+        // rewritten only the declared-size/flags in a way that keeps
+        // content identical — anything else is caught
+        r.foreach(fr => fr.filter(_.kind == "zstd").foreach(f =>
+          assert(f.checksumState != "ok" ||
+            java.util.Arrays.equals(f.decoded, src), s"level $level byte $i")))
+      }
+    }
   }
 
   test("damage fails closed: bad magic, reserved descriptor bit, " +
