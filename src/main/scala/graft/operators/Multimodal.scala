@@ -856,14 +856,16 @@ object Multimodal {
                         sum_c0: Long, sum_c1: Long, sum_c2: Long,
                         tl_c0: Int, tl_c1: Int, tl_c2: Int)
 
-  /** Decode a baseline TIFF: 8-bit samples, chunky planar config,
-    * photometric 0 (WhiteIsZero — inverted), 1 (BlackIsZero) or 2
-    * (RGB), none/LZW/PackBits compression, in EITHER segment layout —
-    * any strip segmentation (§11), or the tiled layout (§15: TileWidth/
+  /** Decode a baseline TIFF: 8-bit samples, photometric 0 (WhiteIsZero
+    * — inverted), 1 (BlackIsZero) or 2 (RGB), none/LZW/PackBits
+    * compression, BOTH planar configurations (1 chunky; 2 separate
+    * planes — each channel's samples in their own plane-major
+    * segments, predictor lag 1), in EITHER segment layout — any strip
+    * segmentation (§11), or the tiled layout (§15: TileWidth/
     * TileLength tags 322/323, offsets/counts 324/325; tiles are fixed
     * tileW x tileL blocks, edge tiles PADDED to full size, so the fold
-    * clips to the image bounds). None on planar=2, non-8-bit samples,
-    * mixed strip+tile tags, or any malformation (totality law).
+    * clips to the image bounds). None on non-8-bit samples, mixed
+    * strip+tile tags, or any malformation (totality law).
     */
   def parseTiffPixels(id: Long, b: Array[Byte]): Option[TiffPixels] = {
     def u8(i: Long): Int =
@@ -929,7 +931,7 @@ object Multimodal {
     val planar = scalar(284, 1L)
     val predictor = scalar(317, 1L)
     if (width <= 0 || height <= 0 || width * height > (1L << 26)) return None
-    if (planar != 1) return None // route to a full stack
+    if (planar != 1 && planar != 2) return None
     // baseline none / LZW (§13) / PackBits (§9); others route away
     if (compression != 1 && compression != 5 && compression != 32773)
       return None
@@ -939,6 +941,10 @@ object Multimodal {
       case 2 => if (spp != 3) return None else 3
       case _ => return None
     }
+    // planar=2 stores each channel's samples in their OWN segments
+    // (plane-major); with one sample per pixel the layouts coincide
+    val sepPlanes = planar == 2 && channels == 3
+    val segChans = if (sepPlanes) 1 else channels
     val bits = array(258)
     if (photometric == 2) {
       if (bits == null || bits.length != 3 || bits.exists(_ != 8L)) return None
@@ -966,17 +972,19 @@ object Multimodal {
     }
 
     /** Horizontal-differencing predictor: cumulative sum per segment
-      * row, one lag per channel (BEFORE the WhiteIsZero inversion).
+      * row, one lag per SAMPLE (BEFORE the WhiteIsZero inversion) —
+      * lag `segChans`: interleaved channels in chunky segments, a
+      * single sample stream in planar ones.
       */
     def undiff(data: Array[Byte], rows: Int, rowBytes: Int): Unit =
       if (predictor == 2) {
         var r0 = 0
         while (r0 < rows) {
           val base = r0 * rowBytes
-          var i = channels
+          var i = segChans
           while (i < rowBytes) {
             data(base + i) =
-              ((data(base + i) + data(base + i - channels)) & 0xff).toByte
+              ((data(base + i) + data(base + i - segChans)) & 0xff).toByte
             i += 1
           }
           r0 += 1
@@ -988,28 +996,39 @@ object Multimodal {
       val counts = array(279)
       if (offsets == null || counts == null ||
         offsets.length != counts.length) return None
-      var row = 0L
-      var s = 0
-      while (s < offsets.length) {
-        val rows = math.min(rowsPerStrip, height - row)
-        if (rows <= 0) return None // more strips than rows
-        val expect = (rows * width * channels).toInt
-        val data = segment(offsets(s), counts(s), expect)
-        if (data == null) return None
-        undiff(data, rows.toInt, width.toInt * channels)
-        var i = 0
-        while (i < expect) {
-          val raw = data(i) & 0xff
-          val v = if (photometric == 0) 255 - raw else raw
-          val c = i % channels
-          sums(c) += v
-          if (row == 0L && i < channels) tls(c) = v
-          i += 1
+      // planar=2: plane-major ranges of StripsPerImage strips each
+      val nPlanes = if (sepPlanes) 3 else 1
+      if (offsets.length % nPlanes != 0) return None
+      val per = offsets.length / nPlanes
+      var plane = 0
+      while (plane < nPlanes) {
+        var row = 0L
+        var s = 0
+        while (s < per) {
+          val rows = math.min(rowsPerStrip, height - row)
+          if (rows <= 0) return None // more strips than rows
+          val expect = (rows * width * segChans).toInt
+          val data = segment(offsets(plane * per + s),
+            counts(plane * per + s), expect)
+          if (data == null) return None
+          undiff(data, rows.toInt, width.toInt * segChans)
+          var i = 0
+          while (i < expect) {
+            val raw = data(i) & 0xff
+            val v = if (photometric == 0) 255 - raw else raw
+            val c = if (sepPlanes) plane else i % channels
+            sums(c) += v
+            if (row == 0L && i < segChans) {
+              if (sepPlanes) tls(plane) = v else tls(i) = v
+            }
+            i += 1
+          }
+          row += rows
+          s += 1
         }
-        row += rows
-        s += 1
+        if (row != height) return None // strips must cover exactly
+        plane += 1
       }
-      if (row != height) return None // strips must cover exactly
     } else {
       val tileW = scalar(322, -1L)
       val tileL = scalar(323, -1L)
@@ -1019,17 +1038,21 @@ object Multimodal {
       if (tileW * tileL * channels > (1L << 26)) return None
       val across = (width + tileW - 1) / tileW
       val down = (height + tileL - 1) / tileL
+      val planeTiles = across * down
+      val nPlanes = if (sepPlanes) 3 else 1
       val offsets = array(324)
       val counts = array(325)
       if (offsets == null || counts == null ||
         offsets.length != counts.length ||
-        offsets.length.toLong != across * down) return None
-      val expect = (tileW * tileL * channels).toInt
-      val tileRowBytes = tileW.toInt * channels
+        offsets.length.toLong != planeTiles * nPlanes) return None
+      val expect = (tileW * tileL * segChans).toInt
+      val tileRowBytes = tileW.toInt * segChans
       var t = 0
       while (t < offsets.length) {
-        val tx = t % across.toInt
-        val ty = t / across.toInt
+        val plane = t / planeTiles.toInt // plane-major tile order
+        val ti = t % planeTiles.toInt
+        val tx = ti % across.toInt
+        val ty = ti / across.toInt
         val data = segment(offsets(t), counts(t), expect)
         if (data == null) return None
         undiff(data, tileL.toInt, tileRowBytes)
@@ -1039,12 +1062,15 @@ object Multimodal {
         var r0 = 0
         while (r0 < ys) {
           var i = r0 * tileRowBytes
-          val rowEnd = i + xs * channels
+          val rowEnd = i + xs * segChans
           while (i < rowEnd) {
             val raw = data(i) & 0xff
             val v = if (photometric == 0) 255 - raw else raw
-            sums(i % channels) += v
-            if (t == 0 && r0 == 0 && i < channels) tls(i) = v
+            val c = if (sepPlanes) plane else i % channels
+            sums(c) += v
+            if (ti == 0 && r0 == 0 && i < segChans) {
+              if (sepPlanes) tls(plane) = v else tls(i) = v
+            }
             i += 1
           }
           r0 += 1
@@ -1260,35 +1286,46 @@ object Multimodal {
     */
   def encodeTiffCompressed(w: Int, h: Int, channels: Int,
                            pix: (Int, Int, Int) => Int,
-                           compression: Int): Array[Byte] = {
+                           compression: Int,
+                           planar: Int = 1): Array[Byte] = {
     require(w > 0 && h > 0, "positive dims")
     require(channels == 1 || channels == 3, "gray or RGB")
     require(compression == 5 || compression == 32773, "LZW or PackBits")
-    val rowBytes = w * channels
-    val raw = new Array[Byte](rowBytes * h)
-    for (y <- 0 until h; x <- 0 until w; c <- 0 until channels)
-      raw(y * rowBytes + x * channels + c) = (pix(c, x, y) & 0xff).toByte
+    require(planar == 1 || (planar == 2 && channels == 3),
+      "planar=2 is an RGB layout")
+    val segChans = if (planar == 2) 1 else channels
+    val rowBytes = w * segChans
     val predictor = if (compression == 5) 2 else 1
-    if (predictor == 2) { // difference each row right-to-left, per channel
-      for (y <- 0 until h; i <- (rowBytes - 1) until (channels - 1) by -1) {
-        val base = y * rowBytes
-        raw(base + i) =
-          ((raw(base + i) - raw(base + i - channels)) & 0xff).toByte
+    /** One plane's rows (chunky: the interleaved image, plane = -1). */
+    def rawOf(plane: Int): Array[Byte] = {
+      val raw = new Array[Byte](rowBytes * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until segChans)
+        raw(y * rowBytes + x * segChans + c) =
+          (pix(if (plane < 0) c else plane, x, y) & 0xff).toByte
+      if (predictor == 2) { // difference right-to-left, lag segChans
+        for (y <- 0 until h; i <- (rowBytes - 1) until (segChans - 1) by -1) {
+          val base = y * rowBytes
+          raw(base + i) =
+            ((raw(base + i) - raw(base + i - segChans)) & 0xff).toByte
+        }
       }
+      raw
     }
     val r1 = (h + 1) / 2 // strip 0 rows
-    val strips = Seq((0, r1), (r1, h - r1)).filter(_._2 > 0).map {
-      case (fromRow, rows) =>
-        val part = java.util.Arrays.copyOfRange(raw, fromRow * rowBytes,
-          (fromRow + rows) * rowBytes)
-        if (compression == 5) tiffLzwEncode(part)
-        else {
-          val bos = new java.io.ByteArrayOutputStream()
-          for (r <- 0 until rows)
-            bos.write(packBitsEncodeRow(java.util.Arrays.copyOfRange(
-              part, r * rowBytes, (r + 1) * rowBytes)))
-          bos.toByteArray
-        }
+    val rowPairs = Seq((0, r1), (r1, h - r1)).filter(_._2 > 0)
+    val planes = if (planar == 2) Seq(0, 1, 2) else Seq(-1)
+    val strips = for (p <- planes; raw = rawOf(p);
+                      (fromRow, rows) <- rowPairs) yield {
+      val part = java.util.Arrays.copyOfRange(raw, fromRow * rowBytes,
+        (fromRow + rows) * rowBytes)
+      if (compression == 5) tiffLzwEncode(part)
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        for (r <- 0 until rows)
+          bos.write(packBitsEncodeRow(java.util.Arrays.copyOfRange(
+            part, r * rowBytes, (r + 1) * rowBytes)))
+        bos.toByteArray
+      }
     }
     // layout: header(8) | strip bytes (padded even) | IFD | value arrays
     val out = new java.io.ByteArrayOutputStream()
@@ -1330,7 +1367,7 @@ object Multimodal {
     entry(278, 3, 1, r1)
     entry(279, 4, nStrips,
       if (nStrips == 1) strips(0).length else arrAt + 4L * nStrips)
-    entry(284, 3, 1, 1)
+    entry(284, 3, 1, planar)
     if (predictor == 2) entry(317, 3, 1, 2)
     le32(0) // next IFD
     if (nStrips > 1) {
@@ -1351,36 +1388,40 @@ object Multimodal {
   def encodeTiffTiled(w: Int, h: Int, channels: Int,
                       pix: (Int, Int, Int) => Int, compression: Int,
                       tileW: Int = 16, tileL: Int = 16,
-                      pad: Int = 0): Array[Byte] = {
+                      pad: Int = 0, planar: Int = 1): Array[Byte] = {
     require(w > 0 && h > 0, "positive dims")
     require(channels == 1 || channels == 3, "gray or RGB")
     require(compression == 1 || compression == 5 || compression == 32773,
       "none, LZW or PackBits")
     require(tileW > 0 && tileL > 0 && tileW % 16 == 0 && tileL % 16 == 0,
       "tile dims are positive multiples of 16")
+    require(planar == 1 || (planar == 2 && channels == 3),
+      "planar=2 is an RGB layout")
     val across = (w + tileW - 1) / tileW
     val down = (h + tileL - 1) / tileL
     val predictor = if (compression == 5) 2 else 1
-    val tileRowBytes = tileW * channels
-    val tiles = for (ty <- 0 until down; tx <- 0 until across)
+    val segChans = if (planar == 2) 1 else channels
+    val tileRowBytes = tileW * segChans
+    val planes = if (planar == 2) Seq(0, 1, 2) else Seq(-1)
+    val tiles = for (p <- planes; ty <- 0 until down; tx <- 0 until across)
       yield {
         // §15 leaves edge-tile padding content UNDEFINED — writing a
         // caller-visible nonzero pad makes a decoder that forgets to
         // clip produce wrong sums instead of silently passing
         val raw = Array.fill[Byte](tileRowBytes * tileL)((pad & 0xff).toByte)
-        for (r <- 0 until tileL; x0 <- 0 until tileW; c <- 0 until channels) {
+        for (r <- 0 until tileL; x0 <- 0 until tileW; c <- 0 until segChans) {
           val x = tx * tileW + x0
           val y = ty * tileL + r
           if (x < w && y < h)
-            raw(r * tileRowBytes + x0 * channels + c) =
-              (pix(c, x, y) & 0xff).toByte
+            raw(r * tileRowBytes + x0 * segChans + c) =
+              (pix(if (p < 0) c else p, x, y) & 0xff).toByte
         }
         if (predictor == 2) {
           for (r <- 0 until tileL;
-               i <- (tileRowBytes - 1) until (channels - 1) by -1) {
+               i <- (tileRowBytes - 1) until (segChans - 1) by -1) {
             val base = r * tileRowBytes
             raw(base + i) =
-              ((raw(base + i) - raw(base + i - channels)) & 0xff).toByte
+              ((raw(base + i) - raw(base + i - segChans)) & 0xff).toByte
           }
         }
         compression match {
@@ -1428,7 +1469,7 @@ object Multimodal {
     ent(259, 3, 1, compression)
     ent(262, 3, 1, photometric)
     ent(277, 3, 1, channels)
-    ent(284, 3, 1, 1)
+    ent(284, 3, 1, planar)
     if (predictor == 2) ent(317, 3, 1, 2)
     ent(322, 3, 1, tileW)
     ent(323, 3, 1, tileL)

@@ -85,6 +85,34 @@ private[queries] object MediaGen {
         ((s2 + (x / 6) * 31L + y * 7L + c * 13L) % 256).toInt, 32773)
   }
 
+  /** PLANAR (PlanarConfiguration=2) RGB TIFF: each channel's samples
+    * in their OWN plane-major segments, predictor lag 1. The seed
+    * cycles the SEGMENT GEOMETRY too — half the corpus planar strips
+    * (LZW / PackBits), half planar 16×16 tiles (none/LZW/PackBits,
+    * nonzero padding) — so one corpus covers the full planar matrix.
+    */
+  def tiffPlanarFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val px = (c: Int, x: Int, y: Int) =>
+      ((s2 + (x / 4) * 13L + y * 9L + c * 41L) % 256).toInt
+    if (s1 % 2 == 0) {
+      val w = (5 + s1 % 10).toInt
+      val h = (4 + s2 % 7).toInt
+      graft.operators.Multimodal.encodeTiffCompressed(w, h, 3, px,
+        if (s1 % 4 == 0) 5 else 32773, planar = 2)
+    } else {
+      val w = (17 + s1 % 24).toInt
+      val h = (17 + s2 % 18).toInt
+      val comp = (s1 % 3) match {
+        case 0 => 1
+        case 1 => 5
+        case _ => 32773
+      }
+      graft.operators.Multimodal.encodeTiffTiled(w, h, 3, px, comp,
+        pad = ((s1 % 255) + 1).toInt, planar = 2)
+    }
+  }
+
   /** 17–48 × 17–40 TILED RGB TIFF (the GIS/medical layout, §15): 16×16
     * tiles, so every image has 2–3 tiles per axis and most have PARTIAL
     * edge tiles whose padding is a seed-dependent NONZERO byte — a
@@ -1942,6 +1970,62 @@ object MultimodalQueries {
           FROM d
           JOIN generate_series(0, 47) x(i) ON x.i < w
           JOIN generate_series(0, 39) y(i) ON y.i < h
+          CROSS JOIN generate_series(0, 2) c(i))
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(sum(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_c0,
+               CAST(sum(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_c1,
+               CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_c2,
+               CAST(max(CASE WHEN ch = 0 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c0,
+               CAST(max(CASE WHEN ch = 1 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c1,
+               CAST(max(CASE WHEN ch = 2 AND xx = 0 AND yy = 0
+                        THEN val END) AS INT) AS tl_c2
+        FROM px GROUP BY doc_id, w, h""")),
+
+    // TRUE payload decode — PLANAR TIFF (q245, PlanarConfiguration=2):
+    // each channel's samples live in their OWN plane-major segments
+    // with predictor lag 1 — the remote-sensing / scientific-stack
+    // layout (GDAL INTERLEAVE=BAND). The corpus seed-splits between
+    // planar STRIPS (LZW/PackBits) and planar 16x16 TILES with nonzero
+    // clipped padding, so one oracle covers the full planar matrix;
+    // the per-channel sums cannot come out right if planes are read
+    // interleaved (a chunky misread scrambles c0/c1/c2). Fixture-free
+    // exact oracle, ImageIO cross-pin in MultimodalSpec, zero-exchange
+    // scan-task decode.
+    "q245_tiff_planar_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            Multimodal.Payload(id, "image", MediaGen.tiffPlanarFor(text)) })
+        Multimodal.decodeTiffPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("sum_c0"), col("sum_c1"), col("sum_c2"),
+            col("tl_c0"), col("tl_c1"), col("tl_c2"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 ${sqlHash60("coalesce(text, '')")} AS s1,
+                 ${sqlHash56("coalesce(text, '')")} AS s2
+          FROM documents),
+        d AS (
+          SELECT doc_id, s2,
+                 CASE WHEN s1 % 2 = 0 THEN 5 + s1 % 10
+                      ELSE 17 + s1 % 24 END AS w,
+                 CASE WHEN s1 % 2 = 0 THEN 4 + s2 % 7
+                      ELSE 17 + s2 % 18 END AS h
+          FROM g),
+        px AS (
+          SELECT doc_id, w, h, c.i AS ch, x.i AS xx, y.i AS yy,
+                 (s2 + (x.i // 4) * 13 + y.i * 9 + c.i * 41) % 256 AS val
+          FROM d
+          JOIN generate_series(0, 39) x(i) ON x.i < w
+          JOIN generate_series(0, 33) y(i) ON y.i < h
           CROSS JOIN generate_series(0, 2) c(i))
         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                CAST(3 AS INT) AS channels,

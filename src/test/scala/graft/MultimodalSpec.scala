@@ -1105,6 +1105,80 @@ class MultimodalSpec extends SparkSpec {
       java.util.Arrays.copyOfRange(tiled, 0, 40)).isEmpty)
   }
 
+  test("TIFF planar=2: separate R/G/B planes in plane-major strips " +
+    "AND tiles decode to the chunky layout's exact sums; ImageIO " +
+    "reads our planar bytes; gray planar == chunky") {
+    def pix(c: Int, x: Int, y: Int): Int =
+      (c * 37 + (x / 3) * 11 + y * 5 + 2) % 256
+    // strips: both compressions, dims with odd strip splits
+    for (comp <- Seq(5, 32773); (w, h) <- Seq((11, 8), (7, 3), (16, 9))) {
+      val chunky = Multimodal.encodeTiffCompressed(w, h, 3, pix, comp)
+      val planar = Multimodal.encodeTiffCompressed(w, h, 3, pix, comp,
+        planar = 2)
+      assert(!java.util.Arrays.equals(chunky, planar), "layouts differ")
+      val a = Multimodal.parseTiffPixels(1L, chunky)
+        .getOrElse(fail(s"chunky comp=$comp ${w}x$h"))
+      val bdec = Multimodal.parseTiffPixels(1L, planar)
+        .getOrElse(fail(s"planar comp=$comp ${w}x$h"))
+      assert(a == bdec, s"planar fold must equal chunky (comp=$comp ${w}x$h)")
+      // the independent codec reads our planar layout to the source
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(planar))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO must read planar TIFF (comp=$comp ${w}x$h)")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == pix(0, x, y) &&
+          ((rgb >> 8) & 0xff) == pix(1, x, y) &&
+          (rgb & 0xff) == pix(2, x, y), s"comp=$comp ($x,$y)")
+      }
+    }
+    // tiles: planar tiles are plane-major with clipped nonzero padding
+    for (comp <- Seq(1, 5, 32773); (w, h) <- Seq((33, 17), (32, 32))) {
+      val chunky = Multimodal.encodeTiffTiled(w, h, 3, pix, comp, pad = 0x7b)
+      val planar = Multimodal.encodeTiffTiled(w, h, 3, pix, comp,
+        pad = 0x7b, planar = 2)
+      val a = Multimodal.parseTiffPixels(2L, chunky)
+        .getOrElse(fail(s"tiled chunky comp=$comp ${w}x$h"))
+      val bdec = Multimodal.parseTiffPixels(2L, planar)
+        .getOrElse(fail(s"tiled planar comp=$comp ${w}x$h"))
+      assert(a == bdec, s"tiled planar fold (comp=$comp ${w}x$h)")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(planar))
+      assert(img != null, s"ImageIO tiled planar comp=$comp")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == pix(0, x, y) &&
+          ((rgb >> 8) & 0xff) == pix(1, x, y) &&
+          (rgb & 0xff) == pix(2, x, y), s"tiled comp=$comp ($x,$y)")
+      }
+    }
+    // damage: planar strip count not divisible by 3 must refuse
+    val planar = Multimodal.encodeTiffCompressed(11, 8, 3, pix, 5,
+      planar = 2) // 6 strips
+    def u16le(b: Array[Byte], i: Int) = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8
+    def u32le(b: Array[Byte], i: Int) = u16le(b, i) | u16le(b, i + 2) << 16
+    val ifd = u32le(planar, 4)
+    val lied = planar.clone()
+    val n = u16le(lied, ifd)
+    for (i <- 0 until n) {
+      val p = ifd + 2 + 12 * i
+      if (u16le(lied, p) == 273 || u16le(lied, p) == 279) {
+        // count field (LE32 at p+4): 6 -> 5
+        lied(p + 4) = 5
+      }
+    }
+    assert(Multimodal.parseTiffPixels(3L, lied).isEmpty,
+      "5 strips for 3 planes must refuse")
+    // a planar value beyond the spec (3) must refuse
+    val bad = planar.clone()
+    for (i <- 0 until n) {
+      val p = ifd + 2 + 12 * i
+      if (u16le(bad, p) == 284) bad(p + 8) = 3
+    }
+    assert(Multimodal.parseTiffPixels(4L, bad).isEmpty)
+  }
+
   // ---- JPEG baseline: the last stub-codec boundary -----------------------
 
   test("JPEG baseline: own encoder's bytes decode, and javax.imageio's " +
