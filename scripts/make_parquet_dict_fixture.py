@@ -78,7 +78,80 @@ def payload_of(doc_id, n_chars):
     return ("c" + str((doc_id // 60) % 7)) * (1 + n_chars % 3)
 
 
+TYPED_SCHEMA = pa.schema([
+    pa.field("rec_id", pa.int64(), nullable=False),
+    pa.field("flag", pa.bool_(), nullable=False),
+    pa.field("cnt", pa.int32(), nullable=False),
+    pa.field("ratio", pa.float32(), nullable=False),
+    pa.field("day", pa.date32(), nullable=False),
+])
+
+
+def build_typed(doc_ids, codec, n_groups):
+    import datetime
+    epoch = datetime.date(2020, 1, 1)
+    t = pa.table(
+        {
+            "rec_id": doc_ids,
+            "flag": [d % 3 == 0 for d in doc_ids],
+            "cnt": [int(d % 1000) - 300 for d in doc_ids],
+            "ratio": [(d % 64) / 8.0 for d in doc_ids],
+            "day": [epoch + datetime.timedelta(days=int(d % 3000))
+                    for d in doc_ids],
+        },
+        schema=TYPED_SCHEMA,
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t,
+        buf,
+        compression=codec,
+        row_group_size=max(1, math.ceil(len(doc_ids) / n_groups)),
+        write_statistics=True,
+        data_page_version="1.0",
+    )
+    return buf.getvalue()
+
+
+def typed_main():
+    """q246: the OTHER half of a real lake schema — flags, int32
+    counters, float ratios, date32 days — pyarrow defaults (dictionary
+    where applicable; booleans stay bit-packed PLAIN), snappy.
+    All values derive from doc_id alone, so the key covers the doc_id
+    list (same list => same bytes, dedup-safe across sf dirs)."""
+    files = {}
+    for sf in SF_DIRS:
+        p = Path("/root/testdata") / sf / "documents.parquet"
+        if not p.exists():
+            continue
+        q = f"SELECT doc_id FROM '{p}' ORDER BY doc_id"
+        blobs = {}
+        for (doc_id,) in duckdb.sql(q).fetchall():
+            blobs.setdefault(doc_id % 6, []).append(doc_id)
+        for blob_id, ids in sorted(blobs.items()):
+            key = hashlib.md5(
+                ("parquettyped:snappy:" +
+                 ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if key in files:
+                continue
+            files[key] = build_typed(ids, "snappy", 1 + blob_id % 3)
+    out = Path("fixtures")
+    out.mkdir(exist_ok=True)
+    keys = sorted(files)
+    pq.write_table(
+        pa.table({
+            "blob_key": keys,
+            "file_bytes": pa.array([files[k] for k in keys], pa.binary()),
+        }),
+        out / "parquet_typed_files.parquet",
+    )
+    print(f"parquet_typed_files.parquet: {len(keys)} files "
+          f"({sum(len(v) for v in files.values())} bytes)")
+
+
 def main():
+    typed_main()
     for page_version, tag, out_name in [
         ("1.0", "parquetdict1", "parquet_dict_files.parquet"),
         ("2.0", "parquetdict2", "parquet_v2_files.parquet"),

@@ -1110,13 +1110,94 @@ object IngestionQueries {
         JOIN read_parquet('$fixture') f ON geo.bkey = f.blob_key"""),
       headline = headline)
 
+    // q246 — the OTHER half of a real lake schema: BOOLEAN flags
+    // (bit-packed PLAIN), INT32 counters (negative values prove sign
+    // extension), FLOAT ratios (dyadic — order-free sums), DATE32
+    // days-since-epoch, through the same dictionary+snappy default
+    // layout. Values derive from doc_id alone; the oracle recomputes
+    // every sum relationally (DATE arithmetic included) and takes only
+    // the blob size from the fixture.
+    val TypedFixture = "/root/repo/fixtures/parquet_typed_files.parquet"
+    val q246 = "q246_parquet_typed_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("parquettyped:snappy:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(TypedFixture)), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+              val levels = fm.leafLevels
+              var rows = 0L; var idSum = 0L; var trueCnt = 0L
+              var cntSum = 0L; var daySum = 0L; var ratioSum = 0.0
+              var ok = true
+              for (rg <- fm.rowGroups; c <- rg.cols) {
+                val dec = levels.get(c.path).flatMap(l =>
+                  graft.sources.Parquet.decodeChunk(bytes, c, l._1))
+                dec match {
+                  case Some(d) => c.path match {
+                    case "rec_id" => rows += d.numValues; idSum += d.longSum
+                    case "flag" => trueCnt += d.longSum
+                    case "cnt" => cntSum += d.longSum
+                    case "ratio" => ratioSum += d.doubleSum
+                    case "day" => daySum += d.longSum
+                    case _ => ok = false
+                  }
+                  case None => ok = false
+                }
+              }
+              if (ok) Seq(ParquetTypedScanRow(blobId, fm.rowGroups.length,
+                rows, idSum, trueCnt, cntSum, ratioSum, daySum,
+                bytes.length.toLong))
+              else Nil
+            }
+          }.toDF()
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('parquettyped:snappy:' ||
+                     string_agg(CAST(doc_id AS VARCHAR), ','
+                                ORDER BY doc_id)) AS bkey,
+                 count(*) AS cnt,
+                 CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS true_cnt,
+                 CAST(sum(doc_id % 1000 - 300) AS BIGINT) AS cnt_sum,
+                 sum((doc_id % 64) / 8.0) AS ratio_sum,
+                 CAST(sum((DATE '2020-01-01' - DATE '1970-01-01') +
+                          doc_id % 3000) AS BIGINT) AS day_sum
+          FROM r GROUP BY blob_id),
+        geo AS (
+          SELECT *, (cnt + (1 + blob_id % 3) - 1) // (1 + blob_id % 3)
+                   AS rg_size
+          FROM k)
+        SELECT geo.blob_id,
+               CAST((cnt + rg_size - 1) // rg_size AS INT)
+                 AS n_row_groups,
+               cnt AS rows_decoded, id_sum, true_cnt, cnt_sum,
+               ratio_sum, day_sum,
+               CAST(octet_length(f.file_bytes) AS BIGINT) AS file_size
+        FROM geo
+        JOIN read_parquet('$TypedFixture') f ON geo.bkey = f.blob_key"""),
+      headline = false)
+
     Seq(
       "q240_parquet_dict_snappy_scan" -> scanDef(
         "/root/repo/fixtures/parquet_dict_files.parquet",
         "parquetdict1", headline = true),
       "q241_parquet_v2_page_scan" -> scanDef(
         "/root/repo/fixtures/parquet_v2_files.parquet",
-        "parquetdict2", headline = false))
+        "parquetdict2", headline = false),
+      q246)
   }
 
   // bzip2 (q238) + tar.bz2 (q239) — the OTHER compression crawl-era
@@ -1377,6 +1458,14 @@ object IngestionQueries {
         headline = true))
   }
 }
+
+/** One q246 output row: per-file decoded totals over the typed lake
+  * schema — boolean / int32 / float / date32 columns.
+  */
+private[queries] case class ParquetTypedScanRow(
+    blob_id: Long, n_row_groups: Int, rows_decoded: Long, id_sum: Long,
+    true_cnt: Long, cnt_sum: Long, ratio_sum: Double, day_sum: Long,
+    file_size: Long)
 
 /** One q243 output row: the 4-frame zstd object census — skippable
   * metadata surfaced, both RAW frames fully decoded (hex) with their

@@ -28,7 +28,8 @@ package graft.sources
 object Parquet {
 
   /** Physical types (parquet.thrift `Type`). */
-  val PhysInt32 = 1; val PhysInt64 = 2; val PhysDouble = 5
+  val PhysBool = 0; val PhysInt32 = 1; val PhysInt64 = 2
+  val PhysFloat = 4; val PhysDouble = 5
   val PhysByteArray = 6
 
   /** Codecs (parquet.thrift `CompressionCodec`). */
@@ -37,9 +38,11 @@ object Parquet {
   /** Encodings (parquet.thrift `Encoding`). PLAIN_DICTIONARY is the
     * v1 spelling both parquet-mr and parquet-cpp still write for
     * dictionary pages and v1 data pages; RLE_DICTIONARY is the v2
-    * spelling. The payload layout is identical.
+    * spelling. The payload layout is identical. RLE (3) appears as a
+    * VALUE encoding only for booleans (v2 writers emit it).
     */
-  val EncPlain = 0; val EncPlainDict = 2; val EncRleDict = 8
+  val EncPlain = 0; val EncPlainDict = 2; val EncRle = 3
+  val EncRleDict = 8
 
   // ---- thrift compact protocol ----------------------------------------
   // Damage is signalled by one private, stackless exception: the walk
@@ -385,8 +388,9 @@ object Parquet {
   }
 
   /** Decoded totals of one column chunk: the proof the footer's
-    * offsets point at real pages. Sums are type-routed: INT64 →
-    * long_sum, DOUBLE → double_sum, BYTE_ARRAY → byte lengths.
+    * offsets point at real pages. Sums are type-routed: INT64/INT32
+    * (sign-extended) → long_sum, BOOLEAN → long_sum counts trues,
+    * DOUBLE/FLOAT → double_sum, BYTE_ARRAY → byte lengths.
     */
   case class ChunkValues(numValues: Long, longSum: Long, doubleSum: Double,
                          binLenSum: Long, nPages: Int)
@@ -416,7 +420,8 @@ object Parquet {
                   maxDef: Int = 0): Option[ChunkValues] = {
     try {
       if (col.physType != PhysInt64 && col.physType != PhysDouble &&
-        col.physType != PhysByteArray) return None
+        col.physType != PhysByteArray && col.physType != PhysInt32 &&
+        col.physType != PhysFloat && col.physType != PhysBool) return None
       if (col.codec != CodecNone && col.codec != CodecGzip &&
         col.codec != CodecSnappy) return None
       if (maxDef < 0 || maxDef > 1) return None // flat columns only
@@ -433,8 +438,10 @@ object Parquet {
       var pages = 0
 
       def addVal(v: Long): Unit = col.physType match {
-        case PhysInt64 => longSum += v
+        case PhysInt64 | PhysInt32 | PhysBool => longSum += v
         case PhysDouble => doubleSum += java.lang.Double.longBitsToDouble(v)
+        case PhysFloat =>
+          doubleSum += java.lang.Float.intBitsToFloat(v.toInt).toDouble
         case _ => binLen += v
       }
 
@@ -448,6 +455,19 @@ object Parquet {
           if (end != raw.length) return false // PLAIN pages are exact
           var i = 0
           while (i < present) { addVal(arr(i)); i += 1 }
+          true
+        case EncRle if col.physType == PhysBool =>
+          // RLE-encoded booleans (v2 writers): LE32 length prefix +
+          // bit-width-1 hybrid runs — the same machinery as def levels
+          if (off + 4 > raw.length) return false
+          val len = (raw(off) & 0xff) | (raw(off + 1) & 0xff) << 8 |
+            (raw(off + 2) & 0xff) << 16 | (raw(off + 3) & 0xff) << 24
+          if (len < 0 || off + 4 + len != raw.length) return false
+          if (present == 0) return len == 0
+          val vals = readHybrid(raw, off + 4, raw.length, 1, present,
+            strict = false)
+          var i = 0
+          while (i < present) { addVal(vals(i)); i += 1 }
           true
         case EncPlainDict | EncRleDict =>
           if (dict == null) return false // indices before any dictionary
@@ -479,6 +499,7 @@ object Parquet {
             if (h.encoding != EncPlain && h.encoding != EncPlainDict)
               return None
             if (h.numValues < 0) return None
+            if (col.physType == PhysBool) return None // spec: no bool dict
             val raw = pagePayload(b, h, col.codec)
             val (arr, end) = plainVals(raw, 0, h.numValues, col.physType)
             if (end != raw.length) return None
@@ -571,32 +592,54 @@ object Parquet {
   }
 
   /** PLAIN-decode `n` values starting at `off`: per-value sum
-    * contributions (INT64 value / DOUBLE raw bits / BYTE_ARRAY length)
-    * and the end offset. Allocation-bounded before the array exists:
-    * every PLAIN value occupies at least 4 bytes.
+    * contributions (INT64/INT32 value sign-extended / DOUBLE raw bits /
+    * FLOAT raw bits / BOOLEAN 0|1 from LSB-first bit packing /
+    * BYTE_ARRAY length) and the end offset. Allocation-bounded before
+    * the array exists: the cheapest PLAIN value is 1 bit (boolean),
+    * everything else at least 4 bytes.
     */
   private def plainVals(raw: Array[Byte], off: Int, n: Int,
                         physType: Int): (Array[Long], Int) = {
     if (n < 0 || off < 0 || off > raw.length) damage()
-    if (n.toLong > (raw.length - off).toLong / 4 + 1) damage()
+    val avail = (raw.length - off).toLong
+    if (physType == PhysBool) { if (n.toLong > 8 * avail + 8) damage() }
+    else if (n.toLong > avail / 4 + 1) damage()
     val arr = new Array[Long](n)
     var p = off
     var i = 0
+    if (physType == PhysBool) {
+      // PLAIN booleans are bit-packed LSB-first, 1 bit per value
+      while (i < n) {
+        val at = p + (i >> 3)
+        if (at >= raw.length) damage()
+        arr(i) = (raw(at) >> (i & 7)) & 1
+        i += 1
+      }
+      return (arr, p + (n + 7) / 8)
+    }
     while (i < n) {
-      if (physType == PhysByteArray) {
-        if (p + 4 > raw.length) damage()
-        val len = (raw(p) & 0xff) | (raw(p + 1) & 0xff) << 8 |
-          (raw(p + 2) & 0xff) << 16 | (raw(p + 3) & 0xff) << 24
-        if (len < 0 || p + 4 + len > raw.length) damage()
-        arr(i) = len.toLong
-        p += 4 + len
-      } else {
-        if (p + 8 > raw.length) damage()
-        var v = 0L
-        var k = 7
-        while (k >= 0) { v = (v << 8) | (raw(p + k) & 0xffL); k -= 1 }
-        arr(i) = v
-        p += 8
+      physType match {
+        case PhysByteArray =>
+          if (p + 4 > raw.length) damage()
+          val len = (raw(p) & 0xff) | (raw(p + 1) & 0xff) << 8 |
+            (raw(p + 2) & 0xff) << 16 | (raw(p + 3) & 0xff) << 24
+          if (len < 0 || p + 4 + len > raw.length) damage()
+          arr(i) = len.toLong
+          p += 4 + len
+        case PhysInt32 | PhysFloat =>
+          if (p + 4 > raw.length) damage()
+          val v = (raw(p) & 0xff) | (raw(p + 1) & 0xff) << 8 |
+            (raw(p + 2) & 0xff) << 16 | (raw(p + 3) & 0xff) << 24
+          // INT32 carries sign; FLOAT carries raw bits (addVal decides)
+          arr(i) = if (physType == PhysInt32) v.toLong else v.toLong & 0xffffffffL
+          p += 4
+        case _ =>
+          if (p + 8 > raw.length) damage()
+          var v = 0L
+          var k = 7
+          while (k >= 0) { v = (v << 8) | (raw(p + k) & 0xffL); k -= 1 }
+          arr(i) = v
+          p += 8
       }
       i += 1
     }

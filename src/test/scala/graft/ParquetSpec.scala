@@ -213,6 +213,52 @@ class ParquetSpec extends SparkSpec {
     }
   }
 
+  test("typed columns decode: INT32 (ints AND dates-as-days), FLOAT, " +
+    "BOOLEAN (v1 bit-packed PLAIN and v2 RLE), from Spark-written " +
+    "files with default dictionary") {
+    import spark.implicits._
+    for ((ver, codec) <- Seq(("v1", "snappy"), ("v2", "gzip"),
+      ("v1", "none"))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"pq_typed_${ver}_$codec").toString
+      spark.range(0, 1200).select(
+        ($"id" % 2 === 0).as("flag"),
+        ($"id" % 97 - 40).cast("int").as("cnt"),
+        ($"id" % 32 / 8.0).cast("float").as("ratio"),
+        org.apache.spark.sql.functions.date_add(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.lit("2020-01-01")),
+          ($"id" % 500).cast("int")).as("day"))
+        .coalesce(1).write.option("compression", codec)
+        .option("parquet.writer.version", ver)
+        .mode("overwrite").parquet(dir)
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+      val fm = Parquet.parseFooter(bytes).getOrElse(fail("must parse"))
+      val levels = fm.leafLevels
+      var trues = 0L; var cntSum = 0L; var ratioSum = 0.0; var daySum = 0L
+      for (rg <- fm.rowGroups; c <- rg.cols) {
+        val d = Parquet.decodeChunk(bytes, c, levels(c.path)._1)
+          .getOrElse(fail(s"chunk ${c.path} must decode ($ver/$codec)"))
+        assert(d.numValues == c.numValues)
+        c.path match {
+          case "flag" => trues += d.longSum
+          case "cnt" => cntSum += d.longSum
+          case "ratio" => ratioSum += d.doubleSum
+          case "day" => daySum += d.longSum
+        }
+      }
+      assert(trues == 600, s"$ver/$codec")
+      assert(cntSum == (0 until 1200).map(_ % 97 - 40).sum, s"$ver/$codec")
+      assert(ratioSum == (0 until 1200).map(i => i % 32 / 8.0).sum,
+        s"$ver/$codec")
+      // date32 physical value = days since 1970-01-01; 2020-01-01 = 18262
+      assert(daySum == (0 until 1200).map(i => 18262L + i % 500).sum,
+        s"$ver/$codec")
+    }
+  }
+
   test("damage shapes fail closed: magic, trailer, forged lengths and " +
     "offsets, truncation, gzip size lies") {
     val bytes = fixtureBlobs.head._2
