@@ -1327,6 +1327,7 @@ object IngestionQueries {
   private def zstdDefs: Seq[(String, QueryDef)] = {
     val Fixture = "/root/repo/fixtures/zstd_blobs.parquet"
     val FullFixture = "/root/repo/fixtures/zstd_full_blobs.parquet"
+    val TarZstFixture = "/root/repo/fixtures/tarzst_blobs.parquet"
     def hexOf(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
     Seq(
       "q243_zstd_census" -> QueryDef(
@@ -1455,7 +1456,76 @@ object IngestionQueries {
             ON md5('zstd:' || CAST(g.doc_id AS VARCHAR) || ':' ||
                    CAST(g.n_chars AS VARCHAR) || ':' || g.t) =
                f.blob_key"""),
-        headline = true))
+        headline = true),
+
+      // q247 — .tar.zst, BOTH layers engine-owned: libzstd level-19
+      // frames (the optimal parser's hardest FSE/Huffman streams)
+      // around CPython-tarfile ustar archives, decoded by the engine's
+      // own entropy stack then walked by the engine's own tar reader.
+      // The oracle re-derives every entry's size/mtime/offset and the
+      // record-padded archive length from first principles (the q239
+      // geometry), taking only the compressed SIZE from the fixture.
+      "q247_tarzst_walk" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          Engine.table(s, dir, "documents")
+            .select(col("doc_id"),
+              expr("""repeat(md5(coalesce(text, '')),
+                             CAST(1 + n_chars % 5 AS INT)) ||
+                      repeat('!', CAST(doc_id % 300 AS INT))""")
+                .as("payload"))
+            .withColumn("blob_key",
+              md5(concat(lit("tarzst:"), col("payload"))))
+            .join(broadcast(s.read.parquet(TarZstFixture)), "blob_key")
+            .select(col("doc_id"), col("zst"))
+            .as[(Long, Array[Byte])]
+            .mapPartitions(_.flatMap { case (id, zst) =>
+              graft.sources.Zstd.walk(zst).toSeq.flatMap {
+                case Seq(f) if f.kind == "zstd" && f.decoded != null &&
+                  f.checksumState == "ok" =>
+                  graft.sources.Tar.parse(id, f.decoded).map(e =>
+                    Bz2TarRow(id, e.entry_name, e.size, e.type_flag,
+                      e.mtime, e.data_offset, f.decoded.length.toLong,
+                      zst.length.toLong))
+                case _ => Nil
+              }
+            }).toDF()
+        },
+        oracle = Some(s"""
+          WITH g AS (
+            SELECT doc_id,
+                   repeat(md5(coalesce(text, '')),
+                          CAST(1 + n_chars % 5 AS INT)) ||
+                   repeat('!', CAST(doc_id % 300 AS INT)) AS payload,
+                   CAST(doc_id * 37 % 1000000 AS BIGINT) AS mt
+            FROM documents),
+          k AS (
+            SELECT g.doc_id, g.mt,
+                   CAST(length(g.payload) AS BIGINT) AS l0,
+                   CAST(8 + length(CAST(g.doc_id AS VARCHAR)) AS BIGINT)
+                     AS l1,
+                   CAST(octet_length(f.zst) AS BIGINT) AS comp_len
+            FROM g
+            JOIN read_parquet('$TarZstFixture') f
+              ON md5('tarzst:' || g.payload) = f.blob_key),
+          geo AS ( -- ustar strides: 512-byte headers, 512-padded data,
+                   -- archive padded to tarfile's 10240 RECORDSIZE
+            SELECT *,
+                   512 + ((l0 + 511) // 512) * 512 AS hdr1,
+                   512 + ((l0 + 511) // 512) * 512 +
+                   512 + ((l1 + 511) // 512) * 512 + 1024 AS content
+            FROM k)
+          SELECT doc_id, 'doc.txt' AS entry_name, l0 AS size,
+                 '0' AS type_flag, mt AS mtime,
+                 CAST(512 AS BIGINT) AS data_offset,
+                 ((content + 10239) // 10240) * 10240 AS tar_len, comp_len
+          FROM geo
+          UNION ALL
+          SELECT doc_id, 'meta.json', l1, '0', mt,
+                 hdr1 + 512,
+                 ((content + 10239) // 10240) * 10240, comp_len
+          FROM geo"""),
+        headline = false))
   }
 }
 

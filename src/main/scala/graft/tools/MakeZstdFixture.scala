@@ -132,6 +132,22 @@ object MakeZstdFixture {
     }
     write(census, "zstd_blobs")
     write(full, "zstd_full_blobs")
+
+    // q247 stage 2: libzstd compresses the CPython-tarfile archives
+    // staged by scripts/make_tarzst_stage.py — both .tar.zst layers
+    // come from independent reference writers (level 19: the optimal
+    // parser emits the hardest FSE/Huffman streams)
+    val stage = new java.io.File("/root/repo/fixtures/tar_stage_blobs.parquet")
+    if (stage.exists()) {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      ctx.setLevel(19).setChecksum(true)
+      val tarzst = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+      for (r <- spark.read.parquet(stage.getPath).collect()) {
+        tarzst(r.getAs[String]("blob_key")) =
+          ctx.compress(r.getAs[Array[Byte]]("tar"))
+      }
+      write(tarzst, "tarzst_blobs")
+    }
     spark.stop()
   }
 }
