@@ -1190,6 +1190,183 @@ object IngestionQueries {
         JOIN read_parquet('$TypedFixture') f ON geo.bkey = f.blob_key"""),
       headline = false)
 
+    // shared typed-fixture join: (blob_id, file_bytes) per bucket
+    def typedBlobs(s: SparkSession,
+                   dir: String): Dataset[(Long, Array[Byte])] = {
+      import s.implicits._
+      val docs = Engine.table(s, dir, "documents")
+        .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+        .as[(Long, Long)]
+      val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+        val ids = it.map(_._2).toSeq.sorted
+        (blobId, md5Hex("parquettyped:snappy:" + ids.mkString(",")))
+      }.toDF("blob_id", "blob_key")
+      keys.join(broadcast(s.read.parquet(TypedFixture)), "blob_key")
+        .select(col("blob_id"), col("file_bytes"))
+        .as[(Long, Array[Byte])]
+    }
+
+    // q248 — STATISTICS read-back: per-chunk null_count + typed
+    // min/max decoded from the footer's Statistics struct
+    // (min_value/max_value, legacy min/max fallback). The oracle has
+    // NO stats sidecar: it re-derives every row group's membership
+    // from the writer's deterministic split (sorted doc_ids, size =
+    // ceil(n/g)) and recomputes min/max/null_count relationally — the
+    // engine's byte-level read and the relational recompute must meet.
+    // Signed zero: the parquet FloatingPoint order has writers emit
+    // -0.0 as min when 0.0 is present; normalize for oracle parity.
+    val q248 = "q248_parquet_stats_read" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        typedBlobs(s, dir).flatMap { case (blobId, bytes) =>
+          graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+            for ((rg, gi) <- fm.rowGroups.zipWithIndex; c <- rg.cols)
+              yield ParquetStatsRow(blobId, gi, c.path, c.nullCount,
+                c.minLong, c.maxLong,
+                c.minDouble.map(v => if (v == 0.0) 0.0 else v),
+                c.maxDouble.map(v => if (v == 0.0) 0.0 else v))
+          }
+        }.toDF()
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id FROM documents),
+        w AS (
+          SELECT blob_id, doc_id,
+                 row_number() OVER (PARTITION BY blob_id
+                                    ORDER BY doc_id) - 1 AS rn,
+                 count(*) OVER (PARTITION BY blob_id) AS cnt
+          FROM r),
+        g AS (
+          SELECT blob_id, doc_id,
+                 rn // ((cnt + (1 + blob_id % 3) - 1) //
+                        (1 + blob_id % 3)) AS rg_idx
+          FROM w),
+        s AS (
+          SELECT blob_id, CAST(rg_idx AS INT) AS rg_idx,
+                 min(doc_id) AS rec_min, max(doc_id) AS rec_max,
+                 CAST(min(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS f_min,
+                 CAST(max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS f_max,
+                 CAST(min(doc_id % 1000 - 300) AS BIGINT) AS c_min,
+                 CAST(max(doc_id % 1000 - 300) AS BIGINT) AS c_max,
+                 min((doc_id % 64) / 8.0) AS r_min,
+                 max((doc_id % 64) / 8.0) AS r_max,
+                 CAST(min((DATE '2020-01-01' - DATE '1970-01-01') +
+                          doc_id % 3000) AS BIGINT) AS d_min,
+                 CAST(max((DATE '2020-01-01' - DATE '1970-01-01') +
+                          doc_id % 3000) AS BIGINT) AS d_max
+          FROM g GROUP BY 1, 2)
+        SELECT blob_id, rg_idx, 'rec_id' AS col_path,
+               CAST(0 AS BIGINT) AS null_count,
+               rec_min AS min_long, rec_max AS max_long,
+               CAST(NULL AS DOUBLE) AS min_dbl,
+               CAST(NULL AS DOUBLE) AS max_dbl
+        FROM s
+        UNION ALL
+        SELECT blob_id, rg_idx, 'flag', 0, f_min, f_max, NULL, NULL FROM s
+        UNION ALL
+        SELECT blob_id, rg_idx, 'cnt', 0, c_min, c_max, NULL, NULL FROM s
+        UNION ALL
+        SELECT blob_id, rg_idx, 'ratio', 0, NULL, NULL, r_min, r_max
+        FROM s
+        UNION ALL
+        SELECT blob_id, rg_idx, 'day', 0, d_min, d_max, NULL, NULL
+        FROM s"""),
+      headline = false)
+
+    // q249 — stats-driven ROW-GROUP PRUNING, the data-skipping pattern
+    // that makes 100 TB scans affordable: a per-file range predicate
+    // (middle third of the file's own rec_id span, derived from its
+    // OWN row-group stats — fully scan-local, no driver pass) selects
+    // surviving groups by stats overlap; only THOSE chunks are
+    // decoded. The oracle rebuilds group membership and the same
+    // overlap arithmetic relationally — pruned counts and
+    // surviving-group sums must both match, proving the engine skips
+    // exactly what the stats justify, no more and no less.
+    val q249 = "q249_parquet_rg_prune" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        typedBlobs(s, dir).flatMap { case (blobId, bytes) =>
+          graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+            val levels = fm.leafLevels
+            val recStats = fm.rowGroups.map(_.cols.find(_.path == "rec_id"))
+            if (recStats.exists(c =>
+              c.isEmpty || c.get.minLong.isEmpty || c.get.maxLong.isEmpty))
+              Nil
+            else {
+              val mins = recStats.map(_.get.minLong.get)
+              val maxs = recStats.map(_.get.maxLong.get)
+              val fileMin = mins.min
+              val fileMax = maxs.max
+              val span = fileMax - fileMin
+              val lo = fileMin + span / 3
+              val hi = fileMin + 2 * span / 3
+              var pruned = 0
+              var rows = 0L; var idSum = 0L; var cntSum = 0L
+              var ok = true
+              for ((rg, gi) <- fm.rowGroups.zipWithIndex) {
+                if (maxs(gi) < lo || mins(gi) > hi) pruned += 1
+                else {
+                  rows += rg.numRows
+                  for (c <- rg.cols
+                       if c.path == "rec_id" || c.path == "cnt") {
+                    levels.get(c.path).flatMap(l =>
+                      graft.sources.Parquet.decodeChunk(bytes, c, l._1))
+                    match {
+                      case Some(d) =>
+                        if (c.path == "rec_id") idSum += d.longSum
+                        else cntSum += d.longSum
+                      case None => ok = false
+                    }
+                  }
+                }
+              }
+              if (ok) Seq(ParquetPruneRow(blobId, fm.rowGroups.length,
+                pruned, rows, idSum, cntSum)) else Nil
+            }
+          }
+        }.toDF()
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id FROM documents),
+        w AS (
+          SELECT blob_id, doc_id,
+                 row_number() OVER (PARTITION BY blob_id
+                                    ORDER BY doc_id) - 1 AS rn,
+                 count(*) OVER (PARTITION BY blob_id) AS cnt,
+                 min(doc_id) OVER (PARTITION BY blob_id) AS fmin,
+                 max(doc_id) OVER (PARTITION BY blob_id) AS fmax
+          FROM r),
+        g AS (
+          SELECT blob_id, doc_id,
+                 rn // ((cnt + (1 + blob_id % 3) - 1) //
+                        (1 + blob_id % 3)) AS rg_idx,
+                 fmin + (fmax - fmin) // 3 AS lo,
+                 fmin + 2 * ((fmax - fmin)) // 3 AS hi
+          FROM w),
+        s AS (
+          SELECT blob_id, rg_idx, lo, hi,
+                 min(doc_id) AS g_min, max(doc_id) AS g_max,
+                 count(*) AS g_rows,
+                 CAST(sum(doc_id) AS BIGINT) AS g_id_sum,
+                 CAST(sum(doc_id % 1000 - 300) AS BIGINT) AS g_cnt_sum
+          FROM g GROUP BY 1, 2, 3, 4)
+        SELECT blob_id,
+               CAST(count(*) AS INT) AS groups_total,
+               CAST(sum(CASE WHEN g_max < lo OR g_min > hi
+                        THEN 1 ELSE 0 END) AS INT) AS groups_pruned,
+               CAST(coalesce(sum(CASE WHEN g_max >= lo AND g_min <= hi
+                        THEN g_rows END), 0) AS BIGINT) AS surviving_rows,
+               CAST(coalesce(sum(CASE WHEN g_max >= lo AND g_min <= hi
+                        THEN g_id_sum END), 0) AS BIGINT) AS id_sum,
+               CAST(coalesce(sum(CASE WHEN g_max >= lo AND g_min <= hi
+                        THEN g_cnt_sum END), 0) AS BIGINT) AS cnt_sum
+        FROM s GROUP BY blob_id"""),
+      headline = false)
+
     Seq(
       "q240_parquet_dict_snappy_scan" -> scanDef(
         "/root/repo/fixtures/parquet_dict_files.parquet",
@@ -1197,7 +1374,7 @@ object IngestionQueries {
       "q241_parquet_v2_page_scan" -> scanDef(
         "/root/repo/fixtures/parquet_v2_files.parquet",
         "parquetdict2", headline = false),
-      q246)
+      q246, q248, q249)
   }
 
   // bzip2 (q238) + tar.bz2 (q239) — the OTHER compression crawl-era
@@ -1528,6 +1705,21 @@ object IngestionQueries {
         headline = false))
   }
 }
+
+/** One q248 output row: a column chunk's footer Statistics as the
+  * engine decodes them — typed min/max plus null_count.
+  */
+private[queries] case class ParquetStatsRow(
+    blob_id: Long, rg_idx: Int, col_path: String, null_count: Long,
+    min_long: Option[Long], max_long: Option[Long],
+    min_dbl: Option[Double], max_dbl: Option[Double])
+
+/** One q249 output row: stats-driven row-group pruning — groups
+  * skipped by the overlap test, sums decoded from the survivors only.
+  */
+private[queries] case class ParquetPruneRow(
+    blob_id: Long, groups_total: Int, groups_pruned: Int,
+    surviving_rows: Long, id_sum: Long, cnt_sum: Long)
 
 /** One q246 output row: per-file decoded totals over the typed lake
   * schema — boolean / int32 / float / date32 columns.

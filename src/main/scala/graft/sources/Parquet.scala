@@ -160,7 +160,42 @@ object Parquet {
   case class ColMeta(physType: Int, encodings: Seq[Int], path: String,
                      codec: Int, numValues: Long, totalUncompressed: Long,
                      totalCompressed: Long, dataPageOffset: Long,
-                     dictPageOffset: Long)
+                     dictPageOffset: Long,
+                     nullCount: Long = -1L,
+                     minValue: Array[Byte] = null,
+                     maxValue: Array[Byte] = null) {
+    /** Statistics value decoded as a Long (INT32/INT64/BOOL/date32 —
+      * PLAIN little-endian, sign-extended). None when absent or not a
+      * long-family column.
+      */
+    private def asLong(v: Array[Byte]): Option[Long] = physType match {
+      case PhysBool if v != null && v.length == 1 => Some(v(0) & 1L)
+      case PhysInt32 if v != null && v.length == 4 =>
+        Some(((v(0) & 0xff) | (v(1) & 0xff) << 8 | (v(2) & 0xff) << 16 |
+          (v(3) & 0xff) << 24).toLong)
+      case PhysInt64 if v != null && v.length == 8 =>
+        var x = 0L; var k = 7
+        while (k >= 0) { x = (x << 8) | (v(k) & 0xffL); k -= 1 }
+        Some(x)
+      case _ => None
+    }
+    /** Statistics value decoded as a Double (FLOAT/DOUBLE). */
+    private def asDouble(v: Array[Byte]): Option[Double] = physType match {
+      case PhysFloat if v != null && v.length == 4 =>
+        Some(java.lang.Float.intBitsToFloat(
+          (v(0) & 0xff) | (v(1) & 0xff) << 8 | (v(2) & 0xff) << 16 |
+            (v(3) & 0xff) << 24).toDouble)
+      case PhysDouble if v != null && v.length == 8 =>
+        var x = 0L; var k = 7
+        while (k >= 0) { x = (x << 8) | (v(k) & 0xffL); k -= 1 }
+        Some(java.lang.Double.longBitsToDouble(x))
+      case _ => None
+    }
+    def minLong: Option[Long] = asLong(minValue)
+    def maxLong: Option[Long] = asLong(maxValue)
+    def minDouble: Option[Double] = asDouble(minValue)
+    def maxDouble: Option[Double] = asDouble(maxValue)
+  }
   case class RowGroupMeta(cols: Seq[ColMeta], totalByteSize: Long,
                           numRows: Long)
   case class FileMeta(version: Int, schema: Seq[SchemaElem], numRows: Long,
@@ -299,6 +334,15 @@ object Parquet {
     var codec = -1; var numValues = -1L
     var totUnc = -1L; var totComp = -1L
     var dataOff = -1L; var dictOff = -1L
+    var nullCount = -1L
+    var minV: Array[Byte] = null; var maxV: Array[Byte] = null
+    var minLegacy: Array[Byte] = null; var maxLegacy: Array[Byte] = null
+    def statBytes(tpe: Int): Array[Byte] = {
+      if (tpe != 8) damage()
+      val n = tc.uvarint()
+      if (n > (1 << 16)) damage() // stats values are small scalars
+      tc.bytes(n.toInt)
+    }
     struct(tc, 3) { (id, tpe) =>
       id match {
         case 1 => typ = i32(tc, tpe); true
@@ -314,13 +358,29 @@ object Parquet {
         case 7 => totComp = i64(tc, tpe); true
         case 9 => dataOff = i64(tc, tpe); true
         case 11 => dictOff = i64(tc, tpe); true
+        case 12 => // Statistics: modern min_value/max_value (5/6)
+          // preferred, legacy min/max (1/2) as fallback
+          if (tpe != 12) damage()
+          struct(tc, 4) { (sid, stpe) =>
+            sid match {
+              case 1 => maxLegacy = statBytes(stpe); true
+              case 2 => minLegacy = statBytes(stpe); true
+              case 3 => nullCount = i64(tc, stpe); true
+              case 5 => maxV = statBytes(stpe); true
+              case 6 => minV = statBytes(stpe); true
+              case _ => false
+            }
+          }
+          true
         case _ => false
       }
     }
     if (typ < 0 || path.isEmpty || codec < 0 || numValues < 0 ||
       totUnc < 0 || totComp < 0 || dataOff < 0) damage()
     ColMeta(typ, encodings, path, codec, numValues, totUnc, totComp,
-      dataOff, dictOff)
+      dataOff, dictOff, nullCount,
+      if (minV != null) minV else minLegacy,
+      if (maxV != null) maxV else maxLegacy)
   }
 
   // ---- page walk + PLAIN / dictionary decode ---------------------------

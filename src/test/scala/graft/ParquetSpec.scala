@@ -259,6 +259,63 @@ class ParquetSpec extends SparkSpec {
     }
   }
 
+  test("footer Statistics decode agrees with parquet-mr's own " +
+    "statistics objects: typed min/max and null counts, nullable " +
+    "columns included") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_stats").toString
+    spark.range(0, 900).select(
+      ($"id" * 3 - 700).as("v64"),
+      ($"id" % 83 - 11).cast("int").as("v32"),
+      org.apache.spark.sql.functions.when($"id" % 9 =!= 0,
+        ($"id" % 16 / 4.0)).as("vd"), // nullable DOUBLE with real nulls
+      ($"id" % 2 === 1).as("vb"))
+      .coalesce(1).write.option("compression", "snappy")
+      .mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val fm = Parquet.parseFooter(bytes).getOrElse(fail("must parse"))
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new HPath(file.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val mr = rdr.getFooter
+      for (gi <- fm.rowGroups.indices; ci <- fm.rowGroups(gi).cols.indices) {
+        val c = fm.rowGroups(gi).cols(ci)
+        val st = mr.getBlocks.get(gi).getColumns.get(ci).getStatistics
+        assert(c.nullCount == st.getNumNulls, s"${c.path} nulls")
+        c.path match {
+          case "v64" =>
+            assert(c.minLong.contains(st.genericGetMin
+              .asInstanceOf[java.lang.Long].longValue()))
+            assert(c.maxLong.contains(st.genericGetMax
+              .asInstanceOf[java.lang.Long].longValue()))
+          case "v32" =>
+            assert(c.minLong.contains(st.genericGetMin
+              .asInstanceOf[java.lang.Integer].longValue()))
+            assert(c.maxLong.contains(st.genericGetMax
+              .asInstanceOf[java.lang.Integer].longValue()))
+          case "vd" =>
+            assert(c.minDouble.contains(st.genericGetMin
+              .asInstanceOf[java.lang.Double].doubleValue()))
+            assert(c.maxDouble.contains(st.genericGetMax
+              .asInstanceOf[java.lang.Double].doubleValue()))
+          case "vb" =>
+            assert(c.minLong.contains(
+              if (st.genericGetMin.asInstanceOf[java.lang.Boolean]) 1L
+              else 0L))
+            assert(c.maxLong.contains(
+              if (st.genericGetMax.asInstanceOf[java.lang.Boolean]) 1L
+              else 0L))
+        }
+      }
+    } finally rdr.close()
+  }
+
   test("damage shapes fail closed: magic, trailer, forged lengths and " +
     "offsets, truncation, gzip size lies") {
     val bytes = fixtureBlobs.head._2
