@@ -1665,9 +1665,12 @@ object Multimodal {
   // independent decoder). Together they make image payloads a two-way
   // street: the engine can both read and WRITE the format.
   //
-  // Scope: bit depth 8, color type 2 (truecolor RGB), interlace 0 OR
-  // Adam7 (§8.2 — each of the seven passes unfilters as an independent
-  // image; the deflate stream is their concatenation) — together the
+  // Scope: color type 2 (truecolor RGB) at depth 8, color type 0
+  // (grayscale) at depth 8, and color type 3 (PALETTED — the icon /
+  // legacy-web layout) at depths 1/2/4/8 with MSB-first packed indices
+  // resolved through the CRC-checked PLTE chunk; interlace 0 OR Adam7
+  // (§8.2 — each of the seven passes unfilters as an independent
+  // image; the deflate stream is their concatenation). Together the
   // dominant layouts in web-crawled PNGs. Anything else → None
   // (callers fall back to the header-only path). Pixel-count cap 2^26
   // (a 192 MB reconstruction buffer) bounds what one adversarial header
@@ -1805,11 +1808,106 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Complete decode of an 8-bit truecolor PNG (see the section doc for
-    * scope). Every failure mode — bad signature, short/overlong chunk,
-    * CRC mismatch, unsupported IHDR, truncated or oversized inflate,
-    * unknown filter type, missing IDAT/IEND — returns None, keeping the
-    * byte-walk totality law.
+  /** Minimal spec-valid PALETTED PNG writer (color type 3): `palette`
+    * is 3 bytes per entry, `indexOf(x, y)` supplies the palette index,
+    * `depth` ∈ {1,2,4,8} packs indices MSB-first with byte-padded rows
+    * (§7.2), `filterOfRow` picks the §9 filter (lag 1 byte). With
+    * `interlaced`, the Adam7 passes are each filtered independently —
+    * the same geometry sharing as [[encodePngRgb]].
+    */
+  def encodePngPaletted(width: Int, height: Int, palette: Array[Byte],
+                        indexOf: (Int, Int) => Int,
+                        filterOfRow: Int => Int, depth: Int,
+                        interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    require(palette.length % 3 == 0 && palette.length >= 3 &&
+      palette.length <= 768, "palette is 1..256 RGB entries")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      "paletted depths are 1/2/4/8")
+    val nPal = palette.length / 3
+    require(nPal <= (1 << depth), "palette must fit the depth")
+    def filterPass(pw: Int, ph: Int, idx: (Int, Int) => Int,
+                   out: java.io.ByteArrayOutputStream): Unit = {
+      val rowLen = (pw * depth + 7) / 8
+      val prev = new Array[Int](rowLen)
+      val cur = new Array[Int](rowLen)
+      var y = 0
+      while (y < ph) {
+        java.util.Arrays.fill(cur, 0)
+        var x = 0
+        while (x < pw) {
+          val v = idx(x, y)
+          require(v >= 0 && v < nPal, "index beyond palette")
+          val bit = x * depth
+          cur(bit >> 3) |= v << (8 - depth - (bit & 7))
+          x += 1
+        }
+        val ft = Math.floorMod(filterOfRow(y), 5)
+        out.write(ft)
+        var i = 0
+        while (i < rowLen) {
+          val left = if (i >= 1) cur(i - 1) else 0
+          val up = prev(i)
+          val upLeft = if (i >= 1) prev(i - 1) else 0
+          val f = ft match {
+            case 0 => cur(i)
+            case 1 => cur(i) - left
+            case 2 => cur(i) - up
+            case 3 => cur(i) - (left + up) / 2
+            case 4 => cur(i) - paeth(left, up, upLeft)
+          }
+          out.write(f & 0xff)
+          i += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, rowLen)
+        y += 1
+      }
+    }
+    val rawOut = new java.io.ByteArrayOutputStream()
+    if (!interlaced) filterPass(width, height, indexOf, rawOut)
+    else adam7.foreach { case (x0, y0, dx, dy) =>
+      val pw = math.max(0, (width - x0 + dx - 1) / dx)
+      val ph = math.max(0, (height - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0)
+        filterPass(pw, ph, (i, j) => indexOf(x0 + i * dx, y0 + j * dy),
+          rawOut)
+    }
+    val raw = rawOut.toByteArray
+    val deflater = new java.util.zip.Deflater(6)
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(zBuf.size() + 64)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length.toLong))
+      val t = ctype.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(depth.toByte).put(3.toByte).put(0.toByte).put(0.toByte)
+      .put(if (interlaced) 1.toByte else 0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("PLTE", palette)
+    chunk("IDAT", zBuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Complete decode of a truecolor / grayscale / PALETTED PNG (see
+    * the section doc for scope). Every failure mode — bad signature,
+    * short/overlong chunk, CRC mismatch, unsupported IHDR, a missing
+    * or malformed PLTE, an index past the palette, truncated or
+    * oversized inflate, unknown filter type, missing IDAT/IEND —
+    * returns None, keeping the byte-walk totality law.
     */
   def parsePngPixels(id: Long, b: Array[Byte]): Option[PngPixels] = {
     val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -1819,8 +1917,10 @@ object Multimodal {
     // ---- chunk walk (CRC-verified) -----------------------------------
     var pos = 8
     var w = 0; var h = 0
+    var depth = 0; var color = -1
     var interlaced = false
     var sawIhdr = false; var sawIend = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawIend) {
       if (pos + 12 > b.length) return None // len+type+crc minimum
@@ -1834,15 +1934,27 @@ object Multimodal {
       if (!sawIhdr) {
         if (ctype != "IHDR" || clen != 13) return None
         w = be32(dataOff).toInt; h = be32(dataOff + 4).toInt
-        val (depth, color, comp, filt, interlace) =
-          (u(dataOff + 8), u(dataOff + 9), u(dataOff + 10), u(dataOff + 11), u(dataOff + 12))
+        val (comp, filt, interlace) =
+          (u(dataOff + 10), u(dataOff + 11), u(dataOff + 12))
+        depth = u(dataOff + 8); color = u(dataOff + 9)
+        val okLayout = (color == 2 && depth == 8) ||
+          (color == 0 && depth == 8) ||
+          (color == 3 && (depth == 1 || depth == 2 || depth == 4 ||
+            depth == 8))
         if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
-          depth != 8 || color != 2 || comp != 0 || filt != 0 ||
-          interlace > 1) return None
+          !okLayout || comp != 0 || filt != 0 || interlace > 1) return None
         interlaced = interlace == 1
         sawIhdr = true
       } else ctype match {
-        case "IDAT" => idat.write(b, dataOff, clen.toInt)
+        case "PLTE" =>
+          // §11.2.3: before IDAT, 1..256 entries of 3 bytes, at most one
+          if (plte != null || idat.size() > 0) return None
+          if (clen == 0 || clen % 3 != 0 || clen > 768) return None
+          plte = java.util.Arrays.copyOfRange(b, dataOff,
+            dataOff + clen.toInt)
+        case "IDAT" =>
+          if (color == 3 && plte == null) return None // indices need it
+          idat.write(b, dataOff, clen.toInt)
         case "IEND" => if (clen != 0) return None else sawIend = true
         case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable
       }
@@ -1852,8 +1964,14 @@ object Multimodal {
     // ---- inflate (JDK zlib; Adler-32 verified by Inflater) -----------
     // Adam7 deflates the passes' independent scanline sets as ONE
     // stream, so the expected size is the sum over non-empty passes.
+    // Scanline bytes: truecolor 3/pixel; gray 1/pixel; paletted
+    // depth-bit indices packed MSB-first, rows padded to the byte.
+    def rowBytesOf(pw: Int): Int =
+      if (color == 2) pw * 3
+      else if (color == 0) pw
+      else (pw * depth + 7) / 8
     val passes = pngPasses(w, h, interlaced)
-    val expect = passes.map { case (pw, ph) => ph * (1 + pw * 3) }.sum
+    val expect = passes.map { case (pw, ph) => ph * (1 + rowBytesOf(pw)) }.sum
     val raw = new Array[Byte](expect)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -1877,14 +1995,17 @@ object Multimodal {
     // filtered image: §8.2). Channel sums are placement-independent,
     // and the image's (0,0) is always the FIRST pass's first pixel, so
     // no full-raster reassembly is needed for this fold.
-    val bpp = 3
+    // §9: the filter lag is ceil(bits-per-pixel / 8) — 3 for
+    // truecolor, 1 for grayscale and ALL paletted depths.
+    val bpp = if (color == 2) 3 else 1
+    val nPal = if (plte == null) 0 else plte.length / 3
     var sr = 0L; var sg = 0L; var sb = 0L
     var tlR = 0; var tlG = 0; var tlB = 0
     var base = 0
     var pi = 0
     while (pi < passes.length) {
       val (pw, ph) = passes(pi)
-      val rowLen = pw * 3
+      val rowLen = rowBytesOf(pw)
       val prev = new Array[Int](rowLen)
       val cur = new Array[Int](rowLen)
       var y = 0
@@ -1907,8 +2028,29 @@ object Multimodal {
           i += 1
         }
         var x = 0
-        while (x < rowLen) { sr += cur(x); sg += cur(x + 1); sb += cur(x + 2); x += 3 }
-        if (pi == 0 && y == 0) { tlR = cur(0); tlG = cur(1); tlB = cur(2) }
+        while (x < pw) {
+          var r = 0; var g = 0; var bl = 0
+          if (color == 2) {
+            r = cur(3 * x); g = cur(3 * x + 1); bl = cur(3 * x + 2)
+          } else if (color == 0) {
+            r = cur(x); g = r; bl = r
+          } else {
+            val idx =
+              if (depth == 8) cur(x)
+              else {
+                val bit = x * depth
+                (cur(bit >> 3) >> (8 - depth - (bit & 7))) &
+                  ((1 << depth) - 1)
+              }
+            if (idx >= nPal) return None // index past the palette
+            r = plte(3 * idx) & 0xff
+            g = plte(3 * idx + 1) & 0xff
+            bl = plte(3 * idx + 2) & 0xff
+          }
+          sr += r; sg += g; sb += bl
+          if (pi == 0 && y == 0 && x == 0) { tlR = r; tlG = g; tlB = bl }
+          x += 1
+        }
         System.arraycopy(cur, 0, prev, 0, rowLen)
         base += 1 + rowLen
         y += 1

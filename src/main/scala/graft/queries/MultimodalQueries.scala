@@ -59,6 +59,33 @@ private[queries] object MediaGen {
       interlaced = true)
   }
 
+  /** Paletted PNG (color type 3 — the icon / legacy-web layout):
+    * depth cycles 1/2/4/8 by seed with a FULL 2^depth palette, indices
+    * packed MSB-first into sub-byte rows, palette colors direct affine
+    * functions of the entry index and the seeds (so the oracle
+    * recomputes resolved channel sums without parsing bytes), all five
+    * §9 filters in every image, and odd seeds Adam7-interlace — sums
+    * are placement-independent so one oracle covers both layouts.
+    */
+  def pngPalettedFor(text: String): Array[Byte] = {
+    val (s1, s2) = seeds(text)
+    val depth = Array(1, 2, 4, 8)((s1 % 4).toInt)
+    val nPal = 1 << depth
+    val w = (3 + s1 % 6).toInt
+    val h = (2 + s2 % 5).toInt
+    val palette = new Array[Byte](nPal * 3)
+    var j = 0
+    while (j < nPal) {
+      palette(3 * j) = ((j * 37L + s1) % 256).toByte
+      palette(3 * j + 1) = ((j * 59L + s2) % 256).toByte
+      palette(3 * j + 2) = ((j * 83L + s1 + s2) % 256).toByte
+      j += 1
+    }
+    graft.operators.Multimodal.encodePngPaletted(w, h, palette,
+      (x, y) => ((s2 + 3L * x + 7L * y) % nPal).toInt,
+      y => y % 5, depth, interlaced = s2 % 2 == 1)
+  }
+
   /** 4–11 × 3–8 chunky RGB TIFF with LZW strips + the horizontal-
     * differencing predictor (the scanned-document archive layout):
     * x/4-grouped ramps give the dictionary real strings to grow on.
@@ -2038,6 +2065,60 @@ object MultimodalQueries {
                         THEN val END) AS INT) AS tl_c1,
                CAST(max(CASE WHEN ch = 2 AND xx = 0 AND yy = 0
                         THEN val END) AS INT) AS tl_c2
+        FROM px GROUP BY doc_id, w, h""")),
+
+    // TRUE payload decode — PALETTED PNG (q250, color type 3): the
+    // icon / legacy-web layout. Depths 1/2/4/8 (seed-cycled) pack
+    // palette indices MSB-first into sub-byte rows resolved through the
+    // CRC-checked PLTE chunk; filter lag is 1 byte at EVERY depth (§9:
+    // ceil(bpp/8)); odd seeds ship the seven Adam7 passes. The oracle
+    // recomputes the resolved channel sums straight from the seed
+    // formulas — palette color = affine(entry index), entry index =
+    // affine(x, y) mod 2^depth — so a decoder that misreads the bit
+    // packing, the palette, or any filter flips the hash. ImageIO
+    // cross-pins the byte stream both directions in MultimodalSpec;
+    // zero-exchange scan-task decode.
+    "q250_png_paletted_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            Multimodal.Payload(id, "image", MediaGen.pngPalettedFor(text)) })
+        Multimodal.decodePngPixelBatches(payloads).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"),
+            col("tl_r"), col("tl_g"), col("tl_b"))
+      },
+      oracle = Some(s"""
+        WITH g AS (
+          SELECT doc_id,
+                 ${sqlHash60("coalesce(text, '')")} AS s1,
+                 ${sqlHash56("coalesce(text, '')")} AS s2
+          FROM documents),
+        d AS (
+          SELECT doc_id, s1, s2,
+                 CASE s1 % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                             WHEN 2 THEN 16 ELSE 256 END AS npal,
+                 3 + s1 % 6 AS w, 2 + s2 % 5 AS h
+          FROM g),
+        px AS (
+          SELECT doc_id, w, h, s1, s2, x.i AS xx, y.i AS yy,
+                 (s2 + 3 * x.i + 7 * y.i) % npal AS idx
+          FROM d
+          JOIN generate_series(0, 8) x(i) ON x.i < w
+          JOIN generate_series(0, 6) y(i) ON y.i < h)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(sum((idx * 37 + s1) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((idx * 59 + s2) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((idx * 83 + s1 + s2) % 256) AS BIGINT) AS sum_b,
+               CAST(max(CASE WHEN xx = 0 AND yy = 0
+                        THEN (idx * 37 + s1) % 256 END) AS INT) AS tl_r,
+               CAST(max(CASE WHEN xx = 0 AND yy = 0
+                        THEN (idx * 59 + s2) % 256 END) AS INT) AS tl_g,
+               CAST(max(CASE WHEN xx = 0 AND yy = 0
+                        THEN (idx * 83 + s1 + s2) % 256 END) AS INT) AS tl_b
         FROM px GROUP BY doc_id, w, h"""))
   )
 }

@@ -704,6 +704,152 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // re-emit a PNG from (type, data) chunks with correct lengths+CRCs —
+  // lets damage tests surgically reorder / truncate single chunks
+  private def rebuildPng(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    chunks.foreach { case (ctype, data) =>
+      def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length.toLong))
+      val t = ctype.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue))
+    }
+    out.toByteArray
+  }
+
+  private def pngChunks(b: Array[Byte]): Seq[(String, Array[Byte])] = {
+    var pos = 8
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    while (pos + 12 <= b.length) {
+      val len = ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+        ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+      val ctype = new String(b, pos + 4, 4, "US-ASCII")
+      out += ctype -> java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
+      pos += 12 + len
+    }
+    out.result()
+  }
+
+  test("PNG paletted decode: depths 1/2/4/8 round-trip through MSB " +
+    "bit packing and the PLTE chunk, ImageIO agrees both ways") {
+    for (depth <- Seq(1, 2, 4, 8); interlaced <- Seq(false, true)) {
+      val nPal = 1 << depth
+      val pal = Array.tabulate(nPal * 3) { k =>
+        val j = k / 3
+        (k % 3 match {
+          case 0 => (j * 37 + 11) % 256
+          case 1 => (j * 59 + 23) % 256
+          case _ => (j * 83 + 5) % 256
+        }).toByte
+      }
+      def idx(x: Int, y: Int) = (3 * x + 7 * y) % nPal
+      // w=9: depths 1/2/4 all leave ragged bits in the row's last byte
+      val (w, h) = (9, 6)
+      val bytes = Multimodal.encodePngPaletted(w, h, pal, idx,
+        y => y % 5, depth, interlaced)
+      // direction 1: javax.imageio resolves OUR indices pixel-exactly
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"depth $depth interlaced=$interlaced")
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = idx(x, y)
+        val want = ((pal(3 * j) & 0xff) << 16) |
+          ((pal(3 * j + 1) & 0xff) << 8) | (pal(3 * j + 2) & 0xff)
+        assert((img.getRGB(x, y) & 0xffffff) == want,
+          s"($x,$y) depth $depth interlaced=$interlaced")
+      }
+      // direction 2: our decoder's sums match the direct computation
+      val m = Multimodal.parsePngPixels(1L, bytes)
+      assert(m.isDefined, s"depth $depth interlaced=$interlaced")
+      val all = for (y <- 0 until h; x <- 0 until w) yield idx(x, y)
+      assert(m.get.sum_r == all.map(j => (pal(3 * j) & 0xff).toLong).sum)
+      assert(m.get.sum_g == all.map(j => (pal(3 * j + 1) & 0xff).toLong).sum)
+      assert(m.get.sum_b == all.map(j => (pal(3 * j + 2) & 0xff).toLong).sum)
+      val j0 = idx(0, 0)
+      assert((m.get.tl_r, m.get.tl_g, m.get.tl_b) ==
+        ((pal(3 * j0) & 0xff, pal(3 * j0 + 1) & 0xff, pal(3 * j0 + 2) & 0xff)))
+      assert(m.get.width == w && m.get.height == h)
+    }
+  }
+
+  test("PNG paletted decode: ImageIO-written indexed bytes (their " +
+    "palette order, their filters) decode to the same sums") {
+    val rnd = new scala.util.Random(9)
+    val cm = new java.awt.image.IndexColorModel(8, 16,
+      Array.tabulate[Byte](16)(i => (i * 17).toByte),
+      Array.tabulate[Byte](16)(i => (255 - i * 13).toByte),
+      Array.tabulate[Byte](16)(i => (i * 31 % 256).toByte))
+    val img = new java.awt.image.BufferedImage(21, 13,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until 13; x <- 0 until 21)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(16))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val m = Multimodal.parsePngPixels(1L, bos.toByteArray)
+    assert(m.isDefined, "ImageIO indexed PNG must full-decode")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until 13; x <- 0 until 21) {
+      val v = img.getRGB(x, y)
+      sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+    }
+    assert((m.get.sum_r, m.get.sum_g, m.get.sum_b) == ((sr, sg, sb)))
+  }
+
+  test("PNG grayscale decode: ImageIO-written TYPE_BYTE_GRAY bytes " +
+    "(color type 0) decode with r=g=b") {
+    val rnd = new scala.util.Random(5)
+    val img = new java.awt.image.BufferedImage(17, 11,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 11; x <- 0 until 17)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val m = Multimodal.parsePngPixels(1L, bos.toByteArray)
+    assert(m.isDefined, "ImageIO grayscale PNG must full-decode")
+    var s = 0L
+    for (y <- 0 until 11; x <- 0 until 17)
+      s += img.getRaster.getSample(x, y, 0)
+    assert((m.get.sum_r, m.get.sum_g, m.get.sum_b) == ((s, s, s)))
+    assert(m.get.tl_r == img.getRaster.getSample(0, 0, 0))
+  }
+
+  test("PNG paletted damage closes: missing/late/odd PLTE, index past " +
+    "palette, unsupported depth — all None, never a partial sum") {
+    val pal4 = Array.tabulate[Byte](12)(k => (k * 21).toByte)
+    val good = Multimodal.encodePngPaletted(5, 4, pal4,
+      (x, y) => (x + y) % 4, y => y % 5, 2)
+    assert(Multimodal.parsePngPixels(1L, good).isDefined)
+    val chunks = pngChunks(good)
+    assert(chunks.map(_._1) == Seq("IHDR", "PLTE", "IDAT", "IEND"))
+    // PLTE missing entirely: color-3 IDAT has nothing to resolve into
+    assert(Multimodal.parsePngPixels(2L,
+      rebuildPng(chunks.filter(_._1 != "PLTE"))).isEmpty, "missing PLTE")
+    // PLTE after IDAT: §5.6 ordering violated
+    assert(Multimodal.parsePngPixels(3L, rebuildPng(Seq(
+      chunks(0), chunks(2), chunks(1), chunks(3)))).isEmpty, "late PLTE")
+    // PLTE length not a multiple of 3
+    assert(Multimodal.parsePngPixels(4L, rebuildPng(chunks.map {
+      case ("PLTE", d) => "PLTE" -> d.take(7)
+      case c => c
+    })).isEmpty, "odd PLTE")
+    // palette truncated to ONE entry: indices 1..3 now dangle
+    assert(Multimodal.parsePngPixels(5L, rebuildPng(chunks.map {
+      case ("PLTE", d) => "PLTE" -> d.take(3)
+      case c => c
+    })).isEmpty, "index past palette")
+    // depth 16 color 3 is not a legal PNG layout
+    assert(Multimodal.parsePngPixels(6L, rebuildPng(chunks.map {
+      case ("IHDR", d) => val e = d.clone(); e(8) = 16; "IHDR" -> e
+      case c => c
+    })).isEmpty, "depth 16 paletted")
+  }
+
   test("ID3v2 tag walk: v2.3 BE32 vs v2.4 SYNCSAFE frame sizes, " +
     "padding stop, trailing-NUL strip, non-text stride, damage closed") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
