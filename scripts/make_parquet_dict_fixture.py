@@ -152,9 +152,18 @@ def typed_main():
 
 def main():
     typed_main()
-    for page_version, tag, out_name in [
-        ("1.0", "parquetdict1", "parquet_dict_files.parquet"),
-        ("2.0", "parquetdict2", "parquet_v2_files.parquet"),
+    # parquet_zstd_files (q251): page_version None = split by bucket
+    # (0-2 v1, 3-5 v2) so the zstd codec crosses BOTH page layouts and
+    # both encodings (dictionary by parity, as before). The key does
+    # not encode the page version: bucket membership is a function of
+    # the doc_id list, so identical recs always rebuild identical bytes.
+    for page_version, tag, out_name, codecs in [
+        ("1.0", "parquetdict1", "parquet_dict_files.parquet",
+         CODECS),
+        ("2.0", "parquetdict2", "parquet_v2_files.parquet",
+         CODECS),
+        (None, "parquetzstd", "parquet_zstd_files.parquet",
+         ["zstd", "zstd", "zstd"]),
     ]:
         files = {}
         for sf in SF_DIRS:
@@ -168,8 +177,10 @@ def main():
                     (doc_id, payload_of(doc_id, n_chars),
                      (doc_id % 16) / 4.0))
             for blob_id, recs in sorted(blobs.items()):
-                codec = CODECS[blob_id % 3]
+                codec = codecs[blob_id % 3]
                 use_dict = blob_id % 2 == 0
+                pv = page_version if page_version is not None else \
+                    ("1.0" if blob_id % 6 < 3 else "2.0")
                 key = hashlib.md5(
                     (f"{tag}:{codec}:{int(use_dict)}:" +
                      ",".join(f"{r[0]}={r[1] if r[1] is not None else 'NULL'}"
@@ -178,7 +189,7 @@ def main():
                 if key in files:
                     continue
                 files[key] = build(recs, codec, use_dict,
-                                   1 + blob_id % 3, page_version)
+                                   1 + blob_id % 3, pv)
         out = Path("fixtures")
         out.mkdir(exist_ok=True)
         keys = sorted(files)

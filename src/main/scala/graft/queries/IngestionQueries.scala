@@ -1018,7 +1018,8 @@ object IngestionQueries {
     val codecName = Seq("snappy", "gzip", "none")
 
     def blobFiles(s: SparkSession, dir: String, fixture: String,
-                  tag: String): Dataset[(Long, Array[Byte])] = {
+                  tag: String,
+                  codecs: Seq[String]): Dataset[(Long, Array[Byte])] = {
       import s.implicits._
       val docs = Engine.table(s, dir, "documents")
         .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
@@ -1028,7 +1029,7 @@ object IngestionQueries {
         .as[(Long, Long, String)]
       val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
         val recs = it.toSeq.sortBy(_._2)
-        val codec = codecName((blobId % 3).toInt)
+        val codec = codecs((blobId % 3).toInt)
         val dict01 = if (blobId % 2 == 0) "1" else "0"
         (blobId, md5Hex(s"$tag:$codec:$dict01:" +
           recs.map(t => s"${t._2}=${Option(t._3).getOrElse("NULL")}")
@@ -1039,7 +1040,7 @@ object IngestionQueries {
         .as[(Long, Array[Byte])]
     }
 
-    def keyCte(tag: String) = s"""
+    def keyCte(tag: String, codecs: Seq[String] = codecName) = s"""
         r AS (
           SELECT doc_id % 6 AS blob_id, doc_id,
                  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE
@@ -1050,8 +1051,10 @@ object IngestionQueries {
         k AS (
           SELECT blob_id,
                  md5('$tag:' ||
-                     CASE CAST(blob_id % 3 AS INT) WHEN 0 THEN 'snappy'
-                          WHEN 1 THEN 'gzip' ELSE 'none' END || ':' ||
+                     CASE CAST(blob_id % 3 AS INT)
+                          WHEN 0 THEN '${codecs(0)}'
+                          WHEN 1 THEN '${codecs(1)}'
+                          ELSE '${codecs(2)}' END || ':' ||
                      CASE WHEN blob_id % 2 = 0 THEN '1' ELSE '0' END ||
                      ':' ||
                      string_agg(CAST(doc_id AS VARCHAR) || '=' ||
@@ -1064,11 +1067,12 @@ object IngestionQueries {
                  sum(score) AS score_sum
           FROM r GROUP BY blob_id)"""
 
-    def scanDef(fixture: String, tag: String,
-                headline: Boolean): QueryDef = QueryDef(
+    def scanDef(fixture: String, tag: String, headline: Boolean,
+                codecs: Seq[String] = codecName): QueryDef = QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        blobFiles(s, dir, fixture, tag).flatMap { case (blobId, bytes) =>
+        blobFiles(s, dir, fixture, tag, codecs).flatMap {
+          case (blobId, bytes) =>
           graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
             val levels = fm.leafLevels
             var rows = 0L; var idSum = 0L; var lenSum = 0L
@@ -1094,7 +1098,7 @@ object IngestionQueries {
         }.toDF()
       },
       oracle = Some(s"""
-        WITH ${keyCte(tag)},
+        WITH ${keyCte(tag, codecs)},
         geo AS ( -- pyarrow row-group split: ceil(cnt / ceil(cnt/g))
           SELECT *,
                  CAST(1 + blob_id % 3 AS BIGINT) AS g,
@@ -1374,6 +1378,18 @@ object IngestionQueries {
       "q241_parquet_v2_page_scan" -> scanDef(
         "/root/repo/fixtures/parquet_v2_files.parquet",
         "parquetdict2", headline = false),
+      // q251 — parquet ZSTD pages (codec 6), the OTHER modern lake
+      // codec (Spark and Iceberg deployments increasingly default to
+      // it): pyarrow zstd files decoded end-to-end through the
+      // engine's OWN RFC 8878 FSE/Huffman decoder (sources/Zstd.scala,
+      // q244's), one frame per page payload. Buckets 0-2 carry v1
+      // pages, 3-5 DATA_PAGE_V2 (values-only compression), crossed
+      // with dictionary/plain by parity — the full zstd x page-layout
+      // x encoding matrix in one oracle.
+      "q251_parquet_zstd_scan" -> scanDef(
+        "/root/repo/fixtures/parquet_zstd_files.parquet",
+        "parquetzstd", headline = false,
+        codecs = Seq("zstd", "zstd", "zstd")),
       q246, q248, q249)
   }
 

@@ -32,8 +32,12 @@ object Parquet {
   val PhysFloat = 4; val PhysDouble = 5
   val PhysByteArray = 6
 
-  /** Codecs (parquet.thrift `CompressionCodec`). */
+  /** Codecs (parquet.thrift `CompressionCodec`). ZSTD pages route
+    * through the engine's own RFC 8878 decoder ([[Zstd]]) — one frame
+    * per page payload.
+    */
   val CodecNone = 0; val CodecSnappy = 1; val CodecGzip = 2
+  val CodecZstd = 6
 
   /** Encodings (parquet.thrift `Encoding`). PLAIN_DICTIONARY is the
     * v1 spelling both parquet-mr and parquet-cpp still write for
@@ -483,7 +487,7 @@ object Parquet {
         col.physType != PhysByteArray && col.physType != PhysInt32 &&
         col.physType != PhysFloat && col.physType != PhysBool) return None
       if (col.codec != CodecNone && col.codec != CodecGzip &&
-        col.codec != CodecSnappy) return None
+        col.codec != CodecSnappy && col.codec != CodecZstd) return None
       if (maxDef < 0 || maxDef > 1) return None // flat columns only
       val first =
         if (col.dictPageOffset >= 0) col.dictPageOffset
@@ -618,6 +622,8 @@ object Parquet {
                 java.util.Arrays.copyOfRange(b, vOff, vOff + vCompLen)
               } else if (col.codec == CodecGzip) {
                 gunzipExact(b, vOff, vCompLen, vWant).getOrElse(return None)
+              } else if (col.codec == CodecZstd) {
+                zstdExact(b, vOff, vCompLen, vWant).getOrElse(return None)
               } else {
                 Snappy.uncompress(b, vOff, vCompLen, vWant)
                   .getOrElse(return None)
@@ -647,6 +653,9 @@ object Parquet {
         .getOrElse(damage())
     case CodecSnappy =>
       Snappy.uncompress(b, h.headerEnd, h.compressed, h.uncompressed)
+        .getOrElse(damage())
+    case CodecZstd =>
+      zstdExact(b, h.headerEnd, h.compressed, h.uncompressed)
         .getOrElse(damage())
     case _ => damage()
   }
@@ -811,5 +820,25 @@ object Parquet {
     } catch {
       case _: java.io.IOException => None
     } finally if (in != null) in.close()
+  }
+
+  /** Decode one zstd frame to EXACTLY `want` bytes through the
+    * engine's own RFC 8878 decoder. parquet-format scopes the codec to
+    * the page payload, and every real writer emits it as a SINGLE
+    * frame — a multi-frame payload, trailing bytes, a skippable frame,
+    * or a length mismatch is malformation. [[Zstd.walk]] already keeps
+    * the totality law (None, never a throw), and `cap = want` bounds
+    * the decode allocation at exactly the claimed page size.
+    */
+  private def zstdExact(b: Array[Byte], off: Int, len: Int,
+                        want: Int): Option[Array[Byte]] = {
+    if (off < 0 || len < 0 || want < 0 ||
+      off.toLong + len > b.length) return None
+    val slice = java.util.Arrays.copyOfRange(b, off, off + len)
+    Zstd.walk(slice, cap = want) match {
+      case Some(Seq(f)) if f.kind == "zstd" && f.decoded.length == want =>
+        Some(f.decoded)
+      case _ => None
+    }
   }
 }

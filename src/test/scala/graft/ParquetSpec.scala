@@ -133,9 +133,12 @@ class ParquetSpec extends SparkSpec {
 
   test("dictionary-encoded chunks DECODE: Spark/parquet-mr's default " +
     "layout (PLAIN_DICTIONARY dict page + index pages) across gzip, " +
-    "snappy and uncompressed, repeated-run and scattered dictionaries") {
+    "snappy, zstd and uncompressed, repeated-run and scattered " +
+    "dictionaries") {
     import spark.implicits._
-    for (codec <- Seq("gzip", "snappy", "none")) {
+    // zstd: parquet-mr writes through zstd-jni (libzstd, the reference
+    // implementation) — the engine's own RFC 8878 decoder must agree
+    for (codec <- Seq("gzip", "snappy", "zstd", "none")) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"pq_dict_$codec").toString
       // k: scattered small domain (bit-packed indices); r: long runs
@@ -178,9 +181,9 @@ class ParquetSpec extends SparkSpec {
 
   test("DATA_PAGE_V2: parquet-mr's v2 writer (levels outside the " +
     "codec, RLE_DICTIONARY indices, explicit num_nulls) decodes to " +
-    "the same sums, gzip snappy and uncompressed") {
+    "the same sums, gzip snappy zstd and uncompressed") {
     import spark.implicits._
-    for (codec <- Seq("gzip", "snappy", "none")) {
+    for (codec <- Seq("gzip", "snappy", "zstd", "none")) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"pq_v2_$codec").toString
       spark.range(0, 1500).select(
@@ -491,6 +494,39 @@ class ParquetSpec extends SparkSpec {
       (dictPageHeader(2, dictPayload.length).length +
         dictPayload.length).toLong, 0L)
     assert(Parquet.decodeChunk(twoDicts, twoDictCol, 0).isEmpty)
+  }
+
+  test("zstd page damage fails closed: flipped payload bytes, " +
+    "truncated frames, multi-frame payloads — None, never a throw") {
+    // a real zstd fixture chunk decodes, then refuses once touched
+    val blob = spark.read
+      .parquet("fixtures/parquet_zstd_files.parquet")
+      .collect().map(_.getAs[Array[Byte]]("file_bytes"))
+      .find { b =>
+        Parquet.parseFooter(b).exists(_.rowGroups.head.cols.head.codec ==
+          Parquet.CodecZstd)
+      }.get
+    val fm = Parquet.parseFooter(blob).get
+    val c = fm.rowGroups.head.cols.head
+    val lv = fm.leafLevels(c.path)._1
+    assert(Parquet.decodeChunk(blob, c, lv).isDefined)
+    val first = if (c.dictPageOffset >= 0) c.dictPageOffset
+                else c.dataPageOffset
+    // byte flips across the chunk: the very first payload byte (frame
+    // magic), mid-frame (entropy stream), last byte (checksum/trailer)
+    for (delta <- Seq(2L, 15L, c.totalCompressed / 2,
+      c.totalCompressed - 1)) {
+      val bad = blob.clone()
+      val at = (first + delta).toInt
+      bad(at) = (bad(at) ^ 0x5a).toByte
+      val r = Parquet.decodeChunk(bad, c, lv)
+      // a flip may land in a page HEADER varint that still parses; the
+      // decode must then disagree with the footer — either way no throw
+      assert(r.isEmpty || r.get.numValues == c.numValues, s"delta $delta")
+    }
+    // truncated mid-frame: the page walk runs past the buffer → None
+    assert(Parquet.decodeChunk(
+      blob.take((first + c.totalCompressed / 2).toInt), c, lv).isEmpty)
   }
 
   test("a forged page header claiming 2^31-1 values must damage " +
