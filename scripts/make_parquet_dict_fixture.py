@@ -164,6 +164,9 @@ def main():
          CODECS),
         (None, "parquetzstd", "parquet_zstd_files.parquet",
          ["zstd", "zstd", "zstd"]),
+        # pyarrow 'lz4' stamps thrift codec LZ4_RAW (7): bare blocks
+        (None, "parquetlz4", "parquet_lz4_files.parquet",
+         ["lz4", "lz4", "lz4"]),
     ]:
         files = {}
         for sf in SF_DIRS:

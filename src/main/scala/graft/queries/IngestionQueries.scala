@@ -1390,6 +1390,17 @@ object IngestionQueries {
         "/root/repo/fixtures/parquet_zstd_files.parquet",
         "parquetzstd", headline = false,
         codecs = Seq("zstd", "zstd", "zstd")),
+      // q252 — parquet LZ4_RAW pages (codec 7, pyarrow's `lz4`):
+      // bare LZ4 blocks per page through the engine's OWN block
+      // decoder (sources/Lz4.scala — token/extension sequences,
+      // overlap match copies). Same v1/v2 x dictionary/plain matrix
+      // as q251; Lz4Spec pins the decoder against lz4-java and
+      // ParquetSpec pins BOTH lz4 flavors (raw blocks AND the legacy
+      // codec-5 Hadoop framing Spark writes) from Spark-written files.
+      "q252_parquet_lz4_scan" -> scanDef(
+        "/root/repo/fixtures/parquet_lz4_files.parquet",
+        "parquetlz4", headline = false,
+        codecs = Seq("lz4", "lz4", "lz4")),
       q246, q248, q249)
   }
 

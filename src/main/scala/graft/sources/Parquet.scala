@@ -34,10 +34,13 @@ object Parquet {
 
   /** Codecs (parquet.thrift `CompressionCodec`). ZSTD pages route
     * through the engine's own RFC 8878 decoder ([[Zstd]]) — one frame
-    * per page payload.
+    * per page payload. LZ4_RAW (what parquet-cpp writes for lz4) is
+    * one raw block per payload; legacy LZ4 (what parquet-mr/Spark
+    * write) wraps blocks in the Hadoop BE32 framing — both route
+    * through the engine's own [[Lz4]].
     */
   val CodecNone = 0; val CodecSnappy = 1; val CodecGzip = 2
-  val CodecZstd = 6
+  val CodecLz4 = 5; val CodecZstd = 6; val CodecLz4Raw = 7
 
   /** Encodings (parquet.thrift `Encoding`). PLAIN_DICTIONARY is the
     * v1 spelling both parquet-mr and parquet-cpp still write for
@@ -487,7 +490,8 @@ object Parquet {
         col.physType != PhysByteArray && col.physType != PhysInt32 &&
         col.physType != PhysFloat && col.physType != PhysBool) return None
       if (col.codec != CodecNone && col.codec != CodecGzip &&
-        col.codec != CodecSnappy && col.codec != CodecZstd) return None
+        col.codec != CodecSnappy && col.codec != CodecZstd &&
+        col.codec != CodecLz4 && col.codec != CodecLz4Raw) return None
       if (maxDef < 0 || maxDef > 1) return None // flat columns only
       val first =
         if (col.dictPageOffset >= 0) col.dictPageOffset
@@ -624,6 +628,12 @@ object Parquet {
                 gunzipExact(b, vOff, vCompLen, vWant).getOrElse(return None)
               } else if (col.codec == CodecZstd) {
                 zstdExact(b, vOff, vCompLen, vWant).getOrElse(return None)
+              } else if (col.codec == CodecLz4Raw) {
+                Lz4.decompressBlock(b, vOff, vCompLen, vWant)
+                  .getOrElse(return None)
+              } else if (col.codec == CodecLz4) {
+                Lz4.decompressFramed(b, vOff, vCompLen, vWant)
+                  .getOrElse(return None)
               } else {
                 Snappy.uncompress(b, vOff, vCompLen, vWant)
                   .getOrElse(return None)
@@ -656,6 +666,12 @@ object Parquet {
         .getOrElse(damage())
     case CodecZstd =>
       zstdExact(b, h.headerEnd, h.compressed, h.uncompressed)
+        .getOrElse(damage())
+    case CodecLz4Raw =>
+      Lz4.decompressBlock(b, h.headerEnd, h.compressed, h.uncompressed)
+        .getOrElse(damage())
+    case CodecLz4 =>
+      Lz4.decompressFramed(b, h.headerEnd, h.compressed, h.uncompressed)
         .getOrElse(damage())
     case _ => damage()
   }

@@ -1,0 +1,129 @@
+package graft
+
+import graft.sources.Lz4
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the from-scratch LZ4 block decoder (sources/Lz4.scala) against
+  * lz4-java — an independent implementation of the public block
+  * format — as writer, fast and HC compressors both (they emit
+  * different sequence splits for the same input; both must decode),
+  * plus hand-built sequences for the corners compressors rarely emit
+  * and the damage shapes that must fail closed.
+  */
+class Lz4Spec extends AnyFunSuite {
+
+  private val factory = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+
+  private def corpus: Seq[(String, Array[Byte])] = Seq(
+    "empty-ish" -> "x".getBytes("UTF-8"),
+    "ascii text" -> ("the quick brown fox jumps over the lazy dog. " * 40)
+      .getBytes("UTF-8"),
+    "rle run" -> Array.fill[Byte](10000)(7), // offset-1 overlap matches
+    "short cycle" -> Array.tabulate[Byte](5000)(i => (i % 3).toByte),
+    "random" -> { // incompressible: literals-only final sequence path
+      val r = new scala.util.Random(42)
+      val a = new Array[Byte](4096); r.nextBytes(a); a
+    },
+    "structured" -> Array.tabulate[Byte](70000)(i =>
+      ((i / 100) % 251).toByte), // >64 KB: offsets near the window edge
+    "long literals" -> { // >15+255 literal run forces 255-run extension
+      val r = new scala.util.Random(7)
+      val a = new Array[Byte](1000); r.nextBytes(a)
+      a ++ Array.fill[Byte](600)(3) ++ a
+    })
+
+  test("lz4-java fast AND high compressors round-trip through the " +
+    "from-scratch block decoder, byte-exact") {
+    for ((name, data) <- corpus;
+         (cname, comp) <- Seq(
+           "fast" -> factory.fastCompressor(),
+           "hc" -> factory.highCompressor())) {
+      val packed = comp.compress(data)
+      val got = Lz4.decompressBlock(packed, 0, packed.length, data.length)
+        .getOrElse(fail(s"$name/$cname must decode"))
+      assert(java.util.Arrays.equals(got, data), s"$name/$cname")
+      // and at a nonzero array offset (page payloads sit mid-buffer)
+      val shifted = new Array[Byte](packed.length + 13)
+      System.arraycopy(packed, 0, shifted, 9, packed.length)
+      val got2 = Lz4.decompressBlock(shifted, 9, packed.length, data.length)
+      assert(got2.exists(java.util.Arrays.equals(_, data)), s"$name/$cname")
+    }
+  }
+
+  test("hand-built sequences: overlap copy IS the RLE idiom, " +
+    "extended literal and match runs, empty block") {
+    // 'A', offset-1 match of length 15+4+0=19 (RLE overlap), then the
+    // REQUIRED literals-only final sequence ('Z') -> "A"*20 + "Z"
+    val b1 = Array[Byte](0x1f, 'A', 1, 0, 0, 0x10, 'Z')
+    assert(Lz4.decompressBlock(b1, 0, b1.length, 21)
+      .map(new String(_, "US-ASCII")).contains("A" * 20 + "Z"))
+    // a block ENDING on a match violates the format's final-sequence
+    // rule — refuse (lz4-java never emits this shape)
+    assert(Lz4.decompressBlock(b1, 0, 5, 20).isEmpty)
+    // extended match: low nibble 15, extension 255 + 3
+    // -> matchLen = 15 + 4 + 255 + 3 = 277
+    val b2 = Array[Byte](0x1f, 'B', 1, 0, 255.toByte, 3, 0x10, 'Z')
+    assert(Lz4.decompressBlock(b2, 0, b2.length, 279)
+      .map(new String(_, "US-ASCII")).contains("B" * 278 + "Z"))
+    // extended literals: 15 + 255 + 2 = 272 literal bytes, final seq
+    val lits = Array.fill[Byte](272)('C')
+    val b3 = Array[Byte](0xf0.toByte, 255.toByte, 2) ++ lits
+    assert(Lz4.decompressBlock(b3, 0, b3.length, 272)
+      .map(new String(_, "US-ASCII")).contains("C" * 272))
+    // empty block for an empty page
+    assert(Lz4.decompressBlock(Array.emptyByteArray, 0, 0, 0).isDefined)
+  }
+
+  test("damage fails closed: zero offset, offset past the output, " +
+    "size lies, truncation, trailing garbage — None, never a throw") {
+    val data = ("abcdefgh" * 100).getBytes("UTF-8")
+    val packed = factory.fastCompressor().compress(data)
+    assert(Lz4.decompressBlock(packed, 0, packed.length, data.length)
+      .isDefined)
+    // want lies high and low
+    assert(Lz4.decompressBlock(packed, 0, packed.length,
+      data.length + 1).isEmpty)
+    assert(Lz4.decompressBlock(packed, 0, packed.length,
+      data.length - 1).isEmpty)
+    // truncation at every prefix must never throw
+    for (cut <- Seq(1, 2, packed.length / 2, packed.length - 1))
+      assert(Lz4.decompressBlock(packed, 0, cut, data.length).isEmpty,
+        s"cut $cut")
+    // zero offset is the format's explicit invalid value
+    val zOff = Array[Byte](0x14, 'A', 0, 0)
+    assert(Lz4.decompressBlock(zOff, 0, zOff.length, 9).isEmpty)
+    // offset pointing before the start of the output
+    val farOff = Array[Byte](0x14, 'A', 9, 0)
+    assert(Lz4.decompressBlock(farOff, 0, farOff.length, 9).isEmpty)
+    // flipped bytes: either refuse or (a flipped literal byte) decode
+    // to the declared size — never throw
+    for (i <- packed.indices) {
+      val bad = packed.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      Lz4.decompressBlock(bad, 0, bad.length, data.length) match {
+        case Some(out) => assert(out.length == data.length)
+        case None => ()
+      }
+    }
+  }
+
+  test("Hadoop framing (parquet legacy LZ4, codec 5): BE32 length " +
+    "pairs around lz4-java blocks decode; malformed frames refuse") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val data = ("lz4 framed payload " * 200).getBytes("UTF-8")
+    val block = factory.fastCompressor().compress(data)
+    val framed = be32(data.length) ++ be32(block.length) ++ block
+    assert(Lz4.decompressFramed(framed, 0, framed.length, data.length)
+      .exists(java.util.Arrays.equals(_, data)))
+    // two chunks back to back (a >256 KB page would split like this)
+    val twice = framed ++ framed
+    assert(Lz4.decompressFramed(twice, 0, twice.length, 2 * data.length)
+      .exists(java.util.Arrays.equals(_, data ++ data)))
+    // truncated frame header / block, and a size lie
+    assert(Lz4.decompressFramed(framed, 0, 6, data.length).isEmpty)
+    assert(Lz4.decompressFramed(framed, 0, framed.length - 1,
+      data.length).isEmpty)
+    assert(Lz4.decompressFramed(framed, 0, framed.length,
+      data.length + 1).isEmpty)
+  }
+}

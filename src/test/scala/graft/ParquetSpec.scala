@@ -137,8 +137,11 @@ class ParquetSpec extends SparkSpec {
     "dictionaries") {
     import spark.implicits._
     // zstd: parquet-mr writes through zstd-jni (libzstd, the reference
-    // implementation) — the engine's own RFC 8878 decoder must agree
-    for (codec <- Seq("gzip", "snappy", "zstd", "none")) {
+    // implementation) — the engine's own RFC 8878 decoder must agree.
+    // lz4 (codec 5, Hadoop BE32 framing) and lz4_raw (codec 7, bare
+    // blocks) both route through the engine's own Lz4.
+    for (codec <- Seq("gzip", "snappy", "zstd", "lz4", "lz4_raw",
+      "none")) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"pq_dict_$codec").toString
       // k: scattered small domain (bit-packed indices); r: long runs
@@ -181,9 +184,10 @@ class ParquetSpec extends SparkSpec {
 
   test("DATA_PAGE_V2: parquet-mr's v2 writer (levels outside the " +
     "codec, RLE_DICTIONARY indices, explicit num_nulls) decodes to " +
-    "the same sums, gzip snappy zstd and uncompressed") {
+    "the same sums, gzip snappy zstd lz4 lz4_raw and uncompressed") {
     import spark.implicits._
-    for (codec <- Seq("gzip", "snappy", "zstd", "none")) {
+    for (codec <- Seq("gzip", "snappy", "zstd", "lz4", "lz4_raw",
+      "none")) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"pq_v2_$codec").toString
       spark.range(0, 1500).select(
