@@ -50,7 +50,8 @@ SCHEMA = pa.schema([
 CODECS = ["snappy", "gzip", "none"]
 
 
-def build(recs, codec, use_dict, n_groups, page_version):
+def build(recs, codec, use_dict, n_groups, page_version,
+          column_encoding=None):
     t = pa.table(
         {
             "rec_id": [r[0] for r in recs],
@@ -60,6 +61,9 @@ def build(recs, codec, use_dict, n_groups, page_version):
         schema=SCHEMA,
     )
     buf = io.BytesIO()
+    kwargs = {}
+    if column_encoding is not None:
+        kwargs["column_encoding"] = column_encoding
     pq.write_table(
         t,
         buf,
@@ -68,6 +72,7 @@ def build(recs, codec, use_dict, n_groups, page_version):
         row_group_size=max(1, math.ceil(len(recs) / n_groups)),
         write_statistics=True,
         data_page_version=page_version,
+        **kwargs,
     )
     return buf.getvalue()
 
@@ -167,6 +172,15 @@ def main():
         # pyarrow 'lz4' stamps thrift codec LZ4_RAW (7): bare blocks
         (None, "parquetlz4", "parquet_lz4_files.parquet",
          ["lz4", "lz4", "lz4"]),
+        # parquet_delta_files (q253): the v2 VALUE encodings —
+        # DELTA_BINARY_PACKED ints, DELTA_BYTE_ARRAY strings on even
+        # buckets / DELTA_LENGTH_BYTE_ARRAY on odd, BYTE_STREAM_SPLIT
+        # doubles — across the same codec cycle and v1/v2 page split.
+        # use_dictionary is OFF for all buckets (column_encoding
+        # requires it); the key's parity digit selects the string
+        # encoding instead of the dictionary flag.
+        (None, "parquetdelta", "parquet_delta_files.parquet",
+         CODECS),
     ]:
         files = {}
         for sf in SF_DIRS:
@@ -181,18 +195,29 @@ def main():
                      (doc_id % 16) / 4.0))
             for blob_id, recs in sorted(blobs.items()):
                 codec = codecs[blob_id % 3]
-                use_dict = blob_id % 2 == 0
+                parity = blob_id % 2 == 0
                 pv = page_version if page_version is not None else \
                     ("1.0" if blob_id % 6 < 3 else "2.0")
+                if tag == "parquetdelta":
+                    use_dict = False
+                    enc = {
+                        "rec_id": "DELTA_BINARY_PACKED",
+                        "payload": "DELTA_BYTE_ARRAY" if parity
+                        else "DELTA_LENGTH_BYTE_ARRAY",
+                        "score": "BYTE_STREAM_SPLIT",
+                    }
+                else:
+                    use_dict = parity
+                    enc = None
                 key = hashlib.md5(
-                    (f"{tag}:{codec}:{int(use_dict)}:" +
+                    (f"{tag}:{codec}:{int(parity)}:" +
                      ",".join(f"{r[0]}={r[1] if r[1] is not None else 'NULL'}"
                               for r in recs)).encode()
                 ).hexdigest()
                 if key in files:
                     continue
                 files[key] = build(recs, codec, use_dict,
-                                   1 + blob_id % 3, pv)
+                                   1 + blob_id % 3, pv, enc)
         out = Path("fixtures")
         out.mkdir(exist_ok=True)
         keys = sorted(files)

@@ -1401,6 +1401,18 @@ object IngestionQueries {
         "/root/repo/fixtures/parquet_lz4_files.parquet",
         "parquetlz4", headline = false,
         codecs = Seq("lz4", "lz4", "lz4")),
+      // q253 — the v2 VALUE encodings, no dictionary anywhere:
+      // DELTA_BINARY_PACKED rec_ids (zigzag ULEB128 header +
+      // bit-packed miniblock deltas), DELTA_BYTE_ARRAY payloads on
+      // even buckets (prefix-compressed: TWO chained delta blocks) /
+      // DELTA_LENGTH_BYTE_ARRAY on odd, BYTE_STREAM_SPLIT scores
+      // (byte-transposed doubles), across snappy/gzip/none AND the
+      // v1/v2 page split — what parquet-mr v2 writes once a
+      // dictionary overflows, so a reader without these encodings
+      // silently loses exactly the high-cardinality columns.
+      "q253_parquet_delta_scan" -> scanDef(
+        "/root/repo/fixtures/parquet_delta_files.parquet",
+        "parquetdelta", headline = false),
       q246, q248, q249)
   }
 

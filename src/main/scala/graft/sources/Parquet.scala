@@ -51,6 +51,16 @@ object Parquet {
   val EncPlain = 0; val EncPlainDict = 2; val EncRle = 3
   val EncRleDict = 8
 
+  /** The v2 value encodings (Encodings.md): DELTA_BINARY_PACKED is
+    * what parquet-mr's v2 writer emits for ints once a dictionary
+    * overflows, DELTA_BYTE_ARRAY its string twin (prefix-compressed),
+    * DELTA_LENGTH_BYTE_ARRAY the flat-length variant, and
+    * BYTE_STREAM_SPLIT the transposed float layout scientific
+    * datasets ship (better compression of exponent bytes).
+    */
+  val EncDeltaBinPacked = 5; val EncDeltaLenBA = 6
+  val EncDeltaBA = 7; val EncByteStreamSplit = 9
+
   // ---- thrift compact protocol ----------------------------------------
   // Damage is signalled by one private, stackless exception: the walk
   // below is deeply recursive (struct skipping), and threading Options
@@ -553,6 +563,79 @@ object Parquet {
             addVal(dict(k)); i += 1
           }
           true
+        case EncDeltaBinPacked
+          if col.physType == PhysInt32 || col.physType == PhysInt64 =>
+          val (arr, end) = deltaBinPacked(raw, off, present)
+          if (end != raw.length) return false
+          var i = 0
+          while (i < present) {
+            val v = arr(i)
+            // INT32 deltas wrap at 32 bits: a value outside the range
+            // means either corruption or a 64-bit stream mislabeled
+            if (col.physType == PhysInt32 &&
+              (v < Int.MinValue || v > Int.MaxValue)) return false
+            addVal(v); i += 1
+          }
+          true
+        case EncDeltaLenBA if col.physType == PhysByteArray =>
+          // DELTA_BINARY_PACKED lengths, then the concatenated bytes
+          val (lens, dataOff) = deltaBinPacked(raw, off, present)
+          var totalBytes = 0L
+          var i = 0
+          while (i < present) {
+            if (lens(i) < 0) return false
+            totalBytes += lens(i); i += 1
+          }
+          if (dataOff.toLong + totalBytes != raw.length) return false
+          i = 0
+          while (i < present) { addVal(lens(i)); i += 1 }
+          true
+        case EncDeltaBA if col.physType == PhysByteArray =>
+          // prefix lengths + suffix lengths + concatenated suffixes;
+          // value i = value[i-1].take(prefix(i)) ++ suffix(i). The
+          // byte-length fold needs only prefix+suffix sums, but the
+          // prefix chain is still validated (a prefix longer than the
+          // previous value is malformation).
+          val (pre, sufOff) = deltaBinPacked(raw, off, present)
+          val (suf, dataOff) = deltaBinPacked(raw, sufOff, present)
+          var totalBytes = 0L
+          var prevLen = 0L
+          var i = 0
+          while (i < present) {
+            if (pre(i) < 0 || suf(i) < 0) return false
+            if (i == 0 && pre(i) != 0) return false
+            if (pre(i) > prevLen) return false
+            prevLen = pre(i) + suf(i)
+            totalBytes += suf(i)
+            i += 1
+          }
+          if (dataOff.toLong + totalBytes != raw.length) return false
+          i = 0
+          while (i < present) { addVal(pre(i) + suf(i)); i += 1 }
+          true
+        case EncByteStreamSplit
+          if col.physType == PhysFloat || col.physType == PhysDouble ||
+            col.physType == PhysInt32 || col.physType == PhysInt64 =>
+          // k byte-streams of `present` bytes each (k = type width):
+          // value i is stream0(i) | stream1(i)<<8 | ... little-endian
+          val width = col.physType match {
+            case PhysFloat | PhysInt32 => 4
+            case _ => 8
+          }
+          if (raw.length - off != present.toLong * width) return false
+          var i = 0
+          while (i < present) {
+            var v = 0L
+            var k = 0
+            while (k < width) {
+              v |= (raw(off + k * present + i) & 0xffL) << (8 * k)
+              k += 1
+            }
+            // INT32 carries sign, FLOAT raw bits (addVal decides)
+            if (col.physType == PhysInt32) v = v.toInt.toLong
+            addVal(v); i += 1
+          }
+          true
         case _ => false
       }
 
@@ -735,6 +818,92 @@ object Parquet {
     * byte-length prefix, then RLE/bit-packed hybrid runs. Returns the
     * level per value slot and the offset where values start.
     */
+  /** DELTA_BINARY_PACKED (Encodings.md): ULEB128 header
+    * `<blockSize> <miniblocksPerBlock> <totalCount> <zigzag first>`,
+    * then per block `<zigzag minDelta> <miniblock bit widths> <LSB-
+    * first bit-packed (delta - minDelta) miniblocks>`. Returns the
+    * decoded values and the END offset (the trailing partial block is
+    * consumed in full — writers pad it, and the next section starts
+    * after the padding). `n` is the caller's presence count; a header
+    * claiming a different total is malformation, as are a block size
+    * not a positive multiple of 128, a miniblock size not a multiple
+    * of 32, or a bit width over 64.
+    */
+  private def deltaBinPacked(raw: Array[Byte], off: Int,
+                             n: Int): (Array[Long], Int) = {
+    if (n < 0 || n > MaxPageValues) damage()
+    var p = off
+    def uleb(): Long = {
+      var v = 0L; var shift = 0; var cont = true
+      while (cont) {
+        if (p >= raw.length || shift > 63) damage()
+        val x = raw(p) & 0xff; p += 1
+        v |= (x & 0x7fL) << shift; shift += 7
+        cont = (x & 0x80) != 0
+      }
+      v
+    }
+    def zigzag(): Long = { val u = uleb(); (u >>> 1) ^ -(u & 1L) }
+    val blockSize = uleb()
+    val numMini = uleb()
+    val total = uleb()
+    val first = zigzag()
+    if (blockSize <= 0 || blockSize % 128 != 0 ||
+      blockSize > MaxPageValues) damage()
+    if (numMini <= 0 || blockSize % numMini != 0) damage()
+    val miniSize = (blockSize / numMini).toInt
+    if (miniSize % 32 != 0) damage()
+    if (total != n.toLong) damage()
+    val out = new Array[Long](n)
+    if (n > 0) out(0) = first
+    var got = math.min(1, n)
+    while (got < n) {
+      val minDelta = zigzag()
+      val nm = numMini.toInt
+      val widths = new Array[Int](nm)
+      var i = 0
+      while (i < nm) {
+        if (p >= raw.length) damage()
+        widths(i) = raw(p) & 0xff; p += 1
+        i += 1
+      }
+      i = 0
+      while (i < nm) {
+        // Encodings.md: in the last block, UNNEEDED miniblocks keep
+        // their width byte (arbitrary value — only validate widths we
+        // use) but their payloads are ABSENT
+        if (got < n) {
+          val w = widths(i)
+          if (w > 64) damage()
+          // miniSize is a multiple of 32, so the payload is exact bytes
+          val bytes = miniSize / 8 * w
+          if (p + bytes > raw.length || p + bytes < 0) damage()
+          var j = 0
+          var bitPos = 0
+          while (j < miniSize) {
+            if (got < n) {
+              var v = 0L
+              var k = 0
+              while (k < w) {
+                val bit = bitPos + k
+                v |= (((raw(p + (bit >> 3)) & 0xff) >> (bit & 7)) & 1)
+                  .toLong << k
+                k += 1
+              }
+              out(got) = out(got - 1) + minDelta + v
+              got += 1
+            }
+            bitPos += w
+            j += 1
+          }
+          p += bytes
+        }
+        i += 1
+      }
+    }
+    (out, p)
+  }
+
   private def readDefLevelsV1(raw: Array[Byte],
                               numValues: Int): (Array[Int], Int) = {
     if (raw.length < 4) damage()

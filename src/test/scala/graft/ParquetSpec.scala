@@ -500,6 +500,50 @@ class ParquetSpec extends SparkSpec {
     assert(Parquet.decodeChunk(twoDicts, twoDictCol, 0).isEmpty)
   }
 
+  test("v2 delta encodings: parquet-mr with dictionary OFF writes " +
+    "DELTA_BINARY_PACKED ints and DELTA_BYTE_ARRAY strings — decoded " +
+    "sums equal the source rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_delta").toString
+    spark.range(0, 3000).select(
+      ($"id" * 2654435761L % 1000003L - 5000L).as("k"), // sign + spread
+      org.apache.spark.sql.functions.when($"id" % 9 =!= 0,
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("prefix-shared-"),
+          $"id")).as("s"))
+      .coalesce(1).write
+      .option("compression", "snappy")
+      .option("parquet.writer.version", "v2")
+      .option("parquet.enable.dictionary", "false")
+      .mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val fm = Parquet.parseFooter(bytes).getOrElse(fail("must parse"))
+    // the footer must CLAIM the delta encodings (else this pin is vacuous)
+    val kCols = fm.rowGroups.flatMap(_.cols).filter(_.path == "k")
+    val sCols = fm.rowGroups.flatMap(_.cols).filter(_.path == "s")
+    assert(kCols.exists(_.encodings.contains(Parquet.EncDeltaBinPacked)),
+      s"k encodings: ${kCols.map(_.encodings)}")
+    assert(sCols.exists(_.encodings.contains(Parquet.EncDeltaBA)),
+      s"s encodings: ${sCols.map(_.encodings)}")
+    val levels = fm.leafLevels
+    var kSum = 0L; var sLen = 0L
+    for (rg <- fm.rowGroups; c <- rg.cols) {
+      val d = Parquet.decodeChunk(bytes, c, levels(c.path)._1)
+        .getOrElse(fail(s"delta chunk ${c.path} must decode"))
+      assert(d.numValues == c.numValues)
+      c.path match {
+        case "k" => kSum += d.longSum
+        case "s" => sLen += d.binLenSum
+      }
+    }
+    assert(kSum == (0L until 3000L).map(i =>
+      i * 2654435761L % 1000003L - 5000L).sum)
+    assert(sLen == (0L until 3000L).filter(_ % 9 != 0).map(i =>
+      s"prefix-shared-$i".length.toLong).sum)
+  }
+
   test("zstd page damage fails closed: flipped payload bytes, " +
     "truncated frames, multi-frame payloads — None, never a throw") {
     // a real zstd fixture chunk decodes, then refuses once touched
