@@ -235,7 +235,123 @@ object IngestionQueries {
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
   ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ parquetDictDefs ++
-    bz2Defs ++ zstdDefs
+    deltaLogDefs ++ bz2Defs ++ zstdDefs
+
+  // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:
+  // table state is not a directory listing but the last-wins replay of
+  // add/remove actions over a _delta_log of newline-delimited JSON
+  // commits (public PROTOCOL.md, delta-io/delta). At 100 TB the log IS
+  // the table: a naive reader that lists data files reads removed
+  // (compacted-away) bytes and double-counts re-added paths. The
+  // engine replays the log RELATIONALLY — explode(lines) + from_json +
+  // a last-wins row_number window over (table, path), all codegen'd
+  // Catalyst ops on metadata-sized rows — then decodes only the
+  // SURVIVING parquet files with its own byte-level reader in scan
+  // tasks. The fixture's three commits bait both failure modes: a
+  // removed file (commit 1) and a re-added path (commit 2).
+  private def deltaLogDefs: Seq[(String, QueryDef)] = {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val Fixture = "/root/repo/fixtures/delta_log_files.parquet"
+    val q254 = "q254_delta_log_replay" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("deltalog:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        val files = keys
+          .join(broadcast(s.read.parquet(Fixture)), "blob_key")
+          .select(col("blob_id"), col("rel_path"), col("kind"),
+            col("file_bytes"))
+        // ---- log replay: pure relational ops on metadata rows ------
+        val actionSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "add STRUCT<path: STRING, size: BIGINT>, " +
+            "remove STRUCT<path: STRING>, " +
+            "metaData STRUCT<id: STRING>, " +
+            "protocol STRUCT<minReaderVersion: INT>")
+        val logLines = files.filter(col("kind") === "log")
+          .select(col("blob_id"),
+            regexp_extract(col("rel_path"), "(\\d+)\\.json$", 1)
+              .cast("long").as("version"),
+            explode(split(decode(col("file_bytes"), "UTF-8"), "\n"))
+              .as("line"))
+          .filter(length(trim(col("line"))) > 0)
+          .select(col("blob_id"), col("version"),
+            from_json(col("line"), actionSchema).as("a"))
+        val commits = logLines.groupBy(col("blob_id"))
+          .agg(countDistinct(col("version")).as("n_commits"))
+        val fileActs = logLines
+          .filter(col("a.add.path").isNotNull ||
+            col("a.remove.path").isNotNull)
+          .select(col("blob_id"), col("version"),
+            coalesce(col("a.add.path"), col("a.remove.path"))
+              .as("rel_path"),
+            col("a.add.path").isNotNull.as("is_add"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blob_id"), col("rel_path"))
+          .orderBy(col("version").desc)
+        val active = fileActs
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("is_add"))
+          .select(col("blob_id"), col("rel_path"))
+        // ---- decode ONLY the surviving files (scan-task work) ------
+        val decoded = active
+          .join(files.filter(col("kind") === "data"),
+            Seq("blob_id", "rel_path"))
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+              val levels = fm.leafLevels
+              var rows = 0L; var idSum = 0L; var scoreSum = 0.0
+              var ok = true
+              for (rg <- fm.rowGroups; c <- rg.cols) {
+                levels.get(c.path).flatMap(l =>
+                  graft.sources.Parquet.decodeChunk(bytes, c, l._1))
+                match {
+                  case Some(d) => c.path match {
+                    case "rec_id" =>
+                      rows += d.numValues; idSum += d.longSum
+                    case "score" => scoreSum += d.doubleSum
+                    case _ => ok = false
+                  }
+                  case None => ok = false
+                }
+              }
+              if (ok) Seq((blobId, 1L, rows, idSum, scoreSum)) else Nil
+            }
+          }.toDF("blob_id", "nf", "rows", "id_sum", "score_sum")
+          .groupBy("blob_id")
+          .agg(sum("nf").as("n_active_files"),
+            sum("rows").as("rows_decoded"),
+            sum("id_sum").as("id_sum"), sum("score_sum").as("score_sum"))
+        decoded.join(commits, "blob_id")
+          .select(col("blob_id"), col("n_commits").cast("long"),
+            col("n_active_files").cast("long"), col("rows_decoded"),
+            col("id_sum"), col("score_sum"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id,
+                 (doc_id // 6) % 3 AS part
+          FROM documents)
+        SELECT blob_id,
+               CAST(3 AS BIGINT) AS n_commits,
+               CAST(2 AS BIGINT) AS n_active_files,
+               CAST(sum(CASE WHEN part <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rows_decoded,
+               CAST(sum(CASE WHEN part <> 1 THEN doc_id END)
+                 AS BIGINT) AS id_sum,
+               sum(CASE WHEN part <> 1
+                   THEN (doc_id % 48) / 8.0 END) AS score_sum
+        FROM r GROUP BY blob_id"""))
+    Seq(q254)
+  }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
   // ONE GZIP MEMBER PER WARC RECORD, concatenated. The CDX index that
