@@ -155,8 +155,103 @@ def typed_main():
           f"({sum(len(v) for v in files.values())} bytes)")
 
 
+LIST_SCHEMA = pa.schema([
+    pa.field("rec_id", pa.int64(), nullable=False),
+    # embeddings shape: nullable list, REQUIRED float elements
+    # (maxDef 2, maxRep 1)
+    pa.field("emb", pa.list_(
+        pa.field("element", pa.float32(), nullable=False)),
+        nullable=True),
+    # token-list shape: nullable list, NULLABLE int64 elements
+    # (maxDef 3, maxRep 1)
+    pa.field("toks", pa.list_(
+        pa.field("element", pa.int64(), nullable=True)),
+        nullable=True),
+])
+
+
+def emb_of(d):
+    """doc_id % 13 == 0 -> NULL list; % 11 == 0 -> EMPTY list; else
+    1 + d % 5 dyadic floats."""
+    if d % 13 == 0:
+        return None
+    if d % 11 == 0:
+        return []
+    return [((d * 3 + j * 7) % 128) / 4.0 for j in range(1 + d % 5)]
+
+
+def toks_of(d):
+    """Same null/empty split; elements (d + j) % 1000, with element j
+    NULL when (d + j) % 17 == 0 — exercises def level 2 of 3."""
+    if d % 13 == 0:
+        return None
+    if d % 11 == 0:
+        return []
+    return [None if (d + j) % 17 == 0 else (d + j) % 1000
+            for j in range(1 + d % 7)]
+
+
+def build_list(doc_ids, n_groups, page_version):
+    t = pa.table(
+        {
+            "rec_id": doc_ids,
+            "emb": [emb_of(d) for d in doc_ids],
+            "toks": [toks_of(d) for d in doc_ids],
+        },
+        schema=LIST_SCHEMA,
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t,
+        buf,
+        compression="snappy",
+        row_group_size=max(1, math.ceil(len(doc_ids) / n_groups)),
+        write_statistics=True,
+        data_page_version=page_version,
+    )
+    return buf.getvalue()
+
+
+def list_main():
+    """q255: LIST columns — the 3-level layout embedding arrays and
+    token lists actually ship in. pyarrow defaults (dictionary,
+    snappy); v1 pages for buckets 0-2, DATA_PAGE_V2 for 3-5 (rep
+    levels inside vs outside the codec)."""
+    files = {}
+    for sf in SF_DIRS:
+        p = Path("/root/testdata") / sf / "documents.parquet"
+        if not p.exists():
+            continue
+        q = f"SELECT doc_id FROM '{p}' ORDER BY doc_id"
+        blobs = {}
+        for (doc_id,) in duckdb.sql(q).fetchall():
+            blobs.setdefault(doc_id % 6, []).append(doc_id)
+        for blob_id, ids in sorted(blobs.items()):
+            key = hashlib.md5(
+                ("parquetlist:snappy:" +
+                 ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if key in files:
+                continue
+            pv = "1.0" if blob_id % 6 < 3 else "2.0"
+            files[key] = build_list(ids, 1 + blob_id % 3, pv)
+    out = Path("fixtures")
+    out.mkdir(exist_ok=True)
+    keys = sorted(files)
+    pq.write_table(
+        pa.table({
+            "blob_key": keys,
+            "file_bytes": pa.array([files[k] for k in keys], pa.binary()),
+        }),
+        out / "parquet_list_files.parquet",
+    )
+    print(f"parquet_list_files.parquet: {len(keys)} files "
+          f"({sum(len(v) for v in files.values())} bytes)")
+
+
 def main():
     typed_main()
+    list_main()
     # parquet_zstd_files (q251): page_version None = split by bucket
     # (0-2 v1, 3-5 v2) so the zstd codec crosses BOTH page layouts and
     # both encodings (dictionary by parity, as before). The key does

@@ -1517,6 +1517,94 @@ object IngestionQueries {
         "/root/repo/fixtures/parquet_lz4_files.parquet",
         "parquetlz4", headline = false,
         codecs = Seq("lz4", "lz4", "lz4")),
+      // q255 — LIST columns, the 3-level repeated layout embedding
+      // arrays (list<float>) and token lists (list<int64>) actually
+      // ship in: repetition levels join the page walk (v1: LE32-
+      // prefixed hybrid section BEFORE def levels, inside the codec;
+      // v2: header-sized section OUTSIDE it), definition levels go
+      // multi-bit (maxDef 2 for required elements, 3 for nullable),
+      // and numValues counts LEVEL ENTRIES — null lists, EMPTY lists
+      // and null elements each occupy one. The corpus plants all
+      // three (doc_id % 13 null list, % 11 empty, (d+j) % 17 null
+      // element), so a decoder that conflates "empty" with "null" or
+      // miscounts def==maxDef flips slots or sums. Dictionary-encoded
+      // snappy throughout (pyarrow defaults).
+      "q255_parquet_list_scan" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          val docs = Engine.table(s, dir, "documents")
+            .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+            .as[(Long, Long)]
+          val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            (blobId, md5Hex("parquetlist:snappy:" + ids.mkString(",")))
+          }.toDF("blob_id", "blob_key")
+          keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/parquet_list_files.parquet")), "blob_key")
+            .select(col("blob_id"), col("file_bytes"))
+            .as[(Long, Array[Byte])]
+            .flatMap { case (blobId, bytes) =>
+              graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+                val levels = fm.leafLevels
+                var rows = 0L; var embSlots = 0L; var embSum = 0.0
+                var tokSlots = 0L; var tokSum = 0L
+                var ok = true
+                for (rg <- fm.rowGroups; c <- rg.cols) {
+                  levels.get(c.path).flatMap(l =>
+                    graft.sources.Parquet.decodeChunk(bytes, c, l._1, l._2))
+                  match {
+                    case Some(d) => c.path match {
+                      case "rec_id" => rows += d.numValues
+                      case "emb.list.element" =>
+                        embSlots += d.numValues; embSum += d.doubleSum
+                      case "toks.list.element" =>
+                        tokSlots += d.numValues; tokSum += d.longSum
+                      case _ => ok = false
+                    }
+                    case None => ok = false
+                  }
+                }
+                if (ok) Seq(ParquetListScanRow(blobId, rows, embSlots,
+                  embSum, tokSlots, tokSum))
+                else Nil
+              }
+            }.toDF()
+        },
+        oracle = Some("""
+          WITH r AS (
+            SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+          embs AS ( -- exploded present elements (lists are 1..5 long)
+            SELECT r.blob_id, r.d,
+                   sum(((r.d * 3 + j.i * 7) % 128) / 4.0) AS s
+            FROM r JOIN generate_series(0, 4) j(i) ON j.i <= r.d % 5
+            WHERE r.d % 13 <> 0 AND r.d % 11 <> 0
+            GROUP BY 1, 2),
+          toks AS ( -- lists are 1..7 long; (d+j) % 17 = 0 is a NULL
+            SELECT r.blob_id, r.d,
+                   coalesce(sum(CASE WHEN (r.d + j.i) % 17 <> 0
+                                     THEN (r.d + j.i) % 1000 END), 0) AS s
+            FROM r JOIN generate_series(0, 6) j(i) ON j.i <= r.d % 7
+            WHERE r.d % 13 <> 0 AND r.d % 11 <> 0
+            GROUP BY 1, 2),
+          per AS (
+            SELECT r.blob_id, r.d,
+                   CASE WHEN r.d % 13 = 0 OR r.d % 11 = 0 THEN 1
+                        ELSE 1 + r.d % 5 END AS e_slots,
+                   coalesce(e.s, 0.0) AS e_sum,
+                   CASE WHEN r.d % 13 = 0 OR r.d % 11 = 0 THEN 1
+                        ELSE 1 + r.d % 7 END AS t_slots,
+                   coalesce(t.s, 0) AS t_sum
+            FROM r
+            LEFT JOIN embs e ON r.blob_id = e.blob_id AND r.d = e.d
+            LEFT JOIN toks t ON r.blob_id = t.blob_id AND r.d = t.d)
+          SELECT blob_id,
+                 CAST(count(*) AS BIGINT) AS rows_decoded,
+                 CAST(sum(e_slots) AS BIGINT) AS emb_slots,
+                 sum(e_sum) AS emb_sum,
+                 CAST(sum(t_slots) AS BIGINT) AS tok_slots,
+                 CAST(sum(t_sum) AS BIGINT) AS tok_sum
+          FROM per GROUP BY blob_id""")),
+
       // q253 — the v2 VALUE encodings, no dictionary anywhere:
       // DELTA_BINARY_PACKED rec_ids (zigzag ULEB128 header +
       // bit-packed miniblock deltas), DELTA_BYTE_ARRAY payloads on
@@ -1864,6 +1952,10 @@ object IngestionQueries {
 /** One q248 output row: a column chunk's footer Statistics as the
   * engine decodes them — typed min/max plus null_count.
   */
+private[queries] case class ParquetListScanRow(
+    blob_id: Long, rows_decoded: Long, emb_slots: Long, emb_sum: Double,
+    tok_slots: Long, tok_sum: Long)
+
 private[queries] case class ParquetStatsRow(
     blob_id: Long, rg_idx: Int, col_path: String, null_count: Long,
     min_long: Option[Long], max_long: Option[Long],

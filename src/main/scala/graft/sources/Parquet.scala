@@ -486,15 +486,21 @@ object Parquet {
     * PLAIN and dictionary (PLAIN_DICTIONARY / RLE_DICTIONARY)
     * encodings, none/snappy/gzip codecs — the full matrix both
     * parquet-mr and parquet-cpp write by DEFAULT (dictionary + snappy).
-    * `maxDef` is 0 for a REQUIRED leaf (no level bytes in the page)
-    * and 1 for an OPTIONAL one — derive it from the footer schema's
-    * leaf repetition. When the footer declares a dictionary page the
-    * walk starts there (it precedes the first data page); `nPages`
-    * counts DATA pages. None on nested columns, other
-    * encodings/codecs, or malformation.
+    * `maxDef`/`maxRep` come from the footer schema's leaf walk
+    * ([[FileMeta.leafLevels]]): 0/0 for a REQUIRED flat leaf (no level
+    * bytes in the page), 1/0 for an OPTIONAL one, and up to 7/1 for a
+    * leaf under ONE repeated group — the 3-level LIST layout both
+    * pyarrow and parquet-mr write for array columns (list<float>
+    * embeddings, token lists). `numValues` then counts LEVEL ENTRIES
+    * (a null or empty list occupies one), and the sums run over the
+    * entries whose definition level reaches `maxDef`. Deeper nesting
+    * (maxRep > 1) routes away. When the footer declares a dictionary
+    * page the walk starts there (it precedes the first data page);
+    * `nPages` counts DATA pages. None on other encodings/codecs or
+    * malformation.
     */
   def decodeChunk(b: Array[Byte], col: ColMeta,
-                  maxDef: Int = 0): Option[ChunkValues] = {
+                  maxDef: Int = 0, maxRep: Int = 0): Option[ChunkValues] = {
     try {
       if (col.physType != PhysInt64 && col.physType != PhysDouble &&
         col.physType != PhysByteArray && col.physType != PhysInt32 &&
@@ -502,7 +508,9 @@ object Parquet {
       if (col.codec != CodecNone && col.codec != CodecGzip &&
         col.codec != CodecSnappy && col.codec != CodecZstd &&
         col.codec != CodecLz4 && col.codec != CodecLz4Raw) return None
-      if (maxDef < 0 || maxDef > 1) return None // flat columns only
+      if (maxDef < 0 || maxDef > 7 || maxRep < 0 || maxRep > 1)
+        return None // one repeated level: lists of scalars
+      if (maxRep > maxDef) return None // repeated counts toward def too
       val first =
         if (col.dictPageOffset >= 0) col.dictPageOffset
         else col.dataPageOffset
@@ -660,17 +668,26 @@ object Parquet {
             if (h.numValues <= 0 || h.numValues > MaxPageValues ||
               values + h.numValues > col.numValues) return None
             val raw = pagePayload(b, h, col.codec)
-            // num_values counts nulls too: definition level == maxDef
-            // marks the positions that carry a stored value
-            val (levels, valuesStart) =
-              if (maxDef == 0) (null: Array[Int], 0)
-              else readDefLevelsV1(raw, h.numValues)
+            // num_values counts nulls/empty-lists too: definition
+            // level == maxDef marks the positions that carry a stored
+            // value. Level order in the page: repetition levels (when
+            // maxRep > 0), then definition levels, each LE32-prefixed.
+            var valuesStart = 0
+            if (maxRep > 0) {
+              val (_, repEnd) =
+                readLevelsV1(raw, 0, h.numValues, bitsFor(maxRep))
+              valuesStart = repEnd
+            }
             var present = h.numValues
-            if (levels != null) {
+            if (maxDef > 0) {
+              val (levels, defEnd) =
+                readLevelsV1(raw, valuesStart, h.numValues,
+                  bitsFor(maxDef))
+              valuesStart = defEnd
               present = 0
               var i = 0
               while (i < levels.length) {
-                if (levels(i) == 1) present += 1; i += 1
+                if (levels(i) == maxDef) present += 1; i += 1
               }
             }
             if (!dataValues(raw, valuesStart, h.encoding, present))
@@ -681,28 +698,35 @@ object Parquet {
             // their byte lengths live in the header itself
             if (h.numValues <= 0 || h.numValues > MaxPageValues ||
               values + h.numValues > col.numValues) return None
-            if (h.repLen != 0) return None // flat: no repetition levels
-            if (h.defLen < 0 || h.numNulls < 0 ||
+            if (maxRep == 0 && h.repLen != 0) return None // flat leaf
+            if (h.repLen < 0 || h.defLen < 0 || h.numNulls < 0 ||
               h.numNulls > h.numValues) return None
-            if (h.defLen > h.compressed || h.defLen > h.uncompressed)
+            val levelLen = h.repLen.toLong + h.defLen
+            if (levelLen > h.compressed || levelLen > h.uncompressed)
               return None
+            if (maxRep > 0) // validate the rep-level runs parse
+              readHybrid(b, h.headerEnd, h.headerEnd + h.repLen,
+                bitsFor(maxRep), h.numValues, strict = false)
             val present =
               if (maxDef == 0) {
                 if (h.defLen != 0 || h.numNulls != 0) return None
                 h.numValues
               } else {
-                // v2 def levels: hybrid runs, NO LE32 prefix, bit width 1
-                val levels = readHybrid(b, h.headerEnd,
-                  h.headerEnd + h.defLen, 1, h.numValues, strict = false)
+                // v2 def levels: hybrid runs, NO LE32 prefix
+                val levels = readHybrid(b, h.headerEnd + h.repLen,
+                  h.headerEnd + h.repLen + h.defLen, bitsFor(maxDef),
+                  h.numValues, strict = false)
                 var c = 0
                 var i = 0
-                while (i < levels.length) { if (levels(i) == 1) c += 1; i += 1 }
+                while (i < levels.length) {
+                  if (levels(i) == maxDef) c += 1; i += 1
+                }
                 if (h.numValues - c != h.numNulls) return None
                 c
               }
-            val vOff = h.headerEnd + h.defLen
-            val vCompLen = h.compressed - h.defLen
-            val vWant = h.uncompressed - h.defLen
+            val vOff = h.headerEnd + levelLen.toInt
+            val vCompLen = h.compressed - levelLen.toInt
+            val vWant = h.uncompressed - levelLen.toInt
             val vraw: Array[Byte] =
               if (!h.valuesCompressed || col.codec == CodecNone) {
                 if (vCompLen != vWant) return None
@@ -904,14 +928,23 @@ object Parquet {
     (out, p)
   }
 
-  private def readDefLevelsV1(raw: Array[Byte],
-                              numValues: Int): (Array[Int], Int) = {
-    if (raw.length < 4) damage()
-    val len = (raw(0) & 0xff) | (raw(1) & 0xff) << 8 |
-      (raw(2) & 0xff) << 16 | (raw(3) & 0xff) << 24
-    if (len < 0 || 4 + len > raw.length) damage()
-    val end = 4 + len
-    (readHybrid(raw, 4, end, 1, numValues, strict = false), end)
+  /** Bits needed for levels 0..m (m >= 1). */
+  private def bitsFor(m: Int): Int =
+    32 - Integer.numberOfLeadingZeros(m)
+
+  /** One v1 level section at `off`: LE32 byte-length prefix, then
+    * RLE/bit-packed hybrid runs at the given width. Returns the
+    * decoded levels and the end offset (where the next section — def
+    * levels after rep levels, or values — starts).
+    */
+  private def readLevelsV1(raw: Array[Byte], off: Int, numValues: Int,
+                           width: Int): (Array[Int], Int) = {
+    if (off < 0 || off + 4 > raw.length) damage()
+    val len = (raw(off) & 0xff) | (raw(off + 1) & 0xff) << 8 |
+      (raw(off + 2) & 0xff) << 16 | (raw(off + 3) & 0xff) << 24
+    if (len < 0 || off + 4 + len > raw.length) damage()
+    val end = off + 4 + len
+    (readHybrid(raw, off + 4, end, width, numValues, strict = false), end)
   }
 
   /** RLE / bit-packed hybrid runs (the parquet levels-and-indices

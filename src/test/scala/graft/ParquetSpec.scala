@@ -544,6 +544,62 @@ class ParquetSpec extends SparkSpec {
       s"prefix-shared-$i".length.toLong).sum)
   }
 
+  test("LIST columns: Spark-written array<long> and array<double> " +
+    "(3-level layout, repetition levels) decode — null lists, empty " +
+    "lists and null elements all counted as level entries") {
+    import spark.implicits._
+    for (ver <- Seq("v1", "v2")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"pq_list_$ver").toString
+      spark.range(0, 900).select(
+        $"id",
+        org.apache.spark.sql.functions.when($"id" % 13 =!= 0,
+          org.apache.spark.sql.functions.when($"id" % 11 === 0,
+            org.apache.spark.sql.functions.array().cast("array<bigint>"))
+            .otherwise(org.apache.spark.sql.functions.sequence(
+              org.apache.spark.sql.functions.lit(1L), $"id" % 5 + 1)))
+          .as("xs"))
+        .coalesce(1).write.option("compression", "snappy")
+        .option("parquet.writer.version", ver)
+        .mode("overwrite").parquet(dir)
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+      val fm = Parquet.parseFooter(bytes).getOrElse(fail("must parse"))
+      val levels = fm.leafLevels
+      val leaf = levels.keys.find(_.startsWith("xs.")).getOrElse(
+        fail(s"list leaf missing: ${levels.keys}"))
+      // Spark's 3-level layout: one repeated level; the writer marks
+      // elements nullable (maxDef 3) even though none are null here
+      val (maxDef, maxRep) = levels(leaf)
+      assert(maxRep == 1 && (maxDef == 2 || maxDef == 3),
+        s"$ver levels: ${levels(leaf)}")
+      var slots = 0L; var sum = 0L
+      for (rg <- fm.rowGroups; c <- rg.cols if c.path == leaf) {
+        val d = Parquet.decodeChunk(bytes, c, maxDef, maxRep)
+          .getOrElse(fail(s"list chunk must decode ($ver)"))
+        slots += d.numValues; sum += d.longSum
+      }
+      // null list (id%13==0) -> 1 slot; empty (id%11==0) -> 1 slot;
+      // else 1 + id%5 + 1 - 1 ... sequence(1, id%5+1) has id%5+1 slots
+      val expectSlots = (0 until 900).map { i =>
+        if (i % 13 == 0 || i % 11 == 0) 1L else i % 5 + 1L
+      }.sum
+      val expectSum = (0 until 900).filter(i =>
+        i % 13 != 0 && i % 11 != 0).map(i =>
+        (1L to (i % 5 + 1L)).sum).sum
+      assert(slots == expectSlots, s"$ver slots")
+      assert(sum == expectSum, s"$ver sum")
+      // a flat decode of the same chunk (maxRep = 0) must refuse, not
+      // silently misread the rep-level section as definition levels
+      // (v2 declares the section length in the header, so the misread
+      // is structurally detectable there)
+      for (rg <- fm.rowGroups; c <- rg.cols if c.path == leaf)
+        assert(Parquet.decodeChunk(bytes, c, maxDef, 0).isEmpty ||
+          ver == "v1", s"$ver flat misread")
+    }
+  }
+
   test("zstd page damage fails closed: flipped payload bytes, " +
     "truncated frames, multi-frame payloads — None, never a throw") {
     // a real zstd fixture chunk decodes, then refuses once touched
