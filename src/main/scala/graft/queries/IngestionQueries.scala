@@ -1605,6 +1605,90 @@ object IngestionQueries {
                  CAST(sum(t_sum) AS BIGINT) AS tok_sum
           FROM per GROUP BY blob_id""")),
 
+      // q256 — the STREAMING Delta-log tail, oracle-backed: q254
+      // replays a complete log; this proves the same last-wins
+      // semantics hold when commits ARRIVE one micro-batch at a time
+      // and the verdicts must survive batch boundaries and checkpoint
+      // replay. Three mtimes-ordered commit deliveries bait the
+      // failure modes across batches: commit 1 removes a file added
+      // in commit 0 (state must remember the add to flip it), commit
+      // 2 re-adds a path from commit 0 (n_actions=2 proves both were
+      // seen; a state-losing engine reports 1). Update-mode snapshots
+      // land per batch; current standing = per-key max n_actions.
+      // Drain ×2 from one checkpoint — replay emits nothing.
+      "q256_stream_delta_tail" -> QueryDef(
+        build = (s, dir) => {
+          import org.apache.spark.sql.streaming.Trigger
+          val p = Engine.table(s, dir, "documents")
+            .select((col("doc_id") % 6).as("table_id"),
+              expr("(doc_id DIV 6) % 3").as("part"),
+              (lit(1) + col("n_chars") % 7).as("w"))
+            .groupBy("table_id", "part")
+            .agg(sum(col("w")).cast("long").as("size"))
+            .select(col("table_id"),
+              concat(lit("part-0000"), col("part"),
+                lit("-c000.snappy.parquet")).as("path"),
+              col("part"), col("size"))
+          def act(part: Int, version: Long, isAdd: Boolean) =
+            p.filter(col("part") === part)
+              .select(col("table_id"), col("path"),
+                lit(version).as("version"), lit(isAdd).as("is_add"),
+                (if (isAdd) col("size") else lit(0L)).as("size"))
+          val c0 = act(0, 0L, isAdd = true)
+            .unionByName(act(1, 0L, isAdd = true))
+          val c1 = act(1, 1L, isAdd = false)
+            .unionByName(act(2, 1L, isAdd = true))
+          val c2 = act(0, 2L, isAdd = true) // re-add: last-wins dedup
+          val dv = new StreamDeliveries("graft_q256_delta")
+          dv.land(c0, "c0", 1000000000000L)
+          dv.land(c1, "c1", 1000000060000L)
+          dv.land(c2, "c2", 1000000120000L)
+          val out = s"${dv.root}/out"; val chk = s"${dv.root}/chk"
+          def drain(): Unit = {
+            val stream = s.readStream.schema(c0.schema)
+              .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
+            val q = graft.streaming.StreamOps.deltaStateStream(stream)
+              .toDF()
+              .writeStream.outputMode("update")
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[
+                  org.apache.spark.sql.Row], batchId: Long) =>
+                  batch.write.mode("overwrite")
+                    .parquet(s"$out/batch=$batchId")
+              }
+              .option("checkpointLocation", chk)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          drain()
+          drain() // replay from the same checkpoint: emits nothing
+          val snaps = s.read.parquet(out)
+          val latest = snaps.groupBy(col("table_id"), col("path"))
+            .agg(max(col("n_actions")).as("n_actions"))
+          snaps.join(latest, Seq("table_id", "path", "n_actions"))
+            .select(col("table_id"), col("path"), col("n_actions"),
+              col("last_version"), col("active"), col("size"))
+        },
+        oracle = Some("""
+          WITH w AS (
+            SELECT doc_id % 6 AS table_id, (doc_id // 6) % 3 AS part,
+                   1 + n_chars % 7 AS w
+            FROM documents),
+          p AS (
+            SELECT table_id, part, CAST(sum(w) AS BIGINT) AS size
+            FROM w GROUP BY 1, 2)
+          SELECT table_id,
+                 'part-0000' || part || '-c000.snappy.parquet' AS path,
+                 CAST(CASE WHEN part = 2 THEN 1 ELSE 2 END
+                   AS BIGINT) AS n_actions,
+                 CAST(CASE WHEN part = 0 THEN 2 ELSE 1 END
+                   AS BIGINT) AS last_version,
+                 part <> 1 AS active,
+                 CAST(CASE WHEN part = 1 THEN 0 ELSE size END
+                   AS BIGINT) AS size
+          FROM p""")),
+
       // q253 — the v2 VALUE encodings, no dictionary anywhere:
       // DELTA_BINARY_PACKED rec_ids (zigzag ULEB128 header +
       // bit-packed miniblock deltas), DELTA_BYTE_ARRAY payloads on

@@ -861,6 +861,57 @@ object StreamOps {
       }
   }
 
+  /** One (table, path) standing after a micro-batch: the last-wins
+    * verdict over every add/remove action seen so far.
+    */
+  case class TableFileSnapshot(table_id: Long, path: String,
+                               n_actions: Long, last_version: Long,
+                               active: Boolean, size: Long)
+
+  /** Streaming Delta-log tail — the continuous twin of the q254 batch
+    * replay (delta-io PROTOCOL.md semantics): add/remove actions
+    * stream in commit by commit and the per-(table, path) state is
+    * the LAST-WINS verdict — the action with the highest version
+    * decides whether the path is live and at what size (a remove
+    * zeroes it). Within-batch order is irrelevant and versions may
+    * arrive split across micro-batches: only the max-version action
+    * ever wins, so replay and batch boundaries cannot flip a verdict.
+    * State is one small tuple per path — bounded by the table's file
+    * count (pair with a timeout if the keyspace is unbounded).
+    *
+    * Update mode: each micro-batch emits a refreshed snapshot for the
+    * paths it touched; `n_actions` is the per-key high-water mark, so
+    * the row with the largest `n_actions` is the current standing.
+    * Input needs (`table_id`, `path`, `version`, `is_add`, `size`).
+    * Batch-parity law: after any stream prefix, a path's latest
+    * snapshot equals the q254-style relational replay over the same
+    * actions (pinned in StreamingSpec).
+    */
+  def deltaStateStream(actions: DataFrame): Dataset[TableFileSnapshot] = {
+    val spark = actions.sparkSession
+    import spark.implicits._
+    actions.select(col("table_id").cast("long"),
+        col("path").cast("string"), col("version").cast("long"),
+        col("is_add").cast("boolean"), col("size").cast("long"))
+      .as[(Long, String, Long, Boolean, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[(Long, Long, Boolean, Long), TableFileSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        case ((tbl, path), it, state) =>
+          var (n, ver, active, size) =
+            state.getOption.getOrElse((0L, -1L, false, 0L))
+          it.foreach { case (_, _, v, isAdd, sz) =>
+            n += 1
+            if (v > ver) {
+              ver = v; active = isAdd
+              size = if (isAdd) sz else 0L
+            }
+          }
+          state.update((n, ver, active, size))
+          TableFileSnapshot(tbl, path, n, ver, active, size)
+      }
+  }
+
   /** One packer bucket's open bin (the packStream state). */
   case class PackerState(bin: Long, acc: Long)
 

@@ -283,6 +283,52 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L)._2 == 4 && last(2L)._2 == 3) // n_seen high-water marks
   }
 
+  test("deltaStateStream: last-wins verdicts survive batch splits, " +
+    "out-of-order versions, removes and re-adds") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Boolean, Long)]
+    val acts = input.toDF()
+      .toDF("table_id", "path", "version", "is_add", "size")
+    val q = graft.streaming.StreamOps.deltaStateStream(acts)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("delta_stream").start()
+    // batch 1: adds for a/b; batch 2: remove b + OUT-OF-ORDER stale
+    // add for a (v0 after v1 already seen — must not flip anything);
+    // batch 3: re-add b at v3
+    input.addData(Seq((1L, "a", 1L, true, 100L), (1L, "b", 0L, true, 50L)))
+    q.processAllAvailable()
+    input.addData(Seq((1L, "b", 2L, false, 0L), (1L, "a", 0L, true, 999L)))
+    q.processAllAvailable()
+    input.addData(Seq((1L, "b", 3L, true, 70L)))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("delta_stream")
+      .as[(Long, String, Long, Long, Boolean, Long)].collect()
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, rows) => k -> rows.maxBy(_._3) }
+    // a: stale v0 add arrived after v1 — verdict stays (v1, 100)
+    assert(last((1L, "a")) == ((1L, "a", 2L, 1L, true, 100L)))
+    // b: add v0 -> remove v2 -> re-add v3; all three actions counted
+    assert(last((1L, "b")) == ((1L, "b", 3L, 3L, true, 70L)))
+    // and the standing equals the q254-style relational replay
+    import org.apache.spark.sql.expressions.Window
+    val all = Seq((1L, "a", 1L, true, 100L), (1L, "b", 0L, true, 50L),
+      (1L, "b", 2L, false, 0L), (1L, "a", 0L, true, 999L),
+      (1L, "b", 3L, true, 70L))
+      .toDF("table_id", "path", "version", "is_add", "size")
+    val w = Window.partitionBy($"table_id", $"path")
+      .orderBy($"version".desc)
+    val replay = all.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"table_id", $"path", $"version", $"is_add",
+        when($"is_add", $"size").otherwise(0L).as("size"))
+      .as[(Long, String, Long, Boolean, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    last.foreach { case (k, (_, _, _, ver, active, size)) =>
+      assert(replay(k) == ((ver, active, size)), s"parity at $k")
+    }
+  }
+
   test("stateless curation/encode operators run unchanged on a stream") {
     // The map-side operator families (quality scoring, PII redaction, PQ
     // encoding) are pure projections, so the SAME Column/DataFrame code
