@@ -235,7 +235,166 @@ object IngestionQueries {
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
   ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ parquetDictDefs ++
-    deltaLogDefs ++ bz2Defs ++ zstdDefs
+    deltaLogDefs ++ icebergDefs ++ bz2Defs ++ zstdDefs
+
+  // Iceberg metadata walk (q257/q258) — the OTHER lakehouse format:
+  // a snapshot's file inventory is two layers of Avro (manifest list
+  // -> manifests -> data_file records), decoded here by the engine's
+  // GENERIC schema-driven Avro reader (sources/AvroGeneric.scala +
+  // sources/Json.scala): the embedded writer schema drives the field
+  // walk, so nested records, unions, arrays, named-type reuse and the
+  // empty partition record all decode from first principles. Avro is
+  // not self-delimiting — one mis-sized field desynchronizes every
+  // later record — so the aggregated counts/sums pin the entire walk.
+  // At 100 TB the manifest layer IS how a scan plans: reading ~KBs of
+  // manifests instead of listing millions of files.
+  private def icebergDefs: Seq[(String, QueryDef)] = {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val Fixture = "/root/repo/fixtures/iceberg_meta_files.parquet"
+
+    def tableFiles(s: SparkSession, dir: String) = {
+      import s.implicits._
+      val docs = Engine.table(s, dir, "documents")
+        .select((col("doc_id") % 6).as("table_id"), col("doc_id"),
+          col("n_chars").cast("long"))
+        .as[(Long, Long, Long)]
+      val keys = docs.groupByKey(_._1).mapGroups { (t, it) =>
+        val rows = it.toSeq.sortBy(_._2)
+        (t, md5Hex("iceberg:" +
+          rows.map(r => s"${r._2}=${r._3}").mkString(",")))
+      }.toDF("table_id", "blob_key")
+      keys.join(broadcast(s.read.parquet(Fixture)), "blob_key")
+        .select(col("table_id"), col("rel_path"), col("kind"),
+          col("file_bytes"))
+    }
+
+    val keyCte = s"""
+        r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d, n_chars
+          FROM documents),
+        k AS (
+          SELECT table_id,
+                 md5('iceberg:' || string_agg(d || '=' || n_chars, ','
+                     ORDER BY d)) AS bkey
+          FROM r GROUP BY table_id),
+        p AS (
+          SELECT table_id, (d // 6) % 3 AS part,
+                 CAST(count(*) AS BIGINT) AS rc,
+                 CAST(sum(1 + n_chars % 9) AS BIGINT) AS fs
+          FROM r GROUP BY 1, 2)"""
+
+    val q257 = "q257_iceberg_manifest_list" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val files = tableFiles(s, dir)
+        val lists = files.filter(col("kind") === "list")
+          .select(col("table_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (t, bytes) =>
+            graft.sources.AvroGeneric.parseContainer(bytes).toSeq
+              .flatMap(_.records.map { r =>
+                def i(n: String) = r.field(n).flatMap(_.asLong)
+                  .getOrElse(-1L)
+                (t, r.field("manifest_path").flatMap(_.asString)
+                  .getOrElse(""), i("manifest_length"),
+                  i("added_files_count"), i("existing_files_count"),
+                  i("deleted_files_count"), i("added_rows_count"),
+                  i("existing_rows_count"), i("deleted_rows_count"))
+              })
+          }.toDF("table_id", "rel_path", "declared_len", "af", "ef",
+            "df", "ar", "er", "dr")
+        // bind the layers: declared manifest_length must meet the
+        // actual manifest blob's size, path by path
+        val actual = files.filter(col("kind") === "manifest")
+          .select(col("table_id"), col("rel_path"),
+            length(col("file_bytes")).cast("long").as("actual_len"))
+        lists.join(actual, Seq("table_id", "rel_path"))
+          .groupBy("table_id")
+          .agg(count(lit(1)).as("n_manifests"),
+            sum("af").as("added_files"), sum("ef").as("existing_files"),
+            sum("df").as("deleted_files"), sum("ar").as("added_rows"),
+            sum("er").as("existing_rows"), sum("dr").as("deleted_rows"),
+            sum("declared_len").as("declared_bytes"),
+            sum("actual_len").as("actual_bytes"))
+          .select(col("table_id"), col("n_manifests"),
+            col("added_files"), col("existing_files"),
+            col("deleted_files"), col("added_rows"),
+            col("existing_rows"), col("deleted_rows"),
+            col("declared_bytes"), col("actual_bytes"))
+      },
+      oracle = Some(s"""
+        WITH $keyCte,
+        msz AS (
+          SELECT k.table_id,
+                 CAST(sum(octet_length(f.file_bytes)) AS BIGINT) AS mb,
+                 CAST(count(*) AS BIGINT) AS nm
+          FROM k JOIN read_parquet('$Fixture') f ON k.bkey = f.blob_key
+          WHERE f.kind = 'manifest' GROUP BY 1),
+        agg AS (
+          SELECT table_id,
+                 CAST(sum(CASE WHEN part = 2 THEN rc END) AS BIGINT)
+                   AS ar,
+                 CAST(sum(CASE WHEN part = 0 THEN rc END) AS BIGINT)
+                   AS er,
+                 CAST(sum(CASE WHEN part = 1 THEN rc END) AS BIGINT)
+                   AS dr
+          FROM p GROUP BY table_id)
+        SELECT a.table_id, m.nm AS n_manifests,
+               CAST(1 AS BIGINT) AS added_files,
+               CAST(1 AS BIGINT) AS existing_files,
+               CAST(1 AS BIGINT) AS deleted_files,
+               a.ar AS added_rows, a.er AS existing_rows,
+               a.dr AS deleted_rows,
+               m.mb AS declared_bytes, m.mb AS actual_bytes
+        FROM agg a JOIN msz m ON a.table_id = m.table_id"""))
+
+    val q258 = "q258_iceberg_live_files" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        tableFiles(s, dir).filter(col("kind") === "manifest")
+          .select(col("table_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (t, bytes) =>
+            graft.sources.AvroGeneric.parseContainer(bytes).toSeq
+              .flatMap(_.records.map { r =>
+                val status = r.field("status").flatMap(_.asLong)
+                  .getOrElse(-1L)
+                val dfRec = r.field("data_file")
+                def i(n: String) = dfRec.flatMap(_.field(n))
+                  .flatMap(_.asLong).getOrElse(-1L)
+                (t, status, i("record_count"), i("file_size_in_bytes"))
+              })
+          }.toDF("table_id", "status", "rc", "fs")
+          .groupBy("table_id")
+          .agg(count(lit(1)).as("n_entries"),
+            sum(when(col("status") =!= 2, 1L).otherwise(0L))
+              .as("n_live"),
+            sum(when(col("status") =!= 2, col("rc")).otherwise(0L))
+              .as("live_rows"),
+            sum(when(col("status") =!= 2, col("fs")).otherwise(0L))
+              .as("live_bytes"),
+            sum(when(col("status") === 2, col("rc")).otherwise(0L))
+              .as("deleted_rows"))
+          .select(col("table_id"), col("n_entries"), col("n_live"),
+            col("live_rows"), col("live_bytes"), col("deleted_rows"))
+      },
+      oracle = Some(s"""
+        WITH $keyCte
+        SELECT table_id,
+               CAST(3 AS BIGINT) AS n_entries,
+               CAST(2 AS BIGINT) AS n_live,
+               CAST(sum(CASE WHEN part <> 1 THEN rc ELSE 0 END)
+                 AS BIGINT) AS live_rows,
+               CAST(sum(CASE WHEN part <> 1 THEN fs ELSE 0 END)
+                 AS BIGINT) AS live_bytes,
+               CAST(sum(CASE WHEN part = 1 THEN rc ELSE 0 END)
+                 AS BIGINT) AS deleted_rows
+        FROM p GROUP BY table_id"""))
+
+    Seq(q257, q258)
+  }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:
   // table state is not a directory listing but the last-wins replay of

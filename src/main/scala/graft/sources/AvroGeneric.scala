@@ -1,0 +1,408 @@
+package graft.sources
+
+import graft.sources.Json._
+
+/** Schema-DRIVEN Avro datum decoding, from scratch — the general
+  * reader [[Avro]]'s fixed-shape walk routes away to. The container
+  * header embeds the writer schema as JSON; this module parses that
+  * schema (through the engine's own [[Json]]) into a type tree and
+  * walks each record's bytes field by field: Avro is not
+  * self-delimiting, so EVERY field must be decoded (or strided) in
+  * writer order — one mis-sized field desynchronizes everything after
+  * it, which is exactly what makes the decoded aggregates a strong
+  * oracle.
+  *
+  * Spec (public Avro 1.11 spec, "Data Serialization"): int/long are
+  * zigzag varints; float/double little-endian IEEE; string/bytes are
+  * length-prefixed; enum is the symbol index; fixed is its declared
+  * width; union is the zigzag branch index then the branch value;
+  * array/map are runs of blocks — COUNT (negative count carries a
+  * block byte size for skipping) then items, terminated by a zero
+  * count. Named-type REFERENCES resolve against previously defined
+  * records/enums/fixeds (Iceberg manifest schemas use "r2"-style
+  * refs). Logical types decode as their underlying primitive.
+  *
+  * The primary consumer is the Iceberg metadata walk (q257/q258):
+  * manifest lists and manifest files ARE Avro containers of nested
+  * records with unions, arrays and key/value maps. Totality law as
+  * everywhere: malformation (bad varints, negative lengths, unknown
+  * union branch, bytes past the block, depth bombs) returns None /
+  * an empty walk, never a throw.
+  */
+object AvroGeneric {
+
+  // ---- schema tree -------------------------------------------------------
+
+  sealed trait Schema
+  case object SNull extends Schema
+  case object SBool extends Schema
+  case object SInt extends Schema
+  case object SLong extends Schema
+  case object SFloat extends Schema
+  case object SDouble extends Schema
+  case object SBytes extends Schema
+  case object SString extends Schema
+  final case class SRecord(name: String,
+                           fields: Vector[(String, Schema)]) extends Schema
+  final case class SEnum(name: String, nSymbols: Int) extends Schema
+  final case class SArray(items: Schema) extends Schema
+  final case class SMap(values: Schema) extends Schema
+  final case class SUnion(branches: Vector[Schema]) extends Schema
+  final case class SFixed(name: String, size: Int) extends Schema
+
+  private final class Bad extends RuntimeException(null, null, false, false)
+  private def bad(): Nothing = throw new Bad
+
+  /** Parse a schema JSON string into the type tree. */
+  def parseSchema(json: String): Option[Schema] =
+    Json.parse(json).flatMap { j =>
+      try {
+        val named = scala.collection.mutable.Map.empty[String, Schema]
+        Some(schemaOf(j, named, 0))
+      } catch { case _: Bad => None }
+    }
+
+  private def schemaOf(j: JValue,
+                       named: scala.collection.mutable.Map[String, Schema],
+                       depth: Int): Schema = {
+    if (depth > 32) bad()
+    j match {
+      case JString(s) => primOrRef(s, named)
+      case JArray(branches) =>
+        SUnion(branches.map(schemaOf(_, named, depth + 1)))
+      case o: JObject =>
+        val t = o.get("type") match {
+          case Some(JString(s)) => s
+          case Some(inner @ (_: JObject | _: JArray)) =>
+            // {"type": {...}} nesting (logical-type wrappers)
+            return schemaOf(inner, named, depth + 1)
+          case _ => bad()
+        }
+        t match {
+          case "record" =>
+            val name = o.get("name") match {
+              case Some(JString(n)) => n
+              case _ => bad()
+            }
+            val fieldsJ = o.get("fields") match {
+              case Some(JArray(fs)) => fs
+              case _ => bad()
+            }
+            // two-phase so self-references inside fields resolve
+            val fields = Vector.newBuilder[(String, Schema)]
+            val rec = SRecord(name, Vector.empty) // placeholder for ref
+            named(name) = rec
+            val resolved = fieldsJ.map {
+              case fo: JObject =>
+                val fn = fo.get("name") match {
+                  case Some(JString(n)) => n
+                  case _ => bad()
+                }
+                val ft = fo.get("type").getOrElse(bad())
+                fn -> schemaOf(ft, named, depth + 1)
+              case _ => bad()
+            }
+            val full = SRecord(name, resolved)
+            named(name) = full
+            full
+          case "enum" =>
+            val name = o.get("name") match {
+              case Some(JString(n)) => n; case _ => bad()
+            }
+            val n = o.get("symbols") match {
+              case Some(JArray(ss)) => ss.length
+              case _ => bad()
+            }
+            val e = SEnum(name, n); named(name) = e; e
+          case "fixed" =>
+            val name = o.get("name") match {
+              case Some(JString(n)) => n; case _ => bad()
+            }
+            val size = o.get("size") match {
+              case Some(JLong(s)) if s >= 0 && s <= (1 << 20) => s.toInt
+              case _ => bad()
+            }
+            val f = SFixed(name, size); named(name) = f; f
+          case "array" =>
+            SArray(schemaOf(o.get("items").getOrElse(bad()), named,
+              depth + 1))
+          case "map" =>
+            SMap(schemaOf(o.get("values").getOrElse(bad()), named,
+              depth + 1))
+          case prim => primOrRef(prim, named)
+        }
+      case _ => bad()
+    }
+  }
+
+  private def primOrRef(
+      s: String,
+      named: scala.collection.mutable.Map[String, Schema]): Schema =
+    s match {
+      case "null" => SNull
+      case "boolean" => SBool
+      case "int" => SInt
+      case "long" => SLong
+      case "float" => SFloat
+      case "double" => SDouble
+      case "bytes" => SBytes
+      case "string" => SString
+      case ref => named.getOrElse(ref, bad())
+    }
+
+  // ---- decoded values ----------------------------------------------------
+
+  sealed trait V {
+    /** Record-field navigation; anything else is None. */
+    def field(name: String): Option[V] = this match {
+      case VRecord(fs) => fs.collectFirst { case (`name`, v) => v }
+      case _ => None
+    }
+    def asLong: Option[Long] = this match {
+      case VLong(v) => Some(v); case _ => None
+    }
+    def asString: Option[String] = this match {
+      case VString(v) => Some(v); case _ => None
+    }
+    def items: Seq[V] = this match {
+      case VArray(xs) => xs; case _ => Nil
+    }
+  }
+  case object VNull extends V
+  final case class VBool(v: Boolean) extends V
+  final case class VLong(v: Long) extends V // int AND long
+  final case class VDouble(v: Double) extends V // float AND double
+  final case class VBytes(n: Int) extends V // length (payload strided)
+  final case class VString(v: String) extends V
+  final case class VEnum(i: Int) extends V
+  final case class VRecord(fields: Vector[(String, V)]) extends V
+  final case class VArray(xs: Vector[V]) extends V
+  final case class VMap(entries: Vector[(String, V)]) extends V
+
+  private val MaxItems = 1 << 22 // per-collection adversarial bound
+
+  /** Decode one datum of `schema` at `pos`; returns (value, nextPos). */
+  private def datum(b: Array[Byte], pos: Int, schema: Schema,
+                    depth: Int): (V, Int) = {
+    if (depth > 48) bad()
+    schema match {
+      case SNull => (VNull, pos)
+      case SBool =>
+        if (pos >= b.length) bad()
+        val x = b(pos) & 0xff
+        if (x > 1) bad()
+        (VBool(x == 1), pos + 1)
+      case SInt | SLong =>
+        val v = Avro.varint(b, pos)
+        if (v == null) bad()
+        (VLong(v._1), v._2)
+      case SFloat =>
+        if (pos + 4 > b.length) bad()
+        val bits = (b(pos) & 0xff) | (b(pos + 1) & 0xff) << 8 |
+          (b(pos + 2) & 0xff) << 16 | (b(pos + 3) & 0xff) << 24
+        (VDouble(java.lang.Float.intBitsToFloat(bits).toDouble), pos + 4)
+      case SDouble =>
+        if (pos + 8 > b.length) bad()
+        var bits = 0L
+        var i = 7
+        while (i >= 0) { bits = (bits << 8) | (b(pos + i) & 0xffL); i -= 1 }
+        (VDouble(java.lang.Double.longBitsToDouble(bits)), pos + 8)
+      case SBytes =>
+        val v = Avro.varint(b, pos)
+        if (v == null || v._1 < 0 || v._2 + v._1 > b.length) bad()
+        (VBytes(v._1.toInt), v._2 + v._1.toInt)
+      case SString =>
+        val v = Avro.varint(b, pos)
+        if (v == null || v._1 < 0 || v._2 + v._1 > b.length) bad()
+        (VString(new String(b, v._2, v._1.toInt,
+          java.nio.charset.StandardCharsets.UTF_8)), v._2 + v._1.toInt)
+      case SEnum(_, n) =>
+        val v = Avro.varint(b, pos)
+        if (v == null || v._1 < 0 || v._1 >= n) bad()
+        (VEnum(v._1.toInt), v._2)
+      case SFixed(_, size) =>
+        if (pos + size > b.length) bad()
+        (VBytes(size), pos + size)
+      case SUnion(branches) =>
+        val v = Avro.varint(b, pos)
+        if (v == null || v._1 < 0 || v._1 >= branches.length) bad()
+        datum(b, v._2, branches(v._1.toInt), depth + 1)
+      case SRecord(_, fields) =>
+        var p = pos
+        val out = Vector.newBuilder[(String, V)]
+        fields.foreach { case (fn, fs) =>
+          val (fv, np) = datum(b, p, fs, depth + 1)
+          out += fn -> fv
+          p = np
+        }
+        (VRecord(out.result()), p)
+      case SArray(items) =>
+        var p = pos
+        val out = Vector.newBuilder[V]
+        var total = 0L
+        var stop = false
+        while (!stop) {
+          val c = Avro.varint(b, p)
+          if (c == null) bad()
+          p = c._2
+          var n = c._1
+          if (n == 0) stop = true
+          else {
+            if (n < 0) { // block-size form: size varint precedes items
+              val sz = Avro.varint(b, p)
+              if (sz == null || sz._1 < 0) bad()
+              p = sz._2
+              n = -n
+            }
+            total += n
+            if (total > MaxItems) bad()
+            var i = 0L
+            while (i < n) {
+              val (v, np) = datum(b, p, items, depth + 1)
+              out += v
+              p = np
+              i += 1
+            }
+          }
+        }
+        (VArray(out.result()), p)
+      case SMap(values) =>
+        var p = pos
+        val out = Vector.newBuilder[(String, V)]
+        var total = 0L
+        var stop = false
+        while (!stop) {
+          val c = Avro.varint(b, p)
+          if (c == null) bad()
+          p = c._2
+          var n = c._1
+          if (n == 0) stop = true
+          else {
+            if (n < 0) {
+              val sz = Avro.varint(b, p)
+              if (sz == null || sz._1 < 0) bad()
+              p = sz._2
+              n = -n
+            }
+            total += n
+            if (total > MaxItems) bad()
+            var i = 0L
+            while (i < n) {
+              val k = Avro.varint(b, p)
+              if (k == null || k._1 < 0 || k._2 + k._1 > b.length) bad()
+              val key = new String(b, k._2, k._1.toInt,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val (v, np) = datum(b, k._2 + k._1.toInt, values, depth + 1)
+              out += key -> v
+              p = np
+              i += 1
+            }
+          }
+        }
+        (VMap(out.result()), p)
+    }
+  }
+
+  /** One generically decoded container: its embedded schema plus every
+    * record, in block order.
+    */
+  final case class Decoded(schemaJson: String, records: Vector[V])
+
+  /** Walk a complete object container generically: magic, metadata
+    * map, sync-verified blocks, each record decoded per the EMBEDDED
+    * schema. None on any malformation — a sync mismatch, undecodable
+    * record, leftover block bytes, unknown codec, or an unparseable
+    * schema. (The fixed-shape [[Avro.parse]] keeps its salvage
+    * semantics; metadata walks want all-or-nothing.)
+    */
+  def parseContainer(b: Array[Byte]): Option[Decoded] = {
+    try {
+      if (b.length < 20 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' ||
+        b(3) != 1) return None
+      var pos = 4
+      var codec = "null"
+      var schemaJson: String = null
+      var mapDone = false
+      while (!mapDone) {
+        val c = Avro.varint(b, pos)
+        if (c == null || c._1 < 0) return None
+        pos = c._2
+        if (c._1 == 0) mapDone = true
+        else {
+          var i = 0L
+          while (i < c._1) {
+            val k = Avro.varint(b, pos)
+            if (k == null || k._1 < 0 || k._2 + k._1 > b.length) return None
+            val key = new String(b, k._2, k._1.toInt,
+              java.nio.charset.StandardCharsets.UTF_8)
+            pos = k._2 + k._1.toInt
+            val v = Avro.varint(b, pos)
+            if (v == null || v._1 < 0 || v._2 + v._1 > b.length) return None
+            val value = new String(b, v._2, v._1.toInt,
+              java.nio.charset.StandardCharsets.UTF_8)
+            pos = v._2 + v._1.toInt
+            if (key == "avro.codec") codec = value
+            if (key == "avro.schema") schemaJson = value
+            i += 1
+          }
+        }
+      }
+      if (schemaJson == null) return None
+      if (codec != "null" && codec != "deflate") return None
+      val schema = parseSchema(schemaJson).getOrElse(return None)
+      if (pos + 16 > b.length) return None
+      val sync = java.util.Arrays.copyOfRange(b, pos, pos + 16)
+      pos += 16
+      val out = Vector.newBuilder[V]
+      while (pos < b.length) {
+        val cnt = Avro.varint(b, pos)
+        if (cnt == null || cnt._1 <= 0) return None
+        val sz = Avro.varint(b, cnt._2)
+        if (sz == null || sz._1 < 0 ||
+          sz._2 + sz._1 + 16 > b.length) return None
+        val dataOff = sz._2
+        val dataLen = sz._1.toInt
+        val raw: Array[Byte] =
+          if (codec == "null")
+            java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
+          else inflateRaw(b, dataOff, dataLen).getOrElse(return None)
+        var rp = 0
+        var i = 0L
+        while (i < cnt._1) {
+          val (v, np) = datum(raw, rp, schema, 0)
+          out += v
+          rp = np
+          i += 1
+        }
+        if (rp != raw.length) return None // leftover bytes = desync
+        val syncAt = dataOff + dataLen
+        var j = 0
+        while (j < 16) {
+          if (b(syncAt + j) != sync(j)) return None
+          j += 1
+        }
+        pos = syncAt + 16
+      }
+      Some(Decoded(schemaJson, out.result()))
+    } catch { case _: Bad => None }
+  }
+
+  private def inflateRaw(b: Array[Byte], off: Int,
+                         len: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, off, len)
+      val bos = new java.io.ByteArrayOutputStream(len * 2 + 64)
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(chunk)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n > 0) bos.write(chunk, 0, n)
+        else if (!inf.finished()) return None
+        if (bos.size() > (1 << 26)) return None // allocation bound
+      }
+      Some(bos.toByteArray)
+    } finally inf.end()
+  }
+}

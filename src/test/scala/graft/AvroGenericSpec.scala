@@ -1,0 +1,165 @@
+package graft
+
+import graft.sources.{Avro, AvroGeneric}
+import graft.sources.AvroGeneric._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the generic schema-driven Avro walk: schema-JSON parsing
+  * (named-type reuse, unions, nesting), datum decode for every type
+  * the spec defines, both array block forms, container framing with
+  * null/deflate codecs, and the damage shapes that must close.
+  */
+class AvroGenericSpec extends AnyFunSuite {
+
+  private def vi(n: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Avro.putVarint(out, n)
+    out.toByteArray
+  }
+  private def str(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8")
+    vi(b.length.toLong) ++ b
+  }
+
+  private val NestedSchema =
+    """{"type":"record","name":"outer","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"opt","type":["null","long"]},
+      |{"name":"kv","type":{"type":"record","name":"pair","fields":[
+      |  {"name":"key","type":"int"},{"name":"value","type":"long"}]}},
+      |{"name":"again","type":["null","pair"]},
+      |{"name":"xs","type":{"type":"array","items":"long"}},
+      |{"name":"m","type":{"type":"map","values":"int"}},
+      |{"name":"flag","type":"boolean"},
+      |{"name":"f","type":"float"},
+      |{"name":"d","type":"double"},
+      |{"name":"raw","type":"bytes"},
+      |{"name":"fx","type":{"type":"fixed","name":"f8","size":8}},
+      |{"name":"e","type":{"type":"enum","name":"col",
+      |  "symbols":["R","G","B"]}}]}""".stripMargin
+
+  private def datumBytes(id: Long): Array[Byte] = {
+    def fLE(v: Float) = {
+      val bits = java.lang.Float.floatToIntBits(v)
+      Array.tabulate[Byte](4)(i => ((bits >> (8 * i)) & 0xff).toByte)
+    }
+    def dLE(v: Double) = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      Array.tabulate[Byte](8)(i => ((bits >> (8 * i)) & 0xff).toByte)
+    }
+    vi(id) ++ str(s"row-$id") ++
+      (if (id % 2 == 0) vi(1) ++ vi(id * 7) else vi(0)) ++ // opt union
+      vi(id % 5) ++ vi(id * 11) ++ // pair record
+      vi(1) ++ vi(3) ++ vi(300 + id) ++ // again: union -> pair ref
+      vi(2) ++ vi(10) ++ vi(20) ++ vi(0) ++ // xs: one block of 2
+      vi(1) ++ str("k") ++ vi(9) ++ vi(0) ++ // m: one entry
+      Array[Byte](if (id % 3 == 0) 1 else 0) ++
+      fLE(1.5f) ++ dLE(-2.25) ++
+      vi(3) ++ Array[Byte](1, 2, 3) ++ // bytes
+      Array.tabulate[Byte](8)(_.toByte) ++ // fixed 8
+      vi(id % 3) // enum
+  }
+
+  private def container(schema: String, datums: Seq[Array[Byte]],
+                        codec: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("Obj".getBytes("US-ASCII")); out.write(1)
+    Avro.putVarint(out, 2L)
+    out.write(str("avro.schema")); out.write(str(schema))
+    out.write(str("avro.codec")); out.write(str(codec))
+    Avro.putVarint(out, 0L)
+    val sync = Array.tabulate[Byte](16)(i => (i * 17).toByte)
+    out.write(sync)
+    var body = datums.toArray.flatten
+    if (codec == "deflate") {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(body); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      body = bos.toByteArray
+    }
+    Avro.putVarint(out, datums.length.toLong)
+    Avro.putVarint(out, body.length.toLong)
+    out.write(body); out.write(sync)
+    out.toByteArray
+  }
+
+  test("every Avro type decodes: nesting, named-type reuse, unions, " +
+    "both codecs — values field-exact") {
+    for (codec <- Seq("null", "deflate")) {
+      val b = container(NestedSchema, (0L until 7L).map(datumBytes), codec)
+      val dec = AvroGeneric.parseContainer(b)
+        .getOrElse(fail(s"must decode ($codec)"))
+      assert(dec.records.length == 7)
+      for ((r, id) <- dec.records.zipWithIndex) {
+        assert(r.field("id").flatMap(_.asLong).contains(id.toLong))
+        assert(r.field("name").flatMap(_.asString).contains(s"row-$id"))
+        val opt = r.field("opt").get
+        if (id % 2 == 0) assert(opt == VLong(id * 7L))
+        else assert(opt == VNull)
+        assert(r.field("kv").flatMap(_.field("value"))
+          .flatMap(_.asLong).contains(id * 11L))
+        assert(r.field("again").flatMap(_.field("value"))
+          .flatMap(_.asLong).contains(300L + id))
+        assert(r.field("xs").get.items == Seq(VLong(10), VLong(20)))
+        assert(r.field("m").get == VMap(Vector("k" -> VLong(9))))
+        assert(r.field("flag").contains(VBool(id % 3 == 0)))
+        assert(r.field("f").contains(VDouble(1.5)))
+        assert(r.field("d").contains(VDouble(-2.25)))
+        assert(r.field("raw").contains(VBytes(3)))
+        assert(r.field("fx").contains(VBytes(8)))
+        assert(r.field("e").contains(VEnum(id % 3)))
+      }
+    }
+  }
+
+  test("negative array count (block-size form) decodes; spec shapes") {
+    val schema =
+      """{"type":"record","name":"a","fields":[
+        |{"name":"xs","type":{"type":"array","items":"long"}}]}"""
+        .stripMargin
+    // count -2 (block-size form), size 2 bytes, items 10 20, end 0
+    val d = vi(-2) ++ vi(2) ++ vi(10) ++ vi(20) ++ vi(0)
+    val b = container(schema, Seq(d), "null")
+    val dec = AvroGeneric.parseContainer(b).getOrElse(fail("must decode"))
+    assert(dec.records.head.field("xs").get.items ==
+      Seq(VLong(10), VLong(20)))
+  }
+
+  test("damage closes: bad union branch, leftover block bytes, " +
+    "truncation, sync flip, bad schema, every-byte-flip never throws") {
+    val good = container(NestedSchema, (0L until 3L).map(datumBytes),
+      "deflate")
+    assert(AvroGeneric.parseContainer(good).isDefined)
+    // union index past the branch list
+    val schema = """{"type":"record","name":"u","fields":[
+      |{"name":"o","type":["null","long"]}]}""".stripMargin
+    assert(AvroGeneric.parseContainer(
+      container(schema, Seq(vi(2) ++ vi(5)), "null")).isEmpty,
+      "union branch 2 of 2")
+    // leftover bytes after the declared record count
+    assert(AvroGeneric.parseContainer(
+      container(schema, Seq(vi(0) ++ vi(1) ++ vi(5)), "null")).isEmpty,
+      "leftover bytes")
+    // truncation at every prefix and EVERY single-byte flip: None or
+    // a well-formed decode, never a throw
+    for (cut <- Seq(3, 10, good.length / 2, good.length - 1))
+      assert(AvroGeneric.parseContainer(good.take(cut)).isEmpty,
+        s"cut $cut")
+    for (i <- good.indices) {
+      val bad = good.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      AvroGeneric.parseContainer(bad) // must not throw
+    }
+    // unparseable schema JSON
+    assert(AvroGeneric.parseContainer(
+      container("{not json", Seq(vi(1)), "null")).isEmpty)
+    // unknown named ref
+    assert(AvroGeneric.parseContainer(
+      container("""{"type":"record","name":"r","fields":[
+        |{"name":"x","type":"ghost"}]}""".stripMargin,
+        Seq(vi(1)), "null")).isEmpty)
+  }
+}
