@@ -221,9 +221,42 @@ def main():
                 manifest_file_row("m2.avro", len(m2), table_id,
                                   1, 0, 0, rc[2], 0, 0),
             ], sync, "null")
-            files[key] = [("snap-1.avro", "list", snap),
+            # snapshot 2 = a COMPACTION: parts 0+2 rewritten into one
+            # file; m3 carries the ADDED rewrite plus DELETED entries
+            # for the replaced files (the "replace" manifest shape)
+            m3 = container(MANIFEST_ENTRY_SCHEMA, [
+                manifest_entry(1, 0, "part-C.parquet",
+                               rc[0] + rc[2], fs[0] + fs[2]),
+                manifest_entry(2, 0, names[0], rc[0], fs[0]),
+                manifest_entry(2, 2, names[2], rc[2], fs[2]),
+            ], sync, "deflate")
+            snap2 = container(MANIFEST_FILE_SCHEMA, [
+                manifest_file_row("m3.avro", len(m3), table_id,
+                                  1, 0, 2, rc[0] + rc[2], 0,
+                                  rc[0] + rc[2]),
+            ], sync, "null")
+            meta = (
+                '{"format-version":2,'
+                f'"table-uuid":"{key[:8]}-0000-4000-8000-{key[8:20]}",'
+                f'"location":"s3://corpus/t{table_id}",'
+                '"last-sequence-number":2,'
+                '"current-snapshot-id":2,'
+                '"snapshots":['
+                '{"snapshot-id":1,"sequence-number":1,'
+                '"timestamp-ms":1700000000000,'
+                '"manifest-list":"snap-1.avro",'
+                '"summary":{"operation":"append"}},'
+                '{"snapshot-id":2,"sequence-number":2,'
+                '"timestamp-ms":1700000001000,'
+                '"manifest-list":"snap-2.avro",'
+                '"summary":{"operation":"replace"}}]}'
+            ).encode("utf-8")
+            files[key] = [("v3.metadata.json", "meta", meta),
+                          ("snap-1.avro", "list", snap),
+                          ("snap-2.avro", "list", snap2),
                           ("m1.avro", "manifest", m1),
-                          ("m2.avro", "manifest", m2)]
+                          ("m2.avro", "manifest", m2),
+                          ("m3.avro", "manifest", m3)]
     out = Path("fixtures")
     out.mkdir(exist_ok=True)
     keys, paths, kinds, blobs_col = [], [], [], []

@@ -289,7 +289,9 @@ object IngestionQueries {
       build = (s, dir) => {
         import s.implicits._
         val files = tableFiles(s, dir)
-        val lists = files.filter(col("kind") === "list")
+        // snapshot 1's list only — q259 does the snapshot-RESOLVED walk
+        val lists = files.filter(col("kind") === "list" &&
+            col("rel_path") === "snap-1.avro")
           .select(col("table_id"), col("file_bytes"))
           .as[(Long, Array[Byte])]
           .flatMap { case (t, bytes) =>
@@ -331,7 +333,8 @@ object IngestionQueries {
                  CAST(sum(octet_length(f.file_bytes)) AS BIGINT) AS mb,
                  CAST(count(*) AS BIGINT) AS nm
           FROM k JOIN read_parquet('$Fixture') f ON k.bkey = f.blob_key
-          WHERE f.kind = 'manifest' GROUP BY 1),
+          WHERE f.kind = 'manifest'
+            AND f.rel_path IN ('m1.avro', 'm2.avro') GROUP BY 1),
         agg AS (
           SELECT table_id,
                  CAST(sum(CASE WHEN part = 2 THEN rc END) AS BIGINT)
@@ -353,7 +356,8 @@ object IngestionQueries {
     val q258 = "q258_iceberg_live_files" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        tableFiles(s, dir).filter(col("kind") === "manifest")
+        tableFiles(s, dir).filter(col("kind") === "manifest" &&
+            col("rel_path").isin("m1.avro", "m2.avro")) // snapshot 1
           .select(col("table_id"), col("file_bytes"))
           .as[(Long, Array[Byte])]
           .flatMap { case (t, bytes) =>
@@ -393,7 +397,106 @@ object IngestionQueries {
                  AS BIGINT) AS deleted_rows
         FROM p GROUP BY table_id"""))
 
-    Seq(q257, q258)
+    // q259 — snapshot RESOLUTION + TIME TRAVEL, the full three-layer
+    // chain: table-metadata JSON (engine's own parser) -> snapshot
+    // list -> each snapshot's manifest list (generic Avro) -> its
+    // manifests -> live data files. Snapshot 2 is a COMPACTION
+    // (parts 0+2 rewritten into one file, DELETED entries for the
+    // replaced ones), so the two snapshots see the SAME live rows
+    // through DIFFERENT file inventories — the time-travel contract.
+    // One table's metadata tree is KB-scale by construction, so the
+    // per-table groupByKey is bounded metadata work (6 groups here;
+    // per-table tasks at production scale), never data movement.
+    val q259 = "q259_iceberg_time_travel" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JArray, JLong, JObject, JString}
+        tableFiles(s, dir)
+          .select(col("table_id"), col("rel_path"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val byPath = it.map(r => r._2 -> r._3).toMap
+            val resolved = for {
+              metaBytes <- byPath.get("v3.metadata.json").toSeq
+              meta <- graft.sources.Json
+                .parse(new String(metaBytes, "UTF-8")).toSeq
+              mo <- (meta match {
+                case o: JObject => Some(o); case _ => None
+              }).toSeq
+              current <- (mo.get("current-snapshot-id") match {
+                case Some(JLong(v)) => Some(v); case _ => None
+              }).toSeq
+              snapsJ <- (mo.get("snapshots") match {
+                case Some(JArray(xs)) => Some(xs); case _ => None
+              }).toSeq
+              snap <- snapsJ
+              so <- (snap match {
+                case o: JObject => Some(o); case _ => None
+              }).toSeq
+              sid <- (so.get("snapshot-id") match {
+                case Some(JLong(v)) => Some(v); case _ => None
+              }).toSeq
+              listPath <- (so.get("manifest-list") match {
+                case Some(JString(p)) => Some(p); case _ => None
+              }).toSeq
+              listBytes <- byPath.get(listPath).toSeq
+              list <- graft.sources.AvroGeneric
+                .parseContainer(listBytes).toSeq
+            } yield {
+              val manifestPaths = list.records.flatMap(
+                _.field("manifest_path").flatMap(_.asString))
+              var nLive = 0L; var liveRows = 0L; var liveBytes = 0L
+              var ok = manifestPaths.nonEmpty
+              manifestPaths.foreach { mp =>
+                byPath.get(mp).flatMap(
+                  graft.sources.AvroGeneric.parseContainer) match {
+                  case Some(m) => m.records.foreach { e =>
+                    val status = e.field("status").flatMap(_.asLong)
+                      .getOrElse(-1L)
+                    val df = e.field("data_file")
+                    def i(n: String) = df.flatMap(_.field(n))
+                      .flatMap(_.asLong).getOrElse(-1L)
+                    if (status != 2L) {
+                      nLive += 1
+                      liveRows += i("record_count")
+                      liveBytes += i("file_size_in_bytes")
+                    }
+                  }
+                  case None => ok = false
+                }
+              }
+              if (ok)
+                Seq((t, sid, sid == current,
+                  manifestPaths.length.toLong, nLive, liveRows,
+                  liveBytes))
+              else Nil
+            }
+            resolved.flatten.iterator
+          }
+          .toDF("table_id", "snapshot_id", "is_current", "n_manifests",
+            "n_live", "live_rows", "live_bytes")
+      },
+      oracle = Some(s"""
+        WITH $keyCte,
+        agg AS (
+          SELECT table_id,
+                 CAST(sum(CASE WHEN part <> 1 THEN rc ELSE 0 END)
+                   AS BIGINT) AS live_rows,
+                 CAST(sum(CASE WHEN part <> 1 THEN fs ELSE 0 END)
+                   AS BIGINT) AS live_bytes
+          FROM p GROUP BY table_id)
+        SELECT table_id, CAST(1 AS BIGINT) AS snapshot_id,
+               FALSE AS is_current, CAST(2 AS BIGINT) AS n_manifests,
+               CAST(2 AS BIGINT) AS n_live, live_rows, live_bytes
+        FROM agg
+        UNION ALL
+        SELECT table_id, CAST(2 AS BIGINT) AS snapshot_id,
+               TRUE AS is_current, CAST(1 AS BIGINT) AS n_manifests,
+               CAST(1 AS BIGINT) AS n_live, live_rows, live_bytes
+        FROM agg"""))
+
+    Seq(q257, q258, q259)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:
