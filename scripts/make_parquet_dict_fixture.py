@@ -249,9 +249,84 @@ def list_main():
           f"({sum(len(v) for v in files.values())} bytes)")
 
 
+DEC_SCHEMA = pa.schema([
+    pa.field("rec_id", pa.int64(), nullable=False),
+    # 18,2 -> 8-byte FLBA; 38,4 -> 16-byte FLBA (sign-extension path)
+    pa.field("price", pa.decimal128(18, 2), nullable=False),
+    pa.field("big", pa.decimal128(38, 4), nullable=False),
+    pa.field("ts", pa.timestamp("us"), nullable=False),
+])
+
+
+def build_dec(doc_ids, n_groups):
+    import datetime
+    import decimal
+    epoch = datetime.datetime(1970, 1, 1)
+    t = pa.table(
+        {
+            "rec_id": doc_ids,
+            "price": [decimal.Decimal(int(d % 100000))
+                      .scaleb(-2) for d in doc_ids],
+            "big": [decimal.Decimal(int(d % 1000000) - 500000)
+                    .scaleb(-4) for d in doc_ids],
+            "ts": [epoch + datetime.timedelta(
+                seconds=1577836800 + int(d % 100000))
+                for d in doc_ids],
+        },
+        schema=DEC_SCHEMA,
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t,
+        buf,
+        compression="snappy",
+        row_group_size=max(1, math.ceil(len(doc_ids) / n_groups)),
+        write_statistics=True,
+        data_page_version="1.0",
+        use_deprecated_int96_timestamps=True,  # the legacy Spark layout
+    )
+    return buf.getvalue()
+
+
+def dec_main():
+    """q260: the WAREHOUSE types — FLBA decimals (8- and 16-byte
+    two's complement, negatives included) and INT96 legacy
+    timestamps, pyarrow defaults otherwise."""
+    files = {}
+    for sf in SF_DIRS:
+        p = Path("/root/testdata") / sf / "documents.parquet"
+        if not p.exists():
+            continue
+        q = f"SELECT doc_id FROM '{p}' ORDER BY doc_id"
+        blobs = {}
+        for (doc_id,) in duckdb.sql(q).fetchall():
+            blobs.setdefault(doc_id % 6, []).append(doc_id)
+        for blob_id, ids in sorted(blobs.items()):
+            key = hashlib.md5(
+                ("parquetdec:snappy:" +
+                 ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if key in files:
+                continue
+            files[key] = build_dec(ids, 1 + blob_id % 3)
+    out = Path("fixtures")
+    out.mkdir(exist_ok=True)
+    keys = sorted(files)
+    pq.write_table(
+        pa.table({
+            "blob_key": keys,
+            "file_bytes": pa.array([files[k] for k in keys], pa.binary()),
+        }),
+        out / "parquet_dec_files.parquet",
+    )
+    print(f"parquet_dec_files.parquet: {len(keys)} files "
+          f"({sum(len(v) for v in files.values())} bytes)")
+
+
 def main():
     typed_main()
     list_main()
+    dec_main()
     # parquet_zstd_files (q251): page_version None = split by bucket
     # (0-2 v1, 3-5 v2) so the zstd codec crosses BOTH page layouts and
     # both encodings (dictionary by parity, as before). The key does

@@ -1951,6 +1951,72 @@ object IngestionQueries {
                    AS BIGINT) AS size
           FROM p""")),
 
+      // q260 — the WAREHOUSE types: FLBA decimals (big-endian two's
+      // complement unscaled values in the footer-declared width — the
+      // 8-byte decimal(18,2) and the 16-byte decimal(38,4) whose
+      // upper bytes are pure sign extension, negatives included) and
+      // INT96 legacy timestamps (LE nanos-of-day + LE Julian day —
+      // what Spark wrote for YEARS and old lakes are full of),
+      // contributing epoch seconds. Money and time are the two
+      // columns a warehouse audit cannot drop.
+      "q260_parquet_decimal_int96_scan" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          val docs = Engine.table(s, dir, "documents")
+            .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+            .as[(Long, Long)]
+          val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            (blobId, md5Hex("parquetdec:snappy:" + ids.mkString(",")))
+          }.toDF("blob_id", "blob_key")
+          keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/parquet_dec_files.parquet")), "blob_key")
+            .select(col("blob_id"), col("file_bytes"))
+            .as[(Long, Array[Byte])]
+            .flatMap { case (blobId, bytes) =>
+              graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+                val levels = fm.leafLevels
+                val widths = fm.leafTypeLengths
+                var rows = 0L; var idSum = 0L
+                var priceUnscaled = 0L; var bigUnscaled = 0L
+                var tsEpoch = 0L
+                var ok = true
+                for (rg <- fm.rowGroups; c <- rg.cols) {
+                  levels.get(c.path).flatMap(l =>
+                    graft.sources.Parquet.decodeChunk(bytes, c, l._1,
+                      l._2, widths.getOrElse(c.path, 0)))
+                  match {
+                    case Some(d) => c.path match {
+                      case "rec_id" =>
+                        rows += d.numValues; idSum += d.longSum
+                      case "price" => priceUnscaled += d.longSum
+                      case "big" => bigUnscaled += d.longSum
+                      case "ts" => tsEpoch += d.longSum
+                      case _ => ok = false
+                    }
+                    case None => ok = false
+                  }
+                }
+                if (ok) Seq((blobId, rows, idSum, priceUnscaled,
+                  bigUnscaled, tsEpoch))
+                else Nil
+              }
+            }.toDF("blob_id", "rows_decoded", "id_sum",
+              "price_unscaled_sum", "big_unscaled_sum", "ts_epoch_sum")
+        },
+        oracle = Some("""
+          WITH r AS (
+            SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+          SELECT blob_id,
+                 CAST(count(*) AS BIGINT) AS rows_decoded,
+                 CAST(sum(d) AS BIGINT) AS id_sum,
+                 CAST(sum(d % 100000) AS BIGINT) AS price_unscaled_sum,
+                 CAST(sum(d % 1000000 - 500000) AS BIGINT)
+                   AS big_unscaled_sum,
+                 CAST(sum(1577836800 + d % 100000) AS BIGINT)
+                   AS ts_epoch_sum
+          FROM r GROUP BY blob_id""")),
+
       // q253 — the v2 VALUE encodings, no dictionary anywhere:
       // DELTA_BINARY_PACKED rec_ids (zigzag ULEB128 header +
       // bit-packed miniblock deltas), DELTA_BYTE_ARRAY payloads on

@@ -27,10 +27,14 @@ package graft.sources
   */
 object Parquet {
 
-  /** Physical types (parquet.thrift `Type`). */
+  /** Physical types (parquet.thrift `Type`). INT96 is the legacy
+    * Spark/Impala timestamp (LE nanos-of-day + LE Julian day); FLBA
+    * is how decimals beyond INT64 range ship (big-endian two's
+    * complement unscaled value in `type_length` bytes).
+    */
   val PhysBool = 0; val PhysInt32 = 1; val PhysInt64 = 2
-  val PhysFloat = 4; val PhysDouble = 5
-  val PhysByteArray = 6
+  val PhysInt96 = 3; val PhysFloat = 4; val PhysDouble = 5
+  val PhysByteArray = 6; val PhysFixed = 7
 
   /** Codecs (parquet.thrift `CompressionCodec`). ZSTD pages route
     * through the engine's own RFC 8878 decoder ([[Zstd]]) — one frame
@@ -173,7 +177,7 @@ object Parquet {
   // ---- parquet footer ---------------------------------------------------
 
   case class SchemaElem(physType: Int, repetition: Int, name: String,
-                        numChildren: Int)
+                        numChildren: Int, typeLength: Int = 0)
   case class ColMeta(physType: Int, encodings: Seq[Int], path: String,
                      codec: Int, numValues: Long, totalUncompressed: Long,
                      totalCompressed: Long, dataPageOffset: Long,
@@ -226,8 +230,17 @@ object Parquet {
       * each element owns the next `numChildren` elements; OPTIONAL adds
       * a definition level, REPEATED adds one of each.
       */
-    def leafLevels: Map[String, (Int, Int)] = {
-      val out = Map.newBuilder[String, (Int, Int)]
+    def leafLevels: Map[String, (Int, Int)] =
+      leafWalk.map { case (p, d, r, _) => p -> ((d, r)) }.toMap
+
+    /** Dotted leaf path → declared `type_length` (FLBA width; 0 for
+      * every other physical type).
+      */
+    def leafTypeLengths: Map[String, Int] =
+      leafWalk.map { case (p, _, _, tl) => p -> tl }.toMap
+
+    private def leafWalk: Seq[(String, Int, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int, Int)]
       var idx = 0
       def walk(prefix: String, defL: Int, repL: Int, root: Boolean): Unit = {
         if (idx >= schema.length) damage()
@@ -239,7 +252,7 @@ object Parquet {
         if (root) {
           var i = 0
           while (i < e.numChildren) { walk("", d, r, root = false); i += 1 }
-        } else if (e.numChildren == 0) out += path -> ((d, r))
+        } else if (e.numChildren == 0) out += ((path, d, r, e.typeLength))
         else {
           var i = 0
           while (i < e.numChildren) { walk(path, d, r, root = false); i += 1 }
@@ -300,9 +313,11 @@ object Parquet {
 
   private def parseSchemaElem(tc: TC): SchemaElem = {
     var typ = -1; var rep = -1; var name = ""; var children = 0
+    var typeLen = 0
     struct(tc, 1) { (id, tpe) =>
       id match {
         case 1 => typ = i32(tc, tpe); true
+        case 2 => typeLen = i32(tc, tpe); true // FIXED_LEN_BYTE_ARRAY
         case 3 => rep = i32(tc, tpe); true
         case 4 => if (tpe != 8) damage(); name = tc.str(); true
         case 5 => children = i32(tc, tpe); true
@@ -310,7 +325,9 @@ object Parquet {
       }
     }
     if (name.isEmpty || children < 0) damage()
-    SchemaElem(typ, rep, name, children)
+    if (typ == PhysFixed && typeLen <= 0) damage() // FLBA needs a width
+    if (typeLen < 0 || typeLen > (1 << 20)) damage()
+    SchemaElem(typ, rep, name, children, typeLen)
   }
 
   private def parseRowGroup(tc: TC): RowGroupMeta = {
@@ -500,11 +517,16 @@ object Parquet {
     * malformation.
     */
   def decodeChunk(b: Array[Byte], col: ColMeta,
-                  maxDef: Int = 0, maxRep: Int = 0): Option[ChunkValues] = {
+                  maxDef: Int = 0, maxRep: Int = 0,
+                  typeLen: Int = 0): Option[ChunkValues] = {
     try {
       if (col.physType != PhysInt64 && col.physType != PhysDouble &&
         col.physType != PhysByteArray && col.physType != PhysInt32 &&
-        col.physType != PhysFloat && col.physType != PhysBool) return None
+        col.physType != PhysFloat && col.physType != PhysBool &&
+        col.physType != PhysInt96 && col.physType != PhysFixed)
+        return None
+      if (col.physType == PhysFixed && (typeLen <= 0 ||
+        typeLen > (1 << 20))) return None // FLBA needs the footer width
       if (col.codec != CodecNone && col.codec != CodecGzip &&
         col.codec != CodecSnappy && col.codec != CodecZstd &&
         col.codec != CodecLz4 && col.codec != CodecLz4Raw) return None
@@ -525,6 +547,8 @@ object Parquet {
 
       def addVal(v: Long): Unit = col.physType match {
         case PhysInt64 | PhysInt32 | PhysBool => longSum += v
+        // INT96 contributes epoch SECONDS, FLBA the unscaled decimal
+        case PhysInt96 | PhysFixed => longSum += v
         case PhysDouble => doubleSum += java.lang.Double.longBitsToDouble(v)
         case PhysFloat =>
           doubleSum += java.lang.Float.intBitsToFloat(v.toInt).toDouble
@@ -537,7 +561,8 @@ object Parquet {
       def dataValues(raw: Array[Byte], off: Int, encoding: Int,
                      present: Int): Boolean = encoding match {
         case EncPlain =>
-          val (arr, end) = plainVals(raw, off, present, col.physType)
+          val (arr, end) = plainVals(raw, off, present, col.physType,
+            typeLen)
           if (end != raw.length) return false // PLAIN pages are exact
           var i = 0
           while (i < present) { addVal(arr(i)); i += 1 }
@@ -660,7 +685,8 @@ object Parquet {
             if (h.numValues < 0) return None
             if (col.physType == PhysBool) return None // spec: no bool dict
             val raw = pagePayload(b, h, col.codec)
-            val (arr, end) = plainVals(raw, 0, h.numValues, col.physType)
+            val (arr, end) = plainVals(raw, 0, h.numValues, col.physType,
+              typeLen)
             if (end != raw.length) return None
             dict = arr
 
@@ -786,15 +812,24 @@ object Parquet {
   /** PLAIN-decode `n` values starting at `off`: per-value sum
     * contributions (INT64/INT32 value sign-extended / DOUBLE raw bits /
     * FLOAT raw bits / BOOLEAN 0|1 from LSB-first bit packing /
-    * BYTE_ARRAY length) and the end offset. Allocation-bounded before
-    * the array exists: the cheapest PLAIN value is 1 bit (boolean),
-    * everything else at least 4 bytes.
+    * BYTE_ARRAY length / INT96 epoch SECONDS / FLBA big-endian two's-
+    * complement unscaled value, which must FIT 64 bits — wider
+    * decimals with pure sign-extension upper bytes decode, anything
+    * else damages rather than silently truncating) and the end
+    * offset. Allocation-bounded before the array exists: the cheapest
+    * PLAIN value is 1 bit (boolean), everything else at least 4 bytes
+    * (INT96 is 12, FLBA its declared width).
     */
   private def plainVals(raw: Array[Byte], off: Int, n: Int,
-                        physType: Int): (Array[Long], Int) = {
+                        physType: Int,
+                        typeLen: Int = 0): (Array[Long], Int) = {
     if (n < 0 || off < 0 || off > raw.length) damage()
     val avail = (raw.length - off).toLong
     if (physType == PhysBool) { if (n.toLong > 8 * avail + 8) damage() }
+    else if (physType == PhysInt96) { if (n.toLong > avail / 12 + 1) damage() }
+    else if (physType == PhysFixed) {
+      if (typeLen <= 0 || n.toLong > avail / typeLen + 1) damage()
+    }
     else if (n.toLong > avail / 4 + 1) damage()
     val arr = new Array[Long](n)
     var p = off
@@ -825,6 +860,39 @@ object Parquet {
           // INT32 carries sign; FLOAT carries raw bits (addVal decides)
           arr(i) = if (physType == PhysInt32) v.toLong else v.toLong & 0xffffffffL
           p += 4
+        case PhysInt96 =>
+          // legacy timestamp: LE64 nanos-of-day, then LE32 Julian day
+          if (p + 12 > raw.length) damage()
+          var nanos = 0L
+          var k = 7
+          while (k >= 0) { nanos = (nanos << 8) | (raw(p + k) & 0xffL); k -= 1 }
+          val jd = (raw(p + 8) & 0xff) | (raw(p + 9) & 0xff) << 8 |
+            (raw(p + 10) & 0xff) << 16 | (raw(p + 11) & 0xff) << 24
+          if (nanos < 0 || nanos >= 86400000000000L) damage()
+          // 2440588 = Julian day of 1970-01-01; contribution = epoch s
+          arr(i) = (jd.toLong - 2440588L) * 86400L + nanos / 1000000000L
+          p += 12
+        case PhysFixed =>
+          if (p + typeLen > raw.length) damage()
+          // big-endian two's complement; must FIT a long — upper bytes
+          // beyond 8 must be pure sign extension of what follows
+          var v = 0L
+          var k = 0
+          val start = math.max(0, typeLen - 8)
+          val sign: Int = if ((raw(p) & 0x80) != 0) 0xff else 0x00
+          while (k < start) {
+            if ((raw(p + k) & 0xff) != sign) damage()
+            k += 1
+          }
+          if (typeLen > 8 && start > 0) {
+            // the 64-bit window's own sign must agree with the bytes
+            // dropped above, or the value silently changed sign
+            if (((raw(p + start) & 0x80) != 0) != (sign == 0xff)) damage()
+          }
+          v = if (sign == 0xff) -1L else 0L
+          while (k < typeLen) { v = (v << 8) | (raw(p + k) & 0xffL); k += 1 }
+          arr(i) = v
+          p += typeLen
         case _ =>
           if (p + 8 > raw.length) damage()
           var v = 0L

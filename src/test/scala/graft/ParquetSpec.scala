@@ -600,6 +600,58 @@ class ParquetSpec extends SparkSpec {
     }
   }
 
+  test("INT96 timestamps and FLBA decimals from Spark-written files " +
+    "(legacy format): epoch-second and unscaled sums exact, " +
+    "negatives included") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_dec").toString
+    val prevTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    val prevLegacy = spark.conf.getOption("spark.sql.parquet.writeLegacyFormat")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+      spark.range(0, 1100).select(
+        $"id",
+        // decimal(20,2): beyond INT64 precision -> FLBA in legacy mode
+        (($"id" % 400) - 150).cast("decimal(20,2)").as("price"),
+        org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.lit(1600000000L) + $"id" % 777)
+          .as("ts"))
+        .coalesce(1).write.option("compression", "snappy")
+        .mode("overwrite").parquet(dir)
+    } finally {
+      prevTs.fold(spark.conf.unset("spark.sql.parquet.outputTimestampType"))(
+        spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+      prevLegacy.fold(spark.conf.unset("spark.sql.parquet.writeLegacyFormat"))(
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", _))
+    }
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val fm = Parquet.parseFooter(bytes).getOrElse(fail("must parse"))
+    val levels = fm.leafLevels
+    val widths = fm.leafTypeLengths
+    val tsCol = fm.rowGroups.head.cols.find(_.path == "ts").get
+    assert(tsCol.physType == Parquet.PhysInt96, "legacy ts layout")
+    val priceCol = fm.rowGroups.head.cols.find(_.path == "price").get
+    assert(priceCol.physType == Parquet.PhysFixed,
+      s"legacy decimal layout, got ${priceCol.physType}")
+    assert(widths("price") > 0)
+    var tsSum = 0L; var priceUnscaled = 0L; var n = 0L
+    for (rg <- fm.rowGroups; c <- rg.cols if c.path != "id") {
+      val d = Parquet.decodeChunk(bytes, c, levels(c.path)._1,
+        levels(c.path)._2, widths(c.path))
+        .getOrElse(fail(s"chunk ${c.path} must decode"))
+      if (c.path == "ts") { tsSum += d.longSum; n += d.numValues }
+      else priceUnscaled += d.longSum
+    }
+    assert(n == 1100)
+    assert(tsSum == (0 until 1100).map(i => 1600000000L + i % 777).sum)
+    // decimal(20,2) unscaled = value * 100
+    assert(priceUnscaled == (0 until 1100).map(i =>
+      (i % 400 - 150) * 100L).sum)
+  }
+
   test("zstd page damage fails closed: flipped payload bytes, " +
     "truncated frames, multi-frame payloads — None, never a throw") {
     // a real zstd fixture chunk decodes, then refuses once touched
