@@ -35,7 +35,20 @@ object Lz4 {
     * `want` bytes.
     */
   def decompressBlock(b: Array[Byte], off: Int, len: Int,
-                      want: Int): Option[Array[Byte]] = {
+                      want: Int): Option[Array[Byte]] =
+    decode(b, off, len, want, exact = true)
+
+  /** Decode ONE raw LZ4 block whose output size is NOT declared
+    * anywhere (ORC's chunk framing): up to `cap` bytes, returning
+    * exactly what the sequences produce. The literals-only
+    * final-sequence law still holds.
+    */
+  def decompressBounded(b: Array[Byte], off: Int, len: Int,
+                        cap: Int): Option[Array[Byte]] =
+    decode(b, off, len, cap, exact = false)
+
+  private def decode(b: Array[Byte], off: Int, len: Int,
+                     want: Int, exact: Boolean): Option[Array[Byte]] = {
     if (off < 0 || len < 0 || want < 0 ||
       off.toLong + len > b.length) return None
     val end = off + len
@@ -63,8 +76,11 @@ object Lz4 {
       System.arraycopy(b, ip, out, op, litLen)
       ip += litLen; op += litLen
       if (ip == end) {
-        // last sequence: literals only, no offset — must land exactly
-        return if (op == want) Some(out) else None
+        // last sequence: literals only, no offset — exact mode must
+        // land on `want`; bounded mode returns what was produced
+        return if (op == want) Some(out)
+        else if (!exact) Some(java.util.Arrays.copyOf(out, op))
+        else None
       }
       // match
       if (ip + 2 > end) return None

@@ -95,4 +95,27 @@ object Snappy {
   /** Whole-array convenience form. */
   def uncompress(b: Array[Byte], want: Int): Option[Array[Byte]] =
     uncompress(b, 0, b.length, want)
+
+  /** Uncompress trusting the block's OWN preamble for the output
+    * size, bounded by `cap` — ORC's chunk framing carries no
+    * uncompressed length, only the codec's. A preamble past the cap
+    * is the adversarial-allocation case and refuses.
+    */
+  def uncompressSelf(b: Array[Byte], off: Int, len: Int,
+                     cap: Int): Option[Array[Byte]] = {
+    if (off < 0 || len < 0 || cap < 0 || off.toLong + len > b.length)
+      return None
+    var declared = 0L
+    var shift = 0
+    var p = off
+    var cont = true
+    while (cont) {
+      if (p >= off + len || shift > 28) return None
+      val x = b(p) & 0xff; p += 1
+      declared |= (x & 0x7fL) << shift; shift += 7
+      cont = (x & 0x80) != 0
+    }
+    if (declared > cap) return None
+    uncompress(b, off, len, declared.toInt)
+  }
 }
