@@ -49,6 +49,14 @@ object AvroGeneric {
   final case class SMap(values: Schema) extends Schema
   final case class SUnion(branches: Vector[Schema]) extends Schema
   final case class SFixed(name: String, size: Int) extends Schema
+  /** Lazy named-type indirection: a field referencing its ENCLOSING
+    * record (recursive schemas) parses while that record's field list
+    * is still being built, so the reference resolves through the
+    * shared name table at DECODE time, when the finished node is
+    * registered. The datum-depth cap bounds recursion in the data.
+    */
+  final case class SRef(name: String,
+                        named: collection.Map[String, Schema]) extends Schema
 
   private final class Bad extends RuntimeException(null, null, false, false)
   private def bad(): Nothing = throw new Bad
@@ -88,10 +96,10 @@ object AvroGeneric {
               case Some(JArray(fs)) => fs
               case _ => bad()
             }
-            // two-phase so self-references inside fields resolve
-            val fields = Vector.newBuilder[(String, Schema)]
-            val rec = SRecord(name, Vector.empty) // placeholder for ref
-            named(name) = rec
+            // two-phase so self-references inside fields resolve — via
+            // a LAZY ref, not a placeholder record (an empty-fields
+            // placeholder would decode zero bytes and desync)
+            named(name) = SRef(name, named)
             val resolved = fieldsJ.map {
               case fo: JObject =>
                 val fn = fo.get("name") match {
@@ -223,6 +231,8 @@ object AvroGeneric {
       case SFixed(_, size) =>
         if (pos + size > b.length) bad()
         (VBytes(size), pos + size)
+      case SRef(n, named) =>
+        datum(b, pos, named.getOrElse(n, bad()), depth + 1)
       case SUnion(branches) =>
         val v = Avro.varint(b, pos)
         if (v == null || v._1 < 0 || v._1 >= branches.length) bad()
@@ -356,7 +366,10 @@ object AvroGeneric {
       val out = Vector.newBuilder[V]
       while (pos < b.length) {
         val cnt = Avro.varint(b, pos)
-        if (cnt == null || cnt._1 <= 0) return None
+        // MaxItems bound: the count is attacker-controlled (up to
+        // 2^63) and a zero-byte datum schema never advances rp, so an
+        // unbounded loop would hang/OOM before the leftover-bytes check
+        if (cnt == null || cnt._1 <= 0 || cnt._1 > MaxItems) return None
         val sz = Avro.varint(b, cnt._2)
         if (sz == null || sz._1 < 0 ||
           sz._2 + sz._1 + 16 > b.length) return None

@@ -72,7 +72,10 @@ object Lz4 {
           if (litLen < 0) return None // Int overflow = forged run
         }
       }
-      if (ip + litLen > end || op + litLen > want) return None
+      // Long comparisons: a forged 255-run can push litLen near
+      // Int.MaxValue, where `ip + litLen` wraps negative and an Int
+      // check would pass straight into the arraycopy
+      if (ip.toLong + litLen > end || op.toLong + litLen > want) return None
       System.arraycopy(b, ip, out, op, litLen)
       ip += litLen; op += litLen
       if (ip == end) {
@@ -97,7 +100,7 @@ object Lz4 {
           if (matchLen < 0) return None
         }
       }
-      if (op + matchLen > want) return None
+      if (op.toLong + matchLen > want) return None
       var src = op - offset
       var i = 0
       while (i < matchLen) { out(op + i) = out(src + i); i += 1 }

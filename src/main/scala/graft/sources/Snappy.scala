@@ -60,7 +60,10 @@ object Snappy {
             if (v > Int.MaxValue - 1) return None
             n = v.toInt + 1
           }
-          if (p + n > end || o + n > want) return None
+          // Long comparisons: a 4-byte length can put n near
+          // Int.MaxValue, where `p + n` wraps negative and a forged
+          // ~12-byte page would slip past an Int bounds check
+          if (p.toLong + n > end || o.toLong + n > want) return None
           System.arraycopy(b, p, out, o, n)
           p += n; o += n
         case c =>

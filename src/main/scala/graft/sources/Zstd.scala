@@ -84,11 +84,11 @@ object Zstd {
             val windowLog = 10 + ((wd >> 3) & 0x1f)
             if (windowLog > 31) damage() // beyond any bounded reader
           }
-          val dictBytes = dictIdFlag match {
-            case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
-          }
-          if (dictBytes > 0) leN(dictBytes) // read + ignore (raw dicts
-          // are out of census scope; the id is not a decode input here)
+          // RFC 8878 §3.1.1: a frame naming a dictionary this reader
+          // does not have MUST error — decoding it anyway can surface
+          // wrong bytes silently when no content-size/checksum pins it.
+          // Dictionary frames are out of census scope, so refuse.
+          if (dictIdFlag != 0) damage()
           val fcsBytes = fcsFlag match {
             case 0 => if (singleSegment) 1 else 0
             case 1 => 2

@@ -162,4 +162,58 @@ class AvroGenericSpec extends AnyFunSuite {
         |{"name":"x","type":"ghost"}]}""".stripMargin,
         Seq(vi(1)), "null")).isEmpty)
   }
+
+  test("recursive record schemas decode: a self-reference resolves to " +
+    "the FINISHED record, not an empty-fields placeholder") {
+    val schema =
+      """{"type":"record","name":"Node","fields":[
+        |{"name":"value","type":"long"},
+        |{"name":"next","type":["null","Node"]}]}""".stripMargin
+    // list 5 -> 6 -> nil
+    val d = vi(5) ++ vi(1) ++ vi(6) ++ vi(0)
+    val dec = AvroGeneric.parseContainer(container(schema, Seq(d), "null"))
+      .getOrElse(fail("recursive container must decode"))
+    val head = dec.records.head
+    assert(head.field("value").flatMap(_.asLong).contains(5L))
+    val next = head.field("next").getOrElse(fail("next"))
+    assert(next.field("value").flatMap(_.asLong).contains(6L))
+    assert(next.field("next").contains(VNull))
+    // depth bomb: a 200-deep list must refuse (depth cap), not blow
+    // the JVM stack
+    val deep = (0 until 200).foldLeft(vi(0)) {
+      (tail, i) => vi(i.toLong) ++ vi(1) ++ tail
+    }
+    assert(AvroGeneric.parseContainer(
+      container(schema, Seq(deep), "null")).isEmpty)
+  }
+
+  test("forged block count with a zero-byte datum schema refuses fast " +
+    "instead of spinning 2^40 zero-advance iterations") {
+    val schema = """{"type":"record","name":"z","fields":[
+      |{"name":"n","type":"null"}]}""".stripMargin
+    // body: count = 2^40 records, size 0 — every datum decodes zero
+    // bytes, so only a count bound stops the loop
+    def handContainer(cnt: Long, nBody: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("Obj".getBytes("US-ASCII")); out.write(1)
+      Avro.putVarint(out, 2L)
+      out.write(str("avro.schema")); out.write(str(schema))
+      out.write(str("avro.codec")); out.write(str("null"))
+      Avro.putVarint(out, 0L)
+      val sync = Array.tabulate[Byte](16)(i => (i * 31).toByte)
+      out.write(sync)
+      Avro.putVarint(out, cnt)
+      Avro.putVarint(out, nBody.toLong)
+      out.write(sync)
+      out.toByteArray
+    }
+    val t0 = System.nanoTime()
+    assert(AvroGeneric.parseContainer(handContainer(1L << 40, 0)).isEmpty)
+    assert((System.nanoTime() - t0) < 2e9, "must refuse fast, not spin")
+    // a MODERATE count of zero-byte records is legal and still decodes
+    val ok = AvroGeneric.parseContainer(handContainer(5L, 0))
+      .getOrElse(fail("legal zero-byte records"))
+    assert(ok.records.length == 5 &&
+      ok.records.forall(_ == VRecord(Vector("n" -> VNull))))
+  }
 }

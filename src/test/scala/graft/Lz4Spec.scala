@@ -126,4 +126,23 @@ class Lz4Spec extends AnyFunSuite {
     assert(Lz4.decompressFramed(framed, 0, framed.length,
       data.length + 1).isEmpty)
   }
+
+  test("forged 255-runs pushing litLen/matchLen to Int.MaxValue refuse " +
+    "(Long bounds — `op + len` must not wrap past the check)") {
+    // 255-run summing to exactly Int.MaxValue: 15 + 255*8421504 + 112
+    val run = Array.fill[Byte](8421504)(0xff.toByte) :+ 112.toByte
+    // seq 1 puts op=5 (1 literal + 4-byte overlap match at offset 1),
+    // so op + Int.MaxValue wraps negative under Int arithmetic
+    val pre = Array[Byte](0x10, 'a', 1, 0)
+    val litForged = pre ++ Array[Byte](0xf0.toByte) ++ run ++
+      Array[Byte]('x')
+    assert(Lz4.decompressBlock(litForged, 0, litForged.length, 200)
+      .isEmpty) // must not throw
+    // match side: token 0x0F after one literal; offset 1; run sums
+    // with the +4 base and low nibble 15 to Int.MaxValue
+    val mRun = Array.fill[Byte](8421504)(0xff.toByte) :+ 108.toByte
+    val matchForged = pre ++ Array[Byte](0x0f, 1, 0) ++ mRun
+    assert(Lz4.decompressBlock(matchForged, 0, matchForged.length, 200)
+      .isEmpty) // must not throw
+  }
 }

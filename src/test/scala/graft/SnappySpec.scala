@@ -135,4 +135,15 @@ class SnappySpec extends AnyFunSuite {
     assert(GSnappy.uncompress(Array.emptyByteArray, 1).isEmpty)
     assert(GSnappy.uncompress(Array.emptyByteArray, 0).isEmpty)
   }
+
+  test("forged 4-byte literal length near Int.MaxValue refuses (Long " +
+    "bounds, no wrap past the check into arraycopy)") {
+    // preamble want=100; 1-byte literal 'a' puts o=1; then tag 0xFC =
+    // literal with 4 trailing LE length bytes, 0x7FFFFFFE -> n =
+    // Int.MaxValue, where BOTH `p + n` and `o + n` wrap negative under
+    // Int arithmetic and would sail past the checks into arraycopy
+    val forged = Array[Byte](100, 0, 'a', 0xfc.toByte, 0xfe.toByte,
+      0xff.toByte, 0xff.toByte, 0x7f, 'x')
+    assert(GSnappy.uncompress(forged, 100).isEmpty) // must not throw
+  }
 }

@@ -210,4 +210,20 @@ class ZstdSpec extends AnyFunSuite {
     // empty input is not a .zst object
     assert(Zstd.walk(Array.emptyByteArray).isEmpty)
   }
+
+  test("a frame naming a dictionary refuses: RFC 8878 requires erroring " +
+    "on an unknown dictionary, not silently decoding wrong bytes") {
+    // singleSegment + dictIdFlag=1, 1-byte dict id 7, FCS 1, one RAW
+    // block of 'x' — byte-valid except for the dictionary claim
+    val h = (1L << 3) | (0L << 1) | 1L
+    val withDict = Array[Byte](0x28, 0xb5.toByte, 0x2f.toByte,
+      0xfd.toByte, 0x21, 7, 1, (h & 0xff).toByte,
+      ((h >> 8) & 0xff).toByte, ((h >> 16) & 0xff).toByte, 'x')
+    assert(Zstd.walk(withDict).isEmpty)
+    // the same frame WITHOUT the dict claim decodes — isolates the cause
+    val noDict = Array[Byte](0x28, 0xb5.toByte, 0x2f.toByte,
+      0xfd.toByte, 0x20, 1, (h & 0xff).toByte,
+      ((h >> 8) & 0xff).toByte, ((h >> 16) & 0xff).toByte, 'x')
+    assert(Zstd.walk(noDict).exists(_.head.decoded.sameElements("x".getBytes)))
+  }
 }
