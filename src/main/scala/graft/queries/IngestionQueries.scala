@@ -612,7 +612,234 @@ object IngestionQueries {
                sum(CASE WHEN part <> 1
                    THEN (doc_id % 48) / 8.0 END) AS score_sum
         FROM r GROUP BY blob_id"""))
-    Seq(q254)
+
+    // Delta CHECKPOINT replay (q261) — how the log is actually read at
+    // scale: real writers collapse the JSON log into
+    // `<version>.checkpoint.parquet` every N commits and vacuum the
+    // older JSON, so replay must start from `_last_checkpoint` ->
+    // checkpoint state and apply only JSON commits AFTER it. The
+    // fixture bakes both worlds: even tables have their pre-checkpoint
+    // JSON deleted (the checkpoint is the ONLY answer), odd tables
+    // keep full JSON so the engine CROSS-CHECKS replay-from-checkpoint
+    // == full-JSON replay (xcheck_ok). Checkpoint decode exercises the
+    // round-12 parquet additions end to end: nested-STRUCT leaves and
+    // the 3-level MAP layout (add.partitionValues carries each file's
+    // partition, and P2's partition value is ONLY recoverable from the
+    // checkpoint's map column — part_sum fails if the map decode is
+    // wrong). All metadata joins/windows run on KB-scale rows per
+    // table (≤ 6 actions, ≤ 4 commits — bounded by the log protocol
+    // itself); file decode stays in scan tasks.
+    val Fixture261 = "/root/repo/fixtures/delta_ckpt_files.parquet"
+    val q261 = "q261_delta_checkpoint_replay" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("deltackpt:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        val files = keys
+          .join(broadcast(s.read.parquet(Fixture261)), "blob_key")
+          .select(col("blob_id"), col("blob_key"), col("rel_path"),
+            col("kind"), col("file_bytes"))
+
+        // _last_checkpoint names the checkpoint version
+        val ckptVer = files.filter(col("kind") === "ckptmeta")
+          .select(col("blob_id"),
+            get_json_object(decode(col("file_bytes"), "UTF-8"),
+              "$.version").cast("long").as("ckpt_version"))
+
+        // checkpoint parquet -> action rows (engine-owned byte reader,
+        // scan-task decode)
+        val ckptActs = files.filter(col("kind") === "ckpt")
+          .select(col("blob_id"), col("blob_key"),
+            regexp_extract(col("rel_path"),
+              "(\\d+)\\.checkpoint\\.parquet$", 1).cast("long")
+              .as("file_version"),
+            col("file_bytes"))
+          .as[(Long, String, Long, Array[Byte])]
+          .flatMap { case (blobId, blobKey, ver, bytes) =>
+            graft.sources.DeltaCheckpoint.parse(bytes).toSeq.flatten
+              .map { a =>
+                (blobId, blobKey, ver, a.addPath, a.addSize,
+                  if (a.addParts != null) a.addParts.getOrElse("part", null)
+                  else null,
+                  if (a.addParts != null) a.addParts.size else -1,
+                  a.removePath, a.metaId, a.minReader)
+              }
+          }.toDF("blob_id", "blob_key", "file_version", "add_path",
+            "add_size", "add_part", "n_part_entries", "remove_path",
+            "meta_id", "min_reader")
+
+        // JSON commits, parsed relationally (as q254)
+        val actionSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "add STRUCT<path: STRING, size: BIGINT, " +
+            "partitionValues: MAP<STRING,STRING>>, " +
+            "remove STRUCT<path: STRING>, " +
+            "metaData STRUCT<id: STRING>, " +
+            "protocol STRUCT<minReaderVersion: INT>")
+        val logLines = files.filter(col("kind") === "log")
+          .select(col("blob_id"),
+            regexp_extract(col("rel_path"), "(\\d+)\\.json$", 1)
+              .cast("long").as("version"),
+            explode(split(decode(col("file_bytes"), "UTF-8"), "\n"))
+              .as("line"))
+          .filter(length(trim(col("line"))) > 0)
+          .select(col("blob_id"), col("version"),
+            from_json(col("line"), actionSchema).as("a"))
+        val jsonFileActs = logLines
+          .filter(col("a.add.path").isNotNull ||
+            col("a.remove.path").isNotNull)
+          .select(col("blob_id"), col("version"),
+            coalesce(col("a.add.path"), col("a.remove.path"))
+              .as("rel_path"),
+            col("a.add.path").isNotNull.as("is_add"),
+            col("a.add.partitionValues").getItem("part").as("part"),
+            col("a.add.size").as("size"))
+
+        // merged replay: checkpoint file-state at its version + the
+        // JSON tail strictly after it, last-wins per (table, path)
+        val ckptFileActs = ckptActs
+          .filter(col("add_path").isNotNull ||
+            col("remove_path").isNotNull)
+          .select(col("blob_id"), col("file_version").as("version"),
+            coalesce(col("add_path"), col("remove_path")).as("rel_path"),
+            col("add_path").isNotNull.as("is_add"),
+            col("add_part").as("part"), col("add_size").as("size"))
+        val tailActs = jsonFileActs.join(ckptVer, "blob_id")
+          .filter(col("version") > col("ckpt_version"))
+          .drop("ckpt_version")
+        val merged = ckptFileActs.unionByName(tailActs)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blob_id"), col("rel_path"))
+          .orderBy(col("version").desc)
+        val active = merged.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("is_add"))
+          .select(col("blob_id"), col("rel_path"), col("part"),
+            col("size"))
+
+        // cross-check: where the FULL JSON survives (version 0
+        // present), replaying it alone must give the same live set
+        val hasFull = logLines.groupBy("blob_id")
+          .agg((min(col("version")) === 0).as("has_full"))
+        val jsonActive = jsonFileActs
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("is_add"))
+          .select(col("blob_id"), col("rel_path"))
+        val mism = active.select(col("blob_id"), col("rel_path"))
+          .withColumn("in_merged", lit(1))
+          .join(jsonActive.withColumn("in_json", lit(1)),
+            Seq("blob_id", "rel_path"), "full_outer")
+          .filter(col("in_merged").isNull || col("in_json").isNull)
+          .groupBy("blob_id").agg(count(lit(1)).as("n_mismatch"))
+        val xcheck = hasFull
+          .join(mism, Seq("blob_id"), "left_outer")
+          .select(col("blob_id"),
+            when(!col("has_full") ||
+              coalesce(col("n_mismatch"), lit(0L)) === 0, 1L)
+              .otherwise(0L).as("xcheck_ok"))
+
+        // checkpoint self-consistency: _last_checkpoint agrees with
+        // the filename, metaData.id is the table id, protocol row
+        // present, each add carries exactly its one partition entry,
+        // and recorded sizes match the live files' actual bytes
+        val consist = ckptActs.join(ckptVer, "blob_id")
+          .groupBy("blob_id")
+          .agg(
+            max(when(col("meta_id") === col("blob_key"), 1L)
+              .otherwise(0L)).as("meta_ok"),
+            max(when(col("file_version") === col("ckpt_version"), 1L)
+              .otherwise(0L)).as("ver_ok"),
+            max(col("min_reader")).as("min_reader"),
+            sum(when(col("add_path").isNotNull &&
+              col("n_part_entries") === 1, 1L).otherwise(0L))
+              .as("n_add_with_part"))
+        val sizeOk = active
+          .join(files.filter(col("kind") === "data"),
+            Seq("blob_id", "rel_path"))
+          .groupBy("blob_id")
+          .agg(sum(when(col("size") === length(col("file_bytes")), 1L)
+            .otherwise(0L)).as("n_size_match"),
+            count(lit(1)).as("n_active_files"))
+
+        // decode ONLY the live files (scan-task work), plus the
+        // partition label carried through the merged state
+        val decoded = active
+          .join(files.filter(col("kind") === "data"),
+            Seq("blob_id", "rel_path"))
+          .select(col("blob_id"), col("part"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .flatMap { case (blobId, part, bytes) =>
+            if (part == null) Nil // lost partition label = malformation
+            else graft.sources.Parquet.parseFooter(bytes).toSeq.flatMap { fm =>
+              val levels = fm.leafLevels
+              var rows = 0L; var idSum = 0L; var scoreSum = 0.0
+              var ok = true
+              for (rg <- fm.rowGroups; c <- rg.cols) {
+                levels.get(c.path).flatMap(l =>
+                  graft.sources.Parquet.decodeChunk(bytes, c, l._1))
+                match {
+                  case Some(d) => c.path match {
+                    case "rec_id" =>
+                      rows += d.numValues; idSum += d.longSum
+                    case "score" => scoreSum += d.doubleSum
+                    case _ => ok = false
+                  }
+                  case None => ok = false
+                }
+              }
+              if (ok) Seq((blobId, part.toLong, rows, idSum, scoreSum))
+              else Nil
+            }
+          }.toDF("blob_id", "part", "rows", "id_sum", "score_sum")
+          .groupBy("blob_id")
+          .agg(sum(col("part")).as("part_sum"),
+            sum(col("rows")).as("rows_decoded"),
+            sum(col("id_sum")).as("id_sum"),
+            sum(col("score_sum")).as("score_sum"))
+
+        val tails = tailActs.groupBy("blob_id")
+          .agg(countDistinct(col("version")).as("n_tail_commits"))
+
+        decoded
+          .join(ckptVer, "blob_id").join(tails, "blob_id")
+          .join(sizeOk, "blob_id").join(consist, "blob_id")
+          .join(xcheck, "blob_id")
+          .select(col("blob_id"), col("ckpt_version"),
+            col("n_tail_commits").cast("long"),
+            col("n_active_files").cast("long"),
+            col("part_sum").cast("long"),
+            col("min_reader").cast("long"),
+            when(col("meta_ok") === 1 && col("ver_ok") === 1 &&
+              col("n_add_with_part") === 2 &&
+              col("n_size_match") === col("n_active_files"), 1L)
+              .otherwise(0L).as("consistency_ok"),
+            col("xcheck_ok"),
+            col("rows_decoded"), col("id_sum"), col("score_sum"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id,
+                 (doc_id // 6) % 3 AS part
+          FROM documents)
+        SELECT blob_id,
+               CAST(2 AS BIGINT) AS ckpt_version,
+               CAST(1 AS BIGINT) AS n_tail_commits,
+               CAST(2 AS BIGINT) AS n_active_files,
+               CAST(3 AS BIGINT) AS part_sum,
+               CAST(1 AS BIGINT) AS min_reader,
+               CAST(1 AS BIGINT) AS consistency_ok,
+               CAST(1 AS BIGINT) AS xcheck_ok,
+               CAST(sum(CASE WHEN part <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rows_decoded,
+               CAST(sum(CASE WHEN part <> 0 THEN doc_id END)
+                 AS BIGINT) AS id_sum,
+               sum(CASE WHEN part <> 0
+                   THEN (doc_id % 48) / 8.0 END) AS score_sum
+        FROM r GROUP BY blob_id"""))
+    Seq(q254, q261)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:

@@ -1,0 +1,183 @@
+package graft.sources
+
+/** Delta-Lake checkpoint parquet assembly (public PROTOCOL.md,
+  * github.com/delta-io/delta, "Checkpoints"): every N commits the
+  * writer collapses the JSON log into `<version>.checkpoint.parquet` —
+  * one row per live action (protocol / metaData / add / remove
+  * tombstone) — and points `_delta_log/_last_checkpoint` at it. Old
+  * JSON is then vacuumed, so a reader that replays JSON from version 0
+  * (q254's shape) breaks on any table old enough to have been cleaned;
+  * the correct read starts from the checkpoint state and applies only
+  * JSON commits after it (q261).
+  *
+  * This module turns checkpoint bytes into action rows using the
+  * engine's own byte-level parquet reader ([[Parquet.readChunkCells]]):
+  * nested-STRUCT leaves (`add.path`, `add.size`, `remove.path`,
+  * `metaData.id`, `protocol.minReaderVersion`) are flat chunks at
+  * maxDef > 1, and `add.partitionValues` is the 3-level MAP layout —
+  * key/value leaves under one repeated group, reassembled per row from
+  * repetition levels (rep == 0 starts a record; Dremel striping per
+  * the parquet format spec). Cross-leaf row counts must agree — the
+  * same slot-accounting law the flat reader holds.
+  *
+  * Totality law (the house posture): any malformation — a leaf
+  * missing from the footer, slot counts disagreeing with the row
+  * group's numRows, a key slot without its entry, leftover present
+  * values — yields None, never a throw and never partial garbage.
+  */
+object DeltaCheckpoint {
+
+  /** One checkpoint row. Exactly one of the action groups is non-null
+    * in a well-formed checkpoint; fields of absent groups are
+    * null / -1.
+    */
+  final case class Act(addPath: String, addSize: Long,
+                       addParts: Map[String, String],
+                       removePath: String, metaId: String,
+                       minReader: Long)
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val MaxRows = 1 << 20 // checkpoints are metadata-sized
+
+  /** Decode a complete checkpoint file into its action rows, in row
+    * order across row groups.
+    */
+  def parse(b: Array[Byte]): Option[Vector[Act]] = {
+    val fm = Parquet.parseFooter(b).getOrElse(return None)
+    val levels = fm.leafLevels
+    val out = Vector.newBuilder[Act]
+    for (rg <- fm.rowGroups) {
+      if (rg.numRows < 0 || rg.numRows > MaxRows) return None
+      val n = rg.numRows.toInt
+
+      def cells(path: String): Option[(Parquet.ChunkCells, Int)] =
+        for {
+          c <- rg.cols.find(_.path == path)
+          dr <- levels.get(path)
+          cc <- Parquet.readChunkCells(b, c, dr._1, dr._2)
+        } yield (cc, dr._1)
+
+      def strCol(path: String): Option[Array[String]] =
+        cells(path).flatMap { case (cc, d) => scalarStrings(cc, d, n) }
+      def longCol(path: String): Option[Array[Long]] =
+        cells(path).flatMap { case (cc, d) => scalarLongs(cc, d, n) }
+
+      val addPath = strCol("add.path").getOrElse(return None)
+      val addSize = longCol("add.size").getOrElse(return None)
+      val remPath = strCol("remove.path").getOrElse(return None)
+      val metaId = strCol("metaData.id").getOrElse(return None)
+      val minReader = longCol("protocol.minReaderVersion")
+        .getOrElse(return None)
+      val parts = (for {
+        (kc, kDef) <- cells("add.partitionValues.key_value.key")
+        (vc, vDef) <- cells("add.partitionValues.key_value.value")
+        m <- mapRows(kc, vc, kDef, vDef, n)
+      } yield m).getOrElse(return None)
+
+      var i = 0
+      while (i < n) {
+        out += Act(
+          addPath(i),
+          if (addPath(i) != null) addSize(i) else -1L,
+          if (addPath(i) != null) parts(i) else null,
+          remPath(i), metaId(i), minReader(i))
+        i += 1
+      }
+    }
+    Some(out.result())
+  }
+
+  /** One slot per row (rep must be 0 throughout); value where the
+    * definition level reaches maxDef, null elsewhere. Present-value
+    * accounting must tile exactly.
+    */
+  private def scalarStrings(cc: Parquet.ChunkCells, maxDef: Int,
+                            n: Int): Option[Array[String]] = {
+    if (cc.numSlots != n) return None
+    val out = new Array[String](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      if (cc.reps(i) != 0) return None
+      if (cc.defs(i) == maxDef) {
+        if (k >= cc.bins.length) return None
+        out(i) = new String(cc.bins(k), Utf8)
+        k += 1
+      }
+      i += 1
+    }
+    if (k != cc.bins.length) return None
+    Some(out)
+  }
+
+  /** Numeric twin of [[scalarStrings]]; absent slots read -1 with the
+    * caller gating on its group's presence column.
+    */
+  private def scalarLongs(cc: Parquet.ChunkCells, maxDef: Int,
+                          n: Int): Option[Array[Long]] = {
+    if (cc.numSlots != n) return None
+    val out = Array.fill(n)(-1L)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      if (cc.reps(i) != 0) return None
+      if (cc.defs(i) == maxDef) {
+        if (k >= cc.longs.length) return None
+        out(i) = cc.longs(k)
+        k += 1
+      }
+      i += 1
+    }
+    if (k != cc.longs.length) return None
+    Some(out)
+  }
+
+  /** Reassemble a string->string MAP column from its key and value
+    * leaves: both stripe identically (same rep structure, one slot
+    * per entry, one slot per entry-less row), keys are REQUIRED
+    * inside an entry (def == kDef exactly when an entry exists) and
+    * values OPTIONAL (vDef == kDef + 1; def == kDef means entry with
+    * null value). Rows with no map (group null or empty) get an empty
+    * map — the replay treats both the same, as Delta does.
+    */
+  private def mapRows(kc: Parquet.ChunkCells, vc: Parquet.ChunkCells,
+                      kDef: Int, vDef: Int,
+                      n: Int): Option[Array[Map[String, String]]] = {
+    if (kc.numSlots != vc.numSlots) return None
+    if (vDef != kDef + 1) return None
+    val out = new Array[Map[String, String]](n)
+    var row = -1
+    var cur = Map.empty[String, String]
+    var i = 0
+    var ki = 0
+    var vi = 0
+    while (i < kc.numSlots) {
+      if (kc.reps(i) != vc.reps(i)) return None
+      if (kc.reps(i) == 0) {
+        if (row >= 0) out(row) = cur
+        row += 1
+        if (row >= n) return None
+        cur = Map.empty
+      }
+      if (kc.defs(i) == kDef) { // an entry exists
+        if (vc.defs(i) < kDef) return None // value leaf must agree
+        if (ki >= kc.bins.length) return None
+        val key = new String(kc.bins(ki), Utf8)
+        ki += 1
+        val v =
+          if (vc.defs(i) == vDef) {
+            if (vi >= vc.bins.length) return None
+            val s = new String(vc.bins(vi), Utf8)
+            vi += 1
+            s
+          } else null
+        cur += (key -> v)
+      } else if (vc.defs(i) != kc.defs(i)) return None
+      i += 1
+    }
+    if (row >= 0) out(row) = cur
+    if (row != n - 1) return None
+    if (ki != kc.bins.length || vi != vc.bins.length) return None
+    Some(out)
+  }
+}

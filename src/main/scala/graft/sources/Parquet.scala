@@ -782,6 +782,332 @@ object Parquet {
     } catch { case _: Damage => None }
   }
 
+  /** Materialized cells of one column chunk: one (repetition,
+    * definition) slot per level entry, and the stored value for each
+    * slot whose definition level reaches maxDef — numerics
+    * (INT32/INT64/BOOL/FLOAT/DOUBLE raw bits, FLBA unscaled long) in
+    * `longs`, BYTE_ARRAY contents in `bins`, present-slot order. The
+    * caller reassembles nesting from the levels: rep == 0 starts a
+    * record (Dremel striping, the public parquet format spec).
+    */
+  final case class ChunkCells(defs: Array[Int], reps: Array[Int],
+                              longs: Array[Long],
+                              bins: Array[Array[Byte]]) {
+    def numSlots: Int = defs.length
+  }
+
+  /** Decode a column chunk to VALUES rather than aggregates — the
+    * reader metadata-scale consumers need (a Delta checkpoint's
+    * `add.path` strings, `add.partitionValues` MAP entries, q261).
+    * Same page walk as [[decodeChunk]] — v1 and v2 data pages, all
+    * engine codecs, PLAIN and dictionary encodings — but bounded to
+    * [[MaxPageValues]] TOTAL slots, because materialization allocates
+    * O(numValues) (aggregation streams; this does not). Nested-STRUCT
+    * leaves are just flat chunks at maxDef > 1, and MAP leaves the
+    * 3-level repeated layout at maxRep == 1, so nothing here routes
+    * by nesting shape beyond the one-repeated-level bound the engine
+    * holds everywhere. None on other encodings, INT96, or any
+    * malformation.
+    */
+  def readChunkCells(b: Array[Byte], col: ColMeta,
+                     maxDef: Int = 0, maxRep: Int = 0,
+                     typeLen: Int = 0): Option[ChunkCells] = {
+    try {
+      if (col.physType != PhysInt64 && col.physType != PhysDouble &&
+        col.physType != PhysByteArray && col.physType != PhysInt32 &&
+        col.physType != PhysFloat && col.physType != PhysBool &&
+        col.physType != PhysFixed)
+        return None
+      if (col.physType == PhysFixed && (typeLen <= 0 ||
+        typeLen > (1 << 20))) return None
+      if (col.codec != CodecNone && col.codec != CodecGzip &&
+        col.codec != CodecSnappy && col.codec != CodecZstd &&
+        col.codec != CodecLz4 && col.codec != CodecLz4Raw) return None
+      if (maxDef < 0 || maxDef > 7 || maxRep < 0 || maxRep > 1)
+        return None
+      if (maxRep > maxDef) return None
+      if (col.numValues < 0 || col.numValues > MaxPageValues) return None
+      val total = col.numValues.toInt
+      val defs = new Array[Int](total)
+      val reps = new Array[Int](total)
+      val isBin = col.physType == PhysByteArray
+      val longs = if (isBin) null else new Array[Long](total)
+      val bins = if (isBin) new Array[Array[Byte]](total) else null
+      var nPresent = 0
+      var slot = 0
+      var longDict: Array[Long] = null
+      var binDict: Array[Array[Byte]] = null
+      var pages = 0
+
+      val first =
+        if (col.dictPageOffset >= 0) col.dictPageOffset
+        else col.dataPageOffset
+      if (first < 0 || first > Int.MaxValue) return None
+      if (col.dictPageOffset >= 0 &&
+        col.dictPageOffset > col.dataPageOffset) return None
+      var pos = first.toInt
+
+      def dataValues(raw: Array[Byte], off: Int, encoding: Int,
+                     present: Int): Boolean = encoding match {
+        case EncPlain =>
+          if (isBin) {
+            val (arr, end) = plainBins(raw, off, present)
+            if (end != raw.length) return false
+            var i = 0
+            while (i < present) { bins(nPresent) = arr(i); nPresent += 1
+              i += 1 }
+          } else {
+            val (arr, end) = plainVals(raw, off, present, col.physType,
+              typeLen)
+            if (end != raw.length) return false
+            var i = 0
+            while (i < present) { longs(nPresent) = arr(i); nPresent += 1
+              i += 1 }
+          }
+          true
+        case EncPlainDict | EncRleDict =>
+          if (longDict == null && binDict == null) return false
+          if (off >= raw.length && !(off == raw.length && present == 0))
+            return false
+          if (present == 0) return off == raw.length
+          val bw = raw(off) & 0xff
+          if (bw > 30) return false
+          val idx = readHybrid(raw, off + 1, raw.length, bw, present,
+            strict = true)
+          val dictLen = if (isBin) binDict.length else longDict.length
+          var i = 0
+          while (i < present) {
+            val k = idx(i)
+            if (k < 0 || k >= dictLen) return false
+            if (isBin) bins(nPresent) = binDict(k)
+            else longs(nPresent) = longDict(k)
+            nPresent += 1
+            i += 1
+          }
+          true
+        case EncDeltaBinPacked
+          if col.physType == PhysInt32 || col.physType == PhysInt64 =>
+          val (arr, end) = deltaBinPacked(raw, off, present)
+          if (end != raw.length) return false
+          var i = 0
+          while (i < present) {
+            val v = arr(i)
+            if (col.physType == PhysInt32 &&
+              (v < Int.MinValue || v > Int.MaxValue)) return false
+            longs(nPresent) = v; nPresent += 1
+            i += 1
+          }
+          true
+        case EncDeltaLenBA if isBin =>
+          // DELTA_BINARY_PACKED lengths, then the concatenated bytes
+          val (lens, dataOff) = deltaBinPacked(raw, off, present)
+          var p = dataOff.toLong
+          var i = 0
+          while (i < present) {
+            if (lens(i) < 0 || p + lens(i) > raw.length) return false
+            bins(nPresent) = java.util.Arrays.copyOfRange(raw,
+              p.toInt, (p + lens(i)).toInt)
+            nPresent += 1
+            p += lens(i)
+            i += 1
+          }
+          p == raw.length
+        case EncDeltaBA if isBin =>
+          // prefix lengths + suffix lengths + concatenated suffixes;
+          // value i = value[i-1].take(prefix(i)) ++ suffix(i) — what
+          // parquet-mr's v2 writer emits for EVERY string column
+          val (pre, sufOff) = deltaBinPacked(raw, off, present)
+          val (suf, dataOff) = deltaBinPacked(raw, sufOff, present)
+          var p = dataOff.toLong
+          var prev = Array.emptyByteArray
+          var i = 0
+          while (i < present) {
+            if (pre(i) < 0 || suf(i) < 0) return false
+            if (pre(i) > prev.length) return false
+            if (p + suf(i) > raw.length) return false
+            val v = new Array[Byte]((pre(i) + suf(i)).toInt)
+            System.arraycopy(prev, 0, v, 0, pre(i).toInt)
+            System.arraycopy(raw, p.toInt, v, pre(i).toInt, suf(i).toInt)
+            bins(nPresent) = v; nPresent += 1
+            prev = v
+            p += suf(i)
+            i += 1
+          }
+          p == raw.length
+        case EncByteStreamSplit
+          if col.physType == PhysFloat || col.physType == PhysDouble ||
+            col.physType == PhysInt32 || col.physType == PhysInt64 =>
+          val width = col.physType match {
+            case PhysFloat | PhysInt32 => 4
+            case _ => 8
+          }
+          if (raw.length - off != present.toLong * width) return false
+          var i = 0
+          while (i < present) {
+            var v = 0L
+            var k = 0
+            while (k < width) {
+              v |= (raw(off + k * present + i) & 0xffL) << (8 * k)
+              k += 1
+            }
+            if (col.physType == PhysInt32) v = v.toInt.toLong
+            longs(nPresent) = v; nPresent += 1
+            i += 1
+          }
+          true
+        case _ => false
+      }
+
+      while (slot < total) {
+        val h = parsePageHeader(b, pos)
+        if (h.compressed < 0 || h.headerEnd + h.compressed > b.length ||
+          h.headerEnd + h.compressed < 0) return None
+        if (h.uncompressed < 0 || h.uncompressed > (1 << 26)) return None
+        h.pageType match {
+          case 2 => // DICTIONARY_PAGE
+            if (longDict != null || binDict != null || pages > 0)
+              return None
+            if (h.encoding != EncPlain && h.encoding != EncPlainDict)
+              return None
+            if (h.numValues < 0) return None
+            if (col.physType == PhysBool) return None
+            val raw = pagePayload(b, h, col.codec)
+            if (isBin) {
+              val (arr, end) = plainBins(raw, 0, h.numValues)
+              if (end != raw.length) return None
+              binDict = arr
+            } else {
+              val (arr, end) = plainVals(raw, 0, h.numValues,
+                col.physType, typeLen)
+              if (end != raw.length) return None
+              longDict = arr
+            }
+
+          case 0 => // DATA_PAGE v1
+            if (h.numValues <= 0 || h.numValues > MaxPageValues ||
+              slot + h.numValues > total) return None
+            val raw = pagePayload(b, h, col.codec)
+            var valuesStart = 0
+            if (maxRep > 0) {
+              val (levels, repEnd) =
+                readLevelsV1(raw, 0, h.numValues, bitsFor(maxRep))
+              var i = 0
+              while (i < h.numValues) { reps(slot + i) = levels(i)
+                i += 1 }
+              valuesStart = repEnd
+            }
+            var present = h.numValues
+            if (maxDef > 0) {
+              val (levels, defEnd) =
+                readLevelsV1(raw, valuesStart, h.numValues,
+                  bitsFor(maxDef))
+              valuesStart = defEnd
+              present = 0
+              var i = 0
+              while (i < h.numValues) {
+                defs(slot + i) = levels(i)
+                if (levels(i) == maxDef) present += 1
+                i += 1
+              }
+            }
+            if (!dataValues(raw, valuesStart, h.encoding, present))
+              return None
+            slot += h.numValues; pages += 1
+
+          case 3 => // DATA_PAGE_V2
+            if (h.numValues <= 0 || h.numValues > MaxPageValues ||
+              slot + h.numValues > total) return None
+            if (maxRep == 0 && h.repLen != 0) return None
+            if (h.repLen < 0 || h.defLen < 0 || h.numNulls < 0 ||
+              h.numNulls > h.numValues) return None
+            val levelLen = h.repLen.toLong + h.defLen
+            if (levelLen > h.compressed || levelLen > h.uncompressed)
+              return None
+            if (maxRep > 0) {
+              val levels = readHybrid(b, h.headerEnd,
+                h.headerEnd + h.repLen, bitsFor(maxRep), h.numValues,
+                strict = false)
+              var i = 0
+              while (i < h.numValues) { reps(slot + i) = levels(i)
+                i += 1 }
+            }
+            val present =
+              if (maxDef == 0) {
+                if (h.defLen != 0 || h.numNulls != 0) return None
+                h.numValues
+              } else {
+                val levels = readHybrid(b, h.headerEnd + h.repLen,
+                  h.headerEnd + h.repLen + h.defLen, bitsFor(maxDef),
+                  h.numValues, strict = false)
+                var c = 0
+                var i = 0
+                while (i < h.numValues) {
+                  defs(slot + i) = levels(i)
+                  if (levels(i) == maxDef) c += 1
+                  i += 1
+                }
+                if (h.numValues - c != h.numNulls) return None
+                c
+              }
+            val vOff = h.headerEnd + levelLen.toInt
+            val vCompLen = h.compressed - levelLen.toInt
+            val vWant = h.uncompressed - levelLen.toInt
+            val vraw: Array[Byte] =
+              if (!h.valuesCompressed || col.codec == CodecNone) {
+                if (vCompLen != vWant) return None
+                java.util.Arrays.copyOfRange(b, vOff, vOff + vCompLen)
+              } else if (col.codec == CodecGzip) {
+                gunzipExact(b, vOff, vCompLen, vWant).getOrElse(return None)
+              } else if (col.codec == CodecZstd) {
+                zstdExact(b, vOff, vCompLen, vWant).getOrElse(return None)
+              } else if (col.codec == CodecLz4Raw) {
+                Lz4.decompressBlock(b, vOff, vCompLen, vWant)
+                  .getOrElse(return None)
+              } else if (col.codec == CodecLz4) {
+                Lz4.decompressFramed(b, vOff, vCompLen, vWant)
+                  .getOrElse(return None)
+              } else {
+                Snappy.uncompress(b, vOff, vCompLen, vWant)
+                  .getOrElse(return None)
+              }
+            if (!dataValues(vraw, 0, h.encoding, present)) return None
+            slot += h.numValues; pages += 1
+
+          case _ => return None
+        }
+        pos = h.headerEnd + h.compressed
+      }
+      Some(ChunkCells(defs, reps,
+        if (isBin) Array.emptyLongArray
+        else java.util.Arrays.copyOf(longs, nPresent),
+        if (isBin) java.util.Arrays.copyOf(bins, nPresent)
+        else Array.empty[Array[Byte]]))
+    } catch { case _: Damage => None }
+  }
+
+  /** PLAIN-decode `n` BYTE_ARRAY values capturing CONTENT (LE32
+    * length + bytes each) — the materializing twin of [[plainVals]]'s
+    * length fold. Returns the values and the end offset.
+    */
+  private def plainBins(raw: Array[Byte], off: Int,
+                        n: Int): (Array[Array[Byte]], Int) = {
+    if (n < 0 || off < 0 || off > raw.length) damage()
+    if (n.toLong > (raw.length - off).toLong / 4 + 1) damage()
+    val arr = new Array[Array[Byte]](n)
+    var p = off
+    var i = 0
+    while (i < n) {
+      if (p + 4 > raw.length) damage()
+      val len = (raw(p) & 0xff) | (raw(p + 1) & 0xff) << 8 |
+        (raw(p + 2) & 0xff) << 16 | (raw(p + 3) & 0xff) << 24
+      if (len < 0 || p + 4 + len > raw.length) damage()
+      arr(i) = java.util.Arrays.copyOfRange(raw, p + 4, p + 4 + len)
+      p += 4 + len
+      i += 1
+    }
+    (arr, p)
+  }
+
   /** Whole-payload page decompression (v1 data pages + dictionary
     * pages, where levels and values share the codec).
     */

@@ -717,4 +717,69 @@ class ParquetSpec extends SparkSpec {
     // request (OutOfMemoryError — an Error, not a Damage)
     assert(Parquet.decodeChunk(page, col, maxDef = 1).isEmpty)
   }
+
+  test("readChunkCells + DeltaCheckpoint: a Spark/parquet-mr-written " +
+    "mini checkpoint (nested structs, MAP with empty/null/multi-entry " +
+    "maps, dict + snappy, v1 AND v2 pages) parses row-exact; damage " +
+    "never throws") {
+    import spark.implicits._
+    val rows = Seq(
+      CkRow(CkAdd("a.parquet", Map("part" -> "0", "zone" -> "eu"), 10L),
+        null, null, null),
+      CkRow(CkAdd("b.parquet", Map.empty[String, String], 20L),
+        null, null, null),
+      CkRow(CkAdd("c.parquet", Map("k" -> null), 30L), null, null, null),
+      CkRow(null, CkRemove("old.parquet", 5L), null, null),
+      CkRow(null, null, CkMeta("tbl-1"), null),
+      CkRow(null, null, null, CkProto(3)),
+      CkRow(CkAdd("d.parquet", null, null), null, null, null))
+    for (wv <- Seq("PARQUET_1_0", "PARQUET_2_0")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ck_cells_$wv").toString
+      rows.toDS().coalesce(1).write
+        .option("compression", "snappy")
+        .option("parquet.writer.version", wv)
+        .mode("overwrite").parquet(dir)
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+      val acts = graft.sources.DeltaCheckpoint.parse(bytes)
+        .getOrElse(fail(s"must parse ($wv)"))
+      assert(acts.length == 7, wv)
+      import graft.sources.DeltaCheckpoint.Act
+      assert(acts(0) == Act("a.parquet", 10L,
+        Map("part" -> "0", "zone" -> "eu"), null, null, -1L), wv)
+      assert(acts(1) == Act("b.parquet", 20L, Map.empty, null, null,
+        -1L), wv)
+      assert(acts(2) == Act("c.parquet", 30L, Map("k" -> null), null,
+        null, -1L), wv)
+      assert(acts(3) == Act(null, -1L, null, "old.parquet", null, -1L),
+        wv)
+      assert(acts(4) == Act(null, -1L, null, null, "tbl-1", -1L), wv)
+      assert(acts(5) == Act(null, -1L, null, null, null, 3L), wv)
+      // null map reads as empty (Delta treats both the same); null
+      // size reads -1 behind the non-null path
+      assert(acts(6) == Act("d.parquet", -1L, Map.empty, null, null,
+        -1L), wv)
+      // totality: every single-byte flip parses to None or a
+      // well-formed Vector — never a throw
+      for (i <- bytes.indices by 7) {
+        val bad = bytes.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+        graft.sources.DeltaCheckpoint.parse(bad)
+      }
+      // truncations
+      for (cut <- Seq(4, bytes.length / 2, bytes.length - 1))
+        assert(graft.sources.DeltaCheckpoint.parse(
+          java.util.Arrays.copyOf(bytes, cut)).isEmpty, s"$wv cut $cut")
+    }
+  }
 }
+
+// Top-level so Spark derives encoders (mini-checkpoint spec rows).
+case class CkAdd(path: String, partitionValues: Map[String, String],
+                 size: java.lang.Long)
+case class CkRemove(path: String, deletionTimestamp: java.lang.Long)
+case class CkMeta(id: String)
+case class CkProto(minReaderVersion: java.lang.Integer)
+case class CkRow(add: CkAdd, remove: CkRemove, metaData: CkMeta,
+                 protocol: CkProto)
