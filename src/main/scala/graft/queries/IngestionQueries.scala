@@ -496,7 +496,226 @@ object IngestionQueries {
                CAST(1 AS BIGINT) AS n_live, live_rows, live_bytes
         FROM agg"""))
 
-    Seq(q257, q258, q259)
+    // q262 — Iceberg v2 ROW-LEVEL DELETES (merge-on-read): modern
+    // tables don't rewrite data files to delete rows; they ship
+    // DELETE FILES in their own manifests (manifest_file.content = 1)
+    // — positional (parquet of (file_path, pos)) and equality
+    // (parquet of the equality columns, equality_ids naming them).
+    // Scan planning applies a position delete when delete.seq >=
+    // data.seq but an equality delete only when STRICTLY greater —
+    // the fixture plants a seq-equal equality "poison" file that a
+    // sloppy reader applies and fails. Live rows = data minus applied
+    // deletes; snapshot 2 is the rewrite that compacts the deletes
+    // away, so both snapshots must report identical live_rows /
+    // live_id_sum through entirely different math (the time-travel
+    // contract on MoR tables). A reader ignoring delete manifests
+    // (q258's shape) overcounts and cannot pass. Per-table metadata +
+    // delete files are KB-scale bounded groups (comment law as q259);
+    // data-file decode is the engine's own byte reader.
+    val FixtureMor = "/root/repo/fixtures/iceberg_mor_files.parquet"
+    val q262 = "q262_iceberg_row_level_deletes" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JArray, JLong, JObject, JString}
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (t, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (t, md5Hex("icebergmor:" + ids.mkString(",")))
+        }.toDF("table_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(FixtureMor)), "blob_key")
+          .select(col("table_id"), col("rel_path"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            // one table's metadata tree + delete files: KB-scale by
+            // construction (≤ 14 files), bounded metadata work
+            val byPath = it.map(r => r._2 -> r._3).toMap
+            val G = graft.sources.AvroGeneric
+            val P = graft.sources.Parquet
+            val resolved = for {
+              metaBytes <- byPath.get("v3.metadata.json").toSeq
+              meta <- graft.sources.Json
+                .parse(new String(metaBytes, "UTF-8")).toSeq
+              mo <- (meta match {
+                case o: JObject => Some(o); case _ => None
+              }).toSeq
+              current <- (mo.get("current-snapshot-id") match {
+                case Some(JLong(v)) => Some(v); case _ => None
+              }).toSeq
+              snapsJ <- (mo.get("snapshots") match {
+                case Some(JArray(xs)) => Some(xs); case _ => None
+              }).toSeq
+              snap <- snapsJ
+              so <- (snap match {
+                case o: JObject => Some(o); case _ => None
+              }).toSeq
+              sid <- (so.get("snapshot-id") match {
+                case Some(JLong(v)) => Some(v); case _ => None
+              }).toSeq
+              listPath <- (so.get("manifest-list") match {
+                case Some(JString(p)) => Some(p); case _ => None
+              }).toSeq
+              listBytes <- byPath.get(listPath).toSeq
+              list <- G.parseContainer(listBytes).toSeq
+            } yield {
+              var ok = true
+              // manifest routing by manifest_file.content
+              val manifests = list.records.flatMap { r =>
+                for {
+                  p <- r.field("manifest_path").flatMap(_.asString)
+                  c <- r.field("content").flatMap(_.asLong)
+                } yield (p, c)
+              }
+              if (manifests.length != list.records.length) ok = false
+              def entries(mp: String) =
+                byPath.get(mp).flatMap(G.parseContainer) match {
+                  case Some(m) => m.records.flatMap { e =>
+                    val live = e.field("status").flatMap(_.asLong)
+                      .exists(_ != 2L)
+                    val seq = e.field("sequence_number")
+                      .flatMap(_.asLong).getOrElse(-1L)
+                    val df = e.field("data_file")
+                    val res = for {
+                      d <- df
+                      c <- d.field("content").flatMap(_.asLong)
+                      p <- d.field("file_path").flatMap(_.asString)
+                      rc <- d.field("record_count").flatMap(_.asLong)
+                    } yield (live, seq, c, p, rc)
+                    if (res.isEmpty) ok = false
+                    res
+                  }
+                  case None => ok = false; Nil
+                }
+              val dataEntries = manifests.filter(_._2 == 0L)
+                .flatMap(m => entries(m._1)).filter(_._1)
+              val delEntries = manifests.filter(_._2 == 1L)
+                .flatMap(m => entries(m._1)).filter(_._1)
+              // data files: rec_id values in row order (positions!)
+              val dataFiles = dataEntries.map {
+                case (_, seq, c, p, rc) =>
+                  if (c != 0L) ok = false
+                  val ids = byPath.get(p)
+                    .flatMap(P.columnLongs(_, "rec_id"))
+                    .getOrElse { ok = false; Array.emptyLongArray }
+                  if (ids.length != rc) ok = false // manifest lies
+                  (p, seq, ids)
+              }
+              val dataSeq = dataFiles.map(f => f._1 -> f._2).toMap
+              // positional deletes: (target file, pos), applied when
+              // delete.seq >= that data file's seq
+              var nPosRows = 0L
+              val posByFile = scala.collection.mutable
+                .Map.empty[String, scala.collection.mutable.Set[Long]]
+              var nApplied = 0L
+              delEntries.foreach { case (_, seq, c, p, _) =>
+                if (c == 1L) {
+                  val res = for {
+                    bytes <- byPath.get(p)
+                    fps <- P.columnStrings(bytes, "file_path")
+                    poss <- P.columnLongs(bytes, "pos")
+                    if fps.length == poss.length
+                  } yield fps.zip(poss)
+                  res match {
+                    case Some(pairs) =>
+                      // applicability is a SEQ property (>= for
+                      // positional), not a row-hit property — an
+                      // empty delete file is still applied
+                      if (dataFiles.exists(df => seq >= df._2))
+                        nApplied += 1
+                      pairs.foreach { case (fp, pos) =>
+                        if (dataSeq.get(fp).exists(seq >= _)) {
+                          nPosRows += 1
+                          posByFile.getOrElseUpdate(fp,
+                            scala.collection.mutable.Set.empty) += pos
+                        }
+                      }
+                    case None => ok = false
+                  }
+                } else if (c == 2L) ()
+                else ok = false
+              }
+              // equality deletes: value sets, applied per data file
+              // when delete.seq > data.seq (STRICTLY)
+              val eqFiles = delEntries.filter(_._3 == 2L).map {
+                case (_, seq, _, p, _) =>
+                  val vals = byPath.get(p)
+                    .flatMap(P.columnLongs(_, "rec_id"))
+                    .getOrElse { ok = false; Array.emptyLongArray }
+                  (seq, vals.toSet) // O(1) membership in the row loop
+              }
+              var nEqVals = 0L
+              eqFiles.foreach { case (seq, vals) =>
+                val hits = dataFiles.exists(df => seq > df._2)
+                if (hits) { nApplied += 1; nEqVals += vals.size }
+              }
+              // live rows: per data file, drop deleted positions and
+              // strictly-newer equality values
+              var liveRows = 0L
+              var liveIdSum = 0L
+              dataFiles.foreach { case (p, seq, ids) =>
+                val dead = posByFile.getOrElse(p,
+                  scala.collection.mutable.Set.empty[Long])
+                dead.foreach(pos =>
+                  if (pos < 0 || pos >= ids.length) ok = false)
+                val eqApplicable = eqFiles.filter(_._1 > seq)
+                var i = 0
+                while (i < ids.length) {
+                  if (!dead.contains(i.toLong) &&
+                    !eqApplicable.exists(_._2.contains(ids(i)))) {
+                    liveRows += 1
+                    liveIdSum += ids(i)
+                  }
+                  i += 1
+                }
+              }
+              if (ok)
+                Seq((t, sid, sid == current, nApplied, nPosRows,
+                  nEqVals, liveRows, liveIdSum))
+              else Nil
+            }
+            resolved.flatten.iterator
+          }
+          .toDF("table_id", "snapshot_id", "is_current",
+            "n_delete_files", "n_pos_delete_rows", "n_eq_delete_values",
+            "live_rows", "live_id_sum")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS part
+          FROM documents),
+        del AS (
+          SELECT table_id, d,
+                 (part = 0 AND d % 11 = 1) AS pd0,
+                 (part = 1 AND d % 5 = 0) AS pd1,
+                 (d % 7 = 3) AS eq
+          FROM r),
+        agg AS (
+          SELECT table_id,
+                 CAST(sum(CASE WHEN pd0 OR pd1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN eq THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_eq,
+                 CAST(sum(CASE WHEN NOT (pd0 OR pd1 OR eq)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS live_rows,
+                 CAST(coalesce(sum(CASE WHEN NOT (pd0 OR pd1 OR eq)
+                   THEN d END), 0) AS BIGINT) AS live_id_sum
+          FROM del GROUP BY table_id)
+        SELECT table_id, CAST(1 AS BIGINT) AS snapshot_id,
+               FALSE AS is_current,
+               CAST(3 AS BIGINT) AS n_delete_files,
+               n_pos AS n_pos_delete_rows,
+               n_eq AS n_eq_delete_values, live_rows, live_id_sum
+        FROM agg
+        UNION ALL
+        SELECT table_id, CAST(2 AS BIGINT), TRUE, CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               live_rows, live_id_sum
+        FROM agg"""))
+
+    Seq(q257, q258, q259, q262)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:

@@ -1085,6 +1085,35 @@ object Parquet {
     } catch { case _: Damage => None }
   }
 
+  /** All PRESENT values of one leaf column across row groups, in row
+    * order — convenience over [[readChunkCells]] for flat
+    * metadata-scale files (an Iceberg positional-delete file's `pos`
+    * column, q262). None when the leaf is missing from the footer or
+    * any chunk routes away.
+    */
+  def columnLongs(b: Array[Byte], path: String): Option[Array[Long]] =
+    columnCells(b, path).map(_.flatMap(_.longs).toArray)
+
+  /** String twin of [[columnLongs]] (UTF-8 decode of BYTE_ARRAY
+    * leaves — an Iceberg positional-delete file's `file_path`).
+    */
+  def columnStrings(b: Array[Byte],
+                    path: String): Option[Array[String]] =
+    columnCells(b, path).map(_.flatMap(_.bins.map(
+      new String(_, java.nio.charset.StandardCharsets.UTF_8))).toArray)
+
+  private def columnCells(b: Array[Byte],
+                          path: String): Option[Seq[ChunkCells]] =
+    parseFooter(b).flatMap { fm =>
+      fm.leafLevels.get(path).flatMap { case (d, r) =>
+        val tl = fm.leafTypeLengths.getOrElse(path, 0)
+        val per = fm.rowGroups.map(rg =>
+          rg.cols.find(_.path == path)
+            .flatMap(c => readChunkCells(b, c, d, r, tl)))
+        if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
+      }
+    }
+
   /** PLAIN-decode `n` BYTE_ARRAY values capturing CONTENT (LE32
     * length + bytes each) — the materializing twin of [[plainVals]]'s
     * length fold. Returns the values and the end offset.
