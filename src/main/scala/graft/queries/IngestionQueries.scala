@@ -2195,7 +2195,131 @@ object IngestionQueries {
         FROM s GROUP BY blob_id"""),
       headline = false)
 
+    // q263 — PAGE INDEX skipping (PARQUET-922), q249's proof one level
+    // finer: ColumnIndex (per-page min/max) + OffsetIndex (per-page
+    // offset/length/first-row) are decoded from the footer-adjacent
+    // structs, a range probe derived from the chunk's OWN stats
+    // (T = min + span/2, scan-local as q249) selects pages, and the
+    // engine decodes ONLY those pages via direct OffsetIndex
+    // addressing (Parquet.readPageCells — the skipped pages' bytes are
+    // never touched). The fixture writer closes a page every 16 rows
+    // (write_batch_size), so the oracle replays the page arithmetic
+    // relationally: page membership = row_number // 16. index_ok
+    // folds the index's own consistency laws: ColumnIndex and
+    // OffsetIndex page counts agree, boundary_order is ASCENDING on
+    // sorted data, every decoded page's row count matches the
+    // first-row-index delta and its actual min/max equal the index's
+    // claims. A forged index (ParquetSpec) fails closed at the
+    // header-length cross-check.
+    val PageIdxFixture =
+      "/root/repo/fixtures/parquet_pageindex_files.parquet"
+    val q263 = "q263_parquet_page_index_skip" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("pageindex:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(PageIdxFixture)), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val P = graft.sources.Parquet
+            P.parseFooter(bytes).toSeq.flatMap { fm =>
+              val recCols = fm.rowGroups.map(_.cols.find(_.path == "rec_id"))
+              if (recCols.exists(c => c.isEmpty || c.get.minLong.isEmpty ||
+                c.get.maxLong.isEmpty)) Nil
+              else {
+                val fileMin = recCols.map(_.get.minLong.get).min
+                val fileMax = recCols.map(_.get.maxLong.get).max
+                val t = fileMin + (fileMax - fileMin) / 2
+                var nPages = 0L; var nSel = 0L; var skippedRows = 0L
+                var matched = 0L; var idSum = 0L
+                var ok = true
+                for ((rcOpt, rgi) <- recCols.zipWithIndex) {
+                  val rc = rcOpt.get
+                  val rg = fm.rowGroups(rgi)
+                  (P.parseOffsetIndex(bytes, rc),
+                    P.parseColumnIndex(bytes, rc)) match {
+                    case (Some(locs), Some(ci))
+                      if ci.nullPages.length == locs.length =>
+                      if (ci.boundaryOrder != 1) ok = false // ASCENDING
+                      nPages += locs.length
+                      for (pi <- locs.indices) {
+                        val rowsInPage =
+                          (if (pi + 1 < locs.length)
+                            locs(pi + 1).firstRowIndex
+                          else rg.numRows) - locs(pi).firstRowIndex
+                        val selected = !ci.nullPages(pi) &&
+                          ci.maxLong(pi).exists(_ >= t)
+                        if (!selected) skippedRows += rowsInPage
+                        else {
+                          nSel += 1
+                          P.readPageCells(bytes, locs(pi), rc) match {
+                            case Some(cells)
+                              if cells.numSlots.toLong == rowsInPage =>
+                              // the index's claims must be the truth
+                              var mn = Long.MaxValue; var mx = Long.MinValue
+                              var i = 0
+                              while (i < cells.longs.length) {
+                                val v = cells.longs(i)
+                                if (v < mn) mn = v
+                                if (v > mx) mx = v
+                                if (v >= t) { matched += 1; idSum += v }
+                                i += 1
+                              }
+                              if (!ci.minLong(pi).contains(mn) ||
+                                !ci.maxLong(pi).contains(mx)) ok = false
+                            case _ => ok = false
+                          }
+                        }
+                      }
+                    case _ => ok = false
+                  }
+                }
+                if (ok)
+                  Seq(PageIndexRow(blobId, nPages, nSel, skippedRows,
+                    matched, idSum, 1L))
+                else Nil
+              }
+            }
+          }.toDF()
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        w AS (
+          SELECT blob_id, d,
+                 (row_number() OVER (PARTITION BY blob_id ORDER BY d)
+                  - 1) // 16 AS pg,
+                 min(d) OVER (PARTITION BY blob_id) AS fmin,
+                 max(d) OVER (PARTITION BY blob_id) AS fmax
+          FROM r),
+        g AS (
+          SELECT blob_id, pg, fmin + (fmax - fmin) // 2 AS t,
+                 max(d) AS pmax, count(*) AS pr,
+                 CAST(sum(CASE WHEN d >= fmin + (fmax - fmin) // 2
+                   THEN 1 ELSE 0 END) AS BIGINT) AS pm,
+                 CAST(sum(CASE WHEN d >= fmin + (fmax - fmin) // 2
+                   THEN d END) AS BIGINT) AS ps
+          FROM w GROUP BY blob_id, pg, fmin, fmax)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(CASE WHEN pmax >= t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_selected,
+               CAST(coalesce(sum(CASE WHEN pmax < t THEN pr END), 0)
+                 AS BIGINT) AS skipped_rows,
+               CAST(coalesce(sum(pm), 0) AS BIGINT) AS matched_rows,
+               CAST(coalesce(sum(ps), 0) AS BIGINT) AS matched_id_sum,
+               CAST(1 AS BIGINT) AS index_ok
+        FROM g GROUP BY blob_id"""),
+      headline = false)
+
     Seq(
+      q263,
       "q240_parquet_dict_snappy_scan" -> scanDef(
         "/root/repo/fixtures/parquet_dict_files.parquet",
         "parquetdict1", headline = true),
@@ -2825,6 +2949,15 @@ private[queries] case class ParquetStatsRow(
 private[queries] case class ParquetPruneRow(
     blob_id: Long, groups_total: Int, groups_pruned: Int,
     surviving_rows: Long, id_sum: Long, cnt_sum: Long)
+
+/** One q263 output row: page-index skipping — pages selected by the
+  * ColumnIndex bounds, rows skipped via the OffsetIndex, sums decoded
+  * from the selected pages only; index_ok folds the index's own
+  * consistency laws (see the q263 comment).
+  */
+private[queries] case class PageIndexRow(
+    blob_id: Long, n_pages: Long, n_selected: Long, skipped_rows: Long,
+    matched_rows: Long, matched_id_sum: Long, index_ok: Long)
 
 /** One q246 output row: per-file decoded totals over the typed lake
   * schema — boolean / int32 / float / date32 columns.

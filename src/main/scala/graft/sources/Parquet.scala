@@ -184,7 +184,14 @@ object Parquet {
                      dictPageOffset: Long,
                      nullCount: Long = -1L,
                      minValue: Array[Byte] = null,
-                     maxValue: Array[Byte] = null) {
+                     maxValue: Array[Byte] = null,
+                     // ColumnChunk page-index pointers (PARQUET-922):
+                     // footer-adjacent ColumnIndex / OffsetIndex
+                     // structs; -1 when the writer emitted none
+                     offsetIndexOffset: Long = -1L,
+                     offsetIndexLength: Int = -1,
+                     columnIndexOffset: Long = -1L,
+                     columnIndexLength: Int = -1) {
     /** Statistics value decoded as a Long (INT32/INT64/BOOL/date32 —
       * PLAIN little-endian, sign-extended). None when absent or not a
       * long-family column.
@@ -351,16 +358,23 @@ object Parquet {
 
   private def parseColumnChunk(tc: TC): ColMeta = {
     var meta: ColMeta = null
+    var oiOff = -1L; var oiLen = -1
+    var ciOff = -1L; var ciLen = -1
     struct(tc, 2) { (id, tpe) =>
       id match {
         case 3 =>
           if (tpe != 12) damage()
           meta = parseColumnMeta(tc); true
+        case 4 => oiOff = i64(tc, tpe); true
+        case 5 => oiLen = i32(tc, tpe); true
+        case 6 => ciOff = i64(tc, tpe); true
+        case 7 => ciLen = i32(tc, tpe); true
         case _ => false
       }
     }
     if (meta == null) damage()
-    meta
+    meta.copy(offsetIndexOffset = oiOff, offsetIndexLength = oiLen,
+      columnIndexOffset = ciOff, columnIndexLength = ciLen)
   }
 
   private def parseColumnMeta(tc: TC): ColMeta = {
@@ -1113,6 +1127,171 @@ object Parquet {
         if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
       }
     }
+
+  // ---- page index (PARQUET-922: ColumnIndex / OffsetIndex) -------------
+
+  /** One OffsetIndex entry: where a data page starts, its TOTAL length
+    * (header included), and the row index of its first row within the
+    * row group — the structure page-level skipping addresses pages by.
+    */
+  final case class PageLoc(offset: Long, compressedSize: Int,
+                           firstRowIndex: Long)
+
+  /** One ColumnIndex: per-page null flags and min/max value bounds
+    * (PLAIN-encoded, same byte layout the footer Statistics use), the
+    * declared boundary order (0 unordered / 1 ascending / 2
+    * descending), and per-page null counts when written.
+    */
+  final case class ColIndex(nullPages: Seq[Boolean],
+                            minValues: Seq[Array[Byte]],
+                            maxValues: Seq[Array[Byte]],
+                            boundaryOrder: Int,
+                            nullCounts: Seq[Long]) {
+    /** Page min/max as sign-extended longs (INT32/INT64 leaves). */
+    def minLong(i: Int): Option[Long] = statLong(minValues(i))
+    def maxLong(i: Int): Option[Long] = statLong(maxValues(i))
+    private def statLong(v: Array[Byte]): Option[Long] =
+      if (v == null) None
+      else if (v.length == 4)
+        Some(((v(0) & 0xff) | (v(1) & 0xff) << 8 | (v(2) & 0xff) << 16 |
+          (v(3) & 0xff) << 24).toLong)
+      else if (v.length == 8) {
+        var x = 0L; var k = 7
+        while (k >= 0) { x = (x << 8) | (v(k) & 0xffL); k -= 1 }
+        Some(x)
+      } else None
+  }
+
+  /** Parse a ColumnChunk's OffsetIndex at its footer-recorded
+    * location. None on malformation or when the chunk carries none —
+    * the caller falls back to the sequential chunk walk, never to a
+    * guess.
+    */
+  def parseOffsetIndex(b: Array[Byte], col: ColMeta):
+      Option[Seq[PageLoc]] = {
+    try {
+      val off = col.offsetIndexOffset
+      val len = col.offsetIndexLength
+      if (off < 0 || len <= 0 || off > Int.MaxValue ||
+        off + len > b.length) return None
+      val tc = new TC(b, off.toInt, off.toInt + len)
+      var locs = Seq.empty[PageLoc]
+      struct(tc, 0) { (id, tpe) =>
+        id match {
+          case 1 =>
+            if (tpe != 9) damage()
+            val (n, et) = listHeader(tc)
+            if (et != 12) damage()
+            locs = Seq.fill(n) {
+              var o = -1L; var cs = -1; var fri = -1L
+              struct(tc, 1) { (pid, pt) =>
+                pid match {
+                  case 1 => o = i64(tc, pt); true
+                  case 2 => cs = i32(tc, pt); true
+                  case 3 => fri = i64(tc, pt); true
+                  case _ => false
+                }
+              }
+              if (o < 0 || cs <= 0 || fri < 0) damage()
+              PageLoc(o, cs, fri)
+            }
+            true
+          case _ => false
+        }
+      }
+      // first_row_index must be strictly increasing from 0 — an index
+      // violating its own ordering law is malformation
+      if (locs.isEmpty || locs.head.firstRowIndex != 0L) return None
+      var i = 1
+      while (i < locs.length) {
+        if (locs(i).firstRowIndex <= locs(i - 1).firstRowIndex)
+          return None
+        i += 1
+      }
+      Some(locs)
+    } catch { case _: Damage => None }
+  }
+
+  /** Parse a ColumnChunk's ColumnIndex. The three per-page lists must
+    * agree in length (one entry per data page); null_counts may be
+    * absent (empty).
+    */
+  def parseColumnIndex(b: Array[Byte], col: ColMeta):
+      Option[ColIndex] = {
+    try {
+      val off = col.columnIndexOffset
+      val len = col.columnIndexLength
+      if (off < 0 || len <= 0 || off > Int.MaxValue ||
+        off + len > b.length) return None
+      val tc = new TC(b, off.toInt, off.toInt + len)
+      var nulls = Seq.empty[Boolean]
+      var mins = Seq.empty[Array[Byte]]
+      var maxs = Seq.empty[Array[Byte]]
+      var order = -1
+      var nullCounts = Seq.empty[Long]
+      def binList(): Seq[Array[Byte]] = {
+        val (n, et) = listHeader(tc)
+        if (et != 8) damage()
+        Seq.fill(n) {
+          val sz = tc.uvarint()
+          if (sz > (1 << 16)) damage() // bounds are small scalars
+          tc.bytes(sz.toInt)
+        }
+      }
+      struct(tc, 0) { (id, tpe) =>
+        id match {
+          case 1 => // null_pages: list<bool>, one byte per element
+            if (tpe != 9) damage()
+            val (n, et) = listHeader(tc)
+            if (et != 1 && et != 2) damage()
+            nulls = Seq.fill(n)(tc.u8() == 1)
+            true
+          case 2 => if (tpe != 9) damage(); mins = binList(); true
+          case 3 => if (tpe != 9) damage(); maxs = binList(); true
+          case 4 => order = i32(tc, tpe); true
+          case 5 =>
+            if (tpe != 9) damage()
+            val (n, et) = listHeader(tc)
+            if (et != 6) damage()
+            nullCounts = Seq.fill(n)(tc.zigzag())
+            true
+          case _ => false
+        }
+      }
+      if (nulls.isEmpty || mins.length != nulls.length ||
+        maxs.length != nulls.length || order < 0 || order > 2)
+        return None
+      if (nullCounts.nonEmpty && nullCounts.length != nulls.length)
+        return None
+      Some(ColIndex(nulls, mins, maxs, order, nullCounts))
+    } catch { case _: Damage => None }
+  }
+
+  /** Decode ONE data page addressed by an OffsetIndex entry — the
+    * page-skip read path (q263): pages the index rules out are never
+    * touched. Self-contained (dictionary-less) pages only: a page
+    * read out of sequence has no dictionary context, which is exactly
+    * why writers targeting index-skips keep dictionaries off or
+    * whole-chunk. The page's header-inclusive length must equal the
+    * index's compressed_page_size — a forged index fails closed here.
+    */
+  def readPageCells(b: Array[Byte], loc: PageLoc, col: ColMeta,
+                    maxDef: Int = 0, maxRep: Int = 0,
+                    typeLen: Int = 0): Option[ChunkCells] = {
+    try {
+      if (loc.offset < 0 || loc.offset > Int.MaxValue ||
+        loc.offset >= b.length) return None
+      val h = parsePageHeader(b, loc.offset.toInt)
+      if (h.pageType != 0 && h.pageType != 3) return None
+      if (h.numValues <= 0 || h.numValues > MaxPageValues) return None
+      val headerLen = h.headerEnd - loc.offset.toInt
+      if (headerLen.toLong + h.compressed != loc.compressedSize)
+        return None // index disagrees with the page it points at
+      val one = col.copy(dataPageOffset = loc.offset,
+        dictPageOffset = -1L, numValues = h.numValues.toLong)
+      readChunkCells(b, one, maxDef, maxRep, typeLen)
+    } catch { case _: Damage => None }
+  }
 
   /** PLAIN-decode `n` BYTE_ARRAY values capturing CONTENT (LE32
     * length + bytes each) — the materializing twin of [[plainVals]]'s

@@ -718,6 +718,75 @@ class ParquetSpec extends SparkSpec {
     assert(Parquet.decodeChunk(page, col, maxDef = 1).isEmpty)
   }
 
+  test("page index: parquet-mr-written ColumnIndex/OffsetIndex parse, " +
+    "per-page decode via direct addressing equals the sequential walk, " +
+    "and forged indexes fail closed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_pageidx")
+      .toString
+    spark.range(0, 1000).select($"id".as("rec_id"))
+      .coalesce(1).write
+      .option("compression", "snappy")
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.page.row.count.limit", "100")
+      .option("parquet.page.size", "64") // force the row-count limit
+      .mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val fm = Parquet.parseFooter(bytes).getOrElse(fail("footer"))
+    val rc = fm.rowGroups.head.cols.find(_.path == "rec_id").get
+    assert(rc.offsetIndexOffset > 0 && rc.columnIndexOffset > 0,
+      "parquet-mr writes the page index by default")
+    val locs = Parquet.parseOffsetIndex(bytes, rc)
+      .getOrElse(fail("offset index"))
+    val ci = Parquet.parseColumnIndex(bytes, rc)
+      .getOrElse(fail("column index"))
+    assert(locs.length > 1 && ci.nullPages.length == locs.length)
+    assert(ci.boundaryOrder == 1) // ascending on sorted ids
+    // per-page decode sums to the sequential walk's total
+    var total = 0L
+    var slots = 0L
+    for ((loc, pi) <- locs.zipWithIndex) {
+      val cells = Parquet.readPageCells(bytes, loc, rc)
+        .getOrElse(fail(s"page $pi"))
+      slots += cells.numSlots
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      cells.longs.foreach { v =>
+        total += v; mn = math.min(mn, v); mx = math.max(mx, v)
+      }
+      // the index's per-page bounds are the decoded truth
+      assert(ci.minLong(pi).contains(mn) && ci.maxLong(pi).contains(mx))
+    }
+    assert(slots == 1000L && total == (0L until 1000L).sum)
+    val seq = Parquet.decodeChunk(bytes, rc).getOrElse(fail("chunk"))
+    assert(seq.longSum == total)
+    // a location pointing at the WRONG page (offset of page 1, size
+    // of page 0) fails the header-length cross-check
+    assert(Parquet.readPageCells(bytes,
+      locs(1).copy(compressedSize = locs(0).compressedSize + 1),
+      rc).isEmpty)
+    // offset into garbage
+    assert(Parquet.readPageCells(bytes,
+      locs(0).copy(offset = rc.offsetIndexOffset), rc).isEmpty)
+    // forged index regions: flip every byte of both structs — parse
+    // must return None or a STILL-CONSISTENT index, never throw
+    for (off <- Seq(rc.offsetIndexOffset, rc.columnIndexOffset);
+         len <- Seq(8, 16)) {
+      for (i <- 0 until math.min(len, 64)) {
+        val bad = bytes.clone()
+        bad(off.toInt + i) = (bad(off.toInt + i) ^ 0x5a).toByte
+        Parquet.parseOffsetIndex(bad, rc) // must not throw
+        Parquet.parseColumnIndex(bad, rc)
+      }
+    }
+    // index pointers past the file refuse
+    assert(Parquet.parseOffsetIndex(bytes,
+      rc.copy(offsetIndexOffset = bytes.length.toLong - 2)).isEmpty)
+    assert(Parquet.parseColumnIndex(bytes,
+      rc.copy(columnIndexLength = Int.MaxValue)).isEmpty)
+  }
+
   test("readChunkCells + DeltaCheckpoint: a Spark/parquet-mr-written " +
     "mini checkpoint (nested structs, MAP with empty/null/multi-entry " +
     "maps, dict + snappy, v1 AND v2 pages) parses row-exact; damage " +
