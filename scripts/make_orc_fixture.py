@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Build the q264 ORC file-tail fixture.
+
+ORC (public spec, orc.apache.org/specification/ORCv1) is the other
+major columnar lake format: the file tail is postscript (last byte =
+its length) -> chunk-compressed protobuf footer -> stripe directory +
+type tree + per-column file statistics. The engine
+(sources/Orc.scala) walks that tail from raw bytes with its own
+protobuf cursor and decompresses the footer through its OWN codec
+consumers — ORC's chunk framing is exercised across all four codecs
+the format ships (ZLIB / SNAPPY / ZSTD / LZ4, one per table by
+blob_id % 4).
+
+Per table (documents bucketed doc_id % 6): each doc contributes 256
+identical rows (rec_id = doc_id, score = (doc_id % 48) / 8.0, exact
+dyadic — all stats sums are exact in double regardless of order), so
+tables are big enough that stripe_size=1024 yields MULTIPLE stripes
+and the stripe-directory walk (per-stripe row counts must tile the
+footer total) is non-trivial.
+
+n_stripes and content_length are NOT relationally derivable (liborc's
+stripe flush is a buffering decision), so the fixture precomputes them
+through pyarrow.orc — the INDEPENDENT reader — and the oracle joins
+them; all typed statistics stay purely relational.
+
+Usage: python3 scripts/make_orc_fixture.py
+Writes: fixtures/orc_files.parquet
+        (blob_key, rel_path, kind, file_bytes, n_stripes,
+         content_length)
+"""
+import hashlib
+import io
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyarrow import orc
+
+SF_DIRS = ["sf0.001", "sf0.01", "sf0.1"]
+CODECS = ["ZLIB", "SNAPPY", "ZSTD", "LZ4"]
+REPLICAS = 256
+
+
+def orc_file(ids, codec):
+    rows = sorted(ids * REPLICAS)
+    t = pa.table({
+        "rec_id": pa.array(rows, pa.int64()),
+        "score": pa.array([(d % 48) / 8.0 for d in rows], pa.float64()),
+    })
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=codec, stripe_size=1024)
+    return buf.getvalue()
+
+
+def main():
+    files = {}
+    for sf in SF_DIRS:
+        p = Path("/root/testdata") / sf / "documents.parquet"
+        if not p.exists():
+            continue
+        q = f"SELECT doc_id FROM '{p}' ORDER BY doc_id"
+        blobs = {}
+        for (doc_id,) in duckdb.sql(q).fetchall():
+            blobs.setdefault(doc_id % 6, []).append(doc_id)
+        for table_id, ids in sorted(blobs.items()):
+            key = hashlib.md5(
+                ("orc:" + ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if key in files:
+                continue
+            b = orc_file(ids, CODECS[table_id % 4])
+            f = orc.ORCFile(io.BytesIO(b))
+            assert f.nrows == len(ids) * REPLICAS
+            files[key] = [("data-0.orc", "data", b, f.nstripes,
+                           f.content_length)]
+    out = Path("fixtures")
+    out.mkdir(exist_ok=True)
+    keys, paths, kinds, blobs_col, nstripes, clens = [], [], [], [], [], []
+    for k in sorted(files):
+        for rel_path, kind, b, ns, cl in files[k]:
+            keys.append(k)
+            paths.append(rel_path)
+            kinds.append(kind)
+            blobs_col.append(b)
+            nstripes.append(ns)
+            clens.append(cl)
+    pq.write_table(
+        pa.table({
+            "blob_key": keys,
+            "rel_path": paths,
+            "kind": kinds,
+            "file_bytes": pa.array(blobs_col, pa.binary()),
+            "n_stripes": pa.array(nstripes, pa.int64()),
+            "content_length": pa.array(clens, pa.int64()),
+        }),
+        out / "orc_files.parquet",
+    )
+    print(f"orc_files.parquet: {len(keys)} rows, {len(files)} tables, "
+          f"{sum(len(b) for b in blobs_col)} bytes")
+
+
+if __name__ == "__main__":
+    main()

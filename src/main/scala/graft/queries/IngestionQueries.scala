@@ -235,7 +235,96 @@ object IngestionQueries {
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
   ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ parquetDictDefs ++
-    deltaLogDefs ++ icebergDefs ++ bz2Defs ++ zstdDefs
+    deltaLogDefs ++ icebergDefs ++ bz2Defs ++ zstdDefs ++ orcDefs
+
+  // ORC file-tail census (q264) — the OTHER major columnar lake
+  // format: postscript (last byte = its length) -> chunk-compressed
+  // protobuf footer -> stripe directory + type tree + typed file
+  // statistics, walked from raw bytes by the engine's own protobuf
+  // cursor (sources/Orc.scala — ORC is protobuf where parquet is
+  // thrift-compact). The chunk framing is exercised across ALL FOUR
+  // codecs ORC ships (ZLIB/SNAPPY/ZSTD/LZ4 by blob_id % 4), every one
+  // an engine-owned consumer — Lz4.decompressBounded exists for
+  // exactly this no-declared-size chunk shape. The stripe directory
+  // is the scan-plan unit at 100 TB; per-stripe row counts must tile
+  // the footer total (enforced in parseTail), and the typed stats
+  // (int min/max/sum, double sum) must equal the relational recompute.
+  // n_stripes/content_length are liborc buffering decisions, so the
+  // fixture carries them as the INDEPENDENT reader's claims
+  // (pyarrow.orc) for the oracle to join — same binding pattern as
+  // q257's manifest_length.
+  private def orcDefs: Seq[(String, QueryDef)] = {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val Fixture = "/root/repo/fixtures/orc_files.parquet"
+    Seq("q264_orc_tail_census" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orc:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(Fixture)), "blob_key")
+          .select(col("blob_id"), col("file_bytes"), col("n_stripes"),
+            col("content_length"))
+          .as[(Long, Array[Byte], Long, Long)]
+          .flatMap { case (blobId, bytes, expStripes, expClen) =>
+            graft.sources.Orc.parseTail(bytes).toSeq.flatMap { t =>
+              val structural =
+                t.stripes.nonEmpty &&
+                  t.stripes.length.toLong == expStripes &&
+                  t.contentLength == expClen &&
+                  t.typeKinds == Seq(12, 4, 6) &&
+                  t.fieldNames == Seq("rec_id", "score") &&
+                  t.stats.length == 3
+              if (!structural) Nil
+              else {
+                val rid = t.stats(1)
+                val sc = t.stats(2)
+                for {
+                  mn <- rid.intMin.toSeq
+                  mx <- rid.intMax.toSeq
+                  sm <- rid.intSum.toSeq
+                  ds <- sc.dblSum.toSeq
+                  if !rid.hasNull && !sc.hasNull
+                } yield (blobId, t.compression.toLong,
+                  t.stripes.length.toLong, t.numRows, t.contentLength,
+                  mn, mx, sm, ds)
+              }
+            }
+          }.toDF("blob_id", "comp_kind", "n_stripes", "n_rows",
+            "content_length", "id_min", "id_max", "id_sum", "score_sum")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('orc:' || string_agg(d, ',' ORDER BY d)) AS bkey
+          FROM r GROUP BY blob_id),
+        f AS (
+          SELECT k.blob_id, x.n_stripes, x.content_length
+          FROM k JOIN read_parquet('$Fixture') x ON k.bkey = x.blob_key),
+        agg AS (
+          SELECT blob_id,
+                 CAST(min(d) AS BIGINT) AS id_min,
+                 CAST(max(d) AS BIGINT) AS id_max,
+                 CAST(256 * sum(d) AS BIGINT) AS id_sum,
+                 CAST(256 * count(*) AS BIGINT) AS n_rows,
+                 256 * sum((d % 48) / 8.0) AS score_sum
+          FROM r GROUP BY blob_id)
+        SELECT a.blob_id,
+               CAST(CASE a.blob_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 5 ELSE 4 END AS BIGINT) AS comp_kind,
+               f.n_stripes, a.n_rows, f.content_length,
+               a.id_min, a.id_max, a.id_sum, a.score_sum
+        FROM agg a JOIN f ON a.blob_id = f.blob_id"""),
+      headline = false))
+  }
 
   // Iceberg metadata walk (q257/q258) — the OTHER lakehouse format:
   // a snapshot's file inventory is two layers of Avro (manifest list

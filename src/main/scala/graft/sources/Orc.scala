@@ -1,0 +1,350 @@
+package graft.sources
+
+/** ORC file-tail walk (public spec, orc.apache.org/specification/ORCv1
+  * — the OTHER major columnar lake format): the last byte of the file
+  * is the POSTSCRIPT length, the postscript (never compressed) names
+  * the compression kind and footer length, and the FOOTER — a
+  * protobuf, shipped through ORC's chunked compression framing —
+  * carries the stripe directory (offset/index/data/footer lengths +
+  * row counts per stripe), the type tree, and per-column file
+  * statistics. That census is what a 100 TB scan plans from: stripes
+  * are the split unit and the typed min/max/sum stats prune them, so
+  * decoding the tail correctly from raw bytes IS the operator.
+  *
+  * Two from-scratch layers live here:
+  *
+  *  - a minimal protobuf cursor (varint / zigzag sint / fixed64 /
+  *    length-delimited, the four wire types ORC uses) — ORC is
+  *    protobuf where parquet is thrift-compact, so the existing TC
+  *    walker does not apply;
+  *  - the chunked-compression walk: each chunk is a 3-byte LE header,
+  *    `isOriginal` in the LSB and the chunk byte length above it,
+  *    decompressed to at most compressionBlockSize. All four codecs
+  *    ORC ships are ENGINE-OWNED consumers: ZLIB chunks are raw
+  *    deflate (stdlib Inflater, bounded), SNAPPY chunks carry their
+  *    own length preamble ([[Snappy.uncompressSelf]]), ZSTD chunks
+  *    are one frame each ([[Zstd.walk]]), LZ4 chunks are bare blocks
+  *    with NO declared size — [[Lz4.decompressBounded]] was built for
+  *    exactly this framing.
+  *
+  * Totality law (the house posture): any malformation — a bad magic,
+  * a postscript length past the file, an unknown compression kind, a
+  * chunk past its stream, a decompressed chunk over the block size, a
+  * footer whose stripe row counts disagree with its own total — is
+  * None, never a throw and never partial garbage.
+  */
+object Orc {
+
+  private final class Damage extends RuntimeException(null, null, false,
+    false)
+  private def damage(): Nothing = throw new Damage
+
+  // ---- minimal protobuf cursor ------------------------------------------
+
+  private final class PB(val b: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def u8(): Int = {
+      if (pos >= end) damage()
+      val v = b(pos) & 0xff; pos += 1; v
+    }
+    def varint(): Long = {
+      var v = 0L; var shift = 0; var cont = true
+      while (cont) {
+        if (shift > 63) damage()
+        val x = u8()
+        v |= (x & 0x7fL) << shift; shift += 7
+        cont = (x & 0x80) != 0
+      }
+      v
+    }
+    def zigzag(): Long = { val z = varint(); (z >>> 1) ^ -(z & 1L) }
+    def fixed64(): Long = {
+      var v = 0L; var k = 0
+      while (k < 8) { v |= (u8().toLong << (8 * k)); k += 1 }
+      v
+    }
+    /** Field key: (field number, wire type). */
+    def key(): (Int, Int) = {
+      val k = varint()
+      val fn = k >>> 3
+      if (fn <= 0 || fn > Int.MaxValue) damage()
+      (fn.toInt, (k & 7).toInt)
+    }
+    /** Length-delimited payload as a sub-cursor. */
+    def sub(): PB = {
+      val n = varint()
+      if (n < 0 || pos + n > end) damage()
+      val p = new PB(b, pos, pos + n.toInt)
+      pos += n.toInt
+      p
+    }
+    def skip(wt: Int): Unit = wt match {
+      case 0 => varint()
+      case 1 => if (pos + 8 > end) damage() else pos += 8
+      case 2 => sub()
+      case 5 => if (pos + 4 > end) damage() else pos += 4
+      case _ => damage() // groups and unknowns: not in ORC's wire
+    }
+  }
+
+  // ---- decoded tail -------------------------------------------------------
+
+  final case class StripeInfo(offset: Long, indexLength: Long,
+                              dataLength: Long, footerLength: Long,
+                              numRows: Long)
+  /** One column's file statistics; only the families the census reads
+    * (integer and double) are surfaced, others stay None.
+    */
+  final case class ColStats(numValues: Long,
+                            intMin: Option[Long], intMax: Option[Long],
+                            intSum: Option[Long],
+                            dblMin: Option[Double],
+                            dblMax: Option[Double],
+                            dblSum: Option[Double],
+                            hasNull: Boolean)
+  final case class OrcTail(compression: Int, blockSize: Long,
+                           contentLength: Long, numRows: Long,
+                           stripes: Seq[StripeInfo],
+                           typeKinds: Seq[Int],
+                           fieldNames: Seq[String],
+                           stats: Seq[ColStats])
+
+  val CompNone = 0; val CompZlib = 1; val CompSnappy = 2
+  val CompLz4 = 4; val CompZstd = 5
+
+  private val MaxFooter = 1 << 26 // decompressed-footer bound
+  private val MaxList = 1 << 20   // stripes/types/stats count bound
+
+  /** Parse a complete ORC byte object's tail: magic, postscript,
+    * decompressed footer, stripe directory, types, statistics.
+    */
+  def parseTail(b: Array[Byte]): Option[OrcTail] = {
+    try {
+      val n = b.length
+      if (n < 16 || b(0) != 'O' || b(1) != 'R' || b(2) != 'C')
+        return None
+      val psLen = b(n - 1) & 0xff
+      if (psLen <= 0 || n - 1 - psLen < 3) return None
+      // postscript: NEVER compressed
+      val ps = new PB(b, n - 1 - psLen, n - 1)
+      var footerLen = -1L
+      var comp = -1
+      var blockSize = 256L * 1024 // spec default when absent
+      var magic = ""
+      while (ps.hasMore) {
+        val (fn, wt) = ps.key()
+        fn match {
+          case 1 => footerLen = ps.varint()
+          case 2 => comp = ps.varint().toInt
+          case 3 => blockSize = ps.varint()
+          case 8000 =>
+            val s = ps.sub()
+            magic = new String(s.b, s.pos, s.end - s.pos, "US-ASCII")
+          case _ => ps.skip(wt)
+        }
+      }
+      if (magic != "ORC" || footerLen <= 0 || comp < 0) return None
+      if (comp != CompNone && comp != CompZlib && comp != CompSnappy &&
+        comp != CompLz4 && comp != CompZstd) return None
+      if (blockSize <= 0 || blockSize > MaxFooter) return None
+      val fEnd = n - 1 - psLen
+      val fStart = fEnd - footerLen
+      if (footerLen > Int.MaxValue || fStart < 3) return None
+      val footerBytes =
+        decompressStream(b, fStart.toInt, fEnd, comp, blockSize.toInt)
+          .getOrElse(return None)
+
+      // footer proto
+      val f = new PB(footerBytes, 0, footerBytes.length)
+      var contentLength = -1L
+      var numRows = -1L
+      val stripes = Seq.newBuilder[StripeInfo]
+      var nStripes = 0
+      val kinds = Seq.newBuilder[Int]
+      val names = Seq.newBuilder[String]
+      var nTypes = 0
+      val stats = Seq.newBuilder[ColStats]
+      var nStats = 0
+      while (f.hasMore) {
+        val (fn, wt) = f.key()
+        fn match {
+          case 2 => contentLength = f.varint()
+          case 3 =>
+            if (wt != 2) damage()
+            nStripes += 1
+            if (nStripes > MaxList) damage()
+            stripes += parseStripe(f.sub())
+          case 4 =>
+            if (wt != 2) damage()
+            nTypes += 1
+            if (nTypes > MaxList) damage()
+            val t = f.sub()
+            var kind = -1
+            while (t.hasMore) {
+              val (tf, tw) = t.key()
+              tf match {
+                case 1 => kind = t.varint().toInt
+                case 3 =>
+                  val s = t.sub()
+                  names += new String(s.b, s.pos, s.end - s.pos,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                case _ => t.skip(tw)
+              }
+            }
+            if (kind < 0) damage()
+            kinds += kind
+          case 6 => numRows = f.varint()
+          case 7 =>
+            if (wt != 2) damage()
+            nStats += 1
+            if (nStats > MaxList) damage()
+            stats += parseColStats(f.sub())
+          case _ => f.skip(wt)
+        }
+      }
+      val st = stripes.result()
+      if (contentLength < 0 || numRows < 0) return None
+      // the footer's own row accounting must tile: stripes sum to the
+      // declared total (the stripe directory IS the scan plan)
+      if (st.map(_.numRows).sum != numRows) return None
+      Some(OrcTail(comp, blockSize, contentLength, numRows, st,
+        kinds.result(), names.result(), stats.result()))
+    } catch { case _: Damage => None }
+  }
+
+  private def parseStripe(p: PB): StripeInfo = {
+    var off = -1L; var il = -1L; var dl = -1L; var fl = -1L
+    var rows = -1L
+    while (p.hasMore) {
+      val (fn, wt) = p.key()
+      fn match {
+        case 1 => off = p.varint()
+        case 2 => il = p.varint()
+        case 3 => dl = p.varint()
+        case 4 => fl = p.varint()
+        case 5 => rows = p.varint()
+        case _ => p.skip(wt)
+      }
+    }
+    if (off < 0 || il < 0 || dl < 0 || fl < 0 || rows < 0) damage()
+    StripeInfo(off, il, dl, fl, rows)
+  }
+
+  private def parseColStats(p: PB): ColStats = {
+    var nv = -1L
+    var iMin: Option[Long] = None; var iMax: Option[Long] = None
+    var iSum: Option[Long] = None
+    var dMin: Option[Double] = None; var dMax: Option[Double] = None
+    var dSum: Option[Double] = None
+    var hasNull = false
+    while (p.hasMore) {
+      val (fn, wt) = p.key()
+      fn match {
+        case 1 => nv = p.varint()
+        case 2 => // IntegerStatistics: sint64 min/max/sum (ZIGZAG)
+          if (wt != 2) damage()
+          val s = p.sub()
+          while (s.hasMore) {
+            val (sf, sw) = s.key()
+            sf match {
+              case 1 => iMin = Some(s.zigzag())
+              case 2 => iMax = Some(s.zigzag())
+              case 3 => iSum = Some(s.zigzag())
+              case _ => s.skip(sw)
+            }
+          }
+        case 3 => // DoubleStatistics: fixed64 IEEE
+          if (wt != 2) damage()
+          val s = p.sub()
+          while (s.hasMore) {
+            val (sf, sw) = s.key()
+            sf match {
+              case 1 => dMin = Some(
+                java.lang.Double.longBitsToDouble(s.fixed64()))
+              case 2 => dMax = Some(
+                java.lang.Double.longBitsToDouble(s.fixed64()))
+              case 3 => dSum = Some(
+                java.lang.Double.longBitsToDouble(s.fixed64()))
+              case _ => s.skip(sw)
+            }
+          }
+        case 10 => hasNull = p.varint() != 0
+        case _ => p.skip(wt)
+      }
+    }
+    if (nv < 0) damage()
+    ColStats(nv, iMin, iMax, iSum, dMin, dMax, dSum, hasNull)
+  }
+
+  /** Decompress one ORC chunked stream `b[start, end)`: 3-byte LE
+    * chunk headers (`isOriginal` LSB, length above), each chunk
+    * decompressed to at most `blockSize` through the engine-owned
+    * codec for `comp`. CompNone streams are the raw bytes.
+    */
+  private def decompressStream(b: Array[Byte], start: Int, end: Int,
+                               comp: Int,
+                               blockSize: Int): Option[Array[Byte]] = {
+    if (start < 0 || end > b.length || start > end) return None
+    if (comp == CompNone)
+      return Some(java.util.Arrays.copyOfRange(b, start, end))
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(end - start + 64, MaxFooter))
+    var p = start
+    while (p < end) {
+      if (p + 3 > end) return None
+      val h = (b(p) & 0xff) | (b(p + 1) & 0xff) << 8 |
+        (b(p + 2) & 0xff) << 16
+      p += 3
+      val isOriginal = (h & 1) != 0
+      val len = h >>> 1
+      if (len <= 0 || p + len > end) return None
+      if (isOriginal) {
+        if (len > blockSize) return None
+        out.write(b, p, len)
+      } else {
+        val dec: Option[Array[Byte]] = comp match {
+          case CompZlib => inflateRawBounded(b, p, len, blockSize)
+          case CompSnappy => Snappy.uncompressSelf(b, p, len, blockSize)
+          case CompZstd =>
+            Zstd.walk(java.util.Arrays.copyOfRange(b, p, p + len),
+              cap = blockSize) match {
+              case Some(Seq(fr)) if fr.kind == "zstd" => Some(fr.decoded)
+              case _ => None
+            }
+          case CompLz4 => Lz4.decompressBounded(b, p, len, blockSize)
+          case _ => None
+        }
+        dec match {
+          case Some(d) if d.length <= blockSize => out.write(d)
+          case _ => return None
+        }
+      }
+      p += len
+      if (out.size() > MaxFooter) return None
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Raw-deflate inflate bounded at `cap` — ORC ZLIB chunks are bare
+    * DEFLATE streams (no zlib wrapper), same consumer posture as the
+    * Avro deflate codec.
+    */
+  private def inflateRawBounded(b: Array[Byte], off: Int, len: Int,
+                                cap: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, off, len)
+      val bos = new java.io.ByteArrayOutputStream(math.min(cap, 1 << 16))
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val k =
+          try inf.inflate(chunk)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (k > 0) bos.write(chunk, 0, k)
+        else if (!inf.finished()) return None
+        if (bos.size() > cap) return None
+      }
+      Some(bos.toByteArray)
+    } finally inf.end()
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.Orc
+
+/** Pins the from-scratch ORC tail walk (sources/Orc.scala) against
+  * liborc via the pyarrow-written fixture blobs: postscript ->
+  * chunk-decompressed protobuf footer -> stripe directory, type tree,
+  * typed file statistics — across all four chunk codecs (ZLIB /
+  * SNAPPY / ZSTD / LZ4, one per fixture table). Value-level
+  * correctness is the q264 oracle's job; this suite pins structure,
+  * the independent reader's claims (n_stripes / content_length
+  * columns), internal consistency laws, and the damage shapes that
+  * must close.
+  */
+class OrcSpec extends SparkSpec {
+
+  private def fixture: Seq[(Array[Byte], Long, Long)] =
+    spark.read.parquet("fixtures/orc_files.parquet")
+      .collect() // bounded: 12 fixture files
+      .map(r => (r.getAs[Array[Byte]]("file_bytes"),
+        r.getAs[Long]("n_stripes"), r.getAs[Long]("content_length")))
+      .toSeq
+
+  test("pyarrow-written ORC blobs parse: stripe directory tiles the " +
+    "row total, schema tree exact, typed stats present, all four " +
+    "codecs decode through the engine's own consumers") {
+    val blobs = fixture
+    assert(blobs.length == 12)
+    val comps = scala.collection.mutable.Set.empty[Int]
+    for ((b, expStripes, expClen) <- blobs) {
+      val t = Orc.parseTail(b).getOrElse(fail("must parse"))
+      comps += t.compression
+      assert(t.stripes.length.toLong == expStripes,
+        "liborc's stripe count is the truth")
+      assert(t.contentLength == expClen)
+      assert(t.stripes.map(_.numRows).sum == t.numRows)
+      assert(t.numRows > 0 && t.numRows % 256 == 0) // 256 replicas
+      assert(t.typeKinds == Seq(12, 4, 6)) // struct<long, double>
+      assert(t.fieldNames == Seq("rec_id", "score"))
+      assert(t.stats.length == 3) // root + 2 columns
+      val root = t.stats(0)
+      assert(root.numValues == t.numRows && !root.hasNull)
+      val rid = t.stats(1)
+      assert(rid.intMin.exists(mn => rid.intMax.exists(_ >= mn)))
+      assert(rid.intSum.isDefined && !rid.hasNull)
+      val sc = t.stats(2)
+      assert(sc.dblSum.isDefined && !sc.hasNull)
+      // stripes are contiguous after the 3-byte magic header region
+      assert(t.stripes.head.offset == 3)
+    }
+    assert(comps == Set(Orc.CompZlib, Orc.CompSnappy, Orc.CompZstd,
+      Orc.CompLz4), "fixture covers every engine codec")
+  }
+
+  test("damage fails closed: truncation anywhere in the tail, flipped " +
+    "tail bytes, forged postscript length, empty input — None or a " +
+    "consistent parse, never a throw") {
+    val b = fixture.head._1
+    assert(Orc.parseTail(b).isDefined)
+    // truncations: every cut in the last 300 bytes (postscript +
+    // footer region) and a few gross ones
+    for (cut <- (b.length - 300) until b.length)
+      Orc.parseTail(java.util.Arrays.copyOf(b, cut)) // must not throw
+    assert(Orc.parseTail(java.util.Arrays.copyOf(b, 2)).isEmpty)
+    assert(Orc.parseTail(Array.emptyByteArray).isEmpty)
+    // every single-byte flip in the tail region: None or well-formed
+    for (i <- (b.length - 300) until b.length) {
+      val bad = b.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      Orc.parseTail(bad)
+    }
+    // forged postscript length: every possible value of the last byte
+    for (v <- 0 to 255) {
+      val bad = b.clone(); bad(b.length - 1) = v.toByte
+      Orc.parseTail(bad)
+    }
+    // bad magic up front
+    val m = b.clone(); m(0) = 'X'
+    assert(Orc.parseTail(m).isEmpty)
+  }
+}
