@@ -46,6 +46,29 @@ def string(s: str) -> bytes:
     return varint(len(b)) + b
 
 
+def snappy_stored(raw: bytes) -> bytes:
+    """A VALID snappy stream storing raw as one literal run — the
+    deterministic layout the engine's Avro snappy writer emits
+    (preamble uvarint + tag + bytes); byte-identical by construction.
+    """
+    out = bytearray()
+    z = len(raw)
+    while z & ~0x7F:
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+    out.append(z)
+    if raw:
+        if len(raw) <= 60:
+            out.append((len(raw) - 1) << 2)
+        else:
+            out.append(0xFC)
+            n = len(raw) - 1
+            out += bytes([n & 0xFF, (n >> 8) & 0xFF,
+                          (n >> 16) & 0xFF, (n >> 24) & 0xFF])
+        out += raw
+    return bytes(out)
+
+
 def container(records, sync: bytes, codec: str, block_records=5) -> bytes:
     out = bytearray(b"Obj\x01")
     out += varint(2) + string("avro.schema") + string(SCHEMA_JSON) \
@@ -57,6 +80,10 @@ def container(records, sync: bytes, codec: str, block_records=5) -> bytes:
         if codec == "deflate":
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = c.compress(body) + c.flush()
+        elif codec == "snappy":
+            # Avro spec: snappy payload + BE CRC32 of uncompressed
+            body = snappy_stored(body) \
+                + zlib.crc32(body).to_bytes(4, "big")
         out += varint(len(group)) + varint(len(body)) + body + sync
     return bytes(out)
 
@@ -74,13 +101,15 @@ def main():
                 * (1 + n_chars % 3)
             blobs.setdefault(doc_id % 8, []).append((doc_id, payload))
         for blob_id, recs in blobs.items():
-            codec = "deflate" if blob_id % 2 == 0 else "null"
             sync = bytes((blob_id * 31 + i * 7) % 256 for i in range(16))
-            key = hashlib.md5(
-                (codec + ":" + ",".join(f"{r[0]}={r[1]}" for r in recs))
-                .encode("ascii")).hexdigest()
-            if key not in rows:
-                rows[key] = len(container(recs, sync, codec))
+            q230_codec = "deflate" if blob_id % 2 == 0 else "null"
+            for codec in (q230_codec, "snappy"):  # snappy rows: q265
+                key = hashlib.md5(
+                    (codec + ":" + ",".join(f"{r[0]}={r[1]}"
+                                            for r in recs))
+                    .encode("ascii")).hexdigest()
+                if key not in rows:
+                    rows[key] = len(container(recs, sync, codec))
     out = Path(__file__).resolve().parent.parent / "fixtures"
     out.mkdir(exist_ok=True)
     keys = sorted(rows)

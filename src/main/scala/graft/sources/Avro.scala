@@ -25,8 +25,10 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * crawl-scale files are routinely cut mid-block).
   *
   * Scope: the `(long, string)` record schema the corpus queries use
-  * (id + payload — the Kafka-dump shape), codecs `null` and `deflate`
-  * (raw DEFLATE per the spec; snappy needs a native lib). One blob per
+  * (id + payload — the Kafka-dump shape), codecs `null`, `deflate`
+  * (raw DEFLATE per the spec) and `snappy` (block payload + 4-byte
+  * big-endian CRC32 of the uncompressed bytes, decoded by the
+  * engine's OWN [[Snappy]]). One blob per
   * scan task, records exploded with zero shuffles ([[Warc.records]] /
   * [[Zip.entries]] posture). Malformed header, unknown codec, a block
   * whose payload does not parse into exactly `count` records, or a
@@ -92,7 +94,8 @@ object Avro {
   def write(records: Seq[(Long, String)], sync: Array[Byte],
             codec: String = "null", blockRecords: Int = 5): Array[Byte] = {
     require(sync.length == 16, "sync marker is 16 bytes")
-    require(codec == "null" || codec == "deflate", s"codec $codec")
+    require(codec == "null" || codec == "deflate" || codec == "snappy",
+      s"codec $codec")
     require(blockRecords > 0, "blockRecords must be positive")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic, 0, 4)
@@ -113,7 +116,16 @@ object Avro {
       val raw = body.toByteArray
       val data =
         if (codec == "null") raw
-        else {
+        else if (codec == "snappy") {
+          // spec: snappy payload, then BE CRC32 of the UNCOMPRESSED
+          // bytes; stored-literal form keeps the layout deterministic
+          val comp = Snappy.compressStored(raw)
+          val crc = new java.util.zip.CRC32()
+          crc.update(raw)
+          val v = crc.getValue
+          comp ++ Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+            (v >> 8).toByte, v.toByte)
+        } else {
           val d = new java.util.zip.Deflater(6, true)
           try {
             d.setInput(raw); d.finish()
@@ -182,7 +194,8 @@ object Avro {
     if (schema == null ||
       schema.replaceAll("\\s", "") != SchemaJson.replaceAll("\\s", ""))
       return Nil
-    if (codec != "null" && codec != "deflate") return Nil // route elsewhere
+    if (codec != "null" && codec != "deflate" && codec != "snappy")
+      return Nil // route elsewhere
     if (pos + 16 > b.length) return Nil
     val sync = java.util.Arrays.copyOfRange(b, pos, pos + 16)
     pos += 16
@@ -203,6 +216,8 @@ object Avro {
           val raw: Array[Byte] =
             if (codec == "null")
               java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
+            else if (codec == "snappy")
+              snappyBlock(b, dataOff, dataLen)
             else {
               val inf = new java.util.zip.Inflater(true)
               try {
@@ -274,5 +289,26 @@ object Avro {
   def records(blobs: Dataset[AvroBlob]): Dataset[AvroRecord] = {
     implicit val enc = Encoders.product[AvroRecord]
     blobs.mapPartitions(_.flatMap(a => parse(a.blob_id, a.content)))
+  }
+
+  /** Decode one snappy-codec block: the last 4 payload bytes are the
+    * BIG-ENDIAN CRC32 of the uncompressed data (Avro spec, "Required
+    * Codecs"); a size bomb, malformed stream, or CRC mismatch is
+    * damage (null). Decoded through the engine's OWN [[Snappy]] —
+    * nothing links against snappy-java here.
+    */
+  private[graft] def snappyBlock(b: Array[Byte], off: Int,
+                                 len: Int): Array[Byte] = {
+    if (len < 4) return null
+    Snappy.uncompressSelf(b, off, len - 4, 1 << 26) match {
+      case Some(d) =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(d)
+        val p = off + len - 4
+        val want = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+          ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+        if ((crc.getValue & 0xffffffffL) == want) d else null
+      case None => null
+    }
   }
 }

@@ -358,7 +358,8 @@ object AvroGeneric {
         }
       }
       if (schemaJson == null) return None
-      if (codec != "null" && codec != "deflate") return None
+      if (codec != "null" && codec != "deflate" && codec != "snappy")
+        return None
       val schema = parseSchema(schemaJson).getOrElse(return None)
       if (pos + 16 > b.length) return None
       val sync = java.util.Arrays.copyOfRange(b, pos, pos + 16)
@@ -378,7 +379,12 @@ object AvroGeneric {
         val raw: Array[Byte] =
           if (codec == "null")
             java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
-          else inflateRaw(b, dataOff, dataLen).getOrElse(return None)
+          else if (codec == "snappy") {
+            // payload + BE CRC32 of the uncompressed bytes, through
+            // the engine's own decoder (Avro.snappyBlock)
+            val d = Avro.snappyBlock(b, dataOff, dataLen)
+            if (d == null) return None else d
+          } else inflateRaw(b, dataOff, dataLen).getOrElse(return None)
         var rp = 0
         var i = 0L
         while (i < cnt._1) {

@@ -99,6 +99,34 @@ object Snappy {
   def uncompress(b: Array[Byte], want: Int): Option[Array[Byte]] =
     uncompress(b, 0, b.length, want)
 
+  /** Emit a VALID snappy stream storing `b` as one literal run:
+    * uvarint preamble + (for non-empty input) a literal tag —
+    * ≤60 bytes inline in the tag, else the 4-byte LE length form —
+    * then the bytes verbatim. Deterministic by construction (the Avro
+    * snappy-codec writer needs byte-reproducible output for the
+    * size-oracle law); any spec-conforming snappy decoder, including
+    * [[uncompress]], reads it back.
+    */
+  def compressStored(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + 8)
+    var z = b.length.toLong
+    while ((z & ~0x7fL) != 0) {
+      out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7
+    }
+    out.write(z.toInt)
+    if (b.length > 0) {
+      if (b.length <= 60) out.write((b.length - 1) << 2)
+      else {
+        out.write(0xfc) // literal, 4 trailing LE length bytes
+        val n = b.length - 1
+        out.write(n & 0xff); out.write((n >> 8) & 0xff)
+        out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+      }
+      out.write(b, 0, b.length)
+    }
+    out.toByteArray
+  }
+
   /** Uncompress trusting the block's OWN preamble for the output
     * size, bounded by `cap` — ORC's chunk framing carries no
     * uncompressed length, only the codec's. A preamble past the cap

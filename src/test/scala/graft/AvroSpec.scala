@@ -137,6 +137,68 @@ class AvroSpec extends SparkSpec {
     assert(Avro.parse(1L, out.toByteArray).isEmpty)
   }
 
+  test("snappy codec: engine round-trip, REAL snappy-java-compressed " +
+    "blocks decode through the engine's own decoder, CRC flips and " +
+    "truncations close") {
+    val sync = Array.tabulate[Byte](16)(i => (i * 13).toByte)
+    val recs = (1L to 12L).map(i => (i, s"payload-$i-" + ("x" * 40)))
+    // engine round-trip (stored-literal snappy + BE CRC32)
+    val b = Avro.write(recs, sync, "snappy")
+    val got = Avro.parse(7L, b)
+    assert(got.length == 12 && got.forall(_.codec == "snappy") &&
+      got.forall(_.sync_ok))
+    assert(got.map(r => (r.rec_id, r.payload)) == recs)
+    // a container whose block is REAL snappy-java compression (the
+    // layout actual writers emit) must decode identically
+    val body = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (id, p) =>
+      Avro.putVarint(body, id)
+      val pb = p.getBytes("UTF-8")
+      Avro.putVarint(body, pb.length.toLong); body.write(pb)
+    }
+    val raw = body.toByteArray
+    val comp = org.xerial.snappy.Snappy.compress(raw)
+    val crc = new java.util.zip.CRC32(); crc.update(raw)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("Obj".getBytes("US-ASCII")); out.write(1)
+    Avro.putVarint(out, 2L)
+    def putStr(s: String): Unit = {
+      val x = s.getBytes("UTF-8")
+      Avro.putVarint(out, x.length.toLong); out.write(x)
+    }
+    putStr("avro.schema"); putStr(Avro.SchemaJson)
+    putStr("avro.codec"); putStr("snappy")
+    Avro.putVarint(out, 0L)
+    out.write(sync)
+    Avro.putVarint(out, recs.length.toLong)
+    Avro.putVarint(out, comp.length.toLong + 4)
+    out.write(comp)
+    val v = crc.getValue
+    out.write((v >> 24).toInt & 0xff); out.write((v >> 16).toInt & 0xff)
+    out.write((v >> 8).toInt & 0xff); out.write(v.toInt & 0xff)
+    out.write(sync)
+    val real = out.toByteArray
+    val got2 = Avro.parse(9L, real)
+    assert(got2.map(r => (r.rec_id, r.payload)) == recs,
+      "snappy-java-written block must decode")
+    // CRC flip: the walk must stop with nothing from that block
+    val crcFlip = real.clone()
+    crcFlip(real.length - 17) = (crcFlip(real.length - 17) ^ 1).toByte
+    assert(Avro.parse(9L, crcFlip).isEmpty)
+    // payload flip: CRC catches it
+    val payFlip = real.clone()
+    payFlip(real.length - 40) = (payFlip(real.length - 40) ^ 0x5a).toByte
+    assert(Avro.parse(9L, payFlip).isEmpty)
+    // truncation anywhere never throws
+    for (cut <- 0 until b.length by 3)
+      Avro.parse(7L, java.util.Arrays.copyOf(b, cut))
+    // AvroGeneric accepts the same codec (metadata walks)
+    val gen = graft.sources.AvroGeneric.parseContainer(real)
+      .getOrElse(fail("generic walk must decode snappy"))
+    assert(gen.records.length == 12)
+    assert(graft.sources.AvroGeneric.parseContainer(crcFlip).isEmpty)
+  }
+
   test("distributed wrapper preserves rows across partitions") {
     val sync = Array.fill[Byte](16)(0x11)
     import spark.implicits.newProductEncoder
