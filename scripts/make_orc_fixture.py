@@ -55,6 +55,7 @@ def orc_file(ids, codec):
 
 def main():
     files = {}
+    stripe_rows = {}
     for sf in SF_DIRS:
         p = Path("/root/testdata") / sf / "documents.parquet"
         if not p.exists():
@@ -74,6 +75,18 @@ def main():
             assert f.nrows == len(ids) * REPLICAS
             files[key] = [("data-0.orc", "data", b, f.nstripes,
                            f.content_length)]
+            # per-stripe aggregates through pyarrow's INDEPENDENT
+            # stripe reads — the q267 pruning oracle (stripe row
+            # boundaries are liborc buffering decisions, not
+            # relationally derivable)
+            srows = []
+            for si in range(f.nstripes):
+                st = f.read_stripe(si)
+                rid = st.column("rec_id").to_pylist()
+                sc = st.column("score").to_pylist()
+                srows.append((si, len(rid), min(rid), max(rid),
+                              sum(rid), sum(sc)))
+            stripe_rows[key] = srows
     out = Path("fixtures")
     out.mkdir(exist_ok=True)
     keys, paths, kinds, blobs_col, nstripes, clens = [], [], [], [], [], []
@@ -98,6 +111,29 @@ def main():
     )
     print(f"orc_files.parquet: {len(keys)} rows, {len(files)} tables, "
           f"{sum(len(b) for b in blobs_col)} bytes")
+    sk, sidx, srw, smn, smx, sis, sss = [], [], [], [], [], [], []
+    for k in sorted(stripe_rows):
+        for si, rw, mn, mx, isum, ssum in stripe_rows[k]:
+            sk.append(k)
+            sidx.append(si)
+            srw.append(rw)
+            smn.append(mn)
+            smx.append(mx)
+            sis.append(isum)
+            sss.append(ssum)
+    pq.write_table(
+        pa.table({
+            "blob_key": sk,
+            "stripe_idx": pa.array(sidx, pa.int64()),
+            "s_rows": pa.array(srw, pa.int64()),
+            "s_min": pa.array(smn, pa.int64()),
+            "s_max": pa.array(smx, pa.int64()),
+            "s_id_sum": pa.array(sis, pa.int64()),
+            "s_score_sum": pa.array(sss, pa.float64()),
+        }),
+        out / "orc_stripe_oracle.parquet",
+    )
+    print(f"orc_stripe_oracle.parquet: {len(sk)} stripe rows")
 
 
 if __name__ == "__main__":

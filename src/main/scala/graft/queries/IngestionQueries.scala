@@ -323,6 +323,169 @@ object IngestionQueries {
                f.n_stripes, a.n_rows, f.content_length,
                a.id_min, a.id_max, a.id_sum, a.score_sum
         FROM agg a JOIN f ON a.blob_id = f.blob_id"""),
+      headline = false),
+
+    // q267 — ORC STRIPE PRUNING + selective decode, the q249/q263
+    // skip proof on the OTHER lake format: the Metadata section's
+    // per-stripe column statistics select stripes against a probe
+    // derived from the FILE's own footer stats (middle third of the
+    // rec_id span, scan-local), and ONLY the surviving stripes'
+    // DATA streams are decoded — through the engine's own RLEv2
+    // reader (sources/Orc.scala: SHORT_REPEAT/DIRECT/PATCHED_BASE/
+    // DELTA, big-endian bit packing) and IEEE-double stream, under
+    // whichever of the four chunk codecs the table carries. Stripe
+    // row boundaries are liborc buffering decisions, so the oracle
+    // joins pyarrow's independent per-stripe reads
+    // (orc_stripe_oracle.parquet) for membership and sums; selection
+    // arithmetic is replayed relationally from those bounds.
+    "q267_orc_stripe_prune" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orc:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(Fixture)), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              if (t.stripeStats.length != t.stripes.length ||
+                t.stats.length != 3) Nil
+              else {
+                val probe = for {
+                  mn <- t.stats(1).intMin
+                  mx <- t.stats(1).intMax
+                } yield (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+                probe.toSeq.flatMap { case (lo, hi) =>
+                  var nSel = 0L
+                  var rows = 0L
+                  var idSum = 0L
+                  var scoreSum = 0.0
+                  var ok = true
+                  for ((st, si) <- t.stripes.zipWithIndex) {
+                    val ss = t.stripeStats(si)
+                    val sel = (for {
+                      mn <- ss.lift(1).flatMap(_.intMin)
+                      mx <- ss.lift(1).flatMap(_.intMax)
+                    } yield mx >= lo && mn <= hi)
+                      .getOrElse { ok = false; false }
+                    if (sel) {
+                      nSel += 1
+                      (O.stripeColumnLongs(bytes, t, st, 1),
+                        O.stripeColumnDoubles(bytes, t, st, 2)) match {
+                        case (Some(ids), Some(ds)) =>
+                          rows += ids.length
+                          idSum += ids.sum
+                          scoreSum += ds.sum
+                        case _ => ok = false
+                      }
+                    }
+                  }
+                  if (ok)
+                    Seq((blobId, t.stripes.length.toLong, nSel, rows,
+                      idSum, scoreSum))
+                  else Nil
+                }
+              }
+            }
+          }.toDF("blob_id", "n_stripes", "n_selected", "rows_decoded",
+            "id_sum", "score_sum")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('orc:' || string_agg(d, ',' ORDER BY d)) AS bkey,
+                 min(d) AS gmin, max(d) AS gmax
+          FROM r GROUP BY blob_id),
+        st AS (
+          SELECT k.blob_id, x.stripe_idx, x.s_rows, x.s_min, x.s_max,
+                 x.s_id_sum, x.s_score_sum,
+                 k.gmin + (k.gmax - k.gmin) // 3 AS lo,
+                 k.gmin + 2 * (k.gmax - k.gmin) // 3 AS hi
+          FROM k JOIN read_parquet(
+            '/root/repo/fixtures/orc_stripe_oracle.parquet') x
+            ON k.bkey = x.blob_key)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_stripes,
+               CAST(sum(CASE WHEN s_max >= lo AND s_min <= hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               CAST(coalesce(sum(CASE WHEN s_max >= lo AND s_min <= hi
+                        THEN s_rows END), 0) AS BIGINT) AS rows_decoded,
+               CAST(coalesce(sum(CASE WHEN s_max >= lo AND s_min <= hi
+                        THEN s_id_sum END), 0) AS BIGINT) AS id_sum,
+               coalesce(sum(CASE WHEN s_max >= lo AND s_min <= hi
+                        THEN s_score_sum END), 0) AS score_sum
+        FROM st GROUP BY blob_id"""),
+      headline = false),
+
+    // q268 — ORC DATA scan, fully relational: every stripe's LONG
+    // (RLEv2) and DOUBLE DATA streams decode end to end and the
+    // per-table totals must equal the straight relational recompute
+    // (the 256-replica layout makes every sum exact in double) —
+    // data-level truth on top of q264's stats census. stats_ok pins
+    // decoded totals against the footer's OWN file statistics, so a
+    // decoder that is wrong AND a stats writer that is wrong would
+    // have to be wrong identically to pass.
+    "q268_orc_data_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orc:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(Fixture)), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              var rows = 0L
+              var idSum = 0L
+              var scoreSum = 0.0
+              var ok = t.stats.length == 3
+              t.stripes.foreach { st =>
+                (O.stripeColumnLongs(bytes, t, st, 1),
+                  O.stripeColumnDoubles(bytes, t, st, 2)) match {
+                  case (Some(ids), Some(ds))
+                    if ids.length.toLong == st.numRows &&
+                      ds.length.toLong == st.numRows =>
+                    rows += ids.length
+                    idSum += ids.sum
+                    scoreSum += ds.sum
+                  case _ => ok = false
+                }
+              }
+              val statsOk = ok && rows == t.numRows &&
+                t.stats(1).intSum.contains(idSum) &&
+                t.stats(2).dblSum.exists(v =>
+                  math.abs(v - scoreSum) < 1e-6)
+              if (ok)
+                Seq((blobId, rows, idSum, scoreSum,
+                  if (statsOk) 1L else 0L))
+              else Nil
+            }
+          }.toDF("blob_id", "rows_decoded", "id_sum", "score_sum",
+            "stats_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(256 * count(*) AS BIGINT) AS rows_decoded,
+               CAST(256 * sum(d) AS BIGINT) AS id_sum,
+               256 * sum((d % 48) / 8.0) AS score_sum,
+               CAST(1 AS BIGINT) AS stats_ok
+        FROM r GROUP BY blob_id"""),
       headline = false))
   }
 

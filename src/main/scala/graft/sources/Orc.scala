@@ -107,7 +107,12 @@ object Orc {
                            stripes: Seq[StripeInfo],
                            typeKinds: Seq[Int],
                            fieldNames: Seq[String],
-                           stats: Seq[ColStats])
+                           stats: Seq[ColStats],
+                           /** Metadata section: per-stripe, per-column
+                             * statistics — what stripe PRUNING plans
+                             * from. Empty when the writer emitted none.
+                             */
+                           stripeStats: Seq[Seq[ColStats]] = Nil)
 
   val CompNone = 0; val CompZlib = 1; val CompSnappy = 2
   val CompLz4 = 4; val CompZstd = 5
@@ -130,6 +135,7 @@ object Orc {
       var footerLen = -1L
       var comp = -1
       var blockSize = 256L * 1024 // spec default when absent
+      var metadataLen = 0L
       var magic = ""
       while (ps.hasMore) {
         val (fn, wt) = ps.key()
@@ -137,6 +143,7 @@ object Orc {
           case 1 => footerLen = ps.varint()
           case 2 => comp = ps.varint().toInt
           case 3 => blockSize = ps.varint()
+          case 5 => metadataLen = ps.varint()
           case 8000 =>
             val s = ps.sub()
             magic = new String(s.b, s.pos, s.end - s.pos, "US-ASCII")
@@ -207,8 +214,47 @@ object Orc {
       // the footer's own row accounting must tile: stripes sum to the
       // declared total (the stripe directory IS the scan plan)
       if (st.map(_.numRows).sum != numRows) return None
+
+      // Metadata section (per-stripe column statistics), directly
+      // before the footer; same chunked framing
+      val stripeStats: Seq[Seq[ColStats]] =
+        if (metadataLen <= 0) Nil
+        else {
+          if (metadataLen > Int.MaxValue ||
+            fStart - metadataLen < 3) return None
+          val mBytes = decompressStream(b, (fStart - metadataLen).toInt,
+            fStart.toInt, comp, blockSize.toInt).getOrElse(return None)
+          val m = new PB(mBytes, 0, mBytes.length)
+          val out = Seq.newBuilder[Seq[ColStats]]
+          var cnt = 0
+          while (m.hasMore) {
+            val (fn, wt) = m.key()
+            if (fn == 1) {
+              if (wt != 2) damage()
+              cnt += 1
+              if (cnt > MaxList) damage()
+              val ss = m.sub()
+              val cols = Seq.newBuilder[ColStats]
+              var cc = 0
+              while (ss.hasMore) {
+                val (sf, sw) = ss.key()
+                if (sf == 1) {
+                  if (sw != 2) damage()
+                  cc += 1
+                  if (cc > MaxList) damage()
+                  cols += parseColStats(ss.sub())
+                } else ss.skip(sw)
+              }
+              out += cols.result()
+            } else m.skip(wt)
+          }
+          val r = out.result()
+          // one StripeStatistics entry per stripe, or none at all
+          if (r.nonEmpty && r.length != st.length) return None
+          r
+        }
       Some(OrcTail(comp, blockSize, contentLength, numRows, st,
-        kinds.result(), names.result(), stats.result()))
+        kinds.result(), names.result(), stats.result(), stripeStats))
     } catch { case _: Damage => None }
   }
 
@@ -274,6 +320,274 @@ object Orc {
     }
     if (nv < 0) damage()
     ColStats(nv, iMin, iMax, iSum, dMin, dMax, dSum, hasNull)
+  }
+
+  // ---- stripe data decode (RLEv2 + doubles) -----------------------------
+
+  /** One stream entry of a stripe footer: kind (0 PRESENT, 1 DATA,
+    * 2 LENGTH, 6 ROW_INDEX, ...), column id, byte length. Streams lay
+    * out in LIST ORDER from the stripe's start (index region first),
+    * so cumulative lengths ARE the addressing.
+    */
+  final case class StreamInfo(kind: Int, column: Int, length: Long)
+  final case class StripeFooter(streams: Seq[StreamInfo],
+                                encodings: Seq[Int])
+
+  /** Parse one stripe's footer (chunk-compressed protobuf at
+    * stripe.offset + indexLength + dataLength).
+    */
+  def parseStripeFooter(b: Array[Byte], tail: OrcTail,
+                        s: StripeInfo): Option[StripeFooter] = {
+    try {
+      val fOff = s.offset + s.indexLength + s.dataLength
+      val fEnd = fOff + s.footerLength
+      if (fOff < 0 || fEnd > b.length || fOff > Int.MaxValue ||
+        fEnd > Int.MaxValue) return None
+      val fb = decompressStream(b, fOff.toInt, fEnd.toInt,
+        tail.compression, tail.blockSize.toInt).getOrElse(return None)
+      val p = new PB(fb, 0, fb.length)
+      val streams = Seq.newBuilder[StreamInfo]
+      val encs = Seq.newBuilder[Int]
+      var ns = 0
+      while (p.hasMore) {
+        val (fn, wt) = p.key()
+        fn match {
+          case 1 =>
+            if (wt != 2) damage()
+            ns += 1
+            if (ns > MaxList) damage()
+            val sp = p.sub()
+            var kind = -1; var colId = -1; var len = -1L
+            while (sp.hasMore) {
+              val (sf, sw) = sp.key()
+              sf match {
+                case 1 => kind = sp.varint().toInt
+                case 2 => colId = sp.varint().toInt
+                case 3 => len = sp.varint()
+                case _ => sp.skip(sw)
+              }
+            }
+            if (kind < 0 || colId < 0 || len < 0) damage()
+            streams += StreamInfo(kind, colId, len)
+          case 2 =>
+            if (wt != 2) damage()
+            val ep = p.sub()
+            var k = -1
+            while (ep.hasMore) {
+              val (ef, ew) = ep.key()
+              if (ef == 1) k = ep.varint().toInt else ep.skip(ew)
+            }
+            encs += math.max(k, 0)
+          case _ => p.skip(wt)
+        }
+      }
+      Some(StripeFooter(streams.result(), encs.result()))
+    } catch { case _: Damage => None }
+  }
+
+  /** Locate and decompress one column's DATA stream within a stripe.
+    * Scope law: a PRESENT stream on that column routes away (the
+    * non-null corpus shape — decoding validity bitmaps is a different
+    * operator), as does a missing DATA stream.
+    */
+  private def dataStream(b: Array[Byte], tail: OrcTail, s: StripeInfo,
+                         colId: Int): Option[Array[Byte]] = {
+    parseStripeFooter(b, tail, s).flatMap { sf =>
+      if (sf.streams.exists(st => st.kind == 0 && st.column == colId))
+        return None // nulls out of scope
+      var off = s.offset
+      var found = -1L
+      var len = -1L
+      sf.streams.foreach { st =>
+        if (st.kind == 1 && st.column == colId && found < 0) {
+          found = off; len = st.length
+        }
+        off += st.length
+      }
+      if (found < 0 || found + len > b.length ||
+        found > Int.MaxValue || found + len > Int.MaxValue) None
+      else decompressStream(b, found.toInt, (found + len).toInt,
+        tail.compression, tail.blockSize.toInt)
+    }
+  }
+
+  /** Decode one LONG column's stripe values: DIRECT_V2 (RLEv2,
+    * zigzag-signed) DATA stream, exactly `stripe.numRows` values.
+    */
+  def stripeColumnLongs(b: Array[Byte], tail: OrcTail, s: StripeInfo,
+                        colId: Int): Option[Array[Long]] = {
+    if (s.numRows < 0 || s.numRows > (1 << 26)) return None
+    dataStream(b, tail, s, colId)
+      .flatMap(d => rleV2Signed(d, s.numRows.toInt))
+  }
+
+  /** Decode one DOUBLE column's stripe values: IEEE 754 LE, 8 bytes
+    * per value.
+    */
+  def stripeColumnDoubles(b: Array[Byte], tail: OrcTail, s: StripeInfo,
+                          colId: Int): Option[Array[Double]] = {
+    if (s.numRows < 0 || s.numRows > (1 << 26)) return None
+    dataStream(b, tail, s, colId).flatMap { d =>
+      val n = s.numRows.toInt
+      if (d.length != 8L * n) None
+      else {
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var v = 0L
+          var k = 7
+          while (k >= 0) { v = (v << 8) | (d(i * 8 + k) & 0xffL); k -= 1 }
+          out(i) = java.lang.Double.longBitsToDouble(v)
+          i += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** 5-bit encoded bit width (the spec's closed table): 0-23 map to
+    * 1-24, then 26/28/30/32/40/48/56/64.
+    */
+  private def widthOf(code: Int): Int =
+    if (code < 24) code + 1
+    else code match {
+      case 24 => 26; case 25 => 28; case 26 => 30; case 27 => 32
+      case 28 => 40; case 29 => 48; case 30 => 56; case _ => 64
+    }
+
+  /** Integer RLE v2 (the spec's four sub-encodings — SHORT_REPEAT,
+    * DIRECT, PATCHED_BASE, DELTA), zigzag-signed semantics, exactly
+    * `n` values consuming the stream exactly. Big-endian bit packing
+    * throughout; PATCHED_BASE's base value is sign-magnitude and its
+    * patch list carries (gap, patch) entries with value-0 entries as
+    * gap-255 continuations, per the spec.
+    */
+  private def rleV2Signed(d: Array[Byte], n: Int): Option[Array[Long]] = {
+    try {
+      val out = new Array[Long](n)
+      var p = 0
+      var i = 0
+      def u8(): Int = {
+        if (p >= d.length) damage()
+        val v = d(p) & 0xff; p += 1; v
+      }
+      def varU(): Long = {
+        var v = 0L; var shift = 0; var cont = true
+        while (cont) {
+          if (shift > 63) damage()
+          val x = u8()
+          v |= (x & 0x7fL) << shift; shift += 7
+          cont = (x & 0x80) != 0
+        }
+        v
+      }
+      def zz(z: Long): Long = (z >>> 1) ^ -(z & 1L)
+      def unpack(count: Int, width: Int): Array[Long] = {
+        val vals = new Array[Long](count)
+        if (width == 0) return vals
+        if (width > 64) damage()
+        var cur = 0
+        var bitsLeft = 0
+        var j = 0
+        while (j < count) {
+          var v = 0L
+          var need = width
+          while (need > 0) {
+            if (bitsLeft == 0) { cur = u8(); bitsLeft = 8 }
+            val take = math.min(need, bitsLeft)
+            v = (v << take) |
+              ((cur >>> (bitsLeft - take)) & ((1 << take) - 1))
+            bitsLeft -= take
+            need -= take
+          }
+          vals(j) = v
+          j += 1
+        }
+        vals
+      }
+      while (i < n) {
+        val h = u8()
+        (h >>> 6) match {
+          case 0 => // SHORT_REPEAT
+            val w = ((h >>> 3) & 7) + 1
+            val cnt = (h & 7) + 3
+            var v = 0L
+            var k = 0
+            while (k < w) { v = (v << 8) | u8(); k += 1 }
+            val sv = zz(v)
+            if (i + cnt > n) damage()
+            k = 0
+            while (k < cnt) { out(i) = sv; i += 1; k += 1 }
+          case 1 => // DIRECT
+            val width = widthOf((h >>> 1) & 0x1f)
+            val len = (((h & 1) << 8) | u8()) + 1
+            if (i + len > n) damage()
+            val vals = unpack(len, width)
+            var k = 0
+            while (k < len) { out(i) = zz(vals(k)); i += 1; k += 1 }
+          case 3 => // DELTA
+            val wc = (h >>> 1) & 0x1f
+            val width = if (wc == 0) 0 else widthOf(wc)
+            val len = (((h & 1) << 8) | u8()) + 1
+            if (i + len > n) damage()
+            val base = zz(varU())
+            out(i) = base; i += 1
+            if (len >= 2) {
+              val dBase = zz(varU())
+              var prev = base + dBase
+              out(i) = prev; i += 1
+              if (len > 2) {
+                if (width == 0) {
+                  var k = 2
+                  while (k < len) { prev += dBase; out(i) = prev
+                    i += 1; k += 1 }
+                } else {
+                  val ds = unpack(len - 2, width)
+                  val sign = if (dBase < 0) -1L else 1L
+                  var k = 0
+                  while (k < len - 2) {
+                    prev += sign * ds(k); out(i) = prev
+                    i += 1; k += 1
+                  }
+                }
+              }
+            }
+          case _ => // PATCHED_BASE
+            val width = widthOf((h >>> 1) & 0x1f)
+            val len = (((h & 1) << 8) | u8()) + 1
+            val b3 = u8()
+            val bw = ((b3 >>> 5) & 7) + 1
+            val pw = widthOf(b3 & 0x1f)
+            val b4 = u8()
+            val pgw = ((b4 >>> 5) & 7) + 1
+            val pll = b4 & 0x1f
+            var base = 0L
+            var k = 0
+            while (k < bw) { base = (base << 8) | u8(); k += 1 }
+            val signBit = 1L << (bw * 8 - 1)
+            if ((base & signBit) != 0) base = -(base & (signBit - 1))
+            if (i + len > n) damage()
+            val vals = unpack(len, width)
+            val patches = unpack(pll, pgw + pw)
+            var pos = 0
+            var pi = 0
+            while (pi < pll) {
+              val g = (patches(pi) >>> pw).toInt
+              val v = patches(pi) & ((1L << pw) - 1)
+              pos += g
+              if (v != 0) {
+                if (pos >= len) damage()
+                vals(pos) = vals(pos) | (v << width)
+              }
+              pi += 1
+            }
+            k = 0
+            while (k < len) { out(i) = base + vals(k); i += 1; k += 1 }
+        }
+      }
+      if (p != d.length) damage() // trailing bytes = malformation
+      Some(out)
+    } catch { case _: Damage => None }
   }
 
   /** Decompress one ORC chunked stream `b[start, end)`: 3-byte LE

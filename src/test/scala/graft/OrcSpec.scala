@@ -52,6 +52,38 @@ class OrcSpec extends SparkSpec {
       Orc.CompLz4), "fixture covers every engine codec")
   }
 
+  test("stripe DATA decode: RLEv2 longs and IEEE doubles reproduce " +
+    "liborc's own statistics stripe by stripe, file totals included") {
+    for ((b, _, _) <- fixture) {
+      val t = Orc.parseTail(b).getOrElse(fail("must parse"))
+      assert(t.stripeStats.length == t.stripes.length,
+        "liborc writes the Metadata section")
+      var totLong = 0L
+      var totDbl = 0.0
+      for ((s, si) <- t.stripes.zipWithIndex) {
+        val ids = Orc.stripeColumnLongs(b, t, s, 1)
+          .getOrElse(fail(s"stripe $si longs"))
+        val ds = Orc.stripeColumnDoubles(b, t, s, 2)
+          .getOrElse(fail(s"stripe $si doubles"))
+        assert(ids.length.toLong == s.numRows)
+        assert(ds.length.toLong == s.numRows)
+        // the stripe's OWN statistics are the decoded truth
+        val ss = t.stripeStats(si)
+        assert(ss.length == 3)
+        assert(ss(1).intSum.contains(ids.sum), s"stripe $si int sum")
+        assert(ss(1).intMin.contains(ids.min) &&
+          ss(1).intMax.contains(ids.max))
+        assert(ss(2).dblSum.exists(v => math.abs(v - ds.sum) < 1e-6),
+          s"stripe $si dbl sum")
+        totLong += ids.sum
+        totDbl += ds.sum
+      }
+      // and the FILE statistics tie the stripes together
+      assert(t.stats(1).intSum.contains(totLong))
+      assert(t.stats(2).dblSum.exists(v => math.abs(v - totDbl) < 1e-6))
+    }
+  }
+
   test("damage fails closed: truncation anywhere in the tail, flipped " +
     "tail bytes, forged postscript length, empty input — None or a " +
     "consistent parse, never a throw") {
