@@ -2628,8 +2628,93 @@ object IngestionQueries {
         FROM g GROUP BY blob_id"""),
       headline = false)
 
+    // q269 — split-block BLOOM FILTERS (PARQUET-41), the skip
+    // structure for POINT lookups (stats and page indexes prune
+    // ranges; a needle-in-100-TB id probe needs the bloom): the
+    // engine writes a file with parquet-mr blooms enabled, then
+    // probes keys from the RAW BYTES — header + bitset parsed by its
+    // own thrift walk, XXH64(seed 0, PLAIN encoding) through its own
+    // hash (sources/Zstd.scala's XxHash64), the high-32/low-32
+    // block/salt arithmetic per the format spec. A chunk is decoded
+    // ONLY when its bloom passes; `found` is deterministic either way
+    // (false positives just cost a decode that then reports absent),
+    // and bloom_ok pins the NO-FALSE-NEGATIVE law on every present
+    // key — the one verdict the format guarantees. ParquetSpec pins
+    // per-key verdict equality against parquet-mr's own bloom reader
+    // (present AND absent) plus the separation rate, so an
+    // always-true stub cannot hide there. The driver-side bytes read
+    // is the single just-written planning artifact (bounded,
+    // broadcast once).
+    val q269 = "q269_parquet_bloom_skip" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val d0 = Engine.table(s, dir, "documents")
+          .select(col("doc_id").as("rec_id"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q269_bloom").toString
+        d0.coalesce(1).sortWithinPartitions("rec_id")
+          .write.option("compression", "snappy")
+          .option("parquet.enable.dictionary", "false")
+          .option("parquet.bloom.filter.enabled#rec_id", "true")
+          .option("parquet.bloom.filter.expected.ndv#rec_id", "100000")
+          .mode("overwrite").parquet(tmp)
+        val file = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+        val bc = s.sparkContext.broadcast(bytes)
+        val keys = d0.filter(col("rec_id") % 97 === 0).as[Long]
+        val probes = keys.map(k => (k, 1L))
+          .union(keys.map(k => (-k - 1L, 0L)))
+        probes.mapPartitions { it =>
+          val b = bc.value
+          val P = graft.sources.Parquet
+          val fmOpt = P.parseFooter(b)
+          val prepared = fmOpt.toSeq.flatMap { fm =>
+            val lv = fm.leafLevels.getOrElse("rec_id", (0, 0))
+            fm.rowGroups.flatMap(_.cols.find(_.path == "rec_id"))
+              .map(c => (c, P.parseBloomFilter(b, c), lv))
+          }
+          val ok = prepared.nonEmpty && prepared.forall(_._2.isDefined)
+          // chunk value sets, decoded LAZILY — only on a bloom pass
+          val cache = scala.collection.mutable.Map.empty[Int, Set[Long]]
+          def chunkSet(i: Int): Set[Long] = cache.getOrElseUpdate(i, {
+            val (c, _, lv) = prepared(i)
+            P.readChunkCells(b, c, lv._1, lv._2)
+              .map(_.longs.toSet).getOrElse(Set.empty)
+          })
+          it.map { case (k, exp) =>
+            if (!ok) (k, exp, -1L, 0L)
+            else {
+              var found = false
+              var anyPass = false
+              for (i <- prepared.indices) {
+                if (prepared(i)._2.get.mightContainLong(k)) {
+                  anyPass = true
+                  if (chunkSet(i).contains(k)) found = true
+                }
+              }
+              val bloomOk = if (exp == 1L) (if (anyPass) 1L else 0L)
+                else 1L
+              (k, exp, if (found) 1L else 0L, bloomOk)
+            }
+          }
+        }.toDF("probe_key", "expected_present", "found", "bloom_ok")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id AS d FROM documents WHERE doc_id % 97 = 0)
+        SELECT d AS probe_key, CAST(1 AS BIGINT) AS expected_present,
+               CAST(1 AS BIGINT) AS found, CAST(1 AS BIGINT) AS bloom_ok
+        FROM p
+        UNION ALL
+        SELECT -d - 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM p"""),
+      headline = false)
+
     Seq(
       q263,
+      q269,
       "q240_parquet_dict_snappy_scan" -> scanDef(
         "/root/repo/fixtures/parquet_dict_files.parquet",
         "parquetdict1", headline = true),

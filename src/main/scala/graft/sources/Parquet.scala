@@ -191,7 +191,11 @@ object Parquet {
                      offsetIndexOffset: Long = -1L,
                      offsetIndexLength: Int = -1,
                      columnIndexOffset: Long = -1L,
-                     columnIndexLength: Int = -1) {
+                     columnIndexLength: Int = -1,
+                     // ColumnMetaData bloom pointers (PARQUET-41):
+                     // split-block bloom header + bitset; -1 when none
+                     bloomFilterOffset: Long = -1L,
+                     bloomFilterLength: Int = -1) {
     /** Statistics value decoded as a Long (INT32/INT64/BOOL/date32 —
       * PLAIN little-endian, sign-extended). None when absent or not a
       * long-family column.
@@ -382,6 +386,7 @@ object Parquet {
     var codec = -1; var numValues = -1L
     var totUnc = -1L; var totComp = -1L
     var dataOff = -1L; var dictOff = -1L
+    var bloomOff = -1L; var bloomLen = -1
     var nullCount = -1L
     var minV: Array[Byte] = null; var maxV: Array[Byte] = null
     var minLegacy: Array[Byte] = null; var maxLegacy: Array[Byte] = null
@@ -406,6 +411,8 @@ object Parquet {
         case 7 => totComp = i64(tc, tpe); true
         case 9 => dataOff = i64(tc, tpe); true
         case 11 => dictOff = i64(tc, tpe); true
+        case 14 => bloomOff = i64(tc, tpe); true
+        case 15 => bloomLen = i32(tc, tpe); true
         case 12 => // Statistics: modern min_value/max_value (5/6)
           // preferred, legacy min/max (1/2) as fallback
           if (tpe != 12) damage()
@@ -428,7 +435,8 @@ object Parquet {
     ColMeta(typ, encodings, path, codec, numValues, totUnc, totComp,
       dataOff, dictOff, nullCount,
       if (minV != null) minV else minLegacy,
-      if (maxV != null) maxV else maxLegacy)
+      if (maxV != null) maxV else maxLegacy,
+      bloomFilterOffset = bloomOff, bloomFilterLength = bloomLen)
   }
 
   // ---- page walk + PLAIN / dictionary decode ---------------------------
@@ -1290,6 +1298,101 @@ object Parquet {
       val one = col.copy(dataPageOffset = loc.offset,
         dictPageOffset = -1L, numValues = h.numValues.toLong)
       readChunkCells(b, one, maxDef, maxRep, typeLen)
+    } catch { case _: Damage => None }
+  }
+
+  // ---- bloom filters (PARQUET-41: split-block bloom) -------------------
+
+  /** One column chunk's split-block bloom filter (format spec,
+    * BloomFilter.md): the bitset is a run of 256-bit (32-byte) blocks,
+    * a key hashes with XXH64 seed 0 over its PLAIN encoding, the HIGH
+    * 32 bits pick the block and the LOW 32 bits drive eight salted
+    * 5-bit positions — one per 32-bit word. Membership = all eight
+    * bits set; absence proof is one-sided (no false negatives), which
+    * is exactly what makes "bloom says no → skip the chunk" sound at
+    * scale: a point lookup touches ~32 bytes instead of the chunk.
+    */
+  final class BloomFilter private[sources] (bits: Array[Byte]) {
+    private val nBlocks = bits.length / 32
+    def numBytes: Int = bits.length
+    def mightContainHash(h: Long): Boolean = {
+      val block = (((h >>> 32) * nBlocks) >>> 32).toInt
+      val x = h.toInt
+      var i = 0
+      while (i < 8) {
+        // u32 multiply-then-shift: Int wrap IS the spec arithmetic
+        val bit = (x * BloomSalt(i)) >>> 27
+        val w = block * 32 + i * 4
+        val word = (bits(w) & 0xff) | (bits(w + 1) & 0xff) << 8 |
+          (bits(w + 2) & 0xff) << 16 | (bits(w + 3) & 0xff) << 24
+        if (((word >>> bit) & 1) == 0) return false
+        i += 1
+      }
+      true
+    }
+    /** INT64 keys hash over their 8-byte LE PLAIN encoding. */
+    def mightContainLong(v: Long): Boolean = {
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+      mightContainHash(XxHash64.hash(b, 0L))
+    }
+    /** BYTE_ARRAY keys hash over their raw bytes (no length prefix). */
+    def mightContainBinary(v: Array[Byte]): Boolean =
+      mightContainHash(XxHash64.hash(v, 0L))
+  }
+
+  private val BloomSalt = Array(0x47b6137b, 0x44974d91, 0x8824ad5b,
+    0xa2b7289d, 0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31)
+
+  /** Parse a chunk's BloomFilterHeader + bitset at the footer-recorded
+    * offset. The header's unions must name the ONLY shipped layout
+    * (BLOCK algorithm, XXHASH, UNCOMPRESSED); numBytes must be a
+    * positive multiple of 32 inside the file (and agree with the
+    * footer's bloom_filter_length when present) — anything else
+    * refuses, a forged pointer fails closed.
+    */
+  def parseBloomFilter(b: Array[Byte], col: ColMeta):
+      Option[BloomFilter] = {
+    try {
+      val off = col.bloomFilterOffset
+      if (off < 0 || off >= b.length || off > Int.MaxValue) return None
+      val tc = new TC(b, off.toInt, b.length)
+      var numBytes = -1
+      var algOk = false
+      var hashOk = false
+      var compOk = false
+      def unionMember1(flag: => Unit): Unit =
+        struct(tc, 1) { (uid, utpe) =>
+          if (uid == 1) {
+            if (utpe != 12) damage()
+            struct(tc, 2)((_, _) => false) // empty member struct
+            flag
+            true
+          } else false
+        }
+      struct(tc, 0) { (id, tpe) =>
+        id match {
+          case 1 => numBytes = i32(tc, tpe); true
+          case 2 =>
+            if (tpe != 12) damage(); unionMember1 { algOk = true }; true
+          case 3 =>
+            if (tpe != 12) damage(); unionMember1 { hashOk = true }; true
+          case 4 =>
+            if (tpe != 12) damage(); unionMember1 { compOk = true }; true
+          case _ => false
+        }
+      }
+      if (!algOk || !hashOk || !compOk) return None
+      if (numBytes <= 0 || numBytes % 32 != 0 ||
+        numBytes > (1 << 26)) return None
+      val bitsetOff = tc.pos
+      if (bitsetOff.toLong + numBytes > b.length) return None
+      if (col.bloomFilterLength >= 0 &&
+        (bitsetOff - off.toInt) + numBytes != col.bloomFilterLength)
+        return None // header+bitset must tile the declared length
+      Some(new BloomFilter(java.util.Arrays.copyOfRange(
+        b, bitsetOff, bitsetOff + numBytes)))
     } catch { case _: Damage => None }
   }
 

@@ -787,6 +787,71 @@ class ParquetSpec extends SparkSpec {
       rc.copy(columnIndexLength = Int.MaxValue)).isEmpty)
   }
 
+  test("split-block bloom filters: verdicts identical to parquet-mr's " +
+    "own reader for thousands of present AND absent keys; forged " +
+    "pointers fail closed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_bloom")
+      .toString
+    spark.range(0, 4000).select(($"id" * 7).as("rec_id"))
+      .coalesce(1).write
+      .option("compression", "snappy")
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.bloom.filter.enabled#rec_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#rec_id", "4000")
+      .mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val fm = Parquet.parseFooter(bytes).getOrElse(fail("footer"))
+    val rc = fm.rowGroups.head.cols.find(_.path == "rec_id").get
+    assert(rc.bloomFilterOffset >= 0, "parquet-mr wrote the bloom")
+    val bf = Parquet.parseBloomFilter(bytes, rc)
+      .getOrElse(fail("bloom header"))
+    // parquet-mr reads the SAME bytes through its own stack
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new HPath(file.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val mrBloom = rdr.readBloomFilter(
+        rdr.getFooter.getBlocks.get(0).getColumns.get(0))
+      assert(mrBloom != null)
+      var present = 0
+      var absentMight = 0
+      for (k <- -4000L until 4000L * 7 by 3L) {
+        val mine = bf.mightContainLong(k)
+        val theirs = mrBloom.findHash(mrBloom.hash(k))
+        assert(mine == theirs, s"key $k: mine=$mine theirs=$theirs")
+        if (k >= 0 && k % 7 == 0) {
+          assert(mine, s"present key $k must hit (no false negatives)")
+          present += 1
+        } else if (mine) absentMight += 1
+      }
+      assert(present > 1000)
+      // the filter must actually separate: with ndv-sized sizing the
+      // absent-key pass rate is a few percent, not ~100%
+      assert(absentMight < 2000, s"absent passes: $absentMight")
+    } finally rdr.close()
+    // forged pointer / length shapes fail closed
+    assert(Parquet.parseBloomFilter(bytes,
+      rc.copy(bloomFilterOffset = bytes.length.toLong - 4)).isEmpty)
+    assert(Parquet.parseBloomFilter(bytes,
+      rc.copy(bloomFilterOffset = rc.dataPageOffset)).isEmpty)
+    if (rc.bloomFilterLength >= 0)
+      assert(Parquet.parseBloomFilter(bytes,
+        rc.copy(bloomFilterLength = rc.bloomFilterLength + 32)).isEmpty)
+    // flipped header bytes never throw
+    for (i <- 0 until 16) {
+      val bad = bytes.clone()
+      bad(rc.bloomFilterOffset.toInt + i) =
+        (bad(rc.bloomFilterOffset.toInt + i) ^ 0x5a).toByte
+      Parquet.parseBloomFilter(bad, rc)
+    }
+  }
+
   test("readChunkCells + DeltaCheckpoint: a Spark/parquet-mr-written " +
     "mini checkpoint (nested structs, MAP with empty/null/multi-entry " +
     "maps, dict + snappy, v1 AND v2 pages) parses row-exact; damage " +
