@@ -1310,7 +1310,207 @@ object IngestionQueries {
                sum(CASE WHEN part <> 0
                    THEN (doc_id % 48) / 8.0 END) AS score_sum
         FROM r GROUP BY blob_id"""))
-    Seq(q254, q261)
+
+    // Delta DELETION VECTORS (q270) — Delta's merge-on-read, the
+    // Iceberg-q262 failure class on the other lakehouse: a delete
+    // re-ADDS the data file with a deletionVector descriptor naming
+    // dead row POSITIONS as a 64-bit roaring bitmap, inline (Z85 in
+    // the log) or in a deletion_vector_<uuid>.bin addressed by
+    // offset. The engine replays the log (remove + re-add in ONE
+    // commit — the re-add must win at equal version, per-commit
+    // atomicity), resolves all three storage shapes through
+    // sources/DeletionVectors.scala (Z85 -> UUID path; BE-size/CRC
+    // frame; RoaringBitmapArray portable decode), and drops exactly
+    // the named positions from its own per-row parquet decode. A
+    // reader ignoring descriptors resurrects deleted rows and fails;
+    // cardinality/sizeInBytes laws are enforced, so a mis-decoded
+    // bitmap cannot pass silently. The protocol gate is honest:
+    // reader feature "deletionVectors" is required (v3) and checked.
+    // Per-table work is the bounded metadata+blob group (≤ 6 files).
+    val Fixture270 = "/root/repo/fixtures/delta_dv_files.parquet"
+    val q270 = "q270_delta_deletion_vectors" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JArray, JLong, JObject, JString}
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("deltadv:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(Fixture270)), "blob_key")
+          .select(col("blob_id"), col("rel_path"), col("kind"),
+            col("file_bytes"))
+          .as[(Long, String, String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val all = it.toSeq
+            val byPath = all.map(r => r._2 -> r._4).toMap
+            val D = graft.sources.DeletionVectors
+            val P = graft.sources.Parquet
+            val J = graft.sources.Json
+            // ---- log replay over the engine's own JSON parser ----
+            case class Add(path: String, dv: Option[JObject])
+            var protocolOk = false
+            val logs = all.filter(_._3 == "log").sortBy(_._2)
+            var ok = logs.nonEmpty
+            // (path -> last action in (version, line) order)
+            val state = scala.collection.mutable.LinkedHashMap
+              .empty[String, Option[Add]] // None = removed
+            logs.foreach { case (_, _, _, bytes) =>
+              new String(bytes, "UTF-8").split("\n")
+                .filter(_.trim.nonEmpty).foreach { line =>
+                  J.parse(line) match {
+                    case Some(o: JObject) =>
+                      o.get("protocol").foreach {
+                        case p: JObject =>
+                          val vOk = p.get("minReaderVersion")
+                            .contains(JLong(3))
+                          val fOk = p.get("readerFeatures") match {
+                            case Some(JArray(xs)) =>
+                              xs.contains(JString("deletionVectors"))
+                            case _ => false
+                          }
+                          protocolOk = vOk && fOk
+                        case _ => ok = false
+                      }
+                      o.get("add").foreach {
+                        case a: JObject =>
+                          a.get("path") match {
+                            case Some(JString(p)) =>
+                              val dv = a.get("deletionVector") match {
+                                case Some(d: JObject) => Some(d)
+                                case Some(_) => ok = false; None
+                                case None => None
+                              }
+                              state(p) = Some(Add(p, dv))
+                            case _ => ok = false
+                          }
+                        case _ => ok = false
+                      }
+                      o.get("remove").foreach {
+                        case r: JObject =>
+                          r.get("path") match {
+                            case Some(JString(p)) => state(p) = None
+                            case _ => ok = false
+                          }
+                        case _ => ok = false
+                      }
+                    case _ => ok = false
+                  }
+                }
+            }
+            // ---- resolve DVs + decode live files -----------------
+            var nInline = 0L
+            var nFile = 0L
+            var rows = 0L
+            var idSum = 0L
+            var scoreSum = 0.0
+            val live = state.values.flatten.toSeq
+            live.foreach { add =>
+              def js(o: JObject, k: String): Option[String] =
+                o.get(k) match { case Some(JString(v)) => Some(v)
+                  case _ => None }
+              def jl(o: JObject, k: String): Option[Long] =
+                o.get(k) match { case Some(JLong(v)) => Some(v)
+                  case _ => None }
+              val dead: Set[Long] = add.dv match {
+                case None => Set.empty
+                case Some(d) =>
+                  val res = for {
+                    st <- js(d, "storageType")
+                    pod <- js(d, "pathOrInlineDv")
+                    size <- jl(d, "sizeInBytes")
+                    card <- jl(d, "cardinality")
+                    vals <- st match {
+                      case "i" =>
+                        nInline += 1
+                        D.inlineBitmap(pod, size, card)
+                      case "u" =>
+                        nFile += 1
+                        for {
+                          off <- jl(d, "offset")
+                          name <- D.uuidPath(pod)
+                          fileBytes <- byPath.get(name)
+                          data <- D.fileSlice(fileBytes, off, size)
+                          bs <- D.bitmap(data)
+                          if bs.length.toLong == card
+                        } yield bs
+                      case _ => None
+                    }
+                  } yield vals.toSet
+                  res.getOrElse { ok = false; Set.empty }
+              }
+              byPath.get(add.path)
+                .flatMap(b => P.parseFooter(b).map(fm => (b, fm))) match {
+                case Some((b, fm)) =>
+                  val lv = fm.leafLevels
+                  val ids = fm.rowGroups
+                    .flatMap(_.cols.find(_.path == "rec_id"))
+                    .flatMap { c =>
+                      lv.get("rec_id").flatMap(l =>
+                        P.readChunkCells(b, c, l._1, l._2))
+                        .map(_.longs.toSeq).getOrElse {
+                          ok = false; Nil
+                        }
+                    }
+                  val scores = fm.rowGroups
+                    .flatMap(_.cols.find(_.path == "score"))
+                    .flatMap { c =>
+                      lv.get("score").flatMap(l =>
+                        P.readChunkCells(b, c, l._1, l._2))
+                        .map(_.longs.toSeq).getOrElse {
+                          ok = false; Nil
+                        }
+                    }
+                  if (ids.length != scores.length) ok = false
+                  dead.foreach(pos =>
+                    if (pos < 0 || pos >= ids.length) ok = false)
+                  var i = 0
+                  while (i < ids.length) {
+                    if (!dead.contains(i.toLong)) {
+                      rows += 1
+                      idSum += ids(i)
+                      scoreSum += java.lang.Double
+                        .longBitsToDouble(scores(i))
+                    }
+                    i += 1
+                  }
+                case None => ok = false
+              }
+            }
+            if (ok && protocolOk)
+              Seq((t, live.length.toLong, nInline, nFile, rows, idSum,
+                scoreSum))
+            else Nil
+          }
+          .toDF("blob_id", "n_live_files", "n_dv_inline", "n_dv_file",
+            "rows_live", "id_sum", "score_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS part
+          FROM documents),
+        x AS (
+          SELECT blob_id, d,
+                 ((part = 0 AND d % 9 = 2) OR
+                  (part = 1 AND d % 5 = 0) OR
+                  (part = 2 AND d % 7 = 3)) AS dead
+          FROM r)
+        SELECT blob_id,
+               CAST(3 AS BIGINT) AS n_live_files,
+               CAST(1 AS BIGINT) AS n_dv_inline,
+               CAST(2 AS BIGINT) AS n_dv_file,
+               CAST(sum(CASE WHEN NOT dead THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rows_live,
+               CAST(sum(CASE WHEN NOT dead THEN d END)
+                 AS BIGINT) AS id_sum,
+               sum(CASE WHEN NOT dead
+                   THEN (d % 48) / 8.0 END) AS score_sum
+        FROM x GROUP BY blob_id"""))
+    Seq(q254, q261, q270)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
