@@ -967,7 +967,119 @@ object IngestionQueries {
                live_rows, live_id_sum
         FROM agg"""))
 
-    Seq(q257, q258, q259, q262)
+    // q271 — Iceberg MANIFEST-LEVEL PARTITION PRUNING: the skip
+    // structure at the METADATA layer (parquet prunes row groups /
+    // pages / chunks; Iceberg prunes whole MANIFESTS before any file
+    // listing). The manifest list's `partitions` field summaries
+    // carry lower/upper bounds in Iceberg's single-value binary
+    // serialization (4-byte LE int here); the probe (part >= 1)
+    // selects manifests from the BOUNDS ALONE and the engine opens
+    // ONLY those — n_manifests_opened is in the compared output, so
+    // an open-everything reader fails even with correct sums. Entries
+    // carry a REAL partition record (r102{part int}, not the empty
+    // struct), and bounds_ok pins every opened entry's partition
+    // inside its manifest's claimed bounds. Per-table metadata stays
+    // a KB-scale bounded group.
+    val FixturePart = "/root/repo/fixtures/iceberg_part_files.parquet"
+    val q271 = "q271_iceberg_manifest_prune" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"),
+            col("n_chars").cast("long"))
+          .as[(Long, Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (t, it) =>
+          val rows = it.toSeq.sortBy(_._2)
+          (t, md5Hex("icebergpart:" +
+            rows.map(r => s"${r._2}=${r._3}").mkString(",")))
+        }.toDF("table_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(FixturePart)), "blob_key")
+          .select(col("table_id"), col("rel_path"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val byPath = it.map(r => r._2 -> r._3).toMap
+            val G = graft.sources.AvroGeneric
+            def leInt(b: Array[Byte]): Option[Int] =
+              if (b.length != 4) None
+              else Some((b(0) & 0xff) | (b(1) & 0xff) << 8 |
+                (b(2) & 0xff) << 16 | (b(3) & 0xff) << 24)
+            val res = for {
+              listBytes <- byPath.get("snap-1.avro")
+              list <- G.parseContainer(listBytes)
+            } yield {
+              var ok = true
+              val manifests = list.records.flatMap { r =>
+                val path = r.field("manifest_path").flatMap(_.asString)
+                val summary = r.field("partitions").map(_.items)
+                  .getOrElse(Nil).headOption
+                val lo = summary.flatMap(_.field("lower_bound"))
+                  .flatMap(_.asBytes).flatMap(leInt)
+                val hi = summary.flatMap(_.field("upper_bound"))
+                  .flatMap(_.asBytes).flatMap(leInt)
+                (path, lo, hi) match {
+                  case (Some(p), Some(l), Some(h)) => Seq((p, l, h))
+                  case _ => ok = false; Nil
+                }
+              }
+              // probe: part >= 1 — select on bounds alone
+              val selected = manifests.filter(_._3 >= 1)
+              var files = 0L
+              var rows = 0L
+              var bytesSum = 0L
+              selected.foreach { case (mp, lo, hi) =>
+                byPath.get(mp).flatMap(G.parseContainer) match {
+                  case Some(m) => m.records.foreach { e =>
+                    val df = e.field("data_file")
+                    val part = df.flatMap(_.field("partition"))
+                      .flatMap(_.field("part")).flatMap(_.asLong)
+                    val rc = df.flatMap(_.field("record_count"))
+                      .flatMap(_.asLong)
+                    val fs = df.flatMap(_.field("file_size_in_bytes"))
+                      .flatMap(_.asLong)
+                    (part, rc, fs) match {
+                      case (Some(p), Some(r), Some(f)) =>
+                        // bounds law: the entry must sit inside its
+                        // manifest's claimed summary
+                        if (p < lo || p > hi) ok = false
+                        if (p >= 1) { files += 1; rows += r
+                          bytesSum += f }
+                        else ok = false // a pruned-part entry leaked
+                      case _ => ok = false
+                    }
+                  }
+                  case None => ok = false
+                }
+              }
+              (manifests.length.toLong, selected.length.toLong, files,
+                rows, bytesSum, ok)
+            }
+            res match {
+              case Some((nm, nsel, files, rows, bs, true)) =>
+                Seq((t, nm, nsel, files, rows, bs, 1L))
+              case _ => Nil
+            }
+          }
+          .toDF("table_id", "n_manifests", "n_opened", "live_files",
+            "live_rows", "live_bytes", "bounds_ok")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d, n_chars,
+                 (doc_id // 6) % 3 AS part
+          FROM documents)
+        SELECT table_id,
+               CAST(3 AS BIGINT) AS n_manifests,
+               CAST(2 AS BIGINT) AS n_opened,
+               CAST(2 AS BIGINT) AS live_files,
+               CAST(sum(CASE WHEN part >= 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS live_rows,
+               CAST(sum(CASE WHEN part >= 1 THEN 1 + n_chars % 9
+                 ELSE 0 END) AS BIGINT) AS live_bytes,
+               CAST(1 AS BIGINT) AS bounds_ok
+        FROM r GROUP BY table_id"""))
+
+    Seq(q257, q258, q259, q262, q271)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:

@@ -175,12 +175,31 @@ object AvroGeneric {
     def items: Seq[V] = this match {
       case VArray(xs) => xs; case _ => Nil
     }
+    def asBytes: Option[Array[Byte]] = this match {
+      case VBytes(_, c) if c != null => Some(c); case _ => None
+    }
   }
   case object VNull extends V
   final case class VBool(v: Boolean) extends V
   final case class VLong(v: Long) extends V // int AND long
   final case class VDouble(v: Double) extends V // float AND double
-  final case class VBytes(n: Int) extends V // length (payload strided)
+  /** A bytes/fixed payload: its length plus the CONTENT when small
+    * enough to matter (metadata walks read Iceberg field_summary
+    * bounds out of these; a jumbo payload keeps only its length —
+    * the allocation bound). Equality is by length + content bytes.
+    */
+  final case class VBytes(n: Int,
+                          content: Array[Byte] = null) extends V {
+    override def equals(o: Any): Boolean = o match {
+      case VBytes(m, c) => m == n &&
+        ((content == null && c == null) ||
+          (content != null && c != null &&
+            java.util.Arrays.equals(content, c)))
+      case _ => false
+    }
+    override def hashCode: Int = n
+  }
+  private val MaxCapturedBytes = 1 << 16
   final case class VString(v: String) extends V
   final case class VEnum(i: Int) extends V
   final case class VRecord(fields: Vector[(String, V)]) extends V
@@ -218,7 +237,12 @@ object AvroGeneric {
       case SBytes =>
         val v = Avro.varint(b, pos)
         if (v == null || v._1 < 0 || v._2 + v._1 > b.length) bad()
-        (VBytes(v._1.toInt), v._2 + v._1.toInt)
+        val n = v._1.toInt
+        val content =
+          if (n <= MaxCapturedBytes)
+            java.util.Arrays.copyOfRange(b, v._2, v._2 + n)
+          else null
+        (VBytes(n, content), v._2 + n)
       case SString =>
         val v = Avro.varint(b, pos)
         if (v == null || v._1 < 0 || v._2 + v._1 > b.length) bad()
@@ -230,7 +254,11 @@ object AvroGeneric {
         (VEnum(v._1.toInt), v._2)
       case SFixed(_, size) =>
         if (pos + size > b.length) bad()
-        (VBytes(size), pos + size)
+        val content =
+          if (size <= MaxCapturedBytes)
+            java.util.Arrays.copyOfRange(b, pos, pos + size)
+          else null
+        (VBytes(size, content), pos + size)
       case SRef(n, named) =>
         datum(b, pos, named.getOrElse(n, bad()), depth + 1)
       case SUnion(branches) =>

@@ -109,8 +109,10 @@ class AvroGenericSpec extends AnyFunSuite {
         assert(r.field("flag").contains(VBool(id % 3 == 0)))
         assert(r.field("f").contains(VDouble(1.5)))
         assert(r.field("d").contains(VDouble(-2.25)))
-        assert(r.field("raw").contains(VBytes(3)))
-        assert(r.field("fx").contains(VBytes(8)))
+        assert(r.field("raw").contains(
+          VBytes(3, Array[Byte](1, 2, 3))))
+        assert(r.field("fx").contains(
+          VBytes(8, Array.tabulate[Byte](8)(_.toByte))))
         assert(r.field("e").contains(VEnum(id % 3)))
       }
     }
