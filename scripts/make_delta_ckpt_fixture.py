@@ -198,6 +198,39 @@ def main():
             for x in range(3):
                 rows.append((names[x], "data", data[x]))
             files[key] = rows
+
+            # ---- q272 variant: MULTI-PART checkpoint, fully vacuumed
+            # pre-checkpoint JSON (the multipart read is the ONLY
+            # answer). Same actions split across two parts; part file
+            # names per PROTOCOL.md:
+            # <v>.checkpoint.<part>.<parts>.parquet
+            keym = hashlib.md5(
+                ("deltackptm:" + ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if keym not in files:
+                rowsm = [(f"_delta_log/{3:020d}.json", "log",
+                          (commits[3] + "\n").encode("utf-8"))]
+                # part1: protocol, metaData (id fixed for this
+                # variant), add P0; part2: add P2, remove P1
+                part1 = [
+                    {"metaData": {"id": keym,
+                                  "partitionColumns": ["part"]}}
+                    if "metaData" in r else r for r in ckpt_rows[:3]]
+                part2 = ckpt_rows[3:]
+                rowsm.append((
+                    f"_delta_log/{2:020d}.checkpoint."
+                    f"{1:010d}.{2:010d}.parquet",
+                    "ckpt", ckpt_file(part1)))
+                rowsm.append((
+                    f"_delta_log/{2:020d}.checkpoint."
+                    f"{2:010d}.{2:010d}.parquet",
+                    "ckpt", ckpt_file(part2)))
+                rowsm.append(("_delta_log/_last_checkpoint", "ckptmeta",
+                              json.dumps({"version": 2, "size": 5,
+                                          "parts": 2}).encode("utf-8")))
+                for x in range(3):
+                    rowsm.append((names[x], "data", data[x]))
+                files[keym] = rowsm
     out = Path("fixtures")
     out.mkdir(exist_ok=True)
     keys, paths, kinds, blobs_col = [], [], [], []

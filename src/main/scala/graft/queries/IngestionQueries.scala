@@ -1622,7 +1622,183 @@ object IngestionQueries {
                sum(CASE WHEN NOT dead
                    THEN (d % 48) / 8.0 END) AS score_sum
         FROM x GROUP BY blob_id"""))
-    Seq(q254, q261, q270)
+    // MULTI-PART checkpoint (q272): once the state outgrows one file,
+    // Delta writers split the checkpoint into
+    // `<v>.checkpoint.<part>.<parts>.parquet` and `_last_checkpoint`
+    // says `"parts": N` — a reader that only looks for the single-file
+    // name finds NOTHING on these tables (pre-checkpoint JSON is fully
+    // vacuumed here, so there is no fallback). The engine must
+    // assemble the part set (names parsed, every index 1..N present
+    // exactly once, N matching the _last_checkpoint claim), union the
+    // parts' actions, then apply the JSON tail — q261's replay on the
+    // sharded layout.
+    val q272 = "q272_delta_multipart_checkpoint" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("deltackptm:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(Fixture261)), "blob_key")
+          .select(col("blob_id"), col("blob_key"), col("rel_path"),
+            col("kind"), col("file_bytes"))
+          .as[(Long, String, String, String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val all = it.toSeq
+            val blobKey = all.head._2
+            val byPath = all.map(r => r._3 -> r._5).toMap
+            val D = graft.sources.DeltaCheckpoint
+            val P = graft.sources.Parquet
+            val J = graft.sources.Json
+            import graft.sources.Json.{JLong, JObject}
+            val PartRe =
+              """_delta_log/(\d+)\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
+            val res = for {
+              lcBytes <- byPath.get("_delta_log/_last_checkpoint")
+              lc <- J.parse(new String(lcBytes, "UTF-8"))
+              lco <- lc match { case o: JObject => Some(o)
+                case _ => None }
+              ver <- lco.get("version") match {
+                case Some(JLong(v)) => Some(v); case _ => None }
+              nParts <- lco.get("parts") match {
+                case Some(JLong(v)) if v > 0 && v <= 64 => Some(v)
+                case _ => None }
+            } yield {
+              var ok = true
+              // assemble the part set: indices 1..N, version match
+              val parts = all.filter(_._4 == "ckpt").flatMap { r =>
+                r._3 match {
+                  case PartRe(v, i, n) =>
+                    if (v.toLong != ver || n.toLong != nParts)
+                      ok = false
+                    Seq((i.toInt, r._5))
+                  case _ => ok = false; Nil
+                }
+              }.sortBy(_._1)
+              if (parts.map(_._1) != (1 to nParts.toInt)) ok = false
+              val acts = parts.flatMap { case (_, bytes) =>
+                D.parse(bytes) match {
+                  case Some(a) => a
+                  case None => ok = false; Nil
+                }
+              }
+              val metaOk = acts.exists(a => a.metaId == blobKey)
+              val minReader = acts.map(_.minReader).max
+              // checkpoint file state, then the JSON tail
+              val state = scala.collection.mutable.Map
+                .empty[String, (Boolean, String)] // live, part label
+              acts.foreach { a =>
+                if (a.addPath != null)
+                  state(a.addPath) =
+                    (true, a.addParts.getOrElse("part", null))
+                else if (a.removePath != null &&
+                  !state.contains(a.removePath))
+                  state(a.removePath) = (false, null) // tombstone
+              }
+              var nTail = 0L
+              all.filter(_._4 == "log").sortBy(_._3).foreach {
+                case (_, _, rel, _, bytes) =>
+                  val v = "(\\d+)\\.json$".r.findFirstMatchIn(rel)
+                    .map(_.group(1).toLong).getOrElse(-1L)
+                  if (v > ver) {
+                    nTail += 1
+                    new String(bytes, "UTF-8").split("\n")
+                      .filter(_.trim.nonEmpty).foreach { line =>
+                        J.parse(line) match {
+                          case Some(o: JObject) =>
+                            o.get("add").foreach {
+                              case a: JObject =>
+                                for {
+                                  p <- a.get("path").collect {
+                                    case graft.sources.Json
+                                      .JString(x) => x }
+                                } state(p) = (true,
+                                  a.get("partitionValues") match {
+                                    case Some(pv: JObject) =>
+                                      pv.get("part").collect {
+                                        case graft.sources.Json
+                                          .JString(x) => x }.orNull
+                                    case _ => null
+                                  })
+                              case _ => ok = false
+                            }
+                            o.get("remove").foreach {
+                              case r: JObject =>
+                                r.get("path").collect {
+                                  case graft.sources.Json
+                                    .JString(x) => x }
+                                  .foreach(p => state(p) =
+                                    (false, null))
+                              case _ => ok = false
+                            }
+                          case _ => ok = false
+                        }
+                      }
+                  } else ok = false // pre-checkpoint JSON: vacuumed
+              }
+              val active = state.toSeq.collect {
+                case (p, (true, part)) => (p, part) }
+              var rows = 0L
+              var idSum = 0L
+              var scoreSum = 0.0
+              var partSum = 0L
+              active.foreach { case (p, part) =>
+                if (part == null) ok = false
+                else partSum += part.toLong
+                byPath.get(p).flatMap(b =>
+                  P.parseFooter(b).map(fm => (b, fm))) match {
+                  case Some((b, fm)) =>
+                    val lv = fm.leafLevels
+                    for (rg <- fm.rowGroups; c <- rg.cols) {
+                      lv.get(c.path).flatMap(l =>
+                        P.decodeChunk(b, c, l._1)) match {
+                        case Some(d) => c.path match {
+                          case "rec_id" =>
+                            rows += d.numValues; idSum += d.longSum
+                          case "score" => scoreSum += d.doubleSum
+                          case _ => ok = false
+                        }
+                        case None => ok = false
+                      }
+                    }
+                  case None => ok = false
+                }
+              }
+              if (ok && metaOk)
+                Seq((t, ver, nParts, nTail, active.length.toLong,
+                  partSum, minReader, rows, idSum, scoreSum))
+              else Nil
+            }
+            res.toSeq.flatten
+          }
+          .toDF("blob_id", "ckpt_version", "n_parts", "n_tail_commits",
+            "n_active_files", "part_sum", "min_reader", "rows_decoded",
+            "id_sum", "score_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id,
+                 (doc_id // 6) % 3 AS part
+          FROM documents)
+        SELECT blob_id,
+               CAST(2 AS BIGINT) AS ckpt_version,
+               CAST(2 AS BIGINT) AS n_parts,
+               CAST(1 AS BIGINT) AS n_tail_commits,
+               CAST(2 AS BIGINT) AS n_active_files,
+               CAST(3 AS BIGINT) AS part_sum,
+               CAST(1 AS BIGINT) AS min_reader,
+               CAST(sum(CASE WHEN part <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rows_decoded,
+               CAST(sum(CASE WHEN part <> 0 THEN doc_id END)
+                 AS BIGINT) AS id_sum,
+               sum(CASE WHEN part <> 0
+                   THEN (doc_id % 48) / 8.0 END) AS score_sum
+        FROM r GROUP BY blob_id"""))
+    Seq(q254, q261, q270, q272)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:

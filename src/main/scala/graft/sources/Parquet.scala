@@ -604,9 +604,12 @@ object Parquet {
           true
         case EncPlainDict | EncRleDict =>
           if (dict == null) return false // indices before any dictionary
-          if (off >= raw.length && !(off == raw.length && present == 0))
-            return false
-          if (present == 0) return off == raw.length
+          if (present == 0)
+            // an ALL-NULL page still carries its bit-width byte
+            // (parquet-cpp writes one even with zero indices)
+            return off == raw.length ||
+              (off + 1 == raw.length && (raw(off) & 0xff) <= 32)
+          if (off >= raw.length) return false
           val bw = raw(off) & 0xff
           if (bw > 30) return false
           val idx = readHybrid(raw, off + 1, raw.length, bw, present,
@@ -889,9 +892,12 @@ object Parquet {
           true
         case EncPlainDict | EncRleDict =>
           if (longDict == null && binDict == null) return false
-          if (off >= raw.length && !(off == raw.length && present == 0))
-            return false
-          if (present == 0) return off == raw.length
+          if (present == 0)
+            // an ALL-NULL page still carries its bit-width byte
+            // (parquet-cpp writes one even with zero indices)
+            return off == raw.length ||
+              (off + 1 == raw.length && (raw(off) & 0xff) <= 32)
+          if (off >= raw.length) return false
           val bw = raw(off) & 0xff
           if (bw > 30) return false
           val idx = readHybrid(raw, off + 1, raw.length, bw, present,

@@ -787,6 +787,35 @@ class ParquetSpec extends SparkSpec {
       rc.copy(columnIndexLength = Int.MaxValue)).isEmpty)
   }
 
+  test("ALL-NULL columns decode: the dictionary-encoded zero-index " +
+    "page still carries its bit-width byte (parquet-cpp) and both " +
+    "readers accept it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_allnull")
+      .toString
+    spark.range(0, 50).select($"id".as("rec_id"),
+      org.apache.spark.sql.functions.lit(null).cast("string").as("s"),
+      org.apache.spark.sql.functions.lit(null).cast("long").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val fm = Parquet.parseFooter(bytes).getOrElse(fail("footer"))
+    val lv = fm.leafLevels
+    for (rg <- fm.rowGroups; c <- rg.cols) {
+      val (d, r) = lv(c.path)
+      val cells = Parquet.readChunkCells(bytes, c, d, r)
+        .getOrElse(fail(s"cells ${c.path}"))
+      assert(cells.numSlots == 50)
+      if (c.path != "rec_id")
+        assert(cells.longs.isEmpty && cells.bins.isEmpty &&
+          cells.defs.forall(_ == 0), c.path)
+      val sums = Parquet.decodeChunk(bytes, c, d)
+        .getOrElse(fail(s"chunk ${c.path}"))
+      assert(sums.numValues == 50)
+    }
+  }
+
   test("split-block bloom filters: verdicts identical to parquet-mr's " +
     "own reader for thousands of present AND absent keys; forged " +
     "pointers fail closed") {
