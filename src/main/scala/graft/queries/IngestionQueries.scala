@@ -3200,9 +3200,79 @@ object IngestionQueries {
         FROM p"""),
       headline = false)
 
+    // q273 — PAGE CHECKSUMS (parquet.thrift `crc`): on an
+    // UNCOMPRESSED PLAIN page a flipped value byte decodes SILENTLY
+    // into a wrong sum — no codec breaks, no framing trips — and the
+    // recorded CRC-32 is the only catch. Bit rot on petabyte archives
+    // is routine; a reader that skips checksum verification corrupts
+    // aggregates without a trace, which is why verification now runs
+    // in EVERY page walk (decodeChunk / readChunkCells /
+    // readPageCells). The fixture ships clean + corrupt twins; the
+    // corrupt blob reads "fine" through a checksum-ignoring reader
+    // (pyarrow's default read returns a wildly wrong sum) but the
+    // engine must refuse it AT THE PAGE, so decoded_ok = 0 with zeroed
+    // sums — an engine without verification emits the wrong sum and
+    // fails the oracle.
+    val CrcFixture = "/root/repo/fixtures/parquet_crc_files.parquet"
+    val q273 = "q273_parquet_page_crc" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("pqcrc:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(CrcFixture)), "blob_key")
+          .select(col("blob_id"), col("variant"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .map { case (blobId, variant, bytes) =>
+            val P = graft.sources.Parquet
+            val res = P.parseFooter(bytes).map { fm =>
+              val lv = fm.leafLevels
+              var rows = 0L; var idSum = 0L; var tokSum = 0L
+              var ok = true
+              for (rg <- fm.rowGroups; c <- rg.cols) {
+                lv.get(c.path).flatMap(l =>
+                  P.decodeChunk(bytes, c, l._1)) match {
+                  case Some(d) => c.path match {
+                    case "rec_id" =>
+                      rows += d.numValues; idSum += d.longSum
+                    case "tok" => tokSum += d.longSum
+                    case _ => ok = false
+                  }
+                  case None => ok = false // CRC refusal lands here
+                }
+              }
+              if (ok) (1L, rows, idSum, tokSum) else (0L, 0L, 0L, 0L)
+            }.getOrElse((0L, 0L, 0L, 0L))
+            (blobId, variant, res._1, res._2, res._3, res._4)
+          }.toDF("blob_id", "variant", "decoded_ok", "rows_decoded",
+            "id_sum", "tok_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        agg AS (
+          SELECT blob_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS ids,
+                 CAST(sum(d % 1000) AS BIGINT) AS toks
+          FROM r GROUP BY blob_id)
+        SELECT blob_id, 'clean' AS variant,
+               CAST(1 AS BIGINT) AS decoded_ok, n AS rows_decoded,
+               ids AS id_sum, toks AS tok_sum
+        FROM agg
+        UNION ALL
+        SELECT blob_id, 'corrupt', CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM agg"""),
+      headline = false)
+
     Seq(
       q263,
       q269,
+      q273,
       "q240_parquet_dict_snappy_scan" -> scanDef(
         "/root/repo/fixtures/parquet_dict_files.parquet",
         "parquetdict1", headline = true),

@@ -446,7 +446,24 @@ object Parquet {
                               encoding: Int, headerEnd: Int,
                               // DATA_PAGE_V2 extras (-1 / true if v1)
                               numNulls: Int, defLen: Int, repLen: Int,
-                              valuesCompressed: Boolean)
+                              valuesCompressed: Boolean,
+                              // optional page CRC-32 (thrift id 4)
+                              crc: Int = 0, hasCrc: Boolean = false) {
+    /** Verify the page CRC when the writer recorded one: standard
+      * CRC-32 over everything AFTER the header — the compressed data
+      * (v1) or levels + compressed values (v2), per parquet.thrift.
+      * A checksum is what catches the flipped byte an UNCOMPRESSED
+      * PLAIN page would otherwise decode silently into a wrong sum.
+      */
+    def crcOk(b: Array[Byte]): Boolean = {
+      if (!hasCrc) return true
+      if (headerEnd < 0 || compressed < 0 ||
+        headerEnd.toLong + compressed > b.length) return false
+      val c = new java.util.zip.CRC32()
+      c.update(b, headerEnd, compressed)
+      (c.getValue & 0xffffffffL) == (crc.toLong & 0xffffffffL)
+    }
+  }
 
   private def parsePageHeader(b: Array[Byte], off: Int): PageHead = {
     if (off < 0 || off >= b.length) damage()
@@ -455,11 +472,13 @@ object Parquet {
     var nv = -1; var enc = -1
     var nn = -1; var dl = -1; var rl = -1
     var vComp = true
+    var crc = 0; var hasCrc = false
     struct(tc, 0) { (id, tpe) =>
       id match {
         case 1 => pt = i32(tc, tpe); true
         case 2 => unc = i32(tc, tpe); true
         case 3 => comp = i32(tc, tpe); true
+        case 4 => crc = i32(tc, tpe); hasCrc = true; true
         case 5 => // DataPageHeader (v1)
           if (tpe != 12) damage()
           struct(tc, 1) { (did, dtpe) =>
@@ -500,7 +519,8 @@ object Parquet {
       }
     }
     if (pt < 0 || unc < 0 || comp < 0) damage()
-    PageHead(pt, unc, comp, nv, enc, tc.pos, nn, dl, rl, vComp)
+    PageHead(pt, unc, comp, nv, enc, tc.pos, nn, dl, rl, vComp,
+      crc, hasCrc)
   }
 
   /** Decoded totals of one column chunk: the proof the footer's
@@ -702,6 +722,7 @@ object Parquet {
         if (h.compressed < 0 || h.headerEnd + h.compressed > b.length ||
           h.headerEnd + h.compressed < 0) return None
         if (h.uncompressed < 0 || h.uncompressed > (1 << 26)) return None
+        if (!h.crcOk(b)) return None // recorded checksum must verify
         h.pageType match {
           case 2 => // DICTIONARY_PAGE: at most one, before all data
             if (dict != null || pages > 0) return None
@@ -991,6 +1012,7 @@ object Parquet {
         if (h.compressed < 0 || h.headerEnd + h.compressed > b.length ||
           h.headerEnd + h.compressed < 0) return None
         if (h.uncompressed < 0 || h.uncompressed > (1 << 26)) return None
+        if (!h.crcOk(b)) return None // recorded checksum must verify
         h.pageType match {
           case 2 => // DICTIONARY_PAGE
             if (longDict != null || binDict != null || pages > 0)
@@ -1298,6 +1320,7 @@ object Parquet {
       val h = parsePageHeader(b, loc.offset.toInt)
       if (h.pageType != 0 && h.pageType != 3) return None
       if (h.numValues <= 0 || h.numValues > MaxPageValues) return None
+      if (!h.crcOk(b)) return None // recorded checksum must verify
       val headerLen = h.headerEnd - loc.offset.toInt
       if (headerLen.toLong + h.compressed != loc.compressedSize)
         return None // index disagrees with the page it points at
