@@ -53,9 +53,29 @@ def orc_file(ids, codec):
     return buf.getvalue()
 
 
+def orc_str_file(ids, codec):
+    # name: unique per row -> liborc picks DIRECT_V2; cat: 7 distinct
+    # values -> DICTIONARY_V2. Both string encodings in one file.
+    rows = sorted(ids * REPLICAS)
+    t = pa.table({
+        "rec_id": pa.array(rows, pa.int64()),
+        "name": pa.array([f"doc-{d}-{i}" for i, d in enumerate(rows)],
+                         pa.string()),
+        "cat": pa.array([f"cat{d % 7}" for d in rows], pa.string()),
+    })
+    buf = io.BytesIO()
+    # liborc defaults dictionary_key_size_threshold to 0 (dictionary
+    # OFF); 0.5 lets the 7-value cat column dictionary-encode while
+    # the unique name column stays DIRECT_V2
+    orc.write_table(t, buf, compression=codec, stripe_size=4096,
+                    dictionary_key_size_threshold=0.5)
+    return buf.getvalue()
+
+
 def main():
     files = {}
     stripe_rows = {}
+    str_files = {}
     for sf in SF_DIRS:
         p = Path("/root/testdata") / sf / "documents.parquet"
         if not p.exists():
@@ -87,6 +107,12 @@ def main():
                 srows.append((si, len(rid), min(rid), max(rid),
                               sum(rid), sum(sc)))
             stripe_rows[key] = srows
+            keys2 = hashlib.md5(
+                ("orcstr:" + ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if keys2 not in str_files:
+                str_files[keys2] = orc_str_file(ids,
+                                                CODECS[table_id % 4])
     out = Path("fixtures")
     out.mkdir(exist_ok=True)
     keys, paths, kinds, blobs_col, nstripes, clens = [], [], [], [], [], []
@@ -134,6 +160,19 @@ def main():
         out / "orc_stripe_oracle.parquet",
     )
     print(f"orc_stripe_oracle.parquet: {len(sk)} stripe rows")
+    k2 = sorted(str_files)
+    pq.write_table(
+        pa.table({
+            "blob_key": k2,
+            "rel_path": ["data-0.orc"] * len(k2),
+            "kind": ["data"] * len(k2),
+            "file_bytes": pa.array([str_files[k] for k in k2],
+                                   pa.binary()),
+        }),
+        out / "orc_str_files.parquet",
+    )
+    print(f"orc_str_files.parquet: {len(k2)} tables, "
+          f"{sum(len(v) for v in str_files.values())} bytes")
 
 
 if __name__ == "__main__":

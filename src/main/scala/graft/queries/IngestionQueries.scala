@@ -486,6 +486,105 @@ object IngestionQueries {
                256 * sum((d % 48) / 8.0) AS score_sum,
                CAST(1 AS BIGINT) AS stats_ok
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q274 — ORC STRING columns, BOTH v2 encodings in one file: a
+    // unique-per-row `name` forces DIRECT_V2 (LENGTH stream =
+    // unsigned RLEv2, DATA = concatenated bytes) while a 7-value
+    // `cat` forces DICTIONARY_V2 (sorted dictionary via LENGTH +
+    // DICTIONARY_DATA, DATA = unsigned RLEv2 indices) — the encoding
+    // choice liborc actually makes is IN the compared output
+    // (name_enc/cat_enc), and the per-value hash sums pin content
+    // exactly (hash60 % p, order-independent, overflow-safe on both
+    // engines). This closes the ORC read story for the column type
+    // 100 TB corpora are mostly made of.
+    "q274_orc_string_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orcstr:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/orc_str_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              if (t.fieldNames != Seq("rec_id", "name", "cat")) Nil
+              else {
+                var rows = 0L
+                var nameSum = 0L
+                var catSum = 0L
+                var nameEnc = -1L
+                var catEnc = -1L
+                var ok = true
+                t.stripes.foreach { st =>
+                  O.parseStripeFooter(bytes, t, st) match {
+                    case Some(sf) if sf.encodings.length == 4 =>
+                      val ne = sf.encodings(2)._1.toLong
+                      val ce = sf.encodings(3)._1.toLong
+                      if (nameEnc < 0) nameEnc = ne
+                      else if (nameEnc != ne) ok = false
+                      if (catEnc < 0) catEnc = ce
+                      else if (catEnc != ce) ok = false
+                    case _ => ok = false
+                  }
+                  (O.stripeColumnStrings(bytes, t, st, 2),
+                    O.stripeColumnStrings(bytes, t, st, 3)) match {
+                    case (Some(names), Some(cats))
+                      if names.length.toLong == st.numRows &&
+                        cats.length == names.length =>
+                      rows += names.length
+                      names.foreach(v => nameSum += h60(v) % 1000003L)
+                      cats.foreach(v => catSum += h60(v) % 1000003L)
+                    case _ => ok = false
+                  }
+                }
+                if (ok && rows == t.numRows)
+                  Seq((blobId, rows, nameSum, catSum, nameEnc, catEnc))
+                else Nil
+              }
+            }
+          }.toDF("blob_id", "rows_decoded", "name_hash_sum",
+            "cat_hash_sum", "name_enc", "cat_enc")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id, d,
+                 row_number() OVER (PARTITION BY blob_id ORDER BY d)
+                   - 1 AS p
+          FROM r),
+        reps AS (
+          SELECT blob_id, d, p * 256 + rep.i AS i
+          FROM k CROSS JOIN
+            (SELECT unnest(generate_series(0, 255)) AS i) rep),
+        vals AS (
+          SELECT blob_id,
+                 ${OracleSql.sqlHash60("'doc-' || d || '-' || i")}
+                   % 1000003 AS nh,
+                 ${OracleSql.sqlHash60("'cat' || (d % 7)")}
+                   % 1000003 AS ch
+          FROM reps)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS rows_decoded,
+               CAST(sum(nh) AS BIGINT) AS name_hash_sum,
+               CAST(sum(ch) AS BIGINT) AS cat_hash_sum,
+               CAST(2 AS BIGINT) AS name_enc,
+               CAST(3 AS BIGINT) AS cat_enc
+        FROM vals GROUP BY blob_id"""),
       headline = false))
   }
 

@@ -331,7 +331,7 @@ object Orc {
     */
   final case class StreamInfo(kind: Int, column: Int, length: Long)
   final case class StripeFooter(streams: Seq[StreamInfo],
-                                encodings: Seq[Int])
+                                encodings: Seq[(Int, Int)])
 
   /** Parse one stripe's footer (chunk-compressed protobuf at
     * stripe.offset + indexLength + dataLength).
@@ -347,7 +347,7 @@ object Orc {
         tail.compression, tail.blockSize.toInt).getOrElse(return None)
       val p = new PB(fb, 0, fb.length)
       val streams = Seq.newBuilder[StreamInfo]
-      val encs = Seq.newBuilder[Int]
+      val encs = Seq.newBuilder[(Int, Int)]
       var ns = 0
       while (p.hasMore) {
         val (fn, wt) = p.key()
@@ -373,11 +373,14 @@ object Orc {
             if (wt != 2) damage()
             val ep = p.sub()
             var k = -1
+            var dictSize = 0
             while (ep.hasMore) {
               val (ef, ew) = ep.key()
-              if (ef == 1) k = ep.varint().toInt else ep.skip(ew)
+              if (ef == 1) k = ep.varint().toInt
+              else if (ef == 2) dictSize = ep.varint().toInt
+              else ep.skip(ew)
             }
-            encs += math.max(k, 0)
+            encs += ((math.max(k, 0), dictSize))
           case _ => p.skip(wt)
         }
       }
@@ -391,23 +394,93 @@ object Orc {
     * operator), as does a missing DATA stream.
     */
   private def dataStream(b: Array[Byte], tail: OrcTail, s: StripeInfo,
-                         colId: Int): Option[Array[Byte]] = {
-    parseStripeFooter(b, tail, s).flatMap { sf =>
-      if (sf.streams.exists(st => st.kind == 0 && st.column == colId))
-        return None // nulls out of scope
-      var off = s.offset
-      var found = -1L
-      var len = -1L
-      sf.streams.foreach { st =>
-        if (st.kind == 1 && st.column == colId && found < 0) {
-          found = off; len = st.length
-        }
-        off += st.length
+                         colId: Int): Option[Array[Byte]] =
+    parseStripeFooter(b, tail, s)
+      .flatMap(sf => colStream(b, tail, s, sf, colId, kind = 1))
+
+  /** Locate and decompress one (column, stream-kind) within a stripe
+    * by cumulative stream layout. The nulls-out-of-scope law lives
+    * here: a PRESENT stream on the column routes away.
+    */
+  private def colStream(b: Array[Byte], tail: OrcTail, s: StripeInfo,
+                        sf: StripeFooter, colId: Int,
+                        kind: Int): Option[Array[Byte]] = {
+    if (sf.streams.exists(st => st.kind == 0 && st.column == colId))
+      return None // nulls out of scope
+    var off = s.offset
+    var found = -1L
+    var len = -1L
+    sf.streams.foreach { st =>
+      if (st.kind == kind && st.column == colId && found < 0) {
+        found = off; len = st.length
       }
-      if (found < 0 || found + len > b.length ||
-        found > Int.MaxValue || found + len > Int.MaxValue) None
-      else decompressStream(b, found.toInt, (found + len).toInt,
-        tail.compression, tail.blockSize.toInt)
+      off += st.length
+    }
+    if (found < 0 || found + len > b.length ||
+      found > Int.MaxValue || found + len > Int.MaxValue) None
+    else decompressStream(b, found.toInt, (found + len).toInt,
+      tail.compression, tail.blockSize.toInt)
+  }
+
+  /** Decode one STRING column's stripe values — both v2 encodings:
+    * DIRECT_V2 (LENGTH stream = unsigned RLEv2 lengths, DATA stream =
+    * concatenated bytes) and DICTIONARY_V2 (LENGTH + DICTIONARY_DATA
+    * describe the sorted dictionary, DATA = unsigned RLEv2 indices).
+    */
+  def stripeColumnStrings(b: Array[Byte], tail: OrcTail, s: StripeInfo,
+                          colId: Int): Option[Array[String]] = {
+    if (s.numRows < 0 || s.numRows > (1 << 26)) return None
+    val n = s.numRows.toInt
+    parseStripeFooter(b, tail, s).flatMap { sf =>
+      if (colId < 0 || colId >= sf.encodings.length) return None
+      val (enc, dictSize) = sf.encodings(colId)
+      def slice(data: Array[Byte],
+                lens: Array[Long]): Option[Array[String]] = {
+        val out = new Array[String](lens.length)
+        var p = 0L
+        var i = 0
+        while (i < lens.length) {
+          val l = lens(i)
+          if (l < 0 || p + l > data.length) return None
+          out(i) = new String(data, p.toInt, l.toInt,
+            java.nio.charset.StandardCharsets.UTF_8)
+          p += l
+          i += 1
+        }
+        if (p != data.length) return None // bytes must tile exactly
+        Some(out)
+      }
+      enc match {
+        case 2 => // DIRECT_V2
+          for {
+            lenS <- colStream(b, tail, s, sf, colId, kind = 2)
+            lens <- rleV2Unsigned(lenS, n)
+            data <- colStream(b, tail, s, sf, colId, kind = 1)
+            vals <- slice(data, lens)
+          } yield vals
+        case 3 => // DICTIONARY_V2
+          if (dictSize < 0 || dictSize > (1 << 24)) return None
+          for {
+            lenS <- colStream(b, tail, s, sf, colId, kind = 2)
+            dictLens <- rleV2Unsigned(lenS, dictSize)
+            dictData <- colStream(b, tail, s, sf, colId, kind = 3)
+            dict <- slice(dictData, dictLens)
+            idxS <- colStream(b, tail, s, sf, colId, kind = 1)
+            idx <- rleV2Unsigned(idxS, n)
+            vals <- {
+              val out = new Array[String](n)
+              var ok = true
+              var i = 0
+              while (i < n) {
+                val k = idx(i)
+                if (k < 0 || k >= dict.length) { ok = false; i = n }
+                else { out(i) = dict(k.toInt); i += 1 }
+              }
+              if (ok) Some(out) else None
+            }
+          } yield vals
+        case _ => None // RLEv1 string encodings out of scope
+      }
     }
   }
 
@@ -462,7 +535,18 @@ object Orc {
     * patch list carries (gap, patch) entries with value-0 entries as
     * gap-255 continuations, per the spec.
     */
-  private def rleV2Signed(d: Array[Byte], n: Int): Option[Array[Long]] = {
+  private def rleV2Signed(d: Array[Byte], n: Int): Option[Array[Long]] =
+    rleV2(d, n, signed = true)
+
+  /** UNSIGNED RLE v2 — string lengths and dictionary indices: no
+    * zigzag on short-repeat/direct values, unsigned varint delta base
+    * (the delta of the base stays signed, per the spec).
+    */
+  private def rleV2Unsigned(d: Array[Byte], n: Int): Option[Array[Long]] =
+    rleV2(d, n, signed = false)
+
+  private def rleV2(d: Array[Byte], n: Int,
+                    signed: Boolean): Option[Array[Long]] = {
     try {
       val out = new Array[Long](n)
       var p = 0
@@ -481,7 +565,9 @@ object Orc {
         }
         v
       }
-      def zz(z: Long): Long = (z >>> 1) ^ -(z & 1L)
+      def zz(z: Long): Long =
+        if (signed) (z >>> 1) ^ -(z & 1L) else z
+      def zzAlways(z: Long): Long = (z >>> 1) ^ -(z & 1L)
       def unpack(count: Int, width: Int): Array[Long] = {
         val vals = new Array[Long](count)
         if (width == 0) return vals
@@ -533,7 +619,7 @@ object Orc {
             val base = zz(varU())
             out(i) = base; i += 1
             if (len >= 2) {
-              val dBase = zz(varU())
+              val dBase = zzAlways(varU())
               var prev = base + dBase
               out(i) = prev; i += 1
               if (len > 2) {
