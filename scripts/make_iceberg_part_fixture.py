@@ -90,6 +90,11 @@ MANIFEST_ENTRY_SCHEMA = (
     '"fields":[{"name":"part","type":"int"}]}},'
     '{"name":"record_count","type":"long"},'
     '{"name":"file_size_in_bytes","type":"long"},'
+    '{"name":"lower_bounds","type":["null",{"type":"array","items":'
+    '{"type":"record","name":"k126_v127","fields":['
+    '{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}]},'
+    '{"name":"upper_bounds","type":["null",'
+    '{"type":"array","items":"k126_v127"}]},'
     '{"name":"sort_order_id","type":["null","int"]}]}}]}'
 )
 
@@ -113,7 +118,14 @@ def union(idx: int, payload: bytes = b"") -> bytes:
     return varint(idx) + payload
 
 
-def entry(part, path, rc, fsz):
+def entry(part, path, rc, fsz, lo=None, hi=None):
+    def bound_map(v):
+        # Iceberg single-value serialization: long -> 8-byte LE,
+        # keyed by field id 1 (rec_id)
+        if v is None:
+            return union(0)
+        return union(1, varint(1) + varint(1)
+                     + avro_bytes(struct.pack("<q", v)) + varint(0))
     df = (
         varint(0)                       # content = DATA
         + string(path)
@@ -121,6 +133,8 @@ def entry(part, path, rc, fsz):
         + varint(part)                  # partition record r102{part}
         + varint(rc)
         + varint(fsz)
+        + bound_map(lo)                 # lower_bounds {1: LE64}
+        + bound_map(hi)                 # upper_bounds {1: LE64}
         + union(1, varint(0))           # sort_order_id
     )
     return (
@@ -177,14 +191,27 @@ def main():
             mrows = []
             for x in range(3):
                 part = [(d, n) for d, n in rows if (d // 6) % 3 == x]
-                rc = len(part)
-                fs = sum(1 + n % 9 for _, n in part)
-                m = container(MANIFEST_ENTRY_SCHEMA, [
-                    entry(x, f"part-{x}/f-{x}.parquet", rc, fs)],
-                    sync, "deflate")
+                n = len(part)
+                # 4 files per part, quartile-split by position -> each
+                # file covers a DISJOINT rec_id range, so file-level
+                # bounds can actually prune (q275)
+                entries = []
+                for qtr in range(4):
+                    grp = [part[i] for i in range(n)
+                           if i * 4 // n == qtr]
+                    if not grp:
+                        continue
+                    rc = len(grp)
+                    fs = sum(1 + c % 9 for _, c in grp)
+                    entries.append(entry(
+                        x, f"part-{x}/f-{x}-{qtr}.parquet", rc, fs,
+                        lo=min(d for d, _ in grp),
+                        hi=max(d for d, _ in grp)))
+                m = container(MANIFEST_ENTRY_SCHEMA, entries,
+                              sync, "deflate")
                 out_rows.append((f"m{x}.avro", "manifest", m))
                 mrows.append(manifest_file_row(f"m{x}.avro", len(m),
-                                               x, 1, rc))
+                                               x, len(entries), n))
             snap = container(MANIFEST_FILE_SCHEMA, mrows, sync, "null")
             out_rows.append(("snap-1.avro", "list", snap))
             files[key] = out_rows

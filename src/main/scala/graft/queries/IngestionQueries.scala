@@ -1170,7 +1170,7 @@ object IngestionQueries {
         SELECT table_id,
                CAST(3 AS BIGINT) AS n_manifests,
                CAST(2 AS BIGINT) AS n_opened,
-               CAST(2 AS BIGINT) AS live_files,
+               CAST(8 AS BIGINT) AS live_files,
                CAST(sum(CASE WHEN part >= 1 THEN 1 ELSE 0 END)
                  AS BIGINT) AS live_rows,
                CAST(sum(CASE WHEN part >= 1 THEN 1 + n_chars % 9
@@ -1178,7 +1178,137 @@ object IngestionQueries {
                CAST(1 AS BIGINT) AS bounds_ok
         FROM r GROUP BY table_id"""))
 
-    Seq(q257, q258, q259, q262, q271)
+    // q275 — Iceberg FILE-level stats pruning, the second skip level:
+    // inside the manifests q271's partition bounds left open, each
+    // data_file carries lower_bounds/upper_bounds maps (field id ->
+    // single-value serialization, 8-byte LE long for rec_id), and a
+    // rec_id range probe prunes FILES before any data access. The
+    // fixture splits every partition into four quartile files with
+    // DISJOINT id ranges, so the probe (middle third of the global
+    // span, derived from the listed files' OWN bounds) genuinely
+    // drops the outer quartiles. Selection counts are computed
+    // relationally in the oracle from the same quartile arithmetic —
+    // nothing is a hardcoded constant except the structure.
+    val q275 = "q275_iceberg_file_stats_prune" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"),
+            col("n_chars").cast("long"))
+          .as[(Long, Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (t, it) =>
+          val rows = it.toSeq.sortBy(_._2)
+          (t, md5Hex("icebergpart:" +
+            rows.map(r => s"${r._2}=${r._3}").mkString(",")))
+        }.toDF("table_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(FixturePart)), "blob_key")
+          .select(col("table_id"), col("rel_path"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val byPath = it.map(r => r._2 -> r._3).toMap
+            val G = graft.sources.AvroGeneric
+            def leLong(b: Array[Byte]): Option[Long] =
+              if (b.length != 8) None
+              else {
+                var v = 0L; var k = 7
+                while (k >= 0) { v = (v << 8) | (b(k) & 0xffL); k -= 1 }
+                Some(v)
+              }
+            val res = for {
+              listBytes <- byPath.get("snap-1.avro")
+              list <- G.parseContainer(listBytes)
+            } yield {
+              var ok = true
+              val manifestPaths = list.records.flatMap(
+                _.field("manifest_path").flatMap(_.asString))
+              if (manifestPaths.length != list.records.length)
+                ok = false
+              // list EVERY file's bounds (manifest level is q271's
+              // job; here all manifests open and FILES prune)
+              case class F(rc: Long, fs: Long, lo: Long, hi: Long)
+              val files = manifestPaths.flatMap { mp =>
+                byPath.get(mp).flatMap(G.parseContainer) match {
+                  case Some(m) => m.records.flatMap { e =>
+                    val df = e.field("data_file")
+                    def boundOf(name: String): Option[Long] = for {
+                      arr <- df.flatMap(_.field(name))
+                      kv <- arr.items.headOption
+                      k <- kv.field("key").flatMap(_.asLong)
+                      if k == 1L // rec_id's field id
+                      v <- kv.field("value").flatMap(_.asBytes)
+                      l <- leLong(v)
+                    } yield l
+                    val r = for {
+                      rc <- df.flatMap(_.field("record_count"))
+                        .flatMap(_.asLong)
+                      fs <- df.flatMap(_.field("file_size_in_bytes"))
+                        .flatMap(_.asLong)
+                      lo <- boundOf("lower_bounds")
+                      hi <- boundOf("upper_bounds")
+                    } yield F(rc, fs, lo, hi)
+                    if (r.isEmpty) ok = false
+                    r
+                  }
+                  case None => ok = false; Nil
+                }
+              }
+              if (files.isEmpty) ok = false
+              val gmin = if (files.isEmpty) 0L else files.map(_.lo).min
+              val gmax = if (files.isEmpty) 0L else files.map(_.hi).max
+              val span = gmax - gmin
+              val lo = gmin + span / 3
+              val hi = gmin + 2 * span / 3
+              val sel = files.filter(f => f.hi >= lo && f.lo <= hi)
+              (files.length.toLong, sel.length.toLong,
+                sel.map(_.rc).sum, sel.map(_.fs).sum, ok)
+            }
+            res match {
+              case Some((nf, nsel, rows, bytesSum, true)) =>
+                Seq((t, nf, nsel, rows, bytesSum))
+              case _ => Nil
+            }
+          }
+          .toDF("table_id", "n_files", "n_selected", "sel_rows",
+            "sel_bytes")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d, n_chars,
+                 (doc_id // 6) % 3 AS part
+          FROM documents),
+        w AS (
+          SELECT table_id, d, n_chars, part,
+                 ((row_number() OVER (PARTITION BY table_id, part
+                    ORDER BY d) - 1) * 4) //
+                   (count(*) OVER (PARTITION BY table_id, part))
+                   AS qtr,
+                 min(d) OVER (PARTITION BY table_id) AS gmin,
+                 max(d) OVER (PARTITION BY table_id) AS gmax
+          FROM r),
+        f AS (
+          SELECT table_id, part, qtr,
+                 count(*) AS rc,
+                 CAST(sum(1 + n_chars % 9) AS BIGINT) AS fs,
+                 min(d) AS flo, max(d) AS fhi,
+                 min(gmin) AS gmin, max(gmax) AS gmax
+          FROM w GROUP BY table_id, part, qtr)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN fhi >= gmin + (gmax - gmin) // 3
+                        AND flo <= gmin + 2 * (gmax - gmin) // 3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               CAST(coalesce(sum(CASE
+                 WHEN fhi >= gmin + (gmax - gmin) // 3
+                  AND flo <= gmin + 2 * (gmax - gmin) // 3
+                 THEN rc END), 0) AS BIGINT) AS sel_rows,
+               CAST(coalesce(sum(CASE
+                 WHEN fhi >= gmin + (gmax - gmin) // 3
+                  AND flo <= gmin + 2 * (gmax - gmin) // 3
+                 THEN fs END), 0) AS BIGINT) AS sel_bytes
+        FROM f GROUP BY table_id"""))
+
+    Seq(q257, q258, q259, q262, q271, q275)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:
