@@ -67,8 +67,12 @@ def orc_str_file(ids, codec):
     # liborc defaults dictionary_key_size_threshold to 0 (dictionary
     # OFF); 0.5 lets the 7-value cat column dictionary-encode while
     # the unique name column stays DIRECT_V2
+    # bloom filters on rec_id (long -> Wang mix) and name (string ->
+    # Murmur3 hash64), one BloomFilter per row group (q276)
     orc.write_table(t, buf, compression=codec, stripe_size=4096,
-                    dictionary_key_size_threshold=0.5)
+                    dictionary_key_size_threshold=0.5,
+                    bloom_filter_columns=[1, 2],
+                    bloom_filter_fpp=0.02)
     return buf.getvalue()
 
 

@@ -585,6 +585,88 @@ object IngestionQueries {
                CAST(2 AS BIGINT) AS name_enc,
                CAST(3 AS BIGINT) AS cat_enc
         FROM vals GROUP BY blob_id"""),
+      headline = false),
+
+    // q276 — ORC BLOOM FILTERS (BLOOM_FILTER_UTF8 streams), q269's
+    // point-lookup proof on the other format: one BloomKFilter per
+    // ROW GROUP in the index region, LONG keys through Thomas Wang's
+    // 64-bit mix, positions (h1 + i*h2) % numBits — all decoded from
+    // raw bytes by the engine (OrcSpec pins verdict behavior against
+    // liborc's written filters: every present value passes, absent
+    // keys separate). A stripe is decoded ONLY when some row group's
+    // bloom passes; `found` is deterministic under false positives
+    // and bloom_ok pins the no-false-negative law on present keys.
+    // Probes derive from the FILE's own decoded ids (wrong decode =>
+    // wrong probe set => oracle mismatch), absent twins by negation.
+    "q276_orc_bloom_skip" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orcstr:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/orc_str_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              val perStripe = t.stripes.map { st =>
+                (O.stripeBlooms(bytes, t, st, 1), st)
+              }
+              if (perStripe.exists(_._1.isEmpty)) Nil
+              else {
+                // lazy per-stripe decode: only on a bloom pass
+                val idCache = scala.collection.mutable
+                  .Map.empty[Int, Set[Long]]
+                def stripeIds(i: Int): Set[Long] =
+                  idCache.getOrElseUpdate(i,
+                    O.stripeColumnLongs(bytes, t, perStripe(i)._2, 1)
+                      .map(_.toSet).getOrElse(Set.empty))
+                def probe(k: Long): (Boolean, Boolean) = {
+                  var found = false
+                  var anyPass = false
+                  for (i <- perStripe.indices) {
+                    if (perStripe(i)._1.get.exists(_.testLong(k))) {
+                      anyPass = true
+                      if (stripeIds(i).contains(k)) found = true
+                    }
+                  }
+                  (found, anyPass)
+                }
+                // probes from the file's own ids (distinct, % 97)
+                val present = t.stripes.indices
+                  .flatMap(i => stripeIds(i))
+                  .filter(_ % 97 == 0).distinct.sorted
+                present.flatMap { k =>
+                  val (f1, p1) = probe(k)
+                  val (f2, _) = probe(-k - 1)
+                  Seq(
+                    (blobId, k, 1L, if (f1) 1L else 0L,
+                      if (p1) 1L else 0L),
+                    (blobId, -k - 1, 0L, if (f2) 1L else 0L, 1L))
+                }
+              }
+            }
+          }.toDF("blob_id", "probe_key", "expected_present", "found",
+            "bloom_ok")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents
+          WHERE doc_id % 97 = 0)
+        SELECT blob_id, d AS probe_key,
+               CAST(1 AS BIGINT) AS expected_present,
+               CAST(1 AS BIGINT) AS found, CAST(1 AS BIGINT) AS bloom_ok
+        FROM p
+        UNION ALL
+        SELECT blob_id, -d - 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM p"""),
       headline = false))
   }
 

@@ -112,7 +112,12 @@ object Orc {
                              * statistics — what stripe PRUNING plans
                              * from. Empty when the writer emitted none.
                              */
-                           stripeStats: Seq[Seq[ColStats]] = Nil)
+                           stripeStats: Seq[Seq[ColStats]] = Nil,
+                           /** Row-index stride (rows per row group —
+                             * the bloom-filter granularity); 0 when
+                             * the writer disabled indexes.
+                             */
+                           rowIndexStride: Long = 0L)
 
   val CompNone = 0; val CompZlib = 1; val CompSnappy = 2
   val CompLz4 = 4; val CompZstd = 5
@@ -165,6 +170,7 @@ object Orc {
       val f = new PB(footerBytes, 0, footerBytes.length)
       var contentLength = -1L
       var numRows = -1L
+      var rowIndexStride = 0L
       val stripes = Seq.newBuilder[StripeInfo]
       var nStripes = 0
       val kinds = Seq.newBuilder[Int]
@@ -201,6 +207,7 @@ object Orc {
             if (kind < 0) damage()
             kinds += kind
           case 6 => numRows = f.varint()
+          case 8 => rowIndexStride = f.varint()
           case 7 =>
             if (wt != 2) damage()
             nStats += 1
@@ -254,7 +261,8 @@ object Orc {
           r
         }
       Some(OrcTail(comp, blockSize, contentLength, numRows, st,
-        kinds.result(), names.result(), stats.result(), stripeStats))
+        kinds.result(), names.result(), stats.result(), stripeStats,
+        rowIndexStride))
     } catch { case _: Damage => None }
   }
 
@@ -516,6 +524,144 @@ object Orc {
         Some(out)
       }
     }
+  }
+
+  // ---- bloom filters (BLOOM_FILTER_UTF8 streams) ------------------------
+
+  /** One row group's bloom filter (the spec's Hive-lineage BloomKFilter:
+    * k hash functions over a 64-bit base hash, positions
+    * `(h1 + i*h2) % numBits` with the negative flip). LONG keys hash
+    * through Thomas Wang's 64-bit mix, byte/string keys through
+    * Murmur3 hash64 (seed 104729) — both public algorithms the ORC
+    * writers share.
+    */
+  final case class OrcBloom(numHash: Int, bits: Array[Long]) {
+    private val numBits = bits.length * 64
+    def testLong(v: Long): Boolean = testHash(wangMix(v))
+    def testBytes(b: Array[Byte]): Boolean = testHash(murmur64(b))
+    def testString(s: String): Boolean =
+      testBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    private def testHash(h: Long): Boolean = {
+      if (numBits == 0 || numHash <= 0) return false
+      val h1 = h.toInt
+      val h2 = (h >>> 32).toInt
+      var i = 1
+      while (i <= numHash) {
+        var c = h1 + i * h2
+        if (c < 0) c = ~c
+        val pos = c % numBits
+        if (((bits(pos >> 6) >>> (pos & 63)) & 1L) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Thomas Wang's 64-bit integer mix — how ORC blooms hash LONGs.
+    * OBSERVED writer behavior (pinned empirically against liborc: a
+    * zeros-only column's bloom sets exactly bit 0, while 1,2,3 land
+    * on their Wang positions): the value 0 hashes to 0, so all k
+    * probe positions collapse onto bit 0. Mirror it or every 0-valued
+    * key reads as a false negative.
+    */
+  private def wangMix(v0: Long): Long = {
+    if (v0 == 0L) return 0L
+    var k = v0
+    k = (~k) + (k << 21)
+    k ^= k >>> 24
+    k = k + (k << 3) + (k << 8)
+    k ^= k >>> 14
+    k = k + (k << 2) + (k << 4)
+    k ^= k >>> 28
+    k += k << 31
+    k
+  }
+
+  /** Hive Murmur3 hash64 (the 64-bit single-lane x64_128 variant,
+    * seed 104729) — how ORC blooms hash byte/string keys.
+    */
+  private def murmur64(d: Array[Byte]): Long = {
+    val C1 = 0x87c37b91114253d5L
+    val C2 = 0x4cf5ad432745937fL
+    def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    var h = 104729L
+    val nBlocks = d.length / 8
+    var i = 0
+    while (i < nBlocks) {
+      var k = 0L
+      var j = 7
+      while (j >= 0) { k = (k << 8) | (d(i * 8 + j) & 0xffL); j -= 1 }
+      k *= C1; k = rotl(k, 31); k *= C2
+      h ^= k
+      h = rotl(h, 27) * 5 + 0x52dce729L
+      i += 1
+    }
+    val tail = nBlocks * 8
+    if (tail < d.length) {
+      var k = 0L
+      var j = d.length - 1
+      while (j >= tail) { k = (k << 8) | (d(j) & 0xffL); j -= 1 }
+      k *= C1; k = rotl(k, 31); k *= C2
+      h ^= k
+    }
+    h ^= d.length
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Parse one column's BLOOM_FILTER_UTF8 stream (kind 8) within a
+    * stripe: a BloomFilterIndex proto, one BloomFilter per row group
+    * (rowIndexStride rows). None when the column carries no bloom.
+    */
+  def stripeBlooms(b: Array[Byte], tail: OrcTail, s: StripeInfo,
+                   colId: Int): Option[Seq[OrcBloom]] = {
+    try {
+      parseStripeFooter(b, tail, s)
+        .flatMap(sf => colStream(b, tail, s, sf, colId, kind = 8))
+        .flatMap { d =>
+          val p = new PB(d, 0, d.length)
+          val out = Seq.newBuilder[OrcBloom]
+          var n = 0
+          while (p.hasMore) {
+            val (fn, wt) = p.key()
+            if (fn == 1) {
+              if (wt != 2) damage()
+              n += 1
+              if (n > MaxList) damage()
+              val bf = p.sub()
+              var k = 0
+              val longs = Seq.newBuilder[Long]
+              while (bf.hasMore) {
+                val (bfn, bwt) = bf.key()
+                bfn match {
+                  case 1 => k = bf.varint().toInt
+                  case 2 => // repeated fixed64 bitset (legacy)
+                    if (bwt == 1) longs += bf.fixed64()
+                    else if (bwt == 2) {
+                      val sub = bf.sub()
+                      while (sub.hasMore) longs += sub.fixed64()
+                    } else damage()
+                  case 3 => // utf8bitset: bytes, little-endian longs
+                    if (bwt != 2) damage()
+                    val sub = bf.sub()
+                    if ((sub.end - sub.pos) % 8 != 0) damage()
+                    while (sub.hasMore) longs += sub.fixed64()
+                  case _ => bf.skip(bwt)
+                }
+              }
+              val arr = longs.result().toArray
+              if (k <= 0 || k > 64 || arr.length > (1 << 20)) damage()
+              out += OrcBloom(k, arr)
+            } else p.skip(wt)
+          }
+          val r = out.result()
+          if (r.isEmpty) None else Some(r)
+        }
+    } catch { case _: Damage => None }
   }
 
   /** 5-bit encoded bit width (the spec's closed table): 0-23 map to

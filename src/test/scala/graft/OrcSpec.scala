@@ -84,6 +84,61 @@ class OrcSpec extends SparkSpec {
     }
   }
 
+  test("bloom filters: every actual value passes its row group's bloom " +
+    "(no false negatives — longs via Wang mix, strings via Murmur3 " +
+    "hash64), absent keys mostly fail (separation)") {
+    val blobs = spark.read.parquet("fixtures/orc_str_files.parquet")
+      .collect() // bounded: 12 fixture files
+      .map(_.getAs[Array[Byte]]("file_bytes")).toSeq
+    assert(blobs.length == 12)
+    for (b <- blobs) { // EVERY blob: full value coverage incl. doc 0
+      val t = Orc.parseTail(b).getOrElse(fail("must parse"))
+      assert(t.rowIndexStride > 0)
+      val stride = t.rowIndexStride.toInt
+      var absentLongPass = 0
+      var absentLongTotal = 0
+      var absentStrPass = 0
+      var absentStrTotal = 0
+      for (s <- t.stripes) {
+        val ids = Orc.stripeColumnLongs(b, t, s, 1).getOrElse(fail("ids"))
+        val names = Orc.stripeColumnStrings(b, t, s, 2)
+          .getOrElse(fail("names"))
+        val idBlooms = Orc.stripeBlooms(b, t, s, 1)
+          .getOrElse(fail("rec_id blooms"))
+        val nameBlooms = Orc.stripeBlooms(b, t, s, 2)
+          .getOrElse(fail("name blooms"))
+        val nGroups = (ids.length + stride - 1) / stride
+        assert(idBlooms.length == nGroups &&
+          nameBlooms.length == nGroups,
+          s"${idBlooms.length}/${nameBlooms.length} vs $nGroups")
+        for (g <- 0 until nGroups) {
+          val lo = g * stride
+          val hi = math.min(lo + stride, ids.length)
+          // NO FALSE NEGATIVES: every present value passes
+          for (i <- lo until hi) {
+            assert(idBlooms(g).testLong(ids(i)), s"id ${ids(i)}")
+            assert(nameBlooms(g).testString(names(i)), names(i))
+          }
+          // separation: clearly-absent keys mostly fail
+          for (i <- 0 until 50) {
+            absentLongTotal += 1
+            if (idBlooms(g).testLong(-1000000L - i * 7919L))
+              absentLongPass += 1
+            absentStrTotal += 1
+            if (nameBlooms(g).testString(s"absent-$i-xyzzy"))
+              absentStrPass += 1
+          }
+        }
+      }
+      assert(absentLongPass * 5 < absentLongTotal,
+        s"long separation: $absentLongPass/$absentLongTotal")
+      assert(absentStrPass * 5 < absentStrTotal,
+        s"string separation: $absentStrPass/$absentStrTotal")
+      // a column without blooms has no kind-8 stream
+      assert(Orc.stripeBlooms(b, t, t.stripes.head, 3).isEmpty)
+    }
+  }
+
   test("damage fails closed: truncation anywhere in the tail, flipped " +
     "tail bytes, forged postscript length, empty input — None or a " +
     "consistent parse, never a throw") {
