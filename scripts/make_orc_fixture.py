@@ -76,10 +76,39 @@ def orc_str_file(ids, codec):
     return buf.getvalue()
 
 
+def orc_null_file(ids, codec):
+    # nullable val/tag columns -> liborc writes PRESENT streams
+    # (Byte-RLE over MSB-first bit-packed validity) and value streams
+    # holding ONLY the present values; nullness is a pure function of
+    # doc_id so the q277 oracle derives everything relationally
+    # null moduli 5 and 7 are coprime with the blob split (doc_id % 6)
+    # so EVERY blob carries both nulls and values in both columns
+    rows = sorted(ids * NULL_REPLICAS)
+    val = [None if d % 5 == 0 else (d * 7) % 1000 for d in rows]
+    tag = [None if d % 7 == 1 else f"tag{d % 5}" for d in rows]
+    # pad: unique per row — the RLE'd null columns alone compress so
+    # well liborc never flushes a stripe; the pad forces MULTIPLE
+    # stripes so per-stripe PRESENT decode is non-trivial
+    pad = [f"doc-{d}-{i}" for i, d in enumerate(rows)]
+    t = pa.table({
+        "rec_id": pa.array(rows, pa.int64()),
+        "val": pa.array(val, pa.int64()),
+        "tag": pa.array(tag, pa.string()),
+        "pad": pa.array(pad, pa.string()),
+    })
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=codec, stripe_size=4096)
+    return buf.getvalue()
+
+
+NULL_REPLICAS = 32
+
+
 def main():
     files = {}
     stripe_rows = {}
     str_files = {}
+    null_files = {}
     for sf in SF_DIRS:
         p = Path("/root/testdata") / sf / "documents.parquet"
         if not p.exists():
@@ -117,6 +146,12 @@ def main():
             if keys2 not in str_files:
                 str_files[keys2] = orc_str_file(ids,
                                                 CODECS[table_id % 4])
+            keys3 = hashlib.md5(
+                ("orcnull:" + ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if keys3 not in null_files:
+                null_files[keys3] = orc_null_file(ids,
+                                                  CODECS[table_id % 4])
     out = Path("fixtures")
     out.mkdir(exist_ok=True)
     keys, paths, kinds, blobs_col, nstripes, clens = [], [], [], [], [], []
@@ -177,6 +212,19 @@ def main():
     )
     print(f"orc_str_files.parquet: {len(k2)} tables, "
           f"{sum(len(v) for v in str_files.values())} bytes")
+    k3 = sorted(null_files)
+    pq.write_table(
+        pa.table({
+            "blob_key": k3,
+            "rel_path": ["data-0.orc"] * len(k3),
+            "kind": ["data"] * len(k3),
+            "file_bytes": pa.array([null_files[k] for k in k3],
+                                   pa.binary()),
+        }),
+        out / "orc_null_files.parquet",
+    )
+    print(f"orc_null_files.parquet: {len(k3)} tables, "
+          f"{sum(len(v) for v in null_files.values())} bytes")
 
 
 if __name__ == "__main__":

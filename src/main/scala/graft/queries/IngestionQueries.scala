@@ -667,6 +667,94 @@ object IngestionQueries {
         SELECT blob_id, -d - 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                CAST(1 AS BIGINT)
         FROM p"""),
+      headline = false),
+
+    // q277 — ORC NULLABLE columns (PRESENT streams): Byte-RLE over
+    // MSB-first bit-packed validity, value streams carrying ONLY the
+    // present values (LENGTH counts follow the set bits, not numRows).
+    // Null-ness is a pure function of doc_id, so null counts, the
+    // non-null sum, and the non-null tag hash sum are all relational
+    // — a wrong validity bit misroutes every later value in the
+    // stripe and breaks both sums. rec_id (no PRESENT stream) must
+    // come back all-present through the same Opt path.
+    "q277_orc_nullable_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orcnull:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/orc_null_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              if (t.fieldNames != Seq("rec_id", "val", "tag", "pad")) Nil
+              else {
+                var rows = 0L
+                var valNulls = 0L
+                var valSum = 0L
+                var tagNulls = 0L
+                var tagHash = 0L
+                var ok = true
+                t.stripes.foreach { st =>
+                  (O.stripeColumnLongsOpt(bytes, t, st, 1),
+                    O.stripeColumnLongsOpt(bytes, t, st, 2),
+                    O.stripeColumnStringsOpt(bytes, t, st, 3)) match {
+                    case (Some((rv, _)), Some((vv, vals)),
+                          Some((tv, tags)))
+                      if rv.length.toLong == st.numRows &&
+                        rv.forall(identity) =>
+                      rows += rv.length
+                      var i = 0
+                      while (i < vv.length) {
+                        if (vv(i)) valSum += vals(i) else valNulls += 1
+                        i += 1
+                      }
+                      i = 0
+                      while (i < tv.length) {
+                        if (tv(i)) tagHash += h60(tags(i)) % 1000003L
+                        else tagNulls += 1
+                        i += 1
+                      }
+                    case _ => ok = false
+                  }
+                }
+                if (ok && rows == t.numRows)
+                  Seq((blobId, rows, valNulls, valSum, tagNulls,
+                    tagHash))
+                else Nil
+              }
+            }
+          }.toDF("blob_id", "rows_decoded", "val_nulls", "val_sum",
+            "tag_nulls", "tag_hash_sum")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(count(*) * 32 AS BIGINT) AS rows_decoded,
+               CAST(32 * sum(CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS val_nulls,
+               CAST(32 * sum(CASE WHEN d % 5 = 0 THEN 0
+                 ELSE (d * 7) % 1000 END) AS BIGINT) AS val_sum,
+               CAST(32 * sum(CASE WHEN d % 7 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tag_nulls,
+               CAST(32 * sum(CASE WHEN d % 7 = 1 THEN 0
+                 ELSE ${OracleSql.sqlHash60("'tag' || (d % 5)")}
+                   % 1000003 END) AS BIGINT) AS tag_hash_sum
+        FROM r GROUP BY blob_id"""),
       headline = false))
   }
 

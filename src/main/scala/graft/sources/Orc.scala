@@ -407,14 +407,24 @@ object Orc {
       .flatMap(sf => colStream(b, tail, s, sf, colId, kind = 1))
 
   /** Locate and decompress one (column, stream-kind) within a stripe
-    * by cumulative stream layout. The nulls-out-of-scope law lives
-    * here: a PRESENT stream on the column routes away.
+    * by cumulative stream layout. The NON-NULL decode law lives here:
+    * a PRESENT stream on the column routes away (the `Opt` variants
+    * below decode validity bitmaps).
     */
   private def colStream(b: Array[Byte], tail: OrcTail, s: StripeInfo,
                         sf: StripeFooter, colId: Int,
                         kind: Int): Option[Array[Byte]] = {
     if (sf.streams.exists(st => st.kind == 0 && st.column == colId))
-      return None // nulls out of scope
+      return None // non-null fast path only
+    colStreamAny(b, tail, s, sf, colId, kind)
+  }
+
+  /** colStream without the PRESENT routing — the nullable decode path
+    * addresses PRESENT (kind 0) itself.
+    */
+  private def colStreamAny(b: Array[Byte], tail: OrcTail, s: StripeInfo,
+                           sf: StripeFooter, colId: Int,
+                           kind: Int): Option[Array[Byte]] = {
     var off = s.offset
     var found = -1L
     var len = -1L
@@ -440,55 +450,68 @@ object Orc {
     if (s.numRows < 0 || s.numRows > (1 << 26)) return None
     val n = s.numRows.toInt
     parseStripeFooter(b, tail, s).flatMap { sf =>
-      if (colId < 0 || colId >= sf.encodings.length) return None
-      val (enc, dictSize) = sf.encodings(colId)
-      def slice(data: Array[Byte],
-                lens: Array[Long]): Option[Array[String]] = {
-        val out = new Array[String](lens.length)
-        var p = 0L
-        var i = 0
-        while (i < lens.length) {
-          val l = lens(i)
-          if (l < 0 || p + l > data.length) return None
-          out(i) = new String(data, p.toInt, l.toInt,
-            java.nio.charset.StandardCharsets.UTF_8)
-          p += l
-          i += 1
-        }
-        if (p != data.length) return None // bytes must tile exactly
-        Some(out)
+      if (sf.streams.exists(st => st.kind == 0 && st.column == colId))
+        None // non-null fast path; stripeColumnStringsOpt does nulls
+      else decodeStrings(b, tail, s, sf, colId, n)
+    }
+  }
+
+  /** Core string decode for `count` PRESENT values of a column —
+    * both v2 encodings. For a nullable column `count` is the number
+    * of set validity bits (LENGTH/DATA carry only present values).
+    */
+  private def decodeStrings(b: Array[Byte], tail: OrcTail,
+                            s: StripeInfo, sf: StripeFooter,
+                            colId: Int, count: Int)
+      : Option[Array[String]] = {
+    if (colId < 0 || colId >= sf.encodings.length) return None
+    val (enc, dictSize) = sf.encodings(colId)
+    def slice(data: Array[Byte],
+              lens: Array[Long]): Option[Array[String]] = {
+      val out = new Array[String](lens.length)
+      var p = 0L
+      var i = 0
+      while (i < lens.length) {
+        val l = lens(i)
+        if (l < 0 || p + l > data.length) return None
+        out(i) = new String(data, p.toInt, l.toInt,
+          java.nio.charset.StandardCharsets.UTF_8)
+        p += l
+        i += 1
       }
-      enc match {
-        case 2 => // DIRECT_V2
-          for {
-            lenS <- colStream(b, tail, s, sf, colId, kind = 2)
-            lens <- rleV2Unsigned(lenS, n)
-            data <- colStream(b, tail, s, sf, colId, kind = 1)
-            vals <- slice(data, lens)
-          } yield vals
-        case 3 => // DICTIONARY_V2
-          if (dictSize < 0 || dictSize > (1 << 24)) return None
-          for {
-            lenS <- colStream(b, tail, s, sf, colId, kind = 2)
-            dictLens <- rleV2Unsigned(lenS, dictSize)
-            dictData <- colStream(b, tail, s, sf, colId, kind = 3)
-            dict <- slice(dictData, dictLens)
-            idxS <- colStream(b, tail, s, sf, colId, kind = 1)
-            idx <- rleV2Unsigned(idxS, n)
-            vals <- {
-              val out = new Array[String](n)
-              var ok = true
-              var i = 0
-              while (i < n) {
-                val k = idx(i)
-                if (k < 0 || k >= dict.length) { ok = false; i = n }
-                else { out(i) = dict(k.toInt); i += 1 }
-              }
-              if (ok) Some(out) else None
+      if (p != data.length) return None // bytes must tile exactly
+      Some(out)
+    }
+    enc match {
+      case 2 => // DIRECT_V2
+        for {
+          lenS <- colStreamAny(b, tail, s, sf, colId, kind = 2)
+          lens <- rleV2Unsigned(lenS, count)
+          data <- colStreamAny(b, tail, s, sf, colId, kind = 1)
+          vals <- slice(data, lens)
+        } yield vals
+      case 3 => // DICTIONARY_V2
+        if (dictSize < 0 || dictSize > (1 << 24)) return None
+        for {
+          lenS <- colStreamAny(b, tail, s, sf, colId, kind = 2)
+          dictLens <- rleV2Unsigned(lenS, dictSize)
+          dictData <- colStreamAny(b, tail, s, sf, colId, kind = 3)
+          dict <- slice(dictData, dictLens)
+          idxS <- colStreamAny(b, tail, s, sf, colId, kind = 1)
+          idx <- rleV2Unsigned(idxS, count)
+          vals <- {
+            val out = new Array[String](count)
+            var ok = true
+            var i = 0
+            while (i < count) {
+              val k = idx(i)
+              if (k < 0 || k >= dict.length) { ok = false; i = count }
+              else { out(i) = dict(k.toInt); i += 1 }
             }
-          } yield vals
-        case _ => None // RLEv1 string encodings out of scope
-      }
+            if (ok) Some(out) else None
+          }
+        } yield vals
+      case _ => None // RLEv1 string encodings out of scope
     }
   }
 
@@ -522,6 +545,122 @@ object Orc {
           i += 1
         }
         Some(out)
+      }
+    }
+  }
+
+  // ---- nullable columns (PRESENT streams) -------------------------------
+
+  /** Byte RLE (the spec's "Byte Run Length Encoding" — the PRESENT
+    * stream's outer layer): header byte h in [0,127] is a run of h+3
+    * copies of the next byte; h in [-128,-1] is -h literal bytes.
+    * Exactly `n` bytes, whole stream consumed.
+    */
+  private def byteRle(d: Array[Byte], n: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](n)
+    var o = 0
+    var p = 0
+    while (o < n) {
+      if (p >= d.length) return None
+      val h = d(p); p += 1
+      if (h >= 0) {
+        val run = h + 3
+        if (p >= d.length || o + run > n) return None
+        java.util.Arrays.fill(out, o, o + run, d(p)); p += 1; o += run
+      } else {
+        val lit = -h.toInt
+        if (p + lit > d.length || o + lit > n) return None
+        System.arraycopy(d, p, out, o, lit); p += lit; o += lit
+      }
+    }
+    if (p != d.length) return None
+    Some(out)
+  }
+
+  /** One column's validity bitmap for a stripe: the PRESENT stream
+    * (kind 0) is Byte-RLE over MSB-first bit-packed booleans, one bit
+    * per row (trailing pad bits in the last byte ignored). A column
+    * with no PRESENT stream is all-present.
+    */
+  def stripePresent(b: Array[Byte], tail: OrcTail, s: StripeInfo,
+                    sf: StripeFooter, colId: Int,
+                    n: Int): Option[Array[Boolean]] = {
+    if (!sf.streams.exists(st => st.kind == 0 && st.column == colId))
+      return Some(Array.fill(n)(true))
+    colStreamAny(b, tail, s, sf, colId, kind = 0)
+      .flatMap(byteRle(_, (n + 7) / 8))
+      .map { bytes =>
+        val out = new Array[Boolean](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((bytes(i >> 3) >> (7 - (i & 7))) & 1) != 0
+          i += 1
+        }
+        out
+      }
+  }
+
+  /** Decode one NULLABLE LONG column: PRESENT validity plus a DATA
+    * stream carrying ONLY the present values (the spec's layout —
+    * value streams never hold null slots). Returns (valid, values),
+    * both length numRows; values(i) is 0 where valid(i) is false.
+    * Also serves all-non-null columns (validity all-true).
+    */
+  def stripeColumnLongsOpt(b: Array[Byte], tail: OrcTail,
+                           s: StripeInfo, colId: Int)
+      : Option[(Array[Boolean], Array[Long])] = {
+    if (s.numRows < 0 || s.numRows > (1 << 26)) return None
+    val n = s.numRows.toInt
+    parseStripeFooter(b, tail, s).flatMap { sf =>
+      stripePresent(b, tail, s, sf, colId, n).flatMap { valid =>
+        var nn = 0
+        var i = 0
+        while (i < n) { if (valid(i)) nn += 1; i += 1 }
+        val packed =
+          if (nn == 0) Some(new Array[Long](0))
+          else colStreamAny(b, tail, s, sf, colId, kind = 1)
+            .flatMap(rleV2Signed(_, nn))
+        packed.map { vals =>
+          val out = new Array[Long](n)
+          var r = 0; var j = 0
+          while (r < n) {
+            if (valid(r)) { out(r) = vals(j); j += 1 }
+            r += 1
+          }
+          (valid, out)
+        }
+      }
+    }
+  }
+
+  /** Decode one NULLABLE STRING column (both v2 encodings): PRESENT
+    * validity; LENGTH/DATA/DICTIONARY describe only present values.
+    * Returns (valid, values), both length numRows; values(i) is null
+    * where valid(i) is false.
+    */
+  def stripeColumnStringsOpt(b: Array[Byte], tail: OrcTail,
+                             s: StripeInfo, colId: Int)
+      : Option[(Array[Boolean], Array[String])] = {
+    if (s.numRows < 0 || s.numRows > (1 << 26)) return None
+    val n = s.numRows.toInt
+    parseStripeFooter(b, tail, s).flatMap { sf =>
+      stripePresent(b, tail, s, sf, colId, n).flatMap { valid =>
+        var nn = 0
+        var i = 0
+        while (i < n) { if (valid(i)) nn += 1; i += 1 }
+        // an all-null stripe may omit the value streams entirely
+        val packed =
+          if (nn == 0) Some(new Array[String](0))
+          else decodeStrings(b, tail, s, sf, colId, nn)
+        packed.map { vals =>
+          val out = new Array[String](n)
+          var r = 0; var j = 0
+          while (r < n) {
+            if (valid(r)) { out(r) = vals(j); j += 1 }
+            r += 1
+          }
+          (valid, out)
+        }
       }
     }
   }

@@ -139,6 +139,51 @@ class OrcSpec extends SparkSpec {
     }
   }
 
+  test("nullable columns: PRESENT validity bits route values to the " +
+    "right rows (every row pinned against the pure doc_id formulas), " +
+    "pad strings pin global row order, strict decoders still route " +
+    "away") {
+    val blobs = spark.read.parquet("fixtures/orc_null_files.parquet")
+      .collect() // bounded: 12 fixture files
+      .map(_.getAs[Array[Byte]]("file_bytes")).toSeq
+    assert(blobs.length == 12)
+    for (b <- blobs) {
+      val t = Orc.parseTail(b).getOrElse(fail("must parse"))
+      assert(t.fieldNames == Seq("rec_id", "val", "tag", "pad"))
+      var rowBase = 0L
+      var sawNullVal = false
+      for (s <- t.stripes) {
+        val (rv, ids) = Orc.stripeColumnLongsOpt(b, t, s, 1)
+          .getOrElse(fail("rec_id"))
+        assert(rv.forall(identity)) // no PRESENT stream -> all true
+        val (vv, vals) = Orc.stripeColumnLongsOpt(b, t, s, 2)
+          .getOrElse(fail("val"))
+        val (tv, tags) = Orc.stripeColumnStringsOpt(b, t, s, 3)
+          .getOrElse(fail("tag"))
+        val (pv, pads) = Orc.stripeColumnStringsOpt(b, t, s, 4)
+          .getOrElse(fail("pad"))
+        assert(pv.forall(identity))
+        for (i <- ids.indices) {
+          val d = ids(i)
+          // validity and value both follow the writer's formulas
+          assert(vv(i) == (d % 5 != 0), s"val validity at $d")
+          if (vv(i)) { assert(vals(i) == (d * 7) % 1000) }
+          else sawNullVal = true
+          assert(tv(i) == (d % 7 != 1), s"tag validity at $d")
+          if (tv(i)) assert(tags(i) == s"tag${d % 5}")
+          else assert(tags(i) == null)
+          assert(pads(i) == s"doc-$d-${rowBase + i}")
+        }
+        // the strict (non-null-only) decoders refuse PRESENT columns
+        assert(Orc.stripeColumnLongs(b, t, s, 2).isEmpty)
+        assert(Orc.stripeColumnStrings(b, t, s, 3).isEmpty)
+        rowBase += ids.length
+      }
+      assert(rowBase == t.numRows)
+      assert(sawNullVal) // the fixture genuinely exercises nulls
+    }
+  }
+
   test("damage fails closed: truncation anywhere in the tail, flipped " +
     "tail bytes, forged postscript length, empty input — None or a " +
     "consistent parse, never a throw") {
