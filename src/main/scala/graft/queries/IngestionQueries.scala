@@ -755,6 +755,131 @@ object IngestionQueries {
                  ELSE ${OracleSql.sqlHash60("'tag' || (d % 5)")}
                    % 1000003 END) AS BIGINT) AS tag_hash_sum
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q278 — ORC ROW INDEX (kind-6 streams): per-ROW-GROUP statistics
+    // drive skipping INSIDE surviving stripes — q267's pruning one
+    // level finer, the ORC twin of the parquet page index (q263).
+    // The probe (middle third of each file's own id range) selects
+    // row groups by the index's min/max; the decode slices ONLY the
+    // surviving stride windows, and each slice's sum must equal the
+    // index's OWN intSum (a decoder and an index that are both wrong
+    // would have to be wrong identically). The oracle re-derives
+    // per-group aggregates relationally: global sorted 256-replica
+    // layout + the pyarrow-measured per-stripe row counts + the
+    // 10,000-row default stride — nothing about group content is
+    // taken from the engine.
+    "q278_orc_row_index_skip" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orc:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/orc_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              val probe = for {
+                mn <- t.stats.lift(1).flatMap(_.intMin)
+                mx <- t.stats.lift(1).flatMap(_.intMax)
+              } yield (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+              probe.toSeq.flatMap { case (lo, hi) =>
+                val stride = t.rowIndexStride
+                if (stride <= 0) Nil
+                else {
+                  var nGroups = 0L
+                  var nSurv = 0L
+                  var sum = 0L
+                  var ok = true
+                  t.stripes.foreach { st =>
+                    O.stripeRowGroupStats(bytes, t, st, 1) match {
+                      case Some(gs)
+                        if gs.length.toLong ==
+                          (st.numRows + stride - 1) / stride =>
+                        nGroups += gs.length
+                        val surv = gs.map(g => (for {
+                          gmn <- g.intMin
+                          gmx <- g.intMax
+                        } yield gmx >= lo && gmn <= hi)
+                          .getOrElse { ok = false; false })
+                        if (surv.exists(identity)) {
+                          O.stripeColumnLongs(bytes, t, st, 1) match {
+                            case Some(ids) =>
+                              for (g <- gs.indices if surv(g)) {
+                                nSurv += 1
+                                val a = (g * stride).toInt
+                                val z = math.min((g + 1) * stride,
+                                  ids.length.toLong).toInt
+                                var gsum = 0L
+                                var i = a
+                                while (i < z) { gsum += ids(i); i += 1 }
+                                if (gs(g).intSum.exists(_ != gsum))
+                                  ok = false
+                                sum += gsum
+                              }
+                            case None => ok = false
+                          }
+                        }
+                      case _ => ok = false
+                    }
+                  }
+                  if (ok) Seq((blobId, nGroups, nSurv, sum)) else Nil
+                }
+              }
+            }
+          }.toDF("blob_id", "n_groups", "n_survive", "survive_id_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('orc:' || string_agg(d, ',' ORDER BY d)) AS bkey,
+                 min(d) AS gmin, max(d) AS gmax
+          FROM r GROUP BY blob_id),
+        pos AS (
+          SELECT blob_id, d,
+                 row_number() OVER (PARTITION BY blob_id ORDER BY d)
+                   - 1 AS p
+          FROM r),
+        reps AS (
+          SELECT blob_id, d, p * 256 + rep.i AS i
+          FROM pos CROSS JOIN
+            (SELECT unnest(generate_series(0, 255)) AS i) rep),
+        st AS (
+          SELECT k.blob_id, x.stripe_idx, x.s_rows,
+                 sum(x.s_rows) OVER (PARTITION BY k.blob_id
+                   ORDER BY x.stripe_idx) - x.s_rows AS s_off,
+                 k.gmin + (k.gmax - k.gmin) // 3 AS lo,
+                 k.gmin + 2 * (k.gmax - k.gmin) // 3 AS hi
+          FROM k JOIN read_parquet(
+            '/root/repo/fixtures/orc_stripe_oracle.parquet') x
+            ON k.bkey = x.blob_key),
+        rg AS (
+          SELECT reps.blob_id, st.stripe_idx,
+                 (reps.i - st.s_off) // 10000 AS grp, reps.d,
+                 st.lo, st.hi
+          FROM reps JOIN st ON reps.blob_id = st.blob_id
+            AND reps.i >= st.s_off AND reps.i < st.s_off + st.s_rows),
+        g AS (
+          SELECT blob_id, stripe_idx, grp,
+                 min(d) AS mn, max(d) AS mx, sum(d) AS s,
+                 any_value(lo) AS lo, any_value(hi) AS hi
+          FROM rg GROUP BY blob_id, stripe_idx, grp)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN mx >= lo AND mn <= hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_survive,
+               CAST(coalesce(sum(CASE WHEN mx >= lo AND mn <= hi
+                        THEN s END), 0) AS BIGINT) AS survive_id_sum
+        FROM g GROUP BY blob_id"""),
       headline = false))
   }
 

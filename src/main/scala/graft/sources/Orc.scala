@@ -549,6 +549,55 @@ object Orc {
     }
   }
 
+  // ---- row index (ROW_INDEX streams, kind 6) ----------------------------
+
+  /** One column's row index within a stripe: per-ROW-GROUP statistics
+    * (rowIndexStride rows per group) — the granularity real readers
+    * skip at INSIDE a surviving stripe. Positions (stream-seek
+    * vectors) are validated as varints and skipped; group slicing is
+    * row arithmetic. None when the stripe carries no index stream.
+    */
+  def stripeRowGroupStats(b: Array[Byte], tail: OrcTail, s: StripeInfo,
+                          colId: Int): Option[Seq[ColStats]] = {
+    try {
+      parseStripeFooter(b, tail, s)
+        .flatMap(sf => colStreamAny(b, tail, s, sf, colId, kind = 6))
+        .flatMap { d =>
+          val p = new PB(d, 0, d.length)
+          val out = Seq.newBuilder[ColStats]
+          var n = 0
+          while (p.hasMore) {
+            val (fn, wt) = p.key()
+            if (fn == 1) {
+              if (wt != 2) damage()
+              n += 1
+              if (n > MaxList) damage()
+              val e = p.sub()
+              var st: Option[ColStats] = None
+              while (e.hasMore) {
+                val (ef, ew) = e.key()
+                ef match {
+                  case 1 => // positions: packed (or lone) varints
+                    if (ew == 2) {
+                      val sub = e.sub()
+                      while (sub.hasMore) sub.varint()
+                    } else if (ew == 0) e.varint()
+                    else damage()
+                  case 2 =>
+                    if (ew != 2) damage()
+                    st = Some(parseColStats(e.sub()))
+                  case _ => e.skip(ew)
+                }
+              }
+              out += st.getOrElse(damage())
+            } else p.skip(wt)
+          }
+          val r = out.result()
+          if (r.isEmpty) None else Some(r)
+        }
+    } catch { case _: Damage => None }
+  }
+
   // ---- nullable columns (PRESENT streams) -------------------------------
 
   /** Byte RLE (the spec's "Byte Run Length Encoding" — the PRESENT

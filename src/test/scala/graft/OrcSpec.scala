@@ -139,6 +139,44 @@ class OrcSpec extends SparkSpec {
     }
   }
 
+  test("row index: one entry per rowIndexStride rows, and every " +
+    "group's min/max/sum (longs) and min/max (doubles) equal the " +
+    "decoded slice aggregates — the index is trustworthy for " +
+    "group-level skipping") {
+    val blobs = spark.read.parquet("fixtures/orc_files.parquet")
+      .collect() // bounded: 12 fixture files
+      .map(_.getAs[Array[Byte]]("file_bytes")).toSeq
+    assert(blobs.length == 12)
+    for (b <- blobs) {
+      val t = Orc.parseTail(b).getOrElse(fail("must parse"))
+      assert(t.rowIndexStride > 0)
+      val stride = t.rowIndexStride.toInt
+      for (s <- t.stripes) {
+        val ids = Orc.stripeColumnLongs(b, t, s, 1).getOrElse(fail("ids"))
+        val ds = Orc.stripeColumnDoubles(b, t, s, 2)
+          .getOrElse(fail("scores"))
+        val gi = Orc.stripeRowGroupStats(b, t, s, 1)
+          .getOrElse(fail("rec_id index"))
+        val gd = Orc.stripeRowGroupStats(b, t, s, 2)
+          .getOrElse(fail("score index"))
+        val nGroups = (ids.length + stride - 1) / stride
+        assert(gi.length == nGroups && gd.length == nGroups)
+        for (g <- 0 until nGroups) {
+          val lo = g * stride
+          val hi = math.min(lo + stride, ids.length)
+          val slice = ids.slice(lo, hi)
+          assert(gi(g).numValues == slice.length)
+          assert(gi(g).intMin.contains(slice.min), s"group $g min")
+          assert(gi(g).intMax.contains(slice.max), s"group $g max")
+          assert(gi(g).intSum.contains(slice.sum), s"group $g sum")
+          val dslice = ds.slice(lo, hi)
+          assert(gd(g).dblMin.contains(dslice.min))
+          assert(gd(g).dblMax.contains(dslice.max))
+        }
+      }
+    }
+  }
+
   test("nullable columns: PRESENT validity bits route values to the " +
     "right rows (every row pinned against the pure doc_id formulas), " +
     "pad strings pin global row order, strict decoders still route " +
