@@ -28,6 +28,7 @@ Writes: fixtures/orc_files.parquet
         (blob_key, rel_path, kind, file_bytes, n_stripes,
          content_length)
 """
+import decimal
 import hashlib
 import io
 from pathlib import Path
@@ -104,11 +105,40 @@ def orc_null_file(ids, codec):
 NULL_REPLICAS = 32
 
 
+def orc_time_file(ids, codec):
+    # timestamp / date / decimal columns — the ORC temporal surface:
+    # ts exercises the SECONDARY nanos trailing-zero packing (d % 7
+    # varies the zero classes), dec the unbounded zigzag varints with
+    # negatives, dt plain signed-RLEv2 days. All values are pure
+    # functions of doc_id -> fully relational oracle. Pre-2015 rows
+    # (negative seconds vs ORC's 2015 epoch) enter via small doc_ids.
+    rows = sorted(ids * NULL_REPLICAS)
+    D = decimal.Decimal
+    t = pa.table({
+        "rec_id": pa.array(rows, pa.int64()),
+        "ts": pa.array(
+            [1357000000000000 + d * 3600000003 + (d % 7) for d in rows],
+            pa.timestamp("us")),
+        "dt": pa.array([10000 + (d % 20000) for d in rows],
+                       pa.date32()),
+        "dec": pa.array(
+            [(D((d * 31) % 1000000) - D(250000)) / D(10000)
+             for d in rows], pa.decimal128(18, 4)),
+        # pad forces multiple stripes (see orc_null_file)
+        "pad": pa.array([f"doc-{d}-{i}" for i, d in enumerate(rows)],
+                        pa.string()),
+    })
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=codec, stripe_size=4096)
+    return buf.getvalue()
+
+
 def main():
     files = {}
     stripe_rows = {}
     str_files = {}
     null_files = {}
+    time_files = {}
     for sf in SF_DIRS:
         p = Path("/root/testdata") / sf / "documents.parquet"
         if not p.exists():
@@ -151,6 +181,12 @@ def main():
             ).hexdigest()
             if keys3 not in null_files:
                 null_files[keys3] = orc_null_file(ids,
+                                                  CODECS[table_id % 4])
+            keys4 = hashlib.md5(
+                ("orctime:" + ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if keys4 not in time_files:
+                time_files[keys4] = orc_time_file(ids,
                                                   CODECS[table_id % 4])
     out = Path("fixtures")
     out.mkdir(exist_ok=True)
@@ -225,6 +261,19 @@ def main():
     )
     print(f"orc_null_files.parquet: {len(k3)} tables, "
           f"{sum(len(v) for v in null_files.values())} bytes")
+    k4 = sorted(time_files)
+    pq.write_table(
+        pa.table({
+            "blob_key": k4,
+            "rel_path": ["data-0.orc"] * len(k4),
+            "kind": ["data"] * len(k4),
+            "file_bytes": pa.array([time_files[k] for k in k4],
+                                   pa.binary()),
+        }),
+        out / "orc_time_files.parquet",
+    )
+    print(f"orc_time_files.parquet: {len(k4)} tables, "
+          f"{sum(len(v) for v in time_files.values())} bytes")
 
 
 if __name__ == "__main__":

@@ -880,6 +880,92 @@ object IngestionQueries {
                CAST(coalesce(sum(CASE WHEN mx >= lo AND mn <= hi
                         THEN s END), 0) AS BIGINT) AS survive_id_sum
         FROM g GROUP BY blob_id"""),
+      headline = false),
+
+    // q279 — ORC TEMPORAL + DECIMAL columns, the remaining typed
+    // surface: TIMESTAMP decodes DATA (signed RLEv2 seconds vs ORC's
+    // 2015 epoch — the fixture SPANS the epoch so negative seconds
+    // are exercised) + SECONDARY (nanos with the spec's trailing-zero
+    // packing: 1000 serializes as 0x0a; d % 7 varies the zero
+    // classes); DATE is signed-RLEv2 days; DECIMAL is unbounded
+    // zigzag varints (negatives included) + a SECONDARY scale stream
+    // pinned to the declared scale. Every value is a pure function of
+    // doc_id -> the oracle recomputes micros/days/unscaled sums with
+    // plain integer arithmetic, no date functions on either side.
+    "q279_orc_temporal_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orctime:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/orc_time_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              // struct(long, timestamp, date, decimal, string)
+              if (t.fieldNames != Seq("rec_id", "ts", "dt", "dec",
+                  "pad") || t.typeKinds != Seq(12, 4, 9, 15, 14, 7)) Nil
+              else {
+                var rows = 0L
+                var tsMin = Long.MaxValue
+                var tsMax = Long.MinValue
+                var tsMod = 0L
+                var dtSum = 0L
+                var decSum = 0L
+                var ok = true
+                t.stripes.foreach { st =>
+                  (O.stripeColumnTimestampMicros(bytes, t, st, 2),
+                    O.stripeColumnLongs(bytes, t, st, 3),
+                    O.stripeColumnDecimals(bytes, t, st, 4)) match {
+                    case (Some(ts), Some(days), Some((uns, scales)))
+                      if ts.length.toLong == st.numRows &&
+                        days.length == ts.length &&
+                        uns.length == ts.length =>
+                      rows += ts.length
+                      ts.foreach { m =>
+                        if (m < tsMin) tsMin = m
+                        if (m > tsMax) tsMax = m
+                        tsMod += m % 1000003L
+                      }
+                      days.foreach(dtSum += _)
+                      uns.foreach(decSum += _)
+                      if (!scales.forall(_ == 4L)) ok = false
+                    case _ => ok = false
+                  }
+                }
+                if (ok && rows == t.numRows)
+                  Seq((blobId, rows, tsMin, tsMax, tsMod, dtSum,
+                    decSum))
+                else Nil
+              }
+            }
+          }.toDF("blob_id", "rows_decoded", "ts_min", "ts_max",
+            "ts_modsum", "dt_sum", "dec_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        v AS (
+          SELECT blob_id,
+                 1357000000000000 + d * 3600000003 + (d % 7) AS mu,
+                 10000 + d % 20000 AS days,
+                 (d * 31) % 1000000 - 250000 AS uns
+          FROM r)
+        SELECT blob_id,
+               CAST(count(*) * 32 AS BIGINT) AS rows_decoded,
+               CAST(min(mu) AS BIGINT) AS ts_min,
+               CAST(max(mu) AS BIGINT) AS ts_max,
+               CAST(32 * sum(mu % 1000003) AS BIGINT) AS ts_modsum,
+               CAST(32 * sum(days) AS BIGINT) AS dt_sum,
+               CAST(32 * sum(uns) AS BIGINT) AS dec_sum
+        FROM v GROUP BY blob_id"""),
       headline = false))
   }
 

@@ -549,6 +549,101 @@ object Orc {
     }
   }
 
+  // ---- temporal + decimal columns ---------------------------------------
+
+  /** Decode one TIMESTAMP column's stripe values to EPOCH MICROS.
+    * DATA = signed RLEv2 seconds relative to 2015-01-01 00:00:00 UTC;
+    * SECONDARY = unsigned RLEv2 nanos with the spec's trailing-zero
+    * packing (low 3 bits z: z == 0 means the value IS the nanos,
+    * else nanos = (v >> 3) * 10^(z+1) — 1000 serializes as 0x0a).
+    * Sub-microsecond nanos reject (the fixture contract is micros).
+    */
+  def stripeColumnTimestampMicros(b: Array[Byte], tail: OrcTail,
+                                  s: StripeInfo, colId: Int)
+      : Option[Array[Long]] = {
+    if (s.numRows < 0 || s.numRows > (1 << 26)) return None
+    val n = s.numRows.toInt
+    parseStripeFooter(b, tail, s).flatMap { sf =>
+      if (sf.streams.exists(st => st.kind == 0 && st.column == colId))
+        return None // non-null scope, like the other strict decoders
+      for {
+        secS <- colStreamAny(b, tail, s, sf, colId, kind = 1)
+        secs <- rleV2Signed(secS, n)
+        nanS <- colStreamAny(b, tail, s, sf, colId, kind = 5)
+        enc <- rleV2Unsigned(nanS, n)
+        out <- {
+          val r = new Array[Long](n)
+          var ok = true
+          var i = 0
+          while (i < n && ok) {
+            val v = enc(i)
+            val z = (v & 7L).toInt
+            var nanos = v >>> 3
+            if (z != 0) {
+              var k = 0
+              while (k < z + 1) { nanos *= 10L; k += 1 }
+            }
+            if (nanos < 0 || nanos > 999999999L || nanos % 1000L != 0L)
+              ok = false
+            else {
+              // the writer floors seconds for pre-epoch instants and
+              // keeps nanos non-negative, so this sum IS the instant
+              r(i) = (secs(i) + OrcEpochSeconds) * 1000000L +
+                nanos / 1000L
+            }
+            i += 1
+          }
+          if (ok) Some(r) else None
+        }
+      } yield out
+    }
+  }
+
+  /** 2015-01-01 00:00:00 UTC — ORC's timestamp epoch. */
+  private val OrcEpochSeconds = 1420070400L
+
+  /** Decode one DECIMAL column's stripe values: DATA = unbounded
+    * base-128 ZIGZAG varints (one per value), SECONDARY = signed
+    * RLEv2 per-value scales. Returns (unscaled, scale) pairs;
+    * unscaled values beyond 63 bits reject (fixture contract).
+    */
+  def stripeColumnDecimals(b: Array[Byte], tail: OrcTail,
+                           s: StripeInfo, colId: Int)
+      : Option[(Array[Long], Array[Long])] = {
+    if (s.numRows < 0 || s.numRows > (1 << 26)) return None
+    val n = s.numRows.toInt
+    parseStripeFooter(b, tail, s).flatMap { sf =>
+      if (sf.streams.exists(st => st.kind == 0 && st.column == colId))
+        return None
+      for {
+        d <- colStreamAny(b, tail, s, sf, colId, kind = 1)
+        unscaled <- {
+          val out = new Array[Long](n)
+          var p = 0
+          var i = 0
+          var ok = true
+          while (i < n && ok) {
+            var v = 0L
+            var shift = 0
+            var cont = true
+            while (cont && ok) {
+              if (p >= d.length || shift > 63) ok = false
+              else {
+                val x = d(p) & 0xff; p += 1
+                v |= (x & 0x7fL) << shift; shift += 7
+                cont = (x & 0x80) != 0
+              }
+            }
+            if (ok) { out(i) = (v >>> 1) ^ -(v & 1L); i += 1 }
+          }
+          if (ok && p == d.length) Some(out) else None
+        }
+        scS <- colStreamAny(b, tail, s, sf, colId, kind = 5)
+        scales <- rleV2Signed(scS, n)
+      } yield (unscaled, scales)
+    }
+  }
+
   // ---- row index (ROW_INDEX streams, kind 6) ----------------------------
 
   /** One column's row index within a stripe: per-ROW-GROUP statistics

@@ -222,6 +222,39 @@ class OrcSpec extends SparkSpec {
     }
   }
 
+  test("temporal + decimal columns: timestamps (epoch-spanning, all " +
+    "nano zero classes), dates, and zigzag-varint decimals reproduce " +
+    "the writer formulas row by row") {
+    val blobs = spark.read.parquet("fixtures/orc_time_files.parquet")
+      .collect() // bounded: 12 fixture files
+      .map(_.getAs[Array[Byte]]("file_bytes")).toSeq
+    assert(blobs.length == 12)
+    var sawNegSeconds = false
+    for (b <- blobs) {
+      val t = Orc.parseTail(b).getOrElse(fail("must parse"))
+      assert(t.typeKinds == Seq(12, 4, 9, 15, 14, 7))
+      for (s <- t.stripes) {
+        val ids = Orc.stripeColumnLongs(b, t, s, 1).getOrElse(fail("ids"))
+        val ts = Orc.stripeColumnTimestampMicros(b, t, s, 2)
+          .getOrElse(fail("ts"))
+        val days = Orc.stripeColumnLongs(b, t, s, 3).getOrElse(fail("dt"))
+        val (uns, scales) = Orc.stripeColumnDecimals(b, t, s, 4)
+          .getOrElse(fail("dec"))
+        for (i <- ids.indices) {
+          val d = ids(i)
+          val mu = 1357000000000000L + d * 3600000003L + (d % 7)
+          assert(ts(i) == mu, s"ts at doc $d")
+          if (mu < 1420070400000000L) sawNegSeconds = true
+          assert(days(i) == 10000 + d % 20000, s"dt at doc $d")
+          assert(uns(i) == (d * 31) % 1000000 - 250000, s"dec at doc $d")
+          assert(scales(i) == 4L)
+        }
+      }
+    }
+    // the fixture genuinely crosses ORC's 2015 timestamp epoch
+    assert(sawNegSeconds)
+  }
+
   test("damage fails closed: truncation anywhere in the tail, flipped " +
     "tail bytes, forged postscript length, empty input — None or a " +
     "consistent parse, never a throw") {
