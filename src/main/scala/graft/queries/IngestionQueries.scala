@@ -2408,7 +2408,152 @@ object IngestionQueries {
                sum(CASE WHEN part <> 0
                    THEN (doc_id % 48) / 8.0 END) AS score_sum
         FROM r GROUP BY blob_id"""))
-    Seq(q254, q261, q270, q272)
+
+    // COLUMN MAPPING (q280, PROTOCOL.md "Column Mapping", mode=name):
+    // schemaString fields carry delta.columnMapping.physicalName and
+    // the data files are written under the PHYSICAL names — a reader
+    // that resolves parquet columns by logical name reads NOTHING.
+    // The mapping is parsed relationally (from_json over the nested
+    // schemaString, explode(fields)); physical names derive from the
+    // table key so nothing is hardcodable; decode happens strictly
+    // under physical names and the output re-labels to logical. The
+    // replay itself (last-wins over add/remove) is q254's.
+    val q280 = "q280_delta_column_mapping" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("deltacolmap:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        val files = keys
+          .join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/delta_colmap_files.parquet")),
+            "blob_key")
+          .select(col("blob_id"), col("rel_path"), col("kind"),
+            col("file_bytes"))
+        val actionSchema = StructType(Seq(
+          StructField("add", StructType(Seq(
+            StructField("path", StringType),
+            StructField("size", LongType)))),
+          StructField("remove", StructType(Seq(
+            StructField("path", StringType)))),
+          StructField("metaData", StructType(Seq(
+            StructField("id", StringType),
+            StructField("schemaString", StringType),
+            StructField("configuration",
+              MapType(StringType, StringType))))),
+          StructField("protocol", StructType(Seq(
+            StructField("minReaderVersion", IntegerType))))))
+        val logLines = files.filter(col("kind") === "log")
+          .select(col("blob_id"),
+            regexp_extract(col("rel_path"), "(\\d+)\\.json$", 1)
+              .cast("long").as("version"),
+            explode(split(decode(col("file_bytes"), "UTF-8"), "\n"))
+              .as("line"))
+          .filter(length(trim(col("line"))) > 0)
+          .select(col("blob_id"), col("version"),
+            from_json(col("line"), actionSchema).as("a"))
+        // the logical->physical bridge, parsed relationally from the
+        // nested schemaString JSON
+        val ssSchema = StructType(Seq(
+          StructField("type", StringType),
+          StructField("fields", ArrayType(StructType(Seq(
+            StructField("name", StringType),
+            StructField("type", StringType),
+            StructField("metadata", StructType(Seq(
+              StructField("delta.columnMapping.id", LongType),
+              StructField("delta.columnMapping.physicalName",
+                StringType))))))))))
+        val mapping = logLines
+          .filter(col("a.metaData.schemaString").isNotNull)
+          .select(col("blob_id"),
+            element_at(col("a.metaData.configuration"),
+              "delta.columnMapping.mode").as("mode"),
+            explode(from_json(col("a.metaData.schemaString"),
+              ssSchema).getField("fields")).as("f"))
+          .select(col("blob_id"), col("mode"), col("f.name").as("lname"),
+            col("f.metadata.`delta.columnMapping.physicalName`")
+              .as("phys"))
+          .groupBy("blob_id")
+          .agg(
+            max(when(col("lname") === "rec_id", col("phys")))
+              .as("rec_phys"),
+            max(when(col("lname") === "score", col("phys")))
+              .as("score_phys"),
+            max(col("mode")).as("mode"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blob_id"), col("rel_path"))
+          .orderBy(col("version").desc)
+        val active = logLines
+          .filter(col("a.add.path").isNotNull ||
+            col("a.remove.path").isNotNull)
+          .select(col("blob_id"), col("version"),
+            coalesce(col("a.add.path"), col("a.remove.path"))
+              .as("rel_path"),
+            col("a.add.path").isNotNull.as("is_add"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("is_add"))
+          .select(col("blob_id"), col("rel_path"))
+        active
+          .join(files.filter(col("kind") === "data"),
+            Seq("blob_id", "rel_path"))
+          .join(mapping, "blob_id")
+          .select(col("blob_id"), col("file_bytes"), col("rec_phys"),
+            col("score_phys"), col("mode"))
+          .as[(Long, Array[Byte], String, String, String)]
+          .flatMap { case (blobId, bytes, recPhys, scorePhys, mode) =>
+            // mapping must be real: mode=name and physical != logical
+            if (mode != "name" || recPhys == null ||
+              recPhys == "rec_id" || scorePhys == null) Nil
+            else graft.sources.Parquet.parseFooter(bytes).toSeq
+              .flatMap { fm =>
+                val levels = fm.leafLevels
+                var rows = 0L; var idSum = 0L; var scoreSum = 0.0
+                var ok = true
+                for (rg <- fm.rowGroups; c <- rg.cols) {
+                  levels.get(c.path).flatMap(l =>
+                    graft.sources.Parquet.decodeChunk(bytes, c, l._1))
+                  match {
+                    case Some(d) =>
+                      if (c.path == recPhys) {
+                        rows += d.numValues; idSum += d.longSum
+                      } else if (c.path == scorePhys)
+                        scoreSum += d.doubleSum
+                      else ok = false // unexpected physical column
+                    case None => ok = false
+                  }
+                }
+                if (ok) Seq((blobId, 1L, rows, idSum, scoreSum))
+                else Nil
+              }
+          }.toDF("blob_id", "nf", "rows", "id_sum", "score_sum")
+          .groupBy("blob_id")
+          .agg(sum("nf").cast("long").as("n_active_files"),
+            sum("rows").as("rows_decoded"),
+            sum("id_sum").as("id_sum"),
+            sum("score_sum").as("score_sum"))
+          .select(col("blob_id"), col("n_active_files"),
+            col("rows_decoded"), col("id_sum"), col("score_sum"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id,
+                 (doc_id // 6) % 3 AS part
+          FROM documents)
+        SELECT blob_id,
+               CAST(2 AS BIGINT) AS n_active_files,
+               CAST(sum(CASE WHEN part <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rows_decoded,
+               CAST(sum(CASE WHEN part <> 1 THEN doc_id END)
+                 AS BIGINT) AS id_sum,
+               sum(CASE WHEN part <> 1
+                   THEN (doc_id % 48) / 8.0 END) AS score_sum
+        FROM r GROUP BY blob_id"""))
+    Seq(q254, q261, q270, q272, q280)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
