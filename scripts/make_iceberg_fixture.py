@@ -241,6 +241,15 @@ def main():
                 f'"location":"s3://corpus/t{table_id}",'
                 '"last-sequence-number":2,'
                 '"current-snapshot-id":2,'
+                # named refs (spec "Snapshot References"): the main
+                # branch plus a tag pinning the pre-compaction
+                # snapshot — q281 resolves BOTH by name
+                '"refs":{'
+                '"main":{"snapshot-id":2,"type":"branch"},'
+                '"pre-compact":{"snapshot-id":1,"type":"tag"}},'
+                '"snapshot-log":['
+                '{"timestamp-ms":1700000000000,"snapshot-id":1},'
+                '{"timestamp-ms":1700000001000,"snapshot-id":2}],'
                 '"snapshots":['
                 '{"snapshot-id":1,"sequence-number":1,'
                 '"timestamp-ms":1700000000000,'

@@ -1689,7 +1689,106 @@ object IngestionQueries {
                  THEN fs END), 0) AS BIGINT) AS sel_bytes
         FROM f GROUP BY table_id"""))
 
-    Seq(q257, q258, q259, q262, q271, q275)
+    // q281 — Iceberg SNAPSHOT REFERENCES (spec "refs"): branches and
+    // tags resolve BY NAME to snapshot ids — how users actually time
+    // travel ("read tag pre-compact"), not by remembering numeric
+    // ids. The walk is q259's, but entry is the refs map: every ref
+    // resolves, its type is surfaced, a tag pinning the
+    // pre-compaction snapshot must see the SAME live rows as the
+    // main branch through a DIFFERENT file inventory, and a ref
+    // naming an unknown snapshot id would drop the table entirely
+    // (fail closed, not fall back to current).
+    val q281 = "q281_iceberg_refs" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JArray, JLong, JObject, JString}
+        tableFiles(s, dir)
+          .select(col("table_id"), col("rel_path"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val byPath = it.map(r => r._2 -> r._3).toMap
+            val out = for {
+              metaBytes <- byPath.get("v3.metadata.json").toSeq
+              meta <- graft.sources.Json
+                .parse(new String(metaBytes, "UTF-8")).toSeq
+              mo <- (meta match {
+                case o: JObject => Some(o); case _ => None
+              }).toSeq
+              refsO <- (mo.get("refs") match {
+                case Some(o: JObject) => Some(o); case _ => None
+              }).toSeq
+              snapsJ <- (mo.get("snapshots") match {
+                case Some(JArray(xs)) => Some(xs); case _ => None
+              }).toSeq
+              (refName, refV) <- refsO.fields
+              ro <- (refV match {
+                case o: JObject => Some(o); case _ => None
+              }).toSeq
+              refSid <- (ro.get("snapshot-id") match {
+                case Some(JLong(v)) => Some(v); case _ => None
+              }).toSeq
+              refType <- (ro.get("type") match {
+                case Some(JString(v)) => Some(v); case _ => None
+              }).toSeq
+              // resolve the named snapshot — an unknown id yields no
+              // row for this ref (fail closed)
+              so <- snapsJ.collectFirst {
+                case o: JObject
+                  if o.get("snapshot-id") == Some(JLong(refSid)) => o
+              }.toSeq
+              listPath <- (so.get("manifest-list") match {
+                case Some(JString(p)) => Some(p); case _ => None
+              }).toSeq
+              listBytes <- byPath.get(listPath).toSeq
+              list <- graft.sources.AvroGeneric
+                .parseContainer(listBytes).toSeq
+            } yield {
+              val manifestPaths = list.records.flatMap(
+                _.field("manifest_path").flatMap(_.asString))
+              var nLive = 0L; var liveRows = 0L
+              var ok = manifestPaths.nonEmpty
+              manifestPaths.foreach { mp =>
+                byPath.get(mp).flatMap(
+                  graft.sources.AvroGeneric.parseContainer) match {
+                  case Some(m) => m.records.foreach { e =>
+                    val status = e.field("status").flatMap(_.asLong)
+                      .getOrElse(-1L)
+                    if (status != 2L) {
+                      nLive += 1
+                      liveRows += e.field("data_file")
+                        .flatMap(_.field("record_count"))
+                        .flatMap(_.asLong).getOrElse(-1L)
+                    }
+                  }
+                  case None => ok = false
+                }
+              }
+              if (ok) Seq((t, refName, refType, refSid, nLive, liveRows))
+              else Nil
+            }
+            out.flatten.iterator
+          }
+          .toDF("table_id", "ref_name", "ref_type", "snapshot_id",
+            "n_live", "live_rows")
+      },
+      oracle = Some(s"""
+        WITH $keyCte,
+        agg AS (
+          SELECT table_id,
+                 CAST(sum(CASE WHEN part <> 1 THEN rc ELSE 0 END)
+                   AS BIGINT) AS live_rows
+          FROM p GROUP BY table_id)
+        SELECT table_id, 'main' AS ref_name, 'branch' AS ref_type,
+               CAST(2 AS BIGINT) AS snapshot_id,
+               CAST(1 AS BIGINT) AS n_live, live_rows
+        FROM agg
+        UNION ALL
+        SELECT table_id, 'pre-compact', 'tag', CAST(1 AS BIGINT),
+               CAST(2 AS BIGINT), live_rows
+        FROM agg"""))
+
+    Seq(q257, q258, q259, q262, q271, q275, q281)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:
