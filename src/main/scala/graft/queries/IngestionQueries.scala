@@ -2652,7 +2652,123 @@ object IngestionQueries {
                sum(CASE WHEN part <> 1
                    THEN (doc_id % 48) / 8.0 END) AS score_sum
         FROM r GROUP BY blob_id"""))
-    Seq(q254, q261, q270, q272, q280)
+
+    // CHANGE DATA FEED (q282, PROTOCOL.md "Add CDC File"): commits
+    // become a row-change stream. The selection law per commit: if it
+    // carries cdc actions, change rows come ONLY from those
+    // `_change_data/` files (their `_change_type` column names the
+    // change); otherwise dataChange adds synthesize insert rows. Both
+    // failure modes are baited: commit 1 has remove+add AND cdc (a
+    // double-counting reader sees B's rows twice), commit 2 has an
+    // add with no cdc (a cdc-only reader misses the inserts).
+    val q282 = "q282_delta_change_data_feed" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("deltacdf:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        val files = keys
+          .join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/delta_cdf_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("rel_path"), col("kind"),
+            col("file_bytes"))
+        val actionSchema = StructType(Seq(
+          StructField("add", StructType(Seq(
+            StructField("path", StringType),
+            StructField("size", LongType),
+            StructField("dataChange", BooleanType)))),
+          StructField("remove", StructType(Seq(
+            StructField("path", StringType),
+            StructField("dataChange", BooleanType)))),
+          StructField("cdc", StructType(Seq(
+            StructField("path", StringType),
+            StructField("size", LongType)))),
+          StructField("metaData", StructType(Seq(
+            StructField("configuration",
+              MapType(StringType, StringType)))))))
+        val logLines = files.filter(col("kind") === "log")
+          .select(col("blob_id"),
+            regexp_extract(col("rel_path"), "(\\d+)\\.json$", 1)
+              .cast("long").as("version"),
+            explode(split(decode(col("file_bytes"), "UTF-8"), "\n"))
+              .as("line"))
+          .filter(length(trim(col("line"))) > 0)
+          .select(col("blob_id"), col("version"),
+            from_json(col("line"), actionSchema).as("a"))
+        // CDF must be declared on — tables without it have no feed
+        val enabled = logLines
+          .filter(element_at(col("a.metaData.configuration"),
+            "delta.enableChangeDataFeed") === "true")
+          .select(col("blob_id")).distinct()
+        // per-commit selection law: cdc presence switches the source
+        val verHasCdc = logLines.groupBy(col("blob_id"), col("version"))
+          .agg(max(col("a.cdc.path").isNotNull).as("has_cdc"))
+        val chosen = logLines
+          .join(verHasCdc, Seq("blob_id", "version"))
+          .filter(col("version") >= 1)
+          .select(col("blob_id"),
+            when(col("has_cdc") && col("a.cdc.path").isNotNull,
+              col("a.cdc.path"))
+              .when(!col("has_cdc") && col("a.add.path").isNotNull &&
+                col("a.add.dataChange"), col("a.add.path"))
+              .as("rel_path"),
+            col("has_cdc"))
+          .filter(col("rel_path").isNotNull)
+          .join(enabled, "blob_id")
+        chosen
+          .join(files, Seq("blob_id", "rel_path"))
+          .select(col("blob_id"), col("has_cdc"), col("file_bytes"))
+          .as[(Long, Boolean, Array[Byte])]
+          .flatMap { case (blobId, isCdc, bytes) =>
+            val P = graft.sources.Parquet
+            (P.columnLongs(bytes, "rec_id"),
+              P.columnLongs(bytes, "val")) match {
+              case (Some(ids), Some(vals))
+                if ids.length == vals.length =>
+                val types: Option[Array[String]] =
+                  if (isCdc) P.columnStrings(bytes, "_change_type")
+                    .filter(_.length == ids.length)
+                  else Some(Array.fill(ids.length)("insert"))
+                types.toSeq.flatMap { ct =>
+                  ids.indices.map(i => (blobId, ct(i), ids(i), vals(i)))
+                }
+              case _ => Nil
+            }
+          }.toDF("blob_id", "change_type", "rec_id", "v")
+          .groupBy("blob_id", "change_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("rec_id").as("id_sum"), sum("v").as("val_sum"))
+          .select(col("blob_id"), col("change_type"),
+            col("n_rows").cast("long"), col("id_sum"), col("val_sum"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS part, (doc_id * 7) % 1000 AS v
+          FROM documents),
+        p1 AS (
+          SELECT blob_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS ids,
+                 CAST(sum(v) AS BIGINT) AS vs
+          FROM r WHERE part = 1 GROUP BY blob_id),
+        p2 AS (
+          SELECT blob_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS ids,
+                 CAST(sum(v) AS BIGINT) AS vs
+          FROM r WHERE part = 2 GROUP BY blob_id)
+        SELECT blob_id, 'update_preimage' AS change_type,
+               n AS n_rows, ids AS id_sum, vs AS val_sum
+        FROM p1
+        UNION ALL
+        SELECT blob_id, 'update_postimage', n, ids, vs + n FROM p1
+        UNION ALL
+        SELECT blob_id, 'insert', n, ids, vs FROM p2"""))
+    Seq(q254, q261, q270, q272, q280, q282)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
