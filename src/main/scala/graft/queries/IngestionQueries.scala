@@ -235,7 +235,8 @@ object IngestionQueries {
                repeat(md5(text), CAST(1 + n_chars % 7 AS INT)) AS payload
         FROM documents"""))
   ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ parquetDictDefs ++
-    deltaLogDefs ++ icebergDefs ++ bz2Defs ++ zstdDefs ++ orcDefs
+    deltaLogDefs ++ icebergDefs ++ hudiDefs ++ bz2Defs ++ zstdDefs ++
+    orcDefs
 
   // ORC file-tail census (q264) — the OTHER major columnar lake
   // format: postscript (last byte = its length) -> chunk-compressed
@@ -967,6 +968,131 @@ object IngestionQueries {
                CAST(32 * sum(uns) AS BIGINT) AS dec_sum
         FROM v GROUP BY blob_id"""),
       headline = false))
+  }
+
+  // Hudi copy-on-write timeline (q283) — the THIRD lakehouse format:
+  // table state is a `.hoodie/` TIMELINE of instants; data files are
+  // `<fileId>_<token>_<instant>.parquet` and copy-on-write rewrites a
+  // whole file group per update, so the live view is a last-wins by
+  // fileId over slices whose instant belongs to a COMPLETED commit.
+  // Both classic reader bugs are baited: a rewritten group that a
+  // non-last-wins reader double-counts, and an INFLIGHT slice with
+  // poisoned values that a newest-file listing reader would surface.
+  // The completed commits' own partitionToWriteStats (numWrites) must
+  // agree with the decoded live rows — metadata and data cross-pin.
+  private def hudiDefs: Seq[(String, QueryDef)] = {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val q283 = "q283_hudi_cow_timeline" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("hudi:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        val files = keys
+          .join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/hudi_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("rel_path"), col("kind"),
+            col("file_bytes"))
+        // completed instants: only `<instant>.commit` counts —
+        // .inflight / .requested markers are NOT table state
+        val completed = files.filter(col("kind") === "timeline")
+          .select(col("blob_id"), col("file_bytes"),
+            regexp_extract(col("rel_path"),
+              "^\\.hoodie/(\\d+)\\.commit$", 1).as("instant"))
+          .filter(col("instant") =!= "")
+        val nCompleted = completed.groupBy("blob_id")
+          .agg(countDistinct(col("instant")).as("n_completed"))
+        // file slices parsed from data file names
+        val slices = files.filter(col("kind") === "data")
+          .select(col("blob_id"), col("rel_path"), col("file_bytes"),
+            regexp_extract(col("rel_path"),
+              "^p/([^_/]+)_[^_/]+_(\\d+)\\.parquet$", 1).as("file_id"),
+            regexp_extract(col("rel_path"),
+              "^p/([^_/]+)_[^_/]+_(\\d+)\\.parquet$", 2).as("instant"))
+          .filter(col("file_id") =!= "")
+        val nListed = slices.groupBy("blob_id")
+          .agg(count(lit(1)).as("n_listed"))
+        // eligible = slice's instant is a completed commit; live =
+        // last-wins per file group
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blob_id"), col("file_id"))
+          .orderBy(col("instant").desc)
+        val live = slices
+          .join(completed.select(col("blob_id"), col("instant"))
+            .distinct(), Seq("blob_id", "instant"), "left_semi")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("blob_id"), col("rel_path"), col("file_id"),
+            col("instant"), col("file_bytes"))
+        // the commits' own writeStats for the live slices (cross-pin)
+        val statsSchema = StructType(Seq(
+          StructField("partitionToWriteStats",
+            MapType(StringType, ArrayType(StructType(Seq(
+              StructField("fileId", StringType),
+              StructField("path", StringType),
+              StructField("numWrites", LongType))))))))
+        val writeStats = completed
+          .select(col("blob_id"), col("instant"),
+            explode(map_values(from_json(
+              decode(col("file_bytes"), "UTF-8"), statsSchema)
+              .getField("partitionToWriteStats"))).as("stats"))
+          .select(col("blob_id"), col("instant"),
+            explode(col("stats")).as("st"))
+          .select(col("blob_id"), col("instant"),
+            col("st.path").as("rel_path"),
+            col("st.numWrites").as("num_writes"))
+        val metaRows = live
+          .join(writeStats, Seq("blob_id", "instant", "rel_path"))
+          .groupBy("blob_id")
+          .agg(sum("num_writes").as("meta_rows"))
+        val decoded = live
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val P = graft.sources.Parquet
+            (P.columnLongs(bytes, "rec_id"),
+              P.columnLongs(bytes, "val")) match {
+              case (Some(ids), Some(vals))
+                if ids.length == vals.length =>
+                Seq((blobId, 1L, ids.length.toLong, ids.sum, vals.sum))
+              case _ => Nil
+            }
+          }.toDF("blob_id", "nf", "rows", "id_sum", "val_sum")
+          .groupBy("blob_id")
+          .agg(sum("nf").cast("long").as("n_live"),
+            sum("rows").as("rows_decoded"),
+            sum("id_sum").as("id_sum"), sum("val_sum").as("val_sum"))
+        decoded.join(nCompleted, "blob_id")
+          .join(nListed, "blob_id")
+          .join(metaRows, "blob_id")
+          .select(col("blob_id"), col("n_completed").cast("long"),
+            col("n_listed").cast("long"), col("n_live"),
+            col("rows_decoded"), col("id_sum"), col("val_sum"),
+            col("meta_rows").cast("long"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg, (doc_id * 13) % 1000 AS v
+          FROM documents)
+        SELECT blob_id,
+               CAST(2 AS BIGINT) AS n_completed,
+               CAST(4 AS BIGINT) AS n_listed,
+               CAST(2 AS BIGINT) AS n_live,
+               CAST(count(*) AS BIGINT) AS rows_decoded,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(v + CASE WHEN fg = 0 THEN 5 ELSE 0 END)
+                 AS BIGINT) AS val_sum,
+               CAST(count(*) AS BIGINT) AS meta_rows
+        FROM r GROUP BY blob_id"""))
+    Seq(q283)
   }
 
   // Iceberg metadata walk (q257/q258) — the OTHER lakehouse format:
