@@ -133,12 +133,33 @@ def orc_time_file(ids, codec):
     return buf.getvalue()
 
 
+def orc_list_file(ids, codec):
+    # LIST<long> column: the list column carries a LENGTH stream and
+    # its child carries the concatenated elements (value count = sum
+    # of lengths, NOT the stripe row count). d % 5 lengths (coprime
+    # with the doc_id % 6 blob split, so EVERY blob sees empty lists
+    # and all lengths 0..4); elements d*3+j are pure doc_id functions.
+    rows = sorted(ids * NULL_REPLICAS)
+    t = pa.table({
+        "rec_id": pa.array(rows, pa.int64()),
+        "vals": pa.array([[d * 3 + j for j in range(d % 5)]
+                          for d in rows], pa.list_(pa.int64())),
+        # pad forces multiple stripes (see orc_null_file)
+        "pad": pa.array([f"doc-{d}-{i}" for i, d in enumerate(rows)],
+                        pa.string()),
+    })
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=codec, stripe_size=4096)
+    return buf.getvalue()
+
+
 def main():
     files = {}
     stripe_rows = {}
     str_files = {}
     null_files = {}
     time_files = {}
+    list_files = {}
     for sf in SF_DIRS:
         p = Path("/root/testdata") / sf / "documents.parquet"
         if not p.exists():
@@ -187,6 +208,12 @@ def main():
             ).hexdigest()
             if keys4 not in time_files:
                 time_files[keys4] = orc_time_file(ids,
+                                                  CODECS[table_id % 4])
+            keys5 = hashlib.md5(
+                ("orclist:" + ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if keys5 not in list_files:
+                list_files[keys5] = orc_list_file(ids,
                                                   CODECS[table_id % 4])
     out = Path("fixtures")
     out.mkdir(exist_ok=True)
@@ -274,6 +301,19 @@ def main():
     )
     print(f"orc_time_files.parquet: {len(k4)} tables, "
           f"{sum(len(v) for v in time_files.values())} bytes")
+    k5 = sorted(list_files)
+    pq.write_table(
+        pa.table({
+            "blob_key": k5,
+            "rel_path": ["data-0.orc"] * len(k5),
+            "kind": ["data"] * len(k5),
+            "file_bytes": pa.array([list_files[k] for k in k5],
+                                   pa.binary()),
+        }),
+        out / "orc_list_files.parquet",
+    )
+    print(f"orc_list_files.parquet: {len(k5)} tables, "
+          f"{sum(len(v) for v in list_files.values())} bytes")
 
 
 if __name__ == "__main__":

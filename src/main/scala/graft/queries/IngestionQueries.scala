@@ -967,6 +967,74 @@ object IngestionQueries {
                CAST(32 * sum(days) AS BIGINT) AS dt_sum,
                CAST(32 * sum(uns) AS BIGINT) AS dec_sum
         FROM v GROUP BY blob_id"""),
+      headline = false),
+
+    // q284 — ORC LIST columns: the list column carries only a LENGTH
+    // stream; its CHILD column's value count is the SUM of lengths,
+    // not the stripe row count — a reader that decodes the child with
+    // numRows desynchronizes on the first non-unit list. Empty lists
+    // (d % 5 == 0; modulus coprime with the blob split) are in every
+    // stripe. Element and length sums are
+    // pure doc_id arithmetic on both sides; the parquet LIST twin is
+    // q255.
+    "q284_orc_list_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orclist:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/orc_list_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              // struct(long, list<long>, string)
+              if (t.fieldNames != Seq("rec_id", "vals", "pad") ||
+                t.typeKinds != Seq(12, 4, 10, 4, 7)) Nil
+              else {
+                var rows = 0L
+                var nElems = 0L
+                var elemSum = 0L
+                var nEmpty = 0L
+                var ok = true
+                t.stripes.foreach { st =>
+                  O.stripeColumnLongLists(bytes, t, st, 2) match {
+                    case Some(ls) if ls.length.toLong == st.numRows =>
+                      rows += ls.length
+                      ls.foreach { l =>
+                        if (l.isEmpty) nEmpty += 1
+                        nElems += l.length
+                        l.foreach(elemSum += _)
+                      }
+                    case _ => ok = false
+                  }
+                }
+                if (ok && rows == t.numRows)
+                  Seq((blobId, rows, nElems, elemSum, nEmpty))
+                else Nil
+              }
+            }
+          }.toDF("blob_id", "rows_decoded", "n_elems", "elem_sum",
+            "n_empty")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(count(*) * 32 AS BIGINT) AS rows_decoded,
+               CAST(32 * sum(d % 5) AS BIGINT) AS n_elems,
+               CAST(32 * sum((d % 5) * d * 3
+                 + ((d % 5) * ((d % 5) - 1)) // 2) AS BIGINT)
+                 AS elem_sum,
+               CAST(32 * sum(CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_empty
+        FROM r GROUP BY blob_id"""),
       headline = false))
   }
 

@@ -549,6 +549,55 @@ object Orc {
     }
   }
 
+  // ---- LIST columns -------------------------------------------------------
+
+  /** Decode one LIST-of-LONG column: the list column itself carries a
+    * LENGTH stream (unsigned RLEv2, one length per row); its CHILD
+    * column (pre-order id `colId + 1`) carries the concatenated
+    * elements, whose value count is the SUM of the lengths — not the
+    * stripe's row count. Lengths slice the flat element array back
+    * into per-row lists. Non-null scope (PRESENT routes away), like
+    * the other strict decoders.
+    */
+  def stripeColumnLongLists(b: Array[Byte], tail: OrcTail,
+                            s: StripeInfo, colId: Int)
+      : Option[Array[Array[Long]]] = {
+    if (s.numRows < 0 || s.numRows > (1 << 26)) return None
+    val n = s.numRows.toInt
+    parseStripeFooter(b, tail, s).flatMap { sf =>
+      if (sf.streams.exists(st => st.kind == 0 &&
+        (st.column == colId || st.column == colId + 1))) return None
+      for {
+        lenS <- colStreamAny(b, tail, s, sf, colId, kind = 2)
+        lens <- rleV2Unsigned(lenS, n)
+        total <- {
+          var t = 0L
+          var i = 0
+          var ok = true
+          while (i < n) {
+            if (lens(i) < 0 || lens(i) > (1 << 26)) ok = false
+            else t += lens(i)
+            i += 1
+          }
+          if (ok && t <= (1 << 26)) Some(t.toInt) else None
+        }
+        childS <- colStreamAny(b, tail, s, sf, colId + 1, kind = 1)
+        flat <- rleV2Signed(childS, total)
+      } yield {
+        val out = new Array[Array[Long]](n)
+        var p = 0
+        var i = 0
+        while (i < n) {
+          val l = lens(i).toInt
+          out(i) = java.util.Arrays.copyOfRange(flat, p, p + l)
+          p += l
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
   // ---- temporal + decimal columns ---------------------------------------
 
   /** Decode one TIMESTAMP column's stripe values to EPOCH MICROS.

@@ -255,6 +255,33 @@ class OrcSpec extends SparkSpec {
     assert(sawNegSeconds)
   }
 
+  test("list columns: LENGTH stream slices the child's flat elements " +
+    "back into per-row lists (empty lists included), every row pinned " +
+    "against the writer formulas") {
+    val blobs = spark.read.parquet("fixtures/orc_list_files.parquet")
+      .collect() // bounded: 12 fixture files
+      .map(_.getAs[Array[Byte]]("file_bytes")).toSeq
+    assert(blobs.length == 12)
+    for (b <- blobs) {
+      val t = Orc.parseTail(b).getOrElse(fail("must parse"))
+      assert(t.typeKinds == Seq(12, 4, 10, 4, 7))
+      var sawEmpty = false
+      for (s <- t.stripes) {
+        val ids = Orc.stripeColumnLongs(b, t, s, 1).getOrElse(fail("ids"))
+        val ls = Orc.stripeColumnLongLists(b, t, s, 2)
+          .getOrElse(fail("lists"))
+        assert(ls.length == ids.length)
+        for (i <- ids.indices) {
+          val d = ids(i)
+          val want = (0L until d % 5).map(j => d * 3 + j)
+          assert(ls(i).toSeq == want, s"list at doc $d")
+          if (want.isEmpty) sawEmpty = true
+        }
+      }
+      assert(sawEmpty) // empty lists genuinely exercised per blob
+    }
+  }
+
   test("damage fails closed: truncation anywhere in the tail, flipped " +
     "tail bytes, forged postscript length, empty input — None or a " +
     "consistent parse, never a throw") {
