@@ -69,6 +69,27 @@ def snappy_stored(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def zstd_stored(raw: bytes) -> bytes:
+    """A VALID zstd frame of RAW blocks (RFC 8878) — the deterministic
+    layout the engine's Avro zstandard writer emits: single-segment
+    descriptor 0xA0, 4-byte LE content size, 128 KiB raw blocks.
+    """
+    out = bytearray(b"\x28\xb5\x2f\xfd\xa0")
+    out += len(raw).to_bytes(4, "little")
+    bmax = 128 * 1024
+    p = 0
+    while True:
+        ln = min(bmax, len(raw) - p)
+        last = 1 if p + ln >= len(raw) else 0
+        hdr = (ln << 3) | last
+        out += bytes([hdr & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF])
+        out += raw[p:p + ln]
+        p += ln
+        if p >= len(raw):
+            break
+    return bytes(out)
+
+
 def container(records, sync: bytes, codec: str, block_records=5) -> bytes:
     out = bytearray(b"Obj\x01")
     out += varint(2) + string("avro.schema") + string(SCHEMA_JSON) \
@@ -84,6 +105,8 @@ def container(records, sync: bytes, codec: str, block_records=5) -> bytes:
             # Avro spec: snappy payload + BE CRC32 of uncompressed
             body = snappy_stored(body) \
                 + zlib.crc32(body).to_bytes(4, "big")
+        elif codec == "zstandard":
+            body = zstd_stored(body)
         out += varint(len(group)) + varint(len(body)) + body + sync
     return bytes(out)
 
@@ -103,7 +126,8 @@ def main():
         for blob_id, recs in blobs.items():
             sync = bytes((blob_id * 31 + i * 7) % 256 for i in range(16))
             q230_codec = "deflate" if blob_id % 2 == 0 else "null"
-            for codec in (q230_codec, "snappy"):  # snappy rows: q265
+            for codec in (q230_codec, "snappy",
+                          "zstandard"):  # snappy q265, zstd q285
                 key = hashlib.md5(
                     (codec + ":" + ",".join(f"{r[0]}={r[1]}"
                                             for r in recs))

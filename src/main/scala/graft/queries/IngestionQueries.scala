@@ -3357,6 +3357,62 @@ object IngestionQueries {
                r.doc_id AS rec_id, r.payload,
                'snappy' AS codec,
                TRUE AS sync_ok, j.container_bytes
+        FROM r JOIN j ON r.blob_id = j.blob_id""")),
+
+    // Avro ZSTANDARD codec (q285) — the remaining spec codec the
+    // engine can own end to end: each block is ONE zstd frame,
+    // decoded by the from-scratch RFC 8878 reader (sources/Zstd) in
+    // both the typed and the generic container walks. The writer
+    // emits raw-block frames (Zstd.frameStored — RFC-legal, no
+    // entropy coding) so the layout stays deterministic and the size
+    // oracle's independent Python twin pins every byte: one
+    // mis-framed block header or content-size field changes
+    // container_bytes and breaks the join. AvroSpec additionally
+    // decodes REAL zstd-jni-compressed blocks.
+    "q285_avro_zstandard" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 8).as("blob_id"), col("doc_id"),
+            expr("repeat(md5(coalesce(text, ''))," +
+              " CAST(1 + n_chars % 3 AS INT))").as("payload"))
+          .as[(Long, Long, String)]
+        docs.groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val recs = it.toSeq.sortBy(_._2).map(t => (t._2, t._3))
+            val sync = Array.tabulate[Byte](16)(i =>
+              ((blobId * 31 + i * 7) % 256).toByte)
+            val bytes = graft.sources.Avro.write(recs, sync, "zstandard")
+            graft.sources.Avro.parse(blobId, bytes).map(r =>
+              AvroWalkRow(r.blob_id, r.block_idx, r.rec_idx, r.rec_id,
+                r.payload, r.codec, r.sync_ok, bytes.length.toLong))
+          }
+          .toDF()
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 8 AS blob_id, doc_id,
+                 repeat(md5(coalesce(text, '')),
+                        CAST(1 + n_chars % 3 AS INT)) AS payload,
+                 row_number() OVER (PARTITION BY doc_id % 8
+                   ORDER BY doc_id) - 1 AS rn
+          FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('zstandard:' ||
+                     string_agg(CAST(doc_id AS VARCHAR) || '=' || payload,
+                                ',' ORDER BY doc_id)) AS bkey
+          FROM r GROUP BY blob_id),
+        j AS (
+          SELECT k.blob_id, f.container_bytes
+          FROM k JOIN read_parquet('/root/repo/fixtures/avro_size_oracle.parquet') f
+            ON k.bkey = f.blob_key)
+        SELECT r.blob_id,
+               CAST(rn // 5 AS INT) AS block_idx,
+               CAST(rn % 5 AS INT) AS rec_idx,
+               r.doc_id AS rec_id, r.payload,
+               'zstandard' AS codec,
+               TRUE AS sync_ok, j.container_bytes
         FROM r JOIN j ON r.blob_id = j.blob_id"""))
   )
 

@@ -94,8 +94,8 @@ object Avro {
   def write(records: Seq[(Long, String)], sync: Array[Byte],
             codec: String = "null", blockRecords: Int = 5): Array[Byte] = {
     require(sync.length == 16, "sync marker is 16 bytes")
-    require(codec == "null" || codec == "deflate" || codec == "snappy",
-      s"codec $codec")
+    require(codec == "null" || codec == "deflate" ||
+      codec == "snappy" || codec == "zstandard", s"codec $codec")
     require(blockRecords > 0, "blockRecords must be positive")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic, 0, 4)
@@ -116,6 +116,11 @@ object Avro {
       val raw = body.toByteArray
       val data =
         if (codec == "null") raw
+        else if (codec == "zstandard")
+          // spec "avro.codec: zstandard": each block is one zstd
+          // frame; raw-block form (RFC 8878 legal, like the stored
+          // snappy) keeps the layout deterministic for the size oracle
+          Zstd.frameStored(raw)
         else if (codec == "snappy") {
           // spec: snappy payload, then BE CRC32 of the UNCOMPRESSED
           // bytes; stored-literal form keeps the layout deterministic
@@ -194,7 +199,8 @@ object Avro {
     if (schema == null ||
       schema.replaceAll("\\s", "") != SchemaJson.replaceAll("\\s", ""))
       return Nil
-    if (codec != "null" && codec != "deflate" && codec != "snappy")
+    if (codec != "null" && codec != "deflate" && codec != "snappy" &&
+      codec != "zstandard")
       return Nil // route elsewhere
     if (pos + 16 > b.length) return Nil
     val sync = java.util.Arrays.copyOfRange(b, pos, pos + 16)
@@ -218,6 +224,13 @@ object Avro {
               java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen)
             else if (codec == "snappy")
               snappyBlock(b, dataOff, dataLen)
+            else if (codec == "zstandard")
+              // one zstd frame per block, engine-owned full decode
+              Zstd.walk(java.util.Arrays.copyOfRange(
+                  b, dataOff, dataOff + dataLen)) match {
+                case Some(Seq(fr)) if fr.kind == "zstd" => fr.decoded
+                case _ => null
+              }
             else {
               val inf = new java.util.zip.Inflater(true)
               try {

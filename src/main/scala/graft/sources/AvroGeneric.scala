@@ -386,7 +386,8 @@ object AvroGeneric {
         }
       }
       if (schemaJson == null) return None
-      if (codec != "null" && codec != "deflate" && codec != "snappy")
+      if (codec != "null" && codec != "deflate" && codec != "snappy" &&
+        codec != "zstandard")
         return None
       val schema = parseSchema(schemaJson).getOrElse(return None)
       if (pos + 16 > b.length) return None
@@ -412,7 +413,14 @@ object AvroGeneric {
             // the engine's own decoder (Avro.snappyBlock)
             val d = Avro.snappyBlock(b, dataOff, dataLen)
             if (d == null) return None else d
-          } else inflateRaw(b, dataOff, dataLen).getOrElse(return None)
+          } else if (codec == "zstandard")
+            // one zstd frame per block, engine-owned full decode
+            Zstd.walk(java.util.Arrays.copyOfRange(
+                b, dataOff, dataOff + dataLen)) match {
+              case Some(Seq(fr)) if fr.kind == "zstd" => fr.decoded
+              case _ => return None
+            }
+          else inflateRaw(b, dataOff, dataLen).getOrElse(return None)
         var rp = 0
         var i = 0L
         while (i < cnt._1) {

@@ -40,6 +40,35 @@ object Zstd {
                    compBlocks: Int, checksumState: String,
                    decoded: Array[Byte])
 
+  /** Encode `raw` as one RFC 8878-legal zstd frame of RAW blocks (no
+    * entropy coding) — the deterministic writer twin of the decoder,
+    * for producers that need zstd framing without a compressor (the
+    * Avro `zstandard` codec writer; size-oracle fixtures reimplement
+    * this layout byte for byte). Single-segment frame, 4-byte content
+    * size, 128 KiB raw blocks.
+    */
+  def frameStored(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length + 16)
+    out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
+    // descriptor: FCS code 2 (4-byte size) | Single_Segment_Flag
+    out.write(0xa0)
+    val n = raw.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff)
+    out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+    val BlockMax = 128 * 1024
+    var p = 0
+    do {
+      val len = math.min(BlockMax, n - p)
+      val last = if (p + len >= n) 1 else 0
+      val hdr = (len << 3) | last // block_type raw = 0
+      out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+      out.write((hdr >> 16) & 0xff)
+      out.write(raw, p, len)
+      p += len
+    } while (p < n)
+    out.toByteArray
+  }
+
   /** Walk a complete multi-frame `.zst` byte stream. Decoded output is
     * capped at `cap` bytes per frame (adversarial-allocation bound).
     */

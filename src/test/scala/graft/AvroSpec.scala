@@ -199,6 +199,63 @@ class AvroSpec extends SparkSpec {
     assert(graft.sources.AvroGeneric.parseContainer(crcFlip).isEmpty)
   }
 
+  test("zstandard codec: engine round-trip (raw-block frames), REAL " +
+    "zstd-jni-compressed blocks decode through the engine's RFC 8878 " +
+    "reader, corrupt frames and truncations close") {
+    val sync = Array.tabulate[Byte](16)(i => (i * 29).toByte)
+    val recs = (1L to 12L).map(i => (i, s"payload-$i-" + ("y" * 40)))
+    // engine round-trip (raw-block zstd frames, one per block)
+    val b = Avro.write(recs, sync, "zstandard")
+    val got = Avro.parse(7L, b)
+    assert(got.length == 12 && got.forall(_.codec == "zstandard") &&
+      got.forall(_.sync_ok))
+    assert(got.map(r => (r.rec_id, r.payload)) == recs)
+    // a container whose block is REAL zstd-jni compression (entropy
+    // coding and all — the layout actual writers emit) must decode
+    // identically through the engine's own full decoder
+    val body = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (id, p) =>
+      Avro.putVarint(body, id)
+      val pb = p.getBytes("UTF-8")
+      Avro.putVarint(body, pb.length.toLong); body.write(pb)
+    }
+    val raw = body.toByteArray
+    val comp = com.github.luben.zstd.Zstd.compress(raw, 9)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("Obj".getBytes("US-ASCII")); out.write(1)
+    Avro.putVarint(out, 2L)
+    def putStr(s: String): Unit = {
+      val x = s.getBytes("UTF-8")
+      Avro.putVarint(out, x.length.toLong); out.write(x)
+    }
+    putStr("avro.schema"); putStr(Avro.SchemaJson)
+    putStr("avro.codec"); putStr("zstandard")
+    Avro.putVarint(out, 0L)
+    out.write(sync)
+    Avro.putVarint(out, recs.length.toLong)
+    Avro.putVarint(out, comp.length.toLong)
+    out.write(comp)
+    out.write(sync)
+    val real = out.toByteArray
+    val got2 = Avro.parse(9L, real)
+    assert(got2.map(r => (r.rec_id, r.payload)) == recs,
+      "zstd-jni-written block must decode")
+    // flip a byte inside the frame body: the walk yields nothing
+    // from that block (either the frame parse or the record walk
+    // breaks — never a throw)
+    val flip = real.clone()
+    flip(real.length - 40) = (flip(real.length - 40) ^ 0x5a).toByte
+    assert(Avro.parse(9L, flip).isEmpty)
+    // truncation anywhere never throws
+    for (cut <- 0 until b.length by 3)
+      Avro.parse(7L, java.util.Arrays.copyOf(b, cut))
+    // AvroGeneric accepts the same codec (metadata walks)
+    val gen = graft.sources.AvroGeneric.parseContainer(real)
+      .getOrElse(fail("generic walk must decode zstandard"))
+    assert(gen.records.length == 12)
+    assert(graft.sources.AvroGeneric.parseContainer(flip).isEmpty)
+  }
+
   test("distributed wrapper preserves rows across partitions") {
     val sync = Array.fill[Byte](16)(0x11)
     import spark.implicits.newProductEncoder
