@@ -1982,7 +1982,131 @@ object IngestionQueries {
                CAST(2 AS BIGINT), live_rows
         FROM agg"""))
 
-    Seq(q257, q258, q259, q262, q271, q275, q281)
+    // q286 — Iceberg SNAPSHOT EXPIRY (the expire_snapshots
+    // maintenance op, the thing that keeps a 100 TB table's metadata
+    // and storage bounded): expiring snapshots older than a cutoff
+    // deletes (1) their manifest LISTS, (2) manifests referenced by
+    // NO retained snapshot, (3) data files referenced by expired
+    // snapshots and LIVE in no retained one — a DELETED entry in a
+    // retained manifest does NOT protect a file. The compaction
+    // fixture is the perfect bait: the retained snapshot's replace
+    // manifest references the old files as DELETED, so a reachability
+    // walk that counts any-reference (instead of live-reference)
+    // keeps three files that are garbage.
+    val q286 = "q286_iceberg_expire_snapshots" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JArray, JLong, JObject, JString}
+        val cutoffMs = 1700000000500L
+        tableFiles(s, dir)
+          .select(col("table_id"), col("rel_path"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val byPath = it.map(r => r._2 -> r._3).toMap
+            val out = for {
+              metaBytes <- byPath.get("v3.metadata.json").toSeq
+              meta <- graft.sources.Json
+                .parse(new String(metaBytes, "UTF-8")).toSeq
+              mo <- (meta match {
+                case o: JObject => Some(o); case _ => None
+              }).toSeq
+              current <- (mo.get("current-snapshot-id") match {
+                case Some(JLong(v)) => Some(v); case _ => None
+              }).toSeq
+              snapsJ <- (mo.get("snapshots") match {
+                case Some(JArray(xs)) => Some(xs); case _ => None
+              }).toSeq
+            } yield {
+              // (sid, ts, listPath, manifests, entries) per snapshot;
+              // entries = (dataPath, recordCount, status)
+              case class Snap(sid: Long, ts: Long, listPath: String,
+                              manifests: Seq[String],
+                              entries: Seq[(String, Long, Long)])
+              var ok = true
+              val snaps = snapsJ.flatMap {
+                case so: JObject =>
+                  for {
+                    sid <- so.get("snapshot-id").collect {
+                      case JLong(v) => v }
+                    ts <- so.get("timestamp-ms").collect {
+                      case JLong(v) => v }
+                    lp <- so.get("manifest-list").collect {
+                      case JString(p) => p }
+                    listBytes <- byPath.get(lp)
+                    list <- graft.sources.AvroGeneric
+                      .parseContainer(listBytes)
+                  } yield {
+                    val mps = list.records.flatMap(
+                      _.field("manifest_path").flatMap(_.asString))
+                    val entries = mps.flatMap { mp =>
+                      byPath.get(mp).flatMap(
+                        graft.sources.AvroGeneric.parseContainer) match {
+                        case Some(m) => m.records.flatMap { e =>
+                          for {
+                            st <- e.field("status").flatMap(_.asLong)
+                            df <- e.field("data_file")
+                            p <- df.field("file_path")
+                              .flatMap(_.asString)
+                            rc <- df.field("record_count")
+                              .flatMap(_.asLong)
+                          } yield (p, rc, st)
+                        }
+                        case None => ok = false; Nil
+                      }
+                    }
+                    Snap(sid, ts, lp, mps, entries)
+                  }
+                case _ => ok = false; None
+              }
+              if (!ok || snaps.length != snapsJ.length) Nil
+              else {
+                val (expired, retained) = snaps.partition(sn =>
+                  sn.ts < cutoffMs && sn.sid != current)
+                val retManifests = retained.flatMap(_.manifests).toSet
+                val retLive = retained.flatMap(_.entries)
+                  .filter(_._3 != 2L).map(_._1).toSet
+                val delLists = expired.map(_.listPath).distinct
+                val delManifests = expired.flatMap(_.manifests)
+                  .distinct.filterNot(retManifests)
+                val delData = expired.flatMap(_.entries).map(_._1)
+                  .distinct.filterNot(retLive)
+                // record counts for the deletable files, from the
+                // expired manifests' own entries (first occurrence)
+                val rcByPath = expired.flatMap(_.entries)
+                  .groupBy(_._1).view.mapValues(_.head._2).toMap
+                val delRows = delData.map(rcByPath).sum
+                val keptRows = retained.flatMap(_.entries)
+                  .filter(_._3 != 2L).map(_._2).sum
+                Seq((t, expired.length.toLong, delLists.length.toLong,
+                  delManifests.length.toLong, delData.length.toLong,
+                  delRows, keptRows))
+              }
+            }
+            out.flatten.iterator
+          }
+          .toDF("table_id", "n_expired", "lists_deleted",
+            "manifests_deleted", "data_deleted", "deleted_rows",
+            "kept_rows")
+      },
+      oracle = Some(s"""
+        WITH $keyCte,
+        agg AS (
+          SELECT table_id,
+                 CAST(sum(rc) AS BIGINT) AS all_rows,
+                 CAST(sum(CASE WHEN part <> 1 THEN rc ELSE 0 END)
+                   AS BIGINT) AS live_rows
+          FROM p GROUP BY table_id)
+        SELECT table_id,
+               CAST(1 AS BIGINT) AS n_expired,
+               CAST(1 AS BIGINT) AS lists_deleted,
+               CAST(2 AS BIGINT) AS manifests_deleted,
+               CAST(3 AS BIGINT) AS data_deleted,
+               all_rows AS deleted_rows,
+               live_rows AS kept_rows
+        FROM agg"""))
+
+    Seq(q257, q258, q259, q262, q271, q275, q281, q286)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:
