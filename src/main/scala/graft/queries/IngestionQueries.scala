@@ -3086,7 +3086,109 @@ object IngestionQueries {
         SELECT blob_id, 'update_postimage', n, ids, vs + n FROM p1
         UNION ALL
         SELECT blob_id, 'insert', n, ids, vs FROM p2"""))
-    Seq(q254, q261, q270, q272, q280, q282)
+
+    // VACUUM (q287) — Delta's storage reclamation, the q286 twin:
+    // deletable = tombstoned files whose remove.deletionTimestamp
+    // predates the retention cutoff PLUS untracked directory files;
+    // live files are never touched and a tombstone NEWER than the
+    // cutoff is retained (recent versions may still be read). The
+    // baits: a fresh tombstone a naive "any remove -> delete" vacuum
+    // destroys (breaking time travel), and an orphan file a log-only
+    // walk never sees. Rows in each class decode for the pin — the
+    // orphan shares B's content, so deletable rows = 2x part1.
+    val q287 = "q287_delta_vacuum" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val cutoffMs = 1700000100000L
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("deltavac:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        val files = keys
+          .join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/delta_vacuum_files.parquet")),
+            "blob_key")
+          .select(col("blob_id"), col("rel_path"), col("kind"),
+            col("file_bytes"))
+        val actionSchema = StructType(Seq(
+          StructField("add", StructType(Seq(
+            StructField("path", StringType),
+            StructField("size", LongType)))),
+          StructField("remove", StructType(Seq(
+            StructField("path", StringType),
+            StructField("deletionTimestamp", LongType))))))
+        val logLines = files.filter(col("kind") === "log")
+          .select(col("blob_id"),
+            regexp_extract(col("rel_path"), "(\\d+)\\.json$", 1)
+              .cast("long").as("version"),
+            explode(split(decode(col("file_bytes"), "UTF-8"), "\n"))
+              .as("line"))
+          .filter(length(trim(col("line"))) > 0)
+          .select(col("blob_id"), col("version"),
+            from_json(col("line"), actionSchema).as("a"))
+        val fileActs = logLines
+          .filter(col("a.add.path").isNotNull ||
+            col("a.remove.path").isNotNull)
+          .select(col("blob_id"), col("version"),
+            coalesce(col("a.add.path"), col("a.remove.path"))
+              .as("rel_path"),
+            col("a.add.path").isNotNull.as("is_add"),
+            col("a.remove.deletionTimestamp").as("del_ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blob_id"), col("rel_path"))
+          .orderBy(col("version").desc)
+        // last-wins verdict per path: live, vacuumable tombstone, or
+        // retained tombstone
+        val verdicts = fileActs
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("blob_id"), col("rel_path"),
+            when(col("is_add"), "live")
+              .when(col("del_ts") < cutoffMs, "deletable")
+              .otherwise("tombstone").as("class"))
+        // untracked directory files join the deletable class
+        val classified = files.filter(col("kind") === "data")
+          .join(verdicts, Seq("blob_id", "rel_path"), "left")
+          .select(col("blob_id"), col("rel_path"), col("file_bytes"),
+            coalesce(col("class"), lit("deletable")).as("class"))
+        classified
+          .select(col("blob_id"), col("class"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .flatMap { case (blobId, cls, bytes) =>
+            val P = graft.sources.Parquet
+            P.columnLongs(bytes, "rec_id") match {
+              case Some(ids) =>
+                Seq((blobId, cls, 1L, ids.length.toLong, ids.sum))
+              case None => Nil
+            }
+          }.toDF("blob_id", "class", "nf", "file_rows", "id_sum")
+          .groupBy("blob_id", "class")
+          .agg(sum("nf").cast("long").as("n_files"),
+            sum("file_rows").as("n_rows"), sum("id_sum").as("id_sum"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS part
+          FROM documents),
+        cls AS (
+          SELECT blob_id, d,
+                 CASE WHEN part IN (0, 2) THEN 'live'
+                      WHEN part = 1 THEN 'deletable'
+                      ELSE 'tombstone' END AS class,
+                 CASE WHEN part = 1 THEN 2 ELSE 1 END AS mult
+          FROM r)
+        SELECT blob_id, class,
+               CAST(CASE class WHEN 'tombstone' THEN 1 ELSE 2 END
+                 AS BIGINT) AS n_files,
+               CAST(sum(mult) AS BIGINT) AS n_rows,
+               CAST(sum(mult * d) AS BIGINT) AS id_sum
+        FROM cls GROUP BY blob_id, class"""))
+    Seq(q254, q261, q270, q272, q280, q282, q287)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
