@@ -153,6 +153,26 @@ def orc_list_file(ids, codec):
     return buf.getvalue()
 
 
+def orc_map_file(ids, codec):
+    # MAP<string,long> column: LENGTH stream on the map column, KEY
+    # and VALUE children hold the concatenated entries. d % 5 entry
+    # counts (coprime with the blob split) include EMPTY maps in
+    # every blob; keys k0..k4, values d*7+j — pure doc_id functions.
+    rows = sorted(ids * NULL_REPLICAS)
+    t = pa.table({
+        "rec_id": pa.array(rows, pa.int64()),
+        "m": pa.array([[(f"k{j}", d * 7 + j) for j in range(d % 5)]
+                       for d in rows],
+                      pa.map_(pa.string(), pa.int64())),
+        # pad forces multiple stripes (see orc_null_file)
+        "pad": pa.array([f"doc-{d}-{i}" for i, d in enumerate(rows)],
+                        pa.string()),
+    })
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=codec, stripe_size=4096)
+    return buf.getvalue()
+
+
 def main():
     files = {}
     stripe_rows = {}
@@ -160,6 +180,7 @@ def main():
     null_files = {}
     time_files = {}
     list_files = {}
+    map_files = {}
     for sf in SF_DIRS:
         p = Path("/root/testdata") / sf / "documents.parquet"
         if not p.exists():
@@ -215,6 +236,12 @@ def main():
             if keys5 not in list_files:
                 list_files[keys5] = orc_list_file(ids,
                                                   CODECS[table_id % 4])
+            keys6 = hashlib.md5(
+                ("orcmap:" + ",".join(str(d) for d in ids)).encode()
+            ).hexdigest()
+            if keys6 not in map_files:
+                map_files[keys6] = orc_map_file(ids,
+                                                CODECS[table_id % 4])
     out = Path("fixtures")
     out.mkdir(exist_ok=True)
     keys, paths, kinds, blobs_col, nstripes, clens = [], [], [], [], [], []
@@ -314,6 +341,19 @@ def main():
     )
     print(f"orc_list_files.parquet: {len(k5)} tables, "
           f"{sum(len(v) for v in list_files.values())} bytes")
+    k6 = sorted(map_files)
+    pq.write_table(
+        pa.table({
+            "blob_key": k6,
+            "rel_path": ["data-0.orc"] * len(k6),
+            "kind": ["data"] * len(k6),
+            "file_bytes": pa.array([map_files[k] for k in k6],
+                                   pa.binary()),
+        }),
+        out / "orc_map_files.parquet",
+    )
+    print(f"orc_map_files.parquet: {len(k6)} tables, "
+          f"{sum(len(v) for v in map_files.values())} bytes")
 
 
 if __name__ == "__main__":

@@ -1035,6 +1035,90 @@ object IngestionQueries {
                CAST(32 * sum(CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_empty
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q288 — ORC MAP columns, closing the nested-type surface: the
+    // map column carries a LENGTH stream and TWO children (key at
+    // colId+1, value at colId+2) whose entry count is the sum of
+    // lengths; key strings ride the shared string decode. Empty maps
+    // in every stripe (d % 5, blob-split-coprime). Key hashes and
+    // value sums re-derive in SQL through a tiny 0..4 series join —
+    // nothing about entries is taken from the engine.
+    "q288_orc_map_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orcmap:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/orc_map_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              // struct(long, map<string,long>, string)
+              if (t.fieldNames != Seq("rec_id", "m", "pad") ||
+                t.typeKinds != Seq(12, 4, 11, 7, 4, 7)) Nil
+              else {
+                var rows = 0L
+                var nEntries = 0L
+                var valSum = 0L
+                var keyHash = 0L
+                var nEmpty = 0L
+                var ok = true
+                t.stripes.foreach { st =>
+                  O.stripeColumnStringLongMaps(bytes, t, st, 2) match {
+                    case Some(ms) if ms.length.toLong == st.numRows =>
+                      rows += ms.length
+                      ms.foreach { m =>
+                        if (m.isEmpty) nEmpty += 1
+                        nEntries += m.length
+                        m.foreach { case (k, v) =>
+                          valSum += v
+                          keyHash += h60(k) % 1000003L
+                        }
+                      }
+                    case _ => ok = false
+                  }
+                }
+                if (ok && rows == t.numRows)
+                  Seq((blobId, rows, nEntries, valSum, keyHash, nEmpty))
+                else Nil
+              }
+            }
+          }.toDF("blob_id", "rows_decoded", "n_entries", "val_sum",
+            "key_hash_sum", "n_empty")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        e AS (
+          SELECT blob_id, d, j.j
+          FROM r CROSS JOIN
+            (SELECT unnest(generate_series(0, 4)) AS j) j
+          WHERE j.j < d % 5)
+        SELECT blob_id,
+               (SELECT CAST(count(*) * 32 AS BIGINT) FROM r r2
+                WHERE r2.blob_id = e.blob_id) AS rows_decoded,
+               CAST(count(*) * 32 AS BIGINT) AS n_entries,
+               CAST(32 * sum(d * 7 + j) AS BIGINT) AS val_sum,
+               CAST(32 * sum(${OracleSql.sqlHash60("'k' || j")}
+                 % 1000003) AS BIGINT) AS key_hash_sum,
+               (SELECT CAST(32 * sum(CASE WHEN r2.d % 5 = 0 THEN 1
+                  ELSE 0 END) AS BIGINT) FROM r r2
+                WHERE r2.blob_id = e.blob_id) AS n_empty
+        FROM e GROUP BY blob_id"""),
       headline = false))
   }
 

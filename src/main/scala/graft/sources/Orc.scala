@@ -598,6 +598,55 @@ object Orc {
     }
   }
 
+  /** Decode one MAP<string, long> column: the map column carries a
+    * LENGTH stream (entries per row); its KEY child (`colId + 1`)
+    * and VALUE child (`colId + 2`) carry the concatenated entries,
+    * whose count is the SUM of lengths. Key strings route through the
+    * shared string decode (either v2 encoding). Non-null scope.
+    */
+  def stripeColumnStringLongMaps(b: Array[Byte], tail: OrcTail,
+                                 s: StripeInfo, colId: Int)
+      : Option[Array[Array[(String, Long)]]] = {
+    if (s.numRows < 0 || s.numRows > (1 << 26)) return None
+    val n = s.numRows.toInt
+    parseStripeFooter(b, tail, s).flatMap { sf =>
+      if (sf.streams.exists(st => st.kind == 0 &&
+        st.column >= colId && st.column <= colId + 2)) return None
+      for {
+        lenS <- colStreamAny(b, tail, s, sf, colId, kind = 2)
+        lens <- rleV2Unsigned(lenS, n)
+        total <- {
+          var t = 0L
+          var i = 0
+          var ok = true
+          while (i < n) {
+            if (lens(i) < 0 || lens(i) > (1 << 26)) ok = false
+            else t += lens(i)
+            i += 1
+          }
+          if (ok && t <= (1 << 26)) Some(t.toInt) else None
+        }
+        keys <- decodeStrings(b, tail, s, sf, colId + 1, total)
+        valS <- colStreamAny(b, tail, s, sf, colId + 2, kind = 1)
+        vals <- rleV2Signed(valS, total)
+      } yield {
+        val out = new Array[Array[(String, Long)]](n)
+        var p = 0
+        var i = 0
+        while (i < n) {
+          val l = lens(i).toInt
+          val row = new Array[(String, Long)](l)
+          var j = 0
+          while (j < l) { row(j) = (keys(p + j), vals(p + j)); j += 1 }
+          out(i) = row
+          p += l
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
   // ---- temporal + decimal columns ---------------------------------------
 
   /** Decode one TIMESTAMP column's stripe values to EPOCH MICROS.

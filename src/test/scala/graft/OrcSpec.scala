@@ -282,6 +282,33 @@ class OrcSpec extends SparkSpec {
     }
   }
 
+  test("map columns: LENGTH stream slices key/value children back " +
+    "into per-row maps (empty maps included), every row pinned " +
+    "against the writer formulas") {
+    val blobs = spark.read.parquet("fixtures/orc_map_files.parquet")
+      .collect() // bounded: 12 fixture files
+      .map(_.getAs[Array[Byte]]("file_bytes")).toSeq
+    assert(blobs.length == 12)
+    for (b <- blobs) {
+      val t = Orc.parseTail(b).getOrElse(fail("must parse"))
+      assert(t.typeKinds == Seq(12, 4, 11, 7, 4, 7))
+      var sawEmpty = false
+      for (s <- t.stripes) {
+        val ids = Orc.stripeColumnLongs(b, t, s, 1).getOrElse(fail("ids"))
+        val ms = Orc.stripeColumnStringLongMaps(b, t, s, 2)
+          .getOrElse(fail("maps"))
+        assert(ms.length == ids.length)
+        for (i <- ids.indices) {
+          val d = ids(i)
+          val want = (0L until d % 5).map(j => (s"k$j", d * 7 + j))
+          assert(ms(i).toSeq == want, s"map at doc $d")
+          if (want.isEmpty) sawEmpty = true
+        }
+      }
+      assert(sawEmpty)
+    }
+  }
+
   test("damage fails closed: truncation anywhere in the tail, flipped " +
     "tail bytes, forged postscript length, empty input — None or a " +
     "consistent parse, never a throw") {
