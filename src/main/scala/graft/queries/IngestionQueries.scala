@@ -2190,7 +2190,123 @@ object IngestionQueries {
                live_rows AS kept_rows
         FROM agg"""))
 
-    Seq(q257, q258, q259, q262, q271, q275, q281, q286)
+    // q289 — Iceberg PARTITION SPEC EVOLUTION: old manifests stay
+    // under their OLD spec (partition_spec_id) and must be pruned
+    // under THAT spec — the classic reader bug applies the table's
+    // default spec everywhere and silently drops every pre-evolution
+    // row ("partition unknown -> skip"). Here spec 0 is unpartitioned
+    // (empty r102, no field summaries — nothing to prune by, ALL
+    // files read) while spec 1 buckets by p2; the probe selects one
+    // p2 bucket at entry level. The schema-driven Avro walk decodes
+    // both manifests' DIFFERENT embedded partition records in one
+    // query.
+    val q289 = "q289_iceberg_spec_evolution" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JArray, JLong, JObject}
+        val keyed = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"),
+            col("n_chars").cast("long"))
+          .as[(Long, Long, Long)]
+        val keys = keyed.groupByKey(_._1).mapGroups { (t, it) =>
+          val rows = it.toSeq.sortBy(_._2)
+          (t, md5Hex("icebergevo:" +
+            rows.map(r => s"${r._2}=${r._3}").mkString(",")))
+        }.toDF("table_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/iceberg_specevo_files.parquet")),
+            "blob_key")
+          .select(col("table_id"), col("rel_path"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val byPath = it.map(r => r._2 -> r._3).toMap
+            val probe = 1L
+            val out = for {
+              metaBytes <- byPath.get("v2.metadata.json").toSeq
+              meta <- graft.sources.Json
+                .parse(new String(metaBytes, "UTF-8")).toSeq
+              mo <- (meta match {
+                case o: JObject => Some(o); case _ => None
+              }).toSeq
+              specsJ <- (mo.get("partition-specs") match {
+                case Some(JArray(xs)) => Some(xs); case _ => None
+              }).toSeq
+              listBytes <- byPath.get("snap-1.avro").toSeq
+              list <- graft.sources.AvroGeneric
+                .parseContainer(listBytes).toSeq
+            } yield {
+              // spec-id -> does the spec carry partition fields?
+              val partitioned: Map[Long, Boolean] = specsJ.flatMap {
+                case so: JObject =>
+                  for {
+                    sid <- so.get("spec-id").collect { case JLong(v) => v }
+                    nf <- so.get("fields").collect {
+                      case JArray(fs) => fs.nonEmpty }
+                  } yield sid -> nf
+                case _ => None
+              }.toMap
+              var spec0Files = 0L; var spec0Rows = 0L
+              var spec1Total = 0L; var spec1Sel = 0L; var selRows = 0L
+              var ok = partitioned.size == 2
+              list.records.foreach { mf =>
+                val res = for {
+                  mp <- mf.field("manifest_path").flatMap(_.asString)
+                  sid <- mf.field("partition_spec_id").flatMap(_.asLong)
+                  hasPart <- partitioned.get(sid)
+                  mb <- byPath.get(mp)
+                  m <- graft.sources.AvroGeneric.parseContainer(mb)
+                } yield (hasPart, m)
+                res match {
+                  case Some((hasPart, m)) => m.records.foreach { e =>
+                    val df = e.field("data_file")
+                    val rc = df.flatMap(_.field("record_count"))
+                      .flatMap(_.asLong).getOrElse { ok = false; 0L }
+                    if (!hasPart) {
+                      // old spec: nothing to prune by — read it all
+                      spec0Files += 1; spec0Rows += rc
+                    } else {
+                      spec1Total += 1
+                      val p2 = df.flatMap(_.field("partition"))
+                        .flatMap(_.field("p2")).flatMap(_.asLong)
+                      p2 match {
+                        case Some(v) =>
+                          if (v == probe) { spec1Sel += 1; selRows += rc }
+                        case None => ok = false
+                      }
+                    }
+                  }
+                  case None => ok = false
+                }
+              }
+              if (ok)
+                Seq((t, list.records.length.toLong, spec0Files,
+                  spec1Total, spec1Sel, spec0Rows + selRows))
+              else Nil
+            }
+            out.flatten.iterator
+          }
+          .toDF("table_id", "n_manifests", "spec0_files",
+            "spec1_files", "spec1_selected", "rows_read")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d FROM documents),
+        g AS (
+          SELECT table_id, (d // 6) % 2 AS gen,
+                 ((d // 6) // 2) % 3 AS p2
+          FROM r)
+        SELECT table_id,
+               CAST(2 AS BIGINT) AS n_manifests,
+               CAST(2 AS BIGINT) AS spec0_files,
+               CAST(3 AS BIGINT) AS spec1_files,
+               CAST(1 AS BIGINT) AS spec1_selected,
+               CAST(sum(CASE WHEN gen = 0 THEN 1
+                 WHEN gen = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rows_read
+        FROM g GROUP BY table_id"""))
+
+    Seq(q257, q258, q259, q262, q271, q275, q281, q286, q289)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:
