@@ -5120,6 +5120,79 @@ object IngestionQueries {
                    AS BIGINT) AS size
           FROM p""")),
 
+      // q290 — the STREAMING Iceberg metadata tail, q256's twin on
+      // the other format with the OTHER ordering rule: snapshot
+      // summaries arrive across micro-batches and currency follows
+      // the SEQUENCE NUMBER, not arrival order. The deliveries land
+      // 1 → 3 → 2: the compaction (seq 3) arrives BEFORE the append
+      // it compacted (seq 2), so an arrival-ordered reader ends on
+      // seq 2's standing and reports 3 live files instead of 1. The
+      // late snapshot still bumps n_snapshots=3 (a state-losing
+      // engine reports fewer). Drain ×2 from one checkpoint — replay
+      // emits nothing new.
+      "q290_stream_iceberg_tail" -> QueryDef(
+        build = (s, dir) => {
+          import org.apache.spark.sql.streaming.Trigger
+          val base = Engine.table(s, dir, "documents")
+            .select((col("doc_id") % 6).as("table_id"),
+              expr("(doc_id DIV 6) % 3").as("part"))
+          val counts = base.groupBy("table_id")
+            .agg(
+              sum(when(col("part") === 0, 1L).otherwise(0L))
+                .as("r0"),
+              sum(when(col("part") =!= 1, 1L).otherwise(0L))
+                .as("r02"))
+          def snap(seq: Long, rowsCol: String, files: Long) =
+            counts.select(col("table_id"), lit(seq).as("seq"),
+              col(rowsCol).cast("long").as("live_rows"),
+              lit(files).as("live_files"))
+          val s1 = snap(1L, "r0", 2L)   // append: part0 in 2 files
+          val s3 = snap(3L, "r02", 1L)  // compaction of seq 2 -> 1 file
+          val s2 = snap(2L, "r02", 3L)  // append part2 (arrives LAST)
+          val dv = new StreamDeliveries("graft_q290_iceberg")
+          dv.land(s1, "s1", 1000000000000L)
+          dv.land(s3, "s3", 1000000060000L)
+          dv.land(s2, "s2", 1000000120000L)
+          val out = s"${dv.root}/out"; val chk = s"${dv.root}/chk"
+          def drain(): Unit = {
+            val stream = s.readStream.schema(s1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
+            val q = graft.streaming.StreamOps
+              .icebergSnapshotStream(stream)
+              .toDF()
+              .writeStream.outputMode("update")
+              .foreachBatch {
+                (batch: org.apache.spark.sql.Dataset[
+                  org.apache.spark.sql.Row], batchId: Long) =>
+                  batch.write.mode("overwrite")
+                    .parquet(s"$out/batch=$batchId")
+              }
+              .option("checkpointLocation", chk)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          drain()
+          drain() // replay from the same checkpoint: emits nothing
+          val snaps = s.read.parquet(out)
+          val latest = snaps.groupBy(col("table_id"))
+            .agg(max(col("n_snapshots")).as("n_snapshots"))
+          snaps.join(latest, Seq("table_id", "n_snapshots"))
+            .select(col("table_id"), col("n_snapshots"),
+              col("last_seq"), col("live_rows"), col("live_files"))
+        },
+        oracle = Some("""
+          WITH r AS (
+            SELECT doc_id % 6 AS table_id, (doc_id // 6) % 3 AS part
+            FROM documents)
+          SELECT table_id,
+                 CAST(3 AS BIGINT) AS n_snapshots,
+                 CAST(3 AS BIGINT) AS last_seq,
+                 CAST(sum(CASE WHEN part <> 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS live_rows,
+                 CAST(1 AS BIGINT) AS live_files
+          FROM r GROUP BY table_id""")),
+
       // q260 — the WAREHOUSE types: FLBA decimals (big-endian two's
       // complement unscaled values in the footer-declared width — the
       // 8-byte decimal(18,2) and the 16-byte decimal(38,4) whose

@@ -912,6 +912,48 @@ object StreamOps {
       }
   }
 
+  /** One table's current Iceberg snapshot standing (the
+    * icebergSnapshotStream state/output).
+    */
+  case class TableSnapshotState(table_id: Long, n_snapshots: Long,
+                                last_seq: Long, live_rows: Long,
+                                live_files: Long)
+
+  /** Streaming Iceberg metadata tail: snapshot SUMMARIES arrive as
+    * they are committed — possibly OUT OF ORDER across micro-batches
+    * (a catch-up reader lists newer metadata before older) — and the
+    * per-table state is the highest-SEQUENCE-NUMBER snapshot's
+    * standing, Iceberg's own currency rule (sequence number, not
+    * arrival order, orders snapshots). A late-arriving older snapshot
+    * bumps n_snapshots but must NOT flip the verdict. State is one
+    * small tuple per table. Update mode; current standing = the row
+    * with the per-table max n_snapshots. Batch-parity law: after any
+    * prefix the standing equals the relational max-seq pick over the
+    * same summaries (StreamingSpec).
+    */
+  def icebergSnapshotStream(snaps: DataFrame)
+      : Dataset[TableSnapshotState] = {
+    val spark = snaps.sparkSession
+    import spark.implicits._
+    snaps.select(col("table_id").cast("long"),
+        col("seq").cast("long"), col("live_rows").cast("long"),
+        col("live_files").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long), TableSnapshotState](
+        GroupStateTimeout.NoTimeout) {
+        case (tbl, it, state) =>
+          var (n, seq, rows, files) =
+            state.getOption.getOrElse((0L, -1L, 0L, 0L))
+          it.foreach { case (_, sq, lr, lf) =>
+            n += 1
+            if (sq > seq) { seq = sq; rows = lr; files = lf }
+          }
+          state.update((n, seq, rows, files))
+          TableSnapshotState(tbl, n, seq, rows, files)
+      }
+  }
+
   /** One packer bucket's open bin (the packStream state). */
   case class PackerState(bin: Long, acc: Long)
 

@@ -329,6 +329,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("icebergSnapshotStream: sequence-number currency survives " +
+    "out-of-order arrival and batch splits; parity with the " +
+    "relational max-seq pick") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val snaps = input.toDF()
+      .toDF("table_id", "seq", "live_rows", "live_files")
+    val q = graft.streaming.StreamOps.icebergSnapshotStream(snaps)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("iceberg_stream").start()
+    // seq 1 append, then seq 3 (compaction) BEFORE seq 2 — the late
+    // older snapshot must bump the count but not flip the standing
+    input.addData(Seq((1L, 1L, 100L, 2L), (2L, 1L, 10L, 1L)))
+    q.processAllAvailable()
+    input.addData(Seq((1L, 3L, 250L, 1L)))
+    q.processAllAvailable()
+    input.addData(Seq((1L, 2L, 250L, 3L), (2L, 2L, 20L, 2L)))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("iceberg_stream")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (k, rows) => k -> rows.maxBy(_._2) }
+    assert(last(1L) == ((1L, 3L, 3L, 250L, 1L)),
+      "late seq 2 must not displace seq 3")
+    assert(last(2L) == ((2L, 2L, 2L, 20L, 2L)))
+    // parity: standing == relational max-seq pick over all summaries
+    val all = Seq((1L, 1L, 100L, 2L), (2L, 1L, 10L, 1L),
+      (1L, 3L, 250L, 1L), (1L, 2L, 250L, 3L), (2L, 2L, 20L, 2L))
+    val pick = all.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.maxBy(_._2) }
+    last.foreach { case (k, (_, _, seq, rows, files)) =>
+      val (_, ps, pr, pf) = pick(k)
+      assert((seq, rows, files) == ((ps, pr, pf)), s"parity at $k")
+    }
+  }
+
   test("stateless curation/encode operators run unchanged on a stream") {
     // The map-side operator families (quality scoring, PII redaction, PQ
     // encoding) are pure projections, so the SAME Column/DataFrame code
