@@ -236,7 +236,7 @@ object IngestionQueries {
         FROM documents"""))
   ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ parquetDictDefs ++
     deltaLogDefs ++ icebergDefs ++ hudiDefs ++ bz2Defs ++ zstdDefs ++
-    orcDefs
+    orcDefs ++ csvDefs
 
   // ORC file-tail census (q264) — the OTHER major columnar lake
   // format: postscript (last byte = its length) -> chunk-compressed
@@ -1119,6 +1119,80 @@ object IngestionQueries {
                   ELSE 0 END) AS BIGINT) FROM r r2
                 WHERE r2.blob_id = e.blob_id) AS n_empty
         FROM e GROUP BY blob_id"""),
+      headline = false))
+  }
+
+  // CSV, RFC 4180 (q291) — the bread-and-butter ingestion format a
+  // corpus pipeline meets before any lake exists. The fixture's EVERY
+  // row is a quoting torture test: names embed commas, notes embed
+  // doubled quotes AND a bare LF, so record boundaries cannot be
+  // found by line splitting — a naive reader shears each row at the
+  // embedded newline and the row count doubles. python csv
+  // (QUOTE_MINIMAL + CRLF) is the independent writer; hash sums of
+  // the reassembled fields re-derive relationally on the oracle side.
+  private def csvDefs: Seq[(String, QueryDef)] = {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Seq("q291_csv_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("csv:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/csv_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            graft.sources.Csv.parse(bytes).toSeq.flatMap { rows =>
+              if (rows.isEmpty ||
+                rows.head != Vector("doc_id", "name", "note")) Nil
+              else {
+                var n = 0L
+                var idSum = 0L
+                var nameHash = 0L
+                var noteHash = 0L
+                var ok = true
+                rows.drop(1).foreach { r =>
+                  if (r.length != 3) ok = false
+                  else {
+                    n += 1
+                    try idSum += r(0).toLong
+                    catch { case _: NumberFormatException => ok = false }
+                    nameHash += h60(r(1)) % 1000003L
+                    noteHash += h60(r(2)) % 1000003L
+                  }
+                }
+                if (ok) Seq((blobId, n, idSum, nameHash, noteHash))
+                else Nil
+              }
+            }
+          }.toDF("blob_id", "n_rows", "id_sum", "name_hash_sum",
+            "note_hash_sum")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(${OracleSql.sqlHash60("'n,' || (d % 7)")}
+                 % 1000003) AS BIGINT) AS name_hash_sum,
+               CAST(sum(${OracleSql.sqlHash60(
+                 "'x\"' || (d % 5) || '\"' || chr(10) || 'y' || (d % 3)")}
+                 % 1000003) AS BIGINT) AS note_hash_sum
+        FROM r GROUP BY blob_id"""),
       headline = false))
   }
 
