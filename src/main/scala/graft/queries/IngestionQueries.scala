@@ -1193,6 +1193,110 @@ object IngestionQueries {
                  "'x\"' || (d % 5) || '\"' || chr(10) || 'y' || (d % 3)")}
                  % 1000003) AS BIGINT) AS note_hash_sum
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q292 — JSONL corpus scan through the engine's OWN RFC 8259
+    // parser: python json writes with ensure_ascii, so every
+    // non-ASCII character arrives as a \\uXXXX escape and the string
+    // decode is on the hot path for EVERY row — a reader surfacing
+    // raw escape bytes instead of decoded text changes every hash.
+    // Nested object fields, arrays, and \\" \\n escapes ride along;
+    // a malformed line fails the whole blob (totality, not salvage).
+    "q292_jsonl_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("jsonl:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/jsonl_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            import graft.sources.Json.{JArray, JLong, JObject, JString}
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val lines = new String(bytes,
+              java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").iterator.filter(_.nonEmpty).toSeq
+            var n = 0L
+            var idSum = 0L
+            var langHash = 0L
+            var scoreSum = 0L
+            var nTags = 0L
+            var tagHash = 0L
+            var textHash = 0L
+            var ok = true
+            lines.foreach { line =>
+              graft.sources.Json.parse(line) match {
+                case Some(o: JObject) =>
+                  val r = for {
+                    id <- o.get("doc_id").collect { case JLong(v) => v }
+                    mo <- o.get("meta").collect { case m: JObject => m }
+                    lang <- mo.get("lang").collect {
+                      case JString(v) => v }
+                    score <- mo.get("score").collect {
+                      case JLong(v) => v }
+                    tags <- o.get("tags").collect {
+                      case JArray(xs) => xs }
+                    text <- o.get("text").collect {
+                      case JString(v) => v }
+                  } yield {
+                    n += 1
+                    idSum += id
+                    langHash += h60(lang) % 1000003L
+                    scoreSum += score
+                    tags.foreach {
+                      case JString(t) =>
+                        nTags += 1; tagHash += h60(t) % 1000003L
+                      case _ => ok = false
+                    }
+                    textHash += h60(text) % 1000003L
+                  }
+                  if (r.isEmpty) ok = false
+                case _ => ok = false
+              }
+            }
+            if (ok)
+              Seq((blobId, n, idSum, langHash, scoreSum, nTags,
+                tagHash, textHash))
+            else Nil
+          }.toDF("blob_id", "n_rows", "id_sum", "lang_hash_sum",
+            "score_sum", "n_tags", "tag_hash_sum", "text_hash_sum")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        t AS (
+          SELECT blob_id, d, j.j
+          FROM r CROSS JOIN
+            (SELECT unnest(generate_series(0, 2)) AS j) j
+          WHERE j.j < d % 3)
+        SELECT r.blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(${OracleSql.sqlHash60("'l' || (d % 9)")}
+                 % 1000003) AS BIGINT) AS lang_hash_sum,
+               CAST(sum(d % 100) AS BIGINT) AS score_sum,
+               (SELECT CAST(count(*) AS BIGINT) FROM t
+                WHERE t.blob_id = r.blob_id) AS n_tags,
+               (SELECT CAST(coalesce(sum(
+                  ${OracleSql.sqlHash60("'t' || t.j")} % 1000003), 0)
+                  AS BIGINT) FROM t
+                WHERE t.blob_id = r.blob_id) AS tag_hash_sum,
+               CAST(sum(${OracleSql.sqlHash60(
+                 "'é' || (d % 5) || '→ \"q\"' || chr(10) " +
+                   "|| 'line' || (d % 4)")}
+                 % 1000003) AS BIGINT) AS text_hash_sum
+        FROM r GROUP BY r.blob_id"""),
       headline = false))
   }
 
