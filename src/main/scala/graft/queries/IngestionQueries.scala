@@ -1297,6 +1297,64 @@ object IngestionQueries {
                    "|| 'line' || (d % 4)")}
                  % 1000003) AS BIGINT) AS text_hash_sum
         FROM r GROUP BY r.blob_id"""),
+      headline = false),
+
+    // q293 — TEXT ENCODING sniff + strict decode: the same content
+    // arrives as UTF-8, UTF-8+BOM, UTF-16LE, and UTF-16BE (the mix a
+    // scraped archive actually contains) and all four must decode to
+    // the SAME per-line hashes — a UTF-8-everywhere reader turns the
+    // UTF-16 blobs into NUL-ridden mojibake (different hash), and the
+    // engine's STRICT decoder (REPORT, no U+FFFD substitution) would
+    // fail them outright rather than poison dedup downstream. The
+    // BOM is stripped from content (it is metadata, not text).
+    "q293_text_encoding_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("textenc:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/textenc_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("kind"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .flatMap { case (blobId, kind, bytes) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            graft.sources.TextEncoding.decode(bytes).toSeq.flatMap {
+              case (det, text) =>
+                if (det.name != kind) Nil // sniff must match truth
+                else {
+                  val lines = text.split("\n").filter(_.nonEmpty)
+                  var hsum = 0L
+                  lines.foreach(l => hsum += h60(l) % 1000003L)
+                  Seq((blobId, kind, lines.length.toLong, hsum))
+                }
+            }
+          }.toDF("blob_id", "encoding", "n_lines", "line_hash_sum")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        agg AS (
+          SELECT blob_id,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(${OracleSql.sqlHash60(
+                   "'doc ' || d || ': é→' || (d % 7)")}
+                   % 1000003) AS BIGINT) AS line_hash_sum
+          FROM r GROUP BY blob_id),
+        encs AS (
+          SELECT unnest(['utf-8', 'utf-8-bom', 'utf-16le',
+                         'utf-16be']) AS encoding)
+        SELECT blob_id, encoding, n_lines, line_hash_sum
+        FROM agg CROSS JOIN encs"""),
       headline = false))
   }
 
