@@ -1355,6 +1355,131 @@ object IngestionQueries {
                          'utf-16be']) AS encoding)
         SELECT blob_id, encoding, n_lines, line_hash_sum
         FROM agg CROSS JOIN encs"""),
+      headline = false),
+
+    // q294 — parquet LIST<STRUCT>, the span-annotation shape: TWO
+    // leaves under ONE repeated group share identical rep/def level
+    // sequences and must be PAIRED positionally. The classic bug —
+    // dropping a slot in one leaf but not the other — keeps every
+    // sum intact while silently mispairing (s, e) across elements,
+    // so the output carries a per-row "s:e,s:e" hash that any slip
+    // breaks. The engine also REQUIRES the two leaves' level
+    // sequences to be identical (a structural law, checked, not
+    // assumed). Empty lists in every blob (d % 5).
+    "q294_parquet_list_struct_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("parquetls:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/parquet_liststruct_files.parquet")),
+            "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val P = graft.sources.Parquet
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            P.parseFooter(bytes).toSeq.flatMap { fm =>
+              val levels = fm.leafLevels
+              val tls = fm.leafTypeLengths
+              def cells(path: String) =
+                levels.get(path).flatMap { case (d, r) =>
+                  val per = fm.rowGroups.map(rg =>
+                    rg.cols.find(_.path == path).flatMap(c =>
+                      P.readChunkCells(bytes, c, d, r,
+                        tls.getOrElse(path, 0))))
+                  if (per.exists(_.isEmpty)) None
+                  else Some(per.map(_.get))
+                }
+              (cells("rec_id"), cells("spans.list.element.s"),
+                cells("spans.list.element.e"),
+                levels.get("spans.list.element.s")) match {
+                case (Some(rc), Some(sc), Some(ec),
+                      Some((maxDef, _))) =>
+                  val nRows = rc.map(_.longs.length.toLong).sum
+                  val defs = sc.flatMap(_.defs).toArray
+                  val reps = sc.flatMap(_.reps).toArray
+                  // structural law: both leaves share the level walk
+                  if (!java.util.Arrays.equals(defs,
+                      ec.flatMap(_.defs).toArray) ||
+                    !java.util.Arrays.equals(reps,
+                      ec.flatMap(_.reps).toArray)) Nil
+                  else {
+                    val vs = sc.flatMap(_.longs).toArray
+                    val ve = ec.flatMap(_.longs).toArray
+                    var p = 0
+                    var nSpans = 0L
+                    var sSum = 0L
+                    var eSum = 0L
+                    var rowHash = 0L
+                    var rowCount = 0L
+                    val sb = new java.lang.StringBuilder
+                    var open = false
+                    def closeRow(): Unit = if (open) {
+                      rowHash += h60(sb.toString) % 1000003L
+                      rowCount += 1
+                      sb.setLength(0)
+                    }
+                    var i = 0
+                    while (i < defs.length) {
+                      if (reps(i) == 0) { closeRow(); open = true }
+                      if (defs(i) == maxDef) {
+                        nSpans += 1
+                        sSum += vs(p); eSum += ve(p)
+                        if (sb.length > 0) sb.append(',')
+                        sb.append(vs(p)).append(':').append(ve(p))
+                        p += 1
+                      }
+                      i += 1
+                    }
+                    closeRow()
+                    if (p == vs.length && rowCount == nRows)
+                      Seq((blobId, rowCount, nSpans, sSum, eSum,
+                        rowHash))
+                    else Nil
+                  }
+                case _ => Nil
+              }
+            }
+          }.toDF("blob_id", "n_rows", "n_spans", "s_sum", "e_sum",
+            "row_hash_sum")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        rs AS (
+          SELECT r.blob_id, r.d,
+                 coalesce(string_agg(
+                   (r.d * 5 + j.j * 2) || ':'
+                     || (r.d * 5 + j.j * 2 + (j.j % 3)),
+                   ',' ORDER BY j.j), '') AS row_str,
+                 CAST(count(j.j) AS BIGINT) AS n,
+                 CAST(coalesce(sum(r.d * 5 + j.j * 2), 0) AS BIGINT)
+                   AS ssum,
+                 CAST(coalesce(sum(r.d * 5 + j.j * 2 + (j.j % 3)), 0)
+                   AS BIGINT) AS esum
+          FROM r LEFT JOIN
+            (SELECT unnest(generate_series(0, 4)) AS j) j
+            ON j.j < r.d % 5
+          GROUP BY r.blob_id, r.d)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n) AS BIGINT) AS n_spans,
+               CAST(sum(ssum) AS BIGINT) AS s_sum,
+               CAST(sum(esum) AS BIGINT) AS e_sum,
+               CAST(sum(${OracleSql.sqlHash60("row_str")} % 1000003)
+                 AS BIGINT) AS row_hash_sum
+        FROM rs GROUP BY blob_id"""),
       headline = false))
   }
 
