@@ -1480,6 +1480,62 @@ object IngestionQueries {
                CAST(sum(${OracleSql.sqlHash60("row_str")} % 1000003)
                  AS BIGINT) AS row_hash_sum
         FROM rs GROUP BY blob_id"""),
+      headline = false),
+
+    // q295 — the engine WRITES parquet from first principles
+    // (sources/ParquetWrite.scala: thrift-compact footer encoder +
+    // PLAIN v1 pages) and the bytes are pinned THREE independent
+    // ways: (1) md5 against a separate Python reimplementation of
+    // the same deterministic layout (one mis-encoded zigzag, field
+    // delta, or list header breaks the join), (2) pyarrow and DuckDB
+    // read the twin's bytes in the fixture build, parquet-mr reads
+    // the engine's in ParquetSpec, and (3) the engine's OWN reader
+    // decodes the written file back to the relational sums here.
+    // Write → read is now closed from first principles on BOTH ends.
+    "q295_parquet_write_roundtrip" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val bytes = graft.sources.ParquetWrite.writeInt64(
+              Seq("rec_id", "val"),
+              ids.map(d => Array(d, (d * 11) % 1000)))
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val fileMd5 = md.digest(bytes).map("%02x".format(_)).mkString
+            // decode-own-write law: the engine's reader must get the
+            // relational truth back out of its own bytes
+            val P = graft.sources.Parquet
+            (P.columnLongs(bytes, "rec_id"),
+              P.columnLongs(bytes, "val")) match {
+              case (Some(r), Some(v)) if r.toSeq == ids =>
+                Seq((blobId, fileMd5, bytes.length.toLong,
+                  r.length.toLong, r.sum, v.sum))
+              case _ => Nil
+            }
+          }
+          .toDF("blob_id", "file_md5", "file_bytes_len", "n_rows",
+            "id_sum", "val_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('pqwrite:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(d) AS BIGINT) AS id_sum,
+                 CAST(sum((d * 11) % 1000) AS BIGINT) AS val_sum
+          FROM r GROUP BY blob_id)
+        SELECT k.blob_id, f.file_md5, f.file_bytes_len,
+               k.n_rows, k.id_sum, k.val_sum
+        FROM k JOIN read_parquet(
+          '/root/repo/fixtures/parquet_writer_oracle.parquet') f
+          ON k.bkey = f.blob_key"""),
       headline = false))
   }
 

@@ -936,6 +936,34 @@ class ParquetSpec extends SparkSpec {
           java.util.Arrays.copyOf(bytes, cut)).isEmpty, s"$wv cut $cut")
     }
   }
+
+  test("ParquetWrite: engine-written files read back through " +
+    "parquet-mr (Spark) and the engine's own reader — extreme values, " +
+    "many rows, multi-column") {
+    val rows = (Seq(Array(Long.MinValue, Long.MaxValue),
+      Array(-1L, 0L), Array(42L, -42L)) ++
+      (0L until 3000L).map(i => Array(i, i * i % 99991))).toSeq
+    val b = graft.sources.ParquetWrite.writeInt64(Seq("a", "b"), rows)
+    // own reader round-trip
+    val ra = graft.sources.Parquet.columnLongs(b, "a")
+      .getOrElse(fail("own reader: a"))
+    val rb = graft.sources.Parquet.columnLongs(b, "b")
+      .getOrElse(fail("own reader: b"))
+    assert(ra.toSeq == rows.map(_(0)) && rb.toSeq == rows.map(_(1)))
+    // parquet-mr (Spark) as the independent reader
+    val dir = java.nio.file.Files.createTempDirectory("pqw").toFile
+    val p = new java.io.File(dir, "own.parquet")
+    java.nio.file.Files.write(p.toPath, b)
+    val df = spark.read.parquet(p.getAbsolutePath)
+    val got = df.selectExpr("sum(a)", "sum(b)", "count(*)",
+      "min(a)", "max(a)").collect()(0)
+    assert(got.getLong(2) == rows.length)
+    assert(got.getLong(0) == rows.map(_(0)).sum)
+    assert(got.getLong(1) == rows.map(_(1)).sum)
+    assert(got.getLong(3) == Long.MinValue &&
+      got.getLong(4) == 2999L)
+    p.delete(); dir.delete()
+  }
 }
 
 // Top-level so Spark derives encoders (mini-checkpoint spec rows).
