@@ -1536,6 +1536,52 @@ object IngestionQueries {
         FROM k JOIN read_parquet(
           '/root/repo/fixtures/parquet_writer_oracle.parquet') f
           ON k.bkey = f.blob_key"""),
+      headline = false),
+
+    // q296 — parquet written with the engine's OWN snappy COMPRESSOR
+    // (real LZ77 match finding, sources/Snappy.compress — conformance
+    // pinned against snappy-java in SnappySpec; parquet-mr, pyarrow,
+    // and DuckDB all read the output in the specs/scratch pins). The
+    // query writes each blob's table with codec=SNAPPY, decodes it
+    // back through the engine's own reader, and requires the
+    // compressed file to be GENUINELY smaller than the uncompressed
+    // form — a compressor that falls back to stored literals fails
+    // the size law.
+    "q296_parquet_write_snappy" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val rows = ids.map(d => Array(d, (d * 11) % 1000))
+            val W = graft.sources.ParquetWrite
+            val snappy = W.writeInt64(Seq("rec_id", "val"), rows,
+              codec = 1)
+            val plain = W.writeInt64(Seq("rec_id", "val"), rows)
+            val P = graft.sources.Parquet
+            (P.columnLongs(snappy, "rec_id"),
+              P.columnLongs(snappy, "val")) match {
+              case (Some(r), Some(v)) if r.toSeq == ids =>
+                Seq((blobId, r.length.toLong, r.sum, v.sum,
+                  if (snappy.length < plain.length) 1L else 0L))
+              case _ => Nil
+            }
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "val_sum",
+            "compressed_smaller")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 11) % 1000) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS compressed_smaller
+        FROM r GROUP BY blob_id"""),
       headline = false))
   }
 

@@ -71,24 +71,38 @@ object ParquetWrite {
 
   /** Write `names.length` REQUIRED INT64 columns; `rows(i)(c)` is the
     * value of column c in row i. One row group, one PLAIN page per
-    * column.
+    * column. `codec` 0 = UNCOMPRESSED (byte layout unchanged from the
+    * q295 md5-pinned form), 1 = SNAPPY through the engine's OWN
+    * compressor ([[Snappy.compress]] — real LZ77, snappy-java-pinned).
     */
-  def writeInt64(names: Seq[String],
-                 rows: Seq[Array[Long]]): Array[Byte] = {
+  def writeInt64(names: Seq[String], rows: Seq[Array[Long]],
+                 codec: Int = 0): Array[Byte] = {
     require(names.nonEmpty && rows.forall(_.length == names.length))
+    require(codec == 0 || codec == 1, s"codec $codec")
     val out = new java.io.ByteArrayOutputStream()
     out.write('P'); out.write('A'); out.write('R'); out.write('1')
     val n = rows.length
     // ---- column chunks: page header + PLAIN payload per column ----
     val offsets = new Array[Long](names.length)
     val chunkSizes = new Array[Long](names.length)
+    val uncompSizes = new Array[Long](names.length)
     for (c <- names.indices) {
       offsets(c) = out.size().toLong
-      val payload = 8L * n
+      val plain = new Array[Byte](8 * n)
+      var i = 0
+      while (i < n) {
+        var v = rows(i)(c)
+        var k = 0
+        while (k < 8) {
+          plain(i * 8 + k) = (v & 0xff).toByte; v >>>= 8; k += 1
+        }
+        i += 1
+      }
+      val body = if (codec == 1) Snappy.compress(plain) else plain
       val h = new TCW
       h.i32(1, 0)                 // page_type = DATA_PAGE
-      h.i32(2, payload)           // uncompressed_page_size
-      h.i32(3, payload)           // compressed_page_size
+      h.i32(2, plain.length.toLong) // uncompressed_page_size
+      h.i32(3, body.length.toLong)  // compressed_page_size
       h.structField(5)            // data_page_header
       h.i32(1, n.toLong)          // num_values
       h.i32(2, 0)                 // encoding = PLAIN
@@ -98,14 +112,9 @@ object ParquetWrite {
       h.end()                     // PageHeader stop
       val hb = h.out.toByteArray
       out.write(hb, 0, hb.length)
-      var i = 0
-      while (i < n) {
-        var v = rows(i)(c)
-        var k = 0
-        while (k < 8) { out.write((v & 0xff).toInt); v >>>= 8; k += 1 }
-        i += 1
-      }
-      chunkSizes(c) = hb.length + payload
+      out.write(body, 0, body.length)
+      chunkSizes(c) = hb.length + body.length
+      uncompSizes(c) = hb.length + plain.length
     }
     // ---- footer ----------------------------------------------------
     val f = new TCW
@@ -133,9 +142,9 @@ object ParquetWrite {
       f.i32(1, 2)                       // type = INT64
       f.list(2, 1, 5); f.elemI32(0)     // encodings = [PLAIN]
       f.list(3, 1, 8); f.elemStr(names(c)) // path_in_schema
-      f.i32(4, 0)                       // codec = UNCOMPRESSED
+      f.i32(4, codec.toLong)            // codec
       f.i64(5, n.toLong)                // num_values
-      f.i64(6, chunkSizes(c))           // total_uncompressed_size
+      f.i64(6, uncompSizes(c))          // total_uncompressed_size
       f.i64(7, chunkSizes(c))           // total_compressed_size
       f.i64(9, offsets(c))              // data_page_offset
       f.end()                           // ColumnMetaData

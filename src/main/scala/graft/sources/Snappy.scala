@@ -107,6 +107,72 @@ object Snappy {
     * size-oracle law); any spec-conforming snappy decoder, including
     * [[uncompress]], reads it back.
     */
+  /** REAL snappy compression (format_description.txt): greedy LZ77
+    * over a 4-byte hash table, literals + two-byte-offset copies.
+    * Deterministic; every output is a valid snappy stream that any
+    * conforming decoder (snappy-java pinned in SnappySpec, plus
+    * [[uncompress]] above) restores exactly. Long matches chunk into
+    * <= 64-byte copies with the 68/64 split so no chunk falls under
+    * the 4-byte copy minimum.
+    */
+  def compress(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
+    // preamble: uncompressed length, unsigned varint
+    var z = in.length
+    while ((z & ~0x7f) != 0) { out.write((z & 0x7f) | 0x80); z >>>= 7 }
+    out.write(z)
+    def emitLiteral(from: Int, until: Int): Unit = {
+      var p = from
+      while (p < until) {
+        val len = math.min(until - p, 0x10000)
+        val n = len - 1
+        if (n < 60) out.write(n << 2)
+        else if (n < 0x100) { out.write(60 << 2); out.write(n) }
+        else {
+          out.write(61 << 2)
+          out.write(n & 0xff); out.write((n >> 8) & 0xff)
+        }
+        out.write(in, p, len)
+        p += len
+      }
+    }
+    def emitCopy2(off: Int, len: Int): Unit = {
+      out.write(((len - 1) << 2) | 2)
+      out.write(off & 0xff); out.write((off >> 8) & 0xff)
+    }
+    def read32(i: Int): Int =
+      ((in(i) & 0xff)) | ((in(i + 1) & 0xff) << 8) |
+        ((in(i + 2) & 0xff) << 16) | ((in(i + 3) & 0xff) << 24)
+    if (in.length < 4) { emitLiteral(0, in.length); return out.toByteArray }
+    val bits = 14
+    val table = new Array[Int](1 << bits)
+    java.util.Arrays.fill(table, -1)
+    def hash(v: Int): Int = ((v * 0x1e35a7bd) >>> (32 - bits))
+    var i = 0
+    var litStart = 0
+    val limit = in.length - 4
+    while (i <= limit) {
+      val v = read32(i)
+      val h = hash(v)
+      val cand = table(h)
+      table(h) = i
+      if (cand >= 0 && i - cand <= 0xffff && read32(cand) == v) {
+        emitLiteral(litStart, i)
+        val off = i - cand
+        var m = 4
+        while (i + m < in.length && in(cand + m) == in(i + m)) m += 1
+        var rest = m
+        while (rest >= 68) { emitCopy2(off, 64); rest -= 64 }
+        if (rest > 64) { emitCopy2(off, 60); rest -= 60 }
+        emitCopy2(off, rest)
+        i += m
+        litStart = i
+      } else i += 1
+    }
+    emitLiteral(litStart, in.length)
+    out.toByteArray
+  }
+
   def compressStored(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length + 8)
     var z = b.length.toLong

@@ -962,6 +962,19 @@ class ParquetSpec extends SparkSpec {
     assert(got.getLong(1) == rows.map(_(1)).sum)
     assert(got.getLong(3) == Long.MinValue &&
       got.getLong(4) == 2999L)
+    // and the SNAPPY-codec form (engine-owned compressor) reads back
+    // identically through parquet-mr, smaller on the wire
+    val bz = graft.sources.ParquetWrite.writeInt64(Seq("a", "b"), rows,
+      codec = 1)
+    assert(bz.length < b.length)
+    val pz = new java.io.File(dir, "own_snappy.parquet")
+    java.nio.file.Files.write(pz.toPath, bz)
+    val gotZ = spark.read.parquet(pz.getAbsolutePath)
+      .selectExpr("sum(a)", "sum(b)", "count(*)").collect()(0)
+    assert(gotZ.getLong(2) == rows.length &&
+      gotZ.getLong(0) == rows.map(_(0)).sum &&
+      gotZ.getLong(1) == rows.map(_(1)).sum)
+    pz.delete()
     p.delete(); dir.delete()
   }
 }

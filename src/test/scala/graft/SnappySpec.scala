@@ -146,4 +146,42 @@ class SnappySpec extends AnyFunSuite {
       0xff.toByte, 0xff.toByte, 0x7f, 'x')
     assert(GSnappy.uncompress(forged, 100).isEmpty) // must not throw
   }
+
+  test("compress: REAL LZ77 output round-trips through snappy-java " +
+    "(the conformance pin) AND the engine's own decoder, on text, " +
+    "random, repetitive, and every length 0..300; repetitive input " +
+    "actually compresses") {
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray,
+        "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"),
+        ("lorem ipsum dolor sit amet " * 200).getBytes("UTF-8"),
+        Array.fill(100000)(7.toByte),
+        Array.fill(65539)(9.toByte), // literal > 64 KiB chunking
+        {  val a = new Array[Byte](50000); rnd.nextBytes(a); a }) ++
+        (0 to 300).map { n =>
+          val a = new Array[Byte](n)
+          // half-repetitive, half-random: exercises match+literal mix
+          var i = 0
+          while (i < n) {
+            a(i) = if (i % 2 == 0) (i % 7).toByte else rnd.nextInt().toByte
+            i += 1
+          }
+          a
+        }
+    for (c <- cases) {
+      val z = graft.sources.Snappy.compress(c)
+      // snappy-java is the conformance oracle
+      val back = org.xerial.snappy.Snappy.uncompress(z)
+      assert(java.util.Arrays.equals(back, c),
+        s"snappy-java round-trip, n=${c.length}")
+      // and the engine's own decoder agrees
+      val own = graft.sources.Snappy.uncompress(z, c.length)
+        .getOrElse(fail(s"own decode, n=${c.length}"))
+      assert(java.util.Arrays.equals(own, c))
+    }
+    // the compressor genuinely compresses repetitive data
+    val rep = ("abcdefgh" * 10000).getBytes("UTF-8")
+    assert(graft.sources.Snappy.compress(rep).length < rep.length / 10)
+  }
 }
