@@ -1582,6 +1582,56 @@ object IngestionQueries {
                CAST(sum((d * 11) % 1000) AS BIGINT) AS val_sum,
                CAST(1 AS BIGINT) AS compressed_smaller
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q297 — the engine WRITES ORC too (sources/OrcWrite.scala:
+    // protobuf encoder + RLEv2-DIRECT writer + postscript), the
+    // second columnar format closed from first principles on both
+    // ends. The bytes round-trip through the engine's own tail walk
+    // here, and orc-core (spark.read.orc — liborc-independent Java)
+    // plus pyarrow.orc read them in OrcSpec / the scratch pins. The
+    // output also pins the tail structure the writer claims: one
+    // stripe, exact type tree, stripe rows tiling the footer total.
+    "q297_orc_write_roundtrip" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val bytes = graft.sources.OrcWrite.writeLongs(
+              Seq("rec_id", "val"),
+              ids.map(d => Array(d, (d * 13) % 997)))
+            val O = graft.sources.Orc
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              if (t.typeKinds != Seq(12, 4, 4) ||
+                t.fieldNames != Seq("rec_id", "val") ||
+                t.stripes.map(_.numRows).sum != t.numRows) Nil
+              else {
+                val r = t.stripes.flatMap(st =>
+                  O.stripeColumnLongs(bytes, t, st, 1).toSeq.flatten)
+                val v = t.stripes.flatMap(st =>
+                  O.stripeColumnLongs(bytes, t, st, 2).toSeq.flatten)
+                if (r == ids && v.length == r.length)
+                  Seq((blobId, t.stripes.length.toLong,
+                    r.length.toLong, r.sum, v.sum))
+                else Nil
+              }
+            }
+          }
+          .toDF("blob_id", "n_stripes", "n_rows", "id_sum", "val_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(1 AS BIGINT) AS n_stripes,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 13) % 997) AS BIGINT) AS val_sum
+        FROM r GROUP BY blob_id"""),
       headline = false))
   }
 

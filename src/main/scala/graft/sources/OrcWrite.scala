@@ -1,0 +1,155 @@
+package graft.sources
+
+/** A from-scratch MINIMAL ORC writer — the inverse of the engine's
+  * tail walk: "ORC" header magic, one stripe of RLEv2-DIRECT LONG
+  * columns, a protobuf stripe footer + file footer emitted by the
+  * encoder below (the write twin of the reader's PB cursor), an
+  * uncompressed postscript, and the trailing postscript-length byte.
+  * Compression NONE (no chunk framing), no indexes, minimal
+  * statistics (numberOfValues — the one field the spec treats as the
+  * stats envelope).
+  *
+  * The layout is deterministic, the engine's own reader
+  * ([[Orc.parseTail]] / [[Orc.stripeColumnLongs]]) round-trips it,
+  * and orc-core (Spark's `spark.read.orc`, an independent Java
+  * implementation) reads it in OrcSpec — the second columnar format
+  * the engine writes from first principles.
+  *
+  * Spec source: orc.apache.org/specification/ORCv1 (proto fields,
+  * RLEv2 DIRECT sub-encoding, postscript layout).
+  */
+object OrcWrite {
+
+  // ---- protobuf encoder ---------------------------------------------------
+
+  private final class PBW {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+    def uint(field: Int, v: Long): Unit = {
+      varint((field.toLong << 3) | 0); varint(v)
+    }
+    def bytesField(field: Int, b: Array[Byte]): Unit = {
+      varint((field.toLong << 3) | 2); varint(b.length.toLong)
+      out.write(b, 0, b.length)
+    }
+    def strField(field: Int, s: String): Unit =
+      bytesField(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+
+  /** RLEv2 DIRECT runs of zigzag-encoded longs: 512-value chunks,
+    * fixed 64-bit width (code 31) — wasteful but spec-legal and
+    * deterministic; bit-packing at width 64 is plain big-endian.
+    */
+  private def rleV2DirectSigned(vals: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vals.length * 8 + 16)
+    var i = 0
+    while (i < vals.length) {
+      val len = math.min(512, vals.length - i)
+      // header: 0b01 | width code 31 (64 bits) | (len - 1) in 9 bits
+      val h = (1 << 14) | (31 << 9) | (len - 1)
+      out.write((h >> 8) & 0xff); out.write(h & 0xff)
+      var k = 0
+      while (k < len) {
+        val v = vals(i + k)
+        val z = (v << 1) ^ (v >> 63)
+        var s = 56
+        while (s >= 0) { out.write(((z >>> s) & 0xff).toInt); s -= 8 }
+        k += 1
+      }
+      i += len
+    }
+    out.toByteArray
+  }
+
+  /** Write `names.length` LONG columns under a struct root; one
+    * stripe, RLEv2 DIRECT data streams, compression NONE.
+    */
+  def writeLongs(names: Seq[String],
+                 rows: Seq[Array[Long]]): Array[Byte] = {
+    require(names.nonEmpty && rows.forall(_.length == names.length))
+    val n = rows.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('O'); out.write('R'); out.write('C')
+    val stripeStart = out.size().toLong
+    // ---- stripe data: one DATA stream per column --------------------
+    val streams = names.indices.map { c =>
+      rleV2DirectSigned(rows.map(_(c)))
+    }
+    streams.foreach(s => out.write(s, 0, s.length))
+    val dataLength = streams.map(_.length.toLong).sum
+    // ---- stripe footer ----------------------------------------------
+    val sf = new PBW
+    for (c <- names.indices) {
+      val st = new PBW
+      st.uint(1, 1L)                // kind = DATA
+      st.uint(2, (c + 1).toLong)    // column id (root is 0)
+      st.uint(3, streams(c).length.toLong)
+      sf.bytesField(1, st.toBytes)
+    }
+    // encodings: DIRECT for the struct root, DIRECT_V2 (RLEv2) for
+    // every long child — the combination liborc itself emits
+    for (c <- 0 to names.length) {
+      val enc = new PBW
+      enc.uint(1, if (c == 0) 0L else 2L)
+      sf.bytesField(2, enc.toBytes)
+    }
+    val sfb = sf.toBytes
+    out.write(sfb, 0, sfb.length)
+    // ---- file footer -------------------------------------------------
+    val f = new PBW
+    f.uint(1, 3L)                   // headerLength ("ORC")
+    f.uint(2, out.size().toLong)    // contentLength
+    val si = new PBW
+    si.uint(1, stripeStart)         // offset
+    si.uint(2, 0L)                  // indexLength
+    si.uint(3, dataLength)          // dataLength
+    si.uint(4, sfb.length.toLong)   // footerLength
+    si.uint(5, n.toLong)            // numberOfRows
+    f.bytesField(3, si.toBytes)
+    // types: struct root + LONG children
+    val root = new PBW
+    root.uint(1, 12L)               // STRUCT
+    for (c <- names.indices) {
+      root.varint((2L << 3) | 0); root.varint((c + 1).toLong) // subtypes
+    }
+    for (nm <- names) root.strField(3, nm)
+    f.bytesField(4, root.toBytes)
+    for (_ <- names) {
+      val t = new PBW
+      t.uint(1, 4L)                 // LONG
+      f.bytesField(4, t.toBytes)
+    }
+    f.uint(6, n.toLong)             // numberOfRows
+    // statistics envelope: numberOfValues per column (root + leaves)
+    for (_ <- 0 to names.length) {
+      val cs = new PBW
+      cs.uint(1, n.toLong)
+      f.bytesField(7, cs.toBytes)
+    }
+    f.uint(8, 0L)                   // rowIndexStride = 0 (no indexes)
+    val fb = f.toBytes
+    out.write(fb, 0, fb.length)
+    // ---- postscript (never compressed) -------------------------------
+    val ps = new PBW
+    ps.uint(1, fb.length.toLong)    // footerLength
+    ps.uint(2, 0L)                  // compression = NONE
+    ps.uint(3, 256L * 1024)         // compressionBlockSize
+    // version [0, 12] (packed not required; repeated varints)
+    ps.varint((4L << 3) | 0); ps.varint(0L)
+    ps.varint((4L << 3) | 0); ps.varint(12L)
+    ps.uint(5, 0L)                  // metadataLength
+    ps.strField(8000, "ORC")        // magic
+    val psb = ps.toBytes
+    require(psb.length < 256)
+    out.write(psb, 0, psb.length)
+    out.write(psb.length)
+    out.toByteArray
+  }
+}

@@ -334,4 +334,32 @@ class OrcSpec extends SparkSpec {
     val m = b.clone(); m(0) = 'X'
     assert(Orc.parseTail(m).isEmpty)
   }
+
+  test("OrcWrite: engine-written ORC reads back through orc-core " +
+    "(spark.read.orc) and the engine's own tail walk — extreme " +
+    "values, multi-run stripes, multi-column") {
+    val rows = (Seq(Array(Long.MinValue, Long.MaxValue),
+      Array(-1L, 0L)) ++
+      (0L until 2000L).map(i => Array(i, i * 13 % 997))).toSeq
+    val b = graft.sources.OrcWrite.writeLongs(Seq("rec_id", "val"), rows)
+    val t = Orc.parseTail(b).getOrElse(fail("own tail"))
+    assert(t.numRows == rows.length && t.typeKinds == Seq(12, 4, 4))
+    val r = Orc.stripeColumnLongs(b, t, t.stripes.head, 1)
+      .getOrElse(fail("own read a"))
+    val v = Orc.stripeColumnLongs(b, t, t.stripes.head, 2)
+      .getOrElse(fail("own read b"))
+    assert(r.toSeq == rows.map(_(0)) && v.toSeq == rows.map(_(1)))
+    val dir = java.nio.file.Files.createTempDirectory("orcw").toFile
+    val p = new java.io.File(dir, "own.orc")
+    java.nio.file.Files.write(p.toPath, b)
+    val got = spark.read.orc(p.getAbsolutePath)
+      .selectExpr("count(*)", "sum(rec_id)", "sum(val)", "min(rec_id)",
+        "max(val)").collect()(0)
+    assert(got.getLong(0) == rows.length)
+    assert(got.getLong(1) == rows.map(_(0)).sum)
+    assert(got.getLong(2) == rows.map(_(1)).sum)
+    assert(got.getLong(3) == Long.MinValue &&
+      got.getLong(4) == Long.MaxValue)
+    p.delete(); dir.delete()
+  }
 }
