@@ -1632,6 +1632,54 @@ object IngestionQueries {
                CAST(sum(d) AS BIGINT) AS id_sum,
                CAST(sum((d * 13) % 997) AS BIGINT) AS val_sum
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q298 — SNAPPY-chunked ORC writes: every stream and both footers
+    // go through ORC's 3-byte chunk framing with the engine's OWN
+    // compressor, stored-original fallback included (the reader's
+    // dual path, now exercised from the write side). Round-trip
+    // through the engine's own tail walk plus a SIZE LAW (the
+    // compressed file must beat the uncompressed form); orc-core and
+    // pyarrow.orc read the output in OrcSpec / the scratch pins.
+    "q298_orc_write_snappy" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val rows = ids.map(d => Array(d, (d * 13) % 997))
+            val W = graft.sources.OrcWrite
+            val snappy = W.writeLongs(Seq("rec_id", "val"), rows,
+              compression = 2)
+            val plain = W.writeLongs(Seq("rec_id", "val"), rows)
+            val O = graft.sources.Orc
+            O.parseTail(snappy).toSeq.flatMap { t =>
+              val r = t.stripes.flatMap(st =>
+                O.stripeColumnLongs(snappy, t, st, 1).toSeq.flatten)
+              val v = t.stripes.flatMap(st =>
+                O.stripeColumnLongs(snappy, t, st, 2).toSeq.flatten)
+              if (t.compression == O.CompSnappy && r == ids &&
+                v.length == r.length)
+                Seq((blobId, r.length.toLong, r.sum, v.sum,
+                  if (snappy.length < plain.length) 1L else 0L))
+              else Nil
+            }
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "val_sum",
+            "compressed_smaller")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 13) % 997) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS compressed_smaller
+        FROM r GROUP BY blob_id"""),
       headline = false))
   }
 

@@ -68,19 +68,50 @@ object OrcWrite {
     out.toByteArray
   }
 
-  /** Write `names.length` LONG columns under a struct root; one
-    * stripe, RLEv2 DIRECT data streams, compression NONE.
+  /** ORC chunk framing for one stream: 3-byte LE headers, isOriginal
+    * in the LSB, length above; a chunk whose snappy form is not
+    * smaller is stored original — the same dual path the reader
+    * walks.
     */
-  def writeLongs(names: Seq[String],
-                 rows: Seq[Array[Long]]): Array[Byte] = {
+  private def chunked(raw: Array[Byte], blockSize: Int): Array[Byte] = {
+    if (raw.isEmpty) return raw // an empty stream has no chunks
+    val out = new java.io.ByteArrayOutputStream(raw.length + 16)
+    var p = 0
+    while (p < raw.length) {
+      val len = math.min(blockSize, raw.length - p)
+      val block = java.util.Arrays.copyOfRange(raw, p, p + len)
+      val comp = Snappy.compress(block)
+      val (body, isOriginal) =
+        if (comp.length < block.length) (comp, 0) else (block, 1)
+      val h = (body.length << 1) | isOriginal
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write((h >> 16) & 0xff)
+      out.write(body, 0, body.length)
+      p += len
+    }
+    out.toByteArray
+  }
+
+  /** Write `names.length` LONG columns under a struct root; one
+    * stripe, RLEv2 DIRECT data streams. `compression` 0 = NONE,
+    * 2 = SNAPPY through the engine's own compressor, with every
+    * stream and both footers in ORC's chunk framing.
+    */
+  def writeLongs(names: Seq[String], rows: Seq[Array[Long]],
+                 compression: Int = 0): Array[Byte] = {
     require(names.nonEmpty && rows.forall(_.length == names.length))
+    require(compression == 0 || compression == 2,
+      s"compression $compression")
+    val blockSize = 256 * 1024
+    def framed(b: Array[Byte]): Array[Byte] =
+      if (compression == 0) b else chunked(b, blockSize)
     val n = rows.length
     val out = new java.io.ByteArrayOutputStream()
     out.write('O'); out.write('R'); out.write('C')
     val stripeStart = out.size().toLong
     // ---- stripe data: one DATA stream per column --------------------
     val streams = names.indices.map { c =>
-      rleV2DirectSigned(rows.map(_(c)))
+      framed(rleV2DirectSigned(rows.map(_(c))))
     }
     streams.foreach(s => out.write(s, 0, s.length))
     val dataLength = streams.map(_.length.toLong).sum
@@ -100,7 +131,7 @@ object OrcWrite {
       enc.uint(1, if (c == 0) 0L else 2L)
       sf.bytesField(2, enc.toBytes)
     }
-    val sfb = sf.toBytes
+    val sfb = framed(sf.toBytes)
     out.write(sfb, 0, sfb.length)
     // ---- file footer -------------------------------------------------
     val f = new PBW
@@ -134,13 +165,13 @@ object OrcWrite {
       f.bytesField(7, cs.toBytes)
     }
     f.uint(8, 0L)                   // rowIndexStride = 0 (no indexes)
-    val fb = f.toBytes
+    val fb = framed(f.toBytes)
     out.write(fb, 0, fb.length)
     // ---- postscript (never compressed) -------------------------------
     val ps = new PBW
     ps.uint(1, fb.length.toLong)    // footerLength
-    ps.uint(2, 0L)                  // compression = NONE
-    ps.uint(3, 256L * 1024)         // compressionBlockSize
+    ps.uint(2, compression.toLong) // compression kind
+    ps.uint(3, blockSize.toLong)    // compressionBlockSize
     // version [0, 12] (packed not required; repeated varints)
     ps.varint((4L << 3) | 0); ps.varint(0L)
     ps.varint((4L << 3) | 0); ps.varint(12L)

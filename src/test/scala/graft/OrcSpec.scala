@@ -360,6 +360,19 @@ class OrcSpec extends SparkSpec {
     assert(got.getLong(2) == rows.map(_(1)).sum)
     assert(got.getLong(3) == Long.MinValue &&
       got.getLong(4) == Long.MaxValue)
+    // and the SNAPPY-chunked form (engine-owned compressor + ORC
+    // chunk framing) reads back identically, smaller on the wire
+    val bz = graft.sources.OrcWrite.writeLongs(Seq("rec_id", "val"),
+      rows, compression = 2)
+    assert(bz.length < b.length)
+    val pz = new java.io.File(dir, "own_snappy.orc")
+    java.nio.file.Files.write(pz.toPath, bz)
+    val gotZ = spark.read.orc(pz.getAbsolutePath)
+      .selectExpr("count(*)", "sum(rec_id)", "sum(val)").collect()(0)
+    assert(gotZ.getLong(0) == rows.length &&
+      gotZ.getLong(1) == rows.map(_(0)).sum &&
+      gotZ.getLong(2) == rows.map(_(1)).sum)
+    pz.delete()
     p.delete(); dir.delete()
   }
 }
