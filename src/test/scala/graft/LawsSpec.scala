@@ -503,6 +503,11 @@ class LawsSpec extends SparkSpec {
       Multimodal.parsePngPixels(i.toLong, b); Multimodal.parseGifPixels(i.toLong, b)
       graft.sources.Warc.parse(i.toLong, b)
       graft.sources.Warc.parseAuto(i.toLong, b)
+      graft.sources.Csv.parse(b)
+      graft.sources.TextEncoding.decode(b)
+      graft.sources.Orc.parseTail(b)
+      graft.sources.Json.parse(new String(b,
+        java.nio.charset.StandardCharsets.ISO_8859_1))
     }
   }
 }
