@@ -3949,7 +3949,106 @@ object IngestionQueries {
                CAST(sum(mult) AS BIGINT) AS n_rows,
                CAST(sum(mult * d) AS BIGINT) AS id_sum
         FROM cls GROUP BY blob_id, class"""))
-    Seq(q254, q261, q270, q272, q280, q282, q287)
+
+    // q299 — the engine WRITES a complete Delta table: data files
+    // through its own parquet writer (q295's layout) and a
+    // _delta_log of canonical JSON (exactly json.dumps(sort_keys) —
+    // key order, separators, escaping). The independent Python twin
+    // reproduces the WHOLE bundle, so the md5 join pins every byte
+    // of table, log, and schemaString escaping. The query then eats
+    // its own output: the log replays through the engine's own JSON
+    // parser (last-wins by version) and the surviving files decode
+    // through the engine's own parquet reader back to the relational
+    // truth — write → log → replay → read, all first-principles.
+    val q299 = "q299_delta_write_table" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            import graft.sources.Json.{JObject, JString}
+            val ids = it.map(_._2).toSeq.sorted
+            val key = md5Hex("deltawrite:" + ids.mkString(","))
+            val files = graft.sources.DeltaWrite.writeTable(key, ids)
+            // bundle md5 over sorted (path NUL bytes) — the twin's law
+            val md = java.security.MessageDigest.getInstance("MD5")
+            files.toSeq.sortBy(_._1).foreach { case (p, b) =>
+              md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+              md.update(b)
+            }
+            val bundleMd5 = md.digest().map("%02x".format(_)).mkString
+            // replay OUR OWN log through OUR OWN json parser
+            val logs = files.filter(_._1.startsWith("_delta_log/"))
+              .toSeq.sortBy(_._1)
+            var verdict = Map.empty[String, (Int, Boolean)]
+            var ok = true
+            logs.zipWithIndex.foreach { case ((_, bytes), v) =>
+              new String(bytes, "UTF-8").split("\n")
+                .filter(_.nonEmpty).foreach { line =>
+                  graft.sources.Json.parse(line) match {
+                    case Some(o: JObject) =>
+                      def path(k: String): Option[String] =
+                        o.get(k).collect { case a: JObject => a }
+                          .flatMap(_.get("path"))
+                          .collect { case JString(p) => p }
+                      path("add").foreach(p => verdict += p -> (v, true))
+                      path("remove").foreach { p =>
+                        if (!verdict.get(p).exists(_._1 > v))
+                          verdict += p -> (v, false)
+                      }
+                    case _ => ok = false
+                  }
+                }
+            }
+            val active = verdict.collect {
+              case (p, (_, true)) => p }.toSeq.sorted
+            val P = graft.sources.Parquet
+            var rows = 0L
+            var idSum = 0L
+            var valSum = 0L
+            active.foreach { p =>
+              (files.get(p).flatMap(P.columnLongs(_, "rec_id")),
+                files.get(p).flatMap(P.columnLongs(_, "val"))) match {
+                case (Some(r), Some(v2)) =>
+                  rows += r.length; idSum += r.sum; valSum += v2.sum
+                case _ => ok = false
+              }
+            }
+            if (ok)
+              Seq((blobId, logs.length.toLong, active.length.toLong,
+                rows, idSum, valSum, bundleMd5))
+            else Nil
+          }
+          .toDF("blob_id", "n_commits", "n_active", "rows_decoded",
+            "id_sum", "val_sum", "bundle_md5")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS part
+          FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('deltawrite:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey,
+                 CAST(sum(CASE WHEN part <> 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS live_rows,
+                 CAST(sum(CASE WHEN part <> 1 THEN d END) AS BIGINT)
+                   AS id_sum,
+                 CAST(sum(CASE WHEN part <> 1
+                     THEN (d * 11) % 1000 END) AS BIGINT) AS val_sum
+          FROM r GROUP BY blob_id)
+        SELECT k.blob_id,
+               CAST(2 AS BIGINT) AS n_commits,
+               CAST(2 AS BIGINT) AS n_active,
+               k.live_rows AS rows_decoded, k.id_sum, k.val_sum,
+               f.bundle_md5
+        FROM k JOIN read_parquet(
+          '/root/repo/fixtures/delta_write_oracle.parquet') f
+          ON k.bkey = f.blob_key"""))
+    Seq(q254, q261, q270, q272, q280, q282, q287, q299)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:
