@@ -670,6 +670,142 @@ object IngestionQueries {
         FROM p"""),
       headline = false),
 
+    // q300 — the ORC POINT-LOOKUP SKIP STACK, all three levels in one
+    // plan: stripe statistics (Metadata section) drop whole stripes,
+    // the ROW_INDEX drops row groups inside survivors, and the bloom
+    // is consulted ONLY for groups the range checks admit — decode
+    // touches nothing past a bloom miss. The pyramid's DISCIPLINE is
+    // in the output: laws_ok pins bloom-consults <= range-survivors
+    // and decodes <= bloom-passes per probe, and present keys must be
+    // FOUND through the stack (a stack that over-prunes loses them).
+    // Probes derive from each file's own ids; absent twins by
+    // negation. Headline: this is the shape a 100 TB point lookup
+    // actually executes.
+    "q300_orc_skip_stack" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("orcstr:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/orc_str_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            val O = graft.sources.Orc
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              val stride = t.rowIndexStride
+              if (stride <= 0 ||
+                t.stripeStats.length != t.stripes.length) Nil
+              else {
+                // per-stripe lazies: row index, blooms, decoded slices
+                val rgStats = scala.collection.mutable
+                  .Map.empty[Int, Option[Seq[graft.sources.Orc.ColStats]]]
+                val blooms = scala.collection.mutable
+                  .Map.empty[Int, Option[Seq[graft.sources.Orc.OrcBloom]]]
+                val decoded = scala.collection.mutable
+                  .Map.empty[Int, Option[Array[Long]]]
+                def rg(i: Int) = rgStats.getOrElseUpdate(i,
+                  O.stripeRowGroupStats(bytes, t, t.stripes(i), 1))
+                def bl(i: Int) = blooms.getOrElseUpdate(i,
+                  O.stripeBlooms(bytes, t, t.stripes(i), 1))
+                def dec(i: Int) = decoded.getOrElseUpdate(i,
+                  O.stripeColumnLongs(bytes, t, t.stripes(i), 1))
+                var ok = true
+                def probe(k: Long): (Boolean, Boolean) = {
+                  // (found, laws held)
+                  var found = false
+                  var rangeGroups = 0L
+                  var bloomConsults = 0L
+                  var bloomPasses = 0L
+                  var decodes = 0L
+                  for (i <- t.stripes.indices) {
+                    val ss = t.stripeStats(i).lift(1)
+                    val stripeHit = (for {
+                      mn <- ss.flatMap(_.intMin)
+                      mx <- ss.flatMap(_.intMax)
+                    } yield k >= mn && k <= mx)
+                      .getOrElse { ok = false; false }
+                    if (stripeHit) {
+                      (rg(i), bl(i)) match {
+                        case (Some(gs), Some(bs))
+                          if gs.length == bs.length =>
+                          for (g <- gs.indices) {
+                            val gHit = (for {
+                              mn <- gs(g).intMin
+                              mx <- gs(g).intMax
+                            } yield k >= mn && k <= mx)
+                              .getOrElse { ok = false; false }
+                            if (gHit) {
+                              rangeGroups += 1
+                              bloomConsults += 1
+                              if (bs(g).testLong(k)) {
+                                bloomPasses += 1
+                                dec(i) match {
+                                  case Some(vals) =>
+                                    decodes += 1
+                                    val lo = (g * stride).toInt
+                                    val hi = math.min((g + 1) * stride,
+                                      vals.length.toLong).toInt
+                                    var j = lo
+                                    while (j < hi && !found) {
+                                      if (vals(j) == k) found = true
+                                      j += 1
+                                    }
+                                  case None => ok = false
+                                }
+                              }
+                            }
+                          }
+                        case _ => ok = false
+                      }
+                    }
+                  }
+                  val laws = bloomConsults <= rangeGroups &&
+                    bloomPasses <= bloomConsults &&
+                    decodes <= bloomPasses
+                  (found, laws)
+                }
+                val present = {
+                  val all = scala.collection.mutable.Set.empty[Long]
+                  for (i <- t.stripes.indices)
+                    dec(i).foreach(_.foreach(v =>
+                      if (v % 97 == 0) all += v))
+                  all.toSeq.sorted
+                }
+                val out = present.flatMap { k =>
+                  val (f1, l1) = probe(k)
+                  val (f2, l2) = probe(-k - 1)
+                  Seq(
+                    (blobId, k, 1L, if (f1) 1L else 0L,
+                      if (l1) 1L else 0L),
+                    (blobId, -k - 1, 0L, if (f2) 1L else 0L,
+                      if (l2) 1L else 0L))
+                }
+                if (ok) out else Nil
+              }
+            }
+          }.toDF("blob_id", "probe_key", "expected_present", "found",
+            "laws_ok")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents
+          WHERE doc_id % 97 = 0)
+        SELECT blob_id, d AS probe_key,
+               CAST(1 AS BIGINT) AS expected_present,
+               CAST(1 AS BIGINT) AS found, CAST(1 AS BIGINT) AS laws_ok
+        FROM p
+        UNION ALL
+        SELECT blob_id, -d - 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM p"""),
+      headline = true),
+
     // q277 — ORC NULLABLE columns (PRESENT streams): Byte-RLE over
     // MSB-first bit-packed validity, value streams carrying ONLY the
     // present values (LENGTH counts follow the set bits, not numRows).
