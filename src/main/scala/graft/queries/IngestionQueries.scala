@@ -3003,7 +3003,97 @@ object IngestionQueries {
                  AS BIGINT) AS rows_read
         FROM g GROUP BY table_id"""))
 
-    Seq(q257, q258, q259, q262, q271, q275, q281, q286, q289)
+    // q301 — the engine WRITES Iceberg metadata too: metadata.json +
+    // manifest-list + manifest Avro containers through a from-scratch
+    // object-container writer (header map, sync framing, zigzag
+    // record encoding). The independent Python twin reproduces the
+    // whole tree byte for byte (md5 join), and the query eats its own
+    // output: the engine's JSON parser resolves the current snapshot,
+    // its generic Avro reader walks list -> manifest, and the live
+    // rows must equal the relational truth. With q299 (Delta) this
+    // closes metadata WRITING across the lakehouse formats.
+    val q301 = "q301_iceberg_write_metadata" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            import graft.sources.Json.{JArray, JLong, JObject, JString}
+            val ids = it.map(_._2).toSeq.sorted
+            val key = md5Hex("icebergwrite:" + ids.mkString(","))
+            val files = graft.sources.IcebergWrite.writeTable(key, ids)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            files.toSeq.sortBy(_._1).foreach { case (p, b) =>
+              md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+              md.update(b)
+            }
+            val bundleMd5 = md.digest().map("%02x".format(_)).mkString
+            // read our own metadata back through our own readers
+            val out = for {
+              metaBytes <- files.get("v1.metadata.json")
+              meta <- graft.sources.Json
+                .parse(new String(metaBytes, "UTF-8"))
+              mo <- meta match {
+                case o: JObject => Some(o); case _ => None
+              }
+              current <- mo.get("current-snapshot-id").collect {
+                case JLong(v) => v }
+              snaps <- mo.get("snapshots").collect {
+                case JArray(xs) => xs }
+              so <- snaps.collectFirst {
+                case o: JObject
+                  if o.get("snapshot-id") == Some(JLong(current)) => o }
+              lp <- so.get("manifest-list").collect {
+                case JString(p) => p }
+              listBytes <- files.get(lp)
+              list <- graft.sources.AvroGeneric.parseContainer(listBytes)
+            } yield {
+              var nLive = 0L
+              var liveRows = 0L
+              var ok = true
+              list.records.foreach { mf =>
+                (for {
+                  mp <- mf.field("manifest_path").flatMap(_.asString)
+                  mb <- files.get(mp)
+                  m <- graft.sources.AvroGeneric.parseContainer(mb)
+                } yield m) match {
+                  case Some(m) => m.records.foreach { e =>
+                    if (e.field("status").flatMap(_.asLong)
+                        .contains(1L)) {
+                      nLive += 1
+                      liveRows += e.field("data_file")
+                        .flatMap(_.field("record_count"))
+                        .flatMap(_.asLong).getOrElse {
+                          ok = false; 0L }
+                    }
+                  }
+                  case None => ok = false
+                }
+              }
+              if (ok) Seq((t, nLive, liveRows, bundleMd5)) else Nil
+            }
+            out.toSeq.flatten.iterator
+          }
+          .toDF("table_id", "n_live", "live_rows", "bundle_md5")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT table_id,
+                 md5('icebergwrite:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey,
+                 CAST(count(*) AS BIGINT) AS live_rows
+          FROM r GROUP BY table_id)
+        SELECT k.table_id, CAST(3 AS BIGINT) AS n_live, k.live_rows,
+               f.bundle_md5
+        FROM k JOIN read_parquet(
+          '/root/repo/fixtures/iceberg_write_oracle.parquet') f
+          ON k.bkey = f.blob_key"""))
+
+    Seq(q257, q258, q259, q262, q271, q275, q281, q286, q289, q301)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:
