@@ -1941,7 +1941,86 @@ object IngestionQueries {
                  AS BIGINT) AS val_sum,
                CAST(count(*) AS BIGINT) AS meta_rows
         FROM r GROUP BY blob_id"""))
-    Seq(q283)
+
+    // q302 — the engine WRITES a Hudi CoW table too (HudiWrite:
+    // canonical-JSON timeline + own-parquet slices), planting the
+    // same two baits the q283 read fixture carries — a rewritten file
+    // group and a poisoned INFLIGHT slice — then eats its own output:
+    // completed-instants-only, last-wins by file group, decode
+    // through its own reader. The independent Python twin reproduces
+    // the whole bundle byte for byte (md5 join). With q299 (Delta)
+    // and q301 (Iceberg) the engine now writes all three lakehouse
+    // formats' table state.
+    val q302 = "q302_hudi_write_table" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val files = graft.sources.HudiWrite.writeTable(ids)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            files.toSeq.sortBy(_._1).foreach { case (p, b) =>
+              md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+              md.update(b)
+            }
+            val bundleMd5 = md.digest().map("%02x".format(_)).mkString
+            // replay our own timeline: completed only, last-wins
+            val Completed = "^\\.hoodie/(\\d+)\\.commit$".r
+            val Slice = "^p/([^_/]+)_[^_/]+_(\\d+)\\.parquet$".r
+            val completed = files.keys.collect {
+              case Completed(i) => i }.toSet
+            val live = files.keys.toSeq.collect {
+              case p @ Slice(fid, inst) if completed(inst) =>
+                (fid, inst, p)
+            }.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2)._3 }
+              .toSeq.sorted
+            val P = graft.sources.Parquet
+            var rows = 0L
+            var idSum = 0L
+            var valSum = 0L
+            var ok = true
+            live.foreach { p =>
+              (P.columnLongs(files(p), "rec_id"),
+                P.columnLongs(files(p), "val")) match {
+                case (Some(r), Some(v)) =>
+                  rows += r.length; idSum += r.sum; valSum += v.sum
+                case _ => ok = false
+              }
+            }
+            if (ok && live.length == 2)
+              Seq((blobId, completed.size.toLong, live.length.toLong,
+                rows, idSum, valSum, bundleMd5))
+            else Nil
+          }
+          .toDF("blob_id", "n_completed", "n_live", "rows_decoded",
+            "id_sum", "val_sum", "bundle_md5")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg, (doc_id * 13) % 1000 AS v
+          FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('hudiwrite:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(d) AS BIGINT) AS id_sum,
+                 CAST(sum(v + CASE WHEN fg = 0 THEN 5 ELSE 0 END)
+                   AS BIGINT) AS val_sum
+          FROM r GROUP BY blob_id)
+        SELECT k.blob_id,
+               CAST(2 AS BIGINT) AS n_completed,
+               CAST(2 AS BIGINT) AS n_live,
+               k.n_rows AS rows_decoded, k.id_sum, k.val_sum,
+               f.bundle_md5
+        FROM k JOIN read_parquet(
+          '/root/repo/fixtures/hudi_write_oracle.parquet') f
+          ON k.bkey = f.blob_key"""))
+    Seq(q283, q302)
   }
 
   // Iceberg metadata walk (q257/q258) — the OTHER lakehouse format:
