@@ -1816,7 +1816,62 @@ object IngestionQueries {
                CAST(sum((d * 13) % 997) AS BIGINT) AS val_sum,
                CAST(1 AS BIGINT) AS compressed_smaller
         FROM r GROUP BY blob_id"""),
-      headline = false))
+      headline = false),
+
+    // q303 — WRITE THROUGHPUT, headline: every other headline entry
+    // measures reads and compute; a training-data engine also has to
+    // EMIT shards at rate. Each task writes a 64x-replicated parquet
+    // shard through the engine's own writer + own snappy compressor,
+    // then decodes it back through the engine's own reader — the
+    // benched cost is the genuine write+read round trip, and the
+    // oracle pins the decoded truth so a writer that corrupts under
+    // load fails, not just slows.
+    "q303_write_throughput" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            // 64 replicas: the sf0.1 shard is ~640k rows per task
+            val rows = new scala.collection.mutable.ArrayBuffer[
+              Array[Long]](ids.length * 64)
+            var rep = 0
+            while (rep < 64) {
+              ids.foreach(d => rows += Array(d, (d * 11 + rep) % 1000))
+              rep += 1
+            }
+            val bytes = graft.sources.ParquetWrite.writeInt64(
+              Seq("rec_id", "val"), rows.toSeq, codec = 1)
+            val P = graft.sources.Parquet
+            (P.columnLongs(bytes, "rec_id"),
+              P.columnLongs(bytes, "val")) match {
+              case (Some(r), Some(v)) if r.length == rows.length =>
+                Seq((blobId, r.length.toLong, r.sum, v.sum,
+                  bytes.length.toLong > 0L))
+              case _ => Nil
+            }
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "val_sum", "wrote")
+          .filter(col("wrote"))
+          .select(col("blob_id"), col("n_rows"), col("id_sum"),
+            col("val_sum"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        reps AS (
+          SELECT blob_id, d, j.rep
+          FROM r CROSS JOIN
+            (SELECT unnest(generate_series(0, 63)) AS rep) j)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 11 + rep) % 1000) AS BIGINT) AS val_sum
+        FROM reps GROUP BY blob_id"""),
+      headline = true))
   }
 
   // Hudi copy-on-write timeline (q283) — the THIRD lakehouse format:

@@ -47,7 +47,10 @@ object OrcWrite {
     * fixed 64-bit width (code 31) — wasteful but spec-legal and
     * deterministic; bit-packing at width 64 is plain big-endian.
     */
-  private def rleV2DirectSigned(vals: Seq[Long]): Array[Byte] = {
+  private def rleV2DirectSigned(vals0: Seq[Long]): Array[Byte] = {
+    // materialize once: a List-backed Seq would make the indexed run
+    // loop O(n^2)
+    val vals = vals0.toArray
     val out = new java.io.ByteArrayOutputStream(vals.length * 8 + 16)
     var i = 0
     while (i < vals.length) {

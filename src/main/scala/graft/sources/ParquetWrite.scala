@@ -89,9 +89,12 @@ object ParquetWrite {
     for (c <- names.indices) {
       offsets(c) = out.size().toLong
       val plain = new Array[Byte](8 * n)
+      // iterate, never index: a List-backed Seq would turn indexed
+      // access into O(n^2)
+      val it = rows.iterator
       var i = 0
-      while (i < n) {
-        var v = rows(i)(c)
+      while (it.hasNext) {
+        var v = it.next()(c)
         var k = 0
         while (k < 8) {
           plain(i * 8 + k) = (v & 0xff).toByte; v >>>= 8; k += 1
