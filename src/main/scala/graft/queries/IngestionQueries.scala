@@ -236,7 +236,7 @@ object IngestionQueries {
         FROM documents"""))
   ) ++ zipDefs ++ tarDefs ++ gzDefs ++ parquetDefs ++ parquetDictDefs ++
     deltaLogDefs ++ icebergDefs ++ hudiDefs ++ bz2Defs ++ zstdDefs ++
-    orcDefs ++ csvDefs
+    orcDefs ++ csvDefs ++ xzDefs
 
   // ORC file-tail census (q264) — the OTHER major columnar lake
   // format: postscript (last byte = its length) -> chunk-compressed
@@ -1872,6 +1872,64 @@ object IngestionQueries {
                CAST(sum((d * 11 + rep) % 1000) AS BIGINT) AS val_sum
         FROM reps GROUP BY blob_id"""),
       headline = true))
+  }
+
+  // XZ container walk (q304) — the other archive codec crawl-era
+  // corpora ship in (kernel trees, HF mirrors, Wikipedia
+  // incrementals), framed by liblzma via python lzma (the
+  // independent writer). The INDEX is the point at scale: it is how
+  // a reader seeks into a multi-gigabyte .xz without decompressing,
+  // so the census pins the index's uncompressed total RELATIONALLY
+  // (pure string-length arithmetic over doc_ids) and the walk
+  // cross-checks every index record against the blocks it actually
+  // walked — LZMA2 chunk framing included — with all three header
+  // CRC32s verified. Both check types liblzma emits are classified.
+  private def xzDefs: Seq[(String, QueryDef)] = {
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Seq("q304_xz_container_census" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("xz:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/xz_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("kind"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .flatMap { case (blobId, kind, bytes) =>
+            graft.sources.Xz.parse(bytes).toSeq.flatMap { info =>
+              if (graft.sources.Xz.checkName(info.checkType) != kind)
+                Nil // the sniffed check must match the writer's truth
+              else
+                Seq((blobId, kind, info.blocks.length.toLong,
+                  info.indexUncompressed,
+                  info.blocks.map(_.chunks.length.toLong).sum))
+            }
+          }.toDF("blob_id", "check_kind", "n_blocks",
+            "uncompressed_size", "n_chunks")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        agg AS (
+          SELECT blob_id,
+                 CAST(sum(15 + length(CAST(d AS VARCHAR))
+                   + length(CAST((d * 17) % 1000 AS VARCHAR)))
+                   AS BIGINT) AS uncompressed_size
+          FROM r GROUP BY blob_id),
+        kinds AS (SELECT unnest(['crc32', 'crc64']) AS check_kind)
+        SELECT blob_id, check_kind,
+               CAST(1 AS BIGINT) AS n_blocks,
+               uncompressed_size,
+               CAST(1 AS BIGINT) AS n_chunks
+        FROM agg CROSS JOIN kinds"""),
+      headline = false))
   }
 
   // Hudi copy-on-write timeline (q283) — the THIRD lakehouse format:
