@@ -1929,6 +1929,102 @@ object IngestionQueries {
                uncompressed_size,
                CAST(1 AS BIGINT) AS n_chunks
         FROM agg CROSS JOIN kinds"""),
+      headline = false),
+
+    // q305 — FULL LZMA DECODE (sources/Lzma2.scala): the from-scratch
+    // range decoder (11-bit adaptive probabilities, shift-5 updates),
+    // the 12-state machine with matched literals and the rep-distance
+    // history, bit-tree length/position coders, and LZMA2 chunking —
+    // decoded byte for byte from liblzma's own output (the
+    // independent writer), then verified against the block's DECLARED
+    // CHECK: CRC32 via the stdlib, CRC64 through the engine's own
+    // ECMA-182 table. The text hash is relational, so one wrong
+    // literal context or mis-ranged bit anywhere in the stream breaks
+    // the oracle; check_ok breaks instead if the decode is right but
+    // the check plumbing lies.
+    "q305_xz_full_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("xz:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/xz_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("kind"), col("file_bytes"))
+          .as[(Long, String, Array[Byte])]
+          .flatMap { case (blobId, kind, bytes) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            graft.sources.Xz.parse(bytes).toSeq.flatMap { info =>
+              val sb = new java.lang.StringBuilder
+              var checkOk = true
+              var ok = true
+              info.blocks.foreach { blk =>
+                graft.sources.Lzma2.decode(bytes, blk.dataStart,
+                  blk.unpackedLen) match {
+                  case Some(outB) =>
+                    sb.append(new String(outB, "UTF-8"))
+                    val co = ((blk.dataStart + blk.packedLen + 3L)
+                      / 4L * 4L).toInt
+                    info.checkType match {
+                      case 1 =>
+                        val c = new java.util.zip.CRC32()
+                        c.update(outB)
+                        var got = 0L
+                        var k = 3
+                        while (k >= 0) {
+                          got = (got << 8) | (bytes(co + k) & 0xffL)
+                          k -= 1
+                        }
+                        if (c.getValue != got) checkOk = false
+                      case 4 =>
+                        var got = 0L
+                        var k = 7
+                        while (k >= 0) {
+                          got = (got << 8) | (bytes(co + k) & 0xffL)
+                          k -= 1
+                        }
+                        if (graft.sources.Crc64.of(outB, 0,
+                            outB.length) != got) checkOk = false
+                      case _ => checkOk = false
+                    }
+                  case None => ok = false
+                }
+              }
+              if (ok)
+                Seq((blobId, kind, sb.length.toLong,
+                  h60(sb.toString) % 1000003L,
+                  if (checkOk) 1L else 0L))
+              else Nil
+            }
+          }.toDF("blob_id", "check_kind", "n_chars", "text_hash",
+            "check_ok")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        agg AS (
+          SELECT blob_id,
+                 CAST(sum(15 + length(CAST(d AS VARCHAR))
+                   + length(CAST((d * 17) % 1000 AS VARCHAR)))
+                   AS BIGINT) AS n_chars,
+                 CAST(${OracleSql.sqlHash60(
+                   "string_agg('doc ' || d || ': payload ' || " +
+                     "((d * 17) % 1000) || chr(10), '' ORDER BY d)")}
+                   % 1000003 AS BIGINT) AS text_hash
+          FROM r GROUP BY blob_id),
+        kinds AS (SELECT unnest(['crc32', 'crc64']) AS check_kind)
+        SELECT blob_id, check_kind, n_chars, text_hash,
+               CAST(1 AS BIGINT) AS check_ok
+        FROM agg CROSS JOIN kinds"""),
       headline = false))
   }
 
