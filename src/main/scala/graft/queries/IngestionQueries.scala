@@ -6773,6 +6773,95 @@ object IngestionQueries {
                  hdr1 + 512,
                  ((content + 10239) // 10240) * 10240, comp_len
           FROM geo"""),
+        headline = false),
+
+      // q306 — .tar.xz, BOTH layers engine-owned: liblzma single-
+      // stream xz (the independent compressor) around CPython-tarfile
+      // ustar archives, decoded by the engine's own Xz walk + LZMA
+      // range decoder (with the block CRC32 verified over the decoded
+      // archive) then walked by the engine's own tar reader — q247's
+      // twin on the codec crawl-era mirrors actually ship. Same
+      // first-principles geometry oracle; only the compressed SIZE
+      // comes from the fixture.
+      "q306_tarxz_walk" -> QueryDef(
+        build = (s, dir) => {
+          import s.implicits._
+          Engine.table(s, dir, "documents")
+            .select(col("doc_id"),
+              expr("""repeat(md5(coalesce(text, '')),
+                             CAST(1 + n_chars % 5 AS INT)) ||
+                      repeat('!', CAST(doc_id % 300 AS INT))""")
+                .as("payload"))
+            .withColumn("blob_key",
+              md5(concat(lit("tarxz:"), col("payload"))))
+            .join(broadcast(s.read.parquet(
+              "/root/repo/fixtures/tarxz_blobs.parquet")), "blob_key")
+            .select(col("doc_id"), col("xz"))
+            .as[(Long, Array[Byte])]
+            .mapPartitions(_.flatMap { case (id, xz) =>
+              graft.sources.Xz.parse(xz).toSeq.flatMap { info =>
+                if (info.blocks.length != 1 || info.checkType != 1) Nil
+                else {
+                  val blk = info.blocks.head
+                  graft.sources.Lzma2.decode(xz, blk.dataStart,
+                    blk.unpackedLen) match {
+                    case Some(tarB) =>
+                      // the declared CRC32 must hold over the decode
+                      val co = ((blk.dataStart + blk.packedLen + 3L)
+                        / 4L * 4L).toInt
+                      val c = new java.util.zip.CRC32()
+                      c.update(tarB)
+                      var got = 0L
+                      var k = 3
+                      while (k >= 0) {
+                        got = (got << 8) | (xz(co + k) & 0xffL)
+                        k -= 1
+                      }
+                      if (c.getValue != got) Nil
+                      else graft.sources.Tar.parse(id, tarB).map(e =>
+                        Bz2TarRow(id, e.entry_name, e.size, e.type_flag,
+                          e.mtime, e.data_offset,
+                          tarB.length.toLong, xz.length.toLong))
+                    case None => Nil
+                  }
+                }
+              }
+            }).toDF()
+        },
+        oracle = Some(s"""
+          WITH g AS (
+            SELECT doc_id,
+                   repeat(md5(coalesce(text, '')),
+                          CAST(1 + n_chars % 5 AS INT)) ||
+                   repeat('!', CAST(doc_id % 300 AS INT)) AS payload,
+                   CAST(doc_id * 37 % 1000000 AS BIGINT) AS mt
+            FROM documents),
+          k AS (
+            SELECT g.doc_id, g.mt,
+                   CAST(length(g.payload) AS BIGINT) AS l0,
+                   CAST(8 + length(CAST(g.doc_id AS VARCHAR)) AS BIGINT)
+                     AS l1,
+                   CAST(octet_length(f.xz) AS BIGINT) AS comp_len
+            FROM g
+            JOIN read_parquet(
+              '/root/repo/fixtures/tarxz_blobs.parquet') f
+              ON md5('tarxz:' || g.payload) = f.blob_key),
+          geo AS (
+            SELECT *,
+                   512 + ((l0 + 511) // 512) * 512 AS hdr1,
+                   512 + ((l0 + 511) // 512) * 512 +
+                   512 + ((l1 + 511) // 512) * 512 + 1024 AS content
+            FROM k)
+          SELECT doc_id, 'doc.txt' AS entry_name, l0 AS size,
+                 '0' AS type_flag, mt AS mtime,
+                 CAST(512 AS BIGINT) AS data_offset,
+                 ((content + 10239) // 10240) * 10240 AS tar_len, comp_len
+          FROM geo
+          UNION ALL
+          SELECT doc_id, 'meta.json', l1, '0', mt,
+                 hdr1 + 512,
+                 ((content + 10239) // 10240) * 10240, comp_len
+          FROM geo"""),
         headline = false))
   }
 }
