@@ -50,6 +50,9 @@ def main():
             if key in files:
                 continue
             raw = text_of(ids).encode("utf-8")
+            half = len(ids) // 2
+            raw1 = text_of(ids[:half]).encode("utf-8")
+            raw2 = text_of(ids[half:]).encode("utf-8")
             files[key] = [
                 ("a.xz", "crc32", lzma.compress(
                     raw, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC32,
@@ -57,6 +60,14 @@ def main():
                 ("b.xz", "crc64", lzma.compress(
                     raw, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64,
                     preset=6)),
+                # `cat a.xz b.xz` with 4-byte stream padding between —
+                # a VALID .xz per the spec (q307); liblzma agrees:
+                ("c.xz", "concat",
+                 lzma.compress(raw1, format=lzma.FORMAT_XZ,
+                               check=lzma.CHECK_CRC32, preset=6)
+                 + b"\x00" * 4
+                 + lzma.compress(raw2, format=lzma.FORMAT_XZ,
+                                 check=lzma.CHECK_CRC32, preset=6)),
             ]
     out = Path("fixtures")
     out.mkdir(exist_ok=True)

@@ -2025,6 +2025,69 @@ object IngestionQueries {
         SELECT blob_id, check_kind, n_chars, text_hash,
                CAST(1 AS BIGINT) AS check_ok
         FROM agg CROSS JOIN kinds"""),
+      headline = false),
+
+    // q307 — CONCATENATED xz streams: `cat a.xz b.xz` (with 4-byte
+    // stream padding between) is a VALID .xz per the spec, and
+    // real-world pipelines produce exactly this shape. parseAll walks
+    // each stream with the full single-stream discipline; a
+    // single-stream reader either fails the file or silently drops
+    // everything after the first footer — the second half's content
+    // is IN the hash, so truncation-at-the-footer breaks the oracle.
+    "q307_xz_concat_streams" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("xz:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/xz_files.parquet")), "blob_key")
+          .filter(col("kind") === "concat")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            graft.sources.Xz.parseAll(bytes).toSeq.flatMap { streams =>
+              val sb = new java.lang.StringBuilder
+              var ok = true
+              streams.foreach { info =>
+                info.blocks.foreach { blk =>
+                  graft.sources.Lzma2.decode(bytes, blk.dataStart,
+                    blk.unpackedLen) match {
+                    case Some(x) => sb.append(new String(x, "UTF-8"))
+                    case None => ok = false
+                  }
+                }
+              }
+              if (ok)
+                Seq((blobId, streams.length.toLong, sb.length.toLong,
+                  h60(sb.toString) % 1000003L))
+              else Nil
+            }
+          }.toDF("blob_id", "n_streams", "n_chars", "text_hash")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(2 AS BIGINT) AS n_streams,
+               CAST(sum(15 + length(CAST(d AS VARCHAR))
+                 + length(CAST((d * 17) % 1000 AS VARCHAR)))
+                 AS BIGINT) AS n_chars,
+               CAST(${OracleSql.sqlHash60(
+                 "string_agg('doc ' || d || ': payload ' || " +
+                   "((d * 17) % 1000) || chr(10), '' ORDER BY d)")}
+                 % 1000003 AS BIGINT) AS text_hash
+        FROM r GROUP BY blob_id"""),
       headline = false))
   }
 

@@ -60,8 +60,43 @@ object Xz {
     (b(p) & 0xffL) | (b(p + 1) & 0xffL) << 8 |
       (b(p + 2) & 0xffL) << 16 | (b(p + 3) & 0xffL) << 24
 
-  def parse(b: Array[Byte]): Option[XzInfo] = {
+  /** Single-stream parse: the whole byte object must be exactly one
+    * stream.
+    */
+  def parse(b: Array[Byte]): Option[XzInfo] =
+    parseStream(b, 0).collect { case (info, end) if end == b.length =>
+      info }
+
+  /** CONCATENATED streams (`cat a.xz b.xz` is a valid .xz): streams
+    * separated by optional 4-byte-aligned zero padding, each walked
+    * with the full single-stream discipline. None on anything left
+    * over.
+    */
+  def parseAll(b: Array[Byte]): Option[Seq[XzInfo]] = {
+    val out = Seq.newBuilder[XzInfo]
     var p = 0
+    var n = 0
+    while (p < b.length) {
+      // stream padding: zeros in multiples of 4
+      if (b(p) == 0) {
+        val start = p
+        while (p < b.length && b(p) == 0) p += 1
+        if ((p - start) % 4 != 0) return None
+        if (p >= b.length) return Some(out.result())
+      }
+      parseStream(b, p) match {
+        case Some((info, end)) => out += info; p = end; n += 1
+        case None => return None
+      }
+      if (n > (1 << 16)) return None
+    }
+    val r = out.result()
+    if (r.isEmpty) None else Some(r)
+  }
+
+  private def parseStream(b: Array[Byte],
+                          start: Int): Option[(XzInfo, Int)] = {
+    var p = start
     def u8(): Int = { val v = b(p) & 0xff; p += 1; v }
     // xz multibyte integers: 7-bit little-endian, high bit continues
     def varint(): Long = {
@@ -76,7 +111,7 @@ object Xz {
       -1L
     }
     try {
-      if (b.length < 32) return None
+      if (b.length - start < 32) return None
       // ---- stream header -------------------------------------------
       if (u8() != 0xfd || u8() != '7' || u8() != 'z' || u8() != 'X' ||
         u8() != 'Z' || u8() != 0x00) return None
@@ -201,7 +236,7 @@ object Xz {
       p += 4
       val idxRealSize = p - idxStart
       // ---- footer ---------------------------------------------------
-      if (p + 12 != b.length) return None
+      if (p + 12 > b.length) return None
       val footCrc = le32(b, p)
       if (footCrc != crc32(b, p + 4, 6)) return None
       val backward = (le32(b, p + 4) + 1) * 4
@@ -209,7 +244,7 @@ object Xz {
       if (b(p + 8) != 0x00 || (b(p + 9) & 0xff) != (check | 0x00))
         return None
       if (b(p + 10) != 'Y' || b(p + 11) != 'Z') return None
-      Some(XzInfo(check, walked, idxUncomp))
+      Some((XzInfo(check, walked, idxUncomp), p + 12))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }

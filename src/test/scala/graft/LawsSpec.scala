@@ -506,6 +506,9 @@ class LawsSpec extends SparkSpec {
       graft.sources.Csv.parse(b)
       graft.sources.TextEncoding.decode(b)
       graft.sources.Orc.parseTail(b)
+      graft.sources.Xz.parse(b)
+      graft.sources.Xz.parseAll(b)
+      graft.sources.Lzma2.decode(b, 0, math.min(b.length.toLong, 64L))
       graft.sources.Json.parse(new String(b,
         java.nio.charset.StandardCharsets.ISO_8859_1))
     }
