@@ -18,20 +18,21 @@ class XzSpec extends SparkSpec {
         r.getAs[Array[Byte]]("file_bytes")))
 
   private def decodeAll(b: Array[Byte]): Option[(Int, Array[Byte])] =
-    Xz.parse(b).flatMap { info =>
+    Xz.parseAll(b).flatMap { streams =>
       val out = new java.io.ByteArrayOutputStream()
-      var ok = true
-      info.blocks.foreach { blk =>
+      var ok = streams.nonEmpty
+      streams.foreach(_.blocks.foreach { blk =>
         Lzma2.decode(b, blk.dataStart, blk.unpackedLen) match {
           case Some(x) => out.write(x, 0, x.length)
           case None => ok = false
         }
-      }
-      if (ok) Some((info.checkType, out.toByteArray)) else None
+      })
+      if (ok) Some((streams.head.checkType, out.toByteArray))
+      else None
     }
 
   private def checkHolds(b: Array[Byte]): Boolean =
-    Xz.parse(b).exists { info =>
+    Xz.parseAll(b).exists(_.forall { info =>
       info.blocks.forall { blk =>
         Lzma2.decode(b, blk.dataStart, blk.unpackedLen).exists { x =>
           val co = ((blk.dataStart + blk.packedLen + 3L) / 4 * 4).toInt
@@ -47,16 +48,25 @@ class XzSpec extends SparkSpec {
           }
         }
       }
-    }
+    })
 
   test("liblzma-written xz decodes byte-exact: every line matches the " +
     "writer formula, checks (CRC32 and engine-owned CRC64) verify") {
     val rows = fixture
-    assert(rows.length == 24)
-    assert(rows.map(_._1).toSet == Set("crc32", "crc64"))
+    assert(rows.length == 36)
+    assert(rows.map(_._1).toSet == Set("crc32", "crc64", "concat"))
     for ((kind, b) <- rows) {
       val (check, out) = decodeAll(b).getOrElse(fail(s"$kind decode"))
-      assert(Xz.checkName(check) == kind)
+      if (kind != "concat") {
+        assert(Xz.checkName(check) == kind)
+        // the plain single-stream parse also accepts these
+        assert(Xz.parse(b).isDefined)
+      } else {
+        // cat-ed streams: strict single-stream parse refuses, the
+        // multi-stream walk sees exactly two
+        assert(Xz.parse(b).isEmpty)
+        assert(Xz.parseAll(b).exists(_.length == 2))
+      }
       val lines = new String(out, "UTF-8").split("\n")
       assert(lines.nonEmpty)
       for (l <- lines) {
@@ -73,7 +83,7 @@ class XzSpec extends SparkSpec {
   test("damage fails closed: every payload byte flip is caught by the " +
     "walk, the decoder, or the check — never silent wrong bytes; " +
     "truncations never throw") {
-    val b = fixture.head._2
+    val b = fixture.find(_._1 == "crc32").get._2
     val info = Xz.parse(b).get
     val blk = info.blocks.head
     val orig = Lzma2.decode(b, blk.dataStart, blk.unpackedLen).get
