@@ -1871,7 +1871,103 @@ object IngestionQueries {
                CAST(sum(d) AS BIGINT) AS id_sum,
                CAST(sum((d * 11 + rep) % 1000) AS BIGINT) AS val_sum
         FROM reps GROUP BY blob_id"""),
-      headline = true))
+      headline = true),
+
+    // q308 — write -> stats -> skip, ALL first principles: the
+    // engine's own parquet writer now emits footer Statistics
+    // (null_count + min_value/max_value), four range-sorted quartile
+    // shards are written per blob, and the engine's own reader prunes
+    // the re-read from those stats alone — decoding ONLY the shards
+    // whose [min,max] intersects the middle-third probe. q266 proved
+    // this loop through Spark's writer; this closes it with zero
+    // foreign code on either side. Selection counts and surviving
+    // sums re-derive relationally from the same quartile arithmetic.
+    "q308_own_write_stats_skip" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val n = ids.length
+            val shards = (0 to 3).map(q =>
+              ids.zipWithIndex.collect {
+                case (d, i) if i * 4 / n == q => d })
+              .filter(_.nonEmpty)
+              .map(part => graft.sources.ParquetWrite.writeInt64(
+                Seq("rec_id", "val"),
+                part.map(d => Array(d, (d * 11) % 1000)),
+                codec = 1, withStats = true))
+            val lo = ids.head + (ids.last - ids.head) / 3
+            val hi = ids.head + 2 * (ids.last - ids.head) / 3
+            val P = graft.sources.Parquet
+            var nSel = 0L
+            var rows = 0L
+            var idSum = 0L
+            var ok = true
+            shards.foreach { bytes =>
+              P.parseFooter(bytes) match {
+                case Some(fm) =>
+                  val cm = fm.rowGroups.head.cols
+                    .find(_.path == "rec_id")
+                  val hit = (for {
+                    c <- cm
+                    mn <- c.minLong
+                    mx <- c.maxLong
+                  } yield mx >= lo && mn <= hi)
+                    .getOrElse { ok = false; false }
+                  if (hit) {
+                    nSel += 1
+                    P.columnLongs(bytes, "rec_id") match {
+                      case Some(r) => rows += r.length; idSum += r.sum
+                      case None => ok = false
+                    }
+                  }
+                case None => ok = false
+              }
+            }
+            if (ok)
+              Seq((blobId, shards.length.toLong, nSel, rows, idSum))
+            else Nil
+          }
+          .toDF("blob_id", "n_shards", "n_selected", "sel_rows",
+            "sel_id_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        w AS (
+          SELECT blob_id, d,
+                 ((row_number() OVER (PARTITION BY blob_id ORDER BY d)
+                   - 1) * 4) //
+                   (count(*) OVER (PARTITION BY blob_id)) AS qtr,
+                 min(d) OVER (PARTITION BY blob_id) AS gmin,
+                 max(d) OVER (PARTITION BY blob_id) AS gmax
+          FROM r),
+        f AS (
+          SELECT blob_id, qtr,
+                 CAST(count(*) AS BIGINT) AS rc,
+                 CAST(sum(d) AS BIGINT) AS isum,
+                 min(d) AS flo, max(d) AS fhi,
+                 min(gmin) AS gmin, max(gmax) AS gmax
+          FROM w GROUP BY blob_id, qtr)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(CASE WHEN fhi >= gmin + (gmax - gmin) // 3
+                        AND flo <= gmin + 2 * (gmax - gmin) // 3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               CAST(coalesce(sum(CASE
+                 WHEN fhi >= gmin + (gmax - gmin) // 3
+                  AND flo <= gmin + 2 * (gmax - gmin) // 3
+                 THEN rc END), 0) AS BIGINT) AS sel_rows,
+               CAST(coalesce(sum(CASE
+                 WHEN fhi >= gmin + (gmax - gmin) // 3
+                  AND flo <= gmin + 2 * (gmax - gmin) // 3
+                 THEN isum END), 0) AS BIGINT) AS sel_id_sum
+        FROM f GROUP BY blob_id"""),
+      headline = false))
   }
 
   // XZ container walk (q304) — the other archive codec crawl-era

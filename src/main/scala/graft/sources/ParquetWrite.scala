@@ -62,6 +62,10 @@ object ParquetWrite {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       varint(b.length.toLong); out.write(b, 0, b.length)
     }
+    def bytesField(id: Int, b: Array[Byte]): Unit = {
+      fieldHeader(id, 8)
+      varint(b.length.toLong); out.write(b, 0, b.length)
+    }
     def structField(id: Int): Unit = { fieldHeader(id, 12); push() }
     /** A bare struct list element. */
     def elemStruct(): Unit = push()
@@ -76,7 +80,8 @@ object ParquetWrite {
     * compressor ([[Snappy.compress]] — real LZ77, snappy-java-pinned).
     */
   def writeInt64(names: Seq[String], rows: Seq[Array[Long]],
-                 codec: Int = 0): Array[Byte] = {
+                 codec: Int = 0, withStats: Boolean = false)
+      : Array[Byte] = {
     require(names.nonEmpty && rows.forall(_.length == names.length))
     require(codec == 0 || codec == 1, s"codec $codec")
     val out = new java.io.ByteArrayOutputStream()
@@ -150,6 +155,25 @@ object ParquetWrite {
       f.i64(6, uncompSizes(c))          // total_uncompressed_size
       f.i64(7, chunkSizes(c))           // total_compressed_size
       f.i64(9, offsets(c))              // data_page_offset
+      if (withStats && n > 0) {
+        // footer Statistics: the stats-driven skip loop's write side
+        // (null_count, min_value/max_value as PLAIN LE64)
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        val it2 = rows.iterator
+        while (it2.hasNext) {
+          val v = it2.next()(c)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        def le8(v: Long): Array[Byte] =
+          Array.tabulate[Byte](8)(k => ((v >>> (8 * k)) & 0xff).toByte)
+        f.structField(12)
+        f.i64(3, 0L)                    // null_count
+        f.bytesField(5, le8(mx))        // max_value
+        f.bytesField(6, le8(mn))        // min_value
+        f.end()
+      }
       f.end()                           // ColumnMetaData
       f.end()                           // ColumnChunk
     }
