@@ -84,6 +84,8 @@ object ParquetWrite {
       : Array[Byte] = {
     require(names.nonEmpty && rows.forall(_.length == names.length))
     require(codec == 0 || codec == 1, s"codec $codec")
+    // single-page writer: 8 * n must stay far from Int overflow
+    require(rows.length <= (1 << 26), s"too many rows: ${rows.length}")
     val out = new java.io.ByteArrayOutputStream()
     out.write('P'); out.write('A'); out.write('R'); out.write('1')
     val n = rows.length
