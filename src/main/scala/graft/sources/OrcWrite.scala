@@ -103,6 +103,7 @@ object OrcWrite {
   def writeLongs(names: Seq[String], rows: Seq[Array[Long]],
                  compression: Int = 0): Array[Byte] = {
     require(names.nonEmpty && rows.forall(_.length == names.length))
+    require(rows.length <= (1 << 26), s"too many rows: ${rows.length}")
     require(compression == 0 || compression == 2,
       s"compression $compression")
     val blockSize = 256 * 1024
