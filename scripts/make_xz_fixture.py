@@ -68,6 +68,10 @@ def main():
                  + b"\x00" * 4
                  + lzma.compress(raw2, format=lzma.FORMAT_XZ,
                                  check=lzma.CHECK_CRC32, preset=6)),
+                # legacy .lzma (FORMAT_ALONE: props + dict size +
+                # unknown length + end marker) — q309
+                ("d.lzma", "alone",
+                 lzma.compress(raw, format=lzma.FORMAT_ALONE)),
             ]
     out = Path("fixtures")
     out.mkdir(exist_ok=True)

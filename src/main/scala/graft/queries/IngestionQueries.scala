@@ -2184,6 +2184,55 @@ object IngestionQueries {
                    "((d * 17) % 1000) || chr(10), '' ORDER BY d)")}
                  % 1000003 AS BIGINT) AS text_hash
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q309 — LEGACY .lzma ("alone" format, what old lzma-utils and
+    // lzma.FORMAT_ALONE write — pre-xz corpora are full of it):
+    // props byte + dict size + an UNKNOWN-length field, so the decode
+    // runs to the in-stream END MARKER (the dist-0xFFFFFFFF path that
+    // is illegal inside LZMA2 chunks and proves the marker plumbing).
+    // Same relational text hash as q305 — one wrong bit anywhere
+    // breaks it.
+    "q309_lzma_alone_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("xz:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        keys.join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/xz_files.parquet")), "blob_key")
+          .filter(col("kind") === "alone")
+          .select(col("blob_id"), col("file_bytes"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (blobId, bytes) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            graft.sources.Lzma2.decodeAlone(bytes).toSeq.map { x =>
+              val t = new String(x, "UTF-8")
+              (blobId, t.length.toLong, h60(t) % 1000003L)
+            }
+          }.toDF("blob_id", "n_chars", "text_hash")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(sum(15 + length(CAST(d AS VARCHAR))
+                 + length(CAST((d * 17) % 1000 AS VARCHAR)))
+                 AS BIGINT) AS n_chars,
+               CAST(${OracleSql.sqlHash60(
+                 "string_agg('doc ' || d || ': payload ' || " +
+                   "((d * 17) % 1000) || chr(10), '' ORDER BY d)")}
+                 % 1000003 AS BIGINT) AS text_hash
+        FROM r GROUP BY blob_id"""),
       headline = false))
   }
 

@@ -133,6 +133,25 @@ object Lzma2 {
     val literals = Array.fill[Short](0x300 << (lc + lp))(InitProb)
   }
 
+  /** The decode window: full output kept (the corpus cap bounds it),
+    * with the dictionary-reset point for position contexts and match
+    * reach.
+    */
+  private final class Win(cap: Int) {
+    var bytes: Array[Byte] = Array.emptyByteArray
+    var len = 0
+    var dictStart = 0
+    def push(x: Byte): Unit = {
+      if (len >= cap) damage()
+      if (len >= bytes.length) {
+        val n = math.max(1024, bytes.length * 2)
+        bytes = java.util.Arrays.copyOf(bytes, n)
+      }
+      bytes(len) = x
+      len += 1
+    }
+  }
+
   /** Decode an LZMA2 payload (as framed inside an xz block) starting
     * at `off`, producing exactly `want` bytes. The position context
     * and match window run from the last dictionary reset.
@@ -141,18 +160,7 @@ object Lzma2 {
              cap: Int = 1 << 26): Option[Array[Byte]] = {
     if (want < 0 || want > cap) return None
     try {
-      var winBytes: Array[Byte] = Array.emptyByteArray
-      var winLen = 0
-      def push(x: Byte): Unit = {
-        if (winLen >= cap) damage()
-        if (winLen >= winBytes.length) {
-          val n = math.max(1024, winBytes.length * 2)
-          winBytes = java.util.Arrays.copyOf(winBytes, n)
-        }
-        winBytes(winLen) = x
-        winLen += 1
-      }
-      var dictStart = 0 // last dictionary reset point
+      val win = new Win(cap)
       var p = off
       var state: State = null
       var done = false
@@ -161,13 +169,13 @@ object Lzma2 {
         val c = b(p) & 0xff; p += 1
         if (c == 0x00) done = true
         else if (c == 0x01 || c == 0x02) {
-          if (c == 0x01) dictStart = winLen
+          if (c == 0x01) win.dictStart = win.len
           if (p + 2 > b.length) damage()
           val sz = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1
           p += 2
           if (p + sz > b.length) damage()
           var i = 0
-          while (i < sz) { push(b(p + i)); i += 1 }
+          while (i < sz) { win.push(b(p + i)); i += 1 }
           p += sz
           // raw chunks reset the LZMA state machine's continuity
           state = null
@@ -193,14 +201,76 @@ object Lzma2 {
             val s = new State(state.lc, state.lp, state.pb)
             state = s
           } else if (state == null) damage()
-          if (reset == 3) dictStart = winLen
+          if (reset == 3) win.dictStart = win.len
           if (p + csz > b.length) damage()
           val rc = new Rc(b, p, p + csz)
           rc.init()
-          val target = winLen + usz
-          val s = state
-          val pbMask = (1 << s.pb) - 1
-          val lpMask = (1 << s.lp) - 1
+          val target = win.len.toLong + usz
+          decodeSymbols(rc, state, win, target, allowMarker = false)
+          if (rc.p != p + csz) damage() // chunk must consume exactly
+          p += csz
+        } else damage()
+      }
+      if (win.len.toLong != want) damage()
+      Some(java.util.Arrays.copyOf(win.bytes, win.len))
+    } catch {
+      case _: Damage => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Legacy `.lzma` ("alone" format, what `lzma.FORMAT_ALONE` /
+    * old lzma-utils write): props byte + LE32 dict size + LE64
+    * uncompressed size (all-ones = unknown, terminated by the
+    * end-of-stream marker), then one raw LZMA stream.
+    */
+  def decodeAlone(b: Array[Byte],
+                  cap: Int = 1 << 26): Option[Array[Byte]] = {
+    try {
+      if (b.length < 14) return None
+      val prop = b(0) & 0xff
+      if (prop > 224) return None
+      val lc = prop % 9
+      val rest = prop / 9
+      val lp = rest % 5
+      val pb = rest / 5
+      if (pb > 4) return None
+      var size = 0L
+      var k = 0
+      while (k < 8) { size |= (b(5 + k) & 0xffL) << (8 * k); k += 1 }
+      val known = size != -1L
+      if (known && (size < 0 || size > cap)) return None
+      val win = new Win(cap)
+      val s = new State(lc, lp, pb)
+      val rc = new Rc(b, 13, b.length)
+      rc.init()
+      val hitMarker = decodeSymbols(rc, s, win,
+        if (known) size else cap.toLong + 1, allowMarker = true)
+      if (known) {
+        if (win.len.toLong != size) return None
+      } else if (!hitMarker) return None
+      Some(java.util.Arrays.copyOf(win.bytes, win.len))
+    } catch {
+      case _: Damage => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** The LZMA symbol loop: decode until the window reaches `target`
+    * (or the end-of-stream marker, when legal). Returns true iff the
+    * marker ended the stream.
+    */
+  private def decodeSymbols(rc: Rc, s: State, win: Win, target: Long,
+                            allowMarker: Boolean): Boolean = {
+    val pbMask = (1 << s.pb) - 1
+    val lpMask = (1 << s.lp) - 1
+    var winLen = win.len
+    def push(x: Byte): Unit = { win.push(x); winLen = win.len }
+    val dictStart = win.dictStart
+    def winBytes: Array[Byte] = win.bytes
+    locally {
+      locally {
+        locally {
           while (winLen < target) {
             val pos = winLen - dictStart
             val posState = pos & pbMask
@@ -253,8 +323,11 @@ object Lzma2 {
                   }
                   s.rep0 = dist
                 }
-                if (s.rep0 == -1 || s.rep0 == 0xffffffff)
-                  damage() // end marker: not legal inside LZMA2
+                if (s.rep0 == -1) {
+                  // end-of-stream marker (dist 0xFFFFFFFF)
+                  if (allowMarker) return true
+                  damage() // not legal inside LZMA2 chunks
+                }
                 s.st = if (s.st < 7) 7 else 10
               } else {
                 // REP branches
@@ -295,18 +368,12 @@ object Lzma2 {
                 }
               }
             }
-            if (winLen > target) damage() // match overran the chunk
+            if (winLen > target) damage() // match overran the target
           }
-          if (rc.p != p + csz) damage() // chunk must consume exactly
-          p += csz
-        } else damage()
+        }
       }
-      if (winLen.toLong != want) damage()
-      Some(java.util.Arrays.copyOf(winBytes, winLen))
-    } catch {
-      case _: Damage => None
-      case _: ArrayIndexOutOfBoundsException => None
     }
+    false
   }
 }
 

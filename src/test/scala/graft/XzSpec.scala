@@ -53,9 +53,10 @@ class XzSpec extends SparkSpec {
   test("liblzma-written xz decodes byte-exact: every line matches the " +
     "writer formula, checks (CRC32 and engine-owned CRC64) verify") {
     val rows = fixture
-    assert(rows.length == 36)
-    assert(rows.map(_._1).toSet == Set("crc32", "crc64", "concat"))
-    for ((kind, b) <- rows) {
+    assert(rows.length == 48)
+    assert(rows.map(_._1).toSet ==
+      Set("crc32", "crc64", "concat", "alone"))
+    for ((kind, b) <- rows if kind != "alone") {
       val (check, out) = decodeAll(b).getOrElse(fail(s"$kind decode"))
       if (kind != "concat") {
         assert(Xz.checkName(check) == kind)
@@ -77,6 +78,26 @@ class XzSpec extends SparkSpec {
         }
       }
       assert(checkHolds(b), s"$kind check")
+    }
+  }
+
+  test("legacy .lzma (alone format): unknown-length streams decode to " +
+    "the end marker; truncation before the marker fails closed") {
+    val rows = fixture.filter(_._1 == "alone")
+    assert(rows.length == 12)
+    for ((_, b) <- rows) {
+      val out = Lzma2.decodeAlone(b).getOrElse(fail("alone decode"))
+      val lines = new String(out, "UTF-8").split("\n")
+      val m = "doc (\\d+): payload (\\d+)".r
+      for (l <- lines) l match {
+        case m(d, v) => assert(v.toLong == (d.toLong * 17) % 1000)
+        case _ => fail(s"line '$l'")
+      }
+      // an unknown-length stream cut before the marker must fail
+      assert(Lzma2.decodeAlone(
+        java.util.Arrays.copyOf(b, b.length - 4)).isEmpty)
+      for (cut <- 0 until b.length by 9)
+        Lzma2.decodeAlone(java.util.Arrays.copyOf(b, cut))
     }
   }
 
