@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries.defs ++ ScalarQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       IngestionQueries.defs ++ MultimodalQueries.defs ++
-      AnalyticsQueries.defs ++ CurationQueries.defs ++ GraphQueries.defs
+      AnalyticsQueries.defs ++ CurationQueries.defs ++
+      GraphQueries.defs ++ WriterQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The FULL pretraining pipeline (q161) — Gopher rule gate →

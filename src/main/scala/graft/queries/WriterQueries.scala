@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Engine
+import org.apache.spark.sql.functions._
+
+/** Round-13 write-side queries: the engine's own columnar writers
+  * widened from toy int64 pairs to real training-shard schemas —
+  * strings, nullable columns, dictionary pages, write-side page
+  * index/bloom, and the compression encoders that make the written
+  * bytes genuinely small. Every query follows the q295 discipline:
+  * deterministic layout, md5-pinned independent Python twin where the
+  * bytes are deterministic, independent JVM/Python READERS of the
+  * engine's output in the specs, and the engine's OWN reader decoding
+  * its own bytes back to relational truth inside the oracled query.
+  *
+  * Reference tie-in: the reference pipeline's terminal sinks are
+  * xlsx/Postgres (pdf_to_xlsx.py:118-135, import_files_to_postgre
+  * .py:217-293); a 100 TB training-data pipeline's terminal sink is
+  * columnar shards. These queries close that sink from first
+  * principles on both ends.
+  */
+object WriterQueries {
+
+  private def md5Hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The q310 shard derivations, shared by build and twin: all
+    * derived from doc_id so the same ids always yield the same file
+    * (moduli 5/7/11/17 — coprime with the %6 blob split, the fixture
+    * trap memory r12 hit twice).
+    */
+  private val Langs = Array("en", "es", "fr", "de", "pt")
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+
+    // q310 — the own parquet writer carries a REAL corpus schema:
+    // BYTE_ARRAY text (PLAIN), a nullable dictionary-encoded lang
+    // column (OPTIONAL def levels + PLAIN dict page + RLE_DICTIONARY
+    // indices), a nullable INT64 score, footer Statistics on every
+    // chunk — written from first principles (ParquetWrite.writeFile),
+    // md5-pinned byte-for-byte against an independent Python twin
+    // (scripts/make_parquet_write2_oracle.py, which also re-reads the
+    // twin's bytes with pyarrow AND DuckDB), cross-read by parquet-mr
+    // in ParquetSpec, and decoded back to relational truth by the
+    // engine's OWN reader here — n_rows, sums, null counts, and the
+    // footer stats bounds all re-derive in DuckDB from `documents`.
+    "q310_parquet_write_corpus" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted.toArray
+            val n = ids.length
+            val W = graft.sources.ParquetWrite
+            def utf8(x: String) = x.getBytes("UTF-8")
+            val txts = ids.map(d => utf8("doc-" + d + "-" +
+              ("x" * (d % 17).toInt)))
+            val langDefs = ids.map(d => if (d % 7 == 0) 0 else 1)
+            val langs = ids.filter(_ % 7 != 0)
+              .map(d => utf8(Langs((d % 5).toInt)))
+            val scoreDefs = ids.map(d => if (d % 11 == 3) 0 else 1)
+            val scores = ids.filter(_ % 11 != 3).map(d => (d * d) % 997)
+            val fields = Seq(
+              W.Leaf("rec_id", 0, 2),
+              W.Leaf("txt", 0, 6, convertedType = 0),
+              W.Leaf("lang", 1, 6, convertedType = 0),
+              W.Leaf("score", 1, 2))
+            val bytes = W.writeFile(fields, Seq(
+              W.LeafData(Array.fill(n)(0), null, longs = ids),
+              W.LeafData(Array.fill(n)(0), null, bins = txts),
+              W.LeafData(langDefs, null, bins = langs, dict = true),
+              W.LeafData(scoreDefs, null, longs = scores)),
+              withStats = true)
+            val fileMd5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map("%02x".format(_)).mkString
+            // decode-own-write law: every output number below comes
+            // from the engine's reader walking the bytes it just wrote
+            val P = graft.sources.Parquet
+            P.parseFooter(bytes).toSeq.flatMap { fm =>
+              def cells(path: String) = {
+                val (d, r) = fm.leafLevels(path)
+                fm.rowGroups.head.cols.find(_.path == path)
+                  .flatMap(c => P.readChunkCells(bytes, c, d, r))
+              }
+              (cells("rec_id"), cells("txt"), cells("lang"),
+                cells("score")) match {
+                case (Some(rc), Some(tc), Some(lc), Some(sc))
+                  if rc.longs.toSeq == ids.toSeq =>
+                  val idCol = fm.rowGroups.head.cols
+                    .find(_.path == "rec_id").get
+                  (idCol.minLong, idCol.maxLong) match {
+                    case (Some(mn), Some(mx)) =>
+                      Seq((blobId, fileMd5, bytes.length.toLong,
+                        rc.longs.length.toLong, rc.longs.sum,
+                        tc.bins.map(_.length.toLong).sum,
+                        lc.defs.count(_ == 0).toLong,
+                        lc.bins.map(_.length.toLong).sum,
+                        sc.defs.count(_ == 0).toLong,
+                        sc.longs.sum, mn, mx))
+                    case _ => Nil
+                  }
+                case _ => Nil
+              }
+            }
+          }
+          .toDF("blob_id", "file_md5", "file_bytes_len", "n_rows",
+            "id_sum", "txt_len_sum", "n_lang_null", "lang_len_sum",
+            "n_score_null", "score_sum", "stat_min_id", "stat_max_id")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('pqwrite2:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(d) AS BIGINT) AS id_sum,
+                 CAST(sum(length('doc-' || d || '-') + (d % 17))
+                   AS BIGINT) AS txt_len_sum,
+                 CAST(sum(CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_lang_null,
+                 CAST(sum(CASE WHEN d % 7 = 0 THEN 0 ELSE 2 END)
+                   AS BIGINT) AS lang_len_sum,
+                 CAST(sum(CASE WHEN d % 11 = 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_score_null,
+                 CAST(sum(CASE WHEN d % 11 = 3 THEN 0
+                   ELSE (d * d) % 997 END) AS BIGINT) AS score_sum,
+                 CAST(min(d) AS BIGINT) AS stat_min_id,
+                 CAST(max(d) AS BIGINT) AS stat_max_id
+          FROM r GROUP BY blob_id)
+        SELECT k.blob_id, f.file_md5, f.file_bytes_len, k.n_rows,
+               k.id_sum, k.txt_len_sum, k.n_lang_null, k.lang_len_sum,
+               k.n_score_null, k.score_sum, k.stat_min_id,
+               k.stat_max_id
+        FROM k JOIN read_parquet(
+          '/root/repo/fixtures/parquet_write2_oracle.parquet') f
+          ON k.bkey = f.blob_key"""),
+      headline = false))
+}

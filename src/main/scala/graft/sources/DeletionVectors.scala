@@ -108,14 +108,15 @@ object DeletionVectors {
   def fileSlice(file: Array[Byte], offset: Long,
                 sizeInBytes: Long): Option[Array[Byte]] = {
     if (file.length < 1 || file(0) != 1) return None
+    // bound offset against the file with Long math BEFORE narrowing:
+    // offsets in Int.MaxValue-3..Int.MaxValue would wrap `p + 4`
     if (offset < 1 || sizeInBytes <= 0 || sizeInBytes > (1 << 26) ||
-      offset > Int.MaxValue) return None
+      offset + 8 > file.length) return None
     val p = offset.toInt
-    if (p + 4 > file.length) return None
     val size = ((file(p) & 0xff) << 24) | ((file(p + 1) & 0xff) << 16) |
       ((file(p + 2) & 0xff) << 8) | (file(p + 3) & 0xff)
     if (size.toLong != sizeInBytes) return None
-    if (p + 4 + size + 4 > file.length) return None
+    if ((p + 4).toLong + size + 4 > file.length) return None
     val data = java.util.Arrays.copyOfRange(file, p + 4, p + 4 + size)
     val crc = new java.util.zip.CRC32()
     crc.update(data)

@@ -1440,7 +1440,8 @@ object Parquet {
       if (p + 4 > raw.length) damage()
       val len = (raw(p) & 0xff) | (raw(p + 1) & 0xff) << 8 |
         (raw(p + 2) & 0xff) << 16 | (raw(p + 3) & 0xff) << 24
-      if (len < 0 || p + 4 + len > raw.length) damage()
+      // Long math: p + 4 + len can wrap Int for a forged len near 2^31
+      if (len < 0 || (p + 4).toLong + len > raw.length) damage()
       arr(i) = java.util.Arrays.copyOfRange(raw, p + 4, p + 4 + len)
       p += 4 + len
       i += 1
@@ -1516,7 +1517,7 @@ object Parquet {
           if (p + 4 > raw.length) damage()
           val len = (raw(p) & 0xff) | (raw(p + 1) & 0xff) << 8 |
             (raw(p + 2) & 0xff) << 16 | (raw(p + 3) & 0xff) << 24
-          if (len < 0 || p + 4 + len > raw.length) damage()
+          if (len < 0 || (p + 4).toLong + len > raw.length) damage()
           arr(i) = len.toLong
           p += 4 + len
         case PhysInt32 | PhysFloat =>
@@ -1676,7 +1677,7 @@ object Parquet {
     if (off < 0 || off + 4 > raw.length) damage()
     val len = (raw(off) & 0xff) | (raw(off + 1) & 0xff) << 8 |
       (raw(off + 2) & 0xff) << 16 | (raw(off + 3) & 0xff) << 24
-    if (len < 0 || off + 4 + len > raw.length) damage()
+    if (len < 0 || (off + 4).toLong + len > raw.length) damage()
     val end = off + 4 + len
     (readHybrid(raw, off + 4, end, width, numValues, strict = false), end)
   }

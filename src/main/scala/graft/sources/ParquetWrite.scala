@@ -62,6 +62,12 @@ object ParquetWrite {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       varint(b.length.toLong); out.write(b, 0, b.length)
     }
+    /** A bare binary list element. */
+    def elemBytes(b: Array[Byte]): Unit = {
+      varint(b.length.toLong); out.write(b, 0, b.length)
+    }
+    /** A bare i64 list element (zigzag varint). */
+    def elemI64(v: Long): Unit = zigzag(v)
     def bytesField(id: Int, b: Array[Byte]): Unit = {
       fieldHeader(id, 8)
       varint(b.length.toLong); out.write(b, 0, b.length)
@@ -71,6 +77,601 @@ object ParquetWrite {
     def elemStruct(): Unit = push()
     private def push(): Unit = { lastId = 0 :: lastId }
     def end(): Unit = { out.write(0); lastId = lastId.tail }
+  }
+
+  // ---- generalized writer (q310+): schema tree + shredded leaves -------
+
+  /** Schema tree node for [[writeFile]]. `repetition` uses the footer
+    * codes (0 REQUIRED, 1 OPTIONAL, 2 REPEATED); `convertedType` -1
+    * for none (0 = UTF8, 2 = MAP/KEY_VALUE legacy codes as needed by
+    * the caller).
+    */
+  sealed trait Node { def name: String; def repetition: Int }
+  final case class Leaf(name: String, repetition: Int, physType: Int,
+                        convertedType: Int = -1) extends Node
+  final case class Group(name: String, repetition: Int,
+                         children: Seq[Node],
+                         convertedType: Int = -1) extends Node
+
+  /** One leaf's pre-shredded Dremel columns: `defs`/`reps` carry one
+    * entry per SLOT; values (one per slot whose def reaches the
+    * leaf's max def level, in slot order) sit in `longs` for numeric
+    * leaves (DOUBLE as raw IEEE bits) or `bins` for BYTE_ARRAY.
+    * `dict = true` dictionary-encodes the chunk (PLAIN dict page in
+    * first-appearance order + RLE_DICTIONARY data pages).
+    */
+  final case class LeafData(defs: Array[Int], reps: Array[Int],
+                            longs: Array[Long] = null,
+                            bins: Array[Array[Byte]] = null,
+                            dict: Boolean = false)
+
+  /** Per-leaf derived shape: dotted path, max def/rep, phys type. */
+  private final case class LeafShape(path: Seq[String], maxDef: Int,
+                                     maxRep: Int, physType: Int)
+
+  private def flattenLeaves(fields: Seq[Node]): Seq[LeafShape] = {
+    val out = Seq.newBuilder[LeafShape]
+    def walk(n: Node, prefix: Seq[String], d0: Int, r0: Int): Unit = {
+      val d = d0 + (if (n.repetition != 0) 1 else 0)
+      val r = r0 + (if (n.repetition == 2) 1 else 0)
+      n match {
+        case l: Leaf => out += LeafShape(prefix :+ l.name, d, r, l.physType)
+        case g: Group => g.children.foreach(walk(_, prefix :+ g.name, d, r))
+      }
+    }
+    fields.foreach(walk(_, Nil, 0, 0))
+    out.result()
+  }
+
+  /** Hybrid RLE runs over maximal constant stretches (the levels /
+    * dictionary-index encoding): header varint (runLen << 1), value
+    * in ceil(width/8) LE bytes. Pure-RLE output is spec-legal for
+    * every input and keeps the layout trivially deterministic for
+    * the independent Python twin.
+    */
+  private def hybridRle(vals: Array[Int], from: Int, until: Int,
+                        width: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+    val byteWidth = (width + 7) / 8
+    var i = from
+    while (i < until) {
+      var j = i
+      while (j < until && vals(j) == vals(i)) j += 1
+      varint(((j - i).toLong << 1))
+      var k = 0
+      var v = vals(i)
+      while (k < byteWidth) { out.write(v & 0xff); v >>>= 8; k += 1 }
+      i = j
+    }
+    out.toByteArray
+  }
+
+  private def bitsFor(m: Int): Int =
+    32 - Integer.numberOfLeadingZeros(m)
+
+  private def le4(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le8(v: Long): Array[Byte] =
+    Array.tabulate[Byte](8)(k => ((v >>> (8 * k)) & 0xff).toByte)
+
+  /** PLAIN encoding of one value (the same bytes Statistics /
+    * ColumnIndex bounds and bloom hashing use).
+    */
+  private def plainOne(physType: Int, long: Long,
+                       bin: Array[Byte]): Array[Byte] = physType match {
+    case 2 /* INT64 */ | 5 /* DOUBLE */ => le8(long)
+    case 1 /* INT32 */ | 4 /* FLOAT */ => le4(long.toInt)
+    case 6 /* BYTE_ARRAY */ => bin
+    case t => throw new IllegalArgumentException(s"physType $t")
+  }
+
+  /** Unsigned-lexicographic byte compare (BYTE_ARRAY bound order). */
+  private def binLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  // split-block bloom constants (format spec BloomFilter.md)
+  private val BloomSalt = Array(0x47b6137b, 0x44974d91, 0x8824ad5b,
+    0xa2b7289d, 0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31)
+
+  /** Build a split-block bloom bitset over the PLAIN encodings of the
+    * present values: numBytes = the smallest power of two >= max(32,
+    * ndv) — ~8 bits per distinct key, the spec's ~1% FPP sizing.
+    */
+  private def bloomBits(keys: Iterator[Array[Byte]],
+                        ndv: Int): Array[Byte] = {
+    var numBytes = 32
+    while (numBytes < ndv && numBytes < (1 << 24)) numBytes <<= 1
+    val bits = new Array[Byte](numBytes)
+    val nBlocks = numBytes / 32
+    while (keys.hasNext) {
+      val h = XxHash64.hash(keys.next(), 0L)
+      val block = (((h >>> 32) * nBlocks) >>> 32).toInt
+      var i = 0
+      while (i < 8) {
+        val bit = (h.toInt * BloomSalt(i)) >>> 27
+        val w = block * 32 + i * 4 + (bit >> 3)
+        bits(w) = (bits(w) | (1 << (bit & 7))).toByte
+        i += 1
+      }
+    }
+    bits
+  }
+
+  /** Write a single-row-group parquet file from a schema tree and
+    * pre-shredded leaf data (the Dremel striping the reader's
+    * [[Parquet.readChunkCells]] reassembles). Capabilities over
+    * [[writeInt64]]: BYTE_ARRAY (UTF8-annotated) and DOUBLE leaves,
+    * OPTIONAL/REPEATED leaves via v1 level sections, per-leaf
+    * dictionary encoding (PLAIN dict page + RLE_DICTIONARY indices),
+    * multi-page chunks (`pageRows` records per page), footer
+    * Statistics, the PARQUET-922 ColumnIndex/OffsetIndex pair, and
+    * PARQUET-41 split-block blooms — each opt-in so the q295 minimal
+    * layout stays available.
+    *
+    * Layout (deterministic, byte-for-byte reproducible): PAR1; per
+    * leaf: [dict page][data pages]; per bloom'd leaf: header+bitset;
+    * per indexed leaf: ColumnIndex, then per leaf OffsetIndex;
+    * footer; LE32 len; PAR1.
+    */
+  def writeFile(fields: Seq[Node], data: Seq[LeafData],
+                codec: Int = 0, withStats: Boolean = false,
+                pageRows: Int = 0, withIndex: Boolean = false,
+                bloomCols: Set[Int] = Set.empty): Array[Byte] = {
+    val shapes = flattenLeaves(fields)
+    require(shapes.length == data.length, "leaf count mismatch")
+    require(codec == 0 || codec == 1, s"codec $codec")
+    shapes.zip(data).foreach { case (sh, ld) =>
+      require(ld.defs != null && ld.defs.length <= (1 << 24))
+      if (sh.maxRep > 0)
+        require(ld.reps != null && ld.reps.length == ld.defs.length)
+      val present = ld.defs.count(_ == sh.maxDef)
+      if (sh.physType == 6)
+        require(ld.bins != null && ld.bins.length == present)
+      else require(ld.longs != null && ld.longs.length == present)
+    }
+    // row count = records on the first leaf (rep == 0 starts a record)
+    val numRows =
+      if (shapes.isEmpty) 0L
+      else if (shapes.head.maxRep == 0) data.head.defs.length.toLong
+      else data.head.reps.count(_ == 0).toLong
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+
+    // per-leaf chunk bookkeeping for the footer
+    val nLeaves = shapes.length
+    val dictOffsets = Array.fill(nLeaves)(-1L)
+    val dataOffsets = new Array[Long](nLeaves)
+    val chunkComp = new Array[Long](nLeaves)
+    val chunkUncomp = new Array[Long](nLeaves)
+    val bloomOffsets = Array.fill(nLeaves)(-1L)
+    val bloomLengths = Array.fill(nLeaves)(-1)
+    // per-leaf, per-page records for the index structures
+    val pageLocs = Array.fill(nLeaves)(
+      Seq.newBuilder[(Long, Int, Long)]) // offset, size, firstRow
+    val pageMins = Array.fill(nLeaves)(Seq.newBuilder[Array[Byte]])
+    val pageMaxs = Array.fill(nLeaves)(Seq.newBuilder[Array[Byte]])
+    val pageNullCounts = Array.fill(nLeaves)(Seq.newBuilder[Long])
+    val pageNullPages = Array.fill(nLeaves)(Seq.newBuilder[Boolean])
+    // chunk-level stats
+    val statNullCount = new Array[Long](nLeaves)
+    val statMin = new Array[Array[Byte]](nLeaves)
+    val statMax = new Array[Array[Byte]](nLeaves)
+    // dictionaries (for the footer's encodings list + bloom ndv)
+    val usedDict = new Array[Boolean](nLeaves)
+
+    def pageHeader(pageType: Int, uncomp: Int, comp: Int,
+                   numVals: Int, encoding: Int): Array[Byte] = {
+      val h = new TCW
+      h.i32(1, pageType.toLong)
+      h.i32(2, uncomp.toLong)
+      h.i32(3, comp.toLong)
+      if (pageType == 0) {
+        h.structField(5)
+        h.i32(1, numVals.toLong)
+        h.i32(2, encoding.toLong)
+        h.i32(3, 3) // definition_level_encoding = RLE
+        h.i32(4, 3) // repetition_level_encoding = RLE
+        h.end()
+      } else {
+        h.structField(7)
+        h.i32(1, numVals.toLong)
+        h.i32(2, encoding.toLong)
+        h.end()
+      }
+      h.end()
+      h.out.toByteArray
+    }
+
+    for (c <- shapes.indices) {
+      val sh = shapes(c)
+      val ld = data(c)
+      val isBin = sh.physType == 6
+      val slots = ld.defs.length
+      // ---- dictionary (first-appearance order over present values)
+      var binDict: IndexedSeq[Array[Byte]] = null
+      var longDict: IndexedSeq[Long] = null
+      var indices: Array[Int] = null
+      if (ld.dict) {
+        usedDict(c) = true
+        if (isBin) {
+          val order = scala.collection.mutable.LinkedHashMap
+            .empty[String, Int]
+          indices = ld.bins.map { v =>
+            val k = java.util.Base64.getEncoder.encodeToString(v)
+            order.getOrElseUpdate(k, order.size)
+          }
+          val inv = new Array[Array[Byte]](order.size)
+          var i = 0
+          while (i < ld.bins.length) {
+            inv(indices(i)) = ld.bins(i); i += 1
+          }
+          binDict = inv.toIndexedSeq
+        } else {
+          val order = scala.collection.mutable.LinkedHashMap
+            .empty[Long, Int]
+          indices = ld.longs.map(v => order.getOrElseUpdate(v, order.size))
+          longDict = order.keys.toIndexedSeq
+        }
+      }
+      // ---- chunk-level stats over present values
+      if (withStats) {
+        statNullCount(c) = slots - (if (isBin) ld.bins.length
+                                    else ld.longs.length)
+        if (isBin) {
+          var i = 0
+          while (i < ld.bins.length) {
+            val v = ld.bins(i)
+            if (statMin(c) == null || binLt(v, statMin(c))) statMin(c) = v
+            if (statMax(c) == null || binLt(statMax(c), v)) statMax(c) = v
+            i += 1
+          }
+        } else if (ld.longs.length > 0) {
+          if (sh.physType == 5) {
+            var mn = java.lang.Double.longBitsToDouble(ld.longs(0))
+            var mx = mn
+            var i = 1
+            while (i < ld.longs.length) {
+              val d = java.lang.Double.longBitsToDouble(ld.longs(i))
+              if (d < mn) mn = d
+              if (d > mx) mx = d
+              i += 1
+            }
+            statMin(c) = le8(java.lang.Double.doubleToLongBits(mn))
+            statMax(c) = le8(java.lang.Double.doubleToLongBits(mx))
+          } else {
+            var mn = ld.longs(0); var mx = ld.longs(0)
+            var i = 1
+            while (i < ld.longs.length) {
+              if (ld.longs(i) < mn) mn = ld.longs(i)
+              if (ld.longs(i) > mx) mx = ld.longs(i)
+              i += 1
+            }
+            statMin(c) = plainOne(sh.physType, mn, null)
+            statMax(c) = plainOne(sh.physType, mx, null)
+          }
+        }
+      }
+      val chunkStart = out.size().toLong
+      // ---- dict page
+      if (ld.dict) {
+        dictOffsets(c) = out.size().toLong
+        val pb = new java.io.ByteArrayOutputStream()
+        if (isBin) binDict.foreach { v =>
+          pb.write(le4(v.length), 0, 4); pb.write(v, 0, v.length)
+        }
+        else longDict.foreach(v => pb.write(le8(v), 0, 8))
+        val plain = pb.toByteArray
+        val body = if (codec == 1) Snappy.compress(plain) else plain
+        val nd = if (isBin) binDict.length else longDict.length
+        val hb = pageHeader(2, plain.length, body.length, nd, 0)
+        out.write(hb, 0, hb.length); out.write(body, 0, body.length)
+        chunkComp(c) += hb.length + body.length
+        chunkUncomp(c) += hb.length + plain.length
+      }
+      // ---- data pages: split slots on record boundaries
+      val perPage = if (pageRows <= 0) Int.MaxValue else pageRows
+      dataOffsets(c) = out.size().toLong
+      var slotAt = 0
+      var presentAt = 0 // values consumed so far
+      var rowAt = 0L
+      while (slotAt < slots) {
+        // take the slot range covering the next `perPage` records
+        // (a record = a rep-0 slot plus its rep>0 continuation slots)
+        var slotEnd = slotAt
+        var recs = 0
+        while (slotEnd < slots && recs < perPage) {
+          slotEnd += 1
+          while (sh.maxRep > 0 && slotEnd < slots &&
+            ld.reps(slotEnd) != 0) slotEnd += 1
+          recs += 1
+        }
+        {
+          val nVals = slotEnd - slotAt
+          val body0 = new java.io.ByteArrayOutputStream()
+          if (sh.maxRep > 0) {
+            val runs = hybridRle(ld.reps, slotAt, slotEnd,
+              bitsFor(sh.maxRep))
+            body0.write(le4(runs.length), 0, 4)
+            body0.write(runs, 0, runs.length)
+          }
+          var present = nVals
+          if (sh.maxDef > 0) {
+            val runs = hybridRle(ld.defs, slotAt, slotEnd,
+              bitsFor(sh.maxDef))
+            body0.write(le4(runs.length), 0, 4)
+            body0.write(runs, 0, runs.length)
+            present = 0
+            var i = slotAt
+            while (i < slotEnd) {
+              if (ld.defs(i) == sh.maxDef) present += 1
+              i += 1
+            }
+          }
+          // page-level bounds for the ColumnIndex
+          if (withIndex) {
+            var pMin: Array[Byte] = null
+            var pMax: Array[Byte] = null
+            var i = 0
+            while (i < present) {
+              val enc =
+                if (isBin) ld.bins(presentAt + i)
+                else plainOne(sh.physType, ld.longs(presentAt + i), null)
+              val lt =
+                if (isBin) binLt _
+                else if (sh.physType == 5) (a: Array[Byte], b: Array[Byte]) =>
+                  java.lang.Double.longBitsToDouble(leRead8(a)) <
+                    java.lang.Double.longBitsToDouble(leRead8(b))
+                else (a: Array[Byte], b: Array[Byte]) =>
+                  leRead8(a) < leRead8(b)
+              if (pMin == null || lt(enc, pMin)) pMin = enc
+              if (pMax == null || lt(pMax, enc)) pMax = enc
+              i += 1
+            }
+            pageNullPages(c) += (present == 0)
+            pageMins(c) += (if (pMin == null) Array.emptyByteArray else pMin)
+            pageMaxs(c) += (if (pMax == null) Array.emptyByteArray else pMax)
+            pageNullCounts(c) += (nVals - present).toLong
+          }
+          val encoding =
+            if (ld.dict) {
+              if (present > 0) {
+                val dictSize = if (isBin) binDict.length else longDict.length
+                val bw = math.max(1, bitsFor(math.max(0, dictSize - 1)))
+                body0.write(bw)
+                val idxArr = new Array[Int](present)
+                var i = 0
+                while (i < present) {
+                  idxArr(i) = indices(presentAt + i); i += 1
+                }
+                val runs = hybridRle(idxArr, 0, present, bw)
+                body0.write(runs, 0, runs.length)
+              } else body0.write(1) // all-null page: bare width byte
+              8 // RLE_DICTIONARY
+            } else {
+              var i = 0
+              while (i < present) {
+                if (isBin) {
+                  val v = ld.bins(presentAt + i)
+                  body0.write(le4(v.length), 0, 4)
+                  body0.write(v, 0, v.length)
+                } else {
+                  val enc = plainOne(sh.physType, ld.longs(presentAt + i),
+                    null)
+                  body0.write(enc, 0, enc.length)
+                }
+                i += 1
+              }
+              0 // PLAIN
+            }
+          val plain = body0.toByteArray
+          val body = if (codec == 1) Snappy.compress(plain) else plain
+          val hb = pageHeader(0, plain.length, body.length, nVals, encoding)
+          val pageOff = out.size().toLong
+          out.write(hb, 0, hb.length); out.write(body, 0, body.length)
+          chunkComp(c) += hb.length + body.length
+          chunkUncomp(c) += hb.length + plain.length
+          pageLocs(c) += ((pageOff, hb.length + body.length, rowAt))
+          rowAt += recs
+          presentAt += present
+          slotAt = slotEnd
+        }
+      }
+    }
+    // ---- blooms (after data, before indexes — offsets in the footer)
+    for (c <- shapes.indices if bloomCols.contains(c)) {
+      val sh = shapes(c)
+      val ld = data(c)
+      val isBin = sh.physType == 6
+      val distinct: Seq[Array[Byte]] =
+        if (isBin) {
+          val seen = scala.collection.mutable.LinkedHashMap
+            .empty[String, Array[Byte]]
+          ld.bins.foreach { v =>
+            seen.getOrElseUpdate(
+              java.util.Base64.getEncoder.encodeToString(v), v)
+          }
+          seen.values.toSeq
+        } else {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          ld.longs.foreach(seen.add)
+          seen.toSeq.map(v => plainOne(sh.physType, v, null))
+        }
+      val bits = bloomBits(distinct.iterator, distinct.length)
+      val h = new TCW
+      h.i32(1, bits.length.toLong)
+      def union1(id: Int): Unit = {
+        h.structField(id); h.structField(1); h.end(); h.end()
+      }
+      union1(2) // algorithm = BLOCK
+      union1(3) // hash = XXHASH
+      union1(4) // compression = UNCOMPRESSED
+      h.end()
+      val hb = h.out.toByteArray
+      bloomOffsets(c) = out.size().toLong
+      out.write(hb, 0, hb.length)
+      out.write(bits, 0, bits.length)
+      bloomLengths(c) = hb.length + bits.length
+    }
+    // ---- ColumnIndex / OffsetIndex (all CIs, then all OIs) -----------
+    val ciOffsets = Array.fill(nLeaves)(-1L)
+    val ciLengths = Array.fill(nLeaves)(-1)
+    val oiOffsets = Array.fill(nLeaves)(-1L)
+    val oiLengths = Array.fill(nLeaves)(-1)
+    if (withIndex) {
+      for (c <- shapes.indices) {
+        val t = new TCW
+        val nulls = pageNullPages(c).result()
+        t.list(1, nulls.length, 1)
+        nulls.foreach(b => t.out.write(if (b) 1 else 2))
+        val mins = pageMins(c).result()
+        t.list(2, mins.length, 8)
+        mins.foreach(t.elemBytes)
+        val maxs = pageMaxs(c).result()
+        t.list(3, maxs.length, 8)
+        maxs.foreach(t.elemBytes)
+        t.i32(4, 0) // boundary_order = UNORDERED
+        val ncs = pageNullCounts(c).result()
+        t.list(5, ncs.length, 6)
+        ncs.foreach(t.elemI64)
+        t.end()
+        val b = t.out.toByteArray
+        ciOffsets(c) = out.size().toLong
+        ciLengths(c) = b.length
+        out.write(b, 0, b.length)
+      }
+      for (c <- shapes.indices) {
+        val t = new TCW
+        val locs = pageLocs(c).result()
+        t.list(1, locs.length, 12)
+        locs.foreach { case (off, sz, fri) =>
+          t.elemStruct()
+          t.i64(1, off)
+          t.i32(2, sz.toLong)
+          t.i64(3, fri)
+          t.end()
+        }
+        t.end()
+        val b = t.out.toByteArray
+        oiOffsets(c) = out.size().toLong
+        oiLengths(c) = b.length
+        out.write(b, 0, b.length)
+      }
+    }
+    // ---- footer ------------------------------------------------------
+    val f = new TCW
+    f.i32(1, 1) // version
+    // schema: flatten the tree in preorder under a synthetic root
+    val flat = Seq.newBuilder[(Node, Int)] // node, numChildren
+    def flatten(n: Node): Unit = n match {
+      case l: Leaf => flat += ((l, 0))
+      case g: Group =>
+        flat += ((g, g.children.length)); g.children.foreach(flatten)
+    }
+    fields.foreach(flatten)
+    val flatSeq = flat.result()
+    f.list(2, flatSeq.length + 1, 12)
+    f.elemStruct()
+    f.str(4, "schema")
+    f.i32(5, fields.length.toLong)
+    f.end()
+    flatSeq.foreach { case (n, nc) =>
+      f.elemStruct()
+      n match {
+        case l: Leaf =>
+          f.i32(1, l.physType.toLong)
+          f.i32(3, l.repetition.toLong)
+          f.str(4, l.name)
+          if (l.convertedType >= 0) f.i32(6, l.convertedType.toLong)
+        case g: Group =>
+          f.i32(3, g.repetition.toLong)
+          f.str(4, g.name)
+          f.i32(5, nc.toLong)
+          if (g.convertedType >= 0) f.i32(6, g.convertedType.toLong)
+      }
+      f.end()
+    }
+    f.i64(3, numRows)
+    f.list(4, 1, 12) // row_groups
+    f.elemStruct()
+    f.list(1, nLeaves, 12)
+    for (c <- shapes.indices) {
+      val sh = shapes(c)
+      f.elemStruct() // ColumnChunk
+      f.i64(2, if (dictOffsets(c) >= 0) dictOffsets(c) else dataOffsets(c))
+      f.structField(3) // ColumnMetaData
+      f.i32(1, sh.physType.toLong)
+      if (usedDict(c)) {
+        f.list(2, 3, 5)
+        f.elemI32(0); f.elemI32(3); f.elemI32(8) // PLAIN, RLE, RLE_DICT
+      } else {
+        f.list(2, 2, 5)
+        f.elemI32(0); f.elemI32(3) // PLAIN, RLE
+      }
+      f.list(3, sh.path.length, 8)
+      sh.path.foreach(f.elemStr)
+      f.i32(4, codec.toLong)
+      f.i64(5, data(c).defs.length.toLong) // num_values = slots
+      f.i64(6, chunkUncomp(c))
+      f.i64(7, chunkComp(c))
+      f.i64(9, dataOffsets(c))
+      if (dictOffsets(c) >= 0) f.i64(11, dictOffsets(c))
+      if (withStats) {
+        f.structField(12)
+        f.i64(3, statNullCount(c))
+        if (statMax(c) != null) f.bytesField(5, statMax(c))
+        if (statMin(c) != null) f.bytesField(6, statMin(c))
+        f.end()
+      }
+      if (bloomOffsets(c) >= 0) {
+        f.i64(14, bloomOffsets(c))
+        f.i32(15, bloomLengths(c).toLong)
+      }
+      f.end() // ColumnMetaData
+      if (oiOffsets(c) >= 0) {
+        f.i64(4, oiOffsets(c))
+        f.i32(5, oiLengths(c).toLong)
+      }
+      if (ciOffsets(c) >= 0) {
+        f.i64(6, ciOffsets(c))
+        f.i32(7, ciLengths(c).toLong)
+      }
+      f.end() // ColumnChunk
+    }
+    f.i64(2, chunkComp.sum) // total_byte_size
+    f.i64(3, numRows)
+    f.end() // RowGroup
+    f.str(6, "graft parquet writer")
+    f.end()
+    val fb = f.out.toByteArray
+    out.write(fb, 0, fb.length)
+    val len = fb.length
+    out.write(len & 0xff); out.write((len >> 8) & 0xff)
+    out.write((len >> 16) & 0xff); out.write((len >> 24) & 0xff)
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+    out.toByteArray
+  }
+
+  private def leRead8(v: Array[Byte]): Long = {
+    var x = 0L; var k = 7
+    while (k >= 0) { x = (x << 8) | (v(k) & 0xffL); k -= 1 }
+    x
   }
 
   /** Write `names.length` REQUIRED INT64 columns; `rows(i)(c)` is the

@@ -82,7 +82,10 @@ object Xz {
         val start = p
         while (p < b.length && b(p) == 0) p += 1
         if ((p - start) % 4 != 0) return None
-        if (p >= b.length) return Some(out.result())
+        // stream padding is only legal AFTER a stream: all-zero input
+        // must not parse as a valid .xz with zero streams
+        if (p >= b.length)
+          return if (n == 0) None else Some(out.result())
       }
       parseStream(b, p) match {
         case Some((info, end)) => out += info; p = end; n += 1

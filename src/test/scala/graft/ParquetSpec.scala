@@ -977,6 +977,140 @@ class ParquetSpec extends SparkSpec {
     pz.delete()
     p.delete(); dir.delete()
   }
+
+  test("ParquetWrite.writeFile: strings + OPTIONAL + dictionary + " +
+    "double columns read back through parquet-mr and the own reader") {
+    val W = graft.sources.ParquetWrite
+    val P = graft.sources.Parquet
+    val n = 500
+    val ids = (0 until n).map(_.toLong)
+    val txts = ids.map(d => s"doc-$d-" + ("x" * (d % 17).toInt))
+    val langs = ids.map(d =>
+      if (d % 7 == 0) None
+      else Some(Seq("en", "es", "fr", "de", "pt")((d % 5).toInt)))
+    val scores = ids.map(d =>
+      if (d % 11 == 3) None else Some((d * d) % 997))
+    val ratios = ids.map(d => (d % 40).toDouble / 4.0)
+    def utf8(s: String) = s.getBytes("UTF-8")
+    val fields = Seq(
+      W.Leaf("rec_id", 0, 2),
+      W.Leaf("txt", 0, 6, convertedType = 0),
+      W.Leaf("lang", 1, 6, convertedType = 0),
+      W.Leaf("score", 1, 2),
+      W.Leaf("ratio", 0, 5))
+    val data = Seq(
+      W.LeafData(Array.fill(n)(0), null, longs = ids.toArray),
+      W.LeafData(Array.fill(n)(0), null,
+        bins = txts.map(utf8).toArray),
+      W.LeafData(langs.map(l => if (l.isDefined) 1 else 0).toArray, null,
+        bins = langs.flatten.map(utf8).toArray, dict = true),
+      W.LeafData(scores.map(s => if (s.isDefined) 1 else 0).toArray, null,
+        longs = scores.flatten.toArray),
+      W.LeafData(Array.fill(n)(0), null,
+        longs = ratios.map(java.lang.Double.doubleToLongBits).toArray))
+    for (codec <- Seq(0, 1); stats <- Seq(false, true)) {
+      val b = W.writeFile(fields, data, codec = codec, withStats = stats)
+      // own reader round-trip (values + def levels)
+      val fm = P.parseFooter(b).getOrElse(fail("footer"))
+      assert(fm.numRows == n)
+      def cells(path: String) = {
+        val (d, r) = fm.leafLevels(path)
+        P.readChunkCells(b, fm.rowGroups.head.cols.find(_.path == path)
+          .get, d, r).getOrElse(fail(s"cells $path"))
+      }
+      assert(cells("rec_id").longs.toSeq == ids)
+      assert(cells("txt").bins.map(new String(_, "UTF-8")).toSeq == txts)
+      val lc = cells("lang")
+      assert(lc.defs.count(_ == 0) == langs.count(_.isEmpty))
+      assert(lc.bins.map(new String(_, "UTF-8")).toSeq ==
+        langs.flatten)
+      val sc = cells("score")
+      assert(sc.longs.toSeq == scores.flatten)
+      assert(cells("ratio").longs.map(
+        java.lang.Double.longBitsToDouble).toSeq == ratios)
+      if (stats) {
+        val idCol = fm.rowGroups.head.cols.find(_.path == "rec_id").get
+        assert(idCol.minLong.contains(0L) &&
+          idCol.maxLong.contains((n - 1).toLong))
+        val scCol = fm.rowGroups.head.cols.find(_.path == "score").get
+        assert(scCol.nullCount == scores.count(_.isEmpty))
+      }
+      // parquet-mr (Spark) as the independent reader
+      val dir = java.nio.file.Files.createTempDirectory("pqwf").toFile
+      val p = new java.io.File(dir, "own.parquet")
+      java.nio.file.Files.write(p.toPath, b)
+      val df = spark.read.parquet(p.getAbsolutePath)
+      val got = df.selectExpr("count(*)", "sum(rec_id)",
+        "sum(length(txt))", "count(lang)", "sum(score)", "sum(ratio)",
+        "count(distinct lang)").collect()(0)
+      assert(got.getLong(0) == n)
+      assert(got.getLong(1) == ids.sum)
+      assert(got.getLong(2) == txts.map(_.length.toLong).sum)
+      assert(got.getLong(3) == langs.count(_.isDefined))
+      assert(got.getLong(4) == scores.flatten.sum)
+      assert(got.getDouble(5) == ratios.sum)
+      assert(got.getLong(6) == 5L)
+      p.delete(); dir.delete()
+    }
+  }
+
+  test("ParquetWrite.writeFile: multi-page chunks with " +
+    "ColumnIndex/OffsetIndex + split-block bloom — own q263/q269 " +
+    "machinery reads only what the engine wrote") {
+    val W = graft.sources.ParquetWrite
+    val P = graft.sources.Parquet
+    val n = 1000
+    val ids = (0 until n).map(_.toLong) // ascending → page-prunable
+    val tags = ids.map(d => s"tag-${d / 100}") // 10 distinct
+    val fields = Seq(
+      W.Leaf("id", 0, 2),
+      W.Leaf("tag", 0, 6, convertedType = 0))
+    val data = Seq(
+      W.LeafData(Array.fill(n)(0), null, longs = ids.toArray),
+      W.LeafData(Array.fill(n)(0), null,
+        bins = tags.map(_.getBytes("UTF-8")).toArray))
+    val b = W.writeFile(fields, data, withStats = true, pageRows = 100,
+      withIndex = true, bloomCols = Set(0, 1))
+    val fm = P.parseFooter(b).getOrElse(fail("footer"))
+    val idCol = fm.rowGroups.head.cols.find(_.path == "id").get
+    // OffsetIndex: 10 pages, first_row_index 0,100,...
+    val oi = P.parseOffsetIndex(b, idCol).getOrElse(fail("oi"))
+    assert(oi.length == 10 &&
+      oi.map(_.firstRowIndex) == (0 until 1000 by 100).map(_.toLong))
+    // ColumnIndex: page bounds match the data
+    val ci = P.parseColumnIndex(b, idCol).getOrElse(fail("ci"))
+    assert(ci.nullPages.forall(_ == false))
+    assert(ci.minLong(0).contains(0L) && ci.maxLong(0).contains(99L))
+    assert(ci.minLong(7).contains(700L) && ci.maxLong(7).contains(799L))
+    // page-skip read: decode ONLY the index-selected page
+    val probe = 437L
+    val pageIdx = oi.lastIndexWhere(_.firstRowIndex <= probe)
+    assert(pageIdx == 4)
+    val cells = P.readPageCells(b, oi(pageIdx), idCol)
+      .getOrElse(fail("page read"))
+    assert(cells.longs.length == 100 && cells.longs.contains(probe))
+    // blooms: present keys hit, absent keys (mostly) miss
+    val bloomId = P.parseBloomFilter(b, idCol).getOrElse(fail("bloom id"))
+    assert(ids.forall(bloomId.mightContainLong))
+    val misses = (3000L until 4000L).count(bloomId.mightContainLong)
+    assert(misses < 50, s"bloom FPP too high: $misses/1000")
+    val tagCol = fm.rowGroups.head.cols.find(_.path == "tag").get
+    val bloomTag = P.parseBloomFilter(b, tagCol).getOrElse(fail("bloom t"))
+    assert(tags.distinct.forall(t =>
+      bloomTag.mightContainBinary(t.getBytes("UTF-8"))))
+    assert(!bloomTag.mightContainBinary("tag-99".getBytes("UTF-8")) ||
+      !bloomTag.mightContainBinary("tag-77".getBytes("UTF-8")))
+    // parquet-mr reads the indexed multi-page file
+    val dir = java.nio.file.Files.createTempDirectory("pqwi").toFile
+    val p = new java.io.File(dir, "own.parquet")
+    java.nio.file.Files.write(p.toPath, b)
+    val got = spark.read.parquet(p.getAbsolutePath)
+      .selectExpr("count(*)", "sum(id)", "count(distinct tag)")
+      .collect()(0)
+    assert(got.getLong(0) == n && got.getLong(1) == ids.sum &&
+      got.getLong(2) == 10L)
+    p.delete(); dir.delete()
+  }
 }
 
 // Top-level so Spark derives encoders (mini-checkpoint spec rows).
