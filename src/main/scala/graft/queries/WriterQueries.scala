@@ -140,5 +140,91 @@ object WriterQueries {
         FROM k JOIN read_parquet(
           '/root/repo/fixtures/parquet_write2_oracle.parquet') f
           ON k.bkey = f.blob_key"""),
+      headline = false),
+
+    // q311 — the own ORC writer carries the same corpus schema:
+    // DIRECT_V2 strings (LENGTH + DATA streams), IEEE LE doubles, and
+    // PRESENT validity streams (Byte-RLE over MSB-first packed bits)
+    // for the nullable columns, written from first principles
+    // (OrcWrite.writeTable) and decoded back by the engine's OWN
+    // nullable readers (stripeColumnLongsOpt / stripeColumnStringsOpt
+    // / stripeColumnDoubles). orc-core (spark.read.orc) reads the
+    // same bytes in OrcSpec. The snappy-chunked form must GENUINELY
+    // beat the uncompressed form (size law) — ratio uses exact
+    // quarters so the double sum is order-independent and DuckDB-
+    // identical.
+    "q311_orc_write_corpus" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.OrcWrite
+            val cols = Seq(
+              W.OLongCol("rec_id", ids.map(Some(_))),
+              W.OStringCol("txt", ids.map(d =>
+                Some("doc-" + d + "-" + ("x" * (d % 17).toInt)))),
+              W.OStringCol("lang", ids.map(d =>
+                if (d % 7 == 0) None
+                else Some(Langs((d % 5).toInt)))),
+              W.OLongCol("score", ids.map(d =>
+                if (d % 11 == 3) None else Some((d * d) % 997))),
+              W.ODoubleCol("ratio", ids.map(d =>
+                (d % 40).toDouble / 4.0)))
+            val bytes = W.writeTable(cols)
+            val snappy = W.writeTable(cols, compression = 2)
+            val O = graft.sources.Orc
+            O.parseTail(snappy).toSeq.flatMap { t =>
+              if (t.typeKinds != Seq(12, 4, 7, 7, 4, 6) ||
+                t.compression != O.CompSnappy) Nil
+              else {
+                val st = t.stripes.head
+                (O.stripeColumnLongsOpt(snappy, t, st, 1),
+                  O.stripeColumnStrings(snappy, t, st, 2),
+                  O.stripeColumnStringsOpt(snappy, t, st, 3),
+                  O.stripeColumnLongsOpt(snappy, t, st, 4),
+                  O.stripeColumnDoubles(snappy, t, st, 5)) match {
+                  case (Some((v1, l1)), Some(txts), Some((v3, s3)),
+                    Some((v4, l4)), Some(d5))
+                    if v1.forall(identity) && l1.toSeq == ids =>
+                    Seq((blobId, ids.length.toLong, l1.sum,
+                      txts.map(_.length.toLong).sum,
+                      v3.count(!_).toLong,
+                      s3.filter(_ != null).map(_.length.toLong).sum,
+                      v4.count(!_).toLong,
+                      v4.zip(l4).collect { case (true, x) => x }.sum,
+                      d5.sum,
+                      if (snappy.length < bytes.length) 1L else 0L))
+                  case _ => Nil
+                }
+              }
+            }
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "txt_len_sum",
+            "n_lang_null", "lang_len_sum", "n_score_null", "score_sum",
+            "ratio_sum", "compressed_smaller")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(length('doc-' || d || '-') + (d % 17))
+                 AS BIGINT) AS txt_len_sum,
+               CAST(sum(CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_lang_null,
+               CAST(sum(CASE WHEN d % 7 = 0 THEN 0 ELSE 2 END)
+                 AS BIGINT) AS lang_len_sum,
+               CAST(sum(CASE WHEN d % 11 = 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_score_null,
+               CAST(sum(CASE WHEN d % 11 = 3 THEN 0
+                 ELSE (d * d) % 997 END) AS BIGINT) AS score_sum,
+               sum((d % 40) / 4.0) AS ratio_sum,
+               CAST(1 AS BIGINT) AS compressed_smaller
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

@@ -95,6 +95,232 @@ object OrcWrite {
     out.toByteArray
   }
 
+  // ---- generalized writer (q311): strings, doubles, PRESENT ------------
+
+  /** One column for [[writeTable]]: LONG and STRING carry per-row
+    * options (None = null → a PRESENT stream is written; an all-Some
+    * column omits PRESENT entirely, the spec's non-null layout);
+    * DOUBLE is non-null (IEEE LE bytes).
+    */
+  sealed trait OColumn { def name: String; def size: Int }
+  final case class OLongCol(name: String, values: Seq[Option[Long]])
+      extends OColumn { def size: Int = values.length }
+  final case class ODoubleCol(name: String, values: Seq[Double])
+      extends OColumn { def size: Int = values.length }
+  final case class OStringCol(name: String, values: Seq[Option[String]])
+      extends OColumn { def size: Int = values.length }
+
+  /** RLEv2 DIRECT runs of UNSIGNED longs (LENGTH streams): the same
+    * 512-value chunking as the signed form, no zigzag.
+    */
+  private def rleV2DirectUnsigned(vals: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vals.length * 8 + 16)
+    var i = 0
+    while (i < vals.length) {
+      val len = math.min(512, vals.length - i)
+      val h = (1 << 14) | (31 << 9) | (len - 1)
+      out.write((h >> 8) & 0xff); out.write(h & 0xff)
+      var k = 0
+      while (k < len) {
+        val z = vals(i + k)
+        var s = 56
+        while (s >= 0) { out.write(((z >>> s) & 0xff).toInt); s -= 8 }
+        k += 1
+      }
+      i += len
+    }
+    out.toByteArray
+  }
+
+  /** Byte-RLE encode (the PRESENT/boolean stream framing): literal
+    * groups only (header -len, then len raw bytes, len <= 128) —
+    * spec-legal for every input and trivially deterministic.
+    */
+  private def byteRleLiteral(d: Array[Byte]): Array[Byte] = {
+    if (d.isEmpty) return d
+    val out = new java.io.ByteArrayOutputStream(d.length + 8)
+    var p = 0
+    while (p < d.length) {
+      val len = math.min(128, d.length - p)
+      out.write(-len & 0xff)
+      out.write(d, p, len)
+      p += len
+    }
+    out.toByteArray
+  }
+
+  /** MSB-first bit-pack a validity vector, trailing pad bits zero. */
+  private def packBits(valid: Array[Boolean]): Array[Byte] = {
+    val out = new Array[Byte]((valid.length + 7) / 8)
+    var i = 0
+    while (i < valid.length) {
+      if (valid(i)) out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Write a one-stripe ORC file with LONG (nullable), DOUBLE, and
+    * STRING (nullable, DIRECT_V2) columns under a struct root — the
+    * write twin of the reader's `stripeColumnLongsOpt` /
+    * `stripeColumnDoubles` / `stripeColumnStringsOpt` paths. Nullable
+    * columns carry a PRESENT stream (Byte-RLE over MSB-first packed
+    * bits); value streams hold ONLY present values, the spec's
+    * layout. `compression` 0 = NONE, 2 = SNAPPY via the engine's own
+    * compressor with ORC chunk framing on every stream and footer.
+    */
+  def writeTable(cols: Seq[OColumn],
+                 compression: Int = 0): Array[Byte] = {
+    require(cols.nonEmpty)
+    val n = cols.head.size
+    require(cols.forall(_.size == n), "ragged columns")
+    require(n <= (1 << 26), s"too many rows: $n")
+    require(compression == 0 || compression == 2,
+      s"compression $compression")
+    val blockSize = 256 * 1024
+    def framed(b: Array[Byte]): Array[Byte] =
+      if (compression == 0) b else chunked(b, blockSize)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('O'); out.write('R'); out.write('C')
+    val stripeStart = out.size().toLong
+    // ---- streams: per column PRESENT?, DATA, LENGTH? ----------------
+    // (kind, columnId, framed bytes); column ids are 1-based children
+    val streams = Seq.newBuilder[(Int, Int, Array[Byte])]
+    val presentCount = new Array[Long](cols.length)
+    val hasNulls = new Array[Boolean](cols.length)
+    cols.zipWithIndex.foreach { case (c, ci) =>
+      val colId = ci + 1
+      c match {
+        case OLongCol(_, vs) =>
+          val valid = vs.map(_.isDefined).toArray
+          presentCount(ci) = valid.count(identity).toLong
+          hasNulls(ci) = !valid.forall(identity)
+          if (hasNulls(ci))
+            streams += ((0, colId,
+              framed(byteRleLiteral(packBits(valid)))))
+          val present = vs.iterator.flatten.toArray
+          streams += ((1, colId, framed(rleV2DirectSigned(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              present)))))
+        case ODoubleCol(_, vs) =>
+          presentCount(ci) = vs.length.toLong
+          val raw = new Array[Byte](8 * vs.length)
+          var i = 0
+          val it = vs.iterator
+          while (it.hasNext) {
+            var bits = java.lang.Double.doubleToLongBits(it.next())
+            var k = 0
+            while (k < 8) {
+              raw(i * 8 + k) = (bits & 0xff).toByte; bits >>>= 8; k += 1
+            }
+            i += 1
+          }
+          streams += ((1, colId, framed(raw)))
+        case OStringCol(_, vs) =>
+          val valid = vs.map(_.isDefined).toArray
+          presentCount(ci) = valid.count(identity).toLong
+          hasNulls(ci) = !valid.forall(identity)
+          if (hasNulls(ci))
+            streams += ((0, colId,
+              framed(byteRleLiteral(packBits(valid)))))
+          val present = vs.iterator.flatten
+            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toArray
+          val data = new java.io.ByteArrayOutputStream()
+          present.foreach(b => data.write(b, 0, b.length))
+          streams += ((1, colId, framed(data.toByteArray)))
+          streams += ((2, colId, framed(rleV2DirectUnsigned(
+            present.map(_.length.toLong)))))
+      }
+    }
+    val built = streams.result()
+    built.foreach { case (_, _, b) => out.write(b, 0, b.length) }
+    val dataLength = built.map(_._3.length.toLong).sum
+    // ---- stripe footer ----------------------------------------------
+    val sf = new PBW
+    built.foreach { case (kind, colId, b) =>
+      val st = new PBW
+      st.uint(1, kind.toLong)
+      st.uint(2, colId.toLong)
+      st.uint(3, b.length.toLong)
+      sf.bytesField(1, st.toBytes)
+    }
+    // encodings: DIRECT root; DIRECT_V2 for long/string, DIRECT double
+    val encOf: OColumn => Long = {
+      case _: ODoubleCol => 0L
+      case _ => 2L
+    }
+    locally {
+      val enc = new PBW
+      enc.uint(1, 0L)
+      sf.bytesField(2, enc.toBytes)
+    }
+    cols.foreach { c =>
+      val enc = new PBW
+      enc.uint(1, encOf(c))
+      sf.bytesField(2, enc.toBytes)
+    }
+    val sfb = framed(sf.toBytes)
+    out.write(sfb, 0, sfb.length)
+    // ---- file footer -------------------------------------------------
+    val f = new PBW
+    f.uint(1, 3L)
+    f.uint(2, out.size().toLong)
+    val si = new PBW
+    si.uint(1, stripeStart)
+    si.uint(2, 0L)
+    si.uint(3, dataLength)
+    si.uint(4, sfb.length.toLong)
+    si.uint(5, n.toLong)
+    f.bytesField(3, si.toBytes)
+    val root = new PBW
+    root.uint(1, 12L) // STRUCT
+    for (c <- cols.indices) {
+      root.varint((2L << 3) | 0); root.varint((c + 1).toLong)
+    }
+    for (c <- cols) root.strField(3, c.name)
+    f.bytesField(4, root.toBytes)
+    cols.foreach { c =>
+      val t = new PBW
+      t.uint(1, c match {
+        case _: OLongCol => 4L   // LONG
+        case _: ODoubleCol => 6L // DOUBLE
+        case _: OStringCol => 7L // STRING
+      })
+      f.bytesField(4, t.toBytes)
+    }
+    f.uint(6, n.toLong)
+    // statistics: root counts rows; leaves count PRESENT values and
+    // carry hasNull (the envelope liborc emits)
+    locally {
+      val cs = new PBW
+      cs.uint(1, n.toLong)
+      f.bytesField(7, cs.toBytes)
+    }
+    for (ci <- cols.indices) {
+      val cs = new PBW
+      cs.uint(1, presentCount(ci))
+      if (hasNulls(ci)) cs.uint(10, 1L) // hasNull
+      f.bytesField(7, cs.toBytes)
+    }
+    f.uint(8, 0L)
+    val fb = framed(f.toBytes)
+    out.write(fb, 0, fb.length)
+    val ps = new PBW
+    ps.uint(1, fb.length.toLong)
+    ps.uint(2, compression.toLong)
+    ps.uint(3, blockSize.toLong)
+    ps.varint((4L << 3) | 0); ps.varint(0L)
+    ps.varint((4L << 3) | 0); ps.varint(12L)
+    ps.uint(5, 0L)
+    ps.strField(8000, "ORC")
+    val psb = ps.toBytes
+    require(psb.length < 256)
+    out.write(psb, 0, psb.length)
+    out.write(psb.length)
+    out.toByteArray
+  }
+
   /** Write `names.length` LONG columns under a struct root; one
     * stripe, RLEv2 DIRECT data streams. `compression` 0 = NONE,
     * 2 = SNAPPY through the engine's own compressor, with every

@@ -375,4 +375,62 @@ class OrcSpec extends SparkSpec {
     pz.delete()
     p.delete(); dir.delete()
   }
+
+  test("OrcWrite.writeTable: strings + doubles + PRESENT streams read " +
+    "back through orc-core (spark.read.orc) and the engine's own " +
+    "nullable decoders") {
+    val W = graft.sources.OrcWrite
+    val n = 1500
+    val ids = (0 until n).map(i =>
+      if (i % 97 == 0) None else Some(i.toLong * 3 - 1000))
+    val txts = (0 until n).map(i => Some(s"s-$i-" + ("y" * (i % 13))))
+    val langs = (0 until n).map(i =>
+      if (i % 7 == 0) None else Some(Seq("en", "es", "fr")(i % 3)))
+    val ratios = (0 until n).map(i => (i % 40).toDouble / 4.0)
+    val cols = Seq(
+      W.OLongCol("rec_id", ids),
+      W.OStringCol("txt", txts),
+      W.OStringCol("lang", langs),
+      W.ODoubleCol("ratio", ratios))
+    for (comp <- Seq(0, 2)) {
+      val b = W.writeTable(cols, compression = comp)
+      val t = Orc.parseTail(b).getOrElse(fail(s"own tail comp=$comp"))
+      assert(t.numRows == n && t.typeKinds == Seq(12, 4, 7, 7, 6))
+      assert(t.fieldNames == Seq("rec_id", "txt", "lang", "ratio"))
+      val st = t.stripes.head
+      val (v1, l1) = Orc.stripeColumnLongsOpt(b, t, st, 1)
+        .getOrElse(fail("longsOpt"))
+      assert(v1.toSeq == ids.map(_.isDefined))
+      assert(v1.zip(l1).collect { case (true, x) => x }.toSeq ==
+        ids.flatten)
+      // an all-present string column still decodes via the strict path
+      val t2 = Orc.stripeColumnStrings(b, t, st, 2)
+        .getOrElse(fail("strings"))
+      assert(t2.toSeq == txts.map(_.get))
+      val (v3, s3) = Orc.stripeColumnStringsOpt(b, t, st, 3)
+        .getOrElse(fail("stringsOpt"))
+      assert(v3.toSeq == langs.map(_.isDefined))
+      assert(v3.zip(s3).collect { case (true, x) => x }.toSeq ==
+        langs.flatten)
+      val d4 = Orc.stripeColumnDoubles(b, t, st, 4)
+        .getOrElse(fail("doubles"))
+      assert(d4.toSeq == ratios)
+      // orc-core (Spark) as the independent reader
+      val dir = java.nio.file.Files.createTempDirectory("orcwt").toFile
+      val p = new java.io.File(dir, "own.orc")
+      java.nio.file.Files.write(p.toPath, b)
+      val got = spark.read.orc(p.getAbsolutePath)
+        .selectExpr("count(*)", "count(rec_id)", "sum(rec_id)",
+          "sum(length(txt))", "count(lang)", "count(distinct lang)",
+          "sum(ratio)").collect()(0)
+      assert(got.getLong(0) == n)
+      assert(got.getLong(1) == ids.count(_.isDefined))
+      assert(got.getLong(2) == ids.flatten.sum)
+      assert(got.getLong(3) == txts.map(_.get.length.toLong).sum)
+      assert(got.getLong(4) == langs.count(_.isDefined))
+      assert(got.getLong(5) == 3L)
+      assert(got.getDouble(6) == ratios.sum)
+      p.delete(); dir.delete()
+    }
+  }
 }
