@@ -1,23 +1,23 @@
 package graft
 
-/** Throwaway round-13 scratch: print per-blob q310 md5s at a given sf
-  * dir for cross-checking the Python twin. Deleted before round end.
+/** Throwaway round-13 scratch: run a named query at a given sf dir
+  * and print its rows — for cross-checking Python twins before
+  * fixture generation. Deleted before round end.
   */
 object ScratchR13 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val q = if (args.length > 1) args(1) else "q310_parquet_write_corpus"
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("scratch")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
-      val rows = graft.queries.WriterQueries.defs.toMap
-        .apply("q310_parquet_write_corpus").build(spark, dir)
-        .collect()
-      rows.sortBy(_.getLong(0)).foreach { r =>
-        println(s"SCRATCH blob=${r.getLong(0)} md5=${r.getString(1)} " +
-          s"len=${r.getLong(2)} rows=${r.getLong(3)}")
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      rows.sortBy(_.get(0).toString).foreach { r =>
+        println("SCRATCH " + (0 until r.length)
+          .map(i => String.valueOf(r.get(i))).mkString(" | "))
       }
     } finally spark.stop()
   }

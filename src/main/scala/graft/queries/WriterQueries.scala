@@ -226,5 +226,86 @@ object WriterQueries {
                sum((d % 40) / 4.0) AS ratio_sum,
                CAST(1 AS BIGINT) AS compressed_smaller
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q312 — a REAL DEFLATE encoder from first principles
+    // (sources/Deflate.scala: greedy LZ77 over 3-byte hash chains +
+    // one fixed-Huffman block, RFC 1951 write side), wrapped in the
+    // engine's own gzip member framing. The bytes are md5-pinned
+    // against an independent Python twin that reimplements the same
+    // deterministic algorithm AND decodes them with CPython zlib
+    // (scripts/make_deflate_own_oracle.py); stdlib Inflater /
+    // GZIPInputStream decode them byte-exact in DeflateSpec; and here
+    // the engine's own member walk decodes its own member back to
+    // relational truth, with the size law a stored-block fallback
+    // fails (compressed < half of plaintext on this corpus). The same
+    // encoder carries parquet codec=2: the engine's own gzip pages
+    // round-trip through its own reader, also smaller than stored.
+    "q312_deflate_own_encoder" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val ids = it.map(_._2).toSeq.sorted
+            val payload = ids.map(d =>
+              "doc-" + d + "-" + ("x" * (d % 17).toInt) + "\n").mkString
+            val data = payload.getBytes("UTF-8")
+            val m = graft.sources.Gzip.writeMemberOwn(data)
+            val gzMd5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(m).map("%02x".format(_)).mkString
+            // decode-own-write: the member walk must reproduce the
+            // payload exactly (CRC verified inside)
+            val ms = graft.sources.Gzip.members(m)
+            // parquet codec=2 through the same encoder, own-read back
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val fields = Seq(W.Leaf("rec_id", 0, 2))
+            val ld = Seq(W.LeafData(Array.fill(ids.length)(0), null,
+              longs = ids.toArray))
+            val pgz = W.writeFile(fields, ld, codec = 2)
+            val pplain = W.writeFile(fields, ld, codec = 0)
+            val pqOk = P.columnLongs(pgz, "rec_id")
+              .exists(_.toSeq == ids)
+            if (ms.length == 1 && ms.head.crc_ok &&
+              java.util.Arrays.equals(ms.head.data, data) && pqOk)
+              Seq((blobId, gzMd5, m.length.toLong,
+                ms.head.data.length.toLong,
+                h60(new String(ms.head.data, "UTF-8")),
+                if (m.length.toLong * 2 < data.length) 1L else 0L,
+                if (pgz.length < pplain.length) 1L else 0L))
+            else Nil
+          }
+          .toDF("blob_id", "gz_md5", "gz_len", "orig_len",
+            "payload_hash", "beats_half", "pq_gz_smaller")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('deflate:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey,
+                 string_agg('doc-' || d || '-' || repeat('x',
+                   CAST(d % 17 AS INTEGER)) || chr(10), ''
+                   ORDER BY d) AS payload,
+                 CAST(sum(length('doc-' || d || '-') + (d % 17) + 1)
+                   AS BIGINT) AS orig_len
+          FROM r GROUP BY blob_id)
+        SELECT k.blob_id, f.gz_md5, f.gz_len, k.orig_len,
+               ${OracleSql.sqlHash60("k.payload")} AS payload_hash,
+               CAST(1 AS BIGINT) AS beats_half,
+               CAST(1 AS BIGINT) AS pq_gz_smaller
+        FROM k JOIN read_parquet(
+          '/root/repo/fixtures/deflate_own_oracle.parquet') f
+          ON k.bkey = f.blob_key"""),
       headline = false))
 }

@@ -183,4 +183,36 @@ object Gzip {
     out.write(((sz >> 16) & 0xff).toInt); out.write(((sz >> 24) & 0xff).toInt)
     out.toByteArray
   }
+
+  /** [[writeMember]] with the ENGINE-OWNED deflate encoder
+    * ([[Deflate.compressFixed]] — LZ77 + fixed-Huffman from first
+    * principles) instead of `java.util.zip.Deflater`: same
+    * deterministic header (MTIME=0, XFL=0, OS=255) and CRC32+ISIZE
+    * trailer, zero foreign code in the compressed body. Kept separate
+    * so callers whose oracles pinned zlib-level-6 sizes are
+    * unaffected.
+    */
+  def writeMemberOwn(data: Array[Byte],
+                     name: Option[String] = None): Array[Byte] = {
+    val body = Deflate.compressFixed(data)
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    out.write(0x1f); out.write(0x8b); out.write(8)
+    out.write(if (name.isDefined) FNAME else 0)
+    out.write(0); out.write(0); out.write(0); out.write(0) // MTIME
+    out.write(0) // XFL
+    out.write(0xff) // OS unknown
+    name.foreach { n =>
+      out.write(n.getBytes("ISO-8859-1")); out.write(0)
+    }
+    out.write(body, 0, body.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val v = crc.getValue
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    val sz = data.length & 0xffffffffL
+    out.write((sz & 0xff).toInt); out.write(((sz >> 8) & 0xff).toInt)
+    out.write(((sz >> 16) & 0xff).toInt); out.write(((sz >> 24) & 0xff).toInt)
+    out.toByteArray
+  }
 }

@@ -236,7 +236,14 @@ object ParquetWrite {
                 bloomCols: Set[Int] = Set.empty): Array[Byte] = {
     val shapes = flattenLeaves(fields)
     require(shapes.length == data.length, "leaf count mismatch")
-    require(codec == 0 || codec == 1, s"codec $codec")
+    // 0 = UNCOMPRESSED, 1 = SNAPPY (own LZ77), 2 = GZIP (own DEFLATE
+    // encoder inside the engine's own gzip member framing)
+    require(codec == 0 || codec == 1 || codec == 2, s"codec $codec")
+    def compressBody(plain: Array[Byte]): Array[Byte] = codec match {
+      case 1 => Snappy.compress(plain)
+      case 2 => Gzip.writeMemberOwn(plain)
+      case _ => plain
+    }
     shapes.zip(data).foreach { case (sh, ld) =>
       require(ld.defs != null && ld.defs.length <= (1 << 24))
       if (sh.maxRep > 0)
@@ -378,7 +385,7 @@ object ParquetWrite {
         }
         else longDict.foreach(v => pb.write(le8(v), 0, 8))
         val plain = pb.toByteArray
-        val body = if (codec == 1) Snappy.compress(plain) else plain
+        val body = compressBody(plain)
         val nd = if (isBin) binDict.length else longDict.length
         val hb = pageHeader(2, plain.length, body.length, nd, 0)
         out.write(hb, 0, hb.length); out.write(body, 0, body.length)
@@ -481,7 +488,7 @@ object ParquetWrite {
               0 // PLAIN
             }
           val plain = body0.toByteArray
-          val body = if (codec == 1) Snappy.compress(plain) else plain
+          val body = compressBody(plain)
           val hb = pageHeader(0, plain.length, body.length, nVals, encoding)
           val pageOff = out.size().toLong
           out.write(hb, 0, hb.length); out.write(body, 0, body.length)
