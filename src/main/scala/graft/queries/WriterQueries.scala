@@ -307,5 +307,152 @@ object WriterQueries {
         FROM k JOIN read_parquet(
           '/root/repo/fixtures/deflate_own_oracle.parquet') f
           ON k.bkey = f.blob_key"""),
+      headline = false),
+
+    // q313 — write-side PAGE INDEX + BLOOM: the engine's writer now
+    // emits the PARQUET-922 ColumnIndex/OffsetIndex pair and a
+    // PARQUET-41 split-block bloom (own XXH64), and the engine's own
+    // q263/q269 read machinery probes files IT wrote — the q308
+    // zero-foreign-code write→stats→skip loop one level finer. Each
+    // present probe decodes EXACTLY ONE index-selected page; absent
+    // probes are rejected by the bloom or by page bounds with zero
+    // pages decoded; a forged OffsetIndex entry fails closed
+    // (readPageCells None, never a wrong answer). The whole layout —
+    // multi-page chunks, both index structures, bloom header+bitset —
+    // is md5-pinned against an independent Python twin
+    // (scripts/make_parquet_pageindex_write_oracle.py) which also
+    // re-reads the bytes with pyarrow/DuckDB and recomputes the
+    // bloom's absent-probe rejections independently.
+    "q313_parquet_write_pageindex_bloom" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted.toArray
+            val n = ids.length
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val fields = Seq(W.Leaf("rec_id", 0, 2),
+              W.Leaf("val", 0, 2))
+            val data = Seq(
+              W.LeafData(Array.fill(n)(0), null, longs = ids),
+              W.LeafData(Array.fill(n)(0), null,
+                longs = ids.map(d => (d * 17) % 1009)))
+            val pr = math.max(1, n / 8)
+            val bytes = W.writeFile(fields, data, withStats = true,
+              pageRows = pr, withIndex = true, bloomCols = Set(0))
+            val fileMd5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map("%02x".format(_)).mkString
+            val res = for {
+              fm <- P.parseFooter(bytes)
+              idCol <- fm.rowGroups.head.cols.find(_.path == "rec_id")
+              valCol <- fm.rowGroups.head.cols.find(_.path == "val")
+              oi <- P.parseOffsetIndex(bytes, idCol)
+              oiV <- P.parseOffsetIndex(bytes, valCol)
+              ci <- P.parseColumnIndex(bytes, idCol)
+              bloom <- P.parseBloomFilter(bytes, idCol)
+              if ci.nullPages.length == oi.length
+            } yield {
+              val probePos = Seq(0, (n - 1) / 4, (n - 1) / 2,
+                3 * (n - 1) / 4, n - 1).distinct
+              var foundSum = 0L
+              var pagesDecoded = 0L
+              var ok = true
+              probePos.foreach { pos =>
+                val probe = ids(pos)
+                if (!bloom.mightContainLong(probe)) ok = false
+                else {
+                  // index-selected pages ONLY: [min,max] containment
+                  val sel = oi.indices.filter { i =>
+                    !ci.nullPages(i) &&
+                    ci.minLong(i).exists(_ <= probe) &&
+                    ci.maxLong(i).exists(_ >= probe)
+                  }
+                  pagesDecoded += sel.length
+                  var hit = false
+                  sel.foreach { i =>
+                    P.readPageCells(bytes, oi(i), idCol) match {
+                      case Some(cells) =>
+                        val at = cells.longs.indexOf(probe)
+                        if (at >= 0) {
+                          // the matching val page row: same page index
+                          // (both chunks split on the same records)
+                          P.readPageCells(bytes, oiV(i), valCol)
+                            .foreach { vc =>
+                              foundSum += vc.longs(at); hit = true
+                            }
+                        }
+                      case None => ok = false
+                    }
+                  }
+                  if (!hit) ok = false
+                }
+              }
+              // absent probes: bloom-negative or zero pages selected
+              val mx = ids.last
+              var bloomNeg = 0L
+              var absentPages = 0L
+              (1L to 20L).foreach { k =>
+                val probe = mx + k
+                if (!bloom.mightContainLong(probe)) bloomNeg += 1
+                else absentPages += oi.indices.count { i =>
+                  !ci.nullPages(i) &&
+                  ci.minLong(i).exists(_ <= probe) &&
+                  ci.maxLong(i).exists(_ >= probe)
+                }
+              }
+              // forged index entry must fail closed
+              val forged = oi.head.copy(offset = oi.head.offset + 1)
+              val forgedFail =
+                if (P.readPageCells(bytes, forged, idCol).isEmpty) 1L
+                else 0L
+              if (!ok) Nil
+              else Seq((blobId, fileMd5, bytes.length.toLong,
+                oi.length.toLong, probePos.length.toLong, foundSum,
+                pagesDecoded, bloomNeg, absentPages, forgedFail))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("blob_id", "file_md5", "file_bytes_len", "n_pages",
+            "n_probes", "found_sum", "pages_decoded", "n_bloom_neg",
+            "absent_pages", "forged_fail")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        o AS (
+          SELECT blob_id, d,
+                 row_number() OVER (PARTITION BY blob_id ORDER BY d)
+                   - 1 AS pos,
+                 count(*) OVER (PARTITION BY blob_id) AS n
+          FROM r),
+        k AS (
+          SELECT blob_id,
+                 md5('pqidx:' || string_agg(d, ',' ORDER BY d)) AS bkey
+          FROM o GROUP BY blob_id),
+        pp AS (
+          SELECT blob_id, pos, d, n FROM o
+          WHERE pos IN (0, (n-1)//4, (n-1)//2, 3*(n-1)//4, n-1)),
+        agg AS (
+          SELECT blob_id,
+                 CAST(max(n) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum((d * 17) % 1009) AS BIGINT) AS found_sum
+          FROM pp GROUP BY blob_id)
+        SELECT a.blob_id, f.file_md5, f.file_bytes_len,
+               CAST(ceil(a.n * 1.0 /
+                 greatest(1, a.n // 8)) AS BIGINT) AS n_pages,
+               a.n_probes, a.found_sum,
+               a.n_probes AS pages_decoded,
+               f.n_bloom_neg,
+               CAST(0 AS BIGINT) AS absent_pages,
+               CAST(1 AS BIGINT) AS forged_fail
+        FROM agg a JOIN k ON a.blob_id = k.blob_id
+        JOIN read_parquet(
+          '/root/repo/fixtures/parquet_pageindex_write_oracle.parquet')
+          f ON k.bkey = f.blob_key"""),
       headline = false))
 }
