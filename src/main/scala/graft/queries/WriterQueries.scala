@@ -454,5 +454,156 @@ object WriterQueries {
         JOIN read_parquet(
           '/root/repo/fixtures/parquet_pageindex_write_oracle.parquet')
           f ON k.bkey = f.blob_key"""),
+      headline = false),
+
+    // q314 — the engine WRITES the Delta CHECKPOINT: DeltaWrite.
+    // writeCheckpoint serializes action rows as
+    // `<v>.checkpoint.parquet` through the own nested parquet writer
+    // (OPTIONAL action groups, v1 def levels, add.partitionValues as
+    // the 3-level MAP layout) + `_last_checkpoint`, then the table's
+    // pre-checkpoint JSON is VACUUMED and the engine's own q261
+    // replay machinery answers from its own checkpoint: DeltaCheckpoint
+    // .parse (own byte reader) -> JSON tail via the own Json parser ->
+    // last-wins live view -> own parquet reader over the live data
+    // files. C's partition value survives ONLY in the checkpoint's
+    // map column (part_sum breaks if the write-side striping is
+    // wrong), and a JSON-only replay misses C (json_only_misses).
+    // Bytes md5-pinned by an independent Python twin
+    // (scripts/make_delta_ckpt_write_oracle.py) that re-reads the
+    // checkpoint with pyarrow; parquet-mr cross-reads it in
+    // CheckpointSpec.
+    "q314_delta_checkpoint_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val bkey = md5Hex("deltackptw:" + ids.mkString(","))
+            val D = graft.sources.DeltaWrite
+            val J = graft.sources.Json
+            val P = graft.sources.Parquet
+            val bundle = D.writeTableWithCheckpoint(bkey, ids)
+            val ckpt =
+              bundle("_delta_log/00000000000000000001.checkpoint.parquet")
+            val ckptMd5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(ckpt).map("%02x".format(_)).mkString
+            def jstr(o: J.JObject, k: String): Option[String] =
+              o.get(k).collect { case J.JString(x) => x }
+            val res = for {
+              lc <- J.parse(new String(
+                bundle("_delta_log/_last_checkpoint"), "UTF-8").trim)
+              ver <- lc match {
+                case o: J.JObject =>
+                  o.get("version").collect { case J.JLong(v) => v }
+                case _ => None
+              }
+              acts <- graft.sources.DeltaCheckpoint.parse(ckpt)
+            } yield {
+              // path -> (version, isAdd, part); checkpoint state first
+              val st = scala.collection.mutable.LinkedHashMap
+                .empty[String, (Long, Boolean, String)]
+              acts.foreach { a =>
+                if (a.addPath != null)
+                  st(a.addPath) =
+                    (ver, true, a.addParts.getOrElse("part", null))
+                else if (a.removePath != null)
+                  st(a.removePath) = (ver, false, null)
+              }
+              // surviving JSON tail strictly after the checkpoint,
+              // through the engine's own JSON parser
+              val LogName = "_delta_log/(\\d{20})\\.json".r
+              val tail = bundle.keys.toSeq.collect {
+                case k @ LogName(v) if v.toLong > ver => (v.toLong, k)
+              }.sortBy(_._1)
+              val jsonLive = scala.collection.mutable.Set.empty[String]
+              var ok = true
+              tail.foreach { case (v, k) =>
+                new String(bundle(k), "UTF-8").split("\n")
+                  .filter(_.trim.nonEmpty).foreach { line =>
+                    J.parse(line) match {
+                      case Some(o: J.JObject) =>
+                        (o.get("add"), o.get("remove")) match {
+                          case (Some(a: J.JObject), _) =>
+                            jstr(a, "path") match {
+                              case Some(p) =>
+                                val part = a.get("partitionValues")
+                                  .collect { case pv: J.JObject => pv }
+                                  .flatMap(jstr(_, "part")).orNull
+                                st(p) = (v, true, part)
+                                jsonLive += p
+                              case None => ok = false
+                            }
+                          case (_, Some(r: J.JObject)) =>
+                            jstr(r, "path") match {
+                              case Some(p) =>
+                                st(p) = (v, false, null)
+                                jsonLive -= p
+                              case None => ok = false
+                            }
+                          case _ => ()
+                        }
+                      case _ => ok = false
+                    }
+                  }
+              }
+              val live = st.toSeq.collect {
+                case (p, (_, true, part)) => (p, part)
+              }.sortBy(_._1)
+              val misses =
+                live.map(_._1).count(p => !jsonLive.contains(p))
+              var nRows = 0L; var idSum = 0L
+              var valSum = 0L; var partSum = 0L
+              live.foreach { case (p, part) =>
+                if (part == null) ok = false
+                else {
+                  partSum += part.toLong
+                  (P.columnLongs(bundle(p), "rec_id"),
+                    P.columnLongs(bundle(p), "val")) match {
+                    case (Some(rs), Some(vs)) if rs.length == vs.length =>
+                      nRows += rs.length
+                      idSum += rs.sum
+                      valSum += vs.sum
+                    case _ => ok = false
+                  }
+                }
+              }
+              if (!ok) Nil
+              else Seq((blobId, ckptMd5, ckpt.length.toLong,
+                acts.length.toLong, live.length.toLong, nRows, idSum,
+                valSum, partSum, misses.toLong))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("blob_id", "ckpt_md5", "ckpt_len", "n_ckpt_acts",
+            "n_live", "n_rows", "id_sum", "val_sum", "part_sum",
+            "json_only_misses")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('deltackptw:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey
+          FROM r GROUP BY blob_id),
+        agg AS (
+          SELECT blob_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(d) AS BIGINT) AS id_sum,
+                 CAST(sum((d * 13) % 991) AS BIGINT) AS val_sum
+          FROM r WHERE (d // 6) % 4 IN (2, 3) GROUP BY blob_id)
+        SELECT a.blob_id, f.ckpt_md5, f.ckpt_len,
+               CAST(5 AS BIGINT) AS n_ckpt_acts,
+               CAST(2 AS BIGINT) AS n_live,
+               a.n_rows, a.id_sum, a.val_sum,
+               CAST(5 AS BIGINT) AS part_sum,
+               CAST(1 AS BIGINT) AS json_only_misses
+        FROM agg a JOIN k ON a.blob_id = k.blob_id
+        JOIN read_parquet(
+          '/root/repo/fixtures/delta_ckpt_write_oracle.parquet') f
+          ON k.bkey = f.blob_key"""),
       headline = false))
 }

@@ -25,6 +25,10 @@ object DeltaWrite {
   def addAction(path: String, size: Long): String =
     s"""{"add": {"dataChange": true, "modificationTime": 1700000000000, "partitionValues": {}, "path": "$path", "size": $size}}"""
 
+  /** An add carrying one partition value (canonical key order). */
+  def addActionPart(path: String, size: Long, part: String): String =
+    s"""{"add": {"dataChange": true, "modificationTime": 1700000000000, "partitionValues": {"part": "$part"}, "path": "$path", "size": $size}}"""
+
   def removeAction(path: String): String =
     s"""{"remove": {"dataChange": true, "deletionTimestamp": 1700000001000, "path": "$path"}}"""
 
@@ -56,5 +60,126 @@ object DeltaWrite {
       "_delta_log/00000000000000000001.json" ->
         c1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       names(0) -> data(0), names(1) -> data(1), names(2) -> data(2))
+  }
+
+  // ---- checkpoint WRITE (q314) -------------------------------------------
+
+  /** One checkpoint action row — exactly one group populated, exactly
+    * the shape [[DeltaCheckpoint.parse]] reads back. Adds carry one
+    * partition entry ("part" -> addPart).
+    */
+  final case class CkptAct(addPath: String = null, addSize: Long = -1L,
+                           addPart: String = null,
+                           removePath: String = null,
+                           metaId: String = null, minReader: Long = -1L)
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Serialize checkpoint rows as `<version>.checkpoint.parquet`
+    * through the engine's own nested parquet writer
+    * ([[ParquetWrite.writeFile]]): one OPTIONAL group per action kind
+    * whose leaves carry v1 def-level sections, and `add.
+    * partitionValues` as the 3-level MAP layout (REPEATED key_value
+    * under an OPTIONAL MAP-annotated group, REQUIRED key + OPTIONAL
+    * value) — the exact Dremel striping the checkpoint READER
+    * ([[DeltaCheckpoint.parse]]) reassembles. Deterministic layout;
+    * the independent Python twin
+    * (scripts/make_delta_ckpt_write_oracle.py) reproduces the bytes
+    * md5-exact and re-reads them with pyarrow.
+    *
+    * Spec source: delta-io/delta PROTOCOL.md "Checkpoints" (one row
+    * per action, columns named after the JSON action fields).
+    */
+  def writeCheckpoint(acts: Seq[CkptAct]): Array[Byte] = {
+    require(acts.nonEmpty && acts.length <= (1 << 16))
+    acts.foreach(a => require(a.addPath == null || a.addPart != null,
+      "adds must carry a partition value"))
+    val W = ParquetWrite
+    val n = acts.length
+    val fields = Seq(
+      W.Group("protocol", 1,
+        Seq(W.Leaf("minReaderVersion", 1, 2))),
+      W.Group("metaData", 1,
+        Seq(W.Leaf("id", 1, 6, convertedType = 0))),
+      W.Group("add", 1, Seq(
+        W.Leaf("path", 1, 6, convertedType = 0),
+        W.Group("partitionValues", 1, Seq(
+          W.Group("key_value", 2, Seq(
+            W.Leaf("key", 0, 6, convertedType = 0),
+            W.Leaf("value", 1, 6, convertedType = 0)),
+            convertedType = 2)), convertedType = 1),
+        W.Leaf("size", 1, 2))),
+      W.Group("remove", 1,
+        Seq(W.Leaf("path", 1, 6, convertedType = 0))))
+    val isAdd = acts.map(_.addPath != null)
+    val zeroReps = Array.fill(n)(0)
+    W.writeFile(fields, Seq(
+      W.LeafData(acts.map(a => if (a.minReader >= 0) 2 else 0).toArray,
+        null, longs = acts.filter(_.minReader >= 0)
+          .map(_.minReader).toArray),
+      W.LeafData(acts.map(a => if (a.metaId != null) 2 else 0).toArray,
+        null, bins = acts.collect {
+          case a if a.metaId != null => a.metaId.getBytes(Utf8)
+        }.toArray),
+      W.LeafData(isAdd.map(b => if (b) 2 else 0).toArray, null,
+        bins = acts.collect {
+          case a if a.addPath != null => a.addPath.getBytes(Utf8)
+        }.toArray),
+      W.LeafData(isAdd.map(b => if (b) 3 else 0).toArray, zeroReps,
+        bins = acts.collect {
+          case a if a.addPath != null => "part".getBytes(Utf8)
+        }.toArray),
+      W.LeafData(isAdd.map(b => if (b) 4 else 0).toArray, zeroReps,
+        bins = acts.collect {
+          case a if a.addPath != null => a.addPart.getBytes(Utf8)
+        }.toArray),
+      W.LeafData(isAdd.map(b => if (b) 2 else 0).toArray, null,
+        longs = acts.collect {
+          case a if a.addPath != null => a.addSize
+        }.toArray),
+      W.LeafData(acts.map(a => if (a.removePath != null) 2 else 0)
+        .toArray, null, bins = acts.collect {
+          case a if a.removePath != null => a.removePath.getBytes(Utf8)
+        }.toArray)))
+  }
+
+  /** `_delta_log/_last_checkpoint` body (canonical key order). */
+  def lastCheckpointJson(version: Long, size: Long): String =
+    s"""{"size": $size, "version": $version}"""
+
+  /** The q314 bundle: a Delta table whose pre-checkpoint JSON has
+    * been VACUUMED — commits 0-1 survive only as the engine-written
+    * `00000000000000000001.checkpoint.parquet` (protocol, metaData,
+    * adds for A+C, the remove-B tombstone) named by
+    * `_last_checkpoint`, plus a surviving JSON tail (commit 2:
+    * remove A, add D). Live view = {C, D}; C's partition value is
+    * recoverable ONLY from the checkpoint's map column, so a
+    * JSON-only replay both misses C and has no partition for it.
+    * Data files split by (d/6) % 4; val = (d*13) % 991.
+    */
+  def writeTableWithCheckpoint(id: String,
+                               ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val parts = (0 to 3).map(x => ids.filter(d => (d / 6) % 4 == x))
+    val names = (0 to 3).map(x => s"part-$x.parquet")
+    val data = parts.map(p => ParquetWrite.writeInt64(
+      Seq("rec_id", "val"), p.map(d => Array(d, (d * 13) % 991))))
+    val ckpt = writeCheckpoint(Seq(
+      CkptAct(minReader = 1L),
+      CkptAct(metaId = id),
+      CkptAct(addPath = names(0), addSize = data(0).length.toLong,
+        addPart = "0"),
+      CkptAct(addPath = names(2), addSize = data(2).length.toLong,
+        addPart = "2"),
+      CkptAct(removePath = names(1))))
+    val c2 = Seq(removeAction(names(0)),
+      addActionPart(names(3), data(3).length.toLong, "3"))
+      .mkString("\n") + "\n"
+    Map(
+      "_delta_log/00000000000000000001.checkpoint.parquet" -> ckpt,
+      "_delta_log/_last_checkpoint" ->
+        (lastCheckpointJson(1L, 5L) + "\n").getBytes(Utf8),
+      "_delta_log/00000000000000000002.json" -> c2.getBytes(Utf8),
+      names(0) -> data(0), names(1) -> data(1),
+      names(2) -> data(2), names(3) -> data(3))
   }
 }

@@ -1111,6 +1111,52 @@ class ParquetSpec extends SparkSpec {
       got.getLong(2) == 10L)
     p.delete(); dir.delete()
   }
+
+  test("DeltaWrite.writeCheckpoint: the engine-WRITTEN checkpoint " +
+    "(nested action groups + 3-level MAP striping) round-trips " +
+    "through its own reader AND parquet-mr reads the same rows") {
+    val D = graft.sources.DeltaWrite
+    import graft.sources.DeltaCheckpoint
+    val acts = Seq(
+      D.CkptAct(minReader = 1L),
+      D.CkptAct(metaId = "tbl-xyz"),
+      D.CkptAct(addPath = "f0.parquet", addSize = 123L, addPart = "0"),
+      D.CkptAct(addPath = "f2.parquet", addSize = 456L, addPart = "2"),
+      D.CkptAct(removePath = "f1.parquet"))
+    val b = D.writeCheckpoint(acts)
+    // own reader: exact Acts back
+    import DeltaCheckpoint.Act
+    val got = DeltaCheckpoint.parse(b).getOrElse(fail("must parse"))
+    assert(got == Vector(
+      Act(null, -1L, null, null, null, 1L),
+      Act(null, -1L, null, null, "tbl-xyz", -1L),
+      Act("f0.parquet", 123L, Map("part" -> "0"), null, null, -1L),
+      Act("f2.parquet", 456L, Map("part" -> "2"), null, null, -1L),
+      Act(null, -1L, null, "f1.parquet", null, -1L)))
+    // parquet-mr: the foreign reader agrees on structs AND the map
+    val dir = java.nio.file.Files.createTempDirectory("ckw").toFile
+    val p = new java.io.File(dir, "own.checkpoint.parquet")
+    java.nio.file.Files.write(p.toPath, b)
+    val df = spark.read.parquet(p.getAbsolutePath)
+    val rows = df.selectExpr("protocol.minReaderVersion", "metaData.id",
+      "add.path", "add.partitionValues['part']", "add.size",
+      "remove.path").collect()
+    assert(rows.length == 5)
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(2))
+    assert(rows(1).getString(1) == "tbl-xyz")
+    assert(rows(2).getString(2) == "f0.parquet" &&
+      rows(2).getString(3) == "0" && rows(2).getLong(4) == 123L)
+    assert(rows(3).getString(2) == "f2.parquet" &&
+      rows(3).getString(3) == "2" && rows(3).getLong(4) == 456L)
+    assert(rows(4).getString(5) == "f1.parquet" && rows(4).isNullAt(2))
+    p.delete(); dir.delete()
+    // determinism + totality
+    assert(java.util.Arrays.equals(b, D.writeCheckpoint(acts)))
+    for (i <- b.indices by 5) {
+      val bad = b.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      DeltaCheckpoint.parse(bad) // None or well-formed, never a throw
+    }
+  }
 }
 
 // Top-level so Spark derives encoders (mini-checkpoint spec rows).
