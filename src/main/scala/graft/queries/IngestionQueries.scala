@@ -2437,7 +2437,196 @@ object IngestionQueries {
         FROM k JOIN read_parquet(
           '/root/repo/fixtures/hudi_write_oracle.parquet') f
           ON k.bkey = f.blob_key"""))
-    Seq(q283, q302)
+
+    // q315 — Hudi MERGE-ON-READ, the read twin of q283's CoW: file
+    // groups carry a parquet BASE slice plus framed LOG files
+    // (sources/HudiLog.scala — #HUDI# block framing per
+    // hudi.apache.org/tech-specs; avro data blocks decoded record by
+    // record through AvroGeneric.parseDatum against the header
+    // schema, delete blocks by key). The view merges, PER FILE SLICE
+    // (the production task unit), blocks whose instants are COMPLETED
+    // deltacommits over the base in instant order, last-wins per
+    // record key. Baits: a base-only reader misses instant-2 updates
+    // and instant-3 deletes (base_breaks pins the divergence), an
+    // apply-everything reader surfaces instant 4's +999 poison (its
+    // deltacommit is only .inflight — n_skipped must be 1), and
+    // d%15==0 keys are updated THEN deleted — wrong block order
+    // resurrects them. All metadata/merge work is KB-scale per slice
+    // (≤ 4 blocks by the fixture protocol); decode runs in the
+    // grouped tasks exactly as a distributed MOR scan would.
+    val q315 = "q315_hudi_merge_on_read" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val keys = docs.groupByKey(_._1).mapGroups { (blobId, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          (blobId, md5Hex("hudimor:" + ids.mkString(",")))
+        }.toDF("blob_id", "blob_key")
+        val files = keys
+          .join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/hudi_mor_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("rel_path"), col("kind"),
+            col("file_bytes"))
+        // completed instants: `<instant>.commit` AND
+        // `<instant>.deltacommit`; .inflight is not table state
+        val completed = files.filter(col("kind") === "timeline")
+          .select(col("blob_id"), regexp_extract(col("rel_path"),
+            "^\\.hoodie/(\\d+)\\.(commit|deltacommit)$", 1)
+            .as("instant"))
+          .filter(col("instant") =!= "")
+        val nCompleted = completed.groupBy("blob_id")
+          .agg(countDistinct(col("instant")).as("n_completed"))
+        val compSets = completed.groupBy("blob_id")
+          .agg(collect_set(col("instant")).as("completed"))
+        // slice members: base files and log files, keyed by file group
+        val base = files.filter(col("kind") === "data")
+          .select(col("blob_id"),
+            regexp_extract(col("rel_path"),
+              "^p/([^_/.]+)_[^_/]+_(\\d+)\\.parquet$", 1).as("file_id"),
+            regexp_extract(col("rel_path"),
+              "^p/([^_/.]+)_[^_/]+_(\\d+)\\.parquet$", 2).as("skey"),
+            lit("base").as("role"), col("file_bytes"))
+          .filter(col("file_id") =!= "")
+        val logs = files.filter(col("kind") === "log")
+          .select(col("blob_id"),
+            regexp_extract(col("rel_path"),
+              "^p/\\.([^_/.]+)_(\\d+)\\.log\\.(\\d+)_.*$", 1)
+              .as("file_id"),
+            regexp_extract(col("rel_path"),
+              "^p/\\.([^_/.]+)_(\\d+)\\.log\\.(\\d+)_.*$", 3).as("skey"),
+            lit("log").as("role"), col("file_bytes"))
+          .filter(col("file_id") =!= "")
+        val slices = base.unionByName(logs)
+          .join(compSets, "blob_id")
+          .as[(Long, String, String, String, Array[Byte], Seq[String])]
+        val merged = slices
+          .groupByKey { case (blobId, fid, _, _, _, _) => (blobId, fid) }
+          .flatMapGroups { (key: (Long, String),
+                            it: Iterator[(Long, String, String, String,
+                              Array[Byte], Seq[String])]) =>
+            val blobId = key._1
+            val members = it.toSeq
+            val comp = members.head._6.toSet
+            val P = graft.sources.Parquet
+            val H = graft.sources.HudiLog
+            // base: completed-only, last-wins by instant
+            val bases = members.filter(m => m._4 == "base" &&
+              comp(m._3)).sortBy(_._3)
+            if (bases.isEmpty) Nil
+            else {
+              val (_, _, baseInstant, _, baseBytes, _) = bases.last
+              var ok = true
+              val state = scala.collection.mutable.LinkedHashMap
+                .empty[Long, Long]
+              var baseRows = 0L
+              var baseVal = 0L
+              (P.columnLongs(baseBytes, "rec_id"),
+                P.columnLongs(baseBytes, "val")) match {
+                case (Some(rs), Some(vs)) if rs.length == vs.length =>
+                  var i = 0
+                  while (i < rs.length) {
+                    state(rs(i)) = vs(i); i += 1
+                  }
+                  baseRows = rs.length.toLong
+                  baseVal = vs.sum
+                case _ => ok = false
+              }
+              // log blocks across the group's log files, in log-file
+              // order then block order; apply completed instants
+              // strictly after the base, sorted by instant
+              var nBlocks = 0L
+              var nApplied = 0L
+              var nSkipped = 0L
+              var nDeleted = 0L
+              val blocks = Seq.newBuilder[graft.sources.HudiLog.Block]
+              members.filter(_._4 == "log").sortBy(_._3).foreach { m =>
+                H.parse(m._5) match {
+                  case Some(bs) => nBlocks += bs.length; blocks ++= bs
+                  case None => ok = false
+                }
+              }
+              blocks.result().sortBy(_.instant).foreach { b =>
+                if (!comp(b.instant)) nSkipped += 1
+                else if (b.instant <= baseInstant) nSkipped += 1
+                else {
+                  nApplied += 1
+                  if (b.blockType == H.TypeAvroData) {
+                    b.records.foreach { r =>
+                      (r.field("rec_id").flatMap(_.asLong),
+                        r.field("val").flatMap(_.asLong)) match {
+                        case (Some(k), Some(v)) => state(k) = v
+                        case _ => ok = false
+                      }
+                    }
+                  } else if (b.blockType == H.TypeDelete) {
+                    b.deleteKeys.foreach { k =>
+                      scala.util.Try(k.toLong).toOption match {
+                        case Some(kk) =>
+                          if (state.remove(kk).nonEmpty) nDeleted += 1
+                        case None => ok = false
+                      }
+                    }
+                  }
+                }
+              }
+              if (!ok) Nil
+              else Seq((blobId, 1L, nBlocks, nApplied, nSkipped,
+                state.size.toLong, state.keys.sum, state.values.sum,
+                nDeleted, baseRows, baseVal))
+            }
+          }
+          .toDF("blob_id", "nf", "n_blocks", "n_applied", "n_skipped",
+            "rows", "id_sum", "val_sum", "n_deleted", "base_rows",
+            "base_val")
+        merged.groupBy("blob_id")
+          .agg(sum("nf").cast("long").as("n_fg"),
+            sum("n_blocks").as("n_blocks"),
+            sum("n_applied").as("n_applied"),
+            sum("n_skipped").as("n_skipped"),
+            sum("rows").as("n_rows"),
+            sum("id_sum").as("id_sum"),
+            sum("val_sum").as("val_sum"),
+            sum("n_deleted").as("n_deleted"),
+            sum("base_rows").as("base_rows"),
+            sum("base_val").as("base_val"))
+          .join(nCompleted, "blob_id")
+          .select(col("blob_id"), col("n_completed").cast("long"),
+            col("n_fg"), col("n_blocks"), col("n_applied"),
+            col("n_skipped"), col("n_rows"), col("id_sum"),
+            col("val_sum"), col("n_deleted"),
+            when(col("val_sum") =!= col("base_val") ||
+              col("n_rows") =!= col("base_rows"), 1L).otherwise(0L)
+              .as("base_breaks"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg, (doc_id * 13) % 1000 AS v
+          FROM documents),
+        m AS (
+          SELECT blob_id, d,
+                 v + CASE WHEN fg = 0 AND d % 3 = 0 THEN 7 ELSE 0 END
+                   AS mv
+          FROM r WHERE NOT (fg = 0 AND d % 5 = 0))
+        SELECT r.blob_id,
+               CAST(3 AS BIGINT) AS n_completed,
+               CAST(2 AS BIGINT) AS n_fg,
+               CAST(3 AS BIGINT) AS n_blocks,
+               CAST(2 AS BIGINT) AS n_applied,
+               CAST(1 AS BIGINT) AS n_skipped,
+               (SELECT CAST(count(*) AS BIGINT) FROM m
+                WHERE m.blob_id = r.blob_id) AS n_rows,
+               (SELECT CAST(sum(d) AS BIGINT) FROM m
+                WHERE m.blob_id = r.blob_id) AS id_sum,
+               (SELECT CAST(sum(mv) AS BIGINT) FROM m
+                WHERE m.blob_id = r.blob_id) AS val_sum,
+               CAST(sum(CASE WHEN fg = 0 AND d % 5 = 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_deleted,
+               CAST(1 AS BIGINT) AS base_breaks
+        FROM r GROUP BY r.blob_id"""))
+    Seq(q283, q302, q315)
   }
 
   // Iceberg metadata walk (q257/q258) — the OTHER lakehouse format:

@@ -344,6 +344,16 @@ object AvroGeneric {
   /** One generically decoded container: its embedded schema plus every
     * record, in block order.
     */
+  /** Decode one BARE binary datum at `pos` under `schema` — the
+    * container-free form Hudi log data blocks carry (schema in the
+    * block header, naked length-prefixed records in the content).
+    * Returns the value and the end offset; None on any malformation.
+    */
+  def parseDatum(b: Array[Byte], pos: Int,
+                 schema: Schema): Option[(V, Int)] =
+    try Some(datum(b, pos, schema, 0))
+    catch { case _: Bad => None }
+
   final case class Decoded(schemaJson: String, records: Vector[V])
 
   /** Walk a complete object container generically: magic, metadata

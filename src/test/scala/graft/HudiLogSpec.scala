@@ -1,0 +1,94 @@
+package graft
+
+import graft.sources.{AvroGeneric, HudiLog}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Hudi log-file block framing (hudi.apache.org/tech-specs
+  * "Log File Format") on both sides: the write helpers emit the exact
+  * layout [[HudiLog.parse]] reads, avro data records decode bare
+  * through [[AvroGeneric.parseDatum]], and every damage shape closes.
+  */
+class HudiLogSpec extends AnyFunSuite {
+
+  private val SchemaJson =
+    """{"type":"record","name":"rec","fields":[{"name":"rec_id","type":"long"},{"name":"val","type":"long"}]}"""
+
+  private def zz(v: Long): Array[Byte] = {
+    var z = (v << 1) ^ (v >> 63)
+    val out = new java.io.ByteArrayOutputStream()
+    while ((z & ~0x7fL) != 0) {
+      out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7
+    }
+    out.write(z.toInt)
+    out.toByteArray
+  }
+
+  private def rec(id: Long, v: Long): Array[Byte] = zz(id) ++ zz(v)
+
+  test("write -> parse round trip: data + delete blocks, exact " +
+    "records, instants, and counts") {
+    val data = HudiLog.writeBlock(HudiLog.TypeAvroData,
+      Seq(HudiLog.HdrInstantTime -> "00000000000002",
+        HudiLog.HdrSchema -> SchemaJson),
+      HudiLog.dataContent(Seq(rec(7L, 91L), rec(-3L, 0L),
+        rec(Long.MaxValue, Long.MinValue))))
+    val del = HudiLog.writeBlock(HudiLog.TypeDelete,
+      Seq(HudiLog.HdrInstantTime -> "00000000000003"),
+      HudiLog.deleteContent(Seq("7", "12345")))
+    val blocks = HudiLog.parse(data ++ del)
+      .getOrElse(fail("must parse"))
+    assert(blocks.length == 2)
+    val b0 = blocks(0)
+    assert(b0.blockType == HudiLog.TypeAvroData &&
+      b0.instant == "00000000000002" && b0.records.length == 3)
+    def kv(r: AvroGeneric.V): (Long, Long) =
+      (r.field("rec_id").flatMap(_.asLong).get,
+        r.field("val").flatMap(_.asLong).get)
+    assert(b0.records.map(kv) == Vector((7L, 91L), (-3L, 0L),
+      (Long.MaxValue, Long.MinValue)))
+    val b1 = blocks(1)
+    assert(b1.blockType == HudiLog.TypeDelete &&
+      b1.instant == "00000000000003" &&
+      b1.deleteKeys == Vector("7", "12345"))
+  }
+
+  test("totality: flips, truncations, framing lies, and junk all " +
+    "close — never a throw, never partial rows") {
+    val file = HudiLog.writeBlock(HudiLog.TypeAvroData,
+      Seq(HudiLog.HdrInstantTime -> "00000000000002",
+        HudiLog.HdrSchema -> SchemaJson),
+      HudiLog.dataContent(Seq(rec(1L, 2L), rec(3L, 4L)))) ++
+      HudiLog.writeBlock(HudiLog.TypeDelete,
+        Seq(HudiLog.HdrInstantTime -> "00000000000003"),
+        HudiLog.deleteContent(Seq("1")))
+    assert(HudiLog.parse(file).exists(_.length == 2))
+    // every-byte flip: None or a well-formed Vector
+    for (i <- file.indices) {
+      val bad = file.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      HudiLog.parse(bad)
+    }
+    // truncation sweep: a cut file never parses to 2 full blocks
+    for (cut <- 0 until file.length)
+      assert(!HudiLog.parse(java.util.Arrays.copyOf(file, cut))
+        .exists(_.length == 2), s"cut $cut")
+    // trailing garbage after a valid block fails the whole file
+    assert(HudiLog.parse(file ++ Array[Byte](1, 2, 3)).isEmpty)
+    // bad magic
+    val badMagic = file.clone(); badMagic(0) = '!'.toByte
+    assert(HudiLog.parse(badMagic).isEmpty)
+    // a block whose header lacks INSTANT_TIME is malformed
+    assert(HudiLog.parse(HudiLog.writeBlock(HudiLog.TypeDelete,
+      Seq.empty, HudiLog.deleteContent(Seq("1")))).isEmpty)
+    // a data block with an unparseable schema is malformed
+    assert(HudiLog.parse(HudiLog.writeBlock(HudiLog.TypeAvroData,
+      Seq(HudiLog.HdrInstantTime -> "1", HudiLog.HdrSchema -> "{nope"),
+      HudiLog.dataContent(Seq(rec(1L, 2L))))).isEmpty)
+    // a record with leftover bytes (length lie) desyncs and closes
+    val lied = HudiLog.writeBlock(HudiLog.TypeAvroData,
+      Seq(HudiLog.HdrInstantTime -> "1",
+        HudiLog.HdrSchema -> SchemaJson),
+      HudiLog.dataContent(Seq(rec(1L, 2L) ++ Array[Byte](0))))
+    assert(HudiLog.parse(lied).isEmpty)
+    assert(HudiLog.parse(Array.emptyByteArray).isEmpty)
+  }
+}
