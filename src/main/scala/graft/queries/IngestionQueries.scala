@@ -3778,7 +3778,160 @@ object IngestionQueries {
           '/root/repo/fixtures/iceberg_write_oracle.parquet') f
           ON k.bkey = f.blob_key"""))
 
-    Seq(q257, q258, q259, q262, q271, q275, q281, q286, q289, q301)
+    // q317 — Iceberg PARTITIONED write: the q301 metadata writer
+    // gains a partition spec (identity transform in metadata.json)
+    // and PER-MANIFEST bounds summaries — the full v2 manifest-file /
+    // manifest-entry schemas (unions, field summaries, r102 partition
+    // records, per-file k126_v127 rec_id bounds) emitted through the
+    // engine's own Avro record encoders. The query then runs the
+    // q271 PRUNING read over its OWN output: the probe (part >= 1)
+    // selects manifests from the write's bounds summaries ALONE and
+    // opens only those — n_opened is in the compared output, spec_ok
+    // pins the metadata.json partition spec through the own JSON
+    // parser, bounds_ok pins every opened entry inside its manifest's
+    // claimed summary. Bundle bytes md5-pinned against the
+    // independent Python twin (scripts/make_iceberg_part_write_oracle
+    // .py), which re-derives the same hand-rolled Avro encoding the
+    // q271 fixture generator established.
+    val q317 = "q317_iceberg_partitioned_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"),
+            col("n_chars").cast("long"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val rows = it.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
+            val bkey = md5Hex("icebergpartw:" +
+              rows.map(r => s"${r._1}=${r._2}").mkString(","))
+            val W = graft.sources.IcebergWrite
+            val G = graft.sources.AvroGeneric
+            val J = graft.sources.Json
+            val bundle = W.writePartitionedTable(bkey, rows)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            bundle.toSeq.sortBy(_._1).foreach { case (p, b) =>
+              md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+              md.update(b)
+            }
+            val bundleMd5 = md.digest().map("%02x".format(_)).mkString
+            def leInt(b: Array[Byte]): Option[Int] =
+              if (b.length != 4) None
+              else Some((b(0) & 0xff) | (b(1) & 0xff) << 8 |
+                (b(2) & 0xff) << 16 | (b(3) & 0xff) << 24)
+            def jstr(o: J.JObject, k: String): Option[String] =
+              o.get(k).collect { case J.JString(x) => x }
+            val res = for {
+              metaJ <- J.parse(new String(bundle("v1.metadata.json"),
+                "UTF-8"))
+              meta <- Some(metaJ).collect { case o: J.JObject => o }
+              curSnap <- meta.get("current-snapshot-id")
+                .collect { case J.JLong(v) => v }
+              snaps <- meta.get("snapshots")
+                .collect { case J.JArray(xs) => xs }
+              listName <- snaps.collectFirst {
+                case o: J.JObject if o.get("snapshot-id")
+                  .contains(J.JLong(curSnap)) =>
+                  jstr(o, "manifest-list")
+              }.flatten
+              // partition spec: identity transform on `part`
+              specs <- meta.get("partition-specs")
+                .collect { case J.JArray(xs) => xs }
+              fields <- specs.collectFirst { case o: J.JObject =>
+                o.get("fields").collect { case J.JArray(fs) => fs }
+              }.flatten
+              specOk = fields.exists {
+                case f: J.JObject =>
+                  jstr(f, "name").contains("part") &&
+                    jstr(f, "transform").contains("identity")
+                case _ => false
+              }
+              listBytes <- bundle.get(listName)
+              list <- G.parseContainer(listBytes)
+            } yield {
+              var ok = specOk
+              val manifests = list.records.flatMap { r =>
+                val path = r.field("manifest_path").flatMap(_.asString)
+                val summary = r.field("partitions").map(_.items)
+                  .getOrElse(Nil).headOption
+                val lo = summary.flatMap(_.field("lower_bound"))
+                  .flatMap(_.asBytes).flatMap(leInt)
+                val hi = summary.flatMap(_.field("upper_bound"))
+                  .flatMap(_.asBytes).flatMap(leInt)
+                (path, lo, hi) match {
+                  case (Some(p), Some(l), Some(h)) => Seq((p, l, h))
+                  case _ => ok = false; Nil
+                }
+              }
+              val selected = manifests.filter(_._3 >= 1)
+              var files = 0L
+              var liveRows = 0L
+              var bytesSum = 0L
+              selected.foreach { case (mp, lo, hi) =>
+                bundle.get(mp).flatMap(G.parseContainer) match {
+                  case Some(m) => m.records.foreach { e =>
+                    val df = e.field("data_file")
+                    val part = df.flatMap(_.field("partition"))
+                      .flatMap(_.field("part")).flatMap(_.asLong)
+                    val rc = df.flatMap(_.field("record_count"))
+                      .flatMap(_.asLong)
+                    val fs = df.flatMap(_.field("file_size_in_bytes"))
+                      .flatMap(_.asLong)
+                    (part, rc, fs) match {
+                      case (Some(p), Some(r), Some(f)) =>
+                        if (p < lo || p > hi) ok = false
+                        if (p >= 1) { files += 1; liveRows += r
+                          bytesSum += f }
+                        else ok = false
+                      case _ => ok = false
+                    }
+                  }
+                  case None => ok = false
+                }
+              }
+              if (!ok) Nil
+              else Seq((t, bundleMd5, manifests.length.toLong,
+                selected.length.toLong, files, liveRows, bytesSum,
+                1L, 1L))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("table_id", "bundle_md5", "n_manifests", "n_opened",
+            "live_files", "live_rows", "live_bytes", "spec_ok",
+            "bounds_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d, n_chars,
+                 (doc_id // 6) % 3 AS part
+          FROM documents),
+        k AS (
+          SELECT table_id,
+                 md5('icebergpartw:' ||
+                   string_agg(d || '=' || n_chars, ',' ORDER BY d))
+                   AS bkey
+          FROM r GROUP BY table_id),
+        agg AS (
+          SELECT table_id,
+                 CAST(sum(CASE WHEN part >= 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS live_rows,
+                 CAST(sum(CASE WHEN part >= 1 THEN 1 + n_chars % 9
+                   ELSE 0 END) AS BIGINT) AS live_bytes
+          FROM r GROUP BY table_id)
+        SELECT a.table_id, f.bundle_md5,
+               CAST(3 AS BIGINT) AS n_manifests,
+               CAST(2 AS BIGINT) AS n_opened,
+               CAST(8 AS BIGINT) AS live_files,
+               a.live_rows, a.live_bytes,
+               CAST(1 AS BIGINT) AS spec_ok,
+               CAST(1 AS BIGINT) AS bounds_ok
+        FROM agg a JOIN k ON a.table_id = k.table_id
+        JOIN read_parquet(
+          '/root/repo/fixtures/iceberg_part_write_oracle.parquet') f
+          ON k.bkey = f.blob_key"""))
+
+    Seq(q257, q258, q259, q262, q271, q275, q281, q286, q289, q301,
+      q317)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:

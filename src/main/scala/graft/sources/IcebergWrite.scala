@@ -79,6 +79,140 @@ object IcebergWrite {
     out.toByteArray
   }
 
+  // ---- partitioned write (q317): the q271 read shapes, write side ------
+
+  /** The FULL v2 manifest-file schema (unions, field summaries) the
+    * q271 pruning read decodes — shared verbatim with the Python twin
+    * and the q271 fixture generator.
+    */
+  val ListSchemaV2: String =
+    """{"type":"record","name":"manifest_file","fields":[{"name":"manifest_path","type":"string"},{"name":"manifest_length","type":"long"},{"name":"partition_spec_id","type":"int"},{"name":"content","type":"int"},{"name":"sequence_number","type":"long"},{"name":"min_sequence_number","type":"long"},{"name":"added_snapshot_id","type":"long"},{"name":"added_files_count","type":"int"},{"name":"existing_files_count","type":"int"},{"name":"deleted_files_count","type":"int"},{"name":"added_rows_count","type":"long"},{"name":"existing_rows_count","type":"long"},{"name":"deleted_rows_count","type":"long"},{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"field_summary","fields":[{"name":"contains_null","type":"boolean"},{"name":"contains_nan","type":["null","boolean"]},{"name":"lower_bound","type":["null","bytes"]},{"name":"upper_bound","type":["null","bytes"]}]}}]},{"name":"key_metadata","type":["null","bytes"]}]}"""
+
+  /** The FULL v2 manifest-entry schema with a REAL partition record
+    * (r102{part int}) and per-file bounds maps (k126_v127).
+    */
+  val EntrySchemaV2: String =
+    """{"type":"record","name":"manifest_entry","fields":[{"name":"status","type":"int"},{"name":"snapshot_id","type":["null","long"]},{"name":"sequence_number","type":["null","long"]},{"name":"file_sequence_number","type":["null","long"]},{"name":"data_file","type":{"type":"record","name":"r2","fields":[{"name":"content","type":"int"},{"name":"file_path","type":"string"},{"name":"file_format","type":"string"},{"name":"partition","type":{"type":"record","name":"r102","fields":[{"name":"part","type":"int"}]}},{"name":"record_count","type":"long"},{"name":"file_size_in_bytes","type":"long"},{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}]},{"name":"upper_bounds","type":["null",{"type":"array","items":"k126_v127"}]},{"name":"sort_order_id","type":["null","int"]}]}}]}"""
+
+  private def bytesV(out: java.io.ByteArrayOutputStream,
+                     b: Array[Byte]): Unit = {
+    varint(out, b.length.toLong); out.write(b, 0, b.length)
+  }
+
+  /** Union: zigzag branch index, then the branch payload. */
+  private def union(out: java.io.ByteArrayOutputStream, idx: Long)
+                   (payload: => Unit): Unit = {
+    varint(out, idx); payload
+  }
+
+  private def le4(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le8(v: Long): Array[Byte] =
+    Array.tabulate[Byte](8)(k => ((v >>> (8 * k)) & 0xff).toByte)
+
+  /** One v2 manifest entry: status ADDED, data_file with partition
+    * record and rec_id (field id 1) bounds in Iceberg single-value
+    * serialization (8-byte LE long).
+    */
+  def entryV2(part: Int, path: String, rc: Long, fsz: Long,
+              lo: Long, hi: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def boundMap(v: Long): Unit = union(out, 1) {
+      varint(out, 1L) // one block of one entry
+      varint(out, 1L) // key = field id 1 (rec_id)
+      bytesV(out, le8(v))
+      varint(out, 0L) // end of blocks
+    }
+    varint(out, 1L)               // status = ADDED
+    union(out, 1)(varint(out, 99L)) // snapshot_id
+    union(out, 1)(varint(out, 1L))  // sequence_number
+    union(out, 1)(varint(out, 1L))  // file_sequence_number
+    varint(out, 0L)               // data_file.content = DATA
+    str(out, path)
+    str(out, "PARQUET")
+    varint(out, part.toLong)      // partition r102{part}
+    varint(out, rc)
+    varint(out, fsz)
+    boundMap(lo)                  // lower_bounds {1: LE64}
+    boundMap(hi)                  // upper_bounds {1: LE64}
+    union(out, 1)(varint(out, 0L)) // sort_order_id
+    out.toByteArray
+  }
+
+  /** One v2 manifest_file row with the [part, part] field summary
+    * (4-byte LE int single-value serialization) the pruning read
+    * selects on.
+    */
+  def manifestFileRowV2(path: String, length: Long, part: Int,
+                        files: Long, rows: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val bound = le4(part)
+    str(out, path)
+    varint(out, length)
+    varint(out, 0L)  // partition_spec_id
+    varint(out, 0L)  // content = data
+    varint(out, 1L); varint(out, 1L) // sequence numbers
+    varint(out, 99L) // added_snapshot_id
+    varint(out, files); varint(out, 0L); varint(out, 0L)
+    varint(out, rows); varint(out, 0L); varint(out, 0L)
+    union(out, 1) {  // partitions: one field_summary
+      varint(out, 1L)
+      out.write(0)                  // contains_null = false
+      union(out, 1)(out.write(0))   // contains_nan = false
+      union(out, 1)(bytesV(out, bound)) // lower_bound
+      union(out, 1)(bytesV(out, bound)) // upper_bound
+      varint(out, 0L)
+    }
+    union(out, 0)(()) // key_metadata = null
+    out.toByteArray
+  }
+
+  /** The q317 PARTITIONED metadata tree: partition spec `part =
+    * (doc_id/6) % 3` (identity transform in the metadata.json), ONE
+    * MANIFEST PER PARTITION whose manifest-list row carries the exact
+    * [part, part] bounds summary, and per-part quartile-split file
+    * entries with disjoint rec_id bounds (the q275 file-skip shape).
+    * rows: (doc_id, n_chars), record_count 1 per doc, file size
+    * 1 + n_chars % 9. Returns rel_path -> bytes; deterministic, so
+    * the Python twin (scripts/make_iceberg_part_write_oracle.py)
+    * pins every byte.
+    */
+  def writePartitionedTable(id: String,
+                            rows: Seq[(Long, Long)])
+      : Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    val out = Map.newBuilder[String, Array[Byte]]
+    val mrows = Seq.newBuilder[Array[Byte]]
+    for (x <- 0 to 2) {
+      // toIndexedSeq: quartile grouping below indexes positionally
+      val part = rows.filter { case (d, _) => (d / 6) % 3 == x }
+        .toIndexedSeq
+      val n = part.length
+      val entries = (0 to 3).flatMap { qtr =>
+        val grp = part.indices.filter(i => i * 4 / n == qtr)
+          .map(part)
+        if (grp.isEmpty) None
+        else Some(entryV2(x, s"part-$x/f-$x-$qtr.parquet",
+          grp.length.toLong, grp.map(r => 1L + r._2 % 9).sum,
+          grp.map(_._1).min, grp.map(_._1).max))
+      }
+      val m = container(EntrySchemaV2, entries, sync)
+      out += (s"m-$x.avro" -> m)
+      mrows += manifestFileRowV2(s"m-$x.avro", m.length.toLong, x,
+        entries.length.toLong, n.toLong)
+    }
+    val list = container(ListSchemaV2, mrows.result(), sync)
+    out += ("snap-1.avro" -> list)
+    val meta = ("""{"format-version": 2, "table-uuid": """" + id +
+      """", "partition-specs": [{"spec-id": 0, "fields": [{"field-id": 1000, "name": "part", "source-id": 3, "transform": "identity"}]}], "current-snapshot-id": 1, "snapshots": [{"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 1700000000000, "manifest-list": "snap-1.avro"}]}""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out += ("v1.metadata.json" -> meta)
+    out.result()
+  }
+
   /** The q301 metadata tree: three ADDED files split by (d/6) % 3
     * with relational record counts, one manifest, one list, one
     * metadata.json. Returns rel_path -> bytes.
