@@ -605,5 +605,79 @@ object WriterQueries {
         JOIN read_parquet(
           '/root/repo/fixtures/delta_ckpt_write_oracle.parquet') f
           ON k.bkey = f.blob_key"""),
+      headline = false),
+
+    // q316 — a REAL zstd COMPRESSOR from first principles
+    // (sources/ZstdEncode.scala: greedy LZ77 -> zstd sequences,
+    // FSE-coded under RFC 8878's PREDEFINED distributions with the
+    // backward bitstream written as the exact mirror of the engine's
+    // own pinned decoder; raw literals; per-block raw fallback).
+    // Three independent laws close the loop per blob: the engine's
+    // OWN decoder (Zstd.walk — itself pinned against libzstd frames)
+    // round-trips the bytes to the relational payload hash under the
+    // frame's XXH64 checksum; libzstd ITSELF (zstd-jni, the reference
+    // implementation on Spark's classpath) decodes the same bytes
+    // byte-exact in-query (jni_ok); and the size laws — compressed
+    // beats the raw-block stored frame AND beats half the plaintext —
+    // fail any stored-block or miscoded fallback.
+    "q316_zstd_own_encoder" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val ids = it.map(_._2).toSeq.sorted
+            val payload = ids.map(d =>
+              "doc-" + d + "-" + ("x" * (d % 17).toInt) + "\n").mkString
+            val data = payload.getBytes("UTF-8")
+            val Z = graft.sources.Zstd
+            val z = graft.sources.ZstdEncode.compress(data)
+            val stored = Z.frameStored(data)
+            val ownOk = Z.walk(z) match {
+              case Some(Seq(f)) => f.kind == "zstd" &&
+                f.checksumState == "ok" &&
+                java.util.Arrays.equals(f.decoded, data)
+              case _ => false
+            }
+            val jniOk = scala.util.Try(
+              com.github.luben.zstd.Zstd.decompress(z,
+                math.max(1, data.length))).toOption
+              .exists(java.util.Arrays.equals(_, data))
+            if (!ownOk) Nil
+            else Seq((blobId, data.length.toLong, h60(payload),
+              ((data.length + 65535) / 65536).toLong,
+              if (z.length * 2 < data.length) 1L else 0L,
+              if (z.length < stored.length) 1L else 0L,
+              if (jniOk) 1L else 0L))
+          }
+          .toDF("blob_id", "orig_len", "payload_hash", "n_blocks",
+            "beats_half", "beats_stored", "jni_ok")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg('doc-' || d || '-' || repeat('x',
+                   CAST(d % 17 AS INTEGER)) || chr(10), ''
+                   ORDER BY d) AS payload,
+                 CAST(sum(length('doc-' || d || '-') + (d % 17) + 1)
+                   AS BIGINT) AS orig_len
+          FROM r GROUP BY blob_id)
+        SELECT blob_id, orig_len,
+               ${OracleSql.sqlHash60("payload")} AS payload_hash,
+               CAST((orig_len + 65535) // 65536 AS BIGINT) AS n_blocks,
+               CAST(1 AS BIGINT) AS beats_half,
+               CAST(1 AS BIGINT) AS beats_stored,
+               CAST(1 AS BIGINT) AS jni_ok
+        FROM k"""),
       headline = false))
 }

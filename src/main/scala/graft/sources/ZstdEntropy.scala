@@ -289,29 +289,38 @@ private[sources] object ZstdEntropy {
   private def rleTable(sym: Int): FseTable =
     new FseTable(0, Array(sym), Array(0), Array(0))
 
-  // RFC 8878 predefined distributions
-  private val PredefLL = buildFseTable(Array(
+  // RFC 8878 predefined distributions (counts shared with the
+  // encoder in [[ZstdEncode]], which builds its transform from the
+  // SAME spread so write and read agree by construction)
+  private[sources] val PredefLLCounts = Array(
     4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
-    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1), 6)
-  private val PredefML = buildFseTable(Array(
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1)
+  private[sources] val PredefMLCounts = Array(
     1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-    1, 1, -1, -1, -1, -1, -1, -1, -1), 6)
-  private val PredefOF = buildFseTable(Array(
+    1, 1, -1, -1, -1, -1, -1, -1, -1)
+  private[sources] val PredefOFCounts = Array(
     1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-    1, 1, -1, -1, -1, -1, -1), 5)
+    1, 1, -1, -1, -1, -1, -1)
+  private val PredefLL = buildFseTable(PredefLLCounts, 6)
+  private val PredefML = buildFseTable(PredefMLCounts, 6)
+  private val PredefOF = buildFseTable(PredefOFCounts, 5)
 
   // literal-length and match-length code expansions (RFC §3.1.1.3.2.1.1)
-  private val LLBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+  private[sources] val LLBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0,
     0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14,
     15, 16)
-  private val LLBase = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+  private[sources] val LLBase = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+    11, 12,
     13, 14, 15, 16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512,
     1024, 2048, 4096, 8192, 16384, 32768, 65536)
-  private val MLBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+  private[sources] val MLBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0,
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1,
     2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
-  private val MLBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+  private[sources] val MLBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+    13, 14,
     15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31,
     32, 33, 34, 35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259,
     515, 1027, 2051, 4099, 8195, 16387, 32771, 65539)

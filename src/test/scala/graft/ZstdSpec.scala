@@ -226,4 +226,86 @@ class ZstdSpec extends AnyFunSuite {
       ((h >> 8) & 0xff).toByte, ((h >> 16) & 0xff).toByte, 'x')
     assert(Zstd.walk(noDict).exists(_.head.decoded.sameElements("x".getBytes)))
   }
+
+  test("ENCODER vs libzstd: the own compressor's frames decode " +
+    "byte-exact through zstd-jni AND the own decoder, across content " +
+    "classes, boundary lengths, and multi-block inputs") {
+    import graft.sources.ZstdEncode
+    val rnd = new java.util.Random(0xc0ffee)
+    def check(name: String, data: Array[Byte]): Int = {
+      val z = ZstdEncode.compress(data)
+      // determinism: same input, same bytes
+      assert(java.util.Arrays.equals(z, ZstdEncode.compress(data)), name)
+      // own decoder: one frame, verified checksum, exact content
+      Zstd.walk(z) match {
+        case Some(Seq(f)) =>
+          assert(f.kind == "zstd" && f.checksumState == "ok" &&
+            java.util.Arrays.equals(f.decoded, data), name)
+        case other => fail(s"$name: $other")
+      }
+      // the reference implementation decodes the same bytes
+      val theirs = com.github.luben.zstd.Zstd.decompress(z,
+        math.max(1, data.length))
+      assert(java.util.Arrays.equals(theirs, data), name)
+      z.length
+    }
+    // content classes
+    val text = (0 until 4000).map(d => "doc-" + d + "-" +
+      ("x" * (d % 17)) + "\n").mkString.getBytes("UTF-8")
+    val zText = check("text", text)
+    // SIZE LAW: the entropy form genuinely compresses — a stored
+    // fallback (or miscoded sequences forcing one) fails here
+    assert(zText * 2 < text.length,
+      s"text must beat half: $zText vs ${text.length}")
+    val rep = ("abcdefgh" * 20000).getBytes
+    assert(check("repetitive", rep) < 200)
+    val rand = new Array[Byte](100000); rnd.nextBytes(rand)
+    check("random", rand) // raw-block fallback path
+    val mixed = new Array[Byte](150000) // random + a long zero plain
+    rnd.nextBytes(mixed)
+    java.util.Arrays.fill(mixed, 30000, 90000, 'z'.toByte)
+    check("mixed", mixed)
+    // boundary lengths incl. the 64 KiB block split and empty/tiny
+    for (len <- Seq(0, 1, 2, 3, 4, 5, 31, 32, 33, 4095, 4096, 65535,
+      65536, 65537, 131072, 131073)) {
+      val d = new Array[Byte](len)
+      var i = 0
+      while (i < len) { d(i) = ((i * 31 + i / 7) % 11 + 'a').toByte
+        i += 1 }
+      check(s"len-$len", d)
+    }
+    // random structured sweeps: vary alphabet + run structure
+    for (trial <- 0 until 40) {
+      val len = 1 + rnd.nextInt(20000)
+      val alpha = 1 + rnd.nextInt(8)
+      val d = new Array[Byte](len)
+      var i = 0
+      while (i < len) {
+        val run = 1 + rnd.nextInt(12)
+        val b = ('a' + rnd.nextInt(alpha)).toByte
+        var k = 0
+        while (k < run && i < len) { d(i) = b; i += 1; k += 1 }
+      }
+      check(s"trial-$trial", d)
+    }
+  }
+
+  test("ENCODER damage: flips anywhere in an own-written frame close " +
+    "via structure or checksum — never wrong bytes out") {
+    import graft.sources.ZstdEncode
+    val data = (0 until 800).map(d => "line-" + d + " body " +
+      ("y" * (d % 13)) + "\n").mkString.getBytes("UTF-8")
+    val z = ZstdEncode.compress(data)
+    for (i <- z.indices) {
+      val bad = z.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      Zstd.walk(bad) match {
+        case Some(Seq(f)) =>
+          // survived the walk: the verified checksum forbids silent
+          // wrong content
+          assert(java.util.Arrays.equals(f.decoded, data),
+            s"flip at $i decoded wrong bytes past a verified checksum")
+        case _ => () // closed
+      }
+    }
+  }
 }
