@@ -2626,7 +2626,142 @@ object IngestionQueries {
                  END) AS BIGINT) AS n_deleted,
                CAST(1 AS BIGINT) AS base_breaks
         FROM r GROUP BY r.blob_id"""))
-    Seq(q283, q302, q315)
+
+    // q318 — the engine WRITES the merge-on-read table too
+    // (HudiWrite.writeMorTable): base slices through its own parquet
+    // writer, log files through its own #HUDI# block framing
+    // (HudiLog.writeBlock — avro data records as bare zigzag datums,
+    // delete keys), canonical-JSON deltacommit timeline with the
+    // inflight poison — then eats its own output with the q315 read
+    // machinery: completed-only blocks merged over the base in
+    // instant order, last-wins per key, all decode through its own
+    // readers. With q302 (CoW) the engine now writes BOTH Hudi table
+    // shapes; the independent Python twin reproduces the whole bundle
+    // byte for byte (md5 join).
+    val q318 = "q318_hudi_mor_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val files = graft.sources.HudiWrite.writeMorTable(ids)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            files.toSeq.sortBy(_._1).foreach { case (p, b) =>
+              md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+              md.update(b)
+            }
+            val bundleMd5 = md.digest().map("%02x".format(_)).mkString
+            // replay our own table: completed instants, per-fg merge
+            val Completed =
+              "^\\.hoodie/(\\d+)\\.(commit|deltacommit)$".r
+            val completed = files.keys.collect {
+              case Completed(i, _) => i }.toSet
+            val Base = "^p/([^_/.]+)_[^_/]+_(\\d+)\\.parquet$".r
+            val Log = "^p/\\.([^_/.]+)_(\\d+)\\.log\\..*$".r
+            val P = graft.sources.Parquet
+            val H = graft.sources.HudiLog
+            var ok = true
+            var nRows = 0L; var idSum = 0L; var valSum = 0L
+            var nDeleted = 0L; var nSkipped = 0L
+            var baseRows = 0L; var baseVal = 0L
+            val fgs = files.keys.toSeq.collect {
+              case p @ Base(fid, inst) if completed(inst) =>
+                (fid, inst, p)
+            }.groupBy(_._1).toSeq.sortBy(_._1)
+            fgs.foreach { case (fid, slices) =>
+              val (_, baseInstant, basePath) = slices.maxBy(_._2)
+              val state = scala.collection.mutable.LinkedHashMap
+                .empty[Long, Long]
+              (P.columnLongs(files(basePath), "rec_id"),
+                P.columnLongs(files(basePath), "val")) match {
+                case (Some(rs), Some(vs)) if rs.length == vs.length =>
+                  var i = 0
+                  while (i < rs.length) { state(rs(i)) = vs(i); i += 1 }
+                  baseRows += rs.length; baseVal += vs.sum
+                case _ => ok = false
+              }
+              files.keys.toSeq.collect {
+                case p @ Log(f, _) if f == fid => p
+              }.sorted.foreach { lp =>
+                H.parse(files(lp)) match {
+                  case Some(blocks) =>
+                    blocks.sortBy(_.instant).foreach { b =>
+                      if (!completed(b.instant) ||
+                        b.instant <= baseInstant) nSkipped += 1
+                      else if (b.blockType == H.TypeAvroData) {
+                        b.records.foreach { r =>
+                          (r.field("rec_id").flatMap(_.asLong),
+                            r.field("val").flatMap(_.asLong)) match {
+                            case (Some(k), Some(v)) => state(k) = v
+                            case _ => ok = false
+                          }
+                        }
+                      } else if (b.blockType == H.TypeDelete) {
+                        b.deleteKeys.foreach { k =>
+                          scala.util.Try(k.toLong).toOption match {
+                            case Some(kk) =>
+                              if (state.remove(kk).nonEmpty)
+                                nDeleted += 1
+                            case None => ok = false
+                          }
+                        }
+                      }
+                    }
+                  case None => ok = false
+                }
+              }
+              nRows += state.size; idSum += state.keys.sum
+              valSum += state.values.sum
+            }
+            val baseBreaks =
+              if (valSum != baseVal || nRows != baseRows) 1L else 0L
+            if (!ok || fgs.length != 2) Nil
+            else Seq((blobId, bundleMd5, completed.size.toLong, nRows,
+              idSum, valSum, nDeleted, nSkipped, baseBreaks))
+          }
+          .toDF("blob_id", "bundle_md5", "n_completed", "n_rows",
+            "id_sum", "val_sum", "n_deleted", "n_skipped",
+            "base_breaks")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg, (doc_id * 13) % 991 AS v
+          FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('hudimorw:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey
+          FROM r GROUP BY blob_id),
+        m AS (
+          SELECT blob_id, d,
+                 v + CASE WHEN fg = 0 AND d % 3 = 0 THEN 7 ELSE 0 END
+                   AS mv
+          FROM r WHERE NOT (fg = 0 AND d % 5 = 0)),
+        agg AS (
+          SELECT r.blob_id,
+                 (SELECT CAST(count(*) AS BIGINT) FROM m
+                  WHERE m.blob_id = r.blob_id) AS n_rows,
+                 (SELECT CAST(sum(d) AS BIGINT) FROM m
+                  WHERE m.blob_id = r.blob_id) AS id_sum,
+                 (SELECT CAST(sum(mv) AS BIGINT) FROM m
+                  WHERE m.blob_id = r.blob_id) AS val_sum,
+                 CAST(sum(CASE WHEN fg = 0 AND d % 5 = 0 THEN 1
+                   ELSE 0 END) AS BIGINT) AS n_deleted
+          FROM r GROUP BY r.blob_id)
+        SELECT a.blob_id, f.bundle_md5,
+               CAST(3 AS BIGINT) AS n_completed,
+               a.n_rows, a.id_sum, a.val_sum, a.n_deleted,
+               CAST(1 AS BIGINT) AS n_skipped,
+               CAST(1 AS BIGINT) AS base_breaks
+        FROM agg a JOIN k ON a.blob_id = k.blob_id
+        JOIN read_parquet(
+          '/root/repo/fixtures/hudi_mor_write_oracle.parquet') f
+          ON k.bkey = f.blob_key"""))
+    Seq(q283, q302, q315, q318)
   }
 
   // Iceberg metadata walk (q257/q258) — the OTHER lakehouse format:

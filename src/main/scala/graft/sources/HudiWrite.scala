@@ -53,4 +53,75 @@ object HudiWrite {
       dname("fg0", t2) -> fg0v2,
       dname("fg1", t3) -> fg1v3)
   }
+
+  // ---- merge-on-read write (q318) ----------------------------------------
+
+  /** The avro record schema log data blocks carry (shared verbatim
+    * with [[graft]] readers and the Python twin).
+    */
+  val LogRecSchema: String =
+    """{"type":"record","name":"rec","fields":[{"name":"rec_id","type":"long"},{"name":"val","type":"long"}]}"""
+
+  /** One bare avro record: zigzag varints for (rec_id, val). */
+  def avroRec(recId: Long, v: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def zz(x: Long): Unit = {
+      var z = (x << 1) ^ (x >> 63)
+      while ((z & ~0x7fL) != 0) {
+        out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7
+      }
+      out.write(z.toInt)
+    }
+    zz(recId); zz(v)
+    out.toByteArray
+  }
+
+  /** The q318 MERGE-ON-READ bundle, all through the engine's own
+    * writers: base parquet slices ([[ParquetWrite.writeInt64]], val =
+    * (d*13) % 991) at instant 1, a log file for fg0
+    * ([[HudiLog.writeBlock]]) carrying an UPDATE data block at
+    * instant 2 (d%3==0 -> val+7) and a DELETE block at instant 3
+    * (d%5==0), deltacommit timeline entries for both, and the q315
+    * poison: fg1's log block belongs to instant 4, present only as
+    * `.deltacommit.inflight`. Returns rel_path -> bytes;
+    * deterministic, so the Python twin
+    * (scripts/make_hudi_mor_write_oracle.py) pins every byte.
+    */
+  def writeMorTable(ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val fg = (0 to 1).map(x => ids.filter(d => (d / 6) % 2 == x))
+    def v(d: Long): Long = (d * 13) % 991
+    def base(p: Seq[Long]): Array[Byte] =
+      ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        p.map(d => Array(d, v(d))))
+    val t1 = "00000000000001"; val t2 = "00000000000002"
+    val t3 = "00000000000003"; val t4 = "00000000000004"
+    def dname(fid: String, instant: String) =
+      s"p/${fid}_0-0-0_$instant.parquet"
+    def lname(fid: String) = s"p/.${fid}_$t1.log.1_0-0-0"
+    val H = HudiLog
+    val upd = fg(0).filter(_ % 3 == 0)
+    val dels = fg(0).filter(_ % 5 == 0).map(_.toString)
+    val log0 = H.writeBlock(H.TypeAvroData,
+      Seq(H.HdrInstantTime -> t2, H.HdrSchema -> LogRecSchema),
+      H.dataContent(upd.map(d => avroRec(d, v(d) + 7)))) ++
+      H.writeBlock(H.TypeDelete, Seq(H.HdrInstantTime -> t3),
+        H.deleteContent(dels))
+    val log1 = H.writeBlock(H.TypeAvroData,
+      Seq(H.HdrInstantTime -> t4, H.HdrSchema -> LogRecSchema),
+      H.dataContent(fg(1).map(d => avroRec(d, v(d) + 999))))
+    Map(
+      s".hoodie/$t1.commit" -> (commitJson(Seq(
+        ("fg0", dname("fg0", t1), fg(0).length.toLong),
+        ("fg1", dname("fg1", t1), fg(1).length.toLong)))
+        .getBytes("UTF-8")),
+      s".hoodie/$t2.deltacommit" -> (commitJson(Seq(
+        ("fg0", lname("fg0"), upd.length.toLong))).getBytes("UTF-8")),
+      s".hoodie/$t3.deltacommit" -> (commitJson(Seq(
+        ("fg0", lname("fg0"), dels.length.toLong))).getBytes("UTF-8")),
+      s".hoodie/$t4.deltacommit.inflight" -> "{}".getBytes("UTF-8"),
+      dname("fg0", t1) -> base(fg(0)),
+      dname("fg1", t1) -> base(fg(1)),
+      lname("fg0") -> log0,
+      lname("fg1") -> log1)
+  }
 }
