@@ -4065,8 +4065,203 @@ object IngestionQueries {
           '/root/repo/fixtures/iceberg_part_write_oracle.parquet') f
           ON k.bkey = f.blob_key"""))
 
+    // q319 — the engine WRITES Iceberg v2 ROW-LEVEL DELETES: the
+    // write twin of q262. Delete files through its own parquet
+    // writer — a POSITION delete file ((file_path, pos) via the
+    // generalized string writer) and two EQUALITY delete files
+    // (rec_id with equality_ids [1]) — shipped in their own
+    // content=1 manifest through the own Avro encoders, with
+    // EXPLICIT sequence numbers planting both inequality laws: the
+    // seq-1 position delete applies to seq-1 data (>=), the seq-2
+    // equality delete applies (strictly greater), and the seq-1
+    // equality POISON must NOT (equal is not greater). The query
+    // eats its own output with the q262 read machinery and all
+    // decode through its own readers; bundle md5-pinned vs the
+    // Python twin.
+    val q319 = "q319_iceberg_delete_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JArray, JLong, JObject, JString}
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val bkey = md5Hex("icebergmorw:" + ids.mkString(","))
+            val W = graft.sources.IcebergWrite
+            val G = graft.sources.AvroGeneric
+            val P = graft.sources.Parquet
+            val bundle = W.writeMorTable(bkey, ids)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            bundle.toSeq.sortBy(_._1).foreach { case (p, b) =>
+              md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+              md.update(b)
+            }
+            val bundleMd5 = md.digest().map("%02x".format(_)).mkString
+            val res = for {
+              meta <- graft.sources.Json.parse(new String(
+                bundle("v1.metadata.json"), "UTF-8"))
+              mo <- Some(meta).collect { case o: JObject => o }
+              cur <- mo.get("current-snapshot-id")
+                .collect { case JLong(v) => v }
+              snaps <- mo.get("snapshots")
+                .collect { case JArray(xs) => xs }
+              listPath <- snaps.collectFirst {
+                case o: JObject if o.get("snapshot-id")
+                  .contains(JLong(cur)) =>
+                  o.get("manifest-list")
+                    .collect { case JString(p) => p }
+              }.flatten
+              listBytes <- bundle.get(listPath)
+              list <- G.parseContainer(listBytes)
+            } yield {
+              var ok = true
+              val manifests = list.records.flatMap { r =>
+                for {
+                  p <- r.field("manifest_path").flatMap(_.asString)
+                  c <- r.field("content").flatMap(_.asLong)
+                } yield (p, c)
+              }
+              def entries(mp: String) =
+                bundle.get(mp).flatMap(G.parseContainer) match {
+                  case Some(m) => m.records.flatMap { e =>
+                    val res = for {
+                      st <- e.field("status").flatMap(_.asLong)
+                      seq <- e.field("sequence_number")
+                        .flatMap(_.asLong)
+                      d <- e.field("data_file")
+                      c <- d.field("content").flatMap(_.asLong)
+                      p <- d.field("file_path").flatMap(_.asString)
+                      rc <- d.field("record_count").flatMap(_.asLong)
+                    } yield (st != 2L, seq, c, p, rc)
+                    if (res.isEmpty) ok = false
+                    res
+                  }
+                  case None => ok = false; Nil
+                }
+              val dataEntries = manifests.filter(_._2 == 0L)
+                .flatMap(m => entries(m._1)).filter(_._1)
+              val delEntries = manifests.filter(_._2 == 1L)
+                .flatMap(m => entries(m._1)).filter(_._1)
+              // decode delete files once
+              val posDels = delEntries.filter(_._3 == 1L).flatMap {
+                case (_, seq, _, p, rc) =>
+                  (for {
+                    b <- bundle.get(p)
+                    paths <- P.columnStrings(b, "file_path")
+                    poss <- P.columnLongs(b, "pos")
+                    if paths.length == poss.length &&
+                      poss.length == rc
+                  } yield paths.zip(poss).map { case (fp, pos) =>
+                    (seq, fp, pos)
+                  }.toSeq) match {
+                    case Some(xs) => xs
+                    case None => ok = false; Nil
+                  }
+              }
+              val eqDels = delEntries.filter(_._3 == 2L).map {
+                case (_, seq, _, p, rc) =>
+                  bundle.get(p).flatMap(P.columnLongs(_, "rec_id")) match {
+                    case Some(xs) if xs.length == rc => (seq, xs.toSet)
+                    case _ => ok = false; (seq, Set.empty[Long])
+                  }
+              }
+              var liveRows = 0L; var idSum = 0L; var valSum = 0L
+              var posApplied = 0L; var eqApplied = 0L
+              var poisonApplied = 0L
+              dataEntries.foreach { case (_, dSeq, c, p, rc) =>
+                if (c != 0L) ok = false
+                (bundle.get(p).flatMap(P.columnLongs(_, "rec_id")),
+                  bundle.get(p).flatMap(P.columnLongs(_, "val"))) match {
+                  case (Some(rs), Some(vs))
+                    if rs.length == vs.length && rs.length == rc =>
+                    val dead = new Array[Boolean](rs.length)
+                    // position deletes: apply at seq >= data seq
+                    posDels.foreach { case (seq, fp, pos) =>
+                      if (fp == p && seq >= dSeq && pos >= 0 &&
+                        pos < rs.length && !dead(pos.toInt)) {
+                        dead(pos.toInt) = true; posApplied += 1
+                      }
+                    }
+                    // equality deletes: STRICTLY greater only
+                    eqDels.foreach { case (seq, keys) =>
+                      var i = 0
+                      while (i < rs.length) {
+                        if (!dead(i) && keys.contains(rs(i))) {
+                          if (seq > dSeq) {
+                            dead(i) = true; eqApplied += 1
+                          } else poisonApplied += 1
+                        }
+                        i += 1
+                      }
+                    }
+                    var i = 0
+                    while (i < rs.length) {
+                      if (!dead(i)) {
+                        liveRows += 1; idSum += rs(i); valSum += vs(i)
+                      }
+                      i += 1
+                    }
+                  case _ => ok = false
+                }
+              }
+              if (!ok) Nil
+              else Seq((t, bundleMd5, dataEntries.length.toLong,
+                delEntries.length.toLong, liveRows, idSum, valSum,
+                posApplied, eqApplied,
+                if (poisonApplied > 0) 1L else 0L))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("table_id", "bundle_md5", "n_data_files",
+            "n_delete_files", "live_rows", "live_id_sum",
+            "live_val_sum", "n_pos_applied", "n_eq_applied",
+            "poison_seen_not_applied")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS part, (doc_id * 17) % 983 AS v
+          FROM documents),
+        k AS (
+          SELECT table_id,
+                 md5('icebergmorw:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey
+          FROM r GROUP BY table_id),
+        agg AS (
+          SELECT table_id,
+                 CAST(sum(CASE WHEN NOT (part = 0 AND d % 11 = 1)
+                   AND d % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS live_rows,
+                 CAST(sum(CASE WHEN NOT (part = 0 AND d % 11 = 1)
+                   AND d % 7 <> 3 THEN d END) AS BIGINT)
+                   AS live_id_sum,
+                 CAST(sum(CASE WHEN NOT (part = 0 AND d % 11 = 1)
+                   AND d % 7 <> 3 THEN v END) AS BIGINT)
+                   AS live_val_sum,
+                 CAST(sum(CASE WHEN part = 0 AND d % 11 = 1 THEN 1
+                   ELSE 0 END) AS BIGINT) AS n_pos_applied,
+                 CAST(sum(CASE WHEN d % 7 = 3 AND
+                   NOT (part = 0 AND d % 11 = 1) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_eq_applied,
+                 CAST(max(CASE WHEN d % 7 = 5 AND
+                   NOT (part = 0 AND d % 11 = 1) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS poison_seen_not_applied
+          FROM r GROUP BY table_id)
+        SELECT a.table_id, f.bundle_md5,
+               CAST(3 AS BIGINT) AS n_data_files,
+               CAST(3 AS BIGINT) AS n_delete_files,
+               a.live_rows, a.live_id_sum, a.live_val_sum,
+               a.n_pos_applied, a.n_eq_applied,
+               a.poison_seen_not_applied
+        FROM agg a JOIN k ON a.table_id = k.table_id
+        JOIN read_parquet(
+          '/root/repo/fixtures/iceberg_mor_write_oracle.parquet') f
+          ON k.bkey = f.blob_key"""))
+
     Seq(q257, q258, q259, q262, q271, q275, q281, q286, q289, q301,
-      q317)
+      q317, q319)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:

@@ -213,6 +213,135 @@ object IcebergWrite {
     out.result()
   }
 
+  // ---- row-level delete write (q319): the q262 read shapes ---------------
+
+  /** The MoR manifest-file schema (content routes data vs deletes);
+    * shared verbatim with the q262 fixture generator and the q319
+    * Python twin.
+    */
+  val ListSchemaMor: String =
+    """{"type":"record","name":"manifest_file","fields":[{"name":"manifest_path","type":"string"},{"name":"manifest_length","type":"long"},{"name":"partition_spec_id","type":"int"},{"name":"content","type":"int"},{"name":"sequence_number","type":"long"},{"name":"min_sequence_number","type":"long"},{"name":"added_snapshot_id","type":"long"},{"name":"added_files_count","type":"int"},{"name":"existing_files_count","type":"int"},{"name":"deleted_files_count","type":"int"},{"name":"added_rows_count","type":"long"},{"name":"existing_rows_count","type":"long"},{"name":"deleted_rows_count","type":"long"},{"name":"key_metadata","type":["null","bytes"]}]}"""
+
+  /** The MoR manifest-entry schema: data_file.content routes
+    * data / position-deletes / equality-deletes, equality_ids names
+    * the equality columns, sequence_number explicit (no inheritance).
+    */
+  val EntrySchemaMor: String =
+    """{"type":"record","name":"manifest_entry","fields":[{"name":"status","type":"int"},{"name":"snapshot_id","type":["null","long"]},{"name":"sequence_number","type":["null","long"]},{"name":"file_sequence_number","type":["null","long"]},{"name":"data_file","type":{"type":"record","name":"r2","fields":[{"name":"content","type":"int"},{"name":"file_path","type":"string"},{"name":"file_format","type":"string"},{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},{"name":"record_count","type":"long"},{"name":"file_size_in_bytes","type":"long"},{"name":"equality_ids","type":["null",{"type":"array","items":"int"}]},{"name":"sort_order_id","type":["null","int"]}]}}]}"""
+
+  /** One MoR manifest entry (explicit sequence number; content 0
+    * data, 1 position deletes, 2 equality deletes with `eqIds`).
+    */
+  def entryMor(status: Int, seq: Long, content: Int, path: String,
+               rc: Long, fsz: Long,
+               eqIds: Seq[Int] = Nil): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    varint(out, status.toLong)
+    union(out, 1)(varint(out, 99L))
+    union(out, 1)(varint(out, seq))
+    union(out, 1)(varint(out, seq))
+    varint(out, content.toLong)
+    str(out, path)
+    str(out, "PARQUET")
+    // partition: empty record, zero bytes
+    varint(out, rc)
+    varint(out, fsz)
+    if (eqIds.nonEmpty) union(out, 1) {
+      varint(out, eqIds.length.toLong)
+      eqIds.foreach(i => varint(out, i.toLong))
+      varint(out, 0L)
+    } else union(out, 0)(())
+    union(out, 1)(varint(out, 0L))
+    out.toByteArray
+  }
+
+  /** One MoR manifest_file row (content 0 data / 1 deletes). */
+  def manifestFileRowMor(path: String, length: Long, content: Int,
+                         seq: Long, af: Long, df: Long, ar: Long,
+                         dr: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    str(out, path)
+    varint(out, length)
+    varint(out, 0L)
+    varint(out, content.toLong)
+    varint(out, seq); varint(out, 1L)
+    varint(out, 99L)
+    varint(out, af); varint(out, 0L); varint(out, df)
+    varint(out, ar); varint(out, 0L); varint(out, dr)
+    union(out, 0)(())
+    out.toByteArray
+  }
+
+  /** The q319 MERGE-ON-READ bundle with ROW-LEVEL DELETES, all
+    * through the engine's own writers: data files P0-P2 split by
+    * (d/6) % 3 (own parquet writer, val = (d*17) % 983) at sequence
+    * 1; a POSITION delete file (file_path + pos parquet through the
+    * generalized writer) at seq 1 killing P0 rows with d%11==1 —
+    * position deletes apply at seq >= data seq; an EQUALITY delete
+    * file (rec_id, equality_ids [1]) at seq 2 killing d%7==3 —
+    * applies STRICTLY greater; and the seq-1 equality POISON
+    * (d%7==5) that a sloppy >=-reader applies and fails. Delete
+    * files ship in their own content=1 manifest. Returns rel_path ->
+    * bytes; deterministic, Python-twin pinned
+    * (scripts/make_iceberg_mor_write_oracle.py).
+    */
+  def writeMorTable(id: String,
+                    ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    val parts = (0 to 2).map(x =>
+      ids.filter(d => (d / 6) % 3 == x).toIndexedSeq)
+    val names = (0 to 2).map(x => s"part-0000$x.parquet")
+    def v(d: Long): Long = (d * 17) % 983
+    val data = parts.map(p => ParquetWrite.writeInt64(
+      Seq("rec_id", "val"), p.map(d => Array(d, v(d)))))
+    // position delete: P0 rows with d%11==1, (file_path, pos) parquet
+    val pd0Pos = parts(0).zipWithIndex.collect {
+      case (d, i) if d % 11 == 1 => i.toLong
+    }
+    val W = ParquetWrite
+    val pd0 = W.writeFile(
+      Seq(W.Leaf("file_path", 0, 6, convertedType = 0),
+        W.Leaf("pos", 0, 2)),
+      Seq(W.LeafData(Array.fill(pd0Pos.length)(0), null,
+        bins = Array.fill(pd0Pos.length)(
+          names(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+        W.LeafData(Array.fill(pd0Pos.length)(0), null,
+          longs = pd0Pos.toArray)))
+    // equality deletes on rec_id (field id 1)
+    val ed1Ids = ids.filter(_ % 7 == 3) // seq 2: strictly greater
+    val ed0Ids = ids.filter(_ % 7 == 5) // seq 1: POISON (equal)
+    def eqFile(xs: Seq[Long]): Array[Byte] =
+      ParquetWrite.writeInt64(Seq("rec_id"), xs.map(Array(_)))
+    val ed1 = eqFile(ed1Ids)
+    val ed0 = eqFile(ed0Ids)
+    val dataManifest = container(EntrySchemaMor,
+      (0 to 2).map(x => entryMor(1, 1L, 0, names(x),
+        parts(x).length.toLong, data(x).length.toLong)), sync)
+    val delManifest = container(EntrySchemaMor, Seq(
+      entryMor(1, 1L, 1, "pd-0.parquet", pd0Pos.length.toLong,
+        pd0.length.toLong),
+      entryMor(1, 2L, 2, "ed-1.parquet", ed1Ids.length.toLong,
+        ed1.length.toLong, eqIds = Seq(1)),
+      entryMor(1, 1L, 2, "ed-0.parquet", ed0Ids.length.toLong,
+        ed0.length.toLong, eqIds = Seq(1))), sync)
+    val list = container(ListSchemaMor, Seq(
+      manifestFileRowMor("md.avro", dataManifest.length.toLong, 0, 1L,
+        3L, 0L, ids.length.toLong, 0L),
+      manifestFileRowMor("dm.avro", delManifest.length.toLong, 1, 2L,
+        3L, 0L,
+        (pd0Pos.length + ed1Ids.length + ed0Ids.length).toLong, 0L)),
+      sync)
+    val meta = ("""{"current-snapshot-id": 1, "format-version": 2, "last-sequence-number": 2, "snapshots": [{"manifest-list": "snap-1.avro", "sequence-number": 2, "snapshot-id": 1, "timestamp-ms": 1700000000000}], "table-uuid": """" +
+      id + """"}""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Map("v1.metadata.json" -> meta, "snap-1.avro" -> list,
+      "md.avro" -> dataManifest, "dm.avro" -> delManifest,
+      "pd-0.parquet" -> pd0, "ed-1.parquet" -> ed1,
+      "ed-0.parquet" -> ed0,
+      names(0) -> data(0), names(1) -> data(1), names(2) -> data(2))
+  }
+
   /** The q301 metadata tree: three ADDED files split by (d/6) % 3
     * with relational record counts, one manifest, one list, one
     * metadata.json. Returns rel_path -> bytes.
