@@ -679,5 +679,77 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS beats_stored,
                CAST(1 AS BIGINT) AS jni_ok
         FROM k"""),
+      headline = false),
+
+    // q320 — HUFFMAN LITERALS in the own zstd compressor (RFC §4.2
+    // write side): package-merge length-limited code construction
+    // (limit 11), the direct 4-bit-weights tree description with the
+    // implied last weight, the decoder's exact canonical table fill
+    // inverted into per-symbol codes, and 1-/4-stream backward
+    // bitstreams. The corpus here is MATCH-POOR by construction
+    // (md5 hex lines — random 16-symbol text): LZ77 alone cannot
+    // compress it, so the huff_wins law (z*3 < orig*2, i.e. ratio
+    // under 2/3 where raw-literal zstd gives ~1.0) is evidence the
+    // Huffman path itself carries the win. Every block must arrive
+    // as a Compressed_Block (n_comp_blocks), the engine's own
+    // decoder round-trips under the frame checksum, and libzstd
+    // (zstd-jni) decodes the same bytes byte-exact in-query.
+    "q320_zstd_huffman_literals" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def md5x(x: String): String =
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+            def h60(x: String): Long =
+              java.lang.Long.parseLong(md5x(x).take(15), 16)
+            val ids = it.map(_._2).toSeq.sorted
+            val payload = ids.map(d => md5x("h:" + d) + "\n").mkString
+            val data = payload.getBytes("UTF-8")
+            val z = graft.sources.ZstdEncode.compress(data)
+            val frame = graft.sources.Zstd.walk(z) match {
+              case Some(Seq(f)) if f.kind == "zstd" &&
+                f.checksumState == "ok" &&
+                java.util.Arrays.equals(f.decoded, data) => Some(f)
+              case _ => None
+            }
+            val jniOk = scala.util.Try(
+              com.github.luben.zstd.Zstd.decompress(z,
+                math.max(1, data.length))).toOption
+              .exists(java.util.Arrays.equals(_, data))
+            frame match {
+              case Some(f) =>
+                Seq((blobId, data.length.toLong, h60(payload),
+                  f.compBlocks.toLong,
+                  if (z.length.toLong * 3 < data.length.toLong * 2) 1L
+                  else 0L,
+                  if (jniOk) 1L else 0L))
+              case None => Nil
+            }
+          }
+          .toDF("blob_id", "orig_len", "payload_hash",
+            "n_comp_blocks", "huff_wins", "jni_ok")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg(md5('h:' || d) || chr(10), ''
+                   ORDER BY d) AS payload,
+                 CAST(33 * count(*) AS BIGINT) AS orig_len
+          FROM r GROUP BY blob_id)
+        SELECT blob_id, orig_len,
+               ${OracleSql.sqlHash60("payload")} AS payload_hash,
+               CAST((orig_len + 65535) // 65536 AS BIGINT)
+                 AS n_comp_blocks,
+               CAST(1 AS BIGINT) AS huff_wins,
+               CAST(1 AS BIGINT) AS jni_ok
+        FROM k"""),
       headline = false))
 }

@@ -166,7 +166,13 @@ object ZstdEncode {
             var l = 0
             val maxL = math.min(65535, until - i)
             while (l < maxL && data(cand + l) == data(i + l)) l += 1
-            if (l > bestLen && l >= 4) { bestLen = l; bestDist = i - cand }
+            // distance-dependent floor: a far match pays its offset
+            // in extra bits, so short matches at long range LOSE to
+            // Huffman'd literals (observed on hex corpora)
+            val dist = i - cand
+            val floor =
+              if (dist < 1024) 4 else if (dist < 65536) 6 else 8
+            if (l > bestLen && l >= floor) { bestLen = l; bestDist = dist }
           }
           val nxt = prev(cand & Mask)
           cand = if (nxt >= cand) -1 else nxt // ring-stale guard
@@ -189,6 +195,182 @@ object ZstdEncode {
     (out.result(), lit)
   }
 
+  // ---- Huffman literals (RFC §4.2) ---------------------------------------
+
+  /** Optimal length-limited code lengths by package-merge (limit L,
+    * deterministic tie-breaks). `freqs` indexed by symbol VALUE
+    * 0..maxSym; absent symbols get length 0. Requires >= 2 present
+    * symbols.
+    */
+  private def packageMerge(freqs: Array[Long], L: Int): Array[Int] = {
+    val n = freqs.count(_ > 0)
+    if (n < 2) damage()
+    // a coin: (weight, per-symbol counts); items sorted by
+    // (freq, symbol) — stable and deterministic
+    final case class Coin(w: Long, cnt: Array[Int])
+    val items = freqs.indices.filter(freqs(_) > 0).map { s =>
+      val c = new Array[Int](freqs.length)
+      c(s) = 1
+      Coin(freqs(s), c)
+    }.sortBy(c => (c.w, c.cnt.indexOf(1))).toVector
+    var list = items
+    var d = L - 1
+    while (d >= 1) {
+      val packages = list.grouped(2).collect {
+        case Vector(a, b) =>
+          val c = new Array[Int](freqs.length)
+          var i = 0
+          while (i < c.length) { c(i) = a.cnt(i) + b.cnt(i); i += 1 }
+          Coin(a.w + b.w, c)
+      }.toVector
+      // stable merge by weight; items before packages on ties
+      val out = Vector.newBuilder[Coin]
+      var ii = 0
+      var pi = 0
+      while (ii < items.length || pi < packages.length) {
+        if (pi >= packages.length ||
+          (ii < items.length && items(ii).w <= packages(pi).w)) {
+          out += items(ii); ii += 1
+        } else { out += packages(pi); pi += 1 }
+      }
+      list = out.result()
+      d -= 1
+    }
+    val lengths = new Array[Int](freqs.length)
+    list.take(2 * (n - 1)).foreach { c =>
+      var i = 0
+      while (i < c.cnt.length) { lengths(i) += c.cnt(i); i += 1 }
+    }
+    lengths
+  }
+
+  /** Build the Huffman-compressed literals section (header + direct
+    * tree description + 1 or 4 streams), or None when it cannot win:
+    * fewer than 2 distinct bytes, a byte value above 128 (direct
+    * weights transmit a prefix of the alphabet), or no size win over
+    * the raw form.
+    */
+  private def huffLiteralsSection(lit: Array[Byte]): Option[Array[Byte]] = {
+    val regen = lit.length
+    if (regen < 16 || regen > (1 << 17)) return None
+    val freqs = new Array[Long](256)
+    lit.foreach(b => freqs(b & 0xff) += 1)
+    val maxSym = 255 - freqs.reverseIterator.takeWhile(_ == 0L).length
+    if (maxSym > 128 || freqs(maxSym) == 0) return None
+    if (freqs.count(_ > 0) < 2) return None
+    val nb0 = packageMerge(java.util.Arrays.copyOf(freqs, maxSym + 1), 11)
+    val tableLog = nb0.max
+    if (tableLog < 1 || tableLog > 11) return None
+    // Kraft equality check (package-merge optimum guarantees it)
+    var kraft = 0L
+    nb0.foreach(nb => if (nb > 0) kraft += 1L << (tableLog - nb))
+    if (kraft != (1L << tableLog)) return None
+    val weights = nb0.map(nb => if (nb == 0) 0 else tableLog + 1 - nb)
+    // canonical fill (the decoder's exact layout) -> per-symbol codes
+    val codes = new Array[Int](maxSym + 1)
+    var posn = 0
+    var w = 1
+    var aligned = true
+    while (w <= tableLog) {
+      var s = 0
+      while (s <= maxSym) {
+        if (weights(s) == w) {
+          val span = 1 << (w - 1)
+          if (posn % span != 0) aligned = false
+          codes(s) = posn >> (w - 1)
+          posn += span
+        }
+        s += 1
+      }
+      w += 1
+    }
+    if (!aligned || posn != (1 << tableLog)) return None
+    // direct tree description: weights for symbols 0..maxSym-1, the
+    // last symbol's weight implied by the power-of-two completion
+    val nW = maxSym
+    val desc = new java.io.ByteArrayOutputStream()
+    desc.write(127 + nW)
+    var i = 0
+    while (i < nW) {
+      val hi = weights(i)
+      val lo = if (i + 1 < nW) weights(i + 1) else 0
+      desc.write((hi << 4) | lo)
+      i += 2
+    }
+    def stream(from: Int, until: Int): Array[Byte] = {
+      val sink = new BackSink()
+      var k = from
+      while (k < until) {
+        val s = lit(k) & 0xff
+        sink.field(codes(s), tableLog + 1 - weights(s))
+        k += 1
+      }
+      sink.finish()
+    }
+    val four = regen >= 256
+    val body = new java.io.ByteArrayOutputStream()
+    val db = desc.toByteArray
+    body.write(db, 0, db.length)
+    if (!four) {
+      val st = stream(0, regen)
+      body.write(st, 0, st.length)
+    } else {
+      val seg = (regen + 3) / 4
+      val s1 = stream(0, seg)
+      val s2 = stream(seg, 2 * seg)
+      val s3 = stream(2 * seg, 3 * seg)
+      val s4 = stream(3 * seg, regen)
+      if (s1.length > 65535 || s2.length > 65535 || s3.length > 65535)
+        return None
+      def le16(v: Int): Unit = {
+        body.write(v & 0xff); body.write((v >> 8) & 0xff)
+      }
+      le16(s1.length); le16(s2.length); le16(s3.length)
+      body.write(s1, 0, s1.length); body.write(s2, 0, s2.length)
+      body.write(s3, 0, s3.length); body.write(s4, 0, s4.length)
+    }
+    val comp = body.size()
+    // section header: blockType 2 (Compressed, fresh tree)
+    val hdr = new java.io.ByteArrayOutputStream()
+    if (!four && regen <= 1023 && comp <= 1023) {
+      val v = regen | (comp << 10)
+      hdr.write(2 | (0 << 2) | ((v & 0xf) << 4))
+      hdr.write((v >> 4) & 0xff); hdr.write((v >> 12) & 0xff)
+    } else if (four && regen <= 1023 && comp <= 1023) {
+      val v = regen | (comp << 10)
+      hdr.write(2 | (1 << 2) | ((v & 0xf) << 4))
+      hdr.write((v >> 4) & 0xff); hdr.write((v >> 12) & 0xff)
+    } else if (four && regen <= 16383 && comp <= 16383) {
+      val v = regen | (comp << 14)
+      hdr.write(2 | (2 << 2) | ((v & 0xf) << 4))
+      hdr.write((v >> 4) & 0xff); hdr.write((v >> 12) & 0xff)
+      hdr.write((v >> 20) & 0xff)
+    } else if (four && regen <= 262143 && comp <= 262143) {
+      val v = regen.toLong | (comp.toLong << 18)
+      hdr.write(2 | (3 << 2) | ((v & 0xf) << 4).toInt)
+      hdr.write(((v >> 4) & 0xff).toInt)
+      hdr.write(((v >> 12) & 0xff).toInt)
+      hdr.write(((v >> 20) & 0xff).toInt)
+      hdr.write(((v >> 28) & 0xff).toInt)
+    } else return None
+    val out = new java.io.ByteArrayOutputStream()
+    hdr.writeTo(out)
+    body.writeTo(out)
+    // must beat the raw section to be worth shipping
+    val rawSize = rawLiteralsHeader(regen).length + regen
+    if (out.size() < rawSize) Some(out.toByteArray) else None
+  }
+
+  /** Literals section: Huffman-compressed when it wins, else raw. */
+  private def literalsSection(lit: Array[Byte]): Array[Byte] =
+    huffLiteralsSection(lit).getOrElse {
+      val h = rawLiteralsHeader(lit.length)
+      val out = new Array[Byte](h.length + lit.length)
+      System.arraycopy(h, 0, out, 0, h.length)
+      System.arraycopy(lit, 0, out, h.length, lit.length)
+      out
+    }
+
   // ---- block assembly -----------------------------------------------------
 
   /** Raw_Literals_Block: smallest size format that fits. */
@@ -209,7 +391,17 @@ object ZstdEncode {
                                   prev: Array[Int]): Option[Array[Byte]] = {
     val (seqs, lastLit) = findSequences(data, from, until, head, prev)
     val blockLen = until - from
-    if (seqs.isEmpty) return None // all literals: raw block wins
+    if (seqs.isEmpty) {
+      // no matches: a compressed block can still win on Huffman
+      // literals alone (nSeq = 0 -> the decoder requires the section
+      // to end right after the count byte)
+      return huffLiteralsSection(
+        java.util.Arrays.copyOfRange(data, from, until)).flatMap { ls =>
+        val body = java.util.Arrays.copyOf(ls, ls.length + 1)
+        body(ls.length) = 0 // nSeq = 0
+        if (body.length < blockLen) Some(body) else None
+      }
+    }
     val nSeq = seqs.length
     // literals buffer = the ll runs + trailing literals, in order
     val lits = new java.io.ByteArrayOutputStream()
@@ -276,9 +468,8 @@ object ZstdEncode {
     }
     val stream = sink.finish()
     val out = new java.io.ByteArrayOutputStream()
-    val lh = rawLiteralsHeader(litBytes.length)
-    out.write(lh, 0, lh.length)
-    out.write(litBytes, 0, litBytes.length)
+    val ls = literalsSection(litBytes)
+    out.write(ls, 0, ls.length)
     // nSeq header (1-3 bytes per the spec's thresholds)
     if (nSeq < 128) out.write(nSeq)
     else if (nSeq < 0x7f00) {
