@@ -751,5 +751,115 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS huff_wins,
                CAST(1 AS BIGINT) AS jni_ok
         FROM k"""),
+      headline = false),
+
+    // q321 — DATA_PAGE_V2 write side: the engine's writer emits v2
+    // data pages (levels OUTSIDE the codec with declared RLE byte
+    // lengths — no LE32 prefixes; num_nulls/num_rows in the header),
+    // multi-page, on the q310 corpus schema incl. the dictionary
+    // chunk. The engine's own v2 READ path (proven against
+    // parquet-mr's v2 writer in r11) decodes every output number
+    // here; the layout is md5-pinned against an independent Python
+    // twin (scripts/make_parquet_v2_write_oracle.py) whose bytes
+    // pyarrow+DuckDB re-read; parquet-mr cross-reads the engine's v2
+    // file in ParquetSpec. A second in-query law: the SAME data
+    // written v2+snappy (own compressor, values-only — the levels
+    // must stay readable outside the codec) decodes identically and
+    // is genuinely smaller.
+    "q321_parquet_write_pagev2" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted.toArray
+            val n = ids.length
+            val W = graft.sources.ParquetWrite
+            def utf8(x: String) = x.getBytes("UTF-8")
+            val txts = ids.map(d => utf8("doc-" + d + "-" +
+              ("x" * (d % 17).toInt)))
+            val langDefs = ids.map(d => if (d % 7 == 0) 0 else 1)
+            val langs = ids.filter(_ % 7 != 0)
+              .map(d => utf8(Langs((d % 5).toInt)))
+            val scoreDefs = ids.map(d => if (d % 11 == 3) 0 else 1)
+            val scores = ids.filter(_ % 11 != 3).map(d => (d * d) % 997)
+            val fields = Seq(
+              W.Leaf("rec_id", 0, 2),
+              W.Leaf("txt", 0, 6, convertedType = 0),
+              W.Leaf("lang", 1, 6, convertedType = 0),
+              W.Leaf("score", 1, 2))
+            val data = Seq(
+              W.LeafData(Array.fill(n)(0), null, longs = ids),
+              W.LeafData(Array.fill(n)(0), null, bins = txts),
+              W.LeafData(langDefs, null, bins = langs, dict = true),
+              W.LeafData(scoreDefs, null, longs = scores))
+            val pr = math.max(1, n / 4)
+            val bytes = W.writeFile(fields, data, withStats = true,
+              pageRows = pr, pageV2 = true)
+            val snappy = W.writeFile(fields, data, codec = 1,
+              withStats = true, pageRows = pr, pageV2 = true)
+            val fileMd5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map("%02x".format(_)).mkString
+            val P = graft.sources.Parquet
+            def decode(b: Array[Byte]) =
+              P.parseFooter(b).flatMap { fm =>
+                def cells(path: String) = {
+                  val (d, r) = fm.leafLevels(path)
+                  fm.rowGroups.head.cols.find(_.path == path)
+                    .flatMap(c => P.readChunkCells(b, c, d, r))
+                }
+                (cells("rec_id"), cells("txt"), cells("lang"),
+                  cells("score")) match {
+                  case (Some(rc), Some(tc), Some(lc), Some(sc))
+                    if rc.longs.toSeq == ids.toSeq =>
+                    Some((rc.longs.length.toLong, rc.longs.sum,
+                      tc.bins.map(_.length.toLong).sum,
+                      lc.defs.count(_ == 0).toLong,
+                      lc.bins.map(_.length.toLong).sum,
+                      sc.defs.count(_ == 0).toLong, sc.longs.sum))
+                  case _ => None
+                }
+              }
+            (decode(bytes), decode(snappy)) match {
+              case (Some(t1), Some(t2)) if t1 == t2 =>
+                Seq((blobId, fileMd5, bytes.length.toLong,
+                  t1._1, t1._2, t1._3, t1._4, t1._5, t1._6, t1._7,
+                  if (snappy.length < bytes.length) 1L else 0L))
+              case _ => Nil
+            }
+          }
+          .toDF("blob_id", "file_md5", "file_bytes_len", "n_rows",
+            "id_sum", "txt_len_sum", "n_lang_null", "lang_len_sum",
+            "n_score_null", "score_sum", "snappy_smaller")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('pqv2w:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(d) AS BIGINT) AS id_sum,
+                 CAST(sum(length('doc-' || d || '-') + (d % 17))
+                   AS BIGINT) AS txt_len_sum,
+                 CAST(sum(CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_lang_null,
+                 CAST(sum(CASE WHEN d % 7 = 0 THEN 0 ELSE 2 END)
+                   AS BIGINT) AS lang_len_sum,
+                 CAST(sum(CASE WHEN d % 11 = 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_score_null,
+                 CAST(sum(CASE WHEN d % 11 = 3 THEN 0
+                   ELSE (d * d) % 997 END) AS BIGINT) AS score_sum
+          FROM r GROUP BY blob_id)
+        SELECT k.blob_id, f.file_md5, f.file_bytes_len, k.n_rows,
+               k.id_sum, k.txt_len_sum, k.n_lang_null, k.lang_len_sum,
+               k.n_score_null, k.score_sum,
+               CAST(1 AS BIGINT) AS snappy_smaller
+        FROM k JOIN read_parquet(
+          '/root/repo/fixtures/parquet_v2_write_oracle.parquet') f
+          ON k.bkey = f.blob_key"""),
       headline = false))
 }

@@ -233,7 +233,8 @@ object ParquetWrite {
   def writeFile(fields: Seq[Node], data: Seq[LeafData],
                 codec: Int = 0, withStats: Boolean = false,
                 pageRows: Int = 0, withIndex: Boolean = false,
-                bloomCols: Set[Int] = Set.empty): Array[Byte] = {
+                bloomCols: Set[Int] = Set.empty,
+                pageV2: Boolean = false): Array[Byte] = {
     val shapes = flattenLeaves(fields)
     require(shapes.length == data.length, "leaf count mismatch")
     // 0 = UNCOMPRESSED, 1 = SNAPPY (own LZ77), 2 = GZIP (own DEFLATE
@@ -302,6 +303,28 @@ object ParquetWrite {
         h.i32(2, encoding.toLong)
         h.end()
       }
+      h.end()
+      h.out.toByteArray
+    }
+
+    /** DATA_PAGE_V2 header: levels sit OUTSIDE the codec, their RLE
+      * byte lengths declared (no LE32 prefixes in the body).
+      */
+    def pageHeaderV2(uncomp: Int, comp: Int, numVals: Int,
+                     numNulls: Int, numRows: Int, encoding: Int,
+                     dlBytes: Int, rlBytes: Int): Array[Byte] = {
+      val h = new TCW
+      h.i32(1, 3L) // DATA_PAGE_V2
+      h.i32(2, uncomp.toLong)
+      h.i32(3, comp.toLong)
+      h.structField(8)
+      h.i32(1, numVals.toLong)
+      h.i32(2, numNulls.toLong)
+      h.i32(3, numRows.toLong)
+      h.i32(4, encoding.toLong)
+      h.i32(5, dlBytes.toLong)
+      h.i32(6, rlBytes.toLong)
+      h.end()
       h.end()
       h.out.toByteArray
     }
@@ -411,19 +434,27 @@ object ParquetWrite {
         }
         {
           val nVals = slotEnd - slotAt
-          val body0 = new java.io.ByteArrayOutputStream()
-          if (sh.maxRep > 0) {
-            val runs = hybridRle(ld.reps, slotAt, slotEnd,
+          val repRuns =
+            if (sh.maxRep > 0) hybridRle(ld.reps, slotAt, slotEnd,
               bitsFor(sh.maxRep))
-            body0.write(le4(runs.length), 0, 4)
-            body0.write(runs, 0, runs.length)
+            else Array.emptyByteArray
+          val defRuns =
+            if (sh.maxDef > 0) hybridRle(ld.defs, slotAt, slotEnd,
+              bitsFor(sh.maxDef))
+            else Array.emptyByteArray
+          val body0 = new java.io.ByteArrayOutputStream()
+          if (!pageV2) {
+            if (sh.maxRep > 0) {
+              body0.write(le4(repRuns.length), 0, 4)
+              body0.write(repRuns, 0, repRuns.length)
+            }
+            if (sh.maxDef > 0) {
+              body0.write(le4(defRuns.length), 0, 4)
+              body0.write(defRuns, 0, defRuns.length)
+            }
           }
           var present = nVals
           if (sh.maxDef > 0) {
-            val runs = hybridRle(ld.defs, slotAt, slotEnd,
-              bitsFor(sh.maxDef))
-            body0.write(le4(runs.length), 0, 4)
-            body0.write(runs, 0, runs.length)
             present = 0
             var i = slotAt
             while (i < slotEnd) {
@@ -487,14 +518,32 @@ object ParquetWrite {
               }
               0 // PLAIN
             }
+          // v1: body0 = prefixed levels + values, one codec pass;
+          // v2: body0 = values only — levels ride OUTSIDE the codec
           val plain = body0.toByteArray
-          val body = compressBody(plain)
-          val hb = pageHeader(0, plain.length, body.length, nVals, encoding)
           val pageOff = out.size().toLong
-          out.write(hb, 0, hb.length); out.write(body, 0, body.length)
-          chunkComp(c) += hb.length + body.length
-          chunkUncomp(c) += hb.length + plain.length
-          pageLocs(c) += ((pageOff, hb.length + body.length, rowAt))
+          if (!pageV2) {
+            val body = compressBody(plain)
+            val hb = pageHeader(0, plain.length, body.length, nVals,
+              encoding)
+            out.write(hb, 0, hb.length); out.write(body, 0, body.length)
+            chunkComp(c) += hb.length + body.length
+            chunkUncomp(c) += hb.length + plain.length
+            pageLocs(c) += ((pageOff, hb.length + body.length, rowAt))
+          } else {
+            val vbody = compressBody(plain)
+            val unc = repRuns.length + defRuns.length + plain.length
+            val comp = repRuns.length + defRuns.length + vbody.length
+            val hb = pageHeaderV2(unc, comp, nVals, nVals - present,
+              recs, encoding, defRuns.length, repRuns.length)
+            out.write(hb, 0, hb.length)
+            out.write(repRuns, 0, repRuns.length)
+            out.write(defRuns, 0, defRuns.length)
+            out.write(vbody, 0, vbody.length)
+            chunkComp(c) += hb.length + comp
+            chunkUncomp(c) += hb.length + unc
+            pageLocs(c) += ((pageOff, hb.length + comp, rowAt))
+          }
           rowAt += recs
           presentAt += present
           slotAt = slotEnd

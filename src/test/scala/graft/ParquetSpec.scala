@@ -1112,6 +1112,67 @@ class ParquetSpec extends SparkSpec {
     p.delete(); dir.delete()
   }
 
+  test("ParquetWrite.writeFile(pageV2): engine-written DATA_PAGE_V2 " +
+    "files — levels outside the codec, multi-page, dict + snappy — " +
+    "read back through parquet-mr AND the own reader") {
+    val W = graft.sources.ParquetWrite
+    val P = graft.sources.Parquet
+    val n = 500
+    val ids = (0 until n).map(_.toLong * 3)
+    val tags = ids.map(d => s"t${d % 7}")
+    val optDefs = ids.map(d => if (d % 5 == 0) 0 else 1).toArray
+    val optVals = ids.filter(_ % 5 != 0).map(_ * 2).toArray
+    val fields = Seq(
+      W.Leaf("id", 0, 2),
+      W.Leaf("tag", 0, 6, convertedType = 0),
+      W.Leaf("opt", 1, 2))
+    val data = Seq(
+      W.LeafData(Array.fill(n)(0), null, longs = ids.toArray),
+      W.LeafData(Array.fill(n)(0), null,
+        bins = tags.map(_.getBytes("UTF-8")).toArray, dict = true),
+      W.LeafData(optDefs, null, longs = optVals))
+    for (codec <- Seq(0, 1)) {
+      val b = W.writeFile(fields, data, codec = codec,
+        withStats = true, pageRows = 64, pageV2 = true)
+      // own reader
+      val fm = P.parseFooter(b).getOrElse(fail(s"footer codec $codec"))
+      def cells(path: String) = {
+        val (d, r) = fm.leafLevels(path)
+        fm.rowGroups.head.cols.find(_.path == path)
+          .flatMap(c => P.readChunkCells(b, c, d, r))
+          .getOrElse(fail(s"cells $path codec $codec"))
+      }
+      assert(cells("id").longs.toSeq == ids)
+      assert(cells("tag").bins.map(new String(_, "UTF-8")).toSeq == tags)
+      val oc = cells("opt")
+      assert(oc.defs.count(_ == 0) == ids.count(_ % 5 == 0))
+      assert(oc.longs.toSeq == optVals.toSeq)
+      // parquet-mr
+      val dir = java.nio.file.Files.createTempDirectory("pqv2w").toFile
+      val p = new java.io.File(dir, "own.parquet")
+      java.nio.file.Files.write(p.toPath, b)
+      val got = spark.read.parquet(p.getAbsolutePath)
+        .selectExpr("count(*)", "sum(id)", "count(distinct tag)",
+          "count(*) - count(opt)", "sum(opt)").collect()(0)
+      assert(got.getLong(0) == n && got.getLong(1) == ids.sum &&
+        got.getLong(2) == 7L &&
+        got.getLong(3) == ids.count(_ % 5 == 0) &&
+        got.getLong(4) == optVals.sum, s"codec $codec")
+      p.delete(); dir.delete()
+      // totality: flipped bytes never throw
+      for (i <- b.indices by 11) {
+        val bad = b.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+        P.parseFooter(bad).foreach { fm2 =>
+          fm2.rowGroups.headOption.foreach(_.cols.foreach { c =>
+            fm2.leafLevels.get(c.path).foreach { case (d, r) =>
+              P.readChunkCells(bad, c, d, r)
+            }
+          })
+        }
+      }
+    }
+  }
+
   test("DeltaWrite.writeCheckpoint: the engine-WRITTEN checkpoint " +
     "(nested action groups + 3-level MAP striping) round-trips " +
     "through its own reader AND parquet-mr reads the same rows") {
