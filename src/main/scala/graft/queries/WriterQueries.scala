@@ -861,5 +861,89 @@ object WriterQueries {
         FROM k JOIN read_parquet(
           '/root/repo/fixtures/parquet_v2_write_oracle.parquet') f
           ON k.bkey = f.blob_key"""),
+      headline = false),
+
+    // q322 — ORC DICTIONARY_V2 write side: the own ORC writer gains
+    // dictionary-encoded string columns (SORTED dictionary in
+    // unsigned byte order described by LENGTH + DICTIONARY_DATA
+    // streams, DATA = unsigned RLEv2 indices, ColumnEncoding kind 3
+    // with dictionarySize) — the write twin of the q274 read path.
+    // Laws: the engine's own dict decode returns the exact values
+    // (non-null fast path AND the nullable PRESENT path), the stripe
+    // footer genuinely claims DICTIONARY (n_dict_encodings — a writer
+    // silently falling back to DIRECT fails), the dict form is
+    // GENUINELY smaller than the DIRECT_V2 form on this repetitive
+    // column (dict_beats_direct), and orc-core reads the same bytes
+    // in OrcSpec.
+    "q322_orc_write_dictionary" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.OrcWrite
+            val O = graft.sources.Orc
+            def cat(d: Long) = "cat-" + (d % 7)
+            val colsDict = Seq(
+              W.OLongCol("rec_id", ids.map(Some(_))),
+              W.ODictStringCol("cat", ids.map(d => Some(cat(d)))),
+              W.ODictStringCol("lang", ids.map(d =>
+                if (d % 7 == 0) None
+                else Some(Langs((d % 5).toInt)))))
+            val colsDirect = Seq(
+              W.OLongCol("rec_id", ids.map(Some(_))),
+              W.OStringCol("cat", ids.map(d => Some(cat(d)))),
+              W.OStringCol("lang", ids.map(d =>
+                if (d % 7 == 0) None
+                else Some(Langs((d % 5).toInt)))))
+            val bytes = W.writeTable(colsDict)
+            val direct = W.writeTable(colsDirect)
+            val res = for {
+              t <- O.parseTail(bytes)
+              if t.typeKinds == Seq(12, 4, 7, 7)
+              st = t.stripes.head
+              sf <- O.parseStripeFooter(bytes, t, st)
+              (v1, l1) <- O.stripeColumnLongsOpt(bytes, t, st, 1)
+              if v1.forall(identity) && l1.toSeq == ids
+              cats <- O.stripeColumnStrings(bytes, t, st, 2)
+              if cats.toSeq == ids.map(cat)
+              (v3, s3) <- O.stripeColumnStringsOpt(bytes, t, st, 3)
+            } yield {
+              val nDict = sf.encodings.count(_._1 == 3)
+              val langsOk = v3.zip(s3).zip(ids).forall {
+                case ((valid, v), d) =>
+                  if (d % 7 == 0) !valid
+                  else valid && v == Langs((d % 5).toInt)
+              }
+              if (!langsOk) Nil
+              else Seq((blobId, ids.length.toLong,
+                cats.map(_.length.toLong).sum,
+                v3.count(!_).toLong,
+                s3.filter(_ != null).map(_.length.toLong).sum,
+                nDict.toLong,
+                if (bytes.length < direct.length) 1L else 0L))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("blob_id", "n_rows", "cat_len_sum", "n_lang_null",
+            "lang_len_sum", "n_dict_encodings", "dict_beats_direct")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(length('cat-' || (d % 7)))
+                 AS BIGINT) AS cat_len_sum,
+               CAST(sum(CASE WHEN d % 7 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_lang_null,
+               CAST(sum(CASE WHEN d % 7 = 0 THEN 0 ELSE 2 END)
+                 AS BIGINT) AS lang_len_sum,
+               CAST(2 AS BIGINT) AS n_dict_encodings,
+               CAST(1 AS BIGINT) AS dict_beats_direct
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

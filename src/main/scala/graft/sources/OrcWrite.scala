@@ -109,6 +109,14 @@ object OrcWrite {
       extends OColumn { def size: Int = values.length }
   final case class OStringCol(name: String, values: Seq[Option[String]])
       extends OColumn { def size: Int = values.length }
+  /** DICTIONARY_V2 string column: sorted dictionary (unsigned byte
+    * order, the order liborc writes) described by LENGTH +
+    * DICTIONARY_DATA streams, DATA = unsigned RLEv2 indices over
+    * present values.
+    */
+  final case class ODictStringCol(name: String,
+                                  values: Seq[Option[String]])
+      extends OColumn { def size: Int = values.length }
 
   /** RLEv2 DIRECT runs of UNSIGNED longs (LENGTH streams): the same
     * 512-value chunking as the signed form, no zigzag.
@@ -188,6 +196,7 @@ object OrcWrite {
     val streams = Seq.newBuilder[(Int, Int, Array[Byte])]
     val presentCount = new Array[Long](cols.length)
     val hasNulls = new Array[Boolean](cols.length)
+    val dictSizes = new Array[Int](cols.length)
     cols.zipWithIndex.foreach { case (c, ci) =>
       val colId = ci + 1
       c match {
@@ -231,6 +240,41 @@ object OrcWrite {
           streams += ((1, colId, framed(data.toByteArray)))
           streams += ((2, colId, framed(rleV2DirectUnsigned(
             present.map(_.length.toLong)))))
+        case ODictStringCol(_, vs) =>
+          val valid = vs.map(_.isDefined).toArray
+          presentCount(ci) = valid.count(identity).toLong
+          hasNulls(ci) = !valid.forall(identity)
+          if (hasNulls(ci))
+            streams += ((0, colId,
+              framed(byteRleLiteral(packBits(valid)))))
+          val present = vs.iterator.flatten
+            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .toArray
+          // sorted dictionary, unsigned byte order (liborc's order)
+          def lt(a: Array[Byte], b: Array[Byte]): Boolean = {
+            var i = 0
+            val m = math.min(a.length, b.length)
+            while (i < m) {
+              val x = a(i) & 0xff; val y = b(i) & 0xff
+              if (x != y) return x < y
+              i += 1
+            }
+            a.length < b.length
+          }
+          val dict = present
+            .map(b => new String(b,
+              java.nio.charset.StandardCharsets.UTF_8) -> b)
+            .distinctBy(_._1).sortWith((a, b) => lt(a._2, b._2))
+          val ord = dict.iterator.map(_._1).zipWithIndex.toMap
+          dictSizes(ci) = dict.length
+          val idx = present.map(b => ord(new String(b,
+            java.nio.charset.StandardCharsets.UTF_8)).toLong)
+          streams += ((1, colId, framed(rleV2DirectUnsigned(idx))))
+          streams += ((2, colId, framed(rleV2DirectUnsigned(
+            dict.map(_._2.length.toLong)))))
+          val dd = new java.io.ByteArrayOutputStream()
+          dict.foreach { case (_, b) => dd.write(b, 0, b.length) }
+          streams += ((3, colId, framed(dd.toByteArray)))
       }
     }
     val built = streams.result()
@@ -245,9 +289,11 @@ object OrcWrite {
       st.uint(3, b.length.toLong)
       sf.bytesField(1, st.toBytes)
     }
-    // encodings: DIRECT root; DIRECT_V2 for long/string, DIRECT double
+    // encodings: DIRECT root; DIRECT_V2 for long/string, DIRECT
+    // double, DICTIONARY_V2 (with dictionarySize) for dict strings
     val encOf: OColumn => Long = {
       case _: ODoubleCol => 0L
+      case _: ODictStringCol => 3L
       case _ => 2L
     }
     locally {
@@ -255,9 +301,13 @@ object OrcWrite {
       enc.uint(1, 0L)
       sf.bytesField(2, enc.toBytes)
     }
-    cols.foreach { c =>
+    cols.zipWithIndex.foreach { case (c, ci) =>
       val enc = new PBW
       enc.uint(1, encOf(c))
+      c match {
+        case _: ODictStringCol => enc.uint(2, dictSizes(ci).toLong)
+        case _ => ()
+      }
       sf.bytesField(2, enc.toBytes)
     }
     val sfb = framed(sf.toBytes)
@@ -283,9 +333,10 @@ object OrcWrite {
     cols.foreach { c =>
       val t = new PBW
       t.uint(1, c match {
-        case _: OLongCol => 4L   // LONG
-        case _: ODoubleCol => 6L // DOUBLE
-        case _: OStringCol => 7L // STRING
+        case _: OLongCol => 4L       // LONG
+        case _: ODoubleCol => 6L     // DOUBLE
+        case _: OStringCol => 7L     // STRING
+        case _: ODictStringCol => 7L // STRING (dict-encoded)
       })
       f.bytesField(4, t.toBytes)
     }
