@@ -945,5 +945,161 @@ object WriterQueries {
                CAST(2 AS BIGINT) AS n_dict_encodings,
                CAST(1 AS BIGINT) AS dict_beats_direct
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q323 — MULTI-PART checkpoint WRITE: the engine splits its own
+    // checkpoint across `<v>.checkpoint.<part>.<parts>.parquet` files
+    // (PROTOCOL.md naming, 10-digit indices) with `_last_checkpoint`
+    // claiming `"parts": 2`, pre-checkpoint JSON fully vacuumed —
+    // then replays its own output with the q272 read machinery: the
+    // part set assembled (every index 1..N exactly once, the
+    // single-file name ABSENT so a single-name reader finds nothing),
+    // actions unioned, the JSON tail applied, live files decoded by
+    // the own parquet reader. Part bytes md5-pinned vs the Python
+    // twin (scripts/make_delta_ckptm_write_oracle.py).
+    "q323_delta_multipart_checkpoint_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val bkey = md5Hex("deltackptmw:" + ids.mkString(","))
+            val D = graft.sources.DeltaWrite
+            val J = graft.sources.Json
+            val P = graft.sources.Parquet
+            val bundle = D.writeTableWithMultipartCheckpoint(bkey, ids)
+            def md5b(b: Array[Byte]): String =
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(b).map("%02x".format(_)).mkString
+            val PartRe =
+              "_delta_log/(\\d+)\\.checkpoint\\.(\\d+)\\.(\\d+)\\.parquet".r
+            def jlong(o: J.JObject, k: String): Option[Long] =
+              o.get(k).collect { case J.JLong(v) => v }
+            val res = for {
+              lc <- J.parse(new String(
+                bundle("_delta_log/_last_checkpoint"), "UTF-8").trim)
+              lco <- Some(lc).collect { case o: J.JObject => o }
+              ver <- jlong(lco, "version")
+              nParts <- jlong(lco, "parts").filter(p => p > 0 && p <= 64)
+            } yield {
+              var ok = true
+              // single-name reader law: the unsplit name must be gone
+              val singleName = f"_delta_log/$ver%020d.checkpoint.parquet"
+              if (bundle.contains(singleName)) ok = false
+              val parts = bundle.keys.toSeq.flatMap { k =>
+                k match {
+                  case PartRe(v, i, n) =>
+                    if (v.toLong != ver || n.toLong != nParts) ok = false
+                    Seq((i.toInt, bundle(k)))
+                  case _ => Nil
+                }
+              }.sortBy(_._1)
+              if (parts.map(_._1) != (1 to nParts.toInt)) ok = false
+              val acts = parts.flatMap { case (_, b) =>
+                graft.sources.DeltaCheckpoint.parse(b) match {
+                  case Some(a) => a
+                  case None => ok = false; Nil
+                }
+              }
+              val metaOk = acts.exists(_.metaId == bkey)
+              // checkpoint state + JSON tail, last-wins (q314's walk)
+              val st = scala.collection.mutable.LinkedHashMap
+                .empty[String, (Long, Boolean, String)]
+              acts.foreach { a =>
+                if (a.addPath != null)
+                  st(a.addPath) =
+                    (ver, true, a.addParts.getOrElse("part", null))
+                else if (a.removePath != null)
+                  st(a.removePath) = (ver, false, null)
+              }
+              val LogName = "_delta_log/(\\d{20})\\.json".r
+              bundle.keys.toSeq.collect {
+                case k @ LogName(v) if v.toLong > ver => (v.toLong, k)
+              }.sortBy(_._1).foreach { case (v, k) =>
+                new String(bundle(k), "UTF-8").split("\n")
+                  .filter(_.trim.nonEmpty).foreach { line =>
+                    J.parse(line) match {
+                      case Some(o: J.JObject) =>
+                        (o.get("add"), o.get("remove")) match {
+                          case (Some(a: J.JObject), _) =>
+                            (a.get("path"), a.get("partitionValues"))
+                              match {
+                              case (Some(J.JString(p)),
+                                Some(pv: J.JObject)) =>
+                                st(p) = (v, true, pv.get("part")
+                                  .collect {
+                                    case J.JString(x) => x
+                                  }.orNull)
+                              case _ => ok = false
+                            }
+                          case (_, Some(r: J.JObject)) =>
+                            r.get("path") match {
+                              case Some(J.JString(p)) =>
+                                st(p) = (v, false, null)
+                              case _ => ok = false
+                            }
+                          case _ => ()
+                        }
+                      case _ => ok = false
+                    }
+                  }
+              }
+              val live = st.toSeq.collect {
+                case (p, (_, true, part)) => (p, part)
+              }.sortBy(_._1)
+              var nRows = 0L; var idSum = 0L
+              var valSum = 0L; var partSum = 0L
+              live.foreach { case (p, part) =>
+                if (part == null) ok = false
+                else {
+                  partSum += part.toLong
+                  (P.columnLongs(bundle(p), "rec_id"),
+                    P.columnLongs(bundle(p), "val")) match {
+                    case (Some(rs), Some(vs))
+                      if rs.length == vs.length =>
+                      nRows += rs.length; idSum += rs.sum
+                      valSum += vs.sum
+                    case _ => ok = false
+                  }
+                }
+              }
+              if (!ok || !metaOk) Nil
+              else Seq((blobId, md5b(parts(0)._2), md5b(parts(1)._2),
+                nParts, acts.length.toLong, live.length.toLong, nRows,
+                idSum, valSum, partSum))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("blob_id", "part1_md5", "part2_md5", "n_parts",
+            "n_ckpt_acts", "n_live", "n_rows", "id_sum", "val_sum",
+            "part_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('deltackptmw:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey
+          FROM r GROUP BY blob_id),
+        agg AS (
+          SELECT blob_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(d) AS BIGINT) AS id_sum,
+                 CAST(sum((d * 13) % 991) AS BIGINT) AS val_sum
+          FROM r WHERE (d // 6) % 4 IN (2, 3) GROUP BY blob_id)
+        SELECT a.blob_id, f.part1_md5, f.part2_md5,
+               CAST(2 AS BIGINT) AS n_parts,
+               CAST(5 AS BIGINT) AS n_ckpt_acts,
+               CAST(2 AS BIGINT) AS n_live,
+               a.n_rows, a.id_sum, a.val_sum,
+               CAST(5 AS BIGINT) AS part_sum
+        FROM agg a JOIN k ON a.blob_id = k.blob_id
+        JOIN read_parquet(
+          '/root/repo/fixtures/delta_ckptm_write_oracle.parquet') f
+          ON k.bkey = f.blob_key"""),
       headline = false))
 }

@@ -147,6 +147,11 @@ object DeltaWrite {
   def lastCheckpointJson(version: Long, size: Long): String =
     s"""{"size": $size, "version": $version}"""
 
+  /** Multi-part form: `"parts": N` names the split. */
+  def lastCheckpointJsonParts(version: Long, size: Long,
+                              parts: Long): String =
+    s"""{"parts": $parts, "size": $size, "version": $version}"""
+
   /** The q314 bundle: a Delta table whose pre-checkpoint JSON has
     * been VACUUMED — commits 0-1 survive only as the engine-written
     * `00000000000000000001.checkpoint.parquet` (protocol, metaData,
@@ -178,6 +183,44 @@ object DeltaWrite {
       "_delta_log/00000000000000000001.checkpoint.parquet" -> ckpt,
       "_delta_log/_last_checkpoint" ->
         (lastCheckpointJson(1L, 5L) + "\n").getBytes(Utf8),
+      "_delta_log/00000000000000000002.json" -> c2.getBytes(Utf8),
+      names(0) -> data(0), names(1) -> data(1),
+      names(2) -> data(2), names(3) -> data(3))
+  }
+
+  /** The q323 bundle: the q314 table with its checkpoint SPLIT into
+    * two parts per PROTOCOL.md's multi-part naming
+    * (`<v>.checkpoint.<part>.<parts>.parquet`, 10-digit indices) —
+    * part 1 carries protocol + metaData + add A, part 2 add C + the
+    * remove-B tombstone — and `_last_checkpoint` claiming
+    * `"parts": 2`. Pre-checkpoint JSON fully vacuumed: a single-name
+    * checkpoint reader finds NOTHING on this table.
+    */
+  def writeTableWithMultipartCheckpoint(id: String, ids: Seq[Long])
+      : Map[String, Array[Byte]] = {
+    val parts = (0 to 3).map(x => ids.filter(d => (d / 6) % 4 == x))
+    val names = (0 to 3).map(x => s"part-$x.parquet")
+    val data = parts.map(p => ParquetWrite.writeInt64(
+      Seq("rec_id", "val"), p.map(d => Array(d, (d * 13) % 991))))
+    val part1 = writeCheckpoint(Seq(
+      CkptAct(minReader = 1L),
+      CkptAct(metaId = id),
+      CkptAct(addPath = names(0), addSize = data(0).length.toLong,
+        addPart = "0")))
+    val part2 = writeCheckpoint(Seq(
+      CkptAct(addPath = names(2), addSize = data(2).length.toLong,
+        addPart = "2"),
+      CkptAct(removePath = names(1))))
+    val c2 = Seq(removeAction(names(0)),
+      addActionPart(names(3), data(3).length.toLong, "3"))
+      .mkString("\n") + "\n"
+    def pname(i: Int) =
+      f"_delta_log/${1}%020d.checkpoint.$i%010d.${2}%010d.parquet"
+    Map(
+      pname(1) -> part1,
+      pname(2) -> part2,
+      "_delta_log/_last_checkpoint" ->
+        (lastCheckpointJsonParts(1L, 5L, 2L) + "\n").getBytes(Utf8),
       "_delta_log/00000000000000000002.json" -> c2.getBytes(Utf8),
       names(0) -> data(0), names(1) -> data(1),
       names(2) -> data(2), names(3) -> data(3))
