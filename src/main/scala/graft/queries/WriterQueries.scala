@@ -1101,5 +1101,77 @@ object WriterQueries {
         JOIN read_parquet(
           '/root/repo/fixtures/delta_ckptm_write_oracle.parquet') f
           ON k.bkey = f.blob_key"""),
+      headline = false),
+
+    // q324 — CUSTOM FSE TABLES in the own zstd compressor (RFC
+    // §4.1.1 write side): per-block code histograms normalized onto
+    // a 2^log table (proportional shares, less-than-one -1 states,
+    // remainder folded into the dominant symbol), the variable-
+    // precision table DESCRIPTION written as the exact mirror of the
+    // decoder's phased small/large walk with the zero-repeat escape,
+    // and RLE mode for single-code channels — chosen per channel
+    // only when the description pays for itself. The law here:
+    // adaptive_smaller pins that the custom-table form genuinely
+    // beats the predefined-only form on this corpus (observed ~30%
+    // on the sequence-heavy doc text), while the own decoder
+    // (checksum-verified) and libzstd both decode the adaptive bytes
+    // exactly.
+    "q324_zstd_custom_fse_tables" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val ids = it.map(_._2).toSeq.sorted
+            val payload = ids.map(d =>
+              "doc-" + d + "-" + ("x" * (d % 17).toInt) + "\n").mkString
+            val data = payload.getBytes("UTF-8")
+            val E = graft.sources.ZstdEncode
+            val z = E.compress(data)
+            val zPred = E.compress(data, adaptiveTables = false)
+            val ownOk = graft.sources.Zstd.walk(z) match {
+              case Some(Seq(f)) => f.kind == "zstd" &&
+                f.checksumState == "ok" &&
+                java.util.Arrays.equals(f.decoded, data)
+              case _ => false
+            }
+            val jniOk = scala.util.Try(
+              com.github.luben.zstd.Zstd.decompress(z,
+                math.max(1, data.length))).toOption
+              .exists(java.util.Arrays.equals(_, data))
+            if (!ownOk) Nil
+            else Seq((blobId, data.length.toLong, h60(payload),
+              if (z.length < zPred.length) 1L else 0L,
+              if (z.length * 3 < data.length) 1L else 0L,
+              if (jniOk) 1L else 0L))
+          }
+          .toDF("blob_id", "orig_len", "payload_hash",
+            "adaptive_smaller", "beats_third", "jni_ok")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg('doc-' || d || '-' || repeat('x',
+                   CAST(d % 17 AS INTEGER)) || chr(10), ''
+                   ORDER BY d) AS payload,
+                 CAST(sum(length('doc-' || d || '-') + (d % 17) + 1)
+                   AS BIGINT) AS orig_len
+          FROM r GROUP BY blob_id)
+        SELECT blob_id, orig_len,
+               ${OracleSql.sqlHash60("payload")} AS payload_hash,
+               CAST(1 AS BIGINT) AS adaptive_smaller,
+               CAST(1 AS BIGINT) AS beats_third,
+               CAST(1 AS BIGINT) AS jni_ok
+        FROM k"""),
       headline = false))
 }

@@ -2,12 +2,14 @@ package graft.sources
 
 /** Zstandard COMPRESSOR (RFC 8878 write side): greedy LZ77 over
   * 4-byte hash chains turned into zstd sequences, encoded as
-  * Compressed_Blocks with RAW literals and the three sequence
-  * channels FSE-coded under the RFC's PREDEFINED distributions —
-  * no table descriptions on the wire, the decoder rebuilds the same
-  * tables from the spec. The backward sequence bitstream is the
-  * exact mirror of [[ZstdEntropy.decompressBlock]]'s reads: fields
-  * emitted in reverse decode order (per-boundary state bits OF←ML←LL,
+  * Compressed_Blocks with Huffman-or-raw literals and the three
+  * sequence channels FSE-coded under whichever of the spec's modes
+  * is smallest per block — PREDEFINED distributions (no description
+  * on the wire), RLE (one code), or FSE_Compressed (a custom
+  * normalized distribution + the §4.1.1 table description, both
+  * written here). The backward sequence bitstream is the exact
+  * mirror of [[ZstdEntropy.decompressBlock]]'s reads: fields emitted
+  * in reverse decode order (per-boundary state bits OF←ML←LL,
   * per-sequence extras LL←ML←OF, init states ML←OF←LL last, padding
   * marker on top), FSE states chosen by the inverse walk over the
   * SAME table spread [[ZstdEntropy.buildFseTable]] builds, so write
@@ -73,6 +75,143 @@ object ZstdEncode {
   private lazy val EncLL = new FseEnc(ZstdEntropy.PredefLLCounts, 6)
   private lazy val EncML = new FseEnc(ZstdEntropy.PredefMLCounts, 6)
   private lazy val EncOF = new FseEnc(ZstdEntropy.PredefOFCounts, 5)
+
+  // ---- custom sequence tables (modes RLE / FSE_Compressed) ---------------
+
+  /** One channel's coding choice: `mode` per the spec (0 predefined,
+    * 1 RLE, 2 FSE_Compressed), the on-wire description bytes (empty /
+    * the symbol byte / the FSE table description), and the encode
+    * transform.
+    */
+  private final case class ChannelPlan(mode: Int, desc: Array[Byte],
+                                       enc: FseEnc)
+
+  /** Normalize a code histogram onto a 2^log table: proportional
+    * shares rounded down, zero shares become the spec's
+    * less-than-one (-1, one high-end state), the remainder folded
+    * into the most frequent symbol. None when the fold would drive
+    * it non-positive (skewed tiny inputs — predefined wins there
+    * anyway).
+    */
+  private def normalizeCounts(hist: Array[Long],
+                              log: Int): Option[Array[Int]] = {
+    val total = hist.sum
+    if (total < 2) return None
+    val size = 1 << log
+    val norm = new Array[Int](hist.length)
+    var used = 0
+    var maxS = -1
+    var maxV = -1L
+    var s = 0
+    while (s < hist.length) {
+      if (hist(s) > 0) {
+        val share = ((hist(s) * size) / total).toInt
+        norm(s) = if (share == 0) -1 else share
+        used += (if (share == 0) 1 else share)
+        if (hist(s) > maxV) { maxV = hist(s); maxS = s }
+      }
+      s += 1
+    }
+    val slack = size - used
+    if (maxS < 0 || norm(maxS) <= 0 || norm(maxS) + slack < 1) None
+    else {
+      norm(maxS) += slack
+      Some(norm)
+    }
+  }
+
+  /** The FSE table description (RFC §4.1.1 write side): 4-bit
+    * accuracy-log field, then the variable-precision normalized
+    * counts with the zero-repeat escape — the exact mirror of the
+    * reader's phased small/large walk. Forward LSB-first bitstream,
+    * zero-padded to a byte.
+    */
+  private def writeFseCounts(norm: Array[Int], log: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var buf = 0L
+    var nb = 0
+    def put(v: Int, n: Int): Unit = {
+      if (v < 0 || n < 0 || (n < 31 && (v >> n) != 0)) damage()
+      buf |= (v.toLong & ((1L << n) - 1)) << nb
+      nb += n
+      while (nb >= 8) { out.write((buf & 0xff).toInt); buf >>>= 8; nb -= 8 }
+    }
+    put(log - 5, 4)
+    val tableSize = 1 << log
+    var remaining = tableSize + 1
+    var threshold = tableSize
+    var nBits = log + 1
+    var sym = 0
+    var prevZero = false
+    while (remaining > 1) {
+      if (sym >= norm.length) damage() // counts must tile the table
+      if (prevZero) {
+        // 2-bit repeat flags over the FOLLOWING zero symbols
+        var z = 0
+        while (sym + z < norm.length && norm(sym + z) == 0) z += 1
+        var left = z
+        while (left >= 3) { put(3, 2); left -= 3 }
+        put(left, 2)
+        sym += z
+        prevZero = false
+      } else {
+        val count = norm(sym)
+        if (count < -1) damage()
+        val v = count + 1 // stored form: -1 -> 0, 0 -> 1, n -> n+1
+        val max = (2 * threshold - 1) - remaining
+        if (v < max) put(v, nBits - 1)
+        else if (v < threshold) put(v, nBits)
+        else put(v + max, nBits)
+        if (count >= 0) remaining -= count else remaining += count
+        sym += 1
+        prevZero = count == 0
+        while (remaining > 1 && remaining < threshold) {
+          nBits -= 1; threshold >>= 1
+        }
+      }
+    }
+    if (remaining != 1) damage()
+    if (nb > 0) out.write((buf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Choose a channel's adaptive plan: RLE when every sequence uses
+    * one code; a custom FSE table (description + transform) when the
+    * histogram normalizes; None -> stick with predefined.
+    */
+  private def planChannel(codes: Vector[Int], maxSym: Int,
+                          maxLog: Int): Option[ChannelPlan] =
+    try planChannel0(codes, maxSym, maxLog)
+    catch { case _: ZstdEntropy.Damage => None } // fall back, never fail
+
+  private def planChannel0(codes: Vector[Int], maxSym: Int,
+                           maxLog: Int): Option[ChannelPlan] = {
+    if (codes.isEmpty) return None
+    val first = codes.head
+    if (codes.forall(_ == first)) {
+      // RLE: one state, zero bits; counts place the symbol alone
+      val counts = new Array[Int](first + 1)
+      counts(first) = 1
+      return Some(ChannelPlan(1, Array(first.toByte),
+        new FseEnc(counts, 0)))
+    }
+    val hist = new Array[Long](maxSym + 1)
+    codes.foreach { c =>
+      if (c > maxSym) return None
+      hist(c) += 1
+    }
+    val total = codes.length
+    // FSE_optimalTableLog shape: ~log2(total) - 2, clamped [5, maxLog]
+    val log = math.min(maxLog,
+      math.max(5, 31 - Integer.numberOfLeadingZeros(total - 1) - 2))
+    normalizeCounts(hist, log).map { norm =>
+      // trim to the last coded symbol (the description stops at
+      // remaining == 1; trailing zeros are never transmitted)
+      val lastSym = norm.lastIndexWhere(_ != 0)
+      ChannelPlan(2, writeFseCounts(norm.take(lastSym + 1), log),
+        new FseEnc(norm, log))
+    }
+  }
 
   // ---- code-from-value (RFC §3.1.1.3.2.1.1) ------------------------------
 
@@ -388,7 +527,9 @@ object ZstdEncode {
     */
   private def compressedBlockBody(data: Array[Byte], from: Int,
                                   until: Int, head: Array[Int],
-                                  prev: Array[Int]): Option[Array[Byte]] = {
+                                  prev: Array[Int],
+                                  adaptiveTables: Boolean)
+      : Option[Array[Byte]] = {
     val (seqs, lastLit) = findSequences(data, from, until, head, prev)
     val blockLen = until - from
     if (seqs.isEmpty) {
@@ -412,8 +553,6 @@ object ZstdEncode {
     }
     lits.write(data, p, lastLit)
     val litBytes = lits.toByteArray
-    // sequence bitstream fields, in DECODE order
-    val sink = new BackSink()
     // per-channel codes
     val llCodes = seqs.map(s => llCode(s.ll))
     val mlCodes = seqs.map(s => mlCode(s.ml))
@@ -423,64 +562,94 @@ object ZstdEncode {
       if (c > 28) damage() // beyond the predefined distribution
       c.toInt
     }
-    // FSE state chains, computed backward from the last sequence
-    def chain(enc: FseEnc, codes: Vector[Int])
-        : (Int, Array[(Int, Int)]) = {
-      var x = enc.initState(codes(nSeq - 1))
-      val trans = new Array[(Int, Int)](nSeq - 1)
-      var i = nSeq - 2
-      while (i >= 0) {
-        val (bits, nb, nx) = enc.encode(codes(i), x)
-        trans(i) = (bits, nb)
-        x = nx
-        i -= 1
+
+    /** One full Sequences_Section for a choice of channel plans
+      * (decode order LL, OF, ML for both the modes byte and the
+      * table descriptions, per the reader's pick() walk).
+      */
+    def buildSection(llP: ChannelPlan, ofP: ChannelPlan,
+                     mlP: ChannelPlan): Array[Byte] = {
+      val sink = new BackSink()
+      def chain(enc: FseEnc, codes: Vector[Int])
+          : (Int, Array[(Int, Int)]) = {
+        var x = enc.initState(codes(nSeq - 1))
+        val trans = new Array[(Int, Int)](nSeq - 1)
+        var i = nSeq - 2
+        while (i >= 0) {
+          val (bits, nb, nx) = enc.encode(codes(i), x)
+          trans(i) = (bits, nb)
+          x = nx
+          i -= 1
+        }
+        (x - (1 << enc.log), trans) // decode init state d_0
       }
-      (x - (1 << enc.log), trans) // decode init state d_0
-    }
-    val (llInit, llTrans) = chain(EncLL, llCodes)
-    val (ofInit, ofTrans) = chain(EncOF, ofCodes)
-    val (mlInit, mlTrans) = chain(EncML, mlCodes)
-    // decode read order: LL, OF, ML init states...
-    sink.field(llInit, 6)
-    sink.field(ofInit, 5)
-    sink.field(mlInit, 6)
-    var i = 0
-    while (i < nSeq) {
-      val s = seqs(i)
-      // ...then per sequence: OF extra, ML extra, LL extra...
-      val ofValue = s.offset.toLong + 3
-      val oc = ofCodes(i)
-      sink.field((ofValue - (1L << oc)).toInt, oc)
-      val mc = mlCodes(i)
-      sink.field(s.ml - ZstdEntropy.MLBase(mc), ZstdEntropy.MLBits(mc))
-      val lc = llCodes(i)
-      sink.field(s.ll - ZstdEntropy.LLBase(lc), ZstdEntropy.LLBits(lc))
-      // ...then (not after the last) state bits LL, ML, OF
-      if (i < nSeq - 1) {
-        val (lb, ln) = llTrans(i)
-        sink.field(lb, ln)
-        val (mb, mn) = mlTrans(i)
-        sink.field(mb, mn)
-        val (ob, on) = ofTrans(i)
-        sink.field(ob, on)
+      val (llInit, llTrans) = chain(llP.enc, llCodes)
+      val (ofInit, ofTrans) = chain(ofP.enc, ofCodes)
+      val (mlInit, mlTrans) = chain(mlP.enc, mlCodes)
+      // decode read order: LL, OF, ML init states...
+      sink.field(llInit, llP.enc.log)
+      sink.field(ofInit, ofP.enc.log)
+      sink.field(mlInit, mlP.enc.log)
+      var i = 0
+      while (i < nSeq) {
+        val s = seqs(i)
+        // ...then per sequence: OF extra, ML extra, LL extra...
+        val ofValue = s.offset.toLong + 3
+        val oc = ofCodes(i)
+        sink.field((ofValue - (1L << oc)).toInt, oc)
+        val mc = mlCodes(i)
+        sink.field(s.ml - ZstdEntropy.MLBase(mc), ZstdEntropy.MLBits(mc))
+        val lc = llCodes(i)
+        sink.field(s.ll - ZstdEntropy.LLBase(lc), ZstdEntropy.LLBits(lc))
+        // ...then (not after the last) state bits LL, ML, OF
+        if (i < nSeq - 1) {
+          val (lb, ln) = llTrans(i)
+          sink.field(lb, ln)
+          val (mb, mn) = mlTrans(i)
+          sink.field(mb, mn)
+          val (ob, on) = ofTrans(i)
+          sink.field(ob, on)
+        }
+        i += 1
       }
-      i += 1
+      val stream = sink.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      if (nSeq < 128) out.write(nSeq)
+      else if (nSeq < 0x7f00) {
+        out.write(((nSeq >> 8) & 0xff) + 128); out.write(nSeq & 0xff)
+      } else {
+        out.write(255)
+        val v = nSeq - 0x7f00
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      }
+      out.write((llP.mode << 6) | (ofP.mode << 4) | (mlP.mode << 2))
+      out.write(llP.desc, 0, llP.desc.length)
+      out.write(ofP.desc, 0, ofP.desc.length)
+      out.write(mlP.desc, 0, mlP.desc.length)
+      out.write(stream, 0, stream.length)
+      out.toByteArray
     }
-    val stream = sink.finish()
+
+    val llPred = ChannelPlan(0, Array.emptyByteArray, EncLL)
+    val ofPred = ChannelPlan(0, Array.emptyByteArray, EncOF)
+    val mlPred = ChannelPlan(0, Array.emptyByteArray, EncML)
+    val predSection = buildSection(llPred, ofPred, mlPred)
+    // adaptive variant: RLE / custom-FSE per channel where it's
+    // legal and the description pays for itself (smaller section)
+    val section =
+      if (!adaptiveTables) predSection
+      else {
+        val adaptive = buildSection(
+          planChannel(llCodes, 35, 9).getOrElse(llPred),
+          planChannel(ofCodes, 31, 8).getOrElse(ofPred),
+          planChannel(mlCodes, 52, 9).getOrElse(mlPred))
+        if (adaptive.length < predSection.length) adaptive
+        else predSection
+      }
     val out = new java.io.ByteArrayOutputStream()
     val ls = literalsSection(litBytes)
     out.write(ls, 0, ls.length)
-    // nSeq header (1-3 bytes per the spec's thresholds)
-    if (nSeq < 128) out.write(nSeq)
-    else if (nSeq < 0x7f00) {
-      out.write(((nSeq >> 8) & 0xff) + 128); out.write(nSeq & 0xff)
-    } else {
-      out.write(255)
-      val v = nSeq - 0x7f00
-      out.write(v & 0xff); out.write((v >> 8) & 0xff)
-    }
-    out.write(0) // modes byte: LL/OF/ML all predefined
-    out.write(stream, 0, stream.length)
+    out.write(section, 0, section.length)
     val body = out.toByteArray
     if (body.length < blockLen) Some(body) else None
   }
@@ -489,7 +658,8 @@ object ZstdEncode {
     * content size, XXH64 content checksum, 64 KiB input blocks each
     * emitted compressed or raw (whichever is smaller).
     */
-  def compress(raw: Array[Byte]): Array[Byte] = {
+  def compress(raw: Array[Byte],
+               adaptiveTables: Boolean = true): Array[Byte] = {
     require(raw.length <= (1 << 26), s"input too large: ${raw.length}")
     val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
     out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
@@ -508,7 +678,8 @@ object ZstdEncode {
     do {
       val len = math.min(BlockIn, n - p)
       val last = if (p + len >= n) 1 else 0
-      compressedBlockBody(raw, p, p + len, head, prev) match {
+      compressedBlockBody(raw, p, p + len, head, prev,
+        adaptiveTables) match {
         case Some(body) =>
           val hdr = (body.length << 3) | (2 << 1) | last
           out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
