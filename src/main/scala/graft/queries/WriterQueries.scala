@@ -1173,5 +1173,98 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS beats_third,
                CAST(1 AS BIGINT) AS jni_ok
         FROM k"""),
+      headline = false),
+
+    // q325 — LZ4 write side (lz4_Block_format.md): the own block
+    // compressor (greedy hash-chain LZ77 into token/literals/LE16-
+    // offset sequences with the format's end restrictions), the
+    // Hadoop BE32 length-pair framing (parquet legacy codec 5), and
+    // parquet codec 7 (LZ4_RAW) pages through it. Laws per blob: the
+    // engine's own block decoder round-trips to the relational
+    // payload hash; lz4-java (the reference implementation) decodes
+    // the same bytes byte-exact in-query; the framed form round-trips
+    // through the own framed reader; parquet codec-7 pages round-trip
+    // through the own parquet reader and are genuinely smaller than
+    // stored. The codec-family write inventory now reads: DEFLATE,
+    // snappy, zstd, LZ4 — every family the engine decodes that has a
+    // write side worth owning.
+    "q325_lz4_own_encoder" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val ids = it.map(_._2).toSeq.sorted
+            val payload = ids.map(d =>
+              "doc-" + d + "-" + ("x" * (d % 17).toInt) + "\n").mkString
+            val data = payload.getBytes("UTF-8")
+            val E = graft.sources.Lz4Encode
+            val L = graft.sources.Lz4
+            val z = E.compressBlock(data)
+            val ownOk = L.decompressBlock(z, 0, z.length, data.length)
+              .exists(java.util.Arrays.equals(_, data))
+            val jniOk = scala.util.Try {
+              val out = new Array[Byte](data.length)
+              net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+                .safeDecompressor().decompress(z, 0, z.length, out, 0)
+              out
+            }.toOption.exists(java.util.Arrays.equals(_, data))
+            val framed = E.hadoopFrame(data)
+            val framedOk = L.decompressFramed(framed, 0, framed.length,
+              data.length).exists(java.util.Arrays.equals(_, data))
+            // parquet LZ4_RAW pages through the same encoder
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val fields = Seq(W.Leaf("rec_id", 0, 2),
+              W.Leaf("txt", 0, 6, convertedType = 0))
+            val ld = Seq(
+              W.LeafData(Array.fill(ids.length)(0), null,
+                longs = ids.toArray),
+              W.LeafData(Array.fill(ids.length)(0), null,
+                bins = ids.map(d => ("doc-" + d + "-" +
+                  ("x" * (d % 17).toInt)).getBytes("UTF-8")).toArray))
+            val plz4 = W.writeFile(fields, ld, codec = 7)
+            val pplain = W.writeFile(fields, ld, codec = 0)
+            val pqOk = P.columnLongs(plz4, "rec_id")
+              .exists(_.toSeq == ids) &&
+              P.columnStrings(plz4, "txt").exists(_.length == ids.length)
+            if (!ownOk) Nil
+            else Seq((blobId, data.length.toLong, h60(payload),
+              if (z.length * 2 < data.length) 1L else 0L,
+              if (jniOk) 1L else 0L,
+              if (framedOk) 1L else 0L,
+              if (pqOk) 1L else 0L,
+              if (plz4.length < pplain.length) 1L else 0L))
+          }
+          .toDF("blob_id", "orig_len", "payload_hash", "beats_half",
+            "jni_ok", "framed_ok", "pq_lz4_ok", "pq_lz4_smaller")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg('doc-' || d || '-' || repeat('x',
+                   CAST(d % 17 AS INTEGER)) || chr(10), ''
+                   ORDER BY d) AS payload,
+                 CAST(sum(length('doc-' || d || '-') + (d % 17) + 1)
+                   AS BIGINT) AS orig_len
+          FROM r GROUP BY blob_id)
+        SELECT blob_id, orig_len,
+               ${OracleSql.sqlHash60("payload")} AS payload_hash,
+               CAST(1 AS BIGINT) AS beats_half,
+               CAST(1 AS BIGINT) AS jni_ok,
+               CAST(1 AS BIGINT) AS framed_ok,
+               CAST(1 AS BIGINT) AS pq_lz4_ok,
+               CAST(1 AS BIGINT) AS pq_lz4_smaller
+        FROM k"""),
       headline = false))
 }

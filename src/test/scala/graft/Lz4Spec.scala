@@ -145,4 +145,58 @@ class Lz4Spec extends AnyFunSuite {
     assert(Lz4.decompressBlock(matchForged, 0, matchForged.length, 200)
       .isEmpty) // must not throw
   }
+
+  test("ENCODER vs lz4-java: the own block compressor's output " +
+    "decodes byte-exact through the reference decompressor AND the " +
+    "own reader, across content classes and boundary lengths; the " +
+    "Hadoop framing round-trips") {
+    import graft.sources.Lz4Encode
+    val rnd = new java.util.Random(7)
+    val safe = factory.safeDecompressor()
+    def check(name: String, data: Array[Byte]): Int = {
+      val z = Lz4Encode.compressBlock(data)
+      assert(java.util.Arrays.equals(z, Lz4Encode.compressBlock(data)),
+        s"$name determinism")
+      val own = Lz4.decompressBlock(z, 0, z.length, data.length)
+        .getOrElse(fail(s"$name own decode"))
+      assert(java.util.Arrays.equals(own, data), name)
+      val theirs = new Array[Byte](data.length)
+      safe.decompress(z, 0, z.length, theirs, 0)
+      assert(java.util.Arrays.equals(theirs, data), s"$name lz4-java")
+      // Hadoop framing round trip through the own framed reader
+      val framed = Lz4Encode.hadoopFrame(data, bufSize = 1 << 14)
+      val back = Lz4.decompressFramed(framed, 0, framed.length,
+        data.length).getOrElse(fail(s"$name framed"))
+      assert(java.util.Arrays.equals(back, data), s"$name framed eq")
+      z.length
+    }
+    val text = (0 until 4000).map(d => "doc-" + d + "-" +
+      ("x" * (d % 17)) + "\n").mkString.getBytes("UTF-8")
+    // SIZE LAW: genuine compression on text (stored fallback fails)
+    assert(check("text", text) * 2 < text.length)
+    assert(check("repetitive", ("abcdefgh" * 20000).getBytes) < 1200)
+    val rand = new Array[Byte](65536); rnd.nextBytes(rand)
+    check("random", rand)
+    for (len <- Seq(0, 1, 4, 5, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+      20, 64, 255, 256, 4096, 65535, 65536, 100000)) {
+      val d = new Array[Byte](len)
+      var k = 0
+      while (k < len) { d(k) = ((k * 31 + k / 7) % 11 + 'a').toByte
+        k += 1 }
+      check(s"len-$len", d)
+    }
+    for (trial <- 0 until 60) {
+      val len = 1 + rnd.nextInt(30000)
+      val alpha = 1 + rnd.nextInt(10)
+      val d = new Array[Byte](len)
+      var k = 0
+      while (k < len) {
+        val run = 1 + rnd.nextInt(12)
+        val b = ('a' + rnd.nextInt(alpha)).toByte
+        var j = 0
+        while (j < run && k < len) { d(k) = b; k += 1; j += 1 }
+      }
+      check(s"trial-$trial", d)
+    }
+  }
 }
