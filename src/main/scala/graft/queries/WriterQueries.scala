@@ -1266,5 +1266,114 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS pq_lz4_ok,
                CAST(1 AS BIGINT) AS pq_lz4_smaller
         FROM k"""),
+      headline = false),
+
+    // q326 — the CONTAINER x OWN-CODEC matrix closed: every
+    // compression family the engine decodes inside a container is
+    // now WRITTEN by its own encoder inside that container. ORC
+    // chunk framing carries own-DEFLATE (zlib, codec 1), own-LZ4
+    // (codec 4), and own-ZSTD (codec 5) alongside the existing
+    // own-snappy; parquet pages carry codec 6 (one own zstd frame
+    // per page); the Avro object container carries codec "deflate"
+    // through the own encoder. Per blob, EVERY variant must (a)
+    // round-trip through the engine's own readers to the same
+    // relational sums and (b) be GENUINELY smaller than its stored
+    // form — a stored-fallback or misframed chunk anywhere drops
+    // n_codecs_ok below 5 and fails the oracle.
+    "q326_container_codec_matrix" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val OW = graft.sources.OrcWrite
+            val O = graft.sources.Orc
+            val cols = Seq(
+              OW.OLongCol("rec_id", ids.map(Some(_))),
+              OW.OStringCol("txt", ids.map(d =>
+                Some("doc-" + d + "-" + ("x" * (d % 17).toInt)))))
+            val orcPlain = OW.writeTable(cols)
+            def orcOk(codec: Int): Boolean = {
+              val b = OW.writeTable(cols, compression = codec)
+              b.length < orcPlain.length && (O.parseTail(b) match {
+                case Some(t) =>
+                  val st = t.stripes.head
+                  (O.stripeColumnLongs(b, t, st, 1),
+                    O.stripeColumnStrings(b, t, st, 2)) match {
+                    case (Some(l1), Some(t2)) =>
+                      l1.toSeq == ids &&
+                        t2.map(_.length.toLong).sum == ids.map(d =>
+                          ("doc-" + d + "-").length + d % 17).sum
+                    case _ => false
+                  }
+                case None => false
+              })
+            }
+            // parquet codec 6: one own zstd frame per page
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val fields = Seq(W.Leaf("rec_id", 0, 2),
+              W.Leaf("txt", 0, 6, convertedType = 0))
+            val ld = Seq(
+              W.LeafData(Array.fill(ids.length)(0), null,
+                longs = ids.toArray),
+              W.LeafData(Array.fill(ids.length)(0), null,
+                bins = ids.map(d => ("doc-" + d + "-" +
+                  ("x" * (d % 17).toInt)).getBytes("UTF-8")).toArray))
+            val pqZstd = W.writeFile(fields, ld, codec = 6)
+            val pqPlain = W.writeFile(fields, ld, codec = 0)
+            val pqOk = pqZstd.length < pqPlain.length &&
+              P.columnLongs(pqZstd, "rec_id").exists(_.toSeq == ids) &&
+              P.columnStrings(pqZstd, "txt")
+                .exists(_.length == ids.length)
+            // avro container, codec deflate through the own encoder
+            val IW = graft.sources.IcebergWrite
+            val G = graft.sources.AvroGeneric
+            val schema =
+              """{"type":"record","name":"r","fields":[{"name":"id","type":"long"},{"name":"txt","type":"string"}]}"""
+            def rec(v: Long): Array[Byte] = {
+              val out = new java.io.ByteArrayOutputStream()
+              def zz(x: Long): Unit = {
+                var z = (x << 1) ^ (x >> 63)
+                while ((z & ~0x7fL) != 0) {
+                  out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7
+                }
+                out.write(z.toInt)
+              }
+              zz(v)
+              val tb = ("doc-" + v + "-" + ("x" * (v % 17).toInt))
+                .getBytes("UTF-8")
+              zz(tb.length.toLong)
+              out.write(tb, 0, tb.length)
+              out.toByteArray
+            }
+            val sync = java.security.MessageDigest.getInstance("MD5")
+              .digest(("sync:" + blobId).getBytes("UTF-8"))
+            val recs = ids.map(rec)
+            val avroNull = IW.container(schema, recs, sync)
+            val avroDef = IW.container(schema, recs, sync, "deflate")
+            val avroOk = avroDef.length < avroNull.length &&
+              G.parseContainer(avroDef).exists { d =>
+                d.records.flatMap(_.field("id").flatMap(_.asLong)) ==
+                  ids.toVector &&
+                d.records.flatMap(_.field("txt").flatMap(_.asString))
+                  .map(_.length.toLong).sum == ids.map(d =>
+                    ("doc-" + d + "-").length.toLong + d % 17).sum
+              }
+            val nOk = Seq(orcOk(1), orcOk(4), orcOk(5), pqOk, avroOk)
+              .count(identity)
+            Seq((blobId, ids.length.toLong, ids.sum, nOk.toLong))
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "n_codecs_ok")
+      },
+      oracle = Some("""
+        SELECT doc_id % 6 AS blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(5 AS BIGINT) AS n_codecs_ok
+        FROM documents GROUP BY 1"""),
       headline = false))
 }

@@ -40,22 +40,31 @@ object IcebergWrite {
     varint(out, b.length.toLong); out.write(b, 0, b.length)
   }
 
-  /** One Avro object container: null codec, one block. */
+  /** One Avro object container, one block. `codec` "null" (stored)
+    * or "deflate" — the deflate body through the engine's OWN
+    * encoder ([[Deflate.compressFixed]], raw-deflate per the Avro
+    * spec's codec definition).
+    */
   def container(schemaJson: String, records: Seq[Array[Byte]],
-                sync: Array[Byte]): Array[Byte] = {
+                sync: Array[Byte],
+                codec: String = "null"): Array[Byte] = {
     require(sync.length == 16)
+    require(codec == "null" || codec == "deflate", codec)
     val out = new java.io.ByteArrayOutputStream()
     out.write('O'); out.write('b'); out.write('j'); out.write(1)
     varint(out, 2L)
     str(out, "avro.schema"); str(out, schemaJson)
-    str(out, "avro.codec"); str(out, "null")
+    str(out, "avro.codec"); str(out, codec)
     varint(out, 0L)
     out.write(sync, 0, 16)
-    val body = new java.io.ByteArrayOutputStream()
-    records.foreach(r => body.write(r, 0, r.length))
+    val plain = new java.io.ByteArrayOutputStream()
+    records.foreach(r => plain.write(r, 0, r.length))
+    val body =
+      if (codec == "deflate") Deflate.compressFixed(plain.toByteArray)
+      else plain.toByteArray
     varint(out, records.length.toLong)
-    varint(out, body.size().toLong)
-    body.writeTo(out)
+    varint(out, body.length.toLong)
+    out.write(body, 0, body.length)
     out.write(sync, 0, 16)
     out.toByteArray
   }

@@ -76,14 +76,23 @@ object OrcWrite {
     * smaller is stored original — the same dual path the reader
     * walks.
     */
-  private def chunked(raw: Array[Byte], blockSize: Int): Array[Byte] = {
+  private def chunked(raw: Array[Byte], blockSize: Int,
+                      codec: Int = 2): Array[Byte] = {
     if (raw.isEmpty) return raw // an empty stream has no chunks
     val out = new java.io.ByteArrayOutputStream(raw.length + 16)
     var p = 0
     while (p < raw.length) {
       val len = math.min(blockSize, raw.length - p)
       val block = java.util.Arrays.copyOfRange(raw, p, p + len)
-      val comp = Snappy.compress(block)
+      // every codec is ENGINE-OWNED: raw DEFLATE (zlib), the LZ77
+      // snappy compressor, the LZ4 block encoder, one zstd frame
+      val comp = codec match {
+        case 1 => Deflate.compressFixed(block)
+        case 2 => Snappy.compress(block)
+        case 4 => Lz4Encode.compressBlock(block)
+        case 5 => ZstdEncode.compress(block)
+        case _ => block
+      }
       val (body, isOriginal) =
         if (comp.length < block.length) (comp, 0) else (block, 1)
       val h = (body.length << 1) | isOriginal
@@ -183,11 +192,12 @@ object OrcWrite {
     val n = cols.head.size
     require(cols.forall(_.size == n), "ragged columns")
     require(n <= (1 << 26), s"too many rows: $n")
-    require(compression == 0 || compression == 2,
+    require(compression == 0 || compression == 1 ||
+      compression == 2 || compression == 4 || compression == 5,
       s"compression $compression")
     val blockSize = 256 * 1024
     def framed(b: Array[Byte]): Array[Byte] =
-      if (compression == 0) b else chunked(b, blockSize)
+      if (compression == 0) b else chunked(b, blockSize, compression)
     val out = new java.io.ByteArrayOutputStream()
     out.write('O'); out.write('R'); out.write('C')
     val stripeStart = out.size().toLong
