@@ -1375,5 +1375,96 @@ object WriterQueries {
                CAST(sum(doc_id) AS BIGINT) AS id_sum,
                CAST(5 AS BIGINT) AS n_codecs_ok
         FROM documents GROUP BY 1"""),
+      headline = false),
+
+    // q327 — WARC WRITE side (ISO 28500): the crawl archiver's
+    // output, from first principles — record framing (magic, named
+    // headers, Content-Length, CRLF trailers) plus the
+    // member-per-record `.warc.gz` layout Common Crawl publishes,
+    // each member through the engine's OWN gzip/DEFLATE encoder.
+    // Laws per blob: the engine's own WARC reader parses the plain
+    // form back (types, URIs, content lengths, payload hashes all
+    // relational; offsets stride exactly); parseAuto on the gz form
+    // yields IDENTICAL records (the split-on-member contract); the
+    // own gzip member walk counts exactly one CRC-verified member
+    // per record; and the gz form genuinely beats the plain one.
+    "q327_warc_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def md5x(x: String): String =
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+            def h60(x: String): Long =
+              java.lang.Long.parseLong(md5x(x).take(15), 16)
+            val ids = it.map(_._2).toSeq.sorted
+            val WW = graft.sources.WarcWrite
+            def payload(d: Long) =
+              ("doc-" + d + "-" + ("x" * (d % 17).toInt) + "\n")
+                .getBytes("UTF-8")
+            val info = WW.record("warcinfo", "", md5x("rid:info:" +
+              blobId), "2024-01-01T00:00:00Z",
+              "software: graft\n".getBytes("UTF-8"))
+            val recs = info +: ids.map(d => WW.record("response",
+              "https://example.com/doc/" + d, md5x("rid:" + d),
+              f"2024-01-${d % 28 + 1}%02dT00:00:00Z", payload(d)))
+            val warc = WW.write(recs)
+            val warcGz = WW.writeGz(recs)
+            val parsed = graft.sources.Warc.parse(blobId, warc)
+            val viaGz = graft.sources.Warc.parseAuto(blobId, warcGz)
+            val members = graft.sources.Gzip.members(warcGz)
+            val responses = parsed.filter(_.record_type == "response")
+            // offsets must stride exactly: record k+1 starts where
+            // record k's framing ends
+            var stride = 0L
+            var strideOk = true
+            parsed.zip(recs).foreach { case (r, bytes) =>
+              if (r.offset != stride) strideOk = false
+              stride += bytes.length
+            }
+            val gzOk = viaGz.map(r => (r.record_type, r.target_uri,
+              r.content_length, r.payload)) ==
+              parsed.map(r => (r.record_type, r.target_uri,
+                r.content_length, r.payload))
+            if (parsed.length != ids.length + 1 || !strideOk) Nil
+            else Seq((blobId, responses.length.toLong,
+              h60(responses.map(_.payload).mkString),
+              responses.map(_.target_uri.length.toLong).sum,
+              responses.map(_.content_length).sum,
+              if (members.length == recs.length &&
+                members.forall(_.crc_ok)) 1L else 0L,
+              if (gzOk) 1L else 0L,
+              if (warcGz.length < warc.length) 1L else 0L))
+          }
+          .toDF("blob_id", "n_responses", "payload_hash",
+            "uri_len_sum", "cl_sum", "members_ok", "gz_roundtrip_ok",
+            "gz_smaller")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg('doc-' || d || '-' || repeat('x',
+                   CAST(d % 17 AS INTEGER)) || chr(10), ''
+                   ORDER BY d) AS payload,
+                 CAST(count(*) AS BIGINT) AS n_responses,
+                 CAST(sum(length('https://example.com/doc/' || d))
+                   AS BIGINT) AS uri_len_sum,
+                 CAST(sum(length('doc-' || d || '-') + (d % 17) + 1)
+                   AS BIGINT) AS cl_sum
+          FROM r GROUP BY blob_id)
+        SELECT blob_id, n_responses,
+               ${OracleSql.sqlHash60("payload")} AS payload_hash,
+               uri_len_sum, cl_sum,
+               CAST(1 AS BIGINT) AS members_ok,
+               CAST(1 AS BIGINT) AS gz_roundtrip_ok,
+               CAST(1 AS BIGINT) AS gz_smaller
+        FROM k"""),
       headline = false))
 }
