@@ -1466,5 +1466,76 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS gz_roundtrip_ok,
                CAST(1 AS BIGINT) AS gz_smaller
         FROM k"""),
-      headline = false))
+      headline = false),
+
+    // q328 — CODEC THROUGHPUT headline: each of 32 tasks builds a
+    // ~MB-scale replicated shard from its own rows and pushes it
+    // through the engine's own zstd (adaptive tables + Huffman
+    // literals), LZ4, and snappy ENCODERS, then decodes every byte
+    // back through the engine's own DECODERS (zstd under the frame
+    // checksum) — the benched cost is the genuine compress+decompress
+    // round trip of the round-13 entropy stack. Decoded hashes are
+    // relational, so an encoder that corrupts under load FAILS the
+    // gate rather than just slowing; all three forms must beat
+    // stored.
+    "q328_codec_throughput" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 32).as("grp"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (grp, it) =>
+            def h60(x: Array[Byte]): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x).map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val ids = it.map(_._2).toSeq.sorted
+            val one = ids.map(d => "doc-" + d + "-" +
+              ("x" * (d % 17).toInt) + "\n").mkString
+            val sb = new StringBuilder(one.length * 32)
+            var k = 0
+            while (k < 32) { sb.append(one); k += 1 }
+            val data = sb.toString.getBytes("UTF-8")
+            val z = graft.sources.ZstdEncode.compress(data)
+            val l = graft.sources.Lz4Encode.compressBlock(data)
+            val sn = graft.sources.Snappy.compress(data)
+            val zOk = graft.sources.Zstd.walk(z) match {
+              case Some(Seq(f)) => f.checksumState == "ok" &&
+                java.util.Arrays.equals(f.decoded, data)
+              case _ => false
+            }
+            val lOk = graft.sources.Lz4
+              .decompressBlock(l, 0, l.length, data.length)
+              .exists(java.util.Arrays.equals(_, data))
+            val snOk = graft.sources.Snappy
+              .uncompressSelf(sn, 0, sn.length, data.length)
+              .exists(java.util.Arrays.equals(_, data))
+            if (!zOk || !lOk || !snOk) Nil
+            else Seq((grp, ids.length.toLong, data.length.toLong,
+              h60(data),
+              if (z.length < data.length && l.length < data.length &&
+                sn.length < data.length) 1L else 0L))
+          }
+          .toDF("grp", "n_docs", "orig_len", "payload_hash",
+            "all_smaller")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 32 AS grp, doc_id AS d FROM documents),
+        k AS (
+          SELECT grp,
+                 repeat(string_agg('doc-' || d || '-' || repeat('x',
+                   CAST(d % 17 AS INTEGER)) || chr(10), ''
+                   ORDER BY d), 32) AS payload,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(32 * sum(length('doc-' || d || '-') + (d % 17)
+                   + 1) AS BIGINT) AS orig_len
+          FROM r GROUP BY grp)
+        SELECT grp, n_docs, orig_len,
+               ${OracleSql.sqlHash60("payload")} AS payload_hash,
+               CAST(1 AS BIGINT) AS all_smaller
+        FROM k"""),
+      headline = true))
 }
