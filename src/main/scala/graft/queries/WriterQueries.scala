@@ -1537,5 +1537,73 @@ object WriterQueries {
                ${OracleSql.sqlHash60("payload")} AS payload_hash,
                CAST(1 AS BIGINT) AS all_smaller
         FROM k"""),
-      headline = true))
+      headline = true),
+
+    // q329 — FSE-COMPRESSED Huffman WEIGHTS (RFC §4.2.1, header <
+    // 128): the weight stream under a custom FSE table written for
+    // TWO INTERLEAVED decode states (even emissions on s1, odd on
+    // s2, transitions interleaved in round order, the final weights
+    // emitted as the stream exhausts), validated per block by
+    // decoding with the engine's own reader before shipping. The
+    // corpus here FORCES the path: every payload byte is >= 160
+    // (md5 hex digits mapped to 160..175), so the direct 4-bit-
+    // weights form — which can only transmit a PREFIX of the
+    // alphabet up to symbol 128 — is impossible, and the huff_wins
+    // law (ratio under 2/3 where raw-literal zstd gives ~1.0 on this
+    // match-poor content) is carried by the FSE-weights path alone.
+    // libzstd decodes the same bytes byte-exact in-query.
+    "q329_zstd_fse_weights" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def md5x(x: String): String =
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+            def h60(x: String): Long =
+              java.lang.Long.parseLong(md5x(x).take(15), 16)
+            val ids = it.map(_._2).toSeq.sorted
+            val hex = ids.map(d => md5x("hb:" + d)).mkString
+            val data = hex.map { c =>
+              val v = if (c <= '9') c - '0' else c - 'a' + 10
+              (160 + v).toByte
+            }.toArray
+            val z = graft.sources.ZstdEncode.compress(data)
+            val ownOk = graft.sources.Zstd.walk(z) match {
+              case Some(Seq(f)) => f.kind == "zstd" &&
+                f.checksumState == "ok" &&
+                java.util.Arrays.equals(f.decoded, data)
+              case _ => false
+            }
+            val jniOk = scala.util.Try(
+              com.github.luben.zstd.Zstd.decompress(z,
+                math.max(1, data.length))).toOption
+              .exists(java.util.Arrays.equals(_, data))
+            if (!ownOk) Nil
+            else Seq((blobId, data.length.toLong, h60(hex),
+              if (z.length.toLong * 3 < data.length.toLong * 2) 1L
+              else 0L,
+              if (jniOk) 1L else 0L))
+          }
+          .toDF("blob_id", "orig_len", "payload_hash", "huff_wins",
+            "jni_ok")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg(md5('hb:' || d), '' ORDER BY d) AS payload,
+                 CAST(32 * count(*) AS BIGINT) AS orig_len
+          FROM r GROUP BY blob_id)
+        SELECT blob_id, orig_len,
+               ${OracleSql.sqlHash60("payload")} AS payload_hash,
+               CAST(1 AS BIGINT) AS huff_wins,
+               CAST(1 AS BIGINT) AS jni_ok
+        FROM k"""),
+      headline = false))
 }

@@ -383,10 +383,78 @@ object ZstdEncode {
     lengths
   }
 
-  /** Build the Huffman-compressed literals section (header + direct
-    * tree description + 1 or 4 streams), or None when it cannot win:
-    * fewer than 2 distinct bytes, a byte value above 128 (direct
-    * weights transmit a prefix of the alphabet), or no size win over
+  /** FSE-compressed Huffman WEIGHTS (RFC §4.2.1, header < 128): the
+    * weight stream under a custom FSE table read by TWO INTERLEAVED
+    * states — s1 carries even emission indices, s2 odd, transitions
+    * interleaved in round order, and the final one or two weights
+    * emitted from the states' current values as the stream exhausts.
+    * The construction is VALIDATED by decoding with the engine's own
+    * [[ZstdEntropy.readHufTable]] and comparing the rebuilt table —
+    * any termination subtlety (a zero-bit final state would keep the
+    * decoder emitting) falls back to the direct form rather than
+    * shipping wrong bytes.
+    */
+  private def fseWeightsDesc(wts: Array[Int], expected: Array[Int],
+                             expectedLog: Int): Option[Array[Byte]] =
+    try {
+      val n = wts.length
+      if (n < 2) return None
+      val hist = new Array[Long](wts.max + 1)
+      wts.foreach(w => hist(w) += 1)
+      val log = math.min(6,
+        math.max(5, 31 - Integer.numberOfLeadingZeros(n - 1) - 2))
+      val norm = normalizeCounts(hist, log).getOrElse(return None)
+      val countsDesc =
+        writeFseCounts(norm.take(norm.lastIndexWhere(_ != 0) + 1), log)
+      val enc = new FseEnc(norm, log)
+      val chA = wts.indices.collect { case i if i % 2 == 0 => wts(i) }
+      val chB = wts.indices.collect { case i if i % 2 == 1 => wts(i) }
+      if (chB.isEmpty) return None
+      def chain(codes: IndexedSeq[Int]): (Int, Array[(Int, Int)]) = {
+        var x = enc.initState(codes.last)
+        val trans = new Array[(Int, Int)](codes.length - 1)
+        var i = codes.length - 2
+        while (i >= 0) {
+          val (bits, nb, nx) = enc.encode(codes(i), x)
+          trans(i) = (bits, nb); x = nx; i -= 1
+        }
+        (x - (1 << log), trans)
+      }
+      val (aInit, aTrans) = chain(chA)
+      val (bInit, bTrans) = chain(chB)
+      val sink = new BackSink()
+      sink.field(aInit, log)
+      sink.field(bInit, log)
+      var i = 0
+      while (i < aTrans.length || i < bTrans.length) {
+        if (i < aTrans.length) {
+          val (v, nb) = aTrans(i); sink.field(v, nb)
+        }
+        if (i < bTrans.length) {
+          val (v, nb) = bTrans(i); sink.field(v, nb)
+        }
+        i += 1
+      }
+      val stream = sink.finish()
+      val comp = countsDesc.length + stream.length
+      if (comp >= 128) return None
+      val out = new Array[Byte](1 + comp)
+      out(0) = comp.toByte
+      System.arraycopy(countsDesc, 0, out, 1, countsDesc.length)
+      System.arraycopy(stream, 0, out, 1 + countsDesc.length,
+        stream.length)
+      // decode-own-write gate: the own reader must rebuild the exact
+      // table from these bytes, consuming them exactly
+      val (tb, lg, used) = ZstdEntropy.readHufTable(out, 0, out.length)
+      if (used == out.length && lg == expectedLog &&
+        java.util.Arrays.equals(tb, expected)) Some(out)
+      else None
+    } catch { case _: ZstdEntropy.Damage => None }
+
+  /** Build the Huffman-compressed literals section (header + tree
+    * description — direct 4-bit weights or the FSE-compressed form,
+    * whichever is smaller — + 1 or 4 streams), or None when it
+    * cannot win: fewer than 2 distinct bytes, or no size win over
     * the raw form.
     */
   private def huffLiteralsSection(lit: Array[Byte]): Option[Array[Byte]] = {
@@ -395,7 +463,7 @@ object ZstdEncode {
     val freqs = new Array[Long](256)
     lit.foreach(b => freqs(b & 0xff) += 1)
     val maxSym = 255 - freqs.reverseIterator.takeWhile(_ == 0L).length
-    if (maxSym > 128 || freqs(maxSym) == 0) return None
+    if (maxSym < 0 || freqs(maxSym) == 0) return None
     if (freqs.count(_ > 0) < 2) return None
     val nb0 = packageMerge(java.util.Arrays.copyOf(freqs, maxSym + 1), 11)
     val tableLog = nb0.max
@@ -406,7 +474,9 @@ object ZstdEncode {
     if (kraft != (1L << tableLog)) return None
     val weights = nb0.map(nb => if (nb == 0) 0 else tableLog + 1 - nb)
     // canonical fill (the decoder's exact layout) -> per-symbol codes
+    // + the packed table the FSE-weights validation compares against
     val codes = new Array[Int](maxSym + 1)
+    val expected = new Array[Int](1 << tableLog)
     var posn = 0
     var w = 1
     var aligned = true
@@ -417,6 +487,9 @@ object ZstdEncode {
           val span = 1 << (w - 1)
           if (posn % span != 0) aligned = false
           codes(s) = posn >> (w - 1)
+          val entry = (s << 4) | (tableLog + 1 - w)
+          var j = 0
+          while (j < span) { expected(posn + j) = entry; j += 1 }
           posn += span
         }
         s += 1
@@ -424,18 +497,33 @@ object ZstdEncode {
       w += 1
     }
     if (!aligned || posn != (1 << tableLog)) return None
-    // direct tree description: weights for symbols 0..maxSym-1, the
-    // last symbol's weight implied by the power-of-two completion
+    // tree description: direct 4-bit weights (symbols 0..maxSym-1,
+    // the last implied — needs maxSym <= 128) vs the FSE-compressed
+    // form; smallest valid form wins
     val nW = maxSym
-    val desc = new java.io.ByteArrayOutputStream()
-    desc.write(127 + nW)
-    var i = 0
-    while (i < nW) {
-      val hi = weights(i)
-      val lo = if (i + 1 < nW) weights(i + 1) else 0
-      desc.write((hi << 4) | lo)
-      i += 2
+    val directDesc: Option[Array[Byte]] =
+      if (nW > 128) None
+      else {
+        val d = new java.io.ByteArrayOutputStream()
+        d.write(127 + nW)
+        var i = 0
+        while (i < nW) {
+          val hi = weights(i)
+          val lo = if (i + 1 < nW) weights(i + 1) else 0
+          d.write((hi << 4) | lo)
+          i += 2
+        }
+        Some(d.toByteArray)
+      }
+    val fseDesc = fseWeightsDesc(weights.take(nW), expected, tableLog)
+    val descBytes = (directDesc, fseDesc) match {
+      case (Some(a), Some(b)) => if (b.length < a.length) b else a
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => return None
     }
+    val desc = new java.io.ByteArrayOutputStream()
+    desc.write(descBytes, 0, descBytes.length)
     def stream(from: Int, until: Int): Array[Byte] = {
       val sink = new BackSink()
       var k = from

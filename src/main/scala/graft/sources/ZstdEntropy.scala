@@ -333,8 +333,8 @@ private[sources] object ZstdEntropy {
     * bytes consumed). Table entries are (symbol << 4 | nbBits) indexed
     * by the tableLog-bit code prefix.
     */
-  private def readHufTable(b: Array[Byte], off: Int,
-                           end: Int): (Array[Int], Int, Int) = {
+  private[sources] def readHufTable(b: Array[Byte], off: Int,
+                                    end: Int): (Array[Int], Int, Int) = {
     if (off >= end) damage()
     val header = b(off) & 0xff
     var weights: Array[Int] = null
