@@ -265,6 +265,16 @@ class ZstdSpec extends AnyFunSuite {
     rnd.nextBytes(mixed)
     java.util.Arrays.fill(mixed, 30000, 90000, 'z'.toByte)
     check("mixed", mixed)
+    // >128-symbol alphabet: the direct-weights prefix form is
+    // impossible — only the FSE-compressed weights path can carry
+    // Huffman here, and it must still win on skewed content
+    val hi = new Array[Byte](40000)
+    var hk = 0
+    while (hk < hi.length) {
+      hi(hk) = (160 + (hk * 7 + hk / 13) % 16).toByte; hk += 1
+    }
+    assert(check("high-byte", hi) * 2 < hi.length,
+      "FSE-weights Huffman must win on the >128-symbol alphabet")
     // boundary lengths incl. the 64 KiB block split and empty/tiny
     for (len <- Seq(0, 1, 2, 3, 4, 5, 31, 32, 33, 4095, 4096, 65535,
       65536, 65537, 131072, 131073)) {
