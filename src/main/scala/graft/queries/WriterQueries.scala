@@ -1605,5 +1605,137 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS huff_wins,
                CAST(1 AS BIGINT) AS jni_ok
         FROM k"""),
+      headline = false),
+
+    // q330 — MULTI-ROW-GROUP write: the parquet unit a 100 TB scan
+    // actually plans on. The own writer emits ONE file of four
+    // range-sorted row groups, each chunk carrying its own footer
+    // Statistics (ParquetWrite.writeInt64RowGroups), and the engine's
+    // own reader prunes WITHIN the file: the middle-third probe
+    // (derived from the footer's own global bounds) selects row
+    // groups from their chunk stats alone and decodes ONLY the
+    // survivors' chunks — q308's skip loop at the intra-file
+    // granularity, zero foreign code on either side. n_selected is
+    // in the compared output so a decode-everything reader fails;
+    // bytes md5-pinned vs the Python twin
+    // (scripts/make_parquet_rowgroups_oracle.py), which pyarrow- and
+    // DuckDB-re-reads incl. per-group statistics.
+    "q330_parquet_multi_rowgroup_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted.toIndexedSeq
+            val n = ids.length
+            def v(d: Long): Long = (d * 19) % 977
+            val groups = (0 to 3).map { q =>
+              ids.indices.filter(i => i * 4 / n == q)
+                .map(i => Array(ids(i), v(ids(i))))
+            }.filter(_.nonEmpty)
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val bytes = W.writeInt64RowGroups(Seq("rec_id", "val"),
+              groups)
+            val fileMd5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map("%02x".format(_)).mkString
+            val res = for {
+              fm <- P.parseFooter(bytes)
+              if fm.rowGroups.nonEmpty
+              bounds <- {
+                val bs = fm.rowGroups.map { rg =>
+                  rg.cols.find(_.path == "rec_id").flatMap { c =>
+                    for { mn <- c.minLong; mx <- c.maxLong }
+                      yield (c, mn, mx)
+                  }
+                }
+                if (bs.forall(_.isDefined)) Some(bs.flatten) else None
+              }
+            } yield {
+              // probe from the file's OWN footer bounds
+              val gmin = bounds.map(_._2).min
+              val gmax = bounds.map(_._3).max
+              val lo = gmin + (gmax - gmin) / 3
+              val hi = gmin + 2 * (gmax - gmin) / 3
+              var nSel = 0L
+              var selRows = 0L
+              var idSum = 0L
+              var valSum = 0L
+              var ok = true
+              fm.rowGroups.zip(bounds).foreach { case (rg, (c, mn, mx)) =>
+                if (mx >= lo && mn <= hi) {
+                  nSel += 1
+                  (P.readChunkCells(bytes, c, 0, 0),
+                    rg.cols.find(_.path == "val")
+                      .flatMap(P.readChunkCells(bytes, _, 0, 0))) match {
+                    case (Some(rc), Some(vc))
+                      if rc.longs.length == vc.longs.length =>
+                      selRows += rc.longs.length
+                      idSum += rc.longs.sum
+                      valSum += vc.longs.sum
+                    case _ => ok = false
+                  }
+                }
+              }
+              if (!ok) Nil
+              else Seq((blobId, fileMd5, bytes.length.toLong,
+                fm.rowGroups.length.toLong, nSel, selRows, idSum,
+                valSum))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("blob_id", "file_md5", "file_bytes_len", "n_groups",
+            "n_selected", "sel_rows", "sel_id_sum", "sel_val_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('pqrg:' || string_agg(d, ',' ORDER BY d)) AS bkey
+          FROM r GROUP BY blob_id),
+        w AS (
+          SELECT blob_id, d,
+                 ((row_number() OVER (PARTITION BY blob_id ORDER BY d)
+                   - 1) * 4) //
+                   (count(*) OVER (PARTITION BY blob_id)) AS qtr,
+                 min(d) OVER (PARTITION BY blob_id) AS gmin,
+                 max(d) OVER (PARTITION BY blob_id) AS gmax
+          FROM r),
+        g AS (
+          SELECT blob_id, qtr,
+                 CAST(count(*) AS BIGINT) AS rc,
+                 CAST(sum(d) AS BIGINT) AS isum,
+                 CAST(sum((d * 19) % 977) AS BIGINT) AS vsum,
+                 min(d) AS flo, max(d) AS fhi,
+                 min(gmin) AS gmin, max(gmax) AS gmax
+          FROM w GROUP BY blob_id, qtr),
+        sel AS (
+          SELECT blob_id,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(CASE WHEN fhi >= gmin + (gmax - gmin) // 3
+                          AND flo <= gmin + 2 * (gmax - gmin) // 3
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+                 CAST(coalesce(sum(CASE
+                   WHEN fhi >= gmin + (gmax - gmin) // 3
+                    AND flo <= gmin + 2 * (gmax - gmin) // 3
+                   THEN rc END), 0) AS BIGINT) AS sel_rows,
+                 CAST(coalesce(sum(CASE
+                   WHEN fhi >= gmin + (gmax - gmin) // 3
+                    AND flo <= gmin + 2 * (gmax - gmin) // 3
+                   THEN isum END), 0) AS BIGINT) AS sel_id_sum,
+                 CAST(coalesce(sum(CASE
+                   WHEN fhi >= gmin + (gmax - gmin) // 3
+                    AND flo <= gmin + 2 * (gmax - gmin) // 3
+                   THEN vsum END), 0) AS BIGINT) AS sel_val_sum
+          FROM g GROUP BY blob_id)
+        SELECT s.blob_id, f.file_md5, f.file_bytes_len, s.n_groups,
+               s.n_selected, s.sel_rows, s.sel_id_sum, s.sel_val_sum
+        FROM sel s JOIN k ON s.blob_id = k.blob_id
+        JOIN read_parquet(
+          '/root/repo/fixtures/parquet_rowgroups_oracle.parquet') f
+          ON k.bkey = f.blob_key"""),
       headline = false))
 }

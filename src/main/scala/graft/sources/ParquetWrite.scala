@@ -735,6 +735,129 @@ object ParquetWrite {
     x
   }
 
+  /** Write `names.length` REQUIRED INT64 columns across MULTIPLE ROW
+    * GROUPS — the parquet unit a 100 TB scan plans on: each group's
+    * chunks carry their own footer Statistics, so a range-sorted
+    * layout lets the reader prune whole groups from the footer alone
+    * (q249's skip level, now on engine-written files). One PLAIN
+    * page per chunk, uncompressed, deterministic; the independent
+    * Python twin pins the bytes.
+    */
+  def writeInt64RowGroups(names: Seq[String],
+                          groups: Seq[Seq[Array[Long]]],
+                          withStats: Boolean = true): Array[Byte] = {
+    require(names.nonEmpty && groups.nonEmpty)
+    groups.foreach(g => require(g.forall(_.length == names.length)))
+    require(groups.map(_.length.toLong).sum <= (1 << 26))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+    // per group, per column: offset, chunk size, min, max
+    final case class Chunk(offset: Long, size: Long, n: Int,
+                           mn: Long, mx: Long)
+    val chunks = groups.map { rows =>
+      val n = rows.length
+      names.indices.map { c =>
+        val off = out.size().toLong
+        val plain = new Array[Byte](8 * n)
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        val it = rows.iterator
+        var i = 0
+        while (it.hasNext) {
+          val v0 = it.next()(c)
+          if (v0 < mn) mn = v0
+          if (v0 > mx) mx = v0
+          var v = v0
+          var k = 0
+          while (k < 8) {
+            plain(i * 8 + k) = (v & 0xff).toByte; v >>>= 8; k += 1
+          }
+          i += 1
+        }
+        val h = new TCW
+        h.i32(1, 0)
+        h.i32(2, plain.length.toLong)
+        h.i32(3, plain.length.toLong)
+        h.structField(5)
+        h.i32(1, n.toLong)
+        h.i32(2, 0)
+        h.i32(3, 3)
+        h.i32(4, 3)
+        h.end()
+        h.end()
+        val hb = h.out.toByteArray
+        out.write(hb, 0, hb.length)
+        out.write(plain, 0, plain.length)
+        Chunk(off, hb.length.toLong + plain.length, n, mn, mx)
+      }
+    }
+    val f = new TCW
+    f.i32(1, 1)
+    f.list(2, names.length + 1, 12)
+    f.elemStruct()
+    f.str(4, "schema")
+    f.i32(5, names.length.toLong)
+    f.end()
+    for (nm <- names) {
+      f.elemStruct()
+      f.i32(1, 2)
+      f.i32(3, 0)
+      f.str(4, nm)
+      f.end()
+    }
+    f.i64(3, groups.map(_.length.toLong).sum)
+    f.list(4, groups.length, 12)
+    chunks.foreach { cs =>
+      f.elemStruct() // RowGroup
+      f.list(1, names.length, 12)
+      for (c <- names.indices) {
+        val ch = cs(c)
+        f.elemStruct()
+        f.i64(2, ch.offset)
+        f.structField(3)
+        f.i32(1, 2)
+        f.list(2, 1, 5); f.elemI32(0)
+        f.list(3, 1, 8); f.elemStr(names(c))
+        f.i32(4, 0)
+        f.i64(5, ch.n.toLong)
+        f.i64(6, ch.size)
+        f.i64(7, ch.size)
+        f.i64(9, ch.offset)
+        if (withStats && ch.n > 0) {
+          f.structField(12)
+          f.i64(3, 0L)
+          f.bytesField(5, le8(ch.mx))
+          f.bytesField(6, le8(ch.mn))
+          f.end()
+        }
+        f.end()
+        f.end()
+      }
+      f.i64(2, cs.map(_.size).sum)
+      f.i64(3, cs.head.n.toLong)
+      f.end()
+    }
+    f.str(6, "graft parquet writer")
+    // column_orders: TYPE_ORDER per leaf — without this, readers
+    // must not trust min_value/max_value (parquet.thrift's rule;
+    // pyarrow enforces it)
+    f.list(7, names.length, 12)
+    for (_ <- names.indices) {
+      f.elemStruct()
+      f.structField(1)
+      f.end()
+      f.end()
+    }
+    f.end()
+    val fb = f.out.toByteArray
+    out.write(fb, 0, fb.length)
+    val len = fb.length
+    out.write(len & 0xff); out.write((len >> 8) & 0xff)
+    out.write((len >> 16) & 0xff); out.write((len >> 24) & 0xff)
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+    out.toByteArray
+  }
+
   /** Write `names.length` REQUIRED INT64 columns; `rows(i)(c)` is the
     * value of column c in row i. One row group, one PLAIN page per
     * column. `codec` 0 = UNCOMPRESSED (byte layout unchanged from the

@@ -1173,6 +1173,53 @@ class ParquetSpec extends SparkSpec {
     }
   }
 
+  test("ParquetWrite.writeInt64RowGroups: multi-row-group files with " +
+    "per-group stats + column_orders — parquet-mr and the own reader " +
+    "agree; group pruning from the footer alone") {
+    val W = graft.sources.ParquetWrite
+    val P = graft.sources.Parquet
+    val groups = Seq(
+      (0L until 100L).map(d => Array(d, d * 2)),
+      (100L until 250L).map(d => Array(d, d * 2)),
+      (250L until 400L).map(d => Array(d, d * 2)))
+    val b = W.writeInt64RowGroups(Seq("id", "v"), groups)
+    val fm = P.parseFooter(b).getOrElse(fail("footer"))
+    assert(fm.rowGroups.length == 3)
+    // per-group stats bound their own data exactly
+    fm.rowGroups.zip(groups).foreach { case (rg, g) =>
+      val c = rg.cols.find(_.path == "id").get
+      assert(c.minLong.contains(g.head(0)) &&
+        c.maxLong.contains(g.last(0)))
+    }
+    // prune: a probe inside group 1 only decodes group 1's chunk
+    val sel = fm.rowGroups.filter { rg =>
+      val c = rg.cols.find(_.path == "id").get
+      c.minLong.exists(_ <= 180L) && c.maxLong.exists(_ >= 180L)
+    }
+    assert(sel.length == 1)
+    val cells = P.readChunkCells(b,
+      sel.head.cols.find(_.path == "id").get, 0, 0)
+      .getOrElse(fail("chunk"))
+    assert(cells.longs.length == 150 && cells.longs.contains(180L))
+    // parquet-mr: row-group structure + full content
+    val dir = java.nio.file.Files.createTempDirectory("pqrg").toFile
+    val p = new java.io.File(dir, "own.parquet")
+    java.nio.file.Files.write(p.toPath, b)
+    val got = spark.read.parquet(p.getAbsolutePath)
+      .selectExpr("count(*)", "sum(id)", "sum(v)").collect()(0)
+    assert(got.getLong(0) == 400L &&
+      got.getLong(1) == (0L until 400L).sum &&
+      got.getLong(2) == (0L until 400L).map(_ * 2).sum)
+    p.delete(); dir.delete()
+    // totality: flips never throw
+    for (i <- b.indices by 9) {
+      val bad = b.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      P.parseFooter(bad).foreach(_.rowGroups.foreach(_.cols.foreach {
+        c => P.readChunkCells(bad, c, 0, 0)
+      }))
+    }
+  }
+
   test("DeltaWrite.writeCheckpoint: the engine-WRITTEN checkpoint " +
     "(nested action groups + 3-level MAP striping) round-trips " +
     "through its own reader AND parquet-mr reads the same rows") {
