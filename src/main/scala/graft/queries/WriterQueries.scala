@@ -1737,5 +1737,190 @@ object WriterQueries {
         JOIN read_parquet(
           '/root/repo/fixtures/parquet_rowgroups_oracle.parquet') f
           ON k.bkey = f.blob_key"""),
-      headline = false))
+      headline = false),
+
+    // q331 — the STREAMING TRAINING-SHARD SINK on the engine's OWN
+    // writer: the one path where foreign code still did the writing
+    // (q193's Spark parquet sink), now closed. Documents arrive as
+    // two mtime-ordered deliveries (evens, then odds); each
+    // micro-batch lands one own-written shard file per RANGE BIN
+    // (doc_id / 128 — contiguous id ranges, so footer Statistics
+    // are tight and prune) in the q310 corpus schema PLUS a toks
+    // LIST<INT64> column in the 3-level layout (q255's read twin),
+    // then commits an own-written per-batch manifest — tmp +
+    // ATOMIC_MOVE everywhere, so drain x2 from one checkpoint adds
+    // zero shards (the replay law). The query output is the WHOLE
+    // loop read back from disk by the engine's own reader: manifest
+    // ledger joined to a stats-driven probe over the shard set that
+    // decodes ONLY footer-selected files (middle third of the
+    // manifests' own global span; `pruned` is in the compared output
+    // so a decode-everything reader fails). Every number re-derives
+    // in DuckDB from `documents` — ledger, stats bounds, and decoded
+    // sums must all agree with ground truth.
+    "q331_stream_shard_sink" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val d = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("n_chars"))
+        val dv = new StreamDeliveries("graft_q331_shardsink")
+        dv.land(d.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
+        dv.land(d.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
+        val out = s"${dv.root}/out"; val chk = s"${dv.root}/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
+          graft.streaming.ShardSink.shardStream(stream, out, chk,
+            binWidth = 128L, trigger = Some(Trigger.AvailableNow()))
+            .awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: must add zero shards
+        // the ledger, back from disk via the engine's own reader
+        val mrows = s.read.format("binaryFile")
+          .load(out + "/manifest/batch=*.parquet")
+          .select(regexp_extract(col("path"), "batch=(\\d+)", 1)
+            .cast("long").as("batch"), col("content"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (batch, bytes) =>
+            val P = graft.sources.Parquet
+            P.parseFooter(bytes).toSeq.flatMap { fm =>
+              val cs = fm.rowGroups.head.cols
+              def longs(p: String) = cs.find(_.path == p)
+                .flatMap(c => P.readChunkCells(bytes, c, 0, 0))
+                .map(_.longs)
+              (longs("bin"), longs("n_docs"), longs("n_tokens"),
+                longs("min_id"), longs("max_id")) match {
+                case (Some(b), Some(nd), Some(nt), Some(mn), Some(mx)) =>
+                  b.indices.map(i =>
+                    (batch, b(i), nd(i), nt(i), mn(i), mx(i)))
+                case _ => Nil
+              }
+            }
+          }.toDF("batch", "bin", "m_docs", "m_tokens", "m_min", "m_max")
+        // bounded: TWO scalars — the probe bounds come from the
+        // manifests alone (a KB-scale planning pass, q266's law)
+        val bounds = mrows.agg(min(col("m_min")).as("a"),
+          max(col("m_max")).as("b")).head()
+        val gmin = bounds.getLong(0); val gmax = bounds.getLong(1)
+        val lo = gmin + (gmax - gmin) / 3
+        val hi = gmin + 2 * (gmax - gmin) / 3
+        val decoded = s.read.format("binaryFile")
+          .load(out + "/shards/batch=*/bin=*.parquet")
+          .select(regexp_extract(col("path"), "batch=(\\d+)", 1)
+            .cast("long").as("batch"),
+            regexp_extract(col("path"), "bin=(\\d+)", 1)
+              .cast("long").as("bin"), col("content"))
+          .as[(Long, Long, Array[Byte])]
+          .flatMap { case (batch, bin, bytes) =>
+            val P = graft.sources.Parquet
+            P.parseFooter(bytes).toSeq.flatMap { fm =>
+              val cs = fm.rowGroups.head.cols
+              cs.find(_.path == "doc_id").flatMap { c =>
+                for { mn <- c.minLong; mx <- c.maxLong } yield (mn, mx)
+              } match {
+                case Some((mn, mx)) if mx < lo || mn > hi =>
+                  // pruned from footer stats alone — data pages never
+                  // touched
+                  Seq((batch, bin, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+                    0L, mn, mx))
+                case Some((mn, mx)) =>
+                  def cells(p: String) = {
+                    val (dl, rl) = fm.leafLevels(p)
+                    cs.find(_.path == p)
+                      .flatMap(cc => P.readChunkCells(bytes, cc, dl, rl))
+                  }
+                  (cells("doc_id"), cells("text"), cells("lang"),
+                    cells("score"), cells("toks.list.element")) match {
+                    case (Some(ic), Some(tc), Some(lc), Some(sc),
+                      Some(kc)) =>
+                      Seq((batch, bin, 0L, ic.longs.length.toLong,
+                        ic.longs.sum,
+                        tc.bins.map(_.length.toLong).sum,
+                        lc.defs.count(_ == 0).toLong,
+                        lc.bins.map(_.length.toLong).sum,
+                        sc.defs.count(_ == 0).toLong, sc.longs.sum,
+                        kc.defs.length.toLong, kc.longs.sum, mn, mx))
+                    case _ => Nil
+                  }
+                case None => Nil
+              }
+            }
+          }.toDF("batch", "bin", "pruned", "n_rows", "id_sum",
+            "txt_len_sum", "n_lang_null", "lang_len_sum",
+            "n_score_null", "score_sum", "tok_slots", "tok_sum",
+            "stat_min", "stat_max")
+        mrows.join(decoded, Seq("batch", "bin"))
+          .select(col("batch"), col("bin"), col("m_docs"),
+            col("m_tokens"), col("pruned"), col("n_rows"),
+            col("id_sum"), col("txt_len_sum"), col("n_lang_null"),
+            col("lang_len_sum"), col("n_score_null"), col("score_sum"),
+            col("tok_slots"), col("tok_sum"), col("stat_min"),
+            col("stat_max"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, text, lang, n_chars,
+                 doc_id % 2 AS batch, doc_id // 128 AS bin
+          FROM documents),
+        tok AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                 CAST(sum(CAST('0x' || substr(md5('tok:' || t), 1, 15)
+                   AS BIGINT) % 50257) AS BIGINT) AS t_sum
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          GROUP BY doc_id),
+        per AS (
+          SELECT d.batch, d.bin,
+                 CAST(count(*) AS BIGINT) AS m_docs,
+                 CAST(sum(tk.n_tok) AS BIGINT) AS m_tokens,
+                 CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+                 CAST(sum(octet_length(encode(d.text))) AS BIGINT)
+                   AS txt_len_sum,
+                 CAST(sum(CASE WHEN d.doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_lang_null,
+                 CAST(sum(CASE WHEN d.doc_id % 7 = 0 THEN 0
+                   ELSE octet_length(encode(d.lang)) END) AS BIGINT)
+                   AS lang_len_sum,
+                 CAST(sum(CASE WHEN d.doc_id % 11 = 3 THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_score_null,
+                 CAST(sum(CASE WHEN d.doc_id % 11 = 3 THEN 0
+                   ELSE d.n_chars END) AS BIGINT) AS score_sum,
+                 CAST(sum(tk.t_sum) AS BIGINT) AS tok_sum,
+                 CAST(min(d.doc_id) AS BIGINT) AS stat_min,
+                 CAST(max(d.doc_id) AS BIGINT) AS stat_max
+          FROM d JOIN tok tk ON tk.doc_id = d.doc_id
+          GROUP BY 1, 2),
+        g AS (SELECT min(stat_min) AS gmin, max(stat_max) AS gmax
+              FROM per),
+        pp AS (
+          SELECT p.*,
+                 (p.stat_max < g.gmin + (g.gmax - g.gmin) // 3 OR
+                  p.stat_min > g.gmin + 2 * (g.gmax - g.gmin) // 3)
+                   AS pr
+          FROM per p CROSS JOIN g)
+        SELECT batch, bin, m_docs, m_tokens,
+               CAST(CASE WHEN pr THEN 1 ELSE 0 END AS BIGINT) AS pruned,
+               CAST(CASE WHEN pr THEN 0 ELSE m_docs END AS BIGINT)
+                 AS n_rows,
+               CAST(CASE WHEN pr THEN 0 ELSE id_sum END AS BIGINT)
+                 AS id_sum,
+               CAST(CASE WHEN pr THEN 0 ELSE txt_len_sum END AS BIGINT)
+                 AS txt_len_sum,
+               CAST(CASE WHEN pr THEN 0 ELSE n_lang_null END AS BIGINT)
+                 AS n_lang_null,
+               CAST(CASE WHEN pr THEN 0 ELSE lang_len_sum END
+                 AS BIGINT) AS lang_len_sum,
+               CAST(CASE WHEN pr THEN 0 ELSE n_score_null END
+                 AS BIGINT) AS n_score_null,
+               CAST(CASE WHEN pr THEN 0 ELSE score_sum END AS BIGINT)
+                 AS score_sum,
+               CAST(CASE WHEN pr THEN 0 ELSE m_tokens END AS BIGINT)
+                 AS tok_slots,
+               CAST(CASE WHEN pr THEN 0 ELSE tok_sum END AS BIGINT)
+                 AS tok_sum,
+               stat_min, stat_max
+        FROM pp"""),
+      headline = true))
 }

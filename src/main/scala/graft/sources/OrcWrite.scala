@@ -186,8 +186,16 @@ object OrcWrite {
     * layout. `compression` 0 = NONE, 2 = SNAPPY via the engine's own
     * compressor with ORC chunk framing on every stream and footer.
     */
-  def writeTable(cols: Seq[OColumn],
+  def writeTable(cols0: Seq[OColumn],
                  compression: Int = 0): Array[Byte] = {
+    // an all-null dict column would emit DICTIONARY_V2 with
+    // dictionarySize 0 and empty streams — a shape liborc/orc-core
+    // may reject; fall back to DIRECT_V2 when the dictionary is empty
+    val cols = cols0.map {
+      case ODictStringCol(nm, vs) if vs.forall(_.isEmpty) =>
+        OStringCol(nm, vs)
+      case c => c
+    }
     require(cols.nonEmpty)
     val n = cols.head.size
     require(cols.forall(_.size == n), "ragged columns")

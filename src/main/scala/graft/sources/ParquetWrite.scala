@@ -747,6 +747,9 @@ object ParquetWrite {
                           groups: Seq[Seq[Array[Long]]],
                           withStats: Boolean = true): Array[Byte] = {
     require(names.nonEmpty && groups.nonEmpty)
+    // an empty inner group would emit a 0-row row group (num_values=0
+    // pages, no Statistics) — a layout some readers reject
+    require(groups.forall(_.nonEmpty), "empty row group")
     groups.foreach(g => require(g.forall(_.length == names.length)))
     require(groups.map(_.length.toLong).sum <= (1 << 26))
     val out = new java.io.ByteArrayOutputStream()

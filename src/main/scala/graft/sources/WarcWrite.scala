@@ -16,7 +16,10 @@ package graft.sources
   */
 object WarcWrite {
 
-  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+  // WARC 1.0 permits UTF-8 header values (ISO 28500 §4); US_ASCII
+  // getBytes would silently replace non-ASCII with '?', corrupting a
+  // non-ASCII WARC-Target-URI in place while the framing stays valid.
+  private val Ascii = java.nio.charset.StandardCharsets.UTF_8
 
   /** One record's bytes. `payload` is written verbatim;
     * Content-Length is computed from it (the framing law the reader

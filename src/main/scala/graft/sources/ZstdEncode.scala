@@ -766,8 +766,12 @@ object ZstdEncode {
     do {
       val len = math.min(BlockIn, n - p)
       val last = if (p + len >= n) 1 else 0
-      compressedBlockBody(raw, p, p + len, head, prev,
-        adaptiveTables) match {
+      // any internal inconsistency (a damage() guard reached if the
+      // offset cap or block size is ever widened) degrades to a raw
+      // block instead of escaping as a throw
+      (try compressedBlockBody(raw, p, p + len, head, prev,
+        adaptiveTables)
+      catch { case _: ZstdEntropy.Damage => None }) match {
         case Some(body) =>
           val hdr = (body.length << 3) | (2 << 1) | last
           out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
