@@ -1922,5 +1922,145 @@ object WriterQueries {
                  AS tok_sum,
                stat_min, stat_max
         FROM pp"""),
-      headline = true))
+      headline = true),
+
+    // q332 — ORC WRITE-SIDE SKIPPING METADATA: OrcWrite now emits the
+    // full index region (per-column ROW_INDEX streams with seek
+    // positions + typed per-group statistics, BLOOM_FILTER_UTF8 with
+    // the reader's own wangMix/murmur64 hashes, typed footer stats,
+    // and the Metadata section's StripeStatistics), and the engine's
+    // OWN q300 point-lookup pyramid runs unchanged on the bytes it
+    // just wrote: stripe stats drop stripes, row-group ranges drop
+    // groups, the bloom is consulted only for range survivors, and
+    // decode touches nothing past a bloom miss. laws_ok pins
+    // consults <= range-survivors and decodes <= bloom-passes per
+    // probe; present keys must be FOUND through the stack; probes
+    // d+1 (in range, absent — the bloom's job) and -d-1 (out of
+    // range — the stats' job) must come back not-found. orc-core
+    // cross-reads the same bytes in OrcSpec.
+    "q332_orc_write_skip_stack" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.OrcWrite
+            val O = graft.sources.Orc
+            val bytes = W.writeTable(Seq(
+              W.OLongCol("rec_id", ids.map(Some(_))),
+              W.OLongCol("val", ids.map(d =>
+                if (d % 11 == 3) None else Some((d * 7) % 1000))),
+              W.OStringCol("tag", ids.map(d =>
+                Some("t" + (d % 13))))),
+              rowIndexStride = 32, bloomCols = Set(0))
+            O.parseTail(bytes).toSeq.flatMap { t =>
+              val stride = t.rowIndexStride
+              if (stride <= 0 ||
+                t.stripeStats.length != t.stripes.length) Nil
+              else {
+                val rgStats = scala.collection.mutable
+                  .Map.empty[Int, Option[Seq[graft.sources.Orc.ColStats]]]
+                val blooms = scala.collection.mutable
+                  .Map.empty[Int, Option[Seq[graft.sources.Orc.OrcBloom]]]
+                val decoded = scala.collection.mutable
+                  .Map.empty[Int, Option[Array[Long]]]
+                def rg(i: Int) = rgStats.getOrElseUpdate(i,
+                  O.stripeRowGroupStats(bytes, t, t.stripes(i), 1))
+                def bl(i: Int) = blooms.getOrElseUpdate(i,
+                  O.stripeBlooms(bytes, t, t.stripes(i), 1))
+                def dec(i: Int) = decoded.getOrElseUpdate(i,
+                  O.stripeColumnLongs(bytes, t, t.stripes(i), 1))
+                var ok = true
+                def probe(k: Long): (Boolean, Boolean) = {
+                  var found = false
+                  var rangeGroups = 0L
+                  var bloomConsults = 0L
+                  var bloomPasses = 0L
+                  var decodes = 0L
+                  for (i <- t.stripes.indices) {
+                    val ss = t.stripeStats(i).lift(1)
+                    val stripeHit = (for {
+                      mn <- ss.flatMap(_.intMin)
+                      mx <- ss.flatMap(_.intMax)
+                    } yield k >= mn && k <= mx)
+                      .getOrElse { ok = false; false }
+                    if (stripeHit) {
+                      (rg(i), bl(i)) match {
+                        case (Some(gs), Some(bs))
+                          if gs.length == bs.length =>
+                          for (g <- gs.indices) {
+                            val gHit = (for {
+                              mn <- gs(g).intMin
+                              mx <- gs(g).intMax
+                            } yield k >= mn && k <= mx)
+                              .getOrElse { ok = false; false }
+                            if (gHit) {
+                              rangeGroups += 1
+                              bloomConsults += 1
+                              if (bs(g).testLong(k)) {
+                                bloomPasses += 1
+                                dec(i) match {
+                                  case Some(vals) =>
+                                    decodes += 1
+                                    val lo = (g * stride).toInt
+                                    val hi = math.min((g + 1) * stride,
+                                      vals.length.toLong).toInt
+                                    var j = lo
+                                    while (j < hi && !found) {
+                                      if (vals(j) == k) found = true
+                                      j += 1
+                                    }
+                                  case None => ok = false
+                                }
+                              }
+                            }
+                          }
+                        case _ => ok = false
+                      }
+                    }
+                  }
+                  val laws = bloomConsults <= rangeGroups &&
+                    bloomPasses <= bloomConsults &&
+                    decodes <= bloomPasses
+                  (found, laws)
+                }
+                val present = ids.filter(_ % 97 == 0)
+                val outRows = present.flatMap { k =>
+                  val (f1, l1) = probe(k)
+                  val (f2, l2) = probe(-k - 1)
+                  val (f3, l3) = probe(k + 1)
+                  Seq(
+                    (blobId, k, 1L, if (f1) 1L else 0L,
+                      if (l1) 1L else 0L),
+                    (blobId, -k - 1, 0L, if (f2) 1L else 0L,
+                      if (l2) 1L else 0L),
+                    (blobId, k + 1, 0L, if (f3) 1L else 0L,
+                      if (l3) 1L else 0L))
+                }
+                if (ok) outRows else Nil
+              }
+            }
+          }.toDF("blob_id", "probe_key", "expected_present", "found",
+            "laws_ok")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents
+          WHERE doc_id % 97 = 0)
+        SELECT blob_id, d AS probe_key,
+               CAST(1 AS BIGINT) AS expected_present,
+               CAST(1 AS BIGINT) AS found, CAST(1 AS BIGINT) AS laws_ok
+        FROM p
+        UNION ALL
+        SELECT blob_id, -d - 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM p
+        UNION ALL
+        SELECT blob_id, d + 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM p"""),
+      headline = false))
 }

@@ -945,7 +945,7 @@ object Orc {
     * probe positions collapse onto bit 0. Mirror it or every 0-valued
     * key reads as a false negative.
     */
-  private def wangMix(v0: Long): Long = {
+  private[sources] def wangMix(v0: Long): Long = {
     if (v0 == 0L) return 0L
     var k = v0
     k = (~k) + (k << 21)
@@ -961,7 +961,7 @@ object Orc {
   /** Hive Murmur3 hash64 (the 64-bit single-lane x64_128 variant,
     * seed 104729) — how ORC blooms hash byte/string keys.
     */
-  private def murmur64(d: Array[Byte]): Long = {
+  private[sources] def murmur64(d: Array[Byte]): Long = {
     val C1 = 0x87c37b91114253d5L
     val C2 = 0x4cf5ad432745937fL
     def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))

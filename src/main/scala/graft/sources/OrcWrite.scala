@@ -40,6 +40,17 @@ object OrcWrite {
     }
     def strField(field: Int, s: String): Unit =
       bytesField(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    /** sint64 field (zigzag varint) — IntegerStatistics min/max/sum. */
+    def sintField(field: Int, v: Long): Unit = {
+      varint((field.toLong << 3) | 0); varint((v << 1) ^ (v >> 63))
+    }
+    /** fixed64 field (LE) — DoubleStatistics values. */
+    def fixed64Field(field: Int, v: Long): Unit = {
+      varint((field.toLong << 3) | 1)
+      var k = 0
+      var x = v
+      while (k < 8) { out.write((x & 0xff).toInt); x >>>= 8; k += 1 }
+    }
     def toBytes: Array[Byte] = out.toByteArray
   }
 
@@ -177,6 +188,130 @@ object OrcWrite {
     out
   }
 
+  // ---- write-side skipping metadata (q332) ------------------------------
+
+  /** One ColumnStatistics envelope — shared by the file footer, the
+    * Metadata section's StripeStatistics, and every RowIndexEntry, so
+    * the three granularities of the read side's skip pyramid (q300)
+    * can never disagree on encoding.
+    */
+  private final case class CStat(nv: Long, hasNull: Boolean,
+      iMin: Option[Long] = None, iMax: Option[Long] = None,
+      iSum: Option[Long] = None,
+      dMin: Option[Double] = None, dMax: Option[Double] = None,
+      dSum: Option[Double] = None,
+      sMin: Option[String] = None, sMax: Option[String] = None,
+      sSum: Option[Long] = None)
+
+  /** Stats over rows [from, until) of one column (present values). */
+  private def statsOf(c: OColumn, from: Int, until: Int): CStat =
+    c match {
+      case OLongCol(_, vs) =>
+        val p = vs.slice(from, until).flatten
+        CStat(p.length.toLong, p.length < until - from,
+          iMin = p.minOption, iMax = p.maxOption,
+          iSum = if (p.isEmpty) None else Some(p.sum))
+      case ODoubleCol(_, vs) =>
+        val p = vs.slice(from, until)
+        CStat(p.length.toLong, hasNull = false,
+          dMin = p.minOption, dMax = p.maxOption,
+          dSum = if (p.isEmpty) None else Some(p.sum))
+      case OStringCol(_, vs) =>
+        val p = vs.slice(from, until).flatten
+        CStat(p.length.toLong, p.length < until - from,
+          sMin = p.minOption, sMax = p.maxOption,
+          sSum = if (p.isEmpty) None else Some(p.iterator.map(
+            _.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .length.toLong).sum))
+      case ODictStringCol(_, vs) =>
+        statsOf(OStringCol(c.name, vs), from, until)
+    }
+
+  /** ColumnStatistics proto — the exact fields the engine's own
+    * parseColStats consumes (numberOfValues 1, IntegerStatistics 2
+    * with sint64 min/max/sum, DoubleStatistics 3 with fixed64,
+    * StringStatistics 4, hasNull 10).
+    */
+  private def statPb(st: CStat): Array[Byte] = {
+    val cs = new PBW
+    cs.uint(1, st.nv)
+    if (st.iMin.isDefined || st.iMax.isDefined || st.iSum.isDefined) {
+      val s = new PBW
+      st.iMin.foreach(s.sintField(1, _))
+      st.iMax.foreach(s.sintField(2, _))
+      st.iSum.foreach(s.sintField(3, _))
+      cs.bytesField(2, s.toBytes)
+    }
+    if (st.dMin.isDefined || st.dMax.isDefined || st.dSum.isDefined) {
+      val s = new PBW
+      st.dMin.foreach(v =>
+        s.fixed64Field(1, java.lang.Double.doubleToLongBits(v)))
+      st.dMax.foreach(v =>
+        s.fixed64Field(2, java.lang.Double.doubleToLongBits(v)))
+      st.dSum.foreach(v =>
+        s.fixed64Field(3, java.lang.Double.doubleToLongBits(v)))
+      cs.bytesField(3, s.toBytes)
+    }
+    if (st.sMin.isDefined || st.sMax.isDefined || st.sSum.isDefined) {
+      val s = new PBW
+      st.sMin.foreach(s.strField(1, _))
+      st.sMax.foreach(s.strField(2, _))
+      st.sSum.foreach(s.sintField(3, _))
+      cs.bytesField(4, s.toBytes)
+    }
+    if (st.hasNull) cs.uint(10, 1L)
+    cs.toBytes
+  }
+
+  /** One row group's BloomFilter proto (Hive BloomKFilter, the shape
+    * the engine's own OrcBloom tests): numHashFunctions (field 1) +
+    * utf8bitset (field 3, LE longs). Sized for `expected` keys at the
+    * liborc default 5% FPP; `hashes` are pre-mixed 64-bit base hashes
+    * (wangMix for LONGs, Hive murmur64 for UTF-8 strings — the
+    * reader's own functions, so write and test can never diverge).
+    */
+  private def bloomFilterPb(hashes: Iterator[Long],
+                            expected: Int): Array[Byte] = {
+    val m0 = math.ceil(-expected.toDouble * math.log(0.05) /
+      (math.log(2) * math.log(2))).toInt
+    val m = math.max(64, ((m0 + 63) / 64) * 64)
+    val k = math.max(1, math.round(math.log(2) * m / expected).toInt)
+    val bits = new Array[Long](m / 64)
+    hashes.foreach { h =>
+      val h1 = h.toInt
+      val h2 = (h >>> 32).toInt
+      var i = 1
+      while (i <= k) {
+        var c = h1 + i * h2
+        if (c < 0) c = ~c
+        val pos = c % m
+        bits(pos >> 6) |= 1L << (pos & 63)
+        i += 1
+      }
+    }
+    val raw = new Array[Byte](bits.length * 8)
+    var w = 0
+    while (w < bits.length) {
+      var x = bits(w)
+      var j = 0
+      while (j < 8) {
+        raw(w * 8 + j) = (x & 0xff).toByte; x >>>= 8; j += 1
+      }
+      w += 1
+    }
+    val bf = new PBW
+    bf.uint(1, k.toLong)
+    bf.bytesField(3, raw)
+    bf.toBytes
+  }
+
+  /** RLEv2 run-start position for the `pb`-th value in the writer's
+    * fixed 512-value-run layout: (byte offset of the run's header,
+    * values to skip inside it) — the real seek semantics.
+    */
+  private def rlePos(pb: Long): (Long, Long) =
+    ((pb / 512) * (2 + 512 * 8), pb % 512)
+
   /** Write a one-stripe ORC file with LONG (nullable), DOUBLE, and
     * STRING (nullable, DIRECT_V2) columns under a struct root — the
     * write twin of the reader's `stripeColumnLongsOpt` /
@@ -185,9 +320,26 @@ object OrcWrite {
     * bits); value streams hold ONLY present values, the spec's
     * layout. `compression` 0 = NONE, 2 = SNAPPY via the engine's own
     * compressor with ORC chunk framing on every stream and footer.
+    *
+    * `rowIndexStride > 0` (q332) additionally writes the skip
+    * pyramid the engine's own q300 stack consumes on liborc files:
+    * per-column ROW_INDEX streams (kind 6; one RowIndexEntry per
+    * `rowIndexStride` rows with value-stream seek positions and
+    * typed statistics), BLOOM_FILTER_UTF8 streams (kind 8) for
+    * `bloomCols` (0-based child indices; LONG and STRING columns),
+    * typed file-footer statistics, and the Metadata section's
+    * StripeStatistics. Positions address the VALUE stream (run start
+    * + skip, byte offset for fixed-width/concatenated streams) of
+    * the uncompressed layout — indexes therefore require
+    * `compression == 0`; PRESENT-stream positions are omitted (the
+    * engine's reader slices decoded stripes by row arithmetic, and
+    * full reads never consult positions). `rowIndexStride == 0`
+    * keeps the legacy byte-identical layout (q311's md5 pins).
     */
   def writeTable(cols0: Seq[OColumn],
-                 compression: Int = 0): Array[Byte] = {
+                 compression: Int = 0,
+                 rowIndexStride: Int = 0,
+                 bloomCols: Set[Int] = Set.empty): Array[Byte] = {
     // an all-null dict column would emit DICTIONARY_V2 with
     // dictionarySize 0 and empty streams — a shape liborc/orc-core
     // may reject; fall back to DIRECT_V2 when the dictionary is empty
@@ -203,6 +355,17 @@ object OrcWrite {
     require(compression == 0 || compression == 1 ||
       compression == 2 || compression == 4 || compression == 5,
       s"compression $compression")
+    // index positions address the uncompressed stream layout
+    require(rowIndexStride == 0 || compression == 0,
+      "row indexes require compression NONE")
+    require(rowIndexStride >= 0 && rowIndexStride <= (1 << 20))
+    bloomCols.foreach { ci =>
+      require(ci >= 0 && ci < cols.length, s"bloom col $ci")
+      require(cols(ci) match {
+        case _: ODoubleCol => false
+        case _ => true
+      }, "blooms cover LONG and STRING columns")
+    }
     val blockSize = 256 * 1024
     def framed(b: Array[Byte]): Array[Byte] =
       if (compression == 0) b else chunked(b, blockSize, compression)
@@ -296,11 +459,119 @@ object OrcWrite {
       }
     }
     val built = streams.result()
+    // ---- index region (stride > 0): ROW_INDEX + blooms, laid out
+    // BEFORE the data streams (the spec's index region; cumulative
+    // stream addressing in the footer list covers both regions)
+    val indexBuilt: Seq[(Int, Int, Array[Byte])] =
+      if (rowIndexStride == 0) Nil
+      else {
+        val nGroups = (n + rowIndexStride - 1) / rowIndexStride
+        val ib = Seq.newBuilder[(Int, Int, Array[Byte])]
+        // root (column 0): stats only, empty positions
+        locally {
+          val ri = new PBW
+          for (g <- 0 until nGroups) {
+            val rows = math.min(rowIndexStride, n - g * rowIndexStride)
+            val e = new PBW
+            e.bytesField(2, statPb(CStat(rows.toLong, hasNull = false)))
+            ri.bytesField(1, e.toBytes)
+          }
+          ib += ((6, 0, framed(ri.toBytes)))
+        }
+        cols.zipWithIndex.foreach { case (c, ci) =>
+          val colId = ci + 1
+          // present-value prefix counts at group boundaries
+          val presentBefore = new Array[Long](nGroups)
+          locally {
+            var g = 1
+            var acc = 0L
+            var i = 0
+            val defined: Int => Boolean = c match {
+              case OLongCol(_, vs) => i => vs(i).isDefined
+              case OStringCol(_, vs) => i => vs(i).isDefined
+              case ODictStringCol(_, vs) => i => vs(i).isDefined
+              case _: ODoubleCol => _ => true
+            }
+            while (g < nGroups) {
+              val until = g * rowIndexStride
+              while (i < until) { if (defined(i)) acc += 1; i += 1 }
+              presentBefore(g) = acc
+              g += 1
+            }
+          }
+          // string DATA byte offsets (sum of present UTF-8 lengths)
+          val dataOffsets: Array[Long] = c match {
+            case OStringCol(_, vs) =>
+              val offs = new Array[Long](nGroups)
+              var g = 1
+              var acc = 0L
+              var i = 0
+              while (g < nGroups) {
+                val until = g * rowIndexStride
+                while (i < until) {
+                  vs(i).foreach(s => acc += s.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8).length)
+                  i += 1
+                }
+                offs(g) = acc
+                g += 1
+              }
+              offs
+            case _ => null
+          }
+          val ri = new PBW
+          for (g <- 0 until nGroups) {
+            val from = g * rowIndexStride
+            val until = math.min(n, from + rowIndexStride)
+            val e = new PBW
+            val pb = presentBefore(g)
+            val pos: Seq[Long] = c match {
+              case _: OLongCol | _: ODictStringCol =>
+                val (off, skip) = rlePos(pb); Seq(off, skip)
+              case _: ODoubleCol => Seq(pb * 8)
+              case _: OStringCol =>
+                val (off, skip) = rlePos(pb)
+                Seq(dataOffsets(g), off, skip)
+            }
+            locally { // packed uint64 positions (field 1)
+              val pp = new PBW
+              pos.foreach(pp.varint)
+              e.bytesField(1, pp.toBytes)
+            }
+            e.bytesField(2, statPb(statsOf(c, from, until)))
+            ri.bytesField(1, e.toBytes)
+          }
+          ib += ((6, colId, framed(ri.toBytes)))
+          if (bloomCols.contains(ci)) {
+            val bi = new PBW
+            for (g <- 0 until nGroups) {
+              val from = g * rowIndexStride
+              val until = math.min(n, from + rowIndexStride)
+              val hashes: Iterator[Long] = c match {
+                case OLongCol(_, vs) => vs.slice(from, until)
+                  .iterator.flatten.map(Orc.wangMix)
+                case OStringCol(_, vs) => vs.slice(from, until)
+                  .iterator.flatten.map(s => Orc.murmur64(s.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8)))
+                case ODictStringCol(_, vs) => vs.slice(from, until)
+                  .iterator.flatten.map(s => Orc.murmur64(s.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8)))
+                case _: ODoubleCol => Iterator.empty
+              }
+              bi.bytesField(1, bloomFilterPb(hashes, rowIndexStride))
+            }
+            ib += ((8, colId, framed(bi.toBytes)))
+          }
+        }
+        ib.result()
+      }
+    indexBuilt.foreach { case (_, _, b) => out.write(b, 0, b.length) }
+    val indexLength = indexBuilt.map(_._3.length.toLong).sum
     built.foreach { case (_, _, b) => out.write(b, 0, b.length) }
     val dataLength = built.map(_._3.length.toLong).sum
     // ---- stripe footer ----------------------------------------------
     val sf = new PBW
-    built.foreach { case (kind, colId, b) =>
+    (indexBuilt ++ built).foreach { case (kind, colId, b) =>
       val st = new PBW
       st.uint(1, kind.toLong)
       st.uint(2, colId.toLong)
@@ -336,7 +607,7 @@ object OrcWrite {
     f.uint(2, out.size().toLong)
     val si = new PBW
     si.uint(1, stripeStart)
-    si.uint(2, 0L)
+    si.uint(2, indexLength)
     si.uint(3, dataLength)
     si.uint(4, sfb.length.toLong)
     si.uint(5, n.toLong)
@@ -359,20 +630,40 @@ object OrcWrite {
       f.bytesField(4, t.toBytes)
     }
     f.uint(6, n.toLong)
-    // statistics: root counts rows; leaves count PRESENT values and
-    // carry hasNull (the envelope liborc emits)
-    locally {
-      val cs = new PBW
-      cs.uint(1, n.toLong)
-      f.bytesField(7, cs.toBytes)
+    if (rowIndexStride == 0) {
+      // legacy envelope (q311's md5-pinned layout): root counts rows;
+      // leaves count PRESENT values and carry hasNull
+      locally {
+        val cs = new PBW
+        cs.uint(1, n.toLong)
+        f.bytesField(7, cs.toBytes)
+      }
+      for (ci <- cols.indices) {
+        val cs = new PBW
+        cs.uint(1, presentCount(ci))
+        if (hasNulls(ci)) cs.uint(10, 1L) // hasNull
+        f.bytesField(7, cs.toBytes)
+      }
+      f.uint(8, 0L)
+    } else {
+      // typed file-footer stats — same encoder as every index entry
+      f.bytesField(7, statPb(CStat(n.toLong, hasNull = false)))
+      cols.foreach(c => f.bytesField(7, statPb(statsOf(c, 0, n))))
+      f.uint(8, rowIndexStride.toLong)
     }
-    for (ci <- cols.indices) {
-      val cs = new PBW
-      cs.uint(1, presentCount(ci))
-      if (hasNulls(ci)) cs.uint(10, 1L) // hasNull
-      f.bytesField(7, cs.toBytes)
-    }
-    f.uint(8, 0L)
+    // Metadata section (per-stripe column statistics) directly before
+    // the footer — the skip pyramid's STRIPE level (one stripe here)
+    val mb =
+      if (rowIndexStride == 0) Array.emptyByteArray
+      else {
+        val ss = new PBW
+        ss.bytesField(1, statPb(CStat(n.toLong, hasNull = false)))
+        cols.foreach(c => ss.bytesField(1, statPb(statsOf(c, 0, n))))
+        val md = new PBW
+        md.bytesField(1, ss.toBytes)
+        framed(md.toBytes)
+      }
+    out.write(mb, 0, mb.length)
     val fb = framed(f.toBytes)
     out.write(fb, 0, fb.length)
     val ps = new PBW
@@ -381,7 +672,7 @@ object OrcWrite {
     ps.uint(3, blockSize.toLong)
     ps.varint((4L << 3) | 0); ps.varint(0L)
     ps.varint((4L << 3) | 0); ps.varint(12L)
-    ps.uint(5, 0L)
+    ps.uint(5, mb.length.toLong)
     ps.strField(8000, "ORC")
     val psb = ps.toBytes
     require(psb.length < 256)

@@ -482,4 +482,81 @@ class OrcSpec extends SparkSpec {
       W.OStringCol("lang", langs)))
     assert(W.writeTable(cols).length < direct.length)
   }
+
+  test("OrcWrite row indexes + blooms: the engine's own q300 skip " +
+    "stack consumes own-written index streams, and orc-core still " +
+    "reads the file") {
+    val W = graft.sources.OrcWrite
+    val n = 1500
+    val stride = 100
+    // include 0 so the wangMix(0) -> bit 0 quirk is exercised on the
+    // WRITE side too (a writer that hashes 0 differently loses it)
+    val keys = (0 until n).map(i => i.toLong * 3)
+    val vals = (0 until n).map(i =>
+      if (i % 11 == 3) None else Some((i.toLong * 7) % 1000))
+    val tags = (0 until n).map(i => Some("t" + (i % 13)))
+    val b = W.writeTable(Seq(
+      W.OLongCol("rec_id", keys.map(Some(_))),
+      W.OLongCol("val", vals),
+      W.OStringCol("tag", tags)),
+      rowIndexStride = stride, bloomCols = Set(0, 2))
+    val t = Orc.parseTail(b).getOrElse(fail("own tail"))
+    assert(t.rowIndexStride == stride)
+    // metadata section: one StripeStatistics, typed bounds on col 1
+    assert(t.stripeStats.length == t.stripes.length)
+    val ss1 = t.stripeStats.head(1)
+    assert(ss1.intMin.contains(keys.min) && ss1.intMax.contains(keys.max))
+    // file-footer stats went typed too
+    assert(t.stats(1).intMin.contains(keys.min))
+    assert(t.stats(2).hasNull)
+    val st = t.stripes.head
+    assert(st.indexLength > 0)
+    val nGroups = (n + stride - 1) / stride
+    // row-group stats: per-group bounds and null counts are exact
+    val rg1 = Orc.stripeRowGroupStats(b, t, st, 1)
+      .getOrElse(fail("rg col1"))
+    assert(rg1.length == nGroups)
+    for (g <- 0 until nGroups) {
+      val sl = keys.slice(g * stride, math.min(n, (g + 1) * stride))
+      assert(rg1(g).intMin.contains(sl.min))
+      assert(rg1(g).intMax.contains(sl.max))
+      assert(rg1(g).numValues == sl.length.toLong)
+    }
+    val rg2 = Orc.stripeRowGroupStats(b, t, st, 2)
+      .getOrElse(fail("rg col2"))
+    for (g <- 0 until nGroups) {
+      val sl = vals.slice(g * stride, math.min(n, (g + 1) * stride))
+      assert(rg2(g).numValues == sl.count(_.isDefined).toLong)
+      assert(rg2(g).hasNull == sl.exists(_.isEmpty))
+      assert(rg2(g).intMin == sl.flatten.minOption)
+    }
+    // blooms: no false negatives on LONG or STRING keys; the probe
+    // key set of another group prunes (statistically — check > 0
+    // misses, the filter cannot be all-ones)
+    val bl1 = Orc.stripeBlooms(b, t, st, 1).getOrElse(fail("bloom 1"))
+    assert(bl1.length == nGroups)
+    for (g <- 0 until nGroups;
+         k <- keys.slice(g * stride, math.min(n, (g + 1) * stride)))
+      assert(bl1(g).testLong(k), s"false negative g=$g k=$k")
+    val missed = keys.slice(stride, 2 * stride)
+      .count(k => !bl1(0).testLong(k))
+    assert(missed > 0, "group-0 bloom passed every group-1 key")
+    val bl3 = Orc.stripeBlooms(b, t, st, 3).getOrElse(fail("bloom 3"))
+    for (g <- 0 until nGroups;
+         s0 <- tags.slice(g * stride, math.min(n, (g + 1) * stride)))
+      assert(bl3(g).testString(s0.get))
+    assert(!bl3(0).testString("absent-tag-xyz"))
+    // orc-core (Spark) still reads the indexed file
+    val dir = java.nio.file.Files.createTempDirectory("orcidx").toFile
+    val p = new java.io.File(dir, "own.orc")
+    java.nio.file.Files.write(p.toPath, b)
+    val got = spark.read.orc(p.getAbsolutePath)
+      .selectExpr("count(*)", "sum(rec_id)", "count(val)", "sum(val)",
+        "count(distinct tag)").collect()(0)
+    assert(got.getLong(0) == n && got.getLong(1) == keys.sum)
+    assert(got.getLong(2) == vals.count(_.isDefined))
+    assert(got.getLong(3) == vals.flatten.sum)
+    assert(got.getLong(4) == 13L)
+    p.delete(); dir.delete()
+  }
 }
