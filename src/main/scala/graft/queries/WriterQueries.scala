@@ -2062,5 +2062,87 @@ object WriterQueries {
         SELECT blob_id, d + 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                CAST(1 AS BIGINT)
         FROM p"""),
+      headline = false),
+
+    // q333 — DYNAMIC-HUFFMAN DEFLATE (BTYPE=10, RFC 1951 §3.2.7):
+    // the encoder now builds per-input package-merge codes and ships
+    // them through the code-length code; Deflate.compress picks the
+    // winner, and the gzip member (writeMemberOwnBest), parquet
+    // codec 2, and ORC ZLIB chunks all route through it. The engine
+    // also gained its own Inflate (stored/fixed/dynamic decode), so
+    // DEFLATE is closed in BOTH directions from first principles.
+    // Laws in the compared output: dynamic STRICTLY beats the fixed
+    // block on this skewed corpus; the own Inflate round-trips the
+    // dynamic stream with the exact consumed length; the dynamic
+    // gzip member decodes through the member walk (stdlib inflate +
+    // CRC32); parquet codec-2 pages (now dynamic-backed) decode
+    // through the engine's own reader and beat stored pages.
+    "q333_deflate_dynamic_huffman" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val ids = it.map(_._2).toSeq.sorted
+            val payload = ids.map(d =>
+              "dyn doc " + d + " lorem ipsum " +
+                ("ab" * (d % 9).toInt) + "\n").mkString
+            val data = payload.getBytes("UTF-8")
+            val D = graft.sources.Deflate
+            val I = graft.sources.Inflate
+            val fix = D.compressFixed(data)
+            val dyn = D.compressDynamic(data)
+            val dynWins = dyn.length < fix.length
+            val ownRt = I.inflateRaw(dyn).exists { case (p, c) =>
+              java.util.Arrays.equals(p, data) && c == dyn.length
+            }
+            val m = graft.sources.Gzip.writeMemberOwnBest(data)
+            val ms = graft.sources.Gzip.members(m)
+            val memberOk = ms.length == 1 && ms.head.crc_ok &&
+              java.util.Arrays.equals(ms.head.data, data) &&
+              m.length < graft.sources.Gzip.writeMemberOwn(data).length
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val fields = Seq(W.Leaf("rec_id", 0, 2))
+            val ld = Seq(W.LeafData(Array.fill(ids.length)(0), null,
+              longs = ids.toArray))
+            val pgz = W.writeFile(fields, ld, codec = 2)
+            val pqOk = P.columnLongs(pgz, "rec_id")
+              .exists(_.toSeq == ids) &&
+              pgz.length < W.writeFile(fields, ld, codec = 0).length
+            if (dynWins && ownRt && memberOk && pqOk)
+              Seq((blobId, data.length.toLong, h60(payload), 1L, 1L,
+                1L, 1L))
+            else Nil
+          }
+          .toDF("blob_id", "orig_len", "payload_hash",
+            "dyn_beats_fixed", "own_roundtrip", "member_ok", "pq_ok")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg('dyn doc ' || d || ' lorem ipsum ' ||
+                   repeat('ab', CAST(d % 9 AS INTEGER)) || chr(10), ''
+                   ORDER BY d) AS payload,
+                 CAST(sum(length('dyn doc ' || d || ' lorem ipsum ') +
+                   2 * (d % 9) + 1) AS BIGINT) AS orig_len
+          FROM r GROUP BY blob_id)
+        SELECT blob_id, orig_len,
+               ${OracleSql.sqlHash60("payload")} AS payload_hash,
+               CAST(1 AS BIGINT) AS dyn_beats_fixed,
+               CAST(1 AS BIGINT) AS own_roundtrip,
+               CAST(1 AS BIGINT) AS member_ok,
+               CAST(1 AS BIGINT) AS pq_ok
+        FROM k"""),
       headline = false))
 }

@@ -193,8 +193,21 @@ object Gzip {
     * unaffected.
     */
   def writeMemberOwn(data: Array[Byte],
-                     name: Option[String] = None): Array[Byte] = {
-    val body = Deflate.compressFixed(data)
+                     name: Option[String] = None): Array[Byte] =
+    writeMemberOwnBody(Deflate.compressFixed(data), data, name)
+
+  /** [[writeMemberOwn]] with best-of entropy coding
+    * ([[Deflate.compress]] — the dynamic-Huffman block when it wins,
+    * q333): the production gzip write path. Kept as a separate entry
+    * point because q312's oracle md5-pins the fixed-block member
+    * bytes as the from-first-principles baseline.
+    */
+  def writeMemberOwnBest(data: Array[Byte],
+                         name: Option[String] = None): Array[Byte] =
+    writeMemberOwnBody(Deflate.compress(data), data, name)
+
+  private def writeMemberOwnBody(body: Array[Byte], data: Array[Byte],
+                                 name: Option[String]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(body.length + 64)
     out.write(0x1f); out.write(0x8b); out.write(8)
     out.write(if (name.isDefined) FNAME else 0)

@@ -98,7 +98,7 @@ object OrcWrite {
       // every codec is ENGINE-OWNED: raw DEFLATE (zlib), the LZ77
       // snappy compressor, the LZ4 block encoder, one zstd frame
       val comp = codec match {
-        case 1 => Deflate.compressFixed(block)
+        case 1 => Deflate.compress(block) // best-of fixed/dynamic
         case 2 => Snappy.compress(block)
         case 4 => Lz4Encode.compressBlock(block)
         case 5 => ZstdEncode.compress(block)

@@ -245,7 +245,7 @@ object ParquetWrite {
       codec == 7, s"codec $codec")
     def compressBody(plain: Array[Byte]): Array[Byte] = codec match {
       case 1 => Snappy.compress(plain)
-      case 2 => Gzip.writeMemberOwn(plain)
+      case 2 => Gzip.writeMemberOwnBest(plain)
       case 6 => ZstdEncode.compress(plain)
       case 7 => Lz4Encode.compressBlock(plain)
       case _ => plain

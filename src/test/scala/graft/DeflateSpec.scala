@@ -62,6 +62,118 @@ class DeflateSpec extends SparkSpec {
     assert(inflateRaw(c).toSeq == text.toSeq)
   }
 
+  private def battery: Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(42)
+    Seq(
+      Array.emptyByteArray,
+      Array[Byte](0),
+      Array[Byte](7, 7, 7),
+      "a".getBytes("UTF-8"),
+      "abcabcabcabcabcabc".getBytes("UTF-8"),
+      ("the quick brown fox jumps over the lazy dog. " * 100)
+        .getBytes("UTF-8"),
+      Array.fill[Byte](100000)(0),
+      Array.tabulate[Byte](65536)(i => (i % 251).toByte),
+      Array.fill[Byte](5000)((rnd.nextInt(256) - 128).toByte),
+      { val unit = Array.tabulate[Byte](40000)(i => (i * 7 % 250).toByte)
+        unit ++ unit },
+      Array.tabulate[Byte](512)(i => (i % 256).toByte))
+  }
+
+  test("compressDynamic: stdlib Inflater round-trips the battery " +
+    "byte-exact (incl. degenerate empty-input codes)") {
+    battery.zipWithIndex.foreach { case (in, k) =>
+      val c = Deflate.compressDynamic(in)
+      assert(inflateRaw(c).toSeq == in.toSeq, s"case $k")
+    }
+  }
+
+  test("compressDynamic: the size law — dynamic STRICTLY beats the " +
+    "fixed block on skewed-symbol corpora") {
+    // heavily skewed literal distribution (lowercase text) — exactly
+    // where per-input codes reclaim what the fixed tables waste
+    val skewed = (0 until 3000).map(i =>
+      s"doc ${i % 7} lorem ipsum dolor sit amet " * 2).mkString
+      .getBytes("UTF-8")
+    val dyn = Deflate.compressDynamic(skewed)
+    val fix = Deflate.compressFixed(skewed)
+    assert(dyn.length < fix.length,
+      s"dynamic ${dyn.length} !< fixed ${fix.length}")
+    assert(inflateRaw(dyn).toSeq == skewed.toSeq)
+    // and compress() picks the winner
+    assert(Deflate.compress(skewed).length == dyn.length)
+  }
+
+  test("own Inflate decodes own fixed + dynamic AND zlib-written " +
+    "streams (levels 0/1/6/9) byte-exact, with exact consumed " +
+    "lengths") {
+    import graft.sources.Inflate
+    def deflateJdk(in: Array[Byte], level: Int): Array[Byte] = {
+      val d = new java.util.zip.Deflater(level, true)
+      d.setInput(in); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+      d.end()
+      out.toByteArray
+    }
+    battery.zipWithIndex.foreach { case (in, k) =>
+      for ((c, tag) <- Seq(
+        (Deflate.compressFixed(in), "ownfix"),
+        (Deflate.compressDynamic(in), "owndyn"),
+        (deflateJdk(in, 0), "jdk0"), // stored blocks
+        (deflateJdk(in, 1), "jdk1"),
+        (deflateJdk(in, 6), "jdk6"),
+        (deflateJdk(in, 9), "jdk9"))) {
+        val got = Inflate.inflateRaw(c)
+          .getOrElse(fail(s"case $k $tag: None"))
+        assert(got._1.toSeq == in.toSeq, s"case $k $tag payload")
+        assert(got._2 == c.length, s"case $k $tag consumed")
+      }
+    }
+    // trailing garbage after BFINAL is NOT consumed
+    val c0 = Deflate.compressDynamic("hello hello hello".getBytes)
+    val padded = c0 ++ Array[Byte](1, 2, 3)
+    val r = Inflate.inflateRaw(padded).getOrElse(fail("padded"))
+    assert(r._2 == c0.length)
+  }
+
+  test("own Inflate fails closed: truncation, reserved BTYPE, bad " +
+    "NLEN, over-subscribed codes, distance before stream start") {
+    import graft.sources.Inflate
+    val good = Deflate.compressDynamic(
+      ("abcdef " * 500).getBytes("UTF-8"))
+    for (cut <- Seq(1, good.length / 2, good.length - 1))
+      assert(Inflate.inflateRaw(good.take(cut)).isEmpty, s"cut $cut")
+    // BTYPE=11 reserved
+    assert(Inflate.inflateRaw(Array[Byte](0x07)).isEmpty)
+    // stored block with NLEN != ~LEN
+    assert(Inflate.inflateRaw(Array[Byte](0x01, 0x05, 0x00, 0x00,
+      0x00, 'x', 'y', 'z', 'q', 'w')).isEmpty)
+    // distance before stream start: fixed block whose FIRST symbol is
+    // a match — BFINAL=1 BTYPE=01, lit code 0000001 (sym 257, len 3),
+    // dist code 00000 (dist 1) with no prior output
+    assert(Inflate.inflateRaw(Array[Byte](0x03, 0x02)).isEmpty)
+    // cap enforcement
+    val big = Deflate.compressFixed(new Array[Byte](100000))
+    assert(Inflate.inflateRaw(big, cap = 1000).isEmpty)
+  }
+
+  test("writeMemberOwnBest: both decoders read it; never larger " +
+    "than the fixed member on the text corpus") {
+    val text = (0 until 2000).map(i =>
+      s"doc-$i-" + ("x" * (i % 17))).mkString("\n").getBytes("UTF-8")
+    val best = Gzip.writeMemberOwnBest(text)
+    val fixed = Gzip.writeMemberOwn(text)
+    assert(best.length < fixed.length, "dynamic member must win here")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(best))
+    assert(in.readAllBytes().toSeq == text.toSeq)
+    val ms = Gzip.members(best)
+    assert(ms.length == 1 && ms.head.crc_ok &&
+      ms.head.data.toSeq == text.toSeq)
+  }
+
   test("writeMemberOwn: GZIPInputStream and the own member walk both " +
     "decode the engine's gzip, CRC verified") {
     val data = ("lorem ipsum dolor sit amet " * 500).getBytes("UTF-8")
