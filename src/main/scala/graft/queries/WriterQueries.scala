@@ -2144,5 +2144,85 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS member_ok,
                CAST(1 AS BIGINT) AS pq_ok
         FROM k"""),
+      headline = false),
+
+    // q334 — the bzip2 ENCODER (write twin of q238's decoder, and of
+    // q239's tar.bz2 composition): initial RLE, prefix-doubling BWT,
+    // MTF + RUNA/RUNB, the spec's MULTI-TABLE Huffman (2..6 tables,
+    // cumulative-frequency seeding, four refinement iterations of
+    // cheapest-table selection + package-merge rebuild), selectors
+    // MTF+unary, delta-coded lengths, per-block CRC32 and the
+    // rotate-fold stream CRC. Here the engine composes a tar with its
+    // own writer, compresses it with its own bzip2, and the decode
+    // law is BYTE EQUALITY: own Bzip2.decompress must return the
+    // exact tar image, whose own Tar.parse then yields the entries
+    // compared against DuckDB's re-derivation (sizes, payload hashes,
+    // ustar stride arithmetic). CPython bz2 (libbzip2) decodes the
+    // same encoder byte-exact across the Bzip2Spec battery.
+    "q334_bzip2_own_encoder" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val ids = it.map(_._2).toSeq.sorted
+            val p1 = ids.map(d => "doc-" + d + "|" + (d % 23) + "\n")
+              .mkString
+            val p2 = ids.mkString(",")
+            val tar = graft.sources.Tar.write(Seq(
+              ("docs.txt", p1.getBytes("UTF-8"), 1234567L),
+              ("ids.csv", p2.getBytes("UTF-8"), 1234567L)))
+            val bz = graft.sources.Bzip2Encode.compress(tar, level = 1)
+            val back = graft.sources.Bzip2.decompress(bz)
+            val rtExact = back.exists(java.util.Arrays.equals(_, tar))
+            val sizeLaw = bz.length < tar.length
+            if (!(rtExact && sizeLaw)) Nil
+            else graft.sources.Tar.parse(blobId, tar).map { e =>
+              val payload = new String(tar, e.data_offset.toInt,
+                e.size.toInt, "UTF-8")
+              (blobId, e.entry_name, e.size, h60(payload),
+                tar.length.toLong, 1L, 1L)
+            }
+          }
+          .toDF("blob_id", "entry_name", "size", "data_hash",
+            "tar_len", "bz_smaller", "rt_exact")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg('doc-' || d || '|' || (d % 23) || chr(10),
+                   '' ORDER BY d) AS p1,
+                 string_agg(d, ',' ORDER BY d) AS p2
+          FROM r GROUP BY blob_id),
+        g AS (
+          SELECT blob_id, p1, p2,
+                 CAST(length(p1) AS BIGINT) AS s1,
+                 CAST(length(p2) AS BIGINT) AS s2
+          FROM k),
+        geo AS (
+          SELECT *,
+                 512 + ((s1 + 511) // 512) * 512 +
+                 512 + ((s2 + 511) // 512) * 512 + 1024 AS tar_len
+          FROM g)
+        SELECT blob_id, 'docs.txt' AS entry_name, s1 AS size,
+               ${OracleSql.sqlHash60("p1")} AS data_hash, tar_len,
+               CAST(1 AS BIGINT) AS bz_smaller,
+               CAST(1 AS BIGINT) AS rt_exact
+        FROM geo
+        UNION ALL
+        SELECT blob_id, 'ids.csv', s2,
+               ${OracleSql.sqlHash60("p2")}, tar_len,
+               CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        FROM geo"""),
       headline = false))
 }

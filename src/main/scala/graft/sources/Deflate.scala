@@ -171,7 +171,7 @@ object Deflate {
     * encoder's Huffman literals — optimality makes the q333 size law
     * a property of the FORMAT, not of encoder luck.
     */
-  private def limitedLengths(freqs: Array[Long], L: Int): Array[Int] = {
+  private[sources] def limitedLengths(freqs: Array[Long], L: Int): Array[Int] = {
     val present = freqs.indices.filter(freqs(_) > 0)
     val lengths = new Array[Int](freqs.length)
     if (present.isEmpty) return lengths

@@ -71,4 +71,79 @@ class Bzip2Spec extends SparkSpec {
     val big = golden.find(_._1 == "multi_block").get._3
     assert(Bzip2.decompress(big, cap = 1000).isEmpty)
   }
+
+  private def encBattery: Seq[(String, Array[Byte])] = {
+    val rnd = new scala.util.Random(7)
+    Seq(
+      "empty" -> Array.emptyByteArray,
+      "one" -> Array[Byte]('x'),
+      "run3" -> Array[Byte](7, 7, 7),
+      "run4" -> Array[Byte](7, 7, 7, 7),
+      "run300" -> Array.fill[Byte](300)('z'), // RLE1 run split at 259
+      "periodic" -> ("ab" * 2000).getBytes("UTF-8"), // equal rotations
+      "text" -> (("the quick brown fox jumps over the lazy dog. " * 200)
+        .getBytes("UTF-8")),
+      "skewed" -> (0 until 3000).map(i => s"doc ${i % 7} lorem ipsum ")
+        .mkString.getBytes("UTF-8"),
+      "allbytes" -> Array.tabulate[Byte](4096)(i => (i % 256).toByte),
+      "random" -> Array.fill[Byte](20000)(
+        (rnd.nextInt(256) - 128).toByte),
+      "big_text" -> (0 until 30000).map(i =>
+        s"line-$i " + ("pad" * (i % 5))).mkString("\n")
+        .getBytes("UTF-8")) // > 100k: exercises level-1 block split
+  }
+
+  test("Bzip2Encode: CPython bz2 (libbzip2) decodes every encoder " +
+    "output byte-exact, at levels 1 and 9") {
+    import sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("bz2enc")
+    val checks = Seq.newBuilder[String]
+    for ((name, data) <- encBattery; level <- Seq(1, 9)) {
+      val bz = graft.sources.Bzip2Encode.compress(data, level)
+      java.nio.file.Files.write(dir.resolve(s"$name-$level.bz2"), bz)
+      java.nio.file.Files.write(dir.resolve(s"$name-$level.raw"), data)
+      checks += s"$name-$level"
+    }
+    val py =
+      s"""
+        |import bz2, sys, pathlib
+        |d = pathlib.Path("$dir")
+        |for stem in sys.argv[1:]:
+        |    comp = (d / (stem + '.bz2')).read_bytes()
+        |    raw = (d / (stem + '.raw')).read_bytes()
+        |    got = bz2.decompress(comp) if comp[:3] == b'BZh' else b''
+        |    if len(raw) == 0:
+        |        # bz2.decompress rejects a no-block stream; libbzip2's
+        |        # streaming API accepts it
+        |        dec = bz2.BZ2Decompressor()
+        |        got = dec.decompress(comp)
+        |        assert dec.eof, stem
+        |    assert got == raw, stem
+        |print('CPYTHON_BZ2_OK')
+      """.stripMargin
+    val pf = dir.resolve("check.py")
+    java.nio.file.Files.writeString(pf, py)
+    val res = (Seq("python3", pf.toString) ++ checks.result()).!!
+    assert(res.contains("CPYTHON_BZ2_OK"), res)
+  }
+
+  test("Bzip2Encode: own decoder round-trips every output; the size " +
+    "law holds on text; determinism") {
+    for ((name, data) <- encBattery; level <- Seq(1, 9)) {
+      val bz = graft.sources.Bzip2Encode.compress(data, level)
+      val back = Bzip2.decompress(bz)
+      if (data.isEmpty)
+        // a no-block stream: the own decoder (like bz2.decompress)
+        // treats it as having no stream content at all
+        assert(back.isEmpty || back.exists(_.isEmpty), name)
+      else
+        assert(back.exists(_.toSeq == data.toSeq), s"$name-$level")
+      assert(java.util.Arrays.equals(bz,
+        graft.sources.Bzip2Encode.compress(data, level)), "determinism")
+    }
+    val text = ("the quick brown fox jumps over the lazy dog. " * 200)
+      .getBytes("UTF-8")
+    assert(graft.sources.Bzip2Encode.compress(text).length <
+      text.length / 4, "bzip2 must genuinely compress text")
+  }
 }
