@@ -2224,5 +2224,101 @@ object WriterQueries {
                ${OracleSql.sqlHash60("p2")}, tar_len,
                CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         FROM geo"""),
+      headline = false),
+
+    // q335 — GENERAL Avro container WRITE (AvroWrite, the schema-
+    // driven twin of the generic read walk): records encoded datum by
+    // datum against the embedded schema — zigzag varints, nullable
+    // union dispatch, array blocks — framed with deterministic sync
+    // markers under all FOUR engine-owned codecs (null, deflate via
+    // q333's dynamic-Huffman best-of, snappy + BE CRC32, zstandard).
+    // The decode-own-write law runs per codec: the engine's own
+    // parseContainer must return value-identical records, whose sums
+    // re-derive in DuckDB; each compressed container must beat the
+    // null-codec one (size law). Apache Avro (the Java reference)
+    // cross-reads the same bytes in AvroGenericSpec.
+    "q335_avro_container_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val G = graft.sources.AvroGeneric
+            val ids = it.map(_._2).toSeq.sorted
+            val schema =
+              """{"type":"record","name":"doc","fields":[
+                |{"name":"id","type":"long"},
+                |{"name":"name","type":"string"},
+                |{"name":"lang","type":["null","string"]},
+                |{"name":"toks","type":{"type":"array","items":"long"}}
+                |]}""".stripMargin.replaceAll("\n", "")
+            val recs = ids.map { d =>
+              G.VRecord(Vector(
+                "id" -> G.VLong(d),
+                "name" -> G.VString("doc-" + d + "-" +
+                  ("x" * (d % 17).toInt)),
+                "lang" -> (if (d % 7 == 0) G.VNull
+                           else G.VString(Langs((d % 5).toInt))),
+                "toks" -> G.VArray((0L until (1 + d % 5))
+                  .map(j => G.VLong((d + j) % 1000)).toVector)))
+            }
+            val nullBytes = graft.sources.AvroWrite.container(
+              schema, recs, "null", s"q335-$blobId", 256)
+            Seq("null", "deflate", "snappy", "zstandard").flatMap {
+              codec =>
+                val b =
+                  if (codec == "null") nullBytes
+                  else graft.sources.AvroWrite.container(
+                    schema, recs, codec, s"q335-$blobId", 256)
+                G.parseContainer(b).toSeq.flatMap { dec =>
+                  if (dec.records != recs.toVector) Nil
+                  else {
+                    val idSum = ids.sum
+                    val nameLen = ids.map(d =>
+                      ("doc-" + d + "-").length + d % 17).sum
+                    val nLangNull = ids.count(_ % 7 == 0).toLong
+                    val tokSlots = ids.map(d => 1 + d % 5).sum
+                    val tokSum = ids.map(d => (0L until (1 + d % 5))
+                      .map(j => (d + j) % 1000).sum).sum
+                    Seq((blobId, codec, ids.length.toLong, idSum,
+                      nameLen, nLangNull, tokSlots, tokSum,
+                      if (codec == "null" ||
+                        b.length < nullBytes.length) 1L else 0L))
+                  }
+                }
+            }
+          }
+          .toDF("blob_id", "codec", "n_records", "id_sum",
+            "name_len_sum", "n_lang_null", "tok_slots", "tok_sum",
+            "beats_null")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        tok AS (
+          SELECT r.blob_id, r.d,
+                 count(*) AS slots, sum((r.d + j.i) % 1000) AS tsum
+          FROM r JOIN generate_series(0, 4) j(i) ON j.i <= r.d % 5
+          GROUP BY 1, 2),
+        per AS (
+          SELECT r.blob_id,
+                 CAST(count(*) AS BIGINT) AS n_records,
+                 CAST(sum(r.d) AS BIGINT) AS id_sum,
+                 CAST(sum(length('doc-' || r.d || '-') + r.d % 17)
+                   AS BIGINT) AS name_len_sum,
+                 CAST(sum(CASE WHEN r.d % 7 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_lang_null,
+                 CAST(sum(t.slots) AS BIGINT) AS tok_slots,
+                 CAST(sum(t.tsum) AS BIGINT) AS tok_sum
+          FROM r JOIN tok t ON t.blob_id = r.blob_id AND t.d = r.d
+          GROUP BY 1)
+        SELECT p.blob_id, c.codec, p.n_records, p.id_sum,
+               p.name_len_sum, p.n_lang_null, p.tok_slots, p.tok_sum,
+               CAST(1 AS BIGINT) AS beats_null
+        FROM per p
+        CROSS JOIN (SELECT unnest(['null', 'deflate', 'snappy',
+          'zstandard']) AS codec) c"""),
       headline = false))
 }

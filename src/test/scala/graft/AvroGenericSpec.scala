@@ -218,4 +218,102 @@ class AvroGenericSpec extends AnyFunSuite {
     assert(ok.records.length == 5 &&
       ok.records.forall(_ == VRecord(Vector("n" -> VNull))))
   }
+
+  // ---- AvroWrite (q335): the schema-driven write twin ------------------
+
+  private val WriteSchema =
+    """{"type":"record","name":"doc","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"lang","type":["null","string"]},
+      |{"name":"score","type":"double"},
+      |{"name":"flag","type":"boolean"},
+      |{"name":"toks","type":{"type":"array","items":"long"}},
+      |{"name":"props","type":{"type":"map","values":"long"}},
+      |{"name":"e","type":{"type":"enum","name":"E",
+      |  "symbols":["A","B","C"]}},
+      |{"name":"raw","type":"bytes"},
+      |{"name":"fx","type":{"type":"fixed","name":"F","size":4}}
+      |]}""".stripMargin.replaceAll("\n", "")
+
+  private def writeRec(i: Long): V = VRecord(Vector(
+    "id" -> VLong(i),
+    "name" -> VString(s"row-$i"),
+    "lang" -> (if (i % 3 == 0) VNull else VString("en")),
+    "score" -> VDouble(i * 0.5),
+    "flag" -> VBool(i % 2 == 0),
+    "toks" -> VArray((0L until i % 4).map(j => VLong(i + j)).toVector),
+    "props" -> VMap(Vector("a" -> VLong(i * 2), "b" -> VLong(i * 3))),
+    "e" -> VEnum((i % 3).toInt),
+    "raw" -> VBytes(3, Array[Byte](i.toByte, 2, 3)),
+    "fx" -> VBytes(4, Array[Byte](9, 8, 7, i.toByte))))
+
+  test("AvroWrite: own generic walk decodes own containers value-" +
+    "exact under all four engine codecs; determinism; size law") {
+    import graft.sources.AvroWrite
+    val recs = (0L until 500L).map(writeRec)
+    val byCodec = Seq("null", "deflate", "snappy", "zstandard").map {
+      c => c -> AvroWrite.container(WriteSchema, recs, codec = c,
+        syncSeed = s"spec-$c", blockRecords = 128)
+    }
+    for ((codec, b) <- byCodec) {
+      val dec = AvroGeneric.parseContainer(b)
+        .getOrElse(fail(s"own decode $codec"))
+      assert(dec.records == recs.toVector, s"value drift under $codec")
+      assert(java.util.Arrays.equals(b, AvroWrite.container(
+        WriteSchema, recs, codec, s"spec-$codec", 128)), "determinism")
+    }
+    val sizes = byCodec.toMap.view.mapValues(_.length).toMap
+    assert(sizes("deflate") < sizes("null"))
+    assert(sizes("snappy") < sizes("null"))
+    assert(sizes("zstandard") < sizes("null"))
+  }
+
+  test("AvroWrite: Apache Avro (the Java reference reader) decodes " +
+    "own containers under all four codecs") {
+    import graft.sources.AvroWrite
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val recs = (0L until 200L).map(writeRec)
+    for (codec <- Seq("null", "deflate", "snappy", "zstandard")) {
+      val b = AvroWrite.container(WriteSchema, recs, codec = codec,
+        syncSeed = s"java-$codec", blockRecords = 64)
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(b),
+        new GenericDatumReader[GenericRecord]())
+      var i = 0L
+      while (rd.hasNext) {
+        val r = rd.next()
+        assert(r.get("id").asInstanceOf[Long] == i, s"$codec id $i")
+        assert(r.get("name").toString == s"row-$i")
+        if (i % 3 == 0) assert(r.get("lang") == null)
+        else assert(r.get("lang").toString == "en")
+        assert(r.get("score").asInstanceOf[Double] == i * 0.5)
+        assert(r.get("toks").asInstanceOf[java.util.Collection[_]]
+          .size() == (i % 4).toInt)
+        assert(r.get("e").toString == Seq("A", "B", "C")((i % 3).toInt))
+        i += 1
+      }
+      rd.close()
+      assert(i == 200L, s"$codec record count")
+    }
+  }
+
+  test("AvroWrite: value/schema mismatch fails closed (Damage), " +
+    "never silently mis-typed bytes") {
+    import graft.sources.AvroWrite
+    val bad = VRecord(Vector("id" -> VString("not-a-long")))
+    val schema = """{"type":"record","name":"r","fields":[
+      {"name":"id","type":"long"}]}"""
+    intercept[RuntimeException] {
+      AvroWrite.container(schema, Seq(bad))
+    }
+    // fixed of the wrong width
+    val badFx = VRecord(Vector("fx" -> VBytes(3, Array[Byte](1, 2, 3))))
+    val fxSchema = """{"type":"record","name":"r","fields":[
+      {"name":"fx","type":{"type":"fixed","name":"F","size":4}}]}"""
+    intercept[RuntimeException] {
+      AvroWrite.container(fxSchema, Seq(badFx))
+    }
+  }
 }
