@@ -2761,7 +2761,129 @@ object IngestionQueries {
         JOIN read_parquet(
           '/root/repo/fixtures/hudi_mor_write_oracle.parquet') f
           ON k.bkey = f.blob_key"""))
-    Seq(q283, q302, q315, q318)
+    // q336 — Hudi COMPACTION WRITE, the maintenance operation a 100 TB
+    // MOR table lives on: log files absorb updates cheaply, but every
+    // read pays the replay until compaction folds the slices back
+    // into base parquet. The engine writes its own MOR table (q318),
+    // replays every file slice (the q315 merge law), writes per file
+    // group a fresh base at instant 5 through its OWN parquet writer
+    // plus the COMPACT `.commit` timeline entry
+    // (HudiWrite.compact), then re-reads the compacted table with the
+    // SAME replay machinery. Three laws in the compared output:
+    // post-compaction answer ≡ pre-compaction answer (preserves=1),
+    // the reader now starts from the instant-5 base and skips all 3
+    // pre-compaction log blocks (n_skipped 1 -> 3, base_preferred=1),
+    // and a BASE-ONLY read (no log decode at all) becomes exact
+    // (base_only_exact=1) — the whole point of compacting. The
+    // compacted bytes themselves are pinned by an independent Python
+    // twin (compact_md5 join). All work is KB-scale per blob inside
+    // the grouped task, exactly where a distributed compactor runs.
+    val q336 = "q336_hudi_compaction_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.HudiWrite
+            val files = W.writeMorTable(ids)
+            val t5 = "00000000000005"
+            (W.replay(files), W.compact(files, t5)) match {
+              case (Some(pre), Some(delta)) =>
+                val md = java.security.MessageDigest.getInstance("MD5")
+                delta.toSeq.sortBy(_._1).foreach { case (p, b) =>
+                  md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+                  md.update(b)
+                }
+                val compactMd5 =
+                  md.digest().map("%02x".format(_)).mkString
+                W.replay(files ++ delta) match {
+                  case Some(post) =>
+                    def rows(st: Seq[W.FgState]) =
+                      st.iterator.map(_.rows.length.toLong).sum
+                    def idSum(st: Seq[W.FgState]) =
+                      st.iterator.flatMap(_.rows.map(_._1)).sum
+                    def valSum(st: Seq[W.FgState]) =
+                      st.iterator.flatMap(_.rows.map(_._2)).sum
+                    val preserves =
+                      if (rows(post) == rows(pre) &&
+                        idSum(post) == idSum(pre) &&
+                        valSum(post) == valSum(pre)) 1L else 0L
+                    val basePreferred =
+                      if (post.forall(_.baseInstant == t5)) 1L else 0L
+                    // base-only read: decode ONLY the compacted bases
+                    val P = graft.sources.Parquet
+                    var boRows = 0L; var boId = 0L; var boVal = 0L
+                    var boOk = true
+                    delta.toSeq.sortBy(_._1).foreach { case (p, b) =>
+                      if (p.endsWith(".parquet"))
+                        (P.columnLongs(b, "rec_id"),
+                          P.columnLongs(b, "val")) match {
+                          case (Some(rs), Some(vs))
+                              if rs.length == vs.length =>
+                            boRows += rs.length
+                            boId += rs.sum; boVal += vs.sum
+                          case _ => boOk = false
+                        }
+                    }
+                    val baseOnlyExact =
+                      if (boOk && boRows == rows(pre) &&
+                        boId == idSum(pre) && boVal == valSum(pre)) 1L
+                      else 0L
+                    if (pre.length != 2) Nil
+                    else Seq((blobId, compactMd5, pre.length.toLong,
+                      rows(pre), idSum(pre), valSum(pre),
+                      pre.iterator.map(_.nSkipped).sum,
+                      post.iterator.map(_.nSkipped).sum,
+                      preserves, basePreferred, baseOnlyExact))
+                  case None => Nil
+                }
+              case _ => Nil
+            }
+          }
+          .toDF("blob_id", "compact_md5", "n_fg", "n_rows", "id_sum",
+            "val_sum", "n_skipped_pre", "n_skipped_post", "preserves",
+            "base_preferred", "base_only_exact")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg, (doc_id * 13) % 991 AS v
+          FROM documents),
+        k AS (
+          SELECT blob_id,
+                 md5('hudicompact:' || string_agg(d, ',' ORDER BY d))
+                   AS bkey
+          FROM r GROUP BY blob_id),
+        m AS (
+          SELECT blob_id, d,
+                 v + CASE WHEN fg = 0 AND d % 3 = 0 THEN 7 ELSE 0 END
+                   AS mv
+          FROM r WHERE NOT (fg = 0 AND d % 5 = 0))
+        SELECT r.blob_id, f.compact_md5,
+               CAST(2 AS BIGINT) AS n_fg,
+               (SELECT CAST(count(*) AS BIGINT) FROM m
+                WHERE m.blob_id = r.blob_id) AS n_rows,
+               (SELECT CAST(sum(d) AS BIGINT) FROM m
+                WHERE m.blob_id = r.blob_id) AS id_sum,
+               (SELECT CAST(sum(mv) AS BIGINT) FROM m
+                WHERE m.blob_id = r.blob_id) AS val_sum,
+               CAST(1 AS BIGINT) AS n_skipped_pre,
+               CAST(3 AS BIGINT) AS n_skipped_post,
+               CAST(1 AS BIGINT) AS preserves,
+               CAST(1 AS BIGINT) AS base_preferred,
+               CAST(1 AS BIGINT) AS base_only_exact
+        FROM r
+        JOIN (SELECT DISTINCT blob_id, bkey FROM k) k2
+          ON r.blob_id = k2.blob_id
+        JOIN read_parquet(
+          '/root/repo/fixtures/hudi_compact_oracle.parquet') f
+          ON k2.bkey = f.blob_key
+        GROUP BY r.blob_id, f.compact_md5"""))
+
+    Seq(q283, q302, q315, q318, q336)
   }
 
   // Iceberg metadata walk (q257/q258) — the OTHER lakehouse format:

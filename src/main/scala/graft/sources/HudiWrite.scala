@@ -17,10 +17,14 @@ object HudiWrite {
                         n: Long): String =
     s"""{"fileId": "$fileId", "numDeletes": 0, "numUpdateWrites": 0, "numWrites": $n, "path": "$path"}"""
 
-  def commitJson(stats: Seq[(String, String, Long)]): String =
-    s"""{"operation": "UPSERT", "partitionToWriteStats": {"p": [${
+  def commitJsonOp(op: String,
+                   stats: Seq[(String, String, Long)]): String =
+    s"""{"operation": "$op", "partitionToWriteStats": {"p": [${
       stats.map { case (f, p, n) => statsJson(f, p, n) }.mkString(", ")
     }]}}"""
+
+  def commitJson(stats: Seq[(String, String, Long)]): String =
+    commitJsonOp("UPSERT", stats)
 
   /** The q302 table bundle: fg0 at t1 rewritten at t2 (val+5), fg1
     * at t1, an INFLIGHT t3 slice of fg1 with poisoned values.
@@ -124,4 +128,105 @@ object HudiWrite {
       lname("fg0") -> log0,
       lname("fg1") -> log1)
   }
+
+  // ---- compaction write (q336) -------------------------------------------
+
+  /** One file group's merged (completed-only, instant-ordered,
+    * last-wins) state after a MOR replay: the instant of the base the
+    * merge started from, the merged rows sorted by record key, and
+    * how many log blocks the slice skipped (inflight instants or
+    * blocks at/before the base instant).
+    */
+  final case class FgState(fileId: String, baseInstant: String,
+                           rows: Seq[(Long, Long)], nSkipped: Long)
+
+  private val TimelineRe =
+    "^\\.hoodie/(\\d+)\\.(commit|deltacommit)$".r
+  private val BaseRe = "^p/([^_/.]+)_[^_/]+_(\\d+)\\.parquet$".r
+  private val LogRe = "^p/\\.([^_/.]+)_(\\d+)\\.log\\..*$".r
+
+  /** Replay a whole table bundle with the q315 merge law — per file
+    * group: latest COMPLETED base, then completed log blocks strictly
+    * after it in instant order, avro-data records last-wins by key,
+    * delete blocks by key. None on any malformed byte (totality law:
+    * a damaged slice must fail the query, not half-apply).
+    */
+  def replay(files: Map[String, Array[Byte]]): Option[Seq[FgState]] = {
+    val completed = files.keys.collect {
+      case TimelineRe(i, _) => i }.toSet
+    val fgs = files.keys.toSeq.collect {
+      case p @ BaseRe(fid, inst) if completed(inst) => (fid, inst, p)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+    var ok = true
+    val out = fgs.map { case (fid, bases) =>
+      val (_, baseInstant, basePath) = bases.maxBy(_._2)
+      val state =
+        scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      (Parquet.columnLongs(files(basePath), "rec_id"),
+        Parquet.columnLongs(files(basePath), "val")) match {
+        case (Some(rs), Some(vs)) if rs.length == vs.length =>
+          var i = 0
+          while (i < rs.length) { state(rs(i)) = vs(i); i += 1 }
+        case _ => ok = false
+      }
+      var nSkipped = 0L
+      val blocks = Seq.newBuilder[HudiLog.Block]
+      files.keys.toSeq.collect {
+        case p @ LogRe(f, _) if f == fid => p
+      }.sorted.foreach { lp =>
+        HudiLog.parse(files(lp)) match {
+          case Some(bs) => blocks ++= bs
+          case None => ok = false
+        }
+      }
+      blocks.result().sortBy(_.instant).foreach { b =>
+        if (!completed(b.instant) || b.instant <= baseInstant)
+          nSkipped += 1
+        else if (b.blockType == HudiLog.TypeAvroData) {
+          b.records.foreach { r =>
+            (r.field("rec_id").flatMap(_.asLong),
+              r.field("val").flatMap(_.asLong)) match {
+              case (Some(k), Some(v)) => state(k) = v
+              case _ => ok = false
+            }
+          }
+        } else if (b.blockType == HudiLog.TypeDelete) {
+          b.deleteKeys.foreach { k =>
+            scala.util.Try(k.toLong).toOption match {
+              case Some(kk) => state.remove(kk)
+              case None => ok = false
+            }
+          }
+        }
+      }
+      FgState(fid, baseInstant, state.toSeq.sortBy(_._1), nSkipped)
+    }
+    if (ok) Some(out) else None
+  }
+
+  /** COMPACTION write: replay every file slice and write, per file
+    * group, a fresh base parquet at `instant` carrying the merged
+    * completed state (sorted by record key) through the engine's own
+    * parquet writer, plus the `.commit` timeline entry (Hudi records
+    * a completed compaction on a MOR table as a commit action,
+    * operation COMPACT). Returns ONLY the delta files — the caller
+    * overlays them on the table; a subsequent replay then starts from
+    * the compacted base and skips every pre-compaction log block
+    * (`b.instant <= baseInstant`), so a base-only reader becomes
+    * exact. Deterministic; the Python twin
+    * (scripts/make_hudi_compact_oracle.py) pins every byte.
+    */
+  def compact(files: Map[String, Array[Byte]],
+              instant: String): Option[Map[String, Array[Byte]]] =
+    replay(files).map { fgs =>
+      def dname(fid: String) = s"p/${fid}_0-0-0_$instant.parquet"
+      val stats = fgs.map(f =>
+        (f.fileId, dname(f.fileId), f.rows.length.toLong))
+      val bases = fgs.map { f =>
+        dname(f.fileId) -> ParquetWrite.writeInt64(
+          Seq("rec_id", "val"), f.rows.map(r => Array(r._1, r._2)))
+      }
+      (bases :+ (s".hoodie/$instant.commit" ->
+        commitJsonOp("COMPACT", stats).getBytes("UTF-8"))).toMap
+    }
 }

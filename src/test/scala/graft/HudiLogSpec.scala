@@ -91,4 +91,46 @@ class HudiLogSpec extends AnyFunSuite {
     assert(HudiLog.parse(lied).isEmpty)
     assert(HudiLog.parse(Array.emptyByteArray).isEmpty)
   }
+
+  test("compaction write: post ≡ pre, compacted base preferred, " +
+    "base-only read becomes exact, logs survive untouched") {
+    val W = graft.sources.HudiWrite
+    val ids = (0L until 60L).toSeq
+    val files = W.writeMorTable(ids)
+    val pre = W.replay(files).getOrElse(fail("pre replay"))
+    assert(pre.map(_.fileId) == Seq("fg0", "fg1"))
+    // the q315 laws hold pre-compaction: instant-4 log is inflight
+    assert(pre.map(_.nSkipped).sum == 1L)
+    val t5 = "00000000000005"
+    val delta = W.compact(files, t5).getOrElse(fail("compact"))
+    assert(delta.keySet == Set(
+      s"p/fg0_0-0-0_$t5.parquet", s"p/fg1_0-0-0_$t5.parquet",
+      s".hoodie/$t5.commit"))
+    val post = W.replay(files ++ delta).getOrElse(fail("post replay"))
+    // same answer, but now every pre-compaction block is skipped and
+    // the merge starts from the instant-5 base
+    assert(post.map(f => (f.fileId, f.rows)) ==
+      pre.map(f => (f.fileId, f.rows)))
+    assert(post.forall(_.baseInstant == t5))
+    assert(post.map(_.nSkipped).sum == 3L)
+    // base-only read (no log decode) over the compacted bases is
+    // exact — the point of compacting
+    val P = graft.sources.Parquet
+    post.foreach { f =>
+      val b = delta(s"p/${f.fileId}_0-0-0_$t5.parquet")
+      val rs = P.columnLongs(b, "rec_id").getOrElse(fail("rec_id"))
+      val vs = P.columnLongs(b, "val").getOrElse(fail("val"))
+      assert(rs.toSeq.zip(vs.toSeq) == f.rows)
+    }
+    // the COMPACT commit is canonical JSON (python sort_keys form)
+    val cj = new String(delta(s".hoodie/$t5.commit"), "UTF-8")
+    assert(cj.startsWith("""{"operation": "COMPACT", """))
+    // a second compaction over the compacted table is a fixed point
+    val delta2 = W.compact(files ++ delta, "00000000000006")
+      .getOrElse(fail("recompact"))
+    val post2 = W.replay(files ++ delta ++ delta2)
+      .getOrElse(fail("post2"))
+    assert(post2.map(f => (f.fileId, f.rows)) ==
+      pre.map(f => (f.fileId, f.rows)))
+  }
 }
