@@ -2320,5 +2320,116 @@ object WriterQueries {
         FROM per p
         CROSS JOIN (SELECT unnest(['null', 'deflate', 'snappy',
           'zstandard']) AS codec) c"""),
+      headline = false),
+
+    // q337 — the LZMA / xz ENCODER (LzmaEncode, write twin of
+    // q304–q309's decoders — the LAST one-directional codec family):
+    // range encoder built as the exact inverse of the engine's own
+    // Lzma2 range decoder (33-bit low with carry cache, the decoder's
+    // single-shift normalize schedule so every chunk's byte count
+    // satisfies the read side's exact-consumption law), hash-chain
+    // matches with rep0 reuse and matched-literal coding, LZMA2
+    // chunking with stored fallback, and the full xz container —
+    // header/footer CRC32s, CRC64 block checks, the SEEK INDEX. The
+    // engine composes a tar.xz with its own tar writer + own xz in
+    // BOTH shapes: single-block and MULTI-BLOCK (the 100 TB shape —
+    // the index makes each block independently decodable, so a
+    // 1000-task scan can split one archive without decompressing its
+    // prefix). Laws: own Xz walk + own Lzma2 decode return the exact
+    // tar image (both shapes), the block count matches the split
+    // arithmetic, the legacy .lzma alone framing round-trips, and
+    // compressed beats raw. liblzma (CPython) and XZ-for-Java decode
+    // the same encoder byte-exact across the XzSpec battery.
+    "q337_xz_own_encoder" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val ids = it.map(_._2).toSeq.sorted
+            val p1 = ids.map(d => "doc-" + d + "|" + (d % 29) + "\n")
+              .mkString
+            val p2 = ids.mkString(";")
+            val tar = graft.sources.Tar.write(Seq(
+              ("corpus.txt", p1.getBytes("UTF-8"), 1234567L),
+              ("ids.lst", p2.getBytes("UTF-8"), 1234567L)))
+            val E = graft.sources.LzmaEncode
+            def decodeOwn(z: Array[Byte]): Option[Array[Byte]] =
+              graft.sources.Xz.parse(z).flatMap { info =>
+                val out = new java.io.ByteArrayOutputStream()
+                var ok = info.checkType == 4
+                info.blocks.foreach { blk =>
+                  graft.sources.Lzma2.decode(z, blk.dataStart,
+                    blk.unpackedLen) match {
+                    case Some(x) => out.write(x, 0, x.length)
+                    case None => ok = false
+                  }
+                }
+                if (ok) Some(out.toByteArray) else None
+              }
+            val z1 = E.xz(tar)
+            val zN = E.xz(tar, blockSize = 2048)
+            val wantBlocks = (tar.length + 2047) / 2048
+            val gotBlocks = graft.sources.Xz.parse(zN)
+              .map(_.blocks.length).getOrElse(-1)
+            val al = E.alone(tar)
+            val rtExact =
+              decodeOwn(z1).exists(java.util.Arrays.equals(_, tar)) &&
+                decodeOwn(zN).exists(
+                  java.util.Arrays.equals(_, tar)) &&
+                graft.sources.Lzma2.decodeAlone(al).exists(
+                  java.util.Arrays.equals(_, tar))
+            val sizeLaw = z1.length < tar.length &&
+              al.length < tar.length
+            if (!(rtExact && sizeLaw && gotBlocks == wantBlocks)) Nil
+            else graft.sources.Tar.parse(blobId, tar).map { e =>
+              val payload = new String(tar, e.data_offset.toInt,
+                e.size.toInt, "UTF-8")
+              (blobId, e.entry_name, e.size, h60(payload),
+                tar.length.toLong, wantBlocks.toLong, 1L, 1L)
+            }
+          }
+          .toDF("blob_id", "entry_name", "size", "data_hash",
+            "tar_len", "n_blocks", "xz_smaller", "rt_exact")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg('doc-' || d || '|' || (d % 29) || chr(10),
+                   '' ORDER BY d) AS p1,
+                 string_agg(d, ';' ORDER BY d) AS p2
+          FROM r GROUP BY blob_id),
+        g AS (
+          SELECT blob_id, p1, p2,
+                 CAST(length(p1) AS BIGINT) AS s1,
+                 CAST(length(p2) AS BIGINT) AS s2
+          FROM k),
+        geo AS (
+          SELECT *,
+                 512 + ((s1 + 511) // 512) * 512 +
+                 512 + ((s2 + 511) // 512) * 512 + 1024 AS tar_len
+          FROM g)
+        SELECT blob_id, 'corpus.txt' AS entry_name, s1 AS size,
+               ${OracleSql.sqlHash60("p1")} AS data_hash, tar_len,
+               (tar_len + 2047) // 2048 AS n_blocks,
+               CAST(1 AS BIGINT) AS xz_smaller,
+               CAST(1 AS BIGINT) AS rt_exact
+        FROM geo
+        UNION ALL
+        SELECT blob_id, 'ids.lst', s2,
+               ${OracleSql.sqlHash60("p2")}, tar_len,
+               (tar_len + 2047) // 2048,
+               CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        FROM geo"""),
       headline = false))
 }

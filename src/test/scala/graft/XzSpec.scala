@@ -135,4 +135,138 @@ class XzSpec extends SparkSpec {
         Lzma2.decode(t, bl.dataStart, bl.unpackedLen)))
     }
   }
+
+  // ---- the ENCODER (LzmaEncode, q337) ------------------------------------
+
+  private def corpora: Seq[(String, Array[Byte])] = {
+    val rnd = new java.util.Random(4242)
+    def random(n: Int) = {
+      val a = new Array[Byte](n); rnd.nextBytes(a); a
+    }
+    val text = (0 until 4000).map(i =>
+      s"doc $i: the quick brown corpus fox scores ${i % 97} on " +
+        s"shard ${i % 13}; lang=${if (i % 3 == 0) "en" else "es"}\n")
+      .mkString.getBytes("UTF-8")
+    Seq(
+      ("empty", Array.emptyByteArray),
+      ("one", Array[Byte](42)),
+      ("tiny", "hello hello hello hello".getBytes("UTF-8")),
+      ("text", text),
+      ("zeros", new Array[Byte](1 << 20)),
+      ("random64k", random(1 << 16)),
+      ("random300k", random(300000)),
+      ("edge65536", random(65536)),
+      ("edge65537", random(65537)),
+      ("repeat", Array.fill(200000)("abcdefgh".getBytes("UTF-8"))
+        .flatten))
+  }
+
+  test("LzmaEncode.xz: own walk + own LZMA decode round-trips " +
+    "byte-exact, CRC64 verifies, incompressible input stays near raw") {
+    for ((name, data) <- corpora) {
+      val z = graft.sources.LzmaEncode.xz(data)
+      val (check, out) = decodeAll(z)
+        .orElse(if (data.isEmpty) Some((4, Array.emptyByteArray))
+        else None)
+        .getOrElse(fail(s"$name: own decode"))
+      assert(check == 4, name)
+      assert(java.util.Arrays.equals(out, data), s"$name: bytes")
+      assert(checkHolds(z) || data.isEmpty, s"$name: CRC64")
+      // stored-chunk fallback bounds expansion on random data
+      assert(z.length <= data.length + data.length / 1000 + 256,
+        s"$name: expansion ${z.length} vs ${data.length}")
+    }
+    // size law: compressible corpora must actually compress
+    for (name <- Seq("text", "zeros", "repeat")) {
+      val data = corpora.find(_._1 == name).get._2
+      val z = graft.sources.LzmaEncode.xz(data)
+      assert(z.length < data.length / 3, s"$name: ${z.length}")
+    }
+  }
+
+  test("LzmaEncode.xz: XZ-for-Java (the independent reference) " +
+    "decodes every corpus byte-exact, single- and multi-block") {
+    for ((name, data) <- corpora;
+         bs <- Seq(0, 100000)) {
+      val z = graft.sources.LzmaEncode.xz(data, blockSize = bs)
+      val in = new org.tukaani.xz.XZInputStream(
+        new java.io.ByteArrayInputStream(z))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      assert(java.util.Arrays.equals(out.toByteArray, data),
+        s"$name bs=$bs")
+    }
+  }
+
+  test("LzmaEncode multi-block xz: the index makes every block " +
+    "independently decodable — the parallel-scan law") {
+    val data = corpora.find(_._1 == "text").get._2
+    val z = graft.sources.LzmaEncode.xz(data, blockSize = 50000)
+    val info = Xz.parse(z).getOrElse(fail("parse"))
+    assert(info.blocks.length == (data.length + 49999) / 50000)
+    // decode block 3 ALONE and check it equals the matching slice
+    val blk = info.blocks(3)
+    val part = Lzma2.decode(z, blk.dataStart, blk.unpackedLen)
+      .getOrElse(fail("block 3"))
+    assert(java.util.Arrays.equals(part,
+      java.util.Arrays.copyOfRange(data, 150000, 200000)))
+    assert(info.indexUncompressed == data.length.toLong)
+  }
+
+  test("LzmaEncode.alone: own decodeAlone and XZ-for-Java's " +
+    "LZMAInputStream both round-trip byte-exact") {
+    for ((name, data) <- corpora if data.length <= (1 << 20)) {
+      val z = graft.sources.LzmaEncode.alone(data)
+      val back = Lzma2.decodeAlone(z, cap = 1 << 22)
+        .getOrElse(fail(s"$name: own alone decode"))
+      assert(java.util.Arrays.equals(back, data), s"$name: own")
+      val in = new org.tukaani.xz.LZMAInputStream(
+        new java.io.ByteArrayInputStream(z))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      assert(java.util.Arrays.equals(out.toByteArray, data),
+        s"$name: tukaani")
+    }
+  }
+
+  test("LzmaEncode: CPython lzma (liblzma) decodes own xz and own " +
+    "alone byte-exact across the corpus battery") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("lzmaenc")
+    val checks = Seq.newBuilder[String]
+    for ((name, data) <- corpora if data.nonEmpty) {
+      java.nio.file.Files.write(dir.resolve(s"$name.xz"),
+        graft.sources.LzmaEncode.xz(data))
+      java.nio.file.Files.write(dir.resolve(s"$name.lzma"),
+        graft.sources.LzmaEncode.alone(data))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(data).map("%02x".format(_)).mkString
+      checks += s"$name $h"
+    }
+    val pf = dir.resolve("check.py")
+    java.nio.file.Files.write(pf,
+      """import hashlib, lzma, pathlib, sys
+        |d = pathlib.Path(sys.argv[1])
+        |for spec in sys.argv[2:]:
+        |    name, want = spec.split()
+        |    for ext, fmt in (('xz', lzma.FORMAT_XZ),
+        |                     ('lzma', lzma.FORMAT_ALONE)):
+        |        raw = lzma.decompress(
+        |            (d / (name + '.' + ext)).read_bytes(), format=fmt)
+        |        got = hashlib.md5(raw).hexdigest()
+        |        if got != want:
+        |            print('FAIL', name, ext, got, want)
+        |            sys.exit(1)
+        |print('OK')
+        |""".stripMargin.getBytes("UTF-8"))
+    val res = (Seq("python3", pf.toString, dir.toString) ++
+      checks.result()).!!
+    assert(res.trim == "OK", res)
+  }
 }
