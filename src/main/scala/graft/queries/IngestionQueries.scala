@@ -4382,8 +4382,88 @@ object IngestionQueries {
           '/root/repo/fixtures/iceberg_mor_write_oracle.parquet') f
           ON k.bkey = f.blob_key"""))
 
+    // q338 — Iceberg SNAPSHOT-EXPIRE as a WRITE operation (the write
+    // twin of q286's read-side law, and the second half of the lake-
+    // maintenance story with q336's Hudi compaction): the engine
+    // writes its own two-snapshot history with the compaction bait
+    // (the retained snapshot's replace manifest marks the old files
+    // DELETED — an any-reference reachability walk keeps garbage),
+    // then EXECUTES the expiry with its own readers and WRITES the
+    // successor v4.metadata.json carrying only retained snapshots
+    // (IcebergWrite.expireSnapshots). Laws in the compared output:
+    // the deletion inventory is exactly {expired list, orphaned
+    // manifest, 3 dead data files} with the full pre-compaction row
+    // count; a SECOND expiry over the pruned table is a fixed point
+    // (post_expired = post_deleted = 0); and the surviving compacted
+    // parquet decodes through the own reader to the exact pre-expiry
+    // live sums (rows_preserved) — storage reclaim must never touch
+    // live data. All KB-scale per blob inside the grouped task,
+    // where a distributed maintenance job runs it.
+    val q338 = "q338_iceberg_expire_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+        docs.groupByKey(_._1).flatMapGroups { (t, it) =>
+          val ids = it.map(_._2).toSeq.sorted
+          val W = graft.sources.IcebergWrite
+          val files = W.writeHistoryTable(s"tbl-$t", ids)
+          val cutoff = 1700000000500L
+          W.expireSnapshots(files, "v3.metadata.json", cutoff) match {
+            case Some(res) =>
+              val pruned = (files -- res.deleted) +
+                (res.newMetaName -> res.newMeta)
+              val post = W.expireSnapshots(pruned, res.newMetaName,
+                cutoff)
+              val P = graft.sources.Parquet
+              val sums = for {
+                c <- pruned.get("data/c-0.parquet")
+                rs <- P.columnLongs(c, "rec_id")
+                vs <- P.columnLongs(c, "val")
+                if rs.length == vs.length
+              } yield (rs.length.toLong, rs.sum, vs.sum)
+              (post, sums) match {
+                case (Some(p2), Some((n, idSum, valSum))) =>
+                  val preserved =
+                    if (n == res.keptRows && p2.keptRows == n) 1L
+                    else 0L
+                  Seq((t, res.nExpired.toLong,
+                    res.listsDeleted.toLong,
+                    res.manifestsDeleted.toLong,
+                    res.dataDeleted.toLong, res.deletedRows,
+                    res.keptRows, p2.nExpired.toLong,
+                    p2.deleted.length.toLong, preserved,
+                    idSum, valSum))
+                case _ => Nil
+              }
+            case None => Nil
+          }
+        }
+          .toDF("table_id", "n_expired", "lists_deleted",
+            "manifests_deleted", "data_deleted", "deleted_rows",
+            "kept_rows", "post_expired", "post_deleted",
+            "rows_preserved", "id_sum", "val_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d FROM documents)
+        SELECT table_id,
+               CAST(1 AS BIGINT) AS n_expired,
+               CAST(1 AS BIGINT) AS lists_deleted,
+               CAST(1 AS BIGINT) AS manifests_deleted,
+               CAST(3 AS BIGINT) AS data_deleted,
+               CAST(count(*) AS BIGINT) AS deleted_rows,
+               CAST(count(*) AS BIGINT) AS kept_rows,
+               CAST(0 AS BIGINT) AS post_expired,
+               CAST(0 AS BIGINT) AS post_deleted,
+               CAST(1 AS BIGINT) AS rows_preserved,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 19) % 977) AS BIGINT) AS val_sum
+        FROM r GROUP BY table_id"""))
+
     Seq(q257, q258, q259, q262, q271, q275, q281, q286, q289, q301,
-      q317, q319)
+      q317, q319, q338)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:

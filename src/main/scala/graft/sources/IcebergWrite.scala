@@ -374,4 +374,177 @@ object IcebergWrite {
     Map("v1.metadata.json" -> meta, "snap-1.avro" -> list,
       "m1.avro" -> manifest)
   }
+
+  // ---- snapshot history + expire write (q338) ----------------------------
+
+  /** One manifest entry with an explicit status (1 ADDED,
+    * 2 DELETED) — the reduced EntrySchema shape.
+    */
+  def entrySt(status: Int, path: String, rc: Long,
+              fsz: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    varint(out, status.toLong)
+    str(out, path)
+    varint(out, rc)
+    varint(out, fsz)
+    out.toByteArray
+  }
+
+  private def snapshotJson(sid: Long, seq: Long, ts: Long,
+                           list: String): String =
+    s"""{"manifest-list": "$list", "sequence-number": $seq, "snapshot-id": $sid, "timestamp-ms": $ts}"""
+
+  private def metadataJson(id: String, current: Long,
+                           snaps: Seq[String]): String =
+    s"""{"current-snapshot-id": $current, "format-version": 2, "snapshots": [${
+      snaps.mkString(", ")
+    }], "table-uuid": "$id"}"""
+
+  /** A TWO-SNAPSHOT history with the q286 compaction bait: snapshot
+    * 1 ADDs three data files (own parquet writer, val = (d*19) %
+    * 977); snapshot 2 — the CURRENT one — compacts, its replace
+    * manifest marking the three old files DELETED and adding one
+    * compacted file carrying every row. An any-reference reachability
+    * walk keeps the three old files; the live-reference law deletes
+    * them. Returns rel_path -> bytes, canonical-JSON metadata.
+    */
+  def writeHistoryTable(id: String,
+                        ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    val parts = (0 to 2).map(x => ids.filter(d => (d / 6) % 3 == x))
+    def v(d: Long): Long = (d * 19) % 977
+    val data = parts.map(p => ParquetWrite.writeInt64(
+      Seq("rec_id", "val"), p.map(d => Array(d, v(d)))))
+    val names = (0 to 2).map(x => s"data/f-$x.parquet")
+    val sorted = ids.sorted
+    val compacted = ParquetWrite.writeInt64(Seq("rec_id", "val"),
+      sorted.map(d => Array(d, v(d))))
+    val ma = container(EntrySchema, (0 to 2).map(x =>
+      entrySt(1, names(x), parts(x).length.toLong,
+        data(x).length.toLong)), sync)
+    val mb = container(EntrySchema,
+      (0 to 2).map(x => entrySt(2, names(x), parts(x).length.toLong,
+        data(x).length.toLong)) :+
+        entrySt(1, "data/c-0.parquet", sorted.length.toLong,
+          compacted.length.toLong), sync)
+    val l1 = container(ListSchema, Seq(manifestFileRow("ma.avro",
+      ma.length.toLong, 3L, ids.length.toLong)), sync)
+    val l2 = container(ListSchema, Seq(manifestFileRow("mb.avro",
+      mb.length.toLong, 1L, sorted.length.toLong)), sync)
+    val meta = metadataJson(id, 2L, Seq(
+      snapshotJson(1L, 1L, 1700000000000L, "snap-1.avro"),
+      snapshotJson(2L, 2L, 1700000001000L, "snap-2.avro")))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Map("v3.metadata.json" -> meta,
+      "snap-1.avro" -> l1, "snap-2.avro" -> l2,
+      "ma.avro" -> ma, "mb.avro" -> mb,
+      names(0) -> data(0), names(1) -> data(1), names(2) -> data(2),
+      "data/c-0.parquet" -> compacted)
+  }
+
+  final case class ExpireResult(newMetaName: String,
+                                newMeta: Array[Byte],
+                                deleted: Seq[String], nExpired: Int,
+                                deletedRows: Long, keptRows: Long) {
+    def listsDeleted: Int = deleted.count(_.startsWith("snap-"))
+    def manifestsDeleted: Int = deleted.count(p =>
+      p.endsWith(".avro") && !p.startsWith("snap-"))
+    def dataDeleted: Int = deleted.count(_.endsWith(".parquet"))
+  }
+
+  /** The expire_snapshots WRITE — the maintenance op that keeps a
+    * 100 TB table's metadata and storage bounded. Walks the table
+    * with the engine's own readers (Json + AvroGeneric), applies the
+    * q286 law (expired = older than cutoff and not current; delete
+    * lists of expired snapshots, manifests referenced by no retained
+    * one, and data files LIVE in no retained one — a DELETED entry
+    * does not protect a file), and WRITES the successor metadata
+    * file carrying only the retained snapshots, in the same
+    * canonical-JSON byte form the table writer uses. None on any
+    * malformed byte.
+    */
+  def expireSnapshots(files: Map[String, Array[Byte]],
+                      metaName: String, cutoffMs: Long)
+      : Option[ExpireResult] = {
+    import Json.{JArray, JLong, JObject, JString}
+    for {
+      metaBytes <- files.get(metaName)
+      meta <- Json.parse(
+        new String(metaBytes, java.nio.charset.StandardCharsets.UTF_8))
+      mo <- meta match { case o: JObject => Some(o); case _ => None }
+      current <- mo.get("current-snapshot-id").collect {
+        case JLong(x) => x }
+      uuid <- mo.get("table-uuid").collect { case JString(x) => x }
+      snapsJ <- mo.get("snapshots").collect { case JArray(xs) => xs }
+      snaps <- {
+        case class Snap(sid: Long, seq: Long, ts: Long,
+                        listPath: String, manifests: Seq[String],
+                        entries: Seq[(String, Long, Long)])
+        val parsed = snapsJ.flatMap {
+          case so: JObject =>
+            for {
+              sid <- so.get("snapshot-id").collect {
+                case JLong(x) => x }
+              seq <- so.get("sequence-number").collect {
+                case JLong(x) => x }
+              ts <- so.get("timestamp-ms").collect {
+                case JLong(x) => x }
+              lp <- so.get("manifest-list").collect {
+                case JString(x) => x }
+              listBytes <- files.get(lp)
+              list <- AvroGeneric.parseContainer(listBytes)
+              mps = list.records.flatMap(
+                _.field("manifest_path").flatMap(_.asString))
+              entries <- {
+                val es = mps.map { mp =>
+                  files.get(mp).flatMap(AvroGeneric.parseContainer)
+                    .map(_.records.flatMap { e =>
+                      for {
+                        st <- e.field("status").flatMap(_.asLong)
+                        df <- e.field("data_file")
+                        p <- df.field("file_path").flatMap(_.asString)
+                        rc <- df.field("record_count")
+                          .flatMap(_.asLong)
+                      } yield (p, rc, st)
+                    })
+                }
+                if (es.exists(_.isEmpty)) None
+                else Some(es.flatMap(_.get))
+              }
+            } yield Snap(sid, seq, ts, lp, mps, entries)
+          case _ => None
+        }
+        if (parsed.length == snapsJ.length) Some(parsed) else None
+      }
+    } yield {
+      val (expired, retained) =
+        snaps.partition(sn => sn.ts < cutoffMs && sn.sid != current)
+      val retManifests = retained.flatMap(_.manifests).toSet
+      val retLive = retained.flatMap(_.entries)
+        .filter(_._3 != 2L).map(_._1).toSet
+      val deleted = (expired.map(_.listPath) ++
+        expired.flatMap(_.manifests).filterNot(retManifests) ++
+        expired.flatMap(_.entries).map(_._1).distinct
+          .filterNot(retLive)).distinct
+      val rcByPath = expired.flatMap(_.entries)
+        .groupBy(_._1).view.mapValues(_.head._2).toMap
+      val deletedRows = deleted.filter(rcByPath.contains)
+        .map(rcByPath).sum
+      val keptRows = retained.flatMap(_.entries)
+        .filter(_._3 != 2L).map(_._2).sum
+      // successor metadata: vN+1, retained snapshots only
+      val VN = "^v(\\d+)\\.metadata\\.json$".r
+      val nextV = metaName match {
+        case VN(n) => n.toInt + 1
+        case _ => 2
+      }
+      val newMeta = metadataJson(uuid, current,
+        retained.sortBy(_.sid).map(sn => snapshotJson(sn.sid, sn.seq,
+          sn.ts, sn.listPath)))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ExpireResult(s"v$nextV.metadata.json", newMeta, deleted,
+        expired.length, deletedRows, keptRows)
+    }
+  }
 }

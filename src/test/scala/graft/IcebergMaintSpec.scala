@@ -1,0 +1,88 @@
+package graft
+
+import graft.sources.IcebergWrite
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Iceberg maintenance WRITE path (q338): the two-snapshot
+  * history writer, the expire_snapshots law (live-reference, not
+  * any-reference, reachability), the successor-metadata byte form,
+  * and the fixed-point / preservation laws. Apache Avro (the Java
+  * reference) cross-reads the history's own manifests.
+  */
+class IcebergMaintSpec extends AnyFunSuite {
+
+  private val ids = (0L until 90L).toSeq
+  private val cutoff = 1700000000500L
+
+  test("expire write: inventory exact, fixed point, live rows " +
+    "preserved, metadata rewritten canonically") {
+    val files = IcebergWrite.writeHistoryTable("t-1", ids)
+    val res = IcebergWrite
+      .expireSnapshots(files, "v3.metadata.json", cutoff)
+      .getOrElse(fail("expire"))
+    assert(res.nExpired == 1)
+    assert(res.deleted.toSet == Set("snap-1.avro", "ma.avro",
+      "data/f-0.parquet", "data/f-1.parquet", "data/f-2.parquet"))
+    assert(res.listsDeleted == 1 && res.manifestsDeleted == 1 &&
+      res.dataDeleted == 3)
+    assert(res.deletedRows == ids.length.toLong &&
+      res.keptRows == ids.length.toLong)
+    assert(res.newMetaName == "v4.metadata.json")
+    val mj = new String(res.newMeta, "UTF-8")
+    assert(mj.startsWith("""{"current-snapshot-id": 2, """))
+    assert(!mj.contains("snap-1.avro") && mj.contains("snap-2.avro"))
+    // fixed point: expiring the pruned table deletes nothing
+    val pruned = (files -- res.deleted) + (res.newMetaName -> res.newMeta)
+    val post = IcebergWrite
+      .expireSnapshots(pruned, res.newMetaName, cutoff)
+      .getOrElse(fail("post"))
+    assert(post.nExpired == 0 && post.deleted.isEmpty &&
+      post.keptRows == ids.length.toLong)
+    // the surviving compacted file carries every live row
+    val P = graft.sources.Parquet
+    val c = pruned("data/c-0.parquet")
+    assert(P.columnLongs(c, "rec_id").exists(_.toSeq == ids))
+    assert(P.columnLongs(c, "val").exists(
+      _.toSeq == ids.map(d => (d * 19) % 977)))
+  }
+
+  test("expire write: current snapshot is never expired even past " +
+    "the cutoff; malformed tables close as None") {
+    val files = IcebergWrite.writeHistoryTable("t-2", ids)
+    // a cutoff beyond BOTH snapshots still retains the current one
+    val res = IcebergWrite
+      .expireSnapshots(files, "v3.metadata.json", 1800000000000L)
+      .getOrElse(fail("expire"))
+    assert(res.nExpired == 1)
+    assert(!res.deleted.contains("snap-2.avro") &&
+      !res.deleted.contains("data/c-0.parquet"))
+    // a table missing a referenced manifest list is malformed
+    assert(IcebergWrite.expireSnapshots(files - "snap-1.avro",
+      "v3.metadata.json", cutoff).isEmpty)
+    // junk metadata is malformed
+    assert(IcebergWrite.expireSnapshots(
+      files + ("v3.metadata.json" -> "{nope".getBytes("UTF-8")),
+      "v3.metadata.json", cutoff).isEmpty)
+    assert(IcebergWrite.expireSnapshots(files, "missing.json",
+      cutoff).isEmpty)
+  }
+
+  test("Apache Avro cross-reads the history writer's manifests") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val files = IcebergWrite.writeHistoryTable("t-3", ids)
+    val rdr = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(files("mb.avro")),
+      new GenericDatumReader[GenericRecord]())
+    val recs = Iterator.continually(rdr)
+      .takeWhile(_.hasNext).map(_.next()).toVector
+    rdr.close()
+    assert(recs.length == 4)
+    assert(recs.map(_.get("status").toString) ==
+      Vector("2", "2", "2", "1"))
+    val paths = recs.map(r => r.get("data_file")
+      .asInstanceOf[GenericRecord].get("file_path").toString)
+    assert(paths == Vector("data/f-0.parquet", "data/f-1.parquet",
+      "data/f-2.parquet", "data/c-0.parquet"))
+  }
+}
