@@ -5644,7 +5644,104 @@ object IngestionQueries {
         FROM k JOIN read_parquet(
           '/root/repo/fixtures/delta_write_oracle.parquet') f
           ON k.bkey = f.blob_key"""))
-    Seq(q254, q261, q270, q272, q280, q282, q287, q299)
+    // q339 — Delta OPTIMIZE (bin-packing compaction) as a WRITE
+    // operation, completing the lake-maintenance trio with q336
+    // (Hudi compaction) and q338 (Iceberg expire): the engine writes
+    // its own table (q299's two-commit shape, B removed at v1),
+    // replays the log to the LIVE set with its own JSON reader,
+    // decodes every live parquet with its own reader, writes ONE
+    // compacted file through its own writer and commits
+    // remove(live)+add(compacted) with dataChange=false throughout —
+    // the protocol discipline that keeps compaction invisible to
+    // changes-only readers. Laws in the compared output: the
+    // post-OPTIMIZE replay answers identically (preserves=1, sums
+    // re-derived in DuckDB), the live set collapses 2 -> 1, a
+    // CDF-style reader (dataChange=true actions only) sees ZERO new
+    // rows from the optimize commit, and a second OPTIMIZE is a
+    // fixed point over the same row set.
+    val q339 = "q339_delta_optimize_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JBool, JObject}
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.DeltaWrite
+            val P = graft.sources.Parquet
+            val files = W.writeTable(s"tbl-$t", ids)
+            def liveSums(fs: Map[String, Array[Byte]])
+                : Option[(Long, Long, Long, Long)] =
+              W.replayLive(fs).flatMap { case (live, _) =>
+                val dec = live.map { p =>
+                  for {
+                    b <- fs.get(p)
+                    rs <- P.columnLongs(b, "rec_id")
+                    vs <- P.columnLongs(b, "val")
+                  } yield (rs.length.toLong, rs.sum, vs.sum)
+                }
+                if (dec.exists(_.isEmpty)) None
+                else Some(dec.map(_.get).foldLeft(
+                  (live.length.toLong, 0L, 0L, 0L)) {
+                  case ((n, r, i, v), (r2, i2, v2)) =>
+                    (n, r + r2, i + i2, v + v2)
+                })
+              }
+            (liveSums(files), W.optimize(files)) match {
+              case (Some((nPre, rowsPre, idPre, valPre)),
+                    Some(res)) =>
+                val after = (files -- Nil) +
+                  (res.commitName -> res.commit) +
+                  (res.compactedName -> res.compacted)
+                // CDF law: the optimize commit carries ONLY
+                // dataChange=false actions
+                val dcFalse = new String(res.commit, "UTF-8")
+                  .split("\n").filter(_.nonEmpty).forall { line =>
+                    graft.sources.Json.parse(line) match {
+                      case Some(o: JObject) =>
+                        Seq("add", "remove").flatMap(k =>
+                          o.get(k).collect { case a: JObject =>
+                            a.get("dataChange") }).flatten
+                          .forall(_ == JBool(false))
+                      case _ => false
+                    }
+                  }
+                (liveSums(after), W.optimize(after)) match {
+                  case (Some((nPost, rowsPost, idPost, valPost)),
+                        Some(res2)) =>
+                    val preserves =
+                      if (rowsPost == rowsPre && idPost == idPre &&
+                        valPost == valPre) 1L else 0L
+                    val fixedPoint =
+                      if (res2.rows == res.rows) 1L else 0L
+                    Seq((t, nPre, nPost, rowsPre, idPre, valPre,
+                      preserves, if (dcFalse) 1L else 0L, fixedPoint))
+                  case _ => Nil
+                }
+              case _ => Nil
+            }
+          }
+          .toDF("table_id", "n_live_pre", "n_live_post", "n_rows",
+            "id_sum", "val_sum", "preserves", "dc_false", "fixed_point")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d FROM documents
+          WHERE (doc_id // 6) % 3 <> 1)
+        SELECT table_id,
+               CAST(2 AS BIGINT) AS n_live_pre,
+               CAST(1 AS BIGINT) AS n_live_post,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 11) % 1000) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS preserves,
+               CAST(1 AS BIGINT) AS dc_false,
+               CAST(1 AS BIGINT) AS fixed_point
+        FROM r GROUP BY table_id"""))
+
+    Seq(q254, q261, q270, q272, q280, q282, q287, q299, q339)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:

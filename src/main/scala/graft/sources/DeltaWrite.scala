@@ -225,4 +225,103 @@ object DeltaWrite {
       names(0) -> data(0), names(1) -> data(1),
       names(2) -> data(2), names(3) -> data(3))
   }
+
+  // ---- OPTIMIZE write (q339) ----------------------------------------------
+
+  /** add/remove with an explicit dataChange — OPTIMIZE commits MUST
+    * carry false (delta PROTOCOL.md: compaction rearranges existing
+    * data; a changes-only reader skips it).
+    */
+  def addActionDc(path: String, size: Long, dataChange: Boolean)
+      : String =
+    s"""{"add": {"dataChange": $dataChange, "modificationTime": 1700000000000, "partitionValues": {}, "path": "$path", "size": $size}}"""
+
+  def removeActionDc(path: String, dataChange: Boolean): String =
+    s"""{"remove": {"dataChange": $dataChange, "deletionTimestamp": 1700000001000, "path": "$path"}}"""
+
+  private val CommitRe = "^_delta_log/(\\d{20})\\.json$".r
+
+  /** Replay the JSON commits in version order to (liveAdds sorted,
+    * maxVersion). None on any malformed byte. JSON-only tables (the
+    * writeTable shape); checkpoint replay is [[DeltaCheckpoint]]'s
+    * job.
+    */
+  def replayLive(files: Map[String, Array[Byte]])
+      : Option[(Seq[String], Long)] = {
+    import Json.{JObject, JString}
+    val commits = files.keys.toSeq.collect {
+      case p @ CommitRe(v) => (v.toLong, p)
+    }.sortBy(_._1)
+    if (commits.isEmpty) return None
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    var ok = true
+    commits.foreach { case (_, p) =>
+      new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+        .foreach { line =>
+          Json.parse(line) match {
+            case Some(o: JObject) =>
+              o.get("add") match {
+                case Some(a: JObject) => a.get("path") match {
+                  case Some(JString(x)) => live += x
+                  case _ => ok = false
+                }
+                case _ => o.get("remove") match {
+                  case Some(r: JObject) => r.get("path") match {
+                    case Some(JString(x)) => live -= x
+                    case _ => ok = false
+                  }
+                  case _ => () // protocol / metaData
+                }
+              }
+            case _ => ok = false
+          }
+        }
+    }
+    if (ok) Some((live.toSeq.sorted, commits.last._1)) else None
+  }
+
+  final case class OptimizeResult(commitName: String,
+                                  commit: Array[Byte],
+                                  compactedName: String,
+                                  compacted: Array[Byte],
+                                  removed: Seq[String], rows: Long)
+
+  /** OPTIMIZE (bin-packing compaction) as a WRITE operation: replay
+    * the log to the live file set, decode every live parquet through
+    * the engine's own reader, write ONE compacted file (rows sorted
+    * by rec_id) through the own parquet writer, and commit
+    * remove(live)+add(compacted) with dataChange=false throughout —
+    * so the post-OPTIMIZE replay answers identically while a
+    * changes-only (CDF-style) reader sees zero new rows. None on any
+    * malformed byte.
+    */
+  def optimize(files: Map[String, Array[Byte]])
+      : Option[OptimizeResult] =
+    replayLive(files).flatMap { case (live, maxV) =>
+      if (live.isEmpty) None
+      else {
+        val decoded = live.map { p =>
+          for {
+            b <- files.get(p)
+            rs <- Parquet.columnLongs(b, "rec_id")
+            vs <- Parquet.columnLongs(b, "val")
+            if rs.length == vs.length
+          } yield rs.toSeq.zip(vs.toSeq)
+        }
+        if (decoded.exists(_.isEmpty)) None
+        else {
+          val rows = decoded.flatMap(_.get).sortBy(_._1)
+          val compactedName = f"part-opt-${maxV + 1}%05d.parquet"
+          val compacted = ParquetWrite.writeInt64(
+            Seq("rec_id", "val"), rows.map(r => Array(r._1, r._2)))
+          val commit = (live.map(removeActionDc(_, dataChange = false))
+            :+ addActionDc(compactedName, compacted.length.toLong,
+              dataChange = false)).mkString("\n") + "\n"
+          Some(OptimizeResult(
+            f"_delta_log/${maxV + 1}%020d.json",
+            commit.getBytes(Utf8), compactedName, compacted, live,
+            rows.length.toLong))
+        }
+      }
+    }
 }
