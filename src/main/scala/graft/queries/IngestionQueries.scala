@@ -5741,7 +5741,161 @@ object IngestionQueries {
                CAST(1 AS BIGINT) AS fixed_point
         FROM r GROUP BY table_id"""))
 
-    Seq(q254, q261, q270, q272, q280, q282, q287, q299, q339)
+    // q340 — Delta DELETION VECTORS as a WRITE operation (the write
+    // twin of q270's reader, and Delta's GDPR/row-level-delete path —
+    // the operation a 100 TB corpus pipeline runs for takedowns
+    // without rewriting petabytes): the engine serializes the dead
+    // positions itself (DeletionVectorsWrite — RoaringBitmapArray
+    // portable form, byte-identical to org.roaringbitmap per the
+    // spec pin), stores one vector INLINE (own Z85) and two in a
+    // shared `u`-storage `.bin` file at distinct offsets (own
+    // BE-size/CRC framing, own Z85 UUID path), gates the table on
+    // the deletionVectors reader feature, and commits
+    // remove + re-add atomically. The read-back runs the full q270
+    // resolution machinery over the engine's own bytes: replay,
+    // feature check, Z85 -> UUID -> slice -> bitmap, cardinality
+    // law, positions dropped from the own parquet decode. Live sums
+    // re-derive in DuckDB; a resurrected row breaks the hash.
+    val q340 = "q340_delta_dv_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JLong, JObject, JString}
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.DeltaWrite
+            val D = graft.sources.DeletionVectors
+            val P = graft.sources.Parquet
+            val files = W.writeDvTable(s"tbl-$t", t, ids)
+            var ok = true
+            // replay commits in version order; adds keep their DV
+            val CommitRe = "^_delta_log/(\\d{20})\\.json$".r
+            val commits = files.keys.toSeq.collect {
+              case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+            val state = scala.collection.mutable.LinkedHashMap
+              .empty[String, Option[JObject]]
+            var featureOk = false
+            commits.foreach { case (_, p) =>
+              new String(files(p), "UTF-8").split("\n")
+                .filter(_.nonEmpty).foreach { line =>
+                  graft.sources.Json.parse(line) match {
+                    case Some(o: JObject) =>
+                      o.get("protocol").foreach {
+                        case pr: JObject =>
+                          featureOk = pr.get("minReaderVersion")
+                            .contains(JLong(3L)) &&
+                            (pr.get("readerFeatures") match {
+                              case Some(
+                                graft.sources.Json.JArray(xs)) =>
+                                xs.contains(
+                                  JString("deletionVectors"))
+                              case _ => false
+                            })
+                        case _ => ok = false
+                      }
+                      o.get("add").foreach {
+                        case a: JObject => a.get("path") match {
+                          case Some(JString(x)) => state(x) = Some(a)
+                          case _ => ok = false
+                        }
+                        case _ => ok = false
+                      }
+                      o.get("remove").foreach {
+                        case r: JObject => r.get("path") match {
+                          case Some(JString(x)) => state(x) = None
+                          case _ => ok = false
+                        }
+                        case _ => ok = false
+                      }
+                    case _ => ok = false
+                  }
+                }
+            }
+            def js(o: JObject, k: String): Option[String] =
+              o.get(k) match { case Some(JString(v)) => Some(v)
+                case _ => None }
+            def jl(o: JObject, k: String): Option[Long] =
+              o.get(k) match { case Some(JLong(v)) => Some(v)
+                case _ => None }
+            var nInline = 0L; var nFile = 0L
+            var rows = 0L; var idSum = 0L; var valSum = 0L
+            val live = state.toSeq.collect {
+              case (p, Some(a)) => (p, a) }.sortBy(_._1)
+            live.foreach { case (path, a) =>
+              val dead: Set[Long] = a.get("deletionVector") match {
+                case None => Set.empty
+                case Some(d: JObject) =>
+                  val res = for {
+                    st <- js(d, "storageType")
+                    pod <- js(d, "pathOrInlineDv")
+                    size <- jl(d, "sizeInBytes")
+                    card <- jl(d, "cardinality")
+                    vals <- st match {
+                      case "i" =>
+                        nInline += 1
+                        D.inlineBitmap(pod, size, card)
+                      case "u" =>
+                        nFile += 1
+                        for {
+                          off <- jl(d, "offset")
+                          name <- D.uuidPath(pod)
+                          fb <- files.get(name)
+                          data <- D.fileSlice(fb, off, size)
+                          bs <- D.bitmap(data)
+                          if bs.length.toLong == card
+                        } yield bs
+                      case _ => None
+                    }
+                  } yield vals.toSet
+                  res.getOrElse { ok = false; Set.empty }
+                case Some(_) => ok = false; Set.empty
+              }
+              (files.get(path).flatMap(P.columnLongs(_, "rec_id")),
+                files.get(path).flatMap(P.columnLongs(_, "val"))) match {
+                case (Some(rs), Some(vs)) if rs.length == vs.length =>
+                  dead.foreach(pos =>
+                    if (pos < 0 || pos >= rs.length) ok = false)
+                  var i = 0
+                  while (i < rs.length) {
+                    if (!dead.contains(i.toLong)) {
+                      rows += 1; idSum += rs(i); valSum += vs(i)
+                    }
+                    i += 1
+                  }
+                case _ => ok = false
+              }
+            }
+            if (ok && featureOk && live.length == 3)
+              Seq((t, live.length.toLong, nInline, nFile, rows,
+                idSum, valSum))
+            else Nil
+          }
+          .toDF("table_id", "n_live_files", "n_dv_inline",
+            "n_dv_file", "rows_live", "id_sum", "val_sum")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS part
+          FROM documents),
+        live AS (
+          SELECT * FROM r
+          WHERE NOT (part = 0 AND d % 7 = 2)
+            AND NOT (part = 1 AND d % 5 = 3)
+            AND NOT (part = 2 AND d % 11 = 4))
+        SELECT table_id,
+               CAST(3 AS BIGINT) AS n_live_files,
+               CAST(1 AS BIGINT) AS n_dv_inline,
+               CAST(2 AS BIGINT) AS n_dv_file,
+               CAST(count(*) AS BIGINT) AS rows_live,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 23) % 997) AS BIGINT) AS val_sum
+        FROM live GROUP BY table_id"""))
+
+    Seq(q254, q261, q270, q272, q280, q282, q287, q299, q339, q340)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:

@@ -226,6 +226,71 @@ object DeltaWrite {
       names(2) -> data(2), names(3) -> data(3))
   }
 
+  // ---- deletion-vector write (q340) ----------------------------------------
+
+  /** Protocol action gated on the deletionVectors reader feature
+    * (minReaderVersion 3 / minWriterVersion 7 per PROTOCOL.md).
+    */
+  val protocolActionDv: String =
+    """{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}}"""
+
+  /** An add carrying a deletionVector descriptor (canonical key
+    * order).
+    */
+  def addActionDv(path: String, size: Long, dvJson: String): String =
+    s"""{"add": {"dataChange": true, "deletionVector": $dvJson, "modificationTime": 1700000000000, "partitionValues": {}, "path": "$path", "size": $size}}"""
+
+  /** The q340 table: three data files (own parquet writer,
+    * val = (d*23) % 997), then ONE commit that re-adds each with a
+    * deletion vector — part 0's INLINE (Z85 in the log, d%7==2
+    * dead), parts 1 and 2 sharing a `u`-storage `.bin` DV FILE at
+    * two offsets (d%5==3 and d%11==4 dead) — every byte through the
+    * engine's own writers ([[DeletionVectorsWrite]]). Returns
+    * rel_path -> bytes.
+    */
+  def writeDvTable(id: String, t: Long,
+                   ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val V = DeletionVectorsWrite
+    val parts = (0 to 2).map(x =>
+      ids.filter(d => (d / 6) % 3 == x).toIndexedSeq)
+    val names = (0 to 2).map(x => s"part-$x.parquet")
+    val data = parts.map(p => ParquetWrite.writeInt64(
+      Seq("rec_id", "val"), p.map(d => Array(d, (d * 23) % 997))))
+    def deadPos(x: Int, cond: Long => Boolean): Seq[Long] =
+      parts(x).zipWithIndex.collect {
+        case (d, i) if cond(d) => i.toLong }
+    val dv0 = V.serializeBitmap(deadPos(0, _ % 7 == 2))
+    val dv1 = V.serializeBitmap(deadPos(1, _ % 5 == 3))
+    val dv2 = V.serializeBitmap(deadPos(2, _ % 11 == 4))
+    val (bin, offs) = V.dvFile(Seq(dv1, dv2))
+    val uuid = new java.util.UUID(0xAAAA0000L + t, 0xBB.toLong)
+    val binName = s"deletion_vector_$uuid.bin"
+    val d0 = V.descriptorJson("i", V.z85Encode(dv0), None,
+      dv0.length.toLong, deadPos(0, _ % 7 == 2).length.toLong)
+    val d1 = V.descriptorJson("u", V.uuidPathEncode(uuid),
+      Some(offs(0)._1), offs(0)._2,
+      deadPos(1, _ % 5 == 3).length.toLong)
+    val d2 = V.descriptorJson("u", V.uuidPathEncode(uuid),
+      Some(offs(1)._1), offs(1)._2,
+      deadPos(2, _ % 11 == 4).length.toLong)
+    val c0 = (Seq(protocolActionDv, metaDataAction(id)) ++
+      (0 to 2).map(x => addAction(names(x), data(x).length.toLong)))
+      .mkString("\n") + "\n"
+    val c1 = Seq(
+      removeAction(names(0)),
+      addActionDv(names(0), data(0).length.toLong, d0),
+      removeAction(names(1)),
+      addActionDv(names(1), data(1).length.toLong, d1),
+      removeAction(names(2)),
+      addActionDv(names(2), data(2).length.toLong, d2))
+      .mkString("\n") + "\n"
+    Map(
+      "_delta_log/00000000000000000000.json" -> c0.getBytes(Utf8),
+      "_delta_log/00000000000000000001.json" -> c1.getBytes(Utf8),
+      binName -> bin,
+      names(0) -> data(0), names(1) -> data(1), names(2) -> data(2))
+  }
+
   // ---- OPTIMIZE write (q339) ----------------------------------------------
 
   /** add/remove with an explicit dataChange — OPTIMIZE commits MUST

@@ -143,6 +143,71 @@ class DeletionVectorsSpec extends AnyFunSuite {
   }
 
   /** Test-side Z85 encoder (the engine only decodes). */
+  test("WRITE twin: serializeBitmap is byte-identical to the " +
+    "reference implementation's portable form; own reader and " +
+    "reference both round-trip it") {
+    val W = graft.sources.DeletionVectorsWrite
+    val arrayVals = (0 until 300).map(i => (i * 977).toLong)
+    val bitmapVals = (0 until 6000).map(i => 0x10000L + i * 2)
+    val multi = (arrayVals ++ Seq((2L << 32) | 5L,
+      (2L << 32) | 70000L)).sorted
+    for (vals <- Seq(arrayVals, bitmapVals,
+      (arrayVals ++ bitmapVals).sorted.distinct, multi, Seq(0L),
+      Seq.empty[Long])) {
+      val mine = W.serializeBitmap(vals)
+      // own reader round-trips
+      assert(DeletionVectors.bitmap(mine).exists(_.toSeq == vals),
+        s"own read, n=${vals.length}")
+      // reference byte equality: same values bucketed by high-32
+      val nB = if (vals.isEmpty) 0 else (vals.last >>> 32).toInt + 1
+      val rbs = (0 until nB).map { h =>
+        val rb = new org.roaringbitmap.RoaringBitmap()
+        vals.filter(v => (v >>> 32) == h)
+          .foreach(v => rb.add((v & 0xffffffffL).toInt))
+        rb
+      }
+      assert(java.util.Arrays.equals(mine, portable(rbs)),
+        s"reference bytes, n=${vals.length}")
+    }
+  }
+
+  test("WRITE twin: z85Encode, uuidPathEncode and dvFile all " +
+    "round-trip through the reader; CRC framing fails closed") {
+    val W = graft.sources.DeletionVectorsWrite
+    // z85: inverse of the reader on arbitrary (padded) bytes
+    val rnd = new java.util.Random(7)
+    for (n <- Seq(1, 2, 3, 4, 15, 16, 100)) {
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      val enc = W.z85Encode(b)
+      val dec = DeletionVectors.z85Decode(enc)
+        .getOrElse(fail(s"z85 n=$n"))
+      assert(dec.length - n <= 3 &&
+        dec.take(n).toSeq == b.toSeq &&
+        dec.drop(n).forall(_ == 0), s"n=$n")
+    }
+    // uuid path
+    val u = new java.util.UUID(0x0123456789abcdefL, 0xfedcba9876543210L)
+    assert(DeletionVectors.uuidPath(W.uuidPathEncode(u))
+      .contains(s"deletion_vector_$u.bin"))
+    // dv file frame: two vectors, each sliced back by its offset
+    val v1 = W.serializeBitmap(Seq(1L, 5L, 9L))
+    val v2 = W.serializeBitmap((0 until 5000).map(_.toLong * 3))
+    val (file, offs) = W.dvFile(Seq(v1, v2))
+    assert(offs.length == 2 && offs(0)._1 == 1L)
+    for (((off, sz), v) <- offs.zip(Seq(v1, v2))) {
+      val got = DeletionVectors.fileSlice(file, off, sz)
+        .getOrElse(fail("slice"))
+      assert(java.util.Arrays.equals(got, v))
+    }
+    // corrupt one payload byte: the CRC law fails that slice closed
+    val bad = file.clone()
+    bad(offs(1)._1.toInt + 7) = (bad(offs(1)._1.toInt + 7) ^ 1).toByte
+    assert(DeletionVectors.fileSlice(bad, offs(1)._1,
+      offs(1)._2).isEmpty)
+    assert(DeletionVectors.fileSlice(bad, offs(0)._1,
+      offs(0)._2).isDefined)
+  }
+
   private def zEncode(b: Array[Byte]): String = {
     require(b.length % 4 == 0)
     val alpha = "0123456789abcdefghijklmnopqrstuvwxyz" +
