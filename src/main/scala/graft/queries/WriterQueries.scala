@@ -2431,5 +2431,92 @@ object WriterQueries {
                (tar_len + 2047) // 2048,
                CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         FROM geo"""),
+      headline = false),
+
+    // q341 -- parquet V2 VALUE ENCODINGS, write side (the read side
+    // has decoded them since the q268-era work): the encodings a
+    // 100 TB columnar corpus actually wants -- DELTA_BINARY_PACKED
+    // for sorted doc ids (per-block min-delta + LSB-first miniblock
+    // packing, the exact inverse of the own reader),
+    // DELTA_BYTE_ARRAY front-coding for sorted names,
+    // DELTA_LENGTH_BYTE_ARRAY for language tags, and
+    // BYTE_STREAM_SPLIT for the score/embedding doubles (transposed
+    // IEEE bytes -- the scientific-data layout). The engine writes a
+    // per-blob corpus shard in BOTH forms, PLAIN and v2, through its
+    // own writer; laws: the own reader returns every column
+    // value-identical from the v2 file, the v2 file is strictly
+    // smaller (front-coding + delta packing must actually pay on
+    // sorted data), and all sums re-derive in DuckDB. parquet-mr
+    // cross-reads the identical writer output across the ParquetSpec
+    // battery (incl. the PARQUET-246 split guard and the
+    // non-vectorized BSS path).
+    "q341_parquet_v2_encodings_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val n = ids.length
+            val names = ids.map(d => f"doc-$d%012d/s-${d % 7}")
+            val langs = ids.map(d => s"lang-${d % 5}")
+            val scoreBits = ids.map(d =>
+              java.lang.Double.doubleToLongBits((d % 48) / 8.0))
+            val fields = Seq(
+              W.Leaf("doc_id", 0, 2),
+              W.Leaf("name", 0, 6, convertedType = 0),
+              W.Leaf("lang", 0, 6, convertedType = 0),
+              W.Leaf("score", 0, 5))
+            def mk(encs: (Int, Int, Int, Int)) = Seq(
+              W.LeafData(Array.fill(n)(0), null,
+                longs = ids.toArray, enc = encs._1),
+              W.LeafData(Array.fill(n)(0), null,
+                bins = names.map(_.getBytes("UTF-8")).toArray,
+                enc = encs._2),
+              W.LeafData(Array.fill(n)(0), null,
+                bins = langs.map(_.getBytes("UTF-8")).toArray,
+                enc = encs._3),
+              W.LeafData(Array.fill(n)(0), null,
+                longs = scoreBits.toArray, enc = encs._4))
+            val v2 = W.writeFile(fields, mk((5, 7, 6, 9)),
+              pageRows = 512)
+            val plain = W.writeFile(fields, mk((0, 0, 0, 0)),
+              pageRows = 512)
+            val rt =
+              P.columnLongs(v2, "doc_id").exists(_.toSeq == ids) &&
+                P.columnStrings(v2, "name").exists(
+                  _.toSeq == names) &&
+                P.columnStrings(v2, "lang").exists(
+                  _.toSeq == langs) &&
+                P.columnLongs(v2, "score").exists(
+                  _.toSeq == scoreBits)
+            val smaller = v2.length < plain.length
+            if (!(rt && smaller)) Nil
+            else Seq((blobId, n.toLong, ids.sum,
+              names.map(_.length.toLong).sum,
+              langs.distinct.length.toLong,
+              scoreBits.map(java.lang.Double.longBitsToDouble).sum,
+              1L, 1L))
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "name_len_sum",
+            "n_langs", "score_sum", "rt_exact", "v2_smaller")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(length(printf('doc-%012d/s-%d', d, d % 7)))
+                 AS BIGINT) AS name_len_sum,
+               CAST(count(DISTINCT d % 5) AS BIGINT) AS n_langs,
+               sum((d % 48) / 8.0) AS score_sum,
+               CAST(1 AS BIGINT) AS rt_exact,
+               CAST(1 AS BIGINT) AS v2_smaller
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

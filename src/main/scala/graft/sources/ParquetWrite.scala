@@ -103,7 +103,151 @@ object ParquetWrite {
   final case class LeafData(defs: Array[Int], reps: Array[Int],
                             longs: Array[Long] = null,
                             bins: Array[Array[Byte]] = null,
-                            dict: Boolean = false)
+                            dict: Boolean = false,
+                            enc: Int = 0)
+
+  // ---- v2 value encodings, write side (q341) ------------------------------
+
+  /** DELTA_BINARY_PACKED (Encodings.md §5): block 128, 4 miniblocks
+    * of 32 — the exact inverse of the engine's own reader
+    * ([[Parquet]] `deltaBinPacked`): ULEB header, zigzag first value,
+    * per block zigzag min-delta + 4 width bytes, then LSB-first
+    * bit-packed (delta - min) miniblocks; in the last block unneeded
+    * miniblocks keep the width byte but have NO payload.
+    */
+  def encodeDeltaBinPacked(vals: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def uleb(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+    def zig(v: Long): Unit = uleb((v << 1) ^ (v >> 63))
+    uleb(128L); uleb(4L); uleb(vals.length.toLong)
+    zig(if (vals.isEmpty) 0L else vals(0))
+    var at = 1
+    while (at < vals.length) {
+      val nDeltas = math.min(128, vals.length - at)
+      val deltas = new Array[Long](nDeltas)
+      var i = 0
+      while (i < nDeltas) {
+        deltas(i) = vals(at + i) - vals(at + i - 1); i += 1
+      }
+      var minD = deltas(0)
+      i = 1
+      while (i < nDeltas) {
+        if (deltas(i) < minD) minD = deltas(i); i += 1
+      }
+      zig(minD)
+      val widths = new Array[Int](4)
+      var mb = 0
+      while (mb < 4) {
+        var maxAdj = 0L
+        var j = mb * 32
+        while (j < math.min((mb + 1) * 32, nDeltas)) {
+          val adj = deltas(j) - minD
+          // unsigned max (wrap-around deltas pack at full width)
+          if ((adj ^ Long.MinValue) > (maxAdj ^ Long.MinValue))
+            maxAdj = adj
+          j += 1
+        }
+        widths(mb) = 64 - java.lang.Long.numberOfLeadingZeros(maxAdj)
+        mb += 1
+      }
+      widths.foreach(out.write)
+      mb = 0
+      while (mb < 4) {
+        if (mb * 32 < nDeltas) {
+          val w = widths(mb)
+          val payload = new Array[Byte](32 / 8 * w)
+          var bitPos = 0
+          var j = mb * 32
+          while (j < (mb + 1) * 32) {
+            if (j < nDeltas) {
+              val adj = deltas(j) - minD
+              var k = 0
+              while (k < w) {
+                if (((adj >>> k) & 1L) != 0) {
+                  val bit = bitPos + k
+                  payload(bit >> 3) =
+                    (payload(bit >> 3) | (1 << (bit & 7))).toByte
+                }
+                k += 1
+              }
+            }
+            bitPos += w
+            j += 1
+          }
+          out.write(payload, 0, payload.length)
+        }
+        mb += 1
+      }
+      at += nDeltas
+    }
+    out.toByteArray
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY: DBP-coded lengths, then the
+    * concatenated bytes.
+    */
+  def encodeDeltaLenBA(bins: Array[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val lens = encodeDeltaBinPacked(bins.map(_.length.toLong))
+    out.write(lens, 0, lens.length)
+    bins.foreach(b => out.write(b, 0, b.length))
+    out.toByteArray
+  }
+
+  /** DELTA_BYTE_ARRAY: DBP prefix lengths + DBP suffix lengths +
+    * concatenated suffixes (value i = previous.take(prefix) ++
+    * suffix — the front-coding sorted string columns live on).
+    */
+  def encodeDeltaBA(bins: Array[Array[Byte]]): Array[Byte] = {
+    val n = bins.length
+    val pre = new Array[Long](n)
+    val suf = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      var p = 0
+      if (i > 0) {
+        val prev = bins(i - 1)
+        val cap = math.min(prev.length, bins(i).length)
+        while (p < cap && prev(p) == bins(i)(p)) p += 1
+      }
+      pre(i) = p.toLong
+      suf(i) = java.util.Arrays.copyOfRange(bins(i), p, bins(i).length)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val pb = encodeDeltaBinPacked(pre)
+    out.write(pb, 0, pb.length)
+    val sb = encodeDeltaBinPacked(suf.map(_.length.toLong))
+    out.write(sb, 0, sb.length)
+    suf.foreach(b => out.write(b, 0, b.length))
+    out.toByteArray
+  }
+
+  /** BYTE_STREAM_SPLIT: k streams of one byte position each (k =
+    * type width) — the transposed layout that makes IEEE exponent
+    * bytes compress, the embedding-column encoding at scale.
+    */
+  def encodeByteStreamSplit(vals: Array[Long],
+                            width: Int): Array[Byte] = {
+    val n = vals.length
+    val out = new Array[Byte](n * width)
+    var k = 0
+    while (k < width) {
+      var i = 0
+      while (i < n) {
+        out(k * n + i) = ((vals(i) >>> (8 * k)) & 0xff).toByte
+        i += 1
+      }
+      k += 1
+    }
+    out
+  }
 
   /** Per-leaf derived shape: dotted path, max def/rep, phys type. */
   private final case class LeafShape(path: Seq[String], maxDef: Int,
@@ -507,7 +651,36 @@ object ParquetWrite {
                 body0.write(runs, 0, runs.length)
               } else body0.write(1) // all-null page: bare width byte
               8 // RLE_DICTIONARY
+            } else if (ld.enc == 5 &&
+              (sh.physType == 1 || sh.physType == 2)) {
+              val vs = java.util.Arrays.copyOfRange(ld.longs,
+                presentAt, presentAt + present)
+              val b = encodeDeltaBinPacked(vs)
+              body0.write(b, 0, b.length)
+              5 // DELTA_BINARY_PACKED
+            } else if (ld.enc == 6 && isBin) {
+              val vs = java.util.Arrays.copyOfRange(ld.bins,
+                presentAt, presentAt + present)
+              val b = encodeDeltaLenBA(vs)
+              body0.write(b, 0, b.length)
+              6 // DELTA_LENGTH_BYTE_ARRAY
+            } else if (ld.enc == 7 && isBin) {
+              val vs = java.util.Arrays.copyOfRange(ld.bins,
+                presentAt, presentAt + present)
+              val b = encodeDeltaBA(vs)
+              body0.write(b, 0, b.length)
+              7 // DELTA_BYTE_ARRAY
+            } else if (ld.enc == 9 && !isBin && sh.physType != 0) {
+              val vs = java.util.Arrays.copyOfRange(ld.longs,
+                presentAt, presentAt + present)
+              val w =
+                if (sh.physType == 1 || sh.physType == 4) 4 else 8
+              val b = encodeByteStreamSplit(vs, w)
+              body0.write(b, 0, b.length)
+              9 // BYTE_STREAM_SPLIT
             } else {
+              require(ld.enc == 0, s"enc ${ld.enc} on phys ${
+                sh.physType}")
               var i = 0
               while (i < present) {
                 if (isBin) {
@@ -683,7 +856,8 @@ object ParquetWrite {
         f.elemI32(0); f.elemI32(3); f.elemI32(8) // PLAIN, RLE, RLE_DICT
       } else {
         f.list(2, 2, 5)
-        f.elemI32(0); f.elemI32(3) // PLAIN, RLE
+        f.elemI32(data(c).enc.toLong) // value encoding (PLAIN or v2)
+        f.elemI32(3) // RLE levels
       }
       f.list(3, sh.path.length, 8)
       sh.path.foreach(f.elemStr)

@@ -1265,7 +1265,103 @@ class ParquetSpec extends SparkSpec {
       DeltaCheckpoint.parse(bad) // None or well-formed, never a throw
     }
   }
+  test("ParquetWrite v2 value encodings: own DELTA_BINARY_PACKED, " +
+    "DELTA_LENGTH/DELTA_BYTE_ARRAY and BYTE_STREAM_SPLIT writes read " +
+    "back through parquet-mr AND the own reader, multi-page, extremes") {
+    val W = graft.sources.ParquetWrite
+    val P = graft.sources.Parquet
+    val n = 2500 // multiple DBP blocks + a non-multiple-of-128 tail
+    val ids = (0 until n).map(i => 1000000L + i * 3 - (i % 7))
+    val names = (0 until n).map(i => f"doc-$i%08d/part-${i % 5}")
+    val tags = (0 until n).map(i => s"t${i % 997}")
+    val embBits = (0 until n).map(i =>
+      java.lang.Double.doubleToLongBits(i * 0.5 - 600.0))
+    val fields = Seq(
+      W.Leaf("id", 0, 2),
+      W.Leaf("name", 0, 6, convertedType = 0),
+      W.Leaf("tag", 0, 6, convertedType = 0),
+      W.Leaf("emb", 0, 5))
+    val data = Seq(
+      W.LeafData(Array.fill(n)(0), null, longs = ids.toArray, enc = 5),
+      W.LeafData(Array.fill(n)(0), null,
+        bins = names.map(_.getBytes("UTF-8")).toArray, enc = 7),
+      W.LeafData(Array.fill(n)(0), null,
+        bins = tags.map(_.getBytes("UTF-8")).toArray, enc = 6),
+      W.LeafData(Array.fill(n)(0), null, longs = embBits.toArray,
+        enc = 9))
+    for (pageRows <- Seq(0, 700)) {
+      val b = W.writeFile(fields, data, pageRows = pageRows)
+      assert(P.columnLongs(b, "id").exists(_.toSeq == ids))
+      assert(P.columnStrings(b, "name").exists(_.toSeq == names))
+      assert(P.columnStrings(b, "tag").exists(_.toSeq == tags))
+      assert(P.columnLongs(b, "emb").exists(_.toSeq == embBits))
+      val dir = java.nio.file.Files.createTempDirectory("pqv2e").toFile
+      val p = new java.io.File(dir, "own.parquet")
+      java.nio.file.Files.write(p.toPath, b)
+      // Spark's vectorized reader has no BYTE_STREAM_SPLIT support;
+      // parquet-mr's row-based reader (the reference decoder) does
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader",
+        "false")
+      val got =
+        // parquet.split.files=false: parquet-mr's PARQUET-246 guard
+        // refuses split reads of DELTA_BYTE_ARRAY from writers it
+        // cannot version-parse (created_by "graft parquet writer")
+        try spark.read.option("parquet.split.files", "false")
+          .parquet(p.getAbsolutePath)
+          .selectExpr("count(*)", "sum(id)", "sum(length(name))",
+            "count(distinct tag)", "sum(emb)").collect()(0)
+        finally spark.conf.set(
+          "spark.sql.parquet.enableVectorizedReader", "true")
+      assert(got.getLong(0) == n && got.getLong(1) == ids.sum)
+      assert(got.getLong(2) == names.map(_.length.toLong).sum)
+      assert(got.getLong(3) == 997L)
+      assert(math.abs(got.getDouble(4) -
+        (0 until n).map(i => i * 0.5 - 600.0).sum) < 1e-6)
+      p.delete(); dir.delete()
+    }
+    // front-coding must actually pay on sorted names vs PLAIN
+    val plainB = W.writeFile(fields.take(2), data.take(2).map(d =>
+      d.copy(enc = 0)))
+    val v2B = W.writeFile(fields.take(2), data.take(2))
+    assert(v2B.length < plainB.length,
+      s"${v2B.length} vs ${plainB.length}")
+    // DBP edge battery through a 1-column file: wrap-around deltas,
+    // single value, exact block multiples
+    for (vs <- Seq(Seq(0L, Long.MaxValue, Long.MinValue, -1L, 1L),
+      Seq(42L), (0 until 128).map(_.toLong * 7),
+      (0 until 129).map(i => -i.toLong * 1000003),
+      Seq.fill(300)(5L))) {
+      val f = Seq(W.Leaf("x", 0, 2))
+      val d = Seq(W.LeafData(Array.fill(vs.length)(0), null,
+        longs = vs.toArray, enc = 5))
+      val bb = W.writeFile(f, d)
+      assert(P.columnLongs(bb, "x").exists(_.toSeq == vs), vs.take(3))
+      val dir = java.nio.file.Files.createTempDirectory("dbpe").toFile
+      val p = new java.io.File(dir, "e.parquet")
+      java.nio.file.Files.write(p.toPath, bb)
+      val back = spark.read.parquet(p.getAbsolutePath)
+        .collect().map(_.getLong(0)).toSeq
+      assert(back.sorted == vs.sorted, vs.take(3))
+      p.delete(); dir.delete()
+    }
+    // OPTIONAL leaf with v2 encoding: nulls ride the def levels,
+    // values the DBP stream
+    val defs = (0 until n).map(i => if (i % 5 == 0) 0 else 1).toArray
+    val present = (0 until n).filter(_ % 5 != 0)
+      .map(i => i.toLong * 11).toArray
+    val ob = W.writeFile(Seq(W.Leaf("ox", 1, 2)),
+      Seq(W.LeafData(defs, null, longs = present, enc = 5)))
+    val dir2 = java.nio.file.Files.createTempDirectory("dbpo").toFile
+    val p2 = new java.io.File(dir2, "o.parquet")
+    java.nio.file.Files.write(p2.toPath, ob)
+    val g2 = spark.read.parquet(p2.getAbsolutePath)
+      .selectExpr("count(*)", "count(ox)", "sum(ox)").collect()(0)
+    assert(g2.getLong(0) == n && g2.getLong(1) == present.length &&
+      g2.getLong(2) == present.sum)
+    p2.delete(); dir2.delete()
+  }
 }
+
 
 // Top-level so Spark derives encoders (mini-checkpoint spec rows).
 case class CkAdd(path: String, partitionValues: Map[String, String],
