@@ -2518,5 +2518,76 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS rt_exact,
                CAST(1 AS BIGINT) AS v2_smaller
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q342 -- the Avro codec table CLOSED: with q334's bzip2 and
+    // q337's xz encoders landed, the container writer now covers
+    // every codec the Avro spec names (null, deflate, snappy,
+    // zstandard, bzip2, xz) with engine-owned encoders on BOTH
+    // sides -- this query drives the two archive codecs q335 could
+    // not. Per blob the corpus records are framed under bzip2 (BWT +
+    // multi-table Huffman) and xz (LZMA2 + seek index), each block
+    // one complete stream; the engine's own parseContainer must
+    // return value-identical records through its own bzip2/LZMA
+    // decoders, and each compressed container must beat the stored
+    // one. Apache Avro (BZip2Codec/XZCodec, the Java reference)
+    // cross-reads the same bytes in AvroGenericSpec.
+    "q342_avro_archive_codecs" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val G = graft.sources.AvroGeneric
+            val ids = it.map(_._2).toSeq.sorted
+            val schema =
+              """{"type":"record","name":"doc","fields":[""" +
+                """{"name":"id","type":"long"},""" +
+                """{"name":"body","type":"string"}]}"""
+            val recs = ids.map { d =>
+              G.VRecord(Vector(
+                "id" -> G.VLong(d),
+                "body" -> G.VString(
+                  s"doc $d lang ${d % 5} " + ("lorem " * (d % 9).toInt))))
+            }
+            val nullBytes = graft.sources.AvroWrite.container(
+              schema, recs, "null", s"q342-$blobId", 512)
+            Seq("bzip2", "xz").flatMap { codec =>
+              val b = graft.sources.AvroWrite.container(
+                schema, recs, codec, s"q342-$blobId", 512)
+              G.parseContainer(b).toSeq.flatMap { dec =>
+                if (dec.records != recs.toVector ||
+                  b.length >= nullBytes.length) Nil
+                else {
+                  val bodyLen = ids.map(d =>
+                    (s"doc $d lang ${d % 5} ").length +
+                      6L * (d % 9)).sum
+                  Seq((blobId, codec, ids.length.toLong, ids.sum,
+                    bodyLen, 1L, 1L))
+                }
+              }
+            }
+          }
+          .toDF("blob_id", "codec", "n_records", "id_sum",
+            "body_len_sum", "rt_exact", "beats_null")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        per AS (
+          SELECT blob_id,
+                 CAST(count(*) AS BIGINT) AS n_records,
+                 CAST(sum(d) AS BIGINT) AS id_sum,
+                 CAST(sum(length('doc ' || d || ' lang ' || (d % 5)
+                   || ' ') + 6 * (d % 9)) AS BIGINT) AS body_len_sum
+          FROM r GROUP BY blob_id)
+        SELECT p.blob_id, c.codec, p.n_records, p.id_sum,
+               p.body_len_sum,
+               CAST(1 AS BIGINT) AS rt_exact,
+               CAST(1 AS BIGINT) AS beats_null
+        FROM per p
+        CROSS JOIN (SELECT unnest(['bzip2', 'xz']) AS codec) c"""),
       headline = false))
 }

@@ -397,7 +397,7 @@ object AvroGeneric {
       }
       if (schemaJson == null) return None
       if (codec != "null" && codec != "deflate" && codec != "snappy" &&
-        codec != "zstandard")
+        codec != "zstandard" && codec != "bzip2" && codec != "xz")
         return None
       val schema = parseSchema(schemaJson).getOrElse(return None)
       if (pos + 16 > b.length) return None
@@ -430,7 +430,27 @@ object AvroGeneric {
               case Some(Seq(fr)) if fr.kind == "zstd" => fr.decoded
               case _ => return None
             }
-          else inflateRaw(b, dataOff, dataLen).getOrElse(return None)
+          else if (codec == "bzip2")
+            // one bzip2 stream per block, engine-owned decoder
+            Bzip2.decompress(java.util.Arrays.copyOfRange(
+              b, dataOff, dataOff + dataLen)).getOrElse(return None)
+          else if (codec == "xz") {
+            // one .xz stream per block: engine-owned walk + LZMA
+            val blk = java.util.Arrays.copyOfRange(
+              b, dataOff, dataOff + dataLen)
+            Xz.parse(blk) match {
+              case Some(info) =>
+                val acc = new java.io.ByteArrayOutputStream()
+                info.blocks.foreach { bl =>
+                  Lzma2.decode(blk, bl.dataStart, bl.unpackedLen) match {
+                    case Some(x) => acc.write(x, 0, x.length)
+                    case None => return None
+                  }
+                }
+                acc.toByteArray
+              case None => return None
+            }
+          } else inflateRaw(b, dataOff, dataLen).getOrElse(return None)
         var rp = 0
         var i = 0L
         while (i < cnt._1) {

@@ -125,7 +125,8 @@ object AvroWrite {
 
   /** Write one object container: `records` of the schema embedded in
     * `schemaJson`, `blockRecords` records per block, codec one of
-    * null / deflate / snappy / zstandard (all engine-owned encoders).
+    * null / deflate / snappy / zstandard / bzip2 / xz — the FULL
+    * Avro-spec codec table, every one an engine-owned encoder.
     * `syncSeed` makes the 16-byte sync marker deterministic (md5),
     * so same inputs always produce the same bytes.
     */
@@ -134,7 +135,8 @@ object AvroWrite {
                 syncSeed: String = "graft-avro",
                 blockRecords: Int = 1000): Array[Byte] = {
     require(codec == "null" || codec == "deflate" || codec == "snappy" ||
-      codec == "zstandard", s"codec $codec")
+      codec == "zstandard" || codec == "bzip2" || codec == "xz",
+      s"codec $codec")
     require(blockRecords >= 1)
     val schema = AvroGeneric.parseSchema(schemaJson)
       .getOrElse(throw new IllegalArgumentException("bad schema"))
@@ -162,6 +164,8 @@ object AvroWrite {
             ((c >> 16) & 0xff).toByte, ((c >> 8) & 0xff).toByte,
             (c & 0xff).toByte)
         case "zstandard" => ZstdEncode.compress(plain)
+        case "bzip2" => Bzip2Encode.compress(plain, level = 1)
+        case "xz" => LzmaEncode.xz(plain)
         case _ => plain
       }
       zigzag(out, chunk.length.toLong)

@@ -299,6 +299,43 @@ class AvroGenericSpec extends AnyFunSuite {
     }
   }
 
+  test("AvroWrite archive codecs (bzip2, xz): own write -> own read " +
+    "value-identical; Apache Avro's BZip2Codec/XZCodec cross-read; " +
+    "size law vs stored") {
+    import graft.sources.{AvroGeneric, AvroWrite}
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val recs = (0L until 200L).map(writeRec)
+    val stored = AvroWrite.container(WriteSchema, recs, codec = "null",
+      syncSeed = "arch-null", blockRecords = 64)
+    for (codec <- Seq("bzip2", "xz")) {
+      val b = AvroWrite.container(WriteSchema, recs, codec = codec,
+        syncSeed = s"arch-$codec", blockRecords = 64)
+      assert(b.length < stored.length, codec)
+      // own read: value-identical records through own bzip2/LZMA
+      val own = AvroGeneric.parseContainer(b)
+        .getOrElse(fail(s"$codec: own read"))
+      assert(own.records == recs.toVector, codec)
+      // the Java reference decodes the same bytes
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(b),
+        new GenericDatumReader[GenericRecord]())
+      var i = 0L
+      while (rd.hasNext) {
+        val r = rd.next()
+        assert(r.get("id").asInstanceOf[Long] == i, s"$codec id $i")
+        assert(r.get("name").toString == s"row-$i")
+        i += 1
+      }
+      rd.close()
+      assert(i == 200L, s"$codec record count")
+      // a flipped payload byte inside a block must fail closed
+      val bad = b.clone()
+      bad(b.length / 2) = (bad(b.length / 2) ^ 0x5a).toByte
+      AvroGeneric.parseContainer(bad) // None or well-formed, no throw
+    }
+  }
+
   test("AvroWrite: value/schema mismatch fails closed (Damage), " +
     "never silently mis-typed bytes") {
     import graft.sources.AvroWrite
