@@ -2589,5 +2589,117 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS beats_null
         FROM per p
         CROSS JOIN (SELECT unnest(['bzip2', 'xz']) AS codec) c"""),
+      headline = false),
+
+    // q343 -- the CDX(J) INDEX, write side + index-driven fetch: how
+    // the web-archive world random-accesses petabytes of WARC. The
+    // engine writes a member-per-record .warc.gz (own gzip encoder,
+    // q327's layout) AND its CDXJ index -- SURT keys (reversed-host
+    // sort transform), 14-digit timestamps, canonical-JSON capture
+    // metadata carrying each member's (offset, length) and the
+    // sha1-base32 payload digest -- sorted by (SURT, ts), the order
+    // the ecosystem binary-searches. The probe law is the q330
+    // posture on crawl data: fetching a URI goes CDX lookup -> slice
+    // ONE gzip member -> own inflate -> own WARC parse, decoding
+    // exactly n_probes members out of the archive; payload and
+    // digest must match, and the index's length census must equal a
+    // full-archive replay. At 100 TB the index is the difference
+    // between a seek and a scan.
+    "q343_warc_cdx_index_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val W = graft.sources.WarcWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def uriOf(d: Long) = s"https://ex-${d % 7}.org/doc/$d?x=${d % 3}"
+            def payloadOf(d: Long) =
+              s"payload for $d: " + ("w" * (d % 11).toInt)
+            def tsOf(d: Long) = f"20260101${(d % 24)}%02d0000"
+            val recs = ids.map { d =>
+              W.record("response", uriOf(d), f"$d%08d", 
+                "2026-01-01T00:00:00Z",
+                payloadOf(d).getBytes("UTF-8"))
+            }
+            val (gz, offs) = W.writeGzIndexed(recs)
+            val fname = s"blob-$blobId.warc.gz"
+            val entries = ids.zip(offs).map { case (d, (off, len)) =>
+              W.CdxEntry(uriOf(d), tsOf(d), off, len,
+                W.sha1B32(payloadOf(d).getBytes("UTF-8")), fname)
+            }
+            val cdx = new String(W.cdxj(entries), "UTF-8")
+            val lines = cdx.split("\n").filter(_.nonEmpty)
+            // law 1: lines sorted by (SURT, ts)
+            val keys = lines.map { l =>
+              val a = l.split(" ", 3); (a(0), a(1))
+            }
+            val sortedOk = keys.zip(keys.drop(1)).forall {
+              case (x, y) => x._1 < y._1 ||
+                (x._1 == y._1 && x._2 <= y._2)
+            }
+            // law 2: index-driven fetch decodes ONLY the probed
+            // members; payload + digest byte-exact
+            val byUri = entries.map(e => (e.uri, e)).toMap
+            val probes = ids.filter(_ % 5 == 2)
+            var nDecoded = 0L
+            var probeLen = 0L
+            var fetchOk = true
+            probes.foreach { d =>
+              byUri.get(uriOf(d)) match {
+                case Some(e) =>
+                  val slice = java.util.Arrays.copyOfRange(gz,
+                    e.offset.toInt, (e.offset + e.length).toInt)
+                  graft.sources.Warc.gunzip(slice)
+                    .map(m => graft.sources.Warc.parse(blobId, m)) match {
+                    case Some(Seq(r)) =>
+                      nDecoded += 1
+                      val want = payloadOf(d)
+                      if (r.target_uri != uriOf(d) ||
+                        r.payload != want ||
+                        e.digest != W.sha1B32(want.getBytes("UTF-8")))
+                        fetchOk = false
+                      else probeLen += r.content_length
+                    case _ => fetchOk = false
+                  }
+                case None => fetchOk = false
+              }
+            }
+            // law 3: the index's length census == full-archive replay
+            val full = graft.sources.Warc.parseAuto(blobId, gz)
+            val censusOk =
+              full.length == ids.length &&
+                full.map(_.content_length).sum ==
+                  ids.map(payloadOf(_).length.toLong).sum
+            val totalLen = full.map(_.content_length).sum
+            if (!(sortedOk && fetchOk && censusOk &&
+              nDecoded == probes.length.toLong &&
+              lines.length == ids.length)) Nil
+            else Seq((blobId, ids.length.toLong,
+              lines.length.toLong, nDecoded, probeLen, totalLen,
+              1L, 1L))
+          }
+          .toDF("blob_id", "n_records", "n_cdx", "n_probes",
+            "probe_len_sum", "total_len", "sorted_ok", "fetch_exact")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 CAST(length('payload for ' || doc_id || ': ')
+                   + doc_id % 11 AS BIGINT) AS plen
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               CAST(count(*) AS BIGINT) AS n_cdx,
+               CAST(sum(CASE WHEN d % 5 = 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN d % 5 = 2 THEN plen ELSE 0 END)
+                 AS BIGINT) AS probe_len_sum,
+               CAST(sum(plen) AS BIGINT) AS total_len,
+               CAST(1 AS BIGINT) AS sorted_ok,
+               CAST(1 AS BIGINT) AS fetch_exact
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

@@ -145,4 +145,50 @@ class WarcSpec extends SparkSpec {
     assert(rows.length == 20)
     assert(rows.groupBy(_.blob_id).forall(_._2.length == 2))
   }
+  test("CDXJ write side: SURT transform, the well-known empty-payload " +
+    "sha1-base32 digest, sorted capture lines, and slice-fetch " +
+    "through one gzip member") {
+    val W = graft.sources.WarcWrite
+    // SURT: reversed host, lowercased, scheme dropped
+    assert(W.surt("https://News.Example.org/A/b?q=1") ==
+      "org,example,news)/a/b?q=1")
+    assert(W.surt("http://a.b.c/") == "c,b,a)/")
+    assert(W.surt("https://host.tld") == "tld,host)/")
+    // the digest every WARC tool emits for an empty payload
+    assert(W.sha1B32(Array.emptyByteArray) ==
+      "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    // index a 3-record archive; lines must come out SURT-sorted even
+    // though the records were appended in URL order
+    val uris = Seq("https://zz.org/1", "https://aa.org/2",
+      "https://mm.org/3")
+    val recs = uris.zipWithIndex.map { case (u, i) =>
+      W.record("response", u, f"$i%08d", "2026-01-01T00:00:00Z",
+        s"body-$i".getBytes("UTF-8"))
+    }
+    val (gz, offs) = W.writeGzIndexed(recs)
+    val entries = uris.zip(offs).zipWithIndex.map {
+      case ((u, (off, len)), i) =>
+        W.CdxEntry(u, "20260101000000", off, len,
+          W.sha1B32(s"body-$i".getBytes("UTF-8")), "t.warc.gz")
+    }
+    val lines = new String(W.cdxj(entries), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    assert(lines.length == 3)
+    assert(lines.map(_.split(" ")(0)).toSeq ==
+      Seq("org,aa)/2", "org,mm)/3", "org,zz)/1"))
+    // fetch record 1 (aa.org) through its member slice alone
+    val e = entries(1)
+    val slice = java.util.Arrays.copyOfRange(gz, e.offset.toInt,
+      (e.offset + e.length).toInt)
+    val got = graft.sources.Warc.gunzip(slice)
+      .map(graft.sources.Warc.parse(7L, _))
+      .getOrElse(fail("member gunzip"))
+    assert(got.length == 1 && got.head.target_uri == "https://aa.org/2"
+      && got.head.payload == "body-1")
+    // offsets tile the archive exactly
+    assert(offs.map(_._2).sum == gz.length.toLong)
+    assert(offs.zip(offs.drop(1)).forall { case ((o1, l1), (o2, _)) =>
+      o1 + l1 == o2 })
+  }
 }
+
