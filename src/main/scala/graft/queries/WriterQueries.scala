@@ -2701,5 +2701,81 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS sorted_ok,
                CAST(1 AS BIGINT) AS fetch_exact
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q344 -- zstd PREFIX-DICTIONARY compression (RFC 8878 raw-
+    // content dictionaries): the small-document economics of a
+    // 100 TB corpus. KB-sized docs sharing boilerplate compress
+    // terribly alone -- the window never sees the template twice --
+    // so production pipelines train one dictionary and prime every
+    // frame with it. The engine owns BOTH directions:
+    // compressWithDict seeds its hash chains over the dictionary so
+    // content matches into the shared template from byte one, and
+    // walkWithDict primes the decode window while content size, the
+    // 128 KiB block bound, and the XXH64 checksum still measure the
+    // content alone. Laws: every doc round-trips byte-exact through
+    // the own pair; a doc frame is UNDECODABLE without its
+    // dictionary (matches reach before the frame -> fails closed);
+    // the dictionary strictly beats dict-less compression per blob
+    // (the reason to bother); raw sizes re-derive in DuckDB
+    // (KFIXED + digit lengths). libzstd cross-pins BOTH directions
+    // in ZstdSpec (decompressUsingDict eats own frames; own walk
+    // eats ZSTD_compress_usingDict output at levels 1/3/9).
+    "q344_zstd_dictionary" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val E = graft.sources.ZstdEncode
+            val Z = graft.sources.Zstd
+            val ids = it.map(_._2).toSeq.sorted
+            val langs = Seq("en", "es", "fr", "de", "pt")
+            def docOf(d: Long): String =
+              "{'license': 'cc-by-4.0', 'source': 'commoncrawl', " +
+                "'quality_gates': ['gopher', 'dedup', 'decontam'], " +
+                s"'doc_id': $d, 'lang': '${langs((d % 5).toInt)}', " +
+                s"'text': 'sample ${d % 13}'}"
+            val dict = docOf(0L).getBytes("UTF-8")
+            var rawSum = 0L
+            var dictSum = 0L
+            var plainSum = 0L
+            var rt = true
+            ids.foreach { d =>
+              val doc = docOf(d).getBytes("UTF-8")
+              rawSum += doc.length
+              val z = E.compressWithDict(doc, dict)
+              dictSum += z.length
+              plainSum += E.compress(doc).length
+              val back = Z.walkWithDict(z, dict)
+              if (!back.exists(fr => fr.length == 1 &&
+                fr.head.checksumState == "ok" &&
+                java.util.Arrays.equals(fr.head.decoded, doc)))
+                rt = false
+              // the frame must be undecodable WITHOUT its dictionary
+              if (Z.walk(z).isDefined) rt = false
+            }
+            if (!(rt && dictSum < plainSum)) Nil
+            else Seq((blobId, ids.length.toLong, rawSum, 1L, 1L))
+          }
+          .toDF("blob_id", "n_docs", "raw_len_sum", "rt_exact",
+            "dict_beats_plain")
+      },
+      // KFIXED = every non-digit char of the doc template (the two
+      // lang chars included); digits re-derived per id
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id,
+                 KFIXED + length(CAST(doc_id AS VARCHAR))
+                   + length(CAST(doc_id % 13 AS VARCHAR)) AS rlen
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(rlen) AS BIGINT) AS raw_len_sum,
+               CAST(1 AS BIGINT) AS rt_exact,
+               CAST(1 AS BIGINT) AS dict_beats_plain
+        FROM r GROUP BY blob_id""".replace("KFIXED", "144")),
       headline = false))
 }

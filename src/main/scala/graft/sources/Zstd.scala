@@ -72,7 +72,23 @@ object Zstd {
   /** Walk a complete multi-frame `.zst` byte stream. Decoded output is
     * capped at `cap` bytes per frame (adversarial-allocation bound).
     */
-  def walk(b: Array[Byte], cap: Int = 1 << 26): Option[Seq[Frame]] = {
+  def walk(b: Array[Byte], cap: Int = 1 << 26): Option[Seq[Frame]] =
+    walkImpl(b, cap, Array.emptyByteArray)
+
+  /** [[walk]] with a PREFIX DICTIONARY (RFC 8878 raw-content
+    * dictionary, what libzstd's ZSTD_decompress_usingDict does with
+    * un-magic'd dict bytes): each frame's window is primed with
+    * `dict`, so matches may reach before the frame's own output;
+    * content size, block bound, and checksum all measure the content
+    * alone. Raw-content dictionaries carry no ID, so the
+    * no-dictID law still holds.
+    */
+  def walkWithDict(b: Array[Byte], dict: Array[Byte],
+                   cap: Int = 1 << 26): Option[Seq[Frame]] =
+    walkImpl(b, cap, dict)
+
+  private def walkImpl(b: Array[Byte], cap: Int,
+                       dict: Array[Byte]): Option[Seq[Frame]] = {
     try {
       var p = 0
       def u8(): Int = {
@@ -132,7 +148,8 @@ object Zstd {
             }
           if (declared > cap) damage()
           // blocks: LE24 header = last(bit0) | type(bits1-2) | size<<3
-          val ctx = new ZstdEntropy.FrameCtx(cap)
+          val ctx = new ZstdEntropy.FrameCtx(cap + dict.length)
+          if (dict.nonEmpty) ctx.window.putRaw(dict, 0, dict.length)
           var nBlocks = 0; var raw = 0; var rle = 0; var comp = 0
           var last = false
           while (!last) {
@@ -162,7 +179,11 @@ object Zstd {
             // RFC: Block_Maximum_Size is 128 KB for every block kind
             if (ctx.window.len - lenBefore > (1 << 17)) damage()
           }
-          val decoded = ctx.window.bytes
+          val all = ctx.window.bytes
+          // the dictionary prefix is window, not content
+          val decoded = if (dict.isEmpty) all
+            else java.util.Arrays.copyOfRange(all, dict.length,
+              all.length)
           if (declared >= 0 && decoded.length != declared)
             damage() // content size is a promise, not a hint
           val checksumState =

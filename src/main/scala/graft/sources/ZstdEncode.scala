@@ -791,4 +791,66 @@ object ZstdEncode {
     out.write(((ck >> 24) & 0xff).toInt)
     out.toByteArray
   }
+
+  /** PREFIX-DICTIONARY compression (RFC 8878 raw-content dictionary
+    * — the small-document trick at corpus scale: thousands of
+    * near-identical KB-sized docs share one trained prefix, and each
+    * frame's matches reach into it instead of re-stating the
+    * boilerplate). The window is `dict ++ raw`; the hash chains are
+    * pre-seeded over the dictionary, so the very first bytes of
+    * content can match into it; the frame itself is standard — no
+    * dictID (raw dictionaries carry none), content size and XXH64
+    * checksum measure `raw` alone. Decode with
+    * [[Zstd.walkWithDict]] or libzstd's ZSTD_decompress_usingDict.
+    */
+  def compressWithDict(raw: Array[Byte], dict: Array[Byte],
+                       adaptiveTables: Boolean = true): Array[Byte] = {
+    if (dict.isEmpty) return compress(raw, adaptiveTables)
+    require(raw.length <= (1 << 26), s"input too large: ${raw.length}")
+    // keep every (pos - dictStart) offset under the matcher's 2^22
+    // reach so dictionary matches stay encodable from block one
+    require(dict.length <= (1 << 21), s"dict too large: ${dict.length}")
+    val data = new Array[Byte](dict.length + raw.length)
+    System.arraycopy(dict, 0, data, 0, dict.length)
+    System.arraycopy(raw, 0, data, dict.length, raw.length)
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
+    out.write(0xa4) // FCS code 2 | single-segment | checksum
+    val n = raw.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff)
+    out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+    val head = new Array[Int](1 << 15)
+    java.util.Arrays.fill(head, -1)
+    val prev = new Array[Int](1 << 15)
+    // seed the chains over the dictionary (sequences discarded —
+    // only the insertions matter)
+    compressedBlockBody(data, 0, dict.length, head, prev,
+      adaptiveTables = false)
+    val BlockIn = 1 << 16
+    var p = dict.length
+    do {
+      val len = math.min(BlockIn, data.length - p)
+      val last = if (p + len >= data.length) 1 else 0
+      (try compressedBlockBody(data, p, p + len, head, prev,
+        adaptiveTables)
+      catch { case _: ZstdEntropy.Damage => None }) match {
+        case Some(body) =>
+          val hdr = (body.length << 3) | (2 << 1) | last
+          out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+          out.write((hdr >> 16) & 0xff)
+          out.write(body, 0, body.length)
+        case None =>
+          val hdr = (len << 3) | last
+          out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+          out.write((hdr >> 16) & 0xff)
+          out.write(data, p, len)
+      }
+      p += len
+    } while (p < data.length)
+    val ck = XxHash64.hash(raw, 0L)
+    out.write((ck & 0xff).toInt); out.write(((ck >> 8) & 0xff).toInt)
+    out.write(((ck >> 16) & 0xff).toInt)
+    out.write(((ck >> 24) & 0xff).toInt)
+    out.toByteArray
+  }
 }

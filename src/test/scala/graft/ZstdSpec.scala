@@ -318,4 +318,70 @@ class ZstdSpec extends AnyFunSuite {
       }
     }
   }
+  test("PREFIX DICTIONARY: own compressWithDict round-trips through " +
+    "own walkWithDict AND libzstd decompressUsingDict; libzstd's " +
+    "dict-compressed frames decode through the own reader; size law; " +
+    "wrong/missing dict fails closed") {
+    val E = graft.sources.ZstdEncode
+    val Z = graft.sources.Zstd
+    // a corpus of small near-identical docs sharing boilerplate — the
+    // dictionary's reason to exist
+    val boiler = ("{'license': 'cc-by-4.0', 'pipeline': 'graft', " +
+      "'source': 'commoncrawl', 'quality_gates': ['gopher', " +
+      "'dedup', 'decontam'], 'tokenizer': 'bpe-64k', ").getBytes("UTF-8")
+    val dict = (boiler ++ "'shard': 'part-00000'}".getBytes("UTF-8"))
+    val docs = (0 until 40).map { i =>
+      (new String(boiler, "UTF-8") +
+        s"'doc_id': $i, 'lang': '${Seq("en", "es", "fr")(i % 3)}'}")
+        .getBytes("UTF-8")
+    }
+    var withDict = 0L
+    var without = 0L
+    for (doc <- docs) {
+      val z = E.compressWithDict(doc, dict)
+      val zPlain = E.compress(doc)
+      withDict += z.length
+      without += zPlain.length
+      // own reader with the dict: byte-exact, checksum ok
+      val fr = Z.walkWithDict(z, dict).getOrElse(fail("own walk"))
+      assert(fr.length == 1 && fr.head.checksumState == "ok")
+      assert(java.util.Arrays.equals(fr.head.decoded, doc))
+      // libzstd decodes the same frame with the same raw dict
+      val dst = new Array[Byte](doc.length)
+      val got = com.github.luben.zstd.Zstd.decompressUsingDict(
+        dst, 0, z, 0, z.length, dict)
+      assert(got == doc.length.toLong &&
+        java.util.Arrays.equals(dst, doc))
+      // missing dict: matches reach before the frame -> fails closed
+      assert(Z.walk(z).isEmpty)
+      // wrong dict: the checksum law catches silent wrong bytes
+      val wrong = dict.clone()
+      wrong(10) = (wrong(10) ^ 0x5a).toByte
+      Z.walkWithDict(z, wrong) // None or checksum-failed, never throw
+      assert(!Z.walkWithDict(z, wrong).exists(f =>
+        java.util.Arrays.equals(f.head.decoded, doc) &&
+          f.head.checksumState == "ok") ||
+        java.util.Arrays.equals(wrong, dict))
+    }
+    // the dictionary must actually pay on boilerplate-heavy docs
+    assert(withDict < without * 2 / 3, s"$withDict vs $without")
+    // the REVERSE pin: libzstd compresses with the same raw dict,
+    // the own reader decodes it
+    for (level <- Seq(1, 3, 9); doc <- docs.take(5)) {
+      val dst = new Array[Byte](doc.length * 2 + 128)
+      val n = com.github.luben.zstd.Zstd.compressUsingDict(
+        dst, 0, doc, 0, dict, level)
+      val frame = java.util.Arrays.copyOf(dst, n.toInt)
+      val fr = Z.walkWithDict(frame, dict)
+        .getOrElse(fail(s"own walk of libzstd level $level"))
+      assert(fr.length == 1 &&
+        java.util.Arrays.equals(fr.head.decoded, doc),
+        s"level $level")
+    }
+    // empty content under a dict still frames and round-trips
+    val z0 = E.compressWithDict(Array.emptyByteArray, dict)
+    assert(Z.walkWithDict(z0, dict)
+      .exists(f => f.head.decoded.isEmpty))
+  }
 }
+
