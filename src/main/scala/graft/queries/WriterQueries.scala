@@ -2777,5 +2777,81 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS rt_exact,
                CAST(1 AS BIGINT) AS dict_beats_plain
         FROM r GROUP BY blob_id""".replace("KFIXED", "144")),
+      headline = false),
+
+    // q345 -- dictionary TRAINING on the corpus itself (the ZDICT
+    // role): q344 proved the dictionary mechanics; this query closes
+    // the loop a production pipeline runs -- SAMPLE the corpus,
+    // TRAIN a dictionary (cover-lite: hottest k-grams seed windows
+    // extended while the covered grams stay hot, hottest bytes at
+    // the smallest offsets), then compress the HELD-OUT documents
+    // with it. Per blob: train on the d%3==0 docs, evaluate on the
+    // rest; each eval doc is the real `documents.text` in a metadata
+    // envelope. Laws: every held-out doc round-trips byte-exact
+    // through the own compress/walk pair under the trained dict, and
+    // the trained dictionary strictly beats dict-less compression
+    // over the blob (training must generalize, not memorize); raw
+    // sizes re-derive in DuckDB from the table itself. libzstd
+    // accepts the same trained bytes as a raw dict (ZstdSpec).
+    "q345_zstd_dict_training" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+            col("text"), col("lang"), col("source"))
+          .as[(Long, Long, String, String, String)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val E = graft.sources.ZstdEncode
+            val Z = graft.sources.Zstd
+            val rows = it.toSeq.sortBy(_._2)
+            def envelope(text: String, lang: String,
+                         source: String): Array[Byte] =
+              (s"{'src': '$source', 'lang': '$lang', " +
+                s"'text': '$text'}").getBytes("UTF-8")
+            val (trainRows, evalRows) =
+              rows.partition(r => (r._2 / 6) % 3 == 0)
+            val dict = E.trainDict(
+              trainRows.map(r => envelope(r._3, r._4, r._5)),
+              maxSize = 4096)
+            var rawSum = 0L
+            var dictSum = 0L
+            var plainSum = 0L
+            var rt = dict.nonEmpty
+            evalRows.foreach { r =>
+              val doc = envelope(r._3, r._4, r._5)
+              rawSum += doc.length
+              val z = E.compressWithDict(doc, dict)
+              dictSum += z.length
+              plainSum += E.compress(doc).length
+              if (!Z.walkWithDict(z, dict).exists(fr =>
+                fr.length == 1 && fr.head.checksumState == "ok" &&
+                  java.util.Arrays.equals(fr.head.decoded, doc)))
+                rt = false
+            }
+            if (!(rt && dictSum < plainSum)) Nil
+            else Seq((blobId, trainRows.length.toLong,
+              evalRows.length.toLong, rawSum, 1L, 1L))
+          }
+          .toDF("blob_id", "n_train", "n_eval", "raw_len_sum",
+            "rt_exact", "trained_beats_plain")
+      },
+      // envelope fixed chars = 35; strings re-derived per row
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 35 + length(source) + length(lang) + length(text)
+                   AS rlen
+          FROM documents)
+        SELECT blob_id,
+               CAST(sum(CASE WHEN (d // 6) % 3 = 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN (d // 6) % 3 <> 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN (d // 6) % 3 <> 0 THEN rlen ELSE 0
+                 END) AS BIGINT) AS raw_len_sum,
+               CAST(1 AS BIGINT) AS rt_exact,
+               CAST(1 AS BIGINT) AS trained_beats_plain
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

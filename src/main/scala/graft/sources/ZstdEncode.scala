@@ -792,6 +792,67 @@ object ZstdEncode {
     out.toByteArray
   }
 
+  /** DICTIONARY TRAINING, cover-lite (the ZDICT role, from first
+    * principles): rank the samples' k-grams by frequency, then
+    * repeatedly take the hottest gram not already in the dictionary
+    * and extend its window inside its first occurrence while the
+    * covered k-grams stay within half the seed's heat — recovering
+    * whole boilerplate runs, not just isolated shingles. Hot content
+    * goes at the END of the dictionary (the zstd convention: the
+    * most-referenced bytes sit at the smallest offsets). Fully
+    * deterministic: ties break on gram bytes, samples scan in the
+    * given order.
+    */
+  def trainDict(samples: Seq[Array[Byte]], maxSize: Int = 1 << 14,
+                k: Int = 16): Array[Byte] = {
+    require(k >= 4 && maxSize >= k)
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    val firstAt =
+      scala.collection.mutable.HashMap.empty[String, (Int, Int)]
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    samples.zipWithIndex.foreach { case (s, si) =>
+      var i = 0
+      while (i + k <= s.length) {
+        val g = new String(s, i, k, iso)
+        counts(g) = counts.getOrElse(g, 0) + 1
+        if (!firstAt.contains(g)) firstAt(g) = (si, i)
+        i += 1
+      }
+    }
+    val ranked = counts.toSeq.filter(_._2 >= 2)
+      .sortBy { case (g, c) => (-c, g) }
+    val segs = Seq.newBuilder[Array[Byte]] // hottest first
+    var total = 0
+    val dictStr = new StringBuilder // ISO view for substring checks
+    val it = ranked.iterator
+    while (total < maxSize && it.hasNext) {
+      val (g, c) = it.next()
+      if (dictStr.indexOf(g) < 0) {
+        val (si, at) = firstAt(g)
+        val s = samples(si)
+        var lo = at
+        var hi = at + k
+        def heat(p: Int): Int =
+          if (p < 0 || p + k > s.length) 0
+          else counts.getOrElse(new String(s, p, k, iso), 0)
+        while (heat(lo - 1) * 2 >= c && total + (hi - lo) < maxSize)
+          lo -= 1
+        while (heat(hi - k + 1) * 2 >= c && total + (hi - lo) < maxSize)
+          hi += 1
+        val seg = java.util.Arrays.copyOfRange(s, lo, hi)
+        if (total + seg.length <= maxSize) {
+          segs += seg
+          total += seg.length
+          dictStr.append(new String(seg, iso))
+        }
+      }
+    }
+    // hottest LAST: reverse the greedy order
+    val out = new java.io.ByteArrayOutputStream(total)
+    segs.result().reverse.foreach(b => out.write(b, 0, b.length))
+    out.toByteArray
+  }
+
   /** PREFIX-DICTIONARY compression (RFC 8878 raw-content dictionary
     * — the small-document trick at corpus scale: thousands of
     * near-identical KB-sized docs share one trained prefix, and each

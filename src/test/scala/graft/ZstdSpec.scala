@@ -383,5 +383,43 @@ class ZstdSpec extends AnyFunSuite {
     assert(Z.walkWithDict(z0, dict)
       .exists(f => f.head.decoded.isEmpty))
   }
+  test("trainDict: the trained dictionary beats no-dict AND a naive " +
+    "same-size dictionary on HELD-OUT docs; deterministic; libzstd " +
+    "accepts it as a raw dict") {
+    val E = graft.sources.ZstdEncode
+    val Z = graft.sources.Zstd
+    def doc(i: Int): Array[Byte] =
+      (s"<html><head><meta charset='utf-8'><title>page $i</title>" +
+        s"<link rel='stylesheet' href='/static/site.css'></head>" +
+        s"<body><nav class='top-navigation-bar'>home|docs|about</nav>" +
+        s"<article data-id='$i'>unique words ${i * 7919} here" +
+        s"</article><footer>copyright 2026 example corp</footer>" +
+        "</body></html>").getBytes("UTF-8")
+    val train = (0 until 50).map(doc)
+    val heldOut = (100 until 130).map(doc)
+    val dict = E.trainDict(train, maxSize = 2048)
+    assert(dict.nonEmpty && dict.length <= 2048)
+    // deterministic
+    assert(java.util.Arrays.equals(dict,
+      E.trainDict(train, maxSize = 2048)))
+    val naive = Array.fill[Byte](dict.length)('x')
+    var zT = 0L; var zN = 0L; var zP = 0L
+    heldOut.foreach { d =>
+      val t = E.compressWithDict(d, dict)
+      // round-trip own + libzstd on the trained dict
+      assert(Z.walkWithDict(t, dict).exists(fr =>
+        java.util.Arrays.equals(fr.head.decoded, d)))
+      val dst = new Array[Byte](d.length)
+      assert(com.github.luben.zstd.Zstd.decompressUsingDict(
+        dst, 0, t, 0, t.length, dict) == d.length.toLong &&
+        java.util.Arrays.equals(dst, d))
+      zT += t.length
+      zN += E.compressWithDict(d, naive).length
+      zP += E.compress(d).length
+    }
+    assert(zT < zP * 2 / 3, s"trained $zT vs plain $zP")
+    assert(zT < zN, s"trained $zT vs naive $zN")
+  }
 }
+
 
