@@ -2853,5 +2853,117 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS rt_exact,
                CAST(1 AS BIGINT) AS trained_beats_plain
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q346 -- SHARD COMPACTION, the maintenance pass every
+    // micro-batched sink needs (q331 writes batches x bins files; at
+    // 100 TB the listing alone becomes the bottleneck and the
+    // dataloader pays a seek per tiny file). Per bin, in the bin's
+    // own task: decode every batch shard through the engine's own
+    // reader (ShardSink.decodeShard -- nulls reconstructed from def
+    // levels), merge last-batch-wins by doc_id, rewrite ONE
+    // compacted shard with the SAME own writer (tight footer stats
+    // preserved, so the q331 pruning story is unchanged), land
+    // atomically, commit the compaction manifest only after every
+    // bin has. Laws in the compared output: the compacted table
+    // answers identically to the pre-compaction union (every column
+    // family: text bytes, lang/score nulls, token ids), n_inputs per
+    // bin collapses to the batch count (re-derived in DuckDB as the
+    // distinct parities), footer min/max stay tight, and a SECOND
+    // compaction pass rewrites byte-identical shards
+    // (compact_stable -- the crashed-maintenance-job replay law).
+    "q346_shard_compaction" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val K = graft.streaming.ShardSink
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q346").toString
+        val d = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("n_chars"))
+        K.shardBatch(d.filter(col("doc_id") % 2 === 0), 0L, root, 128L)
+        K.shardBatch(d.filter(col("doc_id") % 2 === 1), 1L, root, 128L)
+        val c1 = K.compactBatches(s, root, 0L)
+          .withColumnRenamed("shard_md5", "md5_a")
+        val c2 = K.compactBatches(s, root, 0L)
+          .select(col("bin"), col("shard_md5").as("md5_b"))
+        val decoded = s.read.format("binaryFile")
+          .load(root + "/shards/compacted=0/bin=*.parquet")
+          .select(regexp_extract(col("path"), "bin=(\\d+)", 1)
+            .cast("long").as("bin"), col("content"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (bin, bytes) =>
+            val P = graft.sources.Parquet
+            P.parseFooter(bytes).toSeq.flatMap { fm =>
+              val cs = fm.rowGroups.head.cols
+              val bounds = cs.find(_.path == "doc_id").flatMap { c =>
+                for { mn <- c.minLong; mx <- c.maxLong } yield (mn, mx)
+              }
+              def cells(p: String) = {
+                val (dl, rl) = fm.leafLevels(p)
+                cs.find(_.path == p)
+                  .flatMap(cc => P.readChunkCells(bytes, cc, dl, rl))
+              }
+              (bounds, cells("doc_id"), cells("text"), cells("lang"),
+                cells("score"), cells("toks.list.element")) match {
+                case (Some((mn, mx)), Some(ic), Some(tc), Some(lc),
+                  Some(sc), Some(kc)) =>
+                  Seq((bin, ic.longs.length.toLong, ic.longs.sum,
+                    tc.bins.map(_.length.toLong).sum,
+                    lc.defs.count(_ == 0).toLong,
+                    lc.bins.map(_.length.toLong).sum,
+                    sc.defs.count(_ == 0).toLong, sc.longs.sum,
+                    kc.defs.length.toLong, kc.longs.sum, mn, mx))
+                case _ => Nil
+              }
+            }
+          }.toDF("bin", "n_rows", "id_sum", "txt_len_sum",
+            "n_lang_null", "lang_len_sum", "n_score_null",
+            "score_sum", "tok_slots", "tok_sum", "stat_min",
+            "stat_max")
+        c1.join(c2, Seq("bin")).join(decoded, Seq("bin"))
+          .select(col("bin"), col("n_inputs"), col("n_rows"),
+            col("id_sum"), col("txt_len_sum"), col("n_lang_null"),
+            col("lang_len_sum"), col("n_score_null"), col("score_sum"),
+            col("tok_slots"), col("tok_sum"), col("stat_min"),
+            col("stat_max"),
+            when(col("md5_a") === col("md5_b") &&
+              col("n_docs") === col("n_rows"), 1L).otherwise(0L)
+              .as("compact_stable"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, text, lang, n_chars, doc_id // 128 AS bin
+          FROM documents),
+        tok AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                 CAST(sum(CAST('0x' || substr(md5('tok:' || t), 1, 15)
+                   AS BIGINT) % 50257) AS BIGINT) AS t_sum
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          GROUP BY doc_id)
+        SELECT d.bin,
+               CAST(count(DISTINCT d.doc_id % 2) AS BIGINT)
+                 AS n_inputs,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(octet_length(encode(d.text))) AS BIGINT)
+                 AS txt_len_sum,
+               CAST(sum(CASE WHEN d.doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_lang_null,
+               CAST(sum(CASE WHEN d.doc_id % 7 = 0 THEN 0
+                 ELSE octet_length(encode(d.lang)) END) AS BIGINT)
+                 AS lang_len_sum,
+               CAST(sum(CASE WHEN d.doc_id % 11 = 3 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_score_null,
+               CAST(sum(CASE WHEN d.doc_id % 11 = 3 THEN 0
+                 ELSE d.n_chars END) AS BIGINT) AS score_sum,
+               CAST(sum(tk.n_tok) AS BIGINT) AS tok_slots,
+               CAST(sum(tk.t_sum) AS BIGINT) AS tok_sum,
+               CAST(min(d.doc_id) AS BIGINT) AS stat_min,
+               CAST(max(d.doc_id) AS BIGINT) AS stat_max,
+               CAST(1 AS BIGINT) AS compact_stable
+        FROM d JOIN tok tk ON tk.doc_id = d.doc_id
+        GROUP BY d.bin"""),
       headline = false))
 }

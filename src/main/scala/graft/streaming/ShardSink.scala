@@ -166,6 +166,123 @@ object ShardSink {
     ()
   }
 
+  /** Decode one own-written shard back to its (doc_id, text, lang,
+    * score) rows through the engine's own reader — null lang/score
+    * slots come back as placeholders, which is lossless here because
+    * [[shardFileBytes]] re-nulls exactly those rows (the %7/%11 laws
+    * ride doc_id). None on any malformed byte.
+    */
+  def decodeShard(bytes: Array[Byte])
+      : Option[Array[(Long, String, String, Long)]] = {
+    val P = graft.sources.Parquet
+    P.parseFooter(bytes).flatMap { fm =>
+      if (fm.rowGroups.length != 1) None
+      else {
+        val cs = fm.rowGroups.head.cols
+        def cells(p: String) =
+          fm.leafLevels.get(p).flatMap { case (dl, rl) =>
+            cs.find(_.path == p)
+              .flatMap(c => P.readChunkCells(bytes, c, dl, rl))
+          }
+        for {
+          ic <- cells("doc_id")
+          tc <- cells("text")
+          lc <- cells("lang")
+          sc <- cells("score")
+          if tc.bins.length == ic.longs.length &&
+            lc.defs.length == ic.longs.length &&
+            sc.defs.length == ic.longs.length
+        } yield {
+          val n = ic.longs.length
+          var lp = 0
+          var sp = 0
+          Array.tabulate(n) { i =>
+            val lang =
+              if (lc.defs(i) == 1) {
+                val v = new String(lc.bins(lp),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                lp += 1; v
+              } else ""
+            val score =
+              if (sc.defs(i) == 1) { val v = sc.longs(sp); sp += 1; v }
+              else 0L
+            (ic.longs(i),
+              new String(tc.bins(i),
+                java.nio.charset.StandardCharsets.UTF_8),
+              lang, score)
+          }
+        }
+      }
+    }
+  }
+
+  /** The COMPACTION maintenance pass — the answer to the small-files
+    * problem every micro-batched sink manufactures (N batches × M
+    * bins files; a 100 TB table's listing alone becomes the
+    * bottleneck). Per bin, in the bin's own task: decode every batch
+    * shard through [[decodeShard]], merge last-batch-wins by doc_id,
+    * rewrite ONE compacted shard with the SAME writer (so the
+    * stats-pruning story is unchanged), land it atomically under
+    * `shards/compacted=<cid>/`, and commit a compaction manifest
+    * after every bin has landed. Deterministic: same inputs, same
+    * bytes — re-running the pass (a crashed maintenance job) rewrites
+    * identical files. Returns per-bin (bin, n_inputs, n_docs, md5).
+    */
+  def compactBatches(spark: org.apache.spark.sql.SparkSession,
+                     outPath: String, cid: Long): DataFrame = {
+    import spark.implicits._
+    val perBin = spark.read.format("binaryFile")
+      .load(outPath + "/shards/batch=*/bin=*.parquet")
+      .select(regexp_extract(col("path"), "bin=(\\d+)", 1)
+        .cast("long").as("bin"),
+        regexp_extract(col("path"), "batch=(\\d+)", 1)
+          .cast("long").as("batch"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (bin, it) =>
+        val files = it.toSeq.sortBy(_._2)
+        val merged = scala.collection.mutable.LinkedHashMap
+          .empty[Long, (Long, String, String, Long)]
+        var ok = true
+        files.foreach { case (_, _, bytes) =>
+          decodeShard(bytes) match {
+            case Some(docs) => docs.foreach(d => merged(d._1) = d)
+            case None => ok = false
+          }
+        }
+        if (!ok) (bin, -1L, -1L, "")
+        else {
+          val bytes = shardFileBytes(merged.values.toArray)
+          landAtomic(s"$outPath/shards/compacted=$cid",
+            s"bin=$bin.parquet", bytes)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          (bin, files.length.toLong, merged.size.toLong, md5)
+        }
+      }
+      .toDF("bin", "n_inputs", "n_docs", "shard_md5")
+    // compaction manifest: lands only after every bin has (it folds
+    // the per-bin rows) — the commit record, as in shardBatch
+    val committed = perBin
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_ => 0L).mapGroups { (_, it) =>
+        val entries = it.toArray.sortBy(_._1)
+        if (entries.exists(_._2 < 0)) -1L
+        else {
+          val bytes = graft.sources.ParquetWrite.writeInt64(
+            Seq("bin", "n_inputs", "n_docs"),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              entries.map(e => Array(e._1, e._2, e._3))),
+            withStats = true)
+          landAtomic(s"$outPath/manifest", s"compacted=$cid.parquet",
+            bytes)
+          entries.length.toLong
+        }
+      }
+    committed.count()
+    perBin
+  }
+
   /** The streaming sink: curated docs in, own-written range-binned
     * shard files + per-batch manifests out.
     */

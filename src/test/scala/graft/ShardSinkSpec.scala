@@ -129,4 +129,47 @@ class ShardSinkSpec extends SparkSpec {
     drain() // same checkpoint: no new input, no new shards
     assert(listing() == first)
   }
+  test("compactBatches: merged shard decodes to the union, last batch " +
+    "wins on overlap, byte-stable across passes, decodeShard closes " +
+    "on damage") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val b0 = (0L until 40L by 2).map(i =>
+      (i, s"tok$i alpha", if (i % 7 == 0) "zz" else "en", i + 1))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val b1 = (1L until 40L by 2).map(i =>
+      (i, s"tok$i beta", "es", i + 1))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // overlap: doc 2 re-lands in batch 1 with new text -> must win
+    val b1o = b1.union(Seq((2L, "tok2 REVISED", "fr", 99L))
+      .toDF("doc_id", "text", "lang", "n_chars"))
+    ShardSink.shardBatch(b0, 0L, out, binWidth = 16L)
+    ShardSink.shardBatch(b1o, 1L, out, binWidth = 16L)
+    val r1 = ShardSink.compactBatches(spark, out, 0L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r1.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(r1.forall(_._2 == 2L)) // two input files per bin
+    assert(r1.map(_._3).sum == 40L) // union row count (doc 2 once)
+    val r2 = ShardSink.compactBatches(spark, out, 0L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r1.map(_._4).toSeq == r2.map(_._4).toSeq,
+      "second pass must rewrite byte-identical shards")
+    // decode the compacted bin 0 and check the last-wins row
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/shards/compacted=0/bin=0.parquet"))
+    val docs = ShardSink.decodeShard(bytes).getOrElse(fail("decode"))
+    assert(docs.length == 16)
+    val d2 = docs.find(_._1 == 2L).get
+    assert(d2._2 == "tok2 REVISED" && d2._3 == "fr" && d2._4 == 99L)
+    // decodeShard is total on damage
+    for (i <- bytes.indices by 7) {
+      val bad = bytes.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      ShardSink.decodeShard(bad) // None or well-formed, never a throw
+    }
+    // round-trip: decode(compact(x)) re-encodes byte-identical
+    assert(java.util.Arrays.equals(
+      ShardSink.shardFileBytes(docs), bytes))
+  }
 }
+
