@@ -4462,8 +4462,100 @@ object IngestionQueries {
                CAST(sum((d * 19) % 977) AS BIGINT) AS val_sum
         FROM r GROUP BY table_id"""))
 
+    // q347 — Iceberg rewrite_manifests as a WRITE operation, closing
+    // the maintenance matrix (Hudi compaction q336, Delta OPTIMIZE
+    // q339, Iceberg expire q338, shard compaction q346): streaming
+    // committers manufacture one manifest per data file, and at
+    // 100 TB planning opens thousands of tiny Avro files before
+    // touching data. The engine writes the sprawl table itself, then
+    // REWRITES: live entries collected through its own readers, ONE
+    // merged manifest at status EXISTING (carried forward, not
+    // re-added), a new list, a successor metadata whose new current
+    // snapshot plans from a single manifest — and then q338's
+    // expire_snapshots reclaims the old sprawl. Laws in the compared
+    // output: the post-rewrite-post-expire walk answers identically
+    // (sums re-derived in DuckDB from (d*21)%953), planning opens
+    // exactly 1 manifest (was 3), expiry deletes ONLY metadata
+    // ({old list, 3 sprawl manifests}, data_deleted=0 — every data
+    // file is live in the merged manifest), and a second rewrite is
+    // a fixed point.
+    val q347 = "q347_iceberg_rewrite_manifests" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.IcebergWrite
+            val P = graft.sources.Parquet
+            val files = W.writeSprawlTable(s"tbl-$t", ids)
+            val out = for {
+              rw <- W.rewriteManifests(files, "v3.metadata.json",
+                1700000001000L)
+              after = files ++ rw.newFiles +
+                (rw.newMetaName -> rw.newMeta)
+              ex <- W.expireSnapshots(after, rw.newMetaName,
+                1700000000500L)
+              pruned = (after -- ex.deleted) +
+                (ex.newMetaName -> ex.newMeta)
+              rw2 <- W.rewriteManifests(pruned, ex.newMetaName,
+                1700000002000L)
+            } yield {
+              // post walk: decode the merged manifest's data files
+              val merged = pruned.get("m-merged.avro")
+                .flatMap(graft.sources.AvroGeneric.parseContainer)
+              val paths = merged.toSeq.flatMap(_.records.flatMap(r =>
+                r.field("data_file").flatMap(
+                  _.field("file_path")).flatMap(_.asString)))
+              var rows = 0L; var idSum = 0L; var valSum = 0L
+              var ok = paths.length == 3
+              paths.foreach { p =>
+                (pruned.get(p).flatMap(P.columnLongs(_, "rec_id")),
+                  pruned.get(p).flatMap(P.columnLongs(_, "val"))) match {
+                  case (Some(rs), Some(vs))
+                      if rs.length == vs.length =>
+                    rows += rs.length; idSum += rs.sum
+                    valSum += vs.sum
+                  case _ => ok = false
+                }
+              }
+              val expireMetaOnly =
+                if (ex.dataDeleted == 0 && ex.listsDeleted == 1 &&
+                  ex.manifestsDeleted == 3 &&
+                  ex.keptRows == ids.length.toLong) 1L
+                else 0L
+              val fixedPoint =
+                if (rw2.manifestsBefore == 1 &&
+                  rw2.liveRows == rw.liveRows) 1L
+                else 0L
+              if (!ok) Nil
+              else Seq((t, rw.manifestsBefore.toLong,
+                rw.manifestsAfter.toLong, rows, idSum, valSum,
+                expireMetaOnly, fixedPoint))
+            }
+            out.toSeq.flatten
+          }
+          .toDF("table_id", "manifests_before", "manifests_after",
+            "n_rows", "id_sum", "val_sum", "expire_meta_only",
+            "fixed_point")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d FROM documents)
+        SELECT table_id,
+               CAST(3 AS BIGINT) AS manifests_before,
+               CAST(1 AS BIGINT) AS manifests_after,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 21) % 953) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS expire_meta_only,
+               CAST(1 AS BIGINT) AS fixed_point
+        FROM r GROUP BY table_id"""))
+
     Seq(q257, q258, q259, q262, q271, q275, q281, q286, q289, q301,
-      q317, q319, q338)
+      q317, q319, q338, q347)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:

@@ -547,4 +547,128 @@ object IcebergWrite {
         expired.length, deletedRows, keptRows)
     }
   }
+
+  // ---- rewrite_manifests write (q347) -------------------------------------
+
+  /** A table with the MANIFEST-SPRAWL pathology every streaming
+    * committer manufactures: one manifest per data file (three
+    * here), all referenced by one list — at 100 TB, planning opens
+    * thousands of tiny Avro files before reading a byte of data.
+    * Real parquet through the own writer (val = (d*21) % 953).
+    */
+  def writeSprawlTable(id: String,
+                       ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    val parts = (0 to 2).map(x => ids.filter(d => (d / 6) % 3 == x))
+    def v(d: Long): Long = (d * 21) % 953
+    val data = parts.map(p => ParquetWrite.writeInt64(
+      Seq("rec_id", "val"), p.map(d => Array(d, v(d)))))
+    val names = (0 to 2).map(x => s"data/f-$x.parquet")
+    val manifests = (0 to 2).map { x =>
+      container(EntrySchema, Seq(entrySt(1, names(x),
+        parts(x).length.toLong, data(x).length.toLong)), sync)
+    }
+    val list = container(ListSchema, (0 to 2).map(x =>
+      manifestFileRow(s"m-$x.avro", manifests(x).length.toLong, 1L,
+        parts(x).length.toLong)), sync)
+    val meta = metadataJson(id, 1L, Seq(
+      snapshotJson(1L, 1L, 1700000000000L, "snap-1.avro")))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Map("v3.metadata.json" -> meta, "snap-1.avro" -> list,
+      "m-0.avro" -> manifests(0), "m-1.avro" -> manifests(1),
+      "m-2.avro" -> manifests(2),
+      names(0) -> data(0), names(1) -> data(1), names(2) -> data(2))
+  }
+
+  final case class RewriteResult(newMetaName: String,
+                                 newMeta: Array[Byte],
+                                 newFiles: Map[String, Array[Byte]],
+                                 manifestsBefore: Int,
+                                 manifestsAfter: Int, liveRows: Long)
+
+  /** rewrite_manifests as a WRITE operation: walk the current
+    * snapshot's manifests with the engine's own readers, collect the
+    * LIVE entries, and write ONE merged manifest (entries at status
+    * EXISTING — carried forward, not re-added: the spec's discipline
+    * for metadata-only snapshots), a new manifest list, and the
+    * successor metadata whose new CURRENT snapshot references only
+    * the merged manifest. The old snapshot stays in history —
+    * expire_snapshots (q338's law) then reclaims the sprawl, and
+    * because every data file is LIVE in the merged manifest, expiry
+    * must delete metadata only, never data. None on any malformed
+    * byte.
+    */
+  def rewriteManifests(files: Map[String, Array[Byte]],
+                       metaName: String, newTs: Long)
+      : Option[RewriteResult] = {
+    import Json.{JArray, JLong, JObject, JString}
+    for {
+      metaBytes <- files.get(metaName)
+      meta <- Json.parse(
+        new String(metaBytes, java.nio.charset.StandardCharsets.UTF_8))
+      mo <- meta match { case o: JObject => Some(o); case _ => None }
+      current <- mo.get("current-snapshot-id").collect {
+        case JLong(x) => x }
+      uuid <- mo.get("table-uuid").collect { case JString(x) => x }
+      snapsJ <- mo.get("snapshots").collect { case JArray(xs) => xs }
+      cur <- snapsJ.collectFirst {
+        case so: JObject
+          if so.get("snapshot-id").contains(JLong(current)) => so
+      }
+      seq <- cur.get("sequence-number").collect { case JLong(x) => x }
+      lp <- cur.get("manifest-list").collect { case JString(x) => x }
+      listBytes <- files.get(lp)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mps = list.records.flatMap(
+        _.field("manifest_path").flatMap(_.asString))
+      entries <- {
+        val es = mps.map { mp =>
+          files.get(mp).flatMap(AvroGeneric.parseContainer)
+            .map(_.records.flatMap { e =>
+              for {
+                st <- e.field("status").flatMap(_.asLong)
+                df <- e.field("data_file")
+                p <- df.field("file_path").flatMap(_.asString)
+                rc <- df.field("record_count").flatMap(_.asLong)
+                fsz <- df.field("file_size_in_bytes")
+                  .flatMap(_.asLong)
+              } yield (p, rc, fsz, st)
+            })
+        }
+        if (es.exists(_.isEmpty)) None else Some(es.flatMap(_.get))
+      }
+    } yield {
+      val live = entries.filter(_._4 != 2L).sortBy(_._1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sync = md.digest(("sync:" + uuid).getBytes("UTF-8"))
+      val merged = container(EntrySchema, live.map(e =>
+        entrySt(0, e._1, e._2, e._3)), sync)
+      val newList = container(ListSchema, Seq(manifestFileRow(
+        "m-merged.avro", merged.length.toLong, live.length.toLong,
+        live.map(_._2).sum)), sync)
+      val newSid = current + 1
+      val kept = snapsJ.collect { case so: JObject =>
+        for {
+          sid <- so.get("snapshot-id").collect { case JLong(x) => x }
+          sq <- so.get("sequence-number").collect {
+            case JLong(x) => x }
+          ts <- so.get("timestamp-ms").collect { case JLong(x) => x }
+          l <- so.get("manifest-list").collect { case JString(x) => x }
+        } yield snapshotJson(sid, sq, ts, l)
+      }.flatten
+      val VN = "^v(\\d+)\\.metadata\\.json$".r
+      val nextV = metaName match {
+        case VN(n) => n.toInt + 1
+        case _ => 2
+      }
+      val newMeta = metadataJson(uuid, newSid, kept :+
+        snapshotJson(newSid, seq + 1, newTs, s"snap-$newSid.avro"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      RewriteResult(s"v$nextV.metadata.json", newMeta,
+        Map("m-merged.avro" -> merged,
+          s"snap-$newSid.avro" -> newList),
+        mps.length, 1, live.map(_._2).sum)
+    }
+  }
 }

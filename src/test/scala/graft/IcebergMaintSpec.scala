@@ -67,6 +67,41 @@ class IcebergMaintSpec extends AnyFunSuite {
       cutoff).isEmpty)
   }
 
+  test("rewrite_manifests: sprawl collapses 3 -> 1 at status " +
+    "EXISTING, expire then reclaims metadata only, fixed point") {
+    val files = IcebergWrite.writeSprawlTable("t-4", ids)
+    val rw = IcebergWrite
+      .rewriteManifests(files, "v3.metadata.json", 1700000001000L)
+      .getOrElse(fail("rewrite"))
+    assert(rw.manifestsBefore == 3 && rw.manifestsAfter == 1 &&
+      rw.liveRows == ids.length.toLong)
+    assert(rw.newMetaName == "v4.metadata.json")
+    // the merged manifest carries every file at status EXISTING (0)
+    val merged = graft.sources.AvroGeneric
+      .parseContainer(rw.newFiles("m-merged.avro"))
+      .getOrElse(fail("merged"))
+    assert(merged.records.length == 3)
+    assert(merged.records.forall(
+      _.field("status").flatMap(_.asLong).contains(0L)))
+    val after = files ++ rw.newFiles + (rw.newMetaName -> rw.newMeta)
+    // expiry reclaims ONLY metadata — all data is live in the merge
+    val ex = IcebergWrite
+      .expireSnapshots(after, rw.newMetaName, 1700000000500L)
+      .getOrElse(fail("expire"))
+    assert(ex.deleted.toSet ==
+      Set("snap-1.avro", "m-0.avro", "m-1.avro", "m-2.avro"))
+    assert(ex.dataDeleted == 0 && ex.keptRows == ids.length.toLong)
+    // second rewrite over the pruned table is a fixed point
+    val pruned = (after -- ex.deleted) + (ex.newMetaName -> ex.newMeta)
+    val rw2 = IcebergWrite
+      .rewriteManifests(pruned, ex.newMetaName, 1700000002000L)
+      .getOrElse(fail("rewrite 2"))
+    assert(rw2.manifestsBefore == 1 && rw2.liveRows == rw.liveRows)
+    // malformed: a missing manifest closes as None
+    assert(IcebergWrite.rewriteManifests(files - "m-1.avro",
+      "v3.metadata.json", 1L).isEmpty)
+  }
+
   test("Apache Avro cross-reads the history writer's manifests") {
     import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
