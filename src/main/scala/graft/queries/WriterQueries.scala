@@ -2965,5 +2965,92 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS compact_stable
         FROM d JOIN tok tk ON tk.doc_id = d.doc_id
         GROUP BY d.bin"""),
+      headline = false),
+
+    // q348 -- ORC TEMPORAL + DECIMAL columns, write side (the reader
+    // has decoded both since the r12 skip-stack work): the ledger
+    // schema every transactions/telemetry corpus ships -- TIMESTAMP
+    // as signed-RLEv2 seconds from the 2015 ORC epoch plus
+    // trailing-zero-packed nanos (pre-epoch instants exercise the
+    // floor law: seconds floored, nanos kept non-negative), DECIMAL
+    // as unbounded zigzag varints with an RLEv2 scale stream. The
+    // engine writes the ledger (timestamps incl. pre-epoch rows,
+    // NEGATIVE decimal amounts, a dict-encoded kind column), reads
+    // it back with its own stripe decoders (micros byte-exact,
+    // (unscaled, scale) pairs with the scale law pinned), and the
+    // sums re-derive in DuckDB. orc-core (spark.read.orc)
+    // cross-reads the same writer output in OrcSpec -- timestamps as
+    // instants, decimals rescaled to the declared (18,2).
+    "q348_orc_temporal_decimal_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.OrcWrite
+            val Epoch2015Us = 1420070400000000L
+            def tsOf(d: Long): Long =
+              if (d % 9 == 0) Epoch2015Us - d * 1000000L - 500000L
+              else 1700000000000000L + d * 1000000L +
+                (d % 1000) * 1000L
+            def amtOf(d: Long): Long = (d * 37) % 100000L - 5000L
+            val cols = Seq(
+              W.OLongCol("event_id", ids.map(Some(_))),
+              W.OTimestampCol("ts", ids.map(tsOf)),
+              W.ODecimalCol("amount", ids.map(amtOf), scale = 2),
+              W.ODictStringCol("kind", ids.map(d =>
+                Some(s"k${d % 5}"))))
+            val bytes = W.writeTable(cols)
+            val snappy = W.writeTable(cols, compression = 2)
+            val O = graft.sources.Orc
+            O.parseTail(snappy).toSeq.flatMap { t =>
+              if (t.typeKinds != Seq(12, 4, 9, 14, 7)) Nil
+              else {
+                val st = t.stripes.head
+                (O.stripeColumnLongs(snappy, t, st, 1),
+                  O.stripeColumnTimestampMicros(snappy, t, st, 2),
+                  O.stripeColumnDecimals(snappy, t, st, 3),
+                  O.stripeColumnStrings(snappy, t, st, 4)) match {
+                  case (Some(evs), Some(tss), Some((uns, scs)),
+                    Some(kinds))
+                    if evs.toSeq == ids &&
+                      tss.toSeq == ids.map(tsOf) &&
+                      uns.toSeq == ids.map(amtOf) &&
+                      scs.forall(_ == 2L) &&
+                      kinds.toSeq == ids.map(d => s"k${d % 5}") =>
+                    Seq((blobId, ids.length.toLong, ids.sum,
+                      tss.sum, uns.sum, 2L,
+                      kinds.distinct.length.toLong,
+                      if (snappy.length < bytes.length) 1L else 0L))
+                  case _ => Nil
+                }
+              }
+            }
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "ts_sum", "amount_sum",
+            "dec_scale", "n_kinds", "snappy_smaller")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 CASE WHEN doc_id % 9 = 0
+                   THEN 1420070400000000 - doc_id * 1000000 - 500000
+                   ELSE 1700000000000000 + doc_id * 1000000
+                     + (doc_id % 1000) * 1000 END AS ts_us,
+                 (doc_id * 37) % 100000 - 5000 AS amt
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(ts_us) AS BIGINT) AS ts_sum,
+               CAST(sum(amt) AS BIGINT) AS amount_sum,
+               CAST(2 AS BIGINT) AS dec_scale,
+               CAST(least(count(DISTINCT d % 5), 5) AS BIGINT)
+                 AS n_kinds,
+               CAST(1 AS BIGINT) AS snappy_smaller
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

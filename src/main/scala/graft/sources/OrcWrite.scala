@@ -134,6 +134,22 @@ object OrcWrite {
     * DICTIONARY_DATA streams, DATA = unsigned RLEv2 indices over
     * present values.
     */
+  /** TIMESTAMP column (epoch MICROS, required — the reader's strict
+    * non-null scope): DATA = signed RLEv2 seconds from the ORC epoch
+    * (2015-01-01 UTC, floored for pre-epoch instants), SECONDARY =
+    * unsigned RLEv2 nanos under the spec's trailing-zero packing.
+    */
+  final case class OTimestampCol(name: String, micros: Seq[Long])
+      extends OColumn { def size: Int = micros.length }
+
+  /** DECIMAL column (required): DATA = unbounded zigzag varints of
+    * the unscaled values, SECONDARY = signed RLEv2 per-value scales
+    * (constant here — orc-core rescales to the declared type scale).
+    */
+  final case class ODecimalCol(name: String, unscaled: Seq[Long],
+                               scale: Int, precision: Int = 18)
+      extends OColumn { def size: Int = unscaled.length }
+
   final case class ODictStringCol(name: String,
                                   values: Seq[Option[String]])
       extends OColumn { def size: Int = values.length }
@@ -225,6 +241,12 @@ object OrcWrite {
               .length.toLong).sum))
       case ODictStringCol(_, vs) =>
         statsOf(OStringCol(c.name, vs), from, until)
+      // timestamp/decimal stats messages are optional in the proto;
+      // emit counts only (the skip stack covers the other kinds)
+      case OTimestampCol(_, vs) =>
+        CStat(vs.slice(from, until).length.toLong, hasNull = false)
+      case ODecimalCol(_, vs, _, _) =>
+        CStat(vs.slice(from, until).length.toLong, hasNull = false)
     }
 
   /** ColumnStatistics proto — the exact fields the engine's own
@@ -362,7 +384,7 @@ object OrcWrite {
     bloomCols.foreach { ci =>
       require(ci >= 0 && ci < cols.length, s"bloom col $ci")
       require(cols(ci) match {
-        case _: ODoubleCol => false
+        case _: ODoubleCol | _: OTimestampCol | _: ODecimalCol => false
         case _ => true
       }, "blooms cover LONG and STRING columns")
     }
@@ -421,6 +443,44 @@ object OrcWrite {
           streams += ((1, colId, framed(data.toByteArray)))
           streams += ((2, colId, framed(rleV2DirectUnsigned(
             present.map(_.length.toLong)))))
+        case OTimestampCol(_, vs) =>
+          presentCount(ci) = vs.length.toLong
+          val secs = new Array[Long](vs.length)
+          val nanosEnc = new Array[Long](vs.length)
+          var i = 0
+          vs.foreach { us =>
+            val sec = java.lang.Math.floorDiv(us, 1000000L)
+            val nanos = java.lang.Math.floorMod(us, 1000000L) * 1000L
+            secs(i) = sec - 1420070400L
+            nanosEnc(i) =
+              if (nanos == 0L) 0L
+              else {
+                var t = 0
+                var v = nanos
+                while (t < 7 && v % 10L == 0L) { v /= 10L; t += 1 }
+                if (t >= 2) (v << 3) | (t - 1).toLong
+                else nanos << 3
+              }
+            i += 1
+          }
+          streams += ((1, colId, framed(rleV2DirectSigned(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              secs)))))
+          streams += ((5, colId, framed(rleV2DirectUnsigned(
+            nanosEnc))))
+        case ODecimalCol(_, vs, scale, _) =>
+          presentCount(ci) = vs.length.toLong
+          val data = new java.io.ByteArrayOutputStream()
+          vs.foreach { u =>
+            var z = (u << 1) ^ (u >> 63)
+            while ((z & ~0x7fL) != 0) {
+              data.write(((z & 0x7f) | 0x80).toInt); z >>>= 7
+            }
+            data.write(z.toInt)
+          }
+          streams += ((1, colId, framed(data.toByteArray)))
+          streams += ((5, colId, framed(rleV2DirectSigned(
+            Seq.fill(vs.length)(scale.toLong)))))
         case ODictStringCol(_, vs) =>
           val valid = vs.map(_.isDefined).toArray
           presentCount(ci) = valid.count(identity).toLong
@@ -626,7 +686,15 @@ object OrcWrite {
         case _: ODoubleCol => 6L     // DOUBLE
         case _: OStringCol => 7L     // STRING
         case _: ODictStringCol => 7L // STRING (dict-encoded)
+        case _: OTimestampCol => 9L  // TIMESTAMP
+        case _: ODecimalCol => 14L   // DECIMAL
       })
+      c match {
+        case ODecimalCol(_, _, scale, precision) =>
+          t.uint(5, precision.toLong)
+          t.uint(6, scale.toLong)
+        case _ => ()
+      }
       f.bytesField(4, t.toBytes)
     }
     f.uint(6, n.toLong)

@@ -559,4 +559,63 @@ class OrcSpec extends SparkSpec {
     assert(got.getLong(4) == 13L)
     p.delete(); dir.delete()
   }
+  test("OrcWrite TIMESTAMP + DECIMAL: orc-core (spark.read.orc) " +
+    "cross-reads own files — pre-epoch instants, negative amounts, " +
+    "rescale to the declared (18,2); own decoders byte-exact") {
+    val W = graft.sources.OrcWrite
+    val O = graft.sources.Orc
+    val n = 300
+    val Epoch2015Us = 1420070400000000L
+    val micros = (0 until n).map { i =>
+      if (i % 9 == 0) Epoch2015Us - i.toLong * 1000000L - 500000L
+      else 1700000000000000L + i.toLong * 1000000L + (i % 1000) * 1000L
+    }
+    val amounts = (0 until n).map(i => (i.toLong * 37) % 100000L - 5000L)
+    for (comp <- Seq(0, 2)) {
+      val b = W.writeTable(Seq(
+        W.OLongCol("id", (0 until n).map(i => Some(i.toLong))),
+        W.OTimestampCol("ts", micros),
+        W.ODecimalCol("amount", amounts, scale = 2)),
+        compression = comp)
+      // own decoders, byte-exact
+      val t = O.parseTail(b).getOrElse(fail(s"tail comp=$comp"))
+      assert(t.typeKinds == Seq(12, 4, 9, 14))
+      val st = t.stripes.head
+      assert(O.stripeColumnTimestampMicros(b, t, st, 2)
+        .exists(_.toSeq == micros), s"own ts comp=$comp")
+      val (uns, scs) = O.stripeColumnDecimals(b, t, st, 3)
+        .getOrElse(fail(s"own dec comp=$comp"))
+      assert(uns.toSeq == amounts && scs.forall(_ == 2L))
+      // orc-core as the independent reader
+      val dir = java.nio.file.Files.createTempDirectory("orctd").toFile
+      val p = new java.io.File(dir, "own.orc")
+      java.nio.file.Files.write(p.toPath, b)
+      val got = spark.read.orc(p.getAbsolutePath)
+        .selectExpr("count(*)", "sum(unix_micros(ts))",
+          "sum(amount)", "min(amount)").collect()(0)
+      assert(got.getLong(0) == n.toLong)
+      assert(got.getLong(1) == micros.sum, s"orc-core ts comp=$comp")
+      val wantSum = new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(amounts.sum), 2)
+      assert(got.getDecimal(2).compareTo(wantSum) == 0,
+        s"orc-core amount comp=$comp")
+      assert(got.getDecimal(3).compareTo(new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(amounts.min), 2)) == 0)
+      p.delete(); dir.delete()
+    }
+    // damage: flips over the timestamp/decimal file never throw
+    val b0 = W.writeTable(Seq(
+      W.OTimestampCol("ts", micros.take(50)),
+      W.ODecimalCol("amount", amounts.take(50), scale = 2)))
+    for (i <- b0.indices by 7) {
+      val bad = b0.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      O.parseTail(bad).foreach { t2 =>
+        t2.stripes.headOption.foreach { st2 =>
+          O.stripeColumnTimestampMicros(bad, t2, st2, 1)
+          O.stripeColumnDecimals(bad, t2, st2, 2)
+        }
+      }
+    }
+  }
 }
+
