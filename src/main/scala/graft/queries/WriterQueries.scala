@@ -3052,5 +3052,87 @@ object WriterQueries {
                  AS n_kinds,
                CAST(1 AS BIGINT) AS snappy_smaller
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q349 -- the zstd SEEKABLE format (contrib seekable_format.md),
+    // both directions engine-owned: the xz seek index (q337) and the
+    // WARC CDX (q343) story on the zstd layer. Plain concatenated
+    // zstd forces a serial decompress; the seekable layout -- one
+    // independent frame per chunk plus a SKIPPABLE seek-table frame
+    // (per-frame compressed/decompressed sizes, the 0x8F92EAB1
+    // footer) -- lets a 1000-task scan jump to frame k and decode it
+    // alone. Per blob the corpus is split into 4 range chunks; laws:
+    // the parsed table's sizes TILE the payload exactly and match
+    // the chunk lengths (decompressed sizes are oracled per
+    // quartile), random access to each frame returns its chunk
+    // byte-exact while decoding ONLY that frame, and the own generic
+    // walk replays the full stream (4 zstd frames + 1 skippable) to
+    // the same bytes. libzstd streams the same file end-to-end in
+    // ZstdSpec.
+    "q349_zstd_seekable" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+            col("text"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val K = graft.sources.ZstdSeekable
+            val Z = graft.sources.Zstd
+            val rows = it.toSeq.sortBy(_._2)
+            val n = rows.length
+            val chunks = (0 until 4).map { q =>
+              rows.zipWithIndex.collect {
+                case ((_, d, text), i) if i * 4 / n == q =>
+                  s"D$d:$text\n"
+              }.mkString.getBytes("UTF-8")
+            }
+            val b = K.write(chunks)
+            val out = for {
+              table <- K.parse(b)
+              if table.length == 4 &&
+                table.map(_.decompressedSize) ==
+                  chunks.map(_.length.toLong)
+              fetched <- {
+                val fs = table.map(e => K.frame(b, e))
+                if (fs.exists(_.isEmpty)) None
+                else Some(fs.map(_.get))
+              }
+              if fetched.zip(chunks).forall { case (g, c) =>
+                java.util.Arrays.equals(g, c) }
+              frames <- Z.walk(b)
+              if frames.count(_.kind == "zstd") == 4 &&
+                frames.count(_.kind == "skip") == 1 &&
+                java.util.Arrays.equals(
+                  frames.filter(_.kind == "zstd")
+                    .toArray.flatMap(_.decoded),
+                  chunks.toArray.flatten)
+            } yield (0 until 4).map { q =>
+              val nd = rows.zipWithIndex.count(_._2 * 4 / n == q)
+              (blobId, q.toLong, nd.toLong,
+                chunks(q).length.toLong, 1L, 1L)
+            }
+            out.toSeq.flatten
+          }
+          .toDF("blob_id", "quartile", "n_docs", "chunk_len",
+            "fetch_exact", "replay_exact")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d, text,
+                 CAST(((row_number() OVER (PARTITION BY doc_id % 6
+                   ORDER BY doc_id) - 1) * 4) //
+                   count(*) OVER (PARTITION BY doc_id % 6) AS BIGINT)
+                   AS quartile
+          FROM documents)
+        SELECT blob_id, quartile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length('D' || d || ':') +
+                 octet_length(encode(text)) + 1) AS BIGINT)
+                 AS chunk_len,
+               CAST(1 AS BIGINT) AS fetch_exact,
+               CAST(1 AS BIGINT) AS replay_exact
+        FROM r GROUP BY blob_id, quartile"""),
       headline = false))
 }

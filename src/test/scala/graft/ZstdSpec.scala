@@ -420,6 +420,58 @@ class ZstdSpec extends AnyFunSuite {
     assert(zT < zP * 2 / 3, s"trained $zT vs plain $zP")
     assert(zT < zN, s"trained $zT vs naive $zN")
   }
+  test("SEEKABLE format: own write -> table parse + frame-k random " +
+    "access byte-exact; zstd-jni streams the whole file through the " +
+    "skippable table; damage fails closed") {
+    val K = graft.sources.ZstdSeekable
+    val Z = graft.sources.Zstd
+    val chunks = Seq(
+      ("doc one: " + "alpha beta " * 400).getBytes("UTF-8"),
+      new Array[Byte](50000), // zeros
+      ("{'k': 'v'} " * 900).getBytes("UTF-8"),
+      { val r = new java.util.Random(9); val a = new Array[Byte](30000)
+        r.nextBytes(a); a }) // incompressible
+    val b = K.write(chunks)
+    val table = K.parse(b).getOrElse(fail("table"))
+    assert(table.length == 4)
+    assert(table.map(_.decompressedSize) ==
+      chunks.map(_.length.toLong))
+    // frame k alone — the parallel-scan unit
+    for ((e, c) <- table.zip(chunks)) {
+      val got = K.frame(b, e).getOrElse(fail(s"frame @${e.offset}"))
+      assert(java.util.Arrays.equals(got, c))
+    }
+    // the own generic walk sees 4 zstd frames + 1 skippable
+    val frames = Z.walk(b).getOrElse(fail("walk"))
+    assert(frames.count(_.kind == "zstd") == 4 &&
+      frames.count(_.kind == "skip") == 1)
+    // zstd-jni (libzstd) streams the whole thing, skippable included
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(b)).setContinuous(true)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    assert(java.util.Arrays.equals(out.toByteArray,
+      chunks.toArray.flatten))
+    // damage: footer magic, descriptor reserved bits, size lies,
+    // truncations — all None, never a throw
+    val m = b.clone(); m(b.length - 1) = (m(b.length - 1) ^ 1).toByte
+    assert(K.parse(m).isEmpty)
+    val d = b.clone(); d(b.length - 5) = 0x04.toByte
+    assert(K.parse(d).isEmpty)
+    for (cut <- 0 until b.length by 997)
+      K.parse(java.util.Arrays.copyOf(b, cut))
+    for (i <- b.indices by 53) {
+      val bad = b.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      K.parse(bad).foreach(_.foreach(e => K.frame(bad, e)))
+    }
+    // empty-chunk-list edge: a zero-frame seekable parses to Nil
+    val empty = K.write(Seq.empty)
+    assert(K.parse(empty).exists(_.isEmpty))
+  }
 }
+
 
 
