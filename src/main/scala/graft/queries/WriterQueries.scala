@@ -3134,5 +3134,92 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS fetch_exact,
                CAST(1 AS BIGINT) AS replay_exact
         FROM r GROUP BY blob_id, quartile"""),
+      headline = false),
+
+    // q350 -- parquet PAGE CHECKSUMS, write side (PARQUET-2126; the
+    // reader has enforced recorded CRCs since the page-index work):
+    // at 100 TB, bit rot is a WHEN -- and an UNCOMPRESSED PLAIN page
+    // has no other integrity: a flipped payload byte decodes
+    // silently into a wrong sum. The engine now writes the CRC-32
+    // field in every page header (v1 data, v2 data, dictionary --
+    // over exactly the bytes after the header, the span the reader's
+    // crcOk covers), opt-in so every md5-pinned layout stays frozen.
+    // The oracled law is the CONTRAST: sweeping single-byte flips
+    // over the page region, the CRC'd file NEVER yields a silently
+    // different answer (every flip is caught or harmless), while the
+    // CRC-less twin provably CAN be silently corrupted
+    // (silent_possible=1) -- the failure mode the checksum exists
+    // for, demonstrated on the engine's own bytes.
+    "q350_parquet_page_crc_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val n = ids.length
+            val fields = Seq(
+              W.Leaf("doc_id", 0, 2),
+              W.Leaf("tag", 0, 6, convertedType = 0))
+            val data = Seq(
+              W.LeafData(Array.fill(n)(0), null,
+                longs = ids.toArray),
+              W.LeafData(Array.fill(n)(0), null,
+                bins = ids.map(d => s"t${d % 7}".getBytes("UTF-8"))
+                  .toArray, dict = true))
+            val crcd = W.writeFile(fields, data, withCrc = true)
+            val plain = W.writeFile(fields, data)
+            def sums(b: Array[Byte]): Option[(Long, Long)] =
+              for {
+                rs <- P.columnLongs(b, "doc_id")
+                ts <- P.columnStrings(b, "tag")
+              } yield (rs.sum, ts.map(_.length.toLong).sum)
+            val want = sums(crcd)
+            val rt = want.isDefined && sums(plain) == want
+            // flip sweep over the page region (everything before the
+            // footer is pages here); the files differ in length --
+            // each sweeps its own bound
+            def silentFlips(b: Array[Byte]): Int = {
+              var count = 0
+              var i = 4
+              val end = math.min(b.length - 8, 2048)
+              while (i < end) {
+                val bad = b.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+                sums(bad) match {
+                  case Some(v) if want.contains(v) => ()
+                  case Some(_) => count += 1
+                  case None => ()
+                }
+                i += 3
+              }
+              count
+            }
+            val crcSilent = silentFlips(crcd)
+            val plainSilent = silentFlips(plain)
+            (want, rt) match {
+              case (Some((idSum, tagLen)), true)
+                if crcSilent == 0 && plainSilent > 0 =>
+                Seq((blobId, n.toLong, idSum, tagLen, 1L, 1L))
+              case _ => Nil
+            }
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "tag_len_sum",
+            "crc_catches_all", "silent_possible_without")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(length('t' || (d % 7))) AS BIGINT)
+                 AS tag_len_sum,
+               CAST(1 AS BIGINT) AS crc_catches_all,
+               CAST(1 AS BIGINT) AS silent_possible_without
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

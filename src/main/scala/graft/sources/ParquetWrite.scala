@@ -378,7 +378,8 @@ object ParquetWrite {
                 codec: Int = 0, withStats: Boolean = false,
                 pageRows: Int = 0, withIndex: Boolean = false,
                 bloomCols: Set[Int] = Set.empty,
-                pageV2: Boolean = false): Array[Byte] = {
+                pageV2: Boolean = false,
+                withCrc: Boolean = false): Array[Byte] = {
     val shapes = flattenLeaves(fields)
     require(shapes.length == data.length, "leaf count mismatch")
     // 0 = UNCOMPRESSED, 1 = SNAPPY (own LZ77), 2 = GZIP (own DEFLATE
@@ -433,12 +434,22 @@ object ParquetWrite {
     // dictionaries (for the footer's encodings list + bloom ndv)
     val usedDict = new Array[Boolean](nLeaves)
 
+    def crcOf(parts: Array[Byte]*): Option[Int] =
+      if (!withCrc) None
+      else {
+        val c = new java.util.zip.CRC32()
+        parts.foreach(p => c.update(p, 0, p.length))
+        Some(c.getValue.toInt)
+      }
+
     def pageHeader(pageType: Int, uncomp: Int, comp: Int,
-                   numVals: Int, encoding: Int): Array[Byte] = {
+                   numVals: Int, encoding: Int,
+                   crc: Option[Int] = None): Array[Byte] = {
       val h = new TCW
       h.i32(1, pageType.toLong)
       h.i32(2, uncomp.toLong)
       h.i32(3, comp.toLong)
+      crc.foreach(v => h.i32(4, v.toLong))
       if (pageType == 0) {
         h.structField(5)
         h.i32(1, numVals.toLong)
@@ -461,11 +472,13 @@ object ParquetWrite {
       */
     def pageHeaderV2(uncomp: Int, comp: Int, numVals: Int,
                      numNulls: Int, numRows: Int, encoding: Int,
-                     dlBytes: Int, rlBytes: Int): Array[Byte] = {
+                     dlBytes: Int, rlBytes: Int,
+                     crc: Option[Int] = None): Array[Byte] = {
       val h = new TCW
       h.i32(1, 3L) // DATA_PAGE_V2
       h.i32(2, uncomp.toLong)
       h.i32(3, comp.toLong)
+      crc.foreach(v => h.i32(4, v.toLong))
       h.structField(8)
       h.i32(1, numVals.toLong)
       h.i32(2, numNulls.toLong)
@@ -559,7 +572,8 @@ object ParquetWrite {
         val plain = pb.toByteArray
         val body = compressBody(plain)
         val nd = if (isBin) binDict.length else longDict.length
-        val hb = pageHeader(2, plain.length, body.length, nd, 0)
+        val hb = pageHeader(2, plain.length, body.length, nd, 0,
+          crcOf(body))
         out.write(hb, 0, hb.length); out.write(body, 0, body.length)
         chunkComp(c) += hb.length + body.length
         chunkUncomp(c) += hb.length + plain.length
@@ -703,7 +717,7 @@ object ParquetWrite {
           if (!pageV2) {
             val body = compressBody(plain)
             val hb = pageHeader(0, plain.length, body.length, nVals,
-              encoding)
+              encoding, crcOf(body))
             out.write(hb, 0, hb.length); out.write(body, 0, body.length)
             chunkComp(c) += hb.length + body.length
             chunkUncomp(c) += hb.length + plain.length
@@ -713,7 +727,8 @@ object ParquetWrite {
             val unc = repRuns.length + defRuns.length + plain.length
             val comp = repRuns.length + defRuns.length + vbody.length
             val hb = pageHeaderV2(unc, comp, nVals, nVals - present,
-              recs, encoding, defRuns.length, repRuns.length)
+              recs, encoding, defRuns.length, repRuns.length,
+              crcOf(repRuns, defRuns, vbody))
             out.write(hb, 0, hb.length)
             out.write(repRuns, 0, repRuns.length)
             out.write(defRuns, 0, defRuns.length)

@@ -1360,7 +1360,55 @@ class ParquetSpec extends SparkSpec {
       g2.getLong(2) == present.sum)
     p2.delete(); dir2.delete()
   }
+  test("ParquetWrite(withCrc): page CRCs verify through parquet-mr " +
+    "with checksum verification ON, own reader enforces them, and " +
+    "md5-pinned layouts stay frozen (opt-in)") {
+    val W = graft.sources.ParquetWrite
+    val P = graft.sources.Parquet
+    val n = 400
+    val fields = Seq(W.Leaf("id", 0, 2),
+      W.Leaf("tag", 0, 6, convertedType = 0))
+    val data = Seq(
+      W.LeafData(Array.fill(n)(0), null,
+        longs = (0 until n).map(_.toLong * 7).toArray),
+      W.LeafData(Array.fill(n)(0), null,
+        bins = (0 until n).map(i => s"t${i % 9}".getBytes("UTF-8"))
+          .toArray, dict = true))
+    val crcd = W.writeFile(fields, data, withCrc = true,
+      pageRows = 128)
+    val plain = W.writeFile(fields, data, pageRows = 128)
+    // opt-in law: the default layout is byte-identical to before
+    assert(!java.util.Arrays.equals(crcd, plain) &&
+      crcd.length > plain.length)
+    assert(P.columnLongs(crcd, "id").exists(
+      _.toSeq == (0 until n).map(_.toLong * 7)))
+    // parquet-mr with page verification enabled reads the crc'd file
+    val dir = java.nio.file.Files.createTempDirectory("pqcrc").toFile
+    val p = new java.io.File(dir, "own.parquet")
+    java.nio.file.Files.write(p.toPath, crcd)
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    val got = spark.read
+      .option("parquet.page.verify-checksum.enabled", "true")
+      .parquet(p.getAbsolutePath)
+      .selectExpr("count(*)", "sum(id)", "count(distinct tag)")
+      .collect()(0)
+    assert(got.getLong(0) == n &&
+      got.getLong(1) == (0 until n).map(_.toLong * 7).sum &&
+      got.getLong(2) == 9L)
+    // a flipped payload byte fails the own reader closed on the
+    // crc'd file (the contrast with PLAIN-no-crc is q350's oracle)
+    var caught = true
+    for (i <- 40 until math.min(crcd.length - 8, 600) by 5) {
+      val bad = crcd.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      P.columnLongs(bad, "id").foreach { vs =>
+        if (vs.toSeq != (0 until n).map(_.toLong * 7)) caught = false
+      }
+    }
+    assert(caught, "a flip decoded silently despite the CRC")
+    p.delete(); dir.delete()
+  }
 }
+
 
 
 // Top-level so Spark derives encoders (mini-checkpoint spec rows).
