@@ -3221,5 +3221,88 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS crc_catches_all,
                CAST(1 AS BIGINT) AS silent_possible_without
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q351 -- BGZF, blocked gzip with random access (SAM/BAM spec
+    // 4.1, htslib's format -- and the answer to "our corpus is
+    // .gz, can we split it?"): every block is a complete gzip member
+    // whose FEXTRA 'BC' subfield carries BSIZE, so a scanner STRIDES
+    // member to member without inflating a byte, and a virtual
+    // offset (coffset<<16 | uoffset) addresses any uncompressed byte
+    // with one block decode. Both directions engine-owned (members
+    // through the own DEFLATE encoder; the walk through the FEXTRA
+    // framing the gzip reader already speaks). Laws: the stride walk
+    // tiles the file exactly and ends at the spec's fixed EOF marker
+    // (a cut file is INCOMPLETE, not shorter), block counts and
+    // uncompressed sizes re-derive in DuckDB, a mid-block virtual
+    // fetch spanning a block boundary returns the exact substring,
+    // and the full block-by-block replay equals the corpus.
+    // GZIPInputStream (the reference multi-member reader) decodes
+    // the same bytes in GzipSpec.
+    "q351_bgzf_random_access_gzip" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+            col("text"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val B = graft.sources.Bgzf
+            val rows = it.toSeq.sortBy(_._2)
+            val data = rows.map { case (_, d, t) => s"D$d:$t\n" }
+              .mkString.getBytes("UTF-8")
+            val bz = B.write(data, blockSize = 2048)
+            val out = for {
+              bs <- B.blocks(bz)
+              if bs.length == (data.length + 2047) / 2048 &&
+                bs.map(_.isize).sum == data.length.toLong &&
+                bs.head.coffset == 0L &&
+                bs.zip(bs.drop(1)).forall { case (x, y) =>
+                  x.coffset + x.bsize == y.coffset }
+              // full replay: block-by-block own decode == corpus
+              replay <- {
+                val acc = new java.io.ByteArrayOutputStream()
+                val parts = bs.map(e => B.blockData(bz, e))
+                if (parts.exists(_.isEmpty)) None
+                else {
+                  parts.foreach(p => acc.write(p.get, 0, p.get.length))
+                  Some(acc.toByteArray)
+                }
+              }
+              if java.util.Arrays.equals(replay, data)
+              // virtual fetch across a block boundary
+              fetched <- {
+                if (bs.length < 2) Some(Array.emptyByteArray)
+                else B.virtualFetch(bz,
+                  (bs(0).coffset << 16) | 1500L,
+                  math.min(1500, data.length - 1500))
+              }
+              if bs.length < 2 || java.util.Arrays.equals(fetched,
+                java.util.Arrays.copyOfRange(data, 1500,
+                  1500 + math.min(1500, data.length - 1500)))
+              // a file cut before the EOF marker is incomplete
+              if B.blocks(java.util.Arrays.copyOf(bz,
+                bz.length - B.EofMarker.length)).isEmpty
+            } yield (blobId, bs.length.toLong, data.length.toLong,
+              1L, 1L, 1L)
+            out.toSeq
+          }
+          .toDF("blob_id", "n_blocks", "total_len", "fetch_exact",
+            "replay_exact", "eof_law")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id,
+                 length('D' || doc_id || ':') +
+                   octet_length(encode(text)) + 1 AS rlen
+          FROM documents)
+        SELECT blob_id,
+               CAST((sum(rlen) + 2047) // 2048 AS BIGINT) AS n_blocks,
+               CAST(sum(rlen) AS BIGINT) AS total_len,
+               CAST(1 AS BIGINT) AS fetch_exact,
+               CAST(1 AS BIGINT) AS replay_exact,
+               CAST(1 AS BIGINT) AS eof_law
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

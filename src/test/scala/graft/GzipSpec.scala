@@ -143,4 +143,59 @@ class GzipSpec extends SparkSpec {
     assert(ms.size == 1 && ms.head.crc_ok && ms.head.uncomp_len == 0L)
     assert(ms.head.member_len == blob.length.toLong)
   }
+  test("BGZF: stride-without-inflate walk, virtual-offset fetch, " +
+    "EOF-marker law, GZIPInputStream (the reference) decodes the " +
+    "whole file; damage fails closed") {
+    val B = graft.sources.Bgzf
+    val text = (0 until 3000).map(i =>
+      s"line $i of the bgzf corpus with filler ${i % 71}\n").mkString
+    val data = text.getBytes("UTF-8")
+    val b = B.write(data, blockSize = 4096)
+    val bs = B.blocks(b).getOrElse(fail("blocks"))
+    assert(bs.length == (data.length + 4095) / 4096)
+    assert(bs.map(_.isize).sum == data.length.toLong)
+    // members tile exactly up to the EOF marker
+    assert(bs.head.coffset == 0L)
+    assert(bs.zip(bs.drop(1)).forall { case (x, y) =>
+      x.coffset + x.bsize == y.coffset })
+    assert(bs.last.coffset + bs.last.bsize ==
+      (b.length - B.EofMarker.length).toLong)
+    // block k alone decodes to its slice
+    for ((blk, k) <- bs.zipWithIndex) {
+      val want = java.util.Arrays.copyOfRange(data, k * 4096,
+        math.min(data.length, (k + 1) * 4096))
+      assert(B.blockData(b, blk).exists(
+        java.util.Arrays.equals(_, want)), s"block $k")
+    }
+    // virtual offsets: mid-block fetch spanning two blocks
+    val blk1 = bs(1)
+    val v = (blk1.coffset << 16) | 1000L
+    val got = B.virtualFetch(b, v, 5000).getOrElse(fail("vfetch"))
+    assert(java.util.Arrays.equals(got,
+      java.util.Arrays.copyOfRange(data, 4096 + 1000, 4096 + 6000)))
+    // the JDK's multi-member gzip reader decodes the whole file
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    assert(java.util.Arrays.equals(out.toByteArray, data))
+    // EOF-marker law: a file cut before the marker is INCOMPLETE
+    assert(B.blocks(java.util.Arrays.copyOf(b,
+      b.length - B.EofMarker.length)).isEmpty)
+    // truncation + flip battery never throws
+    for (cut <- 0 until b.length by 503)
+      B.blocks(java.util.Arrays.copyOf(b, cut))
+    for (i <- b.indices by 97) {
+      val bad = b.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      B.blocks(bad).foreach(_.foreach(e => B.blockData(bad, e)))
+    }
+    // empty input: just the EOF marker, zero blocks
+    val empty = B.write(Array.emptyByteArray)
+    assert(java.util.Arrays.equals(empty, B.EofMarker))
+    assert(B.blocks(empty).exists(_.isEmpty))
+  }
 }
+
