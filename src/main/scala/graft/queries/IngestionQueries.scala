@@ -5987,7 +5987,222 @@ object IngestionQueries {
                CAST(sum((d * 23) % 997) AS BIGINT) AS val_sum
         FROM live GROUP BY table_id"""))
 
-    Seq(q254, q261, q270, q272, q280, q282, q287, q299, q339, q340)
+    // q352 — Delta row-level MERGE as a WRITE operation WITH CDF
+    // emission, closing the last read-write asymmetry in the lake
+    // plane (the engine READS CDF since q282; now it WRITES the
+    // feed). The lakehouse twin of the reference's SCD price upsert
+    // (/root/reference/database_utils.py:260-280): CDF declared at v0
+    // (metaData configuration), the merge commit rewrites ONLY the
+    // touched files (remove+add dataChange=true), lands inserts in
+    // one new file, and emits every change row through the own
+    // parquet writer as a `_change_data/` cdc file referenced by an
+    // AddCDCFile action in the SAME commit. Laws in the compared
+    // output: folding the own-READ CDF stream over the pre-merge
+    // state reproduces EXACTLY the post-merge replay (fold_ok —
+    // preimage/delete values must match live state, insert keys must
+    // be absent), and OPTIMIZE on the merged table (q339's machinery)
+    // yields a commit the CDF reader scores as ZERO new rows while
+    // preserving the answer (opt_cdf_zero). Counts/sums re-derive in
+    // DuckDB; a double-counting reader (cdc AND rewritten adds) or a
+    // missed insert file breaks the hash.
+    val q352 = "q352_delta_merge_cdf_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JBool, JObject, JString}
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.DeltaWrite
+            val P = graft.sources.Parquet
+            val J = graft.sources.Json
+            val base = W.writeCdfTable(s"tbl-$t", ids)
+            val updates = ids.filter(d => (d / 6) % 4 == 1)
+              .map(d => (d, (d * 31) % 1009)).toMap
+            val deletes = ids.filter(d => (d / 6) % 4 == 2).toSet
+            val inserts = ids.filter(d => (d / 6) % 4 == 3)
+              .map(d => (d + 1000000L, (d * 17) % 1013))
+            def state(fs: Map[String, Array[Byte]])
+                : Option[Map[Long, Long]] =
+              W.replayLive(fs).flatMap { case (live, _) =>
+                val dec = live.map(p => for {
+                  b <- fs.get(p)
+                  rs <- P.columnLongs(b, "rec_id")
+                  vs <- P.columnLongs(b, "val")
+                  if rs.length == vs.length
+                } yield rs.zip(vs))
+                if (dec.exists(_.isEmpty)) None
+                else Some(dec.flatMap(_.get).toMap)
+              }
+            // own CDF read from version `from`: a commit WITH cdc
+            // actions feeds ONLY from its cdc files; one without
+            // synthesizes inserts from dataChange=true adds (q282's
+            // per-commit selection law). Gated on the metaData flag.
+            def cdfRows(fs: Map[String, Array[Byte]], from: Long)
+                : Option[Seq[(Long, Long, String)]] = {
+              val CommitRe = "^_delta_log/(\\d{20})\\.json$".r
+              val commits = fs.keys.toSeq.collect {
+                case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+              var enabled = false
+              var bad = false
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long, String)]
+              commits.foreach { case (ver, p) =>
+                val objs = new String(fs(p), "UTF-8").split("\n")
+                  .filter(_.nonEmpty).flatMap(J.parse)
+                  .collect { case o: JObject => o }
+                if (objs.exists(_.get("metaData").exists {
+                  case m: JObject => m.get("configuration").exists {
+                    case c: JObject =>
+                      c.get("delta.enableChangeDataFeed")
+                        .contains(JString("true"))
+                    case _ => false
+                  }
+                  case _ => false
+                })) enabled = true
+                if (ver >= from) {
+                  val cdcPaths = objs.flatMap(_.get("cdc")).collect {
+                    case c: JObject => c.get("path")
+                  }.flatten.collect { case JString(x) => x }
+                  if (cdcPaths.nonEmpty) cdcPaths.foreach { cp =>
+                    (fs.get(cp).flatMap(P.columnLongs(_, "rec_id")),
+                      fs.get(cp).flatMap(P.columnLongs(_, "val")),
+                      fs.get(cp)
+                        .flatMap(P.columnStrings(_, "_change_type")))
+                    match {
+                      case (Some(rs), Some(vs), Some(ct))
+                        if rs.length == vs.length &&
+                          ct.length == rs.length =>
+                        rs.indices.foreach(i =>
+                          out += ((rs(i), vs(i), ct(i))))
+                      case _ => bad = true
+                    }
+                  }
+                  else objs.flatMap(_.get("add")).collect {
+                    case a: JObject
+                      if a.get("dataChange").contains(JBool(true)) =>
+                      a.get("path")
+                  }.flatten.collect { case JString(x) => x }
+                    .foreach { ap =>
+                      (fs.get(ap).flatMap(P.columnLongs(_, "rec_id")),
+                        fs.get(ap).flatMap(P.columnLongs(_, "val")))
+                      match {
+                        case (Some(rs), Some(vs))
+                          if rs.length == vs.length =>
+                          rs.indices.foreach(i =>
+                            out += ((rs(i), vs(i), "insert")))
+                        case _ => bad = true
+                      }
+                    }
+                }
+              }
+              if (bad || !enabled) None else Some(out.toSeq)
+            }
+            val res = for {
+              pre <- state(base)
+              mr <- W.mergeCdf(base, updates, deletes, inserts)
+              merged = base ++ mr.files + (mr.commitName -> mr.commit)
+              post <- state(merged)
+              feed <- cdfRows(merged, 1L)
+            } yield {
+              var ok = true
+              val st =
+                scala.collection.mutable.Map.empty[Long, Long] ++ pre
+              feed.foreach { case (k, vv, ct) =>
+                ct match {
+                  case "insert" =>
+                    if (st.contains(k)) ok = false else st(k) = vv
+                  case "update_preimage" =>
+                    if (!st.get(k).contains(vv)) ok = false
+                  case "update_postimage" =>
+                    if (!st.contains(k)) ok = false else st(k) = vv
+                  case "delete" =>
+                    if (!st.get(k).contains(vv)) ok = false
+                    else st -= k
+                  case _ => ok = false
+                }
+              }
+              val foldOk = ok && st.toMap == post
+              val optZero = W.optimize(merged) match {
+                case Some(o) =>
+                  val after = merged + (o.commitName -> o.commit) +
+                    (o.compactedName -> o.compacted)
+                  val ov = o.commitName.stripPrefix("_delta_log/")
+                    .stripSuffix(".json").toLong
+                  (cdfRows(after, ov), state(after)) match {
+                    case (Some(rows), Some(ps))
+                      if rows.isEmpty && ps == post => 1L
+                    case _ => 0L
+                  }
+                case None => 0L
+              }
+              Seq((t, mr.nTouched, mr.nUpd, mr.nDel, mr.nIns,
+                feed.length.toLong, feed.map(_._2).sum,
+                post.size.toLong, post.keys.sum, post.values.sum,
+                if (foldOk) 1L else 0L, optZero))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("table_id", "n_touched", "n_upd", "n_del", "n_ins",
+            "n_cdc_rows", "cdc_val_sum", "post_rows", "post_id_sum",
+            "post_val_sum", "fold_ok", "opt_cdf_zero")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS part, (doc_id // 6) % 4 AS m,
+                 (doc_id * 11) % 1000 AS v0
+          FROM documents),
+        post AS (
+          SELECT table_id, d,
+                 CASE WHEN m = 1 THEN (d * 31) % 1009 ELSE v0 END AS v
+          FROM r WHERE m <> 2
+          UNION ALL
+          SELECT table_id, d + 1000000 AS d, (d * 17) % 1013 AS v
+          FROM r WHERE m = 3),
+        agg_post AS (
+          SELECT table_id,
+                 CAST(count(*) AS BIGINT) AS post_rows,
+                 CAST(sum(d) AS BIGINT) AS post_id_sum,
+                 CAST(sum(v) AS BIGINT) AS post_val_sum
+          FROM post GROUP BY table_id),
+        cdc AS (
+          SELECT table_id, v0 AS v FROM r WHERE m = 1
+          UNION ALL
+          SELECT table_id, (d * 31) % 1009 FROM r WHERE m = 1
+          UNION ALL
+          SELECT table_id, v0 FROM r WHERE m = 2
+          UNION ALL
+          SELECT table_id, (d * 17) % 1013 FROM r WHERE m = 3),
+        agg_cdc AS (
+          SELECT table_id,
+                 CAST(count(*) AS BIGINT) AS n_cdc_rows,
+                 CAST(sum(v) AS BIGINT) AS cdc_val_sum
+          FROM cdc GROUP BY table_id),
+        agg_m AS (
+          SELECT table_id,
+                 CAST(count(DISTINCT CASE WHEN m IN (1, 2) THEN part
+                   END) AS BIGINT) AS n_touched,
+                 CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_upd,
+                 CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_del,
+                 CAST(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_ins
+          FROM r GROUP BY table_id)
+        SELECT m.table_id, m.n_touched, m.n_upd, m.n_del, m.n_ins,
+               c.n_cdc_rows, c.cdc_val_sum,
+               p.post_rows, p.post_id_sum, p.post_val_sum,
+               CAST(1 AS BIGINT) AS fold_ok,
+               CAST(1 AS BIGINT) AS opt_cdf_zero
+        FROM agg_m m
+        JOIN agg_cdc c USING (table_id)
+        JOIN agg_post p USING (table_id)"""))
+
+    Seq(q254, q261, q270, q272, q280, q282, q287, q299, q339, q340,
+      q352)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:

@@ -389,4 +389,145 @@ object DeltaWrite {
         }
       }
     }
+
+  // ---- row-level MERGE write with CDF emission (q352) ----------------------
+
+  /** metaData carrying `delta.enableChangeDataFeed=true` — the gate
+    * the CDF reader (q282) checks before synthesizing any feed.
+    */
+  def metaDataActionCdf(id: String): String =
+    s"""{"metaData": {"configuration": {"delta.enableChangeDataFeed": "true"}, "createdTime": 1700000000000, "format": {"options": {}, "provider": "parquet"}, "id": "$id", "partitionColumns": [], "schemaString": "${esc(SchemaString)}"}}"""
+
+  /** AddCDCFile (delta PROTOCOL.md "Add CDC File"): dataChange MUST
+    * be false — CDF readers select cdc files by PRESENCE in a commit,
+    * never by the dataChange flag of the rewritten adds.
+    */
+  def cdcAction(path: String, size: Long): String =
+    s"""{"cdc": {"dataChange": false, "partitionValues": {}, "path": "$path", "size": $size}}"""
+
+  /** The q352 base table: CDF enabled from v0, three data files split
+    * by (d/6) % 3, val = (d*11) % 1000 (q299's formula), every byte
+    * through the engine's own parquet writer.
+    */
+  def writeCdfTable(id: String,
+                    ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val parts = (0 to 2).map(x => ids.filter(d => (d / 6) % 3 == x))
+    val names = (0 to 2).map(x => s"part-$x.parquet")
+    val data = parts.map(p => ParquetWrite.writeInt64(
+      Seq("rec_id", "val"), p.map(d => Array(d, (d * 11) % 1000))))
+    val c0 = (Seq(protocolAction, metaDataActionCdf(id)) ++
+      (0 to 2).map(x => addAction(names(x), data(x).length.toLong)))
+      .mkString("\n") + "\n"
+    Map("_delta_log/00000000000000000000.json" ->
+      c0.getBytes(Utf8)) ++ names.zip(data)
+  }
+
+  /** One cdc parquet — (rec_id, val, _change_type) through the own
+    * writer; the change-type column is BYTE_ARRAY/UTF8,
+    * dictionary-encoded (≤4 distinct values by construction).
+    */
+  def writeCdcParquet(rows: Seq[(Long, Long, String)]): Array[Byte] = {
+    val W = ParquetWrite
+    val n = rows.length
+    W.writeFile(
+      Seq(W.Leaf("rec_id", 0, 2), W.Leaf("val", 0, 2),
+        W.Leaf("_change_type", 0, 6, convertedType = 0)),
+      Seq(
+        W.LeafData(Array.fill(n)(0), null,
+          longs = rows.map(_._1).toArray),
+        W.LeafData(Array.fill(n)(0), null,
+          longs = rows.map(_._2).toArray),
+        W.LeafData(Array.fill(n)(0), null,
+          bins = rows.map(_._3.getBytes(Utf8)).toArray, dict = true)))
+  }
+
+  final case class MergeResult(commitName: String,
+                               commit: Array[Byte],
+                               files: Map[String, Array[Byte]],
+                               removed: Seq[String], cdcName: String,
+                               nUpd: Long, nDel: Long, nIns: Long,
+                               nTouched: Long)
+
+  /** Row-level MERGE as a WRITE operation — the lakehouse twin of the
+    * reference's SCD price upsert (database_utils.py:260-280): replay
+    * the log to the live set, rewrite ONLY the files containing a
+    * matched key (remove + add, dataChange=true), land inserts in one
+    * new file, and emit the change rows as a `_change_data/` cdc
+    * parquet (insert / update_preimage / update_postimage / delete)
+    * referenced by an AddCDCFile action in the SAME commit — so a CDF
+    * reader replays exactly the merge delta while a snapshot reader
+    * never double-counts the rewrites. None on malformed bytes or a
+    * violated MERGE precondition (update/delete key absent, insert
+    * key present, update ∩ delete nonempty).
+    */
+  def mergeCdf(files: Map[String, Array[Byte]],
+               updates: Map[Long, Long], deletes: Set[Long],
+               inserts: Seq[(Long, Long)]): Option[MergeResult] =
+    replayLive(files).flatMap { case (live, maxV) =>
+      val v = maxV + 1
+      val decoded = live.map { p =>
+        for {
+          b <- files.get(p)
+          rs <- Parquet.columnLongs(b, "rec_id")
+          vs <- Parquet.columnLongs(b, "val")
+          if rs.length == vs.length
+        } yield rs.toSeq.zip(vs.toSeq)
+      }
+      if (decoded.exists(_.isEmpty)) None
+      else {
+        val withRows = live.zip(decoded.map(_.get))
+        val baseKeys = withRows.flatMap(_._2.map(_._1)).toSet
+        if (updates.keySet.exists(!baseKeys(_)) ||
+          deletes.exists(!baseKeys(_)) ||
+          inserts.exists(i => baseKeys(i._1)) ||
+          (updates.keySet & deletes).nonEmpty) None
+        else {
+          val touched = withRows.filter { case (_, rows) =>
+            rows.exists(r => updates.contains(r._1) || deletes(r._1))
+          }
+          val cdc =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+          var idx = 0
+          val rewritten = touched.flatMap { case (_, rows) =>
+            val kept = rows.flatMap { case (k, old) =>
+              if (deletes(k)) { cdc += ((k, old, "delete")); None }
+              else updates.get(k) match {
+                case Some(nv) =>
+                  cdc += ((k, old, "update_preimage"))
+                  cdc += ((k, nv, "update_postimage"))
+                  Some((k, nv))
+                case None => Some((k, old))
+              }
+            }
+            idx += 1
+            if (kept.isEmpty) None
+            else Some((f"part-m$v%05d-${idx - 1}.parquet",
+              ParquetWrite.writeInt64(Seq("rec_id", "val"),
+                kept.map(r => Array(r._1, r._2)))))
+          }
+          val insSorted = inserts.sortBy(_._1)
+          insSorted.foreach { case (k, nv) => cdc += ((k, nv, "insert")) }
+          val insFile =
+            if (insSorted.isEmpty) None
+            else Some((f"part-m$v%05d-ins.parquet",
+              ParquetWrite.writeInt64(Seq("rec_id", "val"),
+                insSorted.map(r => Array(r._1, r._2)))))
+          val cdcName = f"_change_data/cdc-$v%05d.parquet"
+          val cdcBytes = writeCdcParquet(cdc.toSeq)
+          val commit = (touched.map(t => removeAction(t._1)) ++
+            rewritten.map { case (n2, b) =>
+              addAction(n2, b.length.toLong) } ++
+            insFile.map { case (n2, b) =>
+              addAction(n2, b.length.toLong) } ++
+            Seq(cdcAction(cdcName, cdcBytes.length.toLong)))
+            .mkString("\n") + "\n"
+          Some(MergeResult(f"_delta_log/$v%020d.json",
+            commit.getBytes(Utf8),
+            rewritten.toMap ++ insFile.toMap + (cdcName -> cdcBytes),
+            touched.map(_._1), cdcName,
+            updates.size.toLong, deletes.size.toLong,
+            insSorted.length.toLong, touched.length.toLong))
+        }
+      }
+    }
 }

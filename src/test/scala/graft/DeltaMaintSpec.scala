@@ -67,4 +67,69 @@ class DeltaMaintSpec extends AnyFunSuite {
         "\n").getBytes("UTF-8"))
     assert(DeltaWrite.optimize(allGone).isEmpty)
   }
+
+  test("mergeCdf: touched-only rewrite, cdc file carries the exact " +
+    "change rows, fold over pre-state lands on post-state") {
+    val files = DeltaWrite.writeCdfTable("t-3", ids)
+    // CDF flag present at v0
+    assert(new String(
+      files("_delta_log/00000000000000000000.json"), "UTF-8")
+      .contains("\"delta.enableChangeDataFeed\": \"true\""))
+    // updates hit ONLY part 0 rows, so parts 1/2 stay untouched
+    val updKeys = ids.filter(d => (d / 6) % 3 == 0 && (d / 6) % 2 == 0)
+    val updates = updKeys.map(d => (d, d + 5000L)).toMap
+    val inserts = Seq((900001L, 7L), (900002L, 8L))
+    val res = DeltaWrite
+      .mergeCdf(files, updates, Set.empty, inserts)
+      .getOrElse(fail("merge"))
+    assert(res.nTouched == 1L && res.removed == Seq("part-0.parquet"))
+    assert(res.files.keySet.exists(_.startsWith("_change_data/")))
+    // untouched parts are NOT rewritten
+    assert(!res.files.contains("part-1.parquet") &&
+      !res.files.contains("part-2.parquet"))
+    val after = files ++ res.files + (res.commitName -> res.commit)
+    // cdc decode: 2 rows per update + 1 per insert
+    val cdc = res.files(res.cdcName)
+    val ct = Parquet.columnStrings(cdc, "_change_type")
+      .getOrElse(fail("ct")).toSeq
+    assert(ct.count(_ == "update_preimage") == updKeys.length)
+    assert(ct.count(_ == "update_postimage") == updKeys.length)
+    assert(ct.count(_ == "insert") == 2)
+    // fold law: pre + feed == post
+    def state(fs: Map[String, Array[Byte]]): Map[Long, Long] = {
+      val (live, _) = DeltaWrite.replayLive(fs).getOrElse(fail("rl"))
+      live.flatMap { p =>
+        val rs = Parquet.columnLongs(fs(p), "rec_id").get
+        val vs = Parquet.columnLongs(fs(p), "val").get
+        rs.zip(vs)
+      }.toMap
+    }
+    val post = state(after)
+    val want = ids.map(d =>
+      (d, updates.getOrElse(d, (d * 11) % 1000))).toMap ++ inserts
+    assert(post == want)
+    // the cdc file itself is never in the live set
+    assert(!DeltaWrite.replayLive(after).get._1
+      .exists(_.startsWith("_change_data/")))
+  }
+
+  test("mergeCdf: precondition violations close as None") {
+    val files = DeltaWrite.writeCdfTable("t-4", ids)
+    // update key absent from the base
+    assert(DeltaWrite
+      .mergeCdf(files, Map(777777L -> 1L), Set.empty, Nil).isEmpty)
+    // delete key absent
+    assert(DeltaWrite
+      .mergeCdf(files, Map.empty, Set(777777L), Nil).isEmpty)
+    // insert key already present
+    assert(DeltaWrite
+      .mergeCdf(files, Map.empty, Set.empty, Seq((ids.head, 1L)))
+      .isEmpty)
+    // update and delete overlap
+    assert(DeltaWrite.mergeCdf(files, Map(ids.head -> 1L),
+      Set(ids.head), Nil).isEmpty)
+    // a live data file missing from the bundle
+    assert(DeltaWrite.mergeCdf(files - "part-0.parquet",
+      Map(ids.head -> 1L), Set.empty, Nil).isEmpty)
+  }
 }
