@@ -3304,5 +3304,114 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS replay_exact,
                CAST(1 AS BIGINT) AS eof_law
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q353 — parquet MODULAR ENCRYPTION, AES_GCM_V1, both directions
+    // (parquet-format Encryption.md): at 100 TB with PII/takedown
+    // obligations the governance layer the format defines is
+    // column-level crypto — encrypted footer ("PARE"), every page
+    // and page header an AES-GCM module with ordinal-bound AAD, one
+    // column under its OWN key (encrypted_column_metadata, plain
+    // meta omitted — the parquet-mr shape; ParquetCryptoSpec
+    // cross-reads these bytes through parquet-mr's official crypto
+    // classes). Laws in the compared output: decrypt∘encrypt is the
+    // byte IDENTITY on the engine's own writer output (identity_ok),
+    // the decrypted bytes decode to DuckDB-re-derived sums, module
+    // count matches the page arithmetic (n_modules — 2 modules per
+    // page, dict pair, footer), and tampering fails CLOSED: a
+    // flipped ciphertext byte inside the first data-page module,
+    // the wrong footer key, and a MISSING column key each yield
+    // None, never plaintext garbage.
+    "q353_parquet_encryption" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val C = graft.sources.ParquetCrypto
+            val ids = it.map(_._2).toSeq.sorted
+            val n = ids.length
+            def md5(x: String): Array[Byte] =
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(x.getBytes("UTF-8"))
+            val footerKey = md5("pqenc:" + ids.mkString(","))
+            val valKey = md5("pqenccol:" + ids.mkString(","))
+            val aadUnique = md5("pqencaad:" + ids.mkString(","))
+              .take(8)
+            val fields = Seq(
+              W.Leaf("rec_id", 0, 2),
+              W.Leaf("val", 0, 2),
+              W.Leaf("cat", 0, 6, convertedType = 0))
+            val data = Seq(
+              W.LeafData(Array.fill(n)(0), null,
+                longs = ids.toArray),
+              W.LeafData(Array.fill(n)(0), null,
+                longs = ids.map(d => (d * 29) % 1021).toArray),
+              W.LeafData(Array.fill(n)(0), null,
+                bins = ids.map(d => s"c${d % 3}".getBytes("UTF-8"))
+                  .toArray, dict = true))
+            val plain = W.writeFile(fields, data, pageRows = 32)
+            val res = C.encryptFile(plain,
+              C.Keys(footerKey, Map("val" -> valKey)), aadUnique)
+            res.toSeq.flatMap { enc =>
+              val colKeys = Map("k:val" -> valKey)
+              val back = C.decryptFile(enc.bytes, footerKey, colKeys)
+              val identityOk = back.exists(
+                java.util.Arrays.equals(_, plain))
+              // tamper: flip a ciphertext byte mid first data page
+              val pm = enc.modules
+                .find(m => m.modType == C.ModDataPage)
+              val flipClosed = pm.exists { m =>
+                val x = enc.bytes.clone()
+                x(m.off + m.len / 2) =
+                  (x(m.off + m.len / 2) ^ 0x01).toByte
+                C.decryptFile(x, footerKey, colKeys).isEmpty
+              }
+              val wrongClosed = C.decryptFile(enc.bytes,
+                footerKey.reverse, colKeys).isEmpty
+              val missingClosed =
+                C.decryptFile(enc.bytes, footerKey).isEmpty
+              val sums = back.flatMap { b =>
+                for {
+                  rs <- P.columnLongs(b, "rec_id")
+                  vs <- P.columnLongs(b, "val")
+                  cs <- P.columnStrings(b, "cat")
+                  if rs.length == vs.length && cs.length == rs.length
+                } yield (rs.length.toLong, rs.sum, vs.sum,
+                  cs.map(_.length.toLong).sum)
+              }
+              sums.toSeq.map { case (nr, idSum, valSum, catLen) =>
+                (t, enc.modules.length.toLong, nr, idSum, valSum,
+                  catLen,
+                  if (identityOk) 1L else 0L,
+                  if (flipClosed) 1L else 0L,
+                  if (wrongClosed) 1L else 0L,
+                  if (missingClosed) 1L else 0L)
+              }
+            }
+          }
+          .toDF("table_id", "n_modules", "n_rows", "id_sum",
+            "val_sum", "cat_len_sum", "identity_ok", "flip_closed",
+            "wrongkey_closed", "missingkey_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d FROM documents)
+        SELECT table_id,
+               CAST(6 * CEIL(count(*) / 32.0) + 3 AS BIGINT)
+                 AS n_modules,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 29) % 1021) AS BIGINT) AS val_sum,
+               CAST(2 * count(*) AS BIGINT) AS cat_len_sum,
+               CAST(1 AS BIGINT) AS identity_ok,
+               CAST(1 AS BIGINT) AS flip_closed,
+               CAST(1 AS BIGINT) AS wrongkey_closed,
+               CAST(1 AS BIGINT) AS missingkey_closed
+        FROM r GROUP BY table_id"""),
       headline = false))
 }

@@ -73,8 +73,18 @@ object Parquet {
   private final class Damage extends RuntimeException(null, null, false, false)
   private def damage(): Nothing = throw new Damage
 
+  /** Totality bridge for sibling modules ([[ParquetCrypto]]) built on
+    * this object's thrift walk: run `f`, collapsing any Damage throw
+    * to None — so the never-escapes contract holds across the package.
+    */
+  private[sources] def totality[A](f: => A): Option[A] =
+    try Some(f) catch { case _: Damage => None }
+
+  /** Damage signal for sibling modules running inside [[totality]]. */
+  private[sources] def damageNow(): Nothing = damage()
+
   /** Cursor over a byte slice; every read is bounds-checked. */
-  private final class TC(b: Array[Byte], var pos: Int, val end: Int) {
+  private[sources] final class TC(b: Array[Byte], var pos: Int, val end: Int) {
     def u8(): Int = {
       if (pos < 0 || pos >= end || pos >= b.length) damage()
       val v = b(pos) & 0xff; pos += 1; v
@@ -104,7 +114,7 @@ object Parquet {
   /** Walk one struct: `f(fieldId, tpe)` returns true if it consumed the
     * value; otherwise the value is skipped by type. Bounded depth.
     */
-  private def struct(tc: TC, depth: Int)(f: (Int, Int) => Boolean): Unit = {
+  private[sources] def struct(tc: TC, depth: Int)(f: (Int, Int) => Boolean): Unit = {
     if (depth > 16) damage()
     var lastId = 0
     var done = false
@@ -153,7 +163,7 @@ object Parquet {
     case _ => damage()
   }
 
-  private def listHeader(tc: TC): (Int, Int) = {
+  private[sources] def listHeader(tc: TC): (Int, Int) = {
     val h = tc.u8()
     val et = h & 0x0f
     val sz = (h >> 4) & 0x0f
@@ -162,11 +172,11 @@ object Parquet {
     (n, et)
   }
 
-  private def i32(tc: TC, tpe: Int): Int = {
+  private[sources] def i32(tc: TC, tpe: Int): Int = {
     if (tpe != 5) damage(); val v = tc.zigzag()
     if (v < Int.MinValue || v > Int.MaxValue) damage(); v.toInt
   }
-  private def i64(tc: TC, tpe: Int): Long = { if (tpe != 6) damage(); tc.zigzag() }
+  private[sources] def i64(tc: TC, tpe: Int): Long = { if (tpe != 6) damage(); tc.zigzag() }
   private def i32List(tc: TC, tpe: Int): Seq[Int] = {
     if (tpe != 9) damage()
     val (n, et) = listHeader(tc)
@@ -177,7 +187,8 @@ object Parquet {
   // ---- parquet footer ---------------------------------------------------
 
   case class SchemaElem(physType: Int, repetition: Int, name: String,
-                        numChildren: Int, typeLength: Int = 0)
+                        numChildren: Int, typeLength: Int = 0,
+                        convertedType: Int = -1)
   case class ColMeta(physType: Int, encodings: Seq[Int], path: String,
                      codec: Int, numValues: Long, totalUncompressed: Long,
                      totalCompressed: Long, dataPageOffset: Long,
@@ -195,7 +206,13 @@ object Parquet {
                      // ColumnMetaData bloom pointers (PARQUET-41):
                      // split-block bloom header + bitset; -1 when none
                      bloomFilterOffset: Long = -1L,
-                     bloomFilterLength: Int = -1) {
+                     bloomFilterLength: Int = -1,
+                     // modular encryption (Encryption.md): the
+                     // ColumnChunk's encrypted_column_metadata bytes
+                     // (field 9) and, for ENCRYPTION_WITH_COLUMN_KEY
+                     // chunks, the key_metadata (null = footer key)
+                     encryptedMeta: Array[Byte] = null,
+                     columnKeyMeta: Array[Byte] = null) {
     /** Statistics value decoded as a Long (INT32/INT64/BOOL/date32 —
       * PLAIN little-endian, sign-extended). None when absent or not a
       * long-family column.
@@ -324,7 +341,7 @@ object Parquet {
 
   private def parseSchemaElem(tc: TC): SchemaElem = {
     var typ = -1; var rep = -1; var name = ""; var children = 0
-    var typeLen = 0
+    var typeLen = 0; var converted = -1
     struct(tc, 1) { (id, tpe) =>
       id match {
         case 1 => typ = i32(tc, tpe); true
@@ -332,13 +349,14 @@ object Parquet {
         case 3 => rep = i32(tc, tpe); true
         case 4 => if (tpe != 8) damage(); name = tc.str(); true
         case 5 => children = i32(tc, tpe); true
+        case 6 => converted = i32(tc, tpe); true
         case _ => false
       }
     }
     if (name.isEmpty || children < 0) damage()
     if (typ == PhysFixed && typeLen <= 0) damage() // FLBA needs a width
     if (typeLen < 0 || typeLen > (1 << 20)) damage()
-    SchemaElem(typ, rep, name, children, typeLen)
+    SchemaElem(typ, rep, name, children, typeLen, converted)
   }
 
   private def parseRowGroup(tc: TC): RowGroupMeta = {
@@ -364,6 +382,8 @@ object Parquet {
     var meta: ColMeta = null
     var oiOff = -1L; var oiLen = -1
     var ciOff = -1L; var ciLen = -1
+    var encMeta: Array[Byte] = null
+    var colKeyMeta: Array[Byte] = null
     struct(tc, 2) { (id, tpe) =>
       id match {
         case 3 =>
@@ -373,13 +393,60 @@ object Parquet {
         case 5 => oiLen = i32(tc, tpe); true
         case 6 => ciOff = i64(tc, tpe); true
         case 7 => ciLen = i32(tc, tpe); true
+        case 8 => // ColumnCryptoMetaData union (Encryption.md):
+          // 1 = ENCRYPTION_WITH_FOOTER_KEY (empty struct),
+          // 2 = ENCRYPTION_WITH_COLUMN_KEY (path + key_metadata)
+          if (tpe != 12) damage()
+          struct(tc, 3) { (uid, utpe) =>
+            uid match {
+              case 2 =>
+                if (utpe != 12) damage()
+                struct(tc, 4) { (kid, ktpe) =>
+                  kid match {
+                    case 2 =>
+                      if (ktpe != 8) damage()
+                      val n = tc.uvarint()
+                      if (n > (1 << 16)) damage()
+                      colKeyMeta = tc.bytes(n.toInt); true
+                    case _ => false
+                  }
+                }
+                true
+              case _ => false
+            }
+          }
+          true
+        case 9 => // encrypted_column_metadata (binary)
+          if (tpe != 8) damage()
+          val n = tc.uvarint()
+          if (n > (1 << 24)) damage()
+          encMeta = tc.bytes(n.toInt); true
         case _ => false
       }
     }
-    if (meta == null) damage()
-    meta.copy(offsetIndexOffset = oiOff, offsetIndexLength = oiLen,
-      columnIndexOffset = ciOff, columnIndexLength = ciLen)
+    // a column-key chunk legitimately omits plain meta_data — its
+    // ColumnMetaData travels encrypted in field 9
+    if (meta == null && encMeta == null) damage()
+    val base =
+      if (meta != null) meta
+      else ColMeta(-1, Nil, "", -1, 0L, 0L, 0L, 0L, -1L)
+    base.copy(offsetIndexOffset = oiOff, offsetIndexLength = oiLen,
+      columnIndexOffset = ciOff, columnIndexLength = ciLen,
+      encryptedMeta = encMeta, columnKeyMeta = colKeyMeta)
   }
+
+  /** Parse ONE standalone ColumnMetaData struct (the decrypted
+    * payload of a ColumnChunk's encrypted_column_metadata). The walk
+    * must consume the bytes exactly.
+    */
+  private[sources] def parseColumnMetaBytes(b: Array[Byte])
+      : Option[ColMeta] =
+    totality {
+      val tc = new TC(b, 0, b.length)
+      val m = parseColumnMeta(tc)
+      if (tc.pos != b.length) damage()
+      m
+    }
 
   private def parseColumnMeta(tc: TC): ColMeta = {
     var typ = -1; var encodings = Seq.empty[Int]; var path = ""
@@ -441,7 +508,7 @@ object Parquet {
 
   // ---- page walk + PLAIN / dictionary decode ---------------------------
 
-  private case class PageHead(pageType: Int, uncompressed: Int,
+  private[sources] case class PageHead(pageType: Int, uncompressed: Int,
                               compressed: Int, numValues: Int,
                               encoding: Int, headerEnd: Int,
                               // DATA_PAGE_V2 extras (-1 / true if v1)
@@ -465,7 +532,7 @@ object Parquet {
     }
   }
 
-  private def parsePageHeader(b: Array[Byte], off: Int): PageHead = {
+  private[sources] def parsePageHeader(b: Array[Byte], off: Int): PageHead = {
     if (off < 0 || off >= b.length) damage()
     val tc = new TC(b, off, b.length)
     var pt = -1; var unc = -1; var comp = -1

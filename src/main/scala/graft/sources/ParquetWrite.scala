@@ -23,7 +23,7 @@ object ParquetWrite {
 
   // ---- thrift compact encoder -------------------------------------------
 
-  private final class TCW {
+  private[sources] final class TCW {
     val out = new java.io.ByteArrayOutputStream()
     private var lastId = List(0) // per-struct field-id stack
 

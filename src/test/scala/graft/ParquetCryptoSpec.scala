@@ -1,0 +1,200 @@
+package graft
+
+import graft.sources.{Parquet, ParquetCrypto, ParquetWrite}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins parquet modular encryption (q353): AES_GCM_V1 module framing,
+  * AAD ordinal discipline, encrypted footer + encrypted column
+  * metadata, the decrypt∘encrypt == identity law against the engine's
+  * own writer bytes, fail-closed tamper behavior, and a parquet-mr
+  * cross-read of the engine's encrypted bytes through the official
+  * crypto classes.
+  */
+class ParquetCryptoSpec extends AnyFunSuite {
+
+  private def key(seed: Int): Array[Byte] =
+    Array.tabulate(16)(i => ((seed * 31 + i * 7) & 0xff).toByte)
+
+  private val footerKey = key(1)
+  private val valKey = key(2)
+  private val aadUnique = Array.tabulate(8)(i => (0x40 + i).toByte)
+
+  /** Three columns, two pages each (pageRows=16 over 32 rows):
+    * rec_id REQUIRED INT64 plain, val REQUIRED INT64 plain (own
+    * column key), txt OPTIONAL BYTE_ARRAY dictionary.
+    */
+  private def plainFile(): Array[Byte] = {
+    val W = ParquetWrite
+    val n = 32
+    val ids = Array.tabulate(n)(_.toLong)
+    val vals = Array.tabulate(n)(i => (i * 13 + 5).toLong)
+    val defs = Array.tabulate(n)(i => if (i % 5 == 0) 0 else 1)
+    val txts = (0 until n).filter(_ % 5 != 0)
+      .map(i => s"t-${i % 3}".getBytes("UTF-8")).toArray
+    W.writeFile(
+      Seq(W.Leaf("rec_id", 0, 2), W.Leaf("val", 0, 2),
+        W.Leaf("txt", 1, 6, convertedType = 0)),
+      Seq(W.LeafData(Array.fill(n)(0), null, longs = ids),
+        W.LeafData(Array.fill(n)(0), null, longs = vals),
+        W.LeafData(defs, null, bins = txts, dict = true)),
+      pageRows = 16)
+  }
+
+  private def encrypted(): (Array[Byte], ParquetCrypto.Encrypted) = {
+    val plain = plainFile()
+    val enc = ParquetCrypto.encryptFile(plain,
+      ParquetCrypto.Keys(footerKey, Map("val" -> valKey)), aadUnique)
+      .getOrElse(fail("encrypt"))
+    (plain, enc)
+  }
+
+  test("decrypt(encrypt(file)) is the identity, byte for byte") {
+    val (plain, enc) = encrypted()
+    assert(!java.util.Arrays.equals(plain, enc.bytes))
+    assert(new String(enc.bytes, 0, 4, "ISO-8859-1") == "PARE")
+    val back = ParquetCrypto.decryptFile(enc.bytes, footerKey,
+      Map("k:val" -> valKey)).getOrElse(fail("decrypt"))
+    assert(java.util.Arrays.equals(back, plain))
+    // and the decrypted bytes decode through the ordinary reader
+    val rs = Parquet.columnLongs(back, "rec_id").getOrElse(fail("rs"))
+    val vs = Parquet.columnLongs(back, "val").getOrElse(fail("vs"))
+    assert(rs.toSeq == (0L until 32L) &&
+      vs.toSeq == (0 until 32).map(i => (i * 13 + 5).toLong))
+    // ciphertext leaks neither plaintext page bytes nor the footer
+    val needle = "graft parquet writer".getBytes("UTF-8")
+    assert(!enc.bytes.sliding(needle.length).exists(
+      _.sameElements(needle)))
+  }
+
+  test("module map: headers and pages per column, page ordinals, " +
+    "column-key chunk carries encrypted column metadata") {
+    val (_, enc) = encrypted()
+    val C = ParquetCrypto
+    def count(t: Int) = enc.modules.count(_.modType == t)
+    // 3 chunks × 2 data pages; 1 dict page (txt); 1 footer
+    assert(count(C.ModDataPage) == 6 && count(C.ModDataPageHeader) == 6)
+    assert(count(C.ModDictPage) == 1 && count(C.ModDictPageHeader) == 1)
+    assert(count(C.ModFooter) == 1)
+    assert(enc.modules.filter(_.modType == C.ModDataPage)
+      .groupBy(_.col).forall(_._2.map(_.page).sorted == Seq(0, 1)))
+    // the val chunk (ordinal 1) omits plain meta: the decrypted
+    // footer must carry its encrypted_column_metadata instead
+    val fp = C.decryptModule(footerKey, C.moduleAad(aadUnique, 0),
+      enc.bytes, enc.modules.find(_.modType == C.ModFooter).get.off)
+      .getOrElse(fail("footer module"))._1
+    val fm = C.parseFooterBytes(fp).getOrElse(fail("footer parse"))
+    val cols = fm.rowGroups.head.cols
+    assert(cols(0).encryptedMeta == null && cols(0).path == "rec_id")
+    assert(cols(1).encryptedMeta != null &&
+      new String(cols(1).columnKeyMeta, "UTF-8") == "k:val")
+    assert(cols(2).encryptedMeta == null && cols(2).path == "txt")
+  }
+
+  test("fail closed: wrong keys, missing column key, any flipped " +
+    "module byte, truncation") {
+    val (_, enc) = encrypted()
+    val colKeys = Map("k:val" -> valKey)
+    assert(ParquetCrypto.decryptFile(enc.bytes, key(9), colKeys).isEmpty)
+    assert(ParquetCrypto.decryptFile(enc.bytes, footerKey,
+      Map("k:val" -> key(9))).isEmpty)
+    assert(ParquetCrypto.decryptFile(enc.bytes, footerKey).isEmpty)
+    // flip one byte inside EVERY module (nonce, ciphertext, and tag
+    // positions): each flip must close the whole read
+    enc.modules.foreach { m =>
+      Seq(4, m.len / 2, m.len - 1).foreach { d =>
+        val t = enc.bytes.clone()
+        t(m.off + d) = (t(m.off + d) ^ 0x01).toByte
+        assert(ParquetCrypto.decryptFile(t, footerKey, colKeys).isEmpty,
+          s"flip in module $m at +$d must fail")
+      }
+    }
+    assert(ParquetCrypto.decryptFile(
+      enc.bytes.dropRight(1), footerKey, colKeys).isEmpty)
+  }
+
+  test("AAD ordinals: swapping two equal-size data-page modules of " +
+    "one chunk fails the tag even under the right key") {
+    val (_, enc) = encrypted()
+    val pages = enc.modules
+      .filter(m => m.modType == ParquetCrypto.ModDataPage && m.col == 0)
+      .sortBy(_.page)
+    assert(pages.length == 2 && pages(0).len == pages(1).len)
+    val t = enc.bytes.clone()
+    val a = enc.bytes.slice(pages(0).off, pages(0).off + pages(0).len)
+    val b = enc.bytes.slice(pages(1).off, pages(1).off + pages(1).len)
+    System.arraycopy(b, 0, t, pages(0).off, b.length)
+    System.arraycopy(a, 0, t, pages(1).off, a.length)
+    assert(ParquetCrypto.decryptFile(t, footerKey,
+      Map("k:val" -> valKey)).isEmpty)
+  }
+
+  test("unsupported layouts are refused, not mangled: stats / page " +
+    "index files do not encrypt") {
+    val W = ParquetWrite
+    val ids = Array.tabulate(8)(_.toLong)
+    val withStats = W.writeFile(Seq(W.Leaf("rec_id", 0, 2)),
+      Seq(W.LeafData(Array.fill(8)(0), null, longs = ids)),
+      withStats = true)
+    assert(ParquetCrypto.encryptFile(withStats,
+      ParquetCrypto.Keys(footerKey), aadUnique).isEmpty)
+    val withIndex = W.writeFile(Seq(W.Leaf("rec_id", 0, 2)),
+      Seq(W.LeafData(Array.fill(8)(0), null, longs = ids)),
+      withIndex = true)
+    assert(ParquetCrypto.encryptFile(withIndex,
+      ParquetCrypto.Keys(footerKey), aadUnique).isEmpty)
+  }
+
+  test("parquet-mr cross-read: the official crypto classes decrypt " +
+    "the engine's encrypted bytes — footer, both key paths, every " +
+    "page") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.crypto.{DecryptionKeyRetriever, FileDecryptionProperties}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.ParquetReadOptions
+    val (_, enc) = encrypted()
+    val dir = java.nio.file.Files.createTempDirectory("pq_crypto")
+    val f = dir.resolve("enc.parquet")
+    java.nio.file.Files.write(f, enc.bytes)
+    val retriever = new DecryptionKeyRetriever {
+      override def getKey(keyMetaData: Array[Byte]): Array[Byte] =
+        new String(keyMetaData, "UTF-8") match {
+          case "k:footer" => footerKey
+          case "k:val" => valKey
+          case other => fail(s"unexpected key metadata: $other")
+        }
+    }
+    val props = FileDecryptionProperties.builder()
+      .withKeyRetriever(retriever).build()
+    val opts = ParquetReadOptions.builder()
+      .withDecryption(props).build()
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new HPath(f.toString),
+      new org.apache.hadoop.conf.Configuration()), opts)
+    try {
+      assert(rdr.getRecordCount == 32L)
+      val schema = rdr.getFooter.getFileMetaData.getSchema
+      assert(schema.getColumns.size() == 3)
+      assert(schema.getColumns.get(1).getPath.toSeq == Seq("val"))
+      val pages = rdr.readNextRowGroup()
+      assert(pages.getRowCount == 32L)
+      // force decryption of every page module through parquet-mr
+      val it = schema.getColumns.iterator()
+      val perCol = Seq("rec_id", "val", "txt").map { name =>
+        val cd = it.next()
+        assert(cd.getPath.toSeq == Seq(name))
+        val pr = pages.getPageReader(cd)
+        if (name == "txt")
+          assert(pr.readDictionaryPage().getDictionarySize == 3)
+        var vals = 0L
+        var p = pr.readPage()
+        var nPages = 0
+        while (p != null) {
+          vals += p.getValueCount; nPages += 1; p = pr.readPage()
+        }
+        (vals, nPages)
+      }
+      assert(perCol.forall(_ == ((32L, 2))))
+    } finally rdr.close()
+  }
+}
