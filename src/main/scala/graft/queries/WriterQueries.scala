@@ -3413,5 +3413,115 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS wrongkey_closed,
                CAST(1 AS BIGINT) AS missingkey_closed
         FROM r GROUP BY table_id"""),
+      headline = false),
+
+    // q354 — BROTLI (RFC 7932) from scratch + parquet codec 4,
+    // closing the LAST absent parquet codec (1/2/5/6/7 were already
+    // own-code): the fixture carries REAL libbrotli streams at
+    // quality 1 / 6 / 11 over per-blob document payloads (q11
+    // output uses the static dictionary and word transforms) plus a
+    // pyarrow-written parquet file whose pages are BROTLI-compressed
+    // (codec 4). Laws in the compared output: every quality decodes
+    // BYTE-EXACT to the locally rebuilt payload (md5 re-derived in
+    // DuckDB from the same string), the codec-4 parquet decodes
+    // through the own reader via the own brotli (sums re-derived;
+    // footer must actually SAY codec 4), and a truncated stream
+    // fails CLOSED. Scale shape: one bounded fixture join, all
+    // decode work in executor tasks.
+    "q354_brotli_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val blobs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+            col("text"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (b, it) =>
+            val rows = it.map(x => (x._2, x._3)).toSeq.sortBy(_._1)
+            val payload = rows
+              .map { case (d, t) => s"D$d:$t\n" }
+              .mkString.getBytes("UTF-8")
+            // content-keyed: same doc_ids carry different texts at
+            // different scale factors
+            val key = java.security.MessageDigest.getInstance("MD5")
+              .digest("brotli:".getBytes("UTF-8") ++ payload)
+              .map("%02x".format(_)).mkString
+            (b, key, payload)
+          }
+          .toDF("blob_id", "blob_key", "payload")
+        blobs
+          .join(broadcast(s.read.parquet(
+            "/root/repo/fixtures/brotli_files.parquet")), "blob_key")
+          .select(col("blob_id"), col("payload"), col("kind"),
+            col("file_bytes"))
+          .as[(Long, Array[Byte], String, Array[Byte])]
+          .groupByKey(_._1)
+          .flatMapGroups { (b, it) =>
+            val all = it.toSeq
+            val payload = all.head._2
+            val byKind = all.map(x => (x._3, x._4)).toMap
+            val B = graft.sources.Brotli
+            val P = graft.sources.Parquet
+            def exact(kind: String): Long =
+              if (byKind.get(kind).flatMap(B.decode(_))
+                .exists(java.util.Arrays.equals(_, payload))) 1L
+              else 0L
+            val q11md5 = byKind.get("q11").flatMap(B.decode(_))
+              .map(o => java.security.MessageDigest.getInstance("MD5")
+                .digest(o).map("%02x".format(_)).mkString)
+              .getOrElse("")
+            val dmgClosed =
+              if (byKind.get("q11").forall(x => B.decode(
+                java.util.Arrays.copyOf(x, x.length / 2)).isEmpty))
+                1L
+              else 0L
+            val res = for {
+              pq <- byKind.get("parquet")
+              fm <- P.parseFooter(pq)
+              codec4 = fm.rowGroups.flatMap(_.cols)
+                .forall(_.codec == P.CodecBrotli)
+              rs <- P.columnLongs(pq, "rec_id")
+              vs <- P.columnLongs(pq, "val")
+              ts <- P.columnStrings(pq, "txt")
+              if rs.length == vs.length && ts.length == rs.length
+            } yield (b, exact("q1"), exact("q6"), exact("q11"),
+              q11md5, payload.length.toLong, dmgClosed,
+              if (codec4) 1L else 0L, rs.length.toLong, rs.sum,
+              vs.sum,
+              ts.map(_.getBytes("UTF-8").length.toLong).sum)
+            res.toSeq
+          }
+          .toDF("blob_id", "q1_exact", "q6_exact", "q11_exact",
+            "q11_md5", "raw_len", "damage_closed", "pq_codec4",
+            "pq_rows", "pq_id_sum", "pq_val_sum", "pq_txt_len")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d, text
+          FROM documents),
+        p AS (
+          SELECT blob_id,
+                 string_agg('D' || d || ':' || text || chr(10), ''
+                   ORDER BY d) AS payload
+          FROM r GROUP BY blob_id),
+        a AS (
+          SELECT blob_id,
+                 CAST(count(*) AS BIGINT) AS pq_rows,
+                 CAST(sum(d) AS BIGINT) AS pq_id_sum,
+                 CAST(sum((d * 37) % 1031) AS BIGINT) AS pq_val_sum,
+                 CAST(sum(octet_length(encode(text))) AS BIGINT)
+                   AS pq_txt_len
+          FROM r GROUP BY blob_id)
+        SELECT a.blob_id,
+               CAST(1 AS BIGINT) AS q1_exact,
+               CAST(1 AS BIGINT) AS q6_exact,
+               CAST(1 AS BIGINT) AS q11_exact,
+               md5(p.payload) AS q11_md5,
+               CAST(octet_length(encode(p.payload)) AS BIGINT)
+                 AS raw_len,
+               CAST(1 AS BIGINT) AS damage_closed,
+               CAST(1 AS BIGINT) AS pq_codec4,
+               a.pq_rows, a.pq_id_sum, a.pq_val_sum, a.pq_txt_len
+        FROM a JOIN p ON a.blob_id = p.blob_id"""),
       headline = false))
 }

@@ -44,7 +44,8 @@ object Parquet {
     * through the engine's own [[Lz4]].
     */
   val CodecNone = 0; val CodecSnappy = 1; val CodecGzip = 2
-  val CodecLz4 = 5; val CodecZstd = 6; val CodecLz4Raw = 7
+  val CodecBrotli = 4; val CodecLz4 = 5; val CodecZstd = 6
+  val CodecLz4Raw = 7
 
   /** Encodings (parquet.thrift `Encoding`). PLAIN_DICTIONARY is the
     * v1 spelling both parquet-mr and parquet-cpp still write for
@@ -638,7 +639,8 @@ object Parquet {
         typeLen > (1 << 20))) return None // FLBA needs the footer width
       if (col.codec != CodecNone && col.codec != CodecGzip &&
         col.codec != CodecSnappy && col.codec != CodecZstd &&
-        col.codec != CodecLz4 && col.codec != CodecLz4Raw) return None
+        col.codec != CodecLz4 && col.codec != CodecLz4Raw &&
+        col.codec != CodecBrotli) return None
       if (maxDef < 0 || maxDef > 7 || maxRep < 0 || maxRep > 1)
         return None // one repeated level: lists of scalars
       if (maxRep > maxDef) return None // repeated counts toward def too
@@ -880,6 +882,9 @@ object Parquet {
               } else if (col.codec == CodecLz4) {
                 Lz4.decompressFramed(b, vOff, vCompLen, vWant)
                   .getOrElse(return None)
+              } else if (col.codec == CodecBrotli) {
+                brotliExact(b, vOff, vCompLen, vWant)
+                  .getOrElse(return None)
               } else {
                 Snappy.uncompress(b, vOff, vCompLen, vWant)
                   .getOrElse(return None)
@@ -935,7 +940,8 @@ object Parquet {
         typeLen > (1 << 20))) return None
       if (col.codec != CodecNone && col.codec != CodecGzip &&
         col.codec != CodecSnappy && col.codec != CodecZstd &&
-        col.codec != CodecLz4 && col.codec != CodecLz4Raw) return None
+        col.codec != CodecLz4 && col.codec != CodecLz4Raw &&
+        col.codec != CodecBrotli) return None
       if (maxDef < 0 || maxDef > 7 || maxRep < 0 || maxRep > 1)
         return None
       if (maxRep > maxDef) return None
@@ -1182,6 +1188,9 @@ object Parquet {
                   .getOrElse(return None)
               } else if (col.codec == CodecLz4) {
                 Lz4.decompressFramed(b, vOff, vCompLen, vWant)
+                  .getOrElse(return None)
+              } else if (col.codec == CodecBrotli) {
+                brotliExact(b, vOff, vCompLen, vWant)
                   .getOrElse(return None)
               } else {
                 Snappy.uncompress(b, vOff, vCompLen, vWant)
@@ -1540,7 +1549,19 @@ object Parquet {
     case CodecLz4 =>
       Lz4.decompressFramed(b, h.headerEnd, h.compressed, h.uncompressed)
         .getOrElse(damage())
+    case CodecBrotli =>
+      brotliExact(b, h.headerEnd, h.compressed, h.uncompressed)
+        .getOrElse(damage())
     case _ => damage()
+  }
+
+  /** One brotli stream per page payload (codec 4), size-pinned. */
+  private def brotliExact(b: Array[Byte], off: Int, len: Int,
+                          want: Int): Option[Array[Byte]] = {
+    if (off < 0 || len < 0 || want < 0 || off + len > b.length)
+      return None
+    Brotli.decode(java.util.Arrays.copyOfRange(b, off, off + len),
+      maxOut = want).filter(_.length == want)
   }
 
   /** PLAIN-decode `n` values starting at `off`: per-value sum
