@@ -3523,5 +3523,134 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS pq_codec4,
                a.pq_rows, a.pq_id_sum, a.pq_val_sum, a.pq_txt_len
         FROM a JOIN p ON a.blob_id = p.blob_id"""),
+      headline = false),
+
+    // q356 — Iceberg PUFFIN statistics, write + read (puffin-spec +
+    // apache-datasketches-theta-v1): the sidecar a 1000-executor
+    // planner reads BEFORE scanning 100 TB — per-column NDV sketches
+    // keyed to a snapshot decide which join side broadcasts without
+    // touching data. The engine writes its own puffin container AND
+    // its own compact theta sketches (murmur x64-128, the library's
+    // exact hash discipline — PuffinSpec cross-verifies the bytes
+    // through datasketches-java both directions), registers them in
+    // an Iceberg metadata `statistics` entry, then READS its own
+    // bytes back: metadata walk -> statistics path -> footer JSON ->
+    // sketch parse. Laws: exact-mode estimates EQUAL DuckDB's
+    // count(DISTINCT) (theta is exact below k), the planning probe
+    // picks the min-NDV side from sketches alone (re-derived in
+    // DuckDB per blob — data-driven, not a constant), the recorded
+    // footer size matches, and a flipped magic byte fails closed.
+    "q356_iceberg_puffin_stats" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JArray, JLong, JObject, JString}
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val P = graft.sources.Puffin
+            val T = graft.sources.ThetaSketch
+            val J = graft.sources.Json
+            val sid = 3000L + t
+            def jstr(x: String) = "\"" + x + "\""
+            val cols = Seq(
+              (1, ids),
+              (2, ids.map(d => (d * 13) % 97)),
+              (3, ids.map(d => (d / 6) % 23)))
+            val blobs = cols.map { case (fid, vs) =>
+              val sk = T.compact(vs)
+              val ndv = T.parse(sk).map(_.estimate.round).getOrElse(-1L)
+              P.Blob("apache-datasketches-theta-v1", Seq(fid), sid,
+                1L, sk, Map("ndv" -> ndv.toString))
+            }
+            val puffin =
+              P.write(blobs, Map("created-by" -> "graft engine"))
+            val fsz = P.footerSize(puffin).getOrElse(-1)
+            // iceberg metadata with the statistics entry (spec field
+            // names), canonical JSON
+            val statsPath = s"stats-$sid.puffin"
+            val meta = (s"""{"current-snapshot-id": $sid, """ +
+              s""""format-version": 2, "statistics": [{""" +
+              s""""file-footer-size-in-bytes": $fsz, """ +
+              s""""file-size-in-bytes": ${puffin.length}, """ +
+              s""""snapshot-id": $sid, """ +
+              s""""statistics-path": ${jstr(statsPath)}}]}""")
+              .getBytes("UTF-8")
+            val bundle = Map(
+              "metadata.json" -> meta, statsPath -> puffin)
+            // ---- read side: own walk over own bytes ----
+            val res = for {
+              m <- J.parse(new String(bundle("metadata.json"), "UTF-8"))
+              mo <- Some(m).collect { case o: JObject => o }
+              cur <- mo.get("current-snapshot-id")
+                .collect { case JLong(x) => x }
+              stats <- mo.get("statistics").collect {
+                case JArray(xs) => xs.collect { case o: JObject => o }
+              }
+              entry <- stats.find(_.get("snapshot-id")
+                .contains(JLong(cur)))
+              path <- entry.get("statistics-path")
+                .collect { case JString(x) => x }
+              fileSz <- entry.get("file-size-in-bytes")
+                .collect { case JLong(x) => x }
+              ftrSz <- entry.get("file-footer-size-in-bytes")
+                .collect { case JLong(x) => x }
+              file <- bundle.get(path)
+              if fileSz == file.length.toLong
+              (metas, _) <- P.read(file)
+              if metas.length == 3
+            } yield {
+              val footerOk =
+                P.footerSize(file).contains(ftrSz.toInt) &&
+                  metas.forall(b =>
+                    b._1.snapshotId == cur &&
+                      b._1.tpe == "apache-datasketches-theta-v1")
+              val ndvs = metas.map { case (bm, bytes) =>
+                val est = T.parse(bytes).map(_.estimate.round)
+                  .getOrElse(-1L)
+                // the recorded ndv property must agree w/ the sketch
+                (bm.fields.head,
+                  if (bm.properties.get("ndv")
+                    .contains(est.toString)) est
+                  else -1L)
+              }.toMap
+              // planning probe: broadcast the min-NDV side (field 1
+              // vs field 2), ties to the lower field id
+              val bcast =
+                if (ndvs(1) <= ndvs(2)) 1L else 2L
+              val flipClosed = {
+                val x = file.clone()
+                x(0) = (x(0) ^ 0x01).toByte
+                if (P.read(x).isEmpty) 1L else 0L
+              }
+              (t, ndvs(1), ndvs(2), ndvs(3), bcast,
+                metas.length.toLong,
+                if (footerOk) 1L else 0L, flipClosed)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "ndv_rec", "ndv_val", "ndv_grp",
+            "broadcast_field", "n_blobs", "footer_ok", "flip_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d FROM documents),
+        a AS (
+          SELECT table_id,
+                 CAST(count(DISTINCT d) AS BIGINT) AS ndv_rec,
+                 CAST(count(DISTINCT (d * 13) % 97) AS BIGINT)
+                   AS ndv_val,
+                 CAST(count(DISTINCT (d // 6) % 23) AS BIGINT)
+                   AS ndv_grp
+          FROM r GROUP BY table_id)
+        SELECT table_id, ndv_rec, ndv_val, ndv_grp,
+               CAST(CASE WHEN ndv_rec <= ndv_val THEN 1 ELSE 2 END
+                 AS BIGINT) AS broadcast_field,
+               CAST(3 AS BIGINT) AS n_blobs,
+               CAST(1 AS BIGINT) AS footer_ok,
+               CAST(1 AS BIGINT) AS flip_closed
+        FROM a"""),
       headline = false))
 }

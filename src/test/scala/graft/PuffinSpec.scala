@@ -1,0 +1,109 @@
+package graft
+
+import graft.sources.{Puffin, ThetaSketch}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the own theta sketch against datasketches-java itself (hash
+  * discipline, byte format both directions, estimates) and the puffin
+  * container roundtrip + totality.
+  */
+class PuffinSpec extends AnyFunSuite {
+
+  test("murmur x64-128 long-hash matches datasketches-java exactly") {
+    import org.apache.datasketches.hash.{MurmurHash3 => M}
+    for (v <- Seq(0L, 1L, -1L, 42L, 9001L, Long.MaxValue,
+      Long.MinValue, 123456789012345L))
+      assert(ThetaSketch.hashLong(v, 9001L) ==
+        M.hash(Array(v), 9001L)(0), s"v=$v")
+    assert(ThetaSketch.seedHash(9001L) ==
+      (M.hash(Array(9001L), 0L)(0) & 0xffffL).toInt)
+  }
+
+  test("own exact-mode compact bytes: datasketches-java wraps them, " +
+    "estimate is the exact distinct count, both parsers agree") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.Sketches
+    val values = (0L until 500L).map(d => d % 311) // 311 distinct
+    val bytes = ThetaSketch.compact(values)
+    val ds = Sketches.wrapSketch(Memory.wrap(bytes))
+    assert(ds.getEstimate == 311.0)
+    assert(ds.getRetainedEntries(true) == 311)
+    assert(ds.isOrdered && !ds.isEmpty)
+    val own = ThetaSketch.parse(bytes).getOrElse(fail("parse"))
+    assert(own.estimate == 311.0 && own.retained == 311 &&
+      own.theta == 1.0)
+  }
+
+  test("datasketches-built compact sketch parses through the own " +
+    "reader with the identical estimate") {
+    import org.apache.datasketches.theta.UpdateSketch
+    val us = UpdateSketch.builder().build()
+    (0L until 700L).foreach(v => us.update(v % 123))
+    val bytes = us.compact(true, null).toByteArray
+    val own = ThetaSketch.parse(bytes).getOrElse(fail("parse"))
+    assert(own.estimate == 123.0 && own.retained == 123)
+  }
+
+  test("sampling mode (n >> k): valid bytes, shared estimate, " +
+    "within 3 standard errors of truth") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.Sketches
+    val n = 20000
+    val bytes = ThetaSketch.compact(
+      (0 until n).map(_.toLong), lgK = 6) // k = 64
+    val own = ThetaSketch.parse(bytes).getOrElse(fail("parse"))
+    assert(own.retained == 64 && own.theta < 1.0)
+    val ds = Sketches.wrapSketch(Memory.wrap(bytes))
+    assert(math.abs(ds.getEstimate - own.estimate) < 1e-6)
+    val se = own.estimate / math.sqrt(64.0)
+    assert(math.abs(own.estimate - n) < 3 * se,
+      s"estimate ${own.estimate} vs $n")
+  }
+
+  test("empty sketch roundtrips both parsers") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.Sketches
+    val bytes = ThetaSketch.compact(Nil)
+    assert(Sketches.wrapSketch(Memory.wrap(bytes)).isEmpty)
+    val own = ThetaSketch.parse(bytes).getOrElse(fail("parse"))
+    assert(own.empty && own.estimate == 0.0)
+  }
+
+  test("puffin: write/read roundtrip preserves blobs, metadata, " +
+    "properties; footer size law") {
+    val b1 = ThetaSketch.compact((0L until 100L))
+    val b2 = ThetaSketch.compact((0L until 100L).map(_ % 7))
+    val file = Puffin.write(Seq(
+      Puffin.Blob("apache-datasketches-theta-v1", Seq(1), 77L, 1L,
+        b1, Map("ndv" -> "100")),
+      Puffin.Blob("apache-datasketches-theta-v1", Seq(2), 77L, 1L,
+        b2, Map("ndv" -> "7"))),
+      Map("created-by" -> "graft"))
+    val (blobs, props) = Puffin.read(file).getOrElse(fail("read"))
+    assert(props("created-by") == "graft")
+    assert(blobs.length == 2)
+    assert(blobs(0)._1.fields == Seq(1) &&
+      blobs(0)._1.snapshotId == 77L &&
+      blobs(0)._1.properties("ndv") == "100")
+    assert(java.util.Arrays.equals(blobs(0)._2, b1))
+    assert(java.util.Arrays.equals(blobs(1)._2, b2))
+    assert(ThetaSketch.parse(blobs(1)._2).get.estimate == 7.0)
+    val fs = Puffin.footerSize(file).getOrElse(fail("footer"))
+    assert(fs > 16 && fs < file.length)
+  }
+
+  test("puffin totality: flipped magic, nonzero flags, bad offsets, " +
+    "truncation all close as None") {
+    val file = Puffin.write(Seq(Puffin.Blob(
+      "apache-datasketches-theta-v1", Seq(1), 1L, 1L,
+      ThetaSketch.compact(0L until 10L))), Map.empty)
+    def flip(i: Int): Array[Byte] = {
+      val t = file.clone(); t(i) = (t(i) ^ 0x01).toByte; t
+    }
+    assert(Puffin.read(flip(0)).isEmpty) // head magic
+    assert(Puffin.read(flip(file.length - 1)).isEmpty) // tail magic
+    assert(Puffin.read(flip(file.length - 8)).isEmpty) // flags
+    assert(Puffin.read(file.dropRight(3)).isEmpty)
+    assert(Puffin.read(Array.emptyByteArray).isEmpty)
+  }
+}
