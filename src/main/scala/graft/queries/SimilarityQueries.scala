@@ -155,6 +155,19 @@ object SimilarityQueries {
       s"(CASE WHEN list_dot_product($v, $plane) > 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB LSH bucket for GraphAnn view `r`: globally-indexed plane
+    * rows r*vplanes .. (r+1)*vplanes-1 over the `nv` column (the twin
+    * of GraphAnn.viewSigns + lshBucketComposed).
+    */
+  private def sqlBucketView(r: Int, vplanes: Int,
+                            dims: Int = Dims): String = {
+    val signs = graft.operators.GraphAnn.viewSigns(r, vplanes, dims)
+    signs.zipWithIndex.map { case (plane, p) =>
+      val lit = plane.map(s => s"$s.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(nv, $lit) > 0.0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** DuckDB CTE chain computing (vec_id, j, code): the per-subspace PQ
     * assignments of Similarity.pqEncode, re-derived data-driven from the
     * same md5-parity codebook (shared by q117/q118).
@@ -1262,6 +1275,281 @@ object SimilarityQueries {
           FROM scored)
         SELECT query_id, neighbor_id, neighbor_doc, rank, sim
         FROM ranked WHERE rank <= 3"""),
-      headline = true)
+      headline = true),
+
+    // q355 — GRAPH ANN (HNSW-family navigable small world, Malkov &
+    // Yashunin 2016) as set-oriented joins: deterministic hash
+    // levels, per-layer top-M-in-LSH-bucket adjacency (no all-pairs
+    // anywhere), beam search as a FIXED unrolled join chain — layer-1
+    // express walk seeds the layer-0 walk — against the adjacency
+    // store persisted hive-partitioned by (level, bucket), each hop
+    // a broadcast-frontier join on (bucket, src) so partition
+    // pruning bounds the scan to VISITED buckets (the visited/total
+    // bucket counts are oracled output columns). The oracle replays
+    // the ENTIRE walk in SQL — entry, every hop, every beam cut —
+    // so correctness is exact equality, strictly stronger than a
+    // recall floor; avg recall@3 vs the exact brute-force answer is
+    // ALSO an oracled column (0.30 on the uniform-random synthetic
+    // embeddings, where the single-table LSH candidate set of q37
+    // scores 0.00 recall@3 — random geometry bounds every sublinear
+    // method, and the graph walk is what reaches beyond the seed
+    // buckets). Incremental append (q197's law): new
+    // nodes rebuild only their buckets and must reproduce the full
+    // rebuild edge set EXACTLY (append_exact).
+    "q355_ann_graph_hnsw" -> QueryDef(
+      build = (s, dir) => {
+        val G = graft.operators.GraphAnn
+        val M = 6; val Beam = 8; val Hops1 = 2; val Hops0 = 3
+        val K = 3; val Views = 3; val VPlanes = 6
+        val e = Engine.table(s, dir, "embeddings")
+        val nodes = G.nodes(Engine.fanOut(e), "embedding", "vec_id",
+          VPlanes, Dims)
+        val path = ivfIndexPath(s, dir, "hnsw")
+        if (!new java.io.File(s"$path/_SUCCESS").exists) {
+          G.adjacency(nodes, 0, M, Views, VPlanes, Dims)
+            .unionByName(G.adjacency(nodes, 1, M, Views, VPlanes,
+              Dims))
+            .write.mode("overwrite")
+            .partitionBy("level", "bucket").parquet(path)
+        }
+        val adjAll = s.read.parquet(path)
+          .withColumn("level", col("level").cast("long"))
+          .withColumn("bucket", col("bucket").cast("long"))
+        val adj1 = adjAll.filter(col("level") === 1L)
+        val adj0 = adjAll.filter(col("level") === 0L)
+        val queries = nodes.filter(col("node") % 50 === 0)
+          .select(col("node").as("query_id"), col("nv").as("qv"))
+        // entry: min id on the express layer (fall back to global)
+        val entry = nodes.filter(col("level") >= 1L)
+          .agg(min(col("node"))).head() match {
+          case r if !r.isNullAt(0) => r.getLong(0)
+          case _ => nodes.agg(min(col("node"))).head().getLong(0)
+        }
+        val f10 = queries.select(col("query_id"))
+          .withColumn("node", lit(entry))
+          .join(broadcast(nodes.select(col("node"), col("bucket"))),
+            Seq("node"))
+          .withColumn("sim", lit(0.0))
+          .select(col("query_id"), col("node"), col("bucket"),
+            col("sim"))
+        val fr1 = G.walk(f10, adj1, nodes, queries, Hops1, Beam)
+        val wSeed = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("node").asc)
+        val seed = fr1.last.withColumn("rn", row_number().over(wSeed))
+          .filter(col("rn") === 1).drop("rn")
+        // layer-0 seeds: the layer-1 winner PLUS the query's own
+        // multi-view bucket peers (ef-style seeding)
+        val peers = G.viewPeerSeeds(
+          nodes.filter(col("node") % 50 === 0), nodes, Views,
+          VPlanes, Dims)
+        val f00 = G.beamOf(
+          seed.select(col("query_id"), col("node")).union(peers)
+            .distinct(),
+          nodes, queries, Beam)
+        val fr0 = G.walk(f00, adj0, nodes, queries, Hops0, Beam)
+        // answer = best of EVERYTHING the walk scored (all frontiers
+        // except the unscored entry seed), not just the last beam
+        val visitedScored = (fr1.tail ++ fr0)
+          .map(_.select(col("query_id"), col("node"), col("sim")))
+          .reduce(_.union(_)).distinct()
+        val res = visitedScored
+          .filter(col("node") =!= col("query_id"))
+          .withColumn("rank", row_number().over(wSeed))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("node").as("neighbor_id"),
+            col("rank"), col("sim"))
+        val visited = (fr1 ++ fr0).map(_.select(col("bucket")))
+          .reduce(_.union(_))
+          .agg(countDistinct(col("bucket")).cast("long")
+            .as("n_buckets_visited"))
+        val total = nodes.agg(countDistinct(col("bucket"))
+          .cast("long").as("n_buckets_total"))
+        val exact = Similarity.cosineTopK(Engine.fanOut(e),
+          e.filter(col("vec_id") % 50 === 0), "embedding", "vec_id",
+          K).select(col("query_id"), col("neighbor_id"))
+        val recall = res.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).cast("double").as("h"))
+          .crossJoin(broadcast(
+            queries.agg(count(lit(1)).cast("double").as("nq"))))
+          .select(round(col("h") / (lit(K.toDouble) * col("nq")), 6)
+            .as("avg_recall"))
+        // append ≡ rebuild, byte-exact on edges
+        val newNodes = nodes.filter(col("node") % 7 === 3)
+        val baseNodes = nodes.filter(col("node") % 7 =!= 3)
+        val appended = Seq(0, 1).map(l => G.appendAdjacency(
+          G.adjacency(baseNodes, l, M, Views, VPlanes, Dims), nodes,
+          newNodes, l, M, Views, VPlanes, Dims))
+          .reduce(_.unionByName(_))
+        val rebuilt = Seq(0, 1)
+          .map(l => G.adjacency(nodes, l, M, Views, VPlanes, Dims))
+          .reduce(_.unionByName(_))
+        val appendExact = rebuilt.exceptAll(appended)
+          .union(appended.exceptAll(rebuilt))
+          .agg(count(lit(1)).as("n"))
+          .select(when(col("n") === 0, 1L).otherwise(0L)
+            .as("append_exact"))
+        res.crossJoin(broadcast(recall))
+          .crossJoin(broadcast(visited))
+          .crossJoin(broadcast(total))
+          .crossJoin(broadcast(appendExact))
+      },
+      oracle = Some(graphAnnOracle(m = 6, beam = 8, hops1 = 2,
+        hops0 = 3, k = 3, views = 3, vplanes = 6)))
   )
+
+  /** The q355 oracle: the COMPLETE graph-ANN walk replayed in SQL —
+    * node decoration (bucket, hash level), per-layer top-M bucket
+    * adjacency, the entry node, every unrolled beam hop on both
+    * layers, the final top-k, the visited-bucket audit, and exact
+    * recall@k — generated from the same constants as the Spark side.
+    */
+  private def graphAnnOracle(m: Int, beam: Int, hops1: Int,
+                             hops0: Int, k: Int, views: Int,
+                             vplanes: Int): String = {
+    def adj(name: String, lvlFilter: String) = {
+      val unions = (0 until views).map(r =>
+        s"""SELECT a.node AS src, a.bucket AS sbucket, b.node AS dst
+            FROM v a JOIN v b
+              ON a.vb$r = b.vb$r AND a.node != b.node
+            $lvlFilter""").mkString("\n            UNION\n            ")
+      s"""
+        $name AS (
+          SELECT bucket, src, dst, sim FROM (
+            SELECT p.sbucket AS bucket, p.src, p.dst,
+                   round(${sqlCos("sa.nv", "sb.nv")}, 6) AS sim,
+                   row_number() OVER (PARTITION BY p.src
+                     ORDER BY round(${sqlCos("sa.nv", "sb.nv")}, 6)
+                       DESC, p.dst ASC) AS rn
+            FROM ($unions) p
+            JOIN v sa ON sa.node = p.src
+            JOIN v sb ON sb.node = p.dst)
+          WHERE rn <= $m)"""
+    }
+    def hops(layer: Int, n: Int, f0: String, adjT: String)
+        : (String, Seq[String], String) = {
+      var prev = f0
+      val blocks = Seq.newBuilder[String]
+      val names = Seq.newBuilder[String]
+      for (h <- 1 to n) {
+        val c = s"c${layer}_$h"
+        val f = s"f${layer}_$h"
+        blocks += s"""
+        $c AS (
+          SELECT query_id, node FROM $prev
+          UNION
+          SELECT f.query_id, a.dst AS node
+          FROM $prev f JOIN $adjT a ON f.node = a.src),
+        $f AS (
+          SELECT query_id, node, bucket, sim FROM (
+            SELECT c.query_id, c.node, v.bucket,
+                   round(${sqlCos("q.qv", "v.nv")}, 6) AS sim,
+                   row_number() OVER (PARTITION BY c.query_id
+                     ORDER BY round(${sqlCos("q.qv", "v.nv")}, 6)
+                       DESC, c.node ASC) AS rn
+            FROM $c c
+            JOIN v ON v.node = c.node
+            JOIN qs q ON q.query_id = c.query_id)
+          WHERE rn <= $beam)"""
+        names += f
+        prev = f
+      }
+      (prev, names.result(), blocks.result().mkString(","))
+    }
+    val (f1Last, f1Names, blocks1) = hops(1, hops1, "f1_0", "adj1")
+    val (f0Last, f0Names, blocks0) = hops(0, hops0, "f0_0", "adj0")
+    val allF = Seq("f1_0") ++ f1Names ++ Seq("f0_0") ++ f0Names
+    val vbCols = (0 until views).map(r =>
+      s"${sqlBucketView(r, vplanes)} AS vb$r").mkString(",\n                 ")
+    s"""
+        WITH v AS (
+          SELECT node, nv, vb0 AS bucket, ${(0 until views)
+      .map(r => s"vb$r").mkString(", ")}, level FROM (
+            SELECT node, nv,
+                 $vbCols,
+                 CASE WHEN ${OracleSql.sqlHash60(
+      "CAST(node AS VARCHAR)")} % 4 = 0
+                   THEN 1 ELSE 0 END AS level
+            FROM (SELECT vec_id AS node, embedding::DOUBLE[] AS nv
+                  FROM embeddings))),
+        ${adj("adj1", "WHERE a.level >= 1 AND b.level >= 1")},
+        ${adj("adj0", "WHERE 1 = 1")},
+        qs AS (SELECT node AS query_id, nv AS qv FROM v
+               WHERE node % 50 = 0),
+        entry AS (
+          SELECT COALESCE(
+            (SELECT min(node) FROM v WHERE level >= 1),
+            (SELECT min(node) FROM v)) AS e),
+        f1_0 AS (
+          SELECT q.query_id, v.node, v.bucket, 0.0 AS sim
+          FROM qs q CROSS JOIN entry e JOIN v ON v.node = e.e),
+        $blocks1,
+        seed1 AS (
+          SELECT query_id, node FROM (
+            SELECT query_id, node, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY sim DESC, node ASC) AS rn FROM $f1Last)
+          WHERE rn = 1),
+        c0_0 AS (
+          SELECT query_id, node FROM seed1
+          ${(0 until views).map(r =>
+      s"""UNION
+          SELECT q.node AS query_id, c.node
+          FROM v q JOIN v c ON q.vb$r = c.vb$r
+          WHERE q.node % 50 = 0""").mkString("\n          ")}),
+        f0_0 AS (
+          SELECT query_id, node, bucket, sim FROM (
+            SELECT c.query_id, c.node, v.bucket,
+                   round(${sqlCos("q.qv", "v.nv")}, 6) AS sim,
+                   row_number() OVER (PARTITION BY c.query_id
+                     ORDER BY round(${sqlCos("q.qv", "v.nv")}, 6)
+                       DESC, c.node ASC) AS rn
+            FROM c0_0 c
+            JOIN v ON v.node = c.node
+            JOIN qs q ON q.query_id = c.query_id)
+          WHERE rn <= $beam),
+        $blocks0,
+        scoredall AS (
+          SELECT DISTINCT query_id, node, sim
+          FROM (${(f1Names ++ Seq("f0_0") ++ f0Names)
+      .map(f => s"SELECT query_id, node, sim FROM $f")
+      .mkString(" UNION ALL ")})),
+        res AS (
+          SELECT query_id, node AS neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, node ASC) AS INT) AS rank,
+                 sim
+          FROM scoredall WHERE node != query_id
+          QUALIFY rank <= $k),
+        visited AS (
+          SELECT CAST(count(DISTINCT bucket) AS BIGINT)
+            AS n_buckets_visited
+          FROM (${allF.map(f => s"SELECT bucket FROM $f")
+      .mkString(" UNION ALL ")})),
+        total AS (
+          SELECT CAST(count(DISTINCT bucket) AS BIGINT)
+            AS n_buckets_total FROM v),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.node AS query_id, c.node AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.node
+                     ORDER BY round(${sqlCos("q.nv", "c.nv")}, 6)
+                       DESC, c.node ASC) AS rn
+            FROM v q JOIN v c ON q.node != c.node
+            WHERE q.node % 50 = 0)
+          WHERE rn <= $k),
+        nq AS (SELECT count(*) AS nq FROM qs),
+        hits AS (
+          SELECT count(*) AS h FROM res
+          JOIN exact USING (query_id, neighbor_id)),
+        recall AS (
+          SELECT round(h * 1.0 / ($k * nq), 6) AS avg_recall
+          FROM hits CROSS JOIN nq)
+        SELECT r.query_id, r.neighbor_id, r.rank, r.sim,
+               rc.avg_recall, vis.n_buckets_visited,
+               tot.n_buckets_total, CAST(1 AS BIGINT) AS append_exact
+        FROM res r CROSS JOIN recall rc CROSS JOIN visited vis
+        CROSS JOIN total tot"""
+  }
 }
