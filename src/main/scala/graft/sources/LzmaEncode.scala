@@ -286,8 +286,14 @@ object LzmaEncode {
         var j = head(hash4(b, i))
         var depth = ChainDepth
         while (j >= 0 && depth > 0 && bestLen < NiceLen) {
-          val l = matchLen(b, i, j, remain)
-          if (l > bestLen) { bestLen = l; bestDist = i - j - 1 }
+          // declared dictionary bound: the headers promise 2^24, so
+          // a match distance at or beyond it would make liblzma
+          // reject the stream on inputs over 16 MiB
+          val d = i - j - 1
+          if (d < (1 << DictProp) - 1) {
+            val l = matchLen(b, i, j, remain)
+            if (l > bestLen) { bestLen = l; bestDist = d }
+          }
           j = prev(j)
           depth -= 1
         }

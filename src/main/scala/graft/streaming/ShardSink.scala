@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Checkpoints.TrackedCheckpointOps
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -261,6 +262,12 @@ object ShardSink {
         }
       }
       .toDF("bin", "n_inputs", "n_docs", "shard_md5")
+      // the mapGroups above embeds the landAtomic WRITES: checkpoint
+      // eagerly so the pass executes exactly once per invocation — a
+      // later action must replay the materialized rows, never the
+      // write pass (a batch landing between manifest commit and a
+      // re-evaluation could otherwise diverge from the manifest)
+      .trackedCheckpoint()
     // compaction manifest: lands only after every bin has (it folds
     // the per-bin rows) — the commit record, as in shardBatch
     val committed = perBin

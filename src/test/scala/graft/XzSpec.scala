@@ -269,4 +269,33 @@ class XzSpec extends SparkSpec {
       checks.result()).!!
     assert(res.trim == "OK", res)
   }
+
+  test("LzmaEncode: inputs beyond the declared 2^24 dictionary never " +
+    "emit out-of-bound match distances (r14 advice) — XZ-for-Java, " +
+    "which enforces the header's dict size, decodes 17 MiB byte-exact") {
+    // a 2 KiB pattern at offset 0 recurs ~16.9 MiB later — past the
+    // declared dictionary. An unbounded match finder links them and
+    // liblzma-style decoders reject the stream; the bounded finder
+    // must skip the far candidate.
+    val n = 17 * 1024 * 1024
+    val data = new Array[Byte](n)
+    var x = 0x12345L
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      data(i) = (x >>> 33).toByte
+      i += 1
+    }
+    val far = n - 2048 - 7
+    System.arraycopy(data, 0, data, far, 2048)
+    val z = graft.sources.LzmaEncode.xz(data, blockSize = 0)
+    val in = new org.tukaani.xz.XZInputStream(
+      new java.io.ByteArrayInputStream(z))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    var r = in.read(buf)
+    while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+    in.close()
+    assert(java.util.Arrays.equals(out.toByteArray, data))
+  }
 }
