@@ -3652,5 +3652,79 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS footer_ok,
                CAST(1 AS BIGINT) AS flip_closed
         FROM a"""),
+      headline = false),
+
+    // q358 — parquet codec 4, WRITE side (the twin of q354's reader):
+    // the engine's own RFC 7932 ENCODER (sources/BrotliEncode —
+    // greedy hash-chain LZ77, per-block Huffman codes serialized as
+    // the spec's simple/complex prefix forms) compresses every page,
+    // closing the LAST one-directional parquet codec — all six
+    // codecs the format defines are now own-code BOTH ways
+    // (BrotliSpec: libbrotlidec and pyarrow both decode own bytes).
+    // Laws in the compared output: the own reader decodes the own
+    // codec-4 file to DuckDB-re-derived sums, the footer actually
+    // SAYS codec 4, the decode equals the UNCOMPRESSED twin's decode
+    // exactly (equal_plain — same rows through a different byte
+    // path), and the text corpus genuinely compresses.
+    "q358_parquet_brotli_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+            col("text"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val rows = it.map(x => (x._2, x._3)).toSeq.sortBy(_._1)
+            val n = rows.length
+            val fields = Seq(
+              W.Leaf("rec_id", 0, 2),
+              W.Leaf("txt", 0, 6, convertedType = 0))
+            val data = Seq(
+              W.LeafData(Array.fill(n)(0), null,
+                longs = rows.map(_._1).toArray),
+              W.LeafData(Array.fill(n)(0), null,
+                bins = rows.map(_._2.getBytes("UTF-8")).toArray))
+            val br = W.writeFile(fields, data, codec = 4,
+              pageRows = 32)
+            val plain = W.writeFile(fields, data, pageRows = 32)
+            def decode(b: Array[Byte])
+                : Option[(Long, Long, Long)] =
+              for {
+                rs <- P.columnLongs(b, "rec_id")
+                ts <- P.columnStrings(b, "txt")
+                if ts.length == rs.length
+              } yield (rs.length.toLong, rs.sum,
+                ts.map(_.getBytes("UTF-8").length.toLong).sum)
+            val codec4 = P.parseFooter(br).exists(
+              _.rowGroups.flatMap(_.cols)
+                .forall(_.codec == P.CodecBrotli))
+            (decode(br), decode(plain)) match {
+              case (Some((nr, idSum, txtLen)), Some(p)) =>
+                Seq((blobId, nr, idSum, txtLen,
+                  if (codec4) 1L else 0L,
+                  if (p == ((nr, idSum, txtLen))) 1L else 0L,
+                  if (br.length < plain.length) 1L else 0L))
+              case _ => Nil
+            }
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "txt_len_sum",
+            "codec4_ok", "equal_plain", "compresses")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d, text
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(octet_length(encode(text))) AS BIGINT)
+                 AS txt_len_sum,
+               CAST(1 AS BIGINT) AS codec4_ok,
+               CAST(1 AS BIGINT) AS equal_plain,
+               CAST(1 AS BIGINT) AS compresses
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

@@ -383,14 +383,16 @@ object ParquetWrite {
     val shapes = flattenLeaves(fields)
     require(shapes.length == data.length, "leaf count mismatch")
     // 0 = UNCOMPRESSED, 1 = SNAPPY (own LZ77), 2 = GZIP (own DEFLATE
-    // encoder inside the engine's own gzip member framing), 6 = ZSTD
-    // (one own-encoder frame per page payload), 7 = LZ4_RAW (own LZ4
-    // block encoder)
-    require(codec == 0 || codec == 1 || codec == 2 || codec == 6 ||
-      codec == 7, s"codec $codec")
+    // encoder inside the engine's own gzip member framing), 4 =
+    // BROTLI (own RFC 7932 encoder, one stream per page payload),
+    // 6 = ZSTD (one own-encoder frame per page payload), 7 = LZ4_RAW
+    // (own LZ4 block encoder)
+    require(codec == 0 || codec == 1 || codec == 2 || codec == 4 ||
+      codec == 6 || codec == 7, s"codec $codec")
     def compressBody(plain: Array[Byte]): Array[Byte] = codec match {
       case 1 => Snappy.compress(plain)
       case 2 => Gzip.writeMemberOwnBest(plain)
+      case 4 => BrotliEncode.compress(plain)
       case 6 => ZstdEncode.compress(plain)
       case 7 => Lz4Encode.compressBlock(plain)
       case _ => plain
