@@ -3726,5 +3726,110 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS equal_plain,
                CAST(1 AS BIGINT) AS compresses
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q359 — parquet encryption, AES_GCM_CTR_V1 (the spec's SECOND
+    // algorithm — CTR page bodies for throughput, GCM everywhere
+    // integrity lives: headers, column metadata, footer). The
+    // engine writes and reads both algorithms (the reader picks the
+    // mode from FileCryptoMetaData — self-describing bytes);
+    // ParquetCryptoSpec cross-reads CTR files through parquet-mr's
+    // official crypto classes. The oracled law is q350's CONTRAST
+    // shape, here demonstrating the mode's documented trade: a
+    // flipped byte in a GCM-protected header still fails CLOSED,
+    // while a flipped byte in a CTR page body decrypts SILENTLY to
+    // different data (no tag to fail) — exactly why GCM_V1 is the
+    // default and CTR the eyes-open opt-in. Identity, sums and the
+    // 16-byte-per-page size saving re-derive in DuckDB.
+    "q359_parquet_encryption_ctr" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val C = graft.sources.ParquetCrypto
+            val ids = it.map(_._2).toSeq.sorted
+            val n = ids.length
+            def md5(x: String): Array[Byte] =
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(x.getBytes("UTF-8"))
+            val footerKey = md5("pqctr:" + ids.mkString(","))
+            val valKey = md5("pqctrcol:" + ids.mkString(","))
+            val aadUnique = md5("pqctraad:" + ids.mkString(","))
+              .take(8)
+            val fields = Seq(
+              W.Leaf("rec_id", 0, 2), W.Leaf("val", 0, 2))
+            val data = Seq(
+              W.LeafData(Array.fill(n)(0), null,
+                longs = ids.toArray),
+              W.LeafData(Array.fill(n)(0), null,
+                longs = ids.map(d => (d * 41) % 1033).toArray))
+            val plain = W.writeFile(fields, data, pageRows = 32)
+            val keys = C.Keys(footerKey, Map("val" -> valKey))
+            val colKeys = Map("k:val" -> valKey)
+            val res = for {
+              ctrE <- C.encryptFile(plain, keys, aadUnique,
+                ctr = true)
+              gcmE <- C.encryptFile(plain, keys, aadUnique)
+              back <- C.decryptFile(ctrE.bytes, footerKey, colKeys)
+            } yield {
+              val identityOk =
+                java.util.Arrays.equals(back, plain)
+              // each page body saves the 16-byte GCM tag+framing gap
+              val nPages = ctrE.modules.count(m =>
+                m.modType == C.ModDataPage ||
+                  m.modType == C.ModDictPage)
+              val sizeGapOk = gcmE.bytes.length - ctrE.bytes.length ==
+                16 * nPages
+              val hm = ctrE.modules
+                .find(_.modType == C.ModDataPageHeader).get
+              val th = ctrE.bytes.clone()
+              th(hm.off + hm.len / 2) =
+                (th(hm.off + hm.len / 2) ^ 1).toByte
+              val headerClosed =
+                C.decryptFile(th, footerKey, colKeys).isEmpty
+              val bm = ctrE.modules
+                .find(_.modType == C.ModDataPage).get
+              val tb = ctrE.bytes.clone()
+              tb(bm.off + bm.len / 2) =
+                (tb(bm.off + bm.len / 2) ^ 1).toByte
+              val silent = C.decryptFile(tb, footerKey, colKeys)
+              val silentPossible = silent.exists(
+                !java.util.Arrays.equals(_, plain))
+              val sums = for {
+                rs <- P.columnLongs(back, "rec_id")
+                vs <- P.columnLongs(back, "val")
+                if rs.length == vs.length
+              } yield (rs.length.toLong, rs.sum, vs.sum)
+              sums.toSeq.map { case (nr, idSum, valSum) =>
+                (t, nr, idSum, valSum,
+                  if (identityOk) 1L else 0L,
+                  if (sizeGapOk) 1L else 0L,
+                  if (headerClosed) 1L else 0L,
+                  if (silentPossible) 1L else 0L)
+              }
+            }
+            res.toSeq.flatten
+          }
+          .toDF("table_id", "n_rows", "id_sum", "val_sum",
+            "identity_ok", "size_gap_ok", "header_flip_closed",
+            "body_flip_silent")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d FROM documents)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 41) % 1033) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS identity_ok,
+               CAST(1 AS BIGINT) AS size_gap_ok,
+               CAST(1 AS BIGINT) AS header_flip_closed,
+               CAST(1 AS BIGINT) AS body_flip_silent
+        FROM r GROUP BY table_id"""),
       headline = false))
 }

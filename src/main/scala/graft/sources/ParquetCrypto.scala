@@ -120,6 +120,58 @@ object ParquetCrypto {
       case _: IllegalArgumentException => None
     }
 
+  /** AES-CTR module (AES_GCM_CTR_V1 page bodies): LE32 length ‖
+    * 12-byte nonce ‖ ciphertext — NO tag, NO AAD (the mode trades
+    * page integrity for throughput; headers and footer stay GCM).
+    * IV = nonce ‖ big-endian counter starting at 1.
+    */
+  def encryptModuleCtr(key: Array[Byte],
+                       plain: Array[Byte]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(key); md.update("ctr".getBytes(Utf8)); md.update(plain)
+    val nonce = java.util.Arrays.copyOf(md.digest(), 12)
+    val iv = java.util.Arrays.copyOf(nonce, 16)
+    iv(15) = 1
+    val c = javax.crypto.Cipher.getInstance("AES/CTR/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val ct = c.doFinal(plain)
+    val n = 12 + ct.length
+    val out = new Array[Byte](4 + n)
+    out(0) = (n & 0xff).toByte
+    out(1) = ((n >> 8) & 0xff).toByte
+    out(2) = ((n >> 16) & 0xff).toByte
+    out(3) = ((n >> 24) & 0xff).toByte
+    System.arraycopy(nonce, 0, out, 4, 12)
+    System.arraycopy(ct, 0, out, 16, ct.length)
+    out
+  }
+
+  /** Decrypt a CTR module at `off`. Framing failures are None; a
+    * flipped ciphertext byte is NOT detectable here — that asymmetry
+    * vs GCM is q359's contrast law.
+    */
+  def decryptModuleCtr(key: Array[Byte], b: Array[Byte], off: Int)
+      : Option[(Array[Byte], Int)] =
+    try {
+      if (off < 0 || off + 4 > b.length) return None
+      val n = (b(off) & 0xff) | (b(off + 1) & 0xff) << 8 |
+        (b(off + 2) & 0xff) << 16 | (b(off + 3) & 0xff) << 24
+      if (n < 12 || off + 4 + n > b.length) return None
+      val iv = new Array[Byte](16)
+      System.arraycopy(b, off + 4, iv, 0, 12)
+      iv(15) = 1
+      val c = javax.crypto.Cipher.getInstance("AES/CTR/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      Some((c.doFinal(b, off + 16, n - 12), off + 4 + n))
+    } catch {
+      case _: java.security.GeneralSecurityException => None
+      case _: IllegalArgumentException => None
+    }
+
   // ---- FileCryptoMetaData (plain thrift at the file tail) -----------------
 
   /** FileCryptoMetaData: encryption_algorithm = AES_GCM_V1 with
@@ -127,10 +179,11 @@ object ParquetCrypto {
     * retriever-style lookup.
     */
   def fileCryptoMetaData(aadFileUnique: Array[Byte],
-                         keyMetadata: Array[Byte]): Array[Byte] = {
+                         keyMetadata: Array[Byte],
+                         ctr: Boolean = false): Array[Byte] = {
     val t = new ParquetWrite.TCW
     t.structField(1) // encryption_algorithm (union)
-    t.structField(1) // AES_GCM_V1
+    t.structField(if (ctr) 2 else 1) // AES_GCM_V1 / AES_GCM_CTR_V1
     t.bytesField(2, aadFileUnique) // aad_file_unique
     t.end()
     t.end()
@@ -144,12 +197,13 @@ object ParquetCrypto {
     * the algorithm is AES_GCM_V1.
     */
   def parseFileCryptoMetaData(b: Array[Byte], off: Int, end: Int)
-      : Option[(Array[Byte], Array[Byte], Int)] =
+      : Option[(Array[Byte], Array[Byte], Int, Boolean)] =
     Parquet.totality {
       val tc = new Parquet.TC(b, off, end)
       var aadUnique: Array[Byte] = null
       var keyMeta: Array[Byte] = null
       var gcmV1 = false
+      var ctr = false
       def bin(tpe: Int, cap: Int): Array[Byte] = {
         if (tpe != 8) Parquet.damageNow()
         val n = tc.uvarint()
@@ -173,7 +227,18 @@ object ParquetCrypto {
                     }
                   }
                   true
-                case _ => false // AES_GCM_CTR_V1: unsupported
+                case 2 =>
+                  if (utpe != 12) Parquet.damageNow()
+                  gcmV1 = true; ctr = true
+                  Parquet.struct(tc, 2) { (aid, atpe) =>
+                    aid match {
+                      case 2 =>
+                        aadUnique = bin(atpe, 1 << 16); true
+                      case _ => false
+                    }
+                  }
+                  true
+                case _ => false
               }
             }
             true
@@ -182,7 +247,7 @@ object ParquetCrypto {
         }
       }
       if (!gcmV1 || aadUnique == null) Parquet.damageNow()
-      (aadUnique, keyMeta, tc.pos)
+      (aadUnique, keyMeta, tc.pos, ctr)
     }
 
   // ---- FileMetaData / ColumnMetaData serialization -------------------------
@@ -352,6 +417,9 @@ object ParquetCrypto {
     */
   val ModuleOverhead: Int = 32
 
+  /** CTR module overhead: LE32 length + 12-byte nonce (no tag). */
+  val CtrModuleOverhead: Int = 16
+
   // ---- encrypt -------------------------------------------------------------
 
   /** Keys for one file: the footer key (also encrypts every column
@@ -373,13 +441,14 @@ object ParquetCrypto {
     * on any unsupported layout or malformed input.
     */
   def encryptFile(plain: Array[Byte], keys: Keys,
-                  aadFileUnique: Array[Byte]): Option[Encrypted] =
-    try encryptFileWalk(plain, keys, aadFileUnique)
+                  aadFileUnique: Array[Byte],
+                  ctr: Boolean = false): Option[Encrypted] =
+    try encryptFileWalk(plain, keys, aadFileUnique, ctr)
     catch { case _: Bail => None }
 
   private def encryptFileWalk(plain: Array[Byte], keys: Keys,
-                              aadFileUnique: Array[Byte])
-      : Option[Encrypted] = {
+                              aadFileUnique: Array[Byte],
+                              ctr: Boolean): Option[Encrypted] = {
     val fmOpt = Parquet.parseFooter(plain)
     if (fmOpt.isEmpty) return None
     val fm = fmOpt.get
@@ -394,8 +463,14 @@ object ParquetCrypto {
     val mods = Seq.newBuilder[Module]
     def emit(modType: Int, rg: Int, col: Int, page: Int,
              key: Array[Byte], plainMod: Array[Byte]): Unit = {
-      val aad = moduleAad(aadFileUnique, modType, rg, col, page)
-      val m = encryptModule(key, aad, plainMod)
+      // AES_GCM_CTR_V1: page BODIES ride CTR (no tag, no AAD);
+      // headers, column metadata and the footer stay GCM
+      val bodyCtr = ctr &&
+        (modType == ModDataPage || modType == ModDictPage)
+      val m =
+        if (bodyCtr) encryptModuleCtr(key, plainMod)
+        else encryptModule(key,
+          moduleAad(aadFileUnique, modType, rg, col, page), plainMod)
       mods += Module(modType, rg, col, page, out.size(), m.length)
       out.write(m, 0, m.length)
     }
@@ -426,8 +501,10 @@ object ParquetCrypto {
           val body = java.util.Arrays.copyOfRange(plain, ph.headerEnd,
             ph.headerEnd + ph.compressed)
           // compressed_page_size must cover the encrypted module
+          val bodyOverhead =
+            if (ctr) CtrModuleOverhead else ModuleOverhead
           val header = patchCompField(header0,
-            ph.compressed.toLong + ModuleOverhead) match {
+            ph.compressed.toLong + bodyOverhead) match {
             case Some(x) => x
             case None => bail()
           }
@@ -458,7 +535,8 @@ object ParquetCrypto {
     }
     val footerPlain = serializeFooter(fm, rgsOut)
     val cryptoMd =
-      fileCryptoMetaData(aadFileUnique, "k:footer".getBytes(Utf8))
+      fileCryptoMetaData(aadFileUnique, "k:footer".getBytes(Utf8),
+        ctr)
     val tailStart = out.size()
     out.write(cryptoMd, 0, cryptoMd.length)
     val encFooter = encryptModule(keys.footer,
@@ -505,7 +583,7 @@ object ParquetCrypto {
     val tailStart = n - 8 - fl
     val cm = parseFileCryptoMetaData(enc, tailStart, n - 8)
     if (cm.isEmpty) return None
-    val (aadUnique, _, cryptoEnd) = cm.get
+    val (aadUnique, _, cryptoEnd, ctr) = cm.get
     val fp = decryptModule(footerKey,
       moduleAad(aadUnique, ModFooter), enc, cryptoEnd)
     if (fp.isEmpty) return None
@@ -571,14 +649,18 @@ object ParquetCrypto {
           if (ph.headerEnd != header.length) bail()
           // the header must agree with the module type the AAD named
           if (isDict != (ph.pageType == 2)) bail()
-          val bAad =
-            if (isDict) moduleAad(aadUnique, ModDictPage, g, c)
-            else moduleAad(aadUnique, ModDataPage, g, c, pageOrd)
-          val bm = decryptModule(key, bAad, enc, hEnd)
+          val bm =
+            if (ctr) decryptModuleCtr(key, enc, hEnd)
+            else decryptModule(key,
+              if (isDict) moduleAad(aadUnique, ModDictPage, g, c)
+              else moduleAad(aadUnique, ModDataPage, g, c, pageOrd),
+              enc, hEnd)
           if (bm.isEmpty) bail()
           val (body, bEnd) = bm.get
-          // header declared the MODULE size; the plaintext is 32 less
-          if (body.length + ModuleOverhead != ph.compressed) bail()
+          // header declared the MODULE size, plaintext + overhead
+          val bodyOverhead =
+            if (ctr) CtrModuleOverhead else ModuleOverhead
+          if (body.length + bodyOverhead != ph.compressed) bail()
           val headerPlain =
             patchCompField(header, body.length.toLong) match {
               case Some(x) => x

@@ -144,6 +144,82 @@ class ParquetCryptoSpec extends AnyFunSuite {
       ParquetCrypto.Keys(footerKey), aadUnique).isEmpty)
   }
 
+  test("AES_GCM_CTR_V1: identity roundtrip; the contrast law — a " +
+    "flipped GCM header byte fails closed, a flipped CTR page-body " +
+    "byte decrypts SILENTLY different (the integrity trade the mode " +
+    "makes)") {
+    val plain = plainFile()
+    val enc = ParquetCrypto.encryptFile(plain,
+      ParquetCrypto.Keys(footerKey, Map("val" -> valKey)), aadUnique,
+      ctr = true).getOrElse(fail("encrypt"))
+    val colKeys = Map("k:val" -> valKey)
+    val back = ParquetCrypto.decryptFile(enc.bytes, footerKey,
+      colKeys).getOrElse(fail("decrypt"))
+    assert(java.util.Arrays.equals(back, plain))
+    // CTR bodies are 16 bytes smaller than their GCM twins
+    val gcm = ParquetCrypto.encryptFile(plain,
+      ParquetCrypto.Keys(footerKey, Map("val" -> valKey)), aadUnique)
+      .getOrElse(fail("gcm"))
+    assert(enc.bytes.length < gcm.bytes.length)
+    // header flip: still GCM -> fails closed
+    val hm = enc.modules
+      .find(_.modType == ParquetCrypto.ModDataPageHeader).get
+    val th = enc.bytes.clone()
+    th(hm.off + hm.len / 2) = (th(hm.off + hm.len / 2) ^ 1).toByte
+    assert(ParquetCrypto.decryptFile(th, footerKey, colKeys).isEmpty)
+    // body flip: CTR has no tag -> decrypts to DIFFERENT bytes
+    val bm = enc.modules
+      .find(_.modType == ParquetCrypto.ModDataPage).get
+    val tb = enc.bytes.clone()
+    tb(bm.off + bm.len / 2) = (tb(bm.off + bm.len / 2) ^ 1).toByte
+    val corrupted = ParquetCrypto.decryptFile(tb, footerKey, colKeys)
+    assert(corrupted.nonEmpty &&
+      !java.util.Arrays.equals(corrupted.get, plain))
+  }
+
+  test("parquet-mr cross-read, AES_GCM_CTR_V1: the official crypto " +
+    "classes decrypt the engine's CTR bytes") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.crypto.{DecryptionKeyRetriever, FileDecryptionProperties}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.ParquetReadOptions
+    val enc = ParquetCrypto.encryptFile(plainFile(),
+      ParquetCrypto.Keys(footerKey, Map("val" -> valKey)), aadUnique,
+      ctr = true).getOrElse(fail("encrypt"))
+    val dir = java.nio.file.Files.createTempDirectory("pq_ctr")
+    val f = dir.resolve("enc.parquet")
+    java.nio.file.Files.write(f, enc.bytes)
+    val retriever = new DecryptionKeyRetriever {
+      override def getKey(km: Array[Byte]): Array[Byte] =
+        new String(km, "UTF-8") match {
+          case "k:footer" => footerKey
+          case "k:val" => valKey
+          case other => fail(s"unexpected key metadata: $other")
+        }
+    }
+    val opts = ParquetReadOptions.builder()
+      .withDecryption(FileDecryptionProperties.builder()
+        .withKeyRetriever(retriever).build()).build()
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new HPath(f.toString),
+      new org.apache.hadoop.conf.Configuration()), opts)
+    try {
+      assert(rdr.getRecordCount == 32L)
+      val pages = rdr.readNextRowGroup()
+      val schema = rdr.getFooter.getFileMetaData.getSchema
+      val it = schema.getColumns.iterator()
+      var total = 0L
+      while (it.hasNext) {
+        val pr = pages.getPageReader(it.next())
+        pr.readDictionaryPage()
+        var p = pr.readPage()
+        while (p != null) { total += p.getValueCount; p = pr.readPage() }
+      }
+      assert(total == 96L) // 3 columns x 32 values
+    } finally rdr.close()
+  }
+
   test("parquet-mr cross-read: the official crypto classes decrypt " +
     "the engine's encrypted bytes — footer, both key paths, every " +
     "page") {
