@@ -6201,8 +6201,137 @@ object IngestionQueries {
         JOIN agg_cdc c USING (table_id)
         JOIN agg_post p USING (table_id)"""))
 
+    // q360 — Delta COLUMN MAPPING as a WRITE operation (the write
+    // twin of q280's reader; PROTOCOL.md "Column Mapping",
+    // mode=name): the engine writes data files under DERIVED
+    // PHYSICAL column names, a metaData whose schemaString carries
+    // per-field columnMapping id + physicalName, and the reader-2 /
+    // writer-5 protocol gate — then proves the feature's whole point
+    // with a RENAME-WITHOUT-REWRITE commit: v1 re-issues metaData
+    // with rec_id renamed to record_id while touching ZERO data
+    // files. Laws in the compared output: the own read resolves the
+    // LAST schema (last-wins), decodes strictly under physical names
+    // (a logical-name parquet read finds NOTHING — logical_blind),
+    // the rename commit contains only metaData (rename_zero_rewrite),
+    // and the post-rename answer re-derives in DuckDB.
+    val q360 = "q360_delta_column_mapping_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JObject, JString, JLong}
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.DeltaWrite
+            val P = graft.sources.Parquet
+            val J = graft.sources.Json
+            val files = W.writeColMapTable(s"tbl-$t", ids)
+            val CommitRe = "^_delta_log/(\\d{20})\\.json$".r
+            val commits = files.keys.toSeq.collect {
+              case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+            var lastMeta: Option[JObject] = None
+            var protoOk = false
+            var renameOnlyMeta = true
+            commits.foreach { case (ver, p) =>
+              new String(files(p), "UTF-8").split("\n")
+                .filter(_.nonEmpty).flatMap(J.parse).foreach {
+                  case o: JObject =>
+                    o.get("protocol").foreach {
+                      case pr: JObject =>
+                        protoOk =
+                          pr.get("minReaderVersion")
+                            .contains(JLong(2L)) &&
+                            pr.get("minWriterVersion")
+                              .contains(JLong(5L))
+                      case _ => ()
+                    }
+                    o.get("metaData").foreach {
+                      case m: JObject => lastMeta = Some(m)
+                      case _ => ()
+                    }
+                    if (ver >= 1 && (o.get("add").nonEmpty ||
+                      o.get("remove").nonEmpty))
+                      renameOnlyMeta = false
+                  case _ => ()
+                }
+            }
+            val res = for {
+              meta <- lastMeta
+              cfg <- meta.get("configuration")
+                .collect { case c: JObject => c }
+              if cfg.get("delta.columnMapping.mode")
+                .contains(JString("name"))
+              ss <- meta.get("schemaString")
+                .collect { case JString(x) => x }
+              schema <- J.parse(ss)
+              so <- Some(schema).collect { case o: JObject => o }
+              fields <- so.get("fields").collect {
+                case J.JArray(fs) => fs.collect {
+                  case f: JObject =>
+                    (f.get("name").collect { case JString(x) => x },
+                      f.get("metadata").collect { case md: JObject =>
+                        md.get(
+                          "delta.columnMapping.physicalName")
+                          .collect { case JString(x) => x }
+                      }.flatten)
+                }
+              }
+              mapping = fields.collect {
+                case (Some(l), Some(ph)) => (l, ph)
+              }
+              if mapping.length == 2
+              (live, _) <- W.replayLive(files)
+            } yield {
+              val m = mapping.toMap
+              val renamedOk = m.contains("record_id") &&
+                !m.contains("rec_id")
+              var nRows = 0L; var idSum = 0L; var valSum = 0L
+              var ok = protoOk && live.length == 3
+              var logicalBlind = true
+              live.foreach { p =>
+                val b = files(p)
+                // the failure mode the feature creates: logical
+                // names resolve to NOTHING in the data file
+                if (P.columnLongs(b, "record_id").nonEmpty ||
+                  P.columnLongs(b, "rec_id").nonEmpty)
+                  logicalBlind = false
+                (P.columnLongs(b, m("record_id")),
+                  P.columnLongs(b, m("val"))) match {
+                  case (Some(rs), Some(vs))
+                    if rs.length == vs.length =>
+                    nRows += rs.length; idSum += rs.sum
+                    valSum += vs.sum
+                  case _ => ok = false
+                }
+              }
+              if (!ok) Nil
+              else Seq((t, live.length.toLong, nRows, idSum, valSum,
+                if (renamedOk) 1L else 0L,
+                if (logicalBlind) 1L else 0L,
+                if (renameOnlyMeta) 1L else 0L))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("table_id", "n_live", "n_rows", "id_sum", "val_sum",
+            "renamed_ok", "logical_blind", "rename_zero_rewrite")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d FROM documents)
+        SELECT table_id,
+               CAST(3 AS BIGINT) AS n_live,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum((d * 43) % 1009) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS renamed_ok,
+               CAST(1 AS BIGINT) AS logical_blind,
+               CAST(1 AS BIGINT) AS rename_zero_rewrite
+        FROM r GROUP BY table_id"""))
+
     Seq(q254, q261, q270, q272, q280, q282, q287, q299, q339, q340,
-      q352)
+      q352, q360)
   }
 
   // warc.gz member walk (q217) — the byte-for-byte Common Crawl layout:

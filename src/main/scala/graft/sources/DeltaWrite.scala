@@ -390,6 +390,61 @@ object DeltaWrite {
       }
     }
 
+  // ---- column mapping write (q360) -----------------------------------------
+
+  /** Deterministic physical name for logical field `i` of table `id`
+    * — derived, never hardcodable (q280's fixture discipline).
+    */
+  def physName(id: String, i: Int): String =
+    "col-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$i".getBytes(Utf8))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+
+  /** Column-mapping protocol: reader 2 / writer 5 (PROTOCOL.md
+    * "Column Mapping").
+    */
+  val protocolActionColMap: String =
+    """{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}"""
+
+  /** metaData with delta.columnMapping.mode=name: every field carries
+    * its columnMapping id + physicalName in the schemaString
+    * metadata; data files use the PHYSICAL names.
+    */
+  def metaDataActionColMap(id: String,
+                           logical: Seq[String]): String = {
+    val fields = logical.zipWithIndex.map { case (ln, i) =>
+      s"""{"metadata": {"delta.columnMapping.id": ${i + 1}, "delta.columnMapping.physicalName": "${physName(id, i)}"}, "name": "$ln", "nullable": false, "type": "long"}"""
+    }.mkString(", ")
+    val schema = s"""{"fields": [$fields], "type": "struct"}"""
+    s"""{"metaData": {"configuration": {"delta.columnMapping.maxColumnId": "${logical.length}", "delta.columnMapping.mode": "name"}, "createdTime": 1700000000000, "format": {"options": {}, "provider": "parquet"}, "id": "$id", "partitionColumns": [], "schemaString": "${esc(schema)}"}}"""
+  }
+
+  /** The q360 table: three data files split by (d/6) % 3, columns
+    * WRITTEN UNDER PHYSICAL NAMES (a logical-name parquet read finds
+    * nothing — the failure mode column mapping creates), val =
+    * (d*43) % 1009. Commit 1 RENAMES the first logical column
+    * (rec_id -> record_id) by re-issuing metaData ONLY — zero data
+    * files touched, the rename-without-rewrite the feature exists
+    * for.
+    */
+  def writeColMapTable(id: String,
+                       ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val parts = (0 to 2).map(x => ids.filter(d => (d / 6) % 3 == x))
+    val names = (0 to 2).map(x => s"part-$x.parquet")
+    val phys = Seq(physName(id, 0), physName(id, 1))
+    val data = parts.map(p => ParquetWrite.writeInt64(
+      phys, p.map(d => Array(d, (d * 43) % 1009))))
+    val c0 = (Seq(protocolActionColMap,
+      metaDataActionColMap(id, Seq("rec_id", "val"))) ++
+      (0 to 2).map(x => addAction(names(x), data(x).length.toLong)))
+      .mkString("\n") + "\n"
+    val c1 = metaDataActionColMap(id, Seq("record_id", "val")) + "\n"
+    Map(
+      "_delta_log/00000000000000000000.json" -> c0.getBytes(Utf8),
+      "_delta_log/00000000000000000001.json" -> c1.getBytes(Utf8)) ++
+      names.zip(data)
+  }
+
   // ---- row-level MERGE write with CDF emission (q352) ----------------------
 
   /** metaData carrying `delta.enableChangeDataFeed=true` — the gate

@@ -132,4 +132,24 @@ class DeltaMaintSpec extends AnyFunSuite {
     assert(DeltaWrite.mergeCdf(files - "part-0.parquet",
       Map(ids.head -> 1L), Set.empty, Nil).isEmpty)
   }
+
+  test("writeColMapTable: physical-name files (logical reads find " +
+    "nothing), derived names, metaData-only rename commit") {
+    val files = DeltaWrite.writeColMapTable("t-5", ids)
+    val p0 = files("part-0.parquet")
+    assert(Parquet.columnLongs(p0, "rec_id").isEmpty &&
+      Parquet.columnLongs(p0, "record_id").isEmpty)
+    val ph0 = DeltaWrite.physName("t-5", 0)
+    assert(ph0 != DeltaWrite.physName("t-6", 0)) // table-keyed
+    val rs = Parquet.columnLongs(p0, ph0).getOrElse(fail("phys read"))
+    assert(rs.toSeq == ids.filter(d => (d / 6) % 3 == 0))
+    // v1 = rename only: a single metaData line, schema renamed
+    val c1 = new String(
+      files("_delta_log/00000000000000000001.json"), "UTF-8")
+    assert(c1.trim.split("\n").length == 1 &&
+      c1.contains("\"metaData\"") && c1.contains("record_id") &&
+      !c1.contains("\"add\"") && !c1.contains("\"remove\""))
+    // physical names survive the rename (zero-rewrite contract)
+    assert(c1.contains(ph0))
+  }
 }
