@@ -2883,7 +2883,99 @@ object IngestionQueries {
           ON k2.bkey = f.blob_key
         GROUP BY r.blob_id, f.compact_md5"""))
 
-    Seq(q283, q302, q315, q318, q336)
+    // q361 — Hudi CLEAN as a WRITE operation, completing the Hudi
+    // maintenance pair with q336's compaction: compaction writes the
+    // new file slices but the OLD ones stay on disk until a cleaner
+    // reclaims them — at 100 TB that is the storage bill and the
+    // listing time. KEEP_LATEST_FILE_VERSIONS(1): per file group,
+    // delete every completed base older than the latest plus the log
+    // files of replaced slices — EXCEPT a log carrying any
+    // still-pending block (fg1's q315 inflight-poison log survives:
+    // a cleaner must never destroy what a rollback still owns).
+    // Laws in the compared output: the post-clean replay answers
+    // IDENTICALLY (preserves=1 — sums re-derived in DuckDB), exactly
+    // 3 files die (both t1 bases + fg0's fully-completed log),
+    // the pending log survives (pending_preserved=1), a second clean
+    // deletes nothing (fixed_point=1), and clean BEFORE compaction
+    // is a no-op (noop_before_compact=1 — one version per group,
+    // nothing is reclaimable).
+    val q361 = "q361_hudi_clean_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.HudiWrite
+            val files = W.writeMorTable(ids)
+            val res = for {
+              noop <- W.clean(files, "00000000000005")
+              delta <- W.compact(files, "00000000000005")
+              compacted = files ++ delta
+              pre <- W.replay(compacted)
+              cr <- W.clean(compacted, "00000000000006")
+              cleaned = (compacted -- cr.deleted) +
+                (cr.timelineName -> cr.timeline)
+              post <- W.replay(cleaned)
+              cr2 <- W.clean(cleaned, "00000000000007")
+            } yield {
+              def rows(st: Seq[W.FgState]) =
+                st.iterator.map(_.rows.length.toLong).sum
+              def idSum(st: Seq[W.FgState]) =
+                st.iterator.flatMap(_.rows.map(_._1)).sum
+              def valSum(st: Seq[W.FgState]) =
+                st.iterator.flatMap(_.rows.map(_._2)).sum
+              val preserves =
+                if (rows(post) == rows(pre) &&
+                  idSum(post) == idSum(pre) &&
+                  valSum(post) == valSum(pre)) 1L else 0L
+              val pendingLog = compacted.keys
+                .find(p => p.startsWith("p/.fg1_")) // t4 inflight
+              val pendingPreserved =
+                if (pendingLog.exists(cleaned.contains) &&
+                  !cr.deleted.exists(_.startsWith("p/.fg1_"))) 1L
+                else 0L
+              val deadOk =
+                if (cr.deleted.count(_.endsWith(".parquet")) == 2 &&
+                  cr.deleted.count(_.startsWith("p/.fg0_")) == 1) 1L
+                else 0L
+              Seq((blobId, rows(pre), idSum(pre), valSum(pre),
+                cr.deleted.length.toLong, deadOk, preserves,
+                pendingPreserved,
+                if (cr2.deleted.isEmpty) 1L else 0L,
+                if (noop.deleted.isEmpty) 1L else 0L))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "val_sum", "n_deleted",
+            "dead_set_ok", "preserves", "pending_preserved",
+            "fixed_point", "noop_before_compact")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg, (doc_id * 13) % 991 AS v
+          FROM documents),
+        m AS (
+          SELECT blob_id, d,
+                 v + CASE WHEN fg = 0 AND d % 3 = 0 THEN 7 ELSE 0 END
+                   AS mv
+          FROM r WHERE NOT (fg = 0 AND d % 5 = 0))
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(mv) AS BIGINT) AS val_sum,
+               CAST(3 AS BIGINT) AS n_deleted,
+               CAST(1 AS BIGINT) AS dead_set_ok,
+               CAST(1 AS BIGINT) AS preserves,
+               CAST(1 AS BIGINT) AS pending_preserved,
+               CAST(1 AS BIGINT) AS fixed_point,
+               CAST(1 AS BIGINT) AS noop_before_compact
+        FROM m GROUP BY blob_id"""))
+
+    Seq(q283, q302, q315, q318, q336, q361)
   }
 
   // Iceberg metadata walk (q257/q258) — the OTHER lakehouse format:

@@ -229,4 +229,55 @@ object HudiWrite {
       (bases :+ (s".hoodie/$instant.commit" ->
         commitJsonOp("COMPACT", stats).getBytes("UTF-8"))).toMap
     }
+
+  // ---- clean write (q361) --------------------------------------------------
+
+  final case class CleanResult(deleted: Seq[String],
+                               timelineName: String,
+                               timeline: Array[Byte])
+
+  /** CLEAN (KEEP_LATEST_FILE_VERSIONS = 1): per file group, delete
+    * every COMPLETED base older than the latest completed base, plus
+    * the log files attached to replaced slices — but a log file
+    * carrying ANY block of a still-pending instant is retained (a
+    * cleaner must never destroy data a rollback or late commit could
+    * still need; that is rollback's decision, not clean's). Emits a
+    * `.clean` timeline entry naming what it deleted. None on
+    * malformed log bytes — a cleaner that cannot PROVE a file's
+    * blocks are all completed must not touch it.
+    */
+  def clean(files: Map[String, Array[Byte]],
+            instant: String): Option[CleanResult] = {
+    val completed = files.keys.collect {
+      case TimelineRe(i, _) => i }.toSet
+    val bases = files.keys.toSeq.collect {
+      case p @ BaseRe(fid, inst) if completed(inst) => (fid, inst, p)
+    }
+    val latest = bases.groupBy(_._1).map { case (fid, bs) =>
+      (fid, bs.map(_._2).max)
+    }
+    val deadBases = bases.collect {
+      case (fid, inst, p) if inst < latest(fid) => p
+    }
+    var ok = true
+    val deadLogs = files.keys.toSeq.collect {
+      case p @ LogRe(fid, baseInst)
+        if latest.get(fid).exists(baseInst < _) =>
+        HudiLog.parse(files(p)) match {
+          case Some(blocks) =>
+            if (blocks.forall(b => completed(b.instant))) Some(p)
+            else None // pending block: retain the whole file
+          case None => ok = false; None
+        }
+    }.flatten
+    if (!ok) None
+    else {
+      val deleted = (deadBases ++ deadLogs).sorted
+      val body = deleted
+        .map(p => s""""$p"""").mkString(
+          s"""{"deleted": [""", ", ", s"""], "operationType": "CLEAN"}""")
+      Some(CleanResult(deleted, s".hoodie/$instant.clean",
+        body.getBytes("UTF-8")))
+    }
+  }
 }

@@ -133,4 +133,29 @@ class HudiLogSpec extends AnyFunSuite {
     assert(post2.map(f => (f.fileId, f.rows)) ==
       pre.map(f => (f.fileId, f.rows)))
   }
+
+  test("clean: reclaims only replaced completed slices, retains " +
+    "pending logs, fails closed on undecodable logs (q361)") {
+    val W = graft.sources.HudiWrite
+    val ids = (0L until 90L).toSeq
+    val files = W.writeMorTable(ids)
+    // before compaction: one version per group -> nothing to clean
+    assert(W.clean(files, "00000000000005").get.deleted.isEmpty)
+    val compacted = files ++ W.compact(files, "00000000000005").get
+    val cr = W.clean(compacted, "00000000000006").get
+    assert(cr.deleted.length == 3)
+    assert(cr.deleted.count(_.endsWith(".parquet")) == 2)
+    assert(cr.deleted.exists(_.startsWith("p/.fg0_")))
+    // fg1's log carries the t4 INFLIGHT block: must survive
+    assert(!cr.deleted.exists(_.startsWith("p/.fg1_")))
+    // answer unchanged after applying the clean
+    val cleaned = (compacted -- cr.deleted) +
+      (cr.timelineName -> cr.timeline)
+    assert(W.replay(cleaned).get.map(f => (f.fileId, f.rows)) ==
+      W.replay(compacted).get.map(f => (f.fileId, f.rows)))
+    // a log the cleaner cannot decode must block the clean
+    val logName = compacted.keys.find(_.startsWith("p/.fg0_")).get
+    val bad = compacted + (logName -> Array[Byte](1, 2, 3))
+    assert(W.clean(bad, "00000000000006").isEmpty)
+  }
 }
