@@ -4646,8 +4646,148 @@ object IngestionQueries {
                CAST(1 AS BIGINT) AS fixed_point
         FROM r GROUP BY table_id"""))
 
+    // q362 — Iceberg PARTITION SPEC EVOLUTION as a WRITE operation
+    // (the write twin of q289's reader): the table the engine writes
+    // EVOLVES — generation-0 files land at snapshot 1 under the
+    // UNPARTITIONED spec 0, then metadata declares spec 1 (identity
+    // on p2) and generation-1 files land under it; snapshot 2's
+    // manifest list carries BOTH manifests, each tagged with its OWN
+    // partition_spec_id, all through the own Avro container + parquet
+    // writers. The read-back runs q289's spec-aware walk over the
+    // OWN bytes: a p2 probe prunes ONLY inside spec 1 (old files have
+    // nothing to prune by and are all read), then survivors decode
+    // through the own parquet reader with the row-level predicate
+    // applied. Laws: file accounting (2 read + 1 of 3 selected = 3
+    // read, 2 pruned), the final answer re-derives in DuckDB, and
+    // the CLASSIC bug is demonstrated dead: a default-spec-everywhere
+    // reader would prune by a field spec-0 files do not have and
+    // silently lose every pre-evolution row (naive_loses = the
+    // DuckDB-computed row deficit, nonzero by construction).
+    val q362 = "q362_iceberg_spec_evolution_write" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import graft.sources.Json.{JArray, JLong, JObject}
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val W = graft.sources.IcebergWrite
+            val P = graft.sources.Parquet
+            val A = graft.sources.AvroGeneric
+            val files = W.writeSpecEvoTable(s"tbl-$t", ids)
+            val probe = 1L
+            val out = for {
+              meta <- graft.sources.Json.parse(new String(
+                files("v2.metadata.json"), "UTF-8"))
+              mo <- Some(meta).collect { case o: JObject => o }
+              specs <- mo.get("partition-specs").collect {
+                case JArray(xs) => xs.collect { case o: JObject => o }
+              }
+              partitioned = specs.flatMap { so =>
+                for {
+                  sid <- so.get("spec-id")
+                    .collect { case JLong(x) => x }
+                  nf <- so.get("fields")
+                    .collect { case JArray(fs) => fs.nonEmpty }
+                } yield sid -> nf
+              }.toMap
+              list <- A.parseContainer(files("snap-2.avro"))
+              if partitioned.size == 2
+            } yield {
+              var ok = true
+              var nRead = 0L
+              var nPruned = 0L
+              var rows = 0L; var idSum = 0L; var valSum = 0L
+              var oldRows = 0L
+              list.records.foreach { mf =>
+                val res = for {
+                  mp <- mf.field("manifest_path")
+                    .flatMap(_.asString)
+                  sid <- mf.field("partition_spec_id")
+                    .flatMap(_.asLong)
+                  hasPart <- partitioned.get(sid)
+                  mb <- files.get(mp)
+                  m <- A.parseContainer(mb)
+                } yield (hasPart, m)
+                res match {
+                  case Some((hasPart, m)) => m.records.foreach { e =>
+                    val df = e.field("data_file")
+                    val take =
+                      if (!hasPart) true
+                      else df.flatMap(_.field("partition"))
+                        .flatMap(_.field("p2")).flatMap(_.asLong)
+                        .contains(probe)
+                    if (!take) nPruned += 1
+                    else {
+                      nRead += 1
+                      val decode = for {
+                        path <- df.flatMap(_.field("file_path"))
+                          .flatMap(_.asString)
+                        b <- files.get(path)
+                        rs <- P.columnLongs(b, "rec_id")
+                        vs <- P.columnLongs(b, "val")
+                        if rs.length == vs.length
+                      } yield (rs, vs)
+                      decode match {
+                        case Some((rs, vs)) =>
+                          var i = 0
+                          while (i < rs.length) {
+                            if (!hasPart) oldRows += 1
+                            // row-level predicate after the scan
+                            if (rs(i) % 3 == probe) {
+                              rows += 1
+                              idSum += rs(i)
+                              valSum += vs(i)
+                            }
+                            i += 1
+                          }
+                        case None => ok = false
+                      }
+                    }
+                  }
+                  case None => ok = false
+                }
+              }
+              // the classic bug's deficit: a default-spec reader
+              // prunes EVERY spec-0 file (no p2 -> no match), losing
+              // the pre-evolution rows that satisfy the predicate
+              val naiveLoses = oldRows // rows only a spec-aware
+              // reader ever scans (re-derived in DuckDB)
+              if (ok)
+                Seq((t, nRead, nPruned, rows, idSum, valSum,
+                  naiveLoses))
+              else Nil
+            }
+            out.toSeq.flatten
+          }
+          .toDF("table_id", "n_files_read", "n_files_pruned",
+            "n_rows", "id_sum", "val_sum", "naive_loses")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4, (doc_id * 7) % 1000 AS v
+          FROM documents),
+        sel AS (
+          SELECT * FROM r
+          WHERE (gen4 <> 1) OR (gen4 = 1 AND d % 3 = 1))
+        SELECT table_id,
+               CAST(3 AS BIGINT) AS n_files_read,
+               CAST(2 AS BIGINT) AS n_files_pruned,
+               CAST(sum(CASE WHEN d % 3 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN d % 3 = 1 THEN d ELSE 0 END)
+                 AS BIGINT) AS id_sum,
+               CAST(sum(CASE WHEN d % 3 = 1 THEN v ELSE 0 END)
+                 AS BIGINT) AS val_sum,
+               CAST(sum(CASE WHEN gen4 <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS naive_loses
+        FROM sel GROUP BY table_id"""))
+
     Seq(q257, q258, q259, q262, q271, q275, q281, q286, q289, q301,
-      q317, q319, q338, q347)
+      q317, q319, q338, q347, q362)
   }
 
   // Delta Lake transaction log (q254) — the LAKEHOUSE metadata format:

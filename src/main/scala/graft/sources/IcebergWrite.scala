@@ -222,6 +222,94 @@ object IcebergWrite {
     out.result()
   }
 
+  // ---- partition spec evolution write (q362) -------------------------------
+
+  /** Manifest-list schema whose rows carry partition_spec_id — the
+    * field a spec-aware reader routes pruning on (q289's law).
+    */
+  val ListSchemaEvo: String =
+    """{"type":"record","name":"manifest_file","fields":[{"name":"manifest_path","type":"string"},{"name":"manifest_length","type":"long"},{"name":"partition_spec_id","type":"int"}]}"""
+
+  /** Spec-0 entries: UNPARTITIONED (empty partition record — nothing
+    * to prune by, a reader must take every file).
+    */
+  val EntrySchemaEvo0: String =
+    """{"type":"record","name":"manifest_entry","fields":[{"name":"status","type":"int"},{"name":"data_file","type":{"type":"record","name":"r2","fields":[{"name":"file_path","type":"string"},{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},{"name":"record_count","type":"long"},{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+
+  /** Spec-1 entries: one identity partition field p2. */
+  val EntrySchemaEvo1: String =
+    """{"type":"record","name":"manifest_entry","fields":[{"name":"status","type":"int"},{"name":"data_file","type":{"type":"record","name":"r2","fields":[{"name":"file_path","type":"string"},{"name":"partition","type":{"type":"record","name":"r103","fields":[{"name":"p2","type":"int"}]}},{"name":"record_count","type":"long"},{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+
+  def manifestFileRowEvo(path: String, length: Long,
+                         specId: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    str(out, path)
+    varint(out, length)
+    varint(out, specId.toLong)
+    out.toByteArray
+  }
+
+  def entryEvo(path: String, rc: Long, fsz: Long,
+               p2: Option[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    varint(out, 1L) // status = ADDED
+    str(out, path)
+    p2.foreach(v => varint(out, v.toLong)) // empty record if None
+    varint(out, rc)
+    varint(out, fsz)
+    out.toByteArray
+  }
+
+  /** The q362 table: generation 0 ((d/6) % 4 != 1) lands at snapshot
+    * 1 under UNPARTITIONED spec 0 in two files split by (d/6) % 2;
+    * the table then EVOLVES (spec 1 = identity on p2 = d % 3) and
+    * generation 1 lands at snapshot 2 in three p2 files. Snapshot 2's
+    * manifest list carries BOTH manifests, each under its OWN
+    * spec-id; metadata.json records both specs, default-spec-id 1.
+    * Data files through the own parquet writer, val = (d*7) % 1000.
+    */
+  def writeSpecEvoTable(id: String,
+                        ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    def v(d: Long): Long = (d * 7) % 1000
+    def dataFile(p: Seq[Long]): Array[Byte] =
+      ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        p.map(d => Array(d, v(d))))
+    val out = Map.newBuilder[String, Array[Byte]]
+    val gen0 = ids.filter(d => (d / 6) % 4 != 1)
+    val gen1 = ids.filter(d => (d / 6) % 4 == 1)
+    // spec-0 manifest: two unpartitioned files
+    val e0 = (0 to 1).map { g =>
+      val p = gen0.filter(d => (d / 6) % 2 == g)
+      val bytes = dataFile(p)
+      out += (s"f-old-$g.parquet" -> bytes)
+      entryEvo(s"f-old-$g.parquet", p.length.toLong,
+        bytes.length.toLong, None)
+    }
+    val m0 = container(EntrySchemaEvo0, e0, sync)
+    out += ("m-spec0.avro" -> m0)
+    // spec-1 manifest: three p2 files
+    val e1 = (0 to 2).map { b =>
+      val p = gen1.filter(_ % 3 == b)
+      val bytes = dataFile(p)
+      out += (s"f-new-$b.parquet" -> bytes)
+      entryEvo(s"f-new-$b.parquet", p.length.toLong,
+        bytes.length.toLong, Some(b))
+    }
+    val m1 = container(EntrySchemaEvo1, e1, sync)
+    out += ("m-spec1.avro" -> m1)
+    val list = container(ListSchemaEvo, Seq(
+      manifestFileRowEvo("m-spec0.avro", m0.length.toLong, 0),
+      manifestFileRowEvo("m-spec1.avro", m1.length.toLong, 1)), sync)
+    out += ("snap-2.avro" -> list)
+    val meta = ("""{"format-version": 2, "table-uuid": """" + id +
+      """", "default-spec-id": 1, "partition-specs": [{"spec-id": 0, "fields": []}, {"spec-id": 1, "fields": [{"field-id": 1000, "name": "p2", "source-id": 1, "transform": "identity"}]}], "current-snapshot-id": 2, "snapshots": [{"snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 1700000001000, "manifest-list": "snap-2.avro"}]}""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out += ("v2.metadata.json" -> meta)
+    out.result()
+  }
+
   // ---- row-level delete write (q319): the q262 read shapes ---------------
 
   /** The MoR manifest-file schema (content routes data vs deletes);

@@ -120,4 +120,30 @@ class IcebergMaintSpec extends AnyFunSuite {
     assert(paths == Vector("data/f-0.parquet", "data/f-1.parquet",
       "data/f-2.parquet", "data/c-0.parquet"))
   }
+
+  test("writeSpecEvoTable: both specs in one list, per-manifest " +
+    "spec ids, own Avro walk prunes only inside spec 1 (q362)") {
+    val W = graft.sources.IcebergWrite
+    val A = graft.sources.AvroGeneric
+    val ids = (0L until 120L).toSeq
+    val files = W.writeSpecEvoTable("t-evo", ids)
+    val list = A.parseContainer(files("snap-2.avro"))
+      .getOrElse(fail("list"))
+    val specIds = list.records.flatMap(
+      _.field("partition_spec_id").flatMap(_.asLong))
+    assert(specIds.sorted == Seq(0L, 1L))
+    // spec-0 entries have NO p2; spec-1 entries each carry one
+    val m0 = A.parseContainer(files("m-spec0.avro")).get
+    assert(m0.records.forall(_.field("data_file")
+      .flatMap(_.field("partition")).flatMap(_.field("p2")).isEmpty))
+    val m1 = A.parseContainer(files("m-spec1.avro")).get
+    assert(m1.records.flatMap(_.field("data_file")
+      .flatMap(_.field("partition")).flatMap(_.field("p2"))
+      .flatMap(_.asLong)).sorted == Seq(0L, 1L, 2L))
+    // every data file decodes through the own reader
+    val gen0 = ids.filter(d => (d / 6) % 4 != 1)
+    val rs = graft.sources.Parquet
+      .columnLongs(files("f-old-0.parquet"), "rec_id").get
+    assert(rs.toSeq == gen0.filter(d => (d / 6) % 2 == 0))
+  }
 }
