@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.{c_round => round}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
