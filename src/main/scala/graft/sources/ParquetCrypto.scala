@@ -275,6 +275,16 @@ object ParquetCrypto {
     f.i64(7, m.totalCompressed)
     f.i64(9, m.dataPageOffset)
     if (m.dictPageOffset >= 0) f.i64(11, m.dictPageOffset)
+    // Statistics (field 12) — byte-mirroring writeFile's emitter, so
+    // encrypted files keep min/max pruning (inside the encrypted
+    // footer / encrypted column metadata, where the spec puts it)
+    if (m.nullCount >= 0 || m.minValue != null || m.maxValue != null) {
+      f.structField(12)
+      if (m.nullCount >= 0) f.i64(3, m.nullCount)
+      if (m.maxValue != null) f.bytesField(5, m.maxValue)
+      if (m.minValue != null) f.bytesField(6, m.minValue)
+      f.end()
+    }
   }
 
   /** Serialize ONE standalone ColumnMetaData (the plaintext of an
@@ -454,9 +464,10 @@ object ParquetCrypto {
     val fm = fmOpt.get
     val allCols = fm.rowGroups.flatMap(_.cols)
     // layouts the roundtrip law can't carry are refused, not mangled
+    // (page index and blooms are separate file regions that would
+    // need their own modules; footer Statistics ride along fine)
     if (allCols.exists(c => c.bloomFilterOffset >= 0 ||
-      c.offsetIndexOffset >= 0 || c.columnIndexOffset >= 0 ||
-      c.nullCount >= 0 || c.minValue != null || c.maxValue != null))
+      c.offsetIndexOffset >= 0 || c.columnIndexOffset >= 0))
       return None
     val out = new java.io.ByteArrayOutputStream()
     out.write('P'); out.write('A'); out.write('R'); out.write('E')

@@ -128,17 +128,27 @@ class ParquetCryptoSpec extends AnyFunSuite {
       Map("k:val" -> valKey)).isEmpty)
   }
 
-  test("unsupported layouts are refused, not mangled: stats / page " +
-    "index files do not encrypt") {
+  test("statistics ride inside the encrypted footer: identity " +
+    "roundtrip, min/max preserved (pruning without plaintext); page " +
+    "index files stay refused") {
     val W = ParquetWrite
-    val ids = Array.tabulate(8)(_.toLong)
+    val ids = Array.tabulate(64)(i => (i * 7 % 50).toLong)
     val withStats = W.writeFile(Seq(W.Leaf("rec_id", 0, 2)),
-      Seq(W.LeafData(Array.fill(8)(0), null, longs = ids)),
+      Seq(W.LeafData(Array.fill(64)(0), null, longs = ids)),
       withStats = true)
-    assert(ParquetCrypto.encryptFile(withStats,
-      ParquetCrypto.Keys(footerKey), aadUnique).isEmpty)
+    val enc = ParquetCrypto.encryptFile(withStats,
+      ParquetCrypto.Keys(footerKey), aadUnique)
+      .getOrElse(fail("stats files must encrypt"))
+    val back = ParquetCrypto.decryptFile(enc.bytes, footerKey)
+      .getOrElse(fail("decrypt"))
+    assert(java.util.Arrays.equals(back, withStats))
+    val col = Parquet.parseFooter(back).get.rowGroups.head.cols.head
+    assert(col.minLong.contains(ids.min) &&
+      col.maxLong.contains(ids.max))
+    // stats must NOT be readable from the ciphertext
+    assert(Parquet.parseFooter(enc.bytes).isEmpty)
     val withIndex = W.writeFile(Seq(W.Leaf("rec_id", 0, 2)),
-      Seq(W.LeafData(Array.fill(8)(0), null, longs = ids)),
+      Seq(W.LeafData(Array.fill(64)(0), null, longs = ids)),
       withIndex = true)
     assert(ParquetCrypto.encryptFile(withIndex,
       ParquetCrypto.Keys(footerKey), aadUnique).isEmpty)
