@@ -3831,5 +3831,83 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS header_flip_closed,
                CAST(1 AS BIGINT) AS body_flip_silent
         FROM r GROUP BY table_id"""),
+      headline = false),
+
+    // q363 — INCREMENTAL puffin statistics via theta UNION (the
+    // maintenance leg of q356): when a snapshot lands, the new
+    // statistics file is union(previous sketch, new-file sketch) —
+    // NO rescan of 100 TB of existing data, the property that makes
+    // per-snapshot NDV stats affordable at all. The engine's own
+    // set-union over its own compact sketches (PuffinSpec pins it
+    // against datasketches' own Union operator); in exact mode the
+    // union is EXACT, so every estimate in the output — base
+    // generation, new file, and the unioned snapshot-2 puffin — is
+    // re-derived as a DuckDB count(DISTINCT). The overlap law
+    // (union < base + new on the low-cardinality column) is
+    // data-driven; union ≡ full rebuild is checked bytes-to-bytes.
+    "q363_puffin_incremental_stats" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val P = graft.sources.Puffin
+            val T = graft.sources.ThetaSketch
+            def v(d: Long): Long = (d * 13) % 61
+            val gen0 = ids.filter(d => (d / 6) % 4 != 1)
+            val gen1 = ids.filter(d => (d / 6) % 4 == 1)
+            val skBaseId = T.compact(gen0)
+            val skBaseV = T.compact(gen0.map(v))
+            val skNewId = T.compact(gen1)
+            val skNewV = T.compact(gen1.map(v))
+            val res = for {
+              uId <- T.union(Seq(skBaseId, skNewId))
+              uV <- T.union(Seq(skBaseV, skNewV))
+              // snapshot-2 statistics file carries the UNIONED blobs
+              puffin = P.write(Seq(
+                P.Blob("apache-datasketches-theta-v1", Seq(1), 2L,
+                  2L, uId),
+                P.Blob("apache-datasketches-theta-v1", Seq(2), 2L,
+                  2L, uV)), Map("created-by" -> "graft engine"))
+              (blobs, _) <- P.read(puffin)
+              if blobs.length == 2
+              rId <- T.parse(blobs(0)._2)
+              rV <- T.parse(blobs(1)._2)
+              rebuiltV <- Some(T.compact(ids.map(v)))
+            } yield {
+              val unionEqRebuild =
+                if (java.util.Arrays.equals(uV, rebuiltV)) 1L else 0L
+              val ndvBaseV = T.parse(skBaseV)
+                .map(_.estimate.round).getOrElse(-1L)
+              val ndvNewV = T.parse(skNewV)
+                .map(_.estimate.round).getOrElse(-1L)
+              (t, rId.estimate.round, rV.estimate.round, ndvBaseV,
+                ndvNewV, unionEqRebuild,
+                if (rV.estimate.round <
+                  ndvBaseV + ndvNewV) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "ndv_id_all", "ndv_v_all", "ndv_v_base",
+            "ndv_v_new", "union_eq_rebuild", "overlap_law")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4, (doc_id * 13) % 61 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(count(DISTINCT d) AS BIGINT) AS ndv_id_all,
+               CAST(count(DISTINCT v) AS BIGINT) AS ndv_v_all,
+               CAST(count(DISTINCT CASE WHEN gen4 <> 1 THEN v END)
+                 AS BIGINT) AS ndv_v_base,
+               CAST(count(DISTINCT CASE WHEN gen4 = 1 THEN v END)
+                 AS BIGINT) AS ndv_v_new,
+               CAST(1 AS BIGINT) AS union_eq_rebuild,
+               CAST(1 AS BIGINT) AS overlap_law
+        FROM r GROUP BY table_id"""),
       headline = false))
 }

@@ -93,6 +93,12 @@ object ThetaSketch {
     // drop survivors >= theta (when theta moved below earlier adds)
     while (!set.isEmpty && set.last() >= theta && theta != Long.MaxValue)
       set.remove(set.last())
+    serialize(set, theta, seed)
+  }
+
+  /** Compact ordered serialization of a hash set + theta. */
+  private def serialize(set: java.util.TreeSet[java.lang.Long],
+                        theta: Long, seed: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
@@ -116,6 +122,57 @@ object ThetaSketch {
       while (it.hasNext) le64(it.next())
     }
     out.toByteArray
+  }
+
+  /** Retained hashes + raw theta of a compact sketch (the union
+    * inputs); validated exactly like [[parse]].
+    */
+  def parseEntries(b: Array[Byte], seed: Long = DefaultSeed)
+      : Option[(Array[Long], Long)] =
+    parse(b, seed).map { r =>
+      val preLongs = b(0) & 0x3f
+      def le32(i: Int) = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8 |
+        (b(i + 2) & 0xff) << 16 | (b(i + 3) & 0xff) << 24
+      def le64(i: Int) =
+        (le32(i) & 0xffffffffL) | (le32(i + 4) & 0xffffffffL) << 32
+      if (r.empty) (Array.emptyLongArray, Long.MaxValue)
+      else {
+        val theta = if (preLongs == 3) le64(16) else Long.MaxValue
+        ((0 until r.retained)
+          .map(i => le64(preLongs * 8 + i * 8)).toArray, theta)
+      }
+    }
+
+  /** Set union of compact sketches — the incremental-maintenance
+    * primitive: a new snapshot's NDV sketch is union(old, new-file)
+    * with NO rescan. thetaU = min of input thetas, survivors < thetaU
+    * re-limited to k; in exact mode (all inputs exact, union below k)
+    * the union is EXACT — q363's oracled law. None if any input is
+    * malformed.
+    */
+  def union(sketches: Seq[Array[Byte]], lgK: Int = DefaultLgK,
+            seed: Long = DefaultSeed): Option[Array[Byte]] = {
+    val k = 1 << lgK
+    val parsed = sketches.map(parseEntries(_, seed))
+    if (parsed.exists(_.isEmpty)) return None
+    var theta = Long.MaxValue
+    parsed.foreach(p => theta = math.min(theta, p.get._2))
+    val set = new java.util.TreeSet[java.lang.Long]()
+    parsed.foreach(_.get._1.foreach { h =>
+      if (h < theta) {
+        set.add(h)
+        ()
+      }
+    })
+    while (set.size > k) {
+      val it = set.descendingIterator()
+      theta = it.next()
+      it.remove()
+    }
+    while (!set.isEmpty && set.last() >= theta &&
+      theta != Long.MaxValue)
+      set.remove(set.last())
+    Some(serialize(set, theta, seed))
   }
 
   final case class Result(estimate: Double, retained: Int,

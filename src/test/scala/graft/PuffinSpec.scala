@@ -69,6 +69,37 @@ class PuffinSpec extends AnyFunSuite {
     assert(own.empty && own.estimate == 0.0)
   }
 
+  test("union: exact mode is EXACT set union (equals datasketches' " +
+    "own Union over the same sketches); sampling mode stays valid " +
+    "and within bounds") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    // three overlapping exact sketches
+    val parts = Seq((0L until 400L), (200L until 600L),
+      (500L until 900L))
+    val sks = parts.map(p => ThetaSketch.compact(p))
+    val u = ThetaSketch.union(sks).getOrElse(fail("union"))
+    val own = ThetaSketch.parse(u).getOrElse(fail("parse"))
+    assert(own.estimate == 900.0 && own.theta == 1.0)
+    val dsU = SetOperation.builder().buildUnion()
+    sks.foreach(b => dsU.union(Memory.wrap(b)))
+    assert(dsU.getResult.getEstimate == 900.0)
+    assert(Sketches.wrapSketch(Memory.wrap(u)).getEstimate == 900.0)
+    // sampling mode: unions of small-k sketches stay valid sketches
+    val big = Seq((0 until 30000).map(_.toLong),
+      (20000 until 50000).map(_.toLong))
+    val bs = big.map(p => ThetaSketch.compact(p, lgK = 6))
+    val bu = ThetaSketch.union(bs, lgK = 6).getOrElse(fail("bu"))
+    val r = ThetaSketch.parse(bu).getOrElse(fail("bp"))
+    assert(r.retained <= 64 && r.theta < 1.0)
+    assert(Sketches.wrapSketch(Memory.wrap(bu)).getEstimate ==
+      r.estimate)
+    val se = r.estimate / math.sqrt(64.0)
+    assert(math.abs(r.estimate - 50000) < 4 * se, r.estimate)
+    // malformed input closes the union
+    assert(ThetaSketch.union(sks :+ Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("puffin: write/read roundtrip preserves blobs, metadata, " +
     "properties; footer size law") {
     val b1 = ThetaSketch.compact((0L until 100L))
