@@ -3909,5 +3909,75 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS union_eq_rebuild,
                CAST(1 AS BIGINT) AS overlap_law
         FROM r GROUP BY table_id"""),
+      headline = false),
+
+    // q364 — theta set ALGEBRA for snapshot-delta accounting
+    // (q363's union completed with intersect and a-not-b, the
+    // datasketches operators a stats-driven planner runs between TWO
+    // snapshots' puffin files): "how many values does this snapshot
+    // ADD" (aNotB new\\old), "how much do generations SHARE"
+    // (intersect) — all from KB-size sketches, never a rescan. Exact
+    // mode makes every output a DuckDB count(DISTINCT ...) equality,
+    // and the exact-mode partition identity |old ∪ new| = |old| +
+    // |new \\ old| is checked on the engine's own bytes (PuffinSpec
+    // pins all three operators against datasketches' own).
+    "q364_theta_set_algebra" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val ids = it.map(_._2).toSeq.sorted
+            val T = graft.sources.ThetaSketch
+            def v(d: Long): Long = (d * 17) % 43
+            val oldV = ids.filter(d => (d / 6) % 4 != 1).map(v)
+            val newV = ids.filter(d => (d / 6) % 4 == 1).map(v)
+            val skOld = T.compact(oldV)
+            val skNew = T.compact(newV)
+            val res = for {
+              added <- T.aNotB(skNew, skOld)
+              shared <- T.intersect(Seq(skOld, skNew))
+              u <- T.union(Seq(skOld, skNew))
+              rAdd <- T.parse(added)
+              rShared <- T.parse(shared)
+              rU <- T.parse(u)
+              rOld <- T.parse(skOld)
+            } yield {
+              val partitionLaw =
+                if (rU.estimate == rOld.estimate + rAdd.estimate) 1L
+                else 0L
+              (t, rOld.estimate.round, rAdd.estimate.round,
+                rShared.estimate.round, rU.estimate.round,
+                partitionLaw)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "ndv_old", "ndv_added", "ndv_shared",
+            "ndv_union", "partition_law")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4, (doc_id * 17) % 43 AS v
+          FROM documents),
+        o AS (SELECT DISTINCT table_id, v FROM r WHERE gen4 <> 1),
+        n AS (SELECT DISTINCT table_id, v FROM r WHERE gen4 = 1)
+        SELECT t.table_id,
+               (SELECT CAST(count(*) AS BIGINT) FROM o
+                WHERE o.table_id = t.table_id) AS ndv_old,
+               (SELECT CAST(count(*) AS BIGINT) FROM n
+                WHERE n.table_id = t.table_id
+                  AND n.v NOT IN (SELECT v FROM o
+                    WHERE o.table_id = t.table_id)) AS ndv_added,
+               (SELECT CAST(count(*) AS BIGINT) FROM n
+                WHERE n.table_id = t.table_id
+                  AND n.v IN (SELECT v FROM o
+                    WHERE o.table_id = t.table_id)) AS ndv_shared,
+               (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM r r2
+                WHERE r2.table_id = t.table_id) AS ndv_union,
+               CAST(1 AS BIGINT) AS partition_law
+        FROM (SELECT DISTINCT table_id FROM r) t"""),
       headline = false))
 }

@@ -175,6 +175,44 @@ object ThetaSketch {
     Some(serialize(set, theta, seed))
   }
 
+  /** Set intersection of compact sketches: thetaI = min of thetas,
+    * survivors = hashes below thetaI present in EVERY input. Exact
+    * when all inputs are exact. None on malformed input or empty
+    * input list.
+    */
+  def intersect(sketches: Seq[Array[Byte]],
+                seed: Long = DefaultSeed): Option[Array[Byte]] = {
+    if (sketches.isEmpty) return None
+    val parsed = sketches.map(parseEntries(_, seed))
+    if (parsed.exists(_.isEmpty)) return None
+    var theta = Long.MaxValue
+    parsed.foreach(p => theta = math.min(theta, p.get._2))
+    val sets = parsed.map(_.get._1.filter(_ < theta).toSet)
+    val common = sets.reduce(_ intersect _)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    common.foreach { h => set.add(h); () }
+    Some(serialize(set, theta, seed))
+  }
+
+  /** A \ B (a-not-b): hashes of A below min(thetaA, thetaB) absent
+    * from B — "what does this snapshot ADD", computable from two
+    * sketches with no rescan. Exact when both inputs are exact.
+    */
+  def aNotB(a: Array[Byte], b: Array[Byte],
+            seed: Long = DefaultSeed): Option[Array[Byte]] =
+    for {
+      (ae, at) <- parseEntries(a, seed)
+      (be, bt) <- parseEntries(b, seed)
+    } yield {
+      val theta = math.min(at, bt)
+      val bSet = be.filter(_ < theta).toSet
+      val set = new java.util.TreeSet[java.lang.Long]()
+      ae.filter(h => h < theta && !bSet(h)).foreach { h =>
+        set.add(h); ()
+      }
+      serialize(set, theta, seed)
+    }
+
   final case class Result(estimate: Double, retained: Int,
                           theta: Double, empty: Boolean)
 

@@ -100,6 +100,39 @@ class PuffinSpec extends AnyFunSuite {
     assert(ThetaSketch.union(sks :+ Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("intersect / aNotB: exact set algebra, agreeing with " +
+    "datasketches' own Intersection and AnotB operators") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    val a = ThetaSketch.compact(0L until 500L)
+    val b = ThetaSketch.compact(300L until 800L)
+    val i = ThetaSketch.intersect(Seq(a, b)).getOrElse(fail("i"))
+    assert(ThetaSketch.parse(i).get.estimate == 200.0)
+    val d = ThetaSketch.aNotB(a, b).getOrElse(fail("d"))
+    assert(ThetaSketch.parse(d).get.estimate == 300.0)
+    val dsI = SetOperation.builder().buildIntersection()
+    dsI.intersect(Sketches.wrapSketch(Memory.wrap(a)))
+    dsI.intersect(Sketches.wrapSketch(Memory.wrap(b)))
+    assert(dsI.getResult.getEstimate == 200.0)
+    val dsD = SetOperation.builder().buildANotB()
+    assert(dsD.aNotB(Sketches.wrapSketch(Memory.wrap(a)),
+      Sketches.wrapSketch(Memory.wrap(b))).getEstimate == 300.0)
+    // datasketches reads our set-op outputs
+    assert(Sketches.wrapSketch(Memory.wrap(i)).getEstimate == 200.0)
+    assert(Sketches.wrapSketch(Memory.wrap(d)).getEstimate == 300.0)
+    // disjoint intersection -> exact empty
+    val c = ThetaSketch.compact(10000L until 10100L)
+    val ie = ThetaSketch.intersect(Seq(a, c)).getOrElse(fail("ie"))
+    assert(ThetaSketch.parse(ie).get.estimate == 0.0)
+    // exact-mode partition identity: |A ∪ B| = |B| + |A \ B|
+    val u = ThetaSketch.union(Seq(a, b)).getOrElse(fail("u"))
+    assert(ThetaSketch.parse(u).get.estimate ==
+      ThetaSketch.parse(b).get.estimate +
+        ThetaSketch.parse(d).get.estimate)
+    assert(ThetaSketch.intersect(Nil).isEmpty)
+    assert(ThetaSketch.aNotB(a, Array[Byte](9)).isEmpty)
+  }
+
   test("puffin: write/read roundtrip preserves blobs, metadata, " +
     "properties; footer size law") {
     val b1 = ThetaSketch.compact((0L until 100L))
