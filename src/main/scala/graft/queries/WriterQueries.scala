@@ -3911,6 +3911,121 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q365 — Avro LOGICAL TYPES, write + read (the Avro twin of
+    // ORC's q348 ledger types): decimal (bytes payload = minimal
+    // BIG-ENDIAN two's complement unscaled value — the sign
+    // extension the classic reader bug truncates; negatives are half
+    // the fixture), date (int epoch days) and timestamp-micros
+    // (long), annotated in the schema the container itself carries.
+    // Laws in the compared output: the own generic walk re-reads the
+    // own container and every interpreted value re-derives in DuckDB
+    // (cents sums over negatives, ISO min-date via DuckDB date
+    // arithmetic, raw micros sums); the schema STRING carries all
+    // three logicalType annotations (schema_ok); every decimal
+    // payload is MINIMAL and re-encodes byte-identically
+    // (minimal_ok — enc∘dec = id on own bytes).
+    "q365_avro_logical_types" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val G = graft.sources.AvroGeneric
+            val W = graft.sources.AvroWrite
+            val J = graft.sources.Json
+            val ids = it.map(_._2).toSeq.sorted
+            def cents(d: Long): Long = (d * 7919) % 100000 - 50000
+            def day(d: Long): Long = 19000 + (d % 700)
+            def ts(d: Long): Long = 1700000000000000L + d * 1000003L
+            val schema =
+              """{"type":"record","name":"ledger","fields":[
+                |{"name":"id","type":"long"},
+                |{"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":18,"scale":2}},
+                |{"name":"day","type":{"type":"int","logicalType":"date"}},
+                |{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}}
+                |]}""".stripMargin.replaceAll("\n", "")
+            val recs = ids.map { d =>
+              val pb = W.decimalBytes(cents(d))
+              G.VRecord(Vector(
+                "id" -> G.VLong(d),
+                "price" -> G.VBytes(pb.length, pb),
+                "day" -> G.VLong(day(d)),
+                "ts" -> G.VLong(ts(d))))
+            }
+            val bytes =
+              W.container(schema, recs, "null", s"q365-$blobId", 256)
+            val out = for {
+              dec <- G.parseContainer(bytes)
+              sj <- J.parse(dec.schemaJson)
+              so <- Some(sj).collect { case o: J.JObject => o }
+              fields <- so.get("fields").collect {
+                case J.JArray(fs) => fs.collect {
+                  case f: J.JObject => f
+                }
+              }
+              lt = fields.flatMap(f =>
+                f.get("type").collect { case t: J.JObject =>
+                  t.get("logicalType")
+                    .collect { case J.JString(x) => x }
+                }.flatten)
+            } yield {
+              val schemaOk = lt.sorted ==
+                Seq("date", "decimal", "timestamp-micros")
+              var ok = dec.records.length == ids.length
+              var minimalOk = true
+              var n = 0L; var sumCents = 0L; var nNeg = 0L
+              var minDay = Long.MaxValue; var sumTs = 0L
+              dec.records.foreach { r =>
+                val row = for {
+                  pb <- r.field("price").flatMap(_.asBytes)
+                  c <- G.decimalLong(pb)
+                  dy <- r.field("day").flatMap(_.asLong)
+                  t <- r.field("ts").flatMap(_.asLong)
+                } yield {
+                  if (!java.util.Arrays.equals(
+                    W.decimalBytes(c), pb)) minimalOk = false
+                  n += 1
+                  sumCents += c
+                  if (c < 0) nNeg += 1
+                  if (dy < minDay) minDay = dy
+                  sumTs += t
+                }
+                if (row.isEmpty) ok = false
+              }
+              if (!ok) Nil
+              else Seq((blobId, n, sumCents, nNeg,
+                java.time.LocalDate.ofEpochDay(minDay).toString,
+                sumTs,
+                if (schemaOk) 1L else 0L,
+                if (minimalOk) 1L else 0L))
+            }
+            out.toSeq.flatten
+          }
+          .toDF("blob_id", "n_rows", "price_sum_cents", "n_neg",
+            "min_day", "ts_sum", "schema_ok", "minimal_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id,
+                 (doc_id * 7919) % 100000 - 50000 AS cents,
+                 19000 + (doc_id % 700) AS day,
+                 1700000000000000 + doc_id * 1000003 AS ts
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS price_sum_cents,
+               CAST(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_neg,
+               strftime(DATE '1970-01-01' +
+                 CAST(min(day) AS INTEGER), '%Y-%m-%d') AS min_day,
+               CAST(sum(ts) AS BIGINT) AS ts_sum,
+               CAST(1 AS BIGINT) AS schema_ok,
+               CAST(1 AS BIGINT) AS minimal_ok
+        FROM r GROUP BY blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -354,6 +354,17 @@ object AvroGeneric {
     try Some(datum(b, pos, schema, 0))
     catch { case _: Bad => None }
 
+  /** Inverse of [[AvroWrite.decimalBytes]]: big-endian two's
+    * complement unscaled value, sign-extended; None over 8 bytes or
+    * empty (this reader keeps decimals in the Long range).
+    */
+  def decimalLong(b: Array[Byte]): Option[Long] = {
+    if (b.isEmpty || b.length > 8) return None
+    var v: Long = if ((b(0) & 0x80) != 0) -1L else 0L
+    b.foreach(x => v = (v << 8) | (x & 0xffL))
+    Some(v)
+  }
+
   final case class Decoded(schemaJson: String, records: Vector[V])
 
   /** Walk a complete object container generically: magic, metadata

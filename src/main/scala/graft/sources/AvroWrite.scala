@@ -29,6 +29,37 @@ object AvroWrite {
     extends RuntimeException(null, null, false, false)
   private def damage(): Nothing = throw new Damage
 
+  /** Avro `decimal` logical-type payload: the unscaled value as
+    * minimal-length BIG-ENDIAN two's complement (Avro spec §Logical
+    * Types) — the sign bit must survive, so a positive value whose
+    * top byte has bit 7 set gains a 0x00 prefix and negatives carry
+    * 0xff sign extension only as far as needed.
+    */
+  def decimalBytes(unscaled: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8) {
+      // does the value fit n bytes of two's complement?
+      val shifted = unscaled >> (8 * n - 1)
+      if (shifted == 0L || shifted == -1L) {
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          out(n - 1 - i) = ((unscaled >> (8 * i)) & 0xff).toByte
+          i += 1
+        }
+        return out
+      }
+      n += 1
+    }
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) {
+      out(7 - i) = ((unscaled >> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   private def zigzag(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
     var z = (v << 1) ^ (v >> 63)
     while ((z & ~0x7fL) != 0) {

@@ -353,4 +353,47 @@ class AvroGenericSpec extends AnyFunSuite {
       AvroWrite.container(fxSchema, Seq(badFx))
     }
   }
+
+  test("logical types (q365): decimal bytes are minimal big-endian " +
+    "two's complement both directions; Apache Avro's own reader + " +
+    "BigDecimal agree on the engine's container") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    // boundary battery: sign extension, minimality, full Long range
+    val battery = Seq(0L, 1L, -1L, 127L, 128L, -128L, -129L, 255L,
+      -255L, 32767L, -32768L, 1L << 40, -(1L << 40), Long.MaxValue,
+      Long.MinValue)
+    battery.foreach { v =>
+      val b = graft.sources.AvroWrite.decimalBytes(v)
+      assert(AvroGeneric.decimalLong(b).contains(v), v)
+      assert(java.math.BigInteger.valueOf(v).toByteArray
+        .sameElements(b) || v == 0L && b.sameElements(Array(0.toByte)),
+        s"$v not minimal: ${b.map("%02x".format(_)).mkString}")
+    }
+    val schema =
+      """{"type":"record","name":"x","fields":[
+        |{"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":18,"scale":2}}
+        |]}""".stripMargin.replaceAll("\n", "")
+    val vals = Seq(-50000L, -1L, 0L, 99999L, 1234567890123L)
+    val recs = vals.map { v =>
+      val pb = graft.sources.AvroWrite.decimalBytes(v)
+      AvroGeneric.VRecord(Vector(
+        "price" -> AvroGeneric.VBytes(pb.length, pb)))
+    }
+    val bytes = graft.sources.AvroWrite.container(schema, recs)
+    val rdr = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    val out = Seq.newBuilder[java.math.BigDecimal]
+    while (rdr.hasNext) {
+      val bb = rdr.next().get("price")
+        .asInstanceOf[java.nio.ByteBuffer]
+      val raw = new Array[Byte](bb.remaining())
+      bb.get(raw)
+      out += new java.math.BigDecimal(new java.math.BigInteger(raw), 2)
+    }
+    rdr.close()
+    assert(out.result() == vals.map(v =>
+      java.math.BigDecimal.valueOf(v, 2)))
+  }
 }
