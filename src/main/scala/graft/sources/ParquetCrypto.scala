@@ -33,13 +33,13 @@ package graft.sources
   * ciphertext byte, swapped module, truncated tail — yields None,
   * never a throw and never plaintext garbage.
   *
-  * Nonces are derived deterministically (SHA-256 over key‖aad‖plain,
-  * first 12 bytes) so engine-written files are byte-reproducible and
-  * md5-pinnable by the independent Python twin; that makes encryption
-  * deterministic per (key, aad, plaintext) — the fixture discipline
-  * this repo runs on, NOT a general security posture. A production
-  * writer must draw nonces from a CSPRNG (the spec requires unique
-  * nonces per key).
+  * Nonces come from a CSPRNG (SecureRandom) by DEFAULT, as the spec
+  * requires. Determinism — SHA-256(key‖aad‖plain) truncated to 12
+  * bytes, which makes identical plaintexts under one (key, aad) yield
+  * identical ciphertexts — is an explicit opt-in
+  * ([[encryptFileDeterministic]] / `deterministic = true`) reserved
+  * for this repo's byte-reproducible md5-pinned fixtures; no caller
+  * gets it silently.
   */
 object ParquetCrypto {
 
@@ -73,14 +73,31 @@ object ParquetCrypto {
     b.toByteArray
   }
 
+  private val rng = new java.security.SecureRandom()
+
+  /** 12-byte module nonce: CSPRNG unless determinism was explicitly
+    * requested (fixture discipline — see the object doc).
+    */
+  private def nonceFor(deterministic: Boolean, key: Array[Byte],
+                       aad: Array[Byte],
+                       plain: Array[Byte]): Array[Byte] =
+    if (deterministic) {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(key); md.update(aad); md.update(plain)
+      java.util.Arrays.copyOf(md.digest(), 12)
+    } else {
+      val n = new Array[Byte](12)
+      rng.nextBytes(n)
+      n
+    }
+
   /** Encrypt one module: LE32 length ‖ nonce(12) ‖ ciphertext ‖
-    * tag(16). Deterministic nonce — see the object doc.
+    * tag(16). Random nonce by default; deterministic only on opt-in.
     */
   def encryptModule(key: Array[Byte], aad: Array[Byte],
-                    plain: Array[Byte]): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(key); md.update(aad); md.update(plain)
-    val nonce = java.util.Arrays.copyOf(md.digest(), 12)
+                    plain: Array[Byte],
+                    deterministic: Boolean = false): Array[Byte] = {
+    val nonce = nonceFor(deterministic, key, aad, plain)
     val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
     c.init(javax.crypto.Cipher.ENCRYPT_MODE,
       new javax.crypto.spec.SecretKeySpec(key, "AES"),
@@ -125,11 +142,10 @@ object ParquetCrypto {
     * page integrity for throughput; headers and footer stay GCM).
     * IV = nonce ‖ big-endian counter starting at 1.
     */
-  def encryptModuleCtr(key: Array[Byte],
-                       plain: Array[Byte]): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(key); md.update("ctr".getBytes(Utf8)); md.update(plain)
-    val nonce = java.util.Arrays.copyOf(md.digest(), 12)
+  def encryptModuleCtr(key: Array[Byte], plain: Array[Byte],
+                       deterministic: Boolean = false): Array[Byte] = {
+    val nonce =
+      nonceFor(deterministic, key, "ctr".getBytes(Utf8), plain)
     val iv = java.util.Arrays.copyOf(nonce, 16)
     iv(15) = 1
     val c = javax.crypto.Cipher.getInstance("AES/CTR/NoPadding")
@@ -452,13 +468,28 @@ object ParquetCrypto {
     */
   def encryptFile(plain: Array[Byte], keys: Keys,
                   aadFileUnique: Array[Byte],
-                  ctr: Boolean = false): Option[Encrypted] =
-    try encryptFileWalk(plain, keys, aadFileUnique, ctr)
+                  ctr: Boolean = false,
+                  deterministic: Boolean = false): Option[Encrypted] =
+    try encryptFileWalk(plain, keys, aadFileUnique, ctr, deterministic)
     catch { case _: Bail => None }
+
+  /** Explicitly-deterministic variant: nonces derived from
+    * (key, aad, plaintext) so the output is byte-reproducible — the
+    * md5-pinned fixture discipline. Identical plaintexts under one
+    * (key, aad) yield identical ciphertexts; NOT a production
+    * security posture.
+    */
+  def encryptFileDeterministic(plain: Array[Byte], keys: Keys,
+                               aadFileUnique: Array[Byte],
+                               ctr: Boolean = false)
+      : Option[Encrypted] =
+    encryptFile(plain, keys, aadFileUnique, ctr, deterministic = true)
 
   private def encryptFileWalk(plain: Array[Byte], keys: Keys,
                               aadFileUnique: Array[Byte],
-                              ctr: Boolean): Option[Encrypted] = {
+                              ctr: Boolean,
+                              deterministic: Boolean)
+      : Option[Encrypted] = {
     val fmOpt = Parquet.parseFooter(plain)
     if (fmOpt.isEmpty) return None
     val fm = fmOpt.get
@@ -479,9 +510,10 @@ object ParquetCrypto {
       val bodyCtr = ctr &&
         (modType == ModDataPage || modType == ModDictPage)
       val m =
-        if (bodyCtr) encryptModuleCtr(key, plainMod)
+        if (bodyCtr) encryptModuleCtr(key, plainMod, deterministic)
         else encryptModule(key,
-          moduleAad(aadFileUnique, modType, rg, col, page), plainMod)
+          moduleAad(aadFileUnique, modType, rg, col, page), plainMod,
+          deterministic)
       mods += Module(modType, rg, col, page, out.size(), m.length)
       out.write(m, 0, m.length)
     }
@@ -520,7 +552,11 @@ object ParquetCrypto {
             case None => bail()
           }
           if (ph.pageType == 2) { // dictionary page
-            if (newDict >= 0) bail() // one dict page per chunk
+            // one dict page per chunk, and it must be FIRST — a dict
+            // module after a data page is a layout decryptFileWalk
+            // (which reads the dict module at the chunk start) could
+            // never frame back, so it is refused, not emitted
+            if (newDict >= 0 || pageOrd > 0) bail()
             newDict = out.size().toLong
             emit(ModDictPageHeader, g, c, -1, key, header)
             emit(ModDictPage, g, c, -1, key, body)
@@ -539,7 +575,8 @@ object ParquetCrypto {
         if (ownKey) {
           val metaPlain = serializeColumnMeta(patched)
           val encMeta = encryptModule(key,
-            moduleAad(aadFileUnique, ModColumnMeta, g, c), metaPlain)
+            moduleAad(aadFileUnique, ModColumnMeta, g, c), metaPlain,
+            deterministic)
           ChunkEnc(patched, encMeta, s"k:${m.path}".getBytes(Utf8))
         } else ChunkEnc(patched, footerKeyEncrypted = true)
       }
@@ -551,7 +588,7 @@ object ParquetCrypto {
     val tailStart = out.size()
     out.write(cryptoMd, 0, cryptoMd.length)
     val encFooter = encryptModule(keys.footer,
-      moduleAad(aadFileUnique, ModFooter), footerPlain)
+      moduleAad(aadFileUnique, ModFooter), footerPlain, deterministic)
     mods += Module(ModFooter, -1, -1, -1,
       tailStart + cryptoMd.length, encFooter.length)
     out.write(encFooter, 0, encFooter.length)

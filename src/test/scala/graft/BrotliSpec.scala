@@ -163,4 +163,21 @@ class BrotliSpec extends AnyFunSuite {
     val big = bytes("big.q6.br")
     assert(Brotli.decode(big, maxOut = 100).isEmpty)
   }
+
+  test("metadata meta-block: MSKIPBYTES=1 with byte value 0 " +
+    "(MSKIPLEN=1) is VALID per RFC 7932 / libbrotli; a zero last " +
+    "byte only damages when MSKIPBYTES > 1") {
+    // hand-assembled LSB-first: WBITS=0(16), ISLAST=0, MNIBBLES=3
+    // (metadata), reserved=0, MSKIPBYTES=1, skip-value byte 0x00,
+    // align, one skipped byte (0xAA), then ISLAST=1 ISLASTEMPTY=1
+    val ok = Array(0x2c, 0x00, 0xaa, 0x03).map(_.toByte)
+    val out = Brotli.decode(ok)
+    assert(out.nonEmpty && out.get.isEmpty,
+      "1-byte metadata skip of length 1 must decode to empty output")
+    // same stream but MSKIPBYTES=2 with last byte 0: a shorter
+    // encoding exists, so the stream is damaged (fails closed)
+    val bad = Array(0xcc, 0x02, 0x00, 0xaa, 0xaa, 0x03).map(_.toByte)
+    assert(Brotli.decode(bad).isEmpty,
+      "MSKIPBYTES=2 with zero last byte must fail closed")
+  }
 }

@@ -283,4 +283,74 @@ class ParquetCryptoSpec extends AnyFunSuite {
       assert(perCol.forall(_ == ((32L, 2))))
     } finally rdr.close()
   }
+
+  test("nonces: the DEFAULT path draws from a CSPRNG (two encrypts " +
+    "of one plaintext differ, both decrypt); determinism is an " +
+    "explicit opt-in (encryptFileDeterministic is byte-stable)") {
+    val plain = plainFile()
+    val keys = ParquetCrypto.Keys(footerKey, Map("val" -> valKey))
+    val colKeys = Map("k:val" -> valKey)
+    val a = ParquetCrypto.encryptFile(plain, keys, aadUnique)
+      .getOrElse(fail("a")).bytes
+    val b = ParquetCrypto.encryptFile(plain, keys, aadUnique)
+      .getOrElse(fail("b")).bytes
+    assert(!java.util.Arrays.equals(a, b),
+      "default encryption must NOT be deterministic")
+    Seq(a, b).foreach { e =>
+      val back = ParquetCrypto.decryptFile(e, footerKey, colKeys)
+        .getOrElse(fail("roundtrip"))
+      assert(java.util.Arrays.equals(back, plain))
+    }
+    val d1 = ParquetCrypto.encryptFileDeterministic(plain, keys,
+      aadUnique).getOrElse(fail("d1")).bytes
+    val d2 = ParquetCrypto.encryptFileDeterministic(plain, keys,
+      aadUnique).getOrElse(fail("d2")).bytes
+    assert(java.util.Arrays.equals(d1, d2),
+      "opt-in deterministic encryption must be byte-stable")
+    assert(!java.util.Arrays.equals(d1, a))
+  }
+
+  test("unsupported layout fails CLOSED at encrypt time: a (spec-" +
+    "invalid) chunk whose dictionary page FOLLOWS a data page is " +
+    "refused, never emitted as bytes decryptFile cannot read") {
+    val W = ParquetWrite
+    val n = 32
+    val defs = Array.fill(n)(0)
+    val txts = Array.tabulate(n)(i => s"t-${i % 3}".getBytes("UTF-8"))
+    val plain = W.writeFile(
+      Seq(W.Leaf("txt", 0, 6, convertedType = 0)),
+      Seq(W.LeafData(defs, null, bins = txts, dict = true)),
+      pageRows = n) // dict page + ONE data page
+    val fm = Parquet.parseFooter(plain).getOrElse(fail("footer"))
+    val m = fm.rowGroups.head.cols.head
+    assert(m.dictPageOffset >= 0 && m.dataPageOffset > m.dictPageOffset)
+    val dictOff = m.dictPageOffset.toInt
+    val dataOff = m.dataPageOffset.toInt
+    val chunkEnd = (m.dictPageOffset + m.totalCompressed).toInt
+    val dict = java.util.Arrays.copyOfRange(plain, dictOff, dataOff)
+    val data = java.util.Arrays.copyOfRange(plain, dataOff, chunkEnd)
+    // rebuild the file with [data][dict], footer declaring NO dict
+    // offset — so the page walk starts at the data page and only
+    // discovers the dictionary page mid-chunk (self-consistent
+    // bytes, spec-invalid order)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+    out.write(data, 0, data.length)
+    out.write(dict, 0, dict.length)
+    val patched = m.copy(dataPageOffset = 4L, dictPageOffset = -1L)
+    val footer = ParquetCrypto.serializeFooter(fm,
+      Seq(Seq(ParquetCrypto.ChunkEnc(patched))))
+    out.write(footer, 0, footer.length)
+    val fl = footer.length
+    out.write(fl & 0xff); out.write((fl >> 8) & 0xff)
+    out.write((fl >> 16) & 0xff); out.write((fl >> 24) & 0xff)
+    out.write('P'); out.write('A'); out.write('R'); out.write('1')
+    val swapped = out.toByteArray
+    assert(Parquet.parseFooter(swapped).nonEmpty,
+      "the swapped file must still parse (it is the ENCRYPTOR's " +
+        "job to refuse the layout)")
+    assert(ParquetCrypto.encryptFile(swapped,
+      ParquetCrypto.Keys(footerKey), aadUnique).isEmpty,
+      "dict-after-data layout must be refused at encrypt time")
+  }
 }
