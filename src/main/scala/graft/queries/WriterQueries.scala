@@ -4032,6 +4032,171 @@ object WriterQueries {
         FROM r GROUP BY blob_id"""),
       headline = false),
 
+    // q366 — Avro SCHEMA RESOLUTION (reader-vs-writer evolution): the
+    // single most-hit evolution path in production Avro — today's
+    // reader schema opens years-old containers. Old-writer v1 ledgers
+    // (q365's logical types included: decimal bytes, date int) are
+    // read under an EVOLVED reader: fields reordered and matched by
+    // name, legacy_tag skipped in the byte walk, day renamed to
+    // event_day via a reader-side alias AND promoted int->long,
+    // source/qty materialized from reader defaults (the lakehouse
+    // twin of the reference's verify_columns contract —
+    // import_files_to_postgre.py:67-73, null-column injection
+    // :83-89), and the status enum resolved by symbol NAME with the
+    // spec's >=1.9 enum default absorbing the retired RETURNED
+    // symbol. Apache Avro's own GenericDatumReader runs the same
+    // (writer bytes, reader schema) pair in the same task and must
+    // agree value-for-value (apache_ok); an id long->int narrowing
+    // reader must fail CLOSED (closed_ok). All aggregates re-derive
+    // in DuckDB from the doc_id functions.
+    "q366_avro_schema_resolution" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val G = graft.sources.AvroGeneric
+            val R = graft.sources.AvroResolve
+            val W = graft.sources.AvroWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def cents(d: Long): Long = (d * 7919) % 100000 - 50000
+            def day(d: Long): Long = 19000 + (d % 700)
+            val writerJson =
+              """{"type":"record","name":"ledger","fields":[
+                |{"name":"id","type":"long"},
+                |{"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":18,"scale":2}},
+                |{"name":"day","type":{"type":"int","logicalType":"date"}},
+                |{"name":"status","type":{"type":"enum","name":"Status","symbols":["NEW","SHIPPED","RETURNED"]}},
+                |{"name":"legacy_tag","type":"string"}
+                |]}""".stripMargin.replaceAll("\n", "")
+            val recs = ids.map { d =>
+              val pb = W.decimalBytes(cents(d))
+              G.VRecord(Vector(
+                "id" -> G.VLong(d),
+                "price" -> G.VBytes(pb.length, pb),
+                "day" -> G.VLong(day(d)),
+                "status" -> G.VEnum((d % 3).toInt),
+                "legacy_tag" -> G.VString("t" + (d % 5))))
+            }
+            val bytes =
+              W.container(writerJson, recs, "null", s"q366-$blobId", 256)
+            val readerJson =
+              """{"type":"record","name":"ledger","fields":[
+                |{"name":"event_day","type":"long","aliases":["day"]},
+                |{"name":"id","type":"long"},
+                |{"name":"price","type":"bytes"},
+                |{"name":"source","type":"string","default":"v1"},
+                |{"name":"status","type":{"type":"enum","name":"Status","symbols":["OTHER","NEW","SHIPPED"],"default":"OTHER"}},
+                |{"name":"qty","type":"long","default":0}
+                |]}""".stripMargin.replaceAll("\n", "")
+            val narrowJson =
+              """{"type":"record","name":"ledger","fields":[
+                |{"name":"id","type":"int"}]}"""
+                .stripMargin.replaceAll("\n", "")
+            val readerSymbols = Vector("OTHER", "NEW", "SHIPPED")
+            val out = for {
+              dec <- R.parseContainer(bytes, readerJson)
+              if dec.records.length == ids.length
+            } yield {
+              val closedOk = R.parseContainer(bytes, narrowJson).isEmpty
+              val apacheOk = try {
+                import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+                import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+                val rs = new org.apache.avro.Schema.Parser()
+                  .parse(readerJson)
+                val rd = new DataFileReader[GenericRecord](
+                  new SeekableByteArrayInput(bytes),
+                  new GenericDatumReader[GenericRecord](null, rs))
+                var ok = true
+                dec.records.foreach { r =>
+                  if (!rd.hasNext) ok = false
+                  else {
+                    val a = rd.next()
+                    val bb = a.get("price")
+                      .asInstanceOf[java.nio.ByteBuffer]
+                    val ab = new Array[Byte](bb.remaining())
+                    bb.get(ab)
+                    ok &&= r.field("id").flatMap(_.asLong)
+                      .contains(a.get("id").asInstanceOf[Long])
+                    ok &&= r.field("event_day").flatMap(_.asLong)
+                      .contains(a.get("event_day").asInstanceOf[Long])
+                    ok &&= r.field("price").flatMap(_.asBytes)
+                      .exists(java.util.Arrays.equals(_, ab))
+                    ok &&= r.field("source").flatMap(_.asString)
+                      .contains(a.get("source").toString)
+                    ok &&= r.field("qty").flatMap(_.asLong)
+                      .contains(a.get("qty").asInstanceOf[Long])
+                    ok &&= r.field("status").exists {
+                      case G.VEnum(i) =>
+                        readerSymbols(i) == a.get("status").toString
+                      case _ => false
+                    }
+                  }
+                }
+                ok &&= !rd.hasNext
+                rd.close()
+                ok
+              } catch { case _: Exception => false }
+              var n = 0L; var idSum = 0L; var priceSum = 0L
+              var daySum = 0L; var statusIdxSum = 0L; var nOther = 0L
+              var nSrc = 0L; var qtySum = 0L
+              var rowsOk = true
+              dec.records.foreach { r =>
+                val row = for {
+                  id <- r.field("id").flatMap(_.asLong)
+                  pb <- r.field("price").flatMap(_.asBytes)
+                  c <- G.decimalLong(pb)
+                  ed <- r.field("event_day").flatMap(_.asLong)
+                  src <- r.field("source").flatMap(_.asString)
+                  q <- r.field("qty").flatMap(_.asLong)
+                  si <- r.field("status").collect {
+                    case G.VEnum(i) => i.toLong
+                  }
+                } yield {
+                  n += 1; idSum += id; priceSum += c; daySum += ed
+                  statusIdxSum += si
+                  if (si == 0L) nOther += 1
+                  if (src == "v1") nSrc += 1
+                  qtySum += q
+                }
+                if (row.isEmpty) rowsOk = false
+              }
+              if (!rowsOk || qtySum != 0L) Nil
+              else Seq((blobId, n, idSum, priceSum, daySum,
+                statusIdxSum, nOther, nSrc,
+                if (apacheOk) 1L else 0L,
+                if (closedOk) 1L else 0L))
+            }
+            out.toSeq.flatten
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "price_sum_cents",
+            "day_sum", "status_idx_sum", "n_other",
+            "n_default_source", "apache_ok", "closed_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id * 7919) % 100000 - 50000 AS cents,
+                 19000 + (doc_id % 700) AS day,
+                 doc_id % 3 AS st
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(cents) AS BIGINT) AS price_sum_cents,
+               CAST(sum(day) AS BIGINT) AS day_sum,
+               CAST(sum(CASE WHEN st = 0 THEN 1 WHEN st = 1 THEN 2
+                 ELSE 0 END) AS BIGINT) AS status_idx_sum,
+               CAST(sum(CASE WHEN st = 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_other,
+               CAST(count(*) AS BIGINT) AS n_default_source,
+               CAST(1 AS BIGINT) AS apache_ok,
+               CAST(1 AS BIGINT) AS closed_ok
+        FROM r GROUP BY blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

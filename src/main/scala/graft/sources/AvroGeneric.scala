@@ -367,6 +367,14 @@ object AvroGeneric {
 
   final case class Decoded(schemaJson: String, records: Vector[V])
 
+  /** The container's frame, decompressed: the embedded writer schema
+    * JSON plus each block's (record count, raw datum bytes) — the
+    * shared walk [[parseContainer]] and the schema-resolving reader
+    * ([[AvroResolve.parseContainer]]) both decode on top of.
+    */
+  final case class RawBlocks(schemaJson: String,
+                             blocks: Vector[(Long, Array[Byte])])
+
   /** Walk a complete object container generically: magic, metadata
     * map, sync-verified blocks, each record decoded per the EMBEDDED
     * schema. None on any malformation — a sync mismatch, undecodable
@@ -374,7 +382,31 @@ object AvroGeneric {
     * schema. (The fixed-shape [[Avro.parse]] keeps its salvage
     * semantics; metadata walks want all-or-nothing.)
     */
-  def parseContainer(b: Array[Byte]): Option[Decoded] = {
+  def parseContainer(b: Array[Byte]): Option[Decoded] =
+    rawBlocks(b).flatMap { rb =>
+      try {
+        val schema = parseSchema(rb.schemaJson).getOrElse(return None)
+        val out = Vector.newBuilder[V]
+        rb.blocks.foreach { case (cnt, raw) =>
+          var rp = 0
+          var i = 0L
+          while (i < cnt) {
+            val (v, np) = datum(raw, rp, schema, 0)
+            out += v
+            rp = np
+            i += 1
+          }
+          if (rp != raw.length) return None // leftover bytes = desync
+        }
+        Some(Decoded(rb.schemaJson, out.result()))
+      } catch { case _: Bad => None }
+    }
+
+  /** Frame walk: magic, metadata map (schema + codec), sync-verified
+    * blocks decompressed through the engine-owned codec set. None on
+    * any malformation.
+    */
+  def rawBlocks(b: Array[Byte]): Option[RawBlocks] = {
     try {
       if (b.length < 20 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' ||
         b(3) != 1) return None
@@ -410,11 +442,10 @@ object AvroGeneric {
       if (codec != "null" && codec != "deflate" && codec != "snappy" &&
         codec != "zstandard" && codec != "bzip2" && codec != "xz")
         return None
-      val schema = parseSchema(schemaJson).getOrElse(return None)
       if (pos + 16 > b.length) return None
       val sync = java.util.Arrays.copyOfRange(b, pos, pos + 16)
       pos += 16
-      val out = Vector.newBuilder[V]
+      val out = Vector.newBuilder[(Long, Array[Byte])]
       while (pos < b.length) {
         val cnt = Avro.varint(b, pos)
         // MaxItems bound: the count is attacker-controlled (up to
@@ -462,15 +493,7 @@ object AvroGeneric {
               case None => return None
             }
           } else inflateRaw(b, dataOff, dataLen).getOrElse(return None)
-        var rp = 0
-        var i = 0L
-        while (i < cnt._1) {
-          val (v, np) = datum(raw, rp, schema, 0)
-          out += v
-          rp = np
-          i += 1
-        }
-        if (rp != raw.length) return None // leftover bytes = desync
+        out += cnt._1 -> raw
         val syncAt = dataOff + dataLen
         var j = 0
         while (j < 16) {
@@ -479,7 +502,7 @@ object AvroGeneric {
         }
         pos = syncAt + 16
       }
-      Some(Decoded(schemaJson, out.result()))
+      Some(RawBlocks(schemaJson, out.result()))
     } catch { case _: Bad => None }
   }
 
