@@ -4197,6 +4197,111 @@ object WriterQueries {
         FROM r GROUP BY blob_id"""),
       headline = false),
 
+    // q367 — Iceberg SNAPSHOT REFS (branches/tags) +
+    // WRITE-AUDIT-PUBLISH: the publish gate a curation pipeline
+    // wants — stage an append as a snapshot reachable ONLY from an
+    // `audit` branch (main untouched: the WAP law), audit the branch
+    // walk, then fast-forward main (pure metadata). A tag pins
+    // snapshot 1 for time travel by NAME, and expire_snapshots
+    // respects ref retention: while the tag is live its snapshot
+    // survives a cutoff that would expire it (retention_ok); once
+    // the tag ages past max-ref-age-ms the ref drops and the
+    // snapshot expires — deleting ONLY its list (the manifest and
+    // data files stay live in the published snapshot). Every scan is
+    // the engine's own metadata walk (refs -> list -> manifests ->
+    // own parquet reader); sums re-derive in DuckDB.
+    "q367_iceberg_wap_refs" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 23) % 941
+            val oldIds = ids.filter(d => (d / 6) % 4 != 1)
+            val newIds = ids.filter(d => (d / 6) % 4 == 1)
+            def expect(xs: Seq[Long]) =
+              xs.map(d => (d, v(d))).sortBy(_._1)
+            val base = W.writeRefsTable(s"tbl-$t", oldIds, v,
+              "v1", 5000L)
+            val res = for {
+              st <- W.stageBranch(base, "v1.metadata.json", "audit",
+                newIds.map(d => (d, v(d))), 1700000001000L)
+              staged = base ++ st.newFiles
+              mainBefore <- W.scanRef(staged, st.newMetaName, "main")
+              branchRows <- W.scanRef(staged, st.newMetaName, "audit")
+              ff <- W.fastForward(staged, st.newMetaName, "audit")
+              published = staged + (ff._1 -> ff._2)
+              mainAfter <- W.scanRef(published, ff._1, "main")
+              tagRows <- W.scanRef(published, ff._1, "v1")
+              ex1 <- W.expireSnapshots(published, ff._1,
+                1700000000500L, 1700000002000L)
+              pruned1 = (published -- ex1.deleted) +
+                (ex1.newMetaName -> ex1.newMeta)
+              ex2 <- W.expireSnapshots(pruned1, ex1.newMetaName,
+                1700000000500L, 1700000010000L)
+              pruned2 = (pruned1 -- ex2.deleted) +
+                (ex2.newMetaName -> ex2.newMeta)
+              mainFinal <- W.scanRef(pruned2, ex2.newMetaName, "main")
+            } yield {
+              val tagGone =
+                W.scanRef(pruned2, ex2.newMetaName, "v1").isEmpty
+              val wapOk = mainBefore.sortBy(_._1) == expect(oldIds)
+              val auditOk = branchRows.sortBy(_._1) == expect(ids)
+              val publishOk =
+                mainAfter.sortBy(_._1) == branchRows.sortBy(_._1)
+              val tagOk = tagRows.sortBy(_._1) == expect(oldIds)
+              val retentionOk = ex1.nExpired == 0 &&
+                ex1.deleted.isEmpty
+              val expireOk = ex2.nExpired == 1 &&
+                ex2.deleted == Seq("snap-1.avro") &&
+                ex2.dataDeleted == 0
+              val finalOk =
+                mainFinal.sortBy(_._1) == expect(ids) && tagGone
+              (t, mainBefore.length.toLong,
+                (branchRows.length - mainBefore.length).toLong,
+                mainBefore.map(_._2).sum, mainAfter.map(_._2).sum,
+                if (wapOk) 1L else 0L,
+                if (auditOk) 1L else 0L,
+                if (publishOk) 1L else 0L,
+                if (tagOk) 1L else 0L,
+                if (retentionOk) 1L else 0L,
+                if (expireOk) 1L else 0L,
+                if (finalOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_old", "n_new", "old_val_sum",
+            "all_val_sum", "wap_ok", "audit_ok", "publish_ok",
+            "tag_ok", "retention_ok", "expire_ok", "final_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4,
+                 (doc_id * 23) % 941 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(sum(CASE WHEN gen4 <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_old,
+               CAST(sum(CASE WHEN gen4 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN gen4 <> 1 THEN v ELSE 0 END)
+                 AS BIGINT) AS old_val_sum,
+               CAST(sum(v) AS BIGINT) AS all_val_sum,
+               CAST(1 AS BIGINT) AS wap_ok,
+               CAST(1 AS BIGINT) AS audit_ok,
+               CAST(1 AS BIGINT) AS publish_ok,
+               CAST(1 AS BIGINT) AS tag_ok,
+               CAST(1 AS BIGINT) AS retention_ok,
+               CAST(1 AS BIGINT) AS expire_ok,
+               CAST(1 AS BIGINT) AS final_ok
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -531,6 +531,279 @@ object IcebergWrite {
       "data/c-0.parquet" -> compacted)
   }
 
+  // ---- snapshot refs: branches, tags, write-audit-publish (q367) ----------
+
+  /** One snapshot reference (table-spec v2 `refs` map): a branch or
+    * tag name -> snapshot id, with the spec's optional
+    * max-ref-age-ms retention knob (tags/branches other than main
+    * age out of expire_snapshots protection).
+    */
+  final case class Ref(snapshotId: Long, refType: String,
+                       maxRefAgeMs: Option[Long] = None)
+
+  private def refJson(r: Ref): String = {
+    val age = r.maxRefAgeMs
+      .map(a => s""""max-ref-age-ms": $a, """).getOrElse("")
+    s"""{$age"snapshot-id": ${r.snapshotId}, "type": "${r.refType}"}"""
+  }
+
+  private def refsJson(refs: Seq[(String, Ref)]): String =
+    refs.sortBy(_._1).map { case (n, r) => s""""$n": ${refJson(r)}""" }
+      .mkString("{", ", ", "}")
+
+  /** Canonical metadata JSON with a `refs` map; byte-identical to
+    * [[metadataJson]] when there are no refs (pre-q367 tables keep
+    * their pinned bytes).
+    */
+  private def metadataJsonRefs(id: String, current: Long,
+                               snaps: Seq[String],
+                               refs: Seq[(String, Ref)]): String =
+    if (refs.isEmpty) metadataJson(id, current, snaps)
+    else s"""{"current-snapshot-id": $current, "format-version": 2, "refs": ${
+      refsJson(refs)
+    }, "snapshots": [${snaps.mkString(", ")}], "table-uuid": "$id"}"""
+
+  /** Parse the `refs` map (empty when absent — every pre-refs table). */
+  def parseRefs(mo: Json.JObject): Seq[(String, Ref)] = {
+    import Json.{JLong, JObject, JString}
+    mo.get("refs") match {
+      case Some(ro: JObject) =>
+        ro.fields.flatMap { case (name, rv) =>
+          rv match {
+            case r: JObject =>
+              for {
+                sid <- r.get("snapshot-id").collect { case JLong(x) => x }
+                tpe <- r.get("type").collect { case JString(x) => x }
+              } yield name -> Ref(sid, tpe,
+                r.get("max-ref-age-ms").collect { case JLong(x) => x })
+            case _ => None
+          }
+        }
+      case _ => Nil
+    }
+  }
+
+  private final case class SnapRow(sid: Long, seq: Long, ts: Long,
+                                   listPath: String)
+
+  private def parseSnaps(mo: Json.JObject): Option[Seq[SnapRow]] = {
+    import Json.{JArray, JLong, JObject, JString}
+    mo.get("snapshots").collect { case JArray(xs) => xs }.flatMap {
+      snapsJ =>
+        val parsed = snapsJ.flatMap {
+          case so: JObject =>
+            for {
+              sid <- so.get("snapshot-id").collect { case JLong(x) => x }
+              seq <- so.get("sequence-number").collect {
+                case JLong(x) => x }
+              ts <- so.get("timestamp-ms").collect { case JLong(x) => x }
+              lp <- so.get("manifest-list").collect {
+                case JString(x) => x }
+            } yield SnapRow(sid, seq, ts, lp)
+          case _ => None
+        }
+        if (parsed.length == snapsJ.length) Some(parsed) else None
+    }
+  }
+
+  private def parseMetaObj(files: Map[String, Array[Byte]],
+                           metaName: String): Option[Json.JObject] =
+    files.get(metaName).flatMap(b => Json.parse(
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+      .collect { case o: Json.JObject => o }
+
+  /** Resolve a ref name to its snapshot id: the `refs` map, with
+    * "main" falling back to current-snapshot-id on ref-less tables.
+    */
+  def resolveRef(files: Map[String, Array[Byte]], metaName: String,
+                 refName: String): Option[Long] = {
+    import Json.JLong
+    parseMetaObj(files, metaName).flatMap { mo =>
+      parseRefs(mo).collectFirst {
+        case (n, r) if n == refName => r.snapshotId
+      }.orElse {
+        if (refName == "main")
+          mo.get("current-snapshot-id").collect { case JLong(x) => x }
+        else None
+      }
+    }
+  }
+
+  /** Scan the (rec_id, val) rows LIVE in one snapshot: list ->
+    * manifests -> non-DELETED entries -> own parquet reader. None on
+    * any malformed byte or missing file.
+    */
+  def scanSnapshot(files: Map[String, Array[Byte]], metaName: String,
+                   sid: Long): Option[Seq[(Long, Long)]] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      snap <- snaps.find(_.sid == sid)
+      listBytes <- files.get(snap.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mps = list.records.flatMap(
+        _.field("manifest_path").flatMap(_.asString))
+      rows <- {
+        val per = mps.map { mp =>
+          for {
+            mb <- files.get(mp)
+            m <- AvroGeneric.parseContainer(mb)
+            es <- Some(m.records.flatMap { e =>
+              for {
+                st <- e.field("status").flatMap(_.asLong)
+                df <- e.field("data_file")
+                p <- df.field("file_path").flatMap(_.asString)
+              } yield (st, p)
+            })
+            live = es.filter(_._1 != 2L).map(_._2)
+            read <- {
+              val rs = live.map { p =>
+                for {
+                  db <- files.get(p)
+                  ids <- Parquet.columnLongs(db, "rec_id")
+                  vs <- Parquet.columnLongs(db, "val")
+                  if ids.length == vs.length
+                } yield ids.zip(vs).toSeq
+              }
+              if (rs.exists(_.isEmpty)) None
+              else Some(rs.flatMap(_.get))
+            }
+          } yield read
+        }
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatMap(_.get))
+      }
+    } yield rows
+
+  /** Rows live at a ref, by name (tag time travel / branch scan). */
+  def scanRef(files: Map[String, Array[Byte]], metaName: String,
+              refName: String): Option[Seq[(Long, Long)]] =
+    resolveRef(files, metaName, refName)
+      .flatMap(scanSnapshot(files, metaName, _))
+
+  /** A one-snapshot table carrying a refs map: main (branch) and a
+    * retention-bounded tag at snapshot 1. Real parquet rows
+    * (rec_id, val = vf(d)).
+    */
+  def writeRefsTable(id: String, ids: Seq[Long], vf: Long => Long,
+                     tagName: String,
+                     tagMaxAgeMs: Long): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    val sorted = ids.sorted
+    val data = ParquetWrite.writeInt64(Seq("rec_id", "val"),
+      sorted.map(d => Array(d, vf(d))))
+    val m1 = container(EntrySchema, Seq(entrySt(1,
+      "data/f-0.parquet", sorted.length.toLong, data.length.toLong)),
+      sync)
+    val l1 = container(ListSchema, Seq(manifestFileRow("m1.avro",
+      m1.length.toLong, 1L, sorted.length.toLong)), sync)
+    val meta = metadataJsonRefs(id, 1L,
+      Seq(snapshotJson(1L, 1L, 1700000000000L, "snap-1.avro")),
+      Seq("main" -> Ref(1L, "branch"),
+        tagName -> Ref(1L, "tag", Some(tagMaxAgeMs))))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Map("v1.metadata.json" -> meta, "snap-1.avro" -> l1,
+      "m1.avro" -> m1, "data/f-0.parquet" -> data)
+  }
+
+  final case class StageResult(newMetaName: String,
+                               newFiles: Map[String, Array[Byte]],
+                               stagedSid: Long)
+
+  /** WRITE-AUDIT-PUBLISH, stage step: commit an append as a NEW
+    * snapshot reachable only from `branch` — main / current stay
+    * untouched (the WAP law), so a failed audit costs nothing but an
+    * expire. The staged list carries the current list's manifests
+    * forward plus one new manifest for the appended rows.
+    */
+  def stageBranch(files: Map[String, Array[Byte]], metaName: String,
+                  branch: String, rows: Seq[(Long, Long)],
+                  newTs: Long): Option[StageResult] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      uuid <- mo.get("table-uuid").collect {
+        case Json.JString(x) => x }
+      current <- mo.get("current-snapshot-id").collect {
+        case Json.JLong(x) => x }
+      snaps <- parseSnaps(mo)
+      cur <- snaps.find(_.sid == current)
+      listBytes <- files.get(cur.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      carried <- {
+        val rs = list.records.map { r =>
+          for {
+            p <- r.field("manifest_path").flatMap(_.asString)
+            len <- r.field("manifest_length").flatMap(_.asLong)
+            nf <- r.field("added_files_count").flatMap(_.asLong)
+            nr <- r.field("added_rows_count").flatMap(_.asLong)
+          } yield manifestFileRow(p, len, nf, nr)
+        }
+        if (rs.exists(_.isEmpty)) None else Some(rs.map(_.get))
+      }
+    } yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sync = md.digest(("sync:" + uuid).getBytes("UTF-8"))
+      val newSid = snaps.map(_.sid).max + 1
+      val newSeq = snaps.map(_.seq).max + 1
+      val sorted = rows.sortBy(_._1)
+      val data = ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        sorted.map { case (i, v) => Array(i, v) })
+      val dataName = s"data/b-$newSid.parquet"
+      val m2 = container(EntrySchema, Seq(entrySt(1, dataName,
+        sorted.length.toLong, data.length.toLong)), sync)
+      val m2Name = s"m-b$newSid.avro"
+      val l2 = container(ListSchema, carried :+ manifestFileRow(
+        m2Name, m2.length.toLong, 1L, sorted.length.toLong), sync)
+      val refs = parseRefs(mo).filterNot(_._1 == branch) :+
+        (branch -> Ref(newSid, "branch"))
+      val VN = "^v(\\d+)\\.metadata\\.json$".r
+      val nextV = metaName match {
+        case VN(n) => n.toInt + 1; case _ => 2
+      }
+      val newMeta = metadataJsonRefs(uuid, current,
+        snaps.map(sn => snapshotJson(sn.sid, sn.seq, sn.ts,
+          sn.listPath)) :+
+          snapshotJson(newSid, newSeq, newTs, s"snap-$newSid.avro"),
+        refs).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      StageResult(s"v$nextV.metadata.json",
+        Map(s"v$nextV.metadata.json" -> newMeta,
+          s"snap-$newSid.avro" -> l2, m2Name -> m2,
+          dataName -> data), newSid)
+    }
+
+  /** WRITE-AUDIT-PUBLISH, publish step: fast-forward main (and
+    * current-snapshot-id) to the audited branch's snapshot — pure
+    * metadata, the branch ref stays. None if the branch is unknown.
+    */
+  def fastForward(files: Map[String, Array[Byte]], metaName: String,
+                  branch: String)
+      : Option[(String, Array[Byte])] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      uuid <- mo.get("table-uuid").collect {
+        case Json.JString(x) => x }
+      snaps <- parseSnaps(mo)
+      refs <- Some(parseRefs(mo))
+      target <- refs.collectFirst {
+        case (n, r) if n == branch => r.snapshotId }
+      if snaps.exists(_.sid == target)
+    } yield {
+      val newRefs = refs.map {
+        case ("main", r) => "main" -> r.copy(snapshotId = target)
+        case other => other
+      }
+      val VN = "^v(\\d+)\\.metadata\\.json$".r
+      val nextV = metaName match {
+        case VN(n) => n.toInt + 1; case _ => 2
+      }
+      val newMeta = metadataJsonRefs(uuid, target,
+        snaps.map(sn => snapshotJson(sn.sid, sn.seq, sn.ts,
+          sn.listPath)), newRefs)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (s"v$nextV.metadata.json", newMeta)
+    }
+
   final case class ExpireResult(newMetaName: String,
                                 newMeta: Array[Byte],
                                 deleted: Seq[String], nExpired: Int,
@@ -553,9 +826,11 @@ object IcebergWrite {
     * malformed byte.
     */
   def expireSnapshots(files: Map[String, Array[Byte]],
-                      metaName: String, cutoffMs: Long)
+                      metaName: String, cutoffMs: Long,
+                      nowMs: Long = -1L)
       : Option[ExpireResult] = {
     import Json.{JArray, JLong, JObject, JString}
+    val now = if (nowMs < 0) cutoffMs else nowMs
     for {
       metaBytes <- files.get(metaName)
       meta <- Json.parse(
@@ -606,8 +881,21 @@ object IcebergWrite {
         if (parsed.length == snapsJ.length) Some(parsed) else None
       }
     } yield {
+      // ref retention (q367): a snapshot referenced by a LIVE ref is
+      // protected from expiry; a tag/branch ages out of protection
+      // when max-ref-age-ms is exceeded (measured from its target
+      // snapshot's commit time, the reference implementation's rule)
+      // and the aged-out ref is dropped from the successor metadata.
+      val tsBySid = snaps.map(sn => sn.sid -> sn.ts).toMap
+      val liveRefs = parseRefs(mo).filter { case (name, r) =>
+        tsBySid.contains(r.snapshotId) &&
+          (name == "main" || r.maxRefAgeMs.forall(a =>
+            now - tsBySid(r.snapshotId) <= a))
+      }
+      val refProtected = liveRefs.map(_._2.snapshotId).toSet
       val (expired, retained) =
-        snaps.partition(sn => sn.ts < cutoffMs && sn.sid != current)
+        snaps.partition(sn => sn.ts < cutoffMs && sn.sid != current &&
+          !refProtected.contains(sn.sid))
       val retManifests = retained.flatMap(_.manifests).toSet
       val retLive = retained.flatMap(_.entries)
         .filter(_._3 != 2L).map(_._1).toSet
@@ -627,9 +915,9 @@ object IcebergWrite {
         case VN(n) => n.toInt + 1
         case _ => 2
       }
-      val newMeta = metadataJson(uuid, current,
+      val newMeta = metadataJsonRefs(uuid, current,
         retained.sortBy(_.sid).map(sn => snapshotJson(sn.sid, sn.seq,
-          sn.ts, sn.listPath)))
+          sn.ts, sn.listPath)), liveRefs)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       ExpireResult(s"v$nextV.metadata.json", newMeta, deleted,
         expired.length, deletedRows, keptRows)

@@ -146,4 +146,56 @@ class IcebergMaintSpec extends AnyFunSuite {
       .columnLongs(files("f-old-0.parquet"), "rec_id").get
     assert(rs.toSeq == gen0.filter(d => (d / 6) % 2 == 0))
   }
+
+  test("snapshot refs + WAP (q367): staging leaves main untouched, " +
+    "fast-forward publishes, tag time travel by name, expire " +
+    "respects ref retention then drops the aged-out tag") {
+    val W = IcebergWrite
+    val oldIds = Seq(2L, 8L, 14L, 20L)
+    val newIds = Seq(26L, 32L)
+    def v(d: Long): Long = d * 10 + 1
+    def rows(xs: Seq[Long]) = xs.map(d => (d, v(d)))
+    val base = W.writeRefsTable("spec-wap", oldIds, v, "v1", 5000L)
+    // stage on a branch: main must still scan the OLD rows
+    val st = W.stageBranch(base, "v1.metadata.json", "audit",
+      rows(newIds), 1700000001000L).getOrElse(fail("stage"))
+    val staged = base ++ st.newFiles
+    assert(W.scanRef(staged, st.newMetaName, "main").get
+      .sortBy(_._1) == rows(oldIds))
+    assert(W.scanRef(staged, st.newMetaName, "audit").get
+      .sortBy(_._1) == rows(oldIds ++ newIds))
+    // the staged data file exists but is unreachable from main
+    assert(staged.contains(s"data/b-${st.stagedSid}.parquet"))
+    // publish: pure metadata, main == branch
+    val (ffName, ffMeta) =
+      W.fastForward(staged, st.newMetaName, "audit")
+        .getOrElse(fail("publish"))
+    val published = staged + (ffName -> ffMeta)
+    assert(W.scanRef(published, ffName, "main").get.sortBy(_._1) ==
+      rows(oldIds ++ newIds))
+    // tag time travel by name still sees the pre-append table
+    assert(W.scanRef(published, ffName, "v1").get.sortBy(_._1) ==
+      rows(oldIds))
+    // unknown branch fails closed
+    assert(W.fastForward(staged, st.newMetaName, "nope").isEmpty)
+    // expire with the tag LIVE: snapshot 1 is protected
+    val ex1 = W.expireSnapshots(published, ffName, 1700000000500L,
+      1700000002000L).getOrElse(fail("ex1"))
+    assert(ex1.nExpired == 0 && ex1.deleted.isEmpty)
+    // expire after the tag ages out (max-ref-age-ms = 5000):
+    // snapshot 1 expires, but ONLY its list dies — the manifest and
+    // data file are live in the published snapshot
+    val pruned1 = (published -- ex1.deleted) +
+      (ex1.newMetaName -> ex1.newMeta)
+    val ex2 = W.expireSnapshots(pruned1, ex1.newMetaName,
+      1700000000500L, 1700000010000L).getOrElse(fail("ex2"))
+    assert(ex2.nExpired == 1 && ex2.deleted == Seq("snap-1.avro"))
+    assert(ex2.dataDeleted == 0 && ex2.manifestsDeleted == 0)
+    val pruned2 = (pruned1 -- ex2.deleted) +
+      (ex2.newMetaName -> ex2.newMeta)
+    assert(W.scanRef(pruned2, ex2.newMetaName, "v1").isEmpty,
+      "aged-out tag must be dropped from the successor metadata")
+    assert(W.scanRef(pruned2, ex2.newMetaName, "main").get
+      .sortBy(_._1) == rows(oldIds ++ newIds))
+  }
 }
