@@ -4302,6 +4302,118 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q368 — Hudi METADATA TABLE (files partition): at 100 TB the
+    // planning bottleneck is the storage LIST, and the MDT is the
+    // format's own answer — `.hoodie/metadata` as a small MOR table
+    // whose files partition maps partition -> {file -> (size,
+    // isDeleted)}. The engine bootstraps it from the q302 timeline
+    // (one MDT deltacommit + one log block per data instant, through
+    // the own HudiLog/Avro writers), then PLANS from the MDT alone
+    // and proves: MDT plan ≡ listing plan; an orphan base file (on
+    // disk, completed instant name, never committed — the residue a
+    // failed write leaves) fools the listing plan but is INVISIBLE
+    // to the MDT; CLEAN (q361) appends tombstones and the plans stay
+    // equal, with the appended log byte-prefixed by the old one.
+    // Rows are then READ through the MDT plan with the own parquet
+    // reader; sums re-derive in DuckDB.
+    "q368_hudi_metadata_table" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val M = graft.sources.HudiMdt
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeTable(ids)
+            val res = for {
+              mdt <- M.sync(files)
+              table = files ++ mdt
+              planM <- M.planFromMdt(table)
+              listing <- M.listing(table)
+              rows <- {
+                val per = planM.map { p =>
+                  for {
+                    b <- table.get(p)
+                    rs <- P.columnLongs(b, "rec_id")
+                    vs <- P.columnLongs(b, "val")
+                    if rs.length == vs.length
+                  } yield rs.zip(vs).toSeq
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.flatMap(_.get))
+              }
+              cr <- W.clean(files, "00000000000004")
+              mdt2 <- M.appendClean(mdt, "00000000000004", cr.deleted)
+              cleaned = (table -- cr.deleted) ++ mdt2 +
+                (cr.timelineName -> cr.timeline)
+              listing2 <- M.listing(cleaned)
+              planM2 <- M.planFromMdt(cleaned)
+            } yield {
+              val planL = M.planFromListing(table)
+              val planMatch = planM == planL
+              val orphan = "p/fg9_0-0-0_00000000000001.parquet"
+              val withOrphan = table + (orphan ->
+                graft.sources.ParquetWrite.writeInt64(
+                  Seq("rec_id", "val"), Seq(Array(999L, 999L))))
+              val orphanInvisible =
+                M.planFromListing(withOrphan).contains(orphan) &&
+                  M.planFromMdt(withOrphan).contains(planM)
+              val cleanPlanOk = planM2 == planM &&
+                planM2 == M.planFromListing(cleaned) &&
+                !listing2("p").exists(
+                  _._1 == "fg0_0-0-0_00000000000001.parquet")
+              val cleanDropped = listing("p").length == 3 &&
+                listing2("p").length == 2
+              val prefixOk = {
+                val a = mdt(M.LogPath); val b = mdt2(M.LogPath)
+                b.length > a.length &&
+                  java.util.Arrays.equals(b.take(a.length), a)
+              }
+              val sizesOk = listing("p").forall { case (n, sz) =>
+                files.get("p/" + n).exists(_.length.toLong == sz)
+              }
+              (t, rows.length.toLong, rows.map(_._1).sum,
+                rows.map(_._2).sum,
+                listing("p").length.toLong,
+                listing2("p").length.toLong,
+                if (planMatch) 1L else 0L,
+                if (orphanInvisible) 1L else 0L,
+                if (cleanPlanOk && cleanDropped) 1L else 0L,
+                if (prefixOk) 1L else 0L,
+                if (sizesOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "id_sum", "val_sum",
+            "n_files_mdt", "n_files_after_clean", "plan_match",
+            "orphan_invisible", "clean_sync_ok", "append_prefix_ok",
+            "sizes_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id * 13) % 1000 +
+                   CASE WHEN (doc_id // 6) % 2 = 0 THEN 5 ELSE 0 END
+                   AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(3 AS BIGINT) AS n_files_mdt,
+               CAST(2 AS BIGINT) AS n_files_after_clean,
+               CAST(1 AS BIGINT) AS plan_match,
+               CAST(1 AS BIGINT) AS orphan_invisible,
+               CAST(1 AS BIGINT) AS clean_sync_ok,
+               CAST(1 AS BIGINT) AS append_prefix_ok,
+               CAST(1 AS BIGINT) AS sizes_ok
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -1,0 +1,277 @@
+package graft.sources
+
+/** The Hudi METADATA TABLE's `files` partition (q368) — the format's
+  * own answer to the planning bottleneck at 100 TB: file LISTING.
+  * `.hoodie/metadata` is itself a small merge-on-read Hudi table
+  * whose `files` partition carries, per data-table partition, a map
+  * of file name -> (size, isDeleted); planners read THAT instead of
+  * listing the storage (on object stores a LIST over millions of
+  * files dominates query planning; the MDT makes it one log replay).
+  *
+  * Spec source (public): the Hudi tech spec's metadata table layout —
+  * HoodieMetadataRecord{key, type, filesystemMetadata:
+  * map<HoodieMetadataFileInfo{size, isDeleted}>}, records carried in
+  * log blocks under `.hoodie/metadata/files/`, one deltacommit on the
+  * MDT's own timeline per data-table instant (same instant time).
+  * This module writes the log-block form the spec allows (the HFile
+  * base-file form is an optimization of the same records) through
+  * the engine's own [[HudiLog]] writer and [[AvroWrite]] datum
+  * encoder, and replays it with [[HudiLog.parse]]/[[AvroGeneric]].
+  *
+  * Laws this enables (q368): MDT-planned file set ≡ listing-planned
+  * set; a file on disk but absent from the MDT (the orphan a failed
+  * write leaves) is INVISIBLE to MDT planning; CLEAN appends
+  * tombstones so the MDT never resurrects reclaimed files; append ≡
+  * rebuild byte-exact on the log. Totality as everywhere: any
+  * malformed byte or dangling reference yields None.
+  */
+object HudiMdt {
+
+  import AvroGeneric.{V, VBool, VLong, VMap, VRecord, VString}
+
+  /** Reduced-but-shaped HoodieMetadataRecord: key (the data-table
+    * partition path), type (2 = FILES), filesystemMetadata map.
+    */
+  val FilesSchema: String =
+    """{"type":"record","name":"HoodieMetadataRecord","fields":[{"name":"key","type":"string"},{"name":"type","type":"int"},{"name":"filesystemMetadata","type":{"type":"map","values":{"type":"record","name":"HoodieMetadataFileInfo","fields":[{"name":"size","type":"long"},{"name":"isDeleted","type":"boolean"}]}}}]}"""
+
+  private lazy val schema = AvroGeneric.parseSchema(FilesSchema).get
+
+  /** The single files-partition log file (one slice, blocks appended
+    * per instant) and the MDT's own timeline prefix.
+    */
+  val LogPath = ".hoodie/metadata/files/.files-0000_00000000000000.log.1_0-0-0"
+  private def mdtCommit(instant: String) =
+    s".hoodie/metadata/.hoodie/$instant.deltacommit"
+
+  private val MdtTimelineRe =
+    "^\\.hoodie/metadata/\\.hoodie/(\\d+)\\.deltacommit$".r
+  private val DataTimelineRe =
+    "^\\.hoodie/(\\d+)\\.(commit|deltacommit|clean)$".r
+  private val BaseNameRe = "^([^_/.]+)_[^_/]+_(\\d+)\\.parquet$".r
+
+  /** Encode one files record for `partition`. */
+  def filesRecord(partition: String,
+                  entries: Seq[(String, Long, Boolean)]): Array[Byte] = {
+    val v: V = VRecord(Vector(
+      "key" -> VString(partition),
+      "type" -> VLong(2L),
+      "filesystemMetadata" -> VMap(entries.sortBy(_._1).toVector.map {
+        case (name, size, deleted) =>
+          name -> VRecord(Vector(
+            "size" -> VLong(size),
+            "isDeleted" -> VBool(deleted)))
+      })))
+    val out = new java.io.ByteArrayOutputStream()
+    AvroWrite.datum(out, v, schema)
+    out.toByteArray
+  }
+
+  private def blockFor(instant: String,
+                       perPart: Seq[(String, Seq[(String, Long, Boolean)])])
+      : Array[Byte] =
+    HudiLog.writeBlock(HudiLog.TypeAvroData,
+      Seq(HudiLog.HdrInstantTime -> instant,
+        HudiLog.HdrSchema -> FilesSchema),
+      HudiLog.dataContent(perPart.sortBy(_._1).map { case (p, es) =>
+        filesRecord(p, es)
+      }))
+
+  /** The (partition, filename, size, isDeleted) rows one DATA
+    * instant contributes: commit/deltacommit write stats become live
+    * entries sized from the actual bytes; a clean's deletion
+    * inventory becomes tombstones. None on malformed JSON or a stats
+    * path with no bytes (a sync must never record a size it cannot
+    * prove).
+    */
+  private def instantEntries(files: Map[String, Array[Byte]],
+                             instant: String, action: String)
+      : Option[Seq[(String, String, Long, Boolean)]] = {
+    import Json.{JArray, JObject, JString}
+    val body = files.get(s".hoodie/$instant.$action") match {
+      case Some(b) =>
+        Json.parse(new String(b,
+          java.nio.charset.StandardCharsets.UTF_8))
+      case None => None
+    }
+    body match {
+      case Some(o: JObject) if action == "clean" =>
+        o.get("deleted").collect { case JArray(xs) =>
+          xs.collect { case JString(p) => p }
+        }.map(_.flatMap { p =>
+          val slash = p.indexOf('/')
+          if (slash <= 0) None
+          else Some((p.take(slash), p.drop(slash + 1), 0L, true))
+        })
+      case Some(o: JObject) =>
+        o.get("partitionToWriteStats").collect {
+          case parts: JObject =>
+            val rows = parts.fields.flatMap { case (part, statsJ) =>
+              statsJ match {
+                case JArray(stats) => stats.map {
+                  case st: JObject =>
+                    for {
+                      p <- st.get("path").collect {
+                        case JString(x) => x }
+                      bytes <- files.get(p)
+                      slash = p.indexOf('/')
+                      if slash > 0 && p.take(slash) == part
+                    } yield (part, p.drop(slash + 1),
+                      bytes.length.toLong, false)
+                  case _ => Some(null)
+                }
+                case _ => Seq(Some(null))
+              }
+            }
+            if (rows.exists(r => r.isEmpty || r.get == null)) None
+            else Some(rows.map(_.get))
+        }.flatten
+      case _ => None
+    }
+  }
+
+  /** Bootstrap the metadata table from the data timeline: one MDT
+    * deltacommit (and one appended log block) per completed data
+    * instant, ascending. Returns the MDT file map
+    * (log + MDT timeline); None on any malformed instant.
+    */
+  def sync(files: Map[String, Array[Byte]])
+      : Option[Map[String, Array[Byte]]] = {
+    val instants = files.keys.toSeq.collect {
+      case DataTimelineRe(i, a) => (i, a)
+    }.sorted
+    val log = new java.io.ByteArrayOutputStream()
+    val out = Map.newBuilder[String, Array[Byte]]
+    var ok = true
+    instants.foreach { case (instant, action) =>
+      instantEntries(files, instant, action) match {
+        case Some(rows) =>
+          val perPart = rows.groupBy(_._1).toSeq.map { case (p, rs) =>
+            p -> rs.map(r => (r._2, r._3, r._4))
+          }
+          val b = blockFor(instant, perPart)
+          log.write(b, 0, b.length)
+          out += mdtCommit(instant) -> "{}".getBytes("UTF-8")
+        case None => ok = false
+      }
+    }
+    if (!ok || instants.isEmpty) None
+    else Some((out += (LogPath -> log.toByteArray)).result())
+  }
+
+  /** Append one instant's rows to an EXISTING metadata table (the
+    * per-commit sync path — a clean's tombstones, a new commit's
+    * files). Returns only the changed/new MDT files. None if the MDT
+    * log is absent (nothing to append to).
+    */
+  def appendInstant(mdt: Map[String, Array[Byte]], instant: String,
+                    rows: Seq[(String, String, Long, Boolean)])
+      : Option[Map[String, Array[Byte]]] =
+    mdt.get(LogPath).map { old =>
+      val perPart = rows.groupBy(_._1).toSeq.map { case (p, rs) =>
+        p -> rs.map(r => (r._2, r._3, r._4))
+      }
+      val b = blockFor(instant, perPart)
+      Map(LogPath -> (old ++ b),
+        mdtCommit(instant) -> "{}".getBytes("UTF-8"))
+    }
+
+  /** Sync a CLEAN into the MDT: tombstones for its deletions. */
+  def appendClean(mdt: Map[String, Array[Byte]], instant: String,
+                  deleted: Seq[String])
+      : Option[Map[String, Array[Byte]]] = {
+    val rows = deleted.flatMap { p =>
+      val slash = p.indexOf('/')
+      if (slash <= 0) None
+      else Some((p.take(slash), p.drop(slash + 1), 0L, true))
+    }
+    if (rows.length != deleted.length) None
+    else appendInstant(mdt, instant, rows)
+  }
+
+  /** Replay the files partition: completed MDT instants ascending,
+    * per-(partition, filename) last-wins, tombstones removing. The
+    * LIVE listing: partition -> (filename, size), names sorted. None
+    * on any malformed block or a record shape the schema forbids.
+    */
+  def listing(files: Map[String, Array[Byte]])
+      : Option[Map[String, Seq[(String, Long)]]] = {
+    val completed = files.keys.collect {
+      case MdtTimelineRe(i) => i }.toSet
+    for {
+      logBytes <- files.get(LogPath)
+      blocks <- HudiLog.parse(logBytes)
+      state <- {
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[(String, String), (Long, Boolean)]
+        var ok = true
+        blocks.sortBy(_.instant).foreach { b =>
+          if (completed(b.instant) &&
+            b.blockType == HudiLog.TypeAvroData) {
+            b.records.foreach { r =>
+              val row = for {
+                part <- r.field("key").flatMap(_.asString)
+                fsm <- r.field("filesystemMetadata")
+                entries <- fsm match {
+                  case AvroGeneric.VMap(es) => Some(es)
+                  case _ => None
+                }
+              } yield entries.foreach { case (name, info) =>
+                (info.field("size").flatMap(_.asLong),
+                  info.field("isDeleted")) match {
+                  case (Some(sz), Some(VBool(del))) =>
+                    m((part, name)) = (sz, del)
+                  case _ => ok = false
+                }
+              }
+              if (row.isEmpty) ok = false
+            }
+          }
+        }
+        if (ok) Some(m) else None
+      }
+    } yield state.toSeq.collect {
+      case ((part, name), (sz, del)) if !del => (part, name, sz)
+    }.groupBy(_._1).view.mapValues(
+      _.map(r => (r._2, r._3)).sortBy(_._1)).toMap
+  }
+
+  /** Plan from the MDT ALONE: latest completed base per file group,
+    * computed over MDT-listed names (never a storage LIST). The
+    * completed set still comes from the data timeline — planning
+    * always consults the timeline; the MDT replaces the file
+    * LISTING, not the instant filter.
+    */
+  def planFromMdt(files: Map[String, Array[Byte]])
+      : Option[Seq[String]] = {
+    val completed = files.keys.collect {
+      case DataTimelineRe(i, a) if a != "clean" => i }.toSet
+    listing(files).map { parts =>
+      parts.toSeq.flatMap { case (part, fs) =>
+        fs.collect {
+          case (name @ BaseNameRe(fid, inst), _) if completed(inst) =>
+            (fid, inst, s"$part/$name")
+        }.groupBy(_._1).map { case (_, bs) => bs.maxBy(_._2)._3 }
+      }.sorted
+    }
+  }
+
+  /** The same planning rule from a raw storage listing — the
+    * baseline the MDT plan must reproduce (and improve on by not
+    * seeing orphans).
+    */
+  def planFromListing(files: Map[String, Array[Byte]]): Seq[String] = {
+    val completed = files.keys.collect {
+      case DataTimelineRe(i, a) if a != "clean" => i }.toSet
+    files.keys.toSeq.filterNot(_.startsWith(".hoodie/")).flatMap { p =>
+      val slash = p.indexOf('/')
+      if (slash <= 0) None
+      else p.drop(slash + 1) match {
+        case name @ BaseNameRe(fid, inst) if completed(inst) =>
+          Some((p.take(slash), fid, inst, s"${p.take(slash)}/$name"))
+        case _ => None
+      }
+    }.groupBy(r => (r._1, r._2))
+      .map { case (_, bs) => bs.maxBy(_._3)._4 }.toSeq.sorted
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.sources.{HudiLog, HudiMdt, HudiWrite}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Hudi metadata table's files partition (q368): bootstrap
+  * sync from the timeline, MDT-planned ≡ listing-planned, orphan
+  * invisibility, CLEAN tombstones, and the append-is-prefix law on
+  * the log bytes.
+  */
+class HudiMdtSpec extends AnyFunSuite {
+
+  private val ids = (0L until 48L).map(_ * 6 + 1) // spread file groups
+
+  test("bootstrap sync: MDT listing carries exactly the committed " +
+    "files with true sizes; the inflight slice is absent; " +
+    "MDT-planned file set == listing-planned set") {
+    val files = HudiWrite.writeTable(ids)
+    val mdt = HudiMdt.sync(files).getOrElse(fail("sync"))
+    val table = files ++ mdt
+    val listing = HudiMdt.listing(table).getOrElse(fail("listing"))
+    val p = listing("p")
+    val committed = files.keys.filter(k =>
+      k.startsWith("p/") && !k.contains("00000000000003")).toSeq
+    assert(p.map("p/" + _._1).sorted == committed.sorted)
+    p.foreach { case (name, size) =>
+      assert(size == files("p/" + name).length.toLong)
+    }
+    // the inflight t3 slice exists on disk but not in the MDT
+    assert(!p.exists(_._1.contains("00000000000003")))
+    val planM = HudiMdt.planFromMdt(table).getOrElse(fail("plan"))
+    val planL = HudiMdt.planFromListing(table)
+    assert(planM == planL)
+    assert(planM == Seq("p/fg0_0-0-0_00000000000002.parquet",
+      "p/fg1_0-0-0_00000000000001.parquet"))
+  }
+
+  test("orphan invisibility: a base file on disk with a COMPLETED " +
+    "instant name but no commit record fools the listing plan, " +
+    "never the MDT plan") {
+    val files = HudiWrite.writeTable(ids)
+    val mdt = HudiMdt.sync(files).getOrElse(fail("sync"))
+    val clean = files ++ mdt
+    val orphan = "p/fg9_0-0-0_00000000000001.parquet"
+    val withOrphan = clean + (orphan ->
+      graft.sources.ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        Seq(Array(999L, 999L))))
+    val planM = HudiMdt.planFromMdt(withOrphan).getOrElse(fail("plan"))
+    val planL = HudiMdt.planFromListing(withOrphan)
+    assert(planL.contains(orphan),
+      "the raw listing plan MUST see the orphan (that is the bug " +
+        "the MDT exists to fix)")
+    assert(!planM.contains(orphan))
+    assert(planM == HudiMdt.planFromMdt(clean).get)
+  }
+
+  test("CLEAN sync: tombstones drop reclaimed files from the MDT, " +
+    "plans stay equal, and the appended log is byte-prefixed by the " +
+    "pre-clean log (append == rebuild discipline)") {
+    val files = HudiWrite.writeTable(ids)
+    val mdt = HudiMdt.sync(files).getOrElse(fail("sync"))
+    val t4 = "00000000000004"
+    val cr = HudiWrite.clean(files, t4).getOrElse(fail("clean"))
+    assert(cr.deleted == Seq("p/fg0_0-0-0_00000000000001.parquet"))
+    val mdt2 = HudiMdt.appendClean(mdt, t4, cr.deleted)
+      .getOrElse(fail("appendClean"))
+    val oldLog = mdt(HudiMdt.LogPath)
+    val newLog = mdt2(HudiMdt.LogPath)
+    assert(newLog.length > oldLog.length &&
+      newLog.take(oldLog.length).sameElements(oldLog))
+    assert(HudiLog.parse(newLog).get.length ==
+      HudiLog.parse(oldLog).get.length + 1)
+    val table = (files -- cr.deleted) ++ mdt ++ mdt2 +
+      (cr.timelineName -> cr.timeline)
+    val listing = HudiMdt.listing(table).getOrElse(fail("listing"))
+    assert(!listing("p").exists(_._1 ==
+      "fg0_0-0-0_00000000000001.parquet"))
+    val planM = HudiMdt.planFromMdt(table).getOrElse(fail("plan"))
+    assert(planM == HudiMdt.planFromListing(table))
+    // the clean replaced nothing LIVE: the plan is unchanged
+    assert(planM == Seq("p/fg0_0-0-0_00000000000002.parquet",
+      "p/fg1_0-0-0_00000000000001.parquet"))
+  }
+
+  test("MOR table: log files are tracked in the MDT too; an " +
+    "UNCOMMITTED tombstone block (no MDT deltacommit) is ignored " +
+    "by the replay") {
+    val files = HudiWrite.writeMorTable(ids)
+    val mdt = HudiMdt.sync(files).getOrElse(fail("sync"))
+    val table = files ++ mdt
+    val listing = HudiMdt.listing(table).getOrElse(fail("listing"))
+    val names = listing("p").map(_._1)
+    assert(names.exists(_.startsWith(".fg0_")),
+      "deltacommits track log files")
+    assert(HudiMdt.planFromMdt(table).get ==
+      HudiMdt.planFromListing(table))
+    // append a tombstone block WITHOUT its MDT timeline entry: the
+    // listing must not change (completed-only replay)
+    val rogueLog = mdt(HudiMdt.LogPath) ++
+      HudiMdt.appendClean(mdt, "00000000000009",
+        Seq("p/fg0_0-0-0_00000000000001.parquet")).get(HudiMdt.LogPath)
+        .drop(mdt(HudiMdt.LogPath).length)
+    val rogue = table + (HudiMdt.LogPath -> rogueLog)
+    assert(HudiMdt.listing(rogue).get == listing)
+  }
+
+  test("totality: a commit whose stats path has no bytes fails sync " +
+    "closed (a sync must never record a size it cannot prove)") {
+    val files = HudiWrite.writeTable(ids)
+    val broken = files - "p/fg0_0-0-0_00000000000002.parquet"
+    assert(HudiMdt.sync(broken).isEmpty)
+  }
+}
