@@ -4414,6 +4414,186 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q369 — Iceberg INCREMENTAL APPEND SCAN: changes-between-
+    // snapshots over the own metadata walk — the incremental-
+    // consumption primitive a downstream feed runs instead of full
+    // rescans (Delta has CDF both directions q282/q352; this closes
+    // the Iceberg side). A four-snapshot history (append A, append
+    // B, REPLACE A+B with compacted C, append D) pins every rule:
+    // only manifests a snapshot ADDED are read (carried-forward
+    // manifests never re-contribute — q259's EXISTING discipline),
+    // a replace snapshot contributes ZERO rows, and the FOLD LAW
+    // holds at EVERY snapshot boundary — scan(prev) ∪ inc(prev,
+    // next) ≡ scan(next) as multisets — which is exactly the
+    // invariant a streaming tail must maintain across micro-batch
+    // boundaries. Sums re-derive in DuckDB by generation.
+    "q369_iceberg_incremental_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 27) % 929
+            val files = W.writeIncrTable(s"tbl-$t", ids, v)
+            val meta = "v1.metadata.json"
+            val res = for {
+              inc14 <- W.incrementalScan(files, meta, 1L, 4L)
+              inc23 <- W.incrementalScan(files, meta, 2L, 3L)
+              scans <- {
+                val ss = (1L to 4L).map(
+                  W.scanSnapshot(files, meta, _))
+                if (ss.exists(_.isEmpty)) None
+                else Some(ss.map(_.get))
+              }
+              steps <- {
+                val is = (1L to 3L).map(i =>
+                  W.incrementalScan(files, meta, i, i + 1))
+                if (is.exists(_.isEmpty)) None
+                else Some(is.map(_.get))
+              }
+            } yield {
+              def srt(xs: Seq[(Long, Long)]) = xs.sorted
+              // fold law at every boundary
+              val foldOk = (0 until 3).forall { i =>
+                srt(scans(i) ++ steps(i).rows) == srt(scans(i + 1))
+              }
+              val replaceZeroOk = inc23.rows.isEmpty &&
+                inc23.replacesSkipped == 1 &&
+                inc23.appendsConsumed == 0
+              val totalOk =
+                srt(scans(0) ++ inc14.rows) == srt(scans(3))
+              val consumedOk = inc14.appendsConsumed == 2 &&
+                inc14.replacesSkipped == 1
+              (t, inc14.rows.length.toLong,
+                inc14.rows.map(_._2).sum,
+                scans(3).length.toLong, scans(3).map(_._2).sum,
+                if (foldOk) 1L else 0L,
+                if (replaceZeroOk) 1L else 0L,
+                if (totalOk) 1L else 0L,
+                if (consumedOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_incr", "incr_val_sum", "n_full",
+            "full_val_sum", "fold_ok", "replace_zero_ok", "total_ok",
+            "consumed_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4,
+                 (doc_id * 27) % 929 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(sum(CASE WHEN gen4 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_incr,
+               CAST(sum(CASE WHEN gen4 <> 0 THEN v ELSE 0 END)
+                 AS BIGINT) AS incr_val_sum,
+               CAST(count(*) AS BIGINT) AS n_full,
+               CAST(sum(v) AS BIGINT) AS full_val_sum,
+               CAST(1 AS BIGINT) AS fold_ok,
+               CAST(1 AS BIGINT) AS replace_zero_ok,
+               CAST(1 AS BIGINT) AS total_ok,
+               CAST(1 AS BIGINT) AS consumed_ok
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
+    // q372 — q369's STREAMING twin: the snapshot tail as a live
+    // stream, the way q256 tails the Delta log. Each micro-batch
+    // delivers ONE snapshot's increment — computed by the REAL
+    // incremental walk (IcebergWrite.incrementalScan) over the
+    // engine-written four-snapshot table, so the stream consumes
+    // exactly what a production tail would: per-snapshot rows/sums,
+    // including the REPLACE snapshot whose contribution must be zero
+    // ACROSS a batch boundary (a state-losing or arrival-confused
+    // engine double-counts the compaction). Running standing is a
+    // streaming aggregation (update mode, state store); drain ×2
+    // from one checkpoint — replay emits nothing new; final standing
+    // re-derives in DuckDB.
+    "q372_stream_iceberg_incremental" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val increments = docs.groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 27) % 929
+            val files = W.writeIncrTable(s"tbl-$t", ids, v)
+            (1L to 3L).flatMap { i =>
+              W.incrementalScan(files, "v1.metadata.json", i, i + 1)
+                .map { inc =>
+                  val op =
+                    if (inc.replacesSkipped > 0) "replace"
+                    else "append"
+                  (t, i + 1, op, inc.rows.length.toLong,
+                    inc.rows.map(_._2).sum)
+                }
+            }
+          }
+          .toDF("table_id", "to_sid", "op", "n_rows", "val_sum")
+        val dv = new StreamDeliveries("graft_q372_incr")
+        (2L to 4L).foreach { sid =>
+          dv.land(increments.filter(col("to_sid") === sid), s"s$sid",
+            1000000000000L + sid * 60000L)
+        }
+        val out = s"${dv.root}/out"; val chk = s"${dv.root}/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(increments.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
+          val q = stream.groupBy(col("table_id"))
+            .agg(count(lit(1)).as("n_snapshots"),
+              max(col("to_sid")).as("last_sid"),
+              sum(col("n_rows")).cast("long").as("incr_rows"),
+              sum(col("val_sum")).cast("long").as("incr_val_sum"),
+              sum(when(col("op") === "replace", col("n_rows"))
+                .otherwise(lit(0L))).cast("long").as("replace_rows"))
+            .writeStream.outputMode("update")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], batchId: Long) =>
+                batch.write.mode("overwrite")
+                  .parquet(s"$out/batch=$batchId")
+            }
+            .option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: emits nothing
+        val snaps = s.read.parquet(out)
+        val latest = snaps.groupBy(col("table_id"))
+          .agg(max(col("n_snapshots")).as("n_snapshots"))
+        snaps.join(latest, Seq("table_id", "n_snapshots"))
+          .select(col("table_id"), col("n_snapshots"),
+            col("last_sid"), col("incr_rows"), col("incr_val_sum"),
+            col("replace_rows"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4,
+                 (doc_id * 27) % 929 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(3 AS BIGINT) AS n_snapshots,
+               CAST(4 AS BIGINT) AS last_sid,
+               CAST(sum(CASE WHEN gen4 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS incr_rows,
+               CAST(sum(CASE WHEN gen4 <> 0 THEN v ELSE 0 END)
+                 AS BIGINT) AS incr_val_sum,
+               CAST(0 AS BIGINT) AS replace_rows
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -584,7 +584,8 @@ object IcebergWrite {
   }
 
   private final case class SnapRow(sid: Long, seq: Long, ts: Long,
-                                   listPath: String)
+                                   listPath: String,
+                                   op: String = "append")
 
   private def parseSnaps(mo: Json.JObject): Option[Seq[SnapRow]] = {
     import Json.{JArray, JLong, JObject, JString}
@@ -599,7 +600,9 @@ object IcebergWrite {
               ts <- so.get("timestamp-ms").collect { case JLong(x) => x }
               lp <- so.get("manifest-list").collect {
                 case JString(x) => x }
-            } yield SnapRow(sid, seq, ts, lp)
+            } yield SnapRow(sid, seq, ts, lp,
+              so.get("operation").collect {
+                case JString(x) => x }.getOrElse("append"))
           case _ => None
         }
         if (parsed.length == snapsJ.length) Some(parsed) else None
@@ -803,6 +806,158 @@ object IcebergWrite {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       (s"v$nextV.metadata.json", newMeta)
     }
+
+  // ---- incremental append scan (q369) --------------------------------------
+
+  /** Snapshot JSON carrying the summary `operation` (append /
+    * replace / overwrite) incremental consumption dispatches on.
+    */
+  private def snapshotJsonOp(sid: Long, seq: Long, ts: Long,
+                             list: String, op: String): String =
+    s"""{"manifest-list": "$list", "operation": "$op", "sequence-number": $seq, "snapshot-id": $sid, "timestamp-ms": $ts}"""
+
+  final case class Incremental(rows: Seq[(Long, Long)],
+                               appendsConsumed: Int,
+                               replacesSkipped: Int)
+
+  /** CHANGES-BETWEEN-SNAPSHOTS — the incremental-consumption
+    * primitive a downstream feed runs instead of repeated full
+    * scans: for every snapshot with sequence number in (from, to],
+    * read ONLY the manifests that snapshot added (its list minus its
+    * predecessor's — never the carried-forward ones, q259's EXISTING
+    * discipline) and take the ADDED entries' rows. Snapshots whose
+    * operation is not `append` (compactions/replaces) contribute
+    * ZERO rows — they move bytes, not data. None on unknown
+    * snapshot ids or any malformed byte.
+    */
+  def incrementalScan(files: Map[String, Array[Byte]],
+                      metaName: String, fromSid: Long,
+                      toSid: Long): Option[Incremental] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      from <- snaps.find(_.sid == fromSid)
+      to <- snaps.find(_.sid == toSid)
+      if from.seq <= to.seq
+      ordered = snaps.sortBy(_.seq)
+      listPaths <- {
+        val ls = ordered.map { sn =>
+          files.get(sn.listPath)
+            .flatMap(AvroGeneric.parseContainer)
+            .map(l => sn -> l.records.flatMap(
+              _.field("manifest_path").flatMap(_.asString)))
+        }
+        if (ls.exists(_.isEmpty)) None else Some(ls.map(_.get))
+      }
+      result <- {
+        val inRange = listPaths.filter { case (sn, _) =>
+          sn.seq > from.seq && sn.seq <= to.seq }
+        var appends = 0
+        var replaces = 0
+        val rows = Seq.newBuilder[(Long, Long)]
+        var ok = true
+        inRange.foreach { case (sn, mps) =>
+          if (sn.op != "append") replaces += 1
+          else {
+            appends += 1
+            val prev = listPaths.takeWhile(_._1.seq < sn.seq)
+              .lastOption.map(_._2.toSet).getOrElse(Set.empty)
+            val added = mps.filterNot(prev)
+            added.foreach { mp =>
+              val mrows = for {
+                mb <- files.get(mp)
+                m <- AvroGeneric.parseContainer(mb)
+                es <- Some(m.records.flatMap { e =>
+                  for {
+                    st <- e.field("status").flatMap(_.asLong)
+                    df <- e.field("data_file")
+                    p <- df.field("file_path").flatMap(_.asString)
+                  } yield (st, p)
+                })
+                read <- {
+                  val rs = es.filter(_._1 == 1L).map { case (_, p) =>
+                    for {
+                      db <- files.get(p)
+                      ids <- Parquet.columnLongs(db, "rec_id")
+                      vs <- Parquet.columnLongs(db, "val")
+                      if ids.length == vs.length
+                    } yield ids.zip(vs).toSeq
+                  }
+                  if (rs.exists(_.isEmpty)) None
+                  else Some(rs.flatMap(_.get))
+                }
+              } yield read
+              mrows match {
+                case Some(rws) => rows ++= rws
+                case None => ok = false
+              }
+            }
+          }
+        }
+        if (ok) Some(Incremental(rows.result(), appends, replaces))
+        else None
+      }
+    } yield result
+
+  /** A four-snapshot history exercising every incremental-scan rule:
+    * s1 appends A (gen0), s2 appends B (gen1) with m1 carried
+    * forward, s3 REPLACES A+B with the compacted C (operation
+    * `replace`), s4 appends D (the rest) with m3 carried forward.
+    * Real parquet throughout (val = vf(d)).
+    */
+  def writeIncrTable(id: String, ids: Seq[Long],
+                     vf: Long => Long): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    def gen(d: Long): Long = (d / 6) % 4
+    val a = ids.filter(gen(_) == 0).sorted
+    val b = ids.filter(gen(_) == 1).sorted
+    val ab = (a ++ b).sorted
+    val dd = ids.filter(d => gen(d) >= 2).sorted
+    def pq(xs: Seq[Long]): Array[Byte] =
+      ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        xs.map(d => Array(d, vf(d))))
+    val (fa, fb, fc, fd) = (pq(a), pq(b), pq(ab), pq(dd))
+    val m1 = container(EntrySchema, Seq(entrySt(1, "data/a.parquet",
+      a.length.toLong, fa.length.toLong)), sync)
+    val m2 = container(EntrySchema, Seq(entrySt(1, "data/b.parquet",
+      b.length.toLong, fb.length.toLong)), sync)
+    val m3 = container(EntrySchema, Seq(
+      entrySt(2, "data/a.parquet", a.length.toLong, fa.length.toLong),
+      entrySt(2, "data/b.parquet", b.length.toLong, fb.length.toLong),
+      entrySt(1, "data/c.parquet", ab.length.toLong,
+        fc.length.toLong)), sync)
+    val m4 = container(EntrySchema, Seq(entrySt(1, "data/d.parquet",
+      dd.length.toLong, fd.length.toLong)), sync)
+    def mrow(p: String, m: Array[Byte], nf: Long, nr: Long) =
+      manifestFileRow(p, m.length.toLong, nf, nr)
+    val l1 = container(ListSchema, Seq(
+      mrow("m1.avro", m1, 1L, a.length.toLong)), sync)
+    val l2 = container(ListSchema, Seq(
+      mrow("m1.avro", m1, 1L, a.length.toLong),
+      mrow("m2.avro", m2, 1L, b.length.toLong)), sync)
+    val l3 = container(ListSchema, Seq(
+      mrow("m3.avro", m3, 1L, ab.length.toLong)), sync)
+    val l4 = container(ListSchema, Seq(
+      mrow("m3.avro", m3, 1L, ab.length.toLong),
+      mrow("m4.avro", m4, 1L, dd.length.toLong)), sync)
+    val t0 = 1700000000000L
+    val meta = s"""{"current-snapshot-id": 4, "format-version": 2, "snapshots": [${
+      Seq(snapshotJsonOp(1L, 1L, t0, "snap-1.avro", "append"),
+        snapshotJsonOp(2L, 2L, t0 + 1000, "snap-2.avro", "append"),
+        snapshotJsonOp(3L, 3L, t0 + 2000, "snap-3.avro", "replace"),
+        snapshotJsonOp(4L, 4L, t0 + 3000, "snap-4.avro", "append"))
+        .mkString(", ")
+    }], "table-uuid": "$id"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Map("v1.metadata.json" -> meta,
+      "snap-1.avro" -> l1, "snap-2.avro" -> l2,
+      "snap-3.avro" -> l3, "snap-4.avro" -> l4,
+      "m1.avro" -> m1, "m2.avro" -> m2, "m3.avro" -> m3,
+      "m4.avro" -> m4,
+      "data/a.parquet" -> fa, "data/b.parquet" -> fb,
+      "data/c.parquet" -> fc, "data/d.parquet" -> fd)
+  }
 
   final case class ExpireResult(newMetaName: String,
                                 newMeta: Array[Byte],

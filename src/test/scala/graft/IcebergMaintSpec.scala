@@ -198,4 +198,35 @@ class IcebergMaintSpec extends AnyFunSuite {
     assert(W.scanRef(pruned2, ex2.newMetaName, "main").get
       .sortBy(_._1) == rows(oldIds ++ newIds))
   }
+
+  test("incremental scan (q369): (from, to] semantics, replace " +
+    "contributes zero, carried-forward manifests never re-read, " +
+    "unknown snapshot ids fail closed") {
+    val W = IcebergWrite
+    val ids = (0L until 96L).map(_ * 6 + 5) // gen4 spread
+    def v(d: Long): Long = d + 7
+    val files = W.writeIncrTable("spec-incr", ids, v)
+    def gen(d: Long) = (d / 6) % 4
+    val meta = "v1.metadata.json"
+    // full range: B (gen1) + D (gen >= 2), never A, never C
+    val inc = W.incrementalScan(files, meta, 1L, 4L).get
+    assert(inc.rows.sorted ==
+      ids.filter(gen(_) != 0).sorted.map(d => (d, v(d))))
+    assert(inc.appendsConsumed == 2 && inc.replacesSkipped == 1)
+    // the replace-only window is empty
+    val inc23 = W.incrementalScan(files, meta, 2L, 3L).get
+    assert(inc23.rows.isEmpty && inc23.replacesSkipped == 1)
+    // from == to is an empty range, not an error
+    assert(W.incrementalScan(files, meta, 2L, 2L).get.rows.isEmpty)
+    // unknown ids fail closed
+    assert(W.incrementalScan(files, meta, 1L, 9L).isEmpty)
+    assert(W.incrementalScan(files, meta, 9L, 4L).isEmpty)
+    // fold law at every boundary
+    (1L to 3L).foreach { i =>
+      val a = W.scanSnapshot(files, meta, i).get
+      val step = W.incrementalScan(files, meta, i, i + 1).get.rows
+      val b = W.scanSnapshot(files, meta, i + 1).get
+      assert((a ++ step).sorted == b.sorted, s"fold at $i")
+    }
+  }
 }
