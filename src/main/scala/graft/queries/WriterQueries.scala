@@ -4594,6 +4594,95 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q370 — Delta V2 CHECKPOINTS (manifest + sidecars): the current
+    // protocol's scaling answer for very large logs — checkpoint
+    // state split across UUID-named sidecar parquet files under
+    // _delta_log/_sidecars/, referenced (size-verified) from a
+    // self-describing manifest, gated on the v2Checkpoint reader
+    // FEATURE. Pre-checkpoint JSON is vacuumed (q261's law on the
+    // new layout): state at v1 is resolvable ONLY through
+    // manifest+sidecars, then the JSON tail replays on top. The
+    // partition value of a checkpoint-only file survives through the
+    // sidecar's map column. A classic-only reader (maxReaderVersion
+    // 1, or one without the feature) must fail CLOSED; a missing or
+    // size-mismatched sidecar and a manifest claiming another
+    // version also close. Live rows re-derive in DuckDB.
+    "q370_delta_v2_checkpoint" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeTableWithV2Checkpoint(s"tbl-$t", ids)
+            val feats = Set("v2Checkpoint")
+            val res = for {
+              st <- W.readStateV2(files, 3L, feats)
+              rows <- {
+                val per = st.liveAdds.map { case (p, sz, _) =>
+                  for {
+                    b <- files.get(p)
+                    if b.length.toLong == sz
+                    rs <- P.columnLongs(b, "rec_id")
+                    vs <- P.columnLongs(b, "val")
+                    if rs.length == vs.length
+                  } yield rs.zip(vs).toSeq
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.flatMap(_.get))
+              }
+            } yield {
+              val gateClosed =
+                W.readStateV2(files, 1L, feats).isEmpty &&
+                  W.readStateV2(files, 3L, Set.empty).isEmpty
+              val classicAbsent = !files.contains(
+                "_delta_log/00000000000000000001.checkpoint.parquet")
+              val scName = files.keys
+                .find(_.startsWith("_delta_log/_sidecars/")).get
+              val sidecarIntegrity =
+                W.readStateV2(files - scName, 3L, feats).isEmpty &&
+                  W.readStateV2(files +
+                    (scName -> files(scName).dropRight(1)), 3L,
+                    feats).isEmpty
+              val partsOk = st.liveAdds.map(_._3) == Seq("2", "3")
+              (t, rows.length.toLong, rows.map(_._1).sum,
+                rows.map(_._2).sum, st.nSidecars.toLong,
+                if (gateClosed) 1L else 0L,
+                if (classicAbsent) 1L else 0L,
+                if (sidecarIntegrity) 1L else 0L,
+                if (partsOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_live", "id_sum", "val_sum",
+            "n_sidecars", "gate_closed", "classic_absent",
+            "sidecar_integrity", "parts_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4,
+                 (doc_id * 13) % 991 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(sum(CASE WHEN gen4 >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_live,
+               CAST(sum(CASE WHEN gen4 >= 2 THEN d ELSE 0 END)
+                 AS BIGINT) AS id_sum,
+               CAST(sum(CASE WHEN gen4 >= 2 THEN v ELSE 0 END)
+                 AS BIGINT) AS val_sum,
+               CAST(2 AS BIGINT) AS n_sidecars,
+               CAST(1 AS BIGINT) AS gate_closed,
+               CAST(1 AS BIGINT) AS classic_absent,
+               CAST(1 AS BIGINT) AS sidecar_integrity,
+               CAST(1 AS BIGINT) AS parts_ok
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -87,6 +87,57 @@ object DeltaCheckpoint {
     Some(out.result())
   }
 
+  /** One v2 checkpoint-MANIFEST row (PROTOCOL.md "V2 Checkpoints"):
+    * exactly one group populated — protocol (with the reader
+    * features the table gates on), metaData, checkpointMetadata
+    * (the manifest's self-describing version), or one sidecar
+    * reference. Fields of absent groups are null / -1.
+    */
+  final case class V2Act(minReader: Long, readerFeaturesJson: String,
+                         metaId: String, ckptVersion: Long,
+                         sidecarPath: String, sidecarSize: Long)
+
+  /** Decode a v2 checkpoint manifest into its action rows. Same
+    * byte-level walk and totality posture as [[parse]].
+    */
+  def parseV2Manifest(b: Array[Byte]): Option[Vector[V2Act]] = {
+    val fm = Parquet.parseFooter(b).getOrElse(return None)
+    val levels = fm.leafLevels
+    val out = Vector.newBuilder[V2Act]
+    for (rg <- fm.rowGroups) {
+      if (rg.numRows < 0 || rg.numRows > MaxRows) return None
+      val n = rg.numRows.toInt
+      def cells(path: String): Option[(Parquet.ChunkCells, Int)] =
+        for {
+          c <- rg.cols.find(_.path == path)
+          dr <- levels.get(path)
+          cc <- Parquet.readChunkCells(b, c, dr._1, dr._2)
+        } yield (cc, dr._1)
+      def strCol(path: String): Option[Array[String]] =
+        cells(path).flatMap { case (cc, d) => scalarStrings(cc, d, n) }
+      def longCol(path: String): Option[Array[Long]] =
+        cells(path).flatMap { case (cc, d) => scalarLongs(cc, d, n) }
+      val minReader = longCol("protocol.minReaderVersion")
+        .getOrElse(return None)
+      val features = strCol("protocol.readerFeaturesJson")
+        .getOrElse(return None)
+      val metaId = strCol("metaData.id").getOrElse(return None)
+      val ckptVer = longCol("checkpointMetadata.version")
+        .getOrElse(return None)
+      val scPath = strCol("sidecar.path").getOrElse(return None)
+      val scSize = longCol("sidecar.sizeInBytes")
+        .getOrElse(return None)
+      var i = 0
+      while (i < n) {
+        out += V2Act(minReader(i), features(i), metaId(i),
+          ckptVer(i), scPath(i),
+          if (scPath(i) != null) scSize(i) else -1L)
+        i += 1
+      }
+    }
+    Some(out.result())
+  }
+
   /** One slot per row (rep must be 0 throughout); value where the
     * definition level reaches maxDef, null elsewhere. Present-value
     * accounting must tile exactly.

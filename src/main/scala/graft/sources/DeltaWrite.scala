@@ -226,6 +226,232 @@ object DeltaWrite {
       names(2) -> data(2), names(3) -> data(3))
   }
 
+  // ---- v2 checkpoints: manifest + sidecars (q370) ---------------------------
+
+  /** One v2-manifest action row for [[writeV2Manifest]] — exactly one
+    * group populated, the shape [[DeltaCheckpoint.parseV2Manifest]]
+    * reads back.
+    */
+  final case class V2ManAct(minReader: Long = -1L,
+                            readerFeaturesJson: String = null,
+                            metaId: String = null,
+                            ckptVersion: Long = -1L,
+                            sidecarPath: String = null,
+                            sidecarSize: Long = -1L)
+
+  /** Serialize a v2 checkpoint MANIFEST (PROTOCOL.md "V2
+    * Checkpoints"): protocol (minReaderVersion + the reader features
+    * the table gates on), metaData, checkpointMetadata (the
+    * manifest's own version — self-describing integrity), and one
+    * sidecar row per `_delta_log/_sidecars/` file, each carrying the
+    * byte size a reader must verify. Same nested-OPTIONAL-group
+    * layout discipline as [[writeCheckpoint]].
+    */
+  def writeV2Manifest(acts: Seq[V2ManAct]): Array[Byte] = {
+    require(acts.nonEmpty && acts.length <= (1 << 16))
+    val W = ParquetWrite
+    val fields = Seq(
+      W.Group("protocol", 1, Seq(
+        W.Leaf("minReaderVersion", 1, 2),
+        W.Leaf("readerFeaturesJson", 1, 6, convertedType = 0))),
+      W.Group("metaData", 1,
+        Seq(W.Leaf("id", 1, 6, convertedType = 0))),
+      W.Group("checkpointMetadata", 1,
+        Seq(W.Leaf("version", 1, 2))),
+      W.Group("sidecar", 1, Seq(
+        W.Leaf("path", 1, 6, convertedType = 0),
+        W.Leaf("sizeInBytes", 1, 2))))
+    W.writeFile(fields, Seq(
+      W.LeafData(acts.map(a => if (a.minReader >= 0) 2 else 0).toArray,
+        null, longs = acts.filter(_.minReader >= 0)
+          .map(_.minReader).toArray),
+      W.LeafData(acts.map(a =>
+        if (a.readerFeaturesJson != null) 2 else 0).toArray,
+        null, bins = acts.collect {
+          case a if a.readerFeaturesJson != null =>
+            a.readerFeaturesJson.getBytes(Utf8)
+        }.toArray),
+      W.LeafData(acts.map(a => if (a.metaId != null) 2 else 0).toArray,
+        null, bins = acts.collect {
+          case a if a.metaId != null => a.metaId.getBytes(Utf8)
+        }.toArray),
+      W.LeafData(acts.map(a => if (a.ckptVersion >= 0) 2 else 0)
+        .toArray, null, longs = acts.filter(_.ckptVersion >= 0)
+        .map(_.ckptVersion).toArray),
+      W.LeafData(acts.map(a => if (a.sidecarPath != null) 2 else 0)
+        .toArray, null, bins = acts.collect {
+          case a if a.sidecarPath != null =>
+            a.sidecarPath.getBytes(Utf8)
+        }.toArray),
+      W.LeafData(acts.map(a => if (a.sidecarPath != null) 2 else 0)
+        .toArray, null, longs = acts.filter(_.sidecarPath != null)
+        .map(_.sidecarSize).toArray)))
+  }
+
+  /** Deterministic pseudo-UUID (md5-derived, 8-4-4-4-12) for v2
+    * checkpoint / sidecar names — the UUID-named form the protocol
+    * prescribes, reproducible for the fixture discipline.
+    */
+  def uuidFor(seed: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes(Utf8)).map("%02x".format(_)).mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${
+      h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20)}"
+  }
+
+  /** The q370 bundle: the q314 table re-laid as a V2 CHECKPOINT —
+    * pre-checkpoint JSON fully vacuumed, state at version 1 held by
+    * a UUID-named manifest + two sidecars under
+    * `_delta_log/_sidecars/` (adds incl. partition values in one,
+    * the remove-B tombstone in the other), protocol gated on the
+    * v2Checkpoint reader feature, plus the surviving JSON tail
+    * (commit 2: remove A, add D). A classic-only reader must fail
+    * CLOSED on the gate; live view = {C, D}.
+    */
+  def writeTableWithV2Checkpoint(id: String, ids: Seq[Long])
+      : Map[String, Array[Byte]] = {
+    val parts = (0 to 3).map(x => ids.filter(d => (d / 6) % 4 == x))
+    val names = (0 to 3).map(x => s"part-$x.parquet")
+    val data = parts.map(p => ParquetWrite.writeInt64(
+      Seq("rec_id", "val"), p.map(d => Array(d, (d * 13) % 991))))
+    val sc1 = writeCheckpoint(Seq(
+      CkptAct(addPath = names(0), addSize = data(0).length.toLong,
+        addPart = "0"),
+      CkptAct(addPath = names(2), addSize = data(2).length.toLong,
+        addPart = "2")))
+    val sc2 = writeCheckpoint(Seq(CkptAct(removePath = names(1))))
+    val sc1Name = s"${uuidFor(s"$id-sc1")}.parquet"
+    val sc2Name = s"${uuidFor(s"$id-sc2")}.parquet"
+    val man = writeV2Manifest(Seq(
+      V2ManAct(minReader = 3L,
+        readerFeaturesJson = """["v2Checkpoint"]"""),
+      V2ManAct(metaId = id),
+      V2ManAct(ckptVersion = 1L),
+      V2ManAct(sidecarPath = sc1Name,
+        sidecarSize = sc1.length.toLong),
+      V2ManAct(sidecarPath = sc2Name,
+        sidecarSize = sc2.length.toLong)))
+    val c2 = Seq(removeAction(names(0)),
+      addActionPart(names(3), data(3).length.toLong, "3"))
+      .mkString("\n") + "\n"
+    Map(
+      f"_delta_log/${1L}%020d.checkpoint.${uuidFor(id)}.parquet" ->
+        man,
+      s"_delta_log/_sidecars/$sc1Name" -> sc1,
+      s"_delta_log/_sidecars/$sc2Name" -> sc2,
+      "_delta_log/_last_checkpoint" ->
+        (lastCheckpointJson(1L, 5L) + "\n").getBytes(Utf8),
+      "_delta_log/00000000000000000002.json" -> c2.getBytes(Utf8),
+      names(0) -> data(0), names(1) -> data(1),
+      names(2) -> data(2), names(3) -> data(3))
+  }
+
+  final case class V2State(liveAdds: Seq[(String, Long, String)],
+                           metaId: String, nSidecars: Int)
+
+  private val V2CkptRe =
+    "^_delta_log/(\\d{20})\\.checkpoint\\.[0-9a-f-]{36}\\.parquet$".r
+
+  /** Resolve table state from a V2 checkpoint: `_last_checkpoint` ->
+    * the UUID-named manifest at that version -> FEATURE GATE
+    * (protocol.minReaderVersion and readerFeatures must both be
+    * supported — a classic-only reader fails CLOSED here) ->
+    * checkpointMetadata.version must equal the named version ->
+    * sidecars (size-verified, then [[DeltaCheckpoint.parse]]) fold
+    * into base state -> JSON commits AFTER the checkpoint replay on
+    * top. Live adds as (path, size, partition). None on any gate,
+    * size, version, or byte failure.
+    */
+  def readStateV2(files: Map[String, Array[Byte]],
+                  maxReaderVersion: Long,
+                  features: Set[String]): Option[V2State] = {
+    import Json.{JArray, JLong, JObject, JString}
+    for {
+      lc <- files.get("_delta_log/_last_checkpoint")
+      j <- Json.parse(new String(lc, Utf8).trim)
+      o <- j match { case x: JObject => Some(x); case _ => None }
+      ver <- o.get("version").collect { case JLong(x) => x }
+      manName <- files.keys.toSeq.sorted.find {
+        case V2CkptRe(v) => v.toLong == ver
+        case _ => false
+      }
+      man <- files.get(manName)
+      acts <- DeltaCheckpoint.parseV2Manifest(man)
+      proto <- acts.find(_.minReader >= 0)
+      // the feature gate: both the version number and every named
+      // reader feature must be supported
+      if proto.minReader <= maxReaderVersion
+      featNames <- proto.readerFeaturesJson match {
+        case null => Some(Nil)
+        case fj => Json.parse(fj).collect {
+          case JArray(xs) => xs.collect { case JString(x) => x }
+        }
+      }
+      if featNames.forall(features.contains)
+      ckptVer <- acts.find(_.ckptVersion >= 0).map(_.ckptVersion)
+      if ckptVer == ver
+      metaId <- acts.find(_.metaId != null).map(_.metaId)
+      base <- {
+        val sidecars = acts.filter(_.sidecarPath != null)
+        val per = sidecars.map { sc =>
+          for {
+            b <- files.get(s"_delta_log/_sidecars/${sc.sidecarPath}")
+            if b.length.toLong == sc.sidecarSize
+            rows <- DeltaCheckpoint.parse(b)
+          } yield rows
+        }
+        if (per.exists(_.isEmpty) || sidecars.isEmpty) None
+        else Some((sidecars.length, per.flatMap(_.get)))
+      }
+    } yield {
+      val (nSidecars, rows) = base
+      val live = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, String)]
+      rows.foreach { a =>
+        if (a.addPath != null)
+          live(a.addPath) =
+            (a.addSize, a.addParts.getOrElse("part", null))
+        else if (a.removePath != null) live.remove(a.removePath)
+      }
+      // JSON tail strictly after the checkpoint version
+      files.keys.toSeq.collect {
+        case p @ CommitRe(v) if v.toLong > ver => (v.toLong, p)
+      }.sortBy(_._1).foreach { case (_, p) =>
+        new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+          .foreach { line =>
+            Json.parse(line) match {
+              case Some(ob: JObject) =>
+                ob.get("add") match {
+                  case Some(a: JObject) =>
+                    for {
+                      pa <- a.get("path").collect {
+                        case JString(x) => x }
+                      sz <- a.get("size").collect { case JLong(x) => x }
+                    } {
+                      val part = a.get("partitionValues").collect {
+                        case pv: JObject =>
+                          pv.get("part").collect {
+                            case JString(x) => x }
+                      }.flatten.orNull
+                      live(pa) = (sz, part)
+                    }
+                  case _ => ob.get("remove").foreach {
+                    case r: JObject => r.get("path").foreach {
+                      case JString(x) => live.remove(x)
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
+                }
+              case _ => ()
+            }
+          }
+      }
+      V2State(live.toSeq.map { case (p, (sz, part)) =>
+        (p, sz, part) }.sortBy(_._1), metaId, nSidecars)
+    }
+  }
+
   // ---- deletion-vector write (q340) ----------------------------------------
 
   /** Protocol action gated on the deletionVectors reader feature

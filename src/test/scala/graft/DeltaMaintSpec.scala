@@ -152,4 +152,49 @@ class DeltaMaintSpec extends AnyFunSuite {
     // physical names survive the rename (zero-rewrite contract)
     assert(c1.contains(ph0))
   }
+
+  test("v2 checkpoints (q370): manifest + sidecars resolve the " +
+    "vacuumed state, the JSON tail replays on top, and a " +
+    "classic-only reader fails CLOSED on the feature gate") {
+    val ids = (0L until 64L).map(_ * 6 + 2)
+    val files = DeltaWrite.writeTableWithV2Checkpoint("spec-v2", ids)
+    // no classic <v>.checkpoint.parquet exists on this layout
+    assert(!files.contains(
+      "_delta_log/00000000000000000001.checkpoint.parquet"))
+    val st = DeltaWrite.readStateV2(files, 3L, Set("v2Checkpoint"))
+      .getOrElse(fail("v2 read"))
+    assert(st.metaId == "spec-v2" && st.nSidecars == 2)
+    // live = {C from sidecar (partition preserved), D from the tail}
+    assert(st.liveAdds.map(_._1) ==
+      Seq("part-2.parquet", "part-3.parquet"))
+    assert(st.liveAdds.map(_._3) == Seq("2", "3"))
+    st.liveAdds.foreach { case (p, sz, _) =>
+      assert(files(p).length.toLong == sz)
+    }
+    // feature gate: insufficient reader version OR missing feature
+    assert(DeltaWrite.readStateV2(files, 1L, Set("v2Checkpoint"))
+      .isEmpty, "classic-only reader version must fail closed")
+    assert(DeltaWrite.readStateV2(files, 3L, Set.empty).isEmpty,
+      "reader without the v2Checkpoint feature must fail closed")
+    // sidecar integrity: a missing or size-mismatched sidecar closes
+    val scName = files.keys.find(_.startsWith("_delta_log/_sidecars/"))
+      .get
+    assert(DeltaWrite.readStateV2(files - scName, 3L,
+      Set("v2Checkpoint")).isEmpty)
+    val truncated = files + (scName -> files(scName).dropRight(1))
+    assert(DeltaWrite.readStateV2(truncated, 3L,
+      Set("v2Checkpoint")).isEmpty)
+    // self-describing version: a manifest claiming another version
+    // is refused
+    val manName = files.keys.find(_.contains(".checkpoint.")).get
+    val badMan = DeltaWrite.writeV2Manifest(Seq(
+      DeltaWrite.V2ManAct(minReader = 3L,
+        readerFeaturesJson = """["v2Checkpoint"]"""),
+      DeltaWrite.V2ManAct(metaId = "spec-v2"),
+      DeltaWrite.V2ManAct(ckptVersion = 2L),
+      DeltaWrite.V2ManAct(sidecarPath = scName.split("/").last,
+        sidecarSize = files(scName).length.toLong)))
+    assert(DeltaWrite.readStateV2(files + (manName -> badMan), 3L,
+      Set("v2Checkpoint")).isEmpty)
+  }
 }
