@@ -4683,6 +4683,110 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q371 — ORC COLUMN ENCRYPTION: the ORC twin of the parquet
+    // governance story (q353/q359) — the salary and name columns'
+    // streams (DATA, LENGTH, ROW_INDEX — all of them) ride AES/CTR
+    // under per-variant local keys wrapped by a master key, the
+    // plaintext footer and metadata carry MASKED statistics (no
+    // bounds: a pruning reader degrades to reading, never
+    // wrong-skips — q248's discipline without plaintext exposure),
+    // and the real statistics ride encrypted in the footer's
+    // encryption message. Laws pinned per blob: decrypt∘encrypt is
+    // the byte identity; the UNENCRYPTED rec_id column reads
+    // correctly from the ENCRYPTED bytes (additive metadata); masked
+    // stats expose no bounds while the plain file has them; a wrong
+    // master key fails CLOSED on the statistics key-check; a flipped
+    // stream byte decrypts silently different (the CTR trade, as the
+    // spec defines the mode). Sums re-derive in DuckDB.
+    "q371_orc_column_encryption" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.OrcWrite
+            val C = graft.sources.OrcCrypto
+            val O = graft.sources.Orc
+            val ids = it.map(_._2).toSeq.sorted
+            def sal(d: Long): Long = (d * 31) % 1009
+            val master = java.security.MessageDigest
+              .getInstance("MD5")
+              .digest(s"orcenc:$t:${ids.mkString(",")}"
+                .getBytes("UTF-8"))
+            val plain = W.writeTable(Seq(
+              W.OLongCol("rec_id", ids.map(Some(_))),
+              W.OLongCol("salary", ids.map(d => Some(sal(d)))),
+              W.OStringCol("name",
+                ids.map(d => Some(s"u-${d % 7}")))),
+              compression = 0, rowIndexStride = 64)
+            val res = for {
+              enc <- C.encryptFile(plain, master, "pii", Set(2, 3),
+                deterministic = true)
+              back <- C.decryptFile(enc, master)
+              te <- O.parseTail(enc)
+              tp <- O.parseTail(plain)
+              tb <- O.parseTail(back)
+              encIds <- O.stripeColumnLongs(enc, te,
+                te.stripes.head, 1)
+              sals <- O.stripeColumnLongs(back, tb,
+                tb.stripes.head, 2)
+            } yield {
+              val identityOk = java.util.Arrays.equals(back, plain)
+              val unencReadable = encIds.toSeq == ids
+              val maskedOk = te.stats(2).intMin.isEmpty &&
+                te.stats(2).intMax.isEmpty &&
+                tp.stats(2).intMin.nonEmpty &&
+                te.stripeStats.head(2).intMin.isEmpty &&
+                te.stats(1) == tp.stats(1)
+              val wrongKeyClosed =
+                C.decryptFile(enc, master.reverse).isEmpty
+              val tamperSilent = {
+                val sf = O.parseStripeFooter(enc, te,
+                  te.stripes.head).get
+                var pos = te.stripes.head.offset
+                var at = -1L
+                sf.streams.foreach { st =>
+                  if (st.column == 2 && st.kind == 1 && at < 0)
+                    at = pos + st.length / 2
+                  pos += st.length
+                }
+                val x = enc.clone()
+                x(at.toInt) = (x(at.toInt) ^ 0x01).toByte
+                C.decryptFile(x, master)
+                  .exists(!java.util.Arrays.equals(_, plain))
+              }
+              (t, ids.length.toLong, ids.sum, sals.sum,
+                if (identityOk) 1L else 0L,
+                if (unencReadable) 1L else 0L,
+                if (maskedOk) 1L else 0L,
+                if (wrongKeyClosed) 1L else 0L,
+                if (tamperSilent) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "salary_sum",
+            "identity_ok", "unenc_readable", "masked_ok",
+            "wrong_key_closed", "tamper_silent")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id * 31) % 1009 AS sal
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(sal) AS BIGINT) AS salary_sum,
+               CAST(1 AS BIGINT) AS identity_ok,
+               CAST(1 AS BIGINT) AS unenc_readable,
+               CAST(1 AS BIGINT) AS masked_ok,
+               CAST(1 AS BIGINT) AS wrong_key_closed,
+               CAST(1 AS BIGINT) AS tamper_silent
+        FROM r GROUP BY blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO
