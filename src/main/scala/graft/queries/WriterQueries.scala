@@ -4787,6 +4787,137 @@ object WriterQueries {
         FROM r GROUP BY blob_id"""),
       headline = false),
 
+    // q373 — Avro SINGLE-OBJECT ENCODING: the per-record wire form
+    // (C3 01 ‖ LE64 CRC-64-AVRO fingerprint of the writer schema's
+    // Parsing Canonical Form ‖ bare datum) that schema-registry
+    // pipelines move events in — the transport twin of q366's
+    // container evolution. Per blob: records written under TWO
+    // writer versions (v1: int amount + a legacy tag; v2: long
+    // amount + source) are decoded through a fingerprint registry
+    // under ONE evolved reader — v1 amounts promote int->long, v1's
+    // tag is skipped, v1's source takes the reader default, and the
+    // fingerprints themselves are re-derived by Apache Avro's
+    // SchemaNormalization in the same task (apache_fp_ok). A
+    // registry miss and a flipped marker fail CLOSED. Sums re-derive
+    // in DuckDB by generation parity.
+    "q373_avro_single_object" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val G = graft.sources.AvroGeneric
+            val SO = graft.sources.AvroSingleObject
+            val ids = it.map(_._2).toSeq.sorted
+            def amt(d: Long): Long = (d * 11) % 501
+            val v1 =
+              """{"type":"record","name":"ev","fields":[
+                |{"name":"id","type":"long"},
+                |{"name":"amount","type":"int"},
+                |{"name":"tag","type":"string"}
+                |]}""".stripMargin.replaceAll("\n", "")
+            val v2 =
+              """{"type":"record","name":"ev","fields":[
+                |{"name":"id","type":"long"},
+                |{"name":"amount","type":"long"},
+                |{"name":"source","type":"string","default":"s2"}
+                |]}""".stripMargin.replaceAll("\n", "")
+            val reader =
+              """{"type":"record","name":"ev","fields":[
+                |{"name":"id","type":"long"},
+                |{"name":"amount","type":"long"},
+                |{"name":"source","type":"string","default":"v1"}
+                |]}""".stripMargin.replaceAll("\n", "")
+            val res = for {
+              fp1 <- SO.fingerprint(v1)
+              fp2 <- SO.fingerprint(v2)
+              registry = Map(fp1 -> v1, fp2 -> v2)
+              msgs <- {
+                val ms = ids.map { d =>
+                  if ((d / 6) % 2 == 0)
+                    SO.write(v1, G.VRecord(Vector(
+                      "id" -> G.VLong(d),
+                      "amount" -> G.VLong(amt(d)),
+                      "tag" -> G.VString("t" + (d % 3)))))
+                  else
+                    SO.write(v2, G.VRecord(Vector(
+                      "id" -> G.VLong(d),
+                      "amount" -> G.VLong(amt(d) + (1L << 40)),
+                      "source" -> G.VString("k2"))))
+                }
+                if (ms.exists(_.isEmpty)) None
+                else Some(ms.map(_.get))
+              }
+              decoded <- {
+                val ds = msgs.map(SO.read(_, registry, reader))
+                if (ds.exists(_.isEmpty)) None
+                else Some(ds.map(_.get))
+              }
+            } yield {
+              val apacheFpOk = try {
+                import org.apache.avro.{Schema, SchemaNormalization}
+                SchemaNormalization.parsingFingerprint64(
+                  new Schema.Parser().parse(v1)) == fp1 &&
+                  SchemaNormalization.parsingFingerprint64(
+                    new Schema.Parser().parse(v2)) == fp2
+              } catch { case _: Exception => false }
+              val closedOk =
+                SO.read(msgs.head, registry - fp1, reader).isEmpty && {
+                  val x = msgs.head.clone(); x(0) = 0x00
+                  SO.read(x, registry, reader).isEmpty
+                }
+              var n1 = 0L; var n2 = 0L; var amountSum = 0L
+              var idSum = 0L; var nDefSrc = 0L
+              var rowsOk = true
+              decoded.foreach { r =>
+                val row = for {
+                  id <- r.field("id").flatMap(_.asLong)
+                  a <- r.field("amount").flatMap(_.asLong)
+                  src <- r.field("source").flatMap(_.asString)
+                } yield {
+                  idSum += id; amountSum += a
+                  if (src == "v1") { n1 += 1; nDefSrc += 1 }
+                  else n2 += 1
+                }
+                if (row.isEmpty) rowsOk = false
+              }
+              if (!rowsOk) Nil
+              else Seq((t, decoded.length.toLong, n1, n2, idSum,
+                amountSum, nDefSrc,
+                if (apacheFpOk) 1L else 0L,
+                if (closedOk) 1L else 0L))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("blob_id", "n_msgs", "n_v1", "n_v2", "id_sum",
+            "amount_sum", "n_default_source", "apache_fp_ok",
+            "closed_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS gen2,
+                 (doc_id * 11) % 501 AS amt
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_msgs,
+               CAST(sum(CASE WHEN gen2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_v1,
+               CAST(sum(CASE WHEN gen2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_v2,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(amt) + 1099511627776 *
+                 sum(CASE WHEN gen2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS amount_sum,
+               CAST(sum(CASE WHEN gen2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_default_source,
+               CAST(1 AS BIGINT) AS apache_fp_ok,
+               CAST(1 AS BIGINT) AS closed_ok
+        FROM r GROUP BY blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO
