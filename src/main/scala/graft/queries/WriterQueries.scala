@@ -4918,6 +4918,130 @@ object WriterQueries {
         FROM r GROUP BY blob_id"""),
       headline = false),
 
+    // q374 — Hudi MDT COLUMN_STATS partition: q368 made file LISTING
+    // engine-owned; this makes file PRUNING engine-owned — per-file
+    // min/max/count per column, PROVEN by decoding the data through
+    // the own parquet reader at sync time, stored as type-3 records
+    // in `.hoodie/metadata/column_stats/`, and consulted by the
+    // planner INSTEAD of opening footers (at 100 TB, stats-in-MDT is
+    // what makes predicate planning O(metadata)). Laws: the pruned
+    // plan keeps exactly the files whose [min,max] intersects the
+    // predicate; pruned+filter ≡ full+filter row-for-row (a wrong
+    // skip is data loss); a column with NO stats prunes nothing
+    // (conservative); the stats themselves re-derive from the rows.
+    "q374_hudi_mdt_column_stats" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val M = graft.sources.HudiMdt
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 13) % 1200
+            val t1 = "00000000000001"
+            val buckets = (0 to 2).map(b =>
+              b -> ids.filter(d => v(d) / 400 == b))
+              .filter(_._2.nonEmpty)
+            val names = buckets.map { case (b, _) =>
+              b -> s"p/r$b-0-0_0-0-0_$t1.parquet" }.toMap
+            val data = buckets.map { case (b, p) =>
+              names(b) -> graft.sources.ParquetWrite.writeInt64(
+                Seq("rec_id", "val"), p.map(d => Array(d, v(d))))
+            }.toMap
+            val commit = W.commitJson(buckets.map { case (b, p) =>
+              (s"r$b-0-0", names(b), p.length.toLong) })
+            val files = Map(s".hoodie/$t1.commit" ->
+              commit.getBytes("UTF-8")) ++ data
+            val res = for {
+              mdt <- M.sync(files)
+              cs <- M.syncColumnStats(files, Seq("rec_id", "val"))
+              table = files ++ mdt ++ cs
+              full <- M.planFromMdt(table)
+              pruned <- M.prunePlan(table, "val", 100L, 250L)
+              noStats <- M.prunePlan(table, "nope", 100L, 250L)
+              stats <- M.colStatsListing(table)
+              scanned <- {
+                def scan(plan: Seq[String]) = {
+                  val per = plan.map { p =>
+                    for {
+                      b <- table.get(p)
+                      rs <- P.columnLongs(b, "rec_id")
+                      vs <- P.columnLongs(b, "val")
+                      if rs.length == vs.length
+                    } yield rs.zip(vs).toSeq
+                      .filter(r => r._2 >= 100 && r._2 <= 250)
+                  }
+                  if (per.exists(_.isEmpty)) None
+                  else Some(per.flatMap(_.get).sortBy(_._1))
+                }
+                for {
+                  a <- scan(pruned)
+                  b <- scan(full)
+                } yield (a, b)
+              }
+            } yield {
+              val (prunedRows, fullRows) = scanned
+              val expectPruned = buckets.collect {
+                case (b, p)
+                  if p.map(v).max >= 100 && p.map(v).min <= 250 =>
+                  names(b)
+              }.sorted
+              val pruneExact = pruned == expectPruned
+              val noWrongSkip = prunedRows == fullRows
+              val conservative = noStats == full
+              val statsProven = buckets.forall { case (b, p) =>
+                stats.get((names(b), "val")).contains(
+                  (p.map(v).min, p.map(v).max, p.length.toLong))
+              }
+              (t, prunedRows.length.toLong,
+                prunedRows.map(_._1).sum, prunedRows.map(_._2).sum,
+                full.length.toLong, pruned.length.toLong,
+                if (pruneExact) 1L else 0L,
+                if (noWrongSkip) 1L else 0L,
+                if (conservative) 1L else 0L,
+                if (statsProven) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("blob_id", "n_match", "filt_id_sum", "filt_val_sum",
+            "n_files_full", "n_files_pruned", "prune_exact",
+            "no_wrong_skip", "conservative_ok", "stats_proven")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id * 13) % 1200 AS v
+          FROM documents),
+        f AS (
+          SELECT blob_id, v // 400 AS b, min(v) AS mn, max(v) AS mx
+          FROM r GROUP BY 1, 2),
+        fc AS (
+          SELECT blob_id, CAST(count(*) AS BIGINT) AS n_files_full,
+                 CAST(sum(CASE WHEN mx >= 100 AND mn <= 250
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_files_pruned
+          FROM f GROUP BY blob_id),
+        ag AS (
+          SELECT blob_id,
+                 CAST(sum(CASE WHEN v BETWEEN 100 AND 250
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+                 CAST(sum(CASE WHEN v BETWEEN 100 AND 250
+                   THEN d ELSE 0 END) AS BIGINT) AS filt_id_sum,
+                 CAST(sum(CASE WHEN v BETWEEN 100 AND 250
+                   THEN v ELSE 0 END) AS BIGINT) AS filt_val_sum
+          FROM r GROUP BY blob_id)
+        SELECT fc.blob_id, ag.n_match, ag.filt_id_sum,
+               ag.filt_val_sum, fc.n_files_full, fc.n_files_pruned,
+               CAST(1 AS BIGINT) AS prune_exact,
+               CAST(1 AS BIGINT) AS no_wrong_skip,
+               CAST(1 AS BIGINT) AS conservative_ok,
+               CAST(1 AS BIGINT) AS stats_proven
+        FROM fc JOIN ag ON fc.blob_id = ag.blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

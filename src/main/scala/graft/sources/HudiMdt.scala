@@ -256,6 +256,143 @@ object HudiMdt {
     }
   }
 
+  // ---- column_stats partition (q374) ----------------------------------------
+
+  /** Reduced-but-shaped column-stats record (type 3): per (file,
+    * column) min/max/valueCount — what lets a planner PRUNE files
+    * from the MDT alone, without opening a single footer.
+    */
+  val ColStatsSchema: String =
+    """{"type":"record","name":"HoodieMetadataRecord","fields":[{"name":"key","type":"string"},{"name":"type","type":"int"},{"name":"columnStats","type":{"type":"record","name":"HoodieMetadataColumnStats","fields":[{"name":"fileName","type":"string"},{"name":"columnName","type":"string"},{"name":"minValue","type":"long"},{"name":"maxValue","type":"long"},{"name":"valueCount","type":"long"}]}}]}"""
+
+  private lazy val colStatsSchema =
+    AvroGeneric.parseSchema(ColStatsSchema).get
+
+  /** The column_stats partition's log file. */
+  val ColStatsLogPath =
+    ".hoodie/metadata/column_stats/.col-stats-0000_00000000000000.log.1_0-0-0"
+
+  private def colStatsRecord(partition: String, fileName: String,
+                             column: String, mn: Long, mx: Long,
+                             cnt: Long): Array[Byte] = {
+    val v: V = VRecord(Vector(
+      "key" -> VString(s"$partition/$fileName/$column"),
+      "type" -> VLong(3L),
+      "columnStats" -> VRecord(Vector(
+        "fileName" -> VString(fileName),
+        "columnName" -> VString(column),
+        "minValue" -> VLong(mn),
+        "maxValue" -> VLong(mx),
+        "valueCount" -> VLong(cnt)))))
+    val out = new java.io.ByteArrayOutputStream()
+    AvroWrite.datum(out, v, colStatsSchema)
+    out.toByteArray
+  }
+
+  /** Bootstrap the column_stats partition: per completed data
+    * instant, one log block carrying min/max/count for every LONG
+    * column of every parquet file that instant added (decoded
+    * through the engine's own reader — the stats are PROVEN, not
+    * copied). Shares the MDT timeline with [[sync]]. None on any
+    * malformed instant or undecodable column.
+    */
+  def syncColumnStats(files: Map[String, Array[Byte]],
+                      cols: Seq[String])
+      : Option[Map[String, Array[Byte]]] = {
+    val instants = files.keys.toSeq.collect {
+      case DataTimelineRe(i, a) => (i, a)
+    }.sorted
+    val log = new java.io.ByteArrayOutputStream()
+    val out = Map.newBuilder[String, Array[Byte]]
+    var ok = true
+    instants.foreach { case (instant, action) =>
+      instantEntries(files, instant, action) match {
+        case Some(rows) =>
+          val recs = rows.filter(r => !r._4 &&
+            r._2.endsWith(".parquet")).flatMap {
+            case (part, name, _, _) =>
+              cols.map { c =>
+                files.get(s"$part/$name")
+                  .flatMap(Parquet.columnLongs(_, c)) match {
+                  case Some(vs) if vs.nonEmpty =>
+                    Some(colStatsRecord(part, name, c, vs.min,
+                      vs.max, vs.length.toLong))
+                  case _ => None
+                }
+              }
+          }
+          if (recs.exists(_.isEmpty)) ok = false
+          else if (recs.nonEmpty) {
+            val b = HudiLog.writeBlock(HudiLog.TypeAvroData,
+              Seq(HudiLog.HdrInstantTime -> instant,
+                HudiLog.HdrSchema -> ColStatsSchema),
+              HudiLog.dataContent(recs.map(_.get)))
+            log.write(b, 0, b.length)
+            out += mdtCommit(instant) -> "{}".getBytes("UTF-8")
+          }
+        case None => ok = false
+      }
+    }
+    if (!ok || instants.isEmpty) None
+    else Some((out += (ColStatsLogPath -> log.toByteArray)).result())
+  }
+
+  /** Replay the column_stats partition: (partition/fileName,
+    * column) -> (min, max, valueCount), last-wins per key over
+    * completed MDT instants.
+    */
+  def colStatsListing(files: Map[String, Array[Byte]])
+      : Option[Map[(String, String), (Long, Long, Long)]] = {
+    val completed = files.keys.collect {
+      case MdtTimelineRe(i) => i }.toSet
+    for {
+      logBytes <- files.get(ColStatsLogPath)
+      blocks <- HudiLog.parse(logBytes)
+      state <- {
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[(String, String), (Long, Long, Long)]
+        var ok = true
+        blocks.sortBy(_.instant).foreach { b =>
+          if (completed(b.instant) &&
+            b.blockType == HudiLog.TypeAvroData) {
+            b.records.foreach { r =>
+              val row = for {
+                cs <- r.field("columnStats")
+                fn <- cs.field("fileName").flatMap(_.asString)
+                cn <- cs.field("columnName").flatMap(_.asString)
+                mn <- cs.field("minValue").flatMap(_.asLong)
+                mx <- cs.field("maxValue").flatMap(_.asLong)
+                cnt <- cs.field("valueCount").flatMap(_.asLong)
+                key <- r.field("key").flatMap(_.asString)
+                slash = key.indexOf('/')
+                if slash > 0
+              } yield m((s"${key.take(slash)}/$fn", cn)) = (mn, mx, cnt)
+              if (row.isEmpty) ok = false
+            }
+          }
+        }
+        if (ok) Some(m.toMap) else None
+      }
+    } yield state
+  }
+
+  /** MDT-only PRUNED plan: the files-partition plan filtered by
+    * column_stats — keep a file when its [min, max] intersects
+    * [lo, hi], and keep it CONSERVATIVELY when it has no stats for
+    * the column (absent stats must never cause a wrong skip).
+    */
+  def prunePlan(files: Map[String, Array[Byte]], column: String,
+                lo: Long, hi: Long): Option[Seq[String]] =
+    for {
+      plan <- planFromMdt(files)
+      stats <- colStatsListing(files)
+    } yield plan.filter { p =>
+      stats.get((p, column)) match {
+        case Some((mn, mx, _)) => mx >= lo && mn <= hi
+        case None => true // conservative: no stats, must read
+      }
+    }
+
   /** The same planning rule from a raw storage listing — the
     * baseline the MDT plan must reproduce (and improve on by not
     * seeing orphans).

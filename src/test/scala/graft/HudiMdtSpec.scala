@@ -110,4 +110,62 @@ class HudiMdtSpec extends AnyFunSuite {
     val broken = files - "p/fg0_0-0-0_00000000000002.parquet"
     assert(HudiMdt.sync(broken).isEmpty)
   }
+
+  /** A three-file table whose files hold disjoint val ranges —
+    * the shape column-stats pruning exists for.
+    */
+  private def rangedTable(): (Map[String, Array[Byte]],
+      Seq[(Long, Long)]) = {
+    val rows = (0L until 120L).map(d => (d, (d * 13) % 1200))
+    val t1 = "00000000000001"
+    val parts = (0 to 2).map(b => rows.filter(_._2 / 400 == b))
+    val names = (0 to 2).map(b => s"p/r$b-0-0_0-0-0_$t1.parquet")
+    val data = parts.map(p => graft.sources.ParquetWrite.writeInt64(
+      Seq("rec_id", "val"), p.map(r => Array(r._1, r._2))))
+    val commit = HudiWrite.commitJson((0 to 2).map(b =>
+      (s"r$b-0-0", names(b), parts(b).length.toLong)))
+    val files = Map(s".hoodie/$t1.commit" -> commit.getBytes("UTF-8")) ++
+      (0 to 2).map(b => names(b) -> data(b))
+    (files, rows)
+  }
+
+  test("column_stats (q374): proven per-file min/max in the MDT, " +
+    "pruning keeps exactly the intersecting files, conservative on " +
+    "absent stats, and pruned+filter == full+filter") {
+    val (files, rows) = rangedTable()
+    val mdt = HudiMdt.sync(files).getOrElse(fail("sync"))
+    val cs = HudiMdt.syncColumnStats(files, Seq("rec_id", "val"))
+      .getOrElse(fail("colstats"))
+    val table = files ++ mdt ++ cs
+    val stats = HudiMdt.colStatsListing(table).getOrElse(fail("list"))
+    // stats are PROVEN: re-derive from the data
+    (0 to 2).foreach { b =>
+      val vals = rows.filter(_._2 / 400 == b).map(_._2)
+      val (mn, mx, cnt) = stats(
+        (s"p/r$b-0-0_0-0-0_00000000000001.parquet", "val"))
+      assert(mn == vals.min && mx == vals.max &&
+        cnt == vals.length.toLong)
+    }
+    // predicate val in [100, 250] hits only bucket 0
+    val pruned = HudiMdt.prunePlan(table, "val", 100L, 250L).get
+    assert(pruned == Seq("p/r0-0-0_0-0-0_00000000000001.parquet"))
+    // pruned + filter == full + filter (never a wrong skip)
+    def scan(plan: Seq[String]): Seq[(Long, Long)] = plan.flatMap { p =>
+      val b = table(p)
+      val rs = graft.sources.Parquet.columnLongs(b, "rec_id").get
+      val vs = graft.sources.Parquet.columnLongs(b, "val").get
+      rs.zip(vs).filter(r => r._2 >= 100 && r._2 <= 250)
+    }.sortBy(_._1)
+    val full = HudiMdt.planFromMdt(table).get
+    assert(scan(pruned) == scan(full))
+    assert(scan(pruned) ==
+      rows.filter(r => r._2 >= 100 && r._2 <= 250).sortBy(_._1))
+    // a column with no stats prunes NOTHING (conservative)
+    assert(HudiMdt.prunePlan(table, "nope", 100L, 250L).get == full)
+    // an uncommitted stats block is invisible to pruning decisions
+    val rogue = table + (HudiMdt.ColStatsLogPath ->
+      table(HudiMdt.ColStatsLogPath).dropRight(1))
+    assert(HudiMdt.colStatsListing(rogue).isEmpty,
+      "truncated stats log must fail closed")
+  }
 }
