@@ -5042,6 +5042,107 @@ object WriterQueries {
         FROM fc JOIN ag ON fc.blob_id = ag.blob_id"""),
       headline = false),
 
+    // q375 — Iceberg CHANGELOG SCAN: q369 emits appends; this is the
+    // full CDC primitive — INSERTS from append snapshots plus
+    // DELETES whose ROW VALUES are resolved by reading the v2
+    // position-delete files against their target data files (the
+    // operation Delta's CDF gives q282/q352 consumers, now on the
+    // Iceberg side). A four-snapshot history (append A, append B,
+    // position-DELETE of A's d%5==0 rows, append D) pins: the
+    // delete-only window emits ONLY deletes with the killed rows'
+    // values; carried-forward manifests never re-contribute; and the
+    // APPLY LAW holds at every boundary — scanMor(i) + changes ≡
+    // scanMor(i+1) as multisets — exactly what a downstream
+    // materialized view needs to stay consistent. Sums re-derive in
+    // DuckDB by generation and d%5.
+    "q375_iceberg_changelog_scan" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 29) % 997
+            val files = W.writeChangelogTable(s"tbl-$t", ids, v)
+            val meta = "v1.metadata.json"
+            def applyTo(base: Seq[(Long, Long)],
+                        cs: Seq[W.Change]): Seq[(Long, Long)] = {
+              val m = scala.collection.mutable
+                .Map.empty[(Long, Long), Int].withDefaultValue(0)
+              base.foreach(r => m(r) += 1)
+              cs.foreach { c =>
+                if (c.changeType == "INSERT")
+                  m((c.recId, c.value)) += 1
+                else m((c.recId, c.value)) -= 1
+              }
+              m.toSeq.flatMap { case (r, n) => Seq.fill(n)(r) }
+                .sorted
+            }
+            val res = for {
+              all <- W.changelogScan(files, meta, 1L, 4L)
+              delWin <- W.changelogScan(files, meta, 2L, 3L)
+              scans <- {
+                val ss = (1L to 4L).map(
+                  W.scanSnapshotMor(files, meta, _))
+                if (ss.exists(_.isEmpty)) None
+                else Some(ss.map(_.get))
+              }
+              steps <- {
+                val is = (1L to 3L).map(i =>
+                  W.changelogScan(files, meta, i, i + 1))
+                if (is.exists(_.isEmpty)) None
+                else Some(is.map(_.get))
+              }
+            } yield {
+              val foldOk = (0 until 3).forall { i =>
+                applyTo(scans(i), steps(i)) == scans(i + 1).sorted
+              }
+              val totalOk = applyTo(scans(0), all) == scans(3).sorted
+              val windowOk = delWin.nonEmpty &&
+                delWin.forall(_.changeType == "DELETE")
+              val ins = all.filter(_.changeType == "INSERT")
+              val del = all.filter(_.changeType == "DELETE")
+              (t, ins.length.toLong, del.length.toLong,
+                ins.map(_.value).sum, del.map(_.value).sum,
+                scans(3).length.toLong, scans(3).map(_._2).sum,
+                if (foldOk) 1L else 0L,
+                if (totalOk) 1L else 0L,
+                if (windowOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_inserts", "n_deletes", "ins_val_sum",
+            "del_val_sum", "n_final", "final_val_sum", "fold_ok",
+            "total_ok", "window_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4,
+                 (doc_id * 29) % 997 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(sum(CASE WHEN gen4 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_inserts,
+               CAST(sum(CASE WHEN gen4 = 0 AND d % 5 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+               CAST(sum(CASE WHEN gen4 <> 0 THEN v ELSE 0 END)
+                 AS BIGINT) AS ins_val_sum,
+               CAST(sum(CASE WHEN gen4 = 0 AND d % 5 = 0
+                 THEN v ELSE 0 END) AS BIGINT) AS del_val_sum,
+               CAST(sum(CASE WHEN gen4 <> 0 OR d % 5 <> 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+               CAST(sum(CASE WHEN gen4 <> 0 OR d % 5 <> 0
+                 THEN v ELSE 0 END) AS BIGINT) AS final_val_sum,
+               CAST(1 AS BIGINT) AS fold_ok,
+               CAST(1 AS BIGINT) AS total_ok,
+               CAST(1 AS BIGINT) AS window_ok
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

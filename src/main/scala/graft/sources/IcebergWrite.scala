@@ -959,6 +959,246 @@ object IcebergWrite {
       "data/c.parquet" -> fc, "data/d.parquet" -> fd)
   }
 
+  // ---- changelog scan (q375): incremental INSERTS + DELETES -----------------
+
+  final case class Change(changeType: String, sid: Long,
+                          recId: Long, value: Long)
+
+  /** A four-snapshot MoR history for the changelog: s1 appends A
+    * (gen 0), s2 appends B (gen 1), s3 is a row-level DELETE — a v2
+    * POSITION-delete file killing A's rows with d%5==0 (operation
+    * `delete`, content-1 manifest) — and s4 appends D (the rest).
+    * Real parquet throughout (val = vf(d)).
+    */
+  def writeChangelogTable(id: String, ids: Seq[Long],
+                          vf: Long => Long): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    def gen(d: Long): Long = (d / 6) % 4
+    val a = ids.filter(gen(_) == 0).sorted
+    val b = ids.filter(gen(_) == 1).sorted
+    val dd = ids.filter(gen(_) >= 2).sorted
+    def pq(xs: Seq[Long]): Array[Byte] =
+      ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        xs.map(d => Array(d, vf(d))))
+    val (fa, fb, fd) = (pq(a), pq(b), pq(dd))
+    val W = ParquetWrite
+    val pdPos = a.zipWithIndex.collect {
+      case (d, i) if d % 5 == 0 => i.toLong
+    }
+    val pd = W.writeFile(
+      Seq(W.Leaf("file_path", 0, 6, convertedType = 0),
+        W.Leaf("pos", 0, 2)),
+      Seq(W.LeafData(Array.fill(pdPos.length)(0), null,
+        bins = Array.fill(pdPos.length)("data/a.parquet"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+        W.LeafData(Array.fill(pdPos.length)(0), null,
+          longs = pdPos.toArray)))
+    val mA = container(EntrySchemaMor, Seq(entryMor(1, 1L, 0,
+      "data/a.parquet", a.length.toLong, fa.length.toLong)), sync)
+    val mB = container(EntrySchemaMor, Seq(entryMor(1, 2L, 0,
+      "data/b.parquet", b.length.toLong, fb.length.toLong)), sync)
+    val mD = container(EntrySchemaMor, Seq(entryMor(1, 3L, 1,
+      "pd-3.parquet", pdPos.length.toLong, pd.length.toLong)), sync)
+    val mE = container(EntrySchemaMor, Seq(entryMor(1, 4L, 0,
+      "data/d.parquet", dd.length.toLong, fd.length.toLong)), sync)
+    def row(p: String, m: Array[Byte], content: Int, seq: Long,
+            rows: Long) =
+      manifestFileRowMor(p, m.length.toLong, content, seq, 1L, 0L,
+        rows, 0L)
+    val l1 = container(ListSchemaMor, Seq(
+      row("m-a.avro", mA, 0, 1L, a.length.toLong)), sync)
+    val l2 = container(ListSchemaMor, Seq(
+      row("m-a.avro", mA, 0, 1L, a.length.toLong),
+      row("m-b.avro", mB, 0, 2L, b.length.toLong)), sync)
+    val l3 = container(ListSchemaMor, Seq(
+      row("m-a.avro", mA, 0, 1L, a.length.toLong),
+      row("m-b.avro", mB, 0, 2L, b.length.toLong),
+      row("m-d.avro", mD, 1, 3L, pdPos.length.toLong)), sync)
+    val l4 = container(ListSchemaMor, Seq(
+      row("m-a.avro", mA, 0, 1L, a.length.toLong),
+      row("m-b.avro", mB, 0, 2L, b.length.toLong),
+      row("m-d.avro", mD, 1, 3L, pdPos.length.toLong),
+      row("m-e.avro", mE, 0, 4L, dd.length.toLong)), sync)
+    val t0 = 1700000000000L
+    val meta = s"""{"current-snapshot-id": 4, "format-version": 2, "snapshots": [${
+      Seq(snapshotJsonOp(1L, 1L, t0, "snap-1.avro", "append"),
+        snapshotJsonOp(2L, 2L, t0 + 1000, "snap-2.avro", "append"),
+        snapshotJsonOp(3L, 3L, t0 + 2000, "snap-3.avro", "delete"),
+        snapshotJsonOp(4L, 4L, t0 + 3000, "snap-4.avro", "append"))
+        .mkString(", ")
+    }], "table-uuid": "$id"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Map("v1.metadata.json" -> meta,
+      "snap-1.avro" -> l1, "snap-2.avro" -> l2,
+      "snap-3.avro" -> l3, "snap-4.avro" -> l4,
+      "m-a.avro" -> mA, "m-b.avro" -> mB, "m-d.avro" -> mD,
+      "m-e.avro" -> mE, "pd-3.parquet" -> pd,
+      "data/a.parquet" -> fa, "data/b.parquet" -> fb,
+      "data/d.parquet" -> fd)
+  }
+
+  private def morEntries(files: Map[String, Array[Byte]],
+                         manifest: String)
+      : Option[Seq[(Long, Long, Int, String)]] =
+    files.get(manifest).flatMap(AvroGeneric.parseContainer).flatMap {
+      m =>
+        val es = m.records.map { e =>
+          for {
+            st <- e.field("status").flatMap(_.asLong)
+            seq <- e.field("sequence_number").flatMap(_.asLong)
+            df <- e.field("data_file")
+            content <- df.field("content").flatMap(_.asLong)
+            p <- df.field("file_path").flatMap(_.asString)
+          } yield (st, seq, content.toInt, p)
+        }
+        if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
+    }
+
+  /** Position-delete resolution: (target path -> dead positions),
+    * read through the own parquet reader.
+    */
+  private def deadPositions(files: Map[String, Array[Byte]],
+                            pdPath: String)
+      : Option[Map[String, Set[Long]]] =
+    for {
+      b <- files.get(pdPath)
+      paths <- Parquet.columnStrings(b, "file_path")
+      pos <- Parquet.columnLongs(b, "pos")
+      if paths.length == pos.length
+    } yield paths.zip(pos).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+
+  /** MoR-aware snapshot scan: data entries (content 0) minus the
+    * rows position-delete files (content 1) kill — a delete applies
+    * to data at sequence <= its own (the v2 rule for position
+    * deletes). None on any malformed byte.
+    */
+  def scanSnapshotMor(files: Map[String, Array[Byte]],
+                      metaName: String,
+                      sid: Long): Option[Seq[(Long, Long)]] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      snap <- snaps.find(_.sid == sid)
+      listBytes <- files.get(snap.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mps = list.records.flatMap(
+        _.field("manifest_path").flatMap(_.asString))
+      entries <- {
+        val per = mps.map(morEntries(files, _))
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatMap(_.get).filter(_._1 != 2L))
+      }
+      dead <- {
+        val pds = entries.filter(_._3 == 1).map { case (_, seq, _, p) =>
+          deadPositions(files, p).map(seq -> _)
+        }
+        if (pds.exists(_.isEmpty)) None else Some(pds.map(_.get))
+      }
+      rows <- {
+        val per = entries.filter(_._3 == 0).map {
+          case (_, dseq, _, p) =>
+            for {
+              db <- files.get(p)
+              rs <- Parquet.columnLongs(db, "rec_id")
+              vs <- Parquet.columnLongs(db, "val")
+              if rs.length == vs.length
+            } yield {
+              val killed = dead.collect {
+                case (pseq, m) if pseq >= dseq =>
+                  m.getOrElse(p, Set.empty[Long])
+              }.foldLeft(Set.empty[Long])(_ ++ _)
+              rs.zip(vs).zipWithIndex.collect {
+                case (r, i) if !killed.contains(i.toLong) => r
+              }.toSeq
+            }
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
+      }
+    } yield rows
+
+  /** The CHANGELOG between two snapshots: per snapshot in (from, to]
+    * by sequence, an `append` emits INSERT changes from the
+    * manifests it added; a `delete`/`overwrite` emits DELETE changes
+    * carrying the KILLED ROWS' VALUES, resolved by reading its
+    * position-delete files against their target data files. Carried-
+    * forward manifests never re-contribute. Applying the changelog
+    * to scan(from) yields scan(to) — the apply law q375 pins at
+    * every boundary. None on unknown ids or any malformed byte.
+    */
+  def changelogScan(files: Map[String, Array[Byte]],
+                    metaName: String, fromSid: Long,
+                    toSid: Long): Option[Seq[Change]] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      from <- snaps.find(_.sid == fromSid)
+      to <- snaps.find(_.sid == toSid)
+      if from.seq <= to.seq
+      ordered = snaps.sortBy(_.seq)
+      listPaths <- {
+        val ls = ordered.map { sn =>
+          files.get(sn.listPath)
+            .flatMap(AvroGeneric.parseContainer)
+            .map(l => sn -> l.records.flatMap(
+              _.field("manifest_path").flatMap(_.asString)))
+        }
+        if (ls.exists(_.isEmpty)) None else Some(ls.map(_.get))
+      }
+      changes <- {
+        val out = Seq.newBuilder[Change]
+        var ok = true
+        listPaths.filter { case (sn, _) =>
+          sn.seq > from.seq && sn.seq <= to.seq
+        }.foreach { case (sn, mps) =>
+          val prev = listPaths.takeWhile(_._1.seq < sn.seq)
+            .lastOption.map(_._2.toSet).getOrElse(Set.empty)
+          mps.filterNot(prev).foreach { mp =>
+            morEntries(files, mp) match {
+              case Some(es) => es.filter(_._1 == 1L).foreach {
+                case (_, _, 0, p) if sn.op == "append" =>
+                  (for {
+                    db <- files.get(p)
+                    rs <- Parquet.columnLongs(db, "rec_id")
+                    vs <- Parquet.columnLongs(db, "val")
+                    if rs.length == vs.length
+                  } yield rs.zip(vs)) match {
+                    case Some(rws) => rws.foreach(r =>
+                      out += Change("INSERT", sn.sid, r._1, r._2))
+                    case None => ok = false
+                  }
+                case (_, _, 1, p)
+                  if sn.op == "delete" || sn.op == "overwrite" =>
+                  deadPositions(files, p) match {
+                    case Some(dm) => dm.foreach { case (tp, poss) =>
+                      (for {
+                        db <- files.get(tp)
+                        rs <- Parquet.columnLongs(db, "rec_id")
+                        vs <- Parquet.columnLongs(db, "val")
+                        if rs.length == vs.length
+                      } yield rs.zip(vs)) match {
+                        case Some(rws) =>
+                          poss.toSeq.sorted.foreach { i =>
+                            if (i < 0 || i >= rws.length) ok = false
+                            else out += Change("DELETE", sn.sid,
+                              rws(i.toInt)._1, rws(i.toInt)._2)
+                          }
+                        case None => ok = false
+                      }
+                    }
+                    case None => ok = false
+                  }
+                case _ => ok = false // op/content mismatch: damage
+              }
+              case None => ok = false
+            }
+          }
+        }
+        if (ok) Some(out.result()) else None
+      }
+    } yield changes
+
   final case class ExpireResult(newMetaName: String,
                                 newMeta: Array[Byte],
                                 deleted: Seq[String], nExpired: Int,

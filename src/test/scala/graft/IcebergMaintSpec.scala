@@ -229,4 +229,50 @@ class IcebergMaintSpec extends AnyFunSuite {
       assert((a ++ step).sorted == b.sorted, s"fold at $i")
     }
   }
+
+  test("changelog scan (q375): inserts + position-delete rows with " +
+    "values, delete-only window, apply law at every boundary, " +
+    "fail closed on unknown ids") {
+    val W = IcebergWrite
+    val ids = (0L until 120L).map(_ * 6 + 4)
+    def v(d: Long): Long = d * 3 + 1
+    def gen(d: Long) = (d / 6) % 4
+    val files = W.writeChangelogTable("spec-cdc", ids, v)
+    val meta = "v1.metadata.json"
+    val all = W.changelogScan(files, meta, 1L, 4L).get
+    val ins = all.filter(_.changeType == "INSERT")
+    val del = all.filter(_.changeType == "DELETE")
+    assert(ins.map(c => (c.recId, c.value)).sorted ==
+      ids.filter(gen(_) != 0).sorted.map(d => (d, v(d))))
+    assert(del.map(c => (c.recId, c.value)).sorted ==
+      ids.filter(d => gen(d) == 0 && d % 5 == 0).sorted
+        .map(d => (d, v(d))),
+      "DELETE changes must carry the killed rows' VALUES")
+    assert(del.forall(_.sid == 3L))
+    // delete-only window
+    val win = W.changelogScan(files, meta, 2L, 3L).get
+    assert(win.nonEmpty && win.forall(_.changeType == "DELETE"))
+    // MoR scan respects the position deletes
+    val s4 = W.scanSnapshotMor(files, meta, 4L).get
+    assert(s4.sorted == ids.filter(d => gen(d) != 0 || d % 5 != 0)
+      .sorted.map(d => (d, v(d))))
+    // apply law at every boundary
+    def applyTo(base: Seq[(Long, Long)], cs: Seq[W.Change]) = {
+      val m = scala.collection.mutable.Map.empty[(Long, Long), Int]
+        .withDefaultValue(0)
+      base.foreach(r => m(r) += 1)
+      cs.foreach(c =>
+        m((c.recId, c.value)) += (if (c.changeType == "INSERT") 1
+        else -1))
+      m.toSeq.flatMap { case (r, n) => Seq.fill(n)(r) }.sorted
+    }
+    (1L to 3L).foreach { i =>
+      val a = W.scanSnapshotMor(files, meta, i).get
+      val step = W.changelogScan(files, meta, i, i + 1).get
+      val b = W.scanSnapshotMor(files, meta, i + 1).get
+      assert(applyTo(a, step) == b.sorted, s"apply law at $i")
+    }
+    assert(W.changelogScan(files, meta, 1L, 9L).isEmpty)
+    assert(W.changelogScan(files, meta, 9L, 4L).isEmpty)
+  }
 }
