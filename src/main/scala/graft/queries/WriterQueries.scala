@@ -5143,6 +5143,96 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q377 — Delta VERSION CHECKSUM (.crc): the per-commit state
+    // summary (numFiles, tableSizeBytes, numMetadata, numProtocol)
+    // delta-spark records beside each commit so a reader can
+    // validate its replay WITHOUT re-listing data — at 100 TB the
+    // cheap tripwire that catches a lost action, truncated commit,
+    // or rewritten add before it poisons a downstream job. Laws per
+    // blob: crc(v) matches an independent replay at both versions;
+    // tableSizeBytes equals the live files' ACTUAL byte sum; a
+    // tampered log (commit 1 loses its remove action) trips
+    // validation with the exact divergence (replay 3 vs crc 2); a
+    // missing crc fails closed. Live rows re-derive in DuckDB.
+    "q377_delta_version_checksum" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeTable(s"tbl-$t", ids)
+            val res = for {
+              crc0 <- W.writeCrc(files, 0L)
+              crc1 <- W.writeCrc(files, 1L)
+              table = files + crc0 + crc1
+              v0 <- W.validateCrc(table, 0L)
+              v1 <- W.validateCrc(table, 1L)
+              live <- W.replayLiveSized(table, 1L)
+              rows <- {
+                val per = live.keys.toSeq.sorted.map { p =>
+                  for {
+                    b <- table.get(p)
+                    rs <- P.columnLongs(b, "rec_id")
+                    vs <- P.columnLongs(b, "val")
+                    if rs.length == vs.length
+                  } yield rs.zip(vs).toSeq
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.flatMap(_.get))
+              }
+            } yield {
+              val sizeLaw = v1.crcSize == live.keys.toSeq.map(p =>
+                table(p).length.toLong).sum
+              val addOnly = new String(files(
+                "_delta_log/00000000000000000001.json"), "UTF-8")
+                .split("\n").filter(_.contains("\"add\""))
+                .mkString("", "\n", "\n")
+              val tampered = table +
+                ("_delta_log/00000000000000000001.json" ->
+                  addOnly.getBytes("UTF-8"))
+              val detected = W.validateCrc(tampered, 1L).exists(c =>
+                !c.ok && c.replayFiles == 3L && c.crcFiles == 2L)
+              val missingClosed = W.validateCrc(files, 1L).isEmpty
+              (t, v0.crcFiles, v1.crcFiles, rows.length.toLong,
+                rows.map(_._1).sum, rows.map(_._2).sum,
+                if (v0.ok && v1.ok) 1L else 0L,
+                if (sizeLaw) 1L else 0L,
+                if (detected) 1L else 0L,
+                if (missingClosed) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_files_v0", "n_files_v1", "n_live",
+            "id_sum", "val_sum", "valid_ok", "size_law_ok",
+            "tamper_detected", "missing_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS gen3,
+                 (doc_id * 11) % 1000 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(2 AS BIGINT) AS n_files_v0,
+               CAST(2 AS BIGINT) AS n_files_v1,
+               CAST(sum(CASE WHEN gen3 <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_live,
+               CAST(sum(CASE WHEN gen3 <> 1 THEN d ELSE 0 END)
+                 AS BIGINT) AS id_sum,
+               CAST(sum(CASE WHEN gen3 <> 1 THEN v ELSE 0 END)
+                 AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS valid_ok,
+               CAST(1 AS BIGINT) AS size_law_ok,
+               CAST(1 AS BIGINT) AS tamper_detected,
+               CAST(1 AS BIGINT) AS missing_closed
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

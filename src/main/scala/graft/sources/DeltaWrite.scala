@@ -571,6 +571,90 @@ object DeltaWrite {
     if (ok) Some((live.toSeq.sorted, commits.last._1)) else None
   }
 
+  // ---- version checksum files (q377) ----------------------------------------
+
+  /** Replay the JSON commits through `version` (inclusive) to the
+    * live (path -> declared size) state. None on malformed bytes or
+    * an unknown version.
+    */
+  def replayLiveSized(files: Map[String, Array[Byte]],
+                      version: Long): Option[Map[String, Long]] = {
+    import Json.{JLong, JObject, JString}
+    val commits = files.keys.toSeq.collect {
+      case p @ CommitRe(v) if v.toLong <= version => (v.toLong, p)
+    }.sortBy(_._1)
+    if (commits.isEmpty || commits.last._1 != version) return None
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, Long]
+    var ok = true
+    commits.foreach { case (_, p) =>
+      new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+        .foreach { line =>
+          Json.parse(line) match {
+            case Some(o: JObject) =>
+              o.get("add") match {
+                case Some(a: JObject) =>
+                  (a.get("path"), a.get("size")) match {
+                    case (Some(JString(x)), Some(JLong(sz))) =>
+                      live(x) = sz
+                    case _ => ok = false
+                  }
+                case _ => o.get("remove") match {
+                  case Some(r: JObject) => r.get("path") match {
+                    case Some(JString(x)) => live.remove(x)
+                    case _ => ok = false
+                  }
+                  case _ => () // protocol / metaData
+                }
+              }
+            case _ => ok = false
+          }
+        }
+    }
+    if (ok) Some(live.toMap) else None
+  }
+
+  /** `<version>.crc` — the per-commit VERSION CHECKSUM delta-spark
+    * records (public delta repo, VersionChecksum): a summary of the
+    * post-commit state {numFiles, numMetadata, numProtocol,
+    * tableSizeBytes} a reader validates its replay against without
+    * re-listing data. Canonical key order, derived from the engine's
+    * own replay.
+    */
+  def writeCrc(files: Map[String, Array[Byte]],
+               version: Long): Option[(String, Array[Byte])] =
+    replayLiveSized(files, version).map { live =>
+      val body =
+        s"""{"numFiles": ${live.size}, "numMetadata": 1, "numProtocol": 1, "tableSizeBytes": ${live.values.sum}}"""
+      (f"_delta_log/$version%020d.crc", body.getBytes(Utf8))
+    }
+
+  final case class CrcCheck(ok: Boolean, crcFiles: Long,
+                            crcSize: Long, replayFiles: Long,
+                            replaySize: Long)
+
+  /** Validate the stored `<version>.crc` against an INDEPENDENT
+    * replay of the log — the cheap corruption tripwire a reader runs
+    * before trusting a table (a lost action, a truncated commit, a
+    * re-written add all move numFiles/tableSizeBytes). None when the
+    * crc file is absent or unparseable; `ok=false` carries both
+    * sides for diagnosis.
+    */
+  def validateCrc(files: Map[String, Array[Byte]],
+                  version: Long): Option[CrcCheck] = {
+    import Json.{JLong, JObject}
+    for {
+      crcBytes <- files.get(f"_delta_log/$version%020d.crc")
+      j <- Json.parse(new String(crcBytes, Utf8).trim)
+      o <- j match { case x: JObject => Some(x); case _ => None }
+      nf <- o.get("numFiles").collect { case JLong(x) => x }
+      ts <- o.get("tableSizeBytes").collect { case JLong(x) => x }
+      live <- replayLiveSized(files, version)
+    } yield CrcCheck(
+      nf == live.size.toLong && ts == live.values.sum,
+      nf, ts, live.size.toLong, live.values.sum)
+  }
+
   final case class OptimizeResult(commitName: String,
                                   commit: Array[Byte],
                                   compactedName: String,

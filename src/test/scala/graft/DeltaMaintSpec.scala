@@ -197,4 +197,34 @@ class DeltaMaintSpec extends AnyFunSuite {
     assert(DeltaWrite.readStateV2(files + (manName -> badMan), 3L,
       Set("v2Checkpoint")).isEmpty)
   }
+
+  test("version checksum (q377): per-commit crc matches an " +
+    "independent replay, tableSizeBytes is the live-add sum, and a " +
+    "tampered log (lost remove) trips validation") {
+    val ids = (0L until 60L).map(_ * 6 + 3)
+    val files = DeltaWrite.writeTable("spec-crc", ids)
+    val (n0, c0) = DeltaWrite.writeCrc(files, 0L).getOrElse(fail("v0"))
+    val (n1, c1) = DeltaWrite.writeCrc(files, 1L).getOrElse(fail("v1"))
+    assert(n0 == "_delta_log/00000000000000000000.crc")
+    val t = files + (n0 -> c0) + (n1 -> c1)
+    val v0 = DeltaWrite.validateCrc(t, 0L).getOrElse(fail("val0"))
+    val v1 = DeltaWrite.validateCrc(t, 1L).getOrElse(fail("val1"))
+    assert(v0.ok && v0.crcFiles == 2L) // A + B
+    assert(v1.ok && v1.crcFiles == 2L) // A + C
+    // tableSizeBytes == sum of the live files' ACTUAL bytes
+    assert(v1.crcSize == files("part-A.parquet").length.toLong +
+      files("part-C.parquet").length.toLong)
+    // tamper: commit 1 loses its remove action — replay now claims
+    // 3 live files; the stored crc trips
+    val addOnly = new String(files(
+      "_delta_log/00000000000000000001.json"), "UTF-8")
+      .split("\n").filter(_.contains("\"add\"")).mkString("", "\n", "\n")
+    val tampered = t + ("_delta_log/00000000000000000001.json" ->
+      addOnly.getBytes("UTF-8"))
+    val bad = DeltaWrite.validateCrc(tampered, 1L).getOrElse(fail("bad"))
+    assert(!bad.ok && bad.replayFiles == 3L && bad.crcFiles == 2L)
+    // absent crc / unknown version fail closed
+    assert(DeltaWrite.validateCrc(files, 1L).isEmpty)
+    assert(DeltaWrite.writeCrc(files, 9L).isEmpty)
+  }
 }
