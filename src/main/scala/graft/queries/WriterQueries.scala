@@ -5233,6 +5233,98 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q378 — STREAMING CHANGELOG APPLY: the downstream half of q375
+    // — a materialized view maintained live from the CDC feed. Each
+    // micro-batch delivers ONE snapshot's changes (computed by the
+    // REAL changelog walk: inserts with values, position-delete rows
+    // with values), and a per-(table, key) mapGroupsWithState fold
+    // applies them in SNAPSHOT order, so the view converges to the
+    // final table state across batch boundaries — a DELETE landing
+    // in a later batch than its row's INSERT must kill it, never
+    // resurrect it. Drain ×2 from one checkpoint — replay emits
+    // nothing new. Final view (alive keys at per-key max n_changes)
+    // re-derives in DuckDB; n_changes_total pins that no change was
+    // lost or double-applied.
+    "q378_stream_changelog_apply" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val changes = docs.groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 29) % 997
+            val files = W.writeChangelogTable(s"tbl-$t", ids, v)
+            (1L to 3L).flatMap { i =>
+              W.changelogScan(files, "v1.metadata.json", i, i + 1)
+                .toSeq.flatten.map(c =>
+                  (t, i + 1, c.changeType, c.recId, c.value))
+            }
+          }
+          .toDF("table_id", "to_sid", "change_type", "rec_id", "val")
+        val dv = new StreamDeliveries("graft_q378_mv")
+        // snapshot 3 (deletes) lands in its own batch AFTER the
+        // inserts it kills; snapshot 4 after that
+        (2L to 4L).foreach { sid =>
+          dv.land(changes.filter(col("to_sid") === sid), s"s$sid",
+            1000000000000L + sid * 60000L)
+        }
+        val out = s"${dv.root}/out"; val chk = s"${dv.root}/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
+          val q = graft.streaming.StreamOps
+            .changelogApplyStream(stream)
+            .toDF()
+            .writeStream.outputMode("update")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], batchId: Long) =>
+                batch.write.mode("overwrite")
+                  .parquet(s"$out/batch=$batchId")
+            }
+            .option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: emits nothing
+        val snaps = s.read.parquet(out)
+        val latest = snaps.groupBy(col("table_id"), col("rec_id"))
+          .agg(max(col("n_changes")).as("n_changes"))
+        val view = snaps.join(latest,
+          Seq("table_id", "rec_id", "n_changes"))
+        view.groupBy(col("table_id"))
+          .agg(
+            sum(when(col("alive"), 1L).otherwise(0L)).cast("long")
+              .as("n_alive"),
+            sum(when(col("alive"), col("value")).otherwise(0L))
+              .cast("long").as("alive_val_sum"),
+            count(lit(1)).cast("long").as("n_keys_touched"),
+            sum(col("n_changes")).cast("long").as("n_changes_total"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4,
+                 (doc_id * 29) % 997 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(sum(CASE WHEN gen4 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_alive,
+               CAST(sum(CASE WHEN gen4 <> 0 THEN v ELSE 0 END)
+                 AS BIGINT) AS alive_val_sum,
+               CAST(sum(CASE WHEN gen4 <> 0 OR d % 5 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_touched,
+               CAST(sum(CASE WHEN gen4 <> 0 OR d % 5 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes_total
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

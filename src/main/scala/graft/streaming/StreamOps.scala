@@ -954,6 +954,48 @@ object StreamOps {
       }
   }
 
+  /** One (table, key) row of the maintained materialized view (the
+    * changelogApplyStream state/output).
+    */
+  case class MvRow(table_id: Long, rec_id: Long, value: Long,
+                   alive: Boolean, applied_sid: Long, n_changes: Long)
+
+  /** Streaming CHANGELOG APPLY — materialized-view maintenance over
+    * a CDC feed (q375's changes as snapshots commit): per
+    * (table, key), INSERT/DELETE changes fold in SNAPSHOT order
+    * (sid, never arrival order — a catch-up consumer can deliver
+    * batches late), and the key's current standing is emitted each
+    * batch it is touched. State per key is one small tuple;
+    * n_changes counts every change seen, so a state-losing engine is
+    * visible (the q256 discipline). Update mode; the view = per-key
+    * rows at max n_changes, filtered to alive.
+    */
+  def changelogApplyStream(changes: DataFrame): Dataset[MvRow] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.select(col("table_id").cast("long"),
+        col("rec_id").cast("long"), col("to_sid").cast("long"),
+        col("change_type").cast("string"), col("val").cast("long"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[(Long, Long, Boolean, Long), MvRow](
+        GroupStateTimeout.NoTimeout) {
+        case ((tbl, key), it, state) =>
+          var (sid, v, alive, n) =
+            state.getOption.getOrElse((-1L, 0L, false, 0L))
+          it.toSeq.sortBy(_._3).foreach { case (_, _, s, ct, vv) =>
+            n += 1
+            if (s > sid) {
+              sid = s
+              if (ct == "INSERT") { alive = true; v = vv }
+              else { alive = false; v = 0L }
+            }
+          }
+          state.update((sid, v, alive, n))
+          MvRow(tbl, key, v, alive, sid, n)
+      }
+  }
+
   /** One packer bucket's open bin (the packStream state). */
   case class PackerState(bin: Long, acc: Long)
 
