@@ -5325,6 +5325,96 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q379 — Avro SPLIT READS: the contract that makes a 100 TB Avro
+    // corpus PARALLEL-readable — the Hadoop/Spark input-split rule
+    // where a reader assigned [start, end) synchronizes to the first
+    // sync marker at-or-after start and claims exactly the blocks
+    // whose start lies in-range, so ANY partition of the byte range
+    // reads every record EXACTLY ONCE (a block straddling a boundary
+    // belongs to the split holding its start; a startless range
+    // reads empty, legitimately). Laws per blob: 4-way and 7-way
+    // byte partitions (boundaries landing mid-block, on sync bytes,
+    // in the header) each tile to the full read; out-of-range splits
+    // are empty; truncation inside a claimed block fails closed.
+    // Sums re-derive in DuckDB.
+    "q379_avro_split_read" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val G = graft.sources.AvroGeneric
+            val W = graft.sources.AvroWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 37) % 911
+            val schema =
+              """{"type":"record","name":"ev","fields":[
+                |{"name":"id","type":"long"},
+                |{"name":"val","type":"long"}
+                |]}""".stripMargin.replaceAll("\n", "")
+            val recs = ids.map(d => G.VRecord(Vector(
+              "id" -> G.VLong(d), "val" -> G.VLong(v(d)))))
+            val bytes = W.container(schema, recs, "null",
+              s"q379-$t", 8) // many small blocks: real split surface
+            val res = for {
+              full <- G.parseContainer(bytes)
+              tiled <- {
+                def tile(n: Int): Option[Seq[G.V]] = {
+                  val len = bytes.length.toLong
+                  val cuts = (0 to n).map(k => len * k / n)
+                  val per = cuts.sliding(2).toSeq.map {
+                    case Seq(a, b) => G.readSplit(bytes, a, b)
+                  }
+                  if (per.exists(_.isEmpty)) None
+                  else Some(per.flatMap(_.get))
+                }
+                for { a <- tile(4); b <- tile(7) } yield (a, b)
+              }
+            } yield {
+              val (t4, t7) = tiled
+              val tileOk = t4 == full.records && t7 == full.records
+              val emptyOk = G.readSplit(bytes,
+                bytes.length + 5L, bytes.length + 9L)
+                .exists(_.isEmpty)
+              val truncClosed = G.readSplit(bytes.dropRight(7), 0L,
+                bytes.length.toLong).isEmpty
+              var n = 0L; var idSum = 0L; var valSum = 0L
+              var rowsOk = true
+              t4.foreach { r =>
+                val row = for {
+                  id <- r.field("id").flatMap(_.asLong)
+                  vv <- r.field("val").flatMap(_.asLong)
+                } yield { n += 1; idSum += id; valSum += vv }
+                if (row.isEmpty) rowsOk = false
+              }
+              if (!rowsOk) Nil
+              else Seq((t, n, idSum, valSum,
+                if (tileOk) 1L else 0L,
+                if (emptyOk) 1L else 0L,
+                if (truncClosed) 1L else 0L))
+            }
+            res.toSeq.flatten
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "val_sum",
+            "tile_ok", "empty_ok", "trunc_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id * 37) % 911 AS v
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS tile_ok,
+               CAST(1 AS BIGINT) AS empty_ok,
+               CAST(1 AS BIGINT) AS trunc_closed
+        FROM r GROUP BY blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

