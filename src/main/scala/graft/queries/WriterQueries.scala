@@ -5415,6 +5415,104 @@ object WriterQueries {
         FROM r GROUP BY blob_id"""),
       headline = false),
 
+    // q380 — Parquet ROW-GROUP SPLIT reads: q379's law on the other
+    // format — parquet-mr/Spark assign a row group to the byte split
+    // containing its MIDPOINT (first chunk start + total compressed
+    // / 2), so ANY partition of the file's range claims every group
+    // exactly once with zero coordination — the contract a
+    // 1000-executor scan of one 100 TB table rests on. Per blob: an
+    // engine-written multi-row-group file (8 groups) is read through
+    // 3-way and 5-way byte partitions landing mid-group and
+    // mid-chunk; the claimed ordinals must tile {0..7} disjointly,
+    // per-split chunk-decoded sums must add to the whole-file sums,
+    // and out-of-range splits claim nothing. Sums re-derive in
+    // DuckDB.
+    "q380_parquet_rowgroup_split" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val P = graft.sources.Parquet
+            val W = graft.sources.ParquetWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 41) % 877
+            val nG = 8
+            val per = math.max(1, (ids.length + nG - 1) / nG)
+            val groups = ids.grouped(per).toSeq
+              .map(_.map(d => Array(d, v(d))))
+            val bytes = W.writeInt64RowGroups(Seq("rec_id", "val"),
+              groups)
+            val res = for {
+              fm <- P.parseFooter(bytes)
+              sums <- {
+                def rgSums(rgIdx: Seq[Int]) = {
+                  val per2 = rgIdx.map { i =>
+                    val rg = fm.rowGroups(i)
+                    val cs = rg.cols.map(c =>
+                      P.decodeChunk(bytes, c))
+                    if (cs.exists(_.isEmpty)) None
+                    else Some((cs.head.get.numValues,
+                      rg.cols.zip(cs.map(_.get)).map {
+                        case (c, d) => c.path -> d.longSum
+                      }.toMap))
+                  }
+                  if (per2.exists(_.isEmpty)) None
+                  else Some(per2.map(_.get))
+                }
+                def tile(n: Int) = {
+                  val len = bytes.length.toLong
+                  val cuts = (0 to n).map(k => len * k / n)
+                  val claimed = cuts.sliding(2).toSeq.map {
+                    case Seq(a, b) => P.splitRowGroups(fm, a, b)
+                  }
+                  val flat = claimed.flatten
+                  if (flat.sorted == fm.rowGroups.indices.toSeq)
+                    rgSums(flat).map(ss =>
+                      (ss.map(_._1).sum,
+                        ss.map(_._2("rec_id")).sum,
+                        ss.map(_._2("val")).sum))
+                  else None
+                }
+                for { a <- tile(3); b <- tile(5) } yield (a, b)
+              }
+            } yield {
+              val (t3, t5) = sums
+              val tileOk = t3 == t5
+              val emptyOk = P.splitRowGroups(fm,
+                bytes.length.toLong + 4, bytes.length.toLong + 9)
+                .isEmpty &&
+                P.splitRowGroups(fm, 0L, 4L).isEmpty
+              val nGroupsOk = fm.rowGroups.length == groups.length
+              (t, t3._1, t3._2, t3._3,
+                fm.rowGroups.length.toLong,
+                if (tileOk) 1L else 0L,
+                if (emptyOk) 1L else 0L,
+                if (nGroupsOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "val_sum",
+            "n_row_groups", "tile_ok", "empty_ok", "n_groups_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id * 41) % 877 AS v
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(8 AS BIGINT) AS n_row_groups,
+               CAST(1 AS BIGINT) AS tile_ok,
+               CAST(1 AS BIGINT) AS empty_ok,
+               CAST(1 AS BIGINT) AS n_groups_ok
+        FROM r GROUP BY blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

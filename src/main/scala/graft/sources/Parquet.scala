@@ -599,6 +599,26 @@ object Parquet {
   case class ChunkValues(numValues: Long, longSum: Long, doubleSum: Double,
                          binLenSum: Long, nPages: Int)
 
+  /** The parquet SPLIT rule (parquet-mr/Spark's
+    * `RowGroupFilter`/midpoint assignment): a row group belongs to
+    * the byte split [start, end) that contains its MIDPOINT —
+    * first chunk start + total compressed size / 2 — so ANY
+    * partition of the file's byte range assigns every row group to
+    * EXACTLY one split, and a 100 TB scan fans out without
+    * coordination. Returns the claimed row-group ordinals.
+    */
+  def splitRowGroups(fm: FileMeta, start: Long,
+                     end: Long): Seq[Int] =
+    fm.rowGroups.zipWithIndex.collect {
+      case (rg, i) if rg.cols.nonEmpty && {
+        val s = rg.cols.map(c =>
+          if (c.dictPageOffset >= 0) c.dictPageOffset
+          else c.dataPageOffset).min
+        val mid = s + rg.cols.map(_.totalCompressed).sum / 2
+        mid >= start && mid < end
+      } => i
+    }
+
   /** A page claiming more values than this routes away before any
     * allocation happens. Real writers flush pages around 1 MB / tens
     * of thousands of values; 2^24 is ~3 orders of magnitude above
