@@ -5513,6 +5513,134 @@ object WriterQueries {
         FROM r GROUP BY blob_id"""),
       headline = false),
 
+    // q381 — Delta OPTIMIZE ZORDER: the clustering twin of q339's
+    // bin-packing — rows re-sorted by the Morton interleave of
+    // (x, y) and re-split, so per-file (x, y) bounds become tight
+    // BOXES instead of full-range stripes. The q381 law MEASURES the
+    // point: a 2-D box predicate over the unclustered layout
+    // intersects (almost) every file's bounds, over the z-ordered
+    // layout only the files whose z-range meets the box — strictly
+    // fewer (z_prunes). Correctness laws ride along: the rewrite
+    // preserves rows exactly, scanning ONLY the bounds-hit files +
+    // filter equals the full filtered scan on BOTH layouts (a wrong
+    // skip is data loss), and the commit carries dataChange=false
+    // throughout (a CDF consumer sees zero new rows). Sums re-derive
+    // in DuckDB.
+    "q381_delta_zorder" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            def fx(d: Long): Long = (d * 7) % 256
+            def fy(d: Long): Long = (d * 13) % 256
+            def fv(d: Long): Long = (d * 17) % 769
+            val nF = 8
+            val per = math.max(1, (ids.length + nF - 1) / nF)
+            val parts = ids.grouped(per).toSeq
+            val names = parts.indices.map(i => s"part-u$i.parquet")
+            val data = parts.map(p => graft.sources.ParquetWrite
+              .writeInt64(Seq("rec_id", "x", "y", "val"),
+                p.map(d => Array(d, fx(d), fy(d), fv(d)))))
+            val c0 = (Seq(W.protocolAction,
+              W.metaDataAction(s"tbl-$t")) ++
+              names.zip(data).map { case (n, d) =>
+                W.addAction(n, d.length.toLong) })
+              .mkString("\n") + "\n"
+            val files = Map("_delta_log/00000000000000000000.json" ->
+              c0.getBytes("UTF-8")) ++ names.zip(data)
+            val (bLoX, bHiX, bLoY, bHiY) = (64L, 95L, 64L, 95L)
+            def decode(table: Map[String, Array[Byte]], p: String) =
+              for {
+                b <- table.get(p)
+                rs <- P.columnLongs(b, "rec_id")
+                xs <- P.columnLongs(b, "x")
+                ys <- P.columnLongs(b, "y")
+                vs <- P.columnLongs(b, "val")
+              } yield (0 until rs.length).map(i =>
+                (rs(i), xs(i), ys(i), vs(i)))
+            def boxScan(table: Map[String, Array[Byte]],
+                        live: Seq[String]) = {
+              val per2 = live.map(decode(table, _))
+              if (per2.exists(_.isEmpty)) None
+              else {
+                val byFile = live.zip(per2.map(_.get))
+                val hits = byFile.filter { case (_, rows) =>
+                  rows.nonEmpty &&
+                    rows.map(_._2).min <= bHiX &&
+                    rows.map(_._2).max >= bLoX &&
+                    rows.map(_._3).min <= bHiY &&
+                    rows.map(_._3).max >= bLoY
+                }
+                val hitRows = hits.flatMap(_._2).filter(r =>
+                  r._2 >= bLoX && r._2 <= bHiX &&
+                    r._3 >= bLoY && r._3 <= bHiY)
+                val allRows = byFile.flatMap(_._2).filter(r =>
+                  r._2 >= bLoX && r._2 <= bHiX &&
+                    r._3 >= bLoY && r._3 <= bHiY)
+                Some((hits.length, hitRows.sortBy(_._1),
+                  allRows.sortBy(_._1), byFile.flatMap(_._2)))
+              }
+            }
+            val res = for {
+              z <- W.optimizeZOrder(files, nF)
+              table = files ++ z.newFiles +
+                (z.commitName -> z.commit)
+              liveAfter <- W.replayLive(table).map(_._1)
+              linear <- boxScan(files, names)
+              zscan <- boxScan(table, liveAfter)
+            } yield {
+              val (hitsL, hitRowsL, allRowsL, fullL) = linear
+              val (hitsZ, hitRowsZ, allRowsZ, fullZ) = zscan
+              val zPrunes = hitsZ < hitsL
+              val noWrongSkip = hitRowsL == allRowsL &&
+                hitRowsZ == allRowsZ && allRowsL == allRowsZ
+              val rowsPreserved =
+                fullL.sortBy(_._1) == fullZ.sortBy(_._1) &&
+                  z.rows == fullL.length.toLong
+              val dcOk = !new String(z.commit, "UTF-8")
+                .contains("\"dataChange\": true")
+              (t, fullL.length.toLong, fullL.map(_._4).sum,
+                allRowsL.length.toLong, allRowsL.map(_._4).sum,
+                if (zPrunes) 1L else 0L,
+                if (noWrongSkip) 1L else 0L,
+                if (rowsPreserved) 1L else 0L,
+                if (dcOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("blob_id", "n_rows", "val_sum", "n_box_rows",
+            "box_val_sum", "z_prunes", "no_wrong_skip",
+            "rows_preserved", "datachange_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id * 7) % 256 AS x,
+                 (doc_id * 13) % 256 AS y,
+                 (doc_id * 17) % 769 AS v
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(sum(CASE WHEN x BETWEEN 64 AND 95 AND
+                 y BETWEEN 64 AND 95 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_box_rows,
+               CAST(sum(CASE WHEN x BETWEEN 64 AND 95 AND
+                 y BETWEEN 64 AND 95 THEN v ELSE 0 END) AS BIGINT)
+                 AS box_val_sum,
+               CAST(1 AS BIGINT) AS z_prunes,
+               CAST(1 AS BIGINT) AS no_wrong_skip,
+               CAST(1 AS BIGINT) AS rows_preserved,
+               CAST(1 AS BIGINT) AS datachange_ok
+        FROM r GROUP BY blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

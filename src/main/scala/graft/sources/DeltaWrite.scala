@@ -700,6 +700,82 @@ object DeltaWrite {
       }
     }
 
+  // ---- OPTIMIZE ZORDER (q381) ------------------------------------------------
+
+  /** Morton interleave of two `bits`-bit values: z-order's locality
+    * key — close (x, y) points get close z values, so sorting by z
+    * clusters BOTH dimensions into files at once (one sort column
+    * can only cluster one).
+    */
+  def zInterleave(x: Long, y: Long, bits: Int = 8): Long = {
+    require(bits >= 1 && bits <= 31)
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  final case class ZOrderResult(commitName: String,
+                                commit: Array[Byte],
+                                newFiles: Map[String, Array[Byte]],
+                                removed: Seq[String], rows: Long)
+
+  /** OPTIMIZE ZORDER BY (x, y) as a WRITE operation: replay the log
+    * to the live set, decode every live file through the own parquet
+    * reader (columns rec_id, x, y, val), SORT by the Morton
+    * interleave of (x, y), re-split into `nFiles` equal runs, and
+    * commit remove(live)+add(zfiles) with dataChange=false (a
+    * clustering rewrite rearranges, never changes, data — q339's
+    * discipline). The point at 100 TB: per-file (x, y) bounds become
+    * TIGHT BOXES instead of full-range stripes, so a 2-D box
+    * predicate prunes most files — the q381 law measures exactly
+    * that against the unclustered layout. None on any malformed
+    * byte.
+    */
+  def optimizeZOrder(files: Map[String, Array[Byte]],
+                     nFiles: Int): Option[ZOrderResult] =
+    replayLive(files).flatMap { case (live, maxV) =>
+      if (live.isEmpty || nFiles < 1) None
+      else {
+        val decoded = live.map { p =>
+          for {
+            b <- files.get(p)
+            rs <- Parquet.columnLongs(b, "rec_id")
+            xs <- Parquet.columnLongs(b, "x")
+            ys <- Parquet.columnLongs(b, "y")
+            vs <- Parquet.columnLongs(b, "val")
+            if rs.length == xs.length && rs.length == ys.length &&
+              rs.length == vs.length
+          } yield (0 until rs.length).map(i =>
+            (rs(i), xs(i), ys(i), vs(i)))
+        }
+        if (decoded.exists(_.isEmpty)) None
+        else {
+          val rows = decoded.flatMap(_.get)
+            .sortBy(r => (zInterleave(r._2, r._3), r._1))
+          val per = math.max(1, (rows.length + nFiles - 1) / nFiles)
+          val parts = rows.grouped(per).toSeq
+          val names = parts.indices.map(i =>
+            f"part-z$i%03d-${maxV + 1}%05d.parquet")
+          val data = parts.map(p => ParquetWrite.writeInt64(
+            Seq("rec_id", "x", "y", "val"),
+            p.map(r => Array(r._1, r._2, r._3, r._4))))
+          val commit = (live.map(removeActionDc(_, dataChange = false))
+            ++ names.zip(data).map { case (n, d) =>
+              addActionDc(n, d.length.toLong, dataChange = false) })
+            .mkString("\n") + "\n"
+          Some(ZOrderResult(
+            f"_delta_log/${maxV + 1}%020d.json",
+            commit.getBytes(Utf8),
+            names.zip(data).toMap, live, rows.length.toLong))
+        }
+      }
+    }
+
   // ---- column mapping write (q360) -----------------------------------------
 
   /** Deterministic physical name for logical field `i` of table `id`
