@@ -5641,6 +5641,105 @@ object WriterQueries {
         FROM r GROUP BY blob_id"""),
       headline = false),
 
+    // q382 — Hudi ROLLBACK: the lifecycle op that makes FAILED
+    // writes harmless, completing the maintenance triple with
+    // compaction (q336) and clean (q361). Two pending instants die
+    // per blob: t5, whose block shares a COMPLETED log file — since
+    // object-store logs are append-only, rollback appends a COMMAND
+    // block targeting it, never carves bytes — and t4, whose log
+    // file is all-target and dies outright with its inflight marker.
+    // Laws: the merged replay is IDENTICAL before and after (pending
+    // blocks were never applied — q315's discipline — so rollback
+    // must be invisible to readers); a COMPLETED instant is REFUSED
+    // (undoing history is restore's job); a second rollback is a
+    // no-op. Merged sums re-derive in DuckDB per the q318 MOR rules.
+    "q382_hudi_rollback" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val H = graft.sources.HudiLog
+            val ids = it.map(_._2).toSeq.sorted
+            val t4 = "00000000000004"; val t5 = "00000000000005"
+            val log0 = "p/.fg0_00000000000001.log.1_0-0-0"
+            val log1 = "p/.fg1_00000000000001.log.1_0-0-0"
+            val files0 = W.writeMorTable(ids)
+            val extra = H.writeBlock(H.TypeAvroData,
+              Seq(H.HdrInstantTime -> t5,
+                H.HdrSchema -> W.LogRecSchema),
+              H.dataContent(Seq(W.avroRec(999999L, 999L))))
+            val files = files0 +
+              (log0 -> (files0(log0) ++ extra)) +
+              (s".hoodie/$t5.deltacommit.inflight" ->
+                "{}".getBytes("UTF-8"))
+            val res = for {
+              before <- W.replay(files)
+              r1 <- W.rollback(files, t5, "00000000000006")
+              f1 = (files -- r1.deleted) ++ r1.appendedLogs +
+                (r1.timelineName -> r1.timeline)
+              r2 <- W.rollback(f1, t4, "00000000000007")
+              f2 = (f1 -- r2.deleted) ++ r2.appendedLogs +
+                (r2.timelineName -> r2.timeline)
+              after <- W.replay(f2)
+              r3 <- W.rollback(f2, t5, "00000000000008")
+            } yield {
+              val cmdAppended =
+                r1.appendedLogs.keySet == Set(log0) &&
+                  H.parse(f1(log0)).exists(bs =>
+                    bs.last.blockType == H.TypeCommand &&
+                      bs.last.target == t5)
+              val r2Ok = r2.deleted.toSet == Set(log1,
+                s".hoodie/$t4.deltacommit.inflight") &&
+                r2.appendedLogs.isEmpty
+              val replayStable =
+                before.map(f => (f.fileId, f.rows)) ==
+                  after.map(f => (f.fileId, f.rows))
+              val refused = W.rollback(f2, "00000000000002",
+                "00000000000009").isEmpty
+              val idempotent =
+                r3.deleted.isEmpty && r3.appendedLogs.isEmpty
+              val rows = after.flatMap(_.rows)
+              (t, rows.length.toLong, rows.map(_._1).sum,
+                rows.map(_._2).sum,
+                if (cmdAppended) 1L else 0L,
+                if (r2Ok) 1L else 0L,
+                if (replayStable) 1L else 0L,
+                if (refused) 1L else 0L,
+                if (idempotent) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "id_sum", "val_sum",
+            "cmd_appended", "all_target_deleted", "replay_stable",
+            "completed_refused", "idempotent_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg,
+                 (doc_id * 13) % 991 AS v
+          FROM documents),
+        live AS (
+          SELECT table_id, d,
+                 CASE WHEN fg = 0 AND d % 3 = 0 THEN v + 7 ELSE v END
+                   AS val
+          FROM r WHERE fg = 1 OR d % 5 <> 0)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(val) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS cmd_appended,
+               CAST(1 AS BIGINT) AS all_target_deleted,
+               CAST(1 AS BIGINT) AS replay_stable,
+               CAST(1 AS BIGINT) AS completed_refused,
+               CAST(1 AS BIGINT) AS idempotent_ok
+        FROM live GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -35,7 +35,11 @@ object HudiLog {
     */
   final case class Block(blockType: Int, instant: String,
                          records: Vector[AvroGeneric.V],
-                         deleteKeys: Vector[String])
+                         deleteKeys: Vector[String],
+                         /** Rollback COMMAND blocks name the instant
+                           * they cancel here; empty otherwise.
+                           */
+                         target: String = "")
 
   val TypeCommand = 0
   val TypeDelete = 1
@@ -43,6 +47,7 @@ object HudiLog {
   val TypeAvroData = 3
 
   val HdrInstantTime = 1
+  val HdrTargetInstant = 2
   val HdrSchema = 3
 
   private val Magic = "#HUDI#".getBytes(
@@ -172,7 +177,8 @@ object HudiLog {
             if (p != contentEnd) return None
             Block(blockType, instant, Vector.empty, keys.result())
           case TypeCommand | TypeCorrupt =>
-            Block(blockType, instant, Vector.empty, Vector.empty)
+            Block(blockType, instant, Vector.empty, Vector.empty,
+              header.getOrElse(HdrTargetInstant, ""))
           case _ => return None
         }
         out += block

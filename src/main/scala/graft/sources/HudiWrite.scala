@@ -230,6 +230,71 @@ object HudiWrite {
         commitJsonOp("COMPACT", stats).getBytes("UTF-8"))).toMap
     }
 
+  // ---- rollback write (q382) -------------------------------------------------
+
+  final case class RollbackResult(deleted: Seq[String],
+                                  appendedLogs: Map[String, Array[Byte]],
+                                  timelineName: String,
+                                  timeline: Array[Byte])
+
+  /** ROLLBACK of a FAILED (pending) instant — the lifecycle op that
+    * makes failed writes harmless, completing the maintenance
+    * triple with compaction (q336) and clean (q361): base files the
+    * instant wrote are DELETED; a log file whose blocks ALL belong
+    * to it is deleted; a MIXED log file (append-only on object
+    * stores — you cannot carve bytes out of it) instead gains a
+    * rollback COMMAND block targeting the instant; the instant's
+    * pending timeline markers disappear; and a `.rollback` entry
+    * records the inventory. REFUSES (None) to roll back a COMPLETED
+    * instant — undoing history is restore's job, and a rollback that
+    * could destroy committed data is how lakes lose data — and fails
+    * closed on any unparseable log. IDEMPOTENT: a second rollback of
+    * the same instant deletes nothing and appends nothing.
+    */
+  def rollback(files: Map[String, Array[Byte]], instant: String,
+               rbInstant: String): Option[RollbackResult] = {
+    val completed = files.keys.collect {
+      case TimelineRe(i, _) => i }.toSet
+    if (completed(instant)) return None
+    val deadBases = files.keys.toSeq.collect {
+      case p @ BaseRe(_, inst) if inst == instant => p
+    }
+    var ok = true
+    val deadLogs = Seq.newBuilder[String]
+    val appended = Map.newBuilder[String, Array[Byte]]
+    files.keys.toSeq.sorted.foreach { p =>
+      if (LogRe.pattern.matcher(p).matches()) {
+        HudiLog.parse(files(p)) match {
+          case Some(blocks) =>
+            val live = blocks.filter(b =>
+              b.blockType != HudiLog.TypeCommand)
+            val rolled = blocks.exists(b =>
+              b.blockType == HudiLog.TypeCommand &&
+                b.target == instant)
+            val targeted = live.filter(_.instant == instant)
+            if (targeted.nonEmpty && !rolled) {
+              if (targeted.length == live.length) deadLogs += p
+              else appended += p -> (files(p) ++ HudiLog.writeBlock(
+                HudiLog.TypeCommand,
+                Seq(HudiLog.HdrInstantTime -> rbInstant,
+                  HudiLog.HdrTargetInstant -> instant),
+                Array.emptyByteArray))
+            }
+          case None => ok = false
+        }
+      }
+    }
+    if (!ok) return None
+    val markers = files.keys.toSeq.filter(_.matches(
+      s"^\\.hoodie/$instant\\.([a-z]+\\.)?inflight$$"))
+    val deleted = (deadBases ++ deadLogs.result() ++ markers).sorted
+    val body = deleted.map(p => s""""$p"""").mkString(
+      s"""{"deleted": [""", ", ",
+      s"""], "operationType": "ROLLBACK", "target": "$instant"}""")
+    Some(RollbackResult(deleted, appended.result(),
+      s".hoodie/$rbInstant.rollback", body.getBytes("UTF-8")))
+  }
+
   // ---- clean write (q361) --------------------------------------------------
 
   final case class CleanResult(deleted: Seq[String],

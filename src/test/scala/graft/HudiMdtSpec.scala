@@ -168,4 +168,61 @@ class HudiMdtSpec extends AnyFunSuite {
     assert(HudiMdt.colStatsListing(rogue).isEmpty,
       "truncated stats log must fail closed")
   }
+
+  test("rollback (q382): pending-instant artifacts die (all-target " +
+    "log deleted, mixed log gets a command block, inflight base + " +
+    "marker deleted), replay is unchanged, completed instants are " +
+    "REFUSED, and a second rollback is a no-op") {
+    val files0 = HudiWrite.writeMorTable(ids)
+    // add a second pending instant t5 whose block shares fg0's log
+    val t5 = "00000000000005"
+    val log0Name = "p/.fg0_00000000000001.log.1_0-0-0"
+    val extra = HudiLog.writeBlock(HudiLog.TypeAvroData,
+      Seq(HudiLog.HdrInstantTime -> t5,
+        HudiLog.HdrSchema -> HudiWrite.LogRecSchema),
+      HudiLog.dataContent(Seq(HudiWrite.avroRec(999L, 999L))))
+    val files = files0 +
+      (log0Name -> (files0(log0Name) ++ extra)) +
+      (s".hoodie/$t5.deltacommit.inflight" -> "{}".getBytes("UTF-8"))
+    val before = HudiWrite.replay(files).getOrElse(fail("replay"))
+    // roll back t5: fg0's log is MIXED (t2, t3 completed) -> command
+    val r1 = HudiWrite.rollback(files, t5, "00000000000006")
+      .getOrElse(fail("rb t5"))
+    assert(r1.deleted == Seq(s".hoodie/$t5.deltacommit.inflight"))
+    assert(r1.appendedLogs.keySet == Set(log0Name))
+    val f1 = (files -- r1.deleted) ++ r1.appendedLogs +
+      (r1.timelineName -> r1.timeline)
+    val blocks = HudiLog.parse(f1(log0Name)).get
+    assert(blocks.last.blockType == HudiLog.TypeCommand &&
+      blocks.last.target == t5)
+    // roll back t4: fg1's log is ALL-t4 -> the file dies, plus marker
+    val t4 = "00000000000004"
+    val log1Name = "p/.fg1_00000000000001.log.1_0-0-0"
+    val r2 = HudiWrite.rollback(f1, t4, "00000000000007")
+      .getOrElse(fail("rb t4"))
+    assert(r2.deleted.toSet ==
+      Set(log1Name, s".hoodie/$t4.deltacommit.inflight"))
+    assert(r2.appendedLogs.isEmpty)
+    val f2 = (f1 -- r2.deleted) ++ r2.appendedLogs +
+      (r2.timelineName -> r2.timeline)
+    // replay unchanged across both rollbacks (pending never applied)
+    assert(HudiWrite.replay(f1).get.map(f => (f.fileId, f.rows)) ==
+      before.map(f => (f.fileId, f.rows)))
+    assert(HudiWrite.replay(f2).get.map(f => (f.fileId, f.rows)) ==
+      before.map(f => (f.fileId, f.rows)))
+    // idempotent: rolling t5 back again deletes/appends nothing
+    val r3 = HudiWrite.rollback(f2, t5, "00000000000008")
+      .getOrElse(fail("rb again"))
+    assert(r3.deleted.isEmpty && r3.appendedLogs.isEmpty)
+    // completed instants are refused
+    assert(HudiWrite.rollback(f2, "00000000000002", "9".padTo(14, '0')
+      .reverse).isEmpty)
+    // COW inflight base file: writeTable's t3 slice dies with marker
+    val cow = HudiWrite.writeTable(ids)
+    val rc = HudiWrite.rollback(cow, "00000000000003",
+      "00000000000004").getOrElse(fail("rb cow"))
+    assert(rc.deleted.toSet == Set(
+      "p/fg1_0-0-0_00000000000003.parquet",
+      ".hoodie/00000000000003.inflight"))
+  }
 }
