@@ -5740,6 +5740,91 @@ object WriterQueries {
         FROM live GROUP BY table_id"""),
       headline = false),
 
+    // q383 — Delta RESTORE: time travel as a WRITE — a new commit
+    // re-adds the target version's files and removes what the target
+    // lacks, so history is PRESERVED (the restore is itself version
+    // 2, nothing is rewound) and the post-restore replay equals the
+    // target's exactly. Actions carry dataChange=true (a restore IS
+    // a data change; CDF consumers must see it — the inverse of
+    // OPTIMIZE/ZORDER's false). Restoring the current version yields
+    // ZERO actions; restoring past the vacuum horizon (a re-added
+    // file's bytes reclaimed) fails CLOSED. Post-restore rows
+    // re-derive in DuckDB (generations 0 and 1 — version 0's view).
+    "q383_delta_restore" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeTable(s"tbl-$t", ids)
+            val res = for {
+              r <- W.restore(files, 0L)
+              restored = files + (r.commitName -> r.commit)
+              after <- W.replayLiveSized(restored, 2L)
+              atV0 <- W.replayLiveSized(files, 0L)
+              rows <- {
+                val per = after.keys.toSeq.sorted.map { p =>
+                  for {
+                    b <- restored.get(p)
+                    rs <- P.columnLongs(b, "rec_id")
+                    vs <- P.columnLongs(b, "val")
+                    if rs.length == vs.length
+                  } yield rs.zip(vs).toSeq
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.flatMap(_.get))
+              }
+              noop <- W.restore(files, 1L)
+            } yield {
+              val roundtrip = after == atV0
+              val actionsOk = r.adds == Seq("part-B.parquet") &&
+                r.removes == Seq("part-C.parquet")
+              val noopOk = noop.adds.isEmpty && noop.removes.isEmpty
+              val dcOk = new String(r.commit, "UTF-8")
+                .split("\n").filter(_.nonEmpty)
+                .forall(_.contains("\"dataChange\": true"))
+              val vacuumClosed =
+                W.restore(files - "part-B.parquet", 0L).isEmpty
+              (t, rows.length.toLong, rows.map(_._1).sum,
+                rows.map(_._2).sum,
+                if (roundtrip) 1L else 0L,
+                if (actionsOk) 1L else 0L,
+                if (noopOk) 1L else 0L,
+                if (dcOk) 1L else 0L,
+                if (vacuumClosed) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "id_sum", "val_sum",
+            "roundtrip_ok", "actions_ok", "noop_ok",
+            "datachange_ok", "vacuum_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS gen3,
+                 (doc_id * 11) % 1000 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(sum(CASE WHEN gen3 <> 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN gen3 <> 2 THEN d ELSE 0 END)
+                 AS BIGINT) AS id_sum,
+               CAST(sum(CASE WHEN gen3 <> 2 THEN v ELSE 0 END)
+                 AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS roundtrip_ok,
+               CAST(1 AS BIGINT) AS actions_ok,
+               CAST(1 AS BIGINT) AS noop_ok,
+               CAST(1 AS BIGINT) AS datachange_ok,
+               CAST(1 AS BIGINT) AS vacuum_closed
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

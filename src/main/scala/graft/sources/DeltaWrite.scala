@@ -700,6 +700,47 @@ object DeltaWrite {
       }
     }
 
+  // ---- RESTORE (q383) ---------------------------------------------------------
+
+  final case class RestoreResult(commitName: String,
+                                 commit: Array[Byte],
+                                 adds: Seq[String],
+                                 removes: Seq[String])
+
+  /** RESTORE TABLE ... TO VERSION AS OF v — time travel as a WRITE:
+    * a NEW commit re-adds the target version's files that are no
+    * longer live and removes the current files the target lacks, so
+    * history is preserved (nothing is rewound, the restore is itself
+    * a commit) and the post-restore replay equals the target's.
+    * Actions carry dataChange=true — a RESTORE is a data change and
+    * CDF consumers must see it (the inverse of OPTIMIZE's false).
+    * Fails CLOSED when a to-be-re-added file's bytes are gone (the
+    * vacuum horizon: you cannot restore data that was reclaimed).
+    * Restoring the CURRENT version yields zero actions (no-op).
+    */
+  def restore(files: Map[String, Array[Byte]],
+              toVersion: Long): Option[RestoreResult] = {
+    val maxV = files.keys.collect {
+      case CommitRe(v) => v.toLong }.maxOption.getOrElse(return None)
+    for {
+      target <- replayLiveSized(files, toVersion)
+      current <- replayLiveSized(files, maxV)
+      // vacuum horizon: every file the restore re-adds must still
+      // physically exist
+      if target.keys.forall(files.contains)
+    } yield {
+      val adds = (target.keySet -- current.keySet).toSeq.sorted
+      val removes = (current.keySet -- target.keySet).toSeq.sorted
+      val commit = (removes.map(removeActionDc(_, dataChange = true))
+        ++ adds.map(p => addActionDc(p, target(p),
+          dataChange = true)))
+        .mkString("", "\n", if (adds.isEmpty && removes.isEmpty) ""
+        else "\n")
+      RestoreResult(f"_delta_log/${maxV + 1}%020d.json",
+        commit.getBytes(Utf8), adds, removes)
+    }
+  }
+
   // ---- OPTIMIZE ZORDER (q381) ------------------------------------------------
 
   /** Morton interleave of two `bits`-bit values: z-order's locality
