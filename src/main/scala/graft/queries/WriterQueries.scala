@@ -5825,6 +5825,73 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q384 — Iceberg ROLLBACK TO SNAPSHOT: q383's twin on the other
+    // format, and pure METADATA — the successor metadata file points
+    // current (and main) back at snapshot 2 of the q369 four-
+    // snapshot history while every snapshot STAYS: the rolled-past
+    // compaction and append remain time-travelable (scan at 4 still
+    // answers), the incremental walk still folds from the restored
+    // point, and only expire_snapshots (q338/q367's ref rules) ever
+    // deletes. An unknown snapshot id is refused. Rows at the
+    // restored current re-derive in DuckDB (generations 0 and 1).
+    "q384_iceberg_rollback_to" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 27) % 929
+            val files = W.writeIncrTable(s"tbl-$t", ids, v)
+            val res = for {
+              (mName, mBytes) <- W.rollbackTo(files,
+                "v1.metadata.json", 2L)
+              rolled = files + (mName -> mBytes)
+              cur <- W.resolveRef(rolled, mName, "main")
+              nowRows <- W.scanSnapshot(rolled, mName, cur)
+              ttRows <- W.scanSnapshot(rolled, mName, 4L)
+              inc <- W.incrementalScan(rolled, mName, 2L, 4L)
+            } yield {
+              def srt(xs: Seq[(Long, Long)]) = xs.sorted
+              val ttOk = srt(ttRows) ==
+                ids.sorted.map(d => (d, v(d)))
+              val foldOk = srt(nowRows ++ inc.rows) == srt(ttRows)
+              val refused = W.rollbackTo(rolled, mName, 9L).isEmpty
+              (t, cur, nowRows.length.toLong,
+                nowRows.map(_._1).sum, nowRows.map(_._2).sum,
+                if (ttOk) 1L else 0L,
+                if (foldOk) 1L else 0L,
+                if (refused) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "current_sid", "n_rows", "id_sum",
+            "val_sum", "timetravel_ok", "fold_ok",
+            "unknown_refused")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4,
+                 (doc_id * 27) % 929 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(2 AS BIGINT) AS current_sid,
+               CAST(sum(CASE WHEN gen4 <= 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN gen4 <= 1 THEN d ELSE 0 END)
+                 AS BIGINT) AS id_sum,
+               CAST(sum(CASE WHEN gen4 <= 1 THEN v ELSE 0 END)
+                 AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS timetravel_ok,
+               CAST(1 AS BIGINT) AS fold_ok,
+               CAST(1 AS BIGINT) AS unknown_refused
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

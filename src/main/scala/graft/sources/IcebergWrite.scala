@@ -959,6 +959,39 @@ object IcebergWrite {
       "data/c.parquet" -> fc, "data/d.parquet" -> fd)
   }
 
+  // ---- rollback to snapshot (q384) -------------------------------------------
+
+  /** ROLLBACK TO SNAPSHOT — q383's Iceberg twin, and pure METADATA
+    * here: the successor metadata file points current (and main) at
+    * an older snapshot while HISTORY IS PRESERVED — every snapshot
+    * stays in the list, so the rolled-past ones remain time-
+    * travelable and expire_snapshots (with its ref rules) remains
+    * the only thing that deletes. None for an unknown snapshot id.
+    */
+  def rollbackTo(files: Map[String, Array[Byte]], metaName: String,
+                 sid: Long): Option[(String, Array[Byte])] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      uuid <- mo.get("table-uuid").collect {
+        case Json.JString(x) => x }
+      snaps <- parseSnaps(mo)
+      if snaps.exists(_.sid == sid)
+    } yield {
+      val refs = parseRefs(mo).map {
+        case ("main", r) => "main" -> r.copy(snapshotId = sid)
+        case other => other
+      }
+      val VN = "^v(\\d+)\\.metadata\\.json$".r
+      val nextV = metaName match {
+        case VN(n) => n.toInt + 1; case _ => 2
+      }
+      val newMeta = metadataJsonRefs(uuid, sid,
+        snaps.map(sn => snapshotJsonOp(sn.sid, sn.seq, sn.ts,
+          sn.listPath, sn.op)), refs)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (s"v$nextV.metadata.json", newMeta)
+    }
+
   // ---- changelog scan (q375): incremental INSERTS + DELETES -----------------
 
   final case class Change(changeType: String, sid: Long,
