@@ -5892,6 +5892,91 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q385 — ORC STRIPE SPLITS: the third format's split contract
+    // (Avro q379, parquet q380) — a stripe belongs to the byte split
+    // containing its START offset, so ANY partition of a
+    // multi-stripe file's range claims every stripe exactly once.
+    // The engine's writer gained the multi-stripe form (stripes ARE
+    // ORC's parallelism unit; a single-stripe 100 TB file cannot fan
+    // out), OrcSpec cross-reads it through orc-core, and the query
+    // pins: 3-way and 7-way tilings are exact, per-split per-stripe
+    // decoded sums reconcile to the whole file, and out-of-range
+    // splits claim nothing. Sums re-derive in DuckDB.
+    "q385_orc_stripe_split" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.OrcWrite
+            val O = graft.sources.Orc
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 43) % 863
+            val per = math.max(1, (ids.length + 7) / 8)
+            val bytes = W.writeLongsStripes(Seq("rec_id", "val"),
+              ids.map(d => Array(d, v(d))), per)
+            val res = for {
+              tail <- O.parseTail(bytes)
+              tiled <- {
+                def tile(n: Int): Option[(Long, Long, Long)] = {
+                  val len = bytes.length.toLong
+                  val cuts = (0 to n).map(k => len * k / n)
+                  val claimed = cuts.sliding(2).toSeq.flatMap {
+                    case Seq(a, b) => W.stripesForSplit(tail, a, b)
+                  }
+                  if (claimed.sorted !=
+                    tail.stripes.indices.toSeq) None
+                  else {
+                    val per2 = claimed.map { i =>
+                      for {
+                        rs <- O.stripeColumnLongs(bytes, tail,
+                          tail.stripes(i), 1)
+                        vs <- O.stripeColumnLongs(bytes, tail,
+                          tail.stripes(i), 2)
+                        if rs.length == vs.length
+                      } yield (rs.length.toLong, rs.sum, vs.sum)
+                    }
+                    if (per2.exists(_.isEmpty)) None
+                    else Some((per2.map(_.get._1).sum,
+                      per2.map(_.get._2).sum,
+                      per2.map(_.get._3).sum))
+                  }
+                }
+                for { a <- tile(3); b <- tile(7) } yield (a, b)
+              }
+            } yield {
+              val (t3, t7) = tiled
+              val tileOk = t3 == t7
+              val emptyOk = W.stripesForSplit(tail,
+                bytes.length.toLong + 3, bytes.length.toLong + 9)
+                .isEmpty
+              (t, t3._1, t3._2, t3._3,
+                tail.stripes.length.toLong,
+                if (tileOk) 1L else 0L,
+                if (emptyOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "val_sum",
+            "n_stripes", "tile_ok", "empty_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id * 43) % 863 AS v
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(8 AS BIGINT) AS n_stripes,
+               CAST(1 AS BIGINT) AS tile_ok,
+               CAST(1 AS BIGINT) AS empty_ok
+        FROM r GROUP BY blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -754,6 +754,102 @@ object OrcWrite {
     * 2 = SNAPPY through the engine's own compressor, with every
     * stream and both footers in ORC's chunk framing.
     */
+  /** MULTI-STRIPE form of [[writeLongs]]: `stripeRows` rows per
+    * stripe, each stripe a self-contained (streams, stripe footer)
+    * region — the unit ORC parallelism and split assignment work on
+    * at 100 TB. Uncompressed; stats envelope per the legacy (q311)
+    * layout.
+    */
+  def writeLongsStripes(names: Seq[String], rows: Seq[Array[Long]],
+                        stripeRows: Int): Array[Byte] = {
+    require(names.nonEmpty && rows.forall(_.length == names.length))
+    require(stripeRows >= 1 && rows.nonEmpty)
+    require(rows.length <= (1 << 26), s"too many rows: ${rows.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('O'); out.write('R'); out.write('C')
+    final case class SInfo(offset: Long, dataLen: Long, sfLen: Long,
+                           nRows: Long)
+    val stripes = rows.grouped(stripeRows).toSeq.map { g =>
+      val stripeStart = out.size().toLong
+      val streams = names.indices.map { c =>
+        rleV2DirectSigned(g.map(_(c)))
+      }
+      streams.foreach(s => out.write(s, 0, s.length))
+      val dataLength = streams.map(_.length.toLong).sum
+      val sf = new PBW
+      for (c <- names.indices) {
+        val st = new PBW
+        st.uint(1, 1L)
+        st.uint(2, (c + 1).toLong)
+        st.uint(3, streams(c).length.toLong)
+        sf.bytesField(1, st.toBytes)
+      }
+      for (c <- 0 to names.length) {
+        val enc = new PBW
+        enc.uint(1, if (c == 0) 0L else 2L)
+        sf.bytesField(2, enc.toBytes)
+      }
+      val sfb = sf.toBytes
+      out.write(sfb, 0, sfb.length)
+      SInfo(stripeStart, dataLength, sfb.length.toLong,
+        g.length.toLong)
+    }
+    val f = new PBW
+    f.uint(1, 3L)
+    f.uint(2, out.size().toLong)
+    stripes.foreach { s =>
+      val si = new PBW
+      si.uint(1, s.offset); si.uint(2, 0L); si.uint(3, s.dataLen)
+      si.uint(4, s.sfLen); si.uint(5, s.nRows)
+      f.bytesField(3, si.toBytes)
+    }
+    val root = new PBW
+    root.uint(1, 12L)
+    for (c <- names.indices) {
+      root.varint((2L << 3) | 0); root.varint((c + 1).toLong)
+    }
+    for (nm <- names) root.strField(3, nm)
+    f.bytesField(4, root.toBytes)
+    for (_ <- names) {
+      val t = new PBW
+      t.uint(1, 4L)
+      f.bytesField(4, t.toBytes)
+    }
+    f.uint(6, rows.length.toLong)
+    for (_ <- 0 to names.length) {
+      val cs = new PBW
+      cs.uint(1, rows.length.toLong)
+      f.bytesField(7, cs.toBytes)
+    }
+    f.uint(8, 0L)
+    val fb = f.toBytes
+    out.write(fb, 0, fb.length)
+    val ps = new PBW
+    ps.uint(1, fb.length.toLong)
+    ps.uint(2, 0L)
+    ps.uint(3, (256 * 1024).toLong)
+    ps.varint((4L << 3) | 0); ps.varint(0L)
+    ps.varint((4L << 3) | 0); ps.varint(12L)
+    ps.uint(5, 0L)
+    ps.strField(8000, "ORC")
+    val psb = ps.toBytes
+    require(psb.length < 256)
+    out.write(psb, 0, psb.length)
+    out.write(psb.length)
+    out.toByteArray
+  }
+
+  /** The ORC SPLIT rule (hive/orc's offset assignment): a stripe
+    * belongs to the byte split [start, end) containing its START
+    * offset — every stripe lands in exactly one split of any
+    * partition of the file's range. Returns claimed stripe ordinals.
+    */
+  def stripesForSplit(tail: Orc.OrcTail, start: Long,
+                      end: Long): Seq[Int] =
+    tail.stripes.zipWithIndex.collect {
+      case (s, i) if s.offset >= start && s.offset < end => i
+    }
+
   def writeLongs(names: Seq[String], rows: Seq[Array[Long]],
                  compression: Int = 0): Array[Byte] = {
     require(names.nonEmpty && rows.forall(_.length == names.length))

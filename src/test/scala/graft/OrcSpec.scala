@@ -376,6 +376,45 @@ class OrcSpec extends SparkSpec {
     p.delete(); dir.delete()
   }
 
+  test("writeLongsStripes + split rule (q385): stripes tile exactly " +
+    "once over ANY byte partition, per-stripe reads reconcile, and " +
+    "orc-core reads the multi-stripe file") {
+    val W = graft.sources.OrcWrite
+    val rows = (0L until 1000L).map(i => Array(i, i * 7 % 601))
+    val b = W.writeLongsStripes(Seq("rec_id", "val"), rows, 128)
+    val t = Orc.parseTail(b).getOrElse(fail("tail"))
+    assert(t.stripes.length == 8 && t.numRows == 1000L)
+    // own per-stripe reads reconcile to the full data
+    val all = t.stripes.flatMap { s =>
+      val rs = Orc.stripeColumnLongs(b, t, s, 1).get
+      val vs = Orc.stripeColumnLongs(b, t, s, 2).get
+      rs.zip(vs)
+    }
+    assert(all.toSeq == rows.map(r => (r(0), r(1))))
+    // split law: arbitrary byte partitions claim each stripe once
+    Seq(2, 3, 5, 11).foreach { n =>
+      val len = b.length.toLong
+      val cuts = (0 to n).map(k => len * k / n)
+      val claimed = cuts.sliding(2).toSeq.flatMap { case Seq(x, y) =>
+        W.stripesForSplit(t, x, y)
+      }
+      assert(claimed.sorted == t.stripes.indices.toSeq,
+        s"$n-way partition must tile stripes exactly once")
+    }
+    assert(W.stripesForSplit(t, b.length.toLong, b.length + 9L)
+      .isEmpty)
+    // orc-core cross-read
+    val dir = java.nio.file.Files.createTempDirectory("orcms").toFile
+    val p = new java.io.File(dir, "ms.orc")
+    java.nio.file.Files.write(p.toPath, b)
+    val got = spark.read.orc(p.getAbsolutePath)
+      .selectExpr("count(*)", "sum(rec_id)", "sum(val)").collect()(0)
+    assert(got.getLong(0) == 1000L)
+    assert(got.getLong(1) == rows.map(_(0)).sum)
+    assert(got.getLong(2) == rows.map(_(1)).sum)
+    p.delete(); dir.delete()
+  }
+
   test("OrcWrite.writeTable: strings + doubles + PRESENT streams read " +
     "back through orc-core (spark.read.orc) and the engine's own " +
     "nullable decoders") {
