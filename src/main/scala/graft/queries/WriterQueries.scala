@@ -5977,6 +5977,108 @@ object WriterQueries {
         FROM r GROUP BY blob_id"""),
       headline = false),
 
+    // q386 — Delta SHALLOW CLONE: the dev/test-fork primitive at
+    // 100 TB — a new table whose commit 0 re-declares the source's
+    // live files BY PATH, zero data bytes copied. Laws per blob: the
+    // clone's replay equals the source's state at clone time
+    // (paths + sizes); ISOLATION both ways — a source commit after
+    // the clone (remove A) does not reach the clone, and a clone
+    // commit (remove C) does not reach the source; and the
+    // documented trade fails CLOSED — a source vacuum reclaiming a
+    // borrowed file breaks the clone's read visibly, never silently.
+    // Clone rows (version-1 view: A and C) re-derive in DuckDB.
+    "q386_delta_shallow_clone" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val source = W.writeTable(s"tbl-$t", ids)
+            def readRows(log: Map[String, Array[Byte]],
+                         data: Map[String, Array[Byte]],
+                         version: Long) =
+              W.replayLiveSized(log, version).flatMap { live =>
+                val per = live.toSeq.sortBy(_._1).map {
+                  case (p, sz) =>
+                    for {
+                      b <- data.get(p)
+                      if b.length.toLong == sz
+                      rs <- P.columnLongs(b, "rec_id")
+                      vs <- P.columnLongs(b, "val")
+                      if rs.length == vs.length
+                    } yield rs.zip(vs).toSeq
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.flatMap(_.get))
+              }
+            val res = for {
+              clone <- W.shallowClone(source, 1L, s"clone-$t")
+              srcState <- W.replayLiveSized(source, 1L)
+              cloneState <- W.replayLiveSized(clone, 0L)
+              rows <- readRows(clone, source, 0L)
+            } yield {
+              val cloneMatches = cloneState == srcState
+              // source evolves: remove A at source v2 — clone blind
+              val src2 = source +
+                ("_delta_log/00000000000000000002.json" ->
+                  (W.removeAction("part-A.parquet") + "\n")
+                    .getBytes("UTF-8"))
+              val isolation1 =
+                W.replayLiveSized(clone, 0L).contains(cloneState) &&
+                  W.replayLiveSized(src2, 2L).exists(
+                    !_.contains("part-A.parquet"))
+              // clone evolves: remove C at clone v1 — source blind
+              val clone2 = clone +
+                ("_delta_log/00000000000000000001.json" ->
+                  (W.removeAction("part-C.parquet") + "\n")
+                    .getBytes("UTF-8"))
+              val isolation2 =
+                W.replayLiveSized(clone2, 1L).exists(
+                  !_.contains("part-C.parquet")) &&
+                  W.replayLiveSized(source, 1L).exists(
+                    _.contains("part-C.parquet"))
+              // vacuum hazard: the borrowed file's bytes vanish —
+              // the clone's read fails CLOSED
+              val vacuumClosed =
+                readRows(clone, source - "part-C.parquet", 0L).isEmpty
+              (t, rows.length.toLong, rows.map(_._1).sum,
+                rows.map(_._2).sum,
+                if (cloneMatches) 1L else 0L,
+                if (isolation1) 1L else 0L,
+                if (isolation2) 1L else 0L,
+                if (vacuumClosed) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "id_sum", "val_sum",
+            "clone_matches", "source_isolated", "clone_isolated",
+            "vacuum_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS gen3,
+                 (doc_id * 11) % 1000 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(sum(CASE WHEN gen3 <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN gen3 <> 1 THEN d ELSE 0 END)
+                 AS BIGINT) AS id_sum,
+               CAST(sum(CASE WHEN gen3 <> 1 THEN v ELSE 0 END)
+                 AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS clone_matches,
+               CAST(1 AS BIGINT) AS source_isolated,
+               CAST(1 AS BIGINT) AS clone_isolated,
+               CAST(1 AS BIGINT) AS vacuum_closed
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -700,6 +700,28 @@ object DeltaWrite {
       }
     }
 
+  // ---- SHALLOW CLONE (q386) -----------------------------------------------------
+
+  /** SHALLOW CLONE: a NEW table whose commit 0 re-declares the
+    * source's live files BY PATH — zero data bytes copied, the
+    * dev/test-fork primitive at 100 TB (a deep copy would move the
+    * lake). The clone's log is its own: source commits after the
+    * clone do not reach it, clone commits do not reach the source.
+    * The documented trade rides along: the clone borrows the
+    * source's DATA files, so a source vacuum that reclaims one
+    * breaks the clone (fail closed at read, never silent). None on
+    * an unknown version or malformed log.
+    */
+  def shallowClone(source: Map[String, Array[Byte]],
+                   atVersion: Long,
+                   cloneId: String): Option[Map[String, Array[Byte]]] =
+    replayLiveSized(source, atVersion).map { live =>
+      val c0 = (Seq(protocolAction, metaDataAction(cloneId)) ++
+        live.toSeq.sortBy(_._1).map { case (p, sz) =>
+          addAction(p, sz) }).mkString("\n") + "\n"
+      Map("_delta_log/00000000000000000000.json" -> c0.getBytes(Utf8))
+    }
+
   // ---- RESTORE (q383) ---------------------------------------------------------
 
   final case class RestoreResult(commitName: String,
