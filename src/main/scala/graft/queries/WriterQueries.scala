@@ -6079,6 +6079,115 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q387 — Iceberg v3 DELETION VECTORS: the current spec's
+    // evolution of row-level deletes — instead of a position-delete
+    // parquet, a PUFFIN file whose deletion-vector-v1 blob carries
+    // the roaring bitmap of dead positions (the same portable 64-bit
+    // layout the Delta DV stack q340 pins), with target and
+    // cardinality in blob properties, referenced by a content-1
+    // manifest entry with file_format PUFFIN. The referee is
+    // REPRESENTATION EQUALITY: the SAME deletions expressed as v2
+    // parquet and as a v3 DV must scan identically at EVERY snapshot
+    // and changelog identically over the full range — plus the
+    // cardinality law (a mismatched property closes the scan) and
+    // the blob's roundtrip through the own puffin reader. Final
+    // rows re-derive in DuckDB.
+    "q387_iceberg_v3_deletion_vectors" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def v(d: Long): Long = (d * 29) % 997
+            val meta = "v1.metadata.json"
+            val pdT = W.writeChangelogTable(s"pd-$t", ids, v)
+            val dvT = W.writeDvChangelogTable(s"dv-$t", ids, v)
+            val res = for {
+              scansEqual <- {
+                val per = (1L to 4L).map { sid =>
+                  for {
+                    a <- W.scanSnapshotMor(pdT, meta, sid)
+                    b <- W.scanSnapshotMor(dvT, meta, sid)
+                  } yield a.sorted == b.sorted
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.forall(_.get))
+              }
+              cdcP <- W.changelogScan(pdT, meta, 1L, 4L)
+              cdcD <- W.changelogScan(dvT, meta, 1L, 4L)
+              finalScan <- W.scanSnapshotMor(dvT, meta, 4L)
+            } yield {
+              def key(c: W.Change) =
+                (c.changeType, c.sid, c.recId, c.value)
+              val cdcEqual =
+                cdcP.map(key).sorted == cdcD.map(key).sorted
+              val blobOk = (for {
+                (blobs, _) <- graft.sources.Puffin
+                  .read(dvT("dv-3.puffin"))
+                (bm, data) <- blobs.headOption
+                bits <- graft.sources.DeletionVectors.bitmap(data)
+              } yield bm.tpe == "deletion-vector-v1" &&
+                bm.properties.get("referenced-data-file")
+                  .contains("data/a.parquet") &&
+                bm.properties.get("cardinality")
+                  .contains(bits.length.toString))
+                .getOrElse(false)
+              val cardClosed = (for {
+                (blobs, _) <- graft.sources.Puffin
+                  .read(dvT("dv-3.puffin"))
+                (bm, data) <- blobs.headOption
+              } yield {
+                val bad = graft.sources.Puffin.write(Seq(
+                  graft.sources.Puffin.Blob(bm.tpe, bm.fields,
+                    bm.snapshotId, bm.sequenceNumber, data,
+                    bm.properties + ("cardinality" ->
+                      (bm.properties("cardinality").toLong + 1)
+                        .toString))),
+                  Map("created-by" -> "graft"))
+                W.scanSnapshotMor(dvT + ("dv-3.puffin" -> bad),
+                  meta, 4L).isEmpty
+              }).getOrElse(false)
+              val nDel = cdcD.count(_.changeType == "DELETE").toLong
+              (t, finalScan.length.toLong,
+                finalScan.map(_._1).sum, finalScan.map(_._2).sum,
+                nDel,
+                if (scansEqual) 1L else 0L,
+                if (cdcEqual) 1L else 0L,
+                if (blobOk) 1L else 0L,
+                if (cardClosed) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_final", "id_sum", "val_sum",
+            "n_deletes", "scans_equal", "cdc_equal", "blob_ok",
+            "cardinality_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS gen4,
+                 (doc_id * 29) % 997 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(sum(CASE WHEN gen4 <> 0 OR d % 5 <> 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+               CAST(sum(CASE WHEN gen4 <> 0 OR d % 5 <> 0
+                 THEN d ELSE 0 END) AS BIGINT) AS id_sum,
+               CAST(sum(CASE WHEN gen4 <> 0 OR d % 5 <> 0
+                 THEN v ELSE 0 END) AS BIGINT) AS val_sum,
+               CAST(sum(CASE WHEN gen4 = 0 AND d % 5 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+               CAST(1 AS BIGINT) AS scans_equal,
+               CAST(1 AS BIGINT) AS cdc_equal,
+               CAST(1 AS BIGINT) AS blob_ok,
+               CAST(1 AS BIGINT) AS cardinality_closed
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -331,7 +331,8 @@ object IcebergWrite {
     */
   def entryMor(status: Int, seq: Long, content: Int, path: String,
                rc: Long, fsz: Long,
-               eqIds: Seq[Int] = Nil): Array[Byte] = {
+               eqIds: Seq[Int] = Nil,
+               format: String = "PARQUET"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     varint(out, status.toLong)
     union(out, 1)(varint(out, 99L))
@@ -339,7 +340,7 @@ object IcebergWrite {
     union(out, 1)(varint(out, seq))
     varint(out, content.toLong)
     str(out, path)
-    str(out, "PARQUET")
+    str(out, format)
     // partition: empty record, zero bytes
     varint(out, rc)
     varint(out, fsz)
@@ -1071,9 +1072,63 @@ object IcebergWrite {
       "data/d.parquet" -> fd)
   }
 
+  /** q387's fixture: the EXACT deletions of [[writeChangelogTable]]
+    * (A's d%5==0 rows at snapshot 3) expressed as a v3 DELETION
+    * VECTOR instead of a v2 position-delete parquet — one puffin
+    * file whose `deletion-vector-v1` blob carries the roaring
+    * bitmap of dead positions and names its target + cardinality in
+    * blob properties, referenced by a content-1 manifest entry with
+    * file_format PUFFIN. Everything else byte-identical in shape, so
+    * the two delete REPRESENTATIONS must scan and changelog
+    * identically — q387's referee.
+    */
+  def writeDvChangelogTable(id: String, ids: Seq[Long],
+                            vf: Long => Long)
+      : Map[String, Array[Byte]] = {
+    val base = writeChangelogTable(id, ids, vf)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    def gen(d: Long): Long = (d / 6) % 4
+    val a = ids.filter(gen(_) == 0).sorted
+    val pdPos = a.zipWithIndex.collect {
+      case (d, i) if d % 5 == 0 => i.toLong
+    }
+    val dvBitmap = DeletionVectorsWrite.serializeBitmap(pdPos)
+    val puffin = Puffin.write(Seq(Puffin.Blob(
+      "deletion-vector-v1", Seq(2147483546), 3L, 3L, dvBitmap,
+      Map("referenced-data-file" -> "data/a.parquet",
+        "cardinality" -> pdPos.length.toString))),
+      Map("created-by" -> "graft"))
+    val mD = container(EntrySchemaMor, Seq(entryMor(1, 3L, 1,
+      "dv-3.puffin", pdPos.length.toLong, puffin.length.toLong,
+      format = "PUFFIN")), sync)
+    // splice the DV manifest over the parquet-delete one: same name,
+    // same list rows (lengths patched)
+    def row(p: String, m: Array[Byte], content: Int, seq: Long,
+            rows: Long) =
+      manifestFileRowMor(p, m.length.toLong, content, seq, 1L, 0L,
+        rows, 0L)
+    val b = ids.filter(gen(_) == 1).sorted
+    val dd = ids.filter(d => gen(d) >= 2).sorted
+    val mA = base("m-a.avro"); val mB = base("m-b.avro")
+    val mE = base("m-e.avro")
+    val l3 = container(ListSchemaMor, Seq(
+      row("m-a.avro", mA, 0, 1L, a.length.toLong),
+      row("m-b.avro", mB, 0, 2L, b.length.toLong),
+      row("m-d.avro", mD, 1, 3L, pdPos.length.toLong)), sync)
+    val l4 = container(ListSchemaMor, Seq(
+      row("m-a.avro", mA, 0, 1L, a.length.toLong),
+      row("m-b.avro", mB, 0, 2L, b.length.toLong),
+      row("m-d.avro", mD, 1, 3L, pdPos.length.toLong),
+      row("m-e.avro", mE, 0, 4L, dd.length.toLong)), sync)
+    base - "pd-3.parquet" +
+      ("m-d.avro" -> mD) + ("snap-3.avro" -> l3) +
+      ("snap-4.avro" -> l4) + ("dv-3.puffin" -> puffin)
+  }
+
   private def morEntries(files: Map[String, Array[Byte]],
                          manifest: String)
-      : Option[Seq[(Long, Long, Int, String)]] =
+      : Option[Seq[(Long, Long, Int, String, String)]] =
     files.get(manifest).flatMap(AvroGeneric.parseContainer).flatMap {
       m =>
         val es = m.records.map { e =>
@@ -1083,24 +1138,53 @@ object IcebergWrite {
             df <- e.field("data_file")
             content <- df.field("content").flatMap(_.asLong)
             p <- df.field("file_path").flatMap(_.asString)
-          } yield (st, seq, content.toInt, p)
+            fmt <- df.field("file_format").flatMap(_.asString)
+          } yield (st, seq, content.toInt, p, fmt)
         }
         if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
     }
 
-  /** Position-delete resolution: (target path -> dead positions),
-    * read through the own parquet reader.
+  /** Position-delete resolution: (target path -> dead positions).
+    * PARQUET delete files are the v2 (file_path, pos) form through
+    * the own reader; PUFFIN files are v3 DELETION VECTORS — one
+    * `deletion-vector-v1` blob per target, the referenced data file
+    * in blob properties and the positions a serialized roaring
+    * bitmap ([[DeletionVectors.bitmap]], the same portable 64-bit
+    * layout the Delta DV stack pins), with the spec's `cardinality`
+    * property cross-checked against the decoded bitmap. None on any
+    * malformed byte or cardinality mismatch.
     */
   private def deadPositions(files: Map[String, Array[Byte]],
-                            pdPath: String)
+                            pdPath: String, format: String)
       : Option[Map[String, Set[Long]]] =
-    for {
-      b <- files.get(pdPath)
-      paths <- Parquet.columnStrings(b, "file_path")
-      pos <- Parquet.columnLongs(b, "pos")
-      if paths.length == pos.length
-    } yield paths.zip(pos).groupBy(_._1).view
-      .mapValues(_.map(_._2).toSet).toMap
+    if (format == "PUFFIN")
+      for {
+        b <- files.get(pdPath)
+        (blobs, _) <- Puffin.read(b)
+        dvs <- {
+          val per = blobs.collect {
+            case (meta, data) if meta.tpe == "deletion-vector-v1" =>
+              for {
+                target <- meta.properties.get("referenced-data-file")
+                card <- meta.properties.get("cardinality")
+                  .flatMap(_.toLongOption)
+                bits <- DeletionVectors.bitmap(data)
+                if bits.length.toLong == card
+              } yield target -> bits.toSet
+          }
+          if (per.isEmpty || per.exists(_.isEmpty)) None
+          else Some(per.map(_.get))
+        }
+      } yield dvs.groupBy(_._1).view
+        .mapValues(_.flatMap(_._2).toSet).toMap
+    else
+      for {
+        b <- files.get(pdPath)
+        paths <- Parquet.columnStrings(b, "file_path")
+        pos <- Parquet.columnLongs(b, "pos")
+        if paths.length == pos.length
+      } yield paths.zip(pos).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
 
   /** MoR-aware snapshot scan: data entries (content 0) minus the
     * rows position-delete files (content 1) kill — a delete applies
@@ -1124,14 +1208,15 @@ object IcebergWrite {
         else Some(per.flatMap(_.get).filter(_._1 != 2L))
       }
       dead <- {
-        val pds = entries.filter(_._3 == 1).map { case (_, seq, _, p) =>
-          deadPositions(files, p).map(seq -> _)
+        val pds = entries.filter(_._3 == 1).map {
+          case (_, seq, _, p, fmt) =>
+            deadPositions(files, p, fmt).map(seq -> _)
         }
         if (pds.exists(_.isEmpty)) None else Some(pds.map(_.get))
       }
       rows <- {
         val per = entries.filter(_._3 == 0).map {
-          case (_, dseq, _, p) =>
+          case (_, dseq, _, p, _) =>
             for {
               db <- files.get(p)
               rs <- Parquet.columnLongs(db, "rec_id")
@@ -1190,7 +1275,7 @@ object IcebergWrite {
           mps.filterNot(prev).foreach { mp =>
             morEntries(files, mp) match {
               case Some(es) => es.filter(_._1 == 1L).foreach {
-                case (_, _, 0, p) if sn.op == "append" =>
+                case (_, _, 0, p, _) if sn.op == "append" =>
                   (for {
                     db <- files.get(p)
                     rs <- Parquet.columnLongs(db, "rec_id")
@@ -1201,9 +1286,9 @@ object IcebergWrite {
                       out += Change("INSERT", sn.sid, r._1, r._2))
                     case None => ok = false
                   }
-                case (_, _, 1, p)
+                case (_, _, 1, p, fmt)
                   if sn.op == "delete" || sn.op == "overwrite" =>
-                  deadPositions(files, p) match {
+                  deadPositions(files, p, fmt) match {
                     case Some(dm) => dm.foreach { case (tp, poss) =>
                       (for {
                         db <- files.get(tp)

@@ -275,4 +275,40 @@ class IcebergMaintSpec extends AnyFunSuite {
     assert(W.changelogScan(files, meta, 1L, 9L).isEmpty)
     assert(W.changelogScan(files, meta, 9L, 4L).isEmpty)
   }
+
+  test("v3 deletion vectors (q387): the SAME deletions as a puffin " +
+    "DV blob scan and changelog IDENTICALLY to the v2 position-" +
+    "delete parquet; a cardinality mismatch fails closed") {
+    val W = IcebergWrite
+    val ids = (0L until 96L).map(_ * 6 + 1)
+    def v(d: Long): Long = d * 5 + 2
+    val meta = "v1.metadata.json"
+    val pdT = W.writeChangelogTable("spec-pd", ids, v)
+    val dvT = W.writeDvChangelogTable("spec-dv", ids, v)
+    assert(dvT.contains("dv-3.puffin") && !dvT.contains("pd-3.parquet"))
+    (1L to 4L).foreach { sid =>
+      assert(W.scanSnapshotMor(pdT, meta, sid).get.sorted ==
+        W.scanSnapshotMor(dvT, meta, sid).get.sorted, s"scan at $sid")
+    }
+    def key(c: W.Change) = (c.changeType, c.sid, c.recId, c.value)
+    assert(W.changelogScan(pdT, meta, 1L, 4L).get.map(key).sorted ==
+      W.changelogScan(dvT, meta, 1L, 4L).get.map(key).sorted)
+    // the blob round-trips through the engine's own puffin reader
+    val (blobs, _) = graft.sources.Puffin.read(dvT("dv-3.puffin")).get
+    val (bm, data) = blobs.head
+    assert(bm.tpe == "deletion-vector-v1" &&
+      bm.properties("referenced-data-file") == "data/a.parquet")
+    val bits = graft.sources.DeletionVectors.bitmap(data).get
+    assert(bits.length.toLong == bm.properties("cardinality").toLong)
+    // cardinality mismatch fails the whole scan closed
+    val badPuffin = graft.sources.Puffin.write(Seq(
+      graft.sources.Puffin.Blob(bm.tpe, bm.fields, bm.snapshotId,
+        bm.sequenceNumber, data, bm.properties +
+          ("cardinality" -> (bits.length + 1).toString))),
+      Map("created-by" -> "graft"))
+    // keep manifest framing consistent with the new byte length
+    val tampered = dvT + ("dv-3.puffin" -> badPuffin)
+    assert(W.scanSnapshotMor(tampered, meta, 4L).isEmpty,
+      "cardinality mismatch must close the scan")
+  }
 }
