@@ -6188,6 +6188,90 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q388 — Hudi RESTORE TO INSTANT: undo lands on the third
+    // format (Delta q383 via a history-preserving commit, Iceberg
+    // q384 via a metadata repoint) — and Hudi's is PHYSICAL: no
+    // snapshot graph, so newer completed instants' base files and
+    // their timeline entries really die; a MIXED log file survives
+    // with its newer blocks gone dark (the timeline-skip rule masks
+    // them — no byte surgery on append-only logs). Laws per blob:
+    // restoring the MOR table to t2 undoes the t3 deletions exactly
+    // (replay sums re-derive in DuckDB: updates applied, deletions
+    // NOT), restoring the COW table to t1 kills the t2 rewrite,
+    // restoring to the LATEST completed instant deletes NOTHING, and
+    // a pending/unknown target is REFUSED.
+    "q388_hudi_restore" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val ids = it.map(_._2).toSeq.sorted
+            val mor = W.writeMorTable(ids)
+            val cow = W.writeTable(ids)
+            val res = for {
+              rm <- W.restoreTo(mor, "00000000000002",
+                "00000000000008")
+              morRestored = (mor -- rm.deleted) +
+                (rm.timelineName -> rm.timeline)
+              morState <- W.replay(morRestored)
+              rc <- W.restoreTo(cow, "00000000000001",
+                "00000000000009")
+              cowRestored = (cow -- rc.deleted) +
+                (rc.timelineName -> rc.timeline)
+              cowState <- W.replay(cowRestored)
+              noop <- W.restoreTo(mor, "00000000000003",
+                "00000000000008")
+            } yield {
+              val morDeletedOk =
+                rm.deleted == Seq(".hoodie/00000000000003.deltacommit")
+              val cowDeletedOk = rc.deleted.toSet == Set(
+                "p/fg0_0-0-0_00000000000002.parquet",
+                ".hoodie/00000000000002.commit")
+              val noopOk = noop.deleted.isEmpty
+              val refusedOk =
+                W.restoreTo(mor, "00000000000004", "9".padTo(14, '0'))
+                  .isEmpty &&
+                  W.restoreTo(mor, "00000000000099", "9".padTo(14, '0'))
+                    .isEmpty
+              val morRows = morState.flatMap(_.rows)
+              val cowRows = cowState.flatMap(_.rows)
+              (t, morRows.length.toLong, morRows.map(_._2).sum,
+                cowRows.length.toLong, cowRows.map(_._2).sum,
+                if (morDeletedOk) 1L else 0L,
+                if (cowDeletedOk) 1L else 0L,
+                if (noopOk) 1L else 0L,
+                if (refusedOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "mor_rows", "mor_val_sum", "cow_rows",
+            "cow_val_sum", "mor_deleted_ok", "cow_deleted_ok",
+            "noop_ok", "refused_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg,
+                 (doc_id * 13) % 991 AS vm,
+                 (doc_id * 13) % 1000 AS vc
+          FROM documents)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS mor_rows,
+               CAST(sum(CASE WHEN fg = 0 AND d % 3 = 0 THEN vm + 7
+                 ELSE vm END) AS BIGINT) AS mor_val_sum,
+               CAST(count(*) AS BIGINT) AS cow_rows,
+               CAST(sum(vc) AS BIGINT) AS cow_val_sum,
+               CAST(1 AS BIGINT) AS mor_deleted_ok,
+               CAST(1 AS BIGINT) AS cow_deleted_ok,
+               CAST(1 AS BIGINT) AS noop_ok,
+               CAST(1 AS BIGINT) AS refused_ok
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

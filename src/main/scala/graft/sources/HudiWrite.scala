@@ -295,6 +295,58 @@ object HudiWrite {
       s".hoodie/$rbInstant.rollback", body.getBytes("UTF-8")))
   }
 
+  // ---- restore write (q388) ---------------------------------------------------
+
+  final case class RestoreResult(deleted: Seq[String],
+                                 timelineName: String,
+                                 timeline: Array[Byte])
+
+  /** RESTORE TO INSTANT — Hudi's table-level undo (the third
+    * format's q383/q384 twin, but PHYSICAL: Hudi has no snapshot
+    * graph, so restoring really deletes what newer instants wrote):
+    * every base file of a COMPLETED instant newer than the target
+    * dies along with that instant's timeline entry; log files whose
+    * blocks ALL belong to newer instants die; mixed logs survive
+    * (their newer blocks go dark because their timeline entries are
+    * gone — the replay skip rule does the masking). The `.restore`
+    * entry records the inventory. None for an unknown/incomplete
+    * target or malformed log; restoring to the LATEST completed
+    * instant deletes nothing (no-op law).
+    */
+  def restoreTo(files: Map[String, Array[Byte]], instant: String,
+                rsInstant: String): Option[RestoreResult] = {
+    val completed = files.keys.collect {
+      case TimelineRe(i, _) => i }.toSet
+    if (!completed(instant)) return None
+    val newer = completed.filter(_ > instant)
+    val deadTimeline = files.keys.toSeq.collect {
+      case p @ TimelineRe(i, _) if i > instant => p
+    }
+    val deadBases = files.keys.toSeq.collect {
+      case p @ BaseRe(_, inst) if completed(inst) && inst > instant =>
+        p
+    }
+    var ok = true
+    val deadLogs = files.keys.toSeq.filter { p =>
+      LogRe.pattern.matcher(p).matches() && {
+        HudiLog.parse(files(p)) match {
+          case Some(blocks) =>
+            val live = blocks.filter(b =>
+              b.blockType != HudiLog.TypeCommand)
+            live.nonEmpty && live.forall(b => newer(b.instant))
+          case None => ok = false; false
+        }
+      }
+    }
+    if (!ok) return None
+    val deleted = (deadBases ++ deadLogs ++ deadTimeline).sorted
+    val body = deleted.map(p => s""""$p"""").mkString(
+      s"""{"deleted": [""", ", ",
+      s"""], "operationType": "RESTORE", "target": "$instant"}""")
+    Some(RestoreResult(deleted, s".hoodie/$rsInstant.restore",
+      body.getBytes("UTF-8")))
+  }
+
   // ---- clean write (q361) --------------------------------------------------
 
   final case class CleanResult(deleted: Seq[String],
