@@ -6272,6 +6272,82 @@ object WriterQueries {
         FROM r GROUP BY table_id"""),
       headline = false),
 
+    // q389 — ORC MASTER-KEY ROTATION: the only rotation a 100 TB
+    // lake can afford — the per-variant LOCAL keys (and therefore
+    // every encrypted stream byte and encrypted statistic) never
+    // change; only their 32-byte wrapped forms re-encrypt under the
+    // new master, spliced IN PLACE. Laws per blob: rotation touches
+    // at most the wrapped-key bytes (counted!), the new master
+    // decrypts to the EXACT original plaintext (sums re-derive in
+    // DuckDB), the OLD master stops working, and a wrong old master
+    // fails CLOSED before any splice (the statistics key-check
+    // runs first — no half-rotated file can ever be emitted).
+    "q389_orc_key_rotation" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.OrcWrite
+            val C = graft.sources.OrcCrypto
+            val O = graft.sources.Orc
+            val ids = it.map(_._2).toSeq.sorted
+            def sal(d: Long): Long = (d * 47) % 1013
+            def keyOf(seed: String) = java.security.MessageDigest
+              .getInstance("MD5")
+              .digest(s"$seed:$t:${ids.length}".getBytes("UTF-8"))
+            val m1 = keyOf("orcrot-old"); val m2 = keyOf("orcrot-new")
+            val plain = W.writeTable(Seq(
+              W.OLongCol("rec_id", ids.map(Some(_))),
+              W.OLongCol("salary", ids.map(d => Some(sal(d))))),
+              compression = 0, rowIndexStride = 64)
+            val res = for {
+              enc <- C.encryptFile(plain, m1, "pii", Set(2),
+                deterministic = true)
+              rot <- C.rotateMaster(enc, m1, m2, deterministic = true)
+              back <- C.decryptFile(rot, m2)
+              tb <- O.parseTail(back)
+              rs <- O.stripeColumnLongs(back, tb, tb.stripes.head, 1)
+              vs <- O.stripeColumnLongs(back, tb, tb.stripes.head, 2)
+              if rs.length == vs.length
+            } yield {
+              val identity = java.util.Arrays.equals(back, plain)
+              val spliceBound = rot.length == enc.length &&
+                rot.indices.count(i => rot(i) != enc(i)) <= 32
+              val oldDead = C.decryptFile(rot, m1).isEmpty
+              val wrongOldClosed =
+                C.rotateMaster(enc, m2, m1, deterministic = true)
+                  .isEmpty
+              (t, rs.length.toLong, rs.sum, vs.sum,
+                if (identity) 1L else 0L,
+                if (spliceBound) 1L else 0L,
+                if (oldDead) 1L else 0L,
+                if (wrongOldClosed) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("blob_id", "n_rows", "id_sum", "salary_sum",
+            "identity_ok", "splice_bound_ok", "old_master_dead",
+            "wrong_old_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 (doc_id * 47) % 1013 AS sal
+          FROM documents)
+        SELECT blob_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(sal) AS BIGINT) AS salary_sum,
+               CAST(1 AS BIGINT) AS identity_ok,
+               CAST(1 AS BIGINT) AS splice_bound_ok,
+               CAST(1 AS BIGINT) AS old_master_dead,
+               CAST(1 AS BIGINT) AS wrong_old_closed
+        FROM r GROUP BY blob_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

@@ -417,6 +417,60 @@ object OrcCrypto {
       else Some((names, variants))
     } catch { case _: Bail => None }
 
+  /** MASTER-KEY ROTATION (q389) — the only rotation a 100 TB lake
+    * can afford: the per-variant LOCAL keys never change (stream
+    * bytes and encrypted statistics stay byte-identical), only their
+    * 32-byte WRAPPED forms are re-encrypted under the new master and
+    * spliced IN PLACE (same length, so every offset in the file is
+    * untouched). The old master is verified first by unwrapping each
+    * local key and passing the statistics key-check — a wrong old
+    * master fails CLOSED, never emits a half-rotated file. After
+    * rotation the old master no longer decrypts; the new one yields
+    * the exact original plaintext.
+    */
+  def rotateMaster(enc: Array[Byte], oldMaster: Array[Byte],
+                   newMaster: Array[Byte],
+                   deterministic: Boolean = false)
+      : Option[Array[Byte]] =
+    try {
+      val tail = Orc.parseTail(enc).getOrElse(return None)
+      val (_, fStart, fEnd) = locate(enc)
+      val foot = fields(enc, fStart, fEnd)
+      val e = foot.find(_._1 == 10).getOrElse(return None)
+      val efs = fields(enc, e._4, e._5)
+      val nStripes = tail.stripes.length
+      val out = java.util.Arrays.copyOf(enc, enc.length)
+      val variants = efs.filter(_._1 == 2)
+      if (variants.isEmpty) return None
+      variants.foreach { vf =>
+        val vfs = fields(enc, vf._4, vf._5)
+        val root = vfs.find(_._1 == 1).map(f =>
+          rdVarint(enc, f._4, f._5)._1.toInt).getOrElse(bail())
+        val keyField = vfs.find(_._1 == 3).getOrElse(bail())
+        if (keyField._5 - keyField._4 != 32) bail()
+        val wrapped =
+          java.util.Arrays.copyOfRange(enc, keyField._4, keyField._5)
+        val local = unwrapKey(oldMaster, wrapped)
+        // key check: the local key must decrypt the variant's
+        // statistics to a well-formed message (wrong old master
+        // fails here, CLOSED)
+        val fsField = vfs.find(_._1 == 5).getOrElse(bail())
+        val fsPlain = ctr(local, iv(root, 0, nStripes + 1), enc,
+          fsField._4, fsField._5 - fsField._4)
+        val fs = fields(fsPlain, 0, fsPlain.length)
+        if (fs.length != 1 || fs.head._1 != 1 ||
+          fs.head._5 != fsPlain.length) bail()
+        val rewrapped = wrapKey(newMaster, local, deterministic,
+          s"rot:$root", root)
+        if (rewrapped.length != 32) bail()
+        System.arraycopy(rewrapped, 0, out, keyField._4, 32)
+      }
+      Some(out)
+    } catch {
+      case _: Bail => None
+      case _: java.security.GeneralSecurityException => None
+    }
+
   /** Decrypt back to the EXACT plaintext file: unwrap each variant's
     * local key, decrypt its streams in place, recover the real
     * statistics from the encrypted fileStatistics (whose successful

@@ -134,6 +134,35 @@ class OrcCryptoSpec extends SparkSpec {
       "CTR has no tag: tampering decrypts silently different")
   }
 
+  test("master-key rotation (q389): wrapped keys re-encrypt IN " +
+    "PLACE — data region byte-identical, new master decrypts to the " +
+    "exact plaintext, old master stops working, wrong old master " +
+    "fails closed") {
+    val plain = plainFile()
+    val newMaster = Array.tabulate(16)(i => (i * 29 + 5).toByte)
+    val enc = OrcCrypto.encryptFile(plain, master, "pii", Set(2, 3),
+      deterministic = true).getOrElse(fail("encrypt"))
+    val rot = OrcCrypto.rotateMaster(enc, master, newMaster,
+      deterministic = true).getOrElse(fail("rotate"))
+    assert(rot.length == enc.length)
+    // ONLY the 2×32 wrapped-key bytes differ
+    val diff = rot.indices.count(i => rot(i) != enc(i))
+    assert(diff > 0 && diff <= 64,
+      s"rotation must touch only the wrapped keys ($diff bytes)")
+    assert(java.util.Arrays.equals(
+      OrcCrypto.decryptFile(rot, newMaster).get, plain))
+    assert(OrcCrypto.decryptFile(rot, master).isEmpty,
+      "old master must stop working")
+    assert(OrcCrypto.rotateMaster(enc, newMaster, master,
+      deterministic = true).isEmpty,
+      "wrong OLD master must fail closed before any splice")
+    // rotate back: full identity with the deterministic wrap
+    val back = OrcCrypto.rotateMaster(rot, newMaster, master,
+      deterministic = true).get
+    assert(java.util.Arrays.equals(
+      OrcCrypto.decryptFile(back, master).get, plain))
+  }
+
   test("orc-core: the encrypted file's unencrypted columns read " +
     "through spark.read.orc; the encrypted column is not silently " +
     "exposed as plaintext") {
