@@ -6348,6 +6348,101 @@ object WriterQueries {
         FROM r GROUP BY blob_id"""),
       headline = false),
 
+    // q390 — Delta → Iceberg MIGRATION, metadata-only: the
+    // snapshot-table procedure a 100 TB lake migration rests on —
+    // rewriting data would move the lake; this writes ONLY an
+    // Iceberg manifest/list/metadata referencing the SAME parquet
+    // files the Delta log declares live, with record counts PROVEN
+    // by the own parquet reader at migrate time. Laws per blob: the
+    // Iceberg scan of the migrated table equals the Delta replay
+    // row-for-row; a post-migration Delta commit does NOT leak into
+    // the Iceberg view (the migration is a snapshot, not a live
+    // link); the Iceberg side is immediately a first-class table —
+    // expire/incremental machinery accept it; and migrating a
+    // vacuumed table (live bytes missing) fails CLOSED. Sums
+    // re-derive in DuckDB (the v1 Delta view: generations 0 and 2).
+    "q390_delta_to_iceberg_migrate" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val D = graft.sources.DeltaWrite
+            val I = graft.sources.IcebergWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val delta = D.writeTable(s"tbl-$t", ids)
+            val res = for {
+              iceMeta <- I.migrateFromDelta(delta, s"ice-$t")
+              ice = delta ++ iceMeta
+              iceRows <- I.scanSnapshot(ice, "v1.metadata.json", 1L)
+              deltaLive <- D.replayLiveSized(delta, 1L)
+              deltaRows <- {
+                val per = deltaLive.keys.toSeq.sorted.map { p =>
+                  for {
+                    b <- delta.get(p)
+                    rs <- P.columnLongs(b, "rec_id")
+                    vs <- P.columnLongs(b, "val")
+                    if rs.length == vs.length
+                  } yield rs.zip(vs).toSeq
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.flatMap(_.get))
+              }
+            } yield {
+              val scanEqual =
+                iceRows.sorted == deltaRows.sorted
+              // the migration is a SNAPSHOT: Delta evolving after it
+              // must not leak into the Iceberg view
+              val delta2 = delta +
+                ("_delta_log/00000000000000000002.json" ->
+                  (D.removeAction("part-A.parquet") + "\n")
+                    .getBytes("UTF-8"))
+              val isolated = I.scanSnapshot(delta2 ++ iceMeta,
+                "v1.metadata.json", 1L).exists(
+                _.sorted == iceRows.sorted)
+              // a vacuumed source cannot migrate
+              val vacuumClosed = I.migrateFromDelta(
+                delta - "part-C.parquet", s"ice-$t").isEmpty
+              // the migrated table is first-class: expire accepts it
+              val firstClass = I.expireSnapshots(ice,
+                "v1.metadata.json", 1699999999999L).exists(
+                _.nExpired == 0)
+              (t, iceRows.length.toLong, iceRows.map(_._1).sum,
+                iceRows.map(_._2).sum,
+                if (scanEqual) 1L else 0L,
+                if (isolated) 1L else 0L,
+                if (vacuumClosed) 1L else 0L,
+                if (firstClass) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "id_sum", "val_sum",
+            "scan_equal", "snapshot_isolated", "vacuum_closed",
+            "first_class")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS gen3,
+                 (doc_id * 11) % 1000 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(sum(CASE WHEN gen3 <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN gen3 <> 1 THEN d ELSE 0 END)
+                 AS BIGINT) AS id_sum,
+               CAST(sum(CASE WHEN gen3 <> 1 THEN v ELSE 0 END)
+                 AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS scan_equal,
+               CAST(1 AS BIGINT) AS snapshot_isolated,
+               CAST(1 AS BIGINT) AS vacuum_closed,
+               CAST(1 AS BIGINT) AS first_class
+        FROM r GROUP BY table_id"""),
+      headline = false),
+
     // q364 — theta set ALGEBRA for snapshot-delta accounting
     // (q363's union completed with intersect and a-not-b, the
     // datasketches operators a stats-driven planner runs between TWO

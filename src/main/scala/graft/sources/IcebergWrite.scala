@@ -960,6 +960,55 @@ object IcebergWrite {
       "data/c.parquet" -> fc, "data/d.parquet" -> fd)
   }
 
+  // ---- Delta -> Iceberg migration (q390) ---------------------------------------
+
+  /** MIGRATE a Delta table to Iceberg WITHOUT copying data — the
+    * snapshot-table procedure every lake migration leans on at
+    * 100 TB (rewriting the data would move the lake; rewriting only
+    * METADATA is hours, not months): replay the Delta log to its
+    * live (path, size) set and write an Iceberg manifest + list +
+    * metadata whose entries reference the SAME parquet files. The
+    * declared sizes carry over 1:1 (a size mismatch would poison
+    * Iceberg's planning), record counts come from the engine's own
+    * parquet reader — PROVEN, not assumed. None on a malformed log
+    * or a live file whose bytes are missing (you cannot migrate what
+    * vacuum already reclaimed).
+    */
+  def migrateFromDelta(delta: Map[String, Array[Byte]],
+                       id: String): Option[Map[String, Array[Byte]]] = {
+    val maxV = delta.keys.collect {
+      case m if m.startsWith("_delta_log/") && m.endsWith(".json") =>
+        m.stripPrefix("_delta_log/").stripSuffix(".json").toLong
+    }.maxOption.getOrElse(return None)
+    for {
+      live <- DeltaWrite.replayLiveSized(delta, maxV)
+      counted <- {
+        val per = live.toSeq.sortBy(_._1).map { case (p, sz) =>
+          for {
+            b <- delta.get(p)
+            if b.length.toLong == sz
+            rs <- Parquet.columnLongs(b, "rec_id")
+          } yield (p, sz, rs.length.toLong)
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
+      }
+    } yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+      val manifest = container(EntrySchema, counted.map {
+        case (p, sz, rc) => entrySt(1, p, rc, sz)
+      }, sync)
+      val list = container(ListSchema, Seq(manifestFileRow(
+        "m-migrated.avro", manifest.length.toLong,
+        counted.length.toLong, counted.map(_._3).sum)), sync)
+      val meta = metadataJson(id, 1L, Seq(
+        snapshotJson(1L, 1L, 1700000000000L, "snap-1.avro")))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Map("v1.metadata.json" -> meta, "snap-1.avro" -> list,
+        "m-migrated.avro" -> manifest)
+    }
+  }
+
   // ---- rollback to snapshot (q384) -------------------------------------------
 
   /** ROLLBACK TO SNAPSHOT — q383's Iceberg twin, and pure METADATA
