@@ -46,12 +46,21 @@ object WordPiece extends Serializable {
     l + (if (r.startsWith("##")) r.substring(2) else r)
 
   /** Decompose one word into initial + continuation character
-    * pieces.
+    * pieces. Iterates CODE POINTS, not UTF-16 chars — a
+    * supplementary-plane character is one piece, never two surrogate
+    * halves.
     */
-  def decompose(w: String): Seq[String] =
-    w.toSeq.zipWithIndex.map { case (c, i) =>
-      if (i == 0) c.toString else s"##$c"
+  def decompose(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val s = new String(Character.toChars(cp))
+      out += (if (i == 0) s else s"##$s")
+      i += Character.charCount(cp)
     }
+    out.result()
+  }
 
   /** Train `nMerges` merges over a (word, count) table. */
   def train(words: Dataset[(String, Long)], nMerges: Int)
@@ -153,7 +162,13 @@ object WordPiece extends Serializable {
         val cand =
           (if (pos == 0) "" else "##") + w.substring(pos, end)
         if (vocab.contains(cand)) hit = cand
-        else end -= 1
+        else {
+          // shrink by CODE POINTS: never leave `end` between the
+          // halves of a surrogate pair (mirrors decompose)
+          end -= 1
+          if (end > pos && Character.isLowSurrogate(w.charAt(end)) &&
+            Character.isHighSurrogate(w.charAt(end - 1))) end -= 1
+        }
       }
       if (hit == null) return None
       out += hit

@@ -214,6 +214,24 @@ object SimilarityQueries {
       dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$fp"
   }
 
+  /** Existence probe through the Hadoop FileSystem of the path's
+    * scheme — the index path works on any FS the session can reach,
+    * not just the local disk.
+    */
+  private def fsExists(s: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Zero-byte marker create (overwrite) via Hadoop FileSystem. */
+  private def fsTouch(s: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
   /** Shared oracle for q134 AND q197: the persisted-index search answer
     * over the FULL corpus (q43's in-flight semantics). q197's
     * incremental append is correct precisely iff it equals this
@@ -1020,7 +1038,7 @@ object SimilarityQueries {
             Similarity.asDouble(col("embedding")).as("cv"))
         val queries = e.filter(col("vec_id") % 50 === 0)
         val path = ivfIndexPath(s, dir, "idx")
-        if (!new java.io.File(s"$path/_SUCCESS").exists) {
+        if (!fsExists(s, s"$path/_SUCCESS")) {
           Similarity.writeIvfIndex(Engine.fanOut(e), centroids,
             "embedding", "vec_id", path)
         }
@@ -1056,15 +1074,15 @@ object SimilarityQueries {
         // completion marker AFTER the append: base write + append are
         // two jobs, and _SUCCESS alone would mark a crash between them
         // as a complete index
-        val done = new java.io.File(s"$path/_GRAFT_APPEND_DONE")
-        if (!done.exists) {
+        val done = s"$path/_GRAFT_APPEND_DONE"
+        if (!fsExists(s, done)) {
           Similarity.writeIvfIndex(
             Engine.fanOut(e.filter(col("vec_id") % 5 =!= 0)), centroids,
             "embedding", "vec_id", path)
           Similarity.appendToIvfIndex(
             e.filter(col("vec_id") % 5 === 0), centroids,
             "embedding", "vec_id", path)
-          done.createNewFile()
+          fsTouch(s, done)
         }
         Similarity.searchIvfIndex(s, path, queries, "embedding", "vec_id",
           centroids, k = 3, nprobe = 3)
@@ -1305,7 +1323,7 @@ object SimilarityQueries {
         val nodes = G.nodes(Engine.fanOut(e), "embedding", "vec_id",
           VPlanes, Dims)
         val path = ivfIndexPath(s, dir, "hnsw")
-        if (!new java.io.File(s"$path/_SUCCESS").exists) {
+        if (!fsExists(s, s"$path/_SUCCESS")) {
           G.adjacency(nodes, 0, M, Views, VPlanes, Dims)
             .unionByName(G.adjacency(nodes, 1, M, Views, VPlanes,
               Dims))

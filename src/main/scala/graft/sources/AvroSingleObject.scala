@@ -212,7 +212,10 @@ object AvroSingleObject {
     */
   def read(b: Array[Byte], registry: Map[Long, String],
            readerJson: String): Option[AvroGeneric.V] = {
-    if (b.length < 11 || (b(0) & 0xff) != 0xc3 || b(1) != 0x01)
+    // 10 bytes is a valid minimum: marker(2) + fingerprint(8) + a
+    // zero-byte datum (empty record / null schema); the trailing-bytes
+    // check below handles framing
+    if (b.length < 10 || (b(0) & 0xff) != 0xc3 || b(1) != 0x01)
       return None
     var fp = 0L
     var i = 7

@@ -403,50 +403,61 @@ object DeltaWrite {
         if (per.exists(_.isEmpty) || sidecars.isEmpty) None
         else Some((sidecars.length, per.flatMap(_.get)))
       }
-    } yield {
-      val (nSidecars, rows) = base
-      val live = scala.collection.mutable.LinkedHashMap
-        .empty[String, (Long, String)]
-      rows.foreach { a =>
-        if (a.addPath != null)
-          live(a.addPath) =
-            (a.addSize, a.addParts.getOrElse("part", null))
-        else if (a.removePath != null) live.remove(a.removePath)
-      }
-      // JSON tail strictly after the checkpoint version
-      files.keys.toSeq.collect {
-        case p @ CommitRe(v) if v.toLong > ver => (v.toLong, p)
-      }.sortBy(_._1).foreach { case (_, p) =>
-        new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
-          .foreach { line =>
-            Json.parse(line) match {
-              case Some(ob: JObject) =>
-                ob.get("add") match {
-                  case Some(a: JObject) =>
-                    for {
-                      pa <- a.get("path").collect {
-                        case JString(x) => x }
-                      sz <- a.get("size").collect { case JLong(x) => x }
-                    } {
-                      val part = a.get("partitionValues").collect {
-                        case pv: JObject =>
-                          pv.get("part").collect {
-                            case JString(x) => x }
-                      }.flatten.orNull
-                      live(pa) = (sz, part)
-                    }
-                  case _ => ob.get("remove").foreach {
-                    case r: JObject => r.get("path").foreach {
-                      case JString(x) => live.remove(x)
-                      case _ => ()
-                    }
-                    case _ => ()
+      live <- {
+        val (_, rows) = base
+        val lv = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Long, String)]
+        rows.foreach { a =>
+          if (a.addPath != null)
+            lv(a.addPath) =
+              (a.addSize, a.addParts.getOrElse("part", null))
+          else if (a.removePath != null) lv.remove(a.removePath)
+        }
+        // JSON tail strictly after the checkpoint version — fail
+        // CLOSED (None) on any non-JSON line, add missing path/size,
+        // or malformed remove, matching replayLive's ok=false posture
+        var ok = true
+        files.keys.toSeq.collect {
+          case p @ CommitRe(v) if v.toLong > ver => (v.toLong, p)
+        }.sortBy(_._1).foreach { case (_, p) =>
+          new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+            .foreach { line =>
+              Json.parse(line) match {
+                case Some(ob: JObject) =>
+                  (ob.get("add"), ob.get("remove")) match {
+                    case (Some(a: JObject), _) =>
+                      (a.get("path").collect { case JString(x) => x },
+                        a.get("size").collect {
+                          case JLong(x) => x }) match {
+                        case (Some(pa), Some(sz)) =>
+                          val part =
+                            a.get("partitionValues").collect {
+                              case pv: JObject =>
+                                pv.get("part").collect {
+                                  case JString(x) => x }
+                            }.flatten.orNull
+                          lv(pa) = (sz, part)
+                        case _ => ok = false
+                      }
+                    case (Some(_), _) => ok = false
+                    case (None, Some(r: JObject)) =>
+                      r.get("path") match {
+                        case Some(JString(x)) => lv.remove(x)
+                        case _ => ok = false
+                      }
+                    case (None, Some(_)) => ok = false
+                    // other action types (commitInfo, metaData,
+                    // protocol, txn) are valid no-ops here
+                    case (None, None) => ()
                   }
-                }
-              case _ => ()
+                case _ => ok = false
+              }
             }
-          }
+        }
+        if (ok) Some(lv) else None
       }
+    } yield {
+      val (nSidecars, _) = base
       V2State(live.toSeq.map { case (p, (sz, part)) =>
         (p, sz, part) }.sortBy(_._1), metaId, nSidecars)
     }

@@ -107,7 +107,11 @@ object OrcCrypto {
 
   // ---- AES/CTR with the spec's IV layout ------------------------------------
 
-  /** col (3B BE) ‖ kind (2B BE) ‖ stripe (3B BE) ‖ counter (8B, 0). */
+  /** col (3B BE) ‖ kind (2B BE) ‖ stripe (3B BE) ‖ counter (8B, 0).
+    * Stream IVs carry the 1-BASED stripe number (orc-core's
+    * convention); the statistics variants use nStripes+1 (file) and
+    * nStripes+2+si (per-stripe), disjoint from the stream range.
+    */
   private def iv(col: Int, kind: Int, stripe: Int): Array[Byte] = {
     val v = new Array[Byte](16)
     v(0) = ((col >> 16) & 0xff).toByte
@@ -155,6 +159,11 @@ object OrcCrypto {
       if (deterministic) {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         md.update(master); md.update(s"wrap:$keyName:$col".getBytes(Utf8))
+        // mix the local key in: two files rotated under one master
+        // carry DISTINCT local keys, so without this the same CTR
+        // keystream would encrypt both and leak their XOR; the IV is
+        // stored in the wire form, so unwrap never recomputes it
+        md.update(local)
         java.util.Arrays.copyOf(md.digest(), 16)
       } else {
         val v = new Array[Byte](16)
@@ -254,8 +263,11 @@ object OrcCrypto {
         sf.streams.foreach { st =>
           if (pos + st.length > plain.length) bail()
           if (encCols.contains(st.column)) {
+            // stripe number is 1-BASED in stream IVs (orc-core's
+            // convention); stats variants live above nStripes so the
+            // ranges never collide
             val enc = ctr(localKeys(st.column),
-              iv(st.column, st.kind, si), plain, pos.toInt,
+              iv(st.column, st.kind, si + 1), plain, pos.toInt,
               st.length.toInt)
             System.arraycopy(enc, 0, out, pos.toInt, enc.length)
           }
@@ -520,7 +532,7 @@ object OrcCrypto {
         sf.streams.foreach { st =>
           if (pos + st.length > enc.length) bail()
           keys.get(st.column).foreach { k =>
-            val dec = ctr(k, iv(st.column, st.kind, si), enc,
+            val dec = ctr(k, iv(st.column, st.kind, si + 1), enc,
               pos.toInt, st.length.toInt)
             System.arraycopy(dec, 0, out, pos.toInt, dec.length)
           }

@@ -115,6 +115,18 @@ class AvroSingleObjectSpec extends AnyFunSuite {
       Reader).isEmpty)
   }
 
+  test("a 10-byte message is valid: marker + fingerprint + a " +
+    "zero-byte datum (empty record) round-trips (r16 ADVICE)") {
+    val empty = """{"type":"record","name":"e","fields":[]}"""
+    val reg = Map(SO.fingerprint(empty).get -> empty)
+    val m = SO.write(empty, VRecord(Vector.empty)).get
+    assert(m.length == 10, "empty record datum is zero bytes")
+    val r = SO.read(m, reg, empty).getOrElse(fail("10-byte read"))
+    assert(r.isInstanceOf[VRecord])
+    // but 9 bytes (truncated fingerprint) still closes
+    assert(SO.read(m.dropRight(1), reg, empty).isEmpty)
+  }
+
   test("fingerprints are PCF-invariant: doc/alias/default/logical " +
     "noise and whitespace do not change the fingerprint; a real " +
     "field change does") {

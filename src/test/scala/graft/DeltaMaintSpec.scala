@@ -196,6 +196,25 @@ class DeltaMaintSpec extends AnyFunSuite {
         sidecarSize = files(scName).length.toLong)))
     assert(DeltaWrite.readStateV2(files + (manName -> badMan), 3L,
       Set("v2Checkpoint")).isEmpty)
+    // tail replay is fail-CLOSED (r16 ADVICE): a non-JSON line, an
+    // add missing path/size, and a malformed remove each refuse the
+    // whole state instead of silently dropping the action
+    val tailName = "_delta_log/00000000000000000002.json"
+    val tail = new String(files(tailName), "UTF-8")
+    def withTail(t: String) = files + (tailName -> t.getBytes("UTF-8"))
+    assert(DeltaWrite.readStateV2(withTail(tail + "not json\n"), 3L,
+      Set("v2Checkpoint")).isEmpty, "garbage tail line must close")
+    assert(DeltaWrite.readStateV2(
+      withTail(tail + """{"add": {"path": "x.parquet"}}""" + "\n"),
+      3L, Set("v2Checkpoint")).isEmpty, "add without size must close")
+    assert(DeltaWrite.readStateV2(
+      withTail(tail + """{"remove": {"deletionTimestamp": 1}}""" +
+        "\n"), 3L, Set("v2Checkpoint")).isEmpty,
+      "remove without path must close")
+    // other action types on the tail stay valid no-ops
+    assert(DeltaWrite.readStateV2(
+      withTail(tail + """{"commitInfo": {"operation": "TEST"}}""" +
+        "\n"), 3L, Set("v2Checkpoint")).isDefined)
   }
 
   test("version checksum (q377): per-commit crc matches an " +

@@ -163,6 +163,30 @@ class OrcCryptoSpec extends SparkSpec {
       OrcCrypto.decryptFile(back, master).get, plain))
   }
 
+  test("deterministic wrap IVs are local-key-unique (r16 ADVICE): " +
+    "two files with DISTINCT local keys rotated under one master " +
+    "never share a wrap-CTR keystream") {
+    val newMaster = Array.tabulate(16)(i => (i * 29 + 5).toByte)
+    // CSPRNG local keys => distinct across the two files
+    val encA = OrcCrypto.encryptFile(plainFile(), master, "pii",
+      Set(2)).getOrElse(fail("encA"))
+    val encB = OrcCrypto.encryptFile(plainFile(stride = 64), master,
+      "pii", Set(2)).getOrElse(fail("encB"))
+    val rotA = OrcCrypto.rotateMaster(encA, master, newMaster,
+      deterministic = true).getOrElse(fail("rotA"))
+    val rotB = OrcCrypto.rotateMaster(encB, master, newMaster,
+      deterministic = true).getOrElse(fail("rotB"))
+    def wrapIv(f: Array[Byte]): Seq[Byte] =
+      OrcCrypto.encryptionInfo(f).get._2.head.encryptedKey
+        .take(16).toSeq
+    assert(wrapIv(rotA) != wrapIv(rotB),
+      "same master+keyName+col must still yield distinct wrap IVs " +
+        "for distinct local keys")
+    // and both still decrypt under the new master
+    assert(OrcCrypto.decryptFile(rotA, newMaster).isDefined)
+    assert(OrcCrypto.decryptFile(rotB, newMaster).isDefined)
+  }
+
   test("orc-core: the encrypted file's unencrypted columns read " +
     "through spark.read.orc; the encrypted column is not silently " +
     "exposed as plaintext") {

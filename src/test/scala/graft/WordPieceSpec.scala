@@ -145,4 +145,22 @@ class WordPieceSpec extends SparkSpec {
     assert(enc.contains(Seq("a", "##aa", "##a")),
       "greedy longest-match mirrors the single non-overlapping merge")
   }
+
+  test("supplementary-plane code points are single pieces, never " +
+    "surrogate halves (r16 ADVICE): decompose and encode agree") {
+    val face = new String(Character.toChars(0x1F600)) // 2 UTF-16 chars
+    val w = s"a${face}b"
+    assert(WordPiece.decompose(w) == Seq("a", s"##$face", "##b"),
+      "one piece per CODE POINT")
+    // no piece may be a lone surrogate
+    assert(WordPiece.decompose(face + face).forall(p =>
+      !p.stripPrefix("##").exists(Character.isSurrogate) ||
+        p.stripPrefix("##").length == 2))
+    val vocab = Set("a", s"##$face", "##b")
+    assert(WordPiece.encode(w, vocab)
+      .contains(Seq("a", s"##$face", "##b")))
+    assert(WordPiece.concatPieces(WordPiece.encode(w, vocab).get) == w)
+    // a vocab that lacks the full code point cannot match half of it
+    assert(WordPiece.encode(w, Set("a", "##b")).isEmpty)
+  }
 }
