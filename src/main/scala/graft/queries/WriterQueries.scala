@@ -6511,5 +6511,127 @@ object WriterQueries {
                 WHERE r2.table_id = t.table_id) AS ndv_union,
                CAST(1 AS BIGINT) AS partition_law
         FROM (SELECT DISTINCT table_id FROM r) t"""),
+      headline = false),
+
+    // q391 — Hudi MDT RECORD-LEVEL INDEX: the partition that makes
+    // UPSERTS plannable at 100 TB — key -> (partitionPath, fileId)
+    // location records, so tagging an incoming batch against
+    // existing file groups is an index lookup instead of reading a
+    // bloom filter from every base file or a full join (the
+    // reference's per-row existence probe, database_utils.py:128-145,
+    // as an index). Built per completed instant through the own
+    // HudiLog writer over the q318 MOR timeline (base adds index
+    // keys, log updates keep their file group, delete blocks
+    // tombstone keys, the inflight t4 poison never enters). Laws:
+    // RLI-planned tagging ≡ full-scan (replay) tagging key-for-key;
+    // an orphan base file's records fool the scan but are INVISIBLE
+    // to the RLI; COMPACTION preserves every location (fileIds
+    // survive) with append ≡ rebuild BYTE-exact on the log; CLEAN
+    // changes no membership and tagging still matches the cleaned
+    // replay; ROLLBACK of the pending instant leaves the RLI
+    // consistent without any repair. Live counts re-derive in DuckDB
+    // per the q318 MOR merge rules.
+    "q391_hudi_record_index" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val M = graft.sources.HudiMdt
+            val ids = it.map(_._2).toSeq.sorted
+            val t5 = "00000000000005"; val t6 = "00000000000006"
+            val files = W.writeMorTable(ids)
+            val res = for {
+              rli <- M.syncRecordIndex(files)
+              table = files ++ rli
+              idx <- M.recordIndexListing(table)
+              fgs <- W.replay(files)
+              fullScan = fgs.flatMap(f =>
+                f.rows.map(r => r._1 -> ("p", f.fileId))).toMap
+              // compaction: new bases at t5, locations preserved
+              cf <- W.compact(files, t5)
+              compacted = table ++ cf
+              rli2 <- M.appendRecordIndex(rli, compacted, t5,
+                "commit")
+              idx2 <- M.recordIndexListing(compacted ++ rli2)
+              // append ≡ rebuild, byte-exact on the log
+              rebuilt <- M.syncRecordIndex(compacted)
+              // clean reclaims replaced slices; membership unchanged
+              cr <- W.clean(compacted, t6)
+              cleaned = (compacted ++ rli2 -- cr.deleted) +
+                (cr.timelineName -> cr.timeline)
+              rli3 <- M.appendRecordIndex(rli2, cleaned, t6, "clean")
+              cleanedAll = cleaned ++ rli3
+              idx3 <- M.recordIndexListing(cleanedAll)
+              cleanScan <- W.replay(cleanedAll)
+              // rollback of the pending t4: RLI needs no repair
+              rb <- W.rollback(cleanedAll, "00000000000004",
+                "00000000000007")
+              rolledBack = (cleanedAll -- rb.deleted) ++
+                rb.appendedLogs + (rb.timelineName -> rb.timeline)
+              rbScan <- W.replay(rolledBack)
+              idx4 <- M.recordIndexListing(rolledBack)
+            } yield {
+              val tagMatch = idx == fullScan &&
+                ids.forall(d => idx.get(d) == fullScan.get(d))
+              val orphan = "p/fg9_0-0-0_00000000000001.parquet"
+              val withOrphan = table + (orphan ->
+                graft.sources.ParquetWrite.writeInt64(
+                  Seq("rec_id", "val"), Seq(Array(999999L, 999L))))
+              val orphanInvisible = W.replay(withOrphan).exists(
+                _.exists(_.rows.exists(_._1 == 999999L))) &&
+                M.recordIndexListing(withOrphan)
+                  .exists(!_.contains(999999L))
+              val compactStable = idx2 == idx
+              val rebuildExact = java.util.Arrays.equals(
+                rebuilt(M.RecordIndexLogPath),
+                rli2(M.RecordIndexLogPath))
+              val cleanOk = idx3 == idx2 &&
+                idx3 == cleanScan.flatMap(f =>
+                  f.rows.map(r => r._1 -> ("p", f.fileId))).toMap
+              val rollbackOk = idx4 == idx3 &&
+                idx4 == rbScan.flatMap(f =>
+                  f.rows.map(r => r._1 -> ("p", f.fileId))).toMap
+              val nFg0 = idx.count(_._2._2 == "fg0").toLong
+              val nFg1 = idx.count(_._2._2 == "fg1").toLong
+              (t, idx.size.toLong, idx.keys.sum, nFg0, nFg1,
+                if (tagMatch) 1L else 0L,
+                if (orphanInvisible) 1L else 0L,
+                if (compactStable) 1L else 0L,
+                if (rebuildExact) 1L else 0L,
+                if (cleanOk) 1L else 0L,
+                if (rollbackOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_live", "live_key_sum", "n_fg0",
+            "n_fg1", "tag_match", "orphan_invisible",
+            "compact_stable", "rebuild_exact", "clean_ok",
+            "rollback_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg
+          FROM documents),
+        live AS (
+          SELECT table_id, d, fg FROM r WHERE fg = 1 OR d % 5 <> 0)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(d) AS BIGINT) AS live_key_sum,
+               CAST(sum(CASE WHEN fg = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_fg0,
+               CAST(sum(CASE WHEN fg = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_fg1,
+               CAST(1 AS BIGINT) AS tag_match,
+               CAST(1 AS BIGINT) AS orphan_invisible,
+               CAST(1 AS BIGINT) AS compact_stable,
+               CAST(1 AS BIGINT) AS rebuild_exact,
+               CAST(1 AS BIGINT) AS clean_ok,
+               CAST(1 AS BIGINT) AS rollback_ok
+        FROM live GROUP BY table_id"""),
       headline = false))
 }

@@ -393,6 +393,244 @@ object HudiMdt {
       }
     }
 
+  // ---- record_index partition (q391) ----------------------------------------
+
+  /** Reduced-but-shaped record-index record (type 5): record key ->
+    * HoodieRecordIndexInfo{partitionPath, fileId, instantTime} — the
+    * location that lets an UPSERT tag incoming records against
+    * existing file groups from the MDT alone, instead of reading a
+    * bloom filter from every base file or running a full join. This
+    * is the reference's per-row existence probe
+    * (`/root/reference/database_utils.py:128-145`, the J5 dedup gate)
+    * as an index lookup instead of a scan. Deleted keys ride
+    * [[HudiLog.TypeDelete]] blocks, the spec's own tombstone carrier.
+    */
+  val RecordIndexSchema: String =
+    """{"type":"record","name":"HoodieMetadataRecord","fields":[{"name":"key","type":"string"},{"name":"type","type":"int"},{"name":"recordIndexMetadata","type":{"type":"record","name":"HoodieRecordIndexInfo","fields":[{"name":"partitionPath","type":"string"},{"name":"fileId","type":"string"},{"name":"instantTime","type":"string"}]}}]}"""
+
+  private lazy val recordIndexSchema =
+    AvroGeneric.parseSchema(RecordIndexSchema).get
+
+  /** The record_index partition's log file. */
+  val RecordIndexLogPath =
+    ".hoodie/metadata/record_index/.record-index-0000_00000000000000.log.1_0-0-0"
+
+  private val RliLogNameRe = "^\\.([^_/.]+)_(\\d+)\\.log\\..*$".r
+
+  /** Encode one record-index upsert. */
+  def recordIndexRecord(key: String, partition: String,
+                        fileId: String, instant: String): Array[Byte] = {
+    val v: V = VRecord(Vector(
+      "key" -> VString(key),
+      "type" -> VLong(5L),
+      "recordIndexMetadata" -> VRecord(Vector(
+        "partitionPath" -> VString(partition),
+        "fileId" -> VString(fileId),
+        "instantTime" -> VString(instant)))))
+    val out = new java.io.ByteArrayOutputStream()
+    AvroWrite.datum(out, v, recordIndexSchema)
+    out.toByteArray
+  }
+
+  /** The (upserts, deletes) one data instant contributes to the
+    * record index. A base-file write stat contributes every rec_id ->
+    * (partition, fileId) of the file it names (keys read from the
+    * actual bytes — PROVEN, never copied); a log-file stat
+    * contributes the records of the blocks BELONGING to that instant
+    * (updates keep their file group; delete blocks tombstone keys); a
+    * clean changes no record membership. None on malformed stats,
+    * missing bytes, or an undecodable block — a sync must never
+    * index a location it cannot prove.
+    */
+  private def instantRecordChanges(files: Map[String, Array[Byte]],
+                                   instant: String, action: String)
+      : Option[(Seq[(Long, String, String)], Seq[Long])] = {
+    if (action == "clean") return Some((Nil, Nil))
+    import Json.{JArray, JObject, JString}
+    val ups = Seq.newBuilder[(Long, String, String)]
+    val dels = Seq.newBuilder[Long]
+    var ok = true
+    val parsed = files.get(s".hoodie/$instant.$action")
+      .flatMap(b => Json.parse(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8)))
+    parsed match {
+      case Some(o: JObject) =>
+        o.get("partitionToWriteStats") match {
+          case Some(parts: JObject) =>
+            parts.fields.foreach { case (part, statsJ) =>
+              statsJ match {
+                case JArray(stats) => stats.foreach {
+                  case st: JObject =>
+                    st.get("path").collect { case JString(x) => x }
+                      match {
+                      case Some(p)
+                        if p.take(p.indexOf('/') max 0) == part =>
+                        val name = p.drop(part.length + 1)
+                        name match {
+                          case BaseNameRe(fid, _) =>
+                            files.get(p)
+                              .flatMap(Parquet.columnLongs(_, "rec_id"))
+                              match {
+                              case Some(ks) => ks.foreach(k =>
+                                ups += ((k, part, fid)))
+                              case None => ok = false
+                            }
+                          case RliLogNameRe(fid, _) =>
+                            files.get(p).flatMap(HudiLog.parse) match {
+                              case Some(blocks) =>
+                                blocks.filter(_.instant == instant)
+                                  .foreach { b =>
+                                    if (b.blockType ==
+                                      HudiLog.TypeAvroData) {
+                                      b.records.foreach { r =>
+                                        r.field("rec_id")
+                                          .flatMap(_.asLong) match {
+                                          case Some(k) =>
+                                            ups += ((k, part, fid))
+                                          case None => ok = false
+                                        }
+                                      }
+                                    } else if (b.blockType ==
+                                      HudiLog.TypeDelete) {
+                                      b.deleteKeys.foreach { k =>
+                                        scala.util.Try(k.toLong)
+                                          .toOption match {
+                                          case Some(kk) => dels += kk
+                                          case None => ok = false
+                                        }
+                                      }
+                                    }
+                                  }
+                              case None => ok = false
+                            }
+                          case _ => ok = false
+                        }
+                      case _ => ok = false
+                    }
+                  case _ => ok = false
+                }
+                case _ => ok = false
+              }
+            }
+          case _ => ok = false
+        }
+      case _ => ok = false
+    }
+    if (ok) Some((ups.result(), dels.result())) else None
+  }
+
+  private def rliBlocks(instant: String,
+                        ups: Seq[(Long, String, String)],
+                        dels: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (ups.nonEmpty) {
+      val b = HudiLog.writeBlock(HudiLog.TypeAvroData,
+        Seq(HudiLog.HdrInstantTime -> instant,
+          HudiLog.HdrSchema -> RecordIndexSchema),
+        HudiLog.dataContent(ups.sortBy(_._1).map { case (k, p, f) =>
+          recordIndexRecord(k.toString, p, f, instant)
+        }))
+      out.write(b, 0, b.length)
+    }
+    if (dels.nonEmpty) {
+      val b = HudiLog.writeBlock(HudiLog.TypeDelete,
+        Seq(HudiLog.HdrInstantTime -> instant),
+        HudiLog.deleteContent(dels.sorted.map(_.toString)))
+      out.write(b, 0, b.length)
+    }
+    out.toByteArray
+  }
+
+  /** Bootstrap the record_index partition from the data timeline:
+    * per completed data instant ascending, one upsert block (and one
+    * delete block when the instant tombstones keys) through the own
+    * HudiLog writer, sharing the MDT timeline with [[sync]]. None on
+    * any malformed instant.
+    */
+  def syncRecordIndex(files: Map[String, Array[Byte]])
+      : Option[Map[String, Array[Byte]]] = {
+    val instants = files.keys.toSeq.collect {
+      case DataTimelineRe(i, a) => (i, a)
+    }.sorted
+    val log = new java.io.ByteArrayOutputStream()
+    val out = Map.newBuilder[String, Array[Byte]]
+    var ok = true
+    instants.foreach { case (instant, action) =>
+      instantRecordChanges(files, instant, action) match {
+        case Some((ups, dels)) =>
+          val b = rliBlocks(instant, ups, dels)
+          log.write(b, 0, b.length)
+          out += mdtCommit(instant) -> "{}".getBytes("UTF-8")
+        case None => ok = false
+      }
+    }
+    if (!ok || instants.isEmpty) None
+    else Some(
+      (out += (RecordIndexLogPath -> log.toByteArray)).result())
+  }
+
+  /** Append ONE data instant to an existing record index (the
+    * per-commit sync path). Changes are derived by the same rule as
+    * [[syncRecordIndex]], so append ≡ rebuild byte-exact on the log.
+    * None if the RLI log is absent or the instant is malformed.
+    */
+  def appendRecordIndex(mdt: Map[String, Array[Byte]],
+                        files: Map[String, Array[Byte]],
+                        instant: String, action: String)
+      : Option[Map[String, Array[Byte]]] =
+    for {
+      old <- mdt.get(RecordIndexLogPath)
+      changes <- instantRecordChanges(files, instant, action)
+    } yield Map(
+      RecordIndexLogPath ->
+        (old ++ rliBlocks(instant, changes._1, changes._2)),
+      mdtCommit(instant) -> "{}".getBytes("UTF-8"))
+
+  /** Replay the record index: completed MDT instants ascending,
+    * last-wins per key, delete blocks removing. The LIVE location
+    * map: rec_id -> (partitionPath, fileId). None on any malformed
+    * block or a record shape the schema forbids.
+    */
+  def recordIndexListing(files: Map[String, Array[Byte]])
+      : Option[Map[Long, (String, String)]] = {
+    val completed = files.keys.collect {
+      case MdtTimelineRe(i) => i }.toSet
+    for {
+      logBytes <- files.get(RecordIndexLogPath)
+      blocks <- HudiLog.parse(logBytes)
+      state <- {
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[Long, (String, String)]
+        var ok = true
+        blocks.sortBy(_.instant).foreach { b =>
+          if (completed(b.instant)) {
+            if (b.blockType == HudiLog.TypeAvroData) {
+              b.records.foreach { r =>
+                val row = for {
+                  key <- r.field("key").flatMap(_.asString)
+                  k <- scala.util.Try(key.toLong).toOption
+                  info <- r.field("recordIndexMetadata")
+                  part <- info.field("partitionPath")
+                    .flatMap(_.asString)
+                  fid <- info.field("fileId").flatMap(_.asString)
+                } yield m(k) = (part, fid)
+                if (row.isEmpty) ok = false
+              }
+            } else if (b.blockType == HudiLog.TypeDelete) {
+              b.deleteKeys.foreach { k =>
+                scala.util.Try(k.toLong).toOption match {
+                  case Some(kk) => m.remove(kk)
+                  case None => ok = false
+                }
+              }
+            }
+          }
+        }
+        if (ok) Some(m.toMap) else None
+      }
+    } yield state
+  }
+
   /** The same planning rule from a raw storage listing — the
     * baseline the MDT plan must reproduce (and improve on by not
     * seeing orphans).

@@ -225,4 +225,66 @@ class HudiMdtSpec extends AnyFunSuite {
       "p/fg1_0-0-0_00000000000003.parquet",
       ".hoodie/00000000000003.inflight"))
   }
+
+  test("record-level index (q391): RLI tagging == full-scan replay " +
+    "tagging; updates keep their file group; delete blocks " +
+    "tombstone; the inflight poison never enters; orphan records " +
+    "invisible; append == rebuild byte-exact across compaction") {
+    val files = HudiWrite.writeMorTable(ids)
+    val rli = HudiMdt.syncRecordIndex(files).getOrElse(fail("sync"))
+    val table = files ++ rli
+    val idx = HudiMdt.recordIndexListing(table)
+      .getOrElse(fail("listing"))
+    // baseline: the merged replay's live keys per file group
+    val scan = HudiWrite.replay(files).get.flatMap(f =>
+      f.rows.map(r => r._1 -> ("p", f.fileId))).toMap
+    assert(idx == scan, "index lookup must equal full-scan tagging")
+    // deleted keys (fg0, d%5==0) are ABSENT — insert path in both
+    val fg0 = ids.filter(d => (d / 6) % 2 == 0)
+    fg0.filter(_ % 5 == 0).foreach(d => assert(!idx.contains(d)))
+    fg0.filter(_ % 5 != 0).foreach(d =>
+      assert(idx(d) == (("p", "fg0"))))
+    // the poisoned inflight t4 (fg1's log) never entered: fg1 keys
+    // map to fg1 exactly when the BASE carried them
+    ids.filter(d => (d / 6) % 2 == 1).foreach(d =>
+      assert(idx(d) == (("p", "fg1"))))
+    // orphan records fool the scan, never the index
+    val orphan = "p/fg9_0-0-0_00000000000001.parquet"
+    val withOrphan = table + (orphan ->
+      graft.sources.ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        Seq(Array(999999L, 1L))))
+    assert(HudiWrite.replay(withOrphan).get
+      .exists(_.rows.exists(_._1 == 999999L)))
+    assert(!HudiMdt.recordIndexListing(withOrphan).get
+      .contains(999999L))
+    // compaction: locations preserved; append == rebuild byte-exact
+    val t5 = "00000000000005"
+    val cf = HudiWrite.compact(files, t5).getOrElse(fail("compact"))
+    val compacted = table ++ cf
+    val rli2 = HudiMdt.appendRecordIndex(rli, compacted, t5,
+      "commit").getOrElse(fail("append"))
+    val idx2 = HudiMdt.recordIndexListing(compacted ++ rli2).get
+    assert(idx2 == idx, "fileIds survive compaction")
+    val rebuilt = HudiMdt.syncRecordIndex(compacted).get
+    assert(java.util.Arrays.equals(
+      rebuilt(HudiMdt.RecordIndexLogPath),
+      rli2(HudiMdt.RecordIndexLogPath)), "append == rebuild")
+    // and the append is byte-prefixed by the original log
+    val a = rli(HudiMdt.RecordIndexLogPath)
+    val b = rli2(HudiMdt.RecordIndexLogPath)
+    assert(b.length > a.length &&
+      java.util.Arrays.equals(b.take(a.length), a))
+  }
+
+  test("record-index totality: a commit naming a base file with no " +
+    "bytes, or an undecodable log, fails sync CLOSED") {
+    val files = HudiWrite.writeMorTable(ids)
+    val noBytes = files -
+      "p/fg0_0-0-0_00000000000001.parquet"
+    assert(HudiMdt.syncRecordIndex(noBytes).isEmpty,
+      "a sync must never index a location it cannot prove")
+    val log0 = "p/.fg0_00000000000001.log.1_0-0-0"
+    val garbled = files + (log0 -> files(log0).take(7))
+    assert(HudiMdt.syncRecordIndex(garbled).isEmpty)
+  }
 }
