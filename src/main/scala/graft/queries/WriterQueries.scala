@@ -6633,5 +6633,161 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS clean_ok,
                CAST(1 AS BIGINT) AS rollback_ok
         FROM live GROUP BY table_id"""),
+      headline = false),
+
+    // q392 — Iceberg v3 ROW LINEAGE: `next-row-id` in table
+    // metadata, `first-row-id` on snapshots/manifests/data files,
+    // per-row ids inherited as first_row_id + position — the
+    // identity that lets a CDC feed (q375) and a materialized view
+    // (q378) key rows WITHOUT content hashing. The five-snapshot
+    // history pins every rule: appends inherit fresh id blocks; the
+    // REPLACE compaction MATERIALIZES `_row_id` into the rewritten
+    // file (a single first_row_id cannot represent an interleaved
+    // merge — the spec's rewrite rule) so every surviving id is
+    // STABLE across compaction, while the replace still claims a
+    // fresh block (ids never reused); the deletion vector (q387)
+    // kills by position without disturbing surviving ids; the
+    // row-id diff between snapshots IS the changelog; an
+    // unassignable id or a duplicated id fails the scan CLOSED.
+    // Final-state sums re-derive in DuckDB with window-function row
+    // ids.
+    "q392_iceberg_row_lineage" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val I = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def vf(d: Long): Long = (d * 29) % 997
+            val files = I.writeLineageTable(s"lin-$t", ids, vf)
+            val meta = "v1.metadata.json"
+            val res = for {
+              s1 <- I.lineageScan(files, meta, 1L)
+              s2 <- I.lineageScan(files, meta, 2L)
+              s3 <- I.lineageScan(files, meta, 3L)
+              s4 <- I.lineageScan(files, meta, 4L)
+              s5 <- I.lineageScan(files, meta, 5L)
+              nri <- I.nextRowId(files, meta)
+            } yield {
+              def gen(d: Long) = (d / 6) % 4
+              val a = ids.filter(gen(_) == 0).sorted
+              val b = ids.filter(gen(_) == 1).sorted
+              val na = a.length.toLong; val nb = b.length.toLong
+              val assignOk =
+                s1 == a.zipWithIndex.map { case (d, i) =>
+                  (i.toLong, d, vf(d)) } &&
+                s2.toSet == (a.zipWithIndex.map { case (d, i) =>
+                  (i.toLong, d, vf(d)) } ++
+                  b.zipWithIndex.map { case (d, i) =>
+                    (na + i, d, vf(d)) }).toSet
+              val compactStable = s3.toSet == s2.toSet
+              val newRids = s4.map(_._1).toSet -- s3.map(_._1).toSet
+              val noReuse = newRids.forall(_ >= 2L * (na + nb)) &&
+                newRids.size == s4.length - s3.length
+              val expectDead =
+                s3.filter(_._2 % 5 == 0).map(_._1).toSet
+              val delRids = s4.map(_._1).toSet -- s5.map(_._1).toSet
+              val dvStable = delRids == expectDead &&
+                s5.toSet == s4.filterNot(r =>
+                  expectDead(r._1)).toSet
+              // the row-id diff IS the changelog: applying it to
+              // scan(from) yields scan(to) at both boundaries
+              val changelogOk =
+                (s3.map(_._1).toSet ++ newRids) ==
+                  s4.map(_._1).toSet &&
+                (s4.toSet -- s5.toSet)
+                  .forall(r => expectDead(r._1))
+              val nriOk = nri == 2L * (na + nb) + newRids.size &&
+                s4.map(_._1).max == nri - 1L
+              // fail closed: no manifest block and no entry id
+              val md5 = java.security.MessageDigest
+                .getInstance("MD5")
+              val sync = md5.digest(
+                ("sync:" + s"lin-$t").getBytes("UTF-8"))
+              val mA = files("m-a.avro")
+              val badL1 = I.container(I.ListSchemaLin, Seq(
+                I.manifestFileRowLin("m-a.avro", mA.length.toLong,
+                  0, 1L, na, None)), sync)
+              val failClosed = I.lineageScan(
+                files + ("snap-1.avro" -> badL1), meta, 1L).isEmpty
+              // duplicate ids refuse: mD's block spliced onto C's
+              val mC = files("m-c.avro"); val mD = files("m-d.avro")
+              val badL4 = I.container(I.ListSchemaLin, Seq(
+                I.manifestFileRowLin("m-c.avro", mC.length.toLong,
+                  0, 3L, na + nb, Some(na + nb)),
+                I.manifestFileRowLin("m-d.avro", mD.length.toLong,
+                  0, 4L, newRids.size.toLong, Some(0L))), sync)
+              val dupRefused = I.lineageScan(
+                files + ("snap-4.avro" -> badL4), meta, 4L).isEmpty
+              (t, s5.length.toLong, s5.map(_._1).sum,
+                s5.map(_._2).sum, s5.map(_._3).sum, nri,
+                newRids.size.toLong, delRids.size.toLong,
+                if (assignOk) 1L else 0L,
+                if (compactStable) 1L else 0L,
+                if (noReuse) 1L else 0L,
+                if (dvStable) 1L else 0L,
+                if (changelogOk) 1L else 0L,
+                if (nriOk) 1L else 0L,
+                if (failClosed && dupRefused) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_final", "rid_sum_final",
+            "key_sum_final", "val_sum_final", "next_row_id",
+            "n_inserts", "n_deletes", "assign_ok", "compact_stable",
+            "no_reuse", "dv_stable", "changelog_ok", "next_id_ok",
+            "fail_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 CASE WHEN (doc_id // 6) % 4 >= 2 THEN 2
+                      ELSE (doc_id // 6) % 4 END AS g,
+                 (doc_id * 29) % 997 AS v
+          FROM documents),
+        c AS (
+          SELECT table_id,
+                 sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb,
+                 sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS nd
+          FROM r GROUP BY table_id),
+        w AS (
+          SELECT r.table_id, r.d, r.v, r.g,
+                 CASE WHEN r.g = 0 THEN
+                        row_number() OVER (PARTITION BY r.table_id,
+                          r.g ORDER BY r.d) - 1
+                      WHEN r.g = 1 THEN c.na +
+                        row_number() OVER (PARTITION BY r.table_id,
+                          r.g ORDER BY r.d) - 1
+                      ELSE 2 * (c.na + c.nb) +
+                        row_number() OVER (PARTITION BY r.table_id,
+                          r.g ORDER BY r.d) - 1
+                 END AS rid
+          FROM r JOIN c USING (table_id))
+        SELECT w.table_id,
+               CAST(sum(CASE WHEN g = 2 OR d % 5 <> 0 THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_final,
+               CAST(sum(CASE WHEN g = 2 OR d % 5 <> 0 THEN rid
+                 ELSE 0 END) AS BIGINT) AS rid_sum_final,
+               CAST(sum(CASE WHEN g = 2 OR d % 5 <> 0 THEN d
+                 ELSE 0 END) AS BIGINT) AS key_sum_final,
+               CAST(sum(CASE WHEN g = 2 OR d % 5 <> 0 THEN v
+                 ELSE 0 END) AS BIGINT) AS val_sum_final,
+               CAST(min(2 * (c.na + c.nb) + c.nd) AS BIGINT)
+                 AS next_row_id,
+               CAST(min(c.nd) AS BIGINT) AS n_inserts,
+               CAST(sum(CASE WHEN g <= 1 AND d % 5 = 0 THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_deletes,
+               CAST(1 AS BIGINT) AS assign_ok,
+               CAST(1 AS BIGINT) AS compact_stable,
+               CAST(1 AS BIGINT) AS no_reuse,
+               CAST(1 AS BIGINT) AS dv_stable,
+               CAST(1 AS BIGINT) AS changelog_ok,
+               CAST(1 AS BIGINT) AS next_id_ok,
+               CAST(1 AS BIGINT) AS fail_closed
+        FROM w JOIN c USING (table_id) GROUP BY w.table_id"""),
       headline = false))
 }

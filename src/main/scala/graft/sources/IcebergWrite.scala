@@ -960,6 +960,272 @@ object IcebergWrite {
       "data/c.parquet" -> fc, "data/d.parquet" -> fd)
   }
 
+  // ---- v3 row lineage (q392) -----------------------------------------------
+
+  /** Lineage manifest-entry shape (v3): data_file carries a NULLABLE
+    * first_row_id — null on a freshly ADDED file (readers assign by
+    * inheritance from the manifest), explicit on carried
+    * EXISTING/DELETED entries (ids must survive metadata rewrites).
+    */
+  val EntrySchemaLin: String =
+    """{"type":"record","name":"manifest_entry","fields":[{"name":"status","type":"int"},{"name":"sequence_number","type":"long"},{"name":"data_file","type":{"type":"record","name":"r2","fields":[{"name":"content","type":"int"},{"name":"file_path","type":"string"},{"name":"file_format","type":"string"},{"name":"record_count","type":"long"},{"name":"file_size_in_bytes","type":"long"},{"name":"first_row_id","type":["null","long"]}]}}]}"""
+
+  /** Lineage manifest-list shape (v3): each manifest carries the
+    * first_row_id block its ADDED files assign from (null for delete
+    * manifests — they claim no ids).
+    */
+  val ListSchemaLin: String =
+    """{"type":"record","name":"manifest_file","fields":[{"name":"manifest_path","type":"string"},{"name":"manifest_length","type":"long"},{"name":"content","type":"int"},{"name":"sequence_number","type":"long"},{"name":"added_rows_count","type":"long"},{"name":"first_row_id","type":["null","long"]}]}"""
+
+  def entryLin(status: Int, seq: Long, content: Int, path: String,
+               rc: Long, fsz: Long, firstRowId: Option[Long],
+               format: String = "PARQUET"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    varint(out, status.toLong)
+    varint(out, seq)
+    varint(out, content.toLong)
+    str(out, path)
+    str(out, format)
+    varint(out, rc)
+    varint(out, fsz)
+    firstRowId match {
+      case Some(f) => union(out, 1)(varint(out, f))
+      case None => union(out, 0)(())
+    }
+    out.toByteArray
+  }
+
+  def manifestFileRowLin(path: String, length: Long, content: Int,
+                         seq: Long, rows: Long,
+                         firstRowId: Option[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    str(out, path)
+    varint(out, length)
+    varint(out, content.toLong)
+    varint(out, seq)
+    varint(out, rows)
+    firstRowId match {
+      case Some(f) => union(out, 1)(varint(out, f))
+      case None => union(out, 0)(())
+    }
+    out.toByteArray
+  }
+
+  private def snapshotJsonLin(sid: Long, seq: Long, ts: Long,
+                              list: String, op: String,
+                              firstRowId: Long): String =
+    s"""{"first-row-id": $firstRowId, "manifest-list": "$list", "operation": "$op", "sequence-number": $seq, "snapshot-id": $sid, "timestamp-ms": $ts}"""
+
+  /** The v3 ROW-LINEAGE history (q392): s1 appends A (gen 0, row ids
+    * 0..|A|), s2 appends B (ids |A|..), s3 REPLACES A+B with the
+    * compacted C — which MATERIALIZES `_row_id` (the spec's rewrite
+    * rule: a rewriting writer must carry row ids physically, because
+    * a single first_row_id cannot represent an interleaved merge),
+    * while the replace still claims a fresh id block (ids are never
+    * reused, even by rewrites) — s4 appends D from the advanced
+    * next-row-id, and s5 adds a deletion vector on C (d%5==0 of the
+    * old generations die by POSITION; survivors keep their
+    * materialized ids untouched). Table metadata carries
+    * `next-row-id`; each snapshot carries `first-row-id`.
+    */
+  def writeLineageTable(id: String, ids: Seq[Long],
+                        vf: Long => Long): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    def gen(d: Long): Long = (d / 6) % 4
+    val a = ids.filter(gen(_) == 0).sorted
+    val b = ids.filter(gen(_) == 1).sorted
+    val dd = ids.filter(gen(_) >= 2).sorted
+    val na = a.length.toLong; val nb = b.length.toLong
+    val nd = dd.length.toLong
+    def pq(xs: Seq[Long]): Array[Byte] =
+      ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        xs.map(d => Array(d, vf(d))))
+    val (fa, fb, fd) = (pq(a), pq(b), pq(dd))
+    // materialized row ids: position within A, then |A| + position
+    // within B — exactly what inheritance assigned at s1/s2
+    val ridOf = (a.zipWithIndex.map { case (d, i) => d -> i.toLong } ++
+      b.zipWithIndex.map { case (d, i) => d -> (na + i) }).toMap
+    val c = (a ++ b).sorted
+    val fc = ParquetWrite.writeInt64(Seq("_row_id", "rec_id", "val"),
+      c.map(d => Array(ridOf(d), d, vf(d))))
+    val dvPos = c.zipWithIndex.collect {
+      case (d, i) if d % 5 == 0 => i.toLong }
+    val dvBitmap = DeletionVectorsWrite.serializeBitmap(dvPos)
+    val puffin = Puffin.write(Seq(Puffin.Blob(
+      "deletion-vector-v1", Seq(2147483546), 5L, 5L, dvBitmap,
+      Map("referenced-data-file" -> "data/c.parquet",
+        "cardinality" -> dvPos.length.toString))),
+      Map("created-by" -> "graft"))
+    val mA = container(EntrySchemaLin, Seq(entryLin(1, 1L, 0,
+      "data/a.parquet", na, fa.length.toLong, None)), sync)
+    val mB = container(EntrySchemaLin, Seq(entryLin(1, 2L, 0,
+      "data/b.parquet", nb, fb.length.toLong, None)), sync)
+    val mC = container(EntrySchemaLin, Seq(
+      // DELETED entries carry their ids EXPLICITLY — preserved, the
+      // q259 EXISTING-discipline applied to lineage
+      entryLin(2, 3L, 0, "data/a.parquet", na, fa.length.toLong,
+        Some(0L)),
+      entryLin(2, 3L, 0, "data/b.parquet", nb, fb.length.toLong,
+        Some(na)),
+      entryLin(1, 3L, 0, "data/c.parquet", na + nb,
+        fc.length.toLong, None)), sync)
+    val mD = container(EntrySchemaLin, Seq(entryLin(1, 4L, 0,
+      "data/d.parquet", nd, fd.length.toLong, None)), sync)
+    val mV = container(EntrySchemaLin, Seq(entryLin(1, 5L, 1,
+      "dv-5.puffin", dvPos.length.toLong, puffin.length.toLong,
+      None, format = "PUFFIN")), sync)
+    def row(p: String, m: Array[Byte], content: Int, seq: Long,
+            rows: Long, fri: Option[Long]) =
+      manifestFileRowLin(p, m.length.toLong, content, seq, rows, fri)
+    val rA = row("m-a.avro", mA, 0, 1L, na, Some(0L))
+    val rB = row("m-b.avro", mB, 0, 2L, nb, Some(na))
+    val rC = row("m-c.avro", mC, 0, 3L, na + nb, Some(na + nb))
+    val rD = row("m-d.avro", mD, 0, 4L, nd, Some(2L * (na + nb)))
+    val rV = row("m-v.avro", mV, 1, 5L, dvPos.length.toLong, None)
+    val l1 = container(ListSchemaLin, Seq(rA), sync)
+    val l2 = container(ListSchemaLin, Seq(rA, rB), sync)
+    val l3 = container(ListSchemaLin, Seq(rC), sync)
+    val l4 = container(ListSchemaLin, Seq(rC, rD), sync)
+    val l5 = container(ListSchemaLin, Seq(rC, rD, rV), sync)
+    val t0 = 1700000000000L
+    val nextRow = 2L * (na + nb) + nd
+    val meta = s"""{"current-snapshot-id": 5, "format-version": 3, "next-row-id": $nextRow, "snapshots": [${
+      Seq(snapshotJsonLin(1L, 1L, t0, "snap-1.avro", "append", 0L),
+        snapshotJsonLin(2L, 2L, t0 + 1000, "snap-2.avro", "append",
+          na),
+        snapshotJsonLin(3L, 3L, t0 + 2000, "snap-3.avro", "replace",
+          na + nb),
+        snapshotJsonLin(4L, 4L, t0 + 3000, "snap-4.avro", "append",
+          2L * (na + nb)),
+        snapshotJsonLin(5L, 5L, t0 + 4000, "snap-5.avro", "delete",
+          nextRow)).mkString(", ")
+    }], "table-uuid": "$id"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Map("v1.metadata.json" -> meta,
+      "snap-1.avro" -> l1, "snap-2.avro" -> l2, "snap-3.avro" -> l3,
+      "snap-4.avro" -> l4, "snap-5.avro" -> l5,
+      "m-a.avro" -> mA, "m-b.avro" -> mB, "m-c.avro" -> mC,
+      "m-d.avro" -> mD, "m-v.avro" -> mV,
+      "dv-5.puffin" -> puffin,
+      "data/a.parquet" -> fa, "data/b.parquet" -> fb,
+      "data/c.parquet" -> fc, "data/d.parquet" -> fd)
+  }
+
+  /** The table's `next-row-id` (v3). */
+  def nextRowId(files: Map[String, Array[Byte]],
+                metaName: String): Option[Long] =
+    parseMetaObj(files, metaName).flatMap(_.get("next-row-id")
+      .collect { case Json.JLong(x) => x })
+
+  /** LINEAGE-CARRYING SCAN: every live row with its stable `_row_id`
+    * — (row_id, rec_id, val). Assignment per the v3 rules: an ADDED
+    * data file with null first_row_id inherits the manifest's
+    * first_row_id plus the record counts of the ADDED files before
+    * it; an explicit first_row_id (carried entries) is used as-is; a
+    * file with a MATERIALIZED `_row_id` column reads it (rewrites);
+    * row_id = first_row_id + position otherwise. Deletion vectors
+    * kill by POSITION without disturbing surviving ids. Fails CLOSED
+    * (None) when an id cannot be assigned (both manifest and entry
+    * first_row_id null, no materialized column) or any row id would
+    * be duplicated — lineage that cannot be proven unique is not
+    * lineage.
+    */
+  def lineageScan(files: Map[String, Array[Byte]], metaName: String,
+                  sid: Long): Option[Seq[(Long, Long, Long)]] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      snap <- snaps.find(_.sid == sid)
+      listBytes <- files.get(snap.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mrows <- {
+        val rs = list.records.map { r =>
+          for {
+            mp <- r.field("manifest_path").flatMap(_.asString)
+            content <- r.field("content").flatMap(_.asLong)
+            seq <- r.field("sequence_number").flatMap(_.asLong)
+          } yield (mp, content.toInt, seq,
+            r.field("first_row_id").flatMap(_.asLong))
+        }
+        if (rs.exists(_.isEmpty)) None else Some(rs.map(_.get))
+      }
+      entries <- {
+        val per = mrows.map { case (mp, content, _, mfri) =>
+          files.get(mp).flatMap(AvroGeneric.parseContainer).flatMap {
+            m =>
+              val es = m.records.map { e =>
+                for {
+                  st <- e.field("status").flatMap(_.asLong)
+                  seq <- e.field("sequence_number").flatMap(_.asLong)
+                  df <- e.field("data_file")
+                  ct <- df.field("content").flatMap(_.asLong)
+                  p <- df.field("file_path").flatMap(_.asString)
+                  fmt <- df.field("file_format").flatMap(_.asString)
+                  rc <- df.field("record_count").flatMap(_.asLong)
+                } yield (st, seq, ct.toInt, p, fmt, rc,
+                  df.field("first_row_id").flatMap(_.asLong))
+              }
+              if (es.exists(_.isEmpty)) None
+              else {
+                // inheritance: ADDED files with null first_row_id
+                // assign from the manifest block in entry order
+                var run = mfri
+                val assigned = es.map(_.get).map { e =>
+                  val fri = e._7.orElse {
+                    if (e._1 == 1L && e._3 == 0) {
+                      val r = run
+                      run = run.map(_ + e._6)
+                      r
+                    } else None
+                  }
+                  (e._1, e._2, e._3, e._4, e._5, e._6, fri)
+                }
+                Some((content, assigned))
+              }
+          }
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
+      }
+      dead <- {
+        val pds = entries.filter(_._1 == 1).flatMap(_._2)
+          .filter(e => e._1 != 2L && e._3 == 1).map { e =>
+            deadPositions(files, e._4, e._5).map(e._2 -> _)
+          }
+        if (pds.exists(_.isEmpty)) None else Some(pds.map(_.get))
+      }
+      rows <- {
+        val per = entries.filter(_._1 == 0).flatMap(_._2)
+          .filter(e => e._1 != 2L && e._3 == 0).map {
+            case (_, dseq, _, p, _, _, fri) =>
+              for {
+                db <- files.get(p)
+                rs <- Parquet.columnLongs(db, "rec_id")
+                vs <- Parquet.columnLongs(db, "val")
+                if rs.length == vs.length
+                rids <- Parquet.columnLongs(db, "_row_id") match {
+                  case Some(m) if m.length == rs.length =>
+                    Some(m.toSeq) // materialized ids win (rewrites)
+                  case Some(_) => None
+                  case None => fri.map(f =>
+                    rs.indices.map(i => f + i.toLong))
+                }
+              } yield {
+                val killed = dead.collect {
+                  case (pseq, m) if pseq >= dseq =>
+                    m.getOrElse(p, Set.empty[Long])
+                }.foldLeft(Set.empty[Long])(_ ++ _)
+                rs.indices.collect {
+                  case i if !killed.contains(i.toLong) =>
+                    (rids(i), rs(i), vs(i))
+                }.toSeq
+              }
+          }
+        if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
+      }
+      if rows.map(_._1).distinct.length == rows.length // ids UNIQUE
+    } yield rows.sortBy(_._1)
+
   // ---- Delta -> Iceberg migration (q390) ---------------------------------------
 
   /** MIGRATE a Delta table to Iceberg WITHOUT copying data — the

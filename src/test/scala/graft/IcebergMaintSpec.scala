@@ -311,4 +311,62 @@ class IcebergMaintSpec extends AnyFunSuite {
     assert(W.scanSnapshotMor(tampered, meta, 4L).isEmpty,
       "cardinality mismatch must close the scan")
   }
+
+  test("v3 row lineage (q392): inheritance assigns first_row_id + " +
+    "position, compaction materializes and preserves ids, fresh " +
+    "blocks never reuse, DVs kill by position leaving survivors' " +
+    "ids untouched, unassignable or duplicate ids fail closed") {
+    val W = IcebergWrite
+    def vf(d: Long): Long = (d * 29) % 997
+    val files = W.writeLineageTable("lin-spec", ids, vf)
+    val meta = "v1.metadata.json"
+    def gen(d: Long) = (d / 6) % 4
+    val a = ids.filter(gen(_) == 0).sorted
+    val b = ids.filter(gen(_) == 1).sorted
+    val na = a.length.toLong
+    val s1 = W.lineageScan(files, meta, 1L).getOrElse(fail("s1"))
+    assert(s1 == a.zipWithIndex.map { case (d, i) =>
+      (i.toLong, d, vf(d)) }, "row_id = first_row_id + position")
+    val s2 = W.lineageScan(files, meta, 2L).getOrElse(fail("s2"))
+    assert(s2.length == a.length + b.length)
+    b.zipWithIndex.foreach { case (d, i) =>
+      assert(s2.contains((na + i, d, vf(d))),
+        "second append inherits the ADVANCED block")
+    }
+    // compaction: same (row_id, rec, val) triples via materialized
+    // _row_id — ids stable across the rewrite
+    val s3 = W.lineageScan(files, meta, 3L).getOrElse(fail("s3"))
+    assert(s3.toSet == s2.toSet, "ids stable across compaction")
+    // fresh ids for D: all >= 2(na+nb), never reusing the replaced
+    val s4 = W.lineageScan(files, meta, 4L).getOrElse(fail("s4"))
+    val newRids = s4.map(_._1).toSet -- s3.map(_._1).toSet
+    assert(newRids.nonEmpty &&
+      newRids.forall(_ >= 2L * (na + b.length)))
+    assert(W.nextRowId(files, meta)
+      .contains(s4.map(_._1).max + 1L))
+    // DV: dead by position; survivors byte-identical triples
+    val s5 = W.lineageScan(files, meta, 5L).getOrElse(fail("s5"))
+    val expectDead = s3.filter(_._2 % 5 == 0).map(_._1).toSet
+    assert(s4.map(_._1).toSet -- s5.map(_._1).toSet == expectDead)
+    assert(s5.toSet ==
+      s4.filterNot(r => expectDead(r._1)).toSet)
+    // fail closed: manifest block AND entry id both null
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val sync = md5.digest("sync:lin-spec".getBytes("UTF-8"))
+    val badL1 = W.container(W.ListSchemaLin, Seq(
+      W.manifestFileRowLin("m-a.avro",
+        files("m-a.avro").length.toLong, 0, 1L, na, None)), sync)
+    assert(W.lineageScan(files + ("snap-1.avro" -> badL1), meta,
+      1L).isEmpty, "unassignable ids must close")
+    // duplicate ids (overlapping blocks) must close
+    val badL4 = W.container(W.ListSchemaLin, Seq(
+      W.manifestFileRowLin("m-c.avro",
+        files("m-c.avro").length.toLong, 0, 3L,
+        na + b.length, Some(na + b.length)),
+      W.manifestFileRowLin("m-d.avro",
+        files("m-d.avro").length.toLong, 0, 4L,
+        newRids.size.toLong, Some(0L))), sync)
+    assert(W.lineageScan(files + ("snap-4.avro" -> badL4), meta,
+      4L).isEmpty, "duplicated row ids must close")
+  }
 }
