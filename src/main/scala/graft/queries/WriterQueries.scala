@@ -6789,5 +6789,138 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS next_id_ok,
                CAST(1 AS BIGINT) AS fail_closed
         FROM w JOIN c USING (table_id) GROUP BY w.table_id"""),
+      headline = false),
+
+    // q393 — Delta ROW TRACKING: the `rowTracking` writer feature —
+    // `baseRowId`/`defaultRowCommitVersion` on add actions, the
+    // high-water mark in a `domainMetadata` action, protocol-gated
+    // at minWriterVersion 7 so a classic writer REFUSES to commit
+    // (the q370 fail-closed pattern, write side). Laws: assignment
+    // is baseRowId + position; OPTIMIZE ZORDER (q381,
+    // dataChange=false) MATERIALIZES `_row_id` into the rewritten
+    // files so every id is byte-stable across the rewrite, while
+    // the rewrite still claims a fresh block (ids never reused);
+    // a SHALLOW CLONE (q386) re-declares live adds WITH their
+    // baseRowIds + the mark, so an independent replay of the clone
+    // assigns EXACTLY the source's ids; an add with neither
+    // baseRowId nor materialized ids, or an id above the mark,
+    // fails CLOSED. Sums re-derive in DuckDB with window-function
+    // row ids.
+    "q393_delta_row_tracking" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeRowTrackingTable(s"rt-$t", ids)
+            val n = ids.length.toLong
+            val res = for {
+              st <- W.replayRowTracking(files)
+              z <- W.optimizeZOrderRt(files, 2)
+              zTable = files + (z.commitName -> z.commit) ++
+                z.newFiles
+              st2 <- W.replayRowTracking(zTable)
+              cloneLog <- W.shallowCloneRt(files, s"rt-clone-$t")
+              cloneTable = cloneLog ++
+                files.filterNot(_._1.startsWith("_delta_log/"))
+              st3 <- W.replayRowTracking(cloneTable)
+            } yield {
+              val parts = (0 to 2).map(x =>
+                ids.filter(d => (d / 6) % 3 == x).sorted)
+              val offs = Seq(0L, parts(0).length.toLong,
+                (parts(0).length + parts(1).length).toLong)
+              val expect = (0 to 2).flatMap(g =>
+                parts(g).zipWithIndex.map { case (d, i) =>
+                  (offs(g) + i, d, (d * 31) % 1009) }).toSet
+              val assignOk = st.rows.toSet == expect &&
+                st.highWaterMark == n - 1L
+              val zorderStable = st2.rows.toSet == st.rows.toSet
+              val noReuse = st2.highWaterMark == 2L * n - 1L &&
+                !new String(z.commit, "UTF-8")
+                  .contains("\"dataChange\": true")
+              val cloneStable = st3.rows.toSet == st.rows.toSet &&
+                st3.highWaterMark == st.highWaterMark
+              // classic writer refused; rt-aware writer passes;
+              // a featureless table passes any writer
+              val gateOk =
+                W.writerGate(files, Set.empty).isEmpty &&
+                W.writerGate(files,
+                  Set("rowTracking", "domainMetadata")).isDefined &&
+                W.writerGate(W.writeTable(s"plain-$t", ids),
+                  Set.empty).isDefined
+              // fail closed: a classic table serves no lineage; an
+              // add with no ids at all refuses; a too-low mark trips
+              val classicNone = W.replayRowTracking(
+                W.writeTable(s"plain2-$t", ids)).isEmpty
+              val orphanData = graft.sources.ParquetWrite
+                .writeInt64(Seq("rec_id", "x", "y", "val"),
+                  Seq(Array(999999L, 1L, 1L, 1L)))
+              val badAdd = files +
+                ("_delta_log/00000000000000000002.json" ->
+                  (W.addAction("part-noid.parquet",
+                    orphanData.length.toLong) + "\n")
+                    .getBytes("UTF-8")) +
+                ("part-noid.parquet" -> orphanData)
+              val noIdNone = W.replayRowTracking(badAdd).isEmpty
+              val badHwm = files +
+                ("_delta_log/00000000000000000002.json" ->
+                  (W.rowIdHighWaterMarkAction(0L) + "\n")
+                    .getBytes("UTF-8"))
+              val hwmNone = W.replayRowTracking(badHwm).isEmpty
+              val failClosed = classicNone && noIdNone && hwmNone
+              (t, st.rows.length.toLong, st.rows.map(_._1).sum,
+                st.rows.map(_._2).sum, st.rows.map(_._3).sum,
+                st2.highWaterMark,
+                if (assignOk) 1L else 0L,
+                if (zorderStable) 1L else 0L,
+                if (cloneStable) 1L else 0L,
+                if (gateOk) 1L else 0L,
+                if (noReuse) 1L else 0L,
+                if (failClosed) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "rid_sum", "key_sum",
+            "val_sum", "hwm_after_zorder", "assign_ok",
+            "zorder_stable", "clone_stable", "writer_gate_ok",
+            "no_reuse", "fail_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS g,
+                 (doc_id * 31) % 1009 AS v
+          FROM documents),
+        c AS (
+          SELECT table_id,
+                 sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb,
+                 count(*) AS n
+          FROM r GROUP BY table_id),
+        w AS (
+          SELECT r.table_id, r.d, r.v,
+                 CASE WHEN r.g = 0 THEN 0
+                      WHEN r.g = 1 THEN c.na
+                      ELSE c.na + c.nb END +
+                 row_number() OVER (PARTITION BY r.table_id, r.g
+                   ORDER BY r.d) - 1 AS rid
+          FROM r JOIN c USING (table_id))
+        SELECT w.table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(w.rid) AS BIGINT) AS rid_sum,
+               CAST(sum(w.d) AS BIGINT) AS key_sum,
+               CAST(sum(w.v) AS BIGINT) AS val_sum,
+               CAST(min(2 * c.n - 1) AS BIGINT) AS hwm_after_zorder,
+               CAST(1 AS BIGINT) AS assign_ok,
+               CAST(1 AS BIGINT) AS zorder_stable,
+               CAST(1 AS BIGINT) AS clone_stable,
+               CAST(1 AS BIGINT) AS writer_gate_ok,
+               CAST(1 AS BIGINT) AS no_reuse,
+               CAST(1 AS BIGINT) AS fail_closed
+        FROM w JOIN c USING (table_id) GROUP BY w.table_id"""),
       headline = false))
 }

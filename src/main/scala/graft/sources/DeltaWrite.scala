@@ -850,6 +850,348 @@ object DeltaWrite {
       }
     }
 
+  // ---- ROW TRACKING (q393) ---------------------------------------------------
+
+  /** Row tracking's protocol gate (PROTOCOL.md): writer feature
+    * `rowTracking` + `domainMetadata` at minWriterVersion 7 — a
+    * classic writer MUST refuse to commit (it would assign no ids
+    * and break lineage); readers stay compatible (minReaderVersion
+    * 1: the data is still just parquet).
+    */
+  val protocolActionRowTracking: String =
+    """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7, "writerFeatures": ["domainMetadata", "rowTracking"]}}"""
+
+  /** A `domainMetadata` action (canonical key order); configuration
+    * is a JSON STRING per the spec.
+    */
+  def domainMetadataAction(domain: String, config: String): String =
+    s"""{"domainMetadata": {"configuration": "${esc(config)}", "domain": "$domain", "removed": false}}"""
+
+  /** The row-tracking high-water mark domain. */
+  val RowTrackingDomain = "delta.rowTracking"
+
+  def rowIdHighWaterMarkAction(hwm: Long): String =
+    domainMetadataAction(RowTrackingDomain,
+      s"""{"rowIdHighWaterMark": $hwm}""")
+
+  /** An add carrying `baseRowId` + `defaultRowCommitVersion`
+    * (canonical key order).
+    */
+  def addActionRt(path: String, size: Long, baseRowId: Long,
+                  defaultRowCommitVersion: Long,
+                  dataChange: Boolean): String =
+    s"""{"add": {"baseRowId": $baseRowId, "dataChange": $dataChange, "defaultRowCommitVersion": $defaultRowCommitVersion, "modificationTime": 1700000000000, "partitionValues": {}, "path": "$path", "size": $size}}"""
+
+  /** The q393 ROW-TRACKING table: v0 declares the feature and adds
+    * A + B with inherited id blocks (baseRowId 0 and |A|) plus the
+    * high-water mark domain; v1 appends C from the advanced mark.
+    * Columns (rec_id, x, y, val) so the ZORDER rewrite (q381) can
+    * exercise id stability. val = (d*31) % 1009, x = (d*7) % 256,
+    * y = (d*13) % 256.
+    */
+  def writeRowTrackingTable(id: String,
+                            ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val parts = (0 to 2).map(x =>
+      ids.filter(d => (d / 6) % 3 == x).sorted)
+    val names = Seq("part-rtA.parquet", "part-rtB.parquet",
+      "part-rtC.parquet")
+    def pq(p: Seq[Long]): Array[Byte] =
+      ParquetWrite.writeInt64(Seq("rec_id", "x", "y", "val"),
+        p.map(d => Array(d, (d * 7) % 256, (d * 13) % 256,
+          (d * 31) % 1009)))
+    val data = parts.map(pq)
+    val na = parts(0).length.toLong; val nb = parts(1).length.toLong
+    val nc = parts(2).length.toLong
+    val c0 = Seq(protocolActionRowTracking, metaDataAction(id),
+      addActionRt(names(0), data(0).length.toLong, 0L, 0L,
+        dataChange = true),
+      addActionRt(names(1), data(1).length.toLong, na, 0L,
+        dataChange = true),
+      rowIdHighWaterMarkAction(na + nb - 1L)).mkString("\n") + "\n"
+    val c1 = Seq(
+      addActionRt(names(2), data(2).length.toLong, na + nb, 1L,
+        dataChange = true),
+      rowIdHighWaterMarkAction(na + nb + nc - 1L))
+      .mkString("\n") + "\n"
+    Map(
+      "_delta_log/00000000000000000000.json" -> c0.getBytes(Utf8),
+      "_delta_log/00000000000000000001.json" -> c1.getBytes(Utf8),
+      names(0) -> data(0), names(1) -> data(1), names(2) -> data(2))
+  }
+
+  /** The WRITER gate: None (refuse to write) when the table's
+    * protocol demands writer features this writer does not support —
+    * the q370 fail-closed pattern on the write side. A table with no
+    * writerFeatures passes for every writer.
+    */
+  def writerGate(files: Map[String, Array[Byte]],
+                 supported: Set[String]): Option[Unit] = {
+    import Json.{JArray, JObject, JString}
+    val commits = files.keys.toSeq.collect {
+      case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+    if (commits.isEmpty) return None
+    var feats = Set.empty[String]
+    var ok = true
+    commits.foreach { case (_, p) =>
+      new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+        .foreach { line =>
+          Json.parse(line) match {
+            case Some(o: JObject) => o.get("protocol").foreach {
+              case pr: JObject => pr.get("writerFeatures").foreach {
+                case JArray(xs) =>
+                  feats = xs.collect { case JString(x) => x }.toSet
+                case _ => ok = false
+              }
+              case _ => ok = false
+            }
+            case _ => ok = false
+          }
+        }
+    }
+    if (ok && feats.subsetOf(supported)) Some(()) else None
+  }
+
+  final case class RtState(rows: Seq[(Long, Long, Long)],
+                           highWaterMark: Long, maxVersion: Long)
+
+  /** Replay a row-tracking table to (row_id, rec_id, val) triples:
+    * live adds assign row_id = baseRowId + position, unless the file
+    * carries a MATERIALIZED `_row_id` column (a dataChange=false
+    * rewrite), which wins per the spec. The high-water mark is the
+    * last `delta.rowTracking` domainMetadata. Fails CLOSED when the
+    * table does not declare the rowTracking feature (there is no
+    * lineage to serve), an add has neither baseRowId nor
+    * materialized ids, any id exceeds the mark, or any id
+    * duplicates.
+    */
+  def replayRowTracking(files: Map[String, Array[Byte]])
+      : Option[RtState] = {
+    import Json.{JArray, JLong, JObject, JString}
+    val commits = files.keys.toSeq.collect {
+      case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+    if (commits.isEmpty) return None
+    var hasFeature = false
+    var hwm = -1L
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[Long]] // path -> baseRowId
+    var ok = true
+    commits.foreach { case (_, p) =>
+      new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+        .foreach { line =>
+          Json.parse(line) match {
+            case Some(o: JObject) =>
+              o.get("protocol").foreach {
+                case pr: JObject => pr.get("writerFeatures").foreach {
+                  case JArray(xs) => hasFeature = xs.exists {
+                    case JString("rowTracking") => true
+                    case _ => false
+                  }
+                  case _ => ok = false
+                }
+                case _ => ok = false
+              }
+              o.get("domainMetadata").foreach {
+                case dm: JObject =>
+                  (dm.get("domain"), dm.get("configuration")) match {
+                    case (Some(JString(RowTrackingDomain)),
+                      Some(JString(cfg))) =>
+                      Json.parse(cfg) match {
+                        case Some(co: JObject) =>
+                          co.get("rowIdHighWaterMark") match {
+                            case Some(JLong(x)) => hwm = x
+                            case _ => ok = false
+                          }
+                        case _ => ok = false
+                      }
+                    case (Some(JString(_)), Some(JString(_))) => ()
+                    case _ => ok = false
+                  }
+                case _ => ok = false
+              }
+              o.get("add").foreach {
+                case a: JObject => a.get("path") match {
+                  case Some(JString(x)) =>
+                    live(x) = a.get("baseRowId").collect {
+                      case JLong(b) => b }
+                  case _ => ok = false
+                }
+                case _ => ok = false
+              }
+              o.get("remove").foreach {
+                case r: JObject => r.get("path") match {
+                  case Some(JString(x)) => live.remove(x)
+                  case _ => ok = false
+                }
+                case _ => ok = false
+              }
+            case _ => ok = false
+          }
+        }
+    }
+    if (!ok || !hasFeature || hwm < 0) return None
+    val per = live.toSeq.map { case (p, base) =>
+      for {
+        b <- files.get(p)
+        rs <- Parquet.columnLongs(b, "rec_id")
+        vs <- Parquet.columnLongs(b, "val")
+        if rs.length == vs.length
+        rids <- Parquet.columnLongs(b, "_row_id") match {
+          case Some(m) if m.length == rs.length => Some(m.toSeq)
+          case Some(_) => None
+          case None => base.map(f => rs.indices.map(f + _.toLong))
+        }
+      } yield rids.indices.map(i => (rids(i), rs(i), vs(i)))
+    }
+    if (per.exists(_.isEmpty)) return None
+    val rows = per.flatMap(_.get)
+    if (rows.map(_._1).distinct.length != rows.length) return None
+    if (rows.exists(_._1 > hwm)) return None
+    Some(RtState(rows.sortBy(_._1), hwm, commits.last._1))
+  }
+
+  final case class ZOrderRtResult(commitName: String,
+                                  commit: Array[Byte],
+                                  newFiles: Map[String, Array[Byte]],
+                                  removed: Seq[String], rows: Long,
+                                  newHwm: Long)
+
+  /** OPTIMIZE ZORDER on a row-tracking table: the q381 clustering
+    * rewrite, but every rewritten file MATERIALIZES `_row_id` (a
+    * single baseRowId cannot represent the interleave — the spec's
+    * rewrite rule), so every surviving id is byte-stable. The new
+    * adds still claim a fresh id block (baseRowId above the mark,
+    * advanced by a new domainMetadata): row ids are NEVER reused,
+    * even by rewrites that assign none. All actions
+    * dataChange=false.
+    */
+  def optimizeZOrderRt(files: Map[String, Array[Byte]],
+                       nFiles: Int): Option[ZOrderRtResult] =
+    for {
+      st <- replayRowTracking(files)
+      if nFiles >= 1 && st.rows.nonEmpty
+      (liveAdds, maxV) <- replayLive(files)
+      decoded <- {
+        val per = liveAdds.map { p =>
+          for {
+            b <- files.get(p)
+            rs <- Parquet.columnLongs(b, "rec_id")
+            xs <- Parquet.columnLongs(b, "x")
+            ys <- Parquet.columnLongs(b, "y")
+            vs <- Parquet.columnLongs(b, "val")
+            if rs.length == xs.length && rs.length == ys.length &&
+              rs.length == vs.length
+            rids <- Parquet.columnLongs(b, "_row_id") match {
+              case Some(m) if m.length == rs.length => Some(m.toSeq)
+              case Some(_) => None
+              case None => None // resolved below via st
+            }
+          } yield rs.indices.map(i =>
+            (rids(i), rs(i), xs(i), ys(i), vs(i)))
+        }
+        // files without materialized ids: join through the replay
+        if (per.forall(_.isDefined)) Some(per.flatMap(_.get))
+        else {
+          val byRec = st.rows.map(r => r._2 -> r._1).toMap
+          val per2 = liveAdds.map { p =>
+            for {
+              b <- files.get(p)
+              rs <- Parquet.columnLongs(b, "rec_id")
+              xs <- Parquet.columnLongs(b, "x")
+              ys <- Parquet.columnLongs(b, "y")
+              vs <- Parquet.columnLongs(b, "val")
+              if rs.length == xs.length && rs.length == ys.length &&
+                rs.length == vs.length
+              if rs.forall(byRec.contains)
+            } yield rs.indices.map(i =>
+              (byRec(rs(i)), rs(i), xs(i), ys(i), vs(i)))
+          }
+          if (per2.exists(_.isEmpty)) None
+          else Some(per2.flatMap(_.get))
+        }
+      }
+    } yield {
+      val rows = decoded.sortBy(r => (zInterleave(r._3, r._4), r._2))
+      val per = math.max(1, (rows.length + nFiles - 1) / nFiles)
+      val parts = rows.grouped(per).toSeq
+      val names = parts.indices.map(i =>
+        f"part-zrt$i%03d-${maxV + 1}%05d.parquet")
+      val data = parts.map(p => ParquetWrite.writeInt64(
+        Seq("_row_id", "rec_id", "x", "y", "val"),
+        p.map(r => Array(r._1, r._2, r._3, r._4, r._5))))
+      // fresh (unused) id block for the rewrites: never reuse
+      var base = st.highWaterMark + 1L
+      val adds = names.zip(data).zip(parts).map {
+        case ((n, d), p) =>
+          val a = addActionRt(n, d.length.toLong, base, maxV + 1L,
+            dataChange = false)
+          base += p.length.toLong
+          a
+      }
+      val newHwm = base - 1L
+      val commit = (liveAdds.map(removeActionDc(_,
+        dataChange = false)) ++ adds :+
+        rowIdHighWaterMarkAction(newHwm)).mkString("\n") + "\n"
+      ZOrderRtResult(f"_delta_log/${maxV + 1}%020d.json",
+        commit.getBytes(Utf8), names.zip(data).toMap, liveAdds,
+        rows.length.toLong, newHwm)
+    }
+
+  /** SHALLOW CLONE of a row-tracking table: the q386 zero-copy fork,
+    * but the clone's commit 0 re-declares every live add WITH its
+    * baseRowId (ids are table-independent facts about the rows) and
+    * carries the source's protocol gate and high-water mark — an
+    * independent replay of the clone assigns EXACTLY the source's
+    * ids. None on a source that is not row-tracking or a malformed
+    * log.
+    */
+  def shallowCloneRt(source: Map[String, Array[Byte]],
+                     cloneId: String): Option[Map[String, Array[Byte]]] =
+    for {
+      st <- replayRowTracking(source)
+      (liveAdds, _) <- replayLive(source)
+      sized <- replayLiveSized(source, st.maxVersion)
+      bases <- {
+        import Json.{JLong, JObject, JString}
+        // recover each live add's declared baseRowId from the log
+        val m = scala.collection.mutable.Map
+          .empty[String, Option[Long]]
+        var ok = true
+        source.keys.toSeq.collect {
+          case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+          .foreach { case (_, p) =>
+            new String(source(p), Utf8).split("\n")
+              .filter(_.nonEmpty).foreach { line =>
+                Json.parse(line) match {
+                  case Some(o: JObject) => o.get("add").foreach {
+                    case a: JObject => a.get("path") match {
+                      case Some(JString(x)) =>
+                        m(x) = a.get("baseRowId").collect {
+                          case JLong(b) => b }
+                      case _ => ok = false
+                    }
+                    case _ => ok = false
+                  }
+                  case _ => ()
+                }
+              }
+          }
+        if (ok) Some(m.toMap) else None
+      }
+    } yield {
+      val adds = liveAdds.sorted.map { p =>
+        bases.getOrElse(p, None) match {
+          case Some(b) => addActionRt(p, sized(p), b,
+            0L, dataChange = true)
+          case None => addAction(p, sized(p))
+        }
+      }
+      val c0 = (Seq(protocolActionRowTracking,
+        metaDataAction(cloneId)) ++ adds :+
+        rowIdHighWaterMarkAction(st.highWaterMark))
+        .mkString("\n") + "\n"
+      Map("_delta_log/00000000000000000000.json" -> c0.getBytes(Utf8))
+    }
+
   // ---- column mapping write (q360) -----------------------------------------
 
   /** Deterministic physical name for logical field `i` of table `id`

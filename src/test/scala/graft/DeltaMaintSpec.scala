@@ -246,4 +246,65 @@ class DeltaMaintSpec extends AnyFunSuite {
     assert(DeltaWrite.validateCrc(files, 1L).isEmpty)
     assert(DeltaWrite.writeCrc(files, 9L).isEmpty)
   }
+
+  test("row tracking (q393): baseRowId + position assignment, the " +
+    "high-water mark domain, ids byte-stable across a materializing " +
+    "ZORDER rewrite and a shallow clone, classic writer refused, " +
+    "missing ids / low mark fail closed") {
+    val W = DeltaWrite
+    val files = W.writeRowTrackingTable("rt-spec", ids)
+    val n = ids.length.toLong
+    val st = W.replayRowTracking(files).getOrElse(fail("replay"))
+    assert(st.rows.length.toLong == n &&
+      st.highWaterMark == n - 1L)
+    val parts = (0 to 2).map(x =>
+      ids.filter(d => (d / 6) % 3 == x).sorted)
+    val offs = Seq(0L, parts(0).length.toLong,
+      (parts(0).length + parts(1).length).toLong)
+    (0 to 2).foreach(g => parts(g).zipWithIndex.foreach {
+      case (d, i) =>
+        assert(st.rows.contains((offs(g) + i, d, (d * 31) % 1009)))
+    })
+    // ZORDER: materialized ids, triples stable, fresh block claimed
+    val z = W.optimizeZOrderRt(files, 2).getOrElse(fail("zorder"))
+    val zt = files + (z.commitName -> z.commit) ++ z.newFiles
+    val st2 = W.replayRowTracking(zt).getOrElse(fail("replay z"))
+    assert(st2.rows.toSet == st.rows.toSet, "ids survive the rewrite")
+    assert(st2.highWaterMark == 2L * n - 1L, "block claimed, unused")
+    assert(!new String(z.commit, "UTF-8")
+      .contains("\"dataChange\": true"))
+    // every rewritten file really carries _row_id
+    z.newFiles.values.foreach { b =>
+      assert(graft.sources.Parquet.columnLongs(b, "_row_id")
+        .isDefined)
+    }
+    // clone: independent replay assigns the source's exact ids
+    val cl = W.shallowCloneRt(files, "rt-clone")
+      .getOrElse(fail("clone"))
+    val ct = cl ++ files.filterNot(_._1.startsWith("_delta_log/"))
+    val st3 = W.replayRowTracking(ct).getOrElse(fail("replay c"))
+    assert(st3.rows.toSet == st.rows.toSet &&
+      st3.highWaterMark == st.highWaterMark)
+    // writer gate: classic writer refused on the rt table, passes
+    // on a featureless one
+    assert(W.writerGate(files, Set.empty).isEmpty)
+    assert(W.writerGate(files,
+      Set("rowTracking", "domainMetadata")).isDefined)
+    assert(W.writerGate(W.writeTable("plain", ids),
+      Set.empty).isDefined)
+    // fail closed: classic table serves no lineage; idless add
+    // refuses; a mark below the max id trips
+    assert(W.replayRowTracking(W.writeTable("plain", ids)).isEmpty)
+    val orphan = graft.sources.ParquetWrite.writeInt64(
+      Seq("rec_id", "x", "y", "val"), Seq(Array(999999L, 1L, 1L, 1L)))
+    assert(W.replayRowTracking(files +
+      ("_delta_log/00000000000000000002.json" ->
+        (W.addAction("noid.parquet", orphan.length.toLong) + "\n")
+          .getBytes("UTF-8")) +
+      ("noid.parquet" -> orphan)).isEmpty)
+    assert(W.replayRowTracking(files +
+      ("_delta_log/00000000000000000002.json" ->
+        (W.rowIdHighWaterMarkAction(0L) + "\n")
+          .getBytes("UTF-8"))).isEmpty)
+  }
 }
