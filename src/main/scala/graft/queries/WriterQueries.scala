@@ -6922,5 +6922,123 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS no_reuse,
                CAST(1 AS BIGINT) AS fail_closed
         FROM w JOIN c USING (table_id) GROUP BY w.table_id"""),
+      headline = false),
+
+    // q394 — Iceberg PARTITION STATISTICS FILES: the spec's
+    // per-snapshot planning aggregate — partition{p2} ‖ spec_id ‖
+    // record/file/byte counts — registered in table metadata
+    // (snapshot-id + statistics-path + file-size-in-bytes), so a
+    // planner prices a partition prune BEFORE touching a single
+    // manifest: at 100 TB the manifest walk itself is the cost.
+    // On the q362 evolved-spec table extended with an appended
+    // spec-1 manifest (snapshot 3): the stats file ≡ the
+    // manifest-walk rebuild at BOTH snapshots, each manifest routed
+    // through its OWN spec id; incremental maintenance (merge the
+    // appended manifest's contribution into the old stats — the
+    // q363 union discipline) ≡ rebuild; stats-planned pruning for
+    // p2 = 1 keeps exactly the rows the kept parquet files PROVE
+    // (unpartitioned spec-0 rows kept conservatively — absent
+    // partition values must never cause a wrong skip); a size
+    // mismatch on the registered file fails CLOSED. Counts
+    // re-derive in DuckDB.
+    "q394_iceberg_partition_stats" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val I = graft.sources.IcebergWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val files = I.writeSpecEvoTableV3(s"ps-$t", ids)
+            val res = for {
+              w2 <- I.writePartitionStats(files, "v2.metadata.json")
+              t2 = files + (w2._1 -> w2._2) +
+                ("v2.metadata.json" -> w2._3)
+              read2 <- I.readPartitionStats(t2, "v2.metadata.json")
+              walk2 <- I.computePartitionStats(files,
+                "v2.metadata.json", 2L)
+              w3 <- I.writePartitionStats(files, "v3.metadata.json")
+              t3 = files + (w3._1 -> w3._2) +
+                ("v3.metadata.json" -> w3._3)
+              read3 <- I.readPartitionStats(t3, "v3.metadata.json")
+              walk3 <- I.computePartitionStats(files,
+                "v3.metadata.json", 3L)
+              addContrib <- I.manifestPartitionStats(files,
+                "m-spec1-add.avro", 1)
+              keptProven <- {
+                // the files the p2 = 1 prune keeps, record counts
+                // PROVEN from their parquet bytes
+                val kept = Seq("f-old-0.parquet", "f-old-1.parquet",
+                  "f-new-1.parquet", "f-add-1.parquet")
+                val per = kept.map(p => files.get(p)
+                  .flatMap(P.columnLongs(_, "rec_id"))
+                  .map(_.length.toLong))
+                if (per.exists(_.isEmpty)) None
+                else Some(per.map(_.get).sum)
+              }
+            } yield {
+              val rebuildMatch = read2 == walk2 && read3 == walk3
+              val incrMatch =
+                I.mergePartitionStats(walk2, addContrib) == walk3
+              def keptRecords(st: Seq[I.PartStat]): Long =
+                st.filter(p => p.p2.isEmpty || p.p2.contains(1))
+                  .map(_.records).sum
+              val pruneMatch = keptRecords(read3) == keptProven
+              val sizeProven = new String(w3._3, "UTF-8")
+                .contains(s""""file-size-in-bytes": ${w3._2.length}""")
+              val failClosed = I.readPartitionStats(
+                t3 + (w3._1 -> w3._2.dropRight(1)),
+                "v3.metadata.json").isEmpty &&
+                I.readPartitionStats(t3 - w3._1,
+                  "v3.metadata.json").isEmpty
+              val nullPart = read3.filter(_.p2.isEmpty)
+                .map(_.records).sum
+              val p21 = read3.filter(_.p2.contains(1))
+                .map(_.records).sum
+              (t, read3.length.toLong,
+                read3.map(_.records).sum, nullPart, p21,
+                keptRecords(read3),
+                if (rebuildMatch) 1L else 0L,
+                if (incrMatch) 1L else 0L,
+                if (pruneMatch) 1L else 0L,
+                if (sizeProven) 1L else 0L,
+                if (failClosed) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_parts", "total_records",
+            "null_part_records", "p2_1_records", "kept_records",
+            "rebuild_match", "incr_match", "prune_match",
+            "size_proven", "fail_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 4 AS g, doc_id % 3 AS b
+          FROM documents)
+        SELECT table_id,
+               -- the writer always creates all three p2 buckets
+               -- (two are empty within a blob: d%3 aliases the blob
+               -- key) plus the unpartitioned spec-0 row
+               CAST(4 AS BIGINT) AS n_parts,
+               CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END) +
+                 sum(CASE WHEN g = 1 OR g = 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS total_records,
+               CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_part_records,
+               CAST(sum(CASE WHEN (g = 1 OR g = 3) AND b = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS p2_1_records,
+               CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END) +
+                 sum(CASE WHEN (g = 1 OR g = 3) AND b = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS kept_records,
+               CAST(1 AS BIGINT) AS rebuild_match,
+               CAST(1 AS BIGINT) AS incr_match,
+               CAST(1 AS BIGINT) AS prune_match,
+               CAST(1 AS BIGINT) AS size_proven,
+               CAST(1 AS BIGINT) AS fail_closed
+        FROM r GROUP BY table_id"""),
       headline = false))
 }

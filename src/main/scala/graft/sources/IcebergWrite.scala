@@ -310,6 +310,220 @@ object IcebergWrite {
     out.result()
   }
 
+  // ---- partition statistics files (q394) -------------------------------------
+
+  /** The spec's partition-statistics file schema, reduced to the
+    * q362 table's unified partition tuple: partition{p2 nullable} ‖
+    * spec_id ‖ data_record_count ‖ data_file_count ‖
+    * total_data_file_size_in_bytes — the planning aggregate that
+    * prices a partition prune BEFORE touching a single manifest at
+    * 100 TB.
+    */
+  val PartStatsSchema: String =
+    """{"type":"record","name":"partition_statistics","fields":[{"name":"partition","type":{"type":"record","name":"r_part","fields":[{"name":"p2","type":["null","int"]}]}},{"name":"spec_id","type":"int"},{"name":"data_record_count","type":"long"},{"name":"data_file_count","type":"long"},{"name":"total_data_file_size_in_bytes","type":"long"}]}"""
+
+  final case class PartStat(p2: Option[Int], specId: Int,
+                            records: Long, files: Long, bytes: Long)
+
+  def partStatRecord(ps: PartStat): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    ps.p2 match {
+      case Some(v) => union(out, 1)(varint(out, v.toLong))
+      case None => union(out, 0)(())
+    }
+    varint(out, ps.specId.toLong)
+    varint(out, ps.records)
+    varint(out, ps.files)
+    varint(out, ps.bytes)
+    out.toByteArray
+  }
+
+  /** Per-partition aggregation of ONE evo-shape manifest (the
+    * incremental unit: what an appended manifest contributes).
+    */
+  def manifestPartitionStats(files: Map[String, Array[Byte]],
+                             manifestPath: String,
+                             specId: Int): Option[Seq[PartStat]] =
+    files.get(manifestPath).flatMap(AvroGeneric.parseContainer)
+      .flatMap { m =>
+        val es = m.records.map { e =>
+          for {
+            st <- e.field("status").flatMap(_.asLong)
+            df <- e.field("data_file")
+            rc <- df.field("record_count").flatMap(_.asLong)
+            fsz <- df.field("file_size_in_bytes").flatMap(_.asLong)
+            part <- df.field("partition")
+          } yield {
+            val p2 = part.field("p2") match {
+              case Some(AvroGeneric.VLong(x)) => Some(x.toInt)
+              case _ => None
+            }
+            (st, p2, rc, fsz)
+          }
+        }
+        if (es.exists(_.isEmpty)) None
+        else Some(es.map(_.get).filter(_._1 != 2L)
+          .groupBy(_._2).toSeq.map { case (p2, rows) =>
+            PartStat(p2, specId, rows.map(_._3).sum,
+              rows.length.toLong, rows.map(_._4).sum)
+          })
+      }
+
+  /** MANIFEST-WALK partition stats of one snapshot — the baseline a
+    * stats file must reproduce exactly. Routes each manifest through
+    * its OWN spec id (q362's evolution discipline). None on any
+    * malformed byte.
+    */
+  def computePartitionStats(files: Map[String, Array[Byte]],
+                            metaName: String,
+                            sid: Long): Option[Seq[PartStat]] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      snap <- snaps.find(_.sid == sid)
+      listBytes <- files.get(snap.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mrows <- {
+        val rs = list.records.map { r =>
+          for {
+            mp <- r.field("manifest_path").flatMap(_.asString)
+            spec <- r.field("partition_spec_id").flatMap(_.asLong)
+          } yield (mp, spec.toInt)
+        }
+        if (rs.exists(_.isEmpty)) None else Some(rs.map(_.get))
+      }
+      per <- {
+        val ps = mrows.map { case (mp, spec) =>
+          manifestPartitionStats(files, mp, spec)
+        }
+        if (ps.exists(_.isEmpty)) None else Some(ps.flatMap(_.get))
+      }
+    } yield mergePartitionStats(Nil, per)
+
+  /** Key-wise merge — the incremental-maintenance law's operator:
+    * merge(stats(prev), contribution(added manifests)) must equal a
+    * full rebuild (the q363 union discipline).
+    */
+  def mergePartitionStats(prev: Seq[PartStat],
+                          added: Seq[PartStat]): Seq[PartStat] =
+    (prev ++ added).groupBy(p => (p.specId, p.p2)).toSeq
+      .map { case ((spec, p2), rows) =>
+        PartStat(p2, spec, rows.map(_.records).sum,
+          rows.map(_.files).sum, rows.map(_.bytes).sum)
+      }.sortBy(p => (p.specId, p.p2.getOrElse(-1)))
+
+  /** Write the partition-statistics FILE for the current snapshot
+    * and REGISTER it in table metadata (`partition-statistics`:
+    * snapshot-id + statistics-path + file-size-in-bytes, the spec's
+    * shape). Returns (statsPath, statsBytes, newMetadataBytes).
+    */
+  def writePartitionStats(files: Map[String, Array[Byte]],
+                          metaName: String)
+      : Option[(String, Array[Byte], Array[Byte])] =
+    for {
+      mo <- parseMetaObj(files, metaName)
+      sid <- mo.get("current-snapshot-id")
+        .collect { case Json.JLong(x) => x }
+      uuid <- mo.get("table-uuid")
+        .collect { case Json.JString(x) => x }
+      stats <- computePartitionStats(files, metaName, sid)
+    } yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sync = md.digest(("sync:" + uuid).getBytes("UTF-8"))
+      val body = container(PartStatsSchema,
+        stats.map(partStatRecord), sync)
+      val path = s"partition-stats-$sid.avro"
+      val metaStr = new String(files(metaName),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val reg = s"""{"file-size-in-bytes": ${body.length}, "snapshot-id": $sid, "statistics-path": "$path"}"""
+      val newMeta = metaStr.replaceFirst("\\{",
+        s"""{"partition-statistics": [$reg], """)
+      (path, body,
+        newMeta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  /** Read the REGISTERED partition-statistics file for the current
+    * snapshot: the metadata entry names path + size; a size mismatch
+    * or malformed container fails CLOSED (planning from an unproven
+    * aggregate is how pruning goes wrong silently).
+    */
+  def readPartitionStats(files: Map[String, Array[Byte]],
+                         metaName: String): Option[Seq[PartStat]] = {
+    import Json.{JArray, JLong, JObject, JString}
+    for {
+      mo <- parseMetaObj(files, metaName)
+      sid <- mo.get("current-snapshot-id").collect {
+        case JLong(x) => x }
+      entries <- mo.get("partition-statistics").collect {
+        case JArray(xs) => xs }
+      entry <- entries.collectFirst {
+        case o: JObject if o.get("snapshot-id")
+          .contains(JLong(sid)) => o
+      }
+      path <- entry.get("statistics-path").collect {
+        case JString(x) => x }
+      size <- entry.get("file-size-in-bytes").collect {
+        case JLong(x) => x }
+      b <- files.get(path)
+      if b.length.toLong == size
+      c <- AvroGeneric.parseContainer(b)
+      rows <- {
+        val rs = c.records.map { r =>
+          for {
+            spec <- r.field("spec_id").flatMap(_.asLong)
+            rc <- r.field("data_record_count").flatMap(_.asLong)
+            fc <- r.field("data_file_count").flatMap(_.asLong)
+            bs <- r.field("total_data_file_size_in_bytes")
+              .flatMap(_.asLong)
+            part <- r.field("partition")
+          } yield PartStat(part.field("p2") match {
+            case Some(AvroGeneric.VLong(x)) => Some(x.toInt)
+            case _ => None
+          }, spec.toInt, rc, fc, bs)
+        }
+        if (rs.exists(_.isEmpty)) None else Some(rs.map(_.get))
+      }
+    } yield rows
+  }
+
+  /** The q394 table: the q362 evolved-spec shapes extended with a
+    * THIRD snapshot — gen 3 rows arrive as an appended spec-1
+    * manifest (three more p2 files, val bumped +3), so snapshot 3's
+    * list carries m0 (spec 0), m1 (spec 1), m2 (spec 1, ADDED by
+    * s3) and the incremental law has a real append to fold in.
+    */
+  def writeSpecEvoTableV3(id: String,
+                          ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val base = writeSpecEvoTable(id, ids)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    def v(d: Long): Long = (d * 7) % 1000 + 3
+    val gen3 = ids.filter(d => (d / 6) % 4 == 3)
+    val out = Map.newBuilder[String, Array[Byte]]
+    val e2 = (0 to 2).map { b =>
+      val p = gen3.filter(_ % 3 == b)
+      val bytes = ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        p.map(d => Array(d, v(d))))
+      out += (s"f-add-$b.parquet" -> bytes)
+      entryEvo(s"f-add-$b.parquet", p.length.toLong,
+        bytes.length.toLong, Some(b))
+    }
+    val m2 = container(EntrySchemaEvo1, e2, sync)
+    out += ("m-spec1-add.avro" -> m2)
+    val m0 = base("m-spec0.avro"); val m1 = base("m-spec1.avro")
+    val list3 = container(ListSchemaEvo, Seq(
+      manifestFileRowEvo("m-spec0.avro", m0.length.toLong, 0),
+      manifestFileRowEvo("m-spec1.avro", m1.length.toLong, 1),
+      manifestFileRowEvo("m-spec1-add.avro", m2.length.toLong, 1)),
+      sync)
+    out += ("snap-3.avro" -> list3)
+    val meta = ("""{"format-version": 2, "table-uuid": """" + id +
+      """", "default-spec-id": 1, "partition-specs": [{"spec-id": 0, "fields": []}, {"spec-id": 1, "fields": [{"field-id": 1000, "name": "p2", "source-id": 1, "transform": "identity"}]}], "current-snapshot-id": 3, "snapshots": [{"snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 1700000001000, "manifest-list": "snap-2.avro"}, {"snapshot-id": 3, "sequence-number": 3, "timestamp-ms": 1700000002000, "manifest-list": "snap-3.avro"}]}""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out += ("v3.metadata.json" -> meta)
+    base ++ out.result()
+  }
+
   // ---- row-level delete write (q319): the q262 read shapes ---------------
 
   /** The MoR manifest-file schema (content routes data vs deletes);

@@ -369,4 +369,60 @@ class IcebergMaintSpec extends AnyFunSuite {
     assert(W.lineageScan(files + ("snap-4.avro" -> badL4), meta,
       4L).isEmpty, "duplicated row ids must close")
   }
+
+  test("partition statistics files (q394): stats file == manifest " +
+    "walk at both snapshots, incremental merge == rebuild, prune " +
+    "keeps exactly the proven rows with conservative nulls, size " +
+    "mismatch fails closed") {
+    val W = IcebergWrite
+    // consecutive ids: all three p2 = d%3 buckets are NON-empty
+    val files = W.writeSpecEvoTableV3("ps-spec", ids)
+    val w2 = W.writePartitionStats(files, "v2.metadata.json")
+      .getOrElse(fail("w2"))
+    val t2 = files + (w2._1 -> w2._2) +
+      ("v2.metadata.json" -> w2._3)
+    val read2 = W.readPartitionStats(t2, "v2.metadata.json")
+      .getOrElse(fail("read2"))
+    assert(read2 ==
+      W.computePartitionStats(files, "v2.metadata.json", 2L).get)
+    val w3 = W.writePartitionStats(files, "v3.metadata.json")
+      .getOrElse(fail("w3"))
+    val t3 = files + (w3._1 -> w3._2) +
+      ("v3.metadata.json" -> w3._3)
+    val read3 = W.readPartitionStats(t3, "v3.metadata.json")
+      .getOrElse(fail("read3"))
+    val walk3 =
+      W.computePartitionStats(files, "v3.metadata.json", 3L).get
+    assert(read3 == walk3)
+    assert(read3.length == 4, "null partition + three p2 buckets")
+    // routed through each manifest's OWN spec id
+    assert(read3.filter(_.p2.isEmpty).forall(_.specId == 0))
+    assert(read3.filter(_.p2.isDefined).forall(_.specId == 1))
+    // incremental: old stats + the appended manifest == rebuild
+    val add = W.manifestPartitionStats(files, "m-spec1-add.avro", 1)
+      .getOrElse(fail("add"))
+    assert(W.mergePartitionStats(read2, add) == walk3)
+    // counts: gen0 (g != 1) unpartitioned; p2 buckets carry gen1 +
+    // gen3 rows of that residue
+    def gen(d: Long) = (d / 6) % 4
+    assert(read3.find(_.p2.isEmpty).get.records ==
+      ids.count(gen(_) != 1).toLong)
+    (0 to 2).foreach { b =>
+      assert(read3.find(_.p2.contains(b)).get.records ==
+        ids.count(d => (gen(d) == 1 || gen(d) == 3) &&
+          d % 3 == b).toLong)
+    }
+    // prune p2=1: stats-kept == parquet-proven rows of kept files
+    val kept = Seq("f-old-0.parquet", "f-old-1.parquet",
+      "f-new-1.parquet", "f-add-1.parquet")
+      .map(p => graft.sources.Parquet
+        .columnLongs(files(p), "rec_id").get.length.toLong).sum
+    assert(read3.filter(p => p.p2.isEmpty || p.p2.contains(1))
+      .map(_.records).sum == kept)
+    // fail closed: truncated stats file / missing file
+    assert(W.readPartitionStats(t3 + (w3._1 -> w3._2.dropRight(1)),
+      "v3.metadata.json").isEmpty, "size mismatch must close")
+    assert(W.readPartitionStats(t3 - w3._1,
+      "v3.metadata.json").isEmpty)
+  }
 }
