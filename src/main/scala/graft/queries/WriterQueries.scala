@@ -7040,5 +7040,103 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS size_proven,
                CAST(1 AS BIGINT) AS fail_closed
         FROM r GROUP BY table_id"""),
+      headline = false),
+
+    // q395 — zstd STRUCTURED (trained, NAMED) dictionaries: q344/
+    // q345 proved raw-content prefix dictionaries; this closes the
+    // production form — RFC 8878 §5's dictionary format (magic ‖ id
+    // ‖ entropy tables ‖ repeat offsets ‖ content), the shape
+    // libzstd --train emits. Per blob: train cover-lite on the
+    // (d/6)%3==0 docs, WRAP as a structured dictionary carrying the
+    // blob's id, compress every held-out doc NAMING that id in the
+    // frame header (dictIdFlag — the refusal q244's census enforced
+    // is now lifted exactly when the reader HOLDS the named
+    // dictionary). Laws: byte-exact round-trip through
+    // walkWithDicts; a frame is UNDECODABLE without the named
+    // dictionary, under a WRONG id, or via the plain walk (fail
+    // closed three ways); the structured dictionary still beats
+    // dict-less compression (the measured win); a truncated or
+    // id-0 dictionary refuses to parse. libzstd cross-pins both
+    // directions in ZstdSpec (ZDICT-trained dicts parse + decode;
+    // libzstd decodes own structured frames). Raw sizes re-derive
+    // in DuckDB.
+    "q395_zstd_structured_dict" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+            col("text"), col("lang"), col("source"))
+          .as[(Long, Long, String, String, String)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val E = graft.sources.ZstdEncode
+            val Z = graft.sources.Zstd
+            val rows = it.toSeq.sortBy(_._2)
+            def envelope(text: String, lang: String,
+                         source: String): Array[Byte] =
+              (s"{'src': '$source', 'lang': '$lang', " +
+                s"'text': '$text'}").getBytes("UTF-8")
+            val (trainRows, evalRows) =
+              rows.partition(r => (r._2 / 6) % 3 == 0)
+            val content = E.trainDict(
+              trainRows.map(r => envelope(r._3, r._4, r._5)),
+              maxSize = 4096)
+            val res = for {
+              dictBytes <- Some(E.buildDictionary(content,
+                id = 100L + blobId))
+              dict <- Z.parseDictionary(dictBytes)
+              if dict.id == 100L + blobId
+              // a truncated dict refuses; id 0 refuses
+              if Z.parseDictionary(dictBytes.take(10)).isEmpty
+            } yield {
+              var rawSum = 0L; var dictSum = 0L; var plainSum = 0L
+              var rt = true
+              val wrongId = dict.copy(id = dict.id + 1)
+              evalRows.foreach { r =>
+                val doc = envelope(r._3, r._4, r._5)
+                rawSum += doc.length
+                val z = E.compressWithStructuredDict(doc, dict)
+                dictSum += z.length
+                plainSum += E.compress(doc).length
+                if (!Z.walkWithDicts(z, Seq(dict)).exists(fr =>
+                  fr.length == 1 && fr.head.checksumState == "ok" &&
+                    java.util.Arrays.equals(fr.head.decoded, doc)))
+                  rt = false
+                // named frame: undecodable without / wrong / plain
+                if (Z.walkWithDicts(z, Nil).isDefined) rt = false
+                if (Z.walkWithDicts(z, Seq(wrongId)).isDefined)
+                  rt = false
+                if (Z.walk(z).isDefined) rt = false
+              }
+              (rt && dictSum < plainSum, trainRows.length.toLong,
+                evalRows.length.toLong, rawSum)
+            }
+            res match {
+              case Some((true, nTrain, nEval, rawSum)) =>
+                Seq((blobId, nTrain, nEval, rawSum, 1L, 1L, 1L))
+              case _ => Nil
+            }
+          }
+          .toDF("blob_id", "n_train", "n_eval", "raw_len_sum",
+            "rt_exact", "named_closed", "structured_beats_plain")
+      },
+      // envelope fixed chars = 35; strings re-derived per row
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 35 + length(source) + length(lang) + length(text)
+                   AS rlen
+          FROM documents)
+        SELECT blob_id,
+               CAST(sum(CASE WHEN (d // 6) % 3 = 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN (d // 6) % 3 <> 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN (d // 6) % 3 <> 0 THEN rlen ELSE 0
+                 END) AS BIGINT) AS raw_len_sum,
+               CAST(1 AS BIGINT) AS rt_exact,
+               CAST(1 AS BIGINT) AS named_closed,
+               CAST(1 AS BIGINT) AS structured_beats_plain
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

@@ -73,7 +73,7 @@ object Zstd {
     * capped at `cap` bytes per frame (adversarial-allocation bound).
     */
   def walk(b: Array[Byte], cap: Int = 1 << 26): Option[Seq[Frame]] =
-    walkImpl(b, cap, Array.emptyByteArray)
+    walkImpl(b, cap, Array.emptyByteArray, Map.empty)
 
   /** [[walk]] with a PREFIX DICTIONARY (RFC 8878 raw-content
     * dictionary, what libzstd's ZSTD_decompress_usingDict does with
@@ -85,10 +85,59 @@ object Zstd {
     */
   def walkWithDict(b: Array[Byte], dict: Array[Byte],
                    cap: Int = 1 << 26): Option[Seq[Frame]] =
-    walkImpl(b, cap, dict)
+    walkImpl(b, cap, dict, Map.empty)
 
-  private def walkImpl(b: Array[Byte], cap: Int,
-                       dict: Array[Byte]): Option[Seq[Frame]] = {
+  // ---- structured dictionaries (q395) ----------------------------------------
+
+  /** The zstd dictionary magic (RFC 8878 §5), little-endian. */
+  val DictMagic = 0xec30a437L
+
+  /** A parsed dictionary: STRUCTURED (magic ‖ id ‖ entropy tables ‖
+    * 3 repeat offsets ‖ content — libzstd `--train`'s output) or RAW
+    * CONTENT (no magic, id 0, every byte window). `contentStart`
+    * marks where window bytes begin; `entropyStart` is -1 for raw.
+    */
+  final case class Dict(id: Long, bytes: Array[Byte],
+                        entropyStart: Int, contentStart: Int) {
+    def content: Array[Byte] = java.util.Arrays.copyOfRange(
+      bytes, contentStart, bytes.length)
+  }
+
+  /** Parse dictionary bytes: the magic routes structured vs raw
+    * content (libzstd's loading rule). A structured dictionary with
+    * id 0, malformed entropy tables, or invalid repeat offsets is
+    * None — a dictionary that cannot prime a decoder correctly must
+    * not be accepted at all.
+    */
+  def parseDictionary(b: Array[Byte]): Option[Dict] =
+    try {
+      if (b.length >= 8 &&
+        ((b(0) & 0xffL) | (b(1) & 0xffL) << 8 | (b(2) & 0xffL) << 16 |
+          (b(3) & 0xffL) << 24) == DictMagic) {
+        val id = (b(4) & 0xffL) | (b(5) & 0xffL) << 8 |
+          (b(6) & 0xffL) << 16 | (b(7) & 0xffL) << 24
+        if (id == 0L) damage() // a structured dict must be nameable
+        val probe = new ZstdEntropy.FrameCtx(1)
+        val cs = ZstdEntropy.loadDictEntropy(b, 8, b.length, probe)
+        Some(Dict(id, b, 8, cs))
+      } else if (b.nonEmpty) Some(Dict(0L, b, -1, 0))
+      else None
+    } catch { case _: Damage => None }
+
+  /** [[walk]] accepting frames that NAME a dictionary (dictIdFlag
+    * != 0): the named id resolves against `dicts`; the dictionary's
+    * content primes the window AND its entropy tables prime the
+    * first block's Treeless/Repeat modes. A frame naming a
+    * dictionary this reader does NOT have still fails CLOSED —
+    * RFC 8878 §3.1.1's MUST, now with the have-it path implemented.
+    */
+  def walkWithDicts(b: Array[Byte], dicts: Seq[Dict],
+                    cap: Int = 1 << 26): Option[Seq[Frame]] =
+    walkImpl(b, cap, Array.emptyByteArray,
+      dicts.filter(_.id != 0L).map(d => d.id -> d).toMap)
+
+  private def walkImpl(b: Array[Byte], cap: Int, dict: Array[Byte],
+                       dicts: Map[Long, Dict]): Option[Seq[Frame]] = {
     try {
       var p = 0
       def u8(): Int = {
@@ -130,10 +179,19 @@ object Zstd {
             if (windowLog > 31) damage() // beyond any bounded reader
           }
           // RFC 8878 §3.1.1: a frame naming a dictionary this reader
-          // does not have MUST error — decoding it anyway can surface
-          // wrong bytes silently when no content-size/checksum pins it.
-          // Dictionary frames are out of census scope, so refuse.
-          if (dictIdFlag != 0) damage()
+          // does not HAVE must error — decoding it anyway can surface
+          // wrong bytes silently when no content-size/checksum pins
+          // it. With the dictionary in hand (q395), the id resolves
+          // and the frame decodes.
+          val dictId: Long = dictIdFlag match {
+            case 0 => 0L
+            case 1 => u8().toLong
+            case 2 => leN(2)
+            case _ => leN(4)
+          }
+          val frameDict: Option[Dict] =
+            if (dictId == 0L) None
+            else Some(dicts.getOrElse(dictId, damage()))
           val fcsBytes = fcsFlag match {
             case 0 => if (singleSegment) 1 else 0
             case 1 => 2
@@ -148,8 +206,21 @@ object Zstd {
             }
           if (declared > cap) damage()
           // blocks: LE24 header = last(bit0) | type(bits1-2) | size<<3
-          val ctx = new ZstdEntropy.FrameCtx(cap + dict.length)
-          if (dict.nonEmpty) ctx.window.putRaw(dict, 0, dict.length)
+          val prefixLen = frameDict
+            .map(d => d.bytes.length - d.contentStart)
+            .getOrElse(dict.length)
+          val ctx = new ZstdEntropy.FrameCtx(cap + prefixLen)
+          frameDict match {
+            case Some(d) =>
+              // entropy tables + repeat offsets, then the content
+              // as the window prefix
+              ZstdEntropy.loadDictEntropy(d.bytes, d.entropyStart,
+                d.bytes.length, ctx)
+              ctx.window.putRaw(d.bytes, d.contentStart,
+                d.bytes.length - d.contentStart)
+            case None =>
+              if (dict.nonEmpty) ctx.window.putRaw(dict, 0, dict.length)
+          }
           var nBlocks = 0; var raw = 0; var rle = 0; var comp = 0
           var last = false
           while (!last) {
@@ -181,8 +252,8 @@ object Zstd {
           }
           val all = ctx.window.bytes
           // the dictionary prefix is window, not content
-          val decoded = if (dict.isEmpty) all
-            else java.util.Arrays.copyOfRange(all, dict.length,
+          val decoded = if (prefixLen == 0) all
+            else java.util.Arrays.copyOfRange(all, prefixLen,
               all.length)
           if (declared >= 0 && decoded.length != declared)
             damage() // content size is a promise, not a hint

@@ -853,6 +853,110 @@ object ZstdEncode {
     out.toByteArray
   }
 
+  /** Wrap trained content as a STRUCTURED dictionary (RFC 8878 §5:
+    * magic ‖ 4-byte LE id ‖ entropy tables ‖ three 4-byte LE repeat
+    * offsets ‖ content): the nameable form — frames carry the id and
+    * any holder of the dictionary resolves it. The entropy section
+    * is minimal-but-legal: a two-symbol direct-weights Huffman table
+    * and the RFC's PREDEFINED distributions serialized as FSE table
+    * descriptions (the own encoder always writes its own block
+    * tables, so these only need to be valid, and libzstd loads them
+    * exactly like any trained tables); repeat offsets 1/4/8 (the
+    * frame-initial defaults). Content must be >= 8 bytes so the
+    * offsets validate.
+    */
+  def buildDictionary(content: Array[Byte], id: Long): Array[Byte] = {
+    require(id > 0 && id <= 0xffffffffL, s"dict id out of range: $id")
+    require(content.length >= 8, "content must cover the offsets")
+    val out = new java.io.ByteArrayOutputStream(content.length + 64)
+    out.write(0x37); out.write(0xa4); out.write(0x30); out.write(0xec)
+    out.write((id & 0xff).toInt); out.write(((id >> 8) & 0xff).toInt)
+    out.write(((id >> 16) & 0xff).toInt)
+    out.write(((id >> 24) & 0xff).toInt)
+    // Huffman: direct representation, 2 weights stated... the RFC's
+    // header >= 128 form: Number_of_Weights = header - 127, the LAST
+    // symbol's weight implied. Two 1-weights + implied 1 = symbols
+    // {0,1,2}, a legal (if useless) table.
+    out.write(127 + 2)
+    out.write(0x11) // two 4-bit weights of 1
+    // FSE descriptions: OF, ML, LL — the predefined distributions
+    val of = writeFseCounts(ZstdEntropy.PredefOFCounts, 5)
+    val ml = writeFseCounts(ZstdEntropy.PredefMLCounts, 6)
+    val ll = writeFseCounts(ZstdEntropy.PredefLLCounts, 6)
+    out.write(of, 0, of.length)
+    out.write(ml, 0, ml.length)
+    out.write(ll, 0, ll.length)
+    // repeat offsets 1, 4, 8 — the frame-initial defaults
+    Seq(1, 4, 8).foreach { r =>
+      out.write(r & 0xff); out.write((r >> 8) & 0xff)
+      out.write((r >> 16) & 0xff); out.write((r >> 24) & 0xff)
+    }
+    out.write(content, 0, content.length)
+    out.toByteArray
+  }
+
+  /** Compress against a STRUCTURED dictionary: the frame header
+    * NAMES the dictionary (4-byte dictID) and the dictionary's
+    * content primes the match window, so only a holder of that
+    * dictionary can decode — [[Zstd.walkWithDicts]] or libzstd with
+    * the same dictionary loaded. Blocks always declare their own
+    * entropy tables (the dict tables are for interop, not reuse).
+    */
+  def compressWithStructuredDict(raw: Array[Byte],
+                                 dict: Zstd.Dict,
+                                 adaptiveTables: Boolean = true)
+      : Array[Byte] = {
+    require(dict.id > 0, "structured compression needs a nameable id")
+    val dc = dict.content
+    require(raw.length <= (1 << 26), s"input too large: ${raw.length}")
+    require(dc.length <= (1 << 21), s"dict too large: ${dc.length}")
+    val data = new Array[Byte](dc.length + raw.length)
+    System.arraycopy(dc, 0, data, 0, dc.length)
+    System.arraycopy(raw, 0, data, dc.length, raw.length)
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    out.write(0x28); out.write(0xb5); out.write(0x2f); out.write(0xfd)
+    // FCS code 2 | single-segment | checksum | dictIdFlag 3 (4 bytes)
+    out.write(0xa7)
+    val id = dict.id
+    out.write((id & 0xff).toInt); out.write(((id >> 8) & 0xff).toInt)
+    out.write(((id >> 16) & 0xff).toInt)
+    out.write(((id >> 24) & 0xff).toInt)
+    val n = raw.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff)
+    out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+    val head = new Array[Int](1 << 15)
+    java.util.Arrays.fill(head, -1)
+    val prev = new Array[Int](1 << 15)
+    compressedBlockBody(data, 0, dc.length, head, prev,
+      adaptiveTables = false) // seed chains over the dict content
+    val BlockIn = 1 << 16
+    var p = dc.length
+    do {
+      val len = math.min(BlockIn, data.length - p)
+      val last = if (p + len >= data.length) 1 else 0
+      (try compressedBlockBody(data, p, p + len, head, prev,
+        adaptiveTables)
+      catch { case _: ZstdEntropy.Damage => None }) match {
+        case Some(body) =>
+          val hdr = (body.length << 3) | (2 << 1) | last
+          out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+          out.write((hdr >> 16) & 0xff)
+          out.write(body, 0, body.length)
+        case None =>
+          val hdr = (len << 3) | last
+          out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+          out.write((hdr >> 16) & 0xff)
+          out.write(data, p, len)
+      }
+      p += len
+    } while (p < data.length)
+    val ck = XxHash64.hash(raw, 0L)
+    out.write((ck & 0xff).toInt); out.write(((ck >> 8) & 0xff).toInt)
+    out.write(((ck >> 16) & 0xff).toInt)
+    out.write(((ck >> 24) & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** PREFIX-DICTIONARY compression (RFC 8878 raw-content dictionary
     * — the small-document trick at corpus scale: thousands of
     * near-identical KB-sized docs share one trained prefix, and each

@@ -644,6 +644,40 @@ private[sources] object ZstdEntropy {
     ctx.window.putRaw(literals, litPos, literals.length - litPos)
   }
 
+  /** Load a STRUCTURED dictionary's entropy section (RFC 8878 §5 /
+    * the zstd format doc's Dictionary Format) into `ctx`: the
+    * Huffman literals table, then FSE tables for OFFSETS, MATCH
+    * LENGTHS, LITERALS LENGTHS (that order), then the three 4-byte
+    * LE repeat offsets. These populate the Treeless/Repeat modes a
+    * dictionary-primed frame's FIRST block may use. Returns the
+    * offset where the dictionary CONTENT begins; Damage on any
+    * malformed byte or a non-positive repeat offset.
+    */
+  private[sources] def loadDictEntropy(b: Array[Byte], off: Int,
+                                       end: Int, ctx: FrameCtx): Int = {
+    var p = off
+    val (tb, lg, used) = readHufTable(b, p, end)
+    ctx.hufTable = tb; ctx.hufLog = lg
+    p += used
+    val (ofT, u1) = readFseTable(b, p, end, 8, 31)
+    p += u1
+    val (mlT, u2) = readFseTable(b, p, end, 9, 52)
+    p += u2
+    val (llT, u3) = readFseTable(b, p, end, 9, 35)
+    p += u3
+    ctx.ofTable = ofT; ctx.mlTable = mlT; ctx.llTable = llT
+    if (p + 12 > end) damage()
+    def le32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    val r1 = le32(p); val r2 = le32(p + 4); val r3 = le32(p + 8)
+    val contentLen = end - (p + 12)
+    // each recent offset must be valid against the content alone
+    if (r1 <= 0 || r2 <= 0 || r3 <= 0 || r1 > contentLen ||
+      r2 > contentLen || r3 > contentLen) damage()
+    ctx.rep1 = r1; ctx.rep2 = r2; ctx.rep3 = r3
+    p + 12
+  }
+
   /** Decode one COMPRESSED block's content into the frame window. */
   private[sources] def decompressBlock(b: Array[Byte], off: Int, len: Int,
                                        ctx: FrameCtx): Unit = {

@@ -471,6 +471,78 @@ class ZstdSpec extends AnyFunSuite {
     val empty = K.write(Seq.empty)
     assert(K.parse(empty).exists(_.isEmpty))
   }
+
+  test("STRUCTURED dictionaries (q395): libzstd's trained dict " +
+    "parses (magic, id, entropy tables, reps); libzstd frames " +
+    "NAMING it decode through walkWithDicts; own structured frames " +
+    "decode through libzstd with the own-built dict; wrong or " +
+    "absent dictionary fails CLOSED; measured size win") {
+    val E = graft.sources.ZstdEncode
+    val Z = graft.sources.Zstd
+    def doc(i: Int): Array[Byte] =
+      (s"{'license': 'cc-by-4.0', 'source': 'commoncrawl', " +
+        s"'quality_gates': ['gopher', 'dedup', 'decontam'], " +
+        s"'doc_id': $i, 'lang': '${Seq("en", "es", "fr")(i % 3)}', " +
+        s"'text': 'sample content ${i * 7919} of shard $i'}")
+        .getBytes("UTF-8")
+    val docs = (0 until 400).map(doc)
+    // DIRECTION 1: libzstd --train's output (ZDICT) -> our parser,
+    // then libzstd compresses NAMING it -> our walkWithDicts decodes
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      1 << 22, 4096)
+    docs.foreach(trainer.addSample)
+    val theirDict = trainer.trainSamples()
+    val parsed = Z.parseDictionary(theirDict)
+      .getOrElse(fail("libzstd dict must parse"))
+    assert(parsed.id != 0L && parsed.entropyStart == 8 &&
+      parsed.contentStart > 8)
+    val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+    cctx.setLevel(3)
+    cctx.loadDict(theirDict)
+    for (d <- docs.take(25)) {
+      val z = cctx.compress(d)
+      val fr = Z.walkWithDicts(z, Seq(parsed))
+        .getOrElse(fail("own walk of libzstd dict frame"))
+      assert(fr.length == 1 &&
+        java.util.Arrays.equals(fr.head.decoded, d))
+      // the frame NAMES the dictionary; without it: fail CLOSED
+      assert(Z.walk(z).isEmpty, "unnamed decode must refuse")
+      assert(Z.walkWithDicts(z, Nil).isEmpty)
+      // a DIFFERENT id does not resolve it
+      assert(Z.walkWithDicts(z,
+        Seq(parsed.copy(id = parsed.id + 1))).isEmpty)
+    }
+    // DIRECTION 2: own trainer -> own structured wrap -> own
+    // encoder naming the id -> libzstd decodes with the same dict
+    val ownContent = E.trainDict(docs, maxSize = 2048)
+    val ownDict = E.buildDictionary(ownContent, id = 77L)
+    val ownParsed = Z.parseDictionary(ownDict).getOrElse(fail("own"))
+    assert(ownParsed.id == 77L)
+    val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    dctx.loadDict(ownDict)
+    var withDict = 0L; var without = 0L
+    for (d <- docs) {
+      val z = E.compressWithStructuredDict(d, ownParsed)
+      withDict += z.length
+      without += E.compress(d).length
+      assert(java.util.Arrays.equals(dctx.decompress(z, d.length), d),
+        "libzstd must decode own structured-dict frames")
+      val fr = Z.walkWithDicts(z, Seq(ownParsed)).getOrElse(fail("rt"))
+      assert(fr.length == 1 && fr.head.checksumState == "ok" &&
+        java.util.Arrays.equals(fr.head.decoded, d))
+      assert(Z.walk(z).isEmpty)
+    }
+    assert(withDict < without, s"size win: $withDict vs $without")
+    // dictionary totality: truncated / id-0 / bad-rep dicts refuse
+    assert(Z.parseDictionary(theirDict.take(10)).isEmpty)
+    assert(Z.parseDictionary(Array.emptyByteArray).isEmpty)
+    val idZero = ownDict.clone()
+    idZero(4) = 0; idZero(5) = 0; idZero(6) = 0; idZero(7) = 0
+    assert(Z.parseDictionary(idZero).isEmpty,
+      "a structured dict must be nameable")
+    // raw-content bytes still parse as a raw dict (id 0)
+    assert(Z.parseDictionary(ownContent).exists(_.id == 0L))
+  }
 }
 
 
