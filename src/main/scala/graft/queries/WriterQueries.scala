@@ -7138,5 +7138,126 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS named_closed,
                CAST(1 AS BIGINT) AS structured_beats_plain
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q396 — Iceberg → Delta REVERSE migration, closing q390 into a
+    // ROUND-TRIP: metadata-only both ways over the SAME parquet
+    // files, and the round-trip law is what PROVES the mapping
+    // lossless — Delta → Iceberg → Delta reproduces the exact live
+    // (path, size) state, and a second forward migration under the
+    // same table id is BYTE-IDENTICAL to the first (same live set →
+    // same manifest/list/metadata bytes). A native Iceberg source
+    // (the q338 two-snapshot history at its compacted current
+    // snapshot) migrates too, with the Delta replay scanning
+    // exactly what the Iceberg scan returns. Refusals: a live file
+    // vacuumed/expired away (or size-tampered) fails CLOSED; a
+    // source carrying DELETE-content entries (position deletes /
+    // DVs, the q375 table) is refused explicitly — migrating it
+    // would silently resurrect dead rows. Sums re-derive in DuckDB.
+    "q396_iceberg_to_delta_migrate" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val I = graft.sources.IcebergWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val delta0 = W.writeTable(s"rt0-$t", ids)
+            val dataFiles =
+              delta0.filterNot(_._1.startsWith("_delta_log/"))
+            val res = for {
+              ice1 <- I.migrateFromDelta(delta0, s"ice-$t")
+              iceT1 = dataFiles ++ ice1
+              scan1 <- I.scanSnapshot(iceT1, "v1.metadata.json", 1L)
+              d2log <- I.migrateToDelta(iceT1, "v1.metadata.json",
+                s"rt2-$t")
+              delta2 = dataFiles ++ d2log
+              live2 <- W.replayLiveSized(delta2, 0L)
+              live0 <- W.replayLiveSized(delta0, 1L)
+              ice3 <- I.migrateFromDelta(delta2, s"ice-$t")
+              // native Iceberg source: the compacted history table
+              hist = I.writeHistoryTable(s"h-$t", ids)
+              histScan <- I.scanSnapshot(hist, "v3.metadata.json",
+                2L)
+              dhLog <- I.migrateToDelta(hist, "v3.metadata.json",
+                s"rth-$t")
+              dh = hist.filter(_._1.endsWith(".parquet")) ++ dhLog
+              dhLive <- W.replayLiveSized(dh, 0L)
+              dhRows <- {
+                val per = dhLive.toSeq.sortBy(_._1).map {
+                  case (p, _) =>
+                    for {
+                      b <- dh.get(p)
+                      rs <- P.columnLongs(b, "rec_id")
+                      vs <- P.columnLongs(b, "val")
+                      if rs.length == vs.length
+                    } yield rs.zip(vs).toSeq
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.flatMap(_.get))
+              }
+            } yield {
+              val roundTripLive = live2 == live0
+              val byteIdentity = ice1.keySet == ice3.keySet &&
+                ice1.forall { case (k, v) =>
+                  java.util.Arrays.equals(v, ice3(k)) }
+              val histEqual =
+                dhRows.sorted == histScan.sorted &&
+                  dhLive.size == 1 // only the compacted file is live
+              // refusals: vacuumed bytes, size tamper, DV source
+              val firstLive = live0.keys.toSeq.sorted.head
+              val vacuumedRefused = I.migrateToDelta(
+                iceT1 - firstLive, "v1.metadata.json", "x").isEmpty
+              val tamperedRefused = I.migrateToDelta(
+                iceT1 + (firstLive ->
+                  iceT1(firstLive).dropRight(1)),
+                "v1.metadata.json", "x").isEmpty
+              val dvSource = I.writeChangelogTable(s"dv-$t", ids,
+                d => (d * 17) % 983)
+              val dvRefused = I.migrateToDelta(dvSource,
+                "v1.metadata.json", "x").isEmpty
+              (t, live0.size.toLong, scan1.length.toLong,
+                scan1.map(_._1).sum, scan1.map(_._2).sum,
+                histScan.length.toLong, histScan.map(_._2).sum,
+                if (roundTripLive) 1L else 0L,
+                if (byteIdentity) 1L else 0L,
+                if (histEqual) 1L else 0L,
+                if (vacuumedRefused && tamperedRefused) 1L else 0L,
+                if (dvRefused) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_live", "n_rows", "key_sum",
+            "val_sum", "hist_rows", "hist_val_sum",
+            "round_trip_live", "byte_identity", "hist_equal",
+            "source_gate", "dv_refused")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS g,
+                 (doc_id * 11) % 1000 AS v,
+                 (doc_id * 19) % 977 AS hv
+          FROM documents)
+        SELECT table_id,
+               CAST(2 AS BIGINT) AS n_live,
+               CAST(sum(CASE WHEN g <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN g <> 1 THEN d ELSE 0 END)
+                 AS BIGINT) AS key_sum,
+               CAST(sum(CASE WHEN g <> 1 THEN v ELSE 0 END)
+                 AS BIGINT) AS val_sum,
+               CAST(count(*) AS BIGINT) AS hist_rows,
+               CAST(sum(hv) AS BIGINT) AS hist_val_sum,
+               CAST(1 AS BIGINT) AS round_trip_live,
+               CAST(1 AS BIGINT) AS byte_identity,
+               CAST(1 AS BIGINT) AS hist_equal,
+               CAST(1 AS BIGINT) AS source_gate,
+               CAST(1 AS BIGINT) AS dv_refused
+        FROM r GROUP BY table_id"""),
       headline = false))
 }

@@ -1489,6 +1489,81 @@ object IcebergWrite {
     }
   }
 
+  // ---- Iceberg -> Delta REVERSE migration (q396) ------------------------------
+
+  /** MIGRATE an Iceberg snapshot table to Delta WITHOUT copying
+    * data — q390's edge reversed, closing migration into a
+    * round-trip (migrate∘migrate must preserve the scan EXACTLY,
+    * which is what proves the metadata mapping lossless): walk the
+    * CURRENT snapshot's manifests, take the live (status != DELETED)
+    * data entries, and emit a Delta commit 0 re-declaring the SAME
+    * parquet files by path with the manifest-declared sizes. Fails
+    * CLOSED on: a live file whose bytes are missing or whose length
+    * disagrees with the declared size (an expired/vacuumed source
+    * cannot be migrated); any DELETE-content entry (deletion vectors
+    * / position deletes must be materialized first — migrating them
+    * silently would resurrect dead rows); a malformed byte anywhere.
+    */
+  def migrateToDelta(iceberg: Map[String, Array[Byte]],
+                     metaName: String,
+                     id: String): Option[Map[String, Array[Byte]]] =
+    for {
+      mo <- parseMetaObj(iceberg, metaName)
+      sid <- mo.get("current-snapshot-id").collect {
+        case Json.JLong(x) => x }
+      snaps <- parseSnaps(mo)
+      snap <- snaps.find(_.sid == sid)
+      listBytes <- iceberg.get(snap.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mps <- {
+        val rs = list.records.map(
+          _.field("manifest_path").flatMap(_.asString))
+        if (rs.exists(_.isEmpty)) None else Some(rs.map(_.get))
+      }
+      live <- {
+        val per = mps.map { mp =>
+          iceberg.get(mp).flatMap(AvroGeneric.parseContainer)
+            .flatMap { m =>
+              val es = m.records.map { e =>
+                for {
+                  st <- e.field("status").flatMap(_.asLong)
+                  // delete-content entries (DVs, position deletes)
+                  // must be REFUSED, never silently dropped
+                  if !e.field("data_file").flatMap(_.field("content"))
+                    .flatMap(_.asLong).exists(_ != 0L)
+                  df = e.field("data_file")
+                  p <- df.flatMap(_.field("file_path"))
+                    .flatMap(_.asString)
+                    .orElse(e.field("file_path").flatMap(_.asString))
+                  rc <- df.flatMap(_.field("record_count"))
+                    .flatMap(_.asLong)
+                    .orElse(e.field("record_count")
+                      .flatMap(_.asLong))
+                  sz <- df.flatMap(_.field("file_size_in_bytes"))
+                    .flatMap(_.asLong)
+                    .orElse(e.field("file_size_in_bytes")
+                      .flatMap(_.asLong))
+                } yield (st, p, rc, sz)
+              }
+              if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
+            }
+        }
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatMap(_.get).filter(_._1 != 2L))
+      }
+      // vacuum/expire gate: every live file's bytes must exist at
+      // the declared size
+      if live.forall { case (_, p, _, sz) =>
+        iceberg.get(p).exists(_.length.toLong == sz) }
+    } yield {
+      val adds = live.map { case (_, p, _, sz) =>
+        DeltaWrite.addAction(p, sz) }.sorted
+      val c0 = (Seq(DeltaWrite.protocolAction,
+        DeltaWrite.metaDataAction(id)) ++ adds).mkString("\n") + "\n"
+      Map("_delta_log/00000000000000000000.json" ->
+        c0.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
   // ---- rollback to snapshot (q384) -------------------------------------------
 
   /** ROLLBACK TO SNAPSHOT — q383's Iceberg twin, and pure METADATA

@@ -425,4 +425,42 @@ class IcebergMaintSpec extends AnyFunSuite {
     assert(W.readPartitionStats(t3 - w3._1,
       "v3.metadata.json").isEmpty)
   }
+
+  test("reverse migration (q396): Iceberg -> Delta metadata-only, " +
+    "round-trip byte-identity, native-source scan equality, " +
+    "vacuumed / size-tampered / delete-carrying sources refused") {
+    val W = IcebergWrite
+    val D = graft.sources.DeltaWrite
+    val delta0 = D.writeTable("rt0", ids)
+    val dataFiles = delta0.filterNot(_._1.startsWith("_delta_log/"))
+    val ice1 = W.migrateFromDelta(delta0, "ice").getOrElse(fail("f"))
+    val iceT1 = dataFiles ++ ice1
+    val d2 = W.migrateToDelta(iceT1, "v1.metadata.json", "rt2")
+      .getOrElse(fail("reverse"))
+    // live state round-trips exactly
+    val live0 = D.replayLiveSized(delta0, 1L).get
+    val live2 = D.replayLiveSized(dataFiles ++ d2, 0L).get
+    assert(live2 == live0)
+    // migrate∘migrate is byte-identical under the same id
+    val ice3 = W.migrateFromDelta(dataFiles ++ d2, "ice").get
+    assert(ice1.keySet == ice3.keySet && ice1.forall { case (k, v) =>
+      java.util.Arrays.equals(v, ice3(k)) })
+    // native Iceberg source: only the compacted file is live
+    val hist = W.writeHistoryTable("h", ids)
+    val dh = W.migrateToDelta(hist, "v3.metadata.json", "rth")
+      .getOrElse(fail("hist"))
+    val dhLive = D.replayLiveSized(
+      hist.filter(_._1.endsWith(".parquet")) ++ dh, 0L).get
+    assert(dhLive.keySet == Set("data/c-0.parquet"))
+    // refusals: vacuumed bytes, tampered size, delete-content source
+    val firstLive = live0.keys.toSeq.sorted.head
+    assert(W.migrateToDelta(iceT1 - firstLive, "v1.metadata.json",
+      "x").isEmpty, "a vacuumed live file must refuse")
+    assert(W.migrateToDelta(iceT1 + (firstLive ->
+      iceT1(firstLive).dropRight(1)), "v1.metadata.json",
+      "x").isEmpty, "a size mismatch must refuse")
+    val dvSrc = W.writeChangelogTable("dv", ids, d => (d * 17) % 983)
+    assert(W.migrateToDelta(dvSrc, "v1.metadata.json", "x").isEmpty,
+      "delete-content entries must be refused, never dropped")
+  }
 }
