@@ -7259,5 +7259,109 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS source_gate,
                CAST(1 AS BIGINT) AS dv_refused
         FROM r GROUP BY table_id"""),
+      headline = false),
+
+    // q397 — Hudi MDT BLOOM_FILTERS partition: q391's RLI answers
+    // "where is key k"; this partition answers the planner's dual —
+    // "which files can possibly hold k" — from the MDT alone, no
+    // footer opened. Per completed instant, a split-block bloom
+    // (the parquet SBBF arithmetic, XXH64 over 8-byte LE keys) is
+    // built from each new base file's PROVEN rec_ids and logged
+    // under "partition/fileName" (type 4); a CLEAN tombstones the
+    // reclaimed slices' filters. Laws: NO FALSE NEGATIVES over
+    // every live (file, key); NO WRONG SKIPS — whenever a filter
+    // says no, the key is provably absent from that file's bytes;
+    // bloom-planned point lookup (candidates → verify) ≡ the
+    // full-scan answer key-for-key; the inflight slice's filter
+    // never enters; clean keeps the partition consistent with
+    // append ≡ rebuild byte-exact. Counts re-derive in DuckDB.
+    "q397_hudi_bloom_filters" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val M = graft.sources.HudiMdt
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeTable(ids)
+            val t4 = "00000000000004"
+            val res = for {
+              mdt <- M.syncBloomFilters(files)
+              blooms <- M.bloomListing(files ++ mdt)
+              plan = M.planFromListing(files)
+              perFile <- {
+                val per = plan.map { p =>
+                  files.get(p).flatMap(P.columnLongs(_, "rec_id"))
+                    .map(ks => p -> ks.toSet)
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.map(_.get))
+              }
+              cr <- W.clean(files, t4)
+              cleanedData = (files -- cr.deleted) +
+                (cr.timelineName -> cr.timeline)
+              mdt2 <- M.appendBloomFilters(mdt,
+                files + (cr.timelineName -> cr.timeline), t4,
+                "clean")
+              blooms2 <- M.bloomListing(cleanedData ++ mdt ++ mdt2)
+              rebuilt <- M.syncBloomFilters(
+                files + (cr.timelineName -> cr.timeline))
+            } yield {
+              val byFile = perFile.toMap
+              val noFalseNeg = perFile.forall { case (p, ks) =>
+                blooms.contains(p) &&
+                  ks.forall(blooms(p).mightContainLong)
+              }
+              val noWrongSkip = ids.forall { d =>
+                perFile.forall { case (p, ks) =>
+                  blooms(p).mightContainLong(d) || !ks.contains(d)
+                }
+              }
+              val tagExact = ids.forall { d =>
+                val cands = plan.filter(p =>
+                  blooms(p).mightContainLong(d))
+                val verified = cands.filter(p => byFile(p).contains(d))
+                val truth = plan.filter(p => byFile(p).contains(d))
+                verified == truth
+              }
+              val inflightAbsent =
+                !blooms.keys.exists(_.contains("00000000000003"))
+              val cleanOk = blooms2.size == blooms.size - 1 &&
+                !blooms2.contains("p/fg0_0-0-0_00000000000001.parquet")
+              val rebuildOk = java.util.Arrays.equals(
+                rebuilt(M.BloomLogPath), mdt2(M.BloomLogPath))
+              (t, ids.length.toLong, ids.sum,
+                blooms.size.toLong, blooms2.size.toLong,
+                if (noFalseNeg) 1L else 0L,
+                if (noWrongSkip) 1L else 0L,
+                if (tagExact) 1L else 0L,
+                if (inflightAbsent) 1L else 0L,
+                if (cleanOk) 1L else 0L,
+                if (rebuildOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_keys", "key_sum",
+            "n_filters", "n_filters_after_clean", "no_false_neg",
+            "no_wrong_skip", "tag_exact", "inflight_absent",
+            "clean_ok", "rebuild_ok")
+      },
+      oracle = Some("""
+        SELECT doc_id % 6 AS table_id,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(doc_id) AS BIGINT) AS key_sum,
+               CAST(3 AS BIGINT) AS n_filters,
+               CAST(2 AS BIGINT) AS n_filters_after_clean,
+               CAST(1 AS BIGINT) AS no_false_neg,
+               CAST(1 AS BIGINT) AS no_wrong_skip,
+               CAST(1 AS BIGINT) AS tag_exact,
+               CAST(1 AS BIGINT) AS inflight_absent,
+               CAST(1 AS BIGINT) AS clean_ok,
+               CAST(1 AS BIGINT) AS rebuild_ok
+        FROM documents GROUP BY 1"""),
       headline = false))
 }

@@ -631,6 +631,174 @@ object HudiMdt {
     } yield state
   }
 
+  // ---- bloom_filters partition (q397) ----------------------------------------
+
+  /** Reduced-but-shaped bloom-filter record (type 4): key =
+    * "partition/fileName", the filter a split-block bloom bitset
+    * (the parquet SBBF arithmetic — XXH64 over the key's 8-byte LE
+    * PLAIN encoding, eight salted bits in one 32-byte block) built
+    * from the file's PROVEN keys. The record-level index (q391)
+    * answers "where is key k"; the bloom partition answers the dual
+    * a planner asks first at 100 TB — "which files can possibly hold
+    * k" — without opening a single footer.
+    */
+  val BloomSchema: String =
+    """{"type":"record","name":"HoodieMetadataRecord","fields":[{"name":"key","type":"string"},{"name":"type","type":"int"},{"name":"bloomFilter","type":{"type":"record","name":"HoodieMetadataBloomFilter","fields":[{"name":"type","type":"string"},{"name":"bitmap","type":"bytes"}]}}]}"""
+
+  private lazy val bloomSchema = AvroGeneric.parseSchema(BloomSchema).get
+
+  /** The bloom_filters partition's log file. */
+  val BloomLogPath =
+    ".hoodie/metadata/bloom_filters/.bloom-0000_00000000000000.log.1_0-0-0"
+
+  private def bloomRecord(key: String,
+                          bitmap: Array[Byte]): Array[Byte] = {
+    val v: V = VRecord(Vector(
+      "key" -> VString(key),
+      "type" -> VLong(4L),
+      "bloomFilter" -> VRecord(Vector(
+        "type" -> VString("SBBF_V1"),
+        "bitmap" -> AvroGeneric.VBytes(bitmap.length, bitmap)))))
+    val out = new java.io.ByteArrayOutputStream()
+    AvroWrite.datum(out, v, bloomSchema)
+    out.toByteArray
+  }
+
+  private def longKeyBytes(d: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((d >>> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  /** The (upserts, tombstones) one instant contributes to the bloom
+    * partition: a base-parquet write stat yields a filter over the
+    * file's PROVEN rec_ids; a clean's deletions tombstone their
+    * keys. Log-file stats contribute nothing (blooms cover base
+    * files). None on missing bytes or an undecodable file.
+    */
+  private def instantBloomChanges(files: Map[String, Array[Byte]],
+                                  instant: String, action: String)
+      : Option[(Seq[(String, Array[Byte])], Seq[String])] =
+    instantEntries(files, instant, action).flatMap { rows =>
+      val dels = rows.filter(_._4).map(r => s"${r._1}/${r._2}")
+      val per = rows.filter(r => !r._4 && r._2.endsWith(".parquet"))
+        .map { case (part, name, _, _) =>
+          files.get(s"$part/$name")
+            .flatMap(Parquet.columnLongs(_, "rec_id"))
+            .map { ks =>
+              val bits = ParquetWrite.bloomBits(
+                ks.iterator.map(longKeyBytes),
+                math.max(ks.length, 1))
+              s"$part/$name" -> bits
+            }
+        }
+      if (per.exists(_.isEmpty)) None
+      else Some((per.map(_.get), dels))
+    }
+
+  private def bloomBlocks(instant: String,
+                          ups: Seq[(String, Array[Byte])],
+                          dels: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (ups.nonEmpty) {
+      val b = HudiLog.writeBlock(HudiLog.TypeAvroData,
+        Seq(HudiLog.HdrInstantTime -> instant,
+          HudiLog.HdrSchema -> BloomSchema),
+        HudiLog.dataContent(ups.sortBy(_._1).map { case (k, bits) =>
+          bloomRecord(k, bits)
+        }))
+      out.write(b, 0, b.length)
+    }
+    if (dels.nonEmpty) {
+      val b = HudiLog.writeBlock(HudiLog.TypeDelete,
+        Seq(HudiLog.HdrInstantTime -> instant),
+        HudiLog.deleteContent(dels.sorted))
+      out.write(b, 0, b.length)
+    }
+    out.toByteArray
+  }
+
+  /** Bootstrap the bloom_filters partition from the data timeline.
+    * Shares the MDT timeline. None on any malformed instant.
+    */
+  def syncBloomFilters(files: Map[String, Array[Byte]])
+      : Option[Map[String, Array[Byte]]] = {
+    val instants = files.keys.toSeq.collect {
+      case DataTimelineRe(i, a) => (i, a)
+    }.sorted
+    val log = new java.io.ByteArrayOutputStream()
+    val out = Map.newBuilder[String, Array[Byte]]
+    var ok = true
+    instants.foreach { case (instant, action) =>
+      instantBloomChanges(files, instant, action) match {
+        case Some((ups, dels)) =>
+          val b = bloomBlocks(instant, ups, dels)
+          log.write(b, 0, b.length)
+          out += mdtCommit(instant) -> "{}".getBytes("UTF-8")
+        case None => ok = false
+      }
+    }
+    if (!ok || instants.isEmpty) None
+    else Some((out += (BloomLogPath -> log.toByteArray)).result())
+  }
+
+  /** Append ONE instant (same rule as [[syncBloomFilters]], so
+    * append ≡ rebuild byte-exact). None if the log is absent.
+    */
+  def appendBloomFilters(mdt: Map[String, Array[Byte]],
+                         files: Map[String, Array[Byte]],
+                         instant: String, action: String)
+      : Option[Map[String, Array[Byte]]] =
+    for {
+      old <- mdt.get(BloomLogPath)
+      changes <- instantBloomChanges(files, instant, action)
+    } yield Map(
+      BloomLogPath -> (old ++ bloomBlocks(instant, changes._1,
+        changes._2)),
+      mdtCommit(instant) -> "{}".getBytes("UTF-8"))
+
+  /** Replay the bloom partition: "partition/fileName" -> the parsed
+    * SBBF, last-wins, tombstones removing. None on any malformed
+    * block or bitmap.
+    */
+  def bloomListing(files: Map[String, Array[Byte]])
+      : Option[Map[String, Parquet.BloomFilter]] = {
+    val completed = files.keys.collect {
+      case MdtTimelineRe(i) => i }.toSet
+    for {
+      logBytes <- files.get(BloomLogPath)
+      blocks <- HudiLog.parse(logBytes)
+      state <- {
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[String, Parquet.BloomFilter]
+        var ok = true
+        blocks.sortBy(_.instant).foreach { b =>
+          if (completed(b.instant)) {
+            if (b.blockType == HudiLog.TypeAvroData) {
+              b.records.foreach { r =>
+                val row = for {
+                  key <- r.field("key").flatMap(_.asString)
+                  bf <- r.field("bloomFilter")
+                  bits <- bf.field("bitmap") match {
+                    case Some(AvroGeneric.VBytes(n, arr))
+                      if arr != null && arr.length == n &&
+                        n > 0 && n % 32 == 0 => Some(arr)
+                    case _ => None
+                  }
+                } yield m(key) = new Parquet.BloomFilter(bits)
+                if (row.isEmpty) ok = false
+              }
+            } else if (b.blockType == HudiLog.TypeDelete) {
+              b.deleteKeys.foreach(m.remove)
+            }
+          }
+        }
+        if (ok) Some(m.toMap) else None
+      }
+    } yield state
+  }
+
   /** The same planning rule from a raw storage listing — the
     * baseline the MDT plan must reproduce (and improve on by not
     * seeing orphans).

@@ -338,8 +338,8 @@ object ParquetWrite {
     * present values: numBytes = the smallest power of two >= max(32,
     * ndv) — ~8 bits per distinct key, the spec's ~1% FPP sizing.
     */
-  private def bloomBits(keys: Iterator[Array[Byte]],
-                        ndv: Int): Array[Byte] = {
+  private[sources] def bloomBits(keys: Iterator[Array[Byte]],
+                                 ndv: Int): Array[Byte] = {
     var numBytes = 32
     while (numBytes < ndv && numBytes < (1 << 24)) numBytes <<= 1
     val bits = new Array[Byte](numBytes)

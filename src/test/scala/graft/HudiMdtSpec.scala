@@ -276,6 +276,50 @@ class HudiMdtSpec extends AnyFunSuite {
       java.util.Arrays.equals(b.take(a.length), a))
   }
 
+  test("bloom_filters partition (q397): SBBF per base file from " +
+    "proven keys — no false negatives, no wrong skips, clean " +
+    "tombstones, inflight absent, append == rebuild byte-exact") {
+    val files = HudiWrite.writeTable(ids)
+    val mdt = HudiMdt.syncBloomFilters(files).getOrElse(fail("sync"))
+    val blooms = HudiMdt.bloomListing(files ++ mdt)
+      .getOrElse(fail("listing"))
+    // t1 wrote fg0+fg1, t2 rewrote fg0; the inflight t3 slice absent
+    assert(blooms.keySet == Set(
+      "p/fg0_0-0-0_00000000000001.parquet",
+      "p/fg1_0-0-0_00000000000001.parquet",
+      "p/fg0_0-0-0_00000000000002.parquet"))
+    // no false negatives over every (file, key) actually present
+    blooms.keys.foreach { p =>
+      val ks = graft.sources.Parquet.columnLongs(files(p), "rec_id")
+        .get
+      ks.foreach(k => assert(blooms(p).mightContainLong(k),
+        s"false negative on $p key $k"))
+    }
+    // no wrong skips: a NO from the filter is a proven absence
+    val allKeys = ids.toSet
+    blooms.keys.foreach { p =>
+      val ks = graft.sources.Parquet.columnLongs(files(p), "rec_id")
+        .get.toSet
+      allKeys.foreach { k =>
+        if (!blooms(p).mightContainLong(k))
+          assert(!ks.contains(k), s"wrong skip on $p key $k")
+      }
+    }
+    // clean tombstones the reclaimed slice's filter
+    val cr = HudiWrite.clean(files, "00000000000004").get
+    val withClean = files + (cr.timelineName -> cr.timeline)
+    val mdt2 = HudiMdt.appendBloomFilters(mdt, withClean,
+      "00000000000004", "clean").getOrElse(fail("append"))
+    val blooms2 = HudiMdt.bloomListing(
+      (withClean -- cr.deleted) ++ mdt ++ mdt2).get
+    assert(blooms2.keySet == blooms.keySet -
+      "p/fg0_0-0-0_00000000000001.parquet")
+    // append == rebuild byte-exact
+    val rebuilt = HudiMdt.syncBloomFilters(withClean).get
+    assert(java.util.Arrays.equals(rebuilt(HudiMdt.BloomLogPath),
+      mdt2(HudiMdt.BloomLogPath)))
+  }
+
   test("record-index totality: a commit naming a base file with no " +
     "bytes, or an undecodable log, fails sync CLOSED") {
     val files = HudiWrite.writeMorTable(ids)
