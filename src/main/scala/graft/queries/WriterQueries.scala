@@ -7363,5 +7363,133 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS clean_ok,
                CAST(1 AS BIGINT) AS rebuild_ok
         FROM documents GROUP BY 1"""),
+      headline = false),
+
+    // q398 — Hudi CLUSTERING via replacecommit, the lifecycle op
+    // completing compaction (q336) / clean (q361) / rollback (q382)
+    // / restore (q388): the merged q318 MOR state is re-sorted by
+    // record key and rewritten as TWO key-range-disjoint file
+    // groups; the replacecommit names both the new write stats and
+    // partitionToReplaceFileIds, so the old groups go DARK while
+    // their bytes remain on disk (the object-store discipline —
+    // deletes are clean's job). Laws: the clustered replay is
+    // row-identical to the pre-cluster merge (clustering
+    // rearranges, never changes); the replaced groups are invisible
+    // despite being on disk; the new groups partition the keyspace
+    // (cl0's max key < cl1's min key — the range-prune win); CLEAN
+    // reclaims the replaced groups' bases and fully-completed logs
+    // while RETAINING the log holding a pending block; a PENDING
+    // second clustering is invisible and rolls back cleanly; a
+    // replacecommit that names no replacements fails the replay
+    // CLOSED. Merged sums re-derive in DuckDB per the q318 rules.
+    "q398_hudi_clustering" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeMorTable(ids)
+            val t5 = "00000000000005"; val t6 = "00000000000006"
+            val t7 = "00000000000007"
+            val res = for {
+              before <- W.replay(files)
+              cf <- W.cluster(files, t5, 2)
+              clustered = files ++ cf.newFiles +
+                (cf.timelineName -> cf.timeline)
+              after <- W.replay(clustered)
+              cr <- W.clean(clustered, t6)
+              cleaned = (clustered -- cr.deleted) +
+                (cr.timelineName -> cr.timeline)
+              afterClean <- W.replay(cleaned)
+              // a PENDING second clustering: new bases + marker only
+              pf <- W.cluster(cleaned, t7, 1)
+              pending = cleaned ++ pf.newFiles +
+                (s".hoodie/$t7.replacecommit.inflight" ->
+                  "{}".getBytes("UTF-8"))
+              afterPending <- W.replay(pending)
+              rb <- W.rollback(pending, t7, "00000000000008")
+              rolledBack = (pending -- rb.deleted) ++
+                rb.appendedLogs + (rb.timelineName -> rb.timeline)
+              afterRb <- W.replay(rolledBack)
+            } yield {
+              val rowsB = before.flatMap(_.rows).sortBy(_._1)
+              val rowsA = after.flatMap(_.rows).sortBy(_._1)
+              val replayStable = rowsA == rowsB
+              val dark = cf.replacedFileIds == Seq("fg0", "fg1") &&
+                after.map(_.fileId).sorted == Seq("cl0", "cl1") &&
+                clustered.contains(
+                  "p/fg0_0-0-0_00000000000001.parquet")
+              val ranges = after.sortBy(_.fileId).map(f =>
+                (f.rows.map(_._1).min, f.rows.map(_._1).max))
+              val disjoint = ranges.length == 2 &&
+                ranges(0)._2 < ranges(1)._1
+              // clean: old bases + the fully-completed log die; the
+              // log holding the pending t4 block is RETAINED
+              val cleanOk = cr.deleted.toSet == Set(
+                "p/fg0_0-0-0_00000000000001.parquet",
+                "p/fg1_0-0-0_00000000000001.parquet",
+                "p/.fg0_00000000000001.log.1_0-0-0") &&
+                cleaned.contains("p/.fg1_00000000000001.log.1_0-0-0") &&
+                afterClean.flatMap(_.rows).sortBy(_._1) == rowsB
+              val pendingInvisible =
+                afterPending.flatMap(_.rows).sortBy(_._1) == rowsB &&
+                  afterPending.map(_.fileId).sorted ==
+                    Seq("cl0", "cl1")
+              val rollbackOk = rb.deleted.contains(
+                s"p/cl0_0-0-0_$t7.parquet") &&
+                afterRb.flatMap(_.rows).sortBy(_._1) == rowsB
+              // a replacecommit naming no replacements fails CLOSED
+              val anon = clustered + (cf.timelineName ->
+                """{"operation": "CLUSTER"}""".getBytes("UTF-8"))
+              val anonClosed = W.replay(anon).isEmpty
+              // clustered bytes really carry the rows (proven)
+              val proven = cf.newFiles.forall { case (p, b) =>
+                P.columnLongs(b, "rec_id").isDefined
+              }
+              (t, rowsA.length.toLong, rowsA.map(_._1).sum,
+                rowsA.map(_._2).sum,
+                if (replayStable) 1L else 0L,
+                if (dark) 1L else 0L,
+                if (disjoint) 1L else 0L,
+                if (cleanOk) 1L else 0L,
+                if (pendingInvisible) 1L else 0L,
+                if (rollbackOk) 1L else 0L,
+                if (anonClosed && proven) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "id_sum", "val_sum",
+            "replay_stable", "replaced_dark", "ranges_disjoint",
+            "clean_ok", "pending_invisible", "rollback_ok",
+            "fail_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg,
+                 (doc_id * 13) % 991 AS v
+          FROM documents),
+        live AS (
+          SELECT table_id, d,
+                 CASE WHEN fg = 0 AND d % 3 = 0 THEN v + 7 ELSE v END
+                   AS val
+          FROM r WHERE fg = 1 OR d % 5 <> 0)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(val) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS replay_stable,
+               CAST(1 AS BIGINT) AS replaced_dark,
+               CAST(1 AS BIGINT) AS ranges_disjoint,
+               CAST(1 AS BIGINT) AS clean_ok,
+               CAST(1 AS BIGINT) AS pending_invisible,
+               CAST(1 AS BIGINT) AS rollback_ok,
+               CAST(1 AS BIGINT) AS fail_closed
+        FROM live GROUP BY table_id"""),
       headline = false))
 }

@@ -141,9 +141,43 @@ object HudiWrite {
                            rows: Seq[(Long, Long)], nSkipped: Long)
 
   private val TimelineRe =
-    "^\\.hoodie/(\\d+)\\.(commit|deltacommit)$".r
+    "^\\.hoodie/(\\d+)\\.(commit|deltacommit|replacecommit)$".r
+  private val ReplaceRe = "^\\.hoodie/(\\d+)\\.replacecommit$".r
   private val BaseRe = "^p/([^_/.]+)_[^_/]+_(\\d+)\\.parquet$".r
   private val LogRe = "^p/\\.([^_/.]+)_(\\d+)\\.log\\..*$".r
+
+  /** File groups REPLACED by completed replacecommits (clustering):
+    * fileId -> replace instant. A reader must treat a replaced
+    * group's slices as dark even though the bytes are still on disk
+    * (clean reclaims them later). None on a replacecommit that does
+    * not name its replacements — a replace that cannot say what it
+    * replaced must not be trusted.
+    */
+  private def replacedGroups(files: Map[String, Array[Byte]])
+      : Option[Map[String, String]] = {
+    import Json.{JArray, JObject, JString}
+    val out = Map.newBuilder[String, String]
+    var ok = true
+    files.keys.toSeq.sorted.foreach {
+      case p @ ReplaceRe(inst) =>
+        Json.parse(new String(files(p), "UTF-8")) match {
+          case Some(o: JObject) =>
+            o.get("partitionToReplaceFileIds") match {
+              case Some(parts: JObject) => parts.fields.foreach {
+                case (_, JArray(xs)) => xs.foreach {
+                  case JString(fid) => out += fid -> inst
+                  case _ => ok = false
+                }
+                case _ => ok = false
+              }
+              case _ => ok = false
+            }
+          case _ => ok = false
+        }
+      case _ => ()
+    }
+    if (ok) Some(out.result()) else None
+  }
 
   /** Replay a whole table bundle with the q315 merge law — per file
     * group: latest COMPLETED base, then completed log blocks strictly
@@ -154,8 +188,11 @@ object HudiWrite {
   def replay(files: Map[String, Array[Byte]]): Option[Seq[FgState]] = {
     val completed = files.keys.collect {
       case TimelineRe(i, _) => i }.toSet
+    val replaced =
+      replacedGroups(files).getOrElse(return None).keySet
     val fgs = files.keys.toSeq.collect {
-      case p @ BaseRe(fid, inst) if completed(inst) => (fid, inst, p)
+      case p @ BaseRe(fid, inst)
+        if completed(inst) && !replaced(fid) => (fid, inst, p)
     }.groupBy(_._1).toSeq.sortBy(_._1)
     var ok = true
     val out = fgs.map { case (fid, bases) =>
@@ -228,6 +265,58 @@ object HudiWrite {
       }
       (bases :+ (s".hoodie/$instant.commit" ->
         commitJsonOp("COMPACT", stats).getBytes("UTF-8"))).toMap
+    }
+
+  // ---- clustering write (q398) -------------------------------------------------
+
+  final case class ClusterResult(newFiles: Map[String, Array[Byte]],
+                                 timelineName: String,
+                                 timeline: Array[Byte],
+                                 replacedFileIds: Seq[String],
+                                 rows: Long)
+
+  /** CLUSTERING via `replacecommit` — the lifecycle op the triple
+    * compaction (q336) / clean (q361) / rollback (q382) was missing:
+    * replay the merged state, SORT by record key, and rewrite it as
+    * `nGroups` key-range-disjoint file groups, committing a
+    * replacecommit that names BOTH the new write stats and the
+    * `partitionToReplaceFileIds` the old groups die by. The replaced
+    * groups' bytes stay on disk (object-store deletes are clean's
+    * job) but a reader must treat them as dark from this instant —
+    * the replay exclusion [[replacedGroups]] implements. The point
+    * at 100 TB: small-file collapse AND key locality — every group
+    * owns one key range, so a range predicate opens one group
+    * instead of all of them. None on an empty table, nGroups < 1, or
+    * any malformed byte.
+    */
+  def cluster(files: Map[String, Array[Byte]], instant: String,
+              nGroups: Int): Option[ClusterResult] =
+    replay(files).flatMap { fgs =>
+      if (fgs.isEmpty || nGroups < 1) None
+      else {
+        val rows = fgs.flatMap(_.rows).sortBy(_._1)
+        if (rows.isEmpty) return None
+        val per = math.max(1, (rows.length + nGroups - 1) / nGroups)
+        val parts = rows.grouped(per).toSeq
+        val names = parts.indices.map(i =>
+          s"p/cl${i}_0-0-0_$instant.parquet")
+        val data = parts.map(p => ParquetWrite.writeInt64(
+          Seq("rec_id", "val"), p.map(r => Array(r._1, r._2))))
+        val stats = parts.indices.map(i =>
+          (s"cl$i", names(i), parts(i).length.toLong))
+        val replacedIds = fgs.map(_.fileId).sorted
+        val body =
+          s"""{"operation": "CLUSTER", "partitionToReplaceFileIds": {"p": [${
+            replacedIds.map(f => s""""$f"""").mkString(", ")
+          }]}, "partitionToWriteStats": {"p": [${
+            stats.map { case (f, p, n) => statsJson(f, p, n) }
+              .mkString(", ")
+          }]}}"""
+        Some(ClusterResult(names.zip(data).toMap,
+          s".hoodie/$instant.replacecommit",
+          body.getBytes("UTF-8"), replacedIds,
+          rows.length.toLong))
+      }
     }
 
   // ---- rollback write (q382) -------------------------------------------------
@@ -367,19 +456,25 @@ object HudiWrite {
             instant: String): Option[CleanResult] = {
     val completed = files.keys.collect {
       case TimelineRe(i, _) => i }.toSet
+    val replaced =
+      replacedGroups(files).getOrElse(return None).keySet
     val bases = files.keys.toSeq.collect {
       case p @ BaseRe(fid, inst) if completed(inst) => (fid, inst, p)
     }
     val latest = bases.groupBy(_._1).map { case (fid, bs) =>
       (fid, bs.map(_._2).max)
     }
+    // a REPLACED group's every slice is reclaimable (clustering made
+    // it dark); otherwise only bases older than the group's latest
     val deadBases = bases.collect {
-      case (fid, inst, p) if inst < latest(fid) => p
+      case (fid, inst, p)
+        if replaced(fid) || inst < latest(fid) => p
     }
     var ok = true
     val deadLogs = files.keys.toSeq.collect {
       case p @ LogRe(fid, baseInst)
-        if latest.get(fid).exists(baseInst < _) =>
+        if replaced(fid) ||
+          latest.get(fid).exists(baseInst < _) =>
         HudiLog.parse(files(p)) match {
           case Some(blocks) =>
             if (blocks.forall(b => completed(b.instant))) Some(p)

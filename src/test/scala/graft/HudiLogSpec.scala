@@ -158,4 +158,52 @@ class HudiLogSpec extends AnyFunSuite {
     val bad = compacted + (logName -> Array[Byte](1, 2, 3))
     assert(W.clean(bad, "00000000000006").isEmpty)
   }
+
+  test("clustering (q398): replacecommit rewrites the merged state " +
+    "into key-range-disjoint groups; replaced groups go dark on " +
+    "disk; clean reclaims them (pending-block log retained); a " +
+    "nameless replacecommit fails the replay closed") {
+    val W = graft.sources.HudiWrite
+    val ids = (0L until 90L).toSeq
+    val files = W.writeMorTable(ids)
+    val before = W.replay(files).get.flatMap(_.rows).sortBy(_._1)
+    val cf = W.cluster(files, "00000000000005", 2)
+      .getOrElse(fail("cluster"))
+    assert(cf.replacedFileIds == Seq("fg0", "fg1"))
+    val clustered = files ++ cf.newFiles +
+      (cf.timelineName -> cf.timeline)
+    val after = W.replay(clustered).getOrElse(fail("replay"))
+    assert(after.flatMap(_.rows).sortBy(_._1) == before,
+      "clustering rearranges, never changes")
+    assert(after.map(_.fileId).sorted == Seq("cl0", "cl1"))
+    // key ranges partition: cl0's max < cl1's min
+    val r = after.sortBy(_.fileId).map(f =>
+      (f.rows.map(_._1).min, f.rows.map(_._1).max))
+    assert(r(0)._2 < r(1)._1)
+    // old group bytes still on disk, dark to the reader
+    assert(clustered.contains("p/fg0_0-0-0_00000000000001.parquet"))
+    // clean: replaced bases + fully-completed log die; fg1's log
+    // holds the pending t4 block and is retained
+    val cr = W.clean(clustered, "00000000000006").get
+    assert(cr.deleted.toSet == Set(
+      "p/fg0_0-0-0_00000000000001.parquet",
+      "p/fg1_0-0-0_00000000000001.parquet",
+      "p/.fg0_00000000000001.log.1_0-0-0"))
+    val cleaned = (clustered -- cr.deleted) +
+      (cr.timelineName -> cr.timeline)
+    assert(W.replay(cleaned).get.flatMap(_.rows).sortBy(_._1) ==
+      before)
+    // a replacecommit that cannot say what it replaced: CLOSED
+    val anon = clustered + (cf.timelineName ->
+      """{"operation": "CLUSTER"}""".getBytes("UTF-8"))
+    assert(W.replay(anon).isEmpty)
+    assert(W.clean(anon, "00000000000007").isEmpty)
+    // restore past the clustering resurrects the old groups
+    val rs = W.restoreTo(clustered, "00000000000003",
+      "00000000000009").get
+    val restored = clustered -- rs.deleted
+    assert(rs.deleted.contains(cf.timelineName))
+    assert(W.replay(restored).get.map(_.fileId).sorted ==
+      Seq("fg0", "fg1"))
+  }
 }
