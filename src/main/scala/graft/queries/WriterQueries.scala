@@ -7491,5 +7491,107 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS rollback_ok,
                CAST(1 AS BIGINT) AS fail_closed
         FROM live GROUP BY table_id"""),
+      headline = false),
+
+    // q399 — Iceberg v3 DEFAULT VALUES: schema evolution without
+    // rewriting a byte of data — the added REQUIRED column `score`
+    // carries `initial-default` 7 (what every row written BEFORE
+    // the column existed must surface) and `write-default` 9 (what
+    // a writer MATERIALIZES into the file when it omits the
+    // column), plus an OPTIONAL `tag` with no defaults (reads as
+    // null). Three files pin the three eras: A predates the column
+    // (two columns on disk — the scan materializes 7), B carries
+    // real scores, C was written by an omitting writer (9 IS in the
+    // bytes — defaults are written for new files, never left to
+    // reader guesswork). Laws: the scan surfaces exactly those
+    // values; stripping initial-default from the metadata makes the
+    // required column unservable for A and the scan fails CLOSED
+    // (zero-filling an evolved table is how it goes silently
+    // wrong); the optional defaultless column is null everywhere.
+    // Sums re-derive in DuckDB by generation.
+    "q399_iceberg_default_values" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val I = graft.sources.IcebergWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            def vf(d: Long): Long = (d * 23) % 1013
+            val files = I.writeDefaultsTable(s"dv-$t", ids, vf)
+            val meta = "v1.metadata.json"
+            val res = for {
+              rows <- I.scanWithDefaults(files, meta, 3L)
+              fields <- I.parseSchema(files, meta)
+            } yield {
+              def gen(d: Long) = (d / 6) % 3
+              val expect = ids.map { d =>
+                val score = gen(d) match {
+                  case 0 => 7L
+                  case 1 => (d * 3) % 50
+                  case _ => 9L
+                }
+                (d, vf(d), score, Option.empty[Long])
+              }
+              val scanOk = rows == expect
+              // the write-default is IN file C's bytes, not invented
+              val writeDefaultOk = P.columnLongs(
+                files("data/c.parquet"), "score")
+                .exists(_.forall(_ == 9L))
+              // schema parse carries both defaults
+              val schemaOk = fields.exists(f =>
+                f.name == "score" && f.required &&
+                  f.initialDefault.contains(7L) &&
+                  f.writeDefault.contains(9L)) &&
+                fields.exists(f => f.name == "tag" && !f.required &&
+                  f.initialDefault.isEmpty)
+              // strip initial-default: required column unservable
+              // for the pre-evolution file -> CLOSED
+              val stripped = new String(files(meta), "UTF-8")
+                .replace("\"initial-default\": 7, ", "")
+              val failClosed = I.scanWithDefaults(
+                files + (meta -> stripped.getBytes("UTF-8")),
+                meta, 3L).isEmpty
+              val nDefault = rows.count(_._3 == 7L)
+              val nTagNull = rows.count(_._4.isEmpty)
+              (t, rows.length.toLong, rows.map(_._2).sum,
+                rows.map(_._3).sum,
+                ids.count(gen(_) == 0).toLong, nTagNull.toLong,
+                if (scanOk) 1L else 0L,
+                if (writeDefaultOk && schemaOk) 1L else 0L,
+                if (failClosed) 1L else 0L,
+                if (nDefault >= ids.count(gen(_) == 0)) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "val_sum", "score_sum",
+            "n_pre_evolution", "n_tag_nulls", "scan_ok",
+            "write_default_ok", "fail_closed", "default_cover")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS g,
+                 (doc_id * 23) % 1013 AS v,
+                 CASE WHEN (doc_id // 6) % 3 = 0 THEN 7
+                      WHEN (doc_id // 6) % 3 = 1
+                        THEN (doc_id * 3) % 50
+                      ELSE 9 END AS score
+          FROM documents)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(sum(score) AS BIGINT) AS score_sum,
+               CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pre_evolution,
+               CAST(count(*) AS BIGINT) AS n_tag_nulls,
+               CAST(1 AS BIGINT) AS scan_ok,
+               CAST(1 AS BIGINT) AS write_default_ok,
+               CAST(1 AS BIGINT) AS fail_closed,
+               CAST(1 AS BIGINT) AS default_cover
+        FROM r GROUP BY table_id"""),
       headline = false))
 }

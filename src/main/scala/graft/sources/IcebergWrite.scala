@@ -1489,6 +1489,188 @@ object IcebergWrite {
     }
   }
 
+  // ---- v3 default values (q399) ------------------------------------------------
+
+  /** One schema field as the v3 spec carries it: id, name,
+    * required, plus the two defaults — `initial-default` (the value
+    * rows written BEFORE the field existed must surface) and
+    * `write-default` (what a writer materializes when the writer
+    * omits the column).
+    */
+  final case class SchemaField(id: Int, name: String,
+                               required: Boolean,
+                               initialDefault: Option[Long],
+                               writeDefault: Option[Long])
+
+  private def fieldJson(f: SchemaField): String = {
+    val init = f.initialDefault
+      .map(v => s""""initial-default": $v, """).getOrElse("")
+    val wd = f.writeDefault
+      .map(v => s""""write-default": $v, """).getOrElse("")
+    s"""{"id": ${f.id}, $init"name": "${f.name}", "required": ${f.required}, "type": "long", $wd"write-order": null}"""
+  }
+
+  /** Parse the CURRENT schema's fields from table metadata. */
+  def parseSchema(files: Map[String, Array[Byte]],
+                  metaName: String): Option[Seq[SchemaField]] = {
+    import Json.{JArray, JBool, JLong, JObject, JString}
+    for {
+      mo <- parseMetaObj(files, metaName)
+      cur <- mo.get("current-schema-id").collect {
+        case JLong(x) => x }
+      schemas <- mo.get("schemas").collect { case JArray(xs) => xs }
+      schema <- schemas.collectFirst {
+        case o: JObject if o.get("schema-id")
+          .contains(JLong(cur)) => o
+      }
+      fieldsJ <- schema.get("fields").collect {
+        case JArray(xs) => xs }
+      fields <- {
+        val fs = fieldsJ.map {
+          case f: JObject =>
+            for {
+              id <- f.get("id").collect { case JLong(x) => x }
+              name <- f.get("name").collect { case JString(x) => x }
+              req <- f.get("required").collect { case JBool(x) => x }
+            } yield SchemaField(id.toInt, name, req,
+              f.get("initial-default").collect { case JLong(x) => x },
+              f.get("write-default").collect { case JLong(x) => x })
+          case _ => None
+        }
+        if (fs.exists(_.isEmpty)) None else Some(fs.map(_.get))
+      }
+    } yield fields
+  }
+
+  /** The q399 table: schema 0 is (rec_id, val); the table EVOLVES to
+    * schema 1 adding REQUIRED `score` with initial-default 7 and
+    * write-default 9, and OPTIONAL `tag` with no defaults. Snapshot
+    * 1's file A was written under schema 0 (two columns on disk);
+    * snapshot 2's file B carries real scores ((d*3) % 50) and no
+    * tag; snapshot 3's file C was written by a writer that OMITTED
+    * score, so the writer MATERIALIZED the write-default 9 into the
+    * file (defaults are written, never left to reader guesswork,
+    * for post-evolution files).
+    */
+  def writeDefaultsTable(id: String, ids: Seq[Long],
+                         vf: Long => Long): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    def gen(d: Long): Long = (d / 6) % 3
+    val a = ids.filter(gen(_) == 0).sorted
+    val b = ids.filter(gen(_) == 1).sorted
+    val c = ids.filter(gen(_) == 2).sorted
+    val fa = ParquetWrite.writeInt64(Seq("rec_id", "val"),
+      a.map(d => Array(d, vf(d))))
+    val fb = ParquetWrite.writeInt64(Seq("rec_id", "val", "score"),
+      b.map(d => Array(d, vf(d), (d * 3) % 50)))
+    val fc = ParquetWrite.writeInt64(Seq("rec_id", "val", "score"),
+      c.map(d => Array(d, vf(d), 9L))) // write-default MATERIALIZED
+    val mA = container(EntrySchema, Seq(entrySt(1, "data/a.parquet",
+      a.length.toLong, fa.length.toLong)), sync)
+    val mB = container(EntrySchema, Seq(entrySt(1, "data/b.parquet",
+      b.length.toLong, fb.length.toLong)), sync)
+    val mC = container(EntrySchema, Seq(entrySt(1, "data/c.parquet",
+      c.length.toLong, fc.length.toLong)), sync)
+    val l3 = container(ListSchema, Seq(
+      manifestFileRow("m-a.avro", mA.length.toLong, 1L,
+        a.length.toLong),
+      manifestFileRow("m-b.avro", mB.length.toLong, 1L,
+        b.length.toLong),
+      manifestFileRow("m-c.avro", mC.length.toLong, 1L,
+        c.length.toLong)), sync)
+    val s0 = Seq(
+      SchemaField(1, "rec_id", required = true, None, None),
+      SchemaField(2, "val", required = true, None, None))
+    val s1 = s0 ++ Seq(
+      SchemaField(3, "score", required = true, Some(7L), Some(9L)),
+      SchemaField(4, "tag", required = false, None, None))
+    val meta = s"""{"current-schema-id": 1, "current-snapshot-id": 3, "format-version": 3, "schemas": [{"fields": [${
+      s0.map(fieldJson).mkString(", ")
+    }], "schema-id": 0}, {"fields": [${
+      s1.map(fieldJson).mkString(", ")
+    }], "schema-id": 1}], "snapshots": [${
+      snapshotJson(3L, 3L, 1700000000000L, "snap-3.avro")
+    }], "table-uuid": "$id"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Map("v1.metadata.json" -> meta, "snap-3.avro" -> l3,
+      "m-a.avro" -> mA, "m-b.avro" -> mB, "m-c.avro" -> mC,
+      "data/a.parquet" -> fa, "data/b.parquet" -> fb,
+      "data/c.parquet" -> fc)
+  }
+
+  /** Scan with DEFAULT MATERIALIZATION (the v3 rule): a live file
+    * missing a current-schema column surfaces `initial-default` for
+    * every row; an optional missing column without a default
+    * surfaces null (None). Fails CLOSED when a REQUIRED column is
+    * missing from a file and the schema gives no initial-default —
+    * inventing a value (or zero-filling) is how evolved tables go
+    * silently wrong. Returns (rec_id, val, score, tagOrNull).
+    */
+  def scanWithDefaults(files: Map[String, Array[Byte]],
+                       metaName: String, sid: Long)
+      : Option[Seq[(Long, Long, Long, Option[Long])]] =
+    for {
+      fields <- parseSchema(files, metaName)
+      score <- fields.find(_.name == "score")
+      tag <- fields.find(_.name == "tag")
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      snap <- snaps.find(_.sid == sid)
+      listBytes <- files.get(snap.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mps = list.records.flatMap(
+        _.field("manifest_path").flatMap(_.asString))
+      rows <- {
+        val per = mps.flatMap { mp =>
+          files.get(mp).flatMap(AvroGeneric.parseContainer) match {
+            case None => Seq(None)
+            case Some(m) => m.records.map { e =>
+              if (e.field("status").flatMap(_.asLong).contains(2L))
+                Some(Vector.empty) // deleted entry: skip, not fail
+              else for {
+                st <- e.field("status").flatMap(_.asLong)
+                df <- e.field("data_file")
+                p <- df.field("file_path").flatMap(_.asString)
+                fb <- files.get(p)
+                rs <- Parquet.columnLongs(fb, "rec_id")
+                vs <- Parquet.columnLongs(fb, "val")
+                if rs.length == vs.length
+                scores <- Parquet.columnLongs(fb, "score") match {
+                  case Some(ss) if ss.length == rs.length =>
+                    Some(ss.toSeq)
+                  case Some(_) => None
+                  case None =>
+                    // missing column: initial-default, else CLOSED
+                    // (this scan surfaces score non-null, so a
+                    // defaultless miss is unservable either way —
+                    // never invent a value)
+                    score.initialDefault
+                      .map(v => Seq.fill(rs.length)(v))
+                }
+                tags <- Parquet.columnLongs(fb, "tag") match {
+                  case Some(ts) if ts.length == rs.length =>
+                    Some(ts.toSeq.map(Option(_)))
+                  case Some(_) => None
+                  case None => tag.initialDefault match {
+                    case Some(v) =>
+                      Some(Seq.fill(rs.length)(Some(v)))
+                    case None if !tag.required =>
+                      Some(Seq.fill(rs.length)(
+                        Option.empty[Long])) // optional -> null
+                    case None => None
+                  }
+                }
+              } yield rs.indices.map(i =>
+                (rs(i), vs(i), scores(i), tags(i)))
+            }
+          }
+        }
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatMap(_.get))
+      }
+    } yield rows.sortBy(_._1)
+
   // ---- Iceberg -> Delta REVERSE migration (q396) ------------------------------
 
   /** MIGRATE an Iceberg snapshot table to Delta WITHOUT copying

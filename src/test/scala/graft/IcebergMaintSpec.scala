@@ -463,4 +463,41 @@ class IcebergMaintSpec extends AnyFunSuite {
     assert(W.migrateToDelta(dvSrc, "v1.metadata.json", "x").isEmpty,
       "delete-content entries must be refused, never dropped")
   }
+
+  test("default values (q399): pre-evolution rows surface " +
+    "initial-default, the omitting writer materialized " +
+    "write-default into the bytes, optional defaultless reads " +
+    "null, a stripped default fails the required column closed") {
+    val W = IcebergWrite
+    def vf(d: Long): Long = (d * 23) % 1013
+    val files = W.writeDefaultsTable("dflt", ids, vf)
+    val rows = W.scanWithDefaults(files, "v1.metadata.json", 3L)
+      .getOrElse(fail("scan"))
+    def gen(d: Long) = (d / 6) % 3
+    assert(rows == ids.sorted.map { d =>
+      val score = gen(d) match {
+        case 0 => 7L
+        case 1 => (d * 3) % 50
+        case _ => 9L
+      }
+      (d, vf(d), score, Option.empty[Long])
+    })
+    // the write-default is physically in file C
+    assert(graft.sources.Parquet.columnLongs(
+      files("data/c.parquet"), "score").exists(_.forall(_ == 9L)))
+    // file A really has no score column on disk
+    assert(graft.sources.Parquet.columnLongs(
+      files("data/a.parquet"), "score").isEmpty)
+    val fields = W.parseSchema(files, "v1.metadata.json").get
+    assert(fields.find(_.name == "score").exists(f =>
+      f.required && f.initialDefault.contains(7L) &&
+        f.writeDefault.contains(9L)))
+    // strip the initial-default: the required column becomes
+    // unservable for the pre-evolution file -> CLOSED
+    val stripped = new String(files("v1.metadata.json"), "UTF-8")
+      .replace("\"initial-default\": 7, ", "").getBytes("UTF-8")
+    assert(W.scanWithDefaults(
+      files + ("v1.metadata.json" -> stripped),
+      "v1.metadata.json", 3L).isEmpty)
+  }
 }
