@@ -7593,5 +7593,112 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS fail_closed,
                CAST(1 AS BIGINT) AS default_cover
         FROM r GROUP BY table_id"""),
+      headline = false),
+
+    // q400 — the MDT CAPSTONE: a point lookup planned END-TO-END
+    // from the metadata table's four partitions, no storage LIST and
+    // no footer opened — files (q368) gives the live plan,
+    // column_stats (q374) prices the range prune, bloom_filters
+    // (q397) shrinks to possible holders, record_index (q391)
+    // answers exactly. The lattice law holds per probe: RLI's
+    // location ∈ bloom candidates ⊆ stats survivors ⊆ the plan, and
+    // every stage is SOUND (the true file is never skipped). The
+    // final answer equals the full-scan tag key-for-key, and the
+    // stats-survivor count per probe re-derives in DuckDB from the
+    // file groups' key ranges. One table, four indexes, one
+    // consistent timeline — the upsert-planning story at 100 TB.
+    "q400_hudi_mdt_point_lookup" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val M = graft.sources.HudiMdt
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeTable(ids)
+            val res = for {
+              mFiles <- M.sync(files)
+              mStats <- M.syncColumnStats(files, Seq("rec_id"))
+              mBloom <- M.syncBloomFilters(files)
+              mRli <- M.syncRecordIndex(files)
+              table = files ++ mFiles ++ mStats ++ mBloom ++ mRli
+              plan <- M.planFromMdt(table)
+              blooms <- M.bloomListing(table)
+              idx <- M.recordIndexListing(table)
+              // truth: decode the planned files (verification only)
+              truth <- {
+                val per = plan.map { p =>
+                  files.get(p).flatMap(P.columnLongs(_, "rec_id"))
+                    .map(ks => p -> ks.toSet)
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.map(_.get).toMap)
+              }
+            } yield {
+              val planOk = plan == M.planFromListing(files)
+              var statsKeptSum = 0L
+              var sound = true
+              var lattice = true
+              ids.foreach { d =>
+                val statsKept =
+                  M.prunePlan(table, "rec_id", d, d).getOrElse(Nil)
+                statsKeptSum += statsKept.length.toLong
+                val cands = statsKept.filter(p =>
+                  blooms(p).mightContainLong(d))
+                val trueFiles = plan.filter(p => truth(p).contains(d))
+                // soundness: no stage ever skips the true file
+                if (!trueFiles.forall(statsKept.contains)) sound = false
+                if (!trueFiles.forall(cands.contains)) sound = false
+                // the lattice: RLI's answer sits inside every stage
+                idx.get(d) match {
+                  case Some((part, fid)) =>
+                    val loc = plan.find(_.startsWith(s"$part/${fid}_"))
+                    if (!loc.exists(p => cands.contains(p) &&
+                      truth(p).contains(d))) lattice = false
+                  case None => lattice = false // COW: every key lives
+                }
+              }
+              val rliExact = ids.forall { d =>
+                val scanTag = plan.find(p => truth(p).contains(d))
+                  .map(p => ("p", p.split("/")(1).split("_")(0)))
+                idx.get(d) == scanTag
+              }
+              (t, ids.length.toLong, ids.sum, statsKeptSum,
+                if (planOk) 1L else 0L,
+                if (sound) 1L else 0L,
+                if (lattice) 1L else 0L,
+                if (rliExact) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_probes", "key_sum", "stats_kept_sum",
+            "plan_ok", "stages_sound", "lattice_ok", "rli_exact")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg
+          FROM documents),
+        mm AS (
+          SELECT table_id, fg, min(d) AS mn, max(d) AS mx
+          FROM r GROUP BY table_id, fg),
+        kept AS (
+          SELECT r.table_id, r.d, count(*) AS c
+          FROM r JOIN mm ON r.table_id = mm.table_id
+            AND r.d BETWEEN mm.mn AND mm.mx
+          GROUP BY r.table_id, r.d)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(d) AS BIGINT) AS key_sum,
+               CAST(sum(c) AS BIGINT) AS stats_kept_sum,
+               CAST(1 AS BIGINT) AS plan_ok,
+               CAST(1 AS BIGINT) AS stages_sound,
+               CAST(1 AS BIGINT) AS lattice_ok,
+               CAST(1 AS BIGINT) AS rli_exact
+        FROM kept GROUP BY table_id"""),
       headline = false))
 }
