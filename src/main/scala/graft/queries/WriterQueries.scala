@@ -7700,5 +7700,111 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS lattice_ok,
                CAST(1 AS BIGINT) AS rli_exact
         FROM kept GROUP BY table_id"""),
+      headline = false),
+
+    // q401 — row tracking × CHECKPOINTS: lineage must survive the
+    // log's own lifecycle. The q393 table checkpoints at v1 — the
+    // checkpoint rows carry the feature gate (writerFeatures), every
+    // live add's baseRowId/defaultRowCommitVersion, and the
+    // domainMetadata high-water mark (without it a post-vacuum
+    // reader has no mark and lineage dies with the JSON) — then the
+    // ZORDER rewrite lands as the JSON tail ON TOP of the
+    // checkpoint. Laws: checkpoint-seeded replay ≡ full-log replay
+    // (ids, mark, rows — byte-for-byte the same triples); it STILL
+    // holds when every pre-checkpoint JSON commit is vacuumed away
+    // (the reason checkpoints exist); the tail replays on top with
+    // the same lineage laws; a truncated checkpoint or one written
+    // in the CLASSIC shape (no rt columns) fails CLOSED. Sums
+    // re-derive in DuckDB with window-function row ids.
+    "q401_delta_rt_checkpoint" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val ids = it.map(_._2).toSeq.sorted
+            val n = ids.length.toLong
+            val base = W.writeRowTrackingTable(s"rtc-$t", ids)
+            val res = for {
+              ck <- W.checkpointRt(base, 1L)
+              z <- W.optimizeZOrderRt(base, 2)
+              files = base + (z.commitName -> z.commit) ++
+                z.newFiles
+              withCk = files + (ck._1 -> ck._2) +
+                ("_delta_log/_last_checkpoint" ->
+                  (ck._3 + "\n").getBytes("UTF-8"))
+              full <- W.replayRowTracking(files)
+              fromCk <- W.replayRowTrackingCkpt(withCk)
+              vacuumed = withCk -
+                "_delta_log/00000000000000000000.json" -
+                "_delta_log/00000000000000000001.json"
+              fromVac <- W.replayRowTrackingCkpt(vacuumed)
+            } yield {
+              val ckEqualsFull =
+                fromCk.rows == full.rows &&
+                  fromCk.highWaterMark == full.highWaterMark
+              val vacuumOk = fromVac.rows == full.rows &&
+                fromVac.highWaterMark == full.highWaterMark
+              // the classic JSON-from-zero replay DIES post-vacuum;
+              // the checkpoint read is what survives
+              val classicDies =
+                W.replayRowTracking(vacuumed).isEmpty
+              val truncated = withCk + (ck._1 ->
+                ck._2.dropRight(1))
+              val classicShape = withCk + (ck._1 ->
+                W.writeCheckpoint(Seq(
+                  W.CkptAct(minReader = 1L),
+                  W.CkptAct(metaId = s"rtc-$t"))))
+              val failClosed =
+                W.replayRowTrackingCkpt(truncated).isEmpty &&
+                  W.replayRowTrackingCkpt(classicShape).isEmpty
+              (t, fromVac.rows.length.toLong,
+                fromVac.rows.map(_._1).sum,
+                fromVac.rows.map(_._2).sum,
+                fromVac.rows.map(_._3).sum,
+                fromVac.highWaterMark,
+                if (ckEqualsFull) 1L else 0L,
+                if (vacuumOk && classicDies) 1L else 0L,
+                if (failClosed) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "rid_sum", "key_sum",
+            "val_sum", "hwm", "ck_equals_full", "vacuum_ok",
+            "fail_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS g,
+                 (doc_id * 31) % 1009 AS v
+          FROM documents),
+        c AS (
+          SELECT table_id,
+                 sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb,
+                 count(*) AS n
+          FROM r GROUP BY table_id),
+        w AS (
+          SELECT r.table_id, r.d, r.v,
+                 CASE WHEN r.g = 0 THEN 0
+                      WHEN r.g = 1 THEN c.na
+                      ELSE c.na + c.nb END +
+                 row_number() OVER (PARTITION BY r.table_id, r.g
+                   ORDER BY r.d) - 1 AS rid
+          FROM r JOIN c USING (table_id))
+        SELECT w.table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(w.rid) AS BIGINT) AS rid_sum,
+               CAST(sum(w.d) AS BIGINT) AS key_sum,
+               CAST(sum(w.v) AS BIGINT) AS val_sum,
+               CAST(min(2 * c.n - 1) AS BIGINT) AS hwm,
+               CAST(1 AS BIGINT) AS ck_equals_full,
+               CAST(1 AS BIGINT) AS vacuum_ok,
+               CAST(1 AS BIGINT) AS fail_closed
+        FROM w JOIN c USING (table_id) GROUP BY w.table_id"""),
       headline = false))
 }

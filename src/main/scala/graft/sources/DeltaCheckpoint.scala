@@ -138,6 +138,71 @@ object DeltaCheckpoint {
     Some(out.result())
   }
 
+  /** One ROW-TRACKING checkpoint row (q401): the classic action
+    * kinds plus `add.baseRowId` / `add.defaultRowCommitVersion` and
+    * the `domainMetadata` action the high-water mark rides —
+    * exactly the state a reader needs once the pre-checkpoint JSON
+    * is vacuumed. Fields of absent groups are null / -1; an add
+    * without a declared baseRowId reads -1 (its file must carry
+    * materialized ids).
+    */
+  final case class RtAct(addPath: String, addSize: Long,
+                         baseRowId: Long, drcv: Long,
+                         removePath: String, metaId: String,
+                         minReader: Long, minWriter: Long,
+                         writerFeaturesJson: String,
+                         domain: String, domainConfig: String)
+
+  /** Decode a row-tracking checkpoint into its action rows. Same
+    * byte-level walk and totality posture as [[parse]].
+    */
+  def parseRt(b: Array[Byte]): Option[Vector[RtAct]] = {
+    val fm = Parquet.parseFooter(b).getOrElse(return None)
+    val levels = fm.leafLevels
+    val out = Vector.newBuilder[RtAct]
+    for (rg <- fm.rowGroups) {
+      if (rg.numRows < 0 || rg.numRows > MaxRows) return None
+      val n = rg.numRows.toInt
+      def cells(path: String): Option[(Parquet.ChunkCells, Int)] =
+        for {
+          c <- rg.cols.find(_.path == path)
+          dr <- levels.get(path)
+          cc <- Parquet.readChunkCells(b, c, dr._1, dr._2)
+        } yield (cc, dr._1)
+      def strCol(path: String): Option[Array[String]] =
+        cells(path).flatMap { case (cc, d) => scalarStrings(cc, d, n) }
+      def longCol(path: String): Option[Array[Long]] =
+        cells(path).flatMap { case (cc, d) => scalarLongs(cc, d, n) }
+      val addPath = strCol("add.path").getOrElse(return None)
+      val addSize = longCol("add.size").getOrElse(return None)
+      val baseRowId = longCol("add.baseRowId").getOrElse(return None)
+      val drcv = longCol("add.defaultRowCommitVersion")
+        .getOrElse(return None)
+      val remPath = strCol("remove.path").getOrElse(return None)
+      val metaId = strCol("metaData.id").getOrElse(return None)
+      val minReader = longCol("protocol.minReaderVersion")
+        .getOrElse(return None)
+      val minWriter = longCol("protocol.minWriterVersion")
+        .getOrElse(return None)
+      val feats = strCol("protocol.writerFeaturesJson")
+        .getOrElse(return None)
+      val domain = strCol("domainMetadata.domain")
+        .getOrElse(return None)
+      val config = strCol("domainMetadata.configuration")
+        .getOrElse(return None)
+      var i = 0
+      while (i < n) {
+        out += RtAct(addPath(i),
+          if (addPath(i) != null) addSize(i) else -1L,
+          baseRowId(i), drcv(i), remPath(i), metaId(i),
+          minReader(i), minWriter(i), feats(i), domain(i),
+          config(i))
+        i += 1
+      }
+    }
+    Some(out.result())
+  }
+
   /** One slot per row (rep must be 0 throughout); value where the
     * definition level reaches maxDef, null elsewhere. Present-value
     * accounting must tile exactly.

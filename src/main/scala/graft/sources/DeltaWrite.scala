@@ -954,82 +954,82 @@ object DeltaWrite {
   final case class RtState(rows: Seq[(Long, Long, Long)],
                            highWaterMark: Long, maxVersion: Long)
 
-  /** Replay a row-tracking table to (row_id, rec_id, val) triples:
-    * live adds assign row_id = baseRowId + position, unless the file
-    * carries a MATERIALIZED `_row_id` column (a dataChange=false
-    * rewrite), which wins per the spec. The high-water mark is the
-    * last `delta.rowTracking` domainMetadata. Fails CLOSED when the
-    * table does not declare the rowTracking feature (there is no
-    * lineage to serve), an add has neither baseRowId nor
-    * materialized ids, any id exceeds the mark, or any id
-    * duplicates.
+  /** Mutable row-tracking replay state: the feature gate, the
+    * high-water mark, and the live path -> baseRowId map.
     */
-  def replayRowTracking(files: Map[String, Array[Byte]])
-      : Option[RtState] = {
-    import Json.{JArray, JLong, JObject, JString}
-    val commits = files.keys.toSeq.collect {
-      case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
-    if (commits.isEmpty) return None
+  private final class RtAccum {
     var hasFeature = false
     var hwm = -1L
     val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, Option[Long]] // path -> baseRowId
+      .empty[String, Option[Long]]
     var ok = true
-    commits.foreach { case (_, p) =>
-      new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
-        .foreach { line =>
-          Json.parse(line) match {
-            case Some(o: JObject) =>
-              o.get("protocol").foreach {
-                case pr: JObject => pr.get("writerFeatures").foreach {
-                  case JArray(xs) => hasFeature = xs.exists {
-                    case JString("rowTracking") => true
-                    case _ => false
-                  }
-                  case _ => ok = false
-                }
-                case _ => ok = false
-              }
-              o.get("domainMetadata").foreach {
-                case dm: JObject =>
-                  (dm.get("domain"), dm.get("configuration")) match {
-                    case (Some(JString(RowTrackingDomain)),
-                      Some(JString(cfg))) =>
-                      Json.parse(cfg) match {
-                        case Some(co: JObject) =>
-                          co.get("rowIdHighWaterMark") match {
-                            case Some(JLong(x)) => hwm = x
-                            case _ => ok = false
-                          }
-                        case _ => ok = false
-                      }
-                    case (Some(JString(_)), Some(JString(_))) => ()
-                    case _ => ok = false
-                  }
-                case _ => ok = false
-              }
-              o.get("add").foreach {
-                case a: JObject => a.get("path") match {
-                  case Some(JString(x)) =>
-                    live(x) = a.get("baseRowId").collect {
-                      case JLong(b) => b }
-                  case _ => ok = false
-                }
-                case _ => ok = false
-              }
-              o.get("remove").foreach {
-                case r: JObject => r.get("path") match {
-                  case Some(JString(x)) => live.remove(x)
-                  case _ => ok = false
-                }
-                case _ => ok = false
-              }
-            case _ => ok = false
+  }
+
+  /** Apply one JSON commit line to the accumulator (the single rule
+    * both the full-log replay and the checkpoint-tail replay share).
+    */
+  private def applyRtLine(line: String, acc: RtAccum): Unit = {
+    import Json.{JArray, JLong, JObject, JString}
+    Json.parse(line) match {
+      case Some(o: JObject) =>
+        o.get("protocol").foreach {
+          case pr: JObject => pr.get("writerFeatures").foreach {
+            case JArray(xs) => acc.hasFeature = xs.exists {
+              case JString("rowTracking") => true
+              case _ => false
+            }
+            case _ => acc.ok = false
           }
+          case _ => acc.ok = false
         }
+        o.get("domainMetadata").foreach {
+          case dm: JObject =>
+            (dm.get("domain"), dm.get("configuration")) match {
+              case (Some(JString(RowTrackingDomain)),
+                Some(JString(cfg))) =>
+                Json.parse(cfg) match {
+                  case Some(co: JObject) =>
+                    co.get("rowIdHighWaterMark") match {
+                      case Some(JLong(x)) => acc.hwm = x
+                      case _ => acc.ok = false
+                    }
+                  case _ => acc.ok = false
+                }
+              case (Some(JString(_)), Some(JString(_))) => ()
+              case _ => acc.ok = false
+            }
+          case _ => acc.ok = false
+        }
+        o.get("add").foreach {
+          case a: JObject => a.get("path") match {
+            case Some(JString(x)) =>
+              acc.live(x) = a.get("baseRowId").collect {
+                case JLong(b) => b }
+            case _ => acc.ok = false
+          }
+          case _ => acc.ok = false
+        }
+        o.get("remove").foreach {
+          case r: JObject => r.get("path") match {
+            case Some(JString(x)) => acc.live.remove(x)
+            case _ => acc.ok = false
+          }
+          case _ => acc.ok = false
+        }
+      case _ => acc.ok = false
     }
-    if (!ok || !hasFeature || hwm < 0) return None
-    val per = live.toSeq.map { case (p, base) =>
+  }
+
+  /** Materialize + validate row-tracking state: decode every live
+    * file (materialized `_row_id` wins, else baseRowId + position),
+    * then the lineage laws — feature declared, mark known, every id
+    * unique and <= the mark.
+    */
+  private def materializeRt(files: Map[String, Array[Byte]],
+                            acc: RtAccum,
+                            maxV: Long): Option[RtState] = {
+    if (!acc.ok || !acc.hasFeature || acc.hwm < 0) return None
+    val per = acc.live.toSeq.map { case (p, base) =>
       for {
         b <- files.get(p)
         rs <- Parquet.columnLongs(b, "rec_id")
@@ -1045,8 +1045,31 @@ object DeltaWrite {
     if (per.exists(_.isEmpty)) return None
     val rows = per.flatMap(_.get)
     if (rows.map(_._1).distinct.length != rows.length) return None
-    if (rows.exists(_._1 > hwm)) return None
-    Some(RtState(rows.sortBy(_._1), hwm, commits.last._1))
+    if (rows.exists(_._1 > acc.hwm)) return None
+    Some(RtState(rows.sortBy(_._1), acc.hwm, maxV))
+  }
+
+  /** Replay a row-tracking table to (row_id, rec_id, val) triples:
+    * live adds assign row_id = baseRowId + position, unless the file
+    * carries a MATERIALIZED `_row_id` column (a dataChange=false
+    * rewrite), which wins per the spec. The high-water mark is the
+    * last `delta.rowTracking` domainMetadata. Fails CLOSED when the
+    * table does not declare the rowTracking feature (there is no
+    * lineage to serve), an add has neither baseRowId nor
+    * materialized ids, any id exceeds the mark, or any id
+    * duplicates.
+    */
+  def replayRowTracking(files: Map[String, Array[Byte]])
+      : Option[RtState] = {
+    val commits = files.keys.toSeq.collect {
+      case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+    if (commits.isEmpty) return None
+    val acc = new RtAccum
+    commits.foreach { case (_, p) =>
+      new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+        .foreach(applyRtLine(_, acc))
+    }
+    materializeRt(files, acc, commits.last._1)
   }
 
   final case class ZOrderRtResult(commitName: String,
@@ -1191,6 +1214,220 @@ object DeltaWrite {
         .mkString("\n") + "\n"
       Map("_delta_log/00000000000000000000.json" -> c0.getBytes(Utf8))
     }
+
+  // ---- row-tracking CHECKPOINT (q401) --------------------------------------
+
+  final case class CkptActRt(addPath: String = null,
+                             addSize: Long = -1L,
+                             baseRowId: Long = -1L, drcv: Long = -1L,
+                             removePath: String = null,
+                             metaId: String = null,
+                             minReader: Long = -1L,
+                             minWriter: Long = -1L,
+                             writerFeaturesJson: String = null,
+                             domain: String = null,
+                             domainConfig: String = null)
+
+  /** Serialize ROW-TRACKING checkpoint rows: the classic kinds plus
+    * add.baseRowId / add.defaultRowCommitVersion, the protocol's
+    * writerFeatures (the gate must survive checkpointing), and the
+    * domainMetadata action carrying the high-water mark — without
+    * it a post-vacuum reader has no mark and lineage dies with the
+    * JSON. Read back by [[DeltaCheckpoint.parseRt]].
+    */
+  def writeCheckpointRt(acts: Seq[CkptActRt]): Array[Byte] = {
+    require(acts.nonEmpty && acts.length <= (1 << 16))
+    val W = ParquetWrite
+    val fields = Seq(
+      W.Group("protocol", 1, Seq(
+        W.Leaf("minReaderVersion", 1, 2),
+        W.Leaf("minWriterVersion", 1, 2),
+        W.Leaf("writerFeaturesJson", 1, 6, convertedType = 0))),
+      W.Group("metaData", 1,
+        Seq(W.Leaf("id", 1, 6, convertedType = 0))),
+      W.Group("add", 1, Seq(
+        W.Leaf("path", 1, 6, convertedType = 0),
+        W.Leaf("size", 1, 2),
+        W.Leaf("baseRowId", 1, 2),
+        W.Leaf("defaultRowCommitVersion", 1, 2))),
+      W.Group("remove", 1,
+        Seq(W.Leaf("path", 1, 6, convertedType = 0))),
+      W.Group("domainMetadata", 1, Seq(
+        W.Leaf("domain", 1, 6, convertedType = 0),
+        W.Leaf("configuration", 1, 6, convertedType = 0))))
+    def defs(present: CkptActRt => Boolean,
+             has: CkptActRt => Boolean): Array[Int] =
+      acts.map(a => if (!present(a)) 0
+      else if (has(a)) 2 else 1).toArray
+    val isProto = (a: CkptActRt) => a.minReader >= 0
+    val isAdd = (a: CkptActRt) => a.addPath != null
+    val isDm = (a: CkptActRt) => a.domain != null
+    W.writeFile(fields, Seq(
+      W.LeafData(defs(isProto, _.minReader >= 0), null,
+        longs = acts.filter(isProto).map(_.minReader).toArray),
+      W.LeafData(defs(isProto, _.minWriter >= 0), null,
+        longs = acts.filter(a => isProto(a) && a.minWriter >= 0)
+          .map(_.minWriter).toArray),
+      W.LeafData(defs(isProto, _.writerFeaturesJson != null), null,
+        bins = acts.collect {
+          case a if isProto(a) && a.writerFeaturesJson != null =>
+            a.writerFeaturesJson.getBytes(Utf8)
+        }.toArray),
+      W.LeafData(acts.map(a => if (a.metaId != null) 2 else 0)
+        .toArray, null, bins = acts.collect {
+          case a if a.metaId != null => a.metaId.getBytes(Utf8)
+        }.toArray),
+      W.LeafData(defs(isAdd, _.addPath != null), null,
+        bins = acts.filter(isAdd)
+          .map(_.addPath.getBytes(Utf8)).toArray),
+      W.LeafData(defs(isAdd, _.addSize >= 0), null,
+        longs = acts.filter(isAdd).map(_.addSize).toArray),
+      W.LeafData(defs(isAdd, _.baseRowId >= 0), null,
+        longs = acts.filter(a => isAdd(a) && a.baseRowId >= 0)
+          .map(_.baseRowId).toArray),
+      W.LeafData(defs(isAdd, _.drcv >= 0), null,
+        longs = acts.filter(a => isAdd(a) && a.drcv >= 0)
+          .map(_.drcv).toArray),
+      W.LeafData(acts.map(a => if (a.removePath != null) 2 else 0)
+        .toArray, null, bins = acts.collect {
+          case a if a.removePath != null =>
+            a.removePath.getBytes(Utf8)
+        }.toArray),
+      W.LeafData(defs(isDm, _.domain != null), null,
+        bins = acts.filter(isDm)
+          .map(_.domain.getBytes(Utf8)).toArray),
+      W.LeafData(defs(isDm, _.domainConfig != null), null,
+        bins = acts.collect {
+          case a if isDm(a) && a.domainConfig != null =>
+            a.domainConfig.getBytes(Utf8)
+        }.toArray)))
+  }
+
+  /** CHECKPOINT a row-tracking table at `version`: collapse the log
+    * into checkpoint rows — protocol (feature gate preserved),
+    * metaData, one add per live file WITH its declared baseRowId and
+    * defaultRowCommitVersion, and the high-water-mark domain action.
+    * Returns (checkpointName, bytes, lastCheckpointBody). None when
+    * the table is not row-tracking or the log is malformed.
+    */
+  def checkpointRt(files: Map[String, Array[Byte]], version: Long)
+      : Option[(String, Array[Byte], String)] = {
+    import Json.{JLong, JObject, JString}
+    val commits = files.keys.toSeq.collect {
+      case p @ CommitRe(v) if v.toLong <= version => (v.toLong, p)
+    }.sortBy(_._1)
+    if (commits.isEmpty || commits.last._1 != version) return None
+    val acc = new RtAccum
+    var metaId: String = null
+    val sized = scala.collection.mutable.LinkedHashMap
+      .empty[String, Long]
+    val drcvs = scala.collection.mutable.Map.empty[String, Long]
+    commits.foreach { case (_, p) =>
+      new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+        .foreach { line =>
+          applyRtLine(line, acc)
+          Json.parse(line).foreach {
+            case o: JObject =>
+              o.get("metaData").foreach {
+                case m: JObject => m.get("id").foreach {
+                  case JString(x) => metaId = x
+                  case _ => acc.ok = false
+                }
+                case _ => acc.ok = false
+              }
+              o.get("add").foreach {
+                case a: JObject =>
+                  (a.get("path"), a.get("size")) match {
+                    case (Some(JString(x)), Some(JLong(sz))) =>
+                      sized(x) = sz
+                      a.get("defaultRowCommitVersion").foreach {
+                        case JLong(v) => drcvs(x) = v
+                        case _ => acc.ok = false
+                      }
+                    case _ => acc.ok = false
+                  }
+                case _ => acc.ok = false
+              }
+            case _ => ()
+          }
+        }
+    }
+    if (!acc.ok || !acc.hasFeature || acc.hwm < 0 ||
+      metaId == null) return None
+    val acts = Seq(
+      CkptActRt(minReader = 1L, minWriter = 7L,
+        writerFeaturesJson =
+          """["domainMetadata", "rowTracking"]"""),
+      CkptActRt(metaId = metaId),
+      CkptActRt(domain = RowTrackingDomain,
+        domainConfig =
+          s"""{"rowIdHighWaterMark": ${acc.hwm}}""")) ++
+      acc.live.toSeq.sortBy(_._1).map { case (p, base) =>
+        CkptActRt(addPath = p, addSize = sized(p),
+          baseRowId = base.getOrElse(-1L),
+          drcv = drcvs.getOrElse(p, -1L))
+      }
+    val ckpt = writeCheckpointRt(acts)
+    Some((f"_delta_log/$version%020d.checkpoint.parquet", ckpt,
+      lastCheckpointJson(version, acts.length.toLong)))
+  }
+
+  /** Replay row tracking FROM THE CHECKPOINT + JSON tail — the read
+    * a post-vacuum table gets: `_last_checkpoint` names the version,
+    * [[DeltaCheckpoint.parseRt]] seeds the state (feature gate,
+    * high-water mark, live adds with their id blocks), JSON commits
+    * AFTER it replay on top, and the same lineage laws validate.
+    * Must equal [[replayRowTracking]] of the full log — and still
+    * work when every pre-checkpoint JSON commit is GONE. Fails
+    * CLOSED when the checkpoint lacks the mark or the gate.
+    */
+  def replayRowTrackingCkpt(files: Map[String, Array[Byte]])
+      : Option[RtState] = {
+    import Json.{JLong, JObject}
+    for {
+      lc <- files.get("_delta_log/_last_checkpoint")
+      j <- Json.parse(new String(lc, Utf8).trim)
+      o <- j match { case x: JObject => Some(x); case _ => None }
+      ver <- o.get("version").collect { case JLong(x) => x }
+      ckpt <- files.get(f"_delta_log/$ver%020d.checkpoint.parquet")
+      rows <- DeltaCheckpoint.parseRt(ckpt)
+      acc <- {
+        val a = new RtAccum
+        rows.foreach { r =>
+          if (r.writerFeaturesJson != null &&
+            r.writerFeaturesJson.contains("\"rowTracking\""))
+            a.hasFeature = true
+          if (r.domain == RowTrackingDomain &&
+            r.domainConfig != null) {
+            Json.parse(r.domainConfig) match {
+              case Some(co: JObject) =>
+                co.get("rowIdHighWaterMark") match {
+                  case Some(JLong(x)) => a.hwm = x
+                  case _ => a.ok = false
+                }
+              case _ => a.ok = false
+            }
+          }
+          if (r.addPath != null)
+            a.live(r.addPath) =
+              if (r.baseRowId >= 0) Some(r.baseRowId) else None
+          if (r.removePath != null) a.live.remove(r.removePath)
+        }
+        if (a.ok) Some(a) else None
+      }
+      maxV <- {
+        val tail = files.keys.toSeq.collect {
+          case p @ CommitRe(v) if v.toLong > ver => (v.toLong, p)
+        }.sortBy(_._1)
+        tail.foreach { case (_, p) =>
+          new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+            .foreach(applyRtLine(_, acc))
+        }
+        Some(tail.lastOption.map(_._1).getOrElse(ver))
+      }
+      st <- materializeRt(files, acc, maxV)
+    } yield st
+  }
 
   // ---- column mapping write (q360) -----------------------------------------
 

@@ -307,4 +307,48 @@ class DeltaMaintSpec extends AnyFunSuite {
         (W.rowIdHighWaterMarkAction(0L) + "\n")
           .getBytes("UTF-8"))).isEmpty)
   }
+
+  test("row-tracking checkpoint (q401): gate, mark, and id blocks " +
+    "survive checkpointing; checkpoint + tail == full log; the " +
+    "read survives vacuuming every pre-checkpoint commit; classic " +
+    "or truncated checkpoints fail closed") {
+    val W = DeltaWrite
+    val base = W.writeRowTrackingTable("rtc", ids)
+    val ck = W.checkpointRt(base, 1L).getOrElse(fail("ckpt"))
+    // the checkpoint rows round-trip through parseRt
+    val rows = graft.sources.DeltaCheckpoint.parseRt(ck._2)
+      .getOrElse(fail("parseRt"))
+    assert(rows.exists(r => r.writerFeaturesJson != null &&
+      r.writerFeaturesJson.contains("rowTracking")))
+    assert(rows.exists(r =>
+      r.domain == W.RowTrackingDomain &&
+        r.domainConfig.contains("rowIdHighWaterMark")))
+    assert(rows.count(_.addPath != null) == 3)
+    assert(rows.filter(_.addPath != null).forall(_.baseRowId >= 0))
+    // zorder lands as the JSON tail on top of the checkpoint
+    val z = W.optimizeZOrderRt(base, 2).get
+    val files = base + (z.commitName -> z.commit) ++ z.newFiles
+    val withCk = files + (ck._1 -> ck._2) +
+      ("_delta_log/_last_checkpoint" ->
+        (ck._3 + "\n").getBytes("UTF-8"))
+    val full = W.replayRowTracking(files).get
+    val fromCk = W.replayRowTrackingCkpt(withCk).get
+    assert(fromCk.rows == full.rows &&
+      fromCk.highWaterMark == full.highWaterMark)
+    // vacuum: every pre-checkpoint JSON gone, the read still exact
+    val vacuumed = withCk -
+      "_delta_log/00000000000000000000.json" -
+      "_delta_log/00000000000000000001.json"
+    val fromVac = W.replayRowTrackingCkpt(vacuumed).get
+    assert(fromVac.rows == full.rows)
+    assert(W.replayRowTracking(vacuumed).isEmpty,
+      "the JSON-from-zero replay must die post-vacuum")
+    // fail closed: truncated bytes; classic-shape checkpoint
+    assert(W.replayRowTrackingCkpt(withCk +
+      (ck._1 -> ck._2.dropRight(1))).isEmpty)
+    assert(W.replayRowTrackingCkpt(withCk + (ck._1 ->
+      W.writeCheckpoint(Seq(W.CkptAct(minReader = 1L),
+        W.CkptAct(metaId = "rtc"))))).isEmpty,
+      "a checkpoint without rt columns serves no lineage")
+  }
 }
