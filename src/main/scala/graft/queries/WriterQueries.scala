@@ -7806,5 +7806,94 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS vacuum_ok,
                CAST(1 AS BIGINT) AS fail_closed
         FROM w JOIN c USING (table_id) GROUP BY w.table_id"""),
+      headline = false),
+
+    // q402 — Iceberg BUCKET TRANSFORM partitioning: the spec's
+    // bucket[N] — murmur3_x86_32 over the 8-byte LE value, (hash &
+    // IntMax) % N — the transform that makes POINT LOOKUPS prunable
+    // on high-cardinality keys where identity/range partitioning
+    // cannot (every residue-based key aliases something at 100 TB;
+    // the hash doesn't). One snapshot, one file per bucket, the
+    // manifest carrying each file's bucket value. Laws: the buckets
+    // PARTITION the keyspace (every key in exactly the file its
+    // transform names — proven from the bytes); the bucket-pruned
+    // lookup reads ONE file and equals the exact answer for every
+    // present key and comes back empty for absent ones; a transform
+    // the pruner cannot prove (truncate[4]) is refused, never
+    // guessed. The spec's own murmur3 vectors and guava referee
+    // pin the hash in IcebergMaintSpec. Sums re-derive in DuckDB.
+    "q402_iceberg_bucket_transform" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val I = graft.sources.IcebergWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            def vf(d: Long): Long = (d * 37) % 1021
+            val files = I.writeBucketTable(s"bk-$t", ids, vf, 4)
+            val meta = "v1.metadata.json"
+            val res = for {
+              n <- I.parseBucketSpec(files, meta)
+              perBucket <- {
+                val per = (0 until 4).map { bkt =>
+                  files.get(s"data/b-$bkt.parquet")
+                    .flatMap(P.columnLongs(_, "rec_id"))
+                    .map(ks => bkt -> ks.toSet)
+                }
+                if (per.exists(_.isEmpty)) None
+                else Some(per.map(_.get).toMap)
+              }
+            } yield {
+              val partitionLaw =
+                perBucket.values.map(_.size).sum == ids.length &&
+                  ids.forall(d =>
+                    perBucket(I.bucketLong(d, 4)).contains(d)) &&
+                  perBucket.forall { case (bkt, ks) =>
+                    ks.forall(I.bucketLong(_, 4) == bkt) }
+              val lookupExact = ids.forall { d =>
+                I.bucketLookup(files, meta, d).exists {
+                  case (p, rows) =>
+                    p == s"data/b-${I.bucketLong(d, 4)}.parquet" &&
+                      rows == Seq((d, vf(d)))
+                }
+              }
+              val absentEmpty = (1L to 5L).forall { k =>
+                val probe = ids.max + k * 6 // same residue class
+                I.bucketLookup(files, meta, probe)
+                  .exists(_._2.isEmpty)
+              }
+              val alien = new String(files(meta), "UTF-8")
+                .replace("bucket[4]", "truncate[4]")
+                .getBytes("UTF-8")
+              val unknownRefused = I.bucketLookup(
+                files + (meta -> alien), meta, ids.head).isEmpty
+              (t, ids.length.toLong, ids.sum,
+                ids.map(vf).sum, n.toLong,
+                if (partitionLaw) 1L else 0L,
+                if (lookupExact) 1L else 0L,
+                if (absentEmpty) 1L else 0L,
+                if (unknownRefused) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "key_sum", "val_sum",
+            "n_buckets", "partition_law", "lookup_exact",
+            "absent_empty", "unknown_refused")
+      },
+      oracle = Some("""
+        SELECT doc_id % 6 AS table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS key_sum,
+               CAST(sum((doc_id * 37) % 1021) AS BIGINT) AS val_sum,
+               CAST(4 AS BIGINT) AS n_buckets,
+               CAST(1 AS BIGINT) AS partition_law,
+               CAST(1 AS BIGINT) AS lookup_exact,
+               CAST(1 AS BIGINT) AS absent_empty,
+               CAST(1 AS BIGINT) AS unknown_refused
+        FROM documents GROUP BY 1"""),
       headline = false))
 }

@@ -1489,6 +1489,179 @@ object IcebergWrite {
     }
   }
 
+  // ---- bucket transform partitioning (q402) -------------------------------------
+
+  /** Murmur3_x86_32 (public algorithm; the Iceberg spec's Appendix B
+    * names it for every bucket transform) over a byte array, seed 0.
+    * The spec's own test vectors pin it: hashLong(34) = 2017239379,
+    * hashBytes("iceberg") = 1210000089.
+    */
+  def murmur3(b: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0
+    var i = 0
+    val n4 = (b.length / 4) * 4
+    while (i < n4) {
+      var k = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8 |
+        (b(i + 2) & 0xff) << 16 | (b(i + 3) & 0xff) << 24
+      k *= c1
+      k = Integer.rotateLeft(k, 15)
+      k *= c2
+      h ^= k
+      h = Integer.rotateLeft(h, 13)
+      h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    var j = b.length - 1
+    while (j >= n4) {
+      k = (k << 8) | (b(j) & 0xff)
+      j -= 1
+    }
+    if (k != 0 || b.length != n4) {
+      k *= c1
+      k = Integer.rotateLeft(k, 15)
+      k *= c2
+      h ^= k
+    }
+    h ^= b.length
+    h ^= h >>> 16
+    h *= 0x85ebca6b
+    h ^= h >>> 13
+    h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
+  /** The spec's bucket[N] transform for a long: murmur3 over the
+    * 8-byte LITTLE-ENDIAN value, then (hash & Int.MaxValue) % N —
+    * int values hash as longs, so bucket(34: int) == bucket(34L).
+    */
+  def bucketLong(v: Long, n: Int): Int = {
+    require(n >= 1)
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    (murmur3(b) & Int.MaxValue) % n
+  }
+
+  /** The q402 table: ONE snapshot whose spec is bucket[nBuckets] on
+    * rec_id — every key routes to bucket(key), one file per bucket
+    // (written even when empty — the layout is deterministic), the
+    * manifest entries carrying the bucket value in their partition
+    * record (the EntrySchemaEvo1 shape, field `p2` standing for the
+    * bucket ordinal).
+    */
+  def writeBucketTable(id: String, ids: Seq[Long], vf: Long => Long,
+                       nBuckets: Int): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    val out = Map.newBuilder[String, Array[Byte]]
+    val entries = (0 until nBuckets).map { bkt =>
+      val p = ids.filter(bucketLong(_, nBuckets) == bkt).sorted
+      val bytes = ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        p.map(d => Array(d, vf(d))))
+      out += (s"data/b-$bkt.parquet" -> bytes)
+      entryEvo(s"data/b-$bkt.parquet", p.length.toLong,
+        bytes.length.toLong, Some(bkt))
+    }
+    val m = container(EntrySchemaEvo1, entries, sync)
+    out += ("m-bucket.avro" -> m)
+    val list = container(ListSchemaEvo, Seq(
+      manifestFileRowEvo("m-bucket.avro", m.length.toLong, 0)), sync)
+    out += ("snap-1.avro" -> list)
+    val meta = (s"""{"format-version": 2, "table-uuid": "$id", """ +
+      s""""default-spec-id": 0, "partition-specs": [{"spec-id": 0, """ +
+      s""""fields": [{"field-id": 1000, "name": "rec_id_bucket", """ +
+      s""""source-id": 1, "transform": "bucket[$nBuckets]"}]}], """ +
+      """"current-snapshot-id": 1, "snapshots": [{"snapshot-id": 1, """ +
+      """"sequence-number": 1, "timestamp-ms": 1700000000000, """ +
+      """"manifest-list": "snap-1.avro"}]}""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out += ("v1.metadata.json" -> meta)
+    out.result()
+  }
+
+  /** Parse the bucket width from the current default spec's
+    * `bucket[N]` transform on source field 1. None when the spec is
+    * not a single bucket transform — a pruner must never GUESS the
+    * transform.
+    */
+  def parseBucketSpec(files: Map[String, Array[Byte]],
+                      metaName: String): Option[Int] = {
+    import Json.{JArray, JLong, JObject, JString}
+    for {
+      mo <- parseMetaObj(files, metaName)
+      specId <- mo.get("default-spec-id").collect {
+        case JLong(x) => x }
+      specs <- mo.get("partition-specs").collect {
+        case JArray(xs) => xs }
+      spec <- specs.collectFirst {
+        case o: JObject if o.get("spec-id")
+          .contains(JLong(specId)) => o
+      }
+      fields <- spec.get("fields").collect { case JArray(xs) => xs }
+      if fields.length == 1
+      f <- fields.headOption.collect { case o: JObject => o }
+      if f.get("source-id").contains(JLong(1L))
+      tr <- f.get("transform").collect { case JString(x) => x }
+      n <- {
+        val m = "^bucket\\[(\\d+)\\]$".r
+        tr match { case m(x) => x.toIntOption; case _ => None }
+      }
+    } yield n
+  }
+
+  /** BUCKET-PRUNED point lookup: the transform routes the key to ONE
+    * bucket, the manifest's partition values name each file's
+    * bucket, and only the matching file is read. Returns (the pruned
+    * file, that key's rows) — with the buckets-partition law this IS
+    * the exact answer. None on a spec the pruner cannot prove or any
+    * malformed byte.
+    */
+  def bucketLookup(files: Map[String, Array[Byte]], metaName: String,
+                   key: Long): Option[(String, Seq[(Long, Long)])] =
+    for {
+      n <- parseBucketSpec(files, metaName)
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      sid <- mo.get("current-snapshot-id").collect {
+        case Json.JLong(x) => x }
+      snap <- snaps.find(_.sid == sid)
+      listBytes <- files.get(snap.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mps = list.records.flatMap(
+        _.field("manifest_path").flatMap(_.asString))
+      target = bucketLong(key, n)
+      hit <- {
+        val per = mps.map { mp =>
+          files.get(mp).flatMap(AvroGeneric.parseContainer)
+            .flatMap { m =>
+              val es = m.records.map { e =>
+                for {
+                  df <- e.field("data_file")
+                  p <- df.field("file_path").flatMap(_.asString)
+                  part <- df.field("partition")
+                  bkt <- part.field("p2").flatMap(_.asLong)
+                } yield (p, bkt.toInt)
+              }
+              if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
+            }
+        }
+        if (per.exists(_.isEmpty)) None
+        else {
+          val hits = per.flatMap(_.get).filter(_._2 == target)
+          if (hits.length == 1) Some(hits.head._1) else None
+        }
+      }
+      fb <- files.get(hit)
+      rs <- Parquet.columnLongs(fb, "rec_id")
+      vs <- Parquet.columnLongs(fb, "val")
+      if rs.length == vs.length
+    } yield (hit, rs.indices.collect {
+      case i if rs(i) == key => (rs(i), vs(i)) })
+
   // ---- v3 default values (q399) ------------------------------------------------
 
   /** One schema field as the v3 spec carries it: id, name,

@@ -500,4 +500,48 @@ class IcebergMaintSpec extends AnyFunSuite {
       files + ("v1.metadata.json" -> stripped),
       "v1.metadata.json", 3L).isEmpty)
   }
+
+  test("bucket transform (q402): the spec's own murmur3 vectors, " +
+    "guava as an independent referee, int-as-long hashing, and the " +
+    "bucket-pruned lookup equal to the exact answer") {
+    val W = IcebergWrite
+    // Iceberg spec Appendix B test vectors
+    assert(W.murmur3("iceberg".getBytes("UTF-8")) == 1210000089)
+    def le8(v: Long): Array[Byte] =
+      Array.tabulate[Byte](8)(k => ((v >>> (8 * k)) & 0xff).toByte)
+    assert(W.murmur3(le8(34L)) == 2017239379,
+      "hashLong(34) must match the spec's vector")
+    assert(W.murmur3(Array[Byte](0, 1, 2, 3)) == -188683207,
+      "hashBytes(00010203) must match the spec's vector")
+    // guava referee (Iceberg's impl agrees with murmur3_32 on the
+    // same byte streams)
+    val g = com.google.common.hash.Hashing.murmur3_32_fixed()
+    for (v <- Seq(0L, 34L, -1L, 7919L, Long.MaxValue, Long.MinValue))
+      assert(W.murmur3(le8(v)) == g.hashBytes(le8(v)).asInt(), s"$v")
+    for (s <- Seq("iceberg", "", "graft", "ü"))
+      assert(W.murmur3(s.getBytes("UTF-8")) ==
+        g.hashBytes(s.getBytes("UTF-8")).asInt(), s)
+    // bucket routing + the pruned lookup
+    def vf(d: Long): Long = (d * 37) % 1021
+    val files = W.writeBucketTable("bk", ids, vf, 4)
+    assert(W.parseBucketSpec(files, "v1.metadata.json")
+      .contains(4))
+    ids.foreach { d =>
+      val (p, rows) = W.bucketLookup(files, "v1.metadata.json", d)
+        .getOrElse(fail(s"lookup $d"))
+      assert(p == s"data/b-${W.bucketLong(d, 4)}.parquet")
+      assert(rows == Seq((d, vf(d))))
+    }
+    // absent keys: the pruned file simply has no matching row
+    (1000L to 1010L).foreach { d =>
+      assert(W.bucketLookup(files, "v1.metadata.json", d)
+        .exists(_._2.isEmpty))
+    }
+    // a spec the pruner cannot prove is refused, never guessed
+    val alien = new String(files("v1.metadata.json"), "UTF-8")
+      .replace("bucket[4]", "truncate[4]").getBytes("UTF-8")
+    assert(W.bucketLookup(
+      files + ("v1.metadata.json" -> alien),
+      "v1.metadata.json", ids.head).isEmpty)
+  }
 }
