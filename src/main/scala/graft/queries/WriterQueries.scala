@@ -7895,5 +7895,128 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS absent_empty,
                CAST(1 AS BIGINT) AS unknown_refused
         FROM documents GROUP BY 1"""),
+      headline = false),
+
+    // q403 — STREAMING materialized view keyed by ROW LINEAGE: the
+    // q378 CDC-fed view folds by CONTENT key; this is what q392's
+    // row ids buy a stream — the per-snapshot row-id DIFF is the
+    // changelog (no content hashing, no key column needed at all),
+    // and the view folds by row_id through the SAME stateful
+    // operator (compose, don't fork). Five snapshot boundaries land
+    // as separate micro-batches: two appends insert their inherited
+    // id blocks, the REPLACE contributes ZERO changes (ids survived
+    // compaction — the stream sees nothing, which IS the law), the
+    // fourth inserts the fresh block, the DV boundary deletes by
+    // row_id. Live checkpoints, drain ×2, replay ≡ no-op. Final
+    // view ≡ lineageScan(s5) row-for-row; sums re-derive in DuckDB
+    // with window-function row ids.
+    "q403_stream_lineage_mv" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+        val changes = docs.groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val I = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def vf(d: Long): Long = (d * 29) % 997
+            val files = I.writeLineageTable(s"lmv-$t", ids, vf)
+            val scans = (1L to 5L).map(sid => sid ->
+              I.lineageScan(files, "v1.metadata.json", sid)
+                .getOrElse(Seq.empty)).toMap
+            (2L to 5L).flatMap { sid =>
+              val prev = scans(sid - 1).map(r => r._1 -> r).toMap
+              val cur = scans(sid).map(r => r._1 -> r).toMap
+              val ins = (cur.keySet -- prev.keySet).toSeq.sorted
+                .map { rid =>
+                  (t, sid, "INSERT", rid, cur(rid)._3) }
+              val del = (prev.keySet -- cur.keySet).toSeq.sorted
+                .map { rid => (t, sid, "DELETE", rid, 0L) }
+              ins ++ del
+            } ++ scans(1L).map(r =>
+              (t, 1L, "INSERT", r._1, r._3))
+          }
+          .toDF("table_id", "to_sid", "change_type", "rec_id",
+            "val") // rec_id slot carries the ROW ID
+        val dv = new StreamDeliveries("graft_q403_lmv")
+        (1L to 5L).foreach { sid =>
+          dv.land(changes.filter(col("to_sid") === sid), s"s$sid",
+            1100000000000L + sid * 60000L)
+        }
+        val out = s"${dv.root}/out"; val chk = s"${dv.root}/chk"
+        def drain(): Unit = {
+          val stream = s.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dv.dropDir)
+          val q = graft.streaming.StreamOps
+            .changelogApplyStream(stream)
+            .toDF()
+            .writeStream.outputMode("update")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], batchId: Long) =>
+                batch.write.mode("overwrite")
+                  .parquet(s"$out/batch=$batchId")
+            }
+            .option("checkpointLocation", chk)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // replay from the same checkpoint: emits nothing
+        val snaps = s.read.parquet(out)
+        val latest = snaps.groupBy(col("table_id"), col("rec_id"))
+          .agg(max(col("n_changes")).as("n_changes"))
+        val view = snaps.join(latest,
+          Seq("table_id", "rec_id", "n_changes"))
+        view.groupBy(col("table_id"))
+          .agg(
+            sum(when(col("alive"), 1L).otherwise(0L)).cast("long")
+              .as("n_alive"),
+            sum(when(col("alive"), col("rec_id")).otherwise(0L))
+              .cast("long").as("alive_rid_sum"),
+            sum(when(col("alive"), col("value")).otherwise(0L))
+              .cast("long").as("alive_val_sum"),
+            count(lit(1)).cast("long").as("n_keys_touched"),
+            sum(col("n_changes")).cast("long").as("n_changes_total"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 CASE WHEN (doc_id // 6) % 4 >= 2 THEN 2
+                      ELSE (doc_id // 6) % 4 END AS g,
+                 (doc_id * 29) % 997 AS v
+          FROM documents),
+        c AS (
+          SELECT table_id,
+                 sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb
+          FROM r GROUP BY table_id),
+        w AS (
+          SELECT r.table_id, r.d, r.v, r.g,
+                 CASE WHEN r.g = 0 THEN
+                        row_number() OVER (PARTITION BY r.table_id,
+                          r.g ORDER BY r.d) - 1
+                      WHEN r.g = 1 THEN c.na +
+                        row_number() OVER (PARTITION BY r.table_id,
+                          r.g ORDER BY r.d) - 1
+                      ELSE 2 * (c.na + c.nb) +
+                        row_number() OVER (PARTITION BY r.table_id,
+                          r.g ORDER BY r.d) - 1
+                 END AS rid
+          FROM r JOIN c USING (table_id))
+        SELECT table_id,
+               CAST(sum(CASE WHEN g = 2 OR d % 5 <> 0 THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_alive,
+               CAST(sum(CASE WHEN g = 2 OR d % 5 <> 0 THEN rid
+                 ELSE 0 END) AS BIGINT) AS alive_rid_sum,
+               CAST(sum(CASE WHEN g = 2 OR d % 5 <> 0 THEN v
+                 ELSE 0 END) AS BIGINT) AS alive_val_sum,
+               CAST(count(*) AS BIGINT) AS n_keys_touched,
+               CAST(count(*) + sum(CASE WHEN g <= 1 AND d % 5 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes_total
+        FROM w GROUP BY table_id"""),
       headline = false))
 }
