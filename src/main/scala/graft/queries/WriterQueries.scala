@@ -8018,5 +8018,105 @@ object WriterQueries {
                CAST(count(*) + sum(CASE WHEN g <= 1 AND d % 5 = 0
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_changes_total
         FROM w GROUP BY table_id"""),
+      headline = false),
+
+    // q404 — the MDT × CLUSTERING composition: q398's replacecommit
+    // must flow INTO q368's metadata table or planning goes stale
+    // the moment a table is clustered. The replacecommit lands in
+    // the files partition as its write stats' ADDS plus TOMBSTONES
+    // for every tracked file of the replaced groups (bases and logs
+    // alike), and in the record index as location UPSERTS — every
+    // surviving key MOVES to its clustered group. Laws: post-cluster
+    // MDT plan ≡ listing plan ≡ exactly the clustered groups, with
+    // the replaced files dark in both; the RLI answers the
+    // full-scan tag with the NEW locations (every live key points at
+    // a cl group); the rebuilt logs are byte-PREFIXED by the
+    // pre-cluster logs (append ≡ rebuild through the replace); CLEAN
+    // reclaims the replaced bytes and the plans stay equal. Merged
+    // sums re-derive in DuckDB per the q318 rules.
+    "q404_hudi_mdt_clustering_sync" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val M = graft.sources.HudiMdt
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeMorTable(ids)
+            val t5 = "00000000000005"; val t6 = "00000000000006"
+            val res = for {
+              mdt <- M.sync(files)
+              rli <- M.syncRecordIndex(files)
+              cf <- W.cluster(files, t5, 2)
+              clustered = files ++ cf.newFiles +
+                (cf.timelineName -> cf.timeline)
+              mdt2 <- M.sync(clustered)
+              rli2 <- M.syncRecordIndex(clustered)
+              planM <- M.planFromMdt(clustered ++ mdt2)
+              idx <- M.recordIndexListing(clustered ++ rli2)
+              scan <- W.replay(clustered)
+              cr <- W.clean(clustered, t6)
+              cleaned = (clustered -- cr.deleted) +
+                (cr.timelineName -> cr.timeline)
+              mdt3 <- M.appendClean(mdt2, t6, cr.deleted)
+              planM3 <- M.planFromMdt(cleaned ++ mdt2 ++ mdt3)
+            } yield {
+              val clNames = Seq(s"p/cl0_0-0-0_$t5.parquet",
+                s"p/cl1_0-0-0_$t5.parquet")
+              val planMatch = planM ==
+                M.planFromListing(clustered) && planM == clNames
+              val replacedDark = planM.forall(!_.contains("fg"))
+              val fullScan = scan.flatMap(f =>
+                f.rows.map(r => r._1 -> ("p", f.fileId))).toMap
+              val rliMatch = idx == fullScan &&
+                idx.values.forall(_._2.startsWith("cl"))
+              def prefix(a: Array[Byte], b: Array[Byte]) =
+                b.length > a.length &&
+                  java.util.Arrays.equals(b.take(a.length), a)
+              val prefixOk =
+                prefix(mdt(M.LogPath), mdt2(M.LogPath)) &&
+                  prefix(rli(M.RecordIndexLogPath),
+                    rli2(M.RecordIndexLogPath))
+              val cleanOk = planM3 == planM &&
+                planM3 == M.planFromListing(cleaned)
+              val rows = scan.flatMap(_.rows).sortBy(_._1)
+              (t, rows.length.toLong, rows.map(_._1).sum,
+                rows.map(_._2).sum,
+                if (planMatch) 1L else 0L,
+                if (replacedDark) 1L else 0L,
+                if (rliMatch) 1L else 0L,
+                if (prefixOk) 1L else 0L,
+                if (cleanOk) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "id_sum", "val_sum",
+            "plan_match", "replaced_dark", "rli_moved",
+            "append_prefix_ok", "clean_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg,
+                 (doc_id * 13) % 991 AS v
+          FROM documents),
+        live AS (
+          SELECT table_id, d,
+                 CASE WHEN fg = 0 AND d % 3 = 0 THEN v + 7 ELSE v END
+                   AS val
+          FROM r WHERE fg = 1 OR d % 5 <> 0)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(val) AS BIGINT) AS val_sum,
+               CAST(1 AS BIGINT) AS plan_match,
+               CAST(1 AS BIGINT) AS replaced_dark,
+               CAST(1 AS BIGINT) AS rli_moved,
+               CAST(1 AS BIGINT) AS append_prefix_ok,
+               CAST(1 AS BIGINT) AS clean_ok
+        FROM live GROUP BY table_id"""),
       headline = false))
 }

@@ -47,8 +47,32 @@ object HudiMdt {
   private val MdtTimelineRe =
     "^\\.hoodie/metadata/\\.hoodie/(\\d+)\\.deltacommit$".r
   private val DataTimelineRe =
-    "^\\.hoodie/(\\d+)\\.(commit|deltacommit|clean)$".r
+    "^\\.hoodie/(\\d+)\\.(commit|deltacommit|replacecommit|clean)$".r
   private val BaseNameRe = "^([^_/.]+)_[^_/]+_(\\d+)\\.parquet$".r
+
+  /** File ids replaced by one replacecommit body (clustering):
+    * None when the body does not name them.
+    */
+  private def replacedFids(body: Array[Byte]): Option[Seq[String]] = {
+    import Json.{JArray, JObject, JString}
+    Json.parse(new String(body,
+      java.nio.charset.StandardCharsets.UTF_8)) match {
+      case Some(o: JObject) =>
+        o.get("partitionToReplaceFileIds") match {
+          case Some(parts: JObject) =>
+            val per = parts.fields.map {
+              case (_, JArray(xs)) =>
+                val fids = xs.collect { case JString(f) => f }
+                if (fids.length == xs.length) Some(fids) else None
+              case _ => None
+            }
+            if (per.exists(_.isEmpty)) None
+            else Some(per.flatMap(_.get))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   /** Encode one files record for `partition`. */
   def filesRecord(partition: String,
@@ -124,7 +148,35 @@ object HudiMdt {
               }
             }
             if (rows.exists(r => r.isEmpty || r.get == null)) None
-            else Some(rows.map(_.get))
+            else if (action != "replacecommit")
+              Some(rows.map(_.get))
+            else {
+              // clustering: the replaced groups' EVERY tracked file
+              // (bases and logs alike) goes dark — tombstone them
+              replacedFids(
+                files(s".hoodie/$instant.$action")).map { fids =>
+                val tombs = files.keys.toSeq.sorted.flatMap { p =>
+                  val slash = p.indexOf('/')
+                  if (slash <= 0 || p.startsWith(".hoodie/")) None
+                  else {
+                    val name = p.drop(slash + 1)
+                    val fid = name match {
+                      case BaseNameRe(f, _) => f
+                      case _ =>
+                        val core = name.stripPrefix(".")
+                        val us = core.indexOf('_')
+                        if (name.startsWith(".") && us > 0)
+                          core.take(us)
+                        else null
+                    }
+                    if (fid != null && fids.contains(fid))
+                      Some((p.take(slash), name, 0L, true))
+                    else None
+                  }
+                }
+                rows.map(_.get) ++ tombs
+              }
+            }
         }.flatten
       case _ => None
     }
@@ -806,11 +858,17 @@ object HudiMdt {
   def planFromListing(files: Map[String, Array[Byte]]): Seq[String] = {
     val completed = files.keys.collect {
       case DataTimelineRe(i, a) if a != "clean" => i }.toSet
+    val replaced = files.keys.toSeq.flatMap { k =>
+      if (k.startsWith(".hoodie/") && k.endsWith(".replacecommit"))
+        replacedFids(files(k)).getOrElse(Nil)
+      else Nil
+    }.toSet
     files.keys.toSeq.filterNot(_.startsWith(".hoodie/")).flatMap { p =>
       val slash = p.indexOf('/')
       if (slash <= 0) None
       else p.drop(slash + 1) match {
-        case name @ BaseNameRe(fid, inst) if completed(inst) =>
+        case name @ BaseNameRe(fid, inst)
+          if completed(inst) && !replaced(fid) =>
           Some((p.take(slash), fid, inst, s"${p.take(slash)}/$name"))
         case _ => None
       }

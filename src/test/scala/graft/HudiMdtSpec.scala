@@ -320,6 +320,44 @@ class HudiMdtSpec extends AnyFunSuite {
       mdt2(HudiMdt.BloomLogPath)))
   }
 
+  test("clustering sync (q404): the replacecommit lands in the MDT " +
+    "as adds + tombstones for every replaced-group file; plans stay " +
+    "equal and dark; the RLI moves every key to its clustered group") {
+    val files = HudiWrite.writeMorTable(ids)
+    val mdt = HudiMdt.sync(files).get
+    val rli = HudiMdt.syncRecordIndex(files).get
+    val cf = HudiWrite.cluster(files, "00000000000005", 2).get
+    val clustered = files ++ cf.newFiles +
+      (cf.timelineName -> cf.timeline)
+    val mdt2 = HudiMdt.sync(clustered).get
+    val rli2 = HudiMdt.syncRecordIndex(clustered).get
+    val plan = HudiMdt.planFromMdt(clustered ++ mdt2).get
+    assert(plan == Seq("p/cl0_0-0-0_00000000000005.parquet",
+      "p/cl1_0-0-0_00000000000005.parquet"))
+    assert(plan == HudiMdt.planFromListing(clustered))
+    // the files partition listing no longer carries fg files
+    val listing = HudiMdt.listing(clustered ++ mdt2).get
+    assert(listing("p").forall(!_._1.contains("fg")))
+    // the RLI moved every live key to its clustered group
+    val idx = HudiMdt.recordIndexListing(clustered ++ rli2).get
+    val scan = HudiWrite.replay(clustered).get
+    assert(idx == scan.flatMap(f =>
+      f.rows.map(r => r._1 -> ("p", f.fileId))).toMap)
+    assert(idx.values.forall(_._2.startsWith("cl")))
+    // rebuilds are byte-prefixed by the pre-cluster logs
+    def prefix(a: Array[Byte], b: Array[Byte]) =
+      b.length > a.length &&
+        java.util.Arrays.equals(b.take(a.length), a)
+    assert(prefix(mdt(HudiMdt.LogPath), mdt2(HudiMdt.LogPath)))
+    assert(prefix(rli(HudiMdt.RecordIndexLogPath),
+      rli2(HudiMdt.RecordIndexLogPath)))
+    // a nameless replacecommit fails the sync closed
+    val anon = clustered + (cf.timelineName ->
+      """{"operation": "CLUSTER", "partitionToWriteStats": {"p": []}}"""
+        .getBytes("UTF-8"))
+    assert(HudiMdt.sync(anon).isEmpty)
+  }
+
   test("record-index totality: a commit naming a base file with no " +
     "bytes, or an undecodable log, fails sync CLOSED") {
     val files = HudiWrite.writeMorTable(ids)
