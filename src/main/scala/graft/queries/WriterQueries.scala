@@ -8118,5 +8118,91 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS append_prefix_ok,
                CAST(1 AS BIGINT) AS clean_ok
         FROM live GROUP BY table_id"""),
+      headline = false),
+
+    // q405 — Iceberg TRUNCATE TRANSFORM: bucket[N] (q402) serves
+    // point lookups; truncate[W] is its RANGE twin — v - (v mod W)
+    // with floored mod, ORDER-PRESERVING, so a range predicate keeps
+    // exactly the buckets its truncated endpoints span and the prune
+    // is sound by construction. One file per occupied bucket. Laws:
+    // the pruned range scan equals the brute filter row-for-row
+    // (kept-file count AND kept rows both re-derived in DuckDB from
+    // the truncation arithmetic); a point range (lo = hi) touches
+    // at most one file; pruned files provably hold no in-range row;
+    // a transform the pruner cannot prove is refused. Floored-mod
+    // vectors pinned in IcebergMaintSpec.
+    "q405_iceberg_truncate_transform" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val I = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def vf(d: Long): Long = (d * 41) % 1031
+            val W = 96
+            val files = I.writeTruncTable(s"tr-$t", ids, vf, W)
+            val meta = "v1.metadata.json"
+            val lo = ids.min; val hi = ids.min + 191L
+            val res = for {
+              w <- I.parseTruncSpec(files, meta)
+              if w == W
+              (keptParts, rows) <- I.truncRangeScan(files, meta,
+                lo, hi)
+              (onePart, pointRows) <- I.truncRangeScan(files, meta,
+                ids.min, ids.min)
+            } yield {
+              val brute = ids.filter(d => d >= lo && d <= hi)
+                .map(d => (d, vf(d)))
+              val rangeExact = rows == brute
+              val pointOk = onePart <= 1 &&
+                pointRows == Seq((ids.min, vf(ids.min)))
+              val alien = new String(files(meta), "UTF-8")
+                .replace(s"truncate[$W]", s"bucket[$W]")
+                .getBytes("UTF-8")
+              val unknownRefused = I.truncRangeScan(
+                files + (meta -> alien), meta, lo, hi).isEmpty
+              val nParts =
+                ids.map(I.truncateLong(_, W)).distinct.length
+              (t, ids.length.toLong, nParts.toLong,
+                keptParts.toLong, rows.length.toLong,
+                rows.map(_._2).sum,
+                if (rangeExact) 1L else 0L,
+                if (pointOk) 1L else 0L,
+                if (unknownRefused) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "n_parts", "kept_parts",
+            "range_rows", "range_val_sum", "range_exact",
+            "point_ok", "unknown_refused")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id * 41) % 1031 AS v
+          FROM documents),
+        m AS (SELECT table_id, min(d) AS lo FROM r
+              GROUP BY table_id),
+        j AS (SELECT r.table_id, r.d, r.v, m.lo, m.lo + 191 AS hi
+              FROM r JOIN m USING (table_id))
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT d - d % 96) AS BIGINT)
+                 AS n_parts,
+               CAST(count(DISTINCT CASE WHEN (d - d % 96)
+                 BETWEEN (lo - lo % 96)
+                 AND ((lo + 191) - (lo + 191) % 96)
+                 THEN d - d % 96 END) AS BIGINT) AS kept_parts,
+               CAST(sum(CASE WHEN d BETWEEN lo AND hi THEN 1
+                 ELSE 0 END) AS BIGINT) AS range_rows,
+               CAST(sum(CASE WHEN d BETWEEN lo AND hi THEN v
+                 ELSE 0 END) AS BIGINT) AS range_val_sum,
+               CAST(1 AS BIGINT) AS range_exact,
+               CAST(1 AS BIGINT) AS point_ok,
+               CAST(1 AS BIGINT) AS unknown_refused
+        FROM j GROUP BY table_id"""),
       headline = false))
 }

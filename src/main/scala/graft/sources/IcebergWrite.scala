@@ -1662,6 +1662,136 @@ object IcebergWrite {
     } yield (hit, rs.indices.collect {
       case i if rs(i) == key => (rs(i), vs(i)) })
 
+  // ---- truncate transform partitioning (q405) -----------------------------------
+
+  /** The spec's truncate[W] transform for a long: v - (v mod W) with
+    * FLOORED mod (truncate[10](-1) = -10, the spec's own vector) —
+    * order-preserving, so RANGE predicates prune (bucket[N] serves
+    * point lookups; truncate serves ranges — the transform pair).
+    */
+  def truncateLong(v: Long, w: Int): Long = {
+    require(w >= 1)
+    v - (((v % w) + w) % w)
+  }
+
+  /** The q405 table: ONE snapshot partitioned by truncate[w] on
+    * rec_id — one file per OCCUPIED truncation bucket, the manifest
+    * carrying each file's bucket value (the EntrySchemaEvo1 shape).
+    */
+  def writeTruncTable(id: String, ids: Seq[Long], vf: Long => Long,
+                      w: Int): Map[String, Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    val out = Map.newBuilder[String, Array[Byte]]
+    val buckets = ids.groupBy(truncateLong(_, w)).toSeq.sortBy(_._1)
+    val entries = buckets.map { case (b, p0) =>
+      val p = p0.sorted
+      val bytes = ParquetWrite.writeInt64(Seq("rec_id", "val"),
+        p.map(d => Array(d, vf(d))))
+      out += (s"data/t-$b.parquet" -> bytes)
+      entryEvo(s"data/t-$b.parquet", p.length.toLong,
+        bytes.length.toLong, Some(b.toInt))
+    }
+    val m = container(EntrySchemaEvo1, entries, sync)
+    out += ("m-trunc.avro" -> m)
+    val list = container(ListSchemaEvo, Seq(
+      manifestFileRowEvo("m-trunc.avro", m.length.toLong, 0)), sync)
+    out += ("snap-1.avro" -> list)
+    val meta = (s"""{"format-version": 2, "table-uuid": "$id", """ +
+      s""""default-spec-id": 0, "partition-specs": [{"spec-id": 0, """ +
+      s""""fields": [{"field-id": 1000, "name": "rec_id_trunc", """ +
+      s""""source-id": 1, "transform": "truncate[$w]"}]}], """ +
+      """"current-snapshot-id": 1, "snapshots": [{"snapshot-id": 1, """ +
+      """"sequence-number": 1, "timestamp-ms": 1700000000000, """ +
+      """"manifest-list": "snap-1.avro"}]}""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out += ("v1.metadata.json" -> meta)
+    out.result()
+  }
+
+  /** Parse the width from the default spec's `truncate[W]` transform
+    * on source field 1; None otherwise (never guess a transform).
+    */
+  def parseTruncSpec(files: Map[String, Array[Byte]],
+                     metaName: String): Option[Int] = {
+    import Json.{JArray, JLong, JObject, JString}
+    for {
+      mo <- parseMetaObj(files, metaName)
+      specId <- mo.get("default-spec-id").collect {
+        case JLong(x) => x }
+      specs <- mo.get("partition-specs").collect {
+        case JArray(xs) => xs }
+      spec <- specs.collectFirst {
+        case o: JObject if o.get("spec-id")
+          .contains(JLong(specId)) => o
+      }
+      fields <- spec.get("fields").collect { case JArray(xs) => xs }
+      if fields.length == 1
+      f <- fields.headOption.collect { case o: JObject => o }
+      if f.get("source-id").contains(JLong(1L))
+      tr <- f.get("transform").collect { case JString(x) => x }
+      n <- {
+        val m = "^truncate\\[(\\d+)\\]$".r
+        tr match { case m(x) => x.toIntOption; case _ => None }
+      }
+    } yield n
+  }
+
+  /** TRUNCATE-PRUNED range scan: keep only files whose bucket lies
+    * in [truncate(lo), truncate(hi)] (order preservation makes the
+    * prune sound by construction), read them, filter to [lo, hi].
+    * Returns (files kept, in-range rows sorted). None on a spec the
+    * pruner cannot prove or any malformed byte.
+    */
+  def truncRangeScan(files: Map[String, Array[Byte]],
+                     metaName: String, lo: Long, hi: Long)
+      : Option[(Int, Seq[(Long, Long)])] =
+    for {
+      w <- parseTruncSpec(files, metaName)
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      sid <- mo.get("current-snapshot-id").collect {
+        case Json.JLong(x) => x }
+      snap <- snaps.find(_.sid == sid)
+      listBytes <- files.get(snap.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mps = list.records.flatMap(
+        _.field("manifest_path").flatMap(_.asString))
+      entries <- {
+        val per = mps.map { mp =>
+          files.get(mp).flatMap(AvroGeneric.parseContainer)
+            .flatMap { m =>
+              val es = m.records.map { e =>
+                for {
+                  df <- e.field("data_file")
+                  p <- df.field("file_path").flatMap(_.asString)
+                  part <- df.field("partition")
+                  b <- part.field("p2").flatMap(_.asLong)
+                } yield (p, b)
+              }
+              if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
+            }
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
+      }
+      kept = entries.filter { case (_, b) =>
+        b >= truncateLong(lo, w) && b <= truncateLong(hi, w) }
+      rows <- {
+        val per = kept.map { case (p, _) =>
+          for {
+            fb <- files.get(p)
+            rs <- Parquet.columnLongs(fb, "rec_id")
+            vs <- Parquet.columnLongs(fb, "val")
+            if rs.length == vs.length
+          } yield rs.indices.collect {
+            case i if rs(i) >= lo && rs(i) <= hi => (rs(i), vs(i))
+          }
+        }
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatMap(_.get).sortBy(_._1))
+      }
+    } yield (kept.length, rows)
+
   // ---- v3 default values (q399) ------------------------------------------------
 
   /** One schema field as the v3 spec carries it: id, name,

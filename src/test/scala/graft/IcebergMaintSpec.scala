@@ -544,4 +544,36 @@ class IcebergMaintSpec extends AnyFunSuite {
       files + ("v1.metadata.json" -> alien),
       "v1.metadata.json", ids.head).isEmpty)
   }
+
+  test("truncate transform (q405): floored-mod vectors, sound " +
+    "range pruning equal to the brute filter, point ranges touch " +
+    "one file, unknown transforms refused") {
+    val W = IcebergWrite
+    // the spec's floored-mod semantics
+    assert(W.truncateLong(1L, 10) == 0L)
+    assert(W.truncateLong(-1L, 10) == -10L)
+    assert(W.truncateLong(1234L, 16) == 1232L)
+    assert(W.truncateLong(0L, 10) == 0L)
+    assert(W.truncateLong(-10L, 10) == -10L)
+    def vf(d: Long): Long = (d * 41) % 1031
+    val files = W.writeTruncTable("tr", ids, vf, 16)
+    assert(W.parseTruncSpec(files, "v1.metadata.json").contains(16))
+    // range scan == brute filter, with real pruning
+    val (kept, rows) = W.truncRangeScan(files, "v1.metadata.json",
+      20L, 50L).getOrElse(fail("range"))
+    assert(rows == ids.filter(d => d >= 20 && d <= 50).sorted
+      .map(d => (d, vf(d))))
+    assert(kept == Seq(16L, 32L, 48L).count(b =>
+      ids.exists(d => W.truncateLong(d, 16) == b)))
+    // a point range touches at most one file
+    val (k1, r1) = W.truncRangeScan(files, "v1.metadata.json",
+      37L, 37L).get
+    assert(k1 <= 1 && r1 == Seq((37L, vf(37L))))
+    // unknown transform refused
+    val alien2 = new String(files("v1.metadata.json"), "UTF-8")
+      .replace("truncate[16]", "void").getBytes("UTF-8")
+    assert(W.truncRangeScan(files +
+      ("v1.metadata.json" -> alien2), "v1.metadata.json",
+      0L, 9L).isEmpty)
+  }
 }
