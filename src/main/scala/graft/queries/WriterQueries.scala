@@ -8204,5 +8204,97 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS point_ok,
                CAST(1 AS BIGINT) AS unknown_refused
         FROM j GROUP BY table_id"""),
+      headline = false),
+
+    // q406 — SEEKABLE × DICTIONARY: the shard-serving posture a
+    // small-document corpus wants BOTH halves of at once — random
+    // access (q347's seekable table: seek straight to document k)
+    // and the trained-dictionary win (q395: the shared template
+    // lives once, in the dictionary). Every frame NAMES the blob's
+    // dictionary, so the seek TABLE still parses dictionary-free
+    // (placement metadata is not secret) while frame CONTENT is
+    // unreachable without it. Laws: every held-out doc random-
+    // accesses byte-exact under the named dictionary; every frame
+    // refuses without it, under a wrong id, and through the
+    // dictionary-less reader; the dictionary still beats dict-less
+    // seekable framing (the win survives the format composition);
+    // a truncated table fails closed. Raw sizes re-derive in
+    // DuckDB.
+    "q406_zstd_seekable_dict" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+            col("text"), col("lang"), col("source"))
+          .as[(Long, Long, String, String, String)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val E = graft.sources.ZstdEncode
+            val Z = graft.sources.Zstd
+            val K = graft.sources.ZstdSeekable
+            val rows = it.toSeq.sortBy(_._2)
+            def envelope(text: String, lang: String,
+                         source: String): Array[Byte] =
+              (s"{'src': '$source', 'lang': '$lang', " +
+                s"'text': '$text'}").getBytes("UTF-8")
+            val (trainRows, evalRows) =
+              rows.partition(r => (r._2 / 6) % 3 == 0)
+            val content = E.trainDict(
+              trainRows.map(r => envelope(r._3, r._4, r._5)),
+              maxSize = 4096)
+            val res = for {
+              dict <- Z.parseDictionary(
+                E.buildDictionary(content, id = 200L + blobId))
+              docs = evalRows.map(r => envelope(r._3, r._4, r._5))
+              seekable = K.writeWithDict(docs, dict)
+              plain = K.write(docs)
+              entries <- K.parse(seekable) // table parses DICT-FREE
+              if entries.length == docs.length
+            } yield {
+              val wrongId = dict.copy(id = dict.id + 1)
+              var rt = true
+              entries.zip(docs).foreach { case (e, doc) =>
+                if (!K.frameWithDicts(seekable, e, Seq(dict))
+                  .exists(java.util.Arrays.equals(_, doc))) rt = false
+                if (K.frame(seekable, e).isDefined) rt = false
+                if (K.frameWithDicts(seekable, e, Nil).isDefined)
+                  rt = false
+                if (K.frameWithDicts(seekable, e, Seq(wrongId))
+                  .isDefined) rt = false
+              }
+              val win = seekable.length < plain.length
+              val truncClosed =
+                K.parse(seekable.dropRight(1)).isEmpty
+              (rt && win && truncClosed,
+                trainRows.length.toLong, evalRows.length.toLong,
+                docs.map(_.length.toLong).sum)
+            }
+            res match {
+              case Some((true, nTrain, nEval, rawSum)) =>
+                Seq((blobId, nTrain, nEval, rawSum, 1L, 1L, 1L))
+              case _ => Nil
+            }
+          }
+          .toDF("blob_id", "n_train", "n_eval", "raw_len_sum",
+            "rt_exact", "named_closed", "dict_wins")
+      },
+      // envelope fixed chars = 35; strings re-derived per row
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d,
+                 35 + length(source) + length(lang) + length(text)
+                   AS rlen
+          FROM documents)
+        SELECT blob_id,
+               CAST(sum(CASE WHEN (d // 6) % 3 = 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN (d // 6) % 3 <> 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN (d // 6) % 3 <> 0 THEN rlen ELSE 0
+                 END) AS BIGINT) AS raw_len_sum,
+               CAST(1 AS BIGINT) AS rt_exact,
+               CAST(1 AS BIGINT) AS named_closed,
+               CAST(1 AS BIGINT) AS dict_wins
+        FROM r GROUP BY blob_id"""),
       headline = false))
 }

@@ -103,4 +103,53 @@ object ZstdSeekable {
         Some(fr.decoded)
       case _ => None
     }
+
+  // ---- seekable × structured dictionary (q406) -------------------------------
+
+  /** Write chunks as a seekable `.zst` whose every frame NAMES one
+    * structured dictionary (q395) — the shard-serving posture for a
+    * small-document corpus: random access AND the shared-template
+    * compression win at once. Each frame carries the dictID, so the
+    * table still parses dictionary-free (seek metadata is not
+    * secret), but frame content is unreachable without the named
+    * dictionary.
+    */
+  def writeWithDict(chunks: Seq[Array[Byte]],
+                    dict: Zstd.Dict): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val entries = chunks.map { c =>
+      val f = ZstdEncode.compressWithStructuredDict(c, dict)
+      out.write(f, 0, f.length)
+      (f.length.toLong, c.length.toLong)
+    }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(SkippableMagic & 0xffffffffL)
+    le32(entries.length.toLong * 8 + 9)
+    entries.foreach { case (cs, ds) => le32(cs); le32(ds) }
+    le32(entries.length.toLong)
+    out.write(0x00)
+    le32(SeekableMagic & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Random access under the named dictionary: frame `k` alone,
+    * decoded through [[Zstd.walkWithDicts]]. None when the
+    * dictionary is absent or wrong — the same fail-closed law as
+    * the flat form, per frame.
+    */
+  def frameWithDicts(b: Array[Byte], e: SeekEntry,
+                     dicts: Seq[Zstd.Dict]): Option[Array[Byte]] =
+    if (e.offset < 0 || e.offset + e.compressedSize > b.length) None
+    else Zstd.walkWithDicts(java.util.Arrays.copyOfRange(b,
+      e.offset.toInt, (e.offset + e.compressedSize).toInt),
+      dicts) match {
+      case Some(Seq(fr)) if fr.kind == "zstd" &&
+        fr.decoded.length.toLong == e.decompressedSize =>
+        Some(fr.decoded)
+      case _ => None
+    }
 }

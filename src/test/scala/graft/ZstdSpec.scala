@@ -543,6 +543,40 @@ class ZstdSpec extends AnyFunSuite {
     // raw-content bytes still parse as a raw dict (id 0)
     assert(Z.parseDictionary(ownContent).exists(_.id == 0L))
   }
+
+  test("seekable x dictionary (q406): the table parses dict-free, " +
+    "frame-k random access needs the named dictionary, libzstd " +
+    "decodes the sliced frames with the same dict") {
+    val E = graft.sources.ZstdEncode
+    val Z = graft.sources.Zstd
+    val K = graft.sources.ZstdSeekable
+    def doc(i: Int): Array[Byte] =
+      (s"{'license': 'cc-by-4.0', 'source': 'commoncrawl', " +
+        s"'doc_id': $i, 'text': 'shared boilerplate ${i * 31}'}")
+        .getBytes("UTF-8")
+    val docs = (0 until 40).map(doc)
+    val dict = Z.parseDictionary(
+      E.buildDictionary(E.trainDict(docs, maxSize = 2048),
+        id = 9L)).get
+    val b = K.writeWithDict(docs, dict)
+    val entries = K.parse(b).getOrElse(fail("table, dict-free"))
+    assert(entries.length == docs.length)
+    val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    dctx.loadDict(dict.bytes)
+    entries.zip(docs).foreach { case (e, d) =>
+      assert(K.frameWithDicts(b, e, Seq(dict))
+        .exists(java.util.Arrays.equals(_, d)))
+      assert(K.frame(b, e).isEmpty, "content is dict-gated")
+      assert(K.frameWithDicts(b, e,
+        Seq(dict.copy(id = 10L))).isEmpty)
+      // libzstd decodes the same sliced frame bytes
+      val sl = java.util.Arrays.copyOfRange(b, e.offset.toInt,
+        (e.offset + e.compressedSize).toInt)
+      assert(java.util.Arrays.equals(
+        dctx.decompress(sl, d.length), d))
+    }
+    assert(b.length < K.write(docs).length, "the win composes")
+  }
 }
 
 
