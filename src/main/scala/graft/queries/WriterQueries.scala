@@ -8296,5 +8296,108 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS named_closed,
                CAST(1 AS BIGINT) AS dict_wins
         FROM r GROUP BY blob_id"""),
+      headline = false),
+
+    // q407 — row tracking × DELETION VECTORS, the Delta twin of
+    // q392's DV-stability law: a DV kills by POSITION and ids assign
+    // BEFORE the filter, so every surviving row keeps its exact
+    // (row_id, rec, val) triple and the high-water mark does not
+    // move (a DV claims no ids). The row-id DIFF against the
+    // pre-DV table is exactly the killed positions — CDC without
+    // content hashing, again. And the operations that cannot YET
+    // honor a DV refuse rather than resurrect: the rt checkpoint
+    // (no DV struct in its shape), the shallow clone (re-declaring
+    // the add without its DV would revive dead rows), and the
+    // ZORDER rewrite (materialize first); a cardinality-lying
+    // descriptor fails the replay closed. Sums re-derive in DuckDB
+    // with window-function row ids.
+    "q407_delta_rt_deletion_vectors" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val ids = it.map(_._2).toSeq.sorted
+            val n = ids.length.toLong
+            val base = W.writeRowTrackingTable(s"rtd-$t", ids)
+            val files = W.writeRtDvTable(s"rtd-$t", ids)
+            val res = for {
+              st0 <- W.replayRowTracking(base)
+              st <- W.replayRowTracking(files)
+            } yield {
+              val a = ids.filter(d => (d / 6) % 3 == 0).sorted
+              val killedRids = a.zipWithIndex.collect {
+                case (d, i) if d % 5 == 0 => i.toLong }.toSet
+              val survivors = st0.rows.filterNot(r =>
+                killedRids(r._1))
+              val dvStable = st.rows == survivors &&
+                st.highWaterMark == st0.highWaterMark
+              val diffOk = st0.rows.map(_._1).toSet --
+                st.rows.map(_._1).toSet == killedRids
+              val refusals =
+                W.checkpointRt(files, 2L).isEmpty &&
+                  W.shallowCloneRt(files, "x").isEmpty &&
+                  W.optimizeZOrderRt(files, 2).isEmpty
+              // a descriptor lying about its cardinality closes
+              val lied = new String(files(
+                "_delta_log/00000000000000000002.json"), "UTF-8")
+                .replaceFirst("\"cardinality\": (\\d+)",
+                  "\"cardinality\": 999999")
+              val cardClosed = W.replayRowTracking(files +
+                ("_delta_log/00000000000000000002.json" ->
+                  lied.getBytes("UTF-8"))).isEmpty
+              (t, st.rows.length.toLong, st.rows.map(_._1).sum,
+                st.rows.map(_._2).sum, st.rows.map(_._3).sum,
+                st.highWaterMark, killedRids.size.toLong,
+                if (dvStable) 1L else 0L,
+                if (diffOk) 1L else 0L,
+                if (refusals) 1L else 0L,
+                if (cardClosed) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_alive", "rid_sum", "key_sum",
+            "val_sum", "hwm", "n_killed", "dv_stable", "diff_ok",
+            "refusals_ok", "card_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 3 AS g,
+                 (doc_id * 31) % 1009 AS v
+          FROM documents),
+        c AS (
+          SELECT table_id,
+                 sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb,
+                 count(*) AS n
+          FROM r GROUP BY table_id),
+        w AS (
+          SELECT r.table_id, r.d, r.v, r.g,
+                 CASE WHEN r.g = 0 THEN 0
+                      WHEN r.g = 1 THEN c.na
+                      ELSE c.na + c.nb END +
+                 row_number() OVER (PARTITION BY r.table_id, r.g
+                   ORDER BY r.d) - 1 AS rid
+          FROM r JOIN c USING (table_id)),
+        live AS (
+          SELECT * FROM w WHERE NOT (g = 0 AND d % 5 = 0))
+        SELECT l.table_id,
+               CAST(count(*) AS BIGINT) AS n_alive,
+               CAST(sum(l.rid) AS BIGINT) AS rid_sum,
+               CAST(sum(l.d) AS BIGINT) AS key_sum,
+               CAST(sum(l.v) AS BIGINT) AS val_sum,
+               CAST(min(c.n - 1) AS BIGINT) AS hwm,
+               CAST(min(c.na) - sum(CASE WHEN l.g = 0 THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_killed,
+               CAST(1 AS BIGINT) AS dv_stable,
+               CAST(1 AS BIGINT) AS diff_ok,
+               CAST(1 AS BIGINT) AS refusals_ok,
+               CAST(1 AS BIGINT) AS card_closed
+        FROM live l JOIN c ON l.table_id = c.table_id
+        GROUP BY l.table_id"""),
       headline = false))
 }

@@ -919,6 +919,35 @@ object DeltaWrite {
       names(0) -> data(0), names(1) -> data(1), names(2) -> data(2))
   }
 
+  /** An add carrying baseRowId AND a deletion vector (canonical key
+    * order) — rows die by POSITION, ids assign before the filter.
+    */
+  def addActionRtDv(path: String, size: Long, baseRowId: Long,
+                    drcv: Long, dvJson: String): String =
+    s"""{"add": {"baseRowId": $baseRowId, "dataChange": true, "defaultRowCommitVersion": $drcv, "deletionVector": $dvJson, "modificationTime": 1700000000000, "partitionValues": {}, "path": "$path", "size": $size}}"""
+
+  /** The q407 table: the row-tracking table plus v2 re-adding
+    * part-rtA with an INLINE deletion vector killing its d%5==0
+    * positions. The mark does not move — a DV claims no ids.
+    */
+  def writeRtDvTable(id: String,
+                     ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val base = writeRowTrackingTable(id, ids)
+    val a = ids.filter(d => (d / 6) % 3 == 0).sorted
+    val deadPos = a.zipWithIndex.collect {
+      case (d, i) if d % 5 == 0 => i.toLong }
+    val V = DeletionVectorsWrite
+    val dv = V.serializeBitmap(deadPos)
+    val desc = V.descriptorJson("i", V.z85Encode(dv), None,
+      dv.length.toLong, deadPos.length.toLong)
+    val sizeA = base("part-rtA.parquet").length.toLong
+    val c2 = Seq(removeAction("part-rtA.parquet"),
+      addActionRtDv("part-rtA.parquet", sizeA, 0L, 2L, desc))
+      .mkString("\n") + "\n"
+    base + ("_delta_log/00000000000000000002.json" ->
+      c2.getBytes(Utf8))
+  }
+
   /** The WRITER gate: None (refuse to write) when the table's
     * protocol demands writer features this writer does not support —
     * the q370 fail-closed pattern on the write side. A table with no
@@ -955,13 +984,14 @@ object DeltaWrite {
                            highWaterMark: Long, maxVersion: Long)
 
   /** Mutable row-tracking replay state: the feature gate, the
-    * high-water mark, and the live path -> baseRowId map.
+    * high-water mark, and the live path -> (baseRowId, deletion
+    * vector descriptor) map.
     */
   private final class RtAccum {
     var hasFeature = false
     var hwm = -1L
     val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, Option[Long]]
+      .empty[String, (Option[Long], Option[Json.JObject])]
     var ok = true
   }
 
@@ -1003,8 +1033,10 @@ object DeltaWrite {
         o.get("add").foreach {
           case a: JObject => a.get("path") match {
             case Some(JString(x)) =>
-              acc.live(x) = a.get("baseRowId").collect {
-                case JLong(b) => b }
+              acc.live(x) = (a.get("baseRowId").collect {
+                case JLong(b) => b },
+                a.get("deletionVector").collect {
+                  case d: JObject => d })
             case _ => acc.ok = false
           }
           case _ => acc.ok = false
@@ -1020,6 +1052,37 @@ object DeltaWrite {
     }
   }
 
+  /** Resolve one add's deletion-vector descriptor to its dead
+    * positions (inline z85 or `u`-storage file slice — the q340
+    * shapes). None on any malformed descriptor or byte.
+    */
+  private def rtDeadPositions(files: Map[String, Array[Byte]],
+                              d: Json.JObject): Option[Set[Long]] = {
+    import Json.{JLong, JString}
+    val D = DeletionVectors
+    def js(k: String) = d.get(k).collect { case JString(v) => v }
+    def jl(k: String) = d.get(k).collect { case JLong(v) => v }
+    for {
+      st <- js("storageType")
+      pod <- js("pathOrInlineDv")
+      size <- jl("sizeInBytes")
+      card <- jl("cardinality")
+      vals <- st match {
+        case "i" => D.inlineBitmap(pod, size, card)
+        case "u" =>
+          for {
+            off <- jl("offset")
+            name <- D.uuidPath(pod)
+            fb <- files.get(name)
+            data <- D.fileSlice(fb, off, size)
+            bs <- D.bitmap(data)
+            if bs.length.toLong == card
+          } yield bs
+        case _ => None
+      }
+    } yield vals.toSet
+  }
+
   /** Materialize + validate row-tracking state: decode every live
     * file (materialized `_row_id` wins, else baseRowId + position),
     * then the lineage laws — feature declared, mark known, every id
@@ -1029,7 +1092,7 @@ object DeltaWrite {
                             acc: RtAccum,
                             maxV: Long): Option[RtState] = {
     if (!acc.ok || !acc.hasFeature || acc.hwm < 0) return None
-    val per = acc.live.toSeq.map { case (p, base) =>
+    val per = acc.live.toSeq.map { case (p, (base, dv)) =>
       for {
         b <- files.get(p)
         rs <- Parquet.columnLongs(b, "rec_id")
@@ -1040,7 +1103,16 @@ object DeltaWrite {
           case Some(_) => None
           case None => base.map(f => rs.indices.map(f + _.toLong))
         }
-      } yield rids.indices.map(i => (rids(i), rs(i), vs(i)))
+        // a DV kills by POSITION; surviving ids are untouched —
+        // positions (and so ids) are assigned BEFORE the filter
+        dead <- dv match {
+          case Some(d) => rtDeadPositions(files, d)
+          case None => Some(Set.empty[Long])
+        }
+      } yield rids.indices.collect {
+        case i if !dead.contains(i.toLong) =>
+          (rids(i), rs(i), vs(i))
+      }
     }
     if (per.exists(_.isEmpty)) return None
     val rows = per.flatMap(_.get)
@@ -1175,9 +1247,11 @@ object DeltaWrite {
       sized <- replayLiveSized(source, st.maxVersion)
       bases <- {
         import Json.{JLong, JObject, JString}
-        // recover each live add's declared baseRowId from the log
+        // recover each live add's declared baseRowId from the log;
+        // a live add carrying a DELETION VECTOR refuses the clone —
+        // re-declaring it without the DV would resurrect dead rows
         val m = scala.collection.mutable.Map
-          .empty[String, Option[Long]]
+          .empty[String, (Option[Long], Boolean)]
         var ok = true
         source.keys.toSeq.collect {
           case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
@@ -1188,8 +1262,9 @@ object DeltaWrite {
                   case Some(o: JObject) => o.get("add").foreach {
                     case a: JObject => a.get("path") match {
                       case Some(JString(x)) =>
-                        m(x) = a.get("baseRowId").collect {
-                          case JLong(b) => b }
+                        m(x) = (a.get("baseRowId").collect {
+                          case JLong(b) => b },
+                          a.get("deletionVector").isDefined)
                       case _ => ok = false
                     }
                     case _ => ok = false
@@ -1198,7 +1273,9 @@ object DeltaWrite {
                 }
               }
           }
-        if (ok) Some(m.toMap) else None
+        if (ok && !liveAdds.exists(p => m.get(p).exists(_._2)))
+          Some(m.view.mapValues(_._1).toMap)
+        else None
       }
     } yield {
       val adds = liveAdds.sorted.map { p =>
@@ -1362,7 +1439,11 @@ object DeltaWrite {
       CkptActRt(domain = RowTrackingDomain,
         domainConfig =
           s"""{"rowIdHighWaterMark": ${acc.hwm}}""")) ++
-      acc.live.toSeq.sortBy(_._1).map { case (p, base) =>
+      acc.live.toSeq.sortBy(_._1).map { case (p, (base, dv)) =>
+        // the rt checkpoint shape carries no DV struct: refuse to
+        // checkpoint a DV-carrying live set rather than silently
+        // resurrect its dead rows (fail closed)
+        if (dv.isDefined) return None
         CkptActRt(addPath = p, addSize = sized(p),
           baseRowId = base.getOrElse(-1L),
           drcv = drcvs.getOrElse(p, -1L))
@@ -1410,7 +1491,8 @@ object DeltaWrite {
           }
           if (r.addPath != null)
             a.live(r.addPath) =
-              if (r.baseRowId >= 0) Some(r.baseRowId) else None
+              (if (r.baseRowId >= 0) Some(r.baseRowId) else None,
+                None)
           if (r.removePath != null) a.live.remove(r.removePath)
         }
         if (a.ok) Some(a) else None

@@ -351,4 +351,39 @@ class DeltaMaintSpec extends AnyFunSuite {
         W.CkptAct(metaId = "rtc"))))).isEmpty,
       "a checkpoint without rt columns serves no lineage")
   }
+
+  test("row tracking x deletion vectors (q407): survivors keep " +
+    "their exact ids (assigned before the positional filter), the " +
+    "mark does not move, DV-blind operations refuse, cardinality " +
+    "lies close the replay") {
+    val W = DeltaWrite
+    val base = W.writeRowTrackingTable("rtd", ids)
+    val files = W.writeRtDvTable("rtd", ids)
+    val st0 = W.replayRowTracking(base).get
+    val st = W.replayRowTracking(files).getOrElse(fail("replay"))
+    val a = ids.filter(d => (d / 6) % 3 == 0).sorted
+    val killed = a.zipWithIndex.collect {
+      case (d, i) if d % 5 == 0 => i.toLong }.toSet
+    assert(st.rows == st0.rows.filterNot(r => killed(r._1)),
+      "survivors keep their exact triples")
+    assert(st.highWaterMark == st0.highWaterMark,
+      "a DV claims no ids")
+    assert(st0.rows.map(_._1).toSet -- st.rows.map(_._1).toSet ==
+      killed, "the row-id diff IS the DV")
+    // DV-blind operations refuse rather than resurrect dead rows
+    assert(W.checkpointRt(files, 2L).isEmpty)
+    assert(W.shallowCloneRt(files, "x").isEmpty)
+    assert(W.optimizeZOrderRt(files, 2).isEmpty)
+    // the non-DV table still checkpoints and clones fine
+    assert(W.checkpointRt(base, 1L).isDefined)
+    assert(W.shallowCloneRt(base, "y").isDefined)
+    // a descriptor lying about its cardinality closes the replay
+    val lied = new String(
+      files("_delta_log/00000000000000000002.json"), "UTF-8")
+      .replaceFirst("\"cardinality\": (\\d+)",
+        "\"cardinality\": 999999")
+    assert(W.replayRowTracking(files +
+      ("_delta_log/00000000000000000002.json" ->
+        lied.getBytes("UTF-8"))).isEmpty)
+  }
 }
