@@ -8399,5 +8399,77 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS card_closed
         FROM live l JOIN c ON l.table_id = c.table_id
         GROUP BY l.table_id"""),
+      headline = false),
+
+    // q408 — BYTE-LEVEL pretokenization (the GPT-2 lineage's
+    // bytes_to_unicode), closing the byte-level side of the
+    // tokenizer stack next to token BPE (q145), unigram LM (q357),
+    // and WordPiece (q376): every byte maps through a fixed
+    // 256-entry bijection to a printable code point, so the
+    // alphabet is exactly 256 symbols, NOTHING is ever [UNK], and
+    // arbitrary bytes round-trip — including a synthetic probe
+    // carrying ALL 256 byte values and deliberately INVALID UTF-8
+    // sequences. Laws, per real document: mapped string decodes to
+    // the exact original bytes; pretokens CONCATENATE back to the
+    // mapped string (lossless segmentation, whatever the splits);
+    // every pretoken decodes (closure under the bijection); a
+    // string outside the table's image fails decode CLOSED; byte
+    // 0x20 maps to 'Ġ' (U+0120), the published table's landmark.
+    // Byte lengths re-derive in DuckDB (strlen = UTF-8 bytes).
+    "q408_byte_level_pretokenize" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+            col("text"))
+          .as[(Long, Long, String)]
+          .mapPartitions { it =>
+            val B = graft.operators.ByteLevel
+            it.map { case (blob, d, text) =>
+              val bytes = text.getBytes("UTF-8")
+              val mapped = B.encodeBytes(bytes)
+              val rt = B.decodeToBytes(mapped)
+                .exists(java.util.Arrays.equals(_, bytes))
+              val toks = B.pretokenize(mapped)
+              val lossless = toks.mkString == mapped &&
+                toks.forall(t =>
+                  t.nonEmpty && B.decodeToBytes(t).isDefined)
+              // a char outside the image fails closed (U+0000
+              // is remapped away, so it is never in the image)
+              val closed =
+                B.decodeToBytes(mapped + "\u0000").isEmpty
+              (blob, d, bytes.length.toLong, mapped.length.toLong,
+                if (rt && lossless && closed) 1L else 0L)
+            }
+          }
+          .toDF("blob_id", "doc_id", "n_bytes", "n_mapped", "ok")
+          .groupBy(col("blob_id"))
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_bytes")).cast("long").as("byte_len_sum"),
+            sum(col("n_mapped")).cast("long").as("mapped_len_sum"),
+            min(col("ok")).cast("long").as("laws_ok"),
+            // the full-alphabet + invalid-UTF-8 probe, once per blob
+            lit({
+              val B = graft.operators.ByteLevel
+              val all = Array.tabulate[Byte](256)(_.toByte) ++
+                Array[Byte](-1, -2, -57, 0) // invalid UTF-8 tails
+              val m = B.encodeBytes(all)
+              val ok = B.decodeToBytes(m)
+                .exists(java.util.Arrays.equals(_, all)) &&
+                m.distinct.length >= 256 &&
+                B.byteToChar(0x20) == 'Ġ' &&
+                B.pretokenize(m).mkString == m
+              if (ok) 1L else 0L
+            }).as("alphabet_ok"))
+      },
+      oracle = Some("""
+        SELECT doc_id % 6 AS blob_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS byte_len_sum,
+               CAST(sum(strlen(text)) AS BIGINT) AS mapped_len_sum,
+               CAST(1 AS BIGINT) AS laws_ok,
+               CAST(1 AS BIGINT) AS alphabet_ok
+        FROM documents GROUP BY 1"""),
       headline = false))
 }
