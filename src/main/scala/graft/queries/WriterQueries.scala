@@ -8471,5 +8471,94 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS laws_ok,
                CAST(1 AS BIGINT) AS alphabet_ok
         FROM documents GROUP BY 1"""),
+      headline = false),
+
+    // q409 — BYTE-LEVEL BPE TRAINING, the GPT-2 recipe end to end:
+    // q408's bijection + pretokens feed a distributed BPE whose
+    // argmax is the RAW pair count (the Sennrich rule — pinned to
+    // be the OTHER argmax from WordPiece's likelihood score), each
+    // round one partial aggregation and ONE (pair, count) row to
+    // the driver, the winning merge riding the codegen'd fold
+    // rewrite as a literal. Encoding applies merges in TRAINING
+    // ORDER (the rank rule) and — because the alphabet is all 256
+    // bytes — is TOTAL: zero [UNK] on ANY holdout, and every
+    // encoded pretoken concatenates back to its mapped form and
+    // decodes to the exact original bytes. Trained on doc_id%10!=3,
+    // evaluated on the holdout; the holdout compresses (pieces <
+    // bytes — merges generalize, not memorize). Token counts
+    // re-derive in DuckDB with the pretokenizer expressed as a
+    // leftmost-first regex.
+    "q409_byte_bpe_train" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val BB = graft.operators.ByteBpe
+        val d = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            val B = graft.operators.ByteLevel
+            it.flatMap { case (id, text) =>
+              B.pretokenize(B.encodeBytes(text.getBytes("UTF-8")))
+                .map(w => (id, w))
+            }
+          }
+          .toDF("doc_id", "w")
+        val trainWords = d.filter(col("doc_id") % 10 =!= 3)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .as[(String, Long)]
+        val holdWords = d.filter(col("doc_id") % 10 === 3)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .as[(String, Long)]
+        val nMerges = 12
+        val trained = BB.train(trainWords, nMerges)
+        val bc = s.sparkContext.broadcast(trained.merges)
+        val enc = holdWords.map { case (w, c) =>
+          val ps = graft.operators.ByteBpe.encode(w, bc.value)
+          val ok = ps.mkString == w && graft.operators.ByteLevel
+            .decodeToBytes(ps.mkString).isDefined
+          (c, c * w.length.toLong, c * ps.length.toLong,
+            if (ok) 0L else 1L)
+        }.toDF("n", "bytes", "pieces", "bad")
+          .agg(sum("n").as("n"), sum("bytes").as("bytes"),
+            sum("pieces").as("pieces"), sum("bad").as("bad"))
+          .as[(Long, Long, Long, Long)]
+          .head() // bounded: one row
+        val nTrain = trainWords.map(_._2).reduce(_ + _)
+        val nDistinct = trainWords.count()
+        val (nHold, hoBytes, hoPieces, bad) = enc
+        val rows = trained.merges.map { m =>
+          (m.round.toLong,
+            if (bad == 0L) 1L else 0L,
+            if (hoPieces < hoBytes) 1L else 0L,
+            nTrain, nDistinct, nHold, hoBytes)
+        }
+        s.createDataset(rows)
+          .toDF("round", "recon_ok", "compresses",
+            "n_train_tokens", "n_distinct_train",
+            "n_holdout_tokens", "n_holdout_bytes")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text,
+                   ' [^ ]+|[^ ]+| ')) AS w
+          FROM documents),
+        tr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_train_tokens,
+                 CAST(count(DISTINCT w) AS BIGINT)
+                   AS n_distinct_train
+          FROM toks WHERE doc_id % 10 <> 3),
+        ho AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_holdout_tokens,
+                 CAST(COALESCE(sum(strlen(w)), 0) AS BIGINT)
+                   AS n_holdout_bytes
+          FROM toks WHERE doc_id % 10 = 3)
+        SELECT CAST(r.round AS BIGINT) AS round,
+               CAST(1 AS BIGINT) AS recon_ok,
+               CAST(1 AS BIGINT) AS compresses,
+               tr.n_train_tokens, tr.n_distinct_train,
+               ho.n_holdout_tokens, ho.n_holdout_bytes
+        FROM (SELECT unnest(generate_series(1, 12)) AS round) r
+        CROSS JOIN tr CROSS JOIN ho"""),
       headline = false))
 }
