@@ -1083,6 +1083,22 @@ object DeltaWrite {
     } yield vals.toSet
   }
 
+  /** True when any LIVE add of the replayed log still carries a
+    * deletionVector descriptor — rewrites that cannot represent the
+    * DV (zorder, checkpoint, clone) refuse on this rather than
+    * resurrect dead rows.
+    */
+  private def rtLiveHasDv(files: Map[String, Array[Byte]]): Boolean = {
+    val acc = new RtAccum
+    files.keys.toSeq.collect {
+      case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+      .foreach { case (_, p) =>
+        new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+          .foreach(applyRtLine(_, acc))
+      }
+    acc.live.values.exists(_._2.isDefined)
+  }
+
   /** Materialize + validate row-tracking state: decode every live
     * file (materialized `_row_id` wins, else baseRowId + position),
     * then the lineage laws — feature declared, mark known, every id
@@ -1164,6 +1180,11 @@ object DeltaWrite {
     for {
       st <- replayRowTracking(files)
       if nFiles >= 1 && st.rows.nonEmpty
+      // a live add still carrying a deletionVector refuses the
+      // rewrite outright (the checkpointRt/shallowCloneRt posture):
+      // re-decoding its parquet without the DV would resurrect dead
+      // rows into a committed zorder layout
+      if !rtLiveHasDv(files)
       (liveAdds, maxV) <- replayLive(files)
       decoded <- {
         val per = liveAdds.map { p =>
@@ -1185,6 +1206,10 @@ object DeltaWrite {
         }
         // files without materialized ids: join through the replay
         if (per.forall(_.isDefined)) Some(per.flatMap(_.get))
+        // rec_id-keyed recovery is only sound when rec_ids are
+        // table-wide unique; duplicates would assign wrong ids
+        else if (st.rows.map(_._2).distinct.length !=
+          st.rows.length) None
         else {
           val byRec = st.rows.map(r => r._2 -> r._1).toMap
           val per2 = liveAdds.map { p =>
@@ -1358,7 +1383,8 @@ object DeltaWrite {
         bins = acts.filter(isAdd)
           .map(_.addPath.getBytes(Utf8)).toArray),
       W.LeafData(defs(isAdd, _.addSize >= 0), null,
-        longs = acts.filter(isAdd).map(_.addSize).toArray),
+        longs = acts.filter(a => isAdd(a) && a.addSize >= 0)
+          .map(_.addSize).toArray),
       W.LeafData(defs(isAdd, _.baseRowId >= 0), null,
         longs = acts.filter(a => isAdd(a) && a.baseRowId >= 0)
           .map(_.baseRowId).toArray),

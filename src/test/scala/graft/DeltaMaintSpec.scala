@@ -386,4 +386,63 @@ class DeltaMaintSpec extends AnyFunSuite {
       ("_delta_log/00000000000000000002.json" ->
         lied.getBytes("UTF-8"))).isEmpty)
   }
+
+  test("rt zorder refusal closes BOTH branches (r17 advice): a DV " +
+    "on an all-materialized live set refuses; duplicate rec_ids " +
+    "refuse rec-keyed id recovery; a sizeless checkpoint add row " +
+    "still tiles") {
+    val W = DeltaWrite
+    val base = W.writeRowTrackingTable("rtz", ids)
+    // zorder once: every live file now carries materialized _row_id
+    val z = W.optimizeZOrderRt(base, 2).getOrElse(fail("z0"))
+    val zt = base + (z.commitName -> z.commit) ++ z.newFiles
+    // land a DV killing position 0 of one REWRITTEN file: the
+    // replay stays sound, but a second zorder would decode the
+    // parquet straight (all-materialized branch) — it must refuse
+    val zn = z.newFiles.keys.head
+    val V = graft.sources.DeletionVectorsWrite
+    val dvb = V.serializeBitmap(Seq(0L))
+    val zdesc = V.descriptorJson("i", V.z85Encode(dvb), None,
+      dvb.length.toLong, 1L)
+    val c3 = Seq(W.removeAction(zn),
+      W.addActionRtDv(zn, zt(zn).length.toLong, 0L, 3L, zdesc))
+      .mkString("\n") + "\n"
+    val ztd = zt + ("_delta_log/00000000000000000003.json" ->
+      c3.getBytes("UTF-8"))
+    val std = W.replayRowTracking(ztd).getOrElse(fail("replay dv"))
+    val stz = W.replayRowTracking(zt).get
+    assert(std.rows.length == stz.rows.length - 1,
+      "the replay itself applies the DV")
+    assert(W.optimizeZOrderRt(ztd, 2).isEmpty,
+      "zorder after zorder+DV must refuse, not resurrect")
+    // duplicate rec_ids: replay is fine (row ids stay unique) but
+    // rec-keyed recovery in the fallback branch is unsound — refuse
+    val n = ids.length.toLong
+    val dupPq = graft.sources.ParquetWrite.writeInt64(
+      Seq("rec_id", "x", "y", "val"),
+      Seq(Array(ids.head, 1L, 2L, 3L)))
+    val cdup = Seq(
+      W.addActionRt("dup.parquet", dupPq.length.toLong, n, 2L,
+        dataChange = true),
+      W.rowIdHighWaterMarkAction(n)).mkString("\n") + "\n"
+    val dupT = base + ("_delta_log/00000000000000000002.json" ->
+      cdup.getBytes("UTF-8")) + ("dup.parquet" -> dupPq)
+    assert(W.replayRowTracking(dupT).isDefined)
+    assert(W.optimizeZOrderRt(dupT, 2).isEmpty,
+      "duplicate rec_ids make rec-keyed id recovery unsound")
+    // checkpoint writer: an externally built add row WITHOUT a size
+    // must still produce a readable file (values tile def-levels)
+    val acts = Seq(
+      W.CkptActRt(minReader = 1L, minWriter = 7L,
+        writerFeaturesJson = """["domainMetadata", "rowTracking"]"""),
+      W.CkptActRt(metaId = "rtz"),
+      W.CkptActRt(addPath = "a.parquet", addSize = 10L,
+        baseRowId = 0L, drcv = 0L),
+      W.CkptActRt(addPath = "b.parquet"))
+    val rows = graft.sources.DeltaCheckpoint
+      .parseRt(W.writeCheckpointRt(acts))
+      .getOrElse(fail("sizeless add row must still parse"))
+    assert(rows.count(_.addPath != null) == 2)
+    assert(rows.find(_.addPath == "a.parquet").get.addSize == 10L)
+  }
 }
