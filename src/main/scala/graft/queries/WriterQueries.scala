@@ -8560,5 +8560,126 @@ object WriterQueries {
                ho.n_holdout_tokens, ho.n_holdout_bytes
         FROM (SELECT unnest(generate_series(1, 12)) AS round) r
         CROSS JOIN tr CROSS JOIN ho"""),
+      headline = false),
+
+    // q410 — Iceberg TEMPORAL PARTITION TRANSFORMS: bucket (q402)
+    // serves point lookups, truncate (q405) integer ranges — the
+    // transforms a real event table partitions by are year/month/
+    // day/hour (spec Appendix A): epoch-relative ordinals, floored
+    // on negative dates (1969-12-31 is day -1, month -1), ORDER-
+    // PRESERVING on the source timestamp, so the q405 prune-sound-
+    // by-construction law carries over. Each blob builds a DAY table
+    // and a MONTH table over the same synthetic micros timeline
+    // (spanning pre-1970); laws: the day-pruned and month-pruned
+    // time-range scans BOTH equal the brute filter row-for-row
+    // (kept-day file count re-derived in DuckDB from the floor
+    // arithmetic, month ordinals via calendar arithmetic); a point
+    // DAY touches exactly one file; pre-1970 rows exist and route
+    // to negative ordinals; a transform the pruner cannot prove
+    // ("weekday") is refused. Spec vectors (incl. the published
+    // 2017-12-01 quadruple) pinned in IcebergMaintSpec.
+    "q410_iceberg_temporal_transform" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val I = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            def tsOf(d: Long): Long = (d - 250L) * 21600000000L
+            def vf(d: Long): Long = (d * 37) % 1009
+            val rows = ids.map(d => (d, tsOf(d), vf(d)))
+            val meta = "v1.metadata.json"
+            val lo = tsOf(ids.min)
+            val hi = lo + 50L * 86400000000L
+            val res = for {
+              dayF <- I.writeTemporalTable(s"day-$t", rows, "day")
+              monF <- I.writeTemporalTable(s"mon-$t", rows, "month")
+              _ <- I.writeTemporalTable(s"x-$t", rows, "weekday")
+                .fold(Option(())) (_ => None) // unknown write refused
+              dtr <- I.parseTemporalSpec(dayF, meta)
+              if dtr == "day"
+              (keptD, rowsD) <- I.temporalRangeScan(dayF, meta,
+                lo, hi)
+              (keptM, rowsM) <- I.temporalRangeScan(monF, meta,
+                lo, hi)
+              dayStart = I.dayTransform(lo).toLong * 86400000000L
+              (onePart, pointRows) <- I.temporalRangeScan(dayF,
+                meta, dayStart, dayStart + 86399999999L)
+            } yield {
+              val brute = rows.filter(r => r._2 >= lo && r._2 <= hi)
+                .sortBy(r => (r._2, r._1))
+              val rangeExact = rowsD == brute
+              val monthExact = rowsM == brute
+              val pointBrute = rows.filter(r =>
+                I.dayTransform(r._2) == I.dayTransform(lo))
+                .sortBy(r => (r._2, r._1))
+              val pointOk = onePart == 1 && pointRows == pointBrute
+              val alien = new String(dayF(meta), "UTF-8")
+                .replace("\"transform\": \"day\"",
+                  "\"transform\": \"weekday\"").getBytes("UTF-8")
+              val unknownRefused = I.temporalRangeScan(
+                dayF + (meta -> alien), meta, lo, hi).isEmpty
+              val nDays =
+                rows.map(r => I.dayTransform(r._2)).distinct.length
+              val nMonths =
+                rows.map(r => I.monthTransform(r._2)).distinct.length
+              val pre = rows.count(_._2 < 0L)
+              (t, ids.length.toLong, nDays.toLong, nMonths.toLong,
+                keptD.toLong, rowsD.length.toLong,
+                rowsD.map(_._3).sum,
+                if (rangeExact) 1L else 0L,
+                if (monthExact) 1L else 0L,
+                if (pointOk) 1L else 0L,
+                pre.toLong,
+                if (unknownRefused) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "n_days", "n_months",
+            "kept_days", "range_rows", "range_val_sum",
+            "range_exact", "month_exact", "point_ok",
+            "pre1970_rows", "unknown_refused")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id - 250) * 21600000000 AS ts,
+                 (doc_id * 37) % 1009 AS v
+          FROM documents),
+        m AS (SELECT table_id, min(ts) AS lo FROM r
+              GROUP BY table_id),
+        j AS (SELECT r.*, m.lo, m.lo + 50 * 86400000000 AS hi
+              FROM r JOIN m USING (table_id)),
+        k AS (SELECT *,
+                CAST(floor(ts / 86400000000.0) AS BIGINT)
+                  AS day_ord,
+                (year(make_timestamp(ts)) - 1970) * 12
+                  + month(make_timestamp(ts)) - 1 AS mon_ord,
+                CAST(floor(lo / 86400000000.0) AS BIGINT)
+                  AS lo_day,
+                CAST(floor(hi / 86400000000.0) AS BIGINT)
+                  AS hi_day
+              FROM j)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT day_ord) AS BIGINT) AS n_days,
+               CAST(count(DISTINCT mon_ord) AS BIGINT) AS n_months,
+               CAST(count(DISTINCT CASE WHEN day_ord
+                 BETWEEN lo_day AND hi_day THEN day_ord END)
+                 AS BIGINT) AS kept_days,
+               CAST(sum(CASE WHEN ts BETWEEN lo AND hi THEN 1
+                 ELSE 0 END) AS BIGINT) AS range_rows,
+               CAST(sum(CASE WHEN ts BETWEEN lo AND hi THEN v
+                 ELSE 0 END) AS BIGINT) AS range_val_sum,
+               CAST(1 AS BIGINT) AS range_exact,
+               CAST(1 AS BIGINT) AS month_exact,
+               CAST(1 AS BIGINT) AS point_ok,
+               CAST(sum(CASE WHEN ts < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS pre1970_rows,
+               CAST(1 AS BIGINT) AS unknown_refused
+        FROM k GROUP BY table_id"""),
       headline = false))
 }

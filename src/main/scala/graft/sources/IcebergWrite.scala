@@ -1792,6 +1792,178 @@ object IcebergWrite {
       }
     } yield (kept.length, rows)
 
+  // ---- temporal partition transforms (q410) -------------------------------------
+
+  /** The spec's temporal transforms for a timestamp in MICROSECONDS
+    * since epoch (Appendix A): epoch-relative ordinals — `hour` and
+    * `day` by FLOORED division, `month` and `year` through the
+    * proleptic Gregorian calendar (month = (year-1970)*12 + month0),
+    * so negative dates floor: 1969-12-31T23:59:59 is hour -1, day
+    * -1, month -1, year -1 (the historic off-by-one on pre-epoch
+    * year/month was fixed in the spec — flooring is normative). All
+    * four are order-preserving on the source timestamp, which makes
+    * the truncate range-pruning law (q405) carry over unchanged.
+    * Vectors pinned in IcebergMaintSpec (2017-12-01T10:12:55.038194
+    * -> year 47 / month 575 / day 17501 / hour 420034).
+    */
+  def hourTransform(micros: Long): Int =
+    Math.floorDiv(micros, 3600000000L).toInt
+
+  def dayTransform(micros: Long): Int =
+    Math.floorDiv(micros, 86400000000L).toInt
+
+  def monthTransform(micros: Long): Int = {
+    val d = java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(micros, 86400000000L))
+    (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+  }
+
+  def yearTransform(micros: Long): Int =
+    java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(micros, 86400000000L)).getYear - 1970
+
+  /** Dispatch a temporal transform BY NAME — the four the spec
+    * defines and nothing else (a pruner must never guess).
+    */
+  def temporalTransform(name: String, micros: Long): Option[Int] =
+    name match {
+      case "year" => Some(yearTransform(micros))
+      case "month" => Some(monthTransform(micros))
+      case "day" => Some(dayTransform(micros))
+      case "hour" => Some(hourTransform(micros))
+      case _ => None
+    }
+
+  /** The q410 table: ONE snapshot partitioned by a TEMPORAL
+    * transform on the ts column (source field 2, micros) — one file
+    * per OCCUPIED ordinal, the manifest carrying each file's ordinal
+    * in its partition record (the EntrySchemaEvo1 shape; ordinals
+    * can be NEGATIVE — pre-1970 rows — and zigzag encoding carries
+    * them exactly). None on a transform name the spec does not
+    * define.
+    */
+  def writeTemporalTable(id: String, rows: Seq[(Long, Long, Long)],
+                         transform: String)
+      : Option[Map[String, Array[Byte]]] = {
+    if (temporalTransform(transform, 0L).isEmpty) return None
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+    val out = Map.newBuilder[String, Array[Byte]]
+    val buckets = rows
+      .groupBy(r => temporalTransform(transform, r._2).get)
+      .toSeq.sortBy(_._1)
+    val entries = buckets.map { case (ord, p0) =>
+      val p = p0.sortBy(r => (r._2, r._1))
+      val bytes = ParquetWrite.writeInt64(Seq("rec_id", "ts", "val"),
+        p.map(r => Array(r._1, r._2, r._3)))
+      out += (s"data/$transform-$ord.parquet" -> bytes)
+      entryEvo(s"data/$transform-$ord.parquet", p.length.toLong,
+        bytes.length.toLong, Some(ord))
+    }
+    val m = container(EntrySchemaEvo1, entries, sync)
+    out += ("m-temporal.avro" -> m)
+    val list = container(ListSchemaEvo, Seq(
+      manifestFileRowEvo("m-temporal.avro", m.length.toLong, 0)),
+      sync)
+    out += ("snap-1.avro" -> list)
+    val meta = (s"""{"format-version": 2, "table-uuid": "$id", """ +
+      s""""default-spec-id": 0, "partition-specs": [{"spec-id": 0, """ +
+      s""""fields": [{"field-id": 1000, "name": "ts_$transform", """ +
+      s""""source-id": 2, "transform": "$transform"}]}], """ +
+      """"current-snapshot-id": 1, "snapshots": [{"snapshot-id": 1, """ +
+      """"sequence-number": 1, "timestamp-ms": 1700000000000, """ +
+      """"manifest-list": "snap-1.avro"}]}""")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out += ("v1.metadata.json" -> meta)
+    Some(out.result())
+  }
+
+  /** Parse the temporal transform name from the default spec's
+    * single field on source field 2. None when the spec is not one
+    * of the four temporal transforms — never guess.
+    */
+  def parseTemporalSpec(files: Map[String, Array[Byte]],
+                        metaName: String): Option[String] = {
+    import Json.{JArray, JLong, JObject, JString}
+    for {
+      mo <- parseMetaObj(files, metaName)
+      specId <- mo.get("default-spec-id").collect {
+        case JLong(x) => x }
+      specs <- mo.get("partition-specs").collect {
+        case JArray(xs) => xs }
+      spec <- specs.collectFirst {
+        case o: JObject if o.get("spec-id")
+          .contains(JLong(specId)) => o
+      }
+      fields <- spec.get("fields").collect { case JArray(xs) => xs }
+      if fields.length == 1
+      f <- fields.headOption.collect { case o: JObject => o }
+      if f.get("source-id").contains(JLong(2L))
+      tr <- f.get("transform").collect { case JString(x) => x }
+      if temporalTransform(tr, 0L).isDefined
+    } yield tr
+  }
+
+  /** TEMPORAL-PRUNED time-range scan: keep only files whose ordinal
+    * lies in [T(lo), T(hi)] — order preservation makes the prune
+    * sound by construction for all four transforms — read them,
+    * filter to ts in [lo, hi]. Returns (files kept, in-range rows
+    * sorted by ts). None on a spec the pruner cannot prove or any
+    * malformed byte.
+    */
+  def temporalRangeScan(files: Map[String, Array[Byte]],
+                        metaName: String, lo: Long, hi: Long)
+      : Option[(Int, Seq[(Long, Long, Long)])] =
+    for {
+      tr <- parseTemporalSpec(files, metaName)
+      mo <- parseMetaObj(files, metaName)
+      snaps <- parseSnaps(mo)
+      sid <- mo.get("current-snapshot-id").collect {
+        case Json.JLong(x) => x }
+      snap <- snaps.find(_.sid == sid)
+      listBytes <- files.get(snap.listPath)
+      list <- AvroGeneric.parseContainer(listBytes)
+      mps = list.records.flatMap(
+        _.field("manifest_path").flatMap(_.asString))
+      entries <- {
+        val per = mps.map { mp =>
+          files.get(mp).flatMap(AvroGeneric.parseContainer)
+            .flatMap { m =>
+              val es = m.records.map { e =>
+                for {
+                  df <- e.field("data_file")
+                  p <- df.field("file_path").flatMap(_.asString)
+                  part <- df.field("partition")
+                  b <- part.field("p2").flatMap(_.asLong)
+                } yield (p, b)
+              }
+              if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
+            }
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatMap(_.get))
+      }
+      loOrd <- temporalTransform(tr, lo)
+      hiOrd <- temporalTransform(tr, hi)
+      kept = entries.filter { case (_, b) =>
+        b >= loOrd.toLong && b <= hiOrd.toLong }
+      rows <- {
+        val per = kept.map { case (p, _) =>
+          for {
+            fb <- files.get(p)
+            rs <- Parquet.columnLongs(fb, "rec_id")
+            ts <- Parquet.columnLongs(fb, "ts")
+            vs <- Parquet.columnLongs(fb, "val")
+            if rs.length == ts.length && rs.length == vs.length
+          } yield rs.indices.collect {
+            case i if ts(i) >= lo && ts(i) <= hi =>
+              (rs(i), ts(i), vs(i))
+          }
+        }
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatMap(_.get).sortBy(r => (r._2, r._1)))
+      }
+    } yield (kept.length, rows)
+
   // ---- v3 default values (q399) ------------------------------------------------
 
   /** One schema field as the v3 spec carries it: id, name,

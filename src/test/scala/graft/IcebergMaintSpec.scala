@@ -576,4 +576,80 @@ class IcebergMaintSpec extends AnyFunSuite {
       ("v1.metadata.json" -> alien2), "v1.metadata.json",
       0L, 9L).isEmpty)
   }
+
+  test("temporal transforms (q410): spec ordinal vectors incl. " +
+    "pre-1970 flooring, order preservation, pruned scan equals the " +
+    "brute filter on every transform, point day one file, unknown " +
+    "transforms refused on write and read") {
+    val W = IcebergWrite
+    // the published quadruple: 2017-12-01T10:12:55.038194
+    val t2017 = (17501L * 86400L + 10L * 3600L + 12L * 60L + 55L) *
+      1000000L + 38194L
+    assert(W.yearTransform(t2017) == 47)
+    assert(W.monthTransform(t2017) == 575)
+    assert(W.dayTransform(t2017) == 17501)
+    assert(W.hourTransform(t2017) == 420034)
+    // the epoch itself
+    assert(W.yearTransform(0L) == 0 && W.monthTransform(0L) == 0 &&
+      W.dayTransform(0L) == 0 && W.hourTransform(0L) == 0)
+    // negative dates FLOOR: 1969-12-31T23:59:59.999999 is -1 in all
+    // four; 1969-01-01 is year -1, month -12, day -365
+    assert(W.yearTransform(-1L) == -1 && W.monthTransform(-1L) == -1)
+    assert(W.dayTransform(-1L) == -1 && W.hourTransform(-1L) == -1)
+    val t1969 = -365L * 86400000000L
+    assert(W.yearTransform(t1969) == -1)
+    assert(W.monthTransform(t1969) == -12)
+    assert(W.dayTransform(t1969) == -365)
+    // order preservation on a micros sweep across the epoch
+    val sweep = (-40L to 40L).map(_ * 7200000000L)
+    Seq[Long => Int](W.yearTransform, W.monthTransform,
+      W.dayTransform, W.hourTransform).foreach { tr =>
+      assert(sweep.map(tr) == sweep.map(tr).sorted)
+    }
+    // calendar cross-check against java.time over a wide sweep
+    (-1000L to 1000L by 7L).foreach { day =>
+      val micros = day * 86400000000L + 3600000000L
+      val ld = java.time.LocalDate.ofEpochDay(day)
+      assert(W.yearTransform(micros) == ld.getYear - 1970)
+      assert(W.monthTransform(micros) ==
+        (ld.getYear - 1970) * 12 + ld.getMonthValue - 1)
+    }
+    // a table per transform: pruned scan == brute filter
+    def tsOf(d: Long): Long = (d - 45L) * 21600000000L
+    val rows = ids.map(d => (d, tsOf(d), (d * 41) % 1031))
+    val lo = tsOf(3L); val hi = tsOf(71L)
+    Seq("year", "month", "day", "hour").foreach { tr =>
+      val files = W.writeTemporalTable(s"tt-$tr", rows, tr)
+        .getOrElse(fail(s"write $tr"))
+      assert(W.parseTemporalSpec(files, "v1.metadata.json")
+        .contains(tr))
+      val (kept, got) = W.temporalRangeScan(files,
+        "v1.metadata.json", lo, hi).getOrElse(fail(s"scan $tr"))
+      val brute = rows.filter(r => r._2 >= lo && r._2 <= hi)
+        .sortBy(r => (r._2, r._1))
+      assert(got == brute, s"$tr pruned scan == brute")
+      val occupied = rows.map(r =>
+        W.temporalTransform(tr, r._2).get).distinct
+      assert(kept == occupied.count(o =>
+        o >= W.temporalTransform(tr, lo).get &&
+          o <= W.temporalTransform(tr, hi).get))
+    }
+    // point day touches exactly one file, pre-1970 included
+    val dayF = W.writeTemporalTable("tt-pt", rows, "day").get
+    val dnegStart = W.dayTransform(tsOf(1L)).toLong * 86400000000L
+    assert(W.dayTransform(tsOf(1L)) < 0, "pre-1970 day exercised")
+    val (k1, r1) = W.temporalRangeScan(dayF, "v1.metadata.json",
+      dnegStart, dnegStart + 86399999999L).get
+    assert(k1 == 1 && r1 == rows.filter(r =>
+      W.dayTransform(r._2) == W.dayTransform(tsOf(1L)))
+      .sortBy(r => (r._2, r._1)))
+    // unknown transforms refused both directions
+    assert(W.writeTemporalTable("tt-x", rows, "weekday").isEmpty)
+    val alien = new String(dayF("v1.metadata.json"), "UTF-8")
+      .replace("\"transform\": \"day\"",
+        "\"transform\": \"weekday\"").getBytes("UTF-8")
+    assert(W.temporalRangeScan(dayF +
+      ("v1.metadata.json" -> alien), "v1.metadata.json",
+      lo, hi).isEmpty)
+  }
 }
