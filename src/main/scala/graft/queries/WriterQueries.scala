@@ -8681,5 +8681,170 @@ object WriterQueries {
                  AS BIGINT) AS pre1970_rows,
                CAST(1 AS BIGINT) AS unknown_refused
         FROM k GROUP BY table_id"""),
+      headline = false),
+
+    // q411 — Hudi SECONDARY INDEX MDT partition: the q400 lattice
+    // answers "which files might hold KEY k"; a predicate on a
+    // NON-key column still scanned. secondary_index_val closes
+    // that: composite `escape(val)$escape(key)` records (type 7,
+    // tombstones as isDeleted=true — the composite key needs both
+    // parts, so the plain delete block cannot carry them), synced
+    // per data instant with the running state naming exactly the
+    // mapping each value-change/delete invalidates. A probe is TWO
+    // index hops: secondary listing -> record keys, record index
+    // (q391) -> file groups — then only those groups' slices are
+    // decoded under the full q318 MOR merge rules. Laws: every
+    // distinct merged value's lookup equals the full-scan filter
+    // row-for-row with exactly the true file groups read (the
+    // fids-read total re-derived in DuckDB from the (val, fg)
+    // pairs); CLUSTERING contributes ZERO secondary changes (the
+    // rebuilt log is byte-identical — locations are the RECORD
+    // index's business, q404) yet post-cluster lookups stay exact
+    // through the moved RLI; append ≡ rebuild byte-exact on a real
+    // update instant; a delete of a never-written key refuses the
+    // sync (it cannot name the mapping it kills).
+    "q411_hudi_secondary_index" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.HudiWrite
+            val M = graft.sources.HudiMdt
+            val H = graft.sources.HudiLog
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeMorTable(ids)
+            val t5 = "00000000000005"
+            val res = for {
+              mdt <- M.syncSecondaryIndex(files)
+              rli <- M.syncRecordIndex(files)
+              table = files ++ mdt ++ rli
+              sl <- M.secondaryIndexListing(table)
+              idx <- M.recordIndexListing(table)
+              scanStates <- W.replay(files)
+              cf <- W.cluster(files, t5, 2)
+              clustered = files ++ cf.newFiles +
+                (cf.timelineName -> cf.timeline)
+              rebuilt <- M.syncSecondaryIndex(clustered)
+              rli2 <- M.syncRecordIndex(clustered)
+              app <- M.appendSecondaryIndex(mdt ++ rli, clustered,
+                t5, "replacecommit")
+            } yield {
+              val scan = scanStates.flatMap(_.rows)
+              val inverted = scan.groupBy(_._2)
+                .map { case (v, rs) => v -> rs.map(_._1).toSet }
+              val listingExact = sl == inverted
+              var fidsReadSum = 0L
+              var lookupExact = true
+              scan.map(_._2).distinct.foreach { target =>
+                M.secondaryLookup(table, target) match {
+                  case Some((fids, rows)) =>
+                    fidsReadSum += fids.length.toLong
+                    if (rows != scan.filter(_._2 == target)
+                      .sortBy(_._1)) lookupExact = false
+                    val trueFids = scan.filter(_._2 == target)
+                      .map(_._1).flatMap(idx.get).map(_._2)
+                      .distinct.sorted
+                    if (fids != trueFids) lookupExact = false
+                  case None => lookupExact = false
+                }
+              }
+              if (M.secondaryLookup(table, 999983L) !=
+                Some((Seq.empty[String],
+                  Seq.empty[(Long, Long)]))) lookupExact = false
+              val clusterZero = java.util.Arrays.equals(
+                rebuilt(M.SecondaryIndexLogPath),
+                mdt(M.SecondaryIndexLogPath)) &&
+                java.util.Arrays.equals(
+                  app(M.SecondaryIndexLogPath),
+                  mdt(M.SecondaryIndexLogPath))
+              val table2 = clustered ++ rebuilt ++ rli2
+              val scan2 = W.replay(clustered).get.flatMap(_.rows)
+              val postClusterOk = scan2.map(_._2).distinct
+                .forall { target =>
+                  M.secondaryLookup(table2, target).exists {
+                    case (fids2, rows2) =>
+                      rows2 == scan2.filter(_._2 == target)
+                        .sortBy(_._1) &&
+                        fids2.forall(_.startsWith("cl"))
+                  }
+                }
+              // append == rebuild on a real update instant
+              val t6 = "00000000000006"
+              // any LIVE fg0 key works — d%3==0 keys were updated
+              // at t2, so their tombstone names val+7 (blob residue
+              // classes 0 and 3 hold ONLY d%3==0 keys)
+              val k6 = ids.find(d => (d / 6) % 2 == 0 &&
+                d % 5 != 0).get
+              val lname6 = s"p/.fg0_$t6.log.1_0-0-0"
+              val log6 = H.writeBlock(H.TypeAvroData,
+                Seq(H.HdrInstantTime -> t6,
+                  H.HdrSchema -> W.LogRecSchema),
+                H.dataContent(Seq(W.avroRec(k6, 777L))))
+              val files6 = files +
+                (s".hoodie/$t6.deltacommit" -> W.commitJson(
+                  Seq(("fg0", lname6, 1L))).getBytes("UTF-8")) +
+                (lname6 -> log6)
+              val appendRebuild = (for {
+                a6 <- M.appendSecondaryIndex(mdt, files6, t6,
+                  "deltacommit")
+                r6 <- M.syncSecondaryIndex(files6)
+                s6 <- M.secondaryIndexListing(files6 ++ a6)
+              } yield java.util.Arrays.equals(
+                a6(M.SecondaryIndexLogPath),
+                r6(M.SecondaryIndexLogPath)) &&
+                s6.getOrElse(777L, Set.empty).contains(k6))
+                .getOrElse(false)
+              // a delete of a never-written key refuses the sync
+              val t7 = "00000000000007"
+              val lname7 = s"p/.fg0_$t7.log.1_0-0-0"
+              val log7 = H.writeBlock(H.TypeDelete,
+                Seq(H.HdrInstantTime -> t7),
+                H.deleteContent(Seq("999999")))
+              val files7 = files +
+                (s".hoodie/$t7.deltacommit" -> W.commitJson(
+                  Seq(("fg0", lname7, 1L))).getBytes("UTF-8")) +
+                (lname7 -> log7)
+              val unknownRefused =
+                M.syncSecondaryIndex(files7).isEmpty
+              (t, scan.length.toLong, scan.map(_._2).sum,
+                scan.map(_._2).distinct.length.toLong, fidsReadSum,
+                if (listingExact && lookupExact) 1L else 0L,
+                if (clusterZero) 1L else 0L,
+                if (postClusterOk) 1L else 0L,
+                if (appendRebuild) 1L else 0L,
+                if (unknownRefused) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "val_sum", "n_vals",
+            "fids_read_sum", "lookup_exact", "cluster_zero",
+            "post_cluster_ok", "append_rebuild", "unknown_refused")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg,
+                 (doc_id * 13) % 991 AS v
+          FROM documents),
+        live AS (
+          SELECT table_id, d, fg,
+                 CASE WHEN fg = 0 AND d % 3 = 0 THEN v + 7 ELSE v END
+                   AS val
+          FROM r WHERE fg = 1 OR d % 5 <> 0)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(val) AS BIGINT) AS val_sum,
+               CAST(count(DISTINCT val) AS BIGINT) AS n_vals,
+               CAST(count(DISTINCT val * 10 + fg) AS BIGINT)
+                 AS fids_read_sum,
+               CAST(1 AS BIGINT) AS lookup_exact,
+               CAST(1 AS BIGINT) AS cluster_zero,
+               CAST(1 AS BIGINT) AS post_cluster_ok,
+               CAST(1 AS BIGINT) AS append_rebuild,
+               CAST(1 AS BIGINT) AS unknown_refused
+        FROM live GROUP BY table_id"""),
       headline = false))
 }

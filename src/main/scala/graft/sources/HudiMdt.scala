@@ -851,6 +851,361 @@ object HudiMdt {
     } yield state
   }
 
+  // ---- secondary_index partition (q411) --------------------------------------
+
+  /** Reduced-but-shaped secondary-index record (type 7): composite
+    * key `escape(secondaryKey)$escape(recordKey)` ->
+    * HoodieSecondaryIndexInfo{isDeleted} — the Hudi 1.0 MDT
+    * partition that answers a NON-key-column predicate without a
+    * scan: secondary key -> record keys here, record key ->
+    * (partition, fileId) through the record index (q391) — a point
+    * probe in two index hops. Tombstones ride isDeleted=true
+    * records (the composite key needs BOTH parts, so the plain
+    * delete block cannot carry them).
+    */
+  val SecondaryIndexSchema: String =
+    """{"type":"record","name":"HoodieMetadataRecord","fields":[{"name":"key","type":"string"},{"name":"type","type":"int"},{"name":"secondaryIndexMetadata","type":{"type":"record","name":"HoodieSecondaryIndexInfo","fields":[{"name":"isDeleted","type":"boolean"}]}}]}"""
+
+  private lazy val secondaryIndexSchema =
+    AvroGeneric.parseSchema(SecondaryIndexSchema).get
+
+  /** The secondary_index partition's log file (index on `val`). */
+  val SecondaryIndexLogPath =
+    ".hoodie/metadata/secondary_index_val/.secondary-index-val-0000_00000000000000.log.1_0-0-0"
+
+  /** Escape one composite-key part: `\` -> `\\`, `$` -> `\$` — the
+    * separator must never be forgeable from part content.
+    */
+  def escapeKeyPart(s: String): String =
+    s.replace("\\", "\\\\").replace("$", "\\$")
+
+  /** `escape(sec)$escape(rec)`. */
+  def secondaryKey(sec: String, rec: String): String =
+    escapeKeyPart(sec) + "$" + escapeKeyPart(rec)
+
+  /** Split a composite key at its UNESCAPED `$` and unescape both
+    * parts. None on zero or two separators, or a dangling escape —
+    * a key the encoder could not have produced.
+    */
+  def splitSecondaryKey(key: String): Option[(String, String)] = {
+    val sec = new StringBuilder
+    val rec = new StringBuilder
+    var cur = sec
+    var seps = 0
+    var i = 0
+    while (i < key.length) {
+      key.charAt(i) match {
+        case '\\' =>
+          if (i + 1 >= key.length) return None
+          val c = key.charAt(i + 1)
+          if (c != '\\' && c != '$') return None
+          cur.append(c); i += 2
+        case '$' =>
+          seps += 1
+          if (seps > 1) return None
+          cur = rec; i += 1
+        case c => cur.append(c); i += 1
+      }
+    }
+    if (seps == 1) Some((sec.toString, rec.toString)) else None
+  }
+
+  private def secondaryRecord(sec: String, rec: String,
+                              isDeleted: Boolean): Array[Byte] = {
+    val v: V = VRecord(Vector(
+      "key" -> VString(secondaryKey(sec, rec)),
+      "type" -> VLong(7L),
+      "secondaryIndexMetadata" -> VRecord(Vector(
+        "isDeleted" -> VBool(isDeleted)))))
+    val out = new java.io.ByteArrayOutputStream()
+    AvroWrite.datum(out, v, secondaryIndexSchema)
+    out.toByteArray
+  }
+
+  /** The (rec_id -> val) upserts and deleted keys one data instant
+    * contributes, read from the ACTUAL bytes it wrote (base parquet
+    * columns, log data/delete blocks) — proven, never copied from
+    * stats. A clean or a replacecommit contributes NOTHING: neither
+    * changes any (key -> secondary value) fact — clustering moves
+    * locations, which is the RECORD index's business (q404), not
+    * this one's. None on malformed stats or undecodable bytes.
+    */
+  private def instantSecondaryChanges(files: Map[String, Array[Byte]],
+                                      instant: String, action: String)
+      : Option[(Seq[(Long, Long)], Seq[Long])] = {
+    if (action == "clean" || action == "replacecommit")
+      return Some((Nil, Nil))
+    import Json.{JArray, JObject, JString}
+    val ups = Seq.newBuilder[(Long, Long)]
+    val dels = Seq.newBuilder[Long]
+    var ok = true
+    files.get(s".hoodie/$instant.$action")
+      .flatMap(b => Json.parse(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8))) match {
+      case Some(o: JObject) =>
+        o.get("partitionToWriteStats") match {
+          case Some(parts: JObject) =>
+            parts.fields.foreach { case (part, statsJ) =>
+              statsJ match {
+                case JArray(stats) => stats.foreach {
+                  case st: JObject =>
+                    st.get("path").collect { case JString(x) => x }
+                      match {
+                      case Some(p)
+                        if p.take(p.indexOf('/') max 0) == part =>
+                        val name = p.drop(part.length + 1)
+                        name match {
+                          case BaseNameRe(_, _) =>
+                            (files.get(p)
+                              .flatMap(Parquet.columnLongs(_, "rec_id")),
+                              files.get(p)
+                                .flatMap(Parquet.columnLongs(_, "val")))
+                              match {
+                              case (Some(ks), Some(vs))
+                                if ks.length == vs.length =>
+                                ks.indices.foreach(i =>
+                                  ups += ((ks(i), vs(i))))
+                              case _ => ok = false
+                            }
+                          case RliLogNameRe(_, _) =>
+                            files.get(p).flatMap(HudiLog.parse) match {
+                              case Some(blocks) =>
+                                blocks.filter(_.instant == instant)
+                                  .foreach { b =>
+                                    if (b.blockType ==
+                                      HudiLog.TypeAvroData) {
+                                      b.records.foreach { r =>
+                                        (r.field("rec_id")
+                                          .flatMap(_.asLong),
+                                          r.field("val")
+                                            .flatMap(_.asLong)) match {
+                                          case (Some(k), Some(v)) =>
+                                            ups += ((k, v))
+                                          case _ => ok = false
+                                        }
+                                      }
+                                    } else if (b.blockType ==
+                                      HudiLog.TypeDelete) {
+                                      b.deleteKeys.foreach { k =>
+                                        scala.util.Try(k.toLong)
+                                          .toOption match {
+                                          case Some(kk) => dels += kk
+                                          case None => ok = false
+                                        }
+                                      }
+                                    }
+                                  }
+                              case None => ok = false
+                            }
+                          case _ => ok = false
+                        }
+                      case _ => ok = false
+                    }
+                  case _ => ok = false
+                }
+                case _ => ok = false
+              }
+            }
+          case _ => ok = false
+        }
+      case _ => ok = false
+    }
+    if (ok) Some((ups.result(), dels.result())) else None
+  }
+
+  /** One instant's secondary-index block: tombstones for mappings
+    * the instant invalidated (value changed or key deleted; the
+    * OLD value comes from the running pre-instant state — a sync
+    * that cannot name what it invalidates must refuse, so an
+    * unknown deleted key is ok=None upstream), then upserts for new
+    * mappings. Unchanged (key, value) facts emit NOTHING — a
+    * clustering instant's block is EMPTY by construction. Returns
+    * (blockBytes, newState); None when a delete names a key the
+    * state never held.
+    */
+  private def secondaryBlock(instant: String,
+                             ups: Seq[(Long, Long)], dels: Seq[Long],
+                             cur: Map[Long, Long])
+      : Option[(Array[Byte], Map[Long, Long])] = {
+    val tomb = Seq.newBuilder[(String, String)]
+    val add = Seq.newBuilder[(String, String)]
+    var st = cur
+    ups.sortBy(_._1).foreach { case (k, v) =>
+      cur.get(k) match {
+        case Some(old) if old == v => () // unchanged fact
+        case Some(old) =>
+          tomb += ((old.toString, k.toString))
+          add += ((v.toString, k.toString))
+          st = st + (k -> v)
+        case None =>
+          add += ((v.toString, k.toString))
+          st = st + (k -> v)
+      }
+    }
+    var ok = true
+    dels.sorted.foreach { k =>
+      cur.get(k) match {
+        case Some(old) =>
+          tomb += ((old.toString, k.toString))
+          st = st - k
+        case None => ok = false
+      }
+    }
+    if (!ok) return None
+    val recs = tomb.result().map { case (s, r) =>
+      secondaryRecord(s, r, isDeleted = true) } ++
+      add.result().map { case (s, r) =>
+        secondaryRecord(s, r, isDeleted = false) }
+    val bytes =
+      if (recs.isEmpty) Array.empty[Byte]
+      else HudiLog.writeBlock(HudiLog.TypeAvroData,
+        Seq(HudiLog.HdrInstantTime -> instant,
+          HudiLog.HdrSchema -> SecondaryIndexSchema),
+        HudiLog.dataContent(recs))
+    Some((bytes, st))
+  }
+
+  /** Bootstrap the secondary_index_val partition from the data
+    * timeline: per completed data instant ascending, the
+    * invalidation-aware block through the own HudiLog writer,
+    * tracking the running (key -> value) state so every tombstone
+    * names the exact mapping it kills. None on any malformed
+    * instant or a delete of a never-written key.
+    */
+  def syncSecondaryIndex(files: Map[String, Array[Byte]])
+      : Option[Map[String, Array[Byte]]] = {
+    val instants = files.keys.toSeq.collect {
+      case DataTimelineRe(i, a) => (i, a)
+    }.sorted
+    val log = new java.io.ByteArrayOutputStream()
+    val out = Map.newBuilder[String, Array[Byte]]
+    var cur = Map.empty[Long, Long]
+    var ok = true
+    instants.foreach { case (instant, action) =>
+      instantSecondaryChanges(files, instant, action)
+        .flatMap { case (ups, dels) =>
+          secondaryBlock(instant, ups, dels, cur) } match {
+        case Some((b, st)) =>
+          log.write(b, 0, b.length)
+          cur = st
+          out += mdtCommit(instant) -> "{}".getBytes("UTF-8")
+        case None => ok = false
+      }
+    }
+    if (!ok || instants.isEmpty) None
+    else Some(
+      (out += (SecondaryIndexLogPath -> log.toByteArray)).result())
+  }
+
+  /** Append ONE data instant (same rule as [[syncSecondaryIndex]],
+    * so append ≡ rebuild byte-exact). The pre-instant state is
+    * recovered from the EXISTING index — the listing inverted —
+    * never from re-reading the data timeline. None if the index
+    * log is absent or inconsistent.
+    */
+  def appendSecondaryIndex(mdt: Map[String, Array[Byte]],
+                           files: Map[String, Array[Byte]],
+                           instant: String, action: String)
+      : Option[Map[String, Array[Byte]]] =
+    for {
+      old <- mdt.get(SecondaryIndexLogPath)
+      listing <- secondaryIndexListing(mdt ++ files.filter(
+        _._1.startsWith(".hoodie/")))
+      cur <- {
+        val pairs = listing.toSeq.flatMap { case (v, ks) =>
+          ks.toSeq.map(k => (k, v)) }
+        if (pairs.map(_._1).distinct.length == pairs.length)
+          Some(pairs.toMap)
+        else None // a key with two live values is not an index
+      }
+      changes <- instantSecondaryChanges(files, instant, action)
+      (block, _) <- secondaryBlock(instant, changes._1, changes._2,
+        cur)
+    } yield Map(
+      SecondaryIndexLogPath -> (old ++ block),
+      mdtCommit(instant) -> "{}".getBytes("UTF-8"))
+
+  /** Replay the secondary index: completed MDT instants ascending,
+    * isDeleted=false adds the (secondary, record) pair, true
+    * removes it. The LIVE inverted map: secondary value -> record
+    * keys. None on a malformed block, an unsplittable composite
+    * key, or a non-numeric part (this index is on a long column).
+    */
+  def secondaryIndexListing(files: Map[String, Array[Byte]])
+      : Option[Map[Long, Set[Long]]] = {
+    val completed = files.keys.collect {
+      case MdtTimelineRe(i) => i }.toSet
+    for {
+      logBytes <- files.get(SecondaryIndexLogPath)
+      blocks <- HudiLog.parse(logBytes)
+      state <- {
+        val m = scala.collection.mutable.Map
+          .empty[Long, Set[Long]]
+        var ok = true
+        blocks.sortBy(_.instant).foreach { b =>
+          if (completed(b.instant) &&
+            b.blockType == HudiLog.TypeAvroData) {
+            b.records.foreach { r =>
+              val row = for {
+                key <- r.field("key").flatMap(_.asString)
+                (sp, rp) <- splitSecondaryKey(key)
+                sec <- scala.util.Try(sp.toLong).toOption
+                rec <- scala.util.Try(rp.toLong).toOption
+                info <- r.field("secondaryIndexMetadata")
+                del <- info.field("isDeleted").collect {
+                  case VBool(x) => x }
+              } yield {
+                if (del) {
+                  val left = m.getOrElse(sec, Set.empty) - rec
+                  if (left.isEmpty) m.remove(sec) else m(sec) = left
+                } else m(sec) = m.getOrElse(sec, Set.empty) + rec
+              }
+              if (row.isEmpty) ok = false
+            }
+          }
+        }
+        if (ok) Some(m.toMap) else None
+      }
+    } yield state
+  }
+
+  /** SECONDARY-PLANNED point lookup on `val`: the two index hops —
+    * secondary listing names the record keys, the record index
+    * (q391) locates each key's file group — then ONLY those groups'
+    * slices are decoded (the full MOR merge rules via
+    * [[HudiWrite.replay]] over the planned subset). Returns (file
+    * ids read, matching (rec_id, val) rows sorted). None when any
+    * hop cannot prove its answer.
+    */
+  def secondaryLookup(files: Map[String, Array[Byte]],
+                      target: Long)
+      : Option[(Seq[String], Seq[(Long, Long)])] =
+    for {
+      sl <- secondaryIndexListing(files)
+      keys = sl.getOrElse(target, Set.empty)
+      idx <- recordIndexListing(files)
+      fids <- {
+        val per = keys.toSeq.map(idx.get(_).map(_._2))
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatten.distinct.sorted)
+      }
+      planned = files.filter { case (p, _) =>
+        p.startsWith(".hoodie/") || {
+          val slash = p.indexOf('/')
+          slash > 0 && {
+            val name = p.drop(slash + 1)
+            name match {
+              case BaseNameRe(fid, _) => fids.contains(fid)
+              case RliLogNameRe(fid, _) => fids.contains(fid)
+              case _ => false
+            }
+          }
+        }
+      }
+      states <- HudiWrite.replay(planned)
+    } yield (fids, states.flatMap(_.rows)
+      .filter(_._2 == target).sortBy(_._1))
+
   /** The same planning rule from a raw storage listing — the
     * baseline the MDT plan must reproduce (and improve on by not
     * seeing orphans).

@@ -358,6 +358,115 @@ class HudiMdtSpec extends AnyFunSuite {
     assert(HudiMdt.sync(anon).isEmpty)
   }
 
+  test("secondary index (q411): composite-key escaping vectors, " +
+    "listing == inverted merged scan, value changes tombstone the " +
+    "old mapping, clustering contributes ZERO changes, two-hop " +
+    "lookup == full-scan filter reading only the named groups, " +
+    "append == rebuild, unknown-key delete fails closed") {
+    val M = HudiMdt
+    // escaping: the separator is unforgeable from part content
+    assert(M.secondaryKey("a$b", "k\\1") == "a\\$b$k\\\\1")
+    assert(M.splitSecondaryKey("a\\$b$k\\\\1")
+      .contains(("a$b", "k\\1")))
+    assert(M.splitSecondaryKey("nosep").isEmpty)
+    assert(M.splitSecondaryKey("a$b$c").isEmpty)
+    assert(M.splitSecondaryKey("a$b\\").isEmpty)
+    assert(M.splitSecondaryKey("a\\x$b").isEmpty)
+    val files = HudiWrite.writeMorTable(ids)
+    val mdt = M.syncSecondaryIndex(files).getOrElse(fail("sync"))
+    val rli = M.syncRecordIndex(files).getOrElse(fail("rli"))
+    val table = files ++ mdt ++ rli
+    val sl = M.secondaryIndexListing(table).getOrElse(fail("listing"))
+    // the listing IS the inverted merged scan
+    val scan = HudiWrite.replay(files).get.flatMap(_.rows)
+    val inverted = scan.groupBy(_._2)
+      .map { case (v, rs) => v -> rs.map(_._1).toSet }
+    assert(sl == inverted)
+    // an updated key (fg0, d%3==0 -> val+7) lives under its NEW
+    // value; a deleted key (d%5==0) under none
+    val fg0 = ids.filter(d => (d / 6) % 2 == 0)
+    def v(d: Long): Long = (d * 13) % 991
+    fg0.filter(d => d % 3 == 0 && d % 5 != 0).foreach { d =>
+      assert(sl.getOrElse(v(d) + 7, Set.empty).contains(d))
+      assert(!sl.getOrElse(v(d), Set.empty).contains(d))
+    }
+    fg0.filter(_ % 5 == 0).foreach { d =>
+      assert(!sl.values.exists(_.contains(d)))
+    }
+    // two-hop lookup == full-scan filter, and only the named file
+    // groups are decoded (absent values read nothing)
+    (scan.map(_._2).distinct :+ 999983L).foreach { target =>
+      val (fids, rows) = M.secondaryLookup(table, target)
+        .getOrElse(fail(s"lookup $target"))
+      assert(rows == scan.filter(_._2 == target).sortBy(_._1))
+      val trueFids = scan.filter(_._2 == target).map(_._1)
+        .flatMap(k => M.recordIndexListing(table).get.get(k))
+        .map(_._2).distinct.sorted
+      assert(fids == trueFids)
+      if (target == 999983L) assert(fids.isEmpty && rows.isEmpty)
+    }
+    // clustering contributes ZERO secondary changes: the rebuilt
+    // log is byte-identical, and append appends nothing
+    val t5 = "00000000000005"
+    val cf = HudiWrite.cluster(files, t5, 2).getOrElse(fail("cl"))
+    val clustered = files ++ cf.newFiles +
+      (cf.timelineName -> cf.timeline)
+    val rebuilt = M.syncSecondaryIndex(clustered).get
+    assert(java.util.Arrays.equals(
+      rebuilt(M.SecondaryIndexLogPath),
+      mdt(M.SecondaryIndexLogPath)),
+      "clustering must not touch the secondary index log")
+    val app = M.appendSecondaryIndex(mdt ++ rli, clustered, t5,
+      "replacecommit").getOrElse(fail("append"))
+    assert(java.util.Arrays.equals(app(M.SecondaryIndexLogPath),
+      mdt(M.SecondaryIndexLogPath)))
+    // post-clustering lookup still equals the scan (locations moved
+    // to cl* groups through the RECORD index, q404's business)
+    val rli2 = M.syncRecordIndex(clustered).get
+    val table2 = clustered ++ rebuilt ++ rli2 ++
+      M.sync(clustered).get
+    val scan2 = HudiWrite.replay(clustered).get.flatMap(_.rows)
+    scan2.map(_._2).distinct.take(5).foreach { target =>
+      val (fids2, rows2) = M.secondaryLookup(table2, target).get
+      assert(rows2 == scan2.filter(_._2 == target).sortBy(_._1))
+      assert(fids2.forall(_.startsWith("cl")))
+    }
+    // append == rebuild byte-exact across a real data instant: a
+    // t6 deltacommit updating one key's value
+    val t6 = "00000000000006"
+    val k6 = fg0.find(d => d % 3 != 0 && d % 5 != 0).get
+    val lname6 = s"p/.fg0_$t6.log.1_0-0-0"
+    val log6 = HudiLog.writeBlock(HudiLog.TypeAvroData,
+      Seq(HudiLog.HdrInstantTime -> t6,
+        HudiLog.HdrSchema -> HudiWrite.LogRecSchema),
+      HudiLog.dataContent(Seq(HudiWrite.avroRec(k6, 777L))))
+    val files6 = files +
+      (s".hoodie/$t6.deltacommit" -> HudiWrite.commitJson(
+        Seq(("fg0", lname6, 1L))).getBytes("UTF-8")) +
+      (lname6 -> log6)
+    val app6 = M.appendSecondaryIndex(mdt, files6, t6,
+      "deltacommit").getOrElse(fail("append6"))
+    val rebuilt6 = M.syncSecondaryIndex(files6).get
+    assert(java.util.Arrays.equals(
+      app6(M.SecondaryIndexLogPath),
+      rebuilt6(M.SecondaryIndexLogPath)), "append == rebuild")
+    val sl6 = M.secondaryIndexListing(files6 ++ app6).get
+    assert(sl6.getOrElse(777L, Set.empty).contains(k6))
+    assert(!sl6.getOrElse(v(k6), Set.empty).contains(k6))
+    // a delete of a never-written key fails the sync closed
+    val t7 = "00000000000007"
+    val lname7 = s"p/.fg0_$t7.log.1_0-0-0"
+    val log7 = HudiLog.writeBlock(HudiLog.TypeDelete,
+      Seq(HudiLog.HdrInstantTime -> t7),
+      HudiLog.deleteContent(Seq("999999")))
+    val files7 = files +
+      (s".hoodie/$t7.deltacommit" -> HudiWrite.commitJson(
+        Seq(("fg0", lname7, 1L))).getBytes("UTF-8")) +
+      (lname7 -> log7)
+    assert(M.syncSecondaryIndex(files7).isEmpty,
+      "a sync must never tombstone a mapping it cannot name")
+  }
+
   test("record-index totality: a commit naming a base file with no " +
     "bytes, or an undecodable log, fails sync CLOSED") {
     val files = HudiWrite.writeMorTable(ids)
