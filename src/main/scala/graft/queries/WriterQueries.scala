@@ -8846,5 +8846,146 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS append_rebuild,
                CAST(1 AS BIGINT) AS unknown_refused
         FROM live GROUP BY table_id"""),
+      headline = false),
+
+    // q412 — Delta LIQUID CLUSTERING: ZORDER (q381) is the legacy
+    // story — an operation you must re-invoke with the right
+    // columns every time. The current protocol makes clustering a
+    // TABLE property: the `clusteredTable` writer feature plus a
+    // `delta.clustering` domain carrying the clustering column
+    // paths (last domain wins — changing layout policy is a
+    // metadata-only commit), with classic writers refused at the
+    // gate (they would append stripes and silently degrade the
+    // layout — the q393 refusal pattern). OPTIMIZE then reads the
+    // columns FROM THE DOMAIN, never from a caller, and runs the
+    // rt-materializing rewrite shared with q393's zorder: row ids
+    // byte-stable, a fresh id block claimed, dataChange=false
+    // throughout. Laws: post-cluster scan ≡ pre-cluster scan
+    // row-for-row (sums re-derived in DuckDB); the measured 2-D
+    // box-pruning win vs the striped layout (the q381 law); row-id
+    // triples and the advanced mark verified across the rewrite;
+    // classic writer refused while a clustering-aware one passes;
+    // a feature-without-domain table refuses the rewrite (never
+    // guess a layout).
+    "q412_delta_liquid_clustering" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val W = graft.sources.DeltaWrite
+            val P = graft.sources.Parquet
+            val ids = it.map(_._2).toSeq.sorted
+            val files = W.writeClusteredTable(s"lc-$t", ids)
+            val (bLo, bHi) = (64L, 95L)
+            def decode(table: Map[String, Array[Byte]], p: String) =
+              for {
+                b <- table.get(p)
+                rs <- P.columnLongs(b, "rec_id")
+                xs <- P.columnLongs(b, "x")
+                ys <- P.columnLongs(b, "y")
+                vs <- P.columnLongs(b, "val")
+              } yield rs.indices.map(i =>
+                (rs(i), xs(i), ys(i), vs(i)))
+            def boxScan(table: Map[String, Array[Byte]],
+                        live: Seq[String]) = {
+              val per = live.map(decode(table, _))
+              if (per.exists(_.isEmpty)) None
+              else {
+                val byFile = live.zip(per.map(_.get))
+                val hits = byFile.filter { case (_, rows) =>
+                  rows.nonEmpty &&
+                    rows.map(_._2).min <= bHi &&
+                    rows.map(_._2).max >= bLo &&
+                    rows.map(_._3).min <= bHi &&
+                    rows.map(_._3).max >= bLo
+                }
+                val hitRows = hits.flatMap(_._2).filter(r =>
+                  r._2 >= bLo && r._2 <= bHi &&
+                    r._3 >= bLo && r._3 <= bHi)
+                val allRows = byFile.flatMap(_._2).filter(r =>
+                  r._2 >= bLo && r._2 <= bHi &&
+                    r._3 >= bLo && r._3 <= bHi)
+                Some((hits.length, hitRows.sortBy(_._1),
+                  allRows.sortBy(_._1), byFile.flatMap(_._2)))
+              }
+            }
+            val res = for {
+              cols <- W.parseClusteringColumns(files)
+              if cols == Seq("x", "y")
+              st0 <- W.replayRowTracking(files)
+              z <- W.optimizeCluster(files, 3)
+              table = files + (z.commitName -> z.commit) ++
+                z.newFiles
+              st1 <- W.replayRowTracking(table)
+              liveB <- W.replayLive(files).map(_._1)
+              liveA <- W.replayLive(table).map(_._1)
+              linear <- boxScan(files, liveB)
+              clus <- boxScan(table, liveA)
+            } yield {
+              val (hitsL, hitRowsL, allRowsL, fullL) = linear
+              val (hitsC, hitRowsC, allRowsC, fullC) = clus
+              val prunes = hitsC < hitsL
+              val noWrongSkip = hitRowsL == allRowsL &&
+                hitRowsC == allRowsC && allRowsL == allRowsC
+              val rowsPreserved =
+                fullL.sortBy(_._1) == fullC.sortBy(_._1) &&
+                  z.rows == fullL.length.toLong
+              val idsStable = st1.rows.toSet == st0.rows.toSet &&
+                st1.highWaterMark == st0.highWaterMark +
+                  st0.rows.length.toLong
+              val dcOk = !new String(z.commit, "UTF-8")
+                .contains("\"dataChange\": true")
+              val gateOk = W.writerGate(files,
+                Set("rowTracking", "domainMetadata")).isEmpty &&
+                W.writerGate(files, Set("rowTracking",
+                  "domainMetadata", "clusteredTable")).isDefined
+              val domainless = files +
+                ("_delta_log/00000000000000000000.json" ->
+                  new String(files(
+                    "_delta_log/00000000000000000000.json"),
+                    "UTF-8").split("\n")
+                    .filterNot(_.contains("delta.clustering"))
+                    .mkString("", "\n", "\n").getBytes("UTF-8"))
+              val domainRefused =
+                W.optimizeCluster(domainless, 3).isEmpty
+              (t, fullL.length.toLong, fullL.map(_._4).sum,
+                allRowsL.length.toLong, allRowsL.map(_._4).sum,
+                st1.highWaterMark,
+                if (prunes) 1L else 0L,
+                if (noWrongSkip) 1L else 0L,
+                if (rowsPreserved && idsStable) 1L else 0L,
+                if (dcOk && gateOk && domainRefused) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "n_rows", "val_sum", "n_box_rows",
+            "box_val_sum", "hwm", "cluster_prunes",
+            "no_wrong_skip", "rows_ids_stable", "protocol_ok")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id * 7) % 256 AS x,
+                 (doc_id * 13) % 256 AS y,
+                 (doc_id * 31) % 1009 AS v
+          FROM documents)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS val_sum,
+               CAST(sum(CASE WHEN x BETWEEN 64 AND 95
+                 AND y BETWEEN 64 AND 95 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_box_rows,
+               CAST(sum(CASE WHEN x BETWEEN 64 AND 95
+                 AND y BETWEEN 64 AND 95 THEN v ELSE 0 END)
+                 AS BIGINT) AS box_val_sum,
+               CAST(2 * count(*) - 1 AS BIGINT) AS hwm,
+               CAST(1 AS BIGINT) AS cluster_prunes,
+               CAST(1 AS BIGINT) AS no_wrong_skip,
+               CAST(1 AS BIGINT) AS rows_ids_stable,
+               CAST(1 AS BIGINT) AS protocol_ok
+        FROM r GROUP BY table_id"""),
       headline = false))
 }

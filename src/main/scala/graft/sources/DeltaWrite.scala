@@ -1177,6 +1177,21 @@ object DeltaWrite {
     */
   def optimizeZOrderRt(files: Map[String, Array[Byte]],
                        nFiles: Int): Option[ZOrderRtResult] =
+    rtClusterRewrite(files, nFiles, "zrt",
+      (x, y, _) => zInterleave(x, y))
+
+  /** The shared rt-materializing clustering-rewrite core (ZORDER
+    * q381/q393 and liquid clustering q412 differ only in the sort
+    * key): decode the live set, sort by `sortKey(x, y, val)` (rec_id
+    * tie-break), re-split, materialize `_row_id`, claim a fresh id
+    * block, commit remove+add all dataChange=false. Refuses DV-
+    * carrying live adds and duplicate rec_ids (see optimizeZOrderRt
+    * docs for the laws).
+    */
+  private def rtClusterRewrite(files: Map[String, Array[Byte]],
+                               nFiles: Int, tag: String,
+                               sortKey: (Long, Long, Long) => Long)
+      : Option[ZOrderRtResult] =
     for {
       st <- replayRowTracking(files)
       if nFiles >= 1 && st.rows.nonEmpty
@@ -1230,11 +1245,12 @@ object DeltaWrite {
         }
       }
     } yield {
-      val rows = decoded.sortBy(r => (zInterleave(r._3, r._4), r._2))
+      val rows = decoded.sortBy(r =>
+        (sortKey(r._3, r._4, r._5), r._2))
       val per = math.max(1, (rows.length + nFiles - 1) / nFiles)
       val parts = rows.grouped(per).toSeq
       val names = parts.indices.map(i =>
-        f"part-zrt$i%03d-${maxV + 1}%05d.parquet")
+        f"part-$tag$i%03d-${maxV + 1}%05d.parquet")
       val data = parts.map(p => ParquetWrite.writeInt64(
         Seq("_row_id", "rec_id", "x", "y", "val"),
         p.map(r => Array(r._1, r._2, r._3, r._4, r._5))))
@@ -1316,6 +1332,163 @@ object DeltaWrite {
         .mkString("\n") + "\n"
       Map("_delta_log/00000000000000000000.json" -> c0.getBytes(Utf8))
     }
+
+  // ---- liquid clustering (q412) --------------------------------------------
+
+  /** Liquid clustering's protocol gate: writer feature
+    * `clusteredTable` on top of the row-tracking pair — a classic
+    * writer MUST refuse (appends that ignore the clustering domain
+    * would silently degrade the layout); readers stay classic
+    * (minReaderVersion 1 — the data is still just parquet).
+    */
+  val protocolActionClustered: String =
+    """{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7, "writerFeatures": ["clusteredTable", "domainMetadata", "rowTracking"]}}"""
+
+  /** The clustering domain: its configuration carries the
+    * clustering column PATHS (`[["x"], ["y"]]` — each path an array
+    * of name parts; this writer supports depth-1 paths).
+    */
+  val ClusteringDomain = "delta.clustering"
+
+  def clusteringDomainAction(cols: Seq[String]): String =
+    domainMetadataAction(ClusteringDomain,
+      s"""{"clusteringColumns": [${
+        cols.map(c => s"""["$c"]""").mkString(", ")}]}""")
+
+  /** The writer features the table's protocol (last wins) declares;
+    * empty when it declares none or the log is malformed.
+    */
+  def declaredWriterFeatures(files: Map[String, Array[Byte]])
+      : Set[String] = {
+    import Json.{JArray, JObject, JString}
+    var feats = Set.empty[String]
+    files.keys.toSeq.collect {
+      case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+      .foreach { case (_, p) =>
+        new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+          .foreach { line =>
+            Json.parse(line) match {
+              case Some(o: JObject) => o.get("protocol").foreach {
+                case pr: JObject =>
+                  pr.get("writerFeatures").foreach {
+                    case JArray(xs) =>
+                      feats = xs.collect {
+                        case JString(x) => x }.toSet
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+              case _ => ()
+            }
+          }
+      }
+    feats
+  }
+
+  /** The clustering columns the table currently declares (the LAST
+    * `delta.clustering` domainMetadata wins — changing them is a
+    * metadata-only commit). None when the domain is absent, a path
+    * is nested, or the configuration is malformed — a rewrite must
+    * never guess what to cluster by.
+    */
+  def parseClusteringColumns(files: Map[String, Array[Byte]])
+      : Option[Seq[String]] = {
+    import Json.{JArray, JObject, JString}
+    var cols: Option[Seq[String]] = None
+    var ok = true
+    files.keys.toSeq.collect {
+      case p @ CommitRe(v) => (v.toLong, p) }.sortBy(_._1)
+      .foreach { case (_, p) =>
+        new String(files(p), Utf8).split("\n").filter(_.nonEmpty)
+          .foreach { line =>
+            Json.parse(line) match {
+              case Some(o: JObject) =>
+                o.get("domainMetadata").foreach {
+                  case dm: JObject =>
+                    (dm.get("domain"), dm.get("configuration"))
+                      match {
+                      case (Some(JString(ClusteringDomain)),
+                        Some(JString(cfg))) =>
+                        Json.parse(cfg) match {
+                          case Some(co: JObject) =>
+                            co.get("clusteringColumns") match {
+                              case Some(JArray(xs)) =>
+                                val parsed = xs.map {
+                                  case JArray(ys)
+                                    if ys.length == 1 =>
+                                    ys.head match {
+                                      case JString(c) => Some(c)
+                                      case _ => None
+                                    }
+                                  case _ => None
+                                }
+                                if (parsed.exists(_.isEmpty))
+                                  ok = false
+                                else cols = Some(parsed.flatten)
+                              case _ => ok = false
+                            }
+                          case _ => ok = false
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          }
+      }
+    if (ok) cols else None
+  }
+
+  /** The q412 table: the row-tracking table (q393) upgraded to a
+    * CLUSTERED table — commit 0 swaps in the clusteredTable
+    * protocol and declares the clustering domain on (x, y). The
+    * initial layout is deliberately UNclustered ((d/6)-striped, so
+    * per-file x/y bounds are full-range stripes) — the win is what
+    * [[optimizeCluster]] must then measure.
+    */
+  def writeClusteredTable(id: String,
+                          ids: Seq[Long]): Map[String, Array[Byte]] = {
+    val base = writeRowTrackingTable(id, ids)
+    val c0p = "_delta_log/00000000000000000000.json"
+    val lines = new String(base(c0p), Utf8).split("\n").toSeq
+    val upgraded = (protocolActionClustered +:
+      clusteringDomainAction(Seq("x", "y")) +:
+      lines.filterNot(_.contains("\"protocol\"")))
+      .mkString("\n") + "\n"
+    base + (c0p -> upgraded.getBytes(Utf8))
+  }
+
+  /** OPTIMIZE on a liquid-clustered table: the clustering columns
+    * come from the DOMAIN (never a caller argument — the table owns
+    * its layout declaration); one column sorts directly, two
+    * interleave (Morton), deeper is refused in this writer. The
+    * rewrite is the rt-materializing core shared with ZORDER: ids
+    * byte-stable, fresh block claimed, dataChange=false throughout,
+    * DV-carrying or duplicate-rec live sets refused. None when the
+    * table does not declare `clusteredTable` or the domain is
+    * absent/malformed.
+    */
+  def optimizeCluster(files: Map[String, Array[Byte]],
+                      nFiles: Int): Option[ZOrderRtResult] = {
+    val feats = declaredWriterFeatures(files)
+    if (!feats.contains("clusteredTable")) return None
+    parseClusteringColumns(files).flatMap { cols =>
+      if (cols.isEmpty || cols.length > 2 ||
+        !cols.forall(Set("x", "y", "val"))) None
+      else {
+        def dim(c: String, x: Long, y: Long, v: Long): Long =
+          c match { case "x" => x; case "y" => y; case _ => v }
+        val key: (Long, Long, Long) => Long =
+          if (cols.length == 1)
+            (x, y, v) => dim(cols.head, x, y, v)
+          else
+            (x, y, v) => zInterleave(dim(cols(0), x, y, v),
+              dim(cols(1), x, y, v))
+        rtClusterRewrite(files, nFiles, "lc", key)
+      }
+    }
+  }
 
   // ---- row-tracking CHECKPOINT (q401) --------------------------------------
 

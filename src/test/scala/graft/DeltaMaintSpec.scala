@@ -387,6 +387,90 @@ class DeltaMaintSpec extends AnyFunSuite {
         lied.getBytes("UTF-8"))).isEmpty)
   }
 
+  test("liquid clustering (q412): columns come from the domain " +
+    "(last wins), rewrite preserves rows and row ids with a fresh " +
+    "block, 2-D pruning win vs the striped layout, classic writer " +
+    "refused, domainless / nested / DV'd tables refuse") {
+    val W = DeltaWrite
+    val files = W.writeClusteredTable("lc", ids)
+    assert(W.declaredWriterFeatures(files)
+      .contains("clusteredTable"))
+    assert(W.parseClusteringColumns(files)
+      .contains(Seq("x", "y")))
+    // classic writer refused; a clustering-aware one passes
+    assert(W.writerGate(files, Set("rowTracking",
+      "domainMetadata")).isEmpty)
+    assert(W.writerGate(files, Set("rowTracking", "domainMetadata",
+      "clusteredTable")).isDefined)
+    val st0 = W.replayRowTracking(files).getOrElse(fail("replay"))
+    val z = W.optimizeCluster(files, 3).getOrElse(fail("cluster"))
+    val table = files + (z.commitName -> z.commit) ++ z.newFiles
+    val st1 = W.replayRowTracking(table).getOrElse(fail("replay2"))
+    assert(st1.rows.toSet == st0.rows.toSet,
+      "ids byte-stable across the clustering rewrite")
+    assert(st1.highWaterMark ==
+      st0.highWaterMark + st0.rows.length.toLong,
+      "fresh block claimed, unused")
+    assert(!new String(z.commit, "UTF-8")
+      .contains("\"dataChange\": true"))
+    // the win: per-file (x, y) boxes tighten vs the striped layout
+    def boxHits(t: Map[String, Array[Byte]], live: Seq[String]) = {
+      val P = graft.sources.Parquet
+      live.count { p =>
+        val b = t(p)
+        val xs = P.columnLongs(b, "x").get
+        val ys = P.columnLongs(b, "y").get
+        xs.nonEmpty && xs.min <= 95 && xs.max >= 64 &&
+          ys.min <= 95 && ys.max >= 64
+      }
+    }
+    val before = boxHits(files, W.replayLive(files).get._1)
+    val after = boxHits(table, W.replayLive(table).get._1)
+    assert(after < before, s"clustering must prune: $after/$before")
+    // column change is metadata-only: recluster by val alone
+    val files2 = table +
+      ("_delta_log/00000000000000000003.json" ->
+        (W.clusteringDomainAction(Seq("val")) + "\n")
+          .getBytes("UTF-8"))
+    assert(W.parseClusteringColumns(files2)
+      .contains(Seq("val")))
+    val z2 = W.optimizeCluster(files2, 3).getOrElse(fail("recl"))
+    val valsPerFile = z2.newFiles.values.toSeq.map { b =>
+      graft.sources.Parquet.columnLongs(b, "val").get.toSeq }
+    assert(valsPerFile.flatten.sorted ==
+      ids.map(d => (d * 31) % 1009).sorted)
+    assert(valsPerFile.forall(v => v == v.sorted),
+      "single-column clustering is a plain sort")
+    // refusals: domainless rt table, nested path, DV'd live set
+    assert(W.optimizeCluster(W.writeRowTrackingTable("plain", ids),
+      3).isEmpty, "no clusteredTable feature -> refuse")
+    val domainless = files + (files.keys.find(
+      _.endsWith("00000000000000000000.json")).get ->
+      new String(files("_delta_log/00000000000000000000.json"),
+        "UTF-8").split("\n")
+        .filterNot(_.contains("delta.clustering"))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(W.optimizeCluster(domainless, 3).isEmpty,
+      "feature without domain -> refuse (never guess)")
+    val nested = files +
+      ("_delta_log/00000000000000000003.json" ->
+        (W.domainMetadataAction(W.ClusteringDomain,
+          """{"clusteringColumns": [["a", "b"]]}""") + "\n")
+          .getBytes("UTF-8"))
+    assert(W.optimizeCluster(nested, 3).isEmpty)
+    val V = graft.sources.DeletionVectorsWrite
+    val dvb = V.serializeBitmap(Seq(0L))
+    val desc = V.descriptorJson("i", V.z85Encode(dvb), None,
+      dvb.length.toLong, 1L)
+    val zn = z.newFiles.keys.head
+    val dvd = table + ("_delta_log/00000000000000000003.json" ->
+      (Seq(W.removeAction(zn), W.addActionRtDv(zn,
+        table(zn).length.toLong, 0L, 3L, desc))
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(W.optimizeCluster(dvd, 3).isEmpty,
+      "DV'd live set -> refuse, never resurrect")
+  }
+
   test("rt zorder refusal closes BOTH branches (r17 advice): a DV " +
     "on an all-materialized live set refuses; duplicate rec_ids " +
     "refuse rec-keyed id recovery; a sizeless checkpoint add row " +
