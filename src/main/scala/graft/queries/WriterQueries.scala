@@ -8987,5 +8987,107 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS rows_ids_stable,
                CAST(1 AS BIGINT) AS protocol_ok
         FROM r GROUP BY table_id"""),
+      headline = false),
+
+    // q413 — LZ4 FRAME format (.lz4, lz4_Frame_format.md): the
+    // engine decoded raw LZ4 blocks (parquet codec 7) and Hadoop
+    // BE32 framing (codec 5) but not the STANDALONE container wild
+    // corpora and WARC sidecars actually ship — magic 0x184D2204,
+    // flag byte (version/indep/checksums/content-size), block-max
+    // descriptor, XXH32 header checksum, LE32-size blocks (high bit
+    // = stored uncompressed), EndMark, content checksum — all
+    // checksums the engine's OWN XXH32 (pinned against lz4-java in
+    // Lz4Spec; CLI frames incl. 64 KB LINKED blocks whose matches
+    // reach across block boundaries cross-pin both directions
+    // there). Here the q239/q334 composition discipline: tar with
+    // the own writer, frame with the own LZ4F writer (block
+    // checksums on), and the decode law is BYTE EQUALITY — own
+    // decompress returns the exact tar image, own Tar.parse yields
+    // the entries re-derived in DuckDB (sizes, payload hashes,
+    // ustar stride arithmetic). Fail-closed in-task: flipped magic
+    // / header checksum / content checksum and truncation refuse;
+    // a skippable-frame prefix and frame concatenation decode as
+    // the CLI does.
+    "q413_lz4_frame" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val F = graft.sources.Lz4Frame
+            def h60(x: String): Long = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(x.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              java.lang.Long.parseLong(hex.take(15), 16)
+            }
+            val ids = it.map(_._2).toSeq.sorted
+            val p1 = ids.map(d => "doc-" + d + "|" + (d % 23) + "\n")
+              .mkString
+            val p2 = ids.mkString(",")
+            val tar = graft.sources.Tar.write(Seq(
+              ("docs.txt", p1.getBytes("UTF-8"), 1234567L),
+              ("ids.csv", p2.getBytes("UTF-8"), 1234567L)))
+            val lz = F.write(tar, blockChecksum = true)
+            val back = F.decompress(lz)
+            val rtExact = back.exists(java.util.Arrays.equals(_, tar))
+            val sizeLaw = lz.length < tar.length
+            def flip(b: Array[Byte], i: Int): Array[Byte] = {
+              val c = b.clone(); c(i) = (c(i) ^ 0x01).toByte; c
+            }
+            val failClosed = F.decompress(flip(lz, 0)).isEmpty &&
+              F.decompress(flip(lz, 14)).isEmpty && // HC
+              F.decompress(flip(lz, lz.length - 1)).isEmpty &&
+              F.decompress(lz.dropRight(1)).isEmpty
+            val skip = Array[Byte](0x50, 0x2a.toByte, 0x4d, 0x18,
+              2, 0, 0, 0, 7, 7)
+            val wildOk = F.decompress(skip ++ lz).exists(
+              java.util.Arrays.equals(_, tar)) &&
+              F.decompress(lz ++ lz).exists(
+                java.util.Arrays.equals(_, tar ++ tar))
+            if (!(rtExact && sizeLaw && failClosed && wildOk)) Nil
+            else graft.sources.Tar.parse(blobId, tar).map { e =>
+              val payload = new String(tar, e.data_offset.toInt,
+                e.size.toInt, "UTF-8")
+              (blobId, e.entry_name, e.size, h60(payload),
+                tar.length.toLong, 1L, 1L, 1L)
+            }
+          }
+          .toDF("blob_id", "entry_name", "size", "data_hash",
+            "tar_len", "lz_smaller", "rt_exact", "wild_ok")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d FROM documents),
+        k AS (
+          SELECT blob_id,
+                 string_agg('doc-' || d || '|' || (d % 23) || chr(10),
+                   '' ORDER BY d) AS p1,
+                 string_agg(d, ',' ORDER BY d) AS p2
+          FROM r GROUP BY blob_id),
+        g AS (
+          SELECT blob_id, p1, p2,
+                 CAST(length(p1) AS BIGINT) AS s1,
+                 CAST(length(p2) AS BIGINT) AS s2
+          FROM k),
+        geo AS (
+          SELECT *,
+                 512 + ((s1 + 511) // 512) * 512 +
+                 512 + ((s2 + 511) // 512) * 512 + 1024 AS tar_len
+          FROM g)
+        SELECT blob_id, 'docs.txt' AS entry_name, s1 AS size,
+               ${OracleSql.sqlHash60("p1")} AS data_hash, tar_len,
+               CAST(1 AS BIGINT) AS lz_smaller,
+               CAST(1 AS BIGINT) AS rt_exact,
+               CAST(1 AS BIGINT) AS wild_ok
+        FROM geo
+        UNION ALL
+        SELECT blob_id, 'ids.csv', s2,
+               ${OracleSql.sqlHash60("p2")}, tar_len,
+               CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM geo"""),
       headline = false))
 }

@@ -199,4 +199,147 @@ class Lz4Spec extends AnyFunSuite {
       check(s"trial-$trial", d)
     }
   }
+
+  test("XXH32 (q413): the own implementation equals lz4-java's " +
+    "across lengths, alignments, and seeds") {
+    val x32 = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
+      .hash32()
+    val r = new scala.util.Random(99)
+    for (len <- Seq(0, 1, 3, 4, 5, 15, 16, 17, 31, 32, 100, 1000,
+      65536);
+         seed <- Seq(0, 1, 0x9747b28c)) {
+      val a = new Array[Byte](len); r.nextBytes(a)
+      assert(graft.sources.XxHash32.hash(a, seed) ==
+        x32.hash(a, 0, len, seed), s"len=$len seed=$seed")
+    }
+    // offset-window form
+    val a = new Array[Byte](300); r.nextBytes(a)
+    assert(graft.sources.XxHash32.hash(a, 37, 200, 0) ==
+      x32.hash(a, 37, 200, 0))
+  }
+
+  test("LZ4 frame (q413): own frames decode through lz4-java's " +
+    "frame reader and back through the own reader; lz4-java frames " +
+    "decode through the own reader; skippable + concatenated " +
+    "frames; every damage shape fails closed") {
+    val F = graft.sources.Lz4Frame
+    for ((name, data) <- corpus) {
+      // own -> own, every flag shape
+      for (bc <- Seq(false, true); cs <- Seq(false, true);
+           cc <- Seq(false, true); code <- Seq(4, 7)) {
+        val f = F.write(data, blockMaxCode = code,
+          blockChecksum = bc, contentSize = cs, contentChecksum = cc)
+        assert(F.decompress(f).exists(
+          java.util.Arrays.equals(_, data)),
+          s"$name own rt bc=$bc cs=$cs cc=$cc code=$code")
+      }
+      // own -> lz4-java frame reader
+      val own = F.write(data, blockMaxCode = 4,
+        blockChecksum = true)
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(own))
+      val got = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { got.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      assert(java.util.Arrays.equals(got.toByteArray, data),
+        s"$name own->jpountz")
+      // lz4-java frame writer -> own reader
+      val bos = new java.io.ByteArrayOutputStream()
+      val os = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+        net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB,
+        data.length.toLong,
+        net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits
+          .BLOCK_INDEPENDENCE,
+        net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits
+          .CONTENT_CHECKSUM,
+        net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.CONTENT_SIZE)
+      os.write(data); os.close()
+      assert(F.decompress(bos.toByteArray).exists(
+        java.util.Arrays.equals(_, data)), s"$name jpountz->own")
+    }
+    val data = corpus.find(_._1 == "ascii text").get._2
+    val own = F.write(data)
+    // skippable frame prefix + two concatenated frames
+    val skip = Array[Byte](0x50, 0x2a.toByte, 0x4d, 0x18,
+      3, 0, 0, 0, 9, 9, 9)
+    assert(F.decompress(skip ++ own).exists(
+      java.util.Arrays.equals(_, data)))
+    assert(F.decompress(own ++ own).exists(
+      java.util.Arrays.equals(_, data ++ data)))
+    // damage fails closed
+    def flip(b: Array[Byte], i: Int): Array[Byte] = {
+      val c = b.clone(); c(i) = (c(i) ^ 0x01).toByte; c
+    }
+    assert(F.decompress(flip(own, 0)).isEmpty, "magic")
+    assert(F.decompress(flip(own, 4)).isEmpty,
+      "FLG bit flips break the header checksum")
+    val hcPos = 4 + 2 + 8 // magic + FLG/BD + content size
+    assert(F.decompress(flip(own, hcPos)).isEmpty, "HC")
+    assert(F.decompress(own.dropRight(1)).isEmpty, "truncated tail")
+    assert(F.decompress(own.take(9)).isEmpty, "truncated header")
+    assert(F.decompress(flip(own, own.length - 1)).isEmpty,
+      "content checksum")
+    assert(F.decompress(Array[Byte](4, 0x22, 0x4d, 0x18)).isEmpty,
+      "magic alone")
+    // content-size lie: patch the LE64 then fix HC so only the size
+    // check can catch it
+    val lied = own.clone()
+    lied(6) = (lied(6) ^ 0x01).toByte
+    val desc = java.util.Arrays.copyOfRange(lied, 4, hcPos)
+    lied(hcPos) = ((graft.sources.XxHash32.hash(desc, 0) >>> 8)
+      & 0xff).toByte
+    assert(F.decompress(lied).isEmpty, "content-size lie")
+    // block-checksum damage
+    val bcf = F.write(data, blockChecksum = true)
+    assert(F.decompress(flip(bcf, bcf.length - 9)).isEmpty,
+      "block checksum")
+    // a dictID'd frame is refused (unsupported, never guessed)
+    val dicted = own.clone()
+    dicted(4) = (dicted(4) | 0x01).toByte
+    val desc2 = java.util.Arrays.copyOfRange(dicted, 4, hcPos)
+    dicted(hcPos) = ((graft.sources.XxHash32.hash(desc2, 0) >>> 8)
+      & 0xff).toByte
+    assert(F.decompress(dicted).isEmpty, "dictID refused")
+  }
+
+  test("LZ4 frame x lz4 CLI (q413): CLI frames — default, 64 KB " +
+    "LINKED blocks (cross-block window), content-size — decode " +
+    "through the own walker; own frames decode through the CLI") {
+    val lz4 = new java.io.File("/root/miniconda/bin/lz4")
+    assume(lz4.exists, "lz4 CLI not installed")
+    val F = graft.sources.Lz4Frame
+    val dir = java.nio.file.Files.createTempDirectory("lz4cli")
+    // repetitive >64 KB so -B4 -BD makes REAL cross-block matches
+    val data = (("alpha beta gamma delta " * 400) + "tail").getBytes(
+      "UTF-8") ++ Array.tabulate[Byte](150000)(i =>
+      ((i / 30) % 119).toByte)
+    val src = dir.resolve("d.bin")
+    java.nio.file.Files.write(src, data)
+    import scala.sys.process._
+    for ((tag, flags) <- Seq(
+      "default" -> Seq.empty[String],
+      "linked64k" -> Seq("-B4", "-BD"),
+      "indep64k" -> Seq("-B4"),
+      "csize" -> Seq("--content-size"))) {
+      val out = dir.resolve(s"d-$tag.lz4")
+      val cmd = Seq(lz4.getPath, "-f", "-q") ++ flags ++
+        Seq(src.toString, out.toString)
+      assert(cmd.! == 0, s"$tag compress")
+      val got = F.decompress(
+        java.nio.file.Files.readAllBytes(out))
+      assert(got.exists(java.util.Arrays.equals(_, data)),
+        s"$tag CLI->own")
+    }
+    // own frame -> CLI decode
+    val ownPath = dir.resolve("own.lz4")
+    java.nio.file.Files.write(ownPath,
+      F.write(data, blockChecksum = true))
+    val back = dir.resolve("own.out")
+    assert(Seq(lz4.getPath, "-d", "-f", "-q", ownPath.toString,
+      back.toString).! == 0, "CLI decode of own frame")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(back), data), "own->CLI")
+  }
 }
