@@ -9089,5 +9089,155 @@ object WriterQueries {
                CAST(1 AS BIGINT), CAST(1 AS BIGINT),
                CAST(1 AS BIGINT)
         FROM geo"""),
+      headline = false),
+
+    // q414 — Iceberg v3 VARIANT type, binary form (the public
+    // parquet VariantEncoding.md — the semi-structured column type
+    // Iceberg v3, Delta, and Spark 4 share): each row is a
+    // (metadata, value) blob PAIR — metadata a version-1 sorted key
+    // dictionary, value the tagged tree (primitives, short/long
+    // strings, decimal4/8/16, objects with field ids SORTED by key,
+    // arrays). The engine's own canonical codec (sources/Variant
+    // .scala, cross-pinned BOTH directions against Spark's reference
+    // implementation in VariantSpec) encodes one UNSHREDDED variant
+    // per document, writes the pairs as BINARY leaves through the
+    // own parquet writer, reads them back with the own reader
+    // (columnBins), and the scan surfaces typed fields WITHOUT
+    // decoding siblings — getField binary-searches the sorted field
+    // ids (sound by the sort law the decoder enforces); the grouped
+    // aggregation over the extracted lang/n/score/tag/neg fields is
+    // re-derived relationally in DuckDB. Laws in-task: decode∘encode
+    // defined with re-encode BYTE-IDENTICAL (the canonical law),
+    // getField ≡ the full decode's field on every key, malformed
+    // blobs (version flip, truncated dictionary, truncated value,
+    // trailing bytes) refuse with None. Shredding is future work;
+    // unshredded pairs are the v3 interchange form.
+    "q414_variant_binary" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("blob_id"), col("doc_id"),
+            col("lang"), col("n_chars"))
+          .as[(Long, Long, String, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (blobId, it) =>
+            val V = graft.sources.Variant
+            val W = graft.sources.ParquetWrite
+            val P = graft.sources.Parquet
+            val docs = it.map(t => (t._2, t._3, t._4)).toSeq
+              .sortBy(_._1)
+            def mk(d: Long, lang: String, n: Long): V.V =
+              V.VObject(Vector(
+                "id" -> V.VLong(d),
+                "lang" -> V.VString(lang),
+                "n" -> V.VLong(n),
+                "score" -> V.VDecimal(BigInt((d * 31) % 1009), 2),
+                "tags" -> V.VArray(Vector(V.VLong(d % 23),
+                  V.VBool(d % 2 == 0), V.VNull,
+                  V.VString("t" + (d % 5)))),
+                "meta" -> V.VObject(Vector(
+                  "neg" -> V.VLong(-d),
+                  "src" -> V.VString("s" + (d % 7))))))
+            val pairs = docs.map { case (d, lang, n) =>
+              (d, V.encode(mk(d, lang, n))) }
+            // canonical law: decode defined, re-encode byte-identical
+            val canonOk = pairs.forall { case (_, (m, b)) =>
+              V.decode(m, b).exists { back =>
+                val (m2, b2) = V.encode(back)
+                java.util.Arrays.equals(m, m2) &&
+                  java.util.Arrays.equals(b, b2)
+              }
+            }
+            // the unshredded column pair through the own parquet
+            // writer, back through the own reader
+            val nRows = pairs.length
+            val fields = Seq(
+              W.Leaf("doc_id", 0, 2),
+              W.Leaf("v_meta", 0, 6),
+              W.Leaf("v_value", 0, 6))
+            val bytes = W.writeFile(fields, Seq(
+              W.LeafData(Array.fill(nRows)(0), null,
+                longs = pairs.map(_._1).toArray),
+              W.LeafData(Array.fill(nRows)(0), null,
+                bins = pairs.map(_._2._1).toArray),
+              W.LeafData(Array.fill(nRows)(0), null,
+                bins = pairs.map(_._2._2).toArray)))
+            val res = for {
+              ids <- P.columnLongs(bytes, "doc_id")
+              metas <- P.columnBins(bytes, "v_meta")
+              vals <- P.columnBins(bytes, "v_value")
+              if ids.length == nRows && metas.length == nRows &&
+                vals.length == nRows
+              decoded <- {
+                val ds = ids.indices.map(i =>
+                  V.decode(metas(i), vals(i)))
+                if (ds.exists(_.isEmpty)) None
+                else Some(ds.map(_.get))
+              }
+            } yield (ids, metas, vals, decoded)
+            res.toSeq.flatMap { case (ids, metas, vals, decoded) =>
+              val rows = ids.indices.map { i =>
+                val full = decoded(i).asInstanceOf[V.VObject]
+                  .fields.toMap
+                def gf(k: String) =
+                  V.getField(metas(i), vals(i), k)
+                val fieldEq = Seq("id", "lang", "n", "score",
+                  "tags", "meta").forall(k => gf(k) == full.get(k))
+                val lang = gf("lang") match {
+                  case Some(V.VString(l)) => l; case _ => "?" }
+                val n = gf("n") match {
+                  case Some(V.VLong(x)) => x; case _ => -1L }
+                val score = gf("score") match {
+                  case Some(V.VDecimal(u, 2)) => u.toLong
+                  case _ => -1L }
+                val tag = gf("tags") match {
+                  case Some(V.VArray(xs)) => xs.head match {
+                    case V.VLong(x) => x; case _ => -1L }
+                  case _ => -1L }
+                val neg = gf("meta") match {
+                  case Some(V.VObject(fs)) => fs.toMap.get("neg") match {
+                    case Some(V.VLong(x)) => x; case _ => 1L }
+                  case _ => 1L }
+                (lang, ids(i), n, score, tag, neg,
+                  fieldEq && gf("absent").isEmpty)
+              }
+              // fail-closed battery on a REAL row's blobs
+              val (m0, b0) = (metas(0), vals(0))
+              def flip(x: Array[Byte], i: Int) = {
+                val c = x.clone(); c(i) = (c(i) ^ 0x02).toByte; c }
+              val failOk = V.decode(flip(m0, 0), b0).isEmpty &&
+                V.decode(m0.dropRight(1), b0).isEmpty &&
+                V.decode(m0, b0.dropRight(1)).isEmpty &&
+                V.decode(m0, b0 ++ Array[Byte](0)).isEmpty &&
+                V.decode(m0 ++ Array[Byte](0), b0).isEmpty
+              val allEq = rows.forall(_._7)
+              if (!(canonOk && failOk && allEq)) Nil
+              else rows.groupBy(_._1).toSeq.map { case (lang, rs) =>
+                (blobId, lang, rs.length.toLong,
+                  rs.map(_._2).sum, rs.map(_._3).sum,
+                  rs.map(_._4).sum, rs.map(_._5).sum,
+                  rs.map(_._6).sum, 1L, 1L)
+              }
+            }
+          }
+          .toDF("blob_id", "lang", "n_docs", "id_sum", "n_sum",
+            "score_sum", "tag_sum", "neg_sum", "canonical_ok",
+            "fail_closed")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS blob_id, doc_id AS d, lang,
+                 n_chars AS n
+          FROM documents)
+        SELECT blob_id, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(d) AS BIGINT) AS id_sum,
+               CAST(sum(n) AS BIGINT) AS n_sum,
+               CAST(sum((d * 31) % 1009) AS BIGINT) AS score_sum,
+               CAST(sum(d % 23) AS BIGINT) AS tag_sum,
+               CAST(sum(-d) AS BIGINT) AS neg_sum,
+               CAST(1 AS BIGINT) AS canonical_ok,
+               CAST(1 AS BIGINT) AS fail_closed
+        FROM r GROUP BY blob_id, lang"""),
       headline = false))
 }

@@ -1248,6 +1248,14 @@ object Parquet {
     columnCells(b, path).map(_.flatMap(_.bins.map(
       new String(_, java.nio.charset.StandardCharsets.UTF_8))).toArray)
 
+  /** Raw-bytes twin of [[columnStrings]] (BYTE_ARRAY leaves whose
+    * content is BINARY, not text — a variant column's metadata/value
+    * blobs, q414).
+    */
+  def columnBins(b: Array[Byte],
+                 path: String): Option[Array[Array[Byte]]] =
+    columnCells(b, path).map(_.flatMap(_.bins).toArray)
+
   private def columnCells(b: Array[Byte],
                           path: String): Option[Seq[ChunkCells]] =
     parseFooter(b).flatMap { fm =>
