@@ -9239,5 +9239,118 @@ object WriterQueries {
                CAST(1 AS BIGINT) AS canonical_ok,
                CAST(1 AS BIGINT) AS fail_closed
         FROM r GROUP BY blob_id, lang"""),
+      headline = false),
+
+    // q415 — Hudi→Iceberg MIGRATION: the migration triangle closes
+    // (q390 Delta→Iceberg, q396 Iceberg→Delta, now the third lake
+    // format in). Metadata-only — the Iceberg snapshot pins the SAME
+    // base parquet bytes; only manifests/list/metadata.json are
+    // written (at 100 TB a migration that rewrites data is a
+    // non-starter). The gate is HudiWrite.cleanSnapshot: a COW table
+    // (q302 fixture, latest completed base per group, inflight
+    // poison dark) migrates directly; a MOR table with unmerged
+    // completed log blocks (q318 fixture: upserts + deletes past the
+    // base) REFUSES — freezing its stale base would publish rows its
+    // own readers never see — and migrates only after compaction
+    // re-bases the merged state (clean ⇔ base-only reader exact).
+    // Laws in-task: Iceberg scan of the migrated table ≡ the Hudi
+    // merged replay row-for-row (both fixtures); a second migration
+    // is BYTE-IDENTICAL; post-migration Hudi commits do not leak
+    // into the frozen Iceberg view; tampered sources refuse
+    // (vacuumed latest base → stale fallback caught by the
+    // merged-equality gate, truncated timeline, garbage
+    // replacecommit). Sums re-derived relationally in DuckDB.
+    "q415_hudi_to_iceberg_migrate" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Engine.table(s, dir, "documents")
+          .select((col("doc_id") % 6).as("table_id"), col("doc_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (t, it) =>
+            val H = graft.sources.HudiWrite
+            val I = graft.sources.IcebergWrite
+            val ids = it.map(_._2).toSeq.sorted
+            val t5 = "00000000000005"
+            val cow = H.writeTable(ids)
+            val mor = H.writeMorTable(ids)
+            val res = for {
+              // COW migrates directly
+              iceCow <- I.migrateFromHudi(cow, s"ice-cow-$t")
+              cowScan <- I.scanSnapshot(cow ++ iceCow,
+                "v1.metadata.json", 1L)
+              cowReplay <- H.replay(cow).map(_.flatMap(_.rows))
+              // raw MOR refuses; compacted MOR migrates
+              if I.migrateFromHudi(mor, s"ice-mor-$t").isEmpty
+              cDelta <- H.compact(mor, t5)
+              compacted = mor ++ cDelta
+              iceMor <- I.migrateFromHudi(compacted, s"ice-mor-$t")
+              morScan <- I.scanSnapshot(compacted ++ iceMor,
+                "v1.metadata.json", 1L)
+              morReplay <- H.replay(compacted).map(_.flatMap(_.rows))
+              iceMor2 <- I.migrateFromHudi(compacted, s"ice-mor-$t")
+            } yield {
+              val scanEqual = cowScan.sorted == cowReplay.sorted &&
+                morScan.sorted == morReplay.sorted
+              val remigrateIdentical =
+                iceMor.keySet == iceMor2.keySet &&
+                  iceMor.keys.forall(k => java.util.Arrays.equals(
+                    iceMor(k), iceMor2(k)))
+              // tampered sources refuse
+              val tamperRefused =
+                I.migrateFromHudi(compacted -
+                  s"p/fg0_0-0-0_$t5.parquet", s"x-$t").isEmpty &&
+                I.migrateFromHudi(compacted -
+                  s".hoodie/$t5.commit", s"x-$t").isEmpty &&
+                I.migrateFromHudi(compacted +
+                  (".hoodie/00000000000007.replacecommit" ->
+                    "{not json".getBytes("UTF-8")), s"x-$t").isEmpty
+              // the migration is a SNAPSHOT: Hudi evolving after it
+              // must not leak into the frozen Iceberg view
+              val t6 = "00000000000006"
+              val evolved = compacted +
+                (s".hoodie/$t6.commit" -> H.commitJson(Seq(
+                  ("fg0", s"p/fg0_0-0-0_$t6.parquet", 1L)))
+                  .getBytes("UTF-8")) +
+                (s"p/fg0_0-0-0_$t6.parquet" ->
+                  graft.sources.ParquetWrite.writeInt64(
+                    Seq("rec_id", "val"), Seq(Array(999999L, 1L))))
+              val isolated = I.scanSnapshot(evolved ++ iceMor,
+                "v1.metadata.json", 1L).exists(
+                _.sorted == morScan.sorted)
+              (t, cowScan.length.toLong, cowScan.map(_._2).sum,
+                morScan.length.toLong, morScan.map(_._2).sum,
+                if (scanEqual) 1L else 0L,
+                if (remigrateIdentical) 1L else 0L,
+                if (tamperRefused) 1L else 0L,
+                if (isolated) 1L else 0L)
+            }
+            res.toSeq
+          }
+          .toDF("table_id", "cow_rows", "cow_val_sum", "mor_rows",
+            "mor_val_sum", "scan_equal", "remigrate_identical",
+            "tamper_refused", "snapshot_isolated")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT doc_id % 6 AS table_id, doc_id AS d,
+                 (doc_id // 6) % 2 AS fg,
+                 (doc_id * 13) % 1000 AS vc,
+                 (doc_id * 13) % 991 AS vm
+          FROM documents)
+        SELECT table_id,
+               CAST(count(*) AS BIGINT) AS cow_rows,
+               CAST(sum(vc + CASE WHEN fg = 0 THEN 5 ELSE 0 END)
+                 AS BIGINT) AS cow_val_sum,
+               CAST(sum(CASE WHEN fg = 0 AND d % 5 = 0 THEN 0
+                 ELSE 1 END) AS BIGINT) AS mor_rows,
+               CAST(sum(CASE WHEN fg = 0 AND d % 5 = 0 THEN 0
+                 WHEN fg = 0 AND d % 3 = 0 THEN vm + 7
+                 ELSE vm END) AS BIGINT) AS mor_val_sum,
+               CAST(1 AS BIGINT) AS scan_equal,
+               CAST(1 AS BIGINT) AS remigrate_identical,
+               CAST(1 AS BIGINT) AS tamper_refused,
+               CAST(1 AS BIGINT) AS snapshot_isolated
+        FROM r GROUP BY table_id"""),
       headline = false))
 }

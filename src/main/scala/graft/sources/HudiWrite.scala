@@ -267,6 +267,43 @@ object HudiWrite {
         commitJsonOp("COMPACT", stats).getBytes("UTF-8"))).toMap
     }
 
+  /** The CLEAN-snapshot view a metadata-only migration needs (q415):
+    * per live file group, the latest completed base file's path and
+    * row count — defined ONLY when the merged replay state equals
+    * the base bytes EXACTLY (no completed log block strictly after
+    * any live base instant): a COW table, or a MOR table after
+    * compaction. With unmerged logs the base is stale — freezing it
+    * into another format's snapshot would publish rows the table's
+    * own readers never see (and drop last-wins updates and deletes),
+    * so: None. Pending (inflight) blocks are already dark by the
+    * replay law — an inflight instant must roll back, never complete
+    * under a newer base — so clean ⇔ a base-only reader is exact.
+    * None also on an empty table, any malformed byte, or a stale
+    * fallback base (a vacuumed latest base or a truncated timeline
+    * fails the merged-equality gate, never migrates a guess).
+    */
+  def cleanSnapshot(files: Map[String, Array[Byte]])
+      : Option[Seq[(String, String, Long)]] =
+    replay(files).flatMap { fgs =>
+      if (fgs.isEmpty) return None
+      val completed = files.keys.collect {
+        case TimelineRe(i, _) => i }.toSet
+      val per = fgs.map { fg =>
+        val basePath = files.keys.collect {
+          case p @ BaseRe(fid, inst)
+            if fid == fg.fileId && completed(inst) => (inst, p)
+        }.toSeq.maxBy(_._1)._2
+        for {
+          b <- files.get(basePath)
+          rs <- Parquet.columnLongs(b, "rec_id")
+          vs <- Parquet.columnLongs(b, "val")
+          if rs.length == vs.length
+          if rs.zip(vs).toSeq.sortBy(_._1) == fg.rows
+        } yield (fg.fileId, basePath, rs.length.toLong)
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
+    }
+
   // ---- clustering write (q398) -------------------------------------------------
 
   final case class ClusterResult(newFiles: Map[String, Array[Byte]],

@@ -1489,6 +1489,37 @@ object IcebergWrite {
     }
   }
 
+  /** Metadata-only Hudi→Iceberg migration (q415) — the last edge of
+    * the migration triangle (q390 Delta→Iceberg, q396
+    * Iceberg→Delta): freeze a CLEAN Hudi snapshot
+    * ([[HudiWrite.cleanSnapshot]] — COW, or MOR after compaction;
+    * unmerged logs refuse) as an Iceberg v1-metadata snapshot
+    * pointing at the SAME base parquet bytes. Every live base is
+    * re-opened by the engine's own parquet reader at migrate time,
+    * so the manifest's record counts are proven and a vacuumed or
+    * timeline-tampered source refuses rather than migrating a
+    * guess. Deterministic in (table, id): a second migration is
+    * byte-identical.
+    */
+  def migrateFromHudi(hudi: Map[String, Array[Byte]],
+                      id: String): Option[Map[String, Array[Byte]]] =
+    HudiWrite.cleanSnapshot(hudi).map { groups =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sync = md.digest(("sync:" + id).getBytes("UTF-8"))
+      val sorted = groups.sortBy(_._2)
+      val manifest = container(EntrySchema, sorted.map {
+        case (_, p, rc) => entrySt(1, p, rc, hudi(p).length.toLong)
+      }, sync)
+      val list = container(ListSchema, Seq(manifestFileRow(
+        "m-migrated.avro", manifest.length.toLong,
+        sorted.length.toLong, sorted.map(_._3).sum)), sync)
+      val meta = metadataJson(id, 1L, Seq(
+        snapshotJson(1L, 1L, 1700000000000L, "snap-1.avro")))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Map("v1.metadata.json" -> meta, "snap-1.avro" -> list,
+        "m-migrated.avro" -> manifest)
+    }
+
   // ---- bucket transform partitioning (q402) -------------------------------------
 
   /** Murmur3_x86_32 (public algorithm; the Iceberg spec's Appendix B

@@ -652,4 +652,70 @@ class IcebergMaintSpec extends AnyFunSuite {
       ("v1.metadata.json" -> alien), "v1.metadata.json",
       lo, hi).isEmpty)
   }
+
+  test("Hudi migration (q415): clean COW migrates metadata-only " +
+    "with proven record counts, unmerged MOR refuses until " +
+    "compaction, re-migration byte-identical, tampered timelines " +
+    "and vacuumed bases refuse") {
+    val W = IcebergWrite
+    val H = graft.sources.HudiWrite
+    val cow = H.writeTable(ids)
+    val ice = W.migrateFromHudi(cow, "ice").getOrElse(fail("cow"))
+    // metadata-only: exactly the three Iceberg metadata objects
+    assert(ice.keySet == Set("v1.metadata.json", "snap-1.avro",
+      "m-migrated.avro"))
+    // scan of the frozen snapshot == the Hudi merged replay
+    val scan = W.scanSnapshot(cow ++ ice, "v1.metadata.json", 1L)
+      .getOrElse(fail("scan"))
+    val replayed = H.replay(cow).get.flatMap(_.rows)
+    assert(scan.sorted == replayed.sorted)
+    // the manifest's counts are PROVEN by the own parquet reader:
+    // Apache Avro (the Java reference) re-reads them
+    val entries = {
+      val r = new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]()
+      val st = new org.apache.avro.file.DataFileStream(
+        new java.io.ByteArrayInputStream(ice("m-migrated.avro")), r)
+      val out = Seq.newBuilder[(String, Long)]
+      while (st.hasNext) {
+        val rec = st.next()
+        val df = rec.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        out += ((df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[Long]))
+      }
+      out.result()
+    }
+    assert(entries.map(_._2).sum == replayed.length.toLong)
+    entries.foreach { case (p, rc) =>
+      assert(graft.sources.Parquet.columnLongs(cow(p), "rec_id")
+        .get.length.toLong == rc, p)
+    }
+    // unmerged MOR refuses; compacted MOR migrates; byte-identity
+    val mor = H.writeMorTable(ids)
+    assert(W.migrateFromHudi(mor, "x").isEmpty,
+      "unmerged logs must refuse")
+    val t5 = "00000000000005"
+    val compacted = mor ++ H.compact(mor, t5).get
+    val i1 = W.migrateFromHudi(compacted, "m").getOrElse(fail("m1"))
+    val i2 = W.migrateFromHudi(compacted, "m").get
+    assert(i1.keySet == i2.keySet && i1.forall { case (k, v) =>
+      java.util.Arrays.equals(v, i2(k)) })
+    assert(W.scanSnapshot(compacted ++ i1, "v1.metadata.json", 1L)
+      .get.sorted == H.replay(compacted).get.flatMap(_.rows).sorted)
+    // tampers: vacuumed latest base (stale fallback), truncated
+    // timeline, garbage replacecommit, damaged base bytes
+    assert(W.migrateFromHudi(
+      compacted - s"p/fg0_0-0-0_$t5.parquet", "x").isEmpty)
+    assert(W.migrateFromHudi(
+      compacted - s".hoodie/$t5.commit", "x").isEmpty)
+    assert(W.migrateFromHudi(compacted +
+      (".hoodie/00000000000009.replacecommit" ->
+        "{bad".getBytes("UTF-8")), "x").isEmpty)
+    val bp = s"p/fg1_0-0-0_$t5.parquet"
+    assert(W.migrateFromHudi(compacted +
+      (bp -> compacted(bp).dropRight(1)), "x").isEmpty)
+    // an empty bundle refuses
+    assert(W.migrateFromHudi(Map.empty, "x").isEmpty)
+  }
 }
