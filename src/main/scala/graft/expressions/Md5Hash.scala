@@ -40,6 +40,48 @@ object Md5Hashes {
     be64 >>> 4
   }
 
+  /** hash60 over raw bytes — the executor-side twin for per-row JVM
+    * code (ShardSink's tokenizer): same value as hash60(UTF8String of
+    * the same bytes), no UTF8String wrapper allocation.
+    */
+  def hash60Bytes(b: Array[Byte]): Long = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(b)
+    val be64 =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be64 >>> 4
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Lower-case hex of `b` — the `%02x`-per-byte spelling without the
+    * per-byte format/boxing (hot decode loops call this per row).
+    */
+  def hexLower(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      out(2 * i) = hexChars(v >>> 4)
+      out(2 * i + 1) = hexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** md5 hex digest of raw bytes via the thread-local digest — the
+    * `MessageDigest.getInstance("MD5").digest(x).map("%02x"...)` hot-path
+    * replacement (same string, one digest instance per thread).
+    */
+  def md5Hex(b: Array[Byte]): String = {
+    val m = md.get()
+    m.reset()
+    hexLower(m.digest(b))
+  }
+
   def hash56(s: UTF8String): Long = {
     val d = digest(s)
     // hex chars 16..29 (1-indexed) = 0-indexed nibbles 15..28: the LOW

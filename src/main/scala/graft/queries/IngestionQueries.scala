@@ -8472,11 +8472,16 @@ object IngestionQueries {
          repeat('!', CAST(doc_id % 300 AS INT))"""
     def joined(s: SparkSession, dir: String, fixture: String) = {
       import s.implicits._
-      Engine.table(s, dir, "documents")
+      // fanOut before the decode mapPartitions: the blobs ride a
+      // single-row-group scan (ONE task at bench scale; #row-groups
+      // tasks at 100 TB), and the per-row bzip2 decode is orders of
+      // magnitude heavier than one exchange of the ~100-byte members
+      // (guide §2.5 input-skew rule; the Engine.fanOut contract)
+      Engine.fanOut(Engine.table(s, dir, "documents")
         .select(col("doc_id"), payloadCol.as("payload"))
         .withColumn("blob_key", md5(concat(lit("bz2:"), col("payload"))))
         .join(broadcast(s.read.parquet(fixture)), "blob_key")
-        .select(col("doc_id"), col("payload"), col("bz"))
+        .select(col("doc_id"), col("payload"), col("bz")))
         .as[(Long, String, Array[Byte])]
     }
     Seq(
@@ -8486,8 +8491,7 @@ object IngestionQueries {
           joined(s, dir, "/root/repo/fixtures/bz2_blobs.parquet")
             .mapPartitions(_.flatMap { case (id, payload, bz) =>
               graft.sources.Bzip2.decompress(bz).map { dec =>
-                val md = java.security.MessageDigest.getInstance("MD5")
-                  .digest(dec).map(x => f"$x%02x").mkString
+                val md = graft.expressions.Md5Hashes.md5Hex(dec)
                 Bz2DecodeRow(id, md, dec.length.toLong, bz.length.toLong,
                   new String(dec,
                     java.nio.charset.StandardCharsets.US_ASCII) == payload)
@@ -8577,18 +8581,21 @@ object IngestionQueries {
     val Fixture = "/root/repo/fixtures/zstd_blobs.parquet"
     val FullFixture = "/root/repo/fixtures/zstd_full_blobs.parquet"
     val TarZstFixture = "/root/repo/fixtures/tarzst_blobs.parquet"
-    def hexOf(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    def hexOf(b: Array[Byte]): String =
+      graft.expressions.Md5Hashes.hexLower(b) // same string, no per-byte format
     Seq(
       "q243_zstd_census" -> QueryDef(
         build = (s, dir) => {
           import s.implicits._
-          Engine.table(s, dir, "documents")
+          // fanOut: per-row frame walk + XXH64 verify on a one-task scan
+          // (the q238 rationale — decode ≫ one exchange of the blobs)
+          Engine.fanOut(Engine.table(s, dir, "documents")
             .select(col("doc_id"),
               expr("""md5('zstd:' || CAST(doc_id AS STRING) || ':' ||
                       CAST(n_chars AS STRING) || ':' ||
                       md5(coalesce(text, '')))""").as("blob_key"))
             .join(broadcast(s.read.parquet(Fixture)), "blob_key")
-            .select(col("doc_id"), col("zst"))
+            .select(col("doc_id"), col("zst")))
             .as[(Long, Array[Byte])]
             .mapPartitions(_.flatMap { case (id, zst) =>
               graft.sources.Zstd.walk(zst).toSeq.flatMap {
@@ -8670,13 +8677,15 @@ object IngestionQueries {
                       md5(coalesce(text, '')))""").as("blob_key"))
             .join(broadcast(s.read.parquet(FullFixture)), "blob_key")
             .select(col("doc_id"), col("payload"), col("zst"))
+            // NO fanOut (measured r18: 0.278 s -> 0.444 s with it at
+            // sf0.1 — one small single-frame entropy decode per row is
+            // too cheap to pay the exchange; contrast q238/q219)
             .as[(Long, String, Array[Byte])]
             .mapPartitions(_.flatMap { case (id, payload, zst) =>
               graft.sources.Zstd.walk(zst).toSeq.flatMap {
                 case Seq(f) if f.kind == "zstd" && f.decoded != null =>
                   val dec = f.decoded
-                  val md = java.security.MessageDigest.getInstance("MD5")
-                    .digest(dec).map(x => f"$x%02x").mkString
+                  val md = graft.expressions.Md5Hashes.md5Hex(dec)
                   Seq(ZstdFullRow(id, md, dec.length.toLong,
                     zst.length.toLong, f.checksumState,
                     new String(dec,
@@ -8727,6 +8736,8 @@ object IngestionQueries {
               md5(concat(lit("tarzst:"), col("payload"))))
             .join(broadcast(s.read.parquet(TarZstFixture)), "blob_key")
             .select(col("doc_id"), col("zst"))
+            // fanOut: level-19 entropy decode + tar walk per row
+            .transform(Engine.fanOut)
             .as[(Long, Array[Byte])]
             .mapPartitions(_.flatMap { case (id, zst) =>
               graft.sources.Zstd.walk(zst).toSeq.flatMap {

@@ -1148,8 +1148,9 @@ object MultimodalQueries {
     "q199_png_full_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val payloads = Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        // fanOut: PNG encode + inflate + unfilter per row (q238 rationale)
+        val payloads = Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             Multimodal.Payload(id, "image", MediaGen.pngFor(text)) })
@@ -1348,13 +1349,15 @@ object MultimodalQueries {
     "q219_jpeg_full_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        // fanOut: full JPEG encode + decode per row on a one-task scan —
+        // by far the heaviest per-row work in the media family; one
+        // exchange of (doc_id, text) is noise against it (q238 rationale)
+        Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             val bytes = MediaGen.jpegFor(text)
-            val md = java.security.MessageDigest.getInstance("MD5")
-              .digest(bytes).map(b => f"$b%02x").mkString
+            val md = graft.expressions.Md5Hashes.md5Hex(bytes)
             Multimodal.parseJpegPixels(id, bytes).map(px =>
               JpegDecodeStat(id, px.width, px.height, px.n_components,
                 bytes.length.toLong, md, px.sum_c0, px.sum_c1, px.sum_c2,

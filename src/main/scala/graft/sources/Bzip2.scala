@@ -62,6 +62,12 @@ object Bzip2 {
     }
   }
 
+  /** Per-thread BWT block buffer (max 900 KB at level 9) — see the
+    * reuse note at its use site in [[decodeBlock]].
+    */
+  private val blockBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](0))
+
   private val BlockMagic = 0x314159265359L // BCD pi
   private val EosMagic = 0x177245385090L // BCD sqrt(pi)
 
@@ -242,8 +248,17 @@ object Bzip2 {
       perm(t)(idx)
     }
     val eob = alphaSize - 1
-    // MTF + run decode into the BWT block
-    val block = new Array[Byte](maxBlock)
+    // MTF + run decode into the BWT block. The buffer is REUSED per
+    // thread: a fresh Array[Byte](maxBlock) is a 100k–900k zero-fill
+    // per block, which dominates end-to-end decode for small inputs
+    // (the corpus-blob shape: thousands of ~100-byte members each
+    // paying a 900 KB allocation). Only cells [0, n) are ever written
+    // then read, so stale bytes past n are unreachable.
+    val block = {
+      val b = blockBuf.get()
+      if (b.length >= maxBlock) b
+      else { val nb = new Array[Byte](maxBlock); blockBuf.set(nb); nb }
+    }
     var n = 0
     val mtf = new Array[Int](256)
     i = 0

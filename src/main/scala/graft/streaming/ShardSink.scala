@@ -47,12 +47,15 @@ object ShardSink {
     * twin of `graft.functions.hash60(lit("tok"), col)` applied
     * per-token inside the writer task.
     */
-  def tokenId(tok: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(("tok:" + tok).getBytes("UTF-8"))
-    val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16) % VocabSize
-  }
+  def tokenId(tok: String): Long =
+    // first 15 hex chars of md5 = top 60 bits = BE64(digest[0..7]) >>> 4
+    // (Md5Hashes' pinned identity) — computed arithmetically on a
+    // thread-local digest instead of per-token getInstance + per-byte
+    // "%02x" format + base-16 reparse; same value, ~10x less per-token
+    // work in the shard writer's hot loop (ShardSinkSpec pins equality
+    // with the hex-parse spelling)
+    graft.expressions.Md5Hashes.hash60Bytes(
+      ("tok:" + tok).getBytes("UTF-8")) % VocabSize
 
   /** One shard file's bytes: rows (doc_id, text, lang, n_chars)
     * sorted by doc_id, q310 corpus schema + the toks LIST column.
@@ -143,8 +146,15 @@ object ShardSink {
         val docs = it.toArray
         val bytes = shardFileBytes(docs)
         landAtomic(shardDir, s"bin=$bin.parquet", bytes)
-        val nTok = docs.iterator
-          .map(d => d._2.split(" ", -1).length.toLong).sum
+        // split(" ", -1).length == #spaces + 1; count characters instead
+        // of re-splitting the text a second time (shardFileBytes already
+        // tokenized it once for the toks column)
+        val nTok = docs.iterator.map { d =>
+          val t = d._2
+          var c = 1L; var i = 0
+          while (i < t.length) { if (t.charAt(i) == ' ') c += 1; i += 1 }
+          c
+        }.sum
         val ids = docs.map(_._1)
         Iterator.single((bin, docs.length.toLong, nTok,
           ids.min, ids.max, bytes.length.toLong))
@@ -256,8 +266,7 @@ object ShardSink {
           val bytes = shardFileBytes(merged.values.toArray)
           landAtomic(s"$outPath/shards/compacted=$cid",
             s"bin=$bin.parquet", bytes)
-          val md5 = java.security.MessageDigest.getInstance("MD5")
-            .digest(bytes).map("%02x".format(_)).mkString
+          val md5 = graft.expressions.Md5Hashes.md5Hex(bytes)
           (bin, files.length.toLong, merged.size.toLong, md5)
         }
       }

@@ -146,4 +146,20 @@ class Bzip2Spec extends SparkSpec {
     assert(graft.sources.Bzip2Encode.compress(text).length <
       text.length / 4, "bzip2 must genuinely compress text")
   }
+
+  test("thread-local block buffer reuse: interleaved decodes of " +
+    "different sizes/contents on one thread never contaminate") {
+    // the reused BWT buffer keeps stale bytes past n — decode a large
+    // blob, then a SMALLER one (stale tail live in the buffer), then a
+    // large again, and require every output byte-exact
+    val a = ("alpha beta gamma " * 4000).getBytes("UTF-8") // ~68 KB
+    val b = "tiny".getBytes("UTF-8")
+    val c = Array.tabulate[Byte](50000)(i => ((i * 131) % 251).toByte)
+    val enc = Seq(a, b, c, b, a).map(x =>
+      graft.sources.Bzip2Encode.compress(x, 9))
+    for (((bz, orig), i) <- enc.zip(Seq(a, b, c, b, a)).zipWithIndex) {
+      val back = graft.sources.Bzip2.decompress(bz)
+      assert(back.exists(java.util.Arrays.equals(_, orig)), s"decode $i")
+    }
+  }
 }

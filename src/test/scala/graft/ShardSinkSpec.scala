@@ -70,6 +70,31 @@ class ShardSinkSpec extends SparkSpec {
       .forall(t => t >= 0 && t < ShardSink.VocabSize)))
   }
 
+  test("tokenId: arithmetic top-60-bit path equals the hex-parse " +
+    "spelling and Md5Hashes hex/hash60Bytes equal the %02x forms") {
+    val toks = Seq("", "a", "alpha", "Ġtok", "x" * 300, "é中",
+      "tok with spaces?", "0") ++ (0 until 200).map(i => s"w$i")
+    toks.foreach { t =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("tok:" + t).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+      assert(ShardSink.tokenId(t) ==
+        java.lang.Long.parseLong(hex, 16) % ShardSink.VocabSize, t)
+    }
+    val blobs = Seq(Array[Byte](), Array[Byte](0, 1, -1, 127, -128),
+      ("payload " * 50).getBytes("UTF-8"))
+    blobs.foreach { b =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+      assert(graft.expressions.Md5Hashes.hexLower(d) ==
+        d.map("%02x".format(_)).mkString)
+      assert(graft.expressions.Md5Hashes.md5Hex(b) ==
+        d.map("%02x".format(_)).mkString)
+      assert(graft.expressions.Md5Hashes.hash60Bytes(b) ==
+        java.lang.Long.parseLong(
+          d.map("%02x".format(_)).mkString.substring(0, 15), 16))
+    }
+  }
+
   test("pyarrow cross-reads an own-written shard incl. LIST column") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_shardsink_pa").toString
