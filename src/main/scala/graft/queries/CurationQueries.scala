@@ -126,6 +126,9 @@ object CurationQueries {
     // an independent formulation of the same deterministic filter.
     "q146_bloom_decontaminate" -> QueryDef(
       build = (s, dir) => {
+        // NO fanOut (A/B'd r18: +20% over run noise WITH it — the probe
+        // side's gram work is post-shuffle already, so the fan exchange
+        // only taxes the two scan branches)
         val d = Engine.table(s, dir, "documents")
         val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
         Curation.bloomDecontaminate(

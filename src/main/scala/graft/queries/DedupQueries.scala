@@ -380,7 +380,9 @@ object DedupQueries {
     // 8-byte signature.
     "q164_simhash_neardup" -> QueryDef(
       build = (s, dir) => {
-        val d = Engine.table(s, dir, "documents")
+        // fanOut: one md5 per shingle in the signature pass (the q34
+        // minhash rationale; A/B'd r18)
+        val d = Engine.fanOut(Engine.table(s, dir, "documents"))
         Dedup.simHashNearDupPairs(
           Dedup.simHash(d, col("text"), col("doc_id"), nBits = 32),
           id = "__id", sig = "simhash")
@@ -503,6 +505,9 @@ object DedupQueries {
     // replays the identical md5-hash window table, duplicate-hash set,
     // and interval coalescing.
     "q144_substring_dedup" -> QueryDef(
+      // NO fanOut (A/B'd r18: +13% over run noise WITH it — the fused
+      // WindowHashExplode feeds a trackedCheckpoint whose downstream
+      // consumers reshuffle anyway, so the extra exchange buys nothing)
       build = (s, dir) => Dedup.substringDupStats(
         Engine.table(s, dir, "documents"), col("text"), col("doc_id"), w = 8),
       headline = true,

@@ -6589,14 +6589,15 @@ object IngestionQueries {
     "q217_warc_gz_members" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val docs = Engine.table(s, dir, "documents")
+        // fanOut: per-row md5 + archive build/deflate on a one-task scan
+        // (q238 rationale, measured in OPTIMIZATION_r18.md)
+        val docs = Engine.fanOut(Engine.table(s, dir, "documents")
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
-            col("n_chars"))
+            col("n_chars")))
           .as[(Long, String, Long)]
         val members = docs.mapPartitions(_.map { case (id, text, nChars) =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(text.getBytes("UTF-8"))
-            .map(b => f"$b%02x").mkString
+          val hex = graft.expressions.Md5Hashes.md5Hex(
+            text.getBytes("UTF-8"))
           val payload = hex * (1 + nChars % 7).toInt
           val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
             s"WARC-Target-URI: http://corpus.example/doc/$id\r\n" +
@@ -6672,15 +6673,15 @@ object IngestionQueries {
     "q216_tar_walk" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val blobs = Engine.table(s, dir, "documents")
+        // fanOut: per-row md5 + tar build on a one-task scan (q238 rationale)
+        val blobs = Engine.fanOut(Engine.table(s, dir, "documents")
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
-            col("n_chars"))
+            col("n_chars")))
           .as[(Long, String, Long)]
           .mapPartitions(_.map { case (id, text, nChars) =>
             val (s1, _) = MediaGen.seeds(text)
-            val md = java.security.MessageDigest.getInstance("MD5")
-            def hex(in: String) = md.digest(in.getBytes("UTF-8"))
-              .map(b => f"$b%02x").mkString
+            def hex(in: String) = graft.expressions.Md5Hashes
+              .md5Hex(in.getBytes("UTF-8"))
             val k = (1 + nChars % 4).toInt
             val mtime = s1 % (1L << 30)
             graft.sources.Tar.TarBlob(id, graft.sources.Tar.write(Seq(
@@ -6726,15 +6727,15 @@ object IngestionQueries {
     "q221_pax_tar_walk" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val blobs = Engine.table(s, dir, "documents")
+        // fanOut: per-row md5 + tar build on a one-task scan (q238 rationale)
+        val blobs = Engine.fanOut(Engine.table(s, dir, "documents")
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
-            col("n_chars"))
+            col("n_chars")))
           .as[(Long, String, Long)]
           .mapPartitions(_.map { case (id, text, nChars) =>
             val (s1, _) = MediaGen.seeds(text)
-            val md = java.security.MessageDigest.getInstance("MD5")
-            def hex(in: String) = md.digest(in.getBytes("UTF-8"))
-              .map(b => f"$b%02x").mkString
+            def hex(in: String) = graft.expressions.Md5Hashes
+              .md5Hex(in.getBytes("UTF-8"))
             val k = (1 + nChars % 4).toInt
             val mtime = s1 % (1L << 30)
             val shard = "data/shard-" + "s" * (95 + (s1 % 40).toInt) + ".jsonl"
@@ -6786,15 +6787,15 @@ object IngestionQueries {
     "q222_targz_walk" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val rows = Engine.table(s, dir, "documents")
+        // fanOut: per-row md5 + tar build + deflate on a one-task scan
+        val rows = Engine.fanOut(Engine.table(s, dir, "documents")
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
-            col("n_chars"))
+            col("n_chars")))
           .as[(Long, String, Long)]
           .mapPartitions(_.flatMap { case (id, text, nChars) =>
             val (s1, _) = MediaGen.seeds(text)
-            val md = java.security.MessageDigest.getInstance("MD5")
-            def hex(in: String) = md.digest(in.getBytes("UTF-8"))
-              .map(b => f"$b%02x").mkString
+            def hex(in: String) = graft.expressions.Md5Hashes
+              .md5Hex(in.getBytes("UTF-8"))
             val k = (1 + nChars % 4).toInt
             val mtime = s1 % (1L << 30)
             val tar = graft.sources.Tar.write(Seq(
@@ -8809,6 +8810,8 @@ object IngestionQueries {
             .join(broadcast(s.read.parquet(
               "/root/repo/fixtures/tarxz_blobs.parquet")), "blob_key")
             .select(col("doc_id"), col("xz"))
+            // fanOut: per-row LZMA2 decode + tar walk (q238 rationale)
+            .transform(Engine.fanOut)
             .as[(Long, Array[Byte])]
             .mapPartitions(_.flatMap { case (id, xz) =>
               graft.sources.Xz.parse(xz).toSeq.flatMap { info =>

@@ -1195,8 +1195,10 @@ object MultimodalQueries {
     "q200_gif_full_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val payloads = Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        val payloads = // fanOut: heavy per-row codec work on a one-task scan (q238/q219
+        // rationale, measured in OPTIMIZATION_r18.md)
+        Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             Multimodal.Payload(id, "image", MediaGen.gifFor(text)) })
@@ -1397,8 +1399,10 @@ object MultimodalQueries {
     "q225_jpeg420_full_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        // fanOut: heavy per-row codec work on a one-task scan (q238/q219
+        // rationale, measured in OPTIMIZATION_r18.md)
+        Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             val bytes = MediaGen.jpeg420For(text)
@@ -1441,8 +1445,10 @@ object MultimodalQueries {
     "q226_jpeg_restart_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        // fanOut: heavy per-row codec work on a one-task scan (q238/q219
+        // rationale, measured in OPTIMIZATION_r18.md)
+        Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             val bytes = MediaGen.jpegRstFor(text)
@@ -1485,8 +1491,10 @@ object MultimodalQueries {
     "q227_jpeg_progressive_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        // fanOut: heavy per-row codec work on a one-task scan (q238/q219
+        // rationale, measured in OPTIMIZATION_r18.md)
+        Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             val bytes = MediaGen.jpegProgFor(text)
@@ -1539,8 +1547,10 @@ object MultimodalQueries {
     "q233_png_interlaced_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val payloads = Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        val payloads = // fanOut: heavy per-row codec work on a one-task scan (q238/q219
+        // rationale, measured in OPTIMIZATION_r18.md)
+        Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             Multimodal.Payload(id, "image", MediaGen.pngInterlacedFor(text)) })
@@ -1688,7 +1698,8 @@ object MultimodalQueries {
           le32(lit(8)), le32(lit(8) + w * r1 * 3), // strip offsets
           le32(w * r1 * 3), le32(w * (h - r1) * 3), // strip byte counts
           le16(lit(8)), le16(lit(8)), le16(lit(8))) // bits per sample
-        val payloads = Engine.table(s, dir, "documents")
+        // fanOut: the per-row hex-built TIFF + full decode runs post-exchange
+        val payloads = Engine.fanOut(Engine.table(s, dir, "documents"))
           .select(id.as("id"), lit("image").as("modality"),
             unhex(tiffHex).as("content")).as[Multimodal.Payload]
         Multimodal.decodeTiffPixelBatches(payloads).toDF()
@@ -1882,8 +1893,10 @@ object MultimodalQueries {
     "q236_tiff_lzw_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val payloads = Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        val payloads = // fanOut: heavy per-row codec work on a one-task scan (q238/q219
+        // rationale, measured in OPTIMIZATION_r18.md)
+        Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             Multimodal.Payload(id, "image", MediaGen.tiffLzwFor(text)) })
@@ -1976,8 +1989,10 @@ object MultimodalQueries {
     "q242_tiff_tiled_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val payloads = Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        val payloads = // fanOut: heavy per-row codec work on a one-task scan (q238/q219
+        // rationale, measured in OPTIMIZATION_r18.md)
+        Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             Multimodal.Payload(id, "image", MediaGen.tiffTiledFor(text)) })
@@ -2027,8 +2042,10 @@ object MultimodalQueries {
     "q245_tiff_planar_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val payloads = Engine.table(s, dir, "documents")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        val payloads = // fanOut: heavy per-row codec work on a one-task scan (q238/q219
+        // rationale, measured in OPTIMIZATION_r18.md)
+        Engine.fanOut(Engine.table(s, dir, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
             Multimodal.Payload(id, "image", MediaGen.tiffPlanarFor(text)) })
