@@ -60,6 +60,52 @@ object ProfileStages {
         Checkpoints.release()
       }
     }
+    if (which("q331")) {
+      import org.apache.spark.sql.streaming.Trigger
+      SparkEntry.queries("q331_stream_shard_sink")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      Checkpoints.release()
+      for (_ <- 1 to 3) {
+        val d = Engine.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        var root: String = null
+        time("q331 land x2") {
+          val dv = new java.io.File(
+            java.nio.file.Files.createTempDirectory("q331prof").toString)
+          root = dv.toString
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(root, "drop"))
+          def land(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+            val tmp = s"$root/$name.stage"
+            df.coalesce(1).write.parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head.toPath
+            val dst = java.nio.file.Paths.get(root, "drop", s"$name.parquet")
+            java.nio.file.Files.move(part, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+          }
+          land(d.filter(col("doc_id") % 2 === 0), "a", 1000000000000L)
+          land(d.filter(col("doc_id") % 2 === 1), "b", 1000000060000L)
+        }
+        val out = s"$root/out"; val chk = s"$root/chk"
+        def drain(): Unit = {
+          val stream = spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/drop")
+          graft.streaming.ShardSink.shardStream(stream, out, chk,
+            binWidth = 128L, trigger = Some(Trigger.AvailableNow()))
+            .awaitTermination()
+        }
+        time("q331 drain 1")(drain())
+        time("q331 drain 2 (replay)")(drain())
+        time("q331 full (readback = full - land - drains)") {
+          SparkEntry.queries("q331_stream_shard_sink")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Checkpoints.release()
+      }
+    }
     if (which("q139")) {
       SparkEntry.queries("q139_cc_star_contraction")(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -56,10 +56,29 @@ object Relational {
     * Returns one row per key: keys ++ payload fields.
     */
   def firstPerKeyAgg(df: DataFrame, keys: Seq[Column], ord: Column,
-                     payload: Seq[Column]): DataFrame =
-    df.groupBy(keys: _*)
-      .agg(min_by(struct(payload: _*), ord).as("__first"))
-      .select(keys :+ col("__first.*"): _*)
+                     payload: Seq[Column]): DataFrame = {
+    // One min_by PER payload column, not one min_by over a struct: a
+    // struct-valued aggregation buffer is not hash-aggregable
+    // (HashAggregateExec needs mutable primitive buffers), so the struct
+    // form planned as Sort + SortAggregate on BOTH sides of the exchange
+    // — a full sort of the input where no sort is needed. Per-column
+    // min_bys keep primitive buffers → HashAggregate with map-side
+    // partials (measured r18 at sf0.1 on lineitem, full-bench medians:
+    // q11 0.81 s → 0.56 s; plan 2 Sorts + 2 SortAggregates → 2
+    // HashAggregates, no sort anywhere). All min_bys pick
+    // the SAME row because `ord` is unique within each key group — the
+    // operator's documented contract.
+    // output names = exactly what the struct-select form produced
+    // (struct's auto-naming of each payload column; analysis-only, no job)
+    val fieldNames = df.select(struct(payload: _*).as("__s"))
+      .schema.fields.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    val aggs = payload.zipWithIndex.map { case (p, i) =>
+      min_by(p, ord).as(s"__first$i") }
+    val named = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    named.select(named.columns.dropRight(payload.length).map(col) ++
+      payload.indices.map(i => col(s"__first$i").as(fieldNames(i))): _*)
+  }
 
   /** Exact global rank (1-based, dense input → row_number semantics)
     * WITHOUT the single-partition global window. `Window.orderBy(...)`

@@ -632,6 +632,9 @@ object ScalarQueries {
         // URL (scheme case, tracking params, fragment all normalized)
         val canonical = graft.functions.canonical_url(
           concat(lit("https://"), hostMessy, path, lit("?"), qparams, frag))
+        // NO fanOut (A/B'd r18: +4% over run noise WITH it — the regex
+        // chain is light at ~6 ops/row and the robots join reshuffles
+        // right after, so the extra exchange buys nothing)
         val docs = Engine.table(s, dir, "documents")
           .select(id, hn, path.as("path"), canonical.as("canonical_url"))
         val h = col("host")

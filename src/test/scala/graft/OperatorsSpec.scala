@@ -29,6 +29,9 @@ class OperatorsSpec extends SparkSpec {
     val packed = $"ln".cast("long") * lit(1L << 48) +
       $"pk" * lit(1L << 20) + $"sk"
     val agg = Relational.firstPerKeyAgg(df, Seq($"k"), packed, Seq($"pk", $"q"))
+    // names must survive the per-column min_by spelling (the q11 oracle
+    // compares column names)
+    assert(agg.columns.toSeq == Seq("k", "pk", "q"), agg.columns.toSeq)
     assert(win.orderBy($"k").collect().toSeq ==
       agg.orderBy($"k").collect().toSeq)
   }

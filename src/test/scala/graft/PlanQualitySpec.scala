@@ -733,10 +733,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q202 must not join:\n$p")
   }
 
-  test("q216 tar walk: zero exchanges — archive inventory rides the scan") {
+  test("q216 tar walk: ONE round-robin exchange fans the per-row codec "+
+    "work off the one-row-group scan (r18 measured posture)") {
     val p = plan("q216_tar_walk")
-    assert(!p.contains("Exchange"), s"q216 must not shuffle:\n$p")
-    assert(!p.contains("Join"), s"q216 must not join:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"q216_tar_walk must fan out before the decode:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q216_tar_walk must have exactly the fan-out exchange:\n$p")
+    assert(!p.contains("Join"), s"q216_tar_walk must not join:\n$p")
   }
 
   test("q220 zip64 walk: zero exchanges — escape resolution rides the scan") {
@@ -745,40 +749,64 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q220 must not join:\n$p")
   }
 
-  test("q219 jpeg decode: zero exchanges — encode+decode+fold ride the scan") {
+  test("q219 jpeg decode: ONE round-robin exchange fans the per-row codec "+
+    "work off the one-row-group scan (r18 measured posture)") {
     val p = plan("q219_jpeg_full_decode")
-    assert(!p.contains("Exchange"), s"q219 must not shuffle:\n$p")
-    assert(!p.contains("Join"), s"q219 must not join:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"q219_jpeg_full_decode must fan out before the decode:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q219_jpeg_full_decode must have exactly the fan-out exchange:\n$p")
+    assert(!p.contains("Join"), s"q219_jpeg_full_decode must not join:\n$p")
   }
 
-  test("q225 jpeg 4:2:0 decode: zero exchanges — same scan-task posture") {
+  test("q225 jpeg 4:2:0 decode: ONE round-robin exchange fans the per-row codec "+
+    "work off the one-row-group scan (r18 measured posture)") {
     val p = plan("q225_jpeg420_full_decode")
-    assert(!p.contains("Exchange"), s"q225 must not shuffle:\n$p")
-    assert(!p.contains("Join"), s"q225 must not join:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"q225_jpeg420_full_decode must fan out before the decode:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q225_jpeg420_full_decode must have exactly the fan-out exchange:\n$p")
+    assert(!p.contains("Join"), s"q225_jpeg420_full_decode must not join:\n$p")
   }
 
-  test("q226 jpeg restart decode: zero exchanges — same scan-task posture") {
+  test("q226 jpeg restart decode: ONE round-robin exchange fans the per-row codec "+
+    "work off the one-row-group scan (r18 measured posture)") {
     val p = plan("q226_jpeg_restart_decode")
-    assert(!p.contains("Exchange"), s"q226 must not shuffle:\n$p")
-    assert(!p.contains("Join"), s"q226 must not join:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"q226_jpeg_restart_decode must fan out before the decode:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q226_jpeg_restart_decode must have exactly the fan-out exchange:\n$p")
+    assert(!p.contains("Join"), s"q226_jpeg_restart_decode must not join:\n$p")
   }
 
-  test("q227 jpeg progressive decode: zero exchanges — same posture") {
+  test("q227 jpeg progressive decode: ONE round-robin exchange fans the per-row codec "+
+    "work off the one-row-group scan (r18 measured posture)") {
     val p = plan("q227_jpeg_progressive_decode")
-    assert(!p.contains("Exchange"), s"q227 must not shuffle:\n$p")
-    assert(!p.contains("Join"), s"q227 must not join:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"q227_jpeg_progressive_decode must fan out before the decode:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q227_jpeg_progressive_decode must have exactly the fan-out exchange:\n$p")
+    assert(!p.contains("Join"), s"q227_jpeg_progressive_decode must not join:\n$p")
   }
 
-  test("q231 tiff full decode: zero exchanges — same scan-task posture") {
+  test("q231 tiff full decode: ONE round-robin exchange fans the per-row codec "+
+    "work off the one-row-group scan (r18 measured posture)") {
     val p = plan("q231_tiff_full_decode")
-    assert(!p.contains("Exchange"), s"q231 must not shuffle:\n$p")
-    assert(!p.contains("Join"), s"q231 must not join:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"q231_tiff_full_decode must fan out before the decode:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q231_tiff_full_decode must have exactly the fan-out exchange:\n$p")
+    assert(!p.contains("Join"), s"q231_tiff_full_decode must not join:\n$p")
   }
 
-  test("q233 interlaced png decode: zero exchanges — same posture") {
+  test("q233 interlaced png decode: ONE round-robin exchange fans the per-row codec "+
+    "work off the one-row-group scan (r18 measured posture)") {
     val p = plan("q233_png_interlaced_decode")
-    assert(!p.contains("Exchange"), s"q233 must not shuffle:\n$p")
-    assert(!p.contains("Join"), s"q233 must not join:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"q233_png_interlaced_decode must fan out before the decode:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q233_png_interlaced_decode must have exactly the fan-out exchange:\n$p")
+    assert(!p.contains("Join"), s"q233_png_interlaced_decode must not join:\n$p")
   }
 
   test("q232 id3 tag walk: zero exchanges — same scan-task posture") {
