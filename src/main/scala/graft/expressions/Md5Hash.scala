@@ -55,6 +55,20 @@ object Md5Hashes {
     be64 >>> 4
   }
 
+  /** hash56 over raw bytes — the byte-side twin of [[hash56]] (hex
+    * chars 16..29 of md5 as a long), for per-row JVM callers.
+    */
+  def hash56Bytes(b: Array[Byte]): Long = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(b)
+    val be64 =
+      ((d(7) & 0xffL) << 56) | ((d(8) & 0xffL) << 48) | ((d(9) & 0xffL) << 40) |
+        ((d(10) & 0xffL) << 32) | ((d(11) & 0xffL) << 24) | ((d(12) & 0xffL) << 16) |
+        ((d(13) & 0xffL) << 8) | (d(14) & 0xffL)
+    (be64 >>> 4) & ((1L << 56) - 1)
+  }
+
   private val hexChars = "0123456789abcdef".toCharArray
 
   /** Lower-case hex of `b` — the `%02x`-per-byte spelling without the

@@ -64,7 +64,11 @@ object CurationQueries {
   private[graft] def q102CleanStage(s: org.apache.spark.sql.SparkSession,
                                     dir: String)
       : org.apache.spark.sql.DataFrame = {
+    // project early: `source` is never consumed by the clean stage or the
+    // budget (guide §2.3) — the whole-row min_by keeper and the final
+    // budget window then carry 4 columns, not 5
     val d = Engine.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
     val kept = d.where(Curation.qualityLogit(col("text")) >= 0)
     // exact dedup keeping the min-id row — as ONE whole-row min_by
     // aggregate (single exchange on the content hash) instead of
@@ -1015,7 +1019,12 @@ object CurationQueries {
         // BOTH the chunk pass and the lang/n_chars join-back consume
         // it — without the checkpoint the full-corpus tokenize runs
         // twice
+        // project BEFORE the checkpoint (guide §2.3 applied to the
+        // materialization barrier): `source` is never consumed downstream,
+        // and a checkpoint materializes every column it is handed — the
+        // select also lets the parquet scan prune to 4 of 5 columns
         val d = Engine.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
         val passed = d.where(Curation.gopherRules(col("text"))
           .getField("pass"))
           .trackedCheckpoint(false)

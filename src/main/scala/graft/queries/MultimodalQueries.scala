@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   */
 private[queries] object MediaGen {
   def seeds(text: String): (Long, Long) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(text.getBytes("UTF-8"))
-    val hex = md.map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16),
-      java.lang.Long.parseLong(hex.substring(15, 29), 16))
+    // (hash60, hash56) of the text — arithmetically on a thread-local
+    // digest (Md5Hashes' pinned identities, ShardSinkSpec pins both
+    // against the hex-parse spelling), not per-call getInstance +
+    // per-byte "%02x" + two base-16 reparses: this runs once per ROW in
+    // every media query, and the media fixture oracles pin the resulting
+    // bytes end-to-end
+    val b = text.getBytes("UTF-8")
+    (graft.expressions.Md5Hashes.hash60Bytes(b),
+      graft.expressions.Md5Hashes.hash56Bytes(b))
   }
 
   /** 2–16 × 5–12 truecolor PNG; height ≥5 puts ALL FIVE §9 filter types
@@ -1406,8 +1410,7 @@ object MultimodalQueries {
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             val bytes = MediaGen.jpeg420For(text)
-            val md = java.security.MessageDigest.getInstance("MD5")
-              .digest(bytes).map(b => f"$b%02x").mkString
+            val md = graft.expressions.Md5Hashes.md5Hex(bytes)
             Multimodal.parseJpegPixels(id, bytes).map(px =>
               JpegDecodeStat(id, px.width, px.height, px.n_components,
                 bytes.length.toLong, md, px.sum_c0, px.sum_c1, px.sum_c2,
@@ -1452,8 +1455,7 @@ object MultimodalQueries {
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             val bytes = MediaGen.jpegRstFor(text)
-            val md = java.security.MessageDigest.getInstance("MD5")
-              .digest(bytes).map(b => f"$b%02x").mkString
+            val md = graft.expressions.Md5Hashes.md5Hex(bytes)
             Multimodal.parseJpegPixels(id, bytes).map(px =>
               JpegDecodeStat(id, px.width, px.height, px.n_components,
                 bytes.length.toLong, md, px.sum_c0, px.sum_c1, px.sum_c2,
@@ -1498,8 +1500,7 @@ object MultimodalQueries {
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
             val bytes = MediaGen.jpegProgFor(text)
-            val md = java.security.MessageDigest.getInstance("MD5")
-              .digest(bytes).map(b => f"$b%02x").mkString
+            val md = graft.expressions.Md5Hashes.md5Hex(bytes)
             Multimodal.parseJpegPixels(id, bytes).map(px =>
               JpegDecodeStat(id, px.width, px.height, px.n_components,
                 bytes.length.toLong, md, px.sum_c0, px.sum_c1, px.sum_c2,

@@ -92,6 +92,9 @@ class ShardSinkSpec extends SparkSpec {
       assert(graft.expressions.Md5Hashes.hash60Bytes(b) ==
         java.lang.Long.parseLong(
           d.map("%02x".format(_)).mkString.substring(0, 15), 16))
+      assert(graft.expressions.Md5Hashes.hash56Bytes(b) ==
+        java.lang.Long.parseLong(
+          d.map("%02x".format(_)).mkString.substring(15, 29), 16))
     }
   }
 
