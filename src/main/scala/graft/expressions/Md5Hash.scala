@@ -55,6 +55,27 @@ object Md5Hashes {
     be64 >>> 4
   }
 
+  /** (hash60, hash56) of the same bytes from ONE digest — both values
+    * are slices of the same 16-byte md5 (bytes 0..7 and 7..14), so a
+    * caller needing the pair (MediaGen.seeds: once per ROW in every
+    * media query) must not pay two full digest passes for it. Values
+    * pinned equal to (hash60Bytes, hash56Bytes) in ShardSinkSpec.
+    */
+  def hash60And56Bytes(b: Array[Byte]): (Long, Long) = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(b)
+    val hi =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    val lo =
+      ((d(7) & 0xffL) << 56) | ((d(8) & 0xffL) << 48) | ((d(9) & 0xffL) << 40) |
+        ((d(10) & 0xffL) << 32) | ((d(11) & 0xffL) << 24) | ((d(12) & 0xffL) << 16) |
+        ((d(13) & 0xffL) << 8) | (d(14) & 0xffL)
+    (hi >>> 4, (lo >>> 4) & ((1L << 56) - 1))
+  }
+
   /** hash56 over raw bytes — the byte-side twin of [[hash56]] (hex
     * chars 16..29 of md5 as a long), for per-row JVM callers.
     */

@@ -54,6 +54,15 @@ object Relational {
     * lineitem: 0.78 s vs 1.07 s for the row_number window; at 100 TB the
     * gap grows with rows-per-key (the pre-shuffle reduction is the point).
     * Returns one row per key: keys ++ payload fields.
+    *
+    * WARNING — `ord` MUST be unique within every key group. The
+    * per-column min_bys below only agree on ONE source row under that
+    * contract; if `ord` ever ties within a key, each payload column may
+    * come from a DIFFERENT tied row (a silently mixed output row — the
+    * struct form returned an arbitrary-but-consistent row instead). A
+    * caller that cannot prove uniqueness must pack a tiebreaker into
+    * `ord` (as q11 does with its packed total key) or use
+    * [[firstPerKey]].
     */
   def firstPerKeyAgg(df: DataFrame, keys: Seq[Column], ord: Column,
                      payload: Seq[Column]): DataFrame = {

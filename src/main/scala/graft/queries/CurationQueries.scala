@@ -65,19 +65,37 @@ object CurationQueries {
                                     dir: String)
       : org.apache.spark.sql.DataFrame = {
     // project early: `source` is never consumed by the clean stage or the
-    // budget (guide §2.3) — the whole-row min_by keeper and the final
-    // budget window then carry 4 columns, not 5
+    // budget (guide §2.3) — the dedup keeper and the final budget window
+    // then carry 4 columns, not 5
     val d = Engine.table(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    // materialize the gate ONCE (lazy tracked checkpoint): the winner
+    // pass and the semi-join probe below both consume it, and so do the
+    // decontamination branches downstream — Catalyst has no cross-branch
+    // subtree CSE, so without the barrier the scan + logit filter would
+    // re-run once per consumer
     val kept = d.where(Curation.qualityLogit(col("text")) >= 0)
-    // exact dedup keeping the min-id row — as ONE whole-row min_by
-    // aggregate (single exchange on the content hash) instead of
-    // groupBy + join-back (three exchanges for the same rows)
-    val uniq = kept
+      .trackedCheckpoint(false)
+    // exact dedup keeping the min-id row — two-phase winner recovery
+    // (guide §2.4 + §3.1, r19): hash-aggregate (content hash → min
+    // doc_id) — string group KEY, primitive BUFFER, so both sides of an
+    // exchange that carries only (hash, id) pairs stay HashAggregate —
+    // then a broadcast LEFT SEMI on the globally-unique doc_id recovers
+    // the winner ROWS without moving or sorting them. The r2–r18
+    // whole-row min_by(struct(…)) spelling carried `text` in its
+    // aggregation buffer, which is not hash-aggregable, so it planned
+    // Sort + SortAggregate on BOTH sides of a whole-row exchange — at
+    // 100 TB, a full sort of the corpus for an extremum that needs no
+    // order. Broadcast posture: the build side is one long per distinct
+    // content hash — at true corpus scale that approaches table
+    // cardinality and a deployment swaps the hint for a shuffled-hash
+    // semi-join (still sort-free) or Engine.bloomPrune; the
+    // hash-aggregated winner pass is the invariant.
+    val winners = kept
       .groupBy(md5(col("text")).as("__h"))
-      .agg(min_by(struct(kept.columns.map(col): _*), col("doc_id"))
-        .as("__r"))
-      .select(col("__r.*"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val uniq = kept.join(broadcast(winners), Seq("doc_id"), "left_semi")
     val isEval = substring(md5(col("text")), 1, 1).isin(evalHexes: _*)
     val contaminated = Curation.ngramOverlap(
         uniq.where(!isEval), uniq.where(isEval),
@@ -1028,20 +1046,34 @@ object CurationQueries {
         val passed = d.where(Curation.gopherRules(col("text"))
           .getField("pass"))
           .trackedCheckpoint(false)
+        // lazy-checkpointed, and projected to the 4 live columns FIRST
+        // (guide §2.3 at the barrier: n_chunks/n_kept are dead once the
+        // gate above has fired, and the r18 keeper materialized both):
+        // the winner pass, the semi-join probe, and — through uniq —
+        // three decontamination branches all consume these rows
         val cleaned = Curation.removeBoilerplate(passed, col("text"),
             col("doc_id"), w = 8, minDocs = 3)
           .where(col("n_kept") > 0)
           .join(passed.select(col("doc_id"), col("lang"), col("n_chars")),
             Seq("doc_id"))
-        // lazy-checkpointed: the dedup survivors feed THREE join
-        // branches (eval grams, train grams, the final anti-join) —
-        // without the checkpoint the whole gate+clean+dedup prefix
-        // re-runs for each (no cross-join CSE in Catalyst)
+          .select(col("doc_id"), col("cleaned"), col("lang"),
+            col("n_chars"))
+          .trackedCheckpoint(false)
+        // exact dedup keeping the min-id row — two-phase winner
+        // recovery, same shape and rationale as q102CleanStage above:
+        // hash-agg (content hash → min doc_id), then broadcast LEFT
+        // SEMI on doc_id; the whole-row min_by(struct) it replaces
+        // sort-aggregated the full survivor set on both sides of its
+        // exchange because `cleaned` (a string) sat in the buffer.
+        // uniq stays lazy-checkpointed: it feeds THREE join branches
+        // (eval grams, train grams, the final anti-join), and without
+        // the barrier each would re-probe the semi-join (cheap) but
+        // also re-broadcast on any exchange-reuse miss
         val uniq = cleaned
-          .groupBy(md5(col("cleaned")).as("__h"))
-          .agg(min_by(struct(cleaned.columns.map(col): _*), col("doc_id"))
-            .as("__r"))
-          .select(col("__r.*"))
+          .join(broadcast(cleaned
+            .groupBy(md5(col("cleaned")).as("__h"))
+            .agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"))), Seq("doc_id"), "left_semi")
           .trackedCheckpoint(false)
         val isEval = substring(md5(col("cleaned")), 1, 1)
           .isin(evalHexes: _*)

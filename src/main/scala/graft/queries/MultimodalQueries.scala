@@ -21,15 +21,13 @@ import org.apache.spark.sql.functions._
   */
 private[queries] object MediaGen {
   def seeds(text: String): (Long, Long) = {
-    // (hash60, hash56) of the text — arithmetically on a thread-local
-    // digest (Md5Hashes' pinned identities, ShardSinkSpec pins both
-    // against the hex-parse spelling), not per-call getInstance +
-    // per-byte "%02x" + two base-16 reparses: this runs once per ROW in
-    // every media query, and the media fixture oracles pin the resulting
-    // bytes end-to-end
-    val b = text.getBytes("UTF-8")
-    (graft.expressions.Md5Hashes.hash60Bytes(b),
-      graft.expressions.Md5Hashes.hash56Bytes(b))
+    // (hash60, hash56) of the text from ONE thread-local digest
+    // (Md5Hashes' pinned identities, ShardSinkSpec pins the pair
+    // against the hex-parse spelling): this runs once per ROW in every
+    // media query, and both values are slices of the same 16-byte md5
+    // — r18's spelling digested the same bytes twice for the pair; the
+    // media fixture oracles pin the resulting bytes end-to-end
+    graft.expressions.Md5Hashes.hash60And56Bytes(text.getBytes("UTF-8"))
   }
 
   /** 2–16 × 5–12 truecolor PNG; height ≥5 puts ALL FIVE §9 filter types

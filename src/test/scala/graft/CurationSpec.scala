@@ -272,4 +272,35 @@ class CurationSpec extends SparkSpec {
       .toMap
     assert(out == again)
   }
+
+  test("two-phase min-id winner recovery ≡ whole-row min_by keeper " +
+    "(the q102/q161 exact-dedup shape, r19)") {
+    // the r19 keeper: hash-agg (content hash → min doc_id) + broadcast
+    // LEFT SEMI on doc_id. Must return exactly the rows the r2–r18
+    // whole-row min_by(struct(…), doc_id) aggregate returned — pinned on
+    // a corpus where EVERY text is a duplicate pair (the union below),
+    // so winner selection is exercised on every group, not just on
+    // accidental dupes in the fixture
+    import org.apache.spark.sql.functions._
+    val base = Engine.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .where(Curation.qualityLogit(col("text")) >= 0)
+    val kept = base.union(
+      base.withColumn("doc_id", col("doc_id") + 1000000L))
+    val winners = kept.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val twoPhase = kept.join(broadcast(winners), Seq("doc_id"), "left_semi")
+    val ref = kept.groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(kept.columns.map(col): _*), col("doc_id"))
+        .as("__r"))
+      .select(col("__r.*"))
+    assert(twoPhase.columns.toSeq == ref.columns.toSeq)
+    val a = twoPhase.collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = ref.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.length == b.length && a.nonEmpty)
+    assert(a.toSeq == b.toSeq)
+    // and every winner is the min id of its group (no dup survivor)
+    assert(twoPhase.groupBy(md5(col("text"))).count()
+      .where(col("count") > 1).count() == 0)
+  }
 }

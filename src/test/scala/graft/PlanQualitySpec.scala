@@ -172,11 +172,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin LeftAnti"),
       s"contaminated-list anti-join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"q102 fell back to SMJ:\n$p")
-    // exact dedup must stay the single-exchange whole-row min_by (the
-    // 24%-faster shape from r2) — partial aggregation before its shuffle,
-    // and no second Exchange from a groupBy+join-back regression
-    assert(p.contains("partial_min_by"),
-      s"dedup lost its map-side partial min_by:\n$p")
+    // exact dedup is the r19 two-phase winner recovery: the (hash → min
+    // doc_id) pass must HASH-aggregate with a map-side partial (its
+    // exchange carries only (hash, id) pairs), the winner rows come back
+    // via a broadcast LEFT SEMI, and nothing in the clean stage may
+    // SortAggregate (the old whole-row min_by(struct) sorted the corpus
+    // on both sides of its exchange)
+    assert(p.contains("partial_min("),
+      s"winner pass lost its map-side partial min:\n$p")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"winner-row recovery must be a broadcast semi-join:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"q102 clean stage must not sort-aggregate:\n$p")
     assert(p.contains("shingleexplode"),
       s"native decontamination generator missing:\n$p")
     // the registered query's final plan: budget offsets broadcast back
@@ -738,7 +745,9 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q216_tar_walk")
     assert(p.contains("RoundRobinPartitioning"),
       s"q216_tar_walk must fan out before the decode:\n$p")
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+    assert("Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size == 1 &&
+      !p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"q216_tar_walk must have exactly the fan-out exchange:\n$p")
     assert(!p.contains("Join"), s"q216_tar_walk must not join:\n$p")
   }
@@ -754,7 +763,9 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q219_jpeg_full_decode")
     assert(p.contains("RoundRobinPartitioning"),
       s"q219_jpeg_full_decode must fan out before the decode:\n$p")
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+    assert("Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size == 1 &&
+      !p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"q219_jpeg_full_decode must have exactly the fan-out exchange:\n$p")
     assert(!p.contains("Join"), s"q219_jpeg_full_decode must not join:\n$p")
   }
@@ -764,7 +775,9 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q225_jpeg420_full_decode")
     assert(p.contains("RoundRobinPartitioning"),
       s"q225_jpeg420_full_decode must fan out before the decode:\n$p")
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+    assert("Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size == 1 &&
+      !p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"q225_jpeg420_full_decode must have exactly the fan-out exchange:\n$p")
     assert(!p.contains("Join"), s"q225_jpeg420_full_decode must not join:\n$p")
   }
@@ -774,7 +787,9 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q226_jpeg_restart_decode")
     assert(p.contains("RoundRobinPartitioning"),
       s"q226_jpeg_restart_decode must fan out before the decode:\n$p")
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+    assert("Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size == 1 &&
+      !p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"q226_jpeg_restart_decode must have exactly the fan-out exchange:\n$p")
     assert(!p.contains("Join"), s"q226_jpeg_restart_decode must not join:\n$p")
   }
@@ -784,7 +799,9 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q227_jpeg_progressive_decode")
     assert(p.contains("RoundRobinPartitioning"),
       s"q227_jpeg_progressive_decode must fan out before the decode:\n$p")
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+    assert("Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size == 1 &&
+      !p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"q227_jpeg_progressive_decode must have exactly the fan-out exchange:\n$p")
     assert(!p.contains("Join"), s"q227_jpeg_progressive_decode must not join:\n$p")
   }
@@ -794,7 +811,9 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q231_tiff_full_decode")
     assert(p.contains("RoundRobinPartitioning"),
       s"q231_tiff_full_decode must fan out before the decode:\n$p")
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+    assert("Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size == 1 &&
+      !p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"q231_tiff_full_decode must have exactly the fan-out exchange:\n$p")
     assert(!p.contains("Join"), s"q231_tiff_full_decode must not join:\n$p")
   }
@@ -804,7 +823,9 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q233_png_interlaced_decode")
     assert(p.contains("RoundRobinPartitioning"),
       s"q233_png_interlaced_decode must fan out before the decode:\n$p")
-    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+    assert("Exchange \\((\\d+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.size == 1 &&
+      !p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"q233_png_interlaced_decode must have exactly the fan-out exchange:\n$p")
     assert(!p.contains("Join"), s"q233_png_interlaced_decode must not join:\n$p")
   }

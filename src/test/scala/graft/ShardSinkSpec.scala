@@ -95,6 +95,11 @@ class ShardSinkSpec extends SparkSpec {
       assert(graft.expressions.Md5Hashes.hash56Bytes(b) ==
         java.lang.Long.parseLong(
           d.map("%02x".format(_)).mkString.substring(15, 29), 16))
+      // the single-digest pair (MediaGen.seeds' hot path) must equal
+      // the two independent digests it replaces
+      assert(graft.expressions.Md5Hashes.hash60And56Bytes(b) ==
+        ((graft.expressions.Md5Hashes.hash60Bytes(b),
+          graft.expressions.Md5Hashes.hash56Bytes(b))), b.toSeq)
     }
   }
 
