@@ -1150,8 +1150,8 @@ object MultimodalQueries {
     "q199_png_full_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        // fanOut: PNG encode + inflate + unfilter per row (q238 rationale)
-        val payloads = Engine.fanOut(Engine.table(s, dir, "documents")
+        // r19 A/B arm: fanOut removed (q199 was below the wave-2 >=0.4s bar)
+        val payloads = (Engine.table(s, dir, "documents")
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>

@@ -59,6 +59,24 @@ object ScaleProbe {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q89_copurchase_pairs", "q105_topk_per_supplier")
     def build(name: String) = name match {
+      case "q89_norepart" =>
+        // q89 minus its explicit pre-partition exchange (the r6
+        // adjudication under re-test at 10x volume): groupBy satisfies
+        // its own distribution, list-building runs on the scan tasks
+        val li = graft.Engine.table(spark, dest, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.groupBy(col("l_orderkey"))
+          .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+            .as("parts"))
+          .filter(size(col("parts")) >= 2)
+          .select(graft.queries.AnalyticsQueries.pairPack(col("parts"))
+            .as("pack"))
+          .groupBy(col("pack")).agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("pack"))
+          .limit(20)
+          .select(shiftright(col("pack"), 32).as("part_a"),
+            col("pack").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"),
+            col("n_orders"))
       case "q105_window" =>
         // the spelling topKPerKey exists to avoid: full sort of every
         // supplier group under one window
